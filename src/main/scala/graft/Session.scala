@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single place all entry points (Verify, Bench, tests, service loop) build
+  * their SparkSession, so correctness-critical configs stay consistent.
+  *
+  * Config rationale:
+  *  - `nanosAsLong`: the driver-provided `events.parquet` stores
+  *    TIMESTAMP(NANOS) which Spark's parquet reader otherwise rejects
+  *    ([PARQUET_TYPE_ILLEGAL]); we read ns-as-long and convert in
+  *    [[graft.sources.Tables]].
+  *  - UTC session TZ: oracle (DuckDB) computes on naive timestamps; pinning
+  *    UTC makes TIMESTAMP <-> TIMESTAMP_NTZ casts wall-clock-exact.
+  *  - ANSI off: classic permissive Spark semantics (null on malformed cast)
+  *    so engine behavior is total, mirroring the reference's best-effort
+  *    pipeline semantics (src/rabbit-sanctuary.js:56-71 retries rather than
+  *    aborting a cycle).
+  *  - AQE on: runtime coalescing + skew-join handling — the 100 TB path.
+  */
+object Session {
+  def build(appName: String, cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,13 +1,348 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.implicits._
+import graft.operators._
+import graft.functions.{Geo, Scalars}
+import graft.sources.Tables
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the north-star LLM-pipeline extensions), with matching
+  * DuckDB oracle SQL where the op is SQL-expressible.
+  *
+  * Determinism rules: every query ends in a total ORDER BY; every derived
+  * double is rounded at (or beyond) the decimal precision of its exact
+  * value; int-typed derivations are cast to long to match DuckDB's BIGINT.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String)(name: String): DataFrame = Tables(s, dir, name)
+
+  /** Flagship: monthly revenue anomaly vs calendar-month climatology — the
+    * reference's core dataflow (era5monthly.js:78-92) in TPC-H clothes.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Anomaly.monthlyRevenueAnomaly(Tables(spark, "/root/testdata/sf0.001", "lineitem"))
+
+  /** OSCAR civil-calendar generator (reference src/oscar.js:4-34): 72 valid
+    * dates per year at floor(daysInYear·i/72) day offsets.
+    */
+  private def oscarCalendar(s: SparkSession): DataFrame = {
+    val years = s.range(2023, 2025).toDF("y")
+    val leap = ($"y" % 4 === 0 && $"y" % 100 =!= 0) || ($"y" % 400 === 0)
+    years
+      .crossJoin(s.range(0, 72).toDF("i"))
+      .withColumn("days_in_year", when(leap, 366).otherwise(365))
+      .withColumn("oscar_date",
+        date_add(make_date($"y", lit(1), lit(1)),
+                 floor($"days_in_year" * $"i" / lit(72.0)).cast("int")))
+      .select($"y", $"i", $"oscar_date")
+      .orderBy($"y", $"i")
+  }
+
+  /** Polygon-clip aggregate (reference P3): ray-casting point-in-polygon
+    * over (l_discount, l_tax) as the point space; oracle does the
+    * equivalent convex sign test.
+    */
+  private def geoClip(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("lineitem")
+      .where(Geo.containsUdf(Geo.testTriangle)($"l_discount", $"l_tax"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_inside"), round(sum($"l_extendedprice"), 2).as("sum_price"))
+      .orderBy($"l_returnflag")
+
+  /** Temporal/scalar function surface (SURVEY.md §2.6) in one projection. */
+  private def temporalScalars(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("orders").select(
+      $"o_orderkey",
+      Scalars.monthAdd($"o_orderdate", 1).as("next_month"),
+      Scalars.truncTo($"o_orderdate", "month").cast("timestamp_ntz").as("month_floor"),
+      round(Scalars.daysSince($"o_orderdate",
+        lit("1995-01-01 00:00:00").cast("timestamp")), 6).as("days_since_1995"),
+      Scalars.padMonth($"o_orderdate").as("month_str"),
+      Scalars.isoFormat($"o_orderdate").as("iso_ts"),
+      Scalars.clamp($"o_totalprice", 50000.0, 300000.0).as("clamped_price"),
+      pmod($"o_orderkey", lit(7)).as("key_mod7"),
+      Scalars.layerName($"o_orderpriority").as("priority_mangled")
+    ).orderBy($"o_orderkey")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- core relational surface (SURVEY.md §2.2-2.5) ----
+    "q01_pricing_summary" -> ((s, d) => Core.pricingSummary(t(s, d)("lineitem"))),
+    "q02_distinct_types" -> ((s, d) => Core.distinctValues(t(s, d)("events"), "event_type")),
+    "q03_extent" -> ((s, d) => Core.extent(t(s, d)("events"), "event_type", "ts")),
+    "q04_range_filter" -> ((s, d) => Core.rangeFilter(t(s, d)("lineitem"),
+      "l_discount", 0.02, 0.04, "l_quantity", 10, 20, Seq("l_orderkey", "l_linenumber"))),
+    "q05_regex_limit" -> ((s, d) => Core.regexLimit(t(s, d)("documents"),
+      "text", "stream.*spark", 10, "doc_id")),
+    "q06_monthly_anomaly" -> ((s, d) => Anomaly.monthlyRevenueAnomaly(t(s, d)("lineitem"))),
+    "q07_accum_diff" -> ((s, d) => Core.accumulationDiff(t(s, d)("orders"),
+      "o_custkey", Seq("o_orderdate", "o_orderkey"), "o_totalprice")),
+    "q08_hourly_climatology" -> ((s, d) => Anomaly.hourlyClimatology(t(s, d)("events"))),
+    "q09_union_kinds" -> ((s, d) => Core.unionAccounts(t(s, d)("customer"), t(s, d)("supplier"))),
+    "q10_temporal_scalars" -> ((s, d) => temporalScalars(s, d)),
+    "q11_next_after" -> ((s, d) => Core.nextAfter(t(s, d)("orders"),
+      "o_custkey", "o_orderdate", "1997-06-15 00:00:00")),
+    "q12_anti_join" -> ((s, d) => Core.antiJoin(t(s, d)("customer"), t(s, d)("orders"),
+      "c_custkey", "o_custkey", Seq("c_custkey", "c_name", "c_acctbal"))),
+    "q13_semi_join" -> ((s, d) => Core.semiJoinRegion(t(s, d)("supplier"),
+      t(s, d)("nation"), t(s, d)("region"), "AFRICA")),
+    "q14_rollup" -> ((s, d) => Core.revenueRollup(t(s, d)("lineitem"), t(s, d)("orders"),
+      t(s, d)("customer"), t(s, d)("nation"), t(s, d)("region"))),
+    "q15_topk_brand" -> ((s, d) => Core.topKPerGroup(t(s, d)("lineitem"), t(s, d)("part"), 3)),
+    "q16_inventory" -> ((s, d) => Core.inventory(t(s, d)("documents"))),
+    "q17_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(t(s, d)("documents"))),
+    "q18_oscar_calendar" -> ((s, d) => oscarCalendar(s)),
+    "q19_geo_clip" -> ((s, d) => geoClip(s, d)),
+    // ---- window/streaming surface (batch form; SURVEY.md §2.8, M4) ----
+    "w01_tumbling_hour" -> ((s, d) => EventWindows.tumbling(t(s, d)("events"), "hour")),
+    "w02_sliding_1h30m" -> ((s, d) => EventWindows.sliding1h30m(t(s, d)("events"))),
+    "w03_sessionize" -> ((s, d) => EventWindows.sessionize(t(s, d)("events"), 30)),
+    // ---- dedup (north-star M5) ----
+    "d01_dedup_exact" -> ((s, d) => Dedup.exact(t(s, d)("documents"))),
+    "d02_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(t(s, d)("documents"), 2, 0.5)),
+    "d03_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(t(s, d)("documents"))),
+    "d04_simhash" -> ((s, d) => Dedup.simhash(t(s, d)("documents"))),
+    // ---- similarity search (north-star M5) ----
+    "s01_cosine_threshold" -> ((s, d) => Similarity.cosineAboveThreshold(t(s, d)("embeddings"), 0L, 0.1)),
+    "s02_cosine_topk" -> ((s, d) => Similarity.cosineTopK(t(s, d)("embeddings"), 0L, 10)),
+    "s03_lsh_pairs" -> ((s, d) => Similarity.lshNearNeighbours(t(s, d)("embeddings"), 4, 0.35)),
+    "s04_label_centroids" -> ((s, d) => Similarity.labelCentroids(t(s, d)("embeddings"))),
+    "s05_ivf_topk" -> ((s, d) => Similarity.ivfTopK(t(s, d)("embeddings"), 0L, 4, 10)),
+    // ---- text analysis (north-star M5) ----
+    "t01_text_stats" -> ((s, d) => TextAnalysis.stats(t(s, d)("documents"))),
+    "t02_langid" -> ((s, d) => TextAnalysis.languageId(t(s, d)("documents"))),
+    "t03_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(t(s, d)("documents")))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
+         round(sum(l_extendedprice),2) AS sum_base_price,
+         round(sum(l_extendedprice*(1-l_discount)),4) AS sum_disc_price,
+         round(avg(l_quantity),4) AS avg_qty, round(avg(l_discount),4) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q02_distinct_types" ->
+      "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+    "q03_extent" ->
+      """SELECT event_type, min(ts) AS start, max(ts) AS "end", count(*) AS n
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q04_range_filter" ->
+      """SELECT * FROM lineitem
+         WHERE l_discount BETWEEN 0.02 AND 0.04 AND l_quantity BETWEEN 10 AND 20
+         ORDER BY l_orderkey, l_linenumber""",
+    "q05_regex_limit" ->
+      """SELECT * FROM documents WHERE regexp_matches(text, 'stream.*spark')
+         ORDER BY doc_id LIMIT 10""",
+    "q06_monthly_anomaly" ->
+      """WITH monthly AS (
+           SELECT date_trunc('month', l_shipdate) AS month_start,
+                  sum(l_extendedprice*(1-l_discount)) AS revenue
+           FROM lineitem GROUP BY 1),
+         normal AS (
+           SELECT month(month_start) AS cal_month, avg(revenue) AS normal_revenue
+           FROM monthly GROUP BY 1)
+         SELECT month_start, round(revenue,4) AS revenue,
+                round(normal_revenue,4) AS normal_revenue,
+                round(revenue - normal_revenue,4) AS anomaly
+         FROM monthly JOIN normal ON month(month_start) = cal_month
+         ORDER BY month_start""",
+    "q07_accum_diff" ->
+      """SELECT o_custkey, o_orderdate, o_orderkey,
+                round(o_totalprice,2) AS o_totalprice,
+                round(o_totalprice - lag(o_totalprice) OVER
+                  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),2) AS diff
+         FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""",
+    "q08_hourly_climatology" ->
+      """SELECT event_type, hour(ts) AS hour_of_day, round(avg(value),4) AS mean_value,
+                round(sum(value),2) AS sum_value, count(*) AS n
+         FROM events GROUP BY 1,2 ORDER BY event_type, hour_of_day""",
+    "q09_union_kinds" ->
+      """SELECT kind, count(*) AS n, round(sum(acctbal),2) AS total_bal
+         FROM (SELECT 'customer' AS kind, c_acctbal AS acctbal FROM customer
+               UNION ALL SELECT 'supplier', s_acctbal FROM supplier)
+         GROUP BY kind ORDER BY kind""",
+    "q10_temporal_scalars" ->
+      """SELECT o_orderkey,
+                CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS next_month,
+                date_trunc('month', o_orderdate) AS month_floor,
+                round((epoch_us(o_orderdate) - epoch_us(TIMESTAMP '1995-01-01'))
+                      / 86400000000.0, 6) AS days_since_1995,
+                strftime(o_orderdate, '%m') AS month_str,
+                strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%gZ') AS iso_ts,
+                greatest(least(o_totalprice, 300000.0), 50000.0) AS clamped_price,
+                o_orderkey % 7 AS key_mod7,
+                replace(o_orderpriority, '-', '_') AS priority_mangled
+         FROM orders ORDER BY o_orderkey""",
+    "q11_next_after" ->
+      """SELECT o_custkey, min(o_orderdate) AS next_time, count(*) AS n_after
+         FROM orders WHERE o_orderdate > TIMESTAMP '1997-06-15 00:00:00'
+         GROUP BY o_custkey ORDER BY o_custkey""",
+    "q12_anti_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "q13_semi_join" ->
+      """SELECT s_suppkey, s_name, s_nationkey FROM supplier
+         WHERE EXISTS (SELECT 1 FROM nation JOIN region ON n_regionkey = r_regionkey
+                       WHERE r_name = 'AFRICA' AND n_nationkey = s_nationkey)
+         ORDER BY s_suppkey""",
+    "q14_rollup" ->
+      """SELECT coalesce(r_name,'ALL') AS region_name, coalesce(n_name,'ALL') AS nation_name,
+                round(sum(l_extendedprice*(1-l_discount)),4) AS revenue, count(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+              JOIN customer ON o_custkey=c_custkey
+              JOIN nation ON c_nationkey=n_nationkey
+              JOIN region ON n_regionkey=r_regionkey
+         GROUP BY ROLLUP(r_name, n_name)
+         ORDER BY region_name, nation_name""",
+    "q15_topk_brand" ->
+      """WITH rev AS (SELECT l_partkey, sum(l_extendedprice*(1-l_discount)) AS rev
+                      FROM lineitem GROUP BY 1),
+         j AS (SELECT p_brand, p_partkey, rev,
+                      row_number() OVER (PARTITION BY p_brand ORDER BY rev DESC, p_partkey) AS rk
+               FROM rev JOIN part ON l_partkey = p_partkey)
+         SELECT p_brand, p_partkey, round(rev,4) AS revenue, rk
+         FROM j WHERE rk <= 3 ORDER BY p_brand, rk""",
+    "q16_inventory" ->
+      """SELECT source, count(*) AS n_docs, min(n_chars) AS min_chars,
+                max(n_chars) AS max_chars, count(DISTINCT lang) AS n_langs
+         FROM documents GROUP BY source ORDER BY source""",
+    "q17_fingerprint" ->
+      """WITH n AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t
+                    FROM documents)
+         SELECT doc_id,
+                list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, length(t)+1),
+                      i -> CAST(ascii(substring(t, i, 1)) AS BIGINT))),
+                  (acc, x) -> (acc*31 + x) % 1000000007) AS fingerprint
+         FROM n ORDER BY doc_id""",
+    "q18_oscar_calendar" ->
+      """SELECT y, i,
+                make_date(y,1,1) + CAST(floor(
+                  (CASE WHEN (y%4=0 AND y%100<>0) OR y%400=0 THEN 366 ELSE 365 END)
+                  * i / 72.0) AS INT) AS oscar_date
+         FROM range(2023,2025) t(y) CROSS JOIN range(0,72) s(i)
+         ORDER BY y, i""",
+    "q19_geo_clip" ->
+      """WITH t AS (SELECT l_returnflag, l_extendedprice, l_discount AS x, l_tax AS y
+                    FROM lineitem),
+         d AS (SELECT *,
+                 (0.0947-0.0053)*(y-0.0071)-(0.0151-0.0071)*(x-0.0053) AS d1,
+                 (0.0521-0.0947)*(y-0.0151)-(0.0933-0.0151)*(x-0.0947) AS d2,
+                 (0.0053-0.0521)*(y-0.0933)-(0.0071-0.0933)*(x-0.0521) AS d3
+               FROM t)
+         SELECT l_returnflag, count(*) AS n_inside, round(sum(l_extendedprice),2) AS sum_price
+         FROM d WHERE d1 > 0 AND d2 > 0 AND d3 > 0
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "w01_tumbling_hour" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n,
+                round(sum(value),2) AS sum_value, round(avg(value),4) AS avg_value
+         FROM events GROUP BY 1,2 ORDER BY window_start, event_type""",
+    "w02_sliding_1h30m" ->
+      """WITH b AS (
+           SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start, value
+           FROM events
+           UNION ALL
+           SELECT make_timestamp(((epoch_us(ts) - 1800000000) // 3600000000)
+                                 * 3600000000 + 1800000000) AS window_start, value
+           FROM events)
+         SELECT window_start, count(*) AS n, round(sum(value),2) AS sum_value
+         FROM b GROUP BY window_start ORDER BY window_start""",
+    "w03_sessionize" ->
+      """WITH s AS (
+           SELECT user_id, event_id, ts, value,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                       THEN 1 ELSE 0 END AS new_session
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         g AS (SELECT *, CAST(sum(new_session) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                 AS BIGINT) AS session_id FROM s)
+         SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+                count(*) AS n_events, round(sum(value),2) AS sum_value,
+                (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS duration_sec
+         FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    "d01_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count
+         FROM documents GROUP BY text ORDER BY keep_id""",
+    "d02_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS t
+                       FROM documents),
+         g0 AS (SELECT doc_id, source,
+                       unnest(list_transform(generate_series(1, len(t)-1),
+                              i -> t[i] || ' ' || t[i+1])) AS gram
+                FROM toks),
+         grams AS (SELECT DISTINCT doc_id, source, gram FROM g0),
+         sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                   FROM grams a JOIN grams b
+                     ON a.source = b.source AND a.gram = b.gram AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+                round(CAST(inter AS DOUBLE)/(sa.n + sb.n - inter), 4) AS jaccard
+         FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+         WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.5
+         ORDER BY doc_a, doc_b""",
+    "s01_cosine_threshold" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+         s AS (SELECT vec_id, label,
+                 list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+                 / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(qv, qv))) AS c
+               FROM embeddings, q WHERE vec_id <> 0)
+         SELECT vec_id, label, round(c, 4) AS cos_sim FROM s WHERE c >= 0.1
+         ORDER BY vec_id""",
+    "s02_cosine_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+         s AS (SELECT vec_id, label,
+                 list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+                 / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(qv, qv))) AS c
+               FROM embeddings, q WHERE vec_id <> 0)
+         SELECT vec_id, label, round(c, 4) AS cos_sim FROM s
+         ORDER BY c DESC, vec_id LIMIT 10""",
+    "t01_text_stats" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(text),'\s+') AS t,
+                    length(regexp_replace(text,'\s','','g')) AS stc,
+                    length(text) AS lt,
+                    length(regexp_replace(text,'[^a-zA-Z0-9\s]','','g')) AS alnum_ws
+                    FROM documents)
+         SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+                CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
+                round(stc * 1.0 / len(t), 4) AS avg_token_len,
+                round(len(list_distinct(t)) * 1.0 / len(t), 4) AS distinct_ratio,
+                round((CASE WHEN len(t) BETWEEN 5 AND 100 THEN 0.25 ELSE 0 END)
+                    + (CASE WHEN stc*1.0/len(t) BETWEEN 3.0 AND 12.0 THEN 0.25 ELSE 0 END)
+                    + (CASE WHEN len(list_distinct(t))*1.0/len(t) >= 0.3 THEN 0.25 ELSE 0 END)
+                    + (CASE WHEN (lt - alnum_ws) <= lt*0.3 THEN 0.25 ELSE 0 END), 2)
+                  AS quality_score
+         FROM d ORDER BY doc_id""",
+    "t02_langid" ->
+      """WITH s AS (SELECT doc_id, lang AS labeled_lang,
+           CAST(len(regexp_extract_all(lower(text),'\b(der|die|das|und|ist|nicht|ein|mit)\b')) AS BIGINT) AS s_de,
+           CAST(len(regexp_extract_all(lower(text),'\b(the|and|of|to|is|in|that|for)\b')) AS BIGINT) AS s_en,
+           CAST(len(regexp_extract_all(lower(text),'\b(el|la|los|las|y|es|en|que|de)\b')) AS BIGINT) AS s_es,
+           CAST(len(regexp_extract_all(lower(text),'\b(le|la|les|et|est|dans|que|pour)\b')) AS BIGINT) AS s_fr,
+           CAST(len(regexp_extract_all(lower(text),'[\x{4e00}-\x{9fff}]')) AS BIGINT) AS s_zh
+           FROM documents)
+         SELECT doc_id, labeled_lang, s_de, s_en, s_es, s_fr, s_zh,
+                CASE WHEN greatest(s_de,s_en,s_es,s_fr,s_zh) = 0 THEN 'und'
+                     WHEN s_de = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'de'
+                     WHEN s_en = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'en'
+                     WHEN s_es = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'es'
+                     WHEN s_fr = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'fr'
+                     ELSE 'zh' END AS pred_lang
+         FROM s ORDER BY doc_id""",
+    "t03_token_counts" ->
+      """SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,
+                CAST(len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}|[^A-Za-z0-9\s]')) AS BIGINT)
+                  AS bpe_ish_tokens
+         FROM documents ORDER BY doc_id"""
+  )
 }

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.implicits._
+
+/** The reference's flagship dataflow: anomaly = actual − climatological
+  * normal, where the normal is the multi-year mean for the same calendar
+  * month (reference src/sources/era5monthly.js:126-155 builds the 30-year
+  * normal with `cdo timmean`; src/file-conversions.js:219-231 does the
+  * `cdo sub`). That is an aggregation + an equi-join on the grouping key +
+  * an arithmetic projection (SURVEY.md §2.3 J1).
+  *
+  * Scale shape: the normal side is tiny after aggregation (one row per
+  * calendar period) → broadcast hash join, zero extra shuffle of the
+  * fact side beyond the monthly aggregation itself.
+  */
+object Anomaly {
+
+  /** TPC-H-shaped analog of the ERA5 anomaly: monthly revenue vs the mean
+    * revenue of that calendar month across all years.
+    */
+  def monthlyRevenueAnomaly(lineitem: DataFrame): DataFrame = {
+    val monthly = lineitem
+      .groupBy(date_trunc("month", $"l_shipdate").cast("timestamp_ntz").as("month_start"))
+      .agg(sum($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"))
+    val normal = monthly
+      .groupBy(month($"month_start").as("cal_month"))
+      .agg(avg($"revenue").as("normal_revenue"))
+    monthly
+      .join(broadcast(normal), month($"month_start") === $"cal_month")
+      .select(
+        $"month_start",
+        round($"revenue", 4).as("revenue"),
+        round($"normal_revenue", 4).as("normal_revenue"),
+        round($"revenue" - $"normal_revenue", 4).as("anomaly"))
+      .orderBy($"month_start")
+  }
+
+  /** Periodic mean over events (climatology on the event stream): mean value
+    * per (event_type, hour-of-day) — the same group-mean shape as the
+    * 30-year normal (era5monthly.js:126-155), exercising the ns-timestamp
+    * scan path.
+    */
+  def hourlyClimatology(events: DataFrame): DataFrame =
+    events.groupBy($"event_type", hour($"ts").cast("long").as("hour_of_day"))
+      .agg(round(avg($"value"), 4).as("mean_value"),
+           round(sum($"value"), 2).as("sum_value"),
+           count(lit(1)).as("n"))
+      .orderBy($"event_type", $"hour_of_day")
+}

@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.implicits._
+
+/** Core relational operators, each a pure DataFrame transform.
+  *
+  * Every operator here re-expresses a dataflow primitive of the reference
+  * (SURVEY.md §2) Spark-first: the reference shells out to wgrib/cdo/gdal for
+  * per-file kernels (reference src/file-conversions.js:233-257); here each
+  * kernel is a declarative plan Catalyst can push down, prune, broadcast and
+  * codegen — the shape that survives a 1000-executor 100 TB scale-up.
+  */
+object Core {
+
+  /** Hash-aggregate summary (reference A1 analog — `cdo timmean` is a mean
+    * over a group, src/file-conversions.js:206-217). Partial aggregation
+    * (map-side combine) comes free from Catalyst: one shuffle of 6 groups.
+    */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4).as("sum_disc_price"),
+        round(avg($"l_quantity"), 4).as("avg_qty"),
+        round(avg($"l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+
+  /** Distinct values (reference A2 — `new Set(datasets.map(d => d.variable))`
+    * so one CDS request serves all datasets, src/sources/era5monthly.js:46).
+    */
+  def distinctValues(df: DataFrame, col: String): DataFrame =
+    df.select(col).distinct().orderBy(col)
+
+  /** Temporal-coverage extent per group (reference A3 — running
+    * `start=min, end=max` merge in typical_metadata, src/utility.js:135-142).
+    */
+  def extent(df: DataFrame, key: String, time: String): DataFrame =
+    df.groupBy(col(key))
+      .agg(min(col(time)).as("start"), max(col(time)).as("end"), count(lit(1)).as("n"))
+      .orderBy(col(key))
+
+  /** Range ("bbox") predicate (reference P2 — the CDS `area: [N,W,S,E]`
+    * subset evaluated at the source, src/sources/era5monthly.js:34,55).
+    * Catalyst pushes both range predicates into the parquet scan (min/max
+    * row-group pruning) — the engine-side equivalent of filtering upstream.
+    */
+  def rangeFilter(df: DataFrame, x: String, xlo: Double, xhi: Double,
+                  y: String, ylo: Double, yhi: Double, order: Seq[String]): DataFrame =
+    df.where(col(x).between(xlo, xhi) && col(y).between(ylo, yhi))
+      .orderBy(order.map(col): _*)
+
+  /** Regex-match + limit scan (reference S6 — `wgrib2 -match regex -limit n`,
+    * src/file-conversions.js:79-87; the only LIMIT in the reference).
+    * Ordered before limiting so the result is deterministic.
+    */
+  def regexLimit(df: DataFrame, c: String, pattern: String, n: Int, order: String): DataFrame =
+    df.where(col(c).rlike(pattern)).orderBy(col(order)).limit(n)
+
+  /** Pairwise accumulation diff via window lag (reference J2 —
+    * `combine_grib([a,b], (a,b) => a-b)` de-accumulation,
+    * src/file-conversions.js:53-55,158-172). A lag window over the partition
+    * key avoids the self-join shuffle the naive translation would do: one
+    * shuffle on the partition key, then a sorted scan.
+    */
+  def accumulationDiff(df: DataFrame, part: String, order: Seq[String], value: String): DataFrame = {
+    val w = Window.partitionBy(col(part)).orderBy(order.map(col): _*)
+    df.select(
+        col(part) +: order.map(col) :+ col(value) :+
+          lag(col(value), 1).over(w).as("prev"): _*)
+      .withColumn("diff", round(col(value) - col("prev"), 2))
+      .drop("prev")
+      .withColumn(value, round(col(value), 2))
+      .orderBy((col(part) +: order.map(col)): _*)
+  }
+
+  /** Group mean over a periodic key (reference A1, the climatology normal:
+    * mean of the same calendar month over many years,
+    * src/sources/era5monthly.js:126-155).
+    */
+  def periodicMean(df: DataFrame, keys: Seq[Column], value: Column,
+                   outKeys: Seq[String]): DataFrame =
+    df.groupBy(keys: _*)
+      .agg(round(avg(value), 4).as("mean_value"), count(lit(1)).as("n"))
+      .orderBy(outKeys.map(col): _*)
+
+  /** Union of two conformed inputs (reference `destructive_cat` —
+    * concatenate-then-delete, src/download.js:22-33). unionByName keeps
+    * column resolution by name, not position.
+    */
+  def unionAccounts(customer: DataFrame, supplier: DataFrame): DataFrame =
+    customer.select(lit("customer").as("kind"), $"c_acctbal".as("acctbal"))
+      .unionByName(supplier.select(lit("supplier").as("kind"), $"s_acctbal".as("acctbal")))
+      .groupBy($"kind")
+      .agg(count(lit(1)).as("n"), round(sum($"acctbal"), 2).as("total_bal"))
+      .orderBy($"kind")
+
+  /** First element strictly after a cutoff, per group (reference
+    * `nextOscarDate`: `dates.find(d => d > current)`, src/oscar.js:8-12) —
+    * a sorted-scan min-greater-than, expressed as filter + min aggregate.
+    */
+  def nextAfter(df: DataFrame, key: String, time: String, cutoff: String): DataFrame =
+    df.where(col(time) > lit(cutoff).cast("timestamp_ntz"))
+      .groupBy(col(key))
+      .agg(min(col(time)).as("next_time"), count(lit(1)).as("n_after"))
+      .orderBy(col(key))
+
+  /** Anti join (reference P5-adjacent: dropping entities with no data —
+    * null-metadata filter, src/rabbit.js:82). NOT EXISTS without a shuffle
+    * of the big side when the right side is broadcastable.
+    */
+  def antiJoin(left: DataFrame, right: DataFrame, lk: String, rk: String,
+               outCols: Seq[String]): DataFrame =
+    left.join(right, left(lk) === right(rk), "left_anti")
+      .select(outCols.map(col): _*)
+      .orderBy(col(outCols.head))
+
+  /** Semi join through a small dimension chain (reference P4 — keep datasets
+    * whose prefix matches the source, src/rabbit.js:28-30: a semi join of
+    * files against a source list). Dimensions are broadcast.
+    */
+  def semiJoinRegion(supplier: DataFrame, nation: DataFrame, region: DataFrame,
+                     regionName: String): DataFrame = {
+    val keys = nation.join(broadcast(region),
+        nation("n_regionkey") === region("r_regionkey"))
+      .where(region("r_name") === regionName)
+      .select($"n_nationkey")
+    supplier.join(broadcast(keys), supplier("s_nationkey") === keys("n_nationkey"), "left_semi")
+      .select($"s_suppkey", $"s_name", $"s_nationkey")
+      .orderBy($"s_suppkey")
+  }
+
+  /** Hierarchical rollup (reference A5 — the recursive dir→nested-object
+    * state-tree aggregation, src/utility.js:56-69, src/rabbit.js:87-89).
+    * ROLLUP computes all prefixes in one pass; grouping nulls are coalesced
+    * to 'ALL' so the output is a plain string key space.
+    */
+  def revenueRollup(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+                    nation: DataFrame, region: DataFrame): DataFrame =
+    lineitem
+      .join(orders, $"l_orderkey" === $"o_orderkey")
+      .join(customer, $"o_custkey" === $"c_custkey")
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", $"n_name")
+      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .select(coalesce($"r_name", lit("ALL")).as("region_name"),
+              coalesce($"n_name", lit("ALL")).as("nation_name"),
+              $"revenue", $"n_items")
+      .orderBy($"region_name", $"nation_name")
+
+  /** Top-k per group with deterministic tiebreak (sort+limit surface;
+    * reference has only the wgrib2 `-limit n` cap, src/file-conversions.js:83).
+    * row_number (not rank) + explicit tiebreak key keeps the result stable.
+    */
+  def topKPerGroup(lineitem: DataFrame, part: DataFrame, k: Int): DataFrame = {
+    val rev = lineitem.groupBy($"l_partkey")
+      .agg(sum($"l_extendedprice" * (lit(1) - $"l_discount")).as("rev"))
+    val joined = rev.join(part, $"l_partkey" === $"p_partkey")
+    val w = Window.partitionBy($"p_brand").orderBy($"rev".desc, $"p_partkey")
+    joined.withColumn("rk", row_number().over(w).cast("long"))
+      .where($"rk" <= k)
+      .select($"p_brand", $"p_partkey", round($"rev", 4).as("revenue"), $"rk")
+      .orderBy($"p_brand", $"rk")
+  }
+
+  /** Inventory gather (reference A4 — read every dataset's metadata.json,
+    * aggregate coverage, src/rabbit.js:73-85): per-source coverage stats
+    * over the documents corpus.
+    */
+  def inventory(documents: DataFrame): DataFrame =
+    documents.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+           min($"n_chars").as("min_chars"),
+           max($"n_chars").as("max_chars"),
+           countDistinct($"lang").as("n_langs"))
+      .orderBy($"source")
+}

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.implicits._
+
+/** Deduplication operators for the LLM-training-data pipeline (north-star
+  * extension; BASELINE.json).
+  *
+  * Scale design: every variant is candidate-generation-by-key (hash bucket,
+  * LSH band, blocking key) followed by within-bucket verification — never a
+  * global O(n²) cross join. At 100 TB the shuffles are all on
+  * high-cardinality keys (content hash, band hash), so they parallelize
+  * evenly; skew only appears if one band key is degenerate, which the
+  * verification join bounds.
+  */
+object Dedup {
+
+  private def tokens(c: Column): Column = split(lower(c), "\\s+")
+
+  /** Word n-grams as an array column; empty when the doc has < n tokens. */
+  private def ngrams(toks: Column, n: Int): Column = {
+    val len = size(toks)
+    val parts = (0 until n).map(i => slice(toks, lit(i + 1), greatest(len - (n - 1), lit(0))))
+    parts.reduce((a, b) => zip_with(a, b, (x, y) => concat_ws(" ", x, y)))
+  }
+
+  /** Exact dedup: group identical texts, keep the smallest doc_id
+    * (hash-groupBy — one shuffle on the content hash; at scale, group on
+    * md5 of the text rather than the text itself to keep shuffle rows thin).
+    */
+  def exact(documents: DataFrame): DataFrame =
+    documents
+      .groupBy($"text")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("dup_count"))
+      .select(md5($"text".cast("binary")).as("text_hash"), $"keep_id", $"dup_count")
+      .orderBy($"keep_id")
+
+  /** Exact-dedup distilled: the surviving document ids (the corpus after
+    * dedup), cheapest possible form: min id per text group.
+    */
+  def exactSurvivors(documents: DataFrame): DataFrame =
+    documents.groupBy($"text").agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id").orderBy($"doc_id")
+
+  /** N-gram Jaccard near-dup pairs, blocked by `source`: explode distinct
+    * n-grams, self-join within (source, gram) to count intersections, then
+    * |A∪B| = |A|+|B|−|A∩B|. Integer arithmetic + one final division keeps
+    * the score bit-identical to the SQL oracle.
+    */
+  def ngramJaccardPairs(documents: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val grams = documents
+      .select($"doc_id", $"source", explode(array_distinct(ngrams(tokens($"text"), n))).as("gram"))
+    val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+    val inter = grams.as("a")
+      .join(grams.as("b"),
+        col("a.source") === col("b.source") && col("a.gram") === col("b.gram") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_grams", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_grams", "nb"), "doc_b")
+      .withColumn("jaccard", $"inter" / ($"na" + $"nb" - $"inter"))
+      .where($"jaccard" >= threshold)
+      .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** MinHash signature matrix: `numHashes` independent min-hashes over the
+    * doc's shingle set. Hash family: xxhash64 seeded by the hash index —
+    * deterministic across executors, no RNG state.
+    */
+  private def minhashSignature(documents: DataFrame, shingleN: Int, numHashes: Int): DataFrame = {
+    val grams = documents
+      .select($"doc_id", explode(array_distinct(ngrams(tokens($"text"), shingleN))).as("gram"))
+    val hashCols = (0 until numHashes).map(i => min(xxhash64(lit(i), $"gram")).as(s"h$i"))
+    grams.groupBy($"doc_id").agg(hashCols.head, hashCols.tail: _*)
+  }
+
+  /** MinHash + LSH banding near-dup candidates: split the signature into
+    * `bands` bands of `rows` hashes, bucket by (band, hash-of-band), emit
+    * pairs sharing ≥1 bucket, then estimate Jaccard as the fraction of
+    * agreeing signature positions. One shuffle to build signatures, one on
+    * band keys, one thin self-join of bucket groups — no O(n²) anywhere.
+    */
+  def minhashLshPairs(documents: DataFrame, shingleN: Int = 3, bands: Int = 8,
+                      rows: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val numHashes = bands * rows
+    val sig = minhashSignature(documents, shingleN, numHashes).cache()
+    val bandRows = sig.select($"doc_id",
+        explode(array((0 until bands).map { b =>
+          val slice = (0 until rows).map(r => col(s"h${b * rows + r}"))
+          struct(lit(b).as("band"), hash(slice: _*).as("key"))
+        }: _*)).as("bucket"))
+      .select($"doc_id", $"bucket.band", $"bucket.key")
+    val cand = bandRows.as("a")
+      .join(bandRows.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val agree = (0 until numHashes)
+      .map(i => when(col(s"sa.h$i") === col(s"sb.h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sig.as("sa"), $"doc_a" === col("sa.doc_id"))
+      .join(sig.as("sb"), $"doc_b" === col("sb.doc_id"))
+      .withColumn("est_jaccard", agree.cast("double") / lit(numHashes))
+      .where($"est_jaccard" >= threshold)
+      .select($"doc_a", $"doc_b", round($"est_jaccard", 4).as("est_jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** 64-bit SimHash per document: per-token xxhash64, each bit contributes
+    * ±1, signature bit = sign of the sum. Near-dups share signatures (or
+    * low Hamming distance); here we emit signature + bucket size, the
+    * grouping stage of a SimHash dedup.
+    */
+  def simhash(documents: DataFrame): DataFrame = {
+    val tok = documents.select($"doc_id", explode(tokens($"text")).as("tok"))
+      .withColumn("h", xxhash64($"tok"))
+    val bitSums = (0 until 64).map { k =>
+      sum(when($"h".bitwiseAND(lit(1L << k)) =!= 0, 1).otherwise(-1)).as(s"b$k")
+    }
+    val sums = tok.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sigCol = (0 until 64)
+      .map(k => when(col(s"b$k") > 0, lit(1L << k)).otherwise(lit(0L)))
+      .reduce((a: Column, b: Column) => a.bitwiseOR(b))
+    sums.select($"doc_id", sigCol.as("simhash"))
+      .orderBy($"doc_id")
+  }
+
+  /** SimHash bucket dedup: docs sharing an identical 64-bit signature. */
+  def simhashDuplicates(documents: DataFrame): DataFrame =
+    simhash(documents)
+      .groupBy($"simhash")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("bucket_size"))
+      .where($"bucket_size" > 1)
+      .orderBy($"keep_id")
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Geo
+import graft.implicits._
+
+/** Raster-domain operators over the long-format grid table
+  * `(variable, time, lat, lon, value)` (SURVEY.md §1.1) — the Spark-native
+  * re-expression of the reference's per-file GRIB/GeoTIFF kernels.
+  *
+  * Layout contract: the grid is partitioned `variable/year/month` on disk,
+  * so the monthly-cursor access pattern (reference
+  * src/sources/era5monthly.js:37-41) prunes to exactly one partition per
+  * cycle, and climatology scans prune to 30 partitions per calendar month.
+  */
+object Raster {
+
+  /** P2: bbox subset — the CDS `area: [N,W,S,E]` filter
+    * (src/sources/era5monthly.js:34,55), pushed to parquet min/max stats.
+    */
+  def bbox(grid: DataFrame, n: Double, w: Double, s: Double, e: Double): DataFrame =
+    grid.where($"lat".between(s, n) && $"lon".between(w, e))
+
+  /** P3: polygon clip — keep cells inside the ring
+    * (gdalwarp -cutline -crop_to_cutline, src/file-conversions.js:174-195).
+    */
+  def clip(grid: DataFrame, ring: Geo.Ring): DataFrame =
+    grid.where(Geo.containsUdf(ring)($"lon", $"lat"))
+
+  /** P3 nodata variant: null outside the ring (`-dstnodata -9999`;
+    * sentinel→null per SURVEY.md §1.2).
+    */
+  def clipToNull(grid: DataFrame, ring: Geo.Ring): DataFrame =
+    grid.withColumn("value", Geo.clipValue(ring)($"lon", $"lat", $"value"))
+
+  /** F1: unit conversion (`cdo -mulc,k` / K→°C offset,
+    * src/file-conversions.js:197-204).
+    */
+  def convertUnit(grid: DataFrame, factor: Double, offset: Double = 0.0): DataFrame =
+    grid.withColumn("value", $"value" * lit(factor) + lit(offset))
+
+  /** A1: climatology normal — mean per cell of the same calendar month over
+    * [startYear, endYear] (30-year normal, src/sources/era5monthly.js:126-155
+    * + cdo timmean src/file-conversions.js:206-217). Null values (nodata)
+    * are excluded exactly as `-setmissval` excludes sentinels.
+    */
+  def climatologyNormal(grid: DataFrame, variable: String, calMonth: Int,
+                        startYear: Int, endYear: Int): DataFrame =
+    grid.where($"variable" === variable &&
+               year($"time").between(startYear, endYear) &&
+               month($"time") === calMonth)
+      .groupBy($"lat", $"lon")
+      .agg(avg($"value").as("normal"))
+
+  /** J1: anomaly = actual − normal, equi-joined on the grid coordinates
+    * (`cdo sub`, src/file-conversions.js:219-231). The normal side is one
+    * clipped grid (~100 k cells) → broadcast hash join; the fact side never
+    * shuffles.
+    */
+  def anomaly(grid: DataFrame, variable: String, monthStart: String,
+              startYear: Int = 1991, endYear: Int = 2020): DataFrame = {
+    val m = lit(monthStart).cast("timestamp_ntz")
+    val actual = grid.where($"variable" === variable && $"time" === m)
+    val normal = climatologyNormal(grid, variable, // same calendar month
+      java.time.LocalDate.parse(monthStart.take(10)).getMonthValue, startYear, endYear)
+    actual.join(broadcast(normal), Seq("lat", "lon"))
+      .select($"variable", $"time", $"lat", $"lon",
+              ($"value" - $"normal").as("value"))
+  }
+
+  /** J2: pairwise accumulation diff — de-accumulate a cumulative field by
+    * subtracting the previous timestep per cell
+    * (combine_grib([a,b], (a,b)=>a−b), src/file-conversions.js:53-55,158-172).
+    * `lag` over (cell) avoids the self-join shuffle: one shuffle on the cell
+    * key, then a sorted scan.
+    */
+  def deaccumulate(grid: DataFrame, factor: Double = 1.0): DataFrame = {
+    val w = Window.partitionBy($"variable", $"lat", $"lon").orderBy($"time")
+    grid.withColumn("value", ($"value" - lag($"value", 1).over(w)) * lit(factor))
+      .where($"value".isNotNull)
+  }
+
+  /** A3/A4: per-layer inventory metadata — temporal extent + cell counts
+    * (typical_metadata min/max merge src/utility.js:135-142; inventory
+    * rebuild src/rabbit.js:73-85).
+    */
+  def inventory(grid: DataFrame): DataFrame =
+    grid.groupBy($"variable")
+      .agg(min($"time").as("start"), max($"time").as("end"),
+           countDistinct($"time").as("n_months"),
+           count($"value").as("n_cells"))
+      .orderBy($"variable")
+
+  /** Write the grid with the at-scale layout: partitioned by
+    * (variable, year, month), dynamic overwrite so re-running a month is
+    * idempotent (the reference's atomic overwrite-by-month, T1).
+    */
+  def writePartitioned(grid: DataFrame, path: String): Unit =
+    grid
+      .withColumn("year", year($"time"))
+      .withColumn("month", month($"time"))
+      .repartition($"variable", $"year", $"month")
+      .write
+      .partitionBy("variable", "year", "month")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(path)
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Vectors
+import graft.implicits._
+
+/** Similarity search over an embedding column (north-star extension).
+  *
+  * Scale path: brute-force cosine is the correctness baseline (a single
+  * narrow pass when the query side is broadcast). The LSH-bucketed variant
+  * is the 100 TB shape: hyperplane bucketing turns top-k search into a
+  * bucket-equi-join, trading recall for a shuffle bounded by bucket size.
+  */
+object Similarity {
+
+  /** All vectors within cosine ≥ threshold of the query vector (the vector
+    * with `queryId`). The 1-row query side is a broadcast cross join: the
+    * big side streams through codegen once, no shuffle.
+    */
+  def cosineAboveThreshold(embeddings: DataFrame, queryId: Long, threshold: Double): DataFrame = {
+    val q = embeddings.where($"vec_id" === queryId).select($"embedding".as("q"))
+    embeddings.where($"vec_id" =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("cos_sim", Vectors.cosine($"embedding", $"q"))
+      .where($"cos_sim" >= threshold)
+      .select($"vec_id", $"label", round($"cos_sim", 4).as("cos_sim"))
+      .orderBy($"vec_id")
+  }
+
+  /** Brute-force top-k nearest neighbours to the query vector, deterministic
+    * tiebreak on vec_id. k is tiny → TakeOrderedAndProject, no full sort.
+    */
+  def cosineTopK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val q = embeddings.where($"vec_id" === queryId).select($"embedding".as("q"))
+    embeddings.where($"vec_id" =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("cos_sim", Vectors.cosine($"embedding", $"q"))
+      .orderBy($"cos_sim".desc, $"vec_id")
+      .limit(k)
+      .select($"vec_id", $"label", round($"cos_sim", 4).as("cos_sim"))
+  }
+
+  /** LSH-bucketed approximate all-pairs: bucket by `nbits` random
+    * hyperplanes, compare only within buckets, keep pairs above threshold.
+    * The candidate join shuffles on bucket id — bounded work per bucket.
+    */
+  def lshNearNeighbours(embeddings: DataFrame, nbits: Int, threshold: Double): DataFrame = {
+    val bucketed = embeddings
+      .withColumn("bucket", Vectors.hyperplaneBucket($"embedding", nbits))
+    bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos_sim", Vectors.cosine(col("a.embedding"), col("b.embedding")))
+      .where($"cos_sim" >= threshold)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+              round($"cos_sim", 4).as("cos_sim"))
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  /** IVF-style probe: assign every vector to its nearest of `nlist`
+    * deterministic "centroid" buckets (hyperplane prefix), then search only
+    * the query's bucket — the coarse-quantizer skeleton of an IVF index,
+    * with the codebook step left to MLlib KMeans when a trained codebook is
+    * warranted.
+    */
+  def ivfTopK(embeddings: DataFrame, queryId: Long, nbits: Int, k: Int): DataFrame = {
+    val bucketed = embeddings
+      .withColumn("bucket", Vectors.hyperplaneBucket($"embedding", nbits))
+    val q = bucketed.where($"vec_id" === queryId)
+      .select($"embedding".as("q"), $"bucket".as("qbucket"))
+    bucketed.where($"vec_id" =!= queryId)
+      .join(broadcast(q), $"bucket" === $"qbucket")
+      .withColumn("cos_sim", Vectors.cosine($"embedding", $"q"))
+      .orderBy($"cos_sim".desc, $"vec_id")
+      .limit(k)
+      .select($"vec_id", $"label", $"bucket", round($"cos_sim", 4).as("cos_sim"))
+  }
+
+  /** Label-centroid similarity: mean vector per label (the trained-codebook
+    * step of IVF as a plain aggregation), then each label's cohesion = mean
+    * cosine of members to their centroid.
+    */
+  def labelCentroids(embeddings: DataFrame): DataFrame = {
+    val dims = 64
+    val sums = (0 until dims).map(d =>
+      avg(element_at($"embedding", d + 1).cast("double")).as(s"c$d"))
+    val centroids = embeddings.groupBy($"label").agg(sums.head, sums.tail: _*)
+      .select($"label".as("c_label"), array((0 until dims).map(d => col(s"c$d")): _*).as("centroid"))
+    embeddings.join(broadcast(centroids), $"label" === $"c_label")
+      .withColumn("cos_sim", Vectors.cosine($"embedding", $"centroid"))
+      .groupBy($"label")
+      .agg(round(avg($"cos_sim"), 4).as("cohesion"), count(lit(1)).as("n"))
+      .orderBy($"label")
+  }
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Scalars
+import graft.implicits._
+
+/** Text-analysis operators for the LLM-training-data pipeline (north-star
+  * extension; BASELINE.json): quality scoring, language ID, token counting,
+  * fingerprinting. All pure Column expressions — at 100 TB these run inside
+  * whole-stage codegen with no shuffle (narrow, per-row).
+  */
+object TextAnalysis {
+
+  /** Per-document statistics + heuristic quality score.
+    * Signals follow the standard web-corpus filters (length bounds, token
+    * shape, repetition): tokens in [5,100], mean token length in [3,12],
+    * distinct-token ratio ≥ 0.3, non-alphanumeric ratio ≤ 0.3.
+    */
+  def stats(documents: DataFrame): DataFrame = {
+    val toks = split(lower($"text"), "\\s+")
+    documents
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_distinct_tokens", size(array_distinct(toks)).cast("long"))
+      .withColumn("sum_token_chars", length(regexp_replace($"text", "\\s", "")))
+      .withColumn("avg_token_len",
+        round($"sum_token_chars" / $"n_tokens", 4))
+      .withColumn("distinct_ratio",
+        round($"n_distinct_tokens" / $"n_tokens", 4))
+      .withColumn("non_alnum", length($"text") - length(regexp_replace($"text", "[^a-zA-Z0-9\\s]", "")))
+      .withColumn("quality_score", round(
+        (when($"n_tokens".between(5, 100), 0.25).otherwise(0.0)) +
+        (when(($"sum_token_chars" / $"n_tokens").between(3.0, 12.0), 0.25).otherwise(0.0)) +
+        (when($"n_distinct_tokens" / $"n_tokens" >= 0.3, 0.25).otherwise(0.0)) +
+        (when($"non_alnum" <= length($"text") * 0.3, 0.25).otherwise(0.0)), 2))
+      .select($"doc_id", $"n_tokens", $"n_distinct_tokens", $"avg_token_len",
+              $"distinct_ratio", $"quality_score")
+      .orderBy($"doc_id")
+  }
+
+  private val markers: Seq[(String, String)] = Seq(
+    "de" -> "\\b(der|die|das|und|ist|nicht|ein|mit)\\b",
+    "en" -> "\\b(the|and|of|to|is|in|that|for)\\b",
+    "es" -> "\\b(el|la|los|las|y|es|en|que|de)\\b",
+    "fr" -> "\\b(le|la|les|et|est|dans|que|pour)\\b",
+    "zh" -> "[\\u4e00-\\u9fff]")
+
+  /** N-gram/stopword language-ID heuristic: count marker-token hits per
+    * language, predict the argmax (alphabetical tiebreak), 'und' when no
+    * marker fires. Deterministic, SQL-expressible, shuffle-free.
+    */
+  def languageId(documents: DataFrame): DataFrame = {
+    val scored = markers.foldLeft(documents) { case (df, (l, pat)) =>
+      df.withColumn(s"s_$l", regexp_count(lower($"text"), lit(pat)).cast("long"))
+    }
+    val best = markers.map { case (l, _) => col(s"s_$l") }.reduce(greatest(_, _))
+    // markers are alphabetically ordered → foldRight = first-max-wins tiebreak
+    val pred = markers.foldRight(lit("und"): org.apache.spark.sql.Column) {
+      case ((l, _), els) => when(col(s"s_$l") === best, lit(l)).otherwise(els)
+    }
+    scored
+      .withColumn("pred_lang", when(best === 0, lit("und")).otherwise(pred))
+      .select(($"doc_id" +: $"lang".as("labeled_lang") +:
+               markers.map { case (l, _) => col(s"s_$l") }) :+ $"pred_lang": _*)
+      .orderBy($"doc_id")
+  }
+
+  /** Token counting: whitespace tokens and a BPE-ish segmentation count
+    * (word pieces + punctuation as separate tokens), the standard
+    * cost-estimation pair for training-data accounting.
+    */
+  def tokenCounts(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("ws_tokens", regexp_count($"text", lit("\\S+")).cast("long"))
+      .withColumn("bpe_ish_tokens",
+        regexp_count($"text", lit("[A-Za-z0-9]{1,4}|[^A-Za-z0-9\\s]")).cast("long"))
+      .select($"doc_id", $"ws_tokens", $"bpe_ish_tokens")
+      .orderBy($"doc_id")
+
+  /** Rolling-hash document fingerprint (poly-31 mod 1e9+7 over characters)
+    * of the whitespace-normalized text.
+    */
+  def fingerprints(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("norm_text", regexp_replace(lower($"text"), "\\s+", " "))
+      .withColumn("fingerprint", Scalars.rollingFingerprint($"norm_text"))
+      .select($"doc_id", $"fingerprint")
+      .orderBy($"doc_id")
+}
