@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Core
+
+class CoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pricingSummary aggregates per (returnflag, linestatus)") {
+    val li = Seq(
+      ("A", "F", 10.0, 100.0, 0.1),
+      ("A", "F", 20.0, 200.0, 0.0),
+      ("N", "O", 5.0, 50.0, 0.2)
+    ).toDF("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount")
+    val rows = Core.pricingSummary(li).collect()
+    rows.length shouldBe 2
+    val af = rows.head
+    af.getAs[String]("l_returnflag") shouldBe "A"
+    af.getAs[Double]("sum_qty") shouldBe 30.0
+    af.getAs[Double]("sum_base_price") shouldBe 300.0
+    af.getAs[Double]("sum_disc_price") shouldBe (100.0 * 0.9 + 200.0)
+    af.getAs[Long]("count_order") shouldBe 2L
+  }
+
+  test("distinctValues dedupes and sorts") {
+    val df = Seq("b", "a", "b", "c", "a").toDF("v")
+    Core.distinctValues(df, "v").as[String].collect() shouldBe Array("a", "b", "c")
+  }
+
+  test("extent computes min/max/count per key") {
+    val df = Seq(
+      ("x", "2020-01-01 00:00:00"), ("x", "2020-03-01 00:00:00"), ("y", "2020-02-01 00:00:00")
+    ).toDF("k", "t").withColumn("t", $"t".cast("timestamp_ntz"))
+    val r = Core.extent(df, "k", "t").collect()
+    r.map(_.getString(0)) shouldBe Array("x", "y")
+    r(0).get(1).toString should startWith("2020-01-01")
+    r(0).get(2).toString should startWith("2020-03-01")
+    r(0).getLong(3) shouldBe 2L
+  }
+
+  test("rangeFilter keeps only the 2-D box (bbox pushdown analog)") {
+    val df = (1 to 100).map(i => (i.toDouble / 100, (101 - i).toDouble / 100, i, 1))
+      .toDF("l_discount", "l_quantity", "l_orderkey", "l_linenumber")
+    val out = Core.rangeFilter(df, "l_discount", 0.2, 0.4, "l_quantity", 0.5, 0.7,
+      Seq("l_orderkey", "l_linenumber")).collect()
+    all(out.map(_.getDouble(0))) should (be >= 0.2 and be <= 0.4)
+    all(out.map(_.getDouble(1))) should (be >= 0.5 and be <= 0.7)
+    out.map(_.getInt(2)).toSeq shouldBe out.map(_.getInt(2)).toSeq.sorted
+  }
+
+  test("regexLimit is the wgrib2 -match/-limit analog") {
+    val df = (1 to 50).map(i => (i.toLong, if (i % 10 == 0) s"TMP level $i" else s"UGRD level $i"))
+      .toDF("doc_id", "text")
+    val out = Core.regexLimit(df, "text", "^TMP", 3, "doc_id").collect()
+    out.length shouldBe 3
+    out.map(_.getLong(0)) shouldBe Array(10L, 20L, 30L)
+  }
+
+  test("accumulationDiff = lag subtraction per partition key (J2)") {
+    val df = Seq(
+      (1L, "2020-01-01 00:00:00", 1L, 10.0),
+      (1L, "2020-02-01 00:00:00", 2L, 25.0),
+      (1L, "2020-03-01 00:00:00", 3L, 45.0),
+      (2L, "2020-01-01 00:00:00", 4L, 7.0)
+    ).toDF("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+      .withColumn("o_orderdate", $"o_orderdate".cast("timestamp_ntz"))
+    val out = Core.accumulationDiff(df, "o_custkey", Seq("o_orderdate", "o_orderkey"), "o_totalprice")
+      .collect()
+    out.map(r => Option(r.getAs[java.lang.Double]("diff")).map(_.doubleValue)) shouldBe
+      Array(None, Some(15.0), Some(20.0), None)
+  }
+
+  test("unionAccounts unions by name then aggregates") {
+    val c = Seq((1L, 10.0), (2L, 20.0)).toDF("c_custkey", "c_acctbal")
+    val s = Seq((1L, 5.0)).toDF("s_suppkey", "s_acctbal")
+    val out = Core.unionAccounts(c, s).collect()
+    out.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))) shouldBe
+      Array(("customer", 2L, 30.0), ("supplier", 1L, 5.0))
+  }
+
+  test("nextAfter finds the min element strictly after the cutoff (oscar.js find analog)") {
+    val df = Seq(
+      (1L, "2020-01-01 00:00:00"), (1L, "2020-06-01 00:00:00"), (1L, "2020-09-01 00:00:00")
+    ).toDF("k", "t").withColumn("t", $"t".cast("timestamp_ntz"))
+    val out = Core.nextAfter(df, "k", "t", "2020-05-31 00:00:00").collect()
+    out.length shouldBe 1
+    out(0).get(1).toString should startWith("2020-06-01")
+    out(0).getLong(2) shouldBe 2L
+  }
+
+  test("antiJoin returns rows with no match (NOT EXISTS)") {
+    val cust = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("c_custkey", "c_name", "c_acctbal")
+    val ord = Seq(Tuple1(2L)).toDF("o_custkey")
+    Core.antiJoin(cust, ord, "c_custkey", "o_custkey", Seq("c_custkey", "c_name", "c_acctbal"))
+      .as[(Long, String, Double)].collect().map(_._1) shouldBe Array(1L, 3L)
+  }
+
+  test("rollup on sf0.001: ALL/ALL row equals the sum of leaf rows") {
+    val out = Core.revenueRollup(table("lineitem"), table("orders"), table("customer"),
+      table("nation"), table("region")).collect()
+    val all = out.filter(r => r.getString(0) == "ALL" && r.getString(1) == "ALL")
+    all.length shouldBe 1
+    val leaves = out.filter(r => r.getString(0) != "ALL" && r.getString(1) != "ALL")
+    val sumLeaves = leaves.map(_.getDouble(2)).sum
+    math.abs(all(0).getDouble(2) - sumLeaves) should be < 1e-4 * math.abs(sumLeaves)
+  }
+
+  test("topKPerGroup keeps at most k rows per brand, revenue-descending") {
+    val out = Core.topKPerGroup(table("lineitem"), table("part"), 3).collect()
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      rows.length should be <= 3
+      val revs = rows.sortBy(_.getLong(3)).map(_.getDouble(2))
+      revs.toSeq shouldBe revs.sorted(Ordering[Double].reverse).toSeq
+    }
+  }
+
+  test("semiJoinRegion matches a manual nationkey filter") {
+    val expected = {
+      val nk = table("nation").join(table("region"),
+          $"n_regionkey" === $"r_regionkey").where($"r_name" === "AFRICA")
+        .select($"n_nationkey").as[Long].collect().toSet
+      table("supplier").where($"s_nationkey".isin(nk.toSeq: _*)).count()
+    }
+    Core.semiJoinRegion(table("supplier"), table("nation"), table("region"), "AFRICA")
+      .count() shouldBe expected
+  }
+}

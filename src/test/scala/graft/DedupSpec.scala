@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "source", "text")
+
+  test("exact dedup groups identical texts, keeps the smallest id") {
+    val d = docs((1L, "web", "same text"), (2L, "web", "same text"), (3L, "web", "other"))
+    val out = Dedup.exact(d).collect()
+    out.length shouldBe 2
+    val dup = out.filter(_.getAs[Long]("dup_count") == 2L)
+    dup.length shouldBe 1
+    dup(0).getAs[Long]("keep_id") shouldBe 1L
+  }
+
+  test("exactSurvivors returns one id per distinct text") {
+    val d = docs((5L, "a", "x"), (2L, "a", "x"), (9L, "a", "y"))
+    Dedup.exactSurvivors(d).as[Long].collect() shouldBe Array(2L, 9L)
+  }
+
+  test("ngramJaccard: bigrams of 'a b c d' vs 'a b c e' = 0.5") {
+    // grams A = {a b, b c, c d}, B = {a b, b c, c e}; |∩|=2, |∪|=4
+    val d = docs((1L, "web", "a b c d"), (2L, "web", "a b c e"))
+    val out = Dedup.ngramJaccardPairs(d, 2, 0.4).collect()
+    out.length shouldBe 1
+    out(0).getAs[Double]("jaccard") shouldBe 0.5
+  }
+
+  test("ngramJaccard blocks by source: identical texts in different sources don't pair") {
+    val d = docs((1L, "web", "a b c d"), (2L, "books", "a b c d"))
+    Dedup.ngramJaccardPairs(d, 2, 0.1).count() shouldBe 0L
+  }
+
+  test("minhashLsh finds identical docs with estimate 1.0 and skips disjoint docs") {
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "completely different words nowhere near the first document at all"
+    val d = docs((1L, "web", text), (2L, "web", text), (3L, "web", other))
+    val out = Dedup.minhashLshPairs(d).collect()
+    out.map(r => (r.getLong(0), r.getLong(1))) shouldBe Array((1L, 2L))
+    out(0).getAs[Double]("est_jaccard") shouldBe 1.0
+  }
+
+  test("minhash estimate tracks true Jaccard within banding tolerance") {
+    // 12 shared tokens, 4 swapped → trigram sets overlap heavily but not fully
+    val base = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12 t13 t14 t15 t16"
+    val variant = base.replace("t16", "x16").replace("t15", "x15")
+    val d = docs((1L, "w", base), (2L, "w", variant))
+    // true trigram jaccard: base has 14 trigrams, variant differs in last 3 → |∩|=11,|∪|=17 ≈ 0.647
+    val out = Dedup.minhashLshPairs(d, shingleN = 3, bands = 8, rows = 4, threshold = 0.3)
+      .collect()
+    out.length shouldBe 1
+    out(0).getAs[Double]("est_jaccard") should (be >= 0.4 and be <= 0.9)
+  }
+
+  test("simhash: identical texts share a signature, token order is irrelevant") {
+    val d = docs((1L, "w", "alpha beta gamma"), (2L, "w", "gamma alpha beta"), (3L, "w", "delta epsilon zeta"))
+    val sig = Dedup.simhash(d).as[(Long, Long)].collect().toMap
+    sig(1L) shouldBe sig(2L)
+    sig(1L) should not be sig(3L)
+  }
+
+  test("simhashDuplicates buckets equal signatures") {
+    val d = docs((1L, "w", "same words here"), (2L, "w", "same words here"), (3L, "w", "unique"))
+    val out = Dedup.simhashDuplicates(d).collect()
+    out.length shouldBe 1
+    out(0).getAs[Long]("keep_id") shouldBe 1L
+    out(0).getAs[Long]("bucket_size") shouldBe 2L
+  }
+}

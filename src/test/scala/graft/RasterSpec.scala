@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Raster
+import graft.functions.Geo
+
+/** Raster-domain operators on tiny synthetic grids (SURVEY.md §5.2):
+  * anomaly of constant grids, de-accumulation, bbox/clip, climatology with
+  * nulls excluded like `cdo -setmissval` sentinels.
+  */
+class RasterSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** variable t2m, 2×2 grid, monthly Jan 1991..2020 + Jan 2021; value =
+    * year for Jan rows so the 1991-2020 normal is mean(1991..2020) = 2005.5.
+    */
+  private lazy val grid: DataFrame = {
+    val rows = for {
+      y <- 1991 to 2021
+      lat <- Seq(0.0, 1.0); lon <- Seq(10.0, 11.0)
+    } yield ("t2m", f"$y-01-01 00:00:00", lat, lon, y.toDouble)
+    rows.toDF("variable", "time", "lat", "lon", "value")
+      .withColumn("time", $"time".cast("timestamp_ntz"))
+  }
+
+  test("climatologyNormal = mean over the year range per cell, nulls excluded") {
+    val out = Raster.climatologyNormal(grid, "t2m", 1, 1991, 2020).collect()
+    out.length shouldBe 4
+    all(out.map(_.getAs[Double]("normal"))) shouldBe 2005.5
+    // nodata null rows don't contribute (cdo -setmissval semantics)
+    val withNull = grid.unionByName(
+      Seq(("t2m", "1999-01-01 00:00:00", 0.0, 10.0, null.asInstanceOf[java.lang.Double]))
+        .toDF("variable", "time", "lat", "lon", "value")
+        .withColumn("time", $"time".cast("timestamp_ntz")))
+    val cell = Raster.climatologyNormal(withNull, "t2m", 1, 1991, 2020)
+      .where($"lat" === 0.0 && $"lon" === 10.0).collect()
+    cell(0).getAs[Double]("normal") shouldBe 2005.5
+  }
+
+  test("anomaly = actual − 30-year normal (J1)") {
+    val out = Raster.anomaly(grid, "t2m", "2021-01-01 00:00:00").collect()
+    out.length shouldBe 4
+    all(out.map(_.getAs[Double]("value"))) shouldBe (2021.0 - 2005.5)
+  }
+
+  test("anomaly of a constant field is zero") {
+    val const = grid.withColumn("value", lit(5.0))
+    val out = Raster.anomaly(const, "t2m", "2021-01-01 00:00:00").collect()
+    all(out.map(_.getAs[Double]("value"))) shouldBe 0.0
+  }
+
+  test("deaccumulate recovers per-step increments from a cumulative field") {
+    // cumulative value = year − 1990 → every diff is exactly 1
+    val cum = grid.withColumn("value", year($"time") - lit(1990.0))
+    val out = Raster.deaccumulate(cum).collect()
+    out.length shouldBe (30 * 4) // first timestep per cell dropped
+    all(out.map(_.getAs[Double]("value"))) shouldBe 1.0
+  }
+
+  test("bbox then clip: clip is at least as selective as its bbox") {
+    val pts = Raster.bbox(grid, n = 0.5, w = 9.5, s = -0.5, e = 11.5)
+    pts.count() shouldBe 31 * 2 // lat 0.0 rows only
+    val ring: Geo.Ring = Array((9.5, -0.5), (10.5, -0.5), (10.5, 0.5), (9.5, 0.5), (9.5, -0.5))
+    val clipped = Raster.clip(grid, ring)
+    clipped.count() shouldBe 31 // only lon=10, lat=0
+    val nulled = Raster.clipToNull(grid, ring)
+    nulled.count() shouldBe grid.count()
+    nulled.where($"value".isNotNull).count() shouldBe 31
+  }
+
+  test("convertUnit applies factor and offset (F1)") {
+    val out = Raster.convertUnit(grid.limit(1), 2.0, -1.0).select($"value").as[Double].head()
+    out shouldBe 1991.0 * 2 - 1
+  }
+
+  test("inventory reports temporal extent per variable (A3/A4)") {
+    val inv = Raster.inventory(grid).collect()
+    inv.length shouldBe 1
+    inv(0).getAs[String]("variable") shouldBe "t2m"
+    inv(0).get(1).toString should startWith("1991-01-01")
+    inv(0).get(2).toString should startWith("2021-01-01")
+    inv(0).getAs[Long]("n_months") shouldBe 31L
+    inv(0).getAs[Long]("n_cells") shouldBe (31L * 4)
+  }
+
+  test("writePartitioned lays out variable/year/month and prunes on read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-raster").toString
+    Raster.writePartitioned(grid, dir)
+    val back = spark.read.parquet(dir)
+    back.count() shouldBe grid.count()
+    // partition pruning: one month folder per (variable, year)
+    val pruned = back.where($"variable" === "t2m" && $"year" === 2021 && $"month" === 1)
+    pruned.count() shouldBe 4
+    new java.io.File(s"$dir/variable=t2m/year=2021/month=1").exists() shouldBe true
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.Similarity
+import graft.functions.Vectors
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 64-dim basis-ish vectors (the fixture embedding dimension). */
+  private def vec(axis: Int, scale: Float = 1.0f): Array[Float] = {
+    val a = Array.fill(64)(0.0f); a(axis) = scale; a
+  }
+
+  private def emb(rows: (Long, Array[Float], Int)*) =
+    rows.toDF("vec_id", "embedding", "label")
+
+  test("cosine: parallel = 1, orthogonal = 0, antiparallel = -1") {
+    val df = Seq(
+      (vec(0), vec(0, 5.0f)),
+      (vec(0), vec(1)),
+      (vec(0), vec(0, -2.0f))
+    ).toDF("a", "b")
+    val out = df.select(round(Vectors.cosine($"a", $"b"), 6)).as[Double].collect()
+    out shouldBe Array(1.0, 0.0, -1.0)
+  }
+
+  test("cosineTopK ranks by similarity with id tiebreak, excludes the query") {
+    val d = emb(
+      (0L, vec(0), 0),                                  // query
+      (1L, vec(0, 2.0f), 0),                            // cos 1.0
+      (2L, Array.tabulate(64)(i => if (i <= 1) 1.0f else 0.0f), 0), // cos ~0.707
+      (3L, vec(1), 1))                                  // cos 0
+    val out = Similarity.cosineTopK(d, 0L, 2).collect()
+    out.map(_.getLong(0)) shouldBe Array(1L, 2L)
+    out(0).getAs[Double]("cos_sim") shouldBe 1.0
+  }
+
+  test("cosineAboveThreshold filters strictly below threshold") {
+    val d = emb((0L, vec(0), 0), (1L, vec(0), 0), (2L, vec(1), 1))
+    val out = Similarity.cosineAboveThreshold(d, 0L, 0.5).collect()
+    out.map(_.getLong(0)) shouldBe Array(1L)
+  }
+
+  test("hyperplaneBucket is deterministic and groups identical vectors") {
+    val d = emb((1L, vec(3), 0), (2L, vec(3), 0), (3L, vec(7, -1f), 1))
+    val b = d.select($"vec_id", Vectors.hyperplaneBucket($"embedding", 8).as("b"))
+      .as[(Long, Long)].collect().toMap
+    b(1L) shouldBe b(2L)
+    val again = d.select(Vectors.hyperplaneBucket($"embedding", 8)).as[Long].collect()
+    again.toSet should contain(b(1L))
+  }
+
+  test("lshNearNeighbours finds identical vectors (same bucket, cos 1)") {
+    val d = emb((1L, vec(5), 0), (2L, vec(5, 3f), 0), (3L, vec(9, -2f), 1))
+    val out = Similarity.lshNearNeighbours(d, 4, 0.9).collect()
+    out.map(r => (r.getLong(0), r.getLong(1))) should contain((1L, 2L))
+  }
+
+  test("ivfTopK searches only the query's bucket") {
+    val d = emb((0L, vec(2), 0), (1L, vec(2, 4f), 0), (2L, vec(2, 0.5f), 0))
+    val out = Similarity.ivfTopK(d, 0L, 4, 10).collect()
+    out.map(_.getLong(0)).toSet shouldBe Set(1L, 2L)
+    all(out.map(_.getAs[Double]("cos_sim"))) shouldBe 1.0
+  }
+
+  test("labelCentroids: cohesion of a label whose members are identical is 1") {
+    val d = emb((1L, vec(0), 0), (2L, vec(0, 2f), 0), (3L, vec(1), 1))
+    val out = Similarity.labelCentroids(d).collect()
+    val l0 = out.filter(_.getInt(0) == 0)
+    l0.length shouldBe 1
+    l0(0).getAs[Double]("cohesion") shouldBe 1.0
+  }
+}
