@@ -19,7 +19,7 @@ import org.apache.spark.sql.SparkSession
   *  - AQE on: runtime coalescing + skew-join handling — the 100 TB path.
   */
 object Session {
-  def build(appName: String, cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
+  def build(appName: String, cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
     val spark = SparkSession
       .builder()
       .master(s"local[$cpus]")

@@ -36,7 +36,8 @@ object SparkEntry {
       .withColumn("days_in_year", when(leap, 366).otherwise(365))
       .withColumn("oscar_date",
         date_add(make_date($"y", lit(1), lit(1)),
-                 floor($"days_in_year" * $"i" / lit(72.0)).cast("int")))
+                 floor($"days_in_year" * $"i" / lit(72.0)).cast("int"))
+          .cast("timestamp_ntz"))
       .select($"y", $"i", $"oscar_date")
       .orderBy($"y", $"i")
   }
@@ -56,7 +57,7 @@ object SparkEntry {
   private def temporalScalars(s: SparkSession, dir: String): DataFrame =
     t(s, dir)("orders").select(
       $"o_orderkey",
-      Scalars.monthAdd($"o_orderdate", 1).as("next_month"),
+      Scalars.monthAdd($"o_orderdate", 1).cast("timestamp_ntz").as("next_month"),
       Scalars.truncTo($"o_orderdate", "month").cast("timestamp_ntz").as("month_floor"),
       round(Scalars.daysSince($"o_orderdate",
         lit("1995-01-01 00:00:00").cast("timestamp")), 6).as("days_since_1995"),
@@ -167,7 +168,7 @@ object SparkEntry {
          GROUP BY kind ORDER BY kind""",
     "q10_temporal_scalars" ->
       """SELECT o_orderkey,
-                CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS next_month,
+                CAST(o_orderdate + INTERVAL 1 MONTH AS TIMESTAMP) AS next_month,
                 date_trunc('month', o_orderdate) AS month_floor,
                 round((epoch_us(o_orderdate) - epoch_us(TIMESTAMP '1995-01-01'))
                       / 86400000000.0, 6) AS days_since_1995,
@@ -223,9 +224,9 @@ object SparkEntry {
          FROM n ORDER BY doc_id""",
     "q18_oscar_calendar" ->
       """SELECT y, i,
-                make_date(y,1,1) + CAST(floor(
+                CAST(make_date(y,1,1) + CAST(floor(
                   (CASE WHEN (y%4=0 AND y%100<>0) OR y%400=0 THEN 366 ELSE 365 END)
-                  * i / 72.0) AS INT) AS oscar_date
+                  * i / 72.0) AS INT) AS TIMESTAMP) AS oscar_date
          FROM range(2023,2025) t(y) CROSS JOIN range(0,72) s(i)
          ORDER BY y, i""",
     "q19_geo_clip" ->
