@@ -68,7 +68,45 @@ object SparkEntry {
       Scalars.layerName($"o_orderpriority").as("priority_mangled")
     ).orderBy($"o_orderkey")
 
+  /** Demo raster grid (Raster.demoGrid) shared by the r* queries. */
+  private def grid(s: SparkSession, d: String): DataFrame =
+    Raster.demoGrid(t(s, d)("lineitem"))
+
+  /** Convex clip triangle in grid (lon, lat) space; vertices off the integer
+    * cell lattice so ray casting and the oracle's sign test agree everywhere.
+    */
+  private val gridTriangle: Geo.Ring = Array(
+    (-12.3, -8.7), (13.2, -6.1), (0.4, 9.8), (-12.3, -8.7))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- raster plane (SURVEY.md §2.1-2.4 raster ops over demoGrid) ----
+    "r01_grid_bbox" -> ((s, d) => Raster.bbox(grid(s, d), 5, -10, -5, 8)
+      .select($"variable", $"time", $"lat", $"lon", round($"value", 4).as("value"))
+      .orderBy($"variable", $"time", $"lat", $"lon")),
+    "r02_clip_null" -> ((s, d) => Raster.clipToNull(
+        grid(s, d).where($"time" === lit("1998-03-01 00:00:00").cast("timestamp_ntz")),
+        gridTriangle)
+      .select($"variable", $"lat", $"lon", round($"value", 4).as("value"))
+      .orderBy($"variable", $"lat", $"lon")),
+    "r03_convert_unit" -> ((s, d) =>
+      grid(s, d).where($"time" === lit("1998-03-01 00:00:00").cast("timestamp_ntz"))
+        .select($"variable", $"lat", $"lon",
+          round(Scalars.convertUnit($"value", 1000.0), 4).as("value_mm"),
+          round(Scalars.kelvinToCelsius($"value"), 4).as("value_c"))
+        .orderBy($"variable", $"lat", $"lon")),
+    "r04_climatology" -> ((s, d) =>
+      Raster.climatologyNormal(grid(s, d), "A", 3, 1995, 2000)
+        .select($"lat", $"lon", round($"normal", 4).as("normal"))
+        .orderBy($"lat", $"lon")),
+    "r05_anomaly" -> ((s, d) =>
+      Raster.anomaly(grid(s, d), "A", "1998-03-01 00:00:00", 1995, 2000)
+        .select($"variable", $"time", $"lat", $"lon", round($"value", 4).as("value"))
+        .orderBy($"lat", $"lon")),
+    "r06_deaccumulate" -> ((s, d) =>
+      Raster.deaccumulate(grid(s, d).where($"variable" === "R"))
+        .select($"variable", $"time", $"lat", $"lon", round($"value", 4).as("value"))
+        .orderBy($"lat", $"lon", $"time")),
+    "r07_inventory" -> ((s, d) => Raster.inventory(grid(s, d))),
     // ---- core relational surface (SURVEY.md §2.2-2.5) ----
     "q01_pricing_summary" -> ((s, d) => Core.pricingSummary(t(s, d)("lineitem"))),
     "q02_distinct_types" -> ((s, d) => Core.distinctValues(t(s, d)("events"), "event_type")),
@@ -117,7 +155,64 @@ object SparkEntry {
     "t03_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(t(s, d)("documents")))
   )
 
+  private val gridCte = operators.Raster.demoGridSql
+
   def oracleSql: Map[String, String] = Map(
+    "r01_grid_bbox" ->
+      s"""WITH $gridCte
+         SELECT variable, time, lat, lon, round(value, 4) AS value
+         FROM grid
+         WHERE lat BETWEEN -5 AND 5 AND lon BETWEEN -10 AND 8
+         ORDER BY variable, time, lat, lon""",
+    "r02_clip_null" ->
+      s"""WITH $gridCte,
+         d AS (SELECT variable, lat, lon, value,
+                 (13.2 - -12.3)*(lat - -8.7) - (-6.1 - -8.7)*(lon - -12.3) AS d1,
+                 (0.4 - 13.2)*(lat - -6.1) - (9.8 - -6.1)*(lon - 13.2) AS d2,
+                 (-12.3 - 0.4)*(lat - 9.8) - (-8.7 - 9.8)*(lon - 0.4) AS d3
+               FROM grid WHERE time = TIMESTAMP '1998-03-01')
+         SELECT variable, lat, lon,
+                CASE WHEN d1 > 0 AND d2 > 0 AND d3 > 0
+                     THEN round(value, 4) END AS value
+         FROM d ORDER BY variable, lat, lon""",
+    "r03_convert_unit" ->
+      s"""WITH $gridCte
+         SELECT variable, lat, lon, round(value * 1000.0, 4) AS value_mm,
+                round(value - 273.15, 4) AS value_c
+         FROM grid WHERE time = TIMESTAMP '1998-03-01'
+         ORDER BY variable, lat, lon""",
+    "r04_climatology" ->
+      s"""WITH $gridCte
+         SELECT lat, lon, round(avg(value), 4) AS normal
+         FROM grid
+         WHERE variable = 'A' AND year(time) BETWEEN 1995 AND 2000
+           AND month(time) = 3
+         GROUP BY lat, lon ORDER BY lat, lon""",
+    "r05_anomaly" ->
+      s"""WITH $gridCte,
+         normal AS (
+           SELECT lat, lon, avg(value) AS normal FROM grid
+           WHERE variable = 'A' AND year(time) BETWEEN 1995 AND 2000
+             AND month(time) = 3
+           GROUP BY lat, lon)
+         SELECT g.variable, g.time, g.lat, g.lon,
+                round(g.value - n.normal, 4) AS value
+         FROM grid g JOIN normal n ON g.lat = n.lat AND g.lon = n.lon
+         WHERE g.variable = 'A' AND g.time = TIMESTAMP '1998-03-01'
+         ORDER BY g.lat, g.lon""",
+    "r06_deaccumulate" ->
+      s"""WITH $gridCte,
+         d AS (SELECT variable, time, lat, lon,
+                 round(value - lag(value) OVER
+                   (PARTITION BY variable, lat, lon ORDER BY time), 4) AS value
+               FROM grid WHERE variable = 'R')
+         SELECT * FROM d WHERE value IS NOT NULL
+         ORDER BY lat, lon, time""",
+    "r07_inventory" ->
+      s"""WITH $gridCte
+         SELECT variable, min(time) AS start, max(time) AS "end",
+                count(DISTINCT time) AS n_months, count(value) AS n_cells
+         FROM grid GROUP BY variable ORDER BY variable""",
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
          round(sum(l_extendedprice),2) AS sum_base_price,

@@ -17,6 +17,31 @@ import graft.implicits._
   */
 object Raster {
 
+  /** Deterministic demo grid derived from the `lineitem` fixture (TESTDATA.md
+    * forbids synthesizing independent inputs): variable = returnflag,
+    * time = ship month, a 20×30 (lat,lon) cell from the part/supplier keys,
+    * value = mean quantity per cell. Quantities are integer-valued, so the
+    * per-cell mean is an exact double in any summation order — bit-identical
+    * between Spark and the DuckDB oracle.
+    */
+  def demoGrid(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy(
+        $"l_returnflag".as("variable"),
+        date_trunc("month", $"l_shipdate").cast("timestamp_ntz").as("time"),
+        ($"l_partkey" % 20 - 10).cast("double").as("lat"),
+        ($"l_suppkey" % 30 - 15).cast("double").as("lon"))
+      .agg(avg($"l_quantity").as("value"))
+
+  /** The DuckDB mirror of [[demoGrid]], shared by every raster oracle. */
+  val demoGridSql: String =
+    """grid AS (
+      |  SELECT l_returnflag AS variable,
+      |         date_trunc('month', l_shipdate) AS time,
+      |         CAST(l_partkey % 20 - 10 AS DOUBLE) AS lat,
+      |         CAST(l_suppkey % 30 - 15 AS DOUBLE) AS lon,
+      |         avg(l_quantity) AS value
+      |  FROM lineitem GROUP BY 1, 2, 3, 4)""".stripMargin
+
   /** P2: bbox subset — the CDS `area: [N,W,S,E]` filter
     * (src/sources/era5monthly.js:34,55), pushed to parquet min/max stats.
     */
