@@ -107,6 +107,17 @@ object SparkEntry {
         .select($"variable", $"time", $"lat", $"lon", round($"value", 4).as("value"))
         .orderBy($"lat", $"lon", $"time")),
     "r07_inventory" -> ((s, d) => Raster.inventory(grid(s, d))),
+    "q20_hashes" -> ((s, d) => t(s, d)("documents").select(
+      $"doc_id",
+      Scalars.contentHash($"text").as("md5_hash"),
+      sha2($"text".cast("binary"), 256).as("sha256_hash"))
+      .orderBy($"doc_id")),
+    // HMAC has no DuckDB analog → rows-only check here; RFC-vector unit
+    // test in ScalarsSpec pins the semantics.
+    "q21_hmac_sign" -> ((s, d) => t(s, d)("documents").select(
+      $"doc_id",
+      Scalars.hmacSha256Col(lit("graft-webhook-key"), $"text").as("hmac_sig"))
+      .orderBy($"doc_id")),
     // ---- core relational surface (SURVEY.md §2.2-2.5) ----
     "q01_pricing_summary" -> ((s, d) => Core.pricingSummary(t(s, d)("lineitem"))),
     "q02_distinct_types" -> ((s, d) => Core.distinctValues(t(s, d)("events"), "event_type")),
@@ -213,6 +224,23 @@ object SparkEntry {
          SELECT variable, min(time) AS start, max(time) AS "end",
                 count(DISTINCT time) AS n_months, count(value) AS n_cells
          FROM grid GROUP BY variable ORDER BY variable""",
+    "q20_hashes" ->
+      """SELECT doc_id, md5(text) AS md5_hash, sha256(text) AS sha256_hash
+         FROM documents ORDER BY doc_id""",
+    "s04_label_centroids" ->
+      """WITH e AS (
+           SELECT vec_id, label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+                  generate_subscripts(embedding, 1) AS d
+           FROM embeddings),
+         cent AS (SELECT label, d, avg(v) AS c FROM e GROUP BY label, d),
+         dots AS (SELECT e.vec_id, e.label,
+                         sum(e.v * cent.c) AS dot, sum(e.v * e.v) AS na,
+                         sum(cent.c * cent.c) AS nb
+                  FROM e JOIN cent ON e.label = cent.label AND e.d = cent.d
+                  GROUP BY e.vec_id, e.label),
+         sims AS (SELECT label, dot / (sqrt(na) * sqrt(nb)) AS cos FROM dots)
+         SELECT label, round(avg(cos), 4) AS cohesion, count(*) AS n
+         FROM sims GROUP BY label ORDER BY label""",
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
          round(sum(l_extendedprice),2) AS sum_base_price,
