@@ -168,6 +168,13 @@ object SparkEntry {
 
   private val gridCte = operators.Raster.demoGridSql
 
+  /** DuckDB reads events.ts at TIMESTAMP(NANOS) precision; Spark truncates
+    * to microseconds (see [[graft.sources.Tables]]). Every ts-touching
+    * oracle reads through this CTE so both engines see identical values.
+    */
+  private val evCte =
+    "ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)"
+
   def oracleSql: Map[String, String] = Map(
     "r01_grid_bbox" ->
       s"""WITH $gridCte
@@ -239,7 +246,7 @@ object SparkEntry {
                   FROM e JOIN cent ON e.label = cent.label AND e.d = cent.d
                   GROUP BY e.vec_id, e.label),
          sims AS (SELECT label, dot / (sqrt(na) * sqrt(nb)) AS cos FROM dots)
-         SELECT label, round(avg(cos), 4) AS cohesion, count(*) AS n
+         SELECT label, round(avg(cos), 3) AS cohesion, count(*) AS n
          FROM sims GROUP BY label ORDER BY label""",
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
@@ -252,8 +259,9 @@ object SparkEntry {
     "q02_distinct_types" ->
       "SELECT DISTINCT event_type FROM events ORDER BY event_type",
     "q03_extent" ->
-      """SELECT event_type, min(ts) AS start, max(ts) AS "end", count(*) AS n
-         FROM events GROUP BY event_type ORDER BY event_type""",
+      s"""WITH $evCte
+         SELECT event_type, min(ts) AS start, max(ts) AS "end", count(*) AS n
+         FROM ev GROUP BY event_type ORDER BY event_type""",
     "q04_range_filter" ->
       """SELECT * FROM lineitem
          WHERE l_discount BETWEEN 0.02 AND 0.04 AND l_quantity BETWEEN 10 AND 20
@@ -281,9 +289,10 @@ object SparkEntry {
                   (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),2) AS diff
          FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""",
     "q08_hourly_climatology" ->
-      """SELECT event_type, hour(ts) AS hour_of_day, round(avg(value),4) AS mean_value,
+      s"""WITH $evCte
+         SELECT event_type, hour(ts) AS hour_of_day, round(avg(value),4) AS mean_value,
                 round(sum(value),2) AS sum_value, count(*) AS n
-         FROM events GROUP BY 1,2 ORDER BY event_type, hour_of_day""",
+         FROM ev GROUP BY 1,2 ORDER BY event_type, hour_of_day""",
     "q09_union_kinds" ->
       """SELECT kind, count(*) AS n, round(sum(acctbal),2) AS total_bal
          FROM (SELECT 'customer' AS kind, c_acctbal AS acctbal FROM customer
@@ -364,26 +373,27 @@ object SparkEntry {
          FROM d WHERE d1 > 0 AND d2 > 0 AND d3 > 0
          GROUP BY l_returnflag ORDER BY l_returnflag""",
     "w01_tumbling_hour" ->
-      """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n,
+      s"""WITH $evCte
+         SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n,
                 round(sum(value),2) AS sum_value, round(avg(value),4) AS avg_value
-         FROM events GROUP BY 1,2 ORDER BY window_start, event_type""",
+         FROM ev GROUP BY 1,2 ORDER BY window_start, event_type""",
     "w02_sliding_1h30m" ->
-      """WITH b AS (
+      s"""WITH $evCte, b AS (
            SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start, value
-           FROM events
+           FROM ev
            UNION ALL
            SELECT make_timestamp(((epoch_us(ts) - 1800000000) // 3600000000)
                                  * 3600000000 + 1800000000) AS window_start, value
-           FROM events)
+           FROM ev)
          SELECT window_start, count(*) AS n, round(sum(value),2) AS sum_value
          FROM b GROUP BY window_start ORDER BY window_start""",
     "w03_sessionize" ->
-      """WITH s AS (
+      s"""WITH $evCte, s AS (
            SELECT user_id, event_id, ts, value,
                   CASE WHEN lag(ts) OVER w IS NULL
                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                        THEN 1 ELSE 0 END AS new_session
-           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          g AS (SELECT *, CAST(sum(new_session) OVER
                  (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
                  AS BIGINT) AS session_id FROM s)

@@ -36,37 +36,41 @@ final class GridSource(grid: DataFrame, rootDir: String,
     // variable/year/month partition layout prunes this scan to one
     // partition per variable
     val monthSlice = grid.where(col("time") === cursorTs).cache()
+    try {
+      // P6: no-data short-circuit — month absent upstream: keep state, no
+      // outputs (era5monthly.js:59-66)
+      if (monthSlice.isEmpty)
+        return ForageResult(state.copy(date = Some(cursorIso)), Map.empty)
 
-    // P6: no-data short-circuit — month absent upstream: keep state, no
-    // outputs (era5monthly.js:59-66)
-    if (monthSlice.isEmpty)
-      return ForageResult(state.copy(date = Some(cursorIso)), Map.empty)
-
-    var st = state
-    val outputs = Map.newBuilder[String, DataFrame]
-    val observed = Map.newBuilder[String, (String, String)]
-    datasets.foreach { d =>
-      val slice = monthSlice.where(col("variable") === d.variable)
-      val out =
-        if (!d.anomaly) {
-          val factor = (d.unit, d.originalUnit) match {
-            case ("mm", "m") => 1000.0
-            case _ => 1.0
+      var st = state
+      val outputs = Map.newBuilder[String, DataFrame]
+      val observed = Map.newBuilder[String, (String, String)]
+      datasets.foreach { d =>
+        val slice = monthSlice.where(col("variable") === d.variable)
+        val out =
+          if (!d.anomaly) {
+            val factor = (d.unit, d.originalUnit) match {
+              case ("mm", "m") => 1000.0
+              case _ => 1.0
+            }
+            Raster.convertUnit(slice, factor)
+          } else {
+            val (normal, st2) = Normals.getOrCompute(spark, st, s"$rootDir/normals",
+              grid.where(col("variable") === d.variable), d.variable,
+              cursor.getMonthValue, normalYears._1, normalYears._2)
+            st = st2
+            keepalive() // the normal build is the cycle's long pole, as in T4
+            slice.join(broadcast(normal), Seq("lat", "lon"))
+              .select(col("variable"), col("time"), col("lat"), col("lon"),
+                      (col("value") - col("normal")).as("value"))
           }
-          Raster.convertUnit(slice, factor)
-        } else {
-          val (normal, st2) = Normals.getOrCompute(spark, st, s"$rootDir/normals",
-            grid.where(col("variable") === d.variable), d.variable,
-            cursor.getMonthValue, normalYears._1, normalYears._2)
-          st = st2
-          keepalive() // the normal build is the cycle's long pole, as in T4
-          slice.join(broadcast(normal), Seq("lat", "lon"))
-            .select(col("variable"), col("time"), col("lat"), col("lon"),
-                    (col("value") - col("normal")).as("value"))
-        }
-      outputs += d.layerName -> out
-      observed += d.name -> ((cursorIso, cursorIso))
-    }
-    ForageResult(st.copy(date = Some(cursorIso)), observed.result(), outputs.result())
+        // Materialize each layer eagerly (the service loop writes layers out
+        // anyway) so the cached slice can be dropped before returning —
+        // otherwise cached blocks accumulate across scheduler cycles.
+        outputs += d.layerName -> out.localCheckpoint(true)
+        observed += d.name -> ((cursorIso, cursorIso))
+      }
+      ForageResult(st.copy(date = Some(cursorIso)), observed.result(), outputs.result())
+    } finally monthSlice.unpersist()
   }
 }

@@ -36,7 +36,9 @@ object Freshness {
     * @param upstreamUpdate  upstream's current update date
     */
   def updateNeeded(cursor: String, lastUpdated: Option[String], upstreamUpdate: String): Boolean = {
-    val monthFloor = upstreamUpdate.take(7) + "-01" + upstreamUpdate.drop(10)
+    // True month floor: drop the time-of-day entirely (the reference floors
+    // update_date to the month start before comparing, era5monthly.js:162-167).
+    val monthFloor = upstreamUpdate.take(7) + "-01T00:00:00.000Z"
     !(lastUpdated.contains(upstreamUpdate) && cursor >= monthFloor)
   }
 }
@@ -73,7 +75,15 @@ final class Scheduler(clock: Clock, retryMillis: Long, timeoutMillis: Long) {
       val result = cycle(keepalive)
       val elapsedPastDeadline = clock.nowMillis() > deadline
       log += (result match {
-        case _ if elapsedPastDeadline => TimedOut(clock.nowMillis() - started)
+        case _ if elapsedPastDeadline =>
+          // A timed-out cycle sleeps like a failed one — otherwise a
+          // consistently slow-failing source requeues in a hot loop. NOTE:
+          // the deadline is detected post-hoc; actually interrupting a
+          // running cycle requires executing it under a Spark job group
+          // that a watchdog cancels at the deadline (T4's worker kill).
+          val ranFor = clock.nowMillis() - started
+          clock.sleep(retryMillis)
+          TimedOut(ranFor)
         case Success(_) => Succeeded
         case Failure(e) =>
           clock.sleep(retryMillis)

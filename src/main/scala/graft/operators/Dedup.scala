@@ -87,7 +87,11 @@ object Dedup {
   def minhashLshPairs(documents: DataFrame, shingleN: Int = 3, bands: Int = 8,
                       rows: Int = 4, threshold: Double = 0.5): DataFrame = {
     val numHashes = bands * rows
-    val sig = minhashSignature(documents, shingleN, numHashes).cache()
+    // No .cache(): the three uses of `sig` below share an identical shuffle
+    // subtree, which Spark's ReuseExchange dedupes at physical planning —
+    // and a cache here would outlive the query (nothing can unpersist it
+    // before the caller's action runs).
+    val sig = minhashSignature(documents, shingleN, numHashes)
     val bandRows = sig.select($"doc_id",
         explode(array((0 until bands).map { b =>
           val slice = (0 until rows).map(r => col(s"h${b * rows + r}"))

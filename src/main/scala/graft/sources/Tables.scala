@@ -21,8 +21,11 @@ object Tables {
 
   /** Read one fixture table. `events.ts` lands as TIMESTAMP(NANOS), which we
     * read as long (see [[graft.Session]]) and truncate to microseconds as
-    * TIMESTAMP_NTZ — the same truncation DuckDB applies, so oracle
-    * comparisons line up exactly.
+    * TIMESTAMP_NTZ. DuckDB reads the same parquet at full nanosecond
+    * precision (TIMESTAMP_NS), so every oracle query that touches `ts`
+    * applies the identical truncation itself (`CAST(ts AS TIMESTAMP)` in the
+    * shared `ev` CTE) — both sides provably see the same microsecond values
+    * regardless of the fixture's sub-microsecond content.
     */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
