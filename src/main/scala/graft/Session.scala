@@ -24,6 +24,7 @@ object Session {
       .builder()
       .master(s"local[$cpus]")
       .appName(appName)
+      .withExtensions(graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")

@@ -167,6 +167,78 @@ object SparkEntry {
   )
 
   private val gridCte = operators.Raster.demoGridSql
+  private val polyHash = functions.PolyHash
+
+  /** DuckDB recomputation of Dedup.minhashLshPairs (shingleN=3, bands=8,
+    * rows=4, threshold=0.5): identical portable hashes → full value check.
+    */
+  private def minhashOracle: String = {
+    val p = Dedup.P
+    val hashDefs = (0 until 32).map { i =>
+      val (a, b) = Dedup.affine(i); s"min((g*$a + $b) % $p) AS h$i"
+    }.mkString(", ")
+    val bandEq = (0 until 8).map { bnd =>
+      (0 until 4).map { r => val i = bnd * 4 + r; s"a.h$i = b.h$i" }
+        .mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+    val agree = (0 until 32).map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents),
+       g0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-2),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram FROM toks),
+       gh AS (SELECT doc_id, ${polyHash.duckdbSql("gram")} AS g FROM g0),
+       sig AS (SELECT doc_id, $hashDefs FROM gh GROUP BY doc_id),
+       est AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      CAST($agree AS DOUBLE) / 32 AS est
+               FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandEq))
+       SELECT doc_a, doc_b, round(est, 4) AS est_jaccard
+       FROM est WHERE est >= 0.5 ORDER BY doc_a, doc_b"""
+  }
+
+  /** DuckDB recomputation of Dedup.simhash (60-bit, two poly hashes). */
+  private def simhashOracle: String = {
+    val bitSums = (0 until Dedup.simhashBits).map(k =>
+      s"sum(CASE WHEN (h // ${1L << k}) % 2 = 1 THEN 1 ELSE -1 END) AS b$k").mkString(", ")
+    val sig = (0 until Dedup.simhashBits).map(k =>
+      s"CASE WHEN b$k > 0 THEN ${1L << k} ELSE 0 END").mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+                      FROM documents),
+       th AS (SELECT doc_id, (${polyHash.duckdbSql("tok", 31)}) * ${1L << 30}
+                             + (${polyHash.duckdbSql("tok", 131)}) AS h FROM toks),
+       bits AS (SELECT doc_id, $bitSums FROM th GROUP BY doc_id)
+       SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM bits ORDER BY doc_id"""
+  }
+
+  /** Literal hyperplane-bucket expression over DOUBLE[] column `v` — the
+    * same plan-time weights [[functions.Vectors.planeWeights]] embeds in the
+    * Spark plan.
+    */
+  private def bucketSql(nbits: Int): String =
+    (0 until nbits).map { b =>
+      val w = functions.Vectors.planeWeights(b, 64).mkString("[", ", ", "]")
+      s"CASE WHEN list_dot_product(v, $w) > 0 THEN ${1L << b} ELSE 0 END"
+    }.mkString("CAST(", " + ", " AS BIGINT)")
+
+  /** DuckDB recomputation of Similarity.lshNearNeighbours (nbits=4, ≥0.35). */
+  private def lshPairsOracle: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       b AS (SELECT vec_id, v, ${bucketSql(4)} AS bucket,
+                    sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       p AS (SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+                    list_dot_product(a.v, b2.v) / (a.nrm * b2.nrm) AS c
+             FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+       SELECT vec_a, vec_b, round(c, 4) AS cos_sim
+       FROM p WHERE c >= 0.35 ORDER BY vec_a, vec_b"""
+
+  /** DuckDB recomputation of Similarity.ivfTopK (query 0, nbits=4, k=10). */
+  private def ivfTopKOracle: String =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       b AS (SELECT vec_id, label, v, ${bucketSql(4)} AS bucket,
+                    sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       q AS (SELECT v AS qv, bucket AS qb, nrm AS qnrm FROM b WHERE vec_id = 0)
+       SELECT vec_id, label, bucket,
+              round(list_dot_product(v, qv) / (nrm * qnrm), 4) AS cos_sim
+       FROM b, q WHERE vec_id <> 0 AND bucket = qb
+       ORDER BY list_dot_product(v, qv) / (nrm * qnrm) DESC, vec_id LIMIT 10"""
 
   /** DuckDB reads events.ts at TIMESTAMP(NANOS) precision; Spark truncates
     * to microseconds (see [[graft.sources.Tables]]). Every ts-touching
@@ -404,6 +476,10 @@ object SparkEntry {
     "d01_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count
          FROM documents GROUP BY text ORDER BY keep_id""",
+    "d03_minhash_lsh" -> minhashOracle,
+    "d04_simhash" -> simhashOracle,
+    "s03_lsh_pairs" -> lshPairsOracle,
+    "s05_ivf_topk" -> ivfTopKOracle,
     "d02_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS t
                        FROM documents),

@@ -82,13 +82,9 @@ object Scalars {
   def hmacSha256Col = udf(hmacSha256)
 
   /** F12-adjacent: polynomial rolling-hash document fingerprint
-    * (north-star text-analysis op). Pure expression — `aggregate` over the
-    * character array, mod 1e9+7 each step so the accumulator never
-    * overflows a long (keeps identical semantics in the DuckDB oracle).
+    * (north-star text-analysis op). Native codegen'd expression
+    * ([[PolyHash]]): acc·31 + codepoint mod 1e9+7 per character — identical
+    * semantics in the DuckDB oracle's list_reduce formulation.
     */
-  def rollingFingerprint(text: Column): Column =
-    aggregate(
-      split(text, ""),
-      lit(0L),
-      (acc, ch) => (acc * lit(31L) + coalesce(ascii(ch), lit(0))) % lit(1000000007L))
+  def rollingFingerprint(text: Column): Column = PolyHash(text)
 }

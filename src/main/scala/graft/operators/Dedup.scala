@@ -31,9 +31,12 @@ object Dedup {
     */
   def exact(documents: DataFrame): DataFrame =
     documents
-      .groupBy($"text")
+      // group on the 128-bit content hash, not the text: the shuffle carries
+      // 32 bytes per row instead of the whole document — the 100 TB shape
+      // (collision probability ~n²/2¹²⁹; the oracle groups by text and emits
+      // the same hash, so results agree unless md5 itself collides)
+      .groupBy(md5($"text".cast("binary")).as("text_hash"))
       .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("dup_count"))
-      .select(md5($"text".cast("binary")).as("text_hash"), $"keep_id", $"dup_count")
       .orderBy($"keep_id")
 
   /** Exact-dedup distilled: the surviving document ids (the corpus after
@@ -49,13 +52,21 @@ object Dedup {
     * the score bit-identical to the SQL oracle.
     */
   def ngramJaccardPairs(documents: DataFrame, n: Int, threshold: Double): DataFrame = {
+    // Join/shuffle on xxhash64(source, gram) instead of the raw strings:
+    // the exploded gram relation is the big side at scale, and an 8-byte
+    // key keeps its shuffle thin. A 64-bit collision would merge two gram
+    // identities (~n²/2⁶⁵ probability) — negligible against corpus sizes,
+    // and both intersection and set sizes are counted over the same keys so
+    // the estimate stays internally consistent.
     val grams = documents
-      .select($"doc_id", $"source", explode(array_distinct(ngrams(tokens($"text"), n))).as("gram"))
+      .select($"doc_id",
+        explode(array_distinct(ngrams(tokens($"text"), n))).as("gram"),
+        $"source")
+      .select($"doc_id", xxhash64($"source", $"gram").as("g"))
     val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
     val inter = grams.as("a")
       .join(grams.as("b"),
-        col("a.source") === col("b.source") && col("a.gram") === col("b.gram") &&
-          col("a.doc_id") < col("b.doc_id"))
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -67,14 +78,31 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** MinHash signature matrix: `numHashes` independent min-hashes over the
-    * doc's shingle set. Hash family: xxhash64 seeded by the hash index —
-    * deterministic across executors, no RNG state.
+  /** The classic affine min-hash family h_i(g) = (a_i·g + b_i) mod P over a
+    * base gram hash g. Constants derive from MurmurHash3 of the hash index —
+    * plan-time, deterministic, no RNG state — and are also embedded
+    * verbatim into the DuckDB oracle SQL (SparkEntry), which recomputes the
+    * identical signatures: minhash is fully oracle-checked, not rows-only.
+    */
+  val P: Long = graft.functions.PolyHash.P
+  def affine(i: Int): (Long, Long) = {
+    val a = (math.abs(scala.util.hashing.MurmurHash3.productHash((i, 0))).toLong % (P - 1)) + 1
+    val b = math.abs(scala.util.hashing.MurmurHash3.productHash((i, 1))).toLong % P
+    (a, b)
+  }
+
+  /** MinHash signature matrix: `numHashes` affine min-hashes over the doc's
+    * shingle set. Base hash = portable [[graft.functions.PolyHash]] of the
+    * gram (native codegen'd expression); a_i·g + b_i stays < P² < 2⁶³.
     */
   private def minhashSignature(documents: DataFrame, shingleN: Int, numHashes: Int): DataFrame = {
     val grams = documents
       .select($"doc_id", explode(array_distinct(ngrams(tokens($"text"), shingleN))).as("gram"))
-    val hashCols = (0 until numHashes).map(i => min(xxhash64(lit(i), $"gram")).as(s"h$i"))
+      .select($"doc_id", graft.functions.PolyHash($"gram").as("g"))
+    val hashCols = (0 until numHashes).map { i =>
+      val (a, b) = affine(i)
+      min(($"g" * lit(a) + lit(b)) % lit(P)).as(s"h$i")
+    }
     grams.groupBy($"doc_id").agg(hashCols.head, hashCols.tail: _*)
   }
 
@@ -92,10 +120,13 @@ object Dedup {
     // and a cache here would outlive the query (nothing can unpersist it
     // before the caller's action runs).
     val sig = minhashSignature(documents, shingleN, numHashes)
+    // band bucket key = the band's raw signature slice (an array) rather
+    // than a re-hash of it: equality on the slice is portable to the SQL
+    // oracle and adds zero false candidates
     val bandRows = sig.select($"doc_id",
         explode(array((0 until bands).map { b =>
           val slice = (0 until rows).map(r => col(s"h${b * rows + r}"))
-          struct(lit(b).as("band"), hash(slice: _*).as("key"))
+          struct(lit(b).as("band"), array(slice: _*).as("key"))
         }: _*)).as("bucket"))
       .select($"doc_id", $"bucket.band", $"bucket.key")
     val cand = bandRows.as("a")
@@ -116,19 +147,25 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** 64-bit SimHash per document: per-token xxhash64, each bit contributes
-    * ±1, signature bit = sign of the sum. Near-dups share signatures (or
-    * low Hamming distance); here we emit signature + bucket size, the
-    * grouping stage of a SimHash dedup.
+  /** 60-bit SimHash per document: per-token portable hash (two independent
+    * [[graft.functions.PolyHash]]es packed into 60 bits), each bit
+    * contributes ±1, signature bit = sign of the sum. Near-dups share
+    * signatures (or low Hamming distance); here we emit signature + bucket
+    * size, the grouping stage of a SimHash dedup. Fully recomputable by the
+    * DuckDB oracle (same hash, same bit arithmetic).
     */
+  val simhashBits = 60
   def simhash(documents: DataFrame): DataFrame = {
     val tok = documents.select($"doc_id", explode(tokens($"text")).as("tok"))
-      .withColumn("h", xxhash64($"tok"))
-    val bitSums = (0 until 64).map { k =>
-      sum(when($"h".bitwiseAND(lit(1L << k)) =!= 0, 1).otherwise(-1)).as(s"b$k")
+      // two poly hashes (mult 31 / 131), each < P < 2³⁰, packed to 60 bits
+      .withColumn("h",
+        graft.functions.PolyHash($"tok", 31L) * lit(1L << 30) +
+        graft.functions.PolyHash($"tok", 131L))
+    val bitSums = (0 until simhashBits).map { k =>
+      sum(when(shiftright($"h", k).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$k")
     }
     val sums = tok.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sigCol = (0 until 64)
+    val sigCol = (0 until simhashBits)
       .map(k => when(col(s"b$k") > 0, lit(1L << k)).otherwise(lit(0L)))
       .reduce((a: Column, b: Column) => a.bitwiseOR(b))
     sums.select($"doc_id", sigCol.as("simhash"))

@@ -47,12 +47,16 @@ object Similarity {
     * The candidate join shuffles on bucket id — bounded work per bucket.
     */
   def lshNearNeighbours(embeddings: DataFrame, nbits: Int, threshold: Double): DataFrame = {
+    // Norms are hoisted out of the pair loop: computed once per row before
+    // the self-join, not once per candidate pair.
     val bucketed = embeddings
       .withColumn("bucket", Vectors.hyperplaneBucket($"embedding", nbits))
+      .withColumn("nrm", Vectors.norm($"embedding"))
     bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos_sim", Vectors.cosine(col("a.embedding"), col("b.embedding")))
+      .withColumn("cos_sim", Vectors.cosineWithNorms(
+        col("a.embedding"), col("b.embedding"), col("a.nrm"), col("b.nrm")))
       .where($"cos_sim" >= threshold)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
               round($"cos_sim", 4).as("cos_sim"))
