@@ -1,0 +1,133 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.implicits._
+
+/** Typed event record for stateful streaming ops (micro-batch `events`
+  * fixture rows; TESTDATA.md).
+  */
+case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                 event_type: String, value: Double)
+
+/** Per-user session accumulator for [[EventStream.sessionizeStateful]];
+  * `start`/`end` in epoch microseconds (the fixture's ts precision).
+  */
+case class SessionState(sessionId: Long, start: Long, end: Long,
+                        nEvents: Long, sumValue: Double)
+
+/** Emitted session row (mirrors the batch EventWindows.sessionize shape). */
+case class SessionOut(user_id: Long, session_id: Long,
+                      session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,
+                      n_events: Long, sum_value: Double, duration_sec: Double)
+
+/** Structured Streaming surface (SURVEY.md M4): the reference's incremental
+  * cycle semantics (monthly cursor = offset tracking, T1) re-expressed as
+  * streaming queries over an event source. Each transform is a pure
+  * `DataFrame => DataFrame` usable on both a batch frame and a
+  * `readStream` frame — the batch EventWindows results double as the
+  * oracle-checked goldens for these (w01-w03).
+  *
+  * Scale notes: watermark + windowed aggregation is the standard bounded-
+  * state shape — state is pruned as the watermark advances, so a
+  * 1000-executor cluster holds only in-flight windows, not history.
+  */
+object EventStream {
+
+  /** w01 streaming flavor: 1-hour tumbling windows with a 2-hour watermark.
+    * On a stream, rows older than the watermark are dropped and closed
+    * windows are emitted exactly once (append mode).
+    */
+  def tumblingHourly(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+           round(sum($"value"), 2).as("sum_value"),
+           round(avg($"value"), 4).as("avg_value"))
+      .select($"w.start".as("window_start"), $"event_type", $"n", $"sum_value", $"avg_value")
+
+  /** w02 streaming flavor: 1-hour windows sliding every 30 minutes. */
+  def sliding1h30m(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window($"ts", "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+      .select($"w.start".as("window_start"), $"n", $"sum_value")
+
+  /** w03 streaming flavor via the built-in session window (30-minute gap). */
+  def sessionWindow(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy($"user_id", session_window($"ts", gap).as("w"))
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value"))
+      .select($"user_id", $"w.start".as("session_start"), $"w.end".as("session_end"),
+              $"n_events", $"sum_value")
+
+  /** Custom sessionization with explicit state — the
+    * `flatMapGroupsWithState` shape for semantics the built-in session
+    * window can't express (here: emit *closed* sessions with ids assigned
+    * in arrival order). Idle sessions close via event-time timeout when the
+    * watermark passes session end + gap — fully deterministic, no
+    * wall-clock timers. State per user is one small accumulator → bounded
+    * by |users|, pruned by the watermark.
+    */
+  def sessionizeStateful(events: Dataset[Event], gapMinutes: Long = 30,
+                         watermark: String = "2 hours"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60000000L
+
+    // epoch micros ↔ Timestamp, preserving the fixture's µs precision
+    def us(t: java.sql.Timestamp): Long = t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    def ts(u: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(u / 1000000 * 1000)
+      t.setNanos((u % 1000000).toInt * 1000)
+      t
+    }
+    // same rounding as Spark's round(col, 2): HALF_UP on the binary value
+    def round2(x: Double): Double =
+      BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    def flush(userId: Long, s: SessionState): SessionOut =
+      SessionOut(userId, s.sessionId, ts(s.start), ts(s.end),
+        s.nEvents, round2(s.sumValue), (s.end - s.start) / 1e6)
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(flush(userId, _))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (us(e.ts), e.event_id))
+            val closed = Seq.newBuilder[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = us(e.ts)
+              cur match {
+                case Some(s) if t - s.end <= gapUs =>
+                  cur = Some(s.copy(end = math.max(s.end, t),
+                    nEvents = s.nEvents + 1, sumValue = s.sumValue + e.value))
+                case Some(s) =>
+                  closed += flush(userId, s)
+                  cur = Some(SessionState(s.sessionId + 1, t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(1, t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close when the event-time watermark passes the idle gap
+              // (ceil to ms — the watermark's granularity)
+              state.setTimeoutTimestamp((s.end + gapUs + 999) / 1000)
+            }
+            closed.result().iterator
+          }
+        })
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming._
+
+/** M4: Structured Streaming surface. The streaming windowed aggregations
+  * must agree with their batch (DuckDB-oracle-checked) twins on the same
+  * rows — watermarking only changes *when* results emit, not their values;
+  * the landing ingest must be exactly-once across restarts (the
+  * reference's cursor/atomic-state contract, T1/K3).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eventsDs = table("events")
+    .select($"event_id", $"ts".cast("timestamp").as("ts"), $"user_id", $"event_type", $"value")
+    .as[Event]
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+                          mode: String = "append"): org.apache.spark.sql.DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  test("streaming tumbling windows equal the batch result once all data is ingested") {
+    val input = MemoryStream[Event](spark)
+    input.addData(eventsDs.collect().toSeq)
+    val got = runToMemory(
+      EventStream.tumblingHourly(input.toDF()), "tum_all", mode = "complete")
+
+    val want = EventStream.tumblingHourly(eventsDs.toDF())
+    got.count() shouldBe want.count()
+    got.except(want).count() shouldBe 0
+    want.except(got).count() shouldBe 0
+  }
+
+  test("append mode with watermark emits only closed windows") {
+    val input = MemoryStream[Event](spark)
+    val all = eventsDs.collect().toSeq.sortBy(_.ts.getTime)
+    input.addData(all)
+    val got = runToMemory(EventStream.tumblingHourly(input.toDF()), "tum_append")
+    // watermark = max(ts) - 2h: windows ending after it stay open/unemitted
+    val cutoff = new java.sql.Timestamp(all.map(_.ts.getTime).max - 2 * 3600 * 1000)
+    val want = EventStream.tumblingHourly(eventsDs.toDF())
+      .where($"window_start" + expr("INTERVAL 1 HOUR") <= lit(cutoff))
+    got.count() shouldBe want.count()
+    got.except(want).count() shouldBe 0
+  }
+
+  test("stateful sessionization matches the batch sessionizer on closed sessions") {
+    val input = MemoryStream[Event](spark)
+    input.addData(eventsDs.collect().toSeq)
+    val got = runToMemory(EventStream.sessionizeStateful(input.toDS()).toDF(), "sess")
+
+    // batch twin (w03 oracle query). Sessions close two ways on the stream:
+    // a newer event arrives past the gap (all but each user's last session),
+    // or the event-time timeout fires once the watermark passes end+gap —
+    // so assert got between those two bounds, values identical.
+    val batch = operators.EventWindows.sessionize(table("events"), 30)
+    val lastPerUser = batch.groupBy($"user_id").agg(max($"session_id").as("last_id"))
+    val cols = Seq($"user_id", $"session_id", $"session_start", $"session_end",
+                   $"n_events", $"sum_value", $"duration_sec")
+    val joined = batch.join(lastPerUser, "user_id")
+    val mustEmit = joined.where($"session_id" < $"last_id").select(cols: _*)
+    val maxTs = eventsDs.agg(max($"ts")).head().getTimestamp(0).getTime
+    // +1 ms slack: the watermark/timeout clock has ms granularity while
+    // session ends carry µs
+    val cutoff = new java.sql.Timestamp(maxTs - 2 * 3600 * 1000 + 1)
+    val mayEmit = joined.where($"session_id" < $"last_id" ||
+        $"session_end" + expr("INTERVAL 30 MINUTES") <= lit(cutoff))
+      .select(cols: _*)
+    val gotCmp = got.select($"user_id", $"session_id",
+      $"session_start".cast("timestamp_ntz").as("session_start"),
+      $"session_end".cast("timestamp_ntz").as("session_end"),
+      $"n_events", $"sum_value", $"duration_sec")
+    mustEmit.except(gotCmp).count() shouldBe 0 // everything closed-by-data emitted
+    gotCmp.except(mayEmit).count() shouldBe 0  // nothing emitted beyond the bound
+  }
+
+  test("landing ingest is exactly-once across restarts and idempotent per partition") {
+    val root = Files.createTempDirectory("graft_ingest").toString
+    val landing = s"$root/landing"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    Files.createDirectories(java.nio.file.Paths.get(landing))
+
+    val grid = operators.Raster.demoGrid(table("lineitem"))
+      .where($"variable" === "A").cache()
+    val schema = grid.schema
+    val m1 = grid.where(month($"time") === 1)
+    val m2 = grid.where(month($"time") === 2)
+
+    m1.write.mode("append").parquet(landing)
+    LandingIngest.runOnce(spark, landing, out, ckpt, schema)
+    val afterFirst = spark.read.parquet(out).count()
+    afterFirst shouldBe m1.count()
+
+    // restart with no new files: nothing re-processed (checkpoint = cursor)
+    LandingIngest.runOnce(spark, landing, out, ckpt, schema)
+    spark.read.parquet(out).count() shouldBe afterFirst
+
+    // a second month lands: only it is processed, first month untouched
+    m2.write.mode("append").parquet(landing)
+    LandingIngest.runOnce(spark, landing, out, ckpt, schema)
+    spark.read.parquet(out).count() shouldBe m1.count() + m2.count()
+    grid.unpersist()
+  }
+}
