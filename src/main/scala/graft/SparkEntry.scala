@@ -112,12 +112,22 @@ object SparkEntry {
       Scalars.contentHash($"text").as("md5_hash"),
       sha2($"text".cast("binary"), 256).as("sha256_hash"))
       .orderBy($"doc_id")),
-    // HMAC has no DuckDB analog → rows-only check here; RFC-vector unit
-    // test in ScalarsSpec pins the semantics.
+    // HMAC has no DuckDB analog (sha256 there takes VARCHAR only, so the
+    // raw-byte inner digest can't round-trip) → rows-only check here;
+    // RFC-vector unit test in ScalarsSpec pins the semantics. q22 is the
+    // oracle-checked keyed-digest twin.
     "q21_hmac_sign" -> ((s, d) => t(s, d)("documents").select(
       $"doc_id",
       Scalars.hmacSha256Col(lit("graft-webhook-key"), $"text").as("hmac_sig"))
       .orderBy($"doc_id")),
+    "q22_keyed_digest" -> ((s, d) => t(s, d)("documents").select(
+      $"doc_id",
+      sha2(concat(lit("graft-webhook-key"), lit("\n"), $"text").cast("binary"), 256)
+        .as("digest"))
+      .orderBy($"doc_id")),
+    // ---- multimodal binary columns (north-star extension) ----
+    "m01_payload_stats" -> ((s, d) => Multimodal.payloadStats(t(s, d)("documents"))),
+    "m02_frame_sample" -> ((s, d) => Multimodal.frameSample(t(s, d)("documents"))),
     // ---- core relational surface (SURVEY.md §2.2-2.5) ----
     "q01_pricing_summary" -> ((s, d) => Core.pricingSummary(t(s, d)("lineitem"))),
     "q02_distinct_types" -> ((s, d) => Core.distinctValues(t(s, d)("events"), "event_type")),
@@ -154,6 +164,7 @@ object SparkEntry {
     "d02_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(t(s, d)("documents"), 2, 0.5)),
     "d03_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(t(s, d)("documents"))),
     "d04_simhash" -> ((s, d) => Dedup.simhash(t(s, d)("documents"))),
+    "d05_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDups(t(s, d)("embeddings"), 0.4)),
     // ---- similarity search (north-star M5) ----
     "s01_cosine_threshold" -> ((s, d) => Similarity.cosineAboveThreshold(t(s, d)("embeddings"), 0L, 0.1)),
     "s02_cosine_topk" -> ((s, d) => Similarity.cosineTopK(t(s, d)("embeddings"), 0L, 10)),
@@ -478,8 +489,35 @@ object SparkEntry {
          FROM documents GROUP BY text ORDER BY keep_id""",
     "d03_minhash_lsh" -> minhashOracle,
     "d04_simhash" -> simhashOracle,
+    "d05_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                      list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS c
+               FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+         SELECT vec_a, vec_b, round(c, 4) AS cos_sim
+         FROM p WHERE c >= 0.4 ORDER BY vec_a, vec_b""",
     "s03_lsh_pairs" -> lshPairsOracle,
     "s05_ivf_topk" -> ivfTopKOracle,
+    "q22_keyed_digest" ->
+      """SELECT doc_id, sha256('graft-webhook-key' || chr(10) || text) AS digest
+         FROM documents ORDER BY doc_id""",
+    "m01_payload_stats" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+                md5(text) AS payload_md5,
+                hex(encode(substring(text, 1, 8))) AS head_hex
+         FROM documents ORDER BY doc_id""",
+    "m02_frame_sample" ->
+      """WITH f AS (
+           SELECT doc_id, text,
+                  unnest(generate_series(0,
+                    greatest(least((length(text)-1)//64, 3), 0))) AS frame_no
+           FROM documents),
+         c AS (SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
+                      substring(text, frame_no*64 + 1, 64) AS chunk FROM f)
+         SELECT doc_id, frame_no, md5(chunk) AS frame_md5,
+                CAST(octet_length(encode(chunk)) AS BIGINT) AS frame_bytes
+         FROM c ORDER BY doc_id, frame_no""",
     "d02_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS t
                        FROM documents),

@@ -172,6 +172,27 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Embedding-cosine near-dup pairs, blocked by `label` (the cheap
+    * blocking key; at scale swap in the hyperplane bucket of
+    * [[graft.functions.Vectors.hyperplaneBucket]] exactly as
+    * Similarity.lshNearNeighbours does). Threshold is a knob: real corpora
+    * dedup at ~0.95+; the synthetic fixture's vectors are well-spread, so
+    * its demo entry uses a lower cut to exercise the path.
+    */
+  def embeddingNearDups(embeddings: DataFrame, threshold: Double): DataFrame = {
+    import graft.functions.Vectors
+    val side = embeddings.withColumn("nrm", Vectors.norm($"embedding"))
+    side.as("a")
+      .join(side.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos_sim", Vectors.cosineWithNorms(
+        col("a.embedding"), col("b.embedding"), col("a.nrm"), col("b.nrm")))
+      .where($"cos_sim" >= threshold)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+              round($"cos_sim", 4).as("cos_sim"))
+      .orderBy($"vec_a", $"vec_b")
+  }
+
   /** SimHash bucket dedup: docs sharing an identical 64-bit signature. */
   def simhashDuplicates(documents: DataFrame): DataFrame =
     simhash(documents)
