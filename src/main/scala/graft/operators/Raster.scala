@@ -79,18 +79,26 @@ object Raster {
       .groupBy($"lat", $"lon")
       .agg(avg($"value").as("normal"))
 
-  /** J1: anomaly = actual − normal, equi-joined on the grid coordinates
-    * (`cdo sub`, src/file-conversions.js:219-231). The normal side is one
-    * clipped grid (~100 k cells) → broadcast hash join; the fact side never
-    * shuffles.
+  /** J1: anomaly = actual − normal (`cdo sub`,
+    * src/file-conversions.js:219-231), computed in ONE pass over the
+    * calendar-month slice: a conditional window-average per cell supplies
+    * the normal, so the grid subtree is scanned once. (The alternative —
+    * aggregate the normal separately and broadcast-join it onto the actual
+    * month — scans the grid twice; prefer it only when the store is
+    * partition-pruned parquet and the actual-month scan is one partition,
+    * as [[graft.control.GridSource]] does via [[graft.control.Normals]].)
+    * Cells with no climatology coverage drop out, as an inner join would.
     */
   def anomaly(grid: DataFrame, variable: String, monthStart: String,
               startYear: Int = 1991, endYear: Int = 2020): DataFrame = {
     val m = lit(monthStart).cast("timestamp_ntz")
-    val actual = grid.where($"variable" === variable && $"time" === m)
-    val normal = climatologyNormal(grid, variable, // same calendar month
-      java.time.LocalDate.parse(monthStart.take(10)).getMonthValue, startYear, endYear)
-    actual.join(broadcast(normal), Seq("lat", "lon"))
+    val calMonth = java.time.LocalDate.parse(monthStart.take(10)).getMonthValue
+    val perCell = org.apache.spark.sql.expressions.Window
+      .partitionBy($"variable", $"lat", $"lon")
+    grid.where($"variable" === variable && month($"time") === calMonth)
+      .withColumn("normal",
+        avg(when(year($"time").between(startYear, endYear), $"value")).over(perCell))
+      .where($"time" === m && $"normal".isNotNull)
       .select($"variable", $"time", $"lat", $"lon",
               ($"value" - $"normal").as("value"))
   }
