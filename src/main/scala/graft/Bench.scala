@@ -4,8 +4,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Session.build("graft-bench")
-    // one warm-up action so JVM/codegen startup isn't billed to the first query
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    // warm up the machinery the first queries would otherwise pay for:
+    // parquet scan, hash agg + shuffle, broadcast join, window, codegen
+    locally {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val r = spark.read.parquet(s"$sfDir/region.parquet")
+      val n = spark.read.parquet(s"$sfDir/nation.parquet")
+      n.groupBy(col("n_regionkey")).agg(count(lit(1)).as("c"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .withColumn("w", sum(col("c")).over(Window.partitionBy(col("r_name"))))
+        .count()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
