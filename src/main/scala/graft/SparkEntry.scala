@@ -42,6 +42,26 @@ object SparkEntry {
       .orderBy($"y", $"i")
   }
 
+  /** F14 second half — nextOscarDate (reference src/oscar.js:10):
+    * `dates.find(d => d > t)` = the first valid OSCAR date strictly after
+    * each probe timestamp; only the probe's year and the next can contain
+    * it, so the candidate set is 144 dates per probe.
+    */
+  private def oscarNext(s: SparkSession, dir: String): DataFrame = {
+    val leap = ($"y" % 4 === 0 && $"y" % 100 =!= 0) || ($"y" % 400 === 0)
+    t(s, dir)("orders").select($"o_orderdate".as("t")).distinct()
+      .select($"t", explode(array(year($"t"), year($"t") + 1)).as("y"))
+      .withColumn("days_in_year", when(leap, 366).otherwise(365))
+      .select($"t", $"y", $"days_in_year", explode(sequence(lit(0), lit(71))).as("i"))
+      .withColumn("d",
+        date_add(make_date($"y", lit(1), lit(1)),
+                 floor($"days_in_year" * $"i" / lit(72.0)).cast("int")))
+      .where($"d".cast("timestamp_ntz") > $"t")
+      .groupBy($"t")
+      .agg(min($"d").cast("timestamp_ntz").as("next_oscar"))
+      .orderBy($"t")
+  }
+
   /** Polygon-clip aggregate (reference P3): ray-casting point-in-polygon
     * over (l_discount, l_tax) as the point space; oracle does the
     * equivalent convex sign test.
@@ -154,6 +174,7 @@ object SparkEntry {
     "q16_inventory" -> ((s, d) => Core.inventory(t(s, d)("documents"))),
     "q17_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(t(s, d)("documents"))),
     "q18_oscar_calendar" -> ((s, d) => oscarCalendar(s)),
+    "q23_oscar_next" -> ((s, d) => oscarNext(s, d)),
     "q19_geo_clip" -> ((s, d) => geoClip(s, d)),
     // ---- window/streaming surface (batch form; SURVEY.md §2.8, M4) ----
     "w01_tumbling_hour" -> ((s, d) => EventWindows.tumbling(t(s, d)("events"), "hour")),
@@ -444,6 +465,16 @@ object SparkEntry {
                   * i / 72.0) AS INT) AS TIMESTAMP) AS oscar_date
          FROM range(2023,2025) t(y) CROSS JOIN range(0,72) s(i)
          ORDER BY y, i""",
+    "q23_oscar_next" ->
+      """WITH probes AS (SELECT DISTINCT o_orderdate AS t FROM orders),
+         yrs AS (SELECT t, year(t)+k AS y FROM probes CROSS JOIN (VALUES (0),(1)) v(k)),
+         cal AS (SELECT t,
+                   CAST(make_date(y,1,1) + CAST(floor(
+                     (CASE WHEN (y%4=0 AND y%100<>0) OR y%400=0 THEN 366 ELSE 365 END)
+                     * i / 72.0) AS INT) AS TIMESTAMP) AS d
+                 FROM yrs CROSS JOIN range(0,72) r(i))
+         SELECT t, min(d) AS next_oscar FROM cal WHERE d > t
+         GROUP BY t ORDER BY t""",
     "q19_geo_clip" ->
       """WITH t AS (SELECT l_returnflag, l_extendedprice, l_discount AS x, l_tax AS y
                     FROM lineitem),
