@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.implicits._
+
+/** Skew mitigation for shuffle joins (100 TB checklist: "skewed keys →
+  * salting or AQE skew-join").
+  *
+  * AQE's skew-join handling splits oversized *sort-merge* partitions at
+  * runtime and is on by default ([[graft.Session]]) — prefer it. Salting is
+  * the explicit fallback for the cases AQE can't fix: a hash-partitioned
+  * stateful op keyed on a degenerate column, or a shuffle join whose hot
+  * key exceeds a single task even after splitting. The trade: the small
+  * side is replicated `salt`× (extra shuffle volume) in exchange for the
+  * hot key spreading over `salt` tasks.
+  *
+  * The reference never needs this (single host, ~10⁶-cell grids), but its
+  * grid model invites it at cluster scale: every cell of one month shares
+  * the (variable, time) key, so a naive keyBy(variable, time) would put a
+  * whole month in one task — exactly what salting disperses.
+  */
+object Skew {
+
+  /** Inner equi-join `big ⋈ small` on `key`, with the big side scattered
+    * over `salt` sub-keys and the small side replicated to match. Result
+    * equals the plain join (row-for-row); only the shuffle distribution
+    * changes. Scatter is deterministic (hash of the big side's row), so
+    * retried tasks land rows identically.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salt: Int): DataFrame = {
+    require(salt > 0, "salt must be positive")
+    val scatter = pmod(xxhash64(big.columns.map(col): _*), lit(salt))
+    val bigS = big.withColumn("__salt", scatter)
+    val smallS = small
+      .withColumn("__salt", explode(sequence(lit(0L), lit(salt - 1L))))
+    bigS.join(smallS, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Two-phase distinct count for a skewed group key: partial distinct per
+    * (key, salt) then merge — caps any single task's state at ~1/salt of
+    * the hot group. (Plain `countDistinct` already does partial aggregation
+    * but keeps per-group hash state keyed only by `key`.)
+    */
+  def saltedDistinctCount(df: DataFrame, groupKey: String, distinctCol: String,
+                          salt: Int): DataFrame = {
+    require(salt > 0, "salt must be positive")
+    df.withColumn("__salt", pmod(xxhash64(col(distinctCol)), lit(salt)))
+      .groupBy(col(groupKey), $"__salt")
+      .agg(countDistinct(col(distinctCol)).as("partial"))
+      .groupBy(col(groupKey))
+      .agg(sum($"partial").as("n_distinct"))
+  }
+}
