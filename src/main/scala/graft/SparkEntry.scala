@@ -177,6 +177,14 @@ object SparkEntry {
     "q23_oscar_next" -> ((s, d) => oscarNext(s, d)),
     "q19_geo_clip" -> ((s, d) => geoClip(s, d)),
     // ---- window/streaming surface (batch form; SURVEY.md §2.8, M4) ----
+    // F13 JSON parse surface (reference state/metadata serde,
+    // src/utility.js:73,83) over the events.props JSON column
+    "q24_json_props" -> ((s, d) => t(s, d)("events")
+      .select($"event_type", get_json_object($"props", "$.k").cast("long").as("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+           round(avg($"k"), 4).as("avg_k"), min($"k").as("min_k"), max($"k").as("max_k"))
+      .orderBy($"event_type")),
     "w01_tumbling_hour" -> ((s, d) => EventWindows.tumbling(t(s, d)("events"), "hour")),
     "w02_sliding_1h30m" -> ((s, d) => EventWindows.sliding1h30m(t(s, d)("events"))),
     "w03_sessionize" -> ((s, d) => EventWindows.sessionize(t(s, d)("events"), 30)),
@@ -486,6 +494,13 @@ object SparkEntry {
          SELECT l_returnflag, count(*) AS n_inside, round(sum(l_extendedprice),2) AS sum_price
          FROM d WHERE d1 > 0 AND d2 > 0 AND d3 > 0
          GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q24_json_props" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+                min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+                max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "w01_tumbling_hour" ->
       s"""WITH $evCte
          SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n,
