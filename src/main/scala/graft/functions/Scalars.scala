@@ -81,6 +81,61 @@ object Scalars {
   }
   def hmacSha256Col = udf(hmacSha256)
 
+  /** F4 full surface: round a timestamp to a unit under the reference's
+    * four modes (src/temporal.js:89-150) — `floor`/`trunc` (identical for
+    * positive epochs), `ceil` (next boundary unless already on one), and
+    * `halfExpand` (nearer boundary, ties away). Arithmetic on epoch
+    * microseconds for fixed-width units, so it stays codegen'd.
+    */
+  def roundTo(ts: Column, unit: String, mode: String): Column = {
+    val width: Long = unit match {
+      case "second" => 1000000L
+      case "minute" => 60000000L
+      case "hour"   => 3600000000L
+      case "day"    => 86400000000L
+      case other => throw new IllegalArgumentException(s"fixed-width unit expected, got $other")
+    }
+    val us = unix_micros(ts.cast("timestamp"))
+    val floorUs = us - pmod(us, lit(width))
+    val rounded = mode match {
+      case "floor" | "trunc" => floorUs
+      case "ceil" => when(us === floorUs, us).otherwise(floorUs + width)
+      case "halfExpand" =>
+        when(us - floorUs >= lit(width / 2), floorUs + width).otherwise(floorUs)
+      case other => throw new IllegalArgumentException(s"unknown rounding mode $other")
+    }
+    timestamp_micros(rounded)
+  }
+
+  /** F12: buffer compression for control documents (reference brotli-q11,
+    * src/utility.js:89-92; no JVM brotli offline → gzip, the same
+    * "smallest-at-max-effort" role). Driver-side only — the data plane's
+    * compression is parquet's own codec.
+    */
+  def gzip(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos) {
+      `def`.setLevel(java.util.zip.Deflater.BEST_COMPRESSION)
+    }
+    gz.write(bytes); gz.close()
+    bos.toByteArray
+  }
+
+  def gunzip(bytes: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    out.toByteArray
+  }
+
+  /** F12 as a column function (binary → binary), for compressing payload
+    * columns at a sink boundary.
+    */
+  def gzipCol = udf(gzip _)
+  def gunzipCol = udf(gunzip _)
+
   /** F12-adjacent: polynomial rolling-hash document fingerprint
     * (north-star text-analysis op). Native codegen'd expression
     * ([[PolyHash]]): acc·31 + codepoint mod 1e9+7 per character — identical

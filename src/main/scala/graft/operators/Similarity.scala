@@ -82,6 +82,41 @@ object Similarity {
       .select($"vec_id", $"label", $"bucket", round($"cos_sim", 4).as("cos_sim"))
   }
 
+  /** IVF with a *trained* codebook: MLlib KMeans learns `nlist` centroids
+    * (fixed seed → deterministic), every vector is assigned to its nearest
+    * list, and a query probes only the `nprobe` nearest lists, brute-forcing
+    * cosine inside them. `nprobe = nlist` degrades to exact search — the
+    * recall/latency knob of a real IVF index. The codebook is tiny and
+    * rides to executors as a literal; assignment is one narrow ML transform
+    * (no shuffle); the probe is a pushed-down `isin` filter + top-k.
+    */
+  def ivfTrained(embeddings: DataFrame, queryId: Long, nlist: Int, nprobe: Int,
+                 k: Int, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val vecs = embeddings.withColumn("fv",
+      array_to_vector(transform($"embedding", _.cast("double"))))
+    val model = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("fv").setPredictionCol("list_id").fit(vecs)
+    val assigned = model.transform(vecs)
+
+    val q = assigned.where($"vec_id" === queryId)
+      .select($"embedding", $"fv").head()
+    val qEmb = q.getSeq[Float](0)
+    val qVec = q.getAs[org.apache.spark.ml.linalg.Vector](1)
+    val probeLists = model.clusterCenters.zipWithIndex
+      .map { case (c, i) =>
+        (i, org.apache.spark.ml.linalg.Vectors.sqdist(c, qVec)) }
+      .sortBy(_._2).take(nprobe).map(_._1)
+
+    assigned.where($"vec_id" =!= queryId && $"list_id".isin(probeLists: _*))
+      .withColumn("cos_sim",
+        Vectors.cosine($"embedding", typedLit(qEmb)))
+      .orderBy($"cos_sim".desc, $"vec_id")
+      .limit(k)
+      .select($"vec_id", $"label", $"list_id", round($"cos_sim", 4).as("cos_sim"))
+  }
+
   /** Label-centroid similarity: mean vector per label (the trained-codebook
     * step of IVF as a plain aggregation), then each label's cohesion = mean
     * cosine of members to their centroid.

@@ -83,4 +83,38 @@ class ScalarsSpec extends SparkSpec {
       .select(Scalars.isoFormat($"t".cast("timestamp"))).as[String].head() shouldBe
       "2020-03-04T05:06:07.123Z"
   }
+
+  test("roundTo: floor/ceil/halfExpand/trunc against temporal.js:89-150 semantics") {
+    val t = "2020-03-04 05:36:07.000"
+    def r(mode: String, unit: String): String =
+      Seq(t).toDF("t")
+        .select(Scalars.roundTo($"t", unit, mode).cast("string")).as[String].head()
+    r("floor", "hour") shouldBe "2020-03-04 05:00:00"
+    r("trunc", "hour") shouldBe "2020-03-04 05:00:00"
+    r("ceil", "hour") shouldBe "2020-03-04 06:00:00"
+    r("halfExpand", "hour") shouldBe "2020-03-04 06:00:00" // 36 min ≥ half
+    r("halfExpand", "day") shouldBe "2020-03-04 00:00:00"  // 05:36 < noon
+    // on-boundary: ceil is identity, halfExpand floors
+    def b(mode: String): String =
+      Seq("2020-03-04 05:00:00").toDF("t")
+        .select(Scalars.roundTo($"t", "hour", mode).cast("string")).as[String].head()
+    b("ceil") shouldBe "2020-03-04 05:00:00"
+    b("halfExpand") shouldBe "2020-03-04 05:00:00"
+    // exact half rounds away (ties-away-from-zero = halfExpand)
+    Seq("2020-03-04 05:30:00").toDF("t")
+      .select(Scalars.roundTo($"t", "hour", "halfExpand").cast("string")).as[String]
+      .head() shouldBe "2020-03-04 06:00:00"
+  }
+
+  test("gzip/gunzip round-trips and compresses repetitive buffers (F12)") {
+    val data = ("graft " * 1000).getBytes("UTF-8")
+    val packed = Scalars.gzip(data)
+    packed.length should be < data.length / 10
+    Scalars.gunzip(packed) shouldBe data
+    // column form over a binary payload
+    val row = Seq("abc" * 100).toDF("t")
+      .select(Scalars.gunzipCol(Scalars.gzipCol($"t".cast("binary"))).cast("string"))
+      .as[String].head()
+    row shouldBe "abc" * 100
+  }
 }

@@ -71,4 +71,17 @@ class SimilaritySpec extends SparkSpec {
     l0.length shouldBe 1
     l0(0).getAs[Double]("cohesion") shouldBe 1.0
   }
+
+  test("ivfTrained: probing every list is exact; probing one list is a subset of it") {
+    val embeddings = table("embeddings")
+    val exact = Similarity.cosineTopK(embeddings, 0L, 10)
+      .select($"vec_id", $"cos_sim").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val full = Similarity.ivfTrained(embeddings, 0L, nlist = 4, nprobe = 4, k = 10)
+      .select($"vec_id", $"cos_sim").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    full.toSeq shouldBe exact.toSeq
+
+    val one = Similarity.ivfTrained(embeddings, 0L, nlist = 4, nprobe = 1, k = 10)
+      .select($"list_id").distinct().collect()
+    one.length shouldBe 1 // all hits from the single probed list
+  }
 }
