@@ -185,6 +185,19 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
            round(avg($"k"), 4).as("avg_k"), min($"k").as("min_k"), max($"k").as("max_k"))
       .orderBy($"event_type")),
+    // as-of join: each click matched to the user's most recent purchase at
+    // or before it (union+window formulation; oracle uses native ASOF JOIN)
+    "q25_asof_join" -> ((s, d) => {
+      val e = t(s, d)("events")
+      val clicks = e.where($"event_type" === "click")
+        .select($"event_id", $"user_id", $"ts", $"value")
+      val purchases = e.where($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts", $"value")
+      Temporal.asofJoinBackward(clicks, purchases, "user_id", "ts", "ts", Some("event_id"))
+        .select($"event_id", $"user_id", $"ts", round($"value", 2).as("value"),
+                $"asof_event_id", $"asof_ts", round($"asof_value", 2).as("asof_value"))
+        .orderBy($"event_id")
+    }),
     "w01_tumbling_hour" -> ((s, d) => EventWindows.tumbling(t(s, d)("events"), "hour")),
     "w02_sliding_1h30m" -> ((s, d) => EventWindows.sliding1h30m(t(s, d)("events"))),
     "w03_sessionize" -> ((s, d) => EventWindows.sessionize(t(s, d)("events"), 30)),
@@ -494,6 +507,15 @@ object SparkEntry {
          SELECT l_returnflag, count(*) AS n_inside, round(sum(l_extendedprice),2) AS sum_price
          FROM d WHERE d1 > 0 AND d2 > 0 AND d3 > 0
          GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q25_asof_join" ->
+      s"""WITH $evCte,
+         a AS (SELECT event_id, user_id, ts, value FROM ev WHERE event_type = 'click'),
+         b AS (SELECT event_id, user_id, ts, value FROM ev WHERE event_type = 'purchase')
+         SELECT a.event_id, a.user_id, a.ts, round(a.value, 2) AS value,
+                b.event_id AS asof_event_id, b.ts AS asof_ts,
+                round(b.value, 2) AS asof_value
+         FROM a ASOF JOIN b ON a.user_id = b.user_id AND a.ts >= b.ts
+         ORDER BY a.event_id""",
     "q24_json_props" ->
       """SELECT event_type, count(*) AS n,
                 CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import graft.implicits._
+
+/** Temporal join operators Spark lacks natively.
+  *
+  * As-of join (backward): for each left row, the single right row with the
+  * greatest `rightTs <= leftTs` in the same key group — the "most recent
+  * observation at time t" lookup (the reference's analog is its
+  * sorted-scan min-greater-than over the OSCAR calendar, src/oscar.js:10,
+  * mirrored forward; and matching a month's grid to the latest published
+  * normal is the same access pattern).
+  *
+  * Implementation is the scalable union+window formulation: tag both
+  * sides, union, and carry the last non-null right payload over a
+  * (key, ts)-ordered running window. One shuffle on the key, no range
+  * cross-join, no per-row probe — at 100 TB this is a single sort-based
+  * pass, and skew follows the key distribution exactly like any window op.
+  */
+object Temporal {
+
+  /** Backward as-of join, inner semantics (left rows with no prior right
+    * row are dropped, matching SQL `ASOF JOIN`). Right columns come back
+    * prefixed `asof_`. Ties on `rightTs` within a key resolve by
+    * `tieBreak` (latest wins) when supplied.
+    */
+  def asofJoinBackward(left: DataFrame, right: DataFrame, key: String,
+                       leftTs: String, rightTs: String,
+                       tieBreak: Option[String] = None): DataFrame = {
+    val lStructT = StructType(left.schema.fields)
+    val rStructT = StructType(right.schema.fields)
+
+    val lTagged = left.select(
+      col(key).as("__k"), col(leftTs).as("__ts"), lit(1).as("__side"),
+      (tieBreak.map(col).getOrElse(lit(null))).cast("long").as("__tie"),
+      struct(left.columns.map(col): _*).as("__l"),
+      lit(null).cast(rStructT).as("__r"))
+    val rTagged = right.select(
+      col(key).as("__k"), col(rightTs).as("__ts"), lit(0).as("__side"),
+      (tieBreak.map(col).getOrElse(lit(null))).cast("long").as("__tie"),
+      lit(null).cast(lStructT).as("__l"),
+      struct(right.columns.map(col): _*).as("__r"))
+
+    // right rows sort before left rows at equal ts → inclusive (<=) match
+    val w = Window.partitionBy($"__k")
+      .orderBy($"__ts", $"__side", $"__tie")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val matched = lTagged.unionByName(rTagged)
+      .withColumn("__m", last($"__r", ignoreNulls = true).over(w))
+      .where($"__side" === 1 && $"__m".isNotNull)
+
+    val leftCols = left.columns.map(c => col(s"__l.$c").as(c))
+    val rightCols = right.columns.filter(_ != key)
+      .map(c => col(s"__m.$c").as(s"asof_$c"))
+    matched.select(leftCols ++ rightCols: _*)
+  }
+}

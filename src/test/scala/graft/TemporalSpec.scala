@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Temporal
+
+/** As-of join semantics against a hand-computable fixture and a
+  * brute-force reference formulation.
+  */
+class TemporalSpec extends SparkSpec {
+  import spark.implicits.{localSeqToDatasetHolder, newProductEncoder, newStringEncoder}
+
+  test("backward as-of picks the greatest right ts <= left ts per key") {
+    val left = Seq((1L, 10L, "L10"), (1L, 20L, "L20"), (2L, 5L, "L5"))
+      .toDF("k", "t", "lv")
+    val right = Seq((1L, 9L, "R9"), (1L, 15L, "R15"), (1L, 21L, "R21"), (2L, 99L, "R99"))
+      .toDF("k", "t", "rv")
+    val got = Temporal.asofJoinBackward(left, right, "k", "t", "t")
+      .select(col("k"), col("t"), col("lv"), col("asof_rv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .sortBy(x => (x._1, x._2))
+    // (2, 5) has no prior right row → dropped (inner semantics)
+    got.toSeq shouldBe Seq((1L, 10L, "L10", "R9"), (1L, 20L, "L20", "R15"))
+  }
+
+  test("equal timestamps match inclusively (right row at exactly left ts)") {
+    val left = Seq((1L, 10L, "L")).toDF("k", "t", "lv")
+    val right = Seq((1L, 10L, "Rsame"), (1L, 3L, "Rold")).toDF("k", "t", "rv")
+    Temporal.asofJoinBackward(left, right, "k", "t", "t")
+      .select(col("asof_rv")).as[String].head() shouldBe "Rsame"
+  }
+
+  test("agrees with the brute-force window-max formulation on the events fixture") {
+    val e = table("events")
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val got = Temporal.asofJoinBackward(
+        clicks, purchases.withColumnRenamed("p_id", "event_id")
+          .withColumnRenamed("p_ts", "ts"),
+        "user_id", "ts", "ts", Some("event_id"))
+      .select(col("event_id"), col("asof_event_id"))
+    // brute force: join all pairs p_ts <= ts, keep max p_ts per click
+    val brute = clicks.join(purchases, Seq("user_id"))
+      .where(col("p_ts") <= col("ts"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_id")).orderBy(col("p_ts").desc, col("p_id").desc)))
+      .where(col("rk") === 1)
+      .select(col("event_id"), col("p_id").as("asof_event_id"))
+    got.count() shouldBe brute.count()
+    got.except(brute).count() shouldBe 0
+    brute.except(got).count() shouldBe 0
+  }
+}
