@@ -198,6 +198,20 @@ object SparkEntry {
                 $"asof_event_id", $"asof_ts", round($"asof_value", 2).as("asof_value"))
         .orderBy($"event_id")
     }),
+    // range join: click/purchase pairs within 5 minutes of each other,
+    // regardless of user (no equi key — bucket-replicate-filter shape)
+    "q26_range_join" -> ((s, d) => {
+      val e = t(s, d)("events")
+      val clicks = e.where($"event_type" === "click")
+        .select($"event_id".as("click_id"), $"ts")
+      val purchases = e.where($"event_type" === "purchase")
+        .select($"event_id".as("purchase_id"), $"ts".as("p_ts"))
+      Temporal.rangeJoinWithin(clicks, purchases, "ts", "p_ts", 300)
+        .select($"click_id", $"purchase_id",
+          ((unix_micros($"ts".cast("timestamp")) -
+            unix_micros($"p_ts".cast("timestamp"))) / 1e6).as("dt_sec"))
+        .orderBy($"click_id", $"purchase_id")
+    }),
     "w01_tumbling_hour" -> ((s, d) => EventWindows.tumbling(t(s, d)("events"), "hour")),
     "w02_sliding_1h30m" -> ((s, d) => EventWindows.sliding1h30m(t(s, d)("events"))),
     "w03_sessionize" -> ((s, d) => EventWindows.sessionize(t(s, d)("events"), 30)),
@@ -516,6 +530,14 @@ object SparkEntry {
                 round(b.value, 2) AS asof_value
          FROM a ASOF JOIN b ON a.user_id = b.user_id AND a.ts >= b.ts
          ORDER BY a.event_id""",
+    "q26_range_join" ->
+      s"""WITH $evCte,
+         a AS (SELECT event_id AS click_id, ts FROM ev WHERE event_type = 'click'),
+         b AS (SELECT event_id AS purchase_id, ts AS p_ts FROM ev WHERE event_type = 'purchase')
+         SELECT click_id, purchase_id,
+                (epoch_us(ts) - epoch_us(p_ts)) / 1000000.0 AS dt_sec
+         FROM a JOIN b ON abs(epoch_us(ts) - epoch_us(p_ts)) <= 300000000
+         ORDER BY click_id, purchase_id""",
     "q24_json_props" ->
       """SELECT event_type, count(*) AS n,
                 CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -59,4 +59,33 @@ object Temporal {
       .map(c => col(s"__m.$c").as(s"asof_$c"))
     matched.select(leftCols ++ rightCols: _*)
   }
+
+  /** Range (proximity) join without an equi key: pair left and right rows
+    * whose timestamps lie within `toleranceSec` of each other. A naive
+    * formulation is a θ-join (cross product + filter) — quadratic and
+    * unshuffleable. The scale shape used here buckets time into
+    * `toleranceSec`-wide epochs, replicates the left side into its bucket
+    * and both neighbors, equi-joins on the bucket, then applies the exact
+    * |Δt| predicate: every qualifying pair shares at least one of the
+    * three buckets (|Δ| ≤ tolerance ⇒ bucket distance ≤ 1) and exactly one
+    * join row survives per pair (the right row's own bucket). Shuffle cost
+    * is 3×|left| + |right| keyed rows — linear, skew bounded by bucket
+    * population.
+    */
+  def rangeJoinWithin(left: DataFrame, right: DataFrame,
+                      leftTs: String, rightTs: String,
+                      toleranceSec: Long): DataFrame = {
+    val width = toleranceSec * 1000000L // bucket width in µs
+    val lb = unix_micros(col(leftTs).cast("timestamp"))
+    val rb = unix_micros(col(rightTs).cast("timestamp"))
+    val lExp = left
+      .withColumn("__b0", floor(lb / width))
+      .withColumn("__b", explode(array($"__b0" - 1, $"__b0", $"__b0" + 1)))
+      .drop("__b0")
+    val rKeyed = right.withColumn("__b", floor(rb / width))
+    lExp.join(rKeyed, Seq("__b"))
+      .where(abs(unix_micros(col(leftTs).cast("timestamp")) -
+                 unix_micros(col(rightTs).cast("timestamp"))) <= lit(width))
+      .drop("__b")
+  }
 }

@@ -7,7 +7,7 @@ import graft.operators.Temporal
   * brute-force reference formulation.
   */
 class TemporalSpec extends SparkSpec {
-  import spark.implicits.{localSeqToDatasetHolder, newProductEncoder, newStringEncoder}
+  import spark.implicits.{localSeqToDatasetHolder, newProductEncoder, newStringEncoder, newLongEncoder}
 
   test("backward as-of picks the greatest right ts <= left ts per key") {
     val left = Seq((1L, 10L, "L10"), (1L, 20L, "L20"), (2L, 5L, "L5"))
@@ -48,6 +48,38 @@ class TemporalSpec extends SparkSpec {
           .partitionBy(col("event_id")).orderBy(col("p_ts").desc, col("p_id").desc)))
       .where(col("rk") === 1)
       .select(col("event_id"), col("p_id").as("asof_event_id"))
+    got.count() shouldBe brute.count()
+    got.except(brute).count() shouldBe 0
+    brute.except(got).count() shouldBe 0
+  }
+
+  test("range join: inclusive at exact tolerance, exclusive beyond, no duplicate pairs") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val left = Seq((1L, ts(1000))).toDF("lid", "lts")
+    val right = Seq(
+      (10L, ts(700)),   // exactly -300 s → inclusive
+      (11L, ts(1300)),  // exactly +300 s → inclusive
+      (12L, ts(699)),   // just beyond
+      (13L, ts(1301)),  // just beyond
+      (14L, ts(1000)))  // same instant
+      .toDF("rid", "rts")
+    val got = Temporal.rangeJoinWithin(left, right, "lts", "rts", 300)
+      .select(col("rid")).as[Long].collect().sorted
+    got.toSeq shouldBe Seq(10L, 11L, 14L)
+  }
+
+  test("range join equals the brute-force theta join on the events fixture") {
+    val e = table("events")
+    val a = e.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts"))
+    val b = e.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    val got = Temporal.rangeJoinWithin(a, b, "ts", "p_ts", 300)
+      .select(col("click_id"), col("purchase_id"))
+    val brute = a.crossJoin(b)
+      .where(abs(unix_micros(col("ts").cast("timestamp")) -
+                 unix_micros(col("p_ts").cast("timestamp"))) <= 300000000L)
+      .select(col("click_id"), col("purchase_id"))
     got.count() shouldBe brute.count()
     got.except(brute).count() shouldBe 0
     brute.except(got).count() shouldBe 0
