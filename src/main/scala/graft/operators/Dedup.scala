@@ -58,20 +58,21 @@ object Dedup {
     // identities (~n²/2⁶⁵ probability) — negligible against corpus sizes,
     // and both intersection and set sizes are counted over the same keys so
     // the estimate stays internally consistent.
+    // each gram row carries its doc's distinct-gram count: |A| and |B| ride
+    // the pair join for free, so no separate `sizes` aggregation re-scans
+    // the corpus (a second full pass at 100 TB) and no post-join lookups
     val grams = documents
-      .select($"doc_id",
-        explode(array_distinct(ngrams(tokens($"text"), n))).as("gram"),
-        $"source")
-      .select($"doc_id", xxhash64($"source", $"gram").as("g"))
-    val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
-    val inter = grams.as("a")
+      .select($"doc_id", $"source",
+        array_distinct(ngrams(tokens($"text"), n)).as("gs"))
+      .select($"doc_id", size($"gs").cast("long").as("n"),
+        explode($"gs").as("gram"), $"source")
+      .select($"doc_id", $"n", xxhash64($"source", $"gram").as("g"))
+    grams.as("a")
       .join(grams.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+               col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_grams", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_grams", "nb"), "doc_b")
       .withColumn("jaccard", $"inter" / ($"na" + $"nb" - $"inter"))
       .where($"jaccard" >= threshold)
       .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
