@@ -29,6 +29,11 @@ object Session {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // scale sizing: 128 MiB scan splits and post-shuffle targets keep
+      // partitions executor-memory-friendly at any SF; AQE coalesces the
+      // small local shuffles down and splits skewed ones up from there
+      .config("spark.sql.files.maxPartitionBytes", "134217728")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "67108864")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")

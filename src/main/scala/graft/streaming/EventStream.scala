@@ -66,6 +66,28 @@ object EventStream {
       .select($"user_id", $"w.start".as("session_start"), $"w.end".as("session_end"),
               $"n_events", $"sum_value")
 
+  /** Stream-stream inner join with a time-range condition: each click
+    * joined to the same user's purchases within the trailing `tolerance`.
+    * Watermarks on BOTH sides bound the join state — Spark retains only
+    * rows younger than watermark + tolerance, so state is O(rate × window)
+    * regardless of stream age. The batch twin of this shape is
+    * [[graft.operators.Temporal.rangeJoinWithin]]/q26.
+    */
+  def recentPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+                         watermark: String = "2 hours",
+                         toleranceSec: Long = 300): DataFrame = {
+    val c = clicks.select($"event_id".as("click_id"), $"user_id", $"ts")
+      .withWatermark("ts", watermark)
+    val p = purchases.select($"event_id".as("purchase_id"),
+        $"user_id".as("p_user_id"), $"ts".as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    c.join(p,
+      $"user_id" === $"p_user_id" &&
+        $"p_ts" >= $"ts" - expr(s"INTERVAL $toleranceSec SECONDS") &&
+        $"p_ts" <= $"ts")
+      .select($"click_id", $"user_id", $"ts", $"purchase_id", $"p_ts")
+  }
+
   /** Custom sessionization with explicit state — the
     * `flatMapGroupsWithState` shape for semantics the built-in session
     * window can't express (here: emit *closed* sessions with ids assigned

@@ -66,4 +66,24 @@ class ServiceLoopSpec extends SparkSpec {
     Status.check(root, clock, Map("grid-quantity-mean" -> budget)) shouldBe empty
     grid.unpersist()
   }
+
+  test("corrupt state JSON crashes the cycle and the scheduler sleeps-and-retries (reference semantics)") {
+    implicit val s = spark
+    val root = Files.createTempDirectory("graft-corrupt").toString
+    java.nio.file.Paths.get(s"$root/state").toFile.mkdirs()
+    Files.writeString(java.nio.file.Paths.get(s"$root/state/grid.json"), "{ not json !!")
+
+    val grid = Raster.demoGrid(table("lineitem"))
+    val src = new GridSource(grid, root)
+    val clock = new VirtualClock(0L)
+    val sched = new Scheduler(clock, retryMillis = 60000, timeoutMillis = 300000)
+    val outcomes = sched.run(1) { keepalive =>
+      Try(Cycle.run(root, src, registry, clock, keepalive).get).map(_ => ())
+    }
+    outcomes.head shouldBe a[sched.Retried]
+    // the failed cycle slept the retry interval; state file untouched
+    clock.nowMillis() shouldBe 60000L
+    new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/state/grid.json")), "UTF-8") shouldBe "{ not json !!"
+  }
 }

@@ -82,6 +82,23 @@ class StreamingSpec extends SparkSpec {
     gotCmp.except(mayEmit).count() shouldBe 0  // nothing emitted beyond the bound
   }
 
+  test("stream-stream time-interval join equals the batch range join") {
+    val cIn = MemoryStream[Event](spark)
+    val pIn = MemoryStream[Event](spark)
+    val all = eventsDs.collect().toSeq
+    cIn.addData(all.filter(_.event_type == "click"))
+    pIn.addData(all.filter(_.event_type == "purchase"))
+    val got = runToMemory(
+      EventStream.recentPurchaseJoin(cIn.toDF(), pIn.toDF()), "ssjoin")
+
+    val batch = EventStream.recentPurchaseJoin(
+      eventsDs.toDF().where($"event_type" === "click"),
+      eventsDs.toDF().where($"event_type" === "purchase"))
+    got.count() shouldBe batch.count()
+    got.except(batch).count() shouldBe 0
+    batch.except(got).count() shouldBe 0
+  }
+
   test("landing ingest is exactly-once across restarts and idempotent per partition") {
     val root = Files.createTempDirectory("graft_ingest").toString
     val landing = s"$root/landing"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
