@@ -429,7 +429,7 @@ object SparkEntry {
          FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""",
     "q08_hourly_climatology" ->
       s"""WITH $evCte
-         SELECT event_type, hour(ts) AS hour_of_day, round(avg(value),4) AS mean_value,
+         SELECT event_type, hour(ts) AS hour_of_day, round(sum(value),2)/count(*) AS mean_value,
                 round(sum(value),2) AS sum_value, count(*) AS n
          FROM ev GROUP BY 1,2 ORDER BY event_type, hour_of_day""",
     "q09_union_kinds" ->
@@ -464,7 +464,7 @@ object SparkEntry {
          ORDER BY s_suppkey""",
     "q14_rollup" ->
       """SELECT coalesce(r_name,'ALL') AS region_name, coalesce(n_name,'ALL') AS nation_name,
-                round(sum(l_extendedprice*(1-l_discount)),4) AS revenue, count(*) AS n_items
+                round(sum(l_extendedprice*(1-l_discount)),2) AS revenue, count(*) AS n_items
          FROM lineitem JOIN orders ON l_orderkey=o_orderkey
               JOIN customer ON o_custkey=c_custkey
               JOIN nation ON c_nationkey=n_nationkey
@@ -548,7 +548,8 @@ object SparkEntry {
     "w01_tumbling_hour" ->
       s"""WITH $evCte
          SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n,
-                round(sum(value),2) AS sum_value, round(avg(value),4) AS avg_value
+                round(sum(value),2) AS sum_value,
+                round(sum(value),2)/count(*) AS avg_value
          FROM ev GROUP BY 1,2 ORDER BY window_start, event_type""",
     "w02_sliding_1h30m" ->
       s"""WITH $evCte, b AS (

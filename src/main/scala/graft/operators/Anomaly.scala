@@ -47,7 +47,10 @@ object Anomaly {
     */
   def hourlyClimatology(events: DataFrame): DataFrame =
     events.groupBy($"event_type", hour($"ts").cast("long").as("hour_of_day"))
-      .agg(round(avg($"value"), 4).as("mean_value"),
+      // mean = agreed-rounded sum / count, emitted UNROUNDED: bit-identical
+      // operands make IEEE division match exactly, while further decimal
+      // rounding can tie-break differently between engines
+      .agg((round(sum($"value"), 2) / count(lit(1))).as("mean_value"),
            round(sum($"value"), 2).as("sum_value"),
            count(lit(1)).as("n"))
       .orderBy($"event_type", $"hour_of_day")

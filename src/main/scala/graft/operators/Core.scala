@@ -148,7 +148,7 @@ object Core {
       .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
       .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
       .rollup($"r_name", $"n_name")
-      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4).as("revenue"),
+      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"),
            count(lit(1)).as("n_items"))
       .select(coalesce($"r_name", lit("ALL")).as("region_name"),
               coalesce($"n_name", lit("ALL")).as("nation_name"),

@@ -22,7 +22,11 @@ object EventWindows {
       .groupBy(date_trunc(unit, $"ts").cast("timestamp_ntz").as("window_start"), $"event_type")
       .agg(count(lit(1)).as("n"),
            round(sum($"value"), 2).as("sum_value"),
-           round(avg($"value"), 4).as("avg_value"))
+           // mean = agreed-rounded sum / count, emitted UNROUNDED: the
+           // operands are bit-identical on both engines, so IEEE division
+           // matches exactly — while any further decimal rounding can land
+           // on a tie the engines' round() implementations break differently
+           (round(sum($"value"), 2) / count(lit(1))).as("avg_value"))
       .orderBy($"window_start", $"event_type")
 
   /** Sliding window (1 h window, 30 min slide): each event lands in two
