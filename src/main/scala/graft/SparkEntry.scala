@@ -390,7 +390,7 @@ object SparkEntry {
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
          round(sum(l_extendedprice),2) AS sum_base_price,
-         round(sum(l_extendedprice*(1-l_discount)),4) AS sum_disc_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
          round(avg(l_quantity),4) AS avg_qty, round(avg(l_discount),4) AS avg_disc,
          count(*) AS count_order
          FROM lineitem GROUP BY l_returnflag, l_linestatus
@@ -411,14 +411,16 @@ object SparkEntry {
     "q06_monthly_anomaly" ->
       """WITH monthly AS (
            SELECT date_trunc('month', l_shipdate) AS month_start,
-                  sum(l_extendedprice*(1-l_discount)) AS revenue
+                  sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev_dec
            FROM lineitem GROUP BY 1),
          normal AS (
-           SELECT month(month_start) AS cal_month, avg(revenue) AS normal_revenue
+           SELECT month(month_start) AS cal_month,
+                  CAST(sum(rev_dec) AS DOUBLE) / count(*) AS normal_revenue
            FROM monthly GROUP BY 1)
-         SELECT month_start, round(revenue,4) AS revenue,
-                round(normal_revenue,4) AS normal_revenue,
-                round(revenue - normal_revenue,4) AS anomaly
+         SELECT month_start, CAST(rev_dec AS DOUBLE) AS revenue,
+                normal_revenue,
+                CAST(rev_dec AS DOUBLE) - normal_revenue AS anomaly
          FROM monthly JOIN normal ON month(month_start) = cal_month
          ORDER BY month_start""",
     "q07_accum_diff" ->
@@ -464,7 +466,7 @@ object SparkEntry {
          ORDER BY s_suppkey""",
     "q14_rollup" ->
       """SELECT coalesce(r_name,'ALL') AS region_name, coalesce(n_name,'ALL') AS nation_name,
-                round(sum(l_extendedprice*(1-l_discount)),2) AS revenue, count(*) AS n_items
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue, count(*) AS n_items
          FROM lineitem JOIN orders ON l_orderkey=o_orderkey
               JOIN customer ON o_custkey=c_custkey
               JOIN nation ON c_nationkey=n_nationkey

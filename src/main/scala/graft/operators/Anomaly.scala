@@ -22,21 +22,31 @@ object Anomaly {
     * revenue of that calendar month across all years.
     */
   def monthlyRevenueAnomaly(lineitem: DataFrame): DataFrame = {
+    // money math in exact DECIMAL: price/discount are 2-dp values, so the
+    // per-item product is exact at 4 dp and the monthly sum is exact — no
+    // FP summation-order noise, no rounding knife edges against the
+    // oracle. The exact decimal casts to a deterministic double at the
+    // boundary, and the climatology mean is exact-sum/count (also
+    // deterministic) rather than an order-sensitive double avg.
+    val disc = $"l_discount".cast("decimal(18,2)")
     val monthly = lineitem
       .groupBy(date_trunc("month", $"l_shipdate").cast("timestamp_ntz").as("month_start"))
-      .agg(sum($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"))
+      .agg(sum($"l_extendedprice".cast("decimal(18,2)") * (lit(1) - disc)).as("rev_dec"))
     // climatology as a window over the (tiny) monthly aggregate: the fact
     // table is scanned ONCE — the derived-twice-join formulation would
     // rescan and re-aggregate the full table for the normal side, which at
     // 100 TB doubles the dominant cost
     val byCalMonth = Window.partitionBy(month($"month_start"))
     monthly
-      .withColumn("normal_revenue", avg($"revenue").over(byCalMonth))
+      .withColumn("revenue", $"rev_dec".cast("double"))
+      .withColumn("normal_revenue",
+        sum($"rev_dec").over(byCalMonth).cast("double") /
+          count(lit(1)).over(byCalMonth))
       .select(
         $"month_start",
-        round($"revenue", 4).as("revenue"),
-        round($"normal_revenue", 4).as("normal_revenue"),
-        round($"revenue" - $"normal_revenue", 4).as("anomaly"))
+        $"revenue",
+        $"normal_revenue",
+        ($"revenue" - $"normal_revenue").as("anomaly"))
       .orderBy($"month_start")
   }
 

@@ -25,7 +25,10 @@ object Core {
       .agg(
         round(sum($"l_quantity"), 2).as("sum_qty"),
         round(sum($"l_extendedprice"), 2).as("sum_base_price"),
-        round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4).as("sum_disc_price"),
+        // exact decimal money sum → deterministic double (see Anomaly)
+        sum($"l_extendedprice".cast("decimal(18,2)") *
+            (lit(1) - $"l_discount".cast("decimal(18,2)")))
+          .cast("double").as("sum_disc_price"),
         round(avg($"l_quantity"), 4).as("avg_qty"),
         round(avg($"l_discount"), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
@@ -148,7 +151,9 @@ object Core {
       .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
       .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
       .rollup($"r_name", $"n_name")
-      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"),
+      .agg(sum($"l_extendedprice".cast("decimal(18,2)") *
+               (lit(1) - $"l_discount".cast("decimal(18,2)")))
+             .cast("double").as("revenue"), // exact decimal → deterministic double
            count(lit(1)).as("n_items"))
       .select(coalesce($"r_name", lit("ALL")).as("region_name"),
               coalesce($"n_name", lit("ALL")).as("nation_name"),
