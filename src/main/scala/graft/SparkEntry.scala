@@ -221,6 +221,8 @@ object SparkEntry {
     "d03_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(t(s, d)("documents"))),
     "d04_simhash" -> ((s, d) => Dedup.simhash(t(s, d)("documents"))),
     "d05_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDups(t(s, d)("embeddings"), 0.4)),
+    "d06_jaccard_pruned" -> ((s, d) =>
+      Dedup.ngramJaccardPairsPruned(t(s, d)("documents"), 2, 0.4, 20)),
     // ---- similarity search (north-star M5) ----
     "s01_cosine_threshold" -> ((s, d) => Similarity.cosineAboveThreshold(t(s, d)("embeddings"), 0L, 0.1)),
     "s02_cosine_topk" -> ((s, d) => Similarity.cosineTopK(t(s, d)("embeddings"), 0L, 10)),
@@ -580,6 +582,28 @@ object SparkEntry {
     "d01_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count
          FROM documents GROUP BY text ORDER BY keep_id""",
+    "d06_jaccard_pruned" ->
+      """WITH toks AS (SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS t
+                       FROM documents),
+         g0 AS (SELECT doc_id, source,
+                       unnest(list_transform(generate_series(1, len(t)-1),
+                              i -> t[i] || ' ' || t[i+1])) AS gram
+                FROM toks),
+         grams AS (SELECT DISTINCT doc_id, source, gram FROM g0),
+         sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+         hot AS (SELECT source, gram FROM grams GROUP BY source, gram HAVING count(*) > 20),
+         kept AS (SELECT g.* FROM grams g LEFT JOIN hot h
+                    ON g.source = h.source AND g.gram = h.gram
+                  WHERE h.gram IS NULL),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                   FROM kept a JOIN kept b
+                     ON a.source = b.source AND a.gram = b.gram AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+                round(CAST(inter AS DOUBLE)/(sa.n + sb.n - inter), 4) AS jaccard
+         FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+         WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.4
+         ORDER BY doc_a, doc_b""",
     "d03_minhash_lsh" -> minhashOracle,
     "d04_simhash" -> simhashOracle,
     "d05_embedding_neardup" ->

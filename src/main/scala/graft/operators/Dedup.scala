@@ -79,6 +79,38 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Frequency-pruned n-gram Jaccard: identical to [[ngramJaccardPairs]]
+    * except grams shared by more than `maxDocFreq` documents are dropped
+    * from candidate generation (a broadcast anti join against the small
+    * hot-gram set). This is THE scale lever for the pair blowup — the
+    * Σc² expansion is dominated by stopword-like grams whose c ≈ corpus
+    * size, and pruning them bounds c ≤ maxDocFreq. Set sizes |A|,|B| stay
+    * the full gram counts, so the score is a lower bound of true Jaccard:
+    * genuinely near-duplicate pairs (which share *rare* grams too) survive.
+    */
+  def ngramJaccardPairsPruned(documents: DataFrame, n: Int, threshold: Double,
+                              maxDocFreq: Int): DataFrame = {
+    val grams = documents
+      .select($"doc_id", $"source",
+        array_distinct(ngrams(tokens($"text"), n)).as("gs"))
+      .select($"doc_id", size($"gs").cast("long").as("n"),
+        explode($"gs").as("gram"), $"source")
+      .select($"doc_id", $"n", xxhash64($"source", $"gram").as("g"))
+    val hot = grams.groupBy($"g").agg(count(lit(1)).as("df"))
+      .where($"df" > maxDocFreq).select($"g")
+    val kept = grams.join(broadcast(hot), Seq("g"), "left_anti")
+    kept.as("a")
+      .join(kept.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+               col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", $"inter" / ($"na" + $"nb" - $"inter"))
+      .where($"jaccard" >= threshold)
+      .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** The classic affine min-hash family h_i(g) = (a_i·g + b_i) mod P over a
     * base gram hash g. Constants derive from MurmurHash3 of the hash index —
     * plan-time, deterministic, no RNG state — and are also embedded
