@@ -66,6 +66,16 @@ object EventStream {
       .select($"user_id", $"w.start".as("session_start"), $"w.end".as("session_end"),
               $"n_events", $"sum_value")
 
+  /** Streaming exact dedup: drop event_id duplicates arriving within the
+    * watermark horizon — the streaming flavor of Dedup.exact. State holds
+    * one key per event inside the horizon and is pruned as the watermark
+    * advances (at-least-once upstreams → effectively-once downstream).
+    */
+  def dedupeEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+
   /** Stream-stream inner join with a time-range condition: each click
     * joined to the same user's purchases within the trailing `tolerance`.
     * Watermarks on BOTH sides bound the join state — Spark retains only

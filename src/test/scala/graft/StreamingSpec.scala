@@ -99,6 +99,17 @@ class StreamingSpec extends SparkSpec {
     batch.except(got).count() shouldBe 0
   }
 
+  test("streaming dedup drops duplicate event_ids arriving across micro-batches") {
+    val input = MemoryStream[Event](spark)
+    val all = eventsDs.limit(200).collect().toSeq
+    input.addData(all)
+    input.addData(all.take(50))  // replayed slice (at-least-once upstream)
+    input.addData(all.slice(20, 60))
+    val got = runToMemory(EventStream.dedupeEvents(input.toDF()), "dedup_stream")
+    got.count() shouldBe 200
+    got.select($"event_id").distinct().count() shouldBe 200
+  }
+
   test("landing ingest is exactly-once across restarts and idempotent per partition") {
     val root = Files.createTempDirectory("graft_ingest").toString
     val landing = s"$root/landing"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
