@@ -43,6 +43,44 @@ object Freshness {
   }
 }
 
+/** T4 enforcement: run a cycle body under a Spark job group that a watchdog
+  * thread cancels when the keepalive deadline lapses — the engine-side
+  * equivalent of the reference killing its worker thread
+  * (src/rabbit-sanctuary.js:75-102). [[Scheduler.run]]'s post-hoc TimedOut
+  * detection composes with this: a guarded body surfaces the cancellation
+  * as a Failure, the scheduler logs/sleeps/retries.
+  *
+  * Wall-clock by necessity — a real watchdog must fire while the body
+  * blocks, which a virtual clock cannot do.
+  */
+object Watchdog {
+  def guarded[A](spark: org.apache.spark.sql.SparkSession, timeoutMillis: Long,
+                 label: String)(body: (() => Unit) => A): Try[A] = {
+    val group = s"graft-$label-${System.nanoTime()}"
+    @volatile var deadline = System.currentTimeMillis() + timeoutMillis
+    @volatile var done = false
+    val keepalive: () => Unit =
+      () => deadline = System.currentTimeMillis() + timeoutMillis
+    val watcher = new Thread(() => {
+      while (!done && System.currentTimeMillis() <= deadline) Thread.sleep(20)
+      // keep canceling until the body returns: a one-shot cancel can fire
+      // while the query is still planning (no active job yet) and be lost
+      while (!done) {
+        spark.sparkContext.cancelJobGroup(group)
+        Thread.sleep(100)
+      }
+    }, s"$group-watchdog")
+    watcher.setDaemon(true)
+    spark.sparkContext.setJobGroup(group, s"graft cycle $label", interruptOnCancel = true)
+    watcher.start()
+    try Try(body(keepalive))
+    finally {
+      done = true
+      spark.sparkContext.clearJobGroup()
+    }
+  }
+}
+
 /** T3/T4: the reference's rabbit-sanctuary scheduling semantics
   * (src/rabbit-sanctuary.js:47-102):
   *

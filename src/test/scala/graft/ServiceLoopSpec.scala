@@ -67,6 +67,26 @@ class ServiceLoopSpec extends SparkSpec {
     grid.unpersist()
   }
 
+  test("watchdog cancels a running job past the keepalive deadline (T4 kill)") {
+    import org.apache.spark.sql.functions._
+    val slow = udf((x: Long) => { Thread.sleep(5000); x })
+    val t0 = System.currentTimeMillis()
+    val got = Watchdog.guarded(spark, timeoutMillis = 500, "slow-cycle") { _ =>
+      spark.range(64).repartition(32).select(slow(col("id")).as("s"))
+        .agg(sum(col("s"))).collect()
+    }
+    got.isFailure shouldBe true
+    (System.currentTimeMillis() - t0) should be < 30000L
+  }
+
+  test("watchdog lets a keepalive-posting body run past the base deadline") {
+    val got = Watchdog.guarded(spark, timeoutMillis = 400, "chatty-cycle") { keepalive =>
+      (1 to 5).foreach { _ => Thread.sleep(150); keepalive() }
+      42
+    }
+    got shouldBe scala.util.Success(42)
+  }
+
   test("corrupt state JSON crashes the cycle and the scheduler sleeps-and-retries (reference semantics)") {
     implicit val s = spark
     val root = Files.createTempDirectory("graft-corrupt").toString
