@@ -185,6 +185,23 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
            round(avg($"k"), 4).as("avg_k"), min($"k").as("min_k"), max($"k").as("max_k"))
       .orderBy($"event_type")),
+    // exact interpolated percentiles (SURVEY §2.4 "free in Spark"): same
+    // linear-interpolation definition as the oracle's quantile_cont
+    "q27_percentiles" -> ((s, d) => t(s, d)("orders")
+      .groupBy($"o_orderpriority")
+      .agg(expr("percentile(o_totalprice, 0.5)").as("p50"),
+           expr("percentile(o_totalprice, 0.9)").as("p90"),
+           count(lit(1)).as("n"))
+      .orderBy($"o_orderpriority")),
+    // CUBE grouping sets over exact decimal money sums
+    "q28_cube" -> ((s, d) => t(s, d)("orders")
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+           sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("total"))
+      .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
+              coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+              $"n", $"total")
+      .orderBy($"status", $"priority")),
     // as-of join: each click matched to the user's most recent purchase at
     // or before it (union+window formulation; oracle uses native ASOF JOIN)
     "q25_asof_join" -> ((s, d) => {
@@ -525,6 +542,16 @@ object SparkEntry {
          SELECT l_returnflag, count(*) AS n_inside, round(sum(l_extendedprice),2) AS sum_price
          FROM d WHERE d1 > 0 AND d2 > 0 AND d3 > 0
          GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q27_percentiles" ->
+      """SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS p50,
+                quantile_cont(o_totalprice, 0.9) AS p90, count(*) AS n
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q28_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS n,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY status, priority""",
     "q25_asof_join" ->
       s"""WITH $evCte,
          a AS (SELECT event_id, user_id, ts, value FROM ev WHERE event_type = 'click'),
