@@ -185,6 +185,20 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
            round(avg($"k"), 4).as("avg_k"), min($"k").as("min_k"), max($"k").as("max_k"))
       .orderBy($"event_type")),
+    // frame-based running aggregate + ranking family over one window
+    "q29_running_window" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val order = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      val frame = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d)("orders").select(
+        $"o_custkey", $"o_orderdate", $"o_orderkey",
+        sum($"o_totalprice".cast("decimal(18,2)")).over(frame)
+          .cast("double").as("running_total"),
+        row_number().over(order).cast("long").as("rn"),
+        ntile(4).over(order).cast("long").as("quartile"),
+        percent_rank().over(order).as("pr"))
+        .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
+    }),
     // exact interpolated percentiles (SURVEY §2.4 "free in Spark"): same
     // linear-interpolation definition as the oracle's quantile_cont
     "q27_percentiles" -> ((s, d) => t(s, d)("orders")
@@ -542,6 +556,18 @@ object SparkEntry {
          SELECT l_returnflag, count(*) AS n_inside, round(sum(l_extendedprice),2) AS sum_price
          FROM d WHERE d1 > 0 AND d2 > 0 AND d3 > 0
          GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q29_running_window" ->
+      """SELECT o_custkey, o_orderdate, o_orderkey,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER wf AS DOUBLE)
+                  AS running_total,
+                row_number() OVER wo AS rn,
+                ntile(4) OVER wo AS quartile,
+                percent_rank() OVER wo AS pr
+         FROM orders
+         WINDOW wo AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS UNBOUNDED PRECEDING)
+         ORDER BY o_custkey, o_orderdate, o_orderkey""",
     "q27_percentiles" ->
       """SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS p50,
                 quantile_cont(o_totalprice, 0.9) AS p90, count(*) AS n
