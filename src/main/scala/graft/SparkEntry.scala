@@ -185,6 +185,22 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
            round(avg($"k"), 4).as("avg_k"), min($"k").as("min_k"), max($"k").as("max_k"))
       .orderBy($"event_type")),
+    // set operations (absent in the reference; SURVEY §2.5 "free in Spark"):
+    // high-balance customers who did / did not place orders
+    "q30_setops" -> ((s, d) => {
+      val rich = t(s, d)("customer").where($"c_acctbal" > 5000).select($"c_custkey")
+      val active = t(s, d)("orders").select($"o_custkey".as("c_custkey")).distinct()
+      rich.intersect(active).withColumn("relation", lit("rich_active"))
+        .unionByName(rich.except(active).withColumn("relation", lit("rich_inactive")))
+        .orderBy($"relation", $"c_custkey")
+    }),
+    // pivot (conditional-aggregation rotation): events per user decile x type
+    "q31_pivot" -> ((s, d) => t(s, d)("events")
+      .groupBy(($"user_id" % 10).as("user_decile"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy($"user_decile")),
     // frame-based running aggregate + ranking family over one window
     "q29_running_window" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -556,6 +572,23 @@ object SparkEntry {
          SELECT l_returnflag, count(*) AS n_inside, round(sum(l_extendedprice),2) AS sum_price
          FROM d WHERE d1 > 0 AND d2 > 0 AND d3 > 0
          GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q30_setops" ->
+      """WITH rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+         active AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders)
+         SELECT c_custkey, 'rich_active' AS relation
+         FROM (SELECT c_custkey FROM rich INTERSECT SELECT c_custkey FROM active)
+         UNION ALL
+         SELECT c_custkey, 'rich_inactive' AS relation
+         FROM (SELECT c_custkey FROM rich EXCEPT SELECT c_custkey FROM active)
+         ORDER BY relation, c_custkey""",
+    "q31_pivot" ->
+      """SELECT user_id % 10 AS user_decile,
+                count(*) FILTER (event_type = 'click') AS click,
+                count(*) FILTER (event_type = 'error') AS error,
+                count(*) FILTER (event_type = 'purchase') AS purchase,
+                count(*) FILTER (event_type = 'signup') AS signup,
+                count(*) FILTER (event_type = 'view') AS view
+         FROM events GROUP BY 1 ORDER BY user_decile""",
     "q29_running_window" ->
       """SELECT o_custkey, o_orderdate, o_orderkey,
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER wf AS DOUBLE)
