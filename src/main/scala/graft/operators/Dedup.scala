@@ -90,20 +90,33 @@ object Dedup {
     */
   def ngramJaccardPairsPruned(documents: DataFrame, n: Int, threshold: Double,
                               maxDocFreq: Int): DataFrame = {
+    // Single-pass shape: group by gram hash, DROP buckets larger than
+    // maxDocFreq (bucket size == the gram's document frequency, so the
+    // size filter IS the hot-gram prune), and emit each bucket's ordered
+    // pairs in place. The doc-freq cap bounds every bucket at maxDocFreq
+    // members → ≤ cap²/2 pairs from any one row, so the in-row expansion
+    // is safe at arbitrary corpus scale — unlike the uncapped variant,
+    // which must pair via a self-join to keep hot grams parallelized.
+    // The gram relation is computed ONCE (one scan, one shuffle on g).
     val grams = documents
       .select($"doc_id", $"source",
         array_distinct(ngrams(tokens($"text"), n)).as("gs"))
       .select($"doc_id", size($"gs").cast("long").as("n"),
         explode($"gs").as("gram"), $"source")
       .select($"doc_id", $"n", xxhash64($"source", $"gram").as("g"))
-    val hot = grams.groupBy($"g").agg(count(lit(1)).as("df"))
-      .where($"df" > maxDocFreq).select($"g")
-    val kept = grams.join(broadcast(hot), Seq("g"), "left_anti")
-    kept.as("a")
-      .join(kept.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-               col("a.n").as("na"), col("b.n").as("nb"))
+    val buckets = grams
+      .groupBy($"g")
+      .agg(sort_array(collect_list(struct($"doc_id", $"n"))).as("ds"))
+      .where(size($"ds").between(2, maxDocFreq))
+    val pairs = buckets.select(explode(flatten(
+        transform($"ds", (x, i) =>
+          transform(slice($"ds", i + lit(2), size($"ds")), y =>
+            struct(x.getField("doc_id").as("doc_a"), x.getField("n").as("na"),
+                   y.getField("doc_id").as("doc_b"), y.getField("n").as("nb"))))))
+        .as("p"))
+      .select($"p.doc_a", $"p.na", $"p.doc_b", $"p.nb")
+    pairs
+      .groupBy($"doc_a", $"doc_b", $"na", $"nb")
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard", $"inter" / ($"na" + $"nb" - $"inter"))
       .where($"jaccard" >= threshold)
@@ -148,33 +161,33 @@ object Dedup {
   def minhashLshPairs(documents: DataFrame, shingleN: Int = 3, bands: Int = 8,
                       rows: Int = 4, threshold: Double = 0.5): DataFrame = {
     val numHashes = bands * rows
-    // No .cache(): the three uses of `sig` below share an identical shuffle
-    // subtree, which Spark's ReuseExchange dedupes at physical planning —
-    // and a cache here would outlive the query (nothing can unpersist it
-    // before the caller's action runs).
     val sig = minhashSignature(documents, shingleN, numHashes)
-    // band bucket key = the band's raw signature slice (an array) rather
+    // Band rows carry the FULL signature array alongside the band key, so
+    // candidate generation and verification happen in one self-join — the
+    // signature subtree is computed once, not re-joined per side (physical
+    // plans showed no exchange reuse across the three sig consumers).
+    // Band bucket key = the band's raw signature slice (an array) rather
     // than a re-hash of it: equality on the slice is portable to the SQL
-    // oracle and adds zero false candidates
-    val bandRows = sig.select($"doc_id",
+    // oracle and adds zero false candidates.
+    val sigArr = array((0 until numHashes).map(i => col(s"h$i")): _*)
+    val bandRows = sig.select($"doc_id", sigArr.as("sig"),
         explode(array((0 until bands).map { b =>
           val slice = (0 until rows).map(r => col(s"h${b * rows + r}"))
           struct(lit(b).as("band"), array(slice: _*).as("key"))
         }: _*)).as("bucket"))
-      .select($"doc_id", $"bucket.band", $"bucket.key")
-    val cand = bandRows.as("a")
+      .select($"doc_id", $"sig", $"bucket.band", $"bucket.key")
+    val agree = aggregate(
+      zip_with(col("a.sig"), col("b.sig"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), _ + _)
+    bandRows.as("a")
       .join(bandRows.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val agree = (0 until numHashes)
-      .map(i => when(col(s"sa.h$i") === col(s"sb.h$i"), 1).otherwise(0))
-      .reduce(_ + _)
-    cand
-      .join(sig.as("sa"), $"doc_a" === col("sa.doc_id"))
-      .join(sig.as("sb"), $"doc_b" === col("sb.doc_id"))
-      .withColumn("est_jaccard", agree.cast("double") / lit(numHashes))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (agree.cast("double") / lit(numHashes)).as("est"))
+      // a pair can collide in several bands; est is identical in each → max
+      .groupBy($"doc_a", $"doc_b")
+      .agg(max($"est").as("est_jaccard"))
       .where($"est_jaccard" >= threshold)
       .select($"doc_a", $"doc_b", round($"est_jaccard", 4).as("est_jaccard"))
       .orderBy($"doc_a", $"doc_b")
