@@ -174,3 +174,10 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
         children(1).eval(null).asInstanceOf[Number].longValue())))
   }
 }
+
+/** Zero-arg class form for config-based installation in external
+  * applications: `--conf spark.sql.extensions=graft.functions.GraftSqlExtensions`.
+  */
+class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = GraftExtensions(ext)
+}
