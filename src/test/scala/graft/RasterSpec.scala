@@ -24,6 +24,22 @@ class RasterSpec extends SparkSpec {
       .withColumn("time", $"time".cast("timestamp_ntz"))
   }
 
+  test("anomaly drops cells with no climatology coverage (inner-join semantics)") {
+    val rows = Seq(
+      // cell (0,10): climatology 2019+2020 plus the target month
+      ("t2m", "2019-01-01 00:00:00", 0.0, 10.0, 10.0),
+      ("t2m", "2020-01-01 00:00:00", 0.0, 10.0, 20.0),
+      ("t2m", "2021-01-01 00:00:00", 0.0, 10.0, 18.0),
+      // cell (9,99): appears ONLY in the target month — no normal exists
+      ("t2m", "2021-01-01 00:00:00", 9.0, 99.0, 7.0))
+      .toDF("variable", "time", "lat", "lon", "value")
+      .withColumn("time", $"time".cast("timestamp_ntz"))
+    val out = Raster.anomaly(rows, "t2m", "2021-01-01 00:00:00", 2019, 2020).collect()
+    out.length shouldBe 1
+    out.head.getAs[Double]("lat") shouldBe 0.0
+    out.head.getAs[Double]("value") shouldBe (18.0 - 15.0)
+  }
+
   test("climatologyNormal = mean over the year range per cell, nulls excluded") {
     val out = Raster.climatologyNormal(grid, "t2m", 1, 1991, 2020).collect()
     out.length shouldBe 4
