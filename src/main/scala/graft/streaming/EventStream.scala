@@ -45,7 +45,8 @@ object EventStream {
       .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
       .agg(count(lit(1)).as("n"),
            round(sum($"value"), 2).as("sum_value"),
-           round(avg($"value"), 3).as("avg_value"))
+           // same derived-mean formulation as the batch twin (EventWindows)
+           (round(sum($"value"), 2) / count(lit(1))).as("avg_value"))
       .select($"w.start".as("window_start"), $"event_type", $"n", $"sum_value", $"avg_value")
 
   /** w02 streaming flavor: 1-hour windows sliding every 30 minutes. */
