@@ -96,8 +96,12 @@ object Status {
           v += Violation("heartbeat", s"last beat ${age / 1000}s ago (SLO ${HeartbeatSloMillis / 1000}s)")
     }
 
+    // one listing serves every dataset check (ADVICE r2: don't re-list and
+    // re-parse the metadata dir once per budget entry)
+    val metas =
+      if (freshnessBudgets.isEmpty) Nil
+      else graft.control.Cycle.listMetadata(s"$rootDir/outputs")
     freshnessBudgets.foreach { case (dataset, budgetMillis) =>
-      val metas = graft.control.Cycle.listMetadata(s"$rootDir/outputs")
       metas.find(_.name == dataset) match {
         case None => v += Violation(dataset, "no metadata published")
         case Some(m) => m.end match {

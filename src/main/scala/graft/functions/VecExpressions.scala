@@ -169,9 +169,21 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("poly_hash"),
       new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
-      (children: Seq[Expression]) => PolyHash(
-        children.head,
-        children(1).eval(null).asInstanceOf[Number].longValue())))
+      (children: Seq[Expression]) => {
+        // mult is baked into the generated code as a constant — a column
+        // reference here would silently hash with a garbage multiplier, so
+        // reject non-foldable arguments at analysis time (ADVICE r2).
+        if (children.length > 1 && !children(1).foldable)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "DATATYPE_MISMATCH.NON_FOLDABLE_INPUT",
+            messageParameters = Map(
+              "sqlExpr" -> "poly_hash(expr, mult)",
+              "inputName" -> "`mult`", "inputType" -> "\"BIGINT\"",
+              "inputExpr" -> children(1).sql))
+        PolyHash(
+          children.head,
+          children(1).eval(null).asInstanceOf[Number].longValue())
+      }))
   }
 }
 

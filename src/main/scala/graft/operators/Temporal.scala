@@ -27,6 +27,12 @@ object Temporal {
     * row are dropped, matching SQL `ASOF JOIN`). Right columns come back
     * prefixed `asof_`. Ties on `rightTs` within a key resolve by
     * `tieBreak` (latest wins) when supplied.
+    *
+    * Null keys are dropped on both sides before the union: SQL ASOF JOIN's
+    * equi-condition never matches NULL, whereas `Window.partitionBy` groups
+    * NULL keys together — filtering keeps the two semantics identical
+    * (ADVICE r2). Ties order by the raw `tieBreak` column (its native
+    * ordering), not a numeric cast.
     */
   def asofJoinBackward(left: DataFrame, right: DataFrame, key: String,
                        leftTs: String, rightTs: String,
@@ -34,14 +40,16 @@ object Temporal {
     val lStructT = StructType(left.schema.fields)
     val rStructT = StructType(right.schema.fields)
 
-    val lTagged = left.select(
+    // no tiebreak → a typed (sortable) null constant, raw column otherwise
+    val tieCol = tieBreak.map(col).getOrElse(lit(null).cast("int"))
+    val lTagged = left.where(col(key).isNotNull).select(
       col(key).as("__k"), col(leftTs).as("__ts"), lit(1).as("__side"),
-      (tieBreak.map(col).getOrElse(lit(null))).cast("long").as("__tie"),
+      tieCol.as("__tie"),
       struct(left.columns.map(col): _*).as("__l"),
       lit(null).cast(rStructT).as("__r"))
-    val rTagged = right.select(
+    val rTagged = right.where(col(key).isNotNull).select(
       col(key).as("__k"), col(rightTs).as("__ts"), lit(0).as("__side"),
-      (tieBreak.map(col).getOrElse(lit(null))).cast("long").as("__tie"),
+      tieCol.as("__tie"),
       lit(null).cast(lStructT).as("__l"),
       struct(right.columns.map(col): _*).as("__r"))
 

@@ -14,10 +14,13 @@ import org.apache.spark.sql.types.StructType
   * playing the role of the reference's state JSON (offsets survive
   * restarts; a re-run re-lands nothing).
   *
-  * At scale: the file source lists incrementally (maxFilesPerTrigger
-  * bounds a micro-batch), the write is partitioned `variable/year/month`
-  * with dynamic overwrite — a replayed batch overwrites the same
-  * partitions, preserving the reference's retry-idempotence (K3/T1).
+  * At scale: the file source lists incrementally, the write is the native
+  * partitioned parquet streaming sink (`variable/year/month`): its
+  * `_spark_metadata` transaction log makes appends exactly-once across
+  * restarts and replays (a re-attempted micro-batch is skipped, never
+  * double-landed), and a month arriving split across several micro-batches
+  * accumulates instead of each batch clobbering the partition — the
+  * failure mode of a per-batch dynamic-overwrite `foreachBatch`.
   */
 object LandingIngest {
 
@@ -32,19 +35,16 @@ object LandingIngest {
             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     spark.readStream
       .schema(schema)
-      .option("maxFilesPerTrigger", 32)
       .parquet(landingDir)
       .transform(transform)
+      .withColumn("year", year(col("time")))
+      .withColumn("month", month(col("time")))
       .writeStream
+      .format("parquet")
+      .option("path", outputDir)
       .option("checkpointLocation", checkpointDir)
+      .partitionBy("variable", "year", "month")
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          batch.sparkSession.conf
-            .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-          graft.operators.Raster.writePartitioned(batch, outputDir)
-        }
-      }
       .start()
 
   /** Run one AvailableNow cycle to completion — the batch-cursor analog of

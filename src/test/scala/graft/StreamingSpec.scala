@@ -136,4 +136,27 @@ class StreamingSpec extends SparkSpec {
     spark.read.parquet(out).count() shouldBe m1.count() + m2.count()
     grid.unpersist()
   }
+
+  test("a partition landing across two micro-batches accumulates, not clobbers") {
+    // ADVICE r2: with per-batch dynamic overwrite, the second batch touching
+    // the same (variable, year, month) partition silently deleted the first
+    // batch's rows. The native file sink appends under its transaction log.
+    val root = Files.createTempDirectory("graft_ingest2").toString
+    val landing = s"$root/landing"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    Files.createDirectories(java.nio.file.Paths.get(landing))
+
+    val m1 = operators.Raster.demoGrid(table("lineitem"))
+      .where($"variable" === "A" && month($"time") === 1).cache()
+    val total = m1.count()
+    val half1 = m1.where($"lat" < 0)
+    val half2 = m1.where($"lat" >= 0)
+
+    half1.write.mode("append").parquet(landing)
+    LandingIngest.runOnce(spark, landing, out, ckpt, m1.schema)
+    half2.write.mode("append").parquet(landing)
+    LandingIngest.runOnce(spark, landing, out, ckpt, m1.schema)
+
+    spark.read.parquet(out).count() shouldBe total
+    m1.unpersist()
+  }
 }
