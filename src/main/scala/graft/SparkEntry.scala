@@ -132,10 +132,9 @@ object SparkEntry {
       Scalars.contentHash($"text").as("md5_hash"),
       sha2($"text".cast("binary"), 256).as("sha256_hash"))
       .orderBy($"doc_id")),
-    // HMAC has no DuckDB analog (sha256 there takes VARCHAR only, so the
-    // raw-byte inner digest can't round-trip) → rows-only check here;
-    // RFC-vector unit test in ScalarsSpec pins the semantics. q22 is the
-    // oracle-checked keyed-digest twin.
+    // HMAC has no DuckDB compute analog (sha256 there takes VARCHAR only,
+    // so the raw-byte inner digest can't round-trip) → golden-mode oracle:
+    // see [[hmacGoldenOracle]]. q22 is the SQL-recomputed keyed-digest twin.
     "q21_hmac_sign" -> ((s, d) => t(s, d)("documents").select(
       $"doc_id",
       Scalars.hmacSha256Col(lit("graft-webhook-key"), $"text").as("hmac_sig"))
@@ -356,6 +355,28 @@ object SparkEntry {
        FROM b, q WHERE vec_id <> 0 AND bucket = qb
        ORDER BY list_dot_product(v, qv) / (nrm * qnrm) DESC, vec_id LIMIT 10"""
 
+  /** q21 golden-mode oracle. DuckDB 1.0's sha256 accepts VARCHAR only, so
+    * RFC-2104's raw inner digest can't round-trip through SQL — instead the
+    * oracle joins a golden table (md5(text) → expected HMAC hex,
+    * precomputed once with an INDEPENDENT implementation — Python
+    * hmac/hashlib, not the engine's javax.crypto UDF — over every fixture
+    * text at all SFs). HMAC is deterministic, so the driver gate now
+    * value-checks F11 instead of counting rows; a fixture text outside the
+    * golden set surfaces as a visible rowcount mismatch, never a silent
+    * pass. RFC-4231 vectors in ScalarsSpec continue to pin the algorithm
+    * itself.
+    */
+  private def hmacGoldenOracle: String = {
+    val rows = functions.HmacGolden.tsv.split('\n').map { line =>
+      val Array(h, sig) = line.split('\t')
+      s"('$h','$sig')"
+    }.mkString(",")
+    s"""WITH golden(h, sig) AS (VALUES $rows)
+       SELECT d.doc_id, g.sig AS hmac_sig
+       FROM documents d JOIN golden g ON md5(d.text) = g.h
+       ORDER BY d.doc_id"""
+  }
+
   /** DuckDB reads events.ts at TIMESTAMP(NANOS) precision; Spark truncates
     * to microseconds (see [[graft.sources.Tables]]). Every ts-touching
     * oracle reads through this CTE so both engines see identical values.
@@ -422,6 +443,7 @@ object SparkEntry {
     "q20_hashes" ->
       """SELECT doc_id, md5(text) AS md5_hash, sha256(text) AS sha256_hash
          FROM documents ORDER BY doc_id""",
+    "q21_hmac_sign" -> hmacGoldenOracle,
     "s04_label_centroids" ->
       """WITH e AS (
            SELECT vec_id, label, unnest(CAST(embedding AS DOUBLE[])) AS v,
