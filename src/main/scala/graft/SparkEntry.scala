@@ -73,6 +73,66 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_inside"), round(sum($"l_extendedprice"), 2).as("sum_price"))
       .orderBy($"l_returnflag")
 
+  /** The reference's REAL clip geometry: src/shp/africa.shp parsed by the
+    * engine's own ESRI reader (55 rings, 7124 vertices — mainland with its
+    * concave coastline plus islands). Shared by the r08 query and its
+    * oracle builder, so both sides test the same vertices.
+    */
+  private lazy val africaRings: Array[Geo.Ring] =
+    sources.Shapefile.readRings("/root/reference/src/shp/africa.shp")
+
+  /** r08: polygon clip against the real africa.shp (S10/P3 closed for
+    * real): demoGrid cells of one month affinely mapped into the reference
+    * AOI bbox [N 37, W −21.36, S −39.34, E 65.49] (era5monthly.js:34),
+    * kept when the even-odd ray cast over all 55 rings says inside. The
+    * oracle recomputes the identical ray cast over an inlined edge table —
+    * both engines evaluate the same IEEE expression tree, so containment
+    * agrees bit-for-bit even for near-edge points.
+    */
+  private def africaClip(s: SparkSession, d: String): DataFrame = {
+    val latA = lit(-39.34) + ($"lat" + lit(10.0)) * lit((37.0 - (-39.34)) / 19.0)
+    val lonA = lit(-21.36) + ($"lon" + lit(15.0)) * lit((65.49 - (-21.36)) / 29.0)
+    grid(s, d).where($"time" === lit("1998-03-01 00:00:00").cast("timestamp_ntz"))
+      .withColumn("lat_a", latA)
+      .withColumn("lon_a", lonA)
+      .where(Geo.containsMultiUdf(africaRings.toSeq)($"lon_a", $"lat_a"))
+      .select($"variable", $"lat_a", $"lon_a", round($"value", 4).as("value"))
+      .orderBy($"variable", $"lat_a", $"lon_a")
+  }
+
+  /** DuckDB twin of [[africaClip]]: inline every (current, previous) edge
+    * of every ring as a VALUES table (cast to DOUBLE — a bare decimal
+    * literal would infer DECIMAL and change the arithmetic), cross join
+    * the mapped grid points, and count crossings with the exact expression
+    * [[Geo.contains]] evaluates; odd total = inside. The per-ring closing
+    * wraparound edge is degenerate (first == last vertex) and contributes
+    * no crossing in either engine, so consecutive pairs suffice.
+    */
+  private def africaClipOracle: String = {
+    val edges = africaRings.iterator.flatMap { ring =>
+      ring.iterator.sliding(2).withPartial(false).map { pair =>
+        val (px, py) = pair.head; val (cx, cy) = pair(1)
+        s"($cx,$cy,$px,$py)"
+      }
+    }.mkString(",")
+    s"""WITH $gridCte,
+       p AS (SELECT variable, lat, lon, value,
+               -39.34 + (lat + 10.0) * ((37.0 - (-39.34)) / 19.0) AS lat_a,
+               -21.36 + (lon + 15.0) * ((65.49 - (-21.36)) / 29.0) AS lon_a
+             FROM grid WHERE time = TIMESTAMP '1998-03-01'),
+       e AS (SELECT CAST(cx AS DOUBLE) AS cx, CAST(cy AS DOUBLE) AS cy,
+                    CAST(px AS DOUBLE) AS px, CAST(py AS DOUBLE) AS py
+             FROM (VALUES $edges) v(cx, cy, px, py)),
+       cr AS (SELECT p.variable, p.lat_a, p.lon_a, p.value,
+                count(*) FILTER ((e.cy > p.lat_a) <> (e.py > p.lat_a)
+                  AND p.lon_a < (e.px - e.cx) * (p.lat_a - e.cy) / (e.py - e.cy) + e.cx) AS nc
+              FROM p CROSS JOIN e
+              GROUP BY 1, 2, 3, 4)
+       SELECT variable, lat_a, lon_a, round(value, 4) AS value
+       FROM cr WHERE nc % 2 = 1
+       ORDER BY variable, lat_a, lon_a"""
+  }
+
   /** Temporal/scalar function surface (SURVEY.md §2.6) in one projection. */
   private def temporalScalars(s: SparkSession, dir: String): DataFrame =
     t(s, dir)("orders").select(
@@ -127,6 +187,7 @@ object SparkEntry {
         .select($"variable", $"time", $"lat", $"lon", round($"value", 4).as("value"))
         .orderBy($"lat", $"lon", $"time")),
     "r07_inventory" -> ((s, d) => Raster.inventory(grid(s, d))),
+    "r08_africa_clip" -> ((s, d) => africaClip(s, d)),
     "q20_hashes" -> ((s, d) => t(s, d)("documents").select(
       $"doc_id",
       Scalars.contentHash($"text").as("md5_hash"),
@@ -440,6 +501,7 @@ object SparkEntry {
          SELECT variable, min(time) AS start, max(time) AS "end",
                 count(DISTINCT time) AS n_months, count(value) AS n_cells
          FROM grid GROUP BY variable ORDER BY variable""",
+    "r08_africa_clip" -> africaClipOracle,
     "q20_hashes" ->
       """SELECT doc_id, md5(text) AS md5_hash, sha256(text) AS sha256_hash
          FROM documents ORDER BY doc_id""",

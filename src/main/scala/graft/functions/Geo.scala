@@ -35,16 +35,41 @@ object Geo {
 
   def containsUdf(ring: Ring) = udf((lon: Double, lat: Double) => contains(ring)(lon, lat))
 
+  /** Even-odd containment over a multi-ring polygon set (a real shapefile's
+    * islands + holes): total crossings over ALL rings decide — equivalently
+    * an XOR of the per-ring tests. A point inside an island ring crosses it
+    * an odd number of times and every other ring an even number; a point in
+    * a hole crosses both the outer ring and the hole ring oddly → even
+    * total → outside. This is the same rule GDAL's cutline applies to the
+    * reference's africa.shp.
+    */
+  def containsMulti(rings: Seq[Ring])(lon: Double, lat: Double): Boolean = {
+    var inside = false
+    var r = 0
+    while (r < rings.length) {
+      if (contains(rings(r))(lon, lat)) inside = !inside
+      r += 1
+    }
+    inside
+  }
+
+  def containsMultiUdf(rings: Seq[Ring]) = {
+    val arr = rings.toArray
+    udf((lon: Double, lat: Double) => containsMulti(arr)(lon, lat))
+  }
+
   /** Clip-to-nodata variant (gdalwarp `-dstnodata`): keep the value inside
     * the polygon, null it outside — `when(inside, value)`.
     */
   def clipValue(ring: Ring)(lon: Column, lat: Column, value: Column): Column =
     when(containsUdf(ring)(lon, lat), value)
 
-  /** Simplified Africa outline (WGS-84 lon/lat), standing in for
-    * src/shp/africa.shp: coarse continental ring covering the AOI bbox
-    * [N 37, W −21.36, S −39.34, E 65.49] (src/sources/era5monthly.js:34).
-    * Engine tests property-check it against the bbox predicate.
+  /** Simplified Africa outline (WGS-84 lon/lat): coarse continental ring
+    * covering the AOI bbox [N 37, W −21.36, S −39.34, E 65.49]
+    * (src/sources/era5monthly.js:34), kept as a cheap self-contained test
+    * fixture. The REAL clip geometry is parsed from src/shp/africa.shp by
+    * [[graft.sources.Shapefile]] and exercised end-to-end by the
+    * r08_africa_clip oracle query via [[containsMulti]].
     */
   val africaOutline: Ring = Array(
     (-5.9, 35.8), (-9.8, 31.0), (-17.0, 20.9), (-16.5, 12.5),

@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.sources.Shapefile
+import graft.functions.Geo
+
+/** S10: real .shp parsing + multi-ring even-odd containment — the
+  * reference's actual clip geometry (src/shp/africa.shp, consumed by
+  * gdalwarp -cutline in src/file-conversions.js:174-195).
+  */
+class ShapefileSpec extends AnyFunSuite with Matchers {
+
+  private val shpPath = "/root/reference/src/shp/africa.shp"
+  private lazy val polys = Shapefile.readPolygons(shpPath)
+  private lazy val rings = Shapefile.readRings(shpPath)
+
+  test("africa.shp parses: single polygon record, 55 rings, 7124 points") {
+    polys.length shouldBe 1
+    val p = polys.head
+    p.rings.length shouldBe 55
+    p.rings.map(_.length).sum shouldBe 7124
+    // header AOI bbox (era5monthly.js:34 area [N 37, W -21.36, S -39.34, E 65.49])
+    p.box._1 should be >= -26.0 // xmin west of mainland (Cape Verde not in AOI)
+    p.box._3 should be <= 66.0
+  }
+
+  test("every ring is closed (first vertex == last vertex)") {
+    polys.head.rings.foreach { r =>
+      r.length should be >= 4
+      r.head shouldBe r.last
+    }
+  }
+
+  test("containment on real-world geography (concave coastline, islands, sea)") {
+    Geo.containsMulti(rings)(20.0, 5.0) shouldBe true    // central Africa
+    Geo.containsMulti(rings)(10.0, 22.0) shouldBe true   // Sahara interior
+    Geo.containsMulti(rings)(31.2, 30.0) shouldBe true   // Nile delta
+    Geo.containsMulti(rings)(47.0, -19.0) shouldBe true  // Madagascar (island ring)
+    Geo.containsMulti(rings)(0.0, 0.0) shouldBe false    // Gulf of Guinea (concave notch)
+    Geo.containsMulti(rings)(-15.0, -20.0) shouldBe false // south Atlantic
+    Geo.containsMulti(rings)(60.0, -25.0) shouldBe false  // Indian Ocean
+  }
+
+  test("even-odd: a point inside a hole ring is outside the polygon") {
+    val outer: Geo.Ring = Array((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0))
+    val hole: Geo.Ring = Array((4.0, 4.0), (6.0, 4.0), (6.0, 6.0), (4.0, 6.0), (4.0, 4.0))
+    Geo.containsMulti(Seq(outer, hole))(5.0, 5.0) shouldBe false // in the hole
+    Geo.containsMulti(Seq(outer, hole))(2.0, 2.0) shouldBe true  // in the solid part
+    Geo.containsMulti(Seq(outer, hole))(11.0, 5.0) shouldBe false // outside everything
+  }
+
+  test("concave single ring: point in the notch is outside") {
+    // C-shape opening to the right
+    val c: Geo.Ring = Array(
+      (0.0, 0.0), (8.0, 0.0), (8.0, 2.0), (2.0, 2.0), (2.0, 6.0),
+      (8.0, 6.0), (8.0, 8.0), (0.0, 8.0), (0.0, 0.0))
+    Geo.containsMulti(Seq(c))(5.0, 4.0) shouldBe false // inside the notch
+    Geo.containsMulti(Seq(c))(1.0, 4.0) shouldBe true  // in the spine
+    Geo.containsMulti(Seq(c))(5.0, 1.0) shouldBe true  // in the lower arm
+  }
+
+  test("disjoint island rings: inside either island is inside") {
+    val a: Geo.Ring = Array((0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0), (0.0, 0.0))
+    val b: Geo.Ring = Array((5.0, 5.0), (7.0, 5.0), (7.0, 7.0), (5.0, 7.0), (5.0, 5.0))
+    Geo.containsMulti(Seq(a, b))(1.0, 1.0) shouldBe true
+    Geo.containsMulti(Seq(a, b))(6.0, 6.0) shouldBe true
+    Geo.containsMulti(Seq(a, b))(3.5, 3.5) shouldBe false
+  }
+}
