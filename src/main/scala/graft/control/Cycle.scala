@@ -55,7 +55,8 @@ object Cycle {
 
   def run(rootDir: String, source: ForageSource, registry: Seq[DatasetDef],
           clock: Clock = SystemClock, keepalive: () => Unit = () => (),
-          writeOutputs: Boolean = false)
+          writeOutputs: Boolean = false,
+          binaryLayout: Option[graft.sources.RasterBinarySink.Layout] = None)
          (implicit spark: SparkSession): Try[SourceState] = Try {
     heartbeat(rootDir, clock)
 
@@ -67,9 +68,18 @@ object Cycle {
     val result = source.forage(state, datasets, keepalive)(spark)
 
     // data-plane outputs land first (partition overwrite is idempotent);
-    // only then is state advanced — a retried cycle redoes the same month
+    // only then is state advanced — a retried cycle redoes the same month.
+    // With a binary layout configured, each layer additionally exports the
+    // reference's GeoTIFF-analog raster files (K1: .bin/.hdr/metadata.json
+    // per (variable, time), see [[graft.sources.RasterBinarySink]]).
     if (writeOutputs) result.outputs.foreach { case (name, df) =>
       graft.operators.Raster.writePartitioned(df, s"$rootDir/outputs/$name")
+      // rasters land OUTSIDE the parquet dataset dir (a foreign subdir
+      // would break Spark's partition discovery on read-back)
+      binaryLayout.foreach { layout =>
+        graft.sources.RasterBinarySink
+          .write(df, s"$rootDir/rasters/$name", layout).collect()
+      }
     }
 
     // atomic state commit, then last_successful_update (src/rabbit.js:53-54)

@@ -100,6 +100,52 @@ class RasterSpec extends SparkSpec {
     inv(0).getAs[Long]("n_cells") shouldBe (31L * 4)
   }
 
+  test("binary raster sink round-trips values, nodata holes, and georeferencing (K1)") {
+    import graft.sources.RasterBinarySink
+    val dir = java.nio.file.Files.createTempDirectory("graft-binsink").toString
+    val layout = RasterBinarySink.Layout(latMin = 0.0, latMax = 1.0,
+      lonMin = 10.0, lonMax = 11.0, cell = 1.0)
+    // one month, one cell nulled (nodata), one cell absent entirely
+    val jan = grid.where(year($"time") === 2021)
+      .withColumn("value", when($"lat" === 1.0 && $"lon" === 11.0,
+        lit(null).cast("double")).otherwise($"value"))
+      .where(!($"lat" === 0.0 && $"lon" === 11.0))
+    val manifest = RasterBinarySink.write(jan, dir, layout).collect()
+    manifest.length shouldBe 1
+    val m = manifest.head
+    m.getAs[Int]("width") shouldBe 2
+    m.getAs[Int]("height") shouldBe 2
+    m.getAs[Long]("n_cells") shouldBe 2L // 4 minus null minus absent
+
+    val (w, h, arr) = RasterBinarySink.read(m.getAs[String]("path"))
+    (w, h) shouldBe (2, 2)
+    // row-major north→south: row 0 = lat 1.0, row 1 = lat 0.0
+    arr(0) shouldBe 2021.0f          // (lat 1, lon 10)
+    arr(1).isNaN shouldBe true       // (lat 1, lon 11) nulled → nodata
+    arr(2) shouldBe 2021.0f          // (lat 0, lon 10)
+    arr(3).isNaN shouldBe true       // (lat 0, lon 11) absent → nodata
+
+    // ENVI sidecar parses as text with the right dimensions
+    val hdr = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      m.getAs[String]("path").stripSuffix(".bin") + ".hdr")), "UTF-8")
+    hdr should include("samples = 2")
+    hdr should include("lines = 2")
+    hdr should include("data type = 4")
+    hdr should include("byte order = 0")
+  }
+
+  test("binary sink writes one raster file set per (variable, time) layer") {
+    import graft.sources.RasterBinarySink
+    val dir = java.nio.file.Files.createTempDirectory("graft-binsink2").toString
+    val layout = RasterBinarySink.Layout(0.0, 1.0, 10.0, 11.0)
+    val manifest = RasterBinarySink.write(grid, dir, layout).collect()
+    manifest.length shouldBe 31 // one per monthly timestep
+    manifest.foreach { m =>
+      new java.io.File(m.getAs[String]("path")).length() shouldBe (2 * 2 * 4)
+    }
+    new java.io.File(dir).listFiles().count(_.getName.endsWith(".bin")) shouldBe 31
+  }
+
   test("writePartitioned lays out variable/year/month and prunes on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft-raster").toString
     Raster.writePartitioned(grid, dir)

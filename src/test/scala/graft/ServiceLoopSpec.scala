@@ -67,6 +67,34 @@ class ServiceLoopSpec extends SparkSpec {
     grid.unpersist()
   }
 
+  test("a cycle with a binary layout lands GeoTIFF-analog rasters per layer (K1)") {
+    implicit val s = spark
+    val root = Files.createTempDirectory("graft-binloop").toString
+    val grid = Raster.demoGrid(table("lineitem")).cache()
+    val src = new GridSource(grid, root)
+    val clock = new VirtualClock(0L)
+    val layout = graft.sources.RasterBinarySink.Layout(
+      latMin = -10.0, latMax = 9.0, lonMin = -15.0, lonMax = 14.0)
+
+    Cycle.run(root, src, registry, clock, writeOutputs = true,
+      binaryLayout = Some(layout)).get
+
+    val rasterDir = new java.io.File(s"$root/rasters/grid_quantity_mean")
+    rasterDir.isDirectory shouldBe true
+    val bins = rasterDir.listFiles().filter(_.getName.endsWith(".bin"))
+    bins.length shouldBe 1 // one month landed → one layer raster
+    val (w, h, arr) = graft.sources.RasterBinarySink.read(bins.head.getPath)
+    (w, h) shouldBe (30, 20)
+    // the parquet landing and the raster carry the same number of live cells
+    val live = spark.read.parquet(s"$root/outputs/grid_quantity_mean")
+      .where(org.apache.spark.sql.functions.col("value").isNotNull).count()
+    arr.count(!_.isNaN).toLong shouldBe live
+    // sidecars present
+    rasterDir.listFiles().map(_.getName).count(_.endsWith(".hdr")) shouldBe 1
+    rasterDir.listFiles().map(_.getName).count(_.endsWith(".metadata.json")) shouldBe 1
+    grid.unpersist()
+  }
+
   test("watchdog cancels a running job past the keepalive deadline (T4 kill)") {
     import org.apache.spark.sql.functions._
     val slow = udf((x: Long) => { Thread.sleep(5000); x })
