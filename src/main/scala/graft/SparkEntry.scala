@@ -148,6 +148,40 @@ object SparkEntry {
       Scalars.layerName($"o_orderpriority").as("priority_mangled")
     ).orderBy($"o_orderkey")
 
+  /** w04: the windowed aggregation executed THROUGH the real streaming
+    * path — not a batch twin. Events are staged to a landing dir, consumed
+    * by a file-source `readStream`, aggregated with
+    * [[graft.streaming.EventStream.tumblingHourly]] (2-hour watermark,
+    * append mode), landed by the parquet streaming sink under
+    * `Trigger.AvailableNow`, and read back. Append mode emits exactly the
+    * windows the final watermark closed, so the oracle filters the batch
+    * result to windows with `end ≤ watermark`, reproducing Spark's
+    * millisecond-floored watermark arithmetic (event-time stats are
+    * collected in ms: floor(max_ts_µs/1000) − 2 h) exactly in µs integer
+    * math.
+    */
+  private def streamLanding(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_w04").toString
+    val events = t(s, d)("events").select(
+      $"event_id", $"ts".cast("timestamp").as("ts"), $"user_id", $"event_type", $"value")
+    events.write.mode("overwrite").parquet(s"$tmp/landing")
+    val stream = s.readStream.schema(events.schema).parquet(s"$tmp/landing")
+    val q = graft.streaming.EventStream.tumblingHourly(stream)
+      .writeStream
+      .format("parquet")
+      .option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$tmp/out")
+      .select($"window_start".cast("timestamp_ntz").as("window_start"),
+              $"event_type", $"n", $"sum_value", $"avg_value")
+      .orderBy($"window_start", $"event_type")
+  }
+
   /** Demo raster grid (Raster.demoGrid) shared by the r* queries. */
   private def grid(s: SparkSession, d: String): DataFrame =
     Raster.demoGrid(t(s, d)("lineitem"))
@@ -322,6 +356,7 @@ object SparkEntry {
     "w01_tumbling_hour" -> ((s, d) => EventWindows.tumbling(t(s, d)("events"), "hour")),
     "w02_sliding_1h30m" -> ((s, d) => EventWindows.sliding1h30m(t(s, d)("events"))),
     "w03_sessionize" -> ((s, d) => EventWindows.sessionize(t(s, d)("events"), 30)),
+    "w04_stream_landing" -> ((s, d) => streamLanding(s, d)),
     // ---- dedup (north-star M5) ----
     "d01_dedup_exact" -> ((s, d) => Dedup.exact(t(s, d)("documents"))),
     "d02_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(t(s, d)("documents"), 2, 0.5)),
@@ -735,6 +770,19 @@ object SparkEntry {
            FROM ev)
          SELECT window_start, count(*) AS n, round(sum(value),2) AS sum_value
          FROM b GROUP BY window_start ORDER BY window_start""",
+    // batch recomputation filtered to watermark-closed windows; the
+    // watermark mirrors Spark's ms-floored event-time stats in µs math
+    "w04_stream_landing" ->
+      s"""WITH $evCte,
+         m AS (SELECT (epoch_us(max(ts)) // 1000 - 7200000) * 1000 AS wm_us FROM ev),
+         w AS (SELECT date_trunc('hour', ts) AS window_start, event_type,
+                      count(*) AS n, round(sum(value), 2) AS sum_value,
+                      round(sum(value), 2) / count(*) AS avg_value
+               FROM ev GROUP BY 1, 2)
+         SELECT CAST(window_start AS TIMESTAMP) AS window_start, event_type,
+                n, sum_value, avg_value
+         FROM w, m WHERE epoch_us(window_start) + 3600000000 <= wm_us
+         ORDER BY window_start, event_type""",
     "w03_sessionize" ->
       s"""WITH $evCte, s AS (
            SELECT user_id, event_id, ts, value,
