@@ -4,6 +4,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Session.build("graft-bench")
+    // synthetic scale-up (SPARK_GRAFT_SCALE=k unions k key-shifted copies
+    // of every table — see sources.Tables.scaled); bench-only knob
+    val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "1").toInt
+    if (scale > 1) spark.conf.set("graft.scale", scale.toString)
     // warm up the machinery the first queries would otherwise pay for:
     // parquet scan, hash agg + shuffle, broadcast join, window, codegen
     locally {
@@ -38,7 +42,7 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","scale":$scale}""")
     spark.stop()
   }
 }

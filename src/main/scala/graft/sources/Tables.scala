@@ -28,9 +28,37 @@ object Tables {
     * regardless of the fixture's sub-microsecond content.
     */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType != TimestampNTZType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
-    else df
+    val base = spark.read.parquet(s"$dir/$name.parquet")
+    val df =
+      if (name == "events" && base.schema("ts").dataType != TimestampNTZType)
+        base.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+      else base
+    val k = spark.conf.getOption("graft.scale").map(_.toInt).getOrElse(1)
+    if (k <= 1) df else scaled(df, k)
+  }
+
+  /** Synthetic scale-up for bench/stress runs only (`graft.scale = k`,
+    * never set on the correctness path): union k copies of the table with
+    * every id/key column shifted by a copy-specific offset, preserving
+    * referential integrity across tables (all foreign keys shift by the
+    * same rule). Payload columns repeat — a corpus of k near-identical
+    * shards, which is the ADVERSE case for the dedup family (every doc has
+    * k−1 exact replicas) and a fair one for joins/aggregations.
+    */
+  private val idCols = Set(
+    "r_regionkey", "n_nationkey", "n_regionkey", "c_custkey", "c_nationkey",
+    "s_suppkey", "s_nationkey", "p_partkey", "o_orderkey", "o_custkey",
+    "l_orderkey", "l_partkey", "l_suppkey",
+    "event_id", "user_id", "doc_id", "vec_id")
+
+  private val IdOffset = 100000000L
+
+  private def scaled(df: DataFrame, k: Int): DataFrame = {
+    val copies = (0 until k).map { i =>
+      df.schema.fieldNames.filter(idCols.contains).foldLeft(df) { (acc, c) =>
+        acc.withColumn(c, col(c) + lit(i * IdOffset))
+      }
+    }
+    copies.reduce(_ unionByName _)
   }
 }
