@@ -365,6 +365,7 @@ object SparkEntry {
     "d05_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDups(t(s, d)("embeddings"), 0.4)),
     "d06_jaccard_pruned" -> ((s, d) =>
       Dedup.ngramJaccardPairsPruned(t(s, d)("documents"), 2, 0.4, 20)),
+    "d07_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(t(s, d)("documents"))),
     // ---- similarity search (north-star M5) ----
     "s01_cosine_threshold" -> ((s, d) => Similarity.cosineAboveThreshold(t(s, d)("embeddings"), 0L, 0.1)),
     "s02_cosine_topk" -> ((s, d) => Similarity.cosineTopK(t(s, d)("embeddings"), 0L, 10)),
@@ -380,10 +381,11 @@ object SparkEntry {
   private val gridCte = operators.Raster.demoGridSql
   private val polyHash = functions.PolyHash
 
-  /** DuckDB recomputation of Dedup.minhashLshPairs (shingleN=3, bands=8,
-    * rows=4, threshold=0.5): identical portable hashes → full value check.
+  /** Shared pair-generation CTEs for the minhash family oracles
+    * (shingleN=3, bands=8, rows=4): identical portable hashes → full value
+    * check of Dedup.minhashLshPairs and Dedup.dedupClusters.
     */
-  private def minhashOracle: String = {
+  private def minhashPairsCte: String = {
     val p = Dedup.P
     val hashDefs = (0 until 32).map { i =>
       val (a, b) = Dedup.affine(i); s"min((g*$a + $b) % $p) AS h$i"
@@ -393,17 +395,36 @@ object SparkEntry {
         .mkString("(", " AND ", ")")
     }.mkString(" OR ")
     val agree = (0 until 32).map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END").mkString(" + ")
-    s"""WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents),
+    s"""toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents),
        g0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-2),
                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram FROM toks),
        gh AS (SELECT doc_id, ${polyHash.duckdbSql("gram")} AS g FROM g0),
        sig AS (SELECT doc_id, $hashDefs FROM gh GROUP BY doc_id),
        est AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                       CAST($agree AS DOUBLE) / 32 AS est
-               FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandEq))
+               FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandEq))"""
+  }
+
+  private def minhashOracle: String =
+    s"""WITH $minhashPairsCte
        SELECT doc_a, doc_b, round(est, 4) AS est_jaccard
        FROM est WHERE est >= 0.5 ORDER BY doc_a, doc_b"""
-  }
+
+  /** DuckDB recomputation of Dedup.dedupClusters: the same LSH pairs, then
+    * transitive closure by recursive CTE (min reachable doc_id per doc) —
+    * label-propagation's fixpoint, computed the SQL way.
+    */
+  private def dedupClustersOracle: String =
+    s"""WITH RECURSIVE $minhashPairsCte,
+       p AS (SELECT doc_a, doc_b FROM est WHERE est >= 0.5),
+       e AS (SELECT doc_a, doc_b FROM p UNION SELECT doc_b, doc_a FROM p),
+       reach(doc, lbl) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT e.doc_a, r.lbl FROM reach r JOIN e ON e.doc_b = r.doc)
+       SELECT doc AS doc_id, min(lbl) AS cluster_id,
+              (doc = min(lbl)) AS is_canonical
+       FROM reach GROUP BY doc ORDER BY doc_id"""
 
   /** DuckDB recomputation of Dedup.simhash (60-bit, two poly hashes). */
   private def simhashOracle: String = {
@@ -823,6 +844,7 @@ object SparkEntry {
          WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.4
          ORDER BY doc_a, doc_b""",
     "d03_minhash_lsh" -> minhashOracle,
+    "d07_dedup_clusters" -> dedupClustersOracle,
     "d04_simhash" -> simhashOracle,
     // blocked on (label, hyperplane bucket) exactly like the Spark plan —
     // the oracle recomputes the same plan-time plane weights via bucketSql

@@ -285,6 +285,53 @@ object Dedup {
       .orderBy($"vec_a", $"vec_b")
   }
 
+  /** Near-dup CLUSTERS: the step after candidate pairs that an actual
+    * dedup pipeline needs — connected components over the pair graph, one
+    * canonical survivor per component. Pairs come from MinHash+LSH
+    * ([[minhashLshPairs]], bounded candidate generation); components are
+    * found by iterative min-label propagation (each round every doc takes
+    * the minimum cluster label among itself and its neighbours) — the
+    * standard large-scale CC shape: O(diameter) rounds of one
+    * shuffle-join + one aggregate each, with `localCheckpoint` cutting
+    * lineage so round N's plan doesn't re-derive rounds 1..N−1. Near-dup
+    * graphs are overwhelmingly tiny cliques (diameter ≤ 2-3), so this
+    * converges in 2-4 rounds regardless of corpus size. Output: every doc
+    * with its cluster id (= min doc_id in its component) and whether it's
+    * the component's canonical keeper.
+    */
+  def dedupClusters(documents: DataFrame, shingleN: Int = 3, bands: Int = 8,
+                    rows: Int = 4, threshold: Double = 0.5,
+                    maxRounds: Int = 20): DataFrame = {
+    val pairs = minhashLshPairs(documents, shingleN, bands, rows, threshold)
+      .select($"doc_a", $"doc_b")
+    // undirected edges, both directions, deduped — cached: every round scans it
+    val edges = pairs
+      .unionByName(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = documents.select($"doc_id", $"doc_id".as("cluster_id"))
+      .localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      // neighbour labels flow along edges; each doc keeps the min of its
+      // own label and everything received
+      val messages = edges.join(labels, edges("doc_b") === labels("doc_id"))
+        .select(edges("doc_a").as("doc_id"), $"cluster_id")
+      val next = labels.unionByName(messages)
+        .groupBy($"doc_id").agg(min($"cluster_id").as("cluster_id"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
+        .where($"cluster_id" =!= $"prev").count()
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    labels
+      .withColumn("is_canonical", ($"doc_id" === $"cluster_id").cast("boolean"))
+      .orderBy($"doc_id")
+  }
+
   /** SimHash bucket dedup: docs sharing an identical 64-bit signature. */
   def simhashDuplicates(documents: DataFrame): DataFrame =
     simhash(documents)

@@ -56,6 +56,32 @@ class DedupSpec extends SparkSpec {
     out(0).getAs[Double]("est_jaccard") should (be >= 0.4 and be <= 0.9)
   }
 
+  test("dedupClusters: transitive chains collapse to one component, min id is canonical") {
+    // A≈B and B≈C but A,C may or may not pair directly — the component
+    // must still be {A, B, C} via transitivity; D is disjoint
+    val text = "the quick brown fox jumps over the lazy dog again and again and once more"
+    val d = docs(
+      (7L, "w", text),
+      (3L, "w", text),          // exact dup of 7 → same component
+      (5L, "w", text + " tail"),// near-dup of both
+      (9L, "w", "completely different words nowhere near the first document at all"))
+    val out = Dedup.dedupClusters(d, threshold = 0.3).collect()
+    out.length shouldBe 4
+    val byId = out.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("cluster_id"), r.getAs[Boolean]("is_canonical"))).toMap
+    byId(3L) shouldBe ((3L, true))   // min id of {3,5,7}
+    byId(5L) shouldBe ((3L, false))
+    byId(7L) shouldBe ((3L, false))
+    byId(9L) shouldBe ((9L, true))   // singleton component
+  }
+
+  test("dedupClusters on a pairless corpus: every doc is its own canonical cluster") {
+    val d = docs((1L, "w", "alpha beta gamma delta"), (2L, "w", "epsilon zeta eta theta"))
+    val out = Dedup.dedupClusters(d, threshold = 0.9).collect()
+    out.length shouldBe 2
+    all(out.map(_.getAs[Boolean]("is_canonical"))) shouldBe true
+  }
+
   test("simhash: identical texts share a signature, token order is irrelevant") {
     val d = docs((1L, "w", "alpha beta gamma"), (2L, "w", "gamma alpha beta"), (3L, "w", "delta epsilon zeta"))
     val sig = Dedup.simhash(d).as[(Long, Long)].collect().toMap
