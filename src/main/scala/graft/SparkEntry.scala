@@ -375,7 +375,10 @@ object SparkEntry {
     // ---- text analysis (north-star M5) ----
     "t01_text_stats" -> ((s, d) => TextAnalysis.stats(t(s, d)("documents"))),
     "t02_langid" -> ((s, d) => TextAnalysis.languageId(t(s, d)("documents"))),
-    "t03_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(t(s, d)("documents")))
+    "t03_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(t(s, d)("documents"))),
+    // ---- sampling & sharding (north-star pipeline plumbing) ----
+    "t04_hash_sample" -> ((s, d) => Sampling.byContentHash(t(s, d)("documents"), 0.15)),
+    "t05_token_shards" -> ((s, d) => Sampling.tokenShards(t(s, d)("documents"), 10000L))
   )
 
   private val gridCte = operators.Raster.demoGridSql
@@ -962,6 +965,23 @@ object SparkEntry {
                 CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,
                 CAST(len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}|[^A-Za-z0-9\s]')) AS BIGINT)
                   AS bpe_ish_tokens
+         FROM documents ORDER BY doc_id""",
+    // deterministic hash sampling at 0.15: the lexicographic md5-hex
+    // compare IS the numeric 128-bit compare (same threshold constant the
+    // Spark plan embeds)
+    "t04_hash_sample" ->
+      s"""SELECT doc_id, source, md5(text) AS text_hash
+         FROM documents WHERE md5(text) < '${operators.Sampling.thresholdHex(0.15)}'
+         ORDER BY doc_id""",
+    // the oracle computes the prefix sum with a single ordered window —
+    // partitioning-independent, so it cross-checks the engine's
+    // distributed two-pass scan exactly
+    "t05_token_shards" ->
+      """SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+                CAST(floor(coalesce(sum(len(regexp_extract_all(text, '\S+')))
+                  OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  / 10000) AS BIGINT) AS shard_id
          FROM documents ORDER BY doc_id"""
   )
 }

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.implicits._
+
+/** Training-data pipeline plumbing: reproducible sampling and shard
+  * assignment (north-star extension alongside dedup/similarity/text).
+  */
+object Sampling {
+
+  /** 32-hex-digit threshold = floor(fraction × 2¹²⁸), so comparing a
+    * lowercase md5 hex string lexicographically against it IS the numeric
+    * compare of the 128-bit digest against fraction × 2¹²⁸.
+    */
+  def thresholdHex(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction out of range: $fraction")
+    // java.math.BigDecimal: unlimited precision (Scala's BigDecimal(BigInt)
+    // applies a 34-digit MathContext and silently rounds 2^128)
+    val t = BigInt(new java.math.BigDecimal(fraction)
+      .multiply(new java.math.BigDecimal((BigInt(1) << 128).bigInteger))
+      .toBigInteger)
+    val capped = t.min((BigInt(1) << 128) - 1)
+    String.format("%032x", capped.bigInteger).takeRight(32)
+  }
+
+  /** Deterministic content-hash sampling — the reproducible split of a
+    * training pipeline: membership depends only on the document bytes, so
+    * it is stable across runs, partitionings, and cluster sizes, and two
+    * teams sampling the same corpus at the same rate get the same subset.
+    * Keep iff md5(text) < fraction × 2¹²⁸ (hex-string compare; md5 is
+    * uniform, so the kept fraction concentrates tightly around
+    * `fraction`). Narrow projection + filter: codegen'd, zero shuffle.
+    */
+  def byContentHash(documents: DataFrame, fraction: Double): DataFrame =
+    documents
+      .withColumn("text_hash", md5($"text".cast("binary")))
+      .where($"text_hash" < lit(thresholdHex(fraction)))
+      .select($"doc_id", $"source", $"text_hash")
+      .orderBy($"doc_id")
+
+  /** Contiguous token-budget sharding: documents in doc_id order are
+    * packed into shards of at most `budgetTokens` whitespace tokens
+    * (shard_id = floor(exclusive-prefix-sum / budget); a single
+    * over-budget document still occupies one shard alone). This is the
+    * "pack the corpus into training files of N tokens" step.
+    *
+    * The prefix sum is computed DISTRIBUTED, not with an unpartitioned
+    * window (which funnels the corpus through one task): range-partition
+    * by doc_id, materialize (so every downstream job sees the same
+    * partitioning), aggregate one total per partition, turn those few
+    * totals into per-partition exclusive offsets on the driver (metadata,
+    * not data), then a within-partition window adds the local prefix sum
+    * to the broadcast offset. Two narrow passes + one tiny aggregate —
+    * the textbook distributed scan.
+    */
+  def tokenShards(documents: DataFrame, budgetTokens: Long,
+                  partitions: Int = 0): DataFrame = {
+    require(budgetTokens > 0, "budget must be positive")
+    val spark = documents.sparkSession
+    val nParts =
+      if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val toks = documents
+      .select($"doc_id",
+        size(regexp_extract_all($"text", lit("\\S+"), lit(0))).cast("long").as("n_tokens"))
+      .repartitionByRange(nParts, $"doc_id")
+      .sortWithinPartitions($"doc_id")
+      .withColumn("pid", spark_partition_id())
+      // materialize: the offsets job and the final job MUST observe the
+      // same physical partitioning (range boundaries come from sampling)
+      .localCheckpoint(true)
+    val perPart = toks.groupBy($"pid").agg(sum($"n_tokens").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets: Map[Int, Long] = {
+      val sorted = perPart.toSeq.sortBy(_._1)
+      val cum = sorted.scanLeft(0L)(_ + _._2)
+      sorted.map(_._1).zip(cum).toMap
+    }
+    val offsetCol = coalesce(
+      element_at(
+        map(offsets.toSeq.sortBy(_._1)
+          .flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*),
+        $"pid"),
+      lit(0L))
+    val w = Window.partitionBy($"pid").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("cum_before",
+        coalesce(sum($"n_tokens").over(w), lit(0L)) + offsetCol)
+      .select($"doc_id", $"n_tokens",
+        floor($"cum_before" / lit(budgetTokens)).cast("long").as("shard_id"))
+      .orderBy($"doc_id")
+  }
+}
