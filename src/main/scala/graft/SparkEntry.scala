@@ -68,7 +68,7 @@ object SparkEntry {
     */
   private def geoClip(s: SparkSession, dir: String): DataFrame =
     t(s, dir)("lineitem")
-      .where(Geo.containsUdf(Geo.testTriangle)($"l_discount", $"l_tax"))
+      .where(functions.GeoContains(Seq(Geo.testTriangle))($"l_discount", $"l_tax"))
       .groupBy($"l_returnflag")
       .agg(count(lit(1)).as("n_inside"), round(sum($"l_extendedprice"), 2).as("sum_price"))
       .orderBy($"l_returnflag")
@@ -95,7 +95,7 @@ object SparkEntry {
     grid(s, d).where($"time" === lit("1998-03-01 00:00:00").cast("timestamp_ntz"))
       .withColumn("lat_a", latA)
       .withColumn("lon_a", lonA)
-      .where(Geo.containsMultiUdf(africaRings.toSeq)($"lon_a", $"lat_a"))
+      .where(functions.GeoContains(africaRings.toSeq)($"lon_a", $"lat_a"))
       .select($"variable", $"lat_a", $"lon_a", round($"value", 4).as("value"))
       .orderBy($"variable", $"lat_a", $"lon_a")
   }

@@ -59,10 +59,12 @@ object Geo {
   }
 
   /** Clip-to-nodata variant (gdalwarp `-dstnodata`): keep the value inside
-    * the polygon, null it outside — `when(inside, value)`.
+    * the polygon, null it outside — `when(inside, value)`. Containment is
+    * the codegen'd [[GeoContains]] expression (bit-identical to the UDF
+    * ray cast, but stays inside WholeStageCodegen).
     */
   def clipValue(ring: Ring)(lon: Column, lat: Column, value: Column): Column =
-    when(containsUdf(ring)(lon, lat), value)
+    when(GeoContains(Seq(ring))(lon, lat), value)
 
   /** Simplified Africa outline (WGS-84 lon/lat): coarse continental ring
     * covering the AOI bbox [N 37, W −21.36, S −39.34, E 65.49]

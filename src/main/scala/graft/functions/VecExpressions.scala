@@ -184,6 +184,24 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
           children.head,
           children(1).eval(null).asInstanceOf[Number].longValue())
       }))
+    ext.injectFunction((
+      FunctionIdentifier("st_contains"),
+      new ExpressionInfo(classOf[GeoContains].getName, "st_contains"),
+      (children: Seq[Expression]) => {
+        // ring geometry arrives as three foldable array literals and is
+        // baked into the expression as primitive arrays (plan constants)
+        if (!children.drop(2).forall(_.foldable))
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "DATATYPE_MISMATCH.NON_FOLDABLE_INPUT",
+            messageParameters = Map(
+              "sqlExpr" -> "st_contains(lon, lat, xs, ys, starts)",
+              "inputName" -> "`xs`/`ys`/`starts`", "inputType" -> "\"ARRAY\"",
+              "inputExpr" -> children.drop(2).map(_.sql).mkString(", ")))
+        val xs = children(2).eval(null).asInstanceOf[ArrayData].toDoubleArray()
+        val ys = children(3).eval(null).asInstanceOf[ArrayData].toDoubleArray()
+        val starts = children(4).eval(null).asInstanceOf[ArrayData].toIntArray()
+        GeoContains(children.head, children(1), xs, ys, starts)
+      }))
   }
 }
 

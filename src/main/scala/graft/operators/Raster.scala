@@ -52,7 +52,7 @@ object Raster {
     * (gdalwarp -cutline -crop_to_cutline, src/file-conversions.js:174-195).
     */
   def clip(grid: DataFrame, ring: Geo.Ring): DataFrame =
-    grid.where(Geo.containsUdf(ring)($"lon", $"lat"))
+    grid.where(graft.functions.GeoContains(Seq(ring))($"lon", $"lat"))
 
   /** P3 nodata variant: null outside the ring (`-dstnodata -9999`;
     * sentinel→null per SURVEY.md §1.2).

@@ -60,6 +60,36 @@ class ShapefileSpec extends AnyFunSuite with Matchers {
     Geo.containsMulti(Seq(c))(5.0, 1.0) shouldBe true  // in the lower arm
   }
 
+  test("codegen'd st_contains agrees with the UDF ray cast on 10k random points") {
+    val spark = TestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // deterministic pseudo-random points over the AOI bbox
+    val pts = spark.range(0, 10000).select(
+      (pmod(xxhash64($"id"), lit(100000)) / 100000.0 * 86.85 - 21.36).as("lon"),
+      (pmod(xxhash64($"id" + 1), lit(100000)) / 100000.0 * 76.34 - 39.34).as("lat"))
+    val ringSeq = rings.toSeq
+    val native = graft.functions.GeoContains(ringSeq)($"lon", $"lat")
+    val viaUdf = graft.functions.Geo.containsMultiUdf(ringSeq)($"lon", $"lat")
+    pts.where(native =!= viaUdf).count() shouldBe 0L
+    // and the native path actually selects a nontrivial subset
+    val n = pts.where(native).count()
+    n should (be > 1000L and be < 9000L)
+  }
+
+  test("st_contains keeps the filter inside WholeStageCodegen (no ScalaUDF stage break)") {
+    val spark = TestSession.spark
+    import spark.implicits._
+    val pts = spark.range(0, 10).selectExpr("cast(id as double) as lon", "cast(id as double) as lat")
+    val plan = pts.where(graft.functions.GeoContains(Seq(
+      Array((0.0, 0.0), (5.0, 0.0), (5.0, 5.0), (0.0, 5.0), (0.0, 0.0)): graft.functions.Geo.Ring
+    ))($"lon", $"lat")).queryExecution.executedPlan.toString
+    // "*(n) Filter" is the WholeStageCodegen stage marker; a UDF filter
+    // would print as an un-starred Filter over a ScalaUDF
+    plan should include regex """\*\(\d+\) Filter geocontains"""
+    plan should not include "ScalaUDF"
+  }
+
   test("disjoint island rings: inside either island is inside") {
     val a: Geo.Ring = Array((0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0), (0.0, 0.0))
     val b: Geo.Ring = Array((5.0, 5.0), (7.0, 5.0), (7.0, 7.0), (5.0, 7.0), (5.0, 5.0))
