@@ -182,6 +182,36 @@ object SparkEntry {
       .orderBy($"window_start", $"event_type")
   }
 
+  /** w05: streaming exactly-once dedup through the real path — the same
+    * events land TWICE (an at-least-once upstream), a file-source
+    * readStream deduplicates on event_id within the watermark horizon
+    * ([[graft.streaming.EventStream.dedupeEvents]]), and the landed output
+    * must equal the original set exactly — the oracle is the plain
+    * un-duplicated table.
+    */
+  private def streamDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_w05").toString
+    val events = t(s, d)("events").select(
+      $"event_id", $"ts".cast("timestamp").as("ts"), $"user_id", $"event_type", $"value")
+    events.write.mode("append").parquet(s"$tmp/landing")
+    events.write.mode("append").parquet(s"$tmp/landing")
+    val stream = s.readStream.schema(events.schema).parquet(s"$tmp/landing")
+    val q = graft.streaming.EventStream.dedupeEvents(stream)
+      .writeStream
+      .format("parquet")
+      .option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$tmp/out")
+      .select($"event_id", $"user_id", $"event_type",
+        $"ts".cast("timestamp_ntz").as("ts"), round($"value", 2).as("value"))
+      .orderBy($"event_id")
+  }
+
   /** Demo raster grid (Raster.demoGrid) shared by the r* queries. */
   private def grid(s: SparkSession, d: String): DataFrame =
     Raster.demoGrid(t(s, d)("lineitem"))
@@ -357,6 +387,7 @@ object SparkEntry {
     "w02_sliding_1h30m" -> ((s, d) => EventWindows.sliding1h30m(t(s, d)("events"))),
     "w03_sessionize" -> ((s, d) => EventWindows.sessionize(t(s, d)("events"), 30)),
     "w04_stream_landing" -> ((s, d) => streamLanding(s, d)),
+    "w05_stream_dedup" -> ((s, d) => streamDedup(s, d)),
     // ---- dedup (north-star M5) ----
     "d01_dedup_exact" -> ((s, d) => Dedup.exact(t(s, d)("documents"))),
     "d02_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(t(s, d)("documents"), 2, 0.5)),
@@ -378,7 +409,8 @@ object SparkEntry {
     "t03_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(t(s, d)("documents"))),
     // ---- sampling & sharding (north-star pipeline plumbing) ----
     "t04_hash_sample" -> ((s, d) => Sampling.byContentHash(t(s, d)("documents"), 0.15)),
-    "t05_token_shards" -> ((s, d) => Sampling.tokenShards(t(s, d)("documents"), 10000L))
+    "t05_token_shards" -> ((s, d) => Sampling.tokenShards(t(s, d)("documents"), 10000L)),
+    "t06_text_clean" -> ((s, d) => TextAnalysis.cleaned(t(s, d)("documents")))
   )
 
   private val gridCte = operators.Raster.demoGridSql
@@ -973,6 +1005,30 @@ object SparkEntry {
       s"""SELECT doc_id, source, md5(text) AS text_hash
          FROM documents WHERE md5(text) < '${operators.Sampling.thresholdHex(0.15)}'
          ORDER BY doc_id""",
+    // the streamed dedup of a twice-landed corpus must equal the plain table
+    "w05_stream_dedup" ->
+      s"""WITH $evCte
+         SELECT event_id, user_id, event_type, ts, round(value, 2) AS value
+         FROM ev ORDER BY event_id""",
+    // identical ASCII-safe regex cleaning recomputed by RE2 (patterns kept
+    // in the Java-regex/RE2-identical subset)
+    "t06_text_clean" ->
+      """WITH r AS (SELECT doc_id, text,
+           regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', ' EMAIL ', 'g'),
+             'https?://[^ \t\n]+', ' URL ', 'g') AS red
+           FROM documents),
+         c AS (SELECT doc_id, text,
+           trim(regexp_replace(regexp_replace(lower(red),
+             '[^a-z0-9 \t\n]', ' ', 'g'), '[ \t\n]+', ' ', 'g')) AS clean
+           FROM r)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, 'https?://[^ \t\n]+')) AS BIGINT) AS n_urls,
+           md5(clean) AS clean_hash,
+           CAST(len(regexp_extract_all(clean, '\S+')) AS BIGINT) AS clean_tokens
+         FROM c ORDER BY doc_id""",
     // the oracle computes the prefix sum with a single ordered window —
     // partitioning-independent, so it cross-checks the engine's
     // distributed two-pass scan exactly

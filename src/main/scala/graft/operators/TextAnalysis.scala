@@ -86,4 +86,28 @@ object TextAnalysis {
       .withColumn("fingerprint", Scalars.rollingFingerprint($"norm_text"))
       .select($"doc_id", $"fingerprint")
       .orderBy($"doc_id")
+
+  /** C4-style cleaning + PII redaction in one narrow pass: redact emails
+    * and URLs to placeholder tokens, lowercase, strip everything outside
+    * [a-z0-9 ], collapse whitespace, trim. Patterns stay in the
+    * ASCII-identical subset of Java regex and RE2 so the oracle recomputes
+    * the exact same bytes. Emits the cleaned text's hash + token count and
+    * the redaction counts (the audit trail a compliance pass needs), not
+    * the cleaned text itself — at 100 TB the cleaned corpus is written by
+    * the caller, not round-tripped through a gate query.
+    */
+  def cleaned(documents: DataFrame): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val url = "https?://[^ \\t\\n]+"
+    val redacted = regexp_replace(regexp_replace($"text", email, " EMAIL "), url, " URL ")
+    val clean = trim(regexp_replace(
+      regexp_replace(lower(redacted), "[^a-z0-9 \\t\\n]", " "), "[ \\t\\n]+", " "))
+    documents
+      .withColumn("n_emails", regexp_count($"text", lit(email)).cast("long"))
+      .withColumn("n_urls", regexp_count($"text", lit(url)).cast("long"))
+      .withColumn("clean_hash", md5(clean.cast("binary")))
+      .withColumn("clean_tokens", regexp_count(clean, lit("\\S+")).cast("long"))
+      .select($"doc_id", $"n_emails", $"n_urls", $"clean_hash", $"clean_tokens")
+      .orderBy($"doc_id")
+  }
 }
