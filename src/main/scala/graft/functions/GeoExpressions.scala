@@ -92,3 +92,42 @@ object GeoContains {
     call_function("st_contains", lon, lat, typedLit(xs), typedLit(ys), typedLit(starts))
   }
 }
+
+/** Optimizer rule: polygon containment implies bounding-box membership, so
+  * every `Filter(... st_contains(lon, lat, rings) ...)` gains the cheap
+  * conjunct `lon ∈ [xmin, xmax] AND lat ∈ [ymin, ymax]`. The added
+  * comparisons are ordinary range predicates over the same child
+  * expressions, so Catalyst's existing rules push them into the parquet
+  * scan (`PushedFilters`) — at 100 TB the row groups outside the polygon's
+  * bbox never leave disk, and the exact ray cast only sees candidates.
+  * Semantically a no-op: bbox is a superset of containment (a point
+  * strictly outside every vertex's extent can cross no edge).
+  * Idempotent: the conjunct is only added when not already present, so the
+  * optimizer's fixpoint loop terminates.
+  */
+object GeoBboxPushdown
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+
+  import org.apache.spark.sql.catalyst.expressions.{And, GreaterThanOrEqual, LessThanOrEqual, Literal}
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, child) =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      val additions = conjuncts.flatMap {
+        case gc: GeoContains if gc.xs.nonEmpty && gc.left.deterministic &&
+            gc.right.deterministic =>
+          val preds = Seq(
+            GreaterThanOrEqual(gc.left, Literal(gc.xs.min)),
+            LessThanOrEqual(gc.left, Literal(gc.xs.max)),
+            GreaterThanOrEqual(gc.right, Literal(gc.ys.min)),
+            LessThanOrEqual(gc.right, Literal(gc.ys.max)))
+          preds.filterNot(p => conjuncts.exists(_.semanticEquals(p)))
+        case _ => Nil
+      }
+      if (additions.isEmpty) f
+      else Filter(additions.foldLeft(cond)(And(_, _)), child)
+  }
+}

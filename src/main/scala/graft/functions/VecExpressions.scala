@@ -202,6 +202,8 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
         val starts = children(4).eval(null).asInstanceOf[ArrayData].toIntArray()
         GeoContains(children.head, children(1), xs, ys, starts)
       }))
+    // containment ⇒ bbox: inject the pushable range prefilter (P2∘P3)
+    ext.injectOptimizerRule(_ => GeoBboxPushdown)
   }
 }
 

@@ -86,8 +86,45 @@ class ShapefileSpec extends AnyFunSuite with Matchers {
     ))($"lon", $"lat")).queryExecution.executedPlan.toString
     // "*(n) Filter" is the WholeStageCodegen stage marker; a UDF filter
     // would print as an un-starred Filter over a ScalaUDF
-    plan should include regex """\*\(\d+\) Filter geocontains"""
+    plan should include regex """\*\(\d+\) Filter .*geocontains"""
     plan should not include "ScalaUDF"
+  }
+
+  test("GeoBboxPushdown: the polygon's bbox reaches the parquet scan as pushed filters") {
+    val spark = TestSession.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bboxpush").toString
+    spark.range(0, 1000).select(
+      (($"id" % 40) - 20.0).as("lon"), (($"id" % 30) - 15.0).as("lat"),
+      $"id".as("v")).write.mode("overwrite").parquet(dir)
+    val ring: Geo.Ring = Array((-3.0, -2.0), (4.0, -2.0), (4.0, 5.0), (-3.0, 5.0), (-3.0, -2.0))
+    val df = spark.read.parquet(dir)
+      .where(graft.functions.GeoContains(Seq(ring))($"lon", $"lat"))
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    formatted should include("PushedFilters")
+    formatted should include regex """GreaterThanOrEqual\(lon,-3\.0\)"""
+    formatted should include regex """LessThanOrEqual\(lat,5\.0\)"""
+    // semantics unchanged: same rows as the UDF without the rule's help
+    val want = spark.read.parquet(dir)
+      .where(Geo.containsUdf(ring)($"lon", $"lat"))
+    df.count() shouldBe want.count()
+    df.except(want).count() shouldBe 0
+  }
+
+  test("GeoBboxPushdown is idempotent (fixpoint-safe): conjunct added once") {
+    val spark = TestSession.spark
+    import spark.implicits._
+    val ring: Geo.Ring = Array((0.0, 0.0), (5.0, 0.0), (5.0, 5.0), (0.0, 5.0), (0.0, 0.0))
+    val df = spark.range(0, 10)
+      .selectExpr("cast(id as double) as lon", "cast(id % 7 as double) as lat")
+      .where(graft.functions.GeoContains(Seq(ring))($"lon", $"lat"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // exactly one bbox conjunct per (expression, bound), not one per
+    // optimizer iteration (the attribute may be rewritten through the
+    // project, so match the bound literal, which only the rule introduces)
+    ">= 0.0".r.findAllIn(optimized).length shouldBe 2 // one for lon, one for lat
+    "<= 5.0".r.findAllIn(optimized).length shouldBe 2
   }
 
   test("disjoint island rings: inside either island is inside") {
