@@ -397,6 +397,8 @@ object SparkEntry {
     "d06_jaccard_pruned" -> ((s, d) =>
       Dedup.ngramJaccardPairsPruned(t(s, d)("documents"), 2, 0.4, 20)),
     "d07_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(t(s, d)("documents"))),
+    "d08_jaccard_exact" -> ((s, d) =>
+      Dedup.ngramJaccardPairsExact(t(s, d)("documents"), 2, 0.5)),
     // ---- similarity search (north-star M5) ----
     "s01_cosine_threshold" -> ((s, d) => Similarity.cosineAboveThreshold(t(s, d)("embeddings"), 0L, 0.1)),
     "s02_cosine_topk" -> ((s, d) => Similarity.cosineTopK(t(s, d)("embeddings"), 0L, 10)),
@@ -880,6 +882,26 @@ object SparkEntry {
          ORDER BY doc_a, doc_b""",
     "d03_minhash_lsh" -> minhashOracle,
     "d07_dedup_clusters" -> dedupClustersOracle,
+    // uncapped exact mode — the explicit opt-in path, gated separately
+    // from the pruned default (d02)
+    "d08_jaccard_exact" ->
+      """WITH toks AS (SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS t
+                       FROM documents),
+         g0 AS (SELECT doc_id, source,
+                       unnest(list_transform(generate_series(1, len(t)-1),
+                              i -> t[i] || ' ' || t[i+1])) AS gram
+                FROM toks),
+         grams AS (SELECT DISTINCT doc_id, source, gram FROM g0),
+         sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                   FROM grams a JOIN grams b
+                     ON a.source = b.source AND a.gram = b.gram AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+                round(CAST(inter AS DOUBLE)/(sa.n + sb.n - inter), 4) AS jaccard
+         FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+         WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.5
+         ORDER BY doc_a, doc_b""",
     "d04_simhash" -> simhashOracle,
     // blocked on (label, hyperplane bucket) exactly like the Spark plan —
     // the oracle recomputes the same plan-time plane weights via bucketSql
