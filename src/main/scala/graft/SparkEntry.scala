@@ -212,6 +212,42 @@ object SparkEntry {
       .orderBy($"event_id")
   }
 
+  /** w06: the reference's core anomaly dataflow executed as a STREAM — a
+    * stream-static broadcast join, the remaining Structured Streaming
+    * capability not yet oracle-gated. The target month's grid slice lands
+    * as files; a file-source readStream joins the static (batch-computed,
+    * broadcast) climatology normal per cell and subtracts — exactly
+    * [[graft.control.GridSource]]'s anomaly branch, driven through
+    * readStream → streaming sink → read-back. Oracle = the r05 batch
+    * recomputation.
+    */
+  private def streamAnomaly(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_w06").toString
+    val g = grid(s, d)
+    val slice = g.where($"variable" === "A" &&
+      $"time" === lit("1998-03-01 00:00:00").cast("timestamp_ntz"))
+    slice.write.mode("overwrite").parquet(s"$tmp/landing")
+    val normal = Raster.climatologyNormal(g, "A", 3, 1995, 2000)
+    val stream = s.readStream.schema(slice.schema).parquet(s"$tmp/landing")
+    val q = stream
+      .join(broadcast(normal), Seq("lat", "lon"))
+      .select($"variable", $"time", $"lat", $"lon",
+        ($"value" - $"normal").as("value"))
+      .writeStream
+      .format("parquet")
+      .option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$tmp/out")
+      .select($"variable", $"time".cast("timestamp_ntz").as("time"),
+        $"lat", $"lon", round($"value", 4).as("value"))
+      .orderBy($"lat", $"lon")
+  }
+
   /** Demo raster grid (Raster.demoGrid) shared by the r* queries. */
   private def grid(s: SparkSession, d: String): DataFrame =
     Raster.demoGrid(t(s, d)("lineitem"))
@@ -388,6 +424,7 @@ object SparkEntry {
     "w03_sessionize" -> ((s, d) => EventWindows.sessionize(t(s, d)("events"), 30)),
     "w04_stream_landing" -> ((s, d) => streamLanding(s, d)),
     "w05_stream_dedup" -> ((s, d) => streamDedup(s, d)),
+    "w06_stream_anomaly" -> ((s, d) => streamAnomaly(s, d)),
     // ---- dedup (north-star M5) ----
     "d01_dedup_exact" -> ((s, d) => Dedup.exact(t(s, d)("documents"))),
     "d02_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(t(s, d)("documents"), 2, 0.5)),
@@ -1027,6 +1064,20 @@ object SparkEntry {
       s"""SELECT doc_id, source, md5(text) AS text_hash
          FROM documents WHERE md5(text) < '${operators.Sampling.thresholdHex(0.15)}'
          ORDER BY doc_id""",
+    // the streamed anomaly (stream-static broadcast join) must equal the
+    // batch r05 formulation exactly
+    "w06_stream_anomaly" ->
+      s"""WITH $gridCte,
+         normal AS (
+           SELECT lat, lon, avg(value) AS normal FROM grid
+           WHERE variable = 'A' AND year(time) BETWEEN 1995 AND 2000
+             AND month(time) = 3
+           GROUP BY lat, lon)
+         SELECT g.variable, g.time, g.lat, g.lon,
+                round(g.value - n.normal, 4) AS value
+         FROM grid g JOIN normal n ON g.lat = n.lat AND g.lon = n.lon
+         WHERE g.variable = 'A' AND g.time = TIMESTAMP '1998-03-01'
+         ORDER BY g.lat, g.lon""",
     // the streamed dedup of a twice-landed corpus must equal the plain table
     "w05_stream_dedup" ->
       s"""WITH $evCte
