@@ -354,6 +354,23 @@ object SparkEntry {
         .unionByName(rich.except(active).withColumn("relation", lit("rich_inactive")))
         .orderBy($"relation", $"c_custkey")
     }),
+    // correlated scalar subqueries (Catalyst decorrelates to joins): orders
+    // strictly above their own customer's mean price. The predicate is the
+    // cross-multiplied exact form (price × n > total, DECIMAL) so no
+    // floating-point mean ever enters a comparison (sum order differs
+    // between engines; decimal sums don't).
+    "q32_correlated_subquery" -> ((s, d) => {
+      t(s, d)("orders").createOrReplaceTempView("q32_orders")
+      s.sql("""
+        SELECT o_custkey, count(*) AS n_above,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_above
+        FROM q32_orders o1
+        WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+              (SELECT count(*) FROM q32_orders o2 WHERE o2.o_custkey = o1.o_custkey) >
+              (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) FROM q32_orders o3
+               WHERE o3.o_custkey = o1.o_custkey)
+        GROUP BY o_custkey ORDER BY o_custkey""")
+    }),
     // pivot (conditional-aggregation rotation): events per user decile x type
     "q31_pivot" -> ((s, d) => t(s, d)("events")
       .groupBy(($"user_id" % 10).as("user_decile"))
@@ -795,6 +812,15 @@ object SparkEntry {
          SELECT c_custkey, 'rich_inactive' AS relation
          FROM (SELECT c_custkey FROM rich EXCEPT SELECT c_custkey FROM active)
          ORDER BY relation, c_custkey""",
+    "q32_correlated_subquery" ->
+      """SELECT o_custkey, count(*) AS n_above,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_above
+         FROM orders o1
+         WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+               (SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o1.o_custkey) >
+               (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders o3
+                WHERE o3.o_custkey = o1.o_custkey)
+         GROUP BY o_custkey ORDER BY o_custkey""",
     "q31_pivot" ->
       """SELECT user_id % 10 AS user_decile,
                 count(*) FILTER (event_type = 'click') AS click,
