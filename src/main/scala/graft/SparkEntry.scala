@@ -160,6 +160,18 @@ object SparkEntry {
     * collected in ms: floor(max_ts_µs/1000) − 2 h) exactly in µs integer
     * math.
     */
+  /** Run `body` with the shuffle-partition count sized to a SMALL state
+    * store: a new streaming checkpoint pins its state partition count to
+    * `spark.sql.shuffle.partitions`, and 32 state instances for a few
+    * thousand keys is pure fixed overhead (~1 s/query measured). The same
+    * sizing lever as at 100 TB, pointed the other way.
+    */
+  private def withStreamingPartitions[A](s: SparkSession, n: Int)(body: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   private def streamLanding(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val tmp = java.nio.file.Files.createTempDirectory("graft_w04").toString
@@ -167,15 +179,17 @@ object SparkEntry {
       $"event_id", $"ts".cast("timestamp").as("ts"), $"user_id", $"event_type", $"value")
     events.write.mode("overwrite").parquet(s"$tmp/landing")
     val stream = s.readStream.schema(events.schema).parquet(s"$tmp/landing")
-    val q = graft.streaming.EventStream.tumblingHourly(stream)
-      .writeStream
-      .format("parquet")
-      .option("path", s"$tmp/out")
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamingPartitions(s, 8) {
+      val q = graft.streaming.EventStream.tumblingHourly(stream)
+        .writeStream
+        .format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.read.parquet(s"$tmp/out")
       .select($"window_start".cast("timestamp_ntz").as("window_start"),
               $"event_type", $"n", $"sum_value", $"avg_value")
@@ -197,15 +211,17 @@ object SparkEntry {
     events.write.mode("append").parquet(s"$tmp/landing")
     events.write.mode("append").parquet(s"$tmp/landing")
     val stream = s.readStream.schema(events.schema).parquet(s"$tmp/landing")
-    val q = graft.streaming.EventStream.dedupeEvents(stream)
-      .writeStream
-      .format("parquet")
-      .option("path", s"$tmp/out")
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamingPartitions(s, 8) {
+      val q = graft.streaming.EventStream.dedupeEvents(stream)
+        .writeStream
+        .format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.read.parquet(s"$tmp/out")
       .select($"event_id", $"user_id", $"event_type",
         $"ts".cast("timestamp_ntz").as("ts"), round($"value", 2).as("value"))
