@@ -58,6 +58,31 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("GeoContains kernel equals Geo.containsMulti on random rings and points") {
+    import graft.functions.GeoContains
+    val coord = Gen.chooseNum(-50.0, 50.0)
+    val ringGen: Gen[Geo.Ring] = for {
+      n <- Gen.chooseNum(3, 12)
+      pts <- Gen.listOfN(n, Gen.zip(coord, coord))
+    } yield (pts :+ pts.head).toArray
+    check(Prop.forAll(Gen.listOfN(3, ringGen), coord, coord) {
+      (rings: List[Geo.Ring], lon: Double, lat: Double) =>
+        val (xs, ys, starts) = GeoContains.flatten(rings)
+        GeoContains.inside(xs, ys, starts, lon, lat) ==
+          Geo.containsMulti(rings)(lon, lat)
+    })
+  }
+
+  test("thresholdHex is monotone in the fraction and anchors 0 / 1 exactly") {
+    import graft.operators.Sampling.thresholdHex
+    check(Prop.forAll(Gen.chooseNum(0.0, 1.0), Gen.chooseNum(0.0, 1.0)) {
+      (a: Double, b: Double) =>
+        val (lo, hi) = if (a <= b) (a, b) else (b, a)
+        thresholdHex(lo) <= thresholdHex(hi) // hex strings order like the values
+    })
+    assert(thresholdHex(0.0) == "0" * 32 && thresholdHex(1.0) == "f" * 32)
+  }
+
   test("poly_hash: expression equals kernel equals charwise spec; empty string is 0") {
     PolyHash.hash("", 31) shouldBe 0L
     val gen = Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('é', 'ß', '中', ' ', '\t')))
