@@ -324,6 +324,16 @@ object SparkEntry {
     // ---- multimodal binary columns (north-star extension) ----
     "m01_payload_stats" -> ((s, d) => Multimodal.payloadStats(t(s, d)("documents"))),
     "m02_frame_sample" -> ((s, d) => Multimodal.frameSample(t(s, d)("documents"))),
+    // the mapPartitions decode pipeline end-to-end: the decoder is the
+    // documented deterministic stub, so the oracle can recompute every
+    // feature from the payload bytes — the plumbing (typed Dataset,
+    // per-partition batches, schema) is what this row gates
+    "m03_decode_features" -> ((s, d) =>
+      Multimodal.decodeFeatures(t(s, d)("documents")).toDF()
+        .select($"doc_id", $"n_bytes", $"checksum",
+          $"width".cast("long").as("width"), $"height".cast("long").as("height"),
+          $"mean_luma")
+        .orderBy($"doc_id")),
     // ---- core relational surface (SURVEY.md §2.2-2.5) ----
     "q01_pricing_summary" -> ((s, d) => Core.pricingSummary(t(s, d)("lineitem"))),
     "q02_distinct_types" -> ((s, d) => Core.distinctValues(t(s, d)("events"), "event_type")),
@@ -386,6 +396,23 @@ object SparkEntry {
               (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) FROM q32_orders o3
                WHERE o3.o_custkey = o1.o_custkey)
         GROUP BY o_custkey ORDER BY o_custkey""")
+    }),
+    // recursive CTE (new SQL surface in Spark 4.x): generate the complete
+    // month series spanning the order history by recursion, left join the
+    // facts — gap months appear with zero counts (the reference's cursor
+    // would visit them; a plain GROUP BY would silently skip them)
+    "q33_recursive_months" -> ((s, d) => {
+      t(s, d)("orders").createOrReplaceTempView("q33_orders")
+      s.sql("""
+        WITH RECURSIVE months(m) AS (
+          SELECT date_trunc('month', (SELECT min(o_orderdate) FROM q33_orders))
+          UNION ALL
+          SELECT m + INTERVAL '1' MONTH FROM months
+          WHERE m < (SELECT date_trunc('month', max(o_orderdate)) FROM q33_orders)
+        )
+        SELECT CAST(m AS TIMESTAMP_NTZ) AS month_start, count(o.o_orderkey) AS n_orders
+        FROM months LEFT JOIN q33_orders o ON date_trunc('month', o.o_orderdate) = m
+        GROUP BY m ORDER BY month_start""")
     }),
     // pivot (conditional-aggregation rotation): events per user decile x type
     "q31_pivot" -> ((s, d) => t(s, d)("events")
@@ -828,6 +855,16 @@ object SparkEntry {
          SELECT c_custkey, 'rich_inactive' AS relation
          FROM (SELECT c_custkey FROM rich EXCEPT SELECT c_custkey FROM active)
          ORDER BY relation, c_custkey""",
+    "q33_recursive_months" ->
+      """WITH RECURSIVE months(m) AS (
+           SELECT date_trunc('month', (SELECT min(o_orderdate) FROM orders))
+           UNION ALL
+           SELECT m + INTERVAL 1 MONTH FROM months
+           WHERE m < (SELECT date_trunc('month', max(o_orderdate)) FROM orders)
+         )
+         SELECT m AS month_start, count(o.o_orderkey) AS n_orders
+         FROM months LEFT JOIN orders o ON date_trunc('month', o.o_orderdate) = m
+         GROUP BY m ORDER BY month_start""",
     "q32_correlated_subquery" ->
       """SELECT o_custkey, count(*) AS n_above,
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_above
@@ -1004,6 +1041,23 @@ object SparkEntry {
                 md5(text) AS payload_md5,
                 hex(encode(substring(text, 1, 8))) AS head_hex
          FROM documents ORDER BY doc_id""",
+    // stub-decoder features recomputed from raw payload bytes (hex-nibble
+    // extraction; luma rounding mirrors the engine's floor(x+0.5) form)
+    "m03_decode_features" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS checksum, hex(encode(text)) AS hx,
+                    octet_length(encode(text)) AS n FROM documents),
+         b AS (SELECT doc_id, checksum, n,
+                 list_transform(range(1, n + 1),
+                   i -> (strpos('0123456789ABCDEF', substring(hx, 2*i - 1, 1)) - 1) * 16
+                      + (strpos('0123456789ABCDEF', substring(hx, 2*i, 1)) - 1)) AS bytes
+               FROM h)
+         SELECT doc_id, CAST(n AS BIGINT) AS n_bytes, checksum,
+                CAST(16 + (CASE WHEN n = 0 THEN 0 ELSE bytes[1] % 64 END) AS BIGINT) AS width,
+                CAST(16 + (CASE WHEN n < 2 THEN 0 ELSE bytes[2] % 64 END) AS BIGINT) AS height,
+                CASE WHEN n = 0 THEN 0.0 ELSE
+                  floor(list_sum(list_transform(bytes, x -> CAST(x AS DOUBLE))) / n / 255.0
+                        * 10000 + 0.5) / 10000 END AS mean_luma
+         FROM b ORDER BY doc_id""",
     "m02_frame_sample" ->
       """WITH f AS (
            SELECT doc_id, text,

@@ -110,9 +110,11 @@ object Multimodal {
         it.map { case (id, bytes) =>
           val (w, h, luma) = stubDecode(bytes)
           val sum = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+          // floor(x·10⁴ + 0.5): identical IEEE ops in the SQL oracle,
+          // unlike rint's half-even tie-break which SQL round() lacks
           AssetFeatures(id, bytes.length.toLong,
             sum.map("%02x".format(_)).mkString, w, h,
-            math.rint(luma * 10000) / 10000)
+            math.floor(luma * 10000 + 0.5) / 10000)
         }
       }
   }
