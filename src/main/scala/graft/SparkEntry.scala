@@ -509,7 +509,22 @@ object SparkEntry {
     // ---- sampling & sharding (north-star pipeline plumbing) ----
     "t04_hash_sample" -> ((s, d) => Sampling.byContentHash(t(s, d)("documents"), 0.15)),
     "t05_token_shards" -> ((s, d) => Sampling.tokenShards(t(s, d)("documents"), 10000L)),
-    "t06_text_clean" -> ((s, d) => TextAnalysis.cleaned(t(s, d)("documents")))
+    "t06_text_clean" -> ((s, d) => TextAnalysis.cleaned(t(s, d)("documents"))),
+    // ---- skew-mitigation equivalence (SCALE.md escape hatches) ----
+    // salted shapes must be row-for-row equal to their plain formulations;
+    // the oracle computes the plain form
+    "x01_salted_join" -> ((s, d) => {
+      val big = t(s, d)("orders").select($"o_custkey".as("c_custkey"), $"o_totalprice")
+      val small = t(s, d)("customer").select($"c_custkey", $"c_mktsegment")
+      Skew.saltedJoin(big, small, "c_custkey", 8)
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+             sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy($"c_mktsegment")
+    }),
+    "x02_salted_distinct" -> ((s, d) =>
+      Skew.saltedDistinctCount(t(s, d)("events"), "event_type", "user_id", 8)
+        .orderBy($"event_type"))
   )
 
   private val gridCte = operators.Raster.demoGridSql
@@ -1198,6 +1213,14 @@ object SparkEntry {
            md5(clean) AS clean_hash,
            CAST(len(regexp_extract_all(clean, '\S+')) AS BIGINT) AS clean_tokens
          FROM c ORDER BY doc_id""",
+    "x01_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "x02_salted_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_distinct
+         FROM events GROUP BY event_type ORDER BY event_type""",
     // the oracle computes the prefix sum with a single ordered window —
     // partitioning-independent, so it cross-checks the engine's
     // distributed two-pass scan exactly
