@@ -127,6 +127,50 @@ class ShapefileSpec extends AnyFunSuite with Matchers {
     "<= 5.0".r.findAllIn(optimized).length shouldBe 2
   }
 
+  test("parser round-trips a synthesized multi-part .shp byte-for-byte") {
+    // build a spec-conformant two-record file: one 2-ring polygon (outer +
+    // hole), one single-ring polygon — exercises offsets, part arrays, and
+    // the BE/LE boundary without relying on the fixture file
+    import java.nio.{ByteBuffer, ByteOrder}
+    val rings1: Array[Geo.Ring] = Array(
+      Array((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)),
+      Array((4.0, 4.0), (6.0, 4.0), (6.0, 6.0), (4.0, 6.0), (4.0, 4.0)))
+    val rings2: Array[Geo.Ring] = Array(
+      Array((20.0, 20.0), (25.0, 20.0), (25.0, 25.0), (20.0, 25.0), (20.0, 20.0)))
+
+    def record(num: Int, rings: Array[Geo.Ring]): Array[Byte] = {
+      val points = rings.flatten
+      val content = 4 + 32 + 4 + 4 + 4 * rings.length + 16 * points.length
+      val buf = ByteBuffer.allocate(8 + content)
+      buf.order(ByteOrder.BIG_ENDIAN).putInt(num).putInt(content / 2)
+      buf.order(ByteOrder.LITTLE_ENDIAN).putInt(5)
+      val xs = points.map(_._1); val ys = points.map(_._2)
+      buf.putDouble(xs.min).putDouble(ys.min).putDouble(xs.max).putDouble(ys.max)
+      buf.putInt(rings.length).putInt(points.length)
+      rings.scanLeft(0)(_ + _.length).dropRight(1).foreach(buf.putInt)
+      points.foreach { case (x, y) => buf.putDouble(x).putDouble(y) }
+      buf.array()
+    }
+
+    val recs = record(1, rings1) ++ record(2, rings2)
+    val fileLen = 100 + recs.length
+    val header = ByteBuffer.allocate(100)
+    header.order(ByteOrder.BIG_ENDIAN).putInt(0, 9994).putInt(24, fileLen / 2)
+    header.order(ByteOrder.LITTLE_ENDIAN).putInt(28, 1000).putInt(32, 5)
+    val path = java.nio.file.Files.createTempFile("graft-synth", ".shp")
+    java.nio.file.Files.write(path, header.array() ++ recs)
+
+    val polys = Shapefile.readPolygons(path.toString)
+    polys.length shouldBe 2
+    polys(0).rings.map(_.toSeq).toSeq shouldBe rings1.map(_.toSeq).toSeq
+    polys(1).rings.map(_.toSeq).toSeq shouldBe rings2.map(_.toSeq).toSeq
+    // and the hole semantics carry through containment
+    val all = Shapefile.readRings(path.toString)
+    Geo.containsMulti(all)(5.0, 5.0) shouldBe false // hole
+    Geo.containsMulti(all)(2.0, 2.0) shouldBe true
+    Geo.containsMulti(all)(22.0, 22.0) shouldBe true // second record
+  }
+
   test("disjoint island rings: inside either island is inside") {
     val a: Geo.Ring = Array((0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0), (0.0, 0.0))
     val b: Geo.Ring = Array((5.0, 5.0), (7.0, 5.0), (7.0, 7.0), (5.0, 7.0), (5.0, 5.0))
