@@ -523,6 +523,9 @@ object SparkEntry {
     "t04_hash_sample" -> ((s, d) => Sampling.byContentHash(t(s, d)("documents"), 0.15)),
     "t05_token_shards" -> ((s, d) => Sampling.tokenShards(t(s, d)("documents"), 10000L)),
     "t06_text_clean" -> ((s, d) => TextAnalysis.cleaned(t(s, d)("documents"))),
+    "t07_stratified_sample" -> ((s, d) => Sampling.byContentHashStratified(
+      t(s, d)("documents"),
+      Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.1))),
     // ---- skew-mitigation equivalence (SCALE.md escape hatches) ----
     // salted shapes must be row-for-row equal to their plain formulations;
     // the oracle computes the plain form
@@ -1236,6 +1239,16 @@ object SparkEntry {
            md5(clean) AS clean_hash,
            CAST(len(regexp_extract_all(clean, '\S+')) AS BIGINT) AS clean_tokens
          FROM c ORDER BY doc_id""",
+    // per-stratum thresholds, same hex-compare mechanics as t04
+    "t07_stratified_sample" ->
+      s"""SELECT doc_id, source, md5(text) AS text_hash
+         FROM documents
+         WHERE md5(text) < CASE source
+           WHEN 'src2' THEN '${operators.Sampling.thresholdHex(0.1)}'
+           WHEN 'src1' THEN '${operators.Sampling.thresholdHex(0.5)}'
+           WHEN 'src0' THEN '${operators.Sampling.thresholdHex(1.0)}'
+           ELSE '${operators.Sampling.thresholdHex(0.0)}' END
+         ORDER BY doc_id""",
     "x01_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n,
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

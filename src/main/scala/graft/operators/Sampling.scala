@@ -40,6 +40,24 @@ object Sampling {
       .select($"doc_id", $"source", $"text_hash")
       .orderBy($"doc_id")
 
+  /** Stratified flavor of [[byContentHash]]: a different reproducible rate
+    * per stratum (source) — the "web at 10%, books at 100%" mix every
+    * corpus recipe needs. Same hash-threshold mechanics, the threshold
+    * just varies by the stratum column; unlisted strata default to 0
+    * (excluded). Still one narrow codegen'd filter, zero shuffle.
+    */
+  def byContentHashStratified(documents: DataFrame,
+                              fractions: Map[String, Double]): DataFrame = {
+    val threshold = fractions.foldLeft(lit(thresholdHex(0.0))) {
+      case (acc, (src, f)) => when($"source" === src, lit(thresholdHex(f))).otherwise(acc)
+    }
+    documents
+      .withColumn("text_hash", md5($"text".cast("binary")))
+      .where($"text_hash" < threshold)
+      .select($"doc_id", $"source", $"text_hash")
+      .orderBy($"doc_id")
+  }
+
   /** Contiguous token-budget sharding: documents in doc_id order are
     * packed into shards of at most `budgetTokens` whitespace tokens
     * (shard_id = floor(exclusive-prefix-sum / budget); a single
