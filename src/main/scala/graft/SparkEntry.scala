@@ -76,10 +76,11 @@ object SparkEntry {
   /** The reference's REAL clip geometry: src/shp/africa.shp parsed by the
     * engine's own ESRI reader (55 rings, 7124 vertices — mainland with its
     * concave coastline plus islands). Shared by the r08 query and its
-    * oracle builder, so both sides test the same vertices.
+    * oracle builder, so both sides test the same vertices. Vendored as
+    * embedded bytes ([[sources.AfricaShp]]) so the gate runs without the
+    * reference checkout on disk.
     */
-  private lazy val africaRings: Array[Geo.Ring] =
-    sources.Shapefile.readRings("/root/reference/src/shp/africa.shp")
+  private lazy val africaRings: Array[Geo.Ring] = sources.AfricaShp.rings
 
   /** r08: polygon clip against the real africa.shp (S10/P3 closed for
     * real): demoGrid cells of one month affinely mapped into the reference
@@ -396,6 +397,27 @@ object SparkEntry {
               (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) FROM q32_orders o3
                WHERE o3.o_custkey = o1.o_custkey)
         GROUP BY o_custkey ORDER BY o_custkey""")
+    }),
+    // engine-native twin of q32 (the registered form for scale): the same
+    // above-own-customer-mean predicate, but ONE scan of orders — the two
+    // correlated scalar subqueries become window aggregates over
+    // `partition by o_custkey` (the q29 shape). Catalyst decorrelates q32
+    // into three scans of the fact table (PLANS.md); this plan is
+    // scan → window(count,sum) → filter → partial/final agg, and both
+    // comparison sides stay exact DECIMAL so no floating-point mean is
+    // ever compared.
+    "q34_above_mean_window" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byCust = Window.partitionBy($"o_custkey")
+      t(s, d)("orders")
+        .select($"o_custkey", $"o_totalprice".cast("decimal(18,2)").as("p"))
+        .withColumn("cnt", count(lit(1)).over(byCust))
+        .withColumn("tot", sum($"p").over(byCust))
+        .where($"p" * $"cnt" > $"tot")
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_above"),
+             sum($"p").cast("double").as("sum_above"))
+        .orderBy($"o_custkey")
     }),
     // recursive CTE (new SQL surface in Spark 4.x): generate the complete
     // month series spanning the order history, left join the facts — gap
@@ -907,6 +929,17 @@ object SparkEntry {
          FROM spanned LEFT JOIN orders o ON date_trunc('month', o.o_orderdate) = m
          GROUP BY m ORDER BY month_start""",
     "q32_correlated_subquery" ->
+      """SELECT o_custkey, count(*) AS n_above,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_above
+         FROM orders o1
+         WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+               (SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o1.o_custkey) >
+               (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders o3
+                WHERE o3.o_custkey = o1.o_custkey)
+         GROUP BY o_custkey ORDER BY o_custkey""",
+    // identical result contract to q32 — the oracle is shared verbatim;
+    // only the engine-side plan differs (one scan vs three)
+    "q34_above_mean_window" ->
       """SELECT o_custkey, count(*) AS n_above,
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_above
          FROM orders o1

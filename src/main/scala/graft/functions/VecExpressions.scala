@@ -71,18 +71,24 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
       case _ => s"$arr.getDouble($i)"
     }
     val (ta, tb) = (elemOf(left).get, elemOf(right).get)
+    // freshName per instance: two vec_dot calls in one codegen'd projection
+    // would otherwise both declare `n`/`s`/`i` and Janino rejects the
+    // redefinition, dropping the whole stage to interpreted mode
+    val n = ctx.freshName("vdN")
+    val s = ctx.freshName("vdS")
+    val i = ctx.freshName("vdI")
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |int n = $a.numElements();
-         |if (n != $b.numElements()) {
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double s = 0.0;
-         |  for (int i = 0; i < n; i++) {
-         |    if ($a.isNullAt(i) || $b.isNullAt(i)) { ${ev.isNull} = true; break; }
-         |    s += ${getter(ta, a, "i")} * ${getter(tb, b, "i")};
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += ${getter(ta, a, i)} * ${getter(tb, b, i)};
          |  }
-         |  if (!${ev.isNull}) { ${ev.value} = s; }
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
          |}
        """.stripMargin
     })

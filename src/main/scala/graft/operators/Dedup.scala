@@ -74,6 +74,11 @@ object Dedup {
     * fixture SFs at the default cap). Reach for
     * [[ngramJaccardPairsExact]] only when exact scores on hot grams matter
     * more than the quadratic risk.
+    *
+    * @note since round 3 this default is the PRUNED (approximate) shape:
+    *       pairs whose only shared grams occur in more than `maxDocFreq`
+    *       documents are not generated. Callers needing the old uncapped
+    *       semantics must call [[ngramJaccardPairsExact]] explicitly.
     */
   def ngramJaccardPairs(documents: DataFrame, n: Int, threshold: Double,
                         maxDocFreq: Int = 128): DataFrame =
@@ -327,6 +332,11 @@ object Dedup {
       converged = changed == 0
       round += 1
     }
+    // a component with diameter > maxRounds would otherwise return
+    // partially-propagated labels that look valid — fail loudly instead
+    require(converged,
+      s"dedupClusters did not converge after $maxRounds rounds; " +
+        "raise maxRounds (component diameter exceeds it)")
     labels
       .withColumn("is_canonical", ($"doc_id" === $"cluster_id").cast("boolean"))
       .orderBy($"doc_id")

@@ -122,7 +122,9 @@ object Similarity {
     * cosine of members to their centroid.
     */
   def labelCentroids(embeddings: DataFrame): DataFrame = {
-    val dims = 64
+    // one-row metadata probe, not a data-plane collect: any corpus width
+    // (64, 768, ...) works without truncating the centroid
+    val dims = embeddings.select(size(col("embedding"))).head().getInt(0)
     val sums = (0 until dims).map(d =>
       avg(element_at($"embedding", d + 1).cast("double")).as(s"c$d"))
     val centroids = embeddings.groupBy($"label").agg(sums.head, sums.tail: _*)

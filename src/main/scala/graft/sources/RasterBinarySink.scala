@@ -110,7 +110,9 @@ object RasterBinarySink {
 
   private def atomicWrite(path: String, bytes: Array[Byte]): Unit = {
     val target = Paths.get(path)
-    val tmp = Paths.get(path + ".tmp")
+    // unique tmp per attempt: a retried/speculative task for the same layer
+    // must not interleave bytes into a shared ".tmp" before the move
+    val tmp = Files.createTempFile(target.getParent, target.getFileName.toString, ".tmp")
     Files.write(tmp, bytes)
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)

@@ -32,8 +32,14 @@ object Shapefile {
     * spec's placeholder records), any other shape type is rejected loudly —
     * silently ignoring, say, PolyLine records would corrupt a clip.
     */
-  def readPolygons(path: String): Array[Polygon] = {
-    val bytes = Files.readAllBytes(Paths.get(path))
+  def readPolygons(path: String): Array[Polygon] =
+    readPolygonsFromBytes(Files.readAllBytes(Paths.get(path)), path)
+
+  /** Parse from in-memory .shp bytes (vendored fixtures, test synthesis);
+    * `label` names the source in error messages.
+    */
+  def readPolygonsFromBytes(bytes: Array[Byte], label: String = "<bytes>"): Array[Polygon] = {
+    val path = label
     val be = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     val le = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     require(be.getInt(0) == 9994, s"not a shapefile (bad file code): $path")
@@ -77,4 +83,8 @@ object Shapefile {
     * holes without distinguishing them).
     */
   def readRings(path: String): Array[Ring] = readPolygons(path).flatMap(_.rings)
+
+  /** Flat ring view over in-memory bytes. */
+  def readRingsFromBytes(bytes: Array[Byte]): Array[Ring] =
+    readPolygonsFromBytes(bytes).flatMap(_.rings)
 }

@@ -11,9 +11,17 @@ import graft.functions.Geo
   */
 class ShapefileSpec extends AnyFunSuite with Matchers {
 
-  private val shpPath = "/root/reference/src/shp/africa.shp"
-  private lazy val polys = Shapefile.readPolygons(shpPath)
-  private lazy val rings = Shapefile.readRings(shpPath)
+  // vendored bytes — the spec (like the engine) needs no reference checkout
+  private lazy val polys = Shapefile.readPolygonsFromBytes(graft.sources.AfricaShp.bytes)
+  private lazy val rings = graft.sources.AfricaShp.rings
+
+  test("vendored bytes are byte-identical to the reference .shp when present") {
+    val ref = java.nio.file.Paths.get("/root/reference/src/shp/africa.shp")
+    if (java.nio.file.Files.exists(ref)) {
+      java.util.Arrays.equals(
+        java.nio.file.Files.readAllBytes(ref), graft.sources.AfricaShp.bytes) shouldBe true
+    }
+  }
 
   test("africa.shp parses: single polygon record, 55 rings, 7124 points") {
     polys.length shouldBe 1
