@@ -134,6 +134,39 @@ object SparkEntry {
        ORDER BY variable, lat_a, lon_a"""
   }
 
+  // --- GRIB1 fixture (r09): the field is defined in closed form —
+  // x(param, month, i, j) = (7i + 13j + 31·param + 17·month) mod 1000,
+  // value = x/10 — so the DuckDB oracle regenerates every cell from the
+  // formula while the engine must recover the identical values from the
+  // packed GRIB bytes (IBM-float reference, unaligned 10-bit integers,
+  // signed 24-bit coordinates, PRATE's bitmap). Integer-scaled encoding
+  // with binary scale 0 makes the codec exact: both engines end at the
+  // same `int / 10.0` IEEE division.
+  private val gribNi = 36; private val gribNj = 19
+  private val gribLa1 = 37000; private val gribLo1 = -21000 // millidegrees
+  private val gribDi = 2000; private val gribDj = 2000
+
+  private def gribScaled(param: Int, m: Int, i: Int, j: Int): Int =
+    (i * 7 + j * 13 + param * 31 + m * 17) % 1000
+
+  private lazy val gribFixturePath: String = {
+    import java.time.LocalDateTime
+    val params = Seq(11 -> false, 61 -> true) // TMP dense, PRATE bitmap-masked
+    val times = Seq(LocalDateTime.of(1998, 3, 1, 0, 0), LocalDateTime.of(1998, 4, 1, 0, 0))
+    val fields = for {
+      (t, m) <- times.zipWithIndex
+      (param, masked) <- params
+    } yield sources.Grib1.Field(param, t, gribNi, gribNj,
+      gribLa1, gribLo1, gribDi, gribDj, decimalScale = 1,
+      Array.tabulate(gribNj * gribNi) { k =>
+        val j = k / gribNi; val i = k % gribNi
+        if (masked && (i + j) % 11 == 0) None else Some(gribScaled(param, m, i, j))
+      })
+    sources.Grib1.writeFile(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft-grib", "demo.grib"),
+      fields).toString
+  }
+
   /** Temporal/scalar function surface (SURVEY.md §2.6) in one projection. */
   private def temporalScalars(s: SparkSession, dir: String): DataFrame =
     t(s, dir)("orders").select(
@@ -305,6 +338,17 @@ object SparkEntry {
         .orderBy($"lat", $"lon", $"time")),
     "r07_inventory" -> ((s, d) => Raster.inventory(grid(s, d))),
     "r08_africa_clip" -> ((s, d) => africaClip(s, d)),
+    // S5 closed at the byte level: the engine's own GRIB1 codec writes a
+    // deterministic 4-message fixture (2 params × 2 months, 36×19 lat/lon
+    // grid, decimal scale 1, PRATE bitmap-masked) and the distributed
+    // reader lands it as the long-format grid. The oracle recomputes every
+    // cell from the same closed-form field definition, so a decode error
+    // anywhere — IBM float, signed 24-bit coords, bit unpacking, bitmap —
+    // breaks the hash. Reference boundary: wgrib -d N extraction,
+    // src/file-conversions.js:114-135.
+    "r09_grib_scan" -> ((s, _) =>
+      sources.Grib1.readRecords(s, Seq(gribFixturePath))
+        .orderBy($"variable", $"time", $"lat", $"lon")),
     "q20_hashes" -> ((s, d) => t(s, d)("documents").select(
       $"doc_id",
       Scalars.contentHash($"text").as("md5_hash"),
@@ -745,6 +789,21 @@ object SparkEntry {
                 count(DISTINCT time) AS n_months, count(value) AS n_cells
          FROM grid GROUP BY variable ORDER BY variable""",
     "r08_africa_clip" -> africaClipOracle,
+    // mirrors the closed-form fixture field (see gribFixturePath): same
+    // integer lattice, same mask, same int/10.0 division — independent of
+    // the GRIB bytes, so codec bugs cannot cancel out
+    "r09_grib_scan" ->
+      s"""WITH p(param, variable, masked) AS (VALUES (11, 'TMP', 0), (61, 'PRATE', 1)),
+         t(t, m) AS (VALUES (TIMESTAMP '1998-03-01', 0), (TIMESTAMP '1998-04-01', 1)),
+         ii AS (SELECT unnest(generate_series(0, ${gribNi - 1})) AS i),
+         jj AS (SELECT unnest(generate_series(0, ${gribNj - 1})) AS j)
+         SELECT variable, t AS time,
+                ($gribLa1 - j * $gribDj) / 1000.0 AS lat,
+                (($gribLo1) + i * $gribDi) / 1000.0 AS lon,
+                ((i * 7 + j * 13 + param * 31 + m * 17) % 1000) / 10.0 AS value
+         FROM p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
+         WHERE NOT (masked = 1 AND (i + j) % 11 = 0)
+         ORDER BY variable, time, lat, lon""",
     "q20_hashes" ->
       """SELECT doc_id, md5(text) AS md5_hash, sha256(text) AS sha256_hash
          FROM documents ORDER BY doc_id""",

@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.Files
+import java.time.LocalDateTime
+
+import graft.sources.Grib1
+
+/** S5 at the byte level: the native GRIB1 codec (WMO FM-92 edition 1,
+  * simple packing) — the reference's real input boundary
+  * (src/file-conversions.js:114-135 shells `wgrib -d N`).
+  */
+class GribSpec extends SparkSpec {
+
+  private def field(param: Int = 11, masked: Boolean = false,
+                    d: Int = 1, base: Int = 0): Grib1.Field =
+    Grib1.Field(param, LocalDateTime.of(1998, 3, 1, 0, 0),
+      ni = 7, nj = 5, la1Milli = 37000, lo1Milli = -21000,
+      diMilli = 2000, djMilli = 2000, decimalScale = d,
+      Array.tabulate(35) { k =>
+        val j = k / 7; val i = k % 7
+        if (masked && (i + j) % 4 == 0) None else Some(base + i * 3 + j * 11)
+      })
+
+  test("IBM-360 float: public known vectors and integer round-trip") {
+    // −118.625 = 0xC276A000 (the classic worked example of the format)
+    Grib1.ibmFloat(0xC2, 0x76, 0xA0, 0x00) shouldBe -118.625
+    Grib1.ibmFloat(0x42, 0x76, 0xA0, 0x00) shouldBe 118.625
+    Grib1.ibmFloat(0, 0, 0, 0) shouldBe 0.0
+    for (v <- Seq(0.0, 1.0, 37.0, 999.0, -500.0, 0.15625)) {
+      val b = Grib1.ibmFloatBytes(v)
+      Grib1.ibmFloat(b(0) & 0xff, b(1) & 0xff, b(2) & 0xff, b(3) & 0xff) shouldBe v
+    }
+  }
+
+  test("writer emits well-formed messages: magic, edition, length, 7777 tail") {
+    val bytes = Grib1.write(Seq(field(), field(param = 61, masked = true)))
+    new String(bytes.take(4), "US-ASCII") shouldBe "GRIB"
+    (bytes(7) & 0xff) shouldBe 1
+    val len1 = ((bytes(4) & 0xff) << 16) | ((bytes(5) & 0xff) << 8) | (bytes(6) & 0xff)
+    new String(bytes.slice(len1 - 4, len1), "US-ASCII") shouldBe "7777"
+    new String(bytes.slice(len1, len1 + 4), "US-ASCII") shouldBe "GRIB"
+    new String(bytes.takeRight(4), "US-ASCII") shouldBe "7777"
+    // sections are even-length by construction → total is even
+    len1 % 2 shouldBe 0
+  }
+
+  test("round-trip: values, georeferencing, bitmap holes, param names") {
+    val recs = Grib1.parseMessages(Grib1.write(Seq(field(), field(param = 61, masked = true))))
+    recs should have length 2
+    val Seq(tmp, prate) = recs
+    tmp.variable shouldBe "TMP"
+    prate.variable shouldBe "PRATE"
+    tmp.time shouldBe LocalDateTime.of(1998, 3, 1, 0, 0)
+    (tmp.ni, tmp.nj) shouldBe (7, 5)
+    (tmp.la1Milli, tmp.lo1Milli, tmp.diMilli, tmp.djMilli) shouldBe (37000, -21000, 2000, 2000)
+    for (k <- 0 until 35) {
+      val j = k / 7; val i = k % 7
+      tmp.values(k) shouldBe (i * 3 + j * 11) / 10.0
+      if ((i + j) % 4 == 0) prate.values(k).isNaN shouldBe true
+      else prate.values(k) shouldBe (i * 3 + j * 11) / 10.0
+    }
+  }
+
+  test("decimal scale is signed; negative scale multiplies") {
+    // D = −1 → value = x · 10
+    val recs = Grib1.parseMessages(Grib1.write(Seq(field(d = -1))))
+    recs.head.values(8) shouldBe (1 * 3 + 1 * 11) * 10.0
+  }
+
+  test("non-zero reference value: offset field round-trips exactly") {
+    // base 500 → min 500, packed deltas; R = IBM(500) decoded exactly
+    val recs = Grib1.parseMessages(Grib1.write(Seq(field(base = 500))))
+    recs.head.values(0) shouldBe 500 / 10.0
+    recs.head.values(34) shouldBe (500 + 6 * 3 + 4 * 11) / 10.0
+  }
+
+  test("constant field packs with nbits = 0 and decodes to the reference value") {
+    val f = Grib1.Field(11, LocalDateTime.of(1999, 1, 1, 0, 0), 3, 2,
+      1000, 2000, 1000, 1000, 0, Array.fill(6)(Some(42)))
+    val bytes = Grib1.write(Seq(f))
+    val recs = Grib1.parseMessages(bytes)
+    recs.head.values.toSeq shouldBe Seq.fill(6)(42.0)
+  }
+
+  test("unsupported inputs are rejected loudly, not mis-decoded") {
+    val bytes = Grib1.write(Seq(field()))
+    val ed2 = bytes.clone(); ed2(7) = 2
+    an[IllegalArgumentException] should be thrownBy Grib1.parseMessages(ed2)
+    // GDS scan-mode octet 28 (offset: 8 IS + 28 PDS + 27)
+    val scan = bytes.clone(); scan(8 + 28 + 27) = 0x40.toByte
+    an[IllegalArgumentException] should be thrownBy Grib1.parseMessages(scan)
+    val notGrib = "NOPE".getBytes("US-ASCII") ++ bytes.drop(4)
+    an[IllegalArgumentException] should be thrownBy Grib1.parseMessages(notGrib)
+  }
+
+  test("readRecords lands files distributed as the long-format grid") {
+    val dir = Files.createTempDirectory("graft-grib-spec")
+    val p1 = dir.resolve("a.grib"); val p2 = dir.resolve("b.grib")
+    Grib1.writeFile(p1, Seq(field(), field(param = 61, masked = true)))
+    Grib1.writeFile(p2, Seq(field(param = 33)))
+    val df = Grib1.readRecords(spark, Seq(p1.toString, p2.toString))
+    df.columns.toSeq shouldBe Seq("variable", "time", "lat", "lon", "value")
+    import org.apache.spark.sql.functions._
+    val byVar = df.groupBy("variable").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byVar("TMP") shouldBe 35
+    byVar("UGRD") shouldBe 35
+    byVar("PRATE") shouldBe (35 - (0 until 35).count(k => (k / 7 + k % 7) % 4 == 0))
+    // spot-check one cell end-to-end: i=2, j=1 → lat 35.0, lon −17.0
+    val v = df.where(col("variable") === "TMP" && col("lat") === 35.0 && col("lon") === -17.0)
+      .select("value").head().getDouble(0)
+    v shouldBe (2 * 3 + 1 * 11) / 10.0
+  }
+}
