@@ -106,6 +106,13 @@ object RasterBinarySink {
          | "dtype": "float32", "byte_order": "little-endian",
          | "layout": "row-major north-to-south"}""".stripMargin.replace("\n", "")
     atomicWrite(s"$outDir/$base.metadata.json", meta.getBytes(StandardCharsets.UTF_8))
+    // the reference's literal downstream contract is a .tif per layer
+    // (file-conversions.js:57-74) — emit a real uncompressed GeoTIFF
+    // alongside the ENVI pair, same grid, same nodata
+    atomicWrite(s"$outDir/$base.tif", GeoTiff.encode(
+      layout.width, layout.height, arr,
+      layout.lonMin - layout.cell / 2, layout.latMax + layout.cell / 2,
+      layout.cell, layout.cell, nodata))
   }
 
   private def atomicWrite(path: String, bytes: Array[Byte]): Unit = {

@@ -132,6 +132,33 @@ class RasterSpec extends SparkSpec {
     hdr should include("lines = 2")
     hdr should include("data type = 4")
     hdr should include("byte order = 0")
+
+    // the .tif sibling is a real GeoTIFF: decode it back per the TIFF spec
+    // and check pixels + georeferencing + geokeys agree with the .bin
+    val tif = graft.sources.GeoTiff.decode(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(m.getAs[String]("path").stripSuffix(".bin") + ".tif")))
+    (tif.width, tif.height) shouldBe (2, 2)
+    tif.values(0) shouldBe 2021.0f
+    tif.values(1) shouldBe RasterBinarySink.DefaultNodata
+    tif.epsg shouldBe 4326
+    tif.nodata shouldBe Some(RasterBinarySink.DefaultNodata)
+    // tiepoint is the outer NW corner (cell center + half a cell up-left)
+    tif.lonEdge shouldBe 9.5
+    tif.latEdge shouldBe 1.5
+    (tif.cellX, tif.cellY) shouldBe (1.0, 1.0)
+  }
+
+  test("GeoTiff codec: header structure, strip data, and big-endian tolerance") {
+    import graft.sources.GeoTiff
+    val vals = Array.tabulate(12)(k => k * 1.5f)
+    val bytes = GeoTiff.encode(4, 3, vals, -21.0, 37.0, 0.25, 0.25, -9999f)
+    new String(bytes.take(2), "US-ASCII") shouldBe "II"
+    val t = GeoTiff.decode(bytes)
+    t.values.toSeq shouldBe vals.toSeq
+    (t.width, t.height, t.cellX, t.cellY) shouldBe (4, 3, 0.25, 0.25)
+    (t.lonEdge, t.latEdge) shouldBe (-21.0, 37.0)
+    an[IllegalArgumentException] should be thrownBy
+      GeoTiff.decode("XX".getBytes("US-ASCII") ++ bytes.drop(2))
   }
 
   test("binary sink writes one raster file set per (variable, time) layer") {
