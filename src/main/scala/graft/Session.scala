@@ -19,6 +19,30 @@ import org.apache.spark.sql.SparkSession
   *  - AQE on: runtime coalescing + skew-join handling — the 100 TB path.
   */
 object Session {
+
+  /** Materialization barrier for iterative operators (d07's label
+    * propagation, t05's prefix sum): cuts lineage so round N's plan does
+    * not re-derive rounds 1..N−1.
+    *
+    * Default is `localCheckpoint` — no storage round-trip, right for
+    * local/interactive runs — but localCheckpoint blocks are
+    * executor-local and NON-reliable: on a real cluster, losing one
+    * executor invalidates its blocks and fails the whole iteration. Set
+    * `spark.graft.checkpointDir` (e.g. an HDFS/S3 path) and barriers
+    * switch to reliable `checkpoint()` storage that survives executor
+    * loss — the 100 TB setting.
+    */
+  def barrier(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption("spark.graft.checkpointDir") match {
+      case Some(dir) if dir.nonEmpty =>
+        if (spark.sparkContext.getCheckpointDir.isEmpty)
+          spark.sparkContext.setCheckpointDir(dir)
+        df.checkpoint(eager = true)
+      case _ => df.localCheckpoint(eager = true)
+    }
+  }
+
   def build(appName: String, cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
     val spark = SparkSession
       .builder()

@@ -310,12 +310,13 @@ object Dedup {
     val pairs = minhashLshPairs(documents, shingleN, bands, rows, threshold)
       .select($"doc_a", $"doc_b")
     // undirected edges, both directions, deduped — cached: every round scans it
-    val edges = pairs
+    // barriers are localCheckpoint by default; set spark.graft.checkpointDir
+    // for reliable storage so executor loss can't kill the CC loop mid-round
+    val edges = graft.Session.barrier(pairs
       .unionByName(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = documents.select($"doc_id", $"doc_id".as("cluster_id"))
-      .localCheckpoint(true)
+      .distinct())
+    var labels = graft.Session.barrier(
+      documents.select($"doc_id", $"doc_id".as("cluster_id")))
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
@@ -323,9 +324,8 @@ object Dedup {
       // own label and everything received
       val messages = edges.join(labels, edges("doc_b") === labels("doc_id"))
         .select(edges("doc_a").as("doc_id"), $"cluster_id")
-      val next = labels.unionByName(messages)
-        .groupBy($"doc_id").agg(min($"cluster_id").as("cluster_id"))
-        .localCheckpoint(true)
+      val next = graft.Session.barrier(labels.unionByName(messages)
+        .groupBy($"doc_id").agg(min($"cluster_id").as("cluster_id")))
       val changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
         .where($"cluster_id" =!= $"prev").count()
       labels = next

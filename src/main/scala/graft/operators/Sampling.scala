@@ -87,8 +87,9 @@ object Sampling {
       .sortWithinPartitions($"doc_id")
       .withColumn("pid", spark_partition_id())
       // materialize: the offsets job and the final job MUST observe the
-      // same physical partitioning (range boundaries come from sampling)
-      .localCheckpoint(true)
+      // same physical partitioning (range boundaries come from sampling);
+      // reliable checkpoint when spark.graft.checkpointDir is set
+      .transform(graft.Session.barrier)
     val perPart = toks.groupBy($"pid").agg(sum($"n_tokens").as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets: Map[Int, Long] = {

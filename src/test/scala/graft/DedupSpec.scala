@@ -75,6 +75,22 @@ class DedupSpec extends SparkSpec {
     byId(9L) shouldBe ((9L, true))   // singleton component
   }
 
+  test("dedupClusters under a reliable checkpoint dir produces identical clusters") {
+    val text = "the quick brown fox jumps over the lazy dog again and again and once more"
+    val d = docs(
+      (7L, "w", text), (3L, "w", text), (5L, "w", text + " tail"),
+      (9L, "w", "completely different words nowhere near the first document at all"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.conf.set("spark.graft.checkpointDir", ckpt)
+    try {
+      val out = Dedup.dedupClusters(d, threshold = 0.3).collect()
+      out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap shouldBe
+        Map(3L -> 3L, 5L -> 3L, 7L -> 3L, 9L -> 9L)
+      // the barrier really used reliable storage, not executor-local blocks
+      new java.io.File(ckpt).listFiles() should not be empty
+    } finally spark.conf.unset("spark.graft.checkpointDir")
+  }
+
   test("dedupClusters on a pairless corpus: every doc is its own canonical cluster") {
     val d = docs((1L, "w", "alpha beta gamma delta"), (2L, "w", "epsilon zeta eta theta"))
     val out = Dedup.dedupClusters(d, threshold = 0.9).collect()
