@@ -2,12 +2,24 @@ package graft
 
 object Bench {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Session.build("graft-bench")
-    // synthetic scale-up (SPARK_GRAFT_SCALE=k unions k key-shifted copies
-    // of every table — see sources.Tables.scaled); bench-only knob
+    // synthetic scale-up: SPARK_GRAFT_SCALE=k MATERIALIZES k key-shifted
+    // copies of every table to parquet once and benches against those
+    // files — queries then run their normal single-scan plans over k× the
+    // bytes. (The older `graft.scale` conf expanded each table reference
+    // into a k-way union inside every plan, which defeated scan reuse and
+    // codegen fusion and mis-charged that to the operators — see
+    // Tables.materializeScaled.)
     val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "1").toInt
-    if (scale > 1) spark.conf.set("graft.scale", scale.toString)
+    val sfDir =
+      if (scale <= 1) baseDir
+      else {
+        val dst = s"${System.getProperty("java.io.tmpdir")}/graft-scale$scale-" +
+          baseDir.replaceAll("[^0-9A-Za-z]+", "-").replaceAll("^-|-$", "")
+        sources.Tables.materializeScaled(spark, baseDir, dst, scale)
+        dst
+      }
     // warm up the machinery the first queries would otherwise pay for:
     // parquet scan, hash agg + shuffle, broadcast join, window, codegen
     locally {
@@ -28,21 +40,41 @@ object Bench {
       operators.Dedup.minhashLshPairs(tiny, threshold = 0.99).count()
       operators.Dedup.simhash(tiny).count()
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q06,m03 benches a comma-separated subset (scale probes)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
           false
       }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // quiesce OUTSIDE the timed region: a heap full of a previous
+      // query's shuffle garbage (e.g. d08's quadratic join) otherwise
+      // taxes whichever query runs next — measured 2-17x inflation on the
+      // tiny m-family when it followed d08 at scale=10
+      System.gc()
+      (name, elapsed, ok)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","scale":$scale}""")
+    val state = graft.streaming.StateMetrics.toJson
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"stream_state":$state,"sf":"$baseDir","scale":$scale}"""
+    println(json)
+    // also land the full line as a file: driver-side stdout capture has
+    // truncated the per-query map before (round-3 BENCH artifact), and the
+    // bench must stay machine-readable end to end
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

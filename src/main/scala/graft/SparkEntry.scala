@@ -223,6 +223,7 @@ object SparkEntry {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      graft.streaming.StateMetrics.record("w04_stream_landing", q)
     }
     s.read.parquet(s"$tmp/out")
       .select($"window_start".cast("timestamp_ntz").as("window_start"),
@@ -255,6 +256,7 @@ object SparkEntry {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      graft.streaming.StateMetrics.record("w05_stream_dedup", q)
     }
     s.read.parquet(s"$tmp/out")
       .select($"event_id", $"user_id", $"event_type",
@@ -292,6 +294,7 @@ object SparkEntry {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    graft.streaming.StateMetrics.record("w06_stream_anomaly", q)
     s.read.parquet(s"$tmp/out")
       .select($"variable", $"time".cast("timestamp_ntz").as("time"),
         $"lat", $"lon", round($"value", 4).as("value"))

@@ -28,13 +28,17 @@ object Tables {
     * regardless of the fixture's sub-microsecond content.
     */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val base = spark.read.parquet(s"$dir/$name.parquet")
-    val df =
-      if (name == "events" && base.schema("ts").dataType != TimestampNTZType)
-        base.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
-      else base
+    val df = readBase(spark, dir, name)
     val k = spark.conf.getOption("graft.scale").map(_.toInt).getOrElse(1)
     if (k <= 1) df else scaled(df, k)
+  }
+
+  /** The raw scan (+ events ns→µs fix), never synthetically scaled. */
+  private def readBase(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val base = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && base.schema("ts").dataType != TimestampNTZType)
+      base.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+    else base
   }
 
   /** Synthetic scale-up for bench/stress runs only (`graft.scale = k`,
@@ -60,5 +64,31 @@ object Tables {
       }
     }
     copies.reduce(_ unionByName _)
+  }
+
+  /** Materialize the k×-scaled tables to parquet ONCE, so scale benches
+    * read real k×-sized files through single scans.
+    *
+    * Rationale (round-3 scale audit): leaving `graft.scale` set makes
+    * every table reference expand to a k-way union of scans inside each
+    * query plan — a query that uses a table twice plans 2k scans, scan
+    * reuse and codegen fusion are defeated, and the bench charges that
+    * planning artifact to the operator. Several 10× ratios (q06 14×, q17
+    * 11×, m01–m03 6–8×) traced to exactly this. Materializing first makes
+    * the 10× run measure what it claims: the same plans over 10× the
+    * bytes. Idempotent via a _GRAFT_SCALED_OK marker; `events.ts` lands
+    * converted (µs ntz), which [[apply]] detects by schema and passes
+    * through.
+    */
+  def materializeScaled(spark: SparkSession, srcDir: String, dstDir: String, k: Int): Unit = {
+    val done = new java.io.File(dstDir, "_GRAFT_SCALED_OK")
+    if (done.exists()) return
+    new java.io.File(dstDir).mkdirs()
+    names.foreach { name =>
+      scaled(readBase(spark, srcDir, name), k)
+        .write.mode("overwrite").parquet(s"$dstDir/$name.parquet")
+    }
+    java.nio.file.Files.write(done.toPath,
+      s"source=$srcDir scale=$k".getBytes("UTF-8"))
   }
 }
