@@ -3,6 +3,8 @@ package graft.sources
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.time.LocalDateTime
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 
 /** Native GRIB edition-1 reader/writer (WMO FM-92 GRIB, public spec:
@@ -33,8 +35,9 @@ import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 object Grib1 {
 
   /** One decoded record: a dense 2-D field plus its georeferencing.
-    * `values` is row-major in scan order (j rows north→south, i fastest
-    * west→east); bitmap-masked cells are NaN.
+    * `values` is row-major in scan order (i fastest west→east; j rows
+    * north→south for scan mode 0x00, south→north for 0x40 —
+    * `scanJPositive`); bitmap-masked cells are NaN.
     */
   final case class Record(
       param: Int,
@@ -48,6 +51,7 @@ object Grib1 {
       lo1Milli: Int,
       diMilli: Int,
       djMilli: Int,
+      scanJPositive: Boolean,
       values: Array[Double])
 
   /** Long-format cell row (the engine's canonical grid shape). */
@@ -130,11 +134,15 @@ object Grib1 {
     val di = u16(gds + 23)
     val dj = u16(gds + 25)
     val scan = u(gds + 27)
-    require(scan == 0,
-      f"scanning mode 0x$scan%02x unsupported (only 0x00: +i, -j, i fastest) in $label")
+    // 0x00: +i −j (rows north→south); 0x40: +i +j (south→north). Anything
+    // else (−i, j-fastest) would silently transpose/mirror the grid.
+    require(scan == 0 || scan == 0x40,
+      f"scanning mode 0x$scan%02x unsupported (only 0x00 / 0x40) in $label")
+    val jPositive = scan == 0x40
     require(ni > 1 && nj > 1, s"degenerate grid ${ni}x$nj in $label")
     // sanity: increments must agree with the corner coordinates
-    require(lo1 + (ni - 1) * di == lo2 && la1 - (nj - 1) * dj == la2,
+    val laEnd = if (jPositive) la1 + (nj - 1) * dj else la1 - (nj - 1) * dj
+    require(lo1 + (ni - 1) * di == lo2 && laEnd == la2,
       s"GDS corners disagree with increments in $label")
 
     var cursor = gds + gdsLen
@@ -198,7 +206,7 @@ object Grib1 {
       }
     }
     Record(param, nameOf(param), levelType, level, time,
-      ni, nj, la1, lo1, di, dj, values)
+      ni, nj, la1, lo1, di, dj, jPositive, values)
   }
 
   /** IBM System/360 32-bit hexadecimal float (the GRIB1 reference-value
@@ -259,14 +267,39 @@ object Grib1 {
 
   /** Flatten one record to present cells (NaN-masked cells dropped). */
   def cells(r: Record): Iterator[GridRow] = {
+    val latStep = if (r.scanJPositive) r.djMilli.toLong else -r.djMilli.toLong
     val rows = Iterator.tabulate(r.nj * r.ni) { k =>
       val j = k / r.ni; val i = k % r.ni
       GridRow(r.variable, r.time,
-        (r.la1Milli - j.toLong * r.djMilli) / 1000.0,
+        (r.la1Milli + j * latStep) / 1000.0,
         (r.lo1Milli + i.toLong * r.diMilli) / 1000.0,
         r.values(k))
     }
     rows.filterNot(c => c.value.isNaN)
+  }
+
+  /** End-to-end landing: every GRIB1 file under `inDir` decoded
+    * distributed and written to the at-scale grid layout — partitioned by
+    * (variable, year, month) with dynamic overwrite, so re-landing a month
+    * is idempotent and the monthly cursor's scan prunes to one partition
+    * (the engine-native form of the reference's download→wgrib→convert
+    * step, era5monthly.js:46-77 + file-conversions.js:114-135). Returns
+    * the number of files landed.
+    */
+  def landToGrid(spark: SparkSession, inDir: String, gridDir: String): Int = {
+    val paths = {
+      val s = Files.walk(Paths.get(inDir))
+      try s.iterator().asScala
+        .filter(p => {
+          val n = p.getFileName.toString.toLowerCase
+          n.endsWith(".grib") || n.endsWith(".grb") || n.endsWith(".grib1")
+        })
+        .map(_.toString).toList.sorted
+      finally s.close()
+    }
+    if (paths.nonEmpty)
+      graft.operators.Raster.writePartitioned(readRecords(spark, paths), gridDir)
+    paths.size
   }
 
   // ---------------------------------------------------------------- write
@@ -281,8 +314,10 @@ object Grib1 {
                          ni: Int, nj: Int,
                          la1Milli: Int, lo1Milli: Int, diMilli: Int, djMilli: Int,
                          decimalScale: Int,
-                         scaled: Array[Option[Int]]) {
+                         scaled: Array[Option[Int]],
+                         scanMode: Int = 0x00) {
     require(scaled.length == ni * nj, "scaled length must be ni*nj")
+    require(scanMode == 0x00 || scanMode == 0x40, "scan mode must be 0x00 or 0x40")
   }
 
   /** Serialize messages to spec-compliant GRIB1 bytes (IS+PDS+GDS[+BMS]+
@@ -319,13 +354,16 @@ object Grib1 {
       s16b(f.decimalScale))
     require(pds.length == 28, s"PDS length ${pds.length}")
 
-    val la2 = f.la1Milli - (f.nj - 1) * f.djMilli
+    val la2 =
+      if (f.scanMode == 0x40) f.la1Milli + (f.nj - 1) * f.djMilli
+      else f.la1Milli - (f.nj - 1) * f.djMilli
     val lo2 = f.lo1Milli + (f.ni - 1) * f.diMilli
     val gds = Array.concat(
       u24(32), Array[Byte](0, (255 & 0xff).toByte, 0),
       u16(f.ni), u16(f.nj), s24b(f.la1Milli), s24b(f.lo1Milli),
       Array[Byte]((0x80 & 0xff).toByte), s24b(la2), s24b(lo2),
-      u16(f.diMilli), u16(f.djMilli), Array[Byte](0, 0, 0, 0, 0))
+      u16(f.diMilli), u16(f.djMilli),
+      Array[Byte](f.scanMode.toByte, 0, 0, 0, 0))
     require(gds.length == 32, s"GDS length ${gds.length}")
 
     val bms: Array[Byte] = if (!hasBms) Array.emptyByteArray else {

@@ -93,6 +93,72 @@ class GribSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy Grib1.parseMessages(notGrib)
   }
 
+  test("scan mode 0x40 (south-to-north rows) georeferences correctly") {
+    val f0 = field()
+    val up = f0.copy(la1Milli = f0.la1Milli - (f0.nj - 1) * f0.djMilli, scanMode = 0x40)
+    val rec = Grib1.parseMessages(Grib1.write(Seq(up))).head
+    rec.scanJPositive shouldBe true
+    // same values, row j georeferenced upward from the southern corner
+    val north = Grib1.cells(Grib1.parseMessages(Grib1.write(Seq(f0))).head).toSeq
+    val south = Grib1.cells(rec).toSeq
+    // both cover the same lat set; a fixed (lat, lon) carries a DIFFERENT
+    // value (row order differs), but the lat/lon domain is identical
+    north.map(c => (c.lat, c.lon)).toSet shouldBe south.map(c => (c.lat, c.lon)).toSet
+    // row 0 of the 0x40 record is the southern edge
+    south.take(7).foreach(_.lat shouldBe (37.0 - 4 * 2.0))
+  }
+
+  test("codec property sweep: random grids round-trip exactly (both scan modes)") {
+    val rnd = new scala.util.Random(20260812L)
+    for (trial <- 0 until 40) {
+      val ni = 2 + rnd.nextInt(7); val nj = 2 + rnd.nextInt(6)
+      val d = rnd.nextInt(5) - 2 // decimal scale in [-2, 2]
+      val masked = rnd.nextBoolean()
+      val scan = if (rnd.nextBoolean()) 0x40 else 0x00
+      val scaled = Array.tabulate(ni * nj) { _ =>
+        if (masked && rnd.nextInt(5) == 0) None
+        else Some(rnd.nextInt(100000) - 20000) // negative references too
+      }
+      if (scaled.exists(_.isDefined)) {
+        val f = Grib1.Field(11, LocalDateTime.of(1996 + rnd.nextInt(8), 1 + rnd.nextInt(12), 1, 0, 0),
+          ni, nj, la1Milli = rnd.nextInt(60000) - 30000, lo1Milli = rnd.nextInt(300000) - 150000,
+          diMilli = 500 + rnd.nextInt(2000), djMilli = 500 + rnd.nextInt(2000),
+          decimalScale = d, scaled = scaled, scanMode = scan)
+        val rec = Grib1.parseMessages(Grib1.write(Seq(f))).head
+        withClue(s"trial $trial (ni=$ni nj=$nj d=$d scan=$scan): ") {
+          rec.time shouldBe f.time
+          for (k <- 0 until ni * nj) scaled(k) match {
+            case None => rec.values(k).isNaN shouldBe true
+            case Some(x) => rec.values(k) shouldBe x / math.pow(10.0, d)
+          }
+        }
+      }
+    }
+  }
+
+  test("landToGrid: GRIB dir -> partitioned grid store, pruned reads, idempotent") {
+    val in = Files.createTempDirectory("graft-grib-land-in")
+    val out = Files.createTempDirectory("graft-grib-land-out").resolve("grid").toString
+    val mar = field() // 1998-03
+    val apr = mar.copy(time = LocalDateTime.of(1998, 4, 1, 0, 0))
+    Grib1.writeFile(in.resolve("a.grib"), Seq(mar))
+    Grib1.writeFile(in.resolve("sub").resolve("b.grb"), Seq(apr, apr.copy(param = 61)))
+    Grib1.writeFile(in.resolve("ignore.txt.tmp"), Seq(mar)) // not a grib extension
+    Grib1.landToGrid(spark, in.toString, out) shouldBe 2
+
+    import org.apache.spark.sql.functions._
+    val grid = spark.read.parquet(out)
+    grid.count() shouldBe 3 * 35
+    // partition layout: variable/year/month directories exist
+    new java.io.File(s"$out/variable=TMP/year=1998/month=3").exists() shouldBe true
+    new java.io.File(s"$out/variable=PRATE/year=1998/month=4").exists() shouldBe true
+    // pruned read returns exactly one layer
+    grid.where(col("variable") === "TMP" && col("month") === 4).count() shouldBe 35
+    // idempotent: re-landing the same files overwrites, not duplicates
+    Grib1.landToGrid(spark, in.toString, out) shouldBe 2
+    spark.read.parquet(out).count() shouldBe 3 * 35
+  }
+
   test("readRecords lands files distributed as the long-format grid") {
     val dir = Files.createTempDirectory("graft-grib-spec")
     val p1 = dir.resolve("a.grib"); val p2 = dir.resolve("b.grib")
