@@ -59,6 +59,10 @@ object Session {
       .config("spark.sql.files.maxPartitionBytes", "134217728")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "67108864")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // StateMetrics sums input rows over recentProgress, a ring buffer
+      // capped by this conf (default 100) — a gate running more
+      // micro-batches than the cap would silently undercount
+      .config("spark.sql.streaming.numRecentProgressUpdates", "10000")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -123,8 +123,13 @@ object Similarity {
     */
   def labelCentroids(embeddings: DataFrame): DataFrame = {
     // one-row metadata probe, not a data-plane collect: any corpus width
-    // (64, 768, ...) works without truncating the centroid
-    val dims = embeddings.select(size(col("embedding"))).head().getInt(0)
+    // (64, 768, ...) works without truncating the centroid. An empty (or
+    // null-first) input short-circuits to width 1 — the aggregation below
+    // then returns the correctly-shaped empty result instead of throwing.
+    val dims = embeddings.select(size(col("embedding"))).head(1) match {
+      case Array(r) if !r.isNullAt(0) && r.getInt(0) > 0 => r.getInt(0)
+      case _ => 1
+    }
     val sums = (0 until dims).map(d =>
       avg(element_at($"embedding", d + 1).cast("double")).as(s"c$d"))
     val centroids = embeddings.groupBy($"label").agg(sums.head, sums.tail: _*)

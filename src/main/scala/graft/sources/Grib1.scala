@@ -85,6 +85,11 @@ object Grib1 {
       val total = (u(pos + 4) << 16) | (u(pos + 5) << 8) | u(pos + 6)
       val edition = u(pos + 7)
       require(edition == 1, s"GRIB edition $edition unsupported (only 1) in $label")
+      // a zero/absurd total would loop forever re-parsing the same offset;
+      // a total past EOF means a truncated file — both are corrupt input
+      require(total > 8 && pos + total <= bytes.length,
+        s"corrupt GRIB total-length $total at offset $pos in $label " +
+          s"(file has ${bytes.length} bytes)")
       out += parseMessage(bytes, pos, label)
       pos += total
       // tolerate trailing padding some producers append between messages
@@ -152,6 +157,10 @@ object Grib1 {
         val bmsLen = u24(cursor)
         require(u16(cursor + 4) == 0,
           s"predefined (catalogued) bitmap unsupported in $label")
+        // a BMS shorter than the grid would silently read BDS bytes as
+        // bitmap bits and misalign every value against its cell
+        require(bmsLen >= 6 + (ni * nj + 7) / 8,
+          s"BMS length $bmsLen too short for ${ni}x$nj grid in $label")
         val bits = Array.ofDim[Boolean](ni * nj)
         var k = 0
         while (k < bits.length) {
@@ -165,8 +174,12 @@ object Grib1 {
     val bds = cursor
     val bdsLen = u24(bds)
     val bdsFlags = u(bds + 3) >> 4
-    require((bdsFlags & 0xc) == 0,
-      s"BDS flags 0x$bdsFlags%x unsupported (only grid-point simple packing) in $label")
+    // bit 8: spherical harmonics; bit 4: complex packing; bit 1: octet-14
+    // extension flags (second-order packing etc.) — with any of these the
+    // packed data does NOT start at octet 12, so decoding would produce
+    // garbage, not an error. Bit 2 (integer original type) decodes fine.
+    require((bdsFlags & 0xd) == 0,
+      f"BDS flags 0x$bdsFlags%x unsupported (only grid-point simple packing, no octet-14 extensions) in $label")
     val eScale = s16(bds + 4)
     val ref = ibmFloat(u(bds + 6), u(bds + 7), u(bds + 8), u(bds + 9))
     val nbits = u(bds + 10)

@@ -120,6 +120,14 @@ object RasterBinarySink {
     // unique tmp per attempt: a retried/speculative task for the same layer
     // must not interleave bytes into a shared ".tmp" before the move
     val tmp = Files.createTempFile(target.getParent, target.getFileName.toString, ".tmp")
+    // createTempFile makes 0600 and ATOMIC_MOVE preserves it — these files
+    // are published for downstream GIS consumers, so open them to 0644
+    try Files.setPosixFilePermissions(tmp, java.util.EnumSet.of(
+      java.nio.file.attribute.PosixFilePermission.OWNER_READ,
+      java.nio.file.attribute.PosixFilePermission.OWNER_WRITE,
+      java.nio.file.attribute.PosixFilePermission.GROUP_READ,
+      java.nio.file.attribute.PosixFilePermission.OTHERS_READ))
+    catch { case _: UnsupportedOperationException => () /* non-POSIX FS */ }
     Files.write(tmp, bytes)
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)

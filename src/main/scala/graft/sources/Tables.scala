@@ -82,13 +82,26 @@ object Tables {
     */
   def materializeScaled(spark: SparkSession, srcDir: String, dstDir: String, k: Int): Unit = {
     val done = new java.io.File(dstDir, "_GRAFT_SCALED_OK")
-    if (done.exists()) return
+    // the marker records what was materialized, keyed by source identity
+    // (path + each input's length&mtime) — regenerated fixtures or a
+    // different source mapping to the same dst dir re-materialize instead
+    // of silently benching stale data
+    val stamp = {
+      val inputs = names.map { n =>
+        val f = new java.io.File(srcDir, s"$n.parquet")
+        s"$n:${f.length}:${f.lastModified}"
+      }.mkString(",")
+      s"source=$srcDir scale=$k inputs=$inputs"
+    }
+    if (done.exists() &&
+        new String(java.nio.file.Files.readAllBytes(done.toPath), "UTF-8") == stamp)
+      return
+    java.nio.file.Files.deleteIfExists(done.toPath)
     new java.io.File(dstDir).mkdirs()
     names.foreach { name =>
       scaled(readBase(spark, srcDir, name), k)
         .write.mode("overwrite").parquet(s"$dstDir/$name.parquet")
     }
-    java.nio.file.Files.write(done.toPath,
-      s"source=$srcDir scale=$k".getBytes("UTF-8"))
+    java.nio.file.Files.write(done.toPath, stamp.getBytes("UTF-8"))
   }
 }

@@ -86,11 +86,33 @@ class GribSpec extends SparkSpec {
     val bytes = Grib1.write(Seq(field()))
     val ed2 = bytes.clone(); ed2(7) = 2
     an[IllegalArgumentException] should be thrownBy Grib1.parseMessages(ed2)
-    // GDS scan-mode octet 28 (offset: 8 IS + 28 PDS + 27)
-    val scan = bytes.clone(); scan(8 + 28 + 27) = 0x40.toByte
+    // GDS scan-mode octet 28 (offset: 8 IS + 28 PDS + 27): 0x20 = j varies
+    // fastest — would transpose the grid if decoded naively
+    val scan = bytes.clone(); scan(8 + 28 + 27) = 0x20.toByte
     an[IllegalArgumentException] should be thrownBy Grib1.parseMessages(scan)
     val notGrib = "NOPE".getBytes("US-ASCII") ++ bytes.drop(4)
     an[IllegalArgumentException] should be thrownBy Grib1.parseMessages(notGrib)
+  }
+
+  test("corrupt structure is rejected: zero total-length, truncation, short BMS, BDS extensions") {
+    val bytes = Grib1.write(Seq(field()))
+    // total length zero would loop forever re-parsing offset 0
+    val zeroLen = bytes.clone(); zeroLen(4) = 0; zeroLen(5) = 0; zeroLen(6) = 0
+    an[IllegalArgumentException] should be thrownBy Grib1.parseMessages(zeroLen)
+    // truncated file: total length points past EOF
+    an[IllegalArgumentException] should be thrownBy
+      Grib1.parseMessages(bytes.dropRight(10))
+    // BDS octet-14 extension flag (bit 1 of the high nibble): data would
+    // not start at octet 12 — must reject, not mis-decode
+    val bds = 8 + 28 + 32 // IS + PDS + GDS (no BMS in the plain field)
+    val ext = bytes.clone(); ext(bds + 3) = (ext(bds + 3) | 0x10).toByte
+    an[IllegalArgumentException] should be thrownBy Grib1.parseMessages(ext)
+    // short BMS: bitmap length below ceil(ni*nj/8)
+    val masked = Grib1.write(Seq(field(param = 61, masked = true)))
+    val bms = 8 + 28 + 32
+    val short = masked.clone(); short(bms + 2) = 6 // 24-bit len low byte → 6 (header only)
+    short(bms + 1) = 0; short(bms) = 0
+    an[IllegalArgumentException] should be thrownBy Grib1.parseMessages(short)
   }
 
   test("scan mode 0x40 (south-to-north rows) georeferences correctly") {
