@@ -321,14 +321,23 @@ object Dedup {
     var converged = false
     while (round < maxRounds && !converged) {
       // neighbour labels flow along edges; each doc keeps the min of its
-      // own label and everything received
+      // own label and everything received. ONE shuffle-join + aggregate
+      // per round: carrying the previous label through the union (tagged
+      // by `own`) lets the same aggregate produce both the new label and
+      // the convergence signal — the former formulation re-joined `next`
+      // against `labels` just to count changes, a second shuffle per
+      // round that dominates when rounds are job-overhead-bound.
       val messages = edges.join(labels, edges("doc_b") === labels("doc_id"))
-        .select(edges("doc_a").as("doc_id"), $"cluster_id")
-      val next = graft.Session.barrier(labels.unionByName(messages)
-        .groupBy($"doc_id").agg(min($"cluster_id").as("cluster_id")))
-      val changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
-        .where($"cluster_id" =!= $"prev").count()
-      labels = next
+        .select(edges("doc_a").as("doc_id"), $"cluster_id", lit(false).as("own"))
+      val next = graft.Session.barrier(
+        labels.select($"doc_id", $"cluster_id", lit(true).as("own"))
+          .unionByName(messages)
+          .groupBy($"doc_id")
+          .agg(min($"cluster_id").as("cluster_id"),
+               // the doc's previous label is the row tagged own=true
+               min(when($"own", $"cluster_id")).as("prev")))
+      val changed = next.where($"cluster_id" =!= $"prev").count()
+      labels = next.select($"doc_id", $"cluster_id")
       converged = changed == 0
       round += 1
     }
