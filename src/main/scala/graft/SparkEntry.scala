@@ -595,6 +595,15 @@ object SparkEntry {
     "t07_stratified_sample" -> ((s, d) => Sampling.byContentHashStratified(
       t(s, d)("documents"),
       Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.1))),
+    // benchmark decontamination: docs whose id ≡ 0 (mod 10) act as the
+    // held-out eval set; every other doc reports its distinct-5-gram
+    // overlap with that set (the pre-training contamination check)
+    "t08_decontaminate" -> ((s, d) => {
+      val docs = t(s, d)("documents")
+      TextAnalysis.contaminationReport(
+        docs.where($"doc_id" % 10 =!= 0), docs.where($"doc_id" % 10 === 0), n = 5)
+    }),
+    "t09_repetition" -> ((s, d) => TextAnalysis.repetitionStats(t(s, d)("documents"))),
     // ---- skew-mitigation equivalence (SCALE.md escape hatches) ----
     // salted shapes must be row-for-row equal to their plain formulations;
     // the oracle computes the plain form
@@ -1344,6 +1353,39 @@ object SparkEntry {
            WHEN 'src0' THEN '${operators.Sampling.thresholdHex(1.0)}'
            ELSE '${operators.Sampling.thresholdHex(0.0)}' END
          ORDER BY doc_id""",
+    // mirrors TextAnalysis.contaminationReport: distinct 5-gram poly
+    // hashes per doc; docs ≡ 0 (mod 10) are the benchmark side
+    "t08_decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+                        FROM documents),
+         g0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-4),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                       || ' ' || t[i+4])) AS gram
+                FROM toks),
+         gh AS (SELECT DISTINCT doc_id, ${polyHash.duckdbSql("gram")} AS g FROM g0),
+         cg AS (SELECT * FROM gh WHERE doc_id % 10 != 0),
+         bg AS (SELECT DISTINCT g FROM gh WHERE doc_id % 10 = 0),
+         sizes AS (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY 1),
+         m AS (SELECT doc_id, count(*) AS n_matched FROM cg JOIN bg USING (g) GROUP BY 1)
+         SELECT s.doc_id, s.n_grams, m.n_matched,
+                CAST(m.n_matched AS DOUBLE)/CAST(s.n_grams AS DOUBLE) AS contamination
+         FROM sizes s JOIN m USING (doc_id)
+         ORDER BY doc_id""",
+    // mirrors TextAnalysis.repetitionStats over bigrams; the shares are
+    // unrounded IEEE divisions of identical longs
+    "t09_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+                       FROM documents),
+         g0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
+                  i -> t[i] || ' ' || t[i+1])) AS gram FROM toks),
+         gc AS (SELECT doc_id, gram, count(*) AS c FROM g0 GROUP BY 1, 2),
+         tot AS (SELECT doc_id, count(*) AS n_grams FROM g0 GROUP BY 1),
+         agg AS (SELECT doc_id, count(*) AS n_distinct, max(c) AS top_count
+                 FROM gc GROUP BY 1)
+         SELECT t.doc_id, t.n_grams, a.n_distinct, a.top_count,
+                CAST(t.n_grams - a.n_distinct AS DOUBLE)/CAST(t.n_grams AS DOUBLE) AS dup_share,
+                CAST(a.top_count AS DOUBLE)/CAST(t.n_grams AS DOUBLE) AS top_share
+         FROM tot t JOIN agg a USING (doc_id) ORDER BY doc_id""",
     "x01_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n,
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.Scalars
+import graft.functions.{PolyHash, Scalars}
 import graft.implicits._
 
 /** Text-analysis operators for the LLM-training-data pipeline (north-star
@@ -108,6 +108,63 @@ object TextAnalysis {
       .withColumn("clean_hash", md5(clean.cast("binary")))
       .withColumn("clean_tokens", regexp_count(clean, lit("\\S+")).cast("long"))
       .select($"doc_id", $"n_emails", $"n_urls", $"clean_hash", $"clean_tokens")
+      .orderBy($"doc_id")
+  }
+
+  /** Word n-grams of a token array (same construction as the dedup
+    * family: every slice has identical length so zip_with never pads).
+    */
+  private def wordGrams(toks: Column, n: Int): Column = {
+    val len = size(toks)
+    val parts = (0 until n).map(i => slice(toks, lit(i + 1), greatest(len - (n - 1), lit(0))))
+    parts.reduce((a, b) => zip_with(a, b, (x, y) => concat_ws(" ", x, y)))
+  }
+
+  /** Benchmark decontamination: for every training document, the fraction
+    * of its distinct word n-grams that also occur anywhere in an
+    * evaluation/benchmark set — the standard n-gram-overlap contamination
+    * check run before training on scraped corpora (so eval results are
+    * not inflated by memorized test items).
+    *
+    * Scale shape: gram identity is the 8-byte poly_hash (no gram strings
+    * shuffle); the benchmark side collapses to DISTINCT gram hashes —
+    * eval suites are tiny next to a 100 TB corpus, so that set broadcasts
+    * and the corpus side never shuffles at all: scan → explode →
+    * broadcast-semi-join → per-doc aggregate.
+    */
+  def contaminationReport(corpus: DataFrame, benchmark: DataFrame, n: Int = 8): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df
+      .select($"doc_id", explode(wordGrams(split(lower($"text"), "\\s+"), n)).as("gram"))
+      .select($"doc_id", PolyHash($"gram").as("g"))
+      .distinct()
+    val cg = grams(corpus)
+    val bg = grams(benchmark).select($"g").distinct()
+    val sizes = cg.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+    val matched = cg.join(broadcast(bg), "g")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_matched"))
+    sizes.join(matched, Seq("doc_id"))
+      .select($"doc_id", $"n_grams", $"n_matched",
+        // IEEE division of two exact longs — identical in the oracle
+        ($"n_matched".cast("double") / $"n_grams".cast("double")).as("contamination"))
+      .orderBy($"doc_id")
+  }
+
+  /** Gopher/C4-style repetition signals per document: duplicate-n-gram
+    * share and the most frequent n-gram's share — the filters that drop
+    * boilerplate and template spam from training corpora. One explode +
+    * two aggregates, no joins; narrow at any corpus size.
+    */
+  def repetitionStats(documents: DataFrame, n: Int = 2): DataFrame = {
+    val perGram = documents
+      .select($"doc_id", explode(wordGrams(split(lower($"text"), "\\s+"), n)).as("gram"))
+      .groupBy($"doc_id", $"gram").agg(count(lit(1)).as("c"))
+    perGram.groupBy($"doc_id")
+      .agg(sum($"c").cast("long").as("n_grams"),
+           count(lit(1)).as("n_distinct"),
+           max($"c").as("top_count"))
+      .select($"doc_id", $"n_grams", $"n_distinct", $"top_count",
+        (($"n_grams" - $"n_distinct").cast("double") / $"n_grams".cast("double")).as("dup_share"),
+        ($"top_count".cast("double") / $"n_grams".cast("double")).as("top_share"))
       .orderBy($"doc_id")
   }
 }

@@ -45,4 +45,34 @@ class TextAnalysisSpec extends SparkSpec {
     val f = TextAnalysis.fingerprints(d).as[(Long, Long)].collect().toMap
     f(1L) shouldBe f(2L)
   }
+
+  test("contaminationReport: overlap fraction against a benchmark set") {
+    val bench = docs((100L, "the quick brown fox jumps over the lazy dog", "en", "w"))
+    val corpus = docs(
+      // contains the benchmark's "quick brown fox" trigram verbatim
+      (1L, "a quick brown fox appeared in the garden today", "en", "w"),
+      // shares no trigram with the benchmark
+      (2L, "completely different words in every position here now", "en", "w"))
+    val out = TextAnalysis.contaminationReport(corpus, bench, n = 3).collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_grams"), r.getAs[Long]("n_matched"))).toMap
+    byId.keySet shouldBe Set(1L) // doc 2 has no matches → no row
+    byId(1L)._1 shouldBe 7L // 9 tokens → 7 distinct trigrams
+    byId(1L)._2 shouldBe 1L // "quick brown fox"
+    out.head.getAs[Double]("contamination") shouldBe 1.0 / 7.0
+  }
+
+  test("repetitionStats: duplicate and top-gram shares") {
+    val d = docs(
+      (1L, "spam spam spam spam spam", "en", "w"), // 4 bigrams, all identical
+      (2L, "all words are unique here", "en", "w")) // 4 distinct bigrams
+    val out = TextAnalysis.repetitionStats(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    out(1L).getAs[Long]("n_grams") shouldBe 4L
+    out(1L).getAs[Long]("n_distinct") shouldBe 1L
+    out(1L).getAs[Double]("dup_share") shouldBe 0.75
+    out(1L).getAs[Double]("top_share") shouldBe 1.0
+    out(2L).getAs[Double]("dup_share") shouldBe 0.0
+    out(2L).getAs[Double]("top_share") shouldBe 0.25
+  }
 }
