@@ -1367,10 +1367,12 @@ object SparkEntry {
          bg AS (SELECT DISTINCT g FROM gh WHERE doc_id % 10 = 0),
          sizes AS (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY 1),
          m AS (SELECT doc_id, count(*) AS n_matched FROM cg JOIN bg USING (g) GROUP BY 1)
-         SELECT s.doc_id, s.n_grams, m.n_matched,
-                CAST(m.n_matched AS DOUBLE)/CAST(s.n_grams AS DOUBLE) AS contamination
-         FROM sizes s JOIN m USING (doc_id)
-         ORDER BY doc_id""",
+         SELECT s.doc_id, s.n_grams,
+                coalesce(m.n_matched, CAST(0 AS BIGINT)) AS n_matched,
+                CAST(coalesce(m.n_matched, 0) AS DOUBLE)/CAST(s.n_grams AS DOUBLE)
+                  AS contamination
+         FROM sizes s LEFT JOIN m USING (doc_id)
+         ORDER BY s.doc_id""",
     // mirrors TextAnalysis.repetitionStats over bigrams; the shares are
     // unrounded IEEE divisions of identical longs
     "t09_repetition" ->

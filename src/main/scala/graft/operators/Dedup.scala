@@ -16,10 +16,12 @@ import graft.implicits._
   */
 object Dedup {
 
-  private def tokens(c: Column): Column = split(lower(c), "\\s+")
+  private[operators] def tokens(c: Column): Column = split(lower(c), "\\s+")
 
-  /** Word n-grams as an array column; empty when the doc has < n tokens. */
-  private def ngrams(toks: Column, n: Int): Column = {
+  /** Word n-grams as an array column; empty when the doc has < n tokens.
+    * Shared with [[TextAnalysis]] (contamination/repetition grams).
+    */
+  private[operators] def ngrams(toks: Column, n: Int): Column = {
     val len = size(toks)
     val parts = (0 until n).map(i => slice(toks, lit(i + 1), greatest(len - (n - 1), lit(0))))
     parts.reduce((a, b) => zip_with(a, b, (x, y) => concat_ws(" ", x, y)))

@@ -111,15 +111,6 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
-  /** Word n-grams of a token array (same construction as the dedup
-    * family: every slice has identical length so zip_with never pads).
-    */
-  private def wordGrams(toks: Column, n: Int): Column = {
-    val len = size(toks)
-    val parts = (0 until n).map(i => slice(toks, lit(i + 1), greatest(len - (n - 1), lit(0))))
-    parts.reduce((a, b) => zip_with(a, b, (x, y) => concat_ws(" ", x, y)))
-  }
-
   /** Benchmark decontamination: for every training document, the fraction
     * of its distinct word n-grams that also occur anywhere in an
     * evaluation/benchmark set — the standard n-gram-overlap contamination
@@ -134,7 +125,7 @@ object TextAnalysis {
     */
   def contaminationReport(corpus: DataFrame, benchmark: DataFrame, n: Int = 8): DataFrame = {
     def grams(df: DataFrame): DataFrame = df
-      .select($"doc_id", explode(wordGrams(split(lower($"text"), "\\s+"), n)).as("gram"))
+      .select($"doc_id", explode(Dedup.ngrams(Dedup.tokens($"text"), n)).as("gram"))
       .select($"doc_id", PolyHash($"gram").as("g"))
       .distinct()
     val cg = grams(corpus)
@@ -142,10 +133,14 @@ object TextAnalysis {
     val sizes = cg.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
     val matched = cg.join(broadcast(bg), "g")
       .groupBy($"doc_id").agg(count(lit(1)).as("n_matched"))
-    sizes.join(matched, Seq("doc_id"))
-      .select($"doc_id", $"n_grams", $"n_matched",
+    // LEFT join: an uncontaminated document must report 0, not vanish —
+    // the downstream filter keeps exactly the clean docs
+    sizes.join(matched, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_grams",
+        coalesce($"n_matched", lit(0L)).as("n_matched"),
         // IEEE division of two exact longs — identical in the oracle
-        ($"n_matched".cast("double") / $"n_grams".cast("double")).as("contamination"))
+        (coalesce($"n_matched", lit(0L)).cast("double") /
+          $"n_grams".cast("double")).as("contamination"))
       .orderBy($"doc_id")
   }
 
@@ -156,7 +151,7 @@ object TextAnalysis {
     */
   def repetitionStats(documents: DataFrame, n: Int = 2): DataFrame = {
     val perGram = documents
-      .select($"doc_id", explode(wordGrams(split(lower($"text"), "\\s+"), n)).as("gram"))
+      .select($"doc_id", explode(Dedup.ngrams(Dedup.tokens($"text"), n)).as("gram"))
       .groupBy($"doc_id", $"gram").agg(count(lit(1)).as("c"))
     perGram.groupBy($"doc_id")
       .agg(sum($"c").cast("long").as("n_grams"),

@@ -48,6 +48,7 @@ object GeoTiff {
   def encode(width: Int, height: Int, values: Array[Float],
              lonEdge: Double, latEdge: Double, cellX: Double, cellY: Double,
              nodata: Float, lzw: Boolean = true): Array[Byte] = {
+    require(width > 0 && height > 0, s"degenerate raster ${width}x$height")
     require(values.length == width * height,
       s"expected ${width * height} values, got ${values.length}")
     val raw = {
@@ -213,6 +214,12 @@ object GeoTiff {
         val plain = if (comp == 5) Lzw.decompress(packed) else packed
         // predictor-space bytes are endian-independent (big-endian byte
         // planes); without the predictor they are in file byte order
+        // bound-check BEFORE writing: an oversized or ragged strip must
+        // surface as a clear error, not an index crash mid-copy
+        require(plain.length % 4 == 0 &&
+          v + plain.length / 4 <= values.length,
+          s"strip decodes to ${plain.length} bytes — exceeds the " +
+            s"${width}x$height Float32 grid (have $v of ${values.length} samples)")
         val le = if (predictor == 3) unpredictRows(plain, width)
                  else if (order == ByteOrder.LITTLE_ENDIAN) plain
                  else { val r = plain.clone(); var i = 0
@@ -363,7 +370,10 @@ object GeoTiff {
         // encoder's own 2^w, compensating the one-entry table lag
         // (validated against JDK ImageIO TIFF streams)
         while (next >= (1 << width) - 1 && width < 12) width += 1
-        if (bitPos + width > totalBits) return Eoi // ran off the end: stop
+        // a conforming stream always ends with an explicit EOI code;
+        // running out of bits first means the strip was truncated
+        require(bitPos + width <= totalBits,
+          s"truncated LZW stream: ${totalBits - bitPos} bits left, need $width")
         var v = 0; var t = 0
         while (t < width) {
           v = (v << 1) | ((input(bitPos >> 3) >> (7 - (bitPos & 7))) & 1)
@@ -400,6 +410,10 @@ object GeoTiff {
               s - 1
             }
           out.write(stack, start, stack.length - start)
+          // a conforming encoder resets at 4094; entries past 4095 mean
+          // a corrupt stream, not a bigger table
+          require(next < 4096,
+            "corrupt LZW stream: table overflow without a ClearCode")
           prefix(next) = old; suffix(next) = stack(start)
           next += 1
           old = code

@@ -55,11 +55,13 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, "completely different words in every position here now", "en", "w"))
     val out = TextAnalysis.contaminationReport(corpus, bench, n = 3).collect()
     val byId = out.map(r => r.getAs[Long]("doc_id") ->
-      (r.getAs[Long]("n_grams"), r.getAs[Long]("n_matched"))).toMap
-    byId.keySet shouldBe Set(1L) // doc 2 has no matches → no row
-    byId(1L)._1 shouldBe 7L // 9 tokens → 7 distinct trigrams
-    byId(1L)._2 shouldBe 1L // "quick brown fox"
-    out.head.getAs[Double]("contamination") shouldBe 1.0 / 7.0
+      (r.getAs[Long]("n_grams"), r.getAs[Long]("n_matched"),
+       r.getAs[Double]("contamination"))).toMap
+    // EVERY corpus doc reports — a clean doc must say 0, not vanish
+    // (the downstream filter keeps exactly the uncontaminated docs)
+    byId.keySet shouldBe Set(1L, 2L)
+    byId(1L) shouldBe ((7L, 1L, 1.0 / 7.0)) // 9 tokens → 7 trigrams; "quick brown fox" matches
+    byId(2L) shouldBe ((6L, 0L, 0.0))
   }
 
   test("repetitionStats: duplicate and top-gram shares") {
