@@ -39,6 +39,7 @@ object Bench {
       operators.Dedup.ngramJaccardPairs(tiny, 2, 0.99).count()
       operators.Dedup.minhashLshPairs(tiny, threshold = 0.99).count()
       operators.Dedup.simhash(tiny).count()
+      operators.TextAnalysis.contaminationReport(tiny, tiny.limit(8), n = 5).count()
     }
     // SPARK_GRAFT_ONLY=q06,m03 benches a comma-separated subset (scale probes)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
