@@ -149,6 +149,23 @@ class GeoTiffLzwSpec extends AnyFunSuite with Matchers {
     GeoTiff.predictRows(flat.array(), w).count(_ == 0) should be > (w * 3)
   }
 
+  test("ERA5-shaped layer (1440x721 Float32) compresses and round-trips") {
+    val (w, h) = (1440, 721)
+    // smooth global temperature-like field with a nodata pole cap
+    val vals = Array.tabulate(w * h) { k =>
+      val y = k / w
+      if (y < 8) -9999f
+      else (250.0 + 40.0 * math.sin(y * math.Pi / h) +
+            3.0 * math.sin((k % w) * 2 * math.Pi / w)).toFloat
+    }
+    val bytes = GeoTiff.encode(w, h, vals, -180.0, 90.0, 0.25, 0.25, -9999f)
+    // predictor + LZW must beat raw Float32 comfortably on smooth data
+    bytes.length should be < (w * h * 4 / 2)
+    val t = GeoTiff.decode(bytes)
+    t.values.toSeq shouldBe vals.toSeq
+    (t.width, t.height) shouldBe (w, h)
+  }
+
   test("LZW GeoTIFF: full encode/decode round-trip and smaller-than-raw on smooth data") {
     val (w, h) = (40, 30)
     // smooth field: the realistic raster case LZW+predictor targets

@@ -181,6 +181,23 @@ class GribSpec extends SparkSpec {
     spark.read.parquet(out).count() shouldBe 3 * 35
   }
 
+  test("full ERA5-shaped grid (1440x721, 0.25 deg) round-trips through the codec") {
+    // the reference's declared grid (era5monthly.js:27-32): global 0.25°,
+    // ~1M cells — proves the bitstream/packing path at realistic layer size
+    val (ni, nj) = (1440, 721)
+    val f = Grib1.Field(11, LocalDateTime.of(1998, 3, 1, 0, 0), ni, nj,
+      la1Milli = 90000, lo1Milli = 0, diMilli = 250, djMilli = 250,
+      decimalScale = 1,
+      Array.tabulate(nj * ni)(k => Some((k * 31 + k / ni * 7) % 4000)))
+    val bytes = Grib1.write(Seq(f))
+    bytes.length should be < (ni * nj * 2 + 1024) // ≤12-bit packing
+    val rec = Grib1.parseMessages(bytes).head
+    (rec.ni, rec.nj) shouldBe (ni, nj)
+    // spot-check corners + center against the closed form
+    for (k <- Seq(0, ni - 1, ni * nj / 2, ni * nj - 1))
+      rec.values(k) shouldBe ((k * 31 + k / ni * 7) % 4000) / 10.0
+  }
+
   test("readRecords lands files distributed as the long-format grid") {
     val dir = Files.createTempDirectory("graft-grib-spec")
     val p1 = dir.resolve("a.grib"); val p2 = dir.resolve("b.grib")
