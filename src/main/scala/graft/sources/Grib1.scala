@@ -3,8 +3,6 @@ package graft.sources
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.time.LocalDateTime
 
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 
 /** Native GRIB edition-1 reader/writer (WMO FM-92 GRIB, public spec:
@@ -258,24 +256,30 @@ object Grib1 {
     * `(variable, time, lat, lon, value)` (timestamp_ntz; masked cells
     * dropped — wgrib's "undefined" points never become rows).
     *
-    * Scale shape: one task per file (a GRIB message must be decoded
-    * whole — the bitstream has no intra-record split points), so
-    * parallelism = file count, which is how the archives ship (one file
-    * per month/variable — reference era5monthly.js downloads per-month).
-    * Decoding is ~O(bytes) integer work per task and the output columns
-    * are the same long format every other raster operator consumes, so
-    * the landing write can partition by (variable, year, month) exactly
-    * like Raster.writePartitioned.
+    * Scale shape: files are read through the `binaryFile` source, so the
+    * bytes come via the Hadoop filesystem layer — local paths here,
+    * s3a/hdfs/gs on a cluster — with Spark packing many small files into
+    * one task (archives ship one file per month/variable, reference
+    * era5monthly.js). A GRIB message must be decoded whole (the packed
+    * bitstream has no intra-record split points), so per-file decode is
+    * the atom; it is ~O(bytes) integer work, and the output columns are
+    * the same long format every other raster operator consumes, so the
+    * landing write partitions by (variable, year, month) exactly like
+    * Raster.writePartitioned.
     */
-  def readRecords(spark: SparkSession, paths: Seq[String]): DataFrame = {
-    val parallelism = math.max(1, math.min(paths.size, 2048))
-    val rdd = spark.sparkContext
-      .parallelize(paths, parallelism)
-      .flatMap { p =>
-        val bytes = Files.readAllBytes(Paths.get(p))
-        parseMessages(bytes, p).iterator.flatMap(cells)
-      }
-    spark.createDataset(rdd)(Encoders.product[GridRow]).toDF()
+  def readRecords(spark: SparkSession, paths: Seq[String]): DataFrame =
+    decodeBinaryFiles(spark.read.format("binaryFile").load(paths: _*))
+
+  /** Decode a `binaryFile`-schema DataFrame (path, content, ...). */
+  private def decodeBinaryFiles(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
+    import org.apache.spark.sql.functions.col
+    spark.createDataset(
+      bin.select(col("path"), col("content"))
+        .as[(String, Array[Byte])](Encoders.tuple(Encoders.STRING, Encoders.BINARY))
+        .rdd
+        .flatMap { case (p, bytes) => parseMessages(bytes, p).iterator.flatMap(cells) }
+    )(Encoders.product[GridRow]).toDF()
   }
 
   /** Flatten one record to present cells (NaN-masked cells dropped). */
@@ -296,23 +300,22 @@ object Grib1 {
     * (variable, year, month) with dynamic overwrite, so re-landing a month
     * is idempotent and the monthly cursor's scan prunes to one partition
     * (the engine-native form of the reference's download→wgrib→convert
-    * step, era5monthly.js:46-77 + file-conversions.js:114-135). Returns
-    * the number of files landed.
+    * step, era5monthly.js:46-77 + file-conversions.js:114-135). Listing
+    * and reading both go through the Hadoop filesystem layer
+    * (`binaryFile` + recursive glob), so `inDir` can be a local dir here
+    * or an s3a/hdfs prefix on a cluster — no driver-side directory walk.
+    * Returns the number of files landed.
     */
   def landToGrid(spark: SparkSession, inDir: String, gridDir: String): Int = {
-    val paths = {
-      val s = Files.walk(Paths.get(inDir))
-      try s.iterator().asScala
-        .filter(p => {
-          val n = p.getFileName.toString.toLowerCase
-          n.endsWith(".grib") || n.endsWith(".grb") || n.endsWith(".grib1")
-        })
-        .map(_.toString).toList.sorted
-      finally s.close()
-    }
-    if (paths.nonEmpty)
-      graft.operators.Raster.writePartitioned(readRecords(spark, paths), gridDir)
-    paths.size
+    def src = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.{grib,grb,grib1}")
+      .load(inDir)
+    // path-only projection: the count never reads file contents
+    val nFiles = src.select("path").count().toInt
+    if (nFiles > 0)
+      graft.operators.Raster.writePartitioned(decodeBinaryFiles(src), gridDir)
+    nFiles
   }
 
   // ---------------------------------------------------------------- write
