@@ -578,12 +578,17 @@ object SparkEntry {
     "d07_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(t(s, d)("documents"))),
     "d08_jaccard_exact" -> ((s, d) =>
       Dedup.ngramJaccardPairsExact(t(s, d)("documents"), 2, 0.5)),
+    // SemDeDup decision pass: the fixture's vectors are well-spread, so the
+    // demo threshold sits below real-corpus dedup cuts (~0.95) to exercise
+    // both branches of the dropped flag
+    "d09_semdedup" -> ((s, d) => Dedup.semDedup(t(s, d)("embeddings"), 0.35)),
     // ---- similarity search (north-star M5) ----
     "s01_cosine_threshold" -> ((s, d) => Similarity.cosineAboveThreshold(t(s, d)("embeddings"), 0L, 0.1)),
     "s02_cosine_topk" -> ((s, d) => Similarity.cosineTopK(t(s, d)("embeddings"), 0L, 10)),
     "s03_lsh_pairs" -> ((s, d) => Similarity.lshNearNeighbours(t(s, d)("embeddings"), 4, 0.35)),
     "s04_label_centroids" -> ((s, d) => Similarity.labelCentroids(t(s, d)("embeddings"))),
     "s05_ivf_topk" -> ((s, d) => Similarity.ivfTopK(t(s, d)("embeddings"), 0L, 4, 10)),
+    "s06_knn_join" -> ((s, d) => Similarity.knnJoin(t(s, d)("embeddings"), 4, 3)),
     // ---- text analysis (north-star M5) ----
     "t01_text_stats" -> ((s, d) => TextAnalysis.stats(t(s, d)("documents"))),
     "t02_langid" -> ((s, d) => TextAnalysis.languageId(t(s, d)("documents"))),
@@ -604,6 +609,7 @@ object SparkEntry {
         docs.where($"doc_id" % 10 =!= 0), docs.where($"doc_id" % 10 === 0), n = 5)
     }),
     "t09_repetition" -> ((s, d) => TextAnalysis.repetitionStats(t(s, d)("documents"))),
+    "t10_quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(t(s, d)("documents"))),
     // ---- skew-mitigation equivalence (SCALE.md escape hatches) ----
     // salted shapes must be row-for-row equal to their plain formulations;
     // the oracle computes the plain form
@@ -1176,8 +1182,34 @@ object SparkEntry {
                                 AND a.vec_id < b.vec_id)
          SELECT vec_a, vec_b, round(c, 4) AS cos_sim
          FROM p WHERE c >= 0.4 ORDER BY vec_a, vec_b""",
+    // greedy keep-first SemDeDup sweep over the same deterministic buckets:
+    // dominated = any smaller-id same-bucket vector within the threshold
+    "d09_semdedup" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         n AS (SELECT vec_id, label, v, ${bucketSql(4)} AS bucket,
+                      sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         d AS (SELECT DISTINCT b.vec_id FROM n b JOIN n a
+                 ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+                AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35)
+         SELECT n.vec_id, n.label, n.bucket,
+                (d.vec_id IS NOT NULL) AS dropped
+         FROM n LEFT JOIN d ON n.vec_id = d.vec_id ORDER BY n.vec_id""",
     "s03_lsh_pairs" -> lshPairsOracle,
     "s05_ivf_topk" -> ivfTopKOracle,
+    // kNN graph over the same buckets; rank ties break on neighbour id so
+    // row_number agrees bit-for-bit with the engine's window
+    "s06_knn_join" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         b AS (SELECT vec_id, v, ${bucketSql(4)} AS bucket,
+                      sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         p AS (SELECT a.vec_id AS vec_id, b2.vec_id AS neighbor_id,
+                      list_dot_product(a.v, b2.v) / (a.nrm * b2.nrm) AS c
+               FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id <> b2.vec_id),
+         r AS (SELECT vec_id, neighbor_id, c,
+                      row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, neighbor_id) AS nn_rank
+               FROM p)
+         SELECT vec_id, neighbor_id, nn_rank, round(c, 4) AS cos_sim
+         FROM r WHERE nn_rank <= 3 ORDER BY vec_id, nn_rank""",
     "q22_keyed_digest" ->
       """SELECT doc_id, sha256('graft-webhook-key' || chr(10) || text) AS digest
          FROM documents ORDER BY doc_id""",
@@ -1388,6 +1420,36 @@ object SparkEntry {
                 CAST(t.n_grams - a.n_distinct AS DOUBLE)/CAST(t.n_grams AS DOUBLE) AS dup_share,
                 CAST(a.top_count AS DOUBLE)/CAST(t.n_grams AS DOUBLE) AS top_share
          FROM tot t JOIN agg a USING (doc_id) ORDER BY doc_id""",
+    // measures reuse the t01/t02 expression forms (proven Spark<->DuckDB
+    // regex parity); ratios stay unrounded IEEE divisions of exact longs
+    "t10_quality_filter" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(text),'\s+') AS t,
+                    length(regexp_replace(text,'\s','','g')) AS stc,
+                    length(text) AS lt,
+                    length(regexp_replace(text,'[^a-zA-Z0-9\s]','','g')) AS alnum_ws,
+                    CAST(len(regexp_extract_all(lower(text),'\b(der|die|das|und|ist|nicht|ein|mit)\b')) AS BIGINT)
+                  + CAST(len(regexp_extract_all(lower(text),'\b(the|and|of|to|is|in|that|for)\b')) AS BIGINT)
+                  + CAST(len(regexp_extract_all(lower(text),'\b(el|la|los|las|y|es|en|que|de)\b')) AS BIGINT)
+                  + CAST(len(regexp_extract_all(lower(text),'\b(le|la|les|et|est|dans|que|pour)\b')) AS BIGINT)
+                  + CAST(len(regexp_extract_all(lower(text),'[\x{4e00}-\x{9fff}]')) AS BIGINT) AS stop_hits
+                    FROM documents),
+         m AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+                      CAST(stc AS DOUBLE)/CAST(len(t) AS DOUBLE) AS mean_word_len,
+                      CAST(lt - alnum_ws AS DOUBLE)/CAST(lt AS DOUBLE) AS symbol_ratio,
+                      stop_hits,
+                      CAST(len(list_distinct(t)) AS DOUBLE)/CAST(len(t) AS DOUBLE) AS distinct_ratio
+               FROM d),
+         f AS (SELECT *, n_tokens BETWEEN 20 AND 5000 AS r_len,
+                      mean_word_len BETWEEN 3.0 AND 10.0 AS r_word_len,
+                      symbol_ratio <= 0.3 AS r_symbol,
+                      stop_hits >= 2 AS r_stopwords,
+                      distinct_ratio >= 0.3 AS r_distinct
+               FROM m)
+         SELECT doc_id, n_tokens, mean_word_len, symbol_ratio, stop_hits,
+                distinct_ratio, r_len, r_word_len, r_symbol, r_stopwords,
+                r_distinct,
+                (r_len AND r_word_len AND r_symbol AND r_stopwords AND r_distinct) AS keep
+         FROM f ORDER BY doc_id""",
     "x01_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n,
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -292,6 +292,47 @@ object Dedup {
       .orderBy($"vec_a", $"vec_b")
   }
 
+  /** SemDeDup-style semantic dedup decision (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space, and inside each
+    * cluster drop every vector that has a semantic duplicate
+    * (cosine ≥ `threshold`) with a smaller id — the greedy keep-first
+    * sweep, made deterministic by ordering on vec_id. The paper clusters
+    * with k-means; here the deterministic hyperplane bucket stands in as
+    * the cluster assignment (the same coarse quantizer
+    * [[graft.operators.Similarity.ivfTrained]] upgrades to a trained
+    * codebook) so the oracle can recompute the identical partition.
+    *
+    * Emits EVERY vector with its cluster and a `dropped` flag rather than
+    * just the survivors — the audit shape: `WHERE NOT dropped` is the
+    * deduped corpus, and the flag column is what a pipeline reports.
+    *
+    * Scale shape: one bucket equi-join for the dominance test (left-semi,
+    * so matched rows collapse instead of multiplying), then a broadcast-
+    * able join of the dropped-id set back onto the corpus. Work per
+    * bucket is bounded by bucket size exactly as in
+    * [[embeddingNearDups]]; nothing is quadratic in the corpus.
+    */
+  def semDedup(embeddings: DataFrame, threshold: Double, nbits: Int = 4): DataFrame = {
+    import graft.functions.Vectors
+    val side = embeddings
+      .withColumn("bucket", Vectors.hyperplaneBucket($"embedding", nbits))
+      .withColumn("nrm", Vectors.norm($"embedding"))
+    // a vector is dominated iff some same-bucket vector with a smaller id
+    // sits within the similarity threshold
+    val dominated = side.as("b")
+      .join(side.as("a"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id") &&
+          Vectors.cosineWithNorms(
+            col("a.embedding"), col("b.embedding"), col("a.nrm"), col("b.nrm")) >= threshold,
+        "left_semi")
+      .select($"vec_id".as("dom_id"))
+    side.join(dominated.withColumn("is_dom", lit(true)),
+        $"vec_id" === $"dom_id", "left")
+      .select($"vec_id", $"label", $"bucket",
+              coalesce($"is_dom", lit(false)).as("dropped"))
+      .orderBy($"vec_id")
+  }
+
   /** Near-dup CLUSTERS: the step after candidate pairs that an actual
     * dedup pipeline needs — connected components over the pair graph, one
     * canonical survivor per component. Pairs come from MinHash+LSH

@@ -117,6 +117,35 @@ object Similarity {
       .select($"vec_id", $"label", $"list_id", round($"cos_sim", 4).as("cos_sim"))
   }
 
+  /** All-pairs top-k similarity JOIN: every vector gets its k nearest
+    * neighbours among candidates sharing its hyperplane bucket — the
+    * corpus-wide "kNN graph" a semantic-dedup or retrieval-mixing pipeline
+    * builds, as opposed to the single-query probes above.
+    *
+    * Scale shape: the only all-pairs step is the bucket equi-join (work
+    * bounded per bucket, recall the standard (1 − θ/π)^nbits LSH
+    * trade-off); the top-k cut is a `row_number` window partitioned by the
+    * left vector id — one shuffle on vec_id, no global sort, no cross
+    * join. Ordering ties break on neighbour id, so ranks are deterministic
+    * and the oracle can recompute them exactly.
+    */
+  def knnJoin(embeddings: DataFrame, nbits: Int, k: Int): DataFrame = {
+    val bucketed = embeddings
+      .withColumn("bucket", Vectors.hyperplaneBucket($"embedding", nbits))
+      .withColumn("nrm", Vectors.norm($"embedding"))
+    val pairs = bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .withColumn("cos_sim", Vectors.cosineWithNorms(
+        col("a.embedding"), col("b.embedding"), col("a.nrm"), col("b.nrm")))
+    val w = Window.partitionBy(col("a.vec_id")).orderBy($"cos_sim".desc, col("b.vec_id"))
+    pairs.withColumn("nn_rank", row_number().over(w).cast("long"))
+      .where($"nn_rank" <= k)
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
+              $"nn_rank", round($"cos_sim", 4).as("cos_sim"))
+      .orderBy($"vec_id", $"nn_rank")
+  }
+
   /** Label-centroid similarity: mean vector per label (the trained-codebook
     * step of IVF as a plain aggregation), then each label's cohesion = mean
     * cosine of members to their centroid.

@@ -111,6 +111,56 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Gopher/C4-style composite quality FILTER: the rule battery a web
+    * corpus passes through before training, as one narrow row-local pass —
+    * each rule is a boolean column (the audit trail), `keep` is their
+    * conjunction, and `WHERE keep` is the filtered corpus. No shuffle, no
+    * join: at 100 TB this is a pure scan inside whole-stage codegen, and
+    * the per-rule flags let a pipeline report WHY documents were dropped
+    * (the rejection histogram every data card wants) with one aggregate.
+    *
+    * Rules (Gopher Table A1 / C4 §2.3 shapes, thresholds as parameters):
+    * token count bounds, mean word length bounds, symbol-to-char ratio
+    * cap, minimum stopword hits (union of the [[languageId]] marker sets,
+    * so non-Latin scripts are not auto-rejected), minimum distinct-token
+    * ratio (the row-local repetition proxy; cross-row repetition lives in
+    * [[repetitionStats]]).
+    *
+    * Ratios are emitted as unrounded IEEE divisions of exact longs — same
+    * bits in the oracle, no round() knife edges.
+    */
+  def qualityFilter(documents: DataFrame,
+                    minTokens: Long = 20L, maxTokens: Long = 5000L,
+                    minWordLen: Double = 3.0, maxWordLen: Double = 10.0,
+                    maxSymbolRatio: Double = 0.3, minStopHits: Long = 2L,
+                    minDistinctRatio: Double = 0.3): DataFrame = {
+    val toks = split(lower($"text"), "\\s+")
+    val stopHits = markers.map { case (_, pat) =>
+      regexp_count(lower($"text"), lit(pat)).cast("long")
+    }.reduce(_ + _)
+    documents
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("mean_word_len",
+        length(regexp_replace($"text", "\\s", "")).cast("double") / $"n_tokens".cast("double"))
+      .withColumn("symbol_ratio",
+        (length($"text") - length(regexp_replace($"text", "[^a-zA-Z0-9\\s]", "")))
+          .cast("double") / length($"text").cast("double"))
+      .withColumn("stop_hits", stopHits)
+      .withColumn("distinct_ratio",
+        size(array_distinct(toks)).cast("double") / $"n_tokens".cast("double"))
+      .withColumn("r_len", $"n_tokens".between(minTokens, maxTokens))
+      .withColumn("r_word_len", $"mean_word_len".between(minWordLen, maxWordLen))
+      .withColumn("r_symbol", $"symbol_ratio" <= maxSymbolRatio)
+      .withColumn("r_stopwords", $"stop_hits" >= minStopHits)
+      .withColumn("r_distinct", $"distinct_ratio" >= minDistinctRatio)
+      .withColumn("keep",
+        $"r_len" && $"r_word_len" && $"r_symbol" && $"r_stopwords" && $"r_distinct")
+      .select($"doc_id", $"n_tokens", $"mean_word_len", $"symbol_ratio",
+              $"stop_hits", $"distinct_ratio", $"r_len", $"r_word_len",
+              $"r_symbol", $"r_stopwords", $"r_distinct", $"keep")
+      .orderBy($"doc_id")
+  }
+
   /** Benchmark decontamination: for every training document, the fraction
     * of its distinct word n-grams that also occur anywhere in an
     * evaluation/benchmark set — the standard n-gram-overlap contamination

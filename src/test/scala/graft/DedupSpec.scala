@@ -112,4 +112,35 @@ class DedupSpec extends SparkSpec {
     out(0).getAs[Long]("keep_id") shouldBe 1L
     out(0).getAs[Long]("bucket_size") shouldBe 2L
   }
+
+  test("semDedup drops exactly the vectors dominated by a smaller-id same-bucket near-dup") {
+    import graft.functions.Vectors
+    val rnd = new scala.util.Random(11)
+    val base = (0L until 20L).map { i =>
+      (i, Array.fill(64)((rnd.nextInt(9) - 4).toFloat), (i % 2).toInt)
+    }
+    // positive-scaled copies: same direction (cos 1) and same bucket by
+    // construction, so they MUST come back dropped
+    val copies = (0 until 5).map(k => (20L + k, base(k)._2.map(x => x * 2.0f), 0))
+    val rows = base ++ copies
+    val d = rows.toDF("vec_id", "embedding", "label")
+    val buckets = d.select($"vec_id", Vectors.hyperplaneBucket($"embedding", 4).as("b"))
+      .as[(Long, Long)].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var i = 0; var s = 0.0; var na = 0.0; var nb = 0.0
+      while (i < 64) {
+        s += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      s / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = rows.map { case (id, v, _) =>
+      id -> rows.exists(o =>
+        o._1 < id && buckets(o._1) == buckets(id) && cos(o._2, v) >= 0.5)
+    }.toMap
+    val out = Dedup.semDedup(d, 0.5).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("dropped")).toMap
+    out shouldBe expected
+    (20L until 25L).foreach(id => out(id) shouldBe true)
+  }
 }

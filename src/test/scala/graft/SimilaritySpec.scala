@@ -84,4 +84,33 @@ class SimilaritySpec extends SparkSpec {
       .select($"list_id").distinct().collect()
     one.length shouldBe 1 // all hits from the single probed list
   }
+
+  test("knnJoin matches a local brute force over the same buckets") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 30L).map { i =>
+      (i, Array.fill(64)((rnd.nextInt(9) - 4).toFloat), (i % 3).toInt)
+    }
+    val d = emb(rows: _*)
+    val buckets = d.select($"vec_id", Vectors.hyperplaneBucket($"embedding", 4).as("b"))
+      .as[(Long, Long)].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var i = 0; var s = 0.0; var na = 0.0; var nb = 0.0
+      while (i < 64) {
+        s += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      s / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = rows.flatMap { case (id, v, _) =>
+      rows.filter(o => o._1 != id && buckets(o._1) == buckets(id))
+        .map(o => (o._1, cos(v, o._2)))
+        .sortBy { case (oid, c) => (-c, oid) }
+        .take(3).zipWithIndex
+        .map { case ((oid, _), k) => (id, oid, (k + 1).toLong) }
+    }.sorted
+    val out = Similarity.knnJoin(d, 4, 3)
+      .select($"vec_id", $"neighbor_id", $"nn_rank")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    out shouldBe expected
+  }
 }

@@ -77,4 +77,25 @@ class TextAnalysisSpec extends SparkSpec {
     out(2L).getAs[Double]("dup_share") shouldBe 0.0
     out(2L).getAs[Double]("top_share") shouldBe 0.25
   }
+
+  test("qualityFilter: each rule fires independently and keep is their conjunction") {
+    val good = "that wind rock tree fish bird moon star lake sand " +
+      "that hill wolf bear frog deer hawk dove that crab"
+    val longWords = (1 to 20).map(i => f"verylongword$i%02d").mkString(" ")
+    val symbols = Seq.fill(20)("####").mkString(" ")
+    val repeated = Seq.fill(20)("that").mkString(" ")
+    val d = Seq(
+      (1L, good), (2L, "short text"), (3L, symbols), (4L, repeated), (5L, longWords)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityFilter(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    out(1L).getAs[Boolean]("keep") shouldBe true
+    out(2L).getAs[Boolean]("r_len") shouldBe false
+    out(3L).getAs[Boolean]("r_symbol") shouldBe false
+    out(3L).getAs[Boolean]("r_stopwords") shouldBe false
+    out(4L).getAs[Boolean]("r_distinct") shouldBe false
+    out(4L).getAs[Boolean]("r_stopwords") shouldBe true // 'that' is a marker
+    out(5L).getAs[Boolean]("r_word_len") shouldBe false
+    Seq(2L, 3L, 4L, 5L).foreach(i => out(i).getAs[Boolean]("keep") shouldBe false)
+  }
 }
