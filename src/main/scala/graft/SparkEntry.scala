@@ -610,6 +610,13 @@ object SparkEntry {
     }),
     "t09_repetition" -> ((s, d) => TextAnalysis.repetitionStats(t(s, d)("documents"))),
     "t10_quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(t(s, d)("documents"))),
+    // whole-funnel refinement over the t08 corpus/benchmark split: the
+    // attrition report is the auditable artifact of the end-to-end chain
+    "t11_refine_report" -> ((s, d) => {
+      val docs = t(s, d)("documents")
+      CorpusPipeline.attritionReport(
+        docs.where($"doc_id" % 10 =!= 0), docs.where($"doc_id" % 10 === 0))
+    }),
     // ---- skew-mitigation equivalence (SCALE.md escape hatches) ----
     // salted shapes must be row-for-row equal to their plain formulations;
     // the oracle computes the plain form
@@ -1450,6 +1457,58 @@ object SparkEntry {
                 r_distinct,
                 (r_len AND r_word_len AND r_symbol AND r_stopwords AND r_distinct) AS keep
          FROM f ORDER BY doc_id""",
+    // the whole funnel recomputed stage by stage from the proven t10/d01/
+    // t08/t04 oracle forms; counts are exact so the report hash-matches
+    "t11_refine_report" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0),
+         meas AS (SELECT doc_id, text,
+                    string_split_regex(lower(text),'\\s+') AS t,
+                    length(regexp_replace(text,'\\s','','g')) AS stc,
+                    length(text) AS lt,
+                    length(regexp_replace(text,'[^a-zA-Z0-9\\s]','','g')) AS alnum_ws,
+                    CAST(len(regexp_extract_all(lower(text),'\\b(der|die|das|und|ist|nicht|ein|mit)\\b')) AS BIGINT)
+                  + CAST(len(regexp_extract_all(lower(text),'\\b(the|and|of|to|is|in|that|for)\\b')) AS BIGINT)
+                  + CAST(len(regexp_extract_all(lower(text),'\\b(el|la|los|las|y|es|en|que|de)\\b')) AS BIGINT)
+                  + CAST(len(regexp_extract_all(lower(text),'\\b(le|la|les|et|est|dans|que|pour)\\b')) AS BIGINT)
+                  + CAST(len(regexp_extract_all(lower(text),'[\\x{4e00}-\\x{9fff}]')) AS BIGINT) AS stop_hits
+                  FROM corpus),
+         s1 AS (SELECT doc_id, text FROM meas
+                WHERE len(t) BETWEEN 20 AND 5000
+                  AND CAST(stc AS DOUBLE)/CAST(len(t) AS DOUBLE) BETWEEN 3.0 AND 10.0
+                  AND CAST(lt - alnum_ws AS DOUBLE)/CAST(lt AS DOUBLE) <= 0.3
+                  AND stop_hits >= 2
+                  AND CAST(len(list_distinct(t)) AS DOUBLE)/CAST(len(t) AS DOUBLE) >= 0.3),
+         s2 AS (SELECT doc_id, text FROM (
+                  SELECT doc_id, text,
+                         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                  FROM s1) WHERE rn = 1),
+         toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM s2),
+         g0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-4),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                       || ' ' || t[i+4])) AS gram FROM toks),
+         cg AS (SELECT DISTINCT doc_id, ${polyHash.duckdbSql("gram")} AS g FROM g0),
+         btoks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+                   FROM documents WHERE doc_id % 10 = 0),
+         bg0 AS (SELECT unnest(list_transform(generate_series(1, len(t)-4),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                        || ' ' || t[i+4])) AS gram FROM btoks),
+         bg AS (SELECT DISTINCT ${polyHash.duckdbSql("gram")} AS g FROM bg0),
+         sizes AS (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY 1),
+         mm AS (SELECT doc_id, count(*) AS n_matched FROM cg JOIN bg USING (g) GROUP BY 1),
+         s3 AS (SELECT s2.doc_id, s2.text FROM s2 JOIN sizes USING (doc_id)
+                LEFT JOIN mm USING (doc_id)
+                WHERE CAST(coalesce(mm.n_matched, 0) AS DOUBLE)
+                      / CAST(sizes.n_grams AS DOUBLE) < 0.5),
+         s4 AS (SELECT * FROM s3
+                WHERE md5(text) < '${operators.Sampling.thresholdHex(0.5)}')
+         SELECT * FROM (
+           SELECT CAST(0 AS BIGINT) AS stage, 'input' AS stage_name,
+                  count(*) AS n_docs FROM corpus
+           UNION ALL SELECT 1, 'quality_filter', count(*) FROM s1
+           UNION ALL SELECT 2, 'exact_dedup', count(*) FROM s2
+           UNION ALL SELECT 3, 'decontaminate', count(*) FROM s3
+           UNION ALL SELECT 4, 'hash_sample', count(*) FROM s4)
+         ORDER BY stage""",
     "x01_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n,
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

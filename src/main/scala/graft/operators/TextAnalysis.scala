@@ -133,7 +133,24 @@ object TextAnalysis {
                     minTokens: Long = 20L, maxTokens: Long = 5000L,
                     minWordLen: Double = 3.0, maxWordLen: Double = 10.0,
                     maxSymbolRatio: Double = 0.3, minStopHits: Long = 2L,
-                    minDistinctRatio: Double = 0.3): DataFrame = {
+                    minDistinctRatio: Double = 0.3): DataFrame =
+    withQualityFlags(documents, minTokens, maxTokens, minWordLen, maxWordLen,
+                     maxSymbolRatio, minStopHits, minDistinctRatio)
+      .select($"doc_id", $"n_tokens", $"mean_word_len", $"symbol_ratio",
+              $"stop_hits", $"distinct_ratio", $"r_len", $"r_word_len",
+              $"r_symbol", $"r_stopwords", $"r_distinct", $"keep")
+      .orderBy($"doc_id")
+
+  /** [[qualityFilter]]'s flag computation with the input columns kept —
+    * the composable form: [[CorpusPipeline]] filters on `keep` and carries
+    * `text` forward to the dedup/decontamination stages without a join
+    * back onto the corpus.
+    */
+  def withQualityFlags(documents: DataFrame,
+                       minTokens: Long = 20L, maxTokens: Long = 5000L,
+                       minWordLen: Double = 3.0, maxWordLen: Double = 10.0,
+                       maxSymbolRatio: Double = 0.3, minStopHits: Long = 2L,
+                       minDistinctRatio: Double = 0.3): DataFrame = {
     val toks = split(lower($"text"), "\\s+")
     val stopHits = markers.map { case (_, pat) =>
       regexp_count(lower($"text"), lit(pat)).cast("long")
@@ -155,10 +172,6 @@ object TextAnalysis {
       .withColumn("r_distinct", $"distinct_ratio" >= minDistinctRatio)
       .withColumn("keep",
         $"r_len" && $"r_word_len" && $"r_symbol" && $"r_stopwords" && $"r_distinct")
-      .select($"doc_id", $"n_tokens", $"mean_word_len", $"symbol_ratio",
-              $"stop_hits", $"distinct_ratio", $"r_len", $"r_word_len",
-              $"r_symbol", $"r_stopwords", $"r_distinct", $"keep")
-      .orderBy($"doc_id")
   }
 
   /** Benchmark decontamination: for every training document, the fraction

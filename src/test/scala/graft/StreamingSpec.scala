@@ -159,4 +159,17 @@ class StreamingSpec extends SparkSpec {
     spark.read.parquet(out).count() shouldBe total
     m1.unpersist()
   }
+
+  test("quality filter applies identically on a stream (row-local rules are streamable)") {
+    // withQualityFlags is the composable/streamable form: no sort, no
+    // shuffle — the same codegen'd rule battery runs per micro-batch
+    val good = "that wind rock tree fish bird moon star lake sand " +
+      "that hill wolf bear frog deer hawk dove that crab"
+    val input = MemoryStream[(Long, String)](spark)
+    input.addData((1L, good), (2L, "short text"), (3L, Seq.fill(20)("that").mkString(" ")))
+    val flagged = operators.TextAnalysis
+      .withQualityFlags(input.toDF().toDF("doc_id", "text"))
+      .where($"keep").select($"doc_id")
+    runToMemory(flagged, "qf_stream").as[Long].collect() shouldBe Array(1L)
+  }
 }
