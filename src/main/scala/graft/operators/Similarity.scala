@@ -117,6 +117,65 @@ object Similarity {
       .select($"vec_id", $"label", $"list_id", round($"cos_sim", 4).as("cos_sim"))
   }
 
+  /** Product-quantization ANN (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011): split the space into `m`
+    * subspaces, learn a `codebookSize`-entry codebook per subspace (MLlib
+    * KMeans, fixed seeds → deterministic), encode every vector as `m`
+    * small codes, and answer a query by asymmetric distance computation
+    * (ADC): the query stays full-precision, a tiny m×codebookSize table
+    * of query↔centroid distances is computed once, and each database
+    * vector's distance is `m` table lookups summed.
+    *
+    * This is the memory-bound scale regime the LSH/IVF paths don't cover:
+    * the scan reads m byte-ish codes per vector instead of `dims` floats
+    * (64-dim float corpus at m=8: 32× less data), so a 100 TB embedding
+    * store probes from a few TB of codes. The distance table rides into
+    * codegen as a literal; scoring is row-local lookups + a TakeOrdered
+    * top-k — no shuffle, no join. Combine with [[ivfTrained]]'s list
+    * pruning for IVF-ADC. Approximate by construction (quantization
+    * error), hence spec-gated against exact search rather than
+    * SQL-oracle-gated, like [[ivfTrained]].
+    */
+  def pqTopK(embeddings: DataFrame, queryId: Long, k: Int,
+             m: Int = 8, codebookSize: Int = 16, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    // one-row metadata probe (not a data-plane collect), as labelCentroids
+    val dims = embeddings.select(size($"embedding")).head.getInt(0)
+    require(dims % m == 0, s"dims=$dims not divisible into m=$m subspaces")
+    val sub = dims / m
+
+    val subCols = (0 until m).map { s =>
+      array_to_vector(transform(slice($"embedding", s * sub + 1, sub), _.cast("double")))
+        .as(s"sv_$s")
+    }
+    val withSubs = embeddings.select(($"vec_id" +: $"label" +: subCols): _*)
+    val models = (0 until m).map { s =>
+      new KMeans().setK(codebookSize).setSeed(seed + s)
+        .setFeaturesCol(s"sv_$s").setPredictionCol(s"code_$s").fit(withSubs)
+    }
+    // encode: m narrow transforms, no shuffle; at rest only (vec_id, codes)
+    // need persisting — the 32×-smaller index a real deployment scans
+    val encoded = models.foldLeft(withSubs) { case (df, mod) => mod.transform(df) }
+
+    val qRow = withSubs.where($"vec_id" === queryId)
+      .select((0 until m).map(s => col(s"sv_$s")): _*).head()
+    val dtable: Seq[Seq[Double]] = (0 until m).map { s =>
+      val qv = qRow.getAs[org.apache.spark.ml.linalg.Vector](s)
+      models(s).clusterCenters.toSeq
+        .map(c => org.apache.spark.ml.linalg.Vectors.sqdist(c, qv))
+    }
+    val adc = (0 until m)
+      .map(s => element_at(typedLit(dtable(s)), col(s"code_$s") + 1))
+      .reduce(_ + _)
+    encoded.where($"vec_id" =!= queryId)
+      .withColumn("adc_dist", adc)
+      .orderBy($"adc_dist".asc, $"vec_id")
+      .limit(k)
+      .select($"vec_id", $"label", round($"adc_dist", 4).as("adc_dist"))
+  }
+
   /** All-pairs top-k similarity JOIN: every vector gets its k nearest
     * neighbours among candidates sharing its hyperplane bucket — the
     * corpus-wide "kNN graph" a semantic-dedup or retrieval-mixing pipeline

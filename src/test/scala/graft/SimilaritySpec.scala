@@ -85,6 +85,33 @@ class SimilaritySpec extends SparkSpec {
     one.length shouldBe 1 // all hits from the single probed list
   }
 
+  test("pqTopK is exact when codebooks can represent every subvector") {
+    // 4 prototypes, codebookSize 4: each subspace has <= 4 distinct
+    // subvectors, so KMeans centroids land ON the points, quantization
+    // error is zero, and ADC == true squared L2 — PQ must equal exact
+    // euclidean top-k including tie order
+    val rnd = new scala.util.Random(3)
+    val protos = Array.fill(4)(Array.fill(64)((rnd.nextInt(9) - 4).toFloat))
+    val rows = (0L until 28L).map(i => (i, protos((i % 4).toInt), (i % 4).toInt))
+    val d = emb(rows: _*)
+    def sq(a: Array[Float], b: Array[Float]): Double =
+      (0 until 64).map(i => (a(i) - b(i)).toDouble * (a(i) - b(i))).sum
+    val expected = rows.filter(_._1 != 0L)
+      .map { case (id, v, _) => (id, sq(v, protos(0))) }
+      .sortBy { case (id, dist) => (dist, id) }.take(5).map(_._1)
+    val out = Similarity.pqTopK(d, 0L, k = 5, m = 8, codebookSize = 4)
+      .select($"vec_id").as[Long].collect()
+    out.toSeq shouldBe expected
+  }
+
+  test("pqTopK is deterministic on the fixture corpus") {
+    val embeddings = table("embeddings")
+    val a = Similarity.pqTopK(embeddings, 0L, k = 10).collect()
+    val b = Similarity.pqTopK(embeddings, 0L, k = 10).collect()
+    a.length shouldBe 10
+    a.map(_.toString).toSeq shouldBe b.map(_.toString).toSeq
+  }
+
   test("knnJoin matches a local brute force over the same buckets") {
     val rnd = new scala.util.Random(7)
     val rows = (0L until 30L).map { i =>
