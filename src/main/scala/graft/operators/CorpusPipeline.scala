@@ -51,20 +51,55 @@ object CorpusPipeline {
               nGram: Int = 5): DataFrame =
     stages(corpus, benchmark, maxContamination, sampleFraction, nGram).last._2
 
+  /** Every document with a boolean per stage: `s1..s4` = "still alive
+    * after that stage". ONE corpus pass instead of re-running each stage
+    * prefix (the naive report would run the quality regex battery four
+    * times over 100 TB — the q32 repeated-scan shape):
+    *
+    *  - s2 without filtering first: the dedup window ranks each md5 group
+    *    with quality SURVIVORS FIRST (`s1 desc, doc_id`), so `s1 ∧ rn=1`
+    *    is exactly "smallest-id survivor of its digest group".
+    *  - s3 without filtering first: a doc's contamination depends only on
+    *    its own grams and the benchmark set — never on other corpus docs —
+    *    so the t08 report over the full corpus joins back as a flag.
+    *    Docs too short to produce a single n-gram are absent from the
+    *    report and fail s3, matching the staged semantics.
+    */
+  def stageFlags(corpus: DataFrame, benchmark: DataFrame,
+                 maxContamination: Double = 0.5, sampleFraction: Double = 0.5,
+                 nGram: Int = 5): DataFrame = {
+    val digest = md5($"text".cast("binary"))
+    val w = Window.partitionBy(digest).orderBy($"s1".desc, $"doc_id")
+    val clean = TextAnalysis.contaminationReport(corpus, benchmark, nGram)
+      .select($"doc_id", ($"contamination" < maxContamination).as("ok3"))
+    TextAnalysis.withQualityFlags(corpus)
+      .withColumnRenamed("keep", "s1")
+      .withColumn("s2", $"s1" && row_number().over(w) === 1)
+      .join(clean, Seq("doc_id"), "left")
+      .withColumn("s3", $"s2" && coalesce($"ok3", lit(false)))
+      .withColumn("s4", $"s3" && digest < lit(Sampling.thresholdHex(sampleFraction)))
+      .select($"doc_id", $"s1", $"s2", $"s3", $"s4")
+  }
+
   /** Attrition report: one row per stage with the surviving document
-    * count — the funnel a pipeline run logs. Each stage re-derives its
-    * prefix of the chain (counts are one-off audit aggregates, not the
-    * data path; the refined corpus itself is a single lazy plan).
+    * count — the funnel a pipeline run logs. Derived from [[stageFlags]]
+    * with a single aggregate: one corpus pass, one 16-byte-key shuffle
+    * (the dedup window), one flag join — not a re-execution per stage.
     */
   def attritionReport(corpus: DataFrame, benchmark: DataFrame,
                       maxContamination: Double = 0.5, sampleFraction: Double = 0.5,
-                      nGram: Int = 5): DataFrame =
-    stages(corpus, benchmark, maxContamination, sampleFraction, nGram)
-      .zipWithIndex
-      .map { case ((name, df), i) =>
-        df.agg(count(lit(1)).as("n_docs"))
-          .select(lit(i.toLong).as("stage"), lit(name).as("stage_name"), $"n_docs")
-      }
-      .reduce(_.unionByName(_))
+                      nGram: Int = 5): DataFrame = {
+    val names = Seq("input", "quality_filter", "exact_dedup", "decontaminate", "hash_sample")
+    val flags = stageFlags(corpus, benchmark, maxContamination, sampleFraction, nGram)
+    val agg = flags.agg(
+      count(lit(1)).as("n0"),
+      (1 to 4).map(i =>
+        coalesce(sum(when(col(s"s$i"), 1L).otherwise(0L)), lit(0L)).as(s"n$i")): _*)
+    agg.select(explode(array(names.zipWithIndex.map { case (name, i) =>
+        struct(lit(i.toLong).as("stage"), lit(name).as("stage_name"),
+               col(s"n$i").as("n_docs"))
+      }: _*)).as("r"))
+      .select($"r.stage", $"r.stage_name", $"r.n_docs")
       .orderBy($"stage")
+  }
 }

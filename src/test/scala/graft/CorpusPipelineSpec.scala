@@ -44,6 +44,20 @@ class CorpusPipelineSpec extends SparkSpec {
     kept shouldBe Array(1L)
   }
 
+  test("stageFlags one-pass form agrees with the staged chain doc by doc") {
+    val flags = CorpusPipeline.stageFlags(corpus, benchmark,
+        maxContamination = 0.5, sampleFraction = 1.0).collect()
+      .map(r => r.getLong(0) ->
+        Seq(r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4))).toMap
+    val surviving = CorpusPipeline.stages(corpus, benchmark,
+        maxContamination = 0.5, sampleFraction = 1.0)
+      .map(_._2.select($"doc_id").as[Long].collect().toSet)
+    flags.keySet shouldBe surviving(0)
+    flags.foreach { case (id, fs) =>
+      fs shouldBe (1 to 4).map(surviving(_).contains(id))
+    }
+  }
+
   test("sampleFraction 0 empties the final stage but not the earlier ones") {
     val report = CorpusPipeline.attritionReport(
       corpus, benchmark, maxContamination = 0.5, sampleFraction = 0.0)

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Mechanical regression guard for the plan properties SCALE.md/PLANS.md
+  * argue from. Each assertion is a property that held when the operator
+  * was tuned — a silent Catalyst/code change that reintroduces a scan,
+  * a shuffle, or a theta join fails here, not at 100 TB.
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf0001)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q14_rollup: dims broadcast, no sort-merge join, fact scanned once") {
+    val p = planOf("q14_rollup")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    // one fact pass: exactly one lineitem scan node (one Location line)
+    p.linesIterator.count(_.contains("lineitem.parquet")) shouldBe 1
+  }
+
+  test("q04_range_filter: predicates reach the parquet scan") {
+    val p = planOf("q04_range_filter")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    pushed should not include "PushedFilters: []"
+  }
+
+  test("s06_knn_join: top-k cut happens before the shuffle (WindowGroupLimit Partial)") {
+    val p = planOf("s06_knn_join")
+    p should include("WindowGroupLimit")
+    p should include("Partial")
+  }
+
+  test("q25/q26: no cartesian or nested-loop join anywhere in the time joins") {
+    Seq("q25_asof_join", "q26_range_join").foreach { q =>
+      val p = planOf(q)
+      p should not include "CartesianProduct"
+      p should not include "BroadcastNestedLoopJoin"
+    }
+  }
+
+  test("t10_quality_filter: no hash-partition exchange (row-local rules)") {
+    val p = planOf("t10_quality_filter")
+    p should not include "Exchange hashpartitioning"
+  }
+
+  test("t08_decontaminate: the benchmark gram set broadcasts") {
+    planOf("t08_decontaminate") should include("BroadcastExchange")
+  }
+
+  test("s02_cosine_topk: global top-k is TakeOrdered, not a full sort") {
+    planOf("s02_cosine_topk") should include("TakeOrderedAndProject")
+  }
+}
