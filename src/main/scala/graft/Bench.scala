@@ -83,7 +83,13 @@ object Bench {
     // the full per-query map on disk — small enough to always survive the
     // tail capture whole, however large the query surface grows.
     val families = results.groupBy(_._1.takeWhile(!_.isDigit)).toSeq.sortBy(_._1)
-      .map { case (f, rs) => "\"" + f + "\":" + f"${rs.map(_._2).sum}%.2f" }
+      .map { case (f, rs) =>
+        // Locale.ROOT: the f"" interpolator uses the JVM default locale — a
+        // comma-decimal locale would emit "d":0,53 and break the one line
+        // that exists to stay machine-parseable
+        "\"" + f + "\":" + String.format(java.util.Locale.ROOT, "%.2f",
+          Double.box(rs.map(_._2).sum))
+      }
       .mkString("{", ",", "}")
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +

@@ -1189,7 +1189,7 @@ object SparkEntry {
                                 AND a.vec_id < b.vec_id)
          SELECT vec_a, vec_b, round(c, 4) AS cos_sim
          FROM p WHERE c >= 0.4 ORDER BY vec_a, vec_b""",
-    // greedy keep-first SemDeDup sweep over the same deterministic buckets:
+    // one-shot SemDeDup dominance test over the same deterministic buckets:
     // dominated = any smaller-id same-bucket vector within the threshold
     "d09_semdedup" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1442,7 +1442,9 @@ object SparkEntry {
                     FROM documents),
          m AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
                       CAST(stc AS DOUBLE)/CAST(len(t) AS DOUBLE) AS mean_word_len,
-                      CAST(lt - alnum_ws AS DOUBLE)/CAST(lt AS DOUBLE) AS symbol_ratio,
+                      CASE WHEN lt = 0 THEN 0.0
+                           ELSE CAST(lt - alnum_ws AS DOUBLE)/CAST(lt AS DOUBLE)
+                      END AS symbol_ratio,
                       stop_hits,
                       CAST(len(list_distinct(t)) AS DOUBLE)/CAST(len(t) AS DOUBLE) AS distinct_ratio
                FROM d),
@@ -1475,7 +1477,9 @@ object SparkEntry {
          s1 AS (SELECT doc_id, text FROM meas
                 WHERE len(t) BETWEEN 20 AND 5000
                   AND CAST(stc AS DOUBLE)/CAST(len(t) AS DOUBLE) BETWEEN 3.0 AND 10.0
-                  AND CAST(lt - alnum_ws AS DOUBLE)/CAST(lt AS DOUBLE) <= 0.3
+                  AND (CASE WHEN lt = 0 THEN 0.0
+                            ELSE CAST(lt - alnum_ws AS DOUBLE)/CAST(lt AS DOUBLE)
+                       END) <= 0.3
                   AND stop_hits >= 2
                   AND CAST(len(list_distinct(t)) AS DOUBLE)/CAST(len(t) AS DOUBLE) >= 0.3),
          s2 AS (SELECT doc_id, text FROM (

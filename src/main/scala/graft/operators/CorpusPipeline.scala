@@ -26,6 +26,15 @@ import graft.implicits._
   */
 object CorpusPipeline {
 
+  /** THE stage list, in funnel order — shared by [[stages]],
+    * [[stageFlags]] and [[attritionReport]] so the three views of the
+    * funnel cannot drift (a new stage must be added here AND to both
+    * computations; the CorpusPipelineSpec cross-validation then proves
+    * them equal again).
+    */
+  val stageNames: Seq[String] =
+    Seq("input", "quality_filter", "exact_dedup", "decontaminate", "hash_sample")
+
   /** (stage name, corpus surviving through that stage), in order. */
   def stages(corpus: DataFrame, benchmark: DataFrame,
              maxContamination: Double = 0.5, sampleFraction: Double = 0.5,
@@ -41,8 +50,7 @@ object CorpusPipeline {
       .where($"contamination" < maxContamination).select($"doc_id")
     val s3 = s2.join(clean, Seq("doc_id"), "left_semi")
     val s4 = s3.where(md5($"text".cast("binary")) < lit(Sampling.thresholdHex(sampleFraction)))
-    Seq("input" -> corpus, "quality_filter" -> s1, "exact_dedup" -> s2,
-        "decontaminate" -> s3, "hash_sample" -> s4)
+    stageNames.zip(Seq(corpus, s1, s2, s3, s4))
   }
 
   /** The refined corpus: documents surviving every stage. */
@@ -89,13 +97,13 @@ object CorpusPipeline {
   def attritionReport(corpus: DataFrame, benchmark: DataFrame,
                       maxContamination: Double = 0.5, sampleFraction: Double = 0.5,
                       nGram: Int = 5): DataFrame = {
-    val names = Seq("input", "quality_filter", "exact_dedup", "decontaminate", "hash_sample")
+    val nStages = stageNames.size - 1 // flags s1..sN, stage 0 is the input
     val flags = stageFlags(corpus, benchmark, maxContamination, sampleFraction, nGram)
     val agg = flags.agg(
       count(lit(1)).as("n0"),
-      (1 to 4).map(i =>
+      (1 to nStages).map(i =>
         coalesce(sum(when(col(s"s$i"), 1L).otherwise(0L)), lit(0L)).as(s"n$i")): _*)
-    agg.select(explode(array(names.zipWithIndex.map { case (name, i) =>
+    agg.select(explode(array(stageNames.zipWithIndex.map { case (name, i) =>
         struct(lit(i.toLong).as("stage"), lit(name).as("stage_name"),
                col(s"n$i").as("n_docs"))
       }: _*)).as("r"))

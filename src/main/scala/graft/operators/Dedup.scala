@@ -295,10 +295,17 @@ object Dedup {
   /** SemDeDup-style semantic dedup decision (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space, and inside each
     * cluster drop every vector that has a semantic duplicate
-    * (cosine ≥ `threshold`) with a smaller id — the greedy keep-first
-    * sweep, made deterministic by ordering on vec_id. The paper clusters
-    * with k-means; here the deterministic hyperplane bucket stands in as
-    * the cluster assignment (the same coarse quantizer
+    * (cosine ≥ `threshold`) with ANY smaller id, dropped or not — made
+    * deterministic by ordering on vec_id. Note this is deliberately a
+    * one-shot join predicate, not the paper's sequential survivors-only
+    * sweep: on a similarity chain 1~2, 2~3, 1≁3 the sweep would keep
+    * {1,3} (3 is only compared against the surviving 1) while this drops
+    * both 2 and 3 — strictly more aggressive on chains, and expressible
+    * as one join instead of an inherently sequential loop (chain-exact
+    * semantics live in [[dedupClusters]], which takes connected
+    * components and keeps one canonical doc per component). The paper
+    * clusters with k-means; here the deterministic hyperplane bucket
+    * stands in as the cluster assignment (the same coarse quantizer
     * [[graft.operators.Similarity.ivfTrained]] upgrades to a trained
     * codebook) so the oracle can recompute the identical partition.
     *

@@ -150,30 +150,38 @@ object Similarity {
       array_to_vector(transform(slice($"embedding", s * sub + 1, sub), _.cast("double")))
         .as(s"sv_$s")
     }
+    // persist across the m iterative fits + encode + query probe — without
+    // it every KMeans pass re-derives the subvector projection from source
     val withSubs = embeddings.select(($"vec_id" +: $"label" +: subCols): _*)
-    val models = (0 until m).map { s =>
-      new KMeans().setK(codebookSize).setSeed(seed + s)
-        .setFeaturesCol(s"sv_$s").setPredictionCol(s"code_$s").fit(withSubs)
-    }
-    // encode: m narrow transforms, no shuffle; at rest only (vec_id, codes)
-    // need persisting — the 32×-smaller index a real deployment scans
-    val encoded = models.foldLeft(withSubs) { case (df, mod) => mod.transform(df) }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val models = (0 until m).map { s =>
+        new KMeans().setK(codebookSize).setSeed(seed + s)
+          .setFeaturesCol(s"sv_$s").setPredictionCol(s"code_$s").fit(withSubs)
+      }
+      // encode: m narrow transforms, no shuffle; at rest only (vec_id, codes)
+      // need persisting — the 32×-smaller index a real deployment scans
+      val encoded = models.foldLeft(withSubs) { case (df, mod) => mod.transform(df) }
 
-    val qRow = withSubs.where($"vec_id" === queryId)
-      .select((0 until m).map(s => col(s"sv_$s")): _*).head()
-    val dtable: Seq[Seq[Double]] = (0 until m).map { s =>
-      val qv = qRow.getAs[org.apache.spark.ml.linalg.Vector](s)
-      models(s).clusterCenters.toSeq
-        .map(c => org.apache.spark.ml.linalg.Vectors.sqdist(c, qv))
-    }
-    val adc = (0 until m)
-      .map(s => element_at(typedLit(dtable(s)), col(s"code_$s") + 1))
-      .reduce(_ + _)
-    encoded.where($"vec_id" =!= queryId)
-      .withColumn("adc_dist", adc)
-      .orderBy($"adc_dist".asc, $"vec_id")
-      .limit(k)
-      .select($"vec_id", $"label", round($"adc_dist", 4).as("adc_dist"))
+      val qRow = withSubs.where($"vec_id" === queryId)
+        .select((0 until m).map(s => col(s"sv_$s")): _*).head()
+      val dtable: Seq[Seq[Double]] = (0 until m).map { s =>
+        val qv = qRow.getAs[org.apache.spark.ml.linalg.Vector](s)
+        models(s).clusterCenters.toSeq
+          .map(c => org.apache.spark.ml.linalg.Vectors.sqdist(c, qv))
+      }
+      val adc = (0 until m)
+        .map(s => element_at(typedLit(dtable(s)), col(s"code_$s") + 1))
+        .reduce(_ + _)
+      // materialize the k-row answer before releasing the cache the plan
+      // reads from (the barrier keeps the returned frame self-contained)
+      graft.Session.barrier(
+        encoded.where($"vec_id" =!= queryId)
+          .withColumn("adc_dist", adc)
+          .orderBy($"adc_dist".asc, $"vec_id")
+          .limit(k)
+          .select($"vec_id", $"label", round($"adc_dist", 4).as("adc_dist")))
+    } finally withSubs.unpersist(blocking = false)
   }
 
   /** All-pairs top-k similarity JOIN: every vector gets its k nearest

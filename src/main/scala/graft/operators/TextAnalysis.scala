@@ -159,9 +159,12 @@ object TextAnalysis {
       .withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("mean_word_len",
         length(regexp_replace($"text", "\\s", "")).cast("double") / $"n_tokens".cast("double"))
+      // empty text guard: 0.0/0.0 is NaN in Spark but NULL in DuckDB —
+      // define the ratio as 0 for zero-length docs so both sides agree
       .withColumn("symbol_ratio",
-        (length($"text") - length(regexp_replace($"text", "[^a-zA-Z0-9\\s]", "")))
-          .cast("double") / length($"text").cast("double"))
+        when(length($"text") === 0, lit(0.0)).otherwise(
+          (length($"text") - length(regexp_replace($"text", "[^a-zA-Z0-9\\s]", "")))
+            .cast("double") / length($"text").cast("double")))
       .withColumn("stop_hits", stopHits)
       .withColumn("distinct_ratio",
         size(array_distinct(toks)).cast("double") / $"n_tokens".cast("double"))

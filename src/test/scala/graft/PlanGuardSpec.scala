@@ -24,8 +24,11 @@ class PlanGuardSpec extends SparkSpec {
 
   test("q04_range_filter: predicates reach the parquet scan") {
     val p = planOf("q04_range_filter")
-    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
-    pushed should not include "PushedFilters: []"
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    // the detail line must EXIST (a Spark change dropping it would make a
+    // contains-nothing assertion pass vacuously) and must not be empty
+    pushed should not be empty
+    pushed.mkString should not include "PushedFilters: []"
   }
 
   test("s06_knn_join: top-k cut happens before the shuffle (WindowGroupLimit Partial)") {
