@@ -496,6 +496,28 @@ object SparkEntry {
         FROM spanned LEFT JOIN q33_orders o ON date_trunc('month', o.o_orderdate) = m
         GROUP BY m ORDER BY month_start""")
     }),
+    // engine-native twin of q33 (the registered form for scale): the same
+    // gap-filled month series, but no recursion — `sequence()` builds the
+    // month spine from the min/max bounds in one expression, orders are
+    // pre-aggregated per month (ONE scan + partial agg -> ~100 rows), and
+    // the spine left-joins the tiny aggregate. q33's recursive CTE runs
+    // one Spark job per recursion step (~10 sequential jobs); this is a
+    // single job, and no per-order rows ever shuffle on the skewed month
+    // key. The q32/q34 precedent: SQL-surface demo stays, twin ships.
+    "q35_month_spine" -> ((s, d) => {
+      val o = t(s, d)("orders")
+      val spine = o
+        .agg(date_trunc("month", min($"o_orderdate")).as("lo"),
+             date_trunc("month", max($"o_orderdate")).as("hi"))
+        .select(explode(sequence($"lo", $"hi", expr("interval 1 month"))).as("m"))
+      val monthly = o
+        .groupBy(date_trunc("month", $"o_orderdate").as("m"))
+        .agg(count($"o_orderkey").as("n"))
+      spine.join(monthly, Seq("m"), "left")
+        .select($"m".cast("timestamp_ntz").as("month_start"),
+                coalesce($"n", lit(0L)).as("n_orders"))
+        .orderBy($"month_start")
+    }),
     // pivot (conditional-aggregation rotation): events per user decile x type
     "q31_pivot" -> ((s, d) => t(s, d)("events")
       .groupBy(($"user_id" % 10).as("user_decile"))
@@ -582,6 +604,7 @@ object SparkEntry {
     // demo threshold sits below real-corpus dedup cuts (~0.95) to exercise
     // both branches of the dropped flag
     "d09_semdedup" -> ((s, d) => Dedup.semDedup(t(s, d)("embeddings"), 0.35)),
+    "d10_dup_spans" -> ((s, d) => Dedup.duplicatedSpans(t(s, d)("documents"))),
     // ---- similarity search (north-star M5) ----
     "s01_cosine_threshold" -> ((s, d) => Similarity.cosineAboveThreshold(t(s, d)("embeddings"), 0L, 0.1)),
     "s02_cosine_topk" -> ((s, d) => Similarity.cosineTopK(t(s, d)("embeddings"), 0L, 10)),
@@ -1012,6 +1035,27 @@ object SparkEntry {
          SELECT m AS month_start, count(o.o_orderkey) AS n_orders
          FROM spanned LEFT JOIN orders o ON date_trunc('month', o.o_orderdate) = m
          GROUP BY m ORDER BY month_start""",
+    // q35 is q33's engine-native twin: same result, same oracle
+    "q35_month_spine" ->
+      """WITH RECURSIVE bounds AS (
+           SELECT date_trunc('month', min(o_orderdate)) AS lo,
+                  date_trunc('month', max(o_orderdate)) AS hi
+           FROM orders),
+         years(y) AS (
+           SELECT year((SELECT lo FROM bounds))
+           UNION ALL
+           SELECT y + 1 FROM years WHERE y < year((SELECT hi FROM bounds))
+         ),
+         months AS (
+           SELECT CAST(make_date(y, mo, 1) AS TIMESTAMP) AS m
+           FROM years CROSS JOIN (SELECT unnest(generate_series(1, 12)) AS mo)
+         ),
+         spanned AS (
+           SELECT m FROM months, bounds WHERE m >= lo AND m <= hi
+         )
+         SELECT m AS month_start, count(o.o_orderkey) AS n_orders
+         FROM spanned LEFT JOIN orders o ON date_trunc('month', o.o_orderdate) = m
+         GROUP BY m ORDER BY month_start""",
     "q32_correlated_subquery" ->
       """SELECT o_custkey, count(*) AS n_above,
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_above
@@ -1201,6 +1245,33 @@ object SparkEntry {
          SELECT n.vec_id, n.label, n.bucket,
                 (d.vec_id IS NOT NULL) AS dropped
          FROM n LEFT JOIN d ON n.vec_id = d.vec_id ORDER BY n.vec_id""",
+    // cross-doc duplicated 10-gram passages; parallel unnests zip pos and
+    // gram, the lag window mirrors the engine's interval union exactly
+    // (engine positions are 0-based, oracle 1-based — only gaps matter)
+    "d10_dup_spans" ->
+      s"""WITH toks AS (SELECT doc_id, string_split_regex(lower(text),'\\s+') AS t
+                        FROM documents),
+         g0 AS (SELECT doc_id,
+                  unnest(generate_series(1, len(t)-9)) AS pos,
+                  unnest(list_transform(generate_series(1, len(t)-9),
+                    i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]
+                         ||' '||t[i+5]||' '||t[i+6]||' '||t[i+7]||' '||t[i+8]||' '||t[i+9])) AS gram
+                FROM toks),
+         gp AS (SELECT doc_id, pos, ${polyHash.duckdbSql("gram")} AS g FROM g0),
+         dup AS (SELECT g FROM gp GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+         lagged AS (SELECT doc_id, pos,
+                      lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+                    FROM gp JOIN dup USING (g)),
+         cov AS (SELECT doc_id, count(*) AS n_dup_grams,
+                   CAST(sum(CASE WHEN prev IS NULL THEN 10
+                                 ELSE least(10, pos - prev) END) AS BIGINT) AS covered_tokens
+                 FROM lagged GROUP BY doc_id)
+         SELECT tk.doc_id, CAST(len(tk.t) AS BIGINT) AS n_tokens,
+                coalesce(c.n_dup_grams, CAST(0 AS BIGINT)) AS n_dup_grams,
+                coalesce(c.covered_tokens, CAST(0 AS BIGINT)) AS covered_tokens,
+                CAST(coalesce(c.covered_tokens, 0) AS DOUBLE)/CAST(len(tk.t) AS DOUBLE)
+                  AS dup_span_share
+         FROM toks tk LEFT JOIN cov c USING (doc_id) ORDER BY tk.doc_id""",
     "s03_lsh_pairs" -> lshPairsOracle,
     "s05_ivf_topk" -> ivfTopKOracle,
     // kNN graph over the same buckets; rank ties break on neighbour id so

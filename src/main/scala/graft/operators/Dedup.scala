@@ -292,6 +292,53 @@ object Dedup {
       .orderBy($"vec_a", $"vec_b")
   }
 
+  /** Cross-document duplicated-PASSAGE share — the distributed
+    * approximation of exact-substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499, which uses a suffix array on a single machine): a
+    * position's n-gram is *duplicated* if the same n-gram occurs in at
+    * least one OTHER document, and a doc's `dup_span_share` is the
+    * fraction of its tokens covered by the union of duplicated n-gram
+    * spans. This is the signal that catches boilerplate PASSAGES
+    * (licenses, headers, templates) inside otherwise-unique documents —
+    * invisible to whole-document dedup (d01) and diluted in bag-of-grams
+    * Jaccard (d02).
+    *
+    * Scale shape: positions explode once with 8-byte poly_hash gram
+    * identities (no gram strings shuffle); the cross-doc test is one
+    * aggregate on the hash (count distinct docs ≥ 2, 16-byte rows);
+    * duplicated positions semi-join back; span coverage is an
+    * interval-union via a lag window per doc (first gram covers n
+    * tokens, each next adds min(n, gap)) — one shuffle keyed by doc_id.
+    */
+  def duplicatedSpans(documents: DataFrame, n: Int = 10): DataFrame = {
+    val toks = tokens($"text")
+    val pos = documents
+      .select($"doc_id", posexplode(ngrams(toks, n)).as(Seq("pos", "gram")))
+      .select($"doc_id", $"pos", graft.functions.PolyHash($"gram").as("g"))
+    val dup = pos.groupBy($"g")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .where($"nd" >= 2)
+      .select($"g")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id").orderBy($"pos")
+    val covered = pos.join(dup, Seq("g"), "left_semi")
+      .withColumn("prev", lag($"pos", 1).over(w))
+      .withColumn("contrib",
+        when($"prev".isNull, lit(n)).otherwise(least(lit(n), $"pos" - $"prev")))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_dup_grams"),
+           sum($"contrib").cast("long").as("covered_tokens"))
+    documents
+      .select($"doc_id", size(toks).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens",
+        coalesce($"n_dup_grams", lit(0L)).as("n_dup_grams"),
+        coalesce($"covered_tokens", lit(0L)).as("covered_tokens"),
+        (coalesce($"covered_tokens", lit(0L)).cast("double") /
+          $"n_tokens".cast("double")).as("dup_span_share"))
+      .orderBy($"doc_id")
+  }
+
   /** SemDeDup-style semantic dedup decision (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space, and inside each
     * cluster drop every vector that has a semantic duplicate

@@ -113,6 +113,37 @@ class DedupSpec extends SparkSpec {
     out(0).getAs[Long]("bucket_size") shouldBe 2L
   }
 
+  test("duplicatedSpans: interval union of cross-doc duplicated n-gram spans") {
+    // docs 1 and 2 share the passage "a b c d"; doc 3 is unique.
+    // With n=3, doc 1's grams: [a b c][b c d][c d x][d x y] — positions
+    // 0,1 are duplicated (present in doc 2), covering tokens a..d = 4 of 6.
+    val d = docs(
+      (1L, "w", "a b c d x y"),
+      (2L, "w", "p q a b c d"),
+      (3L, "w", "u v w m n o"))
+    val out = Dedup.duplicatedSpans(d, n = 3).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    out(1L).getAs[Long]("n_tokens") shouldBe 6L
+    out(1L).getAs[Long]("n_dup_grams") shouldBe 2L
+    out(1L).getAs[Long]("covered_tokens") shouldBe 4L // 3 for pos0 + gap 1
+    out(1L).getAs[Double]("dup_span_share") shouldBe 4.0 / 6.0
+    out(2L).getAs[Long]("covered_tokens") shouldBe 4L // passage sits at the end
+    out(3L).getAs[Long]("n_dup_grams") shouldBe 0L
+    out(3L).getAs[Double]("dup_span_share") shouldBe 0.0
+  }
+
+  test("duplicatedSpans: non-overlapping duplicated grams count n tokens each") {
+    // "a b c" appears in docs 1,2 at two separated positions in doc 1:
+    // spans don't overlap, each contributes the full n
+    val d = docs(
+      (1L, "w", "a b c z z z a b c"),
+      (2L, "w", "a b c q q q q q q"))
+    val out = Dedup.duplicatedSpans(d, n = 3).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    out(1L).getAs[Long]("n_dup_grams") shouldBe 2L
+    out(1L).getAs[Long]("covered_tokens") shouldBe 6L
+  }
+
   test("semDedup drops exactly the vectors dominated by a smaller-id same-bucket near-dup") {
     import graft.functions.Vectors
     val rnd = new scala.util.Random(11)
