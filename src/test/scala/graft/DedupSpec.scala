@@ -144,6 +144,34 @@ class DedupSpec extends SparkSpec {
     out(1L).getAs[Long]("covered_tokens") shouldBe 6L
   }
 
+  test("duplicatedSpans matches a local brute force on random corpora") {
+    val rnd = new scala.util.Random(19)
+    val vocab = Array("a", "b", "c", "d", "e", "f", "g", "h")
+    val corpus = (1L to 15L).map { i =>
+      val len = 5 + rnd.nextInt(26)
+      (i, "w", Array.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val n = 3
+    val toks = corpus.map { case (id, _, text) => id -> text.split(" ") }.toMap
+    val grams = toks.view.mapValues(t =>
+      t.sliding(n).filter(_.length == n).map(_.mkString(" ")).toVector).toMap
+    // toSeq first: flatMapping the Map directly would rebuild a Map keyed
+    // by gram and silently collapse the per-doc occurrences being counted
+    val dup = grams.toSeq.flatMap { case (id, gs) => gs.distinct.map(g => (g, id)) }
+      .groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2).keySet
+    val expected = corpus.map { case (id, _, _) =>
+      val pos = grams(id).zipWithIndex.collect { case (g, p) if dup(g) => p }
+      val covered = pos.foldLeft((0L, -1)) { case ((acc, prev), p) =>
+        (acc + math.min(n, if (prev < 0) n else p - prev), p)
+      }._1
+      id -> (toks(id).length.toLong, pos.size.toLong, covered)
+    }.toMap
+    val out = Dedup.duplicatedSpans(corpus.toDF("doc_id", "source", "text"), n)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    out shouldBe expected
+  }
+
   test("semDedup drops exactly the vectors dominated by a smaller-id same-bucket near-dup") {
     import graft.functions.Vectors
     val rnd = new scala.util.Random(11)
