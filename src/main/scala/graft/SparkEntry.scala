@@ -640,6 +640,13 @@ object SparkEntry {
       CorpusPipeline.attritionReport(
         docs.where($"doc_id" % 10 =!= 0), docs.where($"doc_id" % 10 === 0))
     }),
+    // data selection: importance of each corpus doc w.r.t. the held-out
+    // target set (same split as t08/t11)
+    "t12_dsir_importance" -> ((s, d) => {
+      val docs = t(s, d)("documents")
+      TextAnalysis.importanceScores(
+        docs.where($"doc_id" % 10 =!= 0), docs.where($"doc_id" % 10 === 0))
+    }),
     // ---- skew-mitigation equivalence (SCALE.md escape hatches) ----
     // salted shapes must be row-for-row equal to their plain formulations;
     // the oracle computes the plain form
@@ -1584,6 +1591,32 @@ object SparkEntry {
            UNION ALL SELECT 3, 'decontaminate', count(*) FROM s3
            UNION ALL SELECT 4, 'hash_sample', count(*) FROM s4)
          ORDER BY stage""",
+    // hashed-bigram bucket masses; integer sums, IEEE ratio — exact
+    "t12_dsir_importance" ->
+      s"""WITH toks AS (SELECT doc_id, string_split_regex(lower(text),'\\s+') AS t
+                        FROM documents),
+         g0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
+                  i -> t[i]||' '||t[i+1])) AS gram FROM toks),
+         gb AS (SELECT doc_id, (${polyHash.duckdbSql("gram")}) % 256 AS bucket FROM g0),
+         cg AS (SELECT * FROM gb WHERE doc_id % 10 != 0),
+         tg AS (SELECT * FROM gb WHERE doc_id % 10 = 0),
+         cf AS (SELECT bucket, count(*) AS cc FROM cg GROUP BY 1),
+         tf AS (SELECT bucket, count(*) AS tc FROM tg GROUP BY 1),
+         m AS (SELECT cg.doc_id, count(*) AS n_grams,
+                 CAST(sum(coalesce(tf.tc, 0)) AS BIGINT) AS target_mass,
+                 CAST(sum(cf.cc) AS BIGINT) AS corpus_mass
+               FROM cg JOIN cf USING (bucket) LEFT JOIN tf USING (bucket)
+               GROUP BY cg.doc_id)
+         SELECT d.doc_id,
+                coalesce(m.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+                coalesce(m.target_mass, CAST(0 AS BIGINT)) AS target_mass,
+                coalesce(m.corpus_mass, CAST(0 AS BIGINT)) AS corpus_mass,
+                CASE WHEN coalesce(m.corpus_mass, 0) = 0 THEN 0.0
+                     ELSE CAST(m.target_mass AS DOUBLE)/CAST(m.corpus_mass AS DOUBLE)
+                END AS importance
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 10 != 0) d
+         LEFT JOIN m USING (doc_id)
+         ORDER BY d.doc_id""",
     "x01_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n,
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

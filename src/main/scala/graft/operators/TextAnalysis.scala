@@ -210,6 +210,51 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** DSIR-style importance scoring for data SELECTION (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling",
+    * arXiv:2302.03169): score each corpus document by how much its hashed
+    * n-gram feature mass falls in buckets that are frequent in a TARGET
+    * set — the primitive behind "choose pre-training data that looks like
+    * the target domain". The paper scores smoothed log p_target/p_corpus
+    * over hashed features; this keeps the same hashed-bucket features and
+    * per-bucket statistics but emits the integer-exact count form
+    * (target mass, corpus mass, their IEEE ratio) because ln is not
+    * bit-portable across libms and the gate value-checks exactly —
+    * resampling ranks identically under any monotone transform of the
+    * ratio.
+    *
+    * Scale shape: both bucket-frequency tables are ≤ `buckets` rows
+    * (aggregate once, broadcast); the corpus side is one explode + two
+    * broadcast joins + a per-doc aggregate — no corpus-vs-corpus join,
+    * gram identity is the 8-byte poly_hash folded into a bucket id.
+    */
+  def importanceScores(corpus: DataFrame, target: DataFrame,
+                       n: Int = 2, buckets: Int = 256): DataFrame = {
+    def bucketed(df: DataFrame): DataFrame = df
+      .select($"doc_id", explode(Dedup.ngrams(Dedup.tokens($"text"), n)).as("gram"))
+      .select($"doc_id", (PolyHash($"gram") % buckets).as("bucket"))
+    val cg = bucketed(corpus)
+    val corpusFreq = cg.groupBy($"bucket").agg(count(lit(1)).as("c_corpus"))
+    val targetFreq = bucketed(target).groupBy($"bucket").agg(count(lit(1)).as("c_target"))
+    val massed = cg
+      .join(broadcast(corpusFreq), Seq("bucket"))
+      .join(broadcast(targetFreq), Seq("bucket"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+           sum(coalesce($"c_target", lit(0L))).cast("long").as("target_mass"),
+           sum($"c_corpus").cast("long").as("corpus_mass"))
+    corpus.select($"doc_id")
+      .join(massed, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_grams", lit(0L)).as("n_grams"),
+        coalesce($"target_mass", lit(0L)).as("target_mass"),
+        coalesce($"corpus_mass", lit(0L)).as("corpus_mass"),
+        when(coalesce($"corpus_mass", lit(0L)) === 0L, lit(0.0))
+          .otherwise($"target_mass".cast("double") / $"corpus_mass".cast("double"))
+          .as("importance"))
+      .orderBy($"doc_id")
+  }
+
   /** Gopher/C4-style repetition signals per document: duplicate-n-gram
     * share and the most frequent n-gram's share — the filters that drop
     * boilerplate and template spam from training corpora. One explode +

@@ -78,6 +78,26 @@ class TextAnalysisSpec extends SparkSpec {
     out(2L).getAs[Double]("top_share") shouldBe 0.25
   }
 
+  test("importanceScores: target-heavy docs score above target-absent docs") {
+    // corpus doc 1 repeats the target's bigram; doc 2 shares nothing.
+    // Single-bucket masses are hand-computable: doc 1's grams all live in
+    // buckets the target populates, doc 2's in buckets it doesn't.
+    val corpus = Seq(
+      (1L, "alpha beta alpha beta alpha beta", "en", "w"),
+      (2L, "gamma delta gamma delta gamma delta", "en", "w"))
+      .toDF("doc_id", "text", "lang", "source")
+    val target = Seq((10L, "alpha beta alpha beta", "en", "w"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.importanceScores(corpus, target).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    out(1L).getAs[Long]("n_grams") shouldBe 5L
+    out(2L).getAs[Long]("target_mass") shouldBe 0L
+    out(2L).getAs[Double]("importance") shouldBe 0.0
+    out(1L).getAs[Long]("target_mass") should be > 0L
+    out(1L).getAs[Double]("importance") should be >
+      out(2L).getAs[Double]("importance")
+  }
+
   test("qualityFilter: each rule fires independently and keep is their conjunction") {
     val good = "that wind rock tree fish bird moon star lake sand " +
       "that hill wolf bear frog deer hawk dove that crab"
