@@ -736,6 +736,31 @@ object SparkEntry {
       s"CASE WHEN list_dot_product(v, $w) > 0 THEN ${1L << b} ELSE 0 END"
     }.mkString("CAST(", " + ", " AS BIGINT)")
 
+  /** Shared by q33 (recursive-CTE SQL demo) and q35 (engine-native twin):
+    * both must equal the same gap-filled month series, so they are checked
+    * against the SAME oracle string — a dialect fix cannot diverge them.
+    */
+  private def monthSpineOracle: String =
+    """WITH RECURSIVE bounds AS (
+         SELECT date_trunc('month', min(o_orderdate)) AS lo,
+                date_trunc('month', max(o_orderdate)) AS hi
+         FROM orders),
+       years(y) AS (
+         SELECT year((SELECT lo FROM bounds))
+         UNION ALL
+         SELECT y + 1 FROM years WHERE y < year((SELECT hi FROM bounds))
+       ),
+       months AS (
+         SELECT CAST(make_date(y, mo, 1) AS TIMESTAMP) AS m
+         FROM years CROSS JOIN (SELECT unnest(generate_series(1, 12)) AS mo)
+       ),
+       spanned AS (
+         SELECT m FROM months, bounds WHERE m >= lo AND m <= hi
+       )
+       SELECT m AS month_start, count(o.o_orderkey) AS n_orders
+       FROM spanned LEFT JOIN orders o ON date_trunc('month', o.o_orderdate) = m
+       GROUP BY m ORDER BY month_start"""
+
   /** DuckDB recomputation of Similarity.lshNearNeighbours (nbits=4, ≥0.35). */
   private def lshPairsOracle: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1022,47 +1047,9 @@ object SparkEntry {
          SELECT c_custkey, 'rich_inactive' AS relation
          FROM (SELECT c_custkey FROM rich EXCEPT SELECT c_custkey FROM active)
          ORDER BY relation, c_custkey""",
-    "q33_recursive_months" ->
-      """WITH RECURSIVE bounds AS (
-           SELECT date_trunc('month', min(o_orderdate)) AS lo,
-                  date_trunc('month', max(o_orderdate)) AS hi
-           FROM orders),
-         years(y) AS (
-           SELECT year((SELECT lo FROM bounds))
-           UNION ALL
-           SELECT y + 1 FROM years WHERE y < year((SELECT hi FROM bounds))
-         ),
-         months AS (
-           SELECT CAST(make_date(y, mo, 1) AS TIMESTAMP) AS m
-           FROM years CROSS JOIN (SELECT unnest(generate_series(1, 12)) AS mo)
-         ),
-         spanned AS (
-           SELECT m FROM months, bounds WHERE m >= lo AND m <= hi
-         )
-         SELECT m AS month_start, count(o.o_orderkey) AS n_orders
-         FROM spanned LEFT JOIN orders o ON date_trunc('month', o.o_orderdate) = m
-         GROUP BY m ORDER BY month_start""",
-    // q35 is q33's engine-native twin: same result, same oracle
-    "q35_month_spine" ->
-      """WITH RECURSIVE bounds AS (
-           SELECT date_trunc('month', min(o_orderdate)) AS lo,
-                  date_trunc('month', max(o_orderdate)) AS hi
-           FROM orders),
-         years(y) AS (
-           SELECT year((SELECT lo FROM bounds))
-           UNION ALL
-           SELECT y + 1 FROM years WHERE y < year((SELECT hi FROM bounds))
-         ),
-         months AS (
-           SELECT CAST(make_date(y, mo, 1) AS TIMESTAMP) AS m
-           FROM years CROSS JOIN (SELECT unnest(generate_series(1, 12)) AS mo)
-         ),
-         spanned AS (
-           SELECT m FROM months, bounds WHERE m >= lo AND m <= hi
-         )
-         SELECT m AS month_start, count(o.o_orderkey) AS n_orders
-         FROM spanned LEFT JOIN orders o ON date_trunc('month', o.o_orderdate) = m
-         GROUP BY m ORDER BY month_start""",
+    "q33_recursive_months" -> monthSpineOracle,
+    // q35 is q33's engine-native twin: same result, literally the same oracle
+    "q35_month_spine" -> monthSpineOracle,
     "q32_correlated_subquery" ->
       """SELECT o_custkey, count(*) AS n_above,
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_above

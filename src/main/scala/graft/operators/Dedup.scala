@@ -316,9 +316,13 @@ object Dedup {
     val pos = documents
       .select($"doc_id", posexplode(ngrams(toks, n)).as(Seq("pos", "gram")))
       .select($"doc_id", $"pos", graft.functions.PolyHash($"gram").as("g"))
+    // "occurs in >=2 distinct docs" as min!=max: ONE combiner-friendly
+    // exchange with constant per-key state — countDistinct would plan a
+    // partial-dedup + second exchange over the full exploded position set
+    // (the heavy stage of this operator)
     val dup = pos.groupBy($"g")
-      .agg(countDistinct($"doc_id").as("nd"))
-      .where($"nd" >= 2)
+      .agg((min($"doc_id") =!= max($"doc_id")).as("crossdoc"))
+      .where($"crossdoc")
       .select($"g")
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id").orderBy($"pos")
     val covered = pos.join(dup, Seq("g"), "left_semi")
