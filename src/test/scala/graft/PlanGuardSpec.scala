@@ -45,9 +45,16 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  // formatted mode prints each exchange's partitioning on its own
+  // "Arguments: hashpartitioning(...)" line — count those, not the node
+  // names (an "Exchange hashpartitioning" substring never occurs here)
+  private def hashExchanges(plan: String): Int =
+    plan.linesIterator.count(_.trim.startsWith("Arguments: hashpartitioning"))
+
   test("t10_quality_filter: no hash-partition exchange (row-local rules)") {
     val p = planOf("t10_quality_filter")
-    p should not include "Exchange hashpartitioning"
+    p should include("Scan parquet") // sanity: a real plan was rendered
+    hashExchanges(p) shouldBe 0
   }
 
   test("t08_decontaminate: the benchmark gram set broadcasts") {
@@ -56,5 +63,20 @@ class PlanGuardSpec extends SparkSpec {
 
   test("s02_cosine_topk: global top-k is TakeOrdered, not a full sort") {
     planOf("s02_cosine_topk") should include("TakeOrderedAndProject")
+  }
+
+  test("d10_dup_spans: cross-doc test costs one hash exchange, not countDistinct's two") {
+    val p = planOf("d10_dup_spans")
+    // exactly two hash exchanges: the gram aggregate and the per-doc
+    // window — a countDistinct regression would add a third (partial
+    // dedup on (g, doc_id) before the re-aggregate on g)
+    hashExchanges(p) shouldBe 2
+  }
+
+  test("t12_dsir_importance: both frequency tables broadcast; corpus never self-joins") {
+    val p = planOf("t12_dsir_importance")
+    p.linesIterator.count(_.contains("BroadcastExchange")) should be >= 2
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
   }
 }
