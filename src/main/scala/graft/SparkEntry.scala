@@ -612,6 +612,14 @@ object SparkEntry {
     "s04_label_centroids" -> ((s, d) => Similarity.labelCentroids(t(s, d)("embeddings"))),
     "s05_ivf_topk" -> ((s, d) => Similarity.ivfTopK(t(s, d)("embeddings"), 0L, 4, 10)),
     "s06_knn_join" -> ((s, d) => Similarity.knnJoin(t(s, d)("embeddings"), 4, 3)),
+    // inverted-index keyword retrieval (integer-exact tf-idf gate form;
+    // bm25Search is the spec-gated full-precision twin)
+    "s07_keyword_search" -> ((s, d) => Search.keywordSearch(
+      t(s, d)("documents"), Seq("vector", "spark", "window", "hash"), 20)),
+    // the SCALE.md lever implemented: nbits derived from the corpus size
+    // (500 vecs → 5 bits, 2000 → 7) so mean bucket size stays bounded
+    "s08_lsh_adaptive" -> ((s, d) =>
+      Similarity.lshPairsAdaptive(t(s, d)("embeddings"), 0.2)),
     // ---- text analysis (north-star M5) ----
     "t01_text_stats" -> ((s, d) => TextAnalysis.stats(t(s, d)("documents"))),
     "t02_langid" -> ((s, d) => TextAnalysis.languageId(t(s, d)("documents"))),
@@ -647,6 +655,8 @@ object SparkEntry {
       TextAnalysis.importanceScores(
         docs.where($"doc_id" % 10 =!= 0), docs.where($"doc_id" % 10 === 0))
     }),
+    // corpus data card: composition rollup every dataset release ships
+    "t13_data_card" -> ((s, d) => CorpusPipeline.dataCard(t(s, d)("documents"))),
     // ---- skew-mitigation equivalence (SCALE.md escape hatches) ----
     // salted shapes must be row-for-row equal to their plain formulations;
     // the oracle computes the plain form
@@ -771,6 +781,27 @@ object SparkEntry {
              FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
        SELECT vec_a, vec_b, round(c, 4) AS cos_sim
        FROM p WHERE c >= 0.35 ORDER BY vec_a, vec_b"""
+
+  /** DuckDB recomputation of Similarity.lshPairsAdaptive (targetBucket=16,
+    * threshold 0.2). nbits is derived by the SAME shift-and-compare rule as
+    * [[operators.Similarity.adaptiveNbits]]; because plane weights depend
+    * only on the bit index, the adaptive bucket is the full 16-bit bucket
+    * mod 2^nbits — no dynamic SQL needed.
+    */
+  private def lshAdaptiveOracle: String =
+    s"""WITH nb AS (SELECT CAST(coalesce(min(b), 16) AS INT) AS nbits
+                    FROM (SELECT unnest(generate_series(4, 16)) AS b),
+                         (SELECT count(*) AS c FROM embeddings)
+                    WHERE c <= 16 * (CAST(1 AS BIGINT) << b)),
+       e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       bk AS (SELECT vec_id, v,
+                     (${bucketSql(16)}) % (CAST(1 AS BIGINT) << (SELECT nbits FROM nb)) AS bucket,
+                     sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       p AS (SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+                    list_dot_product(a.v, b2.v) / (a.nrm * b2.nrm) AS c
+             FROM bk a JOIN bk b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+       SELECT vec_a, vec_b, round(c, 4) AS cos_sim, (SELECT nbits FROM nb) AS nbits
+       FROM p WHERE c >= 0.2 ORDER BY vec_a, vec_b"""
 
   /** DuckDB recomputation of Similarity.ivfTopK (query 0, nbits=4, k=10). */
   private def ivfTopKOracle: String =
@@ -1268,6 +1299,24 @@ object SparkEntry {
          FROM toks tk LEFT JOIN cov c USING (doc_id) ORDER BY tk.doc_id""",
     "s03_lsh_pairs" -> lshPairsOracle,
     "s05_ivf_topk" -> ivfTopKOracle,
+    "s08_lsh_adaptive" -> lshAdaptiveOracle,
+    // inverted-index tf-idf: df derived from the (doc,term) tf table, idf
+    // is exact integer division scale//df — every value is a long, so the
+    // hash compare is exact (`//` is DuckDB integer division = the
+    // engine's floor of an exact sub-2^53 double quotient)
+    "s07_keyword_search" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+                       FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+                WHERE term IN ('hash', 'spark', 'vector', 'window')
+                GROUP BY doc_id, term),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         s AS (SELECT doc_id, count(*) AS n_terms,
+                      sum(tf * (1048576 // df)) AS score
+               FROM tf JOIN df USING (term) GROUP BY doc_id)
+         SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms,
+                CAST(score AS BIGINT) AS score
+         FROM s ORDER BY score DESC, doc_id LIMIT 20""",
     // kNN graph over the same buckets; rank ties break on neighbour id so
     // row_number agrees bit-for-bit with the engine's window
     "s06_knn_join" ->
@@ -1402,6 +1451,27 @@ object SparkEntry {
                 CAST(len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}|[^A-Za-z0-9\s]')) AS BIGINT)
                   AS bpe_ish_tokens
          FROM documents ORDER BY doc_id""",
+    // composition rollup; GROUPING() markers distinguish rolled-up NULLs
+    // from data NULLs, NULLS FIRST pins the cross-engine sort (DuckDB
+    // defaults NULLS LAST, Spark asc defaults NULLS FIRST)
+    "t13_data_card" ->
+      """WITH base AS (SELECT source, lang,
+                        CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,
+                        n_chars
+                      FROM documents),
+         agg AS (SELECT source, lang, count(*) AS n_docs,
+                        CAST(sum(ws_tokens) AS BIGINT) AS n_tokens,
+                        CAST(sum(n_chars) AS BIGINT) AS n_chars,
+                        CAST(GROUPING(source) AS INT) AS g_source,
+                        CAST(GROUPING(lang) AS INT) AS g_lang
+                 FROM base GROUP BY ROLLUP(source, lang))
+         SELECT source, lang, g_source, g_lang, n_docs, n_tokens, n_chars,
+                CAST(n_tokens AS DOUBLE) /
+                  (SELECT CAST(n_tokens AS DOUBLE) FROM agg
+                   WHERE g_source = 1 AND g_lang = 1) AS token_share,
+                CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_doc_tokens
+         FROM agg
+         ORDER BY g_source DESC, g_lang DESC, source NULLS FIRST, lang NULLS FIRST""",
     // deterministic hash sampling at 0.15: the lexicographic md5-hex
     // compare IS the numeric 128-bit compare (same threshold constant the
     // Spark plan embeds)

@@ -110,4 +110,41 @@ object CorpusPipeline {
       .select($"r.stage", $"r.stage_name", $"r.n_docs")
       .orderBy($"stage")
   }
+
+  /** Corpus data card: the composition table every dataset release
+    * publishes — documents, tokens, characters, token share and mean
+    * document length per (source, lang), per source, and for the whole
+    * corpus, in one ROLLUP aggregate. `g_source`/`g_lang` are the
+    * GROUPING() markers (1 = rolled up), so a NULL source value can never
+    * be confused with the all-sources row.
+    *
+    * Scale shape: one corpus scan with a narrow codegen'd projection
+    * (token count via regexp_count, no explode), one partial+final rollup
+    * aggregate whose output is ≤ (|sources|+1)·(|langs|+1) rows; the
+    * grand-total lookup for `token_share` is a window over THAT
+    * metadata-sized aggregate, never over the corpus. Ratios are IEEE
+    * divisions of exact longs — bit-identical in the oracle.
+    */
+  def dataCard(documents: DataFrame): DataFrame = {
+    val agg = documents
+      .withColumn("ws_tokens", regexp_count($"text", lit("\\S+")).cast("long"))
+      .rollup($"source", $"lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum($"ws_tokens").cast("long").as("n_tokens"),
+           sum($"n_chars").cast("long").as("n_chars"),
+           grouping($"source").cast("int").as("g_source"),
+           grouping($"lang").cast("int").as("g_lang"))
+    // the rollup output is metadata-sized — a single-partition window over
+    // it is free; the grand-total row is unique, so max(when) finds it
+    val all = Window.partitionBy(lit(1))
+    agg
+      .withColumn("total_tokens",
+        max(when($"g_source" === 1 && $"g_lang" === 1, $"n_tokens")).over(all))
+      .select($"source", $"lang", $"g_source", $"g_lang",
+        $"n_docs", $"n_tokens", $"n_chars",
+        ($"n_tokens".cast("double") / $"total_tokens".cast("double")).as("token_share"),
+        ($"n_tokens".cast("double") / $"n_docs".cast("double")).as("mean_doc_tokens"))
+      .orderBy($"g_source".desc, $"g_lang".desc,
+               $"source".asc_nulls_first, $"lang".asc_nulls_first)
+  }
 }

@@ -63,6 +63,39 @@ object Similarity {
       .orderBy($"vec_a", $"vec_b")
   }
 
+  /** The corpus-size-aware bit count for hyperplane bucketing: the
+    * smallest `nbits` in [minBits, maxBits] with
+    * `n ≤ targetBucket · 2^nbits`, i.e. the MEAN bucket size is bounded by
+    * `targetBucket` at any corpus size. Integer-exact by construction
+    * (shift-and-compare, no log2 float knife edges) so the oracle applies
+    * the identical rule. This is SCALE.md's production lever for the LSH
+    * family: fixed nbits makes bucket joins grow quadratically with the
+    * corpus; nbits growing with log₂(n) keeps per-bucket work constant.
+    */
+  def adaptiveNbits(n: Long, targetBucket: Long = 16L,
+                    minBits: Int = 4, maxBits: Int = 16): Int =
+    (minBits to maxBits).find(b => n <= (targetBucket << b)).getOrElse(maxBits)
+
+  /** [[lshNearNeighbours]] with `nbits` derived from the corpus size via
+    * [[adaptiveNbits]] — the shape that survives 100 TB: the count is one
+    * metadata-cheap aggregate, and the derived bit count rides into the
+    * plan as a literal. Because plane weights depend only on the bit
+    * index, the adaptive bucket is exactly the low `nbits` bits of the
+    * maxBits-plane bucket — which is how the SQL oracle recomputes it
+    * (full 16-bit bucket mod 2^nbits) without dynamic SQL.
+    *
+    * Recall note: more bits ⇒ fewer collisions per table (the standard
+    * (1 − θ/π)^nbits trade-off); production systems counter with multiple
+    * hash tables (band OR-ing, as [[Dedup.minhashLshPairs]] does for
+    * Jaccard), not by letting buckets grow with the corpus.
+    */
+  def lshPairsAdaptive(embeddings: DataFrame, threshold: Double,
+                       targetBucket: Long = 16L): DataFrame = {
+    val nbits = adaptiveNbits(embeddings.count(), targetBucket)
+    lshNearNeighbours(embeddings, nbits, threshold)
+      .withColumn("nbits", lit(nbits))
+  }
+
   /** IVF-style probe: assign every vector to its nearest of `nlist`
     * deterministic "centroid" buckets (hyperplane prefix), then search only
     * the query's bucket — the coarse-quantizer skeleton of an IVF index,

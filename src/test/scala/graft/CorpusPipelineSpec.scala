@@ -65,4 +65,39 @@ class CorpusPipelineSpec extends SparkSpec {
     report("decontaminate") shouldBe 1L
     report("hash_sample") shouldBe 0L
   }
+
+  test("dataCard: rollup levels, grouping markers, shares sum to 1 per level") {
+    val docs = Seq(
+      (1L, "a b c", "en", "s1", 5L),
+      (2L, "d e", "en", "s1", 3L),
+      (3L, "f g h i", "fr", "s1", 7L),
+      (4L, "j", "en", "s2", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val card = CorpusPipeline.dataCard(docs).collect()
+
+    // grand total row first (g_source=1, g_lang=1), NULL dims
+    val total = card.head
+    total.getInt(2) shouldBe 1
+    total.getInt(3) shouldBe 1
+    total.isNullAt(0) shouldBe true
+    total.getLong(4) shouldBe 4L       // n_docs
+    total.getLong(5) shouldBe 10L      // n_tokens: 3+2+4+1
+    total.getLong(6) shouldBe 16L      // n_chars
+    total.getDouble(7) shouldBe 1.0    // token_share of the whole corpus
+
+    // per-source level: g_lang=1, g_source=0
+    val perSource = card.filter(r => r.getInt(2) == 0 && r.getInt(3) == 1)
+      .map(r => r.getString(0) -> r.getLong(5)).toMap
+    perSource shouldBe Map("s1" -> 9L, "s2" -> 1L)
+
+    // leaf level (source, lang)
+    val leaves = card.filter(r => r.getInt(2) == 0 && r.getInt(3) == 0)
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    leaves shouldBe Map(("s1", "en") -> 2L, ("s1", "fr") -> 1L, ("s2", "en") -> 1L)
+
+    // shares within each level sum to 1 (IEEE sums of exact ratios)
+    val leafShare = card.filter(r => r.getInt(2) == 0 && r.getInt(3) == 0)
+      .map(_.getDouble(7)).sum
+    leafShare shouldBe (1.0 +- 1e-12)
+  }
 }

@@ -79,4 +79,31 @@ class PlanGuardSpec extends SparkSpec {
     p should not include "SortMergeJoin"
     p should not include "CartesianProduct"
   }
+
+  test("s07_keyword_search: df broadcasts, top-k is TakeOrdered, corpus scans once") {
+    val p = planOf("s07_keyword_search")
+    p should include("TakeOrderedAndProject")
+    p should include("BroadcastExchange")
+    p should not include "SortMergeJoin"
+    // the scale property lives in the RUNTIME plan: the df branch must
+    // reuse the tf posting shuffle, not re-scan the corpus (Catalyst
+    // pruning the child aggregate to a distinct breaks canonical equality
+    // and silently doubles the 100 TB scan — the regression this pins)
+    val df = SparkEntry.queries("s07_keyword_search")(spark, sf0001)
+    df.collect()
+    // AdaptiveSparkPlan.toString prints Final Plan then Initial Plan —
+    // only the final (actually executed) section matters here
+    val executed = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    executed should include("ReusedExchange")
+    executed.linesIterator.count(_.contains("FileScan")) shouldBe 1
+  }
+
+  test("s08_lsh_adaptive: bucket equi-join, no cartesian, nbits a plan literal") {
+    val p = planOf("s08_lsh_adaptive")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    // 500-vector fixture → adaptiveNbits = 5 rides in as the literal
+    p should include("5 AS nbits")
+  }
 }

@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.Search
+
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  // tf: d1(spark=2, join=1), d2(spark=1, merge=2), d3(join=1, merge=1),
+  // d4 has no query term and must not appear in any result
+  private def corpus = Seq(
+    (1L, "spark spark join table"),
+    (2L, "spark merge merge row"),
+    (3L, "join merge filter"),
+    (4L, "window sort order")
+  ).toDF("doc_id", "text")
+
+  test("keywordSearch: integer tf-idf scores, rank and tiebreak") {
+    val out = Search.keywordSearch(corpus, Seq("spark", "join", "merge"), 10,
+      scale = 12L).collect()
+    // df: spark=2, join=2, merge=2 → idf = 12/2 = 6 each
+    // d1 = 2*6 + 1*6 = 18, d2 = 1*6 + 2*6 = 18, d3 = 1*6 + 1*6 = 12
+    out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) shouldBe
+      Array((1L, 2L, 18L), (2L, 2L, 18L), (3L, 2L, 12L))
+  }
+
+  test("keywordSearch: rarer terms weigh more (integer idf)") {
+    val c = Seq(
+      (1L, "common rare"),
+      (2L, "common x"),
+      (3L, "common y"),
+      (4L, "common z")
+    ).toDF("doc_id", "text")
+    // df: common=4, rare=1, scale=100 → idf(common)=25, idf(rare)=100
+    val out = Search.keywordSearch(c, Seq("common", "rare"), 10, scale = 100L)
+      .collect()
+    out.head.getLong(0) shouldBe 1L
+    out.head.getLong(2) shouldBe 125L
+    out.tail.map(_.getLong(2)).toSet shouldBe Set(25L)
+  }
+
+  test("keywordSearch: terms are case-folded and k caps the result") {
+    val out = Search.keywordSearch(corpus, Seq("SPARK"), 1, scale = 10L).collect()
+    out.map(_.getLong(0)) shouldBe Array(1L) // tf 2 beats tf 1
+  }
+
+  test("bm25Search matches a reference computation on a hand corpus") {
+    val terms = Seq("spark", "merge")
+    val out = Search.bm25Search(corpus, terms, 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+
+    // reference BM25 computed directly from the same definitions
+    val docs = Map(1L -> "spark spark join table", 2L -> "spark merge merge row",
+                   3L -> "join merge filter", 4L -> "window sort order")
+    val nDocs = docs.size.toDouble
+    val avgdl = docs.values.map(_.split("\\s+").length).sum / nDocs
+    val dfT = terms.map(t => t -> docs.values.count(_.split("\\s+").contains(t)).toDouble).toMap
+    def score(text: String): Double = {
+      val toks = text.split("\\s+")
+      terms.map { t =>
+        val tf = toks.count(_ == t).toDouble
+        if (tf == 0) 0.0
+        else {
+          val idf = math.log(1.0 + (nDocs - dfT(t) + 0.5) / (dfT(t) + 0.5))
+          idf * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * toks.length / avgdl))
+        }
+      }.sum
+    }
+    for ((id, got) <- out)
+      got shouldBe (score(docs(id)) +- 1e-6) // engine rounds to 6 decimals
+    // d4 contains no query term: absent, not zero-scored
+    out.keySet shouldBe Set(1L, 2L, 3L)
+  }
+
+  test("keywordSearch requires a non-empty term list") {
+    an[IllegalArgumentException] should be thrownBy
+      Search.keywordSearch(corpus, Nil, 5)
+  }
+}

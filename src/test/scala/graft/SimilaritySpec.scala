@@ -140,4 +140,33 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq.sorted
     out shouldBe expected
   }
+
+  test("adaptiveNbits: mean bucket size stays bounded, bits grow with log2(n)") {
+    // rule: smallest b in [min,max] with n <= target << b
+    Similarity.adaptiveNbits(1L) shouldBe 4
+    Similarity.adaptiveNbits(256L) shouldBe 4      // 16 << 4 = 256, boundary
+    Similarity.adaptiveNbits(257L) shouldBe 5
+    Similarity.adaptiveNbits(500L) shouldBe 5      // sf0.001/0.01 fixture
+    Similarity.adaptiveNbits(2000L) shouldBe 7     // sf0.1 fixture
+    Similarity.adaptiveNbits(Long.MaxValue) shouldBe 16 // capped
+    // the bound itself: n / 2^nbits <= target whenever uncapped
+    for (n <- Seq(1L, 100L, 10000L, 1000000L)) {
+      val b = Similarity.adaptiveNbits(n)
+      (n.toDouble / (1L << b)) should be <= 16.0
+    }
+  }
+
+  test("lshPairsAdaptive equals lshNearNeighbours at the derived nbits") {
+    val rows = (0L until 40L).map { i =>
+      val a = Array.tabulate(64)(d => math.sin(i * 64 + d).toFloat)
+      (i, a, (i % 4).toInt)
+    }
+    val d = emb(rows: _*)
+    // 40 vecs → nbits = 4 (40 <= 16<<4); adaptive must equal the fixed form
+    val fixed = Similarity.lshNearNeighbours(d, 4, 0.1)
+      .collect().map(_.toSeq).toSeq
+    val adaptive = Similarity.lshPairsAdaptive(d, 0.1)
+      .drop("nbits").collect().map(_.toSeq).toSeq
+    adaptive shouldBe fixed
+  }
 }
