@@ -657,6 +657,13 @@ object SparkEntry {
     }),
     // corpus data card: composition rollup every dataset release ships
     "t13_data_card" -> ((s, d) => CorpusPipeline.dataCard(t(s, d)("documents"))),
+    // DSIR selection executed: fill a 3000-token budget with the most
+    // target-like docs first (distributed prefix sum over the rank order)
+    "t14_dsir_select" -> ((s, d) => {
+      val docs = t(s, d)("documents")
+      Sampling.dsirSelect(
+        docs.where($"doc_id" % 10 =!= 0), docs.where($"doc_id" % 10 === 0), 3000L)
+    }),
     // ---- skew-mitigation equivalence (SCALE.md escape hatches) ----
     // salted shapes must be row-for-row equal to their plain formulations;
     // the oracle computes the plain form
@@ -745,6 +752,38 @@ object SparkEntry {
       val w = functions.Vectors.planeWeights(b, 64).mkString("[", ", ", "]")
       s"CASE WHEN list_dot_product(v, $w) > 0 THEN ${1L << b} ELSE 0 END"
     }.mkString("CAST(", " + ", " AS BIGINT)")
+
+  /** Shared CTE chain for the DSIR pair: hashed-bigram bucket features,
+    * per-bucket corpus/target frequencies, per-doc masses, ending in a
+    * `scores` relation (doc_id, n_grams, target_mass, corpus_mass,
+    * importance) over the t08/t11/t12 corpus split. t12 selects it
+    * directly; t14 adds the token-budget prefix cut — one string, so a
+    * dialect fix cannot diverge the two gates.
+    */
+  private def dsirScoresCte: String =
+    s"""toks AS (SELECT doc_id, string_split_regex(lower(text),'\\s+') AS t
+                 FROM documents),
+       g0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
+                i -> t[i]||' '||t[i+1])) AS gram FROM toks),
+       gb AS (SELECT doc_id, (${polyHash.duckdbSql("gram")}) % 256 AS bucket FROM g0),
+       cg AS (SELECT * FROM gb WHERE doc_id % 10 != 0),
+       tg AS (SELECT * FROM gb WHERE doc_id % 10 = 0),
+       cf AS (SELECT bucket, count(*) AS cc FROM cg GROUP BY 1),
+       tf AS (SELECT bucket, count(*) AS tc FROM tg GROUP BY 1),
+       m AS (SELECT cg.doc_id, count(*) AS n_grams,
+               CAST(sum(coalesce(tf.tc, 0)) AS BIGINT) AS target_mass,
+               CAST(sum(cf.cc) AS BIGINT) AS corpus_mass
+             FROM cg JOIN cf USING (bucket) LEFT JOIN tf USING (bucket)
+             GROUP BY cg.doc_id),
+       scores AS (SELECT d.doc_id,
+                coalesce(m.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+                coalesce(m.target_mass, CAST(0 AS BIGINT)) AS target_mass,
+                coalesce(m.corpus_mass, CAST(0 AS BIGINT)) AS corpus_mass,
+                CASE WHEN coalesce(m.corpus_mass, 0) = 0 THEN 0.0
+                     ELSE CAST(m.target_mass AS DOUBLE)/CAST(m.corpus_mass AS DOUBLE)
+                END AS importance
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 10 != 0) d
+         LEFT JOIN m USING (doc_id))"""
 
   /** Shared by q33 (recursive-CTE SQL demo) and q35 (engine-native twin):
     * both must equal the same gap-filled month series, so they are checked
@@ -1650,30 +1689,29 @@ object SparkEntry {
          ORDER BY stage""",
     // hashed-bigram bucket masses; integer sums, IEEE ratio — exact
     "t12_dsir_importance" ->
-      s"""WITH toks AS (SELECT doc_id, string_split_regex(lower(text),'\\s+') AS t
-                        FROM documents),
-         g0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
-                  i -> t[i]||' '||t[i+1])) AS gram FROM toks),
-         gb AS (SELECT doc_id, (${polyHash.duckdbSql("gram")}) % 256 AS bucket FROM g0),
-         cg AS (SELECT * FROM gb WHERE doc_id % 10 != 0),
-         tg AS (SELECT * FROM gb WHERE doc_id % 10 = 0),
-         cf AS (SELECT bucket, count(*) AS cc FROM cg GROUP BY 1),
-         tf AS (SELECT bucket, count(*) AS tc FROM tg GROUP BY 1),
-         m AS (SELECT cg.doc_id, count(*) AS n_grams,
-                 CAST(sum(coalesce(tf.tc, 0)) AS BIGINT) AS target_mass,
-                 CAST(sum(cf.cc) AS BIGINT) AS corpus_mass
-               FROM cg JOIN cf USING (bucket) LEFT JOIN tf USING (bucket)
-               GROUP BY cg.doc_id)
-         SELECT d.doc_id,
-                coalesce(m.n_grams, CAST(0 AS BIGINT)) AS n_grams,
-                coalesce(m.target_mass, CAST(0 AS BIGINT)) AS target_mass,
-                coalesce(m.corpus_mass, CAST(0 AS BIGINT)) AS corpus_mass,
-                CASE WHEN coalesce(m.corpus_mass, 0) = 0 THEN 0.0
-                     ELSE CAST(m.target_mass AS DOUBLE)/CAST(m.corpus_mass AS DOUBLE)
-                END AS importance
-         FROM (SELECT doc_id FROM documents WHERE doc_id % 10 != 0) d
-         LEFT JOIN m USING (doc_id)
-         ORDER BY d.doc_id""",
+      s"""WITH $dsirScoresCte
+         SELECT doc_id, n_grams, target_mass, corpus_mass, importance
+         FROM scores ORDER BY doc_id""",
+    // t12's scores + token counts + an exclusive running token sum in
+    // (importance DESC, doc_id) order; the budget prefix-cut mirrors the
+    // engine's distributed prefix sum exactly (same IEEE importance
+    // ratios -> same global order -> same cum_before longs)
+    "t14_dsir_select" ->
+      s"""WITH $dsirScoresCte,
+         tk AS (SELECT doc_id,
+                  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+                FROM documents WHERE doc_id % 10 != 0),
+         j AS (SELECT s.doc_id, s.importance, tk.n_tokens
+               FROM scores s JOIN tk USING (doc_id)),
+         c AS (SELECT doc_id, importance, n_tokens,
+                 CAST(coalesce(sum(n_tokens) OVER (
+                   ORDER BY importance DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum_before
+               FROM j)
+         SELECT doc_id, n_tokens, importance, cum_before,
+                (cum_before + n_tokens <= 3000) AS selected
+         FROM c ORDER BY doc_id""",
     "x01_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n,
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

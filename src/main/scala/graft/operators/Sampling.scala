@@ -76,21 +76,77 @@ object Sampling {
   def tokenShards(documents: DataFrame, budgetTokens: Long,
                   partitions: Int = 0): DataFrame = {
     require(budgetTokens > 0, "budget must be positive")
-    val spark = documents.sparkSession
-    val nParts =
-      if (partitions > 0) partitions
-      else spark.conf.get("spark.sql.shuffle.partitions").toInt
     val toks = documents
       .select($"doc_id",
         size(regexp_extract_all($"text", lit("\\S+"), lit(0))).cast("long").as("n_tokens"))
-      .repartitionByRange(nParts, $"doc_id")
-      .sortWithinPartitions($"doc_id")
+    withPrefixSum(toks, Seq($"doc_id"), "n_tokens", "cum_before",
+        resolveParts(documents, partitions))
+      .select($"doc_id", $"n_tokens",
+        floor($"cum_before" / lit(budgetTokens)).cast("long").as("shard_id"))
+      .orderBy($"doc_id")
+  }
+
+  /** DSIR data selection EXECUTED (the step after [[TextAnalysis
+    * .importanceScores]] ranks the corpus): take the top-importance
+    * PREFIX of the corpus whose cumulative whitespace-token count fits
+    * `tokenBudget` — "fill the training budget with the most
+    * target-like data first". Deterministic prefix-cut semantics: docs
+    * are ranked (importance desc, doc_id), `cum_before` counts tokens of
+    * ALL higher-ranked docs, and a doc is selected iff
+    * `cum_before + n_tokens ≤ budget` — so the selected set is a rank
+    * prefix, not a greedy knapsack (a later short doc does not jump an
+    * overflow; that would need sequential state and a nondeterministic
+    * boundary). Every doc is emitted with its flag — the audit view; the
+    * training corpus is `WHERE selected`.
+    *
+    * Scale shape: the ranking is a RANGE partition on
+    * (importance desc, doc_id) and the running sum is the [[tokenShards]]
+    * distributed prefix sum over that order — per-partition totals to
+    * driver offsets (metadata, not data), within-partition window; no
+    * global single-task sort. Importance ratios are IEEE divisions of
+    * exact longs, so the cross-engine order (and thus every cum_before)
+    * is bit-identical.
+    */
+  def dsirSelect(corpus: DataFrame, target: DataFrame, tokenBudget: Long,
+                 n: Int = 2, buckets: Int = 256,
+                 partitions: Int = 0): DataFrame = {
+    require(tokenBudget > 0, "budget must be positive")
+    val scores = TextAnalysis.importanceScores(corpus, target, n, buckets)
+      .select($"doc_id", $"importance")
+    val toks = corpus.select($"doc_id",
+      size(regexp_extract_all($"text", lit("\\S+"), lit(0))).cast("long").as("n_tokens"))
+    val ranked = scores.join(toks, "doc_id")
+    withPrefixSum(ranked, Seq($"importance".desc, $"doc_id"), "n_tokens",
+        "cum_before", resolveParts(corpus, partitions))
+      .select($"doc_id", $"n_tokens", $"importance", $"cum_before",
+        ($"cum_before" + $"n_tokens" <= tokenBudget).as("selected"))
+      .orderBy($"doc_id")
+  }
+
+  private def resolveParts(df: DataFrame, partitions: Int): Int =
+    if (partitions > 0) partitions
+    else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+
+  /** Distributed EXCLUSIVE prefix sum of long column `valueCol` in the
+    * global order given by `order` (sort expressions): range-partition +
+    * local sort, one per-partition total each, driver turns those few
+    * totals into per-partition offsets (metadata, not data), and a
+    * within-partition window adds the local prefix to the offset. The
+    * textbook distributed scan — no unpartitioned window funneling the
+    * corpus through one task. The input is materialized first (barrier)
+    * so the offsets job and the final job observe the SAME physical
+    * range boundaries (they come from sampling); reliable checkpoint
+    * when `spark.graft.checkpointDir` is set.
+    */
+  private def withPrefixSum(df: DataFrame, order: Seq[org.apache.spark.sql.Column],
+                            valueCol: String, outName: String,
+                            nParts: Int): DataFrame = {
+    val ranged = df
+      .repartitionByRange(nParts, order: _*)
+      .sortWithinPartitions(order: _*)
       .withColumn("pid", spark_partition_id())
-      // materialize: the offsets job and the final job MUST observe the
-      // same physical partitioning (range boundaries come from sampling);
-      // reliable checkpoint when spark.graft.checkpointDir is set
       .transform(graft.Session.barrier)
-    val perPart = toks.groupBy($"pid").agg(sum($"n_tokens").as("t"))
+    val perPart = ranged.groupBy($"pid").agg(sum(col(valueCol)).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets: Map[Int, Long] = {
       val sorted = perPart.toSeq.sortBy(_._1)
@@ -103,13 +159,11 @@ object Sampling {
           .flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*),
         $"pid"),
       lit(0L))
-    val w = Window.partitionBy($"pid").orderBy($"doc_id")
+    val w = Window.partitionBy($"pid").orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    toks
-      .withColumn("cum_before",
-        coalesce(sum($"n_tokens").over(w), lit(0L)) + offsetCol)
-      .select($"doc_id", $"n_tokens",
-        floor($"cum_before" / lit(budgetTokens)).cast("long").as("shard_id"))
-      .orderBy($"doc_id")
+    ranged
+      .withColumn(outName,
+        coalesce(sum(col(valueCol)).over(w), lit(0L)) + offsetCol)
+      .drop("pid")
   }
 }

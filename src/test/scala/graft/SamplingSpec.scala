@@ -67,4 +67,39 @@ class SamplingSpec extends SparkSpec {
     val out = Sampling.tokenShards(docs, 5L).collect()
     out.map(r => (r.getLong(0), r.getLong(2))) shouldBe Array((1L, 0L), (2L, 2L))
   }
+
+  test("dsirSelect: budget prefix-cut in importance order, flags for all docs") {
+    // target is pure "x y"; corpus docs share bigram mass with it to
+    // different degrees, so importance strictly orders 1 > 2 > 3
+    val corpus = Seq(
+      (1L, "x y x y x y"),          // 5 bigrams, all target-like
+      (2L, "x y a b c d"),          // 1 of 5 bigrams target-like
+      (3L, "p q r s t u v w"))      // none
+      .toDF("doc_id", "text")
+    val target = Seq((10L, "x y x y")).toDF("doc_id", "text")
+
+    val out = Sampling.dsirSelect(corpus, target, tokenBudget = 12L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(3), r.getBoolean(4))).toMap
+
+    out.keySet shouldBe Set(1L, 2L, 3L)           // every doc gets a flag
+    // rank order 1, 2, 3 → cum_before 0, 6, 12
+    out(1L) shouldBe ((6L, 0L, true))             // 0 + 6 <= 12
+    out(2L) shouldBe ((6L, 6L, true))             // 6 + 6 <= 12
+    out(3L) shouldBe ((8L, 12L, false))           // 12 + 8 > 12
+  }
+
+  test("dsirSelect prefix sum is partition-count independent") {
+    val docs = table("documents")
+    val corpus = docs.where($"doc_id" % 10 =!= 0)
+    val target = docs.where($"doc_id" % 10 === 0)
+    val a = Sampling.dsirSelect(corpus, target, 3000L, partitions = 2)
+      .collect().map(_.toSeq).toSeq
+    val b = Sampling.dsirSelect(corpus, target, 3000L, partitions = 16)
+      .collect().map(_.toSeq).toSeq
+    a shouldBe b
+    // the budget actually bites on the fixture: both selected and
+    // rejected docs exist
+    a.map(_(4).asInstanceOf[Boolean]).toSet shouldBe Set(true, false)
+  }
 }
