@@ -301,6 +301,40 @@ object SparkEntry {
       .orderBy($"lat", $"lon")
   }
 
+  /** w07: the Gopher/C4 quality funnel as a STATEFUL streaming
+    * aggregation — the capability w04–w06 don't cover (they are
+    * append-mode stateless/windowed/dedup shapes): a complete-mode
+    * groupBy over an unbounded stream, whose per-source counts must
+    * MERGE across micro-batches in the state store. The corpus lands as
+    * two files, `maxFilesPerTrigger=1` forces two micro-batches, and
+    * the memory sink holds the final funnel; state is one row per
+    * source (bounded by source cardinality, not corpus size). Oracle =
+    * the identical batch aggregation of the t10 rule battery.
+    */
+  private def streamQuality(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_w07").toString
+    val docs = t(s, d)("documents")
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+    // two landing files -> two micro-batches: the funnel must merge state
+    docs.where($"doc_id" % 2 === 0).coalesce(1).write.mode("append").parquet(s"$tmp/landing")
+    docs.where($"doc_id" % 2 =!= 0).coalesce(1).write.mode("append").parquet(s"$tmp/landing")
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/landing")
+    withStreamingPartitions(s, 8) {
+      val q = TextAnalysis.qualityFunnel(stream)
+        .writeStream
+        .format("memory")
+        .queryName("w07_out")
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.streaming.StateMetrics.record("w07_stream_quality", q)
+    }
+    s.table("w07_out").orderBy($"source")
+  }
+
   /** Demo raster grid (Raster.demoGrid) shared by the r* queries. */
   private def grid(s: SparkSession, d: String): DataFrame =
     Raster.demoGrid(t(s, d)("lineitem"))
@@ -589,6 +623,7 @@ object SparkEntry {
     "w04_stream_landing" -> ((s, d) => streamLanding(s, d)),
     "w05_stream_dedup" -> ((s, d) => streamDedup(s, d)),
     "w06_stream_anomaly" -> ((s, d) => streamAnomaly(s, d)),
+    "w07_stream_quality" -> ((s, d) => streamQuality(s, d)),
     // ---- dedup (north-star M5) ----
     "d01_dedup_exact" -> ((s, d) => Dedup.exact(t(s, d)("documents"))),
     "d02_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(t(s, d)("documents"), 2, 0.5)),
@@ -752,6 +787,43 @@ object SparkEntry {
       val w = functions.Vectors.planeWeights(b, 64).mkString("[", ", ", "]")
       s"CASE WHEN list_dot_product(v, $w) > 0 THEN ${1L << b} ELSE 0 END"
     }.mkString("CAST(", " + ", " AS BIGINT)")
+
+  /** Shared t10/w07 oracle CTE: the Gopher/C4 rule battery per document,
+    * ending in relation `f` (doc_id, source, metrics, r_* flags, keep).
+    * One string, two gates — a threshold or dialect fix cannot diverge
+    * the batch filter from the streaming funnel.
+    */
+  private def qualityRulesCte: String =
+    """d AS (SELECT doc_id, source, string_split_regex(lower(text),'\s+') AS t,
+                    length(regexp_replace(text,'\s','','g')) AS stc,
+                    length(text) AS lt,
+                    length(regexp_replace(text,'[^a-zA-Z0-9\s]','','g')) AS alnum_ws,
+                    CAST(len(regexp_extract_all(lower(text),'\b(der|die|das|und|ist|nicht|ein|mit)\b')) AS BIGINT)
+                  + CAST(len(regexp_extract_all(lower(text),'\b(the|and|of|to|is|in|that|for)\b')) AS BIGINT)
+                  + CAST(len(regexp_extract_all(lower(text),'\b(el|la|los|las|y|es|en|que|de)\b')) AS BIGINT)
+                  + CAST(len(regexp_extract_all(lower(text),'\b(le|la|les|et|est|dans|que|pour)\b')) AS BIGINT)
+                  + CAST(len(regexp_extract_all(lower(text),'[\x{4e00}-\x{9fff}]')) AS BIGINT) AS stop_hits
+                    FROM documents),
+       m AS (SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n_tokens,
+                    CAST(stc AS DOUBLE)/CAST(len(t) AS DOUBLE) AS mean_word_len,
+                    CASE WHEN lt = 0 THEN 0.0
+                         ELSE CAST(lt - alnum_ws AS DOUBLE)/CAST(lt AS DOUBLE)
+                    END AS symbol_ratio,
+                    stop_hits,
+                    CAST(len(list_distinct(t)) AS DOUBLE)/CAST(len(t) AS DOUBLE) AS distinct_ratio
+             FROM d),
+       f AS (SELECT *,
+                    n_tokens BETWEEN 20 AND 5000 AS r_len,
+                    mean_word_len BETWEEN 3.0 AND 10.0 AS r_word_len,
+                    symbol_ratio <= 0.3 AS r_symbol,
+                    stop_hits >= 2 AS r_stopwords,
+                    distinct_ratio >= 0.3 AS r_distinct,
+                    (n_tokens BETWEEN 20 AND 5000
+                     AND mean_word_len BETWEEN 3.0 AND 10.0
+                     AND symbol_ratio <= 0.3
+                     AND stop_hits >= 2
+                     AND distinct_ratio >= 0.3) AS keep
+             FROM m)"""
 
   /** Shared CTE chain for the DSIR pair: hashed-bigram bucket features,
     * per-bucket corpus/target frequencies, per-doc masses, ending in a
@@ -1505,10 +1577,14 @@ object SparkEntry {
                         CAST(GROUPING(lang) AS INT) AS g_lang
                  FROM base GROUP BY ROLLUP(source, lang))
          SELECT source, lang, g_source, g_lang, n_docs, n_tokens, n_chars,
-                CAST(n_tokens AS DOUBLE) /
-                  (SELECT CAST(n_tokens AS DOUBLE) FROM agg
-                   WHERE g_source = 1 AND g_lang = 1) AS token_share,
-                CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_doc_tokens
+                CASE WHEN (SELECT n_tokens FROM agg
+                           WHERE g_source = 1 AND g_lang = 1) = 0 THEN 0.0
+                     ELSE CAST(n_tokens AS DOUBLE) /
+                       (SELECT CAST(n_tokens AS DOUBLE) FROM agg
+                        WHERE g_source = 1 AND g_lang = 1) END AS token_share,
+                CASE WHEN n_docs = 0 THEN 0.0
+                     ELSE CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                END AS mean_doc_tokens
          FROM agg
          ORDER BY g_source DESC, g_lang DESC, source NULLS FIRST, lang NULLS FIRST""",
     // deterministic hash sampling at 0.15: the lexicographic md5-hex
@@ -1604,35 +1680,24 @@ object SparkEntry {
     // measures reuse the t01/t02 expression forms (proven Spark<->DuckDB
     // regex parity); ratios stay unrounded IEEE divisions of exact longs
     "t10_quality_filter" ->
-      """WITH d AS (SELECT doc_id, string_split_regex(lower(text),'\s+') AS t,
-                    length(regexp_replace(text,'\s','','g')) AS stc,
-                    length(text) AS lt,
-                    length(regexp_replace(text,'[^a-zA-Z0-9\s]','','g')) AS alnum_ws,
-                    CAST(len(regexp_extract_all(lower(text),'\b(der|die|das|und|ist|nicht|ein|mit)\b')) AS BIGINT)
-                  + CAST(len(regexp_extract_all(lower(text),'\b(the|and|of|to|is|in|that|for)\b')) AS BIGINT)
-                  + CAST(len(regexp_extract_all(lower(text),'\b(el|la|los|las|y|es|en|que|de)\b')) AS BIGINT)
-                  + CAST(len(regexp_extract_all(lower(text),'\b(le|la|les|et|est|dans|que|pour)\b')) AS BIGINT)
-                  + CAST(len(regexp_extract_all(lower(text),'[\x{4e00}-\x{9fff}]')) AS BIGINT) AS stop_hits
-                    FROM documents),
-         m AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
-                      CAST(stc AS DOUBLE)/CAST(len(t) AS DOUBLE) AS mean_word_len,
-                      CASE WHEN lt = 0 THEN 0.0
-                           ELSE CAST(lt - alnum_ws AS DOUBLE)/CAST(lt AS DOUBLE)
-                      END AS symbol_ratio,
-                      stop_hits,
-                      CAST(len(list_distinct(t)) AS DOUBLE)/CAST(len(t) AS DOUBLE) AS distinct_ratio
-               FROM d),
-         f AS (SELECT *, n_tokens BETWEEN 20 AND 5000 AS r_len,
-                      mean_word_len BETWEEN 3.0 AND 10.0 AS r_word_len,
-                      symbol_ratio <= 0.3 AS r_symbol,
-                      stop_hits >= 2 AS r_stopwords,
-                      distinct_ratio >= 0.3 AS r_distinct
-               FROM m)
+      s"""WITH $qualityRulesCte
          SELECT doc_id, n_tokens, mean_word_len, symbol_ratio, stop_hits,
                 distinct_ratio, r_len, r_word_len, r_symbol, r_stopwords,
-                r_distinct,
-                (r_len AND r_word_len AND r_symbol AND r_stopwords AND r_distinct) AS keep
+                r_distinct, keep
          FROM f ORDER BY doc_id""",
+    // the identical rule battery aggregated per source — what the w07
+    // complete-mode stream's state must converge to after both
+    // micro-batches merge
+    "w07_stream_quality" ->
+      s"""WITH $qualityRulesCte
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(CASE WHEN NOT r_len THEN 1 ELSE 0 END) AS BIGINT) AS fail_len,
+                CAST(sum(CASE WHEN NOT r_word_len THEN 1 ELSE 0 END) AS BIGINT) AS fail_word_len,
+                CAST(sum(CASE WHEN NOT r_symbol THEN 1 ELSE 0 END) AS BIGINT) AS fail_symbol,
+                CAST(sum(CASE WHEN NOT r_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopwords,
+                CAST(sum(CASE WHEN NOT r_distinct THEN 1 ELSE 0 END) AS BIGINT) AS fail_distinct,
+                CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept
+         FROM f GROUP BY source ORDER BY source""",
     // the whole funnel recomputed stage by stage from the proven t10/d01/
     // t08/t04 oracle forms; counts are exact so the report hash-matches
     "t11_refine_report" ->

@@ -127,7 +127,7 @@ object CorpusPipeline {
     */
   def dataCard(documents: DataFrame): DataFrame = {
     val agg = documents
-      .withColumn("ws_tokens", regexp_count($"text", lit("\\S+")).cast("long"))
+      .withColumn("ws_tokens", TextAnalysis.wsTokenCount)
       .rollup($"source", $"lang")
       .agg(count(lit(1)).as("n_docs"),
            sum($"ws_tokens").cast("long").as("n_tokens"),
@@ -142,8 +142,14 @@ object CorpusPipeline {
         max(when($"g_source" === 1 && $"g_lang" === 1, $"n_tokens")).over(all))
       .select($"source", $"lang", $"g_source", $"g_lang",
         $"n_docs", $"n_tokens", $"n_chars",
-        ($"n_tokens".cast("double") / $"total_tokens".cast("double")).as("token_share"),
-        ($"n_tokens".cast("double") / $"n_docs".cast("double")).as("mean_doc_tokens"))
+        // zero guards: an all-empty corpus gives 0/0 = NaN in Spark but
+        // NULL in DuckDB — define both ratios as 0 instead
+        when($"total_tokens" === 0L, lit(0.0))
+          .otherwise($"n_tokens".cast("double") / $"total_tokens".cast("double"))
+          .as("token_share"),
+        when($"n_docs" === 0L, lit(0.0))
+          .otherwise($"n_tokens".cast("double") / $"n_docs".cast("double"))
+          .as("mean_doc_tokens"))
       .orderBy($"g_source".desc, $"g_lang".desc,
                $"source".asc_nulls_first, $"lang".asc_nulls_first)
   }

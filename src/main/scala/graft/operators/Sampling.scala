@@ -77,8 +77,7 @@ object Sampling {
                   partitions: Int = 0): DataFrame = {
     require(budgetTokens > 0, "budget must be positive")
     val toks = documents
-      .select($"doc_id",
-        size(regexp_extract_all($"text", lit("\\S+"), lit(0))).cast("long").as("n_tokens"))
+      .select($"doc_id", TextAnalysis.wsTokenCount.as("n_tokens"))
     withPrefixSum(toks, Seq($"doc_id"), "n_tokens", "cum_before",
         resolveParts(documents, partitions))
       .select($"doc_id", $"n_tokens",
@@ -113,8 +112,7 @@ object Sampling {
     require(tokenBudget > 0, "budget must be positive")
     val scores = TextAnalysis.importanceScores(corpus, target, n, buckets)
       .select($"doc_id", $"importance")
-    val toks = corpus.select($"doc_id",
-      size(regexp_extract_all($"text", lit("\\S+"), lit(0))).cast("long").as("n_tokens"))
+    val toks = corpus.select($"doc_id", TextAnalysis.wsTokenCount.as("n_tokens"))
     val ranked = scores.join(toks, "doc_id")
     withPrefixSum(ranked, Seq($"importance".desc, $"doc_id"), "n_tokens",
         "cum_before", resolveParts(corpus, partitions))

@@ -32,16 +32,7 @@ object Search {
     */
   def keywordSearch(documents: DataFrame, terms: Seq[String], k: Int,
                     scale: Long = 1L << 20): DataFrame = {
-    val termList = terms.map(_.toLowerCase).distinct.sorted
-    require(termList.nonEmpty, "keywordSearch needs at least one term")
-    // conservative prefilter: substring match is a superset of whitespace
-    // token equality, so no candidate is lost — but non-matching documents
-    // never reach the explode
-    val prefilter = termList.map(java.util.regex.Pattern.quote).mkString("|")
-    val tf = documents
-      .where(lower($"text").rlike(prefilter))
-      .select($"doc_id", explode(Dedup.tokens($"text")).as("term"))
-      .where($"term".isin(termList: _*))
+    val tf = postings(documents, terms)
       .groupBy($"doc_id", $"term")
       .agg(count(lit(1)).as("tf"))
     // df derived from the tf table (already one row per (doc, term)) —
@@ -75,17 +66,11 @@ object Search {
     */
   def bm25Search(documents: DataFrame, terms: Seq[String], k: Int,
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val termList = terms.map(_.toLowerCase).distinct.sorted
-    require(termList.nonEmpty, "bm25Search needs at least one term")
-    val prefilter = termList.map(java.util.regex.Pattern.quote).mkString("|")
     val stats = documents.agg(
       count(lit(1)).cast("double").as("n_docs"),
-      avg(regexp_count($"text", lit("\\S+"))).as("avgdl"))
-    val tf = documents
-      .where(lower($"text").rlike(prefilter))
-      .withColumn("dl", regexp_count($"text", lit("\\S+")).cast("double"))
-      .select($"doc_id", $"dl", explode(Dedup.tokens($"text")).as("term"))
-      .where($"term".isin(termList: _*))
+      avg(TextAnalysis.wsTokenCount).as("avgdl"))
+    val tf = postings(documents, terms,
+        extra = Seq(TextAnalysis.wsTokenCount.cast("double").as("dl")))
       .groupBy($"doc_id", $"dl", $"term")
       .agg(count(lit(1)).cast("double").as("tf"))
     val dfTab = tf.groupBy($"term").agg(count(lit(1)).cast("double").as("df"))
@@ -100,5 +85,23 @@ object Search {
       .orderBy($"bm25".desc, $"doc_id")
       .limit(k)
       .select($"doc_id", $"n_terms", round($"bm25", 6).as("bm25"))
+  }
+
+  /** The shared posting stream both search forms rank from: case-folded
+    * deduped term list, conservative rlike prefilter (substring match is
+    * a superset of whitespace token equality, so no candidate is lost —
+    * but non-matching documents never reach the explode), tokenize,
+    * keep only query terms. One definition so a prefilter or
+    * tokenization fix can never diverge the two forms' candidate sets.
+    */
+  private def postings(documents: DataFrame, terms: Seq[String],
+                       extra: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
+    val termList = terms.map(_.toLowerCase).distinct.sorted
+    require(termList.nonEmpty, "keyword search needs at least one term")
+    val prefilter = termList.map(java.util.regex.Pattern.quote).mkString("|")
+    documents
+      .where(lower($"text").rlike(prefilter))
+      .select(($"doc_id" +: extra) :+ explode(Dedup.tokens($"text")).as("term"): _*)
+      .where($"term".isin(termList: _*))
   }
 }

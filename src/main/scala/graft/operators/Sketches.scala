@@ -41,7 +41,7 @@ object Sketches {
     * any rollup (all-time, per-region, per-cohort) is a union over
     * sketches.
     */
-  def hllMerge(sketches: DataFrame, lgConfigK: Int = 12): DataFrame =
+  def hllMerge(sketches: DataFrame): DataFrame =
     sketches
       .agg(hll_union_agg($"sketch", lit(false)).as("merged"))
       .select(hll_sketch_estimate($"merged").as("approx_distinct"))

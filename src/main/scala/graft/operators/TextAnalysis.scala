@@ -12,6 +12,13 @@ import graft.implicits._
   */
 object TextAnalysis {
 
+  /** Whitespace token count of `text` WITHOUT materializing the token
+    * array (regexp_count, not size(regexp_extract_all)) — the shared
+    * `ws_tokens` idiom across sampling/selection/data-card/search.
+    */
+  private[operators] def wsTokenCount: Column =
+    regexp_count($"text", lit("\\S+")).cast("long")
+
   /** Per-document statistics + heuristic quality score.
     * Signals follow the standard web-corpus filters (length bounds, token
     * shape, repetition): tokens in [5,100], mean token length in [3,12],
@@ -71,7 +78,7 @@ object TextAnalysis {
     */
   def tokenCounts(documents: DataFrame): DataFrame =
     documents
-      .withColumn("ws_tokens", regexp_count($"text", lit("\\S+")).cast("long"))
+      .withColumn("ws_tokens", wsTokenCount)
       .withColumn("bpe_ish_tokens",
         regexp_count($"text", lit("[A-Za-z0-9]{1,4}|[^A-Za-z0-9\\s]")).cast("long"))
       .select($"doc_id", $"ws_tokens", $"bpe_ish_tokens")
@@ -175,6 +182,30 @@ object TextAnalysis {
       .withColumn("r_distinct", $"distinct_ratio" >= minDistinctRatio)
       .withColumn("keep",
         $"r_len" && $"r_word_len" && $"r_symbol" && $"r_stopwords" && $"r_distinct")
+  }
+
+  /** Per-source quality FUNNEL: document count, per-rule failure counts
+    * and the kept count — the rejection histogram a data card publishes,
+    * one row per source. Stateless row-local rules + ONE aggregate, so
+    * the same call runs over a batch frame or a micro-batched stream
+    * (the w07 gate runs it in complete mode: Spark's streaming state
+    * store merges per-source partial counts across micro-batches; state
+    * is one row per source — bounded by source cardinality, not corpus
+    * size).
+    */
+  def qualityFunnel(documents: DataFrame,
+                    minTokens: Long = 20L, maxTokens: Long = 5000L,
+                    minWordLen: Double = 3.0, maxWordLen: Double = 10.0,
+                    maxSymbolRatio: Double = 0.3, minStopHits: Long = 2L,
+                    minDistinctRatio: Double = 0.3): DataFrame = {
+    def failures(rule: String) = sum(when(!col(rule), 1L).otherwise(0L)).as(s"fail${rule.stripPrefix("r")}")
+    withQualityFlags(documents, minTokens, maxTokens, minWordLen, maxWordLen,
+                     maxSymbolRatio, minStopHits, minDistinctRatio)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+           failures("r_len"), failures("r_word_len"), failures("r_symbol"),
+           failures("r_stopwords"), failures("r_distinct"),
+           sum(when($"keep", 1L).otherwise(0L)).as("kept"))
   }
 
   /** Benchmark decontamination: for every training document, the fraction
