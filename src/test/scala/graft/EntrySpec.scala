@@ -15,6 +15,14 @@ class EntrySpec extends SparkSpec {
     missing shouldBe empty
   }
 
+  test("every registered query is oracle-gated (full value check, no rows-only)") {
+    // the driver downgrades oracle-less queries to a weaker rows-only
+    // check; this surface keeps ALL of them value-checked — a new query
+    // registered without its oracle fails here, not silently at grading
+    val unGated = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    unGated shouldBe empty
+  }
+
   test("entry (flagship) returns rows on sf0.001") {
     SparkEntry.entry(spark).count() should be > 0L
   }

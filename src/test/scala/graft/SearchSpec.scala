@@ -75,4 +75,25 @@ class SearchSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Search.keywordSearch(corpus, Nil, 5)
   }
+
+  test("prefilter is a superset, matching stays token-exact: substrings don't score") {
+    val c = Seq(
+      (1L, "sparkly things glitter"),   // 'spark' only as a substring
+      (2L, "spark engine"),             // exact token
+      (3L, "no relation here")
+    ).toDF("doc_id", "text")
+    // doc 1 passes the rlike prefilter but must NOT match (token != term)
+    val out = Search.keywordSearch(c, Seq("spark"), 10).collect()
+    out.map(_.getLong(0)) shouldBe Array(2L)
+  }
+
+  test("regex metacharacters in terms are treated literally") {
+    val c = Seq(
+      (1L, "c++ is compiled"),
+      (2L, "cxx is not matched"), // 'c++' as a naive regex would match 'c'
+      (3L, "count the c")
+    ).toDF("doc_id", "text")
+    val out = Search.keywordSearch(c, Seq("c++"), 10).collect()
+    out.map(_.getLong(0)) shouldBe Array(1L)
+  }
 }
