@@ -171,50 +171,128 @@ object Similarity {
     */
   def pqTopK(embeddings: DataFrame, queryId: Long, k: Int,
              m: Int = 8, codebookSize: Int = 16, seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
-    // one-row metadata probe (not a data-plane collect), as labelCentroids
-    val dims = embeddings.select(size($"embedding")).head.getInt(0)
-    require(dims % m == 0, s"dims=$dims not divisible into m=$m subspaces")
-    val sub = dims / m
-
-    val subCols = (0 until m).map { s =>
-      array_to_vector(transform(slice($"embedding", s * sub + 1, sub), _.cast("double")))
-        .as(s"sv_$s")
-    }
+    val sub = pqSubDims(embeddings, m)
     // persist across the m iterative fits + encode + query probe — without
     // it every KMeans pass re-derives the subvector projection from source
-    val withSubs = embeddings.select(($"vec_id" +: $"label" +: subCols): _*)
+    val withSubs = embeddings.select(($"vec_id" +: $"label" +: pqSubCols(m, sub)): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val models = (0 until m).map { s =>
-        new KMeans().setK(codebookSize).setSeed(seed + s)
-          .setFeaturesCol(s"sv_$s").setPredictionCol(s"code_$s").fit(withSubs)
-      }
+      val models = pqFit(withSubs, m, codebookSize, seed)
       // encode: m narrow transforms, no shuffle; at rest only (vec_id, codes)
       // need persisting — the 32×-smaller index a real deployment scans
       val encoded = models.foldLeft(withSubs) { case (df, mod) => mod.transform(df) }
-
       val qRow = withSubs.where($"vec_id" === queryId)
         .select((0 until m).map(s => col(s"sv_$s")): _*).head()
-      val dtable: Seq[Seq[Double]] = (0 until m).map { s =>
-        val qv = qRow.getAs[org.apache.spark.ml.linalg.Vector](s)
-        models(s).clusterCenters.toSeq
-          .map(c => org.apache.spark.ml.linalg.Vectors.sqdist(c, qv))
-      }
-      val adc = (0 until m)
-        .map(s => element_at(typedLit(dtable(s)), col(s"code_$s") + 1))
-        .reduce(_ + _)
       // materialize the k-row answer before releasing the cache the plan
       // reads from (the barrier keeps the returned frame self-contained)
       graft.Session.barrier(
         encoded.where($"vec_id" =!= queryId)
-          .withColumn("adc_dist", adc)
+          .withColumn("adc_dist", pqAdcDistance(models, qRow, m))
           .orderBy($"adc_dist".asc, $"vec_id")
           .limit(k)
           .select($"vec_id", $"label", round($"adc_dist", 4).as("adc_dist")))
     } finally withSubs.unpersist(blocking = false)
+  }
+
+  /** IVF-ADC (the composition [[pqTopK]]'s scaladoc promises): the coarse
+    * quantizer of [[ivfTrained]] prunes candidate LISTS, and within the
+    * probed lists distances are PQ table lookups over the encoded corpus.
+    * At 100 TB this is the standard billion-scale ANN serving shape
+    * (FAISS IVFADC): the scan touches only nprobe/nlist of the code
+    * table, which is itself ~32× smaller than the float corpus —
+    * list pruning and code compression multiply. Codebooks are global
+    * (trained on the full corpus, coarse seed ≠ PQ seeds so the
+    * quantizers are independent); `nprobe = nlist` removes the pruning
+    * error and leaves pure PQ quantization error — the spec gate.
+    */
+  def ivfAdcTopK(embeddings: DataFrame, queryId: Long, nlist: Int, nprobe: Int,
+                 k: Int, m: Int = 8, codebookSize: Int = 16,
+                 seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val sub = pqSubDims(embeddings, m)
+    val vecs = embeddings.withColumn("fv",
+      array_to_vector(transform($"embedding", _.cast("double"))))
+    val coarse = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("fv").setPredictionCol("list_id").fit(vecs)
+    val withSubs = coarse.transform(vecs)
+      .select(($"vec_id" +: $"label" +: $"list_id" +: pqSubCols(m, sub)): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // PQ seeds offset from the coarse seed: independent quantizers
+      val models = pqFit(withSubs, m, codebookSize, seed + 7919L)
+      val encoded = models.foldLeft(withSubs) { case (df, mod) => mod.transform(df) }
+      val qRow = withSubs.where($"vec_id" === queryId)
+        .select((0 until m).map(s => col(s"sv_$s")): _*).head()
+      val qFv = vecs.where($"vec_id" === queryId).select($"fv").head()
+        .getAs[org.apache.spark.ml.linalg.Vector](0)
+      val probeLists = coarse.clusterCenters.zipWithIndex
+        .map { case (c, i) => (i, org.apache.spark.ml.linalg.Vectors.sqdist(c, qFv)) }
+        .sortBy(_._2).take(nprobe).map(_._1)
+      graft.Session.barrier(
+        encoded.where($"vec_id" =!= queryId && $"list_id".isin(probeLists: _*))
+          .withColumn("adc_dist", pqAdcDistance(models, qRow, m))
+          .orderBy($"adc_dist".asc, $"vec_id")
+          .limit(k)
+          .select($"vec_id", $"label", $"list_id", round($"adc_dist", 4).as("adc_dist")))
+    } finally withSubs.unpersist(blocking = false)
+  }
+
+  /** Recall@k of an approximate result against exact brute-force cosine —
+    * the evaluation every ANN deployment tracks. Driver-side set compare
+    * of two ≤k-row results (an eval utility, not a data-plane operator).
+    * The approx frame must carry `vec_id` in rank order.
+    */
+  def recallAtK(embeddings: DataFrame, queryId: Long, k: Int,
+                approx: DataFrame): Double = {
+    val exact = cosineTopK(embeddings, queryId, k)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    val got = approx.select($"vec_id").collect().map(_.getLong(0)).take(k).toSet
+    if (exact.isEmpty) 1.0 else (exact & got).size.toDouble / exact.size
+  }
+
+  /** dims/m with the divisibility check — one-row metadata probe. */
+  private def pqSubDims(embeddings: DataFrame, m: Int): Int = {
+    val dims = embeddings.select(size($"embedding")).head.getInt(0)
+    require(dims % m == 0, s"dims=$dims not divisible into m=$m subspaces")
+    dims / m
+  }
+
+  /** Subvector projections `sv_0..sv_{m-1}` as ML vectors. */
+  private def pqSubCols(m: Int, sub: Int): Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.ml.functions.array_to_vector
+    (0 until m).map { s =>
+      array_to_vector(transform(slice($"embedding", s * sub + 1, sub), _.cast("double")))
+        .as(s"sv_$s")
+    }
+  }
+
+  /** One `codebookSize`-entry KMeans codebook per subspace (seed + s →
+    * deterministic, distinct per subspace).
+    */
+  private def pqFit(withSubs: DataFrame, m: Int, codebookSize: Int,
+                    seed: Long): Seq[org.apache.spark.ml.clustering.KMeansModel] = {
+    import org.apache.spark.ml.clustering.KMeans
+    (0 until m).map { s =>
+      new KMeans().setK(codebookSize).setSeed(seed + s)
+        .setFeaturesCol(s"sv_$s").setPredictionCol(s"code_$s").fit(withSubs)
+    }
+  }
+
+  /** Asymmetric distance: the m×codebookSize query↔centroid table rides
+    * into codegen as a literal; each row's distance is m lookups summed.
+    */
+  private def pqAdcDistance(models: Seq[org.apache.spark.ml.clustering.KMeansModel],
+                            qRow: org.apache.spark.sql.Row, m: Int)
+      : org.apache.spark.sql.Column = {
+    val dtable: Seq[Seq[Double]] = (0 until m).map { s =>
+      val qv = qRow.getAs[org.apache.spark.ml.linalg.Vector](s)
+      models(s).clusterCenters.toSeq
+        .map(c => org.apache.spark.ml.linalg.Vectors.sqdist(c, qv))
+    }
+    (0 until m)
+      .map(s => element_at(typedLit(dtable(s)), col(s"code_$s") + 1))
+      .reduce(_ + _)
   }
 
   /** All-pairs top-k similarity JOIN: every vector gets its k nearest

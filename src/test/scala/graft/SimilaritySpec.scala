@@ -112,6 +112,50 @@ class SimilaritySpec extends SparkSpec {
     a.map(_.toString).toSeq shouldBe b.map(_.toString).toSeq
   }
 
+  test("ivfAdcTopK with nprobe=nlist and exact codebooks equals euclidean top-k") {
+    // same zero-quantization-error fixture as the pqTopK gate: probing
+    // every list removes the pruning error, exact codebooks remove the
+    // PQ error — IVF-ADC must reduce to exact squared-L2 order
+    val rnd = new scala.util.Random(3)
+    val protos = Array.fill(4)(Array.fill(64)((rnd.nextInt(9) - 4).toFloat))
+    val rows = (0L until 28L).map(i => (i, protos((i % 4).toInt), (i % 4).toInt))
+    val d = emb(rows: _*)
+    def sq(a: Array[Float], b: Array[Float]): Double =
+      (0 until 64).map(i => (a(i) - b(i)).toDouble * (a(i) - b(i))).sum
+    val expected = rows.filter(_._1 != 0L)
+      .map { case (id, v, _) => (id, sq(v, protos(0))) }
+      .sortBy { case (id, dist) => (dist, id) }.take(5).map(_._1)
+    val out = Similarity.ivfAdcTopK(d, 0L, nlist = 4, nprobe = 4, k = 5,
+        m = 8, codebookSize = 4)
+      .select($"vec_id").as[Long].collect()
+    out.toSeq shouldBe expected
+  }
+
+  test("ivfAdcTopK pruning: nprobe=1 results come from one list and keep full-probe order") {
+    val embeddings = table("embeddings")
+    // k larger than the corpus -> the full probe is the complete ADC
+    // ranking; the pruned run must be its restriction to the probed list
+    val full = Similarity.ivfAdcTopK(embeddings, 0L, nlist = 4, nprobe = 4, k = 1000)
+      .select($"vec_id", $"list_id").as[(Long, Int)].collect()
+    val pruned = Similarity.ivfAdcTopK(embeddings, 0L, nlist = 4, nprobe = 1, k = 40)
+      .select($"vec_id", $"list_id").as[(Long, Int)].collect()
+    val probedList = pruned.map(_._2).toSet
+    probedList.size shouldBe 1
+    val fullRestricted = full.filter(r => probedList(r._2)).map(_._1).take(40).toSeq
+    pruned.map(_._1).toSeq shouldBe fullRestricted
+  }
+
+  test("recallAtK: probing every IVF list is total recall; LSH recall in [0,1]") {
+    val embeddings = table("embeddings")
+    // ivfTrained with nprobe=nlist degrades to exact search → recall 1
+    val exhaustive = Similarity.ivfTrained(embeddings, 0L, nlist = 4, nprobe = 4, k = 10)
+    Similarity.recallAtK(embeddings, 0L, 10, exhaustive) shouldBe 1.0
+    // bucketed probe trades recall for scanned lists — still a valid rate
+    val bucketed = Similarity.ivfTopK(embeddings, 0L, nbits = 4, k = 10)
+    val r = Similarity.recallAtK(embeddings, 0L, 10, bucketed)
+    r should (be >= 0.0 and be <= 1.0)
+  }
+
   test("knnJoin matches a local brute force over the same buckets") {
     val rnd = new scala.util.Random(7)
     val rows = (0L until 30L).map { i =>
