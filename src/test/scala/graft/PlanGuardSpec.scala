@@ -102,6 +102,19 @@ class PlanGuardSpec extends SparkSpec {
     executed.linesIterator.count(_.contains("FileScan")) shouldBe 1
   }
 
+  test("t05/t14: running sums ride pid-partitioned windows, never a global window") {
+    // the distributed-prefix-sum claim mechanized: every window spec in
+    // both plans is partitioned by the range-partition id — a regression
+    // to an unpartitioned window (one task swallowing the corpus) fails
+    // here, not at 100 TB
+    Seq("t05_token_shards", "t14_dsir_select").foreach { q =>
+      val p = planOf(q)
+      val winArgs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+      winArgs should not be empty
+      all(winArgs) should include("windowspecdefinition(pid#")
+    }
+  }
+
   test("s08_lsh_adaptive: bucket equi-join, no cartesian, nbits a plan literal") {
     val p = planOf("s08_lsh_adaptive")
     p should not include "CartesianProduct"

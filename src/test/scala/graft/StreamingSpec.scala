@@ -172,4 +172,30 @@ class StreamingSpec extends SparkSpec {
       .where($"keep").select($"doc_id")
     runToMemory(flagged, "qf_stream").as[Long].collect() shouldBe Array(1L)
   }
+
+  test("complete-mode quality funnel merges state across micro-batches to the batch result") {
+    // the w07 gate semantics under sbt test: per-source counts arriving
+    // in separate micro-batches must converge to the one-shot batch
+    // aggregate — the state-store merge is what's being proven
+    val good = "that wind rock tree fish bird moon star lake sand " +
+      "that hill wolf bear frog deer hawk dove that crab"
+    val rows = Seq(
+      (1L, good, "a"), (2L, "short text", "a"),
+      (3L, good, "b"), (4L, Seq.fill(25)("that").mkString(" "), "b"),
+      (5L, good, "b"))
+    val input = MemoryStream[(Long, String, String)](spark)
+    input.addData(rows.take(2)) // batch 1: source a only
+    input.addData(rows.drop(2)) // batch 2: source b (+ must not clobber a)
+    val funnel = operators.TextAnalysis.qualityFunnel(
+      input.toDF().toDF("doc_id", "text", "source"))
+    val streamed = runToMemory(funnel, "funnel_stream", mode = "complete")
+      .orderBy($"source").collect().map(_.toSeq).toSeq
+    val batch = operators.TextAnalysis.qualityFunnel(
+      rows.toDF("doc_id", "text", "source"))
+      .orderBy($"source").collect().map(_.toSeq).toSeq
+    streamed shouldBe batch
+    // and the counts themselves are right: a keeps 1 of 2, b keeps 2 of 3
+    batch.map(r => (r.head, r(1), r.last)) shouldBe
+      Seq(("a", 2L, 1L), ("b", 3L, 2L))
+  }
 }
