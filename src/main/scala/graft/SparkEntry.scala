@@ -335,6 +335,143 @@ object SparkEntry {
     s.table("w07_out").orderBy($"source")
   }
 
+  /** Stage the events fixture as TIME-SLICED landing files (one per ~week,
+    * modification times bumped monotonically so the file source's
+    * mod-time ordering equals event-time ordering even when the writes
+    * land within one clock tick). `maxFilesPerTrigger=1` then replays the
+    * month as an in-order multi-batch stream — the shape w08/w09 need to
+    * genuinely exercise cross-batch state. Returns the landed schema.
+    */
+  private def landEventsSliced(s: SparkSession, d: String,
+                               tmp: String): org.apache.spark.sql.types.StructType = {
+    import java.nio.file.{Files, Paths}
+    val events = t(s, d)("events").select(
+      $"event_id", $"ts".cast("timestamp").as("ts"), $"user_id", $"event_type", $"value")
+    val slices = Seq((1, 8), (8, 15), (15, 22), (22, 32))
+    val base = System.currentTimeMillis() - 60000
+    var stamped = Set.empty[String]
+    slices.zipWithIndex.foreach { case ((lo, hi), i) =>
+      events.where(dayofmonth($"ts") >= lo && dayofmonth($"ts") < hi)
+        .coalesce(1).write.mode("append").parquet(s"$tmp/landing")
+      val listing = Files.list(Paths.get(s"$tmp/landing"))
+      try listing.forEach { p =>
+        val name = p.getFileName.toString
+        if (name.endsWith(".parquet") && !stamped.contains(name)) {
+          Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
+          stamped += name
+        }
+      } finally listing.close()
+    }
+    events.schema
+  }
+
+  /** w08: CUSTOM-STATE sessionization executed through the real streaming
+    * path — `flatMapGroupsWithState` with an event-time timeout, the
+    * stateful-streaming capability w04–w07 don't reach (windowed agg,
+    * dedup, stream-static join, complete-mode agg). Sessions close either
+    * data-driven (a later event of the same user beyond the gap) or via
+    * the EVENT-TIME timeout when the watermark passes session end + gap —
+    * no wall-clock timers, so the closed set is a pure function of the
+    * data. Append mode emits exactly those closed sessions; the oracle is
+    * the w03 batch sessionization restricted by the same rule in exact
+    * integer µs/ms arithmetic: every non-final session of a user, plus
+    * the final one iff ceil((end_µs+gap_µs)/1000) < final watermark
+    * (max_ts ms-floored − 2 h; the strict `<` and the trailing no-data
+    * batch that fires pending timeouts are pinned by StreamingSpec).
+    * Session numbering is per-user arrival order and restarts when a
+    * timeout evicts state, so the gate emits the session SET without ids.
+    */
+  private def streamSession(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_w08").toString
+    val schema = landEventsSliced(s, d, tmp)
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/landing")
+    withStreamingPartitions(s, 8) {
+      val q = graft.streaming.EventStream
+        .sessionizeStateful(
+          stream.as[graft.streaming.Event](
+            org.apache.spark.sql.Encoders.product[graft.streaming.Event]),
+          30, "2 hours")
+        .toDF()
+        .writeStream
+        .format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.streaming.StateMetrics.record("w08_stream_session", q)
+    }
+    s.read.parquet(s"$tmp/out")
+      .select($"user_id",
+        $"session_start".cast("timestamp_ntz").as("session_start"),
+        $"session_end".cast("timestamp_ntz").as("session_end"),
+        $"n_events", $"sum_value", $"duration_sec")
+      .orderBy($"user_id", $"session_start")
+  }
+
+  /** w09: STREAM-STREAM join through the real path — clicks and purchases
+    * are two file-source streams over the same time-sliced landing, inner-
+    * joined on user with a 30-minute trailing time range. Watermarks on
+    * both sides bound the join state (rows older than watermark+tolerance
+    * are evicted), which is what makes the shape viable on an unbounded
+    * stream; on the closed fixture the inner join emits every matching
+    * pair exactly once, so the oracle is the plain batch range join.
+    */
+  private def streamJoin(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_w09").toString
+    val schema = landEventsSliced(s, d, tmp)
+    def src() = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/landing")
+    val clicks = src().where($"event_type" === "click")
+    val purchases = src().where($"event_type" === "purchase")
+    withStreamingPartitions(s, 8) {
+      val q = graft.streaming.EventStream
+        .recentPurchaseJoin(clicks, purchases, "2 hours", 1800)
+        .writeStream
+        .format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.streaming.StateMetrics.record("w09_stream_join", q)
+    }
+    s.read.parquet(s"$tmp/out")
+      .select($"click_id", $"user_id", $"ts".cast("timestamp_ntz").as("ts"),
+        $"purchase_id", $"p_ts".cast("timestamp_ntz").as("p_ts"))
+      .orderBy($"click_id", $"purchase_id")
+  }
+
+  /** t16: JSONL corpus ingest round-trip — documents are written as JSONL
+    * (the format corpora actually ship in), two malformed lines are
+    * injected alongside, and [[graft.sources.Jsonl]] reads the tree back
+    * with an explicit schema and PERMISSIVE corrupt capture. The clean
+    * view must equal the source table EXACTLY (the oracle is the identity
+    * select), proving the escape/round-trip fidelity of the ingest path
+    * while the corrupt lines are quarantined instead of killing the scan.
+    */
+  private def jsonlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_t16").toString
+    val docs = t(s, d)("documents")
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+    docs.write.mode("overwrite").json(s"$tmp/corpus")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tmp/corpus/part-corrupt.json"),
+      "{\"doc_id\": 999999, \"text\": unquoted garbage}\n{\"doc_id\":\n")
+    val parsed = graft.sources.Jsonl.readCorpus(s, s"$tmp/corpus", docs.schema)
+    // barrier: downstream consumers that prune columns (e.g. a bare count)
+    // would otherwise reduce the raw-file scan to only the corrupt column,
+    // which Spark disallows (SPARK-21610)
+    graft.sources.Jsonl.clean(parsed).orderBy($"doc_id")
+      .transform(graft.Session.barrier)
+  }
+
   /** Demo raster grid (Raster.demoGrid) shared by the r* queries. */
   private def grid(s: SparkSession, d: String): DataFrame =
     Raster.demoGrid(t(s, d)("lineitem"))
@@ -624,6 +761,8 @@ object SparkEntry {
     "w05_stream_dedup" -> ((s, d) => streamDedup(s, d)),
     "w06_stream_anomaly" -> ((s, d) => streamAnomaly(s, d)),
     "w07_stream_quality" -> ((s, d) => streamQuality(s, d)),
+    "w08_stream_session" -> ((s, d) => streamSession(s, d)),
+    "w09_stream_join" -> ((s, d) => streamJoin(s, d)),
     // ---- dedup (north-star M5) ----
     "d01_dedup_exact" -> ((s, d) => Dedup.exact(t(s, d)("documents"))),
     "d02_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(t(s, d)("documents"), 2, 0.5)),
@@ -699,6 +838,10 @@ object SparkEntry {
       Sampling.dsirSelect(
         docs.where($"doc_id" % 10 =!= 0), docs.where($"doc_id" % 10 === 0), 3000L)
     }),
+    // per-domain quota: content-hash priority, WindowGroupLimit plan shape
+    "t15_domain_cap" -> ((s, d) => Sampling.domainCap(t(s, d)("documents"), 12)),
+    // JSONL ingest round-trip with corrupt-line quarantine
+    "t16_jsonl_roundtrip" -> ((s, d) => jsonlRoundtrip(s, d)),
     // ---- skew-mitigation equivalence (SCALE.md escape hatches) ----
     // salted shapes must be row-for-row equal to their plain formulations;
     // the oracle computes the plain form
@@ -953,6 +1096,28 @@ object SparkEntry {
     */
   private val evCte =
     "ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)"
+
+  /** Shared w03/w08 oracle CTE: gaps-and-islands sessionization (30-minute
+    * gap) ending in a `sess` relation of per-session aggregates. One
+    * string, two gates — the batch form (w03) and the streaming
+    * flatMapGroupsWithState form (w08) cannot drift apart.
+    */
+  private val sessCte =
+    s"""$evCte,
+       sraw AS (
+         SELECT user_id, event_id, ts, value,
+                CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                     THEN 1 ELSE 0 END AS new_session
+         FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       sgrp AS (SELECT *, CAST(sum(new_session) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                 AS BIGINT) AS session_id FROM sraw),
+       sess AS (SELECT user_id, session_id, min(ts) AS session_start,
+                       max(ts) AS session_end, count(*) AS n_events,
+                       round(sum(value),2) AS sum_value,
+                       (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS duration_sec
+                FROM sgrp GROUP BY user_id, session_id)"""
 
   def oracleSql: Map[String, String] = Map(
     "r01_grid_bbox" ->
@@ -1296,19 +1461,35 @@ object SparkEntry {
          FROM w, m WHERE epoch_us(window_start) + 3600000000 <= wm_us
          ORDER BY window_start, event_type""",
     "w03_sessionize" ->
-      s"""WITH $evCte, s AS (
-           SELECT user_id, event_id, ts, value,
-                  CASE WHEN lag(ts) OVER w IS NULL
-                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
-                       THEN 1 ELSE 0 END AS new_session
-           FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-         g AS (SELECT *, CAST(sum(new_session) OVER
-                 (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
-                 AS BIGINT) AS session_id FROM s)
-         SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
-                count(*) AS n_events, round(sum(value),2) AS sum_value,
-                (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS duration_sec
-         FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+      s"""WITH $sessCte
+         SELECT user_id, session_id, session_start, session_end,
+                n_events, sum_value, duration_sec
+         FROM sess ORDER BY user_id, session_id""",
+    // streaming flatMapGroupsWithState sessionization: the batch sessions
+    // restricted to those the final watermark closed — every non-final
+    // session of a user (closed data-driven by a later event), plus the
+    // final one iff its ms-ceiled timeout precedes the final watermark
+    // (max ts ms-floored − 2 h). Strict `<`: pinned by StreamingSpec.
+    "w08_stream_session" ->
+      s"""WITH $sessCte,
+         last AS (SELECT user_id, max(session_id) AS last_sid FROM sess GROUP BY user_id),
+         m AS (SELECT epoch_us(max(ts)) // 1000 - 7200000 AS wm_ms FROM ev)
+         SELECT s.user_id, s.session_start, s.session_end,
+                s.n_events, s.sum_value, s.duration_sec
+         FROM sess s JOIN last l ON s.user_id = l.user_id CROSS JOIN m
+         WHERE s.session_id < l.last_sid
+            OR (epoch_us(s.session_end) + 1800000999) // 1000 < m.wm_ms
+         ORDER BY s.user_id, s.session_start""",
+    // stream-stream inner join on a closed input emits every matching
+    // pair exactly once -> the oracle is the plain batch range join
+    "w09_stream_join" ->
+      s"""WITH $evCte
+         SELECT c.event_id AS click_id, c.user_id, c.ts,
+                p.event_id AS purchase_id, p.ts AS p_ts
+         FROM ev c JOIN ev p ON c.user_id = p.user_id
+          AND c.event_type = 'click' AND p.event_type = 'purchase'
+          AND p.ts >= c.ts - INTERVAL 1800 SECONDS AND p.ts <= c.ts
+         ORDER BY click_id, purchase_id""",
     "d01_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count
          FROM documents GROUP BY text ORDER BY keep_id""",
@@ -1777,6 +1958,20 @@ object SparkEntry {
          SELECT doc_id, n_tokens, importance, cum_before,
                 (cum_before + n_tokens <= 3000) AS selected
          FROM c ORDER BY doc_id""",
+    // per-domain quota: md5(text) in DuckDB == Spark's md5(cast(text as
+    // binary)) — the d01 precedent; hash order is the reproducible priority
+    "t15_domain_cap" ->
+      """WITH ranked AS (
+           SELECT doc_id, source, md5(text) AS priority,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY md5(text), doc_id) AS doc_rank
+           FROM documents)
+         SELECT doc_id, source, priority, doc_rank
+         FROM ranked WHERE doc_rank <= 12 ORDER BY source, doc_rank""",
+    // JSONL round-trip fidelity: the clean view of the written+re-read
+    // corpus must be byte-identical to the source table
+    "t16_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
     "x01_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n,
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -121,6 +121,35 @@ object Sampling {
       .orderBy($"doc_id")
   }
 
+  /** Per-domain document cap — the crawl-pipeline quota stage ("at most N
+    * pages per site") that keeps a handful of giant domains from dominating
+    * the corpus mix. Priority is the content hash, so the kept subset is
+    * content-defined: reproducible across runs, partitionings, and cluster
+    * sizes (the [[byContentHash]] philosophy applied to ranking instead of
+    * thresholding), and docs added to a domain later cannot displace an
+    * unrelated doc's verdict unless they genuinely outrank it.
+    *
+    * Scale shape: `row_number ≤ cap` over the per-source window compiles to
+    * Spark's WindowGroupLimit pushdown — each MAP partition is trimmed to
+    * its local top-`cap` per source BEFORE the shuffle, so the exchange
+    * carries O(cap × sources) rows per partition, not the corpus
+    * (PlanGuardSpec pins the Partial/Final pair). A mega-domain therefore
+    * costs cap rows per input partition, not a skewed reducer.
+    */
+  def domainCap(documents: DataFrame, cap: Int): DataFrame = {
+    require(cap > 0, s"cap must be positive: $cap")
+    val w = Window.partitionBy($"source").orderBy($"priority", $"doc_id")
+    documents
+      .select($"doc_id", $"source", md5($"text".cast("binary")).as("priority"))
+      .withColumn("doc_rank", row_number().over(w))
+      .where($"doc_rank" <= cap)
+      // cast AFTER the filter: InferWindowGroupLimit matches a predicate on
+      // the raw rank function; casting first would defeat the map-side trim
+      .select($"doc_id", $"source", $"priority",
+        $"doc_rank".cast("long").as("doc_rank"))
+      .orderBy($"source", $"doc_rank")
+  }
+
   private def resolveParts(df: DataFrame, partitions: Int): Int =
     if (partitions > 0) partitions
     else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt

@@ -37,6 +37,14 @@ class PlanGuardSpec extends SparkSpec {
     p should include("Partial")
   }
 
+  test("t15_domain_cap: the per-source cap trims map-side (WindowGroupLimit Partial)") {
+    // a mega-domain must cost O(cap) rows per input partition at the
+    // exchange, not its full document count
+    val p = planOf("t15_domain_cap")
+    p should include("WindowGroupLimit")
+    p should include("Partial")
+  }
+
   test("q25/q26: no cartesian or nested-loop join anywhere in the time joins") {
     Seq("q25_asof_join", "q26_range_join").foreach { q =>
       val p = planOf(q)

@@ -102,4 +102,29 @@ class SamplingSpec extends SparkSpec {
     // rejected docs exist
     a.map(_(4).asInstanceOf[Boolean]).toSet shouldBe Set(true, false)
   }
+
+  test("domainCap keeps at most cap docs per source with consecutive hash-order ranks") {
+    val docs = table("documents")
+    val out = Sampling.domainCap(docs, 12).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3).toInt))
+    val bySource = out.groupBy(_._2)
+    // every source capped; ranks are 1..k; priority ascends with rank
+    bySource.values.foreach { rows =>
+      rows.length should be <= 12
+      rows.map(_._4).sorted shouldBe (1 to rows.length).toArray
+      rows.sortBy(_._4).map(_._3) shouldBe rows.map(_._3).sorted
+    }
+    // the cap actually bites on the fixture (some source has > cap docs)
+    val counts = docs.groupBy($"source").count().as[(String, Long)].collect().toMap
+    counts.values.max should be > 12L
+    bySource.map { case (s, rows) => s -> rows.length.toLong } shouldBe
+      counts.map { case (s, n) => s -> math.min(n, 12L) }
+  }
+
+  test("domainCap verdicts are content-defined: partition-count independent") {
+    val docs = table("documents")
+    val a = Sampling.domainCap(docs, 12).collect().map(_.toSeq).toSeq
+    val b = Sampling.domainCap(docs.repartition(7), 12).collect().map(_.toSeq).toSeq
+    a shouldBe b
+  }
 }

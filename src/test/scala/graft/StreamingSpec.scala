@@ -198,4 +198,51 @@ class StreamingSpec extends SparkSpec {
     batch.map(r => (r.head, r(1), r.last)) shouldBe
       Seq(("a", 2L, 1L), ("b", 3L, 2L))
   }
+
+  test("event-time timeout via the file source: no-data batch fires, boundary is strict") {
+    // Pins the exact close rule the w08 oracle encodes: a pending session
+    // flushes iff ceil_ms(end+gap) < final watermark (max ts ms-floored −
+    // delay), fired by the trailing NO-DATA batch AvailableNow runs after
+    // the last data batch. user2's timeout (08:30) < wm (11:00) → emitted;
+    // user3's timeout is exactly ON the watermark (11:00 == 11:00) → NOT
+    // emitted (strict <); user1's first session closes DATA-driven by an
+    // event in a later micro-batch (state carried across batches, mtime
+    // file order), and its last session stays open/unemitted.
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val b1 = Seq(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+      Event(3, ts("2024-01-01 08:00:00"), 2, "click", 1.0),
+      Event(4, ts("2024-01-01 10:30:00"), 3, "click", 1.0))
+    val b2 = Seq(Event(5, ts("2024-01-01 13:00:00"), 1, "click", 1.0))
+    val tmp = Files.createTempDirectory("graft_w08_sem").toString
+    val base = System.currentTimeMillis() - 60000
+    var stamped = Set.empty[String]
+    def land(rows: Seq[Event], off: Long): Unit = {
+      rows.toDS().coalesce(1).write.mode("append").parquet(s"$tmp/landing")
+      val ls = Files.list(java.nio.file.Paths.get(s"$tmp/landing"))
+      try ls.forEach { p =>
+        val n = p.getFileName.toString
+        if (n.endsWith(".parquet") && !stamped(n)) {
+          Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(base + off))
+          stamped += n
+        }
+      } finally ls.close()
+    }
+    land(b1, 0); land(b2, 2000)
+    val stream = spark.readStream.schema(b1.toDS().toDF().schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/landing")
+    val q = EventStream.sessionizeStateful(stream.as[Event], 30, "2 hours").toDF()
+      .writeStream.format("memory").queryName("w08_sem")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("w08_sem")
+      .select($"user_id", $"session_start", $"n_events")
+      .orderBy($"user_id").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2)))
+    got shouldBe Array(
+      (1L, "2024-01-01 10:00:00.0", 2L),
+      (2L, "2024-01-01 08:00:00.0", 1L))
+  }
 }
