@@ -523,6 +523,13 @@ object SparkEntry {
     "r09_grib_scan" -> ((s, _) =>
       sources.Grib1.readRecords(s, Seq(gribFixturePath))
         .orderBy($"variable", $"time", $"lat", $"lon")),
+    // the data-LAYOUT key: Morton-interleaved quantized (lat, lon); a
+    // grid store written ORDER BY zkey prunes bbox scans by row-group
+    // stats (ZOrderSpec proves the effect from real parquet footers)
+    "r10_zorder_key" -> ((s, d) =>
+      grid(s, d).select($"variable", $"time", $"lat", $"lon",
+          functions.ZOrder.zorderLatLon($"lat", $"lon").as("zkey"))
+        .orderBy($"zkey", $"variable", $"time", $"lat", $"lon")),
     "q20_hashes" -> ((s, d) => t(s, d)("documents").select(
       $"doc_id",
       Scalars.contentHash($"text").as("md5_hash"),
@@ -1191,6 +1198,14 @@ object SparkEntry {
          FROM p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
          WHERE NOT (masked = 1 AND (i + j) % 11 = 0)
          ORDER BY variable, time, lat, lon""",
+    // same spread constants as the engine (ZOrder.spreadSteps feeds both
+    // the Column chain and this generated SQL — they cannot drift)
+    "r10_zorder_key" ->
+      s"""WITH $gridCte,
+         ${functions.ZOrder.zorderSqlCtes("grid", "lat", "lon",
+            Seq("variable", "time", "lat", "lon"))}
+         SELECT variable, time, lat, lon, zkey FROM zfin
+         ORDER BY zkey, variable, time, lat, lon""",
     "q20_hashes" ->
       """SELECT doc_id, md5(text) AS md5_hash, sha256(text) AS sha256_hash
          FROM documents ORDER BY doc_id""",

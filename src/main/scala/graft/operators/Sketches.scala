@@ -45,4 +45,70 @@ object Sketches {
     sketches
       .agg(hll_union_agg($"sketch", lit(false)).as("merged"))
       .select(hll_sketch_estimate($"merged").as("approx_distinct"))
+
+  /** Theta sketches: distinct counting WITH set algebra — the question
+    * HLL cannot answer. "How many users clicked AND purchased" computed
+    * exactly needs a distinct-join of raw data per group pair; theta
+    * sketches answer it from the per-group sketches alone. Same
+    * mergeable/order-independent properties as HLL (a theta sketch
+    * retains the k smallest value hashes — a set property, not a
+    * sequence property), and EXACT below the sketch's nominal capacity
+    * (~4096 at the default lgK): it only starts estimating when a group
+    * exceeds that.
+    */
+  def thetaDistinct(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(theta_sketch_agg(col(valueCol)).as("sketch"))
+      .select(col(groupCol),
+        theta_sketch_estimate($"sketch").as("approx_distinct"),
+        $"sketch")
+      .orderBy(col(groupCol))
+
+  /** Pairwise |A ∩ B| across groups, computed ON THE SKETCHES: the
+    * per-group sketch table is group-cardinality-sized (metadata, not
+    * data), so the pair join is a join of a few KB rows — at 100 TB the
+    * raw-data equivalent is a distinct self-join per pair. Emits each
+    * unordered pair once.
+    */
+  def thetaOverlap(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val sk = df.groupBy(col(groupCol))
+      .agg(theta_sketch_agg(col(valueCol)).as("sketch"))
+    val a = sk.select(col(groupCol).as("group_a"), $"sketch".as("sk_a"))
+    val b = sk.select(col(groupCol).as("group_b"), $"sketch".as("sk_b"))
+    a.join(b, $"group_a" < $"group_b")
+      .select($"group_a", $"group_b",
+        theta_sketch_estimate(theta_intersection($"sk_a", $"sk_b"))
+          .as("approx_overlap"))
+      .orderBy($"group_a", $"group_b")
+  }
+
+  /** Mergeable quantile sketches (KLL): per-group percentile estimates
+    * whose PARTIALS are first-class binary columns — land the per-group
+    * (or per-day) sketches in a metadata table and answer any later
+    * quantile question without re-reading raw data. `approx_percentile`
+    * answers one query exactly as cheaply, but its summary is not
+    * exposed for storage/re-merge; KLL's is (the spec proves
+    * merge-of-halves ≈ sketch-of-whole within the rank-error bound —
+    * KLL compaction is randomized, so the guarantee is an error bound,
+    * not bit-determinism, unlike HLL/theta above).
+    */
+  def kllQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                   qs: Seq[Double], k: Int = 200): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must be in [0,1]: $qs")
+    // the quantile argument must be FOLDABLE, so each q is its own literal
+    // column over the one sketch aggregate; unpivot melts them back to
+    // (group, q, value) rows without recomputing anything
+    val sk = df.groupBy(col(groupCol))
+      .agg(kll_sketch_agg_double(col(valueCol).cast("double"), lit(k)).as("sketch"))
+    // dot-free column names ("0_5"): a dotted name would resolve as a
+    // nested field reference
+    def nm(q: Double) = q.toString.replace('.', '_')
+    val wide = sk.select(col(groupCol) +: qs.map(q =>
+      kll_sketch_get_quantile_double($"sketch", lit(q)).as(nm(q))): _*)
+    wide.unpivot(Array(col(groupCol)), qs.map(q => wide(nm(q))).toArray,
+        "q", "approx_value")
+      .withColumn("q", translate($"q", "_", ".").cast("double"))
+      .orderBy(col(groupCol), $"q")
+  }
 }

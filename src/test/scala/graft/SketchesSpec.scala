@@ -44,4 +44,83 @@ class SketchesSpec extends SparkSpec {
     a shouldBe b
     a shouldBe c
   }
+
+  test("theta estimates are exact below sketch capacity and order/partition independent") {
+    // fixture cardinalities (~150 users/type at sf0.001) sit far below the
+    // nominal capacity, so the sketch is in exact mode: estimate == exact
+    val approx = Sketches.thetaDistinct(events, "event_type", "user_id")
+      .select($"event_type", $"approx_distinct".cast("long"))
+      .as[(String, Long)].collect().toMap
+    val exact = events.groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n"))
+      .as[(String, Long)].collect().toMap
+    approx shouldBe exact
+    val reparted = Sketches.thetaDistinct(
+        events.repartition(17, $"user_id").orderBy($"ts".desc),
+        "event_type", "user_id")
+      .select($"event_type", $"approx_distinct".cast("long"))
+      .as[(String, Long)].collect().toMap
+    reparted shouldBe approx
+  }
+
+  test("theta overlap recovers controlled intersections from sketches alone") {
+    // groups with engineered overlaps: a∩b = 50, a∩c = 0, b∩c = 25
+    val rows =
+      (1 to 100).map(i => ("a", i.toLong)) ++
+      (51 to 150).map(i => ("b", i.toLong)) ++
+      (200 to 249).map(i => ("c", i.toLong)) ++
+      (126 to 150).map(i => ("c", i.toLong))
+    val df = rows.toDF("grp", "uid")
+    val got = Sketches.thetaOverlap(df, "grp", "uid")
+      .select($"group_a", $"group_b", $"approx_overlap".cast("long"))
+      .as[(String, String, Long)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    got shouldBe Map(("a", "b") -> 50L, ("a", "c") -> 0L, ("b", "c") -> 25L)
+  }
+
+  test("theta overlap on the fixture matches the exact distinct-join answer") {
+    val got = Sketches.thetaOverlap(events, "event_type", "user_id")
+      .select($"group_a", $"group_b", $"approx_overlap".cast("long"))
+      .as[(String, String, Long)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    val users = events.select($"event_type", $"user_id").distinct()
+    val exact = users.as("x").join(users.as("y"),
+        $"x.user_id" === $"y.user_id" && $"x.event_type" < $"y.event_type")
+      .groupBy($"x.event_type".as("ga"), $"y.event_type".as("gb"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    got shouldBe exact
+  }
+
+  test("KLL quantiles land within the rank-error bound of the exact distribution") {
+    val got = Sketches.kllQuantiles(events, "event_type", "value",
+      Seq(0.1, 0.5, 0.9)).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val byType = events.select($"event_type", $"value")
+      .as[(String, Double)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted).toMap
+    got.keySet.map(_._1) shouldBe byType.keySet
+    for (((tpe, q), est) <- got) {
+      val xs = byType(tpe)
+      // the realized rank of the estimate must sit near q (k=200 → ~1.65%
+      // normalized rank error; 5% absorbs the randomized compaction)
+      val rank = xs.count(_ <= est).toDouble / xs.length
+      math.abs(rank - q) should be < 0.05
+    }
+  }
+
+  test("KLL merge of half-sketches answers like the whole-data sketch (mergeability)") {
+    val lo = events.where($"event_id" % 2 === 0)
+    val hi = events.where($"event_id" % 2 =!= 0)
+    def sk(df: org.apache.spark.sql.DataFrame) =
+      df.agg(kll_sketch_agg_double($"value".cast("double"), lit(200)).as("s"))
+    val merged = sk(lo).crossJoin(sk(hi).withColumnRenamed("s", "s2"))
+      .select(kll_sketch_get_quantile_double(
+        kll_sketch_merge_double($"s", $"s2"), lit(0.5)).as("m"))
+      .head.getDouble(0)
+    val all = events.select($"value".cast("double")).as[Double].collect().sorted
+    val rank = all.count(_ <= merged).toDouble / all.length
+    math.abs(rank - 0.5) should be < 0.05
+  }
 }
