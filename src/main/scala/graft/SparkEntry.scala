@@ -344,24 +344,25 @@ object SparkEntry {
     */
   private def landEventsSliced(s: SparkSession, d: String,
                                tmp: String): org.apache.spark.sql.types.StructType = {
-    import java.nio.file.{Files, Paths}
     val events = t(s, d)("events").select(
       $"event_id", $"ts".cast("timestamp").as("ts"), $"user_id", $"event_type", $"value")
-    val slices = Seq((1, 8), (8, 15), (15, 22), (22, 32))
+    // slice bounds derived from the ACTUAL time range (one tiny agg), not
+    // day-of-month arithmetic — a multi-month fixture would interleave
+    // months across day-keyed slices and silently break the
+    // mod-time = event-time ordering contract
+    val mm = events.agg(min($"ts"), max($"ts")).head()
+    val (lo, hi) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
+    val k = 4
+    val step = math.max(1L, (hi - lo) / k + 1)
     val base = System.currentTimeMillis() - 60000
     var stamped = Set.empty[String]
-    slices.zipWithIndex.foreach { case ((lo, hi), i) =>
-      events.where(dayofmonth($"ts") >= lo && dayofmonth($"ts") < hi)
+    (0 until k).foreach { i =>
+      val from = new java.sql.Timestamp(lo + i * step)
+      val until = new java.sql.Timestamp(lo + (i + 1) * step)
+      events.where($"ts" >= lit(from) && $"ts" < lit(until))
         .coalesce(1).write.mode("append").parquet(s"$tmp/landing")
-      val listing = Files.list(Paths.get(s"$tmp/landing"))
-      try listing.forEach { p =>
-        val name = p.getFileName.toString
-        if (name.endsWith(".parquet") && !stamped.contains(name)) {
-          Files.setLastModifiedTime(p,
-            java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
-          stamped += name
-        }
-      } finally listing.close()
+      stamped = graft.streaming.StagedLanding.stampNew(
+        java.nio.file.Paths.get(s"$tmp/landing"), base + i * 2000L, stamped)
     }
     events.schema
   }
@@ -786,6 +787,18 @@ object SparkEntry {
     // both branches of the dropped flag
     "d09_semdedup" -> ((s, d) => Dedup.semDedup(t(s, d)("embeddings"), 0.35)),
     "d10_dup_spans" -> ((s, d) => Dedup.duplicatedSpans(t(s, d)("documents"))),
+    // incremental batch-vs-history dedup: history = ids % 3 != 0, batch =
+    // ids % 7 == 0 with odd ids content-mutated (fresh text) — exercises
+    // both the dup-of-history and fresh paths; in-batch dups are
+    // DedupSpec-covered (the fixture has no exact text twins)
+    "d11_incremental_dedup" -> ((s, d) => {
+      val docs = t(s, d)("documents")
+      val history = docs.where($"doc_id" % 3 =!= 0)
+      val batch = docs.where($"doc_id" % 7 === 0)
+        .withColumn("text",
+          when($"doc_id" % 2 === 1, concat($"text", lit(" v2"))).otherwise($"text"))
+      Dedup.incrementalDedup(history, batch)
+    }),
     // ---- similarity search (north-star M5) ----
     "s01_cosine_threshold" -> ((s, d) => Similarity.cosineAboveThreshold(t(s, d)("embeddings"), 0L, 0.1)),
     "s02_cosine_topk" -> ((s, d) => Similarity.cosineTopK(t(s, d)("embeddings"), 0L, 10)),
@@ -1531,6 +1544,21 @@ object SparkEntry {
          WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.4
          ORDER BY doc_a, doc_b""",
     "d03_minhash_lsh" -> minhashOracle,
+    "d11_incremental_dedup" ->
+      """WITH hist AS (SELECT DISTINCT md5(text) AS text_hash
+                       FROM documents WHERE doc_id % 3 != 0),
+         b AS (SELECT doc_id, source,
+                      CASE WHEN doc_id % 2 = 1 THEN text || ' v2' ELSE text END AS text
+               FROM documents WHERE doc_id % 7 = 0),
+         hb AS (SELECT doc_id, source, md5(text) AS text_hash,
+                       row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                FROM b)
+         SELECT hb.doc_id, hb.source, hb.text_hash,
+                (rn = 1 AND h.text_hash IS NULL) AS keep,
+                (h.text_hash IS NOT NULL) AS dup_of_history,
+                (rn > 1) AS dup_in_batch
+         FROM hb LEFT JOIN hist h ON hb.text_hash = h.text_hash
+         ORDER BY hb.doc_id""",
     "d07_dedup_clusters" -> dedupClustersOracle,
     // uncapped exact mode — the explicit opt-in path, gated separately
     // from the pruned default (d02)

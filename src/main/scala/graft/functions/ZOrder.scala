@@ -43,13 +43,19 @@ object ZOrder {
   def mortonKey(a: Column, b: Column): Column =
     spreadBits(a).bitwiseOR(shiftleft(spreadBits(b), 1))
 
-  /** Quantize a coordinate from [lo, lo+span) onto 2^bits cells (top
-    * edge clamped into the last cell).
+  /** Quantize a coordinate from [lo, lo+span) onto 2^bits cells, BOTH
+    * edges clamped (out-of-range coordinates — a -999 missing-value
+    * sentinel, a 90.0 top edge — land in the first/last cell instead of
+    * producing a negative index whose spread is garbage). bits ≤ 31:
+    * two 32-bit quantizations cannot interleave into a signed 64-bit
+    * key without colliding with the sign bit.
     */
   def quantize(c: Column, lo: Double, span: Double, bits: Int): Column = {
-    require(bits >= 1 && bits <= 32, s"bits out of range: $bits")
+    require(bits >= 1 && bits <= 31, s"bits out of range (1..31): $bits")
     val n = 1L << bits
-    least(floor((c - lit(lo)) / lit(span) * lit(n.toDouble)).cast("long"), lit(n - 1))
+    greatest(
+      least(floor((c - lit(lo)) / lit(span) * lit(n.toDouble)).cast("long"), lit(n - 1)),
+      lit(0L))
   }
 
   /** The spatial layout key: 16-bit quantized lat/lon interleaved.
@@ -66,12 +72,13 @@ object ZOrder {
     */
   def zorderSqlCtes(from: String, latExpr: String, lonExpr: String,
                     carry: Seq[String], bits: Int = 16): String = {
+    require(bits >= 1 && bits <= 31, s"bits out of range (1..31): $bits")
     val n = 1L << bits
     val cols = carry.mkString(", ")
     val q0 =
       s"""zq0 AS (SELECT $cols,
-         CAST(least(floor((($latExpr) - (-90.0)) / 180.0 * $n.0), ${n - 1}) AS BIGINT) AS za,
-         CAST(least(floor((($lonExpr) - (-180.0)) / 360.0 * $n.0), ${n - 1}) AS BIGINT) AS zb
+         greatest(CAST(least(floor((($latExpr) - (-90.0)) / 180.0 * $n.0), ${n - 1}) AS BIGINT), 0) AS za,
+         greatest(CAST(least(floor((($lonExpr) - (-180.0)) / 360.0 * $n.0), ${n - 1}) AS BIGINT), 0) AS zb
          FROM $from)"""
     val steps = spreadSteps.zipWithIndex.map { case ((s, m), i) =>
       s"""zq${i + 1} AS (SELECT $cols,

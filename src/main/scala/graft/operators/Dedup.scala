@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.implicits._
 
@@ -64,6 +65,35 @@ object Dedup {
   def exactSurvivors(documents: DataFrame): DataFrame =
     documents.groupBy($"text").agg(min($"doc_id").as("doc_id"))
       .select($"doc_id").orderBy($"doc_id")
+
+  /** INCREMENTAL exact dedup — the production shape: each new crawl batch
+    * dedups against the ACCUMULATED corpus, never the full corpus against
+    * itself. The history side collapses to its 128-bit content-hash index
+    * (16 bytes per historical doc — the at-rest index a real pipeline
+    * maintains between runs; at 100 TB store it bucketed by hash so the
+    * daily batch join shuffles only the batch side, the BucketingSpec
+    * lever). Every batch doc is emitted with its audit flags:
+    * `dup_of_history` (content already in the corpus), `dup_in_batch`
+    * (a smaller-id batch doc has the same content), and `keep` — their
+    * conjunction's negation, the rows that extend the corpus AND the
+    * index for the next increment.
+    */
+  def incrementalDedup(history: DataFrame, batch: DataFrame): DataFrame = {
+    val idx = history
+      .select(md5($"text".cast("binary")).as("text_hash"))
+      .distinct()
+      .withColumn("in_history", lit(true))
+    val w = Window.partitionBy($"text_hash").orderBy($"doc_id")
+    batch
+      .select($"doc_id", $"source", md5($"text".cast("binary")).as("text_hash"))
+      .withColumn("rn", row_number().over(w))
+      .join(idx, Seq("text_hash"), "left")
+      .select($"doc_id", $"source", $"text_hash",
+        ($"rn" === 1 && $"in_history".isNull).as("keep"),
+        coalesce($"in_history", lit(false)).as("dup_of_history"),
+        ($"rn" > 1).as("dup_in_batch"))
+      .orderBy($"doc_id")
+  }
 
   /** N-gram Jaccard near-dup pairs, blocked by `source` — THE default entry
     * point, and it prunes: grams shared by more than `maxDocFreq` documents

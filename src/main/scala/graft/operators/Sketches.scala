@@ -96,6 +96,8 @@ object Sketches {
                    qs: Seq[Double], k: Int = 200): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       s"quantiles must be in [0,1]: $qs")
+    require(qs.distinct.size == qs.size,
+      s"duplicate quantiles (would collide as columns): $qs")
     // the quantile argument must be FOLDABLE, so each q is its own literal
     // column over the one sketch aggregate; unpivot melts them back to
     // (group, q, value) rows without recomputing anything

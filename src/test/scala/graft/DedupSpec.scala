@@ -202,4 +202,25 @@ class DedupSpec extends SparkSpec {
     out shouldBe expected
     (20L until 25L).foreach(id => out(id) shouldBe true)
   }
+
+  test("incremental dedup flags history dups, in-batch dups, and fresh docs") {
+    val history = Seq((1L, "a", "alpha"), (2L, "a", "beta"))
+      .toDF("doc_id", "source", "text")
+    val batch = Seq(
+      (10L, "w", "alpha"), // content already in the corpus
+      (11L, "w", "gamma"), // fresh, first occurrence
+      (12L, "w", "gamma"), // in-batch duplicate of 11
+      (13L, "w", "delta"), // fresh
+      (14L, "w", "alpha")) // both: history dup AND in-batch dup of 10
+      .toDF("doc_id", "source", "text")
+    val out = Dedup.incrementalDedup(history, batch).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(3), r.getBoolean(4), r.getBoolean(5)))).toMap
+    out shouldBe Map( //        (keep, dup_of_history, dup_in_batch)
+      10L -> ((false, true, false)),
+      11L -> ((true, false, false)),
+      12L -> ((false, false, true)),
+      13L -> ((true, false, false)),
+      14L -> ((false, true, true)))
+  }
 }

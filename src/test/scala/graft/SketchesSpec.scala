@@ -84,12 +84,18 @@ class SketchesSpec extends SparkSpec {
       .as[(String, String, Long)].collect()
       .map { case (a, b, c) => (a, b) -> c }.toMap
     val users = events.select($"event_type", $"user_id").distinct()
-    val exact = users.as("x").join(users.as("y"),
+    val nonZero = users.as("x").join(users.as("y"),
         $"x.user_id" === $"y.user_id" && $"x.event_type" < $"y.event_type")
       .groupBy($"x.event_type".as("ga"), $"y.event_type".as("gb"))
       .agg(count(lit(1)).as("n"))
       .as[(String, String, Long)].collect()
       .map { case (a, b, c) => (a, b) -> c }.toMap
+    // thetaOverlap emits EVERY unordered pair (zero-overlap included);
+    // complete the inner-join answer with explicit zeros
+    val types = events.select($"event_type").distinct().as[String].collect().sorted
+    val exact = (for {
+      a <- types; b <- types if a < b
+    } yield (a, b) -> nonZero.getOrElse((a, b), 0L)).toMap
     got shouldBe exact
   }
 

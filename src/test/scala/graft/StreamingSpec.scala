@@ -220,15 +220,8 @@ class StreamingSpec extends SparkSpec {
     var stamped = Set.empty[String]
     def land(rows: Seq[Event], off: Long): Unit = {
       rows.toDS().coalesce(1).write.mode("append").parquet(s"$tmp/landing")
-      val ls = Files.list(java.nio.file.Paths.get(s"$tmp/landing"))
-      try ls.forEach { p =>
-        val n = p.getFileName.toString
-        if (n.endsWith(".parquet") && !stamped(n)) {
-          Files.setLastModifiedTime(p,
-            java.nio.file.attribute.FileTime.fromMillis(base + off))
-          stamped += n
-        }
-      } finally ls.close()
+      stamped = StagedLanding.stampNew(
+        java.nio.file.Paths.get(s"$tmp/landing"), base + off, stamped)
     }
     land(b1, 0); land(b2, 2000)
     val stream = spark.readStream.schema(b1.toDS().toDF().schema)

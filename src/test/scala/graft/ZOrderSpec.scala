@@ -38,12 +38,14 @@ class ZOrderSpec extends SparkSpec {
     got shouldBe pairs.map { case (a, b) => refSpread(a) | (refSpread(b) << 1) }.toArray
   }
 
-  test("quantize clamps the top edge into the last cell") {
-    val got = Seq(-90.0, 0.0, 89.999, 90.0).toDF("lat")
+  test("quantize clamps both edges into the boundary cells") {
+    val got = Seq(-999.0, -90.0, 0.0, 89.999, 90.0, 999.0).toDF("lat")
       .select(ZOrder.quantize($"lat", -90.0, 180.0, 16)).as[Long].collect()
-    got(0) shouldBe 0L
-    got(1) shouldBe 32768L
-    got(3) shouldBe 65535L // not 65536: clamped
+    got(0) shouldBe 0L     // missing-value sentinel: clamped, not negative
+    got(1) shouldBe 0L
+    got(2) shouldBe 32768L
+    got(4) shouldBe 65535L // not 65536: clamped
+    got(5) shouldBe 65535L
   }
 
   test("z-ordered layout prunes bbox row groups that the unclustered layout scans") {
@@ -56,7 +58,10 @@ class ZOrderSpec extends SparkSpec {
       df.coalesce(1).write.option("parquet.block.size", 32 * 1024)
         .mode("overwrite").parquet(dir)
     write(g, s"$root/plain")
-    write(g.sortWithinPartitions(ZOrder.zorderLatLon($"lat", $"lon")), s"$root/zorder")
+    // repartition(1) BEFORE the sort: sorting first and coalescing after
+    // would concatenate per-partition sorted runs, not a global z-order
+    write(g.repartition(1).sortWithinPartitions(ZOrder.zorderLatLon($"lat", $"lon")),
+      s"$root/zorder")
 
     // per-row-group (lat, lon) min/max boxes straight from the footers
     def boxes(dir: String): Seq[((Double, Double), (Double, Double))] = {
