@@ -473,6 +473,93 @@ object SparkEntry {
       .transform(graft.Session.barrier)
   }
 
+  /** Shared d11/d12 fixture: history = ids ∉ 3ℤ, batch = ids ∈ 7ℤ with odd
+    * ids content-mutated (fresh text) — exercises both the dup-of-history
+    * and fresh paths; in-batch dups are DedupSpec-covered (the fixture has
+    * no exact text twins).
+    */
+  private def incrementalFixture(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val docs = t(s, d)("documents")
+    val history = docs.where($"doc_id" % 3 =!= 0)
+    val batch = docs.where($"doc_id" % 7 === 0)
+      .withColumn("text",
+        when($"doc_id" % 2 === 1, concat($"text", lit(" v2"))).otherwise($"text"))
+    (history, batch)
+  }
+
+  /** Shared CDC fixture for t17/w10: snapshot = ids ∉ 3ℤ; change feed =
+    * seq-1 "v2" rewrites of ids ∈ 5ℤ, then seq-2 "v3" rewrites of
+    * ids ∈ 10ℤ with tombstones on ids ∈ 20ℤ — exercising insert (15, 45:
+    * in the feed, not the snapshot), plain update, multi-change
+    * latest-wins, delete, and delete-of-never-present (0 ∈ 20ℤ ∖ snapshot)
+    * in one deterministic fixture.
+    */
+  private def upsertFixture(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    val docs = t(s, d)("documents")
+    val snapshot = docs.where($"doc_id" % 3 =!= 0).select($"doc_id", $"source", $"text")
+    val ch1 = docs.where($"doc_id" % 5 === 0)
+      .select($"doc_id", $"source", concat($"text", lit(" v2")).as("text"),
+        lit(1).as("seq"), lit(false).as("del"))
+    val ch2 = docs.where($"doc_id" % 10 === 0)
+      .select($"doc_id", $"source", concat($"text", lit(" v3")).as("text"),
+        lit(2).as("seq"), ($"doc_id" % 20 === 0).as("del"))
+    (snapshot, ch1, ch2)
+  }
+
+  /** w10: the t17 merge executed as a STREAM — the change feed lands as
+    * two mtime-ordered files, `foreachBatch` applies each micro-batch to
+    * the versioned parquet snapshot ([[graft.streaming.SnapshotUpsert]]),
+    * and the gate reads the final published version. Sequential per-batch
+    * merges reproduce the one-shot latest-wins result because batch order
+    * (mtime) equals seq order — so the oracle is shared verbatim with t17.
+    */
+  private def streamUpsert(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_w10").toString
+    val (snap, ch1, ch2) = upsertFixture(s, d)
+    val landing = java.nio.file.Paths.get(s"$tmp/landing")
+    java.nio.file.Files.createDirectories(landing)
+    val base = System.currentTimeMillis() - 60000
+    var stamped = Set.empty[String]
+    ch1.coalesce(1).write.mode("append").parquet(landing.toString)
+    stamped = graft.streaming.StagedLanding.stampNew(landing, base, stamped)
+    ch2.coalesce(1).write.mode("append").parquet(landing.toString)
+    stamped = graft.streaming.StagedLanding.stampNew(landing, base + 1000, stamped)
+    val snapDir = s"$tmp/snapshot"
+    graft.streaming.SnapshotUpsert.init(snap, snapDir)
+    val sink: (DataFrame, Long) => Unit =
+      graft.streaming.SnapshotUpsert.applyBatch(snapDir, "doc_id")
+    val stream = s.readStream.schema(ch1.schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing.toString)
+    withStreamingPartitions(s, 8) {
+      val q = stream.writeStream
+        .foreachBatch(sink)
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    graft.streaming.SnapshotUpsert.read(s, snapDir).orderBy($"doc_id")
+  }
+
+  /** t18: small-file compaction round-trip — the corpus is shattered into
+    * 32 files, [[Compaction.compactClustered]] rewrites it into
+    * ~quarter-of-total-sized files range-clustered on doc_id, and the
+    * result must be the identity (the oracle is the plain table select).
+    * CompactionSpec asserts the file-count plan and clustering separately;
+    * this gate pins that a maintenance rewrite never changes the data.
+    */
+  private def compactGate(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_t18").toString
+    val docs = t(s, d)("documents")
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+    docs.repartition(32).write.mode("overwrite").parquet(s"$tmp/in")
+    val total = Compaction.dataBytes(s, s"$tmp/in")
+    Compaction.compactClustered(s, s"$tmp/in", s"$tmp/out",
+      Seq("doc_id"), math.max(1L, total / 4))
+    s.read.parquet(s"$tmp/out").orderBy($"doc_id")
+  }
+
   /** Demo raster grid (Raster.demoGrid) shared by the r* queries. */
   private def grid(s: SparkSession, d: String): DataFrame =
     Raster.demoGrid(t(s, d)("lineitem"))
@@ -771,6 +858,7 @@ object SparkEntry {
     "w07_stream_quality" -> ((s, d) => streamQuality(s, d)),
     "w08_stream_session" -> ((s, d) => streamSession(s, d)),
     "w09_stream_join" -> ((s, d) => streamJoin(s, d)),
+    "w10_stream_upsert" -> ((s, d) => streamUpsert(s, d)),
     // ---- dedup (north-star M5) ----
     "d01_dedup_exact" -> ((s, d) => Dedup.exact(t(s, d)("documents"))),
     "d02_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(t(s, d)("documents"), 2, 0.5)),
@@ -792,12 +880,15 @@ object SparkEntry {
     // both the dup-of-history and fresh paths; in-batch dups are
     // DedupSpec-covered (the fixture has no exact text twins)
     "d11_incremental_dedup" -> ((s, d) => {
-      val docs = t(s, d)("documents")
-      val history = docs.where($"doc_id" % 3 =!= 0)
-      val batch = docs.where($"doc_id" % 7 === 0)
-        .withColumn("text",
-          when($"doc_id" % 2 === 1, concat($"text", lit(" v2"))).otherwise($"text"))
+      val (history, batch) = incrementalFixture(s, d)
       Dedup.incrementalDedup(history, batch)
+    }),
+    // same fixture, same oracle, Bloom-prefiltered history join: proves the
+    // prefilter is value-invisible (no false negatives; false positives
+    // cleared by the exact join) while the fresh majority skips the shuffle
+    "d12_incremental_bloom" -> ((s, d) => {
+      val (history, batch) = incrementalFixture(s, d)
+      Dedup.incrementalDedupBloom(history, batch, expectedItems = 100000L, fpp = 0.03)
     }),
     // ---- similarity search (north-star M5) ----
     "s01_cosine_threshold" -> ((s, d) => Similarity.cosineAboveThreshold(t(s, d)("embeddings"), 0L, 0.1)),
@@ -862,6 +953,12 @@ object SparkEntry {
     "t15_domain_cap" -> ((s, d) => Sampling.domainCap(t(s, d)("documents"), 12)),
     // JSONL ingest round-trip with corrupt-line quarantine
     "t16_jsonl_roundtrip" -> ((s, d) => jsonlRoundtrip(s, d)),
+    // CDC latest-wins merge (inserts + updates + multi-change + tombstones)
+    "t17_upsert" -> ((s, d) => {
+      val (snap, ch1, ch2) = upsertFixture(s, d)
+      Upsert.merge(snap, ch1.unionByName(ch2), "doc_id").orderBy($"doc_id")
+    }),
+    "t18_compact_files" -> ((s, d) => compactGate(s, d)),
     // ---- skew-mitigation equivalence (SCALE.md escape hatches) ----
     // salted shapes must be row-for-row equal to their plain formulations;
     // the oracle computes the plain form
@@ -1122,6 +1219,46 @@ object SparkEntry {
     * string, two gates — the batch form (w03) and the streaming
     * flatMapGroupsWithState form (w08) cannot drift apart.
     */
+  /** Shared by d11 (exact) and d12 (Bloom-prefiltered) — one string, two
+    * gates, so the prefilter can never drift the semantics unnoticed.
+    */
+  private val incrementalOracle =
+    """WITH hist AS (SELECT DISTINCT md5(text) AS text_hash
+                     FROM documents WHERE doc_id % 3 != 0),
+       b AS (SELECT doc_id, source,
+                    CASE WHEN doc_id % 2 = 1 THEN text || ' v2' ELSE text END AS text
+             FROM documents WHERE doc_id % 7 = 0),
+       hb AS (SELECT doc_id, source, md5(text) AS text_hash,
+                     row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+              FROM b)
+       SELECT hb.doc_id, hb.source, hb.text_hash,
+              (rn = 1 AND h.text_hash IS NULL) AS keep,
+              (h.text_hash IS NOT NULL) AS dup_of_history,
+              (rn > 1) AS dup_in_batch
+       FROM hb LEFT JOIN hist h ON hb.text_hash = h.text_hash
+       ORDER BY hb.doc_id"""
+
+  /** Shared by t17 (batch merge) and w10 (streamed foreachBatch merge) —
+    * the upsertFixture in SQL: latest change per key wins, tombstones
+    * delete, snapshot fills the rest.
+    */
+  private val upsertOracle =
+    """WITH snap AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 3 != 0),
+       ch AS (SELECT doc_id, source, text || ' v2' AS text, 1 AS seq, false AS del
+              FROM documents WHERE doc_id % 5 = 0
+              UNION ALL
+              SELECT doc_id, source, text || ' v3' AS text, 2 AS seq, (doc_id % 20 = 0) AS del
+              FROM documents WHERE doc_id % 10 = 0),
+       latest AS (SELECT doc_id, source, text, del FROM (
+              SELECT ch.*, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC, doc_id) AS rn
+              FROM ch) WHERE rn = 1)
+       SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+              CASE WHEN l.doc_id IS NOT NULL THEN l.source ELSE s.source END AS source,
+              CASE WHEN l.doc_id IS NOT NULL THEN l.text ELSE s.text END AS text
+       FROM snap s FULL OUTER JOIN latest l ON s.doc_id = l.doc_id
+       WHERE NOT coalesce(l.del, false)
+       ORDER BY 1"""
+
   private val sessCte =
     s"""$evCte,
        sraw AS (
@@ -1544,21 +1681,9 @@ object SparkEntry {
          WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.4
          ORDER BY doc_a, doc_b""",
     "d03_minhash_lsh" -> minhashOracle,
-    "d11_incremental_dedup" ->
-      """WITH hist AS (SELECT DISTINCT md5(text) AS text_hash
-                       FROM documents WHERE doc_id % 3 != 0),
-         b AS (SELECT doc_id, source,
-                      CASE WHEN doc_id % 2 = 1 THEN text || ' v2' ELSE text END AS text
-               FROM documents WHERE doc_id % 7 = 0),
-         hb AS (SELECT doc_id, source, md5(text) AS text_hash,
-                       row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-                FROM b)
-         SELECT hb.doc_id, hb.source, hb.text_hash,
-                (rn = 1 AND h.text_hash IS NULL) AS keep,
-                (h.text_hash IS NOT NULL) AS dup_of_history,
-                (rn > 1) AS dup_in_batch
-         FROM hb LEFT JOIN hist h ON hb.text_hash = h.text_hash
-         ORDER BY hb.doc_id""",
+    "d11_incremental_dedup" -> incrementalOracle,
+    // one oracle string, two gates: the Bloom prefilter must be invisible
+    "d12_incremental_bloom" -> incrementalOracle,
     "d07_dedup_clusters" -> dedupClustersOracle,
     // uncapped exact mode — the explicit opt-in path, gated separately
     // from the pruned default (d02)
@@ -2014,6 +2139,13 @@ object SparkEntry {
     // JSONL round-trip fidelity: the clean view of the written+re-read
     // corpus must be byte-identical to the source table
     "t16_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+    // one oracle string, two gates (the q33/q35 pattern): w10's sequential
+    // per-batch merges must equal t17's one-shot latest-wins merge
+    "t17_upsert" -> upsertOracle,
+    "w10_stream_upsert" -> upsertOracle,
+    // compaction is a maintenance rewrite: the oracle is the identity
+    "t18_compact_files" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
     "x01_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n,

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.implicits._
+
+/** CDC merge: apply a batch of keyed changes (upserts + delete tombstones)
+  * to a snapshot table — the maintenance operation every incrementally
+  * ingested corpus needs (crawl refreshes, takedown/opt-out deletes,
+  * metadata corrections). The reference re-lands whole months per cycle
+  * (`cycle.js` overwrites the output grid file for a (layer, time) key —
+  * a degenerate whole-partition upsert); at corpus scale the unit of
+  * change is the ROW, which is what this operator models.
+  *
+  * Shape chosen for 100 TB: the CHANGES side — small, by definition of an
+  * increment — is collapsed to its latest state per key first (a window
+  * over changes only, never over the snapshot), then joined to the
+  * snapshot once. The naive alternative (union snapshot + changes, window
+  * over everything) shuffles and windows the full snapshot; this shape
+  * shuffles the snapshot once for the join — and with the snapshot stored
+  * bucketed by key (BucketingSpec's lever) even that exchange disappears,
+  * leaving O(changes) work per increment.
+  */
+object Upsert {
+
+  /** Latest change per key: the row with the highest `seqCol` wins.
+    * `row_number() <= 1` compiles to a WindowGroupLimit, so each map
+    * partition is trimmed to one candidate row per key before the
+    * exchange (the t15 lever) — a hot key with a million queued changes
+    * costs O(#partitions) shuffle rows, not a million.
+    */
+  def collapseChanges(changes: DataFrame, key: String, seqCol: String): DataFrame = {
+    // doc-order tie-break on the key keeps equal-seq replays deterministic
+    val w = Window.partitionBy(col(key)).orderBy(col(seqCol).desc, col(key))
+    changes
+      .withColumn("__rn", row_number().over(w))
+      .where($"__rn" === 1)
+      .drop("__rn")
+  }
+
+  /** Merge `changes` into `snapshot`, latest-wins per `key`.
+    *
+    * `changes` carries the snapshot's columns plus `seqCol` (change order,
+    * larger = later) and `deleteCol` (boolean tombstone). Semantics are
+    * whole-row replacement: the winning change's row replaces the snapshot
+    * row entirely (an explicit NULL in a change is kept as NULL — no
+    * column-wise coalescing), a winning tombstone removes the key, and
+    * keys appearing only in `changes` are inserts.
+    */
+  def merge(snapshot: DataFrame, changes: DataFrame, key: String,
+            seqCol: String = "seq", deleteCol: String = "del"): DataFrame = {
+    val dataCols = snapshot.columns.filterNot(_ == key).toSeq
+    require(dataCols.forall(changes.columns.contains),
+      s"changes must carry the snapshot's columns; missing ${dataCols.filterNot(changes.columns.contains).mkString(", ")}")
+    val latest = collapseChanges(changes, key, seqCol)
+      .select(col(key) +:
+        col(deleteCol).as("__del") +:
+        lit(true).as("__hit") +:
+        dataCols.map(c => col(c).as(s"__c_$c")): _*)
+    snapshot
+      .join(latest, Seq(key), "full_outer")
+      // a winning tombstone deletes the key whether or not the snapshot has it
+      .where(!coalesce($"__del", lit(false)))
+      .select(col(key) +: dataCols.map(c =>
+        when($"__hit", col("__c_" + c)).otherwise(col(c)).as(c)): _*)
+  }
+}

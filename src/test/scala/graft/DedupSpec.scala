@@ -223,4 +223,27 @@ class DedupSpec extends SparkSpec {
       13L -> ((true, false, false)),
       14L -> ((false, true, true)))
   }
+
+  test("bloom-prefiltered incremental dedup is row-identical to the exact form") {
+    val history = (1L to 60L).map(i => (i, "a", s"hist text $i")).toDF("doc_id", "source", "text")
+    val batch = (
+      (100L to 120L).map(i => (i, "w", s"hist text ${i - 99}")) ++ // history dups
+        (200L to 230L).map(i => (i, "w", s"fresh text $i")) ++      // fresh
+        Seq((300L, "w", "fresh text 200"), (301L, "w", "fresh text 200")) // in-batch dups
+      ).toDF("doc_id", "source", "text")
+    val exact = Dedup.incrementalDedup(history, batch).collect()
+    Dedup.incrementalDedupBloom(history, batch, expectedItems = 1000L, fpp = 0.01)
+      .collect() shouldBe exact
+  }
+
+  test("bloom prefilter stays exact even when the filter is saturated with false positives") {
+    val history = (1L to 50L).map(i => (i, "a", s"h$i")).toDF("doc_id", "source", "text")
+    val batch = (60L to 120L).map(i => (i, "w", if (i % 2 == 0) s"h${i % 40 + 1}" else s"f$i"))
+      .toDF("doc_id", "source", "text")
+    val exact = Dedup.incrementalDedup(history, batch).collect()
+    // undersized filter + huge fpp: nearly everything "might" be in history —
+    // the exact join must clear every false positive
+    Dedup.incrementalDedupBloom(history, batch, expectedItems = 10L, fpp = 0.5)
+      .collect() shouldBe exact
+  }
 }

@@ -14,7 +14,7 @@ class JsonlSpec extends SparkSpec {
     (1L, "plain ascii text"),
     (2L, "embedded \"quotes\" and \\backslashes\\"),
     (3L, "newline\nand\ttab and\rcarriage"),
-    (4L, "unicode: café 日本語 😀 nul-adjacent "),
+    (4L, "unicode: café 日本語 😀 nul-adjacent \u0001"),
     (5L, ""))
 
   test("round-trip through jsonl is exact, including escapes and unicode") {

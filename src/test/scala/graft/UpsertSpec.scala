@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Upsert
+
+/** CDC merge semantics (t17) + the streaming snapshot store (w10's sink):
+  * whole-row replacement, latest-wins, tombstones, inserts, and the
+  * exactly-once pointer protocol.
+  */
+class UpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def snap(rows: (Long, String, String)*) =
+    rows.toDF("id", "src", "text")
+
+  private def ch(rows: (Long, String, String, Int, Boolean)*) =
+    rows.toDF("id", "src", "text", "seq", "del")
+
+  test("merge: insert, update, delete, untouched — all in one batch") {
+    val s = snap((1L, "a", "one"), (2L, "a", "two"), (3L, "a", "three"))
+    val c = ch(
+      (2L, "a", "two'", 1, false),  // update
+      (3L, "a", "x", 1, true),      // delete
+      (9L, "b", "nine", 1, false))  // insert
+    val out = Upsert.merge(s, c, "id").orderBy($"id")
+      .as[(Long, String, String)].collect()
+    out shouldBe Array((1L, "a", "one"), (2L, "a", "two'"), (9L, "b", "nine"))
+  }
+
+  test("merge: multiple queued changes per key — the highest seq wins") {
+    val s = snap((1L, "a", "one"))
+    val c = ch(
+      (1L, "a", "v1", 1, false),
+      (1L, "a", "v3", 3, false),
+      (1L, "a", "v2", 2, false))
+    Upsert.merge(s, c, "id").as[(Long, String, String)].collect() shouldBe
+      Array((1L, "a", "v3"))
+  }
+
+  test("merge: a delete followed by a later upsert resurrects the key") {
+    val s = snap((1L, "a", "one"))
+    val c = ch((1L, "a", "x", 1, true), (1L, "a", "reborn", 2, false))
+    Upsert.merge(s, c, "id").as[(Long, String, String)].collect() shouldBe
+      Array((1L, "a", "reborn"))
+  }
+
+  test("merge: tombstone for a key the snapshot never had is a no-op row") {
+    val s = snap((1L, "a", "one"))
+    val c = ch((7L, "a", "x", 1, true))
+    Upsert.merge(s, c, "id").as[(Long, String, String)].collect() shouldBe
+      Array((1L, "a", "one"))
+  }
+
+  test("merge is whole-row: an explicit NULL in the winning change is kept, not coalesced") {
+    val s = snap((1L, "a", "one"))
+    val c = Seq((1L, null.asInstanceOf[String], "text'", 1, false))
+      .toDF("id", "src", "text", "seq", "del")
+    val row = Upsert.merge(s, c, "id").collect()(0)
+    row.isNullAt(row.fieldIndex("src")) shouldBe true
+    row.getAs[String]("text") shouldBe "text'"
+  }
+
+  test("merge is idempotent: re-applying the same batch changes nothing") {
+    val s = snap((1L, "a", "one"), (2L, "a", "two"))
+    val c = ch((1L, "a", "v2", 5, false), (2L, "a", "x", 5, true), (3L, "b", "new", 5, false))
+    val once = Upsert.merge(s, c, "id")
+    val twice = Upsert.merge(once, c, "id")
+    twice.orderBy($"id").collect() shouldBe once.orderBy($"id").collect()
+  }
+
+  test("merge result is partition-count independent") {
+    val s = snap((1L to 40L).map(i => (i, "a", s"t$i")): _*)
+    val c = ch((1L to 40L by 3).map(i => (i, "a", s"u$i", 1, i % 6 == 1)): _*)
+    val a = Upsert.merge(s.repartition(2), c.repartition(2), "id").orderBy($"id").collect()
+    val b = Upsert.merge(s.repartition(16), c.repartition(7), "id").orderBy($"id").collect()
+    a shouldBe b
+  }
+
+  test("snapshot store: init → applyBatch → read round-trips, pointer switches atomically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val s = snap((1L, "a", "one"), (2L, "a", "two"))
+    graft.streaming.SnapshotUpsert.init(s, dir)
+    graft.streaming.SnapshotUpsert.currentVersion(dir) shouldBe Some("b-1")
+    graft.streaming.SnapshotUpsert.applyBatch(dir, "id")(
+      ch((2L, "a", "two'", 1, false), (3L, "a", "three", 1, false)), 0L)
+    graft.streaming.SnapshotUpsert.currentVersion(dir) shouldBe Some("b0")
+    graft.streaming.SnapshotUpsert.read(spark, dir).orderBy($"id")
+      .as[(Long, String, String)].collect() shouldBe
+      Array((1L, "a", "one"), (2L, "a", "two'"), (3L, "a", "three"))
+  }
+
+  test("snapshot store: replaying a batch whose pointer already landed is skipped") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    graft.streaming.SnapshotUpsert.init(snap((1L, "a", "one")), dir)
+    val batch = ch((1L, "a", "v2", 1, false))
+    graft.streaming.SnapshotUpsert.applyBatch(dir, "id")(batch, 0L)
+    // a second delivery of batch 0 must not stack another version or fail
+    graft.streaming.SnapshotUpsert.applyBatch(dir, "id")(batch, 0L)
+    graft.streaming.SnapshotUpsert.currentVersion(dir) shouldBe Some("b0")
+    graft.streaming.SnapshotUpsert.read(spark, dir)
+      .as[(Long, String, String)].collect() shouldBe Array((1L, "a", "v2"))
+  }
+}
