@@ -130,4 +130,26 @@ class PlanGuardSpec extends SparkSpec {
     // 500-vector fixture → adaptiveNbits = 5 rides in as the literal
     p should include("5 AS nbits")
   }
+
+  test("t17_upsert: the CHANGES side collapses map-side; the snapshot is never windowed") {
+    val p = planOf("t17_upsert")
+    // collapseChanges' rn<=1 must compile to a WindowGroupLimit pair so a
+    // hot key's queued changes are trimmed per map partition pre-exchange
+    p should include("WindowGroupLimit")
+    p should include("Partial")
+    // exactly one window family (over changes) — a regression to the naive
+    // union+window-over-everything shape would window the snapshot too
+    p.linesIterator.count(_.trim.matches("""\(\d+\) Window""")) shouldBe 1
+    p should not include "CartesianProduct"
+  }
+
+  test("d12_incremental_bloom: only the might-contain sliver joins history") {
+    val p = planOf("d12_incremental_bloom")
+    // one join (the maybe-branch left join); the fresh branch must reach
+    // the union without any join operator
+    val joins = p.linesIterator.count(l =>
+      l.trim.matches("""\(\d+\) (SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin).*"""))
+    joins shouldBe 1
+    p should include("Union")
+  }
 }
