@@ -560,6 +560,16 @@ object SparkEntry {
     s.read.parquet(s"$tmp/out").orderBy($"doc_id")
   }
 
+  /** t19's input: the corpus with one email, one IPv4, and one ≥7-digit
+    * run appended per document, all derived from doc_id so the oracle
+    * rebuilds the identical text.
+    */
+  private def piiAugmented(s: SparkSession, d: String): DataFrame =
+    t(s, d)("documents").withColumn("text",
+      concat($"text", lit(" contact user"), $"doc_id",
+        lit("@mail.example.com via 10.0."), ($"doc_id" % 256),
+        lit(".7 acct "), (lit(9000000L) + $"doc_id")))
+
   /** Demo raster grid (Raster.demoGrid) shared by the r* queries. */
   private def grid(s: SparkSession, d: String): DataFrame =
     Raster.demoGrid(t(s, d)("lineitem"))
@@ -890,6 +900,8 @@ object SparkEntry {
       val (history, batch) = incrementalFixture(s, d)
       Dedup.incrementalDedupBloom(history, batch, expectedItems = 100000L, fpp = 0.03)
     }),
+    // d10 APPLIED: the corpus rebuilt with duplicated passages excised
+    "d13_span_scrub" -> ((s, d) => Dedup.scrubDuplicatedSpans(t(s, d)("documents"))),
     // ---- similarity search (north-star M5) ----
     "s01_cosine_threshold" -> ((s, d) => Similarity.cosineAboveThreshold(t(s, d)("embeddings"), 0L, 0.1)),
     "s02_cosine_topk" -> ((s, d) => Similarity.cosineTopK(t(s, d)("embeddings"), 0L, 10)),
@@ -959,6 +971,12 @@ object SparkEntry {
       Upsert.merge(snap, ch1.unionByName(ch2), "doc_id").orderBy($"doc_id")
     }),
     "t18_compact_files" -> ((s, d) => compactGate(s, d)),
+    // PII redaction over deterministically-injected email/IP/number text
+    // (the fixture corpus is word soup — the injection makes every class
+    // exercise real matches at every doc)
+    "t19_pii_scrub" -> ((s, d) => TextAnalysis.piiScrub(piiAugmented(s, d))),
+    "t20_train_split" -> ((s, d) =>
+      Sampling.trainValTestSplit(t(s, d)("documents"), 0.1, 0.1)),
     // ---- skew-mitigation equivalence (SCALE.md escape hatches) ----
     // salted shapes must be row-for-row equal to their plain formulations;
     // the oracle computes the plain form
@@ -1757,6 +1775,39 @@ object SparkEntry {
                 CAST(coalesce(c.covered_tokens, 0) AS DOUBLE)/CAST(len(tk.t) AS DOUBLE)
                   AS dup_span_share
          FROM toks tk LEFT JOIN cov c USING (doc_id) ORDER BY tk.doc_id""",
+    // d13 mirrors d10's dup-gram CTEs, then resolves per-token coverage with
+    // the same running-max-over-events window the engine plans (starts sort
+    // before tokens at equal pos; covered iff max(start+10) so far > pos)
+    "d13_span_scrub" ->
+      s"""WITH toks AS (SELECT doc_id, string_split_regex(lower(text),'\\s+') AS t
+                        FROM documents),
+         g0 AS (SELECT doc_id,
+                  unnest(generate_series(1, len(t)-9)) AS pos,
+                  unnest(list_transform(generate_series(1, len(t)-9),
+                    i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]
+                         ||' '||t[i+5]||' '||t[i+6]||' '||t[i+7]||' '||t[i+8]||' '||t[i+9])) AS gram
+                FROM toks),
+         gp AS (SELECT doc_id, pos, ${polyHash.duckdbSql("gram")} AS g FROM g0),
+         dup AS (SELECT g FROM gp GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+         ev AS (SELECT doc_id, pos, 0 AS istok, CAST(NULL AS VARCHAR) AS tok
+                FROM gp JOIN dup USING (g)
+                UNION ALL
+                SELECT doc_id, unnest(generate_series(1, len(t))) AS pos,
+                       1 AS istok, unnest(t) AS tok
+                FROM toks),
+         run AS (SELECT doc_id, pos, istok, tok,
+                   max(CASE WHEN istok = 0 THEN pos + 10 ELSE -1 END)
+                     OVER (PARTITION BY doc_id ORDER BY pos, istok
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS covered_until
+                 FROM ev),
+         keptagg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+                       coalesce(string_agg(tok, ' ' ORDER BY pos), '') AS scrubbed_text
+                     FROM run WHERE istok = 1 AND covered_until <= pos
+                     GROUP BY doc_id)
+         SELECT tk.doc_id, CAST(len(tk.t) AS BIGINT) AS n_tokens,
+                coalesce(k.kept_tokens, CAST(0 AS BIGINT)) AS kept_tokens,
+                coalesce(k.scrubbed_text, '') AS scrubbed_text
+         FROM toks tk LEFT JOIN keptagg k USING (doc_id) ORDER BY tk.doc_id""",
     "s03_lsh_pairs" -> lshPairsOracle,
     "s05_ivf_topk" -> ivfTopKOracle,
     "s08_lsh_adaptive" -> lshAdaptiveOracle,
@@ -2143,6 +2194,36 @@ object SparkEntry {
     // one oracle string, two gates (the q33/q35 pattern): w10's sequential
     // per-batch merges must equal t17's one-shot latest-wins merge
     "t17_upsert" -> upsertOracle,
+    // the regex constants are SHARED with the engine (TextAnalysis.EmailRe
+    // etc. interpolate into this string) — every construct used is
+    // semantics-identical between Java regex and RE2; counts are taken on
+    // the progressively-redacted text, mirroring the engine's pass order
+    "t19_pii_scrub" ->
+      s"""WITH aug AS (SELECT doc_id, source,
+                text || ' contact user' || CAST(doc_id AS VARCHAR)
+                     || '@mail.example.com via 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                     || '.7 acct ' || CAST(9000000 + doc_id AS VARCHAR) AS text
+              FROM documents),
+         s1 AS (SELECT doc_id, source,
+                  CAST(len(regexp_extract_all(text, '${operators.TextAnalysis.EmailRe}')) AS BIGINT) AS n_emails,
+                  regexp_replace(text, '${operators.TextAnalysis.EmailRe}', '<EMAIL>', 'g') AS t1
+                FROM aug),
+         s2 AS (SELECT doc_id, source, n_emails,
+                  CAST(len(regexp_extract_all(t1, '${operators.TextAnalysis.Ipv4Re}')) AS BIGINT) AS n_ips,
+                  regexp_replace(t1, '${operators.TextAnalysis.Ipv4Re}', '<IP>', 'g') AS t2
+                FROM s1)
+         SELECT doc_id, source, n_emails, n_ips,
+                CAST(len(regexp_extract_all(t2, '${operators.TextAnalysis.LongNumberRe}')) AS BIGINT) AS n_numbers,
+                regexp_replace(t2, '${operators.TextAnalysis.LongNumberRe}', '<NUMBER>', 'g') AS scrubbed_text
+         FROM s2 ORDER BY doc_id""",
+    // split thresholds interpolate from the same thresholdHex the engine
+    // compiles into its plan (the t04 mechanism, twice)
+    "t20_train_split" ->
+      s"""SELECT doc_id, source, md5(text) AS text_hash,
+                CASE WHEN md5(text) < '${operators.Sampling.thresholdHex(0.1)}' THEN 'test'
+                     WHEN md5(text) < '${operators.Sampling.thresholdHex(0.2)}' THEN 'val'
+                     ELSE 'train' END AS split
+         FROM documents ORDER BY doc_id""",
     "w10_stream_upsert" -> upsertOracle,
     // compaction is a maintenance rewrite: the oracle is the identity
     "t18_compact_files" ->

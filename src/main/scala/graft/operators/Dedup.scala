@@ -534,4 +534,59 @@ object Dedup {
       .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("bucket_size"))
       .where($"bucket_size" > 1)
       .orderBy($"keep_id")
+
+  /** [[duplicatedSpans]] APPLIED (d13): rebuild every document with the
+    * tokens covered by a cross-document duplicated `n`-gram removed — the
+    * passage-level dedup Lee et al. 2022 (arXiv:2107.06499) perform with
+    * suffix arrays, as a distributed plan. d10 measures the boilerplate
+    * share; this emits the scrubbed corpus.
+    *
+    * Coverage is resolved in ONE linear window pass per document, no
+    * range join: token rows and duplicated-gram START rows (cover length
+    * `n`) union into one per-doc event stream ordered by position (starts
+    * before tokens at equal position), and a running max of
+    * `start + n` decides each token — covered iff the running max exceeds
+    * its position. Work is O(tokens) per doc after the same cross-doc
+    * gram aggregate d10 pays; the rebuilt text is a per-doc sort of kept
+    * tokens (array_sort of (pos, token) structs — spillable group state,
+    * no driver funnel).
+    *
+    * Output text is token-normalized by construction (lowercased,
+    * single-spaced) — the scrub operates on the same `\s+` token stream
+    * as every other dedup operator; a doc whose every token is covered
+    * emits an empty string, not NULL.
+    */
+  def scrubDuplicatedSpans(documents: DataFrame, n: Int = 10): DataFrame = {
+    val toks = tokens($"text")
+    val pos = documents
+      .select($"doc_id", posexplode(ngrams(toks, n)).as(Seq("pos", "gram")))
+      .select($"doc_id", $"pos", graft.functions.PolyHash($"gram").as("g"))
+    val dup = pos.groupBy($"g")
+      .agg((min($"doc_id") =!= max($"doc_id")).as("crossdoc"))
+      .where($"crossdoc")
+      .select($"g")
+    val starts = pos.join(dup, Seq("g"), "left_semi")
+      .select($"doc_id", $"pos", lit(0).as("istok"), lit(null).cast("string").as("tok"))
+    val tokRows = documents
+      .select($"doc_id", posexplode(toks).as(Seq("pos", "tok")))
+      .select($"doc_id", $"pos", lit(1).as("istok"), $"tok")
+    val w = Window.partitionBy($"doc_id").orderBy($"pos", $"istok")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kept = starts.unionByName(tokRows)
+      .withColumn("covered_until",
+        max(when($"istok" === 0, $"pos" + n).otherwise(lit(-1))).over(w))
+      .where($"istok" === 1 && $"covered_until" <= $"pos")
+    val rebuilt = kept.groupBy($"doc_id")
+      .agg(count(lit(1)).as("kept_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct($"pos", $"tok"))),
+          x => x.getField("tok"))).as("scrubbed_text"))
+    documents
+      .select($"doc_id", size(toks).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens",
+        coalesce($"kept_tokens", lit(0L)).as("kept_tokens"),
+        coalesce($"scrubbed_text", lit("")).as("scrubbed_text"))
+      .orderBy($"doc_id")
+  }
 }

@@ -40,6 +40,29 @@ object Sampling {
       .select($"doc_id", $"source", $"text_hash")
       .orderBy($"doc_id")
 
+  /** Deterministic train/val/test split (t20): consecutive md5-threshold
+    * cuts of the SAME content hash assign every document to exactly one
+    * split — test = hash < h(testF), val = next h(testF+valF) band, train
+    * = the rest. Content-defined membership is the anti-leakage property:
+    * two byte-identical documents (a re-crawl, a mirror) ALWAYS land in
+    * the same split, so exact duplicates can never straddle train and
+    * held-out — the failure mode row-random splits invite at corpus
+    * scale. Row-local codegen'd filter, zero shuffle, reproducible across
+    * runs, partitioning, and cluster size by construction.
+    */
+  def trainValTestSplit(documents: DataFrame, testFraction: Double,
+                        valFraction: Double): DataFrame = {
+    require(testFraction >= 0 && valFraction >= 0 && testFraction + valFraction <= 1.0,
+      "fractions must be non-negative and sum to at most 1")
+    documents
+      .withColumn("text_hash", md5($"text".cast("binary")))
+      .select($"doc_id", $"source", $"text_hash",
+        when($"text_hash" < lit(thresholdHex(testFraction)), "test")
+          .when($"text_hash" < lit(thresholdHex(testFraction + valFraction)), "val")
+          .otherwise("train").as("split"))
+      .orderBy($"doc_id")
+  }
+
   /** Stratified flavor of [[byContentHash]]: a different reproducible rate
     * per stratum (source) — the "web at 10%, books at 100%" mix every
     * corpus recipe needs. Same hash-threshold mechanics, the threshold

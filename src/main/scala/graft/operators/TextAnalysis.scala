@@ -291,6 +291,39 @@ object TextAnalysis {
     * boilerplate and template spam from training corpora. One explode +
     * two aggregates, no joins; narrow at any corpus size.
     */
+  /** Regex classes shared by engine and oracle — every construct here is
+    * semantics-identical between Java regex (Spark) and RE2 (DuckDB):
+    * character classes, bounded/unbounded counts, ASCII `\b`. No
+    * backreferences, no lookaround (RE2 has neither).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val LongNumberRe = "\\b\\d{7,}\\b"
+
+  /** PII scrub (t19) — the redaction pass every released training corpus
+    * runs (C4 and successors strip emails/IPs/ids): emails, IPv4
+    * addresses, and ≥7-digit runs (phone/account shapes) are replaced
+    * with typed placeholder tokens, with per-class match counts kept as
+    * the audit columns a data card reports. Order matters and is fixed —
+    * emails first (their local parts can contain digit runs), then IPs
+    * (whose octets a later digit pass must not see), then bare digit
+    * runs. Entirely row-local codegen'd string work: no shuffle, no UDF,
+    * scales embarrassingly.
+    */
+  def piiScrub(documents: DataFrame, textCol: String = "text"): DataFrame = {
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, EmailRe, "<EMAIL>")
+    val t2 = regexp_replace(t1, Ipv4Re, "<IP>")
+    val t3 = regexp_replace(t2, LongNumberRe, "<NUMBER>")
+    documents.select(
+      $"doc_id", $"source",
+      regexp_count(t0, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(t1, lit(Ipv4Re)).cast("long").as("n_ips"),
+      regexp_count(t2, lit(LongNumberRe)).cast("long").as("n_numbers"),
+      t3.as("scrubbed_text"))
+      .orderBy($"doc_id")
+  }
+
   def repetitionStats(documents: DataFrame, n: Int = 2): DataFrame = {
     val perGram = documents
       .select($"doc_id", explode(Dedup.ngrams(Dedup.tokens($"text"), n)).as("gram"))

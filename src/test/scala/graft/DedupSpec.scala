@@ -224,6 +224,38 @@ class DedupSpec extends SparkSpec {
       14L -> ((false, true, true)))
   }
 
+  test("scrubDuplicatedSpans removes exactly the cross-doc duplicated passage") {
+    val d = docs(
+      (1L, "w", "a b c d e f"),
+      (2L, "w", "x y a b c z"))
+    val out = Dedup.scrubDuplicatedSpans(d, n = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    // shared 3-gram "a b c": doc1 tokens 0-2 covered, doc2 tokens 2-4 covered
+    out shouldBe Map(1L -> ((3L, "d e f")), 2L -> ((3L, "x y z")))
+  }
+
+  test("scrubDuplicatedSpans merges overlapping duplicated grams into one span") {
+    val d = docs(
+      (1L, "w", "p q r s t"),
+      (2L, "w", "q r s t u"))
+    // shared grams "q r s" and "r s t" overlap; the union covers q..t
+    val out = Dedup.scrubDuplicatedSpans(d, n = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    out shouldBe Map(1L -> ((5L, 1L, "p")), 2L -> ((5L, 1L, "u")))
+  }
+
+  test("scrubDuplicatedSpans: a fully-duplicated doc becomes the empty string, unique docs pass through") {
+    val d = docs(
+      (1L, "w", "same three tokens"),
+      (2L, "w", "same three tokens"),
+      (3L, "w", "entirely unrelated text here"))
+    val out = Dedup.scrubDuplicatedSpans(d, n = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    out(1L) shouldBe ((0L, ""))
+    out(2L) shouldBe ((0L, ""))
+    out(3L) shouldBe ((4L, "entirely unrelated text here"))
+  }
+
   test("bloom-prefiltered incremental dedup is row-identical to the exact form") {
     val history = (1L to 60L).map(i => (i, "a", s"hist text $i")).toDF("doc_id", "source", "text")
     val batch = (

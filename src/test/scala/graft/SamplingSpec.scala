@@ -127,4 +127,28 @@ class SamplingSpec extends SparkSpec {
     val b = Sampling.domainCap(docs.repartition(7), 12).collect().map(_.toSeq).toSeq
     a shouldBe b
   }
+
+  test("trainValTestSplit: exhaustive, exclusive, near the asked fractions") {
+    val docs = table("documents")
+    val out = Sampling.trainValTestSplit(docs, 0.1, 0.2)
+    out.count() shouldBe docs.count()
+    val byLabel = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byLabel.keySet shouldBe Set("train", "val", "test")
+    val n = docs.count().toDouble
+    byLabel("test") / n shouldBe 0.1 +- 0.05
+    byLabel("val") / n shouldBe 0.2 +- 0.06
+  }
+
+  test("trainValTestSplit is content-defined: identical text always lands in one split") {
+    import spark.implicits._
+    val d = Seq((1L, "a", "same body"), (2L, "b", "same body"), (3L, "a", "other body"))
+      .toDF("doc_id", "source", "text")
+    val out = Sampling.trainValTestSplit(d, 0.4, 0.3).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    out(1L) shouldBe out(2L)
+    // and membership survives arbitrary repartitioning
+    Sampling.trainValTestSplit(d.repartition(5), 0.4, 0.3).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap shouldBe out
+  }
 }

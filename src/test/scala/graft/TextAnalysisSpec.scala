@@ -118,4 +118,26 @@ class TextAnalysisSpec extends SparkSpec {
     out(5L).getAs[Boolean]("r_word_len") shouldBe false
     Seq(2L, 3L, 4L, 5L).foreach(i => out(i).getAs[Boolean]("keep") shouldBe false)
   }
+
+  test("piiScrub redacts emails, IPs, and long digit runs with per-class counts") {
+    val d = docs(
+      (1L, "mail me at jo.doe+x@sub.example.org or 192.168.1.44 acct 12345678", "en", "w"),
+      (2L, "short code 123456 stays; 10.0.0.1 goes", "en", "w"),
+      (3L, "nothing sensitive here", "en", "w"))
+    val out = TextAnalysis.piiScrub(d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))).toMap
+    out(1L) shouldBe ((1L, 1L, 1L, "mail me at <EMAIL> or <IP> acct <NUMBER>"))
+    // 6 digits is below the 7-digit floor; the IP must be gone before the
+    // number pass so its octets are never seen as digit runs
+    out(2L) shouldBe ((0L, 1L, 0L, "short code 123456 stays; <IP> goes"))
+    out(3L) shouldBe ((0L, 0L, 0L, "nothing sensitive here"))
+  }
+
+  test("piiScrub pass order: an email's digits never leak into the number count") {
+    val d = docs((1L, "reach 9876543210@phone-mail.example.com now", "en", "w"))
+    val r = TextAnalysis.piiScrub(d).collect()(0)
+    (r.getLong(2), r.getLong(3), r.getLong(4)) shouldBe ((1L, 0L, 0L))
+    r.getString(5) shouldBe "reach <EMAIL> now"
+  }
 }
