@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.hadoop.fs.{FileSystem, Path, RemoteIterator}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -30,20 +30,18 @@ import org.apache.spark.sql.functions._
   */
 object Compaction {
 
-  /** Total bytes of data files directly under `dir` (non-recursive over
-    * hidden/metadata entries; parquet part files live flat).
+  /** Total bytes of data files directly under `dir` — deliberately
+    * NON-recursive (parquet part files live flat), which also keeps
+    * leftovers inside hidden work dirs (`_temporary/...` from a crashed
+    * writer) out of the plan, not just top-level `_`/`.` entries.
     */
   def dataBytes(spark: SparkSession, dir: String): Long = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    var total = 0L
-    val it: RemoteIterator[org.apache.hadoop.fs.LocatedFileStatus] = fs.listFiles(path, true)
-    while (it.hasNext) {
-      val st = it.next()
-      val name = st.getPath.getName
-      if (!name.startsWith("_") && !name.startsWith(".")) total += st.getLen
-    }
-    total
+    fs.listStatus(path).iterator
+      .filter(_.isFile)
+      .filterNot(st => st.getPath.getName.startsWith("_") || st.getPath.getName.startsWith("."))
+      .map(_.getLen).sum
   }
 
   /** ⌈total/targetBytes⌉, floored at 1. */
@@ -52,14 +50,21 @@ object Compaction {
     math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
   }
 
-  /** Shuffle-free bin-pack: rewrite `inDir` into `outDir` as
-    * ⌈bytes/targetBytes⌉ files. Returns the planned file count.
+  /** Shuffle-free bin-pack: rewrite `inDir` into `outDir` as at most
+    * ⌈bytes/targetBytes⌉ files. A file-count REDUCER: `coalesce` can only
+    * merge read partitions, never split them, so when the scan yields
+    * fewer partitions than the plan the output keeps that smaller count —
+    * the returned value is the ACTUAL partition count written, not the
+    * plan. Splitting oversized files is [[compactClustered]]'s job (its
+    * range repartition both merges and splits).
     */
   def compact(spark: SparkSession, inDir: String, outDir: String,
               targetBytes: Long): Int = {
     val n = planFileCount(dataBytes(spark, inDir), targetBytes)
-    spark.read.parquet(inDir).coalesce(n).write.mode("overwrite").parquet(outDir)
-    n
+    val df = spark.read.parquet(inDir).coalesce(n)
+    val actual = df.rdd.getNumPartitions
+    df.write.mode("overwrite").parquet(outDir)
+    actual
   }
 
   /** Range-clustered rewrite: same file-count plan, but rows are range-

@@ -99,17 +99,22 @@ object Dedup {
     * value-identical output (DedupSpec cross-checks row-for-row; the d12
     * gate shares d11's oracle verbatim), different 100 TB cost model.
     *
-    * The plain shape shuffles the whole batch into the history join even
-    * when ~every batch doc is fresh — the common case for a crawl that
-    * mostly discovers new pages. Here a Bloom filter over the history's
-    * content hashes (built distributed via `stat.bloomFilter`'s
-    * treeAggregate, ~9.6 bits/item at 1% fpp — a 1-billion-doc corpus
-    * index fits a ~1.2 GB broadcast, and in a real deployment it is built
-    * once per epoch and REUSED across increments, not rebuilt per batch)
-    * splits the batch executor-locally: misses are DEFINITELY fresh (Bloom
-    * has no false negatives) and skip the join entirely; only the
-    * `might-contain` sliver — true dups plus an fpp-sized tail of false
-    * positives, which the exact join then clears — pays the shuffle.
+    * What the filter buys — stated precisely: the in-batch dedup window
+    * still shuffles the batch by hash (grouping per-hash is inherent to
+    * in-batch dedup, in BOTH forms), but the HISTORY side join shrinks
+    * from "every batch row probes the accumulated index" to "only the
+    * might-contain sliver does". At scale history ≫ batch, so the join
+    * against the stored index is the expensive half: with the sliver as
+    * the probe side, the history index is read only where candidates
+    * exist (and the sliver comfortably broadcasts against a bucketed
+    * index), instead of every increment paying index-sized join work for
+    * a ~all-fresh batch. The filter itself is built distributed
+    * (`stat.bloomFilter` treeAggregate, ~9.6 bits/item at 1% fpp — a
+    * 1-billion-doc index fits a ~1.2 GB broadcast) and in a real
+    * deployment is built once per epoch and REUSED across increments,
+    * not rebuilt per batch. Misses are DEFINITELY fresh (no false
+    * negatives); the fpp-sized false-positive tail is cleared by the
+    * exact join.
     *
     * The probe is a deliberate Scala UDF: one serialized bitmap probed
     * per-row on executors, no shuffle, no per-row allocation — the
@@ -122,12 +127,22 @@ object Dedup {
     val idx = history
       .select(md5($"text".cast("binary")).as("text_hash"))
       .distinct()
-    val bloom = idx.stat.bloomFilter("text_hash", expectedItems, fpp)
-    val mightContain = udf((h: String) => bloom.mightContain(h))
+    // null-safe on both sides: the builder must not feed null to the
+    // sketch, and the probe must route a null hash (NULL text) to the
+    // fresh branch — exactly where d11's left join sends it (a null key
+    // never matches), keeping the two forms row-identical on any input
+    val bloom = idx.where($"text_hash".isNotNull)
+      .stat.bloomFilter("text_hash", expectedItems, fpp)
+    val mightContain = udf((h: String) => h != null && bloom.mightContain(h))
     val w = Window.partitionBy($"text_hash").orderBy($"doc_id")
-    val hashed = batch
+    // materialize the windowed batch ONCE before the branch split: the two
+    // union branches would otherwise each plan (and shuffle) the window
+    // subtree — runtime exchange reuse does not fire across them here —
+    // and the batch is increment-sized by definition, so the barrier is
+    // cheap (PlanGuardSpec pins the single batch-side exchange)
+    val hashed = graft.Session.barrier(batch
       .select($"doc_id", $"source", md5($"text".cast("binary")).as("text_hash"))
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w)))
     val maybe = hashed.where(mightContain($"text_hash"))
       .join(idx.withColumn("in_history", lit(true)), Seq("text_hash"), "left")
     val fresh = hashed.where(!mightContain($"text_hash"))

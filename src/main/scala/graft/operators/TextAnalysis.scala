@@ -286,11 +286,6 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
-  /** Gopher/C4-style repetition signals per document: duplicate-n-gram
-    * share and the most frequent n-gram's share — the filters that drop
-    * boilerplate and template spam from training corpora. One explode +
-    * two aggregates, no joins; narrow at any corpus size.
-    */
   /** Regex classes shared by engine and oracle — every construct here is
     * semantics-identical between Java regex (Spark) and RE2 (DuckDB):
     * character classes, bounded/unbounded counts, ASCII `\b`. No
@@ -324,6 +319,11 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Gopher/C4-style repetition signals per document: duplicate-n-gram
+    * share and the most frequent n-gram's share — the filters that drop
+    * boilerplate and template spam from training corpora. One explode +
+    * two aggregates, no joins; narrow at any corpus size.
+    */
   def repetitionStats(documents: DataFrame, n: Int = 2): DataFrame = {
     val perGram = documents
       .select($"doc_id", explode(Dedup.ngrams(Dedup.tokens($"text"), n)).as("gram"))

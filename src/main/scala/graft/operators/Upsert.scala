@@ -31,8 +31,12 @@ object Upsert {
     * costs O(#partitions) shuffle rows, not a million.
     */
   def collapseChanges(changes: DataFrame, key: String, seqCol: String): DataFrame = {
-    // doc-order tie-break on the key keeps equal-seq replays deterministic
-    val w = Window.partitionBy(col(key)).orderBy(col(seqCol).desc, col(key))
+    // equal-seq ties break on a content hash of the full change row — a
+    // column that actually VARIES within the key partition, so the winner
+    // is a pure function of the data (partition- and replay-independent);
+    // byte-identical duplicate deliveries tie harmlessly
+    val tieBreak = xxhash64(changes.columns.sorted.map(col): _*)
+    val w = Window.partitionBy(col(key)).orderBy(col(seqCol).desc, tieBreak.desc)
     changes
       .withColumn("__rn", row_number().over(w))
       .where($"__rn" === 1)

@@ -48,7 +48,10 @@ object SnapshotUpsert {
     val version = s"b$batchId"
     val current = currentVersion(dir).getOrElse(
       throw new IllegalStateException(s"snapshot at $dir not initialised — call init() first"))
-    if (current == version) return // pointer already on this batch: replay after a completed apply
+    // skip any batch at or below the published id, not just the newest:
+    // a re-delivered OLDER batch (restart against a stale checkpoint)
+    // must never move the pointer backwards and roll back later batches
+    if (batchId <= versionId(current)) return
     val spark = batch.sparkSession
     val merged = Upsert.merge(
       spark.read.parquet(s"$dir/$current"), batch, key, seqCol, deleteCol)
@@ -62,6 +65,8 @@ object SnapshotUpsert {
       throw new IllegalStateException(s"snapshot at $dir not initialised"))
     spark.read.parquet(s"$dir/$v")
   }
+
+  private def versionId(version: String): Long = version.stripPrefix("b").toLong
 
   def currentVersion(dir: String): Option[String] = {
     val p = Paths.get(dir, Pointer)

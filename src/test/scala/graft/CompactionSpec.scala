@@ -27,6 +27,17 @@ class CompactionSpec extends SparkSpec {
     Compaction.planFileCount(0, 1000000) shouldBe 1
   }
 
+  test("compact reports the ACTUAL file count when the plan exceeds the read partitions") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    (1L to 50L).map(i => (i, s"t$i")).toDF("id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+    // tiny target → plan wants many files, but coalesce cannot split the
+    // single read partition: returned count must match what lands on disk
+    val actual = Compaction.compact(spark, s"$tmp/in", s"$tmp/out", 64L)
+    parquetFiles(s"$tmp/out").size shouldBe actual
+    spark.read.parquet(s"$tmp/out").count() shouldBe 50L
+  }
+
   test("compact: fewer files, identical content") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
     fixture(s"$tmp/in")

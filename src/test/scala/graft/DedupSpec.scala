@@ -268,6 +268,16 @@ class DedupSpec extends SparkSpec {
       .collect() shouldBe exact
   }
 
+  test("bloom prefilter routes NULL text like the exact form's left join (no UDF NPE)") {
+    val history = Seq((1L, "a", "alpha"), (2L, "a", null.asInstanceOf[String]))
+      .toDF("doc_id", "source", "text")
+    val batch = Seq((10L, "w", "alpha"), (11L, "w", null.asInstanceOf[String]), (12L, "w", "fresh"))
+      .toDF("doc_id", "source", "text")
+    val exact = Dedup.incrementalDedup(history, batch).collect()
+    Dedup.incrementalDedupBloom(history, batch, expectedItems = 100L, fpp = 0.01)
+      .collect() shouldBe exact
+  }
+
   test("bloom prefilter stays exact even when the filter is saturated with false positives") {
     val history = (1L to 50L).map(i => (i, "a", s"h$i")).toDF("doc_id", "source", "text")
     val batch = (60L to 120L).map(i => (i, "w", if (i % 2 == 0) s"h${i % 40 + 1}" else s"f$i"))

@@ -151,5 +151,12 @@ class PlanGuardSpec extends SparkSpec {
       l.trim.matches("""\(\d+\) (SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin).*"""))
     joins shouldBe 1
     p should include("Union")
+    // the windowed batch is barriered before the branch split, so the
+    // union branches scan the materialized result instead of each
+    // re-planning (and re-shuffling) the window subtree: at most one
+    // hash exchange total (the history-index join side; the in-batch
+    // window's exchange happened before the barrier, outside this plan)
+    hashExchanges(p) should be <= 1
+    p.linesIterator.count(_.contains("ExistingRDD")) should be >= 1
   }
 }

@@ -68,6 +68,18 @@ class UpsertSpec extends SparkSpec {
     twice.orderBy($"id").collect() shouldBe once.orderBy($"id").collect()
   }
 
+  test("merge: equal-seq ties resolve deterministically (content-hash tie-break)") {
+    val s = snap((1L, "a", "one"))
+    val c = ch((1L, "a", "left", 7, false), (1L, "a", "right", 7, false))
+    val winners = (1 to 4).map { k =>
+      Upsert.merge(s, c.repartition(k), "id").as[(Long, String, String)].collect().toSeq
+    }
+    winners.distinct.size shouldBe 1
+    // byte-identical duplicate deliveries tie harmlessly
+    Upsert.merge(s, c.unionByName(c), "id").as[(Long, String, String)]
+      .collect().toSeq shouldBe winners.head
+  }
+
   test("merge result is partition-count independent") {
     val s = snap((1L to 40L).map(i => (i, "a", s"t$i")): _*)
     val c = ch((1L to 40L by 3).map(i => (i, "a", s"u$i", 1, i % 6 == 1)): _*)
@@ -99,5 +111,17 @@ class UpsertSpec extends SparkSpec {
     graft.streaming.SnapshotUpsert.currentVersion(dir) shouldBe Some("b0")
     graft.streaming.SnapshotUpsert.read(spark, dir)
       .as[(Long, String, String)].collect() shouldBe Array((1L, "a", "v2"))
+  }
+
+  test("snapshot store: a re-delivered OLDER batch never moves the pointer backwards") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    graft.streaming.SnapshotUpsert.init(snap((1L, "a", "one")), dir)
+    graft.streaming.SnapshotUpsert.applyBatch(dir, "id")(ch((1L, "a", "v2", 1, false)), 0L)
+    graft.streaming.SnapshotUpsert.applyBatch(dir, "id")(ch((1L, "a", "v3", 2, false)), 1L)
+    // stale redelivery of batch 0 (e.g. restart against an old checkpoint)
+    graft.streaming.SnapshotUpsert.applyBatch(dir, "id")(ch((1L, "a", "v2", 1, false)), 0L)
+    graft.streaming.SnapshotUpsert.currentVersion(dir) shouldBe Some("b1")
+    graft.streaming.SnapshotUpsert.read(spark, dir)
+      .as[(Long, String, String)].collect() shouldBe Array((1L, "a", "v3"))
   }
 }
