@@ -845,6 +845,19 @@ object SparkEntry {
                 $"asof_event_id", $"asof_ts", round($"asof_value", 2).as("asof_value"))
         .orderBy($"event_id")
     }),
+    // q25 with a staleness bound: the matched purchase must be <= 1 h old
+    "q36_asof_tolerance" -> ((s, d) => {
+      val e = t(s, d)("events")
+      val clicks = e.where($"event_type" === "click")
+        .select($"event_id", $"user_id", $"ts", $"value")
+      val purchases = e.where($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts", $"value")
+      Temporal.asofJoinBackwardTolerance(
+          clicks, purchases, "user_id", "ts", "ts", 3600L, Some("event_id"))
+        .select($"event_id", $"user_id", $"ts", round($"value", 2).as("value"),
+                $"asof_event_id", $"asof_ts", round($"asof_value", 2).as("asof_value"))
+        .orderBy($"event_id")
+    }),
     // range join: click/purchase pairs within 5 minutes of each other,
     // regardless of user (no equi key — bucket-replicate-filter shape)
     "q26_range_join" -> ((s, d) => {
@@ -1598,6 +1611,19 @@ object SparkEntry {
                 b.event_id AS asof_event_id, b.ts AS asof_ts,
                 round(b.value, 2) AS asof_value
          FROM a ASOF JOIN b ON a.user_id = b.user_id AND a.ts >= b.ts
+         ORDER BY a.event_id""",
+    // q25's oracle + the staleness predicate on the resolved match (DuckDB's
+    // ASOF already picked the closest prior row; the bound then drops stale
+    // matches — exactly the engine's post-window filter)
+    "q36_asof_tolerance" ->
+      s"""WITH $evCte,
+         a AS (SELECT event_id, user_id, ts, value FROM ev WHERE event_type = 'click'),
+         b AS (SELECT event_id, user_id, ts, value FROM ev WHERE event_type = 'purchase')
+         SELECT a.event_id, a.user_id, a.ts, round(a.value, 2) AS value,
+                b.event_id AS asof_event_id, b.ts AS asof_ts,
+                round(b.value, 2) AS asof_value
+         FROM a ASOF JOIN b ON a.user_id = b.user_id AND a.ts >= b.ts
+         WHERE epoch_us(a.ts) - epoch_us(b.ts) <= CAST(3600 AS BIGINT) * 1000000
          ORDER BY a.event_id""",
     "q26_range_join" ->
       s"""WITH $evCte,

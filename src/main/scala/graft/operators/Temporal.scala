@@ -36,7 +36,27 @@ object Temporal {
     */
   def asofJoinBackward(left: DataFrame, right: DataFrame, key: String,
                        leftTs: String, rightTs: String,
-                       tieBreak: Option[String] = None): DataFrame = {
+                       tieBreak: Option[String] = None): DataFrame =
+    asofCore(left, right, key, leftTs, rightTs, tieBreak, None)
+
+  /** [[asofJoinBackward]] with a STALENESS BOUND — the "quote no older
+    * than X" semantics every market/telemetry as-of carries in practice:
+    * a left row matches its most recent right row only if that row is at
+    * most `toleranceSec` old; staler matches are dropped (same inner
+    * semantics as the unbounded form). Identical single-pass
+    * union+window plan — the bound is one more row-local predicate on
+    * the already-resolved match, not a different join.
+    */
+  def asofJoinBackwardTolerance(left: DataFrame, right: DataFrame, key: String,
+                                leftTs: String, rightTs: String,
+                                toleranceSec: Long,
+                                tieBreak: Option[String] = None): DataFrame =
+    asofCore(left, right, key, leftTs, rightTs, tieBreak, Some(toleranceSec))
+
+  private def asofCore(left: DataFrame, right: DataFrame, key: String,
+                       leftTs: String, rightTs: String,
+                       tieBreak: Option[String],
+                       toleranceSec: Option[Long]): DataFrame = {
     val lStructT = StructType(left.schema.fields)
     val rStructT = StructType(right.schema.fields)
 
@@ -58,9 +78,18 @@ object Temporal {
       .orderBy($"__ts", $"__side", $"__tie")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    // microsecond-exact staleness: the fixture timestamps carry sub-second
+    // parts, so a seconds-cast comparison would disagree with the oracle's
+    // epoch_us arithmetic on boundary matches
+    val staleOk = toleranceSec match {
+      case Some(tol) =>
+        unix_micros($"__ts".cast("timestamp")) -
+          unix_micros(col(s"__m.$rightTs").cast("timestamp")) <= tol * 1000000L
+      case None => lit(true)
+    }
     val matched = lTagged.unionByName(rTagged)
       .withColumn("__m", last($"__r", ignoreNulls = true).over(w))
-      .where($"__side" === 1 && $"__m".isNotNull)
+      .where($"__side" === 1 && $"__m".isNotNull && staleOk)
 
     val leftCols = left.columns.map(c => col(s"__l.$c").as(c))
     val rightCols = right.columns.filter(_ != key)

@@ -29,6 +29,36 @@ class TemporalSpec extends SparkSpec {
       .select(col("asof_rv")).as[String].head() shouldBe "Rsame"
   }
 
+  test("tolerance-bounded as-of drops matches staler than the bound, keeps the rest") {
+    val left = Seq((1L, 100L, "L100"), (1L, 200L, "L200")).toDF("k", "t", "lv")
+    val right = Seq((1L, 95L, "R95"), (1L, 130L, "R130")).toDF("k", "t", "rv")
+    // L100←R95 (5s old, within 30), L200←R130 (70s old, dropped)
+    val got = Temporal.asofJoinBackwardTolerance(left, right, "k", "t", "t", 30L)
+      .select(col("t"), col("asof_rv")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    got.toSeq shouldBe Seq((100L, "R95"))
+  }
+
+  test("tolerance form equals the unbounded form filtered by staleness (events fixture)") {
+    val e = table("events")
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val tol = 3600L
+    val bounded = Temporal.asofJoinBackwardTolerance(
+      clicks, purchases, "user_id", "ts", "ts", tol, Some("event_id"))
+    val filtered = Temporal.asofJoinBackward(
+        clicks, purchases, "user_id", "ts", "ts", Some("event_id"))
+      .where(unix_micros(col("ts").cast("timestamp")) -
+             unix_micros(col("asof_ts").cast("timestamp")) <= tol * 1000000L)
+    bounded.count() should be > 0L
+    bounded.count() should be < Temporal.asofJoinBackward(
+      clicks, purchases, "user_id", "ts", "ts", Some("event_id")).count()
+    bounded.except(filtered).count() shouldBe 0
+    filtered.except(bounded).count() shouldBe 0
+  }
+
   test("agrees with the brute-force window-max formulation on the events fixture") {
     val e = table("events")
     val clicks = e.where(col("event_type") === "click")
