@@ -30,18 +30,32 @@ import org.apache.spark.sql.functions._
   */
 object Compaction {
 
-  /** Total bytes of data files directly under `dir` — deliberately
-    * NON-recursive (parquet part files live flat), which also keeps
-    * leftovers inside hidden work dirs (`_temporary/...` from a crashed
-    * writer) out of the plan, not just top-level `_`/`.` entries.
+  /** Total bytes of data files under `dir`, recursing into visible
+    * subdirectories (hive-partitioned `key=value/` layouts measure
+    * correctly) while skipping hidden/metadata entries BY PATH — a
+    * `part-*.parquet` left inside a crashed writer's `_temporary/` tree
+    * never inflates the plan (a basename-only filter would count it).
     */
   def dataBytes(spark: SparkSession, dir: String): Long = {
-    val path = new Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(path).iterator
-      .filter(_.isFile)
-      .filterNot(st => st.getPath.getName.startsWith("_") || st.getPath.getName.startsWith("."))
-      .map(_.getLen).sum
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hidden(name: String) = name.startsWith("_") || name.startsWith(".")
+    def walk(p: Path): Long =
+      fs.listStatus(p).iterator
+        .filterNot(st => hidden(st.getPath.getName))
+        .map(st => if (st.isDirectory) walk(st.getPath) else st.getLen)
+        .sum
+    walk(root)
+  }
+
+  /** Data files landed directly under `dir` (the flat parquet output the
+    * rewrites here produce).
+    */
+  private def dataFileCount(spark: SparkSession, dir: String): Int = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).count(st =>
+      st.isFile && !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
   }
 
   /** ⌈total/targetBytes⌉, floored at 1. */
@@ -61,15 +75,15 @@ object Compaction {
   def compact(spark: SparkSession, inDir: String, outDir: String,
               targetBytes: Long): Int = {
     val n = planFileCount(dataBytes(spark, inDir), targetBytes)
-    val df = spark.read.parquet(inDir).coalesce(n)
-    val actual = df.rdd.getNumPartitions
-    df.write.mode("overwrite").parquet(outDir)
-    actual
+    spark.read.parquet(inDir).coalesce(n).write.mode("overwrite").parquet(outDir)
+    dataFileCount(spark, outDir)
   }
 
   /** Range-clustered rewrite: same file-count plan, but rows are range-
     * partitioned and sorted on `sortCols`, so each output file owns a
     * disjoint key range and row-group stats become effective scan prunes.
+    * Like [[compact]], returns the ACTUAL number of data files written
+    * (range partitions left empty by a low-cardinality key emit none).
     */
   def compactClustered(spark: SparkSession, inDir: String, outDir: String,
                        sortCols: Seq[String], targetBytes: Long): Int = {
@@ -80,6 +94,6 @@ object Compaction {
       .repartitionByRange(n, cols: _*)
       .sortWithinPartitions(cols: _*)
       .write.mode("overwrite").parquet(outDir)
-    n
+    dataFileCount(spark, outDir)
   }
 }

@@ -120,6 +120,12 @@ object Dedup {
     * per-row on executors, no shuffle, no per-row allocation — the
     * documented cold-path exception (the join it replaces costs far more
     * than the codegen break saves).
+    *
+    * @note EAGER: this operator runs jobs at CALL time, not first action —
+    *       the filter build (`stat.bloomFilter`) is an action by nature,
+    *       and the windowed batch is barriered so the union branches read
+    *       one materialization instead of re-shuffling it. Callers
+    *       composing plans without executing them still pay both.
     */
   def incrementalDedupBloom(history: DataFrame, batch: DataFrame,
                             expectedItems: Long = 1000000L,

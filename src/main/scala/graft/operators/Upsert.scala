@@ -34,8 +34,13 @@ object Upsert {
     // equal-seq ties break on a content hash of the full change row — a
     // column that actually VARIES within the key partition, so the winner
     // is a pure function of the data (partition- and replay-independent);
-    // byte-identical duplicate deliveries tie harmlessly
-    val tieBreak = xxhash64(changes.columns.sorted.map(col): _*)
+    // byte-identical duplicate deliveries tie harmlessly. Hash the row's
+    // JSON with nulls KEPT, not the raw columns: xxhash64 skips null
+    // inputs (two rows whose values shift across null columns would
+    // collide), and JSON serialization also covers types hash() rejects
+    val tieBreak = xxhash64(to_json(
+      struct(changes.columns.sorted.map(col): _*),
+      java.util.Map.of("ignoreNullFields", "false")))
     val w = Window.partitionBy(col(key)).orderBy(col(seqCol).desc, tieBreak.desc)
     changes
       .withColumn("__rn", row_number().over(w))

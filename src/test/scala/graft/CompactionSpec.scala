@@ -27,6 +27,31 @@ class CompactionSpec extends SparkSpec {
     Compaction.planFileCount(0, 1000000) shouldBe 1
   }
 
+  test("dataBytes measures hive-partitioned layouts and skips hidden work dirs by path") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    (1L to 300L).map(i => (i, s"text $i", s"src${i % 3}")).toDF("id", "text", "src")
+      .write.partitionBy("src").mode("overwrite").parquet(s"$tmp/in")
+    val measured = Compaction.dataBytes(spark, s"$tmp/in")
+    measured should be > 0L
+    // a stray part file inside a hidden work dir must NOT count
+    val junk = java.nio.file.Paths.get(s"$tmp/in/_temporary/0")
+    java.nio.file.Files.createDirectories(junk)
+    java.nio.file.Files.write(junk.resolve("part-junk.parquet"), Array.fill(4096)(1.toByte))
+    Compaction.dataBytes(spark, s"$tmp/in") shouldBe measured
+  }
+
+  test("compactClustered reports actual files when empty range partitions write none") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    // one distinct key: range partitioning cannot fill more than one bucket
+    (1L to 500L).map(_ => (7L, "same key row")).toDF("id", "text")
+      .repartition(8).write.mode("overwrite").parquet(s"$tmp/in")
+    val total = Compaction.dataBytes(spark, s"$tmp/in")
+    val actual = Compaction.compactClustered(
+      spark, s"$tmp/in", s"$tmp/out", Seq("id"), (total + 3) / 4)
+    parquetFiles(s"$tmp/out").size shouldBe actual
+    spark.read.parquet(s"$tmp/out").count() shouldBe 500L
+  }
+
   test("compact reports the ACTUAL file count when the plan exceeds the read partitions") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
     (1L to 50L).map(i => (i, s"t$i")).toDF("id", "text")

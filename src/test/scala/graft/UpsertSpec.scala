@@ -80,6 +80,20 @@ class UpsertSpec extends SparkSpec {
       .collect().toSeq shouldBe winners.head
   }
 
+  test("equal-seq rows whose values shift across null columns still resolve deterministically") {
+    // raw xxhash64 skips null inputs, so these two rows would collide
+    // under a column-wise hash; the JSON tie-break keeps nulls positional
+    val s = snap((1L, "a", "one"))
+    val c = Seq((1L, "x", null.asInstanceOf[String], 7, false),
+                (1L, null.asInstanceOf[String], "x", 7, false))
+      .toDF("id", "src", "text", "seq", "del")
+    val winners = (1 to 4).map { k =>
+      Upsert.merge(s, c.repartition(k), "id")
+        .collect().map(_.toSeq).toSeq
+    }
+    winners.distinct.size shouldBe 1
+  }
+
   test("merge result is partition-count independent") {
     val s = snap((1L to 40L).map(i => (i, "a", s"t$i")): _*)
     val c = ch((1L to 40L by 3).map(i => (i, "a", s"u$i", 1, i % 6 == 1)): _*)
