@@ -560,6 +560,26 @@ object SparkEntry {
     s.read.parquet(s"$tmp/out").orderBy($"doc_id")
   }
 
+  /** t21: the t16 contract for CSV — documents written in the pinned
+    * RFC-4180-style dialect, two malformed lines injected alongside, read
+    * back with explicit schema + PERMISSIVE quarantine; the clean view
+    * must equal the source table exactly (identity oracle, shared with
+    * t16/t18). CsvSpec pins the dialect edges (quote doubling, embedded
+    * newlines, null-vs-empty).
+    */
+  private def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_t21").toString
+    val docs = t(s, d)("documents")
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+    sources.CsvCorpus.write(docs, s"$tmp/corpus")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tmp/corpus/part-corrupt.csv"),
+      "doc_id,text,lang,source,n_chars\nnot-a-number,garbage,en,src0,12\n7,ok,en,src0,not-a-count\n")
+    val parsed = sources.CsvCorpus.readCorpus(s, s"$tmp/corpus", docs.schema)
+    sources.CsvCorpus.clean(parsed).orderBy($"doc_id")
+      .transform(graft.Session.barrier)
+  }
+
   /** t19's input: the corpus with one email, one IPv4, and one ≥7-digit
     * run appended per document, all derived from doc_id so the oracle
     * rebuilds the identical text.
@@ -988,6 +1008,7 @@ object SparkEntry {
     // (the fixture corpus is word soup — the injection makes every class
     // exercise real matches at every doc)
     "t19_pii_scrub" -> ((s, d) => TextAnalysis.piiScrub(piiAugmented(s, d))),
+    "t21_csv_roundtrip" -> ((s, d) => csvRoundtrip(s, d)),
     "t20_train_split" -> ((s, d) =>
       Sampling.trainValTestSplit(t(s, d)("documents"), 0.1, 0.1)),
     // ---- skew-mitigation equivalence (SCALE.md escape hatches) ----
@@ -1289,6 +1310,12 @@ object SparkEntry {
        FROM snap s FULL OUTER JOIN latest l ON s.doc_id = l.doc_id
        WHERE NOT coalesce(l.del, false)
        ORDER BY 1"""
+
+  /** Identity select shared by every round-trip/rewrite gate (t16 JSONL,
+    * t18 compaction, t21 CSV): the operation under test must be invisible.
+    */
+  private val corpusIdentityOracle =
+    "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id"
 
   private val sessCte =
     s"""$evCte,
@@ -2215,8 +2242,10 @@ object SparkEntry {
          FROM ranked WHERE doc_rank <= 12 ORDER BY source, doc_rank""",
     // JSONL round-trip fidelity: the clean view of the written+re-read
     // corpus must be byte-identical to the source table
-    "t16_jsonl_roundtrip" ->
-      "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+    // one identity-oracle string, three gates: JSONL ingest, compaction
+    // rewrite, CSV ingest must each reproduce the corpus byte-exactly
+    "t16_jsonl_roundtrip" -> corpusIdentityOracle,
+    "t21_csv_roundtrip" -> corpusIdentityOracle,
     // one oracle string, two gates (the q33/q35 pattern): w10's sequential
     // per-batch merges must equal t17's one-shot latest-wins merge
     "t17_upsert" -> upsertOracle,
@@ -2252,8 +2281,7 @@ object SparkEntry {
          FROM documents ORDER BY doc_id""",
     "w10_stream_upsert" -> upsertOracle,
     // compaction is a maintenance rewrite: the oracle is the identity
-    "t18_compact_files" ->
-      "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+    "t18_compact_files" -> corpusIdentityOracle,
     "x01_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n,
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

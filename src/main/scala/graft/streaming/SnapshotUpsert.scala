@@ -1,7 +1,8 @@
 package graft.streaming
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -64,6 +65,38 @@ object SnapshotUpsert {
     val v = currentVersion(dir).getOrElse(
       throw new IllegalStateException(s"snapshot at $dir not initialised"))
     spark.read.parquet(s"$dir/$v")
+  }
+
+  /** Retention: delete version directories OLDER than the `keep` most
+    * recent ones at or below the published pointer (the pointer's version
+    * itself is always kept; versions ABOVE the pointer — an in-flight
+    * write — are never touched). Returns the deleted version names. This
+    * is the vacuum half of the commit protocol: without it the store
+    * grows by one full snapshot per applied batch.
+    */
+  def vacuum(dir: String, keep: Int = 2): Seq[String] = {
+    require(keep >= 1, "keep must be at least 1")
+    val current = currentVersion(dir).getOrElse(return Seq.empty)
+    val cur = versionId(current)
+    val root = Paths.get(dir)
+    val versions = {
+      val ls = Files.list(root)
+      try ls.iterator().asScala
+        .filter(p => Files.isDirectory(p) && p.getFileName.toString.matches("b-?\\d+"))
+        .map(_.getFileName.toString)
+        .filter(v => versionId(v) <= cur)
+        .toSeq
+      finally ls.close()
+    }
+    val doomed = versions.sortBy(versionId).dropRight(keep)
+    doomed.foreach { v =>
+      val d = root.resolve(v)
+      val walk = Files.walk(d)
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
+    doomed
   }
 
   private def versionId(version: String): Long = version.stripPrefix("b").toLong

@@ -127,6 +127,24 @@ class UpsertSpec extends SparkSpec {
       .as[(Long, String, String)].collect() shouldBe Array((1L, "a", "v2"))
   }
 
+  test("vacuum drops old versions, keeps the recent window, never touches the pointer's") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    graft.streaming.SnapshotUpsert.init(snap((1L, "a", "one")), dir)
+    (0L to 3L).foreach { i =>
+      graft.streaming.SnapshotUpsert.applyBatch(dir, "id")(
+        ch((1L, "a", s"v$i", i.toInt, false)), i)
+    }
+    val deleted = graft.streaming.SnapshotUpsert.vacuum(dir, keep = 2)
+    deleted.sorted shouldBe Seq("b-1", "b0", "b1")
+    // the survivors: b2, b3 (pointer) — and the store still reads
+    java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/b3")) shouldBe true
+    java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/b0")) shouldBe false
+    graft.streaming.SnapshotUpsert.read(spark, dir)
+      .as[(Long, String, String)].collect() shouldBe Array((1L, "a", "v3"))
+    // idempotent: nothing left to delete
+    graft.streaming.SnapshotUpsert.vacuum(dir, keep = 2) shouldBe Seq.empty
+  }
+
   test("snapshot store: a re-delivered OLDER batch never moves the pointer backwards") {
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
     graft.streaming.SnapshotUpsert.init(snap((1L, "a", "one")), dir)
