@@ -950,6 +950,10 @@ object SparkEntry {
     // (500 vecs → 5 bits, 2000 → 7) so mean bucket size stays bounded
     "s08_lsh_adaptive" -> ((s, d) =>
       Similarity.lshPairsAdaptive(t(s, d)("embeddings"), 0.2)),
+    // int8-quantized top-k: scales cancel out of cosine, so the quantized
+    // search is value-checked bit-for-bit (recall vs float is spec-gated)
+    "s09_int8_topk" -> ((s, d) =>
+      Similarity.int8TopK(Similarity.int8Quantize(t(s, d)("embeddings")), 0L, 10)),
     // ---- text analysis (north-star M5) ----
     "t01_text_stats" -> ((s, d) => TextAnalysis.stats(t(s, d)("documents"))),
     "t02_langid" -> ((s, d) => TextAnalysis.languageId(t(s, d)("documents"))),
@@ -1011,6 +1015,8 @@ object SparkEntry {
     "t21_csv_roundtrip" -> ((s, d) => csvRoundtrip(s, d)),
     "t20_train_split" -> ((s, d) =>
       Sampling.trainValTestSplit(t(s, d)("documents"), 0.1, 0.1)),
+    // CCNet-style hashed-bigram LM fluency scores (integer-exact form)
+    "t22_lm_score" -> ((s, d) => TextAnalysis.lmScores(t(s, d)("documents"))),
     // ---- skew-mitigation equivalence (SCALE.md escape hatches) ----
     // salted shapes must be row-for-row equal to their plain formulations;
     // the oracle computes the plain form
@@ -1864,6 +1870,33 @@ object SparkEntry {
     "s03_lsh_pairs" -> lshPairsOracle,
     "s05_ivf_topk" -> ivfTopKOracle,
     "s08_lsh_adaptive" -> lshAdaptiveOracle,
+    // int8 quantization is deterministic double math + floor (no engine
+    // round-mode divergence); code sums are integer-exact (≤127²·dims per
+    // product, double-exact in list_dot_product), scales cancel out of
+    // the quantized cosine — so the whole search hash-compares
+    "s09_int8_topk" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         ma AS (SELECT vec_id, label, v,
+                  list_max(list_transform(v, x -> abs(x))) AS max_abs FROM e),
+         c AS (SELECT vec_id, label,
+                 CASE WHEN max_abs = 0
+                      THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                      ELSE list_transform(v,
+                             x -> CAST(floor(x*127.0/max_abs + 0.5) AS BIGINT))
+                 END AS codes FROM ma),
+         q AS (SELECT codes AS qc FROM c WHERE vec_id = 0),
+         s AS (SELECT vec_id, label,
+                 list_dot_product(CAST(codes AS DOUBLE[]), CAST(qc AS DOUBLE[])) AS dot,
+                 list_dot_product(CAST(codes AS DOUBLE[]), CAST(codes AS DOUBLE[])) AS n2,
+                 list_dot_product(CAST(qc AS DOUBLE[]), CAST(qc AS DOUBLE[])) AS qn2
+               FROM c, q WHERE vec_id <> 0),
+         sc AS (SELECT vec_id, label,
+                  CASE WHEN n2 = 0 OR qn2 = 0 THEN 0.0
+                       ELSE dot/(sqrt(n2)*sqrt(qn2)) END AS cq
+                FROM s)
+         SELECT vec_id, label, round(cq, 4) AS cos_sim_q
+         FROM sc ORDER BY cq DESC, vec_id LIMIT 10""",
     // inverted-index tf-idf: df derived from the (doc,term) tf table, idf
     // is exact integer division scale//df — every value is a long, so the
     // hash compare is exact (`//` is DuckDB integer division = the
@@ -2246,6 +2279,32 @@ object SparkEntry {
     // rewrite, CSV ingest must each reproduce the corpus byte-exactly
     "t16_jsonl_roundtrip" -> corpusIdentityOracle,
     "t21_csv_roundtrip" -> corpusIdentityOracle,
+    // hashed-bigram conditional LM: pair counts group by (ctx, pair)
+    // bucket, context totals roll up from the pair table, per-occurrence
+    // terms are long floor divisions (DuckDB `//` == Spark DIV on
+    // non-negative longs), final score one IEEE division of exact values
+    "t22_lm_score" ->
+      s"""WITH toks AS (SELECT doc_id, string_split_regex(lower(text),'\\s+') AS t
+                 FROM documents),
+         g0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
+                  i -> t[i]||' '||t[i+1])) AS gram FROM toks),
+         gb AS (SELECT doc_id,
+                  (${polyHash.duckdbSql("split_part(gram, ' ', 1)")}) % 512 AS b_ctx,
+                  (${polyHash.duckdbSql("gram")}) % 2048 AS b_pair FROM g0),
+         pf AS (SELECT b_ctx, b_pair, count(*) AS c_pair FROM gb GROUP BY 1, 2),
+         cf AS (SELECT b_ctx, CAST(sum(c_pair) AS BIGINT) AS c_ctx FROM pf GROUP BY 1),
+         m AS (SELECT gb.doc_id, count(*) AS n_bigrams,
+                 CAST(sum((pf.c_pair * ${1L << 20}) // cf.c_ctx) AS BIGINT) AS lm_mass
+               FROM gb JOIN pf USING (b_ctx, b_pair) JOIN cf USING (b_ctx)
+               GROUP BY gb.doc_id)
+         SELECT d.doc_id,
+                coalesce(m.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+                coalesce(m.lm_mass, CAST(0 AS BIGINT)) AS lm_mass,
+                CASE WHEN coalesce(m.n_bigrams, 0) = 0 THEN 0.0
+                     ELSE CAST(m.lm_mass AS DOUBLE)
+                          / (CAST(m.n_bigrams AS DOUBLE) * ${(1L << 20).toDouble})
+                END AS lm_score
+         FROM documents d LEFT JOIN m USING (doc_id) ORDER BY doc_id""",
     // one oracle string, two gates (the q33/q35 pattern): w10's sequential
     // per-batch merges must equal t17's one-shot latest-wins merge
     "t17_upsert" -> upsertOracle,

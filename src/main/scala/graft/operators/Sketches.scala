@@ -113,4 +113,70 @@ object Sketches {
       .withColumn("q", translate($"q", "_", ".").cast("double"))
       .orderBy(col(groupCol), $"q")
   }
+
+  /** Mergeable heavy hitters (Misra–Gries 1982, merged per Agarwal et al.,
+    * "Mergeable Summaries", PODS 2012) — the frequent-items member of the
+    * sketch family: which domains/tokens/users dominate, without the
+    * unbounded-cardinality groupBy an exact count needs. Each partition
+    * keeps ≤ k counters updated in O(1) amortized; partials merge by
+    * counter addition followed by subtracting the (k+1)-th largest count
+    * (the mergeable-summaries reduction), so memory is k counters at
+    * every level of the aggregation tree no matter how many distinct
+    * items stream past.
+    *
+    * Guarantee (the spec pins it): for a group with n rows, every item
+    * with true count > n/(k+1) is present, estimates never exceed the
+    * true count, and undercount is at most n/(k+1). When a group's
+    * distinct-item count is ≤ k the counters are EXACT (no decrement
+    * ever fires) for any partitioning. Counter values above that are
+    * merge-order-dependent (the guarantee is not), so the family is
+    * spec-gated like HLL/KLL, not SQL-oracle-gated.
+    */
+  def freqItems(df: DataFrame, groupCol: String, valueCol: String,
+                k: Int = 16): DataFrame = {
+    require(k >= 1, s"need at least one counter, got k=$k")
+    val mg = udaf(new MisraGries(k))
+    df.groupBy(col(groupCol))
+      .agg(mg(col(valueCol).cast("string")).as("counters"))
+      .select(col(groupCol), explode($"counters").as(Seq("item", "est_count")))
+      .orderBy(col(groupCol), $"est_count".desc, $"item")
+  }
+}
+
+/** The Misra–Gries summary as a typed Aggregator. The buffer is an
+  * immutable map (≤ k+1 entries, structurally shared updates); the
+  * decrement path drops every counter by one and runs only when a new
+  * item arrives at a full summary — O(k), amortized O(1) per row.
+  */
+private class MisraGries(k: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      String, Map[String, Long], Map[String, Long]] {
+  import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+  import org.apache.spark.sql.Encoder
+
+  def zero: Map[String, Long] = Map.empty
+
+  def reduce(m: Map[String, Long], item: String): Map[String, Long] =
+    if (item == null) m
+    else m.get(item) match {
+      case Some(c) => m.updated(item, c + 1)
+      case None if m.size < k => m.updated(item, 1L)
+      case None => m.collect { case (i, c) if c > 1 => i -> (c - 1) }
+    }
+
+  def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+    val sum = b.foldLeft(a) { case (acc, (i, c)) =>
+      acc.updated(i, acc.getOrElse(i, 0L) + c)
+    }
+    if (sum.size <= k) sum
+    else {
+      // subtract the (k+1)-th largest counter from all; ≤ k survive
+      val cut = sum.values.toIndexedSeq.sorted(Ordering[Long].reverse)(k)
+      sum.collect { case (i, c) if c > cut => i -> (c - cut) }
+    }
+  }
+
+  def finish(m: Map[String, Long]): Map[String, Long] = m
+  def bufferEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
+  def outputEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
 }

@@ -337,4 +337,72 @@ object TextAnalysis {
         ($"top_count".cast("double") / $"n_grams".cast("double")).as("top_share"))
       .orderBy($"doc_id")
   }
+
+  /** Hashed-bigram language-model fluency scoring (t22) — the
+    * perplexity-filter analog of CCNet (Wenzek et al. 2020,
+    * arXiv:1911.00359): score each document by the mean conditional
+    * probability of its bigrams under statistics trained on the corpus
+    * itself. CCNet buckets documents by a KenLM perplexity; this keeps the
+    * same signal shape (fluent, statistically typical text scores high;
+    * rare-token soup and shuffled text score low) with a hashed bigram
+    * model, which is what makes it a BOUNDED broadcastable artifact.
+    *
+    * The model is conditional in the hashed space: contexts fold into
+    * `ctxBuckets`, and pair counts group by (context bucket, pair bucket),
+    * so `c_ctx = Σ_pair c_pair` exactly and every per-occurrence term
+    * `⌊scale·c_pair/c_ctx⌋` lies in [0, scale] — a real probability
+    * estimate up to hash collisions (stated, as in t12's DSIR features).
+    * Integer-exact throughout: long floor division per term, exact long
+    * sums, one final IEEE division of exact values — hash-comparable in
+    * any engine. (ln-perplexity is not bit-portable across libms; ranks
+    * are preserved under the monotone map, the t12/s07 precedent.)
+    *
+    * Scale shape: the pair table is ≤ ctxBuckets·pairBuckets rows
+    * (aggregated once from one corpus pass), the context table derives
+    * from the PAIR table (metadata-sized aggregate — no second corpus
+    * scan for the model); both broadcast, so scoring is explode + two
+    * broadcast joins + a per-doc aggregate whose partial (map-side)
+    * combine collapses each document before the shuffle. No
+    * corpus-vs-corpus join anywhere. In production the two model tables
+    * are trained once per corpus snapshot and reused across scoring runs.
+    * `scale`·total-bigrams must fit a long: 2^20 leaves room up to ~8×10¹²
+    * bigrams per hot bucket pair — raise ctx/pair buckets, not scale,
+    * beyond that.
+    */
+  def lmScores(documents: DataFrame, ctxBuckets: Int = 512,
+               pairBuckets: Int = 2048, scale: Long = 1L << 20): DataFrame = {
+    val g = documents
+      .select($"doc_id", explode(Dedup.ngrams(Dedup.tokens($"text"), 2)).as("gram"))
+      .select($"doc_id",
+        (PolyHash(substring_index($"gram", " ", 1)) % ctxBuckets).as("b_ctx"),
+        (PolyHash($"gram") % pairBuckets).as("b_pair"))
+      // vacuously true (polyhash of a non-null string is never null), but
+      // phrased EXPLICITLY so both model branches carry identical filters:
+      // the two joins below push different isnotnull sets into their
+      // branches, which would break canonical equality between pairFreq's
+      // exchange and ctxFreq's child — and with it the AQE stage reuse
+      // that keeps model training at ONE corpus pass (the s07 lesson)
+      .where($"b_ctx".isNotNull && $"b_pair".isNotNull)
+    val pairFreq = g.groupBy($"b_ctx", $"b_pair").agg(count(lit(1)).as("c_pair"))
+    // context totals roll up from the pair table: Σ_pair c_pair per context
+    // bucket — conditional by construction, and model training stays one
+    // corpus pass
+    val ctxFreq = pairFreq.groupBy($"b_ctx").agg(sum($"c_pair").cast("long").as("c_ctx"))
+    val massed = g
+      .join(broadcast(pairFreq), Seq("b_ctx", "b_pair"))
+      .join(broadcast(ctxFreq), Seq("b_ctx"))
+      .withColumn("term", expr(s"(c_pair * ${scale}L) DIV c_ctx"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"term").cast("long").as("lm_mass"))
+    documents.select($"doc_id")
+      .join(massed, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
+        coalesce($"lm_mass", lit(0L)).as("lm_mass"),
+        when(coalesce($"n_bigrams", lit(0L)) === 0L, lit(0.0))
+          .otherwise($"lm_mass".cast("double")
+            / ($"n_bigrams".cast("double") * lit(scale.toDouble)))
+          .as("lm_score"))
+      .orderBy($"doc_id")
+  }
 }

@@ -110,6 +110,31 @@ class PlanGuardSpec extends SparkSpec {
     executed.linesIterator.count(_.contains("FileScan")) shouldBe 1
   }
 
+  test("t22_lm_score: model tables broadcast; ctx rollup reuses the pair shuffle at runtime") {
+    val p = planOf("t22_lm_score")
+    // pair-frequency + context-frequency + per-doc join-back: ≥ 3
+    // broadcasts, and scoring never sort-merge-joins the corpus
+    p.linesIterator.count(_.trim.matches("""\(\d+\) BroadcastExchange""")) should be >= 3
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+    // the static plan prints the (b_ctx, b_pair) aggregate twice (pairFreq
+    // and ctxFreq's child); the two subtrees are canonically equal, so the
+    // executed plan must collapse them — the corpus is scanned for the
+    // model ONCE (plus the scoring pass and the ≤2-column doc_id spine)
+    val df = SparkEntry.queries("t22_lm_score")(spark, sf0001)
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    executed should include("ReusedExchange")
+  }
+
+  test("s09_int8_topk: quantized search is broadcast + TakeOrdered, no shuffle join") {
+    val p = planOf("s09_int8_topk")
+    p should include("TakeOrderedAndProject")
+    p should include("BroadcastExchange")
+    p should not include "SortMergeJoin"
+  }
+
   test("t05/t14: running sums ride pid-partitioned windows, never a global window") {
     // the distributed-prefix-sum claim mechanized: every window spec in
     // both plans is partitioned by the range-partition id — a regression

@@ -200,6 +200,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("int8Quantize: codes are scale-invariant, bounded, zero-safe") {
+    val v = Array.tabulate(64)(d => (math.sin(d + 1) * 0.8).toFloat)
+    val scaled = v.map(_ * 3.0f)
+    val d = emb((0L, v, 0), (1L, scaled, 0), (2L, Array.fill(64)(0.0f), 1))
+    val q = Similarity.int8Quantize(d).orderBy($"vec_id").collect()
+    val codes = q.map(_.getSeq[Byte](3))
+    // per-vector normalization cancels a global scalar: 3·v codes == v codes
+    codes(1) shouldBe codes(0)
+    codes(0).foreach(c => math.abs(c.toInt) should be <= 127)
+    codes(0).map(c => math.abs(c.toInt)).max shouldBe 127 // max component saturates
+    codes(2).forall(_ == 0) shouldBe true                 // zero vector, no 0/0
+  }
+
+  test("int8TopK: high recall vs exact float cosine on the fixture embeddings") {
+    val e = table("embeddings")
+    val approx = Similarity.int8TopK(Similarity.int8Quantize(e), 0L, 10)
+    approx.collect().foreach(r => r.getDouble(2) should (be >= -1.0001 and be <= 1.0001))
+    Similarity.recallAtK(e, 0L, 10, approx) should be >= 0.8
+  }
+
   test("lshPairsAdaptive equals lshNearNeighbours at the derived nbits") {
     val rows = (0L until 40L).map { i =>
       val a = Array.tabulate(64)(d => math.sin(i * 64 + d).toFloat)

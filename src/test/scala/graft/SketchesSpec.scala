@@ -129,4 +129,44 @@ class SketchesSpec extends SparkSpec {
     val rank = all.count(_ <= merged).toDouble / all.length
     math.abs(rank - 0.5) should be < 0.05
   }
+
+  test("Misra-Gries is exact (and partition-invariant) when distinct items fit the counters") {
+    val rows = Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(7)("c")
+    for (parts <- Seq(1, 7)) {
+      val df = rows.map(("g", _)).toDF("grp", "item").repartition(parts)
+      val out = Sketches.freqItems(df, "grp", "item", k = 4)
+        .select($"item", $"est_count").as[(String, Long)].collect().toMap
+      out shouldBe Map("a" -> 50L, "b" -> 30L, "c" -> 7L)
+    }
+  }
+
+  test("Misra-Gries guarantee: heavy hitters survive, estimates never overcount, undercount <= n/(k+1)") {
+    // n = 112, k = 4 -> threshold n/(k+1) = 22.4: "a" (50) and "b" (30)
+    // MUST be present under any partitioning; "c" (12) and the singletons
+    // may or may not survive, but no estimate may exceed its true count
+    // or undershoot it by more than the threshold
+    val rows = Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(12)("c") ++
+      (0 until 20).map(i => s"rare$i")
+    val truth = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bound = rows.size.toDouble / 5
+    for (parts <- Seq(1, 3, 16)) {
+      val df = rows.map(("g", _)).toDF("grp", "item").repartition(parts)
+      val out = Sketches.freqItems(df, "grp", "item", k = 4)
+        .select($"item", $"est_count").as[(String, Long)].collect().toMap
+      out.size should be <= 4
+      out.keySet should contain allOf ("a", "b")
+      for ((item, est) <- out) {
+        est should be <= truth(item)
+        (truth(item) - est).toDouble should be <= bound
+      }
+    }
+  }
+
+  test("Misra-Gries skips nulls and groups independently") {
+    val df = Seq(("g1", "x"), ("g1", "x"), ("g1", null), ("g2", "y"))
+      .toDF("grp", "item")
+    val out = Sketches.freqItems(df, "grp", "item", k = 2)
+      .as[(String, String, Long)].collect().toSet
+    out shouldBe Set(("g1", "x", 2L), ("g2", "y", 1L))
+  }
 }

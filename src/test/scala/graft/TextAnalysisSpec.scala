@@ -140,4 +140,36 @@ class TextAnalysisSpec extends SparkSpec {
     (r.getLong(2), r.getLong(3), r.getLong(4)) shouldBe ((1L, 0L, 0L))
     r.getString(5) shouldBe "reach <EMAIL> now"
   }
+
+  test("lmScores: hand-computed conditional bigram probabilities") {
+    // corpus bigrams: "a b"×3, "b a"×1, "a c"×1; contexts: a→4, b→1.
+    // tokens a/b/c hash to distinct ctx buckets (97/98/99 mod 512) and the
+    // two a-context grams to distinct pair buckets, so no hashed-space
+    // collision folds these counts together.
+    val d = docs(
+      (1L, "a b a b", "en", "w"),  // terms: ¾, 1, ¾ → mean 5/6
+      (2L, "a b", "en", "w"),      // ¾
+      (3L, "a c", "en", "w"))      // ¼
+    val out = TextAnalysis.lmScores(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    out(1L) shouldBe ((3L, 5.0 / 6.0))
+    out(2L) shouldBe ((1L, 0.75))
+    out(3L) shouldBe ((1L, 0.25))
+  }
+
+  test("lmScores: sub-bigram docs emit zero rows, scores stay in [0,1], partition-invariant") {
+    val d = docs(
+      (1L, "only", "en", "w"), (2L, "", "en", "w"),
+      (3L, "x y x y", "en", "w"), (4L, "x y", "en", "w"))
+    val out = TextAnalysis.lmScores(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    out(1L) shouldBe ((0L, 0L, 0.0))
+    out(2L) shouldBe ((0L, 0L, 0.0))
+    // every term is ⌊scale·c_pair/c_ctx⌋ with c_pair ≤ c_ctx, so scores
+    // never leave [0,1]
+    out.values.foreach { case (_, _, s) => s should (be >= 0.0 and be <= 1.0) }
+    val a = TextAnalysis.lmScores(d).collect().map(_.toSeq).toSeq
+    val b = TextAnalysis.lmScores(d.repartition(7)).collect().map(_.toSeq).toSeq
+    a shouldBe b
+  }
 }
