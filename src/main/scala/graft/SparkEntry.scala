@@ -422,17 +422,35 @@ object SparkEntry {
     * stream; on the closed fixture the inner join emits every matching
     * pair exactly once, so the oracle is the plain batch range join.
     */
-  private def streamJoin(s: SparkSession, d: String): DataFrame = {
+  private def streamJoin(s: SparkSession, d: String): DataFrame =
+    streamJoinImpl(s, d, outer = false)
+
+  /** w11: the LEFT OUTER flavor — clicks with no purchase in the window
+    * emit null-padded rows when the watermark evicts their state. On the
+    * closed fixture the outer rows are exactly the unmatched clicks whose
+    * eviction point precedes the final watermark (max ts ms-floored −
+    * 2 h, the w08 arithmetic); younger unmatched clicks die with the
+    * query and do NOT surface — the oracle applies the same cut.
+    */
+  private def streamJoinOuter(s: SparkSession, d: String): DataFrame =
+    streamJoinImpl(s, d, outer = true)
+
+  private def streamJoinImpl(s: SparkSession, d: String, outer: Boolean): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val tmp = java.nio.file.Files.createTempDirectory("graft_w09").toString
+    val name = if (outer) "w11_stream_outer_join" else "w09_stream_join"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_" + name).toString
     val schema = landEventsSliced(s, d, tmp)
     def src() = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$tmp/landing")
     val clicks = src().where($"event_type" === "click")
     val purchases = src().where($"event_type" === "purchase")
     withStreamingPartitions(s, 8) {
-      val q = graft.streaming.EventStream
-        .recentPurchaseJoin(clicks, purchases, "2 hours", 1800)
+      val joined =
+        if (outer) graft.streaming.EventStream
+          .recentPurchaseJoinOuter(clicks, purchases, "2 hours", 1800)
+        else graft.streaming.EventStream
+          .recentPurchaseJoin(clicks, purchases, "2 hours", 1800)
+      val q = joined
         .writeStream
         .format("parquet")
         .option("path", s"$tmp/out")
@@ -441,7 +459,7 @@ object SparkEntry {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      graft.streaming.StateMetrics.record("w09_stream_join", q)
+      graft.streaming.StateMetrics.record(name, q)
     }
     s.read.parquet(s"$tmp/out")
       .select($"click_id", $"user_id", $"ts".cast("timestamp_ntz").as("ts"),
@@ -604,6 +622,10 @@ object SparkEntry {
     // ---- raster plane (SURVEY.md §2.1-2.4 raster ops over demoGrid) ----
     "r01_grid_bbox" -> ((s, d) => Raster.bbox(grid(s, d), 5, -10, -5, 8)
       .select($"variable", $"time", $"lat", $"lon", round($"value", 4).as("value"))
+      .orderBy($"variable", $"time", $"lat", $"lon")),
+    // block-mean regrid over the integer-valued grid (2° lat × 3° lon):
+    // means over whole-number values are exact in any aggregation order
+    "r11_regrid" -> ((s, d) => Raster.regrid(Raster.demoGridSum(t(s, d)("lineitem")), 2.0, 3.0)
       .orderBy($"variable", $"time", $"lat", $"lon")),
     "r02_clip_null" -> ((s, d) => Raster.clipToNull(
         grid(s, d).where($"time" === lit("1998-03-01 00:00:00").cast("timestamp_ntz")),
@@ -901,6 +923,7 @@ object SparkEntry {
     "w07_stream_quality" -> ((s, d) => streamQuality(s, d)),
     "w08_stream_session" -> ((s, d) => streamSession(s, d)),
     "w09_stream_join" -> ((s, d) => streamJoin(s, d)),
+    "w11_stream_outer_join" -> ((s, d) => streamJoinOuter(s, d)),
     "w10_stream_upsert" -> ((s, d) => streamUpsert(s, d)),
     // ---- dedup (north-star M5) ----
     "d01_dedup_exact" -> ((s, d) => Dedup.exact(t(s, d)("documents"))),
@@ -932,6 +955,12 @@ object SparkEntry {
     "d12_incremental_bloom" -> ((s, d) => {
       val (history, batch) = incrementalFixture(s, d)
       Dedup.incrementalDedupBloom(history, batch, expectedItems = 100000L, fpp = 0.03)
+    }),
+    // d11 lifted to NEAR duplicates: batch vs the history MinHash index
+    // (the "v2"-mutated odd ids are near- but not exact dups of history)
+    "d14_incremental_minhash" -> ((s, d) => {
+      val (history, batch) = incrementalFixture(s, d)
+      Dedup.incrementalMinhash(history, batch)
     }),
     // d10 APPLIED: the corpus rebuilt with duplicated passages excised
     "d13_span_scrub" -> ((s, d) => Dedup.scrubDuplicatedSpans(t(s, d)("documents"))),
@@ -1041,25 +1070,40 @@ object SparkEntry {
     * (shingleN=3, bands=8, rows=4): identical portable hashes → full value
     * check of Dedup.minhashLshPairs and Dedup.dedupClusters.
     */
-  private def minhashPairsCte: String = {
+  /** Signature CTE chain (toks → grams → hashes → 32-hash sig) over any
+    * source relation, CTE names prefixed — shared by the self-join (d03/
+    * d07) and incremental (d14) oracles so the signature scheme cannot
+    * drift between them.
+    */
+  private def minhashSigCte(src: String, pfx: String): String = {
     val p = Dedup.P
     val hashDefs = (0 until 32).map { i =>
       val (a, b) = Dedup.affine(i); s"min((g*$a + $b) % $p) AS h$i"
     }.mkString(", ")
-    val bandEq = (0 until 8).map { bnd =>
-      (0 until 4).map { r => val i = bnd * 4 + r; s"a.h$i = b.h$i" }
+    s"""${pfx}toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM $src),
+       ${pfx}g0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-2),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram FROM ${pfx}toks),
+       ${pfx}gh AS (SELECT doc_id, ${polyHash.duckdbSql("gram")} AS g FROM ${pfx}g0),
+       ${pfx}sig AS (SELECT doc_id, $hashDefs FROM ${pfx}gh GROUP BY doc_id)"""
+  }
+
+  /** ≥1-band full-slice equality between sig aliases `a` and `b`. */
+  private def minhashBandEq(a: String, b: String): String =
+    (0 until 8).map { bnd =>
+      (0 until 4).map { r => val i = bnd * 4 + r; s"$a.h$i = $b.h$i" }
         .mkString("(", " AND ", ")")
     }.mkString(" OR ")
-    val agree = (0 until 32).map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END").mkString(" + ")
-    s"""toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents),
-       g0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-2),
-                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram FROM toks),
-       gh AS (SELECT doc_id, ${polyHash.duckdbSql("gram")} AS g FROM g0),
-       sig AS (SELECT doc_id, $hashDefs FROM gh GROUP BY doc_id),
+
+  /** Agreeing-position count between sig aliases `a` and `b`. */
+  private def minhashAgree(a: String, b: String): String =
+    (0 until 32).map(i => s"CASE WHEN $a.h$i = $b.h$i THEN 1 ELSE 0 END").mkString(" + ")
+
+  private def minhashPairsCte: String =
+    s"""${minhashSigCte("documents", "")},
        est AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                      CAST($agree AS DOUBLE) / 32 AS est
-               FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandEq))"""
-  }
+                      CAST(${minhashAgree("a", "b")} AS DOUBLE) / 32 AS est
+               FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+                AND (${minhashBandEq("a", "b")}))"""
 
   private def minhashOracle: String =
     s"""WITH $minhashPairsCte
@@ -1346,6 +1390,15 @@ object SparkEntry {
          SELECT variable, time, lat, lon, round(value, 4) AS value
          FROM grid
          WHERE lat BETWEEN -5 AND 5 AND lon BETWEEN -10 AND 8
+         ORDER BY variable, time, lat, lon""",
+    // block means over the integer-valued sum grid are exact doubles in
+    // any aggregation order — no rounding needed for the hash compare
+    "r11_regrid" ->
+      s"""WITH ${operators.Raster.demoGridSumSql}
+         SELECT variable, time,
+                floor(lat/2.0)*2.0 AS lat, floor(lon/3.0)*3.0 AS lon,
+                avg(value) AS value, CAST(count(*) AS BIGINT) AS n_cells
+         FROM gridsum GROUP BY 1, 2, 3, 4
          ORDER BY variable, time, lat, lon""",
     "r02_clip_null" ->
       s"""WITH $gridCte,
@@ -1732,6 +1785,35 @@ object SparkEntry {
           AND c.event_type = 'click' AND p.event_type = 'purchase'
           AND p.ts >= c.ts - INTERVAL 1800 SECONDS AND p.ts <= c.ts
          ORDER BY click_id, purchase_id""",
+    // left-outer flavor: matched pairs are the batch range join; the
+    // null-padded rows are the unmatched clicks Spark evicted — click ts
+    // (ms-floored) strictly below the GLOBAL watermark, i.e. the min of
+    // both sides' (max event ts ms-floored - 2 h). Strictness pinned by
+    // StreamingSpec's on-the-watermark boundary test, the w08 precedent.
+    "w11_stream_outer_join" ->
+      s"""WITH $evCte,
+         c AS (SELECT event_id AS click_id, user_id, ts FROM ev
+               WHERE event_type = 'click'),
+         p AS (SELECT event_id AS purchase_id, user_id AS p_user_id,
+                      ts AS p_ts FROM ev WHERE event_type = 'purchase'),
+         pairs AS (SELECT c.click_id, c.user_id, c.ts, p.purchase_id, p.p_ts
+                   FROM c JOIN p ON c.user_id = p.p_user_id
+                    AND p.p_ts >= c.ts - INTERVAL 1800 SECONDS
+                    AND p.p_ts <= c.ts),
+         m AS (SELECT least(
+                 (SELECT epoch_us(max(ts)) // 1000 FROM c),
+                 (SELECT epoch_us(max(p_ts)) // 1000 FROM p)) - 7200000
+                 AS wm_ms),
+         outer_rows AS (SELECT c.click_id, c.user_id, c.ts,
+                               CAST(NULL AS BIGINT) AS purchase_id,
+                               CAST(NULL AS TIMESTAMP) AS p_ts
+                        FROM c CROSS JOIN m
+                        WHERE NOT EXISTS (SELECT 1 FROM pairs
+                                          WHERE pairs.click_id = c.click_id)
+                          AND epoch_us(c.ts) // 1000 < m.wm_ms)
+         SELECT * FROM pairs
+         UNION ALL SELECT * FROM outer_rows
+         ORDER BY click_id, purchase_id""",
     "d01_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count
          FROM documents GROUP BY text ORDER BY keep_id""",
@@ -1761,6 +1843,28 @@ object SparkEntry {
     "d11_incremental_dedup" -> incrementalOracle,
     // one oracle string, two gates: the Bloom prefilter must be invisible
     "d12_incremental_bloom" -> incrementalOracle,
+    // batch-vs-history near-dup: the d11 fixture split, the d03 signature
+    // scheme (shared minhashSigCte), a batch→history band join instead of
+    // the self-join; docs without a signature (< 3 tokens) report zero
+    // candidates through the same left join the engine uses
+    "d14_incremental_minhash" ->
+      s"""WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 != 0),
+         bat AS (SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 1 THEN text || ' v2' ELSE text END AS text
+                 FROM documents WHERE doc_id % 7 = 0),
+         ${minhashSigCte("hist", "h")},
+         ${minhashSigCte("bat", "b")},
+         cand AS (SELECT DISTINCT b.doc_id, h.doc_id AS hist_id,
+                    CAST(${minhashAgree("b", "h")} AS DOUBLE) / 32 AS est
+                  FROM bsig b JOIN hsig h ON (${minhashBandEq("b", "h")})),
+         per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_candidates,
+                   max(est) AS best_est
+                 FROM cand GROUP BY 1)
+         SELECT bat.doc_id,
+                coalesce(per.n_candidates, CAST(0 AS BIGINT)) AS n_candidates,
+                round(coalesce(per.best_est, 0.0), 4) AS best_est,
+                coalesce(per.best_est, 0.0) >= 0.5 AS near_dup_of_history
+         FROM bat LEFT JOIN per USING (doc_id) ORDER BY bat.doc_id""",
     "d07_dedup_clusters" -> dedupClustersOracle,
     // uncapped exact mode — the explicit opt-in path, gated separately
     // from the pruned default (d02)

@@ -279,6 +279,67 @@ object Dedup {
     * shingle set. Base hash = portable [[graft.functions.PolyHash]] of the
     * gram (native codegen'd expression); a_i·g + b_i stays < P² < 2⁶³.
     */
+  /** One row per (doc, band): full signature + the band's slice as the
+    * bucket key. Shared by the self-join (d03) and incremental (d14)
+    * forms so the banding scheme cannot drift between them.
+    */
+  private def bandedSignatures(documents: DataFrame, shingleN: Int,
+                               bands: Int, rows: Int): DataFrame = {
+    val numHashes = bands * rows
+    val sig = minhashSignature(documents, shingleN, numHashes)
+    val sigArr = array((0 until numHashes).map(i => col(s"h$i")): _*)
+    sig.select($"doc_id", sigArr.as("sig"),
+        explode(array((0 until bands).map { b =>
+          val slice = (0 until rows).map(r => col(s"h${b * rows + r}"))
+          struct(lit(b).as("band"), array(slice: _*).as("key"))
+        }: _*)).as("bucket"))
+      .select($"doc_id", $"sig", $"bucket.band", $"bucket.key")
+  }
+
+  /** Incremental NEAR-dup (d14): each crawl batch checked against the
+    * accumulated history's MinHash signature index — d11's production
+    * shape lifted from exact to near duplicates. History collapses to its
+    * banded signature table (numHashes longs per doc, ~256 bytes at the
+    * 8×4 default — the persisted artifact a pipeline keeps between
+    * increments, hash-bucketed by band key at rest so the daily join
+    * shuffles only the batch, the BucketingSpec lever). Candidates are
+    * batch→history band-bucket collisions; the Jaccard estimate is the
+    * agreeing-position fraction of the two signatures riding the join —
+    * no text ever leaves the batch side, no O(batch × history) anywhere.
+    *
+    * Emits one audit row per batch doc: candidate count, best estimate,
+    * and the `near_dup_of_history` verdict at `threshold`. Docs with
+    * fewer than `shingleN` tokens have no signature and report zero
+    * candidates (stated; the oracle reproduces it via the same left
+    * join).
+    */
+  def incrementalMinhash(history: DataFrame, batch: DataFrame,
+                         shingleN: Int = 3, bands: Int = 8, rows: Int = 4,
+                         threshold: Double = 0.5): DataFrame = {
+    val numHashes = bands * rows
+    val agree = aggregate(
+      zip_with(col("b.sig"), col("h.sig"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), _ + _)
+    val cand = bandedSignatures(batch, shingleN, bands, rows).as("b")
+      .join(bandedSignatures(history, shingleN, bands, rows).as("h"),
+        col("b.band") === col("h.band") && col("b.key") === col("h.key"))
+      .select(col("b.doc_id").as("doc_id"), col("h.doc_id").as("hist_id"),
+        (agree.cast("double") / numHashes).as("est"))
+      // a (batch, history) pair can collide in several bands; est is
+      // identical in each (exact multiples of 1/numHashes), so distinct
+      // dedupes to one row per candidate pair
+      .distinct()
+    val perDoc = cand.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_candidates"), max($"est").as("best_est"))
+    batch.select($"doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_candidates", lit(0L)).as("n_candidates"),
+        round(coalesce($"best_est", lit(0.0)), 4).as("best_est"),
+        (coalesce($"best_est", lit(0.0)) >= threshold).as("near_dup_of_history"))
+      .orderBy($"doc_id")
+  }
+
   private def minhashSignature(documents: DataFrame, shingleN: Int, numHashes: Int): DataFrame = {
     val grams = documents
       .select($"doc_id", explode(array_distinct(ngrams(tokens($"text"), shingleN))).as("gram"))
@@ -299,7 +360,6 @@ object Dedup {
   def minhashLshPairs(documents: DataFrame, shingleN: Int = 3, bands: Int = 8,
                       rows: Int = 4, threshold: Double = 0.5): DataFrame = {
     val numHashes = bands * rows
-    val sig = minhashSignature(documents, shingleN, numHashes)
     // Band rows carry the FULL signature array alongside the band key, so
     // candidate generation and verification happen in one self-join — the
     // signature subtree is computed once, not re-joined per side (physical
@@ -307,13 +367,7 @@ object Dedup {
     // Band bucket key = the band's raw signature slice (an array) rather
     // than a re-hash of it: equality on the slice is portable to the SQL
     // oracle and adds zero false candidates.
-    val sigArr = array((0 until numHashes).map(i => col(s"h$i")): _*)
-    val bandRows = sig.select($"doc_id", sigArr.as("sig"),
-        explode(array((0 until bands).map { b =>
-          val slice = (0 until rows).map(r => col(s"h${b * rows + r}"))
-          struct(lit(b).as("band"), array(slice: _*).as("key"))
-        }: _*)).as("bucket"))
-      .select($"doc_id", $"sig", $"bucket.band", $"bucket.key")
+    val bandRows = bandedSignatures(documents, shingleN, bands, rows)
     val agree = aggregate(
       zip_with(col("a.sig"), col("b.sig"), (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), _ + _)

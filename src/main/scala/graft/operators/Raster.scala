@@ -42,6 +42,48 @@ object Raster {
       |         avg(l_quantity) AS value
       |  FROM lineitem GROUP BY 1, 2, 3, 4)""".stripMargin
 
+  /** Integer-valued twin of [[demoGrid]] (per-cell SUM of quantities):
+    * every value is a whole number, so downstream means over it are exact
+    * doubles in any aggregation order — the r11 regrid gate feeds on this
+    * so its block means hash-compare bit-for-bit (the s04 lesson: means
+    * of non-integer doubles are summation-order dependent).
+    */
+  def demoGridSum(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy(
+        $"l_returnflag".as("variable"),
+        date_trunc("month", $"l_shipdate").cast("timestamp_ntz").as("time"),
+        ($"l_partkey" % 20 - 10).cast("double").as("lat"),
+        ($"l_suppkey" % 30 - 15).cast("double").as("lon"))
+      .agg(sum($"l_quantity").cast("double").as("value"))
+
+  /** The DuckDB mirror of [[demoGridSum]]. */
+  val demoGridSumSql: String =
+    """gridsum AS (
+      |  SELECT l_returnflag AS variable,
+      |         date_trunc('month', l_shipdate) AS time,
+      |         CAST(l_partkey % 20 - 10 AS DOUBLE) AS lat,
+      |         CAST(l_suppkey % 30 - 15 AS DOUBLE) AS lon,
+      |         CAST(sum(l_quantity) AS DOUBLE) AS value
+      |  FROM lineitem GROUP BY 1, 2, 3, 4)""".stripMargin
+
+  /** R11: regrid — block-mean downsampling by per-axis factors (the `cdo
+    * remapcon` / `gdalwarp -tr` coarsening every reanalysis pipeline runs
+    * when serving lower resolutions): each fine cell belongs to the
+    * coarse cell anchored at `floor(coord/factor)·factor`; the coarse
+    * value is the mean of its covered fine cells, `n_cells` the coverage
+    * audit (a partial coarse cell at the grid edge averages fewer cells —
+    * visible, not hidden). One shuffle on the coarse key; the key
+    * inherits (variable, time), so at 100 TB the aggregation stays
+    * within-layer and partial (map-side) combine collapses each coarse
+    * block before the exchange. Anchor arithmetic is floor on exact small
+    * doubles — identical in any engine.
+    */
+  def regrid(grid: DataFrame, latFactor: Double, lonFactor: Double): DataFrame =
+    grid.groupBy($"variable", $"time",
+        (floor($"lat" / latFactor) * latFactor).as("lat"),
+        (floor($"lon" / lonFactor) * lonFactor).as("lon"))
+      .agg(avg($"value").as("value"), count(lit(1)).as("n_cells"))
+
   /** P2: bbox subset — the CDS `area: [N,W,S,E]` filter
     * (src/sources/era5monthly.js:34,55), pushed to parquet min/max stats.
     */

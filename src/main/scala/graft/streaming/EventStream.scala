@@ -86,7 +86,28 @@ object EventStream {
     */
   def recentPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
                          watermark: String = "2 hours",
-                         toleranceSec: Long = 300): DataFrame = {
+                         toleranceSec: Long = 300): DataFrame =
+    purchaseJoin(clicks, purchases, watermark, toleranceSec, "inner")
+
+  /** LEFT OUTER stream-stream join (w11): clicks with no purchase in the
+    * trailing window still emit — with null purchase columns — but only
+    * once the watermark proves no match can still arrive (Spark emits the
+    * null-padded row when the click's state is evicted). The outer row
+    * set is therefore watermark-gated: on a closed input, clicks younger
+    * than the final watermark that never matched do NOT surface (their
+    * state dies with the query) — the oracle applies the same rule, the
+    * w08 precedent. Conversion-funnel semantics ("clicks WITHOUT a
+    * purchase") need exactly this shape; state bounds are identical to
+    * the inner form.
+    */
+  def recentPurchaseJoinOuter(clicks: DataFrame, purchases: DataFrame,
+                              watermark: String = "2 hours",
+                              toleranceSec: Long = 300): DataFrame =
+    purchaseJoin(clicks, purchases, watermark, toleranceSec, "left_outer")
+
+  private def purchaseJoin(clicks: DataFrame, purchases: DataFrame,
+                           watermark: String, toleranceSec: Long,
+                           joinType: String): DataFrame = {
     val c = clicks.select($"event_id".as("click_id"), $"user_id", $"ts")
       .withWatermark("ts", watermark)
     val p = purchases.select($"event_id".as("purchase_id"),
@@ -95,7 +116,8 @@ object EventStream {
     c.join(p,
       $"user_id" === $"p_user_id" &&
         $"p_ts" >= $"ts" - expr(s"INTERVAL $toleranceSec SECONDS") &&
-        $"p_ts" <= $"ts")
+        $"p_ts" <= $"ts",
+      joinType)
       .select($"click_id", $"user_id", $"ts", $"purchase_id", $"p_ts")
   }
 

@@ -224,6 +224,30 @@ class DedupSpec extends SparkSpec {
       14L -> ((false, true, true)))
   }
 
+  test("incrementalMinhash: identical, near, and fresh batch docs vs the history index") {
+    val base = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    val history = Seq((1L, "a", base), (2L, "a", "completely unrelated text about spark plans and shuffles everywhere"))
+      .toDF("doc_id", "source", "text")
+    val batch = Seq(
+      (10L, "w", base),                  // exact copy → est 1.0
+      (11L, "w", base + " v2"),          // near-dup: one trailing shingle differs
+      (12L, "w", "totally fresh content with no overlap whatsoever in any shingle window"),
+      (13L, "w", "a b"))                 // < 3 tokens → no signature, zero candidates
+      .toDF("doc_id", "source", "text")
+    val out = Dedup.incrementalMinhash(history, batch).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    out(10L) shouldBe ((1L, 1.0, true))
+    out(11L)._3 shouldBe true            // near-dup crosses the 0.5 default
+    out(11L)._2 should (be >= 0.5 and be < 1.0)
+    out(12L) shouldBe ((0L, 0.0, false))
+    out(13L) shouldBe ((0L, 0.0, false))
+    // partitioning invariance: signatures and band joins are deterministic
+    val rep = Dedup.incrementalMinhash(history.repartition(5), batch.repartition(3))
+      .collect().map(_.toSeq).toSeq
+    Dedup.incrementalMinhash(history, batch).collect().map(_.toSeq).toSeq shouldBe rep
+  }
+
   test("scrubDuplicatedSpans removes exactly the cross-doc duplicated passage") {
     val d = docs(
       (1L, "w", "a b c d e f"),

@@ -90,6 +90,23 @@ class RasterSpec extends SparkSpec {
     out shouldBe 1991.0 * 2 - 1
   }
 
+  test("regrid: block means, floor anchoring across zero, partial blocks visible (R11)") {
+    val t0 = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    val g = Seq(
+      ("t2m", t0, 0.0, 0.0, 10.0),   // block (0, 0)
+      ("t2m", t0, 1.0, 2.0, 20.0),   // same block
+      ("t2m", t0, -1.0, -1.0, 7.0),  // block (-2, -3): floor through zero
+      ("t2m", t0, 3.0, 0.0, 5.0))    // block (2, 0), partial
+      .toDF("variable", "time", "lat", "lon", "value")
+    val out = Raster.regrid(g, 2.0, 3.0).collect()
+      .map(r => (r.getDouble(2), r.getDouble(3)) ->
+        ((r.getDouble(4), r.getLong(5)))).toMap
+    out shouldBe Map(
+      (0.0, 0.0) -> ((15.0, 2L)),
+      (-2.0, -3.0) -> ((7.0, 1L)),
+      (2.0, 0.0) -> ((5.0, 1L)))
+  }
+
   test("inventory reports temporal extent per variable (A3/A4)") {
     val inv = Raster.inventory(grid).collect()
     inv.length shouldBe 1

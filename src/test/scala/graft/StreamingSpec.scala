@@ -238,4 +238,42 @@ class StreamingSpec extends SparkSpec {
       (1L, "2024-01-01 10:00:00.0", 2L),
       (2L, "2024-01-01 08:00:00.0", 1L))
   }
+
+  test("left-outer stream join: null rows gated by the global watermark, boundary strict") {
+    // Pins the w11 oracle's outer-row rule: an unmatched click emits its
+    // null-padded row iff its ts is STRICTLY below the global watermark
+    // (min of both sides' max-ts − delay). Here wm = min(13:00, 13:30) −
+    // 2 h = 11:00: user1 (08:00, unmatched) emits; user2 sits exactly ON
+    // the watermark → suppressed (strict <); user3 matches its purchase;
+    // user4 (13:00, unmatched) is younger than the watermark → its state
+    // dies with the query, no null row.
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      Event(1, ts("2024-01-01 08:00:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 11:00:00"), 2, "click", 1.0),
+      Event(3, ts("2024-01-01 12:00:00"), 3, "click", 1.0),
+      Event(4, ts("2024-01-01 11:45:00"), 3, "purchase", 1.0),
+      Event(5, ts("2024-01-01 13:00:00"), 4, "click", 1.0),
+      Event(6, ts("2024-01-01 13:30:00"), 5, "purchase", 1.0))
+    val tmp = Files.createTempDirectory("graft_w11_sem").toString
+    rows.toDS().coalesce(1).write.parquet(s"$tmp/landing")
+    def src() = spark.readStream.schema(rows.toDS().toDF().schema)
+      .parquet(s"$tmp/landing")
+    val q = EventStream.recentPurchaseJoinOuter(
+        src().where($"event_type" === "click"),
+        src().where($"event_type" === "purchase"), "2 hours", 1800)
+      .writeStream.format("memory").queryName("w11_sem")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("w11_sem")
+      .select($"click_id", $"user_id",
+        $"purchase_id", $"p_ts".cast("string"))
+      .orderBy($"click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) "" else r.getString(3)))
+    got shouldBe Array(
+      (1L, 1L, -1L, ""),
+      (3L, 3L, 4L, "2024-01-01 11:45:00"))
+  }
 }
