@@ -71,13 +71,6 @@ object Bpe {
     merges.result()
   }
 
-  /** The learned merge table as a DataFrame (rank, left, right). */
-  def trainTable(documents: DataFrame, numMerges: Int): DataFrame = {
-    val spark = documents.sparkSession
-    import spark.implicits._
-    train(documents, numMerges).toDF("rank", "left", "right")
-  }
-
   /** Encode each document with a learned merge table: whitespace words
     * split to characters, merges applied in rank order (the standard
     * greedy left-to-right application per rank). Row-local typed map —
@@ -90,7 +83,12 @@ object Bpe {
     val ordered = merges.sortBy(_.rank).map(m => (m.left, m.right))
     documents.select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
-        val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        // Locale.ROOT: the default-locale toLowerCase would case-fold
+        // differently from train's Spark lower() on e.g. a tr-TR JVM
+        // (I→ı), silently diverging encode's symbols from the learned
+        // merge vocabulary
+        val toks = text.toLowerCase(java.util.Locale.ROOT)
+          .split("\\s+").filter(_.nonEmpty)
           .flatMap { w =>
             var a = w.map(_.toString).toArray
             ordered.foreach { case (l, r) => a = applyMerge(a, l, r) }

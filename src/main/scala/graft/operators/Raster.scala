@@ -25,22 +25,7 @@ object Raster {
     * between Spark and the DuckDB oracle.
     */
   def demoGrid(lineitem: DataFrame): DataFrame =
-    lineitem.groupBy(
-        $"l_returnflag".as("variable"),
-        date_trunc("month", $"l_shipdate").cast("timestamp_ntz").as("time"),
-        ($"l_partkey" % 20 - 10).cast("double").as("lat"),
-        ($"l_suppkey" % 30 - 15).cast("double").as("lon"))
-      .agg(avg($"l_quantity").as("value"))
-
-  /** The DuckDB mirror of [[demoGrid]], shared by every raster oracle. */
-  val demoGridSql: String =
-    """grid AS (
-      |  SELECT l_returnflag AS variable,
-      |         date_trunc('month', l_shipdate) AS time,
-      |         CAST(l_partkey % 20 - 10 AS DOUBLE) AS lat,
-      |         CAST(l_suppkey % 30 - 15 AS DOUBLE) AS lon,
-      |         avg(l_quantity) AS value
-      |  FROM lineitem GROUP BY 1, 2, 3, 4)""".stripMargin
+    lineitem.groupBy(gridKeyCols: _*).agg(avg($"l_quantity").as("value"))
 
   /** Integer-valued twin of [[demoGrid]] (per-cell SUM of quantities):
     * every value is a whole number, so downstream means over it are exact
@@ -49,20 +34,36 @@ object Raster {
     * of non-integer doubles are summation-order dependent).
     */
   def demoGridSum(lineitem: DataFrame): DataFrame =
-    lineitem.groupBy(
-        $"l_returnflag".as("variable"),
-        date_trunc("month", $"l_shipdate").cast("timestamp_ntz").as("time"),
-        ($"l_partkey" % 20 - 10).cast("double").as("lat"),
-        ($"l_suppkey" % 30 - 15).cast("double").as("lon"))
+    lineitem.groupBy(gridKeyCols: _*)
       .agg(sum($"l_quantity").cast("double").as("value"))
+
+  /** The ONE cell-key derivation both grid twins (and their SQL mirrors
+    * below) share — a key change (modulus, truncation) lands everywhere
+    * or nowhere.
+    */
+  private def gridKeyCols: Seq[org.apache.spark.sql.Column] = Seq(
+    $"l_returnflag".as("variable"),
+    date_trunc("month", $"l_shipdate").cast("timestamp_ntz").as("time"),
+    ($"l_partkey" % 20 - 10).cast("double").as("lat"),
+    ($"l_suppkey" % 30 - 15).cast("double").as("lon"))
+
+  private val gridKeySql: String =
+    """l_returnflag AS variable,
+      |         date_trunc('month', l_shipdate) AS time,
+      |         CAST(l_partkey % 20 - 10 AS DOUBLE) AS lat,
+      |         CAST(l_suppkey % 30 - 15 AS DOUBLE) AS lon""".stripMargin
+
+  /** The DuckDB mirror of [[demoGrid]], shared by every raster oracle. */
+  val demoGridSql: String =
+    s"""grid AS (
+      |  SELECT $gridKeySql,
+      |         avg(l_quantity) AS value
+      |  FROM lineitem GROUP BY 1, 2, 3, 4)""".stripMargin
 
   /** The DuckDB mirror of [[demoGridSum]]. */
   val demoGridSumSql: String =
-    """gridsum AS (
-      |  SELECT l_returnflag AS variable,
-      |         date_trunc('month', l_shipdate) AS time,
-      |         CAST(l_partkey % 20 - 10 AS DOUBLE) AS lat,
-      |         CAST(l_suppkey % 30 - 15 AS DOUBLE) AS lon,
+    s"""gridsum AS (
+      |  SELECT $gridKeySql,
       |         CAST(sum(l_quantity) AS DOUBLE) AS value
       |  FROM lineitem GROUP BY 1, 2, 3, 4)""".stripMargin
 

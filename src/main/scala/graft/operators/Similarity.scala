@@ -356,17 +356,20 @@ object Similarity {
     * [[recallAtK]].
     */
   def int8TopK(quantized: DataFrame, queryId: Long, k: Int): DataFrame = {
-    val q = quantized.where($"vec_id" === queryId).select($"codes".as("qc"))
+    def nrm2(c: org.apache.spark.sql.Column) =
+      aggregate(transform(c, x => x.cast("long") * x.cast("long")), lit(0L), _ + _)
+    // the query's squared norm is computed ONCE in the 1-row broadcast
+    // frame — as a per-row withColumn it would re-reduce the dims-length
+    // array for every corpus row in the hot scan
+    val q = quantized.where($"vec_id" === queryId)
+      .select($"codes".as("qc"), nrm2($"codes").as("qn2"))
     val dot = aggregate(
       zip_with($"codes", $"qc", (a, b) => a.cast("long") * b.cast("long")),
       lit(0L), _ + _)
-    def nrm2(c: org.apache.spark.sql.Column) =
-      aggregate(transform(c, x => x.cast("long") * x.cast("long")), lit(0L), _ + _)
     quantized.where($"vec_id" =!= queryId)
       .crossJoin(broadcast(q))
       .withColumn("dot_q", dot)
       .withColumn("n2", nrm2($"codes"))
-      .withColumn("qn2", nrm2($"qc"))
       .withColumn("cos_q",
         when($"n2" === 0L || $"qn2" === 0L, lit(0.0))
           .otherwise($"dot_q".cast("double")

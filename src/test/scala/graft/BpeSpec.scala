@@ -22,7 +22,8 @@ class BpeSpec extends SparkSpec {
 
   private def refTrain(corpus: Seq[String], numMerges: Int): Seq[(String, String)] = {
     var words: Vector[(List[String], Long)] = corpus
-      .flatMap(_.toLowerCase.split("\\s+")).filter(_.length >= 2)
+      .flatMap(_.toLowerCase(java.util.Locale.ROOT).split("\\s+"))
+      .filter(_.length >= 2)
       .groupBy(identity).view.mapValues(_.size.toLong).toVector
       .map { case (w, n) => (w.map(_.toString).toList, n) }
     val out = Seq.newBuilder[(String, String)]
@@ -77,7 +78,7 @@ class BpeSpec extends SparkSpec {
     for (r <- enc) {
       val toks = r.getSeq[String](2)
       toks.mkString shouldBe texts(r.getLong(0).toInt)
-        .toLowerCase.split("\\s+").mkString
+        .toLowerCase(java.util.Locale.ROOT).split("\\s+").mkString
       r.getLong(1) shouldBe toks.length.toLong
     }
     // zero merges degrade to the character split, an upper bound on length
