@@ -135,6 +135,20 @@ class PlanGuardSpec extends SparkSpec {
     p should not include "SortMergeJoin"
   }
 
+  test("d14_incremental_minhash: band equi-join only — no cartesian, no nested loop") {
+    val p = planOf("d14_incremental_minhash")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("r11_regrid: one hash aggregate with map-side partial combine, no join") {
+    val p = planOf("r11_regrid")
+    p should not include "Join"
+    // partial + final pair of the coarse-cell aggregate (plus the grid
+    // build's own): map-side combine collapses blocks before the exchange
+    p.linesIterator.count(_.trim.matches("""\(\d+\) HashAggregate""")) should be >= 2
+  }
+
   test("t05/t14: running sums ride pid-partitioned windows, never a global window") {
     // the distributed-prefix-sum claim mechanized: every window spec in
     // both plans is partitioned by the range-partition id — a regression
