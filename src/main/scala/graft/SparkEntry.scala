@@ -1060,8 +1060,54 @@ object SparkEntry {
     }),
     "x02_salted_distinct" -> ((s, d) =>
       Skew.saltedDistinctCount(t(s, d)("events"), "event_type", "user_id", 8)
-        .orderBy($"event_type"))
+        .orderBy($"event_type")),
+    // co-located join on pre-bucketed storage: both sides land bucketed by
+    // the join key, so the SortMergeJoin runs with ZERO exchanges on
+    // either input (the plan guard pins it) — SCALE.md's bucketing lever
+    // executed, not just documented
+    "x03_bucketed_join" -> ((s, d) => bucketedJoinGate(s, d)),
+    // ---- sequence packing / domain mixing / fluency buckets (training
+    //      dataloader plumbing) ----
+    "t23_pack_sequences" -> ((s, d) =>
+      Sampling.packSequences(t(s, d)("documents"), 256L)),
+    "t24_temperature_mix" -> ((s, d) =>
+      Sampling.temperatureMix(t(s, d)("documents"))),
+    "t25_ppl_buckets" -> ((s, d) =>
+      TextAnalysis.pplBuckets(t(s, d)("documents"))),
+    // quality-aware cluster dedup: keep the fullest member of each
+    // near-dup cluster, not the smallest id
+    "d15_keep_best" -> ((s, d) =>
+      Dedup.canonicalByQuality(t(s, d)("documents"))),
+    // multi-probe LSH (Hamming ≤ 1 bucket probe) + exact cosine re-rank
+    "s10_lsh_rerank" -> ((s, d) =>
+      Similarity.lshRerankTopK(t(s, d)("embeddings"), 0L, 4, 10))
   )
+
+  /** x03: both join sides written as BUCKETED tables on the join key
+    * (8 buckets, bucket-sorted), then joined and rolled up. With
+    * co-bucketed inputs the SortMergeJoin needs no exchange on either
+    * side — the layout investment every warehouse makes so its hot join
+    * never shuffles the fact table. Tables are external at a temp path
+    * (the catalog entry is per-session scratch, like t18's compaction
+    * dirs).
+    */
+  private def bucketedJoinGate(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_x03").toString
+    s.sql("DROP TABLE IF EXISTS x03_orders")
+    s.sql("DROP TABLE IF EXISTS x03_lineitem")
+    t(s, d)("orders").write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$tmp/orders").mode("overwrite").saveAsTable("x03_orders")
+    t(s, d)("lineitem").write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$tmp/lineitem").mode("overwrite").saveAsTable("x03_lineitem")
+    s.table("x03_orders")
+      .join(s.table("x03_lineitem"), $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+           sum($"l_quantity".cast("long")).as("sum_qty"),
+           sum($"l_extendedprice".cast("decimal(18,2)")).cast("double")
+             .as("total_price"))
+      .orderBy($"o_orderpriority")
+  }
 
   private val gridCte = operators.Raster.demoGridSql
   private val polyHash = functions.PolyHash
@@ -1114,17 +1160,65 @@ object SparkEntry {
     * transitive closure by recursive CTE (min reachable doc_id per doc) —
     * label-propagation's fixpoint, computed the SQL way.
     */
-  private def dedupClustersOracle: String =
-    s"""WITH RECURSIVE $minhashPairsCte,
+  /** CCNet-style hashed-bigram LM scoring CTE chain ending in relation
+    * `lm(doc_id, n_bigrams, lm_mass, lm_score)` — shared by t22 (the
+    * scores) and t25 (the rank-band bucketing over them) so the model
+    * definition cannot drift between the two gates.
+    */
+  private def lmScoreCte: String =
+    s"""toks AS (SELECT doc_id, string_split_regex(lower(text),'\\s+') AS t
+                 FROM documents),
+       g0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
+                i -> t[i]||' '||t[i+1])) AS gram FROM toks),
+       gb AS (SELECT doc_id,
+                (${polyHash.duckdbSql("split_part(gram, ' ', 1)")}) % 512 AS b_ctx,
+                (${polyHash.duckdbSql("gram")}) % 2048 AS b_pair FROM g0),
+       pf AS (SELECT b_ctx, b_pair, count(*) AS c_pair FROM gb GROUP BY 1, 2),
+       cf AS (SELECT b_ctx, CAST(sum(c_pair) AS BIGINT) AS c_ctx FROM pf GROUP BY 1),
+       m AS (SELECT gb.doc_id, count(*) AS n_bigrams,
+               CAST(sum((pf.c_pair * ${1L << 20}) // cf.c_ctx) AS BIGINT) AS lm_mass
+             FROM gb JOIN pf USING (b_ctx, b_pair) JOIN cf USING (b_ctx)
+             GROUP BY gb.doc_id),
+       lm AS (SELECT d.doc_id,
+                coalesce(m.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+                coalesce(m.lm_mass, CAST(0 AS BIGINT)) AS lm_mass,
+                CASE WHEN coalesce(m.n_bigrams, 0) = 0 THEN 0.0
+                     ELSE CAST(m.lm_mass AS DOUBLE)
+                          / (CAST(m.n_bigrams AS DOUBLE) * ${(1L << 20).toDouble})
+                END AS lm_score
+              FROM documents d LEFT JOIN m USING (doc_id))"""
+
+  /** Pairs → transitive closure, ending in relation `reach(doc, lbl)` —
+    * shared by d07 (min-id canonical) and d15 (quality-aware keeper) so
+    * the component definition cannot drift between them.
+    */
+  private def clusterReachCte: String =
+    s"""$minhashPairsCte,
        p AS (SELECT doc_a, doc_b FROM est WHERE est >= 0.5),
        e AS (SELECT doc_a, doc_b FROM p UNION SELECT doc_b, doc_a FROM p),
        reach(doc, lbl) AS (
          SELECT doc_id, doc_id FROM documents
          UNION
-         SELECT e.doc_a, r.lbl FROM reach r JOIN e ON e.doc_b = r.doc)
+         SELECT e.doc_a, r.lbl FROM reach r JOIN e ON e.doc_b = r.doc)"""
+
+  private def dedupClustersOracle: String =
+    s"""WITH RECURSIVE $clusterReachCte
        SELECT doc AS doc_id, min(lbl) AS cluster_id,
               (doc = min(lbl)) AS is_canonical
        FROM reach GROUP BY doc ORDER BY doc_id"""
+
+  /** d15: same components, keeper = most tokens (doc_id tiebreak). */
+  private def keepBestOracle: String =
+    s"""WITH RECURSIVE $clusterReachCte,
+       cl AS (SELECT doc AS doc_id, min(lbl) AS cluster_id
+              FROM reach GROUP BY doc),
+       q AS (SELECT doc_id,
+                    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+             FROM documents)
+       SELECT doc_id, cluster_id, n_tokens,
+              (row_number() OVER (PARTITION BY cluster_id
+                 ORDER BY n_tokens DESC, doc_id) = 1) AS keep
+       FROM cl JOIN q USING (doc_id) ORDER BY doc_id"""
 
   /** DuckDB recomputation of Dedup.simhash (60-bit, two poly hashes). */
   private def simhashOracle: String = {
@@ -2388,27 +2482,21 @@ object SparkEntry {
     // terms are long floor divisions (DuckDB `//` == Spark DIV on
     // non-negative longs), final score one IEEE division of exact values
     "t22_lm_score" ->
-      s"""WITH toks AS (SELECT doc_id, string_split_regex(lower(text),'\\s+') AS t
-                 FROM documents),
-         g0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
-                  i -> t[i]||' '||t[i+1])) AS gram FROM toks),
-         gb AS (SELECT doc_id,
-                  (${polyHash.duckdbSql("split_part(gram, ' ', 1)")}) % 512 AS b_ctx,
-                  (${polyHash.duckdbSql("gram")}) % 2048 AS b_pair FROM g0),
-         pf AS (SELECT b_ctx, b_pair, count(*) AS c_pair FROM gb GROUP BY 1, 2),
-         cf AS (SELECT b_ctx, CAST(sum(c_pair) AS BIGINT) AS c_ctx FROM pf GROUP BY 1),
-         m AS (SELECT gb.doc_id, count(*) AS n_bigrams,
-                 CAST(sum((pf.c_pair * ${1L << 20}) // cf.c_ctx) AS BIGINT) AS lm_mass
-               FROM gb JOIN pf USING (b_ctx, b_pair) JOIN cf USING (b_ctx)
-               GROUP BY gb.doc_id)
-         SELECT d.doc_id,
-                coalesce(m.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
-                coalesce(m.lm_mass, CAST(0 AS BIGINT)) AS lm_mass,
-                CASE WHEN coalesce(m.n_bigrams, 0) = 0 THEN 0.0
-                     ELSE CAST(m.lm_mass AS DOUBLE)
-                          / (CAST(m.n_bigrams AS DOUBLE) * ${(1L << 20).toDouble})
-                END AS lm_score
-         FROM documents d LEFT JOIN m USING (doc_id) ORDER BY doc_id""",
+      s"""WITH $lmScoreCte
+         SELECT doc_id, n_bigrams, lm_mass, lm_score
+         FROM lm ORDER BY doc_id""",
+    // t25: rank band over the SAME lm relation as t22 (one CTE, two
+    // gates) — bucket of 0-based rank r in n docs is (3·r) DIV n + 1,
+    // pure long arithmetic shared verbatim with the engine
+    "t25_ppl_buckets" ->
+      s"""WITH $lmScoreCte,
+         r AS (SELECT doc_id, lm_score,
+                 CAST(row_number() OVER (ORDER BY lm_score DESC, doc_id) - 1
+                   AS BIGINT) AS rank_before,
+                 CAST(count(*) OVER () AS BIGINT) AS n
+               FROM lm)
+         SELECT doc_id, lm_score, (3 * rank_before) // n + 1 AS ppl_bucket
+         FROM r ORDER BY doc_id""",
     // one oracle string, two gates (the q33/q35 pattern): w10's sequential
     // per-batch merges must equal t17's one-shot latest-wins merge
     "t17_upsert" -> upsertOracle,
@@ -2453,6 +2541,76 @@ object SparkEntry {
     "x02_salted_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_distinct
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // the oracle's plain join must equal the bucketed-layout join —
+    // layout is invisible to results, only to the plan (the guard's job)
+    "x03_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS total_price
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // single ordered window recomputes the engine's distributed prefix
+    // sum (the t05 cross-check pattern), then the same long arithmetic
+    // for chunk spans and per-chunk token overlap
+    "t23_pack_sequences" ->
+      """WITH toks AS (SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+              FROM documents),
+         nz AS (SELECT * FROM toks WHERE n_tokens > 0),
+         c AS (SELECT doc_id, n_tokens,
+                 CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum_before
+               FROM nz),
+         sp AS (SELECT doc_id, n_tokens, cum_before,
+                  cum_before // 256 AS first_chunk,
+                  (cum_before + n_tokens - 1) // 256 AS last_chunk
+                FROM c),
+         e AS (SELECT doc_id, n_tokens, cum_before, first_chunk,
+                 unnest(generate_series(first_chunk, last_chunk)) AS chunk_id
+               FROM sp)
+         SELECT chunk_id, count(*) AS n_docs,
+                CAST(sum(CASE WHEN first_chunk = chunk_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_starts,
+                CAST(sum(least((chunk_id + 1) * 256, cum_before + n_tokens)
+                       - greatest(chunk_id * 256, cum_before)) AS BIGINT)
+                  AS tokens
+         FROM e GROUP BY chunk_id ORDER BY chunk_id""",
+    // α=1/2 temperature: every value is sqrt (correctly-rounded IEEE in
+    // both engines) or one division of two such roots — no normalizing
+    // float sum anywhere
+    "t24_temperature_mix" ->
+      """WITH dom AS (SELECT source, count(*) AS n_docs,
+                CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+                  AS tokens
+              FROM documents GROUP BY source)
+         SELECT source, n_docs, tokens,
+                sqrt(CAST(tokens AS DOUBLE)) AS sqrt_tokens,
+                sqrt(CAST(tokens AS DOUBLE))
+                  / max(sqrt(CAST(tokens AS DOUBLE))) OVER () AS rel_weight,
+                max(sqrt(CAST(tokens AS DOUBLE))) OVER ()
+                  / sqrt(CAST(tokens AS DOUBLE)) AS upsample
+         FROM dom ORDER BY source""",
+    "d15_keep_best" -> keepBestOracle,
+    // multi-probe candidate set = Hamming ≤ 1 on the same plan-time
+    // hyperplane buckets as s03/s05, then exact cosine re-rank
+    "s10_lsh_rerank" ->
+      s"""WITH b AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings),
+         bb AS (SELECT vec_id, label, v, ${bucketSql(4)} AS bucket,
+                  sqrt(list_dot_product(v, v)) AS nrm FROM b),
+         q AS (SELECT v AS qv, bucket AS q_bucket, nrm AS q_nrm
+               FROM bb WHERE vec_id = 0),
+         cand AS (SELECT vec_id, label,
+                    CAST(bit_count(xor(bucket, q_bucket)) AS INTEGER)
+                      AS hamming,
+                    list_dot_product(v, qv) / (nrm * q_nrm) AS c
+                  FROM bb, q
+                  WHERE vec_id <> 0
+                    AND bit_count(xor(bucket, q_bucket)) <= 1)
+         SELECT vec_id, label, hamming, round(c, 4) AS cos_sim
+         FROM cand ORDER BY c DESC, vec_id LIMIT 10""",
     // the oracle computes the prefix sum with a single ordered window —
     // partitioning-independent, so it cross-checks the engine's
     // distributed two-pass scan exactly

@@ -602,6 +602,41 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Near-dup clusters with a QUALITY-AWARE keeper (d15): the production
+    * dedup policy is rarely "keep the smallest id" — it's "keep the best
+    * member of each near-dup cluster" (longest, highest quality score,
+    * freshest crawl). This takes [[dedupClusters]]'s components and elects
+    * the member with the most whitespace tokens (doc_id tiebreak) as the
+    * keeper — "prefer the fullest copy", the policy CC-pipeline dedup
+    * stages actually apply when a page is crawled both truncated and
+    * complete. Every doc is emitted with its cluster, its token count, and
+    * its `keep` verdict (singletons keep themselves); the deduped corpus
+    * is `WHERE keep`.
+    *
+    * Scale shape: the cluster pass is [[dedupClusters]] (banded candidate
+    * join + O(diameter) label-propagation rounds); the election adds one
+    * doc_id equi-join against a (doc_id, n_tokens) projection and a
+    * row_number window PARTITIONED by cluster_id — near-dup clusters are
+    * tiny cliques, so the window never sees a giant partition (a
+    * degenerate all-dups corpus would first blow up candidate generation,
+    * which the banding already bounds).
+    */
+  def canonicalByQuality(documents: DataFrame, shingleN: Int = 3,
+                         bands: Int = 8, rows: Int = 4,
+                         threshold: Double = 0.5): DataFrame = {
+    val clusters = dedupClusters(documents, shingleN, bands, rows, threshold)
+      .select($"doc_id", $"cluster_id")
+    val quality = documents
+      .select($"doc_id", TextAnalysis.wsTokenCount.as("n_tokens"))
+    val w = Window.partitionBy($"cluster_id")
+      .orderBy($"n_tokens".desc, $"doc_id".asc)
+    clusters
+      .join(quality, Seq("doc_id"))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select($"doc_id", $"cluster_id", $"n_tokens", $"keep")
+      .orderBy($"doc_id")
+  }
+
   /** SimHash bucket dedup: docs sharing an identical 64-bit signature. */
   def simhashDuplicates(documents: DataFrame): DataFrame =
     simhash(documents)

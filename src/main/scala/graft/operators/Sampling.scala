@@ -173,7 +173,85 @@ object Sampling {
       .orderBy($"source", $"doc_rank")
   }
 
-  private def resolveParts(df: DataFrame, partitions: Int): Int =
+  /** GPT-style sequence packing MANIFEST (concat-and-chunk): the corpus is
+    * conceptually concatenated in doc_id order and cut into fixed
+    * `seqLen`-token training sequences; a document whose token span crosses
+    * a cut lands in BOTH chunks (the straddle every causal-LM data loader
+    * has to handle). Unlike [[tokenShards]] (doc-atomic shard assignment),
+    * this emits the per-CHUNK manifest: how many docs touch the chunk, how
+    * many start in it, and the exact token count each chunk receives —
+    * `tokens` is `seqLen` everywhere except the final partial chunk, which
+    * the spec pins.
+    *
+    * Scale shape: the global token offsets come from the [[tokenShards]]
+    * distributed prefix sum (range partition + per-partition totals as
+    * driver metadata + within-partition window — no single-task global
+    * window). Each doc then explodes into only the chunks it touches
+    * (`len/seqLen + 1` rows worst case, ~1 for real corpora where
+    * seqLen ≫ doc length), and the per-chunk rollup is a hash aggregate
+    * with map-side partial combine on a dense high-cardinality key. All
+    * values are longs — integer-exact in any aggregation order.
+    */
+  def packSequences(documents: DataFrame, seqLen: Long,
+                    partitions: Int = 0): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    // empty docs contribute no tokens and belong to no chunk — dropped
+    // explicitly so the straddle formula (cum+n-1) stays well-defined
+    val toks = documents
+      .select($"doc_id", TextAnalysis.wsTokenCount.as("n_tokens"))
+      .where($"n_tokens" > 0L)
+    withPrefixSum(toks, Seq($"doc_id"), "n_tokens", "cum_before",
+        resolveParts(documents, partitions))
+      .select($"doc_id", $"n_tokens", $"cum_before",
+        expr(s"cum_before DIV ${seqLen}L").as("first_chunk"),
+        expr(s"(cum_before + n_tokens - 1) DIV ${seqLen}L").as("last_chunk"))
+      .select($"doc_id", $"n_tokens", $"cum_before", $"first_chunk",
+        explode(sequence($"first_chunk", $"last_chunk")).as("chunk_id"))
+      // token overlap of [cum_before, cum_before+n) with chunk window
+      // [chunk·L, (chunk+1)·L) — exact long arithmetic
+      .withColumn("tok_in_chunk",
+        least(($"chunk_id" + lit(1L)) * lit(seqLen), $"cum_before" + $"n_tokens")
+          - greatest($"chunk_id" * lit(seqLen), $"cum_before"))
+      .groupBy($"chunk_id")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when($"first_chunk" === $"chunk_id", 1L).otherwise(0L))
+             .cast("long").as("n_starts"),
+           sum($"tok_in_chunk").cast("long").as("tokens"))
+      .orderBy($"chunk_id")
+  }
+
+  /** Temperature-based domain mixing weights (the multilingual/multi-domain
+    * sampling rule of mBERT/XLM-R and every data-mixture paper since):
+    * sample domain i proportional to p_i^α. α is FIXED at 1/2 so the
+    * exponent is `sqrt` — correctly rounded IEEE in every engine, unlike
+    * `pow(x, 0.3)`/`ln` whose last-bit behavior is libm-specific and would
+    * break cross-engine value checks. Weights are reported RELATIVE to the
+    * largest domain (`rel_weight` = √nᵢ/√n_max, `upsample` = its inverse —
+    * the per-domain epoch multiplier at a fixed token budget): every value
+    * is one IEEE division of two exact square roots, with no
+    * summation-order-dependent normalizing constant. The probability-
+    * normalized form is a driver-side divide at serving time.
+    *
+    * Scale shape: one corpus pass collapsing map-side to a domains-sized
+    * table (map-side partial combine on `source`), then a window over that
+    * metadata-sized aggregate — the window's single partition holds one
+    * row per DOMAIN, not per document.
+    */
+  def temperatureMix(documents: DataFrame): DataFrame = {
+    val dom = documents
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(TextAnalysis.wsTokenCount).cast("long").as("tokens"))
+    val maxSqrt = max(sqrt($"tokens".cast("double")))
+      .over(Window.partitionBy())
+    dom
+      .withColumn("sqrt_tokens", sqrt($"tokens".cast("double")))
+      .withColumn("rel_weight", $"sqrt_tokens" / maxSqrt)
+      .withColumn("upsample", maxSqrt / $"sqrt_tokens")
+      .orderBy($"source")
+  }
+
+  private[operators] def resolveParts(df: DataFrame, partitions: Int): Int =
     if (partitions > 0) partitions
     else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
 
@@ -188,7 +266,7 @@ object Sampling {
     * range boundaries (they come from sampling); reliable checkpoint
     * when `spark.graft.checkpointDir` is set.
     */
-  private def withPrefixSum(df: DataFrame, order: Seq[org.apache.spark.sql.Column],
+  private[operators] def withPrefixSum(df: DataFrame, order: Seq[org.apache.spark.sql.Column],
                             valueCol: String, outName: String,
                             nParts: Int): DataFrame = {
     val ranged = df

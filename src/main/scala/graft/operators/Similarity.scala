@@ -115,6 +115,44 @@ object Similarity {
       .select($"vec_id", $"label", $"bucket", round($"cos_sim", 4).as("cos_sim"))
   }
 
+  /** Multi-probe LSH retrieval with exact re-rank (s10) — the two-stage
+    * shape production vector search actually runs: a cheap recall stage
+    * (the query's hyperplane bucket PLUS every bucket at Hamming distance
+    * ≤ `maxHamming`, the multi-probe trick that recovers the recall a
+    * single bucket loses) followed by exact cosine over the candidate
+    * sliver only. Compared to [[ivfTopK]]'s single-bucket probe this
+    * trades a (nbits+1)× candidate set for near-exact recall on
+    * boundary-straddling neighbours.
+    *
+    * Scale shape: the query side is ONE broadcast row; the Hamming
+    * predicate `bit_count(bucket ⊕ q) ≤ h` evaluates inside the scan
+    * against that broadcast (a 1-row nested-loop is a filter, not a
+    * join explosion), norms are hoisted per row, and the top-k is a
+    * TakeOrdered — no shuffle join anywhere. On a bucket-partitioned
+    * store the same probe set becomes `bucket IN (probe list)` partition
+    * pruning: nbits+1 of 2^nbits partitions read, the rest untouched.
+    */
+  def lshRerankTopK(embeddings: DataFrame, queryId: Long, nbits: Int, k: Int,
+                    maxHamming: Int = 1): DataFrame = {
+    val bucketed = embeddings
+      .withColumn("bucket", Vectors.hyperplaneBucket($"embedding", nbits))
+      .withColumn("nrm", Vectors.norm($"embedding"))
+    val q = bucketed.where($"vec_id" === queryId)
+      .select($"embedding".as("q_emb"), $"bucket".as("q_bucket"),
+              $"nrm".as("q_nrm"))
+    bucketed.where($"vec_id" =!= queryId)
+      .join(broadcast(q),
+        bit_count($"bucket".bitwiseXOR($"q_bucket")) <= maxHamming)
+      .withColumn("hamming",
+        bit_count($"bucket".bitwiseXOR($"q_bucket")).cast("int"))
+      .withColumn("cos_sim", Vectors.cosineWithNorms(
+        $"embedding", $"q_emb", $"nrm", $"q_nrm"))
+      .orderBy($"cos_sim".desc, $"vec_id")
+      .limit(k)
+      .select($"vec_id", $"label", $"hamming",
+              round($"cos_sim", 4).as("cos_sim"))
+  }
+
   /** IVF with a *trained* codebook: MLlib KMeans learns `nlist` centroids
     * (fixed seed → deterministic), every vector is assigned to its nearest
     * list, and a query probes only the `nprobe` nearest lists, brute-forcing

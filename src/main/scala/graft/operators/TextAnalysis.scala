@@ -405,4 +405,39 @@ object TextAnalysis {
           .as("lm_score"))
       .orderBy($"doc_id")
   }
+
+  /** CCNet-style fluency bucketing: rank the corpus by [[lmScores]] LM
+    * score (most fluent first, doc_id tiebreak) and cut it into `buckets`
+    * equal rank bands — bucket 1 is the "head" CCNet keeps outright,
+    * the last is the "tail" it drops or down-samples. The bucket of rank
+    * r (0-based) in a corpus of n is `(buckets·r) DIV n + 1`: pure long
+    * arithmetic from the rank, so the engine and any SQL reimplementation
+    * agree bit-for-bit (no ntile dialect edge cases, no float quantiles).
+    * Ordering compares lm_score doubles, which are themselves
+    * cross-engine-exact (integer-mass DIV + one IEEE division — the t22
+    * gate value-checks them).
+    *
+    * Scale shape: ranks come from the [[Sampling.withPrefixSum]]
+    * distributed scan over the (score desc, doc_id) range partitioning —
+    * counting ones is a distributed row_number with no single-task global
+    * window; `n` is one metadata-cheap count.
+    */
+  def pplBuckets(documents: DataFrame, buckets: Int = 3,
+                 partitions: Int = 0): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    // barrier: the count below and the rank pass both read the
+    // materialized scores, not two recomputations of the LM scoring plan
+    val scores = graft.Session.barrier(lmScores(documents)
+      .select($"doc_id", $"lm_score", lit(1L).as("one")))
+    val n = scores.count()
+    require(n > 0, "pplBuckets on an empty corpus")
+    val ranked = Sampling.withPrefixSum(
+      scores, Seq($"lm_score".desc, $"doc_id".asc), "one", "rank_before",
+      Sampling.resolveParts(documents, partitions))
+    ranked
+      .select($"doc_id", $"lm_score",
+        (expr(s"(${buckets}L * rank_before) DIV ${n}L") + lit(1L))
+          .as("ppl_bucket"))
+      .orderBy($"doc_id")
+  }
 }
