@@ -312,4 +312,36 @@ class DedupSpec extends SparkSpec {
     Dedup.incrementalDedupBloom(history, batch, expectedItems = 10L, fpp = 0.5)
       .collect() shouldBe exact
   }
+
+  test("canonicalByQuality: the fullest cluster member is the keeper, not the min id") {
+    // same chain fixture as dedupClusters: component {3,5,7}, but 5 has
+    // one more token than the exact dups 3 and 7 — quality election must
+    // pick 5 where min-id canonicalization picks 3
+    val text = "the quick brown fox jumps over the lazy dog again and again and once more"
+    val d = docs(
+      (7L, "w", text),
+      (3L, "w", text),
+      (5L, "w", text + " tail"),
+      (9L, "w", "completely different words nowhere near the first document at all"))
+    val out = Dedup.canonicalByQuality(d, threshold = 0.3).collect()
+    out.length shouldBe 4
+    val byId = out.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("cluster_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Boolean]("keep"))).toMap
+    byId(5L) shouldBe ((3L, 16L, true))   // most tokens wins
+    byId(3L) shouldBe ((3L, 15L, false))
+    byId(7L) shouldBe ((3L, 15L, false))
+    byId(9L) shouldBe ((9L, 10L, true))   // singleton keeps itself
+  }
+
+  test("canonicalByQuality elects exactly one keeper per cluster on the fixture corpus") {
+    val out = Dedup.canonicalByQuality(table("documents")).collect()
+    val byCluster = out.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (_, rows) =>
+      rows.count(_.getAs[Boolean]("keep")) shouldBe 1
+      // the keeper is a max-token member (doc_id breaks exact ties)
+      val keeper = rows.find(_.getAs[Boolean]("keep")).get
+      keeper.getAs[Long]("n_tokens") shouldBe rows.map(_.getAs[Long]("n_tokens")).max
+    }
+  }
 }

@@ -198,4 +198,54 @@ class PlanGuardSpec extends SparkSpec {
     hashExchanges(p) should be <= 1
     p.linesIterator.count(_.contains("ExistingRDD")) should be >= 1
   }
+
+  test("t23/t25: packing and bucketing prefix sums ride pid-partitioned windows") {
+    // same property as t05/t14 — no single task ever swallows the corpus
+    Seq("t23_pack_sequences", "t25_ppl_buckets").foreach { q =>
+      val p = planOf(q)
+      val winArgs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+      winArgs should not be empty
+      all(winArgs) should include("windowspecdefinition(pid#")
+    }
+  }
+
+  test("t24_temperature_mix: one corpus pass; windows only over the domain aggregate") {
+    val p = planOf("t24_temperature_mix")
+    // a single documents scan feeds the per-domain rollup
+    p.linesIterator.count(_.contains("documents.parquet")) shouldBe 1
+    // exactly one hash exchange (the groupBy source) — the unpartitioned
+    // max window is fine because its input is the domains-sized aggregate,
+    // which sits BELOW it in the plan
+    hashExchanges(p) shouldBe 1
+    p should include("HashAggregate")
+  }
+
+  test("s10_lsh_rerank: 1-row broadcast probe + TakeOrdered — no shuffle anywhere") {
+    val p = planOf("s10_lsh_rerank")
+    // the Hamming predicate joins against a broadcast single row: a
+    // nested-loop there is a filter, not an explosion (unlike q25/q26
+    // where BNLJ would be a real blowup)
+    p should include("BroadcastNestedLoopJoin")
+    p should include("TakeOrderedAndProject")
+    hashExchanges(p) shouldBe 0
+    // the query row never re-enters the corpus side: its exclusion is
+    // pushed into the parquet scan
+    p should include("Not(EqualTo(vec_id,0))")
+  }
+
+  test("x03_bucketed_join: co-bucketed layout joins with zero input exchanges") {
+    // with broadcast off, the SortMergeJoin must consume both bucketed
+    // tables directly — the only hash exchange left is the rollup on
+    // o_orderpriority (not a bucket key). A regression that drops the
+    // bucket spec re-shuffles 2 more times and fails here.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = planOf("x03_bucketed_join")
+      p should include("SortMergeJoin")
+      p.linesIterator.count(_.contains("Bucketed: true")) shouldBe 2
+      p should include("SelectedBucketsCount: 8 out of 8")
+      hashExchanges(p) shouldBe 1
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

@@ -151,4 +151,72 @@ class SamplingSpec extends SparkSpec {
     Sampling.trainValTestSplit(d.repartition(5), 0.4, 0.3).collect()
       .map(r => r.getLong(0) -> r.getString(3)).toMap shouldBe out
   }
+
+  test("packSequences: chunk manifest with straddles, empty docs dropped") {
+    // seqLen 4; doc token spans: 1→[0,3), 2→[3,5) STRADDLES the 4-cut,
+    // 3 is empty (no chunk), 4→[5,10) straddles the 8-cut and ends the
+    // final partial chunk
+    val d = Seq(
+      (1L, "w", "a b c"),
+      (2L, "w", "d e"),
+      (3L, "w", ""),
+      (4L, "w", "f g h i j"))
+      .toDF("doc_id", "source", "text")
+    val out = Sampling.packSequences(d, seqLen = 4L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    out shouldBe Array(
+      (0L, 2L, 2L, 4L),  // docs 1+2 touch, both start here, full 4 tokens
+      (1L, 2L, 1L, 4L),  // doc 2's tail + doc 4's head, only 4 starts
+      (2L, 1L, 0L, 2L))  // doc 4's tail: partial final chunk
+  }
+
+  test("packSequences conserves tokens and fills every non-final chunk exactly") {
+    import org.apache.spark.sql.functions._
+    val docs = table("documents")
+    val out = Sampling.packSequences(docs, 256L).collect()
+    val total = out.map(_.getLong(3)).sum
+    val want = docs.select(
+      sum(org.apache.spark.sql.functions.size(
+        regexp_extract_all($"text", lit("\\S+"), lit(0))).cast("long")))
+      .head.getLong(0)
+    total shouldBe want
+    // every chunk but the last holds exactly seqLen tokens
+    out.dropRight(1).foreach(_.getLong(3) shouldBe 256L)
+    out.last.getLong(3) should be <= 256L
+    // chunk ids are dense from 0
+    out.map(_.getLong(0)).toSeq shouldBe (0L until out.length.toLong)
+  }
+
+  test("packSequences manifest is partition-count independent") {
+    val docs = table("documents")
+    val a = Sampling.packSequences(docs, 256L, partitions = 2).collect().map(_.toSeq).toSeq
+    val b = Sampling.packSequences(docs, 256L, partitions = 16).collect().map(_.toSeq).toSeq
+    a shouldBe b
+  }
+
+  test("temperatureMix: α=1/2 weights are exact on perfect-square token masses") {
+    val d = Seq(
+      (1L, "big", Seq.fill(8)("t").mkString(" ")),
+      (2L, "big", Seq.fill(8)("t").mkString(" ")),   // 16 tokens → √16 = 4
+      (3L, "small", "a b c d"))                      //  4 tokens → √4  = 2
+      .toDF("doc_id", "source", "text")
+    val out = Sampling.temperatureMix(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getAs[Double]("rel_weight"), r.getAs[Double]("upsample"))).toMap
+    out("big") shouldBe ((2L, 16L, 1.0, 1.0))
+    out("small") shouldBe ((1L, 4L, 0.5, 2.0))
+  }
+
+  test("temperatureMix on the fixture: weights in (0,1], largest domain is the anchor") {
+    val out = Sampling.temperatureMix(table("documents")).collect()
+    val rel = out.map(r => r.getLong(2) -> r.getAs[Double]("rel_weight"))
+    all(rel.map(_._2)) should (be > 0.0 and be <= 1.0)
+    // exactly the max-token domain(s) sit at rel_weight 1
+    val maxTok = rel.map(_._1).max
+    rel.filter(_._2 == 1.0).map(_._1) should contain(maxTok)
+    // upsample is the exact inverse
+    out.foreach { r =>
+      r.getAs[Double]("upsample") * r.getAs[Double]("rel_weight") shouldBe 1.0 +- 1e-12
+    }
+  }
 }

@@ -233,4 +233,28 @@ class SimilaritySpec extends SparkSpec {
       .drop("nbits").collect().map(_.toSeq).toSeq
     adaptive shouldBe fixed
   }
+
+  test("lshRerankTopK at maxHamming=nbits probes every bucket and equals exact top-k") {
+    val embeddings = table("embeddings")
+    val exact = Similarity.cosineTopK(embeddings, 0L, 10)
+      .select($"vec_id").as[Long].collect().toSeq
+    val all = Similarity.lshRerankTopK(embeddings, 0L, nbits = 4, k = 10,
+      maxHamming = 4).select($"vec_id").as[Long].collect().toSeq
+    all shouldBe exact
+  }
+
+  test("lshRerankTopK default probe: candidates within Hamming 1, ranked by cosine") {
+    val embeddings = table("embeddings")
+    val out = Similarity.lshRerankTopK(embeddings, 0L, nbits = 4, k = 10).collect()
+    out.length shouldBe 10
+    all(out.map(_.getAs[Int]("hamming"))) should be <= 1
+    val sims = out.map(_.getAs[Double]("cos_sim")).toSeq
+    sims shouldBe sims.sorted.reverse
+    // the probe widens single-bucket IVF: its candidates are a superset
+    val ivf = Similarity.ivfTopK(embeddings, 0L, 4, 10)
+      .select($"vec_id").as[Long].collect().toSet
+    val probe = Similarity.lshRerankTopK(embeddings, 0L, nbits = 4, k = 500)
+      .select($"vec_id").as[Long].collect().toSet
+    ivf.subsetOf(probe) shouldBe true
+  }
 }

@@ -172,4 +172,27 @@ class TextAnalysisSpec extends SparkSpec {
     val b = TextAnalysis.lmScores(d.repartition(7)).collect().map(_.toSeq).toSeq
     a shouldBe b
   }
+
+  test("pplBuckets: balanced rank bands, fluent head in bucket 1") {
+    val fixture = table("documents")
+    val out = TextAnalysis.pplBuckets(fixture, buckets = 3).collect()
+    out.length.toLong shouldBe fixture.count()
+    // (3·r) DIV n + 1 bands differ in size by at most one
+    val sizes = out.groupBy(_.getLong(2)).map { case (b, rs) => b -> rs.length }
+    sizes.keySet shouldBe Set(1L, 2L, 3L)
+    (sizes.values.max - sizes.values.min) should be <= 1
+    // bucket is monotone along the (score desc, doc_id) rank order
+    val ranked = out.sortBy(r => (-r.getDouble(1), r.getLong(0)))
+    ranked.map(_.getLong(2)).toSeq shouldBe ranked.map(_.getLong(2)).toSeq.sorted
+    // the head band's worst score is no worse than the tail band's best
+    val byBucket = ranked.groupBy(_.getLong(2))
+    byBucket(1L).map(_.getDouble(1)).min should be >= byBucket(3L).map(_.getDouble(1)).max
+  }
+
+  test("pplBuckets is partition-count independent") {
+    val fixture = table("documents")
+    val a = TextAnalysis.pplBuckets(fixture, 3, partitions = 2).collect().map(_.toSeq).toSeq
+    val b = TextAnalysis.pplBuckets(fixture, 3, partitions = 16).collect().map(_.toSeq).toSeq
+    a shouldBe b
+  }
 }
