@@ -598,6 +598,26 @@ object SparkEntry {
       .transform(graft.Session.barrier)
   }
 
+  /** t26: ORC round-trip — the corpus lands as zstd ORC partitioned by
+    * lang (Spark's other built-in columnar format; the one interchange
+    * format t16/t21/parquet leave uncovered), then reads back through
+    * partition discovery. Identity oracle: the layout — compression,
+    * partition directories, column reorder — must be invisible to
+    * results. OrcSpec pins what IS visible only to the plan: predicate
+    * pushdown into the ORC scan and lang-directory partition pruning.
+    */
+  private def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_t26").toString
+    val docs = t(s, d)("documents")
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+    docs.write.mode("overwrite").option("compression", "zstd")
+      .partitionBy("lang").orc(s"$tmp/corpus")
+    s.read.orc(s"$tmp/corpus")
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+      .orderBy($"doc_id")
+      .transform(graft.Session.barrier)
+  }
+
   /** t19's input: the corpus with one email, one IPv4, and one ≥7-digit
     * run appended per document, all derived from doc_id so the oracle
     * rebuilds the identical text.
@@ -1080,7 +1100,16 @@ object SparkEntry {
       Dedup.canonicalByQuality(t(s, d)("documents"))),
     // multi-probe LSH (Hamming ≤ 1 bucket probe) + exact cosine re-rank
     "s10_lsh_rerank" -> ((s, d) =>
-      Similarity.lshRerankTopK(t(s, d)("embeddings"), 0L, 4, 10))
+      Similarity.lshRerankTopK(t(s, d)("embeddings"), 0L, 4, 10)),
+    // ordered-step conversion funnel: one shuffle, chained windows,
+    // never a k-way self-join
+    "q37_funnel" -> ((s, d) =>
+      EventWindows.funnel(t(s, d)("events"), Seq("view", "click", "purchase"))),
+    // cohort retention triangle: first-seen day × active day offset
+    "q38_retention" -> ((s, d) =>
+      EventWindows.retentionMatrix(t(s, d)("events"))),
+    // ORC interchange round-trip (zstd, partitioned by lang)
+    "t26_orc_roundtrip" -> ((s, d) => orcRoundtrip(s, d))
   )
 
   /** x03: both join sides written as BUCKETED tables on the join key
@@ -2477,6 +2506,7 @@ object SparkEntry {
     // rewrite, CSV ingest must each reproduce the corpus byte-exactly
     "t16_jsonl_roundtrip" -> corpusIdentityOracle,
     "t21_csv_roundtrip" -> corpusIdentityOracle,
+    "t26_orc_roundtrip" -> corpusIdentityOracle,
     // hashed-bigram conditional LM: pair counts group by (ctx, pair)
     // bucket, context totals roll up from the pair table, per-occurrence
     // terms are long floor divisions (DuckDB `//` == Spark DIV on
@@ -2611,6 +2641,42 @@ object SparkEntry {
                     AND bit_count(xor(bucket, q_bucket)) <= 1)
          SELECT vec_id, label, hamming, round(c, 4) AS cos_sim
          FROM cand ORDER BY c DESC, vec_id LIMIT 10""",
+    // sequential step gating via chained min-aggregates: step i+1's
+    // candidates are events strictly after step i's first hit — the
+    // cascade makes depth a pure CASE over null-ness
+    "q37_funnel" ->
+      s"""WITH $evCte,
+         u AS (SELECT DISTINCT user_id FROM ev),
+         s1 AS (SELECT user_id, min(ts) AS step1_ts FROM ev
+                WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.ts) AS step2_ts FROM ev e
+                JOIN s1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts > s1.step1_ts GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(e.ts) AS step3_ts FROM ev e
+                JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > s2.step2_ts GROUP BY 1)
+         SELECT u.user_id, s1.step1_ts, s2.step2_ts, s3.step3_ts,
+                CAST(CASE WHEN s1.step1_ts IS NULL THEN 0
+                          WHEN s2.step2_ts IS NULL THEN 1
+                          WHEN s3.step3_ts IS NULL THEN 2
+                          ELSE 3 END AS BIGINT) AS depth
+         FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+                LEFT JOIN s3 USING (user_id)
+         ORDER BY user_id""",
+    // integer day arithmetic only: cohort = first-seen day, offset =
+    // whole-day difference, count = exact distinct users
+    "q38_retention" ->
+      s"""WITH $evCte,
+         f AS (SELECT user_id, CAST(date_trunc('day', min(ts)) AS TIMESTAMP)
+                 AS cohort_day FROM ev GROUP BY 1),
+         a AS (SELECT DISTINCT f.cohort_day,
+                 CAST(date_diff('day', CAST(f.cohort_day AS DATE),
+                      CAST(date_trunc('day', e.ts) AS DATE)) AS BIGINT)
+                   AS day_offset,
+                 e.user_id
+               FROM ev e JOIN f USING (user_id))
+         SELECT cohort_day, day_offset, CAST(count(*) AS BIGINT) AS n_active
+         FROM a GROUP BY 1, 2 ORDER BY 1, 2""",
     // the oracle computes the prefix sum with a single ordered window —
     // partitioning-independent, so it cross-checks the engine's
     // distributed two-pass scan exactly

@@ -71,4 +71,72 @@ object EventWindows {
          unix_micros($"session_start".cast("timestamp"))) / lit(1000000.0))
       .orderBy($"user_id", $"session_id")
   }
+
+  /** Ordered-step funnel (q37): per user, the first time each step was
+    * reached STRICTLY AFTER the previous step — the product-analytics
+    * conversion query (view → click → purchase). Step i+1's candidate
+    * events are gated on `ts > step_i_ts`; a null previous step
+    * null-propagates through the comparison, so unreached steps cascade
+    * to null and `depth` (number of reached steps) falls out as a sum of
+    * null checks.
+    *
+    * Scale shape: ONE shuffle on user_id, then k chained unbounded
+    * window aggregates and a same-key groupBy — the sequential
+    * dependency between steps rides the already-partitioned data, never
+    * a self-join (the naive k-way self-join shape shuffles the event
+    * table k times). The per-user collapse is exchange-free because the
+    * grouping key equals the window partition key.
+    */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val byUser = Window.partitionBy($"user_id")
+    val withSteps = steps.zipWithIndex
+      .foldLeft(events.select($"user_id", $"event_type", $"ts")) {
+        case (df, (step, i)) =>
+          val hit =
+            if (i == 0) $"event_type" === step
+            else $"event_type" === step && $"ts" > col(s"step${i}_ts")
+          df.withColumn(s"step${i + 1}_ts", min(when(hit, $"ts")).over(byUser))
+      }
+    val stepCols = steps.indices.map(i => col(s"step${i + 1}_ts"))
+    withSteps
+      .groupBy($"user_id")
+      .agg(min(stepCols.head).as("step1_ts"),
+           stepCols.tail.zipWithIndex.map { case (c, i) =>
+             min(c).as(s"step${i + 2}_ts") }: _*)
+      .withColumn("depth",
+        steps.indices.map(i =>
+          when(col(s"step${i + 1}_ts").isNotNull, 1L).otherwise(0L))
+          .reduce(_ + _))
+      .orderBy($"user_id")
+  }
+
+  /** Cohort retention matrix (q38): users bucketed by first-seen day,
+    * counted on each subsequent active day offset — the
+    * "retention triangle" every growth dashboard renders. All day
+    * arithmetic is date-truncated integer day differences; the count is
+    * exact (distinct users per (cohort, offset)).
+    *
+    * Scale shape: the cohort table is an aggregate on user_id; the join
+    * back to events is an equi-join on the same key, so the cohort side
+    * arrives pre-partitioned. The distinct runs on (cohort, offset,
+    * user) with map-side partial dedup, then the final rollup is a
+    * counting aggregate — the x02 two-level countDistinct shape, which
+    * scales where a naive count(DISTINCT) single-pass would hotspot.
+    */
+  def retentionMatrix(events: DataFrame): DataFrame = {
+    val cohorts = events.groupBy($"user_id")
+      .agg(date_trunc("day", min($"ts")).cast("timestamp_ntz").as("cohort_day"))
+    events
+      .select($"user_id",
+        date_trunc("day", $"ts").cast("timestamp_ntz").as("active_day"))
+      .join(cohorts, Seq("user_id"))
+      .select($"cohort_day",
+        datediff($"active_day", $"cohort_day").cast("long").as("day_offset"),
+        $"user_id")
+      .distinct()
+      .groupBy($"cohort_day", $"day_offset")
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy($"cohort_day", $"day_offset")
+  }
 }

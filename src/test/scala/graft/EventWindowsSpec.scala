@@ -42,4 +42,78 @@ class EventWindowsSpec extends SparkSpec {
     u1(0).getAs[Double]("duration_sec") shouldBe 600.0
     u1(1).getAs[Double]("duration_sec") shouldBe 0.0
   }
+
+  test("funnel: steps must be reached strictly in order; depth cascades") {
+    val d = events(
+      // user 1 converts fully in order
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-01 10:01:00", 1L, "click", 0.0),
+      (3L, "2024-01-01 10:02:00", 1L, "purchase", 0.0),
+      // user 2's only click precedes the first view → stuck at depth 1,
+      // and the later purchase cannot rescue the broken chain
+      (4L, "2024-01-01 09:00:00", 2L, "click", 0.0),
+      (5L, "2024-01-01 09:30:00", 2L, "view", 0.0),
+      (6L, "2024-01-01 09:45:00", 2L, "purchase", 0.0),
+      // user 3 never views → depth 0, all steps null
+      (7L, "2024-01-01 08:00:00", 3L, "purchase", 0.0),
+      // user 4: purchase between view and click doesn't count; the one
+      // after the click does
+      (8L, "2024-01-01 07:00:00", 4L, "view", 0.0),
+      (9L, "2024-01-01 07:10:00", 4L, "purchase", 0.0),
+      (10L, "2024-01-01 07:20:00", 4L, "click", 0.0),
+      (11L, "2024-01-01 07:30:00", 4L, "purchase", 0.0))
+    val out = EventWindows.funnel(d, Seq("view", "click", "purchase")).collect()
+    def ldt(h: Int, m: Int) = java.time.LocalDateTime.of(2024, 1, 1, h, m)
+    val byUser = out.map(r => r.getLong(0) ->
+      ((1 to 3).map(i => Option(r.get(i))), r.getAs[Long]("depth"))).toMap
+    byUser(1L)._2 shouldBe 3L
+    byUser(2L) shouldBe ((Seq(Some(ldt(9, 30)), None, None), 1L))
+    byUser(3L) shouldBe ((Seq(None, None, None), 0L))
+    byUser(4L)._1(2) shouldBe Some(ldt(7, 30))
+    byUser(4L)._2 shouldBe 3L
+  }
+
+  test("funnel: a step at exactly the previous step's timestamp does not count") {
+    val d = events(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-01 10:00:00", 1L, "click", 0.0)) // same instant: not after
+    val out = EventWindows.funnel(d, Seq("view", "click")).collect()
+    out.length shouldBe 1
+    out(0).isNullAt(2) shouldBe true
+    out(0).getAs[Long]("depth") shouldBe 1L
+  }
+
+  test("funnel result is input-order and partitioning independent") {
+    val fixture = table("events")
+    val a = EventWindows.funnel(fixture, Seq("view", "click", "purchase"))
+      .collect().map(_.toSeq).toSeq
+    val b = EventWindows.funnel(fixture.repartition(7).orderBy(rand(42)),
+      Seq("view", "click", "purchase")).collect().map(_.toSeq).toSeq
+    a shouldBe b
+  }
+
+  test("retentionMatrix: day-offset counts against each user's first-seen day") {
+    val d = events(
+      (1L, "2024-01-01 10:00:00", 1L, "e", 0.0),  // cohort Jan 1
+      (2L, "2024-01-01 23:00:00", 1L, "e", 0.0),  // same day → one offset-0 row
+      (3L, "2024-01-03 01:00:00", 1L, "e", 0.0),  // offset 2
+      (4L, "2024-01-02 09:00:00", 2L, "e", 0.0),  // cohort Jan 2
+      (5L, "2024-01-03 09:00:00", 2L, "e", 0.0))  // offset 1
+    val out = EventWindows.retentionMatrix(d).collect()
+      .map(r => (r.get(0).toString.take(10), r.getLong(1), r.getLong(2)))
+    out shouldBe Array(
+      ("2024-01-01", 0L, 1L), ("2024-01-01", 2L, 1L),
+      ("2024-01-02", 0L, 1L), ("2024-01-02", 1L, 1L))
+  }
+
+  test("retentionMatrix: every cohort has an offset-0 row covering its full cohort size") {
+    val fixture = table("events")
+    val out = EventWindows.retentionMatrix(fixture).collect()
+    val cohortSizes = out.filter(_.getLong(1) == 0L)
+      .map(r => r.get(0).toString -> r.getLong(2)).toMap
+    cohortSizes.values.sum shouldBe
+      fixture.select($"user_id").distinct().count()
+    // no offset exceeds the fixture's day span; none negative
+    all(out.map(_.getLong(1))) should (be >= 0L and be <= 60L)
+  }
 }

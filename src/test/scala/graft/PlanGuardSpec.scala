@@ -233,6 +233,29 @@ class PlanGuardSpec extends SparkSpec {
     p should include("Not(EqualTo(vec_id,0))")
   }
 
+  test("q37_funnel: one shuffle, chained windows, never a k-way self-join") {
+    val p = planOf("q37_funnel")
+    // the sequential step dependency must ride ONE user_id exchange
+    // through three Window passes — the naive formulation self-joins the
+    // event table once per step
+    hashExchanges(p) shouldBe 1
+    p.linesIterator.count(_.trim.matches("""\(\d+\) Window""")) shouldBe 3
+    p should not include "Join"
+    // the per-user collapse reuses the window partitioning (no exchange
+    // between the windows and the aggregate): both aggregate modes are
+    // present with nothing shuffled in between
+    p should include("HashAggregate")
+  }
+
+  test("q38_retention: equi-joined cohorts, no cartesian, bounded exchanges") {
+    val p = planOf("q38_retention")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    // cohort agg + distinct + final rollup: three hash exchanges, no more
+    // (a fourth would mean the join stopped being key-aligned)
+    hashExchanges(p) should be <= 3
+  }
+
   test("x03_bucketed_join: co-bucketed layout joins with zero input exchanges") {
     // with broadcast off, the SortMergeJoin must consume both bucketed
     // tables directly — the only hash exchange left is the rollup on
