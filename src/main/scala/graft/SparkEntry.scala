@@ -605,11 +605,19 @@ object SparkEntry {
     * partition directories, column reorder — must be invisible to
     * results. OrcSpec pins what IS visible only to the plan: predicate
     * pushdown into the ORC scan and lang-directory partition pruning.
+    *
+    * Partition-column hygiene: a null or empty lang would land in
+    * `__HIVE_DEFAULT_PARTITION__` and read back as NULL — a silent value
+    * corruption the identity oracle would catch only after the fact. The
+    * gate rejects such corpora loudly instead of writing them wrong.
     */
   private def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_t26").toString
     val docs = t(s, d)("documents")
       .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+    require(docs.where($"lang".isNull || $"lang" === "").isEmpty,
+      "orcRoundtrip: lang is the partition column and must be non-null, " +
+        "non-empty (Hive default-partition folding is not value-preserving)")
     docs.write.mode("overwrite").option("compression", "zstd")
       .partitionBy("lang").orc(s"$tmp/corpus")
     s.read.orc(s"$tmp/corpus")
@@ -1121,7 +1129,13 @@ object SparkEntry {
     * dirs).
     */
   private def bucketedJoinGate(s: SparkSession, d: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_x03").toString
+    // deterministic per-fixture path + overwrite: repeated bench/verify/
+    // plan-guard invocations rewrite ONE bucketed copy of the two largest
+    // tables instead of accumulating a fresh pair per call (DROP TABLE on
+    // an external table leaves the files)
+    val tmp = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_x03_${Integer.toHexString(d.hashCode)}").toString
     s.sql("DROP TABLE IF EXISTS x03_orders")
     s.sql("DROP TABLE IF EXISTS x03_lineitem")
     t(s, d)("orders").write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
@@ -2614,7 +2628,8 @@ object SparkEntry {
       """WITH dom AS (SELECT source, count(*) AS n_docs,
                 CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
                   AS tokens
-              FROM documents GROUP BY source)
+              FROM documents GROUP BY source
+              HAVING CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) > 0)
          SELECT source, n_docs, tokens,
                 sqrt(CAST(tokens AS DOUBLE)) AS sqrt_tokens,
                 sqrt(CAST(tokens AS DOUBLE))

@@ -238,10 +238,14 @@ object Sampling {
     * row per DOMAIN, not per document.
     */
   def temperatureMix(documents: DataFrame): DataFrame = {
+    // a zero-token domain has no defined mixing weight (its upsample
+    // would be ∞); it contributes nothing to training, so it is dropped
+    // rather than emitted as a silent Infinity
     val dom = documents
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"),
            sum(TextAnalysis.wsTokenCount).cast("long").as("tokens"))
+      .where($"tokens" > 0L)
     val maxSqrt = max(sqrt($"tokens".cast("double")))
       .over(Window.partitionBy())
     dom

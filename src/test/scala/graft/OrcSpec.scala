@@ -30,8 +30,10 @@ class OrcSpec extends SparkSpec {
       .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].longValue())
     back shouldBe want
     // zstd actually engaged: the files carry the codec postfix
-    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
-      .filter(_.toString.endsWith(".orc")).toArray.map(_.toString)
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+    val files =
+      try walk.filter(_.toString.endsWith(".orc")).toArray.map(_.toString)
+      finally walk.close()
     files should not be empty
     all(files) should include(".zstd.orc")
   }

@@ -207,6 +207,13 @@ class SamplingSpec extends SparkSpec {
     out("small") shouldBe ((1L, 4L, 0.5, 2.0))
   }
 
+  test("temperatureMix drops zero-token domains instead of emitting infinite upsample") {
+    val d = Seq((1L, "full", "a b c d"), (2L, "empty", "   "))
+      .toDF("doc_id", "source", "text")
+    val out = Sampling.temperatureMix(d).collect()
+    out.map(_.getString(0)).toSeq shouldBe Seq("full")
+  }
+
   test("temperatureMix on the fixture: weights in (0,1], largest domain is the anchor") {
     val out = Sampling.temperatureMix(table("documents")).collect()
     val rel = out.map(r => r.getLong(2) -> r.getAs[Double]("rel_weight"))
