@@ -117,20 +117,25 @@ object EventWindows {
     * arithmetic is date-truncated integer day differences; the count is
     * exact (distinct users per (cohort, offset)).
     *
-    * Scale shape: the cohort table is an aggregate on user_id; the join
-    * back to events is an equi-join on the same key, so the cohort side
-    * arrives pre-partitioned. The distinct runs on (cohort, offset,
-    * user) with map-side partial dedup, then the final rollup is a
+    * Scale shape: the cohort day is `min(active_day)` as an unbounded
+    * window over user_id — NOT an aggregate joined back. The
+    * aggregate+join formulation scans and shuffles the fact table twice
+    * (the two exchanges cannot collapse: the aggregate side ships
+    * partial-min states, the probe side ships rows — map-side combine
+    * de-canonicalizes them by construction); the window formulation
+    * scans events ONCE and shuffles it ONCE, with no join operator at
+    * all (plan-guarded). The distinct then runs on (cohort, offset,
+    * user) with map-side partial dedup, and the final rollup is a
     * counting aggregate — the x02 two-level countDistinct shape, which
     * scales where a naive count(DISTINCT) single-pass would hotspot.
+    * min(active_day) == day-truncated min(ts): date_trunc is monotone.
     */
   def retentionMatrix(events: DataFrame): DataFrame = {
-    val cohorts = events.groupBy($"user_id")
-      .agg(date_trunc("day", min($"ts")).cast("timestamp_ntz").as("cohort_day"))
     events
       .select($"user_id",
         date_trunc("day", $"ts").cast("timestamp_ntz").as("active_day"))
-      .join(cohorts, Seq("user_id"))
+      .withColumn("cohort_day",
+        min($"active_day").over(Window.partitionBy($"user_id")))
       .select($"cohort_day",
         datediff($"active_day", $"cohort_day").cast("long").as("day_offset"),
         $"user_id")

@@ -247,13 +247,19 @@ class PlanGuardSpec extends SparkSpec {
     p should include("HashAggregate")
   }
 
-  test("q38_retention: equi-joined cohorts, no cartesian, bounded exchanges") {
+  test("q38_retention: window cohorts — events scanned once, shuffled once, no join") {
     val p = planOf("q38_retention")
-    p should not include "CartesianProduct"
-    p should not include "BroadcastNestedLoopJoin"
-    // cohort agg + distinct + final rollup: three hash exchanges, no more
-    // (a fourth would mean the join stopped being key-aligned)
-    hashExchanges(p) should be <= 3
+    // the aggregate+join formulation would scan and shuffle the fact
+    // table twice (its two exchanges cannot collapse: one ships
+    // partial-min states, the other rows); the window formulation must
+    // read it once with no join operator anywhere
+    p should not include "Join"
+    p.linesIterator.count(_.contains("events.parquet")) shouldBe 1
+    // user_id window + final rollup: exactly 2 hash exchanges — the
+    // distinct's clustering keys include user_id, so it runs on the
+    // window's partitioning without an exchange of its own
+    hashExchanges(p) shouldBe 2
+    p.linesIterator.count(_.trim.matches("""\(\d+\) Window""")) shouldBe 1
   }
 
   test("x03_bucketed_join: co-bucketed layout joins with zero input exchanges") {
