@@ -111,6 +111,66 @@ object EventWindows {
       .orderBy($"user_id")
   }
 
+  /** Next-event transition counts (q39): the Markov-chain view of the
+    * event stream — for each event type, the top-k next event types by
+    * frequency (the "what do users do after X" product question).
+    *
+    * Scale shape: ONE shuffle on user_id gives every user's ordered
+    * event sequence; `lead` is a row-local window over it. The
+    * transition aggregate collapses to at most |types|² rows with
+    * map-side combine, and the per-source top-k window runs over that
+    * metadata-sized relation — never the event table. No join operator
+    * anywhere (plan-guarded).
+    *
+    * Ordering within a user is (ts, event_id) — a total order, so the
+    * successor of every event is deterministic under any partitioning.
+    * The last event of each user has no successor and is dropped.
+    */
+  def transitions(events: DataFrame, k: Int): DataFrame = {
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val perSource = Window.partitionBy($"event_type")
+      .orderBy($"n".desc, $"next_event")
+    events
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("next_event", lead($"event_type", 1).over(byUser))
+      .where($"next_event".isNotNull)
+      .groupBy($"event_type", $"next_event")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(perSource).cast("long"))
+      .where($"rank" <= k)
+      .orderBy($"event_type", $"rank")
+  }
+
+  /** Trailing time-RANGE rolling aggregate (q40): per user, the event
+    * count and value sum over the trailing `hours`-hour window ending at
+    * (and including) each event — the value-based RANGE frame q29's
+    * ROWS-based running window doesn't exercise. RANGE frames include
+    * all PEER rows (equal order value), so ties in ts need no
+    * tie-breaker: the frame is defined by value bounds, identical in any
+    * engine.
+    *
+    * Scale shape: one shuffle on user_id, then a sorted scan with a
+    * sliding frame — Spark evaluates the bounded-preceding RANGE frame
+    * with a moving two-pointer over the sorted partition, never
+    * re-scanning the window per row. Sum portability: the summand is
+    * `floor(value·100)` as a long (one IEEE multiply + floor, identical
+    * bits in any engine), so the frame sum is exact integer arithmetic —
+    * no summation-order dependence (double sums over sliding frames are
+    * evaluated in different orders by different engines).
+    */
+  def rollingRange(events: DataFrame, hours: Int): DataFrame = {
+    val micros = unix_micros($"ts".cast("timestamp"))
+    val frame = Window.partitionBy($"user_id").orderBy($"ts_us")
+      .rangeBetween(-hours * 3600000000L, 0L)
+    events
+      .select($"event_id", $"user_id", $"ts",
+        micros.as("ts_us"), floor($"value" * 100).as("cents"))
+      .withColumn("trailing_n", count(lit(1)).over(frame))
+      .withColumn("trailing_cents", sum($"cents").over(frame))
+      .select($"event_id", $"user_id", $"ts", $"trailing_n", $"trailing_cents")
+      .orderBy($"event_id")
+  }
+
   /** Cohort retention matrix (q38): users bucketed by first-seen day,
     * counted on each subsequent active day offset — the
     * "retention triangle" every growth dashboard renders. All day
