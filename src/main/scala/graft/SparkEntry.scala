@@ -1117,7 +1117,19 @@ object SparkEntry {
     "q38_retention" -> ((s, d) =>
       EventWindows.retentionMatrix(t(s, d)("events"))),
     // ORC interchange round-trip (zstd, partitioned by lang)
-    "t26_orc_roundtrip" -> ((s, d) => orcRoundtrip(s, d))
+    "t26_orc_roundtrip" -> ((s, d) => orcRoundtrip(s, d)),
+    // next-event Markov transitions: one user_id shuffle + lead, top-k
+    // over the |types|²-bounded transition table — never a self-join
+    "q39_transitions" -> ((s, d) =>
+      EventWindows.transitions(t(s, d)("events"), 3)),
+    // trailing 2-hour RANGE frame per user: value-bounded sliding window
+    // over exact integer cents
+    "q40_rolling_range" -> ((s, d) =>
+      EventWindows.rollingRange(t(s, d)("events"), 2)),
+    // entity resolution: deletion-neighborhood blocking (SymSpell) turns
+    // the quadratic levenshtein theta join into an equi-join + verify
+    "e01_fuzzy_pairs" -> ((s, d) =>
+      Entity.fuzzyPairs(t(s, d)("customer"), "c_custkey", "c_name"))
   )
 
   /** x03: both join sides written as BUCKETED tables on the join key
@@ -2692,6 +2704,49 @@ object SparkEntry {
                FROM ev e JOIN f USING (user_id))
          SELECT cohort_day, day_offset, CAST(count(*) AS BIGINT) AS n_active
          FROM a GROUP BY 1, 2 ORDER BY 1, 2""",
+    // successor via lead over the same (ts, event_id) total order; the
+    // top-k rank runs on the aggregated transition table, tie-broken on
+    // next_event so both engines cut the same rows
+    "q39_transitions" ->
+      s"""WITH $evCte,
+         nx AS (SELECT event_type,
+                       lead(event_type) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS next_event
+                FROM ev),
+         agg AS (SELECT event_type, next_event, CAST(count(*) AS BIGINT) AS n
+                 FROM nx WHERE next_event IS NOT NULL GROUP BY 1, 2),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY event_type
+                   ORDER BY n DESC, next_event) AS BIGINT) AS rank
+               FROM agg)
+         SELECT event_type, next_event, n, rank FROM r
+         WHERE rank <= 3 ORDER BY event_type, rank""",
+    // RANGE frame = value bounds over ts, peers included — identical in
+    // any engine; the summand floor(value·100) is exact integer
+    // arithmetic, so no summation-order dependence
+    "q40_rolling_range" ->
+      s"""WITH $evCte,
+         b AS (SELECT event_id, user_id, ts,
+                      CAST(floor(value * 100) AS BIGINT) AS cents
+               FROM ev)
+         SELECT event_id, user_id, ts,
+                CAST(count(*) OVER w AS BIGINT) AS trailing_n,
+                CAST(sum(cents) OVER w AS BIGINT) AS trailing_cents
+         FROM b
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 2 HOURS PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+    // the oracle runs the quadratic theta join the engine refuses to: a
+    // length-delta prefilter (|len diff| > 1 ⇒ distance > 1) keeps DuckDB's
+    // pair count sane, then exact levenshtein — value-identical to the
+    // engine's blocked candidate generation + verify
+    "e01_fuzzy_pairs" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS name FROM customer)
+         SELECT a.id AS a_id, a.name AS a_name, b.id AS b_id, b.name AS b_name,
+                CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+         FROM c a JOIN c b
+           ON a.id < b.id AND abs(len(a.name) - len(b.name)) <= 1
+         WHERE levenshtein(a.name, b.name) <= 1
+         ORDER BY a_id, b_id""",
     // the oracle computes the prefix sum with a single ordered window —
     // partitioning-independent, so it cross-checks the engine's
     // distributed two-pass scan exactly

@@ -44,12 +44,18 @@ object Entity {
     val variants = rows
       .select(col(idCol).as("id"), col(nameCol).as("name"))
       .withColumn("variant",
-        // delete-1 neighborhood: the name itself plus every delete-at-i
+        // delete-1 neighborhood: the name itself plus every delete-at-i.
+        // The delete list is guarded on length > 0: sequence(1, 0) would
+        // generate a DESCENDING [1, 0] (Spark's step defaults to -1 when
+        // start > stop), turning an empty name into junk variants via
+        // negative-length substr
         explode(concat(
           array($"name"),
-          transform(sequence(lit(1), length($"name")), i =>
-            concat($"name".substr(lit(1), i - 1),
-                   $"name".substr(i + 1, length($"name")))))))
+          when(length($"name") > 0,
+            transform(sequence(lit(1), length($"name")), i =>
+              concat($"name".substr(lit(1), i - 1),
+                     $"name".substr(i + 1, length($"name")))))
+            .otherwise(array().cast("array<string>")))))
       .select($"id", $"name", xxhash64($"variant").as("vhash"))
     val a = variants.select($"id".as("a_id"), $"name".as("a_name"), $"vhash")
     val b = variants.select($"id".as("b_id"), $"name".as("b_name"), $"vhash")

@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.Entity
+
+/** Deletion-neighborhood entity resolution (SymSpell blocking): the
+  * candidate equi-join must find exactly the Levenshtein-distance ≤ 1
+  * pairs — substitutions, insertions, deletions — and nothing past 1.
+  */
+class EntitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def names(rows: (Long, String)*) = rows.toDF("id", "name")
+
+  private def pairs(d: org.apache.spark.sql.DataFrame) =
+    Entity.fuzzyPairs(d, "id", "name").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getAs[Long]("dist")))
+
+  test("finds substitution, insertion, and deletion neighbors; skips distance 2") {
+    val out = pairs(names(
+      1L -> "smith",
+      2L -> "smyth",   // substitution: dist 1 of smith
+      3L -> "smiths",  // insertion: dist 1 of smith, dist 2 of smyth
+      4L -> "smit",    // deletion: dist 1 of smith, dist 2 of smit(h)s
+      5L -> "jones"))  // unrelated
+    out.toSet shouldBe Set((1L, 2L, 1L), (1L, 3L, 1L), (1L, 4L, 1L))
+  }
+
+  test("identical names pair at distance 0") {
+    val out = pairs(names(1L -> "acme", 2L -> "acme"))
+    out.toSeq shouldBe Seq((1L, 2L, 0L))
+  }
+
+  test("empty and single-char names are safe (no sequence(1,0) junk variants)") {
+    // sequence(1, 0) descends [1, 0] in Spark: unguarded, an empty name
+    // would explode into negative-length-substr variants
+    val out = pairs(names(1L -> "", 2L -> "a", 3L -> "b", 4L -> "ab"))
+    // "" ↔ "a", "" ↔ "b" (insertion), "a" ↔ "b" (substitution),
+    // "a" ↔ "ab" and "b" ↔ "ab" (insertion); "" ↔ "ab" is distance 2
+    out.toSet shouldBe Set(
+      (1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L), (2L, 4L, 1L), (3L, 4L, 1L))
+  }
+
+  test("matches a brute-force levenshtein scan on the customer fixture") {
+    val c = table("customer").select($"c_custkey".as("id"), $"c_name".as("name"))
+    val blocked = pairs(c).toSet
+    val brute = c.as("a").join(c.as("b"),
+        $"a.id" < $"b.id" &&
+          org.apache.spark.sql.functions.levenshtein($"a.name", $"b.name") <= 1)
+      .select($"a.id", $"b.id",
+        org.apache.spark.sql.functions.levenshtein($"a.name", $"b.name")
+          .cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    blocked shouldBe brute
+    blocked should not be empty
+  }
+}

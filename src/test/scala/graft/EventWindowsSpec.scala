@@ -92,6 +92,74 @@ class EventWindowsSpec extends SparkSpec {
     a shouldBe b
   }
 
+  test("transitions: successor counts per user order, top-k with (n DESC, next) ties") {
+    val d = events(
+      // user 1: a→b, b→a, a→b  (so a→b twice, b→a once)
+      (1L, "2024-01-01 10:00:00", 1L, "a", 0.0),
+      (2L, "2024-01-01 10:01:00", 1L, "b", 0.0),
+      (3L, "2024-01-01 10:02:00", 1L, "a", 0.0),
+      (4L, "2024-01-01 10:03:00", 1L, "b", 0.0),
+      // user 2: a→c; the trailing c has no successor and is dropped
+      (5L, "2024-01-01 09:00:00", 2L, "a", 0.0),
+      (6L, "2024-01-01 09:05:00", 2L, "c", 0.0))
+    val out = EventWindows.transitions(d, 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n"), r.getAs[Long]("rank")))
+    out shouldBe Array(
+      ("a", "b", 2L, 1L), ("a", "c", 1L, 2L), ("b", "a", 1L, 1L))
+  }
+
+  test("transitions: same-instant events break ties on event_id; k cuts per source") {
+    val d = events(
+      (2L, "2024-01-01 10:00:00", 1L, "y", 0.0), // same ts: event_id orders y after x
+      (1L, "2024-01-01 10:00:00", 1L, "x", 0.0),
+      (3L, "2024-01-01 10:01:00", 1L, "z", 0.0),
+      (4L, "2024-01-01 11:00:00", 2L, "x", 0.0),
+      (5L, "2024-01-01 11:01:00", 2L, "w", 0.0))
+    val out = EventWindows.transitions(d, 1).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("rank")))
+    // x's successors are y (id 1→2) and w (id 4→5): k=1 keeps only the
+    // lexically-first of the tied pair
+    out.filter(_._1 == "x") shouldBe Array(("x", "w", 1L))
+    out.filter(_._1 == "y") shouldBe Array(("y", "z", 1L))
+  }
+
+  test("transitions is partitioning independent") {
+    val fixture = table("events")
+    val a = EventWindows.transitions(fixture, 3).collect().map(_.toSeq).toSeq
+    val b = EventWindows.transitions(fixture.repartition(7).orderBy(rand(42)), 3)
+      .collect().map(_.toSeq).toSeq
+    a shouldBe b
+  }
+
+  test("rollingRange: trailing 2h frame includes peers and exact-boundary rows") {
+    val d = events(
+      (1L, "2024-01-01 10:00:00", 1L, "e", 1.50),
+      (2L, "2024-01-01 11:59:59", 1L, "e", 2.25),
+      (3L, "2024-01-01 12:00:00", 1L, "e", 0.10), // exactly 2h after id 1: in frame
+      (4L, "2024-01-01 12:00:00", 1L, "e", 0.40), // peer of id 3: same frame
+      (5L, "2024-01-01 14:00:01", 1L, "e", 9.99), // frame starts 12:00:01 → ids 3,4 (12:00:00) just out
+      (6L, "2024-01-01 10:30:00", 2L, "e", 5.00))
+    val out = EventWindows.rollingRange(d, 2).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[Long]("trailing_n"), r.getAs[Long]("trailing_cents")))).toMap
+    out(1L) shouldBe ((1L, 150L))
+    out(2L) shouldBe ((2L, 375L))
+    // RANGE frames include ALL peer rows (equal ts): ids 3 and 4 see each
+    // other regardless of evaluation order
+    out(3L) shouldBe ((4L, 425L))
+    out(4L) shouldBe ((4L, 425L))
+    out(5L) shouldBe ((1L, 999L))
+    out(6L) shouldBe ((1L, 500L))
+  }
+
+  test("rollingRange is partitioning independent") {
+    val fixture = table("events")
+    val a = EventWindows.rollingRange(fixture, 2).collect().map(_.toSeq).toSeq
+    val b = EventWindows.rollingRange(fixture.repartition(7).orderBy(rand(42)), 2)
+      .collect().map(_.toSeq).toSeq
+    a shouldBe b
+  }
+
   test("retentionMatrix: day-offset counts against each user's first-seen day") {
     val d = events(
       (1L, "2024-01-01 10:00:00", 1L, "e", 0.0),  // cohort Jan 1

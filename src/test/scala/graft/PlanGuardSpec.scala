@@ -262,6 +262,40 @@ class PlanGuardSpec extends SparkSpec {
     p.linesIterator.count(_.trim.matches("""\(\d+\) Window""")) shouldBe 1
   }
 
+  test("q39_transitions: lead + agg + metadata-sized top-k — events scanned once, no join") {
+    val p = planOf("q39_transitions")
+    // the successor relation comes from ONE user_id window over one event
+    // scan; the per-source rank runs over the |types|²-bounded aggregate,
+    // never back over events — and nothing joins
+    p should not include "Join"
+    p.linesIterator.count(_.contains("events.parquet")) shouldBe 1
+    // exchanges: user_id window, (event_type, next_event) aggregate,
+    // event_type rank window — exactly 3
+    hashExchanges(p) shouldBe 3
+    p.linesIterator.count(_.trim.matches("""\(\d+\) Window""")) shouldBe 2
+    // the transition aggregate combines map-side before its shuffle
+    p should include("HashAggregate")
+  }
+
+  test("q40_rolling_range: one shuffle, one RANGE-frame window, no join") {
+    val p = planOf("q40_rolling_range")
+    p should not include "Join"
+    p.linesIterator.count(_.contains("events.parquet")) shouldBe 1
+    hashExchanges(p) shouldBe 1
+    p.linesIterator.count(_.trim.matches("""\(\d+\) Window""")) shouldBe 1
+  }
+
+  test("e01_fuzzy_pairs: deletion-neighborhood blocking equi-joins — no cartesian, no BNLJ") {
+    // the naive levenshtein theta join can only run as a cartesian
+    // product; the SymSpell blocking must turn it into a hash-key
+    // equi-join with the exact check applied AFTER the join
+    val p = planOf("e01_fuzzy_pairs")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin")) shouldBe true
+  }
+
   test("x03_bucketed_join: co-bucketed layout joins with zero input exchanges") {
     // with broadcast off, the SortMergeJoin must consume both bucketed
     // tables directly — the only hash exchange left is the rollup on
