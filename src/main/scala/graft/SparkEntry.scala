@@ -728,6 +728,13 @@ object SparkEntry {
           $"width".cast("long").as("width"), $"height".cast("long").as("height"),
           $"mean_luma")
         .orderBy($"doc_id")),
+    // REAL byte-level decode: PNG (zlib IDAT, all five row filters),
+    // BMP (24-bit, padded, bottom-up), WAV (RIFF chunk walk, PCM16) —
+    // fixture assets parameterized in closed form from doc_id (the r09
+    // GRIB discipline), so the oracle regenerates every decoded field
+    // without touching the bytes
+    "m04_asset_decode" -> ((s, d) =>
+      Multimodal.decodeAssets(t(s, d)("documents")).toDF()),
     // ---- core relational surface (SURVEY.md §2.2-2.5) ----
     "q01_pricing_summary" -> ((s, d) => Core.pricingSummary(t(s, d)("lineitem"))),
     "q02_distinct_types" -> ((s, d) => Core.distinctValues(t(s, d)("events"), "event_type")),
@@ -2206,6 +2213,43 @@ object SparkEntry {
                   floor(list_sum(list_transform(bytes, x -> CAST(x AS DOUBLE))) / n / 255.0
                         * 10000 + 0.5) / 10000 END AS mean_luma
          FROM b ORDER BY doc_id""",
+    // regenerates every decoded quantity from the doc_id closed forms —
+    // independent of the bytes, so codec bugs cannot cancel out. Multiple
+    // unnests zip in DuckDB, so the x/y lattice unrolls in two steps.
+    "m04_asset_decode" ->
+      """WITH d AS (SELECT doc_id AS d FROM documents),
+         png AS (SELECT d, 8 + d % 24 AS w, 8 + (3*d) % 16 AS h FROM d WHERE d % 3 = 0),
+         pngx AS (SELECT d, w, h, unnest(generate_series(0, w - 1)) AS x FROM png),
+         pngxy AS (SELECT d, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM pngx),
+         png_out AS (
+           SELECT d AS doc_id, 'png' AS fmt, w AS width, h AS height,
+                  1 AS channels, 8 AS bit_depth, 0 AS sample_rate, w * h AS n_units,
+                  sum((7*x + 13*y + d) % 256) AS value_sum
+           FROM pngxy GROUP BY d, w, h),
+         bmp AS (SELECT d, 4 + d % 21 AS w, 4 + (5*d) % 13 AS h FROM d WHERE d % 3 = 1),
+         bmpx AS (SELECT d, w, h, unnest(generate_series(0, w - 1)) AS x FROM bmp),
+         bmpxy AS (SELECT d, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM bmpx),
+         bmp_out AS (
+           SELECT d AS doc_id, 'bmp' AS fmt, w AS width, h AS height,
+                  3 AS channels, 24 AS bit_depth, 0 AS sample_rate, w * h AS n_units,
+                  3 * sum((11*x + 17*y + d) % 256) AS value_sum
+           FROM bmpxy GROUP BY d, w, h),
+         wav AS (SELECT d, 64 + d % 193 AS n, 8000 + (d % 5) * 4000 AS rate
+                 FROM d WHERE d % 3 = 2),
+         wavk AS (SELECT d, n, rate, unnest(generate_series(0, n - 1)) AS k FROM wav),
+         wav_out AS (
+           SELECT d AS doc_id, 'wav' AS fmt, 0 AS width, 0 AS height,
+                  1 AS channels, 16 AS bit_depth, rate AS sample_rate, n AS n_units,
+                  sum((31*k + 7*d) % 2048 - 1024) AS value_sum
+           FROM wavk GROUP BY d, n, rate),
+         u AS (SELECT * FROM png_out UNION ALL SELECT * FROM bmp_out
+               UNION ALL SELECT * FROM wav_out)
+         SELECT doc_id, fmt, CAST(width AS BIGINT) AS width,
+                CAST(height AS BIGINT) AS height, CAST(channels AS BIGINT) AS channels,
+                CAST(bit_depth AS BIGINT) AS bit_depth,
+                CAST(sample_rate AS BIGINT) AS sample_rate,
+                CAST(n_units AS BIGINT) AS n_units, CAST(value_sum AS BIGINT) AS value_sum
+         FROM u ORDER BY doc_id""",
     "m02_frame_sample" ->
       """WITH f AS (
            SELECT doc_id, text,

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import graft.implicits._
+import graft.sources.AssetCodecs
 
 /** Decoded-asset feature row produced by [[Multimodal.decodeFeatures]]. */
 case class AssetFeatures(doc_id: Long, n_bytes: Long, checksum: String,
@@ -19,10 +20,12 @@ case class AssetFeatures(doc_id: Long, n_bytes: Long, checksum: String,
   * Spark-native shape of that: schema'd binary + metadata columns,
   * codegen'd slicing for sampling, `mapPartitions` for the decoder.
   *
-  * The decoders themselves are STUBBED (no image/audio libraries in this
-  * environment): [[Multimodal.stubDecode]] is a deterministic fake clearly
-  * marked as such. Everything Spark-side — schema, partitioning, batch
-  * iteration, typed output — is real and tested.
+  * Decoding is REAL at the byte level for PNG/BMP/WAV via
+  * [[graft.sources.AssetCodecs]] (gate m04 cross-checks every decoded
+  * quantity against a closed-form oracle); [[Multimodal.stubDecode]]
+  * remains only as the documented swap-point demonstrating how a heavy
+  * external codec (ffmpeg, ImageIO) would slot into the same
+  * `mapPartitions` plumbing (gate m03).
   */
 object Multimodal {
 
@@ -92,6 +95,56 @@ object Multimodal {
     val luma = if (n == 0) 0.0
       else payload.iterator.map(java.lang.Byte.toUnsignedInt(_).toDouble).sum / n / 255.0
     (width, height, luma)
+  }
+
+  /** Decoded-asset row produced by [[decodeAssets]] (gate m04): every
+    * field recovered from the encoded bytes by [[graft.AssetCodecs]].
+    */
+  case class AssetDecoded(doc_id: Long, fmt: String, width: Long, height: Long,
+                          channels: Long, bit_depth: Long, sample_rate: Long,
+                          n_units: Long, value_sum: Long)
+
+  /** m04 fixture: a REAL encoded asset per document, parameterized in
+    * closed form from doc_id alone (same oracle discipline as the r09
+    * GRIB fixture) — PNG/BMP/WAV rotating on doc_id mod 3. The DuckDB
+    * oracle regenerates every decoded quantity (dimensions, channel
+    * count, bit depth, sample rate, exact integer content sum) from
+    * these formulas without touching the bytes, so a decode error
+    * anywhere — zlib inflate, PNG row-filter reconstruction, BMP row
+    * padding, RIFF chunk walk, sign extension — breaks the hash.
+    */
+  def assetFor(d: Long): Array[Byte] = (d % 3) match {
+    case 0 => AssetCodecs.encodePng(
+      (8 + d % 24).toInt, (8 + (3 * d) % 16).toInt,
+      (x, y) => ((7 * x + 13 * y + d) % 256).toInt)
+    case 1 => AssetCodecs.encodeBmp(
+      (4 + d % 21).toInt, (4 + (5 * d) % 13).toInt,
+      (x, y) => ((11 * x + 17 * y + d) % 256).toInt)
+    case _ => AssetCodecs.encodeWav(
+      (8000 + (d % 5) * 4000).toInt,
+      Array.tabulate((64 + d % 193).toInt)(k =>
+        (((31L * k + 7 * d) % 2048) - 1024).toShort))
+  }
+
+  /** Real distributed decode (m04): encode each document's fixture asset,
+    * then recover its metadata and exact content sum from the BYTES with
+    * the real byte-level codecs — the non-stub counterpart of
+    * [[decodeFeatures]]. Same `mapPartitions` plumbing (per-partition
+    * decoder init amortizes across the batch); the decoder sees only the
+    * payload, never the generating formula.
+    */
+  def decodeAssets(documents: DataFrame): Dataset[AssetDecoded] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val m = AssetCodecs.decode(assetFor(id))
+          AssetDecoded(id, m.fmt, m.width, m.height, m.channels,
+            m.bitDepth, m.sampleRate, m.nUnits, m.valueSum)
+        }
+      }
+      .orderBy(col("doc_id")).as[AssetDecoded]
   }
 
   /** Distributed decode + feature extraction over the payload column:

@@ -1,0 +1,338 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.{CRC32, Deflater, Inflater}
+
+/** Real byte-level asset codecs for the multimodal column family: PNG
+  * (ISO/IEC 15948 / RFC 2083), BMP (BITMAPINFOHEADER, the public
+  * Windows DIB layout), and WAV (RIFF + PCM, the public Microsoft/IBM
+  * multimedia format). These replace the deliberately-stubbed decoder
+  * with the same discipline [[Grib1]] applied to FM-92 bytes: implement
+  * the published wire format from scratch, reject anything outside the
+  * declared scope loudly, and let a closed-form oracle cross-check every
+  * decoded quantity (gate m04).
+  *
+  * Reference boundary: the reference treats assets as opaque bytes
+  * reassembled from ranged fetches (src/download.js:58-94) and hands
+  * decoding to external tools (wgrib, src/file-conversions.js:114-135);
+  * this module is the in-engine equivalent for the three formats whose
+  * wire layout is small enough to own outright.
+  *
+  * Scope, rejected loudly outside it:
+  *  - PNG: 8-bit greyscale (colour type 0), non-interlaced, all five
+  *    row filters (None/Sub/Up/Average/Paeth), zlib IDAT (possibly
+  *    split across chunks).
+  *  - BMP: uncompressed 24-bit BITMAPINFOHEADER, bottom-up or top-down,
+  *    4-byte row padding.
+  *  - WAV: PCM (format 1) 16-bit, any channel count/rate; unknown RIFF
+  *    chunks (LIST, fact, ...) are skipped via the chunk walk, odd-sized
+  *    chunks consume their pad byte.
+  */
+object AssetCodecs {
+
+  /** Uniform decoded-asset record. Non-applicable fields are 0 (not
+    * null) so the oracle compare stays integer-typed end to end:
+    * images have sampleRate 0; audio has width/height 0.
+    * `nUnits` = pixels (images) or frames (audio); `valueSum` = exact
+    * integer content sum — grey values (PNG), b+g+r over all pixels
+    * (BMP), signed samples over all channels (WAV).
+    */
+  final case class AssetMeta(fmt: String, width: Long, height: Long,
+                             channels: Long, bitDepth: Long,
+                             sampleRate: Long, nUnits: Long, valueSum: Long)
+
+  /** Sniff the container from magic bytes and decode. */
+  def decode(bytes: Array[Byte]): AssetMeta =
+    if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P') decodePng(bytes)
+    else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
+    else if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I') decodeWav(bytes)
+    else sys.error(s"unrecognized asset container (${bytes.take(4).map(b => f"$b%02x").mkString(" ")})")
+
+  // ---------------------------------------------------------------- PNG
+
+  private val PngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Encode an 8-bit greyscale image. Row filters cycle through all five
+    * spec types (y mod 5) so a decoder that skims any filter's
+    * reconstruction math cannot round-trip the fixture.
+    */
+  def encodePng(w: Int, h: Int, pix: (Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"degenerate image ${w}x$h")
+    val raw = Array.tabulate(h, w)((y, x) => (pix(x, y) & 0xff).toByte)
+    val filtered = new java.io.ByteArrayOutputStream()
+    var y = 0
+    while (y < h) {
+      val ft = y % 5
+      filtered.write(ft)
+      val cur = raw(y); val up = if (y > 0) raw(y - 1) else null
+      var x = 0
+      while (x < w) {
+        val r = cur(x) & 0xff
+        val a = if (x > 0) cur(x - 1) & 0xff else 0       // left (bpp=1)
+        val b = if (up != null) up(x) & 0xff else 0        // above
+        val c = if (x > 0 && up != null) up(x - 1) & 0xff else 0
+        val f = ft match {
+          case 0 => r
+          case 1 => r - a
+          case 2 => r - b
+          case 3 => r - (a + b) / 2
+          case 4 => r - paeth(a, b, c)
+        }
+        filtered.write(f & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    val ihdr = ByteBuffer.allocate(13)
+    ihdr.putInt(w).putInt(h)
+    ihdr.put(8.toByte)  // bit depth
+    ihdr.put(0.toByte)  // colour type: greyscale
+    ihdr.put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive, no interlace
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSig)
+    writeChunk(out, "IHDR", ihdr.array())
+    // split the zlib stream across two IDAT chunks: concatenation across
+    // chunk boundaries is part of the format, so the fixture exercises it
+    val z = zlibDeflate(filtered.toByteArray)
+    val cut = z.length / 2
+    writeChunk(out, "IDAT", java.util.Arrays.copyOfRange(z, 0, cut))
+    writeChunk(out, "IDAT", java.util.Arrays.copyOfRange(z, cut, z.length))
+    writeChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  def decodePng(bytes: Array[Byte]): AssetMeta = {
+    require(bytes.length > 8 && java.util.Arrays.equals(
+      java.util.Arrays.copyOfRange(bytes, 0, 8), PngSig), "bad PNG signature")
+    var pos = 8
+    var w = -1; var h = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done) {
+      require(pos + 8 <= bytes.length, "truncated PNG chunk header")
+      val len = be32(bytes, pos); val typ = new String(bytes, pos + 4, 4, "US-ASCII")
+      require(len >= 0 && pos + 12 + len <= bytes.length, s"truncated PNG chunk $typ")
+      val crc = new CRC32()
+      crc.update(bytes, pos + 4, 4 + len)
+      require(crc.getValue.toInt == be32(bytes, pos + 8 + len), s"PNG CRC mismatch in $typ")
+      typ match {
+        case "IHDR" =>
+          w = be32(bytes, pos + 8); h = be32(bytes, pos + 12)
+          val depth = bytes(pos + 16) & 0xff; val colour = bytes(pos + 17) & 0xff
+          val interlace = bytes(pos + 20) & 0xff
+          require(depth == 8 && colour == 0,
+            s"unsupported PNG depth/colour $depth/$colour (scope: 8-bit greyscale)")
+          require(interlace == 0, "interlaced PNG out of scope")
+        case "IDAT" => idat.write(bytes, pos + 8, len)
+        case "IEND" => done = true
+        case _      => () // ancillary chunk: skip
+      }
+      pos += 12 + len
+    }
+    require(w > 0 && h > 0, "PNG missing IHDR")
+    val scan = zlibInflate(idat.toByteArray, h * (w + 1))
+    // defilter: reconstruct each scanline from its filter byte (spec §6)
+    val img = Array.ofDim[Byte](h, w)
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      val ft = scan(y * (w + 1)) & 0xff
+      val base = y * (w + 1) + 1
+      val cur = img(y); val up = if (y > 0) img(y - 1) else null
+      var x = 0
+      while (x < w) {
+        val f = scan(base + x) & 0xff
+        val a = if (x > 0) cur(x - 1) & 0xff else 0
+        val b = if (up != null) up(x) & 0xff else 0
+        val c = if (x > 0 && up != null) up(x - 1) & 0xff else 0
+        val r = ft match {
+          case 0 => f
+          case 1 => f + a
+          case 2 => f + b
+          case 3 => f + (a + b) / 2
+          case 4 => f + paeth(a, b, c)
+          case other => sys.error(s"bad PNG filter type $other")
+        }
+        cur(x) = (r & 0xff).toByte
+        sum += (r & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    AssetMeta("png", w, h, channels = 1, bitDepth = 8,
+      sampleRate = 0, nUnits = w.toLong * h, valueSum = sum)
+  }
+
+  /** Paeth predictor (PNG spec §6.6) — order of the tie-break matters. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def writeChunk(out: java.io.ByteArrayOutputStream, typ: String, data: Array[Byte]): Unit = {
+    val len = ByteBuffer.allocate(4).putInt(data.length).array()
+    out.write(len)
+    val t = typ.getBytes("US-ASCII")
+    out.write(t); out.write(data)
+    val crc = new CRC32()
+    crc.update(t); crc.update(data)
+    out.write(ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+  }
+
+  private def zlibDeflate(data: Array[Byte]): Array[Byte] = {
+    val d = new Deflater()
+    d.setInput(data); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  private def zlibInflate(data: Array[Byte], expect: Int): Array[Byte] = {
+    val inf = new Inflater()
+    inf.setInput(data)
+    val out = new Array[Byte](expect)
+    var off = 0
+    while (off < expect && !inf.finished()) {
+      val n = inf.inflate(out, off, expect - off)
+      require(n > 0 || !inf.needsInput(), "truncated PNG pixel stream")
+      off += n
+    }
+    require(off == expect, s"PNG pixel stream: got $off of $expect bytes")
+    inf.end()
+    out
+  }
+
+  private def be32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  // ---------------------------------------------------------------- BMP
+
+  /** Encode an uncompressed 24-bit bottom-up BMP; `pix` is a grey value
+    * written to all three channels. Rows are padded to 4-byte multiples
+    * (the layout detail every naive reader gets wrong).
+    */
+  def encodeBmp(w: Int, h: Int, pix: (Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"degenerate image ${w}x$h")
+    val rowBytes = (3 * w + 3) & ~3
+    val size = 54 + rowBytes * h
+    val buf = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h) // positive height = bottom-up
+    buf.putShort(1).putShort(24).putInt(0).putInt(rowBytes * h)
+    buf.putInt(2835).putInt(2835).putInt(0).putInt(0) // 72 dpi, no palette
+    var fy = 0
+    while (fy < h) {
+      val imgY = h - 1 - fy // file row fy holds image row (h-1-fy)
+      var x = 0
+      while (x < w) {
+        val v = (pix(x, imgY) & 0xff).toByte
+        buf.put(v).put(v).put(v) // B, G, R
+        x += 1
+      }
+      var pad = 3 * w
+      while (pad < rowBytes) { buf.put(0.toByte); pad += 1 }
+      fy += 1
+    }
+    buf.array()
+  }
+
+  def decodeBmp(bytes: Array[Byte]): AssetMeta = {
+    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M', "bad BMP magic")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val dataOff = buf.getInt(10)
+    val dibSize = buf.getInt(14)
+    require(dibSize >= 40, s"BMP core-header variant (DIB size $dibSize) out of scope")
+    val w = buf.getInt(18)
+    val hRaw = buf.getInt(22) // negative = top-down
+    val bpp = buf.getShort(28) & 0xffff
+    val compression = buf.getInt(30)
+    require(bpp == 24 && compression == 0,
+      s"unsupported BMP bpp/compression $bpp/$compression (scope: uncompressed 24-bit)")
+    val h = math.abs(hRaw)
+    require(w > 0 && h > 0, s"degenerate BMP ${w}x$hRaw")
+    val rowBytes = (3 * w + 3) & ~3
+    require(dataOff + rowBytes.toLong * h <= bytes.length, "truncated BMP pixel array")
+    var sum = 0L
+    var fy = 0
+    while (fy < h) {
+      val base = dataOff + fy * rowBytes
+      var x = 0
+      while (x < 3 * w) { // b+g+r of every pixel — touches every content byte
+        sum += (bytes(base + x) & 0xff)
+        x += 1
+      }
+      fy += 1
+    }
+    AssetMeta("bmp", w, h, channels = 3, bitDepth = 24,
+      sampleRate = 0, nUnits = w.toLong * h, valueSum = sum)
+  }
+
+  // ---------------------------------------------------------------- WAV
+
+  /** Encode PCM 16-bit little-endian mono, with a gratuitous LIST chunk
+    * between fmt and data so decoders must actually walk chunks rather
+    * than assume the canonical 44-byte layout.
+    */
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val listPayload = "INFOgraft".getBytes("US-ASCII") // odd length: 9 → pad byte
+    val listChunk = 8 + listPayload.length + (listPayload.length & 1)
+    val dataLen = samples.length * 2
+    val riffLen = 4 + (8 + 16) + listChunk + (8 + dataLen)
+    val buf = ByteBuffer.allocate(8 + riffLen).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(riffLen).put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    buf.putShort(1) // PCM
+    buf.putShort(1) // mono
+    buf.putInt(sampleRate)
+    buf.putInt(sampleRate * 2) // byte rate
+    buf.putShort(2)            // block align
+    buf.putShort(16)           // bits per sample
+    buf.put("LIST".getBytes("US-ASCII")).putInt(listPayload.length).put(listPayload)
+    if ((listPayload.length & 1) == 1) buf.put(0.toByte)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  def decodeWav(bytes: Array[Byte]): AssetMeta = {
+    require(bytes.length >= 12 &&
+      new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(bytes, 8, 4, "US-ASCII") == "WAVE", "bad RIFF/WAVE header")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    var pos = 12
+    var channels = -1; var rate = -1; var bits = -1
+    var sum = 0L; var nFrames = -1L
+    while (pos + 8 <= bytes.length) {
+      val id = new String(bytes, pos, 4, "US-ASCII")
+      val len = buf.getInt(pos + 4)
+      require(len >= 0 && pos + 8 + len <= bytes.length, s"truncated WAV chunk $id")
+      id match {
+        case "fmt " =>
+          require(len >= 16, "short fmt chunk")
+          val fmt = buf.getShort(pos + 8) & 0xffff
+          require(fmt == 1, s"non-PCM WAV (format $fmt) out of scope")
+          channels = buf.getShort(pos + 10) & 0xffff
+          rate = buf.getInt(pos + 12)
+          bits = buf.getShort(pos + 22) & 0xffff
+          require(bits == 16, s"unsupported WAV bit depth $bits (scope: PCM16)")
+        case "data" =>
+          require(channels > 0, "WAV data chunk before fmt")
+          var off = pos + 8
+          val end = pos + 8 + len
+          var s = 0L
+          while (off + 1 < end) { s += buf.getShort(off); off += 2 }
+          sum = s
+          nFrames = len.toLong / (2L * channels)
+        case _ => () // LIST/fact/...: skip
+      }
+      pos += 8 + len + (len & 1) // odd chunks carry a pad byte
+    }
+    require(nFrames >= 0, "WAV missing data chunk")
+    AssetMeta("wav", width = 0, height = 0, channels = channels,
+      bitDepth = 16, sampleRate = rate, nUnits = nFrames, valueSum = sum)
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.sources.AssetCodecs
+import graft.operators.Multimodal
+
+/** Byte-level asset codec laws (gate m04): encode→decode round-trips
+  * recover exact dimensions and content sums; malformed bytes are
+  * rejected loudly, never mis-decoded. Pure JVM — no Spark session.
+  */
+class AssetCodecsSpec extends AnyFunSuite with Matchers {
+
+  private def sumPix(w: Int, h: Int, pix: (Int, Int) => Int): Long =
+    (0 until h).flatMap(y => (0 until w).map(x => pix(x, y).toLong)).sum
+
+  test("PNG round-trip recovers dims and exact pixel sum through all five row filters") {
+    // h >= 5 so the encoder's per-row filter cycle exercises
+    // None/Sub/Up/Average/Paeth; decoder must invert each
+    val pix = (x: Int, y: Int) => (x * 41 + y * 97 + 5) % 256
+    val m = AssetCodecs.decodePng(AssetCodecs.encodePng(23, 11, pix))
+    m.fmt shouldBe "png"
+    (m.width, m.height, m.channels, m.bitDepth) shouldBe ((23L, 11L, 1L, 8L))
+    m.nUnits shouldBe 23L * 11
+    m.valueSum shouldBe sumPix(23, 11, pix)
+  }
+
+  test("PNG 1x1 and 1xN degenerate shapes survive (no left/up neighbors)") {
+    for ((w, h) <- Seq((1, 1), (1, 7), (7, 1))) {
+      val m = AssetCodecs.decodePng(AssetCodecs.encodePng(w, h, (x, y) => x + y * 3))
+      (m.width, m.height) shouldBe ((w.toLong, h.toLong))
+      m.valueSum shouldBe sumPix(w, h, (x, y) => x + y * 3)
+    }
+  }
+
+  test("PNG: corrupt chunk CRC and truncated stream are rejected") {
+    val ok = AssetCodecs.encodePng(9, 9, (x, y) => x ^ y)
+    val bad = ok.clone(); bad(30) = (bad(30) ^ 0x7f).toByte // inside IHDR data
+    an[Exception] should be thrownBy AssetCodecs.decodePng(bad)
+    an[Exception] should be thrownBy AssetCodecs.decodePng(ok.take(ok.length - 9))
+  }
+
+  test("BMP round-trip handles 4-byte row padding and bottom-up order") {
+    // w = 5: 3*5 = 15 bytes/row -> padded to 16; a reader that ignores
+    // padding walks off-grid after row 0
+    val pix = (x: Int, y: Int) => (x * 3 + y * 11) % 256
+    val m = AssetCodecs.decodeBmp(AssetCodecs.encodeBmp(5, 4, pix))
+    (m.width, m.height, m.channels, m.bitDepth) shouldBe ((5L, 4L, 3L, 24L))
+    m.valueSum shouldBe 3 * sumPix(5, 4, pix) // b+g+r of every pixel
+  }
+
+  test("BMP: negative (top-down) height decodes with the same |h| and sum") {
+    val enc = AssetCodecs.encodeBmp(6, 3, (x, y) => x + y)
+    val buf = java.nio.ByteBuffer.wrap(enc).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(22, -3) // flip to top-down; content sum is row-order invariant
+    val m = AssetCodecs.decodeBmp(enc)
+    (m.width, m.height) shouldBe ((6L, 3L))
+    m.valueSum shouldBe 3 * sumPix(6, 3, (x, y) => x + y)
+  }
+
+  test("BMP: unsupported bpp rejected") {
+    val enc = AssetCodecs.encodeBmp(4, 4, (_, _) => 1)
+    java.nio.ByteBuffer.wrap(enc).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(28, 8)
+    an[Exception] should be thrownBy AssetCodecs.decodeBmp(enc)
+  }
+
+  test("WAV round-trip: chunk walk skips LIST, sums signed samples, counts frames") {
+    val samples = Array.tabulate(301)(k => ((k * 77) % 4001 - 2000).toShort)
+    val m = AssetCodecs.decodeWav(AssetCodecs.encodeWav(16000, samples))
+    (m.fmt, m.channels, m.bitDepth, m.sampleRate) shouldBe (("wav", 1L, 16L, 16000L))
+    m.nUnits shouldBe 301L
+    m.valueSum shouldBe samples.map(_.toLong).sum
+    withClue("fixture must exercise sign extension") { m.valueSum should be < 0L }
+  }
+
+  test("WAV: non-PCM format code rejected") {
+    val enc = AssetCodecs.encodeWav(8000, Array[Short](1, 2, 3))
+    java.nio.ByteBuffer.wrap(enc).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(20, 3) // IEEE float
+    an[Exception] should be thrownBy AssetCodecs.decodeWav(enc)
+  }
+
+  test("decode() dispatches on magic bytes and rejects unknown containers") {
+    AssetCodecs.decode(AssetCodecs.encodePng(3, 3, (_, _) => 0)).fmt shouldBe "png"
+    AssetCodecs.decode(AssetCodecs.encodeBmp(3, 3, (_, _) => 0)).fmt shouldBe "bmp"
+    AssetCodecs.decode(AssetCodecs.encodeWav(8000, Array[Short](0))).fmt shouldBe "wav"
+    an[Exception] should be thrownBy AssetCodecs.decode("GIF89a!".getBytes)
+  }
+
+  test("m04 fixture formulas: decoded meta matches the closed form for sample doc_ids") {
+    for (d <- Seq(0L, 1L, 2L, 59L, 211L, 499L)) {
+      val m = AssetCodecs.decode(Multimodal.assetFor(d))
+      d % 3 match {
+        case 0 =>
+          (m.fmt, m.width, m.height) shouldBe (("png", 8 + d % 24, 8 + (3 * d) % 16))
+          m.valueSum shouldBe sumPix(m.width.toInt, m.height.toInt,
+            (x, y) => ((7 * x + 13 * y + d) % 256).toInt)
+        case 1 =>
+          (m.fmt, m.width, m.height) shouldBe (("bmp", 4 + d % 21, 4 + (5 * d) % 13))
+          m.valueSum shouldBe 3 * sumPix(m.width.toInt, m.height.toInt,
+            (x, y) => ((11 * x + 17 * y + d) % 256).toInt)
+        case _ =>
+          (m.fmt, m.sampleRate, m.nUnits) shouldBe
+            (("wav", 8000 + (d % 5) * 4000, 64 + d % 193))
+          m.valueSum shouldBe (0L until m.nUnits)
+            .map(k => (31 * k + 7 * d) % 2048 - 1024).sum
+      }
+    }
+  }
+}
