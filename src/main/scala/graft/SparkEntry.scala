@@ -167,6 +167,38 @@ object SparkEntry {
       fields).toString
   }
 
+  // --- GRIB2 fixture (r12): closed-form field like r09's, with edition-2
+  // bite — x(pidx, m, i, j) = (5i + 11j + 29·pidx + 19·m) mod 1400 needs
+  // 11-bit unaligned packing, PRATE carries a bitmap, and an extra UGRD
+  // record exists solely so the -match filter must drop it.
+  private val g2Ni = 33; private val g2Nj = 17
+  private val g2La1 = 40000000L; private val g2Lo1 = -25000000L // microdegrees
+  private val g2Di = 1500000L; private val g2Dj = 2000000L
+
+  private def grib2Scaled(pidx: Int, m: Int, i: Int, j: Int): Int =
+    (i * 5 + j * 11 + pidx * 29 + m * 19) % 1400
+
+  private lazy val grib2FixturePath: String = {
+    import java.time.LocalDateTime
+    // (pidx, category, number, masked): TMP dense, PRATE bitmap-masked,
+    // UGRD present in the file but excluded by the gate's -match regex
+    val params = Seq((0, 0, 0, false), (1, 1, 7, true), (2, 2, 2, false))
+    val times = Seq(LocalDateTime.of(2003, 6, 15, 12, 0),
+      LocalDateTime.of(2003, 7, 15, 12, 0))
+    val fields = for {
+      (t, m) <- times.zipWithIndex
+      (pidx, cat, num, masked) <- params
+    } yield sources.Grib2.Field(0, cat, num, t, g2Ni, g2Nj,
+      g2La1, g2Lo1, g2Di, g2Dj, decimalScale = 1,
+      Array.tabulate(g2Nj * g2Ni) { k =>
+        val j = k / g2Ni; val i = k % g2Ni
+        if (masked && (i + j) % 7 == 0) None else Some(grib2Scaled(pidx, m, i, j))
+      })
+    sources.Grib2.writeFile(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft-grib", "demo.grib2"),
+      fields).toString
+  }
+
   /** Temporal/scalar function surface (SURVEY.md §2.6) in one projection. */
   private def temporalScalars(s: SparkSession, dir: String): DataFrame =
     t(s, dir)("orders").select(
@@ -690,6 +722,13 @@ object SparkEntry {
     // src/file-conversions.js:114-135.
     "r09_grib_scan" -> ((s, _) =>
       sources.Grib1.readRecords(s, Seq(gribFixturePath))
+        .orderBy($"variable", $"time", $"lat", $"lon")),
+    // S6 at the byte level: edition-2 codec (section framing, IEEE
+    // binary32 reference, sign-magnitude microdegrees, 11-bit unaligned
+    // packing, bitmap) + the reference's wgrib2 -match selection; the
+    // oracle regenerates every cell from the closed-form field
+    "r12_grib2_scan" -> ((s, _) =>
+      sources.Grib2.readRecords(s, Seq(grib2FixturePath), matchRe = "TMP|PRATE")
         .orderBy($"variable", $"time", $"lat", $"lon")),
     // the data-LAYOUT key: Morton-interleaved quantized (lat, lon); a
     // grid store written ORDER BY zkey prunes bbox scans by row-group
@@ -1620,6 +1659,22 @@ object SparkEntry {
                 ((i * 7 + j * 13 + param * 31 + m * 17) % 1000) / 10.0 AS value
          FROM p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
          WHERE NOT (masked = 1 AND (i + j) % 11 = 0)
+         ORDER BY variable, time, lat, lon""",
+    // mirrors the closed-form edition-2 fixture (see grib2FixturePath):
+    // same lattice, same mask, same int/10.0 division — and no UGRD rows,
+    // because the engine's -match filter must have dropped that record
+    "r12_grib2_scan" ->
+      s"""WITH p(pidx, variable, masked) AS (VALUES (0, 'TMP', 0), (1, 'PRATE', 1)),
+         t(t, m) AS (VALUES (TIMESTAMP '2003-06-15 12:00:00', 0),
+                            (TIMESTAMP '2003-07-15 12:00:00', 1)),
+         ii AS (SELECT unnest(generate_series(0, ${g2Ni - 1})) AS i),
+         jj AS (SELECT unnest(generate_series(0, ${g2Nj - 1})) AS j)
+         SELECT variable, t AS time,
+                ($g2La1 - j * $g2Dj) / 1000000.0 AS lat,
+                (($g2Lo1) + i * $g2Di) / 1000000.0 AS lon,
+                ((i * 5 + j * 11 + pidx * 29 + m * 19) % 1400) / 10.0 AS value
+         FROM p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
+         WHERE NOT (masked = 1 AND (i + j) % 7 = 0)
          ORDER BY variable, time, lat, lon""",
     // same spread constants as the engine (ZOrder.spreadSteps feeds both
     // the Column chain and this generated SQL — they cannot drift)

@@ -1,0 +1,124 @@
+package graft
+
+import java.time.LocalDateTime
+
+import graft.sources.Grib2
+
+/** S6 at the byte level: the native GRIB2 codec (WMO FM-92 edition 2,
+  * templates 3.0/4.0/5.0) — the reference's `wgrib2 -match -limit`
+  * boundary (src/file-conversions.js:76-95) decoded in-engine.
+  */
+class Grib2Spec extends SparkSpec {
+
+  private def field(cat: Int = 0, num: Int = 0, masked: Boolean = false,
+                    d: Int = 1, base: Int = 0, scan: Int = 0x00): Grib2.Field = {
+    val (la1, dj) = if (scan == 0x40) (40000000L - 4L * 2000000L, 2000000L)
+                    else (40000000L, 2000000L)
+    Grib2.Field(0, cat, num, LocalDateTime.of(2003, 6, 15, 12, 0),
+      ni = 7, nj = 5, la1Micro = la1, lo1Micro = -25000000L,
+      diMicro = 1500000L, djMicro = dj, decimalScale = d,
+      Array.tabulate(35) { k =>
+        val j = k / 7; val i = k % 7
+        if (masked && (i + j) % 4 == 0) None else Some(base + i * 3 + j * 11)
+      }, scanMode = scan)
+  }
+
+  private def write(fs: Grib2.Field*): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    fs.foreach(f => out.write(Grib2.encodeMessage(f)))
+    out.toByteArray
+  }
+
+  test("message framing: magic, edition 2, 64-bit total length, 7777 tail") {
+    val bytes = write(field())
+    new String(bytes.take(4), "US-ASCII") shouldBe "GRIB"
+    (bytes(6) & 0xff) shouldBe 0  // discipline
+    (bytes(7) & 0xff) shouldBe 2  // edition
+    var total = 0L
+    for (k <- 8 until 16) total = (total << 8) | (bytes(k) & 0xff)
+    total shouldBe bytes.length.toLong
+    new String(bytes.takeRight(4), "US-ASCII") shouldBe "7777"
+  }
+
+  test("round-trip: values, microdegree georeferencing, bitmap holes, names") {
+    val recs = Grib2.parseMessages(write(field(), field(cat = 1, num = 7, masked = true)))
+    recs should have length 2
+    val Seq(tmp, prate) = recs
+    tmp.variable shouldBe "TMP"
+    prate.variable shouldBe "PRATE"
+    tmp.time shouldBe LocalDateTime.of(2003, 6, 15, 12, 0)
+    (tmp.ni, tmp.nj) shouldBe (7, 5)
+    (tmp.la1Micro, tmp.lo1Micro, tmp.diMicro, tmp.djMicro) shouldBe
+      ((40000000L, -25000000L, 1500000L, 2000000L))
+    for (k <- 0 until 35) {
+      val j = k / 7; val i = k % 7
+      tmp.values(k) shouldBe (i * 3 + j * 11) / 10.0
+      if ((i + j) % 4 == 0) prate.values(k).isNaN shouldBe true
+      else prate.values(k) shouldBe (i * 3 + j * 11) / 10.0
+    }
+  }
+
+  test("signed sign-magnitude fields: negative la1/lo1 and negative decimal scale") {
+    // la2 derives from la1 in the encoder, so the corners stay consistent
+    val recs = Grib2.parseMessages(
+      write(field().copy(la1Micro = -10000000L, decimalScale = -1)))
+    recs.head.la1Micro shouldBe -10000000L
+    // D = −1 → value = x · 10
+    recs.head.values(8) shouldBe (1 * 3 + 1 * 11) * 10.0
+  }
+
+  test("non-zero reference value (IEEE binary32) round-trips exactly") {
+    val recs = Grib2.parseMessages(write(field(base = 5000)))
+    recs.head.values(0) shouldBe 5000 / 10.0
+    recs.head.values(34) shouldBe (5000 + 6 * 3 + 4 * 11) / 10.0
+  }
+
+  test("constant field packs nbits=0 and decodes to the reference value") {
+    val f = field().copy(scaled = Array.fill(35)(Some(42)))
+    Grib2.parseMessages(write(f)).head.values.toSeq shouldBe Seq.fill(35)(4.2)
+  }
+
+  test("scan mode 0x40 (south-to-north rows) georeferences correctly") {
+    val recs = Grib2.parseMessages(write(field(scan = 0x40)))
+    val r = recs.head
+    r.scanJPositive shouldBe true
+    val cells = Grib2.cells(r).toSeq
+    // row j lives at la1 + j·dj going NORTH
+    cells.head.lat shouldBe (40000000L - 4L * 2000000L) / 1e6
+    cells.last.lat shouldBe 40.0
+  }
+
+  test("unsupported templates and scan modes are rejected loudly") {
+    val bytes = write(field())
+    // grid template octets 13-14 of section 3 (starts at 16 + 21)
+    val s3 = 16 + 21
+    val tpl = bytes.clone(); tpl(s3 + 13) = 1 // template 3.1
+    an[Exception] should be thrownBy Grib2.parseMessages(tpl)
+    val scan = bytes.clone(); scan(s3 + 71) = 0x20.toByte // j-fastest
+    an[Exception] should be thrownBy Grib2.parseMessages(scan)
+    val ed1 = bytes.clone(); ed1(7) = 1
+    an[Exception] should be thrownBy Grib2.parseMessages(ed1)
+  }
+
+  test("corrupt structure rejected: bad total length, truncation, missing 7777") {
+    val bytes = write(field())
+    an[Exception] should be thrownBy Grib2.parseMessages(bytes.dropRight(6))
+    val zeroLen = bytes.clone()
+    for (k <- 8 until 16) zeroLen(k) = 0
+    an[Exception] should be thrownBy Grib2.parseMessages(zeroLen)
+  }
+
+  test("readRecords: -match regex and -limit record selection, distributed") {
+    val dir = java.nio.file.Files.createTempDirectory("grib2spec")
+    val p = Grib2.writeFile(dir.resolve("t.grib2"),
+      Seq(field(), field(cat = 1, num = 7), field(cat = 2, num = 2)))
+    val all = Grib2.readRecords(spark, Seq(p.toString)).collect()
+    all.length shouldBe 3 * 35
+    val matched = Grib2.readRecords(spark, Seq(p.toString), matchRe = "TMP|PRATE")
+      .select("variable").distinct().collect().map(_.getString(0)).sorted
+    matched shouldBe Array("PRATE", "TMP")
+    val limited = Grib2.readRecords(spark, Seq(p.toString), limit = 1)
+      .select("variable").distinct().collect().map(_.getString(0))
+    limited shouldBe Array("TMP")
+  }
+}
