@@ -33,8 +33,17 @@ object Bpe {
   /** A learned merge: rank is application order. */
   case class Merge(rank: Int, left: String, right: String)
 
+  /** Split per Unicode CODE POINT, not UTF-16 char: `w.map(_.toString)`
+    * would shear non-BMP characters (emoji, rare CJK) into unpaired
+    * surrogate halves, learning merges that emit invalid strings on
+    * astral-character corpora (the same discipline as PolyHash's
+    * code-point iteration).
+    */
+  private[operators] def symbols(w: String): Array[String] =
+    w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+
   /** Learn `numMerges` merges from whitespace-tokenized, lower-cased
-    * words. Words split to single characters; no end-of-word marker is
+    * words. Words split per Unicode code point; no end-of-word marker is
     * appended (within-word merges only — the marker variant is a trivial
     * symbol-alphabet change, stated so callers know which dialect this
     * is).
@@ -47,7 +56,7 @@ object Bpe {
       .where(length(col("w")) >= 2) // single-char words carry no pairs
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
       .as[(String, Long)]
-      .map { case (w, n) => (w.map(_.toString).toArray, n) }
+      .map { case (w, n) => (symbols(w), n) }
 
     val merges = Seq.newBuilder[Merge]
     var syms = words
@@ -90,7 +99,7 @@ object Bpe {
         val toks = text.toLowerCase(java.util.Locale.ROOT)
           .split("\\s+").filter(_.nonEmpty)
           .flatMap { w =>
-            var a = w.map(_.toString).toArray
+            var a = symbols(w)
             ordered.foreach { case (l, r) => a = applyMerge(a, l, r) }
             a
           }

@@ -130,9 +130,15 @@ object Dedup {
   def incrementalDedupBloom(history: DataFrame, batch: DataFrame,
                             expectedItems: Long = 1000000L,
                             fpp: Double = 0.01): DataFrame = {
-    val idx = history
+    // barrier the distinct'd index ONCE: the bloom build (an action) and
+    // the exact-join build side would otherwise EACH run the full history
+    // scan + distinct — two history passes per increment, undercutting the
+    // "history read only where candidates exist" cost story. In the
+    // persisted-index deployment this materialization is the stored index
+    // itself and costs nothing per batch.
+    val idx = graft.Session.barrier(history
       .select(md5($"text".cast("binary")).as("text_hash"))
-      .distinct()
+      .distinct())
     // null-safe on both sides: the builder must not feed null to the
     // sketch, and the probe must route a null hash (NULL text) to the
     // fresh branch — exactly where d11's left join sends it (a null key
@@ -189,7 +195,8 @@ object Dedup {
     * gram shared by c docs contributes c² join rows, so at corpus scale
     * prefer the pruned default.
     */
-  def ngramJaccardPairsExact(documents: DataFrame, n: Int, threshold: Double): DataFrame = {
+  def ngramJaccardPairsExact(documents: DataFrame, n: Int, threshold: Double,
+                             maxHotDocFreq: Int = 4096): DataFrame = {
     // Join/shuffle on xxhash64(source, gram) instead of the raw strings:
     // the exploded gram relation is the big side at scale, and an 8-byte
     // key keeps its shuffle thin. A 64-bit collision would merge two gram
@@ -205,6 +212,20 @@ object Dedup {
       .select($"doc_id", size($"gs").cast("long").as("n"),
         explode($"gs").as("gh"), $"source")
       .select($"doc_id", $"n", xxhash64($"source", $"gh").as("g"))
+    // OOM guard, paid before the quadratic join: a gram shared by c docs
+    // contributes c² join rows, so a single stopword-like gram at corpus
+    // scale turns this exact mode into a within-group cartesian that dies
+    // by memory, not by error message. One thin aggregate over the 8-byte
+    // keys finds the hottest gram first and FAILS LOUDLY, pointing at the
+    // bounded form (d06) — degrading to a crash is not an acceptable
+    // failure mode at 100 TB.
+    val hottest = grams.groupBy($"g").agg(count(lit(1)).as("c"))
+      .agg(max($"c")).first().getLong(0)
+    require(hottest <= maxHotDocFreq,
+      s"ngramJaccardPairsExact: hottest gram is shared by $hottest docs " +
+        s"(limit $maxHotDocFreq) — the exact self-join would expand " +
+        s"~c^2 rows per hot gram; use ngramJaccardPairsPruned (gate d06) " +
+        s"or raise maxHotDocFreq explicitly")
     grams.as("a")
       .join(grams.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))

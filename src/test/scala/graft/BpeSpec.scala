@@ -23,9 +23,12 @@ class BpeSpec extends SparkSpec {
   private def refTrain(corpus: Seq[String], numMerges: Int): Seq[(String, String)] = {
     var words: Vector[(List[String], Long)] = corpus
       .flatMap(_.toLowerCase(java.util.Locale.ROOT).split("\\s+"))
-      .filter(_.length >= 2)
+      .filter(w => w.codePointCount(0, w.length) >= 2)
       .groupBy(identity).view.mapValues(_.size.toLong).toVector
-      .map { case (w, n) => (w.map(_.toString).toList, n) }
+      // code-point split, matching the engine (and surviving astral chars)
+      .map { case (w, n) =>
+        (w.codePoints().toArray.toList.map(cp => new String(Character.toChars(cp))), n)
+      }
     val out = Seq.newBuilder[(String, String)]
     var continue = true
     var round = 0
@@ -85,6 +88,31 @@ class BpeSpec extends SparkSpec {
     val chars = Bpe.encode(d, Nil).collect()
     for ((a, b) <- enc.sortBy(_.getLong(0)).zip(chars.sortBy(_.getLong(0))))
       a.getLong(1) should be <= b.getLong(1)
+  }
+
+  test("astral (non-BMP) characters stay whole code points through train and encode") {
+    // 𝕏 (U+1D54F) and 😀 (U+1F600) are surrogate PAIRS in UTF-16: a
+    // char-level split would learn merges over unpaired halves and emit
+    // invalid strings
+    val corpus = Seq("𝕏a 𝕏a 𝕏a",
+      "😀b 😀b")
+    val d = docs(corpus: _*)
+    val merges = Bpe.train(d, 4)
+    merges.map(m => (m.left, m.right)) shouldBe refTrain(corpus, 4)
+    // the top merge glues the WHOLE astral char to its tail
+    merges.head shouldBe Bpe.Merge(0, "𝕏", "a")
+    val enc = Bpe.encode(d, merges).collect()
+    for (r <- enc; tok <- r.getSeq[String](2)) {
+      // every emitted token is valid UTF-16: no unpaired surrogates
+      val cps = tok.codePoints().toArray
+      new String(cps, 0, cps.length) shouldBe tok
+      tok.foreach { c =>
+        if (Character.isHighSurrogate(c))
+          Character.isLowSurrogate(tok.charAt(tok.indexOf(c) + 1)) shouldBe true
+      }
+    }
+    enc.map(_.getSeq[String](2).mkString).sorted shouldBe
+      corpus.map(_.split(" ").mkString).sorted
   }
 
   test("fixture smoke: merges learn on the documents table and encode runs") {

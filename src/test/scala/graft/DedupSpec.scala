@@ -22,6 +22,21 @@ class DedupSpec extends SparkSpec {
     Dedup.exactSurvivors(d).as[Long].collect() shouldBe Array(2L, 9L)
   }
 
+  test("exact Jaccard refuses hot-gram corpora loudly instead of exploding") {
+    // the gram "x y" is shared by all 4 docs: with maxHotDocFreq = 2 the
+    // guard must throw (pointing at the pruned form), never attempt the
+    // c² within-group join
+    val hot = docs((1L, "web", "x y a"), (2L, "web", "x y b"),
+      (3L, "web", "x y c"), (4L, "web", "x y d"))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairsExact(hot, 2, 0.1, maxHotDocFreq = 2).collect()
+    }
+    e.getMessage should include("Pruned")
+    // under the limit the same corpus runs fine
+    Dedup.ngramJaccardPairsExact(hot, 2, 0.1, maxHotDocFreq = 4)
+      .collect().length should be >= 1
+  }
+
   test("ngramJaccard: bigrams of 'a b c d' vs 'a b c e' = 0.5") {
     // grams A = {a b, b c, c d}, B = {a b, b c, c e}; |∩|=2, |∪|=4
     val d = docs((1L, "web", "a b c d"), (2L, "web", "a b c e"))
