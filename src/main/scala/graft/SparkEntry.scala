@@ -658,6 +658,17 @@ object SparkEntry {
       .transform(graft.Session.barrier)
   }
 
+  private def avroRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_t27").toString
+    val docs = t(s, d)("documents")
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+    sources.AvroCorpus.write(docs, s"$tmp/corpus")
+    sources.AvroCorpus.read(s, s"$tmp/corpus", docs.schema)
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+      .orderBy($"doc_id")
+      .transform(graft.Session.barrier)
+  }
+
   /** t19's input: the corpus with one email, one IPv4, and one ≥7-digit
     * run appended per document, all derived from doc_id so the oracle
     * rebuilds the identical text.
@@ -1164,6 +1175,9 @@ object SparkEntry {
       EventWindows.retentionMatrix(t(s, d)("events"))),
     // ORC interchange round-trip (zstd, partitioned by lang)
     "t26_orc_roundtrip" -> ((s, d) => orcRoundtrip(s, d)),
+    // Avro interchange round-trip — hand-rolled OCF sink + splittable
+    // AvroInputFormat source (no spark-avro connector in this env)
+    "t27_avro_roundtrip" -> ((s, d) => avroRoundtrip(s, d)),
     // next-event Markov transitions: one user_id shuffle + lead, top-k
     // over the |types|²-bounded transition table — never a self-join
     "q39_transitions" -> ((s, d) =>
@@ -2632,6 +2646,7 @@ object SparkEntry {
     "t16_jsonl_roundtrip" -> corpusIdentityOracle,
     "t21_csv_roundtrip" -> corpusIdentityOracle,
     "t26_orc_roundtrip" -> corpusIdentityOracle,
+    "t27_avro_roundtrip" -> corpusIdentityOracle,
     // hashed-bigram conditional LM: pair counts group by (ctx, pair)
     // bucket, context totals roll up from the pair table, per-occurrence
     // terms are long floor divisions (DuckDB `//` == Spark DIV on
