@@ -65,6 +65,17 @@ object Session {
       .config("spark.sql.streaming.numRecentProgressUpdates", "10000")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
+      // SPARK_GRAFT_STATESTORE=rocksdb flips the streaming state store to
+      // the spill-to-disk provider — at 100 TB the in-memory HDFS-backed
+      // store is the first thing swapped (join/session state no longer
+      // bounded by executor heap); StreamingSpec pins result parity
+      .config("spark.sql.streaming.stateStore.providerClass",
+        sys.env.get("SPARK_GRAFT_STATESTORE") match {
+          case Some("rocksdb") =>
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+          case _ =>
+            "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+        })
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -239,6 +239,97 @@ class StreamingSpec extends SparkSpec {
       (2L, "2024-01-01 08:00:00.0", 1L))
   }
 
+  /** Two landing files forced into separate micro-batches (1100 ms apart
+    * so mod-time ordering is unambiguous): a burst of old 08:xx events,
+    * then one 20:00 event that drags the watermark to 18:00.
+    */
+  private def twoEpochLanding(): (String, Int) = {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val tmp = Files.createTempDirectory("graft_wm_state").toString
+    val old = (1 to 60).map(i => Event(i.toLong,
+      ts(f"2024-01-01 08:${i % 60}%02d:00"), i.toLong,
+      if (i % 2 == 0) "click" else "purchase", 1.0))
+    old.toDS().coalesce(1).write.mode("append").parquet(s"$tmp/landing")
+    Thread.sleep(1100)
+    // the fresh epoch must advance BOTH sides: the global watermark is the
+    // MIN over the two inputs' (max ts − delay), so a click-only epoch
+    // would leave the purchase side's watermark at 06:59 and evict nothing
+    Seq(Event(1001L, ts("2024-01-01 20:00:00"), 1001L, "click", 1.0),
+        Event(1002L, ts("2024-01-01 20:00:00"), 1002L, "purchase", 1.0))
+      .toDS().coalesce(1).write.mode("append").parquet(s"$tmp/landing")
+    (tmp, old.length)
+  }
+
+  private def epochSrc(tmp: String, t: String) =
+    spark.readStream.schema(eventsDs.toDF().schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/landing")
+      .where($"event_type" === t)
+
+  private def stateTotals(q: org.apache.spark.sql.streaming.StreamingQuery) =
+    q.recentProgress.toSeq.filter(_.stateOperators.nonEmpty)
+      .map(p => (p.stateOperators.map(_.numRowsTotal).sum,
+        p.stateOperators.map(_.numRowsRemoved).sum))
+
+  test("w09 stream join state is watermark-BOUNDED: old state evicted, not accumulated") {
+    val (tmp, nOld) = twoEpochLanding()
+    val q = EventStream.recentPurchaseJoin(
+        epochSrc(tmp, "click"), epochSrc(tmp, "purchase"))
+      .writeStream.format("memory").queryName("w09_state")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val totals = stateTotals(q)
+    // the join really held the whole old epoch at its peak...
+    totals.map(_._1).max should be >= nOld.toLong
+    // ...and the post-watermark no-data batch evicted it: a mis-set
+    // watermark turns this ≤3 into "every event ever seen" — the leak
+    // that kills a 100 TB deployment weeks in, caught here instead
+    totals.last._1 should be <= 4L
+    totals.map(_._2).sum should be >= (nOld - 2).toLong
+  }
+
+  test("w11 outer join state is watermark-bounded and evicts like the inner form") {
+    val (tmp, nOld) = twoEpochLanding()
+    val q = EventStream.recentPurchaseJoinOuter(
+        epochSrc(tmp, "click"), epochSrc(tmp, "purchase"))
+      .writeStream.format("memory").queryName("w11_state")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val totals = stateTotals(q)
+    totals.map(_._1).max should be >= nOld.toLong
+    totals.last._1 should be <= 4L
+    // outer semantics on eviction: the unmatched old clicks must have
+    // emitted their null-padded rows rather than vanishing
+    spark.table("w11_state").where($"purchase_id".isNull).count() should be >= 25L
+  }
+
+  test("stream joins + sessionization run unchanged on the RocksDB state store") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val (tmp, _) = twoEpochLanding()
+      val q = EventStream.recentPurchaseJoin(
+          epochSrc(tmp, "click"), epochSrc(tmp, "purchase"))
+        .writeStream.format("memory").queryName("w09_rocks")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val totals = stateTotals(q)
+      totals.last._1 should be <= 4L
+      // value parity with the default-provider run is implied by the
+      // deterministic join itself; what this pins is that the RocksDB
+      // provider loads, checkpoints, and evicts on this exact surface
+      spark.table("w09_rocks").count() shouldBe
+        EventStream.recentPurchaseJoin(
+          spark.read.parquet(s"$tmp/landing").where($"event_type" === "click"),
+          spark.read.parquet(s"$tmp/landing").where($"event_type" === "purchase")).count()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("left-outer stream join: null rows gated by the global watermark, boundary strict") {
     // Pins the w11 oracle's outer-row rule: an unmatched click emits its
     // null-padded row iff its ts is STRICTLY below the global watermark
