@@ -1189,7 +1189,17 @@ object SparkEntry {
     // entity resolution: deletion-neighborhood blocking (SymSpell) turns
     // the quadratic levenshtein theta join into an equi-join + verify
     "e01_fuzzy_pairs" -> ((s, d) =>
-      Entity.fuzzyPairs(t(s, d)("customer"), "c_custkey", "c_name"))
+      Entity.fuzzyPairs(t(s, d)("customer"), "c_custkey", "c_name")),
+    // ROLLUP = one scan through Expand + one combined aggregate, never
+    // d+1 fact-table passes
+    "q41_rollup" -> ((s, d) => Core.rollupSummary(t(s, d)("lineitem"))),
+    // pivot with an EXPLICIT value list: one scan, one day-key shuffle —
+    // no collect-distinct-then-replan driver round trip
+    "q42_pivot" -> ((s, d) => Core.pivotDaily(t(s, d)("events"),
+      Seq("click", "error", "purchase", "signup", "view"))),
+    // exact interpolated percentiles over integer cents: the verified
+    // reference point for the KLL sketch's bounded-memory form
+    "q43_percentiles" -> ((s, d) => Core.percentiles(t(s, d)("events")))
   )
 
   /** x03: both join sides written as BUCKETED tables on the join key
@@ -2849,6 +2859,35 @@ object SparkEntry {
          WINDOW w AS (PARTITION BY user_id ORDER BY ts
                       RANGE BETWEEN INTERVAL 2 HOURS PRECEDING AND CURRENT ROW)
          ORDER BY event_id""",
+    // DuckDB's ROLLUP emits the identical null-marked subtotal rows
+    "q41_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+                CAST(count(*) AS BIGINT) AS n_rows
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    // the pivot is conditional aggregation in any engine; cells with no
+    // rows are normalized to 0 on BOTH sides (Spark pivot yields null)
+    "q42_pivot" ->
+      s"""WITH $evCte,
+         b AS (SELECT CAST(ts AS DATE) AS day, event_type,
+                      CAST(floor(value * 100) AS BIGINT) AS cents FROM ev)
+         SELECT day,
+           ${Seq("click", "error", "purchase", "signup", "view").map(t =>
+             s"""CAST(count(*) FILTER (event_type = '$t') AS BIGINT) AS ${t}_n,
+                 CAST(coalesce(sum(cents) FILTER (event_type = '$t'), 0) AS BIGINT) AS ${t}_cents""")
+            .mkString(",\n           ")}
+         FROM b GROUP BY day ORDER BY day""",
+    // quantile_cont interpolates at rank (n-1)·p — the same definition as
+    // Spark's exact percentile; integer-cent inputs keep it bit-portable
+    "q43_percentiles" ->
+      s"""WITH $evCte,
+         b AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents FROM ev)
+         SELECT event_type,
+                quantile_cont(cents, 0.5) AS p50,
+                quantile_cont(cents, 0.9) AS p90,
+                quantile_cont(cents, 0.99) AS p99
+         FROM b GROUP BY event_type ORDER BY event_type""",
     // the oracle runs the quadratic theta join the engine refuses to: a
     // length-delta prefilter (|len diff| > 1 ⇒ distance > 1) keeps DuckDB's
     // pair count sane, then exact levenshtein — value-identical to the

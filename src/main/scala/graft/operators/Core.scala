@@ -186,4 +186,70 @@ object Core {
            max($"n_chars").as("max_chars"),
            countDistinct($"lang").as("n_langs"))
       .orderBy($"source")
+
+  /** Hierarchical subtotals (q41): ROLLUP over (returnflag, linestatus) —
+    * the reference's state-tree rollup (A5, src/cycle.js:141-163)
+    * re-expressed as the relational grouping-sets operator every BI layer
+    * asks for.
+    *
+    * Scale shape: Spark plans ROLLUP as ONE scan through an Expand node
+    * (each row replicated once per grouping set, null-marked) feeding a
+    * single map-side-combined hash aggregate — strictly cheaper at 100 TB
+    * than aggregating per level and unioning, which would scan the fact
+    * table d+1 times. The replication factor equals the number of
+    * grouping sets (3 here), all absorbed before the one shuffle.
+    */
+  def rollupSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(sum($"l_quantity").cast("long").as("sum_qty"),
+           count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+
+  /** Wide pivot (q42): per-day event counts and exact cent sums spread
+    * into one column pair per event type — the long→wide reshape every
+    * reporting job runs.
+    *
+    * Scale shape: pivot with an EXPLICIT value list compiles to a single
+    * groupBy(day) with one conditional aggregate per (type, measure) —
+    * one scan, one shuffle on the day key, map-side combined; never the
+    * two-pass "collect distinct keys, then re-plan" form (a driver
+    * round-trip plus a second scan at 100 TB). Sums are exact integer
+    * cents, so wide-row equality against the oracle is bitwise.
+    */
+  def pivotDaily(events: DataFrame, types: Seq[String]): DataFrame = {
+    val wide = events
+      .select(to_date($"ts").as("day"), $"event_type",
+        floor($"value" * 100).cast("long").as("cents"))
+      .groupBy($"day")
+      .pivot("event_type", types)
+      .agg(count(lit(1)).as("n"), sum($"cents").as("cents"))
+    // empty cells: pivot yields null; normalize to 0 so the wide row is
+    // a total function of the day (and matches the oracle's FILTER form)
+    val cells = types.flatMap(t => Seq(s"${t}_n", s"${t}_cents"))
+    wide.select(col("day") +: cells.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+      .orderBy($"day")
+  }
+
+  /** Exact interpolated percentiles (q43): p50/p90/p99 of integer cents
+    * per event type via Spark's exact `percentile` (linear interpolation
+    * at rank (n−1)·p — the same definition DuckDB's quantile_cont uses,
+    * so values cross-check bitwise on integer inputs).
+    *
+    * Scale note: the EXACT percentile holds per-group values in memory —
+    * the right default at dimension-table group counts (5 types here);
+    * for fact-scale group cardinality or streaming, the engine's KLL
+    * sketch (Sketches.kll) is the bounded-memory form with a proven rank
+    * bound; this gate pins the exact end so the sketch has a verified
+    * reference point.
+    */
+  def percentiles(events: DataFrame): DataFrame =
+    events
+      .select($"event_type", floor($"value" * 100).cast("long").as("cents"))
+      .groupBy($"event_type")
+      .agg(
+        percentile($"cents", lit(0.5)).as("p50"),
+        percentile($"cents", lit(0.9)).as("p90"),
+        percentile($"cents", lit(0.99)).as("p99"))
+      .orderBy($"event_type")
 }
