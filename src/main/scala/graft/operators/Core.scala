@@ -210,24 +210,28 @@ object Core {
     * into one column pair per event type — the long→wide reshape every
     * reporting job runs.
     *
-    * Scale shape: pivot with an EXPLICIT value list compiles to a single
-    * groupBy(day) with one conditional aggregate per (type, measure) —
-    * one scan, one shuffle on the day key, map-side combined; never the
-    * two-pass "collect distinct keys, then re-plan" form (a driver
-    * round-trip plus a second scan at 100 TB). Sums are exact integer
-    * cents, so wide-row equality against the oracle is bitwise.
+    * Scale shape: the pivot is written as DIRECT conditional aggregation
+    * (one `agg` expression per (type, measure) cell) — one scan, ONE
+    * shuffle on the day key, map-side combined, plan-guarded. Two forms
+    * it deliberately avoids: `.pivot(col)` without a value list runs a
+    * collect-distinct driver round trip + re-plan, and `.pivot` with
+    * MULTIPLE aggregates plans a (day, type) pre-aggregate plus a
+    * PivotFirst re-shuffle — two exchanges where one suffices. Sums are
+    * exact integer cents, so wide-row equality against the oracle is
+    * bitwise; empty cells are 0, making each wide row a total function
+    * of its day.
     */
   def pivotDaily(events: DataFrame, types: Seq[String]): DataFrame = {
-    val wide = events
+    val cells = types.flatMap { t =>
+      Seq(
+        count(when($"event_type" === t, lit(1))).as(s"${t}_n"),
+        coalesce(sum(when($"event_type" === t, $"cents")), lit(0L)).as(s"${t}_cents"))
+    }
+    events
       .select(to_date($"ts").as("day"), $"event_type",
         floor($"value" * 100).cast("long").as("cents"))
       .groupBy($"day")
-      .pivot("event_type", types)
-      .agg(count(lit(1)).as("n"), sum($"cents").as("cents"))
-    // empty cells: pivot yields null; normalize to 0 so the wide row is
-    // a total function of the day (and matches the oracle's FILTER form)
-    val cells = types.flatMap(t => Seq(s"${t}_n", s"${t}_cents"))
-    wide.select(col("day") +: cells.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+      .agg(cells.head, cells.tail: _*)
       .orderBy($"day")
   }
 

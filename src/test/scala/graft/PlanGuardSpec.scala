@@ -296,6 +296,32 @@ class PlanGuardSpec extends SparkSpec {
       p.contains("BroadcastHashJoin")) shouldBe true
   }
 
+  test("q41_rollup: one fact scan through Expand into one combined aggregate") {
+    val p = planOf("q41_rollup")
+    p should include("Expand")
+    p.linesIterator.count(_.contains("lineitem.parquet")) shouldBe 1
+    // one grouping-key shuffle; the d+1-pass union formulation would
+    // show d+1 scans and multiple exchanges
+    hashExchanges(p) shouldBe 1
+    p should not include "Union"
+  }
+
+  test("q42_pivot: explicit value list compiles to ONE scan + one day-key shuffle") {
+    val p = planOf("q42_pivot")
+    p.linesIterator.count(_.contains("events.parquet")) shouldBe 1
+    hashExchanges(p) shouldBe 1
+    p should not include "Join"
+  }
+
+  test("q43_percentiles: exact percentile aggregates in one pass, one exchange") {
+    val p = planOf("q43_percentiles")
+    p.linesIterator.count(_.contains("events.parquet")) shouldBe 1
+    hashExchanges(p) shouldBe 1
+    // partial_percentile before the exchange: per-group state combines
+    // map-side instead of shipping raw rows
+    p.toLowerCase should include("partial_percentile")
+  }
+
   test("x03_bucketed_join: co-bucketed layout joins with zero input exchanges") {
     // with broadcast off, the SortMergeJoin must consume both bucketed
     // tables directly — the only hash exchange left is the rollup on
