@@ -785,6 +785,9 @@ object SparkEntry {
     // without touching the bytes
     "m04_asset_decode" -> ((s, d) =>
       Multimodal.decodeAssets(t(s, d)("documents")).toDF()),
+    // JPEG frame-header extraction: marker walk + byte-stuffed scan —
+    // the identify/thumbnail operation, no pixel decode needed
+    "m05_jpeg_dims" -> ((s, d) => Multimodal.jpegDims(t(s, d)("documents"))),
     // ---- core relational surface (SURVEY.md §2.2-2.5) ----
     "q01_pricing_summary" -> ((s, d) => Core.pricingSummary(t(s, d)("lineitem"))),
     "q02_distinct_types" -> ((s, d) => Core.distinctValues(t(s, d)("events"), "event_type")),
@@ -2329,6 +2332,14 @@ object SparkEntry {
                 CAST(sample_rate AS BIGINT) AS sample_rate,
                 CAST(n_units AS BIGINT) AS n_units, CAST(value_sum AS BIGINT) AS value_sum
          FROM u ORDER BY doc_id""",
+    // closed-form JPEG shell parameters, regenerated without the bytes
+    "m05_jpeg_dims" ->
+      """SELECT doc_id,
+                CAST(16 + doc_id % 101 AS BIGINT) AS width,
+                CAST(16 + (7 * doc_id) % 67 AS BIGINT) AS height,
+                CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS BIGINT) AS channels,
+                CAST(8 AS BIGINT) AS precision_bits
+         FROM documents ORDER BY doc_id""",
     "m02_frame_sample" ->
       """WITH f AS (
            SELECT doc_id, text,

@@ -147,6 +147,33 @@ object Multimodal {
       .orderBy(col("doc_id")).as[AssetDecoded]
   }
 
+  /** m05 fixture: a structurally valid JPEG shell per document, dims and
+    * channel count in closed form from doc_id (oracle regenerates them
+    * without the bytes).
+    */
+  def jpegShellFor(d: Long): Array[Byte] =
+    AssetCodecs.encodeJpeg((16 + d % 101).toInt, (16 + (7 * d) % 67).toInt,
+      if (d % 2 == 0) 1 else 3)
+
+  /** JPEG dimension extraction (m05): the header-level operation every
+    * thumbnailer/`identify` runs — marker walk to SOFn, byte-stuffed scan
+    * to EOI, no pixel decode. Same mapPartitions shape as [[decodeAssets]];
+    * the decoder sees only bytes.
+    */
+  def jpegDims(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val m = AssetCodecs.decodeJpeg(jpegShellFor(id))
+          (id, m.width, m.height, m.channels, m.bitDepth)
+        }
+      }
+      .toDF("doc_id", "width", "height", "channels", "precision_bits")
+      .orderBy(col("doc_id"))
+  }
+
   /** Distributed decode + feature extraction over the payload column:
     * `mapPartitions` so a real decoder amortizes per-partition init (codec
     * contexts, model weights) across its batch — the Spark-side plumbing a

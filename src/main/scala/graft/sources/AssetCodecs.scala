@@ -46,6 +46,8 @@ object AssetCodecs {
     if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P') decodePng(bytes)
     else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
     else if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I') decodeWav(bytes)
+    else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+      decodeJpeg(bytes)
     else sys.error(s"unrecognized asset container (${bytes.take(4).map(b => f"$b%02x").mkString(" ")})")
 
   // ---------------------------------------------------------------- PNG
@@ -269,6 +271,109 @@ object AssetCodecs {
     }
     AssetMeta("bmp", w, h, channels = 3, bitDepth = 24,
       sampleRate = 0, nUnits = w.toLong * h, valueSum = sum)
+  }
+
+  // --------------------------------------------------------------- JPEG
+
+  /** Encode a structurally valid JPEG shell: SOI · APP0/JFIF · DQT ·
+    * SOF0 (the frame header carrying precision/height/width/channels) ·
+    * DHT · SOS with entropy-coded payload (0xFF bytes byte-stuffed as
+    * FF 00 per spec §B.1.1.5) · EOI. The entropy payload is deterministic
+    * filler — real DCT coefficients need none of the marker structure
+    * this codec is about — so [[decodeJpeg]] recovers frame metadata,
+    * not pixels (dimension extraction IS the ubiquitous real-world
+    * header-level JPEG operation: every `identify`/thumbnailer does it
+    * without a full decode).
+    */
+  def encodeJpeg(w: Int, h: Int, channels: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff, s"bad dims ${w}x$h")
+    require(channels == 1 || channels == 3, s"JPEG channels must be 1 or 3, got $channels")
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def segment(m: Int, payload: Array[Byte]): Unit = {
+      marker(m)
+      val len = payload.length + 2
+      out.write(len >> 8); out.write(len & 0xff); out.write(payload)
+    }
+    marker(0xd8) // SOI
+    segment(0xe0, "JFIF ".getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 0, 0, 1, 0, 1, 0, 0)) // JFIF 1.2, no thumbnail
+    segment(0xdb, Array.tabulate(65)(i => if (i == 0) 0 else 16).map(_.toByte)) // DQT id 0
+    // SOF0: precision 8, height, width, components (id, sampling 0x11, dqt 0)
+    segment(0xc0, Array[Byte](8) ++
+      Array((h >> 8).toByte, (h & 0xff).toByte, (w >> 8).toByte, (w & 0xff).toByte) ++
+      Array(channels.toByte) ++
+      (1 to channels).flatMap(c => Seq(c.toByte, 0x11.toByte, 0.toByte)))
+    // minimal DHT (class 0, id 0: one 1-bit code)
+    segment(0xc4, Array[Byte](0x00, 1) ++ Array.fill[Byte](15)(0) ++ Array[Byte](0))
+    // SOS header, then entropy filler containing 0xFF values that MUST be
+    // byte-stuffed — a decoder that treats every 0xFF as a marker dies here
+    segment(0xda, Array[Byte](channels.toByte) ++
+      (1 to channels).flatMap(c => Seq(c.toByte, 0.toByte)) ++
+      Array[Byte](0, 63, 0))
+    for (k <- 0 until 64 + (w * h) % 97) {
+      val b = (k * 37 + w + h) % 256
+      if (b == 0xff) { out.write(0xff); out.write(0x00) } // stuffed
+      else out.write(b)
+    }
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Walk the marker stream to the frame header (any SOFn baseline/
+    * progressive variant), then through the byte-stuffed scan to EOI —
+    * rejecting truncated or structurally broken streams loudly.
+    */
+  def decodeJpeg(bytes: Array[Byte]): AssetMeta = {
+    require(bytes.length >= 4 &&
+      (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8, "bad JPEG SOI")
+    var pos = 2
+    var w = -1; var h = -1; var channels = -1; var precision = -1
+    var inScan = false; var sawEoi = false
+    while (!sawEoi) {
+      require(pos < bytes.length, "truncated JPEG (no EOI)")
+      if (inScan) {
+        // entropy-coded data: 0xFF is a marker only when NOT followed by
+        // 0x00 (stuffing) or RST0-7
+        if ((bytes(pos) & 0xff) != 0xff) pos += 1
+        else {
+          require(pos + 2 <= bytes.length, "truncated JPEG scan")
+          val m = bytes(pos + 1) & 0xff
+          if (m == 0x00 || (m >= 0xd0 && m <= 0xd7)) pos += 2
+          else if (m == 0xd9) { sawEoi = true }
+          else sys.error(f"unexpected marker 0x$m%02x inside scan")
+        }
+      } else {
+        require(pos + 2 <= bytes.length &&
+          (bytes(pos) & 0xff) == 0xff, f"expected marker at $pos")
+        val m = bytes(pos + 1) & 0xff
+        m match {
+          case 0xd9 => sawEoi = true
+          case x if x >= 0xd0 && x <= 0xd7 => pos += 2 // standalone RST
+          case 0x01 => pos += 2                        // standalone TEM
+          case _ =>
+            require(pos + 4 <= bytes.length, "truncated JPEG segment header")
+            val len = ((bytes(pos + 2) & 0xff) << 8) | (bytes(pos + 3) & 0xff)
+            require(len >= 2 && pos + 2 + len <= bytes.length, s"truncated JPEG segment")
+            // SOFn frame headers carry the dimensions; C4/C8/CC are
+            // DHT/JPG/DAC, not frames
+            if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+              precision = bytes(pos + 4) & 0xff
+              h = ((bytes(pos + 5) & 0xff) << 8) | (bytes(pos + 6) & 0xff)
+              w = ((bytes(pos + 7) & 0xff) << 8) | (bytes(pos + 8) & 0xff)
+              channels = bytes(pos + 9) & 0xff
+            }
+            if (m == 0xda) {
+              require(w > 0, "JPEG SOS before any SOF frame header")
+              inScan = true
+            }
+            pos += 2 + len
+        }
+      }
+    }
+    require(w > 0 && h > 0, "JPEG stream ended without a frame header")
+    AssetMeta("jpeg", w, h, channels, precision,
+      sampleRate = 0, nUnits = w.toLong * h, valueSum = 0)
   }
 
   // ---------------------------------------------------------------- WAV

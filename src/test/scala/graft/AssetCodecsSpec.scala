@@ -82,10 +82,30 @@ class AssetCodecsSpec extends AnyFunSuite with Matchers {
     an[Exception] should be thrownBy AssetCodecs.decodeWav(enc)
   }
 
+  test("JPEG: marker walk recovers SOF dims/channels through the stuffed scan") {
+    val m = AssetCodecs.decodeJpeg(AssetCodecs.encodeJpeg(640, 480, 3))
+    (m.fmt, m.width, m.height, m.channels, m.bitDepth) shouldBe
+      (("jpeg", 640L, 480L, 3L, 8L))
+    // greyscale single-component variant
+    AssetCodecs.decodeJpeg(AssetCodecs.encodeJpeg(17, 65535, 1)).height shouldBe 65535L
+  }
+
+  test("JPEG: truncated scan and missing SOF are rejected") {
+    val ok = AssetCodecs.encodeJpeg(32, 32, 3)
+    an[Exception] should be thrownBy AssetCodecs.decodeJpeg(ok.dropRight(2)) // no EOI
+    // excise the SOF0 segment: SOS must then fail loudly
+    val sofAt = (0 until ok.length - 1).find(i =>
+      (ok(i) & 0xff) == 0xff && (ok(i + 1) & 0xff) == 0xc0).get
+    val sofLen = ((ok(sofAt + 2) & 0xff) << 8) | (ok(sofAt + 3) & 0xff)
+    val noSof = ok.take(sofAt) ++ ok.drop(sofAt + 2 + sofLen)
+    an[Exception] should be thrownBy AssetCodecs.decodeJpeg(noSof)
+  }
+
   test("decode() dispatches on magic bytes and rejects unknown containers") {
     AssetCodecs.decode(AssetCodecs.encodePng(3, 3, (_, _) => 0)).fmt shouldBe "png"
     AssetCodecs.decode(AssetCodecs.encodeBmp(3, 3, (_, _) => 0)).fmt shouldBe "bmp"
     AssetCodecs.decode(AssetCodecs.encodeWav(8000, Array[Short](0))).fmt shouldBe "wav"
+    AssetCodecs.decode(AssetCodecs.encodeJpeg(3, 3, 1)).fmt shouldBe "jpeg"
     an[Exception] should be thrownBy AssetCodecs.decode("GIF89a!".getBytes)
   }
 
