@@ -1202,7 +1202,11 @@ object SparkEntry {
       Seq("click", "error", "purchase", "signup", "view"))),
     // exact interpolated percentiles over integer cents: the verified
     // reference point for the KLL sketch's bounded-memory form
-    "q43_percentiles" -> ((s, d) => Core.percentiles(t(s, d)("events")))
+    "q43_percentiles" -> ((s, d) => Core.percentiles(t(s, d)("events"))),
+    // the inverse reshape: pivot -> unpivot round trip (Expand node,
+    // no extra shuffle) must land back on the long-form aggregate
+    "q44_unpivot" -> ((s, d) => Core.unpivotDaily(t(s, d)("events"),
+      Seq("click", "error", "purchase", "signup", "view")))
   )
 
   /** x03: both join sides written as BUCKETED tables on the join key
@@ -2889,6 +2893,20 @@ object SparkEntry {
                  CAST(coalesce(sum(cents) FILTER (event_type = '$t'), 0) AS BIGINT) AS ${t}_cents""")
             .mkString(",\n           ")}
          FROM b GROUP BY day ORDER BY day""",
+    // every (day, type) combination appears — absent ones as explicit 0,
+    // exactly what the zero-filled wide form melts back to
+    "q44_unpivot" ->
+      s"""WITH $evCte,
+         b AS (SELECT CAST(ts AS DATE) AS day, event_type,
+                      CAST(floor(value * 100) AS BIGINT) AS cents FROM ev),
+         d AS (SELECT DISTINCT day FROM b),
+         t(event_type) AS (VALUES ('click'), ('error'), ('purchase'),
+                                  ('signup'), ('view')),
+         agg AS (SELECT day, event_type, sum(cents) AS s FROM b GROUP BY 1, 2)
+         SELECT d.day, t.event_type, CAST(coalesce(agg.s, 0) AS BIGINT) AS cents
+         FROM d CROSS JOIN t
+         LEFT JOIN agg ON agg.day = d.day AND agg.event_type = t.event_type
+         ORDER BY d.day, t.event_type""",
     // quantile_cont interpolates at rank (n-1)·p — the same definition as
     // Spark's exact percentile; integer-cent inputs keep it bit-portable
     "q43_percentiles" ->

@@ -235,6 +235,21 @@ object Core {
       .orderBy($"day")
   }
 
+  /** Wide→long melt (q44): the inverse reshape of [[pivotDaily]] via
+    * Spark's native `unpivot` (an Expand node — each wide row replicated
+    * once per melted column, no shuffle of its own). Round-tripping
+    * through pivot THEN unpivot is the gate's point: the melt must
+    * reproduce exactly the per-(day, type) aggregate the long form
+    * started from, including the explicit 0 rows the zero-filled wide
+    * form carries for absent combinations.
+    */
+  def unpivotDaily(events: DataFrame, types: Seq[String]): DataFrame =
+    pivotDaily(events, types)
+      .unpivot(Array(col("day")), types.map(t => col(s"${t}_cents")).toArray,
+        "event_type", "cents")
+      .withColumn("event_type", regexp_replace($"event_type", "_cents$", ""))
+      .orderBy($"day", $"event_type")
+
   /** Exact interpolated percentiles (q43): p50/p90/p99 of integer cents
     * per event type via Spark's exact `percentile` (linear interpolation
     * at rank (n−1)·p — the same definition DuckDB's quantile_cont uses,

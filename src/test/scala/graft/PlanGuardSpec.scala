@@ -322,6 +322,14 @@ class PlanGuardSpec extends SparkSpec {
     p.toLowerCase should include("partial_percentile")
   }
 
+  test("q44_unpivot: melt adds an Expand, not a join or a second shuffle") {
+    val p = planOf("q44_unpivot")
+    p should include("Expand")
+    p should not include "Join"
+    p.linesIterator.count(_.contains("events.parquet")) shouldBe 1
+    hashExchanges(p) shouldBe 1 // the pivot's day-key shuffle, nothing more
+  }
+
   test("x03_bucketed_join: co-bucketed layout joins with zero input exchanges") {
     // with broadcast off, the SortMergeJoin must consume both bucketed
     // tables directly — the only hash exchange left is the rollup on
