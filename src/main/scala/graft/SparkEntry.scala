@@ -1181,6 +1181,20 @@ object SparkEntry {
     // Avro interchange round-trip — hand-rolled OCF sink + splittable
     // AvroInputFormat source (no spark-avro connector in this env)
     "t27_avro_roundtrip" -> ((s, d) => avroRoundtrip(s, d)),
+    // Unicode NFC canonicalization (native codegen'd expression, not a
+    // UDF): composed and decomposed text must hash identically before
+    // dedup — the fixture appends a decomposed e+U+0301 so every row
+    // exercises the composition path; the JDK and DuckDB implement the
+    // same UAX #15 algorithm, which is what the oracle cross-checks
+    "t28_nfc_normalize" -> ((s, d) => {
+      val raw = concat($"text", lit(" re"), lit("e\u0301"), lit("sume"))
+      t(s, d)("documents").select(
+        $"doc_id",
+        length(raw).cast("long").as("n_raw"),
+        length(functions.NfcNormalize(raw)).cast("long").as("n_nfc"),
+        md5(functions.NfcNormalize(raw).cast("binary")).as("nfc_md5"))
+        .orderBy($"doc_id")
+    }),
     // next-event Markov transitions: one user_id shuffle + lead, top-k
     // over the |types|²-bounded transition table — never a self-join
     "q39_transitions" -> ((s, d) =>
@@ -2672,6 +2686,16 @@ object SparkEntry {
     "t21_csv_roundtrip" -> corpusIdentityOracle,
     "t26_orc_roundtrip" -> corpusIdentityOracle,
     "t27_avro_roundtrip" -> corpusIdentityOracle,
+    // chr(769) = U+0301 combining acute; NFC composes it into é, so the
+    // normalized length drops by exactly one code point per row
+    "t28_nfc_normalize" ->
+      """WITH b AS (SELECT doc_id,
+                text || ' re' || chr(101) || chr(769) || 'sume' AS raw
+              FROM documents)
+         SELECT doc_id, CAST(length(raw) AS BIGINT) AS n_raw,
+                CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_nfc,
+                md5(nfc_normalize(raw)) AS nfc_md5
+         FROM b ORDER BY doc_id""",
     // hashed-bigram conditional LM: pair counts group by (ctx, pair)
     // bucket, context totals roll up from the pair table, per-occurrence
     // terms are long floor divisions (DuckDB `//` == Spark DIV on

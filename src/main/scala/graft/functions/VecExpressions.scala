@@ -208,6 +208,10 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
         val starts = children(4).eval(null).asInstanceOf[ArrayData].toIntArray()
         GeoContains(children.head, children(1), xs, ys, starts)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => NfcNormalize(children.head)))
     // containment ⇒ bbox: inject the pushable range prefilter (P2∘P3)
     ext.injectOptimizerRule(_ => GeoBboxPushdown)
   }

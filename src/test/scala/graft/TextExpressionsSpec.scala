@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.NfcNormalize
+
+/** Native NFC normalization expression (t28): UAX #15 canonical
+  * composition as a codegen'd Catalyst expression.
+  */
+class TextExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def nfc(ss: String*): Seq[String] =
+    ss.toDF("s").select(NfcNormalize($"s").as("n")).as[String].collect().toSeq
+
+  test("composed and decomposed forms normalize to identical strings") {
+    val composed = "café naïve"          // é, ï precomposed
+    val decomposed = "cafe\u0301 nai\u0308ve" // e+U+0301, i+U+0308
+    nfc(composed, decomposed).distinct should have length 1
+    nfc(decomposed).head shouldBe composed
+  }
+
+  test("already-NFC and ASCII text pass through unchanged (fast path)") {
+    nfc("plain ascii", "café", "") shouldBe Seq("plain ascii", "café", "")
+  }
+
+  test("null propagates; astral code points survive") {
+    val out = Seq[Option[String]](None, Some("a𝕏b😀"))
+      .toDF("s").select(NfcNormalize($"s")).collect()
+    out(0).isNullAt(0) shouldBe true
+    out(1).getString(0) shouldBe "a𝕏b😀"
+  }
+
+  test("normalize-then-hash collapses byte-distinct equal text (the dedup motivation)") {
+    val d = Seq((1L, "r\u00e9sum\u00e9"), (2L, "re\u0301sume\u0301"))
+      .toDF("doc_id", "text")
+    val hashes = d.select(md5(NfcNormalize($"text").cast("binary"))).distinct()
+    hashes.count() shouldBe 1
+    // WITHOUT normalization they are different content hashes
+    d.select(md5($"text".cast("binary"))).distinct().count() shouldBe 2
+  }
+
+  test("expression stays codegen'd: no ScalaUDF in the plan") {
+    val p = table("documents").select(NfcNormalize($"text"))
+      .queryExecution.executedPlan.toString
+    p should not include "ScalaUDF"
+  }
+
+  test("SQL surface: nfc_normalize callable from spark.sql") {
+    spark.sql("SELECT nfc_normalize('cafe\u0301') AS n").as[String].head() shouldBe "caf\u00e9"
+  }
+}
