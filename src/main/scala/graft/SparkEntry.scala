@@ -1220,7 +1220,14 @@ object SparkEntry {
     // the inverse reshape: pivot -> unpivot round trip (Expand node,
     // no extra shuffle) must land back on the long-form aggregate
     "q44_unpivot" -> ((s, d) => Core.unpivotDaily(t(s, d)("events"),
-      Seq("click", "error", "purchase", "signup", "view")))
+      Seq("click", "error", "purchase", "signup", "view"))),
+    // rolling 7-day distinct actives: distinct pairs -> bounded explode,
+    // never a per-day re-scan (windowed COUNT DISTINCT is inexpressible)
+    "q45_rolling_dau" -> ((s, d) =>
+      EventWindows.rollingDistinctUsers(t(s, d)("events"), 7)),
+    // forward-fill: last_value IGNORE NULLS over one sorted user pass
+    "q46_forward_fill" -> ((s, d) =>
+      EventWindows.forwardFill(t(s, d)("events")))
   )
 
   /** x03: both join sides written as BUCKETED tables on the join key
@@ -2917,6 +2924,28 @@ object SparkEntry {
                  CAST(coalesce(sum(cents) FILTER (event_type = '$t'), 0) AS BIGINT) AS ${t}_cents""")
             .mkString(",\n           ")}
          FROM b GROUP BY day ORDER BY day""",
+    // independent formulation: a day-range theta join instead of the
+    // engine's bounded explode — same distinct-actives by construction
+    "q45_rolling_dau" ->
+      s"""WITH $evCte,
+         p AS (SELECT DISTINCT user_id,
+                      CAST(date_trunc('day', ts) AS DATE) AS day FROM ev),
+         a AS (SELECT DISTINCT day FROM p)
+         SELECT a.day AS report_day,
+                CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_active
+         FROM a JOIN p ON p.day BETWEEN a.day - INTERVAL 6 DAY AND a.day
+         GROUP BY 1 ORDER BY 1""",
+    // IGNORE NULLS carry-forward over the identical (ts, event_id) order
+    "q46_forward_fill" ->
+      s"""WITH $evCte,
+         g AS (SELECT event_id, user_id, ts,
+                      CASE WHEN event_id % 7 = 0 THEN NULL
+                           ELSE floor(value * 100) / 100 END AS reading FROM ev)
+         SELECT event_id, user_id, ts, reading,
+                last_value(reading IGNORE NULLS) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+         FROM g ORDER BY event_id""",
     // every (day, type) combination appears — absent ones as explicit 0,
     // exactly what the zero-filled wide form melts back to
     "q44_unpivot" ->

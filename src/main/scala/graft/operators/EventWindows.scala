@@ -204,4 +204,51 @@ object EventWindows {
       .agg(count(lit(1)).as("n_active"))
       .orderBy($"cohort_day", $"day_offset")
   }
+
+  /** Rolling N-day distinct actives (q45) — the DAU/WAU/MAU family.
+    * COUNT(DISTINCT) isn't expressible over a window frame (in Spark or
+    * any mainstream engine), so the distributed shape is: collapse to
+    * distinct (user, day) pairs first — THE cardinality reducer, a fact
+    * table becomes at most |users|·|days| rows — then explode each pair
+    * into the `windowDays` report days it contributes to, and count per
+    * day. Explosion factor is the window length (7 here), bounded and
+    * shuffle-friendly; the alternative day-range self-join re-scans the
+    * pair table per day.
+    *
+    * Report days are restricted to days with actual activity (the spine
+    * join for gap-free calendars is q35's job).
+    */
+  def rollingDistinctUsers(events: DataFrame, windowDays: Int): DataFrame =
+    events
+      .select($"user_id", date_trunc("day", $"ts").cast("date").as("day"))
+      .distinct()
+      .withColumn("report_day",
+        explode(sequence($"day", date_add($"day", windowDays - 1))))
+      .groupBy($"report_day")
+      .agg(countDistinct($"user_id").as("n_active"),
+        // a report day is real iff some contributor IS that day — checked
+        // inline so the activity-day filter costs no second scan or join
+        max(($"day" === $"report_day").cast("int")).as("has_self"))
+      .where($"has_self" === 1)
+      .select($"report_day", $"n_active")
+      .orderBy($"report_day")
+
+  /** Forward-fill gap interpolation (q46): carry each user's last known
+    * reading forward across null gaps — `last_value IGNORE NULLS` over an
+    * unbounded-preceding frame, the canonical sensor/tick gap-fill. One
+    * user_id shuffle, one sorted pass; rows before a user's first reading
+    * stay null (nothing to carry). The fixture nulls every 7th event's
+    * value deterministically so the oracle reproduces the gaps exactly.
+    */
+  def forwardFill(events: DataFrame): DataFrame = {
+    val gapped = events
+      .select($"event_id", $"user_id", $"ts",
+        when($"event_id" % 7 === 0, lit(null).cast("double"))
+          .otherwise(floor($"value" * 100) / 100).as("reading"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gapped
+      .withColumn("filled", last($"reading", ignoreNulls = true).over(w))
+      .orderBy($"event_id")
+  }
 }

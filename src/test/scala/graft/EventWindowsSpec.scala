@@ -160,6 +160,39 @@ class EventWindowsSpec extends SparkSpec {
     a shouldBe b
   }
 
+  test("rollingDistinctUsers: trailing 7-day distinct, multi-day users counted once") {
+    val d = events(
+      (1L, "2024-01-01 10:00:00", 1L, "e", 0.0),
+      (2L, "2024-01-03 10:00:00", 1L, "e", 0.0), // same user, 2 active days
+      (3L, "2024-01-03 11:00:00", 2L, "e", 0.0),
+      (4L, "2024-01-20 10:00:00", 3L, "e", 0.0)) // outside any 7-day reach
+    val out = EventWindows.rollingDistinctUsers(d, 7).collect()
+      .map(r => (r.getDate(0).toString, r.getAs[Long]("n_active"))).toMap
+    out("2024-01-01") shouldBe 1L
+    // Jan 3 window [Dec 28, Jan 3]: user1 (twice, counted once) + user2
+    out("2024-01-03") shouldBe 2L
+    out("2024-01-20") shouldBe 1L
+    // report days exist only where there is activity
+    out.keySet shouldBe Set("2024-01-01", "2024-01-03", "2024-01-20")
+  }
+
+  test("forwardFill: gaps carry the last reading; leading nulls stay null") {
+    val d = events(
+      (7L, "2024-01-01 10:00:00", 1L, "e", 1.23),  // 7 % 7 == 0 -> null, nothing before
+      (8L, "2024-01-01 10:01:00", 1L, "e", 2.50),
+      (14L, "2024-01-01 10:02:00", 1L, "e", 9.99), // nulled, carries 2.50
+      (15L, "2024-01-01 10:03:00", 1L, "e", 4.00),
+      (21L, "2024-01-01 09:00:00", 2L, "e", 5.55)) // other user, nulled, leading
+    val out = EventWindows.forwardFill(d).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (if (r.isNullAt(4)) None else Some(r.getAs[Double]("filled")))).toMap
+    out(7L) shouldBe None
+    out(8L) shouldBe Some(2.50)
+    out(14L) shouldBe Some(2.50)
+    out(15L) shouldBe Some(4.00)
+    out(21L) shouldBe None
+  }
+
   test("retentionMatrix: day-offset counts against each user's first-seen day") {
     val d = events(
       (1L, "2024-01-01 10:00:00", 1L, "e", 0.0),  // cohort Jan 1

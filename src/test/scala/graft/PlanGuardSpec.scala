@@ -330,6 +330,20 @@ class PlanGuardSpec extends SparkSpec {
     hashExchanges(p) shouldBe 1 // the pivot's day-key shuffle, nothing more
   }
 
+  test("q45_rolling_dau: one scan, bounded explode, no join at all") {
+    val p = planOf("q45_rolling_dau")
+    p should include("Generate") // the 7-day explode
+    p should not include "Join"
+    p.linesIterator.count(_.contains("events.parquet")) shouldBe 1
+  }
+
+  test("q46_forward_fill: one shuffle, one window, no join") {
+    val p = planOf("q46_forward_fill")
+    p should not include "Join"
+    hashExchanges(p) shouldBe 1
+    p.linesIterator.count(_.trim.matches("""\(\d+\) Window""")) shouldBe 1
+  }
+
   test("x03_bucketed_join: co-bucketed layout joins with zero input exchanges") {
     // with broadcast off, the SortMergeJoin must consume both bucketed
     // tables directly — the only hash exchange left is the rollup on
