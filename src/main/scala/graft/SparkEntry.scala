@@ -1227,7 +1227,29 @@ object SparkEntry {
       EventWindows.rollingDistinctUsers(t(s, d)("events"), 7)),
     // forward-fill: last_value IGNORE NULLS over one sorted user pass
     "q46_forward_fill" -> ((s, d) =>
-      EventWindows.forwardFill(t(s, d)("events")))
+      EventWindows.forwardFill(t(s, d)("events"))),
+    // native unrestricted Damerau-Levenshtein vs a deterministic
+    // swap+delete mangle of each name — codegen'd row-local kernel, zero
+    // shuffles; ASCII fixture keeps byte- and code-point-based oracles
+    // identical
+    "e02_damerau" -> ((s, d) => {
+      val name = $"c_name"
+      val p = (lit(10) + ($"c_custkey" % 5)).cast("int")
+      val q = (lit(2) + ($"c_custkey" % 8)).cast("int")
+      val swapped = concat(
+        name.substr(lit(1), p - 1),
+        name.substr(p + 1, lit(1)),
+        name.substr(p, lit(1)),
+        name.substr(p + 2, length(name)))
+      val mangled = concat(
+        swapped.substr(lit(1), q - 1),
+        swapped.substr(q + 1, length(name)))
+      t(s, d)("customer").select(
+        $"c_custkey",
+        functions.DamerauLevenshtein(name, mangled).as("dl"),
+        levenshtein(name, mangled).cast("long").as("lev"))
+        .orderBy($"c_custkey")
+    })
   )
 
   /** x03: both join sides written as BUCKETED tables on the join key
@@ -2924,6 +2946,21 @@ object SparkEntry {
                  CAST(coalesce(sum(cents) FILTER (event_type = '$t'), 0) AS BIGINT) AS ${t}_cents""")
             .mkString(",\n           ")}
          FROM b GROUP BY day ORDER BY day""",
+    // DuckDB's damerau_levenshtein is the same unrestricted variant
+    // (probed: dl('CA','ABC') = 2); ASCII names make byte-based and
+    // code-point-based distances identical
+    "e02_damerau" ->
+      """WITH m AS (SELECT c_custkey, c_name,
+                10 + c_custkey % 5 AS p, 2 + c_custkey % 8 AS q FROM customer),
+         s AS (SELECT c_custkey, c_name, q,
+                substr(c_name, 1, p - 1) || substr(c_name, p + 1, 1) ||
+                substr(c_name, p, 1) || substr(c_name, p + 2) AS sw FROM m),
+         x AS (SELECT c_custkey, c_name,
+                substr(sw, 1, q - 1) || substr(sw, q + 1) AS mangled FROM s)
+         SELECT c_custkey,
+                CAST(damerau_levenshtein(c_name, mangled) AS BIGINT) AS dl,
+                CAST(levenshtein(c_name, mangled) AS BIGINT) AS lev
+         FROM x ORDER BY c_custkey""",
     // independent formulation: a day-range theta join instead of the
     // engine's bounded explode — same distinct-actives by construction
     "q45_rolling_dau" ->

@@ -56,3 +56,94 @@ object NfcNormalize {
   def apply(c: Column): Column =
     org.apache.spark.sql.functions.call_function("nfc_normalize", c)
 }
+
+/** TRUE (unrestricted) Damerau-Levenshtein distance — Lowrance-Wagner
+  * 1975, the variant where a transposed pair may be edited further
+  * (dl("CA","ABC") = 2, where the restricted OSA form says 3). Spark
+  * ships only plain `levenshtein`; entity resolution wants the
+  * transposition-aware distance because character swaps are the single
+  * most common human typo class. Codegen'd native expression: the DP
+  * kernel runs inside WholeStageCodegen with primitive arrays, no UDF
+  * stage break.
+  *
+  * Distance is over Unicode CODE POINTS. (DuckDB's implementation is
+  * over UTF-8 bytes — identical on ASCII, which is what the e02 oracle
+  * fixture sticks to; the spec pins the code-point choice on non-ASCII.)
+  */
+case class DamerauLevenshtein(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"damerau_levenshtein requires string inputs, got ${left.dataType}, ${right.dataType}")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DamerauLevenshtein.distance(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.DamerauLevenshtein.distance($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): DamerauLevenshtein =
+    copy(left = newLeft, right = newRight)
+}
+
+object DamerauLevenshtein {
+
+  def distance(a: UTF8String, b: UTF8String): Long =
+    distance(a.toString.codePoints().toArray, b.toString.codePoints().toArray)
+
+  /** Lowrance-Wagner DP over code points: (la+2)×(lb+2) matrix with a
+    * sentinel border row/column of la+lb, `da` tracking the last row
+    * each symbol occurred in. O(la·lb) time, O(la·lb) space — names and
+    * titles, not documents (for documents the right tool is shingled
+    * Jaccard, gates d02-d08).
+    */
+  def distance(a: Array[Int], b: Array[Int]): Long = {
+    val la = a.length; val lb = b.length
+    if (la == 0) return lb.toLong
+    if (lb == 0) return la.toLong
+    val maxd = la + lb
+    val w = lb + 2
+    val d = new Array[Int]((la + 2) * w)
+    d(0) = maxd
+    var i = 0
+    while (i <= la) { d((i + 1) * w) = maxd; d((i + 1) * w + 1) = i; i += 1 }
+    var j = 0
+    while (j <= lb) { d(j + 1) = maxd; d(w + j + 1) = j; j += 1 }
+    val da = new java.util.HashMap[Int, Int]()
+    i = 1
+    while (i <= la) {
+      var db = 0
+      j = 1
+      while (j <= lb) {
+        val k = da.getOrDefault(b(j - 1), 0)
+        val l = db
+        var cost = 1
+        if (a(i - 1) == b(j - 1)) { cost = 0; db = j }
+        val subst = d(i * w + j) + cost
+        val insert = d((i + 1) * w + j) + 1
+        val delete = d(i * w + j + 1) + 1
+        val transp = d(k * w + l) + (i - k - 1) + 1 + (j - l - 1)
+        var m = subst
+        if (insert < m) m = insert
+        if (delete < m) m = delete
+        if (transp < m) m = transp
+        d((i + 1) * w + j + 1) = m
+        j += 1
+      }
+      da.put(a(i - 1), i)
+      i += 1
+    }
+    d((la + 1) * w + lb + 1).toLong
+  }
+
+  /** Column-API entry point (expression registered by GraftExtensions). */
+  def apply(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("damerau_levenshtein", a, b)
+}

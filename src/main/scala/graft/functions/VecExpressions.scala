@@ -209,6 +209,10 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
         GeoContains(children.head, children(1), xs, ys, starts)
       }))
     ext.injectFunction((
+      FunctionIdentifier("damerau_levenshtein"),
+      new ExpressionInfo(classOf[DamerauLevenshtein].getName, "damerau_levenshtein"),
+      (children: Seq[Expression]) => DamerauLevenshtein(children.head, children(1))))
+    ext.injectFunction((
       FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (children: Seq[Expression]) => NfcNormalize(children.head)))

@@ -45,6 +45,37 @@ class TextExpressionsSpec extends SparkSpec {
     p should not include "ScalaUDF"
   }
 
+  test("damerau_levenshtein: the UNRESTRICTED variant (transposed pair may be edited further)") {
+    import graft.functions.DamerauLevenshtein.{distance => dl}
+    def d(a: String, b: String) = dl(
+      a.codePoints().toArray, b.codePoints().toArray)
+    d("CA", "ABC") shouldBe 2L  // OSA says 3 — the variant discriminator
+    d("ab", "ba") shouldBe 1L
+    d("abcdef", "abcfed") shouldBe 2L
+    d("smith", "smyth") shouldBe 1L
+    d("", "abc") shouldBe 3L
+    d("abc", "") shouldBe 3L
+    d("same", "same") shouldBe 0L
+    // never worse than plain levenshtein, and symmetric
+    for ((a, b) <- Seq(("kitten", "sitting"), ("banana", "ananas"), ("x", "yz"))) {
+      d(a, b) shouldBe d(b, a)
+    }
+    d("kitten", "sitting") shouldBe 3L
+  }
+
+  test("damerau_levenshtein: code-point semantics on non-ASCII, column + SQL surface") {
+    // é is ONE code point here (2 UTF-8 bytes — a byte-based impl says 2)
+    graft.functions.DamerauLevenshtein.distance(
+      org.apache.spark.unsafe.types.UTF8String.fromString("café"),
+      org.apache.spark.unsafe.types.UTF8String.fromString("cafe")) shouldBe 1L
+    val out = Seq(("abcd", "abdc"), ("acb", "abc"))
+      .toDF("a", "b")
+      .select(graft.functions.DamerauLevenshtein($"a", $"b").as("d"))
+      .as[Long].collect()
+    out shouldBe Array(1L, 1L)
+    spark.sql("SELECT damerau_levenshtein('CA', 'ABC') AS d").as[Long].head() shouldBe 2L
+  }
+
   test("SQL surface: nfc_normalize callable from spark.sql") {
     spark.sql("SELECT nfc_normalize('cafe\u0301') AS n").as[String].head() shouldBe "caf\u00e9"
   }
