@@ -1181,6 +1181,10 @@ object SparkEntry {
     // Avro interchange round-trip — hand-rolled OCF sink + splittable
     // AvroInputFormat source (no spark-avro connector in this env)
     "t27_avro_roundtrip" -> ((s, d) => avroRoundtrip(s, d)),
+    // RAG chunker: 200-char windows, 50-char overlap — sequence+explode+
+    // substring, zero shuffles before the output sort
+    "t29_chunked" -> ((s, d) =>
+      TextAnalysis.chunked(t(s, d)("documents"), 200, 50)),
     // Unicode NFC canonicalization (native codegen'd expression, not a
     // UDF): composed and decomposed text must hash identically before
     // dedup — the fixture appends a decomposed e+U+0301 so every row
@@ -2715,6 +2719,18 @@ object SparkEntry {
     "t21_csv_roundtrip" -> corpusIdentityOracle,
     "t26_orc_roundtrip" -> corpusIdentityOracle,
     "t27_avro_roundtrip" -> corpusIdentityOracle,
+    // same windowing arithmetic; both engines substring by characters
+    // and hash the UTF-8 bytes
+    "t29_chunked" ->
+      """WITH c AS (SELECT doc_id, text,
+           unnest(generate_series(0,
+             greatest(CAST(ceil((length(text) - 50) / 150.0) AS INT) - 1, 0)))
+             AS chunk_no
+         FROM documents)
+         SELECT doc_id, CAST(chunk_no AS BIGINT) AS chunk_no,
+                CAST(length(substr(text, chunk_no * 150 + 1, 200)) AS BIGINT) AS n_chars,
+                md5(substr(text, chunk_no * 150 + 1, 200)) AS chunk_md5
+         FROM c ORDER BY doc_id, chunk_no""",
     // chr(769) = U+0301 combining acute; NFC composes it into é, so the
     // normalized length drops by exactly one code point per row
     "t28_nfc_normalize" ->

@@ -84,6 +84,39 @@ object TextAnalysis {
       .select($"doc_id", $"ws_tokens", $"bpe_ish_tokens")
       .orderBy($"doc_id")
 
+  /** Sliding-window chunking with overlap (t29) — the RAG/embedding-index
+    * splitter: each document becomes ceil(max(len−overlap,1) / stride)
+    * chunks of at most `chunkChars` characters starting every `stride`
+    * (= chunkChars − overlap) characters, so consecutive chunks share
+    * `overlap` characters of context. Pure codegen (sequence + explode +
+    * substring): zero shuffles before the output sort, row-local, and the
+    * explode factor is len/stride — bounded by the corpus size ratio a
+    * chunk store budgets for anyway.
+    *
+    * Chunk starts are character offsets; the final chunk is the only one
+    * shorter than `chunkChars`. Empty documents yield one empty chunk
+    * (the index row must exist — a document that vanishes from the chunk
+    * store is unsearchable, which is a silent corpus hole).
+    */
+  def chunked(documents: DataFrame, chunkChars: Int, overlap: Int): DataFrame = {
+    require(chunkChars > 0 && overlap >= 0 && overlap < chunkChars,
+      s"need 0 <= overlap < chunkChars, got chunk=$chunkChars overlap=$overlap")
+    val stride = chunkChars - overlap
+    documents
+      .select($"doc_id", $"text",
+        explode(sequence(lit(0),
+          greatest(ceil((length($"text") - overlap).cast("double") / stride)
+            .cast("int") - 1, lit(0)))).as("chunk_no"))
+      .select(
+        $"doc_id", $"text", $"chunk_no".cast("long").as("chunk_no"),
+        ($"chunk_no" * stride + 1).as("off"))
+      .select(
+        $"doc_id", $"chunk_no",
+        length($"text".substr($"off", lit(chunkChars))).cast("long").as("n_chars"),
+        md5($"text".substr($"off", lit(chunkChars)).cast("binary")).as("chunk_md5"))
+      .orderBy($"doc_id", $"chunk_no")
+  }
+
   /** Rolling-hash document fingerprint (poly-31 mod 1e9+7 over characters)
     * of the whitespace-normalized text.
     */

@@ -8,6 +8,25 @@ class TextAnalysisSpec extends SparkSpec {
   private def docs(rows: (Long, String, String, String)*) =
     rows.toDF("doc_id", "text", "lang", "source")
 
+  test("chunked: overlap windows tile the text; boundaries and empty doc exact") {
+    val text = "a" * 10 // chunk 4, overlap 1 -> stride 3
+    val d = docs((1L, text, "en", "w"), (2L, "", "en", "w"), (3L, "xy", "en", "w"))
+    val out = TextAnalysis.chunked(d, 4, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // len 10: ceil((10-1)/3) = 3 chunks at offsets 0,3,6 -> lengths 4,4,4
+    out.filter(_._1 == 1L) shouldBe Array((1L, 0L, 4L), (1L, 1L, 4L), (1L, 2L, 4L))
+    // empty doc still yields its (empty) chunk row
+    out.filter(_._1 == 2L) shouldBe Array((2L, 0L, 0L))
+    out.filter(_._1 == 3L) shouldBe Array((3L, 0L, 2L))
+    // consecutive chunks share exactly `overlap` characters
+    val t2 = "0123456789abcdef"
+    val chunks = TextAnalysis.chunked(docs((9L, t2, "en", "w")), 6, 2).collect()
+    val starts = chunks.map(_.getLong(1) * 4).map(_.toInt)
+    starts.sliding(2).foreach { case Array(a, b) =>
+      t2.substring(a, a + 6).takeRight(2) shouldBe t2.substring(b, math.min(b + 6, t2.length)).take(2)
+    }
+  }
+
   test("tokenCounts: whitespace and BPE-ish segmentation") {
     val d = docs((1L, "Hello, world!", "en", "w"))
     val out = TextAnalysis.tokenCounts(d).as[(Long, Long, Long)].head()
