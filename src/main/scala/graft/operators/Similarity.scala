@@ -338,27 +338,60 @@ object Similarity {
     * corpus-wide "kNN graph" a semantic-dedup or retrieval-mixing pipeline
     * builds, as opposed to the single-query probes above.
     *
-    * Scale shape: the only all-pairs step is the bucket equi-join (work
-    * bounded per bucket, recall the standard (1 − θ/π)^nbits LSH
-    * trade-off); the top-k cut is a `row_number` window partitioned by the
-    * left vector id — one shuffle on vec_id, no global sort, no cross
-    * join. Ordering ties break on neighbour id, so ranks are deterministic
-    * and the oracle can recompute them exactly.
+    * Scale shape, the e01 lesson applied to vectors: bit-identical
+    * embeddings collapse to one representative FIRST (real corpora and
+    * the bench's scale copies both carry heavy exact duplication, and a
+    * clique of c duplicates otherwise pays c² bucket-join rows — measured
+    * 40.8× at the 30× scale leg). The bucket equi-join then runs over
+    * DISTINCT vectors (work bounded per bucket, the standard
+    * (1 − θ/π)^nbits LSH trade-off), and members expand back with a
+    * per-candidate-group k+1 cut so no stage exceeds output size. The
+    * top-k cut is a `row_number` window on vec_id. Ordering ties break on
+    * neighbour id; the per-group cut keeps exactly the smallest ids of
+    * each equal-cosine class, so results are bit-identical to the direct
+    * all-member join (duplicates share their cosine by construction).
     */
   def knnJoin(embeddings: DataFrame, nbits: Int, k: Int): DataFrame = {
-    val bucketed = embeddings
+    // group bit-identical vectors; ids sorted so slice(1, k+1) keeps the
+    // tie-break winners of each group
+    val groups = embeddings.groupBy($"embedding")
+      .agg(sort_array(collect_list($"vec_id")).as("ids"))
+      .withColumn("gid", $"ids"(0))
+    val reps = groups.select($"gid", $"embedding")
       .withColumn("bucket", Vectors.hyperplaneBucket($"embedding", nbits))
       .withColumn("nrm", Vectors.norm($"embedding"))
-    val pairs = bucketed.as("a")
-      .join(bucketed.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
-      .withColumn("cos_sim", Vectors.cosineWithNorms(
-        col("a.embedding"), col("b.embedding"), col("a.nrm"), col("b.nrm")))
-    val w = Window.partitionBy(col("a.vec_id")).orderBy($"cos_sim".desc, col("b.vec_id"))
-    pairs.withColumn("nn_rank", row_number().over(w).cast("long"))
+    // candidate DISTINCT-vector pairs in one bucket, cosine per pair —
+    // the same expression the all-member join evaluated, on the same
+    // values, so scores carry over bit-for-bit
+    val gpairs = reps.as("a")
+      .join(reps.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.gid") =!= col("b.gid"))
+      .select(col("a.gid").as("ga"), col("b.gid").as("gb"),
+        Vectors.cosineWithNorms(
+          col("a.embedding"), col("b.embedding"),
+          col("a.nrm"), col("b.nrm")).as("cos_sim"))
+    // duplicate cliques: members are each other's neighbours at the
+    // self-cosine (same expression, both sides the shared content)
+    val selfNrm = Vectors.norm($"embedding")
+    val selfs = groups.where(size($"ids") > 1)
+      .select($"gid".as("ga"), $"gid".as("gb"),
+        Vectors.cosineWithNorms(
+          $"embedding", $"embedding", selfNrm, selfNrm).as("cos_sim"))
+    // expand: per candidate group keep only its k+1 smallest member ids
+    // (one slot may be the probe itself) — the window below never needs
+    // more than k from one equal-cosine class
+    val bIds = groups.select($"gid".as("gb"), $"ids".as("b_ids"))
+    val aIds = groups.select($"gid".as("ga"), $"ids".as("a_ids"))
+    val w = Window.partitionBy($"vec_id").orderBy($"cos_sim".desc, $"neighbor_id")
+    gpairs.unionByName(selfs)
+      .join(bIds, Seq("gb"))
+      .select($"ga", $"cos_sim", explode(slice($"b_ids", 1, k + 1)).as("neighbor_id"))
+      .join(aIds, Seq("ga"))
+      .select(explode($"a_ids").as("vec_id"), $"neighbor_id", $"cos_sim")
+      .where($"vec_id" =!= $"neighbor_id")
+      .withColumn("nn_rank", row_number().over(w).cast("long"))
       .where($"nn_rank" <= k)
-      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
-              $"nn_rank", round($"cos_sim", 4).as("cos_sim"))
+      .select($"vec_id", $"neighbor_id", $"nn_rank", round($"cos_sim", 4).as("cos_sim"))
       .orderBy($"vec_id", $"nn_rank")
   }
 

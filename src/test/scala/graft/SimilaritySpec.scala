@@ -156,6 +156,29 @@ class SimilaritySpec extends SparkSpec {
     r should (be >= 0.0 and be <= 1.0)
   }
 
+  test("knnJoin: duplicate cliques rank each other by id, identical to brute force") {
+    // 5 copies of vector A (ids 0-4), 3 copies of B (10-12), one C (20):
+    // the dedup-first path must reproduce the direct all-member ranking,
+    // where copies are each other's nearest at the self-cosine with ties
+    // broken on the smallest neighbour id
+    val a = Array.fill(64)(1.0f)
+    val b = Array.tabulate(64)(i => if (i < 60) 1.0f else -1.0f)
+    val c = Array.tabulate(64)(i => (i % 5 - 2).toFloat)
+    val rows = (0L to 4L).map(i => (i, a, 0)) ++
+      (10L to 12L).map(i => (i, b, 0)) ++ Seq((20L, c, 0))
+    val d = emb(rows: _*)
+    val out = Similarity.knnJoin(d, 4, 3)
+      .select($"vec_id", $"neighbor_id", $"nn_rank")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    // id 0's top-3 are its duplicate siblings 1,2,3 (cos 1 > anything)
+    out.filter(_._1 == 0L).map(t => (t._2, t._3)) shouldBe
+      Seq((1L, 1L), (2L, 2L), (3L, 3L))
+    // id 4 prefers siblings 0,1,2 over the near-identical B clique
+    out.filter(_._1 == 4L).map(_._2) shouldBe Seq(0L, 1L, 2L)
+    // B copies: two siblings first, then (if bucketed together) an A copy
+    out.filter(_._1 == 11L).map(_._2).take(2) shouldBe Seq(10L, 12L)
+  }
+
   test("knnJoin matches a local brute force over the same buckets") {
     val rnd = new scala.util.Random(7)
     val rows = (0L until 30L).map { i =>
