@@ -14,6 +14,103 @@ class PropertySpec extends SparkSpec {
   private val params = SCTest.Parameters.default.withMinSuccessfulTests(200)
   private def check(p: Prop): Unit = assert(SCTest.check(params, p).passed)
 
+  test("GRIB2 codec: random fields round-trip exactly (values, georef, masks)") {
+    val rnd = new scala.util.Random(17)
+    for (_ <- 1 to 25) {
+      val ni = 2 + rnd.nextInt(20); val nj = 2 + rnd.nextInt(12)
+      val dScale = rnd.nextInt(3) - 1
+      val masked = rnd.nextBoolean()
+      val f = graft.sources.Grib2.Field(0, rnd.nextInt(4), rnd.nextInt(8),
+        java.time.LocalDateTime.of(2000 + rnd.nextInt(30), 1 + rnd.nextInt(12),
+          1 + rnd.nextInt(28), rnd.nextInt(24), 0),
+        ni, nj,
+        la1Micro = (rnd.nextInt(170) - 85) * 1000000L,
+        lo1Micro = (rnd.nextInt(340) - 170) * 1000000L,
+        diMicro = (1 + rnd.nextInt(4)) * 250000L,
+        djMicro = (1 + rnd.nextInt(4)) * 250000L,
+        decimalScale = dScale,
+        scaled = Array.tabulate(ni * nj)(k =>
+          if (masked && rnd.nextInt(5) == 0) None
+          else Some(rnd.nextInt(100000))),
+        scanMode = if (rnd.nextBoolean()) 0x40 else 0x00)
+      val recs = graft.sources.Grib2.parseMessages(graft.sources.Grib2.encodeMessage(f))
+      recs should have length 1
+      val r = recs.head
+      (r.ni, r.nj, r.la1Micro, r.lo1Micro) shouldBe ((f.ni, f.nj, f.la1Micro, f.lo1Micro))
+      val tenD = math.pow(10.0, dScale)
+      for (k <- 0 until ni * nj) f.scaled(k) match {
+        case Some(x) =>
+          // simple packing with E=0 and an exactly-representable integer
+          // reference: R + X == x in double, so decode is exactly x/10^D
+          r.values(k) shouldBe x / tenD
+        case None => r.values(k).isNaN shouldBe true
+      }
+    }
+  }
+
+  test("asset codecs: random PNG/BMP/WAV round-trip exact dims and content sums") {
+    val rnd = new scala.util.Random(23)
+    for (_ <- 1 to 30) {
+      val w = 1 + rnd.nextInt(40); val h = 1 + rnd.nextInt(30)
+      val seed = rnd.nextInt(1 << 20)
+      val pix = (x: Int, y: Int) => (x * 31 + y * 57 + seed) % 256
+      val png = graft.sources.AssetCodecs.decodePng(
+        graft.sources.AssetCodecs.encodePng(w, h, pix))
+      png.valueSum shouldBe (0 until h).flatMap(y => (0 until w).map(x => pix(x, y).toLong)).sum
+      val bmp = graft.sources.AssetCodecs.decodeBmp(
+        graft.sources.AssetCodecs.encodeBmp(w, h, pix))
+      bmp.valueSum shouldBe 3 * (0 until h).flatMap(y => (0 until w).map(x => pix(x, y).toLong)).sum
+      val n = 1 + rnd.nextInt(500)
+      val samples = Array.fill(n)((rnd.nextInt(65536) - 32768).toShort)
+      val wav = graft.sources.AssetCodecs.decodeWav(
+        graft.sources.AssetCodecs.encodeWav(8000, samples))
+      wav.valueSum shouldBe samples.map(_.toLong).sum
+      wav.nUnits shouldBe n.toLong
+    }
+  }
+
+  test("damerau_levenshtein: metric laws + recursive reference on small strings") {
+    import graft.functions.DamerauLevenshtein.{distance => dl}
+    def d(a: String, b: String) = dl(a.codePoints().toArray, b.codePoints().toArray)
+    val rnd = new scala.util.Random(31)
+    def randStr(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    // independent exponential-time reference for the UNRESTRICTED variant:
+    // edit the last position or transpose-then-recurse (Lowrance-Wagner
+    // admits edits between transposed chars, captured by the k/l scan)
+    def ref(a: String, b: String): Int = {
+      val memo = scala.collection.mutable.Map.empty[(String, String), Int]
+      def go(x: String, y: String): Int = memo.getOrElseUpdate((x, y), {
+        if (x.isEmpty) y.length
+        else if (y.isEmpty) x.length
+        else {
+          var best = go(x.init, y.init) + (if (x.last == y.last) 0 else 1)
+          best = best.min(go(x.init, y) + 1).min(go(x, y.init) + 1)
+          // transposition: x = ...b?a, y = ...a?b — match x's last to the
+          // previous occurrence of it in y and vice versa
+          val i = x.init.lastIndexOf(y.last)
+          val j = y.init.lastIndexOf(x.last)
+          if (i >= 0 && j >= 0)
+            best = best.min(go(x.take(i), y.take(j)) +
+              (x.length - i - 2) + (y.length - j - 2) + 1)
+          best
+        }
+      })
+      go(a, b)
+    }
+    for (_ <- 1 to 120) {
+      val a = randStr(rnd.nextInt(7)); val b = randStr(rnd.nextInt(7))
+      val got = d(a, b)
+      got shouldBe ref(a, b).toLong
+      got shouldBe d(b, a) // symmetry
+      if (a == b) got shouldBe 0L
+    }
+    // triangle inequality on random triples
+    for (_ <- 1 to 40) {
+      val (a, b, c) = (randStr(5), randStr(5), randStr(5))
+      d(a, c) should be <= d(a, b) + d(b, c)
+    }
+  }
+
   test("clamp: bounded, idempotent, identity inside bounds (math.js:2-5)") {
     def clamp(x: Double, lo: Double, hi: Double) = math.max(math.min(x, hi), lo)
     check(Prop.forAll(Gen.chooseNum(-1e6, 1e6), Gen.chooseNum(-1e3, 1e3), Gen.posNum[Double]) {
