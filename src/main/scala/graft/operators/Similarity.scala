@@ -42,6 +42,64 @@ object Similarity {
       .select($"vec_id", $"label", round($"cos_sim", 4).as("cos_sim"))
   }
 
+  /** Maximal-Marginal-Relevance rerank (Carbonell & Goldstein 1998,
+    * SIGIR — the diversity rerank every retrieval pipeline bolts onto its
+    * ANN top-N): greedily pick k of the `poolSize` most query-similar
+    * candidates, each pick maximizing
+    * `λ·sim(q,d) − (1−λ)·max_{s∈picked} sim(d,s)`, so near-duplicate
+    * candidates stop crowding out coverage.
+    *
+    * Scale shape: the DISTRIBUTED part is the candidate pool retrieval
+    * (cosineTopK — TakeOrdered over the full store); the greedy loop runs
+    * on the driver over the collected pool, which is metadata-sized by
+    * definition (poolSize ≤ a few hundred — rerank exists precisely
+    * because you only refine a small candidate set; the recallAtK
+    * precedent). Pairwise pool similarities are computed once, O(N²·dims)
+    * on N ≪ corpus. Deterministic: ties break on vec_id.
+    *
+    * Iterative argmax is not SQL-expressible → spec-gated against an
+    * independent reference (the ivfTrained/Bpe precedent).
+    */
+  def mmrRerank(embeddings: DataFrame, queryId: Long, poolSize: Int, k: Int,
+                lambda: Double): DataFrame = {
+    require(lambda >= 0 && lambda <= 1, s"lambda must be in [0,1], got $lambda")
+    require(k <= poolSize, s"k=$k exceeds poolSize=$poolSize")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val pool = cosineTopK(embeddings, queryId, poolSize)
+      .join(embeddings.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("vec_id"), col("cos_sim"), col("embedding"))
+      .as[(Long, Double, Array[Float])]
+      .collect()
+      .sortBy { case (id, rel, _) => (-rel, id) }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var i = 0; var s = 0.0; var na = 0.0; var nb = 0.0
+      while (i < a.length) {
+        s += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else s / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+    val pickedVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+    val remaining = scala.collection.mutable.ArrayBuffer(pool: _*)
+    while (picked.length < k && remaining.nonEmpty) {
+      val scored = remaining.map { case (id, rel, v) =>
+        val maxSim = if (pickedVecs.isEmpty) 0.0
+          else pickedVecs.iterator.map(cos(v, _)).max
+        (id, rel, lambda * rel - (1 - lambda) * maxSim, v)
+      }
+      val best = scored.minBy { case (id, _, mmr, _) => (-mmr, id) }
+      picked += ((best._1, best._2, best._3))
+      pickedVecs += best._4
+      remaining.remove(remaining.indexWhere(_._1 == best._1))
+    }
+    picked.zipWithIndex.map { case ((id, rel, mmr), i) =>
+      (i + 1L, id, math.floor(rel * 10000 + 0.5) / 10000,
+        math.floor(mmr * 10000 + 0.5) / 10000)
+    }.toSeq.toDF("rank", "vec_id", "relevance", "mmr_score")
+  }
+
   /** LSH-bucketed approximate all-pairs: bucket by `nbits` random
     * hyperplanes, compare only within buckets, keep pairs above threshold.
     * The candidate join shuffles on bucket id — bounded work per bucket.

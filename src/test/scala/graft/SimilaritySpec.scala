@@ -156,6 +156,68 @@ class SimilaritySpec extends SparkSpec {
     r should (be >= 0.0 and be <= 1.0)
   }
 
+  test("mmrRerank: lambda=1 is pure relevance; diversity stops duplicate crowding") {
+    // query 0; ids 1,2 duplicates of the near-query direction; id 3 is a
+    // distinct direction with lower relevance; id 4 orthogonal-ish
+    val q = Array.fill(8)(1.0f)
+    val nearDup = Array.tabulate(8)(i => if (i == 7) 0.9f else 1.0f)
+    // modest relevance to q but nearly orthogonal to nearDup: the
+    // diversity penalty must separate it from the duplicate twin
+    val other = Array.tabulate(8)(i => if (i < 4) 1.0f else if (i == 7) 0.5f else -1.0f)
+    val ortho = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val d = emb((0L, q, 0), (1L, nearDup, 0), (2L, nearDup, 0),
+      (3L, other, 0), (4L, ortho, 0))
+    // pure relevance: same order as cosineTopK
+    val pure = Similarity.mmrRerank(d, 0L, 4, 3, lambda = 1.0)
+      .orderBy($"rank").select($"vec_id").as[Long].collect()
+    val topk = Similarity.cosineTopK(d, 0L, 3)
+      .select($"vec_id").as[Long].collect()
+    pure shouldBe topk
+    // diversified: after picking one near-dup, its twin (max-sim 1.0 to
+    // the pick) must lose to the distinct direction
+    val div = Similarity.mmrRerank(d, 0L, 4, 3, lambda = 0.3)
+      .orderBy($"rank").select($"vec_id").as[Long].collect()
+    // most-relevant first; then the orthogonal direction (max diversity),
+    // then the other distinct one — the duplicate twin (penalty 1.0
+    // against its picked sibling) falls out of the top-3 entirely
+    div shouldBe Array(1L, 4L, 3L)
+  }
+
+  test("mmrRerank matches an independent local reference on random pools") {
+    val rnd = new scala.util.Random(41)
+    val rows = (0L until 20L).map(i =>
+      (i, Array.fill(16)((rnd.nextInt(9) - 4).toFloat), 0))
+    val d = emb(rows: _*)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val s = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      if (na == 0 || nb == 0) 0.0 else s / (na * nb)
+    }
+    val lambda = 0.7
+    val qv = rows.head._2
+    // reference: same greedy, coded independently over plain collections.
+    // Relevance enters at cosineTopK's 4-decimal rounding, as in the
+    // engine's pool
+    val pool = rows.tail
+      .map { case (id, v, _) => (id,
+        BigDecimal(cos(qv, v)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, v) }
+      .sortBy { case (id, rel, _) => (-rel, id) }.take(8)
+    var sel = Vector.empty[(Long, Array[Float])]
+    var rem = pool
+    while (sel.length < 4 && rem.nonEmpty) {
+      val best = rem.map { case (id, rel, v) =>
+        val pen = if (sel.isEmpty) 0.0 else sel.map(s => cos(v, s._2)).max
+        (id, lambda * rel - (1 - lambda) * pen, v)
+      }.minBy { case (id, m, _) => (-m, id) }
+      sel :+= ((best._1, best._3))
+      rem = rem.filterNot(_._1 == best._1)
+    }
+    val got = Similarity.mmrRerank(d, 0L, 8, 4, lambda)
+      .orderBy($"rank").select($"vec_id").as[Long].collect().toSeq
+    got shouldBe sel.map(_._1)
+  }
+
   test("knnJoin: duplicate cliques rank each other by id, identical to brute force") {
     // 5 copies of vector A (ids 0-4), 3 copies of B (10-12), one C (20):
     // the dedup-first path must reproduce the direct all-member ranking,
