@@ -1232,6 +1232,20 @@ object SparkEntry {
     // forward-fill: last_value IGNORE NULLS over one sorted user pass
     "q46_forward_fill" -> ((s, d) =>
       EventWindows.forwardFill(t(s, d)("events"))),
+    // higher-order array functions (§2.5 breadth): transform / filter /
+    // aggregate / exists over the embedding arrays, all codegen'd
+    // lambdas in one projection — integer-scaled so the oracle's list
+    // functions agree bitwise
+    "q47_array_ops" -> ((s, d) => t(s, d)("embeddings").select(
+      $"vec_id",
+      size($"embedding").cast("long").as("n_dims"),
+      size(filter($"embedding", x => x > 0f)).cast("long").as("n_pos"),
+      aggregate($"embedding", lit(0L),
+        (acc, x) => acc + floor(x.cast("double") * 1000).cast("long"))
+        .as("sum_milli"),
+      exists($"embedding", x => x.cast("double") > 3.0).as("has_big"),
+      forall($"embedding", x => abs(x.cast("double")) < 100.0).as("all_small"))
+      .orderBy($"vec_id")),
     // native unrestricted Damerau-Levenshtein vs a deterministic
     // swap+delete mangle of each name — codegen'd row-local kernel, zero
     // shuffles; ASCII fixture keeps byte- and code-point-based oracles
@@ -2962,6 +2976,18 @@ object SparkEntry {
                  CAST(coalesce(sum(cents) FILTER (event_type = '$t'), 0) AS BIGINT) AS ${t}_cents""")
             .mkString(",\n           ")}
          FROM b GROUP BY day ORDER BY day""",
+    // list_* is DuckDB's higher-order surface; float→double widening is
+    // exact, so the integer-scaled reductions agree bitwise
+    "q47_array_ops" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         SELECT vec_id,
+                CAST(len(v) AS BIGINT) AS n_dims,
+                CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_pos,
+                CAST(list_sum(list_transform(v,
+                  x -> CAST(floor(x * 1000) AS BIGINT))) AS BIGINT) AS sum_milli,
+                len(list_filter(v, x -> x > 3.0)) > 0 AS has_big,
+                len(list_filter(v, x -> abs(x) >= 100.0)) = 0 AS all_small
+         FROM e ORDER BY vec_id""",
     // DuckDB's damerau_levenshtein is the same unrestricted variant
     // (probed: dl('CA','ABC') = 2); ASCII names make byte-based and
     // code-point-based distances identical
