@@ -1267,6 +1267,29 @@ object SparkEntry {
         functions.DamerauLevenshtein(name, mangled).as("dl"),
         levenshtein(name, mangled).cast("long").as("lev"))
         .orderBy($"c_custkey")
+    }),
+    // native Jaro-Winkler (census-linkage similarity; Spark has neither
+    // jaro nor jaro-winkler) scored against the e02 mangle (high-sim leg)
+    // and the reversed name (low-sim leg) — one codegen'd row-local pass,
+    // zero shuffles. float cast absorbs last-ulp double divergence between
+    // two independent implementations of the same pinned variant
+    "e03_jaro_winkler" -> ((s, d) => {
+      val name = $"c_name"
+      val p = (lit(10) + ($"c_custkey" % 5)).cast("int")
+      val q = (lit(2) + ($"c_custkey" % 8)).cast("int")
+      val swapped = concat(
+        name.substr(lit(1), p - 1),
+        name.substr(p + 1, lit(1)),
+        name.substr(p, lit(1)),
+        name.substr(p + 2, length(name)))
+      val mangled = concat(
+        swapped.substr(lit(1), q - 1),
+        swapped.substr(q + 1, length(name)))
+      t(s, d)("customer").select(
+        $"c_custkey",
+        functions.JaroWinkler(name, mangled).cast("float").as("jw"),
+        functions.JaroWinkler(name, reverse(name)).cast("float").as("jw_rev"))
+        .orderBy($"c_custkey")
     })
   )
 
@@ -3002,6 +3025,22 @@ object SparkEntry {
          SELECT c_custkey,
                 CAST(damerau_levenshtein(c_name, mangled) AS BIGINT) AS dl,
                 CAST(levenshtein(c_name, mangled) AS BIGINT) AS lev
+         FROM x ORDER BY c_custkey""",
+    // DuckDB's jaro_winkler_similarity is the same pinned variant (probed:
+    // 0.7 boost threshold, prefix cap 4, weight 0.1, integer-halved
+    // transpositions, empty-vs-empty = 0); REAL cast absorbs last-ulp
+    // double divergence between the independent implementations
+    "e03_jaro_winkler" ->
+      """WITH m AS (SELECT c_custkey, c_name,
+                10 + c_custkey % 5 AS p, 2 + c_custkey % 8 AS q FROM customer),
+         s AS (SELECT c_custkey, c_name, q,
+                substr(c_name, 1, p - 1) || substr(c_name, p + 1, 1) ||
+                substr(c_name, p, 1) || substr(c_name, p + 2) AS sw FROM m),
+         x AS (SELECT c_custkey, c_name,
+                substr(sw, 1, q - 1) || substr(sw, q + 1) AS mangled FROM s)
+         SELECT c_custkey,
+                CAST(jaro_winkler_similarity(c_name, mangled) AS REAL) AS jw,
+                CAST(jaro_winkler_similarity(c_name, reverse(c_name)) AS REAL) AS jw_rev
          FROM x ORDER BY c_custkey""",
     // independent formulation: a day-range theta join instead of the
     // engine's bounded explode — same distinct-actives by construction

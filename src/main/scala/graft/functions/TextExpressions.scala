@@ -147,3 +147,97 @@ object DamerauLevenshtein {
   def apply(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("damerau_levenshtein", a, b)
 }
+
+/** Jaro-Winkler similarity — the other half of the entity-resolution
+  * string-distance toolkit (Damerau counts edits; Jaro-Winkler scores
+  * order-tolerant character overlap with a common-prefix boost, the
+  * measure census-style record linkage has used since Winkler 1990).
+  * Spark ships neither. Codegen'd native expression like
+  * [[DamerauLevenshtein]]: the kernel runs inside WholeStageCodegen on
+  * primitive arrays, no UDF stage break.
+  *
+  * Variant pinned empirically against DuckDB's implementation so the
+  * e03 oracle is a true cross-check (probes recorded in
+  * TextExpressionsSpec): matching window `max(la,lb)/2 - 1` (min 0),
+  * greedy in-order match flagging, transpositions = mismatched flagged
+  * positions / 2 (integer), Jaro = (m/la + m/lb + (m-t)/m) / 3,
+  * Winkler boost `j + l·0.1·(1-j)` with prefix cap l ≤ 4 applied only
+  * when jaro > 0.7, and empty-vs-anything (including empty-vs-empty)
+  * = 0.0. Comparison is over Unicode code points (DuckDB's is UTF-8
+  * byte-based — identical on ASCII, which the e03 fixture sticks to).
+  */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"jaro_winkler requires string inputs, got ${left.dataType}, ${right.dataType}")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinkler.similarity(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.JaroWinkler.similarity($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): JaroWinkler =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaroWinkler {
+
+  def similarity(a: UTF8String, b: UTF8String): Double =
+    similarity(a.toString.codePoints().toArray, b.toString.codePoints().toArray)
+
+  def similarity(a: Array[Int], b: Array[Int]): Double = {
+    val la = a.length; val lb = b.length
+    if (la == 0 || lb == 0) return 0.0
+    val window = math.max(math.max(la, lb) / 2 - 1, 0)
+    val aFlag = new Array[Boolean](la)
+    val bFlag = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(lb - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!bFlag(j) && b(j) == a(i)) {
+          aFlag(i) = true; bFlag(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    // mismatched positions between the two flagged-in-order sequences
+    var mismatches = 0
+    var bi = 0
+    i = 0
+    while (i < la) {
+      if (aFlag(i)) {
+        while (!bFlag(bi)) bi += 1
+        if (a(i) != b(bi)) mismatches += 1
+        bi += 1
+      }
+      i += 1
+    }
+    val t = mismatches / 2
+    val jaro = (m.toDouble / la + m.toDouble / lb + (m - t).toDouble / m) / 3.0
+    if (jaro <= 0.7) return jaro
+    var l = 0
+    val lmax = math.min(4, math.min(la, lb))
+    while (l < lmax && a(l) == b(l)) l += 1
+    jaro + l * 0.1 * (1.0 - jaro)
+  }
+
+  /** Column-API entry point (expression registered by GraftExtensions). */
+  def apply(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("jaro_winkler", a, b)
+}

@@ -213,6 +213,10 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DamerauLevenshtein].getName, "damerau_levenshtein"),
       (children: Seq[Expression]) => DamerauLevenshtein(children.head, children(1))))
     ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (children: Seq[Expression]) => JaroWinkler(children.head, children(1))))
+    ext.injectFunction((
       FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (children: Seq[Expression]) => NfcNormalize(children.head)))

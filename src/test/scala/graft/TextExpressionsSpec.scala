@@ -79,4 +79,37 @@ class TextExpressionsSpec extends SparkSpec {
   test("SQL surface: nfc_normalize callable from spark.sql") {
     spark.sql("SELECT nfc_normalize('cafe\u0301') AS n").as[String].head() shouldBe "caf\u00e9"
   }
+
+  test("jaro_winkler: variant pinned against DuckDB probe values (e03 oracle basis)") {
+    import graft.functions.JaroWinkler.{similarity => jw}
+    def s(a: String, b: String) = jw(
+      a.codePoints().toArray, b.codePoints().toArray)
+    // probed 2026-08-13 against DuckDB jaro_winkler_similarity — exact doubles
+    s("MARTHA", "MARHTA") shouldBe 0.9611111111111111       // prefix 3, t=1
+    s("DIXON", "DICKSONX") shouldBe 0.8133333333333332 +- 1e-15 // prefix 2
+    s("JELLYFISH", "SMELLYFISH") shouldBe 0.8962962962962964 // no common prefix
+    s("DWAYNE", "DUANE") shouldBe 0.8400000000000001 +- 1e-15
+    s("CRATE", "TRACE") shouldBe 0.7333333333333334          // m=3, t=0, no boost (j>0.7 but prefix 0)
+    s("PREFIX", "PRXXXX") shouldBe 0.6666666666666666        // prefix 2 but jaro <= 0.7: NO boost
+    s("ABCDXXXXXX", "ABCDYYYYYY") shouldBe 0.6               // 4-prefix, still no boost under threshold
+    s("AB", "CD") shouldBe 0.0
+    s("A", "A") shouldBe 1.0
+    s("", "ABC") shouldBe 0.0
+    s("", "") shouldBe 0.0                                   // DuckDB: empty-vs-empty is 0, not 1
+    // integer-halved transpositions (probed): 3 mismatched flagged positions -> t=1
+    s("ABCGHI", "BCAGHI") shouldBe 0.9444444444444445
+    s("ABCDEFGH", "BADCFEHG") shouldBe 0.8333333333333334    // 8 mismatches -> t=4
+  }
+
+  test("jaro_winkler: codegen'd column + SQL surface, null propagation") {
+    val out = Seq(("MARTHA", "MARHTA"), ("AB", "CD"))
+      .toDF("a", "b")
+      .select(graft.functions.JaroWinkler($"a", $"b").as("s"))
+    out.queryExecution.executedPlan.toString should not include "ScalaUDF"
+    out.as[Double].collect() shouldBe Array(0.9611111111111111, 0.0)
+    spark.sql("SELECT jaro_winkler('DWAYNE', 'DUANE') AS s").as[Double].head() shouldBe 0.8400000000000001 +- 1e-15
+    Seq[(Option[String], Option[String])]((None, Some("x")))
+      .toDF("a", "b")
+      .select(graft.functions.JaroWinkler($"a", $"b")).collect()(0).isNullAt(0) shouldBe true
+  }
 }
