@@ -1246,6 +1246,61 @@ object SparkEntry {
       exists($"embedding", x => x.cast("double") > 3.0).as("has_big"),
       forall($"embedding", x => abs(x.cast("double")) < 100.0).as("all_small"))
       .orderBy($"vec_id")),
+    // closed-form OLS (slope/intercept/r2 of price-cents on quantity per
+    // returnflag) over EXACT integer moment sums: one partial-aggregated
+    // shuffle collects {n, Σx, Σy, Σx², Σxy, Σy²} as bigints, then the
+    // normal equations run as single IEEE ops on exactly-cast doubles —
+    // deterministic across engines, unlike builtin regr_*/corr whose
+    // Welford-style streaming moments are summation-order dependent (and
+    // therefore not even self-deterministic under AQE re-partitioning)
+    "q48_linreg" -> ((s, d) => {
+      val base = t(s, d)("lineitem").select(
+        $"l_returnflag",
+        $"l_quantity".cast("long").as("x"),
+        ($"l_extendedprice".cast("decimal(18,2)") * 100).cast("long").as("y"))
+      val a = base.groupBy($"l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"),
+        sum($"y" * $"y").as("syy"))
+      val nD = $"n".cast("double"); val sxD = $"sx".cast("double")
+      val syD = $"sy".cast("double"); val sxxD = $"sxx".cast("double")
+      val sxyD = $"sxy".cast("double"); val syyD = $"syy".cast("double")
+      val num = nD * sxyD - sxD * syD
+      val den = nD * sxxD - sxD * sxD
+      val deny = nD * syyD - syD * syD
+      a.select($"l_returnflag", $"n",
+        (num / den).as("slope"),
+        ((syD - (num / den) * sxD) / nD).as("intercept"),
+        ((num * num) / (den * deny)).as("r2"))
+        .orderBy($"l_returnflag")
+    }),
+    // TPC-H Q3-shaped 3-way join: small dim (filtered customer) broadcast
+    // by AQE, orders⋈lineitem shuffles once on the order key, top-10 via
+    // TakeOrderedAndProject (per-partition heaps + driver merge of 10
+    // rows — no global sort). Revenue stays in integer space the whole
+    // way: cents × (100 - discount-basis-points) is exact bigint
+    // arithmetic, so no float-summation-order dependence on either side
+    "q49_top_orders" -> ((s, d) => {
+      val cut = lit(java.sql.Timestamp.valueOf("1998-06-01 00:00:00"))
+      val cust = t(s, d)("customer")
+        .where($"c_mktsegment" === "BUILDING").select($"c_custkey")
+      val ord = t(s, d)("orders")
+        .where($"o_orderdate" < cut)
+        .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+      val li = t(s, d)("lineitem")
+        .where($"l_shipdate" > cut)
+        .select($"l_orderkey",
+          (($"l_extendedprice".cast("decimal(18,2)") * 100).cast("long") *
+            (lit(100L) - ($"l_discount".cast("decimal(4,2)") * 100).cast("long")))
+            .as("rev_cp"))
+      cust.join(ord, $"c_custkey" === $"o_custkey")
+        .join(li, $"o_orderkey" === $"l_orderkey")
+        .groupBy($"o_orderkey", $"o_orderdate")
+        .agg(sum($"rev_cp").as("revenue_cp"))
+        .orderBy($"revenue_cp".desc, $"o_orderkey")
+        .limit(10)
+    }),
     // native unrestricted Damerau-Levenshtein vs a deterministic
     // swap+delete mangle of each name — codegen'd row-local kernel, zero
     // shuffles; ASCII fixture keeps byte- and code-point-based oracles
@@ -3011,6 +3066,48 @@ object SparkEntry {
                 len(list_filter(v, x -> x > 3.0)) > 0 AS has_big,
                 len(list_filter(v, x -> abs(x) >= 100.0)) = 0 AS all_small
          FROM e ORDER BY vec_id""",
+    // identical normal-equation tree over the same exact integer moment
+    // sums: every double op is a single IEEE operation on exactly-cast
+    // inputs, so the two engines agree bitwise (DuckDB sums of BIGINT
+    // widen to HUGEINT — cast back before the double conversion)
+    "q48_linreg" ->
+      """WITH b AS (SELECT l_returnflag,
+                CAST(l_quantity AS BIGINT) AS x,
+                CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+              FROM lineitem),
+         a AS (SELECT l_returnflag,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(x*y) AS BIGINT) AS sxy,
+                CAST(sum(y*y) AS BIGINT) AS syy
+              FROM b GROUP BY 1),
+         c AS (SELECT l_returnflag, n,
+                CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+                CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+                CAST(sxy AS DOUBLE) AS sxyd, CAST(syy AS DOUBLE) AS syyd
+              FROM a)
+         SELECT l_returnflag, n,
+                (nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd) AS slope,
+                (syd - ((nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd)) * sxd) / nd
+                  AS intercept,
+                ((nd*sxyd - sxd*syd) * (nd*sxyd - sxd*syd))
+                  / ((nd*sxxd - sxd*sxd) * (nd*syyd - syd*syd)) AS r2
+         FROM c ORDER BY l_returnflag""",
+    // revenue in cent-basis-point integer space end to end — no float
+    // product ordering to disagree on; ties broken by o_orderkey
+    "q49_top_orders" ->
+      """SELECT o.o_orderkey, o.o_orderdate,
+                CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  * (100 - CAST(CAST(l.l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)))
+                  AS BIGINT) AS revenue_cp
+         FROM customer c
+         JOIN orders o ON c.c_custkey = o.o_custkey
+         JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         WHERE c.c_mktsegment = 'BUILDING'
+           AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+           AND l.l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+         GROUP BY o.o_orderkey, o.o_orderdate
+         ORDER BY revenue_cp DESC, o.o_orderkey LIMIT 10""",
     // DuckDB's damerau_levenshtein is the same unrestricted variant
     // (probed: dl('CA','ABC') = 2); ASCII names make byte-based and
     // code-point-based distances identical

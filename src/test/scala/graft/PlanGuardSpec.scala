@@ -359,4 +359,22 @@ class PlanGuardSpec extends SparkSpec {
       hashExchanges(p) shouldBe 1
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("q48_linreg: moment sums partial-aggregate into ONE exchange; normal equations join-free") {
+    val p = planOf("q48_linreg")
+    p should not include "Join"
+    hashExchanges(p) shouldBe 1
+    p.linesIterator.count(_.contains("lineitem.parquet")) shouldBe 1
+  }
+
+  test("q49_top_orders: dim broadcast, top-10 via TakeOrderedAndProject (no global sort)") {
+    val p = planOf("q49_top_orders")
+    p should include("BroadcastHashJoin")
+    p should include("TakeOrderedAndProject")
+    p should not include "CartesianProduct"
+    // filters reach all three parquet scans
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    pushed should not be empty
+    pushed.mkString should not include "PushedFilters: []"
+  }
 }
