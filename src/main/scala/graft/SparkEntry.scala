@@ -658,6 +658,35 @@ object SparkEntry {
       .transform(graft.Session.barrier)
   }
 
+  /** t30: XML round-trip through Spark's built-in XML source (absorbed
+    * from spark-xml in 4.0) — the interchange format for the long tail
+    * of feed/config-shaped upstreams (the reference's own domain, WMO
+    * data exchange, is historically XML-first). Corpus lands as
+    * `<corpus><doc>…</doc></corpus>` documents and reads back through
+    * the same rowTag with the parquet schema imposed (no inference pass
+    * over the data — at 100 TB schema inference is a full extra scan).
+    *
+    * `ignoreSurroundingSpaces` defaults to TRUE on read and would trim
+    * document text edges — a silent value corruption for a corpus store
+    * (the identity oracle catches exactly this class). Explicitly off.
+    */
+  private def xmlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_t30").toString
+    val docs = t(s, d)("documents")
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+    docs.write.mode("overwrite").format("xml")
+      .option("rootTag", "corpus").option("rowTag", "doc")
+      .option("compression", "gzip")
+      .save(s"$tmp/corpus")
+    s.read.schema(docs.schema).format("xml")
+      .option("rowTag", "doc")
+      .option("ignoreSurroundingSpaces", "false")
+      .load(s"$tmp/corpus")
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+      .orderBy($"doc_id")
+      .transform(graft.Session.barrier)
+  }
+
   private def avroRoundtrip(s: SparkSession, d: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_t27").toString
     val docs = t(s, d)("documents")
@@ -1181,6 +1210,7 @@ object SparkEntry {
     // Avro interchange round-trip — hand-rolled OCF sink + splittable
     // AvroInputFormat source (no spark-avro connector in this env)
     "t27_avro_roundtrip" -> ((s, d) => avroRoundtrip(s, d)),
+    "t30_xml_roundtrip" -> ((s, d) => xmlRoundtrip(s, d)),
     // RAG chunker: 200-char windows, 50-char overlap — sequence+explode+
     // substring, zero shuffles before the output sort
     "t29_chunked" -> ((s, d) =>
@@ -2811,6 +2841,7 @@ object SparkEntry {
     "t21_csv_roundtrip" -> corpusIdentityOracle,
     "t26_orc_roundtrip" -> corpusIdentityOracle,
     "t27_avro_roundtrip" -> corpusIdentityOracle,
+    "t30_xml_roundtrip" -> corpusIdentityOracle,
     // same windowing arithmetic; both engines substring by characters
     // and hash the UTF-8 bytes
     "t29_chunked" ->
