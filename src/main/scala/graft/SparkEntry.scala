@@ -1375,6 +1375,17 @@ object SparkEntry {
         functions.JaroWinkler(name, mangled).cast("float").as("jw"),
         functions.JaroWinkler(name, reverse(name)).cast("float").as("jw_rev"))
         .orderBy($"c_custkey")
+    }),
+    // integer-mass PageRank over the part⇄supplier bipartite graph: 3
+    // synchronous iterations, each one co-partitioned join + one BIGINT
+    // aggregate; floor-division mass routing makes every engine compute
+    // identical bits (double PageRank is summation-order dependent and
+    // could not hold a value oracle). Top-20 via TakeOrderedAndProject
+    "g01_pagerank" -> ((s, d) => {
+      operators.Graph.pagerankInt(
+        operators.Graph.partSupplierEdges(t(s, d)("lineitem")), 3)
+        .orderBy($"pr".desc, $"node")
+        .limit(20)
     })
   )
 
@@ -3170,6 +3181,23 @@ object SparkEntry {
                 CAST(jaro_winkler_similarity(c_name, mangled) AS REAL) AS jw,
                 CAST(jaro_winkler_similarity(c_name, reverse(c_name)) AS REAL) AS jw_rev
          FROM x ORDER BY c_custkey""",
+    // the 3 iterations unrolled as nested CTEs; // is DuckDB's BIGINT
+    // floor division (both inputs positive, so it agrees with Spark div)
+    "g01_pagerank" ->
+      """WITH li AS (SELECT DISTINCT l_partkey*2 AS p, l_suppkey*2+1 AS s FROM lineitem),
+         e AS (SELECT s AS src, p AS dst FROM li UNION SELECT p, s FROM li),
+         deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+         r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM deg),
+         c1 AS (SELECT e.dst, CAST(sum(r.pr // d.outdeg) AS BIGINT) AS inmass
+                FROM e JOIN deg d USING (src) JOIN r0 r ON r.node = e.src GROUP BY 1),
+         r1 AS (SELECT dst AS node, CAST(150000 + (850*inmass) // 1000 AS BIGINT) AS pr FROM c1),
+         c2 AS (SELECT e.dst, CAST(sum(r.pr // d.outdeg) AS BIGINT) AS inmass
+                FROM e JOIN deg d USING (src) JOIN r1 r ON r.node = e.src GROUP BY 1),
+         r2 AS (SELECT dst AS node, CAST(150000 + (850*inmass) // 1000 AS BIGINT) AS pr FROM c2),
+         c3 AS (SELECT e.dst, CAST(sum(r.pr // d.outdeg) AS BIGINT) AS inmass
+                FROM e JOIN deg d USING (src) JOIN r2 r ON r.node = e.src GROUP BY 1),
+         r3 AS (SELECT dst AS node, CAST(150000 + (850*inmass) // 1000 AS BIGINT) AS pr FROM c3)
+         SELECT node, pr FROM r3 ORDER BY pr DESC, node LIMIT 20""",
     // independent formulation: a day-range theta join instead of the
     // engine's bounded explode — same distinct-actives by construction
     "q45_rolling_dau" ->

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+/** g01's integer-mass PageRank: fixed-point and structure laws on
+  * hand-checkable graphs, plus the bipartite edge derivation.
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edgesOf(pairs: (Long, Long)*) =
+    pairs.toDF("src", "dst")
+
+  test("regular graphs are a fixed point: every node keeps exactly 1e6 mass") {
+    // K3, bidirectional: each node receives 2 * (1e6 div 2) = 1e6,
+    // update = 150000 + 850*1e6/1000 = 1000000 — exact at every round
+    val k3 = edgesOf((1L,2L),(2L,1L),(2L,3L),(3L,2L),(1L,3L),(3L,1L))
+    val r = Graph.pagerankInt(k3, 5).as[(Long, Long)].collect().toMap
+    r shouldBe Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L)
+  }
+
+  test("star graph: the hub outranks every leaf; total mass is conserved up to floor loss") {
+    val star = edgesOf((0L,1L),(1L,0L),(0L,2L),(2L,0L),(0L,3L),(3L,0L),(0L,4L),(4L,0L))
+    val r = Graph.pagerankInt(star, 3).as[(Long, Long)].collect().toMap
+    val (hub, leaves) = (r(0L), (1L to 4L).map(r))
+    leaves.distinct should have size 1      // symmetry
+    hub should be > leaves.head
+    // teleport + damping preserve scale: total stays within floor-division
+    // loss of the starting 5e6 (each div drops < 1 per edge per round)
+    val total = r.values.sum
+    total should be <= 5000000L
+    total should be > (5000000L * 95 / 100)
+  }
+
+  test("iterating from the uniform start actually moves mass (not a no-op) and stays positive") {
+    val chain = edgesOf((1L,2L),(2L,1L),(2L,3L),(3L,2L))
+    val r1 = Graph.pagerankInt(chain, 1).as[(Long, Long)].collect().toMap
+    r1(2L) should be > r1(1L)   // middle of the path collects from both ends
+    r1.values.foreach(_ should be >= 150000L)  // teleport floor
+  }
+
+  test("partSupplierEdges: disjoint-parity node ids, bidirectional, deduped") {
+    val e = Graph.partSupplierEdges(table("lineitem"))
+    e.count() shouldBe e.distinct().count()
+    // every edge connects opposite parities (bipartite by construction)
+    e.where(($"src" % 2) === ($"dst" % 2)).count() shouldBe 0L
+    // symmetric: reversing the edge set yields the same set
+    e.select($"dst".as("src"), $"src".as("dst")).exceptAll(e).count() shouldBe 0L
+  }
+
+  test("gate plan: no cartesian, no broadcast-nested-loop, top-k not a global sort") {
+    val p = SparkEntry.queries("g01_pagerank")(spark, sf0001)
+      .queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    p should include("TakeOrderedAndProject")
+  }
+}
