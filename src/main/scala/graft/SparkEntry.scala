@@ -1386,7 +1386,14 @@ object SparkEntry {
         operators.Graph.partSupplierEdges(t(s, d)("lineitem")), 3)
         .orderBy($"pr".desc, $"node")
         .limit(20)
-    })
+    }),
+    // triangle/wedge census of the supplier co-supply graph with degree
+    // orientation — hub edges point INTO the hub, so the wedge join's
+    // fanout is arboricity-bounded O(m^1.5) instead of Σdeg² (the
+    // difference between a census and an OOM on a power-law graph)
+    "g02_triangles" -> ((s, d) =>
+      operators.Graph.triangleCensus(
+        operators.Graph.coSupplierEdges(t(s, d)("lineitem"))))
   )
 
   /** x03: both join sides written as BUCKETED tables on the join key
@@ -3198,6 +3205,28 @@ object SparkEntry {
                 FROM e JOIN deg d USING (src) JOIN r2 r ON r.node = e.src GROUP BY 1),
          r3 AS (SELECT dst AS node, CAST(150000 + (850*inmass) // 1000 AS BIGINT) AS pr FROM c3)
          SELECT node, pr FROM r3 ORDER BY pr DESC, node LIMIT 20""",
+    // same degree orientation, so each triangle matches exactly one
+    // a→b→c path + closing edge; census values are exact integers
+    "g02_triangles" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS s FROM lineitem),
+         und AS (SELECT DISTINCT a.s AS u, b.s AS v
+                 FROM ps a JOIN ps b ON a.pk = b.pk AND a.s < b.s),
+         deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM
+                   (SELECT u AS n FROM und UNION ALL SELECT v FROM und)
+                 GROUP BY 1),
+         o AS (SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+                           THEN u ELSE v END AS src,
+                      CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+                           THEN v ELSE u END AS dst
+               FROM und JOIN deg du ON du.n = u JOIN deg dv ON dv.n = v),
+         tri AS (SELECT count(*) AS n_triangles
+                 FROM o e1 JOIN o e2 ON e1.dst = e2.src
+                           JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+         SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg)       AS n_nodes,
+                (SELECT CAST(count(*) AS BIGINT) FROM und)       AS n_edges,
+                (SELECT CAST(n_triangles AS BIGINT) FROM tri)    AS n_triangles,
+                (SELECT CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) FROM deg)
+                  AS n_wedges""",
     // independent formulation: a day-range theta join instead of the
     // engine's bounded explode — same distinct-actives by construction
     "q45_rolling_dau" ->

@@ -65,4 +65,62 @@ object Graph {
     }
     ranks
   }
+
+  /** Undirected co-supply graph: supplier pair (u < v) connected iff
+    * they supply at least one common part. The wedge step is the usual
+    * bounded self-join: parts fan out to their (small) supplier sets,
+    * pairs within a part, distinct across parts.
+    */
+  def coSupplierEdges(lineitem: DataFrame): DataFrame = {
+    val ps = lineitem.select(col("l_partkey").as("pk"),
+      col("l_suppkey").as("s")).distinct()
+    ps.as("a").join(ps.as("b"),
+        col("a.pk") === col("b.pk") && col("a.s") < col("b.s"))
+      .select(col("a.s").as("u"), col("b.s").as("v"))
+      .distinct()
+  }
+
+  /** Triangle + wedge census (g02) over an undirected edge list (u < v).
+    *
+    * Naive triangle enumeration joins the edge list with itself on
+    * shared endpoints — fanout O(Σ deg²), which a single hub node makes
+    * quadratic. The standard fix (degree orientation): direct every
+    * edge from its (degree, id)-smaller endpoint to the larger. The
+    * orientation is acyclic, every triangle survives as exactly one
+    * path pattern a→b, b→c plus closing edge a→c, and each node's
+    * OUT-degree is bounded by O(√m) on any graph (arboricity bound) —
+    * so the wedge join's fanout is O(m^1.5) worst-case instead of
+    * unbounded, and hubs stop being hot keys because their edges point
+    * INTO them. Two hash joins, both on edge keys; no driver loop.
+    *
+    * Everything is exact integer arithmetic (counts and floor-division
+    * wedge formula), so the single result row holds a full value
+    * oracle. Global clustering coefficient = 3·triangles / wedges is
+    * left as the two exact integers rather than a float ratio.
+    */
+  def triangleCensus(und: DataFrame): DataFrame = {
+    val deg = und.select(col("u").as("n"))
+      .unionByName(und.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
+    val oriented = graft.Session.barrier(withDeg.select(
+      when(col("du") < col("dv") ||
+           (col("du") === col("dv") && col("u") < col("v")), col("u"))
+        .otherwise(col("v")).as("src"),
+      when(col("du") < col("dv") ||
+           (col("du") === col("dv") && col("u") < col("v")), col("v"))
+        .otherwise(col("u")).as("dst")))
+    val wedgePaths = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.dst") === col("e2.src"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+    val triangles = wedgePaths.join(oriented.as("e3"),
+      col("a") === col("e3.src") && col("c") === col("e3.dst"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = und.agg(count(lit(1)).as("n_edges"))
+    val nTri = triangles.agg(count(lit(1)).as("n_triangles"))
+    val nWedges = deg.agg(sum(expr("(deg * (deg - 1)) div 2")).as("n_wedges"))
+    nNodes.crossJoin(nEdges).crossJoin(nTri).crossJoin(nWedges)
+  }
 }

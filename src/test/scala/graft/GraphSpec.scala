@@ -56,4 +56,32 @@ class GraphSpec extends SparkSpec {
     p should not include "BroadcastNestedLoopJoin"
     p should include("TakeOrderedAndProject")
   }
+
+  test("triangle census: K4 has 4 triangles, 12 wedges; a path has none") {
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b))
+      .toDF("u", "v")
+    val c = Graph.triangleCensus(k4).as[(Long, Long, Long, Long)].head()
+    c shouldBe ((4L, 6L, 4L, 12L))  // nodes, edges, triangles, wedges
+    val path = Seq((1L,2L),(2L,3L),(3L,4L)).toDF("u","v")
+    val p = Graph.triangleCensus(path).as[(Long, Long, Long, Long)].head()
+    p._3 shouldBe 0L
+    p._4 shouldBe 2L               // two wedges through the middle nodes
+  }
+
+  test("triangle census: hub star plus one rim edge — exactly the one triangle, hub not a hot join key") {
+    // star hub 0 with leaves 1..6, plus rim edge (1,2): one triangle (0,1,2)
+    val und = (((1L to 6L).map(l => (0L, l))) :+ (1L, 2L)).toDF("u", "v")
+    val c = Graph.triangleCensus(und).as[(Long, Long, Long, Long)].head()
+    c._3 shouldBe 1L
+    // orientation law: the hub (max degree) can only ever be a dst
+    val deg = und.select($"u".as("n")).unionByName(und.select($"v".as("n")))
+      .groupBy($"n").count()
+    deg.orderBy($"count".desc).select($"n").as[Long].head() shouldBe 0L
+  }
+
+  test("co-supply edges are canonical (u < v) and deduped") {
+    val e = Graph.coSupplierEdges(table("lineitem"))
+    e.where($"u" >= $"v").count() shouldBe 0L
+    e.count() shouldBe e.distinct().count()
+  }
 }
