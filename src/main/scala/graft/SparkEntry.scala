@@ -1393,7 +1393,70 @@ object SparkEntry {
     // difference between a census and an OOM on a power-law graph)
     "g02_triangles" -> ((s, d) =>
       operators.Graph.triangleCensus(
-        operators.Graph.coSupplierEdges(t(s, d)("lineitem"))))
+        operators.Graph.coSupplierEdges(t(s, d)("lineitem")))),
+    // item-to-item CF over order baskets: wedge join centered on the
+    // BASKET side (fanout Σ C(|basket|,2), linear in orders) — the
+    // item-centered unipartite form explodes as Σ deg² (1.5e8 wedges at
+    // sf0.1 vs 9e5 for this). Support floor 2, exact-integer Jaccard
+    "g03_item_cf" -> ((s, d) =>
+      operators.Graph.itemPairsCF(
+        t(s, d)("lineitem")
+          .select($"l_orderkey".as("basket"), $"l_partkey".as("item")),
+        20, minBaskets = 2L)),
+    // gaps-and-islands: per-user consecutive-day streaks via the
+    // day − row_number() anchor — constant within a run, distinct
+    // across runs; both downstream aggregates reuse the window's
+    // user_id partitioning (plan-guarded: two exchanges, both over the
+    // collapsed (user, day) pair table, never raw events)
+    "q50_streaks" -> ((s, d) =>
+      operators.EventWindows.activityStreaks(t(s, d)("events"))),
+    // two-pass equi-width histogram over exact cents: pass 1 reduces to
+    // a single (lo, hi) row, broadcast back so binning stays a codegen'd
+    // projection; bin = ((cents−lo)·nb) div (hi−lo+1) lands in [0, nb)
+    // by construction — no least()/clamp, no floats anywhere
+    "q51_histogram" -> ((s, d) => {
+      val o = t(s, d)("orders").select(
+        ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      val ext = o.agg(min($"cents").as("lo"), max($"cents").as("hi"))
+      o.crossJoin(broadcast(ext))
+        .select($"cents", expr("(cents - lo) * 16 div (hi - lo + 1)").as("bin"))
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("n"), min($"cents").as("min_cents"),
+          max($"cents").as("max_cents"), sum($"cents").as("sum_cents"))
+        .orderBy($"bin")
+    }),
+    // ordered string aggregation: collect_list's order is partition- and
+    // scheduling-dependent, so the deterministic form is array_sort
+    // BEFORE concat_ws — the one-line fix for the classic flaky-output
+    // trap. Bounded groups only (a dimension enumeration, not a fact
+    // rollup); dim join broadcast
+    "q52_nation_list" -> ((s, d) =>
+      t(s, d)("nation")
+        .join(broadcast(t(s, d)("region")), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name")
+        .agg(concat_ws(",", array_sort(collect_list($"n_name"))).as("nations"),
+          count(lit(1)).as("n_nations"))
+        .orderBy($"r_name")),
+    // end-to-end entity resolution over a mangled-duplicate fixture:
+    // every 3rd customer gets a one-char-deleted alias under a shifted
+    // id; blocking + JW(≥0.96, mid-plateau-gap) + label propagation
+    // resolve records to entity ids. Fixture jw values are plateaued
+    // rationals ≥0.005 from the threshold, so a last-ulp divergence
+    // between the two implementations cannot flip an edge
+    "e04_er_entities" -> ((s, d) => {
+      val base = t(s, d)("customer").select(
+        $"c_custkey".as("id"),
+        concat(lit("Cust"),
+          lpad((($"c_custkey" * 2654435761L) % 1000000000L).cast("string"),
+            9, "0")).as("name"))
+      val dups = base.where($"id" % 3 === 0)
+        .withColumn("p", (lit(1) + $"id" % 9).cast("int"))
+        .select(($"id" + 10000000L).as("id"),
+          concat($"name".substr(lit(1), lit(3) + $"p"),
+                 $"name".substr(lit(5) + $"p", length($"name"))).as("name"))
+      operators.Entity.resolveEntities(
+        base.unionByName(dups), "id", "name", minJw = 0.96)
+    })
   )
 
   /** x03: both join sides written as BUCKETED tables on the join key
@@ -3227,6 +3290,78 @@ object SparkEntry {
                 (SELECT CAST(n_triangles AS BIGINT) FROM tri)    AS n_triangles,
                 (SELECT CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) FROM deg)
                   AS n_wedges""",
+    // basket-centered wedge join, support floor 2, exact-integer Jaccard
+    // fraction; total order (common DESC, u, w) makes the top-20 cut
+    // deterministic inside a tie group
+    "g03_item_cf" ->
+      """WITH po AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+         cn AS (SELECT a.item AS u, b.item AS w, CAST(count(*) AS BIGINT) AS common
+                FROM po a JOIN po b ON a.basket = b.basket AND a.item < b.item
+                GROUP BY 1, 2 HAVING count(*) >= 2),
+         nb AS (SELECT item, CAST(count(*) AS BIGINT) AS n FROM po GROUP BY 1)
+         SELECT cn.u, cn.w, cn.common, nu.n + nw.n - cn.common AS denom
+         FROM cn JOIN nb nu ON nu.item = cn.u JOIN nb nw ON nw.item = cn.w
+         ORDER BY cn.common DESC, cn.u, cn.w LIMIT 20""",
+    // identical anchor arithmetic: day − row_number() is constant across
+    // a consecutive run (each gap advances day by more than the row number)
+    "q50_streaks" ->
+      s"""WITH $evCte,
+         p AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM ev),
+         a AS (SELECT user_id, day, day - CAST(row_number() OVER
+                 (PARTITION BY user_id ORDER BY day) AS INT) AS anchor FROM p),
+         i AS (SELECT user_id, anchor, CAST(count(*) AS BIGINT) AS len
+               FROM a GROUP BY 1, 2)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_streaks,
+                CAST(max(len) AS BIGINT) AS longest_streak,
+                CAST(sum(len) AS BIGINT) AS active_days
+         FROM i GROUP BY 1 ORDER BY 1""",
+    // same exact-cents basis as q48/q49 (DECIMAL(18,2) × 100 → BIGINT);
+    // // is BIGINT floor division, both operands non-negative
+    "q51_histogram" ->
+      """WITH o AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                    FROM orders),
+         ext AS (SELECT min(cents) AS lo, max(cents) AS hi FROM o),
+         b AS (SELECT cents, CAST(((cents - lo) * 16) // (hi - lo + 1) AS BIGINT) AS bin
+               FROM o, ext)
+         SELECT bin, CAST(count(*) AS BIGINT) AS n, min(cents) AS min_cents,
+                max(cents) AS max_cents, CAST(sum(cents) AS BIGINT) AS sum_cents
+         FROM b GROUP BY 1 ORDER BY 1""",
+    // ORDER BY inside string_agg is the SQL-native form of the engine's
+    // array_sort-before-concat determinism fix
+    "q52_nation_list" ->
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+                CAST(count(*) AS BIGINT) AS n_nations
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1 ORDER BY 1""",
+    // independent formulation: length-prefiltered levenshtein theta join
+    // for candidates (vs the engine's delete-1 blocking — same edge set
+    // by the FastSS guarantee), recursive-CTE closure for components
+    // (vs iterative label propagation)
+    "e04_er_entities" ->
+      """WITH RECURSIVE
+         base AS (SELECT c_custkey AS id,
+                  'Cust' || lpad(CAST((c_custkey * 2654435761) % 1000000000 AS VARCHAR),
+                                 9, '0') AS name
+                  FROM customer),
+         dups AS (SELECT id + 10000000 AS id,
+                  substr(name, 1, 3 + p) || substr(name, 5 + p) AS name
+                  FROM (SELECT id, name, 1 + id % 9 AS p FROM base WHERE id % 3 = 0)),
+         rec AS (SELECT * FROM base UNION ALL SELECT * FROM dups),
+         names AS (SELECT name, min(id) AS mid FROM rec GROUP BY 1),
+         cand AS (SELECT a.name AS x, b.name AS y
+                  FROM names a JOIN names b
+                    ON a.name < b.name
+                       AND abs(length(a.name) - length(b.name)) <= 1
+                       AND levenshtein(a.name, b.name) = 1
+                       AND jaro_winkler_similarity(a.name, b.name) >= 0.96),
+         e AS (SELECT x, y FROM cand UNION SELECT y, x FROM cand),
+         reach(n, lbl) AS (
+           SELECT name, mid FROM names
+           UNION
+           SELECT e.x, r.lbl FROM reach r JOIN e ON e.y = r.n),
+         ent AS (SELECT n AS name, min(lbl) AS entity_id FROM reach GROUP BY 1)
+         SELECT r.id, r.name, e2.entity_id
+         FROM rec r JOIN ent e2 USING (name) ORDER BY r.id""",
     // independent formulation: a day-range theta join instead of the
     // engine's bounded explode — same distinct-actives by construction
     "q45_rolling_dau" ->

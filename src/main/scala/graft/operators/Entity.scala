@@ -62,21 +62,7 @@ object Entity {
       .select($"x_id".as("a_id"), $"name".as("a_name"),
         $"y_id".as("b_id"), $"name".as("b_name"), lit(0L).as("dist"))
 
-    // deletion-neighborhood blocking over DISTINCT names. The delete list
-    // is guarded on length > 0: sequence(1, 0) would generate a
-    // DESCENDING [1, 0] (Spark's step defaults to -1 when start > stop),
-    // turning an empty name into junk variants via negative-length substr
-    val variants = groups.select($"name")
-      .withColumn("variant",
-        explode(concat(
-          array($"name"),
-          when(length($"name") > 0,
-            transform(sequence(lit(1), length($"name")), i =>
-              concat($"name".substr(lit(1), i - 1),
-                     $"name".substr(i + 1, length($"name")))))
-            .otherwise(array().cast("array<string>")))))
-      .select($"name", xxhash64($"variant").as("vhash"))
-      .distinct() // a name's own delete-set can self-collide
+    val variants = deleteVariants(groups.select($"name"))
     val candidates = variants.select($"name".as("x_name"), $"vhash")
       .join(variants.select($"name".as("y_name"), $"vhash"), Seq("vhash"))
       .where($"x_name" < $"y_name")
@@ -98,5 +84,97 @@ object Entity {
         lit(1L).as("dist"))
 
     dist0.unionByName(dist1).orderBy($"a_id", $"b_id")
+  }
+
+  /** Delete-1 neighborhood of each distinct name, hashed to 8-byte keys:
+    * (name, vhash) rows covering the name itself plus every one-char
+    * deletion. The delete list is guarded on length > 0: sequence(1, 0)
+    * would generate a DESCENDING [1, 0] (Spark's step defaults to -1
+    * when start > stop), turning an empty name into junk variants via
+    * negative-length substr. Hash collisions only ADD candidates — every
+    * caller verifies with an exact string predicate.
+    */
+  private def deleteVariants(names: DataFrame): DataFrame =
+    names
+      .withColumn("variant",
+        explode(concat(
+          array($"name"),
+          when(length($"name") > 0,
+            transform(sequence(lit(1), length($"name")), i =>
+              concat($"name".substr(lit(1), i - 1),
+                     $"name".substr(i + 1, length($"name")))))
+            .otherwise(array().cast("array<string>")))))
+      .select($"name", xxhash64($"variant").as("vhash"))
+      .distinct() // a name's own delete-set can self-collide
+
+  /** End-to-end entity resolution (e04): records → entity ids. The full
+    * master-data pipeline in one call — [[fuzzyPairs]] finds the pairs;
+    * this produces what the warehouse actually stores: a resolved
+    * `entity_id` per RECORD, constant across each transitive match
+    * cluster.
+    *
+    * Stages, each with the same scale discipline as its standalone kin:
+    *  1. Collapse to DISTINCT names (the e01 lesson — expensive stages
+    *     never see duplication); each name node carries min(record id)
+    *     as its initial label.
+    *  2. Candidate edges via delete-1 blocking ([[deleteVariants]] —
+    *     hashed equi-join, no cartesian), verified `levenshtein == 1 AND
+    *     jaro_winkler >= minJw`: the edit-distance block bounds the
+    *     candidate set, the Jaro-Winkler floor applies the linkage
+    *     policy (census-style: prefix-weighted similarity, so "same
+    *     record, one typo" passes and "different entity, one digit"
+    *     variants can be tuned out).
+    *  3. Min-label propagation over the name graph to convergence —
+    *     O(diameter) rounds of one shuffle-join + aggregate
+    *     ([[Dedup.dedupClusters]]'s kernel); match graphs are tiny
+    *     cliques, so 2-4 rounds regardless of corpus size, and a
+    *     `require(converged)` fails loudly rather than returning
+    *     half-propagated labels.
+    *  4. One equi-join expands name labels back to records.
+    *
+    * The result holds a full value-level oracle: every predicate is
+    * integer/string-exact except Jaro-Winkler, whose fixture values sit
+    * ≥ 0.005 from `minJw` (plateaued rational values — verified at gate
+    * build time), so a last-ulp divergence between independent
+    * implementations cannot flip an edge.
+    */
+  def resolveEntities(rows: DataFrame, idCol: String, nameCol: String,
+                      minJw: Double = 0.96, maxRounds: Int = 20): DataFrame = {
+    val named = rows.select(col(idCol).as("id"), col(nameCol).as("name"))
+    val names = named.groupBy($"name").agg(min($"id").as("mid"))
+    val variants = deleteVariants(names.select($"name"))
+    val cand = variants.select($"name".as("x"), $"vhash")
+      .join(variants.select($"name".as("y"), $"vhash"), Seq("vhash"))
+      .where($"x" < $"y")
+      .select($"x", $"y").distinct()
+      .where(levenshtein($"x", $"y") === 1 &&
+             graft.functions.JaroWinkler($"x", $"y") >= minJw)
+    val edges = graft.Session.barrier(
+      cand.unionByName(cand.select($"y".as("x"), $"x".as("y"))))
+    var labels = graft.Session.barrier(names.select($"name", $"mid".as("lbl")))
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      // one shuffle-join + one aggregate per round; the own-label row
+      // doubles as the convergence signal (see Dedup.dedupClusters)
+      val messages = edges.join(labels, edges("y") === labels("name"))
+        .select(edges("x").as("name"), $"lbl", lit(false).as("own"))
+      val next = graft.Session.barrier(
+        labels.select($"name", $"lbl", lit(true).as("own"))
+          .unionByName(messages)
+          .groupBy($"name")
+          .agg(min($"lbl").as("lbl"),
+               min(when($"own", $"lbl")).as("prev")))
+      val changed = next.where($"lbl" =!= $"prev").count()
+      labels = next.select($"name", $"lbl")
+      converged = changed == 0
+      round += 1
+    }
+    require(converged,
+      s"resolveEntities did not converge after $maxRounds rounds; " +
+        "raise maxRounds (match-cluster diameter exceeds it)")
+    named.join(labels.select($"name", $"lbl".as("entity_id")), Seq("name"))
+      .select($"id", $"name", $"entity_id")
+      .orderBy($"id")
   }
 }

@@ -251,4 +251,43 @@ object EventWindows {
       .withColumn("filled", last($"reading", ignoreNulls = true).over(w))
       .orderBy($"event_id")
   }
+
+  /** Consecutive-day activity streaks (q50) — the gaps-and-islands
+    * pattern: engagement pipelines ask "how long is each user's longest
+    * run of consecutive active days, and how many runs do they have".
+    *
+    * Island detection is the classic anchor trick: within each user's
+    * date-ordered distinct activity days, `day - row_number()` is
+    * CONSTANT across a consecutive run and distinct between runs (each
+    * gap advances `day` by more than it advances the row number), so the
+    * anchor date itself is the island key — no self-join, no recursion.
+    *
+    * Scale shape: TWO exchanges, both carrying the collapsed pair table,
+    * never raw events. The distinct is an aggregate with map-side
+    * partials, so its shuffle moves each mapper's deduped (user, day)
+    * pairs — bounded by |users|·|days| — not the fact table; the
+    * row_number window then re-shuffles those pairs on user_id. After
+    * that, zero further exchanges: the island aggregate groups by
+    * (user_id, anchor) and the per-user rollup by user_id, and
+    * hash-partitioning on user_id satisfies both ClusteredDistributions
+    * (partitioning exprs ⊆ grouping keys), so EnsureRequirements inserts
+    * nothing. PlanGuardSpec pins the two-exchange plan. Windowing the
+    * raw fact table first would be ONE exchange but would shuffle every
+    * event — the wrong trade at any scale.
+    */
+  def activityStreaks(events: DataFrame): DataFrame = {
+    val days = events
+      .select($"user_id", date_trunc("day", $"ts").cast("date").as("day"))
+      .distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    days
+      .withColumn("anchor", date_sub($"day", row_number().over(w)))
+      .groupBy($"user_id", $"anchor")
+      .agg(count(lit(1)).as("len"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_streaks"),
+        max($"len").as("longest_streak"),
+        sum($"len").as("active_days"))
+      .orderBy($"user_id")
+  }
 }

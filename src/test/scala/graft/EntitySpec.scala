@@ -53,4 +53,41 @@ class EntitySpec extends SparkSpec {
     blocked shouldBe brute
     blocked should not be empty
   }
+
+  test("resolveEntities: transitive matches share one entity id; strangers keep their own") {
+    val d = names(
+      1L -> "smith",
+      2L -> "smyth",    // dist 1 of smith
+      3L -> "smythe",   // dist 1 of smyth, dist 2 of smith -> same entity transitively
+      4L -> "jones",
+      5L -> "smith")    // exact duplicate of 1
+    val out = Entity.resolveEntities(d, "id", "name", minJw = 0.0).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    out(1L) shouldBe 1L
+    out(2L) shouldBe 1L
+    out(3L) shouldBe 1L   // via the smyth bridge: needs >= 2 propagation rounds
+    out(4L) shouldBe 4L
+    out(5L) shouldBe 1L   // same name, same entity
+  }
+
+  test("resolveEntities: the Jaro-Winkler floor severs low-similarity lev-1 edges") {
+    // "ab" ~ "b" is lev 1 but jaro-winkler 0 (no common prefix weighting
+    // rescues a half-empty match); a strict floor must keep them apart
+    val d = names(1L -> "ab", 2L -> "b")
+    val strict = Entity.resolveEntities(d, "id", "name", minJw = 0.9).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    strict(1L) should not be strict(2L)
+    val loose = Entity.resolveEntities(d, "id", "name", minJw = 0.0).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    loose(1L) shouldBe loose(2L)
+  }
+
+  test("resolveEntities: every record appears exactly once with its own name") {
+    val c = table("customer").select($"c_custkey".as("id"), $"c_name".as("name"))
+    val out = Entity.resolveEntities(c, "id", "name")
+    out.count() shouldBe c.count()
+    out.select($"id").distinct().count() shouldBe c.count()
+    // entity ids are real record ids, and each entity contains its label record
+    out.where($"entity_id" > $"id").count() shouldBe 0L
+  }
 }

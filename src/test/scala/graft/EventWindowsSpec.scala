@@ -217,4 +217,28 @@ class EventWindowsSpec extends SparkSpec {
     // no offset exceeds the fixture's day span; none negative
     all(out.map(_.getLong(1))) should (be >= 0L and be <= 60L)
   }
+
+  test("activityStreaks: runs split on gaps; duplicate same-day events collapse") {
+    val d = events(
+      (1L, "2024-01-01 10:00:00", 1L, "e", 0.0),
+      (2L, "2024-01-01 22:00:00", 1L, "e", 0.0),  // same day, no new streak day
+      (3L, "2024-01-02 09:00:00", 1L, "e", 0.0),
+      (4L, "2024-01-03 09:00:00", 1L, "e", 0.0),  // 3-day run
+      (5L, "2024-01-05 09:00:00", 1L, "e", 0.0),  // gap -> second run (len 1)
+      (6L, "2024-02-01 09:00:00", 2L, "e", 0.0))  // other user, singleton
+    val out = EventWindows.activityStreaks(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    out(1L) shouldBe ((2L, 3L, 4L))  // 2 streaks, longest 3, 4 active days
+    out(2L) shouldBe ((1L, 1L, 1L))
+  }
+
+  test("activityStreaks: active_days sums the streak lengths and matches the distinct day count") {
+    val fixture = table("events")
+    val out = EventWindows.activityStreaks(fixture)
+    val total = out.agg(sum($"active_days")).as[Long].head()
+    total shouldBe fixture
+      .select($"user_id", date_trunc("day", $"ts")).distinct().count()
+    // a longest streak can never exceed the user's active-day count
+    out.where($"longest_streak" > $"active_days").count() shouldBe 0L
+  }
 }

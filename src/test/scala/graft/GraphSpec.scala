@@ -84,4 +84,43 @@ class GraphSpec extends SparkSpec {
     e.where($"u" >= $"v").count() shouldBe 0L
     e.count() shouldBe e.distinct().count()
   }
+
+  test("itemPairsCF: co-occurrence counts, support floor, exact Jaccard fraction") {
+    // baskets: {1,2,3}, {1,2}, {1,2}, {3,4} -> (1,2) common 3, (1,3)/(2,3) common 1, (3,4) common 1
+    val b = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (20L, 1L), (20L, 2L),
+      (30L, 1L), (30L, 2L),
+      (40L, 3L), (40L, 4L)).toDF("basket", "item")
+    val all = Graph.itemPairsCF(b, 10, minBaskets = 1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    all((1L, 2L)) shouldBe ((3L, 3L))   // 3 shared of 3+3-3 -> Jaccard 1
+    all((1L, 3L)) shouldBe ((1L, 4L))   // 1 shared of 3+2-1
+    all((3L, 4L)) shouldBe ((1L, 2L))
+    // support floor drops all the singleton pairs
+    val floored = Graph.itemPairsCF(b, 10, minBaskets = 2L).collect()
+    floored.map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe Seq((1L, 2L))
+  }
+
+  test("itemPairsCF: duplicate basket lines don't inflate counts; k cuts deterministically") {
+    val b = Seq((1L, 5L), (1L, 5L), (1L, 6L), (1L, 6L), (2L, 5L), (2L, 6L))
+      .toDF("basket", "item")
+    val out = Graph.itemPairsCF(b, 10, minBaskets = 1L).collect()
+    out should have length 1
+    (out.head.getLong(2), out.head.getLong(3)) shouldBe ((2L, 2L))
+    // k=2 on the fixture: ties inside a common-count group break by (u, w)
+    val po = table("lineitem")
+      .select($"l_orderkey".as("basket"), $"l_partkey".as("item"))
+    val k2 = Graph.itemPairsCF(po, 2).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val k5 = Graph.itemPairsCF(po, 5).collect().map(r => (r.getLong(0), r.getLong(1)))
+    k5.take(2).toSeq shouldBe k2.toSeq    // prefix-stable under k
+  }
+
+  test("g03 gate plan: no cartesian, no BNLJ, top-k is TakeOrderedAndProject") {
+    val p = SparkEntry.queries("g03_item_cf")(spark, sf0001)
+      .queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    p should include("TakeOrderedAndProject")
+  }
 }

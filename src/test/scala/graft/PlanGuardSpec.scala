@@ -377,4 +377,27 @@ class PlanGuardSpec extends SparkSpec {
     pushed should not be empty
     pushed.mkString should not include "PushedFilters: []"
   }
+
+  test("q50_streaks: two exchanges over collapsed pairs; island + user rollups reuse the window shuffle") {
+    val p = planOf("q50_streaks")
+    // distinct shuffle on (user_id, day) + window shuffle on user_id — and
+    // NOTHING more: the (user_id, anchor) and user_id aggregates must ride
+    // the window's hashpartitioning(user_id) (subset-satisfies-Clustered)
+    hashExchanges(p) shouldBe 2
+    p should not include "Join"
+  }
+
+  test("q51_histogram: 1-row extent broadcasts back; binning carries no shuffle beyond the aggregate") {
+    val p = planOf("q51_histogram")
+    p should include("BroadcastExchange")
+    // the bin aggregate's exchange is the only hash partitioning
+    hashExchanges(p) shouldBe 1
+    p should not include "SortMergeJoin"
+  }
+
+  test("e04_er_entities: blocking equi-joins only — no cartesian, no BNLJ") {
+    val p = planOf("e04_er_entities")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
 }
