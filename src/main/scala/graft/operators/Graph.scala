@@ -98,7 +98,11 @@ object Graph {
     * oracle. Global clustering coefficient = 3·triangles / wedges is
     * left as the two exact integers rather than a float ratio.
     */
-  def triangleCensus(und: DataFrame): DataFrame = {
+  def triangleCensus(undRaw: DataFrame): DataFrame = {
+    // the edge list feeds the degree table, the orientation join and the
+    // edge census — barrier it once so its derivation (typically a fact
+    // scan + distinct) runs once, not three times
+    val und = graft.Session.barrier(undRaw)
     val deg = und.select(col("u").as("n"))
       .unionByName(und.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
@@ -150,8 +154,14 @@ object Graph {
     */
   def itemPairsCF(baskets: DataFrame, k: Int,
                   minBaskets: Long = 1L): DataFrame = {
-    val po = baskets.select(col("basket"), col("item")).distinct()
-    val nb = po.groupBy(col("item")).agg(count(lit(1)).as("n_baskets"))
+    // the distinct pair table feeds both wedge-join sides and the
+    // basket-count table — barrier so the fact scan + distinct run once
+    // (unbarriered, the plan re-derives it four times; broadcast and
+    // hash exchanges can't reuse each other)
+    val po = graft.Session.barrier(
+      baskets.select(col("basket"), col("item")).distinct())
+    val nb = graft.Session.barrier(
+      po.groupBy(col("item")).agg(count(lit(1)).as("n_baskets")))
     val common = po.as("a").join(po.as("b"),
         col("a.basket") === col("b.basket") && col("a.item") < col("b.item"))
       .select(col("a.item").as("u"), col("b.item").as("w"))
