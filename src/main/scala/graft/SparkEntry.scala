@@ -1456,7 +1456,26 @@ object SparkEntry {
                  $"name".substr(lit(5) + $"p", length($"name"))).as("name"))
       operators.Entity.resolveEntities(
         base.unionByName(dups), "id", "name", minJw = 0.96)
-    })
+    }),
+    // asymmetric containment (Broder 1997) over a truncated-copy fixture:
+    // every 10th doc contributes its first-half prefix under a shifted id —
+    // containment scores 1.0 in the contained direction while Jaccard sits
+    // near |A|/|B| (threshold-safe: passing pairs at 1.0, best failing pair
+    // 0.36). Same bounded gram self-join as d06; only the formula differs
+    "d16_containment" -> ((s, d) => {
+      val docs = t(s, d)("documents").select($"doc_id", $"source", $"text")
+      val words = split(lower($"text"), "\\s+")
+      val halves = docs.where($"doc_id" % 10 === 0)
+        .select(($"doc_id" + 100000L).as("doc_id"), $"source",
+          concat_ws(" ", slice(words, lit(1),
+            greatest(lit(1), floor(size(words) / 2).cast("int")))).as("text"))
+      operators.Dedup.containmentPairs(docs.unionByName(halves), 2, 0.6, 20)
+    }),
+    // global NTILE with no global window: distributed prefix-sum rank +
+    // the SQL-standard tile rule as arithmetic (first n%b tiles take one
+    // extra row) — cross-checked bitwise against the oracle's native
+    // ntile(); (cents, o_orderkey) total order pins every boundary
+    "q53_ntile" -> ((s, d) => operators.Core.decileStats(t(s, d)("orders")))
   )
 
   /** x03: both join sides written as BUCKETED tables on the join key
@@ -3362,6 +3381,53 @@ object SparkEntry {
          ent AS (SELECT n AS name, min(lbl) AS entity_id FROM reach GROUP BY 1)
          SELECT r.id, r.name, e2.entity_id
          FROM rec r JOIN ent e2 USING (name) ORDER BY r.id""",
+    // d06's gram machinery over the augmented fixture; set sizes are the
+    // UNPRUNED distinct-gram counts, intersections the pruned ones
+    "d16_containment" ->
+      """WITH aug AS (
+           SELECT doc_id, source, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000 AS doc_id, source,
+                  array_to_string(t[1:greatest(1, len(t)//2)], ' ') AS text
+           FROM (SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS t
+                 FROM documents WHERE doc_id % 10 = 0)),
+         toks AS (SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS t
+                  FROM aug),
+         g0 AS (SELECT doc_id, source,
+                       unnest(list_transform(generate_series(1, len(t)-1),
+                              i -> t[i] || ' ' || t[i+1])) AS gram
+                FROM toks),
+         grams AS (SELECT DISTINCT doc_id, source, gram FROM g0),
+         sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+         hot AS (SELECT source, gram FROM grams GROUP BY source, gram HAVING count(*) > 20),
+         kept AS (SELECT g.* FROM grams g LEFT JOIN hot h
+                    ON g.source = h.source AND g.gram = h.gram
+                  WHERE h.gram IS NULL),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                   FROM kept a JOIN kept b
+                     ON a.source = b.source AND a.gram = b.gram AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         sc AS (SELECT doc_a, doc_b,
+                       CAST(inter AS DOUBLE)/sa.n AS c_ab,
+                       CAST(inter AS DOUBLE)/sb.n AS c_ba,
+                       CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) AS j
+                FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                           JOIN sizes sb ON doc_b = sb.doc_id)
+         SELECT doc_a, doc_b, round(c_ab, 4) AS c_ab, round(c_ba, 4) AS c_ba,
+                round(j, 4) AS jaccard
+         FROM sc WHERE greatest(c_ab, c_ba) >= 0.6
+         ORDER BY doc_a, doc_b""",
+    // the oracle runs the BUILTIN ntile over the identical total order —
+    // the engine's arithmetic tile rule must reproduce it bitwise
+    "q53_ntile" ->
+      """WITH o AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+                           o_orderkey
+                    FROM orders),
+         t AS (SELECT cents, ntile(10) OVER (ORDER BY cents, o_orderkey) AS tile FROM o)
+         SELECT CAST(tile AS BIGINT) AS tile, CAST(count(*) AS BIGINT) AS n,
+                min(cents) AS min_cents, max(cents) AS max_cents,
+                CAST(sum(cents) AS BIGINT) AS sum_cents
+         FROM t GROUP BY 1 ORDER BY 1""",
     // independent formulation: a day-range theta join instead of the
     // engine's bounded explode — same distinct-actives by construction
     "q45_rolling_dau" ->

@@ -271,4 +271,49 @@ object Core {
         percentile($"cents", lit(0.9)).as("p90"),
         percentile($"cents", lit(0.99)).as("p99"))
       .orderBy($"event_type")
+
+  /** Global NTILE without a global window (q53): per-decile stats over
+    * order totals in exact cents. `ntile(b) OVER (ORDER BY …)` is the
+    * one window no partitionBy can save — as written it funnels the
+    * whole table through a single task. The distributed shape: a global
+    * rank from the range-partition + per-partition-offset prefix sum
+    * ([[Sampling.withPrefixSum]] — offsets are nParts driver-side longs,
+    * never data), then the SQL-standard tile rule applied as arithmetic:
+    * with n rows, q = n div b, m = n mod b, the first m tiles take q+1
+    * rows, the rest q — exactly the builtin's assignment, so the result
+    * cross-checks against a native ntile() bitwise. The 1-row count
+    * broadcasts back q51-style; the tile aggregate is one ordinary
+    * map-side-combining shuffle.
+    *
+    * Total order (cents, o_orderkey) makes ranks — and therefore every
+    * tile boundary — deterministic under any partitioning; a bare
+    * ORDER BY cents would let equal totals straddle a boundary in
+    * partition-dependent order.
+    */
+  def decileStats(orders: DataFrame, buckets: Int = 10,
+                  partitions: Int = 0): DataFrame = {
+    require(buckets >= 1, "decileStats: buckets must be >= 1")
+    val o = orders.select(
+      ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long").as("cents"),
+      $"o_orderkey")
+    val nParts = Sampling.resolveParts(o, partitions)
+    val ranked = Sampling.withPrefixSum(
+      o.withColumn("one", lit(1L)),
+      Seq($"cents".asc, $"o_orderkey".asc), "one", "rank0", nParts)
+    val nRow = broadcast(o.agg(count(lit(1)).as("n")))
+    ranked.crossJoin(nRow)
+      .withColumn("q", expr(s"n div ${buckets}L"))
+      .withColumn("m", expr(s"n % ${buckets}L"))
+      // rank0 is the 0-based global rank. The else branch divides by q,
+      // which is 0 only when n < b — unreachable there (rank0 < n =
+      // m·(q+1) when q = 0), but guarded anyway
+      .withColumn("tile", expr(
+        """1 + if(rank0 < m * (q + 1),
+                  rank0 div (q + 1),
+                  m + (rank0 - m * (q + 1)) div greatest(q, 1))"""))
+      .groupBy($"tile")
+      .agg(count(lit(1)).as("n"), min($"cents").as("min_cents"),
+        max($"cents").as("max_cents"), sum($"cents").as("sum_cents"))
+      .orderBy($"tile")
+  }
 }

@@ -248,19 +248,31 @@ object Dedup {
     * genuinely near-duplicate pairs (which share *rare* grams too) survive.
     */
   def ngramJaccardPairsPruned(documents: DataFrame, n: Int, threshold: Double,
-                              maxDocFreq: Int): DataFrame = {
-    // Shape: one shuffle of the gram relation on g; a windowed count(*)
-    // per g computes each gram's document frequency in place (no second
-    // scan of the corpus, no collect_list buffering a hot bucket in
-    // memory — the window buffer is a spillable external sorter, so a
-    // pathological stopword gram degrades to a spilling task, never an
-    // OOM); DROP grams outside [2, maxDocFreq]; then pair the surviving
-    // rows with a self-join on g. Post-filter every gram key holds at
-    // most maxDocFreq rows, so the join's per-key expansion is bounded
-    // at cap²/2 and stays whole-stage-codegen (the in-row nested
-    // transform() alternative runs interpreted — ~1.5× slower measured).
-    // The kept subtree is identical on both join sides → exchange reuse
-    // computes it once.
+                              maxDocFreq: Int): DataFrame =
+    prunedPairCounts(documents, n, maxDocFreq)
+      .withColumn("jaccard", $"inter" / ($"na" + $"nb" - $"inter"))
+      .where($"jaccard" >= threshold)
+      .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+
+  /** Shared pruned pair-count core (d06 Jaccard, d16 containment).
+    * Shape: one shuffle of the gram relation on g; a windowed count(*)
+    * per g computes each gram's document frequency in place (no second
+    * scan of the corpus, no collect_list buffering a hot bucket in
+    * memory — the window buffer is a spillable external sorter, so a
+    * pathological stopword gram degrades to a spilling task, never an
+    * OOM); DROP grams outside [2, maxDocFreq]; then pair the surviving
+    * rows with a self-join on g. Post-filter every gram key holds at
+    * most maxDocFreq rows, so the join's per-key expansion is bounded
+    * at cap²/2 and stays whole-stage-codegen (the in-row nested
+    * transform() alternative runs interpreted — ~1.5× slower measured).
+    * The kept subtree is identical on both join sides → exchange reuse
+    * computes it once. Set sizes |A|,|B| are the UNPRUNED distinct-gram
+    * counts and ride the join rows — no separate sizes aggregation.
+    * Returns (doc_a, doc_b, na, nb, inter), doc_a < doc_b.
+    */
+  private def prunedPairCounts(documents: DataFrame, n: Int,
+                               maxDocFreq: Int): DataFrame = {
     val grams = documents
       .select($"doc_id", $"source",
         array_distinct(ngramHashes(tokens($"text"), n)).as("gs"))
@@ -277,11 +289,32 @@ object Dedup {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
                col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard", $"inter" / ($"na" + $"nb" - $"inter"))
-      .where($"jaccard" >= threshold)
-      .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
-      .orderBy($"doc_a", $"doc_b")
   }
+
+  /** Containment near-dup pairs (d16) — Broder (1997)'s ASYMMETRIC
+    * resemblance: C(A→B) = |grams(A) ∩ grams(B)| / |grams(A)|. Jaccard
+    * misses the pairs a crawl pipeline most wants: a truncated copy, a
+    * quoted excerpt, or a boilerplate-wrapped article scores Jaccard ≈
+    * |A|/|B| (low when the container is large) but containment ≈ 1 in
+    * the contained direction. Emitted pairs carry both directions plus
+    * Jaccard, so the caller can classify: high max-containment + low
+    * Jaccard = asymmetric (sub-document) duplication; both high =
+    * symmetric near-dup.
+    *
+    * Scale shape is [[prunedPairCounts]] verbatim — the same bounded
+    * gram self-join d06 runs; only the final scalar formula differs, so
+    * containment costs nothing extra when run alongside Jaccard.
+    */
+  def containmentPairs(documents: DataFrame, n: Int, threshold: Double,
+                       maxDocFreq: Int = 128): DataFrame =
+    prunedPairCounts(documents, n, maxDocFreq)
+      .withColumn("c_ab", $"inter" / $"na")
+      .withColumn("c_ba", $"inter" / $"nb")
+      .where(greatest($"c_ab", $"c_ba") >= threshold)
+      .select($"doc_a", $"doc_b",
+        round($"c_ab", 4).as("c_ab"), round($"c_ba", 4).as("c_ba"),
+        round($"inter" / ($"na" + $"nb" - $"inter"), 4).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
 
   /** The classic affine min-hash family h_i(g) = (a_i·g + b_i) mod P over a
     * base gram hash g. Constants derive from MurmurHash3 of the hash index —

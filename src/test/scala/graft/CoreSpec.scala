@@ -125,4 +125,29 @@ class CoreSpec extends SparkSpec {
     Core.semiJoinRegion(table("supplier"), table("nation"), table("region"), "AFRICA")
       .count() shouldBe expected
   }
+
+  test("decileStats: the arithmetic tile rule reproduces Spark's own ntile bitwise") {
+    import org.apache.spark.sql.expressions.Window
+    val o = table("orders")
+    val direct = o.select(
+        (o("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        o("o_orderkey"))
+      .withColumn("tile",
+        ntile(10).over(Window.orderBy($"cents", $"o_orderkey")).cast("long"))
+      .groupBy($"tile")
+      .agg(count(lit(1)).as("n"), min($"cents").as("min_cents"),
+        max($"cents").as("max_cents"), sum($"cents").as("sum_cents"))
+      .orderBy($"tile")
+      .collect().toSeq
+    Core.decileStats(o).collect().toSeq shouldBe direct
+  }
+
+  test("decileStats: tile sizes follow the first-m-get-one-extra rule at awkward n/b splits") {
+    // 9 rows into 6 tiles: sizes must be 2,2,2,1,1,1 (NOT the Bresenham
+    // spread 2,1,2,1,2,1 an equal-width rank formula would produce)
+    val nine = (1L to 9L).map(i => (i, i * 100.0)).toDF("o_orderkey", "o_totalprice")
+    val sizes = Core.decileStats(nine, buckets = 6).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sizes shouldBe Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 1L, 5L -> 1L, 6L -> 1L)
+  }
 }

@@ -359,4 +359,32 @@ class DedupSpec extends SparkSpec {
       keeper.getAs[Long]("n_tokens") shouldBe rows.map(_.getAs[Long]("n_tokens")).max
     }
   }
+
+  test("containmentPairs: a truncated copy scores ~1 containment while Jaccard stays low") {
+    val full = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3).trim
+    val half = full.split(" ").take(10).mkString(" ")
+    val d = Seq(
+      (1L, full, "w"), (2L, half, "w"),        // contained pair
+      (3L, "one two three four five", "w"),    // unrelated
+      (4L, "one two three four five", "w"))    // exact twin of 3
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.containmentPairs(d, 2, 0.6, 128).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val (cab, cba, j) = out((1L, 2L))
+    cba shouldBe 1.0   // every bigram of the half is in the full text
+    cab should be < 1.0
+    j should be < 1.0  // asymmetric: jaccard alone would undersell this pair
+    // the exact twins are symmetric: both containments and jaccard all 1
+    out((3L, 4L)) shouldBe ((1.0, 1.0, 1.0))
+    out.keySet shouldBe Set((1L, 2L), (3L, 4L))
+  }
+
+  test("containmentPairs: threshold prunes below-floor overlaps") {
+    val d = Seq(
+      (1L, "a b c d e f g h", "w"),
+      (2L, "a b x y z q r s", "w"))  // shares only the 'a b' bigram
+      .toDF("doc_id", "text", "source")
+    Dedup.containmentPairs(d, 2, 0.6, 128).count() shouldBe 0L
+  }
 }
