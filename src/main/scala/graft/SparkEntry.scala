@@ -1475,7 +1475,15 @@ object SparkEntry {
     // the SQL-standard tile rule as arithmetic (first n%b tiles take one
     // extra row) — cross-checked bitwise against the oracle's native
     // ntile(); (cents, o_orderkey) total order pins every boundary
-    "q53_ntile" -> ((s, d) => operators.Core.decileStats(t(s, d)("orders")))
+    "q53_ntile" -> ((s, d) => operators.Core.decileStats(t(s, d)("orders"))),
+    // non-uniform finite-difference gradient over the sparse integer grid
+    // twin: exact numerator/spacing, one IEEE division — two axis windows,
+    // two exchanges, no join; edges stay null (first present cell)
+    "r13_gradient" -> ((s, d) =>
+      operators.Raster.gradient(operators.Raster.demoGridSum(t(s, d)("lineitem")))
+        .select($"variable", $"time", $"lat", $"lon", $"value",
+          round($"ddx", 4).as("ddx"), round($"ddy", 4).as("ddy"))
+        .orderBy($"variable", $"time", $"lat", $"lon"))
   )
 
   /** x03: both join sides written as BUCKETED tables on the join key
@@ -3428,6 +3436,17 @@ object SparkEntry {
                 min(cents) AS min_cents, max(cents) AS max_cents,
                 CAST(sum(cents) AS BIGINT) AS sum_cents
          FROM t GROUP BY 1 ORDER BY 1""",
+    // identical non-uniform difference quotients over the shared integer
+    // grid CTE; WINDOW clauses mirror the two axis partitions
+    "r13_gradient" ->
+      s"""WITH ${operators.Raster.demoGridSumSql}
+         SELECT variable, time, lat, lon, value,
+                round((value - lag(value) OVER wx) / (lon - lag(lon) OVER wx), 4) AS ddx,
+                round((value - lag(value) OVER wy) / (lat - lag(lat) OVER wy), 4) AS ddy
+         FROM gridsum
+         WINDOW wx AS (PARTITION BY variable, time, lat ORDER BY lon),
+                wy AS (PARTITION BY variable, time, lon ORDER BY lat)
+         ORDER BY variable, time, lat, lon""",
     // independent formulation: a day-range theta join instead of the
     // engine's bounded explode — same distinct-actives by construction
     "q45_rolling_dau" ->

@@ -85,6 +85,34 @@ object Raster {
         (floor($"lon" / lonFactor) * lonFactor).as("lon"))
       .agg(avg($"value").as("value"), count(lit(1)).as("n_cells"))
 
+  /** R13: per-axis finite-difference gradient (`cdo gradsx/gradsy`, the
+    * slope/aspect kernel of every DEM pipeline) over a possibly SPARSE
+    * grid: the difference quotient between consecutive PRESENT cells
+    * along each axis — (v − v_prev)/(coord − coord_prev) — which on an
+    * irregular lattice is the standard non-uniform forward difference
+    * (spacing rides the window; no densification join, no assumption the
+    * neighbor sits at distance 1). Axis edges (first present cell of a
+    * row/column) are null, the honest boundary answer.
+    *
+    * Scale shape: one window per axis — ∂x partitions by (variable,
+    * time, lat) ordered by lon, ∂y by (variable, time, lon) ordered by
+    * lat. Two exchanges total, each over layer-row/column-sized groups
+    * (thousands of tiny partitions, no hot key); no join anywhere. Fed
+    * by the integer-valued grid twin, the numerator and spacing are
+    * exact, so the single IEEE division is bit-identical cross-engine.
+    */
+  def gradient(grid: DataFrame): DataFrame = {
+    val wx = Window.partitionBy($"variable", $"time", $"lat").orderBy($"lon")
+    val wy = Window.partitionBy($"variable", $"time", $"lon").orderBy($"lat")
+    grid
+      .withColumn("ddx",
+        ($"value" - lag($"value", 1).over(wx)) /
+          ($"lon" - lag($"lon", 1).over(wx)))
+      .withColumn("ddy",
+        ($"value" - lag($"value", 1).over(wy)) /
+          ($"lat" - lag($"lat", 1).over(wy)))
+  }
+
   /** P2: bbox subset — the CDS `area: [N,W,S,E]` filter
     * (src/sources/era5monthly.js:34,55), pushed to parquet min/max stats.
     */

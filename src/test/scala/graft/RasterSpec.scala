@@ -200,4 +200,35 @@ class RasterSpec extends SparkSpec {
     pruned.count() shouldBe 4
     new java.io.File(s"$dir/variable=t2m/year=2021/month=1").exists() shouldBe true
   }
+
+  test("gradient: linear field has constant slope; spacing rides the quotient; edges null") {
+    // value = 3*lon + 5*lat on an irregular lon lattice {0, 1, 3}
+    val rows = for (lat <- Seq(0.0, 1.0); lon <- Seq(0.0, 1.0, 3.0))
+      yield ("v", "2024-01-01 00:00:00", lat, lon, 3 * lon + 5 * lat)
+    val g = rows.toDF("variable", "time", "lat", "lon", "value")
+      .withColumn("time", $"time".cast("timestamp_ntz"))
+    val out = Raster.gradient(g).collect()
+      .map(r => (r.getDouble(2), r.getDouble(3)) ->
+        (Option(r.get(5)).map(_.asInstanceOf[Double]),
+         Option(r.get(6)).map(_.asInstanceOf[Double]))).toMap
+    // ddx = 3 everywhere a lon-predecessor exists — including the 1->3
+    // jump (dv=6, dx=2): non-uniform spacing divides out
+    out((0.0, 1.0))._1 shouldBe Some(3.0)
+    out((0.0, 3.0))._1 shouldBe Some(3.0)
+    out((1.0, 3.0))._1 shouldBe Some(3.0)
+    out((0.0, 0.0))._1 shouldBe None          // lon edge
+    // ddy = 5 wherever a lat-predecessor exists
+    out((1.0, 0.0))._2 shouldBe Some(5.0)
+    out((0.0, 0.0))._2 shouldBe None          // lat edge
+  }
+
+  test("gradient: axes are independent — a lon-constant field has zero ddx, nonzero ddy") {
+    val rows = for (lat <- Seq(0.0, 2.0); lon <- Seq(0.0, 1.0))
+      yield ("v", "2024-01-01 00:00:00", lat, lon, 7 * lat)
+    val g = rows.toDF("variable", "time", "lat", "lon", "value")
+      .withColumn("time", $"time".cast("timestamp_ntz"))
+    val out = Raster.gradient(g)
+    out.where($"ddx".isNotNull && $"ddx" =!= 0.0).count() shouldBe 0L
+    out.where($"ddy" === 7.0).count() shouldBe 2L  // dv=14 over dlat=2
+  }
 }
