@@ -367,6 +367,49 @@ object SparkEntry {
     s.table("w07_out").orderBy($"source")
   }
 
+  /** w12: SKETCH PARTIALS AS STREAMING STATE — per-type distinct users
+    * via a theta sketch inside a complete-mode streaming aggregation.
+    * The sketch buffer IS the state object the store carries across
+    * micro-batches (mergeable by construction, so late files just merge
+    * in); this is the 100 TB shape for streaming COUNT DISTINCT, whose
+    * exact form needs unbounded per-key state. Below the sketch's
+    * nominal capacity the estimate is EXACT (a theta sketch retains
+    * every hash until capacity), and the gate's cardinalities (~150
+    * users/type at sf0.01) sit far below it — so this streaming sketch
+    * holds a full value oracle against count(DISTINCT), not a tolerance
+    * check. Beyond capacity it degrades to a bounded-error estimate
+    * with the SAME state size, which is the point.
+    */
+  private def streamDistinct(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_w12").toString
+    val events = t(s, d)("events")
+      .select($"event_id", $"ts".cast("timestamp").as("ts"),
+        $"user_id", $"event_type")
+    // two landing files -> two micro-batches: state must merge
+    events.where($"event_id" % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(s"$tmp/landing")
+    events.where($"event_id" % 2 =!= 0).coalesce(1)
+      .write.mode("append").parquet(s"$tmp/landing")
+    val stream = s.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/landing")
+    withStreamingPartitions(s, 8) {
+      val q = stream.groupBy($"event_type")
+        .agg(theta_sketch_agg($"user_id").as("sketch"))
+        .select($"event_type",
+          theta_sketch_estimate($"sketch").cast("long").as("n_users"))
+        .writeStream
+        .format("memory")
+        .queryName("w12_out")
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.streaming.StateMetrics.record("w12_stream_distinct", q)
+    }
+    s.table("w12_out").orderBy($"event_type")
+  }
+
   /** Stage the events fixture as TIME-SLICED landing files (one per ~week,
     * modification times bumped monotonically so the file source's
     * mod-time ordering equals event-time ordering even when the writes
@@ -1483,7 +1526,11 @@ object SparkEntry {
       operators.Raster.gradient(operators.Raster.demoGridSum(t(s, d)("lineitem")))
         .select($"variable", $"time", $"lat", $"lon", $"value",
           round($"ddx", 4).as("ddx"), round($"ddy", 4).as("ddy"))
-        .orderBy($"variable", $"time", $"lat", $"lon"))
+        .orderBy($"variable", $"time", $"lat", $"lon")),
+    // sketch partials as streaming state: theta buffer carried by the
+    // state store across micro-batches; exact below nominal capacity, so
+    // the oracle is plain count(DISTINCT) — see streamDistinct
+    "w12_stream_distinct" -> ((s, d) => streamDistinct(s, d))
   )
 
   /** x03: both join sides written as BUCKETED tables on the join key
@@ -3447,6 +3494,12 @@ object SparkEntry {
          WINDOW wx AS (PARTITION BY variable, time, lat ORDER BY lon),
                 wy AS (PARTITION BY variable, time, lon ORDER BY lat)
          ORDER BY variable, time, lat, lon""",
+    // exact-below-capacity: the streaming theta estimate must equal the
+    // true distinct count on the fixture's cardinalities
+    "w12_stream_distinct" ->
+      s"""WITH $evCte
+         SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM ev GROUP BY 1 ORDER BY 1""",
     // independent formulation: a day-range theta join instead of the
     // engine's bounded explode — same distinct-actives by construction
     "q45_rolling_dau" ->

@@ -367,4 +367,32 @@ class StreamingSpec extends SparkSpec {
       (1L, 1L, -1L, ""),
       (3L, 3L, 4L, "2024-01-01 11:45:00"))
   }
+
+  test("w12 semantics: a theta sketch built across micro-batches answers like one batch, exactly") {
+    // 3 types x interleaved users, split across two files on event_id
+    // parity — per-type state must MERGE, and below capacity the final
+    // estimate is the exact distinct count
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = (1L to 120L).map { i =>
+      Event(i, ts("2024-01-01 10:00:00"), i % 37, s"t${i % 3}", 1.0) }
+    val tmp = Files.createTempDirectory("graft_w12_sem").toString
+    rows.filter(_.event_id % 2 == 0).toDS().coalesce(1)
+      .write.mode("append").parquet(s"$tmp/landing")
+    rows.filter(_.event_id % 2 == 1).toDS().coalesce(1)
+      .write.mode("append").parquet(s"$tmp/landing")
+    val stream = spark.readStream.schema(rows.toDS().toDF().schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/landing")
+    val q = stream.groupBy($"event_type")
+      .agg(theta_sketch_agg($"user_id").as("sk"))
+      .select($"event_type", theta_sketch_estimate($"sk").cast("long").as("n"))
+      .writeStream.format("memory").queryName("w12_sem")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // two micro-batches actually ran (state merged, not single-shot)
+    q.recentProgress.map(_.numInputRows).count(_ > 0) shouldBe 2
+    val got = spark.table("w12_sem").as[(String, Long)].collect().toMap
+    val exact = rows.toDS().groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n")).as[(String, Long)].collect().toMap
+    got shouldBe exact
+  }
 }
