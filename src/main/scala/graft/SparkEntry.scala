@@ -1430,13 +1430,18 @@ object SparkEntry {
         .orderBy($"pr".desc, $"node")
         .limit(20)
     }),
-    // triangle/wedge census of the supplier co-supply graph with degree
-    // orientation — hub edges point INTO the hub, so the wedge join's
-    // fanout is arboricity-bounded O(m^1.5) instead of Σdeg² (the
-    // difference between a census and an OOM on a power-law graph)
+    // triangle/wedge census with degree orientation — hub edges point
+    // INTO the hub, so the wedge join's fanout is arboricity-bounded
+    // O(m^1.5) instead of Σdeg². Graph: co-purchase (part granularity,
+    // sparse — the co-supply supplier graph is near-complete at sf0.1,
+    // Θ(n³) for ANY census algorithm, measured 66 s), on the
+    // deterministic 1-in-4 part sample: the Doulion-style node-sampled
+    // census (exact on the sample, an unbiased ×p⁻³ estimator of the
+    // full count; the full graph is the same call without the filter)
     "g02_triangles" -> ((s, d) =>
       operators.Graph.triangleCensus(
-        operators.Graph.coSupplierEdges(t(s, d)("lineitem")))),
+        operators.Graph.coPurchaseEdges(
+          t(s, d)("lineitem").where($"l_partkey" % 4 === 0)))),
     // item-to-item CF over order baskets: wedge join centered on the
     // BASKET side (fanout Σ C(|basket|,2), linear in orders) — the
     // item-centered unipartite form explodes as Σ deg² (1.5e8 wedges at
@@ -1485,16 +1490,20 @@ object SparkEntry {
     // id; blocking + JW(≥0.96, mid-plateau-gap) + label propagation
     // resolve records to entity ids. Fixture jw values are plateaued
     // rationals ≥0.005 from the threshold, so a last-ulp divergence
-    // between the two implementations cannot flip an edge
+    // between the two implementations cannot flip an edge. Names hash
+    // through md5 (bitwise cross-engine) — a LINEAR name hash here is a
+    // trap: the bench's key-shifted scale copies turn an affine
+    // (c·M) % 1eN into name+k·10^j per copy, making every copy-twin a
+    // lev-1 pair (~28M blocked candidates at scale-10, measured 133 s);
+    // md5 decorrelates the copies (50k candidates, the intended pairs)
     "e04_er_entities" -> ((s, d) => {
       val base = t(s, d)("customer").select(
         $"c_custkey".as("id"),
         concat(lit("Cust"),
-          lpad((($"c_custkey" * 2654435761L) % 1000000000L).cast("string"),
-            9, "0")).as("name"))
+          substring(md5($"c_custkey".cast("string")), 1, 9)).as("name"))
       val dups = base.where($"id" % 3 === 0)
         .withColumn("p", (lit(1) + $"id" % 9).cast("int"))
-        .select(($"id" + 10000000L).as("id"),
+        .select(($"id" + 2000000000L).as("id"),
           concat($"name".substr(lit(1), lit(3) + $"p"),
                  $"name".substr(lit(5) + $"p", length($"name"))).as("name"))
       operators.Entity.resolveEntities(
@@ -1530,7 +1539,11 @@ object SparkEntry {
     // sketch partials as streaming state: theta buffer carried by the
     // state store across micro-batches; exact below nominal capacity, so
     // the oracle is plain count(DISTINCT) — see streamDistinct
-    "w12_stream_distinct" -> ((s, d) => streamDistinct(s, d))
+    "w12_stream_distinct" -> ((s, d) => streamDistinct(s, d)),
+    // dynamic partition pruning over a month-partitioned fact layout:
+    // the filtered month dim becomes a runtime partition filter on the
+    // fact scan (plan-guarded) — 3 directories read, not ~84
+    "x04_dpp_join" -> ((s, d) => dppJoinGate(s, d))
   )
 
   /** x03: both join sides written as BUCKETED tables on the join key
@@ -1563,6 +1576,44 @@ object SparkEntry {
            sum($"l_extendedprice".cast("decimal(18,2)")).cast("double")
              .as("total_price"))
       .orderBy($"o_orderpriority")
+  }
+
+  /** x04: DYNAMIC PARTITION PRUNING — the fact table written
+    * partition-by-ship-month at rest, then joined to a filtered month
+    * dimension. Catalyst injects the dim's month set as a runtime
+    * partition filter (`dynamicpruningexpression` on the scan), so the
+    * fact read touches 3 month directories instead of ~84 — the layout
+    * lever that, with x03's bucketing, covers both halves of warehouse
+    * data placement: partitioning prunes the SCAN, bucketing removes the
+    * JOIN shuffle. At 100 TB the same plan prunes thousands of
+    * partitions off a date-partitioned lake table whenever the dim side
+    * carries a date predicate. PlanGuardSpec pins the pruning
+    * expression's presence; one repartition before the write yields one
+    * file per month directory (the small-files discipline t18 audits).
+    */
+  private def dppJoinGate(s: SparkSession, d: String): DataFrame = {
+    // deterministic per-fixture path + overwrite, like x03: repeated
+    // invocations rewrite one partitioned copy, never accumulate
+    val tmp = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_x04_${Integer.toHexString(d.hashCode)}").toString
+    val li = t(s, d)("lineitem")
+      .withColumn("ship_month", date_format($"l_shipdate", "yyyy-MM"))
+    li.repartition($"ship_month")
+      .write.mode("overwrite").partitionBy("ship_month").parquet(s"$tmp/li")
+    val fact = s.read.parquet(s"$tmp/li")
+    // month dim derived from orders — a genuinely separate relation, so
+    // the pruning filter must flow through the join at runtime
+    val dim = t(s, d)("orders")
+      .select(date_format($"o_orderdate", "yyyy-MM").as("ship_month"))
+      .distinct()
+      .where($"ship_month".between("1995-01", "1995-03"))
+    fact.join(broadcast(dim), "ship_month")
+      .groupBy($"ship_month")
+      .agg(count(lit(1)).as("n"),
+        sum(($"l_extendedprice".cast("decimal(18,2)") * 100).cast("long"))
+          .as("sum_cents"))
+      .orderBy($"ship_month")
   }
 
   private val gridCte = operators.Raster.demoGridSql
@@ -3092,6 +3143,19 @@ object SparkEntry {
                   AS total_price
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // same join over the raw tables — the partitioned layout and the
+    // runtime pruning must be result-invisible
+    "x04_dpp_join" ->
+      """WITH dim AS (SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS ship_month
+                      FROM orders
+                      WHERE strftime(o_orderdate, '%Y-%m') BETWEEN '1995-01' AND '1995-03')
+         SELECT f.ship_month, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+                  AS sum_cents
+         FROM (SELECT strftime(l_shipdate, '%Y-%m') AS ship_month, l_extendedprice
+               FROM lineitem) f
+         JOIN dim USING (ship_month)
+         GROUP BY 1 ORDER BY 1""",
     // single ordered window recomputes the engine's distributed prefix
     // sum (the t05 cross-check pattern), then the same long arithmetic
     // for chunk spans and per-chunk token overlap
@@ -3345,9 +3409,10 @@ object SparkEntry {
     // same degree orientation, so each triangle matches exactly one
     // a→b→c path + closing edge; census values are exact integers
     "g02_triangles" ->
-      """WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS s FROM lineitem),
-         und AS (SELECT DISTINCT a.s AS u, b.s AS v
-                 FROM ps a JOIN ps b ON a.pk = b.pk AND a.s < b.s),
+      """WITH po AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+                     WHERE l_partkey % 4 = 0),
+         und AS (SELECT DISTINCT a.p AS u, b.p AS v
+                 FROM po a JOIN po b ON a.ok = b.ok AND a.p < b.p),
          deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM
                    (SELECT u AS n FROM und UNION ALL SELECT v FROM und)
                  GROUP BY 1),
@@ -3414,10 +3479,9 @@ object SparkEntry {
     "e04_er_entities" ->
       """WITH RECURSIVE
          base AS (SELECT c_custkey AS id,
-                  'Cust' || lpad(CAST((c_custkey * 2654435761) % 1000000000 AS VARCHAR),
-                                 9, '0') AS name
+                  'Cust' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 9) AS name
                   FROM customer),
-         dups AS (SELECT id + 10000000 AS id,
+         dups AS (SELECT id + 2000000000 AS id,
                   substr(name, 1, 3 + p) || substr(name, 5 + p) AS name
                   FROM (SELECT id, name, 1 + id % 9 AS p FROM base WHERE id % 3 = 0)),
          rec AS (SELECT * FROM base UNION ALL SELECT * FROM dups),

@@ -70,6 +70,12 @@ object Graph {
     * they supply at least one common part. The wedge step is the usual
     * bounded self-join: parts fan out to their (small) supplier sets,
     * pairs within a part, distinct across parts.
+    *
+    * Caveat measured at sf0.1: with few supplier nodes this graph is
+    * near-COMPLETE (499 500 of 499 500 possible edges), which makes any
+    * census over it inherently Θ(n³) — a fixture property, not an
+    * operator property. Prefer [[coPurchaseEdges]] (part granularity,
+    * naturally sparse) for graph gates.
     */
   def coSupplierEdges(lineitem: DataFrame): DataFrame = {
     val ps = lineitem.select(col("l_partkey").as("pk"),
@@ -77,6 +83,21 @@ object Graph {
     ps.as("a").join(ps.as("b"),
         col("a.pk") === col("b.pk") && col("a.s") < col("b.s"))
       .select(col("a.s").as("u"), col("b.s").as("v"))
+      .distinct()
+  }
+
+  /** Undirected co-purchase graph: part pair (u < v) connected iff some
+    * order contains both — the market-basket projection at PART
+    * granularity (20k nodes at sf0.1, max degree ~220), sparse at every
+    * scale because baskets are small. The pair fan-out is basket-
+    * centered: Σ C(|basket|, 2), linear in orders.
+    */
+  def coPurchaseEdges(lineitem: DataFrame): DataFrame = {
+    val po = lineitem.select(col("l_orderkey").as("ok"),
+      col("l_partkey").as("p")).distinct()
+    po.as("a").join(po.as("b"),
+        col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
       .distinct()
   }
 

@@ -400,4 +400,13 @@ class PlanGuardSpec extends SparkSpec {
     p should not include "CartesianProduct"
     p should not include "BroadcastNestedLoopJoin"
   }
+
+  test("x04_dpp_join: the filtered month dim prunes fact partitions at runtime") {
+    val p = planOf("x04_dpp_join")
+    // the fact scan must carry a dynamic pruning partition filter fed by
+    // the dim side — the whole point of the partitioned layout
+    p.toLowerCase should include("dynamicpruning")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+  }
 }
