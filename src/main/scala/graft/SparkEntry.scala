@@ -1543,7 +1543,29 @@ object SparkEntry {
     // dynamic partition pruning over a month-partitioned fact layout:
     // the filtered month dim becomes a runtime partition filter on the
     // fact scan (plan-guarded) — 3 directories read, not ~84
-    "x04_dpp_join" -> ((s, d) => dppJoinGate(s, d))
+    "x04_dpp_join" -> ((s, d) => dppJoinGate(s, d)),
+    // arbitrary GROUPING SETS — the general form q41/q28 specialize;
+    // set list skips a level no ROLLUP can skip, one Expand scan
+    "q54_grouping_sets" -> ((s, d) =>
+      operators.Core.groupingSetsSummary(t(s, d)("orders"))),
+    // URL parse + canonicalization (the crawl-pipeline stage before URL
+    // dedup): parse_url host/path/param extraction, canonical form =
+    // lowercased host + path with query/fragment stripped — row-local,
+    // zero shuffles; URL construction is regular so the regexp oracle
+    // is exact
+    "t31_url_canon" -> ((s, d) => {
+      val url = concat(lit("https://"), $"source", lit(".Example.COM/docs/"),
+        $"doc_id".cast("string"), lit("?utm_source=feed&lang="), $"lang",
+        lit("#s"), ($"doc_id" % 5).cast("string"))
+      t(s, d)("documents").select($"doc_id", url.as("url"))
+        .select($"doc_id",
+          parse_url($"url", lit("HOST")).as("host"),
+          parse_url($"url", lit("PATH")).as("path"),
+          parse_url($"url", lit("QUERY"), lit("lang")).as("lang_param"),
+          concat(lit("https://"), lower(parse_url($"url", lit("HOST"))),
+            parse_url($"url", lit("PATH"))).as("canonical"))
+        .orderBy($"doc_id")
+    })
   )
 
   /** x03: both join sides written as BUCKETED tables on the join key
@@ -3156,6 +3178,31 @@ object SparkEntry {
                FROM lineitem) f
          JOIN dim USING (ship_month)
          GROUP BY 1 ORDER BY 1""",
+    // identical set list + grouping() markers (SQL-standard semantics in
+    // both engines); ordering keys on the markers first
+    "q54_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+                  AS sum_cents,
+                CAST(grouping(o_orderpriority) AS BIGINT) AS g_pri,
+                CAST(grouping(o_orderstatus) AS BIGINT) AS g_st
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderstatus), ())
+         ORDER BY g_pri, g_st, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""",
+    // regular URL construction makes the regexp decomposition exact;
+    // canonical = lowercased host + path, query/fragment stripped
+    "t31_url_canon" ->
+      """WITH u AS (SELECT doc_id,
+                'https://' || source || '.Example.COM/docs/' || CAST(doc_id AS VARCHAR) ||
+                '?utm_source=feed&lang=' || lang || '#s' || CAST(doc_id % 5 AS VARCHAR) AS url
+              FROM documents)
+         SELECT doc_id,
+                regexp_extract(url, 'https://([^/?#]+)', 1) AS host,
+                regexp_extract(url, 'https://[^/?#]+([^?#]*)', 1) AS path,
+                regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_param,
+                'https://' || lower(regexp_extract(url, 'https://([^/?#]+)', 1)) ||
+                  regexp_extract(url, 'https://[^/?#]+([^?#]*)', 1) AS canonical
+         FROM u ORDER BY doc_id""",
     // single ordered window recomputes the engine's distributed prefix
     // sum (the t05 cross-check pattern), then the same long arithmetic
     // for chunk spans and per-chunk token overlap

@@ -206,6 +206,30 @@ object Core {
            count(lit(1)).as("n_rows"))
       .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
 
+  /** Arbitrary GROUPING SETS (q54) — the general form rollup/cube are
+    * special cases of, for set lists neither can express (here
+    * ((priority, status), (status), ()) — skipping the (priority) level
+    * a ROLLUP would force). Same plan shape as q41: ONE scan through an
+    * Expand (row replicated once per set, null-marked) into a single
+    * map-side-combined aggregate — never one aggregation per level
+    * unioned. `grouping()` markers disambiguate "NULL because
+    * aggregated away" from a genuine NULL group value, and give the
+    * deterministic ordering key.
+    */
+  def groupingSetsSummary(orders: DataFrame): DataFrame =
+    orders
+      .groupingSets(
+        Seq(Seq($"o_orderpriority", $"o_orderstatus"),
+            Seq($"o_orderstatus"), Seq()),
+        $"o_orderpriority", $"o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(($"o_totalprice".cast("decimal(18,2)") * 100).cast("long"))
+          .as("sum_cents"),
+        grouping($"o_orderpriority").cast("long").as("g_pri"),
+        grouping($"o_orderstatus").cast("long").as("g_st"))
+      .orderBy($"g_pri", $"g_st",
+        $"o_orderpriority".asc_nulls_first, $"o_orderstatus".asc_nulls_first)
+
   /** Wide pivot (q42): per-day event counts and exact cent sums spread
     * into one column pair per event type — the long→wide reshape every
     * reporting job runs.

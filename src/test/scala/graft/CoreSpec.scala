@@ -150,4 +150,27 @@ class CoreSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     sizes shouldBe Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 1L, 5L -> 1L, 6L -> 1L)
   }
+
+  test("groupingSetsSummary: exactly the requested sets — the ROLLUP-impossible skip holds") {
+    val out = Core.groupingSetsSummary(table("orders")).collect()
+    val markers = out.map(r => (r.getLong(4), r.getLong(5))).toSet
+    // sets: (pri,status)->(0,0), (status)->(1,0), ()->(1,1).
+    // (0,1) = "priority only" was SKIPPED and must not appear
+    markers shouldBe Set((0L, 0L), (1L, 0L), (1L, 1L))
+    // grand total row counts every order
+    val total = out.filter(r => r.getLong(4) == 1L && r.getLong(5) == 1L)
+    total should have length 1
+    total.head.getLong(2) shouldBe table("orders").count()
+  }
+
+  test("t31 gate: canonical form folds host case and strips query/fragment") {
+    val out = SparkEntry.queries("t31_url_canon")(spark, sf0001).limit(5).collect()
+    all(out.map(_.getAs[String]("canonical"))) should include(".example.com/docs/")
+    out.foreach { r =>
+      r.getAs[String]("canonical") should not include "?"
+      r.getAs[String]("canonical") should not include "#"
+      r.getAs[String]("host") should include(".Example.COM")  // parse preserves case
+      r.getAs[String]("lang_param") should fullyMatch regex "[a-z]{2}"
+    }
+  }
 }
