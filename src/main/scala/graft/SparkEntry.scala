@@ -1548,6 +1548,72 @@ object SparkEntry {
     // set list skips a level no ROLLUP can skip, one Expand scan
     "q54_grouping_sets" -> ((s, d) =>
       operators.Core.groupingSetsSummary(t(s, d)("orders"))),
+    // FULL OUTER join with both null sides live (each input restricted
+    // so the other side has dangling keys); the audit aggregate counts
+    // matched/left-only/right-only in one pass — the reconciliation
+    // query every data-quality check runs
+    "q55_full_outer" -> ((s, d) => {
+      val o = t(s, d)("orders").where($"o_orderkey" % 3 === 0)
+        .select($"o_custkey",
+          ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      val c = t(s, d)("customer").where($"c_custkey" % 2 === 0)
+        .select($"c_custkey")
+      o.join(c, $"o_custkey" === $"c_custkey", "full_outer")
+        .agg(count(lit(1)).as("n"),
+          count(when($"o_custkey".isNull, 1)).as("cust_only"),
+          count(when($"c_custkey".isNull, 1)).as("order_only"),
+          sum($"cents").as("sum_cents"))
+    }),
+    // the NOT IN null trap pinned: a NULL in the subquery makes NOT IN
+    // three-valued (never TRUE → 0 rows), while NOT EXISTS keeps the
+    // intuitive answer — parity of all three counts proves both engines
+    // implement the same SQL-standard 3VL
+    "q56_not_in_nulls" -> ((s, d) => {
+      val c = t(s, d)("customer")
+      val o = t(s, d)("orders")
+      c.createOrReplaceTempView("q56_c")
+      o.createOrReplaceTempView("q56_o")
+      // subquery restricted to 1998+ orders so customers WITHOUT a match
+      // exist: the clean forms count them, the NULL-poisoned NOT IN
+      // still returns 0 — the trap made visible
+      s.sql("""
+        SELECT
+          (SELECT count(*) FROM q56_c WHERE c_custkey NOT IN
+             (SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL
+                          ELSE o_custkey END FROM q56_o
+              WHERE o_orderdate >= DATE '1998-01-01')) AS not_in_with_nulls,
+          (SELECT count(*) FROM q56_c WHERE c_custkey NOT IN
+             (SELECT o_custkey FROM q56_o
+              WHERE o_orderdate >= DATE '1998-01-01')) AS not_in_clean,
+          (SELECT count(*) FROM q56_c WHERE NOT EXISTS
+             (SELECT 1 FROM q56_o WHERE o_custkey = c_custkey
+              AND o_orderdate >= DATE '1998-01-01')) AS not_exists_n
+      """)
+    }),
+    // the full rank-function battery in ONE window pass: tie-sensitive
+    // functions (rank/dense_rank/percent_rank/cume_dist) run on the
+    // value ordering where ties are real; order-sensitive ones
+    // (row_number/lag/lead) on the (value, event_id) total order so
+    // every output is deterministic. percent_rank's division is exact
+    // small-int arithmetic → bit-identical
+    "q57_rank_battery" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, d)("events").where($"user_id" % 10 === 0)
+        .select($"event_id", $"user_id",
+          floor($"value" * 100).cast("long").as("cents"))
+      val wTies = Window.partitionBy($"user_id").orderBy($"cents".desc)
+      val wTotal = Window.partitionBy($"user_id")
+        .orderBy($"cents".desc, $"event_id")
+      e.select($"event_id", $"user_id", $"cents",
+          rank().over(wTies).cast("long").as("rnk"),
+          dense_rank().over(wTies).cast("long").as("drnk"),
+          percent_rank().over(wTies).as("prnk"),
+          cume_dist().over(wTies).as("cd"),
+          row_number().over(wTotal).cast("long").as("rn"),
+          lag($"cents", 1).over(wTotal).as("prev_cents"),
+          lead($"cents", 1).over(wTotal).as("next_cents"))
+        .orderBy($"user_id", $"rn")
+    }),
     // URL parse + canonicalization (the crawl-pipeline stage before URL
     // dedup): parse_url host/path/param extraction, canonical form =
     // lowercased host + path with query/fragment stripped — row-local,
@@ -3189,6 +3255,49 @@ object SparkEntry {
          FROM orders
          GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderstatus), ())
          ORDER BY g_pri, g_st, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""",
+    // the same restricted inputs; FILTER-counts mirror the when-counts
+    "q55_full_outer" ->
+      """WITH o AS (SELECT o_custkey,
+                CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+              FROM orders WHERE o_orderkey % 3 = 0),
+         c AS (SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0)
+         SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(count(*) FILTER (o_custkey IS NULL) AS BIGINT) AS cust_only,
+                CAST(count(*) FILTER (c_custkey IS NULL) AS BIGINT) AS order_only,
+                CAST(sum(cents) AS BIGINT) AS sum_cents
+         FROM o FULL OUTER JOIN c ON o_custkey = c_custkey""",
+    // SQL-standard three-valued logic in both engines: NULL in the NOT IN
+    // subquery annihilates the predicate; NOT EXISTS is unaffected
+    "q56_not_in_nulls" ->
+      """SELECT
+           (SELECT count(*) FROM customer WHERE c_custkey NOT IN
+              (SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL
+                           ELSE o_custkey END FROM orders
+               WHERE o_orderdate >= DATE '1998-01-01')) AS not_in_with_nulls,
+           (SELECT count(*) FROM customer WHERE c_custkey NOT IN
+              (SELECT o_custkey FROM orders
+               WHERE o_orderdate >= DATE '1998-01-01')) AS not_in_clean,
+           (SELECT count(*) FROM customer WHERE NOT EXISTS
+              (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+               AND o_orderdate >= DATE '1998-01-01')) AS not_exists_n""",
+    // identical split: tie-sensitive ranks on the value ordering,
+    // order-sensitive functions on the total order
+    "q57_rank_battery" ->
+      s"""WITH $evCte,
+         e AS (SELECT event_id, user_id, CAST(floor(value * 100) AS BIGINT) AS cents
+               FROM ev WHERE user_id % 10 = 0)
+         SELECT event_id, user_id, cents,
+                CAST(rank() OVER wt AS BIGINT) AS rnk,
+                CAST(dense_rank() OVER wt AS BIGINT) AS drnk,
+                percent_rank() OVER wt AS prnk,
+                cume_dist() OVER wt AS cd,
+                CAST(row_number() OVER wo AS BIGINT) AS rn,
+                lag(cents, 1) OVER wo AS prev_cents,
+                lead(cents, 1) OVER wo AS next_cents
+         FROM e
+         WINDOW wt AS (PARTITION BY user_id ORDER BY cents DESC),
+                wo AS (PARTITION BY user_id ORDER BY cents DESC, event_id)
+         ORDER BY user_id, rn""",
     // regular URL construction makes the regexp decomposition exact;
     // canonical = lowercased host + path, query/fragment stripped
     "t31_url_canon" ->
