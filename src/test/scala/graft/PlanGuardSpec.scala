@@ -409,4 +409,20 @@ class PlanGuardSpec extends SparkSpec {
     p should include("BroadcastHashJoin")
     p should not include "SortMergeJoin"
   }
+
+  test("r13_gradient: two axis-window exchanges, no join, one fact scan") {
+    val p = planOf("r13_gradient")
+    // distinct-grid aggregate + two window repartitions... the claim in
+    // Raster.gradient is two exchanges FOR THE WINDOWS; the grid twin
+    // derivation adds its own aggregate exchange. Pin the full shape.
+    p should not include "Join"
+    p.linesIterator.count(_.contains("lineitem.parquet")) shouldBe 1
+  }
+
+  test("q54_grouping_sets: one scan through Expand into one combined aggregate") {
+    val p = planOf("q54_grouping_sets")
+    p should include("Expand")
+    p.linesIterator.count(_.contains("orders.parquet")) shouldBe 1
+    p should not include "Union"
+  }
 }
