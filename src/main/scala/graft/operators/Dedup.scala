@@ -614,44 +614,17 @@ object Dedup {
                     maxRounds: Int = 20): DataFrame = {
     val pairs = minhashLshPairs(documents, shingleN, bands, rows, threshold)
       .select($"doc_a", $"doc_b")
-    // undirected edges, both directions, deduped — cached: every round scans it
-    // barriers are localCheckpoint by default; set spark.graft.checkpointDir
-    // for reliable storage so executor loss can't kill the CC loop mid-round
-    val edges = graft.Session.barrier(pairs
-      .unionByName(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
-      .distinct())
-    var labels = graft.Session.barrier(
-      documents.select($"doc_id", $"doc_id".as("cluster_id")))
-    var round = 0
-    var converged = false
-    while (round < maxRounds && !converged) {
-      // neighbour labels flow along edges; each doc keeps the min of its
-      // own label and everything received. ONE shuffle-join + aggregate
-      // per round: carrying the previous label through the union (tagged
-      // by `own`) lets the same aggregate produce both the new label and
-      // the convergence signal — the former formulation re-joined `next`
-      // against `labels` just to count changes, a second shuffle per
-      // round that dominates when rounds are job-overhead-bound.
-      val messages = edges.join(labels, edges("doc_b") === labels("doc_id"))
-        .select(edges("doc_a").as("doc_id"), $"cluster_id", lit(false).as("own"))
-      val next = graft.Session.barrier(
-        labels.select($"doc_id", $"cluster_id", lit(true).as("own"))
-          .unionByName(messages)
-          .groupBy($"doc_id")
-          .agg(min($"cluster_id").as("cluster_id"),
-               // the doc's previous label is the row tagged own=true
-               min(when($"own", $"cluster_id")).as("prev")))
-      val changed = next.where($"cluster_id" =!= $"prev").count()
-      labels = next.select($"doc_id", $"cluster_id")
-      converged = changed == 0
-      round += 1
-    }
-    // a component with diameter > maxRounds would otherwise return
-    // partially-propagated labels that look valid — fail loudly instead
-    require(converged,
-      s"dedupClusters did not converge after $maxRounds rounds; " +
-        "raise maxRounds (component diameter exceeds it)")
-    labels
+    // undirected edges, both directions, deduped; propagation runs in
+    // [[Graph.minLabelComponents]] — the shared CC kernel (one
+    // shuffle-join + aggregate per round, own-label convergence signal,
+    // localCheckpoint barriers, require(converged))
+    val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .unionByName(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .distinct()
+    Graph.minLabelComponents(edges,
+        documents.select($"doc_id".as("node"), $"doc_id".as("label")),
+        maxRounds)
+      .select($"node".as("doc_id"), $"label".as("cluster_id"))
       .withColumn("is_canonical", ($"doc_id" === $"cluster_id").cast("boolean"))
       .orderBy($"doc_id")
   }

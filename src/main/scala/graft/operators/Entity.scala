@@ -149,31 +149,13 @@ object Entity {
       .select($"x", $"y").distinct()
       .where(levenshtein($"x", $"y") === 1 &&
              graft.functions.JaroWinkler($"x", $"y") >= minJw)
-    val edges = graft.Session.barrier(
-      cand.unionByName(cand.select($"y".as("x"), $"x".as("y"))))
-    var labels = graft.Session.barrier(names.select($"name", $"mid".as("lbl")))
-    var round = 0
-    var converged = false
-    while (round < maxRounds && !converged) {
-      // one shuffle-join + one aggregate per round; the own-label row
-      // doubles as the convergence signal (see Dedup.dedupClusters)
-      val messages = edges.join(labels, edges("y") === labels("name"))
-        .select(edges("x").as("name"), $"lbl", lit(false).as("own"))
-      val next = graft.Session.barrier(
-        labels.select($"name", $"lbl", lit(true).as("own"))
-          .unionByName(messages)
-          .groupBy($"name")
-          .agg(min($"lbl").as("lbl"),
-               min(when($"own", $"lbl")).as("prev")))
-      val changed = next.where($"lbl" =!= $"prev").count()
-      labels = next.select($"name", $"lbl")
-      converged = changed == 0
-      round += 1
-    }
-    require(converged,
-      s"resolveEntities did not converge after $maxRounds rounds; " +
-        "raise maxRounds (match-cluster diameter exceeds it)")
-    named.join(labels.select($"name", $"lbl".as("entity_id")), Seq("name"))
+    // min-label propagation over the name graph — the shared CC kernel
+    val edges = cand.select($"x".as("src"), $"y".as("dst"))
+      .unionByName(cand.select($"y".as("src"), $"x".as("dst")))
+    val labels = Graph.minLabelComponents(
+      edges, names.select($"name".as("node"), $"mid".as("label")), maxRounds)
+    named.join(labels.select($"node".as("name"), $"label".as("entity_id")),
+        Seq("name"))
       .select($"id", $"name", $"entity_id")
       .orderBy($"id")
   }

@@ -149,6 +149,50 @@ object Graph {
     nNodes.crossJoin(nEdges).crossJoin(nTri).crossJoin(nWedges)
   }
 
+  /** Iterative min-label propagation to convergence — the shared
+    * connected-components kernel of d07/d15 (near-dup clusters) and e04
+    * (entity resolution). `edges` is an undirected edge list carried in
+    * BOTH directions as (src, dst); `init` the starting (node, label)
+    * relation (node may be any equatable type — doc ids, names).
+    *
+    * Each round every node takes the minimum label among itself and its
+    * neighbours: ONE shuffle-join + one aggregate, with the node's
+    * previous label riding the union (tagged `own`) so the same
+    * aggregate yields both the new label and the convergence signal —
+    * no second join per round. Rounds are barriered (localCheckpoint;
+    * reliable checkpoint when `spark.graft.checkpointDir` is set) so
+    * round N's plan never re-derives rounds 1..N−1. O(diameter) rounds;
+    * the match/near-dup graphs these callers build are tiny cliques, so
+    * 2-4 rounds regardless of corpus size. A component with diameter >
+    * maxRounds would silently return plausible-looking half-propagated
+    * labels — `require(converged)` fails loudly instead.
+    */
+  def minLabelComponents(edges: DataFrame, init: DataFrame,
+                         maxRounds: Int = 20): DataFrame = {
+    val e = graft.Session.barrier(edges.select(col("src"), col("dst")))
+    var labels = graft.Session.barrier(init.select(col("node"), col("label")))
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val messages = e.join(labels, e("dst") === labels("node"))
+        .select(e("src").as("node"), col("label"), lit(false).as("own"))
+      val next = graft.Session.barrier(
+        labels.select(col("node"), col("label"), lit(true).as("own"))
+          .unionByName(messages)
+          .groupBy(col("node"))
+          .agg(min(col("label")).as("label"),
+               min(when(col("own"), col("label"))).as("prev")))
+      val changed = next.where(col("label") =!= col("prev")).count()
+      labels = next.select(col("node"), col("label"))
+      converged = changed == 0
+      round += 1
+    }
+    require(converged,
+      s"minLabelComponents did not converge after $maxRounds rounds; " +
+        "raise maxRounds (component diameter exceeds it)")
+    labels
+  }
+
   /** Item-to-item collaborative filtering (g03): top-k item pairs by
     * co-occurrence, with neighborhood Jaccard carried as the exact
     * integer fraction (common, n_u + n_w − common) — the Amazon

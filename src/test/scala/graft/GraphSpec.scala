@@ -123,4 +123,24 @@ class GraphSpec extends SparkSpec {
     p should not include "BroadcastNestedLoopJoin"
     p should include("TakeOrderedAndProject")
   }
+
+  test("minLabelComponents: a chain propagates the min label end-to-end; isolated nodes keep theirs") {
+    // path 1-2-3-4 plus isolated 9: all path nodes -> label 1, 9 -> 9
+    val und = Seq((1L,2L),(2L,3L),(3L,4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val init = Seq(1L, 2L, 3L, 4L, 9L).toDF("node").withColumn("label", $"node")
+    val out = Graph.minLabelComponents(edges, init).as[(Long, Long)].collect().toMap
+    out shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 9L -> 9L)
+  }
+
+  test("minLabelComponents: refuses to return half-propagated labels when rounds run out") {
+    // a 6-node path has diameter 5: one round cannot finish
+    val und = (1L to 5L).map(i => (i, i + 1))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val init = (1L to 6L).toDF("node").withColumn("label", $"node")
+    val e = intercept[IllegalArgumentException] {
+      Graph.minLabelComponents(edges, init, maxRounds = 1)
+    }
+    e.getMessage should include("did not converge")
+  }
 }
