@@ -1614,6 +1614,49 @@ object SparkEntry {
           lead($"cents", 1).over(wTotal).as("next_cents"))
         .orderBy($"user_id", $"rn")
     }),
+    // null-safe equality (<=> / IS NOT DISTINCT FROM) vs plain = in a
+    // join: NULL keys match each other under <=> and silently drop
+    // under = — both cardinalities pinned side by side. NULL-key counts
+    // kept dimension-sized (a null-key match is a cross product of the
+    // null rows; at fact scale you'd bucket or drop them first)
+    "q58_null_safe_eq" -> ((s, d) => {
+      val n = t(s, d)("nation").select(
+        when($"n_nationkey" % 7 === 0, lit(null).cast("long"))
+          .otherwise($"n_regionkey").as("k"))
+      val r = t(s, d)("region").select(
+        when($"r_regionkey" === 3, lit(null).cast("long"))
+          .otherwise($"r_regionkey").as("rk"))
+      val nullsafe = n.join(r, $"k" <=> $"rk")
+        .agg(count(lit(1)).as("cnt"),
+          count(when($"k".isNull, 1)).as("null_matches"))
+      val plain = n.join(r, $"k" === $"rk").agg(count(lit(1)).as("cnt2"))
+      nullsafe.crossJoin(plain)
+        .select($"cnt".as("n_nullsafe"), $"null_matches",
+          $"cnt2".as("n_regular"))
+    }),
+    // snapshot DIFF — the inverse of t17's CDC apply: given two corpus
+    // versions, recover the change set (added/removed/changed/unchanged)
+    // via one full outer join on the key comparing content hashes; the
+    // v2 fixture mutates every 7th doc, drops every 13th, adds an
+    // id-shifted copy of every 11th
+    "t32_snapshot_diff" -> ((s, d) => {
+      val v1 = t(s, d)("documents").select($"doc_id", $"text")
+      val v2 = v1.where($"doc_id" % 13 =!= 0)
+        .select($"doc_id",
+          when($"doc_id" % 7 === 0, concat($"text", lit(" [rev2]")))
+            .otherwise($"text").as("text"))
+        .unionByName(v1.where($"doc_id" % 11 === 0)
+          .select(($"doc_id" + 500000L).as("doc_id"), $"text"))
+      val a = v1.select($"doc_id", md5($"text").as("h1"))
+      val b = v2.select($"doc_id", md5($"text").as("h2"))
+      a.join(b, Seq("doc_id"), "full_outer")
+        .select($"doc_id",
+          when($"h1".isNull, lit("added"))
+            .when($"h2".isNull, lit("removed"))
+            .when($"h1" =!= $"h2", lit("changed"))
+            .otherwise(lit("unchanged")).as("status"))
+        .orderBy($"doc_id")
+    }),
     // URL parse + canonicalization (the crawl-pipeline stage before URL
     // dedup): parse_url host/path/param extraction, canonical form =
     // lowercased host + path with query/fragment stripped — row-local,
@@ -3298,6 +3341,37 @@ object SparkEntry {
          WINDOW wt AS (PARTITION BY user_id ORDER BY cents DESC),
                 wo AS (PARTITION BY user_id ORDER BY cents DESC, event_id)
          ORDER BY user_id, rn""",
+    // IS NOT DISTINCT FROM is SQL's spelling of Spark's <=>
+    "q58_null_safe_eq" ->
+      """WITH n AS (SELECT CASE WHEN n_nationkey % 7 = 0 THEN NULL
+                               ELSE n_regionkey END AS k FROM nation),
+         r AS (SELECT CASE WHEN r_regionkey = 3 THEN NULL
+                           ELSE r_regionkey END AS rk FROM region),
+         ns AS (SELECT CAST(count(*) AS BIGINT) AS n_nullsafe,
+                       CAST(count(*) FILTER (k IS NULL) AS BIGINT) AS null_matches
+                FROM n JOIN r ON n.k IS NOT DISTINCT FROM r.rk),
+         pl AS (SELECT CAST(count(*) AS BIGINT) AS n_regular
+                FROM n JOIN r ON n.k = r.rk)
+         SELECT ns.n_nullsafe, ns.null_matches, pl.n_regular FROM ns, pl""",
+    // identical v2 derivation + md5 compare; FULL OUTER recovers the set
+    "t32_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+         v2 AS (SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]'
+                            ELSE text END AS text
+                FROM v1 WHERE doc_id % 13 <> 0
+                UNION ALL
+                SELECT doc_id + 500000 AS doc_id, text
+                FROM v1 WHERE doc_id % 11 = 0),
+         a AS (SELECT doc_id, md5(text) AS h1 FROM v1),
+         b AS (SELECT doc_id, md5(text) AS h2 FROM v2)
+         SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                CASE WHEN a.doc_id IS NULL THEN 'added'
+                     WHEN b.doc_id IS NULL THEN 'removed'
+                     WHEN a.h1 <> b.h2 THEN 'changed'
+                     ELSE 'unchanged' END AS status
+         FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+         ORDER BY doc_id""",
     // regular URL construction makes the regexp decomposition exact;
     // canonical = lowercased host + path, query/fragment stripped
     "t31_url_canon" ->
