@@ -1634,6 +1634,24 @@ object SparkEntry {
         .select($"cnt".as("n_nullsafe"), $"null_matches",
           $"cnt2".as("n_regular"))
     }),
+    // materialized-view maintenance: pre-1997 orders collapse to the
+    // stored per-customer aggregate, 1997+ arrive as the raw delta
+    // batch; merged = history ⊕ partial(batch) — and the oracle is the
+    // FULL recompute over all orders, so the gate proves merge-form ==
+    // recompute-form (the monoid law, value-checked)
+    "t33_incremental_agg" -> ((s, d) => {
+      val o = t(s, d)("orders").select($"o_custkey",
+        ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        $"o_orderdate")
+      val hist = o.where($"o_orderdate" < "1997-01-01")
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"),
+          max($"cents").as("max_cents"))
+      val batch = o.where($"o_orderdate" >= "1997-01-01")
+        .select($"o_custkey", $"cents")
+      operators.Upsert.incrementalAgg(hist, batch, "o_custkey")
+        .orderBy($"o_custkey")
+    }),
     // snapshot DIFF — the inverse of t17's CDC apply: given two corpus
     // versions, recover the change set (added/removed/changed/unchanged)
     // via one full outer join on the key comparing content hashes; the
@@ -3353,6 +3371,14 @@ object SparkEntry {
          pl AS (SELECT CAST(count(*) AS BIGINT) AS n_regular
                 FROM n JOIN r ON n.k = r.rk)
          SELECT ns.n_nullsafe, ns.null_matches, pl.n_regular FROM ns, pl""",
+    // the oracle is the FULL recompute — merge-form must equal it
+    "t33_incremental_agg" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+                  AS sum_cents,
+                CAST(max(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+                  AS max_cents
+         FROM orders GROUP BY 1 ORDER BY 1""",
     // identical v2 derivation + md5 compare; FULL OUTER recovers the set
     "t32_snapshot_diff" ->
       """WITH v1 AS (SELECT doc_id, text FROM documents),

@@ -74,4 +74,32 @@ object Upsert {
       .select(col(key) +: dataCols.map(c =>
         when($"__hit", col("__c_" + c)).otherwise(col(c)).as(c)): _*)
   }
+
+  /** Incremental AGGREGATE maintenance (t33) — the materialized-view
+    * pattern: a stored per-key aggregate advanced by a delta batch
+    * WITHOUT rescanning history. merged = history ⊕ partial(batch),
+    * exact because the stored vector (count, sum, max) is a commutative
+    * monoid under (+, +, max) — the same reason Spark's own partial
+    * aggregation is correct. Averages are NOT mergeable as stored
+    * averages (the classic MV bug); store the moment vector and derive
+    * avg at read time.
+    *
+    * Scale shape: `history` is MV-sized (one row per key — the artifact
+    * a pipeline keeps between batches, exactly like d11's hash index
+    * and d14's signature index); the batch partial-aggregates map-side,
+    * so the merge shuffle carries |history keys| + |batch keys| rows —
+    * never the raw history, which no longer needs to exist. Appends
+    * only; deletions need a subtractable sketch (max is not invertible)
+    * or t17's CDC path.
+    */
+  def incrementalAgg(history: DataFrame, batch: DataFrame,
+                     key: String): DataFrame = {
+    val part = batch.groupBy(col(key))
+      .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"),
+        max($"cents").as("max_cents"))
+    history.unionByName(part)
+      .groupBy(col(key))
+      .agg(sum($"n").as("n"), sum($"sum_cents").as("sum_cents"),
+        max($"max_cents").as("max_cents"))
+  }
 }

@@ -156,4 +156,28 @@ class UpsertSpec extends SparkSpec {
     graft.streaming.SnapshotUpsert.read(spark, dir)
       .as[(Long, String, String)].collect() shouldBe Array((1L, "a", "v3"))
   }
+
+  test("incrementalAgg: any history/batch split merges to the full recompute (monoid law)") {
+    val rows = Seq((1L, 10L), (1L, 20L), (2L, 5L), (3L, 7L), (1L, 30L), (2L, 40L))
+    def full(data: Seq[(Long, Long)]) = data.toDF("k", "cents")
+      .groupBy($"k").agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"),
+        max($"cents").as("max_cents"))
+    val expected = full(rows).orderBy($"k").collect().toSeq
+    // every prefix split, including empty history and empty batch
+    (0 to rows.length).foreach { cut =>
+      val hist = full(rows.take(cut))
+      val batch = rows.drop(cut).toDF("k", "cents")
+      val merged = Upsert.incrementalAgg(hist, batch, "k")
+        .orderBy($"k").collect().toSeq
+      withClue(s"split at $cut: ") { merged shouldBe expected }
+    }
+  }
+
+  test("incrementalAgg: batch-only keys insert; history-only keys pass through untouched") {
+    val hist = Seq((1L, 2L, 50L, 30L)).toDF("k", "n", "sum_cents", "max_cents")
+    val batch = Seq((9L, 100L)).toDF("k", "cents")
+    val out = Upsert.incrementalAgg(hist, batch, "k").orderBy($"k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    out.toSeq shouldBe Seq((1L, 2L, 50L, 30L), (9L, 1L, 100L, 100L))
+  }
 }
