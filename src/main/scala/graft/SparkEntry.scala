@@ -635,6 +635,55 @@ object SparkEntry {
     graft.streaming.SnapshotUpsert.read(s, snapDir).orderBy($"doc_id")
   }
 
+  /** w13: STREAMING materialized-view maintenance — t33's merge run
+    * through the real streaming path, exactly as w10 runs t17's. The
+    * pre-1997 aggregate seeds the versioned MV store; the 1997+ delta
+    * arrives as two mtime-ordered landing files (two micro-batches), and
+    * each `foreachBatch` advances the MV with
+    * [[graft.streaming.SnapshotUpsert.applyAggBatch]] under the
+    * versioned-pointer exactly-once protocol. The oracle is the same
+    * FULL-recompute string as t33 — one string, two gates, so the batch
+    * and streaming merge paths cannot drift apart.
+    */
+  private def streamIncrementalAgg(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_w13").toString
+    val o = t(s, d)("orders").select($"o_custkey",
+      ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long").as("cents"),
+      $"o_orderdate")
+    val hist = o.where($"o_orderdate" < "1997-01-01")
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"),
+        max($"cents").as("max_cents"))
+    val mvDir = s"$tmp/mv"
+    graft.streaming.SnapshotUpsert.init(hist, mvDir)
+    val delta = o.where($"o_orderdate" >= "1997-01-01")
+      .select($"o_custkey", $"cents")
+    val landing = java.nio.file.Paths.get(s"$tmp/landing")
+    java.nio.file.Files.createDirectories(landing)
+    val base = System.currentTimeMillis() - 60000
+    var stamped = Set.empty[String]
+    delta.where($"o_custkey" % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(landing.toString)
+    stamped = graft.streaming.StagedLanding.stampNew(landing, base, stamped)
+    delta.where($"o_custkey" % 2 =!= 0).coalesce(1)
+      .write.mode("append").parquet(landing.toString)
+    stamped = graft.streaming.StagedLanding.stampNew(landing, base + 1000, stamped)
+    val sink: (DataFrame, Long) => Unit =
+      graft.streaming.SnapshotUpsert.applyAggBatch(mvDir, "o_custkey")
+    val stream = s.readStream.schema(delta.schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing.toString)
+    withStreamingPartitions(s, 8) {
+      val q = stream.writeStream
+        .foreachBatch(sink)
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    graft.streaming.SnapshotUpsert.read(s, mvDir).orderBy($"o_custkey")
+  }
+
   /** t18: small-file compaction round-trip — the corpus is shattered into
     * 32 files, [[Compaction.compactClustered]] rewrites it into
     * ~quarter-of-total-sized files range-clustered on doc_id, and the
@@ -1540,6 +1589,9 @@ object SparkEntry {
     // state store across micro-batches; exact below nominal capacity, so
     // the oracle is plain count(DISTINCT) — see streamDistinct
     "w12_stream_distinct" -> ((s, d) => streamDistinct(s, d)),
+    // t33 through the real streaming path (foreachBatch MV maintenance,
+    // versioned-pointer exactly-once); shares t33's recompute oracle
+    "w13_stream_mv" -> ((s, d) => streamIncrementalAgg(s, d)),
     // dynamic partition pruning over a month-partitioned fact layout:
     // the filtered month dim becomes a runtime partition filter on the
     // fact scan (plan-guarded) — 3 directories read, not ~84
@@ -1764,6 +1816,18 @@ object SparkEntry {
           .as("sum_cents"))
       .orderBy($"ship_month")
   }
+
+  /** Full per-customer recompute over ALL orders — shared by t33 (batch
+    * MV merge) and w13 (streaming foreachBatch MV merge): both must
+    * reproduce it exactly, so the two merge paths cannot drift apart.
+    */
+  private val incrementalAggOracle: String =
+    """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+                AS sum_cents,
+              CAST(max(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+                AS max_cents
+       FROM orders GROUP BY 1 ORDER BY 1"""
 
   private val gridCte = operators.Raster.demoGridSql
   private val polyHash = functions.PolyHash
@@ -3371,14 +3435,10 @@ object SparkEntry {
          pl AS (SELECT CAST(count(*) AS BIGINT) AS n_regular
                 FROM n JOIN r ON n.k = r.rk)
          SELECT ns.n_nullsafe, ns.null_matches, pl.n_regular FROM ns, pl""",
-    // the oracle is the FULL recompute — merge-form must equal it
-    "t33_incremental_agg" ->
-      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
-                CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
-                  AS sum_cents,
-                CAST(max(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
-                  AS max_cents
-         FROM orders GROUP BY 1 ORDER BY 1""",
+    // the oracle is the FULL recompute — merge-form must equal it; ONE
+    // string for the batch (t33) and streaming (w13) merge paths
+    "t33_incremental_agg" -> incrementalAggOracle,
+    "w13_stream_mv" -> incrementalAggOracle,
     // identical v2 derivation + md5 compare; FULL OUTER recovers the set
     "t32_snapshot_diff" ->
       """WITH v1 AS (SELECT doc_id, text FROM documents),

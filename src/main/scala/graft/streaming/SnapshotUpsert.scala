@@ -60,6 +60,27 @@ object SnapshotUpsert {
     switchPointer(dir, version)
   }
 
+  /** The `foreachBatch` function for MATERIALIZED-VIEW maintenance
+    * (w13): each micro-batch of raw (key, cents) rows advances the
+    * stored per-key aggregate via [[Upsert.incrementalAgg]] — the same
+    * versioned-pointer exactly-once protocol as the CDC sink (replayed
+    * batches detected by id and skipped, readers never see a partial
+    * MV), but the state carried between batches is the keys-sized
+    * aggregate vector, so each step is O(batch + |keys|), never
+    * O(history rows).
+    */
+  def applyAggBatch(dir: String, key: String)(batch: DataFrame, batchId: Long): Unit = {
+    val version = s"b$batchId"
+    val current = currentVersion(dir).getOrElse(
+      throw new IllegalStateException(s"snapshot at $dir not initialised — call init() first"))
+    if (batchId <= versionId(current)) return
+    val spark = batch.sparkSession
+    val merged = Upsert.incrementalAgg(
+      spark.read.parquet(s"$dir/$current"), batch, key)
+    merged.write.mode("overwrite").parquet(s"$dir/$version")
+    switchPointer(dir, version)
+  }
+
   /** Read the current snapshot (the pointer's version directory). */
   def read(spark: SparkSession, dir: String): DataFrame = {
     val v = currentVersion(dir).getOrElse(
