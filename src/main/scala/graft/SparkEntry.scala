@@ -909,6 +909,12 @@ object SparkEntry {
     // JPEG frame-header extraction: marker walk + byte-stuffed scan —
     // the identify/thumbnail operation, no pixel decode needed
     "m05_jpeg_dims" -> ((s, d) => Multimodal.jpegDims(t(s, d)("documents"))),
+    // image perceptual hash (aHash) over the REAL decoded PNG raster —
+    // integer-exact block means (lcm scaling), strict cross-multiplied
+    // threshold: the oracle regenerates identical bits from the pixel
+    // formulas while the engine recovers them through zlib + row filters
+    "m06_image_phash" -> ((s, d) =>
+      Multimodal.imagePhash(t(s, d)("documents")).toDF()),
     // ---- core relational surface (SURVEY.md §2.2-2.5) ----
     "q01_pricing_summary" -> ((s, d) => Core.pricingSummary(t(s, d)("lineitem"))),
     "q02_distinct_types" -> ((s, d) => Core.distinctValues(t(s, d)("events"), "event_type")),
@@ -2932,6 +2938,33 @@ object SparkEntry {
                 CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS BIGINT) AS channels,
                 CAST(8 AS BIGINT) AS precision_bits
          FROM documents ORDER BY doc_id""",
+    // aHash regenerated from the closed-form pixel field (7x+13y+d)%256:
+    // identical integer block means (s·(27720//c) is exact — 27720 =
+    // lcm(1..12) covers every possible block size) and the identical
+    // strict cross-multiplied threshold; the engine must recover the
+    // same bits from the encoded PNG bytes
+    "m06_image_phash" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (3 * doc_id) % 16 AS h
+                    FROM documents WHERE doc_id % 3 = 0),
+         px AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM d),
+         pxy AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM px),
+         b AS (SELECT doc_id, w, h, (y * 8) // h AS by, (x * 8) // w AS bx,
+                      CAST(sum((7 * x + 13 * y + doc_id) % 256) AS BIGINT) AS s,
+                      CAST(count(*) AS BIGINT) AS c
+               FROM pxy GROUP BY 1, 2, 3, 4, 5),
+         m AS (SELECT doc_id, w, h, by * 8 + bx AS k, s * (27720 // c) AS mm FROM b),
+         g AS (SELECT doc_id, sum(mm) AS tot FROM m GROUP BY 1)
+         SELECT m.doc_id, CAST(max(m.w) AS BIGINT) AS width,
+                CAST(max(m.h) AS BIGINT) AS height,
+                CAST(sum(CASE WHEN mm * 64 > tot AND k >= 32
+                              THEN (CAST(1 AS BIGINT) << CAST(k - 32 AS INT))
+                              ELSE 0 END) AS BIGINT) AS hash_hi,
+                CAST(sum(CASE WHEN mm * 64 > tot AND k < 32
+                              THEN (CAST(1 AS BIGINT) << CAST(k AS INT))
+                              ELSE 0 END) AS BIGINT) AS hash_lo,
+                CAST(sum(CASE WHEN mm * 64 > tot THEN 1 ELSE 0 END) AS BIGINT) AS n_set
+         FROM m JOIN g USING (doc_id)
+         GROUP BY 1 ORDER BY 1""",
     "m02_frame_sample" ->
       """WITH f AS (
            SELECT doc_id, text,

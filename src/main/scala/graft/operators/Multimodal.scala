@@ -198,4 +198,75 @@ object Multimodal {
         }
       }
   }
+
+  /** Per-image perceptual hash row (m06): the 64-bit aHash split into
+    * two 32-bit halves (a single BIGINT would overflow at bit 63).
+    */
+  case class ImagePhash(doc_id: Long, width: Long, height: Long,
+                        hash_hi: Long, hash_lo: Long, n_set: Long)
+
+  /** Scale factor for integer-exact block means: every aHash block holds
+    * c ∈ {1..12} pixels (widths {1..4} × heights {1..3} from the fixture
+    * dimension ranges), and 27720 = lcm(1..12), so s·(27720/c) is the
+    * EXACT mean scaled by 27720 — no rational arithmetic, no IEEE
+    * summation-order hazard anywhere in the hash.
+    */
+  val PhashScale: Long = 27720L
+
+  /** Image perceptual hash (m06) — average-hash over the REAL decoded
+    * PNG raster: downsample to an 8×8 block grid (floor split, exactly
+    * `(x·8) div w`), threshold each block's mean against the global
+    * mean, pack the 64 bits. This is THE image near-dup primitive (the
+    * cheap member of the aHash/pHash/dHash family): near-identical
+    * images — recompressed, lightly edited — land within a small
+    * Hamming distance, and the hash feeds the d04-style banded join for
+    * corpus-scale image dedup.
+    *
+    * Everything is integer arithmetic (see [[PhashScale]]): block mean
+    * M = s·(27720/c) exactly, threshold `M·64 > ΣM` by cross-
+    * multiplication — so the DuckDB oracle regenerates the identical
+    * bits from the closed-form pixel formulas without touching bytes,
+    * while the engine recovers them from the encoded PNG through zlib
+    * inflate + row-filter reconstruction (m04's discipline: a decode
+    * bug anywhere breaks the hash). mapPartitions plumbing as in
+    * [[decodeAssets]]; the decoder sees only bytes.
+    */
+  def imagePhash(documents: DataFrame): Dataset[ImagePhash] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .filter((id: Long) => id % 3 == 0) // the PNG third of the fixture
+      .mapPartitions { it =>
+        it.map { id =>
+          val (w, h, img) = graft.sources.AssetCodecs.decodePngImage(assetFor(id))
+          val s = Array.ofDim[Long](8, 8)
+          val c = Array.ofDim[Long](8, 8)
+          var y = 0
+          while (y < h) {
+            val by = y * 8 / h
+            var x = 0
+            while (x < w) {
+              val bx = x * 8 / w
+              s(by)(bx) += img(y)(x) & 0xff
+              c(by)(bx) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val m = Array.tabulate(64)(k => s(k / 8)(k % 8) * (PhashScale / c(k / 8)(k % 8)))
+          val tot = m.sum
+          var hi = 0L; var lo = 0L; var nSet = 0L
+          var k = 0
+          while (k < 64) {
+            if (m(k) * 64 > tot) {
+              if (k < 32) lo |= (1L << k) else hi |= (1L << (k - 32))
+              nSet += 1
+            }
+            k += 1
+          }
+          ImagePhash(id, w, h, hi, lo, nSet)
+        }
+      }
+      .orderBy(col("doc_id")).as[ImagePhash]
+  }
 }

@@ -104,6 +104,23 @@ object AssetCodecs {
   }
 
   def decodePng(bytes: Array[Byte]): AssetMeta = {
+    val (w, h, img) = decodePngImage(bytes)
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { sum += img(y)(x) & 0xff; x += 1 }
+      y += 1
+    }
+    AssetMeta("png", w, h, channels = 1, bitDepth = 8,
+      sampleRate = 0, nUnits = w.toLong * h, valueSum = sum)
+  }
+
+  /** Full PNG pixel decode (the [[decodePng]] metadata path reuses this;
+    * m06's perceptual hash needs the actual raster): returns
+    * (width, height, rows of grey bytes).
+    */
+  def decodePngImage(bytes: Array[Byte]): (Int, Int, Array[Array[Byte]]) = {
     require(bytes.length > 8 && java.util.Arrays.equals(
       java.util.Arrays.copyOfRange(bytes, 0, 8), PngSig), "bad PNG signature")
     var pos = 8
@@ -135,7 +152,6 @@ object AssetCodecs {
     val scan = zlibInflate(idat.toByteArray, h * (w + 1))
     // defilter: reconstruct each scanline from its filter byte (spec §6)
     val img = Array.ofDim[Byte](h, w)
-    var sum = 0L
     var y = 0
     while (y < h) {
       val ft = scan(y * (w + 1)) & 0xff
@@ -156,13 +172,11 @@ object AssetCodecs {
           case other => sys.error(s"bad PNG filter type $other")
         }
         cur(x) = (r & 0xff).toByte
-        sum += (r & 0xff)
         x += 1
       }
       y += 1
     }
-    AssetMeta("png", w, h, channels = 1, bitDepth = 8,
-      sampleRate = 0, nUnits = w.toLong * h, valueSum = sum)
+    (w, h, img)
   }
 
   /** Paeth predictor (PNG spec §6.6) — order of the tie-break matters. */

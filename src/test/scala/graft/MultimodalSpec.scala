@@ -44,4 +44,29 @@ class MultimodalSpec extends SparkSpec {
     r.height should be >= 16
     r.mean_luma should (be >= 0.0 and be <= 1.0)
   }
+
+  test("imagePhash: 8x8 image (1-pixel blocks) reduces aHash to pixel-vs-mean, verified directly") {
+    // doc_id 0 -> w = 8, h = 8: every block is one pixel, so the hash is
+    // exactly "pixel > integer-scaled global mean" over the raw formula
+    val out = Multimodal.imagePhash(spark.range(0, 1).toDF("doc_id")).collect().head
+    out.width shouldBe 8L
+    out.height shouldBe 8L
+    val px = for (k <- 0 until 64) yield (7 * (k % 8) + 13 * (k / 8)) % 256
+    val m = px.map(_ * 27720L)
+    val tot = m.sum
+    var hi = 0L; var lo = 0L
+    for (k <- 0 until 64 if m(k) * 64 > tot)
+      if (k < 32) lo |= (1L << k) else hi |= (1L << (k - 32))
+    out.hash_hi shouldBe hi
+    out.hash_lo shouldBe lo
+    out.n_set shouldBe java.lang.Long.bitCount(hi) + java.lang.Long.bitCount(lo)
+  }
+
+  test("imagePhash: only the PNG third of the corpus hashes; bits are never degenerate") {
+    val ids = spark.range(0, 60).toDF("doc_id")
+    val out = Multimodal.imagePhash(ids).collect()
+    out.map(_.doc_id).toSeq shouldBe (0L until 60L by 3L).toSeq
+    // the gradient field always has above- and below-mean blocks
+    all(out.map(_.n_set)) should (be > 0L and be < 64L)
+  }
 }
