@@ -182,7 +182,11 @@ object Graph {
           .groupBy(col("node"))
           .agg(min(col("label")).as("label"),
                min(when(col("own"), col("label"))).as("prev")))
-      val changed = next.where(col("label") =!= col("prev")).count()
+      // null-safe: a node present in `edges` but absent from `init` has
+      // prev=NULL on the round it first appears; `=!=` would yield NULL
+      // there and under-count it as unchanged, declaring convergence
+      // while its freshly-assigned label still needs to propagate
+      val changed = next.where(!(col("label") <=> col("prev"))).count()
       labels = next.select(col("node"), col("label"))
       converged = changed == 0
       round += 1

@@ -239,6 +239,14 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { id =>
           val (w, h, img) = graft.sources.AssetCodecs.decodePngImage(assetFor(id))
+          // contract: every 8x8 block must be non-empty (else the block
+          // mean divides by zero) and its pixel count must divide
+          // PhashScale for the integer-exactness claim to hold. The
+          // assetFor fixture guarantees both (dims 8..96, block sizes
+          // ≤ 12, all dividing 27720); fail loudly for any other input
+          // rather than throwing a bare ArithmeticException below.
+          require(w >= 8 && h >= 8,
+            s"imagePhash requires dims >= 8x8, got ${w}x$h for doc $id")
           val s = Array.ofDim[Long](8, 8)
           val c = Array.ofDim[Long](8, 8)
           var y = 0

@@ -310,8 +310,8 @@ object AssetCodecs {
       out.write(len >> 8); out.write(len & 0xff); out.write(payload)
     }
     marker(0xd8) // SOI
-    segment(0xe0, "JFIF ".getBytes("US-ASCII") ++
-      Array[Byte](1, 2, 0, 0, 1, 0, 1, 0, 0)) // JFIF 1.2, no thumbnail
+    segment(0xe0, "JFIF".getBytes("US-ASCII") ++ // NUL-terminated identifier
+      Array[Byte](0, 1, 2, 0, 0, 1, 0, 1, 0, 0)) // JFIF 1.2, no thumbnail
     segment(0xdb, Array.tabulate(65)(i => if (i == 0) 0 else 16).map(_.toByte)) // DQT id 0
     // SOF0: precision 8, height, width, components (id, sampling 0x11, dqt 0)
     segment(0xc0, Array[Byte](8) ++

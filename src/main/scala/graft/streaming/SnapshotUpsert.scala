@@ -27,8 +27,10 @@ import graft.operators.Upsert
   * metadata-sized, each version shares nothing but is itself produced by
   * the O(changes) merge shape (changes collapsed and joined once —
   * see [[graft.operators.Upsert.merge]]), and old versions are dropped by
-  * retention, exactly the commit protocol table formats (Delta/Iceberg)
-  * implement with a log in place of the pointer file.
+  * [[vacuum]] (run automatically after each pointer switch with the
+  * `retain` window; `retain <= 0` opts out) — exactly the commit protocol
+  * table formats (Delta/Iceberg) implement with a log in place of the
+  * pointer file.
   */
 object SnapshotUpsert {
 
@@ -45,7 +47,7 @@ object SnapshotUpsert {
     * with `seqCol` ordering inside the batch and `deleteCol` tombstones.
     */
   def applyBatch(dir: String, key: String, seqCol: String = "seq",
-                 deleteCol: String = "del")(batch: DataFrame, batchId: Long): Unit = {
+                 deleteCol: String = "del", retain: Int = 2)(batch: DataFrame, batchId: Long): Unit = {
     val version = s"b$batchId"
     val current = currentVersion(dir).getOrElse(
       throw new IllegalStateException(s"snapshot at $dir not initialised — call init() first"))
@@ -58,6 +60,13 @@ object SnapshotUpsert {
       spark.read.parquet(s"$dir/$current"), batch, key, seqCol, deleteCol)
     merged.write.mode("overwrite").parquet(s"$dir/$version")
     switchPointer(dir, version)
+    // retention runs AFTER the pointer switch, so the window it keeps is
+    // anchored on the version just published: with retain >= 2 the
+    // previous version survives this call, and the one case that still
+    // needs it — a crash between write and switch, replayed from the
+    // prior pointer — reads a version vacuum can never delete (the
+    // pointer's own). retain <= 0 disables GC.
+    if (retain > 0) vacuum(dir, retain)
   }
 
   /** The `foreachBatch` function for MATERIALIZED-VIEW maintenance
@@ -69,16 +78,28 @@ object SnapshotUpsert {
     * aggregate vector, so each step is O(batch + |keys|), never
     * O(history rows).
     */
-  def applyAggBatch(dir: String, key: String)(batch: DataFrame, batchId: Long): Unit = {
+  def applyAggBatch(dir: String, key: String, retain: Int = 2)(batch: DataFrame, batchId: Long): Unit = {
     val version = s"b$batchId"
     val current = currentVersion(dir).getOrElse(
       throw new IllegalStateException(s"snapshot at $dir not initialised — call init() first"))
     if (batchId <= versionId(current)) return
     val spark = batch.sparkSession
-    val merged = Upsert.incrementalAgg(
-      spark.read.parquet(s"$dir/$current"), batch, key)
+    // the aggregate vector is fixed by Upsert.incrementalAgg: batches are
+    // (key, cents) rows, history snapshots (key, n, sum_cents, max_cents).
+    // Validate up front — a mismatched history (e.g. one init'd with raw
+    // rows) otherwise fails only deep inside foreachBatch with an opaque
+    // unresolved-column analysis error
+    require(batch.columns.contains(key) && batch.columns.contains("cents"),
+      s"applyAggBatch batch must have ($key, cents) columns, got ${batch.columns.mkString(", ")}")
+    val history = spark.read.parquet(s"$dir/$current")
+    val needed = Seq(key, "n", "sum_cents", "max_cents")
+    require(needed.forall(history.columns.contains),
+      s"applyAggBatch history snapshot must have (${needed.mkString(", ")}) columns " +
+        s"(init it with an Upsert.incrementalAgg-shaped aggregate), got ${history.columns.mkString(", ")}")
+    val merged = Upsert.incrementalAgg(history, batch, key)
     merged.write.mode("overwrite").parquet(s"$dir/$version")
     switchPointer(dir, version)
+    if (retain > 0) vacuum(dir, retain)
   }
 
   /** Read the current snapshot (the pointer's version directory). */

@@ -133,6 +133,21 @@ class GraphSpec extends SparkSpec {
     out shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 9L -> 9L)
   }
 
+  test("minLabelComponents: nodes absent from init still propagate (null-prev counts as changed)") {
+    // edges A-X, X-B with init covering only {A, B}: X first appears in
+    // round 1 with prev=NULL. If that row didn't count as changed, the
+    // kernel could declare convergence while X's fresh label (min(A))
+    // still needs to cross to B — A and B would land in different
+    // components despite being connected through X
+    val und = Seq((1L, 10L), (10L, 2L)) // A=1, X=10, B=2
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val init = Seq(1L, 2L).toDF("node").withColumn("label", $"node")
+    val out = Graph.minLabelComponents(edges, init).as[(Long, Long)].collect().toMap
+    out(1L) shouldBe 1L
+    out(2L) shouldBe 1L
+    out(10L) shouldBe 1L
+  }
+
   test("minLabelComponents: refuses to return half-propagated labels when rounds run out") {
     // a 6-node path has diameter 5: one round cannot finish
     val und = (1L to 5L).map(i => (i, i + 1))

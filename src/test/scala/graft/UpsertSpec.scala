@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import graft.operators.Upsert
 
@@ -131,7 +133,9 @@ class UpsertSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
     graft.streaming.SnapshotUpsert.init(snap((1L, "a", "one")), dir)
     (0L to 3L).foreach { i =>
-      graft.streaming.SnapshotUpsert.applyBatch(dir, "id")(
+      // retain = 0: exercise MANUAL vacuum semantics without the apply
+      // path's automatic GC collapsing the version history first
+      graft.streaming.SnapshotUpsert.applyBatch(dir, "id", retain = 0)(
         ch((1L, "a", s"v$i", i.toInt, false)), i)
     }
     val deleted = graft.streaming.SnapshotUpsert.vacuum(dir, keep = 2)
@@ -143,6 +147,55 @@ class UpsertSpec extends SparkSpec {
       .as[(Long, String, String)].collect() shouldBe Array((1L, "a", "v3"))
     // idempotent: nothing left to delete
     graft.streaming.SnapshotUpsert.vacuum(dir, keep = 2) shouldBe Seq.empty
+  }
+
+  test("applyBatch auto-vacuums; replayed and fresh batches still succeed after GC") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    graft.streaming.SnapshotUpsert.init(snap((1L, "a", "one")), dir)
+    (0L to 3L).foreach { i =>
+      graft.streaming.SnapshotUpsert.applyBatch(dir, "id")( // default retain = 2
+        ch((1L, "a", s"v$i", i.toInt, false)), i)
+    }
+    // auto-GC along the way: only the retain window survives
+    def versions() = {
+      val ls = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try ls.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.matches("b-?\\d+")).toSeq.sorted
+      finally ls.close()
+    }
+    versions() shouldBe Seq("b2", "b3")
+    // replay of an already-published batch after its version was GC'd:
+    // skipped by id, nothing read, nothing fails
+    graft.streaming.SnapshotUpsert.applyBatch(dir, "id")(
+      ch((1L, "a", "v1", 1, false)), 1L)
+    graft.streaming.SnapshotUpsert.currentVersion(dir) shouldBe Some("b3")
+    // crash between write and switch: b4 landed as a directory but the
+    // pointer stayed on b3. The replayed batch must rebuild b4 from the
+    // pointer's version — which retain >= 2 guarantees vacuum never ate
+    val merged = graft.streaming.SnapshotUpsert.read(spark, dir)
+    merged.write.mode("overwrite").parquet(s"$dir/b4") // partial publish, no switch
+    graft.streaming.SnapshotUpsert.applyBatch(dir, "id")(
+      ch((1L, "a", "v4", 4, false)), 4L)
+    graft.streaming.SnapshotUpsert.currentVersion(dir) shouldBe Some("b4")
+    graft.streaming.SnapshotUpsert.read(spark, dir)
+      .as[(Long, String, String)].collect() shouldBe Array((1L, "a", "v4"))
+    versions() shouldBe Seq("b3", "b4")
+  }
+
+  test("applyAggBatch validates the aggregate-vector schema up front") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    // history init'd with RAW rows, not the incrementalAgg vector
+    graft.streaming.SnapshotUpsert.init(Seq((1L, 10L)).toDF("k", "cents"), dir)
+    val err = intercept[IllegalArgumentException] {
+      graft.streaming.SnapshotUpsert.applyAggBatch(dir, "k")(
+        Seq((1L, 5L)).toDF("k", "cents"), 0L)
+    }
+    err.getMessage should include("history snapshot must have")
+    val err2 = intercept[IllegalArgumentException] {
+      graft.streaming.SnapshotUpsert.applyAggBatch(dir, "k")(
+        Seq((1L, 5L)).toDF("k", "wrong"), 0L)
+    }
+    err2.getMessage should include("batch must have")
   }
 
   test("snapshot store: a re-delivered OLDER batch never moves the pointer backwards") {
