@@ -24,19 +24,23 @@ object Session {
     * propagation, t05's prefix sum): cuts lineage so round N's plan does
     * not re-derive rounds 1..N−1.
     *
-    * Default is `localCheckpoint` — no storage round-trip, right for
-    * local/interactive runs — but localCheckpoint blocks are
-    * executor-local and NON-reliable: on a real cluster, losing one
-    * executor invalidates its blocks and fails the whole iteration. Set
-    * `spark.graft.checkpointDir` (e.g. an HDFS/S3 path) and barriers
-    * switch to reliable `checkpoint()` storage that survives executor
-    * loss — the 100 TB setting.
+    * With `spark.graft.checkpointDir` set — which [[build]] now does by
+    * DEFAULT (a tmpdir locally; `SPARK_GRAFT_CHECKPOINT_DIR` points it at
+    * HDFS/S3 on a cluster) — barriers use reliable `checkpoint()` storage
+    * that survives executor loss, the 100 TB setting. Clearing the conf
+    * (or `SPARK_GRAFT_CHECKPOINT_DIR=""`) falls back to `localCheckpoint`:
+    * no storage round-trip, but blocks are executor-local and
+    * NON-reliable — losing one executor mid-iteration fails the whole
+    * barriered operator.
     */
   def barrier(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption("spark.graft.checkpointDir") match {
       case Some(dir) if dir.nonEmpty =>
-        if (spark.sparkContext.getCheckpointDir.isEmpty)
+        // re-point when the conf changed since the last barrier (tests
+        // swap dirs mid-session); setCheckpointDir appends a per-app
+        // UUID child, so match on the configured prefix
+        if (!spark.sparkContext.getCheckpointDir.exists(_.contains(dir)))
           spark.sparkContext.setCheckpointDir(dir)
         df.checkpoint(eager = true)
       case _ => df.localCheckpoint(eager = true)
@@ -76,6 +80,19 @@ object Session {
           case _ =>
             "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
         })
+      // reliable barriers BY DEFAULT: localCheckpoint blocks are
+      // executor-local, so on a real cluster losing one executor
+      // mid-iteration fails every barriered operator (g01/g03/d12/
+      // prefix-sum). Every entry point now runs with a real checkpoint
+      // dir — locally a tmpdir, on a cluster point
+      // SPARK_GRAFT_CHECKPOINT_DIR at HDFS/S3. Set it to "" to opt back
+      // into executor-local blocks (fastest, non-reliable).
+      .config("spark.graft.checkpointDir",
+        sys.env.getOrElse("SPARK_GRAFT_CHECKPOINT_DIR",
+          s"${System.getProperty("java.io.tmpdir")}/graft-ckpt-${ProcessHandle.current().pid()}"))
+      // checkpoints of barriered frames that go out of scope are GC'd
+      // with their RDDs instead of accumulating for the app's lifetime
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

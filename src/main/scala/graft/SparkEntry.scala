@@ -580,6 +580,25 @@ object SparkEntry {
     (history, batch)
   }
 
+  /** t34 fixture: the orders feed as an SCD2 dimension change log — one
+    * change per (custkey, day), that day's max-orderkey order winning
+    * (deterministic and SQL-expressible on both sides); attributes
+    * (status, cents); orders with o_orderkey % 13 == 0 are tombstones,
+    * landing both mid-chain (key keeps changing after a delete) and at
+    * chain end (key ends with no current version).
+    */
+  private def scd2Changes(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = t(s, d)("orders").select($"o_custkey".as("custkey"),
+      $"o_orderdate".as("change_ts"), $"o_orderkey",
+      $"o_orderstatus".as("status"),
+      ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy($"custkey", $"change_ts").orderBy($"o_orderkey".desc)
+    o.withColumn("__rn", row_number().over(w)).where($"__rn" === 1)
+      .select($"custkey", $"status", $"cents", $"change_ts",
+        ($"o_orderkey" % 13 === 0).as("del"))
+  }
+
   /** Shared CDC fixture for t17/w10: snapshot = ids ∉ 3ℤ; change feed =
     * seq-1 "v2" rewrites of ids ∈ 5ℤ, then seq-2 "v3" rewrites of
     * ids ∈ 10ℤ with tombstones on ids ∈ 20ℤ — exercising insert (15, 45:
@@ -1709,6 +1728,23 @@ object SparkEntry {
         .select($"o_custkey", $"cents")
       operators.Upsert.incrementalAgg(hist, batch, "o_custkey")
         .orderBy($"o_custkey")
+    }),
+    // SCD Type-2 dimension maintenance: the orders feed read as an
+    // effective-dated change log (one change per (custkey, day) = that
+    // day's max-orderkey order; %13 orders are tombstones). The engine
+    // builds the pre-1997 dimension with scd2Recompute, then applies the
+    // 1997+ changes INCREMENTALLY with scd2Apply — closed versions pass
+    // through untouched, only changed keys' current rows re-chain. The
+    // oracle is the FULL lead()-recompute over the whole change history,
+    // so the gate proves increment-form == recompute-form (t33's monoid
+    // discipline applied to effective-dated history)
+    "t34_scd2" -> ((s, d) => {
+      val ch = scd2Changes(s, d)
+      val dim0 = operators.Upsert.scd2Recompute(
+        ch.where($"change_ts" < "1997-01-01"), "custkey")
+      operators.Upsert.scd2Apply(
+        dim0, ch.where($"change_ts" >= "1997-01-01"), "custkey")
+        .orderBy($"custkey", $"effective_from")
     }),
     // snapshot DIFF — the inverse of t17's CDC apply: given two corpus
     // versions, recover the change set (added/removed/changed/unchanged)
@@ -3472,6 +3508,26 @@ object SparkEntry {
     // string for the batch (t33) and streaming (w13) merge paths
     "t33_incremental_agg" -> incrementalAggOracle,
     "w13_stream_mv" -> incrementalAggOracle,
+    // full effective-dated recompute (lead over the entire change
+    // history); the engine answers with recompute(early) + apply(late)
+    "t34_scd2" ->
+      """WITH picked AS (SELECT * FROM (
+             SELECT o_custkey AS custkey, o_orderstatus AS status,
+                    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+                    o_orderdate AS change_ts,
+                    (o_orderkey % 13 = 0) AS del,
+                    row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                       ORDER BY o_orderkey DESC) AS rn
+             FROM orders) WHERE rn = 1),
+         chain AS (SELECT custkey, status, cents, change_ts AS effective_from,
+                          lead(change_ts) OVER (PARTITION BY custkey
+                                                ORDER BY change_ts) AS effective_to,
+                          del
+                   FROM picked)
+         SELECT custkey, status, cents, effective_from, effective_to,
+                (effective_to IS NULL) AS is_current
+         FROM chain WHERE NOT del
+         ORDER BY custkey, effective_from""",
     // identical v2 derivation + md5 compare; FULL OUTER recovers the set
     "t32_snapshot_diff" ->
       """WITH v1 AS (SELECT doc_id, text FROM documents),

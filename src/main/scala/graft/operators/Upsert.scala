@@ -102,4 +102,99 @@ object Upsert {
       .agg(sum($"n").as("n"), sum($"sum_cents").as("sum_cents"),
         max($"max_cents").as("max_cents"))
   }
+
+  // ---- SCD Type-2: effective-dated dimension history (t34) ----
+  //
+  // t17's latest-wins merge keeps only each key's current state — the
+  // reference does the same with its per-dataset state lineage
+  // (state.js keeps latest only). The other half every warehouse runs is
+  // the EFFECTIVE-DATED history: each change closes the current version
+  // (`effective_to` = change ts) and inserts a new one, so a fact row can
+  // always join to the attribute values that were true AT ITS OWN
+  // timestamp (the q25 as-of join's dimension-side twin).
+
+  /** Build an SCD Type-2 dimension from a full change log: one version
+    * row per change, `effective_to` = the key's next change ts (`lead`),
+    * open (NULL) for the last. A tombstone change contributes NO version
+    * row but still closes its predecessor — the key simply has no current
+    * version after it. Ties on `tsCol` within a key break on a content
+    * hash of the change row (the [[collapseChanges]] rule: deterministic,
+    * partition- and replay-independent).
+    *
+    * `changes` = (key, attrs..., tsCol, deleteCol). Output = (key,
+    * attrs..., effective_from, effective_to, is_current). One shuffle on
+    * `key`; the window is per-key and streams — no global sort.
+    */
+  def scd2Recompute(changes: DataFrame, key: String,
+                    tsCol: String = "change_ts",
+                    deleteCol: String = "del"): DataFrame = {
+    val attrs = changes.columns.filterNot(Set(key, tsCol, deleteCol)).toSeq
+    val tieBreak = xxhash64(to_json(
+      struct(changes.columns.sorted.map(col): _*),
+      java.util.Map.of("ignoreNullFields", "false")))
+    val w = Window.partitionBy(col(key)).orderBy(col(tsCol), tieBreak)
+    changes
+      .withColumn("__eff_to", lead(col(tsCol), 1).over(w))
+      .where(!col(deleteCol))
+      .select(col(key) +: attrs.map(col) :+
+        col(tsCol).as("effective_from") :+
+        col("__eff_to").as("effective_to") :+
+        col("__eff_to").isNull.as("is_current"): _*)
+  }
+
+  /** Apply a batch of changes to an SCD Type-2 dimension incrementally —
+    * equal to [[scd2Recompute]] over the concatenated change history, but
+    * O(current rows of changed keys + changes), never O(history):
+    * closed versions (`is_current` = false) are immutable and pass
+    * through untouched; only the changed keys' current rows re-enter the
+    * version chain, where they and the batch re-derive `effective_to`/
+    * `is_current` by the same `lead` rule. Out-of-order changes WITHIN
+    * the batch order themselves by ts; a change at the current row's
+    * exact ts supersedes it (the current row sorts first and closes with
+    * a zero-length interval, the deterministic reading of "replaced at
+    * the same instant").
+    *
+    * Scale shape: `dim` is never windowed or shuffled — the only contact
+    * is one join against the batch's distinct keys (broadcast-sized, by
+    * definition of an increment), splitting it into pass-through and
+    * re-chain sides. A change earlier than an already-CLOSED version of
+    * its key would interleave with immutable history; that is a late-
+    * arriving-dimension rewrite, not an increment — use scd2Recompute.
+    */
+  def scd2Apply(dim: DataFrame, changes: DataFrame, key: String,
+                tsCol: String = "change_ts",
+                deleteCol: String = "del"): DataFrame = {
+    val attrs = dim.columns
+      .filterNot(Set(key, "effective_from", "effective_to", "is_current")).toSeq
+    require(attrs.forall(changes.columns.contains),
+      s"changes must carry the dimension's attribute columns; missing ${
+        attrs.filterNot(changes.columns.contains).mkString(", ")}")
+    val keys = changes.select(col(key)).distinct()
+    // everything except (current row of a changed key) is immutable
+    val untouched = dim.join(broadcast(keys), Seq(key), "left_anti")
+      .unionByName(dim.join(broadcast(keys), Seq(key), "left_semi")
+        .where(!col("is_current")))
+    // the changed keys' open versions re-enter the chain as their own
+    // change at effective_from (tagged so equal-ts batch changes win)
+    val reopened = dim.join(broadcast(keys), Seq(key), "left_semi")
+      .where(col("is_current"))
+      .select(col(key) +: attrs.map(col) :+
+        col("effective_from").as(tsCol) :+
+        lit(false).as(deleteCol) :+ lit(0).as("__src"): _*)
+    val batch = changes.select(col(key) +: attrs.map(col) :+
+      col(tsCol) :+ col(deleteCol).cast("boolean") :+ lit(1).as("__src"): _*)
+    val chain = reopened.unionByName(batch)
+    val tieBreak = xxhash64(to_json(
+      struct((Seq(key, tsCol, deleteCol) ++ attrs).sorted.map(col): _*),
+      java.util.Map.of("ignoreNullFields", "false")))
+    val w = Window.partitionBy(col(key)).orderBy(col(tsCol), col("__src"), tieBreak)
+    val rechained = chain
+      .withColumn("__eff_to", lead(col(tsCol), 1).over(w))
+      .where(!col(deleteCol))
+      .select(col(key) +: attrs.map(col) :+
+        col(tsCol).as("effective_from") :+
+        col("__eff_to").as("effective_to") :+
+        col("__eff_to").isNull.as("is_current"): _*)
+    untouched.unionByName(rechained)
+  }
 }

@@ -210,6 +210,65 @@ class UpsertSpec extends SparkSpec {
       .as[(Long, String, String)].collect() shouldBe Array((1L, "a", "v3"))
   }
 
+  // ---- SCD Type-2 (t34) ----
+
+  private def chlog(rows: (Long, String, Int, Boolean)*) =
+    rows.toDF("k", "attr", "ts", "del").withColumn("change_ts", $"ts").drop("ts")
+
+  private def scd2Rows(df: org.apache.spark.sql.DataFrame) =
+    df.select($"k", $"attr", $"effective_from", $"effective_to", $"is_current")
+      .as[(Long, String, Int, Option[Int], Boolean)]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+
+  test("scd2Recompute: versions chain by ts, last is current, tombstones close without inserting") {
+    val ch = chlog(
+      (1L, "a1", 10, false), (1L, "a2", 20, false), (1L, "a3", 30, false),
+      (2L, "b1", 10, false), (2L, "b2", 20, true), (2L, "b3", 30, false), // mid-chain delete
+      (3L, "c1", 10, false), (3L, "c2", 20, true)) // ends deleted
+    scd2Rows(Upsert.scd2Recompute(ch, "k")) shouldBe Seq(
+      (1L, "a1", 10, Some(20), false), (1L, "a2", 20, Some(30), false),
+      (1L, "a3", 30, None, true),
+      (2L, "b1", 10, Some(20), false), // closed BY the tombstone
+      (2L, "b3", 30, None, true), // key resumes after the delete
+      (3L, "c1", 10, Some(20), false)) // no current version for 3
+  }
+
+  test("scd2Apply: equals the full recompute at every history/batch split, out-of-order batches included") {
+    val all = Seq(
+      (1L, "a1", 10, false), (1L, "a2", 20, false), (1L, "a3", 30, false),
+      (2L, "b1", 15, false), (2L, "b2", 25, true), (2L, "b3", 35, false),
+      (3L, "c1", 12, false), (3L, "c2", 22, true),
+      (4L, "d1", 40, false)) // key born in the batch for early cuts
+    val expected = scd2Rows(Upsert.scd2Recompute(chlog(all: _*), "k"))
+    val cuts = Seq(5, 12, 18, 23, 28, 33, 38, 45)
+    cuts.foreach { cut =>
+      val early = all.filter(_._3 < cut)
+      // batch arrives ts-DESCENDING: apply must order it itself
+      val late = all.filter(_._3 >= cut).sortBy(-_._3)
+      val dim0 = Upsert.scd2Recompute(chlog(early: _*), "k")
+      val out = Upsert.scd2Apply(dim0, chlog(late: _*), "k")
+      withClue(s"cut=$cut: ") { scd2Rows(out) shouldBe expected }
+    }
+  }
+
+  test("scd2Apply: untouched keys' rows pass through byte-identical, including closed history") {
+    val dim0 = Upsert.scd2Recompute(chlog(
+      (1L, "a1", 10, false), (1L, "a2", 20, false),
+      (9L, "z1", 5, false), (9L, "z2", 6, false)), "k")
+    val out = Upsert.scd2Apply(dim0, chlog((1L, "a3", 30, false)), "k")
+    // key 9 untouched entirely; key 1's CLOSED version untouched
+    scd2Rows(out).filter(_._1 == 9L) shouldBe scd2Rows(dim0).filter(_._1 == 9L)
+    scd2Rows(out) should contain ((1L, "a1", 10, Some(20), false))
+    scd2Rows(out).filter(r => r._1 == 1L && r._5) shouldBe Seq((1L, "a3", 30, None, true))
+  }
+
+  test("scd2Apply: a change at the current row's exact ts supersedes it") {
+    val dim0 = Upsert.scd2Recompute(chlog((1L, "a1", 10, false)), "k")
+    val out = scd2Rows(Upsert.scd2Apply(dim0, chlog((1L, "a2", 10, false)), "k"))
+    // the old current closes with a zero-length interval; the change is current
+    out shouldBe Seq((1L, "a1", 10, Some(10), false), (1L, "a2", 10, None, true))
+  }
+
   test("incrementalAgg: any history/batch split merges to the full recompute (monoid law)") {
     val rows = Seq((1L, 10L), (1L, 20L), (2L, 5L), (3L, 7L), (1L, 30L), (2L, 40L))
     def full(data: Seq[(Long, Long)]) = data.toDF("k", "cents")
