@@ -1516,6 +1516,13 @@ object SparkEntry {
       operators.Graph.triangleCensus(
         operators.Graph.coPurchaseEdges(
           t(s, d)("lineitem").where($"l_partkey" % 4 === 0)))),
+    // the EXACT census on the FULL co-purchase graph — the truth anchor
+    // for g02's node-sampled estimator (cheap here because the graph is
+    // sparse; GraphSpec checks estimate vs exact within the estimator's
+    // variance bound). Same operator, no sample filter
+    "g04_triangles_exact" -> ((s, d) =>
+      operators.Graph.triangleCensus(
+        operators.Graph.coPurchaseEdges(t(s, d)("lineitem")))),
     // item-to-item CF over order baskets: wedge join centered on the
     // BASKET side (fanout Σ C(|basket|,2), linear in orders) — the
     // item-centered unipartite form explodes as Σ deg² (1.5e8 wedges at
@@ -3816,6 +3823,27 @@ object SparkEntry {
     "g02_triangles" ->
       """WITH po AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
                      WHERE l_partkey % 4 = 0),
+         und AS (SELECT DISTINCT a.p AS u, b.p AS v
+                 FROM po a JOIN po b ON a.ok = b.ok AND a.p < b.p),
+         deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM
+                   (SELECT u AS n FROM und UNION ALL SELECT v FROM und)
+                 GROUP BY 1),
+         o AS (SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+                           THEN u ELSE v END AS src,
+                      CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+                           THEN v ELSE u END AS dst
+               FROM und JOIN deg du ON du.n = u JOIN deg dv ON dv.n = v),
+         tri AS (SELECT count(*) AS n_triangles
+                 FROM o e1 JOIN o e2 ON e1.dst = e2.src
+                           JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+         SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg)       AS n_nodes,
+                (SELECT CAST(count(*) AS BIGINT) FROM und)       AS n_edges,
+                (SELECT CAST(n_triangles AS BIGINT) FROM tri)    AS n_triangles,
+                (SELECT CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) FROM deg)
+                  AS n_wedges""",
+    // g02's census SQL without the node-sample filter: the exact anchor
+    "g04_triangles_exact" ->
+      """WITH po AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
          und AS (SELECT DISTINCT a.p AS u, b.p AS v
                  FROM po a JOIN po b ON a.ok = b.ok AND a.p < b.p),
          deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM

@@ -133,6 +133,24 @@ class GraphSpec extends SparkSpec {
     out shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 9L -> 9L)
   }
 
+  test("g02's node-sampled census estimates g04's exact count within the variance bound") {
+    // the 1-in-4 part sample keeps a triangle iff all 3 nodes survive
+    // (p^3 = 1/64); the Doulion-style estimator sampled x 64 is unbiased.
+    // sigma under triangle-independence = sqrt(t (1-p^3)/p^3) =
+    // sqrt(63 t); x2 covers the positive covariance of triangles
+    // sharing nodes (a crude union bound, generous but not vacuous:
+    // at sf0.001 the observed deviation is ~1.4 sigma, and a broken
+    // estimator — wrong power of p, biased sample — lands hundreds off)
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val exact = Graph.triangleCensus(Graph.coPurchaseEdges(li)).collect()(0)
+    val sampled = Graph.triangleCensus(
+      Graph.coPurchaseEdges(li.where($"l_partkey" % 4 === 0))).collect()(0)
+    val t = exact.getAs[Long]("n_triangles")
+    val est = sampled.getAs[Long]("n_triangles") * 64L
+    t should be > 0L
+    math.abs(est - t).toDouble should be <= 6 * math.sqrt(63.0 * t)
+  }
+
   test("minLabelComponents: nodes absent from init still propagate (null-prev counts as changed)") {
     // edges A-X, X-B with init covering only {A, B}: X first appears in
     // round 1 with prev=NULL. If that row didn't count as changed, the
