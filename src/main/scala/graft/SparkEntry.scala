@@ -199,6 +199,43 @@ object SparkEntry {
       fields).toString
   }
 
+  // --- GRIB2 complex-packing fixture (r14): same closed-form oracle
+  // discipline as r09/r12 — the DuckDB side regenerates every cell from
+  // the lattice formula, while the engine must reconstruct the identical
+  // integers through template 5.3's spatial-differencing recurrence
+  // (TMP: order 2) and 5.2's group splitting (PRATE: bitmap-masked) —
+  // the encodings real NCEP GFS files ship, which the round-6 codec
+  // rejected. A VGRD record exists only for the -match filter to drop.
+  // The %-mix makes the field non-monotone: differences go negative, so
+  // the overall-minimum and sign-magnitude descriptor paths are live.
+  private val g3Ni = 29; private val g3Nj = 13
+  private val g3La1 = 35000000L; private val g3Lo1 = -18000000L // microdegrees
+  private val g3Di = 1250000L; private val g3Dj = 1750000L
+
+  private def grib2cScaled(pidx: Int, m: Int, i: Int, j: Int): Int =
+    (i * i * 3 + j * 17 + pidx * 41 + m * 23) % 1100
+
+  private lazy val grib2ComplexFixturePath: String = {
+    import java.time.LocalDateTime
+    // (pidx, category, number, masked, template): TMP complex+spatial-diff
+    // order 2 dense, PRATE complex-packed with a bitmap, VGRD match-dropped
+    val params = Seq((0, 0, 0, false, 3), (1, 1, 7, true, 2), (2, 2, 3, false, 3))
+    val times = Seq(LocalDateTime.of(2004, 1, 10, 6, 0),
+      LocalDateTime.of(2004, 2, 10, 6, 0))
+    val fields = for {
+      (t, m) <- times.zipWithIndex
+      (pidx, cat, num, masked, tpl) <- params
+    } yield sources.Grib2.Field(0, cat, num, t, g3Ni, g3Nj,
+      g3La1, g3Lo1, g3Di, g3Dj, decimalScale = 1,
+      Array.tabulate(g3Nj * g3Ni) { k =>
+        val j = k / g3Ni; val i = k % g3Ni
+        if (masked && (i * j) % 5 == 2) None else Some(grib2cScaled(pidx, m, i, j))
+      }, template = tpl, sdOrder = 2, groupLen = 17)
+    sources.Grib2.writeFile(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft-grib", "complex.grib2"),
+      fields).toString
+  }
+
   /** Temporal/scalar function surface (SURVEY.md §2.6) in one projection. */
   private def temporalScalars(s: SparkSession, dir: String): DataFrame =
     t(s, dir)("orders").select(
@@ -880,6 +917,9 @@ object SparkEntry {
     // oracle regenerates every cell from the closed-form field
     "r12_grib2_scan" -> ((s, _) =>
       sources.Grib2.readRecords(s, Seq(grib2FixturePath), matchRe = "TMP|PRATE")
+        .orderBy($"variable", $"time", $"lat", $"lon")),
+    "r14_grib2_complex" -> ((s, _) =>
+      sources.Grib2.readRecords(s, Seq(grib2ComplexFixturePath), matchRe = "TMP|PRATE")
         .orderBy($"variable", $"time", $"lat", $"lon")),
     // the data-LAYOUT key: Morton-interleaved quantized (lat, lon); a
     // grid store written ORDER BY zkey prunes bbox scans by row-group
@@ -2343,6 +2383,23 @@ object SparkEntry {
                 ((i * 5 + j * 11 + pidx * 29 + m * 19) % 1400) / 10.0 AS value
          FROM p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
          WHERE NOT (masked = 1 AND (i + j) % 7 = 0)
+         ORDER BY variable, time, lat, lon""",
+    // mirrors the closed-form complex-packing fixture (see
+    // grib2ComplexFixturePath): the engine recovered these integers
+    // through the 5.3 spatial-differencing recurrence / 5.2 group
+    // splitting; the oracle regenerates them from the lattice formula
+    "r14_grib2_complex" ->
+      s"""WITH p(pidx, variable, masked) AS (VALUES (0, 'TMP', 0), (1, 'PRATE', 1)),
+         t(t, m) AS (VALUES (TIMESTAMP '2004-01-10 06:00:00', 0),
+                            (TIMESTAMP '2004-02-10 06:00:00', 1)),
+         ii AS (SELECT unnest(generate_series(0, ${g3Ni - 1})) AS i),
+         jj AS (SELECT unnest(generate_series(0, ${g3Nj - 1})) AS j)
+         SELECT variable, t AS time,
+                ($g3La1 - j * $g3Dj) / 1000000.0 AS lat,
+                (($g3Lo1) + i * $g3Di) / 1000000.0 AS lon,
+                ((i * i * 3 + j * 17 + pidx * 41 + m * 23) % 1100) / 10.0 AS value
+         FROM p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
+         WHERE NOT (masked = 1 AND (i * j) % 5 = 2)
          ORDER BY variable, time, lat, lon""",
     // same spread constants as the engine (ZOrder.spreadSteps feeds both
     // the Column chain and this generated SQL — they cannot drift)

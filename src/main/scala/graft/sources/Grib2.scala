@@ -21,11 +21,19 @@ import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
   * reference value from IBM-360 hex float to IEEE-754 binary32, and
   * widens coordinates to signed (sign-magnitude) microdegrees.
   *
-  * Scope (= the slice the reference's wgrib2 invocations touch), rejected
-  * loudly outside it: grid template 3.0 (regular lat/lon), product
-  * template 4.0, data representation template 5.0 (simple packing),
-  * bitmap indicator 0/255, scan modes 0x00/0x40, i-fastest. Decode math
-  * (template 5.0): `value = (R + X·2^E) / 10^D`.
+  * Scope (= the slice the reference's wgrib2 invocations touch, plus the
+  * packing real-world GRIB2 actually ships), rejected loudly outside it:
+  * grid template 3.0 (regular lat/lon), product template 4.0, data
+  * representation templates 5.0 (simple packing), 5.2 (complex packing,
+  * general group splitting, no missing-value management — bitmaps carry
+  * the mask) and 5.3 (complex + spatial differencing, order 1/2 — the
+  * encoding NCEP GFS ships), bitmap indicator 0/255, scan modes
+  * 0x00/0x40, i-fastest. Decode math ends identically for all three:
+  * `value = (R + X·2^E) / 10^D` over exact integers X — template 5.2
+  * reconstructs X as groupRef + packed per group, 5.3 additionally
+  * undoes the spatial differencing (X[k] += X[k-1], or
+  * 2·X[k-1] − X[k-2] for order 2) after re-adding the overall minimum,
+  * exactly g2clib/wgrib2's `comunpack` recurrence.
   */
 object Grib2 {
 
@@ -112,6 +120,11 @@ object Grib2 {
     var category = -1; var number = -1
     var nPresent = -1
     var refVal = 0.0; var eScale = 0; var dScale = 0; var nbits = -1
+    var drTemplate = -1
+    // complex-packing (5.2/5.3) state
+    var ng = 0; var refGW = 0; var nbitsGW = 0
+    var refGL = 0L; var lenInc = 0; var lastLen = 0L; var nbitsGL = 0
+    var sdOrder = 0; var sdOctets = 0
     var bitmap: Array[Boolean] = null
 
     val out = Seq.newBuilder[Record]
@@ -155,13 +168,33 @@ object Grib2 {
             category = u(pos + 9); number = u(pos + 10)
           case 5 =>
             nPresent = u32(pos + 5).toInt
-            val template = u16(pos + 9)
-            require(template == 0,
-              s"data representation template 5.$template unsupported (only 5.0 simple packing) in $label")
+            drTemplate = u16(pos + 9)
+            require(drTemplate == 0 || drTemplate == 2 || drTemplate == 3,
+              s"data representation template 5.$drTemplate unsupported " +
+                s"(only 5.0 simple / 5.2 complex / 5.3 complex+spatial-diff) in $label")
             refVal = java.lang.Float.intBitsToFloat(u32(pos + 11).toInt).toDouble
             eScale = s16(pos + 15)
             dScale = s16(pos + 17)
             nbits = u(pos + 19)
+            if (drTemplate >= 2) {
+              val split = u(pos + 21); val missing = u(pos + 22)
+              require(split == 1,
+                s"group splitting method $split unsupported (only 1 = general) in $label")
+              require(missing == 0,
+                s"missing-value management $missing unsupported (only 0 — use a bitmap) in $label")
+              ng = u32(pos + 31).toInt
+              refGW = u(pos + 35); nbitsGW = u(pos + 36)
+              refGL = u32(pos + 37); lenInc = u(pos + 41)
+              lastLen = u32(pos + 42); nbitsGL = u(pos + 46)
+              require(ng > 0, s"complex packing with 0 groups in $label")
+            }
+            if (drTemplate == 3) {
+              sdOrder = u(pos + 47); sdOctets = u(pos + 48)
+              require(sdOrder == 1 || sdOrder == 2,
+                s"spatial differencing order $sdOrder unsupported (only 1/2) in $label")
+              require(sdOctets >= 1 && sdOctets <= 4,
+                s"spatial-differencing descriptor width $sdOctets octets out of range in $label")
+            } else { sdOrder = 0; sdOctets = 0 }
           case 6 =>
             val indicator = u(pos + 5)
             indicator match {
@@ -190,7 +223,13 @@ object Grib2 {
             val twoE = math.pow(2.0, eScale)
             val tenD = math.pow(10.0, dScale)
             val packed = new Array[Double](nPresent)
-            if (nbits == 0) java.util.Arrays.fill(packed, refVal / tenD)
+            if (drTemplate >= 2) {
+              val xs = unpackComplex(b, pos + 5, pos + len, nPresent, nbits,
+                ng, refGW, nbitsGW, refGL, lenInc, lastLen, nbitsGL,
+                sdOrder, sdOctets, label)
+              var k = 0
+              while (k < nPresent) { packed(k) = (refVal + xs(k) * twoE) / tenD; k += 1 }
+            } else if (nbits == 0) java.util.Arrays.fill(packed, refVal / tenD)
             else {
               require(len >= 5 + (nPresent.toLong * nbits + 7) / 8,
                 s"data section too short for $nPresent ${nbits}-bit values in $label")
@@ -226,6 +265,85 @@ object Grib2 {
       }
     }
     out.result()
+  }
+
+  /** Data-section decode for templates 5.2/5.3 (data templates 7.2/7.3),
+    * the g2clib/wgrib2 `comunpack` layout: [5.3 only: sign-magnitude
+    * initial value(s) then overall minimum, each `sdOctets` whole
+    * octets] · group references (`nbitsGref` bits each) · group widths
+    * (`refGW` + `nbitsGW`-bit increment) · scaled group lengths
+    * (`refGL` + `lenInc`·scaled, last group's TRUE length from section
+    * 5) — each block padded to a whole octet — then per-group packed
+    * values at that group's width, consecutive. Returns the exact
+    * integers X of `value = (R + X·2^E)/10^D`.
+    */
+  private def unpackComplex(b: Array[Byte], start: Int, end: Int,
+      n: Int, nbitsGref: Int,
+      ng: Int, refGW: Int, nbitsGW: Int,
+      refGL: Long, lenInc: Int, lastLen: Long, nbitsGL: Int,
+      sdOrder: Int, sdOctets: Int, label: String): Array[Long] = {
+    var bitPos = start * 8
+    val endBits = end * 8
+    def bits(w: Int): Long = {
+      require(bitPos + w <= endBits, s"complex data section overrun in $label")
+      var x = 0L; var t = 0
+      while (t < w) {
+        x = (x << 1) | ((b(bitPos >> 3) >> (7 - (bitPos & 7))) & 1)
+        bitPos += 1; t += 1
+      }
+      x
+    }
+    def alignByte(): Unit = if ((bitPos & 7) != 0) bitPos += 8 - (bitPos & 7)
+    def signMag(w: Int): Long = {
+      val v = bits(w)
+      if ((v & (1L << (w - 1))) != 0) -(v & ((1L << (w - 1)) - 1)) else v
+    }
+    var ival1 = 0L; var ival2 = 0L; var minsd = 0L
+    if (sdOrder > 0) {
+      ival1 = signMag(sdOctets * 8)
+      if (sdOrder == 2) ival2 = signMag(sdOctets * 8)
+      minsd = signMag(sdOctets * 8)
+    }
+    val grefs = new Array[Long](ng)
+    if (nbitsGref > 0) {
+      var g = 0; while (g < ng) { grefs(g) = bits(nbitsGref); g += 1 }; alignByte()
+    }
+    val widths = new Array[Int](ng)
+    if (nbitsGW > 0) {
+      var g = 0; while (g < ng) { widths(g) = refGW + bits(nbitsGW).toInt; g += 1 }; alignByte()
+    } else java.util.Arrays.fill(widths, refGW)
+    val lens = new Array[Long](ng)
+    if (nbitsGL > 0) {
+      var g = 0; while (g < ng) { lens(g) = refGL + lenInc * bits(nbitsGL); g += 1 }; alignByte()
+    } else java.util.Arrays.fill(lens, refGL)
+    lens(ng - 1) = lastLen
+    val total = lens.sum
+    require(total == n,
+      s"complex-packing group lengths sum to $total, expected $n points in $label")
+    val xs = new Array[Long](n)
+    var k = 0; var g = 0
+    while (g < ng) {
+      val w = widths(g); var i = 0L
+      while (i < lens(g)) {
+        xs(k) = grefs(g) + (if (w == 0) 0L else bits(w))
+        k += 1; i += 1
+      }
+      g += 1
+    }
+    // spatial differencing: overwrite the first `order` values with the
+    // stored initial values, re-add the overall minimum, run the inverse
+    // recurrence (g2clib comunpack, verbatim order of operations)
+    if (sdOrder == 1) {
+      xs(0) = ival1
+      var j = 1
+      while (j < n) { xs(j) += minsd + xs(j - 1); j += 1 }
+    } else if (sdOrder == 2) {
+      xs(0) = ival1
+      if (n > 1) xs(1) = ival2
+      var j = 2
+      while (j < n) { xs(j) += minsd + 2 * xs(j - 1) - xs(j - 2); j += 1 }
+    }
+    xs
   }
 
   // ----------------------------------------------------------- distribute
@@ -289,9 +407,16 @@ object Grib2 {
                          la1Micro: Long, lo1Micro: Long, diMicro: Long, djMicro: Long,
                          decimalScale: Int,
                          scaled: Array[Option[Int]],
-                         scanMode: Int = 0x00) {
+                         scanMode: Int = 0x00,
+                         template: Int = 0,
+                         sdOrder: Int = 2,
+                         groupLen: Int = 20) {
     require(scaled.length == ni * nj, "scaled length must be ni*nj")
     require(scanMode == 0x00 || scanMode == 0x40, "scan mode must be 0x00 or 0x40")
+    require(template == 0 || template == 2 || template == 3,
+      "data representation template must be 5.0, 5.2 or 5.3")
+    require(sdOrder == 1 || sdOrder == 2, "spatial differencing order must be 1 or 2")
+    require(groupLen >= 2, "group length must be at least 2")
   }
 
   /** Serialize fields as one GRIB2 message each and write the
@@ -304,6 +429,90 @@ object Grib2 {
     fields.foreach(f => out.write(encodeMessage(f)))
     Files.write(path, out.toByteArray)
     path
+  }
+
+  /** MSB-first bit packer; blocks that must occupy whole octets call
+    * [[alignByte]] (zero-padded, per data templates 7.2/7.3).
+    */
+  private final class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var acc = 0L; private var nAcc = 0
+    def put(v: Long, w: Int): Unit = {
+      var t = w - 1
+      while (t >= 0) {
+        acc = (acc << 1) | ((v >>> t) & 1L)
+        nAcc += 1
+        if (nAcc == 8) { out.write(acc.toInt & 0xff); acc = 0L; nAcc = 0 }
+        t -= 1
+      }
+    }
+    def putSignMag(v: Long, w: Int): Unit = {
+      val m = math.abs(v)
+      require(m < (1L << (w - 1)), s"sign-magnitude overflow: $v in $w bits")
+      put(if (v < 0) m | (1L << (w - 1)) else m, w)
+    }
+    def alignByte(): Unit =
+      if (nAcc > 0) { out.write((acc << (8 - nAcc)).toInt & 0xff); acc = 0L; nAcc = 0 }
+    def toBytes: Array[Byte] = { alignByte(); out.toByteArray }
+  }
+
+  /** Section-5 + section-7 payloads for complex packing (5.2, and 5.3
+    * when `sdOrder` > 0): fixed-length groups of `groupLen` (the last
+    * ragged, its TRUE length in section 5), per-group reference = group
+    * min and width = bits of the group's spread; scaled group lengths
+    * need zero bits by construction. `head` maps the group-reference bit
+    * width to the template-common section-5 prefix (octets 6-21).
+    */
+  private def complexPayloads(head: Int => Array[Byte], vals: Array[Long],
+      groupLen: Int, sdOrder: Int, sdOctets: Int,
+      ivals: Seq[Long], minsd: Long): (Array[Byte], Array[Byte]) = {
+    def bitsFor(v: Long): Int =
+      if (v == 0) 0 else 64 - java.lang.Long.numberOfLeadingZeros(v)
+    def u32e(v: Long): Array[Byte] =
+      Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    val n = vals.length
+    val ng = (n + groupLen - 1) / groupLen
+    val lens = Array.tabulate(ng)(g => math.min(groupLen, n - g * groupLen))
+    val grefs = new Array[Long](ng)
+    val widths = new Array[Int](ng)
+    var g = 0
+    while (g < ng) {
+      val s = g * groupLen; val e = s + lens(g)
+      var mn = Long.MaxValue; var mx = Long.MinValue
+      var k = s
+      while (k < e) { val v = vals(k); if (v < mn) mn = v; if (v > mx) mx = v; k += 1 }
+      grefs(g) = mn
+      widths(g) = bitsFor(mx - mn)
+      g += 1
+    }
+    val nbitsGref = bitsFor(grefs.max)
+    val refGW = widths.min
+    val nbitsGW = bitsFor((widths.max - refGW).toLong)
+    val sec5 = head(nbitsGref) ++
+      Array[Byte](1, 0) ++          // general group splitting, no missing mgmt
+      u32e(0) ++ u32e(0) ++         // missing-value substitutes (unused)
+      u32e(ng) ++
+      Array(refGW.toByte, nbitsGW.toByte) ++
+      u32e(groupLen) ++ Array[Byte](1) ++ // group-length reference, increment
+      u32e(lens(ng - 1)) ++ Array[Byte](0) ++ // true last length; 0 scaled-length bits
+      (if (sdOrder > 0) Array(sdOrder.toByte, sdOctets.toByte)
+       else Array.empty[Byte])
+    val bw = new BitWriter
+    if (sdOrder > 0) (ivals :+ minsd).foreach(bw.putSignMag(_, sdOctets * 8))
+    if (nbitsGref > 0) { grefs.foreach(bw.put(_, nbitsGref)); bw.alignByte() }
+    if (nbitsGW > 0) {
+      widths.foreach(w => bw.put((w - refGW).toLong, nbitsGW)); bw.alignByte()
+    }
+    g = 0
+    while (g < ng) {
+      val w = widths(g)
+      if (w > 0) {
+        var k = g * groupLen; val e = k + lens(g)
+        while (k < e) { bw.put(vals(k) - grefs(g), w); k += 1 }
+      }
+      g += 1
+    }
+    (sec5, bw.toBytes)
   }
 
   def encodeMessage(f: Field): Array[Byte] = {
@@ -357,15 +566,61 @@ object Grib2 {
     val present = f.scaled.flatten
     require(present.nonEmpty, "all-masked field")
     val minV = present.min
-    val maxX = present.map(_ - minV).max
-    val nbits = if (maxX == 0) 0 else 64 - java.lang.Long.numberOfLeadingZeros(maxX.toLong)
     require(minV.toFloat.toDouble == minV.toDouble,
       s"reference value $minV not exact in binary32 — oracle exactness would break")
+    val base = present.map(v => (v - minV).toLong).toArray
+    def bitsFor(v: Long): Int =
+      if (v == 0) 0 else 64 - java.lang.Long.numberOfLeadingZeros(v)
 
-    // section 5: data representation template 5.0
-    section(5, u32(present.length) ++ u16(0) ++
-      u32(java.lang.Float.floatToIntBits(minV.toFloat).toLong & 0xffffffffL) ++
-      sm16(0) ++ sm16(f.decimalScale) ++ Array(nbits.toByte, 1.toByte))
+    // section 5 header shared by all templates (octets 6-21)
+    def sec5Head(template: Int, nbits: Int): Array[Byte] =
+      u32(present.length) ++ u16(template) ++
+        u32(java.lang.Float.floatToIntBits(minV.toFloat).toLong & 0xffffffffL) ++
+        sm16(0) ++ sm16(f.decimalScale) ++ Array(nbits.toByte, 1.toByte)
+
+    // build section-5/-7 payloads for the chosen template, then emit in
+    // section order (5 · 6 bitmap · 7 data)
+    val (sec5Payload, sec7Payload) = f.template match {
+      case 0 =>
+        val nbits = bitsFor(base.max)
+        val bw = new BitWriter
+        if (nbits > 0) base.foreach(bw.put(_, nbits))
+        (sec5Head(0, nbits), bw.toBytes)
+      case 2 =>
+        complexPayloads(sec5Head(2, _), base, f.groupLen,
+          sdOrder = 0, sdOctets = 0, ivals = Nil, minsd = 0L)
+      case 3 =>
+        // spatial differencing over the non-negative base integers:
+        // initial value(s) kept verbatim, the rest replaced by
+        // (difference − overall minimum); the leading `order` slots pack
+        // as zeros and are overwritten by the decoder's ivals
+        require(base.length > f.sdOrder,
+          s"field too small (${base.length} points) for order-${f.sdOrder} spatial differencing")
+        val d = base.clone()
+        if (f.sdOrder == 1) {
+          var k = base.length - 1
+          while (k >= 1) { d(k) = base(k) - base(k - 1); k -= 1 }
+        } else {
+          var k = base.length - 1
+          while (k >= 2) { d(k) = base(k) - 2 * base(k - 1) + base(k - 2); k -= 1 }
+        }
+        val minsd = d.drop(f.sdOrder).min
+        val packed = d.clone()
+        var k = 0
+        while (k < f.sdOrder) { packed(k) = 0L; k += 1 }
+        k = f.sdOrder
+        while (k < packed.length) { packed(k) = d(k) - minsd; k += 1 }
+        // descriptor width: whole octets fitting the largest sign-
+        // magnitude value among ival1[, ival2], minsd
+        val descMax = (Seq(base(0), minsd) ++
+          (if (f.sdOrder == 2) Seq(base(1)) else Nil)).map(math.abs).max
+        val sdOctets = math.max(1, (bitsFor(descMax) + 1 + 7) / 8)
+        complexPayloads(sec5Head(3, _), packed, f.groupLen,
+          sdOrder = f.sdOrder, sdOctets = sdOctets,
+          ivals = if (f.sdOrder == 2) Seq(base(0), base(1)) else Seq(base(0)),
+          minsd = minsd)
+    }
+    section(5, sec5Payload)
 
     // section 6: bitmap
     val hasMask = f.scaled.exists(_.isEmpty)
@@ -378,17 +633,7 @@ object Grib2 {
       section(6, Array(0.toByte) ++ bits)
     }
 
-    // section 7: packed data, MSB-first across byte boundaries
-    val dataBits = new java.io.ByteArrayOutputStream()
-    var acc = 0L; var nAcc = 0
-    present.foreach { v =>
-      val x = (v - minV).toLong
-      acc = (acc << nbits) | x
-      nAcc += nbits
-      while (nAcc >= 8) { dataBits.write(((acc >>> (nAcc - 8)) & 0xff).toInt); nAcc -= 8 }
-    }
-    if (nAcc > 0) dataBits.write(((acc << (8 - nAcc)) & 0xff).toInt)
-    section(7, dataBits.toByteArray)
+    section(7, sec7Payload)
 
     val bodyBytes = body.toByteArray
     val total = 16L + bodyBytes.length + 4

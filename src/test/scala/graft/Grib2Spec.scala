@@ -108,6 +108,72 @@ class Grib2Spec extends SparkSpec {
     an[Exception] should be thrownBy Grib2.parseMessages(zeroLen)
   }
 
+  // ---- complex packing (templates 5.2 / 5.3) ----
+
+  /** Non-monotone field: sign-alternating jumps exercise negative
+    * differences, a negative overall minimum, and per-group spreads that
+    * vary enough to give distinct group widths.
+    */
+  private def bumpy(cat: Int = 0, num: Int = 0, masked: Boolean = false,
+                    template: Int = 2, order: Int = 2,
+                    groupLen: Int = 20): Grib2.Field = {
+    Grib2.Field(0, cat, num, LocalDateTime.of(2003, 6, 15, 12, 0),
+      ni = 13, nj = 9, la1Micro = 40000000L, lo1Micro = -25000000L,
+      diMicro = 1500000L, djMicro = 2000000L, decimalScale = 1,
+      Array.tabulate(117) { k =>
+        if (masked && k % 6 == 5) None
+        else Some(((k * k * 37 + k * 101) % 997 + (if (k % 3 == 0) 400 else 0)))
+      }, template = template, sdOrder = order, groupLen = groupLen)
+  }
+
+  private def vals(f: Grib2.Field): Seq[Double] =
+    Grib2.parseMessages(write(f)).head.values.toSeq
+
+  test("template 5.2 complex packing decodes bit-identically to 5.0 simple packing") {
+    vals(bumpy(template = 2)) shouldBe vals(bumpy(template = 0))
+    // masked variant: bitmap interplay identical too (NaN-position-wise)
+    val m2 = vals(bumpy(template = 2, masked = true))
+    val m0 = vals(bumpy(template = 0, masked = true))
+    m2.zip(m0).foreach { case (a, b) =>
+      if (b.isNaN) a.isNaN shouldBe true else a shouldBe b
+    }
+  }
+
+  test("template 5.3 spatial differencing (orders 1 and 2) reconstructs exactly") {
+    vals(bumpy(template = 3, order = 1)) shouldBe vals(bumpy(template = 0))
+    vals(bumpy(template = 3, order = 2)) shouldBe vals(bumpy(template = 0))
+    // ragged last group + group length that doesn't divide the point count
+    vals(bumpy(template = 3, order = 2, groupLen = 7)) shouldBe vals(bumpy(template = 0))
+    // masked: differencing runs over PRESENT points only
+    val m3 = vals(bumpy(template = 3, order = 2, masked = true))
+    val m0 = vals(bumpy(template = 0, masked = true))
+    m3.zip(m0).foreach { case (a, b) =>
+      if (b.isNaN) a.isNaN shouldBe true else a shouldBe b
+    }
+  }
+
+  test("complex packing: constant field gives width-0 groups and still round-trips") {
+    def const(template: Int) = Grib2.Field(0, 0, 0,
+      LocalDateTime.of(2003, 6, 15, 12, 0),
+      ni = 7, nj = 5, la1Micro = 40000000L, lo1Micro = -25000000L,
+      diMicro = 1500000L, djMicro = 2000000L, decimalScale = 1,
+      Array.fill(35)(Some(420): Option[Int]), template = template)
+    vals(const(2)) shouldBe Seq.fill(35)(42.0)
+    vals(const(3)) shouldBe Seq.fill(35)(42.0)
+  }
+
+  test("complex packing rejects unsupported missing-value management loudly") {
+    val bytes = write(bumpy(template = 2))
+    // walk sections to find section 5, flip its missing-mgmt octet (23)
+    var pos = 16
+    def u32(i: Int) = ((bytes(i) & 0xff) << 24) | ((bytes(i + 1) & 0xff) << 16) |
+      ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+    while ((bytes(pos + 4) & 0xff) != 5) pos += u32(pos)
+    val bad = bytes.clone(); bad(pos + 22) = 1 // primary missing values
+    val e = intercept[IllegalArgumentException](Grib2.parseMessages(bad))
+    e.getMessage should include("missing-value management")
+  }
+
   test("readRecords: -match regex and -limit record selection, distributed") {
     val dir = java.nio.file.Files.createTempDirectory("grib2spec")
     val p = Grib2.writeFile(dir.resolve("t.grib2"),
