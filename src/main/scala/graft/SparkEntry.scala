@@ -968,6 +968,11 @@ object SparkEntry {
     // JPEG frame-header extraction: marker walk + byte-stuffed scan —
     // the identify/thumbnail operation, no pixel decode needed
     "m05_jpeg_dims" -> ((s, d) => Multimodal.jpegDims(t(s, d)("documents"))),
+    // aHash over the REAL baseline-JPEG decode path (Huffman + dequant +
+    // IDCT): per-block-constant fixtures make the lossy format exact
+    // (DC-only blocks), so the closed-form oracle below regenerates the
+    // identical bits the engine recovers from entropy-coded bytes
+    "m07_jpeg_phash" -> ((s, d) => Multimodal.jpegPhash(t(s, d)("documents")).toDF()),
     // image perceptual hash (aHash) over the REAL decoded PNG raster —
     // integer-exact block means (lcm scaling), strict cross-multiplied
     // threshold: the oracle regenerates identical bits from the pixel
@@ -3050,6 +3055,33 @@ object SparkEntry {
          pxy AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM px),
          b AS (SELECT doc_id, w, h, (y * 8) // h AS by, (x * 8) // w AS bx,
                       CAST(sum((7 * x + 13 * y + doc_id) % 256) AS BIGINT) AS s,
+                      CAST(count(*) AS BIGINT) AS c
+               FROM pxy GROUP BY 1, 2, 3, 4, 5),
+         m AS (SELECT doc_id, w, h, by * 8 + bx AS k, s * (27720 // c) AS mm FROM b),
+         g AS (SELECT doc_id, sum(mm) AS tot FROM m GROUP BY 1)
+         SELECT m.doc_id, CAST(max(m.w) AS BIGINT) AS width,
+                CAST(max(m.h) AS BIGINT) AS height,
+                CAST(sum(CASE WHEN mm * 64 > tot AND k >= 32
+                              THEN (CAST(1 AS BIGINT) << CAST(k - 32 AS INT))
+                              ELSE 0 END) AS BIGINT) AS hash_hi,
+                CAST(sum(CASE WHEN mm * 64 > tot AND k < 32
+                              THEN (CAST(1 AS BIGINT) << CAST(k AS INT))
+                              ELSE 0 END) AS BIGINT) AS hash_lo,
+                CAST(sum(CASE WHEN mm * 64 > tot THEN 1 ELSE 0 END) AS BIGINT) AS n_set
+         FROM m JOIN g USING (doc_id)
+         GROUP BY 1 ORDER BY 1""",
+    // m06's oracle machinery over the JPEG fixture's block-constant
+    // pixel formula (19*(x//8) + 23*(y//8) + 29*(d%97)) % 256 and its
+    // 9..32 x 9..24 dims — the engine recovered these pixels through
+    // Huffman + dequantize + IDCT, the oracle never touches bytes
+    "m07_jpeg_phash" ->
+      """WITH d AS (SELECT doc_id, 9 + doc_id % 24 AS w, 9 + (3 * doc_id) % 16 AS h
+                    FROM documents),
+         px AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM d),
+         pxy AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM px),
+         b AS (SELECT doc_id, w, h, (y * 8) // h AS by, (x * 8) // w AS bx,
+                      CAST(sum((19 * (x // 8) + 23 * (y // 8) + 29 * (doc_id % 97)) % 256)
+                        AS BIGINT) AS s,
                       CAST(count(*) AS BIGINT) AS c
                FROM pxy GROUP BY 1, 2, 3, 4, 5),
          m AS (SELECT doc_id, w, h, by * 8 + bx AS k, s * (27720 // c) AS mm FROM b),

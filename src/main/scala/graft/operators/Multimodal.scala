@@ -239,40 +239,83 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { id =>
           val (w, h, img) = graft.sources.AssetCodecs.decodePngImage(assetFor(id))
-          // contract: every 8x8 block must be non-empty (else the block
-          // mean divides by zero) and its pixel count must divide
-          // PhashScale for the integer-exactness claim to hold. The
-          // assetFor fixture guarantees both (dims 8..96, block sizes
-          // ≤ 12, all dividing 27720); fail loudly for any other input
-          // rather than throwing a bare ArithmeticException below.
-          require(w >= 8 && h >= 8,
-            s"imagePhash requires dims >= 8x8, got ${w}x$h for doc $id")
-          val s = Array.ofDim[Long](8, 8)
-          val c = Array.ofDim[Long](8, 8)
-          var y = 0
-          while (y < h) {
-            val by = y * 8 / h
-            var x = 0
-            while (x < w) {
-              val bx = x * 8 / w
-              s(by)(bx) += img(y)(x) & 0xff
-              c(by)(bx) += 1
-              x += 1
-            }
-            y += 1
-          }
-          val m = Array.tabulate(64)(k => s(k / 8)(k % 8) * (PhashScale / c(k / 8)(k % 8)))
-          val tot = m.sum
-          var hi = 0L; var lo = 0L; var nSet = 0L
-          var k = 0
-          while (k < 64) {
-            if (m(k) * 64 > tot) {
-              if (k < 32) lo |= (1L << k) else hi |= (1L << (k - 32))
-              nSet += 1
-            }
-            k += 1
-          }
-          ImagePhash(id, w, h, hi, lo, nSet)
+          ahash(id, w, h, (y, x) => img(y)(x) & 0xff)
+        }
+      }
+      .orderBy(col("doc_id")).as[ImagePhash]
+  }
+
+  /** The integer-exact aHash core shared by the PNG (m06) and JPEG (m07)
+    * paths. Contract: every 8x8 block must be non-empty (else the block
+    * mean divides by zero) and its pixel count must divide [[PhashScale]]
+    * for the integer-exactness claim to hold. The fixtures guarantee
+    * both (dims 8..96, block sizes ≤ 12, all dividing 27720); fail
+    * loudly for any other input rather than throwing a bare
+    * ArithmeticException below.
+    */
+  private def ahash(id: Long, w: Int, h: Int, pix: (Int, Int) => Int): ImagePhash = {
+    require(w >= 8 && h >= 8,
+      s"aHash requires dims >= 8x8, got ${w}x$h for doc $id")
+    val s = Array.ofDim[Long](8, 8)
+    val c = Array.ofDim[Long](8, 8)
+    var y = 0
+    while (y < h) {
+      val by = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val bx = x * 8 / w
+        s(by)(bx) += pix(y, x) & 0xff
+        c(by)(bx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val m = Array.tabulate(64)(k => s(k / 8)(k % 8) * (PhashScale / c(k / 8)(k % 8)))
+    val tot = m.sum
+    var hi = 0L; var lo = 0L; var nSet = 0L
+    var k = 0
+    while (k < 64) {
+      if (m(k) * 64 > tot) {
+        if (k < 32) lo |= (1L << k) else hi |= (1L << (k - 32))
+        nSet += 1
+      }
+      k += 1
+    }
+    ImagePhash(id, w, h, hi, lo, nSet)
+  }
+
+  /** m07 fixture: one real baseline JPEG per document — grayscale,
+    * per-8x8-block-constant pixels `(19·⌊x/8⌋ + 23·⌊y/8⌋ + 29·(d mod
+    * 97)) mod 256`, non-block-multiple dims so edge blocks pad. Constant
+    * blocks make the lossy format EXACT (DC-only coefficients survive
+    * FDCT→quantize→IDCT bit-for-bit — AssetCodecsSpec pins it), which is
+    * what lets a closed-form SQL oracle exist for a JPEG pipeline at
+    * all; the general lossy path is cross-checked against the JDK
+    * decoder in the spec instead.
+    */
+  def jpegImageFor(d: Long): Array[Byte] = {
+    // dims 9..32 x 9..24 keep aHash block sizes within {1..4}x{1..3},
+    // the PhashScale divisibility contract (see [[ahash]])
+    val w = (9 + d % 24).toInt
+    val h = (9 + (3 * d) % 16).toInt
+    graft.sources.AssetCodecs.encodeJpegGray(w, h,
+      (x, y) => ((19 * (x / 8) + 23 * (y / 8) + 29 * (d % 97)) % 256).toInt)
+  }
+
+  /** JPEG perceptual hash (m07): m06's aHash with the decode side
+    * swapped to the full baseline JPEG path — Huffman, dequantize,
+    * IDCT, level shift — covering the dominant real-world image format.
+    * Runs over every document (each carries its own JPEG fixture, as
+    * with m05's shells).
+    */
+  def jpegPhash(documents: DataFrame): Dataset[ImagePhash] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val (w, h, img) = graft.sources.AssetCodecs.decodeJpegImage(jpegImageFor(id))
+          ahash(id, w, h, (y, x) => img(y)(x))
         }
       }
       .orderBy(col("doc_id")).as[ImagePhash]

@@ -390,6 +390,373 @@ object AssetCodecs {
       sampleRate = 0, nUnits = w.toLong * h, valueSum = 0)
   }
 
+  // -------------------------------------- JPEG baseline (real pixel path)
+  //
+  // Full baseline-sequential grayscale codec (ITU-T T.81 / ISO 10918-1):
+  // 8x8 FDCT + quantization + zigzag + Annex-K Huffman on the encode
+  // side; Huffman + dequantize + IDCT + level shift on decode. This is
+  // the pixel-level path m05's marker-walk stops short of — thumbnails,
+  // perceptual hashes and feature extractors need the samples, not just
+  // the frame header.
+
+  /** ITU-T T.81 Figure A.6 zigzag scan order: zigzag index → raster. */
+  private val ZigZag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Annex K.3.1 luminance DC table: code counts per length, then the
+    * (category) values in code order.
+    */
+  private val DcBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcVals = Array.tabulate(12)(identity)
+
+  /** Annex K.3.2 luminance AC table. */
+  private val AcBits = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val AcVals: Array[Int] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16,
+    0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7,
+    0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5,
+    0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4,
+    0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea,
+    0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa)
+
+  /** Canonical Huffman: per-length counts + ordered values → value →
+    * (code, length).
+    */
+  private def huffEncodeTable(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+    var code = 0; var k = 0
+    val out = Map.newBuilder[Int, (Int, Int)]
+    for (len <- 1 to 16) {
+      for (_ <- 0 until bits(len - 1)) {
+        out += vals(k) -> ((code, len)); code += 1; k += 1
+      }
+      code <<= 1
+    }
+    out.result()
+  }
+
+  private val cosTable: Array[Array[Double]] =
+    Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16))
+  private def cdct(u: Int): Double = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+
+  /** Encode an 8-bit grayscale image as baseline-sequential JPEG
+    * (SOF0, one component, no subsampling, Annex-K Huffman tables,
+    * uniform quantizer `quant`). Edge blocks pad by edge replication
+    * (the standard choice — keeps the padded DCT's energy at the edge
+    * rows' level instead of injecting a synthetic step).
+    */
+  def encodeJpegGray(w: Int, h: Int, pix: (Int, Int) => Int,
+                     quant: Int = 1): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff, s"bad dims ${w}x$h")
+    require(quant >= 1 && quant <= 255, s"bad quantizer $quant")
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def segment(m: Int, payload: Array[Byte]): Unit = {
+      marker(m)
+      val len = payload.length + 2
+      out.write(len >> 8); out.write(len & 0xff); out.write(payload)
+    }
+    marker(0xd8)
+    segment(0xe0, "JFIF".getBytes("US-ASCII") ++
+      Array[Byte](0, 1, 2, 0, 0, 1, 0, 1, 0, 0))
+    segment(0xdb, Array[Byte](0) ++ Array.fill(64)(quant.toByte)) // DQT id 0, 8-bit
+    segment(0xc0, Array[Byte](8) ++ // SOF0: precision 8
+      Array((h >> 8).toByte, (h & 0xff).toByte, (w >> 8).toByte, (w & 0xff).toByte) ++
+      Array[Byte](1, 1, 0x11, 0)) // 1 component, 1:1 sampling, DQT 0
+    segment(0xc4, Array[Byte](0x00) ++ DcBits.map(_.toByte) ++ DcVals.map(_.toByte))
+    segment(0xc4, Array[Byte](0x10) ++ AcBits.map(_.toByte) ++ AcVals.map(_.toByte))
+    segment(0xda, Array[Byte](1, 1, 0x00, 0, 63, 0)) // SOS: comp 1, DC 0 / AC 0
+
+    val dcTab = huffEncodeTable(DcBits, DcVals)
+    val acTab = huffEncodeTable(AcBits, AcVals)
+    // entropy bit sink with FF 00 byte stuffing, 1-padded at the end
+    var acc = 0L; var nAcc = 0
+    def putBits(v: Int, n: Int): Unit = {
+      acc = (acc << n) | (v & ((1L << n) - 1)); nAcc += n
+      while (nAcc >= 8) {
+        val b = ((acc >>> (nAcc - 8)) & 0xff).toInt
+        out.write(b); if (b == 0xff) out.write(0x00)
+        nAcc -= 8
+      }
+    }
+    def magCat(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    def putCoef(v: Int, cat: Int): Unit =
+      if (cat > 0) putBits(if (v < 0) v - 1 else v, cat)
+
+    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    val block = new Array[Double](64)
+    val coef = new Array[Int](64)
+    var prevDc = 0
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        var yy = 0
+        while (yy < 8) {
+          var xx = 0
+          while (xx < 8) {
+            val sx = math.min(bx * 8 + xx, w - 1)
+            val sy = math.min(by * 8 + yy, h - 1)
+            block(yy * 8 + xx) = (pix(sx, sy) & 0xff) - 128.0
+            xx += 1
+          }
+          yy += 1
+        }
+        // FDCT + quantize, in zigzag order
+        var zz = 0
+        while (zz < 64) {
+          val r = ZigZag(zz); val u = r % 8; val v = r / 8
+          var s = 0.0
+          var y2 = 0
+          while (y2 < 8) {
+            var x2 = 0
+            while (x2 < 8) {
+              s += block(y2 * 8 + x2) * cosTable(x2)(u) * cosTable(y2)(v)
+              x2 += 1
+            }
+            y2 += 1
+          }
+          coef(zz) = math.round(cdct(u) * cdct(v) / 4.0 * s / quant).toInt
+          zz += 1
+        }
+        val diff = coef(0) - prevDc
+        prevDc = coef(0)
+        val dcCat = magCat(diff)
+        val (dcCode, dcLen) = dcTab(dcCat)
+        putBits(dcCode, dcLen); putCoef(diff, dcCat)
+        var k = 1; var run = 0
+        while (k < 64) {
+          if (coef(k) == 0) run += 1
+          else {
+            while (run >= 16) { val (c, l) = acTab(0xf0); putBits(c, l); run -= 16 }
+            val cat = magCat(coef(k))
+            val (c, l) = acTab((run << 4) | cat)
+            putBits(c, l); putCoef(coef(k), cat)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) { val (c, l) = acTab(0x00); putBits(c, l) } // EOB
+        bx += 1
+      }
+      by += 1
+    }
+    if (nAcc > 0) { // pad with 1-bits, stuffing a final FF if produced
+      val b = (((acc << (8 - nAcc)) | ((1 << (8 - nAcc)) - 1)) & 0xff).toInt
+      out.write(b); if (b == 0xff) out.write(0x00)
+    }
+    marker(0xd9)
+    out.toByteArray
+  }
+
+  /** Decode a baseline-sequential grayscale JPEG to its samples:
+    * `(width, height, row-major pixels)`. Scope rejected loudly outside
+    * it: SOF0, 8-bit precision, one component, 1:1 sampling, no restart
+    * intervals — the shape [[encodeJpegGray]] emits and the common
+    * grayscale-asset case; color/subsampled frames still go through
+    * [[decodeJpeg]] for header metadata.
+    */
+  def decodeJpegImage(bytes: Array[Byte]): (Int, Int, Array[Array[Int]]) = {
+    require(bytes.length >= 4 &&
+      (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8, "bad JPEG SOI")
+    var pos = 2
+    var w = -1; var h = -1
+    val quantTables = new Array[Array[Int]](4)
+    // huffLookup(cls)(id) = (maxcode/valptr decoding tables)
+    val huffMin = Array.ofDim[Array[Int]](2, 4)
+    val huffMax = Array.ofDim[Array[Int]](2, 4)
+    val huffValPtr = Array.ofDim[Array[Int]](2, 4)
+    val huffVals = Array.ofDim[Array[Int]](2, 4)
+    var compQuant = -1; var dcSel = -1; var acSel = -1
+    var scanStart = -1
+
+    while (scanStart < 0) {
+      require(pos + 4 <= bytes.length && (bytes(pos) & 0xff) == 0xff,
+        s"expected marker at $pos")
+      val m = bytes(pos + 1) & 0xff
+      require(m != 0xd9, "JPEG EOI before scan data")
+      val len = ((bytes(pos + 2) & 0xff) << 8) | (bytes(pos + 3) & 0xff)
+      require(len >= 2 && pos + 2 + len <= bytes.length, "truncated JPEG segment")
+      val seg = pos + 4
+      m match {
+        case 0xdb =>
+          var p = seg
+          while (p < pos + 2 + len) {
+            val pq = (bytes(p) & 0xff) >> 4; val tq = bytes(p) & 0x0f
+            require(pq == 0, "16-bit quantization tables unsupported")
+            quantTables(tq) = Array.tabulate(64)(i => bytes(p + 1 + i) & 0xff)
+            p += 65
+          }
+        case 0xc4 =>
+          var p = seg
+          while (p < pos + 2 + len) {
+            val cls = (bytes(p) & 0xff) >> 4; val id = bytes(p) & 0x0f
+            require(cls <= 1 && id <= 3, "bad DHT class/id")
+            val counts = Array.tabulate(16)(i => bytes(p + 1 + i) & 0xff)
+            val total = counts.sum
+            val vals = Array.tabulate(total)(i => bytes(p + 17 + i) & 0xff)
+            // canonical tables → per-length (min, max, valptr)
+            val mn = new Array[Int](17); val mx = new Array[Int](17)
+            val vp = new Array[Int](17)
+            var code = 0; var k = 0
+            for (l <- 1 to 16) {
+              mn(l) = code; vp(l) = k
+              code += counts(l - 1); k += counts(l - 1)
+              mx(l) = code - 1
+              code <<= 1
+            }
+            // mark empty lengths so the decoder never matches them
+            for (l <- 1 to 16) if (counts(l - 1) == 0) mx(l) = -1
+            huffMin(cls)(id) = mn; huffMax(cls)(id) = mx
+            huffValPtr(cls)(id) = vp; huffVals(cls)(id) = vals
+            p += 17 + total
+          }
+        case x if x >= 0xc0 && x <= 0xcf && x != 0xc4 && x != 0xc8 && x != 0xcc =>
+          require(x == 0xc0, f"only baseline SOF0 supported for pixel decode, got SOF${x - 0xc0}%d")
+          require((bytes(seg) & 0xff) == 8, "only 8-bit precision supported")
+          h = ((bytes(seg + 1) & 0xff) << 8) | (bytes(seg + 2) & 0xff)
+          w = ((bytes(seg + 3) & 0xff) << 8) | (bytes(seg + 4) & 0xff)
+          val nc = bytes(seg + 5) & 0xff
+          require(nc == 1, s"only single-component (grayscale) pixel decode supported, got $nc")
+          require((bytes(seg + 7) & 0xff) == 0x11, "subsampling unsupported for grayscale")
+          compQuant = bytes(seg + 8) & 0xff
+        case 0xdd => sys.error("restart intervals unsupported in pixel decode")
+        case 0xda =>
+          require(w > 0, "JPEG SOS before SOF0")
+          require((bytes(seg) & 0xff) == 1, "scan must cover the single component")
+          dcSel = (bytes(seg + 2) & 0xff) >> 4
+          acSel = bytes(seg + 2) & 0x0f
+          scanStart = pos + 2 + len
+        case _ => () // APPn/COM/other: skip
+      }
+      if (scanStart < 0) pos += 2 + len
+    }
+    val q = quantTables(compQuant)
+    require(q != null, s"missing quantization table $compQuant")
+    require(huffVals(0)(dcSel) != null && huffVals(1)(acSel) != null,
+      "missing Huffman tables for scan")
+
+    // entropy-coded bit reader with FF 00 unstuffing
+    var bp = scanStart
+    var bitBuf = 0L; var bitCnt = 0
+    def fill(): Unit = {
+      while (bitCnt <= 56) {
+        require(bp < bytes.length, "truncated JPEG scan")
+        val b = bytes(bp) & 0xff
+        if (b == 0xff) {
+          val nxt = if (bp + 1 < bytes.length) bytes(bp + 1) & 0xff else -1
+          if (nxt == 0x00) { bitBuf = (bitBuf << 8) | 0xff; bitCnt += 8; bp += 2 }
+          else return // a real marker (EOI): stop feeding, pad-read as 0
+        } else { bitBuf = (bitBuf << 8) | b; bitCnt += 8; bp += 1 }
+      }
+    }
+    def getBit(): Int = {
+      fill()
+      if (bitCnt == 0) 1 // past the scan: spec pads with 1-bits
+      else { bitCnt -= 1; ((bitBuf >>> bitCnt) & 1L).toInt }
+    }
+    def receive(n: Int): Int = { var v = 0; var i = 0; while (i < n) { v = (v << 1) | getBit(); i += 1 }; v }
+    def extend(v: Int, n: Int): Int = if (n == 0) 0 else if (v < (1 << (n - 1))) v - (1 << n) + 1 else v
+    def huffDecode(cls: Int, id: Int): Int = {
+      val mn = huffMin(cls)(id); val mx = huffMax(cls)(id)
+      val vp = huffValPtr(cls)(id); val vs = huffVals(cls)(id)
+      var code = getBit(); var l = 1
+      while (l <= 16 && (mx(l) < 0 || code > mx(l))) {
+        code = (code << 1) | getBit(); l += 1
+      }
+      require(l <= 16, "corrupt Huffman code in JPEG scan")
+      vs(vp(l) + code - mn(l))
+    }
+
+    val bw2 = (w + 7) / 8; val bh2 = (h + 7) / 8
+    val img = Array.ofDim[Int](h, w)
+    val coef = new Array[Int](64)
+    val px = new Array[Double](64)
+    var prevDc = 0
+    var by = 0
+    while (by < bh2) {
+      var bx = 0
+      while (bx < bw2) {
+        java.util.Arrays.fill(coef, 0)
+        val dcCat = huffDecode(0, dcSel)
+        prevDc += extend(receive(dcCat), dcCat)
+        coef(0) = prevDc * q(0)
+        var k = 1
+        while (k < 64) {
+          val rs = huffDecode(1, acSel)
+          val run = rs >> 4; val cat = rs & 0x0f
+          if (cat == 0) {
+            if (run == 15) k += 16 // ZRL
+            else k = 64            // EOB
+          } else {
+            k += run
+            require(k < 64, "AC coefficient index overrun")
+            coef(ZigZag(k)) = extend(receive(cat), cat) * q(k)
+            k += 1
+          }
+        }
+        // IDCT (separable would be faster; direct keeps it obviously
+        // correct and the blocks are fixture-sized)
+        var yy = 0
+        while (yy < 8) {
+          var xx = 0
+          while (xx < 8) {
+            var s = 0.0
+            var v = 0
+            while (v < 8) {
+              var u = 0
+              while (u < 8) {
+                val c = coef(v * 8 + u)
+                if (c != 0) s += cdct(u) * cdct(v) * c * cosTable(xx)(u) * cosTable(yy)(v)
+                u += 1
+              }
+              v += 1
+            }
+            px(yy * 8 + xx) = s / 4.0
+            xx += 1
+          }
+          yy += 1
+        }
+        yy = 0
+        while (yy < 8) {
+          val sy = by * 8 + yy
+          if (sy < h) {
+            var xx = 0
+            while (xx < 8) {
+              val sx = bx * 8 + xx
+              if (sx < w) {
+                val v = math.round(px(yy * 8 + xx) + 128.0).toInt
+                img(sy)(sx) = math.max(0, math.min(255, v))
+              }
+              xx += 1
+            }
+          }
+          yy += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    (w, h, img)
+  }
+
   // ---------------------------------------------------------------- WAV
 
   /** Encode PCM 16-bit little-endian mono, with a gratuitous LIST chunk

@@ -101,6 +101,67 @@ class AssetCodecsSpec extends AnyFunSuite with Matchers {
     an[Exception] should be thrownBy AssetCodecs.decodeJpeg(noSof)
   }
 
+  // ---- baseline JPEG pixel codec (m07) ----
+
+  test("JPEG baseline: per-block-constant fields round-trip EXACTLY (DC-only blocks)") {
+    // a constant 8x8 block has only a DC coefficient: FDCT/IDCT reduce
+    // to exact IEEE arithmetic (8s, s/8), so decode(encode(x)) == x —
+    // the property the m07 closed-form oracle stands on
+    val pix = (x: Int, y: Int) => (19 * (x / 8) + 23 * (y / 8) + 57) % 256
+    for ((w, h) <- Seq((16, 16), (9, 26), (48, 33), (8, 8))) {
+      val (dw, dh, img) = AssetCodecs.decodeJpegImage(
+        AssetCodecs.encodeJpegGray(w, h, pix))
+      (dw, dh) shouldBe ((w, h))
+      for (y <- 0 until h; x <- 0 until w)
+        withClue(s"${w}x$h @($x,$y): ") { img(y)(x) shouldBe pix(x, y) }
+    }
+  }
+
+  test("JPEG baseline: arbitrary fields decode within the spec's ±1 of the JDK decoder") {
+    // full AC path (runs, ZRL, EOB, byte stuffing) cross-checked against
+    // an independent implementation: javax.imageio's baseline decoder.
+    // JPEG doesn't pin IDCT bit-exactness — conformance allows ±1/pixel
+    val pix = (x: Int, y: Int) => ((x * x * 7 + y * 31 + (x * y) % 13) % 256)
+    for ((w, h, q) <- Seq((24, 17, 1), (40, 40, 3), (11, 9, 2))) {
+      val bytes = AssetCodecs.encodeJpegGray(w, h, pix, quant = q)
+      val (dw, dh, img) = AssetCodecs.decodeJpegImage(bytes)
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      ref should not be null
+      (ref.getWidth, ref.getHeight) shouldBe ((w, h))
+      (dw, dh) shouldBe ((w, h))
+      for (y <- 0 until h; x <- 0 until w) {
+        val jdk = ref.getRaster.getSample(x, y, 0)
+        withClue(s"${w}x$h q=$q @($x,$y): ") {
+          math.abs(img(y)(x) - jdk) should be <= 1
+        }
+      }
+    }
+  }
+
+  test("JPEG baseline: quantized lossy encode still decodes close to the source") {
+    val pix = (x: Int, y: Int) => (128 + 90 * math.sin(x * 0.7) * math.cos(y * 0.5)).toInt
+    val (_, _, img) = AssetCodecs.decodeJpegImage(
+      AssetCodecs.encodeJpegGray(32, 24, pix, quant = 4))
+    var worst = 0
+    for (y <- 0 until 24; x <- 0 until 32)
+      worst = math.max(worst, math.abs(img(y)(x) - pix(x, y)))
+    // uniform q=4 bounds per-coefficient error by 2; the worst pixel
+    // error stays far below gross-bug territory
+    worst should be <= 16
+  }
+
+  test("JPEG pixel decode rejects non-baseline shapes loudly") {
+    // the m05 shell is structurally valid but has no real scan: its DHT
+    // is a stub — decode must fail loudly, not fabricate pixels
+    an[Exception] should be thrownBy
+      AssetCodecs.decodeJpegImage(AssetCodecs.encodeJpeg(16, 16, 3))
+    // progressive/multi-component rejection: flip SOF0 to SOF2
+    val ok = AssetCodecs.encodeJpegGray(16, 16, (x, y) => (x + y) % 256)
+    val idx = ok.indexOfSlice(Seq(0xff.toByte, 0xc0.toByte))
+    val prog = ok.clone(); prog(idx + 1) = 0xc2.toByte
+    an[Exception] should be thrownBy AssetCodecs.decodeJpegImage(prog)
+  }
+
   test("decode() dispatches on magic bytes and rejects unknown containers") {
     AssetCodecs.decode(AssetCodecs.encodePng(3, 3, (_, _) => 0)).fmt shouldBe "png"
     AssetCodecs.decode(AssetCodecs.encodeBmp(3, 3, (_, _) => 0)).fmt shouldBe "bmp"

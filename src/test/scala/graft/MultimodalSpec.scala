@@ -69,4 +69,28 @@ class MultimodalSpec extends SparkSpec {
     // the gradient field always has above- and below-mean blocks
     all(out.map(_.n_set)) should (be > 0L and be < 64L)
   }
+
+  test("jpegPhash: bits recovered through the full baseline decode equal the formula-direct hash") {
+    val ids = spark.range(0, 40).toDF("doc_id")
+    val out = Multimodal.jpegPhash(ids).collect()
+    out.map(_.doc_id).toSeq shouldBe (0L until 40L).toSeq
+    out.foreach { r =>
+      // regenerate the hash straight from the closed-form pixel field —
+      // agreement means Huffman + dequant + IDCT were all lossless here
+      val d = r.doc_id
+      val (w, h) = ((9 + d % 24).toInt, (9 + (3 * d) % 16).toInt)
+      (r.width, r.height) shouldBe ((w.toLong, h.toLong))
+      val s = Array.ofDim[Long](8, 8); val c = Array.ofDim[Long](8, 8)
+      for (y <- 0 until h; x <- 0 until w) {
+        s(y * 8 / h)(x * 8 / w) += (19 * (x / 8) + 23 * (y / 8) + 29 * (d % 97)) % 256
+        c(y * 8 / h)(x * 8 / w) += 1
+      }
+      val m = Array.tabulate(64)(k => s(k / 8)(k % 8) * (Multimodal.PhashScale / c(k / 8)(k % 8)))
+      val tot = m.sum
+      var hi = 0L; var lo = 0L
+      for (k <- 0 until 64 if m(k) * 64 > tot)
+        if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+      (r.hash_hi, r.hash_lo) shouldBe ((hi, lo))
+    }
+  }
 }
