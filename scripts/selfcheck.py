@@ -29,9 +29,14 @@ def main():
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
     sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
     con = duckdb.connect()
+    import os
     for t in TABLES:
+        # driver fixture: single file <sf>/<t>.parquet; generated fixture
+        # (GenFixture): Spark directory <sf>/<t>.parquet/part-*.parquet
+        path = f"{sf}/{t}.parquet"
+        pat = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     results = {}
     for name in sorted(oracle):
