@@ -1790,6 +1790,11 @@ object SparkEntry {
     // oracle is the FULL lead()-recompute over the whole change history,
     // so the gate proves increment-form == recompute-form (t33's monoid
     // discipline applied to effective-dated history)
+    // model-based quality scoring, the fastText-linear shape: hashed
+    // bag-of-words features x shipped integer weights -> exact BIGINT
+    // logit; keep = logit > 0 (integer compare, no float sigmoid)
+    "t35_classifier_score" -> ((s, d) =>
+      operators.TextAnalysis.classifierScore(t(s, d)("documents"))),
     "t34_scd2" -> ((s, d) => {
       val ch = scd2Changes(s, d)
       val dim0 = operators.Upsert.scd2Recompute(
@@ -3604,6 +3609,19 @@ object SparkEntry {
     // string for the batch (t33) and streaming (w13) merge paths
     "t33_incremental_agg" -> incrementalAggOracle,
     "w13_stream_mv" -> incrementalAggOracle,
+    // same hashed-feature + integer-weight-LCG arithmetic, bucket by
+    // bucket; the logit is an exact integer sum on both engines
+    "t35_classifier_score" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+                        FROM documents),
+         w AS (SELECT doc_id,
+                      ((((${functions.PolyHash.duckdbSql("tok")}) % 1024)
+                        * 2654435761 + 1013904223) % ${1L << 21}) - ${1L << 20} AS w
+               FROM toks)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(sum(w) AS BIGINT) AS logit_scaled,
+                sum(w) > 0 AS keep
+         FROM w GROUP BY doc_id ORDER BY doc_id""",
     // full effective-dated recompute (lead over the entire change
     // history); the engine answers with recompute(early) + apply(late)
     "t34_scd2" ->

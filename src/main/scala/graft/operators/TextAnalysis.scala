@@ -455,6 +455,41 @@ object TextAnalysis {
     * counting ones is a distributed row_number with no single-task global
     * window; `n` is one metadata-cheap count.
     */
+  /** T35: model-based quality scoring with the hashing trick — the
+    * fastText-linear-classifier shape (Joulin et al. 2016 "Bag of Tricks";
+    * Weinberger et al. 2009 feature hashing) every production web-corpus
+    * quality filter runs (CCNet, Gopher, LLaMA data pipelines): tokens hash
+    * into `dim` feature buckets, each bucket carries a weight from a model
+    * trained OFFLINE (here a deterministic integer weight table, standing
+    * in for shipped coefficients), and the document's logit is the
+    * bag-of-words weight sum.
+    *
+    * Everything stays in integers: weights live in [-2^20, 2^20) and the
+    * logit is their exact BIGINT sum, carried as the rational
+    * `logit_scaled / (n_tokens * 2^20)` (the g03 exact-fraction
+    * discipline) — `keep` is the integer comparison `logit_scaled > 0`
+    * (⇔ mean-pooled score > 0 ⇔ sigmoid > 0.5), so the gate is
+    * bit-exact cross-engine with no float sigmoid in sight.
+    *
+    * Scale shape: pure per-row map — poly_hash + the weight LCG fold run
+    * inside whole-stage codegen over the token array; no explode, no
+    * shuffle, no weight-table join (the hashing trick replaces the
+    * vocabulary lookup with arithmetic, which is exactly why fastText
+    * scoring parallelizes embarrassingly at corpus scale).
+    */
+  def classifierScore(documents: DataFrame, dim: Int = 1024): DataFrame = {
+    val toks = Dedup.tokens($"text")
+    val weights = transform(toks, t =>
+      pmod(pmod(PolyHash(t), lit(dim.toLong)) * lit(2654435761L) + lit(1013904223L),
+        lit(1L << 21)) - lit(1L << 20))
+    documents.select(
+      $"doc_id",
+      size(toks).cast("long").as("n_tokens"),
+      aggregate(weights, lit(0L), (acc, w) => acc + w).as("logit_scaled"))
+      .withColumn("keep", $"logit_scaled" > 0L)
+      .orderBy($"doc_id")
+  }
+
   def pplBuckets(documents: DataFrame, buckets: Int = 3,
                  partitions: Int = 0): DataFrame = {
     require(buckets > 0, "buckets must be positive")

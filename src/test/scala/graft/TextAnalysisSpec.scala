@@ -214,4 +214,29 @@ class TextAnalysisSpec extends SparkSpec {
     val b = TextAnalysis.pplBuckets(fixture, 3, partitions = 16).collect().map(_.toSeq).toSeq
     a shouldBe b
   }
+
+  test("classifierScore: exact integer logit, JVM-replayed weights, keep = logit>0") {
+    val d = docs((1L, "alpha beta alpha", "en", "w"), (2L, "gamma", "en", "w"))
+    val out = TextAnalysis.classifierScore(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    // replay the model in plain Scala: bucket = poly_hash % 1024,
+    // w = LCG(bucket) shifted to [-2^20, 2^20)
+    def w(tok: String): Long = {
+      val b = graft.functions.PolyHash.hash(tok, 31L) % 1024L
+      (b * 2654435761L + 1013904223L) % (1L << 21) - (1L << 20)
+    }
+    val l1 = 2 * w("alpha") + w("beta")
+    val l2 = w("gamma")
+    out shouldBe Seq((1L, 3L, l1, l1 > 0), (2L, 1L, l2, l2 > 0))
+  }
+
+  test("classifierScore logits are bounded by n_tokens * 2^20 (weight range)") {
+    val out = TextAnalysis.classifierScore(table("documents")).collect()
+    out.foreach { r =>
+      math.abs(r.getLong(2)) should be <= (r.getLong(1) * (1L << 20))
+    }
+    // a fixed pretrained model must not degenerate to all-keep/all-drop
+    // on a 500-doc corpus
+    out.map(_.getBoolean(3)).toSet shouldBe Set(true, false)
+  }
 }
