@@ -973,6 +973,11 @@ object SparkEntry {
     // (DC-only blocks), so the closed-form oracle below regenerates the
     // identical bits the engine recovers from entropy-coded bytes
     "m07_jpeg_phash" -> ((s, d) => Multimodal.jpegPhash(t(s, d)("documents")).toDF()),
+    // audio framing + features over the REAL PCM16 decode path: per-32-
+    // sample-frame exact-integer energy, amplitude sum, peak and
+    // zero-crossing count — framing stays inside Catalyst array
+    // expressions (slice/aggregate/zip_with), no sample-level explode
+    "m08_audio_frames" -> ((s, d) => Multimodal.audioFrames(t(s, d)("documents"))),
     // image perceptual hash (aHash) over the REAL decoded PNG raster —
     // integer-exact block means (lcm scaling), strict cross-multiplied
     // threshold: the oracle regenerates identical bits from the pixel
@@ -1568,6 +1573,24 @@ object SparkEntry {
     "g04_triangles_exact" -> ((s, d) =>
       operators.Graph.triangleCensus(
         operators.Graph.coPurchaseEdges(t(s, d)("lineitem")))),
+    // connected components by alternating large-star/small-star
+    // contraction (O(log n) shuffle rounds on ANY diameter) over the
+    // md5-gated doc-id chain graph — segments hundreds of hops long,
+    // the regime where one-hop-per-round min-label propagation (d07/
+    // e04's kernel, right for their clique-shaped graphs) would need
+    // hundreds of shuffles. Labels are component-minimum node ids:
+    // bit-identical in any engine, full value oracle
+    "g05_components" -> ((s, d) => {
+      val docs = t(s, d)("documents")
+      operators.Graph.alternatingStarComponents(
+          operators.Graph.docChainEdges(docs),
+          docs.select($"doc_id".as("node")))
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n_nodes"),
+          min($"node").as("min_node"), max($"node").as("max_node"),
+          sum($"node").as("sum_nodes"))
+        .orderBy($"label")
+    }),
     // item-to-item CF over order baskets: wedge join centered on the
     // BASKET side (fanout Σ C(|basket|,2), linear in orders) — the
     // item-centered unipartite form explodes as Σ deg² (1.5e8 wedges at
@@ -3102,6 +3125,28 @@ object SparkEntry {
                 CAST(sum(CASE WHEN mm * 64 > tot THEN 1 ELSE 0 END) AS BIGINT) AS n_set
          FROM m JOIN g USING (doc_id)
          GROUP BY 1 ORDER BY 1""",
+    // per-frame features regenerated from the closed-form PCM formula
+    // (31k + 7d) % 2048 − 1024 over the WAV third of the asset fixture —
+    // the engine recovers the identical integers through the RIFF chunk
+    // walk and 16-bit sign extension, never seeing the formula
+    "m08_audio_frames" ->
+      """WITH w AS (SELECT doc_id AS d, 64 + doc_id % 193 AS n,
+                           8000 + (doc_id % 5) * 4000 AS rate
+                    FROM documents WHERE doc_id % 3 = 2),
+         k AS (SELECT d, n, rate, unnest(generate_series(0, n - 1)) AS k FROM w),
+         s AS (SELECT d, rate, k, k // 32 AS frame,
+                      (31 * k + 7 * d) % 2048 - 1024 AS x FROM k),
+         z AS (SELECT d, rate, frame, k, x,
+                      lag(x) OVER (PARTITION BY d, frame ORDER BY k) AS px FROM s)
+         SELECT d AS doc_id, CAST(rate AS BIGINT) AS sample_rate,
+                CAST(frame AS BIGINT) AS frame,
+                CAST(count(*) AS BIGINT) AS n_samples,
+                CAST(sum(x) AS BIGINT) AS sum_amp,
+                CAST(sum(x * x) AS BIGINT) AS energy,
+                CAST(max(abs(x)) AS BIGINT) AS peak,
+                CAST(sum(CASE WHEN px IS NOT NULL AND ((x >= 0) <> (px >= 0))
+                              THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+         FROM z GROUP BY 1, 2, 3 ORDER BY 1, 3""",
     "m02_frame_sample" ->
       """WITH f AS (
            SELECT doc_id, text,
@@ -3969,6 +4014,24 @@ object SparkEntry {
                 (SELECT CAST(n_triangles AS BIGINT) FROM tri)    AS n_triangles,
                 (SELECT CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) FROM deg)
                   AS n_wedges""",
+    // components via one-hop recursive closure (DuckDB iterates to the
+    // fixpoint; UNION dedup terminates it) over the same md5-gated chain
+    // graph — label = component-minimum id, the same bit-exact contract
+    // the star-contraction engine produces in O(log n) rounds
+    "g05_components" ->
+      """WITH RECURSIVE e AS (
+           SELECT doc_id AS u, doc_id - 1 AS v FROM documents
+           WHERE doc_id > 0 AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <> 'ff'),
+         sym AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+         reach(node, label) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT s.u, r.label FROM reach r JOIN sym s ON s.v = r.node),
+         lab AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node)
+         SELECT label, CAST(count(*) AS BIGINT) AS n_nodes,
+                MIN(node) AS min_node, MAX(node) AS max_node,
+                CAST(SUM(node) AS BIGINT) AS sum_nodes
+         FROM lab GROUP BY label ORDER BY label""",
     // basket-centered wedge join, support floor 2, exact-integer Jaccard
     // fraction; total order (common DESC, u, w) makes the top-20 cut
     // deterministic inside a tie group

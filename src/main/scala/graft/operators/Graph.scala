@@ -245,4 +245,102 @@ object Graph {
       .orderBy(col("common").desc, col("u"), col("w"))
       .limit(k)
   }
+
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al. 2014, "Connected Components in MapReduce
+    * and Beyond") — the kernel that replaces [[minLabelComponents]] when
+    * component DIAMETER is unbounded. Min-label propagates one hop per
+    * round (O(diameter) shuffles: a 10⁶-node path needs 10⁶ rounds);
+    * star contraction rewires every node to its neighborhood minimum
+    * each round, halving tree heights, and converges in O(log n) rounds
+    * on ANY graph shape — the difference between impossible and ~20
+    * shuffles on the path-like graphs (message threads, click chains,
+    * citation chains) a 100 TB corpus actually contains.
+    *
+    * Node ids must be numeric (orderable); state is a directed
+    * child→parent edge list with parent < child, barriered per phase so
+    * round N scans the previous round's checkpoint, not the whole
+    * lineage. Each phase is one aggregate + one co-partitioned join +
+    * one distinct — all shuffles keyed on node id, no collect_list (hub
+    * neighborhoods never materialize in one task; the min is a partial
+    * aggregate). Convergence = the exact (count, Σ xxhash64) signature
+    * of the edge state repeating — two metadata-sized aggregates, no
+    * driver-side edge data.
+    *
+    * At the fixpoint every edge points directly at its component's
+    * minimum node, so labels read straight off the star: label(child) =
+    * parent, roots and isolated nodes label themselves. `nodes`
+    * supplies the full universe (isolated ids never appear in `edges`).
+    * Returns (node, label) with label = min node id of the component,
+    * bit-identical in any engine — the same contract as
+    * [[minLabelComponents]], which GraphSpec pins by equivalence.
+    */
+  def alternatingStarComponents(edgesRaw: DataFrame, nodes: DataFrame,
+                                maxRounds: Int = 30): DataFrame = {
+    val spark = edgesRaw.sparkSession
+    // canonical child→parent start state: (hi, lo), self-loops dropped
+    var e = graft.Session.barrier(
+      edgesRaw.select(
+          greatest(col("u"), col("v")).as("c"),
+          least(col("u"), col("v")).as("p"))
+        .where(col("c") =!= col("p"))
+        .distinct())
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(xxhash64(col("c"), col("p")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var sig = signature(e)
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      // large-star: m(u) = min over the SYMMETRIC neighborhood ∪ {u};
+      // every strictly larger neighbor v re-points to m. Each edge (c,p)
+      // survives from p's group (c ∈ Γ⁺(p)), so no adjacency is lost,
+      // and m ≤ u < v keeps the child>parent canonical form.
+      val sym = e.select(col("c").as("u"), col("p").as("v"))
+        .unionByName(e.select(col("p").as("u"), col("c").as("v")))
+      val mnL = sym.groupBy(col("u")).agg(least(min(col("v")), col("u")).as("m"))
+      val large = graft.Session.barrier(
+        sym.join(mnL, "u").where(col("v") > col("u"))
+          .select(col("v").as("c"), col("m").as("p"))
+          .distinct())
+      // small-star: within each node's ≤-neighborhood (already the
+      // child→parent direction), all parents and the node itself
+      // re-point to the minimum parent.
+      val mnS = large.groupBy(col("c")).agg(min(col("p")).as("m"))
+      val small = graft.Session.barrier(
+        large.join(mnS, "c")
+          .select(col("p").as("c2"), col("m").as("p2"))
+          .where(col("c2") =!= col("p2"))
+          .unionByName(mnS.select(col("c").as("c2"), col("m").as("p2")))
+          .select(col("c2").as("c"), col("p2").as("p"))
+          .distinct())
+      val nextSig = signature(small)
+      converged = nextSig == sig
+      sig = nextSig
+      e = small
+      round += 1
+    }
+    require(converged,
+      s"alternatingStarComponents did not converge after $maxRounds rounds " +
+        "(O(log n) expected — raise maxRounds only for astronomically large n)")
+    nodes.select(col("node"))
+      .join(e.select(col("c").as("node"), col("p").as("label")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+  }
+
+  /** The g05 fixture graph: doc-id chain segments — doc i links to i−1
+    * unless the md5 of its id starts with "ff" (p = 1/256), giving
+    * expected segment length 256 and component diameters in the
+    * hundreds-to-thousands at bench scale: exactly the high-diameter
+    * regime [[minLabelComponents]] cannot touch and star contraction
+    * finishes in O(log n) rounds. md5-on-decimal-string is the e04
+    * precedent: bit-identical in every engine, so the oracle rebuilds
+    * the same graph without sharing code.
+    */
+  def docChainEdges(documents: DataFrame): DataFrame =
+    documents
+      .where(col("doc_id") > 0 &&
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2) =!= "ff")
+      .select(col("doc_id").as("u"), (col("doc_id") - 1).as("v"))
 }

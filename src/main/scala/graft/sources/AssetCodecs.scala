@@ -784,6 +784,41 @@ object AssetCodecs {
     buf.array()
   }
 
+  /** Full PCM16 sample decode — the m08 feature-extraction entry point.
+    * Same RIFF chunk walk as [[decodeWav]] but returns the samples
+    * themselves: (sampleRate, interleaved frames). Scope: mono PCM16,
+    * matching the encoder; anything else fails loudly.
+    */
+  def decodeWavSamples(bytes: Array[Byte]): (Int, Array[Short]) = {
+    require(bytes.length >= 12 &&
+      new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(bytes, 8, 4, "US-ASCII") == "WAVE", "bad RIFF/WAVE header")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    var pos = 12
+    var rate = -1
+    var out: Array[Short] = null
+    while (pos + 8 <= bytes.length) {
+      val id = new String(bytes, pos, 4, "US-ASCII")
+      val len = buf.getInt(pos + 4)
+      require(len >= 0 && pos + 8 + len <= bytes.length, s"truncated WAV chunk $id")
+      id match {
+        case "fmt " =>
+          require(len >= 16, "short fmt chunk")
+          require((buf.getShort(pos + 8) & 0xffff) == 1, "non-PCM WAV out of scope")
+          require((buf.getShort(pos + 10) & 0xffff) == 1, "non-mono WAV out of scope")
+          rate = buf.getInt(pos + 12)
+          require((buf.getShort(pos + 22) & 0xffff) == 16, "scope: PCM16")
+        case "data" =>
+          require(rate > 0, "WAV data chunk before fmt")
+          out = Array.tabulate(len / 2)(i => buf.getShort(pos + 8 + 2 * i))
+        case _ => ()
+      }
+      pos += 8 + len + (len & 1)
+    }
+    require(out != null, "WAV missing data chunk")
+    (rate, out)
+  }
+
   def decodeWav(bytes: Array[Byte]): AssetMeta = {
     require(bytes.length >= 12 &&
       new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&

@@ -176,4 +176,60 @@ class GraphSpec extends SparkSpec {
     }
     e.getMessage should include("did not converge")
   }
+
+  private def starCC(edges: Seq[(Long, Long)], nodes: Seq[Long],
+                     maxRounds: Int = 30): Map[Long, Long] =
+    Graph.alternatingStarComponents(
+        edges.toDF("u", "v"), nodes.toDF("node"), maxRounds)
+      .as[(Long, Long)].collect().toMap
+
+  test("alternatingStarComponents: a 300-hop path converges in O(log n) rounds") {
+    // diameter 300 — min-label's one-hop-per-round kernel would need 300
+    // shuffle rounds; star contraction must finish inside 30 (~2 log n)
+    val path = (0L until 300L).map(i => (i, i + 1))
+    val out = starCC(path, 0L to 300L)
+    out.values.toSet shouldBe Set(0L)
+    out should have size 301
+  }
+
+  test("alternatingStarComponents: matches minLabelComponents on a seeded random graph") {
+    val rnd = new scala.util.Random(1234)
+    val nodes = (0L until 200L)
+    val edges = Seq.fill(150)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter { case (a, b) => a != b }
+    val star = starCC(edges, nodes)
+    val sym = (edges ++ edges.map(_.swap)).toDF("src", "dst")
+    val init = nodes.toDF("node").withColumn("label", $"node")
+    val ml = Graph.minLabelComponents(sym, init, maxRounds = 200)
+      .as[(Long, Long)].collect().toMap
+    star shouldBe ml
+  }
+
+  test("alternatingStarComponents: isolated nodes, self-loops, duplicate edges") {
+    // self-loops are dropped, duplicates collapse, node 9 never appears
+    // in an edge and labels itself
+    val out = starCC(Seq((2L, 1L), (1L, 2L), (2L, 2L), (1L, 2L), (3L, 2L)),
+      Seq(1L, 2L, 3L, 9L))
+    out shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L)
+  }
+
+  test("g05's chain graph: engine components match a driver-side union-find of the same edges") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val labels = Graph.alternatingStarComponents(
+        Graph.docChainEdges(docs),
+        docs.select($"doc_id".as("node")))
+      .as[(Long, Long)].collect()
+    // independent truth: sequential scan with the same md5 gate
+    val ids = docs.select($"doc_id").as[Long].collect().sorted
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var root = Map.empty[Long, Long]
+    var cur = ids.head
+    ids.foreach { i =>
+      val hex = md.digest(i.toString.getBytes("UTF-8"))
+        .take(1).map(b => f"$b%02x").mkString
+      if (i == ids.head || hex == "ff" || !root.contains(i - 1)) cur = i
+      root += i -> cur
+    }
+    labels.toMap shouldBe root
+  }
 }

@@ -93,4 +93,28 @@ class MultimodalSpec extends SparkSpec {
       (r.hash_hi, r.hash_lo) shouldBe ((hi, lo))
     }
   }
+
+  test("audioFrames: features recovered from WAV bytes equal the formula-direct values") {
+    val ids = spark.range(0, 30).toDF("doc_id")
+    val out = Multimodal.audioFrames(ids).collect()
+    // only the WAV third of the fixture, every frame accounted for
+    out.map(_.getLong(0)).distinct.toSeq shouldBe (2L until 30L by 3L).toSeq
+    out.foreach { r =>
+      val d = r.getLong(0)
+      val n = (64 + d % 193).toInt
+      val f = r.getLong(2).toInt
+      r.getLong(1) shouldBe 8000 + (d % 5) * 4000
+      val xs = (f * 32 until math.min(f * 32 + 32, n))
+        .map(k => (31L * k + 7 * d) % 2048 - 1024)
+      r.getLong(3) shouldBe xs.size.toLong            // n_samples
+      r.getLong(4) shouldBe xs.sum                    // sum_amp
+      r.getLong(5) shouldBe xs.map(x => x * x).sum    // energy
+      r.getLong(6) shouldBe xs.map(math.abs).max      // peak
+      r.getLong(7) shouldBe xs.sliding(2).count(p =>  // zero_crossings
+        p.size == 2 && (p(0) >= 0) != (p(1) >= 0))
+    }
+    // last frame of a non-multiple-of-32 stream is partial, not padded
+    val d2 = out.filter(_.getLong(0) == 2L)
+    d2.map(_.getLong(3)).sum shouldBe 64 + 2 % 193
+  }
 }
