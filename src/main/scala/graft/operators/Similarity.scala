@@ -409,6 +409,22 @@ object Similarity {
     * each equal-cosine class, so results are bit-identical to the direct
     * all-member join (duplicates share their cosine by construction).
     */
+  /** [[knnJoin]] with the bucket width derived from the corpus size via
+    * [[adaptiveNbits]] — the form that holds at 100 TB. Fixed nbits makes
+    * the in-bucket candidate join grow quadratically with the corpus
+    * (measured 5.9× for 10× distinct vectors at the sf1 leg); nbits
+    * rising with log₂(n) pins MEAN bucket occupancy at `targetBucket`,
+    * making candidate pairs ~n·targetBucket — linear. The count is one
+    * metadata-cheap aggregate; the derived width rides into the plan as
+    * a literal, and because plane weights depend only on bit index the
+    * adaptive bucket is exactly the low `nbits` bits of the 16-bit
+    * bucket — which is how the SQL oracle recomputes it without dynamic
+    * SQL (the s08 precedent).
+    */
+  def knnJoinAdaptive(embeddings: DataFrame, k: Int,
+                      targetBucket: Long = 16L): DataFrame =
+    knnJoin(embeddings, adaptiveNbits(embeddings.count(), targetBucket), k)
+
   def knnJoin(embeddings: DataFrame, nbits: Int, k: Int): DataFrame = {
     // group bit-identical vectors; ids sorted so slice(1, k+1) keeps the
     // tie-break winners of each group

@@ -270,6 +270,22 @@ class SimilaritySpec extends SparkSpec {
     out shouldBe expected
   }
 
+  test("knnJoinAdaptive applies the adaptiveNbits rule to the corpus count") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 40L).map { i =>
+      (i, Array.fill(64)((rnd.nextInt(9) - 4).toFloat), (i % 3).toInt)
+    }
+    val d = emb(rows: _*)
+    // 40 vectors -> nbits = 4 (the floor); must equal the explicit call
+    val fixed = Similarity.knnJoin(d, Similarity.adaptiveNbits(40L), 3)
+      .select($"vec_id", $"neighbor_id", $"nn_rank")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val adaptive = Similarity.knnJoinAdaptive(d, 3)
+      .select($"vec_id", $"neighbor_id", $"nn_rank")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    adaptive shouldBe fixed
+  }
+
   test("adaptiveNbits: mean bucket size stays bounded, bits grow with log2(n)") {
     // rule: smallest b in [min,max] with n <= target << b
     Similarity.adaptiveNbits(1L) shouldBe 4
