@@ -447,6 +447,57 @@ object SparkEntry {
     s.table("w12_out").orderBy($"event_type")
   }
 
+  /** w14: streaming heavy hitters — a Misra–Gries summary as streaming
+    * aggregation state, the bounded-memory answer to "top users per event
+    * type" over an unbounded stream (an exact streaming groupBy(type,
+    * user) holds one state row per DISTINCT PAIR forever; the MG summary
+    * holds k counters per type at any cardinality). Complete-mode
+    * aggregate over multi-batch landing replay, so the summary MERGES
+    * across micro-batches through the same Agarwal-et-al. reduction the
+    * batch sketch uses (counter addition, then subtracting the (k+1)-th
+    * largest — [[operators.Sketches.freqItems]]).
+    *
+    * Gate discipline = w12's theta precedent: below capacity the sketch
+    * is EXACT (no decrement can fire while a type's distinct users ≤ k),
+    * so at the sf0.01 correctness SF the streamed counters equal a plain
+    * GROUP BY and the DuckDB oracle value-checks the full machinery —
+    * landing replay, state merge, summary explode. Above capacity (the
+    * 10×+ bench fixtures) the output degrades to the documented
+    * guarantee (every item with count > n/(k+1) present, undercount ≤
+    * n/(k+1)) — the operational sketch regime, bench-timed but not
+    * value-gated, exactly as HLL/KLL/theta.
+    */
+  private def streamHeavy(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_w14").toString
+    val events = t(s, d)("events")
+      .select($"event_id", $"user_id", $"event_type")
+    // two landing files -> two micro-batches: summaries must merge
+    events.where($"event_id" % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(s"$tmp/landing")
+    events.where($"event_id" % 2 =!= 0).coalesce(1)
+      .write.mode("append").parquet(s"$tmp/landing")
+    val stream = s.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/landing")
+    val mg = operators.Sketches.mgCounters(2048)
+    withStreamingPartitions(s, 8) {
+      val q = stream.groupBy($"event_type")
+        .agg(mg($"user_id".cast("string")).as("counters"))
+        .writeStream
+        .format("memory")
+        .queryName("w14_out")
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.streaming.StateMetrics.record("w14_stream_heavy", q)
+    }
+    s.table("w14_out")
+      .select($"event_type", explode($"counters").as(Seq("item", "est_count")))
+      .select($"event_type", $"item".cast("long").as("user_id"), $"est_count")
+      .orderBy($"event_type", $"user_id")
+  }
+
   /** Stage the events fixture as TIME-SLICED landing files (one per ~week,
     * modification times bumped monotonically so the file source's
     * mod-time ordering equals event-time ordering even when the writes
@@ -1143,6 +1194,13 @@ object SparkEntry {
     }),
     // exact interpolated percentiles (SURVEY §2.4 "free in Spark"): same
     // linear-interpolation definition as the oracle's quantile_cont
+    // robust per-segment outlier screen: exact integer median/MAD over
+    // cents via DOUBLED order statistics (med2 = 2·median exact at even
+    // n), both passes over the value-domain-bounded (group, cents)
+    // histogram — no raw-row sort window anywhere
+    "q59_mad_outliers" -> ((s, d) => Core.madOutliers(
+      t(s, d)("customer"), "c_mktsegment",
+      ($"c_acctbal".cast("decimal(18,2)") * 100).cast("long"))),
     "q27_percentiles" -> ((s, d) => t(s, d)("orders")
       .groupBy($"o_orderpriority")
       .agg(expr("percentile(o_totalprice, 0.5)").as("p50"),
@@ -1307,6 +1365,11 @@ object SparkEntry {
     }),
     // corpus data card: composition rollup every dataset release ships
     "t13_data_card" -> ((s, d) => CorpusPipeline.dataCard(t(s, d)("documents"))),
+    // vocabulary profile: types/tokens/hapax/mode per source + corpus,
+    // everything over the (source, token) histogram — the measurement
+    // that picks the df caps for every gram-keyed operator
+    "t36_vocab_profile" -> ((s, d) =>
+      operators.TextAnalysis.vocabProfile(t(s, d)("documents"))),
     // DSIR selection executed: fill a 3000-token budget with the most
     // target-like docs first (distributed prefix sum over the rank order)
     "t14_dsir_select" -> ((s, d) => {
@@ -1692,6 +1755,7 @@ object SparkEntry {
     // state store across micro-batches; exact below nominal capacity, so
     // the oracle is plain count(DISTINCT) — see streamDistinct
     "w12_stream_distinct" -> ((s, d) => streamDistinct(s, d)),
+    "w14_stream_heavy" -> ((s, d) => streamHeavy(s, d)),
     // t33 through the real streaming path (foreachBatch MV maintenance,
     // versioned-pointer exactly-once); shares t33's recompute oracle
     "w13_stream_mv" -> ((s, d) => streamIncrementalAgg(s, d)),
@@ -2655,6 +2719,32 @@ object SparkEntry {
       """SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS p50,
                 quantile_cont(o_totalprice, 0.9) AS p90, count(*) AS n
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // raw-row order statistics (row_number brackets) — an independent
+    // formulation of the engine's histogram-collapsed passes; identical
+    // doubled-integer medians by construction
+    "q59_mad_outliers" ->
+      """WITH b AS (SELECT c_mktsegment AS g,
+                           CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+                    FROM customer),
+         r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rr,
+                      count(*) OVER (PARTITION BY g) AS n FROM b),
+         m AS (SELECT g,
+                      CAST(sum(CASE WHEN rr = (n+1)//2 THEN v ELSE 0 END)
+                         + sum(CASE WHEN rr = (n+2)//2 THEN v ELSE 0 END) AS BIGINT) AS med2,
+                      max(n) AS n
+               FROM r GROUP BY g),
+         d AS (SELECT b.g, abs(2*b.v - m.med2) AS dev FROM b JOIN m ON b.g = m.g),
+         r2 AS (SELECT g, dev, row_number() OVER (PARTITION BY g ORDER BY dev) AS rr,
+                       count(*) OVER (PARTITION BY g) AS n FROM d),
+         m2 AS (SELECT g,
+                       CAST(sum(CASE WHEN rr = (n+1)//2 THEN dev ELSE 0 END)
+                          + sum(CASE WHEN rr = (n+2)//2 THEN dev ELSE 0 END) AS BIGINT) AS mad2
+                FROM r2 GROUP BY g)
+         SELECT m.g AS segment, CAST(m.n AS BIGINT) AS n, m.med2, m2.mad2,
+                CAST(sum(CASE WHEN 2*d.dev > 3*m2.mad2 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+                CAST(sum(CASE WHEN 2*d.dev > 3*m2.mad2 THEN d.dev ELSE 0 END) AS BIGINT) AS outlier_dev2_sum
+         FROM d JOIN m ON d.g = m.g JOIN m2 ON d.g = m2.g
+         GROUP BY 1, 2, 3, 4 ORDER BY 1""",
     "q28_cube" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
                 coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS n,
@@ -3253,6 +3343,30 @@ object SparkEntry {
     // composition rollup; GROUPING() markers distinguish rolled-up NULLs
     // from data NULLs, NULLS FIRST pins the cross-engine sort (DuckDB
     // defaults NULLS LAST, Spark asc defaults NULLS FIRST)
+    // type/token/hapax/mode per source + re-collapsed corpus row; the
+    // modal token's tie-break (count desc, token desc) mirrors the
+    // engine's max(struct(c, tok)) total order
+    "t36_vocab_profile" ->
+      """WITH h AS (SELECT source,
+                           unnest(string_split_regex(lower(text), '\s+')) AS tok
+                    FROM documents),
+         hc AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+                FROM h GROUP BY 1, 2),
+         ac AS (SELECT 'ALL' AS source, tok, CAST(sum(c) AS BIGINT) AS c
+                FROM hc GROUP BY 2),
+         u AS (SELECT * FROM hc UNION ALL SELECT * FROM ac),
+         per AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+                        CAST(count(*) AS BIGINT) AS n_types,
+                        CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+                 FROM u GROUP BY 1),
+         top AS (SELECT source, tok, c,
+                        row_number() OVER (PARTITION BY source
+                                           ORDER BY c DESC, tok DESC) AS rn
+                 FROM u)
+         SELECT per.source, per.n_tokens, per.n_types, per.n_hapax,
+                top.tok AS top_token, top.c AS top_count
+         FROM per JOIN top ON per.source = top.source AND top.rn = 1
+         ORDER BY per.source""",
     "t13_data_card" ->
       """WITH base AS (SELECT source, lang,
                         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,
@@ -4175,6 +4289,13 @@ object SparkEntry {
       s"""WITH $evCte
          SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
          FROM ev GROUP BY 1 ORDER BY 1""",
+    // below MG capacity (sf0.01: 150 users/type << 2048 counters) the
+    // streamed summary is exact for any batch/merge order, so the plain
+    // GROUP BY value-checks the whole streaming path
+    "w14_stream_heavy" ->
+      s"""WITH $evCte
+         SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS est_count
+         FROM ev GROUP BY 1, 2 ORDER BY 1, 2""",
     // independent formulation: a day-range theta join instead of the
     // engine's bounded explode — same distinct-actives by construction
     "q45_rolling_dau" ->

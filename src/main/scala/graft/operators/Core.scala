@@ -340,4 +340,61 @@ object Core {
         max($"cents").as("max_cents"), sum($"cents").as("sum_cents"))
       .orderBy($"tile")
   }
+
+  /** Robust per-group outlier detection via median absolute deviation —
+    * the robust-statistics counterpart of z-score filtering (median/MAD
+    * don't move when the outliers themselves do, which is why quality
+    * pipelines prefer them for e.g. balance/price/latency screens).
+    *
+    * All arithmetic is exact integers over cents: carrying DOUBLED order
+    * statistics (`med2` = b_⌈n/2⌉ + b_⌈(n+1)/2⌉, i.e. 2·median with the
+    * even-n midpoint exact; `mad2` likewise over |2v − med2| so it is
+    * 4·MAD) makes every median — odd or even group size — an integer any
+    * engine computes bit-identically, and the outlier rule the integer
+    * cross-multiplication `2·|2v − med2| > 3·mad2` ⟺ |v − median| >
+    * 3·MAD. No float quantile interpolation anywhere (the q51/g03
+    * discipline).
+    *
+    * Scale shape — the part that matters at 100 TB: both order-statistic
+    * passes run over the (group, value) HISTOGRAM, not raw rows. The
+    * first groupBy collapses the fact table with map-side combine; every
+    * window after that sorts ≤ |value domain| rows per group (cents of a
+    * bounded money range — ~10⁶ — regardless of row count), so there is
+    * no per-group terabyte sort task; the k-th order statistic reads off
+    * the cumulative-count range [lo_rank, hi_rank] that brackets k.
+    * Medians broadcast back as one tiny relation per pass.
+    */
+  def madOutliers(df: DataFrame, groupCol: String, cents: Column): DataFrame = {
+    val w = Window.partitionBy($"g").orderBy($"v")
+    // one order-statistic pass over a (g, v, c) histogram: the doubled
+    // k1/k2-th smallest values, k1 = ⌈n/2⌉, k2 = ⌈(n+1)/2⌉
+    def orderStat2(hist: DataFrame): DataFrame =
+      hist
+        .withColumn("hi_rank", sum($"c").over(w))
+        .withColumn("lo_rank", $"hi_rank" - $"c" + 1)
+        .withColumn("n", sum($"c").over(Window.partitionBy($"g")))
+        .withColumn("k1", expr("(n + 1) div 2"))
+        .withColumn("k2", expr("(n + 2) div 2"))
+        .groupBy($"g")
+        .agg((sum(when($"k1".between($"lo_rank", $"hi_rank"), $"v").otherwise(0L)) +
+              sum(when($"k2".between($"lo_rank", $"hi_rank"), $"v").otherwise(0L)))
+          .as("stat2"),
+          max($"n").as("n"))
+    val hist = df.select(col(groupCol).as("g"), cents.as("v"))
+      .groupBy($"g", $"v").agg(count(lit(1)).as("c"))
+    val meds = orderStat2(hist)
+      .select($"g", $"stat2".as("med2"), $"n")
+    val devHist = hist.join(broadcast(meds), Seq("g"))
+      .select($"g", abs($"v" * 2 - $"med2").as("v"), $"c")
+      .groupBy($"g", $"v").agg(sum($"c").as("c"))
+    val mads = orderStat2(devHist).select($"g", $"stat2".as("mad2"))
+    devHist.join(broadcast(meds), Seq("g")).join(broadcast(mads), Seq("g"))
+      .groupBy($"g")
+      .agg(max($"n").as("n"), max($"med2").as("med2"), max($"mad2").as("mad2"),
+        sum(when($"v" * 2 > $"mad2" * 3, $"c").otherwise(0L)).as("n_outliers"),
+        sum(when($"v" * 2 > $"mad2" * 3, $"v" * $"c").otherwise(0L)).as("outlier_dev2_sum"))
+      .select($"g".as("segment"), $"n", $"med2", $"mad2",
+        $"n_outliers", $"outlier_dev2_sum")
+      .orderBy($"segment")
+  }
 }

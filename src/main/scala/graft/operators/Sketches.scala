@@ -132,10 +132,19 @@ object Sketches {
     * merge-order-dependent (the guarantee is not), so the family is
     * spec-gated like HLL/KLL, not SQL-oracle-gated.
     */
+  /** The Misra–Gries summary as a reusable aggregate function — the
+    * building block [[freqItems]] and the w14 streaming heavy-hitters
+    * state share. k counters per group at every level of the aggregation
+    * (or streaming state) tree.
+    */
+  def mgCounters(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    require(k >= 1, s"need at least one counter, got k=$k")
+    udaf(new MisraGries(k))
+  }
+
   def freqItems(df: DataFrame, groupCol: String, valueCol: String,
                 k: Int = 16): DataFrame = {
-    require(k >= 1, s"need at least one counter, got k=$k")
-    val mg = udaf(new MisraGries(k))
+    val mg = mgCounters(k)
     df.groupBy(col(groupCol))
       .agg(mg(col(valueCol).cast("string")).as("counters"))
       .select(col(groupCol), explode($"counters").as(Seq("item", "est_count")))

@@ -508,4 +508,48 @@ object TextAnalysis {
           .as("ppl_bucket"))
       .orderBy($"doc_id")
   }
+
+  /** Vocabulary profile (t36): the type/token statistics a dataset release
+    * publishes next to t13's composition card, and the quantities behind
+    * Heaps'/Zipf's laws — per source and for the whole corpus: token
+    * count, distinct types, hapax count (types seen once — the Heaps
+    * frontier; its share predicts how fast the vocabulary still grows),
+    * exact type-token ratio as the integer pair it is, and the modal
+    * token with its count (the Zipf head; ties break on the larger token
+    * string, totally ordered in any engine).
+    *
+    * Why this matters operationally at 100 TB: the sf1 scale analysis
+    * (SCALE.md round-7 leg) showed gram document frequency — a pure
+    * function of the corpus's vocabulary growth — decides whether every
+    * gram-keyed operator (d02/d06/d08, t08) is linear or quadratic. This
+    * profile is the measurement a pipeline runs FIRST to pick those
+    * operators' caps.
+    *
+    * Scale shape: one corpus scan collapsing to the (source, token)
+    * frequency histogram (map-side combine; ≤ |vocab|·|sources| rows
+    * regardless of corpus rows), then per-source and corpus-wide stats
+    * as aggregates over that histogram. The corpus-wide pass re-collapses
+    * the histogram over token alone first (a type's per-source counts
+    * merge before hapax/mode logic, so per-source hapaxes that repeat
+    * across sources are correctly NOT corpus hapaxes). No window over raw
+    * rows, no explode-regroup of the corpus twice.
+    */
+  def vocabProfile(documents: DataFrame): DataFrame = {
+    val hist = graft.Session.barrier(
+      documents
+        .select($"source", explode(Dedup.tokens($"text")).as("tok"))
+        .groupBy($"source", $"tok").agg(count(lit(1)).as("c")))
+    def stats(h: DataFrame, src: Column): DataFrame =
+      h.groupBy(src.as("source"))
+        .agg(sum($"c").cast("long").as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when($"c" === 1L, 1L).otherwise(0L)).as("n_hapax"),
+          max(struct($"c".as("c"), $"tok".as("tok"))).as("top"))
+        .select($"source", $"n_tokens", $"n_types", $"n_hapax",
+          $"top.tok".as("top_token"), $"top.c".as("top_count"))
+    stats(hist, $"source")
+      .unionByName(stats(
+        hist.groupBy($"tok").agg(sum($"c").as("c")), lit("ALL")))
+      .orderBy($"source")
+  }
 }

@@ -173,4 +173,32 @@ class CoreSpec extends SparkSpec {
       r.getAs[String]("lang_param") should fullyMatch regex "[a-z]{2}"
     }
   }
+
+  test("madOutliers: doubled medians exact at odd and even n; the 3-MAD rule flags only the spike") {
+    import spark.implicits._
+    val rows = Seq(
+      ("A", 10L), ("A", 20L), ("A", 30L), ("A", 40L), ("A", 1000L), // n=5
+      ("B", 10L), ("B", 20L), ("B", 30L), ("B", 40L))               // n=4
+      .toDF("seg", "cents")
+    val out = Core.madOutliers(rows, "seg", $"cents")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // A: median 30 -> med2 60; devs(2v-60) 40,20,0,20,1940 -> mad2 20+20=40
+    //    outlier rule 2*dev > 120 -> only the 1000-cent spike (dev 1940)
+    out("A") shouldBe ((5L, 60L, 40L, 1L, 1940L))
+    // B even n: med2 = 20+30 = 50 (exact midpoint, no float interpolation);
+    //    devs 30,10,10,30 -> mad2 = 10+30 = 40; nothing beyond 3 MAD
+    out("B") shouldBe ((4L, 50L, 40L, 0L, 0L))
+  }
+
+  test("madOutliers: duplicate-heavy groups (histogram c > 1) bracket the k-th correctly") {
+    import spark.implicits._
+    // 7 copies of 5 plus one 100: k1=k2=4 falls INSIDE the 5-run
+    val rows = (Seq.fill(7)(5L) :+ 100L).map(("G", _)).toDF("seg", "cents")
+    val out = Core.madOutliers(rows, "seg", $"cents").collect().head
+    out.getLong(2) shouldBe 10L  // med2 = 2*5
+    // devs: 0 x7, 190 -> mad2 = 0; rule 2*dev > 0 flags the single spike
+    out.getLong(3) shouldBe 0L
+    out.getLong(4) shouldBe 1L
+  }
 }

@@ -425,4 +425,25 @@ class PlanGuardSpec extends SparkSpec {
     p.linesIterator.count(_.contains("orders.parquet")) shouldBe 1
     p should not include "Union"
   }
+
+  test("q59_mad_outliers: medians/MADs broadcast back; no sort-merge join over the histogram") {
+    val p = planOf("q59_mad_outliers")
+    // both order-statistic joins are broadcast of metadata-sized med/mad
+    // relations onto the histogram — a sort-merge join here would mean a
+    // corpus-keyed shuffle the histogram collapse exists to avoid
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("t36_vocab_profile: histogram collapses with map-side partial aggregation") {
+    val p = planOf("t36_vocab_profile")
+    // explode feeds a partial_count before any exchange: the (source,
+    // token) histogram combines map-side, so the shuffle carries at most
+    // |vocab|x|sources| rows per partition, not the token stream
+    p should include("partial_count")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+  }
 }

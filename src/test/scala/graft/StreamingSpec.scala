@@ -395,4 +395,33 @@ class StreamingSpec extends SparkSpec {
       .agg(countDistinct($"user_id").as("n")).as[(String, Long)].collect().toMap
     got shouldBe exact
   }
+
+  test("w14 semantics: a Misra-Gries summary merged across micro-batches is exact below capacity") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // 3 types, 37 users, skewed counts; capacity 64 > 37 -> exact
+    val rows = (1L to 300L).map { i =>
+      Event(i, ts("2024-01-01 10:00:00"), (i * i) % 37, s"t${i % 3}", 1.0) }
+    val tmp = Files.createTempDirectory("graft_w14_sem").toString
+    rows.filter(_.event_id % 2 == 0).toDS().coalesce(1)
+      .write.mode("append").parquet(s"$tmp/landing")
+    rows.filter(_.event_id % 2 == 1).toDS().coalesce(1)
+      .write.mode("append").parquet(s"$tmp/landing")
+    val stream = spark.readStream.schema(rows.toDS().toDF().schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/landing")
+    val mg = graft.operators.Sketches.mgCounters(64)
+    val q = stream.groupBy($"event_type")
+      .agg(mg($"user_id".cast("string")).as("counters"))
+      .writeStream.format("memory").queryName("w14_sem")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q.recentProgress.map(_.numInputRows).count(_ > 0) shouldBe 2
+    val got = spark.table("w14_sem")
+      .select($"event_type", explode($"counters").as(Seq("u", "n")))
+      .as[(String, String, Long)].collect()
+      .map { case (t, u, n) => ((t, u.toLong), n) }.toMap
+    val exact = rows.toDS().groupBy($"event_type", $"user_id")
+      .agg(count(lit(1)).as("n")).as[(String, Long, Long)].collect()
+      .map { case (t, u, n) => ((t, u), n) }.toMap
+    got shouldBe exact
+  }
 }

@@ -239,4 +239,22 @@ class TextAnalysisSpec extends SparkSpec {
     // on a 500-doc corpus
     out.map(_.getBoolean(3)).toSet shouldBe Set(true, false)
   }
+
+  test("vocabProfile: per-source and corpus type/hapax/mode on a hand corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      ("A", "a a b"), ("A", "c"),     // A: a:2 b:1 c:1
+      ("B", "a d d"),                 // B: a:1 d:2
+      ("C", "x y"))                   // C: tie -> larger token wins
+      .toDF("source", "text")
+    val out = TextAnalysis.vocabProfile(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getLong(5))).toMap
+    out("A") shouldBe ((4L, 3L, 2L, "a", 2L))
+    out("B") shouldBe ((3L, 2L, 1L, "d", 2L))
+    out("C") shouldBe ((2L, 2L, 2L, "y", 1L))
+    // corpus row re-collapses across sources first: token a has corpus
+    // count 3 (hapax in B alone, NOT a corpus hapax)
+    out("ALL") shouldBe ((9L, 6L, 4L, "a", 3L))
+  }
 }
