@@ -1493,6 +1493,10 @@ object SparkEntry {
     "q45_rolling_dau" -> ((s, d) =>
       EventWindows.rollingDistinctUsers(t(s, d)("events"), 7)),
     // forward-fill: last_value IGNORE NULLS over one sorted user pass
+    // duration-weighted mean of an irregular series: exact cents x µs
+    // numerator, one user-keyed shuffle (window + aggregate share it)
+    "q60_twap" -> ((s, d) =>
+      operators.EventWindows.timeWeightedAverage(t(s, d)("events"))),
     "q46_forward_fill" -> ((s, d) =>
       EventWindows.forwardFill(t(s, d)("events"))),
     // higher-order array functions (§2.5 breadth): transform / filter /
@@ -4308,6 +4312,24 @@ object SparkEntry {
          FROM a JOIN p ON p.day BETWEEN a.day - INTERVAL 6 DAY AND a.day
          GROUP BY 1 ORDER BY 1""",
     // IGNORE NULLS carry-forward over the identical (ts, event_id) order
+    // identical right-open weighting; both divisions of the exact
+    // integers in the same order
+    "q60_twap" ->
+      s"""WITH $evCte,
+         o AS (SELECT user_id, event_id, epoch_us(ts) AS t_us,
+                      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+                      lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id) AS next_us
+               FROM ev)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                CAST(max(t_us) - min(t_us) AS BIGINT) AS span_us,
+                CAST(sum(CASE WHEN next_us IS NULL THEN 0
+                              ELSE cents * (next_us - t_us) END) AS BIGINT) AS twap_num,
+                CASE WHEN max(t_us) = min(t_us) THEN 0.0
+                     ELSE CAST(sum(CASE WHEN next_us IS NULL THEN 0
+                                        ELSE cents * (next_us - t_us) END) AS DOUBLE)
+                          / (max(t_us) - min(t_us)) / 100.0 END AS twap
+         FROM o GROUP BY 1 ORDER BY 1""",
     "q46_forward_fill" ->
       s"""WITH $evCte,
          g AS (SELECT event_id, user_id, ts,

@@ -240,6 +240,44 @@ object EventWindows {
     * stay null (nothing to carry). The fixture nulls every 7th event's
     * value deterministically so the oracle reproduces the gaps exactly.
     */
+  /** Time-weighted average (q60) — the irregular-series mean every
+    * billing/TWAP/sensor pipeline computes: each reading holds until the
+    * next one, so it weighs by its holding DURATION, not by row count
+    * (a plain avg over-weights bursts). The last reading of a user holds
+    * zero time (no successor) — the standard right-open convention.
+    *
+    * Exactness: value cents (decimal-exact long) × µs durations sum to
+    * an exact BIGINT numerator per user; the time span is an exact µs
+    * BIGINT; the presented ratio is two IEEE divisions of those exact
+    * integers in a fixed order — bit-identical in any engine (the
+    * q51/g03 exact-fraction discipline; cents·µs over a month-long span
+    * peaks ~10¹⁷, inside long range).
+    *
+    * Scale shape: one hash exchange on user_id feeds the lead() window,
+    * and the per-user aggregate reuses that clustering (grouping key =
+    * partitioning key ⇒ EnsureRequirements inserts nothing) — raw events
+    * shuffle exactly once, output is user-sized.
+    */
+  def timeWeightedAverage(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val tus = unix_micros($"ts".cast("timestamp"))
+    events
+      .select($"event_id", $"user_id", $"ts",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .withColumn("t_us", tus)
+      .withColumn("next_us", lead($"t_us", 1).over(w))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        (max($"t_us") - min($"t_us")).as("span_us"),
+        sum(when($"next_us".isNull, 0L)
+          .otherwise($"cents" * ($"next_us" - $"t_us"))).as("twap_num"))
+      .select($"user_id", $"n_events", $"span_us", $"twap_num",
+        when($"span_us" === 0L, lit(0.0))
+          .otherwise($"twap_num".cast("double") / $"span_us" / lit(100.0))
+          .as("twap"))
+      .orderBy($"user_id")
+  }
+
   def forwardFill(events: DataFrame): DataFrame = {
     val gapped = events
       .select($"event_id", $"user_id", $"ts",

@@ -241,4 +241,26 @@ class EventWindowsSpec extends SparkSpec {
     // a longest streak can never exceed the user's active-day count
     out.where($"longest_streak" > $"active_days").count() shouldBe 0L
   }
+
+  test("timeWeightedAverage: hand series with exact integer numerator; singleton span is 0") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 7L, "view", 100.0),
+      (2L, ts("2024-01-01 00:00:10"), 7L, "view", 200.0),
+      (3L, ts("2024-01-01 00:00:30"), 7L, "view", 50.0),
+      (4L, ts("2024-01-01 00:00:00"), 9L, "view", 42.0)) // single event
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventWindows.timeWeightedAverage(ev).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // user 7: 100.00 held 10s + 200.00 held 20s, last reading weightless:
+    // num = 10000c*1e7us + 20000c*2e7us = 5e11; span 3e7; twap 166.66...
+    out(7L)._1 shouldBe 3L
+    out(7L)._2 shouldBe 30000000L
+    out(7L)._3 shouldBe 500000000000L
+    out(7L)._4 shouldBe (500000000000L.toDouble / 30000000L / 100.0)
+    // a single reading holds zero time: defined as 0, not NaN
+    out(9L) shouldBe ((1L, 0L, 0L, 0.0))
+  }
 }
