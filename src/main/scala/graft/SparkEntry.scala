@@ -1431,6 +1431,12 @@ object SparkEntry {
     // multi-probe LSH (Hamming ≤ 1 bucket probe) + exact cosine re-rank
     "s10_lsh_rerank" -> ((s, d) =>
       Similarity.lshRerankTopK(t(s, d)("embeddings"), 0L, 4, 10)),
+    // engine-independent Lloyd's k-means: exact-integer rational
+    // centroids (milli-quantized sums + counts), broadcast k-row
+    // centroid relation, fixed rounds — the oracle replays the identical
+    // two Lloyd steps in SQL, something float-seeded MLlib can't offer
+    "s11_kmeans" -> ((s, d) =>
+      Similarity.kmeansAssignExact(t(s, d)("embeddings"), 4, 2)),
     // ordered-step conversion funnel: one shuffle, chained windows,
     // never a k-way self-join
     "q37_funnel" -> ((s, d) =>
@@ -1497,6 +1503,24 @@ object SparkEntry {
     // numerator, one user-keyed shuffle (window + aggregate share it)
     "q60_twap" -> ((s, d) =>
       operators.EventWindows.timeWeightedAverage(t(s, d)("events"))),
+    // exact weighted median (50%-of-mass order statistic) over the
+    // (group, value) histogram — integer cross-multiplication, no
+    // quantile interpolation, window sorts only the bounded value domain
+    "q61_weighted_median" -> ((s, d) => Core.weightedMedian(
+      t(s, d)("lineitem"), "l_returnflag",
+      $"l_quantity".cast("long"),
+      ($"l_extendedprice".cast("decimal(18,2)") * 100).cast("long"))),
+    // interval consolidation (gaps-and-islands over [ts, ts+value s)
+    // spans): one keyed window pass, exact integer microseconds
+    "q62_interval_merge" -> ((s, d) => {
+      val ev = t(s, d)("events")
+      val sUs = unix_micros($"ts".cast("timestamp"))
+      Temporal.mergeIntervals(ev, "user_id", "event_id",
+        sUs, sUs + floor($"value" * 1000000).cast("long"))
+    }),
+    // deterministic mode (most frequent value, ties toward min) from the
+    // per-group histogram — the rank runs over domain-bounded rows only
+    "q63_mode" -> ((s, d) => Core.modeTop1(t(s, d)("events"), "user_id", "event_type")),
     "q46_forward_fill" -> ((s, d) =>
       EventWindows.forwardFill(t(s, d)("events"))),
     // higher-order array functions (§2.5 breadth): transform / filter /
@@ -2156,6 +2180,44 @@ object SparkEntry {
       val w = functions.Vectors.planeWeights(b, 64).mkString("[", ", ", "]")
       s"CASE WHEN list_dot_product(v, $w) > 0 THEN ${1L << b} ELSE 0 END"
     }.mkString("CAST(", " + ", " AS BIGINT)")
+
+  /** s11 oracle: the identical exact-integer Lloyd's rounds unrolled as
+    * CTE chains (assignment = rank over the same score expression with
+    * the same (score, cluster) tie rule; update = per-dim integer sums
+    * rebuilt into a list). Every product stays below 2⁵³, so DuckDB's
+    * double `list_dot_product` over the milli-quantized longs is exact —
+    * see [[operators.Similarity.kmeansAssignExact]].
+    */
+  private def kmeansOracle(k: Int, iterations: Int, dim: Int): String = {
+    def assign(a: String, m: String, c: String): String =
+      s"""$a AS (SELECT vec_id, cluster, x,
+              row_number() OVER (PARTITION BY vec_id ORDER BY
+                (list_dot_product(s, s)
+                 - 2.0 * list_dot_product(x, s) * CAST(n AS DOUBLE))
+                / CAST(n * n AS DOUBLE), cluster) AS rk
+            FROM xq CROSS JOIN $c),
+         $m AS (SELECT vec_id, cluster, x FROM $a WHERE rk = 1)"""
+    def update(m: String, c: String): String =
+      s"""${c}_s AS (SELECT cluster, j, sum(x[j]) AS sj
+            FROM $m CROSS JOIN generate_series(1, $dim) AS g(j) GROUP BY 1, 2),
+         ${c}_v AS (SELECT cluster, list(sj ORDER BY j) AS s FROM ${c}_s GROUP BY 1),
+         ${c}_n AS (SELECT cluster, count(*) AS n FROM $m GROUP BY 1),
+         $c AS (SELECT cluster, s, n FROM ${c}_v JOIN ${c}_n USING (cluster))"""
+    val rounds = (1 to iterations).map { r =>
+      assign(s"a$r", s"m$r", s"c${r - 1}") + ",\n         " + update(s"m$r", s"c$r")
+    }.mkString(",\n         ")
+    val fin = iterations + 1
+    s"""WITH xq AS (SELECT vec_id,
+              list_transform(embedding,
+                e -> CAST(floor(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS x
+            FROM embeddings),
+         c0 AS (SELECT CAST(vec_id AS INT) AS cluster, x AS s, CAST(1 AS BIGINT) AS n
+                FROM xq ORDER BY vec_id LIMIT $k),
+         $rounds,
+         ${assign(s"a$fin", s"m$fin", s"c$iterations")}
+         SELECT vec_id, CAST(cluster AS BIGINT) AS cluster
+         FROM m$fin ORDER BY vec_id"""
+  }
 
   /** Shared t10/w07 oracle CTE: the Gopher/C4 rule battery per document,
     * ending in relation `f` (doc_id, source, metrics, r_* flags, keep).
@@ -3908,6 +3970,7 @@ object SparkEntry {
                     AND bit_count(xor(bucket, q_bucket)) <= 1)
          SELECT vec_id, label, hamming, round(c, 4) AS cos_sim
          FROM cand ORDER BY c DESC, vec_id LIMIT 10""",
+    "s11_kmeans" -> kmeansOracle(4, 2, 64),
     // sequential step gating via chained min-aggregates: step i+1's
     // candidates are events strictly after step i's first hit — the
     // cascade makes depth a pure CASE over null-ness
@@ -4330,6 +4393,54 @@ object SparkEntry {
                                         ELSE cents * (next_us - t_us) END) AS DOUBLE)
                           / (max(t_us) - min(t_us)) / 100.0 END AS twap
          FROM o GROUP BY 1 ORDER BY 1""",
+    // identical histogram-then-cumulative-weight formulation; the pick is
+    // the integer cross-multiplication 2*cumw >= totw, never a division
+    "q61_weighted_median" ->
+      """WITH b AS (SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS v,
+                           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS w
+                    FROM lineitem),
+         h AS (SELECT grp, v, sum(w) AS w, count(*) AS c FROM b GROUP BY 1, 2),
+         r AS (SELECT grp, v,
+                      sum(w) OVER (PARTITION BY grp ORDER BY v) AS cumw,
+                      sum(w) OVER (PARTITION BY grp) AS totw,
+                      sum(c) OVER (PARTITION BY grp) AS n
+               FROM h)
+         SELECT grp, CAST(max(n) AS BIGINT) AS n,
+                CAST(max(totw) AS BIGINT) AS tot_weight,
+                CAST(min(v) AS BIGINT) AS wmedian
+         FROM r WHERE cumw * 2 >= totw GROUP BY grp ORDER BY grp""",
+    // same strictly-beyond-running-max island rule over the identical
+    // (s, id) order; all time arithmetic in integer microseconds
+    "q62_interval_merge" ->
+      s"""WITH $evCte,
+         i AS (SELECT user_id AS k, event_id AS id, epoch_us(ts) AS s,
+                      epoch_us(ts) + CAST(floor(value * 1000000) AS BIGINT) AS e
+               FROM ev),
+         o AS (SELECT k, id, s, e,
+                      max(e) OVER (PARTITION BY k ORDER BY s, id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+               FROM i),
+         w AS (SELECT k, id, s, e,
+                      sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY k ORDER BY s, id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+               FROM o)
+         SELECT k AS key, CAST(island AS BIGINT) AS island,
+                min(s) AS island_start_us, max(e) AS island_end_us,
+                max(e) - min(s) AS span_us, CAST(count(*) AS BIGINT) AS n_intervals
+         FROM w GROUP BY 1, 2 ORDER BY key, island""",
+    // the same (cnt DESC, v ASC) tie rule, stated once on both sides
+    "q63_mode" ->
+      s"""WITH $evCte,
+         h AS (SELECT user_id AS grp, event_type AS v, count(*) AS cnt
+               FROM ev GROUP BY 1, 2),
+         r AS (SELECT grp, v, cnt,
+                      row_number() OVER (PARTITION BY grp ORDER BY cnt DESC, v) AS rk,
+                      count(*) OVER (PARTITION BY grp) AS n_distinct
+               FROM h)
+         SELECT grp, v AS mode_value, CAST(cnt AS BIGINT) AS n_mode,
+                CAST(n_distinct AS BIGINT) AS n_distinct
+         FROM r WHERE rk = 1 ORDER BY grp""",
     "q46_forward_fill" ->
       s"""WITH $evCte,
          g AS (SELECT event_id, user_id, ts,

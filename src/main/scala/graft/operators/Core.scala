@@ -397,4 +397,58 @@ object Core {
         $"n_outliers", $"outlier_dev2_sum")
       .orderBy($"segment")
   }
+
+  /** Exact weighted median per group — the 50%-of-mass order statistic
+    * (lower weighted median: the smallest v whose cumulative weight
+    * reaches half the total, `2·cumw(v) ≥ totw` as an integer
+    * cross-multiplication, so no division ever happens).
+    *
+    * Same scale shape as [[madOutliers]]: the fact table collapses to a
+    * (group, value) histogram with map-side combine first, so the one
+    * ordered window after it sorts ≤ |value domain| rows per group no
+    * matter how many raw rows carried each value — the 100 TB-safe way
+    * to take any order statistic over a bounded domain. Both value and
+    * weight are exact longs (units and cents), so every engine computes
+    * the identical cumulative sums and picks the identical row.
+    */
+  def weightedMedian(df: DataFrame, groupCol: String,
+                     value: Column, weight: Column): DataFrame = {
+    val hist = df
+      .select(col(groupCol).as("g"), value.as("v"), weight.as("w"))
+      .groupBy($"g", $"v").agg(sum($"w").as("w"), count(lit(1)).as("c"))
+    val win = Window.partitionBy($"g").orderBy($"v")
+    hist
+      .withColumn("cumw", sum($"w").over(win))
+      .withColumn("totw", sum($"w").over(Window.partitionBy($"g")))
+      .withColumn("n", sum($"c").over(Window.partitionBy($"g")))
+      .where($"cumw" * 2 >= $"totw")
+      .groupBy($"g")
+      .agg(min($"v").as("wmedian"), max($"n").as("n"), max($"totw").as("tot_weight"))
+      .select($"g".as("grp"), $"n", $"tot_weight", $"wmedian")
+      .orderBy($"grp")
+  }
+
+  /** Deterministic per-group mode: the most frequent value, ties broken
+    * toward the smallest value — the rule stated once and shared with the
+    * oracle, because "the" mode is otherwise partition-order-dependent.
+    *
+    * One map-side-combining shuffle builds the (group, value) histogram;
+    * the `row_number` window after it ranks only histogram rows — bounded
+    * by the value domain per group, not the row count — so the pick is
+    * metadata-sized at any corpus scale.
+    */
+  def modeTop1(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val hist = df
+      .select(col(groupCol).as("g"), col(valueCol).as("v"))
+      .groupBy($"g", $"v").agg(count(lit(1)).as("cnt"))
+    // ties toward MIN v: rank on (cnt desc, v asc) over the tiny histogram
+    val win = Window.partitionBy($"g").orderBy($"cnt".desc, $"v".asc)
+    hist
+      .withColumn("rk", row_number().over(win))
+      .withColumn("n_distinct", count(lit(1)).over(Window.partitionBy($"g")))
+      .where($"rk" === 1)
+      .select($"g".as("grp"), $"v".as("mode_value"), $"cnt".as("n_mode"),
+        $"n_distinct".cast("long").as("n_distinct"))
+      .orderBy($"grp")
+  }
 }

@@ -550,4 +550,74 @@ object Similarity {
       .agg(round(avg($"cos_sim"), 3).as("cohesion"), count(lit(1)).as("n"))
       .orderBy($"label")
   }
+
+  /** Engine-independent Lloyd's k-means over the quantized embedding
+    * space — the clustering counterpart of the q59/q51 exact-integer
+    * discipline, and the oracle-gated twin of the MLlib-backed PQ
+    * codebooks above (whose float seeds no second engine can replay).
+    *
+    * Exactness argument, the part that makes a *clustering* hash-
+    * comparable across engines at all: components quantize to milli-unit
+    * longs (`floor(x·1000)` — float→double cast and ×1000 are exact IEEE
+    * ops), so a centroid is the exact rational (per-dim sum vector s⃗,
+    * member count n). Ranking a point x⃗ against centroid i uses
+    * ‖x⃗ − s⃗ᵢ/nᵢ‖² with the ‖x⃗‖² term dropped (common to all i):
+    * score_i = (Σs²ᵢ − 2n_i·(x⃗·s⃗ᵢ)) / n²ᵢ. Every product and partial sum
+    * stays below 2⁵³ at these magnitudes (|x'| ≤ 526, dim 64, n ≤ |corpus
+    * per cluster|), so even computed in doubles the numerator is EXACT in
+    * any summation order, and the single division rounds identically in
+    * every IEEE engine. Ties (equal score) break toward the smaller
+    * cluster id — stated once, shared with the oracle.
+    *
+    * Scale shape per Lloyd round: centroids are a k-row relation that
+    * BROADCASTS (k·dim longs — never collected to the driver); assignment
+    * is a broadcast nested-loop with bounded fanout k then a per-point
+    * min (window over k rows/point); the update is one posexplode +
+    * (cluster, dim) map-side-combining aggregate — shuffle rows bounded
+    * by k·dim, not by corpus size. No driver-side loop state beyond the
+    * iteration counter; rounds are fixed (`iterations`), not data-
+    * dependent, so the whole plan is replayable.
+    */
+  def kmeansAssignExact(embeddings: DataFrame, k: Int, iterations: Int): DataFrame = {
+    require(k >= 1 && iterations >= 1, "kmeansAssignExact: k and iterations must be >= 1")
+    val xq = graft.Session.barrier(
+      embeddings.select($"vec_id",
+        transform($"embedding", e => floor(e.cast("double") * 1000).cast("long")).as("x")))
+
+    // seed: the k smallest vec_ids as singleton centroids (s = x, n = 1)
+    var cents = xq.orderBy($"vec_id").limit(k)
+      .select($"vec_id".cast("int").as("cluster"), $"x".as("s"), lit(1L).as("n"))
+
+    def assign(c: DataFrame): DataFrame = {
+      val scored = xq.crossJoin(broadcast(c))
+        .withColumn("a", aggregate(zip_with($"x", $"s", (p, q) => p * q),
+          lit(0L), (acc, v) => acc + v))
+        .withColumn("b", aggregate($"s", lit(0L), (acc, v) => acc + v * v))
+        .withColumn("score",
+          ($"b".cast("double") - lit(2.0) * $"a".cast("double") * $"n".cast("double")) /
+            ($"n" * $"n").cast("double"))
+      val best = Window.partitionBy($"vec_id").orderBy($"score", $"cluster")
+      scored.withColumn("rk", row_number().over(best)).where($"rk" === 1)
+        .select($"vec_id", $"cluster", $"x")
+    }
+
+    for (_ <- 1 to iterations) {
+      val assigned = assign(cents)
+      val sums = assigned
+        .select($"cluster", posexplode($"x").as(Seq("j", "xv")))
+        .groupBy($"cluster", $"j").agg(sum($"xv").as("sj"))
+      val vecs = sums.groupBy($"cluster")
+        .agg(transform(array_sort(collect_list(struct($"j", $"sj"))),
+          st => st.getField("sj")).as("s"))
+      val ns = assigned.groupBy($"cluster").agg(count(lit(1)).as("n"))
+      cents = graft.Session.barrier(vecs.join(ns, "cluster"))
+      // a cluster that empties would silently shrink k — fail loudly
+      // instead (cannot happen with distinct seed points + min-id ties
+      // on this fixture, but the contract should not depend on that)
+      require(cents.count() == k, s"kmeansAssignExact: a cluster emptied below k=$k")
+    }
+    assign(cents)
+      .select($"vec_id", $"cluster".cast("long").as("cluster"))
+      .orderBy($"vec_id")
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -124,5 +124,43 @@ object Temporal {
       .where(abs(unix_micros(col(leftTs).cast("timestamp")) -
                  unix_micros(col(rightTs).cast("timestamp"))) <= lit(width))
       .drop("__b")
+  }
+
+  /** Merge overlapping (or touching) intervals per key — the classic
+    * consolidation every reservation / coverage / uptime pipeline runs,
+    * and the interval-algebra complement of [[rangeJoinWithin]]: instead
+    * of pairing nearby points it coalesces [start, end) spans into
+    * maximal islands.
+    *
+    * Gaps-and-islands in one keyed window pass: order a key's intervals
+    * by (start, id); an interval opens a new island iff its start lies
+    * strictly beyond the running max of all *earlier* ends (the cummax
+    * window frame ends at `1 preceding`, so an interval never compares
+    * against itself); the island id is the running count of opens, and
+    * one hash aggregate per island emits (start, max end, n, covered µs).
+    * Everything is exact integer microseconds — no float time arithmetic
+    * — so any engine walking the same order computes identical islands.
+    *
+    * Scale shape: ONE shuffle on the key (window and aggregate share the
+    * partitioning), per-key sort only — no self-join, no explode. Skew is
+    * bounded by the busiest key's interval count, the same bound
+    * sessionization already accepts.
+    */
+  def mergeIntervals(df: DataFrame, keyCol: String, idCol: String,
+                     startUs: Column, endUs: Column): DataFrame = {
+    val byKey = Window.partitionBy($"k").orderBy($"s", $"id")
+    val prevMaxEnd = max($"e").over(byKey.rowsBetween(Window.unboundedPreceding, -1))
+    df.select(col(keyCol).as("k"), col(idCol).as("id"),
+        startUs.as("s"), endUs.as("e"))
+      .withColumn("new_island",
+        when(prevMaxEnd.isNull || $"s" > prevMaxEnd, 1L).otherwise(0L))
+      .withColumn("island",
+        sum($"new_island").over(byKey.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"k", $"island")
+      .agg(min($"s").as("island_start_us"), max($"e").as("island_end_us"),
+        count(lit(1)).as("n_intervals"))
+      .select($"k".as("key"), $"island", $"island_start_us", $"island_end_us",
+        ($"island_end_us" - $"island_start_us").as("span_us"), $"n_intervals")
+      .orderBy($"key", $"island")
   }
 }

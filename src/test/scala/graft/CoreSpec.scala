@@ -201,4 +201,32 @@ class CoreSpec extends SparkSpec {
     out.getLong(3) shouldBe 0L
     out.getLong(4) shouldBe 1L
   }
+
+  test("weightedMedian: 50%-of-mass pick, exact at boundary and with duplicate values") {
+    val rows = Seq(
+      // A: weights 1,1,6 on values 10,20,30 -> half of 8 reached at v=30
+      ("A", 10L, 1L), ("A", 20L, 1L), ("A", 30L, 6L),
+      // B: 2*cumw == totw exactly at v=1 (boundary: >= keeps the LOWER value)
+      ("B", 1L, 5L), ("B", 2L, 5L),
+      // C: duplicate values must collapse into one histogram row first
+      ("C", 7L, 1L), ("C", 7L, 1L), ("C", 9L, 1L))
+      .toDF("g", "v", "w")
+    val out = Core.weightedMedian(rows, "g", $"v", $"w")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    out("A") shouldBe ((3L, 8L, 30L))
+    out("B") shouldBe ((2L, 10L, 1L))
+    out("C") shouldBe ((3L, 3L, 7L))
+  }
+
+  test("modeTop1: most frequent wins, count ties break toward the smallest value") {
+    val rows = Seq(
+      ("u1", "b"), ("u1", "b"), ("u1", "a"),          // clear winner b
+      ("u2", "z"), ("u2", "a"),                       // tie 1-1 -> a
+      ("u3", "x")).toDF("u", "v")
+    val out = Core.modeTop1(rows, "u", "v")
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    out("u1") shouldBe (("b", 2L, 2L))
+    out("u2") shouldBe (("a", 1L, 2L))
+    out("u3") shouldBe (("x", 1L, 1L))
+  }
 }

@@ -358,4 +358,44 @@ class SimilaritySpec extends SparkSpec {
       .select($"vec_id").as[Long].collect().toSet
     ivf.subsetOf(probe) shouldBe true
   }
+
+  test("kmeansAssignExact: separated blobs recover their generating cluster") {
+    // two tight blobs far apart in a 4-dim space; seeds 0 and 1 land one
+    // in each blob, so a single Lloyd step must split them perfectly
+    val rows = Seq(
+      (0L, Array(1.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.1f, 0.9f, 0.0f, 0.0f)),
+      (4L, Array(0.9f, 1.1f, 0.0f, 0.0f)),
+      (1L, Array(-1.0f, -1.0f, 0.0f, 0.0f)),
+      (3L, Array(-1.1f, -0.9f, 0.0f, 0.0f)),
+      (5L, Array(-0.9f, -1.2f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kmeansAssignExact(rows, k = 2, iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out(0L) shouldBe out(2L)
+    out(0L) shouldBe out(4L)
+    out(1L) shouldBe out(3L)
+    out(1L) shouldBe out(5L)
+    out(0L) should not be out(1L)
+  }
+
+  test("kmeansAssignExact: equidistant point breaks the score tie toward the smaller cluster id") {
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(-1.0f, 0.0f)),
+      (2L, Array(0.0f, 5.0f))) // exactly equidistant from both seeds
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kmeansAssignExact(rows, k = 2, iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out(2L) shouldBe 0L
+  }
+
+  test("kmeansAssignExact matches the fixture oracle's cluster balance invariants") {
+    val out = Similarity.kmeansAssignExact(table("embeddings"), k = 4, iterations = 2)
+    val sizes = out.groupBy($"cluster").count()
+      .collect().map(_.getLong(1))
+    sizes.sum shouldBe table("embeddings").count()
+    sizes.length shouldBe 4
+    all(sizes) should be > 0L
+  }
 }

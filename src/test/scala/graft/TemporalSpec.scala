@@ -114,4 +114,24 @@ class TemporalSpec extends SparkSpec {
     got.except(brute).count() shouldBe 0
     brute.except(got).count() shouldBe 0
   }
+
+  test("mergeIntervals: overlap chains coalesce, touching intervals merge, gaps split") {
+    import spark.implicits._
+    val rows = Seq(
+      // k1: [0,10) ∪ [5,20) ∪ [20,30) — touching (s == prev max end) merges
+      ("k1", 1L, 0L, 10L), ("k1", 2L, 5L, 20L), ("k1", 3L, 20L, 30L),
+      // k1: gap at 31 opens a second island
+      ("k1", 4L, 31L, 40L),
+      // k2: an interval CONTAINED in an earlier one must not split the
+      // island even though its own end regresses the running max
+      ("k2", 5L, 0L, 100L), ("k2", 6L, 10L, 20L), ("k2", 7L, 50L, 120L))
+      .toDF("k", "id", "s", "e")
+    val out = Temporal.mergeIntervals(rows, "k", "id", $"s", $"e")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(5))).toMap
+    out(("k1", 1L)) shouldBe ((0L, 30L, 3L))
+    out(("k1", 2L)) shouldBe ((31L, 40L, 1L))
+    out(("k2", 1L)) shouldBe ((0L, 120L, 3L))
+    out.size shouldBe 3
+  }
 }
