@@ -1689,6 +1689,16 @@ object SparkEntry {
     // BASKET side (fanout Σ C(|basket|,2), linear in orders) — the
     // item-centered unipartite form explodes as Σ deg² (1.5e8 wedges at
     // sf0.1 vs 9e5 for this). Support floor 2, exact-integer Jaccard
+    // neighborhood Jaccard ("also bought" score) on the support-2
+    // co-purchase projection: wedge-centered common-neighbor counts,
+    // arboricity-bounded by the sparsified maxdeg
+    "g06_node_similarity" -> ((s, d) => operators.Graph.neighborJaccard(
+      operators.Graph.coPurchaseEdgesSupported(t(s, d)("lineitem"), 2), 2)),
+    // k-core membership: data-dependent peel rounds, driver state = one
+    // edge count per round; oracle unrolls 20 peel rounds (fixpoint at
+    // sf0.01 is 10 — extra rounds are provable no-ops)
+    "g07_kcore" -> ((s, d) => operators.Graph.kCore(
+      operators.Graph.coPurchaseEdgesSupported(t(s, d)("lineitem"), 2), 3)),
     "g03_item_cf" -> ((s, d) =>
       operators.Graph.itemPairsCF(
         t(s, d)("lineitem")
@@ -2217,6 +2227,39 @@ object SparkEntry {
          ${assign(s"a$fin", s"m$fin", s"c$iterations")}
          SELECT vec_id, CAST(cluster AS BIGINT) AS cluster
          FROM m$fin ORDER BY vec_id"""
+  }
+
+  /** Shared g06/g07 oracle CTE: the support-thresholded co-purchase edge
+    * list (u < v, co-occurrence in ≥ 2 orders), ending in relation `e0`.
+    * One string, two gates — the sparsifier cannot drift between them.
+    */
+  private val supportedEdgesCte: String =
+    """po AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+         e0 AS (SELECT a.p AS u, b.p AS v FROM po a
+                JOIN po b ON a.ok = b.ok AND a.p < b.p
+                GROUP BY 1, 2 HAVING count(*) >= 2)"""
+
+  /** g07 oracle: `rounds` peel iterations unrolled as CTE pairs (degree
+    * filter + edge restriction). Fixpoint at sf0.01 is round 10; later
+    * rounds reproduce the fixed edge set unchanged, so over-unrolling is
+    * semantically free — see [[operators.Graph.kCore]].
+    */
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    // every CTE is MATERIALIZED: default inlining would expand the
+    // round-r relation into a 3^r-leaf expression tree (each e_{r+1}
+    // references e_r three times) — materialization keeps the unroll
+    // linear, exactly like the engine's per-round barrier
+    val steps = (0 until rounds).map { r =>
+      s"""n$r AS MATERIALIZED (SELECT n FROM (SELECT u AS n FROM e$r UNION ALL SELECT v AS n FROM e$r)
+                  GROUP BY n HAVING count(*) >= $k),
+         e${r + 1} AS MATERIALIZED (SELECT u, v FROM e$r WHERE u IN (SELECT n FROM n$r)
+                       AND v IN (SELECT n FROM n$r))"""
+    }.mkString(",\n         ")
+    s"""WITH ${supportedEdgesCte.replace("e0 AS (", "e0 AS MATERIALIZED (")},
+         $steps
+         SELECT node, CAST(count(*) AS BIGINT) AS core_deg
+         FROM (SELECT u AS node FROM e$rounds UNION ALL SELECT v AS node FROM e$rounds)
+         GROUP BY node ORDER BY node"""
   }
 
   /** Shared t10/w07 oracle CTE: the Gopher/C4 rule battery per document,
@@ -4224,6 +4267,21 @@ object SparkEntry {
     // basket-centered wedge join, support floor 2, exact-integer Jaccard
     // fraction; total order (common DESC, u, w) makes the top-20 cut
     // deterministic inside a tie group
+    // identical wedge-centered inter counts over the shared sparsified
+    // edge CTE; jaccard is the same single IEEE division of exact ints
+    "g06_node_similarity" ->
+      s"""WITH $supportedEdgesCte,
+         adj AS (SELECT u AS w, v AS n FROM e0 UNION ALL SELECT v AS w, u AS n FROM e0),
+         deg AS (SELECT w, count(*) AS deg FROM adj GROUP BY w),
+         i AS (SELECT a.n AS x, b.n AS y, CAST(count(*) AS BIGINT) AS inter
+               FROM adj a JOIN adj b ON a.w = b.w AND a.n < b.n
+               GROUP BY 1, 2 HAVING count(*) >= 2)
+         SELECT x, y, inter,
+                CAST(dx.deg + dy.deg - inter AS BIGINT) AS uni,
+                round(CAST(inter AS DOUBLE) / (dx.deg + dy.deg - inter), 6) AS jaccard
+         FROM i JOIN deg dx ON i.x = dx.w JOIN deg dy ON i.y = dy.w
+         ORDER BY x, y""",
+    "g07_kcore" -> kcoreOracle(3, 20),
     "g03_item_cf" ->
       """WITH po AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
          cn AS (SELECT a.item AS u, b.item AS w, CAST(count(*) AS BIGINT) AS common

@@ -343,4 +343,103 @@ object Graph {
       .where(col("doc_id") > 0 &&
         substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2) =!= "ff")
       .select(col("doc_id").as("u"), (col("doc_id") - 1).as("v"))
+
+  /** Support-thresholded co-purchase graph: part pair (u < v) connected
+    * iff they co-occur in ≥ `minSupport` orders — the standard market-
+    * basket sparsifier. The raw co-purchase projection is near-complete
+    * on dense fixtures (avg degree 115 at sf0.01); support ≥ 2 drops it
+    * to maxdeg 13 / 3.4k edges, the regime where per-node neighborhood
+    * analytics ([[neighborJaccard]], [[kCore]]) are meaningful AND their
+    * wedge/peel costs stay arboricity-bounded. Pair counting is basket-
+    * centered (Σ C(|basket|, 2), linear in orders) with map-side combine
+    * on the (u, v) count — never an edge-list self-join.
+    */
+  def coPurchaseEdgesSupported(lineitem: DataFrame, minSupport: Int): DataFrame = {
+    val po = lineitem.select(col("l_orderkey").as("ok"),
+      col("l_partkey").as("p")).distinct()
+    po.as("a").join(po.as("b"),
+        col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= minSupport)
+      .select(col("u"), col("v"))
+  }
+
+  /** Neighborhood Jaccard similarity between node pairs sharing common
+    * neighbors — the graph-native "users who bought X also bought Y"
+    * score (open neighborhoods; adjacency of the pair itself neither
+    * required nor excluded).
+    *
+    * Shape: common-neighbor counts come from wedge enumeration centered
+    * at the shared node — fanout Σ C(deg(w), 2), the same arboricity-
+    * sensitive bound g02's census accepts, kept sane here by running on
+    * the support-thresholded projection (maxdeg 13 ⇒ ≤ 78 pairs/center).
+    * On a graph with genuine hubs, feed a support- or degree-capped edge
+    * list; the operator itself never materializes a neighbor LIST — only
+    * flat wedge rows a map-side combine collapses. Degrees join back on
+    * the pair endpoints (node-sized relation, shuffle join — NOT
+    * broadcast, node count is unbounded). `inter/uni` is one IEEE
+    * division of two small exact ints, bit-identical in any engine.
+    */
+  def neighborJaccard(undRaw: DataFrame, minInter: Int): DataFrame = {
+    val und = graft.Session.barrier(undRaw)
+    val adj = und.select(col("u").as("w"), col("v").as("n"))
+      .unionByName(und.select(col("v").as("w"), col("u").as("n")))
+    val deg = adj.groupBy(col("w")).agg(count(lit(1)).as("deg"))
+    val inter = adj.as("a").join(adj.as("b"),
+        col("a.w") === col("b.w") && col("a.n") < col("b.n"))
+      .groupBy(col("a.n").as("x"), col("b.n").as("y"))
+      .agg(count(lit(1)).as("inter"))
+      .where(col("inter") >= minInter)
+    inter
+      .join(deg.select(col("w").as("x"), col("deg").as("dx")), Seq("x"))
+      .join(deg.select(col("w").as("y"), col("deg").as("dy")), Seq("y"))
+      .withColumn("uni", col("dx") + col("dy") - col("inter"))
+      .select(col("x"), col("y"), col("inter"), col("uni"),
+        round(col("inter").cast("double") / col("uni"), 6).as("jaccard"))
+      .orderBy(col("x"), col("y"))
+  }
+
+  /** k-core decomposition membership: iteratively peel nodes of degree
+    * < k until fixpoint; emit each surviving node with its within-core
+    * degree. The classic cohesion filter (dense-community extraction,
+    * spam-graph pruning) and the canonical *data-dependent-rounds*
+    * iteration — exactly where driver-side loop state must stay
+    * metadata-sized.
+    *
+    * Per round: one degree aggregate + two LEFT SEMI joins on the keep
+    * set, re-barriered so round N reads round N−1's materialization,
+    * not a 2^N-deep lineage ([[alternatingStarComponents]] discipline).
+    * The only driver value is the edge count (one long per round). Round
+    * count is bounded by the peel depth — O(n) pathological chains
+    * exist, so `maxRounds` fails loudly rather than spinning; real
+    * co-occurrence graphs settle in ~10 rounds. At 100 TB each round is
+    * two co-partitioned shuffles of the shrinking edge list — the peel
+    * only ever deletes, so cost is monotone decreasing.
+    */
+  def kCore(edgesRaw: DataFrame, k: Int, maxRounds: Int = 64): DataFrame = {
+    require(k >= 1, "kCore: k must be >= 1")
+    var e = graft.Session.barrier(edgesRaw.select(col("u"), col("v")))
+    var nEdges = e.count()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val deg = e.select(col("u").as("n")).unionByName(e.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("c"))
+      val keep = deg.where(col("c") >= k).select(col("n"))
+      val e2 = graft.Session.barrier(
+        e.join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
+          .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
+          .select(col("u"), col("v")))
+      val n2 = e2.count()
+      converged = n2 == nEdges
+      e = e2
+      nEdges = n2
+      rounds += 1
+    }
+    require(converged, s"kCore: no fixpoint within $maxRounds rounds")
+    e.select(col("u").as("node")).unionByName(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
+      .orderBy(col("node"))
+  }
 }

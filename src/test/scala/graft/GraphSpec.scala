@@ -232,4 +232,38 @@ class GraphSpec extends SparkSpec {
     }
     labels.toMap shouldBe root
   }
+
+  test("neighborJaccard: hand-computed intersections, unions, and the minInter filter") {
+    // N(1)={2,3} N(2)={1,3,4} N(3)={1,2,4} N(4)={2,3}
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("u", "v")
+    val out = Graph.neighborJaccard(edges, minInter = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    out((1L, 4L)) shouldBe ((2L, 2L, 1.0))   // identical neighborhoods
+    out((2L, 3L)) shouldBe ((2L, 4L, 0.5))   // adjacency does not exclude
+    out.size shouldBe 2                      // all inter=1 pairs filtered
+  }
+
+  test("kCore: pendant chain peels in cascading rounds, triangle survives as the 2-core") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("u", "v")
+    val core = Graph.kCore(edges, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    core shouldBe Map(1L -> 2L, 2L -> 2L, 3L -> 2L) // 5 peels, THEN 4 peels
+  }
+
+  test("kCore: k above the densest core returns the empty graph, converged") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("u", "v")
+    Graph.kCore(edges, k = 3).count() shouldBe 0L
+  }
+
+  test("coPurchaseEdgesSupported drops pairs co-occurring in a single order") {
+    val li = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L),  // order 1: pairs (10,11) (10,12) (11,12)
+      (2L, 10L), (2L, 11L),             // order 2: (10,11) again -> support 2
+      (2L, 10L)                         // duplicate line must not double-count
+    ).toDF("l_orderkey", "l_partkey")
+    val got = Graph.coPurchaseEdgesSupported(li, minSupport = 2)
+      .as[(Long, Long)].collect().toSet
+    got shouldBe Set((10L, 11L))
+  }
 }
