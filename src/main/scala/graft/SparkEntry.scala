@@ -791,6 +791,50 @@ object SparkEntry {
     graft.streaming.SnapshotUpsert.read(s, mvDir).orderBy($"o_custkey")
   }
 
+  /** w15: STREAMING SCD Type-2 maintenance — t34's effective-dated merge
+    * run through the real streaming path, exactly as w10 runs t17's and
+    * w13 runs t33's. The pre-1997 change history seeds the dimension via
+    * scd2Recompute; the 1997+ feed lands as two TIME-ordered files (1997
+    * then 1998+, so each micro-batch is a genuine increment — scd2Apply's
+    * contract), and each `foreachBatch` advances the dimension under the
+    * versioned-pointer exactly-once protocol. The oracle is the same
+    * full-recompute string as t34 — one string, two gates, so the batch
+    * and streaming SCD2 paths cannot drift apart.
+    */
+  private def streamScd2(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_w15").toString
+    val ch = scd2Changes(s, d)
+    val dim0 = operators.Upsert.scd2Recompute(
+      ch.where($"change_ts" < "1997-01-01"), "custkey")
+    val dimDir = s"$tmp/dim"
+    graft.streaming.SnapshotUpsert.init(dim0, dimDir)
+    val landing = java.nio.file.Paths.get(s"$tmp/landing")
+    java.nio.file.Files.createDirectories(landing)
+    val base = System.currentTimeMillis() - 60000
+    var stamped = Set.empty[String]
+    ch.where($"change_ts" >= "1997-01-01" && $"change_ts" < "1998-01-01")
+      .coalesce(1).write.mode("append").parquet(landing.toString)
+    stamped = graft.streaming.StagedLanding.stampNew(landing, base, stamped)
+    ch.where($"change_ts" >= "1998-01-01")
+      .coalesce(1).write.mode("append").parquet(landing.toString)
+    stamped = graft.streaming.StagedLanding.stampNew(landing, base + 1000, stamped)
+    val sink: (DataFrame, Long) => Unit =
+      graft.streaming.SnapshotUpsert.applyScd2Batch(dimDir, "custkey")
+    val stream = s.readStream.schema(ch.schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing.toString)
+    withStreamingPartitions(s, 8) {
+      val q = stream.writeStream
+        .foreachBatch(sink)
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    graft.streaming.SnapshotUpsert.read(s, dimDir)
+      .orderBy($"custkey", $"effective_from")
+  }
+
   /** t18: small-file compaction round-trip — the corpus is shattered into
     * 32 files, [[Compaction.compactClustered]] rewrites it into
     * ~quarter-of-total-sized files range-clustered on doc_id, and the
@@ -1370,6 +1414,11 @@ object SparkEntry {
     // that picks the df caps for every gram-keyed operator
     "t36_vocab_profile" -> ((s, d) =>
       operators.TextAnalysis.vocabProfile(t(s, d)("documents"))),
+    // bigram collocations ranked by exact-integer lift (exp-PMI): the
+    // phrase-mining pass; one division, no ln, support-pruned before the
+    // vocab joins
+    "t37_collocations" -> ((s, d) =>
+      operators.TextAnalysis.collocations(t(s, d)("documents"), 5)),
     // DSIR selection executed: fill a 3000-token budget with the most
     // target-like docs first (distributed prefix sum over the rank order)
     "t14_dsir_select" -> ((s, d) => {
@@ -1407,6 +1456,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
              sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("total"))
         .orderBy($"c_mktsegment")
+    }),
+    // the AQE counterpart of x01: a deliberately hot-keyed shuffle join
+    // left to OptimizeSkewedJoin (local-scale thresholds applied around a
+    // forced materialization so the split actually fires at gate size —
+    // PlanGuardSpec pins skew=true in the executed plan)
+    "x05_aqe_skew" -> ((s, d) => {
+      val big = t(s, d)("lineitem").select(
+        when($"l_linenumber" > 1, lit(1L)).otherwise($"l_suppkey").as("s_suppkey"),
+        ($"l_extendedprice".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      val small = t(s, d)("supplier").select($"s_suppkey", $"s_nationkey")
+      val agg = Skew.aqeSkewJoin(big, small, "s_suppkey")
+        .groupBy($"s_nationkey")
+        .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"))
+      Skew.withConfs(s, Skew.localSkewTuning: _*) {
+        graft.Session.barrier(agg)
+      }.orderBy($"s_nationkey")
     }),
     "x02_salted_distinct" -> ((s, d) =>
       Skew.saltedDistinctCount(t(s, d)("events"), "event_type", "user_id", 8)
@@ -1797,6 +1862,9 @@ object SparkEntry {
     // t33 through the real streaming path (foreachBatch MV maintenance,
     // versioned-pointer exactly-once); shares t33's recompute oracle
     "w13_stream_mv" -> ((s, d) => streamIncrementalAgg(s, d)),
+    // streaming SCD2: t34's merge through the real streaming path, two
+    // time-ordered micro-batches, shared full-recompute oracle string
+    "w15_stream_scd2" -> ((s, d) => streamScd2(s, d)),
     // dynamic partition pruning over a month-partitioned fact layout:
     // the filtered month dim becomes a runtime partition filter on the
     // fact scan (plan-guarded) — 3 directories read, not ~84
@@ -2228,6 +2296,31 @@ object SparkEntry {
          SELECT vec_id, CAST(cluster AS BIGINT) AS cluster
          FROM m$fin ORDER BY vec_id"""
   }
+
+  /** Shared t34/w15 oracle: full-recompute SCD2 chain (dedup to one
+    * change per (key, ts) with the same max-orderkey pick as
+    * scd2Changes, then `lead` closes each version). One string, two
+    * gates — the batch apply and the streaming foreachBatch path cannot
+    * drift apart.
+    */
+  private val scd2Oracle: String =
+    """WITH picked AS (SELECT * FROM (
+             SELECT o_custkey AS custkey, o_orderstatus AS status,
+                    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+                    o_orderdate AS change_ts,
+                    (o_orderkey % 13 = 0) AS del,
+                    row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                       ORDER BY o_orderkey DESC) AS rn
+             FROM orders) WHERE rn = 1),
+         chain AS (SELECT custkey, status, cents, change_ts AS effective_from,
+                          lead(change_ts) OVER (PARTITION BY custkey
+                                                ORDER BY change_ts) AS effective_to,
+                          del
+                   FROM picked)
+         SELECT custkey, status, cents, effective_from, effective_to,
+                (effective_to IS NULL) AS is_current
+         FROM chain WHERE NOT del
+         ORDER BY custkey, effective_from"""
 
   /** Shared g06/g07 oracle CTE: the support-thresholded co-purchase edge
     * list (u < v, co-occurrence in ≥ 2 orders), ending in relation `e0`.
@@ -3476,6 +3569,24 @@ object SparkEntry {
                 top.tok AS top_token, top.c AS top_count
          FROM per JOIN top ON per.source = top.source AND top.rn = 1
          ORDER BY per.source""",
+    // same filtered-array bigram frames (1-based t[i]/t[i+1] over the
+    // empty-pruned list) and the same single-division lift
+    "t37_collocations" ->
+      """WITH d AS (SELECT doc_id,
+              list_filter(string_split_regex(lower(text), '\s+'), s -> len(s) > 0) AS t
+            FROM documents),
+         u AS (SELECT x, CAST(count(*) AS BIGINT) AS n_x
+               FROM (SELECT unnest(t) AS x FROM d) GROUP BY x),
+         tot AS (SELECT CAST(sum(n_x) AS BIGINT) AS n_tokens FROM u),
+         b AS (SELECT t[i] AS x, t[i + 1] AS y
+               FROM d, LATERAL (SELECT unnest(range(1, len(t))) AS i) g),
+         bc AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n_xy FROM b GROUP BY 1, 2
+                HAVING count(*) >= 5)
+         SELECT bc.x, bc.y, bc.n_xy, ux.n_x, uy.n_x AS n_y,
+                round(CAST(bc.n_xy AS DOUBLE) * n_tokens
+                      / (CAST(ux.n_x AS DOUBLE) * uy.n_x), 6) AS lift
+         FROM bc JOIN u ux ON bc.x = ux.x JOIN u uy ON bc.y = uy.x CROSS JOIN tot
+         ORDER BY bc.x, bc.y""",
     "t13_data_card" ->
       """WITH base AS (SELECT source, lang,
                         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,
@@ -3793,6 +3904,17 @@ object SparkEntry {
     "x02_salted_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_distinct
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // AQE partition splitting is invisible to results by construction —
+    // the oracle is the plain hot-keyed join
+    "x05_aqe_skew" ->
+      """WITH b AS (SELECT CASE WHEN l_linenumber > 1 THEN 1
+                               ELSE l_suppkey END AS k,
+                          CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                   FROM lineitem)
+         SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(cents) AS BIGINT) AS sum_cents
+         FROM b JOIN supplier ON b.k = s_suppkey
+         GROUP BY 1 ORDER BY 1""",
     // the oracle's plain join must equal the bucketed-layout join —
     // layout is invisible to results, only to the plan (the guard's job)
     "x03_bucketed_join" ->
@@ -3900,24 +4022,10 @@ object SparkEntry {
          FROM w GROUP BY doc_id ORDER BY doc_id""",
     // full effective-dated recompute (lead over the entire change
     // history); the engine answers with recompute(early) + apply(late)
-    "t34_scd2" ->
-      """WITH picked AS (SELECT * FROM (
-             SELECT o_custkey AS custkey, o_orderstatus AS status,
-                    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
-                    o_orderdate AS change_ts,
-                    (o_orderkey % 13 = 0) AS del,
-                    row_number() OVER (PARTITION BY o_custkey, o_orderdate
-                                       ORDER BY o_orderkey DESC) AS rn
-             FROM orders) WHERE rn = 1),
-         chain AS (SELECT custkey, status, cents, change_ts AS effective_from,
-                          lead(change_ts) OVER (PARTITION BY custkey
-                                                ORDER BY change_ts) AS effective_to,
-                          del
-                   FROM picked)
-         SELECT custkey, status, cents, effective_from, effective_to,
-                (effective_to IS NULL) AS is_current
-         FROM chain WHERE NOT del
-         ORDER BY custkey, effective_from""",
+    "t34_scd2" -> scd2Oracle,
+    // one string, two gates: the streaming path must land on the same
+    // full-recompute dimension as the batch apply
+    "w15_stream_scd2" -> scd2Oracle,
     // identical v2 derivation + md5 compare; FULL OUTER recovers the set
     "t32_snapshot_diff" ->
       """WITH v1 AS (SELECT doc_id, text FROM documents),

@@ -51,4 +51,48 @@ object Skew {
       .groupBy(col(groupKey))
       .agg(sum($"partial").as("n_distinct"))
   }
+
+  /** The AQE-managed alternative to [[saltedJoin]]: declare a plain
+    * shuffle join (the `shuffle_merge` hint keeps the small side out of
+    * a broadcast, which would bypass the skew path entirely) and let
+    * `OptimizeSkewedJoin` split oversized partitions at runtime — no
+    * replication cost, no salt column, and the split only happens where
+    * the data is actually skewed. This is the PREFERRED production shape;
+    * salting remains for stateful ops and beyond-one-task hot keys (see
+    * object scaladoc).
+    */
+  def aqeSkewJoin(big: DataFrame, small: DataFrame, key: String): DataFrame =
+    big.hint("shuffle_merge").join(small, Seq(key))
+
+  /** AQE thresholds that let a LOCAL-scale fixture's hot key actually
+    * trip `OptimizeSkewedJoin`: the production defaults (256 MB skew
+    * threshold / 64 MB advisory target) are right for cluster executors
+    * and unreachable by a megabyte-sized gate. Apply via [[withConfs]]
+    * around a forced materialization.
+    */
+  val localSkewTuning: Seq[(String, String)] = Seq(
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "131072",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+    // a downstream aggregate on the join key would otherwise veto the
+    // split (it reuses the join's output partitioning; splitting breaks
+    // that guarantee and AQE declines rather than add a shuffle) — at
+    // gate scale the extra exchange is irrelevant, so force it
+    "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true")
+
+  /** Run `body` with session confs temporarily overridden, restoring (or
+    * unsetting) them afterwards. The body must FORCE any query whose
+    * execution should see the overrides — confs bind at action time, not
+    * plan-declaration time.
+    */
+  def withConfs[A](spark: org.apache.spark.sql.SparkSession,
+                   confs: (String, String)*)(body: => A): A = {
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

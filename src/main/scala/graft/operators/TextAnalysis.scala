@@ -552,4 +552,39 @@ object TextAnalysis {
         hist.groupBy($"tok").agg(sum($"c").as("c")), lit("ALL")))
       .orderBy($"source")
   }
+
+  /** Bigram collocation mining — corpus phrases whose adjacent
+    * co-occurrence beats independence (lift = P(xy)/(P(x)·P(y)), the
+    * exp(PMI) every phrase-detection pass ranks by). Integer counts all
+    * the way down: n_xy/n_x/n_y/N are exact longs, and `lift` is ONE
+    * IEEE division of two exact sub-2⁵³ products — bit-identical in any
+    * engine, unlike a ln-based PMI (the bm25Search portability lesson).
+    *
+    * Shape: bigrams come from the shared [[Dedup.ngrams]] slice-zip (no
+    * per-token self-join), collapse by map-side combine BEFORE the
+    * `minCount` support filter prunes the tail, and only the surviving
+    * vocabulary-sized relation joins unigram counts (shuffle joins — the
+    * vocabulary is unbounded at corpus scale, never broadcast; the 1-row
+    * token total IS broadcast). Empty tokens are filtered in the ARRAY,
+    * so a leading-whitespace split artifact cannot shift bigram frames.
+    */
+  def collocations(documents: DataFrame, minCount: Int): DataFrame = {
+    val toks = documents.select(
+      filter(Dedup.tokens($"text"), x => length(x) > 0).as("t"))
+    val uni = toks.select(explode($"t").as("x"))
+      .groupBy($"x").agg(count(lit(1)).as("n_x"))
+    val tot = broadcast(uni.agg(sum($"n_x").cast("long").as("n_tokens")))
+    val bi = toks.select(explode(Dedup.ngrams($"t", 2)).as("g"))
+      .groupBy($"g").agg(count(lit(1)).as("n_xy"))
+      .where($"n_xy" >= minCount)
+      .select(substring_index($"g", " ", 1).as("x"),
+        substring_index($"g", " ", -1).as("y"), $"n_xy")
+    bi.join(uni, Seq("x"))
+      .join(uni.select($"x".as("y"), $"n_x".as("n_y")), Seq("y"))
+      .crossJoin(tot)
+      .select($"x", $"y", $"n_xy", $"n_x", $"n_y",
+        round($"n_xy".cast("double") * $"n_tokens" /
+          ($"n_x".cast("double") * $"n_y"), 6).as("lift"))
+      .orderBy($"x", $"y")
+  }
 }

@@ -102,6 +102,34 @@ object SnapshotUpsert {
     if (retain > 0) vacuum(dir, retain)
   }
 
+  /** The `foreachBatch` function for SCD TYPE-2 dimension maintenance
+    * (w15): each micro-batch of effective-dated changes advances the
+    * stored dimension via [[Upsert.scd2Apply]] — closed versions pass
+    * through untouched, only changed keys' open rows re-enter the
+    * version chain — under the same versioned-pointer exactly-once
+    * protocol as the CDC sink. Requires each batch to be a genuine
+    * increment (no change older than an already-closed version; see
+    * scd2Apply's contract) — which mtime-ordered landing batches of an
+    * append-only change feed satisfy by construction.
+    */
+  def applyScd2Batch(dir: String, key: String, tsCol: String = "change_ts",
+                     deleteCol: String = "del", retain: Int = 2)(batch: DataFrame, batchId: Long): Unit = {
+    val version = s"b$batchId"
+    val current = currentVersion(dir).getOrElse(
+      throw new IllegalStateException(s"snapshot at $dir not initialised — call init() first"))
+    if (batchId <= versionId(current)) return
+    val spark = batch.sparkSession
+    val dim = spark.read.parquet(s"$dir/$current")
+    val needed = Seq(key, "effective_from", "effective_to", "is_current")
+    require(needed.forall(dim.columns.contains),
+      s"applyScd2Batch history must be an SCD2 dimension with (${needed.mkString(", ")}) " +
+        s"columns (init it with Upsert.scd2Recompute), got ${dim.columns.mkString(", ")}")
+    val merged = Upsert.scd2Apply(dim, batch, key, tsCol, deleteCol)
+    merged.write.mode("overwrite").parquet(s"$dir/$version")
+    switchPointer(dir, version)
+    if (retain > 0) vacuum(dir, retain)
+  }
+
   /** Read the current snapshot (the pointer's version directory). */
   def read(spark: SparkSession, dir: String): DataFrame = {
     val v = currentVersion(dir).getOrElse(

@@ -292,4 +292,27 @@ class UpsertSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     out.toSeq shouldBe Seq((1L, 2L, 50L, 30L), (9L, 1L, 100L, 100L))
   }
+
+  test("scd2 store: sequential batches equal full recompute; replay and stale ids skip; GC-safe") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_scd2").toString
+    val all = Seq(
+      (1L, "a1", 10, false), (1L, "a2", 20, false), (1L, "a3", 30, false),
+      (2L, "b1", 10, false), (2L, "b2", 25, false))
+    graft.streaming.SnapshotUpsert.init(
+      Upsert.scd2Recompute(chlog(all.filter(_._3 <= 10): _*), "k"), dir)
+    graft.streaming.SnapshotUpsert.applyScd2Batch(dir, "k")(
+      chlog(all.filter(c => c._3 > 10 && c._3 <= 20): _*), 0L)
+    graft.streaming.SnapshotUpsert.applyScd2Batch(dir, "k")(
+      chlog(all.filter(_._3 > 20): _*), 1L)
+    val expected = scd2Rows(Upsert.scd2Recompute(chlog(all: _*), "k"))
+    scd2Rows(graft.streaming.SnapshotUpsert.read(spark, dir)) shouldBe expected
+    // replay of the published batch id and of an older id: both no-ops,
+    // even after auto-vacuum has GC'd versions below the retain window
+    graft.streaming.SnapshotUpsert.applyScd2Batch(dir, "k")(
+      chlog(all.filter(_._3 > 20): _*), 1L)
+    graft.streaming.SnapshotUpsert.applyScd2Batch(dir, "k")(
+      chlog((9L, "x", 5, false)), 0L)
+    graft.streaming.SnapshotUpsert.currentVersion(dir) shouldBe Some("b1")
+    scd2Rows(graft.streaming.SnapshotUpsert.read(spark, dir)) shouldBe expected
+  }
 }
