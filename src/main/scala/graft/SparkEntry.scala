@@ -1419,6 +1419,10 @@ object SparkEntry {
     // vocab joins
     "t37_collocations" -> ((s, d) =>
       operators.TextAnalysis.collocations(t(s, d)("documents"), 5)),
+    // multi-keyword topic tagging via the replace-length identity —
+    // row-local codegen'd counts, zero shuffles
+    "t38_keyword_tags" -> ((s, d) => operators.TextAnalysis.keywordTagCounts(
+      t(s, d)("documents"), Seq("spark", "vector", "data", "hash"))),
     // DSIR selection executed: fill a 3000-token budget with the most
     // target-like docs first (distributed prefix sum over the rank order)
     "t14_dsir_select" -> ((s, d) => {
@@ -1586,6 +1590,15 @@ object SparkEntry {
     // deterministic mode (most frequent value, ties toward min) from the
     // per-group histogram — the rank runs over domain-bounded rows only
     "q63_mode" -> ((s, d) => Core.modeTop1(t(s, d)("events"), "user_id", "event_type")),
+    // session-scoped trigram journeys: one user_id shuffle serves the
+    // island derivation and both leads; |types|^3-bounded aggregate
+    "q64_session_paths" -> ((s, d) =>
+      EventWindows.sessionPaths(t(s, d)("events"), 30)),
+    // winsorized total at exact p10/p90 order statistics — the
+    // q59/q61 histogram chassis, clamp instead of flag
+    "q65_winsorized" -> ((s, d) => Core.winsorizedSum(
+      t(s, d)("lineitem"), "l_returnflag",
+      ($"l_extendedprice".cast("decimal(18,2)") * 100).cast("long"))),
     "q46_forward_fill" -> ((s, d) =>
       EventWindows.forwardFill(t(s, d)("events"))),
     // higher-order array functions (§2.5 breadth): transform / filter /
@@ -3587,6 +3600,19 @@ object SparkEntry {
                       / (CAST(ux.n_x AS DOUBLE) * uy.n_x), 6) AS lift
          FROM bc JOIN u ux ON bc.x = ux.x JOIN u uy ON bc.y = uy.x CROSS JOIN tot
          ORDER BY bc.x, bc.y""",
+    // the same replace-length identity per keyword (integer division by
+    // the keyword length is exact: the removed span is a multiple of it)
+    "t38_keyword_tags" ->
+      """WITH k AS (SELECT doc_id, lower(text) AS t FROM documents),
+         c AS (SELECT doc_id,
+                 CAST((len(t) - len(replace(t, 'data', ''))) // 4 AS BIGINT) AS n_data,
+                 CAST((len(t) - len(replace(t, 'hash', ''))) // 4 AS BIGINT) AS n_hash,
+                 CAST((len(t) - len(replace(t, 'spark', ''))) // 5 AS BIGINT) AS n_spark,
+                 CAST((len(t) - len(replace(t, 'vector', ''))) // 6 AS BIGINT) AS n_vector
+               FROM k)
+         SELECT doc_id, n_data, n_hash, n_spark, n_vector,
+                n_data + n_hash + n_spark + n_vector AS n_tags
+         FROM c ORDER BY doc_id""",
     "t13_data_card" ->
       """WITH base AS (SELECT source, lang,
                         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,
@@ -4595,6 +4621,41 @@ object SparkEntry {
                 min(s) AS island_start_us, max(e) AS island_end_us,
                 max(e) - min(s) AS span_us, CAST(count(*) AS BIGINT) AS n_intervals
          FROM w GROUP BY 1, 2 ORDER BY key, island""",
+    // identical island derivation (30-min gap, (ts, event_id) order) and
+    // session-partitioned leads
+    "q64_session_paths" ->
+      s"""WITH $evCte,
+         o AS (SELECT user_id, event_id, ts, event_type,
+                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+               FROM ev),
+         i AS (SELECT *, CASE WHEN prev_ts IS NULL
+                              OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                              THEN 1 ELSE 0 END AS ns FROM o),
+         sf AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                FROM i),
+         tri AS (SELECT event_type AS s1,
+                        lead(event_type, 1) OVER (PARTITION BY user_id, session_id
+                                                  ORDER BY ts, event_id) AS s2,
+                        lead(event_type, 2) OVER (PARTITION BY user_id, session_id
+                                                  ORDER BY ts, event_id) AS s3
+                 FROM sf)
+         SELECT s1, s2, s3, CAST(count(*) AS BIGINT) AS n
+         FROM tri WHERE s3 IS NOT NULL GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    // raw-rank formulation of the same integer p10/p90 cuts and clamp
+    "q65_winsorized" ->
+      """WITH b AS (SELECT l_returnflag AS g,
+                           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+                    FROM lineitem),
+         r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rr,
+                      count(*) OVER (PARTITION BY g) AS n FROM b),
+         c AS (SELECT g, CAST(max(n) AS BIGINT) AS n,
+                      min(CASE WHEN rr = (n + 9) // 10 THEN v END) AS cut_lo,
+                      min(CASE WHEN rr = (9 * n + 9) // 10 THEN v END) AS cut_hi
+               FROM r GROUP BY g)
+         SELECT b.g AS grp, c.n, c.cut_lo, c.cut_hi,
+                CAST(sum(greatest(least(b.v, c.cut_hi), c.cut_lo)) AS BIGINT) AS wsum
+         FROM b JOIN c ON b.g = c.g GROUP BY 1, 2, 3, 4 ORDER BY grp""",
     // the same (cnt DESC, v ASC) tie rule, stated once on both sides
     "q63_mode" ->
       s"""WITH $evCte,

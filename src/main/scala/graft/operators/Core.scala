@@ -451,4 +451,38 @@ object Core {
         $"n_distinct".cast("long").as("n_distinct"))
       .orderBy($"grp")
   }
+
+  /** Winsorized sum per group — clamp to the exact p10/p90 ORDER
+    * STATISTICS (ranks ⌈n/10⌉ and ⌈9n/10⌉, integer rank arithmetic, no
+    * quantile interpolation) and total the clamped values. The robust
+    * aggregate quality pipelines use where trimming would bias the count;
+    * completes the [[madOutliers]]/[[weightedMedian]] robust-stats family
+    * on the same chassis: order-statistic passes over the (group, value)
+    * HISTOGRAM (windows sort ≤ |value domain| rows per group, never raw
+    * rows), cut values broadcast back as a groups-sized relation, clamped
+    * total in one map-side-combining aggregate — all exact longs.
+    */
+  def winsorizedSum(df: DataFrame, groupCol: String, cents: Column): DataFrame = {
+    val hist = df.select(col(groupCol).as("g"), cents.as("v"))
+      .groupBy($"g", $"v").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy($"g").orderBy($"v")
+    val ranked = hist
+      .withColumn("hi_rank", sum($"c").over(w))
+      .withColumn("lo_rank", $"hi_rank" - $"c" + 1)
+      .withColumn("n", sum($"c").over(Window.partitionBy($"g")))
+      .withColumn("k_lo", expr("(n + 9) div 10"))
+      .withColumn("k_hi", expr("(9 * n + 9) div 10"))
+    // each rank lands inside exactly one value's cumulative range
+    val cuts = ranked.groupBy($"g").agg(
+      max($"n").as("n"),
+      min(when($"k_lo".between($"lo_rank", $"hi_rank"), $"v")).as("cut_lo"),
+      min(when($"k_hi".between($"lo_rank", $"hi_rank"), $"v")).as("cut_hi"))
+    hist.join(broadcast(cuts), Seq("g"))
+      .groupBy($"g")
+      .agg(max($"n").as("n2"), max($"cut_lo").as("clo"), max($"cut_hi").as("chi"),
+        sum(greatest(least($"v", $"cut_hi"), $"cut_lo") * $"c").as("ws"))
+      .select($"g".as("grp"), $"n2".as("n"), $"clo".as("cut_lo"),
+        $"chi".as("cut_hi"), $"ws".as("wsum"))
+      .orderBy($"grp")
+  }
 }

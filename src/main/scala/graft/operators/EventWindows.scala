@@ -328,4 +328,37 @@ object EventWindows {
         sum($"len").as("active_days"))
       .orderBy($"user_id")
   }
+
+  /** Session-scoped path mining (q64): the corpus-wide frequency of
+    * length-3 event-type journeys, counted only WITHIN a session (the
+    * [[sessionize]] gap rule) — the "what do users actually do in one
+    * sitting" report. Crossing a session boundary is exactly the
+    * transition q39's global Markov chain over-counts; scoping the
+    * trigram to the session island is what makes it a journey.
+    *
+    * One shuffle on user_id serves the island derivation AND both
+    * `lead`s (same window partitioning); the trigram aggregate is
+    * |types|³-bounded, so everything after the window is metadata-sized.
+    */
+  def sessionPaths(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val gapUs = gapMinutes * 60000000L
+    val bySession = Window.partitionBy($"user_id", $"session_id")
+      .orderBy($"ts", $"event_id")
+    events
+      .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+      .withColumn("new_session",
+        when($"prev_ts".isNull ||
+          unix_micros($"ts".cast("timestamp")) -
+            unix_micros($"prev_ts".cast("timestamp")) > gapUs, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum($"new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("s2", lead($"event_type", 1).over(bySession))
+      .withColumn("s3", lead($"event_type", 2).over(bySession))
+      .where($"s3".isNotNull)
+      .groupBy($"event_type".as("s1"), $"s2", $"s3")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"s1", $"s2", $"s3")
+  }
 }

@@ -587,4 +587,28 @@ object TextAnalysis {
           ($"n_x".cast("double") * $"n_y"), 6).as("lift"))
       .orderBy($"x", $"y")
   }
+
+  /** Multi-keyword tagging (t38): per-document occurrence counts for a
+    * fixed keyword list — the topic/domain tagging pass crawl pipelines
+    * run before mixing. Counts are non-overlapping substring matches via
+    * the replace-length identity `(len − len(remove(kw)))/len(kw)` —
+    * exact integers, identical greedy-leftmost semantics in any engine,
+    * and entirely row-local codegen'd expressions: zero shuffles, K
+    * column ops per row. For keyword lists beyond a few hundred, switch
+    * to an Aho-Corasick trie in mapPartitions — one text pass for any K;
+    * at gate K the expression form is both faster and oracle-checkable.
+    */
+  def keywordTagCounts(documents: DataFrame, keywords: Seq[String]): DataFrame = {
+    val names = keywords.distinct.sorted
+    require(names.nonEmpty && names.forall(k => k.nonEmpty && k == k.toLowerCase),
+      "keywords must be non-empty and lowercase")
+    val lo = lower($"text")
+    val cols = names.map { kw =>
+      ((length(lo) - length(replace(lo, lit(kw), lit("")))) / kw.length)
+        .cast("long").as(s"n_$kw")
+    }
+    documents.select(($"doc_id" +: cols): _*)
+      .withColumn("n_tags", names.map(n => col(s"n_$n")).reduce(_ + _))
+      .orderBy($"doc_id")
+  }
 }

@@ -218,6 +218,16 @@ class CoreSpec extends SparkSpec {
     out("C") shouldBe ((3L, 3L, 7L))
   }
 
+  test("winsorizedSum: integer p10/p90 cuts clamp the tails; duplicates collapse first") {
+    val a = (1L to 10L).map(("A", _))                 // k_lo=1 -> cut 1, k_hi=9 -> cut 9
+    val b = (Seq.fill(7)(5L) :+ 100L).map(("B", _))   // k_lo=1 -> 5, k_hi=8 -> 100 (no clamp)
+    val out = Core.winsorizedSum((a ++ b).toDF("g", "cents"), "g", $"cents")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    out("A") shouldBe ((10L, 1L, 9L, 54L)) // 1..9 sum 45, 10 clamps to 9
+    out("B") shouldBe ((8L, 5L, 100L, 135L))
+  }
+
   test("modeTop1: most frequent wins, count ties break toward the smallest value") {
     val rows = Seq(
       ("u1", "b"), ("u1", "b"), ("u1", "a"),          // clear winner b

@@ -263,4 +263,21 @@ class EventWindowsSpec extends SparkSpec {
     // a single reading holds zero time: defined as 0, not NaN
     out(9L) shouldBe ((1L, 0L, 0L, 0.0))
   }
+
+  test("sessionPaths: trigrams never cross a session boundary") {
+    val d = events(
+      (1L, "2024-01-01 10:00:00", 1L, "a", 0.0),
+      (2L, "2024-01-01 10:01:00", 1L, "b", 0.0),
+      (3L, "2024-01-01 10:02:00", 1L, "c", 0.0),
+      // 43-minute gap: new session
+      (4L, "2024-01-01 10:45:00", 1L, "d", 0.0),
+      (5L, "2024-01-01 10:46:00", 1L, "e", 0.0),
+      (6L, "2024-01-01 10:47:00", 1L, "f", 0.0),
+      // another user, too short for any trigram
+      (7L, "2024-01-01 10:00:00", 2L, "a", 0.0),
+      (8L, "2024-01-01 10:01:00", 2L, "b", 0.0))
+    val out = EventWindows.sessionPaths(d, 30)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    out shouldBe Map(("a", "b", "c") -> 1L, ("d", "e", "f") -> 1L)
+  }
 }

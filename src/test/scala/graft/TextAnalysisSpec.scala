@@ -257,4 +257,29 @@ class TextAnalysisSpec extends SparkSpec {
     // count 3 (hapax in B alone, NOT a corpus hapax)
     out("ALL") shouldBe ((9L, 6L, 4L, "a", 3L))
   }
+
+  test("keywordTagCounts: non-overlapping greedy counts, case folding, exact totals") {
+    val docs = Seq(
+      (1L, "Spark spark and more SPARK vector"),
+      (2L, "aaa"),   // 'aa' matches once under leftmost non-overlap
+      (3L, "nothing here")).toDF("doc_id", "text")
+    val out = TextAnalysis.keywordTagCounts(docs, Seq("spark", "vector", "aa"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // columns sort: n_aa, n_spark, n_vector, then n_tags
+    out(1L) shouldBe ((0L, 3L, 1L, 4L))
+    out(2L) shouldBe ((1L, 0L, 0L, 1L))
+    out(3L) shouldBe ((0L, 0L, 0L, 0L))
+  }
+
+  test("collocations: counts and lift from a hand-built corpus") {
+    // corpus: "x y" twice in doc1, once in doc2; total tokens 6
+    val docs = Seq((1L, "x y x y"), (2L, "x y")).toDF("doc_id", "text")
+    val out = TextAnalysis.collocations(docs, minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // bigrams: doc1 -> (x y)(y x)(x y), doc2 -> (x y); n_x=3, n_y=3, N=6
+    out(("x", "y")) shouldBe ((3L, 3L, 3L, 2.0)) // 3*6/(3*3)
+    out.contains(("y", "x")) shouldBe false      // n_xy=1 < minCount
+  }
 }
