@@ -1073,6 +1073,10 @@ object SparkEntry {
     // zero-crossing count — framing stays inside Catalyst array
     // expressions (slice/aggregate/zip_with), no sample-level explode
     "m08_audio_frames" -> ((s, d) => Multimodal.audioFrames(t(s, d)("documents"))),
+    // box-filter thumbnail over the real PNG decode path: floor-split
+    // source boxes, floor-mean output pixels with the exact (sum, count)
+    // integers alongside — the resize half of the multimodal mandate
+    "m09_image_resize" -> ((s, d) => Multimodal.imageResize(t(s, d)("documents"))),
     // image perceptual hash (aHash) over the REAL decoded PNG raster —
     // integer-exact block means (lcm scaling), strict cross-multiplied
     // threshold: the oracle regenerates identical bits from the pixel
@@ -1599,6 +1603,22 @@ object SparkEntry {
     "q65_winsorized" -> ((s, d) => Core.winsorizedSum(
       t(s, d)("lineitem"), "l_returnflag",
       ($"l_extendedprice".cast("decimal(18,2)") * 100).cast("long"))),
+    // year-over-year monthly revenue: the +12-months SELF JOIN (robust
+    // to missing months, unlike lag(12) over a dense-spine assumption);
+    // change ratio is one IEEE division of exact cent integers
+    "q66_yoy" -> ((s, d) => {
+      val m = t(s, d)("orders")
+        .groupBy(date_trunc("month", $"o_orderdate").cast("timestamp_ntz").as("month"))
+        .agg(sum(($"o_totalprice".cast("decimal(18,2)") * 100).cast("long")).as("cents"))
+      val prev = m.select(add_months($"month", 12).cast("timestamp_ntz").as("month"),
+        $"cents".as("prev_cents"))
+      m.join(prev, Seq("month"), "left")
+        .select($"month", $"cents", $"prev_cents",
+          ($"cents" - coalesce($"prev_cents", lit(0L))).as("diff_cents"),
+          round(($"cents" - $"prev_cents").cast("double") / $"prev_cents", 6)
+            .as("yoy_ratio"))
+        .orderBy($"month")
+    }),
     "q46_forward_fill" -> ((s, d) =>
       EventWindows.forwardFill(t(s, d)("events"))),
     // higher-order array functions (§2.5 breadth): transform / filter /
@@ -3411,6 +3431,20 @@ object SparkEntry {
                 CAST(sum(CASE WHEN mm * 64 > tot THEN 1 ELSE 0 END) AS BIGINT) AS n_set
          FROM m JOIN g USING (doc_id)
          GROUP BY 1 ORDER BY 1""",
+    // the same closed-form pixel field, 4x4 floor-split boxes, floor
+    // means — the engine recovers the pixels through zlib + row filters
+    "m09_image_resize" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (3 * doc_id) % 16 AS h
+                    FROM documents WHERE doc_id % 3 = 0),
+         px AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM d),
+         pxy AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM px),
+         b AS (SELECT doc_id, (y * 4) // h AS oy, (x * 4) // w AS ox,
+                      CAST(sum((7 * x + 13 * y + doc_id) % 256) AS BIGINT) AS s,
+                      CAST(count(*) AS BIGINT) AS c
+               FROM pxy GROUP BY 1, 2, 3)
+         SELECT doc_id, CAST(oy AS BIGINT) AS oy, CAST(ox AS BIGINT) AS ox,
+                s // c AS pix, s, c
+         FROM b ORDER BY doc_id, oy, ox""",
     // m06's oracle machinery over the JPEG fixture's block-constant
     // pixel formula (19*(x//8) + 23*(y//8) + 29*(d%97)) % 256 and its
     // 9..32 x 9..24 dims — the engine recovered these pixels through
@@ -4642,6 +4676,17 @@ object SparkEntry {
                  FROM sf)
          SELECT s1, s2, s3, CAST(count(*) AS BIGINT) AS n
          FROM tri WHERE s3 IS NOT NULL GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    // identical +12-months self join; NULL prev -> NULL ratio both sides
+    "q66_yoy" ->
+      """WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+                           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                             AS BIGINT) AS cents
+                    FROM orders GROUP BY 1),
+         p AS (SELECT month + INTERVAL 12 MONTH AS month, cents AS prev_cents FROM m)
+         SELECT m.month, m.cents, p.prev_cents,
+                m.cents - coalesce(p.prev_cents, 0) AS diff_cents,
+                round(CAST(m.cents - p.prev_cents AS DOUBLE) / p.prev_cents, 6) AS yoy_ratio
+         FROM m LEFT JOIN p ON m.month = p.month ORDER BY m.month""",
     // raw-rank formulation of the same integer p10/p90 cuts and clamp
     "q65_winsorized" ->
       """WITH b AS (SELECT l_returnflag AS g,

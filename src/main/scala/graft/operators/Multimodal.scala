@@ -284,6 +284,51 @@ object Multimodal {
     ImagePhash(id, w, h, hi, lo, nSet)
   }
 
+  /** Box-filter image downsample (m09) — the thumbnail/resize stage of
+    * the multimodal mandate, over the REAL PNG decode path. Target-grid
+    * mapping is the same floor split aHash uses (source pixel (x, y) →
+    * output cell ((x·ow)/w, (y·oh)/h)), each output pixel the FLOOR MEAN
+    * of its source box — emitted as `sum DIV count` with the exact
+    * integers alongside, so no division precision is ever in play and
+    * the closed-form oracle regenerates every output pixel without
+    * touching bytes while the engine goes through zlib + row filters.
+    *
+    * Plumbing identical to [[imagePhash]]: mapPartitions over ids, the
+    * decoder sees only bytes, output rows are (doc, oy, ox)-addressed —
+    * ow·oh rows per image, the batch shape a downstream vision encoder
+    * consumes. Row-local per image; zero shuffles before the gate's
+    * ORDER BY.
+    */
+  def imageResize(documents: DataFrame, ow: Int = 4, oh: Int = 4): DataFrame = {
+    require(ow >= 1 && oh >= 1, "imageResize: target dims must be >= 1")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .filter((id: Long) => id % 3 == 0) // the PNG third of the fixture
+      .flatMap { id =>
+        val (w, h, img) = graft.sources.AssetCodecs.decodePngImage(assetFor(id))
+        require(w >= ow && h >= oh,
+          s"imageResize: upscaling unsupported, got ${w}x$h -> ${ow}x$oh for doc $id")
+        val s = Array.ofDim[Long](oh, ow)
+        val c = Array.ofDim[Long](oh, ow)
+        var y = 0
+        while (y < h) {
+          val by = y * oh / h
+          var x = 0
+          while (x < w) {
+            s(by)(x * ow / w) += img(y)(x) & 0xff
+            c(by)(x * ow / w) += 1
+            x += 1
+          }
+          y += 1
+        }
+        for (oy <- 0 until oh; ox <- 0 until ow)
+          yield (id, oy.toLong, ox.toLong, s(oy)(ox) / c(oy)(ox), s(oy)(ox), c(oy)(ox))
+      }
+      .toDF("doc_id", "oy", "ox", "pix", "s", "c")
+      .orderBy(col("doc_id"), col("oy"), col("ox"))
+  }
+
   /** m07 fixture: one real baseline JPEG per document — grayscale,
     * per-8x8-block-constant pixels `(19·⌊x/8⌋ + 23·⌊y/8⌋ + 29·(d mod
     * 97)) mod 256`, non-block-multiple dims so edge blocks pad. Constant

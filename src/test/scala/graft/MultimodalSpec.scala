@@ -117,4 +117,22 @@ class MultimodalSpec extends SparkSpec {
     val d2 = out.filter(_.getLong(0) == 2L)
     d2.map(_.getLong(3)).sum shouldBe 64 + 2 % 193
   }
+
+  test("imageResize: floor-mean box filter agrees with a direct recomputation from the decoder") {
+    val docs = spark.range(0, 30).select($"id".as("doc_id"))
+    val out = Multimodal.imageResize(docs.toDF(), 4, 4).collect()
+    out.map(_.getLong(0)).distinct.toSeq shouldBe (0L until 30L by 3L).toSeq
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) => rows.length shouldBe 16 }
+    out.foreach { r =>
+      val (id, oy, ox) = (r.getLong(0), r.getLong(1).toInt, r.getLong(2).toInt)
+      val (w, h, img) = graft.sources.AssetCodecs.decodePngImage(Multimodal.assetFor(id))
+      val cells = for {
+        y <- 0 until h if y * 4 / h == oy
+        x <- 0 until w if x * 4 / w == ox
+      } yield (img(y)(x) & 0xff).toLong
+      r.getLong(4) shouldBe cells.sum                    // s
+      r.getLong(5) shouldBe cells.size.toLong            // c
+      r.getLong(3) shouldBe cells.sum / cells.size       // pix = floor mean
+    }
+  }
 }
