@@ -446,4 +446,31 @@ class PlanGuardSpec extends SparkSpec {
     p should not include "SortMergeJoin"
     p should not include "CartesianProduct"
   }
+
+  test("q61_weighted_median: histogram before any window, one window exchange, no join") {
+    val p = planOf("q61_weighted_median")
+    p should not include "Join"
+    // the (g, v) histogram collapses with map-side combine BEFORE the
+    // window sort — a raw-row window would drop the partial aggregate
+    p should include("partial_count")
+    // cumw + totw + the final pick all reuse ONE keyed exchange; only
+    // the histogram shuffle and the output sort may add more
+    p.linesIterator.count(_.trim.matches("""\(\d+\) Exchange""")) should be <= 3
+  }
+
+  test("s11_kmeans: centroids broadcast (k-row relation), rank=1 as a group limit, no SMJ") {
+    val p = planOf("s11_kmeans")
+    p should include("BroadcastNestedLoopJoin")
+    p should include("WindowGroupLimit")
+    p should not include "SortMergeJoin"
+  }
+
+  test("g06_node_similarity: no cartesian or BNLJ anywhere in the wedge pipeline") {
+    val p = planOf("g06_node_similarity")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    // the barriered edge list is an RDD scan — the fact table is NOT
+    // re-scanned for adjacency/degree derivations
+    p should not include "Scan parquet"
+  }
 }
