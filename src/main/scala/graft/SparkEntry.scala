@@ -598,9 +598,11 @@ object SparkEntry {
   private def streamJoinOuter(s: SparkSession, d: String): DataFrame =
     streamJoinImpl(s, d, outer = true)
 
-  private def streamJoinImpl(s: SparkSession, d: String, outer: Boolean): DataFrame = {
+  private def streamJoinImpl(s: SparkSession, d: String, outer: Boolean,
+                             semi: Boolean = false): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val name = if (outer) "w11_stream_outer_join" else "w09_stream_join"
+    val name = if (semi) "w16_stream_semi_join"
+      else if (outer) "w11_stream_outer_join" else "w09_stream_join"
     val tmp = java.nio.file.Files.createTempDirectory("graft_" + name).toString
     val schema = landEventsSliced(s, d, tmp)
     def src() = s.readStream.schema(schema)
@@ -609,7 +611,9 @@ object SparkEntry {
     val purchases = src().where($"event_type" === "purchase")
     withStreamingPartitions(s, 8) {
       val joined =
-        if (outer) graft.streaming.EventStream
+        if (semi) graft.streaming.EventStream
+          .recentPurchaseJoinSemi(clicks, purchases, "2 hours", 1800)
+        else if (outer) graft.streaming.EventStream
           .recentPurchaseJoinOuter(clicks, purchases, "2 hours", 1800)
         else graft.streaming.EventStream
           .recentPurchaseJoin(clicks, purchases, "2 hours", 1800)
@@ -624,10 +628,15 @@ object SparkEntry {
       q.awaitTermination()
       graft.streaming.StateMetrics.record(name, q)
     }
-    s.read.parquet(s"$tmp/out")
-      .select($"click_id", $"user_id", $"ts".cast("timestamp_ntz").as("ts"),
-        $"purchase_id", $"p_ts".cast("timestamp_ntz").as("p_ts"))
-      .orderBy($"click_id", $"purchase_id")
+    if (semi)
+      s.read.parquet(s"$tmp/out")
+        .select($"click_id", $"user_id", $"ts".cast("timestamp_ntz").as("ts"))
+        .orderBy($"click_id")
+    else
+      s.read.parquet(s"$tmp/out")
+        .select($"click_id", $"user_id", $"ts".cast("timestamp_ntz").as("ts"),
+          $"purchase_id", $"p_ts".cast("timestamp_ntz").as("p_ts"))
+        .orderBy($"click_id", $"purchase_id")
   }
 
   /** t16: JSONL corpus ingest round-trip — documents are written as JSONL
@@ -1481,6 +1490,21 @@ object SparkEntry {
         graft.Session.barrier(agg)
       }.orderBy($"s_nationkey")
     }),
+    // schema evolution: two parquet generations (lang column added in
+    // v2), one mergeSchema read — the unified schema null-fills the old
+    // files, the warehouse reality every long-lived corpus hits. The
+    // write cost is the gate's point (x03 discipline: deterministic
+    // overwrite, no artifact accumulation)
+    "x06_schema_evolution" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_x06").toString
+      val docs = t(s, d)("documents")
+      docs.where($"doc_id" % 2 === 0).select($"doc_id", $"source")
+        .write.mode("overwrite").parquet(s"$tmp/v1")
+      docs.where($"doc_id" % 2 =!= 0).select($"doc_id", $"source", $"lang")
+        .write.mode("overwrite").parquet(s"$tmp/v2")
+      s.read.option("mergeSchema", "true").parquet(s"$tmp/v1", s"$tmp/v2")
+        .orderBy($"doc_id")
+    }),
     "x02_salted_distinct" -> ((s, d) =>
       Skew.saltedDistinctCount(t(s, d)("events"), "event_type", "user_id", 8)
         .orderBy($"event_type")),
@@ -1898,6 +1922,9 @@ object SparkEntry {
     // streaming SCD2: t34's merge through the real streaming path, two
     // time-ordered micro-batches, shared full-recompute oracle string
     "w15_stream_scd2" -> ((s, d) => streamScd2(s, d)),
+    // LEFT SEMI stream-stream join: "did this click convert" — at most
+    // one emission per click, completing the w09/w11 join matrix
+    "w16_stream_semi_join" -> ((s, d) => streamJoinImpl(s, d, outer = false, semi = true)),
     // dynamic partition pruning over a month-partitioned fact layout:
     // the filtered month dim becomes a runtime partition filter on the
     // fact scan (plan-guarded) — 3 directories read, not ~84
@@ -3082,6 +3109,15 @@ object SparkEntry {
           AND c.event_type = 'click' AND p.event_type = 'purchase'
           AND p.ts >= c.ts - INTERVAL 1800 SECONDS AND p.ts <= c.ts
          ORDER BY click_id, purchase_id""",
+    // semi flavor: DISTINCT matched clicks — emission is match-driven
+    // (the inner-join rule), so no watermark cut applies on a closed input
+    "w16_stream_semi_join" ->
+      s"""WITH $evCte
+         SELECT DISTINCT c.event_id AS click_id, c.user_id, c.ts
+         FROM ev c JOIN ev p ON c.user_id = p.user_id
+          AND c.event_type = 'click' AND p.event_type = 'purchase'
+          AND p.ts >= c.ts - INTERVAL 1800 SECONDS AND p.ts <= c.ts
+         ORDER BY click_id""",
     // left-outer flavor: matched pairs are the batch range join; the
     // null-padded rows are the unmatched clicks Spark evicted — click ts
     // (ms-floored) strictly below the GLOBAL watermark, i.e. the min of
@@ -3964,6 +4000,13 @@ object SparkEntry {
     "x02_salted_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_distinct
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // the merged read must equal the union with NULL-filled old rows
+    "x06_schema_evolution" ->
+      """SELECT doc_id, source, CAST(NULL AS VARCHAR) AS lang
+         FROM documents WHERE doc_id % 2 = 0
+         UNION ALL
+         SELECT doc_id, source, lang FROM documents WHERE doc_id % 2 <> 0
+         ORDER BY doc_id""",
     // AQE partition splitting is invisible to results by construction —
     // the oracle is the plain hot-keyed join
     "x05_aqe_skew" ->

@@ -105,6 +105,19 @@ object EventStream {
                               toleranceSec: Long = 300): DataFrame =
     purchaseJoin(clicks, purchases, watermark, toleranceSec, "left_outer")
 
+  /** LEFT SEMI stream-stream join (w16): each click emits AT MOST ONCE,
+    * when its first qualifying purchase arrives — the "did this click
+    * convert?" shape where the inner join's per-pair fanout is noise.
+    * Matched rows emit immediately (no watermark gating on emission, the
+    * inner-join rule); the watermark still bounds both sides' state.
+    * Completes the stream-join matrix alongside w09 (inner) and w11
+    * (left outer).
+    */
+  def recentPurchaseJoinSemi(clicks: DataFrame, purchases: DataFrame,
+                             watermark: String = "2 hours",
+                             toleranceSec: Long = 300): DataFrame =
+    purchaseJoin(clicks, purchases, watermark, toleranceSec, "left_semi")
+
   private def purchaseJoin(clicks: DataFrame, purchases: DataFrame,
                            watermark: String, toleranceSec: Long,
                            joinType: String): DataFrame = {
@@ -113,12 +126,13 @@ object EventStream {
     val p = purchases.select($"event_id".as("purchase_id"),
         $"user_id".as("p_user_id"), $"ts".as("p_ts"))
       .withWatermark("p_ts", watermark)
-    c.join(p,
+    val j = c.join(p,
       $"user_id" === $"p_user_id" &&
         $"p_ts" >= $"ts" - expr(s"INTERVAL $toleranceSec SECONDS") &&
         $"p_ts" <= $"ts",
       joinType)
-      .select($"click_id", $"user_id", $"ts", $"purchase_id", $"p_ts")
+    if (joinType == "left_semi") j.select($"click_id", $"user_id", $"ts")
+    else j.select($"click_id", $"user_id", $"ts", $"purchase_id", $"p_ts")
   }
 
   /** Custom sessionization with explicit state — the

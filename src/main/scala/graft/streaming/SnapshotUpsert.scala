@@ -137,6 +137,29 @@ object SnapshotUpsert {
     spark.read.parquet(s"$dir/$v")
   }
 
+  /** Time-travel read: the snapshot AS OF a specific applied batch id —
+    * the `VERSION AS OF` read table formats offer, for free from the
+    * versioned layout. Only versions inside the retention window survive
+    * [[vacuum]]; asking for a GC'd (or never-applied) version fails with
+    * the retained range in the message rather than a bare path error.
+    */
+  def readVersion(spark: SparkSession, dir: String, batchId: Long): DataFrame = {
+    val v = s"b$batchId"
+    if (!Files.isDirectory(Paths.get(dir, v))) {
+      val have = {
+        val ls = Files.list(Paths.get(dir))
+        try ls.iterator().asScala
+          .filter(p => Files.isDirectory(p) && p.getFileName.toString.matches("b-?\\d+"))
+          .map(_.getFileName.toString).toSeq.sortBy(versionId)
+        finally ls.close()
+      }
+      throw new IllegalArgumentException(
+        s"version $v not present at $dir (retained: ${have.mkString(", ")}) — " +
+          "older versions are vacuumed; raise `retain` to keep more history")
+    }
+    spark.read.parquet(s"$dir/$v")
+  }
+
   /** Retention: delete version directories OLDER than the `keep` most
     * recent ones at or below the published pointer (the pointer's version
     * itself is always kept; versions ABOVE the pointer — an in-flight

@@ -293,6 +293,25 @@ class UpsertSpec extends SparkSpec {
     out.toSeq shouldBe Seq((1L, 2L, 50L, 30L), (9L, 1L, 100L, 100L))
   }
 
+  test("readVersion time travel: retained versions read back as-of; GC'd ids fail with the range") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tt").toString
+    graft.streaming.SnapshotUpsert.init(snap((1L, "a", "v1")), dir)
+    (0L to 2L).foreach { b =>
+      graft.streaming.SnapshotUpsert.applyBatch(dir, "id")( // retain = 2
+        ch((1L, "a", s"v${b + 2}", 1, false)), b)
+    }
+    // pointer on b2; retain=2 keeps b1 and b2
+    graft.streaming.SnapshotUpsert.readVersion(spark, dir, 2L)
+      .as[(Long, String, String)].collect() shouldBe Array((1L, "a", "v4"))
+    graft.streaming.SnapshotUpsert.readVersion(spark, dir, 1L)
+      .as[(Long, String, String)].collect() shouldBe Array((1L, "a", "v3"))
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.SnapshotUpsert.readVersion(spark, dir, 0L)
+    }
+    e.getMessage should include("b0 not present")
+    e.getMessage should include("b1, b2")
+  }
+
   test("scd2 store: sequential batches equal full recompute; replay and stale ids skip; GC-safe") {
     val dir = java.nio.file.Files.createTempDirectory("graft_scd2").toString
     val all = Seq(
