@@ -1645,6 +1645,13 @@ object SparkEntry {
     }),
     "q46_forward_fill" -> ((s, d) =>
       EventWindows.forwardFill(t(s, d)("events"))),
+    // two-sided linear gap interpolation between time-nearest non-null
+    // neighbors: exact-integer operands, fixed 4-op IEEE tree, one
+    // shuffle carrying both IGNORE NULLS frames
+    "q67_linear_interp" -> ((s, d) =>
+      EventWindows.linearInterpolate(t(s, d)("events"),
+        when($"event_id" % 7 === 0, lit(null).cast("long"))
+          .otherwise(floor($"value" * 100).cast("long")))),
     // higher-order array functions (§2.5 breadth): transform / filter /
     // aggregate / exists over the embedding arrays, all codegen'd
     // lambdas in one projection — integer-scaled so the oracle's list
@@ -1889,6 +1896,10 @@ object SparkEntry {
     // containment scores 1.0 in the contained direction while Jaccard sits
     // near |A|/|B| (threshold-safe: passing pairs at 1.0, best failing pair
     // 0.36). Same bounded gram self-join as d06; only the formula differs
+    // Hamming-distance simhash join (Manku 2007): pigeonhole band split
+    // turns the all-pairs popcount into an equi-join + candidate verify
+    "d17_simhash_hamming" -> ((s, d) =>
+      Dedup.simhashHammingPairs(t(s, d)("documents"), 3)),
     "d16_containment" -> ((s, d) => {
       val docs = t(s, d)("documents").select($"doc_id", $"source", $"text")
       val words = split(lower($"text"), "\\s+")
@@ -2296,17 +2307,45 @@ object SparkEntry {
        FROM cl JOIN q USING (doc_id) ORDER BY doc_id"""
 
   /** DuckDB recomputation of Dedup.simhash (60-bit, two poly hashes). */
-  private def simhashOracle: String = {
+  /** The d04/d17 shared signature derivation, ending in relation
+    * `sig (doc_id, simhash)` — one string, two gates.
+    */
+  private def simhashSigCte: String = {
     val bitSums = (0 until Dedup.simhashBits).map(k =>
       s"sum(CASE WHEN (h // ${1L << k}) % 2 = 1 THEN 1 ELSE -1 END) AS b$k").mkString(", ")
     val sig = (0 until Dedup.simhashBits).map(k =>
       s"CASE WHEN b$k > 0 THEN ${1L << k} ELSE 0 END").mkString(" + ")
-    s"""WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+    s"""toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
                       FROM documents),
        th AS (SELECT doc_id, (${polyHash.duckdbSql("tok", 31)}) * ${1L << 30}
                              + (${polyHash.duckdbSql("tok", 131)}) AS h FROM toks),
-       bits AS (SELECT doc_id, $bitSums FROM th GROUP BY doc_id)
-       SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM bits ORDER BY doc_id"""
+       bits AS (SELECT doc_id, $bitSums FROM th GROUP BY doc_id),
+       sig AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM bits)"""
+  }
+
+  private def simhashOracle: String =
+    s"""WITH $simhashSigCte
+       SELECT doc_id, simhash FROM sig ORDER BY doc_id"""
+
+  /** d17 oracle: the identical band split (pigeonhole: ≤ maxHamming bit
+    * flips leave at least one of maxHamming+1 bands intact), candidate
+    * equi-join, exact popcount verify.
+    */
+  private def simhashHammingOracle(maxHamming: Int): String = {
+    val bands = maxHamming + 1
+    val bandBits = Dedup.simhashBits / bands
+    val mask = (1L << bandBits) - 1
+    s"""WITH $simhashSigCte,
+       banded AS (SELECT doc_id, simhash,
+                         (simhash >> (k * $bandBits)) & $mask AS bv, k
+                  FROM sig CROSS JOIN generate_series(0, ${bands - 1}) AS g(k)),
+       cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                       a.simhash AS sa, b.simhash AS sb
+                FROM banded a JOIN banded b
+                  ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id)
+       SELECT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+       FROM cand WHERE bit_count(xor(sa, sb)) <= $maxHamming
+       ORDER BY a_id, b_id"""
   }
 
   /** Literal hyperplane-bucket expression over DOUBLE[] column `v` — the
@@ -3220,6 +3259,7 @@ object SparkEntry {
          WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.5
          ORDER BY doc_a, doc_b""",
     "d04_simhash" -> simhashOracle,
+    "d17_simhash_hamming" -> simhashHammingOracle(3),
     // blocked on (label, hyperplane bucket) exactly like the Spark plan —
     // the oracle recomputes the same plan-time plane weights via bucketSql
     "d05_embedding_neardup" ->
@@ -4756,6 +4796,35 @@ object SparkEntry {
          SELECT grp, v AS mode_value, CAST(cnt AS BIGINT) AS n_mode,
                 CAST(n_distinct AS BIGINT) AS n_distinct
          FROM r WHERE rk = 1 ORDER BY grp""",
+    // identical frames, fallbacks, and the identical 4-op expression tree
+    "q67_linear_interp" ->
+      s"""WITH $evCte,
+         g AS (SELECT event_id, user_id, ts, epoch_us(ts) AS t,
+                      CASE WHEN event_id % 7 = 0 THEN NULL
+                           ELSE CAST(floor(value * 100) AS BIGINT) END AS reading
+               FROM ev),
+         w AS (SELECT *,
+                 last_value(reading IGNORE NULLS) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+                 last_value(CASE WHEN reading IS NOT NULL THEN t END IGNORE NULLS) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+                 first_value(reading IGNORE NULLS) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+                 first_value(CASE WHEN reading IS NOT NULL THEN t END IGNORE NULLS) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+               FROM g)
+         SELECT event_id, user_id, ts, reading,
+                CASE WHEN reading IS NOT NULL THEN CAST(reading AS DOUBLE)
+                     WHEN pv IS NULL THEN CAST(nv AS DOUBLE)
+                     WHEN nv IS NULL THEN CAST(pv AS DOUBLE)
+                     WHEN nt = pt THEN CAST(pv AS DOUBLE)
+                     ELSE round(pv + CAST(nv - pv AS DOUBLE) * (t - pt) / (nt - pt), 6)
+                END AS filled
+         FROM w ORDER BY event_id""",
     "q46_forward_fill" ->
       s"""WITH $evCte,
          g AS (SELECT event_id, user_id, ts,

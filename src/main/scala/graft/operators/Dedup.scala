@@ -672,6 +672,44 @@ object Dedup {
       .where($"bucket_size" > 1)
       .orderBy($"keep_id")
 
+  /** SimHash HAMMING-neighbor pairs (d17) — the Manku/Jain/Das Sarma 2007
+    * web-dedup shape d04's exact-signature buckets can't reach: two
+    * near-dups whose signatures differ in a few bits land in different
+    * buckets, so finding them needs a Hamming-distance join, and the
+    * naive form is all-pairs popcount. The pigeonhole split makes it an
+    * equi-join: cut the signature into `maxHamming + 1` bands — ≤
+    * maxHamming bit flips leave at least one band INTACT, so every
+    * qualifying pair shares some (band index, band value) key. Candidate
+    * generation is bands× the corpus in shuffle volume, bucket sizes are
+    * popcount-balanced at any corpus size (signature bits are
+    * hash-uniform), and the exact `bit_count(xor)` verify runs only on
+    * candidates — never all pairs. The signature relation is barriered
+    * once and feeds both join sides.
+    */
+  def simhashHammingPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && simhashBits % (maxHamming + 1) == 0,
+      s"simhashHammingPairs: bands must split $simhashBits bits evenly, got maxHamming=$maxHamming")
+    val bands = maxHamming + 1
+    val bandBits = simhashBits / bands
+    val mask = (1L << bandBits) - 1
+    val sig = graft.Session.barrier(simhash(documents))
+    val banded = sig.select($"doc_id", $"simhash",
+        explode(array((0 until bands).map(k => struct(
+          lit(k).as("k"),
+          shiftright($"simhash", k * bandBits).bitwiseAND(lit(mask)).as("bv"))): _*)).as("b"))
+      .select($"doc_id", $"simhash", $"b.k", $"b.bv")
+    banded.as("a").join(banded.as("b"),
+        col("a.k") === col("b.k") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .distinct()
+      .withColumn("hamming", bit_count($"sa".bitwiseXOR($"sb")).cast("long"))
+      .where($"hamming" <= maxHamming)
+      .select($"a_id", $"b_id", $"hamming")
+      .orderBy($"a_id", $"b_id")
+  }
+
   /** [[duplicatedSpans]] APPLIED (d13): rebuild every document with the
     * tokens covered by a cross-document duplicated `n`-gram removed — the
     * passage-level dedup Lee et al. 2022 (arXiv:2107.06499) perform with

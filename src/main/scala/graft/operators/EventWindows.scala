@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.implicits._
@@ -287,6 +287,43 @@ object EventWindows {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     gapped
       .withColumn("filled", last($"reading", ignoreNulls = true).over(w))
+      .orderBy($"event_id")
+  }
+
+  /** Two-sided LINEAR interpolation of a gapped series (q67) — the other
+    * half of [[forwardFill]]: a null reading takes
+    * `prev + (next − prev)·(t − tₚ)/(tₙ − tₚ)` between its time-nearest
+    * non-null neighbors, falls back to the single existing neighbor at
+    * the series edges, and keeps the previous value on a (degenerate)
+    * zero-width time span. Sensor/metric pipelines prefer this over
+    * carry-forward whenever the quantity drifts between observations.
+    *
+    * One shuffle: both IGNORE NULLS frames (strictly-before and
+    * strictly-after) ride the same (user, ts, id)-sorted window pass.
+    * Inputs are exact integers (cents, epoch µs); the interpolation is a
+    * fixed IEEE expression tree evaluated on exact operands, so every
+    * engine rounds identically at each of its four ops — no summation-
+    * order nondeterminism anywhere.
+    */
+  def linearInterpolate(events: DataFrame, reading: Column): DataFrame = {
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val before = byUser.rowsBetween(Window.unboundedPreceding, -1)
+    val after = byUser.rowsBetween(1, Window.unboundedFollowing)
+    events
+      .select($"event_id", $"user_id", $"ts", reading.as("reading"))
+      .withColumn("t", unix_micros($"ts".cast("timestamp")))
+      .withColumn("pv", last($"reading", ignoreNulls = true).over(before))
+      .withColumn("pt", last(when($"reading".isNotNull, $"t"), ignoreNulls = true).over(before))
+      .withColumn("nv", first($"reading", ignoreNulls = true).over(after))
+      .withColumn("nt", first(when($"reading".isNotNull, $"t"), ignoreNulls = true).over(after))
+      .select($"event_id", $"user_id", $"ts", $"reading",
+        when($"reading".isNotNull, $"reading".cast("double"))
+          .when($"pv".isNull, $"nv".cast("double"))
+          .when($"nv".isNull, $"pv".cast("double"))
+          .when($"nt" === $"pt", $"pv".cast("double"))
+          .otherwise(round(
+            $"pv" + ($"nv" - $"pv").cast("double") * ($"t" - $"pt") / ($"nt" - $"pt"), 6))
+          .as("filled"))
       .orderBy($"event_id")
   }
 

@@ -387,4 +387,23 @@ class DedupSpec extends SparkSpec {
       .toDF("doc_id", "text", "source")
     Dedup.containmentPairs(d, 2, 0.6, 128).count() shouldBe 0L
   }
+
+  test("simhashHammingPairs: pigeonhole candidates are COMPLETE vs the brute-force join") {
+    import org.apache.spark.sql.functions._
+    val docs = table("documents").limit(200)
+    val got = Dedup.simhashHammingPairs(docs, 3)
+    val sig = Dedup.simhash(docs)
+    val brute = sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .where(col("hamming") <= 3)
+    got.count() should be > 0L
+    got.except(brute).count() shouldBe 0    // no false pair
+    brute.except(got).count() shouldBe 0    // pigeonhole misses nothing
+  }
+
+  test("simhashHammingPairs rejects a band count that does not split the signature") {
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.simhashHammingPairs(table("documents"), 6) // 7 bands, 60 % 7 != 0
+  }
 }

@@ -264,6 +264,30 @@ class EventWindowsSpec extends SparkSpec {
     out(9L) shouldBe ((1L, 0L, 0L, 0.0))
   }
 
+  test("linearInterpolate: midpoint, uneven spacing, edge fallbacks, all-null user") {
+    import org.apache.spark.sql.functions.{col, when, lit}
+    val d = events(
+      (1L, "2024-01-01 00:00:00", 1L, "r", 100.0),
+      (2L, "2024-01-01 00:00:10", 1L, "gap", 0.0),
+      (3L, "2024-01-01 00:00:20", 1L, "r", 200.0),
+      (4L, "2024-01-01 00:00:25", 1L, "gap", 0.0),  // uneven: 5s of a 10s span... no: next at 30
+      (5L, "2024-01-01 00:00:30", 1L, "r", 300.0),
+      (6L, "2024-01-01 00:00:40", 1L, "gap", 0.0),  // trailing -> carry 300
+      (7L, "2024-01-01 00:00:00", 2L, "gap", 0.0),  // leading -> backfill 500
+      (8L, "2024-01-01 00:00:10", 2L, "r", 500.0),
+      (9L, "2024-01-01 00:00:00", 3L, "gap", 0.0))  // no neighbors -> null
+    val reading = when(col("event_type") === "gap", lit(null).cast("long"))
+      .otherwise(col("value").cast("long"))
+    val out = EventWindows.linearInterpolate(d, reading)
+      .collect().map(r => r.getLong(0) -> Option(r.get(4)).map(_.asInstanceOf[Double])).toMap
+    out(1L) shouldBe Some(100.0)
+    out(2L) shouldBe Some(150.0)   // midpoint of 100..200
+    out(4L) shouldBe Some(250.0)   // 200 + 100 * 5/10
+    out(6L) shouldBe Some(300.0)   // trailing carry
+    out(7L) shouldBe Some(500.0)   // leading backfill
+    out(9L) shouldBe None          // no neighbor at all
+  }
+
   test("sessionPaths: trigrams never cross a session boundary") {
     val d = events(
       (1L, "2024-01-01 10:00:00", 1L, "a", 0.0),

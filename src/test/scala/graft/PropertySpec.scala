@@ -241,4 +241,49 @@ class PropertySpec extends SparkSpec {
       got == parts.mkString
     })
   }
+
+  test("round-7 order-statistic family is partition-count independent") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rows = (1 to 500).map(i => (s"g${i % 3}", (i * 37 % 101).toLong))
+      .toDF("g", "v")
+    def runs(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = {
+      val a = f(rows.repartition(2)).collect().toSeq
+      val b = f(rows.repartition(17)).collect().toSeq
+      a shouldBe b
+    }
+    runs(df => operators.Core.weightedMedian(df, "g", col("v"), col("v") + 1))
+    runs(df => operators.Core.winsorizedSum(df, "g", col("v")))
+    runs(df => operators.Core.modeTop1(df, "g", "v"))
+    runs(df => operators.Core.madOutliers(df, "g", col("v")))
+  }
+
+  test("mergeIntervals is idempotent: merging the merged islands is the identity") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rows = (1 to 300).map { i =>
+      val s = (i * 97 % 1000).toLong
+      ("k" + i % 5, i.toLong, s, s + 1 + (i * 13 % 50))
+    }.toDF("k", "id", "s", "e")
+    val once = operators.Temporal.mergeIntervals(rows, "k", "id", col("s"), col("e"))
+    val again = operators.Temporal.mergeIntervals(
+      once.select(col("key").as("k"), col("island").as("id"),
+        col("island_start_us").as("s"), col("island_end_us").as("e")),
+      "k", "id", col("s"), col("e"))
+    // island ids renumber, but the (key, start, end, span) sets must match
+    val a = once.select("key", "island_start_us", "island_end_us", "span_us")
+      .collect().toSet
+    val b = again.select("key", "island_start_us", "island_end_us", "span_us")
+      .collect().toSet
+    a shouldBe b
+    again.agg(org.apache.spark.sql.functions.sum(col("n_intervals")))
+      .head().getLong(0) shouldBe once.count()
+  }
+
+  test("kmeansAssignExact is partition-count independent") {
+    val emb = table("embeddings")
+    val a = operators.Similarity.kmeansAssignExact(emb.repartition(3), 4, 2).collect().toSeq
+    val b = operators.Similarity.kmeansAssignExact(emb.repartition(13), 4, 2).collect().toSeq
+    a shouldBe b
+  }
 }
