@@ -994,6 +994,12 @@ object SparkEntry {
       Raster.climatologyNormal(grid(s, d), "A", 3, 1995, 2000)
         .select($"lat", $"lon", round($"normal", 4).as("normal"))
         .orderBy($"lat", $"lon")),
+    // exceedance area series (drought/heat extent): one hash aggregate,
+    // exact counts, one IEEE division for the fraction
+    "r15_exceedance" -> ((s, d) =>
+      Raster.exceedance(grid(s, d), 25.5)
+        .select($"variable", $"time", $"n_cells", $"n_above",
+          round($"max_above", 4).as("max_above"), $"frac_above")),
     "r05_anomaly" -> ((s, d) =>
       Raster.anomaly(grid(s, d), "A", "1998-03-01 00:00:00", 1995, 2000)
         .select($"variable", $"time", $"lat", $"lon", round($"value", 4).as("value"))
@@ -2721,6 +2727,16 @@ object SparkEntry {
                 round(value - 273.15, 4) AS value_c
          FROM grid WHERE time = TIMESTAMP '1998-03-01'
          ORDER BY variable, lat, lon""",
+    // exact counts over the shared grid CTE; time cast ntz (skill gotcha)
+    "r15_exceedance" ->
+      s"""WITH $gridCte
+         SELECT variable, CAST(time AS TIMESTAMP) AS time,
+                CAST(count(*) AS BIGINT) AS n_cells,
+                CAST(sum(CASE WHEN value > 25.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+                round(max(CASE WHEN value > 25.5 THEN value END), 4) AS max_above,
+                round(CAST(sum(CASE WHEN value > 25.5 THEN 1 ELSE 0 END) AS DOUBLE)
+                      / count(*), 6) AS frac_above
+         FROM grid GROUP BY 1, 2 ORDER BY 1, 2""",
     "r04_climatology" ->
       s"""WITH $gridCte
          SELECT lat, lon, round(avg(value), 4) AS normal

@@ -686,18 +686,33 @@ object Dedup {
     * candidates — never all pairs. The signature relation is barriered
     * once and feeds both join sides.
     */
-  def simhashHammingPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashHammingPairs(documents: DataFrame, maxHamming: Int = 3,
+                          maxBandFreq: Option[Int] = None): DataFrame = {
     require(maxHamming >= 0 && simhashBits % (maxHamming + 1) == 0,
       s"simhashHammingPairs: bands must split $simhashBits bits evenly, got maxHamming=$maxHamming")
     val bands = maxHamming + 1
     val bandBits = simhashBits / bands
     val mask = (1L << bandBits) - 1
     val sig = graft.Session.barrier(simhash(documents))
-    val banded = sig.select($"doc_id", $"simhash",
+    val bandedAll = sig.select($"doc_id", $"simhash",
         explode(array((0 until bands).map(k => struct(
           lit(k).as("k"),
           shiftright($"simhash", k * bandBits).bitwiseAND(lit(mask)).as("bv"))): _*)).as("b"))
       .select($"doc_id", $"simhash", $"b.k", $"b.bv")
+    // hot-band cap (d06's maxDocFreq lesson): on a degenerate corpus —
+    // tiny vocabulary, near-constant signature region — a single band
+    // value can hold a large corpus fraction and the candidate join goes
+    // Σ bucket². The cap DROPS those buckets: a pair loses only the
+    // chances it had in over-hot bands (its other bands still fire), so
+    // recall degrades only where the corpus is degenerate. Exact mode
+    // (None) is the gate default; the TRUE result there is itself
+    // quadratic on such corpora (SCALE.md d17 note), not a plan defect.
+    val banded = maxBandFreq match {
+      case None => bandedAll
+      case Some(cap) =>
+        val sized = bandedAll.groupBy($"k", $"bv").agg(count(lit(1)).as("bn"))
+        bandedAll.join(sized.where($"bn" <= cap).select($"k", $"bv"), Seq("k", "bv"))
+    }
     banded.as("a").join(banded.as("b"),
         col("a.k") === col("b.k") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -211,4 +211,21 @@ object Raster {
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")
       .parquet(path)
+
+  /** Threshold-exceedance area per layer (r15) — the "fraction of the
+    * region above θ" series every climate-monitoring product publishes
+    * (drought area, heat-wave extent; the reference's anomaly maps are
+    * one `value > θ` away from this). One map-side-combining aggregate
+    * over the grid — counts are exact longs, the area fraction is one
+    * IEEE division, the conditional max is order-independent. Scales as
+    * a plain hash aggregate: layer keys partition the shuffle, cells per
+    * layer only affect the combine.
+    */
+  def exceedance(grid: DataFrame, threshold: Double): DataFrame =
+    grid.groupBy($"variable", $"time")
+      .agg(count(lit(1)).as("n_cells"),
+        sum(when($"value" > threshold, 1L).otherwise(0L)).as("n_above"),
+        max(when($"value" > threshold, $"value")).as("max_above"))
+      .withColumn("frac_above", round($"n_above".cast("double") / $"n_cells", 6))
+      .orderBy($"variable", $"time")
 }

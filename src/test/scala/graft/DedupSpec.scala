@@ -406,4 +406,13 @@ class DedupSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Dedup.simhashHammingPairs(table("documents"), 6) // 7 bands, 60 % 7 != 0
   }
+
+  test("simhashHammingPairs hot-band cap: subset of exact, identity at a generous cap") {
+    val docs = table("documents").limit(200)
+    val exact = Dedup.simhashHammingPairs(docs, 3)
+    val generous = Dedup.simhashHammingPairs(docs, 3, maxBandFreq = Some(1000000))
+    generous.collect().toSeq shouldBe exact.collect().toSeq
+    val capped = Dedup.simhashHammingPairs(docs, 3, maxBandFreq = Some(4))
+    capped.except(exact).count() shouldBe 0 // never invents a pair
+  }
 }
