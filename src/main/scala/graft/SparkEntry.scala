@@ -1540,6 +1540,10 @@ object SparkEntry {
     // two Lloyd steps in SQL, something float-seeded MLlib can't offer
     "s11_kmeans" -> ((s, d) =>
       Similarity.kmeansAssignExact(t(s, d)("embeddings"), 4, 2)),
+    // inter-label centroid distance matrix in exact milli-units: the
+    // cluster-separation diagnostic, k^2 metadata-sized output
+    "s12_label_distances" -> ((s, d) =>
+      Similarity.labelCentroidDistances(t(s, d)("embeddings"))),
     // ordered-step conversion funnel: one shuffle, chained windows,
     // never a k-way self-join
     "q37_funnel" -> ((s, d) =>
@@ -4281,6 +4285,26 @@ object SparkEntry {
          SELECT vec_id, label, hamming, round(c, 4) AS cos_sim
          FROM cand ORDER BY c DESC, vec_id LIMIT 10""",
     "s11_kmeans" -> kmeansOracle(4, 2, 64),
+    // identical milli-quantization and FLOOR division — BOTH engines
+    // truncate toward zero natively (Spark div, DuckDB //), so both
+    // sides spell floor via the non-negative mod: (s - pmod(s, n))/n
+    "s12_label_distances" ->
+      """WITH xq AS (SELECT label,
+              list_transform(embedding,
+                e -> CAST(floor(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS x
+            FROM embeddings),
+         nn AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM xq GROUP BY 1),
+         s AS (SELECT label, j, CAST(sum(x[j]) AS BIGINT) AS sj
+               FROM xq CROSS JOIN generate_series(1, 64) AS g(j) GROUP BY 1, 2),
+         m AS (SELECT s.label, j,
+                      (sj - ((sj % nn.n) + nn.n) % nn.n) // nn.n AS mj
+               FROM s JOIN nn USING (label)),
+         p AS (SELECT a.label AS label_a, b.label AS label_b,
+                      CAST(sum((a.mj - b.mj) * (a.mj - b.mj)) AS BIGINT) AS dist2_milli
+               FROM m a JOIN m b ON a.j = b.j AND a.label < b.label GROUP BY 1, 2)
+         SELECT label_a, label_b, na.n AS n_a, nb.n AS n_b, dist2_milli
+         FROM p JOIN nn na ON na.label = p.label_a JOIN nn nb ON nb.label = p.label_b
+         ORDER BY label_a, label_b""",
     // sequential step gating via chained min-aggregates: step i+1's
     // candidates are events strictly after step i's first hit — the
     // cascade makes depth a pure CASE over null-ness

@@ -551,6 +551,47 @@ object Similarity {
       .orderBy($"label")
   }
 
+  /** Inter-label centroid distance matrix (s12) — the embedding-space
+    * diagnostic every clustering/metric-learning pipeline prints: how far
+    * apart are the class centroids, as EXACT integers. Centroid
+    * components are FLOOR-DIVIDED milli-unit means (`⌊Σx'ⱼ / n⌋` over the
+    * milli-quantized corpus, the [[kmeansAssignExact]] quantization):
+    * bounded by the data's milli-range — NOT by corpus size — so the
+    * squared-distance sum stays far inside a long at any scale (the
+    * exact-rational cross-multiplied form overflows 2⁶³ once per-label
+    * counts reach ~10³; ±1 milli of floor truncation per component is
+    * noise for a diagnostic and is the documented trade). Native integer
+    * division truncates toward zero in BOTH Spark (`div`) and DuckDB
+    * (`//`) — fine, but truncation makes the mean biased toward zero, so
+    * the FLOOR convention is spelled explicitly on both sides via the
+    * non-negative mod: `(s − pmod(s, n))/n`.
+    *
+    * Shape: one posexplode + (label, dim) aggregate builds the k·dim sum
+    * relation; the k² pair join is metadata-sized (labels, not rows);
+    * `zip_with`+`aggregate` folds the distance without leaving codegen.
+    * Corpus is scanned once.
+    */
+  def labelCentroidDistances(embeddings: DataFrame): DataFrame = {
+    val xq = embeddings.select($"label",
+      transform($"embedding", e => floor(e.cast("double") * 1000).cast("long")).as("x"))
+    val sums = xq
+      .select($"label", posexplode($"x").as(Seq("j", "xv")))
+      .groupBy($"label", $"j").agg(sum($"xv").as("sj"))
+    val cents = sums.groupBy($"label")
+      .agg(transform(array_sort(collect_list(struct($"j", $"sj"))),
+        st => st.getField("sj")).as("s"))
+      .join(xq.groupBy($"label").agg(count(lit(1)).as("n")), Seq("label"))
+      // floor division (see scaladoc): exact long in any engine
+      .withColumn("m", transform($"s", v => ((v - pmod(v, $"n")) / $"n").cast("long")))
+    cents.as("a").join(cents.as("b"), col("a.label") < col("b.label"))
+      .select(col("a.label").as("label_a"), col("b.label").as("label_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"),
+        aggregate(
+          zip_with(col("a.m"), col("b.m"), (ma, mb) => (ma - mb) * (ma - mb)),
+          lit(0L), (acc, v) => acc + v).as("dist2_milli"))
+      .orderBy($"label_a", $"label_b")
+  }
+
   /** Engine-independent Lloyd's k-means over the quantized embedding
     * space — the clustering counterpart of the q59/q51 exact-integer
     * discipline, and the oracle-gated twin of the MLlib-backed PQ

@@ -359,6 +359,21 @@ class SimilaritySpec extends SparkSpec {
     ivf.subsetOf(probe) shouldBe true
   }
 
+  test("labelCentroidDistances: hand-computed milli distances, floor on negative sums") {
+    val rows = Seq(
+      (0L, 0, Array(1.0f, 1.0f)),
+      (1L, 0, Array(2.0f, 2.0f)),      // label 0 centroid (1500, 1500) milli
+      (2L, 1, Array(-1.0f, 0.0f)),
+      (3L, 1, Array(-2.0f, 1.0f)))     // sums (-3000, 1000), n=2 -> floor (-1500, 500)
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.labelCentroidDistances(rows).collect()
+    out.length shouldBe 1
+    val r = out.head
+    (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)) shouldBe ((0, 1, 2L, 2L))
+    // d = (1500-(-1500), 1500-500) = (3000, 1000) -> 9e6 + 1e6
+    r.getLong(4) shouldBe 10000000L
+  }
+
   test("kmeansAssignExact: separated blobs recover their generating cluster") {
     // two tight blobs far apart in a 4-dim space; seeds 0 and 1 land one
     // in each blob, so a single Lloyd step must split them perfectly
