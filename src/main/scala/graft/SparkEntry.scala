@@ -1442,6 +1442,11 @@ object SparkEntry {
     // row-local codegen'd counts, zero shuffles
     "t38_keyword_tags" -> ((s, d) => operators.TextAnalysis.keywordTagCounts(
       t(s, d)("documents"), Seq("spark", "vector", "data", "hash"))),
+    // pairwise source total-variation divergence: exact integer numerator
+    // (provably <= 2*Na*Nb), disjoint-vocabulary mass folded in closed
+    // form, one vocabulary-keyed shuffle
+    "t39_source_divergence" -> ((s, d) =>
+      operators.TextAnalysis.sourceDivergence(t(s, d)("documents"))),
     // DSIR selection executed: fill a 3000-token budget with the most
     // target-like docs first (distributed prefix sum over the rank order)
     "t14_dsir_select" -> ((s, d) => {
@@ -3730,6 +3735,34 @@ object SparkEntry {
                       / (CAST(ux.n_x AS DOUBLE) * uy.n_x), 6) AS lift
          FROM bc JOIN u ux ON bc.x = ux.x JOIN u uy ON bc.y = uy.x CROSS JOIN tot
          ORDER BY bc.x, bc.y""",
+    // identical matched-join + closed-form disjoint-mass formulation;
+    // the only float op is the one final division
+    "t39_source_divergence" ->
+      """WITH h AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+                    FROM (SELECT source,
+                            unnest(string_split_regex(lower(text), '\s+')) AS tok
+                          FROM documents) AS u
+                    WHERE len(tok) > 0 GROUP BY 1, 2),
+         t AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1),
+         m AS (SELECT a.source AS sa, b.source AS sb,
+                      CAST(sum(abs(a.c * tb.n - b.c * ta.n)) AS BIGINT) AS s_abs,
+                      CAST(sum(a.c) AS BIGINT) AS ca_m,
+                      CAST(sum(b.c) AS BIGINT) AS cb_m
+               FROM h a JOIN h b ON a.tok = b.tok AND a.source < b.source
+               JOIN t ta ON ta.source = a.source
+               JOIN t tb ON tb.source = b.source
+               GROUP BY 1, 2),
+         sp AS (SELECT a.source AS sa, a.n AS na, b.source AS sb, b.n AS nb
+                FROM t a JOIN t b ON a.source < b.source),
+         r AS (SELECT sp.sa AS source_a, sp.sb AS source_b,
+                      sp.na AS n_a, sp.nb AS n_b,
+                      CAST(coalesce(m.s_abs, 0)
+                           + (sp.na - coalesce(m.ca_m, 0)) * sp.nb
+                           + (sp.nb - coalesce(m.cb_m, 0)) * sp.na AS BIGINT) AS tv_num
+               FROM sp LEFT JOIN m ON m.sa = sp.sa AND m.sb = sp.sb)
+         SELECT source_a, source_b, n_a, n_b, tv_num,
+                round(CAST(tv_num AS DOUBLE) / (2.0 * n_a * n_b), 6) AS tv
+         FROM r ORDER BY source_a, source_b""",
     // the same replace-length identity per keyword (integer division by
     // the keyword length is exact: the removed span is a multiple of it)
     "t38_keyword_tags" ->

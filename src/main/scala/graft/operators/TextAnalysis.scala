@@ -588,6 +588,55 @@ object TextAnalysis {
       .orderBy($"x", $"y")
   }
 
+  /** Pairwise source-distribution divergence (t39) — total-variation
+    * distance between each pair of sources' unigram distributions, the
+    * corpus-drift / mixture diagnostic ("how different is source A's
+    * language from B's") that KL/G-tests answer with a `ln` no second
+    * engine reproduces bitwise. TV avoids it:
+    * TV = ½ Σ_t |c_at/N_a − c_bt/N_b|, scaled by N_a·N_b to the exact
+    * integer numerator Σ_t |c_at·N_b − c_bt·N_a|. PROVABLY overflow-safe
+    * at any corpus size: |x−y| ≤ x+y termwise, so the sum is ≤ 2·N_a·N_b
+    * — inside a long until per-source token counts pass ~2·10⁹ (and the
+    * driver fixture is 10⁴ off that). The only float op is the final
+    * ratio, one IEEE division.
+    *
+    * Only the MATCHED (token in both sources) join rows are needed: the
+    * disjoint-vocabulary mass folds in CLOSED FORM as
+    * (N_a − Σ_m c_a)·N_b + (N_b − Σ_m c_b)·N_a, so the plan is the
+    * (source, token) histogram self-joined per token (vocabulary-keyed
+    * shuffle, map-side-combined), one pair-keyed aggregate, and a
+    * source-count-sized broadcast of the totals — never a full-outer
+    * union of vocabularies. Pairs sharing no token at all surface via
+    * the pair spine with TV = 1.
+    */
+  def sourceDivergence(documents: DataFrame): DataFrame = {
+    val hist = documents
+      .select($"source", explode(Dedup.tokens($"text")).as("tok"))
+      .where(length($"tok") > 0)
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("c"))
+    val totals = hist.groupBy($"source").agg(sum($"c").as("n"))
+    val xa = hist.select($"source".as("sa"), $"tok", $"c".as("ca"))
+    val xb = hist.select($"source".as("sb"), $"tok", $"c".as("cb"))
+    val matched = xa.join(xb, Seq("tok")).where($"sa" < $"sb")
+      .join(broadcast(totals.select($"source".as("sa"), $"n".as("na"))), Seq("sa"))
+      .join(broadcast(totals.select($"source".as("sb"), $"n".as("nb"))), Seq("sb"))
+      .groupBy($"sa", $"sb")
+      .agg(sum(abs($"ca" * $"nb" - $"cb" * $"na")).as("s_abs"),
+        sum($"ca").as("ca_m"), sum($"cb").as("cb_m"))
+    val spine = totals.select($"source".as("sa"), $"n".as("na"))
+      .crossJoin(totals.select($"source".as("sb"), $"n".as("nb")))
+      .where($"sa" < $"sb")
+    spine.join(matched, Seq("sa", "sb"), "left")
+      .select($"sa".as("source_a"), $"sb".as("source_b"),
+        $"na".as("n_a"), $"nb".as("n_b"),
+        (coalesce($"s_abs", lit(0L)) +
+          ($"na" - coalesce($"ca_m", lit(0L))) * $"nb" +
+          ($"nb" - coalesce($"cb_m", lit(0L))) * $"na").as("tv_num"))
+      .withColumn("tv",
+        round($"tv_num".cast("double") / (lit(2.0) * $"n_a" * $"n_b"), 6))
+      .orderBy($"source_a", $"source_b")
+  }
+
   /** Multi-keyword tagging (t38): per-document occurrence counts for a
     * fixed keyword list — the topic/domain tagging pass crawl pipelines
     * run before mixing. Counts are non-overlapping substring matches via

@@ -272,6 +272,21 @@ class TextAnalysisSpec extends SparkSpec {
     out(3L) shouldBe ((0L, 0L, 0L, 0L))
   }
 
+  test("sourceDivergence: hand-computed TV, zero for identical, one for disjoint") {
+    val docs = Seq(
+      (1L, "x x y", "A"), (2L, "x z", "B"),   // TV(A,B) = 1/2
+      (3L, "x x y", "C"),                     // C identical to A -> 0
+      (4L, "p q", "D"))                       // D disjoint from A -> 1
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.sourceDivergence(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    out(("A", "B")) shouldBe ((3L, 2L, 6L, 0.5))
+    out(("A", "C")) shouldBe ((3L, 3L, 0L, 0.0))
+    out(("A", "D")) shouldBe ((3L, 2L, 12L, 1.0))
+    out.size shouldBe 6 // all pairs present via the spine
+  }
+
   test("collocations: counts and lift from a hand-built corpus") {
     // corpus: "x y" twice in doc1, once in doc2; total tokens 6
     val docs = Seq((1L, "x y x y"), (2L, "x y")).toDF("doc_id", "text")
