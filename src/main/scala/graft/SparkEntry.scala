@@ -1637,6 +1637,10 @@ object SparkEntry {
     // island derivation and both leads; |types|^3-bounded aggregate
     "q64_session_paths" -> ((s, d) =>
       EventWindows.sessionPaths(t(s, d)("events"), 30)),
+    // cumulative reach: first-seen reduction + running sum over the
+    // day spine (the only window runs over calendar-day rows)
+    "q68_cumulative_reach" -> ((s, d) =>
+      EventWindows.cumulativeReach(t(s, d)("events"))),
     // winsorized total at exact p10/p90 order statistics — the
     // q59/q61 histogram chassis, clamp instead of flag
     "q65_winsorized" -> ((s, d) => Core.winsorizedSum(
@@ -4811,6 +4815,17 @@ object SparkEntry {
                 min(s) AS island_start_us, max(e) AS island_end_us,
                 max(e) - min(s) AS span_us, CAST(count(*) AS BIGINT) AS n_intervals
          FROM w GROUP BY 1, 2 ORDER BY key, island""",
+    // identical first-seen reduction + running sum over the day spine
+    "q68_cumulative_reach" ->
+      s"""WITH $evCte,
+         d AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM ev),
+         f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day FROM ev GROUP BY 1),
+         nu AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users FROM f GROUP BY 1)
+         SELECT d.day, coalesce(nu.new_users, 0) AS new_users,
+                CAST(sum(coalesce(nu.new_users, 0)) OVER
+                  (ORDER BY d.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_users
+         FROM d LEFT JOIN nu ON d.day = nu.day ORDER BY d.day""",
     // identical island derivation (30-min gap, (ts, event_id) order) and
     // session-partitioned leads
     "q64_session_paths" ->

@@ -366,6 +366,30 @@ object EventWindows {
       .orderBy($"user_id")
   }
 
+  /** Cumulative reach (q68) — distinct users EVER seen, by day: the
+    * launch-curve metric. Cumulative COUNT DISTINCT is inexpressible as
+    * a window frame, and re-scanning history per day is quadratic; the
+    * standard reduction is first-seen day per user (one map-side-
+    * combined aggregate), a per-day new-user count, and a running sum
+    * over the DAY SPINE — the only window in the plan runs over
+    * calendar-day rows, metadata-sized at any corpus scale. Days with
+    * no new users still appear (the spine is the distinct active-day
+    * set), carrying the previous cumulative value.
+    */
+  def cumulativeReach(events: DataFrame): DataFrame = {
+    val days = events.select(to_date($"ts").as("day"))
+    val firstSeen = events.groupBy($"user_id")
+      .agg(min(to_date($"ts")).as("day"))
+      .groupBy($"day").agg(count(lit(1)).as("new_users"))
+    days.distinct()
+      .join(firstSeen, Seq("day"), "left")
+      .withColumn("new_users", coalesce($"new_users", lit(0L)))
+      .withColumn("cum_users",
+        sum($"new_users").over(Window.orderBy($"day")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .orderBy($"day")
+  }
+
   /** Session-scoped path mining (q64): the corpus-wide frequency of
     * length-3 event-type journeys, counted only WITHIN a session (the
     * [[sessionize]] gap rule) — the "what do users actually do in one

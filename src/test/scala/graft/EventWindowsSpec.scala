@@ -264,6 +264,19 @@ class EventWindowsSpec extends SparkSpec {
     out(9L) shouldBe ((1L, 0L, 0L, 0.0))
   }
 
+  test("cumulativeReach: returning users never recount; zero-new days carry the curve") {
+    val d = events(
+      (1L, "2024-01-01 10:00:00", 1L, "a", 0.0),
+      (2L, "2024-01-01 11:00:00", 2L, "a", 0.0),
+      (3L, "2024-01-02 10:00:00", 1L, "a", 0.0),  // returning only -> 0 new
+      (4L, "2024-01-03 10:00:00", 3L, "a", 0.0))
+    val out = EventWindows.cumulativeReach(d)
+      .collect().map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2))).toMap
+    out("2024-01-01") shouldBe ((2L, 2L))
+    out("2024-01-02") shouldBe ((0L, 2L))
+    out("2024-01-03") shouldBe ((1L, 3L))
+  }
+
   test("linearInterpolate: midpoint, uneven spacing, edge fallbacks, all-null user") {
     import org.apache.spark.sql.functions.{col, when, lit}
     val d = events(
