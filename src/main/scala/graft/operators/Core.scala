@@ -410,6 +410,10 @@ object Core {
     * to take any order statistic over a bounded domain. Both value and
     * weight are exact longs (units and cents), so every engine computes
     * the identical cumulative sums and picks the identical row.
+    *
+    * Contract: weights must be positive — a zero/negative weight makes
+    * the cumulative mass non-monotone and "the 50% point" ill-defined
+    * (every textbook definition assumes w > 0). Validate upstream.
     */
   def weightedMedian(df: DataFrame, groupCol: String,
                      value: Column, weight: Column): DataFrame = {

@@ -145,6 +145,11 @@ object Temporal {
     * partitioning), per-key sort only — no self-join, no explode. Skew is
     * bounded by the busiest key's interval count, the same bound
     * sessionization already accepts.
+    *
+    * Contract: intervals must be well-formed (`endUs >= startUs`). A
+    * negative-duration row would still land in an island by its start
+    * but can regress the island's `max end` below its own start —
+    * validate upstream rather than rely on that accidental shape.
     */
   def mergeIntervals(df: DataFrame, keyCol: String, idCol: String,
                      startUs: Column, endUs: Column): DataFrame = {
