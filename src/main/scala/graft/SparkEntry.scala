@@ -1843,10 +1843,13 @@ object SparkEntry {
     "g06_node_similarity" -> ((s, d) => operators.Graph.neighborJaccard(
       operators.Graph.coPurchaseEdgesSupported(t(s, d)("lineitem"), 2), 2)),
     // k-core membership: data-dependent peel rounds, driver state = one
-    // edge count per round; oracle unrolls 20 peel rounds (fixpoint at
-    // sf0.01 is 10 — extra rounds are provable no-ops)
+    // edge count per round; engine maxRounds is pinned to the oracle's
+    // unroll count (kcorePeelRounds) so a deeper-than-unrolled peel fails
+    // loudly engine-side instead of hash-mismatching against a
+    // pre-fixpoint oracle edge set
     "g07_kcore" -> ((s, d) => operators.Graph.kCore(
-      operators.Graph.coPurchaseEdgesSupported(t(s, d)("lineitem"), 2), 3)),
+      operators.Graph.coPurchaseEdgesSupported(t(s, d)("lineitem"), 2), 3,
+      maxRounds = kcorePeelRounds)),
     "g03_item_cf" -> ((s, d) =>
       operators.Graph.itemPairsCF(
         t(s, d)("lineitem")
@@ -2450,10 +2453,19 @@ object SparkEntry {
                 JOIN po b ON a.ok = b.ok AND a.p < b.p
                 GROUP BY 1, 2 HAVING count(*) >= 2)"""
 
+  /** Shared g07 peel-round bound: the oracle unrolls exactly this many
+    * CTE pairs AND the engine's `maxRounds` is pinned to the same value,
+    * so a fixture whose peel depth exceeds it fails loudly on the ENGINE
+    * side ("no fixpoint within N rounds") instead of the oracle silently
+    * producing a pre-fixpoint edge set and a confusing hash mismatch.
+    * Fixpoint at sf0.01 is round 10; over-unrolling past the fixpoint is
+    * semantically free (later rounds reproduce the edge set unchanged).
+    */
+  private val kcorePeelRounds = 20
+
   /** g07 oracle: `rounds` peel iterations unrolled as CTE pairs (degree
-    * filter + edge restriction). Fixpoint at sf0.01 is round 10; later
-    * rounds reproduce the fixed edge set unchanged, so over-unrolling is
-    * semantically free — see [[operators.Graph.kCore]].
+    * filter + edge restriction) — see [[kcorePeelRounds]] for the
+    * engine/oracle round contract and [[operators.Graph.kCore]].
     */
   private def kcoreOracle(k: Int, rounds: Int): String = {
     // every CTE is MATERIALIZED: default inlining would expand the
@@ -4609,7 +4621,7 @@ object SparkEntry {
                 round(CAST(inter AS DOUBLE) / (dx.deg + dy.deg - inter), 6) AS jaccard
          FROM i JOIN deg dx ON i.x = dx.w JOIN deg dy ON i.y = dy.w
          ORDER BY x, y""",
-    "g07_kcore" -> kcoreOracle(3, 20),
+    "g07_kcore" -> kcoreOracle(3, kcorePeelRounds),
     "g03_item_cf" ->
       """WITH po AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
          cn AS (SELECT a.item AS u, b.item AS w, CAST(count(*) AS BIGINT) AS common

@@ -603,12 +603,19 @@ object Similarity {
     * ops), so a centroid is the exact rational (per-dim sum vector s⃗,
     * member count n). Ranking a point x⃗ against centroid i uses
     * ‖x⃗ − s⃗ᵢ/nᵢ‖² with the ‖x⃗‖² term dropped (common to all i):
-    * score_i = (Σs²ᵢ − 2n_i·(x⃗·s⃗ᵢ)) / n²ᵢ. Every product and partial sum
-    * stays below 2⁵³ at these magnitudes (|x'| ≤ 526, dim 64, n ≤ |corpus
-    * per cluster|), so even computed in doubles the numerator is EXACT in
-    * any summation order, and the single division rounds identically in
-    * every IEEE engine. Ties (equal score) break toward the smaller
-    * cluster id — stated once, shared with the oracle.
+    * score_i = (Σs²ᵢ − 2n_i·(x⃗·s⃗ᵢ)) / n²ᵢ. The numerator is exact in any
+    * summation order — in longs AND in doubles — only inside an explicit
+    * envelope: with A = max|x'ⱼ| and n = max cluster membership, the
+    * dominant magnitude is 2·n·(x⃗·s⃗) ≤ 2·dim·n²·A², so exactness needs
+    * dim·n²·A² ≤ 2⁵² (which also keeps b = Σs² far below the 2⁶³ long
+    * wrap). That is a REAL bound, enforced per round with a `require` on
+    * the observed max membership — at A≈526, dim=64 it allows n ≈ 16 000
+    * members/cluster, ample for the gate fixture but NOT "any corpus":
+    * beyond it, switch to the MLlib float path (whose seeds this exact
+    * gate exists to cross-check) or re-quantize coarser. The single
+    * division rounds identically in every IEEE engine. Ties (equal
+    * score) break toward the smaller cluster id — stated once, shared
+    * with the oracle.
     *
     * Scale shape per Lloyd round: centroids are a k-row relation that
     * BROADCASTS (k·dim longs — never collected to the driver); assignment
@@ -624,6 +631,15 @@ object Similarity {
     val xq = graft.Session.barrier(
       embeddings.select($"vec_id",
         transform($"embedding", e => floor(e.cast("double") * 1000).cast("long")).as("x")))
+
+    // exactness envelope inputs (one metadata-sized action): dim and the
+    // max quantized magnitude A — see the scaladoc's dim·n²·A² ≤ 2⁵² bound
+    val env = xq.agg(
+      max(size($"x")).as("dim"),
+      max(aggregate(transform($"x", v => abs(v)), lit(0L),
+        (a, v) => greatest(a, v))).as("amax")).head()
+    val dim = env.getInt(0).toDouble
+    val aMax = env.getLong(1).toDouble
 
     // seed: the k smallest vec_ids as singleton centroids (s = x, n = 1)
     var cents = xq.orderBy($"vec_id").limit(k)
@@ -652,10 +668,17 @@ object Similarity {
           st => st.getField("sj")).as("s"))
       val ns = assigned.groupBy($"cluster").agg(count(lit(1)).as("n"))
       cents = graft.Session.barrier(vecs.join(ns, "cluster"))
-      // a cluster that empties would silently shrink k — fail loudly
-      // instead (cannot happen with distinct seed points + min-id ties
-      // on this fixture, but the contract should not depend on that)
-      require(cents.count() == k, s"kmeansAssignExact: a cluster emptied below k=$k")
+      // one metadata action per round guards both failure modes loudly:
+      // a cluster that empties would silently shrink k, and a cluster
+      // that grows past the exactness envelope (dim·n²·A² ≤ 2⁵², see
+      // scaladoc) would silently lose the bit-exact score contract
+      val stat = cents.agg(count(lit(1)).as("kc"), max($"n").as("nmax")).head()
+      require(stat.getLong(0) == k, s"kmeansAssignExact: a cluster emptied below k=$k")
+      val nMax = stat.getLong(1).toDouble
+      require(dim * nMax * nMax * aMax * aMax <= math.pow(2.0, 52),
+        s"kmeansAssignExact: cluster membership ${stat.getLong(1)} exceeds the " +
+          s"exact-score envelope (dim=$dim, A=$aMax requires dim*n^2*A^2 <= 2^52); " +
+          "use the MLlib k-means path or coarser quantization at this scale")
     }
     assign(cents)
       .select($"vec_id", $"cluster".cast("long").as("cluster"))

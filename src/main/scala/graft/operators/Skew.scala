@@ -85,6 +85,17 @@ object Skew {
     * unsetting) them afterwards. The body must FORCE any query whose
     * execution should see the overrides — confs bind at action time, not
     * plan-declaration time.
+    *
+    * NOT concurrency-safe: the overrides mutate the SHARED session's
+    * runtime conf for the duration of `body`, so any query planned
+    * concurrently on the same SparkSession silently inherits them (e.g.
+    * `autoBroadcastJoinThreshold = -1` would disable broadcast for an
+    * unrelated join). Callers running queries in parallel must scope the
+    * overrides to a cloned session instead:
+    * `val s2 = spark.newSession(); s2.conf.set(...)` — a new session
+    * shares the SparkContext and cached data but owns its own conf. The
+    * gate harness runs queries strictly sequentially, which is the only
+    * reason the in-place form is safe there.
     */
   def withConfs[A](spark: org.apache.spark.sql.SparkSession,
                    confs: (String, String)*)(body: => A): A = {
