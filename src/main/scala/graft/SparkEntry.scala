@@ -1092,6 +1092,10 @@ object SparkEntry {
     // source boxes, floor-mean output pixels with the exact (sum, count)
     // integers alongside — the resize half of the multimodal mandate
     "m09_image_resize" -> ((s, d) => Multimodal.imageResize(t(s, d)("documents"))),
+    // color baseline JPEG (YCbCr 4:2:0 / 4:2:2): full 3-component decode
+    // — per-component Huffman/quant, interleaved MCUs, chroma upsample,
+    // fixed-point RGB — gated per 16x16 tile on the DC-exact fixture
+    "m10_jpeg_color" -> ((s, d) => Multimodal.jpegColorTiles(t(s, d)("documents"))),
     // image perceptual hash (aHash) over the REAL decoded PNG raster —
     // integer-exact block means (lcm scaling), strict cross-multiplied
     // threshold: the oracle regenerates identical bits from the pixel
@@ -3589,6 +3593,36 @@ object SparkEntry {
                 CAST(sum(CASE WHEN mm * 64 > tot THEN 1 ELSE 0 END) AS BIGINT) AS n_set
          FROM m JOIN g USING (doc_id)
          GROUP BY 1 ORDER BY 1""",
+    // per-16x16-tile YCbCr regenerated from the closed-form tile formulas
+    // and converted with the same libjpeg fixed-point constants — >> 16
+    // mirrored as floor(x / 65536.0), exact because dividing by a power
+    // of two is exact in IEEE doubles; the engine recovered these values
+    // through per-component Huffman + dequantize + IDCT + chroma
+    // upsampling, the oracle never touches bytes
+    "m10_jpeg_color" ->
+      """WITH d AS (SELECT doc_id, 17 + doc_id % 32 AS w, 17 + (3 * doc_id) % 24 AS h,
+                           CASE WHEN doc_id % 2 = 0 THEN '4:2:0' ELSE '4:2:2' END AS sampling
+                    FROM documents),
+         t AS (SELECT doc_id, sampling, h,
+                      unnest(generate_series(0, (w + 15) // 16 - 1)) AS tx FROM d),
+         txy AS (SELECT doc_id, sampling, tx,
+                        unnest(generate_series(0, (h + 15) // 16 - 1)) AS ty FROM t),
+         v AS (SELECT doc_id, sampling, ty, tx,
+                      (17 * tx + 29 * ty + 31 * (doc_id % 89)) % 256 AS yv,
+                      (23 * tx + 13 * ty + 7 * (doc_id % 83)) % 256 AS cb,
+                      (11 * tx + 19 * ty + 5 * (doc_id % 79)) % 256 AS cr
+               FROM txy),
+         c AS (SELECT *,
+                      yv + CAST(floor((91881 * (cr - 128) + 32768) / 65536.0) AS BIGINT) AS r0,
+                      yv - CAST(floor((22554 * (cb - 128) + 46802 * (cr - 128) + 32768) / 65536.0) AS BIGINT) AS g0,
+                      yv + CAST(floor((116130 * (cb - 128) + 32768) / 65536.0) AS BIGINT) AS b0
+               FROM v)
+         SELECT doc_id, CAST(ty AS BIGINT) AS ty, CAST(tx AS BIGINT) AS tx, sampling,
+                CAST(yv AS BIGINT) AS y, CAST(cb AS BIGINT) AS cb, CAST(cr AS BIGINT) AS cr,
+                CAST(least(greatest(r0, 0), 255) AS BIGINT) AS r,
+                CAST(least(greatest(g0, 0), 255) AS BIGINT) AS g,
+                CAST(least(greatest(b0, 0), 255) AS BIGINT) AS b
+         FROM c ORDER BY doc_id, ty, tx""",
     // per-frame features regenerated from the closed-form PCM formula
     // (31k + 7d) % 2048 − 1024 over the WAV third of the asset fixture —
     // the engine recovers the identical integers through the RIFF chunk

@@ -366,6 +366,75 @@ object Multimodal {
       .orderBy(col("doc_id")).as[ImagePhash]
   }
 
+  /** m10 fixture: one real baseline COLOR JPEG per document — direct
+    * YCbCr planes, each constant per 16x16 tile:
+    * Y  = (17·⌊x/16⌋ + 29·⌊y/16⌋ + 31·(d mod 89)) mod 256
+    * Cb = (23·⌊x/16⌋ + 13·⌊y/16⌋ +  7·(d mod 83)) mod 256
+    * Cr = (11·⌊x/16⌋ + 19·⌊y/16⌋ +  5·(d mod 79)) mod 256
+    * Even docs encode 4:2:0 (luma 2x2), odd 4:2:2 (luma 2x1). Tiles are
+    * 16-aligned, so every 8x8 block of every component — including the
+    * downsampled chroma blocks and edge-replicated padding — is constant
+    * and therefore DC-only: the lossy format becomes EXACT (the m07
+    * trick extended through chroma subsampling), which is what lets a
+    * closed-form SQL oracle gate a color JPEG pipeline. Dims 17..48 x
+    * 17..40 are non-multiples of the MCU so edge MCUs pad.
+    */
+  def jpegColorFor(d: Long): Array[Byte] = {
+    val w = (17 + d % 32).toInt
+    val h = (17 + (3 * d) % 24).toInt
+    val (hs, vs) = if (d % 2 == 0) (2, 2) else (2, 1)
+    graft.sources.AssetCodecs.encodeJpegYcc(w, h,
+      (x, y) => ((17 * (x / 16) + 29 * (y / 16) + 31 * (d % 89)) % 256).toInt,
+      (x, y) => ((23 * (x / 16) + 13 * (y / 16) + 7 * (d % 83)) % 256).toInt,
+      (x, y) => ((11 * (x / 16) + 19 * (y / 16) + 5 * (d % 79)) % 256).toInt,
+      hs, vs)
+  }
+
+  /** Color JPEG tile decode (m10): the full 3-component baseline path —
+    * per-component Huffman/quant tables, interleaved MCU scan, chroma
+    * upsampling, fixed-point YCbCr→RGB — over the per-tile-constant
+    * color fixture. One row per 16x16 tile with the tile's YCbCr and RGB
+    * values; the engine additionally REQUIRES every pixel of the tile to
+    * equal the emitted value across all three upsampled planes, so a
+    * decode bug anywhere (wrong table selector, predictor mix-up,
+    * misplaced chroma block, broken upsample) fails loudly instead of
+    * sliding through an aggregate. Plumbing as in [[jpegPhash]]:
+    * mapPartitions over ids, the decoder sees only bytes, row-local per
+    * image, zero shuffles before the presentation sort.
+    */
+  def jpegColorTiles(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .flatMap { id =>
+        val img = graft.sources.AssetCodecs.decodeJpegYcc(jpegColorFor(id))
+        val sampling = s"4:2:${if (img.vSamp == 2) 0 else 2}"
+        val tilesX = (img.w + 15) / 16
+        val tilesY = (img.h + 15) / 16
+        for (ty <- 0 until tilesY; tx <- 0 until tilesX) yield {
+          val yv = img.y(ty * 16)(tx * 16)
+          val cb = img.cb(ty * 16)(tx * 16)
+          val cr = img.cr(ty * 16)(tx * 16)
+          var py = ty * 16
+          while (py < math.min(ty * 16 + 16, img.h)) {
+            var pxx = tx * 16
+            while (pxx < math.min(tx * 16 + 16, img.w)) {
+              require(img.y(py)(pxx) == yv && img.cb(py)(pxx) == cb &&
+                img.cr(py)(pxx) == cr,
+                s"doc $id tile ($ty,$tx): non-constant decode at ($py,$pxx)")
+              pxx += 1
+            }
+            py += 1
+          }
+          val (r, g, b) = graft.sources.AssetCodecs.ycbcrToRgb(yv, cb, cr)
+          (id, ty.toLong, tx.toLong, sampling,
+            yv.toLong, cb.toLong, cr.toLong, r.toLong, g.toLong, b.toLong)
+        }
+      }
+      .toDF("doc_id", "ty", "tx", "sampling", "y", "cb", "cr", "r", "g", "b")
+      .orderBy(col("doc_id"), col("ty"), col("tx"))
+  }
+
   /** Audio frame features (m08): the framing + feature-extraction stage
     * every speech/audio corpus pipeline runs before VAD, language ID, or
     * dataset filtering — decode PCM, cut it into fixed frames, and emit

@@ -437,6 +437,35 @@ object AssetCodecs {
     0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
     0xf9, 0xfa)
 
+  /** Annex K.3.1 chrominance DC table (counts per length, then values). */
+  private val DcBitsC = Array(0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+  private val DcValsC = Array.tabulate(12)(identity)
+
+  /** Annex K.3.2 chrominance AC table. */
+  private val AcBitsC = Array(0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+  private val AcValsC: Array[Int] = Array(
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0,
+    0x15, 0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34,
+    0xe1, 0x25, 0xf1, 0x17, 0x18, 0x19, 0x1a, 0x26,
+    0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8a, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+    0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4,
+    0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3,
+    0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2,
+    0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9,
+    0xea, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa)
+
   /** Canonical Huffman: per-length counts + ordered values → value →
     * (code, length).
     */
@@ -755,6 +784,432 @@ object AssetCodecs {
       by += 1
     }
     (w, h, img)
+  }
+
+  // ------------------------------------ JPEG baseline color (YCbCr path)
+  //
+  // 3-component interleaved baseline JPEG (ITU-T T.81): luma sampled at
+  // hSamp x vSamp in {1,2}^2 (4:4:4 / 4:2:2 / 4:2:0), chroma at 1x1,
+  // separate Annex-K luma/chroma Huffman tables and per-component quant
+  // tables. This closes the verdict gap that the grayscale pixel path
+  // covered only a slice of the dominant real-world image format
+  // (YCbCr 4:2:0 baseline JPEG).
+
+  /** Decoded color JPEG: full-resolution Y/Cb/Cr planes (chroma
+    * upsampled by replication — the plain/"nearest" mode, exact for the
+    * DC-constant fixtures; fancy interpolated upsampling is a display
+    * nicety, not part of the bitstream) plus the frame's luma sampling
+    * factors so callers can see which subsampling mode the file used.
+    */
+  final case class JpegYcc(w: Int, h: Int, hSamp: Int, vSamp: Int,
+                           y: Array[Array[Int]],
+                           cb: Array[Array[Int]],
+                           cr: Array[Array[Int]])
+
+  /** Exact fixed-point YCbCr → RGB (the libjpeg 16-bit constants:
+    * round(1.402·2^16) etc.; `>> 16` is an arithmetic shift = floor, so
+    * an oracle can mirror it as `floor(x / 65536.0)` — division by a
+    * power of two is exact in IEEE doubles). Returns clamped 0..255.
+    */
+  def ycbcrToRgb(y: Int, cb: Int, cr: Int): (Int, Int, Int) = {
+    def clamp(v: Int): Int = math.max(0, math.min(255, v))
+    val r = y + ((91881 * (cr - 128) + 32768) >> 16)
+    val g = y - ((22554 * (cb - 128) + 46802 * (cr - 128) + 32768) >> 16)
+    val b = y + ((116130 * (cb - 128) + 32768) >> 16)
+    (clamp(r), clamp(g), clamp(b))
+  }
+
+  /** Encode direct YCbCr planes as baseline-sequential color JPEG (SOF0,
+    * components Y/Cb/Cr ids 1/2/3, luma sampling `hSamp`x`vSamp`, chroma
+    * 1x1, Annex-K luma tables for Y and chroma tables for Cb/Cr, uniform
+    * quantizer `quant` in both DQTs, one interleaved scan). Taking YCbCr
+    * directly keeps the gate free of RGB→YCbCr rounding — JPEG stores
+    * YCbCr; the RGB conversion is presentation ([[ycbcrToRgb]]).
+    *
+    * Chroma is downsampled by the rounded mean of each luma-site group
+    * (exact on the per-tile-constant fixtures); edge MCUs pad by edge
+    * replication per component, as in [[encodeJpegGray]].
+    */
+  def encodeJpegYcc(w: Int, h: Int,
+                    pixY: (Int, Int) => Int,
+                    pixCb: (Int, Int) => Int,
+                    pixCr: (Int, Int) => Int,
+                    hSamp: Int = 2, vSamp: Int = 2,
+                    quant: Int = 1): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff, s"bad dims ${w}x$h")
+    require(hSamp >= 1 && hSamp <= 2 && vSamp >= 1 && vSamp <= 2,
+      s"luma sampling must be in {1,2}x{1,2}, got ${hSamp}x$vSamp")
+    require(quant >= 1 && quant <= 255, s"bad quantizer $quant")
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def segment(m: Int, payload: Array[Byte]): Unit = {
+      marker(m)
+      val len = payload.length + 2
+      out.write(len >> 8); out.write(len & 0xff); out.write(payload)
+    }
+    marker(0xd8)
+    segment(0xe0, "JFIF".getBytes("US-ASCII") ++
+      Array[Byte](0, 1, 2, 0, 0, 1, 0, 1, 0, 0))
+    segment(0xdb, Array[Byte](0) ++ Array.fill(64)(quant.toByte)) // DQT 0 (luma)
+    segment(0xdb, Array[Byte](1) ++ Array.fill(64)(quant.toByte)) // DQT 1 (chroma)
+    segment(0xc0, Array[Byte](8) ++
+      Array((h >> 8).toByte, (h & 0xff).toByte, (w >> 8).toByte, (w & 0xff).toByte) ++
+      Array[Byte](3,
+        1, ((hSamp << 4) | vSamp).toByte, 0, // Y: hSamp x vSamp, DQT 0
+        2, 0x11, 1,                          // Cb: 1x1, DQT 1
+        3, 0x11, 1))                         // Cr: 1x1, DQT 1
+    segment(0xc4, Array[Byte](0x00) ++ DcBits.map(_.toByte) ++ DcVals.map(_.toByte))
+    segment(0xc4, Array[Byte](0x10) ++ AcBits.map(_.toByte) ++ AcVals.map(_.toByte))
+    segment(0xc4, Array[Byte](0x01) ++ DcBitsC.map(_.toByte) ++ DcValsC.map(_.toByte))
+    segment(0xc4, Array[Byte](0x11) ++ AcBitsC.map(_.toByte) ++ AcValsC.map(_.toByte))
+    segment(0xda, Array[Byte](3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0))
+
+    val dcTabs = Array(huffEncodeTable(DcBits, DcVals), huffEncodeTable(DcBitsC, DcValsC))
+    val acTabs = Array(huffEncodeTable(AcBits, AcVals), huffEncodeTable(AcBitsC, AcValsC))
+    var acc = 0L; var nAcc = 0
+    def putBits(v: Int, n: Int): Unit = {
+      acc = (acc << n) | (v & ((1L << n) - 1)); nAcc += n
+      while (nAcc >= 8) {
+        val b = ((acc >>> (nAcc - 8)) & 0xff).toInt
+        out.write(b); if (b == 0xff) out.write(0x00)
+        nAcc -= 8
+      }
+    }
+    def magCat(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    def putCoef(v: Int, cat: Int): Unit =
+      if (cat > 0) putBits(if (v < 0) v - 1 else v, cat)
+
+    // chroma planes at component resolution: rounded mean of each
+    // vSamp x hSamp luma-site group (in-bounds sites only at edges)
+    val cw = (w + hSamp - 1) / hSamp
+    val ch = (h + vSamp - 1) / vSamp
+    def downsample(pix: (Int, Int) => Int): (Int, Int) => Int = (cx, cy) => {
+      var s = 0; var n = 0
+      var j = 0
+      while (j < vSamp) {
+        val sy = cy * vSamp + j
+        if (sy < h) {
+          var i = 0
+          while (i < hSamp) {
+            val sx = cx * hSamp + i
+            if (sx < w) { s += pix(sx, sy) & 0xff; n += 1 }
+            i += 1
+          }
+        }
+        j += 1
+      }
+      (s + n / 2) / n
+    }
+    val cbAt = downsample(pixCb)
+    val crAt = downsample(pixCr)
+
+    val block = new Array[Double](64)
+    val coef = new Array[Int](64)
+    // one 8x8 block: load (edge-replicated), FDCT+quantize, entropy-code
+    def encodeBlock(sample: (Int, Int) => Int, sw: Int, sh: Int,
+                    ox: Int, oy: Int, tab: Int, prevDc: Int): Int = {
+      var yy = 0
+      while (yy < 8) {
+        var xx = 0
+        while (xx < 8) {
+          val sx = math.min(ox + xx, sw - 1)
+          val sy = math.min(oy + yy, sh - 1)
+          block(yy * 8 + xx) = (sample(sx, sy) & 0xff) - 128.0
+          xx += 1
+        }
+        yy += 1
+      }
+      var zz = 0
+      while (zz < 64) {
+        val r = ZigZag(zz); val u = r % 8; val v = r / 8
+        var s = 0.0
+        var y2 = 0
+        while (y2 < 8) {
+          var x2 = 0
+          while (x2 < 8) {
+            s += block(y2 * 8 + x2) * cosTable(x2)(u) * cosTable(y2)(v)
+            x2 += 1
+          }
+          y2 += 1
+        }
+        coef(zz) = math.round(cdct(u) * cdct(v) / 4.0 * s / quant).toInt
+        zz += 1
+      }
+      val diff = coef(0) - prevDc
+      val dcCat = magCat(diff)
+      val (dcCode, dcLen) = dcTabs(tab)(dcCat)
+      putBits(dcCode, dcLen); putCoef(diff, dcCat)
+      var k = 1; var run = 0
+      while (k < 64) {
+        if (coef(k) == 0) run += 1
+        else {
+          while (run >= 16) { val (c, l) = acTabs(tab)(0xf0); putBits(c, l); run -= 16 }
+          val cat = magCat(coef(k))
+          val (c, l) = acTabs(tab)((run << 4) | cat)
+          putBits(c, l); putCoef(coef(k), cat)
+          run = 0
+        }
+        k += 1
+      }
+      if (run > 0) { val (c, l) = acTabs(tab)(0x00); putBits(c, l) }
+      coef(0)
+    }
+
+    val mcusX = (w + 8 * hSamp - 1) / (8 * hSamp)
+    val mcusY = (h + 8 * vSamp - 1) / (8 * vSamp)
+    var dcY = 0; var dcCb = 0; var dcCr = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        var vy = 0
+        while (vy < vSamp) {
+          var vx = 0
+          while (vx < hSamp) {
+            dcY = encodeBlock(pixY, w, h,
+              (mx * hSamp + vx) * 8, (my * vSamp + vy) * 8, 0, dcY)
+            vx += 1
+          }
+          vy += 1
+        }
+        dcCb = encodeBlock(cbAt, cw, ch, mx * 8, my * 8, 1, dcCb)
+        dcCr = encodeBlock(crAt, cw, ch, mx * 8, my * 8, 1, dcCr)
+        mx += 1
+      }
+      my += 1
+    }
+    if (nAcc > 0) {
+      val b = (((acc << (8 - nAcc)) | ((1 << (8 - nAcc)) - 1)) & 0xff).toInt
+      out.write(b); if (b == 0xff) out.write(0x00)
+    }
+    marker(0xd9)
+    out.toByteArray
+  }
+
+  /** Decode a baseline-sequential 3-component YCbCr JPEG: per-component
+    * quantization and Huffman tables, interleaved MCU scan with
+    * per-component DC predictors, chroma upsampled by replication to
+    * full resolution. Scope rejected loudly outside it: SOF0, 8-bit,
+    * exactly 3 components, luma sampling in {1,2}x{1,2}, chroma 1x1, no
+    * restart intervals — grayscale files go through [[decodeJpegImage]].
+    */
+  def decodeJpegYcc(bytes: Array[Byte]): JpegYcc = {
+    require(bytes.length >= 4 &&
+      (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8, "bad JPEG SOI")
+    var pos = 2
+    var w = -1; var h = -1
+    var hSamp = -1; var vSamp = -1
+    val quantTables = new Array[Array[Int]](4)
+    val huffMin = Array.ofDim[Array[Int]](2, 4)
+    val huffMax = Array.ofDim[Array[Int]](2, 4)
+    val huffValPtr = Array.ofDim[Array[Int]](2, 4)
+    val huffVals = Array.ofDim[Array[Int]](2, 4)
+    val compQuant = new Array[Int](3)   // frame order: Y, Cb, Cr
+    val dcSel = new Array[Int](3)
+    val acSel = new Array[Int](3)
+    var scanStart = -1
+
+    while (scanStart < 0) {
+      require(pos + 4 <= bytes.length && (bytes(pos) & 0xff) == 0xff,
+        s"expected marker at $pos")
+      val m = bytes(pos + 1) & 0xff
+      require(m != 0xd9, "JPEG EOI before scan data")
+      val len = ((bytes(pos + 2) & 0xff) << 8) | (bytes(pos + 3) & 0xff)
+      require(len >= 2 && pos + 2 + len <= bytes.length, "truncated JPEG segment")
+      val seg = pos + 4
+      m match {
+        case 0xdb =>
+          var p = seg
+          while (p < pos + 2 + len) {
+            val pq = (bytes(p) & 0xff) >> 4; val tq = bytes(p) & 0x0f
+            require(pq == 0, "16-bit quantization tables unsupported")
+            quantTables(tq) = Array.tabulate(64)(i => bytes(p + 1 + i) & 0xff)
+            p += 65
+          }
+        case 0xc4 =>
+          var p = seg
+          while (p < pos + 2 + len) {
+            val cls = (bytes(p) & 0xff) >> 4; val id = bytes(p) & 0x0f
+            require(cls <= 1 && id <= 3, "bad DHT class/id")
+            val counts = Array.tabulate(16)(i => bytes(p + 1 + i) & 0xff)
+            val total = counts.sum
+            val vals = Array.tabulate(total)(i => bytes(p + 17 + i) & 0xff)
+            val mn = new Array[Int](17); val mx = new Array[Int](17)
+            val vp = new Array[Int](17)
+            var code = 0; var k = 0
+            for (l <- 1 to 16) {
+              mn(l) = code; vp(l) = k
+              code += counts(l - 1); k += counts(l - 1)
+              mx(l) = code - 1
+              code <<= 1
+            }
+            for (l <- 1 to 16) if (counts(l - 1) == 0) mx(l) = -1
+            huffMin(cls)(id) = mn; huffMax(cls)(id) = mx
+            huffValPtr(cls)(id) = vp; huffVals(cls)(id) = vals
+            p += 17 + total
+          }
+        case x if x >= 0xc0 && x <= 0xcf && x != 0xc4 && x != 0xc8 && x != 0xcc =>
+          require(x == 0xc0, f"only baseline SOF0 supported for pixel decode, got SOF${x - 0xc0}%d")
+          require((bytes(seg) & 0xff) == 8, "only 8-bit precision supported")
+          h = ((bytes(seg + 1) & 0xff) << 8) | (bytes(seg + 2) & 0xff)
+          w = ((bytes(seg + 3) & 0xff) << 8) | (bytes(seg + 4) & 0xff)
+          val nc = bytes(seg + 5) & 0xff
+          require(nc == 3,
+            s"decodeJpegYcc: expected 3 components, got $nc (grayscale -> decodeJpegImage)")
+          var ci = 0
+          while (ci < 3) {
+            val o = seg + 6 + ci * 3
+            val samp = bytes(o + 1) & 0xff
+            if (ci == 0) {
+              hSamp = samp >> 4; vSamp = samp & 0x0f
+              require(hSamp >= 1 && hSamp <= 2 && vSamp >= 1 && vSamp <= 2,
+                s"luma sampling ${hSamp}x$vSamp out of scope (must be in {1,2}x{1,2})")
+            } else require(samp == 0x11,
+              f"chroma sampling 0x$samp%02x out of scope (must be 1x1)")
+            compQuant(ci) = bytes(o + 2) & 0xff
+            ci += 1
+          }
+        case 0xdd => sys.error("restart intervals unsupported in pixel decode")
+        case 0xda =>
+          require(w > 0, "JPEG SOS before SOF0")
+          require((bytes(seg) & 0xff) == 3, "scan must cover all 3 components")
+          var ci = 0
+          while (ci < 3) {
+            val sel = bytes(seg + 2 + ci * 2) & 0xff
+            dcSel(ci) = sel >> 4; acSel(ci) = sel & 0x0f
+            ci += 1
+          }
+          scanStart = pos + 2 + len
+        case _ => () // APPn/COM/other: skip
+      }
+      if (scanStart < 0) pos += 2 + len
+    }
+    val q = compQuant.map { tq =>
+      val t = quantTables(tq)
+      require(t != null, s"missing quantization table $tq"); t
+    }
+    for (ci <- 0 until 3)
+      require(huffVals(0)(dcSel(ci)) != null && huffVals(1)(acSel(ci)) != null,
+        s"missing Huffman tables for component $ci")
+
+    var bp = scanStart
+    var bitBuf = 0L; var bitCnt = 0
+    def fill(): Unit = {
+      while (bitCnt <= 56) {
+        require(bp < bytes.length, "truncated JPEG scan")
+        val b = bytes(bp) & 0xff
+        if (b == 0xff) {
+          val nxt = if (bp + 1 < bytes.length) bytes(bp + 1) & 0xff else -1
+          if (nxt == 0x00) { bitBuf = (bitBuf << 8) | 0xff; bitCnt += 8; bp += 2 }
+          else return
+        } else { bitBuf = (bitBuf << 8) | b; bitCnt += 8; bp += 1 }
+      }
+    }
+    def getBit(): Int = {
+      fill()
+      if (bitCnt == 0) 1
+      else { bitCnt -= 1; ((bitBuf >>> bitCnt) & 1L).toInt }
+    }
+    def receive(n: Int): Int = { var v = 0; var i = 0; while (i < n) { v = (v << 1) | getBit(); i += 1 }; v }
+    def extend(v: Int, n: Int): Int = if (n == 0) 0 else if (v < (1 << (n - 1))) v - (1 << n) + 1 else v
+    def huffDecode(cls: Int, id: Int): Int = {
+      val mn = huffMin(cls)(id); val mx = huffMax(cls)(id)
+      val vp = huffValPtr(cls)(id); val vs = huffVals(cls)(id)
+      var code = getBit(); var l = 1
+      while (l <= 16 && (mx(l) < 0 || code > mx(l))) {
+        code = (code << 1) | getBit(); l += 1
+      }
+      require(l <= 16, "corrupt Huffman code in JPEG scan")
+      vs(vp(l) + code - mn(l))
+    }
+
+    val mcusX = (w + 8 * hSamp - 1) / (8 * hSamp)
+    val mcusY = (h + 8 * vSamp - 1) / (8 * vSamp)
+    // planes at MCU-padded component resolution; cropped on return
+    val planes = Array(
+      Array.ofDim[Int](mcusY * vSamp * 8, mcusX * hSamp * 8),
+      Array.ofDim[Int](mcusY * 8, mcusX * 8),
+      Array.ofDim[Int](mcusY * 8, mcusX * 8))
+    val prevDc = new Array[Int](3)
+    val coef = new Array[Int](64)
+    val px = new Array[Double](64)
+    def decodeBlockInto(ci: Int, ox: Int, oy: Int): Unit = {
+      java.util.Arrays.fill(coef, 0)
+      val qt = q(ci)
+      val dcCat = huffDecode(0, dcSel(ci))
+      prevDc(ci) += extend(receive(dcCat), dcCat)
+      coef(0) = prevDc(ci) * qt(0)
+      var k = 1
+      while (k < 64) {
+        val rs = huffDecode(1, acSel(ci))
+        val run = rs >> 4; val cat = rs & 0x0f
+        if (cat == 0) {
+          if (run == 15) k += 16
+          else k = 64
+        } else {
+          k += run
+          require(k < 64, "AC coefficient index overrun")
+          coef(ZigZag(k)) = extend(receive(cat), cat) * qt(k)
+          k += 1
+        }
+      }
+      var yy = 0
+      while (yy < 8) {
+        var xx = 0
+        while (xx < 8) {
+          var s = 0.0
+          var v = 0
+          while (v < 8) {
+            var u = 0
+            while (u < 8) {
+              val c = coef(v * 8 + u)
+              if (c != 0) s += cdct(u) * cdct(v) * c * cosTable(xx)(u) * cosTable(yy)(v)
+              u += 1
+            }
+            v += 1
+          }
+          px(yy * 8 + xx) = s / 4.0
+          xx += 1
+        }
+        yy += 1
+      }
+      val plane = planes(ci)
+      yy = 0
+      while (yy < 8) {
+        var xx = 0
+        while (xx < 8) {
+          val v = math.round(px(yy * 8 + xx) + 128.0).toInt
+          plane(oy + yy)(ox + xx) = math.max(0, math.min(255, v))
+          xx += 1
+        }
+        yy += 1
+      }
+    }
+
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        var vy = 0
+        while (vy < vSamp) {
+          var vx = 0
+          while (vx < hSamp) {
+            decodeBlockInto(0, (mx * hSamp + vx) * 8, (my * vSamp + vy) * 8)
+            vx += 1
+          }
+          vy += 1
+        }
+        decodeBlockInto(1, mx * 8, my * 8)
+        decodeBlockInto(2, mx * 8, my * 8)
+        mx += 1
+      }
+      my += 1
+    }
+
+    val yOut = Array.tabulate(h, w)((yy, xx) => planes(0)(yy)(xx))
+    val cbOut = Array.tabulate(h, w)((yy, xx) => planes(1)(yy / vSamp)(xx / hSamp))
+    val crOut = Array.tabulate(h, w)((yy, xx) => planes(2)(yy / vSamp)(xx / hSamp))
+    JpegYcc(w, h, hSamp, vSamp, yOut, cbOut, crOut)
   }
 
   // ---------------------------------------------------------------- WAV

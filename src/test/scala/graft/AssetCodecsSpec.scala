@@ -162,6 +162,111 @@ class AssetCodecsSpec extends AnyFunSuite with Matchers {
     an[Exception] should be thrownBy AssetCodecs.decodeJpegImage(prog)
   }
 
+  // ---- baseline color JPEG (m10) ----
+
+  test("color JPEG: per-tile-constant YCbCr round-trips EXACTLY in 4:2:0, 4:2:2 and 4:4:4") {
+    // 16-aligned constant tiles keep every component block — luma,
+    // downsampled chroma, edge-replicated padding — DC-only, so the
+    // lossy format is exact through subsampling + upsampling: the
+    // property the m10 closed-form oracle stands on
+    val py = (x: Int, y: Int) => (17 * (x / 16) + 29 * (y / 16) + 31) % 256
+    val pcb = (x: Int, y: Int) => (23 * (x / 16) + 13 * (y / 16) + 7) % 256
+    val pcr = (x: Int, y: Int) => (11 * (x / 16) + 19 * (y / 16) + 5) % 256
+    for ((hs, vs) <- Seq((2, 2), (2, 1), (1, 1)); (w, h) <- Seq((48, 32), (33, 17), (16, 16))) {
+      val img = AssetCodecs.decodeJpegYcc(
+        AssetCodecs.encodeJpegYcc(w, h, py, pcb, pcr, hs, vs))
+      (img.w, img.h, img.hSamp, img.vSamp) shouldBe ((w, h, hs, vs))
+      for (y <- 0 until h; x <- 0 until w)
+        withClue(s"${w}x$h ${hs}x$vs @($x,$y): ") {
+          (img.y(y)(x), img.cb(y)(x), img.cr(y)(x)) shouldBe
+            ((py(x, y), pcb(x, y), pcr(x, y)))
+        }
+    }
+  }
+
+  test("color JPEG: JDK ImageIO decodes MY 4:2:0/4:2:2 bitstream to the same tile colors") {
+    // independent-decoder cross-check on the subsampled modes: compare
+    // RGB at tile-INTERIOR pixels only (ImageIO may use interpolated
+    // chroma upsampling, which differs from replication at tile borders
+    // but agrees on the constant interior), ±2 for its own fixed-point
+    // YCbCr->RGB rounding
+    val py = (x: Int, y: Int) => (17 * (x / 16) + 29 * (y / 16) + 50) % 256
+    val pcb = (x: Int, y: Int) => (23 * (x / 16) + 13 * (y / 16) + 90) % 256
+    val pcr = (x: Int, y: Int) => (11 * (x / 16) + 19 * (y / 16) + 140) % 256
+    for ((hs, vs) <- Seq((2, 2), (2, 1))) {
+      val w = 48; val h = 32
+      val bytes = AssetCodecs.encodeJpegYcc(w, h, py, pcb, pcr, hs, vs)
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      ref should not be null
+      (ref.getWidth, ref.getHeight) shouldBe ((w, h))
+      for (ty <- 0 until h / 16; tx <- 0 until w / 16) {
+        val x = tx * 16 + 6; val y = ty * 16 + 6
+        val (r, g, b) = AssetCodecs.ycbcrToRgb(py(x, y), pcb(x, y), pcr(x, y))
+        val rgb = ref.getRGB(x, y)
+        withClue(s"${hs}x$vs tile($ty,$tx): ") {
+          math.abs(((rgb >> 16) & 0xff) - r) should be <= 2
+          math.abs(((rgb >> 8) & 0xff) - g) should be <= 2
+          math.abs((rgb & 0xff) - b) should be <= 2
+        }
+      }
+    }
+  }
+
+  test("color JPEG: arbitrary 4:4:4 fields decode within ±2 of the JDK decoder") {
+    // full per-component AC path (separate luma/chroma Huffman tables,
+    // interleaved MCUs, three DC predictors) against the independent
+    // decoder; 4:4:4 so no upsampling ambiguity is in play — residual
+    // tolerance is IDCT ±1 plus color-conversion rounding ±1
+    val py = (x: Int, y: Int) => (x * x * 7 + y * 31 + (x * y) % 13) % 256
+    val pcb = (x: Int, y: Int) => (x * 5 + y * y * 3 + 40) % 256
+    val pcr = (x: Int, y: Int) => (x * 11 + y * 17 + (x + y) % 7) % 256
+    val w = 24; val h = 17
+    val bytes = AssetCodecs.encodeJpegYcc(w, h, py, pcb, pcr, 1, 1)
+    val img = AssetCodecs.decodeJpegYcc(bytes)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    ref should not be null
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = AssetCodecs.ycbcrToRgb(img.y(y)(x), img.cb(y)(x), img.cr(y)(x))
+      val rgb = ref.getRGB(x, y)
+      withClue(s"@($x,$y): ") {
+        math.abs(((rgb >> 16) & 0xff) - r) should be <= 2
+        math.abs(((rgb >> 8) & 0xff) - g) should be <= 2
+        math.abs((rgb & 0xff) - b) should be <= 2
+      }
+    }
+  }
+
+  test("color JPEG decode rejects out-of-scope shapes loudly") {
+    // grayscale file -> the dedicated grayscale path, not silent misuse
+    val gray = AssetCodecs.encodeJpegGray(16, 16, (x, y) => (x + y) % 256)
+    val e = intercept[IllegalArgumentException](AssetCodecs.decodeJpegYcc(gray))
+    e.getMessage should include("expected 3 components")
+    // progressive rejection: flip SOF0 to SOF2
+    val ok = AssetCodecs.encodeJpegYcc(16, 16,
+      (_, _) => 100, (_, _) => 110, (_, _) => 120, 2, 2)
+    val idx = ok.indexOfSlice(Seq(0xff.toByte, 0xc0.toByte))
+    val prog = ok.clone(); prog(idx + 1) = 0xc2.toByte
+    an[Exception] should be thrownBy AssetCodecs.decodeJpegYcc(prog)
+    // and the grayscale decoder refuses the color file symmetrically
+    an[Exception] should be thrownBy AssetCodecs.decodeJpegImage(ok)
+  }
+
+  test("ycbcrToRgb: exact fixed-point anchors (gray axis, primaries, clamping)") {
+    AssetCodecs.ycbcrToRgb(128, 128, 128) shouldBe ((128, 128, 128))
+    AssetCodecs.ycbcrToRgb(0, 128, 128) shouldBe ((0, 0, 0))
+    AssetCodecs.ycbcrToRgb(255, 128, 128) shouldBe ((255, 255, 255))
+    // full-scale chroma clamps instead of wrapping
+    val (r1, _, b1) = AssetCodecs.ycbcrToRgb(255, 255, 255)
+    r1 shouldBe 255; b1 shouldBe 255
+    val (r2, _, b2) = AssetCodecs.ycbcrToRgb(0, 0, 0)
+    r2 shouldBe 0; b2 shouldBe 0
+    // one mid-range vector against the closed-form floor formula
+    val (r, g, b) = AssetCodecs.ycbcrToRgb(100, 90, 180)
+    r shouldBe 100 + math.floorDiv(91881 * (180 - 128) + 32768, 65536)
+    g shouldBe 100 - math.floorDiv(22554 * (90 - 128) + 46802 * (180 - 128) + 32768, 65536)
+    b shouldBe 100 + math.floorDiv(116130 * (90 - 128) + 32768, 65536)
+  }
+
   test("decode() dispatches on magic bytes and rejects unknown containers") {
     AssetCodecs.decode(AssetCodecs.encodePng(3, 3, (_, _) => 0)).fmt shouldBe "png"
     AssetCodecs.decode(AssetCodecs.encodeBmp(3, 3, (_, _) => 0)).fmt shouldBe "bmp"
