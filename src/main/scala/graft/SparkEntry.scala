@@ -1451,6 +1451,16 @@ object SparkEntry {
     // form, one vocabulary-keyed shuffle
     "t39_source_divergence" -> ((s, d) =>
       operators.TextAnalysis.sourceDivergence(t(s, d)("documents"))),
+    // unsegmented-script coverage: the zh slice rewritten to whitespace-
+    // free CJK flows through the SAME production operators — the shared
+    // tokenizer's code-point fallback must recover per-character tokens
+    // (t40: quality battery) and character-bigram near-dup grams (d18)
+    "t40_cjk_quality" -> ((s, d) =>
+      operators.TextAnalysis.stats(
+        operators.TextAnalysis.cjkMapped(t(s, d)("documents")))),
+    "d18_cjk_neardup" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(
+        operators.TextAnalysis.cjkNearDupCorpus(t(s, d)("documents")), 2, 0.5)),
     // DSIR selection executed: fill a 3000-token budget with the most
     // target-like docs first (distributed prefix sum over the rank order)
     "t14_dsir_select" -> ((s, d) => {
@@ -2223,6 +2233,20 @@ object SparkEntry {
 
   private val gridCte = operators.Raster.demoGridSql
   private val polyHash = functions.PolyHash
+
+  /** Shared t40/d18 oracle CTE: the zh slice rewritten to whitespace-free
+    * CJK (one `chr(19968 + poly_hash(word) % 2048)` per word, order
+    * preserved — the mirror of [[operators.TextAnalysis.cjkMapped]]),
+    * everything else untouched; ends in relation `cjkdocs`.
+    */
+  private val cjkDocsCte: String =
+    s"""cjkdocs AS (SELECT doc_id, source, lang,
+         CASE WHEN lang = 'zh'
+              THEN array_to_string(list_transform(
+                     string_split_regex(lower(text), '\\s+'),
+                     w -> chr(19968 + CAST((${polyHash.duckdbSql("w")}) % 2048 AS INT))), '')
+              ELSE text END AS text
+       FROM documents)"""
 
   /** Shared pair-generation CTEs for the minhash family oracles
     * (shingleN=3, bands=8, rows=4): identical portable hashes → full value
@@ -3785,6 +3809,59 @@ object SparkEntry {
                       / (CAST(ux.n_x AS DOUBLE) * uy.n_x), 6) AS lift
          FROM bc JOIN u ux ON bc.x = ux.x JOIN u uy ON bc.y = uy.x CROSS JOIN tot
          ORDER BY bc.x, bc.y""",
+    // t01's battery over the CJK-rewritten corpus with the ADAPTIVE
+    // tokenizer mirror: whitespace-free zh docs tokenize to their code
+    // points (n_tokens = character count, avg_token_len = 1), everything
+    // else exactly as t01 — both tokenizer paths in one gate
+    "t40_cjk_quality" ->
+      s"""WITH $cjkDocsCte,
+         d AS (SELECT doc_id, ${operators.Dedup.tokensDuckdbSql("text")} AS t,
+                      length(regexp_replace(text,'\\s','','g')) AS stc,
+                      length(text) AS lt,
+                      length(regexp_replace(text,'[^a-zA-Z0-9\\s]','','g')) AS alnum_ws
+               FROM cjkdocs)
+         SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+                CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
+                round(stc * 1.0 / len(t), 4) AS avg_token_len,
+                round(len(list_distinct(t)) * 1.0 / len(t), 4) AS distinct_ratio,
+                round((CASE WHEN len(t) BETWEEN 5 AND 100 THEN 0.25 ELSE 0 END)
+                    + (CASE WHEN stc*1.0/len(t) BETWEEN 3.0 AND 12.0 THEN 0.25 ELSE 0 END)
+                    + (CASE WHEN len(list_distinct(t))*1.0/len(t) >= 0.3 THEN 0.25 ELSE 0 END)
+                    + (CASE WHEN (lt - alnum_ws) <= lt*0.3 THEN 0.25 ELSE 0 END), 2)
+                  AS quality_score
+         FROM d ORDER BY doc_id""",
+    // d02's capped near-dup pairing over the CJK-rewritten corpus: the
+    // tokenizer fallback makes zh grams CHARACTER bigrams (the standard
+    // CJK dedup shape) — word-identity -> character-identity preserves
+    // the slice's near-dup structure, so pairs must still surface
+    "d18_cjk_neardup" ->
+      s"""WITH $cjkDocsCte,
+         corpus AS (SELECT doc_id, source, text FROM cjkdocs
+                    UNION ALL
+                    SELECT doc_id + 1000000, source, substr(text, 1, length(text) - 1)
+                    FROM cjkdocs WHERE lang = 'zh' AND length(text) >= 4),
+         toks AS (SELECT doc_id, source, ${operators.Dedup.tokensDuckdbSql("text")} AS t
+                  FROM corpus),
+         g0 AS (SELECT doc_id, source,
+                       unnest(list_transform(generate_series(1, len(t)-1),
+                              i -> t[i] || ' ' || t[i+1])) AS gram
+                FROM toks),
+         grams AS (SELECT DISTINCT doc_id, source, gram FROM g0),
+         hot AS (SELECT source, gram FROM grams
+                 GROUP BY source, gram HAVING count(*) > 128),
+         kept AS (SELECT g.* FROM grams g LEFT JOIN hot h
+                    ON g.source = h.source AND g.gram = h.gram
+                  WHERE h.gram IS NULL),
+         sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                   FROM kept a JOIN kept b
+                     ON a.source = b.source AND a.gram = b.gram AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+                round(CAST(inter AS DOUBLE)/(sa.n + sb.n - inter), 4) AS jaccard
+         FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+         WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.5
+         ORDER BY doc_a, doc_b""",
     // identical matched-join + closed-form disjoint-mass formulation;
     // the only float op is the one final division
     "t39_source_divergence" ->

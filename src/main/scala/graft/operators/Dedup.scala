@@ -17,7 +17,44 @@ import graft.implicits._
   */
 object Dedup {
 
-  private[operators] def tokens(c: Column): Column = split(lower(c), "\\s+")
+  /** Unsegmented-script detector shared by [[tokens]] and its oracle
+    * mirror: CJK Unified (+ext A), Hiragana/Katakana, Hangul syllables,
+    * Thai — the scripts that write without word separators.
+    */
+  private val UnsegScript = "\\u3040-\\u30ff\\u3400-\\u9fff\\uac00-\\ud7af\\u0e00-\\u0e7f"
+  private val UnsegScriptDuck =
+    "\\x{3040}-\\x{30ff}\\x{3400}-\\x{9fff}\\x{ac00}-\\x{d7af}\\x{0e00}-\\x{0e7f}"
+
+  /** The shared corpus tokenizer: whitespace split, with a CODE-POINT
+    * fallback for whitespace-free text in an unsegmented script — a doc
+    * with no whitespace that contains CJK/kana/Hangul/Thai tokenizes to
+    * its individual characters instead of collapsing to ONE token, which
+    * would silently skew every downstream consumer (dedup grams become
+    * doc-identity, quality filters see n_tokens=1, collocations see
+    * nothing). Character unigram tokens make the standard CJK dedup
+    * shape fall out for free: the n-gram stage over them yields
+    * character n-grams. The script guard keeps a single Latin word
+    * ("hello") one token, as `split` always produced; a single
+    * unsegmented character keeps the one-token shape too. Whitespace-
+    * bearing text is bit-identical to the old `split(lower(text),
+    * "\\s+")` — every existing oracle stands. (Scope: BMP scripts —
+    * `substr` counts code points, not graphemes.)
+    */
+  private[operators] def tokens(c: Column): Column = {
+    val lc = lower(c)
+    when(c.rlike("\\s") || !c.rlike(s"[$UnsegScript]"), split(lc, "\\s+"))
+      .when(length(lc) < 2, array(lc))
+      .otherwise(transform(sequence(lit(1), length(lc)), i => lc.substr(i, lit(1))))
+  }
+
+  /** The DuckDB mirror of [[tokens]], for oracle SQL builders. */
+  private[graft] def tokensDuckdbSql(expr: String): String =
+    s"""CASE WHEN regexp_matches($expr, '\\s')
+            OR NOT regexp_matches($expr, '[$UnsegScriptDuck]')
+       THEN string_split_regex(lower($expr), '\\s+')
+       WHEN length($expr) < 2 THEN [lower($expr)]
+       ELSE list_transform(generate_series(1, length($expr)),
+                           i -> substr(lower($expr), i, 1)) END"""
 
   /** Word n-grams as an array column; empty when the doc has < n tokens.
     * Shared with [[TextAnalysis]] (contamination/repetition grams).

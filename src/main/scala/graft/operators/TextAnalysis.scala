@@ -25,7 +25,7 @@ object TextAnalysis {
     * distinct-token ratio ≥ 0.3, non-alphanumeric ratio ≤ 0.3.
     */
   def stats(documents: DataFrame): DataFrame = {
-    val toks = split(lower($"text"), "\\s+")
+    val toks = Dedup.tokens($"text") // adaptive: code-point fallback for unsegmented scripts
     documents
       .withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("n_distinct_tokens", size(array_distinct(toks)).cast("long"))
@@ -43,6 +43,50 @@ object TextAnalysis {
       .select($"doc_id", $"n_tokens", $"n_distinct_tokens", $"avg_token_len",
               $"distinct_ratio", $"quality_score")
       .orderBy($"doc_id")
+  }
+
+  /** 2048 CJK Unified Ideographs (U+4E00..U+4DFF+0x800) — the alphabet
+    * [[cjkMapped]] draws from; a plan-literal array, so `element_at`
+    * stays inside whole-stage codegen (a few KB of constant, no UDF).
+    */
+  private val CjkAlphabet: Seq[String] =
+    (0 until 2048).map(k => new String(Character.toChars(0x4e00 + k)))
+
+  /** CJK fixture slice (t40/d18): rewrite the `zh` documents' text to
+    * whitespace-FREE CJK — each whitespace word becomes ONE CJK character
+    * chosen by the word's PolyHash — leaving every other document
+    * untouched. This manufactures the unsegmented-script corpus the
+    * driver fixture lacks while staying closed-form for the DuckDB
+    * oracle (`chr(19968 + poly_hash(word) % 2048)` per word, order
+    * preserved). Word identity maps to character identity, so near-dup
+    * structure in the zh slice survives the rewrite and the downstream
+    * tokenizer's code-point fallback ([[Dedup.tokens]]) must recover it
+    * as character n-grams — the production CJK dedup shape.
+    */
+  def cjkMapped(documents: DataFrame): DataFrame = {
+    val words = split(lower($"text"), "\\s+")
+    val cjk = concat_ws("", transform(words, w =>
+      element_at(typedLit(CjkAlphabet),
+        (graft.functions.PolyHash(w) % 2048).cast("int") + 1)))
+    documents.withColumn("text", when($"lang" === "zh", cjk).otherwise($"text"))
+  }
+
+  /** d18 corpus: [[cjkMapped]] plus one perturbed TWIN per zh document
+    * (doc_id + 1e6, last character dropped). The driver fixture has no
+    * zh near-dups, so without the twins a CJK near-dup gate would pass
+    * vacuously; a last-char-drop twin shares all but one character
+    * bigram with its source (Jaccard ≥ (g−1)/g ≥ 0.5 for g ≥ 2 distinct
+    * grams), so the character-n-gram path MUST surface every
+    * (doc, twin) pair — a non-vacuous proof the fallback produces the
+    * standard CJK dedup shape.
+    */
+  def cjkNearDupCorpus(documents: DataFrame): DataFrame = {
+    val mapped = cjkMapped(documents)
+    val twins = mapped
+      .where($"lang" === "zh" && length($"text") >= 4)
+      .withColumn("doc_id", $"doc_id" + 1000000L)
+      .withColumn("text", $"text".substr(lit(1), length($"text") - 1))
+    mapped.unionByName(twins)
   }
 
   private val markers: Seq[(String, String)] = Seq(
@@ -191,7 +235,7 @@ object TextAnalysis {
                        minWordLen: Double = 3.0, maxWordLen: Double = 10.0,
                        maxSymbolRatio: Double = 0.3, minStopHits: Long = 2L,
                        minDistinctRatio: Double = 0.3): DataFrame = {
-    val toks = split(lower($"text"), "\\s+")
+    val toks = Dedup.tokens($"text") // adaptive: code-point fallback for unsegmented scripts
     val stopHits = markers.map { case (_, pat) =>
       regexp_count(lower($"text"), lit(pat)).cast("long")
     }.reduce(_ + _)

@@ -34,6 +34,42 @@ class TextAnalysisSpec extends SparkSpec {
     out shouldBe ((1L, 2L, 6L))
   }
 
+  test("adaptive tokenizer: an all-CJK doc no longer collapses to one token") {
+    // whitespace-free text -> code-point tokens: n_tokens = char count,
+    // distinct counts per character; the pre-fallback behavior was
+    // n_tokens = 1, which silently skewed every downstream consumer
+    val cjk = "一二三四一二" // 一二三四一二
+    val r = TextAnalysis.stats(docs((1L, cjk, "zh", "w"))).collect()(0)
+    r.getAs[Long]("n_tokens") shouldBe 6L
+    r.getAs[Long]("n_distinct_tokens") shouldBe 4L
+    r.getAs[Double]("avg_token_len") shouldBe 1.0
+    // quality rules see the same tokens (t10 path)
+    val q = TextAnalysis.qualityFilter(docs((1L, cjk, "zh", "w"))).collect()(0)
+    q.getAs[Long]("n_tokens") shouldBe 6L
+    // mixed corpus: whitespace-bearing text is bit-identical to the old
+    // split — the fallback NEVER fires when any whitespace exists
+    val r2 = TextAnalysis.stats(docs((2L, "a 一二 b", "zh", "w"))).collect()(0)
+    r2.getAs[Long]("n_tokens") shouldBe 3L // ["a", "一二", "b"]
+    // degenerate whitespace-free shapes keep the single-token contract
+    TextAnalysis.stats(docs((3L, "x", "en", "w"))).collect()(0)
+      .getAs[Long]("n_tokens") shouldBe 1L
+  }
+
+  test("cjkMapped: zh docs become whitespace-free CJK, others untouched") {
+    val d = docs((1L, "spark data spark join", "zh", "w"), (2L, "spark data", "en", "w"))
+    val out = TextAnalysis.cjkMapped(d).orderBy($"doc_id").collect()
+    val zh = out(0).getAs[String]("text")
+    zh.length shouldBe 4 // one CJK char per word
+    zh.forall(c => c >= 0x4e00 && c < 0x5600) shouldBe true
+    zh(0) shouldBe zh(2) // word identity -> character identity
+    out(1).getAs[String]("text") shouldBe "spark data"
+    // the twin corpus pairs each zh doc with its last-char-dropped copy
+    val corpus = TextAnalysis.cjkNearDupCorpus(d).orderBy($"doc_id").collect()
+    corpus.length shouldBe 3
+    corpus(2).getAs[Long]("doc_id") shouldBe 1000001L
+    corpus(2).getAs[String]("text") shouldBe zh.substring(0, 3)
+  }
+
   test("stats computes token counts and ratios") {
     val d = docs((1L, "one two three two one", "en", "w"))
     val r = TextAnalysis.stats(d).collect()(0)
