@@ -1446,6 +1446,12 @@ object SparkEntry {
     // row-local codegen'd counts, zero shuffles
     "t38_keyword_tags" -> ((s, d) => operators.TextAnalysis.keywordTagCounts(
       t(s, d)("documents"), Seq("spark", "vector", "data", "hash"))),
+    // the SAME tagging through the Aho-Corasick mapPartitions path (the
+    // K≈10⁴-blocklist shape, forced here at gate K) against the SAME
+    // oracle string — w15/t34's shared-oracle discipline: the two
+    // physical paths cannot drift without one gate going red
+    "t41_keyword_tags_trie" -> ((s, d) => operators.TextAnalysis.keywordTagCountsTrie(
+      t(s, d)("documents"), Seq("spark", "vector", "data", "hash"))),
     // pairwise source total-variation divergence: exact integer numerator
     // (provably <= 2*Na*Nb), disjoint-vocabulary mass folded in closed
     // form, one vocabulary-keyed shuffle
@@ -3893,6 +3899,19 @@ object SparkEntry {
     // the same replace-length identity per keyword (integer division by
     // the keyword length is exact: the removed span is a multiple of it)
     "t38_keyword_tags" ->
+      """WITH k AS (SELECT doc_id, lower(text) AS t FROM documents),
+         c AS (SELECT doc_id,
+                 CAST((len(t) - len(replace(t, 'data', ''))) // 4 AS BIGINT) AS n_data,
+                 CAST((len(t) - len(replace(t, 'hash', ''))) // 4 AS BIGINT) AS n_hash,
+                 CAST((len(t) - len(replace(t, 'spark', ''))) // 5 AS BIGINT) AS n_spark,
+                 CAST((len(t) - len(replace(t, 'vector', ''))) // 6 AS BIGINT) AS n_vector
+               FROM k)
+         SELECT doc_id, n_data, n_hash, n_spark, n_vector,
+                n_data + n_hash + n_spark + n_vector AS n_tags
+         FROM c ORDER BY doc_id""",
+    // t41 shares t38's oracle verbatim: same semantics, different
+    // physical path (Aho-Corasick single pass vs per-keyword replace)
+    "t41_keyword_tags_trie" ->
       """WITH k AS (SELECT doc_id, lower(text) AS t FROM documents),
          c AS (SELECT doc_id,
                  CAST((len(t) - len(replace(t, 'data', ''))) // 4 AS BIGINT) AS n_data,

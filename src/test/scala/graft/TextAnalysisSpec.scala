@@ -308,6 +308,44 @@ class TextAnalysisSpec extends SparkSpec {
     out(3L) shouldBe ((0L, 0L, 0L, 0L))
   }
 
+  test("keyword tagging: trie path ≡ expression path on random overlapping keyword sets") {
+    // a 3-letter alphabet forces the adversarial shapes: keywords that
+    // nest ("a" in "aba"), share prefixes/suffixes, and self-overlap
+    // ("aa" in "aaaa" counts 2 non-overlapping) — the trie must
+    // reproduce the replace-length identity's greedy-leftmost counts
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 4) {
+      val kws = (1 to 14).map(_ =>
+        (1 to (1 + rnd.nextInt(4))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+        .distinct
+      val d = docs((1L to 8L).map(i =>
+        (i, (1 to 60).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString, "en", "w")): _*)
+      val expr = TextAnalysis.keywordTagCounts(d, kws).collect().map(_.toSeq)
+      val trie = TextAnalysis.keywordTagCountsTrie(d, kws).collect().map(_.toSeq)
+      trie shouldBe expr
+    }
+    // pinned anchors for the non-overlapping contract
+    val d2 = docs((1L, "aaaa abab aba", "en", "w"))
+    val r = TextAnalysis.keywordTagCountsTrie(d2, Seq("aa", "aba", "ba")).collect()(0)
+    r.getAs[Long]("n_aa") shouldBe 2L   // aaaa -> [aa][aa]
+    r.getAs[Long]("n_aba") shouldBe 2L  // [aba]b and the standalone [aba]
+    r.getAs[Long]("n_ba") shouldBe 2L   // a[ba]b and a[ba]
+  }
+
+  test("keyword tagging: auto-selection flips to the trie above the K threshold") {
+    // K = 10^4 distinct keywords — the blocklist shape; the expression
+    // chain would be 10^4 full-text passes per row, the trie is one
+    val kws = (0 until 10000).map(k => f"kw$k%04d")
+    val d = docs((1L, "kw0007 kw9999 and kw0007 again", "en", "w"),
+      (2L, "none of those", "en", "w"))
+    val out = TextAnalysis.keywordTagCounts(d, kws).collect()
+    out(0).getAs[Long]("n_kw0007") shouldBe 2L
+    out(0).getAs[Long]("n_kw9999") shouldBe 1L
+    out(0).getAs[Long]("n_tags") shouldBe 3L
+    out(1).getAs[Long]("n_tags") shouldBe 0L
+    out(0).length shouldBe 10002 // doc_id + 10^4 keyword columns + n_tags
+  }
+
   test("sourceDivergence: hand-computed TV, zero for identical, one for disjoint") {
     val docs = Seq(
       (1L, "x x y", "A"), (2L, "x z", "B"),   // TV(A,B) = 1/2
