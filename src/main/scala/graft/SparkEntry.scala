@@ -599,9 +599,11 @@ object SparkEntry {
     streamJoinImpl(s, d, outer = true)
 
   private def streamJoinImpl(s: SparkSession, d: String, outer: Boolean,
-                             semi: Boolean = false): DataFrame = {
+                             semi: Boolean = false,
+                             full: Boolean = false): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val name = if (semi) "w16_stream_semi_join"
+    val name = if (full) "w17_stream_full_join"
+      else if (semi) "w16_stream_semi_join"
       else if (outer) "w11_stream_outer_join" else "w09_stream_join"
     val tmp = java.nio.file.Files.createTempDirectory("graft_" + name).toString
     val schema = landEventsSliced(s, d, tmp)
@@ -611,7 +613,9 @@ object SparkEntry {
     val purchases = src().where($"event_type" === "purchase")
     withStreamingPartitions(s, 8) {
       val joined =
-        if (semi) graft.streaming.EventStream
+        if (full) graft.streaming.EventStream
+          .recentPurchaseJoinFull(clicks, purchases, "2 hours", 1800)
+        else if (semi) graft.streaming.EventStream
           .recentPurchaseJoinSemi(clicks, purchases, "2 hours", 1800)
         else if (outer) graft.streaming.EventStream
           .recentPurchaseJoinOuter(clicks, purchases, "2 hours", 1800)
@@ -632,6 +636,11 @@ object SparkEntry {
       s.read.parquet(s"$tmp/out")
         .select($"click_id", $"user_id", $"ts".cast("timestamp_ntz").as("ts"))
         .orderBy($"click_id")
+    else if (full)
+      s.read.parquet(s"$tmp/out")
+        .select($"click_id", $"user_id", $"ts".cast("timestamp_ntz").as("ts"),
+          $"purchase_id", $"p_user_id", $"p_ts".cast("timestamp_ntz").as("p_ts"))
+        .orderBy($"click_id", $"purchase_id")
     else
       s.read.parquet(s"$tmp/out")
         .select($"click_id", $"user_id", $"ts".cast("timestamp_ntz").as("ts"),
@@ -1978,6 +1987,11 @@ object SparkEntry {
     // LEFT SEMI stream-stream join: "did this click convert" — at most
     // one emission per click, completing the w09/w11 join matrix
     "w16_stream_semi_join" -> ((s, d) => streamJoinImpl(s, d, outer = false, semi = true)),
+    // FULL OUTER stream-stream join: both null sides live under their own
+    // watermark cuts (left: click ts below the global watermark; right:
+    // purchase p_ts + tolerance below it) — completes the join matrix
+    "w17_stream_full_join" -> ((s, d) =>
+      streamJoinImpl(s, d, outer = false, semi = false, full = true)),
     // dynamic partition pruning over a month-partitioned fact layout:
     // the filtered month dim becomes a runtime partition filter on the
     // fact scan (plan-guarded) — 3 directories read, not ~84
@@ -3260,6 +3274,48 @@ object SparkEntry {
                           AND epoch_us(c.ts) // 1000 < m.wm_ms)
          SELECT * FROM pairs
          UNION ALL SELECT * FROM outer_rows
+         ORDER BY click_id, purchase_id""",
+    // full-outer flavor: matched pairs + BOTH null sides, each under its
+    // own watermark cut — left-only clicks as in w11 (ms-floored ts below
+    // the global watermark); right-only purchases when the watermark
+    // passes the END of their match window (p_ts + tolerance): a purchase
+    // can match clicks with ts in [p_ts, p_ts + 1800 s], so Spark holds
+    // its state until wm > p_ts + 1800 s and only then emits the
+    // null-click row. Strictness pinned by StreamingSpec.
+    "w17_stream_full_join" ->
+      s"""WITH $evCte,
+         c AS (SELECT event_id AS click_id, user_id, ts FROM ev
+               WHERE event_type = 'click'),
+         p AS (SELECT event_id AS purchase_id, user_id AS p_user_id,
+                      ts AS p_ts FROM ev WHERE event_type = 'purchase'),
+         pairs AS (SELECT c.click_id, c.user_id, c.ts,
+                          p.purchase_id, p.p_user_id, p.p_ts
+                   FROM c JOIN p ON c.user_id = p.p_user_id
+                    AND p.p_ts >= c.ts - INTERVAL 1800 SECONDS
+                    AND p.p_ts <= c.ts),
+         m AS (SELECT least(
+                 (SELECT epoch_us(max(ts)) // 1000 FROM c),
+                 (SELECT epoch_us(max(p_ts)) // 1000 FROM p)) - 7200000
+                 AS wm_ms),
+         left_only AS (SELECT c.click_id, c.user_id, c.ts,
+                              CAST(NULL AS BIGINT) AS purchase_id,
+                              CAST(NULL AS BIGINT) AS p_user_id,
+                              CAST(NULL AS TIMESTAMP) AS p_ts
+                       FROM c CROSS JOIN m
+                       WHERE NOT EXISTS (SELECT 1 FROM pairs
+                                         WHERE pairs.click_id = c.click_id)
+                         AND epoch_us(c.ts) // 1000 < m.wm_ms),
+         right_only AS (SELECT CAST(NULL AS BIGINT) AS click_id,
+                               CAST(NULL AS BIGINT) AS user_id,
+                               CAST(NULL AS TIMESTAMP) AS ts,
+                               p.purchase_id, p.p_user_id, p.p_ts
+                        FROM p CROSS JOIN m
+                        WHERE NOT EXISTS (SELECT 1 FROM pairs
+                                          WHERE pairs.purchase_id = p.purchase_id)
+                          AND epoch_us(p.p_ts) // 1000 + 1800000 < m.wm_ms)
+         SELECT * FROM pairs
+         UNION ALL SELECT * FROM left_only
+         UNION ALL SELECT * FROM right_only
          ORDER BY click_id, purchase_id""",
     "d01_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count

@@ -118,6 +118,24 @@ object EventStream {
                              toleranceSec: Long = 300): DataFrame =
     purchaseJoin(clicks, purchases, watermark, toleranceSec, "left_semi")
 
+  /** FULL OUTER stream-stream join (w17) — completes the w09/w11/w16
+    * matrix: matched pairs emit immediately; unmatched CLICKS null-pad on
+    * the left rule (state evicted once the watermark passes the click's
+    * ts, as in w11); unmatched PURCHASES null-pad on the symmetric right
+    * rule — a purchase at p_ts can match clicks with ts ∈ [p_ts,
+    * p_ts + tolerance], so its state lives until the watermark passes
+    * p_ts + tolerance and only then emits with null click columns. The
+    * CDC-reconciliation shape ("which side is missing what, and when can
+    * we say so") — both cuts are watermark-gated, so on a closed input
+    * unmatched rows younger than their side's cut do NOT surface; the
+    * oracle applies both cuts explicitly. State bounds identical to the
+    * inner form on both sides.
+    */
+  def recentPurchaseJoinFull(clicks: DataFrame, purchases: DataFrame,
+                             watermark: String = "2 hours",
+                             toleranceSec: Long = 300): DataFrame =
+    purchaseJoin(clicks, purchases, watermark, toleranceSec, "full_outer")
+
   private def purchaseJoin(clicks: DataFrame, purchases: DataFrame,
                            watermark: String, toleranceSec: Long,
                            joinType: String): DataFrame = {
@@ -132,6 +150,11 @@ object EventStream {
         $"p_ts" <= $"ts",
       joinType)
     if (joinType == "left_semi") j.select($"click_id", $"user_id", $"ts")
+    else if (joinType == "full_outer")
+      // right-only rows carry the purchase's own user — keep both sides'
+      // user columns so null-padded rows stay attributable
+      j.select($"click_id", $"user_id", $"ts",
+        $"purchase_id", $"p_user_id", $"p_ts")
     else j.select($"click_id", $"user_id", $"ts", $"purchase_id", $"p_ts")
   }
 

@@ -368,6 +368,49 @@ class StreamingSpec extends SparkSpec {
       (3L, 3L, 4L, "2024-01-01 11:45:00"))
   }
 
+  test("full-outer stream join: BOTH null sides gated by their own watermark cut, boundaries strict") {
+    // Pins the w17 oracle's two emission rules. wm = min(13:00, 13:30) −
+    // 2 h = 11:00. LEFT rule (as w11): unmatched click emits iff ts <
+    // wm — u1 (08:00) emits, u2 sits exactly ON the watermark →
+    // suppressed, u4 (13:00) is younger → no row. RIGHT rule: unmatched
+    // purchase emits iff p_ts + tolerance < wm (its match window
+    // [p_ts, p_ts+30 min] must be fully proven empty) — u6's 08:30
+    // purchase (window ends 09:00) emits with null click columns, u7's
+    // 10:30 purchase ends exactly ON the watermark → suppressed, u5's
+    // 13:30 purchase is younger → its state dies with the query.
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      Event(1, ts("2024-01-01 08:00:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 11:00:00"), 2, "click", 1.0),
+      Event(3, ts("2024-01-01 12:00:00"), 3, "click", 1.0),
+      Event(4, ts("2024-01-01 11:45:00"), 3, "purchase", 1.0),
+      Event(5, ts("2024-01-01 13:00:00"), 4, "click", 1.0),
+      Event(6, ts("2024-01-01 13:30:00"), 5, "purchase", 1.0),
+      Event(7, ts("2024-01-01 08:30:00"), 6, "purchase", 1.0),
+      Event(8, ts("2024-01-01 10:30:00"), 7, "purchase", 1.0))
+    val tmp = Files.createTempDirectory("graft_w17_sem").toString
+    rows.toDS().coalesce(1).write.parquet(s"$tmp/landing")
+    def src() = spark.readStream.schema(rows.toDS().toDF().schema)
+      .parquet(s"$tmp/landing")
+    val q = EventStream.recentPurchaseJoinFull(
+        src().where($"event_type" === "click"),
+        src().where($"event_type" === "purchase"), "2 hours", 1800)
+      .writeStream.format("memory").queryName("w17_sem")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("w17_sem")
+      .select($"click_id", $"user_id", $"purchase_id", $"p_user_id")
+      .orderBy($"click_id".asc_nulls_last, $"purchase_id").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    got shouldBe Array(
+      (1L, 1L, -1L, -1L),  // left-only: old unmatched click
+      (3L, 3L, 4L, 3L),    // the matched pair
+      (-1L, -1L, 7L, 6L))  // right-only: old unmatched purchase
+  }
+
   test("w12 semantics: a theta sketch built across micro-batches answers like one batch, exactly") {
     // 3 types x interleaved users, split across two files on event_id
     // parity — per-type state must MERGE, and below capacity the final
