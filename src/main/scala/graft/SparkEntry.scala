@@ -1009,6 +1009,13 @@ object SparkEntry {
       Raster.exceedance(grid(s, d), 25.5)
         .select($"variable", $"time", $"n_cells", $"n_above",
           round($"max_above", 4).as("max_above"), $"frac_above")),
+    // bilinear remap onto a rational target lattice (lat step 2/3 from
+    // -25/3, lon step 5/4 from -55/4): 4-corner explode -> one equi-join
+    // on the full grid key, exact integer weights over the integer-valued
+    // grid twin, n_src/den_eff partial-edge audit (r11's discipline)
+    "r17_remap_bilinear" -> ((s, d) =>
+      Raster.remapBilinear(Raster.demoGridSum(t(s, d)("lineitem")),
+        -25L, 2L, 3L, 24, -55L, 5L, 4L, 22)),
     "r05_anomaly" -> ((s, d) =>
       Raster.anomaly(grid(s, d), "A", "1998-03-01 00:00:00", 1995, 2000)
         .select($"variable", $"time", $"lat", $"lon", round($"value", 4).as("value"))
@@ -2783,6 +2790,39 @@ object SparkEntry {
                 avg(value) AS value, CAST(count(*) AS BIGINT) AS n_cells
          FROM gridsum GROUP BY 1, 2, 3, 4
          ORDER BY variable, time, lat, lon""",
+    // the identical rational-lattice construction in SQL: integer
+    // positions scaled by the axis denominator, pmod remainders as
+    // weights, floor row via exact integer ops, the one IEEE division at
+    // the end — the engine went through the corner-explode join instead
+    "r17_remap_bilinear" ->
+      s"""WITH ${operators.Raster.demoGridSumSql},
+         tj AS (SELECT unnest(generate_series(0, 23)) AS j),
+         ti AS (SELECT unnest(generate_series(0, 21)) AS i),
+         tgt AS (SELECT -25 + j*2 AS ynum, -55 + i*5 AS xnum
+                 FROM tj CROSS JOIN ti),
+         t2 AS (SELECT *, ((ynum % 3) + 3) % 3 AS fy,
+                       ((xnum % 4) + 4) % 4 AS fx FROM tgt),
+         t3 AS (SELECT *, (ynum - fy) // 3 AS y0, (xnum - fx) // 4 AS x0 FROM t2),
+         corners AS (SELECT t3.*, c.dy, c.dx,
+                       (CASE WHEN c.dy = 0 THEN 3 - fy ELSE fy END) *
+                       (CASE WHEN c.dx = 0 THEN 4 - fx ELSE fx END) AS w
+                     FROM t3 CROSS JOIN (VALUES (0,0),(0,1),(1,0),(1,1)) AS c(dy,dx)),
+         layers AS (SELECT DISTINCT variable, time FROM gridsum),
+         joined AS (SELECT l.variable, l.time, cr.ynum, cr.xnum, cr.w, g.value
+                    FROM layers l CROSS JOIN corners cr
+                    JOIN gridsum g ON g.variable = l.variable AND g.time = l.time
+                     AND g.lat = CAST(cr.y0 + cr.dy AS DOUBLE)
+                     AND g.lon = CAST(cr.x0 + cr.dx AS DOUBLE)),
+         aggd AS (SELECT variable, time, ynum, xnum,
+                         CAST(count(*) AS BIGINT) AS n_src,
+                         CAST(sum(w) AS BIGINT) AS den_eff,
+                         CAST(sum(CAST(w * value AS BIGINT)) AS BIGINT) AS num
+                  FROM joined GROUP BY 1, 2, 3, 4)
+         SELECT variable, time,
+                CAST(ynum AS DOUBLE)/3 AS tlat, CAST(xnum AS DOUBLE)/4 AS tlon,
+                CASE WHEN den_eff > 0 THEN CAST(num AS DOUBLE)/den_eff END AS value,
+                num, den_eff, n_src
+         FROM aggd ORDER BY variable, time, tlat, tlon""",
     "r02_clip_null" ->
       s"""WITH $gridCte,
          d AS (SELECT variable, lat, lon, value,

@@ -231,4 +231,44 @@ class RasterSpec extends SparkSpec {
     out.where($"ddx".isNotNull && $"ddx" =!= 0.0).count() shouldBe 0L
     out.where($"ddy" === 7.0).count() shouldBe 2L  // dv=14 over dlat=2
   }
+
+  test("remapBilinear: textbook interpolation, exact hits, and the partial-corner audit") {
+    // dense 2x2 source: v(0,0)=10, v(0,1)=20, v(1,0)=30, v(1,1)=60;
+    // plus an isolated cell at (3,3) to exercise missing corners
+    val rows = Seq((0.0, 0.0, 10.0), (0.0, 1.0, 20.0),
+      (1.0, 0.0, 30.0), (1.0, 1.0, 60.0), (3.0, 3.0, 8.0))
+      .map { case (la, lo, v) => ("v", "2024-01-01 00:00:00", la, lo, v) }
+    val g = rows.toDF("variable", "time", "lat", "lon", "value")
+      .withColumn("time", $"time".cast("timestamp_ntz"))
+    // lat positions k/3 for k=0..9, lon positions k/4 — covers exact
+    // lattice hits (k multiple of den) and interior points
+    val out = Raster.remapBilinear(g, 0L, 1L, 3L, 10, 0L, 1L, 4L, 13)
+      .collect().map(r => (r.getDouble(2), r.getDouble(3)) ->
+        (Option(r.get(4)).map(_.asInstanceOf[Double]),
+         r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    // exact corner hit: full weight on one cell
+    out((0.0, 0.0)) shouldBe ((Some(10.0), 120L, 12L, 4L))
+    // wait: (0,0) target has corners (0,0),(0,1),(1,0),(1,1) all present,
+    // weights 12,0,0,0 -> num=120, den=12, n_src=4, value=10
+    // midpoint-ish target (1/3, 1/4): fy=1, fx=1 ->
+    // w = (0,0):(3-1)(4-1)=6, (0,1):2*1=2, (1,0):1*3=3, (1,1):1*1=1
+    // num = 6*10 + 2*20 + 3*30 + 1*60 = 250, den = 12 -> 250/12
+    out((1.0 / 3, 0.25))._1 shouldBe Some(250.0 / 12)
+    // textbook check at (2/3, 2/4): fy=2, fx=2 ->
+    // w = 2,2,4,4 applied as (0,0):(1)(2)... recompute: wy0=1? no:
+    // wy0 = 3-2 = 1, wy1 = 2; wx0 = 4-2 = 2, wx1 = 2
+    // num = (1*2)*10 + (1*2)*20 + (2*2)*30 + (2*2)*60 = 420 -> 35.0
+    out((2.0 / 3, 0.5))._1 shouldBe Some(35.0)
+    // partial corners: target (8/3, 11/4) has only (3,3) among its
+    // corners (fy=2, fx=3 -> corner (1,1) weight 2*3=6)
+    val partial = out((8.0 / 3, 2.75))
+    partial._4 shouldBe 1L       // n_src audit
+    partial._3 shouldBe 6L       // present weight mass
+    partial._1 shouldBe Some(8.0)
+    // zero present mass -> NULL value, not invented data: target (3, 11/4)
+    // hits lattice row 3 exactly (fy=0) so the (3,2)/(3,3) corners carry
+    // all weight; (3,2) missing, (3,3) present with weight 3 -> fine;
+    // instead take (7/3, 1/4): corners (2,0),(2,1),(3,0),(3,1) all absent
+    out.get((7.0 / 3, 0.25)) shouldBe None // no corner joined -> no row
+  }
 }
