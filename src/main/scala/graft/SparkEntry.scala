@@ -215,6 +215,33 @@ object SparkEntry {
   private def grib2cScaled(pidx: Int, m: Int, i: Int, j: Int): Int =
     (i * i * 3 + j * 17 + pidx * 41 + m * 23) % 1100
 
+  /** r16 fixture: the SAME lattice field as r14 packed as template 5.40
+    * (lossless JPEG2000) — the encoding current NCEP operational products
+    * ship. Dense fields only (bitmap + 5.40 is rejected by the codec);
+    * a VGRD record exists only for the -match filter to drop. The engine
+    * must recover the identical integers through the full J2K path —
+    * 5/3 wavelet, MQ-coded bitplanes, tag-tree packet headers — while
+    * the oracle regenerates them from the closed-form formula.
+    */
+  private lazy val grib2J2kFixturePath: String = {
+    import java.time.LocalDateTime
+    val params = Seq((0, 0, 0), (1, 1, 7), (2, 2, 3)) // TMP, PRATE, VGRD
+    val times = Seq(LocalDateTime.of(2004, 1, 10, 6, 0),
+      LocalDateTime.of(2004, 2, 10, 6, 0))
+    val fields = for {
+      (t, m) <- times.zipWithIndex
+      (pidx, cat, num) <- params
+    } yield sources.Grib2.Field(0, cat, num, t, g3Ni, g3Nj,
+      g3La1, g3Lo1, g3Di, g3Dj, decimalScale = 1,
+      Array.tabulate(g3Nj * g3Ni) { k =>
+        val j = k / g3Ni; val i = k % g3Ni
+        Some(grib2cScaled(pidx, m, i, j))
+      }, template = 40)
+    sources.Grib2.writeFile(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft-grib", "j2k.grib2"),
+      fields).toString
+  }
+
   private lazy val grib2ComplexFixturePath: String = {
     import java.time.LocalDateTime
     // (pidx, category, number, masked, template): TMP complex+spatial-diff
@@ -1046,6 +1073,12 @@ object SparkEntry {
         .orderBy($"variable", $"time", $"lat", $"lon")),
     "r14_grib2_complex" -> ((s, _) =>
       sources.Grib2.readRecords(s, Seq(grib2ComplexFixturePath), matchRe = "TMP|PRATE")
+        .orderBy($"variable", $"time", $"lat", $"lon")),
+    // template 5.40 (lossless JPEG2000): the engine reconstructs the
+    // lattice through the full J2K decode — 5/3 wavelet, MQ bitplane
+    // coding, tag-tree packet headers; lossy 5.40 rejects loudly
+    "r16_grib2_jpeg2000" -> ((s, _) =>
+      sources.Grib2.readRecords(s, Seq(grib2J2kFixturePath), matchRe = "TMP|PRATE")
         .orderBy($"variable", $"time", $"lat", $"lon")),
     // the data-LAYOUT key: Morton-interleaved quantized (lat, lon); a
     // grid store written ORDER BY zkey prunes bbox scans by row-group
@@ -2930,6 +2963,21 @@ object SparkEntry {
                 ((i * i * 3 + j * 17 + pidx * 41 + m * 23) % 1100) / 10.0 AS value
          FROM p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
          WHERE NOT (masked = 1 AND (i * j) % 5 = 2)
+         ORDER BY variable, time, lat, lon""",
+    // r16: the same lattice, dense (no mask) — the engine recovered it
+    // from the template-5.40 JPEG2000 codestream, the oracle never sees a
+    // byte of it
+    "r16_grib2_jpeg2000" ->
+      s"""WITH p(pidx, variable) AS (VALUES (0, 'TMP'), (1, 'PRATE')),
+         t(t, m) AS (VALUES (TIMESTAMP '2004-01-10 06:00:00', 0),
+                            (TIMESTAMP '2004-02-10 06:00:00', 1)),
+         ii AS (SELECT unnest(generate_series(0, ${g3Ni - 1})) AS i),
+         jj AS (SELECT unnest(generate_series(0, ${g3Nj - 1})) AS j)
+         SELECT variable, t AS time,
+                ($g3La1 - j * $g3Dj) / 1000000.0 AS lat,
+                (($g3Lo1) + i * $g3Di) / 1000000.0 AS lon,
+                ((i * i * 3 + j * 17 + pidx * 41 + m * 23) % 1100) / 10.0 AS value
+         FROM p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
          ORDER BY variable, time, lat, lon""",
     // same spread constants as the engine (ZOrder.spreadSteps feeds both
     // the Column chain and this generated SQL — they cannot drift)

@@ -169,14 +169,23 @@ object Grib2 {
           case 5 =>
             nPresent = u32(pos + 5).toInt
             drTemplate = u16(pos + 9)
-            require(drTemplate == 0 || drTemplate == 2 || drTemplate == 3,
+            require(drTemplate == 0 || drTemplate == 2 || drTemplate == 3 ||
+                drTemplate == 40,
               s"data representation template 5.$drTemplate unsupported " +
-                s"(only 5.0 simple / 5.2 complex / 5.3 complex+spatial-diff) in $label")
+                s"(only 5.0 simple / 5.2 complex / 5.3 complex+spatial-diff / " +
+                s"5.40 JPEG2000 lossless) in $label")
             refVal = java.lang.Float.intBitsToFloat(u32(pos + 11).toInt).toDouble
             eScale = s16(pos + 15)
             dScale = s16(pos + 17)
             nbits = u(pos + 19)
-            if (drTemplate >= 2) {
+            if (drTemplate == 40) {
+              val compression = u(pos + 21)
+              require(compression == 0,
+                s"JPEG2000 LOSSY compression (5.40 type $compression) unsupported in " +
+                  s"$label — only type 0 (lossless, reversible 5/3) is implemented; " +
+                  "see graft.sources.Jpeg2000")
+            }
+            if (drTemplate == 2 || drTemplate == 3) {
               val split = u(pos + 21); val missing = u(pos + 22)
               require(split == 1,
                 s"group splitting method $split unsupported (only 1 = general) in $label")
@@ -223,7 +232,16 @@ object Grib2 {
             val twoE = math.pow(2.0, eScale)
             val tenD = math.pow(10.0, dScale)
             val packed = new Array[Double](nPresent)
-            if (drTemplate >= 2) {
+            if (drTemplate == 40) {
+              require(bitmap == null,
+                s"bitmap with template 5.40 unsupported in $label (dense fields only)")
+              val (jw, jh, xs) = Jpeg2000.decode(
+                java.util.Arrays.copyOfRange(b, pos + 5, pos + len))
+              require(jw == ni && jh == nj,
+                s"JPEG2000 image ${jw}x$jh disagrees with grid ${ni}x$nj in $label")
+              var k = 0
+              while (k < nPresent) { packed(k) = (refVal + xs(k) * twoE) / tenD; k += 1 }
+            } else if (drTemplate >= 2) {
               val xs = unpackComplex(b, pos + 5, pos + len, nPresent, nbits,
                 ng, refGW, nbitsGW, refGL, lenInc, lastLen, nbitsGL,
                 sdOrder, sdOctets, label)
@@ -413,8 +431,8 @@ object Grib2 {
                          groupLen: Int = 20) {
     require(scaled.length == ni * nj, "scaled length must be ni*nj")
     require(scanMode == 0x00 || scanMode == 0x40, "scan mode must be 0x00 or 0x40")
-    require(template == 0 || template == 2 || template == 3,
-      "data representation template must be 5.0, 5.2 or 5.3")
+    require(template == 0 || template == 2 || template == 3 || template == 40,
+      "data representation template must be 5.0, 5.2, 5.3 or 5.40")
     require(sdOrder == 1 || sdOrder == 2, "spatial differencing order must be 1 or 2")
     require(groupLen >= 2, "group length must be at least 2")
   }
@@ -619,6 +637,18 @@ object Grib2 {
           sdOrder = f.sdOrder, sdOctets = sdOctets,
           ivals = if (f.sdOrder == 2) Seq(base(0), base(1)) else Seq(base(0)),
           minsd = minsd)
+      case 40 =>
+        // JPEG2000 packing (NCEP operational): section 7 is a lossless
+        // J2K codestream of the non-negative scaled integers. Dense
+        // fields only — with a bitmap the image geometry is ambiguous
+        // across producers, so it is rejected rather than guessed.
+        require(!f.scaled.exists(_.isEmpty),
+          "bitmap with template 5.40 out of scope (dense fields only)")
+        val nbits = math.max(2, bitsFor(base.max))
+        require(nbits <= 16, s"5.40 fields wider than 16 bits out of scope (got $nbits)")
+        val j2k = Jpeg2000.encodeLossless(f.ni, f.nj, base.map(_.toInt), nbits)
+        // octet 22: compression type 0 = lossless; 23: target ratio missing
+        (sec5Head(40, nbits) ++ Array[Byte](0, 255.toByte), j2k)
     }
     section(5, sec5Payload)
 

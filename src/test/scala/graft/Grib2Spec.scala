@@ -174,6 +174,32 @@ class Grib2Spec extends SparkSpec {
     e.getMessage should include("missing-value management")
   }
 
+  test("template 5.40 JPEG2000 lossless decodes bit-identically to 5.0 simple packing") {
+    // the full J2K path — 5/3 wavelet, MQ bitplane coding, tag-tree
+    // packet headers — must reproduce exactly what simple packing stores
+    vals(bumpy(template = 40)) shouldBe vals(bumpy(template = 0))
+    // negative decimal scale and nonzero base through the 5.40 path too
+    val f = field(d = -1, base = 100).copy(template = 40)
+    Grib2.parseMessages(write(f)).head.values.toSeq shouldBe
+      Grib2.parseMessages(write(field(d = -1, base = 100))).head.values.toSeq
+  }
+
+  test("template 5.40: lossy mode and bitmaps are rejected loudly") {
+    // the writer refuses masked 5.40 fields (image geometry is ambiguous)
+    an[IllegalArgumentException] should be thrownBy
+      write(bumpy(template = 40, masked = true))
+    // a compression-type byte of 1 (lossy) rejects with a pointer
+    val bytes = write(bumpy(template = 40))
+    def u32(i: Int): Int =
+      ((bytes(i) & 0xff) << 24) | ((bytes(i + 1) & 0xff) << 16) |
+        ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+    var pos = 16
+    while ((bytes(pos + 4) & 0xff) != 5) pos += u32(pos)
+    val lossy = bytes.clone(); lossy(pos + 21) = 1 // octet 22: compression type
+    val e = intercept[IllegalArgumentException](Grib2.parseMessages(lossy))
+    e.getMessage should include("LOSSY")
+  }
+
   test("readRecords: -match regex and -limit record selection, distributed") {
     val dir = java.nio.file.Files.createTempDirectory("grib2spec")
     val p = Grib2.writeFile(dir.resolve("t.grib2"),

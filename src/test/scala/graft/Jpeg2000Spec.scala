@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.sources.Jpeg2000
+
+/** Lossless JPEG2000 codec laws (GRIB2 template 5.40, gate r16):
+  * encode→decode must be the IDENTITY — that is what "reversible 5/3 +
+  * no quantization + full Tier-1 passes" means — across shapes that
+  * exercise every structural path: odd dims (asymmetric wavelet
+  * splits), multiple code-blocks per subband (real tag trees), deep and
+  * shallow decompositions, constant and adversarial fields. Pure JVM.
+  */
+class Jpeg2000Spec extends AnyFunSuite with Matchers {
+
+  private def roundTrip(w: Int, h: Int, nbits: Int, levels: Int, cb: Int,
+                        f: (Int, Int) => Int): Unit = {
+    val src = Array.tabulate(w * h)(i => f(i % w, i / w) & ((1 << nbits) - 1))
+    val bytes = Jpeg2000.encodeLossless(w, h, src, nbits, levels, cb)
+    val (dw, dh, out) = Jpeg2000.decode(bytes)
+    withClue(s"${w}x$h nbits=$nbits levels=$levels cb=$cb: ") {
+      (dw, dh) shouldBe ((w, h))
+      out.toSeq shouldBe src.toSeq
+    }
+  }
+
+  test("round-trip: GRIB-shaped fields (29x13, 11 bits) across levels") {
+    for (levels <- 0 to 3)
+      roundTrip(29, 13, 11, levels, 32,
+        (i, j) => (i * i * 3 + j * 17 + 41) % 1100)
+  }
+
+  test("round-trip: odd/degenerate dims exercise asymmetric wavelet splits") {
+    for ((w, h) <- Seq((1, 1), (1, 7), (7, 1), (2, 2), (5, 5), (17, 3), (3, 17)))
+      roundTrip(w, h, 8, math.min(2, math.max(0, math.min(w, h) - 1)), 16,
+        (i, j) => (i * 37 + j * 91 + i * j) % 256)
+  }
+
+  test("round-trip: multiple code-blocks per subband (real tag trees)") {
+    // 70x50 with cb=16: LL of a 1-level decomposition is 35x25 -> 3x2
+    // code-block grid; detail bands similar — inclusion and zero-bitplane
+    // tag trees have real internal nodes
+    roundTrip(70, 50, 10, 1, 16, (i, j) => (i * 13 + j * j * 7 + 5) % 1024)
+    roundTrip(70, 50, 10, 2, 16, (i, j) => (i * 13 + j * j * 7 + 5) % 1024)
+  }
+
+  test("round-trip: constant, zero, and extreme-value fields") {
+    roundTrip(20, 20, 8, 2, 32, (_, _) => 0)       // all-zero: empty packets
+    roundTrip(20, 20, 8, 2, 32, (_, _) => 255)     // full-scale constant
+    roundTrip(20, 20, 8, 2, 32, (_, _) => 128)     // DC-shift boundary
+    roundTrip(16, 16, 12, 2, 32,
+      (i, j) => if ((i + j) % 2 == 0) 0 else 4095) // checkerboard extremes
+  }
+
+  test("round-trip: random fields, many seeds (MQ/context stress)") {
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed)
+      val w = 10 + rnd.nextInt(50); val h = 10 + rnd.nextInt(40)
+      val nbits = 4 + rnd.nextInt(12)
+      val levels = rnd.nextInt(4)
+      roundTrip(w, h, nbits, levels, 32, (_, _) => rnd.nextInt(1 << nbits))
+    }
+  }
+
+  test("round-trip: sparse fields (run-mode heavy) and single-spike fields") {
+    roundTrip(40, 40, 10, 2, 32,
+      (i, j) => if (i == 17 && j == 23) 1000 else 0)
+    val rnd = new scala.util.Random(7)
+    roundTrip(48, 36, 10, 2, 32,
+      (_, _) => if (rnd.nextInt(50) == 0) rnd.nextInt(1024) else 0)
+  }
+
+  test("lossy mode is rejected loudly with a pointer") {
+    val ok = Jpeg2000.encodeLossless(8, 8, Array.fill(64)(5), 8, 1, 16)
+    // flip the COD transform byte (last byte of the 12-byte COD segment)
+    val codAt = {
+      var i = 0
+      while (!((ok(i) & 0xff) == 0xFF && (ok(i + 1) & 0xff) == 0x52)) i += 1
+      i
+    }
+    val lossy = ok.clone()
+    lossy(codAt + 2 + 12 - 1) = 0 // SPcod transform: 0 = 9/7 irreversible
+    val e = intercept[IllegalArgumentException](Jpeg2000.decode(lossy))
+    e.getMessage should include("LOSSY")
+    e.getMessage should include("5/3")
+  }
+
+  test("multi-component and multi-tile codestreams are rejected") {
+    val ok = Jpeg2000.encodeLossless(8, 8, Array.fill(64)(5), 8, 1, 16)
+    // Csiz lives at fixed offset inside SIZ: SOC(2) + marker(2) + Lsiz(2)
+    // + Rsiz(2) + 8 u32 = 40 -> Csiz at byte 40
+    val multi = ok.clone()
+    multi(41) = 3
+    an[Exception] should be thrownBy Jpeg2000.decode(multi)
+  }
+}
