@@ -81,7 +81,16 @@ object TextAnalysis {
     * standard CJK dedup shape.
     */
   def cjkNearDupCorpus(documents: DataFrame): DataFrame = {
-    val mapped = cjkMapped(documents)
+    // BARRIER the mapping before tokenization: the downstream
+    // code-point tokenizer references the text column inside a
+    // higher-order-function lambda (`substr(text, i, 1)` per
+    // character), and Catalyst re-evaluates non-lambda subexpressions
+    // per ELEMENT — an unmaterialized mapping expression would recompute
+    // the whole per-word PolyHash chain once per character, turning an
+    // O(n) map into O(n²) per document (measured 8× on the d18 gate at
+    // the 1× GenFixture leg). After the barrier the tokenizer sees a
+    // plain column.
+    val mapped = graft.Session.barrier(cjkMapped(documents))
     val twins = mapped
       .where($"lang" === "zh" && length($"text") >= 4)
       .withColumn("doc_id", $"doc_id" + 1000000L)
