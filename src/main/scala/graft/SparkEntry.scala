@@ -1145,6 +1145,13 @@ object SparkEntry {
     // — per-component Huffman/quant, interleaved MCUs, chroma upsample,
     // fixed-point RGB — gated per 16x16 tile on the DC-exact fixture
     "m10_jpeg_color" -> ((s, d) => Multimodal.jpegColorTiles(t(s, d)("documents"))),
+    // the color decode FEEDING the downstream stages: m07's aHash over
+    // the decoded luma plane (m11) and m09's box resize over the
+    // fixed-point RGB (m12) — the full color pipeline, oracle-closed
+    "m11_jpeg_color_phash" -> ((s, d) =>
+      Multimodal.jpegColorPhash(t(s, d)("documents")).toDF()),
+    "m12_jpeg_color_resize" -> ((s, d) =>
+      Multimodal.jpegColorResize(t(s, d)("documents"))),
     // image perceptual hash (aHash) over the REAL decoded PNG raster —
     // integer-exact block means (lcm scaling), strict cross-multiplied
     // threshold: the oracle regenerates identical bits from the pixel
@@ -3797,6 +3804,57 @@ object SparkEntry {
                 CAST(least(greatest(g0, 0), 255) AS BIGINT) AS g,
                 CAST(least(greatest(b0, 0), 255) AS BIGINT) AS b
          FROM c ORDER BY doc_id, ty, tx""",
+    // m07's hash machinery over the decoded LUMA of the color fixture
+    // (aHash-safe dims 17..32 x 17..24); the engine recovered the Y
+    // plane through the full 3-component decode
+    "m11_jpeg_color_phash" ->
+      """WITH d AS (SELECT doc_id, 17 + doc_id % 16 AS w, 17 + (3 * doc_id) % 8 AS h
+                    FROM documents),
+         px AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM d),
+         pxy AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM px),
+         b AS (SELECT doc_id, w, h, (y * 8) // h AS by, (x * 8) // w AS bx,
+                      CAST(sum((17 * (x // 16) + 29 * (y // 16) + 31 * (doc_id % 89)) % 256)
+                        AS BIGINT) AS s,
+                      CAST(count(*) AS BIGINT) AS c
+               FROM pxy GROUP BY 1, 2, 3, 4, 5),
+         m AS (SELECT doc_id, w, h, by * 8 + bx AS k, s * (27720 // c) AS mm FROM b),
+         g AS (SELECT doc_id, sum(mm) AS tot FROM m GROUP BY 1)
+         SELECT m.doc_id, CAST(max(m.w) AS BIGINT) AS width,
+                CAST(max(m.h) AS BIGINT) AS height,
+                CAST(sum(CASE WHEN mm * 64 > tot AND k >= 32
+                              THEN (CAST(1 AS BIGINT) << CAST(k - 32 AS INT))
+                              ELSE 0 END) AS BIGINT) AS hash_hi,
+                CAST(sum(CASE WHEN mm * 64 > tot AND k < 32
+                              THEN (CAST(1 AS BIGINT) << CAST(k AS INT))
+                              ELSE 0 END) AS BIGINT) AS hash_lo,
+                CAST(sum(CASE WHEN mm * 64 > tot THEN 1 ELSE 0 END) AS BIGINT) AS n_set
+         FROM m JOIN g USING (doc_id)
+         GROUP BY 1 ORDER BY 1""",
+    // per-pixel RGB regenerated through the same fixed-point conversion,
+    // then 4x4 floor-split box sums per channel — exact integers end to
+    // end; the engine went through Huffman + IDCT + upsample + ycbcrToRgb
+    "m12_jpeg_color_resize" ->
+      """WITH d AS (SELECT doc_id, 17 + doc_id % 16 AS w, 17 + (3 * doc_id) % 8 AS h
+                    FROM documents),
+         px AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM d),
+         pxy AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM px),
+         v AS (SELECT doc_id, w, h, x, y,
+                      (17 * (x // 16) + 29 * (y // 16) + 31 * (doc_id % 89)) % 256 AS yv,
+                      (23 * (x // 16) + 13 * (y // 16) + 7 * (doc_id % 83)) % 256 AS cb,
+                      (11 * (x // 16) + 19 * (y // 16) + 5 * (doc_id % 79)) % 256 AS cr
+               FROM pxy),
+         rgb AS (SELECT doc_id, w, h, x, y,
+                   least(greatest(yv + CAST(floor((91881 * (cr - 128) + 32768) / 65536.0) AS BIGINT), 0), 255) AS r,
+                   least(greatest(yv - CAST(floor((22554 * (cb - 128) + 46802 * (cr - 128) + 32768) / 65536.0) AS BIGINT), 0), 255) AS g,
+                   least(greatest(yv + CAST(floor((116130 * (cb - 128) + 32768) / 65536.0) AS BIGINT), 0), 255) AS b
+                 FROM v),
+         bx AS (SELECT doc_id, (y * 4) // h AS oy, (x * 4) // w AS ox,
+                       CAST(sum(r) AS BIGINT) AS sr, CAST(sum(g) AS BIGINT) AS sg,
+                       CAST(sum(b) AS BIGINT) AS sb, CAST(count(*) AS BIGINT) AS c
+                FROM rgb GROUP BY 1, 2, 3)
+         SELECT doc_id, CAST(oy AS BIGINT) AS oy, CAST(ox AS BIGINT) AS ox,
+                sr // c AS r, sg // c AS g, sb // c AS b, sr, sg, sb, c
+         FROM bx ORDER BY doc_id, oy, ox""",
     // per-frame features regenerated from the closed-form PCM formula
     // (31k + 7d) % 2048 − 1024 over the WAV third of the asset fixture —
     // the engine recovers the identical integers through the RIFF chunk

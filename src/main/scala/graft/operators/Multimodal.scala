@@ -435,6 +435,83 @@ object Multimodal {
       .orderBy(col("doc_id"), col("ty"), col("tx"))
   }
 
+  /** m11/m12 fixture: the m10 color construction at m07's aHash-safe
+    * dims (9..32 x 9..24 keep block pixel counts within the PhashScale
+    * divisibility contract — see [[ahash]]); tiles stay 16-aligned so
+    * the DC-exactness argument is unchanged. Even docs 4:2:0, odd 4:2:2.
+    */
+  def jpegColorSmallFor(d: Long): Array[Byte] = {
+    val w = (17 + d % 16).toInt  // 17..32
+    val h = (17 + (3 * d) % 8).toInt // 17..24
+    val (hs, vs) = if (d % 2 == 0) (2, 2) else (2, 1)
+    graft.sources.AssetCodecs.encodeJpegYcc(w, h,
+      (x, y) => ((17 * (x / 16) + 29 * (y / 16) + 31 * (d % 89)) % 256).toInt,
+      (x, y) => ((23 * (x / 16) + 13 * (y / 16) + 7 * (d % 83)) % 256).toInt,
+      (x, y) => ((11 * (x / 16) + 19 * (y / 16) + 5 * (d % 79)) % 256).toInt,
+      hs, vs)
+  }
+
+  /** COLOR-path perceptual hash (m11): m07's aHash fed by the full
+    * 3-component JPEG decode — the luma plane after per-component
+    * Huffman/dequant/IDCT and interleaved-MCU reassembly. Closes the
+    * loop the m10 tile gate opens: the color decode output flows into
+    * the same downstream feature stage the grayscale path feeds, and
+    * the oracle regenerates the hash from the closed-form Y formula
+    * without touching bytes.
+    */
+  def jpegColorPhash(documents: DataFrame): Dataset[ImagePhash] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val img = graft.sources.AssetCodecs.decodeJpegYcc(jpegColorSmallFor(id))
+          ahash(id, img.w, img.h, (y, x) => img.y(y)(x))
+        }
+      }
+      .orderBy(col("doc_id")).as[ImagePhash]
+  }
+
+  /** COLOR-path resize (m12): m09's box-filter downsample fed by the
+    * color decode — per output pixel the floor mean of each RGB channel
+    * over its source box, the thumbnail shape a vision encoder consumes.
+    * RGB comes from the exact fixed-point conversion, so all sums are
+    * exact integers and the oracle is closed-form end to end.
+    */
+  def jpegColorResize(documents: DataFrame, ow: Int = 4, oh: Int = 4): DataFrame = {
+    require(ow >= 1 && oh >= 1, "jpegColorResize: target dims must be >= 1")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .flatMap { id =>
+        val img = graft.sources.AssetCodecs.decodeJpegYcc(jpegColorSmallFor(id))
+        require(img.w >= ow && img.h >= oh,
+          s"jpegColorResize: upscaling unsupported for doc $id")
+        val s = Array.ofDim[Long](3, oh, ow)
+        val c = Array.ofDim[Long](oh, ow)
+        var y = 0
+        while (y < img.h) {
+          val by = y * oh / img.h
+          var x = 0
+          while (x < img.w) {
+            val bx = x * ow / img.w
+            val (r, g, b) = graft.sources.AssetCodecs.ycbcrToRgb(
+              img.y(y)(x), img.cb(y)(x), img.cr(y)(x))
+            s(0)(by)(bx) += r; s(1)(by)(bx) += g; s(2)(by)(bx) += b
+            c(by)(bx) += 1
+            x += 1
+          }
+          y += 1
+        }
+        for (oy <- 0 until oh; ox <- 0 until ow)
+          yield (id, oy.toLong, ox.toLong,
+            s(0)(oy)(ox) / c(oy)(ox), s(1)(oy)(ox) / c(oy)(ox), s(2)(oy)(ox) / c(oy)(ox),
+            s(0)(oy)(ox), s(1)(oy)(ox), s(2)(oy)(ox), c(oy)(ox))
+      }
+      .toDF("doc_id", "oy", "ox", "r", "g", "b", "sr", "sg", "sb", "c")
+      .orderBy(col("doc_id"), col("oy"), col("ox"))
+  }
+
   /** Audio frame features (m08): the framing + feature-extraction stage
     * every speech/audio corpus pipeline runs before VAD, language ID, or
     * dataset filtering — decode PCM, cut it into fixed frames, and emit
