@@ -1523,6 +1523,17 @@ object SparkEntry {
     "d18_cjk_neardup" -> ((s, d) =>
       Dedup.ngramJaccardPairs(
         operators.TextAnalysis.cjkNearDupCorpus(t(s, d)("documents")), 2, 0.5)),
+    // per-doc script profile over the CJK-rewritten corpus, with the fr
+    // slice suffixed by two CJK chars so genuinely MIXED-script docs
+    // exist (the homoglyph/code-switch spam signal); zh docs must read
+    // pure-cjk, en/de/es pure-latin, fr mixed
+    "t42_script_profile" -> ((s, d) => {
+      val base = operators.TextAnalysis.cjkMapped(t(s, d)("documents"))
+      val gated = base.withColumn("text",
+        when($"lang" === "fr", concat($"text", lit(" 一二")))
+          .otherwise($"text"))
+      operators.TextAnalysis.scriptProfile(gated)
+    }),
     // DSIR selection executed: fill a 3000-token budget with the most
     // target-like docs first (distributed prefix sum over the rank order)
     "t14_dsir_select" -> ((s, d) => {
@@ -4070,6 +4081,31 @@ object SparkEntry {
          FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
          WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.5
          ORDER BY doc_a, doc_b""",
+    // identical per-class regexp counts over the same gated corpus; the
+    // dominance CASE chain and tie precedence are copied verbatim
+    "t42_script_profile" ->
+      s"""WITH $cjkDocsCte,
+         gated AS (SELECT doc_id,
+                     CASE WHEN lang = 'fr'
+                          THEN text || ' ' || chr(19968) || chr(20108)
+                          ELSE text END AS text
+                   FROM cjkdocs),
+         c AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+                  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_latin,
+                  CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+                  CAST(len(regexp_extract_all(text,
+                    '[\\x{3040}-\\x{30ff}\\x{3400}-\\x{9fff}\\x{ac00}-\\x{d7af}]')) AS BIGINT) AS n_cjk,
+                  CAST(len(regexp_extract_all(text, '\\s')) AS BIGINT) AS n_space
+               FROM gated),
+         e AS (SELECT *, n_chars - n_latin - n_digit - n_cjk - n_space AS n_other FROM c)
+         SELECT doc_id, n_chars, n_latin, n_digit, n_cjk, n_space, n_other,
+                CASE WHEN n_cjk >= n_latin AND n_cjk >= n_digit AND n_cjk >= n_other
+                     THEN 'cjk'
+                     WHEN n_digit >= n_latin AND n_digit >= n_other THEN 'digit'
+                     WHEN n_latin >= n_other THEN 'latin'
+                     ELSE 'other' END AS dominant_script,
+                n_latin > 0 AND n_cjk > 0 AS mixed_script
+         FROM e ORDER BY doc_id""",
     // identical matched-join + closed-form disjoint-mass formulation;
     // the only float op is the one final division
     "t39_source_divergence" ->

@@ -98,6 +98,44 @@ object TextAnalysis {
     mapped.unionByName(twins)
   }
 
+  /** Per-document script profile (t42): character counts by script
+    * class — Latin letters, digits, unsegmented-script code points
+    * (CJK/kana/Hangul), whitespace, other — plus the dominant class and
+    * a mixed-script flag. The homoglyph/code-switching signal crawl
+    * pipelines run before language routing: a "Latin" page whose
+    * characters are half Cyrillic/CJK is a classic spam/SEO artifact.
+    * Pure row-local codegen'd `regexp_count` expressions — zero
+    * shuffles; exact integers so the gate hash-compares. Dominance ties
+    * break by fixed precedence (cjk > digit > latin > other), stated
+    * once and mirrored in the oracle.
+    */
+  def scriptProfile(documents: DataFrame): DataFrame = {
+    val nChars = length($"text").cast("long")
+    val nLatin = regexp_count($"text", lit("[A-Za-z]")).cast("long")
+    val nDigit = regexp_count($"text", lit("[0-9]")).cast("long")
+    val nCjk = regexp_count($"text",
+      lit("[\\u3040-\\u30ff\\u3400-\\u9fff\\uac00-\\ud7af]")).cast("long")
+    val nSpace = regexp_count($"text", lit("\\s")).cast("long")
+    documents
+      .withColumn("n_chars", nChars)
+      .withColumn("n_latin", nLatin)
+      .withColumn("n_digit", nDigit)
+      .withColumn("n_cjk", nCjk)
+      .withColumn("n_space", nSpace)
+      .withColumn("n_other",
+        $"n_chars" - $"n_latin" - $"n_digit" - $"n_cjk" - $"n_space")
+      .withColumn("dominant_script",
+        when($"n_cjk" >= $"n_latin" && $"n_cjk" >= $"n_digit" &&
+          $"n_cjk" >= $"n_other", lit("cjk"))
+          .when($"n_digit" >= $"n_latin" && $"n_digit" >= $"n_other", lit("digit"))
+          .when($"n_latin" >= $"n_other", lit("latin"))
+          .otherwise(lit("other")))
+      .withColumn("mixed_script", $"n_latin" > 0 && $"n_cjk" > 0)
+      .select($"doc_id", $"n_chars", $"n_latin", $"n_digit", $"n_cjk",
+        $"n_space", $"n_other", $"dominant_script", $"mixed_script")
+      .orderBy($"doc_id")
+  }
+
   private val markers: Seq[(String, String)] = Seq(
     "de" -> "\\b(der|die|das|und|ist|nicht|ein|mit)\\b",
     "en" -> "\\b(the|and|of|to|is|in|that|for)\\b",

@@ -346,6 +346,28 @@ class TextAnalysisSpec extends SparkSpec {
     out(0).length shouldBe 10002 // doc_id + 10^4 keyword columns + n_tags
   }
 
+  test("scriptProfile: class counts exact, dominance precedence, mixed flag") {
+    val d = docs(
+      (1L, "abc 12 一二三", "zh", "w"), // 3 latin, 2 digit, 3 cjk, 2 space
+      (2L, "hello world", "en", "w"),
+      (3L, "一二三四", "zh", "w"),
+      (4L, "!!!", "en", "w"),
+      (5L, "ab一二", "zh", "w")) // tie latin=2 cjk=2 -> cjk wins (precedence)
+    val out = TextAnalysis.scriptProfile(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    (r1.getLong(1), r1.getLong(2), r1.getLong(3), r1.getLong(4), r1.getLong(5),
+      r1.getLong(6)) shouldBe ((10L, 3L, 2L, 3L, 2L, 0L))
+    r1.getString(7) shouldBe "cjk" // 3 cjk ties 3 latin -> cjk precedence
+    r1.getBoolean(8) shouldBe true
+    out(2L).getString(7) shouldBe "latin"
+    out(2L).getBoolean(8) shouldBe false
+    out(3L).getString(7) shouldBe "cjk"
+    out(4L).getString(7) shouldBe "other"
+    out(5L).getString(7) shouldBe "cjk"
+    out(5L).getBoolean(8) shouldBe true
+  }
+
   test("sourceDivergence: hand-computed TV, zero for identical, one for disjoint") {
     val docs = Seq(
       (1L, "x x y", "A"), (2L, "x z", "B"),   // TV(A,B) = 1/2
