@@ -1634,6 +1634,11 @@ object SparkEntry {
       Similarity.kmeansAssignExact(t(s, d)("embeddings"), 4, 2)),
     // inter-label centroid distance matrix in exact milli-units: the
     // cluster-separation diagnostic, k^2 metadata-sized output
+    // per-group filtered ANN: top-3 per label, WindowGroupLimit trim —
+    // the multi-tenant vector-store shape (post-filtering a global
+    // top-k starves small tenants; the filter partitions the ranking)
+    "s13_filtered_topk" -> ((s, d) =>
+      Similarity.cosineTopKPerLabel(t(s, d)("embeddings"), 0L, 3)),
     "s12_label_distances" -> ((s, d) =>
       Similarity.labelCentroidDistances(t(s, d)("embeddings"))),
     // ordered-step conversion funnel: one shuffle, chained windows,
@@ -3945,6 +3950,21 @@ object SparkEntry {
                FROM embeddings, q WHERE vec_id <> 0)
          SELECT vec_id, label, round(c, 4) AS cos_sim FROM s
          ORDER BY c DESC, vec_id LIMIT 10""",
+    // the same cosine, ranked WITHIN each label (the filtered-ANN shape);
+    // row_number with the identical (cos DESC, vec_id) tiebreak
+    "s13_filtered_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+         s AS (SELECT vec_id, label,
+                 list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+                 / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(qv, qv))) AS c
+               FROM embeddings, q WHERE vec_id <> 0),
+         r AS (SELECT label, vec_id, c,
+                 CAST(row_number() OVER (PARTITION BY label ORDER BY c DESC, vec_id)
+                   AS BIGINT) AS rk
+               FROM s)
+         SELECT label, rk, vec_id, round(c, 4) AS cos_sim
+         FROM r WHERE rk <= 3 ORDER BY label, rk""",
     "t01_text_stats" ->
       """WITH d AS (SELECT doc_id, string_split_regex(lower(text),'\s+') AS t,
                     length(regexp_replace(text,'\s','','g')) AS stc,

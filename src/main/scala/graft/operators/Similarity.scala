@@ -42,6 +42,30 @@ object Similarity {
       .select($"vec_id", $"label", round($"cos_sim", 4).as("cos_sim"))
   }
 
+  /** Filtered / per-group top-k (s13): the "per-tenant ANN" production
+    * shape — top-k nearest neighbours WITHIN each metadata group
+    * (label), the pre-filtered search every multi-tenant vector store
+    * serves (filtering after a global top-k starves small tenants; the
+    * filter must partition the ranking). One broadcast of the 1-row
+    * query, one window partitioned by the filter key — the rank is a
+    * WindowGroupLimit plan (per-partition map-side top-k trim before
+    * the exchange), so at 100 TB each group ships only k candidates.
+    * Deterministic tiebreak on vec_id.
+    */
+  def cosineTopKPerLabel(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
+    require(k >= 1, "cosineTopKPerLabel: k must be >= 1")
+    val q = embeddings.where($"vec_id" === queryId).select($"embedding".as("q"))
+    val w = Window.partitionBy($"label").orderBy($"cos_sim".desc, $"vec_id")
+    embeddings.where($"vec_id" =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("cos_sim", Vectors.cosine($"embedding", $"q"))
+      .withColumn("rk", row_number().over(w))
+      .where($"rk" <= k)
+      .select($"label", $"rk".cast("long").as("rk"), $"vec_id",
+        round($"cos_sim", 4).as("cos_sim"))
+      .orderBy($"label", $"rk")
+  }
+
   /** Maximal-Marginal-Relevance rerank (Carbonell & Goldstein 1998,
     * SIGIR — the diversity rerank every retrieval pipeline bolts onto its
     * ANN top-N): greedily pick k of the `poolSize` most query-similar
