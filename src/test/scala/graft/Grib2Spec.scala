@@ -184,6 +184,22 @@ class Grib2Spec extends SparkSpec {
       Grib2.parseMessages(write(field(d = -1, base = 100))).head.values.toSeq
   }
 
+  test("template 5.40 at multi-code-block grid size (96x64) reconstructs exactly") {
+    // a grid whose subbands span SEVERAL 32x32 code-blocks exercises the
+    // real tag trees and per-block packet-header fields through the GRIB
+    // integration, not just the codec spec
+    val f = Grib2.Field(0, 0, 0, LocalDateTime.of(2004, 3, 1, 0, 0),
+      ni = 96, nj = 64, la1Micro = 40000000L, lo1Micro = -25000000L,
+      diMicro = 500000L, djMicro = 500000L, decimalScale = 1,
+      Array.tabulate(96 * 64) { k =>
+        val j = k / 96; val i = k % 96
+        Some((i * i * 3 + j * 17 + 7) % 1100)
+      }, template = 40)
+    val g = f.copy(template = 0)
+    Grib2.parseMessages(write(f)).head.values.toSeq shouldBe
+      Grib2.parseMessages(write(g)).head.values.toSeq
+  }
+
   test("template 5.40: lossy mode and bitmaps are rejected loudly") {
     // the writer refuses masked 5.40 fields (image geometry is ambiguous)
     an[IllegalArgumentException] should be thrownBy

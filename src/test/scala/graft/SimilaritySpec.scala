@@ -36,6 +36,25 @@ class SimilaritySpec extends SparkSpec {
     out(0).getAs[Double]("cos_sim") shouldBe 1.0
   }
 
+  test("cosineTopKPerLabel: per-group ranking, small groups keep all their rows") {
+    // query = axis 0; label 1 has 3 candidates at distinct sims, label 2
+    // has ONE candidate — a global top-k would starve it, the filtered
+    // ranking must keep it at rk=1
+    val df = emb(
+      (0L, vec(0), 0),
+      (1L, vec(0, 2.0f), 1),                         // cos 1.0
+      (2L, Array.tabulate(64)(i => if (i <= 1) 1.0f else 0f), 1), // cos ~0.707
+      (3L, vec(1), 1),                               // cos 0
+      (4L, vec(5), 1),                               // cos 0 (tiebreak by id)
+      (5L, vec(0, 0.5f), 2))                         // cos 1.0, lone tenant
+    val out = Similarity.cosineTopKPerLabel(df, 0L, 3).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    out.filter(_._1 == 1).map(t => (t._2, t._3)) shouldBe Array((1L, 1L), (2L, 2L), (3L, 3L))
+    out.filter(_._1 == 2) shouldBe Array((2, 1L, 5L, 1.0))
+    // k cuts within the big group only: vec 4 (cos 0, higher id) is out
+    out.map(_._3) should not contain 4L
+  }
+
   test("cosineAboveThreshold filters strictly below threshold") {
     val d = emb((0L, vec(0), 0), (1L, vec(0), 0), (2L, vec(1), 1))
     val out = Similarity.cosineAboveThreshold(d, 0L, 0.5).collect()
