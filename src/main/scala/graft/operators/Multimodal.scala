@@ -402,12 +402,36 @@ object Multimodal {
     * mapPartitions over ids, the decoder sees only bytes, row-local per
     * image, zero shuffles before the presentation sort.
     */
-  def jpegColorTiles(documents: DataFrame): DataFrame = {
+  def jpegColorTiles(documents: DataFrame): DataFrame =
+    colorTiles(documents, jpegColorFor)
+
+  /** m13: the m10 gate with RESTART INTERVALS in the bitstream (DRI +
+    * RSTm every 2 MCUs — the camera-file reality: most real JPEGs carry
+    * restart markers for error resilience). Pixel values are identical
+    * to m10's by construction, so the gate shares m10's oracle string
+    * VERBATIM — the decoder must handle byte realignment, marker
+    * verification, and DC-predictor resets without changing a single
+    * output value.
+    */
+  def jpegColorTilesDri(documents: DataFrame): DataFrame =
+    colorTiles(documents, d => {
+      val w = (17 + d % 32).toInt
+      val h = (17 + (3 * d) % 24).toInt
+      val (hs, vs) = if (d % 2 == 0) (2, 2) else (2, 1)
+      graft.sources.AssetCodecs.encodeJpegYcc(w, h,
+        (x, y) => ((17 * (x / 16) + 29 * (y / 16) + 31 * (d % 89)) % 256).toInt,
+        (x, y) => ((23 * (x / 16) + 13 * (y / 16) + 7 * (d % 83)) % 256).toInt,
+        (x, y) => ((11 * (x / 16) + 19 * (y / 16) + 5 * (d % 79)) % 256).toInt,
+        hs, vs, quant = 1, restartInterval = 2)
+    })
+
+  private def colorTiles(documents: DataFrame,
+                         fixture: Long => Array[Byte]): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     documents.select(col("doc_id")).as[Long]
       .flatMap { id =>
-        val img = graft.sources.AssetCodecs.decodeJpegYcc(jpegColorFor(id))
+        val img = graft.sources.AssetCodecs.decodeJpegYcc(fixture(id))
         val sampling = s"4:2:${if (img.vSamp == 2) 0 else 2}"
         val tilesX = (img.w + 15) / 16
         val tilesY = (img.h + 15) / 16

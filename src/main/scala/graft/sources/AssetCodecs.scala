@@ -835,11 +835,13 @@ object AssetCodecs {
                     pixCb: (Int, Int) => Int,
                     pixCr: (Int, Int) => Int,
                     hSamp: Int = 2, vSamp: Int = 2,
-                    quant: Int = 1): Array[Byte] = {
+                    quant: Int = 1,
+                    restartInterval: Int = 0): Array[Byte] = {
     require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff, s"bad dims ${w}x$h")
     require(hSamp >= 1 && hSamp <= 2 && vSamp >= 1 && vSamp <= 2,
       s"luma sampling must be in {1,2}x{1,2}, got ${hSamp}x$vSamp")
     require(quant >= 1 && quant <= 255, s"bad quantizer $quant")
+    require(restartInterval >= 0, "bad restart interval")
     val out = new java.io.ByteArrayOutputStream()
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
     def segment(m: Int, payload: Array[Byte]): Unit = {
@@ -862,6 +864,9 @@ object AssetCodecs {
     segment(0xc4, Array[Byte](0x10) ++ AcBits.map(_.toByte) ++ AcVals.map(_.toByte))
     segment(0xc4, Array[Byte](0x01) ++ DcBitsC.map(_.toByte) ++ DcValsC.map(_.toByte))
     segment(0xc4, Array[Byte](0x11) ++ AcBitsC.map(_.toByte) ++ AcValsC.map(_.toByte))
+    if (restartInterval > 0)
+      segment(0xdd, Array(((restartInterval >> 8) & 0xff).toByte,
+        (restartInterval & 0xff).toByte))
     segment(0xda, Array[Byte](3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0))
 
     val dcTabs = Array(huffEncodeTable(DcBits, DcVals), huffEncodeTable(DcBitsC, DcValsC))
@@ -957,7 +962,17 @@ object AssetCodecs {
 
     val mcusX = (w + 8 * hSamp - 1) / (8 * hSamp)
     val mcusY = (h + 8 * vSamp - 1) / (8 * vSamp)
+    // 1-pad the partial byte (with FF stuffing) — before a restart
+    // marker and at end of scan
+    def flushBits(): Unit = if (nAcc > 0) {
+      val b = (((acc << (8 - nAcc)) | ((1 << (8 - nAcc)) - 1)) & 0xff).toInt
+      out.write(b); if (b == 0xff) out.write(0x00)
+      acc = 0L; nAcc = 0
+    }
     var dcY = 0; var dcCb = 0; var dcCr = 0
+    var mcuIdx = 0
+    var rstM = 0
+    val totalMcus = mcusX * mcusY
     var my = 0
     while (my < mcusY) {
       var mx = 0
@@ -974,14 +989,21 @@ object AssetCodecs {
         }
         dcCb = encodeBlock(cbAt, cw, ch, mx * 8, my * 8, 1, dcCb)
         dcCr = encodeBlock(crAt, cw, ch, mx * 8, my * 8, 1, dcCr)
+        mcuIdx += 1
+        // restart boundary: byte-align, RSTm (cycling 0..7), reset the
+        // DC predictors — never after the final MCU
+        if (restartInterval > 0 && mcuIdx % restartInterval == 0 &&
+            mcuIdx < totalMcus) {
+          flushBits()
+          marker(0xd0 + rstM)
+          rstM = (rstM + 1) % 8
+          dcY = 0; dcCb = 0; dcCr = 0
+        }
         mx += 1
       }
       my += 1
     }
-    if (nAcc > 0) {
-      val b = (((acc << (8 - nAcc)) | ((1 << (8 - nAcc)) - 1)) & 0xff).toInt
-      out.write(b); if (b == 0xff) out.write(0x00)
-    }
+    flushBits()
     marker(0xd9)
     out.toByteArray
   }
@@ -999,6 +1021,7 @@ object AssetCodecs {
     var pos = 2
     var w = -1; var h = -1
     var hSamp = -1; var vSamp = -1
+    var restartInterval = 0
     val quantTables = new Array[Array[Int]](4)
     val huffMin = Array.ofDim[Array[Int]](2, 4)
     val huffMax = Array.ofDim[Array[Int]](2, 4)
@@ -1069,7 +1092,8 @@ object AssetCodecs {
             compQuant(ci) = bytes(o + 2) & 0xff
             ci += 1
           }
-        case 0xdd => sys.error("restart intervals unsupported in pixel decode")
+        case 0xdd => // DRI: MCUs per restart interval (0 disables)
+          restartInterval = ((bytes(seg) & 0xff) << 8) | (bytes(seg + 1) & 0xff)
         case 0xda =>
           require(w > 0, "JPEG SOS before SOF0")
           require((bytes(seg) & 0xff) == 3, "scan must cover all 3 components")
@@ -1186,6 +1210,9 @@ object AssetCodecs {
       }
     }
 
+    var mcuIdx = 0
+    var rstExpect = 0
+    val totalMcus = mcusX * mcusY
     var my = 0
     while (my < mcusY) {
       var mx = 0
@@ -1201,6 +1228,22 @@ object AssetCodecs {
         }
         decodeBlockInto(1, mx * 8, my * 8)
         decodeBlockInto(2, mx * 8, my * 8)
+        mcuIdx += 1
+        // restart boundary: the remaining buffered bits are the
+        // encoder's 1-padding (fill() never reads past a real marker, so
+        // nothing from the next interval can be in the buffer) — discard
+        // them, verify the expected RSTm (strictly cycling 0..7), skip
+        // it, and reset the DC predictors
+        if (restartInterval > 0 && mcuIdx % restartInterval == 0 &&
+            mcuIdx < totalMcus) {
+          bitCnt = 0; bitBuf = 0L
+          require(bp + 1 < bytes.length && (bytes(bp) & 0xff) == 0xff &&
+            (bytes(bp + 1) & 0xff) == 0xd0 + rstExpect,
+            f"expected RST$rstExpect%d marker at byte $bp in JPEG scan")
+          bp += 2
+          rstExpect = (rstExpect + 1) % 8
+          java.util.Arrays.fill(prevDc, 0)
+        }
         mx += 1
       }
       my += 1

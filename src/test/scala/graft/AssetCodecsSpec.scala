@@ -236,6 +236,42 @@ class AssetCodecsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("color JPEG with restart intervals: exact round-trip, JDK cross-check, strict RSTm order") {
+    val py = (x: Int, y: Int) => (17 * (x / 16) + 29 * (y / 16) + 80) % 256
+    val pcb = (x: Int, y: Int) => (23 * (x / 16) + 13 * (y / 16) + 60) % 256
+    val pcr = (x: Int, y: Int) => (11 * (x / 16) + 19 * (y / 16) + 150) % 256
+    for ((hs, vs, ri) <- Seq((2, 2, 1), (2, 2, 2), (2, 1, 3), (1, 1, 5))) {
+      val w = 48; val h = 33
+      val bytes = AssetCodecs.encodeJpegYcc(w, h, py, pcb, pcr, hs, vs, 1, ri)
+      // DRI bitstreams really carry restart markers
+      bytes.sliding(2).count(p =>
+        (p(0) & 0xff) == 0xff && (p(1) & 0xff) >= 0xd0 && (p(1) & 0xff) <= 0xd7) should be >= 1
+      val img = AssetCodecs.decodeJpegYcc(bytes)
+      for (y <- 0 until h; x <- 0 until w)
+        withClue(s"ri=$ri ${hs}x$vs @($x,$y): ") {
+          (img.y(y)(x), img.cb(y)(x), img.cr(y)(x)) shouldBe
+            ((py(x, y), pcb(x, y), pcr(x, y)))
+        }
+      // the independent decoder accepts the restart-marker bitstream
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      ref should not be null
+      (ref.getWidth, ref.getHeight) shouldBe ((w, h))
+      val (r, g, b) = AssetCodecs.ycbcrToRgb(py(6, 6), pcb(6, 6), pcr(6, 6))
+      val rgb = ref.getRGB(6, 6)
+      math.abs(((rgb >> 16) & 0xff) - r) should be <= 2
+      math.abs(((rgb >> 8) & 0xff) - g) should be <= 2
+      math.abs((rgb & 0xff) - b) should be <= 2
+    }
+    // a wrong restart-marker index rejects instead of desyncing silently
+    val ok = AssetCodecs.encodeJpegYcc(48, 33,
+      py, pcb, pcr, 2, 2, 1, 1)
+    val idx = ok.indexOfSlice(Seq(0xff.toByte, 0xd0.toByte))
+    idx should be > 0
+    val bad = ok.clone(); bad(idx + 1) = 0xd5.toByte
+    val e = intercept[IllegalArgumentException](AssetCodecs.decodeJpegYcc(bad))
+    e.getMessage should include("RST")
+  }
+
   test("color JPEG decode rejects out-of-scope shapes loudly") {
     // grayscale file -> the dedicated grayscale path, not silent misuse
     val gray = AssetCodecs.encodeJpegGray(16, 16, (x, y) => (x + y) % 256)
