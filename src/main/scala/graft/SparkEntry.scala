@@ -1608,6 +1608,11 @@ object SparkEntry {
       s.read.option("mergeSchema", "true").parquet(s"$tmp/v1", s"$tmp/v2")
         .orderBy($"doc_id")
     }),
+    // dynamic partition overwrite: rewrite ONE month's partition in
+    // place, every other partition's FILES provably untouched (the
+    // static mode would truncate the whole table) — the incremental
+    // backfill lever every partitioned warehouse table relies on
+    "x07_dynamic_overwrite" -> ((s, d) => dynamicOverwriteGate(s, d)),
     "x02_salted_distinct" -> ((s, d) =>
       Skew.saltedDistinctCount(t(s, d)("events"), "event_type", "user_id", 8)
         .orderBy($"event_type")),
@@ -2282,6 +2287,47 @@ object SparkEntry {
     * expression's presence; one repartition before the write yields one
     * file per month directory (the small-files discipline t18 audits).
     */
+  /** x07: dynamic partition overwrite — the monthly-backfill shape. A
+    * month-partitioned orders copy gets ONE month rewritten (cents
+    * bumped) under `partitionOverwriteMode=dynamic`; the gate REQUIRES
+    * every other partition's part-files to be byte-identical paths
+    * (same file set — static mode would have truncated them) and the
+    * oracle value-checks the merged result: the target month updated,
+    * everything else verbatim. At 100 TB this is the difference between
+    * rewriting 1/84th of a table and rewriting all of it.
+    */
+  private def dynamicOverwriteGate(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_x07").toString
+    val target = "1995-06"
+    val o = t(s, d)("orders").select($"o_orderkey",
+      ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long").as("cents"),
+      date_format($"o_orderdate", "yyyy-MM").as("ym"))
+    o.write.partitionBy("ym").mode("overwrite").parquet(s"$tmp/tbl")
+    def files(): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$tmp/tbl"))
+        .map(_.getPath).filter(_.contains("part-"))
+        .filterNot(_.contains(s"ym=$target")).toSet
+    }
+    val before = files()
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      o.where($"ym" === target)
+        .withColumn("cents", $"cents" + 12345L)
+        .write.partitionBy("ym").mode("overwrite").parquet(s"$tmp/tbl")
+    } finally prev match {
+      case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    require(files() == before,
+      "dynamic overwrite touched files outside the target partition")
+    s.read.parquet(s"$tmp/tbl")
+      .select($"o_orderkey", $"cents", $"ym")
+      .orderBy($"o_orderkey")
+  }
+
   private def dppJoinGate(s: SparkSession, d: String): DataFrame = {
     // deterministic per-fixture path + overwrite, like x03: repeated
     // invocations rewrite one partitioned copy, never accumulate
@@ -3015,6 +3061,15 @@ object SparkEntry {
             Seq("variable", "time", "lat", "lon"))}
          SELECT variable, time, lat, lon, zkey FROM zfin
          ORDER BY zkey, variable, time, lat, lon""",
+    // the dynamically-overwritten table: target month's cents bumped,
+    // every other row verbatim (whose files the engine proved untouched)
+    "x07_dynamic_overwrite" ->
+      """SELECT o_orderkey,
+                CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  + CASE WHEN strftime(o_orderdate, '%Y-%m') = '1995-06'
+                         THEN 12345 ELSE 0 END AS cents,
+                strftime(o_orderdate, '%Y-%m') AS ym
+         FROM orders ORDER BY o_orderkey""",
     "q20_hashes" ->
       """SELECT doc_id, md5(text) AS md5_hash, sha256(text) AS sha256_hash
          FROM documents ORDER BY doc_id""",
