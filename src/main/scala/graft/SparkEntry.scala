@@ -327,6 +327,41 @@ object SparkEntry {
       .orderBy($"window_start", $"event_type")
   }
 
+  /** w18: stream-STATIC broadcast enrichment — the single most common
+    * streaming shape (fact stream + dimension lookup): events flow
+    * through a file-source stream, join a STATIC nation dimension on a
+    * derived key (user_id mod 25) via broadcast (the static side plans
+    * as a BroadcastHashJoin inside every micro-batch — no join state at
+    * all), and aggregate per dimension row in complete mode (state = 25
+    * rows, the dimension's cardinality). Multi-batch landing replay so
+    * the enrichment provably spans micro-batches; oracle = the plain
+    * batch join + group.
+    */
+  private def streamEnrich(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_w18").toString
+    val schema = landEventsSliced(s, d, tmp)
+    val dim = t(s, d)("nation").select($"n_nationkey", $"n_name")
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/landing")
+    withStreamingPartitions(s, 8) {
+      val q = stream
+        .withColumn("n_nationkey", pmod($"user_id", lit(25L)))
+        .join(broadcast(dim), Seq("n_nationkey"))
+        .groupBy($"n_name")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+        .writeStream
+        .format("memory")
+        .queryName("w18_out")
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.streaming.StateMetrics.record("w18_stream_enrich", q)
+    }
+    s.table("w18_out").orderBy($"n_name")
+  }
+
   /** w05: streaming exactly-once dedup through the real path — the same
     * events land TWICE (an at-least-once upstream), a file-source
     * readStream deduplicates on event_id within the watermark horizon
@@ -1043,6 +1078,17 @@ object SparkEntry {
     "r17_remap_bilinear" -> ((s, d) =>
       Raster.remapBilinear(Raster.demoGridSum(t(s, d)("lineitem")),
         -25L, 2L, 3L, 24, -55L, 5L, 4L, 22)),
+    // priority mosaic: a bbox-restricted "regional" source overlaid on
+    // the full grid recalibrated by +1000 — regional values win inside
+    // the bbox, the fallback fills the rest, provenance recorded
+    "r18_mosaic" -> ((s, d) => {
+      val g = Raster.demoGridSum(t(s, d)("lineitem"))
+      Raster.mosaic(
+        Raster.bbox(g, n = 5.0, w = -9.0, s = -4.0, e = 7.0),
+        g.withColumn("value", $"value" + 1000.0))
+        .select($"variable", $"time", $"lat", $"lon", $"src",
+          round($"value", 4).as("value"))
+    }),
     "r05_anomaly" -> ((s, d) =>
       Raster.anomaly(grid(s, d), "A", "1998-03-01 00:00:00", 1995, 2000)
         .select($"variable", $"time", $"lat", $"lon", round($"value", 4).as("value"))
@@ -1388,6 +1434,10 @@ object SparkEntry {
     "w02_sliding_1h30m" -> ((s, d) => EventWindows.sliding1h30m(t(s, d)("events"))),
     "w03_sessionize" -> ((s, d) => EventWindows.sessionize(t(s, d)("events"), 30)),
     "w04_stream_landing" -> ((s, d) => streamLanding(s, d)),
+    // stream-STATIC broadcast enrichment: the fact-stream + dimension
+    // lookup shape (no state from the join itself; aggregate state = one
+    // row per dimension key)
+    "w18_stream_enrich" -> ((s, d) => streamEnrich(s, d)),
     "w05_stream_dedup" -> ((s, d) => streamDedup(s, d)),
     "w06_stream_anomaly" -> ((s, d) => streamAnomaly(s, d)),
     "w07_stream_quality" -> ((s, d) => streamQuality(s, d)),
@@ -2897,6 +2947,16 @@ object SparkEntry {
                 avg(value) AS value, CAST(count(*) AS BIGINT) AS n_cells
          FROM gridsum GROUP BY 1, 2, 3, 4
          ORDER BY variable, time, lat, lon""",
+    // the same precedence as arg_min on the source rank: inside the bbox
+    // the regional (src 1) value, elsewhere the +1000 fallback
+    "r18_mosaic" ->
+      s"""WITH ${operators.Raster.demoGridSumSql}
+         SELECT variable, time, lat, lon,
+                CASE WHEN lat BETWEEN -4.0 AND 5.0 AND lon BETWEEN -9.0 AND 7.0
+                     THEN CAST(1 AS BIGINT) ELSE CAST(2 AS BIGINT) END AS src,
+                round(CASE WHEN lat BETWEEN -4.0 AND 5.0 AND lon BETWEEN -9.0 AND 7.0
+                           THEN value ELSE value + 1000.0 END, 4) AS value
+         FROM gridsum ORDER BY variable, time, lat, lon""",
     // the identical rational-lattice construction in SQL: integer
     // positions scaled by the axis denominator, pmod remainders as
     // weights, floor row via exact integer ops, the one IEEE division at
@@ -3400,6 +3460,14 @@ object SparkEntry {
          ORDER BY s.user_id, s.session_start""",
     // stream-stream inner join on a closed input emits every matching
     // pair exactly once -> the oracle is the plain batch range join
+    // plain batch join + group — the streaming path must converge to it
+    // exactly across the multi-batch replay (complete-mode state merge)
+    "w18_stream_enrich" ->
+      s"""WITH $evCte
+         SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+                round(sum(value), 2) AS sum_value
+         FROM ev JOIN nation ON n_nationkey = user_id % 25
+         GROUP BY 1 ORDER BY 1""",
     "w09_stream_join" ->
       s"""WITH $evCte
          SELECT c.event_id AS click_id, c.user_id, c.ts,

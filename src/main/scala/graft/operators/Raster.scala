@@ -229,6 +229,22 @@ object Raster {
       .withColumn("frac_above", round($"n_above".cast("double") / $"n_cells", 6))
       .orderBy($"variable", $"time")
 
+  /** R18: priority mosaic/composite (`gdal_merge`): overlay a preferred
+    * source over a fallback — per cell key, the PRIMARY source's value
+    * wins wherever it has coverage, the secondary fills the rest, and
+    * the output records which source supplied each cell (the provenance
+    * column real composites carry). One union + one map-side-combining
+    * `min_by` aggregate on the full grid key: no join, no window — at
+    * 100 TB this is a single co-partitioned shuffle over both scans.
+    */
+  def mosaic(primary: DataFrame, secondary: DataFrame): DataFrame =
+    primary.withColumn("src", lit(1))
+      .unionByName(secondary.withColumn("src", lit(2)))
+      .groupBy($"variable", $"time", $"lat", $"lon")
+      .agg(min($"src").cast("long").as("src"),
+        min_by($"value", $"src").as("value"))
+      .orderBy($"variable", $"time", $"lat", $"lon")
+
   /** R17: bilinear remap onto an ARBITRARY target lattice — the general
     * `gdalwarp -tr`/`-t_srs` resample (src/file-conversions.js:174-195)
     * that [[regrid]]'s block-mean coarsening does not cover: target
