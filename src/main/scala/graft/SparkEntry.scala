@@ -1658,6 +1658,20 @@ object SparkEntry {
       s.read.option("mergeSchema", "true").parquet(s"$tmp/v1", s"$tmp/v2")
         .orderBy($"doc_id")
     }),
+    // k-anonymity suppression report: docs whose (lang, source,
+    // size-bucket) quasi-identifier combination is shared by < 3 docs
+    // are flagged for suppression — the corpus-release privacy pass
+    // after PII scrubbing (172 kept / 328 suppressed at sf0.01)
+    "t43_k_anonymity" -> ((s, d) =>
+      operators.TextAnalysis.kAnonymity(t(s, d)("documents"), 3L, 100L)),
+    // join-key skew diagnostic over a deterministic zipf-ish key (60% of
+    // rows concentrated on 3 keys): exact-integer ppm shares, the
+    // cross-multiplied mean comparison, and salt recommendations
+    "x08_skew_report" -> ((s, d) => Skew.skewReport(
+      t(s, d)("events").select(
+        when(pmod($"user_id", lit(10L)) < 6, pmod($"user_id", lit(3L)))
+          .otherwise($"user_id").as("k")),
+      "k", flagFactor = 4L, minCount = 2L)),
     // dynamic partition overwrite: rewrite ONE month's partition in
     // place, every other partition's FILES provably untouched (the
     // static mode would truncate the whole table) — the incremental
@@ -3121,6 +3135,34 @@ object SparkEntry {
             Seq("variable", "time", "lat", "lon"))}
          SELECT variable, time, lat, lon, zkey FROM zfin
          ORDER BY zkey, variable, time, lat, lon""",
+    // identical quasi-identifier grouping + threshold; the join back is
+    // the same relation, so sizes cannot drift
+    "t43_k_anonymity" ->
+      """WITH keyed AS (SELECT doc_id, lang, source,
+                               CAST(n_chars // 100 AS BIGINT) AS size_bucket
+                        FROM documents),
+         g AS (SELECT lang, source, size_bucket,
+                      CAST(count(*) AS BIGINT) AS group_size
+               FROM keyed GROUP BY 1, 2, 3)
+         SELECT doc_id, lang, source, size_bucket, group_size,
+                group_size >= 3 AS keep
+         FROM keyed JOIN g USING (lang, source, size_bucket)
+         ORDER BY doc_id""",
+    // same derived zipf key, exact-integer ppm/floor-div/ceil formulas
+    "x08_skew_report" ->
+      s"""WITH $evCte,
+         e AS (SELECT CASE WHEN user_id % 10 < 6 THEN user_id % 3
+                           ELSE user_id END AS k FROM ev),
+         c AS (SELECT k, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+                      CAST(count(*) AS BIGINT) AS n_keys FROM c)
+         SELECT k, n, total, n_keys,
+                (n * 1000000) // total AS ppm,
+                n * n_keys > 4 * total AS skewed,
+                CASE WHEN n * n_keys > 4 * total
+                     THEN (n * n_keys + total - 1) // total
+                     ELSE CAST(1 AS BIGINT) END AS salt_rec
+         FROM c, t WHERE n >= 2 ORDER BY n DESC, k""",
     // the dynamically-overwritten table: target month's cents bumped,
     // every other row verbatim (whose files the engine proved untouched)
     "x07_dynamic_overwrite" ->

@@ -97,6 +97,39 @@ object Skew {
     * gate harness runs queries strictly sequentially, which is the only
     * reason the in-place form is safe there.
     */
+  /** Join-key skew DIAGNOSTIC (x08): the report an operator consults
+    * BEFORE choosing a salting factor — per key: row count, share of
+    * the table (exact integer ppm, no float), the skew flag (count >
+    * factor × the mean), and the salt recommendation
+    * ceil(count / mean) for flagged keys. One map-side-combining
+    * aggregate + a 1-row broadcast of the totals; emits only keys above
+    * the reporting floor so the result is top-heavy-bounded, not
+    * key-cardinality-bounded. All arithmetic exact integers — the ppm
+    * is (count·1e6) div total, the mean comparison cross-multiplied —
+    * so the gate hash-compares.
+    */
+  def skewReport(df: DataFrame, key: String,
+                 flagFactor: Long = 4L, minCount: Long = 2L): DataFrame = {
+    require(flagFactor >= 1 && minCount >= 1, "skewReport: degenerate thresholds")
+    // exact integer floor division: double `/` rounds, so subtract the
+    // remainder first — an exact multiple divides exactly below 2^53
+    def fdiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      ((a - pmod(a, b)) / b).cast("long")
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum($"n").as("total"), count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(totals))
+      .where($"n" >= minCount)
+      .select(col(key), $"n", $"total", $"n_keys",
+        fdiv($"n" * 1000000L, $"total").as("ppm"),
+        // n > flagFactor * mean  <=>  n * n_keys > flagFactor * total
+        ($"n" * $"n_keys" > lit(flagFactor) * $"total").as("skewed"),
+        // ceil(n·n_keys / total) = recommended salt buckets, 1 if even
+        when($"n" * $"n_keys" > lit(flagFactor) * $"total",
+          fdiv($"n" * $"n_keys" + $"total" - 1L, $"total"))
+          .otherwise(lit(1L)).as("salt_rec"))
+      .orderBy($"n".desc, col(key))
+  }
+
   def withConfs[A](spark: org.apache.spark.sql.SparkSession,
                    confs: (String, String)*)(body: => A): A = {
     val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }

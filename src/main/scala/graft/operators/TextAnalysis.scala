@@ -136,6 +136,30 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** k-anonymity suppression report (t43): the privacy pass a corpus
+    * RELEASE runs after PII scrubbing — any document whose
+    * quasi-identifier combination (here lang × source × a size bucket)
+    * is shared by fewer than k documents is flagged for suppression,
+    * because a rare attribute combination re-identifies even with the
+    * direct identifiers scrubbed. Emits per doc the group size and the
+    * keep/suppress decision — auditable, not silently dropped. One
+    * map-side-combining aggregate + one broadcast-back join on the
+    * (tiny) group relation; at 100 TB the group table is bounded by the
+    * quasi-identifier cardinality, never the corpus.
+    */
+  def kAnonymity(documents: DataFrame, k: Long,
+                 bucketChars: Long = 100L): DataFrame = {
+    require(k >= 1 && bucketChars >= 1, "kAnonymity: k and bucket must be >= 1")
+    val keyed = documents.withColumn("size_bucket",
+      floor($"n_chars" / bucketChars).cast("long"))
+    val groups = keyed.groupBy($"lang", $"source", $"size_bucket")
+      .agg(count(lit(1)).as("group_size"))
+    keyed.join(broadcast(groups), Seq("lang", "source", "size_bucket"))
+      .select($"doc_id", $"lang", $"source", $"size_bucket", $"group_size",
+        ($"group_size" >= k).as("keep"))
+      .orderBy($"doc_id")
+  }
+
   private val markers: Seq[(String, String)] = Seq(
     "de" -> "\\b(der|die|das|und|ist|nicht|ein|mit)\\b",
     "en" -> "\\b(the|and|of|to|is|in|that|for)\\b",
