@@ -51,6 +51,26 @@ class SkewSpec extends SparkSpec {
     rows.find(_.getLong(0) == 1L).get.getLong(1) shouldBe 198000L
   }
 
+  test("skewReport: hand-computed ppm, flag threshold, salt recommendation") {
+    import spark.implicits.{localSeqToDatasetHolder, newLongEncoder}
+    // 10 keys: key 0 has 82 rows, keys 1..9 have 2 each -> total 100,
+    // mean 10; key 0 is 8.2x the mean -> flagged at factor 4 with
+    // salt_rec = ceil(82*10/100) = ceil(8.2) = 9
+    val rows = Seq.fill(82)(0L) ++ (1L to 9L).flatMap(k => Seq(k, k))
+    val df = rows.toDS().toDF("k")
+    val out = Skew.skewReport(df, "k", flagFactor = 4L, minCount = 2L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(4), r.getBoolean(5), r.getLong(6))).toMap
+    out(0L) shouldBe ((82L, 820000L, true, 9L))   // 82/100 = 820000 ppm
+    out(5L) shouldBe ((2L, 20000L, false, 1L))
+    out.size shouldBe 10
+    // exactly-integer ceil boundary: 80 rows, 10 keys, total 98 ->
+    // 80*10/98 = 8.16 -> 9; and a key below minCount is not reported
+    val df2 = (Seq.fill(80)(0L) ++ (1L to 8L).flatMap(k => Seq(k, k)) ++ Seq(99L)).toDS().toDF("k")
+    val out2 = Skew.skewReport(df2, "k", 4L, 2L).collect().map(_.getLong(0))
+    out2 should not contain 99L
+  }
+
   test("withConfs restores previous values and unsets fresh keys") {
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val before = spark.conf.get(key)

@@ -346,6 +346,22 @@ class TextAnalysisSpec extends SparkSpec {
     out(0).length shouldBe 10002 // doc_id + 10^4 keyword columns + n_tags
   }
 
+  test("kAnonymity: small quasi-identifier groups suppress, sizes exact") {
+    val rows = Seq(
+      (1L, "a", "en", "w", 150L), (2L, "b", "en", "w", 199L), // bucket 1, size 2
+      (3L, "c", "en", "w", 250L), (4L, "d", "en", "w", 260L),
+      (5L, "e", "en", "w", 299L),                             // bucket 2, size 3
+      (6L, "f", "fr", "w", 250L))                             // lone group
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.kAnonymity(rows, 3L, 100L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(4), r.getBoolean(5))).toMap
+    out(1L) shouldBe ((2L, false))
+    out(2L) shouldBe ((2L, false))
+    out(3L) shouldBe ((3L, true))
+    out(5L) shouldBe ((3L, true))
+    out(6L) shouldBe ((1L, false))
+  }
+
   test("scriptProfile: class counts exact, dominance precedence, mixed flag") {
     val d = docs(
       (1L, "abc 12 一二三", "zh", "w"), // 3 latin, 2 digit, 3 cjk, 2 space
