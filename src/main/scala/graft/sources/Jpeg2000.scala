@@ -863,6 +863,8 @@ object Jpeg2000 {
           val len = u16(); val segEnd = pos - 2 + len
           u16() // Rsiz
           w = u32(); h = u32()
+          require(w >= 1 && h >= 1 && w.toLong * h <= (1L << 26),
+            s"implausible JPEG2000 dims ${w}x$h (corrupt SIZ?)")
           require(u32() == 0 && u32() == 0, "image offsets out of scope")
           require(u32() == w && u32() == h && u32() == 0 && u32() == 0,
             "multi-tile codestreams out of scope")
@@ -879,8 +881,10 @@ object Jpeg2000 {
           require(u16() == 1, "multi-layer codestreams out of scope")
           require(u8() == 0, "multi-component transform out of scope")
           levels = u8()
+          require(levels <= 10, s"implausible decomposition level count $levels")
           val xcb = u8(); val ycb = u8()
           require(xcb == ycb, "non-square code-blocks out of scope")
+          require(xcb <= 4, s"code-block exponent $xcb out of scope (cb <= 64)")
           cb = 1 << (xcb + 2)
           require(u8() == 0, "non-default code-block styles out of scope")
           val transform = u8()
@@ -941,7 +945,15 @@ object Jpeg2000 {
             val included = incl.decode(bx, by, 1, br)
             if (included) {
               var t = 1
-              while (!zbp.decode(bx, by, t, br)) t += 1
+              // a corrupt header could otherwise spin this resolve loop
+              // forever: the zero-bitplane count can never legitimately
+              // reach Mb (that would mean zero coded planes for an
+              // INCLUDED block) — fail loudly past it
+              while (!zbp.decode(bx, by, t, br)) {
+                t += 1
+                require(t <= mb + 1,
+                  s"corrupt JPEG2000 packet header: zero-bitplane count exceeds Mb=$mb")
+              }
               val p = zbp.lowOf(bx, by)
               val k = mb - p
               require(k >= 1, s"inconsistent zero-bitplane count $p for Mb=$mb")
@@ -971,6 +983,8 @@ object Jpeg2000 {
         bandData.getOrElseUpdate((r, bandsIdx),
           new Array[Int](bands(bandsIdx).w * bands(bandsIdx).h))
       for (pd <- pend) {
+        require(pd.len >= 0 && cursor + pd.len <= bytes.length,
+          s"corrupt JPEG2000 packet: body length ${pd.len} overruns the codestream")
         val data = java.util.Arrays.copyOfRange(bytes, cursor, cursor + pd.len)
         cursor += pd.len
         val x0 = pd.bx * cb; val y0 = pd.by * cb

@@ -86,6 +86,29 @@ class Jpeg2000Spec extends AnyFunSuite with Matchers {
     e.getMessage should include("5/3")
   }
 
+  test("fuzz: corrupted and truncated codestreams terminate (reject or decode), never hang") {
+    // every decode path has a bounded loop or a loud require: single-bit
+    // corruptions and truncations must finish promptly with SOME outcome
+    // — an exception or a (possibly wrong-pixel) decode — never a spin
+    // or an implausible allocation
+    val base = Jpeg2000.encodeLossless(40, 30, Array.tabulate(1200)(i => (i * 37) % 1024), 10, 2, 16)
+    val rnd = new scala.util.Random(11)
+    var decoded = 0; var rejected = 0
+    for (_ <- 1 to 300) {
+      val mut = base.clone()
+      val i = rnd.nextInt(mut.length)
+      mut(i) = (mut(i) ^ (1 << rnd.nextInt(8))).toByte
+      try { Jpeg2000.decode(mut); decoded += 1 }
+      catch { case _: Exception | _: AssertionError => rejected += 1 }
+    }
+    for (cut <- Seq(3, 10, 45, 100, base.length / 2, base.length - 3)) {
+      try { Jpeg2000.decode(base.take(cut)); decoded += 1 }
+      catch { case _: Exception => rejected += 1 }
+    }
+    (decoded + rejected) shouldBe 306
+    rejected should be >= 1 // the guards genuinely fire
+  }
+
   test("multi-component and multi-tile codestreams are rejected") {
     val ok = Jpeg2000.encodeLossless(8, 8, Array.fill(64)(5), 8, 1, 16)
     // Csiz lives at fixed offset inside SIZ: SOC(2) + marker(2) + Lsiz(2)
