@@ -261,11 +261,12 @@ object Raster {
     * IEEE division `num/den_eff` is bit-identical in any engine — the
     * r11/s04 discipline extended to interpolation.
     *
-    * Scale shape: targets explode to exactly 4 corner rows each, then ONE
-    * equi-join on the full grid key (variable, time, lat, lon) — hash-
-    * partitioned, no range join, no broadcast of the data side — and one
-    * map-side-combining aggregate back to target cells. The layer spine ×
-    * target lattice cross is the OUTPUT size, not a blowup. Partial-edge
+    * Scale shape: targets explode to exactly 4 corner rows each and
+    * BROADCAST (a lattice descriptor, bytes per target); the grid scans
+    * ONCE and equi-joins on (lat, lon) — grouping by (layer, target)
+    * afterwards is equivalent to a per-layer full-key join without the
+    * second fact scan a layer spine would cost — then one map-side-
+    * combining aggregate back to target cells. Partial-edge
     * audit (r11's discipline): `n_src` counts the corners actually found
     * (the fixture grid is sparse); `den_eff` is the weight mass present;
     * a target with zero present mass reports `value` NULL rather than
@@ -277,7 +278,6 @@ object Raster {
     require(latDen >= 1 && lonDen >= 1 && latStepNum >= 1 && lonStepNum >= 1 &&
       nLat >= 1 && nLon >= 1, "remapBilinear: degenerate target lattice")
     val spark = grid.sparkSession
-    val layers = grid.select($"variable", $"time").distinct()
     val targets = spark.range(nLat.toLong).select($"id".as("j"))
       .crossJoin(spark.range(nLon.toLong).select($"id".as("i")))
       .withColumn("ynum", lit(latStartNum) + $"j" * latStepNum)
@@ -298,8 +298,12 @@ object Raster {
       .select($"j", $"i", $"ynum", $"xnum", $"w",
         ($"y0" + $"c.dy").cast("double").as("lat"),
         ($"x0" + $"c.dx").cast("double").as("lon"))
-    layers.crossJoin(corners)
-      .join(grid, Seq("variable", "time", "lat", "lon"))
+    // joining on (lat, lon) ALONE and grouping by (layer, target) is
+    // equivalent to a layer-spine cross + full-key join — every grid row
+    // meets its corner positions across all layers — but reads the grid
+    // ONCE (the spine formulation rescanned the fact table for the
+    // distinct layers; PlanGuardSpec pins the single scan)
+    grid.join(broadcast(corners), Seq("lat", "lon"))
       .groupBy($"variable", $"time", $"j", $"i", $"ynum", $"xnum")
       .agg(count(lit(1)).as("n_src"),
         sum($"w").as("den_eff"),

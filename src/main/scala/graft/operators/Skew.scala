@@ -115,7 +115,12 @@ object Skew {
     // remainder first — an exact multiple divides exactly below 2^53
     def fdiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       ((a - pmod(a, b)) / b).cast("long")
-    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+    // barrier the histogram: totals derive from it, and without the
+    // materialization the totals subtree would RESCAN the fact table
+    // (PlanGuardSpec pins the single scan) — the histogram is key-
+    // cardinality-sized, the right thing to hold regardless
+    val counts = graft.Session.barrier(
+      df.groupBy(col(key)).agg(count(lit(1)).as("n")))
     val totals = counts.agg(sum($"n").as("total"), count(lit(1)).as("n_keys"))
     counts.crossJoin(broadcast(totals))
       .where($"n" >= minCount)

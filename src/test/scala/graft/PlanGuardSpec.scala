@@ -473,4 +473,45 @@ class PlanGuardSpec extends SparkSpec {
     // re-scanned for adjacency/degree derivations
     p should not include "Scan parquet"
   }
+
+  test("s13_filtered_topk: per-label top-k trims map-side before the exchange") {
+    val p = planOf("s13_filtered_topk")
+    p should include("WindowGroupLimit")
+    p should include("Partial")
+    p should not include "SortMergeJoin"
+  }
+
+  test("r17_remap_bilinear: the corner lattice broadcasts; the grid joins as a hash join") {
+    val p = planOf("r17_remap_bilinear")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+    // the lattice is generated from Ranges — no data-side scan feeds it
+    p.linesIterator.count(_.contains("lineitem.parquet")) shouldBe 1
+  }
+
+  test("d18_cjk_neardup: the CJK mapping materializes ONCE (checkpoint scan), pairing is an equi-join") {
+    val p = planOf("d18_cjk_neardup")
+    // both corpus references must read the barrier, not recompute the
+    // per-word PolyHash chain (the O(n^2)-per-doc regression of r8)
+    p should include("Scan ExistingRDD")
+    p should not include "Scan parquet"
+    p should not include "CartesianProduct"
+  }
+
+  test("x08_skew_report: histogram materializes once; totals broadcast back over it") {
+    val p = planOf("x08_skew_report")
+    // the barrier ran the single fact scan eagerly — the final plan
+    // reads the checkpointed histogram, never the fact table again
+    p should include("Scan ExistingRDD")
+    p should not include "Scan parquet"
+    p should include("BroadcastNestedLoopJoin")
+    p should not include "SortMergeJoin"
+  }
+
+  test("r18_mosaic: union + one aggregate — no join operator anywhere") {
+    val p = planOf("r18_mosaic")
+    p should include("Union")
+    p should not include "Join"
+  }
 }
