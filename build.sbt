@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// the driver invokes bare `sbt compile` then runs java against
+// target/classes: the META-INF/services DataSourceRegister entry (the
+// grib2 DSv2 shortName) must land there too, so make compile carry the
+// resource copy
+Compile / compile := (Compile / compile).dependsOn(Compile / copyResources).value
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1126,6 +1126,17 @@ object SparkEntry {
     "r16_grib2_jpeg2000" -> ((s, _) =>
       sources.Grib2.readRecords(s, Seq(grib2J2kFixturePath), matchRe = "TMP|PRATE")
         .orderBy($"variable", $"time", $"lat", $"lon")),
+    // the DataSource V2 face of the GRIB2 reader: spark.read
+    // .format("grib2") with variable = 'TMP' PUSHED to the reader —
+    // whole records pruned before cell flattening (PlanGuardSpec pins
+    // the PushedFilters line); must equal r12's TMP slice exactly
+    // (fully-qualified provider name: resolution must not depend on the
+    // META-INF/services registry being on the classpath — the shortName
+    // path is spec-covered separately)
+    "r19_grib2_source" -> ((s, _) =>
+      s.read.format("graft.sources.Grib2DataSource").load(grib2FixturePath)
+        .where($"variable" === "TMP")
+        .orderBy($"time", $"lat", $"lon")),
     // the data-LAYOUT key: Morton-interleaved quantized (lat, lon); a
     // grid store written ORDER BY zkey prunes bbox scans by row-group
     // stats (ZOrderSpec proves the effect from real parquet footers)
@@ -3095,6 +3106,20 @@ object SparkEntry {
          FROM p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
          WHERE NOT (masked = 1 AND (i + j) % 7 = 0)
          ORDER BY variable, time, lat, lon""",
+    // r12's TMP slice (pidx 0, dense), regenerated closed-form — the
+    // engine read it through the DSv2 connector with the variable
+    // predicate pushed to the record level
+    "r19_grib2_source" ->
+      s"""WITH t(t, m) AS (VALUES (TIMESTAMP '2003-06-15 12:00:00', 0),
+                                  (TIMESTAMP '2003-07-15 12:00:00', 1)),
+         ii AS (SELECT unnest(generate_series(0, ${g2Ni - 1})) AS i),
+         jj AS (SELECT unnest(generate_series(0, ${g2Nj - 1})) AS j)
+         SELECT 'TMP' AS variable, t AS time,
+                ($g2La1 - j * $g2Dj) / 1000000.0 AS lat,
+                (($g2Lo1) + i * $g2Di) / 1000000.0 AS lon,
+                ((i * 5 + j * 11 + m * 19) % 1400) / 10.0 AS value
+         FROM t CROSS JOIN ii CROSS JOIN jj
+         ORDER BY time, lat, lon""",
     // mirrors the closed-form complex-packing fixture (see
     // grib2ComplexFixturePath): the engine recovered these integers
     // through the 5.3 spatial-differencing recurrence / 5.2 group

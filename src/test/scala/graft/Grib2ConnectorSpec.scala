@@ -1,0 +1,77 @@
+package graft
+
+import java.time.LocalDateTime
+
+import graft.sources.Grib2
+
+/** DSv2 connector laws (gate r19): `spark.read.format("grib2")` must
+  * equal the direct [[Grib2.readRecords]] path, push variable predicates
+  * to the RECORD level (pruned before cell flattening, visible in the
+  * scan description), and prune columns down to nothing for a count.
+  */
+class Grib2ConnectorSpec extends SparkSpec {
+  import graft.implicits._
+
+  private lazy val fixture: String = {
+    val dir = java.nio.file.Files.createTempDirectory("grib2dsv2")
+    def field(cat: Int, num: Int, base: Int) =
+      Grib2.Field(0, cat, num, LocalDateTime.of(2003, 6, 15, 12, 0),
+        ni = 7, nj = 5, la1Micro = 40000000L, lo1Micro = -25000000L,
+        diMicro = 1500000L, djMicro = 2000000L, decimalScale = 1,
+        Array.tabulate(35)(k => Some(base + (k % 7) * 3 + (k / 7) * 11)))
+    Grib2.writeFile(dir.resolve("a.grib2"),
+      Seq(field(0, 0, 0), field(1, 7, 100))).toString // TMP + PRATE
+  }
+
+  test("shortName and fully-qualified provider resolve to the same table") {
+    val byName = spark.read.format("grib2").load(fixture)
+    val byFqcn = spark.read.format("graft.sources.Grib2DataSource").load(fixture)
+    byName.count() shouldBe 70L
+    byFqcn.collect().toSet shouldBe byName.collect().toSet
+  }
+
+  test("connector output equals the direct readRecords path") {
+    val dsv2 = spark.read.format("grib2").load(fixture)
+      .orderBy($"variable", $"lat", $"lon").collect()
+    val direct = Grib2.readRecords(spark, Seq(fixture))
+      .orderBy($"variable", $"lat", $"lon").collect()
+    dsv2.toSeq shouldBe direct.toSeq
+  }
+
+  test("variable predicates PUSH to the record level; unsupported ones stay with Spark") {
+    val df = spark.read.format("grib2").load(fixture).where($"variable" === "TMP")
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    plan should include("PushedFilters: [EqualTo(variable,TMP)]")
+    df.count() shouldBe 35L
+    df.select($"variable").distinct().collect().map(_.getString(0)) shouldBe Array("TMP")
+    // IN and contains push too
+    spark.read.format("grib2").load(fixture)
+      .where($"variable".isin("TMP", "PRATE")).count() shouldBe 70L
+    // a value predicate is NOT pushed (stays a Spark Filter) but still applies
+    val vf = spark.read.format("grib2").load(fixture).where($"value" > 5.0)
+    val vplan = vf.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    vplan should not include "PushedFilters: [GreaterThan(value"
+    vf.count() should be < 70L
+  }
+
+  test("column pruning reaches the reader (count(*) reads an empty schema)") {
+    val df = spark.read.format("grib2").load(fixture)
+    val plan = df.groupBy().count().queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    plan should include("ReadSchema: struct<>")
+    df.count() shouldBe 70L
+    // a 2-column projection reads exactly those columns
+    val p2 = df.select($"variable", $"value").queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    p2 should include("ReadSchema: struct<variable:string,value:double>")
+  }
+
+  test("directory and glob paths expand; missing paths fail loudly") {
+    val dir = new java.io.File(fixture).getParent
+    spark.read.format("grib2").load(dir).count() shouldBe 70L
+    an[Exception] should be thrownBy
+      spark.read.format("grib2").load(s"$dir/nope-*.grib2").count()
+  }
+}
