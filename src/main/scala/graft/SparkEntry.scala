@@ -1137,6 +1137,27 @@ object SparkEntry {
       s.read.format("graft.sources.Grib2DataSource").load(grib2FixturePath)
         .where($"variable" === "TMP")
         .orderBy($"time", $"lat", $"lon")),
+    // DSv2 WRITE round-trip: the demo grid (GRIB-named variables,
+    // ≥2-per-axis layers) written via format("grib2") — Spark plans the
+    // layer-clustering shuffle from the writer's declared
+    // RequiresDistributionAndOrdering — and read back through the same
+    // connector; sparse layers round-trip via bitmaps. Oracle = the
+    // renamed grid itself (write→read must be the identity).
+    "r20_grib2_roundtrip" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_r20").toString
+      val g = Raster.demoGridSum(t(s, d)("lineitem"))
+        .withColumn("variable",
+          when($"variable" === "A", "TMP")
+            .when($"variable" === "N", "PRATE").otherwise("UGRD"))
+      val ok = g.groupBy($"variable", $"time")
+        .agg(countDistinct($"lat").as("nla"), countDistinct($"lon").as("nlo"))
+        .where($"nla" >= 2 && $"nlo" >= 2).select($"variable", $"time")
+      g.join(broadcast(ok), Seq("variable", "time"), "left_semi")
+        .write.format("graft.sources.Grib2DataSource")
+        .mode("overwrite").option("decimalScale", "0").save(tmp)
+      s.read.format("graft.sources.Grib2DataSource").load(tmp)
+        .orderBy($"variable", $"time", $"lat", $"lon")
+    }),
     // the data-LAYOUT key: Morton-interleaved quantized (lat, lon); a
     // grid store written ORDER BY zkey prunes bbox scans by row-group
     // stats (ZOrderSpec proves the effect from real parquet footers)
@@ -3120,6 +3141,20 @@ object SparkEntry {
                 ((i * 5 + j * 11 + m * 19) % 1400) / 10.0 AS value
          FROM t CROSS JOIN ii CROSS JOIN jj
          ORDER BY time, lat, lon""",
+    // write→read identity: the renamed integer grid restricted to
+    // layers with >= 2 distinct values per axis (grid template 3.0 needs
+    // > 1 per axis) — the engine pushed it through real GRIB bytes
+    "r20_grib2_roundtrip" ->
+      s"""WITH ${operators.Raster.demoGridSumSql},
+         named AS (SELECT CASE variable WHEN 'A' THEN 'TMP'
+                                        WHEN 'N' THEN 'PRATE'
+                                        ELSE 'UGRD' END AS variable,
+                          time, lat, lon, value
+                   FROM gridsum),
+         ok AS (SELECT variable, time FROM named GROUP BY 1, 2
+                HAVING count(DISTINCT lat) >= 2 AND count(DISTINCT lon) >= 2)
+         SELECT named.* FROM named JOIN ok USING (variable, time)
+         ORDER BY variable, time, lat, lon""",
     // mirrors the closed-form complex-packing fixture (see
     // grib2ComplexFixturePath): the engine recovered these integers
     // through the 5.3 spatial-differencing recurrence / 5.2 group

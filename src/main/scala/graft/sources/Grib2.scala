@@ -69,6 +69,20 @@ object Grib2 {
   def nameOf(d: Int, c: Int, n: Int): String =
     paramNames.getOrElse((d, c, n), s"var$d-$c-$n")
 
+  /** Inverse of [[nameOf]]: the known table plus the synthetic
+    * `var{d}-{c}-{n}` form — so any name [[nameOf]] can emit writes back.
+    */
+  def paramOf(name: String): (Int, Int, Int) =
+    paramNames.collectFirst { case (k, v) if v == name => k }.getOrElse {
+      val syn = "var(\\d+)-(\\d+)-(\\d+)".r
+      name match {
+        case syn(d, c, n) => (d.toInt, c.toInt, n.toInt)
+        case _ => sys.error(
+          s"grib2 writer: variable name '$name' has no GRIB parameter mapping " +
+            "(use a known name like TMP/PRATE or the var{d}-{c}-{n} form)")
+      }
+    }
+
   // ---------------------------------------------------------------- parse
 
   /** All fields of all GRIB2 messages in a byte buffer. Files concatenate

@@ -41,7 +41,9 @@ class Grib2DataSource extends TableProvider with org.apache.spark.sql.sources.Da
     Grib2Connector.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new Grib2ConnectorTable(Grib2Connector.resolvePaths(properties))
+    // RAW paths here: reads expand them to concrete files at scan-build
+    // time (a write target may legitimately hold no GRIB files yet)
+    new Grib2ConnectorTable(Grib2Connector.rawPaths(properties))
 }
 
 object Grib2Connector {
@@ -52,16 +54,20 @@ object Grib2Connector {
     StructField("lon", DoubleType, nullable = false),
     StructField("value", DoubleType, nullable = false)))
 
-  /** Expand the `path`/`paths` options to concrete .grib2/.grib files
-    * (directories recurse) via the Hadoop FS API — works on any
-    * supported filesystem, not just local.
-    */
-  def resolvePaths(properties: util.Map[String, String]): Seq[String] = {
-    val raw = Option(properties.get("paths"))
+  /** The user-supplied path option(s), unexpanded. */
+  def rawPaths(properties: util.Map[String, String]): Seq[String] =
+    Option(properties.get("paths"))
       .map(p => p.stripPrefix("[").stripSuffix("]").split(",")
         .map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq)
       .orElse(Option(properties.get("path")).map(Seq(_)))
       .getOrElse(sys.error("grib2 source requires a path"))
+
+  /** Expand raw paths to concrete .grib2/.grib files (directories
+    * recurse) via the Hadoop FS API — works on any supported filesystem,
+    * not just local. Read-side only; called at scan-build time so a
+    * write target may start empty.
+    */
+  def resolvePaths(raw: Seq[String]): Seq[String] = {
     val conf = org.apache.spark.sql.SparkSession.active
       .sparkContext.hadoopConfiguration
     val files = raw.flatMap { p =>
@@ -81,13 +87,22 @@ object Grib2Connector {
   }
 }
 
-class Grib2ConnectorTable(paths: Seq[String]) extends Table with SupportsRead {
+class Grib2ConnectorTable(paths: Seq[String])
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"grib2(${paths.mkString(",")})"
   override def schema(): StructType = Grib2Connector.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new Grib2ScanBuilder(paths)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(paths.length == 1, "grib2 writer: exactly one target directory")
+    new Grib2WriteBuilder(paths.head, info)
+  }
 }
 
 class Grib2ScanBuilder(paths: Seq[String])
@@ -120,13 +135,14 @@ class Grib2ScanBuilder(paths: Seq[String])
 
 class Grib2Scan(paths: Seq[String], pushed: Array[Filter], required: StructType)
     extends Scan with Batch {
+  private lazy val files = Grib2Connector.resolvePaths(paths)
   override def readSchema(): StructType = required
   override def description(): String =
     s"grib2 scan, PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${required.simpleString}"
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    paths.map(p => Grib2InputPartition(p): InputPartition).toArray
+    files.map(p => Grib2InputPartition(p): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new Grib2ReaderFactory(pushed, required)
 }
@@ -197,5 +213,190 @@ class Grib2PartitionReader(path: String, pushed: Array[Filter],
     }
   }
   override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
+
+// ------------------------------------------------------------- write path
+
+/** DSv2 write: `df.write.format("grib2").save(dir)`. The interesting
+  * part is [[Grib2Write]]'s `RequiresDistributionAndOrdering` — the
+  * writer DECLARES that rows must arrive clustered by (variable, time)
+  * and sorted by (variable, time, lat, lon), and SPARK plans the shuffle
+  * and sort: each GRIB layer then materializes contiguously inside one
+  * task, which assembles it into a message with zero writer-side state
+  * beyond the current layer. Scope: regular lat/lon lattices (spacing
+  * inferred from the data, or pinned via latStepMicro/lonStepMicro
+  * options), values exact at the configured decimalScale — anything
+  * else rejects loudly, never quantizes silently. Missing cells become
+  * a bitmap, so sparse layers round-trip.
+  */
+class Grib2WriteBuilder(path: String,
+                        info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write = {
+    val s = info.schema()
+    val need = Seq("variable", "time", "lat", "lon", "value")
+    require(need.forall(c => s.fieldNames.contains(c)),
+      s"grib2 writer needs columns (${need.mkString(", ")}), got ${s.fieldNames.mkString(", ")}")
+    new Grib2Write(path, s, doTruncate, info.options())
+  }
+}
+
+class Grib2Write(path: String, schema: StructType, truncate: Boolean,
+                 options: CaseInsensitiveStringMap)
+    extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering
+    with org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+  import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection, SortOrder}
+  import org.apache.spark.sql.connector.write._
+
+  override def requiredDistribution(): Distribution =
+    Distributions.clustered(Array(
+      Expressions.identity("variable"), Expressions.identity("time")))
+  override def requiredOrdering(): Array[SortOrder] =
+    Array("variable", "time", "lat", "lon").map(c =>
+      Expressions.sort(Expressions.column(c),
+        SortDirection.ASCENDING, NullOrdering.NULLS_FIRST))
+  override def requiredNumPartitions(): Int = 0 // let Spark pick
+
+  override def toBatch: BatchWrite = this
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(conf)
+    if (truncate && fs.exists(dir))
+      fs.listStatus(dir).filter(_.getPath.getName.matches(".*\\.gri?b2?$"))
+        .foreach(st => fs.delete(st.getPath, false))
+    fs.mkdirs(dir)
+    val dScale = Option(options.get("decimalScale")).map(_.toInt).getOrElse(0)
+    val latStep = Option(options.get("latStepMicro")).map(_.toLong)
+    val lonStep = Option(options.get("lonStepMicro")).map(_.toLong)
+    new Grib2WriterFactory(path, schema, dScale, latStep, lonStep)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class Grib2WriterFactory(path: String, schema: StructType, dScale: Int,
+                         latStep: Option[Long], lonStep: Option[Long])
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new Grib2DataWriter(path, partitionId, taskId, schema, dScale, latStep, lonStep)
+}
+
+private case class Grib2CommitMessage(file: String)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+/** Per-task writer: rows arrive (variable, time)-clustered and fully
+  * sorted (the Write's declared requirement), so a layer ends exactly
+  * when its key changes — assemble it into one GRIB2 message, append to
+  * the task's temp file, and rename into place on commit (task-level
+  * atomicity; speculative duplicates can't collide thanks to the task
+  * id in the name).
+  */
+class Grib2DataWriter(dir: String, partitionId: Int, taskId: Long,
+                      schema: StructType, dScale: Int,
+                      latStep: Option[Long], lonStep: Option[Long])
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+
+  private val iVar = schema.fieldIndex("variable")
+  private val iTime = schema.fieldIndex("time")
+  private val iLat = schema.fieldIndex("lat")
+  private val iLon = schema.fieldIndex("lon")
+  private val iVal = schema.fieldIndex("value")
+
+  private val conf = new org.apache.hadoop.conf.Configuration()
+  private val tmpPath = new org.apache.hadoop.fs.Path(dir,
+    f".part-$partitionId%05d-$taskId.grib2.inprogress")
+  private val finalPath = new org.apache.hadoop.fs.Path(dir,
+    f"part-$partitionId%05d-$taskId.grib2")
+  private val fs = tmpPath.getFileSystem(conf)
+  private lazy val out = fs.create(tmpPath, true)
+
+  private var curVar: String = _
+  private var curTime: Long = Long.MinValue
+  private val rows = ArrayBuffer[(Double, Double, Double)]()
+  private var wrote = false
+
+  override def write(record: InternalRow): Unit = {
+    val v = record.getUTF8String(iVar).toString
+    val t = record.getLong(iTime)
+    if (v != curVar || t != curTime) {
+      flushLayer()
+      curVar = v; curTime = t
+    }
+    rows += ((record.getDouble(iLat), record.getDouble(iLon),
+      record.getDouble(iVal)))
+  }
+
+  private def flushLayer(): Unit = if (rows.nonEmpty) {
+    val (d, c, n) = Grib2.paramOf(curVar)
+    require(curTime % 1000000L == 0,
+      s"grib2 writer: sub-second time for $curVar (section 1 carries seconds)")
+    val time = java.time.LocalDateTime.ofEpochSecond(
+      curTime / 1000000L, 0, java.time.ZoneOffset.UTC)
+    def micro(v: Double, axis: String): Long = {
+      val m = Math.round(v * 1e6)
+      require(m / 1e6 == v, s"grib2 writer: $axis $v not microdegree-exact")
+      m
+    }
+    val lats = rows.map(r => micro(r._1, "lat")).distinct.sorted.toSeq
+    val lons = rows.map(r => micro(r._2, "lon")).distinct.sorted.toSeq
+    def step(cs: Seq[Long], fixed: Option[Long], axis: String): Long = fixed.getOrElse {
+      require(cs.length >= 2,
+        s"grib2 writer: cannot infer $axis spacing from a single value " +
+          s"(layer $curVar; pass ${axis}StepMicro)")
+      val gaps = cs.sliding(2).map(p => p(1) - p(0)).toSeq
+      val g = gaps.min
+      require(gaps.forall(_ % g == 0), s"grib2 writer: non-uniform $axis lattice in $curVar")
+      g
+    }
+    val dj = step(lats, latStep, "lat")
+    val di = step(lons, lonStep, "lon")
+    val la1 = lats.head; val lo1 = lons.head
+    val nj = ((lats.last - la1) / dj + 1).toInt
+    val ni = ((lons.last - lo1) / di + 1).toInt
+    require(ni > 1 && nj > 1,
+      s"grib2 writer: degenerate ${ni}x$nj lattice for $curVar (grid template 3.0 needs > 1 per axis)")
+    val p10 = math.pow(10.0, dScale)
+    val scaled = Array.fill[Option[Int]](ni * nj)(None)
+    rows.foreach { case (la, lo, v) =>
+      val j = ((micro(la, "lat") - la1) / dj).toInt
+      val i = ((micro(lo, "lon") - lo1) / di).toInt
+      require((micro(la, "lat") - la1) % dj == 0 && (micro(lo, "lon") - lo1) % di == 0,
+        s"grib2 writer: off-lattice cell ($la, $lo) in $curVar")
+      val s = Math.round(v * p10)
+      require(s / p10 == v && math.abs(s) <= Int.MaxValue,
+        s"grib2 writer: value $v not exact at decimalScale=$dScale in $curVar")
+      require(scaled(j * ni + i).isEmpty,
+        s"grib2 writer: duplicate cell ($la, $lo) in $curVar")
+      scaled(j * ni + i) = Some(s.toInt)
+    }
+    out.write(Grib2.encodeMessage(Grib2.Field(d, c, n, time, ni, nj,
+      la1, lo1, di, dj, decimalScale = dScale, scaled, scanMode = 0x40)))
+    wrote = true
+    rows.clear()
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    flushLayer()
+    out.close()
+    if (wrote) fs.rename(tmpPath, finalPath)
+    else fs.delete(tmpPath, false) // empty partition: no file
+    Grib2CommitMessage(finalPath.toString)
+  }
+  override def abort(): Unit = {
+    try out.close() catch { case _: Exception => () }
+    fs.delete(tmpPath, false)
+    ()
+  }
   override def close(): Unit = ()
 }

@@ -11,6 +11,7 @@ import graft.sources.Grib2
   */
 class Grib2ConnectorSpec extends SparkSpec {
   import graft.implicits._
+  import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
 
   private lazy val fixture: String = {
     val dir = java.nio.file.Files.createTempDirectory("grib2dsv2")
@@ -66,6 +67,56 @@ class Grib2ConnectorSpec extends SparkSpec {
     val p2 = df.select($"variable", $"value").queryExecution
       .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     p2 should include("ReadSchema: struct<variable:string,value:double>")
+  }
+
+  test("DSv2 write: sparse layers round-trip via bitmaps, Spark plans the clustering") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val tmp = java.nio.file.Files.createTempDirectory("grib2w").toString
+    // two layers across variables, one with a HOLE (masked cell) and a
+    // synthetic var name; rows deliberately unsorted and in one partition
+    val rows = Seq(
+      ("TMP", "2004-05-01 00:00:00", 2.0, 11.0, 7.0),
+      ("TMP", "2004-05-01 00:00:00", 1.0, 10.0, 4.0),
+      ("TMP", "2004-05-01 00:00:00", 1.0, 11.0, 5.0),
+      // (2.0, 10.0) missing -> bitmap
+      ("var0-9-9", "2004-05-01 00:00:00", 1.0, 10.0, 1.0),
+      ("var0-9-9", "2004-05-01 00:00:00", 1.0, 11.0, 2.0),
+      ("var0-9-9", "2004-05-01 00:00:00", 2.0, 10.0, 3.0),
+      ("var0-9-9", "2004-05-01 00:00:00", 2.0, 11.0, 4.0))
+      .toDS().toDF("variable", "ts", "lat", "lon", "value")
+      .select(col("variable"), col("ts").cast("timestamp_ntz").as("time"),
+        col("lat"), col("lon"), col("value"))
+    rows.coalesce(1).write.format("grib2").mode("overwrite")
+      .option("decimalScale", "1").save(tmp)
+    val back = spark.read.format("grib2").load(tmp)
+      .orderBy(col("variable"), col("lat"), col("lon")).collect()
+      .map(r => (r.getString(0), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    back shouldBe Array(
+      ("TMP", 1.0, 10.0, 4.0), ("TMP", 1.0, 11.0, 5.0), ("TMP", 2.0, 11.0, 7.0),
+      ("var0-9-9", 1.0, 10.0, 1.0), ("var0-9-9", 1.0, 11.0, 2.0),
+      ("var0-9-9", 2.0, 10.0, 3.0), ("var0-9-9", 2.0, 11.0, 4.0))
+  }
+
+  test("DSv2 write rejects silent quantization and unknown names loudly") {
+    import org.apache.spark.sql.functions.col
+    def df(v: String, value: Double) = Seq(
+      (v, "2004-05-01 00:00:00", 1.0, 10.0, value),
+      (v, "2004-05-01 00:00:00", 2.0, 11.0, value))
+      .toDS().toDF("variable", "ts", "lat", "lon", "value")
+      .select(col("variable"), col("ts").cast("timestamp_ntz").as("time"),
+        col("lat"), col("lon"), col("value"))
+    val tmp = java.nio.file.Files.createTempDirectory("grib2w2").toString
+    // 0.25 is not exact at decimalScale=1 -> loud reject, not rounding
+    val e = intercept[Exception] {
+      df("TMP", 0.25).coalesce(1).write.format("grib2")
+        .mode("overwrite").option("decimalScale", "1").save(tmp)
+    }
+    e.getMessage should include("not exact at decimalScale")
+    val e2 = intercept[Exception] {
+      df("NOPE", 1.0).coalesce(1).write.format("grib2")
+        .mode("overwrite").save(tmp)
+    }
+    e2.getMessage should include("no GRIB parameter mapping")
   }
 
   test("directory and glob paths expand; missing paths fail loudly") {
