@@ -55,6 +55,26 @@ class SimilaritySpec extends SparkSpec {
     out.map(_._3) should not contain 4L
   }
 
+  test("kmeansAssignExact refuses clusters past the exactness envelope, loudly") {
+    // dim 2, |x'| = 5e5 after milli-quantization: dim·n²·A² <= 2^52
+    // caps membership near 95 — 200 co-located vectors must trip the
+    // guard instead of silently losing the bit-exact score contract
+    // vec_id 1 is the lone far point so the two seeds (smallest ids 0
+    // and 1) anchor DIFFERENT clusters — the failure must be the
+    // envelope, not an emptied cluster
+    val big = ((0L to 200L).filter(_ != 1L).map(i => (i, Array(500.0f, 500.0f), 0)) :+
+      ((1L, Array(-500.0f, -500.0f), 1)))
+    val df = big.toDF("vec_id", "embedding", "label")
+    val e = intercept[IllegalArgumentException](
+      Similarity.kmeansAssignExact(df, 2, 1).collect())
+    e.getMessage should include("exact-score envelope")
+    // well inside the envelope the same call succeeds
+    val small = ((0L to 20L).filter(_ != 1L).map(i => (i, Array(500.0f, 500.0f), 0)) :+
+      ((1L, Array(-500.0f, -500.0f), 1)))
+    Similarity.kmeansAssignExact(small.toDF("vec_id", "embedding", "label"), 2, 1)
+      .count() shouldBe 21L
+  }
+
   test("cosineAboveThreshold filters strictly below threshold") {
     val d = emb((0L, vec(0), 0), (1L, vec(0), 0), (2L, vec(1), 1))
     val out = Similarity.cosineAboveThreshold(d, 0L, 0.5).collect()
