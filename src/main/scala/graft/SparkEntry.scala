@@ -2048,6 +2048,17 @@ object SparkEntry {
     "g07_kcore" -> ((s, d) => operators.Graph.kCore(
       operators.Graph.coPurchaseEdgesSupported(t(s, d)("lineitem"), 2), 3,
       maxRounds = kcorePeelRounds)),
+    // synchronous label-propagation communities over the same supported
+    // co-purchase graph — fixed round count shared with the oracle's
+    // unroll (lpaRounds), min-label tie break, label = node id at start;
+    // rolled up per final label like g05
+    "g08_label_prop" -> ((s, d) => operators.Graph.labelPropagation(
+        operators.Graph.coPurchaseEdgesSupported(t(s, d)("lineitem"), 2),
+        lpaRounds)
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_nodes"), min($"node").as("min_node"),
+        max($"node").as("max_node"), sum($"node").as("sum_nodes"))
+      .orderBy($"label")),
     "g03_item_cf" -> ((s, d) =>
       operators.Graph.itemPairsCF(
         t(s, d)("lineitem")
@@ -2741,6 +2752,40 @@ object SparkEntry {
          SELECT node, CAST(count(*) AS BIGINT) AS core_deg
          FROM (SELECT u AS node FROM e$rounds UNION ALL SELECT v AS node FROM e$rounds)
          GROUP BY node ORDER BY node"""
+  }
+
+  /** Shared g08 round count: the oracle unrolls exactly this many
+    * count/argmax CTE pairs AND the engine runs exactly this many
+    * synchronous sweeps — fixed by construction (label propagation has
+    * no engine-side convergence test here; synchronous LPA may cycle on
+    * bipartite-ish subgraphs, and a fixed shared round count makes the
+    * result well-defined and bit-identical regardless).
+    */
+  private val lpaRounds = 4
+
+  /** g08 oracle: `rounds` synchronous label-propagation sweeps unrolled
+    * as CTE pairs (neighbour-label count + per-node argmax with the
+    * (count DESC, label ASC) total order) — see [[lpaRounds]] and
+    * [[operators.Graph.labelPropagation]]. MATERIALIZED for the same
+    * expansion reason as [[kcoreOracle]].
+    */
+  private def lpaOracle(rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""c$r AS MATERIALIZED (SELECT s.u AS node, l.label, count(*) AS c
+                 FROM sym s JOIN l${r - 1} l ON l.node = s.v GROUP BY 1, 2),
+         l$r AS MATERIALIZED (SELECT node, label FROM (
+                 SELECT node, label, row_number() OVER (
+                   PARTITION BY node ORDER BY c DESC, label) AS rn
+                 FROM c$r) WHERE rn = 1)"""
+    }.mkString(",\n         ")
+    s"""WITH ${supportedEdgesCte.replace("e0 AS (", "e0 AS MATERIALIZED (")},
+         sym AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+         l0 AS MATERIALIZED (SELECT u AS node, u AS label FROM (SELECT DISTINCT u FROM sym)),
+         $steps
+         SELECT label, CAST(count(*) AS BIGINT) AS n_nodes,
+                MIN(node) AS min_node, MAX(node) AS max_node,
+                CAST(SUM(node) AS BIGINT) AS sum_nodes
+         FROM l$rounds GROUP BY label ORDER BY label"""
   }
 
   /** Shared t10/w07 oracle CTE: the Gopher/C4 rule battery per document,
@@ -5267,6 +5312,7 @@ object SparkEntry {
          FROM i JOIN deg dx ON i.x = dx.w JOIN deg dy ON i.y = dy.w
          ORDER BY x, y""",
     "g07_kcore" -> kcoreOracle(3, kcorePeelRounds),
+    "g08_label_prop" -> lpaOracle(lpaRounds),
     "g03_item_cf" ->
       """WITH po AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
          cn AS (SELECT a.item AS u, b.item AS w, CAST(count(*) AS BIGINT) AS common

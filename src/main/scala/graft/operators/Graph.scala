@@ -400,6 +400,49 @@ object Graph {
       .orderBy(col("x"), col("y"))
   }
 
+  /** Synchronous label propagation (g08): `rounds` fixed sweeps over an
+    * undirected edge list (u < v) — the classic community-detection
+    * heuristic (Raghavan/Albert/Kumara 2007) that groups a co-purchase
+    * graph into "bought-together" neighborhoods without a modularity
+    * solver. Each round EVERY node simultaneously adopts the most
+    * frequent label among its neighbours, ties broken by the SMALLEST
+    * label; labels start as node ids. The deliberate determinism
+    * choices: synchronous rounds (no randomized sweep order — the
+    * asynchronous variant is engine-dependent), integer labels with a
+    * total tie order, and a FIXED round count shared with the oracle
+    * ([[graft.SparkEntry]]'s `kcorePeelRounds` discipline), so any
+    * engine computes identical bits and the gate holds a full value
+    * oracle. Every edge endpoint has >= 1 neighbour by construction, so
+    * no keep-own-label fallback leg is needed.
+    *
+    * Scale shape: per round, one (node, neighbour-label) count and one
+    * per-node argmax — both map-side-combinable groupBys (`max_by` over
+    * the (count, -label) struct instead of a window sort, so no
+    * per-node row sort materializes); only 16-byte (node, label) rows
+    * flow between rounds, and the symmetrized edge list is barriered
+    * once and re-read each round. At 100 TB: rounds × 2 co-partitioned
+    * shuffles of label-sized rows, never payloads — the same envelope
+    * as [[pagerankInt]].
+    */
+  def labelPropagation(undRaw: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "labelPropagation: rounds must be >= 1")
+    val und = undRaw.select(col("u"), col("v"))
+    val sym = graft.Session.barrier(
+      und.unionByName(und.select(col("v").as("u"), col("u").as("v"))))
+    var labels = sym.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (_ <- 1 to rounds) {
+      labels = sym.join(labels, sym("v") === labels("node"))
+        .groupBy(sym("u").as("n"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("n"))
+        .agg(max_by(col("label"), struct(col("c"), (-col("label")).as("neg")))
+          .as("label"))
+        .select(col("n").as("node"), col("label"))
+    }
+    labels
+  }
+
   /** k-core decomposition membership: iteratively peel nodes of degree
     * < k until fixpoint; emit each surviving node with its within-core
     * degree. The classic cohesion filter (dense-community extraction,

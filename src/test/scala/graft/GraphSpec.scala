@@ -256,6 +256,26 @@ class GraphSpec extends SparkSpec {
     Graph.kCore(edges, k = 3).count() shouldBe 0L
   }
 
+  test("labelPropagation: two triangles with a bridge settle into their min-label communities") {
+    // hand-unrolled: l1 = (1→2, 2→1, 3→1, 4→3, 5→4, 6→4),
+    // l2 = (1→1, 2→1, 3→1, 4→4, 5→3, 6→3), l3/l4 stable at the split below
+    val edges = Seq((1L,2L),(1L,3L),(2L,3L),(4L,5L),(4L,6L),(5L,6L),(3L,4L)).toDF("u", "v")
+    val got = Graph.labelPropagation(edges, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L)
+  }
+
+  test("labelPropagation: synchronous sweeps are well-defined on an oscillating path") {
+    // P3 cycles with period 2 under synchronous updates — the fixed shared
+    // round count is what makes the gate deterministic; pin round 2 exactly
+    val p3 = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    Graph.labelPropagation(p3, rounds = 2).as[(Long, Long)].collect().toMap shouldBe
+      Map(1L -> 1L, 2L -> 2L, 3L -> 1L)
+    // and round 1 pins the min-label TIE break (node 2 sees {1, 3}, counts equal)
+    Graph.labelPropagation(p3, rounds = 1).as[(Long, Long)].collect().toMap shouldBe
+      Map(1L -> 2L, 2L -> 1L, 3L -> 2L)
+  }
+
   test("coPurchaseEdgesSupported drops pairs co-occurring in a single order") {
     val li = Seq(
       (1L, 10L), (1L, 11L), (1L, 12L),  // order 1: pairs (10,11) (10,12) (11,12)
