@@ -1696,6 +1696,10 @@ object SparkEntry {
     // after PII scrubbing (172 kept / 328 suppressed at sf0.01)
     "t43_k_anonymity" -> ((s, d) =>
       operators.TextAnalysis.kAnonymity(t(s, d)("documents"), 3L, 100L)),
+    // per-doc TF-IDF top-3 keywords: tf/df rational rank (no ln), term
+    // tie break, map-side WindowGroupLimit top-k trim
+    "t44_tfidf_keywords" -> ((s, d) =>
+      operators.TextAnalysis.tfidfKeywords(t(s, d)("documents"), 3)),
     // join-key skew diagnostic over a deterministic zipf-ish key (60% of
     // rows concentrated on 3 keys): exact-integer ppm shares, the
     // cross-multiplied mean comparison, and salt recommendations
@@ -3242,6 +3246,24 @@ object SparkEntry {
          ORDER BY zkey, variable, time, lat, lon""",
     // identical quasi-identifier grouping + threshold; the join back is
     // the same relation, so sizes cannot drift
+    // tf from the shared adaptive tokenizer, df re-collapsed from the tf
+    // histogram, score = one IEEE division of exact BIGINTs, (score DESC,
+    // term) total order mirrors the engine's rank window exactly
+    "t44_tfidf_keywords" ->
+      s"""WITH toks AS (SELECT doc_id, ${operators.Dedup.tokensDuckdbSql("text")} AS t
+                        FROM documents),
+         tfc AS (SELECT doc_id, unnest(t) AS term FROM toks),
+         tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM tfc GROUP BY 1, 2),
+         df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         s AS (SELECT doc_id, term, tf, df,
+                      CAST(tf AS DOUBLE)/CAST(df AS DOUBLE) AS score
+               FROM tf JOIN df USING (term)),
+         r AS (SELECT *, CAST(row_number() OVER (
+                 PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rk
+               FROM s)
+         SELECT doc_id, term, tf, df, score, rk FROM r WHERE rk <= 3
+         ORDER BY doc_id, rk""",
     "t43_k_anonymity" ->
       """WITH keyed AS (SELECT doc_id, lang, source,
                                CAST(n_chars // 100 AS BIGINT) AS size_bucket

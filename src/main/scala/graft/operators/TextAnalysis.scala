@@ -668,6 +668,45 @@ object TextAnalysis {
       .orderBy($"source")
   }
 
+  /** Per-document TF-IDF keyword extraction (t44): the top-`k` terms of
+    * each document ranked by term frequency over document frequency —
+    * the classic "what is this document about" signal every indexing /
+    * tagging / near-duplicate-triage pipeline derives first. Ranking by
+    * the rational tf/df is order-equivalent to tf·idf with idf = N/df
+    * (N is constant within a corpus) and needs no `ln` — the score is
+    * ONE IEEE division of two exact BIGINT counts, bit-identical in any
+    * engine (the [[collocations]] portability discipline); ties break
+    * on the term itself, so the top-k cut is total-ordered.
+    *
+    * Scale shape: one corpus scan to the (doc, term) tf histogram
+    * (map-side combine), df re-collapsed FROM that histogram (vocab-
+    * sized, never a second corpus scan), a term-keyed shuffle join of
+    * histogram against vocabulary (both sides hash-partition on term —
+    * the vocabulary is unbounded at corpus scale, never broadcast), and
+    * the per-doc top-k as a rank window whose map-side WindowGroupLimit
+    * trims each partition to k rows BEFORE the exchange (the s13
+    * filtered-top-k plan shape).
+    */
+  def tfidfKeywords(documents: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "tfidfKeywords: k must be >= 1")
+    // barriered: df is re-collapsed FROM this histogram — without the
+    // materialization both join sides would re-scan and re-explode the
+    // corpus (the vocabProfile discipline)
+    val tf = graft.Session.barrier(documents
+      .select($"doc_id", explode(Dedup.tokens($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf")))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id")
+      .orderBy($"score".desc, $"term".asc)
+    tf.join(df, Seq("term"))
+      .select($"doc_id", $"term", $"tf", $"df",
+        ($"tf".cast("double") / $"df".cast("double")).as("score"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where($"rk" <= k)
+      .orderBy($"doc_id", $"rk")
+  }
+
   /** Bigram collocation mining — corpus phrases whose adjacent
     * co-occurrence beats independence (lift = P(xy)/(P(x)·P(y)), the
     * exp(PMI) every phrase-detection pass ranks by). Integer counts all

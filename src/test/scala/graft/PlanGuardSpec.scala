@@ -481,6 +481,22 @@ class PlanGuardSpec extends SparkSpec {
     p should not include "SortMergeJoin"
   }
 
+  test("t44_tfidf_keywords: tf histogram materializes once, top-k trims map-side") {
+    val p = planOf("t44_tfidf_keywords")
+    p should include("WindowGroupLimit")
+    // df re-collapses from the barriered tf histogram: the corpus parquet
+    // is not in the plan at all (checkpoint scans only)
+    p should not include "documents.parquet"
+  }
+
+  test("g08_label_prop: rounds join the barriered symmetric edges, label rows only") {
+    val p = planOf("g08_label_prop")
+    p should not include "CartesianProduct"
+    // the lineitem fact feeds the one-off edge derivation barrier, never
+    // the unrolled rounds — the round plan reads checkpoints only
+    p should not include "lineitem.parquet"
+  }
+
   test("r17_remap_bilinear: the corner lattice broadcasts; the grid joins as a hash join") {
     val p = planOf("r17_remap_bilinear")
     p should include("BroadcastHashJoin")

@@ -294,6 +294,25 @@ class TextAnalysisSpec extends SparkSpec {
     out("ALL") shouldBe ((9L, 6L, 4L, "a", 3L))
   }
 
+  test("tfidfKeywords: tf/df rank, term tie break, top-k cut on a hand corpus") {
+    val d = docs(
+      (1L, "apple banana apple", "en", "w"),   // tf: apple 2, banana 1
+      (2L, "banana cherry", "en", "w"),
+      (3L, "cherry cherry durian", "en", "w")) // df: apple 1, banana 2, cherry 2, durian 1
+    val out = TextAnalysis.tfidfKeywords(d, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(5)) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    out((1L, 1L)) shouldBe (("apple", 2L, 1L, 2.0))
+    out((1L, 2L)) shouldBe (("banana", 1L, 2L, 0.5))
+    // doc 2: banana and cherry tie at 0.5 -> term ASC orders banana first
+    out((2L, 1L)) shouldBe (("banana", 1L, 2L, 0.5))
+    out((2L, 2L)) shouldBe (("cherry", 1L, 2L, 0.5))
+    // doc 3: cherry 2/2 and durian 1/1 tie at 1.0 -> cherry first
+    out((3L, 1L)) shouldBe (("cherry", 2L, 2L, 1.0))
+    out((3L, 2L)) shouldBe (("durian", 1L, 1L, 1.0))
+    out.size shouldBe 6
+  }
+
   test("keywordTagCounts: non-overlapping greedy counts, case folding, exact totals") {
     val docs = Seq(
       (1L, "Spark spark and more SPARK vector"),
