@@ -1233,6 +1233,9 @@ object SparkEntry {
     // realignment/marker/DC-reset handling cannot change one output value
     "m13_jpeg_color_dri" -> ((s, d) =>
       Multimodal.jpegColorTilesDri(t(s, d)("documents"))),
+    // REAL GIF87a decode from bytes: sub-block reassembly + variable-
+    // width LSB-first LZW + palette lookup; closed-form lattice oracle
+    "m14_gif_decode" -> ((s, d) => Multimodal.gifDecode(t(s, d)("documents"))),
     "m12_jpeg_color_resize" -> ((s, d) =>
       Multimodal.jpegColorResize(t(s, d)("documents"))),
     // image perceptual hash (aHash) over the REAL decoded PNG raster —
@@ -4117,6 +4120,18 @@ object SparkEntry {
                 CAST(least(greatest(g0, 0), 255) AS BIGINT) AS g,
                 CAST(least(greatest(b0, 0), 255) AS BIGINT) AS b
          FROM c ORDER BY doc_id, ty, tx""",
+    // regenerates the GIF fixture's dims and index-lattice sum from the
+    // doc_id closed forms — independent of the bytes, so an LZW or
+    // palette bug cannot cancel out (the m04 discipline)
+    "m14_gif_decode" ->
+      """WITH d AS (SELECT doc_id AS d FROM documents),
+         dims AS (SELECT d, 10 + d % 30 AS w, 6 + (5*d) % 20 AS h FROM d),
+         xs AS (SELECT d, w, h, unnest(generate_series(0, w - 1)) AS x FROM dims),
+         xy AS (SELECT d, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs)
+         SELECT d AS doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+                CAST(w * h AS BIGINT) AS n_pixels,
+                CAST(sum((11*x + 5*y + d) % 256) AS BIGINT) AS value_sum
+         FROM xy GROUP BY d, w, h ORDER BY doc_id""",
     // m13 shares m10's oracle verbatim: restart intervals change the
     // BITSTREAM (alignment, RSTm markers, predictor resets), never the
     // pixel values

@@ -126,6 +126,34 @@ object Multimodal {
         (((31L * k + 7 * d) % 2048) - 1024).toShort))
   }
 
+  /** m14 fixture: an indexed GIF87a per document, dims and pixel lattice
+    * in closed form from doc_id (the m04 discipline — the oracle
+    * regenerates every decoded quantity without touching the bytes).
+    */
+  def gifFor(d: Long): Array[Byte] =
+    AssetCodecs.encodeGif((10 + d % 30).toInt, (6 + (5 * d) % 20).toInt,
+      (x, y) => ((11 * x + 5 * y + d) % 256).toInt)
+
+  /** GIF decode gate (m14): the full wire path — sub-block reassembly,
+    * variable-width LSB-first LZW (dictionary growth, width changes,
+    * table-full CLEAR resets on real data), palette lookup — recovered
+    * per document from the BYTES and compared to the closed-form
+    * lattice. Same `mapPartitions` plumbing as [[decodeAssets]].
+    */
+  def gifDecode(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val m = AssetCodecs.decodeGif(gifFor(id))
+          (id, m.width, m.height, m.nUnits, m.valueSum)
+        }
+      }
+      .toDF("doc_id", "width", "height", "n_pixels", "value_sum")
+      .orderBy(col("doc_id"))
+  }
+
   /** Real distributed decode (m04): encode each document's fixture asset,
     * then recover its metadata and exact content sum from the BYTES with
     * the real byte-level codecs — the non-stub counterpart of

@@ -27,6 +27,10 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   *  - WAV: PCM (format 1) 16-bit, any channel count/rate; unknown RIFF
   *    chunks (LIST, fact, ...) are skipped via the chunk walk, odd-sized
   *    chunks consume their pad byte.
+  *  - GIF (87a/89a): global colour table, one non-interlaced image, no
+  *    local table; extensions skipped; full variable-width LSB-first
+  *    LZW both directions (encoder resets at a full table, decoder
+  *    handles mid-stream CLEAR and the KwKwK case).
   */
 object AssetCodecs {
 
@@ -48,6 +52,8 @@ object AssetCodecs {
     else if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I') decodeWav(bytes)
     else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
       decodeJpeg(bytes)
+    else if (bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F')
+      decodeGif(bytes)
     else sys.error(s"unrecognized asset container (${bytes.take(4).map(b => f"$b%02x").mkString(" ")})")
 
   // ---------------------------------------------------------------- PNG
@@ -1353,5 +1359,206 @@ object AssetCodecs {
     require(nFrames >= 0, "WAV missing data chunk")
     AssetMeta("wav", width = 0, height = 0, channels = channels,
       bitDepth = 16, sampleRate = rate, nUnits = nFrames, valueSum = sum)
+  }
+
+  // ---------------------------------------------------------------- GIF
+
+  /** Encode an 8-bit indexed GIF87a image over the 256-entry greyscale
+    * global palette (entry i = (i,i,i)), with a REAL LZW compressor —
+    * dictionary of (prefix-code, byte) pairs, variable code width
+    * 9→12 bits packed LSB-first (GIF packs bits the opposite way round
+    * from TIFF's MSB-first LZW in [[GeoTiff]]), CLEAR emitted up front
+    * and again whenever the table fills at 4096 entries. `pix(x, y)`
+    * is the palette index (masked to 0..255).
+    */
+  def encodeGif(w: Int, h: Int, pix: (Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff, s"encodeGif: bad dims ${w}x$h")
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF87a".getBytes("US-ASCII"))
+    le16(w); le16(h)
+    out.write(0xf7) // global table, 8-bit colour resolution, 256 entries
+    out.write(0)    // background index
+    out.write(0)    // pixel aspect ratio: unspecified
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    out.write(0x2c) // image descriptor
+    le16(0); le16(0); le16(w); le16(h)
+    out.write(0x00) // no local table, not interlaced
+    out.write(8)    // LZW minimum code size
+    val idx = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { idx(y * w + x) = (pix(x, y) & 0xff).toByte; x += 1 }
+      y += 1
+    }
+    val data = lzwCompressGif(idx, 8)
+    var off = 0
+    while (off < data.length) {
+      val n = math.min(255, data.length - off)
+      out.write(n); out.write(data, off, n); off += n
+    }
+    out.write(0)    // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** GIF-flavour LZW compress: width grows AFTER the entry numbered
+    * (1<<width) is allocated (the encoder's next-free counter leads the
+    * decoder's by exactly one, so encoder `next == (1<<w)+1` and decoder
+    * `next == (1<<w)` fire at the same point in the code stream — no
+    * "early change": that is TIFF's variant, not GIF's).
+    */
+  private def lzwCompressGif(idx: Array[Byte], minCodeSize: Int): Array[Byte] = {
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var nAcc = 0
+    var width = minCodeSize + 1
+    def put(code: Int): Unit = {
+      acc |= code.toLong << nAcc; nAcc += width
+      while (nAcc >= 8) { out.write((acc & 0xff).toInt); acc >>>= 8; nAcc -= 8 }
+    }
+    val dict = new scala.collection.mutable.LongMap[Int]()
+    var next = eoi + 1
+    put(clear)
+    var cur = idx(0) & 0xff
+    var i = 1
+    while (i < idx.length) {
+      val k = idx(i) & 0xff
+      val key = (cur.toLong << 8) | k
+      dict.get(key) match {
+        case Some(c) => cur = c
+        case None =>
+          put(cur)
+          dict.put(key, next); next += 1
+          if (next == (1 << width) + 1 && width < 12) width += 1
+          if (next == 4096) { // table full: reset both sides
+            put(clear)
+            dict.clear(); next = eoi + 1; width = minCodeSize + 1
+          }
+          cur = k
+      }
+      i += 1
+    }
+    put(cur); put(eoi)
+    if (nAcc > 0) out.write((acc & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** Decode a GIF87a/89a image: (width, height, 768-byte greyscale-or-
+    * colour global palette, per-pixel indices). Scope, rejected loudly
+    * outside it: a global colour table, one non-interlaced image with no
+    * local table; extension blocks (GCE/comment/application) are skipped
+    * via the sub-block walk. The LZW decoder carries the full variable-
+    * width protocol: CLEAR resets mid-stream, the KwKwK
+    * (code == next-free) case, and strict pixel-count/truncation checks.
+    */
+  def decodeGifImage(bytes: Array[Byte]): (Int, Int, Array[Byte], Array[Byte]) = {
+    val sig = new String(bytes, 0, 6, "US-ASCII")
+    require(sig == "GIF87a" || sig == "GIF89a", s"not a GIF: $sig")
+    def le16(off: Int): Int = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    val w = le16(6); val h = le16(8)
+    val packed = bytes(10) & 0xff
+    require((packed & 0x80) != 0, "GIF without a global colour table (scope: global palette)")
+    val gctSize = 1 << ((packed & 7) + 1)
+    val palette = new Array[Byte](768)
+    System.arraycopy(bytes, 13, palette, 0, 3 * gctSize)
+    var pos = 13 + 3 * gctSize
+    while (true) {
+      (bytes(pos) & 0xff) match {
+        case 0x21 => // extension: label byte then sub-blocks
+          pos += 2
+          while ((bytes(pos) & 0xff) != 0) pos += 1 + (bytes(pos) & 0xff)
+          pos += 1
+        case 0x2c =>
+          val iw = le16(pos + 5); val ih = le16(pos + 7)
+          val ip = bytes(pos + 9) & 0xff
+          require((ip & 0x80) == 0, "GIF local colour table unsupported (scope: global palette)")
+          require((ip & 0x40) == 0, "interlaced GIF unsupported")
+          require(iw.toLong * ih > 0, s"GIF: empty image ${iw}x$ih")
+          val minCodeSize = bytes(pos + 10) & 0xff
+          require(minCodeSize >= 2 && minCodeSize <= 8, s"GIF: bad LZW min code size $minCodeSize")
+          pos += 11
+          val data = new java.io.ByteArrayOutputStream()
+          while ((bytes(pos) & 0xff) != 0) {
+            val n = bytes(pos) & 0xff
+            data.write(bytes, pos + 1, n)
+            pos += 1 + n
+          }
+          val indices = lzwDecompressGif(data.toByteArray, minCodeSize, iw * ih)
+          return (iw, ih, palette, indices)
+        case 0x3b => sys.error("GIF trailer before any image block")
+        case b => sys.error(f"GIF: unexpected block 0x$b%02x")
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** GIF-flavour LZW decompress (LSB-first bit order, prefix/suffix
+    * table, stack expansion). Requires exactly `expect` pixels.
+    */
+  private def lzwDecompressGif(data: Array[Byte], minCodeSize: Int, expect: Int): Array[Byte] = {
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4097)
+    val out = new Array[Byte](expect)
+    var outN = 0
+    var width = minCodeSize + 1
+    var next = eoi + 1
+    var acc = 0L; var nAcc = 0; var pos = 0
+    def read(): Int = {
+      while (nAcc < width) {
+        require(pos < data.length, "GIF: LZW stream truncated (no EOI)")
+        acc |= (data(pos) & 0xffL) << nAcc; pos += 1; nAcc += 8
+      }
+      val c = (acc & ((1L << width) - 1)).toInt
+      acc >>>= width; nAcc -= width; c
+    }
+    var prev = -1
+    var first: Byte = 0
+    var done = false
+    while (!done) {
+      val code = read()
+      if (code == clear) { next = eoi + 1; width = minCodeSize + 1; prev = -1 }
+      else if (code == eoi) done = true
+      else {
+        require(code < next || (code == next && prev >= 0),
+          s"GIF: LZW code $code out of range (next=$next)")
+        var sp = 0
+        var c = code
+        if (code == next) { stack(sp) = first; sp += 1; c = prev } // KwKwK
+        while (c > eoi) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+        require(c < clear, s"GIF: chain resolved to reserved code $c")
+        first = c.toByte
+        stack(sp) = first; sp += 1
+        require(outN + sp <= expect, s"GIF: more than $expect pixels in LZW stream")
+        while (sp > 0) { sp -= 1; out(outN) = stack(sp); outN += 1 }
+        if (prev >= 0 && next < 4096) {
+          prefix(next) = prev; suffix(next) = first; next += 1
+          if (next == (1 << width) && width < 12) width += 1
+        }
+        prev = code
+      }
+    }
+    require(outN == expect, s"GIF: decoded $outN pixels, expected $expect")
+    out
+  }
+
+  /** Sniffed GIF decode to the uniform record: channels 1 because the
+    * fixture palette is the greyscale identity ramp; `valueSum` is the
+    * exact integer sum of the palette RED component over all pixels
+    * (= the grey value under the identity ramp).
+    */
+  def decodeGif(bytes: Array[Byte]): AssetMeta = {
+    val (w, h, palette, idx) = decodeGifImage(bytes)
+    var s = 0L
+    var i = 0
+    while (i < idx.length) { s += palette(3 * (idx(i) & 0xff)) & 0xff; i += 1 }
+    AssetMeta("gif", width = w, height = h, channels = 1, bitDepth = 8,
+      sampleRate = 0, nUnits = w.toLong * h, valueSum = s)
   }
 }

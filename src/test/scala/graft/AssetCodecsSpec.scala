@@ -303,6 +303,72 @@ class AssetCodecsSpec extends AnyFunSuite with Matchers {
     b shouldBe 100 + math.floorDiv(116130 * (90 - 128) + 32768, 65536)
   }
 
+  test("GIF round-trip: exact indices on random data large enough to fill the LZW table") {
+    // 120x120 of high-entropy pixels allocates ~1 dict entry per input
+    // byte: the code stream crosses every width step 9→12 AND the 4096
+    // table-full CLEAR reset at least twice
+    val rnd = new scala.util.Random(42)
+    val img = Array.fill(120 * 120)(rnd.nextInt(256))
+    val bytes = AssetCodecs.encodeGif(120, 120, (x, y) => img(y * 120 + x))
+    val (w, h, pal, idx) = AssetCodecs.decodeGifImage(bytes)
+    (w, h) shouldBe ((120, 120))
+    idx.map(_ & 0xff).toSeq shouldBe img.toSeq
+    (0 until 256).foreach(i => (pal(3 * i) & 0xff) shouldBe i) // identity ramp
+  }
+
+  test("GIF: constant image exercises the KwKwK (code == next-free) decode case exactly") {
+    val bytes = AssetCodecs.encodeGif(37, 5, (_, _) => 7)
+    val (_, _, _, idx) = AssetCodecs.decodeGifImage(bytes)
+    idx.forall(_ == 7.toByte) shouldBe true
+    idx.length shouldBe 37 * 5
+    // and the 1x1 degenerate (single code between CLEAR and EOI)
+    val (w1, h1, _, one) = AssetCodecs.decodeGifImage(AssetCodecs.encodeGif(1, 1, (_, _) => 250))
+    (w1, h1, one.head & 0xff) shouldBe ((1, 1, 250))
+  }
+
+  test("GIF: JDK ImageIO decodes MY bitstream to the same pixels") {
+    val pix = (x: Int, y: Int) => (x * 31 + y * 7 + 3) % 256
+    val bytes = AssetCodecs.encodeGif(29, 17, pix)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    ref.getWidth shouldBe 29
+    ref.getHeight shouldBe 17
+    for (y <- 0 until 17; x <- 0 until 29)
+      (ref.getRGB(x, y) & 0xff) shouldBe pix(x, y) // identity grey palette
+  }
+
+  test("GIF: 89a extension blocks are skipped; out-of-scope shapes and truncation reject") {
+    val base = AssetCodecs.encodeGif(9, 4, (x, y) => x + y)
+    // hand-splice a GCE extension (21 F9 04 ...) before the image block
+    val head = 13 + 768 // signature+LSD+global table
+    val gce = Array(0x21, 0xf9, 0x04, 0x00, 0x0a, 0x00, 0x00, 0x00).map(_.toByte)
+    val spliced = ("GIF89a".getBytes("US-ASCII") ++ base.slice(6, head) ++
+      gce ++ base.drop(head))
+    val (w, h, _, idx) = AssetCodecs.decodeGifImage(spliced)
+    (w, h) shouldBe ((9, 4))
+    (idx(3 * 9 + 5) & 0xff) shouldBe 8
+    // interlace flag set → loud reject
+    val interlaced = base.clone; interlaced(head + 9) = 0x40.toByte
+    the[Exception] thrownBy AssetCodecs.decodeGifImage(interlaced) should have message
+      "requirement failed: interlaced GIF unsupported"
+    // local-colour-table flag set → loud reject
+    val local = base.clone; local(head + 9) = 0x80.toByte
+    an[Exception] should be thrownBy AssetCodecs.decodeGifImage(local)
+    // truncated LZW stream → loud reject, never a short image
+    an[Exception] should be thrownBy AssetCodecs.decodeGifImage(base.dropRight(6))
+    // bad signature
+    an[Exception] should be thrownBy AssetCodecs.decodeGifImage("NOTGIF".getBytes ++ base.drop(6))
+  }
+
+  test("m14 fixture formulas: decodeGif matches the closed form for sample doc_ids") {
+    for (d <- Seq(0L, 1L, 17L, 123L)) {
+      val m = AssetCodecs.decodeGif(Multimodal.gifFor(d))
+      val (w, h) = ((10 + d % 30).toInt, (6 + (5 * d) % 20).toInt)
+      (m.fmt, m.width, m.height) shouldBe (("gif", w.toLong, h.toLong))
+      m.nUnits shouldBe w.toLong * h
+      m.valueSum shouldBe sumPix(w, h, (x, y) => ((11 * x + 5 * y + d) % 256).toInt)
+    }
+  }
+
   test("decode() dispatches on magic bytes and rejects unknown containers") {
     AssetCodecs.decode(AssetCodecs.encodePng(3, 3, (_, _) => 0)).fmt shouldBe "png"
     AssetCodecs.decode(AssetCodecs.encodeBmp(3, 3, (_, _) => 0)).fmt shouldBe "bmp"
