@@ -1236,6 +1236,10 @@ object SparkEntry {
     // REAL GIF87a decode from bytes: sub-block reassembly + variable-
     // width LSB-first LZW + palette lookup; closed-form lattice oracle
     "m14_gif_decode" -> ((s, d) => Multimodal.gifDecode(t(s, d)("documents"))),
+    // video-style frame sampling over a REAL multi-frame container:
+    // stride-2 over each doc's animated GIF, exact per-frame sums
+    "m15_gif_frames" -> ((s, d) =>
+      Multimodal.gifFrameSample(t(s, d)("documents"), 2)),
     "m12_jpeg_color_resize" -> ((s, d) =>
       Multimodal.jpegColorResize(t(s, d)("documents"))),
     // image perceptual hash (aHash) over the REAL decoded PNG raster —
@@ -4132,6 +4136,18 @@ object SparkEntry {
                 CAST(w * h AS BIGINT) AS n_pixels,
                 CAST(sum((11*x + 5*y + d) % 256) AS BIGINT) AS value_sum
          FROM xy GROUP BY d, w, h ORDER BY doc_id""",
+    // stride-2 frame selection + per-frame lattice sums, all closed-form
+    "m15_gif_frames" ->
+      """WITH d AS (SELECT doc_id AS d FROM documents),
+         dims AS (SELECT d, 8 + d % 16 AS w, 5 + (3*d) % 12 AS h, 2 + d % 4 AS nf FROM d),
+         fr AS (SELECT d, w, h, nf, unnest(generate_series(0, nf - 1)) AS f FROM dims),
+         sel AS (SELECT * FROM fr WHERE f % 2 = 0),
+         xs AS (SELECT d, w, h, nf, f, unnest(generate_series(0, w - 1)) AS x FROM sel),
+         xy AS (SELECT d, w, h, nf, f, x, unnest(generate_series(0, h - 1)) AS y FROM xs)
+         SELECT d AS doc_id, CAST(f AS BIGINT) AS frame, CAST(nf AS BIGINT) AS n_frames,
+                CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+                CAST(sum((13*x + 3*y + 7*f + d) % 256) AS BIGINT) AS value_sum
+         FROM xy GROUP BY d, f, nf, w, h ORDER BY doc_id, frame""",
     // m13 shares m10's oracle verbatim: restart intervals change the
     // BITSTREAM (alignment, RSTm markers, predictor resets), never the
     // pixel values

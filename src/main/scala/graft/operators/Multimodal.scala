@@ -154,6 +154,42 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** m15 fixture: an animated GIF per document — 2..5 full-canvas
+    * frames, dims/frame-count/pixel lattice all closed-form from doc_id.
+    */
+  def gifAnimFor(d: Long): Array[Byte] =
+    AssetCodecs.encodeGifAnim((8 + d % 16).toInt, (5 + (3 * d) % 12).toInt,
+      (2 + d % 4).toInt,
+      (f, x, y) => ((13 * x + 3 * y + 7 * f + d) % 256).toInt)
+
+  /** Frame sampling over a REAL multi-frame container (m15): decode
+    * every frame of each document's animated GIF from the bytes, keep
+    * every `stride`-th frame, emit exact per-frame stats — the video
+    * frame-sample shape ([[frameSample]]'s synthetic-spine twin) run
+    * against an actual wire format. One row per KEPT frame; the decoder
+    * sees only bytes, the oracle regenerates everything from closed
+    * forms.
+    */
+  def gifFrameSample(documents: DataFrame, stride: Int): DataFrame = {
+    require(stride >= 1, s"gifFrameSample: stride must be >= 1, got $stride")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val (w, h, pal, frames) = AssetCodecs.decodeGifFrames(gifAnimFor(id))
+          frames.zipWithIndex.collect { case (idx, f) if f % stride == 0 =>
+            var s = 0L
+            var i = 0
+            while (i < idx.length) { s += pal(3 * (idx(i) & 0xff)) & 0xff; i += 1 }
+            (id, f.toLong, frames.size.toLong, w.toLong, h.toLong, s)
+          }
+        }
+      }
+      .toDF("doc_id", "frame", "n_frames", "width", "height", "value_sum")
+      .orderBy(col("doc_id"), col("frame"))
+  }
+
   /** Real distributed decode (m04): encode each document's fixture asset,
     * then recover its metadata and exact content sum from the BYTES with
     * the real byte-level codecs — the non-stub counterpart of

@@ -1548,6 +1548,103 @@ object AssetCodecs {
     out
   }
 
+  /** Encode a multi-frame (animated) GIF: one image block per frame,
+    * every frame full-canvas at (0,0) — the no-compositing subset where
+    * frame k IS the canvas after k steps. Shares [[lzwCompressGif]];
+    * each frame's LZW stream starts fresh (its own CLEAR), as the spec
+    * requires per image block.
+    */
+  def encodeGifAnim(w: Int, h: Int, frames: Int,
+                    pix: (Int, Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff, s"encodeGifAnim: bad dims ${w}x$h")
+    require(frames >= 1, s"encodeGifAnim: need >= 1 frame, got $frames")
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    le16(w); le16(h)
+    out.write(0xf7); out.write(0); out.write(0)
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    var f = 0
+    while (f < frames) {
+      out.write(0x2c)
+      le16(0); le16(0); le16(w); le16(h)
+      out.write(0x00)
+      out.write(8)
+      val idx = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { idx(y * w + x) = (pix(f, x, y) & 0xff).toByte; x += 1 }
+        y += 1
+      }
+      val data = lzwCompressGif(idx, 8)
+      var off = 0
+      while (off < data.length) {
+        val n = math.min(255, data.length - off)
+        out.write(n); out.write(data, off, n); off += n
+      }
+      out.write(0)
+      f += 1
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
+  /** Decode every frame of a (possibly multi-image) GIF. Scope as
+    * [[decodeGifImage]] plus: every frame must be full-canvas at (0,0)
+    * — partial-frame compositing (disposal methods) is rejected loudly,
+    * so a frame-sampling caller never sees a half-composited canvas.
+    * Returns (width, height, palette, one index array per frame).
+    */
+  def decodeGifFrames(bytes: Array[Byte]): (Int, Int, Array[Byte], Vector[Array[Byte]]) = {
+    val sig = new String(bytes, 0, 6, "US-ASCII")
+    require(sig == "GIF87a" || sig == "GIF89a", s"not a GIF: $sig")
+    def le16(off: Int): Int = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    val w = le16(6); val h = le16(8)
+    val packed = bytes(10) & 0xff
+    require((packed & 0x80) != 0, "GIF without a global colour table (scope: global palette)")
+    val gctSize = 1 << ((packed & 7) + 1)
+    val palette = new Array[Byte](768)
+    System.arraycopy(bytes, 13, palette, 0, 3 * gctSize)
+    var pos = 13 + 3 * gctSize
+    val frames = Vector.newBuilder[Array[Byte]]
+    var done = false
+    while (!done) {
+      (bytes(pos) & 0xff) match {
+        case 0x21 =>
+          pos += 2
+          while ((bytes(pos) & 0xff) != 0) pos += 1 + (bytes(pos) & 0xff)
+          pos += 1
+        case 0x2c =>
+          val left = le16(pos + 1); val top = le16(pos + 3)
+          val iw = le16(pos + 5); val ih = le16(pos + 7)
+          require(left == 0 && top == 0 && iw == w && ih == h,
+            s"partial GIF frame ${iw}x$ih@($left,$top) on a ${w}x$h canvas " +
+              "unsupported (scope: full-canvas frames, no disposal compositing)")
+          val ip = bytes(pos + 9) & 0xff
+          require((ip & 0x80) == 0, "GIF local colour table unsupported (scope: global palette)")
+          require((ip & 0x40) == 0, "interlaced GIF unsupported")
+          val minCodeSize = bytes(pos + 10) & 0xff
+          require(minCodeSize >= 2 && minCodeSize <= 8, s"GIF: bad LZW min code size $minCodeSize")
+          pos += 11
+          val data = new java.io.ByteArrayOutputStream()
+          while ((bytes(pos) & 0xff) != 0) {
+            val n = bytes(pos) & 0xff
+            data.write(bytes, pos + 1, n)
+            pos += 1 + n
+          }
+          pos += 1
+          frames += lzwDecompressGif(data.toByteArray, minCodeSize, w * h)
+        case 0x3b => done = true
+        case b => sys.error(f"GIF: unexpected block 0x$b%02x")
+      }
+    }
+    val fs = frames.result()
+    require(fs.nonEmpty, "GIF with no image block")
+    (w, h, palette, fs)
+  }
+
   /** Sniffed GIF decode to the uniform record: channels 1 because the
     * fixture palette is the greyscale identity ramp; `valueSum` is the
     * exact integer sum of the palette RED component over all pixels

@@ -359,6 +359,35 @@ class AssetCodecsSpec extends AnyFunSuite with Matchers {
     an[Exception] should be thrownBy AssetCodecs.decodeGifImage("NOTGIF".getBytes ++ base.drop(6))
   }
 
+  test("animated GIF: every frame round-trips exactly; partial frames reject") {
+    val pix = (f: Int, x: Int, y: Int) => (x * 5 + y * 11 + f * 19) % 256
+    val bytes = AssetCodecs.encodeGifAnim(13, 7, 4, pix)
+    val (w, h, _, frames) = AssetCodecs.decodeGifFrames(bytes)
+    (w, h, frames.size) shouldBe ((13, 7, 4))
+    for (f <- 0 until 4; y <- 0 until 7; x <- 0 until 13)
+      (frames(f)(y * 13 + x) & 0xff) shouldBe pix(f, x, y)
+    // JDK ImageIO sees the same frame count and frame-0 pixels
+    val rdr = javax.imageio.ImageIO.getImageReadersBySuffix("gif").next()
+    rdr.setInput(javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes)))
+    rdr.getNumImages(true) shouldBe 4
+    val f0 = rdr.read(0)
+    for (y <- 0 until 7; x <- 0 until 13) (f0.getRGB(x, y) & 0xff) shouldBe pix(0, x, y)
+    // a non-full-canvas frame must reject loudly (no disposal compositing):
+    // patch frame 2's descriptor width (canvas 13 -> 12). Frame offsets are
+    // found by walking, so recompute: header 13+768, then per frame 11 bytes
+    // descriptor+mincode, then sub-blocks
+    val oneFrame = AssetCodecs.encodeGif(9, 4, (x, y) => x + y)
+    val head = 13 + 768
+    val patched = oneFrame.clone
+    patched(head + 5) = 8 // width LE16 low byte: 9 -> 8
+    an[Exception] should be thrownBy AssetCodecs.decodeGifFrames(patched)
+    // single-image decode path and frames path agree
+    val (_, _, _, sole) = AssetCodecs.decodeGifFrames(oneFrame)
+    sole.size shouldBe 1
+    sole.head.toSeq shouldBe AssetCodecs.decodeGifImage(oneFrame)._4.toSeq
+  }
+
   test("m14 fixture formulas: decodeGif matches the closed form for sample doc_ids") {
     for (d <- Seq(0L, 1L, 17L, 123L)) {
       val m = AssetCodecs.decodeGif(Multimodal.gifFor(d))
