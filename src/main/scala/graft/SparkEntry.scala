@@ -1707,6 +1707,10 @@ object SparkEntry {
     // tie break, map-side WindowGroupLimit top-k trim
     "t44_tfidf_keywords" -> ((s, d) =>
       operators.TextAnalysis.tfidfKeywords(t(s, d)("documents"), 3)),
+    // per-doc redundancy vs all EARLIER docs: trigram first-occurrence
+    // join, exact integer ppm
+    "t45_novelty" -> ((s, d) =>
+      operators.TextAnalysis.noveltyCurve(t(s, d)("documents"), 3)),
     // join-key skew diagnostic over a deterministic zipf-ish key (60% of
     // rows concentrated on 3 keys): exact-integer ppm shares, the
     // cross-multiplied mean comparison, and salt recommendations
@@ -3253,6 +3257,20 @@ object SparkEntry {
          ORDER BY zkey, variable, time, lat, lon""",
     // identical quasi-identifier grouping + threshold; the join back is
     // the same relation, so sizes cannot drift
+    // trigrams from the shared tokenizer; stale = gram's min doc_id is
+    // strictly earlier; ppm is exact floor division
+    "t45_novelty" ->
+      s"""WITH toks AS (SELECT doc_id, ${operators.Dedup.tokensDuckdbSql("text")} AS t
+                        FROM documents),
+         g0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-2),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram FROM toks),
+         fd AS (SELECT gram, min(doc_id) AS first_doc FROM g0 GROUP BY 1),
+         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                        CAST(sum(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_stale
+                 FROM g0 JOIN fd USING (gram) GROUP BY 1)
+         SELECT doc_id, n_grams, n_stale,
+                CAST((n_grams - n_stale) * 1000000 // n_grams AS BIGINT) AS fresh_ppm
+         FROM agg ORDER BY doc_id""",
     // tf from the shared adaptive tokenizer, df re-collapsed from the tf
     // histogram, score = one IEEE division of exact BIGINTs, (score DESC,
     // term) total order mirrors the engine's rank window exactly

@@ -707,6 +707,37 @@ object TextAnalysis {
       .orderBy($"doc_id", $"rk")
   }
 
+  /** Corpus novelty curve (t45): for each document, how much of its
+    * token n-gram stream was already introduced by an EARLIER document
+    * (doc-id order = ingestion order) — the redundancy signal a curation
+    * pipeline tracks to decide when a source is mined out, and the
+    * per-doc form of the d10 duplicated-passage measurement. `n_stale`
+    * counts gram OCCURRENCES whose gram first appeared in a strictly
+    * earlier doc; `fresh_ppm` is exact integer parts-per-million (floor
+    * division — no float share, the x08 ppm discipline).
+    *
+    * Scale shape: the gram stream is barriered once (first-occurrence
+    * and per-doc legs both read the materialization, not a re-explode);
+    * first-doc is a map-side-combinable `min`; the gram-keyed join is
+    * co-partitioned with the aggregate that follows. At corpus scale the
+    * shuffle would carry 64-bit gram hashes rather than gram strings
+    * (collision-tolerant for a MONITORING ppm, same as d03's banding) —
+    * the gate keeps raw grams so the oracle is exact.
+    */
+  def noveltyCurve(documents: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, "noveltyCurve: n must be >= 1")
+    val grams = graft.Session.barrier(documents
+      .select($"doc_id", explode(Dedup.ngrams(Dedup.tokens($"text"), n)).as("gram")))
+    val firstDoc = grams.groupBy($"gram").agg(min($"doc_id").as("first_doc"))
+    grams.join(firstDoc, Seq("gram"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"first_doc" < $"doc_id", 1L).otherwise(0L)).as("n_stale"))
+      .withColumn("fresh_ppm",
+        expr("(n_grams - n_stale) * 1000000L div n_grams"))
+      .orderBy($"doc_id")
+  }
+
   /** Bigram collocation mining — corpus phrases whose adjacent
     * co-occurrence beats independence (lift = P(xy)/(P(x)·P(y)), the
     * exp(PMI) every phrase-detection pass ranks by). Integer counts all

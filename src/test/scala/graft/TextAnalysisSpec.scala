@@ -313,6 +313,23 @@ class TextAnalysisSpec extends SparkSpec {
     out.size shouldBe 6
   }
 
+  test("noveltyCurve: occurrence-level staleness vs earlier docs, floor-division ppm") {
+    val d = docs(
+      (1L, "a b c d", "en", "w"),             // both trigrams first here
+      (2L, "a b c x", "en", "w"),             // one stale, one fresh
+      (3L, "a b c d", "en", "w"),             // exact repeat: fully stale
+      (4L, "q r", "en", "w"),                 // < 3 tokens: no grams, no row
+      (5L, "a b c a b c a b c", "en", "w"))   // 7 grams, 3 stale "a b c" occurrences
+    val out = TextAnalysis.noveltyCurve(d, 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    out(1L) shouldBe ((2L, 0L, 1000000L))
+    out(2L) shouldBe ((2L, 1L, 500000L))
+    out(3L) shouldBe ((2L, 2L, 0L))
+    out(5L) shouldBe ((7L, 3L, 571428L)) // 4e6 div 7 floors
+    out.contains(4L) shouldBe false
+    out.size shouldBe 4
+  }
+
   test("keywordTagCounts: non-overlapping greedy counts, case folding, exact totals") {
     val docs = Seq(
       (1L, "Spark spark and more SPARK vector"),
