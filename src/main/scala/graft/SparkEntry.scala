@@ -1089,6 +1089,12 @@ object SparkEntry {
         .select($"variable", $"time", $"lat", $"lon", $"src",
           round($"value", 4).as("value"))
     }),
+    // wind-style component recombination: variables A/N paired per cell
+    // by a one-scan conditional pivot, magnitude via correctly-rounded
+    // sqrt (the one portable transcendental), direction as the integer
+    // quadrant (atan2 is NOT cross-engine portable and stays out)
+    "r21_vector_speed" -> ((s, d) =>
+      Raster.vectorSpeed(grid(s, d), "A", "N", 25.0)),
     "r05_anomaly" -> ((s, d) =>
       Raster.anomaly(grid(s, d), "A", "1998-03-01 00:00:00", 1995, 2000)
         .select($"variable", $"time", $"lat", $"lon", round($"value", 4).as("value"))
@@ -3053,6 +3059,21 @@ object SparkEntry {
                 avg(value) AS value, CAST(count(*) AS BIGINT) AS n_cells
          FROM gridsum GROUP BY 1, 2, 3, 4
          ORDER BY variable, time, lat, lon""",
+    // the engine's exact expression shape: re-centre in a subquery, then
+    // u*u + v*v and sqrt per row — all per-row IEEE ops, bit-identical
+    "r21_vector_speed" ->
+      s"""WITH $gridCte,
+         p AS (SELECT time, lat, lon,
+                      max(CASE WHEN variable = 'A' THEN value END) AS uraw,
+                      max(CASE WHEN variable = 'N' THEN value END) AS vraw
+               FROM grid WHERE variable IN ('A', 'N') GROUP BY 1, 2, 3),
+         c AS (SELECT time, lat, lon, uraw - 25.0 AS u, vraw - 25.0 AS v
+               FROM p WHERE uraw IS NOT NULL AND vraw IS NOT NULL)
+         SELECT time, lat, lon, u, v, sqrt(u*u + v*v) AS speed,
+                CAST(CASE WHEN u >= 0 AND v >= 0 THEN 1
+                          WHEN u < 0 AND v >= 0 THEN 2
+                          WHEN u < 0 THEN 3 ELSE 4 END AS BIGINT) AS quadrant
+         FROM c ORDER BY time, lat, lon""",
     // the same precedence as arg_min on the source rank: inside the bbox
     // the regional (src 1) value, elsewhere the +1000 fallback
     "r18_mosaic" ->

@@ -315,4 +315,38 @@ object Raster {
         $"num", $"den_eff", $"n_src")
       .orderBy($"variable", $"time", $"tlat", $"tlon")
   }
+
+  /** Vector-field recombination (r21): pair a u- and a v-component
+    * variable per cell and derive magnitude + quadrant — the wind-speed
+    * derivation every met pipeline runs over GFS/ERA5 u10/v10 (the
+    * reference serves exactly such component pairs; speed is the first
+    * thing a renderer derives from them). `center` re-centres the
+    * fixture's non-negative means so all four sign quadrants occur.
+    *
+    * Determinism: u, v, u²+v², and `sqrt` are per-row IEEE ops evaluated
+    * in one fixed expression shape — no aggregation-order dependence —
+    * and IEEE-754 `sqrt` is correctly rounded, so every engine computes
+    * identical bits (the one transcendental that IS portable; atan2
+    * direction is NOT and is deliberately left as the integer quadrant).
+    *
+    * Scale shape: ONE scan — the component pair assembles via a
+    * conditional-aggregate pivot on the cell key (map-side combine),
+    * not a self-join, so there is a single exchange and no second read
+    * of the fact ([[mosaic]]'s discipline). Cells missing either
+    * component drop out via the null filter.
+    */
+  def vectorSpeed(grid: DataFrame, uVar: String, vVar: String,
+                  center: Double): DataFrame =
+    grid.where($"variable".isin(uVar, vVar))
+      .groupBy($"time", $"lat", $"lon")
+      .agg(max(when($"variable" === uVar, $"value")).as("uraw"),
+        max(when($"variable" === vVar, $"value")).as("vraw"))
+      .where($"uraw".isNotNull && $"vraw".isNotNull)
+      .select($"time", $"lat", $"lon",
+        ($"uraw" - center).as("u"), ($"vraw" - center).as("v"))
+      .select($"time", $"lat", $"lon", $"u", $"v",
+        sqrt($"u" * $"u" + $"v" * $"v").as("speed"),
+        when($"u" >= 0 && $"v" >= 0, 1L).when($"u" < 0 && $"v" >= 0, 2L)
+          .when($"u" < 0, 3L).otherwise(4L).as("quadrant"))
+      .orderBy($"time", $"lat", $"lon")
 }

@@ -271,4 +271,26 @@ class RasterSpec extends SparkSpec {
     // instead take (7/3, 1/4): corners (2,0),(2,1),(3,0),(3,1) all absent
     out.get((7.0 / 3, 0.25)) shouldBe None // no corner joined -> no row
   }
+
+  test("vectorSpeed: 3-4-5 magnitudes, all four quadrants, missing component drops") {
+    val ts = "2024-01-01 00:00:00"
+    val rows = Seq( // center 25: (u,v) = (3,4), (-4,3), (-3,-4), (4,-3)
+      ("A", 0.0, 0.0, 28.0), ("N", 0.0, 0.0, 29.0),
+      ("A", 0.0, 1.0, 21.0), ("N", 0.0, 1.0, 28.0),
+      ("A", 1.0, 0.0, 22.0), ("N", 1.0, 0.0, 21.0),
+      ("A", 1.0, 1.0, 29.0), ("N", 1.0, 1.0, 22.0),
+      ("A", 5.0, 5.0, 30.0),                    // v component missing -> dropped
+      ("R", 0.0, 0.0, 99.0))                    // other variable: ignored
+      .map { case (v, la, lo, x) => (v, ts, la, lo, x) }
+    val g = rows.toDF("variable", "time", "lat", "lon", "value")
+      .withColumn("time", $"time".cast("timestamp_ntz"))
+    val out = Raster.vectorSpeed(g, "A", "N", 25.0).collect()
+      .map(r => (r.getDouble(1), r.getDouble(2)) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))).toMap
+    out((0.0, 0.0)) shouldBe ((3.0, 4.0, 5.0, 1L))
+    out((0.0, 1.0)) shouldBe ((-4.0, 3.0, 5.0, 2L))
+    out((1.0, 0.0)) shouldBe ((-3.0, -4.0, 5.0, 3L))
+    out((1.0, 1.0)) shouldBe ((4.0, -3.0, 5.0, 4L))
+    out.size shouldBe 4
+  }
 }
