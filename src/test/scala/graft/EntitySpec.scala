@@ -90,4 +90,28 @@ class EntitySpec extends SparkSpec {
     // entity ids are real record ids, and each entity contains its label record
     out.where($"entity_id" > $"id").count() shouldBe 0L
   }
+
+  test("soundexKey: classic anchors, adjacent-code collapse, zero padding, our H/W variant") {
+    val rows = Seq("Robert", "Rupert", "Pfister", "Tymczak", "ray", "Ashcraft")
+      .toDF("w").select($"w", Entity.soundexKey($"w").as("k"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    rows("Robert") shouldBe "R163"
+    rows("Rupert") shouldBe "R163"  // sound-alikes share the key
+    rows("Pfister") shouldBe "P236" // adjacent 1,1 collapses
+    rows("Tymczak") shouldBe "T522" // vowel-separated 2,2 does NOT collapse
+    rows("ray") shouldBe "R000"     // all-vowel tail zero-pads
+    // the SQL-Server variant deliberately skips H/W bridging: genealogy
+    // soundex gives A261 here, ours keeps the post-h code run intact
+    rows("Ashcraft") shouldBe "A226"
+  }
+
+  test("phoneticPairs: vowel-twin seeding buckets sound-alikes; verify prunes far pairs") {
+    val docs = Seq((1L, "batch scan xyz qqq")).toDF("doc_id", "text")
+    val out = Entity.phoneticPairs(docs, "text", 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // batch->betch and scan->scen pair inside their buckets at distance 1;
+    // xyz/qqq have no 'a' (twin collapses) and no bucket partner
+    out should contain allOf (("B320", "batch", "betch", 1L), ("S500", "scan", "scen", 1L))
+    out.map(_._2) should not contain "xyz"
+  }
 }
