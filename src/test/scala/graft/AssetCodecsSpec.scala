@@ -388,6 +388,31 @@ class AssetCodecsSpec extends AnyFunSuite with Matchers {
     sole.head.toSeq shouldBe AssetCodecs.decodeGifImage(oneFrame)._4.toSeq
   }
 
+  test("GIF decode always terminates with an outcome under mutation and truncation") {
+    // the Jpeg2000Spec fuzz discipline: every corrupted stream must either
+    // decode or throw — never hang, never return a wrong-sized image
+    val base = AssetCodecs.encodeGifAnim(21, 9, 3, (f, x, y) => (x * 3 + y * 5 + f) % 256)
+    val rnd = new scala.util.Random(7)
+    var decoded = 0; var rejected = 0
+    for (_ <- 1 to 300) {
+      val mut = base.clone
+      mut(rnd.nextInt(mut.length)) = rnd.nextInt(256).toByte
+      try {
+        val (w, h, _, frames) = AssetCodecs.decodeGifFrames(mut)
+        frames.foreach(_.length shouldBe w * h)
+        decoded += 1
+      } catch { case _: Exception => rejected += 1 }
+    }
+    for (cut <- 1 until base.length by 37) {
+      try {
+        val (w, h, _, frames) = AssetCodecs.decodeGifFrames(base.take(cut))
+        frames.foreach(_.length shouldBe w * h)
+      } catch { case _: Exception => () }
+    }
+    decoded + rejected shouldBe 300
+    rejected should be > 0 // structural mutations do get caught
+  }
+
   test("m14 fixture formulas: decodeGif matches the closed form for sample doc_ids") {
     for (d <- Seq(0L, 1L, 17L, 123L)) {
       val m = AssetCodecs.decodeGif(Multimodal.gifFor(d))

@@ -497,6 +497,18 @@ class PlanGuardSpec extends SparkSpec {
     p should not include "lineitem.parquet"
   }
 
+  test("e05_phonetic_pairs: bucket join is an equi-join, never a cartesian") {
+    val p = planOf("e05_phonetic_pairs")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("r21_vector_speed: component pairing is ONE scan (conditional pivot, no self-join)") {
+    val p = planOf("r21_vector_speed")
+    p.linesIterator.count(_.contains("lineitem.parquet")) shouldBe 1
+    p should not include "Join"
+  }
+
   test("r17_remap_bilinear: the corner lattice broadcasts; the grid joins as a hash join") {
     val p = planOf("r17_remap_bilinear")
     p should include("BroadcastHashJoin")
