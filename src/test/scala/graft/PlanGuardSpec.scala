@@ -503,6 +503,12 @@ class PlanGuardSpec extends SparkSpec {
     p should not include "BroadcastNestedLoopJoin"
   }
 
+  test("t45_novelty: gram stream materializes once; both legs read the checkpoint") {
+    val p = planOf("t45_novelty")
+    p should not include "documents.parquet"
+    p should not include "CartesianProduct"
+  }
+
   test("r21_vector_speed: component pairing is ONE scan (conditional pivot, no self-join)") {
     val p = planOf("r21_vector_speed")
     p.linesIterator.count(_.contains("lineitem.parquet")) shouldBe 1
