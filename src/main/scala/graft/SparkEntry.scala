@@ -1143,6 +1143,14 @@ object SparkEntry {
       s.read.format("graft.sources.Grib2DataSource").load(grib2FixturePath)
         .where($"variable" === "TMP")
         .orderBy($"time", $"lat", $"lon")),
+    // COUNT(*) pushed into the format: header-only section walk (no
+    // cell decode), one partial per file, Spark sums — covers BOTH the
+    // dense (TMP) and bitmap-masked (PRATE) records so the pushed count
+    // provably matches the NaN-dropping row path
+    "r22_grib2_count" -> ((s, _) =>
+      s.read.format("graft.sources.Grib2DataSource").load(grib2FixturePath)
+        .where($"variable".isin("TMP", "PRATE"))
+        .agg(count(lit(1)).as("n_cells"))),
     // DSv2 WRITE round-trip: the demo grid (GRIB-named variables,
     // ≥2-per-axis layers) written via format("grib2") — Spark plans the
     // layer-clustering shuffle from the writer's declared
@@ -3212,6 +3220,17 @@ object SparkEntry {
          FROM p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
          WHERE NOT (masked = 1 AND (i + j) % 7 = 0)
          ORDER BY variable, time, lat, lon""",
+    // present-cell count over TMP (dense) + PRATE (bitmap-masked): the
+    // same lattice/mask closed forms as r12, collapsed to one BIGINT —
+    // the engine answered it from section-5 point counts alone
+    "r22_grib2_count" ->
+      s"""WITH t(m) AS (VALUES (0), (1)),
+         p(pidx, masked) AS (VALUES (0, 0), (1, 1)),
+         ii AS (SELECT unnest(generate_series(0, ${g2Ni - 1})) AS i),
+         jj AS (SELECT unnest(generate_series(0, ${g2Nj - 1})) AS j)
+         SELECT CAST(count(*) AS BIGINT) AS n_cells
+         FROM p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
+         WHERE NOT (masked = 1 AND (i + j) % 7 = 0)""",
     // r12's TMP slice (pidx 0, dense), regenerated closed-form — the
     // engine read it through the DSv2 connector with the variable
     // predicate pushed to the record level

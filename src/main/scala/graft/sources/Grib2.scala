@@ -113,6 +113,65 @@ object Grib2 {
     out.result()
   }
 
+  /** Header-only present-cell count for the DSv2 COUNT(*) pushdown: the
+    * per-record section walk reads ONLY section headers — category/
+    * number from section 4 (to apply pushed variable predicates) and
+    * the authoritative point count from section 5 octets 6-9, which the
+    * full decode path separately `require`s to equal the bitmap's
+    * popcount — and never touches a section-7 payload bit, so a
+    * count(*) over a 100 TB GRIB archive costs header I/O, not a
+    * simple/complex/JPEG2000 unpack. Bitmap-masked cells are absent
+    * from the count exactly as [[cells]] drops their NaNs.
+    */
+  def countPresentCells(bytes: Array[Byte], label: String,
+                        keep: String => Boolean): Long = {
+    def u(i: Int): Int = bytes(i) & 0xff
+    def u16(i: Int): Int = (u(i) << 8) | u(i + 1)
+    def u32(i: Int): Long = (u16(i).toLong << 16) | u16(i + 2)
+    var cnt = 0L
+    var pos = 0
+    while (pos + 16 <= bytes.length) {
+      require(bytes(pos) == 'G' && bytes(pos + 1) == 'R' &&
+        bytes(pos + 2) == 'I' && bytes(pos + 3) == 'B',
+        s"not a GRIB message at offset $pos in $label")
+      val discipline = u(pos + 6)
+      require(u(pos + 7) == 2, s"GRIB edition ${u(pos + 7)} unsupported here (only 2) in $label")
+      var total = 0L
+      var k = 8
+      while (k < 16) { total = (total << 8) | u(pos + k); k += 1 }
+      require(total > 16 && pos + total <= bytes.length,
+        s"corrupt GRIB2 total-length $total at offset $pos in $label")
+      val end = pos + total.toInt
+      var p = pos + 16
+      var category = -1; var number = -1; var nPresent = -1
+      var done = false
+      while (!done) {
+        require(p + 4 <= end, s"ran past message end without 7777 in $label")
+        if (bytes(p) == '7' && bytes(p + 1) == '7' &&
+            bytes(p + 2) == '7' && bytes(p + 3) == '7') done = true
+        else {
+          require(p + 5 <= end, s"truncated section header in $label")
+          val len = u32(p).toInt
+          val num = u(p + 4)
+          require(len >= 5 && p + len <= end, s"corrupt section-$num length $len in $label")
+          num match {
+            case 4 => category = u(p + 9); number = u(p + 10)
+            case 5 => nPresent = u32(p + 5).toInt
+            case 7 =>
+              require(category >= 0 && nPresent >= 0,
+                s"data section before sections 4/5 in $label")
+              if (keep(nameOf(discipline, category, number))) cnt += nPresent
+            case _ => ()
+          }
+          p += len
+        }
+      }
+      pos += total.toInt
+      while (pos < bytes.length && bytes(pos) == 0) pos += 1
+    }
+    cnt
+  }
+
   private def parseMessage(b: Array[Byte], start: Int, end: Int,
                            discipline: Int, label: String): Seq[Record] = {
     def u(i: Int): Int = b(i) & 0xff

@@ -25,7 +25,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    row-volume cut at the source (visible as PushedFilters in
   *    explain, pinned by Grib2ConnectorSpec);
   *  - **column pruning**: the reader materializes only the requested
-  *    columns (a `count(*)` reads no cell values at all).
+  *    columns (a `count(*)` reads no cell values at all);
+  *  - **COUNT(*) aggregate pushdown**: an ungrouped count is answered
+  *    from section-5 point counts in a header-only walk — no cell
+  *    decode, no per-cell rows; one partial count per file, summed by
+  *    Spark (see [[Grib2CountScan]]).
   *
   * Partitioning: one input partition per file — GRIB messages are not
   * independently splittable without an index, and operational
@@ -85,6 +89,29 @@ object Grib2Connector {
       s"grib2 source: no GRIB files found under ${raw.mkString(", ")}")
     files
   }
+
+  /** The ONE evaluation of the pushed variable predicates, shared by the
+    * row reader and the count-only reader so they can never disagree.
+    */
+  def keep(pushed: Array[Filter])(variable: String): Boolean = pushed.forall {
+    case EqualTo("variable", v: String)  => variable == v
+    case In("variable", vs)              => vs.exists(_ == variable)
+    case StringContains("variable", v)   => variable.contains(v)
+    case _                               => true
+  }
+
+  /** Read a whole file's bytes through the Hadoop FS API. */
+  def readBytes(path: String): Array[Byte] = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val in = fs.open(hp)
+    try {
+      val len = fs.getFileStatus(hp).getLen.toInt
+      val buf = new Array[Byte](len)
+      in.readFully(0, buf)
+      buf
+    } finally in.close()
+  }
 }
 
 class Grib2ConnectorTable(paths: Seq[String])
@@ -107,10 +134,11 @@ class Grib2ConnectorTable(paths: Seq[String])
 
 class Grib2ScanBuilder(paths: Seq[String])
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = Grib2Connector.Schema
+  private var countStar = false
 
   /** Accept variable-column predicates the record header can answer;
     * everything else stays with Spark (returned as not-pushed).
@@ -130,7 +158,27 @@ class Grib2ScanBuilder(paths: Seq[String])
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new Grib2Scan(paths, pushed, required)
+  /** Ungrouped COUNT(*) pushes all the way into the format: the reader
+    * answers it from section-5 point counts (header-only walk, zero
+    * section-7 unpack — see [[Grib2.countPresentCells]]) and emits one
+    * partial count per FILE; Spark sums the partials (partial pushdown,
+    * the parquet-metadata-count pattern). Spark only offers the
+    * aggregate when every filter was fully pushed, so the count always
+    * agrees with the record-pruned read.
+    */
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val ok = agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+    if (ok) countStar = true
+    ok
+  }
+
+  override def build(): Scan =
+    if (countStar) new Grib2CountScan(paths, pushed)
+    else new Grib2Scan(paths, pushed, required)
 }
 
 class Grib2Scan(paths: Seq[String], pushed: Array[Filter], required: StructType)
@@ -164,27 +212,13 @@ class Grib2PartitionReader(path: String, pushed: Array[Filter],
                            required: StructType)
     extends PartitionReader[InternalRow] {
 
-  private def keepRecord(variable: String): Boolean = pushed.forall {
-    case EqualTo("variable", v: String)  => variable == v
-    case In("variable", vs)              => vs.exists(_ == variable)
-    case StringContains("variable", v)   => variable.contains(v)
-    case _                               => true
-  }
+  private def keepRecord(variable: String): Boolean =
+    Grib2Connector.keep(pushed)(variable)
 
-  private val cells: Iterator[Grib2.GridRow] = {
-    val hp = new org.apache.hadoop.fs.Path(path)
-    val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    val in = fs.open(hp)
-    val bytes = try {
-      val len = fs.getFileStatus(hp).getLen.toInt
-      val buf = new Array[Byte](len)
-      in.readFully(0, buf)
-      buf
-    } finally in.close()
-    Grib2.parseMessages(bytes, path).iterator
+  private val cells: Iterator[Grib2.GridRow] =
+    Grib2.parseMessages(Grib2Connector.readBytes(path), path).iterator
       .filter(r => keepRecord(r.variable))
       .flatMap(Grib2.cells)
-  }
 
   // column-pruned projection: precompute per-required-field extractors
   private val extractors: Array[Grib2.GridRow => Any] =
@@ -212,6 +246,50 @@ class Grib2PartitionReader(path: String, pushed: Array[Filter],
       true
     }
   }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
+
+/** COUNT(*)-pushed scan: one partial-count row per file, answered from
+  * section headers only ([[Grib2.countPresentCells]]); Spark plans the
+  * final sum over the partials. The description line carries the
+  * PushedAggregation marker so explain output (and the plan guard) can
+  * prove the pushdown engaged.
+  */
+class Grib2CountScan(paths: Seq[String], pushed: Array[Filter])
+    extends Scan with Batch {
+  private lazy val files = Grib2Connector.resolvePaths(paths)
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+  override def description(): String =
+    s"grib2 count-only scan, PushedFilters: [${pushed.mkString(", ")}], " +
+      "PushedAggregation: [COUNT(*)]"
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map(p => Grib2InputPartition(p): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new Grib2CountReaderFactory(pushed)
+}
+
+class Grib2CountReaderFactory(pushed: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new Grib2CountPartitionReader(
+      partition.asInstanceOf[Grib2InputPartition].path, pushed)
+}
+
+class Grib2CountPartitionReader(path: String, pushed: Array[Filter])
+    extends PartitionReader[InternalRow] {
+  private var emitted = false
+  private var current: InternalRow = _
+  override def next(): Boolean =
+    if (emitted) false
+    else {
+      current = InternalRow(Grib2.countPresentCells(
+        Grib2Connector.readBytes(path), path, Grib2Connector.keep(pushed)))
+      emitted = true
+      true
+    }
   override def get(): InternalRow = current
   override def close(): Unit = ()
 }

@@ -503,6 +503,12 @@ class PlanGuardSpec extends SparkSpec {
     p should not include "BroadcastNestedLoopJoin"
   }
 
+  test("r22_grib2_count: the COUNT(*) reaches the format (header-only scan)") {
+    val p = planOf("r22_grib2_count")
+    p should include("PushedAggregation: [COUNT(*)]")
+    p should include("PushedFilters: [In(variable")
+  }
+
   test("t45_novelty: gram stream materializes once; both legs read the checkpoint") {
     val p = planOf("t45_novelty")
     p should not include "documents.parquet"
