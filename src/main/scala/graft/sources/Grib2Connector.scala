@@ -182,7 +182,7 @@ class Grib2ScanBuilder(paths: Seq[String])
 }
 
 class Grib2Scan(paths: Seq[String], pushed: Array[Filter], required: StructType)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   private lazy val files = Grib2Connector.resolvePaths(paths)
   override def readSchema(): StructType = required
   override def description(): String =
@@ -193,6 +193,25 @@ class Grib2Scan(paths: Seq[String], pushed: Array[Filter], required: StructType)
     files.map(p => Grib2InputPartition(p): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new Grib2ReaderFactory(pushed, required)
+
+  /** Metadata-only size statistics (file lengths via the FS API — no
+    * content reads on the driver), so Catalyst can cost this source
+    * for join-side selection like any file relation; numRows stays
+    * unknown (counting would read every file's sections, which is the
+    * count-pushdown path's job, not planning's).
+    */
+  override def estimateStatistics(): Statistics = {
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    val bytes = files.map { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(conf).getFileStatus(hp).getLen
+    }.sum
+    new Statistics {
+      override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
+      override def numRows(): util.OptionalLong = util.OptionalLong.empty()
+    }
+  }
 }
 
 case class Grib2InputPartition(path: String) extends InputPartition

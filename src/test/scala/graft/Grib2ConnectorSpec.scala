@@ -99,6 +99,15 @@ class Grib2ConnectorSpec extends SparkSpec {
     grouped should not include "PushedAggregation"
   }
 
+  test("scan reports file-size statistics (metadata-only, no content reads)") {
+    import org.apache.spark.sql.connector.read.SupportsReportStatistics
+    val builder = new graft.sources.Grib2ScanBuilder(Seq(fixture))
+    val stats = builder.build().asInstanceOf[SupportsReportStatistics].estimateStatistics()
+    val actual = new java.io.File(fixture).length()
+    stats.sizeInBytes().getAsLong shouldBe actual
+    stats.numRows().isPresent shouldBe false
+  }
+
   test("DSv2 write: sparse layers round-trip via bitmaps, Spark plans the clustering") {
     import org.apache.spark.sql.functions.{col, lit}
     val tmp = java.nio.file.Files.createTempDirectory("grib2w").toString
