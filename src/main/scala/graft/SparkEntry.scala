@@ -1725,6 +1725,22 @@ object SparkEntry {
     // join, exact integer ppm
     "t45_novelty" -> ((s, d) =>
       operators.TextAnalysis.noveltyCurve(t(s, d)("documents"), 3)),
+    // VERSION AS OF: two batches applied to the versioned snapshot
+    // store, then the time-travel read of the FIRST version — equal to
+    // the one-batch merge by construction (the t17/w10 merge law); the
+    // v0 directory survives the default retain-2 vacuum
+    "x09_time_travel" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_x09").toString
+      val (snap, ch1, ch2) = upsertFixture(s, d)
+      graft.streaming.SnapshotUpsert.init(snap, tmp)
+      val sink: (DataFrame, Long) => Unit =
+        graft.streaming.SnapshotUpsert.applyBatch(tmp, "doc_id")
+      sink(ch1, 0L)
+      sink(ch2, 1L)
+      graft.streaming.SnapshotUpsert.readVersion(s, tmp, 0L)
+        .select($"doc_id", $"source", $"text")
+        .orderBy($"doc_id")
+    }),
     // join-key skew diagnostic over a deterministic zipf-ish key (60% of
     // rows concentrated on 3 keys): exact-integer ppm shares, the
     // cross-multiplied mean comparison, and salt recommendations
@@ -3333,6 +3349,16 @@ object SparkEntry {
                FROM s)
          SELECT doc_id, term, tf, df, score, rk FROM r WHERE rk <= 3
          ORDER BY doc_id, rk""",
+    // as-of batch 0 = snapshot latest-wins-merged with ch1 alone: kept
+    // snapshot rows where no ch1 change lands, ch1 rows (all del=false)
+    // upserted — including inserts of keys the snapshot never had
+    "x09_time_travel" ->
+      """SELECT doc_id, source, text FROM documents
+         WHERE doc_id % 3 <> 0 AND doc_id % 5 <> 0
+         UNION ALL
+         SELECT doc_id, source, text || ' v2' AS text FROM documents
+         WHERE doc_id % 5 = 0
+         ORDER BY doc_id""",
     "t43_k_anonymity" ->
       """WITH keyed AS (SELECT doc_id, lang, source,
                                CAST(n_chars // 100 AS BIGINT) AS size_bucket
