@@ -286,4 +286,52 @@ class PropertySpec extends SparkSpec {
     val b = operators.Similarity.kmeansAssignExact(emb.repartition(13), 4, 2).collect().toSeq
     a shouldBe b
   }
+
+  test("GIF LZW: random images of every entropy shape round-trip exactly") {
+    // mixes constant runs (KwKwK-heavy), small alphabets (deep dictionary
+    // chains), and full-range noise (width growth + table-full resets)
+    val rnd = new scala.util.Random(91)
+    for (trial <- 1 to 40) {
+      val w = 1 + rnd.nextInt(90); val h = 1 + rnd.nextInt(60)
+      val alphabet = trial % 4 match {
+        case 0 => 1
+        case 1 => 2 + rnd.nextInt(3)
+        case 2 => 17
+        case _ => 256
+      }
+      val img = Array.fill(w * h)(rnd.nextInt(alphabet))
+      val (dw, dh, _, idx) = graft.sources.AssetCodecs.decodeGifImage(
+        graft.sources.AssetCodecs.encodeGif(w, h, (x, y) => img(y * w + x)))
+      (dw, dh) shouldBe ((w, h))
+      idx.map(_ & 0xff).toSeq shouldBe img.toSeq
+    }
+  }
+
+  test("soundexKey agrees with an independent straight-line implementation") {
+    // reference implementation written directly from the variant's prose
+    // spec — not shared column algebra, so a transcription slip in either
+    // side surfaces
+    def ref(s: String): String = {
+      val letters = s.toLowerCase.filter(c => c >= 'a' && c <= 'z')
+      if (letters.isEmpty) "000"
+      else {
+        val code = "01230120022455012623010202"
+        val digits = letters.map(c => code(c - 'a')).toList
+        val collapsed = digits.head +: digits.sliding(2).collect {
+          case a :: b :: Nil if a != b => b
+        }.toSeq
+        val tail = collapsed.drop(1).filter(_ != '0').take(3).mkString
+        letters.head.toUpper.toString + tail.padTo(3, '0')
+      }
+    }
+    import spark.implicits.{localSeqToDatasetHolder, newStringEncoder}
+    val wordGen = Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(9 -> Gen.alphaChar, 1 -> Gen.numChar)).map(_.mkString))
+    check(Prop.forAll(Gen.listOfN(30, wordGen)) { words =>
+      val got = words.toDF("w")
+        .select($"w", operators.Entity.soundexKey($"w").as("k"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      words.forall(w => got(w) == ref(w))
+    })
+  }
 }
