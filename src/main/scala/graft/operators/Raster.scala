@@ -318,10 +318,11 @@ object Raster {
 
   /** Vector-field recombination (r21): pair a u- and a v-component
     * variable per cell and derive magnitude + quadrant — the wind-speed
-    * derivation every met pipeline runs over GFS/ERA5 u10/v10 (the
-    * reference serves exactly such component pairs; speed is the first
-    * thing a renderer derives from them). `center` re-centres the
-    * fixture's non-negative means so all four sign quadrants occur.
+    * derivation met pipelines run over GFS/ERA5 u10/v10 component
+    * pairs (beyond the reference's temperature/precip scope, but the
+    * first thing any renderer derives once wind sources are added).
+    * `center` re-centres the fixture's non-negative means so all four
+    * sign quadrants occur.
     *
     * Determinism: u, v, u²+v², and `sqrt` are per-row IEEE ops evaluated
     * in one fixed expression shape — no aggregation-order dependence —
