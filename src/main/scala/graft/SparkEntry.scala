@@ -1099,6 +1099,38 @@ object SparkEntry {
       Raster.anomaly(grid(s, d), "A", "1998-03-01 00:00:00", 1995, 2000)
         .select($"variable", $"time", $"lat", $"lon", round($"value", 4).as("value"))
         .orderBy($"lat", $"lon")),
+    // the reference's LITERAL output artifact end to end: the r05 anomaly
+    // layer exported through the K1 sink (executor-side layer assembly,
+    // LZW + predictor-3 GeoTIFF — gdal_translate's exact flags), decoded
+    // back from the .tif BYTES and re-gated on r05's oracle VERBATIM.
+    // Float32 excursion is exact here because round-to-4-decimals
+    // recovers any |v| < 1677 whose float32 error is < 0.5e-4
+    "r23_geotiff_roundtrip" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_r23").toString
+      val anom = Raster.anomaly(grid(s, d), "A", "1998-03-01 00:00:00", 1995, 2000)
+        .select($"variable", $"time", $"lat", $"lon", round($"value", 4).as("value"))
+      val layout = sources.RasterBinarySink.Layout(
+        latMin = -10, latMax = 9, lonMin = -15, lonMax = 14)
+      val manifest = sources.RasterBinarySink.write(anom, tmp, layout).collect()
+      require(manifest.length == 1, s"expected one layer, got ${manifest.length}")
+      val tifPath = manifest.head.getAs[String]("path").stripSuffix(".bin") + ".tif"
+      val tif = sources.GeoTiff.decode(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(tifPath)))
+      val nodata = tif.nodata.getOrElse(sources.RasterBinarySink.DefaultNodata)
+      val cells = for {
+        r <- 0 until tif.height
+        c <- 0 until tif.width
+        v = tif.values(r * tif.width + c)
+        if v != nodata
+      } yield ((tif.latEdge - tif.cellY / 2) - r * tif.cellY,
+        (tif.lonEdge + tif.cellX / 2) + c * tif.cellX, v.toDouble)
+      import s.implicits.{localSeqToDatasetHolder, newProductEncoder}
+      cells.toDF("lat", "lon", "value")
+        .select(lit("A").as("variable"),
+          lit("1998-03-01 00:00:00").cast("timestamp_ntz").as("time"),
+          $"lat", $"lon", round($"value", 4).as("value"))
+        .orderBy($"lat", $"lon")
+    }),
     "r06_deaccumulate" -> ((s, d) =>
       Raster.deaccumulate(grid(s, d).where($"variable" === "R"))
         .select($"variable", $"time", $"lat", $"lon", round($"value", 4).as("value"))
@@ -2803,6 +2835,22 @@ object SparkEntry {
          GROUP BY node ORDER BY node"""
   }
 
+  /** The r05 anomaly recomputation, shared VERBATIM by r23's GeoTIFF
+    * round-trip gate (write→read must be the identity on the layer).
+    */
+  private lazy val anomalyOracle: String =
+    s"""WITH $gridCte,
+       normal AS (
+         SELECT lat, lon, avg(value) AS normal FROM grid
+         WHERE variable = 'A' AND year(time) BETWEEN 1995 AND 2000
+           AND month(time) = 3
+         GROUP BY lat, lon)
+       SELECT g.variable, g.time, g.lat, g.lon,
+              round(g.value - n.normal, 4) AS value
+       FROM grid g JOIN normal n ON g.lat = n.lat AND g.lon = n.lon
+       WHERE g.variable = 'A' AND g.time = TIMESTAMP '1998-03-01'
+       ORDER BY g.lat, g.lon"""
+
   /** Shared g08 round count: the oracle unrolls exactly this many
     * count/argmax CTE pairs AND the engine runs exactly this many
     * synchronous sweeps — fixed by construction (label propagation has
@@ -3179,18 +3227,12 @@ object SparkEntry {
          WHERE variable = 'A' AND year(time) BETWEEN 1995 AND 2000
            AND month(time) = 3
          GROUP BY lat, lon ORDER BY lat, lon""",
-    "r05_anomaly" ->
-      s"""WITH $gridCte,
-         normal AS (
-           SELECT lat, lon, avg(value) AS normal FROM grid
-           WHERE variable = 'A' AND year(time) BETWEEN 1995 AND 2000
-             AND month(time) = 3
-           GROUP BY lat, lon)
-         SELECT g.variable, g.time, g.lat, g.lon,
-                round(g.value - n.normal, 4) AS value
-         FROM grid g JOIN normal n ON g.lat = n.lat AND g.lon = n.lon
-         WHERE g.variable = 'A' AND g.time = TIMESTAMP '1998-03-01'
-         ORDER BY g.lat, g.lon""",
+    "r05_anomaly" -> anomalyOracle,
+    // r23 shares r05's oracle VERBATIM: the GeoTIFF round-trip (LZW +
+    // predictor-3 encode, bitstream, decode, round-4 recovery) must be
+    // the identity on the anomaly layer — the m13/w15 shared-oracle
+    // discipline
+    "r23_geotiff_roundtrip" -> anomalyOracle,
     "r06_deaccumulate" ->
       s"""WITH $gridCte,
          d AS (SELECT variable, time, lat, lon,
