@@ -156,7 +156,9 @@ object Grib2 {
           require(len >= 5 && p + len <= end, s"corrupt section-$num length $len in $label")
           num match {
             case 4 => category = u(p + 9); number = u(p + 10)
-            case 5 => nPresent = u32(p + 5).toInt
+            case 5 =>
+              nPresent = u32(p + 5).toInt
+              require(nPresent >= 0, s"corrupt section-5 point count in $label")
             case 7 =>
               require(category >= 0 && nPresent >= 0,
                 s"data section before sections 4/5 in $label")
