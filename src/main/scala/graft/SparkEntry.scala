@@ -1868,9 +1868,22 @@ object SparkEntry {
     "e01_fuzzy_pairs" -> ((s, d) =>
       Entity.fuzzyPairs(t(s, d)("customer"), "c_custkey", "c_name")),
     // phonetic blocking over the corpus word vocabulary: soundex-variant
-    // key buckets + exact levenshtein verify, vocabulary-sized join
-    "e05_phonetic_pairs" -> ((s, d) =>
-      Entity.phoneticPairs(t(s, d)("documents"), "text", 2)),
+    // key buckets + exact levenshtein verify, vocabulary-sized join.
+    // GATE-side seeding (not operator behavior): the fixture vocabulary
+    // is typo-free, so one synthetic doc holds each a-bearing word's
+    // SOUND-PRESERVING misspelling (first vowel a→e — both map to
+    // soundex code 0, so the twin shares its word's bucket by
+    // construction; the d18 twin discipline)
+    "e05_phonetic_pairs" -> ((s, d) => {
+      val docs = t(s, d)("documents")
+      val twins = docs
+        .select(explode(split(lower($"text"), "\\s+")).as("w"))
+        .where($"w".rlike("^[a-z]{2,}$")).distinct()
+        .select(regexp_replace($"w", "^([^a]*)a", "$1e").as("w"))
+      val seeded = docs.select($"text").unionByName(
+        twins.agg(concat_ws(" ", collect_list($"w")).as("text")))
+      Entity.phoneticPairs(seeded, "text", 2)
+    }),
     // ROLLUP = one scan through Expand + one combined aggregate, never
     // d+1 fact-table passes
     "q41_rollup" -> ((s, d) => Core.rollupSummary(t(s, d)("lineitem"))),

@@ -191,17 +191,9 @@ object Entity {
     * carries (key, word), never source rows.
     */
   def phoneticPairs(rows: DataFrame, nameCol: String, maxDist: Int): DataFrame = {
-    val words = rows
+    val vocab = rows
       .select(explode(split(lower(col(nameCol)), "\\s+")).as("w"))
       .where($"w".rlike("^[a-z]{2,}$")).distinct()
-    // the driver fixture's vocabulary is typo-free, which would leave the
-    // blocking join nothing to find — seed each a-bearing word's
-    // SOUND-PRESERVING misspelling (first vowel a→e: both map to code 0,
-    // so the twin lands in the same bucket by construction — the d18
-    // twin discipline). Words without 'a' produce themselves and
-    // collapse in the distinct.
-    val twins = words.select(regexp_replace($"w", "^([^a]*)a", "$1e").as("w"))
-    val vocab = words.unionByName(twins).distinct()
     val keyed = vocab.withColumn("key", soundexKey($"w"))
     keyed.as("a").join(keyed.as("b"),
         col("a.key") === col("b.key") && col("a.w") < col("b.w"))

@@ -105,13 +105,20 @@ class EntitySpec extends SparkSpec {
     rows("Ashcraft") shouldBe "A226"
   }
 
-  test("phoneticPairs: vowel-twin seeding buckets sound-alikes; verify prunes far pairs") {
-    val docs = Seq((1L, "batch scan xyz qqq")).toDF("doc_id", "text")
+  test("phoneticPairs: buckets sound-alikes present in the corpus; never invents words") {
+    // the operator is PURE — it pairs only words that actually occur
+    // (gate-side twin seeding is SparkEntry's concern, not the API's)
+    val bare = Seq((1L, "batch scan xyz")).toDF("doc_id", "text")
+    Entity.phoneticPairs(bare, "text", 2).count() shouldBe 0L
+    val docs = Seq(
+      (1L, "batch scan xyz"),
+      (2L, "betch scen robert rupert")).toDF("doc_id", "text")
     val out = Entity.phoneticPairs(docs, "text", 2).collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
-    // batch->betch and scan->scen pair inside their buckets at distance 1;
-    // xyz/qqq have no 'a' (twin collapses) and no bucket partner
-    out should contain allOf (("B320", "batch", "betch", 1L), ("S500", "scan", "scen", 1L))
-    out.map(_._2) should not contain "xyz"
+    out should contain allOf (
+      ("B320", "batch", "betch", 1L),
+      ("S500", "scan", "scen", 1L),
+      ("R163", "robert", "rupert", 2L))
+    out.map(_._2) should not contain "xyz" // bucket partner-less
   }
 }
