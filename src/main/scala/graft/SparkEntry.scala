@@ -2088,6 +2088,19 @@ object SparkEntry {
         .orderBy($"pr".desc, $"node")
         .limit(20)
     }),
+    // personalized PageRank around a sparse part-node seed cohort:
+    // teleport only to seeds, rank relation stays neighborhood-sized,
+    // 3 unrolled rounds (the g01 oracle discipline, seed-restricted)
+    "g09_ppr" -> ((s, d) => {
+      val li = t(s, d)("lineitem")
+      operators.Graph.personalizedPagerankInt(
+        operators.Graph.partSupplierEdges(li),
+        li.where($"l_partkey" % 97 === 0)
+          .select(($"l_partkey" * 2).as("node")),
+        3)
+        .orderBy($"pr".desc, $"node")
+        .limit(20)
+    }),
     // triangle/wedge census with degree orientation — hub edges point
     // INTO the hub, so the wedge join's fanout is arboricity-bounded
     // O(m^1.5) instead of Σdeg². Graph: co-purchase (part granularity,
@@ -5427,6 +5440,35 @@ object SparkEntry {
          c3 AS (SELECT e.dst, CAST(sum(r.pr // d.outdeg) AS BIGINT) AS inmass
                 FROM e JOIN deg d USING (src) JOIN r2 r ON r.node = e.src GROUP BY 1),
          r3 AS (SELECT dst AS node, CAST(150000 + (850*inmass) // 1000 AS BIGINT) AS pr FROM c3)
+         SELECT node, pr FROM r3 ORDER BY pr DESC, node LIMIT 20""",
+    // seed-restricted teleport: each round is the damped in-mass CTE plus
+    // a full-outer re-join with the seed relation (absent dm or teleport
+    // folds to 0); rows that round to 0 drop — mirrors the engine's
+    // neighborhood-sized rank relation exactly
+    "g09_ppr" ->
+      """WITH li AS (SELECT DISTINCT l_partkey*2 AS p, l_suppkey*2+1 AS s FROM lineitem),
+         e AS (SELECT s AS src, p AS dst FROM li UNION SELECT p, s FROM li),
+         deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+         seeds AS (SELECT DISTINCT l_partkey*2 AS node FROM lineitem WHERE l_partkey % 97 = 0),
+         r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM seeds),
+         c1 AS (SELECT e.dst AS node, CAST((850 * sum(r.pr // d.outdeg)) // 1000 AS BIGINT) AS dm
+                FROM e JOIN deg d USING (src) JOIN r0 r ON r.node = e.src GROUP BY 1),
+         r1 AS (SELECT node, pr FROM (
+                  SELECT COALESCE(c.node, s.node) AS node,
+                         CAST(COALESCE(c.dm, 0) + CASE WHEN s.node IS NULL THEN 0 ELSE 150000 END AS BIGINT) AS pr
+                  FROM c1 c FULL OUTER JOIN seeds s ON s.node = c.node) WHERE pr > 0),
+         c2 AS (SELECT e.dst AS node, CAST((850 * sum(r.pr // d.outdeg)) // 1000 AS BIGINT) AS dm
+                FROM e JOIN deg d USING (src) JOIN r1 r ON r.node = e.src GROUP BY 1),
+         r2 AS (SELECT node, pr FROM (
+                  SELECT COALESCE(c.node, s.node) AS node,
+                         CAST(COALESCE(c.dm, 0) + CASE WHEN s.node IS NULL THEN 0 ELSE 150000 END AS BIGINT) AS pr
+                  FROM c2 c FULL OUTER JOIN seeds s ON s.node = c.node) WHERE pr > 0),
+         c3 AS (SELECT e.dst AS node, CAST((850 * sum(r.pr // d.outdeg)) // 1000 AS BIGINT) AS dm
+                FROM e JOIN deg d USING (src) JOIN r2 r ON r.node = e.src GROUP BY 1),
+         r3 AS (SELECT node, pr FROM (
+                  SELECT COALESCE(c.node, s.node) AS node,
+                         CAST(COALESCE(c.dm, 0) + CASE WHEN s.node IS NULL THEN 0 ELSE 150000 END AS BIGINT) AS pr
+                  FROM c3 c FULL OUTER JOIN seeds s ON s.node = c.node) WHERE pr > 0)
          SELECT node, pr FROM r3 ORDER BY pr DESC, node LIMIT 20""",
     // same degree orientation, so each triangle matches exactly one
     // a→b→c path + closing edge; census values are exact integers

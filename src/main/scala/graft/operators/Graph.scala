@@ -66,6 +66,44 @@ object Graph {
     ranks
   }
 
+  /** Personalized PageRank (g09), integer mass: teleport flows ONLY to
+    * the seed set — the "rank the graph around these nodes" form that
+    * drives related-item recommendation and seed-expansion labeling,
+    * vs [[pagerankInt]]'s global ranking. Same determinism contract:
+    * mass starts as 1e6 on each seed, routes by floor division, and the
+    * per-round update is `(seed ? 150000 : 0) + (850·inmass) div 1000` —
+    * all integer, bit-identical in any engine, so g09 holds a full value
+    * oracle (k unrolled CTE pairs). Nodes whose rank rounds to 0 drop out of
+    * the rank relation (and the result) — the relation stays
+    * seed-neighborhood-sized on a sparse graph instead of node-count-
+    * sized, which is the PPR scale win at 100 TB.
+    *
+    * Scale shape per round: one co-partitioned join + aggregate over the
+    * barriered routed edges (as g01), plus a seed-set full-outer join —
+    * the seed relation is barriered once and is tiny by definition.
+    */
+  def personalizedPagerankInt(edges: DataFrame, seedsRaw: DataFrame,
+                              iterations: Int): DataFrame = {
+    require(iterations >= 1, "personalizedPagerankInt: iterations must be >= 1")
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val routed = graft.Session.barrier(edges.join(deg, "src"))
+    val seeds = graft.Session.barrier(seedsRaw.select(col("node")).distinct())
+    var ranks = seeds.select(col("node"), lit(1000000L).as("pr"))
+    for (_ <- 1 to iterations) {
+      val damped = routed.join(ranks, routed("src") === ranks("node"))
+        .select(col("dst"), expr("pr div outdeg").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("inmass"))
+        .select(col("dst").as("node"), expr("(850 * inmass) div 1000").as("dm"))
+      ranks = damped
+        .join(seeds.withColumn("tp", lit(150000L)), Seq("node"), "full_outer")
+        .select(col("node"),
+          (coalesce(col("dm"), lit(0L)) + coalesce(col("tp"), lit(0L))).as("pr"))
+        .where(col("pr") > 0)
+    }
+    ranks
+  }
+
   /** Undirected co-supply graph: supplier pair (u < v) connected iff
     * they supply at least one common part. The wedge step is the usual
     * bounded self-join: parts fan out to their (small) supplier sets,

@@ -256,6 +256,22 @@ class GraphSpec extends SparkSpec {
     Graph.kCore(edges, k = 3).count() shouldBe 0L
   }
 
+  test("personalizedPagerankInt: teleport only to seeds; unreachable nodes never appear") {
+    // star 0-{1,2,3,4} plus a disconnected pair {5,6}; seed = hub 0
+    val edges = edgesOf((0L,1L),(1L,0L),(0L,2L),(2L,0L),(0L,3L),(3L,0L),
+      (0L,4L),(4L,0L),(5L,6L),(6L,5L))
+    val seeds = Seq(0L).toDF("node")
+    // round 1: leaves get 850*(1e6 div 4)//1000 = 212500, hub keeps its
+    // 150000 teleport; round 2: hub = 150000 + 850*850000//1000 = 872500,
+    // leaves = 850*(150000 div 4)//1000 = 31875
+    val r = Graph.personalizedPagerankInt(edges, seeds, 2)
+      .as[(Long, Long)].collect().toMap
+    r shouldBe Map(0L -> 872500L, 1L -> 31875L, 2L -> 31875L,
+      3L -> 31875L, 4L -> 31875L)
+    // nodes 5/6 carry mass in GLOBAL pagerank but never in this PPR
+    Graph.pagerankInt(edges, 2).as[(Long, Long)].collect().toMap.keySet should contain (5L)
+  }
+
   test("labelPropagation: two triangles with a bridge settle into their min-label communities") {
     // hand-unrolled: l1 = (1→2, 2→1, 3→1, 4→3, 5→4, 6→4),
     // l2 = (1→1, 2→1, 3→1, 4→4, 5→3, 6→3), l3/l4 stable at the split below
