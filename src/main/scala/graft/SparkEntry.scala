@@ -1867,6 +1867,11 @@ object SparkEntry {
     // the quadratic levenshtein theta join into an equi-join + verify
     "e01_fuzzy_pairs" -> ((s, d) =>
       Entity.fuzzyPairs(t(s, d)("customer"), "c_custkey", "c_name")),
+    // ER blocking evaluation: reduction ratio + blocking precision as
+    // exact ppm; completeness is enforced by the gate (the oracle's
+    // brute-force n_matches must equal the candidate-verified count)
+    "e06_blocking_report" -> ((s, d) =>
+      Entity.blockingReport(t(s, d)("customer"), "c_name")),
     // phonetic blocking over the corpus word vocabulary: soundex-variant
     // key buckets + exact levenshtein verify, vocabulary-sized join.
     // GATE-side seeding (not operator behavior): the fixture vocabulary
@@ -5888,6 +5893,32 @@ object SparkEntry {
                 quantile_cont(cents, 0.9) AS p90,
                 quantile_cont(cents, 0.99) AS p99
          FROM b GROUP BY event_type ORDER BY event_type""",
+    // candidate count via the raw-string delete-1 join, TRUE matches via
+    // the length-prefiltered brute force — completeness cross-checked by
+    // construction (see the engine scaladoc)
+    "e06_blocking_report" ->
+      """WITH c AS (SELECT DISTINCT c_name AS name FROM customer),
+         v0 AS (SELECT name, unnest([name] || list_transform(generate_series(1, length(name)),
+                  i -> substr(name, 1, i-1) || substr(name, i+1))) AS variant FROM c),
+         vd AS (SELECT DISTINCT name, variant FROM v0),
+         cand AS (SELECT DISTINCT a.name AS x, b.name AS y
+                  FROM vd a JOIN vd b ON a.variant = b.variant AND a.name < b.name),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+                      CAST(sum(CASE WHEN levenshtein(x, y) <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_matches
+               FROM cand),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS n_true
+               FROM c a JOIN c b ON a.name < b.name
+                 AND abs(length(a.name) - length(b.name)) <= 1
+                 AND levenshtein(a.name, b.name) <= 1),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n_names FROM c)
+         SELECT n_names,
+                CAST(n_names*(n_names-1)//2 AS BIGINT) AS n_total_pairs,
+                n_candidates,
+                n_true AS n_matches,
+                CAST((n_names*(n_names-1)//2 - n_candidates) * 1000000
+                     // (n_names*(n_names-1)//2) AS BIGINT) AS reduction_ppm,
+                CAST(n_true * 1000000 // n_candidates AS BIGINT) AS precision_ppm
+         FROM n CROSS JOIN m CROSS JOIN t""",
     // the identical per-char algebra (translate, indexed-lambda adjacent
     // collapse, slice/strip-zero/pad) recomputed by DuckDB, then the
     // same bucket self-join + levenshtein verify

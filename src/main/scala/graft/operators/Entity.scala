@@ -160,6 +160,54 @@ object Entity {
       .orderBy($"id")
   }
 
+  /** Blocking-quality report (e06): the standard ER blocking evaluation
+    * — REDUCTION RATIO (share of the quadratic comparison space the
+    * blocking skips) and blocking PRECISION (share of candidates that
+    * verify as true lev≤1 matches), as exact integer ppm over the
+    * distinct-name universe. Pair completeness is checked by the GATE
+    * construction rather than reported as a trivial constant: the
+    * oracle counts true matches with its own brute-force scan, so a
+    * candidate set that missed any true pair hash-mismatches on
+    * `n_matches`.
+    *
+    * Variants join as STRINGS here, not [[deleteVariants]]' 8-byte
+    * hashes: the candidate COUNT is the deliverable, and a hash
+    * collision would silently inflate it — the hashed form is right
+    * exactly when a post-verify removes collisions (e01), wrong when
+    * the count itself is the answer. Costs wider shuffle rows on a
+    * vocabulary-sized relation; the quadratic total-pair count is
+    * arithmetic (n·(n−1)/2), never an enumerated join.
+    */
+  def blockingReport(rows: DataFrame, nameCol: String): DataFrame = {
+    val names = rows.select(col(nameCol).as("name")).distinct()
+    val variants = names
+      .withColumn("variant",
+        explode(concat(
+          array($"name"),
+          when(length($"name") > 0,
+            transform(sequence(lit(1), length($"name")), i =>
+              concat($"name".substr(lit(1), i - 1),
+                     $"name".substr(i + 1, length($"name")))))
+            .otherwise(array().cast("array<string>")))))
+      .select($"name", $"variant").distinct()
+    val candidates = variants.select($"name".as("x_name"), $"variant")
+      .join(variants.select($"name".as("y_name"), $"variant"), Seq("variant"))
+      .where($"x_name" < $"y_name")
+      .select($"x_name", $"y_name").distinct()
+    val cstats = candidates.agg(
+      count(lit(1)).as("n_candidates"),
+      sum(when(levenshtein($"x_name", $"y_name") <= 1, 1L).otherwise(0L))
+        .as("n_matches"))
+    names.agg(count(lit(1)).as("n_names"))
+      .crossJoin(cstats) // two 1-row aggregates
+      .select($"n_names",
+        expr("n_names * (n_names - 1) div 2").as("n_total_pairs"),
+        $"n_candidates", $"n_matches",
+        expr("""(n_names * (n_names - 1) div 2 - n_candidates) * 1000000L
+                div (n_names * (n_names - 1) div 2)""").as("reduction_ppm"),
+        expr("n_matches * 1000000L div n_candidates").as("precision_ppm"))
+  }
+
   /** The SQL-Server-variant Soundex key (the H/W-bridging rule of the
     * genealogy variant deliberately omitted — this variant is fully
     * expressible as the same column algebra in any engine, which is

@@ -91,6 +91,18 @@ class EntitySpec extends SparkSpec {
     out.where($"entity_id" > $"id").count() shouldBe 0L
   }
 
+  test("blockingReport: hand-checkable reduction and precision on a 4-name universe") {
+    // names: ab, ac, ad, xy -> total pairs C(4,2)=6
+    // delete-1 candidates: {ab,ac,ad} pairwise share variant "a" -> 3
+    // candidate pairs; xy shares nothing. All 3 verify at lev 1.
+    val rows = Seq((1L, "ab"), (2L, "ac"), (3L, "ad"), (4L, "xy"), (5L, "ab"))
+      .toDF("id", "name")
+    val r = Entity.blockingReport(rows, "name").collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) shouldBe ((4L, 6L, 3L, 3L))
+    r.getLong(4) shouldBe 500000L  // (6-3)*1e6 div 6
+    r.getLong(5) shouldBe 1000000L // 3/3 candidates verify
+  }
+
   test("soundexKey: classic anchors, adjacent-code collapse, zero padding, our H/W variant") {
     val rows = Seq("Robert", "Rupert", "Pfister", "Tymczak", "ray", "Ashcraft")
       .toDF("w").select($"w", Entity.soundexKey($"w").as("k"))
