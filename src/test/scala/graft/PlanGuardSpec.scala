@@ -509,6 +509,12 @@ class PlanGuardSpec extends SparkSpec {
     p should include("PushedFilters: [In(variable")
   }
 
+  test("g09_ppr: rounds read the barriered routed edges and seed set, never the fact table") {
+    val p = planOf("g09_ppr")
+    p should not include "lineitem.parquet"
+    p should not include "CartesianProduct"
+  }
+
   test("t45_novelty: gram stream materializes once; both legs read the checkpoint") {
     val p = planOf("t45_novelty")
     p should not include "documents.parquet"
