@@ -1089,6 +1089,10 @@ object SparkEntry {
         .select($"variable", $"time", $"lat", $"lon", $"src",
           round($"value", 4).as("value"))
     }),
+    // per-cell climate trend: q48's integer-moment OLS per (lat, lon)
+    // over the integer-valued grid twin; one cell-keyed shuffle
+    "r24_cell_trend" -> ((s, d) =>
+      Raster.cellTrend(Raster.demoGridSum(t(s, d)("lineitem")), "A")),
     // wind-style component recombination: variables A/N paired per cell
     // by a one-scan conditional pivot, magnitude via correctly-rounded
     // sqrt (the one portable transcendental), direction as the integer
@@ -3166,6 +3170,27 @@ object SparkEntry {
                 avg(value) AS value, CAST(count(*) AS BIGINT) AS n_cells
          FROM gridsum GROUP BY 1, 2, 3, 4
          ORDER BY variable, time, lat, lon""",
+    // identical moment CTEs + the identical slope/intercept expression
+    // tree over exact BIGINT sums (q48's oracle shape, per cell)
+    "r24_cell_trend" ->
+      s"""WITH ${operators.Raster.demoGridSumSql},
+         b AS (SELECT lat, lon,
+                      CAST(year(time)*12 + month(time) AS BIGINT) AS t,
+                      CAST(value AS BIGINT) AS y
+               FROM gridsum WHERE variable = 'A'),
+         a AS (SELECT lat, lon, CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(t) AS BIGINT) AS st, CAST(sum(y) AS BIGINT) AS sy,
+                      CAST(sum(t*t) AS BIGINT) AS stt, CAST(sum(t*y) AS BIGINT) AS sty
+               FROM b GROUP BY 1, 2),
+         c AS (SELECT lat, lon, n, CAST(n AS DOUBLE) AS nd,
+                      CAST(st AS DOUBLE) AS std, CAST(sy AS DOUBLE) AS syd,
+                      CAST(stt AS DOUBLE) AS sttd, CAST(sty AS DOUBLE) AS styd
+               FROM a WHERE n >= 2)
+         SELECT lat, lon, n,
+                (nd*styd - std*syd) / (nd*sttd - std*std) AS slope,
+                (syd - ((nd*styd - std*syd) / (nd*sttd - std*std)) * std) / nd
+                  AS intercept
+         FROM c ORDER BY lat, lon""",
     // the engine's exact expression shape: re-centre in a subquery, then
     // u*u + v*v and sqrt per row — all per-row IEEE ops, bit-identical
     "r21_vector_speed" ->

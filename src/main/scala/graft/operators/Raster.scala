@@ -316,6 +316,44 @@ object Raster {
       .orderBy($"variable", $"time", $"tlat", $"tlon")
   }
 
+  /** Per-cell temporal trend (r24): the OLS slope of value against the
+    * month index for EVERY (lat, lon) cell — the climate-trend map
+    * ("warming per decade per cell") every reanalysis monitoring
+    * product derives from exactly the monthly series the reference
+    * ingests. q48's exact-integer-moment discipline applied per cell:
+    * y is the integer-valued grid twin ([[demoGridSum]]), t = the
+    * month serial year·12+month, all moment sums are exact BIGINTs in
+    * ONE map-side-combinable aggregate, and slope/intercept are a
+    * fixed per-row expression tree over those exact sums — identical
+    * IEEE bits in any engine. Cells with fewer than two months drop
+    * (no degenerate denominators: grid keys are unique per (cell,
+    * time), so n ≥ 2 implies distinct t).
+    *
+    * Scale shape: one scan, one shuffle on the cell key; the moment
+    * relation is cell-count-sized regardless of the historical depth —
+    * 800 months of a 1440×721 grid collapse to one million rows.
+    */
+  def cellTrend(gridSum: DataFrame, variable: String): DataFrame = {
+    val nd = col("n").cast("double")
+    val std = col("st").cast("double")
+    val syd = col("sy").cast("double")
+    val sttd = col("stt").cast("double")
+    val styd = col("sty").cast("double")
+    val slope = (nd * styd - std * syd) / (nd * sttd - std * std)
+    gridSum.where($"variable" === variable)
+      .select($"lat", $"lon",
+        (year($"time") * 12 + month($"time")).cast("long").as("t"),
+        $"value".cast("long").as("y"))
+      .groupBy($"lat", $"lon")
+      .agg(count(lit(1)).as("n"),
+        sum($"t").as("st"), sum($"y").as("sy"),
+        sum($"t" * $"t").as("stt"), sum($"t" * $"y").as("sty"))
+      .where($"n" >= 2)
+      .select($"lat", $"lon", $"n", slope.as("slope"),
+        ((syd - slope * std) / nd).as("intercept"))
+      .orderBy($"lat", $"lon")
+  }
+
   /** Vector-field recombination (r21): pair a u- and a v-component
     * variable per cell and derive magnitude + quadrant — the wind-speed
     * derivation met pipelines run over GFS/ERA5 u10/v10 component

@@ -272,6 +272,25 @@ class RasterSpec extends SparkSpec {
     out.get((7.0 / 3, 0.25)) shouldBe None // no corner joined -> no row
   }
 
+  test("cellTrend: textbook slope/intercept per cell; single-month cells drop") {
+    // cell (0,0): Jan-Mar 2000 -> t = 24001..24003, y = 10,12,14: a
+    // perfect line with slope 2, intercept 10 - 2*24001 = -47992
+    // cell (1,1): one month only -> dropped (n < 2)
+    val rows = Seq(
+      ("A", "2000-01-15 00:00:00", 0.0, 0.0, 10.0),
+      ("A", "2000-02-15 00:00:00", 0.0, 0.0, 12.0),
+      ("A", "2000-03-15 00:00:00", 0.0, 0.0, 14.0),
+      ("A", "2000-01-15 00:00:00", 1.0, 1.0, 5.0),
+      ("R", "2000-02-15 00:00:00", 1.0, 1.0, 6.0)) // other variable ignored
+      .toDF("variable", "time", "lat", "lon", "value")
+      .withColumn("time", $"time".cast("timestamp_ntz"))
+    val out = Raster.cellTrend(rows, "A").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    out((0.0, 0.0)) shouldBe ((3L, 2.0, -47992.0))
+    out.size shouldBe 1
+  }
+
   test("vectorSpeed: 3-4-5 magnitudes, all four quadrants, missing component drops") {
     val ts = "2024-01-01 00:00:00"
     val rows = Seq( // center 25: (u,v) = (3,4), (-4,3), (-3,-4), (4,-3)
