@@ -1538,6 +1538,10 @@ object SparkEntry {
     "d01_dedup_exact" -> ((s, d) => Dedup.exact(t(s, d)("documents"))),
     "d02_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(t(s, d)("documents"), 2, 0.5)),
     "d03_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(t(s, d)("documents"))),
+    // estimate-vs-exact calibration over d03's candidates: unrounded est,
+    // candidate-bounded exact Jaccard, per-pair absolute error
+    "d19_minhash_calibration" -> ((s, d) =>
+      Dedup.minhashCalibration(t(s, d)("documents"))),
     "d04_simhash" -> ((s, d) => Dedup.simhash(t(s, d)("documents"))),
     "d05_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDups(t(s, d)("embeddings"), 0.4)),
     "d06_jaccard_pruned" -> ((s, d) =>
@@ -3944,6 +3948,29 @@ object SparkEntry {
          WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.4
          ORDER BY doc_a, doc_b""",
     "d03_minhash_lsh" -> minhashOracle,
+    // the shared signature/band CTEs, est kept raw; exact side = the
+    // distinct-gram intersection over the shingle sets the signatures
+    // hashed, one IEEE division, error formed before any rounding
+    "d19_minhash_calibration" ->
+      s"""WITH $minhashPairsCte,
+         gset AS (SELECT DISTINCT doc_id, gram FROM g0),
+         szs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM gset GROUP BY 1),
+         ic AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       CAST(count(*) AS BIGINT) AS n_inter
+                FROM gset a JOIN gset b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         cal AS (SELECT e.doc_a, e.doc_b, e.est,
+                        coalesce(ic.n_inter, CAST(0 AS BIGINT)) AS n_inter,
+                        sa.sz + sb.sz - coalesce(ic.n_inter, CAST(0 AS BIGINT)) AS n_union
+                 FROM est e
+                 JOIN szs sa ON sa.doc_id = e.doc_a
+                 JOIN szs sb ON sb.doc_id = e.doc_b
+                 LEFT JOIN ic ON ic.doc_a = e.doc_a AND ic.doc_b = e.doc_b)
+         SELECT doc_a, doc_b, round(est, 4) AS est_jaccard,
+                n_inter, CAST(n_union AS BIGINT) AS n_union,
+                round(CAST(n_inter AS DOUBLE)/CAST(n_union AS DOUBLE), 4) AS exact_jaccard,
+                round(abs(est - CAST(n_inter AS DOUBLE)/CAST(n_union AS DOUBLE)), 4) AS abs_err
+         FROM cal ORDER BY doc_a, doc_b""",
     "d11_incremental_dedup" -> incrementalOracle,
     // one oracle string, two gates: the Bloom prefilter must be invisible
     "d12_incremental_bloom" -> incrementalOracle,

@@ -476,6 +476,60 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** MinHash calibration (d19): every LSH candidate pair's signature
+    * ESTIMATE side by side with its EXACT shingle Jaccard and the
+    * absolute error — the measurement that justifies (or retunes) the
+    * band/row parameters before a production dedup run trusts the
+    * estimate. Uses the d03 signature scheme verbatim (same shingles,
+    * same 32 affine hashes, same band keys) with the threshold removed
+    * and the estimate kept UNROUNDED until the error is formed.
+    *
+    * Scale shape: candidate generation is d03's banded join (never
+    * all-pairs); the exact side is candidate-BOUNDED — each pair joins
+    * only doc_a's barriered distinct-gram set, then a semi-join against
+    * doc_b's probes membership, so the verify costs Σ|grams(a)| over
+    * candidates, not corpus². The candidate relation is barriered: it
+    * feeds three joins and must not re-run the band join per consumer.
+    */
+  def minhashCalibration(documents: DataFrame, shingleN: Int = 3,
+                         bands: Int = 8, rows: Int = 4): DataFrame = {
+    val numHashes = bands * rows
+    val bandRows = bandedSignatures(documents, shingleN, bands, rows)
+    val agree = aggregate(
+      zip_with(col("a.sig"), col("b.sig"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), _ + _)
+    val cand = graft.Session.barrier(bandRows.as("a")
+      .join(bandRows.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (agree.cast("double") / lit(numHashes)).as("est"))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(max($"est").as("est")))
+    val grams = graft.Session.barrier(documents
+      .select($"doc_id", explode(ngrams(tokens($"text"), shingleN)).as("gram"))
+      .distinct())
+    val sz = grams.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cand.select($"doc_a", $"doc_b")
+      .join(grams.select($"doc_id".as("doc_a"), $"gram"), Seq("doc_a"))
+      .join(grams.select($"doc_id".as("doc_b"), $"gram"), Seq("doc_b", "gram"),
+        "left_semi")
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_inter"))
+    val exact = coalesce($"n_inter", lit(0L)).cast("double") /
+      ($"sz_a" + $"sz_b" - coalesce($"n_inter", lit(0L))).cast("double")
+    cand
+      .join(sz.select($"doc_id".as("doc_a"), $"sz".as("sz_a")), Seq("doc_a"))
+      .join(sz.select($"doc_id".as("doc_b"), $"sz".as("sz_b")), Seq("doc_b"))
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .select($"doc_a", $"doc_b",
+        round($"est", 4).as("est_jaccard"),
+        coalesce($"n_inter", lit(0L)).as("n_inter"),
+        ($"sz_a" + $"sz_b" - coalesce($"n_inter", lit(0L))).as("n_union"),
+        round(exact, 4).as("exact_jaccard"),
+        round(abs($"est" - exact), 4).as("abs_err"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** 60-bit SimHash per document: per-token portable hash (two independent
     * [[graft.functions.PolyHash]]es packed into 60 bits), each bit
     * contributes ±1, signature bit = sign of the sum. Near-dups share

@@ -415,4 +415,25 @@ class DedupSpec extends SparkSpec {
     val capped = Dedup.simhashHammingPairs(docs, 3, maxBandFreq = Some(4))
     capped.except(exact).count() shouldBe 0 // never invents a pair
   }
+
+  test("minhashCalibration: identical docs measure exactly; near-dups carry a consistent error") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d = docs(
+      (1L, "w", base),
+      (2L, "w", base),                    // exact twin: est = exact = 1.0
+      (3L, "w", base + " extra"),         // near-dup of 1/2
+      (4L, "w", "totally different words nothing shared here at all"))
+    val out = Dedup.minhashCalibration(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))).toMap
+    // the twin pair: full signature agreement AND exact Jaccard 1
+    out((1L, 2L)) shouldBe ((1.0, 8L, 8L, 1.0, 0.0))
+    // near-dup: 10 tokens -> 8 trigrams; +1 token adds one trigram ->
+    // inter 8, union 9; the estimate may differ but the EXACT side is law
+    val (_, ni, nu, exact, err) = out((1L, 3L))
+    (ni, nu, exact) shouldBe ((8L, 9L, 0.8889))
+    err should be < 0.35 // |est - 8/9| bounded: est >= some bands agreeing
+    // the unrelated doc shares no band with anyone
+    out.keySet.flatMap(k => Set(k._1, k._2)) should not contain 4L
+  }
 }
