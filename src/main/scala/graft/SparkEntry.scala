@@ -242,6 +242,37 @@ object SparkEntry {
       fields).toString
   }
 
+  /** r25 closed form, bounded < 250 so the 5.41 PNG path's 8-bit scope
+    * holds; decimalScale 1 → value = scaled/10.
+    */
+  private def grib2PngScaled(pidx: Int, m: Int, i: Int, j: Int): Int =
+    (i * 3 + j * 7 + pidx * 29 + m * 13) % 250
+
+  /** Template 5.41 fixture: TMP + PRATE PNG-packed on the g3 lattice
+    * (VGRD exists only for the -match filter to drop). The engine must
+    * recover identical integers through the full PNG path — zlib
+    * inflate, row-filter reconstruction — while the oracle regenerates
+    * them from the closed form.
+    */
+  private lazy val grib2PngFixturePath: String = {
+    import java.time.LocalDateTime
+    val params = Seq((0, 0, 0), (1, 1, 7), (2, 2, 3)) // TMP, PRATE, VGRD
+    val times = Seq(LocalDateTime.of(2004, 3, 10, 6, 0),
+      LocalDateTime.of(2004, 4, 10, 6, 0))
+    val fields = for {
+      (t, m) <- times.zipWithIndex
+      (pidx, cat, num) <- params
+    } yield sources.Grib2.Field(0, cat, num, t, g3Ni, g3Nj,
+      g3La1, g3Lo1, g3Di, g3Dj, decimalScale = 1,
+      Array.tabulate(g3Nj * g3Ni) { k =>
+        val j = k / g3Ni; val i = k % g3Ni
+        Some(grib2PngScaled(pidx, m, i, j))
+      }, template = 41)
+    sources.Grib2.writeFile(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft-grib", "png.grib2"),
+      fields).toString
+  }
+
   private lazy val grib2ComplexFixturePath: String = {
     import java.time.LocalDateTime
     // (pidx, category, number, masked, template): TMP complex+spatial-diff
@@ -1167,6 +1198,11 @@ object SparkEntry {
     // coding, tag-tree packet headers; lossy 5.40 rejects loudly
     "r16_grib2_jpeg2000" -> ((s, _) =>
       sources.Grib2.readRecords(s, Seq(grib2J2kFixturePath), matchRe = "TMP|PRATE")
+        .orderBy($"variable", $"time", $"lat", $"lon")),
+    // template 5.41 (PNG packing): section 7 decodes through the SAME
+    // from-scratch PNG codec the multimodal gates exercise
+    "r25_grib2_png" -> ((s, _) =>
+      sources.Grib2.readRecords(s, Seq(grib2PngFixturePath), matchRe = "TMP|PRATE")
         .orderBy($"variable", $"time", $"lat", $"lon")),
     // the DataSource V2 face of the GRIB2 reader: spark.read
     // .format("grib2") with variable = 'TMP' PUSHED to the reader —
@@ -3397,6 +3433,20 @@ object SparkEntry {
     // r16: the same lattice, dense (no mask) — the engine recovered it
     // from the template-5.40 JPEG2000 codestream, the oracle never sees a
     // byte of it
+    // the 5.41 lattice regenerated closed-form (bounded < 250: the
+    // engine recovered it through zlib inflate + PNG row filters)
+    "r25_grib2_png" ->
+      s"""WITH p(pidx, variable) AS (VALUES (0, 'TMP'), (1, 'PRATE')),
+         t(t, m) AS (VALUES (TIMESTAMP '2004-03-10 06:00:00', 0),
+                            (TIMESTAMP '2004-04-10 06:00:00', 1)),
+         ii AS (SELECT unnest(generate_series(0, ${g3Ni - 1})) AS i),
+         jj AS (SELECT unnest(generate_series(0, ${g3Nj - 1})) AS j)
+         SELECT variable, t AS time,
+                ($g3La1 - j * $g3Dj) / 1000000.0 AS lat,
+                (($g3Lo1) + i * $g3Di) / 1000000.0 AS lon,
+                ((i * 3 + j * 7 + pidx * 29 + m * 13) % 250) / 10.0 AS value
+         FROM p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
+         ORDER BY variable, time, lat, lon""",
     "r16_grib2_jpeg2000" ->
       s"""WITH p(pidx, variable) AS (VALUES (0, 'TMP'), (1, 'PRATE')),
          t(t, m) AS (VALUES (TIMESTAMP '2004-01-10 06:00:00', 0),

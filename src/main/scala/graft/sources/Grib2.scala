@@ -26,8 +26,11 @@ import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
   * grid template 3.0 (regular lat/lon), product template 4.0, data
   * representation templates 5.0 (simple packing), 5.2 (complex packing,
   * general group splitting, no missing-value management — bitmaps carry
-  * the mask) and 5.3 (complex + spatial differencing, order 1/2 — the
-  * encoding NCEP GFS ships), bitmap indicator 0/255, scan modes
+  * the mask), 5.3 (complex + spatial differencing, order 1/2 — the
+  * encoding NCEP GFS ships), 5.40 (lossless JPEG2000 via
+  * [[Jpeg2000]]; lossy rejects with a pointer) and 5.41 (PNG packing
+  * via [[AssetCodecs]]'s greyscale codec, nbits ≤ 8, dense fields),
+  * bitmap indicator 0/255, scan modes
   * 0x00/0x40, i-fastest. Decode math ends identically for all three:
   * `value = (R + X·2^E) / 10^D` over exact integers X — template 5.2
   * reconstructs X as groupRef + packed per group, 5.3 additionally
@@ -245,10 +248,10 @@ object Grib2 {
             nPresent = u32(pos + 5).toInt
             drTemplate = u16(pos + 9)
             require(drTemplate == 0 || drTemplate == 2 || drTemplate == 3 ||
-                drTemplate == 40,
+                drTemplate == 40 || drTemplate == 41,
               s"data representation template 5.$drTemplate unsupported " +
                 s"(only 5.0 simple / 5.2 complex / 5.3 complex+spatial-diff / " +
-                s"5.40 JPEG2000 lossless) in $label")
+                s"5.40 JPEG2000 lossless / 5.41 PNG) in $label")
             refVal = java.lang.Float.intBitsToFloat(u32(pos + 11).toInt).toDouble
             eScale = s16(pos + 15)
             dScale = s16(pos + 17)
@@ -316,6 +319,18 @@ object Grib2 {
                 s"JPEG2000 image ${jw}x$jh disagrees with grid ${ni}x$nj in $label")
               var k = 0
               while (k < nPresent) { packed(k) = (refVal + xs(k) * twoE) / tenD; k += 1 }
+            } else if (drTemplate == 41) {
+              require(bitmap == null,
+                s"bitmap with template 5.41 unsupported in $label (dense fields only)")
+              val (pw, ph, rows) = AssetCodecs.decodePngImage(
+                java.util.Arrays.copyOfRange(b, pos + 5, pos + len))
+              require(pw == ni && ph == nj,
+                s"PNG image ${pw}x$ph disagrees with grid ${ni}x$nj in $label")
+              var k = 0
+              while (k < nPresent) {
+                packed(k) = (refVal + (rows(k / ni)(k % ni) & 0xff) * twoE) / tenD
+                k += 1
+              }
             } else if (drTemplate >= 2) {
               val xs = unpackComplex(b, pos + 5, pos + len, nPresent, nbits,
                 ng, refGW, nbitsGW, refGL, lenInc, lastLen, nbitsGL,
@@ -506,8 +521,9 @@ object Grib2 {
                          groupLen: Int = 20) {
     require(scaled.length == ni * nj, "scaled length must be ni*nj")
     require(scanMode == 0x00 || scanMode == 0x40, "scan mode must be 0x00 or 0x40")
-    require(template == 0 || template == 2 || template == 3 || template == 40,
-      "data representation template must be 5.0, 5.2, 5.3 or 5.40")
+    require(template == 0 || template == 2 || template == 3 || template == 40 ||
+      template == 41,
+      "data representation template must be 5.0, 5.2, 5.3, 5.40 or 5.41")
     require(sdOrder == 1 || sdOrder == 2, "spatial differencing order must be 1 or 2")
     require(groupLen >= 2, "group length must be at least 2")
   }
@@ -724,6 +740,20 @@ object Grib2 {
         val j2k = Jpeg2000.encodeLossless(f.ni, f.nj, base.map(_.toInt), nbits)
         // octet 22: compression type 0 = lossless; 23: target ratio missing
         (sec5Head(40, nbits) ++ Array[Byte](0, 255.toByte), j2k)
+      case 41 =>
+        // PNG packing (template 5.41, the other wgrib2/g2clib-standard
+        // compressed representation): section 7 is a greyscale PNG of
+        // the non-negative scaled integers — the SAME from-scratch PNG
+        // codec the multimodal gates exercise (zlib deflate, row
+        // filters). Scope: dense fields, nbits <= 8 (the 8-bit
+        // greyscale depth our codec owns); wider fields reject loudly.
+        require(!f.scaled.exists(_.isEmpty),
+          "bitmap with template 5.41 out of scope (dense fields only)")
+        val nbits = math.max(1, bitsFor(base.max))
+        require(nbits <= 8, s"5.41 fields wider than 8 bits out of scope (got $nbits)")
+        val png = AssetCodecs.encodePng(f.ni, f.nj,
+          (x, y) => base(y * f.ni + x).toInt)
+        (sec5Head(41, nbits), png)
     }
     section(5, sec5Payload)
 

@@ -216,6 +216,28 @@ class Grib2Spec extends SparkSpec {
     e.getMessage should include("LOSSY")
   }
 
+  test("template 5.41 PNG packing decodes bit-identically to 5.0; scope rejects loudly") {
+    // values bounded < 256: the 8-bit greyscale PNG scope
+    def small(template: Int, masked: Boolean = false) =
+      Grib2.Field(0, 0, 0, LocalDateTime.of(2003, 6, 15, 12, 0),
+        ni = 13, nj = 9, la1Micro = 40000000L, lo1Micro = -25000000L,
+        diMicro = 1500000L, djMicro = 2000000L, decimalScale = 1,
+        Array.tabulate(117) { k =>
+          if (masked && k % 6 == 5) None else Some((k * 37 + 11) % 251)
+        }, template = template)
+    Grib2.parseMessages(write(small(41))).head.values.toSeq shouldBe
+      Grib2.parseMessages(write(small(0))).head.values.toSeq
+    // negative decimal scale through the PNG path too
+    val f = field(d = -1, base = 100).copy(template = 41)
+    Grib2.parseMessages(write(f)).head.values.toSeq shouldBe
+      Grib2.parseMessages(write(field(d = -1, base = 100))).head.values.toSeq
+    // a 9-bit field rejects loudly rather than truncating
+    an[IllegalArgumentException] should be thrownBy write(bumpy(template = 41))
+    // masked 5.41 rejects (dense fields only, like 5.40)
+    an[IllegalArgumentException] should be thrownBy
+      write(small(41, masked = true))
+  }
+
   test("readRecords: -match regex and -limit record selection, distributed") {
     val dir = java.nio.file.Files.createTempDirectory("grib2spec")
     val p = Grib2.writeFile(dir.resolve("t.grib2"),
