@@ -44,7 +44,17 @@ object Dedup {
     val lc = lower(c)
     when(c.rlike("\\s") || !c.rlike(s"[$UnsegScript]"), split(lc, "\\s+"))
       .when(length(lc) < 2, array(lc))
-      .otherwise(transform(sequence(lit(1), length(lc)), i => lc.substr(i, lit(1))))
+      // code-point split via zero-width regex instead of
+      // transform(sequence(...)): the higher-order form is
+      // CodegenFallback, and ONE such node in a projection knocks the
+      // ENTIRE stage out of whole-stage codegen — measured 1.3-1.5× on
+      // the heavy gram queries (d07/d08/d16) even though the branch
+      // never executes on Latin corpora. split/slice/rlike all
+      // codegen, so the Latin path now pays only the one early-exit
+      // whitespace rlike. The slice drops the trailing "" that
+      // zero-width split keeps (limit -1), making the result
+      // bit-identical to the old per-index substr transform.
+      .otherwise(slice(split(lc, "(?!^)"), lit(1), length(lc)))
   }
 
   /** The DuckDB mirror of [[tokens]], for oracle SQL builders. */

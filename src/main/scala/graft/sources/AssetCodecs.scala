@@ -143,6 +143,14 @@ object AssetCodecs {
       typ match {
         case "IHDR" =>
           w = be32(bytes, pos + 8); h = be32(bytes, pos + 12)
+          // dimension plausibility cap BEFORE any allocation (mirrors the
+          // Jpeg2000 hardening): crafted dims like 65535x65536 would
+          // overflow h*(w+1) to 0 — making the inflate length check pass
+          // vacuously — and then attempt a multi-GB Array.ofDim, an
+          // OOM-level DoS reachable from untrusted bytes via asset
+          // sniffing and the GRIB2 5.41 decode path
+          require(w >= 1 && h >= 1 && w.toLong * h <= (1L << 26),
+            s"implausible PNG dimensions ${w}x$h (cap: 2^26 pixels)")
           val depth = bytes(pos + 16) & 0xff; val colour = bytes(pos + 17) & 0xff
           val interlace = bytes(pos + 20) & 0xff
           require(depth == 8 && colour == 0,

@@ -50,6 +50,26 @@ class Grib2DataSource extends TableProvider with org.apache.spark.sql.sources.Da
     new Grib2ConnectorTable(Grib2Connector.rawPaths(properties))
 }
 
+/** Hadoop `Configuration` is not `Serializable`; this wrapper ships the
+  * DRIVER's session hadoopConfiguration to executor-side readers/writers
+  * (the pattern Spark's own file sources use), so filesystems configured
+  * via `spark.hadoop.*` (S3A/GCS credentials, custom FS impls) resolve
+  * identically at planning time and in per-file task I/O. A bare
+  * `new Configuration()` on the executor would see only core-default.xml.
+  */
+class SerializableHadoopConf(@transient var value: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}
+
 object Grib2Connector {
   val Schema: StructType = StructType(Seq(
     StructField("variable", StringType, nullable = false),
@@ -58,11 +78,36 @@ object Grib2Connector {
     StructField("lon", DoubleType, nullable = false),
     StructField("value", DoubleType, nullable = false)))
 
-  /** The user-supplied path option(s), unexpanded. */
+  /** The driver session's hadoopConfiguration, capture-ready. Called at
+    * scan/write BUILD time (driver side) so executor-side I/O sees the
+    * same `spark.hadoop.*` view as planning.
+    */
+  def sessionConf(): SerializableHadoopConf =
+    new SerializableHadoopConf(org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration)
+
+  /** The user-supplied path option(s), unexpanded. Spark JSON-encodes the
+    * multi-path `paths` option, so it is parsed as a JSON string array —
+    * a bracket-strip-and-split would shred any path containing a comma or
+    * quote into nonexistent paths that fail later with a misleading
+    * "no GRIB files found".
+    */
   def rawPaths(properties: util.Map[String, String]): Seq[String] =
     Option(properties.get("paths"))
-      .map(p => p.stripPrefix("[").stripSuffix("]").split(",")
-        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq)
+      .map { p =>
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val node = try mapper.readTree(p) catch {
+          case e: Exception =>
+            sys.error(s"grib2 source: 'paths' option is not a JSON array: $p (${e.getMessage})")
+        }
+        require(node != null && node.isArray,
+          s"grib2 source: 'paths' option must be a JSON string array, got: $p")
+        (0 until node.size).map { i =>
+          val el = node.get(i)
+          require(el.isTextual, s"grib2 source: non-string entry in 'paths': $el")
+          el.asText()
+        }
+      }
       .orElse(Option(properties.get("path")).map(Seq(_)))
       .getOrElse(sys.error("grib2 source requires a path"))
 
@@ -100,14 +145,23 @@ object Grib2Connector {
     case _                               => true
   }
 
-  /** Read a whole file's bytes through the Hadoop FS API. */
-  def readBytes(path: String): Array[Byte] = {
+  /** Read a whole file's bytes through the Hadoop FS API, using the
+    * propagated session configuration. The length guard is load-bearing:
+    * `getLen.toInt` on a ≥ 4 GiB file would wrap to a small positive
+    * length and, because GRIB files are concatenated messages, a
+    * message-boundary-aligned truncation would SILENTLY drop records
+    * from both the row scan and the COUNT(*) pushdown.
+    */
+  def readBytes(path: String, conf: org.apache.hadoop.conf.Configuration): Array[Byte] = {
     val hp = new org.apache.hadoop.fs.Path(path)
-    val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = hp.getFileSystem(conf)
     val in = fs.open(hp)
     try {
-      val len = fs.getFileStatus(hp).getLen.toInt
-      val buf = new Array[Byte](len)
+      val len = fs.getFileStatus(hp).getLen
+      require(len <= Int.MaxValue,
+        s"grib2 source: $path is $len bytes, beyond the 2 GiB whole-file " +
+          "read scope — split the file at message boundaries")
+      val buf = new Array[Byte](len.toInt)
       in.readFully(0, buf)
       buf
     } finally in.close()
@@ -192,7 +246,7 @@ class Grib2Scan(paths: Seq[String], pushed: Array[Filter], required: StructType)
   override def planInputPartitions(): Array[InputPartition] =
     files.map(p => Grib2InputPartition(p): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new Grib2ReaderFactory(pushed, required)
+    new Grib2ReaderFactory(pushed, required, Grib2Connector.sessionConf())
 
   /** Metadata-only size statistics (file lengths via the FS API — no
     * content reads on the driver), so Catalyst can cost this source
@@ -216,11 +270,12 @@ class Grib2Scan(paths: Seq[String], pushed: Array[Filter], required: StructType)
 
 case class Grib2InputPartition(path: String) extends InputPartition
 
-class Grib2ReaderFactory(pushed: Array[Filter], required: StructType)
+class Grib2ReaderFactory(pushed: Array[Filter], required: StructType,
+                         conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new Grib2PartitionReader(
-      partition.asInstanceOf[Grib2InputPartition].path, pushed, required)
+      partition.asInstanceOf[Grib2InputPartition].path, pushed, required, conf)
 }
 
 /** Per-file reader: parses the messages once, drops records the pushed
@@ -228,14 +283,14 @@ class Grib2ReaderFactory(pushed: Array[Filter], required: StructType)
   * the pruned columns.
   */
 class Grib2PartitionReader(path: String, pushed: Array[Filter],
-                           required: StructType)
+                           required: StructType, conf: SerializableHadoopConf)
     extends PartitionReader[InternalRow] {
 
   private def keepRecord(variable: String): Boolean =
     Grib2Connector.keep(pushed)(variable)
 
   private val cells: Iterator[Grib2.GridRow] =
-    Grib2.parseMessages(Grib2Connector.readBytes(path), path).iterator
+    Grib2.parseMessages(Grib2Connector.readBytes(path, conf.value), path).iterator
       .filter(r => keepRecord(r.variable))
       .flatMap(Grib2.cells)
 
@@ -287,17 +342,18 @@ class Grib2CountScan(paths: Seq[String], pushed: Array[Filter])
   override def planInputPartitions(): Array[InputPartition] =
     files.map(p => Grib2InputPartition(p): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new Grib2CountReaderFactory(pushed)
+    new Grib2CountReaderFactory(pushed, Grib2Connector.sessionConf())
 }
 
-class Grib2CountReaderFactory(pushed: Array[Filter])
+class Grib2CountReaderFactory(pushed: Array[Filter], conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new Grib2CountPartitionReader(
-      partition.asInstanceOf[Grib2InputPartition].path, pushed)
+      partition.asInstanceOf[Grib2InputPartition].path, pushed, conf)
 }
 
-class Grib2CountPartitionReader(path: String, pushed: Array[Filter])
+class Grib2CountPartitionReader(path: String, pushed: Array[Filter],
+                                conf: SerializableHadoopConf)
     extends PartitionReader[InternalRow] {
   private var emitted = false
   private var current: InternalRow = _
@@ -305,7 +361,7 @@ class Grib2CountPartitionReader(path: String, pushed: Array[Filter])
     if (emitted) false
     else {
       current = InternalRow(Grib2.countPresentCells(
-        Grib2Connector.readBytes(path), path, Grib2Connector.keep(pushed)))
+        Grib2Connector.readBytes(path, conf.value), path, Grib2Connector.keep(pushed)))
       emitted = true
       true
     }
@@ -364,29 +420,56 @@ class Grib2Write(path: String, schema: StructType, truncate: Boolean,
 
   override def toBatch: BatchWrite = this
 
+  // Job-level atomicity: tasks stage their files under a job-scoped temp
+  // directory; the destructive steps (truncate deletes, renames into the
+  // target) happen ONLY in BatchWrite.commit, after every task has
+  // committed — a mid-job failure leaves the target untouched and abort()
+  // just drops the staging dir. (The FileCommitProtocol discipline,
+  // reduced to this sink's one-directory layout.)
+  private val stagingName = ".graft-staging-" + java.util.UUID.randomUUID().toString
+  private def stagingDir = new org.apache.hadoop.fs.Path(path, stagingName)
+  // captured lazily at first driver-side use (build/commit both run on
+  // the driver); executors get it via the factory
+  private lazy val sconf = Grib2Connector.sessionConf()
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    val conf = new org.apache.hadoop.conf.Configuration()
-    val dir = new org.apache.hadoop.fs.Path(path)
-    val fs = dir.getFileSystem(conf)
-    if (truncate && fs.exists(dir))
-      fs.listStatus(dir).filter(_.getPath.getName.matches(".*\\.gri?b2?$"))
-        .foreach(st => fs.delete(st.getPath, false))
-    fs.mkdirs(dir)
+    val fs = stagingDir.getFileSystem(sconf.value)
+    fs.mkdirs(stagingDir)
     val dScale = Option(options.get("decimalScale")).map(_.toInt).getOrElse(0)
     val latStep = Option(options.get("latStepMicro")).map(_.toLong)
     val lonStep = Option(options.get("lonStepMicro")).map(_.toLong)
-    new Grib2WriterFactory(path, schema, dScale, latStep, lonStep)
+    new Grib2WriterFactory(stagingDir.toString, schema, dScale, latStep, lonStep, sconf)
   }
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(sconf.value)
+    if (truncate && fs.exists(dir))
+      fs.listStatus(dir).filter(_.getPath.getName.matches(".*\\.gri?b2?$"))
+        .foreach(st => fs.delete(st.getPath, false))
+    messages.foreach {
+      case Grib2CommitMessage(file) if file.nonEmpty =>
+        val staged = new org.apache.hadoop.fs.Path(file)
+        fs.rename(staged, new org.apache.hadoop.fs.Path(dir, staged.getName))
+      case _ => ()
+    }
+    fs.delete(stagingDir, true)
+    ()
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = stagingDir.getFileSystem(sconf.value)
+    fs.delete(stagingDir, true)
+    ()
+  }
 }
 
 class Grib2WriterFactory(path: String, schema: StructType, dScale: Int,
-                         latStep: Option[Long], lonStep: Option[Long])
+                         latStep: Option[Long], lonStep: Option[Long],
+                         conf: SerializableHadoopConf)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new Grib2DataWriter(path, partitionId, taskId, schema, dScale, latStep, lonStep)
+    new Grib2DataWriter(path, partitionId, taskId, schema, dScale, latStep, lonStep, conf)
 }
 
 private case class Grib2CommitMessage(file: String)
@@ -395,13 +478,16 @@ private case class Grib2CommitMessage(file: String)
 /** Per-task writer: rows arrive (variable, time)-clustered and fully
   * sorted (the Write's declared requirement), so a layer ends exactly
   * when its key changes — assemble it into one GRIB2 message, append to
-  * the task's temp file, and rename into place on commit (task-level
-  * atomicity; speculative duplicates can't collide thanks to the task
-  * id in the name).
+  * the task's temp file inside the job's STAGING directory, and rename
+  * (still within staging) on task commit; the job-level commit moves
+  * staged files into the target (task-level atomicity here, job-level
+  * atomicity in [[Grib2Write.commit]]; speculative duplicates can't
+  * collide thanks to the task id in the name).
   */
 class Grib2DataWriter(dir: String, partitionId: Int, taskId: Long,
                       schema: StructType, dScale: Int,
-                      latStep: Option[Long], lonStep: Option[Long])
+                      latStep: Option[Long], lonStep: Option[Long],
+                      sconf: SerializableHadoopConf)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
 
   private val iVar = schema.fieldIndex("variable")
@@ -410,7 +496,7 @@ class Grib2DataWriter(dir: String, partitionId: Int, taskId: Long,
   private val iLon = schema.fieldIndex("lon")
   private val iVal = schema.fieldIndex("value")
 
-  private val conf = new org.apache.hadoop.conf.Configuration()
+  private val conf = sconf.value
   private val tmpPath = new org.apache.hadoop.fs.Path(dir,
     f".part-$partitionId%05d-$taskId.grib2.inprogress")
   private val finalPath = new org.apache.hadoop.fs.Path(dir,
@@ -486,9 +572,13 @@ class Grib2DataWriter(dir: String, partitionId: Int, taskId: Long,
   override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
     flushLayer()
     out.close()
-    if (wrote) fs.rename(tmpPath, finalPath)
-    else fs.delete(tmpPath, false) // empty partition: no file
-    Grib2CommitMessage(finalPath.toString)
+    if (wrote) {
+      fs.rename(tmpPath, finalPath)
+      Grib2CommitMessage(finalPath.toString)
+    } else {
+      fs.delete(tmpPath, false) // empty partition: no file
+      Grib2CommitMessage("")
+    }
   }
   override def abort(): Unit = {
     try out.close() catch { case _: Exception => () }
