@@ -1616,7 +1616,9 @@ object SparkEntry {
     // ---- similarity search (north-star M5) ----
     "s01_cosine_threshold" -> ((s, d) => Similarity.cosineAboveThreshold(t(s, d)("embeddings"), 0L, 0.1)),
     "s02_cosine_topk" -> ((s, d) => Similarity.cosineTopK(t(s, d)("embeddings"), 0L, 10)),
-    "s03_lsh_pairs" -> ((s, d) => Similarity.lshNearNeighbours(t(s, d)("embeddings"), 4, 0.35)),
+    // fixed-width banding is the explicit OPT-IN form (d08 discipline):
+    // the 100× leg measured it at 265× vs the adaptive default's 11×
+    "s03_lsh_pairs" -> ((s, d) => Similarity.lshNearNeighboursFixed(t(s, d)("embeddings"), 4, 0.35)),
     "s04_label_centroids" -> ((s, d) => Similarity.labelCentroids(t(s, d)("embeddings"))),
     "s05_ivf_topk" -> ((s, d) => Similarity.ivfTopK(t(s, d)("embeddings"), 0L, 4, 10)),
     // corpus-size-adaptive bucket width (mean occupancy pinned at 16):
@@ -1768,8 +1770,8 @@ object SparkEntry {
       val agg = Skew.aqeSkewJoin(big, small, "s_suppkey")
         .groupBy($"s_nationkey")
         .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"))
-      Skew.withConfs(s, Skew.localSkewTuning: _*) {
-        graft.Session.barrier(agg)
+      Skew.withConfs(s, Skew.localSkewTuning: _*) { s2 =>
+        graft.Session.barrier(Skew.rebind(agg, s2))
       }.orderBy($"s_nationkey")
     }),
     // schema evolution: two parquet generations (lang column added in

@@ -124,11 +124,29 @@ object Similarity {
     }.toSeq.toDF("rank", "vec_id", "relevance", "mmr_score")
   }
 
-  /** LSH-bucketed approximate all-pairs: bucket by `nbits` random
-    * hyperplanes, compare only within buckets, keep pairs above threshold.
-    * The candidate join shuffles on bucket id — bounded work per bucket.
+  /** LSH-bucketed approximate all-pairs: the DEFAULT entry point, with
+    * the bucket bit count derived from the corpus size via
+    * [[adaptiveNbits]] so the mean bucket stays `targetBucket`-bounded at
+    * any scale. The fixed-width form is [[lshNearNeighboursFixed]], an
+    * explicit opt-in (the d08 discipline): SCALE.md's 100× leg measured
+    * fixed 4-bit banding at 265× (bucket occupancy grows with the
+    * corpus, so the within-bucket join goes quadratic) versus 11× for
+    * this adaptive rule.
     */
-  def lshNearNeighbours(embeddings: DataFrame, nbits: Int, threshold: Double): DataFrame = {
+  def lshNearNeighbours(embeddings: DataFrame, threshold: Double,
+                        targetBucket: Long = 16L): DataFrame =
+    lshNearNeighboursFixed(embeddings,
+      adaptiveNbits(embeddings.count(), targetBucket), threshold)
+
+  /** Fixed-width LSH all-pairs: bucket by `nbits` random hyperplanes,
+    * compare only within buckets, keep pairs above threshold. The
+    * candidate join shuffles on bucket id. EXPLICIT OPT-IN: with `nbits`
+    * frozen, bucket occupancy grows linearly with the corpus and the
+    * within-bucket self-join quadratically — a measured scale-killer
+    * (SCALE.md 100× leg: 265×). Use [[lshNearNeighbours]] (adaptive)
+    * unless a protocol pins the bit width.
+    */
+  def lshNearNeighboursFixed(embeddings: DataFrame, nbits: Int, threshold: Double): DataFrame = {
     // Norms are hoisted out of the pair loop: computed once per row before
     // the self-join, not once per candidate pair.
     val bucketed = embeddings
@@ -158,7 +176,7 @@ object Similarity {
                     minBits: Int = 4, maxBits: Int = 16): Int =
     (minBits to maxBits).find(b => n <= (targetBucket << b)).getOrElse(maxBits)
 
-  /** [[lshNearNeighbours]] with `nbits` derived from the corpus size via
+  /** [[lshNearNeighboursFixed]] with `nbits` derived from the corpus size via
     * [[adaptiveNbits]] — the shape that survives 100 TB: the count is one
     * metadata-cheap aggregate, and the derived bit count rides into the
     * plan as a literal. Because plane weights depend only on the bit
@@ -174,7 +192,7 @@ object Similarity {
   def lshPairsAdaptive(embeddings: DataFrame, threshold: Double,
                        targetBucket: Long = 16L): DataFrame = {
     val nbits = adaptiveNbits(embeddings.count(), targetBucket)
-    lshNearNeighbours(embeddings, nbits, threshold)
+    lshNearNeighboursFixed(embeddings, nbits, threshold)
       .withColumn("nbits", lit(nbits))
   }
 

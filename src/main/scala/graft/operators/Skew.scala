@@ -81,22 +81,6 @@ object Skew {
     // gate scale the extra exchange is irrelevant, so force it
     "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true")
 
-  /** Run `body` with session confs temporarily overridden, restoring (or
-    * unsetting) them afterwards. The body must FORCE any query whose
-    * execution should see the overrides — confs bind at action time, not
-    * plan-declaration time.
-    *
-    * NOT concurrency-safe: the overrides mutate the SHARED session's
-    * runtime conf for the duration of `body`, so any query planned
-    * concurrently on the same SparkSession silently inherits them (e.g.
-    * `autoBroadcastJoinThreshold = -1` would disable broadcast for an
-    * unrelated join). Callers running queries in parallel must scope the
-    * overrides to a cloned session instead:
-    * `val s2 = spark.newSession(); s2.conf.set(...)` — a new session
-    * shares the SparkContext and cached data but owns its own conf. The
-    * gate harness runs queries strictly sequentially, which is the only
-    * reason the in-place form is safe there.
-    */
   /** Join-key skew DIAGNOSTIC (x08): the report an operator consults
     * BEFORE choosing a salting factor — per key: row count, share of
     * the table (exact integer ppm, no float), the skew flag (count >
@@ -135,13 +119,33 @@ object Skew {
       .orderBy($"n".desc, col(key))
   }
 
+  /** Run `body` against a CLONED session carrying the conf overrides.
+    * `newSession()` shares the SparkContext, cached data, and global temp
+    * views with the parent but owns its own runtime conf, so a query
+    * planned concurrently on the parent can never observe the overrides
+    * (the old in-place mutate-and-restore form was a documented
+    * concurrency foot-gun — e.g. `autoBroadcastJoinThreshold = -1`
+    * silently disabling broadcast for an unrelated join). The body
+    * receives the clone and must build (or [[rebind]]) its plans ON it —
+    * confs bind at the executing Dataset's session, not at call scope.
+    */
   def withConfs[A](spark: org.apache.spark.sql.SparkSession,
-                   confs: (String, String)*)(body: => A): A = {
-    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
+                   confs: (String, String)*)(body: org.apache.spark.sql.SparkSession => A): A = {
+    val s2 = spark.newSession()
+    confs.foreach { case (k, v) => s2.conf.set(k, v) }
+    body(s2)
+  }
+
+  /** Re-bind a DataFrame's (already analyzed) logical plan to another
+    * session of the same SparkContext, so it plans and executes under
+    * THAT session's conf. Route: a global temp view — the one catalog
+    * surface `newSession` clones share — registered, resolved eagerly by
+    * `table()` (Dataset analysis is eager), then dropped.
+    */
+  def rebind(df: DataFrame, to: org.apache.spark.sql.SparkSession): DataFrame = {
+    val name = "graft_rebind_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    df.createOrReplaceGlobalTempView(name)
+    try to.table(s"global_temp.$name")
+    finally df.sparkSession.catalog.dropGlobalTempView(name)
   }
 }

@@ -90,10 +90,17 @@ class SimilaritySpec extends SparkSpec {
     again.toSet should contain(b(1L))
   }
 
-  test("lshNearNeighbours finds identical vectors (same bucket, cos 1)") {
+  test("lshNearNeighboursFixed finds identical vectors (same bucket, cos 1)") {
     val d = emb((1L, vec(5), 0), (2L, vec(5, 3f), 0), (3L, vec(9, -2f), 1))
-    val out = Similarity.lshNearNeighbours(d, 4, 0.9).collect()
+    val out = Similarity.lshNearNeighboursFixed(d, 4, 0.9).collect()
     out.map(r => (r.getLong(0), r.getLong(1))) should contain((1L, 2L))
+  }
+
+  test("lshNearNeighbours (plain name) is the adaptive rule: equals the fixed form at adaptiveNbits") {
+    val d = emb((1L, vec(5), 0), (2L, vec(5, 3f), 0), (3L, vec(9, -2f), 1))
+    val nbits = Similarity.adaptiveNbits(3L)
+    Similarity.lshNearNeighbours(d, 0.9).collect().map(_.toSeq).toSeq shouldBe
+      Similarity.lshNearNeighboursFixed(d, nbits, 0.9).collect().map(_.toSeq).toSeq
   }
 
   test("ivfTopK searches only the query's bucket") {
@@ -360,14 +367,14 @@ class SimilaritySpec extends SparkSpec {
     Similarity.recallAtK(e, 0L, 10, approx) should be >= 0.8
   }
 
-  test("lshPairsAdaptive equals lshNearNeighbours at the derived nbits") {
+  test("lshPairsAdaptive equals lshNearNeighboursFixed at the derived nbits") {
     val rows = (0L until 40L).map { i =>
       val a = Array.tabulate(64)(d => math.sin(i * 64 + d).toFloat)
       (i, a, (i % 4).toInt)
     }
     val d = emb(rows: _*)
     // 40 vecs → nbits = 4 (40 <= 16<<4); adaptive must equal the fixed form
-    val fixed = Similarity.lshNearNeighbours(d, 4, 0.1)
+    val fixed = Similarity.lshNearNeighboursFixed(d, 4, 0.1)
       .collect().map(_.toSeq).toSeq
     val adaptive = Similarity.lshPairsAdaptive(d, 0.1)
       .drop("nbits").collect().map(_.toSeq).toSeq

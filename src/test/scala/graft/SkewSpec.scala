@@ -40,9 +40,10 @@ class SkewSpec extends SparkSpec {
     // all-constant column would compress below the skew threshold)
     val joined = Skew.aqeSkewJoin(big, small, "k")
       .groupBy($"k").agg(count(lit(1)).as("n"), sum($"v").as("sv"))
-    val (rows, executed) = Skew.withConfs(spark, Skew.localSkewTuning: _*) {
-      val r = joined.collect()
-      (r, joined.queryExecution.executedPlan.toString.split("== Initial Plan ==").head)
+    val (rows, executed) = Skew.withConfs(spark, Skew.localSkewTuning: _*) { s2 =>
+      val j2 = Skew.rebind(joined, s2)
+      val r = j2.collect()
+      (r, j2.queryExecution.executedPlan.toString.split("== Initial Plan ==").head)
     }
     executed should include("skew=true")
     executed should include("SortMergeJoin")
@@ -71,14 +72,32 @@ class SkewSpec extends SparkSpec {
     out2 should not contain 99L
   }
 
-  test("withConfs restores previous values and unsets fresh keys") {
+  test("withConfs isolates overrides to the cloned session; the parent never observes them") {
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val before = spark.conf.get(key)
-    Skew.withConfs(spark, key -> "-1", "spark.graft.test.novel" -> "x") {
-      spark.conf.get(key) shouldBe "-1"
-      spark.conf.get("spark.graft.test.novel") shouldBe "x"
+    Skew.withConfs(spark, key -> "-1", "spark.graft.test.novel" -> "x") { s2 =>
+      s2.conf.get(key) shouldBe "-1"
+      s2.conf.get("spark.graft.test.novel") shouldBe "x"
+      // a query planned CONCURRENTLY on the parent session sees the
+      // parent's conf, not the overrides — the foot-gun the cloned
+      // session removes
+      spark.conf.get(key) shouldBe before
+      spark.conf.getOption("spark.graft.test.novel") shouldBe None
     }
     spark.conf.get(key) shouldBe before
     spark.conf.getOption("spark.graft.test.novel") shouldBe None
+  }
+
+  test("rebind executes a parent-built plan under the clone's conf and drops its scaffolding view") {
+    val df = spark.range(0, 10).toDF("id")
+    val out = Skew.withConfs(spark, "spark.sql.shuffle.partitions" -> "3") { s2 =>
+      val r = Skew.rebind(df, s2)
+      r.sparkSession.conf.get("spark.sql.shuffle.partitions") shouldBe "3"
+      r.groupBy($"id" % 2).count().collect().map(_.getLong(1)).sum
+    }
+    out shouldBe 10L
+    // the global temp view used for the re-bind does not leak
+    spark.catalog.listTables("global_temp").collect()
+      .map(_.name).exists(_.startsWith("graft_rebind_")) shouldBe false
   }
 }
