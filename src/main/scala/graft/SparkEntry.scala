@@ -1858,9 +1858,13 @@ object SparkEntry {
     // engine-independent Lloyd's k-means: exact-integer rational
     // centroids (milli-quantized sums + counts), broadcast k-row
     // centroid relation, fixed rounds — the oracle replays the identical
-    // two Lloyd steps in SQL, something float-seeded MLlib can't offer
+    // two Lloyd steps in SQL, something float-seeded MLlib can't offer.
+    // The auto wrapper reroutes to the MLlib float path when a cluster
+    // outgrows the exactness envelope (exact=0 rows; SimilaritySpec pins
+    // the switch point) — at gate scale the exact path always runs, so
+    // the oracle emits the constant exact=1
     "s11_kmeans" -> ((s, d) =>
-      Similarity.kmeansAssignExact(t(s, d)("embeddings"), 4, 2)),
+      Similarity.kmeansAssignAuto(t(s, d)("embeddings"), 4, 2)),
     // inter-label centroid distance matrix in exact milli-units: the
     // cluster-separation diagnostic, k^2 metadata-sized output
     // per-group filtered ANN: top-3 per label, WindowGroupLimit trim —
@@ -2841,7 +2845,8 @@ object SparkEntry {
                 FROM xq ORDER BY vec_id LIMIT $k),
          $rounds,
          ${assign(s"a$fin", s"m$fin", s"c$iterations")}
-         SELECT vec_id, CAST(cluster AS BIGINT) AS cluster
+         SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+                CAST(1 AS BIGINT) AS exact
          FROM m$fin ORDER BY vec_id"""
   }
 

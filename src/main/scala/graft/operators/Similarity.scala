@@ -726,4 +726,48 @@ object Similarity {
       .select($"vec_id", $"cluster".cast("long").as("cluster"))
       .orderBy($"vec_id")
   }
+
+  /** [[kmeansAssignExact]] with the envelope fallback WIRED: run the
+    * exact-integer path, and when any Lloyd round's exactness envelope
+    * `require` trips (dim·n²·A² > 2⁵² — cluster membership beyond the
+    * bit-exact score contract), automatically reroute to the MLlib
+    * float path instead of aborting. Rows carry `exact` (1 = every
+    * score bit-exact and oracle-replayable, 0 = IEEE float path). The
+    * switch is loud in the lineage (the column), never silent: a
+    * consumer that needs the exact contract filters `exact = 1` or
+    * calls [[kmeansAssignExact]] directly. Only the ENVELOPE trip
+    * falls back — an emptied cluster still aborts in both paths (k was
+    * wrong for the data, a different error class).
+    */
+  def kmeansAssignAuto(embeddings: DataFrame, k: Int, iterations: Int,
+                       seed: Long = 42L): DataFrame =
+    try kmeansAssignExact(embeddings, k, iterations)
+      .withColumn("exact", lit(1L))
+    catch {
+      case e: IllegalArgumentException if e.getMessage != null &&
+          e.getMessage.contains("exact-score envelope") =>
+        kmeansAssignFloat(embeddings, k, iterations, seed)
+          .withColumn("exact", lit(0L))
+    }
+
+  /** The float Lloyd's path past the exactness envelope: MLlib KMeans
+    * (fixed seed → deterministic per Spark/BLAS build, but NOT
+    * bit-replayable by an SQL oracle — which is the whole reason the
+    * exact path exists). Same output shape as [[kmeansAssignExact]]:
+    * (vec_id, cluster). Scale shape: the model is k·dim doubles
+    * broadcast by MLlib; assignment is one narrow transform, no
+    * shuffle.
+    */
+  def kmeansAssignFloat(embeddings: DataFrame, k: Int, iterations: Int,
+                        seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val vecs = embeddings.select($"vec_id",
+      array_to_vector(transform($"embedding", _.cast("double"))).as("fv"))
+    val model = new KMeans().setK(k).setMaxIter(iterations).setSeed(seed)
+      .setFeaturesCol("fv").setPredictionCol("cluster_i").fit(vecs)
+    model.transform(vecs)
+      .select($"vec_id", $"cluster_i".cast("long").as("cluster"))
+      .orderBy($"vec_id")
+  }
 }

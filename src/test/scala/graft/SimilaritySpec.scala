@@ -75,6 +75,36 @@ class SimilaritySpec extends SparkSpec {
       .count() shouldBe 21L
   }
 
+  test("kmeansAssignAuto: inside the envelope it IS the exact path, exact=1") {
+    val small = ((0L to 20L).filter(_ != 1L).map(i => (i, Array(500.0f, 500.0f), 0)) :+
+      ((1L, Array(-500.0f, -500.0f), 1))).toDF("vec_id", "embedding", "label")
+    val auto = Similarity.kmeansAssignAuto(small, 2, 1).collect()
+    auto.map(_.getLong(2)).toSet shouldBe Set(1L)
+    auto.map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe
+      Similarity.kmeansAssignExact(small, 2, 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+  }
+
+  test("kmeansAssignAuto: past the envelope it reroutes to the float path, exact=0 — the switch point") {
+    // the SAME fixture kmeansAssignExact refuses (200 co-located
+    // members trip dim·n²·A² > 2^52 in round 1): auto must return a
+    // full valid assignment instead of aborting, flagged inexact
+    val big = ((0L to 200L).filter(_ != 1L).map(i => (i, Array(500.0f, 500.0f), 0)) :+
+      ((1L, Array(-500.0f, -500.0f), 1))).toDF("vec_id", "embedding", "label")
+    val out = Similarity.kmeansAssignAuto(big, 2, 1).collect()
+    out.length shouldBe 201
+    out.map(_.getLong(0)).toSet shouldBe (0L to 200L).toSet
+    out.map(_.getLong(2)).toSet shouldBe Set(0L)                // float path
+    val clusters = out.map(_.getLong(1)).toSet
+    clusters.size shouldBe 2
+    clusters.foreach(c => assert(c >= 0L && c < 2L))
+    // the two antipodal blobs land in different clusters even on the
+    // float path — the geometry is unambiguous
+    val byId = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byId(1L) should not be byId(0L)
+    (0L to 200L).filter(_ != 1L).map(byId).toSet.size shouldBe 1
+  }
+
   test("cosineAboveThreshold filters strictly below threshold") {
     val d = emb((0L, vec(0), 0), (1L, vec(0), 0), (2L, vec(1), 1))
     val out = Similarity.cosineAboveThreshold(d, 0L, 0.5).collect()
