@@ -1317,6 +1317,13 @@ object SparkEntry {
     // m10 with restart intervals in the bitstream (DRI + RSTm every 2
     // MCUs): same pixel values by construction, oracle shared verbatim —
     // realignment/marker/DC-reset handling cannot change one output value
+    // m10 through a PROGRESSIVE (SOF2) bitstream: identical pixels by
+    // construction (DC-only content; progressive = coefficient
+    // permutation), so it shares m10's oracle verbatim while exercising
+    // the Annex-G scan grammar (DC point transform + refinement,
+    // EOB-run AC scans, between-scan DHT redefinition)
+    "m16_jpeg_progressive" -> ((s, d) =>
+      Multimodal.jpegProgressiveTiles(t(s, d)("documents"))),
     "m13_jpeg_color_dri" -> ((s, d) =>
       Multimodal.jpegColorTilesDri(t(s, d)("documents"))),
     // REAL GIF87a decode from bytes: sub-block reassembly + variable-
@@ -4418,6 +4425,32 @@ object SparkEntry {
                 CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
                 CAST(sum((13*x + 3*y + 7*f + d) % 256) AS BIGINT) AS value_sum
          FROM xy GROUP BY d, f, nf, w, h ORDER BY doc_id, frame""",
+    // m16 shares m10's oracle verbatim: progressive transmission is a
+    // coefficient permutation, and the DC-only fixture makes it exact
+    "m16_jpeg_progressive" ->
+      """WITH d AS (SELECT doc_id, 17 + doc_id % 32 AS w, 17 + (3 * doc_id) % 24 AS h,
+                           CASE WHEN doc_id % 2 = 0 THEN '4:2:0' ELSE '4:2:2' END AS sampling
+                    FROM documents),
+         t AS (SELECT doc_id, sampling, h,
+                      unnest(generate_series(0, (w + 15) // 16 - 1)) AS tx FROM d),
+         txy AS (SELECT doc_id, sampling, tx,
+                        unnest(generate_series(0, (h + 15) // 16 - 1)) AS ty FROM t),
+         v AS (SELECT doc_id, sampling, ty, tx,
+                      (17 * tx + 29 * ty + 31 * (doc_id % 89)) % 256 AS yv,
+                      (23 * tx + 13 * ty + 7 * (doc_id % 83)) % 256 AS cb,
+                      (11 * tx + 19 * ty + 5 * (doc_id % 79)) % 256 AS cr
+               FROM txy),
+         c AS (SELECT *,
+                      yv + CAST(floor((91881 * (cr - 128) + 32768) / 65536.0) AS BIGINT) AS r0,
+                      yv - CAST(floor((22554 * (cb - 128) + 46802 * (cr - 128) + 32768) / 65536.0) AS BIGINT) AS g0,
+                      yv + CAST(floor((116130 * (cb - 128) + 32768) / 65536.0) AS BIGINT) AS b0
+               FROM v)
+         SELECT doc_id, CAST(ty AS BIGINT) AS ty, CAST(tx AS BIGINT) AS tx, sampling,
+                CAST(yv AS BIGINT) AS y, CAST(cb AS BIGINT) AS cb, CAST(cr AS BIGINT) AS cr,
+                CAST(least(greatest(r0, 0), 255) AS BIGINT) AS r,
+                CAST(least(greatest(g0, 0), 255) AS BIGINT) AS g,
+                CAST(least(greatest(b0, 0), 255) AS BIGINT) AS b
+         FROM c ORDER BY doc_id, ty, tx""",
     // m13 shares m10's oracle verbatim: restart intervals change the
     // BITSTREAM (alignment, RSTm markers, predictor resets), never the
     // pixel values

@@ -489,13 +489,35 @@ object Multimodal {
         hs, vs, quant = 1, restartInterval = 2)
     })
 
+  /** m16: the m10 gate through a PROGRESSIVE (SOF2) bitstream — the m13
+    * discipline at the frame level: the fixture's pixel values are
+    * identical to m10's by construction (per-tile-constant content is
+    * DC-only, and progressive transmission is a coefficient
+    * permutation), so the gate shares m10's oracle string VERBATIM while
+    * the decoder must survive the full Annex-G scan grammar: an
+    * interleaved DC scan with the Al=1 point transform, EOB-run-coded AC
+    * scans through a Huffman table redefined between scans, and a DC
+    * refinement scan.
+    */
+  def jpegProgressiveTiles(documents: DataFrame): DataFrame =
+    colorTiles(documents, d => {
+      val w = (17 + d % 32).toInt
+      val h = (17 + (3 * d) % 24).toInt
+      val (hs, vs) = if (d % 2 == 0) (2, 2) else (2, 1)
+      graft.sources.AssetCodecs.encodeJpegYccProgressive(w, h,
+        (x, y) => ((17 * (x / 16) + 29 * (y / 16) + 31 * (d % 89)) % 256).toInt,
+        (x, y) => ((23 * (x / 16) + 13 * (y / 16) + 7 * (d % 83)) % 256).toInt,
+        (x, y) => ((11 * (x / 16) + 19 * (y / 16) + 5 * (d % 79)) % 256).toInt,
+        hs, vs)
+    })
+
   private def colorTiles(documents: DataFrame,
                          fixture: Long => Array[Byte]): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     documents.select(col("doc_id")).as[Long]
       .flatMap { id =>
-        val img = graft.sources.AssetCodecs.decodeJpegYcc(fixture(id))
+        val img = graft.sources.AssetCodecs.decodeJpegYccAuto(fixture(id))
         val sampling = s"4:2:${if (img.vSamp == 2) 0 else 2}"
         val tilesX = (img.w + 15) / 16
         val tilesY = (img.h + 15) / 16
@@ -553,7 +575,7 @@ object Multimodal {
     documents.select(col("doc_id")).as[Long]
       .mapPartitions { it =>
         it.map { id =>
-          val img = graft.sources.AssetCodecs.decodeJpegYcc(jpegColorSmallFor(id))
+          val img = graft.sources.AssetCodecs.decodeJpegYccAuto(jpegColorSmallFor(id))
           ahash(id, img.w, img.h, (y, x) => img.y(y)(x))
         }
       }
@@ -572,7 +594,7 @@ object Multimodal {
     import spark.implicits._
     documents.select(col("doc_id")).as[Long]
       .flatMap { id =>
-        val img = graft.sources.AssetCodecs.decodeJpegYcc(jpegColorSmallFor(id))
+        val img = graft.sources.AssetCodecs.decodeJpegYccAuto(jpegColorSmallFor(id))
         require(img.w >= ow && img.h >= oh,
           s"jpegColorResize: upscaling unsupported for doc $id")
         val s = Array.ofDim[Long](3, oh, ow)

@@ -1269,6 +1269,628 @@ object AssetCodecs {
     JpegYcc(w, h, hSamp, vSamp, yOut, cbOut, crOut)
   }
 
+  // ------------------------------------- JPEG progressive (SOF2, T.81 §G)
+
+  /** Dispatch on the frame type: baseline SOF0 through the streaming
+    * MCU decoder, progressive SOF2 through the coefficient-buffer
+    * decoder. The reject narrows to what is genuinely out of scope —
+    * arithmetic-coded (SOF9-11/13-15) and lossless/hierarchical
+    * (SOF3/5-7) frames — instead of excluding the large progressive
+    * share of real web-crawl JPEGs.
+    */
+  def decodeJpegYccAuto(bytes: Array[Byte]): JpegYcc = {
+    require(bytes.length >= 4 &&
+      (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8, "bad JPEG SOI")
+    var pos = 2
+    var sof = -1
+    while (sof < 0) {
+      require(pos + 4 <= bytes.length && (bytes(pos) & 0xff) == 0xff,
+        s"expected marker at $pos")
+      val m = bytes(pos + 1) & 0xff
+      require(m != 0xd9 && m != 0xda, "JPEG scan before any SOF frame header")
+      if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) sof = m
+      else {
+        val len = ((bytes(pos + 2) & 0xff) << 8) | (bytes(pos + 3) & 0xff)
+        pos += 2 + len
+      }
+    }
+    sof match {
+      case 0xc0 => decodeJpegYcc(bytes)
+      case 0xc2 => decodeJpegYccProgressive(bytes)
+      case x => sys.error(f"unsupported JPEG frame type SOF${x - 0xc0}%d " +
+        "(scope: baseline SOF0 and progressive SOF2; arithmetic-coded and " +
+        "lossless/hierarchical frames rejected)")
+    }
+  }
+
+  /** Decode a progressive (SOF2) 3-component YCbCr JPEG: spectral
+    * selection and successive approximation per ITU T.81 Annex G —
+    * interleaved or single-component DC scans with the point transform,
+    * DC refinement bits, single-component AC scans with EOB-run coding,
+    * AC refinement with correction bits, Huffman tables redefinable
+    * between scans, restart intervals resetting predictors AND the
+    * EOB run. Coefficients accumulate in per-component block buffers
+    * (the structural cost progressive imposes — the scan order is a
+    * coefficient permutation, so dequant+IDCT runs once at the end and
+    * a baseline and progressive encode of the same quantized
+    * coefficients decode bit-identically, which is what the ImageIO
+    * cross-check spec pins). Scope mirrors [[decodeJpegYcc]]: 8-bit,
+    * exactly 3 components, luma sampling {1,2}x{1,2}, chroma 1x1.
+    */
+  def decodeJpegYccProgressive(bytes: Array[Byte]): JpegYcc = {
+    require(bytes.length >= 4 &&
+      (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8, "bad JPEG SOI")
+    var pos = 2
+    var w = -1; var h = -1
+    var hSamp = -1; var vSamp = -1
+    var restartInterval = 0
+    val quantTables = new Array[Array[Int]](4)
+    val huffMin = Array.ofDim[Array[Int]](2, 4)
+    val huffMax = Array.ofDim[Array[Int]](2, 4)
+    val huffValPtr = Array.ofDim[Array[Int]](2, 4)
+    val huffVals = Array.ofDim[Array[Int]](2, 4)
+    val compQuant = new Array[Int](3)
+    // per-component coefficient buffers in ZIGZAG order, padded to the
+    // MCU grid (interleaved scans cover padding blocks; non-interleaved
+    // scans cover only the component's ceil grid)
+    var coefs: Array[Array[Array[Int]]] = null // (comp)(blockIdx)(64)
+    var pbw: Array[Int] = null // padded blocks wide per comp
+    var nbw: Array[Int] = null; var nbh: Array[Int] = null // non-interleaved grid
+    var mcusX = 0; var mcusY = 0
+    def hOf(ci: Int): Int = if (ci == 0) hSamp else 1
+    def vOf(ci: Int): Int = if (ci == 0) vSamp else 1
+
+    var done = false
+    while (!done) {
+      require(pos + 2 <= bytes.length && (bytes(pos) & 0xff) == 0xff,
+        s"expected marker at $pos")
+      val m = bytes(pos + 1) & 0xff
+      if (m == 0xd9) { done = true }
+      else {
+        require(pos + 4 <= bytes.length, "truncated JPEG segment header")
+        val len = ((bytes(pos + 2) & 0xff) << 8) | (bytes(pos + 3) & 0xff)
+        require(len >= 2 && pos + 2 + len <= bytes.length, "truncated JPEG segment")
+        val seg = pos + 4
+        m match {
+          case 0xdb =>
+            var p = seg
+            while (p < pos + 2 + len) {
+              val pq = (bytes(p) & 0xff) >> 4; val tq = bytes(p) & 0x0f
+              require(pq == 0, "16-bit quantization tables unsupported")
+              quantTables(tq) = Array.tabulate(64)(i => bytes(p + 1 + i) & 0xff)
+              p += 65
+            }
+          case 0xc4 =>
+            var p = seg
+            while (p < pos + 2 + len) {
+              val cls = (bytes(p) & 0xff) >> 4; val id = bytes(p) & 0x0f
+              require(cls <= 1 && id <= 3, "bad DHT class/id")
+              val counts = Array.tabulate(16)(i => bytes(p + 1 + i) & 0xff)
+              val total = counts.sum
+              val vals = Array.tabulate(total)(i => bytes(p + 17 + i) & 0xff)
+              val mn = new Array[Int](17); val mx = new Array[Int](17)
+              val vp = new Array[Int](17)
+              var code = 0; var k = 0
+              for (l <- 1 to 16) {
+                mn(l) = code; vp(l) = k
+                code += counts(l - 1); k += counts(l - 1)
+                mx(l) = code - 1
+                code <<= 1
+              }
+              for (l <- 1 to 16) if (counts(l - 1) == 0) mx(l) = -1
+              huffMin(cls)(id) = mn; huffMax(cls)(id) = mx
+              huffValPtr(cls)(id) = vp; huffVals(cls)(id) = vals
+              p += 17 + total
+            }
+          case x if x >= 0xc0 && x <= 0xcf && x != 0xc4 && x != 0xc8 && x != 0xcc =>
+            require(x == 0xc2, f"decodeJpegYccProgressive: expected SOF2, got SOF${x - 0xc0}%d")
+            require((bytes(seg) & 0xff) == 8, "only 8-bit precision supported")
+            h = ((bytes(seg + 1) & 0xff) << 8) | (bytes(seg + 2) & 0xff)
+            w = ((bytes(seg + 3) & 0xff) << 8) | (bytes(seg + 4) & 0xff)
+            require(w >= 1 && h >= 1 && w.toLong * h <= (1L << 26),
+              s"implausible JPEG dimensions ${w}x$h (cap: 2^26 pixels)")
+            val nc = bytes(seg + 5) & 0xff
+            require(nc == 3, s"decodeJpegYccProgressive: expected 3 components, got $nc")
+            var ci = 0
+            while (ci < 3) {
+              val o = seg + 6 + ci * 3
+              val samp = bytes(o + 1) & 0xff
+              if (ci == 0) {
+                hSamp = samp >> 4; vSamp = samp & 0x0f
+                require(hSamp >= 1 && hSamp <= 2 && vSamp >= 1 && vSamp <= 2,
+                  s"luma sampling ${hSamp}x$vSamp out of scope (must be in {1,2}x{1,2})")
+              } else require(samp == 0x11,
+                f"chroma sampling 0x$samp%02x out of scope (must be 1x1)")
+              compQuant(ci) = bytes(o + 2) & 0xff
+              ci += 1
+            }
+            mcusX = (w + 8 * hSamp - 1) / (8 * hSamp)
+            mcusY = (h + 8 * vSamp - 1) / (8 * vSamp)
+            pbw = Array.tabulate(3)(c => mcusX * hOf(c))
+            val pbh = Array.tabulate(3)(c => mcusY * vOf(c))
+            nbw = Array.tabulate(3) { c =>
+              val cw = (w * hOf(c) + hSamp - 1) / hSamp; (cw + 7) / 8
+            }
+            nbh = Array.tabulate(3) { c =>
+              val ch = (h * vOf(c) + vSamp - 1) / vSamp; (ch + 7) / 8
+            }
+            coefs = Array.tabulate(3)(c => Array.ofDim[Int](pbw(c) * pbh(c), 64))
+          case 0xdd =>
+            restartInterval = ((bytes(seg) & 0xff) << 8) | (bytes(seg + 1) & 0xff)
+          case 0xda =>
+            require(coefs != null, "JPEG SOS before SOF2")
+            pos = decodeProgressiveScan(bytes, pos, len,
+              huffMin, huffMax, huffValPtr, huffVals,
+              coefs, pbw, nbw, nbh, mcusX, mcusY, hSamp, vSamp, restartInterval) - 2 - len
+          case _ => () // APPn/COM/other
+        }
+        pos += 2 + len
+      }
+    }
+    require(coefs != null && w > 0, "JPEG missing SOF2 frame")
+
+    // dequantize + IDCT every block into padded planes, then crop and
+    // replicate-upsample exactly as the baseline path does
+    val q = compQuant.map { tq =>
+      val t = quantTables(tq)
+      require(t != null, s"missing quantization table $tq"); t
+    }
+    val planes = Array(
+      Array.ofDim[Int](mcusY * vSamp * 8, mcusX * hSamp * 8),
+      Array.ofDim[Int](mcusY * 8, mcusX * 8),
+      Array.ofDim[Int](mcusY * 8, mcusX * 8))
+    val nat = new Array[Int](64)
+    var ci = 0
+    while (ci < 3) {
+      val qt = q(ci)
+      val bw = pbw(ci)
+      val plane = planes(ci)
+      var bi = 0
+      while (bi < coefs(ci).length) {
+        val blk = coefs(ci)(bi)
+        java.util.Arrays.fill(nat, 0)
+        var k = 0
+        while (k < 64) { nat(ZigZag(k)) = blk(k) * qt(k); k += 1 }
+        val ox = (bi % bw) * 8; val oy = (bi / bw) * 8
+        var yy = 0
+        while (yy < 8) {
+          var xx = 0
+          while (xx < 8) {
+            var s = 0.0
+            var v = 0
+            while (v < 8) {
+              var u = 0
+              while (u < 8) {
+                val c = nat(v * 8 + u)
+                if (c != 0) s += cdct(u) * cdct(v) * c * cosTable(xx)(u) * cosTable(yy)(v)
+                u += 1
+              }
+              v += 1
+            }
+            val pv = math.round(s / 4.0 + 128.0).toInt
+            plane(oy + yy)(ox + xx) = math.max(0, math.min(255, pv))
+            xx += 1
+          }
+          yy += 1
+        }
+        bi += 1
+      }
+      ci += 1
+    }
+    val yOut = Array.tabulate(h, w)((yy, xx) => planes(0)(yy)(xx))
+    val cbOut = Array.tabulate(h, w)((yy, xx) => planes(1)(yy / vSamp)(xx / hSamp))
+    val crOut = Array.tabulate(h, w)((yy, xx) => planes(2)(yy / vSamp)(xx / hSamp))
+    JpegYcc(w, h, hSamp, vSamp, yOut, cbOut, crOut)
+  }
+
+  /** One progressive entropy-coded scan (called at the SOS marker,
+    * `len` = the SOS segment length): decodes into the coefficient
+    * buffers and returns the byte position of the next marker.
+    */
+  private def decodeProgressiveScan(bytes: Array[Byte], sosPos: Int, len: Int,
+      huffMin: Array[Array[Array[Int]]], huffMax: Array[Array[Array[Int]]],
+      huffValPtr: Array[Array[Array[Int]]], huffVals: Array[Array[Array[Int]]],
+      coefs: Array[Array[Array[Int]]], pbw: Array[Int],
+      nbw: Array[Int], nbh: Array[Int], mcusX: Int, mcusY: Int,
+      hSamp: Int, vSamp: Int, restartInterval: Int): Int = {
+    val seg = sosPos + 4
+    val ns = bytes(seg) & 0xff
+    require(ns >= 1 && ns <= 3, s"bad scan component count $ns")
+    val scanComp = new Array[Int](ns)
+    val dcSel = new Array[Int](3); val acSel = new Array[Int](3)
+    var i = 0
+    while (i < ns) {
+      val id = bytes(seg + 1 + i * 2) & 0xff
+      require(id >= 1 && id <= 3, s"unknown scan component id $id")
+      scanComp(i) = id - 1
+      val sel = bytes(seg + 2 + i * 2) & 0xff
+      dcSel(id - 1) = sel >> 4; acSel(id - 1) = sel & 0x0f
+      i += 1
+    }
+    val ss = bytes(seg + 1 + ns * 2) & 0xff
+    val se = bytes(seg + 2 + ns * 2) & 0xff
+    val ahAl = bytes(seg + 3 + ns * 2) & 0xff
+    val ah = ahAl >> 4; val al = ahAl & 0x0f
+    require(ss <= 63 && se <= 63 && ss <= se, s"bad spectral band $ss..$se")
+    require(al <= 13 && (ah == 0 || ah == al + 1),
+      s"bad successive approximation Ah=$ah Al=$al")
+    val isDc = ss == 0
+    require(!isDc || se == 0, "DC scan must have Se=0")
+    require(isDc || ns == 1, "AC scans must be single-component")
+
+    var bp = sosPos + 2 + len
+    var bitBuf = 0L; var bitCnt = 0
+    def fill(): Unit = {
+      while (bitCnt <= 56) {
+        if (bp >= bytes.length) return
+        val b = bytes(bp) & 0xff
+        if (b == 0xff) {
+          val nxt = if (bp + 1 < bytes.length) bytes(bp + 1) & 0xff else -1
+          if (nxt == 0x00) { bitBuf = (bitBuf << 8) | 0xff; bitCnt += 8; bp += 2 }
+          else return
+        } else { bitBuf = (bitBuf << 8) | b; bitCnt += 8; bp += 1 }
+      }
+    }
+    def getBit(): Int = {
+      fill()
+      if (bitCnt == 0) 1 // 1-padding past the end of the segment
+      else { bitCnt -= 1; ((bitBuf >>> bitCnt) & 1L).toInt }
+    }
+    def receive(n: Int): Int = {
+      var v = 0; var j = 0
+      while (j < n) { v = (v << 1) | getBit(); j += 1 }; v
+    }
+    def extend(v: Int, n: Int): Int =
+      if (n == 0) 0 else if (v < (1 << (n - 1))) v - (1 << n) + 1 else v
+    def huffDecode(cls: Int, id: Int): Int = {
+      val mn = huffMin(cls)(id); val mx = huffMax(cls)(id)
+      require(mn != null, s"missing Huffman table class $cls id $id")
+      val vp = huffValPtr(cls)(id); val vs = huffVals(cls)(id)
+      var code = getBit(); var l = 1
+      while (l <= 16 && (mx(l) < 0 || code > mx(l))) {
+        code = (code << 1) | getBit(); l += 1
+      }
+      require(l <= 16, "corrupt Huffman code in JPEG scan")
+      vs(vp(l) + code - mn(l))
+    }
+
+    val prevDc = new Array[Int](3)
+    var eobRun = 0
+    val bit = 1 << al
+
+    def decodeDcFirst(ci: Int, blk: Array[Int]): Unit = {
+      val cat = huffDecode(0, dcSel(ci))
+      prevDc(ci) += extend(receive(cat), cat)
+      blk(0) = prevDc(ci) << al
+    }
+    def decodeDcRefine(blk: Array[Int]): Unit =
+      if (getBit() == 1) blk(0) |= bit
+    def decodeAcFirst(ci: Int, blk: Array[Int]): Unit = {
+      if (eobRun > 0) { eobRun -= 1; return }
+      var k = ss
+      while (k <= se) {
+        val rs = huffDecode(1, acSel(ci))
+        val r = rs >> 4; val s = rs & 0x0f
+        if (s == 0) {
+          if (r < 15) {
+            eobRun = (1 << r) - 1
+            if (r > 0) eobRun += receive(r)
+            k = 64 // end of band for this block
+          } else k += 16 // ZRL
+        } else {
+          k += r
+          require(k <= se, "AC coefficient index overrun")
+          blk(k) = extend(receive(s), s) << al
+          k += 1
+        }
+      }
+    }
+    def decodeAcRefine(ci: Int, blk: Array[Int]): Unit = {
+      def refine(z: Int): Unit =
+        if (getBit() == 1 && (blk(z) & bit) == 0)
+          blk(z) += (if (blk(z) >= 0) bit else -bit)
+      if (eobRun > 0) {
+        eobRun -= 1
+        var k = ss
+        while (k <= se) { if (blk(k) != 0) refine(k); k += 1 }
+        return
+      }
+      var k = ss
+      while (k <= se) {
+        val rs = huffDecode(1, acSel(ci))
+        var r = rs >> 4; val s = rs & 0x0f
+        var newVal = 0
+        if (s == 0) {
+          if (r < 15) {
+            eobRun = (1 << r) - 1
+            if (r > 0) eobRun += receive(r)
+            r = 64 // never exhausts: correct to end of band, then stop
+          }
+          // r == 15: sixteen zero-history coefficients skipped below
+        } else {
+          require(s == 1, s"AC refinement magnitude $s (must be 1)")
+          newVal = if (getBit() == 1) bit else -bit
+        }
+        // advance past r zero-history coefficients (refining nonzero-
+        // history ones as passed), then place the new coefficient; the
+        // EOB case's r=64 makes this refine to the end of the band
+        var placed = false
+        while (k <= se && !placed) {
+          if (blk(k) != 0) refine(k)
+          else {
+            if (r == 0) {
+              if (newVal != 0) blk(k) = newVal
+              placed = true
+            }
+            r -= 1
+          }
+          k += 1
+        }
+      }
+    }
+
+    def blockOf(ci: Int, bx: Int, by: Int): Array[Int] =
+      coefs(ci)(by * pbw(ci) + bx)
+
+    // restart boundary shared by both scan shapes
+    var rstExpect = 0
+    def restart(unitIdx: Int, totalUnits: Int): Unit =
+      if (restartInterval > 0 && unitIdx % restartInterval == 0 &&
+          unitIdx < totalUnits) {
+        bitCnt = 0; bitBuf = 0L
+        require(bp + 1 < bytes.length && (bytes(bp) & 0xff) == 0xff &&
+          (bytes(bp + 1) & 0xff) == 0xd0 + rstExpect,
+          f"expected RST$rstExpect%d marker at byte $bp in JPEG scan")
+        bp += 2
+        rstExpect = (rstExpect + 1) % 8
+        java.util.Arrays.fill(prevDc, 0)
+        eobRun = 0
+      }
+
+    if (ns > 1) {
+      // interleaved scan (DC only, per the requires above): MCU order
+      val totalMcus = mcusX * mcusY
+      var mcuIdx = 0
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          var sci = 0
+          while (sci < ns) {
+            val ci = scanComp(sci)
+            val hi = if (ci == 0) hSamp else 1
+            val vi = if (ci == 0) vSamp else 1
+            var vy = 0
+            while (vy < vi) {
+              var vx = 0
+              while (vx < hi) {
+                val blk = blockOf(ci, mx * hi + vx, my * vi + vy)
+                if (ah == 0) decodeDcFirst(ci, blk) else decodeDcRefine(blk)
+                vx += 1
+              }
+              vy += 1
+            }
+            sci += 1
+          }
+          mcuIdx += 1
+          restart(mcuIdx, totalMcus)
+          mx += 1
+        }
+        my += 1
+      }
+    } else {
+      // non-interleaved: raster over the component's ceil-grid blocks
+      val ci = scanComp(0)
+      val bw = nbw(ci); val bh = nbh(ci)
+      val total = bw * bh
+      var bi = 0
+      while (bi < total) {
+        val blk = blockOf(ci, bi % bw, bi / bw)
+        if (isDc) { if (ah == 0) decodeDcFirst(ci, blk) else decodeDcRefine(blk) }
+        else { if (ah == 0) decodeAcFirst(ci, blk) else decodeAcRefine(ci, blk) }
+        bi += 1
+        restart(bi, total)
+      }
+    }
+    require(eobRun == 0, "JPEG scan ended inside an EOB run")
+    bp
+  }
+
+  /** Encode per-block-CONSTANT YCbCr content as a progressive (SOF2)
+    * JPEG exercising the full scan grammar the decoder must survive:
+    * an interleaved DC-first scan with the Al=1 point transform, three
+    * single-component AC scans coded entirely as EOB runs through a
+    * custom EOBn Huffman table DEFINED BETWEEN SCANS, and a final
+    * interleaved DC-refinement scan carrying each block's low DC bit.
+    * Constant blocks are DC-only, so the progressive stream decodes to
+    * EXACTLY the same pixels as [[encodeJpegYcc]]'s baseline stream of
+    * the same content — which is what lets the m16 gate share the m10
+    * oracle verbatim. Non-constant blocks (nonzero AC) reject loudly:
+    * this encoder's scope is the exactness fixture, not general
+    * content (ImageIO supplies general progressive streams for the
+    * decoder's cross-check spec).
+    */
+  def encodeJpegYccProgressive(w: Int, h: Int,
+                               pixY: (Int, Int) => Int,
+                               pixCb: (Int, Int) => Int,
+                               pixCr: (Int, Int) => Int,
+                               hSamp: Int = 2, vSamp: Int = 2,
+                               quant: Int = 1): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff, s"bad dims ${w}x$h")
+    require(hSamp >= 1 && hSamp <= 2 && vSamp >= 1 && vSamp <= 2,
+      s"luma sampling must be in {1,2}x{1,2}, got ${hSamp}x$vSamp")
+    require(quant >= 1 && quant <= 255, s"bad quantizer $quant")
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def segment(m: Int, payload: Array[Byte]): Unit = {
+      marker(m)
+      val len = payload.length + 2
+      out.write(len >> 8); out.write(len & 0xff); out.write(payload)
+    }
+    marker(0xd8)
+    segment(0xe0, "JFIF".getBytes("US-ASCII") ++
+      Array[Byte](0, 1, 2, 0, 0, 1, 0, 1, 0, 0))
+    segment(0xdb, Array[Byte](0) ++ Array.fill(64)(quant.toByte))
+    segment(0xdb, Array[Byte](1) ++ Array.fill(64)(quant.toByte))
+    segment(0xc2, Array[Byte](8) ++ // SOF2: progressive DCT, Huffman
+      Array((h >> 8).toByte, (h & 0xff).toByte, (w >> 8).toByte, (w & 0xff).toByte) ++
+      Array[Byte](3,
+        1, ((hSamp << 4) | vSamp).toByte, 0,
+        2, 0x11, 1,
+        3, 0x11, 1))
+    segment(0xc4, Array[Byte](0x00) ++ DcBits.map(_.toByte) ++ DcVals.map(_.toByte))
+    segment(0xc4, Array[Byte](0x01) ++ DcBitsC.map(_.toByte) ++ DcValsC.map(_.toByte))
+
+    val dcTabs = Array(huffEncodeTable(DcBits, DcVals), huffEncodeTable(DcBitsC, DcValsC))
+    var acc = 0L; var nAcc = 0
+    def putBits(v: Int, n: Int): Unit = {
+      acc = (acc << n) | (v & ((1L << n) - 1)); nAcc += n
+      while (nAcc >= 8) {
+        val b = ((acc >>> (nAcc - 8)) & 0xff).toInt
+        out.write(b); if (b == 0xff) out.write(0x00)
+        nAcc -= 8
+      }
+    }
+    def flushBits(): Unit = if (nAcc > 0) {
+      val b = (((acc << (8 - nAcc)) | ((1 << (8 - nAcc)) - 1)) & 0xff).toInt
+      out.write(b); if (b == 0xff) out.write(0x00)
+      acc = 0L; nAcc = 0
+    }
+    def magCat(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    def putCoef(v: Int, cat: Int): Unit =
+      if (cat > 0) putBits(if (v < 0) v - 1 else v, cat)
+
+    val cw = (w + hSamp - 1) / hSamp
+    val ch = (h + vSamp - 1) / vSamp
+    def downsample(pix: (Int, Int) => Int): (Int, Int) => Int = (cx, cy) => {
+      var s = 0; var n = 0
+      var j = 0
+      while (j < vSamp) {
+        val sy = cy * vSamp + j
+        if (sy < h) {
+          var i = 0
+          while (i < hSamp) {
+            val sx = cx * hSamp + i
+            if (sx < w) { s += pix(sx, sy) & 0xff; n += 1 }
+            i += 1
+          }
+        }
+        j += 1
+      }
+      (s + n / 2) / n
+    }
+    val cbAt = downsample(pixCb)
+    val crAt = downsample(pixCr)
+
+    val block = new Array[Double](64)
+    // full FDCT so a non-DC-only block is DETECTED, not silently dropped
+    def dcOf(sample: (Int, Int) => Int, sw: Int, sh: Int, ox: Int, oy: Int): Int = {
+      var yy = 0
+      while (yy < 8) {
+        var xx = 0
+        while (xx < 8) {
+          val sx = math.min(ox + xx, sw - 1)
+          val sy = math.min(oy + yy, sh - 1)
+          block(yy * 8 + xx) = (sample(sx, sy) & 0xff) - 128.0
+          xx += 1
+        }
+        yy += 1
+      }
+      var zz = 0
+      var dc = 0
+      while (zz < 64) {
+        val r = ZigZag(zz); val u = r % 8; val v = r / 8
+        var s = 0.0
+        var y2 = 0
+        while (y2 < 8) {
+          var x2 = 0
+          while (x2 < 8) {
+            s += block(y2 * 8 + x2) * cosTable(x2)(u) * cosTable(y2)(v)
+            x2 += 1
+          }
+          y2 += 1
+        }
+        val c = math.round(cdct(u) * cdct(v) / 4.0 * s / quant).toInt
+        if (zz == 0) dc = c
+        else require(c == 0,
+          s"encodeJpegYccProgressive: nonzero AC coefficient at block ($ox,$oy) " +
+            "— scope is per-block-constant (DC-only) content")
+        zz += 1
+      }
+      dc
+    }
+
+    val mcusX = (w + 8 * hSamp - 1) / (8 * hSamp)
+    val mcusY = (h + 8 * vSamp - 1) / (8 * vSamp)
+    // gather every block's DC in interleaved MCU order, per component
+    val dcY = Array.ofDim[Int](mcusY * vSamp, mcusX * hSamp)
+    val dcCb = Array.ofDim[Int](mcusY, mcusX)
+    val dcCr = Array.ofDim[Int](mcusY, mcusX)
+    for (by <- 0 until mcusY * vSamp; bx <- 0 until mcusX * hSamp)
+      dcY(by)(bx) = dcOf(pixY, w, h, bx * 8, by * 8)
+    for (by <- 0 until mcusY; bx <- 0 until mcusX) {
+      dcCb(by)(bx) = dcOf(cbAt, cw, ch, bx * 8, by * 8)
+      dcCr(by)(bx) = dcOf(crAt, cw, ch, bx * 8, by * 8)
+    }
+    def mcuBlocks(f: (Int, Array[Array[Int]], Int, Int) => Unit): Unit =
+      for (my <- 0 until mcusY; mx <- 0 until mcusX) {
+        for (vy <- 0 until vSamp; vx <- 0 until hSamp)
+          f(0, dcY, mx * hSamp + vx, my * vSamp + vy)
+        f(1, dcCb, mx, my)
+        f(2, dcCr, mx, my)
+      }
+
+    // scan 1: interleaved DC first, point transform Al=1
+    segment(0xda, Array[Byte](3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0x01))
+    val pred = new Array[Int](3)
+    mcuBlocks { (ci, dc, bx, by) =>
+      val v = dc(by)(bx) >> 1
+      val diff = v - pred(ci)
+      pred(ci) = v
+      val cat = magCat(diff)
+      val (code, clen) = dcTabs(if (ci == 0) 0 else 1)(cat)
+      putBits(code, clen); putCoef(diff, cat)
+    }
+    flushBits()
+
+    // custom AC table for the EOB-run-only scans: the 15 EOBn symbols
+    // (r = n, s = 0) as a flat 4-bit canonical code — deliberately NOT
+    // Annex-K, so table redefinition between scans is exercised
+    val eobnBits = Array(0, 0, 0, 15, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    val eobnVals = Array.tabulate(15)(n => n << 4)
+    segment(0xc4, Array[Byte](0x10) ++ eobnBits.map(_.toByte) ++ eobnVals.map(_.toByte))
+    segment(0xc4, Array[Byte](0x11) ++ eobnBits.map(_.toByte) ++ eobnVals.map(_.toByte))
+    val eobnTab = huffEncodeTable(eobnBits, eobnVals)
+
+    // scans 2-4: per-component AC 1..63 first pass, all-zero bands as
+    // maximal EOB runs over the component's non-interleaved block grid
+    val scanDefs = Seq[(Int, Int)](
+      (1, (w + 7) / 8 * ((h + 7) / 8)),
+      (2, (cw + 7) / 8 * ((ch + 7) / 8)),
+      (3, (cw + 7) / 8 * ((ch + 7) / 8)))
+    scanDefs.foreach { case (compId, nBlocks) =>
+      segment(0xda, Array[Byte](1, compId.toByte,
+        (if (compId == 1) 0x00 else 0x01).toByte, 1, 63, 0x00))
+      var remaining = nBlocks
+      while (remaining > 0) {
+        var n = math.min(14, 31 - Integer.numberOfLeadingZeros(remaining))
+        val run = math.min(remaining, (1 << n) + ((1 << n) - 1))
+        val (code, clen) = eobnTab(n << 4)
+        putBits(code, clen)
+        if (n > 0) putBits(run - (1 << n), n)
+        remaining -= run
+      }
+      flushBits()
+    }
+
+    // scan 5: interleaved DC refinement, Ah=1 Al=0 — each block's low bit
+    segment(0xda, Array[Byte](3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0x10))
+    mcuBlocks { (ci, dc, bx, by) => putBits(dc(by)(bx) & 1, 1) }
+    flushBits()
+    marker(0xd9)
+    out.toByteArray
+  }
+
   // ---------------------------------------------------------------- WAV
 
   /** Encode PCM 16-bit little-endian mono, with a gratuitous LIST chunk
