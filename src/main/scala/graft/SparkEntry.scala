@@ -1333,6 +1333,11 @@ object SparkEntry {
     // stride-2 over each doc's animated GIF, exact per-frame sums
     "m15_gif_frames" -> ((s, d) =>
       Multimodal.gifFrameSample(t(s, d)("documents"), 2)),
+    // GIF disposal compositing (m17): partial rects + background/
+    // previous restores + transparency over a persistent canvas; the
+    // oracle replays the whole composition chain in closed form
+    "m17_gif_composite" -> ((s, d) =>
+      Multimodal.gifCompositeSample(t(s, d)("documents"))),
     "m12_jpeg_color_resize" -> ((s, d) =>
       Multimodal.jpegColorResize(t(s, d)("documents"))),
     // image perceptual hash (aHash) over the REAL decoded PNG raster —
@@ -4413,6 +4418,50 @@ object SparkEntry {
                 CAST(w * h AS BIGINT) AS n_pixels,
                 CAST(sum((11*x + 5*y + d) % 256) AS BIGINT) AS value_sum
          FROM xy GROUP BY d, w, h ORDER BY doc_id""",
+    // the four-frame disposal chain in closed form: F0 full canvas
+    // (keep), F1 partial rect then restore-to-background, F2 partial
+    // rect then restore-to-previous, F3 partial rect with transparency
+    // over what disposal left behind — each frame's sum is the exact
+    // canvas AS DISPLAYED
+    "m17_gif_composite" ->
+      """WITH d AS (SELECT doc_id AS d, 10 + doc_id % 14 AS w, 8 + (3*doc_id) % 10 AS h,
+                           2 + doc_id % 3 AS l1, 1 + doc_id % 2 AS t1,
+                           1 + doc_id % 4 AS l2, 2 + doc_id % 3 AS t2
+                    FROM documents),
+         xs AS (SELECT *, unnest(generate_series(0, w - 1)) AS x FROM d),
+         xy AS (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM xs),
+         px AS (SELECT d, w, h, x, y,
+                       (3*x + 5*y + d) % 251 AS p0,
+                       (7*x + 11*y + d) % 251 AS p1,
+                       (13*x + 17*y + d) % 251 AS p2,
+                       (19*x + 23*y + d) % 251 AS p3,
+                       CASE WHEN x >= l1 AND x < l1 + 5 AND y >= t1 AND y < t1 + 4
+                            THEN 1 ELSE 0 END AS in1,
+                       CASE WHEN x >= l2 AND x < l2 + 6 AND y >= t2 AND y < t2 + 3
+                            THEN 1 ELSE 0 END AS in2,
+                       CASE WHEN x >= 3 AND x < 8 AND y >= 3 AND y < 7
+                            THEN 1 ELSE 0 END AS in3,
+                       CASE WHEN (x + y + d) % 3 = 0 THEN 1 ELSE 0 END AS tr3
+                FROM xy),
+         f AS (SELECT d, w, h, x, y,
+                      p0 AS f0,
+                      CASE WHEN in1 = 1 THEN p1 ELSE p0 END AS f1,
+                      -- disposal 2 cleared rect1 to background 0 first
+                      CASE WHEN in2 = 1 THEN p2 WHEN in1 = 1 THEN 0 ELSE p0 END AS f2,
+                      -- disposal 3 restored rect2 to the pre-F2 canvas;
+                      -- F3's transparent pixels show that canvas through
+                      CASE WHEN in3 = 1 AND tr3 = 0 THEN p3
+                           WHEN in1 = 1 THEN 0 ELSE p0 END AS f3
+               FROM px),
+         u AS (SELECT d, w, h, 0 AS frame, f0 AS v FROM f
+               UNION ALL SELECT d, w, h, 1, f1 FROM f
+               UNION ALL SELECT d, w, h, 2, f2 FROM f
+               UNION ALL SELECT d, w, h, 3, f3 FROM f)
+         SELECT d AS doc_id, CAST(frame AS BIGINT) AS frame,
+                CAST(4 AS BIGINT) AS n_frames,
+                CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+                CAST(sum(v) AS BIGINT) AS value_sum
+         FROM u GROUP BY d, frame, w, h ORDER BY doc_id, frame""",
     // stride-2 frame selection + per-frame lattice sums, all closed-form
     "m15_gif_frames" ->
       """WITH d AS (SELECT doc_id AS d FROM documents),

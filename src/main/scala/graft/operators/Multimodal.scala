@@ -190,6 +190,61 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame"))
   }
 
+  /** m17 fixture: a composited animated GIF per document — four frames
+    * exercising every disposal method: a full-canvas base (disposal 1,
+    * keep), a partial rect that restores to BACKGROUND after display
+    * (disposal 2), a partial rect that restores to the PREVIOUS canvas
+    * (disposal 3), and a partial rect with TRANSPARENT pixels showing
+    * the underlying canvas through (disposal 0). Every rect offset and
+    * pixel is closed-form from doc_id; values stay < 251 so index 255
+    * is unambiguously the transparent sentinel.
+    */
+  def gifCompositeFor(d: Long): Array[Byte] = {
+    val w = (10 + d % 14).toInt
+    val h = (8 + (3 * d) % 10).toInt
+    val l1 = (2 + d % 3).toInt; val t1 = (1 + d % 2).toInt
+    val l2 = (1 + d % 4).toInt; val t2 = (2 + d % 3).toInt
+    import graft.sources.AssetCodecs.GifFrameSpec
+    AssetCodecs.encodeGifAnimComposite(w, h, background = 0, Seq(
+      GifFrameSpec(0, 0, w, h, disposal = 1, transparentIdx = -1,
+        (x, y) => ((3 * x + 5 * y + d) % 251).toInt),
+      GifFrameSpec(l1, t1, 5, 4, disposal = 2, transparentIdx = -1,
+        (fx, fy) => ((7 * (l1 + fx) + 11 * (t1 + fy) + d) % 251).toInt),
+      GifFrameSpec(l2, t2, 6, 3, disposal = 3, transparentIdx = -1,
+        (fx, fy) => ((13 * (l2 + fx) + 17 * (t2 + fy) + d) % 251).toInt),
+      GifFrameSpec(3, 3, 5, 4, disposal = 0, transparentIdx = 255,
+        (fx, fy) => {
+          val x = 3 + fx; val y = 3 + fy
+          if ((x + y + d) % 3 == 0) 255 else ((19 * x + 23 * y + d) % 251).toInt
+        })))
+  }
+
+  /** Disposal compositing gate (m17): decode the four-frame composite
+    * fixture and emit each DISPLAYED canvas's exact stats — the m15
+    * shape over streams where frame k is NOT the canvas (partial rects,
+    * background/previous restores, transparency). The oracle replays
+    * the whole composition chain in closed form, so a bug in any
+    * disposal step or the transparency path shifts a value_sum.
+    */
+  def gifCompositeSample(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val (w, h, pal, frames) = AssetCodecs.decodeGifFrames(gifCompositeFor(id))
+          frames.zipWithIndex.map { case (idx, f) =>
+            var s = 0L
+            var i = 0
+            while (i < idx.length) { s += pal(3 * (idx(i) & 0xff)) & 0xff; i += 1 }
+            (id, f.toLong, frames.size.toLong, w.toLong, h.toLong, s)
+          }
+        }
+      }
+      .toDF("doc_id", "frame", "n_frames", "width", "height", "value_sum")
+      .orderBy(col("doc_id"), col("frame"))
+  }
+
   /** Real distributed decode (m04): encode each document's fixture asset,
     * then recover its metadata and exact content sum from the BYTES with
     * the real byte-level codecs — the non-stub counterpart of

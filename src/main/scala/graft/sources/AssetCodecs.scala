@@ -2221,11 +2221,24 @@ object AssetCodecs {
     out.toByteArray
   }
 
-  /** Decode every frame of a (possibly multi-image) GIF. Scope as
-    * [[decodeGifImage]] plus: every frame must be full-canvas at (0,0)
-    * — partial-frame compositing (disposal methods) is rejected loudly,
-    * so a frame-sampling caller never sees a half-composited canvas.
-    * Returns (width, height, palette, one index array per frame).
+  /** Decode every frame of a (possibly multi-image) GIF, COMPOSITED per
+    * the GIF89a disposal protocol over a persistent canvas — partial-
+    * frame updates being the common case in crawled media. Each emitted
+    * frame is the full `w`x`h` canvas AS DISPLAYED after that image:
+    *
+    *  - the canvas starts as the header's background colour index;
+    *  - each image block draws its rect at (left, top), skipping pixels
+    *    equal to the GCE's transparent index (underlying canvas shows
+    *    through);
+    *  - after display, disposal 0/1 keep the canvas, disposal 2 restores
+    *    the rect to the background index, disposal 3 restores the rect
+    *    to the pre-draw canvas.
+    *
+    * Full-canvas no-GCE streams compose to exactly the per-frame images
+    * (frame k overwrites everything), so the m15 oracle is unchanged.
+    * Scope as [[decodeGifImage]] otherwise: global palette, no local
+    * tables, non-interlaced. Returns (width, height, palette, one
+    * composited index canvas per frame).
     */
   def decodeGifFrames(bytes: Array[Byte]): (Int, Int, Array[Byte], Vector[Array[Byte]]) = {
     val sig = new String(bytes, 0, 6, "US-ASCII")
@@ -2234,24 +2247,36 @@ object AssetCodecs {
     val w = le16(6); val h = le16(8)
     val packed = bytes(10) & 0xff
     require((packed & 0x80) != 0, "GIF without a global colour table (scope: global palette)")
+    val bgIndex = bytes(11) & 0xff
     val gctSize = 1 << ((packed & 7) + 1)
     val palette = new Array[Byte](768)
     System.arraycopy(bytes, 13, palette, 0, 3 * gctSize)
     var pos = 13 + 3 * gctSize
     val frames = Vector.newBuilder[Array[Byte]]
+    val canvas = Array.fill[Byte](w * h)(bgIndex.toByte)
+    // pending Graphic Control Extension state — applies to ONE image
+    var disposal = 0
+    var transIdx = -1
     var done = false
     while (!done) {
       (bytes(pos) & 0xff) match {
         case 0x21 =>
+          val label = bytes(pos + 1) & 0xff
+          if (label == 0xf9) { // GCE: packed, delay(2), transparent index
+            require((bytes(pos + 2) & 0xff) == 4, "GIF: bad GCE block size")
+            val gp = bytes(pos + 3) & 0xff
+            disposal = (gp >> 2) & 0x07
+            require(disposal <= 3, s"GIF: reserved disposal method $disposal")
+            transIdx = if ((gp & 1) != 0) bytes(pos + 6) & 0xff else -1
+          }
           pos += 2
           while ((bytes(pos) & 0xff) != 0) pos += 1 + (bytes(pos) & 0xff)
           pos += 1
         case 0x2c =>
           val left = le16(pos + 1); val top = le16(pos + 3)
           val iw = le16(pos + 5); val ih = le16(pos + 7)
-          require(left == 0 && top == 0 && iw == w && ih == h,
-            s"partial GIF frame ${iw}x$ih@($left,$top) on a ${w}x$h canvas " +
-              "unsupported (scope: full-canvas frames, no disposal compositing)")
+          require(iw > 0 && ih > 0 && left + iw <= w && top + ih <= h,
+            s"GIF frame rect ${iw}x$ih@($left,$top) outside the ${w}x$h canvas")
           val ip = bytes(pos + 9) & 0xff
           require((ip & 0x80) == 0, "GIF local colour table unsupported (scope: global palette)")
           require((ip & 0x40) == 0, "interlaced GIF unsupported")
@@ -2265,7 +2290,37 @@ object AssetCodecs {
             pos += 1 + n
           }
           pos += 1
-          frames += lzwDecompressGif(data.toByteArray, minCodeSize, w * h)
+          val indices = lzwDecompressGif(data.toByteArray, minCodeSize, iw * ih)
+          val before = if (disposal == 3) canvas.clone else null
+          var yy = 0
+          while (yy < ih) {
+            var xx = 0
+            while (xx < iw) {
+              val v = indices(yy * iw + xx) & 0xff
+              if (v != transIdx) canvas((top + yy) * w + (left + xx)) = v.toByte
+              xx += 1
+            }
+            yy += 1
+          }
+          frames += canvas.clone
+          disposal match {
+            case 2 =>
+              var dy = 0
+              while (dy < ih) {
+                java.util.Arrays.fill(canvas, (top + dy) * w + left,
+                  (top + dy) * w + left + iw, bgIndex.toByte)
+                dy += 1
+              }
+            case 3 =>
+              var dy = 0
+              while (dy < ih) {
+                System.arraycopy(before, (top + dy) * w + left,
+                  canvas, (top + dy) * w + left, iw)
+                dy += 1
+              }
+            case _ => ()
+          }
+          disposal = 0; transIdx = -1
         case 0x3b => done = true
         case b => sys.error(f"GIF: unexpected block 0x$b%02x")
       }
@@ -2273,6 +2328,70 @@ object AssetCodecs {
     val fs = frames.result()
     require(fs.nonEmpty, "GIF with no image block")
     (w, h, palette, fs)
+  }
+
+  /** One frame of a composited animated GIF: `pix(fx, fy)` in FRAME
+    * coordinates yields the palette index; `transparentIdx` ≥ 0 turns
+    * that index into "underlying canvas shows through" (and is emitted
+    * in the frame's GCE); `disposal` 0-3 per the GIF89a protocol.
+    */
+  case class GifFrameSpec(left: Int, top: Int, w: Int, h: Int,
+                          disposal: Int, transparentIdx: Int,
+                          pix: (Int, Int) => Int)
+
+  /** Encode an animated GIF with PARTIAL frames, disposal methods, and
+    * transparency — the compositing fixture [[decodeGifFrames]] must
+    * reassemble. Global greyscale identity palette (so index = grey
+    * value), one GCE per frame carrying its disposal and transparent
+    * index.
+    */
+  def encodeGifAnimComposite(w: Int, h: Int, background: Int,
+                             frames: Seq[GifFrameSpec]): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff, s"bad dims ${w}x$h")
+    require(frames.nonEmpty, "need >= 1 frame")
+    frames.foreach { f =>
+      require(f.w > 0 && f.h > 0 && f.left >= 0 && f.top >= 0 &&
+        f.left + f.w <= w && f.top + f.h <= h,
+        s"frame rect ${f.w}x${f.h}@(${f.left},${f.top}) outside ${w}x$h")
+      require(f.disposal >= 0 && f.disposal <= 3, s"bad disposal ${f.disposal}")
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    le16(w); le16(h)
+    out.write(0xf7)
+    out.write(background & 0xff)
+    out.write(0)
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    frames.foreach { f =>
+      out.write(0x21); out.write(0xf9); out.write(4) // GCE
+      val transFlag = if (f.transparentIdx >= 0) 1 else 0
+      out.write((f.disposal << 2) | transFlag)
+      le16(0) // delay
+      out.write(math.max(0, f.transparentIdx) & 0xff)
+      out.write(0) // GCE terminator
+      out.write(0x2c)
+      le16(f.left); le16(f.top); le16(f.w); le16(f.h)
+      out.write(0x00)
+      out.write(8)
+      val idx = new Array[Byte](f.w * f.h)
+      var y = 0
+      while (y < f.h) {
+        var x = 0
+        while (x < f.w) { idx(y * f.w + x) = (f.pix(x, y) & 0xff).toByte; x += 1 }
+        y += 1
+      }
+      val data = lzwCompressGif(idx, 8)
+      var off = 0
+      while (off < data.length) {
+        val n = math.min(255, data.length - off)
+        out.write(n); out.write(data, off, n); off += n
+      }
+      out.write(0)
+    }
+    out.write(0x3b)
+    out.toByteArray
   }
 
   /** Sniffed GIF decode to the uniform record: channels 1 because the
