@@ -245,8 +245,12 @@ object SparkEntry {
   /** r25 closed form, bounded < 250 so the 5.41 PNG path's 8-bit scope
     * holds; decimalScale 1 → value = scaled/10.
     */
+  /** pidx 0 (TMP) stays < 250 → 8-bit greyscale PNG; pidx ≥ 1 shifts by
+    * 400·pidx → 10-bit values, packed as 16-BIT greyscale — both 5.41
+    * depths ride the same gate.
+    */
   private def grib2PngScaled(pidx: Int, m: Int, i: Int, j: Int): Int =
-    (i * 3 + j * 7 + pidx * 29 + m * 13) % 250
+    (i * 3 + j * 7 + pidx * 29 + m * 13) % 250 + pidx * 400
 
   /** Template 5.41 fixture: TMP + PRATE PNG-packed on the g3 lattice
     * (VGRD exists only for the -match filter to drop). The engine must
@@ -3452,8 +3456,9 @@ object SparkEntry {
     // r16: the same lattice, dense (no mask) — the engine recovered it
     // from the template-5.40 JPEG2000 codestream, the oracle never sees a
     // byte of it
-    // the 5.41 lattice regenerated closed-form (bounded < 250: the
-    // engine recovered it through zlib inflate + PNG row filters)
+    // the 5.41 lattice regenerated closed-form: TMP < 250 rides the
+    // 8-bit PNG path, PRATE's +400 shift rides the 16-bit path — the
+    // engine recovered both through zlib inflate + PNG row filters
     "r25_grib2_png" ->
       s"""WITH p(pidx, variable) AS (VALUES (0, 'TMP'), (1, 'PRATE')),
          t(t, m) AS (VALUES (TIMESTAMP '2004-03-10 06:00:00', 0),
@@ -3463,7 +3468,7 @@ object SparkEntry {
          SELECT variable, t AS time,
                 ($g3La1 - j * $g3Dj) / 1000000.0 AS lat,
                 (($g3Lo1) + i * $g3Di) / 1000000.0 AS lon,
-                ((i * 3 + j * 7 + pidx * 29 + m * 13) % 250) / 10.0 AS value
+                ((i * 3 + j * 7 + pidx * 29 + m * 13) % 250 + pidx * 400) / 10.0 AS value
          FROM p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
          ORDER BY variable, time, lat, lon""",
     "r16_grib2_jpeg2000" ->

@@ -124,13 +124,25 @@ object AssetCodecs {
 
   /** Full PNG pixel decode (the [[decodePng]] metadata path reuses this;
     * m06's perceptual hash needs the actual raster): returns
-    * (width, height, rows of grey bytes).
+    * (width, height, rows of grey bytes). 8-bit API — a 16-bit stream
+    * goes through [[decodePngGrey]].
     */
   def decodePngImage(bytes: Array[Byte]): (Int, Int, Array[Array[Byte]]) = {
+    val (w, h, depth, img) = decodePngGrey(bytes)
+    require(depth == 8, s"decodePngImage: ${depth}-bit stream (use decodePngGrey)")
+    (w, h, img.map(_.map(_.toByte)))
+  }
+
+  /** Greyscale PNG decode at either spec depth (8 or 16): returns
+    * (width, height, bitDepth, rows of samples). Filters reconstruct at
+    * the BYTE level with bpp = depth/8 (the left neighbour is the byte
+    * `bpp` positions back — PNG §6); 16-bit samples are big-endian.
+    */
+  def decodePngGrey(bytes: Array[Byte]): (Int, Int, Int, Array[Array[Int]]) = {
     require(bytes.length > 8 && java.util.Arrays.equals(
       java.util.Arrays.copyOfRange(bytes, 0, 8), PngSig), "bad PNG signature")
     var pos = 8
-    var w = -1; var h = -1
+    var w = -1; var h = -1; var depth = -1
     val idat = new java.io.ByteArrayOutputStream()
     var done = false
     while (!done) {
@@ -151,10 +163,11 @@ object AssetCodecs {
           // sniffing and the GRIB2 5.41 decode path
           require(w >= 1 && h >= 1 && w.toLong * h <= (1L << 26),
             s"implausible PNG dimensions ${w}x$h (cap: 2^26 pixels)")
-          val depth = bytes(pos + 16) & 0xff; val colour = bytes(pos + 17) & 0xff
+          depth = bytes(pos + 16) & 0xff
+          val colour = bytes(pos + 17) & 0xff
           val interlace = bytes(pos + 20) & 0xff
-          require(depth == 8 && colour == 0,
-            s"unsupported PNG depth/colour $depth/$colour (scope: 8-bit greyscale)")
+          require((depth == 8 || depth == 16) && colour == 0,
+            s"unsupported PNG depth/colour $depth/$colour (scope: 8/16-bit greyscale)")
           require(interlace == 0, "interlaced PNG out of scope")
         case "IDAT" => idat.write(bytes, pos + 8, len)
         case "IEND" => done = true
@@ -163,20 +176,23 @@ object AssetCodecs {
       pos += 12 + len
     }
     require(w > 0 && h > 0, "PNG missing IHDR")
-    val scan = zlibInflate(idat.toByteArray, h * (w + 1))
-    // defilter: reconstruct each scanline from its filter byte (spec §6)
-    val img = Array.ofDim[Byte](h, w)
+    val bpp = depth / 8
+    val stride = w * bpp + 1
+    val scan = zlibInflate(idat.toByteArray, h * stride)
+    // defilter: reconstruct each scanline's BYTES from its filter byte
+    // (spec §6), then assemble samples
+    val rows = Array.ofDim[Byte](h, w * bpp)
     var y = 0
     while (y < h) {
-      val ft = scan(y * (w + 1)) & 0xff
-      val base = y * (w + 1) + 1
-      val cur = img(y); val up = if (y > 0) img(y - 1) else null
+      val ft = scan(y * stride) & 0xff
+      val base = y * stride + 1
+      val cur = rows(y); val up = if (y > 0) rows(y - 1) else null
       var x = 0
-      while (x < w) {
+      while (x < w * bpp) {
         val f = scan(base + x) & 0xff
-        val a = if (x > 0) cur(x - 1) & 0xff else 0
+        val a = if (x >= bpp) cur(x - bpp) & 0xff else 0
         val b = if (up != null) up(x) & 0xff else 0
-        val c = if (x > 0 && up != null) up(x - 1) & 0xff else 0
+        val c = if (x >= bpp && up != null) up(x - bpp) & 0xff else 0
         val r = ft match {
           case 0 => f
           case 1 => f + a
@@ -190,7 +206,63 @@ object AssetCodecs {
       }
       y += 1
     }
-    (w, h, img)
+    val img = Array.tabulate(h, w) { (yy, xx) =>
+      if (bpp == 1) rows(yy)(xx) & 0xff
+      else ((rows(yy)(2 * xx) & 0xff) << 8) | (rows(yy)(2 * xx + 1) & 0xff)
+    }
+    (w, h, depth, img)
+  }
+
+  /** Encode a 16-bit greyscale PNG (big-endian samples). Same filter
+    * discipline as [[encodePng]] — all five row filters cycle, at the
+    * byte level with bpp = 2 — and the same two-IDAT split.
+    */
+  def encodePng16(w: Int, h: Int, pix: (Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"degenerate image ${w}x$h")
+    val raw = Array.ofDim[Byte](h, w * 2)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = pix(x, y) & 0xffff
+      raw(y)(2 * x) = (v >> 8).toByte
+      raw(y)(2 * x + 1) = (v & 0xff).toByte
+    }
+    val filtered = new java.io.ByteArrayOutputStream()
+    var y = 0
+    while (y < h) {
+      val ft = y % 5
+      filtered.write(ft)
+      val cur = raw(y); val up = if (y > 0) raw(y - 1) else null
+      var x = 0
+      while (x < w * 2) {
+        val r = cur(x) & 0xff
+        val a = if (x >= 2) cur(x - 2) & 0xff else 0
+        val b = if (up != null) up(x) & 0xff else 0
+        val c = if (x >= 2 && up != null) up(x - 2) & 0xff else 0
+        val f = ft match {
+          case 0 => r
+          case 1 => r - a
+          case 2 => r - b
+          case 3 => r - (a + b) / 2
+          case 4 => r - paeth(a, b, c)
+        }
+        filtered.write(f & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    val ihdr = ByteBuffer.allocate(13)
+    ihdr.putInt(w).putInt(h)
+    ihdr.put(16.toByte)
+    ihdr.put(0.toByte)
+    ihdr.put(0.toByte).put(0.toByte).put(0.toByte)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSig)
+    writeChunk(out, "IHDR", ihdr.array())
+    val z = zlibDeflate(filtered.toByteArray)
+    val cut = z.length / 2
+    writeChunk(out, "IDAT", java.util.Arrays.copyOfRange(z, 0, cut))
+    writeChunk(out, "IDAT", java.util.Arrays.copyOfRange(z, cut, z.length))
+    writeChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
   }
 
   /** Paeth predictor (PNG spec §6.6) — order of the tie-break matters. */

@@ -322,13 +322,13 @@ object Grib2 {
             } else if (drTemplate == 41) {
               require(bitmap == null,
                 s"bitmap with template 5.41 unsupported in $label (dense fields only)")
-              val (pw, ph, rows) = AssetCodecs.decodePngImage(
+              val (pw, ph, _, rows) = AssetCodecs.decodePngGrey(
                 java.util.Arrays.copyOfRange(b, pos + 5, pos + len))
               require(pw == ni && ph == nj,
                 s"PNG image ${pw}x$ph disagrees with grid ${ni}x$nj in $label")
               var k = 0
               while (k < nPresent) {
-                packed(k) = (refVal + (rows(k / ni)(k % ni) & 0xff) * twoE) / tenD
+                packed(k) = (refVal + rows(k / ni)(k % ni) * twoE) / tenD
                 k += 1
               }
             } else if (drTemplate >= 2) {
@@ -745,14 +745,18 @@ object Grib2 {
         // compressed representation): section 7 is a greyscale PNG of
         // the non-negative scaled integers — the SAME from-scratch PNG
         // codec the multimodal gates exercise (zlib deflate, row
-        // filters). Scope: dense fields, nbits <= 8 (the 8-bit
-        // greyscale depth our codec owns); wider fields reject loudly.
+        // filters). Fields up to 8 bits pack as 8-bit greyscale, 9-16
+        // bits as 16-bit big-endian greyscale (wgrib2's depth ladder);
+        // wider fields reject loudly.
         require(!f.scaled.exists(_.isEmpty),
           "bitmap with template 5.41 out of scope (dense fields only)")
         val nbits = math.max(1, bitsFor(base.max))
-        require(nbits <= 8, s"5.41 fields wider than 8 bits out of scope (got $nbits)")
-        val png = AssetCodecs.encodePng(f.ni, f.nj,
-          (x, y) => base(y * f.ni + x).toInt)
+        require(nbits <= 16, s"5.41 fields wider than 16 bits out of scope (got $nbits)")
+        val png =
+          if (nbits <= 8) AssetCodecs.encodePng(f.ni, f.nj,
+            (x, y) => base(y * f.ni + x).toInt)
+          else AssetCodecs.encodePng16(f.ni, f.nj,
+            (x, y) => base(y * f.ni + x).toInt)
         (sec5Head(41, nbits), png)
     }
     section(5, sec5Payload)

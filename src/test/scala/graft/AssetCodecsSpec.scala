@@ -26,6 +26,22 @@ class AssetCodecsSpec extends AnyFunSuite with Matchers {
     m.valueSum shouldBe sumPix(23, 11, pix)
   }
 
+  test("16-bit PNG round-trip: exact samples through all five byte-level filters (bpp=2)") {
+    val pix = (x: Int, y: Int) => (x * 1009 + y * 4241 + 7) % 65536
+    val (w, h, depth, img) = AssetCodecs.decodePngGrey(AssetCodecs.encodePng16(19, 11, pix))
+    (w, h, depth) shouldBe ((19, 11, 16))
+    for (y <- 0 until 11; x <- 0 until 19) img(y)(x) shouldBe pix(x, y)
+    // JDK ImageIO agrees on the decoded 16-bit raster
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      AssetCodecs.encodePng16(19, 11, pix)))
+    val raster = ref.getRaster
+    for (y <- 0 until 11; x <- 0 until 19)
+      raster.getSample(x, y, 0) shouldBe pix(x, y)
+    // the 8-bit API refuses a 16-bit stream rather than mangling it
+    an[IllegalArgumentException] should be thrownBy
+      AssetCodecs.decodePngImage(AssetCodecs.encodePng16(4, 4, (x, y) => x + y))
+  }
+
   test("PNG 1x1 and 1xN degenerate shapes survive (no left/up neighbors)") {
     for ((w, h) <- Seq((1, 1), (1, 7), (7, 1))) {
       val m = AssetCodecs.decodePng(AssetCodecs.encodePng(w, h, (x, y) => x + y * 3))

@@ -231,8 +231,23 @@ class Grib2Spec extends SparkSpec {
     val f = field(d = -1, base = 100).copy(template = 41)
     Grib2.parseMessages(write(f)).head.values.toSeq shouldBe
       Grib2.parseMessages(write(field(d = -1, base = 100))).head.values.toSeq
-    // a 9-bit field rejects loudly rather than truncating
-    an[IllegalArgumentException] should be thrownBy write(bumpy(template = 41))
+    // a wider-than-8-bit field packs as 16-BIT greyscale (wgrib2's
+    // depth ladder) and still decodes bit-identically to simple packing
+    Grib2.parseMessages(write(bumpy(template = 41))).head.values.toSeq shouldBe
+      Grib2.parseMessages(write(bumpy(template = 0))).head.values.toSeq
+    // ... and the section-7 payload really is a 16-bit PNG (IHDR depth)
+    val b41 = write(bumpy(template = 41))
+    def u32(i: Int) =
+      ((b41(i) & 0xff) << 24) | ((b41(i + 1) & 0xff) << 16) |
+        ((b41(i + 2) & 0xff) << 8) | (b41(i + 3) & 0xff)
+    var pos = 16
+    while ((b41(pos + 4) & 0xff) != 7) pos += u32(pos)
+    new String(b41, pos + 5 + 1, 3, "US-ASCII") shouldBe "PNG"
+    (b41(pos + 5 + 24) & 0xff) shouldBe 16 // IHDR bit depth octet
+    // a >16-bit field rejects loudly rather than truncating
+    val wide = small(41).copy(scaled = Array.tabulate(117)(k =>
+      Some(if (k == 0) 70000 else (k * 37 + 11) % 251)))
+    an[IllegalArgumentException] should be thrownBy write(wide)
     // masked 5.41 rejects (dense fields only, like 5.40)
     an[IllegalArgumentException] should be thrownBy
       write(small(41, masked = true))

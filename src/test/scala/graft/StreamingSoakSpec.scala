@@ -92,6 +92,124 @@ class StreamingSoakSpec extends SparkSpec {
     } }
   }
 
+  /** Run `body` with an enlarged progress ring buffer (the plateau
+    * assertions need every micro-batch's state metrics).
+    */
+  private def withProgressWindow[A](n: Int)(body: => A): A = {
+    val key = "spark.sql.streaming.numRecentProgressUpdates"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, n.toString)
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** Final-quarter vs middle-third plateau assertion on a per-batch
+    * metric series: a leak is monotone growth; bounded state flattens.
+    */
+  private def assertPlateau(series: Seq[Long], slackNum: Long = 3,
+                            slackDen: Long = 2, floor: Long = 64): Unit = {
+    val mid = series.slice(series.length / 3, 2 * series.length / 3).max
+    series.takeRight(series.length / 4).max should be <=
+      math.max((mid * slackNum) / slackDen, floor)
+  }
+
+  test("soak: 220 full-outer stream-stream join micro-batches under RocksDB — state plateaus at the watermark window") {
+    withRocksDb { withFewPartitions { withProgressWindow(300) {
+      val tmp = Files.createTempDirectory("graft_soak_w17").toString
+      val batches = 220
+      // batch b at epoch + b minutes; per-batch-unique users so every
+      // click matches exactly its same-batch purchase: users b*100+{0,1,2}
+      // match, b*100+{3,4,5} are left-only, b*100+9 is right-only. With a
+      // 10-minute watermark the join state holds ~16 batches of rows at
+      // any horizon — 220 batches of growth is what the plateau refutes
+      val rows = spark.range(batches.toLong).select($"id".as("b"))
+        .select($"b", explode(sequence(lit(0), lit(6))).as("i"))
+        .select($"b",
+          ($"b" * 100 + when($"i" === 6, 9).otherwise($"i")).as("user_id"),
+          ($"b" * 1000 + $"i").as("event_id"),
+          when($"i" === 6, lit("purchase"))
+            .when($"i" < 3, lit("click")).otherwise(lit("click_only")).as("kind"),
+          (lit(1700000000L) + $"b" * 60).cast("timestamp").as("ts"))
+      // matched users need BOTH a click and a purchase row
+      val both = rows.where($"kind" === "click")
+        .select($"b", $"user_id", ($"event_id" + 500).as("event_id"),
+          lit("purchase").as("kind"), $"ts")
+      rows.unionByName(both)
+        .withColumn("kind", when($"kind" === "click_only", "click").otherwise($"kind"))
+        .repartition($"b") // one part file per b= dir → one file per batch
+        .write.partitionBy("b").parquet(s"$tmp/landing")
+      val leafs = new java.io.File(s"$tmp/landing").listFiles()
+        .filter(_.getName.startsWith("b=")).sortBy(_.getName.drop(2).toInt)
+        .flatMap(_.listFiles().filter(_.getName.startsWith("part-")))
+      leafs.length shouldBe batches
+      val base = System.currentTimeMillis() - 7200000L
+      leafs.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 2000L) }
+      val schema = spark.read.parquet(s"$tmp/landing").schema
+      def src() = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/landing")
+      val joined = graft.streaming.EventStream.recentPurchaseJoinFull(
+        src().where($"kind" === "click"),
+        src().where($"kind" === "purchase"),
+        watermark = "10 minutes", toleranceSec = 300)
+      val q = joined.writeStream.format("memory").queryName("soak_w17")
+        .outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val prog = q.recentProgress.filter(_.stateOperators.nonEmpty)
+      prog.length should be >= 200
+      assertPlateau(prog.map(_.stateOperators.map(_.numRowsTotal).sum).toSeq,
+        floor = 512)
+      val out = spark.table("soak_w17")
+      // every matched pair emitted (same-batch click+purchase per user)
+      out.where($"click_id".isNotNull && $"purchase_id".isNotNull)
+        .count() shouldBe batches * 3L
+      // BOTH null-padded sides surfaced once the watermark passed them
+      out.where($"click_id".isNull).count() should be > 0L
+      out.where($"purchase_id".isNull).count() should be > 0L
+      // ... and only from the young tail may rows be withheld: every
+      // left-only click older than the final cut emitted
+      out.where($"purchase_id".isNull).count() should be >= (batches - 20) * 3L
+      out.where($"click_id".isNull).count() should be >= (batches - 20).toLong
+    } } }
+  }
+
+  test("soak: 220 stream-static broadcast-enrich micro-batches — agg state pinned at dimension cardinality") {
+    withRocksDb { withFewPartitions { withProgressWindow(300) {
+      val tmp = Files.createTempDirectory("graft_soak_w18").toString
+      val batches = 220
+      val perBatch = 40
+      spark.range(batches.toLong * perBatch)
+        .select(($"id" / perBatch).cast("long").as("b"),
+          $"id".as("user_id"), ($"id" % 97).cast("double").as("value"))
+        .write.partitionBy("b").parquet(s"$tmp/landing")
+      val dim = spark.range(25).select($"id".as("n_nationkey"),
+        concat(lit("N"), $"id").as("n_name"))
+      val schema = spark.read.parquet(s"$tmp/landing").schema
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/landing")
+        .withColumn("n_nationkey", pmod($"user_id", lit(25L)))
+        .join(broadcast(dim), Seq("n_nationkey"))
+        .groupBy($"n_name")
+        .agg(count(lit(1)).as("n"), sum($"value").as("sum_value"))
+        .writeStream.format("memory").queryName("soak_w18")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val prog = q.recentProgress.filter(_.stateOperators.nonEmpty)
+      prog.length should be >= 200
+      // the static broadcast side contributes NO join state; aggregation
+      // state is pinned at the dimension's 25 rows at every batch
+      prog.foreach(p => p.stateOperators.map(_.numRowsTotal).sum should be <= 25L)
+      assertPlateau(prog.map(_.stateOperators.map(_.memoryUsedBytes).sum).toSeq,
+        floor = 64L * 1024)
+      val out = spark.table("soak_w18")
+      out.count() shouldBe 25L
+      out.agg(sum($"n")).head().getLong(0) shouldBe batches.toLong * perBatch
+    } } }
+  }
+
   test("soak: 200 SCD2 micro-batches — open rows pinned at key count, snapshot versions vacuumed") { withFewPartitions {
     val tmp = Files.createTempDirectory("graft_soak_scd2").toString
     val nKeys = 50L
