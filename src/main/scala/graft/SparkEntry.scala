@@ -277,6 +277,32 @@ object SparkEntry {
       fields).toString
   }
 
+  /** r26 fixture: template 5.40 with compression TYPE 1 (lossy 9/7) —
+    * per-message CONSTANT fields, the all-zero-residual form the 9/7
+    * path reproduces bit-exactly (the high-pass annihilates constants
+    * and the low-pass DC gain is exactly 1), so the closed-form oracle
+    * stays exact through a genuinely lossy codestream. TMP + PRATE per
+    * time (VGRD exists for the -match filter to drop).
+    */
+  private def grib2LossyConst(pidx: Int, m: Int): Int =
+    137 + pidx * 53 + m * 17
+  private lazy val grib2LossyFixturePath: String = {
+    import java.time.LocalDateTime
+    val params = Seq((0, 0, 0), (1, 1, 7), (2, 2, 3)) // TMP, PRATE, VGRD
+    val times = Seq(LocalDateTime.of(2004, 5, 10, 6, 0),
+      LocalDateTime.of(2004, 6, 10, 6, 0))
+    val fields = for {
+      (t, m) <- times.zipWithIndex
+      (pidx, cat, num) <- params
+    } yield sources.Grib2.Field(0, cat, num, t, g3Ni, g3Nj,
+      g3La1, g3Lo1, g3Di, g3Dj, decimalScale = 1,
+      Array.fill(g3Nj * g3Ni)(Some(grib2LossyConst(pidx, m))),
+      template = 140)
+    sources.Grib2.writeFile(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft-grib", "lossy.grib2"),
+      fields).toString
+  }
+
   private lazy val grib2ComplexFixturePath: String = {
     import java.time.LocalDateTime
     // (pidx, category, number, masked, template): TMP complex+spatial-diff
@@ -1207,6 +1233,11 @@ object SparkEntry {
     // from-scratch PNG codec the multimodal gates exercise
     "r25_grib2_png" -> ((s, _) =>
       sources.Grib2.readRecords(s, Seq(grib2PngFixturePath), matchRe = "TMP|PRATE")
+        .orderBy($"variable", $"time", $"lat", $"lon")),
+    // template 5.40 compression type 1 (lossy 9/7): all-zero-residual
+    // constant fields decode bit-exactly through the irreversible path
+    "r26_grib2_lossy" -> ((s, _) =>
+      sources.Grib2.readRecords(s, Seq(grib2LossyFixturePath), matchRe = "TMP|PRATE")
         .orderBy($"variable", $"time", $"lat", $"lon")),
     // the DataSource V2 face of the GRIB2 reader: spark.read
     // .format("grib2") with variable = 'TMP' PUSHED to the reader —
@@ -3469,6 +3500,20 @@ object SparkEntry {
                 ($g3La1 - j * $g3Dj) / 1000000.0 AS lat,
                 (($g3Lo1) + i * $g3Di) / 1000000.0 AS lon,
                 ((i * 3 + j * 7 + pidx * 29 + m * 13) % 250 + pidx * 400) / 10.0 AS value
+         FROM p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
+         ORDER BY variable, time, lat, lon""",
+    // per-message constants through the lossy 9/7 path — the
+    // all-zero-residual form keeps a genuinely lossy codec oracle-exact
+    "r26_grib2_lossy" ->
+      s"""WITH p(pidx, variable) AS (VALUES (0, 'TMP'), (1, 'PRATE')),
+         t(t, m) AS (VALUES (TIMESTAMP '2004-05-10 06:00:00', 0),
+                            (TIMESTAMP '2004-06-10 06:00:00', 1)),
+         ii AS (SELECT unnest(generate_series(0, ${g3Ni - 1})) AS i),
+         jj AS (SELECT unnest(generate_series(0, ${g3Nj - 1})) AS j)
+         SELECT variable, t AS time,
+                ($g3La1 - j * $g3Dj) / 1000000.0 AS lat,
+                (($g3Lo1) + i * $g3Di) / 1000000.0 AS lon,
+                (137 + pidx * 53 + m * 17) / 10.0 AS value
          FROM p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
          ORDER BY variable, time, lat, lon""",
     "r16_grib2_jpeg2000" ->

@@ -258,10 +258,13 @@ object Grib2 {
             nbits = u(pos + 19)
             if (drTemplate == 40) {
               val compression = u(pos + 21)
-              require(compression == 0,
-                s"JPEG2000 LOSSY compression (5.40 type $compression) unsupported in " +
-                  s"$label — only type 0 (lossless, reversible 5/3) is implemented; " +
-                  "see graft.sources.Jpeg2000")
+              // both declared types decode: the codestream's COD marker
+              // is authoritative for the transform, and the remaining
+              // reject (scalar-QUANTIZED subbands) lives in
+              // Jpeg2000.decode where the QCD is actually read
+              require(compression == 0 || compression == 1,
+                s"unknown 5.40 compression type $compression in $label " +
+                  "(0 = lossless, 1 = lossy)")
             }
             if (drTemplate == 2 || drTemplate == 3) {
               val split = u(pos + 21); val missing = u(pos + 22)
@@ -522,8 +525,9 @@ object Grib2 {
     require(scaled.length == ni * nj, "scaled length must be ni*nj")
     require(scanMode == 0x00 || scanMode == 0x40, "scan mode must be 0x00 or 0x40")
     require(template == 0 || template == 2 || template == 3 || template == 40 ||
-      template == 41,
-      "data representation template must be 5.0, 5.2, 5.3, 5.40 or 5.41")
+      template == 41 || template == 140,
+      "data representation template must be 5.0, 5.2, 5.3, 5.40, 5.41 " +
+        "(or the writer-internal 140 = 5.40 with compression type 1, 9/7)")
     require(sdOrder == 1 || sdOrder == 2, "spatial differencing order must be 1 or 2")
     require(groupLen >= 2, "group length must be at least 2")
   }
@@ -740,6 +744,18 @@ object Grib2 {
         val j2k = Jpeg2000.encodeLossless(f.ni, f.nj, base.map(_.toInt), nbits)
         // octet 22: compression type 0 = lossless; 23: target ratio missing
         (sec5Head(40, nbits) ++ Array[Byte](0, 255.toByte), j2k)
+      case 140 =>
+        // writer-internal 140 = template 5.40 with compression TYPE 1
+        // (lossy): section 7 is a 9/7-irreversible codestream at Δ=1
+        // (no subband quantization — the only loss is coefficient
+        // rounding, zero on the all-constant r26 fixtures). Same dense
+        // scope as lossless 5.40.
+        require(!f.scaled.exists(_.isEmpty),
+          "bitmap with template 5.40 out of scope (dense fields only)")
+        val nbits = math.max(2, bitsFor(base.max))
+        require(nbits <= 16, s"5.40 fields wider than 16 bits out of scope (got $nbits)")
+        val j2k = Jpeg2000.encodeLossy97(f.ni, f.nj, base.map(_.toInt), nbits)
+        (sec5Head(40, nbits) ++ Array[Byte](1, 255.toByte), j2k)
       case 41 =>
         // PNG packing (template 5.41, the other wgrib2/g2clib-standard
         // compressed representation): section 7 is a greyscale PNG of

@@ -2,13 +2,16 @@ package graft.sources
 
 import scala.collection.mutable.ArrayBuffer
 
-/** Scoped LOSSLESS JPEG 2000 codestream codec (ITU-T T.800 / ISO 15444-1)
-  * for GRIB2 data representation template 5.40 — the packing NCEP's
+/** Scoped JPEG 2000 codestream codec (ITU-T T.800 / ISO 15444-1) for
+  * GRIB2 data representation template 5.40 — the packing NCEP's
   * operational products ship. Spec-from-scratch implementation of the
-  * reversible path:
+  * reversible path plus the UNQUANTIZED irreversible path:
   *
   *  - reversible 5/3 integer wavelet (Annex F lifting, whole-sample
   *    symmetric extension), dyadic decomposition;
+  *  - irreversible 9/7 wavelet (F.4.8.2 lifting + K scaling) at Δ=1:
+  *    integer coefficients, no subband quantization — decodes GRIB2
+  *    5.40 compression-type-1 streams whose QCD carries no step sizes;
   *  - EBCOT Tier-1: MQ arithmetic coder (Annex C, the 47-state table)
   *    with the Annex-D context model — significance propagation,
   *    magnitude refinement and cleanup passes, stripe-of-4 scan, run
@@ -19,13 +22,13 @@ import scala.collection.mutable.ArrayBuffer
   *  - markers: SOC/SIZ/COD/QCD/SOT/SOD/EOC, single tile, single
   *    component, no precinct subdivision, no SOP/EPH.
   *
-  * Scope is rejected LOUDLY, never guessed around: the 9/7 irreversible
-  * transform (lossy mode — GRIB2 5.40 compression type 1), quantized
-  * subbands, multiple components/tiles/layers, and precinct partitions
-  * all raise with a pointer. Encoder and decoder are independent walks
-  * of the same spec; Jpeg2000Spec round-trips random fields and pins
-  * hand cases, and the r16 gate proves the GRIB2 integration against a
-  * closed-form oracle (r14's discipline).
+  * Scope is rejected LOUDLY, never guessed around: scalar-QUANTIZED
+  * subbands (Sqcd style 1/2, the rate-targeted lossy mode), multiple
+  * components/tiles/layers, and precinct partitions all raise with a
+  * pointer. Encoder and decoder are independent walks of the same spec;
+  * Jpeg2000Spec round-trips random fields, pins hand cases and the 9/7
+  * lifting identities, and the r16/r26 gates prove the GRIB2
+  * integration against closed-form oracles (r14's discipline).
   */
 object Jpeg2000 {
 
@@ -217,6 +220,61 @@ object Jpeg2000 {
     x
   }
 
+  // --------------------------------------- 9/7 irreversible wavelet (F.4.8.2)
+
+  private val A97 = -1.586134342059924 // lifting α
+  private val B97 = -0.052980118572961 // lifting β
+  private val C97 = 0.882911075530934  // lifting γ
+  private val D97 = 0.443506852043971  // lifting δ
+  private val K97 = 1.230174104914001  // scaling K
+
+  /** Forward 1D 9/7 lifting (T.800 F.4.8.2 analysis): four in-place
+    * lifting sweeps with whole-sample symmetric extension, then the K
+    * scaling (low /= K, high *= K). The constants are the CDF 9/7
+    * algebraic set: the high-pass annihilates constants and linears
+    * (vanishing moments) and the low-pass has DC gain exactly 1 after
+    * the 1/K — both pinned by Jpeg2000Spec, and the reason an
+    * all-constant field survives the lossy path bit-exactly.
+    */
+  private[graft] def fwd97(x: Array[Double]): (Array[Double], Array[Double]) = {
+    val n = x.length
+    if (n == 1) return (Array(x(0)), Array.empty[Double])
+    val y = x.clone()
+    def e(i: Int): Int = if (i < 0) -i else if (i >= n) 2 * n - 2 - i else i
+    def sweep(start: Int, c: Double): Unit = {
+      var i = start
+      while (i < n) { y(i) += c * (y(e(i - 1)) + y(e(i + 1))); i += 2 }
+    }
+    sweep(1, A97); sweep(0, B97); sweep(1, C97); sweep(0, D97)
+    val nl = (n + 1) / 2; val nh = n / 2
+    val l = new Array[Double](nl); val h = new Array[Double](nh)
+    var i = 0
+    while (i < nl) { l(i) = y(2 * i) / K97; i += 1 }
+    i = 0
+    while (i < nh) { h(i) = y(2 * i + 1) * K97; i += 1 }
+    (l, h)
+  }
+
+  /** Inverse of [[fwd97]] (synthesis): undo the scaling, then the four
+    * lifting sweeps in reverse with the same extension.
+    */
+  private[graft] def inv97(l: Array[Double], h: Array[Double]): Array[Double] = {
+    val n = l.length + h.length
+    if (n == 1) return Array(l(0))
+    val y = new Array[Double](n)
+    var i = 0
+    while (i < l.length) { y(2 * i) = l(i) * K97; i += 1 }
+    i = 0
+    while (i < h.length) { y(2 * i + 1) = h(i) / K97; i += 1 }
+    def e(j: Int): Int = if (j < 0) -j else if (j >= n) 2 * n - 2 - j else j
+    def sweep(start: Int, c: Double): Unit = {
+      var j = start
+      while (j < n) { y(j) -= c * (y(e(j - 1)) + y(e(j + 1))); j += 2 }
+    }
+    sweep(0, D97); sweep(1, C97); sweep(0, B97); sweep(1, A97)
+    y
+  }
+
   /** A subband: orientation 0=LL, 1=HL (horizontal detail, top-right),
     * 2=LH, 3=HH; row-major coefficients.
     */
@@ -282,6 +340,75 @@ object Jpeg2000 {
       for (y <- 0 until fullH) {
         val row = inv53(rowL(y), rowH(y))
         for (x <- 0 until outW) out(y * outW + x) = row(x)
+      }
+      cur = out; cw = fullW; ch = fullH
+    }
+    cur
+  }
+
+  /** Dyadic 9/7 forward decomposition on Double planes, coefficients
+    * rounded to Int only at the END of the full decomposition (the
+    * Δ=1 "unquantized" lossy path: the only loss is this rounding).
+    */
+  private def fwdDwt97(samples: Array[Double], w: Int, h: Int,
+                       levels: Int): (Band, Array[(Band, Band, Band)]) = {
+    var cur = samples; var cw = w; var ch = h
+    val planes = ArrayBuffer[(Array[Double], Array[Double], Array[Double], Int, Int, Int, Int)]()
+    for (_ <- 1 to levels) {
+      val lw = (cw + 1) / 2; val hw = cw / 2
+      val lh = (ch + 1) / 2; val hh2 = ch / 2
+      val rowL = Array.ofDim[Double](ch, lw); val rowH = Array.ofDim[Double](ch, hw)
+      for (y <- 0 until ch) {
+        val (l, hi) = fwd97(Array.tabulate(cw)(x => cur(y * cw + x)))
+        rowL(y) = l; rowH(y) = hi
+      }
+      val ll = new Array[Double](lw * lh); val lh_ = new Array[Double](lw * hh2)
+      val hl = new Array[Double](hw * lh); val hh = new Array[Double](hw * hh2)
+      for (x <- 0 until lw) {
+        val (l, hi) = fwd97(Array.tabulate(ch)(y => rowL(y)(x)))
+        for (y <- 0 until lh) ll(y * lw + x) = l(y)
+        for (y <- 0 until hh2) lh_(y * lw + x) = hi(y)
+      }
+      for (x <- 0 until hw) {
+        val (l, hi) = fwd97(Array.tabulate(ch)(y => rowH(y)(x)))
+        for (y <- 0 until lh) hl(y * hw + x) = l(y)
+        for (y <- 0 until hh2) hh(y * hw + x) = hi(y)
+      }
+      planes += ((hl, lh_, hh, hw, lh, lw, hh2))
+      cur = ll; cw = lw; ch = lh
+    }
+    def rnd(a: Array[Double]): Array[Int] = a.map(v => Math.round(v).toInt)
+    val details = planes.map { case (hl, lh_, hh, hw, lh, lw, hh2) =>
+      (Band(1, hw, lh, rnd(hl)), Band(2, lw, hh2, rnd(lh_)), Band(3, hw, hh2, rnd(hh)))
+    }
+    (Band(0, cw, ch, rnd(cur)), details.toArray)
+  }
+
+  /** Inverse of [[fwdDwt97]] from the decoded INTEGER coefficients:
+    * synthesis runs in doubles; the caller rounds the reconstruction.
+    */
+  private def invDwt97(ll0: Band, details: Array[(Band, Band, Band)]): Array[Double] = {
+    var cur = ll0.coef.map(_.toDouble); var cw = ll0.w; var ch = ll0.h
+    for (k <- details.indices.reverse) {
+      val (hl, lh, hh) = details(k)
+      val lw = cw; val lhgt = ch
+      val hw = hl.w; val hhgt = lh.h
+      val fullW = lw + hw; val fullH = lhgt + hhgt
+      val rowL = Array.ofDim[Double](fullH, lw); val rowH = Array.ofDim[Double](fullH, hw)
+      for (x <- 0 until lw) {
+        val col = inv97(Array.tabulate(lhgt)(y => cur(y * lw + x)),
+          Array.tabulate(hhgt)(y => lh.coef(y * lw + x).toDouble))
+        for (y <- 0 until fullH) rowL(y)(x) = col(y)
+      }
+      for (x <- 0 until hw) {
+        val col = inv97(Array.tabulate(lhgt)(y => hl.coef(y * hw + x).toDouble),
+          Array.tabulate(hhgt)(y => hh.coef(y * hw + x).toDouble))
+        for (y <- 0 until fullH) rowH(y)(x) = col(y)
+      }
+      val out = new Array[Double](fullW * fullH)
+      for (y <- 0 until fullH) {
+        val row = inv97(rowL(y), rowH(y))
+        for (x <- 0 until fullW) out(y * fullW + x) = row(x)
       }
       cur = out; cw = fullW; ch = fullH
     }
@@ -730,7 +857,39 @@ object Jpeg2000 {
       s"sample $v outside [0, 2^$nbits)"))
     val shifted = samples.map(_ - shift)
     val (ll, details) = fwdDwt(shifted, w, h, levels)
+    encodeFromBands(w, h, nbits, levels, cb, transform = 1, ll, details)
+  }
 
+  /** Encode through the IRREVERSIBLE 9/7 path at Δ=1 ("unquantized"
+    * lossy: the only loss is rounding the double coefficients to
+    * integers) — the fixture generator for the 5.40 compression-type-1
+    * decode scope. An all-constant field is all-zero-residual (the 9/7
+    * high-pass annihilates constants, the low-pass DC gain is exactly
+    * 1), so it round-trips bit-exactly; general content reconstructs
+    * within the rounding envelope, which is why the oracle-gated
+    * fixtures are per-message constants.
+    */
+  def encodeLossy97(w: Int, h: Int, samples: Array[Int], nbits: Int,
+                    levels: Int = 2, cb: Int = 32): Array[Byte] = {
+    require(w >= 1 && h >= 1 && samples.length == w * h, "bad image shape")
+    require(nbits >= 2 && nbits <= 16, s"nbits $nbits out of scope")
+    require(levels >= 0 && levels <= 5, s"levels $levels out of scope")
+    require(cb >= 4 && cb <= 64 && Integer.bitCount(cb) == 1, s"bad code-block size $cb")
+    val shift = 1 << (nbits - 1)
+    samples.foreach(v => require(v >= 0 && v < (1 << nbits),
+      s"sample $v outside [0, 2^$nbits)"))
+    val shifted = samples.map(v => (v - shift).toDouble)
+    val (ll, details) = fwdDwt97(shifted, w, h, levels)
+    encodeFromBands(w, h, nbits, levels, cb, transform = 0, ll, details)
+  }
+
+  /** Shared Tier-1/Tier-2 + marker assembly for both transforms; the
+    * COD transform byte (1 = reversible 5/3, 0 = irreversible 9/7) is
+    * the only difference downstream of the wavelet.
+    */
+  private def encodeFromBands(w: Int, h: Int, nbits: Int, levels: Int, cb: Int,
+                              transform: Int, ll: Band,
+                              details: Array[(Band, Band, Band)]): Array[Byte] = {
     // resolution-ordered bands: r=0 LL; r>=1 -> details of level L-r+1
     val resBands: Array[Array[Band]] =
       Array(Array(ll)) ++ (1 to levels).map { r =>
@@ -821,7 +980,7 @@ object Jpeg2000 {
     u8(0); u16(1); u8(0) // SGcod: LRCP, 1 layer, no MCT
     u8(levels); u8(log2floor(cb) - 2); u8(log2floor(cb) - 2) // SPcod
     u8(0) // code-block style: default
-    u8(1) // transform: 5/3 reversible
+    u8(transform) // 1 = 5/3 reversible, 0 = 9/7 irreversible
     val nSub = 1 + 3 * levels
     u16(0xFF5C); u16(3 + nSub) // QCD, Lqcd
     u8((GuardBits << 5) | 0) // Sqcd: no quantization, guard bits
@@ -854,6 +1013,7 @@ object Jpeg2000 {
     var w = -1; var h = -1; var nbits = -1
     var levels = -1; var cb = -1
     var sqStyle = -1
+    var xform = -1
     var sodAt = -1
     while (sodAt < 0) {
       val m = u16()
@@ -887,17 +1047,20 @@ object Jpeg2000 {
           require(xcb <= 4, s"code-block exponent $xcb out of scope (cb <= 64)")
           cb = 1 << (xcb + 2)
           require(u8() == 0, "non-default code-block styles out of scope")
-          val transform = u8()
-          require(transform == 1,
-            "irreversible 9/7 transform (LOSSY JPEG2000 / GRIB2 5.40 compression " +
-              "type 1) out of scope — only the reversible 5/3 lossless path is " +
-              "implemented; see Jpeg2000 scaladoc")
+          xform = u8()
+          require(xform == 0 || xform == 1,
+            s"unknown wavelet transform $xform (1 = reversible 5/3, 0 = irreversible 9/7)")
           pos = segEnd
         case 0xFF5C => // QCD
           val len = u16(); val segEnd = pos - 2 + len
           sqStyle = u8()
+          // the reject is the QUANTIZATION, not the transform: both the
+          // reversible 5/3 and the Δ=1 9/7 path decode; scalar-quantized
+          // subbands (Sqcd style 1/2 — NCEP's rate-targeted lossy mode)
+          // would need step-size dequantization and stay out of scope
           require((sqStyle & 0x1f) == 0,
-            "quantized subbands (lossy path) out of scope — reversible = no quantization")
+            "quantized subbands (Sqcd style 1/2) out of scope — both in-scope " +
+              "paths (reversible 5/3, unquantized 9/7) carry integer coefficients")
           pos = segEnd
         case 0xFF90 => // SOT
           val len = u16(); val segEnd = pos - 2 + len
@@ -911,7 +1074,8 @@ object Jpeg2000 {
           val len = u16(); pos = pos - 2 + len
       }
     }
-    require(w > 0 && nbits > 0 && levels >= 0 && cb > 0, "missing SIZ/COD")
+    require(w > 0 && nbits > 0 && levels >= 0 && cb > 0 && xform >= 0,
+      "missing SIZ/COD")
 
     // subband geometry mirrors the encoder's decomposition
     case class Geo(orient: Int, w: Int, h: Int)
@@ -1003,7 +1167,9 @@ object Jpeg2000 {
         Band(2, g(1).w, g(1).h, bandData((r, 1))),
         Band(3, g(2).w, g(2).h, bandData((r, 2))))
     }.reverse.toArray // back to finest-first order used by invDwt
-    val shifted = invDwt(ll, details)
+    val shifted =
+      if (xform == 1) invDwt(ll, details)
+      else invDwt97(ll, details).map(v => Math.round(v).toInt)
     val shift = 1 << (nbits - 1)
     (w, h, shifted.map(v => math.max(0, math.min((1 << nbits) - 1, v + shift))))
   }

@@ -200,20 +200,43 @@ class Grib2Spec extends SparkSpec {
       Grib2.parseMessages(write(g)).head.values.toSeq
   }
 
-  test("template 5.40: lossy mode and bitmaps are rejected loudly") {
+  test("template 5.40 lossy (type 1, 9/7): constants decode bit-identically to simple packing; scope rejects") {
     // the writer refuses masked 5.40 fields (image geometry is ambiguous)
     an[IllegalArgumentException] should be thrownBy
       write(bumpy(template = 40, masked = true))
-    // a compression-type byte of 1 (lossy) rejects with a pointer
-    val bytes = write(bumpy(template = 40))
+    an[IllegalArgumentException] should be thrownBy
+      write(bumpy(template = 140, masked = true))
+    // all-zero-residual law: a constant field survives the 9/7 Δ=1
+    // lossy path EXACTLY, so template-140 messages equal their
+    // simple-packed twins value for value
+    def const(c: Int, template: Int) =
+      Grib2.Field(0, 0, 0, LocalDateTime.of(2003, 6, 15, 12, 0),
+        ni = 13, nj = 9, la1Micro = 40000000L, lo1Micro = -25000000L,
+        diMicro = 1500000L, djMicro = 2000000L, decimalScale = 1,
+        Array.fill(117)(Some(c)), template = template)
+    for (c <- Seq(3, 170, 999)) {
+      Grib2.parseMessages(write(const(c, 140))).head.values.toSeq shouldBe
+        Grib2.parseMessages(write(const(c, 0))).head.values.toSeq
+    }
+    // ... and the emitted compression-type octet really says 1 (lossy)
+    val bytes = write(const(170, 140))
     def u32(i: Int): Int =
       ((bytes(i) & 0xff) << 24) | ((bytes(i + 1) & 0xff) << 16) |
         ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
     var pos = 16
     while ((bytes(pos + 4) & 0xff) != 5) pos += u32(pos)
-    val lossy = bytes.clone(); lossy(pos + 21) = 1 // octet 22: compression type
-    val e = intercept[IllegalArgumentException](Grib2.parseMessages(lossy))
-    e.getMessage should include("LOSSY")
+    (bytes(pos + 21) & 0xff) shouldBe 1
+    // an unknown compression-type octet still rejects with a pointer
+    val bad = bytes.clone(); bad(pos + 21) = 7
+    val e = intercept[IllegalArgumentException](Grib2.parseMessages(bad))
+    e.getMessage should include("compression type")
+    // general (non-constant) content through the lossy path stays within
+    // the coefficient-rounding envelope of its lossless twin
+    val lossyVals = Grib2.parseMessages(write(bumpy(template = 140))).head.values
+    val exactVals = Grib2.parseMessages(write(bumpy(template = 40))).head.values
+    lossyVals.zip(exactVals).foreach { case (a, b) =>
+      math.abs(a - b) should be <= 0.4 // 3 int steps at decimalScale 1
+    }
   }
 
   test("template 5.41 PNG packing decodes bit-identically to 5.0; scope rejects loudly") {

@@ -71,19 +71,59 @@ class Jpeg2000Spec extends AnyFunSuite with Matchers {
       (_, _) => if (rnd.nextInt(50) == 0) rnd.nextInt(1024) else 0)
   }
 
-  test("lossy mode is rejected loudly with a pointer") {
-    val ok = Jpeg2000.encodeLossless(8, 8, Array.fill(64)(5), 8, 1, 16)
-    // flip the COD transform byte (last byte of the 12-byte COD segment)
-    val codAt = {
+  test("9/7 lifting identities (T.800 F.4.8.2): perfect reconstruction, vanishing moments, DC gain 1") {
+    // perfect reconstruction within float noise on arbitrary signals,
+    // odd and even lengths including the degenerate ones
+    for (n <- Seq(1, 2, 3, 8, 13, 29)) {
+      val x = Array.tabulate(n)(i => math.sin(i * 2.3 + n) * 500)
+      val (l, h) = Jpeg2000.fwd97(x)
+      val back = Jpeg2000.inv97(l, h)
+      for (i <- 0 until n) back(i) shouldBe x(i) +- 1e-9
+    }
+    // constants: high-pass annihilates, low-pass DC gain exactly 1 (the
+    // K = 1.230174104914001 normalization) — the all-zero-residual law
+    // the r26 fixture exactness rests on
+    val (lc, hc) = Jpeg2000.fwd97(Array.fill(17)(123.0))
+    hc.foreach(_ shouldBe 0.0 +- 1e-9)
+    lc.foreach(_ shouldBe 123.0 +- 1e-9)
+    // linear ramps: the second vanishing moment kills interior details
+    val (_, hr) = Jpeg2000.fwd97(Array.tabulate(32)(i => 3.0 * i + 7))
+    hr.slice(2, hr.length - 2).foreach(_ shouldBe 0.0 +- 1e-9)
+  }
+
+  test("9/7 unquantized round-trip: constant fields EXACT, general fields within the rounding envelope") {
+    // all-zero-residual: constants survive the lossy path bit-exactly
+    for ((w, h, c, levels) <- Seq((29, 13, 170, 2), (8, 8, 3, 1), (31, 17, 200, 3), (1, 9, 40, 2))) {
+      val src = Array.fill(w * h)(c)
+      val (dw, dh, out) = Jpeg2000.decode(Jpeg2000.encodeLossy97(w, h, src, 8, levels))
+      (dw, dh) shouldBe ((w, h))
+      out.toSeq shouldBe src.toSeq
+    }
+    // arbitrary content: the only loss is coefficient rounding (Δ=1);
+    // reconstruction stays within a small envelope of the source
+    val src = Array.tabulate(40 * 30)(i => (i * 37 + (i * i) % 89) % 256)
+    val (_, _, out) = Jpeg2000.decode(Jpeg2000.encodeLossy97(40, 30, src, 8, 2))
+    val maxErr = out.zip(src).map { case (a, b) => math.abs(a - b) }.max
+    maxErr should be <= 3
+  }
+
+  test("scalar-quantized subbands are rejected loudly; unknown transforms too") {
+    val ok = Jpeg2000.encodeLossy97(8, 8, Array.fill(64)(5), 8, 1, 16)
+    def markerAt(m: Int): Int = {
       var i = 0
-      while (!((ok(i) & 0xff) == 0xFF && (ok(i + 1) & 0xff) == 0x52)) i += 1
+      while (!((ok(i) & 0xff) == 0xFF && (ok(i + 1) & 0xff) == m)) i += 1
       i
     }
-    val lossy = ok.clone()
-    lossy(codAt + 2 + 12 - 1) = 0 // SPcod transform: 0 = 9/7 irreversible
-    val e = intercept[IllegalArgumentException](Jpeg2000.decode(lossy))
-    e.getMessage should include("LOSSY")
-    e.getMessage should include("5/3")
+    // Sqcd style 2 (scalar expounded — NCEP's rate-targeted lossy mode)
+    val quant = ok.clone()
+    quant(markerAt(0x5C) + 4) = ((2 << 5) | 2).toByte
+    val e = intercept[IllegalArgumentException](Jpeg2000.decode(quant))
+    e.getMessage should include("Sqcd style")
+    // an undefined transform byte rejects; 0 and 1 both decode
+    val badX = ok.clone()
+    badX(markerAt(0x52) + 2 + 12 - 1) = 2
+    val e2 = intercept[IllegalArgumentException](Jpeg2000.decode(badX))
+    e2.getMessage should include("transform")
   }
 
   test("fuzz: corrupted and truncated codestreams terminate (reject or decode), never hang") {
