@@ -1336,6 +1336,11 @@ object SparkEntry {
     // zero-crossing count — framing stays inside Catalyst array
     // expressions (slice/aggregate/zip_with), no sample-level explode
     "m08_audio_frames" -> ((s, d) => Multimodal.audioFrames(t(s, d)("documents"))),
+    // VAD-style energy-threshold silence segmentation: array-native
+    // gaps-and-islands over decoded PCM (no explode-per-sample), exact
+    // integer features; the oracle re-derives the islands by formula
+    "m18_silence_segments" -> ((s, d) =>
+      Multimodal.silenceSegments(t(s, d)("documents"))),
     // box-filter thumbnail over the real PNG decode path: floor-split
     // source boxes, floor-mean output pixels with the exact (sum, count)
     // integers alongside — the resize half of the multimodal mandate
@@ -1662,6 +1667,11 @@ object SparkEntry {
     "d13_span_scrub" -> ((s, d) => Dedup.scrubDuplicatedSpans(t(s, d)("documents"))),
     // ---- similarity search (north-star M5) ----
     "s01_cosine_threshold" -> ((s, d) => Similarity.cosineAboveThreshold(t(s, d)("embeddings"), 0L, 0.1)),
+    // Matryoshka truncate-then-rerank: corpus pass on a 16-dim prefix,
+    // full-width cosine only on the 50-row shortlist (two TakeOrdereds)
+    "s14_matryoshka_topk" -> ((s, d) =>
+      Similarity.matryoshkaTopK(t(s, d)("embeddings"), 0L,
+        prefixDims = 16, shortlist = 50, k = 10)),
     "s02_cosine_topk" -> ((s, d) => Similarity.cosineTopK(t(s, d)("embeddings"), 0L, 10)),
     // fixed-width banding is the explicit OPT-IN form (d08 discipline):
     // the 100× leg measured it at 265× vs the adaptive default's 11×
@@ -2330,6 +2340,24 @@ object SparkEntry {
                  $"name".substr(lit(5) + $"p", length($"name"))).as("name"))
       operators.Entity.resolveEntities(
         base.unionByName(dups), "id", "name", minJw = 0.96)
+    }),
+    // TF-IDF-weighted cosine ER (WHIRL/canopy family): rare-token
+    // blocking + integer-idf cosine. Fixture: 3-token md5 names, every
+    // 4th customer gains a twin sharing 2 of 3 tokens (cos = 1/3 by
+    // construction: shared tokens df=2 halve their weight) — md5
+    // decorrelates the bench's key-shifted scale copies (the e04 trap)
+    "e07_tfidf_er" -> ((s, d) => {
+      val h = md5($"c_custkey".cast("string"))
+      val base = t(s, d)("customer").select(
+        $"c_custkey".cast("long").as("id"),
+        concat_ws(" ", substring(h, 1, 6), substring(h, 8, 6),
+          substring(h, 15, 6)).as("name"))
+      val dups = base.where($"id" % 4 === 0).select(
+        ($"id" + 3000000000L).as("id"),
+        concat_ws(" ",
+          substring(md5(concat(lit("x"), $"id".cast("string"))), 1, 6),
+          substring($"name", 8, 13)).as("name"))
+      Entity.tfidfCosinePairs(base.unionByName(dups), "id", "name", minCos = 0.3)
     }),
     // asymmetric containment (Broder 1997) over a truncated-copy fixture:
     // every 10th doc contributes its first-half prefix under a shifted id —
@@ -4650,6 +4678,26 @@ object SparkEntry {
                 CAST(sum(CASE WHEN px IS NOT NULL AND ((x >= 0) <> (px >= 0))
                               THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
          FROM z GROUP BY 1, 2, 3 ORDER BY 1, 3""",
+    // islands re-derived by formula: grp = k - row_number within the
+    // (doc, quiet) partition is constant exactly over one maximal run
+    "m18_silence_segments" ->
+      """WITH w AS (SELECT doc_id AS d, 256 + doc_id % 97 AS n
+                    FROM documents WHERE doc_id % 3 = 2),
+         k AS (SELECT d, unnest(generate_series(0, n - 1)) AS k FROM w),
+         s AS (SELECT d, k,
+                 CASE WHEN (k // 48 + d) % 3 = 0 THEN (13 * k + 7 * d) % 31 - 15
+                      ELSE (29 * k + 11 * d) % 1800 - 900 END AS x FROM k),
+         q AS (SELECT d, k, x, abs(x) < 256 AS quiet,
+                 k - row_number() OVER (PARTITION BY d, abs(x) < 256 ORDER BY k) AS grp
+               FROM s),
+         seg AS (SELECT d, min(k) AS start_k, max(k) AS end_k,
+                        count(*) AS n_samples,
+                        CAST(sum(CAST(x AS BIGINT) * x) AS BIGINT) AS energy
+                 FROM q WHERE quiet GROUP BY d, grp)
+         SELECT d AS doc_id, CAST(start_k AS BIGINT) AS start_k,
+                CAST(end_k AS BIGINT) AS end_k,
+                CAST(n_samples AS BIGINT) AS n_samples, energy
+         FROM seg WHERE n_samples >= 32 ORDER BY doc_id, start_k""",
     "m02_frame_sample" ->
       """WITH f AS (
            SELECT doc_id, text,
@@ -4689,6 +4737,29 @@ object SparkEntry {
          FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
          WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.5
          ORDER BY doc_a, doc_b""",
+    // both stages in the oracle too: coarse shortlist on the 16-dim
+    // prefix, full-width rerank only over those 50; identical
+    // left-to-right double accumulation makes the scores bit-equal
+    "s14_matryoshka_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv,
+                    CAST(embedding[1:16] AS DOUBLE[]) AS qp
+             FROM embeddings WHERE vec_id = 0),
+         sc AS (SELECT vec_id, label,
+                  list_dot_product(CAST(embedding[1:16] AS DOUBLE[]), qp)
+                  / (sqrt(list_dot_product(CAST(embedding[1:16] AS DOUBLE[]),
+                                           CAST(embedding[1:16] AS DOUBLE[])))
+                     * sqrt(list_dot_product(qp, qp))) AS coarse,
+                  CAST(embedding AS DOUBLE[]) AS ev, qv
+                FROM embeddings, q WHERE vec_id <> 0),
+         short AS (SELECT * FROM sc ORDER BY coarse DESC, vec_id LIMIT 50),
+         rr AS (SELECT vec_id, label, coarse,
+                  list_dot_product(ev, qv)
+                  / (sqrt(list_dot_product(ev, ev))
+                     * sqrt(list_dot_product(qv, qv))) AS c
+                FROM short ORDER BY c DESC, vec_id LIMIT 10)
+         SELECT vec_id, label, round(coarse, 4) AS coarse_sim,
+                round(c, 4) AS cos_sim
+         FROM rr ORDER BY cos_sim DESC, vec_id""",
     "s01_cosine_threshold" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
          s AS (SELECT vec_id, label,
@@ -5865,6 +5936,34 @@ object SparkEntry {
          ent AS (SELECT n AS name, min(lbl) AS entity_id FROM reach GROUP BY 1)
          SELECT r.id, r.name, e2.entity_id
          FROM rec r JOIN ent e2 USING (name) ORDER BY r.id""",
+    // integer idf (K div df) keeps every numerator/norm an exact BIGINT;
+    // the one sqrt/division at the end is correctly rounded both engines
+    "e07_tfidf_er" ->
+      """WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS id,
+                  substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6) || ' ' ||
+                  substr(md5(CAST(c_custkey AS VARCHAR)), 8, 6) || ' ' ||
+                  substr(md5(CAST(c_custkey AS VARCHAR)), 15, 6) AS name
+                  FROM customer),
+         dups AS (SELECT id + 3000000000 AS id,
+                  substr(md5('x' || CAST(id AS VARCHAR)), 1, 6) || ' ' ||
+                  substr(name, 8, 13) AS name
+                  FROM base WHERE id % 4 = 0),
+         rec AS (SELECT * FROM base UNION ALL SELECT * FROM dups),
+         toks AS (SELECT DISTINCT id, unnest(string_split_regex(name, '\s+')) AS tok
+                  FROM rec),
+         weights AS (SELECT tok, 1000000 // count(*) AS w FROM toks
+                     GROUP BY tok HAVING count(*) <= 128),
+         wt AS (SELECT id, t.tok, w FROM toks t JOIN weights USING (tok)),
+         norms AS (SELECT id, CAST(sum(w * w) AS BIGINT) AS n2 FROM wt GROUP BY id),
+         num AS (SELECT a.id AS a_id, b.id AS b_id,
+                        CAST(sum(a.w * a.w) AS BIGINT) AS num
+                 FROM wt a JOIN wt b ON a.tok = b.tok AND a.id < b.id
+                 GROUP BY 1, 2),
+         sc AS (SELECT a_id, b_id, num / (sqrt(na.n2) * sqrt(nb.n2)) AS c
+                FROM num JOIN norms na ON a_id = na.id
+                         JOIN norms nb ON b_id = nb.id)
+         SELECT a_id, b_id, round(c, 4) AS cos_sim FROM sc
+         WHERE c >= 0.3 ORDER BY a_id, b_id""",
     // d06's gram machinery over the augmented fixture; set sizes are the
     // UNPRUNED distinct-gram counts, intersections the pruned ones
     "d16_containment" ->

@@ -250,4 +250,51 @@ object Entity {
       .where($"dist" <= maxDist)
       .orderBy($"key", $"w1", $"w2")
   }
+
+  /** TF-IDF-weighted cosine entity matcher (e07): the fourth
+    * candidate-generation family — weight each name token by its
+    * rarity, block on SHARED tokens, and score candidate pairs with the
+    * cosine of their weighted token vectors (the WHIRL / canopy-
+    * clustering shape of Cohen 1998 and McCallum et al. 2000: common
+    * tokens like "Inc" contribute ~nothing, rare tokens nearly decide
+    * the match alone).
+    *
+    * Exactness discipline: the usual `ln(N/df)` idf is not bit-portable
+    * across engines, so the weight is the INTEGER inverse document
+    * frequency `w_t = K div df_t` (binary tf over the token SET) — every
+    * numerator and norm is then an exact BIGINT sum (w ≤ K = 10^6,
+    * ≤ dozens of tokens per name keeps Σw² far under 2^63), and the
+    * score pays exactly one correctly-rounded sqrt/division at the end.
+    *
+    * Scale shape: df counts are vocabulary-sized; the candidate join is
+    * an equi-join on token with tokens of df > maxDf DROPPED before
+    * pairing (both from the pair numerators AND the norms — capped
+    * semantics, the d02/d06 discipline), so no stopword token ever
+    * explodes the join; pair scoring is one map-side Σw² per group.
+    */
+  def tfidfCosinePairs(rows: DataFrame, idCol: String, nameCol: String,
+                       minCos: Double, maxDf: Long = 128,
+                       k: Long = 1000000L): DataFrame = {
+    require(minCos > 0 && minCos <= 1, s"minCos $minCos outside (0, 1]")
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val toks = rows
+      .select(col(idCol).cast("long").as("id"),
+        explode(array_distinct(split(col(nameCol), "\\s+"))).as("tok"))
+      .where(length($"tok") > 0)
+    val weights = toks.groupBy($"tok").agg(count(lit(1)).as("df"))
+      .where($"df" <= maxDf)
+      .select($"tok", expr(s"$k div df").as("w"))
+    val wtoks = toks.join(weights, Seq("tok"))
+    val norms = wtoks.groupBy($"id").agg(sum($"w" * $"w").as("n2"))
+    wtoks.select($"tok", $"id".as("a_id"), $"w")
+      .join(wtoks.select($"tok", $"id".as("b_id")), Seq("tok"))
+      .where($"a_id" < $"b_id")
+      .groupBy($"a_id", $"b_id").agg(sum($"w" * $"w").as("num"))
+      .join(norms.select($"id".as("a_id"), $"n2".as("na")), Seq("a_id"))
+      .join(norms.select($"id".as("b_id"), $"n2".as("nb")), Seq("b_id"))
+      .withColumn("cos", $"num" / (sqrt($"na") * sqrt($"nb")))
+      .where($"cos" >= minCos)
+      .select($"a_id", $"b_id", round($"cos", 4).as("cos_sim"))
+      .orderBy($"a_id", $"b_id")
+  }
 }

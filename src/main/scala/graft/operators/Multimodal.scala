@@ -734,4 +734,78 @@ object Multimodal {
           lit(0L), (a, x) => a + x).as("zero_crossings"))
       .orderBy(col("doc_id"), col("frame"))
   }
+
+  /** m18 fixture: a 16 kHz WAV per document whose 48-sample blocks
+    * alternate quiet (|x| ≤ 15) and loud (|x| ≤ 900) on a closed-form
+    * lattice from doc_id — the m04 discipline: the oracle regenerates
+    * every PCM value by formula, never touching the bytes. The loud
+    * formula intentionally dips under any reasonable threshold ~7% of
+    * the time, so run boundaries are data-driven, not block-aligned —
+    * both engines must agree on the islands, not just the lattice.
+    */
+  def silenceWavFor(d: Long): Array[Byte] =
+    AssetCodecs.encodeWav(16000,
+      Array.tabulate((256 + d % 97).toInt) { k =>
+        (if ((k / 48 + d) % 3 == 0) (13L * k + 7 * d) % 31 - 15
+         else (29L * k + 11 * d) % 1800 - 900).toShort
+      })
+
+  /** Energy-threshold silence segmentation (m18): the VAD-ish trim/split
+    * stage every speech corpus runs before transcription or packing —
+    * find maximal runs of samples under an amplitude threshold, keep the
+    * runs long enough to be real pauses (≥ minRun samples), and emit
+    * each as (start, end, length, energy). Exact integers throughout
+    * (the m08 discipline — no float RMS/dB), so the gate carries full
+    * values.
+    *
+    * Shape: decode is one `mapPartitions` over the WAV subset; the run
+    * detection is ARRAY-NATIVE — run starts/ends are two indexed
+    * `filter`s over the sample array zipped into one struct list, so
+    * 16 kHz audio never pays the explode-to-rows-then-window round trip
+    * (a row per SAMPLE would 16000× the row count and force a
+    * per-document window sort; a row per emitted SEGMENT is
+    * output-sized). `get` is the 0-based null-safe accessor, so the
+    * boundary lambdas stay total without branching on index range.
+    */
+  def silenceSegments(documents: DataFrame, threshold: Int = 256,
+                      minRun: Int = 32): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    require(minRun >= 1, s"minRun must be >= 1, got $minRun")
+    val decoded = documents.select(col("doc_id")).where(col("doc_id") % 3 === 2)
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val (_, samples) = AssetCodecs.decodeWavSamples(silenceWavFor(id))
+          (id, samples.map(_.toInt))
+        }
+      }
+      .toDF("doc_id", "samples")
+    val n = size(col("samples"))
+    def quiet(i: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      abs(get(col("samples"), i)) < threshold
+    val idx = sequence(lit(0), n - 1)
+    // a run STARTS where a quiet sample has no quiet left-neighbour and
+    // ENDS where it has no quiet right-neighbour; `get` returns null
+    // off-array, and `true OR null` = true closes the boundary cases
+    val starts = filter(idx, i => quiet(i) && (i === 0 || !quiet(i - 1)))
+    val ends = filter(idx, i => quiet(i) && (i === n - 1 || !quiet(i + 1)))
+    decoded
+      .where(n > 0)
+      .select(col("doc_id"), col("samples"),
+        explode(zip_with(starts, ends,
+          (s, e) => struct(s.as("s"), e.as("e")))).as("seg"))
+      .select(col("doc_id"), col("samples"),
+        col("seg.s").cast("long").as("start_k"),
+        col("seg.e").cast("long").as("end_k"))
+      .withColumn("n_samples", col("end_k") - col("start_k") + 1)
+      .where(col("n_samples") >= minRun)
+      .select(col("doc_id"), col("start_k"), col("end_k"), col("n_samples"),
+        aggregate(
+          slice(col("samples"), (col("start_k") + 1).cast("int"),
+            col("n_samples").cast("int")),
+          lit(0L), (a, x) => a + x.cast("long") * x).as("energy"))
+      .orderBy(col("doc_id"), col("start_k"))
+  }
 }

@@ -66,6 +66,41 @@ object Similarity {
       .orderBy($"label", $"rk")
   }
 
+  /** Matryoshka truncate-then-rerank top-k (s14): the two-stage search
+    * shape MRL-trained embeddings exist for (Kusupati et al. 2022,
+    * NeurIPS) — score EVERY vector on only its first `prefixDims`
+    * dimensions (a prefix of an MRL embedding is itself a usable
+    * embedding), keep a `shortlist`, and rerank just the shortlist at
+    * full dimensionality. At 100 TB the corpus-wide pass reads a
+    * `prefixDims/dims` fraction of the vector bytes (with a sliced
+    * column the scan itself shrinks; here the slice drops the FLOPs and
+    * the sort keys), and the full-width cosine — the expensive kernel —
+    * runs on `shortlist` rows, not the corpus. Both stages are
+    * TakeOrdered plans (per-partition top-N trim before a single-reduce
+    * merge, never a global sort), deterministic tiebreak on vec_id.
+    */
+  def matryoshkaTopK(embeddings: DataFrame, queryId: Long, prefixDims: Int,
+                     shortlist: Int, k: Int): DataFrame = {
+    require(prefixDims >= 1, s"prefixDims must be >= 1, got $prefixDims")
+    require(k >= 1 && shortlist >= k,
+      s"need shortlist >= k >= 1, got shortlist=$shortlist k=$k")
+    val q = embeddings.where($"vec_id" === queryId)
+      .select($"embedding".as("q"),
+        slice($"embedding", 1, prefixDims).as("qp"))
+    embeddings.where($"vec_id" =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("coarse",
+        Vectors.cosine(slice($"embedding", 1, prefixDims), $"qp"))
+      .orderBy($"coarse".desc, $"vec_id")
+      .limit(shortlist)
+      .withColumn("cos_sim", Vectors.cosine($"embedding", $"q"))
+      .orderBy($"cos_sim".desc, $"vec_id")
+      .limit(k)
+      .select($"vec_id", $"label", round($"coarse", 4).as("coarse_sim"),
+        round($"cos_sim", 4).as("cos_sim"))
+      .orderBy($"cos_sim".desc, $"vec_id")
+  }
+
   /** Maximal-Marginal-Relevance rerank (Carbonell & Goldstein 1998,
     * SIGIR — the diversity rerank every retrieval pipeline bolts onto its
     * ANN top-N): greedily pick k of the `poolSize` most query-similar

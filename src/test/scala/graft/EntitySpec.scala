@@ -133,4 +133,55 @@ class EntitySpec extends SparkSpec {
       ("R163", "robert", "rupert", 2L))
     out.map(_._2) should not contain "xyz" // bucket partner-less
   }
+
+  private def tfidfPairs(d: org.apache.spark.sql.DataFrame,
+                         minCos: Double, maxDf: Long = 128) =
+    Entity.tfidfCosinePairs(d, "id", "name", minCos, maxDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+
+  test("tfidfCosinePairs: integer-idf cosine matches the hand formula exactly") {
+    val d = names(
+      1L -> "acme corp inc",
+      2L -> "acme corporation inc",
+      3L -> "zeta gmbh",
+      4L -> "acme corp ltd")
+    // dfs: acme=3 (w=333333), corp=2 (500000), inc=2 (500000),
+    // corporation/ltd/gmbh/zeta=1 (1000000)
+    val wAcme = 1000000L / 3; val wHalf = 500000L; val wFull = 1000000L
+    def cos(num: Long, na: Long, nb: Long) =
+      BigDecimal(num / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val n1 = wAcme * wAcme + 2 * wHalf * wHalf
+    val n2 = wAcme * wAcme + wFull * wFull + wHalf * wHalf
+    val n4 = wAcme * wAcme + wHalf * wHalf + wFull * wFull
+    val out = tfidfPairs(d, minCos = 0.05)
+    out.toSet shouldBe Set(
+      (1L, 2L, cos(wAcme * wAcme + wHalf * wHalf, n1, n2)),
+      (1L, 4L, cos(wAcme * wAcme + wHalf * wHalf, n1, n4)),
+      (2L, 4L, cos(wAcme * wAcme, n2, n4)))
+  }
+
+  test("tfidfCosinePairs: df cap drops stopword tokens from pairing AND norms") {
+    val d = names(
+      1L -> "inc alpha", 2L -> "inc beta", 3L -> "inc gamma", 4L -> "inc alpha")
+    // maxDf=3: 'inc' (df=4) is dropped everywhere, so only the exact
+    // rare-token twin survives — at cos 1.0, its full remaining vector
+    val out = tfidfPairs(d, minCos = 0.5, maxDf = 3)
+    out.toSeq shouldBe Seq((1L, 4L, 1.0))
+    // uncapped, 'inc' links every pair but contributes little weight:
+    // the shared-stopword-only pairs sit far below the twin
+    val all = tfidfPairs(d, minCos = 0.01, maxDf = 128)
+    all.map(p => (p._1, p._2)).toSet shouldBe
+      Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    all.find(p => (p._1, p._2) == (1L, 4L)).get._3 shouldBe 1.0
+    all.filter(p => (p._1, p._2) != ((1L, 4L))).map(_._3).max should be < 0.2
+  }
+
+  test("tfidfCosinePairs: candidate join is an equi-join (no cartesian / BNLJ)") {
+    val d = names(1L -> "a b", 2L -> "b c", 3L -> "c d")
+    val plan = Entity.tfidfCosinePairs(d, "id", "name", 0.1)
+      .queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
 }

@@ -135,4 +135,49 @@ class MultimodalSpec extends SparkSpec {
       r.getLong(3) shouldBe cells.sum / cells.size       // pix = floor mean
     }
   }
+
+  test("silenceSegments: islands match a brute-force scan of the decoded PCM") {
+    val docs = spark.range(0, 41).select($"id".as("doc_id")).toDF()
+    val out = Multimodal.silenceSegments(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val expected = (0L until 41L).filter(_ % 3 == 2).flatMap { d =>
+      val (_, samples) =
+        graft.sources.AssetCodecs.decodeWavSamples(Multimodal.silenceWavFor(d))
+      val xs = samples.map(_.toInt)
+      val segs = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Long)]()
+      var i = 0
+      while (i < xs.length) {
+        if (math.abs(xs(i)) < 256) {
+          var j = i
+          while (j + 1 < xs.length && math.abs(xs(j + 1)) < 256) j += 1
+          if (j - i + 1 >= 32)
+            segs += ((d, i.toLong, j.toLong, (j - i + 1).toLong,
+              xs.slice(i, j + 1).map(x => x.toLong * x).sum))
+          i = j + 1
+        } else i += 1
+      }
+      segs
+    }
+    out.toSeq shouldBe expected
+    // non-vacuity: real segments exist, and at least one run extends past
+    // its quiet 48-block because adjacent LOUD samples dipped under the
+    // threshold (boundaries are data-driven, not block-aligned)
+    expected.size should be > 10
+    expected.exists { case (_, s, e, _, _) =>
+      s % 48 != 0 || (e + 1) % 48 != 0 } shouldBe true
+  }
+
+  test("silenceSegments: threshold and minRun bound the emitted runs") {
+    val docs = spark.range(0, 20).select($"id".as("doc_id")).toDF()
+    // minRun 1 emits a superset of the default's segments
+    val loose = Multimodal.silenceSegments(docs, minRun = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val strict = Multimodal.silenceSegments(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    strict.subsetOf(loose) shouldBe true
+    strict.size should be < loose.size
+    // a threshold of 1 can match nothing: |x| < 1 means x == 0 exactly,
+    // and runs of literal zeros of length >= 32 don't occur on the lattice
+    Multimodal.silenceSegments(docs, threshold = 1).count() shouldBe 0L
+  }
 }

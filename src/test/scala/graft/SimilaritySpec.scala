@@ -489,4 +489,46 @@ class SimilaritySpec extends SparkSpec {
     sizes.length shouldBe 4
     all(sizes) should be > 0L
   }
+
+  test("matryoshkaTopK equals a two-stage brute force over the fixture") {
+    val emb = table("embeddings").select($"vec_id", $"label", $"embedding")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val q = emb.find(_._1 == 0L).get._3
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val qp = q.take(16)
+    val short = emb.filter(_._1 != 0L)
+      .map { case (id, lb, v) => (id, lb, v, cos(v.take(16), qp)) }
+      .sortBy { case (id, _, _, c) => (-c, id) }.take(50)
+    val expected = short
+      .map { case (id, lb, v, c) => (id, lb, c, cos(v, q)) }
+      .sortBy { case (id, _, _, f) => (-f, id) }.take(10) // unrounded rank
+      .map { case (id, lb, c, f) => (id, lb, r4(c), r4(f)) }
+      .sortBy { case (id, _, _, f) => (-f, id) } // rounded presentation sort
+    val out = Similarity.matryoshkaTopK(table("embeddings"), 0L, 16, 50, 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+    out.toSeq shouldBe expected.toSeq
+    // the coarse stage genuinely reorders vs the full-width ranking
+    // (otherwise the gate would not witness the two-stage shape)
+    val fullTop = emb.filter(_._1 != 0L)
+      .map { case (id, _, v) => (id, cos(v, q)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1)
+    out.map(_._1).toSeq should not be fullTop.toSeq
+  }
+
+  test("matryoshkaTopK: shortlist >= corpus degrades to exact full top-k") {
+    val n = table("embeddings").count().toInt
+    val exactTop = Similarity.cosineTopK(table("embeddings"), 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val mrl = Similarity.matryoshkaTopK(table("embeddings"), 0L, 16, n, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    mrl.sortBy(_._1).toSeq shouldBe exactTop.sortBy(_._1).toSeq
+  }
 }
