@@ -303,6 +303,31 @@ object SparkEntry {
       fields).toString
   }
 
+  /** r27 fixture: one classic CDF-1 file, TMP/PRATE/VGRD on the shared
+    * grid over two UNLIMITED-dim time records; PRATE carries a
+    * `_FillValue` lattice so the masked-cell drop is exercised. The
+    * closed-form oracle regenerates every coordinate and value.
+    */
+  private lazy val netcdfFixturePath: String = {
+    import java.time.LocalDateTime
+    val params = Seq("TMP", "PRATE", "VGRD")
+    val times = Seq(LocalDateTime.of(2004, 7, 10, 6, 0),
+      LocalDateTime.of(2004, 8, 10, 18, 0))
+    val fields = for {
+      (t, m) <- times.zipWithIndex
+      (v, pidx) <- params.zipWithIndex
+    } yield sources.Netcdf.Field(v, t, g3Ni, g3Nj, g3La1, g3Lo1, g3Di, g3Dj,
+      decimalScale = 1,
+      Array.tabulate(g3Nj * g3Ni) { k =>
+        val j = k / g3Ni; val i = k % g3Ni
+        if (pidx == 1 && (i + j + m) % 13 == 5) None
+        else Some((i * 3 + j * 7 + pidx * 29 + m * 13) % 250 + pidx * 400)
+      })
+    sources.Netcdf.writeFile(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft-nc", "fix.nc"),
+      fields).toString
+  }
+
   private lazy val grib2ComplexFixturePath: String = {
     import java.time.LocalDateTime
     // (pidx, category, number, masked, template): TMP complex+spatial-diff
@@ -1238,6 +1263,12 @@ object SparkEntry {
     // constant fields decode bit-exactly through the irreversible path
     "r26_grib2_lossy" -> ((s, _) =>
       sources.Grib2.readRecords(s, Seq(grib2LossyFixturePath), matchRe = "TMP|PRATE")
+        .orderBy($"variable", $"time", $"lat", $"lon")),
+    // classic CDF-1 NetCDF scan: full header walk, UNLIMITED record
+    // interleaving, _FillValue drop, decimal_scale presentation — the
+    // other CDS archive wire format, parsed natively per file
+    "r27_netcdf_scan" -> ((s, _) =>
+      sources.Netcdf.readRecords(s, Seq(netcdfFixturePath), matchRe = "TMP|PRATE")
         .orderBy($"variable", $"time", $"lat", $"lon")),
     // the DataSource V2 face of the GRIB2 reader: spark.read
     // .format("grib2") with variable = 'TMP' PUSHED to the reader —
@@ -3543,6 +3574,21 @@ object SparkEntry {
                 (($g3Lo1) + i * $g3Di) / 1000000.0 AS lon,
                 (137 + pidx * 53 + m * 17) / 10.0 AS value
          FROM p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
+         ORDER BY variable, time, lat, lon""",
+    // the _FillValue lattice drops PRATE cells; everything else is the
+    // same closed-form grid the GRIB fixtures use
+    "r27_netcdf_scan" ->
+      s"""WITH p(pidx, variable) AS (VALUES (0, 'TMP'), (1, 'PRATE')),
+         t(t, m) AS (VALUES (TIMESTAMP '2004-07-10 06:00:00', 0),
+                            (TIMESTAMP '2004-08-10 18:00:00', 1)),
+         ii AS (SELECT unnest(generate_series(0, ${g3Ni - 1})) AS i),
+         jj AS (SELECT unnest(generate_series(0, ${g3Nj - 1})) AS j)
+         SELECT variable, t AS time,
+                ($g3La1 - j * $g3Dj) / 1000000.0 AS lat,
+                (($g3Lo1) + i * $g3Di) / 1000000.0 AS lon,
+                ((i * 3 + j * 7 + pidx * 29 + m * 13) % 250 + pidx * 400) / 10.0 AS value
+         FROM p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
+         WHERE NOT (pidx = 1 AND (i + j + m) % 13 = 5)
          ORDER BY variable, time, lat, lon""",
     "r16_grib2_jpeg2000" ->
       s"""WITH p(pidx, variable) AS (VALUES (0, 'TMP'), (1, 'PRATE')),
