@@ -328,6 +328,31 @@ object SparkEntry {
       fields).toString
   }
 
+  /** r28 fixture: one Zarr v2 group store on the shared grid — TMP/
+    * PRATE/VGRD over two time steps, chunked [1, 5, 8] so NEITHER axis
+    * divides evenly (13 = 5+5+3 rows, 29 = 8+8+8+5 cols: every edge-
+    * chunk padding path is exercised); PRATE carries a fill lattice.
+    */
+  private lazy val zarrFixturePath: String = {
+    import java.time.LocalDateTime
+    val params = Seq("TMP", "PRATE", "VGRD")
+    val times = Seq(LocalDateTime.of(2004, 9, 10, 6, 0),
+      LocalDateTime.of(2004, 10, 10, 18, 0))
+    val fields = for {
+      (t, m) <- times.zipWithIndex
+      (v, pidx) <- params.zipWithIndex
+    } yield sources.Zarr.Field(v, t, g3Ni, g3Nj, g3La1, g3Lo1, g3Di, g3Dj,
+      decimalScale = 1,
+      Array.tabulate(g3Nj * g3Ni) { k =>
+        val j = k / g3Ni; val i = k % g3Ni
+        if (pidx == 1 && (i * 2 + j + m) % 11 == 3) None
+        else Some((i * 5 + j * 11 + pidx * 31 + m * 19) % 300 + pidx * 500)
+      })
+    sources.Zarr.writeStore(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft-zarr", "fix.zarr"),
+      fields, chunkJ = 5, chunkI = 8).toString
+  }
+
   private lazy val grib2ComplexFixturePath: String = {
     import java.time.LocalDateTime
     // (pidx, category, number, masked, template): TMP complex+spatial-diff
@@ -1270,6 +1295,13 @@ object SparkEntry {
     "r27_netcdf_scan" -> ((s, _) =>
       sources.Netcdf.readRecords(s, Seq(netcdfFixturePath), matchRe = "TMP|PRATE")
         .orderBy($"variable", $"time", $"lat", $"lon")),
+    // Zarr v2 group-store scan: chunk-level parallel decode (binaryFile
+    // task per chunk), metadata + coordinates driver-side, VGRD pruned
+    // by the regex before a single chunk path is listed; edge chunks on
+    // both axes exercise the full-size-padding rule
+    "r28_zarr_scan" -> ((s, _) =>
+      sources.Zarr.readRecords(s, zarrFixturePath, matchRe = "TMP|PRATE")
+        .orderBy($"variable", $"time", $"lat", $"lon")),
     // the DataSource V2 face of the GRIB2 reader: spark.read
     // .format("grib2") with variable = 'TMP' PUSHED to the reader —
     // whole records pruned before cell flattening (PlanGuardSpec pins
@@ -1409,6 +1441,11 @@ object SparkEntry {
     // oracle replays the whole composition chain in closed form
     "m17_gif_composite" -> ((s, d) =>
       Multimodal.gifCompositeSample(t(s, d)("documents"))),
+    // shot-boundary detection (m19): per-frame-pair sum of absolute
+    // differences over the decoded frames, mean-per-pixel threshold —
+    // within-scene drift stays far under it, the designed cuts far over
+    "m19_scene_detect" -> ((s, d) =>
+      Multimodal.sceneDetect(t(s, d)("documents"))),
     "m12_jpeg_color_resize" -> ((s, d) =>
       Multimodal.jpegColorResize(t(s, d)("documents"))),
     // image perceptual hash (aHash) over the REAL decoded PNG raster —
@@ -1891,6 +1928,13 @@ object SparkEntry {
     // join, exact integer ppm
     "t45_novelty" -> ((s, d) =>
       operators.TextAnalysis.noveltyCurve(t(s, d)("documents"), 3)),
+    // CCNet/RefinedWeb line-level boilerplate dedup: lines in >= 10
+    // distinct docs scrubbed from every doc; the %7 footer straddles the
+    // threshold across SFs (kept at sf0.001, removed at sf0.01+), so
+    // both code paths are value-checked
+    "t46_line_dedup" -> ((s, d) =>
+      operators.TextAnalysis.lineDedupScrub(
+        operators.TextAnalysis.linedCorpus(t(s, d)("documents")), 10L)),
     // VERSION AS OF: two batches applied to the versioned snapshot
     // store, then the time-travel read of the FIRST version — equal to
     // the one-batch merge by construction (the t17/w10 merge law); the
@@ -1905,6 +1949,19 @@ object SparkEntry {
       sink(ch2, 1L)
       graft.streaming.SnapshotUpsert.readVersion(s, tmp, 0L)
         .select($"doc_id", $"source", $"text")
+        .orderBy($"doc_id")
+    }),
+    // merge-on-read positional delete vectors (the Iceberg v2 / Delta
+    // DV shape): the delete writes (file_path, row_index) pairs read off
+    // the parquet metadata columns, the scan anti-joins them broadcast —
+    // purely positional, no logical key in the read path
+    "x10_delete_vectors" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_x10").toString
+      operators.DeleteVectors.writeBase(t(s, d)("documents"), tmp,
+        $"doc_id" % 4, Seq($"doc_id"))
+      val dv = operators.DeleteVectors.buildDeleteVectors(s, tmp, $"doc_id" % 9 === 2)
+      operators.DeleteVectors.readMergeOnRead(s, tmp, dv)
+        .select($"doc_id", $"lang", $"source", $"n_chars")
         .orderBy($"doc_id")
     }),
     // join-key skew diagnostic over a deterministic zipf-ish key (60% of
@@ -3590,6 +3647,21 @@ object SparkEntry {
          FROM p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
          WHERE NOT (pidx = 1 AND (i + j + m) % 13 = 5)
          ORDER BY variable, time, lat, lon""",
+    // the fill lattice drops PRATE cells; chunk tiling/padding must be
+    // invisible in the flattened result — the oracle is the plain grid
+    "r28_zarr_scan" ->
+      s"""WITH p(pidx, variable) AS (VALUES (0, 'TMP'), (1, 'PRATE')),
+         t(t, m) AS (VALUES (TIMESTAMP '2004-09-10 06:00:00', 0),
+                            (TIMESTAMP '2004-10-10 18:00:00', 1)),
+         ii AS (SELECT unnest(generate_series(0, ${g3Ni - 1})) AS i),
+         jj AS (SELECT unnest(generate_series(0, ${g3Nj - 1})) AS j)
+         SELECT variable, t AS time,
+                ($g3La1 - j * $g3Dj) / 1000000.0 AS lat,
+                (($g3Lo1) + i * $g3Di) / 1000000.0 AS lon,
+                ((i * 5 + j * 11 + pidx * 31 + m * 19) % 300 + pidx * 500) / 10.0 AS value
+         FROM p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
+         WHERE NOT (pidx = 1 AND (i * 2 + j + m) % 11 = 3)
+         ORDER BY variable, time, lat, lon""",
     "r16_grib2_jpeg2000" ->
       s"""WITH p(pidx, variable) AS (VALUES (0, 'TMP'), (1, 'PRATE')),
          t(t, m) AS (VALUES (TIMESTAMP '2004-01-10 06:00:00', 0),
@@ -3626,6 +3698,36 @@ object SparkEntry {
          SELECT doc_id, n_grams, n_stale,
                 CAST((n_grams - n_stale) * 1000000 // n_grams AS BIGINT) AS fresh_ppm
          FROM agg ORDER BY doc_id""",
+    // identical line synthesis (token slices of 8 + the two closed-form
+    // footers), identical >= 10-distinct-doc threshold; zipped unnests
+    // carry (pos, line) so reassembly order matches the engine's
+    // struct-sort exactly
+    "t46_line_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS tk
+                       FROM documents),
+         lined0 AS (SELECT doc_id,
+             unnest(generate_series(0, CAST(ceil(len(tk)/8.0) AS INT) - 1)) AS pos,
+             unnest(list_transform(generate_series(0, CAST(ceil(len(tk)/8.0) AS INT) - 1),
+                    g -> array_to_string(list_slice(tk, g*8+1, g*8+8), ' '))) AS line
+           FROM toks),
+         lined AS (
+           SELECT doc_id, CAST(pos AS BIGINT) AS pos, line FROM lined0
+           UNION ALL
+           SELECT doc_id, 1000000, 'subscribe to our newsletter today'
+           FROM documents WHERE doc_id % 3 = 0
+           UNION ALL
+           SELECT doc_id, 1000001, 'click here to read more'
+           FROM documents WHERE doc_id % 7 = 1),
+         bad AS (SELECT line FROM lined GROUP BY line
+                 HAVING count(DISTINCT doc_id) >= 10),
+         flagged AS (SELECT l.doc_id, l.pos, l.line,
+                            b.line IS NOT NULL AS boiler
+                     FROM lined l LEFT JOIN bad b USING (line))
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+                CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+                coalesce(string_agg(CASE WHEN NOT boiler THEN line END,
+                                    chr(10) ORDER BY pos), '') AS text_clean
+         FROM flagged GROUP BY doc_id ORDER BY doc_id""",
     // tf from the shared adaptive tokenizer, df re-collapsed from the tf
     // histogram, score = one IEEE division of exact BIGINTs, (score DESC,
     // term) total order mirrors the engine's rank window exactly
@@ -3654,6 +3756,12 @@ object SparkEntry {
          SELECT doc_id, source, text || ' v2' AS text FROM documents
          WHERE doc_id % 5 = 0
          ORDER BY doc_id""",
+    // the positional anti-join must surface exactly the predicate's
+    // complement — a wrong file/row-index mapping changes WHICH rows
+    // survive and hash-mismatches
+    "x10_delete_vectors" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE doc_id % 9 <> 2 ORDER BY doc_id""",
     "t43_k_anonymity" ->
       """WITH keyed AS (SELECT doc_id, lang, source,
                                CAST(n_chars // 100 AS BIGINT) AS size_bucket
@@ -4598,6 +4706,22 @@ object SparkEntry {
                 CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
                 CAST(sum((13*x + 3*y + 7*f + d) % 256) AS BIGINT) AS value_sum
          FROM xy GROUP BY d, f, nf, w, h ORDER BY doc_id, frame""",
+    // both frames of each pair regenerate from the scene formula; the
+    // threshold comparison uses the same exact integers on both sides
+    "m19_scene_detect" ->
+      """WITH d AS (SELECT doc_id AS d FROM documents),
+         dims AS (SELECT d, 8 + d % 8 AS w, 6 + (3*d) % 6 AS h, 4 + d % 3 AS nf FROM d),
+         fr AS (SELECT d, w, h, unnest(generate_series(1, nf - 1)) AS f FROM dims),
+         xs AS (SELECT d, w, h, f, unnest(generate_series(0, w - 1)) AS x FROM fr),
+         xy AS (SELECT d, w, h, f, x, unnest(generate_series(0, h - 1)) AS y FROM xs),
+         v AS (SELECT d, w, h, f,
+                 (13*x + 5*y + 97*(CASE WHEN f >= 4 THEN 2 WHEN f >= 2 THEN 1 ELSE 0 END) + f) % 251 AS vb,
+                 (13*x + 5*y + 97*(CASE WHEN f - 1 >= 4 THEN 2 WHEN f - 1 >= 2 THEN 1 ELSE 0 END) + (f - 1)) % 251 AS va
+               FROM xy)
+         SELECT d AS doc_id, CAST(f AS BIGINT) AS frame,
+                CAST(sum(abs(vb - va)) AS BIGINT) AS sad,
+                CAST(sum(abs(vb - va)) AS BIGINT) >= 30 * w * h AS is_cut
+         FROM v GROUP BY d, f, w, h ORDER BY doc_id, frame""",
     // m16 shares m10's oracle verbatim: progressive transmission is a
     // coefficient permutation, and the DC-only fixture makes it exact
     "m16_jpeg_progressive" ->

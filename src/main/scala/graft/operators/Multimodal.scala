@@ -190,6 +190,56 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame"))
   }
 
+  /** m19 fixture: an animated GIF per document with designed SCENE CUTS —
+    * within a scene consecutive frames differ by a per-pixel drift of 1
+    * (mod-wrap aside), at the cut frames (f=2 and f=4) the whole pattern
+    * shifts by 97, so the inter-frame absolute difference separates
+    * cleanly (mean ≈2 within scenes vs ≈100 at cuts). Everything is
+    * closed-form from doc_id; the decoder sees only bytes.
+    */
+  def gifSceneFor(d: Long): Array[Byte] = {
+    val w = (8 + d % 8).toInt
+    val h = (6 + (3 * d) % 6).toInt
+    val nf = (4 + d % 3).toInt // 4..6 frames; the f=4 cut exists only for nf>4
+    AssetCodecs.encodeGifAnim(w, h, nf, (f, x, y) => {
+      val s = (if (f >= 2) 1 else 0) + (if (f >= 4) 1 else 0)
+      ((13 * x + 5 * y + 97 * s + f) % 251).toInt
+    })
+  }
+
+  /** Scene-change detection (m19): the video shot-boundary pass every
+    * crawl pipeline runs before frame sampling — per consecutive frame
+    * pair, the sum of absolute luma differences (SAD), thresholded at a
+    * mean per-pixel difference. Exact integers end to end, so the gate
+    * hash-compares; the oracle replays the generating formula, so a
+    * decode or differencing bug shifts a SAD. Same `mapPartitions`
+    * byte-codec shape as m15: per-asset kernels over bytes, one row per
+    * (asset, frame-pair), embarrassingly parallel at corpus scale.
+    */
+  def sceneDetect(documents: DataFrame, meanThreshold: Int = 30): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val (w, h, pal, frames) = AssetCodecs.decodeGifFrames(gifSceneFor(id))
+          (1 until frames.size).map { f =>
+            val a = frames(f - 1); val b = frames(f)
+            var sad = 0L
+            var i = 0
+            while (i < a.length) {
+              val va = pal(3 * (a(i) & 0xff)) & 0xff
+              val vb = pal(3 * (b(i) & 0xff)) & 0xff
+              sad += math.abs(va - vb); i += 1
+            }
+            (id, f.toLong, sad, sad >= meanThreshold.toLong * w * h)
+          }
+        }
+      }
+      .toDF("doc_id", "frame", "sad", "is_cut")
+      .orderBy(col("doc_id"), col("frame"))
+  }
+
   /** m17 fixture: a composited animated GIF per document — four frames
     * exercising every disposal method: a full-canvas base (disposal 1,
     * keep), a partial rect that restores to BACKGROUND after display

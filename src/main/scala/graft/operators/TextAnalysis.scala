@@ -738,6 +738,70 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** t46 fixture: synthesize LINE structure the flat driver corpus lacks
+    * (the [[cjkMapped]] rewrite discipline) — every document's whitespace
+    * tokens regroup into lines of `lineTokens`, and two closed-form
+    * boilerplate lines are appended to deterministic doc slices: the
+    * `%3` footer lands on ~1/3 of docs (always above any sane dedup
+    * threshold), the `%7` footer on ~1/7 (straddles the threshold across
+    * scale factors — present-but-kept at sf0.001, removed at sf0.01+).
+    * Closed-form, so the DuckDB oracle rebuilds the identical corpus.
+    */
+  def linedCorpus(documents: DataFrame, lineTokens: Int = 8): DataFrame = {
+    val toks = split(lower($"text"), "\\s+")
+    val nLines = ceil(size(toks).cast("double") / lineTokens).cast("int")
+    // transform(sequence(...)) is CodegenFallback (the Dedup.tokens
+    // lesson), acceptable here: fixture synthesis runs once per gate,
+    // not on the shared hot path.
+    val lines = transform(sequence(lit(0), nLines - 1),
+      g => array_join(slice(toks, g * lineTokens + 1, lit(lineTokens)), " "))
+    val withFooter3 = when($"doc_id" % 3 === 0,
+      concat(lines, array(lit(BoilerFooter3)))).otherwise(lines)
+    val withFooter7 = when($"doc_id" % 7 === 1,
+      concat(withFooter3, array(lit(BoilerFooter7)))).otherwise(withFooter3)
+    documents.select($"doc_id", withFooter7.as("lines"))
+  }
+
+  private[graft] val BoilerFooter3 = "subscribe to our newsletter today"
+  private[graft] val BoilerFooter7 = "click here to read more"
+
+  /** Line-level cross-document dedup (t46) — the CCNet/RefinedWeb
+    * boilerplate pass: a line appearing in ≥ `minDocs` DISTINCT documents
+    * is navigation/footer chrome, not content, and is scrubbed from every
+    * document; per-doc line/removal counts ride along. The classic
+    * crawl-cleaning stage between raw extraction and document-level
+    * dedup.
+    *
+    * Scale shape: the explode is row-local; line identity travels as the
+    * 128-bit content hash, so the distinct-doc count shuffles 32-byte
+    * keys, never line text (the d01 discipline); the boilerplate
+    * relation is corpus-dependent and therefore joined by hash equi-join,
+    * NOT broadcast (a crawl's boilerplate vocabulary is unbounded);
+    * reassembly is one groupBy(doc_id) whose collect_list is bounded by
+    * the document's own line count. Three bounded shuffles, no
+    * all-pairs anywhere.
+    */
+  def lineDedupScrub(lined: DataFrame, minDocs: Long): DataFrame = {
+    require(minDocs >= 2, "lineDedupScrub: minDocs must be >= 2")
+    val exploded = graft.Session.barrier(lined.select(
+      $"doc_id", posexplode($"lines").as(Seq("pos", "line")))
+      .withColumn("lh", md5($"line")))
+    val boiler = exploded.select($"lh", $"doc_id").distinct()
+      .groupBy($"lh").agg(count(lit(1)).as("n_docs"))
+      .where($"n_docs" >= minDocs)
+      .select($"lh".as("bad_lh"))
+    exploded.join(boiler, $"lh" === $"bad_lh", "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when($"bad_lh".isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        // collect_list skips nulls, so only kept lines survive; the
+        // struct sort restores document order before the join
+        array_join(transform(array_sort(collect_list(
+          when($"bad_lh".isNull, struct($"pos", $"line")))),
+          x => x.getField("line")), "\n").as("text_clean"))
+      .orderBy($"doc_id")
+  }
+
   /** Bigram collocation mining — corpus phrases whose adjacent
     * co-occurrence beats independence (lift = P(xy)/(P(x)·P(y)), the
     * exp(PMI) every phrase-detection pass ranks by). Integer counts all

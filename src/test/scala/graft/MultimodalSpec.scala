@@ -180,4 +180,25 @@ class MultimodalSpec extends SparkSpec {
     // and runs of literal zeros of length >= 32 don't occur on the lattice
     Multimodal.silenceSegments(docs, threshold = 1).count() shouldBe 0L
   }
+
+  test("sceneDetect: designed cuts flagged, within-scene drift not, SAD exact") {
+    val docs = spark.range(0, 30).select($"id".as("doc_id")).toDF()
+    val out = Multimodal.sceneDetect(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getBoolean(3))).toMap
+    for (d <- 0L until 30L) {
+      val w = 8 + d % 8; val h = 6 + (3 * d) % 6; val nf = 4 + d % 3
+      def v(f: Long, x: Long, y: Long): Long = {
+        val s = (if (f >= 2) 1 else 0) + (if (f >= 4) 1 else 0)
+        (13 * x + 5 * y + 97 * s + f) % 251
+      }
+      for (f <- 1L until nf) {
+        val sad = (for (x <- 0L until w; y <- 0L until h)
+          yield math.abs(v(f, x, y) - v(f - 1, x, y))).sum
+        out((d, f)) shouldBe ((sad, sad >= 30 * w * h))
+        // the semantic claim, not just formula equality: cuts sit at
+        // exactly f=2 and f=4
+        out((d, f))._2 shouldBe (f == 2L || f == 4L)
+      }
+    }
+  }
 }

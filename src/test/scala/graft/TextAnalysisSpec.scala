@@ -445,4 +445,36 @@ class TextAnalysisSpec extends SparkSpec {
     out(("x", "y")) shouldBe ((3L, 3L, 3L, 2.0)) // 3*6/(3*3)
     out.contains(("y", "x")) shouldBe false      // n_xy=1 < minCount
   }
+
+  test("linedCorpus: token slices of 8 + deterministic footers") {
+    val d = docs(
+      (0L, Array.tabulate(10)(i => s"w$i").mkString(" "), "en", "w"), // %3 footer
+      (1L, "a b c", "en", "w"), // %7 footer
+      (2L, "solo", "en", "w"))
+    val out = TextAnalysis.linedCorpus(d).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    out(0L) shouldBe Seq("w0 w1 w2 w3 w4 w5 w6 w7", "w8 w9",
+      TextAnalysis.BoilerFooter3)
+    out(1L) shouldBe Seq("a b c", TextAnalysis.BoilerFooter7)
+    out(2L) shouldBe Seq("solo")
+  }
+
+  test("lineDedupScrub: shared lines scrubbed, document order restored, empty survivor") {
+    val lined = Seq(
+      (1L, Seq("keep one", "SHARED", "keep two")),
+      (2L, Seq("SHARED", "other text")),
+      (3L, Seq("SHARED")), // all lines boilerplate -> empty text_clean
+      (4L, Seq("unique here"))).toDF("doc_id", "lines")
+    val out = TextAnalysis.lineDedupScrub(lined, minDocs = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    out(1L) shouldBe ((3L, 1L, "keep one\nkeep two"))
+    out(2L) shouldBe ((2L, 1L, "other text"))
+    out(3L) shouldBe ((1L, 1L, "")) // doc survives with empty text
+    out(4L) shouldBe ((1L, 0L, "unique here"))
+    // a line repeated WITHIN one doc only does not cross the distinct-doc bar
+    val within = Seq((1L, Seq("dup", "dup")), (2L, Seq("x"))).toDF("doc_id", "lines")
+    val o2 = TextAnalysis.lineDedupScrub(within, minDocs = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    o2(1L) shouldBe 0L
+  }
 }

@@ -1,0 +1,166 @@
+package graft
+
+import java.time.LocalDateTime
+
+import graft.sources.Zarr
+
+/** Zarr v2 store codec: metadata walk, chunk tiling + edge padding,
+  * zlib + endianness handling, fill semantics, variable pruning before
+  * chunk read, loud scope rejects. Encoder and decoder are independent
+  * walks of the public v2 storage spec; the wire pins read chunk bytes
+  * by hand so a matched encode/decode bug cannot hide.
+  */
+class ZarrSpec extends SparkSpec {
+
+  private val t0 = LocalDateTime.of(2004, 9, 10, 6, 0)
+  private val t1 = LocalDateTime.of(2004, 9, 10, 18, 0)
+
+  private def field(v: String, t: LocalDateTime, bump: Int,
+                    mask: (Int, Int) => Boolean = (_, _) => false) =
+    Zarr.Field(v, t, ni = 5, nj = 3,
+      la1Micro = 40000000L, lo1Micro = -10000000L,
+      diMicro = 2000000L, djMicro = 1500000L, decimalScale = 1,
+      Array.tabulate(15) { k =>
+        val j = k / 5; val i = k % 5
+        if (mask(i, j)) None else Some(100 + 7 * i + 11 * j + bump)
+      })
+
+  private def store(fields: Seq[Zarr.Field], chunkJ: Int = 2, chunkI: Int = 3)
+  : java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft-zarr")
+    Zarr.writeStore(root.resolve("s.zarr"), fields, chunkJ, chunkI)
+  }
+
+  test("round-trip: two time steps, two variables, edge chunks, fill dropped") {
+    // 3x5 grid, chunks [1,2,3]: 2x2 chunk grid with BOTH axes ragged
+    val root = store(Seq(
+      field("TMP", t0, 0), field("PRATE", t0, 500, (i, j) => (i + j) % 4 == 1),
+      field("TMP", t1, 13), field("PRATE", t1, 513, (i, j) => (i + j) % 4 == 1)))
+    val rows = Zarr.readRecords(spark, root.toString).collect()
+    val expected = for {
+      (t, m) <- Seq(t0 -> 0, t1 -> 13)
+      (v, bump) <- Seq("TMP" -> 0, "PRATE" -> 500)
+      j <- 0 until 3; i <- 0 until 5
+      if !(v == "PRATE" && (i + j) % 4 == 1)
+    } yield (v, java.sql.Timestamp.valueOf(t),
+      (40000000L - j * 1500000L) / 1e6, (-10000000L + i * 2000000L) / 1e6,
+      (100 + 7 * i + 11 * j + bump + m) / 10.0)
+    val got = rows.map(r => (r.getString(0), java.sql.Timestamp.valueOf(
+      r.getAs[LocalDateTime](1)), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    got.toSet shouldBe expected.toSet
+    got.length shouldBe expected.size
+  }
+
+  test("wire pins: chunk key layout, full-size edge padding, zlib payload") {
+    val root = store(Seq(field("TMP", t0, 0)))
+    // chunk grid for shape [1,3,5] / chunks [1,2,3]: keys 0.{0,1}.{0,1}
+    val dir = root.resolve("TMP")
+    val keys = java.nio.file.Files.list(dir).toArray.map(_.toString.split('/').last)
+      .filterNot(_.startsWith(".")).sorted
+    keys shouldBe Array("0.0.0", "0.0.1", "0.1.0", "0.1.1")
+    // inflate chunk 0.1.1 by hand: rows j=2 (plus a padded j=3),
+    // cols i=3,4 (plus padded i=5) — 2*3 cells, little-endian i4
+    val comp = java.nio.file.Files.readAllBytes(dir.resolve("0.1.1"))
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(comp)
+    val raw = new Array[Byte](24)
+    inf.inflate(raw) shouldBe 24
+    def le(p: Int): Int = (raw(p) & 0xff) | ((raw(p + 1) & 0xff) << 8) |
+      ((raw(p + 2) & 0xff) << 16) | ((raw(p + 3) & 0xff) << 24)
+    le(0) shouldBe 100 + 7 * 3 + 11 * 2 // (i=3, j=2)
+    le(4) shouldBe 100 + 7 * 4 + 11 * 2 // (i=4, j=2)
+    le(8) shouldBe Zarr.FillInt // i=5: out of bounds, padded
+    le(12) shouldBe Zarr.FillInt // j=3 row: all padding
+    le(16) shouldBe Zarr.FillInt
+    le(20) shouldBe Zarr.FillInt
+    // metadata says exactly what the writer claims
+    val meta = Zarr.parseZarray(
+      new String(java.nio.file.Files.readAllBytes(dir.resolve(".zarray")), "UTF-8"),
+      Some(new String(java.nio.file.Files.readAllBytes(dir.resolve(".zattrs")), "UTF-8")),
+      "TMP")
+    meta.shape shouldBe Seq(1, 3, 5)
+    meta.chunks shouldBe Seq(1, 2, 3)
+    meta.dtype shouldBe "<i4"
+    meta.zlib shouldBe true
+    meta.fillValue shouldBe Some(Zarr.FillInt)
+    meta.decimalScale shouldBe 1
+  }
+
+  test("big-endian dtype decodes identically") {
+    val root = store(Seq(field("TMP", t0, 0)))
+    val dir = root.resolve("TMP")
+    // rewrite .zarray to >i4 and byte-swap every chunk by re-encoding
+    val za = new String(java.nio.file.Files.readAllBytes(dir.resolve(".zarray")), "UTF-8")
+    java.nio.file.Files.write(dir.resolve(".zarray"),
+      za.replace("\"<i4\"", "\">i4\"").getBytes("UTF-8"))
+    for (key <- Seq("0.0.0", "0.0.1", "0.1.0", "0.1.1")) {
+      val comp = java.nio.file.Files.readAllBytes(dir.resolve(key))
+      val inf = new java.util.zip.Inflater(); inf.setInput(comp)
+      val raw = new Array[Byte](24); inf.inflate(raw) shouldBe 24
+      val swapped = raw.grouped(4).flatMap(_.reverse).toArray
+      val d = new java.util.zip.Deflater(); d.setInput(swapped); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](64)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      java.nio.file.Files.write(dir.resolve(key), out.toByteArray)
+    }
+    val rows = Zarr.readRecords(spark, root.toString, matchRe = "TMP").collect()
+    rows.length shouldBe 15
+    rows.map(_.getDouble(4)).sum shouldBe
+      (0 until 15).map(k => (100 + 7 * (k % 5) + 11 * (k / 5)) / 10.0).sum
+  }
+
+  test("variable regex prunes arrays before any chunk read") {
+    val root = store(Seq(
+      field("TMP", t0, 0), field("PRATE", t0, 500), field("VGRD", t0, 40)))
+    // corrupt every VGRD chunk: pruning means they are never opened
+    val vdir = root.resolve("VGRD")
+    for (key <- Seq("0.0.0", "0.0.1", "0.1.0", "0.1.1"))
+      java.nio.file.Files.write(vdir.resolve(key), Array[Byte](1, 2, 3))
+    val out = Zarr.readRecords(spark, root.toString, matchRe = "TMP|PRATE").collect()
+    out.map(_.getString(0)).toSet shouldBe Set("TMP", "PRATE")
+    out.length shouldBe 30
+    // and reading VGRD does fail — the corruption is real
+    an[Exception] should be thrownBy
+      Zarr.readRecords(spark, root.toString, matchRe = "VGRD").collect()
+  }
+
+  test("scope rejects loudly: v3, F order, filters, blosc, '/' separator, fill collision") {
+    val root = store(Seq(field("TMP", t0, 0)))
+    val dir = root.resolve("TMP")
+    val za = new String(java.nio.file.Files.readAllBytes(dir.resolve(".zarray")), "UTF-8")
+    def mutated(f: String => String): IllegalArgumentException = {
+      java.nio.file.Files.write(dir.resolve(".zarray"), f(za).getBytes("UTF-8"))
+      val e = intercept[Exception](
+        Zarr.readRecords(spark, root.toString, matchRe = "TMP").collect())
+      java.nio.file.Files.write(dir.resolve(".zarray"), za.getBytes("UTF-8"))
+      // spark wraps executor-side requires; surface either form
+      e match {
+        case i: IllegalArgumentException => i
+        case other =>
+          var c: Throwable = other
+          while (c.getCause != null && !c.isInstanceOf[IllegalArgumentException])
+            c = c.getCause
+          c.asInstanceOf[IllegalArgumentException]
+      }
+    }
+    mutated(_.replace("\"zarr_format\":2", "\"zarr_format\":3"))
+      .getMessage should include("v2")
+    mutated(_.replace("\"order\":\"C\"", "\"order\":\"F\""))
+      .getMessage should include("C-order")
+    mutated(_.replace("\"filters\":null", "\"filters\":[{\"id\":\"delta\"}]"))
+      .getMessage should include("filters")
+    mutated(_.replace("\"id\":\"zlib\"", "\"id\":\"blosc\""))
+      .getMessage should include("zlib")
+    mutated(_.replace("\"order\":\"C\"", "\"order\":\"C\",\"dimension_separator\":\"/\""))
+      .getMessage should include("separator")
+    // a payload equal to fill_value would silently vanish — writer refuses
+    an[IllegalArgumentException] should be thrownBy store(Seq(
+      Zarr.Field("TMP", t0, 1, 1, 0L, 0L, 1000000L, 1000000L, 0,
+        Array(Some(Zarr.FillInt)))))
+    // a non-group root refuses
+    an[IllegalArgumentException] should be thrownBy
+      Zarr.readRecords(spark,
+        java.nio.file.Files.createTempDirectory("notzarr").toString).collect()
+  }
+}
