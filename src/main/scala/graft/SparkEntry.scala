@@ -1189,6 +1189,14 @@ object SparkEntry {
     "r17_remap_bilinear" -> ((s, d) =>
       Raster.remapBilinear(Raster.demoGridSum(t(s, d)("lineitem")),
         -25L, 2L, 3L, 24, -55L, 5L, 4L, 22)),
+    // first-order conservative remap (cdo remapcon): quarter-unit target
+    // edges offset by 0.5 with steps 2.5×3.5 — no target edge coincides
+    // with a source edge, so every cell weight is a genuine partial
+    // overlap; exact integer weights in den-scaled units, fracarea
+    // normalization, covered_ppm audit
+    "r29_remap_conservative" -> ((s, d) =>
+      Raster.remapConservative(Raster.demoGridSum(t(s, d)("lineitem")),
+        -38L, 10L, 4L, 7, -58L, 14L, 4L, 8)),
     // priority mosaic: a bbox-restricted "regional" source overlaid on
     // the full grid recalibrated by +1000 — regional values win inside
     // the bbox, the fallback fills the rest, provenance recorded
@@ -3458,6 +3466,37 @@ object SparkEntry {
                 CAST(ynum AS DOUBLE)/3 AS tlat, CAST(xnum AS DOUBLE)/4 AS tlon,
                 CASE WHEN den_eff > 0 THEN CAST(num AS DOUBLE)/den_eff END AS value,
                 num, den_eff, n_src
+         FROM aggd ORDER BY variable, time, tlat, tlon""",
+    // the oracle forms the SAME den-scaled integer overlaps directly on
+    // the (source cell × target cell) join — a wrong axis table, weight,
+    // or normalization in the engine shifts num/den_eff and mismatches
+    "r29_remap_conservative" ->
+      s"""WITH ${operators.Raster.demoGridSumSql},
+         tj AS (SELECT unnest(generate_series(0, 6)) AS j),
+         ti AS (SELECT unnest(generate_series(0, 7)) AS i),
+         tgt AS (SELECT -38 + j*10 AS ynum, -58 + i*14 AS xnum
+                 FROM tj CROSS JOIN ti),
+         ov AS (SELECT g.variable, g.time, t.ynum, t.xnum,
+                  least(CAST(g.lat AS BIGINT)*4 + 4, t.ynum + 10)
+                    - greatest(CAST(g.lat AS BIGINT)*4, t.ynum) AS wy,
+                  least(CAST(g.lon AS BIGINT)*4 + 4, t.xnum + 14)
+                    - greatest(CAST(g.lon AS BIGINT)*4, t.xnum) AS wx,
+                  CAST(g.value AS BIGINT) AS v
+                FROM gridsum g JOIN tgt t
+                  ON CAST(g.lat AS BIGINT)*4 + 4 > t.ynum
+                 AND CAST(g.lat AS BIGINT)*4 < t.ynum + 10
+                 AND CAST(g.lon AS BIGINT)*4 + 4 > t.xnum
+                 AND CAST(g.lon AS BIGINT)*4 < t.xnum + 14),
+         aggd AS (SELECT variable, time, ynum, xnum,
+                         CAST(count(*) AS BIGINT) AS n_src,
+                         CAST(sum(wy * wx) AS BIGINT) AS den_eff,
+                         CAST(sum(wy * wx * v) AS BIGINT) AS num
+                  FROM ov GROUP BY 1, 2, 3, 4)
+         SELECT variable, time,
+                CAST(ynum AS DOUBLE)/4 AS tlat, CAST(xnum AS DOUBLE)/4 AS tlon,
+                CAST(num AS DOUBLE)/den_eff AS value,
+                num, den_eff, n_src,
+                (den_eff * 1000000) // 140 AS covered_ppm
          FROM aggd ORDER BY variable, time, tlat, tlon""",
     "r02_clip_null" ->
       s"""WITH $gridCte,

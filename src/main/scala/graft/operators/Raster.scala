@@ -316,6 +316,97 @@ object Raster {
       .orderBy($"variable", $"time", $"tlat", $"tlon")
   }
 
+  /** R29: first-order CONSERVATIVE remap onto an arbitrary rational
+    * target lattice — `cdo remapcon`, the flux-preserving regrid every
+    * climate pipeline uses for quantities where interpolation would
+    * invent mass (precipitation, fluxes; reference reach via cdo in
+    * src/file-conversions.js). Each target cell's value is the
+    * overlap-area-weighted mean of the source cells it intersects;
+    * unlike [[regrid]] (targets aligned to whole source blocks) and
+    * [[remapBilinear]] (point sampling), PARTIAL overlaps carry
+    * fractional weight, so mass is conserved over the remap domain.
+    *
+    * Exactness design: source cells are the unit squares
+    * `[lat, lat+1)×[lon, lon+1)` of the integer grid twin; target edges
+    * are rational (`startNum/den + k·stepNum/den`), so in den-scaled
+    * units every edge is an integer and each axis overlap
+    * `max(0, min(srcHi, tgtHi) − max(srcLo, tgtLo))` is an exact
+    * integer. The cell weight is the product of the two axis overlaps
+    * (areas separate on a rectilinear lattice); on integer-valued grids
+    * `num = Σ w·v` is an exact long and the one IEEE division
+    * `num/den_eff` is bit-identical in any engine. Weighting is
+    * coordinate-plane area (equirectangular) — spherical cos(lat)
+    * weighting is non-portable transcendental territory and out of
+    * scope by design.
+    *
+    * Normalization is `fracarea` (SCRIP/CDO terminology): divide by the
+    * weight mass of the source cells actually PRESENT, so sparse grids
+    * report the mean over observed area; `covered_ppm` audits how much
+    * of each target cell that mass covers (1 000 000 = fully covered).
+    * Targets intersecting no present source cell vanish (no invented
+    * data — the r17 discipline).
+    *
+    * Scale shape: the overlap structure factorizes per axis, so the two
+    * axis tables are lattice-descriptor-sized (`nTgt·(step/den + 1)`
+    * rows each) and BROADCAST; the grid scans ONCE, equi-joins on its
+    * own integer coordinates (each source row fans out only to the ≤
+    * `(step/den+1)²` targets it actually touches), and one map-side-
+    * combining aggregate lands on target cells. No range join, no
+    * explode of the fact table beyond the bounded per-axis
+    * multiplicity.
+    */
+  def remapConservative(grid: DataFrame,
+                        latStartNum: Long, latStepNum: Long, latDen: Long, nLat: Int,
+                        lonStartNum: Long, lonStepNum: Long, lonDen: Long, nLon: Int): DataFrame = {
+    require(latDen >= 1 && lonDen >= 1 && latStepNum >= 1 && lonStepNum >= 1 &&
+      nLat >= 1 && nLon >= 1, "remapConservative: degenerate target lattice")
+    val spark = grid.sparkSession
+
+    // per-axis overlap table: target index -> (source coordinate, exact
+    // integer overlap length in den-scaled units)
+    def axis(startNum: Long, stepNum: Long, den: Long, n: Int,
+             idx: String, src: String, w: String): DataFrame = {
+      val t0 = lit(startNum) + col(idx) * stepNum
+      val t1 = t0 + stepNum
+      // floorDiv via pmod (exact integer ops, negative-safe); the
+      // long cast restores the integral type sequence() requires
+      val lo = ((t0 - pmod(t0, lit(den))) / den).cast("long")
+      val hiNum = t1 - 1
+      val hi = ((hiNum - pmod(hiNum, lit(den))) / den).cast("long")
+      spark.range(n.toLong).select(col("id").as(idx))
+        .withColumn("t0", t0).withColumn("t1", t1)
+        .withColumn(src, explode(sequence(lo, hi)))
+        .withColumn(w,
+          least(col(src) * den + den, col("t1")) -
+            greatest(col(src) * den, col("t0")))
+        .select(col(idx), col("t0"), col(src).cast("double").as(src), col(w))
+    }
+
+    val latAxis = axis(latStartNum, latStepNum, latDen, nLat, "j", "lat", "wy")
+      .withColumnRenamed("t0", "ynum")
+    val lonAxis = axis(lonStartNum, lonStepNum, lonDen, nLon, "i", "lon", "wx")
+      .withColumnRenamed("t0", "xnum")
+
+    grid.join(broadcast(latAxis), Seq("lat"))
+      .join(broadcast(lonAxis), Seq("lon"))
+      .groupBy($"variable", $"time", $"j", $"i", $"ynum", $"xnum")
+      .agg(count(lit(1)).as("n_src"),
+        sum($"wy" * $"wx").as("den_eff"),
+        sum(($"wy" * $"wx" * $"value").cast("long")).as("num"))
+      .select($"variable", $"time",
+        ($"ynum" / latDen.toDouble).as("tlat"),
+        ($"xnum" / lonDen.toDouble).as("tlon"),
+        ($"num" / $"den_eff").as("value"),
+        $"num", $"den_eff", $"n_src",
+        // exact integer floor-division (both operands positive): the
+        // pmod subtraction keeps the quotient an integer BEFORE the
+        // double division, so the cast is exact cross-engine
+        ((($"den_eff" * 1000000L) - pmod($"den_eff" * 1000000L,
+          lit(latStepNum * lonStepNum))) / (latStepNum * lonStepNum))
+          .cast("long").as("covered_ppm"))
+      .orderBy($"variable", $"time", $"tlat", $"tlon")
+  }
+
   /** Per-cell temporal trend (r24): the OLS slope of value against the
     * month index for EVERY (lat, lon) cell — the climate-trend map
     * ("warming per decade per cell") every reanalysis monitoring

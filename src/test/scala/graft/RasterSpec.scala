@@ -272,6 +272,52 @@ class RasterSpec extends SparkSpec {
     out.get((7.0 / 3, 0.25)) shouldBe None // no corner joined -> no row
   }
 
+  test("remapConservative: partial overlaps, mass conservation, fracarea on sparse grids") {
+    def g(cells: Seq[(Double, Double, Double)]): DataFrame =
+      cells.map { case (la, lo, v) => ("v", "2024-01-01 00:00:00", la, lo, v) }
+        .toDF("variable", "time", "lat", "lon", "value")
+        .withColumn("time", $"time".cast("timestamp_ntz"))
+
+    // 2x2 dense source, one target cell [0.5,1.5)x[0.5,1.5): each source
+    // cell contributes a quarter (wy=wx=1 in half-unit scale), so the
+    // value is the plain mean and coverage is full
+    val dense = g(Seq((0.0, 0.0, 10.0), (0.0, 1.0, 20.0),
+      (1.0, 0.0, 30.0), (1.0, 1.0, 60.0)))
+    val one = Raster.remapConservative(dense, 1L, 2L, 2L, 1, 1L, 2L, 2L, 1).collect()
+    one.length shouldBe 1
+    one.head.getDouble(2) shouldBe 0.5
+    one.head.getDouble(3) shouldBe 0.5
+    one.head.getDouble(4) shouldBe 30.0          // (10+20+30+60)/4
+    one.head.getLong(5) shouldBe 120L            // num
+    one.head.getLong(6) shouldBe 4L              // den_eff
+    one.head.getLong(7) shouldBe 4L              // n_src
+    one.head.getLong(8) shouldBe 1000000L        // fully covered
+
+    // fracarea normalization: drop (1,1) -> mean over PRESENT area only,
+    // coverage audit reports the 3/4 of the target actually observed
+    val sparse = g(Seq((0.0, 0.0, 10.0), (0.0, 1.0, 20.0), (1.0, 0.0, 30.0)))
+    val sp = Raster.remapConservative(sparse, 1L, 2L, 2L, 1, 1L, 2L, 2L, 1).collect()
+    sp.head.getDouble(4) shouldBe 20.0           // (10+20+30)/3
+    sp.head.getLong(6) shouldBe 3L
+    sp.head.getLong(8) shouldBe 750000L
+
+    // conservation: a target lattice COVERING the source domain receives
+    // the whole mass — sum(num) = latDen*lonDen*sum(v), regardless of
+    // how the misaligned internal edges slice the cells
+    val nine = g(for { la <- 0 to 2; lo <- 0 to 2 }
+      yield (la.toDouble, lo.toDouble, (la * 7 + lo * 3 + 1).toDouble))
+    val out = Raster.remapConservative(nine, -1L, 5L, 4L, 3, -1L, 5L, 4L, 3).collect()
+    out.map(_.getLong(5)).sum shouldBe 16L * nine.agg(sum($"value")).head.getDouble(0).toLong
+    // interior slicing check: target [(-0.25+1.25), (-0.25+2.5)) = [1.0, 2.25)
+    // on both axes -> overlaps source rows 1 (w=4? no: [4,9) vs [4,8) -> 4)
+    // and 2 ([8,9) -> 1): wy in {4,1}, wx in {4,1}
+    val mid = out.find(r => r.getDouble(2) == 1.0 && r.getDouble(3) == 1.0).get
+    // v(1,1)=11 w=16, v(1,2)=14 w=4, v(2,1)=18 w=4, v(2,2)=21 w=1
+    mid.getLong(5) shouldBe (16L * 11 + 4 * 14 + 4 * 18 + 21)
+    mid.getLong(6) shouldBe 25L
+    mid.getLong(8) shouldBe 1000000L
+  }
+
   test("cellTrend: textbook slope/intercept per cell; single-month cells drop") {
     // cell (0,0): Jan-Mar 2000 -> t = 24001..24003, y = 10,12,14: a
     // perfect line with slope 2, intercept 10 - 2*24001 = -47992
