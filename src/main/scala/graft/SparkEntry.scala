@@ -1963,6 +1963,20 @@ object SparkEntry {
     // DV shape): the delete writes (file_path, row_index) pairs read off
     // the parquet metadata columns, the scan anti-joins them broadcast —
     // purely positional, no logical key in the read path
+    // zone-map file skipping: range-clustered write, footer-only index
+    // build (column-chunk statistics, data pages untouched), envelope
+    // pruning + residual filter — result provably layout-independent,
+    // so the oracle is the plain predicate
+    "x11_file_skipping" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_x11").toString
+      t(s, d)("documents").select($"doc_id", $"lang", $"source", $"n_chars")
+        .repartitionByRange(8, $"n_chars", $"doc_id")
+        .write.mode("overwrite").parquet(s"$tmp/base")
+      val idx = operators.FileSkipping.buildIndex(s, s"$tmp/base", "n_chars")
+      operators.FileSkipping.prunedScan(s, s"$tmp/base", idx, "n_chars", 180L, 260L)
+        .select($"doc_id", $"lang", $"source", $"n_chars")
+        .orderBy($"doc_id")
+    }),
     "x10_delete_vectors" -> ((s, d) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_x10").toString
       operators.DeleteVectors.writeBase(t(s, d)("documents"), tmp,
@@ -3801,6 +3815,11 @@ object SparkEntry {
     "x10_delete_vectors" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
          WHERE doc_id % 9 <> 2 ORDER BY doc_id""",
+    // pruning is a pure optimization: survivors ∪ residual filter must
+    // equal the full-scan predicate no matter how the files were cut
+    "x11_file_skipping" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE n_chars BETWEEN 180 AND 260 ORDER BY doc_id""",
     "t43_k_anonymity" ->
       """WITH keyed AS (SELECT doc_id, lang, source,
                                CAST(n_chars // 100 AS BIGINT) AS size_bucket
