@@ -1462,6 +1462,11 @@ object SparkEntry {
     // formulas while the engine recovers them through zlib + row filters
     "m06_image_phash" -> ((s, d) =>
       Multimodal.imagePhash(t(s, d)("documents")).toDF()),
+    // spectral perceptual hash (m20): the DCT-pHash construction with an
+    // exact-integer Walsh–Hadamard transform over m06's block means —
+    // sign bits + dc + Parseval-pinned energy, all BIGINT-exact
+    "m20_wht_phash" -> ((s, d) =>
+      Multimodal.whtPhash(t(s, d)("documents"))),
     // ---- core relational surface (SURVEY.md §2.2-2.5) ----
     "q01_pricing_summary" -> ((s, d) => Core.pricingSummary(t(s, d)("lineitem"))),
     "q02_distinct_types" -> ((s, d) => Core.distinctValues(t(s, d)("events"), "event_type")),
@@ -4625,6 +4630,37 @@ object SparkEntry {
                 CAST(sum(CASE WHEN mm * 64 > tot THEN 1 ELSE 0 END) AS BIGINT) AS n_set
          FROM m JOIN g USING (doc_id)
          GROUP BY 1 ORDER BY 1""",
+    // m06's block means pushed through the ±1 Walsh–Hadamard butterfly
+    // via bit_count — every coefficient an exact BIGINT, so sign bits,
+    // dc, and the |coef| energy all hash-compare
+    "m20_wht_phash" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (3 * doc_id) % 16 AS h
+                    FROM documents WHERE doc_id % 3 = 0),
+         px AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM d),
+         pxy AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM px),
+         b AS (SELECT doc_id, w, h, (y * 8) // h AS by, (x * 8) // w AS bx,
+                      CAST(sum((7 * x + 13 * y + doc_id) % 256) AS BIGINT) AS s,
+                      CAST(count(*) AS BIGINT) AS c
+               FROM pxy GROUP BY 1, 2, 3, 4, 5),
+         m AS (SELECT doc_id, w, h, by, bx, s * (27720 // c) AS mm FROM b),
+         uv AS (SELECT u.u, v.v, u.u * 8 + v.v AS k2
+                FROM (SELECT unnest(generate_series(0, 7)) AS u) u
+                CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS v) v),
+         co AS (SELECT m.doc_id, m.w, m.h, uv.k2,
+                  CAST(sum(mm * (CASE WHEN (bit_count(by & u) + bit_count(bx & v)) % 2 = 0
+                                      THEN 1 ELSE -1 END)) AS BIGINT) AS coef
+                FROM m CROSS JOIN uv GROUP BY 1, 2, 3, 4)
+         SELECT doc_id, CAST(max(w) AS BIGINT) AS w, CAST(max(h) AS BIGINT) AS h,
+                CAST(sum(CASE WHEN coef > 0 AND k2 >= 32
+                              THEN (CAST(1 AS BIGINT) << CAST(k2 - 32 AS INT))
+                              ELSE 0 END) AS BIGINT) AS hash_hi,
+                CAST(sum(CASE WHEN coef > 0 AND k2 < 32
+                              THEN (CAST(1 AS BIGINT) << CAST(k2 AS INT))
+                              ELSE 0 END) AS BIGINT) AS hash_lo,
+                CAST(sum(CASE WHEN coef > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+                CAST(sum(CASE WHEN k2 = 0 THEN coef ELSE 0 END) AS BIGINT) AS dc,
+                CAST(sum(abs(coef)) AS BIGINT) AS energy
+         FROM co GROUP BY 1 ORDER BY 1""",
     // the same closed-form pixel field, 4x4 floor-split boxes, floor
     // means — the engine recovers the pixels through zlib + row filters
     "m09_image_resize" ->

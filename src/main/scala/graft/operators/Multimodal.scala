@@ -414,6 +414,83 @@ object Multimodal {
       .orderBy(col("doc_id")).as[ImagePhash]
   }
 
+  /** Spectral perceptual hash (m20) — the pHash family's
+    * transform-domain construction with the Walsh–Hadamard transform in
+    * the seat DCT-II normally occupies: WHT basis values are ±1, so
+    * every coefficient is an EXACT integer over the m06 scaled block
+    * means (DCT's irrational cosines are non-portable transcendental
+    * territory — the r21 atan2 rule). Robustness story is the same as
+    * DCT-pHash: sign bits of low-order spectral coefficients survive
+    * brightness scaling and blur that flip aHash's mean-threshold bits.
+    *
+    * Coefficient (u,v) = Σ_{by,bx} m(by,bx) · (−1)^{popcount(by&u) +
+    * popcount(bx&v)}; the 64 sign bits pack into hash_hi/hash_lo
+    * (bit k = u·8+v set iff coefficient > 0 — DC is always set on a
+    * nonzero image), with `dc` (total mass) and `energy` (Σ|coef|,
+    * Parseval-pinned in the spec) as exact integer audits.
+    *
+    * Plumbing identical to [[imagePhash]]: mapPartitions over ids, the
+    * decoder sees only PNG bytes; per-asset work is 64 block sums + a
+    * 64×64 integer butterfly — row-local, embarrassingly parallel.
+    */
+  def whtPhash(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .filter((id: Long) => id % 3 == 0) // the PNG third of the fixture
+      .mapPartitions { it =>
+        it.map { id =>
+          val (w, h, img) = graft.sources.AssetCodecs.decodePngImage(assetFor(id))
+          require(w >= 8 && h >= 8,
+            s"whtPhash requires dims >= 8x8, got ${w}x$h for doc $id")
+          val s = Array.ofDim[Long](8, 8)
+          val c = Array.ofDim[Long](8, 8)
+          var y = 0
+          while (y < h) {
+            val by = y * 8 / h
+            var x = 0
+            while (x < w) {
+              s(by)(x * 8 / w) += img(y)(x) & 0xff
+              c(by)(x * 8 / w) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val m = Array.tabulate(8, 8)((by, bx) => s(by)(bx) * (PhashScale / c(by)(bx)))
+          var hi = 0L; var lo = 0L; var nPos = 0L; var dc = 0L; var energy = 0L
+          var u = 0
+          while (u < 8) {
+            var v = 0
+            while (v < 8) {
+              var coef = 0L
+              var by = 0
+              while (by < 8) {
+                var bx = 0
+                while (bx < 8) {
+                  val neg = (Integer.bitCount(by & u) + Integer.bitCount(bx & v)) & 1
+                  coef += (if (neg == 1) -m(by)(bx) else m(by)(bx))
+                  bx += 1
+                }
+                by += 1
+              }
+              val k2 = u * 8 + v
+              if (coef > 0) {
+                if (k2 < 32) lo |= (1L << k2) else hi |= (1L << (k2 - 32))
+                nPos += 1
+              }
+              if (k2 == 0) dc = coef
+              energy += math.abs(coef)
+              v += 1
+            }
+            u += 1
+          }
+          (id, w.toLong, h.toLong, hi, lo, nPos, dc, energy)
+        }
+      }
+      .toDF("doc_id", "w", "h", "hash_hi", "hash_lo", "n_pos", "dc", "energy")
+      .orderBy(col("doc_id"))
+  }
+
   /** The integer-exact aHash core shared by the PNG (m06) and JPEG (m07)
     * paths. Contract: every 8x8 block must be non-empty (else the block
     * mean divides by zero) and its pixel count must divide [[PhashScale]]

@@ -181,6 +181,41 @@ class MultimodalSpec extends SparkSpec {
     Multimodal.silenceSegments(docs, threshold = 1).count() shouldBe 0L
   }
 
+  test("whtPhash: formula replay, DC always set, Parseval energy law") {
+    val docs = spark.range(0, 90).select($"id".as("doc_id")).toDF()
+    val rows = Multimodal.whtPhash(docs).collect()
+    rows.length shouldBe 30 // the PNG third
+    for (r <- rows) {
+      val d = r.getLong(0)
+      val w = (8 + d % 24).toInt; val h = (8 + (3 * d) % 16).toInt
+      (r.getLong(1), r.getLong(2)) shouldBe ((w.toLong, h.toLong))
+      // replay: pixels -> scaled block means -> WHT, independently
+      val s = Array.ofDim[Long](8, 8); val c = Array.ofDim[Long](8, 8)
+      for (y <- 0 until h; x <- 0 until w) {
+        s(y * 8 / h)(x * 8 / w) += (7 * x + 13 * y + d) % 256
+        c(y * 8 / h)(x * 8 / w) += 1
+      }
+      val m = Array.tabulate(8, 8)((by, bx) => s(by)(bx) * (27720L / c(by)(bx)))
+      val coefs = for (u <- 0 until 8; v <- 0 until 8) yield
+        (for (by <- 0 until 8; bx <- 0 until 8) yield
+          m(by)(bx) * (if (((Integer.bitCount(by & u) + Integer.bitCount(bx & v)) & 1) == 1) -1 else 1)).sum
+      var hi = 0L; var lo = 0L
+      coefs.zipWithIndex.foreach { case (cf, k2) =>
+        if (cf > 0) { if (k2 < 32) lo |= (1L << k2) else hi |= (1L << (k2 - 32)) }
+      }
+      (r.getLong(3), r.getLong(4)) shouldBe ((hi, lo))
+      r.getLong(5) shouldBe coefs.count(_ > 0).toLong
+      r.getLong(6) shouldBe coefs.head
+      r.getLong(7) shouldBe coefs.map(math.abs).sum
+      // DC = total mass, positive on any nonzero image -> bit 0 set
+      (r.getLong(4) & 1L) shouldBe 1L
+      r.getLong(6) shouldBe m.flatten.sum
+      // Parseval for the unnormalized WHT: sum(coef^2) = 64 * sum(m^2);
+      // the engine's energy/dc must be consistent with that identity
+      coefs.map(cf => cf * cf).sum shouldBe 64L * m.flatten.map(x => x * x).sum
+    }
+  }
+
   test("sceneDetect: designed cuts flagged, within-scene drift not, SAD exact") {
     val docs = spark.range(0, 30).select($"id".as("doc_id")).toDF()
     val out = Multimodal.sceneDetect(docs).collect()
