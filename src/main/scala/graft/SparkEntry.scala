@@ -2456,6 +2456,37 @@ object SparkEntry {
       operators.Entity.resolveEntities(
         base.unionByName(dups), "id", "name", minJw = 0.96)
     }),
+    // golden-record survivorship over the e04 clusters: per-attribute
+    // rules (longest name, nation mode, source-priority segment, max
+    // balance) with arithmetic tie-break keys — one master row per
+    // resolved entity
+    "e08_golden_record" -> ((s, d) => {
+      val base = t(s, d)("customer").select(
+        $"c_custkey".as("id"),
+        concat(lit("Cust"),
+          substring(md5($"c_custkey".cast("string")), 1, 9)).as("name"),
+        $"c_nationkey".cast("long").as("nation"),
+        $"c_mktsegment".as("segment"),
+        round($"c_acctbal" * 100).cast("long").as("bal_cents"),
+        lit("crm").as("src"))
+      val dups = base.where($"id" % 3 === 0)
+        .withColumn("p", (lit(1) + $"id" % 9).cast("int"))
+        .select(($"id" + 2000000000L).as("id"),
+          concat($"name".substr(lit(1), lit(3) + $"p"),
+                 $"name".substr(lit(5) + $"p", length($"name"))).as("name"),
+          // conflicting attributes exercise every survivorship rule:
+          // a shifted nation on the id%6 slice (count tie -> min wins),
+          // a web-suffixed segment (priority loses), a perturbed balance
+          // that lands above the base ~70% of the time (max rule both ways)
+          when($"id" % 6 === 0, $"nation" + 1).otherwise($"nation").as("nation"),
+          concat($"segment", lit("_w")).as("segment"),
+          ($"bal_cents" + $"id" % 1000 - 300).as("bal_cents"),
+          lit("web").as("src"))
+      val recs = base.unionByName(dups)
+      val ents = operators.Entity.resolveEntities(recs, "id", "name", minJw = 0.96)
+        .select($"id", $"entity_id")
+      operators.Entity.goldenRecords(recs, ents)
+    }),
     // TF-IDF-weighted cosine ER (WHIRL/canopy family): rare-token
     // blocking + integer-idf cosine. Fixture: 3-token md5 names, every
     // 4th customer gains a twin sharing 2 of 3 tokens (cos = 1/3 by
@@ -6200,6 +6231,59 @@ object SparkEntry {
          ent AS (SELECT n AS name, min(lbl) AS entity_id FROM reach GROUP BY 1)
          SELECT r.id, r.name, e2.entity_id
          FROM rec r JOIN ent e2 USING (name) ORDER BY r.id""",
+    // e04's cluster derivation verbatim, then the survivorship rules
+    // re-expressed with arg_min/arg_max on the SAME arithmetic tie-break
+    // keys; `oid` keeps the original id visible (DuckDB lateral aliases
+    // would otherwise rebind id inside the dup CTE)
+    "e08_golden_record" ->
+      """WITH RECURSIVE
+         base AS (SELECT c_custkey AS id,
+                  'Cust' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 9) AS name,
+                  CAST(c_nationkey AS BIGINT) AS nation,
+                  c_mktsegment AS segment,
+                  CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+                  'crm' AS src
+                  FROM customer),
+         dups AS (SELECT oid + 2000000000 AS id,
+                  substr(name, 1, 3 + p) || substr(name, 5 + p) AS name,
+                  CASE WHEN oid % 6 = 0 THEN nation + 1 ELSE nation END AS nation,
+                  segment || '_w' AS segment,
+                  bal_cents + oid % 1000 - 300 AS bal_cents,
+                  'web' AS src
+                  FROM (SELECT id AS oid, name, nation, segment, bal_cents,
+                               1 + id % 9 AS p FROM base WHERE id % 3 = 0)),
+         rec AS (SELECT * FROM base UNION ALL SELECT * FROM dups),
+         names AS (SELECT name, min(id) AS mid FROM rec GROUP BY 1),
+         cand AS (SELECT a.name AS x, b.name AS y
+                  FROM names a JOIN names b
+                    ON a.name < b.name
+                       AND abs(length(a.name) - length(b.name)) <= 1
+                       AND levenshtein(a.name, b.name) = 1
+                       AND jaro_winkler_similarity(a.name, b.name) >= 0.96),
+         e AS (SELECT x, y FROM cand UNION SELECT y, x FROM cand),
+         reach(n, lbl) AS (
+           SELECT name, mid FROM names
+           UNION
+           SELECT e.x, r.lbl FROM reach r JOIN e ON e.y = r.n),
+         ent AS (SELECT n AS name, min(lbl) AS entity_id FROM reach GROUP BY 1),
+         r AS (SELECT rec.*, ent.entity_id FROM rec JOIN ent USING (name)),
+         ml AS (SELECT r.*, max(length(name)) OVER (PARTITION BY entity_id) AS maxlen
+                FROM r),
+         main AS (SELECT entity_id,
+                    min(CASE WHEN length(name) = maxlen THEN name END) AS canonical_name,
+                    CAST(count(*) AS BIGINT) AS n_members,
+                    min(id) AS min_id,
+                    max(bal_cents) AS bal_cents,
+                    arg_min(segment,
+                      (CASE WHEN src = 'crm' THEN 0 ELSE 1 END) * 10000000000 + id)
+                      AS segment
+                  FROM ml GROUP BY 1),
+         nat AS (SELECT entity_id, arg_max(nation, cnt * 1000000 - nation) AS nation
+                 FROM (SELECT entity_id, nation, CAST(count(*) AS BIGINT) AS cnt
+                       FROM r GROUP BY 1, 2) GROUP BY 1)
+         SELECT m.entity_id, canonical_name, nation, segment, bal_cents,
+                n_members, min_id
+         FROM main m JOIN nat USING (entity_id) ORDER BY entity_id""",
     // integer idf (K div df) keeps every numerator/norm an exact BIGINT;
     // the one sqrt/division at the end is correctly rounded both engines
     "e07_tfidf_er" ->

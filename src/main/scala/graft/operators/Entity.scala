@@ -160,6 +160,49 @@ object Entity {
       .orderBy($"id")
   }
 
+  /** Golden-record survivorship (e08) — the canonicalization step after
+    * [[resolveEntities]]: one master row per resolved entity, each
+    * attribute chosen by its own survivorship rule (the MDM playbook):
+    *   - `canonical_name`: the LONGEST member name (most complete
+    *     value), lexicographic min on ties;
+    *   - `nation`: the mode, smallest value on count ties;
+    *   - `segment`: source priority (crm beats web), min id on ties —
+    *     the "most trusted system wins" rule;
+    *   - `bal_cents`: max across members ("highest observed balance");
+    *   - `n_members`/`min_id`: lineage audit.
+    * Ties break on exact integer sort keys encoded arithmetically
+    * (`cnt·10⁶ − nation`, `priority·10¹⁰ + id`), so `max_by`/`arg_max`
+    * pick identical rows in any engine — no engine-specific mode() or
+    * struct-ordering semantics in play.
+    *
+    * Scale shape: everything shuffles on `entity_id`; the window and
+    * both aggregates are over entity-sized groups (bounded by cluster
+    * size, which the resolver's candidate discipline already bounds),
+    * and the nation mode pre-collapses to (entity, nation) counts
+    * map-side. No self-join, no all-pairs.
+    */
+  def goldenRecords(records: DataFrame, entities: DataFrame): DataFrame = {
+    val r = records.join(entities, Seq("id"))
+    val wEnt = org.apache.spark.sql.expressions.Window.partitionBy($"entity_id")
+    val prioKey = (when($"src" === "crm", 0L).otherwise(1L) * 10000000000L) + $"id"
+    val main = r.withColumn("maxlen", max(length($"name")).over(wEnt))
+      .groupBy($"entity_id")
+      .agg(
+        min(when(length($"name") === $"maxlen", $"name")).as("canonical_name"),
+        count(lit(1)).as("n_members"),
+        min($"id").as("min_id"),
+        max($"bal_cents").as("bal_cents"),
+        min_by($"segment", prioKey).as("segment"))
+    val nation = r.groupBy($"entity_id", $"nation")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy($"entity_id")
+      .agg(max_by($"nation", $"cnt" * 1000000L - $"nation").as("nation"))
+    main.join(nation, Seq("entity_id"))
+      .select($"entity_id", $"canonical_name", $"nation", $"segment",
+        $"bal_cents", $"n_members", $"min_id")
+      .orderBy($"entity_id")
+  }
+
   /** Blocking-quality report (e06): the standard ER blocking evaluation
     * — REDUCTION RATIO (share of the quadratic comparison space the
     * blocking skips) and blocking PRECISION (share of candidates that

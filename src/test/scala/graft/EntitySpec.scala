@@ -177,6 +177,29 @@ class EntitySpec extends SparkSpec {
     all.filter(p => (p._1, p._2) != ((1L, 4L))).map(_._3).max should be < 0.2
   }
 
+  test("goldenRecords: every survivorship rule and its tie-break, hand-computed") {
+    val recs = Seq(
+      // entity 1: name-length tie -> lex min; nation mode 7; crm segment
+      // wins despite higher web ids; max balance from a web member
+      (1L, "Alexander", 5L, "AUTO", 100L, "crm"),
+      (2L, "Alexandre", 7L, "BIKE", 250L, "web"),
+      (3L, "Alexander", 7L, "CAR", 50L, "web"),
+      // entity 4: nation count tie -> min nation; all-web -> min id segment
+      (4L, "Bob", 2L, "S1", 5L, "web"),
+      (5L, "Bobb", 1L, "S2", 7L, "web"),
+      // singleton passes through
+      (9L, "Zoe", 3L, "X", 10L, "web"))
+      .toDF("id", "name", "nation", "segment", "bal_cents", "src")
+    val ents = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (9L, 9L))
+      .toDF("id", "entity_id")
+    val out = Entity.goldenRecords(recs, ents).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    out(1L) shouldBe (("Alexander", 7L, "AUTO", 250L, 3L, 1L))
+    out(4L) shouldBe (("Bobb", 1L, "S1", 7L, 2L, 4L))
+    out(9L) shouldBe (("Zoe", 3L, "X", 10L, 1L, 9L))
+  }
+
   test("tfidfCosinePairs: candidate join is an equi-join (no cartesian / BNLJ)") {
     val d = names(1L -> "a b", 2L -> "b c", 3L -> "c d")
     val plan = Entity.tfidfCosinePairs(d, "id", "name", 0.1)
