@@ -1948,6 +1948,16 @@ object SparkEntry {
     "t46_line_dedup" -> ((s, d) =>
       operators.TextAnalysis.lineDedupScrub(
         operators.TextAnalysis.linedCorpus(t(s, d)("documents")), 10L)),
+    // HTML-to-text extraction over the closed-form page fixture: the
+    // engine strips real markup (script '<', comment markup, nav/footer
+    // payloads, double-escaped entities) while the oracle rebuilds the
+    // expected text without parsing a byte of HTML
+    "t47_html_extract" -> ((s, d) =>
+      operators.TextAnalysis.htmlCorpus(t(s, d)("documents"))
+        .select($"doc_id",
+          operators.TextAnalysis.htmlExtract($"html").as("text_clean"))
+        .withColumn("n_clean", length($"text_clean").cast("long"))
+        .orderBy($"doc_id")),
     // VERSION AS OF: two batches applied to the versioned snapshot
     // store, then the time-travel read of the FIRST version — equal to
     // the one-batch merge by construction (the t17/w10 merge law); the
@@ -3817,6 +3827,16 @@ object SparkEntry {
                 coalesce(string_agg(CASE WHEN NOT boiler THEN line END,
                                     chr(10) ORDER BY pos), '') AS text_clean
          FROM flagged GROUP BY doc_id ORDER BY doc_id""",
+    // the expected extraction in closed form: heading, body text, and
+    // the decoded tail — a mangled tag, a leaked script/nav payload, or
+    // a wrong entity order all shift text_clean and hash-mismatch
+    "t47_html_extract" ->
+      """SELECT doc_id,
+                'Doc ' || doc_id || chr(10) || text || chr(10)
+                  || 'Tail &a <b> "q" x y' AS text_clean,
+                CAST(length('Doc ' || doc_id || chr(10) || text || chr(10)
+                  || 'Tail &a <b> "q" x y') AS BIGINT) AS n_clean
+         FROM documents ORDER BY doc_id""",
     // tf from the shared adaptive tokenizer, df re-collapsed from the tf
     // histogram, score = one IEEE division of exact BIGINTs, (score DESC,
     // term) total order mirrors the engine's rank window exactly

@@ -802,6 +802,60 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** t47 fixture: wrap every document in a deterministic HTML page (the
+    * [[linedCorpus]] rewrite discipline — synthesize the structure the
+    * flat corpus lacks, closed-form so the oracle rebuilds the EXPECTED
+    * EXTRACTION without parsing a byte of HTML). The page carries every
+    * hazard the extractor must survive: a `<` inside script code, a
+    * comment containing markup, boilerplate nav/footer containers, and
+    * double-escaped entities.
+    */
+  def htmlCorpus(documents: DataFrame): DataFrame =
+    documents.select($"doc_id", concat(
+      lit("<html><head><title>T"), $"doc_id",
+      lit("</title><style>p{x:1}</style></head>"),
+      lit("<body><script>var x = 1 < 2;</script>"),
+      lit("<nav><a href=\"/\">Home</a> | <a href=\"/a\">About</a></nav>"),
+      lit("<h1>Doc "), $"doc_id", lit("</h1><!-- <b>hidden</b> -->\n<p>"),
+      $"text",
+      lit("</p><p>Tail &amp;a &lt;b&gt; &quot;q&quot; x&nbsp;y</p>"),
+      lit("<footer>(c) 2026 Example</footer></body></html>")).as("html"))
+
+  /** HTML-to-text extraction (t47) — the boilerplate-stripping stage
+    * between raw crawl and every text pass in this file (the
+    * trafilatura/jusText seat): comments, `script`/`style` payloads, and
+    * boilerplate containers (`head`/`nav`/`footer`/`aside`) are removed
+    * WITH their contents; block-level tags become newlines (paragraph
+    * structure survives for [[lineDedupScrub]]); remaining tags strip to
+    * spaces; the named entities decode with `&amp;` LAST so
+    * double-escaped text stays escaped (the &amp;lt; ≠ < law); then
+    * whitespace normalizes (horizontal runs to one space, newline runs
+    * to one newline, ends trimmed).
+    *
+    * Scope guard: named entities only (`&#NN;` numerics pass through)
+    * and non-nested boilerplate containers — the common crawl shape;
+    * both documented rather than silently mangled. Scale shape: a pure
+    * codegen'd regexp/replace column chain, row-local, no shuffle — the
+    * 100 TB cost is exactly one pass over the bytes.
+    */
+  def htmlExtract(html: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val noComment = regexp_replace(html, "(?s)<!--.*?-->", " ")
+    val noPayload = regexp_replace(noComment,
+      "(?is)<(script|style)\\b[^>]*>.*?</\\1\\s*>", " ")
+    val noBoiler = regexp_replace(noPayload,
+      "(?is)<(head|nav|footer|aside)\\b[^>]*>.*?</\\1\\s*>", " ")
+    val blocks = regexp_replace(noBoiler,
+      "(?i)</?(p|div|h[1-6]|li|ul|ol|dl|table|thead|tbody|tr|td|th|br|hr|section|article|blockquote|pre|title)\\b[^>]*/?>",
+      "\n")
+    val noTags = regexp_replace(blocks, "(?s)</?[a-zA-Z][^>]*>", " ")
+    val ent = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&apos;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+    val hws = regexp_replace(ent, "[^\\S\\n]+", " ")
+    val nl = regexp_replace(hws, "\\s*\\n\\s*", "\n")
+    regexp_replace(nl, "^\\s+|\\s+$", "")
+  }
+
   /** Bigram collocation mining — corpus phrases whose adjacent
     * co-occurrence beats independence (lift = P(xy)/(P(x)·P(y)), the
     * exp(PMI) every phrase-detection pass ranks by). Integer counts all

@@ -446,6 +446,31 @@ class TextAnalysisSpec extends SparkSpec {
     out.contains(("y", "x")) shouldBe false      // n_xy=1 < minCount
   }
 
+  test("htmlExtract: hazards — script '<', comment markup, entities, double-escape") {
+    def ext(h: String): String = Seq(h).toDF("html")
+      .select(TextAnalysis.htmlExtract($"html")).head.getString(0)
+    // script payload with a bare '<' inside code must vanish entirely
+    ext("<p>a</p><script>if (1 < 2) alert('x')</script><p>b</p>") shouldBe "a\nb"
+    // comments removed first, even when they contain markup
+    ext("x<!-- <script>evil</script> -->y") shouldBe "x y"
+    // boilerplate containers go WITH contents; inline tags go to spaces
+    ext("<nav><a href='/'>Home</a></nav><p>keep <b>bold</b> text</p>") shouldBe
+      "keep bold text"
+    // entity decode order: amp LAST keeps double-escaped text escaped
+    ext("&amp;lt; is written &lt;") shouldBe "&lt; is written <"
+    ext("a&nbsp;b &quot;c&quot; &apos;d&apos; x &gt; y") shouldBe
+      "a b \"c\" 'd' x > y"
+    // block structure to newlines, whitespace runs collapsed, ends trimmed
+    ext("  <div> a </div>\n\n<br/>b<h2>t</h2>") shouldBe "a\nb\nt"
+    // numeric entities are out of scope and pass through (documented)
+    ext("<p>&#60;x</p>") shouldBe "&#60;x"
+    // the full fixture page round-trips to its closed-form expectation
+    val docs = Seq((7L, "hello world", "en", "w")).toDF("doc_id", "text", "lang", "source")
+    TextAnalysis.htmlCorpus(docs)
+      .select(TextAnalysis.htmlExtract($"html")).head.getString(0) shouldBe
+      "Doc 7\nhello world\nTail &a <b> \"q\" x y"
+  }
+
   test("linedCorpus: token slices of 8 + deterministic footers") {
     val d = docs(
       (0L, Array.tabulate(10)(i => s"w$i").mkString(" "), "en", "w"), // %3 footer
