@@ -560,4 +560,28 @@ class PlanGuardSpec extends SparkSpec {
     p should include("Union")
     p should not include "Join"
   }
+
+  test("r29_remap_conservative: axis tables broadcast; the grid scans once, no theta join") {
+    val p = planOf("r29_remap_conservative")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    p.linesIterator.count(_.contains("lineitem.parquet")) shouldBe 1
+  }
+
+  test("t47_html_extract: row-local extraction — no exchange before the sort") {
+    val p = planOf("t47_html_extract")
+    p should not include "Join"
+    // one scan, one projection chain; the only exchange is the final
+    // presentation orderBy's range partitioning — never a hash shuffle
+    p.linesIterator.count(_.contains("documents.parquet")) shouldBe 1
+    p should not include "hashpartitioning"
+  }
+
+  test("e08_golden_record: survivorship is entity-keyed — no cartesian, no nested loop") {
+    val p = planOf("e08_golden_record")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
 }
