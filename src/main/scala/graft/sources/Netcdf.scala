@@ -198,6 +198,13 @@ object Netcdf {
     }
     def doubles(v: Var): Array[Double] = {
       require(v.tpe == NcDouble, s"${v.name}: expected NC_DOUBLE")
+      // allocation cap BEFORE Array.tabulate: a crafted vsize/begin must
+      // fail loudly here, not as a multi-GB allocation (the PNG/J2K
+      // dimension-cap discipline — untrusted bytes size nothing)
+      require(v.vsize >= 0 && v.begin >= 0 &&
+        v.begin.toLong + v.vsize <= bytes.length,
+        s"${v.name}: vsize ${v.vsize} @ begin ${v.begin} exceeds the " +
+          s"${bytes.length}-byte file")
       Array.tabulate(v.vsize / 8)(k => f64(v.begin + 8 * k))
     }
     /** Record-variable int slab for record r (CDF record interleaving:
@@ -206,8 +213,13 @@ object Netcdf {
     def intRecord(v: Var, r: Int, recSize: Int): Array[Int] = {
       require(v.tpe == NcInt, s"${v.name}: expected NC_INT payload " +
         "(CHAR/SHORT/FLOAT/DOUBLE data variables out of scope)")
-      val base = v.begin + r * recSize
-      Array.tabulate(v.vsize / 4)(k => i32(base + 4 * k))
+      // Long arithmetic: begin + r*recSize on crafted headers overflows
+      // Int into a silently-wrong (or negative) slab base
+      val base = v.begin.toLong + r.toLong * recSize
+      require(v.vsize >= 0 && base >= 0 && base + v.vsize <= bytes.length,
+        s"${v.name}: record $r slab [$base, ${base + v.vsize}) exceeds the " +
+          s"${bytes.length}-byte file")
+      Array.tabulate(v.vsize / 4)(k => i32(base.toInt + 4 * k))
     }
   }
 
@@ -228,11 +240,22 @@ object Netcdf {
     require(numrecs >= 0, s"STREAMING numrecs in $label out of scope")
     def nameStr(): String = {
       val n = i32()
+      require(n >= 0 && n <= bytes.length - pos,
+        s"name length $n exceeds remaining bytes in $label")
       val s = new String(bytes, pos, n, "UTF-8")
       pos += n; while (pos % 4 != 0) pos += 1
       s
     }
-    def typedValues(tpe: Int, n: Int): Any = tpe match {
+    def typedValues(tpe: Int, n: Int): Any = {
+      // element count must fit the remaining bytes BEFORE any Array.fill
+      // allocates — a crafted count is a loud reject, not an OOM
+      val width = tpe match {
+        case NcChar => 1L; case NcShort => 2L
+        case NcInt | NcFloat => 4L; case NcDouble => 8L; case _ => 1L
+      }
+      require(n >= 0 && n * width <= (bytes.length - pos).toLong,
+        s"attribute payload ($n x $width bytes) exceeds remaining bytes in $label")
+      tpe match {
       case NcChar =>
         val s = new String(bytes, pos, n, "UTF-8"); pos += n
         while (pos % 4 != 0) pos += 1
@@ -250,11 +273,12 @@ object Netcdf {
         }
       case t => throw new IllegalArgumentException(
         s"attribute type $t in $label out of scope (NC_BYTE attributes unused)")
+      }
     }
     def attList(): Map[String, Any] = {
       val tag = i32(); val n = i32()
-      require((tag == TagAttribute && n >= 0) || (tag == 0 && n == 0),
-        s"bad att_list tag $tag in $label")
+      require((tag == TagAttribute && n >= 0 && n <= bytes.length) ||
+        (tag == 0 && n == 0), s"bad att_list tag $tag in $label")
       (0 until n).map { _ =>
         val nm = nameStr(); val tpe = i32(); val cnt = i32()
         val v = typedValues(tpe, cnt)
@@ -262,13 +286,13 @@ object Netcdf {
       }.toMap
     }
     val dimTag = i32(); val nDims = i32()
-    require((dimTag == TagDimension && nDims >= 0) || (dimTag == 0 && nDims == 0),
-      s"bad dim_list tag $dimTag in $label")
+    require((dimTag == TagDimension && nDims >= 0 && nDims <= bytes.length) ||
+      (dimTag == 0 && nDims == 0), s"bad dim_list tag $dimTag in $label")
     val dims = (0 until nDims).map(_ => Dim(nameStr(), i32()))
     val gatts = attList()
     val varTag = i32(); val nVars = i32()
-    require((varTag == TagVariable && nVars >= 0) || (varTag == 0 && nVars == 0),
-      s"bad var_list tag $varTag in $label")
+    require((varTag == TagVariable && nVars >= 0 && nVars <= bytes.length) ||
+      (varTag == 0 && nVars == 0), s"bad var_list tag $varTag in $label")
     val vars = (0 until nVars).map { _ =>
       val nm = nameStr()
       val nd = i32()

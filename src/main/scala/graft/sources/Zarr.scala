@@ -220,7 +220,21 @@ object Zarr {
       case JInt(v) => v.toInt
       case _ => 0
     }).getOrElse(0)
-    ArrayMeta((j \ "shape").extract[Seq[Int]], (j \ "chunks").extract[Seq[Int]],
+    // dimension plausibility caps BEFORE any decode allocates (the
+    // PNG/J2K hardening): extract as BigInt so out-of-Int-range values
+    // reject loudly instead of wrapping, then bound the per-chunk cell
+    // product — a crafted .zarray must never size an inflate buffer
+    val shape = (j \ "shape").extract[Seq[BigInt]]
+    val chunks = (j \ "chunks").extract[Seq[BigInt]]
+    require(shape.nonEmpty && chunks.length == shape.length,
+      s"zarr: $label shape/chunks rank mismatch ($shape vs $chunks)")
+    (shape ++ chunks).foreach(v => require(v >= 0 && v <= Int.MaxValue,
+      s"zarr: $label dimension $v out of range"))
+    require(chunks.forall(_ >= 1),
+      s"zarr: $label has a zero-extent chunk dimension")
+    require(chunks.product <= (BigInt(1) << 26),
+      s"zarr: $label chunk cell count ${chunks.product} exceeds the 2^26 cap")
+    ArrayMeta(shape.map(_.toInt), chunks.map(_.toInt),
       dtype, zlib, fill, scale)
   }
 
@@ -292,6 +306,11 @@ object Zarr {
                         meta: ArrayMeta): Array[Double] = {
     require(meta.shape.length == 1 && meta.chunks == meta.shape,
       s"zarr: coordinate $name must be 1-d single-chunk")
+    // coordinates materialize driver-side — cap the declared length
+    // before decode sizes a buffer from untrusted metadata
+    require(meta.shape.head <= (1 << 24),
+      s"zarr: coordinate $name declares ${meta.shape.head} entries — " +
+        "beyond the 2^24 driver-side cap")
     val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(s"$root/$name/0")
     val fs = p.getFileSystem(conf)
@@ -355,6 +374,12 @@ object Zarr {
           require(idx.length == 3, s"zarr: unexpected chunk key $key under $vname")
           val Array(r, cj, ci) = idx
           val Seq(_, chJ, chI) = m.chunks
+          // chunk indices must address the declared shape — a stray key
+          // would otherwise alias negative/overflowed cell coordinates
+          require(r >= 0 && r.toLong < m.shape.head &&
+            cj >= 0 && cj.toLong * chJ < m.shape(1) &&
+            ci >= 0 && ci.toLong * chI < m.shape(2),
+            s"zarr: chunk key $key outside ${m.shape} under $vname")
           val cells = decodeInts(bytes, m, chJ * chI, s"$vname/$key")
           val fill = m.fillValue.getOrElse(FillInt)
           val denom = math.pow(10, m.decimalScale)

@@ -122,6 +122,31 @@ class NetcdfSpec extends SparkSpec {
         field("PRATE", t0, 0).copy(ni = 4, scaled = Array.fill(12)(Some(1)))))
   }
 
+  test("hostile sizes reject before allocation (slab/name/attr caps)") {
+    val bytes = write(Seq(field("TMP", t0, 0)))
+    val nc = Netcdf.parse(bytes)
+    val lat = nc.vars.find(_.name == "lat").get
+    // crafted vsize/begin must fail loudly, never size an allocation
+    intercept[IllegalArgumentException](
+      nc.doubles(lat.copy(vsize = Int.MaxValue))).getMessage should include("exceeds")
+    intercept[IllegalArgumentException](
+      nc.doubles(lat.copy(begin = Int.MaxValue))).getMessage should include("exceeds")
+    val tmp = nc.vars.find(_.name == "TMP").get
+    intercept[IllegalArgumentException](
+      nc.intRecord(tmp.copy(vsize = Int.MaxValue), 0, 8)).getMessage should include("exceeds")
+    // record base arithmetic is Long — an Int-overflowing r*recSize is a
+    // loud range reject, not a wrapped negative slab offset
+    intercept[IllegalArgumentException](
+      nc.intRecord(tmp, Int.MaxValue, Int.MaxValue)).getMessage should include("exceeds")
+    // first dim name length lives at offset 16 (magic+numrecs+tag+count):
+    // a huge declared length rejects against the remaining bytes
+    val hostile = bytes.clone()
+    hostile(16) = 0x7f.toByte; hostile(17) = 0xff.toByte
+    hostile(18) = 0xff.toByte; hostile(19) = 0xff.toByte
+    intercept[IllegalArgumentException](
+      Netcdf.parse(hostile)).getMessage should include("name length")
+  }
+
   test("distributed scan filters variables before flattening") {
     val p = java.nio.file.Files.createTempDirectory("graft-ncdir")
     Netcdf.writeFile(p.resolve("a.nc"), Seq(

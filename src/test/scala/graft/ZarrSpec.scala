@@ -163,4 +163,37 @@ class ZarrSpec extends SparkSpec {
       Zarr.readRecords(spark,
         java.nio.file.Files.createTempDirectory("notzarr").toString).collect()
   }
+
+  test("hostile metadata rejects before any allocation (dimension caps)") {
+    def meta(shape: String, chunks: String): Zarr.ArrayMeta =
+      Zarr.parseZarray(
+        s"""{"zarr_format":2,"shape":$shape,"chunks":$chunks,"dtype":"<i4",
+            "compressor":{"id":"zlib","level":6},"fill_value":null,
+            "order":"C","filters":null}""", None, "hostile")
+    // a chunk whose cell product would size a multi-GB inflate buffer
+    intercept[IllegalArgumentException](
+      meta("[1,65536,65536]", "[1,65536,65536]"))
+      .getMessage should include("2^26 cap")
+    // Int-overflow products must reject, not wrap to small positives
+    intercept[IllegalArgumentException](
+      meta("[1,4294967296,2]", "[1,1,1]"))
+      .getMessage should include("out of range")
+    // zero-extent chunks would divide by zero downstream
+    intercept[IllegalArgumentException](meta("[1,2,2]", "[1,0,2]"))
+      .getMessage should include("zero-extent")
+    // rank mismatch
+    intercept[IllegalArgumentException](meta("[1,2,2]", "[1,2]"))
+      .getMessage should include("rank mismatch")
+    // a coordinate array above the driver-side cap refuses at readCoord:
+    // craft a store then inflate the lat coordinate's declared length
+    val root = store(Seq(field("TMP", t0, 0)))
+    val latDir = root.resolve("lat")
+    val za = new String(java.nio.file.Files.readAllBytes(latDir.resolve(".zarray")), "UTF-8")
+    val nj = field("TMP", t0, 0).nj
+    java.nio.file.Files.write(latDir.resolve(".zarray"),
+      za.replace(s"[$nj]", "[999999999]").getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException](
+      Zarr.readRecords(spark, root.toString, matchRe = "TMP").collect())
+    e.getMessage should (include("cap") or include("entries"))
+  }
 }
