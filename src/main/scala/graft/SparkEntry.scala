@@ -1189,6 +1189,21 @@ object SparkEntry {
     "r17_remap_bilinear" -> ((s, d) =>
       Raster.remapBilinear(Raster.demoGridSum(t(s, d)("lineitem")),
         -25L, 2L, 3L, 24, -55L, 5L, 4L, 22)),
+    // points-in-polygons spatial join: 60 closed-form CCW triangles,
+    // tile-blocked candidates (polygon bboxes explode to tiles and
+    // broadcast — never the points), exact integer cross-product
+    // containment on the candidate sliver only
+    "r30_spatial_join" -> ((s, d) => {
+      val tris = Seq.tabulate(60) { p =>
+        val cx = (p * 7) % 50 - 25L; val cy = (p * 11) % 34 - 17L
+        (cx, cy, cx + 4, cy + 1, cx + 1, cy + 3)
+      }
+      val pts = t(s, d)("customer").select(
+        $"c_custkey".as("id"),
+        ($"c_custkey" % 57 - 28).as("px"),
+        (($"c_custkey" * 3) % 41 - 20).as("py"))
+      operators.Spatial.containsJoin(pts, tris, cell = 8L)
+    }),
     // first-order conservative remap (cdo remapcon): quarter-unit target
     // edges offset by 0.5 with steps 2.5×3.5 — no target edge coincides
     // with a source edge, so every cell weight is a genuine partial
@@ -3527,6 +3542,23 @@ object SparkEntry {
                 CASE WHEN den_eff > 0 THEN CAST(num AS DOUBLE)/den_eff END AS value,
                 num, den_eff, n_src
          FROM aggd ORDER BY variable, time, tlat, tlon""",
+    // the oracle brute-forces the cross join with the SAME integer sign
+    // tests — a blocking bug that drops a candidate tile loses pairs and
+    // hash-mismatches (pair completeness by construction)
+    "r30_spatial_join" ->
+      """WITH tri AS (SELECT p AS poly_id,
+                (p*7)%50 - 25 AS ax, (p*11)%34 - 17 AS ay
+              FROM (SELECT unnest(generate_series(0, 59)) AS p)),
+         t2 AS (SELECT poly_id, ax, ay, ax+4 AS bx, ay+1 AS by2,
+                       ax+1 AS cx, ay+3 AS cy FROM tri),
+         pts AS (SELECT c_custkey AS id, c_custkey % 57 - 28 AS px,
+                        (c_custkey*3) % 41 - 20 AS py FROM customer)
+         SELECT id, poly_id, px, py
+         FROM pts CROSS JOIN t2
+         WHERE (bx-ax)*(py-ay) - (by2-ay)*(px-ax) > 0
+           AND (cx-bx)*(py-by2) - (cy-by2)*(px-bx) > 0
+           AND (ax-cx)*(py-cy) - (ay-cy)*(px-cx) > 0
+         ORDER BY id, poly_id""",
     // the oracle forms the SAME den-scaled integer overlaps directly on
     // the (source cell × target cell) join — a wrong axis table, weight,
     // or normalization in the engine shifts num/den_eff and mismatches
