@@ -1873,6 +1873,16 @@ object SparkEntry {
           .otherwise($"text"))
       operators.TextAnalysis.scriptProfile(gated)
     }),
+    // script-run segmentation: fr docs gain a CJK infix so genuinely
+    // code-switched 3-run docs exist (other + cjk + other); zh docs are
+    // one pure-cjk run, en/de/es one other-run — every shape exercised
+    "t48_script_segments" -> ((s, d) => {
+      val base = operators.TextAnalysis.cjkMapped(t(s, d)("documents"))
+      val gated = base.withColumn("text",
+        when($"lang" === "fr", concat($"text", lit(" 一二 encore")))
+          .otherwise($"text"))
+      operators.TextAnalysis.scriptSegments(gated)
+    }),
     // DSIR selection executed: fill a 3000-token budget with the most
     // target-like docs first (distributed prefix sum over the rank order)
     "t14_dsir_select" -> ((s, d) => {
@@ -5276,6 +5286,28 @@ object SparkEntry {
          FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
          WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.5
          ORDER BY doc_a, doc_b""",
+    // the same alternating run regex under RE2 escapes; zipped unnests
+    // carry (seg, run) so ordering matches the engine's posexplode
+    "t48_script_segments" ->
+      s"""WITH $cjkDocsCte,
+         gated AS (SELECT doc_id,
+                     CASE WHEN lang = 'fr'
+                          THEN text || ' ' || chr(19968) || chr(20108) || ' encore'
+                          ELSE text END AS text
+                   FROM cjkdocs),
+         segs AS (SELECT doc_id,
+                    regexp_extract_all(text,
+                      '[\\x{4e00}-\\x{9fff}]+|[^\\x{4e00}-\\x{9fff}]+') AS arr
+                  FROM gated),
+         runs AS (SELECT doc_id, unnest(generate_series(1, len(arr))) AS seg,
+                         unnest(arr) AS run
+                  FROM segs)
+         SELECT doc_id, CAST(seg AS BIGINT) AS seg,
+                CASE WHEN regexp_matches(run, '^[\\x{4e00}-\\x{9fff}]')
+                     THEN 'cjk' ELSE 'other' END AS script,
+                CAST(length(run) AS BIGINT) AS n_chars,
+                substr(run, 1, 8) AS sample
+         FROM runs ORDER BY doc_id, seg""",
     // identical per-class regexp counts over the same gated corpus; the
     // dominance CASE chain and tie precedence are copied verbatim
     "t42_script_profile" ->

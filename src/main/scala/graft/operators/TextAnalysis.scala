@@ -856,6 +856,34 @@ object TextAnalysis {
     regexp_replace(nl, "^\\s+|\\s+$", "")
   }
 
+  /** Script-run segmentation (t48) — split each document into maximal
+    * same-script character runs (CJK vs everything else), the span
+    * router of every multilingual pipeline: code-switched documents
+    * route each span to its language's tokenizer/quality pass instead
+    * of mis-scoring the whole doc under one model.
+    * [[scriptProfile]] (t42) reports per-doc COUNTS; this emits the
+    * ordered RUNS themselves.
+    *
+    * The run enumeration is one alternating regex
+    * (`cjk-run | non-cjk-run`) whose matches tile the string in order —
+    * `regexp_extract_all` + `posexplode`, a pure codegen'd row-local
+    * chain; the DuckDB oracle enumerates identical runs with the same
+    * alternation under RE2 escapes. Scale cost: one pass over the
+    * bytes, no shuffle before the presentation sort.
+    */
+  def scriptSegments(documents: DataFrame): DataFrame =
+    documents
+      .select($"doc_id", posexplode(expr(
+        """regexp_extract_all(text, '[\\u4e00-\\u9fff]+|[^\\u4e00-\\u9fff]+', 0)"""))
+        .as(Seq("seg0", "run")))
+      .select($"doc_id",
+        ($"seg0" + 1).cast("long").as("seg"),
+        when($"run".rlike("^[\\u4e00-\\u9fff]"), "cjk")
+          .otherwise("other").as("script"),
+        length($"run").cast("long").as("n_chars"),
+        substring($"run", 1, 8).as("sample"))
+      .orderBy($"doc_id", $"seg")
+
   /** Bigram collocation mining — corpus phrases whose adjacent
     * co-occurrence beats independence (lift = P(xy)/(P(x)·P(y)), the
     * exp(PMI) every phrase-detection pass ranks by). Integer counts all

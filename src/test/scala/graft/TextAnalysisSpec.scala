@@ -471,6 +471,26 @@ class TextAnalysisSpec extends SparkSpec {
       "Doc 7\nhello world\nTail &a <b> \"q\" x y"
   }
 
+  test("scriptSegments: alternating runs tile the string, classes and samples exact") {
+    val d = docs(
+      (1L, "abc 一二 xyz", "fr", "w"),  // other|cjk|other
+      (2L, "一丁丂", "zh", "w"),     // one cjk run
+      (3L, "plain latin text here", "en", "w"))  // one other run
+    val out = TextAnalysis.scriptSegments(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3), r.getString(4)))).toMap
+    out((1L, 1L)) shouldBe (("other", 4L, "abc "))
+    out((1L, 2L)) shouldBe (("cjk", 2L, "一二"))
+    out((1L, 3L)) shouldBe (("other", 4L, " xyz"))
+    out((2L, 1L)) shouldBe (("cjk", 3L, "一丁丂"))
+    out((3L, 1L)) shouldBe (("other", 21L, "plain la")) // 8-char sample
+    out.size shouldBe 5
+    // reassembly law: concatenating runs in seg order restores the text
+    val runs = TextAnalysis.scriptSegments(d).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getLong(1)))
+    runs(1L).map(_.getLong(3)).sum shouldBe 10L
+  }
+
   test("linedCorpus: token slices of 8 + deterministic footers") {
     val d = docs(
       (0L, Array.tabulate(10)(i => s"w$i").mkString(" "), "en", "w"), // %3 footer
