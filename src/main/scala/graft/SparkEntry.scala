@@ -1769,6 +1769,12 @@ object SparkEntry {
       Similarity.matryoshkaTopK(t(s, d)("embeddings"), 0L,
         prefixDims = 16, shortlist = 50, k = 10)),
     "s02_cosine_topk" -> ((s, d) => Similarity.cosineTopK(t(s, d)("embeddings"), 0L, 10)),
+    // IR eval harness: exact top-10 per judged query (vec_id % 100 == 0)
+    // vs residue-class qrels — MRR's one IEEE division, precision/recall
+    // as exact ppm; no-hit queries report mrr 0 with a null first rank
+    "s15_retrieval_metrics" -> ((s, d) =>
+      Similarity.retrievalMetrics(t(s, d)("embeddings"),
+        queryMod = 100L, relMod = 7L, k = 10)),
     // fixed-width banding is the explicit OPT-IN form (d08 discipline):
     // the 100× leg measured it at 265× vs the adaptive default's 11×
     "s03_lsh_pairs" -> ((s, d) => Similarity.lshNearNeighboursFixed(t(s, d)("embeddings"), 4, 0.35)),
@@ -5126,6 +5132,33 @@ object SparkEntry {
                FROM embeddings, q WHERE vec_id <> 0)
          SELECT vec_id, label, round(c, 4) AS cos_sim FROM s WHERE c >= 0.1
          ORDER BY vec_id""",
+    // identical exact ranking (same dot/norm expression order, same
+    // (cos DESC, did) tie-break), identical residue qrels — a ranking or
+    // tie-break bug shifts a rank and every derived metric
+    "s15_retrieval_metrics" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id AS qid, v AS qv, sqrt(list_dot_product(v, v)) AS qn
+               FROM e WHERE vec_id % 100 = 0),
+         s AS (SELECT q.qid, e.vec_id AS did,
+                 list_dot_product(e.v, q.qv)
+                   / (sqrt(list_dot_product(e.v, e.v)) * q.qn) AS c
+               FROM e CROSS JOIN q WHERE e.vec_id <> q.qid),
+         r AS (SELECT qid, did,
+                 row_number() OVER (PARTITION BY qid ORDER BY c DESC, did) AS rnk
+               FROM s),
+         t AS (SELECT qid, did, rnk,
+                 CASE WHEN did % 7 = qid % 7 THEN 1 ELSE 0 END AS rel
+               FROM r WHERE rnk <= 10),
+         hist AS (SELECT vec_id % 7 AS rc, count(*) AS class_n FROM e GROUP BY 1),
+         a AS (SELECT qid, CAST(sum(rel) AS BIGINT) AS n_rel,
+                 CAST(min(CASE WHEN rel = 1 THEN rnk END) AS BIGINT) AS first_rel_rank
+               FROM t GROUP BY 1)
+         SELECT a.qid, n_rel, first_rel_rank,
+                coalesce(CAST(1.0 AS DOUBLE)/first_rel_rank, CAST(0.0 AS DOUBLE)) AS mrr,
+                (n_rel * 1000000) // 10 AS precision_ppm,
+                (n_rel * 1000000) // (class_n - 1) AS recall_ppm
+         FROM a JOIN hist ON a.qid % 7 = hist.rc
+         ORDER BY a.qid""",
     "s02_cosine_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
          s AS (SELECT vec_id, label,

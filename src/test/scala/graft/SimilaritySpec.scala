@@ -15,6 +15,33 @@ class SimilaritySpec extends SparkSpec {
   private def emb(rows: (Long, Array[Float], Int)*) =
     rows.toDF("vec_id", "embedding", "label")
 
+  test("retrievalMetrics: hand-ranked fixture — MRR, precision/recall ppm, the no-hit path") {
+    def v2(x: Float, y: Float): Array[Float] = {
+      val a = Array.fill(64)(0.0f); a(0) = x; a(1) = y; a
+    }
+    // query 0 = (1,0); ranking by cosine then id: 1 (cos 1), 2 (cos 1,
+    // tie -> id), 4 (cos .707), 3 (cos 0)
+    val e = emb(
+      (0L, v2(1, 0), 0), (1L, v2(1, 0), 0), (2L, v2(2, 0), 0),
+      (3L, v2(0, 1), 0), (4L, v2(1, 1), 0))
+    // relMod 2: evens relevant to query 0; class {0,2,4} -> total 2
+    val r = Similarity.retrievalMetrics(e, queryMod = 100L, relMod = 2L, k = 3).collect()
+    r.length shouldBe 1
+    val m = r.head
+    m.getLong(0) shouldBe 0L
+    m.getLong(1) shouldBe 2L            // 2 and 4 in the top-3
+    m.getLong(2) shouldBe 2L            // first relevant at rank 2
+    m.getDouble(3) shouldBe 0.5         // MRR = 1/2 exactly
+    m.getLong(4) shouldBe 666666L       // floor(2e6/3)
+    m.getLong(5) shouldBe 1000000L      // both relevant docs retrieved
+    // no relevant hit: relMod 5 leaves residue-0 = {0} (the query alone)
+    val miss = Similarity.retrievalMetrics(e, 100L, 5L, 3).collect().head
+    miss.getLong(1) shouldBe 0L
+    miss.isNullAt(2) shouldBe true      // no first rank
+    miss.getDouble(3) shouldBe 0.0      // MRR honest zero
+    miss.isNullAt(5) shouldBe true      // recall undefined: empty class
+  }
+
   test("cosine: parallel = 1, orthogonal = 0, antiparallel = -1") {
     val df = Seq(
       (vec(0), vec(0, 5.0f)),
