@@ -2395,6 +2395,17 @@ object SparkEntry {
     // e04's kernel, right for their clique-shaped graphs) would need
     // hundreds of shuffles. Labels are component-minimum node ids:
     // bit-identical in any engine, full value oracle
+    // multi-source BFS over the doc chain graph: distances within 4
+    // hops of the %50 seed set — chain breaks (the md5 'ff' cut) give
+    // asymmetric horizons, so both the cap and the min-fold are load-
+    // bearing; fixed rounds, exact by the cap's definition
+    "g10_bfs" -> ((s, d) => {
+      val docs = t(s, d)("documents")
+      operators.Graph.bfsDistances(
+        operators.Graph.docChainEdges(docs),
+        docs.where($"doc_id" % 50 === 0).select($"doc_id".as("node")),
+        maxHops = 4)
+    }),
     "g05_components" -> ((s, d) => {
       val docs = t(s, d)("documents")
       operators.Graph.alternatingStarComponents(
@@ -6247,6 +6258,20 @@ object SparkEntry {
     // fixpoint; UNION dedup terminates it) over the same md5-gated chain
     // graph — label = component-minimum id, the same bit-exact contract
     // the star-contraction engine produces in O(log n) rounds
+    // the recursion carries (node, d) pairs and stops at the hop cap, so
+    // it terminates on cycles; MIN(d) collapses multiple discovery paths
+    // exactly like the engine's per-round min fold
+    "g10_bfs" ->
+      """WITH RECURSIVE e AS (
+           SELECT doc_id AS u, doc_id - 1 AS v FROM documents
+           WHERE doc_id > 0 AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <> 'ff'),
+         sym AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+         reach(node, d) AS (
+           SELECT doc_id, CAST(0 AS BIGINT) FROM documents WHERE doc_id % 50 = 0
+           UNION
+           SELECT s.u, r.d + 1 FROM reach r JOIN sym s ON s.v = r.node
+           WHERE r.d < 4)
+         SELECT node, MIN(d) AS dist FROM reach GROUP BY node ORDER BY node""",
     "g05_components" ->
       """WITH RECURSIVE e AS (
            SELECT doc_id AS u, doc_id - 1 AS v FROM documents

@@ -235,6 +235,40 @@ object Graph {
     labels
   }
 
+  /** Multi-source BFS distances (g10) — hop distance from a seed set,
+    * capped at `maxHops`: the "within-N-hops neighborhood" primitive
+    * under influence radii, fraud-ring expansion, and k-hop feature
+    * extraction. Semantics are exact BY DEFINITION of the cap: after
+    * round k every node reachable in ≤ k hops holds its true distance,
+    * so `maxHops` fixed rounds compute exactly `min(dist, maxHops)`
+    * with nodes beyond the horizon absent — no convergence test, no
+    * cycle hazard (the g07/g08 fixed-round contract).
+    *
+    * Scale shape: the Pregel relaxation — per round ONE shuffle whose
+    * message volume is bounded by |E| (each directed edge emits at most
+    * one candidate distance), folded by a map-side-combinable min;
+    * rounds are the constant hop budget, each behind a barrier so the
+    * lineage never re-derives earlier rounds.
+    */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0 && maxHops <= 16,
+      s"bfsDistances: hop budget $maxHops out of [0, 16]")
+    val e = graft.Session.barrier(
+      edges.select(col("u").as("src"), col("v").as("dst"))
+        .unionByName(edges.select(col("v").as("src"), col("u").as("dst")))
+        .distinct())
+    var dist = graft.Session.barrier(
+      seeds.select(col("node"), lit(0L).as("dist")).distinct())
+    for (_ <- 1 to maxHops) {
+      val msgs = e.join(dist, e("dst") === dist("node"))
+        .select(e("src").as("node"), (col("dist") + 1L).as("dist"))
+      dist = graft.Session.barrier(
+        dist.unionByName(msgs).groupBy(col("node"))
+          .agg(min(col("dist")).as("dist")))
+    }
+    dist.orderBy(col("node"))
+  }
+
   /** Item-to-item collaborative filtering (g03): top-k item pairs by
     * co-occurrence, with neighborhood Jaccard carried as the exact
     * integer fraction (common, n_u + n_w − common) — the Amazon

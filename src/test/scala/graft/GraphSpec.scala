@@ -302,4 +302,25 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     got shouldBe Set((10L, 11L))
   }
+
+  test("bfsDistances: hop cap, multi-source min, symmetric edges, unreachable absent") {
+    // path 0-1-2-3-4-5-6 plus an isolated pair 100-101
+    val edges = ((0L to 5L).map(k => (k, k + 1)) :+ ((100L, 101L)))
+      .toDF("u", "v")
+    def run(seeds: Seq[Long], hops: Int): Map[Long, Long] =
+      Graph.bfsDistances(edges, seeds.toDF("node"), hops)
+        .as[(Long, Long)].collect().toMap
+    // single seed at one end: the cap trims the horizon
+    run(Seq(0L), 4) shouldBe Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L)
+    // two seeds: every node takes the CLOSER one (the min fold)
+    run(Seq(0L, 6L), 4) shouldBe Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L,
+      4L -> 2L, 5L -> 1L, 6L -> 0L)
+    // edges traverse BOTH ways even though stored one way
+    run(Seq(6L), 2) shouldBe Map(6L -> 0L, 5L -> 1L, 4L -> 2L)
+    // zero hops: the seed set itself
+    run(Seq(3L), 0) shouldBe Map(3L -> 0L)
+    // the isolated component never appears for main-path seeds
+    run(Seq(0L), 16).contains(100L) shouldBe false
+    an[IllegalArgumentException] should be thrownBy run(Seq(0L), 17)
+  }
 }
