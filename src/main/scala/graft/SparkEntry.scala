@@ -1204,6 +1204,22 @@ object SparkEntry {
         (($"c_custkey" * 3) % 41 - 20).as("py"))
       operators.Spatial.containsJoin(pts, tris, cell = 8L)
     }),
+    // zonal statistics over the SAME 60-triangle zone set: per-zone
+    // count/sum/min/max of an integer point payload — the many-zone
+    // generalization of the reference's clip+aggregate; a wrong
+    // candidate set shifts n_points, a wrong value mapping shifts sums
+    "r31_zonal_stats" -> ((s, d) => {
+      val tris = Seq.tabulate(60) { p =>
+        val cx = (p * 7) % 50 - 25L; val cy = (p * 11) % 34 - 17L
+        (cx, cy, cx + 4, cy + 1, cx + 1, cy + 3)
+      }
+      val pts = t(s, d)("customer").select(
+        $"c_custkey".as("id"),
+        ($"c_custkey" % 57 - 28).as("px"),
+        (($"c_custkey" * 3) % 41 - 20).as("py"),
+        (($"c_custkey" * 13) % 97).as("value"))
+      operators.Spatial.zonalStats(pts, tris, cell = 8L)
+    }),
     // first-order conservative remap (cdo remapcon): quarter-unit target
     // edges offset by 0.5 with steps 2.5×3.5 — no target edge coincides
     // with a source edge, so every cell weight is a genuine partial
@@ -2130,6 +2146,14 @@ object SparkEntry {
     // the quadratic levenshtein theta join into an equi-join + verify
     "e01_fuzzy_pairs" -> ((s, d) =>
       Entity.fuzzyPairs(t(s, d)("customer"), "c_custkey", "c_name")),
+    // sorted-neighborhood blocking: last-3-digit key clusters names
+    // agreeing mod 1000, so the 4-slot window surfaces dist-1 pairs the
+    // delete-1 blocks ALSO find — but via rank adjacency, exercising
+    // the distributed prefix-sum rank, not the variant join
+    "e09_sorted_neighborhood" -> ((s, d) =>
+      Entity.sortedNeighborhoodPairs(
+        t(s, d)("customer").withColumn("blk", substring($"c_name", 16, 3)),
+        "c_custkey", "c_name", "blk", window = 4, maxDist = 1)),
     // ER blocking evaluation: reduction ratio + blocking precision as
     // exact ppm; completeness is enforced by the gate (the oracle's
     // brute-force n_matches must equal the candidate-verified count)
@@ -2405,6 +2429,18 @@ object SparkEntry {
         operators.Graph.docChainEdges(docs),
         docs.where($"doc_id" % 50 === 0).select($"doc_id".as("node")),
         maxHops = 4)
+    }),
+    // weighted Bellman-Ford under a 6-edge budget on the same chain:
+    // weight u%7+1 makes cost and hop count disagree (the sparse %97
+    // seeds sit far apart), so the min fold exercises later-round
+    // improvements, not just frontier growth
+    "g11_sssp" -> ((s, d) => {
+      val docs = t(s, d)("documents")
+      operators.Graph.ssspWeighted(
+        operators.Graph.docChainEdges(docs)
+          .withColumn("w", $"u" % 7 + 1),
+        docs.where($"doc_id" % 97 === 0).select($"doc_id".as("node")),
+        maxEdges = 6)
     }),
     "g05_components" -> ((s, d) => {
       val docs = t(s, d)("documents")
@@ -3586,6 +3622,26 @@ object SparkEntry {
            AND (cx-bx)*(py-by2) - (cy-by2)*(px-bx) > 0
            AND (ax-cx)*(py-cy) - (ay-cy)*(px-cx) > 0
          ORDER BY id, poly_id""",
+    // brute-force containment (pair completeness by construction), then
+    // the per-zone fold — the engine must agree on BOTH which points
+    // fall in each zone and the exact integer stats over them
+    "r31_zonal_stats" ->
+      """WITH tri AS (SELECT p AS poly_id,
+                (p*7)%50 - 25 AS ax, (p*11)%34 - 17 AS ay
+              FROM (SELECT unnest(generate_series(0, 59)) AS p)),
+         t2 AS (SELECT poly_id, ax, ay, ax+4 AS bx, ay+1 AS by2,
+                       ax+1 AS cx, ay+3 AS cy FROM tri),
+         pts AS (SELECT c_custkey AS id, c_custkey % 57 - 28 AS px,
+                        (c_custkey*3) % 41 - 20 AS py,
+                        (c_custkey*13) % 97 AS value FROM customer)
+         SELECT poly_id, CAST(count(*) AS BIGINT) AS n_points,
+                CAST(sum(value) AS BIGINT) AS sum_value,
+                min(value) AS min_value, max(value) AS max_value
+         FROM pts CROSS JOIN t2
+         WHERE (bx-ax)*(py-ay) - (by2-ay)*(px-ax) > 0
+           AND (cx-bx)*(py-by2) - (cy-by2)*(px-bx) > 0
+           AND (ax-cx)*(py-cy) - (ay-cy)*(px-cx) > 0
+         GROUP BY poly_id ORDER BY poly_id""",
     // the oracle forms the SAME den-scaled integer overlaps directly on
     // the (source cell × target cell) join — a wrong axis table, weight,
     // or normalization in the engine shifts num/den_eff and mismatches
@@ -6136,6 +6192,25 @@ object SparkEntry {
     // DuckDB's damerau_levenshtein is the same unrestricted variant
     // (probed: dl('CA','ABC') = 2); ASCII names make byte-based and
     // code-point-based distances identical
+    // the oracle's row_number rank IS the spec; the engine must agree on
+    // the (key, id) total order, the window-shift candidate set, and the
+    // exact distance filter — a rank off by one anywhere changes pairs
+    "e09_sorted_neighborhood" ->
+      """WITH r AS (SELECT c_custkey AS id, c_name AS name,
+                substr(c_name, 16, 3) AS key FROM customer),
+         rk AS (SELECT id, name, CAST(row_number() OVER (ORDER BY key, id)
+                  AS BIGINT) AS rank FROM r),
+         cand AS (SELECT a.id AS x_id, a.name AS x_name,
+                         b.id AS y_id, b.name AS y_name
+                  FROM rk a JOIN rk b ON b.rank - a.rank BETWEEN 1 AND 3),
+         v AS (SELECT *, CAST(levenshtein(x_name, y_name) AS BIGINT) AS dist
+               FROM cand)
+         SELECT CASE WHEN x_id < y_id THEN x_id ELSE y_id END AS a_id,
+                CASE WHEN x_id < y_id THEN x_name ELSE y_name END AS a_name,
+                CASE WHEN x_id < y_id THEN y_id ELSE x_id END AS b_id,
+                CASE WHEN x_id < y_id THEN y_name ELSE x_name END AS b_name,
+                dist
+         FROM v WHERE dist <= 1 ORDER BY a_id, b_id""",
     "e02_damerau" ->
       """WITH m AS (SELECT c_custkey, c_name,
                 10 + c_custkey % 5 AS p, 2 + c_custkey % 8 AS q FROM customer),
@@ -6272,6 +6347,20 @@ object SparkEntry {
            SELECT s.u, r.d + 1 FROM reach r JOIN sym s ON s.v = r.node
            WHERE r.d < 4)
          SELECT node, MIN(d) AS dist FROM reach GROUP BY node ORDER BY node""",
+    // carries (node, cost, hops): hops bounds the recursion depth, cost
+    // rides along so the UNION dedup never merges distinct-cost paths
+    // prematurely; the final MIN(cost) is the Bellman-Ford fold
+    "g11_sssp" ->
+      """WITH RECURSIVE e AS (
+           SELECT doc_id AS u, doc_id - 1 AS v, doc_id % 7 + 1 AS w FROM documents
+           WHERE doc_id > 0 AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <> 'ff'),
+         sym AS (SELECT u, v, w FROM e UNION SELECT v AS u, u AS v, w FROM e),
+         reach(node, cost, hops) AS (
+           SELECT doc_id, CAST(0 AS BIGINT), 0 FROM documents WHERE doc_id % 97 = 0
+           UNION
+           SELECT s.v, r.cost + s.w, r.hops + 1 FROM reach r JOIN sym s ON s.u = r.node
+           WHERE r.hops < 6)
+         SELECT node, MIN(cost) AS cost FROM reach GROUP BY node ORDER BY node""",
     "g05_components" ->
       """WITH RECURSIVE e AS (
            SELECT doc_id AS u, doc_id - 1 AS v FROM documents

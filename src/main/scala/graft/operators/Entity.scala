@@ -340,4 +340,52 @@ object Entity {
       .select($"a_id", $"b_id", round($"cos", 4).as("cos_sim"))
       .orderBy($"a_id", $"b_id")
   }
+
+  /** Sorted-neighborhood ER blocking (e09) — the third classic blocking
+    * family next to deletion-neighborhood ([[fuzzyPairs]]) and phonetic
+    * keys: sort records by a constructed blocking key, candidates are
+    * records within `window` positions of each other in that order
+    * (Hernández & Stolfo 1995), verified with one exact `levenshtein`.
+    * Catches the transpositions and prefix typos that equality-shaped
+    * blocks miss, with a candidate count LINEAR in n (≤ n·(window−1))
+    * by construction.
+    *
+    * The sequential scan in the textbook version hides a global rank —
+    * the distributed shape here is the [[Sampling.withPrefixSum]] scan
+    * (range partition on the key, per-partition totals as driver
+    * metadata, within-partition window), so no single-task window ever
+    * sees the corpus. Candidates then come from `window − 1` rank-SHIFT
+    * equi-joins (rank_b = rank_a + k, the shift exploded on the left),
+    * hash joins on a long key — never a rank-range theta join, which
+    * Spark could only run as a nested loop.
+    *
+    * Ties: (key, id) is a total order (id unique), so ranks — and hence
+    * the candidate set — are deterministic on any partitioning.
+    */
+  def sortedNeighborhoodPairs(rows: DataFrame, idCol: String, nameCol: String,
+                              keyCol: String, window: Int, maxDist: Int): DataFrame = {
+    require(window >= 2 && window <= 64,
+      s"sortedNeighborhoodPairs: window $window out of [2, 64]")
+    require(maxDist >= 0, s"sortedNeighborhoodPairs: maxDist $maxDist < 0")
+    val sel = rows.select(col(idCol).as("id"), col(nameCol).as("name"),
+        col(keyCol).as("key"))
+      .withColumn("one", lit(1L))
+    val ranked = Sampling.withPrefixSum(sel, Seq($"key", $"id"), "one", "rank",
+        Sampling.resolveParts(sel, 0))
+      .select($"id", $"name", $"rank")
+    val a = ranked.select($"id".as("x_id"), $"name".as("x_name"), $"rank")
+      .withColumn("k", explode(sequence(lit(1), lit(window - 1))))
+      .withColumn("rank", $"rank" + $"k")
+    a.join(ranked.select($"id".as("y_id"), $"name".as("y_name"), $"rank"),
+        Seq("rank"))
+      .withColumn("dist", levenshtein($"x_name", $"y_name").cast("long"))
+      .where($"dist" <= maxDist)
+      .select(
+        least($"x_id", $"y_id").as("a_id"),
+        when($"x_id" < $"y_id", $"x_name").otherwise($"y_name").as("a_name"),
+        greatest($"x_id", $"y_id").as("b_id"),
+        when($"x_id" < $"y_id", $"y_name").otherwise($"x_name").as("b_name"),
+        $"dist")
+      .orderBy($"a_id", $"b_id")
+  }
 }

@@ -269,6 +269,43 @@ object Graph {
     dist.orderBy(col("node"))
   }
 
+  /** Weighted single-source (multi-seed) shortest paths (g11) — min
+    * total edge weight over paths using at most `maxEdges` edges: the
+    * Bellman–Ford relaxation with a fixed round budget, the cost twin
+    * of [[bfsDistances]] (hop cap there, edge-count cap here). After
+    * round k every node holds the exact cheapest cost among paths of
+    * ≤ k edges — again exact BY DEFINITION of the cap, with no
+    * convergence test and no negative-cycle hazard (weights are
+    * required positive, and the cap bounds path length regardless).
+    * Unlike BFS a settled node can still IMPROVE in a later round (a
+    * longer-but-cheaper path), which the per-round min fold handles for
+    * free. Integer weights keep every cost an exact BIGINT sum — the
+    * g01 cross-engine-bit-identity discipline.
+    *
+    * Scale shape: identical to [[bfsDistances]] — one |E|-bounded
+    * shuffle per round, map-side-combinable min, barrier per round.
+    * Parallel edges collapse to their cheapest at build time so the
+    * per-round message volume is the simple-edge count.
+    */
+  def ssspWeighted(edges: DataFrame, seeds: DataFrame, maxEdges: Int): DataFrame = {
+    require(maxEdges >= 0 && maxEdges <= 16,
+      s"ssspWeighted: edge budget $maxEdges out of [0, 16]")
+    val e = graft.Session.barrier(
+      edges.select(col("u").as("src"), col("v").as("dst"), col("w"))
+        .unionByName(edges.select(col("v").as("src"), col("u").as("dst"), col("w")))
+        .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w")))
+    var dist = graft.Session.barrier(
+      seeds.select(col("node"), lit(0L).as("cost")).distinct())
+    for (_ <- 1 to maxEdges) {
+      val msgs = e.join(dist, e("src") === dist("node"))
+        .select(e("dst").as("node"), (col("cost") + col("w")).as("cost"))
+      dist = graft.Session.barrier(
+        dist.unionByName(msgs).groupBy(col("node"))
+          .agg(min(col("cost")).as("cost")))
+    }
+    dist.orderBy(col("node"))
+  }
+
   /** Item-to-item collaborative filtering (g03): top-k item pairs by
     * co-occurrence, with neighborhood Jaccard carried as the exact
     * integer fraction (common, n_u + n_w − common) — the Amazon

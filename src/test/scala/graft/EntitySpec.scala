@@ -200,6 +200,29 @@ class EntitySpec extends SparkSpec {
     out(9L) shouldBe (("Zoe", 3L, "X", 10L, 1L, 9L))
   }
 
+  test("sortedNeighborhoodPairs: window on the key order, verify filter, determinism") {
+    // key order: (a, 1) (a, 3) (b, 2) (b, 5) (c, 4) — the window crosses
+    // key-block boundaries (the SNM point: ONE sorted pass, not per-block)
+    val d = Seq(
+      (1L, "anna", "a"), (3L, "anne", "a"), (2L, "bob", "b"),
+      (5L, "rob", "b"), (4L, "ann", "c"))
+      .toDF("id", "name", "key")
+    def run(w: Int, dmax: Int) =
+      Entity.sortedNeighborhoodPairs(d, "id", "name", "key", w, dmax)
+        .select("a_id", "b_id", "dist")
+        .as[(Long, Long, Long)].collect().toSet
+    // window 2: only rank-adjacent pairs; anna~anne dist 1, bob~rob dist 1
+    run(2, 1) shouldBe Set((1L, 3L, 1L), (2L, 5L, 1L))
+    // window 3 adds rank-distance-2 candidates (anna~bob, anne~rob,
+    // bob~ann) but the distance verify rejects them all
+    run(3, 2) shouldBe Set((1L, 3L, 1L), (2L, 5L, 1L))
+    // the full window reaches across blocks: anna~ann and anne~ann
+    // (ranks 4 and 3 apart) surface only now
+    run(5, 2) shouldBe Set((1L, 3L, 1L), (2L, 5L, 1L), (1L, 4L, 1L), (3L, 4L, 1L))
+    an[IllegalArgumentException] should be thrownBy run(1, 1)
+    an[IllegalArgumentException] should be thrownBy run(2, -1)
+  }
+
   test("tfidfCosinePairs: candidate join is an equi-join (no cartesian / BNLJ)") {
     val d = names(1L -> "a b", 2L -> "b c", 3L -> "c d")
     val plan = Entity.tfidfCosinePairs(d, "id", "name", 0.1)

@@ -323,4 +323,24 @@ class GraphSpec extends SparkSpec {
     run(Seq(0L), 16).contains(100L) shouldBe false
     an[IllegalArgumentException] should be thrownBy run(Seq(0L), 17)
   }
+
+  test("ssspWeighted: later-round improvement, parallel-edge min, edge budget") {
+    // direct 0-1 costs 10; the detour 0-2-1 costs 2 but needs 2 edges
+    val edges = Seq((0L, 1L, 10L), (0L, 2L, 1L), (2L, 1L, 1L)).toDF("u", "v", "w")
+    def run(es: org.apache.spark.sql.DataFrame, seeds: Seq[Long], cap: Int) =
+      Graph.ssspWeighted(es, seeds.toDF("node"), cap)
+        .as[(Long, Long)].collect().toMap
+    // 1-edge budget: the expensive direct edge is the only path to 1
+    run(edges, Seq(0L), 1) shouldBe Map(0L -> 0L, 1L -> 10L, 2L -> 1L)
+    // 2-edge budget: node 1 IMPROVES in round 2 via the cheap detour
+    run(edges, Seq(0L), 2) shouldBe Map(0L -> 0L, 1L -> 2L, 2L -> 1L)
+    // parallel edges collapse to the cheapest before any round
+    run(edges.unionByName(Seq((0L, 1L, 3L)).toDF("u", "v", "w")), Seq(0L), 1) shouldBe
+      Map(0L -> 0L, 1L -> 3L, 2L -> 1L)
+    // multi-seed: each node takes the cheaper source; edges run both ways
+    run(edges, Seq(1L, 2L), 1) shouldBe Map(0L -> 1L, 1L -> 0L, 2L -> 0L)
+    // zero budget: seeds only
+    run(edges, Seq(0L), 0) shouldBe Map(0L -> 0L)
+    an[IllegalArgumentException] should be thrownBy run(edges, Seq(0L), 17)
+  }
 }

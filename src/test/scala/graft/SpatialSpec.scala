@@ -61,6 +61,25 @@ class SpatialSpec extends SparkSpec {
     plan should not include "BroadcastNestedLoopJoin"
   }
 
+  test("zonalStats: per-zone fold equals brute force; empty zones absent") {
+    val tris = Seq(
+      (0L, 0L, 4L, 1L, 1L, 3L),     // holds some lattice points
+      (50L, 50L, 54L, 51L, 51L, 53L)) // far away: no points -> no row
+    val pts = (for (x <- -2L to 6L; y <- -2L to 6L)
+      yield (x * 100 + y, x, y, x * 7 + y * 3)).toSeq
+    val brute = (for ((_, x, y, v) <- pts; (t, p) <- tris.zipWithIndex
+      if inside(t, x, y)) yield (p.toLong, v))
+      .groupBy(_._1).map { case (p, vs0) =>
+        val vs = vs0.map(_._2)
+        (p, (vs.size.toLong, vs.sum, vs.min, vs.max))
+      }
+    val got = Spatial.zonalStats(pts.toDF("id", "px", "py", "value"), tris, 8L)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map { case (p, n, s, mn, mx) => (p, (n, s, mn, mx)) }.toMap
+    got shouldBe brute
+    got.contains(1L) shouldBe false // the empty zone emitted no row
+  }
+
   test("non-CCW triangles refuse loudly") {
     an[IllegalArgumentException] should be thrownBy
       Spatial.containsJoin(Seq((1L, 0L, 0L)).toDF("id", "px", "py"),
