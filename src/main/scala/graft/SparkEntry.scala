@@ -1443,6 +1443,11 @@ object SparkEntry {
     // integer features; the oracle re-derives the islands by formula
     "m18_silence_segments" -> ((s, d) =>
       Multimodal.silenceSegments(t(s, d)("documents"))),
+    // 16->24 kHz (3/2) linear-interpolation resample over the decoded
+    // WAV corpus: every output sample value-checked — the bias-1024
+    // floor contract makes the rounding cross-engine bit-identical
+    "m21_audio_resample" -> ((s, d) =>
+      Multimodal.audioResample(t(s, d)("documents"))),
     // box-filter thumbnail over the real PNG decode path: floor-split
     // source boxes, floor-mean output pixels with the exact (sum, count)
     // integers alongside — the resize half of the multimodal mandate
@@ -2005,6 +2010,12 @@ object SparkEntry {
           operators.TextAnalysis.htmlExtract($"html").as("text_clean"))
         .withColumn("n_clean", length($"text_clean").cast("long"))
         .orderBy($"doc_id")),
+    // outlink extraction over the link-bearing twin corpus: the nav and
+    // footer-ad anchors are present in every doc and must NOT surface —
+    // only the doc_id%3+1 closed-form content links do
+    "t49_link_extract" -> ((s, d) =>
+      operators.TextAnalysis.outlinks(
+        operators.TextAnalysis.linkCorpus(t(s, d)("documents")), "html")),
     // VERSION AS OF: two batches applied to the versioned snapshot
     // store, then the time-travel read of the FIRST version — equal to
     // the one-batch merge by construction (the t17/w10 merge law); the
@@ -2038,6 +2049,32 @@ object SparkEntry {
       operators.FileSkipping.prunedScan(s, s"$tmp/base", idx, "n_chars", 180L, 260L)
         .select($"doc_id", $"lang", $"source", $"n_chars")
         .orderBy($"doc_id")
+    }),
+    // op-aware CDC apply: the log exercises every automaton transition —
+    // plain U, D, U-after-D (ignored), I-after-D (resurrects), I of new
+    // keys, and U of never-existing keys (ignored, must not resurrect)
+    "x12_cdc_apply" -> ((s, d) => {
+      val base = t(s, d)("documents").select($"doc_id", $"text", $"source")
+      def ch(pred: org.apache.spark.sql.Column, keyE: org.apache.spark.sql.Column,
+             op: String, seq: Long,
+             textE: org.apache.spark.sql.Column, srcE: org.apache.spark.sql.Column) =
+        t(s, d)("documents").where(pred).select(
+          keyE.as("doc_id"), textE.as("text"), srcE.as("source"),
+          lit(op).as("op"), lit(seq).as("seq"))
+      val log = Seq(
+        ch($"doc_id" % 4 === 1, $"doc_id", "U", 10L,
+          concat($"text", lit(" v2")), $"source"),
+        ch($"doc_id" % 4 === 2, $"doc_id", "D", 20L, $"text", $"source"),
+        ch($"doc_id" % 8 === 2, $"doc_id", "U", 30L,
+          lit("ghost"), lit("cdc")),
+        ch($"doc_id" % 12 === 6, $"doc_id", "I", 40L,
+          concat(lit("resurrected "), $"doc_id"), lit("cdc")),
+        ch($"doc_id" % 10 === 0, $"doc_id" + 100000L, "I", 50L,
+          lit("fresh"), lit("cdc")),
+        ch($"doc_id" % 7 === 3, $"doc_id" + 200000L, "U", 60L,
+          lit("orphan"), lit("cdc"))
+      ).reduce(_ unionByName _)
+      operators.Upsert.cdcApply(base, log, "doc_id").orderBy($"doc_id")
     }),
     "x10_delete_vectors" -> ((s, d) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_x10").toString
@@ -3952,6 +3989,18 @@ object SparkEntry {
                 CAST(length('Doc ' || doc_id || chr(10) || text || chr(10)
                   || 'Tail &a <b> "q" x y') AS BIGINT) AS n_clean
          FROM documents ORDER BY doc_id""",
+    // the oracle enumerates the fixture's content links arithmetically —
+    // if the engine leaked a nav/footer link, missed one, or mangled
+    // href/host/anchor parsing, counts or values diverge
+    "t49_link_extract" ->
+      """WITH l AS (SELECT doc_id, unnest(generate_series(0, doc_id % 3)) AS i
+                    FROM documents)
+         SELECT doc_id, CAST(i AS BIGINT) AS link_pos,
+                'https://h' || ((doc_id*7+i) % 5) || '.example.com/p'
+                  || (doc_id % 13) || '/' || i AS href,
+                'h' || ((doc_id*7+i) % 5) || '.example.com' AS host,
+                'ref ' || doc_id || '-' || i AS anchor
+         FROM l ORDER BY doc_id, link_pos""",
     // tf from the shared adaptive tokenizer, df re-collapsed from the tf
     // histogram, score = one IEEE division of exact BIGINTs, (score DESC,
     // term) total order mirrors the engine's rank window exactly
@@ -3986,6 +4035,21 @@ object SparkEntry {
     "x10_delete_vectors" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
          WHERE doc_id % 9 <> 2 ORDER BY doc_id""",
+    // closed form of the automaton's outcome: %4==2 dies at the D unless
+    // the %12==6 I resurrects it; the ghost U and the orphan U leave no
+    // trace; the fresh I lands at doc_id+100000
+    "x12_cdc_apply" ->
+      """SELECT doc_id,
+                CASE WHEN doc_id % 4 = 1 THEN text || ' v2' ELSE text END AS text,
+                source
+         FROM documents WHERE doc_id % 4 <> 2
+         UNION ALL
+         SELECT doc_id, 'resurrected ' || doc_id AS text, 'cdc' AS source
+         FROM documents WHERE doc_id % 12 = 6
+         UNION ALL
+         SELECT doc_id + 100000 AS doc_id, 'fresh' AS text, 'cdc' AS source
+         FROM documents WHERE doc_id % 10 = 0
+         ORDER BY doc_id""",
     // pruning is a pure optimization: survivors ∪ residual filter must
     // equal the full-scan predicate no matter how the files were cut
     "x11_file_skipping" ->
@@ -5128,6 +5192,23 @@ object SparkEntry {
                 CAST(end_k AS BIGINT) AS end_k,
                 CAST(n_samples AS BIGINT) AS n_samples, energy
          FROM seg WHERE n_samples >= 32 ORDER BY doc_id, start_k""",
+    // regenerates both neighbour samples by the m18 closed form and
+    // replays the bias-1024 interpolation; numerator is non-negative so
+    // DuckDB's truncating // equals the engine's floor — bit-identical
+    "m21_audio_resample" ->
+      """WITH w AS (SELECT doc_id AS d, 256 + doc_id % 97 AS n
+                    FROM documents WHERE doc_id % 3 = 2),
+         o AS (SELECT d, n, unnest(generate_series(0, ((n-1)*3)//2)) AS j FROM w),
+         c AS (SELECT d, j, (j*2)//3 AS i, (j*2)%3 AS f FROM o),
+         v AS (SELECT d, j, f,
+                 CASE WHEN (i//48 + d) % 3 = 0 THEN (13*i + 7*d) % 31 - 15
+                      ELSE (29*i + 11*d) % 1800 - 900 END + 1024 AS xi,
+                 CASE WHEN ((i+1)//48 + d) % 3 = 0 THEN (13*(i+1) + 7*d) % 31 - 15
+                      ELSE (29*(i+1) + 11*d) % 1800 - 900 END + 1024 AS xi1
+               FROM c)
+         SELECT d AS doc_id, CAST(j AS BIGINT) AS pos,
+                CAST(((3-f)*xi + f*xi1)//3 - 1024 AS BIGINT) AS amp
+         FROM v ORDER BY doc_id, pos""",
     "m02_frame_sample" ->
       """WITH f AS (
            SELECT doc_id, text,

@@ -935,4 +935,57 @@ object Multimodal {
           lit(0L), (a, x) => a + x.cast("long") * x).as("energy"))
       .orderBy(col("doc_id"), col("start_k"))
   }
+
+  /** Rational-ratio audio resample (m21) — linear interpolation at
+    * exact rational positions, the sample-rate normalization every
+    * audio corpus runs before feature extraction or model ingest
+    * (mixed-provenance crawls land at 8/16/22.05/44.1 kHz; training
+    * wants ONE rate). Output sample j sits at input position j·M/L
+    * (rate × L/M), so with i = ⌊jM/L⌋ and f = jM mod L:
+    *   y[j] = ⌊((L−f)·(x[i]+B) + f·(x[i+1]+B)) / L⌋ − B,  B = 1024
+    * The bias B ≥ max|amplitude| keeps the numerator non-negative, so
+    * floor and truncating division agree — the one rounding whose
+    * cross-engine bit-identity survives negative samples (DuckDB's
+    * `//` truncates, Spark's pmod-floor floors; on ℕ they coincide).
+    * n_out = ⌊(n_in−1)·L/M⌋ + 1 pins the last position inside the
+    * input, so no extrapolation is ever needed (when f = 0 the x[i+1]
+    * term has weight 0 and the off-end lookup is null→0, inert).
+    *
+    * Real byte decode (the m08/m18 WAV path) feeding a pure array
+    * expression chain — row-local, codegen'd, no shuffle; at 100 TB
+    * the cost is one decode plus O(n_out) integer ops per clip.
+    */
+  def audioResample(documents: DataFrame, l: Int = 3, m: Int = 2): DataFrame = {
+    require(l > 0 && m > 0, s"audioResample: ratio $l/$m must be positive")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val bias = 1024
+    val decoded = documents.select(col("doc_id")).where(col("doc_id") % 3 === 2)
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val (_, samples) = AssetCodecs.decodeWavSamples(silenceWavFor(id))
+          (id, samples.map(_.toInt))
+        }
+      }
+      .toDF("doc_id", "samples")
+    val nIn = size(col("samples")).cast("long")
+    val numOut = (nIn - 1) * l
+    // Column `/` is double division; exact here (numerator divisible by
+    // m, magnitudes far below 2^53) and cast back to long immediately
+    val nOut = ((numOut - pmod(numOut, lit(m))) / m).cast("long") + 1
+    val t = col("pos") * m
+    val f = pmod(t, lit(l))
+    val i = ((t - f) / l).cast("int")
+    val xi = element_at(col("samples"), i + 1) + bias
+    val xi1 = coalesce(element_at(col("samples"), i + 2), lit(0)) + bias
+    val num = (lit(l.toLong) - f) * xi + f * xi1
+    decoded
+      .where(nIn > 0)
+      .select(col("doc_id"), col("samples"),
+        explode(sequence(lit(0L), nOut - 1)).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        (((num - pmod(num, lit(l))) / l).cast("long") - bias).as("amp"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
 }

@@ -839,11 +839,7 @@ object TextAnalysis {
     * 100 TB cost is exactly one pass over the bytes.
     */
   def htmlExtract(html: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val noComment = regexp_replace(html, "(?s)<!--.*?-->", " ")
-    val noPayload = regexp_replace(noComment,
-      "(?is)<(script|style)\\b[^>]*>.*?</\\1\\s*>", " ")
-    val noBoiler = regexp_replace(noPayload,
-      "(?is)<(head|nav|footer|aside)\\b[^>]*>.*?</\\1\\s*>", " ")
+    val noBoiler = boilerplateStrip(html)
     val blocks = regexp_replace(noBoiler,
       "(?i)</?(p|div|h[1-6]|li|ul|ol|dl|table|thead|tbody|tr|td|th|br|hr|section|article|blockquote|pre|title)\\b[^>]*/?>",
       "\n")
@@ -854,6 +850,64 @@ object TextAnalysis {
     val hws = regexp_replace(ent, "[^\\S\\n]+", " ")
     val nl = regexp_replace(hws, "\\s*\\n\\s*", "\n")
     regexp_replace(nl, "^\\s+|\\s+$", "")
+  }
+
+  /** Shared boilerplate pass: comments and `script`/`style` payloads
+    * removed, then the non-nested boilerplate containers
+    * (`head`/`nav`/`footer`/`aside`) WITH their contents — the prefix
+    * both [[htmlExtract]] and [[outlinks]] run, so nav chrome and
+    * footer ads never reach either the text or the link graph.
+    */
+  private def boilerplateStrip(html: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val noComment = regexp_replace(html, "(?s)<!--.*?-->", " ")
+    val noPayload = regexp_replace(noComment,
+      "(?is)<(script|style)\\b[^>]*>.*?</\\1\\s*>", " ")
+    regexp_replace(noPayload,
+      "(?is)<(head|nav|footer|aside)\\b[^>]*>.*?</\\1\\s*>", " ")
+  }
+
+  /** Synthetic link-bearing HTML twin of [[htmlCorpus]] (t49 fixture):
+    * nav chrome links, a footer ad link — both boilerplate, both must
+    * NOT surface — plus `doc_id % 3 + 1` content anchors whose
+    * href/host/anchor-text are closed-form in (doc_id, i), so the
+    * oracle enumerates the expected links arithmetically.
+    */
+  def linkCorpus(documents: DataFrame): DataFrame =
+    documents.select($"doc_id", concat(
+      lit("<html><head><title>L"), $"doc_id", lit("</title></head><body>"),
+      lit("<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a></nav>"),
+      lit("<p>intro "), $"text", lit("</p>"),
+      array_join(transform(sequence(lit(0L), $"doc_id" % 3), i =>
+        concat(lit("<p>see <a href=\"https://h"), ($"doc_id" * 7 + i) % 5,
+          lit(".example.com/p"), $"doc_id" % 13, lit("/"), i,
+          lit("\">ref "), $"doc_id", lit("-"), i, lit("</a>.</p>"))), ""),
+      lit("<footer><a href=\"https://ads.example.com/x\">Ads</a></footer>"),
+      lit("</body></html>")).as("html"))
+
+  /** Outlink extraction (t49) — the crawl-graph stage between raw HTML
+    * and every link-based signal (host-graph PageRank quality weights,
+    * anchor-text retrieval, spam neighborhoods): boilerplate is
+    * stripped FIRST ([[boilerplateStrip]] — nav/footer chrome links
+    * are noise edges that would dominate a host graph), then each
+    * remaining `<a href="…">` emits (doc_id, link_pos, href, host,
+    * anchor). Docs with no content links emit nothing (inner explode —
+    * the link RELATION, not a per-doc report).
+    *
+    * Scale shape: pure codegen'd regexp chain + one generator
+    * (posexplode) per doc, row-local, no shuffle; link_pos is the
+    * in-document order, deterministic on any partitioning.
+    */
+  def outlinks(docs: DataFrame, htmlCol: String): DataFrame = {
+    val tags = regexp_extract_all(boilerplateStrip(col(htmlCol)),
+      lit("(?is)<a\\s[^>]*href=\"[^\"]*\"[^>]*>.*?</a>"), lit(0))
+    docs
+      .select($"doc_id", posexplode(tags).as(Seq("link_pos", "tag")))
+      .select($"doc_id", $"link_pos".cast("long").as("link_pos"),
+        regexp_extract($"tag", "href=\"([^\"]*)\"", 1).as("href"),
+        regexp_replace($"tag", "(?is)^<a[^>]*>|</a>$", "").as("anchor"))
+      .withColumn("host", regexp_extract($"href", "^[a-z]+://([^/]+)", 1))
+      .select($"doc_id", $"link_pos", $"href", $"host", $"anchor")
+      .orderBy($"doc_id", $"link_pos")
   }
 
   /** Script-run segmentation (t48) — split each document into maximal

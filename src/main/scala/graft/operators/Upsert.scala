@@ -197,4 +197,52 @@ object Upsert {
         col("__eff_to").isNull.as("is_current"): _*)
     untouched.unionByName(rechained)
   }
+
+  /** Op-aware CDC log apply (x12) — materialize an ordered
+    * insert/update/delete log (the Debezium/binlog shape) onto a
+    * snapshot. [[merge]] is the degenerate form where every change is
+    * an upsert-or-tombstone; a real CDC stream distinguishes ops, and
+    * the difference is observable: an UPDATE whose key does not
+    * currently exist (never inserted, or deleted earlier in the log)
+    * is a no-op that must NOT resurrect the key, while an INSERT
+    * always (re)creates it. Per key the log is the existence automaton
+    *   exists := key ∈ snapshot;  I → exists, row; U → row if exists;
+    *   D → ¬exists
+    * and the result is the final state after the whole log.
+    *
+    * Distributed shape keeps the O(changes) discipline: a U's
+    * effectiveness depends only on the nearest PRECEDING non-U op
+    * (I → live, D → dead), resolved by one ignore-nulls `last` window
+    * over the LOG alone — never the snapshot; only U rows before the
+    * key's first I/D fall back to snapshot membership, a key-projected
+    * (column-pruned) join. Ineffective Us filtered, the survivor log
+    * collapses through [[merge]] (WindowGroupLimit + one full-outer
+    * join). `seqCol` must order each key's ops totally — equal seqs
+    * within a key are the upstream's ambiguity, not resolvable here.
+    */
+  def cdcApply(snapshot: DataFrame, log: DataFrame, key: String,
+               seqCol: String = "seq", opCol: String = "op"): DataFrame = {
+    val dataCols = snapshot.columns.filterNot(_ == key).toSeq
+    val checkedOp = when(col(opCol).isin("I", "U", "D"), col(opCol))
+      .otherwise(raise_error(concat(
+        lit("cdcApply: unknown op '"), col(opCol), lit("' (want I/U/D)"))))
+    val w = Window.partitionBy(col(key)).orderBy(col(seqCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prevNonU = last(when(col(opCol) =!= "U", checkedOp), ignoreNulls = true)
+      .over(w)
+    val inBase = snapshot.select(col(key)).withColumn("__in_base", lit(true))
+    val effective = log
+      .join(inBase, Seq(key), "left")
+      .withColumn("__op", checkedOp)
+      .withColumn("__prev", prevNonU)
+      // U needs a live key: nearest preceding I/D decides; no preceding
+      // non-U -> the snapshot's membership decides
+      .where($"__op" =!= "U" ||
+        coalesce($"__prev" === "I", $"__in_base", lit(false)))
+    val asChanges = effective
+      .withColumn("__del", $"__op" === "D")
+      .select(col(key) +: col(seqCol).as("__seq") +: $"__del" +:
+        dataCols.map(col): _*)
+    merge(snapshot, asChanges, key, "__seq", "__del")
+  }
 }

@@ -136,6 +136,29 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audioResample: every output sample matches a scalar replay; endpoints exact") {
+    val docs = spark.range(0, 30).select($"id".as("doc_id")).toDF()
+    val out = Multimodal.audioResample(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val perDoc = out.keys.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    for (d <- 0L until 30L if d % 3 == 2) {
+      val xs = graft.sources.AssetCodecs
+        .decodeWavSamples(Multimodal.silenceWavFor(d))._2.map(_.toInt)
+      val nOut = (xs.length - 1) * 3 / 2 + 1
+      perDoc(d) shouldBe (nOut - 1).toLong
+      for (j <- 0 until nOut) {
+        val t = j * 2; val i = t / 3; val f = t % 3
+        val xi1 = if (i + 1 < xs.length) xs(i + 1) else 0
+        val expect = ((3 - f) * (xs(i) + 1024) + f * (xi1 + 1024)) / 3 - 1024
+        out((d, j.toLong)) shouldBe expect.toLong
+      }
+      // L/M=3/2 interleave: every third output is an exact input sample
+      for (j <- 0 until nOut if j % 3 == 0) out((d, j.toLong)) shouldBe xs(j * 2 / 3).toLong
+    }
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.audioResample(docs, l = 0, m = 2)
+  }
+
   test("silenceSegments: islands match a brute-force scan of the decoded PCM") {
     val docs = spark.range(0, 41).select($"id".as("doc_id")).toDF()
     val out = Multimodal.silenceSegments(docs).collect()

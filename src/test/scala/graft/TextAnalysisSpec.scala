@@ -471,6 +471,31 @@ class TextAnalysisSpec extends SparkSpec {
       "Doc 7\nhello world\nTail &a <b> \"q\" x y"
   }
 
+  test("outlinks: boilerplate links dropped, order kept, href/host/anchor parsed") {
+    def links(h: String): Seq[(Long, String, String, String)] =
+      TextAnalysis.outlinks(Seq((1L, h)).toDF("doc_id", "html"), "html")
+        .select($"link_pos", $"href", $"host", $"anchor")
+        .as[(Long, String, String, String)].collect().toSeq
+    // nav/footer/comment links never surface; content order is kept
+    links("""<nav><a href="/n">N</a></nav><p><a href="https://a.com/1">one</a>
+             <!-- <a href="https://x.com/z">gone</a> -->
+             and <a href="https://b.org/2/3">two words</a></p>
+             <footer><a href="https://ads.com/y">Ad</a></footer>""") shouldBe Seq(
+      (0L, "https://a.com/1", "a.com", "one"),
+      (1L, "https://b.org/2/3", "b.org", "two words"))
+    // relative hrefs keep an empty host; no-link docs emit nothing
+    links("""<p><a href="/local/page">rel</a></p>""") shouldBe Seq(
+      (0L, "/local/page", "", "rel"))
+    links("<p>plain text only</p>") shouldBe Seq()
+    // the fixture corpus round-trips: doc 7 -> 2 content links, closed form
+    val docs = Seq((7L, "body", "en", "w")).toDF("doc_id", "text", "lang", "source")
+    TextAnalysis.outlinks(TextAnalysis.linkCorpus(docs), "html")
+      .select($"link_pos", $"href", $"anchor")
+      .as[(Long, String, String)].collect().toSeq shouldBe Seq(
+      (0L, "https://h4.example.com/p7/0", "ref 7-0"),
+      (1L, "https://h0.example.com/p7/1", "ref 7-1"))
+  }
+
   test("scriptSegments: alternating runs tile the string, classes and samples exact") {
     val d = docs(
       (1L, "abc 一二 xyz", "fr", "w"),  // other|cjk|other

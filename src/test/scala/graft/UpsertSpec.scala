@@ -334,4 +334,31 @@ class UpsertSpec extends SparkSpec {
     graft.streaming.SnapshotUpsert.currentVersion(dir) shouldBe Some("b1")
     scd2Rows(graft.streaming.SnapshotUpsert.read(spark, dir)) shouldBe expected
   }
+
+  test("cdcApply: the existence automaton, transition by transition") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    def apply(ops: (Long, String, String, Long)*) = {
+      val log = ops.map { case (id, op, v, seq) => (id, v, op, seq) }
+        .toDF("id", "v", "op", "seq")
+      Upsert.cdcApply(base, log, "id").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    // plain U on a base key applies; U after D is ignored; I after D
+    // resurrects; a later U then applies to the resurrected row
+    apply((1L, "U", "a2", 1L)) shouldBe Map(1L -> "a2", 2L -> "b", 3L -> "c")
+    apply((1L, "D", "-", 1L), (1L, "U", "ghost", 2L)) shouldBe
+      Map(2L -> "b", 3L -> "c")
+    apply((1L, "D", "-", 1L), (1L, "I", "re", 2L), (1L, "U", "re2", 3L)) shouldBe
+      Map(1L -> "re2", 2L -> "b", 3L -> "c")
+    // U of a key the base never had is a no-op, not an insert; I is
+    apply((9L, "U", "orphan", 1L)) shouldBe Map(1L -> "a", 2L -> "b", 3L -> "c")
+    apply((9L, "I", "new", 1L)) shouldBe
+      Map(1L -> "a", 2L -> "b", 3L -> "c", 9L -> "new")
+    // I-then-D of a fresh key leaves nothing; D of an unknown key is inert
+    apply((9L, "I", "new", 1L), (9L, "D", "-", 2L)) shouldBe
+      Map(1L -> "a", 2L -> "b", 3L -> "c")
+    apply((9L, "D", "-", 1L)) shouldBe Map(1L -> "a", 2L -> "b", 3L -> "c")
+    // unknown ops refuse loudly
+    an[Exception] should be thrownBy apply((1L, "X", "z", 1L))
+  }
 }
