@@ -584,4 +584,44 @@ class PlanGuardSpec extends SparkSpec {
     p should not include "CartesianProduct"
     p should not include "BroadcastNestedLoopJoin"
   }
+
+  test("r31_zonal_stats: tile join broadcast, zone fold partial-aggregates") {
+    val p = planOf("r31_zonal_stats")
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    // the per-zone stats must combine map-side before the poly_id shuffle
+    p should include("partial_count")
+  }
+
+  test("e09_sorted_neighborhood: rank-shift candidates are hash equi-joins, never a rank-range theta") {
+    val p = planOf("e09_sorted_neighborhood")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("t49_link_extract: row-local extraction — no join, one scan, no hash shuffle") {
+    val p = planOf("t49_link_extract")
+    p should not include "Join"
+    p.linesIterator.count(_.contains("documents.parquet")) shouldBe 1
+    p should not include "hashpartitioning"
+  }
+
+  test("x12_cdc_apply: automaton windows over the log only — the snapshot is never window-sorted") {
+    // window partitioning must be on the log relation; the snapshot side
+    // contributes scans + joins only. Guard: no cartesian/BNLJ, and the
+    // number of Window nodes is exactly the automaton's one + merge's one
+    val p = planOf("x12_cdc_apply")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    // exactly "(N) Window" — WindowGroupLimit is a different (cheaper) node
+    p.linesIterator.count(_.trim.matches("""\(\d+\) Window""")) should be <= 2
+  }
+
+  test("m21_audio_resample: pure generator chain — no join, no hash shuffle") {
+    val p = planOf("m21_audio_resample")
+    p should not include "Join"
+    p should not include "hashpartitioning"
+    p should include("Generate") // the per-clip output-position explode
+  }
 }
