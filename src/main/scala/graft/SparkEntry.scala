@@ -904,6 +904,86 @@ object SparkEntry {
     * merges reproduce the one-shot latest-wins result because batch order
     * (mtime) equals seq order — so the oracle is shared verbatim with t17.
     */
+  /** Shared x12/w19 oracle: the closed-form outcome of [[cdcFixture]]'s
+    * log under the I/U/D existence automaton.
+    */
+  private val cdcOracleSql =
+    """SELECT doc_id,
+              CASE WHEN doc_id % 4 = 1 THEN text || ' v2' ELSE text END AS text,
+              source
+       FROM documents WHERE doc_id % 4 <> 2
+       UNION ALL
+       SELECT doc_id, 'resurrected ' || doc_id AS text, 'cdc' AS source
+       FROM documents WHERE doc_id % 12 = 6
+       UNION ALL
+       SELECT doc_id + 100000 AS doc_id, 'fresh' AS text, 'cdc' AS source
+       FROM documents WHERE doc_id % 10 = 0
+       ORDER BY doc_id"""
+
+  /** Shared x12/w19 fixture: the document base plus an I/U/D log whose
+    * six tranches exercise every automaton transition (plain U, D,
+    * U-after-D, I-after-D, fresh I, orphan U). All closed-form so the
+    * oracle states the OUTCOME, not the replay.
+    */
+  private def cdcFixture(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val base = t(s, d)("documents").select($"doc_id", $"text", $"source")
+    def ch(pred: org.apache.spark.sql.Column, keyE: org.apache.spark.sql.Column,
+           op: String, seq: Long,
+           textE: org.apache.spark.sql.Column, srcE: org.apache.spark.sql.Column) =
+      t(s, d)("documents").where(pred).select(
+        keyE.as("doc_id"), textE.as("text"), srcE.as("source"),
+        lit(op).as("op"), lit(seq).as("seq"))
+    val log = Seq(
+      ch($"doc_id" % 4 === 1, $"doc_id", "U", 10L,
+        concat($"text", lit(" v2")), $"source"),
+      ch($"doc_id" % 4 === 2, $"doc_id", "D", 20L, $"text", $"source"),
+      ch($"doc_id" % 8 === 2, $"doc_id", "U", 30L,
+        lit("ghost"), lit("cdc")),
+      ch($"doc_id" % 12 === 6, $"doc_id", "I", 40L,
+        concat(lit("resurrected "), $"doc_id"), lit("cdc")),
+      ch($"doc_id" % 10 === 0, $"doc_id" + 100000L, "I", 50L,
+        lit("fresh"), lit("cdc")),
+      ch($"doc_id" % 7 === 3, $"doc_id" + 200000L, "U", 60L,
+        lit("orphan"), lit("cdc"))
+    ).reduce(_ unionByName _)
+    (base, log)
+  }
+
+  /** w19: the x12 CDC log through the real streaming path — two
+    * mtime-ordered landing files split at the seq-25 boundary, each
+    * micro-batch advancing the versioned snapshot with
+    * [[graft.streaming.SnapshotUpsert.applyCdcBatch]].
+    */
+  private def streamCdc(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_w19").toString
+    val (base, log) = cdcFixture(s, d)
+    val landing = java.nio.file.Paths.get(s"$tmp/landing")
+    java.nio.file.Files.createDirectories(landing)
+    val t0 = System.currentTimeMillis() - 60000
+    var stamped = Set.empty[String]
+    log.where($"seq" <= 25).coalesce(1).write.mode("append").parquet(landing.toString)
+    stamped = graft.streaming.StagedLanding.stampNew(landing, t0, stamped)
+    log.where($"seq" > 25).coalesce(1).write.mode("append").parquet(landing.toString)
+    stamped = graft.streaming.StagedLanding.stampNew(landing, t0 + 1000, stamped)
+    val snapDir = s"$tmp/snapshot"
+    graft.streaming.SnapshotUpsert.init(base, snapDir)
+    val sink: (DataFrame, Long) => Unit =
+      graft.streaming.SnapshotUpsert.applyCdcBatch(snapDir, "doc_id")
+    val stream = s.readStream.schema(
+        log.schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing.toString)
+    withStreamingPartitions(s, 8) {
+      val q = stream.writeStream
+        .foreachBatch(sink)
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    graft.streaming.SnapshotUpsert.read(s, snapDir).orderBy($"doc_id")
+  }
+
   private def streamUpsert(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val tmp = java.nio.file.Files.createTempDirectory("graft_w10").toString
@@ -2054,28 +2134,13 @@ object SparkEntry {
     // plain U, D, U-after-D (ignored), I-after-D (resurrects), I of new
     // keys, and U of never-existing keys (ignored, must not resurrect)
     "x12_cdc_apply" -> ((s, d) => {
-      val base = t(s, d)("documents").select($"doc_id", $"text", $"source")
-      def ch(pred: org.apache.spark.sql.Column, keyE: org.apache.spark.sql.Column,
-             op: String, seq: Long,
-             textE: org.apache.spark.sql.Column, srcE: org.apache.spark.sql.Column) =
-        t(s, d)("documents").where(pred).select(
-          keyE.as("doc_id"), textE.as("text"), srcE.as("source"),
-          lit(op).as("op"), lit(seq).as("seq"))
-      val log = Seq(
-        ch($"doc_id" % 4 === 1, $"doc_id", "U", 10L,
-          concat($"text", lit(" v2")), $"source"),
-        ch($"doc_id" % 4 === 2, $"doc_id", "D", 20L, $"text", $"source"),
-        ch($"doc_id" % 8 === 2, $"doc_id", "U", 30L,
-          lit("ghost"), lit("cdc")),
-        ch($"doc_id" % 12 === 6, $"doc_id", "I", 40L,
-          concat(lit("resurrected "), $"doc_id"), lit("cdc")),
-        ch($"doc_id" % 10 === 0, $"doc_id" + 100000L, "I", 50L,
-          lit("fresh"), lit("cdc")),
-        ch($"doc_id" % 7 === 3, $"doc_id" + 200000L, "U", 60L,
-          lit("orphan"), lit("cdc"))
-      ).reduce(_ unionByName _)
+      val (base, log) = cdcFixture(s, d)
       operators.Upsert.cdcApply(base, log, "doc_id").orderBy($"doc_id")
     }),
+    // the SAME log split at the seq-25 boundary into two mtime-ordered
+    // landing batches through the real streaming path: per-batch automaton
+    // apply must equal x12's one-shot apply (oracle shared verbatim)
+    "w19_stream_cdc" -> ((s, d) => streamCdc(s, d)),
     "x10_delete_vectors" -> ((s, d) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_x10").toString
       operators.DeleteVectors.writeBase(t(s, d)("documents"), tmp,
@@ -2258,6 +2323,11 @@ object SparkEntry {
     // island derivation and both leads; |types|^3-bounded aggregate
     "q64_session_paths" -> ((s, d) =>
       EventWindows.sessionPaths(t(s, d)("events"), 30)),
+    // regex sequence detection over per-user type-initial strings:
+    // "views, optional clicks, purchase" as v+c*p — quantified patterns
+    // the fixed-arity funnel/path gates cannot express
+    "q69_pattern_match" -> ((s, d) =>
+      EventWindows.patternMatches(t(s, d)("events"), "v+c*p")),
     // cumulative reach: first-seen reduction + running sum over the
     // day spine (the only window runs over calendar-day rows)
     "q68_cumulative_reach" -> ((s, d) =>
@@ -4038,18 +4108,10 @@ object SparkEntry {
     // closed form of the automaton's outcome: %4==2 dies at the D unless
     // the %12==6 I resurrects it; the ghost U and the orphan U leave no
     // trace; the fresh I lands at doc_id+100000
-    "x12_cdc_apply" ->
-      """SELECT doc_id,
-                CASE WHEN doc_id % 4 = 1 THEN text || ' v2' ELSE text END AS text,
-                source
-         FROM documents WHERE doc_id % 4 <> 2
-         UNION ALL
-         SELECT doc_id, 'resurrected ' || doc_id AS text, 'cdc' AS source
-         FROM documents WHERE doc_id % 12 = 6
-         UNION ALL
-         SELECT doc_id + 100000 AS doc_id, 'fresh' AS text, 'cdc' AS source
-         FROM documents WHERE doc_id % 10 = 0
-         ORDER BY doc_id""",
+    "x12_cdc_apply" -> cdcOracleSql,
+    // ONE string, two gates: the per-micro-batch streaming apply cannot
+    // drift from the one-shot batch apply
+    "w19_stream_cdc" -> cdcOracleSql,
     // pruning is a pure optimization: survivors ∪ residual filter must
     // equal the full-scan predicate no matter how the files were cut
     "x11_file_skipping" ->
@@ -6774,6 +6836,19 @@ object SparkEntry {
          FROM d LEFT JOIN nu ON d.day = nu.day ORDER BY d.day""",
     // identical island derivation (30-min gap, (ts, event_id) order) and
     // session-partitioned leads
+    // both engines run leftmost-greedy non-overlapping scans, so the
+    // count AND the first matched substring are bit-identical; the
+    // (ts, event_id) order pins the sequence string itself
+    "q69_pattern_match" ->
+      s"""WITH $evCte,
+         o AS (SELECT user_id, ts, event_id, substr(event_type, 1, 1) AS c
+               FROM ev),
+         s AS (SELECT user_id, string_agg(c, '' ORDER BY ts, event_id) AS seq
+               FROM o GROUP BY user_id)
+         SELECT user_id, CAST(length(seq) AS BIGINT) AS seq_len,
+                CAST(len(regexp_extract_all(seq, 'v+c*p')) AS BIGINT) AS n_matches,
+                regexp_extract(seq, 'v+c*p') AS first_match
+         FROM s ORDER BY user_id""",
     "q64_session_paths" ->
       s"""WITH $evCte,
          o AS (SELECT user_id, event_id, ts, event_type,

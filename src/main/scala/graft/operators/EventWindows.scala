@@ -422,4 +422,36 @@ object EventWindows {
       .agg(count(lit(1)).as("n"))
       .orderBy($"s1", $"s2", $"s3")
   }
+
+  /** Event-sequence pattern matching (q69) — the MATCH_RECOGNIZE seat:
+    * each user's event stream collapses to a type-initial string in
+    * (ts, event_id) order, and a regex over that string counts
+    * non-overlapping pattern occurrences and returns the first match —
+    * "views then clicks then a purchase" expressed as `v+c*p` instead
+    * of hand-chained `lead`s (q37's funnel is the fixed-length special
+    * case; this takes arbitrary quantified patterns).
+    *
+    * Both engines run leftmost greedy non-overlapping regex scans, so
+    * counts and match texts are identical as long as the pattern stays
+    * in the POSIX-ish common core (no backrefs/lookaround — document,
+    * don't translate). Scale shape: ONE user-keyed shuffle; the string
+    * build is array_sort over the collected group (bounded by per-user
+    * event counts — the q64 contract), the regex is row-local codegen.
+    */
+  def patternMatches(events: DataFrame, pattern: String): DataFrame = {
+    require(!pattern.contains("(?") && !pattern.matches(""".*\\\d.*"""),
+      s"patternMatches: lookaround/backref syntax is not cross-engine portable: $pattern")
+    events
+      .groupBy($"user_id")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct($"ts", $"event_id", $"event_type"))),
+          s => substring(s.getField("event_type"), 1, 1)), "").as("seq"))
+      .select($"user_id",
+        length($"seq").cast("long").as("seq_len"),
+        size(regexp_extract_all($"seq", lit(pattern), lit(0))).cast("long")
+          .as("n_matches"),
+        regexp_extract($"seq", pattern, 0).as("first_match"))
+      .orderBy($"user_id")
+  }
 }

@@ -130,6 +130,31 @@ object SnapshotUpsert {
     if (retain > 0) vacuum(dir, retain)
   }
 
+  /** The `foreachBatch` function for an OP-AWARE CDC stream (w19):
+    * each micro-batch of (key, payload…, op, seq) log rows advances the
+    * snapshot via [[Upsert.cdcApply]] — the I/U/D existence automaton —
+    * under the same versioned-pointer exactly-once protocol. Batch
+    * splitting is sound because the automaton folds left-to-right and
+    * the materialized snapshot IS its carried state: as long as batches
+    * arrive in seq order (mtime-ordered landing files of an append-only
+    * log do), per-batch apply equals the one-shot apply — the t17/w10
+    * merge law, extended to op semantics (gated by sharing x12's
+    * oracle string verbatim).
+    */
+  def applyCdcBatch(dir: String, key: String, seqCol: String = "seq",
+                    opCol: String = "op", retain: Int = 2)(batch: DataFrame, batchId: Long): Unit = {
+    val version = s"b$batchId"
+    val current = currentVersion(dir).getOrElse(
+      throw new IllegalStateException(s"snapshot at $dir not initialised — call init() first"))
+    if (batchId <= versionId(current)) return
+    val spark = batch.sparkSession
+    val merged = Upsert.cdcApply(
+      spark.read.parquet(s"$dir/$current"), batch, key, seqCol, opCol)
+    merged.write.mode("overwrite").parquet(s"$dir/$version")
+    switchPointer(dir, version)
+    if (retain > 0) vacuum(dir, retain)
+  }
+
   /** Read the current snapshot (the pointer's version directory). */
   def read(spark: SparkSession, dir: String): DataFrame = {
     val v = currentVersion(dir).getOrElse(

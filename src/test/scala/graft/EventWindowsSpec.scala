@@ -317,4 +317,34 @@ class EventWindowsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
     out shouldBe Map(("a", "b", "c") -> 1L, ("d", "e", "f") -> 1L)
   }
+
+  test("patternMatches: greedy non-overlapping count, first match, order by ts") {
+    // user 1 stream in time order: v v p c v c p  -> matches 'vvp','vcp'
+    // (the ts values are deliberately out of insertion order)
+    val d = events(
+      (3L, "2024-01-01 10:02:00", 1L, "purchase", 0.0),
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-01 10:01:00", 1L, "view", 0.0),
+      (4L, "2024-01-01 10:03:00", 1L, "click", 0.0),
+      (5L, "2024-01-01 10:04:00", 1L, "view", 0.0),
+      (6L, "2024-01-01 10:05:00", 1L, "click", 0.0),
+      (7L, "2024-01-01 10:06:00", 1L, "purchase", 0.0),
+      // user 2: no purchase -> zero matches, empty first_match
+      (8L, "2024-01-01 10:00:00", 2L, "view", 0.0))
+    val out = EventWindows.patternMatches(d, "v+c*p").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    out(1L) shouldBe ((7L, 2L, "vvp"))
+    out(2L) shouldBe ((1L, 0L, ""))
+    // ts tie broken by event_id: two same-ts events stay deterministic
+    val tie = events(
+      (2L, "2024-01-01 10:00:00", 3L, "purchase", 0.0),
+      (1L, "2024-01-01 10:00:00", 3L, "view", 0.0))
+    EventWindows.patternMatches(tie, "vp").collect()
+      .map(r => (r.getLong(2), r.getString(3))).toSeq shouldBe Seq((1L, "vp"))
+    // non-portable regex syntax refuses loudly
+    an[IllegalArgumentException] should be thrownBy
+      EventWindows.patternMatches(d, "(?=v)p")
+    an[IllegalArgumentException] should be thrownBy
+      EventWindows.patternMatches(d, "(v)\\1")
+  }
 }

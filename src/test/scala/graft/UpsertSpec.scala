@@ -361,4 +361,28 @@ class UpsertSpec extends SparkSpec {
     // unknown ops refuse loudly
     an[Exception] should be thrownBy apply((1L, "X", "z", 1L))
   }
+
+  test("applyCdcBatch: seq-split batches equal the one-shot apply; replays are no-ops") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val log = Seq(
+      (1L, "a2", "U", 1L), (2L, "-", "D", 2L),
+      (2L, "ghost", "U", 3L), (2L, "re", "I", 4L), (9L, "new", "I", 5L))
+      .toDF("id", "v", "op", "seq")
+    val oneShot = Upsert.cdcApply(base, log, "id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    graft.streaming.SnapshotUpsert.init(base, dir)
+    val sink: (org.apache.spark.sql.DataFrame, Long) => Unit =
+      graft.streaming.SnapshotUpsert.applyCdcBatch(dir, "id")
+    sink(log.where($"seq" <= 2), 0L)
+    sink(log.where($"seq" > 2), 1L)
+    def state() = graft.streaming.SnapshotUpsert.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    state() shouldBe oneShot
+    oneShot shouldBe Map(1L -> "a2", 2L -> "re", 3L -> "c", 9L -> "new")
+    // replayed and stale batch ids never move the pointer
+    sink(log.where($"seq" > 2), 1L)
+    sink(log.where($"seq" <= 2), 0L)
+    state() shouldBe oneShot
+  }
 }
