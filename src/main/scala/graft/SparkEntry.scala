@@ -1323,6 +1323,10 @@ object SparkEntry {
     // over the integer-valued grid twin; one cell-keyed shuffle
     "r24_cell_trend" -> ((s, d) =>
       Raster.cellTrend(Raster.demoGridSum(t(s, d)("lineitem")), "A")),
+    // 3x3 focal mean over the integer-valued grid twin: explode-to-9 +
+    // one cell-keyed fold; edge cells average their existing neighbors
+    "r32_focal_mean" -> ((s, d) =>
+      Raster.focalMean(Raster.demoGridSum(t(s, d)("lineitem")))),
     // wind-style component recombination: variables A/N paired per cell
     // by a one-scan conditional pivot, magnitude via correctly-rounded
     // sqrt (the one portable transcendental), direction as the integer
@@ -1870,6 +1874,10 @@ object SparkEntry {
       Similarity.matryoshkaTopK(t(s, d)("embeddings"), 0L,
         prefixDims = 16, shortlist = 50, k = 10)),
     "s02_cosine_topk" -> ((s, d) => Similarity.cosineTopK(t(s, d)("embeddings"), 0L, 10)),
+    // sign-bit sketch prefilter (two BIGINT signatures, bit_count(xor))
+    // + exact rerank of the 40-deep shortlist — both cuts value-checked
+    "s16_binary_topk" -> ((s, d) =>
+      Similarity.binaryHammingTopK(t(s, d)("embeddings"), 0L, 10)),
     // IR eval harness: exact top-10 per judged query (vec_id % 100 == 0)
     // vs residue-class qrels — MRR's one IEEE division, precision/recall
     // as exact ppm; no-hit queries report mrr 0 with a null first rank
@@ -2569,6 +2577,10 @@ object SparkEntry {
     // arboricity-bounded by the sparsified maxdeg
     "g06_node_similarity" -> ((s, d) => operators.Graph.neighborJaccard(
       operators.Graph.coPurchaseEdgesSupported(t(s, d)("lineitem"), 2), 2)),
+    // resource-allocation link prediction over the same projection:
+    // integer-scaled 1/deg mass, non-edges only, top-20 by (score, x, y)
+    "g12_link_prediction" -> ((s, d) => operators.Graph.linkPrediction(
+      operators.Graph.coPurchaseEdgesSupported(t(s, d)("lineitem"), 2), 2, 20)),
     // k-core membership: data-dependent peel rounds, driver state = one
     // edge count per round; engine maxRounds is pinned to the oracle's
     // unroll count (kcorePeelRounds) so a deeper-than-unrolled peel fails
@@ -3752,6 +3764,22 @@ object SparkEntry {
     // the oracle forms the SAME den-scaled integer overlaps directly on
     // the (source cell × target cell) join — a wrong axis table, weight,
     // or normalization in the engine shifts num/den_eff and mismatches
+    // the oracle re-runs the explode-to-9 fold; integer-valued sums make
+    // the one division bit-identical, and the join back to the grid must
+    // trim exactly the one-cell halo
+    "r32_focal_mean" ->
+      s"""WITH ${operators.Raster.demoGridSumSql},
+         c AS (SELECT variable, time, lat + dy AS lat, lon + dx AS lon, value
+               FROM gridsum
+               CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS dy) t1
+               CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS dx) t2),
+         a AS (SELECT variable, time, lat, lon,
+                      CAST(count(*) AS BIGINT) AS n_nbrs, sum(value) AS s
+               FROM c GROUP BY 1, 2, 3, 4)
+         SELECT a.variable, a.time, a.lat, a.lon, a.n_nbrs,
+                round(a.s / a.n_nbrs, 4) AS focal_mean
+         FROM a JOIN gridsum g USING (variable, time, lat, lon)
+         ORDER BY 1, 2, 3, 4""",
     "r29_remap_conservative" ->
       s"""WITH ${operators.Raster.demoGridSumSql},
          tj AS (SELECT unnest(generate_series(0, 6)) AS j),
@@ -5378,6 +5406,30 @@ object SparkEntry {
                FROM embeddings, q WHERE vec_id <> 0)
          SELECT vec_id, label, round(c, 4) AS cos_sim FROM s
          ORDER BY c DESC, vec_id LIMIT 10""",
+    // replays the sign-bit Horner fold with shifts, the Hamming cut at
+    // 40 and the exact-cosine recut at 10 — a wrong bit order, tie-break
+    // or shortlist boundary all change the emitted rows
+    "s16_binary_topk" ->
+      """WITH sig AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+                CAST(list_sum(list_transform(generate_series(1, 32), i ->
+                  CASE WHEN embedding[i] > 0 THEN (CAST(1 AS BIGINT) << (32 - i))
+                       ELSE 0 END)) AS BIGINT) AS sig_a,
+                CAST(list_sum(list_transform(generate_series(33, 64), i ->
+                  CASE WHEN embedding[i] > 0 THEN (CAST(1 AS BIGINT) << (64 - i))
+                       ELSE 0 END)) AS BIGINT) AS sig_b
+              FROM embeddings),
+         q AS (SELECT v AS qv, sig_a AS qa, sig_b AS qb FROM sig WHERE vec_id = 0),
+         h AS (SELECT vec_id, label, v, qv,
+                 CAST(bit_count(xor(sig_a, qa)) + bit_count(xor(sig_b, qb))
+                   AS BIGINT) AS hamming
+               FROM sig, q WHERE vec_id <> 0),
+         sl AS (SELECT * FROM h ORDER BY hamming, vec_id LIMIT 40),
+         r AS (SELECT vec_id, label, hamming,
+                 list_dot_product(v, qv)
+                 / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS c
+               FROM sl)
+         SELECT vec_id, label, hamming, round(c, 4) AS cos_sim FROM r
+         ORDER BY c DESC, vec_id LIMIT 10""",
     // the same cosine, ranked WITHIN each label (the filtered-ANN shape);
     // row_number with the identical (cos DESC, vec_id) tiebreak
     "s13_filtered_topk" ->
@@ -6535,6 +6587,23 @@ object SparkEntry {
                 round(CAST(inter AS DOUBLE) / (dx.deg + dy.deg - inter), 6) AS jaccard
          FROM i JOIN deg dx ON i.x = dx.w JOIN deg dy ON i.y = dy.w
          ORDER BY x, y""",
+    // the same wedge kernel with 10^6-div-deg mass and the non-edge
+    // anti-join — a wrong degree, a leaked existing edge, or a tie-break
+    // slip at the top-20 boundary all change the emitted rows
+    "g12_link_prediction" ->
+      s"""WITH $supportedEdgesCte,
+         adj AS (SELECT u AS w, v AS n FROM e0 UNION ALL SELECT v AS w, u AS n FROM e0),
+         deg AS (SELECT w, count(*) AS deg FROM adj GROUP BY w),
+         wa AS (SELECT adj.w, adj.n, 1000000 // deg AS rw
+                FROM adj JOIN deg USING (w)),
+         sc AS (SELECT a.n AS x, b.n AS y, CAST(count(*) AS BIGINT) AS common,
+                       CAST(sum(a.rw) AS BIGINT) AS ra_score
+                FROM wa a JOIN wa b ON a.w = b.w AND a.n < b.n
+                GROUP BY 1, 2 HAVING count(*) >= 2),
+         ex AS (SELECT least(u, v) AS x, greatest(u, v) AS y FROM e0)
+         SELECT x, y, common, ra_score FROM sc
+         WHERE NOT EXISTS (SELECT 1 FROM ex WHERE ex.x = sc.x AND ex.y = sc.y)
+         ORDER BY ra_score DESC, x, y LIMIT 20""",
     "g07_kcore" -> kcoreOracle(3, kcorePeelRounds),
     "g08_label_prop" -> lpaOracle(lpaRounds),
     "g03_item_cf" ->

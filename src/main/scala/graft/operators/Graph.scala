@@ -509,6 +509,43 @@ object Graph {
       .orderBy(col("x"), col("y"))
   }
 
+  /** Link prediction by resource-allocation index (g12) — score
+    * NON-adjacent node pairs by Σ_{w ∈ N(x)∩N(y)} 1/deg(w) (Zhou, Lü &
+    * Zhang 2009), the common-neighbor family's best simple predictor:
+    * a shared neighbor "allocates" its unit of resource equally across
+    * its links, so rare shared neighbors count more than hubs. The
+    * "people you may know" / "customers also considered" primitive,
+    * here over the co-purchase projection.
+    *
+    * Determinism: integer-scaled weights (10^6 div deg — floor division
+    * of positive BIGINTs, bit-identical in any engine; the g01 mass
+    * discipline) and a (score DESC, x, y) total order on the cut.
+    * Scale shape: the same wedge-centered kernel as [[neighborJaccard]]
+    * — per-wedge weight rides the adjacency row, so scoring is ONE
+    * groupBy over wedges (arboricity-bounded on the supported
+    * projection), the existing-edge anti-join removes known links, and
+    * the k-cut is a TakeOrdered, never a global sort.
+    */
+  def linkPrediction(undRaw: DataFrame, minCommon: Int, k: Int): DataFrame = {
+    require(minCommon >= 1 && k >= 1,
+      s"linkPrediction: minCommon ($minCommon) and k ($k) must be >= 1")
+    val und = graft.Session.barrier(undRaw)
+    val adj = und.select(col("u").as("w"), col("v").as("n"))
+      .unionByName(und.select(col("v").as("w"), col("u").as("n")))
+    val deg = adj.groupBy(col("w")).agg(count(lit(1)).as("deg"))
+    val wadj = adj.join(deg, Seq("w")).withColumn("rw", expr("1000000 div deg"))
+    val scores = wadj.as("a").join(wadj.as("b"),
+        col("a.w") === col("b.w") && col("a.n") < col("b.n"))
+      .groupBy(col("a.n").as("x"), col("b.n").as("y"))
+      .agg(count(lit(1)).as("common"), sum(col("a.rw")).as("ra_score"))
+      .where(col("common") >= minCommon)
+    val existing = und.select(
+      least(col("u"), col("v")).as("x"), greatest(col("u"), col("v")).as("y"))
+    scores.join(existing, Seq("x", "y"), "left_anti")
+      .orderBy(col("ra_score").desc, col("x"), col("y"))
+      .limit(k)
+  }
+
   /** Synchronous label propagation (g08): `rounds` fixed sweeps over an
     * undirected edge list (u < v) — the classic community-detection
     * heuristic (Raghavan/Albert/Kumara 2007) that groups a co-purchase

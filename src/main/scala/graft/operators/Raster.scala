@@ -67,6 +67,41 @@ object Raster {
       |         CAST(sum(l_quantity) AS DOUBLE) AS value
       |  FROM lineitem GROUP BY 1, 2, 3, 4)""".stripMargin
 
+  /** Focal (moving-window) mean (r32) — the 3×3 neighborhood smoother
+    * every raster toolbox ships (GRASS r.neighbors, ArcGIS Focal
+    * Statistics; the reference's cdo/gdal stack exposes it as
+    * `smooth9`): each cell's output is the mean of the up-to-9 cells
+    * in its unit-lattice neighborhood, with edge cells averaging only
+    * their existing neighbors (`n_nbrs` is the audit, the r11
+    * discipline). Missing interior cells simply don't contribute —
+    * count-based normalization, not a fixed /9.
+    *
+    * Relational shape (the 100 TB point): a windowed 2-D stencil can't
+    * ride Spark's 1-D sort windows, so each cell EXPLODES to the 9
+    * target positions it contributes to (a ×9 map-side multiply,
+    * columnar and codegen'd) and ONE cell-keyed partial-aggregating
+    * shuffle folds each target's neighborhood; the semi-join back to
+    * the grid trims the one-cell halo and reuses the same hash
+    * partitioning. Never a self-join per offset (8 shuffles), never a
+    * collect. Values are integer-valued doubles, so sums are exact and
+    * the single division is bit-identical cross-engine.
+    */
+  def focalMean(grid: DataFrame): DataFrame = {
+    val keys = Seq($"variable", $"time", $"lat", $"lon")
+    val contrib = grid
+      .withColumn("dy", explode(sequence(lit(-1), lit(1))))
+      .withColumn("dx", explode(sequence(lit(-1), lit(1))))
+      .select($"variable", $"time",
+        ($"lat" + $"dy").as("lat"), ($"lon" + $"dx").as("lon"), $"value")
+    contrib.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_nbrs"), sum($"value").as("s"))
+      .join(grid.select(keys: _*), Seq("variable", "time", "lat", "lon"),
+        "left_semi")
+      .select($"variable", $"time", $"lat", $"lon", $"n_nbrs",
+        round($"s" / $"n_nbrs", 4).as("focal_mean"))
+      .orderBy(keys: _*)
+  }
+
   /** R11: regrid — block-mean downsampling by per-axis factors (the `cdo
     * remapcon` / `gdalwarp -tr` coarsening every reanalysis pipeline runs
     * when serving lower resolutions): each fine cell belongs to the

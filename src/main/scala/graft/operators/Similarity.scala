@@ -66,19 +66,44 @@ object Similarity {
       .orderBy($"label", $"rk")
   }
 
-  /** Matryoshka truncate-then-rerank top-k (s14): the two-stage search
-    * shape MRL-trained embeddings exist for (Kusupati et al. 2022,
-    * NeurIPS) — score EVERY vector on only its first `prefixDims`
-    * dimensions (a prefix of an MRL embedding is itself a usable
-    * embedding), keep a `shortlist`, and rerank just the shortlist at
-    * full dimensionality. At 100 TB the corpus-wide pass reads a
-    * `prefixDims/dims` fraction of the vector bytes (with a sliced
-    * column the scan itself shrinks; here the slice drops the FLOPs and
-    * the sort keys), and the full-width cosine — the expensive kernel —
-    * runs on `shortlist` rows, not the corpus. Both stages are
-    * TakeOrdered plans (per-partition top-N trim before a single-reduce
-    * merge, never a global sort), deterministic tiebreak on vec_id.
+  /** 1-bit binary-quantized search (s16) — the sign-bit sketch pass
+    * (the Hamming-prefilter regime faiss's binary indexes and RaBitQ
+    * descend from): each 64-dim vector collapses to TWO BIGINT
+    * signatures, candidate ranking is `bit_count(xor)` — 16 bytes and
+    * a handful of ALU ops per vector instead of 256 bytes and 64
+    * FMAs — and the exact cosine runs only on a fixed shortlist. The
+    * 100 TB shape: the sketch pass reads 1/16 of the vector bytes
+    * (with a materialized signature column, 1/16 of the scan), the
+    * shortlist cut is a TakeOrdered (per-partition top-N, no global
+    * sort), and the rerank cost is `shortlist`, not corpus-sized.
+    * Deterministic: both cuts tie-break on vec_id.
     */
+  def binaryHammingTopK(embeddings: DataFrame, queryId: Long, k: Int,
+                        shortlist: Int = 40): DataFrame = {
+    require(k >= 1 && shortlist >= k,
+      s"binaryHammingTopK: need 1 <= k ($k) <= shortlist ($shortlist)")
+    // Horner fold of 32 sign bits per half: sig = Σ bit_i · 2^(32−i) —
+    // two BIGINTs, never touching the 64th bit, so the oracle's shift
+    // arithmetic can replay it without signed-overflow divergence
+    def half(off: Int) =
+      aggregate(sequence(lit(off + 1), lit(off + 32)), lit(0L),
+        (acc, i) => acc * 2 +
+          when(element_at($"embedding", i) > lit(0f), lit(1L)).otherwise(lit(0L)))
+    val sigs = embeddings.select($"vec_id", $"label", $"embedding",
+      half(0).as("sig_a"), half(32).as("sig_b"))
+    val q = sigs.where($"vec_id" === queryId)
+      .select($"embedding".as("q"), $"sig_a".as("qa"), $"sig_b".as("qb"))
+    sigs.where($"vec_id" =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("hamming",
+        (bit_count($"sig_a".bitwiseXOR($"qa")) +
+          bit_count($"sig_b".bitwiseXOR($"qb"))).cast("long"))
+      .orderBy($"hamming", $"vec_id").limit(shortlist)
+      .withColumn("cos_sim", Vectors.cosine($"embedding", $"q"))
+      .orderBy($"cos_sim".desc, $"vec_id").limit(k)
+      .select($"vec_id", $"label", $"hamming", round($"cos_sim", 4).as("cos_sim"))
+  }
+
   /** Retrieval-evaluation harness (s15) — the IR metrics every search
     * stack reports against a judged query set: per query, MRR (one IEEE
     * division of the first-relevant rank), precision@k and recall@k as
@@ -130,6 +155,19 @@ object Similarity {
       .orderBy($"qid")
   }
 
+  /** Matryoshka truncate-then-rerank top-k (s14): the two-stage search
+    * shape MRL-trained embeddings exist for (Kusupati et al. 2022,
+    * NeurIPS) — score EVERY vector on only its first `prefixDims`
+    * dimensions (a prefix of an MRL embedding is itself a usable
+    * embedding), keep a `shortlist`, and rerank just the shortlist at
+    * full dimensionality. At 100 TB the corpus-wide pass reads a
+    * `prefixDims/dims` fraction of the vector bytes (with a sliced
+    * column the scan itself shrinks; here the slice drops the FLOPs and
+    * the sort keys), and the full-width cosine — the expensive kernel —
+    * runs on `shortlist` rows, not the corpus. Both stages are
+    * TakeOrdered plans (per-partition top-N trim before a single-reduce
+    * merge, never a global sort), deterministic tiebreak on vec_id.
+    */
   def matryoshkaTopK(embeddings: DataFrame, queryId: Long, prefixDims: Int,
                      shortlist: Int, k: Int): DataFrame = {
     require(prefixDims >= 1, s"prefixDims must be >= 1, got $prefixDims")

@@ -324,6 +324,31 @@ class GraphSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy run(Seq(0L), 17)
   }
 
+  test("linkPrediction: RA mass, non-edges only, hub discount") {
+    // star around hub 0 (deg 4) plus a triangle tail: 1-2 are both
+    // neighbors of 0 AND connected (existing edge -> excluded); 3-4
+    // share only the hub; 5-6 share low-degree node 2
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (1L, 2L),
+      (2L, 5L), (2L, 6L)).toDF("u", "v")
+    val out = Graph.linkPrediction(edges, 1, 10)
+      .select($"x", $"y", $"common", $"ra_score")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // deg: 0->4, 1->2, 2->4, 3->1, 4->1, 5->1, 6->1
+    // 3-4 share hub 0 only: score = 10^6 div 4
+    out((3L, 4L)) shouldBe ((1L, 250000L))
+    // 5-6 share node 2 (deg 4): same mass as the hub here
+    out((5L, 6L)) shouldBe ((1L, 250000L))
+    // 1-3 share 0; 1-5 share 2: single-common pairs present at min 1
+    out((1L, 3L)) shouldBe ((1L, 250000L))
+    // 1-2 is an EXISTING edge: never predicted, despite 1 common nbr
+    out.contains((1L, 2L)) shouldBe false
+    // 3-5 share nothing: absent
+    out.contains((3L, 5L)) shouldBe false
+    // minCommon 2 keeps only pairs with >= 2 shared neighbors: none here
+    Graph.linkPrediction(edges, 2, 10).count() shouldBe 0L
+  }
+
   test("ssspWeighted: later-round improvement, parallel-edge min, edge budget") {
     // direct 0-1 costs 10; the detour 0-2-1 costs 2 but needs 2 edges
     val edges = Seq((0L, 1L, 10L), (0L, 2L, 1L), (2L, 1L, 1L)).toDF("u", "v", "w")

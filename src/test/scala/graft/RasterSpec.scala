@@ -358,4 +358,26 @@ class RasterSpec extends SparkSpec {
     out((1.0, 1.0)) shouldBe ((4.0, -3.0, 5.0, 4L))
     out.size shouldBe 4
   }
+
+  test("focalMean: interior averages 9, edges fewer, holes skipped, no halo rows") {
+    // 3x3 lattice with the center MISSING; values = 10*lat + lon
+    val rows = for {
+      lat <- Seq(0.0, 1.0, 2.0); lon <- Seq(0.0, 1.0, 2.0)
+      if !(lat == 1.0 && lon == 1.0)
+    } yield ("v", "2024-01-01 00:00:00", lat, lon, 10 * lat + lon)
+    val g = rows.toDF("variable", "time", "lat", "lon", "value")
+      .withColumn("time", $"time".cast("timestamp_ntz"))
+    val out = Raster.focalMean(g).collect()
+      .map(r => (r.getDouble(2), r.getDouble(3)) ->
+        ((r.getLong(4), r.getDouble(5)))).toMap
+    // corner (0,0): neighbors present = (0,0)(0,1)(1,0) -> mean of 0,1,10
+    // (11/3 rounded at the operator's 4-decimal contract)
+    out((0.0, 0.0)) shouldBe ((3L, 3.6667))
+    // edge (0,1): 5 positions exist, center hole missing -> 0,1,2,10,12
+    out((0.0, 1.0)) shouldBe ((5L, 5.0))
+    // the missing center produced NO output row, and no halo ring either
+    out.contains((1.0, 1.0)) shouldBe false
+    out.contains((-1.0, -1.0)) shouldBe false
+    out.size shouldBe 8
+  }
 }

@@ -15,6 +15,29 @@ class SimilaritySpec extends SparkSpec {
   private def emb(rows: (Long, Array[Float], Int)*) =
     rows.toDF("vec_id", "embedding", "label")
 
+  test("binaryHammingTopK: hamming = sign flips, shortlist cut, cosine rerank") {
+    def flipped(k: Int): Array[Float] =
+      Array.tabulate(64)(i => if (i < k) -1.0f else 1.0f)
+    val d = emb(
+      (0L, flipped(0), 0),   // query: all positive
+      (1L, flipped(2), 1),   // 2 sign flips
+      (2L, flipped(5), 2),   // 5 flips
+      (3L, flipped(40), 3),  // 40 flips — outside shortlist=2
+      (4L, flipped(33), 4))  // 33 flips (bits straddle both halves)
+    val out = Similarity.binaryHammingTopK(d, 0L, k = 2, shortlist = 2)
+      .select($"vec_id", $"hamming").as[(Long, Long)].collect()
+    // shortlist keeps the 2 closest by hamming; rerank orders by cosine
+    // (fewer flips = higher cosine here), so order is 1 then 2
+    out shouldBe Array((1L, 2L), (2L, 5L))
+    // flips crossing the 32-bit half boundary still count exactly
+    val wide = Similarity.binaryHammingTopK(d, 0L, k = 4, shortlist = 4)
+      .select($"vec_id", $"hamming").as[(Long, Long)].collect().toMap
+    wide(4L) shouldBe 33L
+    wide(3L) shouldBe 40L
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.binaryHammingTopK(d, 0L, k = 5, shortlist = 4)
+  }
+
   test("retrievalMetrics: hand-ranked fixture — MRR, precision/recall ppm, the no-hit path") {
     def v2(x: Float, y: Float): Array[Float] = {
       val a = Array.fill(64)(0.0f); a(0) = x; a(1) = y; a
