@@ -904,6 +904,20 @@ object SparkEntry {
     * merges reproduce the one-shot latest-wins result because batch order
     * (mtime) equals seq order — so the oracle is shared verbatim with t17.
     */
+  /** Shared q69/w20 oracle: per-user type-initial sequence in
+    * (ts, event_id) order, leftmost-greedy non-overlapping `v+c*p` scan.
+    */
+  private lazy val patternOracleSql =
+    s"""WITH $evCte,
+       o AS (SELECT user_id, ts, event_id, substr(event_type, 1, 1) AS c
+             FROM ev),
+       s AS (SELECT user_id, string_agg(c, '' ORDER BY ts, event_id) AS seq
+             FROM o GROUP BY user_id)
+       SELECT user_id, CAST(length(seq) AS BIGINT) AS seq_len,
+              CAST(len(regexp_extract_all(seq, 'v+c*p')) AS BIGINT) AS n_matches,
+              regexp_extract(seq, 'v+c*p') AS first_match
+       FROM s ORDER BY user_id"""
+
   /** Shared x12/w19 oracle: the closed-form outcome of [[cdcFixture]]'s
     * log under the I/U/D existence automaton.
     */
@@ -982,6 +996,45 @@ object SparkEntry {
       q.awaitTermination()
     }
     graft.streaming.SnapshotUpsert.read(s, snapDir).orderBy($"doc_id")
+  }
+
+  /** w20: q69's pattern matching as streaming CEP — the four
+    * time-sliced landing batches drive the resumable-scan
+    * `mapGroupsWithState` kernel; Update-mode rows upsert the versioned
+    * snapshot per user, so the final store holds exactly the one-shot
+    * batch answer (oracle shared verbatim with q69).
+    */
+  private def streamPattern(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_w20").toString
+    val schema = landEventsSliced(s, d, tmp)
+    val snapDir = s"$tmp/snapshot"
+    graft.streaming.SnapshotUpsert.init(
+      s.emptyDataset(
+        org.apache.spark.sql.Encoders.product[graft.streaming.PatternOut]).toDF(),
+      snapDir)
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/landing")
+    withStreamingPartitions(s, 8) {
+      val q = graft.streaming.EventStream.patternMatchStateful(
+          stream.as[graft.streaming.Event](
+            org.apache.spark.sql.Encoders.product[graft.streaming.Event]),
+          "v+c*p")
+        .toDF()
+        .writeStream
+        .foreachBatch((b: DataFrame, bid: Long) =>
+          graft.streaming.SnapshotUpsert.applyBatch(snapDir, "user_id")(
+            b.withColumn("seq", lit(bid)).withColumn("del", lit(false)), bid))
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.streaming.StateMetrics.record("w20_stream_pattern", q)
+    }
+    graft.streaming.SnapshotUpsert.read(s, snapDir)
+      .select($"user_id", $"seq_len", $"n_matches", $"first_match")
+      .orderBy($"user_id")
   }
 
   private def streamUpsert(s: SparkSession, d: String): DataFrame = {
@@ -2336,6 +2389,9 @@ object SparkEntry {
     // the fixed-arity funnel/path gates cannot express
     "q69_pattern_match" -> ((s, d) =>
       EventWindows.patternMatches(t(s, d)("events"), "v+c*p")),
+    // the same pattern kernel as streaming CEP: resumable scan in
+    // mapGroupsWithState over the time-sliced landing, upsert per user
+    "w20_stream_pattern" -> ((s, d) => streamPattern(s, d)),
     // cumulative reach: first-seen reduction + running sum over the
     // day spine (the only window runs over calendar-day rows)
     "q68_cumulative_reach" -> ((s, d) =>
@@ -6908,16 +6964,10 @@ object SparkEntry {
     // both engines run leftmost-greedy non-overlapping scans, so the
     // count AND the first matched substring are bit-identical; the
     // (ts, event_id) order pins the sequence string itself
-    "q69_pattern_match" ->
-      s"""WITH $evCte,
-         o AS (SELECT user_id, ts, event_id, substr(event_type, 1, 1) AS c
-               FROM ev),
-         s AS (SELECT user_id, string_agg(c, '' ORDER BY ts, event_id) AS seq
-               FROM o GROUP BY user_id)
-         SELECT user_id, CAST(length(seq) AS BIGINT) AS seq_len,
-                CAST(len(regexp_extract_all(seq, 'v+c*p')) AS BIGINT) AS n_matches,
-                regexp_extract(seq, 'v+c*p') AS first_match
-         FROM s ORDER BY user_id""",
+    "q69_pattern_match" -> patternOracleSql,
+    // ONE string, two gates: the resumable-scan streaming CEP kernel
+    // cannot drift from the one-shot batch regex scan
+    "w20_stream_pattern" -> patternOracleSql,
     "q64_session_paths" ->
       s"""WITH $evCte,
          o AS (SELECT user_id, event_id, ts, event_type,

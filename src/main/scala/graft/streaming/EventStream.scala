@@ -22,6 +22,19 @@ case class SessionOut(user_id: Long, session_id: Long,
                       session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,
                       n_events: Long, sum_value: Double, duration_sec: Double)
 
+/** Per-user resumable-scan state for [[EventStream.patternMatchStateful]]:
+  * totals so far plus the unconsumed suffix since the last completed
+  * match (`tail`) — the only text a future match can still use.
+  */
+case class PatternState(seqLen: Long, nMatches: Long, firstMatch: String,
+                        hasFirst: Boolean, tail: String)
+
+/** Emitted pattern row (mirrors the batch q69 EventWindows.patternMatches
+  * shape; `first_match` empty until a first match completes).
+  */
+case class PatternOut(user_id: Long, seq_len: Long, n_matches: Long,
+                      first_match: String)
+
 /** Structured Streaming surface (SURVEY.md M4): the reference's incremental
   * cycle semantics (monthly cursor = offset tracking, T1) re-expressed as
   * streaming queries over an event source. Each transform is a pure
@@ -220,6 +233,62 @@ object EventStream {
             }
             closed.result().iterator
           }
+        })
+  }
+
+  /** Streaming event-sequence pattern matching (w20) — the CEP twin of
+    * the batch q69 `patternMatches`: per user, count non-overlapping
+    * occurrences of a quantified regex over the type-initial stream and
+    * keep the first matched substring, maintained incrementally with
+    * `mapGroupsWithState`.
+    *
+    * The kernel is a RESUMABLE scan: `java.util.regex` non-overlapping
+    * matching commits each match's end position (Matcher.find resumes
+    * there), so state only carries the unconsumed suffix since the last
+    * completed match — a completed match can never be re-opened by
+    * future input. That requires match ends to be input-extension-proof,
+    * hence the guard: the pattern must not END in a quantifier (a
+    * trailing `v+` would greedily absorb the next batch's `v`, making
+    * the batch split observable). With that contract, per-batch apply
+    * over any time-ordered batch split is bit-equal to the one-shot
+    * batch scan — gated by sharing q69's oracle string verbatim.
+    *
+    * State honesty (the real CEP caveat): `tail` is bounded by the gap
+    * between matches, not by the pattern — a user who never completes a
+    * match accumulates their suffix, exactly as an NFA with counters
+    * would have to retain the same information for `first_match`
+    * reconstruction. Totals ride as integers; output mode is Update
+    * (latest totals per user), materialized by an upsert sink.
+    */
+  def patternMatchStateful(events: Dataset[Event], pattern: String): Dataset[PatternOut] = {
+    require(!pattern.contains("(?") && !pattern.matches(""".*\\\d.*"""),
+      s"patternMatchStateful: lookaround/backref syntax is not cross-engine portable: $pattern")
+    require(!pattern.matches(""".*[+*?}]$"""),
+      s"patternMatchStateful: a trailing quantifier makes match ends batch-dependent: $pattern")
+    import events.sparkSession.implicits._
+    def us(t: java.sql.Timestamp): Long = t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[Event], state: GroupState[PatternState]) => {
+          val appended = rows.toSeq.sortBy(e => (us(e.ts), e.event_id))
+            .map(_.event_type.substring(0, 1)).mkString
+          val prev = state.getOption.getOrElse(PatternState(0L, 0L, "", false, ""))
+          val text = prev.tail + appended
+          val m = java.util.regex.Pattern.compile(pattern).matcher(text)
+          var n = prev.nMatches
+          var first = prev.firstMatch
+          var has = prev.hasFirst
+          var lastEnd = 0
+          while (m.find()) {
+            n += 1
+            if (!has) { first = m.group(); has = true }
+            lastEnd = m.end()
+          }
+          val next = PatternState(prev.seqLen + appended.length, n, first, has,
+            text.substring(lastEnd))
+          state.update(next)
+          PatternOut(userId, next.seqLen, next.nMatches, if (has) first else "")
         })
   }
 }

@@ -467,4 +467,22 @@ class StreamingSpec extends SparkSpec {
       .map { case (t, u, n) => ((t, u), n) }.toMap
     got shouldBe exact
   }
+
+  test("w20 streaming CEP equals the one-shot batch scan across the landing splits") {
+    // the four time-sliced batches cut through users' sequences, so
+    // resumable-scan state (tail carry, committed match ends) is
+    // genuinely exercised; equality row-for-row with the batch kernel
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"user_id", $"seq_len", $"n_matches", $"first_match")
+        .as[(Long, Long, Long, String)].collect().toSeq
+    rows(SparkEntry.queries("w20_stream_pattern")(spark, sf0001)) shouldBe
+      rows(SparkEntry.queries("q69_pattern_match")(spark, sf0001))
+    // non-portable and extension-unsafe patterns refuse loudly
+    val ev = spark.emptyDataset(
+      org.apache.spark.sql.Encoders.product[graft.streaming.Event])
+    an[IllegalArgumentException] should be thrownBy
+      graft.streaming.EventStream.patternMatchStateful(ev, "v+c*")
+    an[IllegalArgumentException] should be thrownBy
+      graft.streaming.EventStream.patternMatchStateful(ev, "(?=v)p")
+  }
 }
