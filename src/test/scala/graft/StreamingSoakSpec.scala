@@ -260,4 +260,101 @@ class StreamingSoakSpec extends SparkSpec {
       .filter(f => f.isDirectory && f.getName.startsWith("b")).length
     versions should be <= 4
   } }
+
+  test("soak: 200 op-aware CDC micro-batches — snapshot bounded by keys, split equals one-shot") { withFewPartitions {
+    val tmp = Files.createTempDirectory("graft_soak_cdc").toString
+    val nKeys = 50L
+    val batches = 200
+    val base = spark.range(nKeys).select($"id".as("k"), lit("v0").as("v"))
+    SnapshotUpsert.init(base, s"$tmp/snap")
+    // batch b carries ops 3b..3b+2; key = seq % 50, op cycles U/D/I, so
+    // every key loops through update -> delete -> resurrect hundreds of
+    // times over a FIXED key universe
+    spark.range(batches * 3L).select(
+      ($"id" / 3).cast("long").as("b"),
+      ($"id" % nKeys).as("k"),
+      concat(lit("x"), $"id").as("v"),
+      element_at(array(lit("U"), lit("D"), lit("I")),
+        ($"id" % 3).cast("int") + 1).as("op"),
+      $"id".as("seq"))
+      .write.partitionBy("b").parquet(s"$tmp/landing")
+    val leafs = new java.io.File(s"$tmp/landing").listFiles()
+      .filter(_.getName.startsWith("b=")).sortBy(_.getName.drop(2).toInt)
+      .flatMap(_.listFiles().filter(_.getName.startsWith("part-")))
+    leafs.length shouldBe batches
+    val mtbase = System.currentTimeMillis() - 7200000L
+    leafs.zipWithIndex.foreach { case (f, i) => f.setLastModified(mtbase + i * 2000L) }
+    val schema = spark.read.parquet(s"$tmp/landing").schema
+    val probes = scala.collection.mutable.ArrayBuffer[Long]()
+    val sink: (org.apache.spark.sql.DataFrame, Long) => Unit = { (df, id) =>
+      SnapshotUpsert.applyCdcBatch(s"$tmp/snap", "k")(df.drop("b"), id)
+      if (id % 25 == 24)
+        probes += SnapshotUpsert.read(spark, s"$tmp/snap").count()
+    }
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/landing")
+      .writeStream.foreachBatch(sink)
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // the snapshot can never outgrow the key universe, at any horizon
+    probes.foreach(_ should be <= nKeys)
+    // the 200-batch split equals the one-shot automaton (the w19 law,
+    // at soak length)
+    val oneShot = Upsert.cdcApply(base,
+        spark.read.parquet(s"$tmp/landing").drop("b"), "k")
+      .as[(Long, String)].collect().sorted
+    SnapshotUpsert.read(spark, s"$tmp/snap")
+      .as[(Long, String)].collect().sorted shouldBe oneShot
+    val versions = new java.io.File(s"$tmp/snap").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("b")).length
+    versions should be <= 4
+  } }
+
+  test("soak: 240 CEP pattern micro-batches under RocksDB — state rows pinned at #users, bytes plateau") {
+    withRocksDb { withFewPartitions { withProgressWindow(300) {
+      val tmp = Files.createTempDirectory("graft_soak_w20").toString
+      val batches = 240
+      val users = 8L
+      // each user completes one v,c,p match per batch, so the resumable
+      // tail drains every batch — state must hold #users rows of
+      // near-constant size while totals (seq_len, n_matches) grow
+      spark.range(batches * users * 3L).select(
+        ($"id" / (users * 3L)).cast("long").as("b"),
+        $"id".as("event_id"),
+        (lit(1700000000L) + $"id").cast("timestamp").as("ts"),
+        (($"id" / 3L).cast("long") % users).as("user_id"),
+        element_at(array(lit("view"), lit("click"), lit("purchase")),
+          ($"id" % 3).cast("int") + 1).as("event_type"),
+        lit(0.0).as("value"))
+        .write.partitionBy("b").parquet(s"$tmp/landing")
+      val leafs = new java.io.File(s"$tmp/landing").listFiles()
+        .filter(_.getName.startsWith("b=")).sortBy(_.getName.drop(2).toInt)
+        .flatMap(_.listFiles().filter(_.getName.startsWith("part-")))
+      leafs.length shouldBe batches
+      val mtbase = System.currentTimeMillis() - 7200000L
+      leafs.zipWithIndex.foreach { case (f, i) => f.setLastModified(mtbase + i * 2000L) }
+      val schema = spark.read.parquet(s"$tmp/landing").drop("b").schema
+      val q = graft.streaming.EventStream.patternMatchStateful(
+          spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$tmp/landing")
+            .as[graft.streaming.Event](
+              org.apache.spark.sql.Encoders.product[graft.streaming.Event]),
+          "v+c*p")
+        .toDF()
+        .writeStream.format("memory").queryName("soak_w20")
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val prog = q.recentProgress.filter(_.stateOperators.nonEmpty)
+      prog.length should be >= 200
+      // one state row per user at every batch — never per event
+      prog.foreach(p => p.stateOperators.map(_.numRowsTotal).sum should be <= users)
+      assertPlateau(prog.map(_.stateOperators.map(_.memoryUsedBytes).sum).toSeq)
+      // totals kept counting across the whole horizon: one match per
+      // user per batch
+      spark.table("soak_w20").groupBy($"user_id")
+        .agg(max($"n_matches").as("m")).select($"m").as[Long]
+        .collect().foreach(_ shouldBe batches.toLong)
+    } } }
+  }
 }
