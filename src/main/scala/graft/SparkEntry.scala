@@ -2371,6 +2371,17 @@ object SparkEntry {
       ($"l_extendedprice".cast("decimal(18,2)") * 100).cast("long"))),
     // interval consolidation (gaps-and-islands over [ts, ts+value s)
     // spans): one keyed window pass, exact integer microseconds
+    // two-sided interval overlap: customer spans × sparse order spans on
+    // a 100k-point axis, bin width 64; inclusive-bounds overlap length
+    "q70_interval_overlap" -> ((s, d) => {
+      val a = t(s, d)("customer").select(
+        $"c_custkey".as("a_id"), (($"c_custkey" * 67) % 100000).as("a_start"))
+        .withColumn("a_end", $"a_start" + ($"a_id" % 25) + 1)
+      val b = t(s, d)("orders").where($"o_orderkey" % 20 === 0).select(
+        $"o_orderkey".as("b_id"), (($"o_orderkey" * 41) % 100000).as("b_start"))
+        .withColumn("b_end", $"b_start" + ($"b_id" % 40) + 1)
+      Temporal.intervalOverlapJoin(a, b, 64L)
+    }),
     "q62_interval_merge" -> ((s, d) => {
       val ev = t(s, d)("events")
       val sUs = unix_micros($"ts".cast("timestamp"))
@@ -6930,6 +6941,22 @@ object SparkEntry {
          FROM r WHERE cumw * 2 >= totw GROUP BY grp ORDER BY grp""",
     // same strictly-beyond-running-max island rule over the identical
     // (s, id) order; all time arithmetic in integer microseconds
+    // DuckDB executes the θ overlap join directly (IEJoin) — pair
+    // completeness by construction; the engine's binning + reporting-bin
+    // dedup must reproduce the exact pair set and overlap lengths
+    "q70_interval_overlap" ->
+      """WITH a AS (SELECT c_custkey AS a_id,
+                (c_custkey*67) % 100000 AS a_start,
+                (c_custkey*67) % 100000 + c_custkey % 25 + 1 AS a_end
+              FROM customer),
+         b AS (SELECT o_orderkey AS b_id,
+                (o_orderkey*41) % 100000 AS b_start,
+                (o_orderkey*41) % 100000 + o_orderkey % 40 + 1 AS b_end
+               FROM orders WHERE o_orderkey % 20 = 0)
+         SELECT a_id, b_id, a_start, a_end, b_start, b_end,
+                least(a_end, b_end) - greatest(a_start, b_start) + 1 AS overlap
+         FROM a JOIN b ON a_start <= b_end AND b_start <= a_end
+         ORDER BY a_id, b_id""",
     "q62_interval_merge" ->
       s"""WITH $evCte,
          i AS (SELECT user_id AS k, event_id AS id, epoch_us(ts) AS s,

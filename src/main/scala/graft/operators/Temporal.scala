@@ -126,6 +126,40 @@ object Temporal {
       .drop("__b")
   }
 
+  /** Interval-overlap join (q70) — pair every left interval with every
+    * right interval it overlaps (inclusive integer bounds): the
+    * genomic-region / reservation-conflict / validity-window join, and
+    * the two-sided generalization of [[rangeJoinWithin]] (points there,
+    * spans here). The naive form is again a θ-join.
+    *
+    * Scale shape: tile the axis into `bin`-wide cells, explode EACH side
+    * to the cells its span touches (cost Σ len/bin — bounded, tunable),
+    * equi-join on the cell, exact overlap predicate on candidates. An
+    * overlapping pair shares every cell its INTERSECTION touches, so it
+    * would surface once per shared cell; instead of a distinct, each
+    * pair reports only in its intersection's FIRST cell
+    * (`bin(max(starts))` — the "reporting bin" trick), making the join
+    * emit exactly one row per pair with no dedup shuffle. Bin width
+    * trades replication (long spans explode to more cells) against
+    * candidate density (wide cells pair more strangers); either way the
+    * answer is identical — only the exact predicate decides.
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame, bin: Long): DataFrame = {
+    require(bin >= 1, s"intervalOverlapJoin: bin width $bin must be >= 1")
+    def binOf(c: Column): Column = ((c - pmod(c, lit(bin))) / bin).cast("long")
+    val lExp = left
+      .withColumn("__b", explode(sequence(binOf($"a_start"), binOf($"a_end"))))
+    val rExp = right
+      .withColumn("__b", explode(sequence(binOf($"b_start"), binOf($"b_end"))))
+    lExp.join(rExp, Seq("__b"))
+      .where($"a_start" <= $"b_end" && $"b_start" <= $"a_end" &&
+        binOf(greatest($"a_start", $"b_start")) === $"__b")
+      .select($"a_id", $"b_id", $"a_start", $"a_end", $"b_start", $"b_end",
+        (least($"a_end", $"b_end") - greatest($"a_start", $"b_start") + 1)
+          .as("overlap"))
+      .orderBy($"a_id", $"b_id")
+  }
+
   /** Merge overlapping (or touching) intervals per key — the classic
     * consolidation every reservation / coverage / uptime pipeline runs,
     * and the interval-algebra complement of [[rangeJoinWithin]]: instead

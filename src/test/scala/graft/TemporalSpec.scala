@@ -134,4 +134,28 @@ class TemporalSpec extends SparkSpec {
     out(("k2", 1L)) shouldBe ((0L, 120L, 3L))
     out.size shouldBe 3
   }
+
+  test("intervalOverlapJoin: equals brute force at every bin width, one row per pair") {
+    // spans crossing bin boundaries, touching endpoints, containment,
+    // and a span longer than several bins
+    val a = Seq((1L, 0L, 10L), (2L, 63L, 65L), (3L, 100L, 300L), (4L, 50L, 50L))
+      .toDF("a_id", "a_start", "a_end")
+    val bs = Seq((10L, 5L, 7L), (20L, 10L, 63L), (30L, 64L, 64L),
+      (40L, 290L, 310L), (50L, 301L, 302L))
+    val b = bs.toDF("b_id", "b_start", "b_end")
+    val brute = (for {
+      (ai, as_, ae) <- Seq((1L, 0L, 10L), (2L, 63L, 65L), (3L, 100L, 300L), (4L, 50L, 50L))
+      (bi, bs_, be) <- bs
+      if as_ <= be && bs_ <= ae
+    } yield ((ai, bi), math.min(ae, be) - math.max(as_, bs_) + 1)).toMap
+    for (bin <- Seq(1L, 7L, 64L, 1000L)) {
+      val got = Temporal.intervalOverlapJoin(a, b, bin)
+        .select(col("a_id"), col("b_id"), col("overlap"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      got.length shouldBe got.toMap.size // exactly one row per pair
+      got.toMap shouldBe brute
+    }
+    an[IllegalArgumentException] should be thrownBy
+      Temporal.intervalOverlapJoin(a, b, 0L)
+  }
 }
