@@ -618,6 +618,12 @@ class PlanGuardSpec extends SparkSpec {
     p.linesIterator.count(_.trim.matches("""\(\d+\) Window""")) should be <= 2
   }
 
+  test("q70_interval_overlap: bin equi-join only — no theta fallback") {
+    val p = planOf("q70_interval_overlap")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
   test("m21_audio_resample: pure generator chain — no join, no hash shuffle") {
     val p = planOf("m21_audio_resample")
     p should not include "Join"
