@@ -1633,6 +1633,12 @@ object SparkEntry {
     // integer-exact block means (lcm scaling), strict cross-multiplied
     // threshold: the oracle regenerates identical bits from the pixel
     // formulas while the engine recovers them through zlib + row filters
+    // the multimodal dedup flagship: decode -> aHash -> 4x16-bit
+    // pigeonhole band join -> exact hamming <= 3 (the d17 kernel on
+    // perceptual image hashes); the natural fixture holds real near-dup
+    // images, so the pair set is data-driven, not planted
+    "m22_image_neardup" -> ((s, d) =>
+      Multimodal.imageNearDups(t(s, d)("documents"))),
     "m06_image_phash" -> ((s, d) =>
       Multimodal.imagePhash(t(s, d)("documents")).toDF()),
     // spectral perceptual hash (m20): the DCT-pHash construction with an
@@ -4995,6 +5001,34 @@ object SparkEntry {
     // lcm(1..12) covers every possible block size) and the identical
     // strict cross-multiplied threshold; the engine must recover the
     // same bits from the encoded PNG bytes
+    // brute-force pairing over the m06-replayed hashes: band-join
+    // completeness (the pigeonhole claim) is enforced by value equality
+    // with the all-pairs oracle
+    "m22_image_neardup" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (3 * doc_id) % 16 AS h
+                    FROM documents WHERE doc_id % 3 = 0),
+         px AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM d),
+         pxy AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM px),
+         b AS (SELECT doc_id, w, h, (y * 8) // h AS by, (x * 8) // w AS bx,
+                      CAST(sum((7 * x + 13 * y + doc_id) % 256) AS BIGINT) AS s,
+                      CAST(count(*) AS BIGINT) AS c
+               FROM pxy GROUP BY 1, 2, 3, 4, 5),
+         m AS (SELECT doc_id, by * 8 + bx AS k, s * (27720 // c) AS mm FROM b),
+         g AS (SELECT doc_id, sum(mm) AS tot FROM m GROUP BY 1),
+         hh AS (SELECT m.doc_id,
+                  CAST(sum(CASE WHEN mm * 64 > tot AND k >= 32
+                                THEN (CAST(1 AS BIGINT) << CAST(k - 32 AS INT))
+                                ELSE 0 END) AS BIGINT) AS hi,
+                  CAST(sum(CASE WHEN mm * 64 > tot AND k < 32
+                                THEN (CAST(1 AS BIGINT) << CAST(k AS INT))
+                                ELSE 0 END) AS BIGINT) AS lo
+                FROM m JOIN g USING (doc_id) GROUP BY 1)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+                  AS BIGINT) AS hamming
+         FROM hh a JOIN hh b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+         ORDER BY a_id, b_id""",
     "m06_image_phash" ->
       """WITH d AS (SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (3 * doc_id) % 16 AS h
                     FROM documents WHERE doc_id % 3 = 0),

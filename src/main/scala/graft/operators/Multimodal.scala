@@ -414,6 +414,44 @@ object Multimodal {
       .orderBy(col("doc_id")).as[ImagePhash]
   }
 
+  /** Near-duplicate IMAGE detection end-to-end (m22) — the multimodal
+    * dedup flagship: real PNG byte decode → aHash ([[imagePhash]]) →
+    * Hamming-pigeonhole candidate join → exact verify, i.e. d17's
+    * text-simhash machinery running on perceptual image hashes. A pair
+    * within `maxHamming` bit flips agrees EXACTLY on at least one of
+    * the `maxHamming + 1` equal-width bands (pigeonhole), so candidates
+    * come from band-value equi-joins on 8-byte keys — never an
+    * all-pairs XOR. At 100 TB: signatures are 8 bytes/image, the join
+    * is banded equi-shuffles, the decode cost amortizes into the same
+    * scan that computed the hash.
+    */
+  def imageNearDups(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 1 && 64 % (maxHamming + 1) == 0,
+      s"imageNearDups: bands must split 64 bits evenly, got maxHamming=$maxHamming")
+    val bands = maxHamming + 1
+    val bandBits = 64 / bands
+    val mask = (1L << bandBits) - 1
+    val sig = graft.Session.barrier(
+      imagePhash(documents).toDF().select(col("doc_id"),
+        shiftleft(col("hash_hi"), 32).bitwiseOR(col("hash_lo")).as("sig")))
+    val banded = sig.select(col("doc_id"), col("sig"),
+        explode(array((0 until bands).map(k => struct(
+          lit(k).as("k"),
+          shiftrightunsigned(col("sig"), k * bandBits)
+            .bitwiseAND(lit(mask)).as("bv"))): _*)).as("b"))
+      .select(col("doc_id"), col("sig"), col("b.k"), col("b.bv"))
+    banded.as("a").join(banded.as("b"),
+        col("a.k") === col("b.k") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.sig").as("sa"), col("b.sig").as("sb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** Spectral perceptual hash (m20) — the pHash family's
     * transform-domain construction with the Walsh–Hadamard transform in
     * the seat DCT-II normally occupies: WHT basis values are ±1, so

@@ -136,6 +136,24 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("imageNearDups: banded join equals brute force over the decoded hashes") {
+    val docs = spark.range(0, 120).select($"id".as("doc_id")).toDF()
+    val hashes = Multimodal.imagePhash(docs).collect()
+      .map(p => p.doc_id -> ((p.hash_hi << 32) | p.hash_lo)).toMap
+    def brute(t: Int) = (for {
+      (a, sa) <- hashes.toSeq; (b, sb) <- hashes.toSeq if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= t
+    } yield (a, b, h.toLong)).toSet
+    for (t <- Seq(1, 3, 7)) {
+      Multimodal.imageNearDups(docs, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet shouldBe brute(t)
+    }
+    brute(7) should not be empty // the fixture genuinely holds near-dups
+    // band widths that don't tile 64 bits refuse loudly
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.imageNearDups(docs, 2)
+  }
+
   test("audioResample: every output sample matches a scalar replay; endpoints exact") {
     val docs = spark.range(0, 30).select($"id".as("doc_id")).toDF()
     val out = Multimodal.audioResample(docs).collect()
