@@ -425,7 +425,8 @@ object Multimodal {
     * is banded equi-shuffles, the decode cost amortizes into the same
     * scan that computed the hash.
     */
-  def imageNearDups(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def imageNearDups(documents: DataFrame, maxHamming: Int = 3,
+                    maxBandFreq: Option[Int] = None): DataFrame = {
     require(maxHamming >= 1 && 64 % (maxHamming + 1) == 0,
       s"imageNearDups: bands must split 64 bits evenly, got maxHamming=$maxHamming")
     val bands = maxHamming + 1
@@ -434,12 +435,26 @@ object Multimodal {
     val sig = graft.Session.barrier(
       imagePhash(documents).toDF().select(col("doc_id"),
         shiftleft(col("hash_hi"), 32).bitwiseOR(col("hash_lo")).as("sig")))
-    val banded = sig.select(col("doc_id"), col("sig"),
+    val bandedAll = sig.select(col("doc_id"), col("sig"),
         explode(array((0 until bands).map(k => struct(
           lit(k).as("k"),
           shiftrightunsigned(col("sig"), k * bandBits)
             .bitwiseAND(lit(mask)).as("bv"))): _*)).as("b"))
       .select(col("doc_id"), col("sig"), col("b.k"), col("b.bv"))
+    // d17's hot-band cap: an image-heavy crawl is dominated by exact and
+    // near-exact duplicate assets, whose TRUE pair set is quadratic in
+    // the duplication — the cap bounds the join at the cost of recall
+    // only inside over-hot buckets. Exact mode (None) is the gate
+    // default; its quadratic tail on duplicated corpora is output-bound
+    // by definition (SCALE.md m22 note).
+    val banded = maxBandFreq match {
+      case None => bandedAll
+      case Some(cap) =>
+        val sized = bandedAll.groupBy(col("k"), col("bv"))
+          .agg(count(lit(1)).as("bn"))
+        bandedAll.join(sized.where(col("bn") <= cap).select(col("k"), col("bv")),
+          Seq("k", "bv"))
+    }
     banded.as("a").join(banded.as("b"),
         col("a.k") === col("b.k") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))

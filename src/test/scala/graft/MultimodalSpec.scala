@@ -149,6 +149,13 @@ class MultimodalSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet shouldBe brute(t)
     }
     brute(7) should not be empty // the fixture genuinely holds near-dups
+    // the hot-band cap only ever DROPS pairs (bounded-join mode), and a
+    // generous cap changes nothing on this corpus
+    val capped = Multimodal.imageNearDups(docs, 3, maxBandFreq = Some(2)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    capped.subsetOf(brute(3)) shouldBe true
+    Multimodal.imageNearDups(docs, 3, maxBandFreq = Some(1000)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet shouldBe brute(3)
     // band widths that don't tile 64 bits refuse loudly
     an[IllegalArgumentException] should be thrownBy
       Multimodal.imageNearDups(docs, 2)
