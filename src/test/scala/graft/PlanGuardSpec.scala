@@ -618,6 +618,20 @@ class PlanGuardSpec extends SparkSpec {
     p.linesIterator.count(_.trim.matches("""\(\d+\) Window""")) should be <= 2
   }
 
+  test("s16_binary_topk: both cuts are TakeOrdered — no global sort") {
+    val p = planOf("s16_binary_topk")
+    p should include("TakeOrderedAndProject")
+    p should not include "CartesianProduct" // the 1-row query broadcast is BNLJ-free too
+  }
+
+  test("g12/m22: banded/wedge candidates are equi-joins — no cartesian, no BNLJ") {
+    Seq("g12_link_prediction", "m22_image_neardup").foreach { q =>
+      val p = planOf(q)
+      p should not include "CartesianProduct"
+      p should not include "BroadcastNestedLoopJoin"
+    }
+  }
+
   test("q70_interval_overlap: bin equi-join only — no theta fallback") {
     val p = planOf("q70_interval_overlap")
     p should not include "CartesianProduct"
