@@ -930,7 +930,7 @@ object SparkEntry {
        SELECT doc_id, 'resurrected ' || doc_id AS text, 'cdc' AS source
        FROM documents WHERE doc_id % 12 = 6
        UNION ALL
-       SELECT doc_id + 100000 AS doc_id, 'fresh' AS text, 'cdc' AS source
+       SELECT -doc_id - 1 AS doc_id, 'fresh' AS text, 'cdc' AS source
        FROM documents WHERE doc_id % 10 = 0
        ORDER BY doc_id"""
 
@@ -955,9 +955,12 @@ object SparkEntry {
         lit("ghost"), lit("cdc")),
       ch($"doc_id" % 12 === 6, $"doc_id", "I", 40L,
         concat(lit("resurrected "), $"doc_id"), lit("cdc")),
-      ch($"doc_id" % 10 === 0, $"doc_id" + 100000L, "I", 50L,
+      // synthetic keys are NEGATIVE (base doc_ids are >= 0), so they can
+      // never collide with a real document at any fixture scale — a
+      // +100000 offset would silently alias real keys past 100k docs
+      ch($"doc_id" % 10 === 0, -$"doc_id" - 1L, "I", 50L,
         lit("fresh"), lit("cdc")),
-      ch($"doc_id" % 7 === 3, $"doc_id" + 200000L, "U", 60L,
+      ch($"doc_id" % 7 === 3, -$"doc_id" - 1000000L, "U", 60L,
         lit("orphan"), lit("cdc"))
     ).reduce(_ unionByName _)
     (base, log)
@@ -1629,16 +1632,16 @@ object SparkEntry {
       Multimodal.sceneDetect(t(s, d)("documents"))),
     "m12_jpeg_color_resize" -> ((s, d) =>
       Multimodal.jpegColorResize(t(s, d)("documents"))),
-    // image perceptual hash (aHash) over the REAL decoded PNG raster —
-    // integer-exact block means (lcm scaling), strict cross-multiplied
-    // threshold: the oracle regenerates identical bits from the pixel
-    // formulas while the engine recovers them through zlib + row filters
     // the multimodal dedup flagship: decode -> aHash -> 4x16-bit
     // pigeonhole band join -> exact hamming <= 3 (the d17 kernel on
     // perceptual image hashes); the natural fixture holds real near-dup
     // images, so the pair set is data-driven, not planted
     "m22_image_neardup" -> ((s, d) =>
       Multimodal.imageNearDups(t(s, d)("documents"))),
+    // image perceptual hash (aHash) over the REAL decoded PNG raster —
+    // integer-exact block means (lcm scaling), strict cross-multiplied
+    // threshold: the oracle regenerates identical bits from the pixel
+    // formulas while the engine recovers them through zlib + row filters
     "m06_image_phash" -> ((s, d) =>
       Multimodal.imagePhash(t(s, d)("documents")).toDF()),
     // spectral perceptual hash (m20): the DCT-pHash construction with an
@@ -2375,8 +2378,6 @@ object SparkEntry {
       t(s, d)("lineitem"), "l_returnflag",
       $"l_quantity".cast("long"),
       ($"l_extendedprice".cast("decimal(18,2)") * 100).cast("long"))),
-    // interval consolidation (gaps-and-islands over [ts, ts+value s)
-    // spans): one keyed window pass, exact integer microseconds
     // two-sided interval overlap: customer spans × sparse order spans on
     // a 100k-point axis, bin width 64; inclusive-bounds overlap length
     "q70_interval_overlap" -> ((s, d) => {
@@ -2388,6 +2389,8 @@ object SparkEntry {
         .withColumn("b_end", $"b_start" + ($"b_id" % 40) + 1)
       Temporal.intervalOverlapJoin(a, b, 64L)
     }),
+    // interval consolidation (gaps-and-islands over [ts, ts+value s)
+    // spans): one keyed window pass, exact integer microseconds
     "q62_interval_merge" -> ((s, d) => {
       val ev = t(s, d)("events")
       val sUs = unix_micros($"ts".cast("timestamp"))
@@ -3834,9 +3837,6 @@ object SparkEntry {
            AND (cx-bx)*(py-by2) - (cy-by2)*(px-bx) > 0
            AND (ax-cx)*(py-cy) - (ay-cy)*(px-cx) > 0
          GROUP BY poly_id ORDER BY poly_id""",
-    // the oracle forms the SAME den-scaled integer overlaps directly on
-    // the (source cell × target cell) join — a wrong axis table, weight,
-    // or normalization in the engine shifts num/den_eff and mismatches
     // the oracle re-runs the explode-to-9 fold; integer-valued sums make
     // the one division bit-identical, and the join back to the grid must
     // trim exactly the one-cell halo
@@ -3853,6 +3853,9 @@ object SparkEntry {
                 round(a.s / a.n_nbrs, 4) AS focal_mean
          FROM a JOIN gridsum g USING (variable, time, lat, lon)
          ORDER BY 1, 2, 3, 4""",
+    // the oracle forms the SAME den-scaled integer overlaps directly on
+    // the (source cell × target cell) join — a wrong axis table, weight,
+    // or normalization in the engine shifts num/den_eff and mismatches
     "r29_remap_conservative" ->
       s"""WITH ${operators.Raster.demoGridSumSql},
          tj AS (SELECT unnest(generate_series(0, 6)) AS j),
@@ -4996,11 +4999,6 @@ object SparkEntry {
                 CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS BIGINT) AS channels,
                 CAST(8 AS BIGINT) AS precision_bits
          FROM documents ORDER BY doc_id""",
-    // aHash regenerated from the closed-form pixel field (7x+13y+d)%256:
-    // identical integer block means (s·(27720//c) is exact — 27720 =
-    // lcm(1..12) covers every possible block size) and the identical
-    // strict cross-multiplied threshold; the engine must recover the
-    // same bits from the encoded PNG bytes
     // brute-force pairing over the m06-replayed hashes: band-join
     // completeness (the pigeonhole claim) is enforced by value equality
     // with the all-pairs oracle
@@ -5029,6 +5027,11 @@ object SparkEntry {
          FROM hh a JOIN hh b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
          ORDER BY a_id, b_id""",
+    // aHash regenerated from the closed-form pixel field (7x+13y+d)%256:
+    // identical integer block means (s·(27720//c) is exact — 27720 =
+    // lcm(1..12) covers every possible block size) and the identical
+    // strict cross-multiplied threshold; the engine must recover the
+    // same bits from the encoded PNG bytes
     "m06_image_phash" ->
       """WITH d AS (SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (3 * doc_id) % 16 AS h
                     FROM documents WHERE doc_id % 3 = 0),

@@ -439,8 +439,7 @@ object EventWindows {
     * event counts — the q64 contract), the regex is row-local codegen.
     */
   def patternMatches(events: DataFrame, pattern: String): DataFrame = {
-    require(!pattern.contains("(?") && !pattern.matches(""".*\\\d.*"""),
-      s"patternMatches: lookaround/backref syntax is not cross-engine portable: $pattern")
+    requirePortablePattern(pattern)
     events
       .groupBy($"user_id")
       .agg(array_join(
@@ -454,4 +453,15 @@ object EventWindows {
         regexp_extract($"seq", pattern, 0).as("first_match"))
       .orderBy($"user_id")
   }
+
+  /** The ONE cross-engine regex-portability rule, shared by the batch
+    * (q69) and streaming (w20) pattern kernels so the two gates that
+    * share an oracle can never drift into accepting different pattern
+    * languages: no lookaround/inline flags (`(?`), no backreferences —
+    * the constructs whose semantics differ between java.util.regex and
+    * RE2-family engines.
+    */
+  private[graft] def requirePortablePattern(pattern: String): Unit =
+    require(!pattern.contains("(?") && !pattern.matches(""".*\\\d.*"""),
+      s"pattern matching: lookaround/backref syntax is not cross-engine portable: $pattern")
 }

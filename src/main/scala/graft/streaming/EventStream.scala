@@ -247,11 +247,14 @@ object EventStream {
     * there), so state only carries the unconsumed suffix since the last
     * completed match — a completed match can never be re-opened by
     * future input. That requires match ends to be input-extension-proof,
-    * hence the guard: the pattern must not END in a quantifier (a
-    * trailing `v+` would greedily absorb the next batch's `v`, making
-    * the batch split observable). With that contract, per-batch apply
-    * over any time-ordered batch split is bit-equal to the one-shot
-    * batch scan — gated by sharing q69's oracle string verbatim.
+    * hence the guard: no alternation (`pv|p` would prefer the longer
+    * branch once the next batch arrives) and nothing but a plain atom
+    * at the pattern tail — a trailing quantifier (`v+`), counted
+    * repeat, or group (`v(c*)` hides one behind `)`) could absorb the
+    * next batch's input and move a committed end. With that contract,
+    * per-batch apply over any time-ordered batch split is bit-equal to
+    * the one-shot batch scan — gated by sharing q69's oracle string
+    * verbatim.
     *
     * State honesty (the real CEP caveat): `tail` is bounded by the gap
     * between matches, not by the pattern — a user who never completes a
@@ -261,10 +264,12 @@ object EventStream {
     * (latest totals per user), materialized by an upsert sink.
     */
   def patternMatchStateful(events: Dataset[Event], pattern: String): Dataset[PatternOut] = {
-    require(!pattern.contains("(?") && !pattern.matches(""".*\\\d.*"""),
-      s"patternMatchStateful: lookaround/backref syntax is not cross-engine portable: $pattern")
-    require(!pattern.matches(""".*[+*?}]$"""),
-      s"patternMatchStateful: a trailing quantifier makes match ends batch-dependent: $pattern")
+    graft.operators.EventWindows.requirePortablePattern(pattern)
+    require(!pattern.contains("|") && !pattern.matches(""".*[+*?})]$"""),
+      s"patternMatchStateful: alternation or a quantifier/group at the " +
+        s"pattern tail makes match ends batch-dependent: $pattern")
+    // compiled ONCE per task via closure capture, not per group per batch
+    val compiled = java.util.regex.Pattern.compile(pattern)
     import events.sparkSession.implicits._
     def us(t: java.sql.Timestamp): Long = t.getTime * 1000 + (t.getNanos / 1000) % 1000
     events
@@ -275,7 +280,7 @@ object EventStream {
             .map(_.event_type.substring(0, 1)).mkString
           val prev = state.getOption.getOrElse(PatternState(0L, 0L, "", false, ""))
           val text = prev.tail + appended
-          val m = java.util.regex.Pattern.compile(pattern).matcher(text)
+          val m = compiled.matcher(text)
           var n = prev.nMatches
           var first = prev.firstMatch
           var has = prev.hasFirst
