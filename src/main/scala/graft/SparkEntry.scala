@@ -2200,6 +2200,19 @@ object SparkEntry {
         .select($"doc_id", $"lang", $"source", $"n_chars")
         .orderBy($"doc_id")
     }),
+    // MV maintenance under retractions: count/sum subtract from the
+    // batch alone; max rescans ONLY dirty keys' base rows (the %11==3
+    // slice retracts ~9% of events, hitting plenty of stored maxes)
+    "x13_mv_retract" -> ((s, d) => {
+      val ev = t(s, d)("events").select($"user_id",
+        floor($"value" * 100).cast("long").as("cents"), $"event_id")
+      val mv = ev.groupBy($"user_id").agg(count(lit(1)).as("n"),
+        sum($"cents").as("sum_cents"), max($"cents").as("max_cents"))
+      Upsert.incrementalAggRetract(mv,
+        ev.where($"event_id" % 11 === 3),
+        ev.where($"event_id" % 11 =!= 3), "user_id")
+        .orderBy($"user_id")
+    }),
     // op-aware CDC apply: the log exercises every automaton transition —
     // plain U, D, U-after-D (ignored), I-after-D (resurrects), I of new
     // keys, and U of never-existing keys (ignored, must not resurrect)
@@ -4209,6 +4222,17 @@ object SparkEntry {
     "x10_delete_vectors" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
          WHERE doc_id % 9 <> 2 ORDER BY doc_id""",
+    // the oracle is the from-scratch aggregate over the surviving rows —
+    // the subtraction identity and the dirty-max rescan must reproduce
+    // it exactly, including keys whose max was retracted
+    "x13_mv_retract" ->
+      s"""WITH $evCte,
+         e AS (SELECT user_id, CAST(floor(value * 100) AS BIGINT) AS cents
+               FROM ev WHERE event_id % 11 <> 3)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(cents) AS BIGINT) AS sum_cents,
+                max(cents) AS max_cents
+         FROM e GROUP BY user_id ORDER BY user_id""",
     // closed form of the automaton's outcome: %4==2 dies at the D unless
     // the %12==6 I resurrects it; the ghost U and the orphan U leave no
     // trace; the fresh I lands at doc_id+100000

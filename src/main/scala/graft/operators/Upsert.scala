@@ -103,6 +103,44 @@ object Upsert {
         max($"max_cents").as("max_cents"))
   }
 
+  /** Incremental MV maintenance under RETRACTIONS (x13) — the deletion
+    * half [[incrementalAgg]] documents as out of scope: takedowns,
+    * opt-outs, and late corrections must LEAVE a materialized aggregate
+    * without a full rescan. count/sum are groups under subtraction, so
+    * they update from the retraction batch alone; max is NOT
+    * invertible, and the classic answer is a DIRTY-KEY rescan — only
+    * keys whose retracted batch touched the stored max (a key-count
+    * bounded set) re-derive their max, and only over THEIR base rows
+    * (left-semi pushdown into the base scan). Keys retracted to zero
+    * rows leave the MV.
+    *
+    * Contract: `retract` rows must be a sub-multiset of the rows the MV
+    * aggregates (retracting something never ingested under-counts
+    * silently — the upstream's invariant, as with [[scd2Apply]]).
+    * Scale shape: O(batch) subtraction + a rescan bounded by
+    * |dirty keys|' rows, never O(history); every join is keyed on the
+    * MV key, so bucketed storage co-locates the whole pass.
+    */
+  def incrementalAggRetract(history: DataFrame, retract: DataFrame,
+                            base: DataFrame, key: String): DataFrame = {
+    val part = retract.groupBy(col(key))
+      .agg(count(lit(1)).as("rn"), sum($"cents").as("rsum"),
+        max($"cents").as("rmax"))
+    val merged = history.join(part, Seq(key), "left")
+      .select(col(key),
+        (col("n") - coalesce($"rn", lit(0L))).as("n"),
+        (col("sum_cents") - coalesce($"rsum", lit(0L))).as("sum_cents"),
+        col("max_cents"),
+        coalesce($"rmax" === col("max_cents"), lit(false)).as("__dirty"))
+      .where($"n" > 0)
+    val dirtyKeys = merged.where($"__dirty").select(col(key))
+    val recomputed = base.join(dirtyKeys, Seq(key), "left_semi")
+      .groupBy(col(key)).agg(max($"cents").as("__new_max"))
+    merged.join(recomputed, Seq(key), "left")
+      .select(col(key), $"n", $"sum_cents",
+        when($"__dirty", $"__new_max").otherwise($"max_cents").as("max_cents"))
+  }
+
   // ---- SCD Type-2: effective-dated dimension history (t34) ----
   //
   // t17's latest-wins merge keeps only each key's current state — the

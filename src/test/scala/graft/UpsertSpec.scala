@@ -362,6 +362,35 @@ class UpsertSpec extends SparkSpec {
     an[Exception] should be thrownBy apply((1L, "X", "z", 1L))
   }
 
+  test("incrementalAggRetract: subtraction identity, dirty-max rescan, zero-row drop") {
+    // user 1: values 5,9,9,2 — retract one 9 (max with a surviving twin)
+    // user 2: values 7,3    — retract the 7 (max falls to 3)
+    // user 3: values 4      — fully retracted, leaves the MV
+    // user 4: values 8,1    — untouched
+    val base = Seq((1L, 5L), (1L, 9L), (1L, 9L), (1L, 2L),
+      (2L, 7L), (2L, 3L), (3L, 4L), (4L, 8L), (4L, 1L))
+      .toDF("user_id", "cents")
+    val retract = Seq((1L, 9L), (2L, 7L), (3L, 4L)).toDF("user_id", "cents")
+    val after = base.exceptAll(retract)
+    val mv = base.groupBy($"user_id").agg(
+      count(lit(1)).as("n"), sum($"cents").as("sum_cents"),
+      max($"cents").as("max_cents"))
+    val out = Upsert.incrementalAggRetract(mv, retract, after, "user_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    out(1L) shouldBe ((3L, 16L, 9L)) // twin 9 survives the rescan
+    out(2L) shouldBe ((1L, 3L, 3L))  // max genuinely falls
+    out(4L) shouldBe ((2L, 9L, 8L))  // untouched key, no rescan needed
+    out.contains(3L) shouldBe false  // retracted to zero rows
+    // equals the from-scratch aggregate (the MV law)
+    val fresh = after.groupBy($"user_id").agg(
+      count(lit(1)).as("n"), sum($"cents").as("sum_cents"),
+      max($"cents").as("max_cents"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    out shouldBe fresh
+  }
+
   test("applyCdcBatch: seq-split batches equal the one-shot apply; replays are no-ops") {
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
     val log = Seq(
