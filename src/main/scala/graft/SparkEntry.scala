@@ -2213,6 +2213,12 @@ object SparkEntry {
         ev.where($"event_id" % 11 =!= 3), "user_id")
         .orderBy($"user_id")
     }),
+    // ANALYZE TABLE: per-column rows/nulls/exact-NDV/truncated bounds/
+    // total length in one scan (Expand + two-level partial agg) — the
+    // stats relation the CBO and the x11 zone-map planner feed on
+    "x14_analyze_stats" -> ((s, d) =>
+      Core.analyzeStats(t(s, d)("documents"),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))),
     // op-aware CDC apply: the log exercises every automaton transition —
     // plain U, D, U-after-D (ignored), I-after-D (resurrects), I of new
     // keys, and U of never-existing keys (ignored, must not resurrect)
@@ -2402,6 +2408,12 @@ object SparkEntry {
         .withColumn("b_end", $"b_start" + ($"b_id" % 40) + 1)
       Temporal.intervalOverlapJoin(a, b, 64L)
     }),
+    // exact re-aggregatable distinct via bucketed 64-bit bitmaps: the
+    // per-type counts AND the cross-type __all__ row come from the same
+    // mask relation — the oracle's count(DISTINCT) pins both, proving
+    // the OR-merge roll-up equals a full recount
+    "q71_bitmap_distinct" -> ((s, d) =>
+      Sketches.bitmapDistinct(t(s, d)("events"), "event_type", "user_id")),
     // interval consolidation (gaps-and-islands over [ts, ts+value s)
     // spans): one keyed window pass, exact integer microseconds
     "q62_interval_merge" -> ((s, d) => {
@@ -2596,6 +2608,14 @@ object SparkEntry {
         3)
         .orderBy($"pr".desc, $"node")
         .limit(20)
+    }),
+    // HITS hubs & authorities over the DIRECTED supplier→part graph:
+    // 2 unrolled integer rounds (a=Eᵀh, h=Ea), top-20 per role
+    "g13_hits" -> ((s, d) => {
+      val li = t(s, d)("lineitem")
+      operators.Graph.hitsInt(
+        li.select(($"l_suppkey" * 2 + 1).as("src"),
+          ($"l_partkey" * 2).as("dst")), 2, 20)
     }),
     // triangle/wedge census with degree orientation — hub edges point
     // INTO the hub, so the wedge join's fanout is arboricity-bounded
@@ -4233,6 +4253,25 @@ object SparkEntry {
                 CAST(sum(cents) AS BIGINT) AS sum_cents,
                 max(cents) AS max_cents
          FROM e GROUP BY user_id ORDER BY user_id""",
+    // per-column recount: native-type min/max cast-then-truncated to 16
+    // chars (the Parquet footer discipline), character-counted lengths
+    "x14_analyze_stats" -> {
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      val legs = cols.map { c =>
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows, count($c) AS nn,
+              count(DISTINCT $c) AS ndv,
+              substr(CAST(min($c) AS VARCHAR), 1, 16) AS min_val,
+              substr(CAST(max($c) AS VARCHAR), 1, 16) AS max_val,
+              sum(length(CAST($c AS VARCHAR))) AS total_len
+            FROM documents"""
+      }.mkString(" UNION ALL ")
+      s"""WITH s AS ($legs)
+         SELECT column_name, CAST(n_rows AS BIGINT) AS n_rows,
+                CAST(n_rows - nn AS BIGINT) AS n_nulls,
+                CAST(ndv AS BIGINT) AS ndv, min_val, max_val,
+                CAST(coalesce(total_len, 0) AS BIGINT) AS total_len
+         FROM s ORDER BY column_name"""
+    },
     // closed form of the automaton's outcome: %4==2 dies at the D unless
     // the %12==6 I resurrects it; the ghost U and the orphan U leave no
     // trace; the fresh I lands at doc_id+100000
@@ -6608,6 +6647,24 @@ object SparkEntry {
                          CAST(COALESCE(c.dm, 0) + CASE WHEN s.node IS NULL THEN 0 ELSE 150000 END AS BIGINT) AS pr
                   FROM c3 c FULL OUTER JOIN seeds s ON s.node = c.node) WHERE pr > 0)
          SELECT node, pr FROM r3 ORDER BY pr DESC, node LIMIT 20""",
+    // the same two unrolled mutual-reinforcement rounds: a1=indeg (h0=1),
+    // h1=Σa1, a2=Σh1, h2=Σa2 — exact BIGINT masses, per-role top-20
+    "g13_hits" ->
+      """WITH li AS (SELECT DISTINCT l_suppkey*2+1 AS src, l_partkey*2 AS dst FROM lineitem),
+         a1 AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS mass FROM li GROUP BY 1),
+         h1 AS (SELECT src AS node, CAST(sum(a1.mass) AS BIGINT) AS mass
+                FROM li JOIN a1 ON a1.node = li.dst GROUP BY 1),
+         a2 AS (SELECT dst AS node, CAST(sum(h1.mass) AS BIGINT) AS mass
+                FROM li JOIN h1 ON h1.node = li.src GROUP BY 1),
+         h2 AS (SELECT src AS node, CAST(sum(a2.mass) AS BIGINT) AS mass
+                FROM li JOIN a2 ON a2.node = li.dst GROUP BY 1),
+         ta AS (SELECT 'auth' AS role, node, mass FROM a2
+                ORDER BY mass DESC, node LIMIT 20),
+         th AS (SELECT 'hub' AS role, node, mass FROM h2
+                ORDER BY mass DESC, node LIMIT 20)
+         SELECT role, node, mass FROM ta
+         UNION ALL SELECT role, node, mass FROM th
+         ORDER BY role, mass DESC, node""",
     // same degree orientation, so each triangle matches exactly one
     // a→b→c path + closing edge; census values are exact integers
     "g02_triangles" ->
@@ -7018,6 +7075,15 @@ object SparkEntry {
                 least(a_end, b_end) - greatest(a_start, b_start) + 1 AS overlap
          FROM a JOIN b ON a_start <= b_end AND b_start <= a_end
          ORDER BY a_id, b_id""",
+    // the bitmap path must equal an exact recount, per group AND after
+    // the cross-group OR-merge (the __all__ row never rescans events)
+    "q71_bitmap_distinct" ->
+      s"""WITH $evCte,
+         g AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+               FROM ev GROUP BY 1
+               UNION ALL
+               SELECT '__all__', CAST(count(DISTINCT user_id) AS BIGINT) FROM ev)
+         SELECT event_type, n_distinct FROM g ORDER BY event_type""",
     "q62_interval_merge" ->
       s"""WITH $evCte,
          i AS (SELECT user_id AS k, event_id AS id, epoch_us(ts) AS s,

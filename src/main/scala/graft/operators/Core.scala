@@ -489,4 +489,45 @@ object Core {
         $"chi".as("cut_hi"), $"ws".as("wsum"))
       .orderBy($"grp")
   }
+
+  /** ANALYZE TABLE: the per-column statistics relation a cost-based
+    * optimizer (and a zone-map planner — x11's file-level twin) feeds on:
+    * row count, null count, EXACT distinct count, min/max bounds, and
+    * total value length. One row per column, one input scan.
+    *
+    * Bounds are emitted as strings TRUNCATED to 16 chars — the Parquet
+    * footer discipline (truncated bounds stay valid for pruning; a 2 MB
+    * document must not land in a stats table). min/max run on the NATIVE
+    * type first (numeric order, not lexicographic) and cast after.
+    * `total_len` is over the string rendering — with the row count it
+    * yields avg-width, the CBO's size estimator, exact in integers.
+    *
+    * Scale shape: the multi-distinct aggregate plans as ONE scan + an
+    * Expand (one replica per distinct column) into a two-level partial
+    * aggregate — the exact form. At 100 TB swap the NDV leg for
+    * [[Sketches.hllDistinct]] per column (constant state, same relation
+    * shape); exact everything else is already one combiner-friendly pass.
+    */
+  def analyzeStats(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "analyzeStats: need at least one column")
+    val aggs = columns.flatMap { c =>
+      Seq(count(col(c)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"ndv_$c"),
+        min(col(c)).cast("string").substr(1, 16).as(s"min_$c"),
+        max(col(c)).cast("string").substr(1, 16).as(s"max_$c"),
+        sum(length(col(c).cast("string")).cast("long")).as(s"len_$c"))
+    }
+    val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stackArgs = columns.map { c =>
+      s"'$c', nn_$c, ndv_$c, min_$c, max_$c, len_$c"
+    }.mkString(", ")
+    one.select($"n_rows", expr(
+        s"stack(${columns.size}, $stackArgs) AS " +
+          "(column_name, n_notnull, ndv, min_val, max_val, total_len)"))
+      .select($"column_name", $"n_rows".cast("long").as("n_rows"),
+        ($"n_rows" - $"n_notnull").cast("long").as("n_nulls"),
+        $"ndv".cast("long").as("ndv"), $"min_val", $"max_val",
+        coalesce($"total_len", lit(0L)).as("total_len"))
+      .orderBy($"column_name")
+  }
 }

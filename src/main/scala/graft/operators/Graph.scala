@@ -104,6 +104,47 @@ object Graph {
     ranks
   }
 
+  /** Integer-mass HITS (Kleinberg 1999): k unrolled synchronous rounds of
+    * the mutual-reinforcement pair a = Eᵀh, h = Ea over a DIRECTED edge
+    * list src(hub) → dst(authority) — the ranking PageRank can't express
+    * (one score per node vs the two coupled roles; on a bipartite
+    * source→item graph the roles fall out naturally). Unnormalized
+    * integer masses seeded at h₀ = 1: every round is exact BIGINT sums,
+    * bit-identical in any engine, so the gate holds a full value oracle
+    * (unrolled CTE pairs, the g01 discipline). Without normalization the
+    * masses grow ~|E|-factor per round — callers keep `iterations` small
+    * (the ranking stabilizes in 2-3 rounds anyway; the g13 gate uses 2,
+    * worst-case mass ≤ maxdeg^(2k) « 2⁶³ on the gate graph).
+    *
+    * Scale shape per round: two |E|-bounded co-partitioned join+aggregate
+    * passes over the barriered edge list — identical to [[pagerankInt]]'s
+    * round shape, twice per round. Top-k emission is TakeOrdered
+    * (map-side partial top-k, never a global sort).
+    */
+  def hitsInt(edges: DataFrame, iterations: Int = 2, k: Int = 20): DataFrame = {
+    require(iterations >= 1, "hitsInt: iterations must be >= 1")
+    val e = graft.Session.barrier(edges.select(col("src"), col("dst")).distinct())
+    var hub = e.select(col("src").as("node")).distinct()
+      .withColumn("mass", lit(1L))
+    var auth = e.select(col("dst").as("node")).withColumn("mass", lit(1L)).limit(0)
+    for (_ <- 1 to iterations) {
+      auth = e.join(hub.withColumnRenamed("mass", "hm"),
+          e("src") === col("node"))
+        .groupBy(col("dst")).agg(sum(col("hm")).as("mass"))
+        .select(col("dst").as("node"), col("mass"))
+      hub = e.join(auth.withColumnRenamed("mass", "am"),
+          e("dst") === col("node"))
+        .groupBy(col("src")).agg(sum(col("am")).as("mass"))
+        .select(col("src").as("node"), col("mass"))
+    }
+    auth.select(lit("auth").as("role"), col("node"), col("mass"))
+      .orderBy(col("mass").desc, col("node")).limit(k)
+      .unionByName(
+        hub.select(lit("hub").as("role"), col("node"), col("mass"))
+          .orderBy(col("mass").desc, col("node")).limit(k))
+      .orderBy(col("role"), col("mass").desc, col("node"))
+  }
+
   /** Undirected co-supply graph: supplier pair (u < v) connected iff
     * they supply at least one common part. The wedge step is the usual
     * bounded self-join: parts fan out to their (small) supplier sets,

@@ -150,6 +150,56 @@ object Sketches {
       .select(col(groupCol), explode($"counters").as(Seq("item", "est_count")))
       .orderBy(col(groupCol), $"est_count".desc, $"item")
   }
+
+  /** EXACT re-aggregatable distinct counts via bucketed 64-bit bitmaps —
+    * the Doris/ClickHouse BITMAP-column pattern, and the exact sibling
+    * of [[hllDistinct]]: where HLL trades exactness for a constant-size
+    * state, the bitmap keeps exactness and trades state for
+    * O(distinct/64) rows of 16 bytes each.
+    *
+    * Non-negative ids land in bucket `id >> 6`, bit `id & 63`; per
+    * (group, bucket) the presence masks OR-combine map-side (bit_or is
+    * associative+commutative+idempotent, so partial aggregation absorbs
+    * every duplicate before the exchange — the shuffle carries at most
+    * one 16-byte row per occupied bucket per group, NOT one row per
+    * distinct value the way countDistinct's partial-dedup exchange
+    * does). The payoff is the second aggregation: per-group masks
+    * OR-merge ACROSS groups to the exact global distinct without
+    * rescanning the input — the roll-up a plain countDistinct can never
+    * provide (distincts don't add; bitmaps union). Emitted as per-group
+    * rows plus an `__all__` row computed only from the merged masks.
+    *
+    * 100 TB shape: group × bucket is bounded by distinct-ids/64 per
+    * group; masks land in a metadata-sized table that daily partitions
+    * keep OR-merging, exactly like the HLL partial-sketch table but
+    * with exact answers. Ids are contract-assumed non-negative
+    * (arithmetic shiftright keeps negative ids in distinct buckets from
+    * any non-negative id, so counts stay exact, but bucket keys then
+    * sprawl; a split-sign map would be the tidy form).
+    */
+  def bitmapDistinct(df: DataFrame, groupCol: String, idCol: String): DataFrame = {
+    // the mask relation materializes ONCE (it's the stored bitmap table
+    // in the Doris pattern — metadata-sized, distinct/64 rows per group)
+    // so the per-group count and the cross-group roll-up both read it
+    // without a second input scan (plan-guarded)
+    val masks = graft.Session.barrier(df
+      .select(col(groupCol).cast("string").as("grp"),
+        shiftright(col(idCol), 6).as("bucket"),
+        expr(s"shiftleft(1L, CAST($idCol & 63 AS INT))").as("bit"))
+      .groupBy($"grp", $"bucket")
+      .agg(expr("bit_or(bit)").as("mask")))
+    val perGroup = masks.groupBy($"grp")
+      .agg(sum(bit_count($"mask")).cast("long").as("n_distinct"))
+    // the re-aggregation lever: global distinct from the masks alone —
+    // OR across groups per bucket, then popcount. No second input scan.
+    val global = masks.groupBy($"bucket")
+      .agg(expr("bit_or(mask)").as("mask"))
+      .agg(sum(bit_count($"mask")).cast("long").as("n_distinct"))
+      .select(lit("__all__").as("grp"), $"n_distinct")
+    perGroup.unionByName(global)
+      .select($"grp".as("event_type"), $"n_distinct")
+      .orderBy($"event_type")
+  }
 }
 
 /** The Misra–Gries summary as a typed Aggregator. The buffer is an

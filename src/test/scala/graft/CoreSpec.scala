@@ -239,4 +239,32 @@ class CoreSpec extends SparkSpec {
     out("u2") shouldBe (("a", 1L, 2L))
     out("u3") shouldBe (("x", 1L, 1L))
   }
+
+  test("analyzeStats: native-order bounds, 16-char truncation, null accounting") {
+    val df = Seq(
+      (2L, Option("hello"), Option("x" * 40)),
+      (10L, None, Option("abc")),
+      (10L, Option("zz"), None))
+      .toDF("n", "s", "big")
+    val out = Core.analyzeStats(df, Seq("n", "s", "big")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5), r.getLong(6)))).toMap
+    // numeric min/max run BEFORE the cast: 2 < 10 even though "10" < "2"
+    out("n") shouldBe ((3L, 0L, 2L, "2", "10", 5L))
+    out("s") shouldBe ((3L, 1L, 2L, "hello", "zz", 7L))
+    // a 40-char value truncates to 16 in the bounds but counts fully in total_len
+    val (_, bigNulls, _, bigMin, bigMax, bigLen) = out("big")
+    bigNulls shouldBe 1L
+    bigMin shouldBe "abc"
+    bigMax shouldBe "x" * 16
+    bigLen shouldBe 43L
+    // an all-null column: ndv 0, bounds null, total_len coalesces to 0
+    val allNull = Seq((1L, null: String), (2L, null: String)).toDF("k", "v")
+    val vRow = Core.analyzeStats(allNull, Seq("v")).collect().head
+    vRow.getLong(2) shouldBe 2L     // n_nulls
+    vRow.getLong(3) shouldBe 0L     // ndv
+    vRow.isNullAt(4) shouldBe true
+    vRow.getLong(6) shouldBe 0L
+    an[IllegalArgumentException] should be thrownBy Core.analyzeStats(df, Seq.empty)
+  }
 }

@@ -368,4 +368,35 @@ class GraphSpec extends SparkSpec {
     run(edges, Seq(0L), 0) shouldBe Map(0L -> 0L)
     an[IllegalArgumentException] should be thrownBy run(edges, Seq(0L), 17)
   }
+
+  test("hitsInt: exact integer masses, directed roles, duplicate collapse") {
+    // hubs 1,2,3 point at authorities 10,11; hand-unrolled:
+    //   h0 = 1 everywhere
+    //   a1(10)=h(1)+h(2)=2, a1(11)=h(1)+h(3)=2
+    //   h1(1)=a(10)+a(11)=4, h1(2)=2, h1(3)=2
+    //   a2(10)=h(1)+h(2)=6,  a2(11)=6;  h2(1)=12, h2(2)=6, h2(3)=6
+    val edges = edgesOf((1L,10L),(1L,11L),(2L,10L),(3L,11L))
+    def masses(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+    masses(Graph.hitsInt(edges, 1, 20)) shouldBe Map(
+      ("auth", 10L) -> 2L, ("auth", 11L) -> 2L,
+      ("hub", 1L) -> 4L, ("hub", 2L) -> 2L, ("hub", 3L) -> 2L)
+    masses(Graph.hitsInt(edges, 2, 20)) shouldBe Map(
+      ("auth", 10L) -> 6L, ("auth", 11L) -> 6L,
+      ("hub", 1L) -> 12L, ("hub", 2L) -> 6L, ("hub", 3L) -> 6L)
+    // parallel duplicate edges collapse before any round: same answer
+    masses(Graph.hitsInt(edges.unionByName(edgesOf((1L, 10L))), 2, 20)) shouldBe
+      masses(Graph.hitsInt(edges, 2, 20))
+    // direction matters: pure sinks are never hubs, pure sources never auths
+    val roles = Graph.hitsInt(edges, 1, 20)
+      .as[(String, Long, Long)].collect().groupBy(_._1)
+    roles("hub").map(_._2).toSet shouldBe Set(1L, 2L, 3L)
+    roles("auth").map(_._2).toSet shouldBe Set(10L, 11L)
+    // top-k truncates per role independently
+    val k1 = Graph.hitsInt(edges, 1, 1).as[(String, Long, Long)].collect()
+    k1.length shouldBe 2
+    k1.map(r => r._1 -> r._2).toMap shouldBe Map("hub" -> 1L, "auth" -> 10L)
+    an[IllegalArgumentException] should be thrownBy Graph.hitsInt(edges, 0, 20)
+  }
 }

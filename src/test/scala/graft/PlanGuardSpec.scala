@@ -644,4 +644,31 @@ class PlanGuardSpec extends SparkSpec {
     p should not include "hashpartitioning"
     p should include("Generate") // the per-clip output-position explode
   }
+
+  test("x14_analyze_stats: one input scan feeds every column's statistics") {
+    // the naive form is one scan PER COLUMN union'd together; the
+    // multi-aggregate must collapse to a single pass (Expand replicas
+    // inside one two-level aggregate, no Union of scans)
+    val p = planOf("x14_analyze_stats")
+    p.linesIterator.count(_.contains("documents.parquet")) shouldBe 1
+    p should not include "Join"
+  }
+
+  test("q71_bitmap_distinct: both counts read the materialized masks, never rescan events") {
+    // the mask relation barriers (it's the stored bitmap table); the
+    // per-group count AND the __all__ OR-merge hang off that cut — the
+    // input scan appears ZERO times in the final plan. Without the
+    // barrier Spark duplicates the whole subplan (two events scans).
+    val p = planOf("q71_bitmap_distinct")
+    p.linesIterator.count(_.contains("events.parquet")) shouldBe 0
+    p should not include "Join"
+  }
+
+  test("g13_hits: per-round co-partitioned equi-joins — no cartesian, no BNLJ, partial top-k") {
+    val p = planOf("g13_hits")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    // per-role top-20 emits through TakeOrdered, never a global sort
+    p should include("TakeOrderedAndProject")
+  }
 }

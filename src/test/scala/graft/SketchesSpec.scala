@@ -169,4 +169,28 @@ class SketchesSpec extends SparkSpec {
       .as[(String, String, Long)].collect().toSet
     out shouldBe Set(("g1", "x", 2L), ("g2", "y", 1L))
   }
+
+  test("bitmapDistinct: exact per group, __all__ OR-merge dedupes cross-group overlap") {
+    // ids straddle bucket boundaries (63|64) and repeat within AND
+    // across groups; user 64 appears in both groups so the sum of
+    // per-group distincts (3+3=6) exceeds the true global 5
+    val df = Seq(
+      ("a", 1L), ("a", 1L), ("a", 63L), ("a", 64L),
+      ("b", 64L), ("b", 65L), ("b", 130L)).toDF("grp", "uid")
+    for (parts <- Seq(1, 7)) {
+      val out = Sketches.bitmapDistinct(df.repartition(parts), "grp", "uid")
+        .as[(String, Long)].collect().toMap
+      out shouldBe Map("a" -> 3L, "b" -> 3L, "__all__" -> 5L)
+    }
+  }
+
+  test("bitmapDistinct matches countDistinct on the events table, including the roll-up") {
+    val exact = events.groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n"))
+      .as[(String, Long)].collect().toMap +
+      ("__all__" -> events.select(countDistinct($"user_id")).as[Long].head)
+    val out = Sketches.bitmapDistinct(events, "event_type", "user_id")
+      .as[(String, Long)].collect().toMap
+    out shouldBe exact
+  }
 }
