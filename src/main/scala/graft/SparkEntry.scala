@@ -2166,6 +2166,11 @@ object SparkEntry {
     "t49_link_extract" -> ((s, d) =>
       operators.TextAnalysis.outlinks(
         operators.TextAnalysis.linkCorpus(t(s, d)("documents")), "html")),
+    // Flesch reading-ease in exact integer micro-units: both ratios
+    // floored to milli first, so the score is bit-identical in any
+    // engine — the difficulty-bucketing signal of curriculum ordering
+    "t50_readability" -> ((s, d) =>
+      operators.TextAnalysis.readability(t(s, d)("documents"))),
     // VERSION AS OF: two batches applied to the versioned snapshot
     // store, then the time-travel read of the FIRST version — equal to
     // the one-batch merge by construction (the t17/w10 merge law); the
@@ -2698,6 +2703,13 @@ object SparkEntry {
     "g07_kcore" -> ((s, d) => operators.Graph.kCore(
       operators.Graph.coPurchaseEdgesSupported(t(s, d)("lineitem"), 2), 3,
       maxRounds = kcorePeelRounds)),
+    // 4-truss over the same projection: every surviving edge in >= 2
+    // triangles among survivors — g07's peel discipline lifted from
+    // node degrees to edge supports (degree-oriented enumeration per
+    // round); maxRounds pinned to the oracle unroll like g07
+    "g14_ktruss" -> ((s, d) => operators.Graph.kTruss(
+      operators.Graph.coPurchaseEdgesSupported(t(s, d)("lineitem"), 2), 4,
+      maxRounds = ktrussPeelRounds)),
     // synchronous label-propagation communities over the same supported
     // co-purchase graph — fixed round count shared with the oracle's
     // unroll (lpaRounds), min-label tie break, label = node id at start;
@@ -3454,6 +3466,45 @@ object SparkEntry {
          GROUP BY node ORDER BY node"""
   }
 
+  /** Shared g14 peel-round bound — the [[kcorePeelRounds]] contract for
+    * the truss peel: oracle unrolls exactly this many support/filter
+    * rounds AND the engine's `maxRounds` is pinned to it, so a fixture
+    * peeling deeper fails loudly engine-side. Truss fixpoint on the
+    * supported co-purchase graph is shallow (round 3 at sf0.01): edges
+    * either sit in the dense clique overlap (support stays high) or die
+    * in the first rounds — over-unrolling past fixpoint is free.
+    */
+  private val ktrussPeelRounds = 8
+
+  /** g14 oracle: `rounds` truss-peel iterations unrolled, each round =
+    * id-oriented triangle enumeration (u<v edges make (x<y<z) triangles
+    * appear exactly once as the (x,y)(y,z)(x,z) join) + per-edge credit
+    * of all three undirected edges + the ≥ k−2 filter. The engine
+    * enumerates degree-oriented — a different join order over the SAME
+    * triangle set, so supports are identical. MATERIALIZED for the same
+    * 3^r-expansion reason as [[kcoreOracle]]. Final support = the last
+    * round's support table restricted to the fixpoint edges, exactly
+    * what the engine's carried column holds at convergence.
+    */
+  private def ktrussOracle(k: Int, rounds: Int): String = {
+    val steps = (0 until rounds).map { r =>
+      s"""t$r AS MATERIALIZED (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+                  FROM e$r e1 JOIN e$r e2 ON e2.u = e1.v
+                  JOIN e$r e3 ON e3.u = e1.u AND e3.v = e2.v),
+         s$r AS MATERIALIZED (SELECT u, v, count(*) AS s FROM (
+                  SELECT x AS u, y AS v FROM t$r
+                  UNION ALL SELECT y AS u, z AS v FROM t$r
+                  UNION ALL SELECT x AS u, z AS v FROM t$r)
+                GROUP BY u, v HAVING count(*) >= ${k - 2}),
+         e${r + 1} AS MATERIALIZED (SELECT e.u, e.v FROM e$r e JOIN s$r s USING (u, v))"""
+    }.mkString(",\n         ")
+    s"""WITH ${supportedEdgesCte.replace("e0 AS (", "e0 AS MATERIALIZED (")},
+         $steps
+         SELECT e.u, e.v, CAST(s.s AS BIGINT) AS support
+         FROM e$rounds e JOIN s${rounds - 1} s USING (u, v)
+         ORDER BY u, v"""
+  }
+
   /** The r05 anomaly recomputation, shared VERBATIM by r23's GeoTIFF
     * round-trip gate (write→read must be the identity on the layer).
     */
@@ -4208,6 +4259,22 @@ object SparkEntry {
                 'h' || ((doc_id*7+i) % 5) || '.example.com' AS host,
                 'ref ' || doc_id || '-' || i AS anchor
          FROM l ORDER BY doc_id, link_pos""",
+    // Flesch micro-units: identical floored-milli ratio pipeline — any
+    // IEEE rounding smuggled into either engine breaks the hash
+    "t50_readability" ->
+      """WITH c AS (SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+             CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sents,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syll
+           FROM documents),
+         d AS (SELECT *, n_words*1000 // greatest(n_sents, 1) AS wps_milli,
+                      n_syll*1000 // greatest(n_words, 1) AS spw_milli FROM c),
+         f AS (SELECT *, 206835000 - 1015*wps_milli - 84600*spw_milli AS flesch_micro FROM d)
+         SELECT doc_id, n_words, n_sents, n_syll, wps_milli, spw_milli, flesch_micro,
+                CASE WHEN flesch_micro >= 60000000 THEN 'easy'
+                     WHEN flesch_micro >= 30000000 THEN 'medium'
+                     ELSE 'hard' END AS band
+         FROM f ORDER BY doc_id""",
     // tf from the shared adaptive tokenizer, df re-collapsed from the tf
     // histogram, score = one IEEE division of exact BIGINTs, (score DESC,
     // term) total order mirrors the engine's rank window exactly
@@ -6790,6 +6857,7 @@ object SparkEntry {
          WHERE NOT EXISTS (SELECT 1 FROM ex WHERE ex.x = sc.x AND ex.y = sc.y)
          ORDER BY ra_score DESC, x, y LIMIT 20""",
     "g07_kcore" -> kcoreOracle(3, kcorePeelRounds),
+    "g14_ktruss" -> ktrussOracle(4, ktrussPeelRounds),
     "g08_label_prop" -> lpaOracle(lpaRounds),
     "g03_item_cf" ->
       """WITH po AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),

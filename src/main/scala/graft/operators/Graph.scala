@@ -672,4 +672,84 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
       .orderBy(col("node"))
   }
+
+  /** Per-edge triangle support over an undirected (u < v) edge list —
+    * the inner kernel of [[kTruss]]. Enumeration is degree-oriented
+    * (the [[triangleCensus]] trick: fanout arboricity-bounded, hubs
+    * receive edges instead of fanning out), each triangle is found
+    * exactly once, and its THREE undirected edges are credited by
+    * normalizing every directed pair back to (min, max) before the
+    * count aggregate. One wedge join + one closing join + one
+    * map-side-combinable aggregate — no edge-list self-join on raw ids.
+    */
+  private def triangleEdgeSupport(undRaw: DataFrame): DataFrame = {
+    val und = graft.Session.barrier(undRaw.select(col("u"), col("v")))
+    val deg = und.select(col("u").as("n"))
+      .unionByName(und.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
+    val fwd = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = graft.Session.barrier(withDeg.select(
+      when(fwd, col("u")).otherwise(col("v")).as("src"),
+      when(fwd, col("v")).otherwise(col("u")).as("dst")))
+    val tri = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.dst") === col("e2.src"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+      .join(oriented.as("e3"),
+        col("a") === col("e3.src") && col("c") === col("e3.dst"))
+      .select(col("a"), col("b"), col("c"))
+    tri.select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .unionByName(tri.select(least(col("b"), col("c")).as("u"),
+        greatest(col("b"), col("c")).as("v")))
+      .unionByName(tri.select(least(col("a"), col("c")).as("u"),
+        greatest(col("a"), col("c")).as("v")))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sup"))
+  }
+
+  /** k-truss (g14): the edge-level strengthening of [[kCore]] — every
+    * surviving edge must sit in ≥ k−2 triangles whose other two edges
+    * also survive. The cohesion filter of community-detection pipelines
+    * (a k-truss is a (k−1)-core of unusually well-knit edges, immune to
+    * the hub-chaining that inflates cores).
+    *
+    * Peel loop: [[triangleEdgeSupport]] per round (degree-oriented,
+    * re-oriented on the SHRINKING edge set each round), drop edges
+    * under k−2, re-barrier, repeat to fixpoint; the edge count is the
+    * only driver-side value per round ([[kCore]] discipline). At
+    * fixpoint the support column carried by the last filter IS the
+    * final support (the edge set did not change), so the result needs
+    * no extra enumeration. `maxRounds` is pinned to the oracle's unroll
+    * count by the caller (g07's `kcorePeelRounds` contract): a fixture
+    * needing deeper peeling fails loudly engine-side instead of
+    * hash-mismatching a pre-fixpoint oracle. Scale: each round is three
+    * co-partitioned shuffles of a monotonically shrinking edge list,
+    * with the wedge fanout arboricity-bounded; the peel only deletes.
+    */
+  def kTruss(edgesRaw: DataFrame, k: Int, maxRounds: Int = 16): DataFrame = {
+    require(k >= 3, s"kTruss: k must be >= 3, got $k")
+    var e = graft.Session.barrier(edgesRaw.select(col("u"), col("v")))
+    var nEdges = e.count()
+    var kept: DataFrame = e.withColumn("support", lit(0L)) // k=3 empty-graph case
+    var converged = nEdges == 0L
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val sup = triangleEdgeSupport(e)
+      kept = graft.Session.barrier(
+        e.join(sup, Seq("u", "v"), "left")
+          .select(col("u"), col("v"),
+            coalesce(col("sup"), lit(0L)).as("support"))
+          .where(col("support") >= (k - 2).toLong))
+      val n2 = kept.count()
+      converged = n2 == nEdges
+      e = kept.select(col("u"), col("v"))
+      nEdges = n2
+      rounds += 1
+    }
+    require(converged, s"kTruss: no fixpoint within $maxRounds rounds")
+    kept.select(col("u"), col("v"), col("support"))
+      .orderBy(col("u"), col("v"))
+  }
 }

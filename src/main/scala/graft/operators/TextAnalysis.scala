@@ -910,6 +910,43 @@ object TextAnalysis {
       .orderBy($"doc_id", $"link_pos")
   }
 
+  /** Readability scoring (t50) — the Flesch reading-ease seat of every
+    * difficulty-bucketing / curriculum-ordering pass, in EXACT integer
+    * arithmetic so the score is bit-identical across engines (the g01
+    * integer-mass discipline applied to a float formula):
+    *
+    *   flesch = 206.835 − 1.015·(words/sentence) − 84.6·(syllables/word)
+    *
+    * Both ratios are floored to milli-units first (`div`), so the final
+    * `flesch_micro = 206835000 − 1015·wps_milli − 84600·spw_milli` is a
+    * pure BIGINT expression with no IEEE rounding anywhere. Sentence
+    * proxy = `[.!?]+` runs, syllable proxy = vowel-group runs over the
+    * lowercased text (0 for unsegmented scripts — those docs floor to
+    * `hard`, which is the honest answer for a Latin-calibrated formula).
+    * Clamps (`greatest(…,1)`) keep fragment documents total instead of
+    * dividing by zero.
+    *
+    * Scale shape: three `regexp_count`s and integer arithmetic — pure
+    * row-local codegen, no shuffle before the presentation sort; at
+    * 100 TB this rides the same single corpus scan as the other per-doc
+    * quality signals.
+    */
+  def readability(documents: DataFrame): DataFrame =
+    documents
+      .select($"doc_id",
+        regexp_count($"text", lit("\\S+")).cast("long").as("n_words"),
+        regexp_count($"text", lit("[.!?]+")).cast("long").as("n_sents"),
+        regexp_count(lower($"text"), lit("[aeiouy]+")).cast("long").as("n_syll"))
+      .withColumn("wps_milli", expr("n_words * 1000 div greatest(n_sents, 1)"))
+      .withColumn("spw_milli", expr("n_syll * 1000 div greatest(n_words, 1)"))
+      .withColumn("flesch_micro",
+        lit(206835000L) - lit(1015L) * $"wps_milli" - lit(84600L) * $"spw_milli")
+      .withColumn("band",
+        when($"flesch_micro" >= 60000000L, "easy")
+          .when($"flesch_micro" >= 30000000L, "medium")
+          .otherwise("hard"))
+      .orderBy($"doc_id")
+
   /** Script-run segmentation (t48) — split each document into maximal
     * same-script character runs (CJK vs everything else), the span
     * router of every multilingual pipeline: code-switched documents

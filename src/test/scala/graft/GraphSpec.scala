@@ -256,6 +256,34 @@ class GraphSpec extends SparkSpec {
     Graph.kCore(edges, k = 3).count() shouldBe 0L
   }
 
+  test("kTruss: 4-clique survives k=4, lone triangle and pendant peel away") {
+    // 4-clique {1,2,3,4} (every edge in 2 triangles), triangle {4,5,6}
+    // (each edge in 1), pendant (6,7) (in none)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L)).toDF("u", "v")
+    val t4 = Graph.kTruss(edges, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    t4 shouldBe Map((1L, 2L) -> 2L, (1L, 3L) -> 2L, (1L, 4L) -> 2L,
+      (2L, 3L) -> 2L, (2L, 4L) -> 2L, (3L, 4L) -> 2L)
+    // k=3 keeps every triangle edge (support >= 1), drops only the pendant
+    val t3 = Graph.kTruss(edges, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    t3 shouldBe Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L))
+  }
+
+  test("kTruss: shared-edge triangle chain cascades to empty at k=4") {
+    // T1={1,2,3}, T2={2,3,4}: edge (2,3) starts at support 2, but round 1
+    // kills its support-1 companions, round 2 kills (2,3) — the cascade
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("u", "v")
+    Graph.kTruss(edges, k = 4).count() shouldBe 0L
+    // empty input converges immediately with the support column intact
+    val empty = Seq.empty[(Long, Long)].toDF("u", "v")
+    val out = Graph.kTruss(empty, k = 4)
+    out.columns.toSeq shouldBe Seq("u", "v", "support")
+    out.count() shouldBe 0L
+  }
+
   test("personalizedPagerankInt: teleport only to seeds; unreachable nodes never appear") {
     // star 0-{1,2,3,4} plus a disconnected pair {5,6}; seed = hub 0
     val edges = edgesOf((0L,1L),(1L,0L),(0L,2L),(2L,0L),(0L,3L),(3L,0L),

@@ -529,6 +529,36 @@ class TextAnalysisSpec extends SparkSpec {
     out(2L) shouldBe Seq("solo")
   }
 
+  test("readability: hand-computed Flesch micro-units, clamps, and bands") {
+    val d = docs(
+      // 4 words, 2 sentence runs ("Go." + "now!!"), syllables: o|e|o|a|o|u|i|o = runs
+      (1L, "Go now. See the cat run!!", "en", "w"),
+      (2L, "", "en", "w"),              // empty: every count 0, clamps hold
+      (3L, "一二三", "zh", "w"))          // no vowels/sentences: clamps only
+    val out = TextAnalysis.readability(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    r1.getLong(1) shouldBe 6L  // n_words
+    r1.getLong(2) shouldBe 2L  // n_sents: ". " and "!!"
+    // vowel runs in "go now. see the cat run!!": o,o,ee,e,a,u = 6
+    r1.getLong(3) shouldBe 6L
+    r1.getLong(4) shouldBe 3000L // wps_milli = 6*1000 div 2
+    r1.getLong(5) shouldBe 1000L // spw_milli = 6*1000 div 6
+    r1.getLong(6) shouldBe (206835000L - 1015L * 3000L - 84600L * 1000L)
+    r1.getString(7) shouldBe "easy"
+    val r2 = out(2L)
+    (1 to 5).foreach(i => r2.getLong(i) shouldBe 0L)
+    r2.getLong(6) shouldBe 206835000L // no penalty terms
+    r2.getString(7) shouldBe "easy"
+    val r3 = out(3L)
+    r3.getLong(1) shouldBe 1L
+    r3.getLong(3) shouldBe 0L
+    r3.getLong(4) shouldBe 1000L // 1 word div clamped 1 sentence
+    // band thresholds are exact integer comparisons
+    r3.getString(7) shouldBe (if (r3.getLong(6) >= 60000000L) "easy"
+                              else if (r3.getLong(6) >= 30000000L) "medium" else "hard")
+  }
+
   test("lineDedupScrub: shared lines scrubbed, document order restored, empty survivor") {
     val lined = Seq(
       (1L, Seq("keep one", "SHARED", "keep two")),
