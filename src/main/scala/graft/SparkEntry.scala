@@ -1383,6 +1383,10 @@ object SparkEntry {
     // one cell-keyed fold; edge cells average their existing neighbors
     "r32_focal_mean" -> ((s, d) =>
       Raster.focalMean(Raster.demoGridSum(t(s, d)("lineitem")))),
+    // Horn 3x3 weighted stencil (gdaldem slope/aspect seat): exact
+    // BIGINT gx/gy/slope_sq, full-window interior cells only
+    "r33_horn_slope" -> ((s, d) =>
+      Raster.hornGradient(Raster.demoGridSum(t(s, d)("lineitem")))),
     // wind-style component recombination: variables A/N paired per cell
     // by a one-scan conditional pivot, magnitude via correctly-rounded
     // sqrt (the one portable transcendental), direction as the integer
@@ -1588,6 +1592,11 @@ object SparkEntry {
     // floor contract makes the rounding cross-engine bit-identical
     "m21_audio_resample" -> ((s, d) =>
       Multimodal.audioResample(t(s, d)("documents"))),
+    // stereo->mono mixdown + integer peak normalization over REAL
+    // 2-channel WAV decode (decodeWavPcm): floor-by-bias arithmetic
+    // end-to-end, peak/gain/sums/energy all exact BIGINTs
+    "m23_audio_mixdown" -> ((s, d) =>
+      Multimodal.audioMixdown(t(s, d)("documents"))),
     // box-filter thumbnail over the real PNG decode path: floor-split
     // source boxes, floor-mean output pixels with the exact (sum, count)
     // integers alongside — the resize half of the multimodal mandate
@@ -3937,6 +3946,27 @@ object SparkEntry {
                 round(a.s / a.n_nbrs, 4) AS focal_mean
          FROM a JOIN gridsum g USING (variable, time, lat, lon)
          ORDER BY 1, 2, 3, 4""",
+    // the oracle replays the weighted explode with the same negated
+    // source-relative weights; HUGEINT sums cast back to BIGINT
+    "r33_horn_slope" ->
+      s"""WITH ${operators.Raster.demoGridSumSql},
+         c AS (SELECT variable, time, lat + dy AS lat, lon + dx AS lon,
+                      (-dx) * (2 - abs(dy)) AS wx,
+                      (-dy) * (2 - abs(dx)) AS wy,
+                      CAST(value AS BIGINT) AS v
+               FROM gridsum
+               CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS dy) t1
+               CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS dx) t2),
+         a AS (SELECT variable, time, lat, lon,
+                      CAST(sum(wx*v) AS BIGINT) AS gx,
+                      CAST(sum(wy*v) AS BIGINT) AS gy
+               FROM c GROUP BY 1, 2, 3, 4 HAVING count(*) = 9)
+         SELECT variable, time, lat, lon, gx, gy,
+                CAST(gx*gx + gy*gy AS BIGINT) AS slope_sq,
+                CAST(CASE WHEN gx >= 0 AND gy >= 0 THEN 1
+                          WHEN gx < 0 AND gy >= 0 THEN 2
+                          WHEN gx < 0 THEN 3 ELSE 4 END AS BIGINT) AS quadrant
+         FROM a ORDER BY 1, 2, 3, 4""",
     // the oracle forms the SAME den-scaled integer overlaps directly on
     // the (source cell × target cell) join — a wrong axis table, weight,
     // or normalization in the engine shifts num/den_eff and mismatches
@@ -5533,6 +5563,32 @@ object SparkEntry {
          SELECT d AS doc_id, CAST(j AS BIGINT) AS pos,
                 CAST(((3-f)*xi + f*xi1)//3 - 1024 AS BIGINT) AS amp
          FROM v ORDER BY doc_id, pos""",
+    // the oracle replays BOTH channel ramps, the biased floor mixdown,
+    // and the milli-gain normalization arithmetically — every numerator
+    // is biased non-negative so DuckDB's // equals the engine's floor
+    "m23_audio_mixdown" ->
+      """WITH w AS (SELECT doc_id AS d, 64 + doc_id % 193 AS n,
+                           8000 + (doc_id % 5) * 4000 AS rate
+                    FROM documents WHERE doc_id % 3 = 2),
+         k AS (SELECT d, n, rate, unnest(generate_series(0, n - 1)) AS k FROM w),
+         s AS (SELECT d, rate, k,
+                      (31*k + 7*d) % 2048 - 1024 AS l,
+                      (17*k + 5*d) % 2048 - 1024 AS r FROM k),
+         m AS (SELECT d, rate, (l + r + 4096) // 2 - 2048 AS x FROM s),
+         p AS (SELECT d, rate, CAST(count(*) AS BIGINT) AS n_samples,
+                      CAST(max(abs(x)) AS BIGINT) AS peak_mono
+               FROM m GROUP BY 1, 2),
+         g AS (SELECT d, rate, n_samples, peak_mono,
+                      32000000 // greatest(peak_mono, 1) AS gain FROM p),
+         nrm AS (SELECT m.d, (m.x * g.gain + 65536000000) // 1000 - 65536000 AS y
+                 FROM m JOIN g USING (d))
+         SELECT g.d AS doc_id, CAST(g.rate AS BIGINT) AS sample_rate,
+                g.n_samples, g.peak_mono, CAST(g.gain AS BIGINT) AS gain_milli,
+                CAST(max(abs(y)) AS BIGINT) AS peak_norm,
+                CAST(sum(y) AS BIGINT) AS sum_norm,
+                CAST(sum(y*y) AS BIGINT) AS energy_norm
+         FROM nrm JOIN g ON nrm.d = g.d
+         GROUP BY 1, 2, 3, 4, 5 ORDER BY doc_id""",
     "m02_frame_sample" ->
       """WITH f AS (
            SELECT doc_id, text,

@@ -1008,6 +1008,82 @@ object Multimodal {
     * expression chain — row-local, codegen'd, no shuffle; at 100 TB
     * the cost is one decode plus O(n_out) integer ops per clip.
     */
+  /** Closed-form STEREO twin of [[assetFor]]'s WAV arm — interleaved
+    * L/R PCM16 with per-channel deterministic ramps, so the m23 oracle
+    * can replay both channels arithmetically without decoding a byte.
+    */
+  def stereoAssetFor(d: Long): Array[Byte] = {
+    val n = (64 + d % 193).toInt
+    val interleaved = Array.tabulate(2 * n) { j =>
+      val k = j / 2
+      if (j % 2 == 0) (((31L * k + 7 * d) % 2048) - 1024).toShort
+      else (((17L * k + 5 * d) % 2048) - 1024).toShort
+    }
+    AssetCodecs.encodeWavMulti((8000 + (d % 5) * 4000).toInt, 2, interleaved)
+  }
+
+  /** Stereo→mono mixdown + integer peak normalization (m23) — the first
+    * two steps of every speech/audio training-data pipeline (whisper-
+    * style ingestion mixes to mono and normalizes level before feature
+    * extraction). Decode is per-partition imperative ([[AssetCodecs
+    * .decodeWavPcm]], any channel count); everything signal-side is
+    * Catalyst array expressions:
+    *
+    *  - deinterleave = two indexed `filter`s over the interleaved array,
+    *  - mono = `floor((L+R)/2)` via a +4096 bias and an arithmetic
+    *    shift — the m21 bias contract that makes flooring identical in
+    *    any engine's division semantics,
+    *  - gain targets −0.2 dBFS-ish 32000 in milli-units
+    *    (`32000000 div peak`), normalized samples floor through the
+    *    same bias pattern (`+B, div 1000, −B/1000` with B=65536·10⁶),
+    *    all exact BIGINT — peaks, sums and energies are value-oracled.
+    *
+    * Scale shape: one decode pass, per-doc array ops inside codegen, a
+    * presentation sort — no shuffle, no explode of samples to rows.
+    */
+  def audioMixdown(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val bias = 65536000000L
+    val decoded = documents.select(col("doc_id")).where(col("doc_id") % 3 === 2)
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val (rate, ch, inter) = AssetCodecs.decodeWavPcm(stereoAssetFor(id))
+          require(ch == 2, s"mixdown fixture must be stereo, got $ch channels")
+          (id, rate, inter.map(_.toInt))
+        }
+      }
+      .toDF("doc_id", "sample_rate", "interleaved")
+    val leftC = filter(col("interleaved"), (_, i) => i % 2 === 0)
+    val rightC = filter(col("interleaved"), (_, i) => i % 2 === 1)
+    val mono = zip_with(leftC, rightC,
+      (l, r) => shiftright(l.cast("long") + r + 4096L, 1) - 2048L)
+    def normExpr(x: org.apache.spark.sql.Column) = {
+      val num = x * col("gain_milli") + bias
+      (num - pmod(num, lit(1000L))) / 1000L - (bias / 1000L)
+    }
+    val peak = aggregate(col("mono"), lit(0L), (a, x) => greatest(a, abs(x)))
+    val gnum = lit(32000000L)
+    val pclamp = greatest(col("peak_mono"), lit(1L))
+    decoded
+      .select(col("doc_id"), col("sample_rate").cast("long").as("sample_rate"),
+        mono.as("mono"))
+      .withColumn("n_samples", size(col("mono")).cast("long"))
+      .withColumn("peak_mono", peak)
+      .withColumn("gain_milli",
+        ((gnum - pmod(gnum, pclamp)) / pclamp).cast("long"))
+      .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+        col("peak_mono"), col("gain_milli"),
+        aggregate(col("mono"), lit(0L),
+          (a, x) => greatest(a, abs(normExpr(x)).cast("long"))).as("peak_norm"),
+        aggregate(col("mono"), lit(0L),
+          (a, x) => a + normExpr(x).cast("long")).as("sum_norm"),
+        aggregate(col("mono"), lit(0L),
+          (a, x) => a + (normExpr(x) * normExpr(x)).cast("long")).as("energy_norm"))
+      .orderBy(col("doc_id"))
+  }
+
   def audioResample(documents: DataFrame, l: Int = 3, m: Int = 2): DataFrame = {
     require(l > 0 && m > 0, s"audioResample: ratio $l/$m must be positive")
     val spark = documents.sparkSession

@@ -102,6 +102,53 @@ object Raster {
       .orderBy(keys: _*)
   }
 
+  /** Horn 3×3 gradient (r33) — the weighted-stencil kernel of `gdaldem
+    * slope`/`aspect`/`hillshade` (Horn 1981), the step every DEM
+    * pipeline runs after ingest; the reference reaches the same family
+    * through gdaldem on its exported GeoTIFFs. Differs from [[focalMean]]
+    * (uniform weights) in carrying a per-offset WEIGHT, and from
+    * [[gradient]] (1-D irregular forward differences per axis) in being
+    * the standard 2-D 8-neighbor convolution:
+    *
+    *   gx = Σ_ry (2−|ry|)·z[lat+ry, lon+1] − Σ_ry (2−|ry|)·z[lat+ry, lon−1]
+    *   gy = Σ_rx (2−|rx|)·z[lat+1, lon+rx] − Σ_rx (2−|rx|)·z[lat−1, lon+rx]
+    *
+    * Exactness: on the integer-valued grid twin gx/gy/slope_sq are pure
+    * BIGINT arithmetic — `slope_sq = gx² + gy²` is the un-normalized
+    * squared slope magnitude and `quadrant` the r21 integer aspect
+    * (atan2/sqrt hillshade shading is non-portable transcendental
+    * territory and stays out by design; sqrt alone is portable but the
+    * 8·cellsize normalization divides exactness away). Only cells with
+    * the FULL 9-cell window emit (`HAVING count = 9`) — Horn is
+    * undefined on edge cells, and emitting a partial-window guess would
+    * invent terrain.
+    *
+    * Scale shape: identical to [[focalMean]] — explode-to-9 with the
+    * weight pair riding each contribution (source at relative offset
+    * (−dy, −dx) of its target, hence the negated weights), ONE
+    * cell-keyed partial-aggregating shuffle, no per-offset self-joins.
+    */
+  def hornGradient(grid: DataFrame): DataFrame = {
+    val keys = Seq($"variable", $"time", $"lat", $"lon")
+    val contrib = grid
+      .withColumn("dy", explode(sequence(lit(-1), lit(1))))
+      .withColumn("dx", explode(sequence(lit(-1), lit(1))))
+      .select($"variable", $"time",
+        ($"lat" + $"dy").as("lat"), ($"lon" + $"dx").as("lon"),
+        (-$"dx" * (lit(2) - abs($"dy"))).cast("long").as("wx"),
+        (-$"dy" * (lit(2) - abs($"dx"))).cast("long").as("wy"),
+        $"value".cast("long").as("v"))
+    contrib.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_nbrs"),
+        sum($"wx" * $"v").as("gx"), sum($"wy" * $"v").as("gy"))
+      .where($"n_nbrs" === 9)
+      .select($"variable", $"time", $"lat", $"lon", $"gx", $"gy",
+        ($"gx" * $"gx" + $"gy" * $"gy").as("slope_sq"),
+        when($"gx" >= 0 && $"gy" >= 0, 1L).when($"gx" < 0 && $"gy" >= 0, 2L)
+          .when($"gx" < 0, 3L).otherwise(4L).as("quadrant"))
+      .orderBy(keys: _*)
+  }
+
   /** R11: regrid — block-mean downsampling by per-axis factors (the `cdo
     * remapcon` / `gdalwarp -tr` coarsening every reanalysis pipeline runs
     * when serving lower resolutions): each fine cell belongs to the

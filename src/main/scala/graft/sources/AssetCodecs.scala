@@ -1969,24 +1969,35 @@ object AssetCodecs {
     * between fmt and data so decoders must actually walk chunks rather
     * than assume the canonical 44-byte layout.
     */
-  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] =
+    encodeWavMulti(sampleRate, 1, samples)
+
+  /** [[encodeWav]] generalized to `channels` interleaved PCM16 channels
+    * (frame = one sample per channel, little-endian, channel order as
+    * interleaved). Same gratuitous LIST chunk so decoders must walk.
+    */
+  def encodeWavMulti(sampleRate: Int, channels: Int,
+                     interleaved: Array[Short]): Array[Byte] = {
+    require(channels >= 1 && channels <= 8, s"WAV channels out of range: $channels")
+    require(interleaved.length % channels == 0,
+      s"ragged interleave: ${interleaved.length} samples over $channels channels")
     val listPayload = "INFOgraft".getBytes("US-ASCII") // odd length: 9 → pad byte
     val listChunk = 8 + listPayload.length + (listPayload.length & 1)
-    val dataLen = samples.length * 2
+    val dataLen = interleaved.length * 2
     val riffLen = 4 + (8 + 16) + listChunk + (8 + dataLen)
     val buf = ByteBuffer.allocate(8 + riffLen).order(ByteOrder.LITTLE_ENDIAN)
     buf.put("RIFF".getBytes("US-ASCII")).putInt(riffLen).put("WAVE".getBytes("US-ASCII"))
     buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
     buf.putShort(1) // PCM
-    buf.putShort(1) // mono
+    buf.putShort(channels.toShort)
     buf.putInt(sampleRate)
-    buf.putInt(sampleRate * 2) // byte rate
-    buf.putShort(2)            // block align
-    buf.putShort(16)           // bits per sample
+    buf.putInt(sampleRate * 2 * channels) // byte rate
+    buf.putShort((2 * channels).toShort)  // block align
+    buf.putShort(16)                      // bits per sample
     buf.put("LIST".getBytes("US-ASCII")).putInt(listPayload.length).put(listPayload)
     if ((listPayload.length & 1) == 1) buf.put(0.toByte)
     buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
-    samples.foreach(buf.putShort)
+    interleaved.foreach(buf.putShort)
     buf.array()
   }
 
@@ -1996,12 +2007,23 @@ object AssetCodecs {
     * matching the encoder; anything else fails loudly.
     */
   def decodeWavSamples(bytes: Array[Byte]): (Int, Array[Short]) = {
+    val (rate, channels, out) = decodeWavPcm(bytes)
+    require(channels == 1, "non-mono WAV out of scope")
+    (rate, out)
+  }
+
+  /** PCM16 decode accepting ANY channel count — the [[decodeWavSamples]]
+    * chunk walk with the channel scope lifted (the m23 mixdown entry
+    * point): returns (sampleRate, channels, interleaved samples).
+    */
+  def decodeWavPcm(bytes: Array[Byte]): (Int, Int, Array[Short]) = {
     require(bytes.length >= 12 &&
       new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
       new String(bytes, 8, 4, "US-ASCII") == "WAVE", "bad RIFF/WAVE header")
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     var pos = 12
     var rate = -1
+    var channels = -1
     var out: Array[Short] = null
     while (pos + 8 <= bytes.length) {
       val id = new String(bytes, pos, 4, "US-ASCII")
@@ -2011,7 +2033,8 @@ object AssetCodecs {
         case "fmt " =>
           require(len >= 16, "short fmt chunk")
           require((buf.getShort(pos + 8) & 0xffff) == 1, "non-PCM WAV out of scope")
-          require((buf.getShort(pos + 10) & 0xffff) == 1, "non-mono WAV out of scope")
+          channels = buf.getShort(pos + 10) & 0xffff
+          require(channels >= 1 && channels <= 8, s"WAV channels out of range: $channels")
           rate = buf.getInt(pos + 12)
           require((buf.getShort(pos + 22) & 0xffff) == 16, "scope: PCM16")
         case "data" =>
@@ -2022,7 +2045,7 @@ object AssetCodecs {
       pos += 8 + len + (len & 1)
     }
     require(out != null, "WAV missing data chunk")
-    (rate, out)
+    (rate, channels, out)
   }
 
   def decodeWav(bytes: Array[Byte]): AssetMeta = {

@@ -184,6 +184,53 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.audioResample(docs, l = 0, m = 2)
   }
 
+  test("audioMixdown: scalar replay of decode, biased floor mixdown, and milli-gain") {
+    val docs = spark.range(0, 30).select($"id".as("doc_id")).toDF()
+    val out = Multimodal.audioMixdown(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    out.keySet shouldBe (0L until 30L).filter(_ % 3 == 2).toSet
+    for (d <- out.keys) {
+      val (rate, ch, inter) = graft.sources.AssetCodecs
+        .decodeWavPcm(Multimodal.stereoAssetFor(d))
+      ch shouldBe 2
+      val mono = inter.grouped(2).map { case Array(l, r) =>
+        (l.toLong + r + 4096L >> 1) - 2048L }.toArray
+      val peak = mono.map(math.abs).max
+      val gain = 32000000L / math.max(peak, 1L)
+      val norm = mono.map(x => Math.floorDiv(x * gain + 65536000000L, 1000L) - 65536000L)
+      val r0 = out(d)
+      r0.getLong(1) shouldBe rate.toLong
+      r0.getLong(2) shouldBe mono.length.toLong
+      r0.getLong(3) shouldBe peak
+      r0.getLong(4) shouldBe gain
+      r0.getLong(5) shouldBe norm.map(math.abs).max
+      r0.getLong(6) shouldBe norm.sum
+      r0.getLong(7) shouldBe norm.map(y => y * y).sum
+      // normalization actually lands near the -0.2 dBFS-ish target
+      r0.getLong(5) should be <= 32050L
+      r0.getLong(5) should be >= 31000L
+    }
+  }
+
+  test("WAV multi-channel codec: stereo round-trip, mono compat, scope rejects") {
+    val inter = Array.tabulate[Short](10)(i => (i * 37 - 100).toShort)
+    val bytes = graft.sources.AssetCodecs.encodeWavMulti(22050, 2, inter)
+    val (rate, ch, back) = graft.sources.AssetCodecs.decodeWavPcm(bytes)
+    (rate, ch) shouldBe ((22050, 2))
+    back shouldBe inter
+    // the mono decoder refuses multi-channel loudly
+    an[IllegalArgumentException] should be thrownBy
+      graft.sources.AssetCodecs.decodeWavSamples(bytes)
+    // mono payloads decode identically through both entry points
+    val m = graft.sources.AssetCodecs.encodeWav(8000, inter)
+    graft.sources.AssetCodecs.decodeWavPcm(m)._3 shouldBe
+      graft.sources.AssetCodecs.decodeWavSamples(m)._2
+    an[IllegalArgumentException] should be thrownBy
+      graft.sources.AssetCodecs.encodeWavMulti(8000, 2, Array[Short](1, 2, 3))
+    an[IllegalArgumentException] should be thrownBy
+      graft.sources.AssetCodecs.encodeWavMulti(8000, 9, new Array[Short](9))
+  }
+
   test("silenceSegments: islands match a brute-force scan of the decoded PCM") {
     val docs = spark.range(0, 41).select($"id".as("doc_id")).toDF()
     val out = Multimodal.silenceSegments(docs).collect()

@@ -380,4 +380,34 @@ class RasterSpec extends SparkSpec {
     out.contains((-1.0, -1.0)) shouldBe false
     out.size shouldBe 8
   }
+
+  test("hornGradient: unit-ramp gradients exact, edges and broken windows silent") {
+    // full 3x3 lattice, ramp value = 10*lat + lon: the Horn kernel's
+    // weight mass is (1+2+1)*2 = 8 per axis -> gx = 8, gy = 80
+    val rows = for { lat <- Seq(0.0, 1.0, 2.0); lon <- Seq(0.0, 1.0, 2.0) }
+      yield ("v", "2024-01-01 00:00:00", lat, lon, 10 * lat + lon)
+    val g = rows.toDF("variable", "time", "lat", "lon", "value")
+      .withColumn("time", $"time".cast("timestamp_ntz"))
+    val out = Raster.hornGradient(g).collect()
+    out.length shouldBe 1 // only the interior cell has all 9 neighbors
+    val r = out.head
+    (r.getDouble(2), r.getDouble(3)) shouldBe ((1.0, 1.0))
+    r.getLong(4) shouldBe 8L    // gx
+    r.getLong(5) shouldBe 80L   // gy
+    r.getLong(6) shouldBe (8L * 8 + 80L * 80) // slope_sq
+    r.getLong(7) shouldBe 1L    // quadrant: both gradients non-negative
+    // knocking out one corner breaks the only full window -> empty
+    val holed = rows.filterNot(t => t._3 == 0.0 && t._4 == 0.0)
+      .toDF("variable", "time", "lat", "lon", "value")
+      .withColumn("time", $"time".cast("timestamp_ntz"))
+    Raster.hornGradient(holed).count() shouldBe 0L
+    // descending ramp flips the quadrant: value = -(10*lat + lon)
+    val neg = rows.map(t => (t._1, t._2, t._3, t._4, -t._5))
+      .toDF("variable", "time", "lat", "lon", "value")
+      .withColumn("time", $"time".cast("timestamp_ntz"))
+    val rn = Raster.hornGradient(neg).collect().head
+    rn.getLong(4) shouldBe -8L
+    rn.getLong(5) shouldBe -80L
+    rn.getLong(7) shouldBe 3L
+  }
 }
