@@ -671,4 +671,33 @@ class PlanGuardSpec extends SparkSpec {
     // per-role top-20 emits through TakeOrdered, never a global sort
     p should include("TakeOrderedAndProject")
   }
+
+  test("g14_ktruss: peel rounds are equi-join only — no cartesian, no BNLJ") {
+    val p = planOf("g14_ktruss")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("t50_readability: row-local codegen — no join, no hash shuffle") {
+    val p = planOf("t50_readability")
+    p should not include "Join"
+    p should not include "hashpartitioning"
+  }
+
+  test("r33_horn_slope: explode-to-9 + ONE cell-keyed fold above the grid build") {
+    // the naive Horn stencil is eight per-offset self-joins; the
+    // contribution plan must show zero joins and exactly two hash
+    // exchanges (grid twin build + the single cell fold)
+    val p = planOf("r33_horn_slope")
+    p should not include "Join"
+    p should include("Generate")
+    hashExchanges(p) shouldBe 2
+  }
+
+  test("m23_audio_mixdown: per-doc array ops — samples never explode to rows, no shuffle") {
+    val p = planOf("m23_audio_mixdown")
+    p should not include "Join"
+    p should not include "hashpartitioning"
+    p should not include "Generate"
+  }
 }
