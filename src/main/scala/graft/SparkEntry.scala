@@ -1647,6 +1647,11 @@ object SparkEntry {
     // images, so the pair set is data-driven, not planted
     "m22_image_neardup" -> ((s, d) =>
       Multimodal.imageNearDups(t(s, d)("documents"))),
+    // Laplacian-variance blur scoring over the REAL decoded PNG raster —
+    // the focus measure of image curation: var·n² in exact BIGINTs,
+    // milli-floored, banded at the curation threshold
+    "m24_blur_detect" -> ((s, d) =>
+      Multimodal.blurDetect(t(s, d)("documents"))),
     // image perceptual hash (aHash) over the REAL decoded PNG raster —
     // integer-exact block means (lcm scaling), strict cross-multiplied
     // threshold: the oracle regenerates identical bits from the pixel
@@ -1949,6 +1954,12 @@ object SparkEntry {
     // + exact rerank of the 40-deep shortlist — both cuts value-checked
     "s16_binary_topk" -> ((s, d) =>
       Similarity.binaryHammingTopK(t(s, d)("embeddings"), 0L, 10)),
+    // hybrid retrieval: lexical (s07's integer tf-idf) + dense (s02's
+    // cosine) legs fused by reciprocal rank 1000000 div (60 + rank) —
+    // each leg TakeOrdered to its pool, fusion runs on <= poolK rows
+    "s17_rrf_fusion" -> ((s, d) => Similarity.rrfFusion(
+      t(s, d)("documents"), t(s, d)("embeddings"),
+      Seq("vector", "spark", "window", "hash"), 0L, poolK = 20, k = 15)),
     // IR eval harness: exact top-10 per judged query (vec_id % 100 == 0)
     // vs residue-class qrels — MRR's one IEEE division, precision/recall
     // as exact ppm; no-hit queries report mrr 0 with a null first rank
@@ -2730,6 +2741,12 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_nodes"), min($"node").as("min_node"),
         max($"node").as("max_node"), sum($"node").as("sum_nodes"))
       .orderBy($"label")),
+    // modularity of the SAME communities in exact integers: per
+    // community, q_num = 4m·m_in − d_tot² (Q scaled by (2m)²) — the
+    // partition-quality audit of any community detection run
+    "g15_modularity" -> ((s, d) => operators.Graph.modularity(
+      operators.Graph.coPurchaseEdgesSupported(t(s, d)("lineitem"), 2),
+      lpaRounds)),
     "g03_item_cf" -> ((s, d) =>
       operators.Graph.itemPairsCF(
         t(s, d)("lineitem")
@@ -3545,7 +3562,12 @@ object SparkEntry {
     * [[operators.Graph.labelPropagation]]. MATERIALIZED for the same
     * expansion reason as [[kcoreOracle]].
     */
-  private def lpaOracle(rounds: Int): String = {
+  /** Shared g08/g15 WITH-body: supported edges + `rounds` unrolled LPA
+    * steps, ending in relation `l<rounds>` (node, label). One string,
+    * two gates — a tie-break or round-count fix cannot diverge the
+    * community rollup from the modularity score.
+    */
+  private def lpaLabelsCtes(rounds: Int): String = {
     val steps = (1 to rounds).map { r =>
       s"""c$r AS MATERIALIZED (SELECT s.u AS node, l.label, count(*) AS c
                  FROM sym s JOIN l${r - 1} l ON l.node = s.v GROUP BY 1, 2),
@@ -3554,15 +3576,40 @@ object SparkEntry {
                    PARTITION BY node ORDER BY c DESC, label) AS rn
                  FROM c$r) WHERE rn = 1)"""
     }.mkString(",\n         ")
-    s"""WITH ${supportedEdgesCte.replace("e0 AS (", "e0 AS MATERIALIZED (")},
+    s"""${supportedEdgesCte.replace("e0 AS (", "e0 AS MATERIALIZED (")},
          sym AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
          l0 AS MATERIALIZED (SELECT u AS node, u AS label FROM (SELECT DISTINCT u FROM sym)),
-         $steps
+         $steps"""
+  }
+
+  private def lpaOracle(rounds: Int): String =
+    s"""WITH ${lpaLabelsCtes(rounds)}
          SELECT label, CAST(count(*) AS BIGINT) AS n_nodes,
                 MIN(node) AS min_node, MAX(node) AS max_node,
                 CAST(SUM(node) AS BIGINT) AS sum_nodes
          FROM l$rounds GROUP BY label ORDER BY label"""
-  }
+
+  /** g15 oracle: the SAME label relation as g08, then the integer
+    * modularity contribution 4m·m_c − d_c² per community.
+    */
+  private def modularityOracle(rounds: Int): String =
+    s"""WITH ${lpaLabelsCtes(rounds)},
+         lab AS MATERIALIZED (SELECT node, label FROM l$rounds),
+         deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+                 FROM (SELECT u AS node FROM e0 UNION ALL SELECT v AS node FROM e0)
+                 GROUP BY node),
+         mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
+         min_c AS (SELECT la.label, CAST(count(*) AS BIGINT) AS m_in
+                   FROM e0 JOIN lab la ON la.node = e0.u
+                           JOIN lab lb ON lb.node = e0.v
+                   WHERE la.label = lb.label GROUP BY 1),
+         dc AS (SELECT label, CAST(count(*) AS BIGINT) AS n_nodes,
+                       CAST(sum(deg) AS BIGINT) AS d_tot
+                FROM lab JOIN deg USING (node) GROUP BY label)
+         SELECT dc.label, n_nodes, coalesce(m_in, 0) AS m_in, d_tot,
+                4 * (SELECT m FROM mm) * coalesce(m_in, 0) - d_tot * d_tot AS q_num
+         FROM dc LEFT JOIN min_c ON dc.label = min_c.label
+         ORDER BY dc.label"""
 
   /** Shared t10/w07 oracle CTE: the Gopher/C4 rule battery per document,
     * ending in relation `f` (doc_id, source, metrics, r_* flags, keep).
@@ -5192,6 +5239,33 @@ object SparkEntry {
     // lcm(1..12) covers every possible block size) and the identical
     // strict cross-multiplied threshold; the engine must recover the
     // same bits from the encoded PNG bytes
+    // the 4-neighbour Laplacian replayed on the closed-form pixel
+    // lattice: wrap positions of the mod-256 plane are the only nonzero
+    // responses, so a decode bug ANYWHERE shifts n/s/s2 and the hash
+    "m24_blur_detect" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (3 * doc_id) % 16 AS h
+                    FROM documents WHERE doc_id % 3 = 0),
+         px AS (SELECT doc_id, w, h, unnest(generate_series(1, w - 2)) AS x FROM d),
+         pxy AS (SELECT doc_id, w, h, x, unnest(generate_series(1, h - 2)) AS y FROM px),
+         l AS (SELECT doc_id, w, h,
+                 4 * ((7*x + 13*y + doc_id) % 256)
+                 - ((7*x + 13*(y-1) + doc_id) % 256)
+                 - ((7*x + 13*(y+1) + doc_id) % 256)
+                 - ((7*(x-1) + 13*y + doc_id) % 256)
+                 - ((7*(x+1) + 13*y + doc_id) % 256) AS dd
+               FROM pxy),
+         a AS (SELECT doc_id, CAST(max(w) AS BIGINT) AS width,
+                      CAST(max(h) AS BIGINT) AS height,
+                      CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(dd) AS BIGINT) AS s,
+                      CAST(sum(dd*dd) AS BIGINT) AS s2
+               FROM l GROUP BY doc_id)
+         SELECT doc_id, width, height, n AS n_interior, s AS sum_lap,
+                s2 AS sum_sq_lap,
+                (1000 * (n * s2 - s * s)) // (n * n) AS var_milli,
+                CASE WHEN (1000 * (n * s2 - s * s)) // (n * n) < 18000000
+                     THEN 'blurry' ELSE 'sharp' END AS band
+         FROM a ORDER BY doc_id""",
     "m06_image_phash" ->
       """WITH d AS (SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (3 * doc_id) % 16 AS h
                     FROM documents WHERE doc_id % 3 = 0),
@@ -5720,6 +5794,36 @@ object SparkEntry {
                FROM sl)
          SELECT vec_id, label, hamming, round(c, 4) AS cos_sim FROM r
          ORDER BY c DESC, vec_id LIMIT 10""",
+    // both legs replayed verbatim (s07's tf-idf CTE, s02's cosine CTE),
+    // ranks assigned with the same tiebreaks, fused in integer
+    // micro-units — a wrong rank, pool boundary, or κ shifts the hash
+    "s17_rrf_fusion" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+                       FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+                WHERE term IN ('hash', 'spark', 'vector', 'window')
+                GROUP BY doc_id, term),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         kw0 AS (SELECT doc_id, sum(tf * (1048576 // df)) AS score
+                 FROM tf JOIN df USING (term) GROUP BY doc_id),
+         kw AS (SELECT doc_id AS id,
+                       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS kw_rank
+                FROM kw0 ORDER BY score DESC, doc_id LIMIT 20),
+         q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+         vs AS (SELECT vec_id,
+                  list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+                  / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                     * sqrt(list_dot_product(qv, qv))) AS c
+                FROM embeddings, q WHERE vec_id <> 0),
+         vec AS (SELECT vec_id AS id,
+                        CAST(row_number() OVER (ORDER BY c DESC, vec_id) AS BIGINT) AS vec_rank
+                 FROM vs ORDER BY c DESC, vec_id LIMIT 20),
+         f AS (SELECT coalesce(kw.id, vec.id) AS id, kw_rank, vec_rank,
+                      coalesce(1000000 // (60 + kw_rank), 0)
+                        + coalesce(1000000 // (60 + vec_rank), 0) AS rrf_micro
+               FROM kw FULL OUTER JOIN vec ON kw.id = vec.id)
+         SELECT id, kw_rank, vec_rank, CAST(rrf_micro AS BIGINT) AS rrf_micro
+         FROM f ORDER BY rrf_micro DESC, id LIMIT 15""",
     // the same cosine, ranked WITHIN each label (the filtered-ANN shape);
     // row_number with the identical (cos DESC, vec_id) tiebreak
     "s13_filtered_topk" ->
@@ -6915,6 +7019,7 @@ object SparkEntry {
     "g07_kcore" -> kcoreOracle(3, kcorePeelRounds),
     "g14_ktruss" -> ktrussOracle(4, ktrussPeelRounds),
     "g08_label_prop" -> lpaOracle(lpaRounds),
+    "g15_modularity" -> modularityOracle(lpaRounds),
     "g03_item_cf" ->
       """WITH po AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
          cn AS (SELECT a.item AS u, b.item AS w, CAST(count(*) AS BIGINT) AS common

@@ -630,6 +630,42 @@ object Graph {
     labels
   }
 
+  /** G15: Newman–Girvan modularity of the [[labelPropagation]]
+    * communities — the quality score that tells a pipeline whether its
+    * partitioning is real structure or noise, in EXACT integers: per
+    * community c, `q_num = 4m·m_c − d_c²` (the Q contribution scaled by
+    * (2m)², so Q = Σ q_num / 4m²). Communities with q_num ≤ 0 are the
+    * degenerate ones (no better than random wiring at that degree
+    * mass) — the audit signal itself.
+    *
+    * Scale shape: the LPA rounds dominate (their envelope); the score
+    * adds one degree aggregate, two label equi-joins over the edge
+    * list, and two label-keyed folds — all co-partitioned shuffles of
+    * id-sized rows. The single driver-side value is `m` (one long,
+    * the kCore discipline).
+    */
+  def modularity(edgesRaw: DataFrame, rounds: Int): DataFrame = {
+    val edges = graft.Session.barrier(edgesRaw.select(col("u"), col("v")))
+    val labels = labelPropagation(edges, rounds)
+    val deg = edges.select(col("u").as("node"))
+      .unionByName(edges.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val m = edges.count() // metadata-sized driver value
+    val lu = labels.select(col("node").as("u"), col("label").as("lu"))
+    val lv = labels.select(col("node").as("v"), col("label").as("lv"))
+    val mIn = edges.join(lu, "u").join(lv, "v")
+      .where(col("lu") === col("lv"))
+      .groupBy(col("lu").as("label")).agg(count(lit(1)).as("m_in"))
+    labels.join(deg, "node")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("d_tot"))
+      .join(mIn, Seq("label"), "left")
+      .withColumn("m_in", coalesce(col("m_in"), lit(0L)))
+      .select(col("label"), col("n_nodes"), col("m_in"), col("d_tot"),
+        (lit(4L * m) * col("m_in") - col("d_tot") * col("d_tot")).as("q_num"))
+      .orderBy(col("label"))
+  }
+
   /** k-core decomposition membership: iteratively peel nodes of degree
     * < k until fixpoint; emit each surviving node with its within-core
     * degree. The classic cohesion filter (dense-community extraction,

@@ -544,6 +544,53 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** M24: blur / sharpness scoring via Laplacian variance (Pech-Pacheco
+    * et al., ICPR'00 — the standard "variance of Laplacian" focus
+    * measure every image-curation pipeline runs before training): the
+    * 4-neighbour Laplacian d = 4·p − p↑ − p↓ − p← − p→ at every
+    * interior pixel of the REAL decoded PNG, population variance in
+    * exact integers — var·n² = n·Σd² − (Σd)², reported milli-floored
+    * as `1000·varNum div n²` so the score hash-compares. Low variance
+    * ⇒ few/weak edges ⇒ blurry; the band column is the curation
+    * decision itself.
+    *
+    * Scale shape: [[imagePhash]]'s exactly — mapPartitions byte decode
+    * + a per-image O(w·h) integer kernel, no shuffle before the
+    * presentation sort; at 100 TB this rides the same decode pass as
+    * the other per-asset signals.
+    */
+  def blurDetect(documents: DataFrame, blurMilli: Long = 18000000L): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .filter((id: Long) => id % 3 == 0) // the PNG third of the fixture
+      .mapPartitions { it =>
+        it.map { id =>
+          val (w, h, img) = graft.sources.AssetCodecs.decodePngImage(assetFor(id))
+          var n = 0L; var s = 0L; var s2 = 0L
+          var y = 1
+          while (y < h - 1) {
+            var x = 1
+            while (x < w - 1) {
+              val d = 4L * (img(y)(x) & 0xff) -
+                (img(y - 1)(x) & 0xff) - (img(y + 1)(x) & 0xff) -
+                (img(y)(x - 1) & 0xff) - (img(y)(x + 1) & 0xff)
+              n += 1; s += d; s2 += d * d
+              x += 1
+            }
+            y += 1
+          }
+          val varMilli = Math.floorDiv(1000L * (n * s2 - s * s), n * n)
+          (id, w.toLong, h.toLong, n, s, s2, varMilli)
+        }
+      }
+      .toDF("doc_id", "width", "height", "n_interior", "sum_lap",
+        "sum_sq_lap", "var_milli")
+      .withColumn("band",
+        when(col("var_milli") < blurMilli, "blurry").otherwise("sharp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The integer-exact aHash core shared by the PNG (m06) and JPEG (m07)
     * paths. Contract: every 8x8 block must be non-empty (else the block
     * mean divides by zero) and its pixel count must divide [[PhashScale]]

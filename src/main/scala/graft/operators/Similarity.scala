@@ -894,4 +894,48 @@ object Similarity {
       .select($"vec_id", $"cluster_i".cast("long").as("cluster"))
       .orderBy($"vec_id")
   }
+
+  /** S17: hybrid retrieval via reciprocal-rank fusion (Cormack/Clarke/
+    * Büttcher SIGIR'09) — the production RAG shape: a lexical ranking
+    * ([[Search.keywordSearch]]'s integer tf-idf) and a dense ranking
+    * (brute-force cosine vs the query vector) fused by
+    * `Σ 1/(κ + rank)`, here in exact integer micro-units
+    * `1000000 div (κ + rank)` so the fused score hash-compares across
+    * engines. Docs appearing in only one leg contribute only that
+    * leg's term (the standard RRF convention) and keep a null rank for
+    * the other — the honest "lexical-only / semantic-only hit" signal.
+    *
+    * Scale shape: each leg is its operator's own bounded plan
+    * (TakeOrdered to `poolK`); rank assignment and the full-outer
+    * fusion join then run on ≤ poolK rows per leg — explicitly
+    * output-bounded, never corpus-sized. At 100 TB the legs dominate
+    * and the fusion is free; κ=60 is the paper's constant.
+    */
+  def rrfFusion(documents: DataFrame, embeddings: DataFrame,
+                terms: Seq[String], queryId: Long, poolK: Int, k: Int,
+                kappa: Int = 60): DataFrame = {
+    require(poolK >= 1 && k >= 1, s"rrfFusion: poolK/k must be >= 1")
+    val kw = Search.keywordSearch(documents, terms, poolK)
+      .select($"doc_id".as("id"), $"score")
+      .withColumn("kw_rank",
+        row_number().over(Window.orderBy($"score".desc, $"id")).cast("long"))
+    val q = embeddings.where($"vec_id" === queryId).select($"embedding".as("q"))
+    val vec = embeddings.where($"vec_id" =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("cos_sim", Vectors.cosine($"embedding", $"q"))
+      .orderBy($"cos_sim".desc, $"vec_id")
+      .limit(poolK)
+      .select($"vec_id".as("id"), $"cos_sim")
+      .withColumn("vec_rank",
+        row_number().over(Window.orderBy($"cos_sim".desc, $"id")).cast("long"))
+    val micro = 1000000L
+    kw.select($"id", $"kw_rank")
+      .join(vec.select($"id", $"vec_rank"), Seq("id"), "full_outer")
+      .withColumn("rrf_micro",
+        coalesce(expr(s"$micro div ($kappa + kw_rank)"), lit(0L)) +
+          coalesce(expr(s"$micro div ($kappa + vec_rank)"), lit(0L)))
+      .orderBy($"rrf_micro".desc, $"id")
+      .limit(k)
+      .select($"id", $"kw_rank", $"vec_rank", $"rrf_micro")
+  }
 }

@@ -427,4 +427,35 @@ class GraphSpec extends SparkSpec {
     k1.map(r => r._1 -> r._2).toMap shouldBe Map("hub" -> 1L, "auth" -> 10L)
     an[IllegalArgumentException] should be thrownBy Graph.hitsInt(edges, 0, 20)
   }
+
+  test("modularity: exact integer Q contributions on two bridged triangles") {
+    import spark.implicits._
+    // two triangles {1,2,3} and {4,5,6} joined by the bridge 3-4
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L),
+      (3L, 4L)).toDF("u", "v")
+    val out = Graph.modularity(und, rounds = 4)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val labels = Graph.labelPropagation(und, 4)
+      .as[(Long, Long)].collect().toMap
+    // recompute every contribution from (edges, labels) independently
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val m = edges.length.toLong
+    val deg = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .map { case (n, xs) => n -> xs.length.toLong }
+    val byLabel = labels.groupBy(_._2)
+    val expected = byLabel.toSeq.map { case (lab, members) =>
+      val nodes = members.keySet
+      val mIn = edges.count(e => nodes(e._1) && nodes(e._2)).toLong
+      val dTot = nodes.toSeq.map(deg).sum
+      (lab, nodes.size.toLong, mIn, dTot, 4L * m * mIn - dTot * dTot)
+    }.sortBy(_._1)
+    out.toSeq shouldBe expected
+    // conservation laws: degrees partition 2m; intra-edges never exceed m
+    out.map(_._4).sum shouldBe 2 * m
+    out.map(_._3).sum should be <= m
+    // the contribution identity holds row-wise
+    out.foreach { case (_, _, mIn, dTot, q) => q shouldBe 4 * m * mIn - dTot * dTot }
+    // and the partition found here is genuinely modular (Q > 0)
+    out.map(_._5).sum should be > 0L
+  }
 }

@@ -331,4 +331,30 @@ class MultimodalSpec extends SparkSpec {
       }
     }
   }
+
+  test("blurDetect: Laplacian variance recomputes from the closed-form lattice") {
+    import spark.implicits._
+    val out = Multimodal.blurDetect(table("documents")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getString(7))).toMap
+    val ids = table("documents").select(col("doc_id")).as[Long].collect()
+      .filter(_ % 3 == 0)
+    out.keySet shouldBe ids.toSet
+    for (id <- ids) {
+      val w = (8 + id % 24).toInt; val h = (8 + (3 * id) % 16).toInt
+      def p(y: Int, x: Int): Long = (7L * x + 13L * y + id) % 256
+      var n = 0L; var s = 0L; var s2 = 0L
+      for (y <- 1 until h - 1; x <- 1 until w - 1) {
+        val d = 4 * p(y, x) - p(y - 1, x) - p(y + 1, x) - p(y, x - 1) - p(y, x + 1)
+        n += 1; s += d; s2 += d * d
+      }
+      val varMilli = 1000L * (n * s2 - s * s) / (n * n)
+      val band = if (varMilli < 18000000L) "blurry" else "sharp"
+      out(id) shouldBe ((w.toLong, h.toLong, n, s, s2, varMilli, band))
+      // population variance numerator is Cauchy–Schwarz nonnegative and
+      // the interior count is exactly (w-2)(h-2)
+      (n * s2 - s * s) should be >= 0L
+      n shouldBe (w - 2).toLong * (h - 2)
+    }
+  }
 }

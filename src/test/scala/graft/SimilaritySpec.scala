@@ -581,4 +581,71 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(3)))
     mrl.sortBy(_._1).toSeq shouldBe exactTop.sortBy(_._1).toSeq
   }
+
+  test("rrfFusion: fused scores recompute from independently ranked legs") {
+    // poolK spans the sf0.001 corpus so leg overlap is structural (every
+    // doc id shares the embedding id domain), exercising the both-leg path
+    val poolK = 60; val k = 30; val kappa = 60
+    // keyword leg ground truth: the (already oracle-gated) tf-idf top-20
+    val kwLeg = graft.operators.Search
+      .keywordSearch(table("documents"), Seq("vector", "spark", "window", "hash"), poolK)
+      .select($"doc_id").as[Long].collect() // already (score desc, id) ordered
+      .zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    // dense leg ground truth: exact cosine in plain Scala
+    val embRows = table("embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val q = embRows.find(_._1 == 0L).get._2
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val vecLeg = embRows.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(v, q)) }
+      .sortBy { case (id, c) => (-c, id) }.take(poolK)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val expected = (kwLeg.keySet ++ vecLeg.keySet).toSeq
+      .map { id =>
+        val score = kwLeg.get(id).map(r => 1000000L / (kappa + r)).getOrElse(0L) +
+          vecLeg.get(id).map(r => 1000000L / (kappa + r)).getOrElse(0L)
+        (id, kwLeg.get(id), vecLeg.get(id), score)
+      }
+      .sortBy { case (id, _, _, s) => (-s, id) }.take(k)
+    val out = Similarity
+      .rrfFusion(table("documents"), table("embeddings"),
+        Seq("vector", "spark", "window", "hash"), 0L, poolK, k)
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getLong(3)))
+    out.toSeq shouldBe expected
+    // the two legs genuinely disagree (otherwise the gate degenerates
+    // to a single ranking and fusion is vacuous)
+    kwLeg.keySet should not be vecLeg.keySet
+    out.exists(r => r._2.nonEmpty && r._3.nonEmpty) shouldBe true
+  }
+
+  test("rrfFusion: single-leg docs keep a null rank and one-term score") {
+    // doc 7 matches the keyword but has no vector; vec 9 has a vector
+    // but no text — each must surface with the OTHER leg's rank null
+    val docs = Seq((7L, "spark spark spark"), (8L, "nothing relevant"))
+      .toDF("doc_id", "text")
+    val e = emb((0L, vec(0), 0), (9L, vec(0, 2.0f), 1), (8L, vec(1), 2))
+    val out = Similarity.rrfFusion(docs, e, Seq("spark"), 0L, poolK = 5, k = 5)
+      .collect()
+      .map(r => r.getLong(0) -> ((
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getLong(3)))).toMap
+    // doc 7: kw rank 1, no vector leg → score is the kw term alone
+    out(7L) shouldBe ((Some(1L), None, 1000000L / 61))
+    // vec 9: cosine 1.0 → rank 1 in the dense leg, no keyword hit
+    out(9L) shouldBe ((None, Some(1L), 1000000L / 61))
+    // doc/vec 8 appears once per leg it belongs to — orthogonal vector
+    // ranks 2, no 'spark' in text so no kw rank
+    out(8L) shouldBe ((None, Some(2L), 1000000L / 62))
+  }
 }
