@@ -750,6 +750,43 @@ object SparkEntry {
       .orderBy($"user_id", $"session_start")
   }
 
+  /** w21: heartbeat-loss detection through the real streaming path — the
+    * four time-sliced landing batches drive
+    * [[graft.streaming.EventStream.gapDetectStateful]]; gap rows are
+    * immutable facts, so the sink is the plain append file sink (w08's
+    * shape) and the oracle is the batch lag window.
+    */
+  private def streamGaps(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_w21").toString
+    val schema = landEventsSliced(s, d, tmp)
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/landing")
+    withStreamingPartitions(s, 8) {
+      val q = graft.streaming.EventStream
+        .gapDetectStateful(
+          stream.as[graft.streaming.Event](
+            org.apache.spark.sql.Encoders.product[graft.streaming.Event]),
+          thresholdSec = 86400L)
+        .toDF()
+        .writeStream
+        .format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.streaming.StateMetrics.record("w21_stream_gaps", q)
+    }
+    s.read.parquet(s"$tmp/out")
+      .select($"user_id",
+        $"gap_start".cast("timestamp_ntz").as("gap_start"),
+        $"gap_end".cast("timestamp_ntz").as("gap_end"),
+        $"gap_sec")
+      .orderBy($"user_id", $"gap_start")
+  }
+
   /** w09: STREAM-STREAM join through the real path — clicks and purchases
     * are two file-source streams over the same time-sliced landing, inner-
     * joined on user with a 30-minute trailing time range. Watermarks on
@@ -1387,6 +1424,11 @@ object SparkEntry {
     // BIGINT gx/gy/slope_sq, full-window interior cells only
     "r33_horn_slope" -> ((s, d) =>
       Raster.hornGradient(Raster.demoGridSum(t(s, d)("lineitem")))),
+    // D8 flow direction: steepest-descent argmax over the 8-stencil,
+    // diagonal distance exact via 2·drop_s² vs drop_d² cross-multiply,
+    // ESRI power-of-two codes, pits emit 0
+    "r34_flow_direction" -> ((s, d) =>
+      Raster.flowDirection(Raster.demoGridSum(t(s, d)("lineitem")))),
     // wind-style component recombination: variables A/N paired per cell
     // by a one-scan conditional pivot, magnitude via correctly-rounded
     // sqrt (the one portable transcendental), direction as the integer
@@ -1896,6 +1938,9 @@ object SparkEntry {
     "w06_stream_anomaly" -> ((s, d) => streamAnomaly(s, d)),
     "w07_stream_quality" -> ((s, d) => streamQuality(s, d)),
     "w08_stream_session" -> ((s, d) => streamSession(s, d)),
+    // heartbeat-loss detection: per-user consecutive-pair gaps over the
+    // day threshold, 8-byte state per user, append-only emission
+    "w21_stream_gaps" -> ((s, d) => streamGaps(s, d)),
     "w09_stream_join" -> ((s, d) => streamJoin(s, d)),
     "w11_stream_outer_join" -> ((s, d) => streamJoinOuter(s, d)),
     "w10_stream_upsert" -> ((s, d) => streamUpsert(s, d)),
@@ -2191,6 +2236,10 @@ object SparkEntry {
     // engine — the difficulty-bucketing signal of curriculum ordering
     "t50_readability" -> ((s, d) =>
       operators.TextAnalysis.readability(t(s, d)("documents"))),
+    // vocabulary richness: type-token ratio + hapax rate in exact
+    // milli-units — the template/spam-vs-prose axis of quality filtering
+    "t51_lexical_diversity" -> ((s, d) =>
+      operators.TextAnalysis.lexicalDiversity(t(s, d)("documents"))),
     // VERSION AS OF: two batches applied to the versioned snapshot
     // store, then the time-travel read of the FIRST version — equal to
     // the one-batch merge by construction (the t17/w10 merge law); the
@@ -4014,6 +4063,50 @@ object SparkEntry {
                           WHEN gx < 0 AND gy >= 0 THEN 2
                           WHEN gx < 0 THEN 3 ELSE 4 END AS BIGINT) AS quadrant
          FROM a ORDER BY 1, 2, 3, 4""",
+    // the argmax replayed as a window rank: key DESC, code ASC over the
+    // positive drops — a wrong weight, code table, or tie-break picks a
+    // different neighbour and mismatches flow_code/steepest_drop
+    "r34_flow_direction" ->
+      s"""WITH ${operators.Raster.demoGridSumSql},
+         c AS (SELECT variable, time, lat + dy AS lat, lon + dx AS lon,
+                      CASE WHEN -dy = 0 AND -dx = 1 THEN 1
+                           WHEN -dy = -1 AND -dx = 1 THEN 2
+                           WHEN -dy = -1 AND -dx = 0 THEN 4
+                           WHEN -dy = -1 AND -dx = -1 THEN 8
+                           WHEN -dy = 0 AND -dx = -1 THEN 16
+                           WHEN -dy = 1 AND -dx = -1 THEN 32
+                           WHEN -dy = 1 AND -dx = 0 THEN 64
+                           WHEN -dy = 1 AND -dx = 1 THEN 128
+                           ELSE 0 END AS code,
+                      CASE WHEN abs(dy) + abs(dx) = 1 THEN 2 ELSE 1 END AS w,
+                      CAST(value AS BIGINT) AS v
+               FROM gridsum
+               CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS dy) t1
+               CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS dx) t2),
+         full_t AS (SELECT variable, time, lat, lon FROM c
+                    GROUP BY 1, 2, 3, 4 HAVING count(*) = 9),
+         own AS (SELECT variable, time, lat, lon, v AS own FROM c WHERE code = 0),
+         n AS (SELECT c.variable, c.time, c.lat, c.lon, c.code,
+                      o.own - c.v AS drp,
+                      (o.own - c.v) * (o.own - c.v) * c.w AS key
+               FROM c JOIN own o USING (variable, time, lat, lon)
+               WHERE c.code <> 0),
+         r AS (SELECT *, row_number() OVER (
+                   PARTITION BY variable, time, lat, lon
+                   ORDER BY key DESC, code) AS rn
+               FROM n WHERE drp > 0),
+         b AS (SELECT variable, time, lat, lon, code, drp FROM r WHERE rn = 1),
+         nd AS (SELECT variable, time, lat, lon,
+                       CAST(count(*) AS BIGINT) AS n_descents
+                FROM n WHERE drp > 0 GROUP BY 1, 2, 3, 4)
+         SELECT f.variable, f.time, f.lat, f.lon,
+                CAST(coalesce(b.code, 0) AS BIGINT) AS flow_code,
+                CAST(coalesce(b.drp, 0) AS BIGINT) AS steepest_drop,
+                coalesce(nd.n_descents, 0) AS n_descents
+         FROM full_t f
+         LEFT JOIN b USING (variable, time, lat, lon)
+         LEFT JOIN nd USING (variable, time, lat, lon)
+         ORDER BY 1, 2, 3, 4""",
     // the oracle forms the SAME den-scaled integer overlaps directly on
     // the (source cell × target cell) join — a wrong axis table, weight,
     // or normalization in the engine shifts num/den_eff and mismatches
@@ -4352,6 +4445,21 @@ object SparkEntry {
                      WHEN flesch_micro >= 30000000 THEN 'medium'
                      ELSE 'hard' END AS band
          FROM f ORDER BY doc_id""",
+    // same whitespace tokenization as the engine's split; the tf
+    // histogram is the shared intermediate for all three counts
+    "t51_lexical_diversity" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+                       FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+                WHERE term <> '' GROUP BY doc_id, term),
+         a AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+                      CAST(count(*) AS BIGINT) AS n_types,
+                      CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+               FROM tf GROUP BY doc_id)
+         SELECT doc_id, n_tokens, n_types, n_hapax,
+                (n_types * 1000) // n_tokens AS ttr_milli,
+                (n_hapax * 1000) // n_tokens AS hapax_milli
+         FROM a ORDER BY doc_id""",
     // tf from the shared adaptive tokenizer, df re-collapsed from the tf
     // histogram, score = one IEEE division of exact BIGINTs, (score DESC,
     // term) total order mirrors the engine's rank window exactly
@@ -4776,6 +4884,19 @@ object SparkEntry {
          SELECT user_id, session_id, session_start, session_end,
                 n_events, sum_value, duration_sec
          FROM sess ORDER BY user_id, session_id""",
+    // the batch lag window IS the streaming answer: a gap is a fact
+    // about one consecutive pair, and the landing slices respect
+    // per-user event-time order — µs-exact arithmetic both sides
+    "w21_stream_gaps" ->
+      """WITH l AS (SELECT user_id, ts, event_id,
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events)
+         SELECT user_id, prev AS gap_start, ts AS gap_end,
+                (epoch_us(ts) - epoch_us(prev)) // 1000000 AS gap_sec
+         FROM l
+         WHERE prev IS NOT NULL
+           AND epoch_us(ts) - epoch_us(prev) > 86400000000
+         ORDER BY user_id, gap_start""",
     // streaming flatMapGroupsWithState sessionization: the batch sessions
     // restricted to those the final watermark closed — every non-final
     // session of a user (closed data-driven by a later event), plus the

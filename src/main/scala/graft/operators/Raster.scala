@@ -149,6 +149,70 @@ object Raster {
       .orderBy(keys: _*)
   }
 
+  /** R34: D8 flow direction (O'Callaghan & Mark 1984; `gdaldem`/
+    * ArcGIS FlowDirection, the hydrology kernel every DEM pipeline
+    * runs before watershed delineation): each full-window cell routes
+    * to the steepest-DESCENT neighbour among its 8, with the diagonal
+    * distance handled EXACTLY by cross-multiplied comparison —
+    * `drop_s > drop_d/√2  ⟺  2·drop_s² > drop_d²` for positive drops —
+    * so the argmax is pure BIGINT (no sqrt, no doubles). Codes are the
+    * ESRI powers of two (E=1 SE=2 S=4 SW=8 W=16 NW=32 N=64 NE=128);
+    * ties break to the smallest code; cells with no descending
+    * neighbour (pits/flats) emit code 0 — the honest sink answer.
+    *
+    * Scale shape: [[hornGradient]]'s — explode-to-9 with the D8 code
+    * riding each contribution, ONE cell-keyed fold collecting the ≤8
+    * neighbour structs (map-side partial), then a row-local fold over
+    * that 8-element array picks the argmax. No per-offset self-joins,
+    * no second shuffle.
+    */
+  def flowDirection(grid: DataFrame): DataFrame = {
+    val keys = Seq($"variable", $"time", $"lat", $"lon")
+    // source at relative offset (−dy, −dx) of its target: code/weight
+    // are functions of the NEGATED offsets, like hornGradient's weights
+    val ody = -$"dy"; val odx = -$"dx"
+    val code =
+      when(ody === 0 && odx === 1, 1L).when(ody === -1 && odx === 1, 2L)
+        .when(ody === -1 && odx === 0, 4L).when(ody === -1 && odx === -1, 8L)
+        .when(ody === 0 && odx === -1, 16L).when(ody === 1 && odx === -1, 32L)
+        .when(ody === 1 && odx === 0, 64L).when(ody === 1 && odx === 1, 128L)
+        .otherwise(0L)
+    val weight = when(abs($"dy") + abs($"dx") === 1, 2L).otherwise(1L)
+    val contrib = grid
+      .withColumn("dy", explode(sequence(lit(-1), lit(1))))
+      .withColumn("dx", explode(sequence(lit(-1), lit(1))))
+      .select($"variable", $"time",
+        ($"lat" + $"dy").as("lat"), ($"lon" + $"dx").as("lon"),
+        code.as("code"), weight.as("w"), $"value".cast("long").as("v"))
+    val gathered = contrib.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_nbrs"),
+        max(when($"code" === 0L, $"v")).as("own"),
+        collect_list(when($"code" =!= 0L,
+          struct($"code", $"w", $"v"))).as("nbrs"))
+      .where($"n_nbrs" === 9)
+    val init = struct(lit(-1L).as("key"), lit(0L).as("code"), lit(0L).as("drop"))
+    val best = aggregate($"nbrs", init, (acc, x) => {
+      val drop = $"own" - x.getField("v")
+      val key = when(drop > 0, drop * drop * x.getField("w")).otherwise(lit(-1L))
+      val better = (key > acc.getField("key")) ||
+        (key === acc.getField("key") && key >= 0 &&
+          x.getField("code") < acc.getField("code"))
+      when(better && drop > 0,
+        struct(key.as("key"), x.getField("code").as("code"), drop.as("drop")))
+        .otherwise(acc)
+    })
+    gathered
+      .withColumn("best", best)
+      .withColumn("n_descents",
+        size(filter($"nbrs", x => $"own" - x.getField("v") > 0)).cast("long"))
+      .select($"variable", $"time", $"lat", $"lon",
+        when($"best".getField("key") >= 0, $"best".getField("code"))
+          .otherwise(0L).as("flow_code"),
+        $"best".getField("drop").as("steepest_drop"),
+        $"n_descents")
+      .orderBy(keys: _*)
+  }
+
   /** R11: regrid — block-mean downsampling by per-axis factors (the `cdo
     * remapcon` / `gdalwarp -tr` coarsening every reanalysis pipeline runs
     * when serving lower resolutions): each fine cell belongs to the

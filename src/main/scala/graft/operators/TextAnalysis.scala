@@ -962,6 +962,31 @@ object TextAnalysis {
     * alternation under RE2 escapes. Scale cost: one pass over the
     * bytes, no shuffle before the presentation sort.
     */
+  /** T51: lexical diversity — type-token ratio and hapax-legomenon rate
+    * per document in exact integer milli-units, the vocabulary-richness
+    * quality signal (template/spam pages repeat a tiny vocabulary; TTR
+    * and hapax rate separate them from prose at equal length, the axis
+    * [[readability]] and the Gopher rules don't measure).
+    *
+    * One (doc_id, term) shuffle with map-side combine (the t36 family
+    * shape), then a doc-keyed fold: n_tokens = Σtf, n_types = rows,
+    * hapax = Σ[tf=1]. Ratios milli-floored so they hash-compare.
+    * Documents with zero tokens have no vocabulary and no row — the
+    * same totality contract as the oracle's GROUP BY.
+    */
+  def lexicalDiversity(documents: DataFrame): DataFrame =
+    documents
+      .select($"doc_id", explode(split(lower($"text"), "\\s+")).as("term"))
+      .where($"term" =!= "")
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      .groupBy($"doc_id")
+      .agg(sum($"tf").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when($"tf" === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select($"doc_id", $"n_tokens", $"n_types", $"n_hapax",
+        expr("n_types * 1000 div n_tokens").as("ttr_milli"),
+        expr("n_hapax * 1000 div n_tokens").as("hapax_milli"))
+      .orderBy($"doc_id")
+
   def scriptSegments(documents: DataFrame): DataFrame =
     documents
       .select($"doc_id", posexplode(expr(

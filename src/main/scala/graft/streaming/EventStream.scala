@@ -35,6 +35,18 @@ case class PatternState(seqLen: Long, nMatches: Long, firstMatch: String,
 case class PatternOut(user_id: Long, seq_len: Long, n_matches: Long,
                       first_match: String)
 
+/** Per-user last-seen cursor for [[EventStream.gapDetectStateful]]:
+  * epoch microseconds of the latest event processed so far — the ONLY
+  * state a cross-batch gap detector needs (one long per user).
+  */
+case class GapState(lastUs: Long)
+
+/** Emitted heartbeat-loss row: a consecutive-event pair further apart
+  * than the threshold (mirrors the batch lag-window shape).
+  */
+case class GapOut(user_id: Long, gap_start: java.sql.Timestamp,
+                  gap_end: java.sql.Timestamp, gap_sec: Long)
+
 /** Structured Streaming surface (SURVEY.md M4): the reference's incremental
   * cycle semantics (monthly cursor = offset tracking, T1) re-expressed as
   * streaming queries over an event source. Each transform is a pure
@@ -294,6 +306,53 @@ object EventStream {
             text.substring(lastEnd))
           state.update(next)
           PatternOut(userId, next.seqLen, next.nMatches, if (has) first else "")
+        })
+  }
+
+  /** W21: heartbeat-loss / silence detection — emit every consecutive
+    * event pair per user whose spacing exceeds `thresholdSec` (the
+    * monitoring primitive behind "sensor went dark" alerts; the
+    * reference's staleness monitor T11 asks the same question of its
+    * layer feed, here per key over the stream). Because a gap is a fact
+    * about ONE consecutive pair, the streaming answer equals the batch
+    * lag-window answer as long as landing batches respect per-user
+    * event-time order (the landEventsSliced contract the other w-gates
+    * share) — the only cross-batch memory needed is the last-seen
+    * timestamp, carried in [[GapState]].
+    *
+    * Microsecond-exact: comparisons and the floored `gap_sec` both use
+    * epoch-µs integers (the fixture has sub-second spacing), so the
+    * DuckDB oracle's `epoch_us` arithmetic reproduces every value.
+    * Scale: state is 8 bytes per user; each batch is one shuffle on
+    * user_id; emission is append-only (a gap is immutable once seen).
+    */
+  def gapDetectStateful(events: Dataset[Event], thresholdSec: Long): Dataset[GapOut] = {
+    require(thresholdSec >= 1, s"gapDetectStateful: threshold must be >= 1 s")
+    import events.sparkSession.implicits._
+    val thresholdUs = thresholdSec * 1000000L
+    def us(t: java.sql.Timestamp): Long = t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    def ts(u: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(u / 1000000 * 1000)
+      t.setNanos((u % 1000000).toInt * 1000)
+      t
+    }
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[Event], state: GroupState[GapState]) => {
+          val sorted = rows.toSeq.sortBy(e => (us(e.ts), e.event_id))
+          var last = state.getOption.map(_.lastUs)
+          val out = Seq.newBuilder[GapOut]
+          sorted.foreach { e =>
+            val t = us(e.ts)
+            last.foreach { lt =>
+              if (t - lt > thresholdUs)
+                out += GapOut(userId, ts(lt), ts(t), (t - lt) / 1000000L)
+            }
+            last = Some(math.max(last.getOrElse(Long.MinValue), t))
+          }
+          last.foreach(lt => state.update(GapState(lt)))
+          out.result().iterator
         })
   }
 }

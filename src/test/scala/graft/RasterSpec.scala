@@ -410,4 +410,35 @@ class RasterSpec extends SparkSpec {
     rn.getLong(5) shouldBe -80L
     rn.getLong(7) shouldBe 3L
   }
+
+  test("flowDirection: D8 argmax with exact diagonal cross-multiply and min-code ties") {
+    def gridOf(vals: Map[(Double, Double), Double]) = {
+      val rows = for { lat <- Seq(-1.0, 0.0, 1.0); lon <- Seq(-1.0, 0.0, 1.0) }
+        yield ("v", "2024-01-01 00:00:00", lat, lon,
+          vals.getOrElse((lat, lon), 10.0))
+      rows.toDF("variable", "time", "lat", "lon", "value")
+        .withColumn("time", $"time".cast("timestamp_ntz"))
+    }
+    def flow(vals: Map[(Double, Double), Double]) = {
+      val r = Raster.flowDirection(gridOf(vals)).collect()
+      r.length shouldBe 1 // only the center has a full window
+      (r.head.getLong(4), r.head.getLong(5), r.head.getLong(6))
+    }
+    // straight drop 3 beats diagonal drop 4: 2·3² = 18 > 4² = 16 —
+    // the √2 distance handled without any floating point
+    flow(Map((0.0, 1.0) -> 7.0, (-1.0, 1.0) -> 6.0)) shouldBe ((1L, 3L, 2L))
+    // diagonal drop 5 beats straight drop 3: 5² = 25 > 2·3² = 18
+    flow(Map((1.0, 1.0) -> 5.0, (0.0, 1.0) -> 7.0)) shouldBe ((128L, 5L, 2L))
+    // equal keys tie to the smallest ESRI code (E=1 over S=4)
+    flow(Map((0.0, 1.0) -> 8.0, (-1.0, 0.0) -> 8.0)) shouldBe ((1L, 2L, 2L))
+    // a pit (all neighbors higher) routes nowhere: code 0, drop 0
+    flow(Map((0.0, 0.0) -> 0.0)) shouldBe ((0L, 0L, 0L))
+    // all eight codes reachable: lone low neighbor in each direction
+    val dirs = Seq(((0.0, 1.0), 1L), ((-1.0, 1.0), 2L), ((-1.0, 0.0), 4L),
+      ((-1.0, -1.0), 8L), ((0.0, -1.0), 16L), ((1.0, -1.0), 32L),
+      ((1.0, 0.0), 64L), ((1.0, 1.0), 128L))
+    dirs.foreach { case (pos, code) =>
+      flow(Map(pos -> 4.0)) shouldBe ((code, 6L, 1L))
+    }
+  }
 }

@@ -485,4 +485,47 @@ class StreamingSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       graft.streaming.EventStream.patternMatchStateful(ev, "(?=v)p")
   }
+
+  test("w21 streaming gaps equal the batch lag window across the landing splits") {
+    import org.apache.spark.sql.expressions.Window
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"user_id",
+          unix_micros($"gap_start".cast("timestamp")).as("s"),
+          unix_micros($"gap_end".cast("timestamp")).as("e"), $"gap_sec")
+        .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    val batch = eventsDs.toDF()
+      .withColumn("prev",
+        lag($"ts", 1).over(Window.partitionBy($"user_id").orderBy($"ts", $"event_id")))
+      .where($"prev".isNotNull &&
+        unix_micros($"ts") - unix_micros($"prev") > 86400L * 1000000L)
+      .select($"user_id", $"prev".as("gap_start"), $"ts".as("gap_end"),
+        floor((unix_micros($"ts") - unix_micros($"prev")) / 1000000L)
+          .cast("long").as("gap_sec"))
+    val streamed = SparkEntry.queries("w21_stream_gaps")(spark, sf0001)
+    rows(streamed) shouldBe rows(batch)
+    rows(streamed) should not be empty
+  }
+
+  test("gapDetectStateful: a gap straddling two micro-batches emits exactly once") {
+    def ev(id: Long, uid: Long, sec: Long): Event =
+      Event(id, new java.sql.Timestamp(sec * 1000), uid, "click", 0.0)
+    val input = MemoryStream[Event](spark)
+    val q = EventStream.gapDetectStateful(input.toDS(), thresholdSec = 100).toDF()
+      .writeStream.format("memory").queryName("w21_sem").outputMode("append").start()
+    // batch 1: user 1 at t=0 and t=50 (no gap); user 2 at t=0
+    input.addData(ev(1, 1, 0), ev(2, 1, 50))
+    input.addData(ev(3, 2, 0))
+    q.processAllAvailable()
+    spark.table("w21_sem").count() shouldBe 0
+    // batch 2: user 1 at t=500 — the 450 s gap spans the batch boundary;
+    // user 2 at t=90 stays under the threshold
+    input.addData(ev(4, 1, 500), ev(5, 2, 90))
+    q.processAllAvailable()
+    val got = spark.table("w21_sem")
+      .select($"user_id", unix_micros($"gap_start").as("s"),
+        unix_micros($"gap_end").as("e"), $"gap_sec")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    got shouldBe Seq((1L, 50000000L, 500000000L, 450L))
+    q.stop()
+  }
 }

@@ -577,4 +577,30 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     o2(1L) shouldBe 0L
   }
+
+  test("lexicalDiversity: TTR/hapax milli-exact, case-folded, empty docs absent") {
+    val docs = Seq(
+      (1L, "The the THE cat"),      // 4 tokens, 2 types, 1 hapax (cat)
+      (2L, "a b c"),                // all hapax: ttr = hapax = 1000
+      (3L, "spam spam spam spam"),  // 1 type, 0 hapax
+      (4L, "   "),                  // whitespace only -> no row
+      (5L, "x")).toDF("doc_id", "text")
+    val out = TextAnalysis.lexicalDiversity(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    out.keySet shouldBe Set(1L, 2L, 3L, 5L)
+    out(1L) shouldBe ((4L, 2L, 1L, 500L, 250L))
+    out(2L) shouldBe ((3L, 3L, 3L, 1000L, 1000L))
+    out(3L) shouldBe ((4L, 1L, 0L, 250L, 0L))
+    out(5L) shouldBe ((1L, 1L, 1L, 1000L, 1000L))
+    // laws on the real corpus: hapax <= types <= tokens, ratios in [0, 1000]
+    val real = TextAnalysis.lexicalDiversity(table("documents")).collect()
+    real should not be empty
+    real.foreach { r =>
+      r.getLong(3) should be <= r.getLong(2)
+      r.getLong(2) should be <= r.getLong(1)
+      r.getLong(4) should (be >= 1L and be <= 1000L)
+      r.getLong(5) should (be >= 0L and be <= 1000L)
+    }
+  }
 }
