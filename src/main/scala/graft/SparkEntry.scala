@@ -2290,6 +2290,15 @@ object SparkEntry {
     // ANALYZE TABLE: per-column rows/nulls/exact-NDV/truncated bounds/
     // total length in one scan (Expand + two-level partial agg) — the
     // stats relation the CBO and the x11 zone-map planner feed on
+    // first/last-touch attribution: min/max over a µs RANGE frame on
+    // sortable touch strings — the attribution join without a join
+    "q72_attribution" -> ((s, d) =>
+      operators.EventWindows.attribution(t(s, d)("events"))),
+    // mergeable stats: per-source summaries barrier (the stored stats
+    // table); the __all__ row derives from summaries alone — the plan
+    // contains zero input scans, the oracle recomputes by full scan
+    "x15_incremental_stats" -> ((s, d) =>
+      operators.Core.incrementalStats(t(s, d)("documents"))),
     "x14_analyze_stats" -> ((s, d) =>
       Core.analyzeStats(t(s, d)("documents"),
         Seq("doc_id", "text", "lang", "source", "n_chars"))),
@@ -4505,6 +4514,50 @@ object SparkEntry {
                 CAST(sum(cents) AS BIGINT) AS sum_cents,
                 max(cents) AS max_cents
          FROM e GROUP BY user_id ORDER BY user_id""",
+    // the conversion window replayed: same sortable touch strings, same
+    // RANGE frame — a wrong pad width, bound, or tie-break shifts the
+    // min/max strings and the extracted touch columns mismatch
+    "q72_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+                           epoch_us(ts) AS us FROM events),
+         t AS (SELECT *, CASE WHEN event_type IN ('click', 'view') THEN
+                   lpad(CAST(us AS VARCHAR), 20, '0') || '#' ||
+                   lpad(CAST(event_id AS VARCHAR), 10, '0') || '#' ||
+                   event_type END AS tstr FROM e),
+         wd AS (SELECT user_id, event_id, event_type, value, us,
+                  min(tstr) OVER w AS first_t,
+                  max(tstr) OVER w AS last_t,
+                  count(tstr) OVER w AS n_touches
+                FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us
+                  RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING))
+         SELECT user_id, event_id, us AS conv_us, value,
+                CAST(n_touches AS BIGINT) AS n_touches,
+                CASE WHEN first_t IS NULL THEN NULL
+                     ELSE split_part(first_t, '#', 3) END AS first_touch,
+                CASE WHEN first_t IS NULL THEN NULL
+                     ELSE CAST(split_part(first_t, '#', 1) AS BIGINT) END AS first_us,
+                CASE WHEN last_t IS NULL THEN NULL
+                     ELSE split_part(last_t, '#', 3) END AS last_touch,
+                CASE WHEN last_t IS NULL THEN NULL
+                     ELSE CAST(split_part(last_t, '#', 1) AS BIGINT) END AS last_us
+         FROM wd WHERE event_type = 'purchase'
+         ORDER BY user_id, conv_us, event_id""",
+    // full-scan recompute of BOTH levels — equality proves the engine's
+    // summary-only __all__ merge laws (sum/min/max/set-union) are right
+    "x15_incremental_stats" ->
+      """WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                min(lang) AS min_lang, max(lang) AS max_lang,
+                CAST(sum(length(text)) AS BIGINT) AS total_len,
+                CAST(count(DISTINCT lang) AS BIGINT) AS ndv_lang
+              FROM documents GROUP BY source),
+         al AS (SELECT '__all__' AS source, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                min(lang) AS min_lang, max(lang) AS max_lang,
+                CAST(sum(length(text)) AS BIGINT) AS total_len,
+                CAST(count(DISTINCT lang) AS BIGINT) AS ndv_lang
+              FROM documents)
+         SELECT * FROM per UNION ALL SELECT * FROM al ORDER BY source""",
     // per-column recount: native-type min/max cast-then-truncated to 16
     // chars (the Parquet footer discipline), character-counted lengths
     "x14_analyze_stats" -> {

@@ -530,4 +530,42 @@ object Core {
         coalesce($"total_len", lit(0L)).as("total_len"))
       .orderBy($"column_name")
   }
+
+  /** X15: MERGEABLE column statistics — the maintenance half of
+    * [[analyzeStats]]. At 100 TB nobody re-ANALYZEs the table; each
+    * partition (here: `source`) keeps a summary and the table-level row
+    * derives from the SUMMARIES alone. rows/nulls/total_len merge by
+    * sum, bounds by min/max; exact NDV is the one super-constant piece,
+    * carried as the partition's distinct-value SET (the two-level
+    * distinct-aggregate state made explicit) and merged by set union —
+    * bounded here by the column's vocabulary, the honest cost of
+    * exactness (swap for an HLL register when approximate is enough;
+    * same merge shape).
+    *
+    * The per-partition relation barriers (it IS the stored stats
+    * table); the `__all__` roll-up hangs off that cut, so the final
+    * plan contains ZERO input scans — equality with the oracle's
+    * full-scan recompute is the proof the merge laws are right.
+    */
+  def incrementalStats(documents: DataFrame): DataFrame = {
+    val per = graft.Session.barrier(
+      documents.groupBy($"source").agg(
+        count(lit(1)).as("n_rows"),
+        sum(when($"lang".isNull, 1L).otherwise(0L)).as("n_nulls"),
+        min($"lang").as("min_lang"), max($"lang").as("max_lang"),
+        sum(length($"text")).cast("long").as("total_len"),
+        sort_array(collect_set($"lang")).as("langs")))
+    val perOut = per.select($"source", $"n_rows", $"n_nulls",
+      $"min_lang", $"max_lang", $"total_len",
+      size($"langs").cast("long").as("ndv_lang"))
+    val allOut = per.agg(
+        sum($"n_rows").as("n_rows"), sum($"n_nulls").as("n_nulls"),
+        min($"min_lang").as("min_lang"), max($"max_lang").as("max_lang"),
+        sum($"total_len").as("total_len"),
+        size(array_distinct(flatten(collect_list($"langs"))))
+          .cast("long").as("ndv_lang"))
+      .select(lit("__all__").as("source"), $"n_rows", $"n_nulls",
+        $"min_lang", $"max_lang", $"total_len", $"ndv_lang")
+    perOut.unionByName(allOut).orderBy($"source")
+  }
 }

@@ -464,4 +464,42 @@ object EventWindows {
   private[graft] def requirePortablePattern(pattern: String): Unit =
     require(!pattern.contains("(?") && !pattern.matches(""".*\\\d.*"""),
       s"pattern matching: lookaround/backref syntax is not cross-engine portable: $pattern")
+
+  /** Q72: first/last-touch attribution — for every conversion event,
+    * the earliest and latest touch (click/view) within the trailing
+    * lookback window, plus the touch count: the standard marketing-
+    * attribution join, expressed WITHOUT a join. Each touch encodes as
+    * a lexicographically sortable string `us#event_id#type` (zero-padded
+    * fixed widths, so string order = (time, id) order and the tie-break
+    * is explicit); first/last touch are then plain `min`/`max` over a
+    * RANGE frame `[−lookback, −1µs]` on the user's µs-ordered timeline —
+    * one pass, one user-keyed exchange, no self-join, frames bounded by
+    * the lookback. Conversions with no touch in window keep nulls (the
+    * "organic" signal). µs-exact end to end.
+    */
+  def attribution(events: DataFrame, lookbackSec: Long = 604800L,
+                  touchTypes: Seq[String] = Seq("click", "view"),
+                  conversionType: String = "purchase"): DataFrame = {
+    require(lookbackSec >= 1, "attribution: lookback must be >= 1 s")
+    val us = unix_micros($"ts".cast("timestamp"))
+    val touch = $"event_type".isin(touchTypes: _*)
+    val tstr = when(touch, concat(
+      lpad(us.cast("string"), 20, "0"), lit("#"),
+      lpad($"event_id".cast("string"), 10, "0"), lit("#"), $"event_type"))
+    val w = Window.partitionBy($"user_id").orderBy(us)
+      .rangeBetween(-lookbackSec * 1000000L, -1L)
+    events
+      .withColumn("us", us)
+      .withColumn("first_t", min(tstr).over(w))
+      .withColumn("last_t", max(tstr).over(w))
+      .withColumn("n_touches", count(tstr).over(w))
+      .where($"event_type" === conversionType)
+      .select($"user_id", $"event_id", $"us".as("conv_us"), $"value",
+        $"n_touches",
+        element_at(split($"first_t", "#"), 3).as("first_touch"),
+        element_at(split($"first_t", "#"), 1).cast("long").as("first_us"),
+        element_at(split($"last_t", "#"), 3).as("last_touch"),
+        element_at(split($"last_t", "#"), 1).cast("long").as("last_us"))
+      .orderBy($"user_id", $"conv_us", $"event_id")
+  }
 }

@@ -267,4 +267,32 @@ class CoreSpec extends SparkSpec {
     vRow.getLong(6) shouldBe 0L
     an[IllegalArgumentException] should be thrownBy Core.analyzeStats(df, Seq.empty)
   }
+
+  test("incrementalStats: the summary-only __all__ merge equals a full recompute") {
+    import spark.implicits._
+    // overlapping langs across sources: the set-union NDV genuinely
+    // deduplicates (sum of per-source NDVs would be wrong)
+    val docs = Seq(
+      (1L, "aa", "en", "web"), (2L, "bbb", "de", "web"),
+      (3L, "c", "en", "wiki"), (4L, "dddd", "fr", "wiki"),
+      (5L, "ee", null, "wiki")).toDF("doc_id", "text", "lang", "source")
+    val out = Core.incrementalStats(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.getString(3)), Option(r.getString(4)),
+        r.getLong(5), r.getLong(6)))).toMap
+    out("web") shouldBe ((2L, 0L, Some("de"), Some("en"), 5L, 2L))
+    out("wiki") shouldBe ((3L, 1L, Some("en"), Some("fr"), 7L, 2L))
+    // __all__: 4 distinct langs would be the wrong (summed) answer — the
+    // union dedups en across sources to 3
+    out("__all__") shouldBe ((5L, 1L, Some("de"), Some("fr"), 12L, 3L))
+    // merge laws on the real corpus: __all__ aggregates the per-source
+    // rows exactly; NDV bounded by [max per-source, sum per-source]
+    val real = Core.incrementalStats(table("documents")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(5), r.getLong(6)))).toMap
+    val per = real.filter(_._1 != "__all__").values
+    real("__all__")._1 shouldBe per.map(_._1).sum
+    real("__all__")._2 shouldBe per.map(_._2).sum
+    real("__all__")._3 should be >= per.map(_._3).max
+    real("__all__")._3 should be <= per.map(_._3).sum
+  }
 }

@@ -347,4 +347,39 @@ class EventWindowsSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       EventWindows.patternMatches(d, "(v)\\1")
   }
+
+  test("attribution: first/last touch in the lookback, organic nulls, window edges") {
+    val d = events(
+      (1L, "2024-01-01 10:00:00", 1L, "click", 0.0),
+      (2L, "2024-01-01 10:10:00", 1L, "view", 0.0),
+      (3L, "2024-01-01 10:20:00", 1L, "purchase", 9.5),
+      // same-µs touch must NOT attribute (frame ends at −1 µs)
+      (4L, "2024-01-01 12:00:00", 2L, "view", 0.0),
+      (5L, "2024-01-01 12:00:00", 2L, "purchase", 1.0),
+      // touch older than the lookback is out of window
+      (6L, "2024-01-01 08:00:00", 3L, "click", 0.0),
+      (7L, "2024-01-01 10:00:00", 3L, "purchase", 2.0),
+      // errors/signups are not touches
+      (8L, "2024-01-01 09:59:00", 4L, "error", 0.0),
+      (9L, "2024-01-01 10:00:00", 4L, "purchase", 3.0))
+    val out = EventWindows.attribution(d, lookbackSec = 3600)
+      .collect().map(r => r.getLong(1) -> ((
+        r.getLong(4),
+        Option(r.getString(5)), Option(r.getString(7))))).toMap
+    out(3L) shouldBe ((2L, Some("click"), Some("view")))
+    out(5L) shouldBe ((0L, None, None))
+    out(7L) shouldBe ((0L, None, None))
+    out(9L) shouldBe ((0L, None, None))
+    // widen the lookback: user 3's old click re-enters the window
+    val wide = EventWindows.attribution(d, lookbackSec = 7200 + 1)
+      .collect().map(r => r.getLong(1) -> Option(r.getString(5))).toMap
+    wide(7L) shouldBe Some("click")
+    // tie at the same µs breaks on event_id via the padded string order
+    val tie = events(
+      (11L, "2024-01-01 10:00:00", 9L, "view", 0.0),
+      (10L, "2024-01-01 10:00:00", 9L, "click", 0.0),
+      (12L, "2024-01-01 10:30:00", 9L, "purchase", 0.0))
+    val tr = EventWindows.attribution(tie, lookbackSec = 3600).collect().head
+    (tr.getString(5), tr.getString(7)) shouldBe (("click", "view"))
+  }
 }

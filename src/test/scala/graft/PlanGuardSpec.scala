@@ -700,4 +700,49 @@ class PlanGuardSpec extends SparkSpec {
     p should not include "hashpartitioning"
     p should not include "Generate"
   }
+
+  test("s17_rrf_fusion: both legs cut to their pool via TakeOrdered before fusion") {
+    val p = planOf("s17_rrf_fusion")
+    // one TakeOrdered per leg — rank/fusion then run on <= poolK rows
+    p.linesIterator.count(_.contains("TakeOrderedAndProject")) should be >= 2
+    p should not include "CartesianProduct"
+  }
+
+  test("m24_blur_detect: decode + kernel stay in the row — no join, no hash shuffle") {
+    val p = planOf("m24_blur_detect")
+    p should not include "Join"
+    p should not include "hashpartitioning"
+  }
+
+  test("g15_modularity: label joins are equi-joins — no cartesian, no BNLJ") {
+    val p = planOf("g15_modularity")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("t51_lexical_diversity: the tf histogram is the only width — two hash exchanges, no join") {
+    val p = planOf("t51_lexical_diversity")
+    p should not include "Join"
+    hashExchanges(p) shouldBe 2 // (doc, term) histogram + doc fold
+  }
+
+  test("r34_flow_direction: explode-to-9 + ONE cell fold, argmax in the row") {
+    val p = planOf("r34_flow_direction")
+    p should not include "Join"
+    p should include("Generate")
+    hashExchanges(p) shouldBe 2 // grid twin build + cell-keyed gather
+  }
+
+  test("q72_attribution: the attribution join is a window — no join, one user exchange") {
+    val p = planOf("q72_attribution")
+    p should not include "Join"
+    hashExchanges(p) shouldBe 1
+    p should include("RangeFrame")
+  }
+
+  test("x15_incremental_stats: __all__ derives from summaries — zero input scans") {
+    val p = planOf("x15_incremental_stats")
+    p.linesIterator.count(_.contains("documents.parquet")) shouldBe 0
+    p should not include "Join"
+  }
 }
