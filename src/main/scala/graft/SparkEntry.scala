@@ -787,6 +787,41 @@ object SparkEntry {
       .orderBy($"user_id", $"gap_start")
   }
 
+  /** w22: streaming first/last-touch attribution — the four time-sliced
+    * landing batches drive
+    * [[graft.streaming.EventStream.attributionStateful]]; conversion
+    * rows are immutable once emitted (append sink), and the oracle is
+    * q72's string VERBATIM (one string, two gates — the batch window
+    * and the streaming buffer cannot drift).
+    */
+  private def streamAttribution(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_w22").toString
+    val schema = landEventsSliced(s, d, tmp)
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/landing")
+    withStreamingPartitions(s, 8) {
+      val q = graft.streaming.EventStream
+        .attributionStateful(
+          stream.as[graft.streaming.Event](
+            org.apache.spark.sql.Encoders.product[graft.streaming.Event]))
+        .toDF()
+        .writeStream
+        .format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.streaming.StateMetrics.record("w22_stream_attribution", q)
+    }
+    s.read.parquet(s"$tmp/out")
+      .select($"user_id", $"event_id", $"conv_us", $"value", $"n_touches",
+        $"first_touch", $"first_us", $"last_touch", $"last_us")
+      .orderBy($"user_id", $"conv_us", $"event_id")
+  }
+
   /** w09: STREAM-STREAM join through the real path — clicks and purchases
     * are two file-source streams over the same time-sliced landing, inner-
     * joined on user with a 30-minute trailing time range. Watermarks on
@@ -1689,6 +1724,10 @@ object SparkEntry {
     // images, so the pair set is data-driven, not planted
     "m22_image_neardup" -> ((s, d) =>
       Multimodal.imageNearDups(t(s, d)("documents"))),
+    // histogram equalization over the REAL decoded PNG raster: exact
+    // integer CDF remap, position-weighted checksum pins every pixel
+    "m25_hist_equalize" -> ((s, d) =>
+      Multimodal.histEqualize(t(s, d)("documents"))),
     // Laplacian-variance blur scoring over the REAL decoded PNG raster —
     // the focus measure of image curation: var·n² in exact BIGINTs,
     // milli-floored, banded at the curation threshold
@@ -1941,6 +1980,9 @@ object SparkEntry {
     // heartbeat-loss detection: per-user consecutive-pair gaps over the
     // day threshold, 8-byte state per user, append-only emission
     "w21_stream_gaps" -> ((s, d) => streamGaps(s, d)),
+    // q72's attribution as streaming state: lookback-bounded touch
+    // buffer per user, conversions attribute on arrival, shared oracle
+    "w22_stream_attribution" -> ((s, d) => streamAttribution(s, d)),
     "w09_stream_join" -> ((s, d) => streamJoin(s, d)),
     "w11_stream_outer_join" -> ((s, d) => streamJoinOuter(s, d)),
     "w10_stream_upsert" -> ((s, d) => streamUpsert(s, d)),
@@ -1957,6 +1999,9 @@ object SparkEntry {
     "d06_jaccard_pruned" -> ((s, d) =>
       Dedup.ngramJaccardPairsPruned(t(s, d)("documents"), 2, 0.4, 20)),
     "d07_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(t(s, d)("documents"))),
+    // soft dedup: weight_ppm = 1000000 div cluster_size over the SAME
+    // near-dup clusters — down-weighting instead of dropping
+    "d20_dedup_weights" -> ((s, d) => Dedup.dedupWeights(t(s, d)("documents"))),
     "d08_jaccard_exact" -> ((s, d) =>
       Dedup.ngramJaccardPairsExact(t(s, d)("documents"), 2, 0.5)),
     // SemDeDup decision pass: the fixture's vectors are well-spread, so the
@@ -2240,6 +2285,10 @@ object SparkEntry {
     // milli-units — the template/spam-vs-prose axis of quality filtering
     "t51_lexical_diversity" -> ((s, d) =>
       operators.TextAnalysis.lexicalDiversity(t(s, d)("documents"))),
+    // code-vs-prose routing over the code-twin corpus: symbol density,
+    // keyword and indented-line counts, structure+vocabulary verdict
+    "t52_code_detect" -> ((s, d) => operators.TextAnalysis.codeDetect(
+      operators.TextAnalysis.codeCorpus(t(s, d)("documents")))),
     // VERSION AS OF: two batches applied to the versioned snapshot
     // store, then the time-travel read of the FIRST version — equal to
     // the one-batch merge by construction (the t17/w10 merge law); the
@@ -2805,6 +2854,10 @@ object SparkEntry {
     "g15_modularity" -> ((s, d) => operators.Graph.modularity(
       operators.Graph.coPurchaseEdgesSupported(t(s, d)("lineitem"), 2),
       lpaRounds)),
+    // degree assortativity as exact integer Pearson numerators over the
+    // symmetrized edge list: r_num = n·Σxy − (Σx)², band = the verdict
+    "g16_assortativity" -> ((s, d) => operators.Graph.assortativity(
+      operators.Graph.coPurchaseEdgesSupported(t(s, d)("lineitem"), 2))),
     "g03_item_cf" -> ((s, d) =>
       operators.Graph.itemPairsCF(
         t(s, d)("lineitem")
@@ -3378,6 +3431,47 @@ object SparkEntry {
        SELECT doc AS doc_id, min(lbl) AS cluster_id,
               (doc = min(lbl)) AS is_canonical
        FROM reach GROUP BY doc ORDER BY doc_id"""
+
+  /** Shared q72/w22 oracle: the conversion window replayed — same
+    * sortable touch strings, same RANGE frame. One string, two gates:
+    * the batch window and the streaming touch buffer cannot drift.
+    */
+  private val attributionOracle: String =
+    """WITH e AS (SELECT user_id, event_id, event_type, value,
+                         epoch_us(ts) AS us FROM events),
+       t AS (SELECT *, CASE WHEN event_type IN ('click', 'view') THEN
+                 lpad(CAST(us AS VARCHAR), 20, '0') || '#' ||
+                 lpad(CAST(event_id AS VARCHAR), 10, '0') || '#' ||
+                 event_type END AS tstr FROM e),
+       wd AS (SELECT user_id, event_id, event_type, value, us,
+                min(tstr) OVER w AS first_t,
+                max(tstr) OVER w AS last_t,
+                count(tstr) OVER w AS n_touches
+              FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us
+                RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING))
+       SELECT user_id, event_id, us AS conv_us, value,
+              CAST(n_touches AS BIGINT) AS n_touches,
+              CASE WHEN first_t IS NULL THEN NULL
+                   ELSE split_part(first_t, '#', 3) END AS first_touch,
+              CASE WHEN first_t IS NULL THEN NULL
+                   ELSE CAST(split_part(first_t, '#', 1) AS BIGINT) END AS first_us,
+              CASE WHEN last_t IS NULL THEN NULL
+                   ELSE split_part(last_t, '#', 3) END AS last_touch,
+              CASE WHEN last_t IS NULL THEN NULL
+                   ELSE CAST(split_part(last_t, '#', 1) AS BIGINT) END AS last_us
+       FROM wd WHERE event_type = 'purchase'
+       ORDER BY user_id, conv_us, event_id"""
+
+  /** d20: the SAME components, weights = 1000000 // cluster size. */
+  private def dedupWeightsOracle: String =
+    s"""WITH RECURSIVE $clusterReachCte,
+       cl AS (SELECT doc AS doc_id, min(lbl) AS cluster_id
+              FROM reach GROUP BY doc),
+       cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+              FROM cl GROUP BY cluster_id)
+       SELECT doc_id, cluster_id, cluster_size,
+              1000000 // cluster_size AS weight_ppm
+       FROM cl JOIN cs USING (cluster_id) ORDER BY doc_id"""
 
   /** d15: same components, keeper = most tokens (doc_id tiebreak). */
   private def keepBestOracle: String =
@@ -4454,6 +4548,27 @@ object SparkEntry {
                      WHEN flesch_micro >= 30000000 THEN 'medium'
                      ELSE 'hard' END AS band
          FROM f ORDER BY doc_id""",
+    // the code twin rebuilt in SQL from doc_id alone, then the same
+    // three regex counts — (?m) and \b behave identically in RE2
+    "t52_code_detect" ->
+      """WITH c AS (SELECT doc_id, text ||
+             CASE WHEN doc_id % 4 = 1 THEN
+               chr(10) || 'def f' || (doc_id % 7) || '(x):' || chr(10) ||
+               '    y = x + ' || (doc_id % 13) || ';' || chr(10) ||
+               '    if (y > 0) { return y; }' || chr(10) ||
+               '    return [x, y];' || chr(10)
+             ELSE '' END AS text FROM documents),
+         m AS (SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[{}()\[\];=<>]')) AS BIGINT) AS n_sym,
+             CAST(len(regexp_extract_all(text,
+               '\b(def|class|return|import|function|var|int|void|if|else)\b')) AS BIGINT) AS n_kw,
+             CAST(len(regexp_extract_all(text, '(?m)^(?:\t|    )')) AS BIGINT) AS n_indent,
+             CAST(length(text) AS BIGINT) AS n_chars
+           FROM c)
+         SELECT doc_id, n_sym, n_kw, n_indent, n_chars,
+                (n_sym * 1000) // greatest(n_chars, 1) AS sym_milli,
+                (n_indent >= 2 AND n_kw >= 2) AS is_code
+         FROM m ORDER BY doc_id""",
     // same whitespace tokenization as the engine's split; the tf
     // histogram is the shared intermediate for all three counts
     "t51_lexical_diversity" ->
@@ -4517,31 +4632,10 @@ object SparkEntry {
     // the conversion window replayed: same sortable touch strings, same
     // RANGE frame — a wrong pad width, bound, or tie-break shifts the
     // min/max strings and the extracted touch columns mismatch
-    "q72_attribution" ->
-      """WITH e AS (SELECT user_id, event_id, event_type, value,
-                           epoch_us(ts) AS us FROM events),
-         t AS (SELECT *, CASE WHEN event_type IN ('click', 'view') THEN
-                   lpad(CAST(us AS VARCHAR), 20, '0') || '#' ||
-                   lpad(CAST(event_id AS VARCHAR), 10, '0') || '#' ||
-                   event_type END AS tstr FROM e),
-         wd AS (SELECT user_id, event_id, event_type, value, us,
-                  min(tstr) OVER w AS first_t,
-                  max(tstr) OVER w AS last_t,
-                  count(tstr) OVER w AS n_touches
-                FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us
-                  RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING))
-         SELECT user_id, event_id, us AS conv_us, value,
-                CAST(n_touches AS BIGINT) AS n_touches,
-                CASE WHEN first_t IS NULL THEN NULL
-                     ELSE split_part(first_t, '#', 3) END AS first_touch,
-                CASE WHEN first_t IS NULL THEN NULL
-                     ELSE CAST(split_part(first_t, '#', 1) AS BIGINT) END AS first_us,
-                CASE WHEN last_t IS NULL THEN NULL
-                     ELSE split_part(last_t, '#', 3) END AS last_touch,
-                CASE WHEN last_t IS NULL THEN NULL
-                     ELSE CAST(split_part(last_t, '#', 1) AS BIGINT) END AS last_us
-         FROM wd WHERE event_type = 'purchase'
-         ORDER BY user_id, conv_us, event_id""",
+    "q72_attribution" -> attributionOracle,
+    // ONE oracle string, two gates: the streaming buffer must equal the
+    // batch RANGE window row for row
+    "w22_stream_attribution" -> attributionOracle,
     // full-scan recompute of BOTH levels — equality proves the engine's
     // summary-only __all__ merge laws (sum/min/max/set-union) are right
     "x15_incremental_stats" ->
@@ -5413,6 +5507,40 @@ object SparkEntry {
     // lcm(1..12) covers every possible block size) and the identical
     // strict cross-multiplied threshold; the engine must recover the
     // same bits from the encoded PNG bytes
+    // the CDF remap replayed analytically: per-value counts → window
+    // cumsum → remap → position-weighted pixel checksum — a one-pixel
+    // decode or remap error shifts the checksum
+    "m25_hist_equalize" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (3 * doc_id) % 16 AS h
+                    FROM documents WHERE doc_id % 3 = 0),
+         px AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM d),
+         pxy AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM px),
+         pv AS (SELECT doc_id, w, h, x, y,
+                       (7*x + 13*y + doc_id) % 256 AS v FROM pxy),
+         cnt AS (SELECT doc_id, v, count(*) AS c FROM pv GROUP BY 1, 2),
+         cdf AS (SELECT doc_id, v,
+                        sum(c) OVER (PARTITION BY doc_id ORDER BY v) AS cdf
+                 FROM cnt),
+         mn AS (SELECT doc_id, min(cdf) AS cdfmin FROM cdf GROUP BY doc_id),
+         nn AS (SELECT doc_id, CAST(w * h AS BIGINT) AS n FROM d),
+         o AS (SELECT cdf.doc_id, cdf.v,
+                      CASE WHEN n = cdfmin THEN 0
+                           ELSE ((cdf - cdfmin) * 255) // (n - cdfmin)
+                      END AS outv
+               FROM cdf JOIN mn USING (doc_id) JOIN nn USING (doc_id)),
+         chk AS (SELECT pv.doc_id,
+                        CAST(sum(o.outv * (pv.y * pv.w + pv.x + 1)) AS BIGINT) AS checksum
+                 FROM pv JOIN o ON o.doc_id = pv.doc_id AND o.v = pv.v
+                 GROUP BY 1),
+         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_vals,
+                        CAST(min(outv) AS BIGINT) AS out_min,
+                        CAST(max(outv) AS BIGINT) AS out_max
+                 FROM o GROUP BY 1)
+         SELECT d.doc_id, CAST(d.w AS BIGINT) AS width,
+                CAST(d.h AS BIGINT) AS height,
+                n_vals, out_min, out_max, checksum
+         FROM d JOIN agg USING (doc_id) JOIN chk USING (doc_id)
+         ORDER BY doc_id""",
     // the 4-neighbour Laplacian replayed on the closed-form pixel
     // lattice: wrap positions of the mod-256 plane are the only nonzero
     // responses, so a decode bug ANYWHERE shifts n/s/s2 and the hash
@@ -7194,6 +7322,28 @@ object SparkEntry {
     "g14_ktruss" -> ktrussOracle(4, ktrussPeelRounds),
     "g08_label_prop" -> lpaOracle(lpaRounds),
     "g15_modularity" -> modularityOracle(lpaRounds),
+    // endpoint-degree moments over the symmetrized edges: a wrong degree
+    // table, direction handling, or moment shifts every numerator
+    "g16_assortativity" ->
+      s"""WITH ${supportedEdgesCte.replace("e0 AS (", "e0 AS MATERIALIZED (")},
+         sym AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+         deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+                 FROM sym GROUP BY u),
+         j AS (SELECT d1.deg AS dx, d2.deg AS dy
+               FROM sym JOIN deg d1 ON d1.node = sym.u
+                        JOIN deg d2 ON d2.node = sym.v),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n_ends,
+                      CAST(sum(dx * dy) AS BIGINT) AS s_xy,
+                      CAST(sum(dx) AS BIGINT) AS s_x,
+                      CAST(sum(dx * dx) AS BIGINT) AS s_x2 FROM j)
+         SELECT n_ends, s_xy, s_x, s_x2,
+                n_ends * s_xy - s_x * s_x AS r_num,
+                n_ends * s_x2 - s_x * s_x AS r_den,
+                CASE WHEN n_ends * s_xy - s_x * s_x > 0 THEN 'assortative'
+                     WHEN n_ends * s_xy - s_x * s_x < 0 THEN 'disassortative'
+                     ELSE 'neutral' END AS band
+         FROM a""",
+    "d20_dedup_weights" -> dedupWeightsOracle,
     "g03_item_cf" ->
       """WITH po AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
          cn AS (SELECT a.item AS u, b.item AS w, CAST(count(*) AS BIGINT) AS common

@@ -730,6 +730,32 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** D20: SOFT dedup — down-weight near-duplicate clusters instead of
+    * dropping members, the alternative policy modern data mixes use
+    * (a document duplicated k times contributes total weight 1, so
+    * popular pages aren't over-represented but aren't erased either;
+    * cf. the repetition-penalty ablations in the dedup literature).
+    * Weights in exact ppm: weight_ppm = 1000000 div cluster_size —
+    * singletons keep 1000000, a pair 500000 each, and Σ weights per
+    * cluster stays within [1000000 − size + 1, 1000000] (floor loss
+    * only), so the corpus' effective size is the cluster count.
+    *
+    * Scale shape: [[dedupClusters]]'s banded-candidate + label-prop
+    * pass, then one cluster-keyed count and one co-partitioned join —
+    * both keyed by cluster_id, id-sized rows.
+    */
+  def dedupWeights(documents: DataFrame, shingleN: Int = 3, bands: Int = 8,
+                   rows: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val clusters = dedupClusters(documents, shingleN, bands, rows, threshold)
+      .select($"doc_id", $"cluster_id")
+    val sizes = clusters.groupBy($"cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    clusters.join(sizes, "cluster_id")
+      .select($"doc_id", $"cluster_id", $"cluster_size",
+        expr("1000000 div cluster_size").as("weight_ppm"))
+      .orderBy($"doc_id")
+  }
+
   /** Near-dup clusters with a QUALITY-AWARE keeper (d15): the production
     * dedup policy is rarely "keep the smallest id" — it's "keep the best
     * member of each near-dup cluster" (longest, highest quality score,

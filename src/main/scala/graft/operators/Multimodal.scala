@@ -591,6 +591,77 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** M25: histogram equalization (the classic contrast-normalization
+    * preprocessing step of image training pipelines) over the REAL
+    * decoded PNG raster, in exact integers: the standard CDF remap
+    * out(v) = (cdf(v) − cdf_min)·255 div (n − cdf_min), with the
+    * constant-image degenerate case pinned to 0. Reported per image:
+    * distinct-value count, output range, and a POSITION-WEIGHTED
+    * checksum Σ out(p(y,x))·(y·w + x + 1) — so a remap error at any
+    * single pixel, not just in aggregate, breaks the hash.
+    *
+    * Scale shape: [[imagePhash]]'s — mapPartitions decode + per-image
+    * O(w·h + 256) integer kernel, no shuffle before the presentation
+    * sort.
+    */
+  def histEqualize(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .filter((id: Long) => id % 3 == 0) // the PNG third of the fixture
+      .mapPartitions { it =>
+        it.map { id =>
+          val (w, h, img) = graft.sources.AssetCodecs.decodePngImage(assetFor(id))
+          val n = w.toLong * h
+          val hist = new Array[Long](256)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { hist(img(y)(x) & 0xff) += 1; x += 1 }
+            y += 1
+          }
+          val cdf = new Array[Long](256)
+          var run = 0L; var cdfMin = -1L; var nVals = 0L
+          var v = 0
+          while (v < 256) {
+            run += hist(v); cdf(v) = run
+            if (hist(v) > 0) { nVals += 1; if (cdfMin < 0) cdfMin = run }
+            v += 1
+          }
+          val out = new Array[Long](256)
+          v = 0
+          while (v < 256) {
+            out(v) = if (n == cdfMin) 0L
+              else (cdf(v) - cdfMin) * 255 / (n - cdfMin)
+            v += 1
+          }
+          var chk = 0L; var outMin = 255L; var outMax = 0L
+          y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val o = out(img(y)(x) & 0xff)
+              chk += o * (y.toLong * w + x + 1)
+              x += 1
+            }
+            y += 1
+          }
+          v = 0
+          while (v < 256) {
+            if (hist(v) > 0) {
+              if (out(v) < outMin) outMin = out(v)
+              if (out(v) > outMax) outMax = out(v)
+            }
+            v += 1
+          }
+          (id, w.toLong, h.toLong, nVals, outMin, outMax, chk)
+        }
+      }
+      .toDF("doc_id", "width", "height", "n_vals", "out_min", "out_max",
+        "checksum")
+      .orderBy(col("doc_id"))
+  }
+
   /** The integer-exact aHash core shared by the PNG (m06) and JPEG (m07)
     * paths. Contract: every 8x8 block must be non-empty (else the block
     * mean divides by zero) and its pixel count must divide [[PhashScale]]

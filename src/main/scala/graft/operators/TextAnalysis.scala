@@ -987,6 +987,45 @@ object TextAnalysis {
         expr("n_hapax * 1000 div n_tokens").as("hapax_milli"))
       .orderBy($"doc_id")
 
+  /** t52 fixture twin (the t49 linkCorpus discipline): every fourth
+    * document gets a deterministic code block appended, built from
+    * doc_id alone so the DuckDB oracle constructs the identical corpus
+    * without touching engine bytes.
+    */
+  def codeCorpus(documents: DataFrame): DataFrame =
+    documents.select($"doc_id", concat($"text",
+      when($"doc_id" % 4 === 1, concat(
+        lit("\ndef f"), $"doc_id" % 7, lit("(x):\n    y = x + "),
+        $"doc_id" % 13,
+        lit(";\n    if (y > 0) { return y; }\n    return [x, y];\n")))
+        .otherwise(lit(""))).as("text"))
+
+  /** T52: code detection — route documents containing source code to a
+    * code tokenizer/quality pass instead of mis-scoring them as prose
+    * (every pretraining mix separates the two). Three integer signals,
+    * all row-local regex counts: symbol density (braces/brackets/
+    * operators per 1000 chars), programming keywords, and indented
+    * lines (the `(?m)` multiline anchor — identical semantics in
+    * java.util.regex and RE2). The verdict requires BOTH structure
+    * (indentation) and vocabulary (keywords) so prose quoting one
+    * `if` never trips it.
+    *
+    * Scale shape: pure codegen'd regexp projection, no shuffle before
+    * the presentation sort — rides the per-doc quality scan.
+    */
+  def codeDetect(docs: DataFrame): DataFrame =
+    docs
+      .select($"doc_id",
+        regexp_count($"text", lit("[{}()\\[\\];=<>]")).cast("long").as("n_sym"),
+        regexp_count($"text",
+          lit("\\b(def|class|return|import|function|var|int|void|if|else)\\b"))
+          .cast("long").as("n_kw"),
+        regexp_count($"text", lit("(?m)^(?:\\t|    )")).cast("long").as("n_indent"),
+        length($"text").cast("long").as("n_chars"))
+      .withColumn("sym_milli", expr("n_sym * 1000 div greatest(n_chars, 1)"))
+      .withColumn("is_code", $"n_indent" >= 2 && $"n_kw" >= 2)
+      .orderBy($"doc_id")
+
   def scriptSegments(documents: DataFrame): DataFrame =
     documents
       .select($"doc_id", posexplode(expr(

@@ -47,6 +47,21 @@ case class GapState(lastUs: Long)
 case class GapOut(user_id: Long, gap_start: java.sql.Timestamp,
                   gap_end: java.sql.Timestamp, gap_sec: Long)
 
+/** Per-user touch buffer for [[EventStream.attributionStateful]]: the
+  * (us, event_id, type) touches within the lookback of the latest event
+  * seen — the ONLY history a future conversion can still attribute to,
+  * so state is bounded by touch rate × lookback, never the stream.
+  */
+case class AttribState(touches: List[(Long, Long, String)])
+
+/** Emitted conversion row (mirrors the batch q72 attribution shape;
+  * organic conversions keep nulls).
+  */
+case class AttribOut(user_id: Long, event_id: Long, conv_us: Long,
+                     value: Double, n_touches: Long,
+                     first_touch: Option[String], first_us: Option[Long],
+                     last_touch: Option[String], last_us: Option[Long])
+
 /** Structured Streaming surface (SURVEY.md M4): the reference's incremental
   * cycle semantics (monthly cursor = offset tracking, T1) re-expressed as
   * streaming queries over an event source. Each transform is a pure
@@ -352,6 +367,53 @@ object EventStream {
             last = Some(math.max(last.getOrElse(Long.MinValue), t))
           }
           last.foreach(lt => state.update(GapState(lt)))
+          out.result().iterator
+        })
+  }
+
+  /** W22: q72's first/last-touch attribution as a streaming operator —
+    * conversions attribute the moment they arrive, against the touch
+    * buffer carried in [[AttribState]]. The buffer prunes to the
+    * lookback of the latest event processed (future events are
+    * later, so their windows can never reach a pruned touch), which
+    * is what bounds state on an unbounded stream. Batch equality
+    * holds under the landEventsSliced ordering contract; the gate
+    * shares q72's oracle string verbatim so the two kernels cannot
+    * drift. µs-exact; the same-µs touch is excluded (the batch RANGE
+    * frame's −1 µs end bound).
+    */
+  def attributionStateful(events: Dataset[Event], lookbackSec: Long = 604800L,
+                          touchTypes: Set[String] = Set("click", "view"),
+                          conversionType: String = "purchase"): Dataset[AttribOut] = {
+    require(lookbackSec >= 1, "attributionStateful: lookback must be >= 1 s")
+    val lookUs = lookbackSec * 1000000L
+    import events.sparkSession.implicits._
+    def us(t: java.sql.Timestamp): Long = t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[Event], state: GroupState[AttribState]) => {
+          var touches = state.getOption.map(_.touches).getOrElse(Nil)
+          val out = Seq.newBuilder[AttribOut]
+          rows.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+            val t = us(e.ts)
+            if (e.event_type == conversionType) {
+              val win = touches.filter(x => x._1 >= t - lookUs && x._1 <= t - 1)
+              if (win.isEmpty)
+                out += AttribOut(userId, e.event_id, t, e.value, 0L,
+                  None, None, None, None)
+              else {
+                val first = win.minBy(x => (x._1, x._2))
+                val last = win.maxBy(x => (x._1, x._2))
+                out += AttribOut(userId, e.event_id, t, e.value, win.size.toLong,
+                  Some(first._3), Some(first._1), Some(last._3), Some(last._1))
+              }
+            }
+            if (touchTypes(e.event_type))
+              touches = touches :+ ((t, e.event_id, e.event_type))
+            touches = touches.dropWhile(_._1 < t - lookUs)
+          }
+          state.update(AttribState(touches))
           out.result().iterator
         })
   }

@@ -436,4 +436,30 @@ class DedupSpec extends SparkSpec {
     // the unrelated doc shares no band with anyone
     out.keySet.flatMap(k => Set(k._1, k._2)) should not contain 4L
   }
+
+  test("dedupWeights: cluster mass splits as 1000000 div size, singletons keep all") {
+    val text = "the quick brown fox jumps over the lazy dog again and again and once more"
+    val d = docs(
+      (7L, "w", text),
+      (3L, "w", text),
+      (5L, "w", text + " tail"),
+      (9L, "w", "completely different words nowhere near the first document at all"))
+    val out = Dedup.dedupWeights(d, threshold = 0.3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    out(3L) shouldBe ((3L, 3L, 333333L))
+    out(5L) shouldBe ((3L, 3L, 333333L))
+    out(7L) shouldBe ((3L, 3L, 333333L))
+    out(9L) shouldBe ((9L, 1L, 1000000L))
+    // floor law on the real corpus: per-cluster mass lands within
+    // [1000000 − size + 1, 1000000] — soft dedup conserves weight
+    val real = Dedup.dedupWeights(docs((1L, "w", "a b c"), (2L, "w", "a b c"),
+      (4L, "w", "z y x w v"))).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    real.groupBy(_._1).foreach { case (_, rows) =>
+      val size = rows.head._2
+      val mass = rows.map(_._3).sum
+      rows.length.toLong shouldBe size
+      mass should (be >= 1000000L - size + 1 and be <= 1000000L)
+    }
+  }
 }

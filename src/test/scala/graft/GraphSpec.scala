@@ -458,4 +458,26 @@ class GraphSpec extends SparkSpec {
     // and the partition found here is genuinely modular (Q > 0)
     out.map(_._5).sum should be > 0L
   }
+
+  test("assortativity: star is disassortative, cycle neutral, moments exact") {
+    import spark.implicits._
+    def moments(pairs: (Long, Long)*) = {
+      val r = Graph.assortativity(pairs.toDF("u", "v")).collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(6))
+    }
+    // star K_{1,3}: hub degree 3 meets leaves of degree 1 on every edge
+    val star = moments((0L, 1L), (0L, 2L), (0L, 3L))
+    // ends: 6; per direction dx·dy = 3; Σx = 3·(3+1) = 12; Σx² = 3·(9+1) = 30
+    star shouldBe ((6L, 18L, 12L, 30L, 6 * 18 - 12 * 12, 6 * 30 - 12 * 12,
+      "disassortative"))
+    star._5 should be < 0L
+    // 4-cycle: all degrees 2 — zero variance, r_num = r_den = 0, neutral
+    val cyc = moments((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    (cyc._5, cyc._6, cyc._7) shouldBe ((0L, 0L, "neutral"))
+    // two disjoint edges + a triangle: like links to like -> assortative
+    val mixed = moments((1L, 2L), (3L, 4L), (5L, 6L), (6L, 7L), (5L, 7L))
+    mixed._7 shouldBe "assortative"
+    mixed._5 should be > 0L
+  }
 }

@@ -357,4 +357,31 @@ class MultimodalSpec extends SparkSpec {
       n shouldBe (w - 2).toLong * (h - 2)
     }
   }
+
+  test("histEqualize: CDF remap recomputes from the lattice; range stretches to [0, 255]") {
+    val out = Multimodal.histEqualize(table("documents")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    out should not be empty
+    for ((id, (w, h, nVals, outMin, outMax, chk)) <- out) {
+      // independent recompute from the closed-form pixel lattice
+      val wi = (8 + id % 24).toInt; val hi = (8 + (3 * id) % 16).toInt
+      def p(y: Int, x: Int): Int = ((7L * x + 13L * y + id) % 256).toInt
+      val n = wi.toLong * hi
+      val hist = new Array[Long](256)
+      for (y <- 0 until hi; x <- 0 until wi) hist(p(y, x)) += 1
+      var run = 0L; var cdfMin = -1L
+      val cdf = hist.map { c => run += c; if (c > 0 && cdfMin < 0) cdfMin = run; run }
+      def outOf(v: Int): Long =
+        if (n == cdfMin) 0L else (cdf(v) - cdfMin) * 255 / (n - cdfMin)
+      var expChk = 0L
+      for (y <- 0 until hi; x <- 0 until wi)
+        expChk += outOf(p(y, x)) * (y.toLong * wi + x + 1)
+      (w, h) shouldBe ((wi.toLong, hi.toLong))
+      nVals shouldBe hist.count(_ > 0).toLong
+      chk shouldBe expChk
+      // equalization law: a non-constant image stretches to full range
+      if (nVals >= 2) { outMin shouldBe 0L; outMax shouldBe 255L }
+    }
+  }
 }

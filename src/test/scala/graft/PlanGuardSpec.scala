@@ -745,4 +745,28 @@ class PlanGuardSpec extends SparkSpec {
     p.linesIterator.count(_.contains("documents.parquet")) shouldBe 0
     p should not include "Join"
   }
+
+  test("g16_assortativity: degree joins are equi-joins — no cartesian, no BNLJ") {
+    val p = planOf("g16_assortativity")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("d20_dedup_weights: banded candidates only — no cartesian, no BNLJ") {
+    val p = planOf("d20_dedup_weights")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("t52_code_detect: row-local regex battery — no join, no hash shuffle") {
+    val p = planOf("t52_code_detect")
+    p should not include "Join"
+    p should not include "hashpartitioning"
+  }
+
+  test("m25_hist_equalize: decode + remap stay in the row — no join, no hash shuffle") {
+    val p = planOf("m25_hist_equalize")
+    p should not include "Join"
+    p should not include "hashpartitioning"
+  }
 }

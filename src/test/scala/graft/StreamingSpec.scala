@@ -528,4 +528,38 @@ class StreamingSpec extends SparkSpec {
     got shouldBe Seq((1L, 50000000L, 500000000L, 450L))
     q.stop()
   }
+
+  test("w22 streaming attribution equals the batch q72 window across the landing splits") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"user_id", $"event_id", $"conv_us", $"n_touches",
+          $"first_touch", $"first_us", $"last_touch", $"last_us")
+        .collect().map(_.toSeq).toSeq
+    val streamed = SparkEntry.queries("w22_stream_attribution")(spark, sf0001)
+    val batch = SparkEntry.queries("q72_attribution")(spark, sf0001)
+    rows(streamed) shouldBe rows(batch)
+    rows(streamed) should not be empty
+  }
+
+  test("attributionStateful: cross-batch touches attribute; pruned touches never return") {
+    def ev(id: Long, uid: Long, sec: Long, typ: String): Event =
+      Event(id, new java.sql.Timestamp(sec * 1000), uid, typ, 1.0)
+    val input = MemoryStream[Event](spark)
+    val q = EventStream.attributionStateful(input.toDS(), lookbackSec = 100).toDF()
+      .writeStream.format("memory").queryName("w22_sem").outputMode("append").start()
+    // batch 1: a touch at t=10 (inside the future window) and one at
+    // t=−∞-ish that the pruner must drop before batch 2's conversion
+    input.addData(ev(1, 1, 10, "click"), ev(2, 1, 60, "view"))
+    q.processAllAvailable()
+    // batch 2: conversion at t=80 — attributes to batch-1 state; a
+    // second conversion at t=200 finds every touch pruned (organic)
+    input.addData(ev(3, 1, 80, "purchase"), ev(4, 1, 200, "purchase"))
+    q.processAllAvailable()
+    val got = spark.table("w22_sem")
+      .select($"event_id", $"n_touches", $"first_touch", $"last_touch")
+      .as[(Long, Long, Option[String], Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    got(3L) shouldBe ((2L, Some("click"), Some("view")))
+    got(4L) shouldBe ((0L, None, None))
+    q.stop()
+  }
 }

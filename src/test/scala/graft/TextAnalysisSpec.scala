@@ -603,4 +603,28 @@ class TextAnalysisSpec extends SparkSpec {
       r.getLong(5) should (be >= 0L and be <= 1000L)
     }
   }
+
+  test("codeDetect: the code twin separates cleanly; prose quoting 'if' stays prose") {
+    import spark.implicits._
+    // the fixture corpus: every doc_id % 4 == 1 carries the code block,
+    // everything else must stay prose (signals measured zero on raw text)
+    val out = TextAnalysis.codeDetect(
+        TextAnalysis.codeCorpus(table("documents"))).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getBoolean(6))))
+    out should not be empty
+    out.foreach { case (id, (kw, indent, isCode)) =>
+      isCode shouldBe (id % 4 == 1)
+      if (id % 4 == 1) { kw should be >= 2L; indent shouldBe 3L }
+    }
+    // structure AND vocabulary are both required: prose with keywords but
+    // no indentation (or indented poetry with no keywords) is not code
+    val hand = Seq(
+      (1L, "if you return home, import nothing and define class acts"),
+      (2L, "    roses are red\n    violets are blue\n    sugar is sweet"),
+      (3L, "def g(x):\n    if x > 0:\n        return x\n    return -x")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.codeDetect(hand).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    got shouldBe Map(1L -> false, 2L -> false, 3L -> true)
+  }
 }
