@@ -1464,6 +1464,10 @@ object SparkEntry {
     // ESRI power-of-two codes, pits emit 0
     "r34_flow_direction" -> ((s, d) =>
       Raster.flowDirection(Raster.demoGridSum(t(s, d)("lineitem")))),
+    // D8 flow accumulation under the 4-hop cap: in-forest walk joins,
+    // acyclic by strict descent, count(*) = upstream cells
+    "r35_flow_accum" -> ((s, d) =>
+      Raster.flowAccumulation(Raster.demoGridSum(t(s, d)("lineitem")))),
     // wind-style component recombination: variables A/N paired per cell
     // by a one-scan conditional pivot, magnitude via correctly-rounded
     // sqrt (the one portable transcendental), direction as the integer
@@ -2343,6 +2347,14 @@ object SparkEntry {
     // sortable touch strings — the attribution join without a join
     "q72_attribution" -> ((s, d) =>
       operators.EventWindows.attribution(t(s, d)("events"))),
+    // Gini concentration per priority group: exact sorted-rank identity
+    // in BIGINTs, band = cross-multiplied G >= 0.5 verdict
+    "q73_gini" -> ((s, d) =>
+      operators.Core.giniConcentration(t(s, d)("orders"))),
+    // classical audio features over real WAV decode: ZCR, energy,
+    // abs-sum, peak — all exact integers
+    "m26_audio_features" -> ((s, d) =>
+      Multimodal.audioFeatures(t(s, d)("documents"))),
     // mergeable stats: per-source summaries barrier (the stored stats
     // table); the __all__ row derives from summaries alone — the plan
     // contains zero input scans, the oracle recomputes by full scan
@@ -3432,6 +3444,42 @@ object SparkEntry {
               (doc = min(lbl)) AS is_canonical
        FROM reach GROUP BY doc ORDER BY doc_id"""
 
+  /** Shared r34/r35 WITH-body over `gridsum`: the D8 contribution
+    * explode, full-window cut, positive-drop ranking — ending in
+    * relations `full_t`, `n`, and `b` (best descent per cell). One
+    * string, two gates: direction and accumulation share one flow
+    * definition.
+    */
+  private val d8FlowCtes: String =
+    """c AS (SELECT variable, time, lat + dy AS lat, lon + dx AS lon,
+                      CASE WHEN -dy = 0 AND -dx = 1 THEN 1
+                           WHEN -dy = -1 AND -dx = 1 THEN 2
+                           WHEN -dy = -1 AND -dx = 0 THEN 4
+                           WHEN -dy = -1 AND -dx = -1 THEN 8
+                           WHEN -dy = 0 AND -dx = -1 THEN 16
+                           WHEN -dy = 1 AND -dx = -1 THEN 32
+                           WHEN -dy = 1 AND -dx = 0 THEN 64
+                           WHEN -dy = 1 AND -dx = 1 THEN 128
+                           ELSE 0 END AS code,
+                      CASE WHEN abs(dy) + abs(dx) = 1 THEN 2 ELSE 1 END AS w,
+                      CAST(value AS BIGINT) AS v
+               FROM gridsum
+               CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS dy) t1
+               CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS dx) t2),
+         full_t AS (SELECT variable, time, lat, lon FROM c
+                    GROUP BY 1, 2, 3, 4 HAVING count(*) = 9),
+         own AS (SELECT variable, time, lat, lon, v AS own FROM c WHERE code = 0),
+         n AS (SELECT c.variable, c.time, c.lat, c.lon, c.code,
+                      o.own - c.v AS drp,
+                      (o.own - c.v) * (o.own - c.v) * c.w AS key
+               FROM c JOIN own o USING (variable, time, lat, lon)
+               WHERE c.code <> 0),
+         r AS (SELECT *, row_number() OVER (
+                   PARTITION BY variable, time, lat, lon
+                   ORDER BY key DESC, code) AS rn
+               FROM n WHERE drp > 0),
+         b AS (SELECT variable, time, lat, lon, code, drp FROM r WHERE rn = 1)"""
+
   /** Shared q72/w22 oracle: the conversion window replayed — same
     * sortable touch strings, same RANGE frame. One string, two gates:
     * the batch window and the streaming touch buffer cannot drift.
@@ -4171,34 +4219,7 @@ object SparkEntry {
     // different neighbour and mismatches flow_code/steepest_drop
     "r34_flow_direction" ->
       s"""WITH ${operators.Raster.demoGridSumSql},
-         c AS (SELECT variable, time, lat + dy AS lat, lon + dx AS lon,
-                      CASE WHEN -dy = 0 AND -dx = 1 THEN 1
-                           WHEN -dy = -1 AND -dx = 1 THEN 2
-                           WHEN -dy = -1 AND -dx = 0 THEN 4
-                           WHEN -dy = -1 AND -dx = -1 THEN 8
-                           WHEN -dy = 0 AND -dx = -1 THEN 16
-                           WHEN -dy = 1 AND -dx = -1 THEN 32
-                           WHEN -dy = 1 AND -dx = 0 THEN 64
-                           WHEN -dy = 1 AND -dx = 1 THEN 128
-                           ELSE 0 END AS code,
-                      CASE WHEN abs(dy) + abs(dx) = 1 THEN 2 ELSE 1 END AS w,
-                      CAST(value AS BIGINT) AS v
-               FROM gridsum
-               CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS dy) t1
-               CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS dx) t2),
-         full_t AS (SELECT variable, time, lat, lon FROM c
-                    GROUP BY 1, 2, 3, 4 HAVING count(*) = 9),
-         own AS (SELECT variable, time, lat, lon, v AS own FROM c WHERE code = 0),
-         n AS (SELECT c.variable, c.time, c.lat, c.lon, c.code,
-                      o.own - c.v AS drp,
-                      (o.own - c.v) * (o.own - c.v) * c.w AS key
-               FROM c JOIN own o USING (variable, time, lat, lon)
-               WHERE c.code <> 0),
-         r AS (SELECT *, row_number() OVER (
-                   PARTITION BY variable, time, lat, lon
-                   ORDER BY key DESC, code) AS rn
-               FROM n WHERE drp > 0),
-         b AS (SELECT variable, time, lat, lon, code, drp FROM r WHERE rn = 1),
+         $d8FlowCtes,
          nd AS (SELECT variable, time, lat, lon,
                        CAST(count(*) AS BIGINT) AS n_descents
                 FROM n WHERE drp > 0 GROUP BY 1, 2, 3, 4)
@@ -4209,6 +4230,42 @@ object SparkEntry {
          FROM full_t f
          LEFT JOIN b USING (variable, time, lat, lon)
          LEFT JOIN nd USING (variable, time, lat, lon)
+         ORDER BY 1, 2, 3, 4""",
+    // the walk replayed as a bounded recursion over the SAME flow
+    // relation (shared CTEs with r34): acyclic by construction, so
+    // count(*) over arrivals IS the upstream count
+    "r35_flow_accum" ->
+      s"""WITH RECURSIVE ${operators.Raster.demoGridSumSql},
+         $d8FlowCtes,
+         fd AS (SELECT f.variable, f.time, f.lat, f.lon,
+                       CAST(coalesce(b.code, 0) AS BIGINT) AS flow_code
+                FROM full_t f LEFT JOIN b USING (variable, time, lat, lon)),
+         e AS (SELECT s.variable, s.time, s.lat AS slat, s.lon AS slon,
+                      s.lat + CASE WHEN flow_code IN (1, 16) THEN 0
+                                   WHEN flow_code IN (2, 4, 8) THEN -1
+                                   ELSE 1 END AS tlat,
+                      s.lon + CASE WHEN flow_code IN (4, 64) THEN 0
+                                   WHEN flow_code IN (8, 16, 32) THEN -1
+                                   ELSE 1 END AS tlon
+               FROM fd s WHERE flow_code > 0),
+         e2 AS (SELECT e.* FROM e JOIN fd t
+                  ON t.variable = e.variable AND t.time = e.time
+                 AND t.lat = e.tlat AND t.lon = e.tlon),
+         walk AS (SELECT variable, time, slat, slon,
+                         tlat AS clat, tlon AS clon, 1 AS h FROM e2
+                  UNION ALL
+                  SELECT w.variable, w.time, w.slat, w.slon,
+                         x.tlat, x.tlon, w.h + 1
+                  FROM walk w JOIN e2 x
+                    ON x.variable = w.variable AND x.time = w.time
+                   AND x.slat = w.clat AND x.slon = w.clon
+                  WHERE w.h < 4),
+         acc AS (SELECT variable, time, clat AS lat, clon AS lon,
+                        CAST(count(*) AS BIGINT) AS n_up
+                 FROM walk GROUP BY 1, 2, 3, 4)
+         SELECT fd.variable, fd.time, fd.lat, fd.lon, fd.flow_code,
+                1 + coalesce(n_up, 0) AS acc
+         FROM fd LEFT JOIN acc USING (variable, time, lat, lon)
          ORDER BY 1, 2, 3, 4""",
     // the oracle forms the SAME den-scaled integer overlaps directly on
     // the (source cell × target cell) join — a wrong axis table, weight,
@@ -4636,6 +4693,48 @@ object SparkEntry {
     // ONE oracle string, two gates: the streaming buffer must equal the
     // batch RANGE window row for row
     "w22_stream_attribution" -> attributionOracle,
+    // the sorted-rank identity replayed: same dollar floor, same rank
+    // tiebreak, same cross-multiplied band — a wrong rank origin or an
+    // unsorted fold shifts s and every numerator
+    "q73_gini" ->
+      """WITH o AS (SELECT o_orderpriority AS grp, o_orderkey,
+                CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 100 AS x
+              FROM orders),
+         r AS (SELECT grp, x,
+                 CAST(row_number() OVER (PARTITION BY grp ORDER BY x, o_orderkey) AS BIGINT) AS i
+               FROM o),
+         a AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(x) AS BIGINT) AS sum_x,
+                      CAST(sum((2 * i - 1) * x) AS BIGINT) AS s
+               FROM r GROUP BY grp)
+         SELECT grp, n, sum_x,
+                s - n * sum_x AS g_num,
+                n * sum_x AS g_den,
+                CASE WHEN (s - n * sum_x) * 2 >= n * sum_x
+                     THEN 'concentrated' ELSE 'dispersed' END AS band
+         FROM a ORDER BY grp""",
+    // the ZCR convention replayed with a lag window over the
+    // closed-form samples: sign(0) = +1, crossings between consecutive
+    // samples only — a sign or boundary slip shifts zcr
+    "m26_audio_features" ->
+      """WITH d AS (SELECT doc_id, 8000 + (doc_id % 5) * 4000 AS rate,
+                           64 + doc_id % 193 AS n
+                    FROM documents WHERE doc_id % 3 = 2),
+         s AS (SELECT doc_id, rate, n, unnest(generate_series(0, n - 1)) AS k FROM d),
+         v AS (SELECT doc_id, rate, n, k,
+                      ((31 * k + 7 * doc_id) % 2048) - 1024 AS x FROM s),
+         sg AS (SELECT *, CASE WHEN x >= 0 THEN 1 ELSE -1 END AS sgn,
+                  lag(CASE WHEN x >= 0 THEN 1 ELSE -1 END)
+                    OVER (PARTITION BY doc_id ORDER BY k) AS psgn
+                FROM v)
+         SELECT doc_id, CAST(max(rate) AS BIGINT) AS sample_rate,
+                CAST(max(n) AS BIGINT) AS n_samples,
+                CAST(sum(CASE WHEN psgn IS NOT NULL AND sgn <> psgn
+                              THEN 1 ELSE 0 END) AS BIGINT) AS zcr,
+                CAST(sum(x * x) AS BIGINT) AS energy,
+                CAST(sum(abs(x)) AS BIGINT) AS abs_sum,
+                CAST(max(abs(x)) AS BIGINT) AS peak
+         FROM sg GROUP BY doc_id ORDER BY doc_id""",
     // full-scan recompute of BOTH levels — equality proves the engine's
     // summary-only __all__ merge laws (sum/min/max/set-union) are right
     "x15_incremental_stats" ->

@@ -531,6 +531,43 @@ object Core {
       .orderBy($"column_name")
   }
 
+  /** Q73: Gini concentration per group — the standard inequality
+    * measure, run as a key-skew / revenue-concentration audit (a group
+    * whose mass sits in a few orders behaves differently under joins,
+    * caps, and sampling than a dispersed one). Exact integers end to
+    * end: values are whole dollars (cents div 100 — cents first via the
+    * repo's decimal(18,2) contract, so the floor is well-defined), the
+    * sorted-rank identity G·n·Σx = Σ(2i−1)xᵢ − n·Σx gives the
+    * numerator/denominator pair as BIGINTs, and the band is the
+    * cross-multiplied verdict (2·g_num ≥ g_den ⟺ G ≥ 0.5). Ratios are
+    * the caller's division — multiplying g_num by 10⁶ would overflow
+    * long before the moments themselves do. Envelope: 2·n·Σx < 2⁶³
+    * per group (holds through the 30× leg; beyond, pre-scale x).
+    *
+    * Tie-invariance: equal values occupy a contiguous rank run, so
+    * Σ(2i−1)xᵢ is the same under any tie order — the o_orderkey
+    * tiebreak only pins the intermediate relation. Scale shape: one
+    * group-keyed rank window + one group fold (the q61 order-statistic
+    * cost, the honest price of exact ranks).
+    */
+  def giniConcentration(orders: DataFrame): DataFrame = {
+    val cents = ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long")
+    val w = Window.partitionBy($"grp").orderBy($"x", $"o_orderkey")
+    orders
+      .select($"o_orderpriority".as("grp"), $"o_orderkey", cents.as("cents"))
+      .withColumn("x", expr("cents div 100"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy($"grp")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sum_x"),
+        sum(($"i" * 2 - 1) * $"x").as("s"))
+      .select($"grp", $"n", $"sum_x",
+        ($"s" - $"n" * $"sum_x").as("g_num"),
+        ($"n" * $"sum_x").as("g_den"))
+      .withColumn("band",
+        when($"g_num" * 2 >= $"g_den", "concentrated").otherwise("dispersed"))
+      .orderBy($"grp")
+  }
+
   /** X15: MERGEABLE column statistics — the maintenance half of
     * [[analyzeStats]]. At 100 TB nobody re-ANALYZEs the table; each
     * partition (here: `source`) keeps a summary and the table-level row

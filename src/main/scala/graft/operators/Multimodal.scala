@@ -591,6 +591,48 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** M26: classical audio features over the REAL decoded WAV PCM —
+    * zero-crossing count (the cheap voiced/unvoiced and music/speech
+    * discriminator every audio-curation pass computes first), total
+    * energy Σx², absolute sum, and peak, all exact BIGINTs. ZCR
+    * convention pinned: sign(x) = 1 for x ≥ 0 else −1 (zero is
+    * non-negative), a crossing is a sign change between CONSECUTIVE
+    * samples — the oracle replays the same convention with a lag
+    * window over the closed-form sample formula.
+    *
+    * Scale shape: mapPartitions decode + per-clip O(n) integer fold,
+    * no shuffle before the presentation sort (the m-family envelope).
+    */
+  def audioFeatures(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .filter((id: Long) => id % 3 == 2) // the WAV third of the fixture
+      .mapPartitions { it =>
+        it.map { id =>
+          val (rate, samples) = graft.sources.AssetCodecs.decodeWavSamples(assetFor(id))
+          var zcr = 0L; var energy = 0L; var absSum = 0L; var peak = 0L
+          var i = 0
+          var prevSign = 0
+          while (i < samples.length) {
+            val x = samples(i).toLong
+            val sign = if (x >= 0) 1 else -1
+            if (i > 0 && sign != prevSign) zcr += 1
+            prevSign = sign
+            energy += x * x
+            val a = math.abs(x)
+            absSum += a
+            if (a > peak) peak = a
+            i += 1
+          }
+          (id, rate.toLong, samples.length.toLong, zcr, energy, absSum, peak)
+        }
+      }
+      .toDF("doc_id", "sample_rate", "n_samples", "zcr", "energy",
+        "abs_sum", "peak")
+      .orderBy(col("doc_id"))
+  }
+
   /** M25: histogram equalization (the classic contrast-normalization
     * preprocessing step of image training pipelines) over the REAL
     * decoded PNG raster, in exact integers: the standard CDF remap

@@ -213,6 +213,61 @@ object Raster {
       .orderBy(keys: _*)
   }
 
+  /** R35: D8 flow accumulation under a hop cap — how many cells drain
+    * through each cell within ≤ `maxHops` steps (plus itself), the
+    * second hydrology primitive (stream networks = high-accumulation
+    * cells). Because [[flowDirection]] routes strictly DOWNHILL
+    * (drop > 0), the flow graph is acyclic with out-degree ≤ 1 — an
+    * in-forest — so every upstream cell contributes exactly one
+    * arrival and the count needs no dedup. The hop cap is the g10
+    * discipline: fixed rounds pinned to the oracle's recursion depth,
+    * the honest bounded form (full accumulation = depth-of-terrain
+    * rounds; a real DEM pipeline caps or runs to fixpoint the same
+    * way).
+    *
+    * Scale shape: the r34 pass (barriered), then `maxHops − 1`
+    * co-partitioned equi-joins of the walking frontier against the
+    * edge list — each frontier row is four keys + two coords, and the
+    * frontier can only shrink as paths exit the grid.
+    */
+  def flowAccumulation(grid: DataFrame, maxHops: Int = 4): DataFrame = {
+    require(maxHops >= 1, s"flowAccumulation: maxHops must be >= 1")
+    val fd = graft.Session.barrier(flowDirection(grid))
+    val dyC = when($"flow_code" === 1L || $"flow_code" === 16L, 0L)
+      .when($"flow_code" === 2L || $"flow_code" === 4L || $"flow_code" === 8L, -1L)
+      .otherwise(1L)
+    val dxC = when($"flow_code" === 4L || $"flow_code" === 64L, 0L)
+      .when($"flow_code" === 8L || $"flow_code" === 16L || $"flow_code" === 32L, -1L)
+      .otherwise(1L)
+    val pos = fd.select($"variable", $"time",
+      $"lat".as("tlat"), $"lon".as("tlon"))
+    val edges = fd.where($"flow_code" > 0)
+      .select($"variable", $"time", $"lat".as("slat"), $"lon".as("slon"),
+        ($"lat" + dyC).as("tlat"), ($"lon" + dxC).as("tlon"))
+      .join(pos, Seq("variable", "time", "tlat", "tlon"), "left_semi")
+    var frontier = edges.select($"variable", $"time", $"slat", $"slon",
+      $"tlat".as("clat"), $"tlon".as("clon"))
+    var arrivals = frontier
+    for (_ <- 2 to maxHops) {
+      frontier = frontier
+        .join(edges.select($"variable", $"time",
+            $"slat".as("clat"), $"slon".as("clon"),
+            $"tlat".as("nlat"), $"tlon".as("nlon")),
+          Seq("variable", "time", "clat", "clon"))
+        .select($"variable", $"time", $"slat", $"slon",
+          $"nlat".as("clat"), $"nlon".as("clon"))
+      arrivals = arrivals.unionByName(frontier)
+    }
+    val nUp = arrivals
+      .select($"variable", $"time", $"clat".as("lat"), $"clon".as("lon"))
+      .groupBy($"variable", $"time", $"lat", $"lon")
+      .agg(count(lit(1)).as("n_up"))
+    fd.join(nUp, Seq("variable", "time", "lat", "lon"), "left")
+      .select($"variable", $"time", $"lat", $"lon", $"flow_code",
+        (lit(1L) + coalesce($"n_up", lit(0L))).as("acc"))
+      .orderBy($"variable", $"time", $"lat", $"lon")
+  }
+
   /** R11: regrid — block-mean downsampling by per-axis factors (the `cdo
     * remapcon` / `gdalwarp -tr` coarsening every reanalysis pipeline runs
     * when serving lower resolutions): each fine cell belongs to the

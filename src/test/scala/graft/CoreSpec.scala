@@ -295,4 +295,27 @@ class CoreSpec extends SparkSpec {
     real("__all__")._3 should be >= per.map(_._3).max
     real("__all__")._3 should be <= per.map(_._3).sum
   }
+
+  test("giniConcentration: equality scores zero, a point mass scores (n-1)/n") {
+    import spark.implicits._
+    val orders = Seq(
+      // group A: perfect equality -> G = 0 exactly
+      ("A", 1L, 100.00), ("A", 2L, 100.00), ("A", 3L, 100.00), ("A", 4L, 100.00),
+      // group B: one order holds all the (whole-dollar) mass ->
+      // G = (n-1)/n = 3/4, i.e. g_num/g_den = 300/400
+      ("B", 5L, 0.99), ("B", 6L, 0.99), ("B", 7L, 0.99), ("B", 8L, 100.00)
+    ).toDF("o_orderpriority", "o_orderkey", "o_totalprice")
+    val out = Core.giniConcentration(orders).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))).toMap
+    out("A") shouldBe ((4L, 400L, 0L, 1600L, "dispersed"))
+    out("B") shouldBe ((4L, 100L, 300L, 400L, "concentrated"))
+    // laws on the real table: 0 <= g_num < g_den (G in [0, 1))
+    val real = Core.giniConcentration(table("orders")).collect()
+    real should not be empty
+    real.foreach { r =>
+      r.getLong(3) should be >= 0L
+      r.getLong(3) should be < r.getLong(4)
+    }
+  }
 }

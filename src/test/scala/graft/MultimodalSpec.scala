@@ -384,4 +384,26 @@ class MultimodalSpec extends SparkSpec {
       if (nVals >= 2) { outMin shouldBe 0L; outMax shouldBe 255L }
     }
   }
+
+  test("audioFeatures: ZCR/energy/peak recompute from the closed-form samples") {
+    val out = Multimodal.audioFeatures(table("documents")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    out should not be empty
+    for ((id, (rate, n, zcr, energy, absSum, peak)) <- out) {
+      val len = (64 + id % 193).toInt
+      val xs = Array.tabulate(len)(k => ((31L * k + 7 * id) % 2048) - 1024)
+      def sgn(x: Long) = if (x >= 0) 1 else -1
+      val expZcr = (1 until len).count(k => sgn(xs(k)) != sgn(xs(k - 1))).toLong
+      rate shouldBe 8000 + (id % 5) * 4000
+      n shouldBe len.toLong
+      zcr shouldBe expZcr
+      energy shouldBe xs.map(x => x * x).sum
+      absSum shouldBe xs.map(math.abs).sum
+      peak shouldBe xs.map(math.abs).max
+      // sample domain laws
+      peak should be <= 1024L
+      zcr should be <= n - 1
+    }
+  }
 }

@@ -769,4 +769,22 @@ class PlanGuardSpec extends SparkSpec {
     p should not include "Join"
     p should not include "hashpartitioning"
   }
+
+  test("q73_gini: rank window and fold share ONE group exchange, no join") {
+    val p = planOf("q73_gini")
+    p should not include "Join"
+    hashExchanges(p) shouldBe 1
+  }
+
+  test("m26_audio_features: decode + fold stay in the row — no join, no hash shuffle") {
+    val p = planOf("m26_audio_features")
+    p should not include "Join"
+    p should not include "hashpartitioning"
+  }
+
+  test("r35_flow_accum: walk joins are equi-joins — no cartesian, no BNLJ") {
+    val p = planOf("r35_flow_accum")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
 }

@@ -441,4 +441,29 @@ class RasterSpec extends SparkSpec {
       flow(Map(pos -> 4.0)) shouldBe ((code, 6L, 1L))
     }
   }
+
+  test("flowAccumulation: a westward ramp chains upstream counts to the hop cap") {
+    // 3x9 grid, value = lon: every interior cell's steepest descent is
+    // the straight west neighbor (drop 1, key 2 beats the diagonal key 1),
+    // so the flow graph is one west-flowing chain along the interior row
+    val rows = for { lat <- Seq(0.0, 1.0, 2.0); lon <- (0 to 8).map(_.toDouble) }
+      yield ("v", "2024-01-01 00:00:00", lat, lon, lon)
+    val g = rows.toDF("variable", "time", "lat", "lon", "value")
+      .withColumn("time", $"time".cast("timestamp_ntz"))
+    val out = Raster.flowAccumulation(g, maxHops = 4).collect()
+      .map(r => (r.getDouble(2), r.getDouble(3)) -> ((r.getLong(4), r.getLong(5)))).toMap
+    // interior cells: lat 1, lon 1..7; all flow west (code 16)
+    out.keySet shouldBe (1 to 7).map(c => (1.0, c.toDouble)).toSet
+    for (c <- 1 to 7) {
+      val (code, acc) = out((1.0, c.toDouble))
+      code shouldBe 16L
+      // upstream of col c are cols c+1..7, capped at 4 hops
+      acc shouldBe 1L + math.min(4, 7 - c)
+    }
+    // hop cap 1: only the immediate upstream neighbor counts
+    val one = Raster.flowAccumulation(g, maxHops = 1).collect()
+      .map(r => r.getDouble(3) -> r.getLong(5)).toMap
+    for (c <- 1 to 6) one(c.toDouble) shouldBe 2L
+    one(7.0) shouldBe 1L
+  }
 }
