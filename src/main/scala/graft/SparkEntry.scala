@@ -1468,6 +1468,10 @@ object SparkEntry {
     // acyclic by strict descent, count(*) = upstream cells
     "r35_flow_accum" -> ((s, d) =>
       Raster.flowAccumulation(Raster.demoGridSum(t(s, d)("lineitem")))),
+    // watershed basins by pointer jumping: 3 doubling rounds = the
+    // 8-step absorbed walk, log(depth) joins instead of depth joins
+    "r36_watershed" -> ((s, d) =>
+      Raster.watershedBasins(Raster.demoGridSum(t(s, d)("lineitem")))),
     // wind-style component recombination: variables A/N paired per cell
     // by a one-scan conditional pivot, magnitude via correctly-rounded
     // sqrt (the one portable transcendental), direction as the integer
@@ -2875,6 +2879,13 @@ object SparkEntry {
         t(s, d)("lineitem")
           .select($"l_orderkey".as("basket"), $"l_partkey".as("item")),
         20, minBaskets = 2L)),
+    // association rules over the SAME baskets: support/confidence/lift
+    // in exact milli-units — lift normalizes away item popularity
+    "q74_basket_lift" -> ((s, d) =>
+      operators.Graph.basketLift(
+        t(s, d)("lineitem")
+          .select($"l_orderkey".as("basket"), $"l_partkey".as("item")),
+        20, minBaskets = 2L)),
     // gaps-and-islands: per-user consecutive-day streaks via the
     // day − row_number() anchor — constant within a run, distinct
     // across runs; both downstream aggregates reuse the window's
@@ -4230,6 +4241,43 @@ object SparkEntry {
          FROM full_t f
          LEFT JOIN b USING (variable, time, lat, lon)
          LEFT JOIN nd USING (variable, time, lat, lon)
+         ORDER BY 1, 2, 3, 4""",
+    // the pointer-jumped labels replayed as the 8-step absorbed walk
+    // over the SAME flow relation (2^3 doubling rounds ≡ 8 sequential
+    // steps with terminal self-loops)
+    "r36_watershed" ->
+      s"""WITH RECURSIVE ${operators.Raster.demoGridSumSql},
+         $d8FlowCtes,
+         fd AS (SELECT f.variable, f.time, f.lat, f.lon,
+                       CAST(coalesce(b.code, 0) AS BIGINT) AS flow_code
+                FROM full_t f LEFT JOIN b USING (variable, time, lat, lon)),
+         par AS (SELECT s.variable, s.time, s.lat, s.lon,
+                        coalesce(t.lat, s.lat) AS plat,
+                        coalesce(t.lon, s.lon) AS plon
+                 FROM fd s LEFT JOIN fd t
+                   ON s.flow_code > 0 AND t.variable = s.variable
+                  AND t.time = s.time
+                  AND t.lat = s.lat + CASE WHEN s.flow_code IN (1, 16) THEN 0
+                                           WHEN s.flow_code IN (2, 4, 8) THEN -1
+                                           ELSE 1 END
+                  AND t.lon = s.lon + CASE WHEN s.flow_code IN (4, 64) THEN 0
+                                           WHEN s.flow_code IN (8, 16, 32) THEN -1
+                                           ELSE 1 END),
+         wk AS (SELECT variable, time, lat, lon, plat, plon, 1 AS h FROM par
+                UNION ALL
+                SELECT w.variable, w.time, w.lat, w.lon, p.plat, p.plon, w.h + 1
+                FROM wk w JOIN par p
+                  ON p.variable = w.variable AND p.time = w.time
+                 AND p.lat = w.plat AND p.lon = w.plon
+                WHERE w.h < 8),
+         fin AS (SELECT variable, time, lat, lon,
+                        plat AS basin_lat, plon AS basin_lon
+                 FROM wk WHERE h = 8)
+         SELECT f.variable, f.time, f.lat, f.lon, basin_lat, basin_lon,
+                (p.plat = f.basin_lat AND p.plon = f.basin_lon) AS at_outlet
+         FROM fin f JOIN par p
+           ON p.variable = f.variable AND p.time = f.time
+          AND p.lat = f.basin_lat AND p.lon = f.basin_lon
          ORDER BY 1, 2, 3, 4""",
     // the walk replayed as a bounded recursion over the SAME flow
     // relation (shared CTEs with r34): acyclic by construction, so
@@ -7452,6 +7500,21 @@ object SparkEntry {
          SELECT cn.u, cn.w, cn.common, nu.n + nw.n - cn.common AS denom
          FROM cn JOIN nb nu ON nu.item = cn.u JOIN nb nw ON nw.item = cn.w
          ORDER BY cn.common DESC, cn.u, cn.w LIMIT 20""",
+    // the same basket projection, lift-normalized: N from a subquery,
+    // milli-floored lift/confidence — a wrong N or count table reorders
+    // the top-k
+    "q74_basket_lift" ->
+      """WITH po AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+         nn AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n FROM po),
+         cn AS (SELECT a.item AS a, b.item AS b, CAST(count(*) AS BIGINT) AS c_ab
+                FROM po a JOIN po b ON a.basket = b.basket AND a.item < b.item
+                GROUP BY 1, 2 HAVING count(*) >= 2),
+         nb AS (SELECT item, CAST(count(*) AS BIGINT) AS c FROM po GROUP BY 1)
+         SELECT cn.a, cn.b, cn.c_ab, na.c AS c_a, nb2.c AS c_b,
+                ((SELECT n FROM nn) * cn.c_ab * 1000) // (na.c * nb2.c) AS lift_milli,
+                (cn.c_ab * 1000) // na.c AS conf_milli
+         FROM cn JOIN nb na ON na.item = cn.a JOIN nb nb2 ON nb2.item = cn.b
+         ORDER BY lift_milli DESC, cn.a, cn.b LIMIT 20""",
     // identical anchor arithmetic: day − row_number() is constant across
     // a consecutive run (each gap advances day by more than the row number)
     "q50_streaks" ->

@@ -396,6 +396,41 @@ object Graph {
       .limit(k)
   }
 
+  /** Q74: association rules over the SAME basket projection as
+    * [[itemPairsCF]] — support, confidence, and lift (Agrawal/Srikant
+    * Apriori semantics) in exact milli-units:
+    * lift = N·c_ab / (c_a·c_b), reported as
+    * `N·c_ab·1000 div (c_a·c_b)` (envelope: N·c_ab·1000 < 2⁶³ — c_ab
+    * is a pair count, orders of magnitude under N). Where g03 ranks
+    * pairs by raw co-occurrence, lift normalizes away item popularity —
+    * the two lists genuinely disagree, which is the point of the
+    * metric. Deterministic top-k by (lift desc, a, b).
+    *
+    * Scale shape: identical to g03's — one distinct pass, a per-basket
+    * pair expansion (bounded by basket size), two broadcast-sized count
+    * joins, TakeOrdered. The only driver value is N (one long).
+    */
+  def basketLift(baskets: DataFrame, k: Int, minBaskets: Long = 2L): DataFrame = {
+    val po = graft.Session.barrier(
+      baskets.select(col("basket"), col("item")).distinct())
+    val n = po.select(col("basket")).distinct().count()
+    val nb = po.groupBy(col("item")).agg(count(lit(1)).as("c"))
+    val pairs = po.as("a").join(po.as("b"),
+        col("a.basket") === col("b.basket") && col("a.item") < col("b.item"))
+      .select(col("a.item").as("a"), col("b.item").as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= minBaskets)
+    pairs
+      .join(nb.select(col("item").as("a"), col("c").as("c_a")), "a")
+      .join(nb.select(col("item").as("b"), col("c").as("c_b")), "b")
+      .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
+        expr(s"$n * c_ab * 1000 div (c_a * c_b)").as("lift_milli"),
+        expr("c_ab * 1000 div c_a").as("conf_milli"))
+      .orderBy(col("lift_milli").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
   /** Connected components by alternating large-star / small-star
     * contraction (Kiveris et al. 2014, "Connected Components in MapReduce
     * and Beyond") — the kernel that replaces [[minLabelComponents]] when

@@ -268,6 +268,61 @@ object Raster {
       .orderBy($"variable", $"time", $"lat", $"lon")
   }
 
+  /** R36: watershed basin labeling by POINTER JUMPING — every cell is
+    * labeled with its position after 2^rounds downstream steps (terminals
+    * absorb: parent(outlet) = outlet), so cells within 2^rounds hops of
+    * their outlet carry the basin outlet itself (`at_outlet` true) and
+    * deeper cells carry their 2^rounds-th ancestor — the honest bounded
+    * answer. Pointer doubling is THE distributed pattern for path
+    * contraction: rounds grow the reach exponentially (log(depth) joins,
+    * not depth joins), which is what makes basin labeling viable on a
+    * continent-sized DEM where a step-by-step walk would need thousands
+    * of rounds.
+    *
+    * Scale shape: the r34 pass (barriered), one absorption left join,
+    * then `rounds` self-joins of the (cell → pointer) relation, each
+    * barriered — every row is four keys + two coords, constant size
+    * per round.
+    */
+  def watershedBasins(grid: DataFrame, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, "watershedBasins: 1 <= rounds <= 20")
+    val fd = graft.Session.barrier(flowDirection(grid))
+    val dyC = when($"flow_code" === 1L || $"flow_code" === 16L, 0L)
+      .when($"flow_code" === 2L || $"flow_code" === 4L || $"flow_code" === 8L, -1L)
+      .otherwise(1L)
+    val dxC = when($"flow_code" === 4L || $"flow_code" === 64L, 0L)
+      .when($"flow_code" === 8L || $"flow_code" === 16L || $"flow_code" === 32L, -1L)
+      .otherwise(1L)
+    val cells = fd.select($"variable", $"time",
+      $"lat".as("plat"), $"lon".as("plon"), lit(1).as("in_grid"))
+    val parent0 = fd
+      .select($"variable", $"time", $"lat", $"lon",
+        when($"flow_code" > 0, $"lat" + dyC).otherwise($"lat").as("plat"),
+        when($"flow_code" > 0, $"lon" + dxC).otherwise($"lon").as("plon"))
+      .join(cells, Seq("variable", "time", "plat", "plon"), "left")
+      .select($"variable", $"time", $"lat", $"lon",
+        when($"in_grid".isNotNull, $"plat").otherwise($"lat").as("plat"),
+        when($"in_grid".isNotNull, $"plon").otherwise($"lon").as("plon"))
+    var ptr = graft.Session.barrier(parent0)
+    for (_ <- 1 to rounds) {
+      val hop = ptr.select($"variable", $"time",
+        $"lat".as("plat"), $"lon".as("plon"),
+        $"plat".as("gplat"), $"plon".as("gplon"))
+      ptr = graft.Session.barrier(
+        ptr.join(hop, Seq("variable", "time", "plat", "plon"))
+          .select($"variable", $"time", $"lat", $"lon",
+            $"gplat".as("plat"), $"gplon".as("plon")))
+    }
+    val term = parent0.select($"variable", $"time",
+      ($"plat" === $"lat" && $"plon" === $"lon").as("is_term"),
+      $"lat".as("plat"), $"lon".as("plon"))
+    ptr.join(term, Seq("variable", "time", "plat", "plon"))
+      .select($"variable", $"time", $"lat", $"lon",
+        $"plat".as("basin_lat"), $"plon".as("basin_lon"),
+        $"is_term".as("at_outlet"))
+      .orderBy($"variable", $"time", $"lat", $"lon")
+  }
+
   /** R11: regrid — block-mean downsampling by per-axis factors (the `cdo
     * remapcon` / `gdalwarp -tr` coarsening every reanalysis pipeline runs
     * when serving lower resolutions): each fine cell belongs to the

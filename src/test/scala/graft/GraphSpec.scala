@@ -480,4 +480,29 @@ class GraphSpec extends SparkSpec {
     mixed._7 shouldBe "assortative"
     mixed._5 should be > 0L
   }
+
+  test("basketLift: lift ranks a rare-but-correlated pair above a popular one") {
+    import spark.implicits._
+    // x,y co-occur whenever either appears (perfect association, rare);
+    // p,q are popular but only loosely associated
+    val baskets = Seq(
+      (1L, 100L), (1L, 200L),           // x=100, y=200 together
+      (2L, 100L), (2L, 200L),
+      (3L, 10L), (3L, 20L),             // p=10, q=20 together (3 times)
+      (4L, 10L), (4L, 20L),
+      (5L, 10L), (5L, 20L),
+      (6L, 10L), (7L, 20L)              // ...but each also appears alone
+    ).toDF("basket", "item")
+    val out = Graph.basketLift(baskets, k = 10, minBaskets = 2L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // N = 7 baskets; x,y: c=2 each, together 2 -> lift = 7·2/4 = 3.5
+    out((100L, 200L)) shouldBe ((2L, 2L, 2L, 3500L, 1000L))
+    // p,q: c=4 each, together 3 -> lift = 7·3/16 = 1.3125 -> 1312 milli
+    out((10L, 20L)) shouldBe ((3L, 4L, 4L, 1312L, 750L))
+    // the lift order INVERTS the raw co-occurrence order — the metric's point
+    val ranked = Graph.basketLift(baskets, k = 10, minBaskets = 2L)
+      .select($"a", $"b").as[(Long, Long)].collect().toSeq
+    ranked.indexOf((100L, 200L)) should be < ranked.indexOf((10L, 20L))
+  }
 }

@@ -787,4 +787,17 @@ class PlanGuardSpec extends SparkSpec {
     p should not include "CartesianProduct"
     p should not include "BroadcastNestedLoopJoin"
   }
+
+  test("r36_watershed: pointer-jump rounds are equi-joins — no cartesian, no BNLJ") {
+    val p = planOf("r36_watershed")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("q74_basket_lift: pair expansion + count joins only, partial top-k emit") {
+    val p = planOf("q74_basket_lift")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    p should include("TakeOrderedAndProject")
+  }
 }

@@ -466,4 +466,25 @@ class RasterSpec extends SparkSpec {
     for (c <- 1 to 6) one(c.toDouble) shouldBe 2L
     one(7.0) shouldBe 1L
   }
+
+  test("watershedBasins: pointer jumping = the 2^rounds absorbed walk") {
+    // 3x15 westward ramp: the interior row is one west-flowing chain of
+    // depth 12 — col 1 is the terminal (its west target is off-interior,
+    // so it absorbs); 3 doubling rounds reach exactly 8 steps
+    val rows = for { lat <- Seq(0.0, 1.0, 2.0); lon <- (0 to 14).map(_.toDouble) }
+      yield ("v", "2024-01-01 00:00:00", lat, lon, lon)
+    val g = rows.toDF("variable", "time", "lat", "lon", "value")
+      .withColumn("time", $"time".cast("timestamp_ntz"))
+    val out = Raster.watershedBasins(g, rounds = 3).collect()
+      .map(r => r.getDouble(3) -> ((r.getDouble(5), r.getBoolean(6)))).toMap
+    out.keySet shouldBe (1 to 13).map(_.toDouble).toSet
+    for (c <- 1 to 13) {
+      val expBasin = math.max(c - 8, 1).toDouble
+      out(c.toDouble) shouldBe ((expBasin, expBasin == 1.0))
+    }
+    // one more doubling round (16 steps) drains the whole chain
+    val all = Raster.watershedBasins(g, rounds = 4).collect()
+      .map(r => r.getDouble(3) -> ((r.getDouble(5), r.getBoolean(6)))).toMap
+    for (c <- 1 to 13) all(c.toDouble) shouldBe ((1.0, true))
+  }
 }
