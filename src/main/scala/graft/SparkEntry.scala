@@ -1459,6 +1459,10 @@ object SparkEntry {
     // BIGINT gx/gy/slope_sq, full-window interior cells only
     "r33_horn_slope" -> ((s, d) =>
       Raster.hornGradient(Raster.demoGridSum(t(s, d)("lineitem")))),
+    // gdaldem TRI/TPI/roughness in one explode-to-9 pass: pure BIGINT,
+    // full-window cells only (the Horn discipline)
+    "r37_ruggedness" -> ((s, d) =>
+      Raster.ruggedness(Raster.demoGridSum(t(s, d)("lineitem")))),
     // D8 flow direction: steepest-descent argmax over the 8-stencil,
     // diagonal distance exact via 2·drop_s² vs drop_d² cross-multiply,
     // ESRI power-of-two codes, pits emit 0
@@ -1739,6 +1743,10 @@ object SparkEntry {
     // Laplacian-variance blur scoring over the REAL decoded PNG raster —
     // the focus measure of image curation: var·n² in exact BIGINTs,
     // milli-floored, banded at the curation threshold
+    // Sobel gradient edge map over real PNG decode: exact integer
+    // g² = gx²+gy², wrap-seam edges, density band — the m24 sibling
+    "m27_sobel_edges" -> ((s, d) =>
+      Multimodal.sobelEdges(t(s, d)("documents"))),
     "m24_blur_detect" -> ((s, d) =>
       Multimodal.blurDetect(t(s, d)("documents"))),
     // image perceptual hash (aHash) over the REAL decoded PNG raster —
@@ -2355,6 +2363,14 @@ object SparkEntry {
     // in BIGINTs, band = cross-multiplied G >= 0.5 verdict
     "q73_gini" -> ((s, d) =>
       operators.Core.giniConcentration(t(s, d)("orders"))),
+    // per-brand Pareto frontier: the quadratic NOT-EXISTS skyline
+    // replaced by dedup + ONE running-max window over the 2-D sort
+    "q75_skyline" -> ((s, d) =>
+      operators.Core.skylineFrontier(t(s, d)("part"))),
+    // exact time-decayed leaderboard: cents >> min(age_weeks, 40)
+    // (halving per week), one supplier fold + map-side top-k heaps
+    "q76_decay_topk" -> ((s, d) =>
+      operators.Core.decayTopk(t(s, d)("lineitem"))),
     // classical audio features over real WAV decode: ZCR, energy,
     // abs-sum, peak — all exact integers
     "m26_audio_features" -> ((s, d) =>
@@ -2784,6 +2800,13 @@ object SparkEntry {
     "g04_triangles_exact" -> ((s, d) =>
       operators.Graph.triangleCensus(
         operators.Graph.coPurchaseEdges(t(s, d)("lineitem")))),
+    // per-node Watts-Strogatz clustering coefficient on g02's sampled
+    // co-purchase graph: the census's oriented wedge join, triangles
+    // exploded to their 3 members, one node-keyed fold
+    "g17_clustering" -> ((s, d) =>
+      operators.Graph.localClustering(
+        operators.Graph.coPurchaseEdges(
+          t(s, d)("lineitem").where($"l_partkey" % 4 === 0)))),
     // connected components by alternating large-star/small-star
     // contraction (O(log n) shuffle rounds on ANY diameter) over the
     // md5-gated doc-id chain graph — segments hundreds of hops long,
@@ -4225,6 +4248,28 @@ object SparkEntry {
                           WHEN gx < 0 AND gy >= 0 THEN 2
                           WHEN gx < 0 THEN 3 ELSE 4 END AS BIGINT) AS quadrant
          FROM a ORDER BY 1, 2, 3, 4""",
+    // TRI via the one-aggregate identity Σ(v−c)² = ssq − 2cs + 9c² —
+    // a wrong center flag or a partial window shifts every column
+    "r37_ruggedness" ->
+      s"""WITH ${operators.Raster.demoGridSumSql},
+         cx AS (SELECT variable, time, lat + dy AS lat, lon + dx AS lon,
+                       CAST(value AS BIGINT) AS v,
+                       (dy = 0 AND dx = 0) AS ctr
+                FROM gridsum
+                CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS dy) t1
+                CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS dx) t2),
+         ax AS (SELECT variable, time, lat, lon,
+                       CAST(sum(v) AS BIGINT) AS s,
+                       CAST(sum(v * v) AS BIGINT) AS ssq,
+                       CAST(min(v) AS BIGINT) AS vmin,
+                       CAST(max(v) AS BIGINT) AS vmax,
+                       CAST(max(CASE WHEN ctr THEN v END) AS BIGINT) AS c
+                FROM cx GROUP BY 1, 2, 3, 4 HAVING count(*) = 9)
+         SELECT variable, time, lat, lon, c AS center,
+                ssq - 2 * c * s + 9 * c * c AS tri_sq,
+                9 * c - s AS tpi_num,
+                vmax - vmin AS roughness
+         FROM ax ORDER BY 1, 2, 3, 4""",
     // the argmax replayed as a window rank: key DESC, code ASC over the
     // positive drops — a wrong weight, code table, or tie-break picks a
     // different neighbour and mismatches flow_code/steepest_drop
@@ -4761,6 +4806,32 @@ object SparkEntry {
                 CASE WHEN (s - n * sum_x) * 2 >= n * sum_x
                      THEN 'concentrated' ELSE 'dispersed' END AS band
          FROM a ORDER BY grp""",
+    // the textbook quadratic form the engine's window replaces: a point
+    // survives iff NO brand-mate weakly improves both dims strictly one
+    "q75_skyline" ->
+      """WITH pts AS (SELECT p_brand AS brand,
+                             CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                               AS price_cents,
+                             CAST(p_size AS BIGINT) AS psize,
+                             CAST(count(*) AS BIGINT) AS n_parts
+                      FROM part GROUP BY 1, 2, 3)
+         SELECT brand, price_cents, psize, n_parts FROM pts a
+         WHERE NOT EXISTS (
+           SELECT 1 FROM pts b WHERE b.brand = a.brand
+             AND b.price_cents <= a.price_cents AND b.psize >= a.psize
+             AND (b.price_cents < a.price_cents OR b.psize > a.psize))
+         ORDER BY 1, 2""",
+    // the halving-per-week decay replayed with the same clamp: >> is
+    // floor division by 2^w in both engines, exact at any order
+    "q76_decay_topk" ->
+      """SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_items,
+                CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS raw_cents,
+                CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  >> least(date_diff('day', CAST(l_shipdate AS DATE),
+                                     DATE '2001-12-01') // 7, 40))
+                  AS BIGINT) AS score
+         FROM lineitem GROUP BY 1 ORDER BY score DESC, l_suppkey LIMIT 25""",
     // the ZCR convention replayed with a lag window over the
     // closed-form samples: sign(0) = +1, crossings between consecutive
     // samples only — a sign or boundary slip shifts zcr
@@ -5691,6 +5762,39 @@ object SparkEntry {
     // the 4-neighbour Laplacian replayed on the closed-form pixel
     // lattice: wrap positions of the mod-256 plane are the only nonzero
     // responses, so a decode bug ANYWHERE shifts n/s/s2 and the hash
+    // both Sobel kernels replayed over the closed-form lattice: the
+    // threshold sits above the plane's constant g² = 13952, so n_edges
+    // counts exactly the mod-256 wrap seams
+    "m27_sobel_edges" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (3 * doc_id) % 16 AS h
+                    FROM documents WHERE doc_id % 3 = 0),
+         px AS (SELECT doc_id, w, h, unnest(generate_series(1, w - 2)) AS x FROM d),
+         pxy AS (SELECT doc_id, w, h, x, unnest(generate_series(1, h - 2)) AS y FROM px),
+         g AS (SELECT doc_id, w, h,
+                 ((7*(x+1) + 13*(y-1) + doc_id) % 256
+                  + 2 * ((7*(x+1) + 13*y + doc_id) % 256)
+                  + (7*(x+1) + 13*(y+1) + doc_id) % 256)
+                 - ((7*(x-1) + 13*(y-1) + doc_id) % 256
+                    + 2 * ((7*(x-1) + 13*y + doc_id) % 256)
+                    + (7*(x-1) + 13*(y+1) + doc_id) % 256) AS gx,
+                 ((7*(x-1) + 13*(y+1) + doc_id) % 256
+                  + 2 * ((7*x + 13*(y+1) + doc_id) % 256)
+                  + (7*(x+1) + 13*(y+1) + doc_id) % 256)
+                 - ((7*(x-1) + 13*(y-1) + doc_id) % 256
+                    + 2 * ((7*x + 13*(y-1) + doc_id) % 256)
+                    + (7*(x+1) + 13*(y-1) + doc_id) % 256) AS gy
+               FROM pxy),
+         a AS (SELECT doc_id, CAST(max(w) AS BIGINT) AS width,
+                      CAST(max(h) AS BIGINT) AS height,
+                      CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(CASE WHEN gx*gx + gy*gy >= 20000 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_edges,
+                      CAST(sum(gx*gx + gy*gy) AS BIGINT) AS energy
+               FROM g GROUP BY doc_id)
+         SELECT doc_id, width, height, n AS n_interior, n_edges, energy,
+                (1000 * n_edges) // n AS density_milli,
+                CASE WHEN (1000 * n_edges) // n >= 250 THEN 'busy' ELSE 'clean' END AS band
+         FROM a ORDER BY doc_id""",
     "m24_blur_detect" ->
       """WITH d AS (SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (3 * doc_id) % 16 AS h
                     FROM documents WHERE doc_id % 3 = 0),
@@ -7364,6 +7468,31 @@ object SparkEntry {
                 (SELECT CAST(n_triangles AS BIGINT) FROM tri)    AS n_triangles,
                 (SELECT CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) FROM deg)
                   AS n_wedges""",
+    // g02's wedge-join CTEs, triangles fanned to their 3 member nodes:
+    // a wrong orientation or a double-counted wedge shifts some node's
+    // tri and breaks its lcc_milli
+    "g17_clustering" ->
+      """WITH po AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+                     WHERE l_partkey % 4 = 0),
+         und AS (SELECT DISTINCT a.p AS u, b.p AS v
+                 FROM po a JOIN po b ON a.ok = b.ok AND a.p < b.p),
+         deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM
+                   (SELECT u AS n FROM und UNION ALL SELECT v FROM und)
+                 GROUP BY 1),
+         o AS (SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+                           THEN u ELSE v END AS src,
+                      CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+                           THEN v ELSE u END AS dst
+               FROM und JOIN deg du ON du.n = u JOIN deg dv ON dv.n = v),
+         tri3 AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+                  FROM o e1 JOIN o e2 ON e1.dst = e2.src
+                            JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+         pn AS (SELECT n, CAST(count(*) AS BIGINT) AS tri FROM
+                  (SELECT a AS n FROM tri3 UNION ALL SELECT b FROM tri3
+                   UNION ALL SELECT c FROM tri3) GROUP BY 1)
+         SELECT deg.n AS node, deg.deg, coalesce(pn.tri, 0) AS tri,
+                (2000 * coalesce(pn.tri, 0)) // (deg.deg * (deg.deg - 1)) AS lcc_milli
+         FROM deg LEFT JOIN pn USING (n) WHERE deg.deg >= 2 ORDER BY 1""",
     // g02's census SQL without the node-sample filter: the exact anchor
     "g04_triangles_exact" ->
       """WITH po AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),

@@ -568,6 +568,68 @@ object Core {
       .orderBy($"grp")
   }
 
+  /** Q75: skyline / Pareto frontier (Börzsönyi et al., ICDE'01) — per
+    * brand, the parts no other part strictly dominates on (price ↓,
+    * size ↑): the multi-objective shortlist query every catalog/
+    * candidate-selection pipeline runs. The textbook form is the
+    * quadratic NOT EXISTS self-join (the oracle's form); the engine
+    * exploits the 2-D total order instead: after collapsing duplicate
+    * (price, size) points, sort each brand by (price asc, size desc) —
+    * a point is dominated iff some EARLIER point has size ≥ its own
+    * (earlier ⇒ price ≤, with the price-tie case strict on size by the
+    * dedup), so one running `max(size)` window replaces the O(n²)
+    * pair scan. O(n log n), one window sort per brand partition.
+    *
+    * Scale shape: a groupBy dedup + ONE partitioned window — no join
+    * at any size; brands partition the sort, so 100 TB of parts is 25
+    * independent sorted streams, and the dedup's partial aggregation
+    * collapses the (brand, price, size) value domain map-side.
+    */
+  def skylineFrontier(part: DataFrame): DataFrame = {
+    val pts = part.select($"p_brand".as("brand"),
+        ($"p_retailprice".cast("decimal(18,2)") * 100).cast("long")
+          .as("price_cents"),
+        $"p_size".cast("long").as("psize"))
+      .groupBy($"brand", $"price_cents", $"psize")
+      .agg(count(lit(1)).as("n_parts"))
+    val w = Window.partitionBy($"brand")
+      .orderBy($"price_cents".asc, $"psize".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pts.withColumn("prev_max", max($"psize").over(w))
+      .where($"prev_max".isNull || $"prev_max" < $"psize")
+      .select($"brand", $"price_cents", $"psize", $"n_parts")
+      .orderBy($"brand", $"price_cents")
+  }
+
+  /** Q76: time-decayed top-k leaderboard — the trending/freshness
+    * ranking every feed and hot-key monitor runs, with the decay kept
+    * EXACT: score = Σ cents ≫ min(age_weeks, 40), i.e. revenue halves
+    * per week of age (shift = floor-division by 2^w, deterministic in
+    * any engine; the float e^−λt form is not). The clamp at 40 keeps
+    * both engines' shift semantics in range (Java wraps shifts ≥ 64)
+    * and is semantically free — cents < 2⁴⁰ shifted by 40 is already 0.
+    * Age is anchored at 2001-12-01, the month after the fixture's last
+    * shipdate (2001-11-04 at every SF), so ages are nonnegative and the
+    * gate is reproducible.
+    *
+    * Scale shape: one partial-aggregating groupBy on the supplier key,
+    * then a global top-k via TakeOrdered (map-side per-partition heaps,
+    * k rows to the driver — never a full sort); ties broken by key.
+    */
+  def decayTopk(lineitem: DataFrame, k: Int = 25): DataFrame = {
+    lineitem.select($"l_suppkey",
+        ($"l_extendedprice".cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"),
+        least(expr("datediff(date'2001-12-01', l_shipdate) div 7"), lit(40))
+          .cast("int").as("age_w"))
+      .select($"l_suppkey", $"cents", expr("shiftright(cents, age_w)").as("decayed"))
+      .groupBy($"l_suppkey")
+      .agg(count(lit(1)).as("n_items"), sum($"cents").as("raw_cents"),
+        sum($"decayed").as("score"))
+      .orderBy($"score".desc, $"l_suppkey".asc)
+      .limit(k)
+  }
+
   /** X15: MERGEABLE column statistics — the maintenance half of
     * [[analyzeStats]]. At 100 TB nobody re-ANALYZEs the table; each
     * partition (here: `source`) keeps a summary and the table-level row

@@ -228,6 +228,53 @@ object Graph {
     nNodes.crossJoin(nEdges).crossJoin(nTri).crossJoin(nWedges)
   }
 
+  /** G17: LOCAL clustering coefficient per node (Watts–Strogatz 1998)
+    * — the per-node refinement of [[triangleCensus]]'s global ratio,
+    * the standard community-tightness feature for node classification
+    * and spam/bot detection: lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)),
+    * reported as the exact pair (tri, deg) plus the milli-floored
+    * ratio so every row hash-compares.
+    *
+    * Same degree-oriented wedge join as the census (O(m^1.5) bound,
+    * hubs point INTO, never a Σdeg² fanout) — but instead of counting
+    * triangles once, each (a,b,c) triangle explodes to its THREE
+    * member nodes (a ×3 map-side multiply) and one node-keyed fold
+    * counts per-node incidences; left-join back onto the deg ≥ 2
+    * node set so triangle-free nodes report 0, not absence.
+    */
+  def localClustering(undRaw: DataFrame): DataFrame = {
+    val und = graft.Session.barrier(undRaw)
+    val deg = und.select(col("u").as("n"))
+      .unionByName(und.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
+    val oriented = graft.Session.barrier(withDeg.select(
+      when(col("du") < col("dv") ||
+           (col("du") === col("dv") && col("u") < col("v")), col("u"))
+        .otherwise(col("v")).as("src"),
+      when(col("du") < col("dv") ||
+           (col("du") === col("dv") && col("u") < col("v")), col("v"))
+        .otherwise(col("u")).as("dst")))
+    val triangles = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.dst") === col("e2.src"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"),
+        col("e2.dst").as("c"))
+      .join(oriented.as("e3"),
+        col("a") === col("e3.src") && col("c") === col("e3.dst"))
+      .select(col("a"), col("b"), col("c"))
+    val perNode = triangles
+      .select(explode(array(col("a"), col("b"), col("c"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("tri"))
+    deg.where(col("deg") >= 2)
+      .join(perNode, Seq("n"), "left")
+      .select(col("n").as("node"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"))
+      .withColumn("lcc_milli", expr("(2000 * tri) div (deg * (deg - 1))"))
+      .orderBy(col("node"))
+  }
+
   /** Iterative min-label propagation to convergence — the shared
     * connected-components kernel of d07/d15 (near-dup clusters) and e04
     * (entity resolution). `edges` is an undirected edge list carried in

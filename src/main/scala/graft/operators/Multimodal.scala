@@ -591,6 +591,63 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** M27: Sobel edge map over the REAL decoded PNG raster — the
+    * gradient-magnitude edge detector (Sobel–Feldman 1968) image
+    * curation runs for detail/texture scoring, as m24's Laplacian is
+    * run for focus. At every interior pixel the two 3×3 kernels
+    *
+    *   gx = [p↗+2p→+p↘] − [p↖+2p←+p↙]   gy = [p↙+2p↓+p↘] − [p↖+2p↑+p↗]
+    *
+    * give the exact integer gradient; `g² = gx² + gy²` is the squared
+    * magnitude (the sqrt is presentation), a pixel is an EDGE when
+    * g² ≥ `edgeThreshSq`, and `density_milli = 1000·edges div interior`
+    * is the curation signal with its band. On the closed-form lattice
+    * (value = (7x+13y+id) mod 256) the threshold sits above the plane's
+    * constant gradient (gx=56, gy=104 ⇒ g²=13952), so what the detector
+    * finds are the mod-256 WRAP SEAMS — real discontinuities, image-
+    * dependent, not a constant answer.
+    *
+    * Scale shape: [[imagePhash]]'s — mapPartitions byte decode + a
+    * per-image O(w·h) integer kernel, no shuffle before the
+    * presentation sort; rides the same decode pass as m06/m24/m25.
+    */
+  def sobelEdges(documents: DataFrame, edgeThreshSq: Long = 20000L,
+                 busyMilli: Long = 250L): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .filter((id: Long) => id % 3 == 0) // the PNG third of the fixture
+      .mapPartitions { it =>
+        it.map { id =>
+          val (w, h, img) = graft.sources.AssetCodecs.decodePngImage(assetFor(id))
+          def p(y: Int, x: Int): Long = (img(y)(x) & 0xff).toLong
+          var n = 0L; var edges = 0L; var energy = 0L
+          var y = 1
+          while (y < h - 1) {
+            var x = 1
+            while (x < w - 1) {
+              val gx = (p(y - 1, x + 1) + 2 * p(y, x + 1) + p(y + 1, x + 1)) -
+                (p(y - 1, x - 1) + 2 * p(y, x - 1) + p(y + 1, x - 1))
+              val gy = (p(y + 1, x - 1) + 2 * p(y + 1, x) + p(y + 1, x + 1)) -
+                (p(y - 1, x - 1) + 2 * p(y - 1, x) + p(y - 1, x + 1))
+              val g2 = gx * gx + gy * gy
+              n += 1; energy += g2
+              if (g2 >= edgeThreshSq) edges += 1
+              x += 1
+            }
+            y += 1
+          }
+          (id, w.toLong, h.toLong, n, edges, energy,
+            Math.floorDiv(1000L * edges, n))
+        }
+      }
+      .toDF("doc_id", "width", "height", "n_interior", "n_edges",
+        "energy", "density_milli")
+      .withColumn("band",
+        when(col("density_milli") >= busyMilli, "busy").otherwise("clean"))
+      .orderBy(col("doc_id"))
+  }
+
   /** M26: classical audio features over the REAL decoded WAV PCM —
     * zero-crossing count (the cheap voiced/unvoiced and music/speech
     * discriminator every audio-curation pass computes first), total

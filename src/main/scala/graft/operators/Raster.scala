@@ -149,6 +149,51 @@ object Raster {
       .orderBy(keys: _*)
   }
 
+  /** R37: terrain ruggedness battery — the remaining three `gdaldem`
+    * single-window products (TRI, TPI, roughness; Riley et al. 1999,
+    * Wilson & Gallant 2000) the reference family reaches through
+    * gdaldem on its exported GeoTIFFs, in ONE pass over the same
+    * explode-to-9 contribution relation as [[hornGradient]]:
+    *
+    *   - `tri_sq`   = Σ_{n∈8-nbrs} (z_n − z_c)²   (TRI, squared form —
+    *     the sqrt is presentation, the sum is the signal)
+    *   - `tpi_num`  = 9·z_c − Σ_{9-window} z      (TPI numerator ×8:
+    *     z_c − mean(8 nbrs) = (9·z_c − Σ_window)/8, kept integral)
+    *   - `roughness` = max − min over the 3×3 window
+    *
+    * The algebra that keeps it one aggregate: Σ(z_n − z_c)² over the 8
+    * neighbours equals Σ_{window}(z − z_c)² (the center term is 0) =
+    * ssq − 2·z_c·s + 9·z_c², so per-target SUM/SUM-of-squares/MIN/MAX
+    * plus the flagged center value suffice — no second join to fetch
+    * z_c. All BIGINT on the integer-valued grid twin; full-window
+    * cells only (Horn's discipline — a partial-window TRI would invent
+    * terrain).
+    *
+    * Scale shape: identical to [[focalMean]]/[[hornGradient]] — a ×9
+    * codegen'd map-side multiply and ONE cell-keyed partial-aggregating
+    * shuffle; never per-offset self-joins, never a collect.
+    */
+  def ruggedness(grid: DataFrame): DataFrame = {
+    val keys = Seq($"variable", $"time", $"lat", $"lon")
+    val contrib = grid
+      .withColumn("dy", explode(sequence(lit(-1), lit(1))))
+      .withColumn("dx", explode(sequence(lit(-1), lit(1))))
+      .select($"variable", $"time",
+        ($"lat" + $"dy").as("lat"), ($"lon" + $"dx").as("lon"),
+        $"value".cast("long").as("v"),
+        ($"dy" === 0 && $"dx" === 0).as("ctr"))
+    contrib.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_nbrs"), sum($"v").as("s"),
+        sum($"v" * $"v").as("ssq"), min($"v").as("vmin"),
+        max($"v").as("vmax"), max(when($"ctr", $"v")).as("c"))
+      .where($"n_nbrs" === 9)
+      .select($"variable", $"time", $"lat", $"lon", $"c".as("center"),
+        ($"ssq" - lit(2L) * $"c" * $"s" + lit(9L) * $"c" * $"c").as("tri_sq"),
+        (lit(9L) * $"c" - $"s").as("tpi_num"),
+        ($"vmax" - $"vmin").as("roughness"))
+      .orderBy(keys: _*)
+  }
+
   /** R34: D8 flow direction (O'Callaghan & Mark 1984; `gdaldem`/
     * ArcGIS FlowDirection, the hydrology kernel every DEM pipeline
     * runs before watershed delineation): each full-window cell routes

@@ -318,4 +318,58 @@ class CoreSpec extends SparkSpec {
       r.getLong(3) should be < r.getLong(4)
     }
   }
+
+  test("skylineFrontier: strict dominance — price ties, duplicates, incomparables") {
+    import spark.implicits._
+    val parts = Seq(
+      ("X", 1.00, 5), // frontier (nothing weakly better on both dims)
+      ("X", 1.00, 3), // dominated by (100, 5): price tie, strictly smaller
+      ("X", 1.50, 5), // dominated by (100, 5): same size, higher price
+      ("X", 0.80, 2), // incomparable to (100, 5): cheaper but smaller
+      ("X", 1.00, 5), // duplicate point — collapses, not self-dominated
+      ("Y", 2.00, 7)  // singleton brand is its own frontier
+    ).toDF("p_brand", "p_retailprice", "p_size")
+    val out = Core.skylineFrontier(parts).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    out.toSeq shouldBe Seq(
+      ("X", 80L, 2L, 1L), ("X", 100L, 5L, 2L), ("Y", 200L, 7L, 1L))
+    // frontier law on the real table: no surviving point dominates another
+    val real = Core.skylineFrontier(table("part")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    real should not be empty
+    for {
+      Seq((b1, p1, s1), (b2, p2, s2)) <- real.toSeq.combinations(2)
+      if b1 == b2
+    } {
+      val dom12 = p1 <= p2 && s1 >= s2 && (p1 < p2 || s1 > s2)
+      val dom21 = p2 <= p1 && s2 >= s1 && (p2 < p1 || s2 > s1)
+      withClue(s"($b1,$p1,$s1) vs ($b2,$p2,$s2): ") {
+        dom12 shouldBe false; dom21 shouldBe false
+      }
+    }
+  }
+
+  test("decayTopk: halving per week, exact shifts, the 40-week clamp zeroes history") {
+    import spark.implicits._
+    val li = Seq(
+      (1L, 10.00, "2001-12-01"), // age 0 weeks  -> full 1000 cents
+      (2L, 10.00, "2001-11-21"), // age 10d -> 1 week -> 1000 >> 1 = 500
+      (2L, 10.01, "2001-11-17"), // age 14d -> 2 weeks -> 1001 >> 2 = 250
+      (3L, 10000.00, "1995-01-01") // ancient: clamp 40 -> 1000000 >> 40 = 0
+    ).toDF("l_suppkey", "l_extendedprice", "l_shipdate")
+      .withColumn("l_shipdate", $"l_shipdate".cast("timestamp"))
+    val out = Core.decayTopk(li, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    out.toSeq shouldBe Seq(
+      (1L, 1L, 1000L, 1000L),
+      (2L, 2L, 2001L, 750L),
+      (3L, 1L, 1000000L, 0L))
+    // decay law on the real table: score never exceeds raw revenue
+    val real = Core.decayTopk(table("lineitem")).collect()
+    real should not be empty
+    real.foreach { r =>
+      r.getLong(3) should be <= r.getLong(2)
+      r.getLong(3) should be >= 0L
+    }
+  }
 }

@@ -505,4 +505,30 @@ class GraphSpec extends SparkSpec {
       .select($"a", $"b").as[(Long, Long)].collect().toSeq
     ranked.indexOf((100L, 200L)) should be < ranked.indexOf((10L, 20L))
   }
+
+  test("localClustering: triangle + pendant, then two triangles sharing an edge") {
+    // K3 {1,2,3} plus pendant 3-4: node 4 (deg 1) is excluded, nodes
+    // 1/2 close their only wedge (lcc 1000), node 3 closes 1 of 3
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val out = Graph.localClustering(tri).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    out.keySet shouldBe Set(1L, 2L, 3L)
+    out(1L) shouldBe ((2L, 1L, 1000L))
+    out(2L) shouldBe ((2L, 1L, 1000L))
+    out(3L) shouldBe ((3L, 1L, 333L))
+    // K4 minus (1,4): triangles (1,2,3) and (2,3,4) — shared-edge nodes
+    // 2/3 carry tri=2 over 3 wedges, outer nodes 1/4 are fully clustered
+    val bow = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("u", "v")
+    val out2 = Graph.localClustering(bow).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    out2(1L) shouldBe ((2L, 1L, 1000L))
+    out2(4L) shouldBe ((2L, 1L, 1000L))
+    out2(2L) shouldBe ((3L, 2L, 666L))
+    out2(3L) shouldBe ((3L, 2L, 666L))
+    // triangle-free star: every wedge open, lcc exactly 0 (rows, not absence)
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("u", "v")
+    val out3 = Graph.localClustering(star).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    out3 shouldBe Map(0L -> 0L)
+  }
 }

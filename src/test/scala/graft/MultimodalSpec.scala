@@ -358,6 +358,38 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("sobelEdges: both kernels recompute from the lattice; edges are the wrap seams") {
+    val out = Multimodal.sobelEdges(table("documents")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getString(7)))).toMap
+    out should not be empty
+    for ((id, (w, h, n, edges, energy, density, band)) <- out) {
+      val wi = (8 + id % 24).toInt; val hi = (8 + (3 * id) % 16).toInt
+      def p(y: Int, x: Int): Long = (7L * x + 13L * y + id) % 256
+      var en = 0L; var ec = 0L; var nn = 0L
+      for (y <- 1 until hi - 1; x <- 1 until wi - 1) {
+        val gx = (p(y - 1, x + 1) + 2 * p(y, x + 1) + p(y + 1, x + 1)) -
+          (p(y - 1, x - 1) + 2 * p(y, x - 1) + p(y + 1, x - 1))
+        val gy = (p(y + 1, x - 1) + 2 * p(y + 1, x) + p(y + 1, x + 1)) -
+          (p(y - 1, x - 1) + 2 * p(y - 1, x) + p(y - 1, x + 1))
+        val g2 = gx * gx + gy * gy
+        nn += 1; en += g2; if (g2 >= 20000) ec += 1
+        // lattice law: the plane's constant gradient is g² = 13952 and
+        // any wrap displaces gx/gy by ±256 per term — g² never drops
+        // below the plane value, so the threshold separates seams exactly
+        g2 should be >= 13952L
+        (g2 >= 20000) shouldBe (g2 != 13952L)
+      }
+      (w, h, n) shouldBe ((wi.toLong, hi.toLong, nn))
+      edges shouldBe ec
+      energy shouldBe en
+      density shouldBe 1000L * ec / nn
+      band shouldBe (if (density >= 250) "busy" else "clean")
+    }
+    // at least one image on each side of the band at the fixture sizes
+    out.values.map(_._7).toSet shouldBe Set("busy", "clean")
+  }
+
   test("histEqualize: CDF remap recomputes from the lattice; range stretches to [0, 255]") {
     val out = Multimodal.histEqualize(table("documents")).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),

@@ -800,4 +800,39 @@ class PlanGuardSpec extends SparkSpec {
     p should not include "BroadcastNestedLoopJoin"
     p should include("TakeOrderedAndProject")
   }
+
+  test("q75_skyline: the NOT-EXISTS quadratic replaced by dedup + ONE window — no join") {
+    val p = planOf("q75_skyline")
+    p should not include "Join"
+    p should include("Window")
+    // dedup fold + brand-partitioned window sort: two hash exchanges max
+    hashExchanges(p) should be <= 2
+  }
+
+  test("q76_decay_topk: one supplier fold, global top-k via map-side heaps") {
+    val p = planOf("q76_decay_topk")
+    p should not include "Join"
+    p should include("TakeOrderedAndProject")
+    hashExchanges(p) shouldBe 1
+  }
+
+  test("r37_ruggedness: explode-to-9 + ONE cell-keyed fold, no per-offset self-joins") {
+    val p = planOf("r37_ruggedness")
+    p should not include "Join"
+    p should include("Generate")
+    // grid twin build + the single cell fold
+    hashExchanges(p) shouldBe 2
+  }
+
+  test("m27_sobel_edges: decode + kernel stay in the row — no join, no hash shuffle") {
+    val p = planOf("m27_sobel_edges")
+    p should not include "Join"
+    p should not include "hashpartitioning"
+  }
+
+  test("g17_clustering: wedge join is equi-keyed — no cartesian, no BNLJ") {
+    val p = planOf("g17_clustering")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
 }

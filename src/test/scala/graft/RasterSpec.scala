@@ -411,6 +411,36 @@ class RasterSpec extends SparkSpec {
     rn.getLong(7) shouldBe 3L
   }
 
+  test("ruggedness: ramp TRI/TPI/roughness exact; constant terrain scores zero") {
+    // full 3x3 lattice, ramp value = 10*lat + lon: neighbour offsets
+    // from the center (11) are {-11,-10,-9,-1,1,9,10,11} ->
+    // TRI_sq = 606; a linear ramp's center equals its window mean ->
+    // TPI numerator exactly 0; roughness = 22 - 0
+    val rows = for { lat <- Seq(0.0, 1.0, 2.0); lon <- Seq(0.0, 1.0, 2.0) }
+      yield ("v", "2024-01-01 00:00:00", lat, lon, 10 * lat + lon)
+    val g = rows.toDF("variable", "time", "lat", "lon", "value")
+      .withColumn("time", $"time".cast("timestamp_ntz"))
+    val out = Raster.ruggedness(g).collect()
+    out.length shouldBe 1 // only the interior cell has the full window
+    val r = out.head
+    (r.getDouble(2), r.getDouble(3)) shouldBe ((1.0, 1.0))
+    r.getLong(4) shouldBe 11L  // center
+    r.getLong(5) shouldBe 606L // tri_sq
+    r.getLong(6) shouldBe 0L   // tpi_num: ramp center IS the window mean
+    r.getLong(7) shouldBe 22L  // roughness = max - min
+    // constant terrain: every ruggedness measure is exactly zero
+    val flat = rows.map(t => (t._1, t._2, t._3, t._4, 7.0))
+      .toDF("variable", "time", "lat", "lon", "value")
+      .withColumn("time", $"time".cast("timestamp_ntz"))
+    val rf = Raster.ruggedness(flat).collect().head
+    (rf.getLong(5), rf.getLong(6), rf.getLong(7)) shouldBe ((0L, 0L, 0L))
+    // a hole anywhere breaks the only full window -> silent, not a guess
+    val holed = rows.filterNot(t => t._3 == 0.0 && t._4 == 0.0)
+      .toDF("variable", "time", "lat", "lon", "value")
+      .withColumn("time", $"time".cast("timestamp_ntz"))
+    Raster.ruggedness(holed).count() shouldBe 0L
+  }
+
   test("flowDirection: D8 argmax with exact diagonal cross-multiply and min-code ties") {
     def gridOf(vals: Map[(Double, Double), Double]) = {
       val rows = for { lat <- Seq(-1.0, 0.0, 1.0); lon <- Seq(-1.0, 0.0, 1.0) }
