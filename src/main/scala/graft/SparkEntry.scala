@@ -2371,6 +2371,53 @@ object SparkEntry {
     // (halving per week), one supplier fold + map-side top-k heaps
     "q76_decay_topk" -> ((s, d) =>
       operators.Core.decayTopk(t(s, d)("lineitem"))),
+    // RFM quintile segmentation within market segment: three ntile
+    // windows over ONE segment exchange, custkey tiebreaks
+    "q77_rfm" -> ((s, d) =>
+      operators.Core.rfmSegments(t(s, d)("orders"), t(s, d)("customer"))),
+    // exact equi-depth histogram WITHOUT a global row sort: the
+    // (value -> count) fold is value-domain-bounded (q61's discipline),
+    // bucket thresholds close arithmetically
+    "x16_equi_depth_hist" -> ((s, d) =>
+      operators.Core.equiDepthHistogram(t(s, d)("orders"))),
+    // the histogram put to its CBO use and graded: interpolated
+    // estimate vs exact count per probe cutoff, error in ppm
+    "x17_selectivity_est" -> ((s, d) =>
+      operators.Core.selectivityEstimate(t(s, d)("orders"))),
+    // ABC/Pareto inventory classes per brand: exact ppm running share,
+    // thresholds bind on the integer
+    "q78_abc_class" -> ((s, d) =>
+      operators.Core.abcClassification(t(s, d)("lineitem"), t(s, d)("part"))),
+    // OCR-garbage detection over the garble twin corpus: vowel share +
+    // consonant-run counts, pure codegen projection
+    "t54_garble_detect" -> ((s, d) =>
+      operators.TextAnalysis.garbleDetect(
+        operators.TextAnalysis.garbleCorpus(t(s, d)("documents")))),
+    // hop-capped FW-BW strongly connected components by relation
+    // doubling over the chain+back-edge graph
+    "g18_scc_local" -> ((s, d) =>
+      operators.Graph.sccLocal(t(s, d)("documents"))),
+    // clipping audit over real WAV decode: rail counts + max flat-top
+    // run via the islands window in the oracle
+    "m29_clipping" -> ((s, d) =>
+      Multimodal.clippingDetect(t(s, d)("documents"))),
+    // Markdown-to-text extraction over the closed-form fixture (t47's
+    // sibling): fences vanish WITH contents, links keep their text,
+    // the oracle rebuilds the expected extraction without parsing
+    "t53_markdown_extract" -> ((s, d) =>
+      operators.TextAnalysis.mdCorpus(t(s, d)("documents"))
+        .select($"doc_id",
+          operators.TextAnalysis.markdownExtract($"md").as("text_clean"))
+        .withColumn("n_clean", length($"text_clean").cast("long"))
+        .orderBy($"doc_id")),
+    // dominant RGB444 palette cell over real color JPEG decode: modal
+    // cell with smallest-key ties, share_milli dominance signal
+    "m28_dominant_color" -> ((s, d) =>
+      Multimodal.dominantColor(t(s, d)("documents"))),
+    // exact staged-integer BM25: the hash-comparable twin of the
+    // float bm25Search — rational RSJ idf, floor-divided length norm
+    "s18_bm25_exact" -> ((s, d) => Search.bm25ExactSearch(
+      t(s, d)("documents"), Seq("vector", "spark", "window", "hash"), 20)),
     // classical audio features over real WAV decode: ZCR, energy,
     // abs-sum, peak — all exact integers
     "m26_audio_features" -> ((s, d) =>
@@ -4660,6 +4707,45 @@ object SparkEntry {
                 coalesce(string_agg(CASE WHEN NOT boiler THEN line END,
                                     chr(10) ORDER BY pos), '') AS text_clean
          FROM flagged GROUP BY doc_id ORDER BY doc_id""",
+    // the garble twin rebuilt in SQL, then the same three regex counts:
+    // the detector must fire exactly on the doc_id % 5 = 2 tail
+    "t54_garble_detect" ->
+      """WITH c AS (SELECT doc_id,
+                      CASE WHEN doc_id % 5 = 2 THEN text || ' '
+                             || repeat('qzwx', CAST(2 + doc_id % 3 AS INT))
+                             || ' xkcdxkcd'
+                           ELSE text END AS text
+                    FROM documents),
+         m AS (SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '[a-zA-Z]')) AS BIGINT)
+                   AS n_letters,
+                 CAST(len(regexp_extract_all(text, '[aeiouAEIOU]')) AS BIGINT)
+                   AS n_vowels,
+                 CAST(len(regexp_extract_all(text, '[bcdfghjklmnpqrstvwxz]{5,}'))
+                   AS BIGINT) AS n_consruns
+               FROM c)
+         SELECT doc_id, n_letters, n_vowels, n_consruns,
+                (n_vowels * 1000) // greatest(n_letters, 1) AS vowel_milli,
+                (n_consruns >= 2 OR (n_vowels * 1000) // greatest(n_letters, 1) < 200)
+                  AS is_garbled
+         FROM m ORDER BY doc_id""",
+    // the expected Markdown extraction in closed form: a leaked fence
+    // payload, a surviving URL, or a missed bullet all shift text_clean
+    "t53_markdown_extract" ->
+      """SELECT doc_id,
+                'Doc ' || doc_id || chr(10)
+                  || 'Intro bold' || doc_id || ' and emph plus code span stays.'
+                  || chr(10) || 'quoted ' || doc_id || chr(10)
+                  || 'item one' || chr(10) || 'item two' || chr(10)
+                  || 'See ref ' || doc_id || ' and alt ' || doc_id || '.'
+                  || chr(10) || text AS text_clean,
+                CAST(length('Doc ' || doc_id || chr(10)
+                  || 'Intro bold' || doc_id || ' and emph plus code span stays.'
+                  || chr(10) || 'quoted ' || doc_id || chr(10)
+                  || 'item one' || chr(10) || 'item two' || chr(10)
+                  || 'See ref ' || doc_id || ' and alt ' || doc_id || '.'
+                  || chr(10) || text) AS BIGINT) AS n_clean
+         FROM documents ORDER BY doc_id""",
     // the expected extraction in closed form: heading, body text, and
     // the decoded tail — a mangled tag, a leaked script/nav payload, or
     // a wrong entity order all shift text_clean and hash-mismatch
@@ -4821,6 +4907,124 @@ object SparkEntry {
              AND b.price_cents <= a.price_cents AND b.psize >= a.psize
              AND (b.price_cents < a.price_cents OR b.psize > a.psize))
          ORDER BY 1, 2""",
+    // quintiles replayed with the same windows: ntile's fill rule and
+    // the custkey tiebreaks are the cross-engine contract — a different
+    // tie order shifts somebody's score and breaks the hash
+    "q77_rfm" ->
+      """WITH per AS (SELECT o_custkey, max(o_orderdate) AS last_order,
+                             CAST(count(*) AS BIGINT) AS n_orders,
+                             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                               AS BIGINT)) AS BIGINT) AS sum_cents
+                      FROM orders GROUP BY 1),
+         j AS (SELECT c_custkey AS custkey, c_mktsegment AS segment,
+                      CAST(date_diff('day', CAST(last_order AS DATE),
+                        DATE '2001-12-01') AS BIGINT) AS recency_days,
+                      n_orders, sum_cents
+               FROM per JOIN customer ON c_custkey = o_custkey),
+         sc AS (SELECT *,
+                  CAST(ntile(5) OVER (PARTITION BY segment
+                    ORDER BY recency_days DESC, custkey) AS BIGINT) AS r_score,
+                  CAST(ntile(5) OVER (PARTITION BY segment
+                    ORDER BY n_orders ASC, custkey) AS BIGINT) AS f_score,
+                  CAST(ntile(5) OVER (PARTITION BY segment
+                    ORDER BY sum_cents ASC, custkey) AS BIGINT) AS m_score
+                FROM j)
+         SELECT custkey, segment, recency_days, n_orders, sum_cents,
+                r_score, f_score, m_score,
+                r_score * 100 + f_score * 10 + m_score AS rfm,
+                CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                       THEN 'champion'
+                     WHEN r_score <= 2 AND m_score >= 4 THEN 'at_risk'
+                     ELSE 'regular' END AS band
+         FROM sc ORDER BY custkey""",
+    // the bucket thresholds recomputed over the same value-domain fold:
+    // ceil(b*n/32) as (b*n+31)//32 — a rounding slip in either engine
+    // moves a boundary to the neighbouring value
+    "x16_equi_depth_hist" ->
+      """WITH v AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                      // 100 AS x,
+                           CAST(count(*) AS BIGINT) AS cnt
+                    FROM orders GROUP BY 1),
+         c AS (SELECT x, cnt, CAST(sum(cnt) OVER (ORDER BY x
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+               FROM v),
+         t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+                      CAST(count(*) AS BIGINT) AS n_vals FROM v),
+         bs AS (SELECT unnest(generate_series(1, 32)) AS b)
+         SELECT bs.b AS bucket, c.x AS hi_value, c.cum AS cum_rows, t.n_vals
+         FROM c, t, bs
+         WHERE (bs.b * t.n + 31) // 32 > c.cum - c.cnt
+           AND (bs.b * t.n + 31) // 32 <= c.cum
+         ORDER BY 1""",
+    // the running-share banding replayed: a tie-break or threshold slip
+    // reclassifies a part and breaks the hash
+    "q78_abc_class" ->
+      """WITH rev AS (SELECT l_partkey,
+                             CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                               * 100 AS BIGINT)) AS BIGINT) AS cents
+                      FROM lineitem GROUP BY 1),
+         wp AS (SELECT p_brand AS brand, p_partkey AS partkey, cents
+                FROM rev JOIN part ON p_partkey = l_partkey),
+         cumul AS (SELECT brand, partkey, cents,
+                          CAST(sum(cents) OVER (PARTITION BY brand
+                            ORDER BY cents DESC, partkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                            AS BIGINT) AS cum_cents,
+                          CAST(sum(cents) OVER (PARTITION BY brand)
+                            AS BIGINT) AS tot_cents
+                   FROM wp)
+         SELECT brand, partkey, cents,
+                (1000000 * cum_cents) // tot_cents AS cum_ppm,
+                CASE WHEN (1000000 * cum_cents) // tot_cents <= 800000 THEN 'A'
+                     WHEN (1000000 * cum_cents) // tot_cents <= 950000 THEN 'B'
+                     ELSE 'C' END AS abc_class
+         FROM cumul ORDER BY brand, partkey""",
+    // the estimator replayed over the SAME histogram CTEs (x16 shared):
+    // interpolation floors, boundary cases (cutoff past the last
+    // bucket), and the ppm error accounting all pinned
+    "x17_selectivity_est" ->
+      """WITH v AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                      // 100 AS x,
+                           CAST(count(*) AS BIGINT) AS cnt
+                    FROM orders GROUP BY 1),
+         c AS (SELECT x, cnt, CAST(sum(cnt) OVER (ORDER BY x
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+               FROM v),
+         t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM v),
+         bs AS (SELECT unnest(generate_series(1, 32)) AS b),
+         hist AS (SELECT c.x AS hi_value, c.cum AS cum_rows
+                  FROM c, t, bs
+                  WHERE (bs.b * t.n + 31) // 32 > c.cum - c.cnt
+                    AND (bs.b * t.n + 31) // 32 <= c.cum),
+         cuts AS (SELECT * FROM (VALUES (CAST(50000 AS BIGINT)),
+                    (CAST(150000 AS BIGINT)), (CAST(250000 AS BIGINT)),
+                    (CAST(350000 AS BIGINT)), (CAST(450000 AS BIGINT)))
+                  AS q(cutoff)),
+         e AS (SELECT cutoff,
+                      coalesce(max(CASE WHEN hi_value <= cutoff THEN cum_rows END), 0)
+                        AS cum_prev,
+                      coalesce(max(CASE WHEN hi_value <= cutoff THEN hi_value END), 0)
+                        AS hi_prev,
+                      min(CASE WHEN hi_value > cutoff THEN hi_value END) AS hi_next,
+                      min(CASE WHEN hi_value > cutoff THEN cum_rows END) AS cum_next,
+                      max(cum_rows) AS n_rows
+               FROM cuts, hist GROUP BY cutoff),
+         f AS (SELECT cutoff,
+                      CASE WHEN hi_next IS NULL THEN n_rows * 1000
+                           ELSE 1000 * cum_prev + (1000 * (cum_next - cum_prev)
+                             * (cutoff - hi_prev)) // (hi_next - hi_prev) END
+                        AS est_milli,
+                      n_rows
+               FROM e),
+         a AS (SELECT q.cutoff,
+                      CAST(coalesce((SELECT sum(cnt) FROM v WHERE x <= q.cutoff), 0)
+                        AS BIGINT) AS act_rows
+               FROM cuts q)
+         SELECT f.cutoff, CAST(f.est_milli AS BIGINT) AS est_milli, a.act_rows,
+                CAST(f.n_rows AS BIGINT) AS n_rows,
+                CAST((abs(f.est_milli // 1000 - a.act_rows) * 1000000) // f.n_rows
+                  AS BIGINT) AS err_ppm
+         FROM f JOIN a USING (cutoff) ORDER BY cutoff""",
     // the halving-per-week decay replayed with the same clamp: >> is
     // floor division by 2^w in both engines, exact at any order
     "q76_decay_topk" ->
@@ -4832,6 +5036,34 @@ object SparkEntry {
                                      DATE '2001-12-01') // 7, 40))
                   AS BIGINT) AS score
          FROM lineitem GROUP BY 1 ORDER BY score DESC, l_suppkey LIMIT 25""",
+    // rails + the flat-top run replayed with the gaps-and-islands
+    // window over the closed-form samples: a run boundary slip or an
+    // off-by-one rail threshold shifts max_run/n_clipped
+    "m29_clipping" ->
+      """WITH d AS (SELECT doc_id, 64 + doc_id % 193 AS n
+                    FROM documents WHERE doc_id % 3 = 2),
+         s AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS k FROM d),
+         c AS (SELECT doc_id, n, k,
+                      (abs(((31 * k + 7 * doc_id) % 2048) - 1024) >= 1000) AS clip
+               FROM s),
+         isl AS (SELECT doc_id, k, clip,
+                        k - row_number() OVER (PARTITION BY doc_id, clip ORDER BY k)
+                          AS grp
+                 FROM c),
+         runs AS (SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS run_len
+                  FROM isl WHERE clip GROUP BY doc_id, grp),
+         agg AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS n_samples,
+                        CAST(sum(CASE WHEN clip THEN 1 ELSE 0 END) AS BIGINT)
+                          AS n_clipped,
+                        CAST(coalesce(min(CASE WHEN clip THEN k END), -1) AS BIGINT)
+                          AS first_clip
+                 FROM c GROUP BY doc_id),
+         mr AS (SELECT doc_id, CAST(max(run_len) AS BIGINT) AS max_run
+                FROM runs GROUP BY doc_id)
+         SELECT a.doc_id, a.n_samples, a.n_clipped,
+                (1000 * a.n_clipped) // a.n_samples AS clip_milli,
+                CAST(coalesce(mr.max_run, 0) AS BIGINT) AS max_run, a.first_clip
+         FROM agg a LEFT JOIN mr USING (doc_id) ORDER BY a.doc_id""",
     // the ZCR convention replayed with a lag window over the
     // closed-form samples: sign(0) = +1, crossings between consecutive
     // samples only — a sign or boundary slip shifts zcr
@@ -5590,6 +5822,33 @@ object SparkEntry {
     // is exact integer division scale//df — every value is a long, so the
     // hash compare is exact (`//` is DuckDB integer division = the
     // engine's floor of an exact sub-2^53 double quotient)
+    // every staged integer replayed: rational RSJ idf, milli length
+    // norm, micro tf norm — one floor in the wrong place shifts a score
+    "s18_bm25_exact" ->
+      """WITH toks AS (SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS dl,
+                              unnest(string_split_regex(lower(text), '\s+')) AS term
+                       FROM documents),
+         tf AS (SELECT doc_id, CAST(max(dl) AS BIGINT) AS dl, term,
+                       CAST(count(*) AS BIGINT) AS tf
+                FROM toks WHERE term IN ('hash', 'spark', 'vector', 'window')
+                GROUP BY doc_id, term),
+         df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+                         AS sum_dl
+                FROM documents),
+         sc AS (SELECT doc_id, tf, dl, df, n_docs,
+                       (1000 * sum_dl) // n_docs AS avgdl_milli
+                FROM tf JOIN df USING (term), st),
+         w AS (SELECT doc_id,
+                      ((1000 * (2 * n_docs - 2 * df + 1)) // (2 * df + 1)
+                       * ((2200 * tf * 1000000)
+                          // (1000 * tf + (1200 * (250 + (750000 * dl)
+                              // avgdl_milli)) // 1000))) // 1000 AS w
+               FROM sc)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+                CAST(sum(w) AS BIGINT) AS score_micro
+         FROM w GROUP BY doc_id ORDER BY score_micro DESC, doc_id LIMIT 20""",
     "s07_keyword_search" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
                        FROM documents),
@@ -5919,6 +6178,44 @@ object SparkEntry {
     // of two is exact in IEEE doubles; the engine recovered these values
     // through per-component Huffman + dequantize + IDCT + chroma
     // upsampling, the oracle never touches bytes
+    // the RGB444 histogram rebuilt from the tile-constant closed form:
+    // per-tile RGB through the same fixed-point YCbCr conversion, cell
+    // counts by exact tile AREA, modal cell with smallest-key ties
+    "m28_dominant_color" ->
+      """WITH d AS (SELECT doc_id, 17 + doc_id % 16 AS w, 17 + (3 * doc_id) % 8 AS h
+                    FROM documents),
+         t AS (SELECT doc_id, w, h,
+                      unnest(generate_series(0, (w + 15) // 16 - 1)) AS tx FROM d),
+         txy AS (SELECT doc_id, w, h, tx,
+                        unnest(generate_series(0, (h + 15) // 16 - 1)) AS ty FROM t),
+         v AS (SELECT doc_id, w, h,
+                      (least(16 * (tx + 1), w) - 16 * tx)
+                        * (least(16 * (ty + 1), h) - 16 * ty) AS area,
+                      (17 * tx + 29 * ty + 31 * (doc_id % 89)) % 256 AS yv,
+                      (23 * tx + 13 * ty + 7 * (doc_id % 83)) % 256 AS cb,
+                      (11 * tx + 19 * ty + 5 * (doc_id % 79)) % 256 AS cr
+               FROM txy),
+         c AS (SELECT doc_id, w, h, area,
+                      least(greatest(yv + CAST(floor((91881 * (cr - 128) + 32768)
+                        / 65536.0) AS BIGINT), 0), 255) AS r,
+                      least(greatest(yv - CAST(floor((22554 * (cb - 128)
+                        + 46802 * (cr - 128) + 32768) / 65536.0) AS BIGINT), 0), 255) AS g,
+                      least(greatest(yv + CAST(floor((116130 * (cb - 128) + 32768)
+                        / 65536.0) AS BIGINT), 0), 255) AS b
+               FROM v),
+         k AS (SELECT doc_id, w, h,
+                      (r // 16) * 256 + (g // 16) * 16 + (b // 16) AS key,
+                      CAST(sum(area) AS BIGINT) AS cnt
+               FROM c GROUP BY 1, 2, 3, 4),
+         rr AS (SELECT doc_id, w, h, key, cnt,
+                       CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_colors,
+                       row_number() OVER (PARTITION BY doc_id
+                         ORDER BY cnt DESC, key) AS rn
+                FROM k)
+         SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+                n_colors, CAST(key AS BIGINT) AS rgb444, cnt AS dom_count,
+                (1000 * cnt) // (w * h) AS share_milli
+         FROM rr WHERE rn = 1 ORDER BY doc_id""",
     "m10_jpeg_color" ->
       """WITH d AS (SELECT doc_id, 17 + doc_id % 32 AS w, 17 + (3 * doc_id) % 24 AS h,
                            CASE WHEN doc_id % 2 = 0 THEN '4:2:0' ELSE '4:2:2' END AS sampling
@@ -7468,6 +7765,28 @@ object SparkEntry {
                 (SELECT CAST(n_triangles AS BIGINT) FROM tri)    AS n_triangles,
                 (SELECT CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) FROM deg)
                   AS n_wedges""",
+    // the doubling horizon replayed as a 16-hop recursion over the SAME
+    // md5-gated edges: mutual reach, min label, component sizes
+    "g18_scc_local" ->
+      """WITH RECURSIVE ids AS (SELECT doc_id AS n FROM documents),
+         e AS (SELECT a.n AS src, a.n + 1 AS dst FROM ids a JOIN ids b ON b.n = a.n + 1
+               WHERE substr(md5(CAST(a.n AS VARCHAR)), 1, 2) <> 'ff'
+               UNION ALL
+               SELECT a.n, a.n - 4 FROM ids a JOIN ids b ON b.n = a.n - 4
+               WHERE substr(md5(CAST(a.n AS VARCHAR)), 1, 1) = 'a'),
+         reach(src, dst, h) AS (
+           SELECT n, n, 0 FROM ids
+           UNION
+           SELECT r.src, e.dst, r.h + 1 FROM reach r JOIN e ON e.src = r.dst
+           WHERE r.h < 16),
+         rr AS (SELECT DISTINCT src, dst FROM reach),
+         scc AS (SELECT f.src AS node, min(f.dst) AS scc_label
+                 FROM rr f JOIN rr b ON b.src = f.dst AND b.dst = f.src
+                 GROUP BY 1),
+         sz AS (SELECT scc_label, CAST(count(*) AS BIGINT) AS scc_size
+                FROM scc GROUP BY 1)
+         SELECT node, scc_label, scc_size, scc_size > 1 AS in_cycle
+         FROM scc JOIN sz USING (scc_label) ORDER BY node""",
     // g02's wedge-join CTEs, triangles fanned to their 3 member nodes:
     // a wrong orientation or a double-counted wedge shifts some node's
     // tri and breaks its lcc_milli

@@ -630,6 +630,181 @@ object Core {
       .limit(k)
   }
 
+  /** Q77: RFM segmentation (Hughes 1994) — the recency/frequency/
+    * monetary quintile scoring every CRM and retention pipeline runs:
+    * per customer, days since last order (anchored at 2001-12-01, the
+    * month after the fixture's last date, like q76), order count, and
+    * whole-cents spend; each dimension scored 1–5 by `ntile(5)` WITHIN
+    * the customer's market segment (recent/frequent/big = 5), composed
+    * into the classic 3-digit RFM code and an action band.
+    *
+    * Determinism: ntile needs a total order — every window breaks ties
+    * by custkey, and both engines share the standard ntile fill rule
+    * (first n mod 5 tiles take the extra row). Scale shape: one
+    * order-fold, one customer join (both key-partitioned), then three
+    * sorts over ONE segment exchange — the quintile sort parallelizes
+    * by segment, which is also the honest bound: an UNpartitioned
+    * exact ntile is a single-reducer sort at any scale, so global RFM
+    * at 100 TB wants [[equiDepthHistogram]]'s value-domain route
+    * instead.
+    */
+  def rfmSegments(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val per = orders.groupBy($"o_custkey").agg(
+      max($"o_orderdate").as("last_order"),
+      count(lit(1)).as("n_orders"),
+      sum(($"o_totalprice".cast("decimal(18,2)") * 100).cast("long"))
+        .as("sum_cents"))
+    val withSeg = per.join(customer.select($"c_custkey", $"c_mktsegment"),
+        per("o_custkey") === $"c_custkey")
+      .select($"c_custkey".as("custkey"), $"c_mktsegment".as("segment"),
+        datediff(lit("2001-12-01").cast("date"), $"last_order")
+          .cast("long").as("recency_days"),
+        $"n_orders", $"sum_cents")
+    val wR = Window.partitionBy($"segment")
+      .orderBy($"recency_days".desc, $"custkey")
+    val wF = Window.partitionBy($"segment").orderBy($"n_orders".asc, $"custkey")
+    val wM = Window.partitionBy($"segment").orderBy($"sum_cents".asc, $"custkey")
+    withSeg
+      .withColumn("r_score", ntile(5).over(wR).cast("long"))
+      .withColumn("f_score", ntile(5).over(wF).cast("long"))
+      .withColumn("m_score", ntile(5).over(wM).cast("long"))
+      .withColumn("rfm", $"r_score" * 100 + $"f_score" * 10 + $"m_score")
+      .withColumn("band",
+        when($"r_score" >= 4 && $"f_score" >= 4 && $"m_score" >= 4, "champion")
+          .when($"r_score" <= 2 && $"m_score" >= 4, "at_risk")
+          .otherwise("regular"))
+      .select($"custkey", $"segment", $"recency_days", $"n_orders",
+        $"sum_cents", $"r_score", $"f_score", $"m_score", $"rfm", $"band")
+      .orderBy($"custkey")
+  }
+
+  /** X16: exact equi-depth histogram (the CBO statistic [[analyzeStats]]
+    * lacks — selectivity estimation's workhorse) WITHOUT a global row
+    * sort: whole-dollar order values fold to a (value → count) table
+    * first — bounded by the VALUE DOMAIN, not the row count (the q61
+    * weighted-median discipline) — then one window over that bounded
+    * relation accumulates counts, and each value row emits the bucket
+    * ids whose rank thresholds ⌈b·n/B⌉ it closes (explode over the
+    * arithmetic b-range; ceil as `(b·n + B−1) div B`, exact on
+    * BIGINTs). Boundary rows report the bucket's inclusive upper value
+    * and the exact cumulative row count at that boundary.
+    *
+    * Scale shape: one value-domain fold + one value-domain window +
+    * a ×(buckets-closed) generate — no row ever leaves its aggregate,
+    * the single-partition window touches only distinct values (~200k
+    * for whole-dollar order totals at ANY row count). The naive form —
+    * ntile(B) over all rows — is a single-reducer sort of the table.
+    */
+  def equiDepthHistogram(orders: DataFrame, buckets: Int = 32): DataFrame = {
+    // barriered: the fold feeds both the cumulative window and the
+    // totals row — one value-domain relation, computed once (x15's cut)
+    val vals = graft.Session.barrier(orders
+      .select(expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 100")
+        .as("x"))
+      .groupBy($"x").agg(count(lit(1)).as("cnt")))
+    val w = Window.orderBy($"x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = vals.agg(sum($"cnt").as("n"), count(lit(1)).as("n_vals"))
+    val bl = buckets.toLong
+    // b_lo = smallest b with ceil(b·n/B) > cum−cnt; the least() cap keeps
+    // the explode range non-descending (b_lo ≤ B always, since prev < n)
+    vals.withColumn("cum", sum($"cnt").over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("b_lo", expr(s"($bl * (cum - cnt)) div n + 1"))
+      .withColumn("b_hi",
+        least(lit(bl), expr(s"($bl * cum) div n + 1")))
+      .withColumn("b", explode(sequence($"b_lo", $"b_hi")))
+      .where(expr(s"(b * n + ${bl - 1}) div $bl > cum - cnt") &&
+        expr(s"(b * n + ${bl - 1}) div $bl <= cum"))
+      .select($"b".as("bucket"), $"x".as("hi_value"), $"cum".as("cum_rows"),
+        $"n_vals")
+      .orderBy($"bucket")
+  }
+
+  /** Q78: ABC / Pareto inventory classification — the cumulative-share
+    * banding every supply-chain and catalog pipeline runs (class A =
+    * the items covering the first 80% of revenue, B to 95%, C the
+    * tail): per brand, parts rank by revenue (cents, partkey
+    * tiebreak), the running share is exact ppm (`1000000·cum div
+    * total`), and the class thresholds bind on the ppm integer —
+    * no float share ever exists, so the banding is bit-identical.
+    *
+    * Scale shape: one partkey fold, one part join, then ONE
+    * brand-partitioned window (the q75 sort shape) against a
+    * broadcast brand-total table; ppm headroom holds to ~10¹²
+    * cents per brand (10 TB of revenue per brand before 2⁶³ risk).
+    */
+  def abcClassification(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val rev = lineitem.groupBy($"l_partkey")
+      .agg(sum(($"l_extendedprice".cast("decimal(18,2)") * 100).cast("long"))
+        .as("cents"))
+    val wp = rev.join(part.select($"p_partkey", $"p_brand".as("brand")),
+        rev("l_partkey") === $"p_partkey")
+      .select($"brand", $"p_partkey".as("partkey"), $"cents")
+    val w = Window.partitionBy($"brand").orderBy($"cents".desc, $"partkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = wp.groupBy($"brand").agg(sum($"cents").as("tot_cents"))
+    wp.withColumn("cum_cents", sum($"cents").over(w))
+      .join(broadcast(tot), Seq("brand"))
+      .withColumn("cum_ppm", expr("(1000000 * cum_cents) div tot_cents"))
+      .withColumn("abc_class",
+        when($"cum_ppm" <= 800000, "A").when($"cum_ppm" <= 950000, "B")
+          .otherwise("C"))
+      .select($"brand", $"partkey", $"cents", $"cum_ppm", $"abc_class")
+      .orderBy($"brand", $"partkey")
+  }
+
+  /** X17: selectivity-estimator audit — [[equiDepthHistogram]] put to
+    * its actual CBO use and GRADED against ground truth in one gate:
+    * for each probe cutoff C, the histogram's estimate of
+    * |{x ≤ C}| under the textbook uniform-within-bucket interpolation
+    * (exact milli-row integer arithmetic — the floor is part of the
+    * estimator's definition) sits next to the exact count and the
+    * error in ppm of the table. This is the estimator a planner would
+    * consult before picking a join side at 100 TB; the gate proves the
+    * histogram, the interpolation, and the error accounting agree
+    * bit-for-bit across engines.
+    *
+    * Scale shape: the barriered 32-row histogram crossed with a 5-row
+    * probe list (driver-side constants); ground truth is ONE
+    * conditional-sum pass over the value fold — never a per-probe
+    * rescan.
+    */
+  def selectivityEstimate(orders: DataFrame,
+                          cutoffs: Seq[Long] = Seq(50000L, 150000L, 250000L,
+                            350000L, 450000L)): DataFrame = {
+    val hist = graft.Session.barrier(equiDepthHistogram(orders))
+    val cuts = hist.sparkSession.range(1)
+      .select(explode(array(cutoffs.map(lit(_)): _*)).as("cutoff"))
+    val est = cuts.crossJoin(broadcast(hist))
+      .groupBy($"cutoff").agg(
+        coalesce(max(when($"hi_value" <= $"cutoff", $"cum_rows")), lit(0L))
+          .as("cum_prev"),
+        coalesce(max(when($"hi_value" <= $"cutoff", $"hi_value")), lit(0L))
+          .as("hi_prev"),
+        min(when($"hi_value" > $"cutoff", $"hi_value")).as("hi_next"),
+        min(when($"hi_value" > $"cutoff", $"cum_rows")).as("cum_next"),
+        max($"cum_rows").as("n_rows"))
+      .withColumn("est_milli", when($"hi_next".isNull, $"n_rows" * 1000)
+        .otherwise(expr("1000 * cum_prev + (1000 * (cum_next - cum_prev)" +
+          " * (cutoff - hi_prev)) div (hi_next - hi_prev)")))
+    val x = expr(
+      "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 100")
+    val actsWide = orders.select(x.as("x")).agg(
+      sum(when($"x" <= cutoffs.head, 1L).otherwise(0L)).as("a0"),
+      cutoffs.tail.zipWithIndex.map { case (c, i) =>
+        sum(when($"x" <= c, 1L).otherwise(0L)).as(s"a${i + 1}") }: _*)
+    val acts = actsWide.selectExpr(s"stack(${cutoffs.size}, " +
+      cutoffs.zipWithIndex.map { case (c, i) =>
+        s"CAST($c AS BIGINT), a$i" }.mkString(", ") + ") as (cutoff, act_rows)")
+    est.join(acts, Seq("cutoff"))
+      .withColumn("err_ppm",
+        expr("(abs(est_milli div 1000 - act_rows) * 1000000) div n_rows"))
+      .select($"cutoff", $"est_milli", $"act_rows", $"n_rows", $"err_ppm")
+      .orderBy($"cutoff")
+  }
+
   /** X15: MERGEABLE column statistics — the maintenance half of
     * [[analyzeStats]]. At 100 TB nobody re-ANALYZEs the table; each
     * partition (here: `source`) keeps a summary and the table-level row

@@ -570,6 +570,55 @@ object Graph {
     * precedent: bit-identical in every engine, so the oracle rebuilds
     * the same graph without sharing code.
     */
+  /** G18: strongly connected components under a hop cap — the directed
+    * sibling of [[alternatingStarComponents]], by the FW-BW principle
+    * (Fleischer et al. 2000): v and w share an SCC iff each reaches the
+    * other, so `scc_label(v) = min{m : v→m ∧ m→v within ≤2^rounds
+    * hops}`. Reachability is built by RELATION DOUBLING — R₂ₖ = Rₖ∘Rₖ
+    * with dedup, the r36 pointer-jump generalized to out-degree > 1 —
+    * so a 16-hop horizon costs 4 barriered self-joins, not 16.
+    *
+    * The hop cap is the g10 discipline: a defined, deterministic
+    * quantity both engines compute identically (the oracle's recursion
+    * carries the same cap), and the honest form — on the md5-gated
+    * chain + back-edge graph every cycle lives in a ≤5-node interval,
+    * so 16 hops is exhaustive unless back edges chain pathologically;
+    * full SCC = iterate doubling to fixpoint. Graph: u→u+1 chain edges
+    * (md5 'ff' cuts) + u→u−4 back edges where md5(u) starts 'a' —
+    * cycles exist exactly at the back edges.
+    */
+  def sccLocal(documents: DataFrame, rounds: Int = 4): DataFrame = {
+    val ids = graft.Session.barrier(documents.select(col("doc_id").as("n")))
+    val h2 = substring(md5(col("a.n").cast("string").cast("binary")), 1, 2)
+    val h1 = substring(md5(col("a.n").cast("string").cast("binary")), 1, 1)
+    val chain = ids.as("a").join(ids.as("b"), col("b.n") === col("a.n") + 1)
+      .where(h2 =!= "ff")
+      .select(col("a.n").as("src"), col("b.n").as("dst"))
+    val back = ids.as("a").join(ids.as("b"), col("b.n") === col("a.n") - 4)
+      .where(h1 === "a")
+      .select(col("a.n").as("src"), col("b.n").as("dst"))
+    var r = graft.Session.barrier(
+      ids.select(col("n").as("src"), col("n").as("dst"))
+        .unionByName(chain).unionByName(back).distinct())
+    var round = 0
+    while (round < rounds) {
+      r = graft.Session.barrier(
+        r.as("x").join(r.as("y"), col("x.dst") === col("y.src"))
+          .select(col("x.src").as("src"), col("y.dst").as("dst")).distinct())
+      round += 1
+    }
+    val scc = r.as("f").join(r.as("b"),
+        col("f.src") === col("b.dst") && col("f.dst") === col("b.src"))
+      .groupBy(col("f.src").as("node"))
+      .agg(min(col("f.dst")).as("scc_label"))
+    val sizes = scc.groupBy(col("scc_label"))
+      .agg(count(lit(1)).as("scc_size"))
+    scc.join(sizes, Seq("scc_label"))
+      .select(col("node"), col("scc_label"), col("scc_size"),
+        (col("scc_size") > 1).as("in_cycle"))
+      .orderBy(col("node"))
+  }
+
   def docChainEdges(documents: DataFrame): DataFrame =
     documents
       .where(col("doc_id") > 0 &&

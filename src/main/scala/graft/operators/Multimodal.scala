@@ -690,6 +690,46 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** M29: clipping detection over the REAL decoded WAV PCM — the
+    * loudness-war / damaged-recording audit every audio-curation pass
+    * runs next to [[audioFeatures]]: samples within `railGap` of the
+    * int range's rails count as clipped (|x| ≥ 1000 on the ±1024
+    * fixture scale), and the MAX CONSECUTIVE RUN of clipped samples
+    * separates true waveform clipping (flat-topped runs) from isolated
+    * loud peaks. `first_clip` is the earliest clipped index (−1 when
+    * clean). All exact integers; the oracle replays the run-length via
+    * the gaps-and-islands window over the closed-form samples.
+    *
+    * Scale shape: mapPartitions decode + per-clip O(n) integer fold,
+    * no shuffle before the presentation sort (the m-family envelope).
+    */
+  def clippingDetect(documents: DataFrame, clipAbs: Long = 1000L): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .filter((id: Long) => id % 3 == 2) // the WAV third of the fixture
+      .mapPartitions { it =>
+        it.map { id =>
+          val (_, samples) = graft.sources.AssetCodecs.decodeWavSamples(assetFor(id))
+          var nClip = 0L; var maxRun = 0L; var run = 0L; var first = -1L
+          var i = 0
+          while (i < samples.length) {
+            if (math.abs(samples(i).toLong) >= clipAbs) {
+              nClip += 1; run += 1
+              if (run > maxRun) maxRun = run
+              if (first < 0) first = i
+            } else run = 0
+            i += 1
+          }
+          (id, samples.length.toLong, nClip,
+            Math.floorDiv(1000L * nClip, samples.length.toLong), maxRun, first)
+        }
+      }
+      .toDF("doc_id", "n_samples", "n_clipped", "clip_milli", "max_run",
+        "first_clip")
+      .orderBy(col("doc_id"))
+  }
+
   /** M25: histogram equalization (the classic contrast-normalization
     * preprocessing step of image training pipelines) over the REAL
     * decoded PNG raster, in exact integers: the standard CDF remap
@@ -1011,6 +1051,56 @@ object Multimodal {
       (x, y) => ((23 * (x / 16) + 13 * (y / 16) + 7 * (d % 83)) % 256).toInt,
       (x, y) => ((11 * (x / 16) + 19 * (y / 16) + 5 * (d % 79)) % 256).toInt,
       hs, vs)
+  }
+
+  /** M28: dominant color extraction (the palette/thumbnail-color signal
+    * image curation and UI pipelines compute per asset) over the REAL
+    * color JPEG decode: every pixel's exact fixed-point RGB quantizes
+    * to the RGB444 cube (4 bits per channel — the classic 4096-cell
+    * palette histogram), and the modal cell wins with ties to the
+    * smallest key; `share_milli` is the dominance signal (a logo on
+    * white scores high, a photo low). `n_colors` counts occupied cells.
+    *
+    * Scale shape: [[jpegColorPhash]]'s — mapPartitions byte decode +
+    * per-image O(w·h) integer kernel with a bounded (≤4096) histogram,
+    * no shuffle before the presentation sort.
+    */
+  def dominantColor(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val img = graft.sources.AssetCodecs.decodeJpegYccAuto(jpegColorSmallFor(id))
+          val counts = new Array[Long](4096)
+          var y = 0
+          while (y < img.h) {
+            var x = 0
+            while (x < img.w) {
+              val (r, g, b) = graft.sources.AssetCodecs.ycbcrToRgb(
+                img.y(y)(x), img.cb(y)(x), img.cr(y)(x))
+              counts(((r >> 4) << 8) | ((g >> 4) << 4) | (b >> 4)) += 1
+              x += 1
+            }
+            y += 1
+          }
+          var nColors = 0L; var domKey = -1; var domCnt = -1L
+          var kk = 0
+          while (kk < 4096) {
+            if (counts(kk) > 0) {
+              nColors += 1
+              if (counts(kk) > domCnt) { domCnt = counts(kk); domKey = kk }
+            }
+            kk += 1
+          }
+          val n = img.w.toLong * img.h
+          (id, img.w.toLong, img.h.toLong, nColors, domKey.toLong, domCnt,
+            Math.floorDiv(1000L * domCnt, n))
+        }
+      }
+      .toDF("doc_id", "width", "height", "n_colors", "rgb444", "dom_count",
+        "share_milli")
+      .orderBy(col("doc_id"))
   }
 
   /** COLOR-path perceptual hash (m11): m07's aHash fed by the full

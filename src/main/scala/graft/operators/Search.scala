@@ -87,6 +87,62 @@ object Search {
       .select($"doc_id", $"n_terms", round($"bm25", 6).as("bm25"))
   }
 
+  /** S18: Okapi BM25 in EXACT staged integer arithmetic — the
+    * hash-comparable twin of [[bm25Search]] (whose ln-idf and double
+    * sums are not bit-portable): every BM25 ingredient becomes a
+    * floor-divided fixed-point integer, identically computable by any
+    * engine, so full BM25-shaped ranking joins the oracle-gated surface
+    * rather than being spec-only. With k1 = 6/5 and b = 3/4:
+    *
+    *   avgdl_milli  = 1000·Σdl div N
+    *   bpart_milli  = 250 + 750000·dl div avgdl_milli      [(1−b)+b·dl/avgdl]
+    *   den_milli    = 1000·tf + 1200·bpart_milli div 1000  [tf + k1·bpart]
+    *   tfnorm_micro = 2200·tf·1000000 div den_milli        [tf·(k1+1)/den]
+    *   idf_milli    = 1000·(2N−2df+1) div (2df+1)          [rational RSJ idf]
+    *   score_micro  = Σ idf_milli·tfnorm_micro div 1000
+    *
+    * The rational idf (N−df+½)/(df+½) is the Robertson–Sparck Jones
+    * lift WITHOUT the ln — order-preserving for single-term scores and
+    * the documented difference from the float form. Headroom: every
+    * intermediate stays under 2⁵³ for N ≤ 10⁹ docs.
+    *
+    * Scale shape: [[keywordSearch]]'s exactly (shared [[postings]]
+    * prefilter + explode, ≤|query|-row df broadcast) plus one 1-row
+    * corpus-stats broadcast; final cut TakeOrdered, never a full sort.
+    */
+  def bm25ExactSearch(documents: DataFrame, terms: Seq[String],
+                      k: Int): DataFrame = {
+    val stats = documents.agg(
+      count(lit(1)).as("n_docs"),
+      sum(TextAnalysis.wsTokenCount.cast("long")).as("sum_dl"))
+    val tf = postings(documents, terms,
+        extra = Seq(TextAnalysis.wsTokenCount.cast("long").as("dl")))
+      .groupBy($"doc_id", $"dl", $"term")
+      .agg(count(lit(1)).as("tf"))
+    // the s07 phrasing: df over the tf table via sum-of-indicators so
+    // both branches canonicalize to one posting shuffle (see
+    // keywordSearch's comment)
+    val dfTab = tf.groupBy($"term")
+      .agg(sum(when($"tf" >= 1L, 1L).otherwise(0L)).as("df"))
+    tf.join(broadcast(dfTab), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl_milli", expr("(1000 * sum_dl) div n_docs"))
+      .withColumn("bpart_milli",
+        expr("250 + (750000 * dl) div avgdl_milli"))
+      .withColumn("den_milli",
+        expr("1000 * tf + (1200 * bpart_milli) div 1000"))
+      .withColumn("tfnorm_micro",
+        expr("(2200 * tf * 1000000) div den_milli"))
+      .withColumn("idf_milli",
+        expr("(1000 * (2 * n_docs - 2 * df + 1)) div (2 * df + 1)"))
+      .withColumn("w", expr("(idf_milli * tfnorm_micro) div 1000"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum($"w").as("score_micro"))
+      .orderBy($"score_micro".desc, $"doc_id")
+      .limit(k)
+      .select($"doc_id", $"n_terms", $"score_micro")
+  }
+
   /** The shared posting stream both search forms rank from: case-folded
     * deduped term list, conservative rlike prefilter (substring match is
     * a superset of whitespace token equality, so no candidate is lost —

@@ -866,6 +866,63 @@ object TextAnalysis {
       "(?is)<(head|nav|footer|aside)\\b[^>]*>.*?</\\1\\s*>", " ")
   }
 
+  /** t53 fixture: wrap every document in deterministic Markdown (the
+    * [[htmlCorpus]] discipline — closed-form structure so the oracle
+    * rebuilds the EXPECTED extraction without parsing a byte). The page
+    * carries the hazards a Markdown stripper must survive: a fenced
+    * code block whose contents (a lone `*`, an `=`) must vanish WITH
+    * the fence, bold/emphasis spans, an inline code span that KEEPS its
+    * contents, a link whose URL must drop but whose text survives, an
+    * image whose alt text survives, a blockquote, both list forms, and
+    * a horizontal rule.
+    */
+  def mdCorpus(documents: DataFrame): DataFrame =
+    documents.select($"doc_id", concat(
+      lit("# Doc "), $"doc_id", lit("\n\n"),
+      lit("Intro **bold"), $"doc_id",
+      lit("** and *emph* plus `code span` stays.\n"),
+      lit("```\nval hidden = "), $"doc_id", lit(" * 2\n```\n"),
+      lit("> quoted "), $"doc_id", lit("\n"),
+      lit("- item one\n2. item two\n"),
+      lit("See [ref "), $"doc_id", lit("](https://example.com/p"),
+      $"doc_id" % 13, lit(") and ![alt "), $"doc_id", lit("](img.png).\n"),
+      lit("---\n"),
+      $"text", lit("\n")).as("md"))
+
+  /** Markdown-to-text extraction (t53) — the sibling of [[htmlExtract]]
+    * for the README/docs/forum slice of a crawl (GitHub, StackOverflow
+    * dumps arrive as Markdown, not HTML): fenced code blocks are
+    * removed WITH their contents (code is not prose — the quality/
+    * langid passes downstream must not see it; [[codeDetect]] is the
+    * signal that routes code), images and links keep their alt/anchor
+    * text and drop the URL, bold/emphasis/inline-code markers strip to
+    * their contents, line-anchored decorations (ATX headings,
+    * blockquote markers, list bullets, horizontal rules) strip, then
+    * whitespace normalizes exactly like the HTML path.
+    *
+    * Scope guard: fenced (```) blocks only — indented code blocks are
+    * ambiguous with list continuations and pass through; reference-
+    * style links (`[text][id]`) pass through as literal text. Both are
+    * documented, not silently mangled. Scale shape: a pure codegen'd
+    * regexp/replace chain, row-local, no shuffle.
+    */
+  def markdownExtract(md: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val noFence = regexp_replace(md, "(?s)```.*?```", "\n")
+    val noImg = regexp_replace(noFence, "!\\[([^\\]]*)\\]\\(([^)]*)\\)", "$1")
+    val noLink = regexp_replace(noImg, "\\[([^\\]]*)\\]\\(([^)]*)\\)", "$1")
+    val noBold = regexp_replace(
+      regexp_replace(noLink, "\\*\\*([^*]+)\\*\\*", "$1"), "__([^_]+)__", "$1")
+    val noEmph = regexp_replace(
+      regexp_replace(noBold, "\\*([^*]+)\\*", "$1"), "_([^_]+)_", "$1")
+    val noCode = regexp_replace(noEmph, "`([^`]*)`", "$1")
+    val noLine = regexp_replace(noCode,
+      "(?m)^(#{1,6}\\s+|>\\s?|[-*+]\\s+|\\d+\\.\\s+| {0,3}(-{3,}|_{3,}|\\*{3,})\\s*$)",
+      "")
+    val hws = regexp_replace(noLine, "[^\\S\\n]+", " ")
+    val nl = regexp_replace(hws, "\\s*\\n\\s*", "\n")
+    regexp_replace(nl, "^\\s+|\\s+$", "")
+  }
+
   /** Synthetic link-bearing HTML twin of [[htmlCorpus]] (t49 fixture):
     * nav chrome links, a footer ad link — both boilerplate, both must
     * NOT surface — plus `doc_id % 3 + 1` content anchors whose
@@ -1024,6 +1081,43 @@ object TextAnalysis {
         length($"text").cast("long").as("n_chars"))
       .withColumn("sym_milli", expr("n_sym * 1000 div greatest(n_chars, 1)"))
       .withColumn("is_code", $"n_indent" >= 2 && $"n_kw" >= 2)
+      .orderBy($"doc_id")
+
+  /** t54 fixture: the garble twin (the t52/t49 rewrite discipline —
+    * synthesize the failure mode the clean corpus lacks): docs with
+    * doc_id % 5 == 2 get a deterministic OCR-garbage tail — two
+    * vowel-free consonant chunks (`qzwx…`, `xkcdxkcd`) of doc-dependent
+    * length — so the detector has real positives AND the oracle knows
+    * exactly which they are.
+    */
+  def garbleCorpus(documents: DataFrame): DataFrame =
+    documents.select($"doc_id", when($"doc_id" % 5 === 2, concat($"text",
+        lit(" "), expr("repeat('qzwx', 2 + CAST(doc_id % 3 AS INT))"),
+        lit(" "), lit("xkcdxkcd")))
+      .otherwise($"text").as("text"))
+
+  /** OCR-garbage / gibberish detection (t54) — the curation signal that
+    * catches mojibake, bad OCR, and binary-leak text before it poisons
+    * training (every web-corpus quality stack runs a variant): two
+    * row-local statistics no natural-language line trips together —
+    * vowel share of letters (`vowel_milli`, English prose sits near
+    * 380) and the count of 5+-consonant runs (`n_consruns`, prose
+    * almost never has one). `is_garbled` = runs ≥ 2 OR vowel share
+    * < 200‰. Exact integer counts; band thresholds are the contract.
+    *
+    * Scale shape: pure codegen regexp-count projection, row-local, no
+    * shuffle — one pass over the bytes (the t52 envelope).
+    */
+  def garbleDetect(docs: DataFrame): DataFrame =
+    docs
+      .select($"doc_id",
+        regexp_count($"text", lit("[a-zA-Z]")).cast("long").as("n_letters"),
+        regexp_count($"text", lit("[aeiouAEIOU]")).cast("long").as("n_vowels"),
+        regexp_count($"text", lit("[bcdfghjklmnpqrstvwxz]{5,}")).cast("long")
+          .as("n_consruns"))
+      .withColumn("vowel_milli",
+        expr("n_vowels * 1000 div greatest(n_letters, 1)"))
+      .withColumn("is_garbled", $"n_consruns" >= 2 || $"vowel_milli" < 200)
       .orderBy($"doc_id")
 
   def scriptSegments(documents: DataFrame): DataFrame =

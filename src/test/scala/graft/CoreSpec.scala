@@ -349,6 +349,121 @@ class CoreSpec extends SparkSpec {
     }
   }
 
+  test("rfmSegments: diagonal fixture pins every quintile, code, and band") {
+    import spark.implicits._
+    // 5 customers, one segment, one per quintile on every dimension:
+    // custkey k has 6-k orders; spends arranged so c5 lands at_risk
+    // (old + big) and c1 champion (recent + frequent + big)
+    val lastDates = Map(1 -> "2001-11-01", 2 -> "2001-10-01",
+      3 -> "2001-09-01", 4 -> "2001-08-01", 5 -> "2001-07-01")
+    val spends = Map(
+      1 -> Seq(1000.0, 1000.0, 1000.0, 1000.0, 1000.0), // 5 orders, 5000
+      2 -> Seq(750.0, 750.0, 750.0, 750.0),             // 4 orders, 3000
+      3 -> Seq(1000.0, 500.0, 500.0),                   // 3 orders, 2000
+      4 -> Seq(500.0, 500.0),                           // 2 orders, 1000
+      5 -> Seq(4000.0))                                 // 1 order, 4000
+    val orders = (for {
+      (k, ts) <- spends.toSeq; (tp, i) <- ts.zipWithIndex
+    } yield (k.toLong, if (i == 0) lastDates(k) else "2001-01-01", tp))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+      .withColumn("o_orderdate", $"o_orderdate".cast("timestamp"))
+    val cust = (1 to 5).map(k => (k.toLong, "BUILDING"))
+      .toDF("c_custkey", "c_mktsegment")
+    val out = Core.rfmSegments(orders, cust).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8),
+        r.getString(9)))).toMap
+    out(1L) shouldBe ((30L, 5L, 500000L, 5L, 5L, 5L, 555L, "champion"))
+    out(2L) shouldBe ((61L, 4L, 300000L, 4L, 4L, 3L, 443L, "regular"))
+    out(3L) shouldBe ((91L, 3L, 200000L, 3L, 3L, 2L, 332L, "regular"))
+    out(4L) shouldBe ((122L, 2L, 100000L, 2L, 2L, 1L, 221L, "regular"))
+    out(5L) shouldBe ((153L, 1L, 400000L, 1L, 1L, 4L, 114L, "at_risk"))
+    // laws on the real tables: scores in 1..5, the code is the
+    // composition, the band is the rule
+    val real = Core.rfmSegments(table("orders"), table("customer")).collect()
+    real should not be empty
+    real.foreach { r =>
+      val (rs, fs, ms, code, band) = (r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getLong(8), r.getString(9))
+      Seq(rs, fs, ms).foreach { s => s should be >= 1L; s should be <= 5L }
+      code shouldBe rs * 100 + fs * 10 + ms
+      band shouldBe (if (rs >= 4 && fs >= 4 && ms >= 4) "champion"
+        else if (rs <= 2 && ms >= 4) "at_risk" else "regular")
+    }
+  }
+
+  test("equiDepthHistogram: exact boundaries on uniform and point-mass domains") {
+    import spark.implicits._
+    // uniform: 8 distinct whole-dollar values, 4 buckets -> boundaries
+    // at every second value
+    val uni = (1 to 8).map(v => v + 0.37).toDF("o_totalprice")
+    val u = Core.equiDepthHistogram(uni, buckets = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    u.toSeq shouldBe Seq((1L, 2L, 2L), (2L, 4L, 4L), (3L, 6L, 6L), (4L, 8L, 8L))
+    // point mass: one value holds 6 of 8 rows -> it closes buckets
+    // 1..3, the tail closes bucket 4 (skew collapses boundaries, the
+    // histogram stays exact)
+    val skew = (Seq.fill(6)(5.0) ++ Seq(7.0, 9.0)).toDF("o_totalprice")
+    val s = Core.equiDepthHistogram(skew, buckets = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    s.toSeq shouldBe Seq((1L, 5L, 6L), (2L, 5L, 6L), (3L, 5L, 6L), (4L, 9L, 8L))
+    // laws on the real table: exactly 32 buckets, boundaries and
+    // cumulative counts monotone, the last boundary closes the table
+    val real = Core.equiDepthHistogram(table("orders")).collect()
+    real.length shouldBe 32
+    real.map(_.getLong(0)).toSeq shouldBe (1L to 32L)
+    real.map(_.getLong(1)).toSeq shouldBe real.map(_.getLong(1)).toSeq.sorted
+    real.map(_.getLong(2)).toSeq shouldBe real.map(_.getLong(2)).toSeq.sorted
+    real.last.getLong(2) shouldBe table("orders").count()
+  }
+
+  test("abcClassification: thresholds bind on the exact ppm integer") {
+    import spark.implicits._
+    // one brand, revenues 80/15/5: cum_ppm hits exactly 800000 and
+    // 950000 — both boundary rows must classify INTO the tighter class
+    val li = Seq((1L, 800.00), (2L, 150.00), (3L, 50.00))
+      .toDF("l_partkey", "l_extendedprice")
+    val part = Seq((1L, "B#1"), (2L, "B#1"), (3L, "B#1"))
+      .toDF("p_partkey", "p_brand")
+    val out = Core.abcClassification(li, part).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(3), r.getString(4)))).toMap
+    out(1L) shouldBe ((800000L, "A"))
+    out(2L) shouldBe ((950000L, "B"))
+    out(3L) shouldBe ((1000000L, "C"))
+    // laws on the real tables: ppm monotone within brand up to exactly
+    // 1e6, class sequence never goes backwards
+    val real = Core.abcClassification(table("lineitem"), table("part"))
+      .collect()
+    real should not be empty
+    val byBrand = real.groupBy(_.getString(0))
+    byBrand.values.foreach { rows =>
+      val sorted = rows.sortBy(r => (-r.getLong(2), r.getLong(1)))
+      sorted.last.getLong(3) shouldBe 1000000L
+      val classes = sorted.map(_.getString(4)).toSeq
+      classes shouldBe classes.sorted // A* then B* then C*
+    }
+  }
+
+  test("selectivityEstimate: interpolation exact on a hand histogram; error bounded") {
+    import spark.implicits._
+    // two point masses (10 x $10, 10 x $20): cutoff 15 interpolates
+    // halfway -> est 15 rows vs act 10 — the uniform-assumption penalty,
+    // exactly; cutoff 25 past the last bucket -> est = n, err 0
+    val orders = (Seq.fill(10)(10.0) ++ Seq.fill(10)(20.0)).toDF("o_totalprice")
+    val out = Core.selectivityEstimate(orders, cutoffs = Seq(15L, 25L))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(4)))).toMap
+    out(15L) shouldBe ((15000L, 10L, 250000L))
+    out(25L) shouldBe ((20000L, 20L, 0L))
+    // law on the real table: the estimate never strays past one bucket's
+    // rows (act and est both live inside the bracketing bucket)
+    val real = Core.selectivityEstimate(table("orders")).collect()
+    real.length shouldBe 5
+    real.foreach { r =>
+      r.getLong(4) should be <= (1000000L / 32 + 32000L)
+    }
+  }
+
   test("decayTopk: halving per week, exact shifts, the 40-week clamp zeroes history") {
     import spark.implicits._
     val li = Seq(

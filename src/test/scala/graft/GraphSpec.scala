@@ -531,4 +531,45 @@ class GraphSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(3)).toMap
     out3 shouldBe Map(0L -> 0L)
   }
+
+  test("sccLocal: doubling horizon equals an independent 16-hop FW-BW recompute") {
+    val ids = (0L to 60L)
+    val docs = ids.toDF("doc_id")
+    val out = Graph.sccLocal(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    out.map(_._1).toSeq shouldBe ids
+    // independent recompute: same md5 gates, BFS to 16 hops, mutual reach
+    def md5hex(n: Long): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(n.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val idSet = ids.toSet
+    val edges = ids.flatMap { u =>
+      val fwd = if (idSet(u + 1) && md5hex(u).take(2) != "ff")
+        Seq(u -> (u + 1)) else Nil
+      val back = if (idSet(u - 4) && md5hex(u).take(1) == "a")
+        Seq(u -> (u - 4)) else Nil
+      fwd ++ back
+    }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    def reach(u: Long): Set[Long] = {
+      var cur = Set(u); var seen = Set(u)
+      for (_ <- 1 to 16) {
+        cur = cur.flatMap(n => edges.getOrElse(n, Set.empty)) -- seen
+        seen ++= cur
+      }
+      seen
+    }
+    val fwd = ids.map(u => u -> reach(u)).toMap
+    val expLabel = ids.map { u =>
+      u -> fwd(u).filter(m => fwd(m).contains(u)).min
+    }.toMap
+    val expSize = expLabel.values.groupBy(identity).map { case (l, g) => l -> g.size }
+    out.foreach { case (node, label, size, cyc) =>
+      label shouldBe expLabel(node)
+      size shouldBe expSize(label).toLong
+      cyc shouldBe (size > 1)
+    }
+    // the graph is non-trivial in both directions at this seed range:
+    // at least one real cycle and at least one singleton
+    out.exists(_._4) shouldBe true
+    out.exists(!_._4) shouldBe true
+  }
 }

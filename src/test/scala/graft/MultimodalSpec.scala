@@ -358,6 +358,34 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("dominantColor: RGB444 histogram recomputes from the tile-constant lattice") {
+    val out = Multimodal.dominantColor(table("documents")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    out should not be empty
+    for ((id, (w, h, nColors, key, cnt, share)) <- out) {
+      val wi = (17 + id % 16).toInt; val hi = (17 + (3 * id) % 8).toInt
+      val counts = scala.collection.mutable.Map.empty[Long, Long]
+      for (ty <- 0 until (hi + 15) / 16; tx <- 0 until (wi + 15) / 16) {
+        val area = (math.min(16 * (tx + 1), wi) - 16 * tx).toLong *
+          (math.min(16 * (ty + 1), hi) - 16 * ty)
+        val yv = ((17 * tx + 29 * ty + 31 * (id % 89)) % 256).toInt
+        val cb = ((23 * tx + 13 * ty + 7 * (id % 83)) % 256).toInt
+        val cr = ((11 * tx + 19 * ty + 5 * (id % 79)) % 256).toInt
+        val (r, g, b) = graft.sources.AssetCodecs.ycbcrToRgb(yv, cb, cr)
+        val k = ((r >> 4) << 8 | (g >> 4) << 4 | (b >> 4)).toLong
+        counts(k) = counts.getOrElse(k, 0L) + area
+      }
+      val (expKey, expCnt) = counts.toSeq.sortBy { case (k, c) => (-c, k) }.head
+      (w, h) shouldBe ((wi.toLong, hi.toLong))
+      nColors shouldBe counts.size.toLong
+      (key, cnt) shouldBe ((expKey, expCnt))
+      share shouldBe 1000L * expCnt / (wi.toLong * hi)
+      // histogram closure: the modal cell never exceeds the pixel count
+      cnt should be <= wi.toLong * hi
+    }
+  }
+
   test("sobelEdges: both kernels recompute from the lattice; edges are the wrap seams") {
     val out = Multimodal.sobelEdges(table("documents")).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
@@ -415,6 +443,35 @@ class MultimodalSpec extends SparkSpec {
       // equalization law: a non-constant image stretches to full range
       if (nVals >= 2) { outMin shouldBe 0L; outMax shouldBe 255L }
     }
+  }
+
+  test("clippingDetect: rails, first index, and flat-top run recompute exactly") {
+    val out = Multimodal.clippingDetect(table("documents")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    out should not be empty
+    for ((id, (n, nClip, clipMilli, maxRun, first)) <- out) {
+      val len = (64 + id % 193).toInt
+      val xs = Array.tabulate(len)(k => ((31L * k + 7 * id) % 2048) - 1024)
+      val clip = xs.map(x => math.abs(x) >= 1000)
+      val expClip = clip.count(identity).toLong
+      var run = 0L; var expMax = 0L
+      clip.foreach { c => if (c) { run += 1; expMax = expMax max run } else run = 0 }
+      val expFirst = clip.indexWhere(identity) match {
+        case -1 => -1L; case i => i.toLong
+      }
+      n shouldBe len.toLong
+      nClip shouldBe expClip
+      clipMilli shouldBe 1000L * expClip / len
+      maxRun shouldBe expMax
+      first shouldBe expFirst
+      // the rail law: a clipped sample really sits within 24 LSB of a rail
+      xs.zip(clip).foreach { case (x, c) =>
+        if (c) (x >= 1000 || x <= -1000) shouldBe true
+      }
+    }
+    // the fixture exercises real flat-tops somewhere: a run >= 2 exists
+    out.values.map(_._4).max should be >= 2L
   }
 
   test("audioFeatures: ZCR/energy/peak recompute from the closed-form samples") {

@@ -835,4 +835,79 @@ class PlanGuardSpec extends SparkSpec {
     p should not include "CartesianProduct"
     p should not include "BroadcastNestedLoopJoin"
   }
+
+  test("t53_markdown_extract: pure codegen regexp chain — no join, no hash shuffle") {
+    val p = planOf("t53_markdown_extract")
+    p should not include "Join"
+    p should not include "hashpartitioning"
+  }
+
+  test("q77_rfm: three quintile windows, no cartesian") {
+    val p = planOf("q77_rfm")
+    p should include("Window")
+    p should not include "CartesianProduct"
+  }
+
+  test("x16_equi_depth_hist: ONE value-domain fold feeds the window — no row sort") {
+    val p = planOf("x16_equi_depth_hist")
+    p should include("Window")
+    p should include("Generate")
+    // the (value -> count) fold is barriered away; what remains sees
+    // only the bounded value domain — zero hash exchanges, and the two
+    // SinglePartition exchanges (window + totals) carry value-domain
+    // row counts, never the raw rows
+    hashExchanges(p) shouldBe 0
+    p should include("Scan ExistingRDD") // the barrier cut is in place
+  }
+
+  test("m28_dominant_color: decode + histogram stay in the row — no join, no shuffle") {
+    val p = planOf("m28_dominant_color")
+    p should not include "Join"
+    p should not include "hashpartitioning"
+  }
+
+  test("s18_bm25_exact: broadcast df/stats, top-k via TakeOrdered, no SMJ") {
+    val p = planOf("s18_bm25_exact")
+    p should include("TakeOrderedAndProject")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+  }
+
+  test("t54_garble_detect: pure codegen regexp counts — no join, no hash shuffle") {
+    val p = planOf("t54_garble_detect")
+    p should not include "Join"
+    p should not include "hashpartitioning"
+  }
+
+  test("g18_scc_local: doubling rounds are equi-joins on barriered cuts") {
+    val p = planOf("g18_scc_local")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    // the final plan hangs off checkpointed reach relations, not a
+    // re-derivation of all four rounds
+    p should include("Scan ExistingRDD")
+  }
+
+  test("m29_clipping: decode + run fold stay in the row — no join, no hash shuffle") {
+    val p = planOf("m29_clipping")
+    p should not include "Join"
+    p should not include "hashpartitioning"
+  }
+
+  test("q78_abc_class: brand totals broadcast, one partitioned window") {
+    val p = planOf("q78_abc_class")
+    p should include("Window")
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+  }
+
+  test("x17_selectivity_est: 32-row histogram broadcast; truth is ONE fold pass") {
+    val p = planOf("x17_selectivity_est")
+    p should include("BroadcastExchange")
+    p should not include "SortMergeJoin"
+    // ground truth: conditional sums over the value fold, not a
+    // per-cutoff rescan — the orders scan appears at most twice
+    // (histogram build is barriered away; one scan for the act pass)
+    p.linesIterator.count(_.contains("orders.parquet")) should be <= 1
+  }
 }

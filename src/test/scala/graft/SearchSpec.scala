@@ -96,4 +96,35 @@ class SearchSpec extends SparkSpec {
     val out = Search.keywordSearch(c, Seq("c++"), 10).collect()
     out.map(_.getLong(0)) shouldBe Array(1L)
   }
+
+  test("bm25ExactSearch: independent integer recompute + BM25 ranking laws") {
+    val c = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple"),
+      (3L, "banana banana banana banana"),
+      (4L, "cherry cherry cherry")
+    ).toDF("doc_id", "text")
+    val out = Search.bm25ExactSearch(c, Seq("apple", "banana"), 10).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // the staged integer formula replayed independently in Scala
+    val dls = Map(1L -> 3L, 2L -> 1L, 3L -> 4L, 4L -> 3L)
+    val nDocs = 4L; val sumDl = 11L
+    val avgdlMilli = 1000L * sumDl / nDocs
+    def w(tf: Long, dl: Long, df: Long): Long = {
+      val bpart = 250L + 750000L * dl / avgdlMilli
+      val den = 1000L * tf + 1200L * bpart / 1000L
+      val tfnorm = 2200L * tf * 1000000L / den
+      val idf = 1000L * (2 * nDocs - 2 * df + 1) / (2 * df + 1)
+      idf * tfnorm / 1000L
+    }
+    out(1L) shouldBe ((2L, w(2, dls(1L), 2) + w(1, dls(1L), 2)))
+    out(2L) shouldBe ((1L, w(1, dls(2L), 2)))
+    out(3L) shouldBe ((1L, w(4, dls(3L), 2)))
+    out.contains(4L) shouldBe false // no query term -> never a candidate
+    // BM25's two laws on the fixture: more matched terms beat fewer at
+    // comparable length, and tf saturates (doc 3's 4x banana does not
+    // quadruple doc 2's single-term score)
+    out(1L)._2 should be > out(3L)._2
+    out(3L)._2 should be < 4L * out(2L)._2
+  }
 }

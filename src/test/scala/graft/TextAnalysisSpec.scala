@@ -627,4 +627,50 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getBoolean(6)).toMap
     got shouldBe Map(1L -> false, 2L -> false, 3L -> true)
   }
+
+  test("markdownExtract: hazards — fence payload, link URL, bullets vs hrule") {
+    val md = "# Title\n```\n- fake bullet * in fence\n```\n" +
+      "real **bold** [x](http://u) `c`\n* starred item\n1. numbered\n___\nend"
+    val got = Seq((1L, md)).toDF("doc_id", "md")
+      .select(TextAnalysis.markdownExtract($"md")).head.getString(0)
+    got shouldBe "Title\nreal bold x c\nstarred item\nnumbered\nend"
+    // the image keeps its alt text while the sibling link keeps anchor
+    // text — and an emphasis span spanning the URL must not fire
+    val md2 = "see ![alt text](i.png) and [go*al](http://a*b) done"
+    Seq((1L, md2)).toDF("doc_id", "md")
+      .select(TextAnalysis.markdownExtract($"md")).head.getString(0) shouldBe
+      "see alt text and go*al done"
+    // an unterminated fence is NOT a fence (the pair rule) — the text
+    // after it survives instead of being eaten to end-of-doc
+    val md3 = "start ``` not a fence\nplain text"
+    Seq((1L, md3)).toDF("doc_id", "md")
+      .select(TextAnalysis.markdownExtract($"md")).head.getString(0) should
+      include("plain text")
+  }
+
+  test("garbleDetect: prose clean, consonant runs and vowel drought both fire") {
+    val hand = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // prose: clean
+      (2L, "intro qzwxqzwx more xkcdxkcd end"),            // two runs >= 5
+      (3L, "bcd fgh jkl mnp qrst vwxz"),                   // no vowels at all
+      (4L, "the strength of the through train is enormous"), // 4-runs only
+      (5L, "qzwxqzwx only one run here") // one run is not enough alone
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.garbleDetect(hand).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4),
+        r.getBoolean(5)))).toMap
+    out(1L)._3 shouldBe false
+    out(2L) shouldBe ((2L, out(2L)._2, true))
+    out(3L)._3 shouldBe true  // vowel_milli = 0 < 200
+    out(3L)._2 shouldBe 0L
+    out(4L)._3 shouldBe false // "ngth" is a 4-run, below the 5 threshold
+    out(5L)._3 shouldBe false // one run, healthy vowel share elsewhere
+    // the twin-corpus law: the detector fires exactly on the injected tail
+    val twin = TextAnalysis.garbleDetect(
+      TextAnalysis.garbleCorpus(table("documents"))).collect()
+    twin should not be empty
+    twin.foreach { r =>
+      r.getBoolean(5) shouldBe (r.getLong(0) % 5 == 2)
+    }
+  }
 }
