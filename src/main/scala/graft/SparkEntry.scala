@@ -794,6 +794,39 @@ object SparkEntry {
     * q72's string VERBATIM (one string, two gates — the batch window
     * and the streaming buffer cannot drift).
     */
+  /** w23: streaming funnel completion — the four time-sliced landing
+    * batches drive [[graft.streaming.EventStream.funnelStateful]];
+    * completion rows are immutable once emitted (append sink), and the
+    * oracle is q37's min-chain filtered to full depth in µs (one
+    * chain, two gates — the batch windows and the streaming cursor
+    * cannot drift).
+    */
+  private def streamFunnel(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_w23").toString
+    val schema = landEventsSliced(s, d, tmp)
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/landing")
+    withStreamingPartitions(s, 8) {
+      val q = graft.streaming.EventStream.funnelStateful(
+          stream.as[graft.streaming.Event](
+            org.apache.spark.sql.Encoders.product[graft.streaming.Event]))
+        .toDF()
+        .writeStream
+        .format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.streaming.StateMetrics.record("w23_stream_funnel", q)
+    }
+    s.read.parquet(s"$tmp/out")
+      .select($"user_id", $"step1_us", $"step2_us", $"step3_us")
+      .orderBy($"user_id")
+  }
+
   private def streamAttribution(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val tmp = java.nio.file.Files.createTempDirectory("graft_w22").toString
@@ -1999,6 +2032,10 @@ object SparkEntry {
     // q72's attribution as streaming state: lookback-bounded touch
     // buffer per user, conversions attribute on arrival, shared oracle
     "w22_stream_attribution" -> ((s, d) => streamAttribution(s, d)),
+    // q37's funnel as streaming state: three-long cursor per user,
+    // completion rows emit on arrival (append-only); oracle = q37's
+    // chain filtered to full depth in µs
+    "w23_stream_funnel" -> ((s, d) => streamFunnel(s, d)),
     "w09_stream_join" -> ((s, d) => streamJoin(s, d)),
     "w11_stream_outer_join" -> ((s, d) => streamJoinOuter(s, d)),
     "w10_stream_upsert" -> ((s, d) => streamUpsert(s, d)),
@@ -2388,6 +2425,23 @@ object SparkEntry {
     // thresholds bind on the integer
     "q78_abc_class" -> ((s, d) =>
       operators.Core.abcClassification(t(s, d)("lineitem"), t(s, d)("part"))),
+    // Benford first-digit audit: pinned milli expectation table, exact
+    // chi-squared-shaped terms, digit spine keeps zero rows honest
+    "q79_benford" -> ((s, d) =>
+      operators.Core.benfordAudit(t(s, d)("orders"))),
+    // the bloom-join runtime filter made explicit and graded: pass /
+    // true / false-positive counts in ONE big-side pass
+    "x18_bloom_prefilter" -> ((s, d) =>
+      operators.Core.bloomPrefilterAudit(t(s, d)("lineitem"),
+        t(s, d)("supplier"))),
+    // capped coreness: the g07 peel swept over k in [2,4], indicator
+    // sum over nested cores
+    "g19_coreness" -> ((s, d) => operators.Graph.coreness(
+      operators.Graph.coPurchaseEdgesSupported(t(s, d)("lineitem"), 2))),
+    // energy-jump onset detection over real WAV decode: 1.5x jumps by
+    // cross-multiplication, silence floor, first onset frame
+    "m30_onset_detect" -> ((s, d) =>
+      Multimodal.onsetDetect(t(s, d)("documents"))),
     // OCR-garbage detection over the garble twin corpus: vowel share +
     // consonant-run counts, pure codegen projection
     "t54_garble_detect" -> ((s, d) =>
@@ -3755,6 +3809,36 @@ object SparkEntry {
     * filter + edge restriction) — see [[kcorePeelRounds]] for the
     * engine/oracle round contract and [[operators.Graph.kCore]].
     */
+  /** g19 oracle: the g07 peel unrolled per k in [2, maxK] with
+    * k-suffixed CTE names over the ONE materialized e0; coreness = 1 +
+    * the nested-core indicator sum (cores nest, so the sum is exact).
+    */
+  private def corenessOracle(maxK: Int, rounds: Int): String = {
+    val blocks = (2 to maxK).map { k =>
+      val steps = (0 until rounds).map { r =>
+        s"""nk${k}_$r AS MATERIALIZED (SELECT n FROM
+                  (SELECT u AS n FROM ek${k}_$r UNION ALL SELECT v AS n FROM ek${k}_$r)
+                  GROUP BY n HAVING count(*) >= $k),
+           ek${k}_${r + 1} AS MATERIALIZED (SELECT u, v FROM ek${k}_$r
+                  WHERE u IN (SELECT n FROM nk${k}_$r)
+                    AND v IN (SELECT n FROM nk${k}_$r))"""
+      }.mkString(",\n           ")
+      s"""ek${k}_0 AS MATERIALIZED (SELECT u, v FROM e0),
+           $steps,
+           core$k AS MATERIALIZED (SELECT DISTINCT n AS node FROM
+             (SELECT u AS n FROM ek${k}_$rounds UNION ALL SELECT v FROM ek${k}_$rounds))"""
+    }.mkString(",\n           ")
+    val flags = (2 to maxK).map(k =>
+      s"CASE WHEN node IN (SELECT node FROM core$k) THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH ${supportedEdgesCte.replace("e0 AS (", "e0 AS MATERIALIZED (")},
+           $blocks,
+           allnodes AS (SELECT DISTINCT n AS node FROM
+             (SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0))
+         SELECT node, CAST(1 + $flags AS BIGINT) AS coreness
+         FROM allnodes ORDER BY node"""
+  }
+
   private def kcoreOracle(k: Int, rounds: Int): String = {
     // every CTE is MATERIALIZED: default inlining would expand the
     // round-r relation into a 3^r-leaf expression tree (each e_{r+1}
@@ -4872,6 +4956,21 @@ object SparkEntry {
     // ONE oracle string, two gates: the streaming buffer must equal the
     // batch RANGE window row for row
     "w22_stream_attribution" -> attributionOracle,
+    // q37's min-chain in µs filtered to full depth: the streaming
+    // cursor must land on the same three timestamps per converted user
+    "w23_stream_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         s1 AS (SELECT user_id, min(us) AS step1_us FROM e
+                WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.us) AS step2_us FROM e
+                JOIN s1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.us > s1.step1_us GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(e.us) AS step3_us FROM e
+                JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.us > s2.step2_us GROUP BY 1)
+         SELECT user_id, step1_us, step2_us, step3_us
+         FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
+         ORDER BY user_id""",
     // the sorted-rank identity replayed: same dollar floor, same rank
     // tiebreak, same cross-multiplied band — a wrong rank origin or an
     // unsorted fold shifts s and every numerator
@@ -4956,6 +5055,59 @@ object SparkEntry {
          WHERE (bs.b * t.n + 31) // 32 > c.cum - c.cnt
            AND (bs.b * t.n + 31) // 32 <= c.cum
          ORDER BY 1""",
+    // the pinned Benford table replayed with exact ppm deltas — a
+    // rounding slip or a missing zero-row digit breaks the hash
+    "q79_benford" ->
+      """WITH o AS (SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                      * 100 AS BIGINT) // 100 AS VARCHAR), 1, 1) AS BIGINT) AS digit
+                    FROM orders),
+         obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS obs FROM o GROUP BY 1),
+         tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM obs),
+         sp AS (SELECT * FROM (VALUES
+                  (CAST(1 AS BIGINT), CAST(301 AS BIGINT)),
+                  (CAST(2 AS BIGINT), CAST(176 AS BIGINT)),
+                  (CAST(3 AS BIGINT), CAST(125 AS BIGINT)),
+                  (CAST(4 AS BIGINT), CAST(97 AS BIGINT)),
+                  (CAST(5 AS BIGINT), CAST(79 AS BIGINT)),
+                  (CAST(6 AS BIGINT), CAST(67 AS BIGINT)),
+                  (CAST(7 AS BIGINT), CAST(58 AS BIGINT)),
+                  (CAST(8 AS BIGINT), CAST(51 AS BIGINT)),
+                  (CAST(9 AS BIGINT), CAST(46 AS BIGINT)))
+                AS q(digit, exp_milli))
+         SELECT sp.digit, coalesce(obs.obs, 0) AS obs, tot.n, sp.exp_milli,
+                (1000000 * coalesce(obs.obs, 0)) // tot.n AS obs_ppm,
+                abs((1000000 * coalesce(obs.obs, 0)) // tot.n
+                  - sp.exp_milli * 1000) AS dev_ppm,
+                CASE WHEN (1000000 * coalesce(obs.obs, 0)) // tot.n
+                            - sp.exp_milli * 1000 > 100000 THEN 'over'
+                     WHEN (1000000 * coalesce(obs.obs, 0)) // tot.n
+                            - sp.exp_milli * 1000 < -100000 THEN 'under'
+                     ELSE 'ok' END AS band
+         FROM sp LEFT JOIN obs USING (digit), tot ORDER BY sp.digit""",
+    // the bloom audit replayed: the same multiplicative hashes, the
+    // same 8192-bit membership, exact fp accounting
+    "x18_bloom_prefilter" ->
+      """WITH keys AS (SELECT DISTINCT CAST(s_suppkey AS BIGINT) AS k
+                       FROM supplier WHERE s_nationkey = 3),
+         bits AS (SELECT DISTINCT (k * 2654435761) % 8192 AS pos FROM keys
+                  UNION SELECT DISTINCT (k * 40503 + 17) % 8192 FROM keys),
+         big AS (SELECT CAST(l_suppkey AS BIGINT) AS k FROM lineitem),
+         f AS (SELECT k,
+                      ((k * 2654435761) % 8192 IN (SELECT pos FROM bits)
+                       AND (k * 40503 + 17) % 8192 IN (SELECT pos FROM bits))
+                        AS pass,
+                      k IN (SELECT k FROM keys) AS tr
+               FROM big),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n_big,
+                      CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+                        AS n_pass,
+                      CAST(sum(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT)
+                        AS n_true
+               FROM f)
+         SELECT n_big, n_pass, n_true, n_pass - n_true AS n_false_pos,
+                (1000000 * (n_pass - n_true)) // greatest(n_big - n_true, 1)
+                  AS fp_ppm
+         FROM a""",
     // the running-share banding replayed: a tie-break or threshold slip
     // reclassifies a part and breaks the hash
     "q78_abc_class" ->
@@ -5036,6 +5188,28 @@ object SparkEntry {
                                      DATE '2001-12-01') // 7, 40))
                   AS BIGINT) AS score
          FROM lineitem GROUP BY 1 ORDER BY score DESC, l_suppkey LIMIT 25""",
+    // frame energies + the lag compare replayed over the closed-form
+    // samples: a frame boundary or threshold slip shifts onsets
+    "m30_onset_detect" ->
+      """WITH d AS (SELECT doc_id, 64 + doc_id % 193 AS n
+                    FROM documents WHERE doc_id % 3 = 2),
+         s AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS k FROM d),
+         v AS (SELECT doc_id, n, k // 32 AS frame,
+                      ((31 * k + 7 * doc_id) % 2048) - 1024 AS x
+               FROM s),
+         fe AS (SELECT doc_id, frame, CAST(sum(x * x) AS BIGINT) AS e
+                FROM v GROUP BY 1, 2),
+         lg AS (SELECT doc_id, frame, e,
+                       lag(e) OVER (PARTITION BY doc_id ORDER BY frame) AS pe
+                FROM fe),
+         ons AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS cnt,
+                        CAST(min(frame) AS BIGINT) AS first_f
+                 FROM lg WHERE pe IS NOT NULL AND 2 * e > 3 * pe AND e >= 1000
+                 GROUP BY 1)
+         SELECT d.doc_id, CAST((d.n + 31) // 32 AS BIGINT) AS n_frames,
+                CAST(coalesce(ons.cnt, 0) AS BIGINT) AS n_onsets,
+                CAST(coalesce(ons.first_f, -1) AS BIGINT) AS first_onset
+         FROM d LEFT JOIN ons USING (doc_id) ORDER BY d.doc_id""",
     // rails + the flat-top run replayed with the gaps-and-islands
     // window over the closed-form samples: a run boundary slip or an
     // off-by-one rail threshold shifts max_run/n_clipped
@@ -7914,6 +8088,7 @@ object SparkEntry {
          WHERE NOT EXISTS (SELECT 1 FROM ex WHERE ex.x = sc.x AND ex.y = sc.y)
          ORDER BY ra_score DESC, x, y LIMIT 20""",
     "g07_kcore" -> kcoreOracle(3, kcorePeelRounds),
+    "g19_coreness" -> corenessOracle(4, kcorePeelRounds),
     "g14_ktruss" -> ktrussOracle(4, ktrussPeelRounds),
     "g08_label_prop" -> lpaOracle(lpaRounds),
     "g15_modularity" -> modularityOracle(lpaRounds),

@@ -805,6 +805,90 @@ object Core {
       .orderBy($"cutoff")
   }
 
+  /** Q79: Benford first-digit audit — the classic fraud/anomaly screen
+    * finance and data-quality pipelines run over monetary columns
+    * (Nigrini 1996): observed first-significant-digit shares vs the
+    * Benford expectation, with the expectation PINNED as exact milli
+    * constants (301, 176, …, 46 — log10(1+1/d) pre-rounded once, so no
+    * transcendental ever runs in either engine) and the deviation as
+    * an exact ppm delta with an over/under/ok verdict at ±100000 ppm
+    * (ppm stays under 2⁵³ to n ≈ 9·10¹² rows — the χ² form would
+    * square past 2⁶³ at ~10⁶ rows and stays out). A digit spine
+    * left-join keeps absent digits as honest zero rows.
+    *
+    * Scale shape: first digit is a row-local string head; ONE 9-group
+    * fold; everything after runs on 9 rows.
+    */
+  def benfordAudit(orders: DataFrame): DataFrame = {
+    val benfordMilli = Seq(301L, 176L, 125L, 97L, 79L, 67L, 58L, 51L, 46L)
+    val digit = expr(
+      "CAST(substring(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100" +
+        " AS BIGINT) div 100 AS STRING), 1, 1) AS BIGINT)")
+    val obs = graft.Session.barrier(
+      orders.select(digit.as("digit")).groupBy($"digit")
+        .agg(count(lit(1)).as("obs")))
+    val tot = obs.agg(sum($"obs").as("n"))
+    val spine = obs.sparkSession.range(1)
+      .select(posexplode(array(benfordMilli.map(lit(_)): _*))
+        .as(Seq("pos", "exp_milli")))
+      .select(($"pos" + 1).cast("long").as("digit"), $"exp_milli")
+    spine.join(obs, Seq("digit"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("obs", coalesce($"obs", lit(0L)))
+      .withColumn("obs_ppm", expr("(1000000 * obs) div n"))
+      .withColumn("dev_ppm", abs($"obs_ppm" - $"exp_milli" * 1000))
+      .withColumn("band",
+        when($"obs_ppm" - $"exp_milli" * 1000 > 100000L, "over")
+          .when($"obs_ppm" - $"exp_milli" * 1000 < -100000L, "under")
+          .otherwise("ok"))
+      .select($"digit", $"obs", $"n", $"exp_milli", $"obs_ppm",
+        $"dev_ppm", $"band")
+      .orderBy($"digit")
+  }
+
+  /** X18: Bloom-prefilter join audit — Spark's runtime-filter /
+    * bloom-join lever made explicit AND graded: the small side's keys
+    * set two multiplicative-hash bits each in an 8192-bit filter (the
+    * positions relation broadcasts — it is ≤ 2·|keys| longs), the big
+    * side passes only when BOTH its positions are set, and the gate
+    * reports what a planner needs to know before trusting the filter:
+    * rows in, rows passing the bloom, true matches (exact semi-join),
+    * false positives, and the fp rate in ppm of the true negatives.
+    * Hashes are pure integer multiply-mod (Knuth 2654435761) —
+    * portable, no crypto needed for a join prefilter.
+    *
+    * Scale shape: ONE pass over the big side with two broadcast
+    * position lookups and a broadcast key lookup riding the same scan
+    * (left joins to flags, one fold) — never a second scan, never a
+    * shuffle of the big side.
+    */
+  def bloomPrefilterAudit(lineitem: DataFrame, supplier: DataFrame,
+                          nation: Long = 3L, bits: Long = 8192L): DataFrame = {
+    val keys = graft.Session.barrier(
+      supplier.where($"s_nationkey" === nation)
+        .select($"s_suppkey".cast("long").as("k")).distinct())
+    val pos = graft.Session.barrier(
+      keys.select(expr(s"(k * 2654435761) % $bits").as("pos"))
+        .unionByName(keys.select(expr(s"(k * 40503 + 17) % $bits").as("pos")))
+        .distinct())
+    val big = lineitem.select($"l_suppkey".cast("long").as("k"))
+      .withColumn("h1", expr(s"(k * 2654435761) % $bits"))
+      .withColumn("h2", expr(s"(k * 40503 + 17) % $bits"))
+    big
+      .join(broadcast(pos.select($"pos".as("h1"), lit(1L).as("b1"))),
+        Seq("h1"), "left")
+      .join(broadcast(pos.select($"pos".as("h2"), lit(1L).as("b2"))),
+        Seq("h2"), "left")
+      .join(broadcast(keys.select($"k", lit(1L).as("tr"))), Seq("k"), "left")
+      .agg(count(lit(1)).as("n_big"),
+        sum(when($"b1" === 1L && $"b2" === 1L, 1L).otherwise(0L)).as("n_pass"),
+        sum(coalesce($"tr", lit(0L))).as("n_true"))
+      .withColumn("n_false_pos", $"n_pass" - $"n_true")
+      .withColumn("fp_ppm",
+        expr("(1000000 * n_false_pos) div greatest(n_big - n_true, 1)"))
+      .select($"n_big", $"n_pass", $"n_true", $"n_false_pos", $"fp_ppm")
+  }
+
   /** X15: MERGEABLE column statistics — the maintenance half of
     * [[analyzeStats]]. At 100 TB nobody re-ANALYZEs the table; each
     * partition (here: `source`) keeps a summary and the table-level row

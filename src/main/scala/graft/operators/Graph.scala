@@ -882,6 +882,33 @@ object Graph {
     * count aggregate. One wedge join + one closing join + one
     * map-side-combinable aggregate — no edge-list self-join on raw ids.
     */
+  /** G19: coreness (core number) per node — the k-core sweep every
+    * graph-ML feature stack computes (Batagelj–Zaversnik's output,
+    * here as the honest bounded form): coreness(v) = max k ≤ `maxK`
+    * with v surviving the k-core peel. Reuses [[kCore]] verbatim per k
+    * (one kernel, two gates — g07's peel cannot drift from this
+    * sweep); k-cores nest, so the indicator SUM over k ∈ [2, maxK]
+    * plus 1 IS the capped coreness. `rounds` stays pinned to the
+    * oracle's unroll (the g07 contract — deeper-than-unrolled peels
+    * fail loudly engine-side, never silently diverge).
+    */
+  def coreness(edgesRaw: DataFrame, maxK: Int = 4, rounds: Int = 20): DataFrame = {
+    require(maxK >= 2, s"coreness: maxK must be >= 2, got $maxK")
+    val edges = graft.Session.barrier(edgesRaw.select(col("u"), col("v")))
+    val all = edges.select(col("u").as("node"))
+      .unionByName(edges.select(col("v").as("node"))).distinct()
+    val withFlags = (2 to maxK).foldLeft(all) { (acc, k) =>
+      acc.join(kCore(edges, k, maxRounds = rounds)
+          .select(col("node"), lit(1L).as(s"in$k")),
+        Seq("node"), "left")
+    }
+    withFlags
+      .select(col("node"),
+        (2 to maxK).map(k => coalesce(col(s"in$k"), lit(0L)))
+          .foldLeft(lit(1L): org.apache.spark.sql.Column)(_ + _).as("coreness"))
+      .orderBy(col("node"))
+  }
+
   private def triangleEdgeSupport(undRaw: DataFrame): DataFrame = {
     val und = graft.Session.barrier(undRaw.select(col("u"), col("v")))
     val deg = und.select(col("u").as("n"))

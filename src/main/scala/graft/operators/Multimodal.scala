@@ -730,6 +730,53 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** M30: onset detection over the REAL decoded WAV PCM — the
+    * energy-jump event detector audio pipelines run for beat/segment
+    * candidates (the spectral-flux seat, kept exact by using frame
+    * ENERGY deltas instead of FFT magnitudes): frames of `frameLen`
+    * samples (m08's framing), an onset fires at frame f ≥ 1 when
+    * `2·e_f > 3·e_{f−1}` (energy jumps ≥ 1.5×, compared
+    * cross-multiplied — no ratio ever materializes) AND `e_f ≥
+    * minEnergy` (silence flicker is not an onset). Reported per clip:
+    * frame count, onset count, first onset frame (−1 when none).
+    *
+    * Scale shape: mapPartitions decode + per-clip O(n) integer fold,
+    * no shuffle before the presentation sort (the m-family envelope).
+    */
+  def onsetDetect(documents: DataFrame, frameLen: Int = 32,
+                  minEnergy: Long = 1000L): DataFrame = {
+    require(frameLen > 0, s"onsetDetect: frameLen must be positive")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .filter((id: Long) => id % 3 == 2) // the WAV third of the fixture
+      .mapPartitions { it =>
+        it.map { id =>
+          val (_, samples) = graft.sources.AssetCodecs.decodeWavSamples(assetFor(id))
+          val nf = (samples.length + frameLen - 1) / frameLen
+          val e = new Array[Long](nf)
+          var i = 0
+          while (i < samples.length) {
+            val x = samples(i).toLong
+            e(i / frameLen) += x * x
+            i += 1
+          }
+          var onsets = 0L; var first = -1L
+          var f = 1
+          while (f < nf) {
+            if (2 * e(f) > 3 * e(f - 1) && e(f) >= minEnergy) {
+              onsets += 1
+              if (first < 0) first = f
+            }
+            f += 1
+          }
+          (id, nf.toLong, onsets, first)
+        }
+      }
+      .toDF("doc_id", "n_frames", "n_onsets", "first_onset")
+      .orderBy(col("doc_id"))
+  }
+
   /** M25: histogram equalization (the classic contrast-normalization
     * preprocessing step of image training pipelines) over the REAL
     * decoded PNG raster, in exact integers: the standard CDF remap

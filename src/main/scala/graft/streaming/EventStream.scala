@@ -54,6 +54,19 @@ case class GapOut(user_id: Long, gap_start: java.sql.Timestamp,
   */
 case class AttribState(touches: List[(Long, Long, String)])
 
+/** Per-user funnel cursor for [[EventStream.funnelStateful]]: the min
+  * timestamp (µs) at which each step's chained condition was first
+  * satisfied (−1 = not yet), plus the emitted latch — three longs and a
+  * boolean per user, the whole state a cross-batch funnel needs.
+  */
+case class FunnelState(stepUs: List[Long], emitted: Boolean)
+
+/** Emitted funnel-completion row: one per user, the moment the last
+  * step closes (mirrors q37's full-depth rows in µs).
+  */
+case class FunnelOut(user_id: Long, step1_us: Long, step2_us: Long,
+                     step3_us: Long)
+
 /** Emitted conversion row (mirrors the batch q72 attribution shape;
   * organic conversions keep nulls).
   */
@@ -382,6 +395,53 @@ object EventStream {
     * drift. µs-exact; the same-µs touch is excluded (the batch RANGE
     * frame's −1 µs end bound).
     */
+  /** W23: q37's ordered funnel as a streaming operator — each user
+    * carries only the per-step min-timestamp cursor ([[FunnelState]],
+    * three longs), and a completion row emits THE MOMENT the last step
+    * closes (append-only, immutable — the fact "user converted through
+    * the full funnel at these times" never retracts). Greedy first-set
+    * chaining equals the batch min-chain because events are processed
+    * in (ts, event_id) order within a batch and the landing slices are
+    * time-ordered across batches (the w21/w22 ordering contract): the
+    * first step-i event after step-(i−1) closed IS the min. Strict
+    * `>` between steps mirrors q37; the oracle is q37's chain filtered
+    * to full depth, in µs.
+    */
+  def funnelStateful(events: Dataset[Event],
+                     steps: Seq[String] = Seq("view", "click", "purchase"))
+      : Dataset[FunnelOut] = {
+    require(steps.length == 3, "funnelStateful: the gate form is 3 steps")
+    import events.sparkSession.implicits._
+    def us(t: java.sql.Timestamp): Long = t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[Event], state: GroupState[FunnelState]) => {
+          val st = state.getOption.getOrElse(
+            FunnelState(List.fill(steps.length)(-1L), emitted = false))
+          val cur = st.stepUs.toArray
+          var emitted = st.emitted
+          val out = Seq.newBuilder[FunnelOut]
+          rows.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+            val t = us(e.ts)
+            var i = 0
+            while (i < steps.length) {
+              if (e.event_type == steps(i) && cur(i) < 0 &&
+                  (i == 0 || (cur(i - 1) >= 0 && t > cur(i - 1)))) {
+                cur(i) = t
+                if (i == steps.length - 1 && !emitted) {
+                  out += FunnelOut(userId, cur(0), cur(1), cur(2))
+                  emitted = true
+                }
+              }
+              i += 1
+            }
+          }
+          state.update(FunnelState(cur.toList, emitted))
+          out.result().iterator
+        })
+  }
+
   def attributionStateful(events: Dataset[Event], lookbackSec: Long = 604800L,
                           touchTypes: Set[String] = Set("click", "view"),
                           conversionType: String = "purchase"): Dataset[AttribOut] = {

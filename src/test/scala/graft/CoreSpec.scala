@@ -464,6 +464,45 @@ class CoreSpec extends SparkSpec {
     }
   }
 
+  test("benfordAudit: digit spine keeps zero rows, bands bind at ±100000 ppm") {
+    import spark.implicits._
+    // 10 orders: first digits 1x8, 2x2 — digit 1 heavily over Benford,
+    // digits 3..9 absent but present as zero rows
+    val orders = (Seq.fill(8)(150.0) ++ Seq.fill(2)(250.0)).toDF("o_totalprice")
+    val out = Core.benfordAudit(orders).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(4), r.getString(6)))).toMap
+    out.keySet shouldBe (1L to 9L).toSet
+    out(1L) shouldBe ((8L, 800000L, "over"))   // 800000 vs 301000
+    out(2L) shouldBe ((2L, 200000L, "ok"))     // 200000 vs 176000
+    out(3L) shouldBe ((0L, 0L, "under"))       // 0 vs 125000
+    out(9L) shouldBe ((0L, 0L, "ok"))          // 0 vs 46000: within 100k
+    // law on the real table: observed ppm shares sum to ~1e6 (floor slack)
+    val real = Core.benfordAudit(table("orders")).collect()
+    real.length shouldBe 9
+    val s = real.map(_.getLong(4)).sum
+    s should be <= 1000000L
+    s should be > 999900L
+  }
+
+  test("bloomPrefilterAudit: no false negatives, exact fp accounting") {
+    import spark.implicits._
+    val sup = Seq((1L, 3L), (2L, 3L), (7L, 5L)).toDF("s_suppkey", "s_nationkey")
+    val li = Seq(1L, 1L, 2L, 7L, 9L, 11L).toDF("l_suppkey")
+    val r = Core.bloomPrefilterAudit(li, sup).collect().head
+    val (nBig, nPass, nTrue, nFp) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    nBig shouldBe 6L
+    nTrue shouldBe 3L    // rows with suppkey in {1, 2}
+    nPass should be >= nTrue // a Bloom filter never drops a member
+    nFp shouldBe nPass - nTrue
+    // laws on the real tables
+    val real = Core.bloomPrefilterAudit(table("lineitem"), table("supplier"))
+      .collect().head
+    real.getLong(1) should be >= real.getLong(2) // pass >= true
+    real.getLong(2) should be > 0L               // nation 3 ships things
+    real.getLong(4) should be < 100000L          // fp rate sane (< 10%)
+  }
+
   test("decayTopk: halving per week, exact shifts, the 40-week clamp zeroes history") {
     import spark.implicits._
     val li = Seq(

@@ -532,6 +532,21 @@ class GraphSpec extends SparkSpec {
     out3 shouldBe Map(0L -> 0L)
   }
 
+  test("coreness: nested cores sum exactly; the cap binds on K5") {
+    // K4 {1,2,3,4} + pendant 4-5: K4 members have coreness 3 (each has
+    // degree 3 inside K4 -> 3-core, no 4-core), the pendant 1
+    val k4 = (for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)) :+ ((4L, 5L))
+    val out = Graph.coreness(k4.toDF("u", "v")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out shouldBe Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 1L)
+    // K6: true coreness 5, the maxK=4 sweep reports the honest cap
+    val k6 = (for { a <- 1L to 6L; b <- (a + 1) to 6L } yield (a, b)).toDF("u", "v")
+    Graph.coreness(k6).collect().map(_.getLong(1)).toSet shouldBe Set(4L)
+    // chain: everyone peels at k=2 -> coreness 1 across the board
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    Graph.coreness(chain).collect().map(_.getLong(1)).toSet shouldBe Set(1L)
+  }
+
   test("sccLocal: doubling horizon equals an independent 16-hop FW-BW recompute") {
     val ids = (0L to 60L)
     val docs = ids.toDF("doc_id")

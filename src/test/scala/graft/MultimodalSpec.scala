@@ -474,6 +474,23 @@ class MultimodalSpec extends SparkSpec {
     out.values.map(_._4).max should be >= 2L
   }
 
+  test("onsetDetect: frame energies and 1.5x jumps recompute from the samples") {
+    val out = Multimodal.onsetDetect(table("documents")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    out should not be empty
+    for ((id, (nf, onsets, first)) <- out) {
+      val len = (64 + id % 193).toInt
+      val xs = Array.tabulate(len)(k => ((31L * k + 7 * id) % 2048) - 1024)
+      val expNf = (len + 31) / 32
+      val e = new Array[Long](expNf)
+      xs.zipWithIndex.foreach { case (x, k) => e(k / 32) += x * x }
+      val hits = (1 until expNf).filter(f => 2 * e(f) > 3 * e(f - 1) && e(f) >= 1000)
+      nf shouldBe expNf.toLong
+      onsets shouldBe hits.size.toLong
+      first shouldBe (if (hits.isEmpty) -1L else hits.head.toLong)
+    }
+  }
+
   test("audioFeatures: ZCR/energy/peak recompute from the closed-form samples") {
     val out = Multimodal.audioFeatures(table("documents")).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),

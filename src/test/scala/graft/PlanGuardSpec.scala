@@ -901,6 +901,35 @@ class PlanGuardSpec extends SparkSpec {
     p should not include "CartesianProduct"
   }
 
+  test("q79_benford: one 9-group fold, everything after runs on 9 rows") {
+    val p = planOf("q79_benford")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+    // the digit fold is barriered; the spine/totals side is broadcast
+    p should include("Scan ExistingRDD")
+  }
+
+  test("x18_bloom_prefilter: ONE big-side pass, all lookups broadcast") {
+    val p = planOf("x18_bloom_prefilter")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+    p.linesIterator.count(_.contains("lineitem.parquet")) shouldBe 1
+  }
+
+  test("g19_coreness: peel sweep is equi-joins on barriered cuts") {
+    val p = planOf("g19_coreness")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    p should include("Scan ExistingRDD")
+  }
+
+  test("m30_onset_detect: decode + frame fold stay in the row — no join, no shuffle") {
+    val p = planOf("m30_onset_detect")
+    p should not include "Join"
+    p should not include "hashpartitioning"
+  }
+
   test("x17_selectivity_est: 32-row histogram broadcast; truth is ONE fold pass") {
     val p = planOf("x17_selectivity_est")
     p should include("BroadcastExchange")

@@ -562,4 +562,37 @@ class StreamingSpec extends SparkSpec {
     got(4L) shouldBe ((0L, None, None))
     q.stop()
   }
+
+  test("funnelStateful: cross-batch chaining, strict order, single emission") {
+    def ev(id: Long, uid: Long, sec: Long, typ: String): Event =
+      Event(id, new java.sql.Timestamp(sec * 1000), uid, typ, 1.0)
+    val input = MemoryStream[Event](spark)
+    val q = EventStream.funnelStateful(input.toDS()).toDF()
+      .writeStream.format("memory").queryName("w23_sem").outputMode("append").start()
+    // batch 1: user 1 views then clicks (out of order in the batch —
+    // the handler sorts); user 2 clicks BEFORE any view (must not count)
+    input.addData(ev(2, 1, 20, "click"), ev(1, 1, 10, "view"),
+      ev(3, 2, 10, "click"))
+    q.processAllAvailable()
+    spark.table("w23_sem").count() shouldBe 0 // nobody completed yet
+    // batch 2: user 1 purchases -> completes with the batch-1 cursor;
+    // user 2 views then purchases WITHOUT a click after the view
+    input.addData(ev(4, 1, 30, "purchase"), ev(5, 2, 20, "view"),
+      ev(6, 2, 30, "purchase"))
+    q.processAllAvailable()
+    // batch 3: a second purchase must NOT re-emit user 1; user 2's
+    // click at t=40 then purchase at t=50 completes user 2
+    input.addData(ev(7, 1, 60, "purchase"), ev(8, 2, 40, "click"),
+      ev(9, 2, 50, "purchase"))
+    q.processAllAvailable()
+    val got = spark.table("w23_sem")
+      .select($"user_id", $"step1_us", $"step2_us", $"step3_us")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    got.length shouldBe 2
+    got(0) shouldBe ((1L, 10000000L, 20000000L, 30000000L))
+    // user 2: view at 20, click at 40 (the pre-view click never counts),
+    // purchase at 50 — NOT the t=30 purchase (no click had closed yet)
+    got(1) shouldBe ((2L, 20000000L, 40000000L, 50000000L))
+    q.stop()
+  }
 }
