@@ -2442,6 +2442,26 @@ object SparkEntry {
     // cross-multiplication, silence floor, first onset frame
     "m30_onset_detect" -> ((s, d) =>
       Multimodal.onsetDetect(t(s, d)("documents"))),
+    // fill-in-the-middle transform (the code-LM augmentation):
+    // deterministic PSM cuts, pure codegen substring/concat chain
+    "t55_fim_transform" -> ((s, d) =>
+      operators.TextAnalysis.fimTransform(t(s, d)("documents"))),
+    // CUSUM changepoint over the daily order series: never divides —
+    // scaled cusum = N*S_i - i*S_N, argmax day flagged
+    "q80_cusum" -> ((s, d) =>
+      operators.Core.cusumChangepoint(t(s, d)("orders"))),
+    // two-scale TPI landform classes (Weiss): 3x3 and 5x5 stencil
+    // folds co-joined on the cell key, thresholds by cross-multiply
+    "r38_landforms" -> ((s, d) =>
+      Raster.landforms(Raster.demoGridSum(t(s, d)("lineitem")))),
+    // 4-cycle census: center-out wedges, ONE endpoint-pair fold,
+    // C(n,2) sum halved (each cycle counted once per diagonal)
+    "g20_rectangles" -> ((s, d) => operators.Graph.rectangleCensus(
+      operators.Graph.coPurchaseEdgesSupported(t(s, d)("lineitem"), 2))),
+    // bitplane transition profile over real PNG decode: 8 rows per
+    // image, exact transition counts per plane
+    "m31_bitplanes" -> ((s, d) =>
+      Multimodal.bitplaneComplexity(t(s, d)("documents"))),
     // OCR-garbage detection over the garble twin corpus: vowel share +
     // consonant-run counts, pure codegen projection
     "t54_garble_detect" -> ((s, d) =>
@@ -4379,6 +4399,37 @@ object SparkEntry {
                           WHEN gx < 0 AND gy >= 0 THEN 2
                           WHEN gx < 0 THEN 3 ELSE 4 END AS BIGINT) AS quadrant
          FROM a ORDER BY 1, 2, 3, 4""",
+    // both TPI scales replayed over their own stencil CTEs; the class
+    // CASE uses the same cross-multiplied scale alignment (3·tpi3 vs
+    // tpi5 on the ×24 scale) — a normalization slip reclassifies cells
+    "r38_landforms" ->
+      s"""WITH ${operators.Raster.demoGridSumSql},
+         c3 AS (SELECT variable, time, lat + dy AS lat, lon + dx AS lon,
+                       CAST(value AS BIGINT) AS v, (dy = 0 AND dx = 0) AS ctr
+                FROM gridsum
+                CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS dy) t1
+                CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS dx) t2),
+         a3 AS (SELECT variable, time, lat, lon,
+                       CAST(9 * max(CASE WHEN ctr THEN v END) - sum(v) AS BIGINT)
+                         AS tpi3
+                FROM c3 GROUP BY 1, 2, 3, 4 HAVING count(*) = 9),
+         c5 AS (SELECT variable, time, lat + dy AS lat, lon + dx AS lon,
+                       CAST(value AS BIGINT) AS v, (dy = 0 AND dx = 0) AS ctr
+                FROM gridsum
+                CROSS JOIN (SELECT unnest(generate_series(-2, 2)) AS dy) t1
+                CROSS JOIN (SELECT unnest(generate_series(-2, 2)) AS dx) t2),
+         a5 AS (SELECT variable, time, lat, lon,
+                       CAST(25 * max(CASE WHEN ctr THEN v END) - sum(v) AS BIGINT)
+                         AS tpi5
+                FROM c5 GROUP BY 1, 2, 3, 4 HAVING count(*) = 25)
+         SELECT variable, time, lat, lon, tpi3 AS tpi3_num, tpi5 AS tpi5_num,
+                CASE WHEN 3 * tpi3 > 120 AND tpi5 > 120 THEN 'ridge'
+                     WHEN 3 * tpi3 < -120 AND tpi5 < -120 THEN 'valley'
+                     WHEN 3 * tpi3 > 120 THEN 'upper_slope'
+                     WHEN 3 * tpi3 < -120 THEN 'lower_slope'
+                     ELSE 'flat_slope' END AS landform
+         FROM a3 JOIN a5 USING (variable, time, lat, lon)
+         ORDER BY 1, 2, 3, 4""",
     // TRI via the one-aggregate identity Σ(v−c)² = ssq − 2cs + 9c² —
     // a wrong center flag or a partial window shifts every column
     "r37_ruggedness" ->
@@ -4791,6 +4842,41 @@ object SparkEntry {
                 coalesce(string_agg(CASE WHEN NOT boiler THEN line END,
                                     chr(10) ORDER BY pos), '') AS text_clean
          FROM flagged GROUP BY doc_id ORDER BY doc_id""",
+    // the same deterministic cuts replayed: a substring off-by-one or
+    // a sentinel-order slip shifts fim and the three lengths
+    "t55_fim_transform" ->
+      """WITH c AS (SELECT doc_id, text, length(text) AS l FROM documents),
+         cut AS (SELECT doc_id, text,
+                        1 + CAST(doc_id % greatest(l // 3, 1) AS INT) AS c1,
+                        1 + CAST(doc_id % greatest(l // 3, 1) AS INT)
+                          + CAST(l // 3 AS INT) AS c2
+                 FROM c)
+         SELECT doc_id,
+                '<PRE>' || substr(text, 1, c1) || '<SUF>' || substr(text, c2 + 1)
+                  || '<MID>' || substr(text, c1 + 1, c2 - c1) AS fim,
+                CAST(length(substr(text, 1, c1)) AS BIGINT) AS n_pre,
+                CAST(length(substr(text, c1 + 1, c2 - c1)) AS BIGINT) AS n_mid,
+                CAST(length(substr(text, c2 + 1)) AS BIGINT) AS n_suf
+         FROM cut ORDER BY doc_id""",
+    // the scaled-cusum identity replayed day by day — a mean slip or a
+    // tie-break slip moves the changepoint flag
+    "q80_cusum" ->
+      """WITH daily AS (SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP)
+                          AS day,
+                               CAST(count(*) AS BIGINT) AS c
+                        FROM orders GROUP BY 1),
+         w AS (SELECT day, c,
+                 CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+                 CAST(sum(c) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS BIGINT) AS s_i,
+                 (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
+                 (SELECT CAST(sum(c) AS BIGINT) FROM daily) AS s_n
+               FROM daily),
+         cs AS (SELECT day, c, n_days * s_i - i * s_n AS cusum_scaled FROM w),
+         rk AS (SELECT *, row_number() OVER (ORDER BY abs(cusum_scaled) DESC,
+                  day ASC) AS r FROM cs)
+         SELECT day, c AS n_orders, cusum_scaled, r = 1 AS is_changepoint
+         FROM rk ORDER BY day""",
     // the garble twin rebuilt in SQL, then the same three regex counts:
     // the detector must fire exactly on the doc_id % 5 = 2 tail
     "t54_garble_detect" ->
@@ -5188,6 +5274,25 @@ object SparkEntry {
                                      DATE '2001-12-01') // 7, 40))
                   AS BIGINT) AS score
          FROM lineitem GROUP BY 1 ORDER BY score DESC, l_suppkey LIMIT 25""",
+    // per-plane transition counts replayed over the closed-form
+    // lattice: XOR of adjacent pixels, one bit per plane
+    "m31_bitplanes" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (3 * doc_id) % 16 AS h
+                    FROM documents WHERE doc_id % 3 = 0),
+         px AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 2)) AS x FROM d),
+         pxy AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM px),
+         bp AS (SELECT doc_id, w, h, x, y,
+                       unnest(generate_series(0, 7)) AS plane FROM pxy),
+         t AS (SELECT doc_id, w, h, plane,
+                      CAST(sum(CASE WHEN (xor((7*x + 13*y + doc_id) % 256,
+                                             (7*(x+1) + 13*y + doc_id) % 256)
+                                      >> plane) & 1 = 1
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_trans
+               FROM bp GROUP BY 1, 2, 3, 4)
+         SELECT doc_id, CAST(plane AS BIGINT) AS plane,
+                CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+                n_trans, (1000 * n_trans) // (h * (w - 1)) AS density_milli
+         FROM t ORDER BY doc_id, plane""",
     // frame energies + the lag compare replayed over the closed-form
     // samples: a frame boundary or threshold slip shifts onsets
     "m30_onset_detect" ->
@@ -8089,6 +8194,18 @@ object SparkEntry {
          ORDER BY ra_score DESC, x, y LIMIT 20""",
     "g07_kcore" -> kcoreOracle(3, kcorePeelRounds),
     "g19_coreness" -> corenessOracle(4, kcorePeelRounds),
+    // the same center-out wedge algebra: each 4-cycle appears once per
+    // diagonal pair, so the halved C(n,2) sum is the exact census
+    "g20_rectangles" ->
+      s"""WITH $supportedEdgesCte,
+         sym AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+         w AS (SELECT e1.v AS a, e1.u AS b, e2.v AS c
+               FROM sym e1 JOIN sym e2 ON e1.u = e2.u AND e1.v < e2.v),
+         pc AS (SELECT a, c, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY 1, 2)
+         SELECT (SELECT CAST(count(*) AS BIGINT) FROM e0) AS n_edges,
+                (SELECT CAST(sum(n) AS BIGINT) FROM pc) AS n_wedges,
+                (SELECT CAST(sum((n * (n - 1)) // 2) // 2 AS BIGINT) FROM pc)
+                  AS n_rectangles""",
     "g14_ktruss" -> ktrussOracle(4, ktrussPeelRounds),
     "g08_label_prop" -> lpaOracle(lpaRounds),
     "g15_modularity" -> modularityOracle(lpaRounds),

@@ -889,6 +889,39 @@ object Core {
       .select($"n_big", $"n_pass", $"n_true", $"n_false_pos", $"fp_ppm")
   }
 
+  /** Q80: CUSUM changepoint detection (Page 1954) over the daily order
+    * series — the level-shift detector every ops/metrics pipeline runs.
+    * Kept EXACT by never dividing: the cumulative deviation from the
+    * mean after day i is S_i − i·S_N/N, which scaled by N is the
+    * integer `N·S_i − i·S_N`; the changepoint is the day of maximum
+    * |scaled CUSUM| (earliest day on ties). Every day row carries its
+    * scaled CUSUM — a hash over the whole trajectory, not just the
+    * argmax — plus the flag on the winner.
+    *
+    * Scale shape: ONE day-keyed fold (the value domain is the
+    * calendar — ~2.5k rows at any SF), then windows over that bounded
+    * relation; headroom: |N·S_i| < 2⁶³ to ~3·10⁹ orders/day-scale.
+    */
+  def cusumChangepoint(orders: DataFrame): DataFrame = {
+    val daily = graft.Session.barrier(orders
+      .select(date_trunc("day", $"o_orderdate").cast("timestamp_ntz").as("day"))
+      .groupBy($"day").agg(count(lit(1)).as("c")))
+    val wOrd = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withTot = daily
+      .withColumn("i", count(lit(1)).over(wOrd))
+      .withColumn("s_i", sum($"c").over(wOrd))
+      .crossJoin(broadcast(daily.agg(count(lit(1)).as("n_days"),
+        sum($"c").as("s_n"))))
+      .withColumn("cusum_scaled", $"n_days" * $"s_i" - $"i" * $"s_n")
+    val wAbs = Window.orderBy(abs($"cusum_scaled").desc, $"day".asc)
+    withTot
+      .withColumn("rk", row_number().over(wAbs))
+      .select($"day", $"c".as("n_orders"), $"cusum_scaled",
+        ($"rk" === 1).as("is_changepoint"))
+      .orderBy($"day")
+  }
+
   /** X15: MERGEABLE column statistics — the maintenance half of
     * [[analyzeStats]]. At 100 TB nobody re-ANALYZEs the table; each
     * partition (here: `source`) keeps a summary and the table-level row

@@ -275,6 +275,37 @@ object Graph {
       .orderBy(col("node"))
   }
 
+  /** G20: 4-cycle (rectangle) census — the second motif after
+    * [[triangleCensus]]'s triangles, the signal bipartite-ish
+    * structure (co-purchase, user-item) actually has when triangles
+    * are scarce: every unordered endpoint pair (a < c) with n wedges
+    * through distinct centers contributes C(n, 2) rectangles (two
+    * different centers close a 4-cycle; same-center pairs are the
+    * same wedge, excluded by the pair count being over centers).
+    *
+    * Shape: wedges enumerate center-out (Σ C(deg, 2) fanout — the
+    * [[neighborJaccard]] bound, sane on the support-thresholded
+    * projection), ONE (a, c)-keyed fold with map-side combine, then
+    * the C(n,2) sum — never an edge-list 4-way self-join (Θ(m²)).
+    * Exact integers end to end; one row, full value oracle.
+    */
+  def rectangleCensus(undRaw: DataFrame): DataFrame = {
+    val und = graft.Session.barrier(undRaw.select(col("u"), col("v")))
+    val sym = und.unionByName(und.select(col("v").as("u"), col("u").as("v")))
+    val wedges = sym.as("e1").join(sym.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.v").as("a"), col("e1.u").as("b"), col("e2.v").as("c"))
+    val pairCounts = wedges.groupBy(col("a"), col("c"))
+      .agg(count(lit(1)).as("n"))
+    val nEdges = und.agg(count(lit(1)).as("n_edges"))
+    val nWedges = pairCounts.agg(sum(col("n")).as("n_wedges"))
+    // every 4-cycle is counted once per DIAGONAL pair ({a,c} and
+    // {b,d}), so the C(n,2) sum is exactly twice the cycle count
+    val nRect = pairCounts
+      .agg(expr("sum((n * (n - 1)) div 2) div 2").as("n_rectangles"))
+    nEdges.crossJoin(nWedges).crossJoin(nRect)
+  }
+
   /** Iterative min-label propagation to convergence — the shared
     * connected-components kernel of d07/d15 (near-dup clusters) and e04
     * (entity resolution). `edges` is an undirected edge list carried in

@@ -730,6 +730,51 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** M31: bitplane complexity over the REAL decoded PNG raster — the
+    * BPCS-style texture/noise profile (each of the 8 bitplanes scored
+    * by its horizontal transition count): low planes of natural images
+    * flip near-randomly (density → ~500‰), high planes flip rarely —
+    * the profile separates noise, texture, and synthetic gradients,
+    * and is the standard complexity measure steganalysis and
+    * compressibility screens use. Exact integers: per plane b,
+    * `n_trans = Σ_y Σ_x [bit_b(p(y,x)) ≠ bit_b(p(y,x+1))]` and
+    * `density_milli = 1000·n_trans div (h·(w−1))`.
+    *
+    * Scale shape: mapPartitions decode + per-image O(8·w·h) integer
+    * kernel emitting 8 rows, no shuffle before the presentation sort.
+    */
+  def bitplaneComplexity(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .filter((id: Long) => id % 3 == 0) // the PNG third of the fixture
+      .flatMap { id =>
+        val (w, h, img) = graft.sources.AssetCodecs.decodePngImage(assetFor(id))
+        val trans = new Array[Long](8)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w - 1) {
+            val d = (img(y)(x) ^ img(y)(x + 1)) & 0xff
+            var b = 0
+            while (b < 8) {
+              if (((d >> b) & 1) == 1) trans(b) += 1
+              b += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        val denom = h.toLong * (w - 1)
+        (0 until 8).map { b =>
+          (id, b.toLong, w.toLong, h.toLong, trans(b),
+            Math.floorDiv(1000L * trans(b), denom))
+        }
+      }
+      .toDF("doc_id", "plane", "width", "height", "n_trans", "density_milli")
+      .orderBy(col("doc_id"), col("plane"))
+  }
+
   /** M30: onset detection over the REAL decoded WAV PCM — the
     * energy-jump event detector audio pipelines run for beat/segment
     * candidates (the spectral-flux seat, kept exact by using frame

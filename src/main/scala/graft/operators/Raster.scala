@@ -194,6 +194,57 @@ object Raster {
       .orderBy(keys: _*)
   }
 
+  /** R38: landform classification by two-scale TPI (Weiss 2001 — the
+    * ridge/valley/slope taxonomy terrain pipelines derive right after
+    * [[ruggedness]]): TPI at the 3×3 scale (numerator ×8, from r37's
+    * identity) and at the 5×5 scale (24-neighbour form, ×24), both
+    * pure BIGINT, compared against the threshold WITHOUT ever
+    * dividing — `u3 = 3·tpi3` puts both numerators on the ×24 scale,
+    * so class boundaries are integer comparisons (integral division
+    * of signed numerators is a cross-engine floor/truncate trap and
+    * stays out). Classes: ridge (both above +T), valley (both below
+    * −T), upper_slope (local high on a broad slope), lower_slope
+    * (local low on a broad slope), flat_slope otherwise. Only cells
+    * with the FULL 5×5 window emit (which implies the full 3×3).
+    *
+    * Scale shape: TWO explode stencil folds (×9 and ×25) co-joined on
+    * the cell key — the join is equi-keyed on the same partitioning
+    * both folds produce; never per-offset self-joins.
+    */
+  def landforms(grid: DataFrame, threshold: Long = 5L): DataFrame = {
+    val keys = Seq($"variable", $"time", $"lat", $"lon")
+    def stencil(radius: Int): DataFrame = {
+      val cells = (2 * radius + 1) * (2 * radius + 1)
+      grid
+        .withColumn("dy", explode(sequence(lit(-radius), lit(radius))))
+        .withColumn("dx", explode(sequence(lit(-radius), lit(radius))))
+        .select($"variable", $"time",
+          ($"lat" + $"dy").as("lat"), ($"lon" + $"dx").as("lon"),
+          $"value".cast("long").as("v"),
+          ($"dy" === 0 && $"dx" === 0).as("ctr"))
+        .groupBy(keys: _*)
+        .agg(count(lit(1)).as("n"), sum($"v").as("s"),
+          max(when($"ctr", $"v")).as("c"))
+        .where($"n" === cells)
+        .select($"variable", $"time", $"lat", $"lon",
+          (lit(cells.toLong) * $"c" - $"s").as(s"tpi$radius"))
+    }
+    val t24 = threshold * 24
+    stencil(1).join(stencil(2), Seq("variable", "time", "lat", "lon"))
+      .select($"variable", $"time", $"lat", $"lon",
+        $"tpi1".as("tpi3_num"), $"tpi2".as("tpi5_num"),
+        (lit(3L) * $"tpi1").as("u3"), $"tpi2".as("u5"))
+      .withColumn("landform",
+        when($"u3" > t24 && $"u5" > t24, "ridge")
+          .when($"u3" < -t24 && $"u5" < -t24, "valley")
+          .when($"u3" > t24, "upper_slope")
+          .when($"u3" < -t24, "lower_slope")
+          .otherwise("flat_slope"))
+      .select($"variable", $"time", $"lat", $"lon", $"tpi3_num",
+        $"tpi5_num", $"landform")
+      .orderBy(keys: _*)
+  }
+
   /** R34: D8 flow direction (O'Callaghan & Mark 1984; `gdaldem`/
     * ArcGIS FlowDirection, the hydrology kernel every DEM pipeline
     * runs before watershed delineation): each full-window cell routes

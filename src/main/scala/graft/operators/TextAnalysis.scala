@@ -1120,6 +1120,37 @@ object TextAnalysis {
       .withColumn("is_garbled", $"n_consruns" >= 2 || $"vowel_milli" < 200)
       .orderBy($"doc_id")
 
+  /** Fill-in-the-middle transform (t55) — the FIM augmentation every
+    * code-LM data pipeline runs (Bavarian et al. 2022): each document
+    * splits at two deterministic cut points into (prefix, middle,
+    * suffix) and re-serializes in PSM order with sentinel tags, so the
+    * model learns infilling from plain left-to-right prediction. Cuts
+    * are closed-form in (doc_id, length) — `c1 = 1 + doc_id mod
+    * max(L div 3, 1)`, `c2 = c1 + L div 3` — so the oracle rebuilds
+    * the exact transform with the same two substrings and no RNG
+    * anywhere (the rewrite stays reproducible under re-runs, the
+    * property a training pipeline needs for data lineage).
+    *
+    * Scale shape: pure codegen substring/concat projection, row-local,
+    * no shuffle (the t53 envelope).
+    */
+  def fimTransform(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("l", length($"text"))
+      .withColumn("c1", expr("1 + CAST(doc_id % greatest(l div 3, 1) AS INT)"))
+      .withColumn("c2", expr("c1 + l div 3"))
+      .select($"doc_id",
+        expr("substring(text, 1, c1)").as("prefix"),
+        expr("substring(text, c1 + 1, c2 - c1)").as("middle"),
+        expr("substring(text, c2 + 1)").as("suffix"))
+      .select($"doc_id",
+        concat(lit("<PRE>"), $"prefix", lit("<SUF>"), $"suffix",
+          lit("<MID>"), $"middle").as("fim"),
+        length($"prefix").cast("long").as("n_pre"),
+        length($"middle").cast("long").as("n_mid"),
+        length($"suffix").cast("long").as("n_suf"))
+      .orderBy($"doc_id")
+
   def scriptSegments(documents: DataFrame): DataFrame =
     documents
       .select($"doc_id", posexplode(expr(

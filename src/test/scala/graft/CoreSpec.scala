@@ -464,6 +464,26 @@ class CoreSpec extends SparkSpec {
     }
   }
 
+  test("cusumChangepoint: level shift lands on the last day of the old level") {
+    import spark.implicits._
+    // counts [10,10,10,40,40]: scaled cusum = [-60,-120,-180,-90,0] —
+    // the max |cusum| sits exactly where the level changes
+    val orders = (Seq.fill(10)("2024-01-01") ++ Seq.fill(10)("2024-01-02") ++
+      Seq.fill(10)("2024-01-03") ++ Seq.fill(40)("2024-01-04") ++
+      Seq.fill(40)("2024-01-05"))
+      .toDF("o_orderdate")
+      .withColumn("o_orderdate", $"o_orderdate".cast("timestamp"))
+    val out = Core.cusumChangepoint(orders).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    out.map(_._2).toSeq shouldBe Seq(-60L, -120L, -180L, -90L, 0L)
+    out.map(_._3).toSeq shouldBe Seq(false, false, true, false, false)
+    // laws on the real table: the trajectory closes at exactly 0 and
+    // exactly one changepoint is flagged
+    val real = Core.cusumChangepoint(table("orders")).collect()
+    real.last.getLong(2) shouldBe 0L
+    real.count(_.getBoolean(3)) shouldBe 1
+  }
+
   test("benfordAudit: digit spine keeps zero rows, bands bind at ±100000 ppm") {
     import spark.implicits._
     // 10 orders: first digits 1x8, 2x2 — digit 1 heavily over Benford,

@@ -532,6 +532,20 @@ class GraphSpec extends SparkSpec {
     out3 shouldBe Map(0L -> 0L)
   }
 
+  test("rectangleCensus: the halved diagonal-pair sum is the exact C4 count") {
+    // a single 4-cycle: 4 wedges, two diagonal pairs with 2 centers
+    // each -> sum C(2,2) = 2, halved = 1 rectangle
+    val c4 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("u", "v")
+    val r1 = Graph.rectangleCensus(c4).as[(Long, Long, Long)].head()
+    r1 shouldBe ((4L, 4L, 1L))
+    // K4 has exactly 3 four-cycles (each pair of disjoint edges)
+    val k4 = (for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)).toDF("u", "v")
+    Graph.rectangleCensus(k4).as[(Long, Long, Long)].head()._3 shouldBe 3L
+    // a triangle has wedges but no 4-cycles
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("u", "v")
+    Graph.rectangleCensus(tri).as[(Long, Long, Long)].head()._3 shouldBe 0L
+  }
+
   test("coreness: nested cores sum exactly; the cap binds on K5") {
     // K4 {1,2,3,4} + pendant 4-5: K4 members have coreness 3 (each has
     // degree 3 inside K4 -> 3-core, no 4-core), the pendant 1

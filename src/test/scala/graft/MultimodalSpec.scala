@@ -474,6 +474,30 @@ class MultimodalSpec extends SparkSpec {
     out.values.map(_._4).max should be >= 2L
   }
 
+  test("bitplaneComplexity: per-plane transitions recompute; low planes flip faster") {
+    val out = Multimodal.bitplaneComplexity(table("documents")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    out should not be empty
+    val ids = out.keySet.map(_._1)
+    for (id <- ids) {
+      val wi = (8 + id % 24).toInt; val hi = (8 + (3 * id) % 16).toInt
+      def p(y: Int, x: Int): Int = ((7L * x + 13L * y + id) % 256).toInt
+      for (b <- 0 to 7) {
+        var n = 0L
+        for (y <- 0 until hi; x <- 0 until wi - 1)
+          if ((((p(y, x) ^ p(y, x + 1)) >> b) & 1) == 1) n += 1
+        val (w, h, trans, density) = out((id, b.toLong))
+        (w, h) shouldBe ((wi.toLong, hi.toLong))
+        trans shouldBe n
+        density shouldBe 1000L * n / (hi.toLong * (wi - 1))
+      }
+      // the +7 horizontal step flips bit 0 at every pixel: plane 0 is
+      // saturated (density exactly 1000), and planes sum sensibly
+      out((id, 0L))._4 shouldBe 1000L
+    }
+  }
+
   test("onsetDetect: frame energies and 1.5x jumps recompute from the samples") {
     val out = Multimodal.onsetDetect(table("documents")).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap

@@ -930,6 +930,39 @@ class PlanGuardSpec extends SparkSpec {
     p should not include "hashpartitioning"
   }
 
+  test("t55_fim_transform: pure codegen substring chain — no join, no hash shuffle") {
+    val p = planOf("t55_fim_transform")
+    p should not include "Join"
+    p should not include "hashpartitioning"
+  }
+
+  test("q80_cusum: windows run over the barriered day fold, never the rows") {
+    val p = planOf("q80_cusum")
+    p should include("Window")
+    p should include("Scan ExistingRDD")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+    hashExchanges(p) shouldBe 0
+  }
+
+  test("r38_landforms: two stencil folds, equi-join on the cell key only") {
+    val p = planOf("r38_landforms")
+    p should include("Generate")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("g20_rectangles: wedge fold + metadata crossjoins, no cartesian of data") {
+    val p = planOf("g20_rectangles")
+    p should not include "CartesianProduct"
+  }
+
+  test("m31_bitplanes: decode + plane fold stay in the row — no join, no shuffle") {
+    val p = planOf("m31_bitplanes")
+    p should not include "Join"
+    p should not include "hashpartitioning"
+  }
+
   test("x17_selectivity_est: 32-row histogram broadcast; truth is ONE fold pass") {
     val p = planOf("x17_selectivity_est")
     p should include("BroadcastExchange")

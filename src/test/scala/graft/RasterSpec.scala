@@ -441,6 +441,38 @@ class RasterSpec extends SparkSpec {
     Raster.ruggedness(holed).count() shouldBe 0L
   }
 
+  test("landforms: two-scale TPI classes — peak, pit, local-high-on-broad-low") {
+    def gridOf(v: (Int, Int) => Double) = {
+      val rows = for { lat <- 0 to 4; lon <- 0 to 4 }
+        yield ("v", "2024-01-01 00:00:00", lat.toDouble, lon.toDouble, v(lat, lon))
+      rows.toDF("variable", "time", "lat", "lon", "value")
+        .withColumn("time", $"time".cast("timestamp_ntz"))
+    }
+    // constant terrain: one full-5x5 cell, flat
+    val flat = Raster.landforms(gridOf((_, _) => 7.0)).collect()
+    flat.length shouldBe 1
+    flat.head.getString(6) shouldBe "flat_slope"
+    // isolated peak at the center: high at both scales -> ridge
+    val peak = Raster.landforms(
+      gridOf((y, x) => if (y == 2 && x == 2) 100.0 else 0.0)).collect()
+    peak.head.getString(6) shouldBe "ridge"
+    // inverted -> valley
+    val pit = Raster.landforms(
+      gridOf((y, x) => if (y == 2 && x == 2) 0.0 else 100.0)).collect()
+    pit.head.getString(6) shouldBe "valley"
+    // center slightly above its 3x3 ring but the 5x5 ring is higher:
+    // local high on a broad low -> upper_slope (tpi3=80 -> u3=240 > 120;
+    // tpi5=-240, not below -120 threshold on the joint branch)
+    val bench = Raster.landforms(gridOf { (y, x) =>
+      if (y == 2 && x == 2) 60.0
+      else if (y >= 1 && y <= 3 && x >= 1 && x <= 3) 50.0
+      else 80.0
+    }).collect()
+    bench.head.getLong(4) shouldBe 80L   // tpi3_num
+    bench.head.getLong(5) shouldBe -240L // tpi5_num
+    bench.head.getString(6) shouldBe "upper_slope"
+  }
+
   test("flowDirection: D8 argmax with exact diagonal cross-multiply and min-code ties") {
     def gridOf(vals: Map[(Double, Double), Double]) = {
       val rows = for { lat <- Seq(-1.0, 0.0, 1.0); lon <- Seq(-1.0, 0.0, 1.0) }

@@ -648,6 +648,33 @@ class TextAnalysisSpec extends SparkSpec {
       include("plain text")
   }
 
+  test("fimTransform: PSM reassembly is lossless and the cuts are deterministic") {
+    val docs = Seq((7L, "abcdefghijklmnopqrstuvwxyz"), (8L, "0123456789"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.fimTransform(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    // doc 7: L=26, L div 3 = 8, c1 = 1 + 7%8 = 8, c2 = 16
+    out(7L) shouldBe (("<PRE>abcdefgh<SUF>qrstuvwxyz<MID>ijklmnop", 8L, 8L, 10L))
+    // doc 8: L=10, L div 3 = 3, c1 = 1 + 8%3 = 3, c2 = 6
+    out(8L) shouldBe (("<PRE>012<SUF>6789<MID>345", 3L, 3L, 4L))
+    // the lossless law on the real corpus: n_pre + n_mid + n_suf = L and
+    // the three spans reassemble the original text
+    val real = TextAnalysis.fimTransform(table("documents"))
+      .join(table("documents"), "doc_id")
+      .select($"doc_id", $"fim", $"n_pre", $"n_mid", $"n_suf", $"text")
+      .collect()
+    real should not be empty
+    real.foreach { r =>
+      val (fim, text) = (r.getString(1), r.getString(5))
+      (r.getLong(2) + r.getLong(3) + r.getLong(4)) shouldBe text.length.toLong
+      val pre = fim.substring(5, fim.indexOf("<SUF>"))
+      val suf = fim.substring(fim.indexOf("<SUF>") + 5, fim.indexOf("<MID>"))
+      val mid = fim.substring(fim.indexOf("<MID>") + 5)
+      (pre + mid + suf) shouldBe text
+    }
+  }
+
   test("garbleDetect: prose clean, consonant runs and vowel drought both fire") {
     val hand = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"), // prose: clean
