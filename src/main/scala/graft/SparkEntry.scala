@@ -2462,6 +2462,26 @@ object SparkEntry {
     // image, exact transition counts per plane
     "m31_bitplanes" -> ((s, d) =>
       Multimodal.bitplaneComplexity(t(s, d)("documents"))),
+    // Wald-Wolfowitz runs test over daily deltas: cross-multiplied
+    // expectation band, zero-delta sign pinned to +1
+    "q81_runs_test" -> ((s, d) =>
+      operators.Core.runsTest(t(s, d)("orders"))),
+    // T5 span corruption: two deterministic masked spans, sentinel
+    // serialization, pure codegen substring chain
+    "t56_span_corruption" -> ((s, d) =>
+      operators.TextAnalysis.spanCorruption(t(s, d)("documents"))),
+    // Planchon-Darboux depression filling: bounded rounds of the
+    // max(z, min-neighbor) relaxation, boundary-anchored
+    "r39_fill_sinks" -> ((s, d) =>
+      Raster.fillSinks(Raster.demoGridSum(t(s, d)("lineitem")))),
+    // z-order vs linear layout graded by zone-map pruning: files
+    // pruned, rows scanned, scan amplification in ppm
+    "x19_layout_pruning" -> ((s, d) =>
+      operators.Core.layoutPruningAudit(t(s, d)("orders"))),
+    // histogram specification onto the pinned quadratic reference CDF:
+    // cross-multiplied inverse lookup, position-weighted checksum
+    "m32_hist_match" -> ((s, d) =>
+      Multimodal.histMatch(t(s, d)("documents"))),
     // OCR-garbage detection over the garble twin corpus: vowel share +
     // consonant-run counts, pure codegen projection
     "t54_garble_detect" -> ((s, d) =>
@@ -3829,6 +3849,48 @@ object SparkEntry {
     * filter + edge restriction) — see [[kcorePeelRounds]] for the
     * engine/oracle round contract and [[operators.Graph.kCore]].
     */
+  /** r39 oracle: the Planchon–Darboux relaxation unrolled `rounds`
+    * times (MATERIALIZED per round, the kcore discipline) over the
+    * shared gridsum CTE — same ceiling, same boundary anchor, same
+    * decrease-only least/greatest composition.
+    */
+  private def fillSinksOracle(rounds: Int): String = {
+    val steps = (0 until rounds).map { r =>
+      s"""m$r AS MATERIALIZED (
+           SELECT variable, time, lat + dy AS lat, lon + dx AS lon, w AS nw
+           FROM w$r
+           CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS dy) ta$r
+           CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS dx) tb$r
+           WHERE dy <> 0 OR dx <> 0),
+         w${r + 1} AS MATERIALIZED (
+           SELECT b.variable, b.time, b.lat, b.lon, b.z, b.interior,
+                  CASE WHEN b.interior
+                       THEN greatest(b.z, least(b.w, mm.nbr_min))
+                       ELSE b.z END AS w
+           FROM w$r b LEFT JOIN
+             (SELECT variable, time, lat, lon, min(nw) AS nbr_min
+              FROM m$r GROUP BY 1, 2, 3, 4) mm
+             USING (variable, time, lat, lon))"""
+    }.mkString(",\n         ")
+    s"""WITH ${operators.Raster.demoGridSumSql},
+         nb AS (SELECT variable, time, lat + dy AS lat, lon + dx AS lon
+                FROM gridsum
+                CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS dy) t1
+                CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS dx) t2),
+         cnt AS (SELECT variable, time, lat, lon, count(*) AS n
+                 FROM nb GROUP BY 1, 2, 3, 4),
+         base AS (SELECT g.variable, g.time, g.lat, g.lon,
+                         CAST(g.value AS BIGINT) AS z, (c.n = 9) AS interior
+                  FROM gridsum g JOIN cnt c USING (variable, time, lat, lon)),
+         w0 AS MATERIALIZED (SELECT variable, time, lat, lon, z, interior,
+                  CASE WHEN interior THEN CAST(1000000000 AS BIGINT)
+                       ELSE z END AS w
+                FROM base),
+         $steps
+         SELECT variable, time, lat, lon, z, w, w - z AS fill
+         FROM w$rounds ORDER BY 1, 2, 3, 4"""
+  }
+
   /** g19 oracle: the g07 peel unrolled per k in [2, maxK] with
     * k-suffixed CTE names over the ONE materialized e0; coreness = 1 +
     * the nested-core indicator sum (cores nest, so the sum is exact).
@@ -4399,6 +4461,64 @@ object SparkEntry {
                           WHEN gx < 0 AND gy >= 0 THEN 2
                           WHEN gx < 0 THEN 3 ELSE 4 END AS BIGINT) AS quadrant
          FROM a ORDER BY 1, 2, 3, 4""",
+    // the relaxation unrolled with the same ceiling and boundary anchor
+    "r39_fill_sinks" -> fillSinksOracle(10),
+    // the sign convention, run count, and ±20% cross-multiplied band
+    // replayed over the same day fold
+    "q81_runs_test" ->
+      """WITH daily AS (SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP)
+                          AS day, CAST(count(*) AS BIGINT) AS c
+                        FROM orders GROUP BY 1),
+         lg AS (SELECT day, c, lag(c) OVER (ORDER BY day) AS prev FROM daily),
+         sg AS (SELECT day, CASE WHEN c >= prev THEN 1 ELSE -1 END AS sgn
+                FROM lg WHERE prev IS NOT NULL),
+         sq AS (SELECT sgn, lag(sgn) OVER (ORDER BY day) AS psgn FROM sg),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                        AS n_pos,
+                      CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                        AS n_neg,
+                      CAST(sum(CASE WHEN psgn IS NOT NULL AND sgn <> psgn
+                               THEN 1 ELSE 0 END) + 1 AS BIGINT) AS runs
+               FROM sq)
+         SELECT n, n_pos, n_neg, runs,
+                2 * n_pos * n_neg + n AS e_num,
+                runs * n AS runs_scaled,
+                CASE WHEN runs * n < (2 * n_pos * n_neg + n)
+                       - (2 * n_pos * n_neg + n) // 5 THEN 'clustered'
+                     WHEN runs * n > (2 * n_pos * n_neg + n)
+                       + (2 * n_pos * n_neg + n) // 5 THEN 'oscillating'
+                     ELSE 'random' END AS band
+         FROM a""",
+    // the layout assignment, zone maps, and pruning arithmetic replayed
+    "x19_layout_pruning" ->
+      """WITH dims AS (SELECT CAST(o_custkey % 16 AS BIGINT) AS d1,
+                              CAST(o_orderkey % 16 AS BIGINT) AS d2 FROM orders),
+         a AS (SELECT d1, d2, 'linear' AS layout, d1 AS file FROM dims
+               UNION ALL
+               SELECT d1, d2, 'zorder',
+                      ((d1 // 8) % 2) * 8 + ((d2 // 8) % 2) * 4
+                        + ((d1 // 4) % 2) * 2 + (d2 // 4) % 2
+               FROM dims),
+         st AS (SELECT layout, file, CAST(count(*) AS BIGINT) AS nrows,
+                       min(d1) AS min1, max(d1) AS max1,
+                       min(d2) AS min2, max(d2) AS max2,
+                       CAST(sum(CASE WHEN d1 BETWEEN 4 AND 7
+                                      AND d2 BETWEEN 8 AND 11
+                                THEN 1 ELSE 0 END) AS BIGINT) AS matched
+                FROM a GROUP BY 1, 2),
+         pr AS (SELECT *, (max1 < 4 OR min1 > 7 OR max2 < 8 OR min2 > 11)
+                  AS pruned FROM st)
+         SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+                CAST(sum(CASE WHEN pruned THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_pruned,
+                CAST(sum(CASE WHEN NOT pruned THEN nrows ELSE 0 END) AS BIGINT)
+                  AS rows_scanned,
+                CAST(sum(matched) AS BIGINT) AS rows_matched,
+                (1000000 * CAST(sum(CASE WHEN NOT pruned THEN nrows ELSE 0 END)
+                  AS BIGINT))
+                  // greatest(CAST(sum(matched) AS BIGINT), 1) AS amp_ppm
+         FROM pr GROUP BY layout ORDER BY layout""",
     // both TPI scales replayed over their own stencil CTEs; the class
     // CASE uses the same cross-multiplied scale alignment (3·tpi3 vs
     // tpi5 on the ×24 scale) — a normalization slip reclassifies cells
@@ -4842,6 +4962,24 @@ object SparkEntry {
                 coalesce(string_agg(CASE WHEN NOT boiler THEN line END,
                                     chr(10) ORDER BY pos), '') AS text_clean
          FROM flagged GROUP BY doc_id ORDER BY doc_id""",
+    // both masked spans and the target serialization replayed from the
+    // same closed-form cuts; the >= 40 exclusion applies in both engines
+    "t56_span_corruption" ->
+      """WITH c AS (SELECT doc_id, text, length(text) AS l FROM documents
+                    WHERE length(text) >= 40),
+         cut AS (SELECT doc_id, text, l // 10 + 1 AS sl,
+                        1 + CAST(doc_id % greatest(l // 4, 1) AS INT) AS a,
+                        1 + CAST(doc_id % greatest(l // 4, 1) AS INT)
+                          + (l // 10 + 1) + (l // 4) AS b
+                 FROM c)
+         SELECT doc_id,
+                substr(text, 1, a - 1) || '<X>'
+                  || substr(text, a + sl, b - a - sl) || '<Y>'
+                  || substr(text, b + sl) AS corrupted,
+                '<X>' || substr(text, a, sl) || '<Y>' || substr(text, b, sl)
+                  || '<Z>' AS targets,
+                CAST(2 * sl AS BIGINT) AS n_masked
+         FROM cut ORDER BY doc_id""",
     // the same deterministic cuts replayed: a substring off-by-one or
     // a sentinel-order slip shifts fim and the three lengths
     "t55_fim_transform" ->
@@ -5274,6 +5412,40 @@ object SparkEntry {
                                      DATE '2001-12-01') // 7, 40))
                   AS BIGINT) AS score
          FROM lineitem GROUP BY 1 ORDER BY score DESC, l_suppkey LIMIT 25""",
+    // the CDF-to-CDF inverse lookup replayed as a theta-join against
+    // the u series: min u with (u+1)²·n ≥ 65536·cdf(v)
+    "m32_hist_match" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (3 * doc_id) % 16 AS h
+                    FROM documents WHERE doc_id % 3 = 0),
+         px AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM d),
+         pxy AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM px),
+         pv AS (SELECT doc_id, w, h, x, y,
+                       (7 * x + 13 * y + doc_id) % 256 AS v FROM pxy),
+         hist AS (SELECT doc_id, w, h, v, CAST(count(*) AS BIGINT) AS cnt
+                  FROM pv GROUP BY 1, 2, 3, 4),
+         cdf AS (SELECT doc_id, w, h, v,
+                        CAST(sum(cnt) OVER (PARTITION BY doc_id ORDER BY v)
+                          AS BIGINT) AS cdf
+                 FROM hist),
+         us AS (SELECT unnest(generate_series(0, 255)) AS u),
+         mp AS (SELECT c.doc_id, c.w, c.h, c.v, min(us.u) AS outv
+                FROM cdf c JOIN us
+                  ON (us.u + 1) * (us.u + 1) * (c.w * c.h) >= 65536 * c.cdf
+                GROUP BY 1, 2, 3, 4),
+         chk AS (SELECT p.doc_id, CAST(max(p.w) AS BIGINT) AS width,
+                        CAST(max(p.h) AS BIGINT) AS height,
+                        CAST(sum(m.outv * (p.y * p.w + p.x + 1)) AS BIGINT)
+                          AS checksum
+                 FROM pv p JOIN mp m ON m.doc_id = p.doc_id AND m.v = p.v
+                 GROUP BY p.doc_id),
+         rng AS (SELECT doc_id, CAST(count(DISTINCT outv) AS BIGINT)
+                   AS n_out_vals,
+                        CAST(min(outv) AS BIGINT) AS out_min,
+                        CAST(max(outv) AS BIGINT) AS out_max
+                 FROM mp GROUP BY 1)
+         SELECT chk.doc_id, chk.width, chk.height, rng.n_out_vals,
+                rng.out_min, rng.out_max, chk.checksum
+         FROM chk JOIN rng USING (doc_id) ORDER BY doc_id""",
     // per-plane transition counts replayed over the closed-form
     // lattice: XOR of adjacent pixels, one bit per plane
     "m31_bitplanes" ->

@@ -922,6 +922,92 @@ object Core {
       .orderBy($"day")
   }
 
+  /** Q81: Wald–Wolfowitz runs test over the daily order deltas — the
+    * randomness screen auditors run after [[benfordAudit]]: too FEW
+    * sign runs means level-clustering (a regime the CUSUM should have
+    * flagged), too MANY means oscillation (alternating corrections, a
+    * classic smoothing-fraud tell). Exact: sign(Δ) with the zero-delta
+    * convention pinned to +1, runs = 1 + sign changes, and the
+    * expectation E[runs] = (2·n⁺·n⁻ + n)/n compared CROSS-MULTIPLIED —
+    * `runs·n` vs `2·n⁺·n⁻ + n` with a ±20% band (`tol = e_num div 5`),
+    * so no σ, no sqrt, no float ever materializes.
+    *
+    * Scale shape: ONE day fold (calendar-bounded), one lag window over
+    * it, one summary row.
+    */
+  def runsTest(orders: DataFrame): DataFrame = {
+    val daily = graft.Session.barrier(orders
+      .select(date_trunc("day", $"o_orderdate").cast("timestamp_ntz").as("day"))
+      .groupBy($"day").agg(count(lit(1)).as("c")))
+    val w = Window.orderBy($"day")
+    val signs = daily
+      .withColumn("prev", lag($"c", 1).over(w))
+      .where($"prev".isNotNull)
+      .withColumn("sgn", when($"c" >= $"prev", 1L).otherwise(-1L))
+      .withColumn("prev_sgn", lag($"sgn", 1).over(w))
+    signs.agg(
+        count(lit(1)).as("n"),
+        sum(when($"sgn" === 1L, 1L).otherwise(0L)).as("n_pos"),
+        sum(when($"sgn" === -1L, 1L).otherwise(0L)).as("n_neg"),
+        (sum(when($"prev_sgn".isNotNull && $"sgn" =!= $"prev_sgn", 1L)
+          .otherwise(0L)) + 1L).as("runs"))
+      .withColumn("e_num", lit(2L) * $"n_pos" * $"n_neg" + $"n")
+      .withColumn("runs_scaled", $"runs" * $"n")
+      .withColumn("band",
+        when($"runs_scaled" < $"e_num" - expr("e_num div 5"), "clustered")
+          .when($"runs_scaled" > $"e_num" + expr("e_num div 5"), "oscillating")
+          .otherwise("random"))
+      .select($"n", $"n_pos", $"n_neg", $"runs", $"e_num", $"runs_scaled",
+        $"band")
+  }
+
+  /** X19: layout-pruning audit — the "why Z-ORDER exists" measurement,
+    * run as a gate: the same rows assigned to 16 files under a LINEAR
+    * layout (cluster by dim1 only) and under a Z-ORDER layout (4+4-bit
+    * interleave of both dims, top nibble = file ⇒ files are 4×4 tiles
+    * of the key plane), zone maps (per-file min/max of both dims) built
+    * from the actual rows, and a 2-D box predicate
+    * (d1 ∈ [4,7] ∧ d2 ∈ [8,11]) pruned against them. The report is
+    * what a table-format planner needs: files pruned, rows scanned,
+    * rows matched, and the scan amplification in ppm — linear scans
+    * ~4× the matching rows, Z-order ~1× (the 100 TB argument for
+    * r10/x11's Z-order machinery, now measured exactly).
+    *
+    * Scale shape: ONE row pass assigning both layouts (the layout
+    * relation explodes ×2), a ≤32-row file-stats fold, pruning and
+    * the summary on that metadata relation.
+    */
+  def layoutPruningAudit(orders: DataFrame): DataFrame = {
+    val dims = orders.select(
+      ($"o_custkey" % 16).cast("long").as("d1"),
+      ($"o_orderkey" % 16).cast("long").as("d2"))
+    val assigned = dims.select($"d1", $"d2", explode(array(
+        struct(lit("linear").as("layout"), $"d1".as("file")),
+        struct(lit("zorder").as("layout"),
+          (expr("((d1 div 8) % 2) * 8 + ((d2 div 8) % 2) * 4" +
+            " + ((d1 div 4) % 2) * 2 + (d2 div 4) % 2")).as("file"))))
+        .as("a"))
+      .select($"d1", $"d2", $"a.layout".as("layout"), $"a.file".as("file"))
+    val stats = graft.Session.barrier(assigned
+      .groupBy($"layout", $"file")
+      .agg(count(lit(1)).as("rows"),
+        min($"d1").as("min1"), max($"d1").as("max1"),
+        min($"d2").as("min2"), max($"d2").as("max2"),
+        sum(when($"d1".between(4, 7) && $"d2".between(8, 11), 1L)
+          .otherwise(0L)).as("matched")))
+    stats
+      .withColumn("pruned",
+        $"max1" < 4 || $"min1" > 7 || $"max2" < 8 || $"min2" > 11)
+      .groupBy($"layout")
+      .agg(count(lit(1)).as("n_files"),
+        sum(when($"pruned", 1L).otherwise(0L)).as("n_pruned"),
+        sum(when(!$"pruned", $"rows").otherwise(0L)).as("rows_scanned"),
+        sum($"matched").as("rows_matched"))
+      .withColumn("amp_ppm",
+        expr("(1000000 * rows_scanned) div greatest(rows_matched, 1)"))
+      .orderBy($"layout")
+  }
+
   /** X15: MERGEABLE column statistics — the maintenance half of
     * [[analyzeStats]]. At 100 TB nobody re-ANALYZEs the table; each
     * partition (here: `source`) keeps a summary and the table-level row

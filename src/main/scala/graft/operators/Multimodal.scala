@@ -775,6 +775,77 @@ object Multimodal {
       .orderBy(col("doc_id"), col("plane"))
   }
 
+  /** M32: histogram SPECIFICATION (matching) over the REAL decoded PNG
+    * raster — [[histEqualize]]'s general form: instead of the uniform
+    * target, each image's CDF maps onto a pinned reference CDF (the
+    * quadratic dark-skewed ramp `cdfRef(u) ∝ (u+1)²`), the remap every
+    * style-normalization / domain-adaptation preprocessing pass runs.
+    * Exact integers: `out(v) = min u: (u+1)²·n ≥ 65536·cdf(v)` — the
+    * CDF-to-CDF inverse lookup cross-multiplied, no division at all.
+    * Reported per image: the m25 position-weighted checksum (a remap
+    * error at any single pixel breaks the hash), output range, and the
+    * monotonicity-guaranteed distinct count.
+    *
+    * Scale shape: mapPartitions decode + per-image O(w·h + 256·log)
+    * integer kernel, no shuffle before the presentation sort.
+    */
+  def histMatch(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .filter((id: Long) => id % 3 == 0) // the PNG third of the fixture
+      .mapPartitions { it =>
+        it.map { id =>
+          val (w, h, img) = graft.sources.AssetCodecs.decodePngImage(assetFor(id))
+          val n = w.toLong * h
+          val hist = new Array[Long](256)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { hist(img(y)(x) & 0xff) += 1; x += 1 }
+            y += 1
+          }
+          val cdf = new Array[Long](256)
+          var run = 0L
+          var v = 0
+          while (v < 256) { run += hist(v); cdf(v) = run; v += 1 }
+          val out = new Array[Long](256)
+          v = 0
+          while (v < 256) {
+            var u = 0
+            while ((u + 1).toLong * (u + 1) * n < 65536L * cdf(v)) u += 1
+            out(v) = u.toLong
+            v += 1
+          }
+          var chk = 0L; var outMin = 255L; var outMax = 0L; var nVals = 0L
+          y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val o = out(img(y)(x) & 0xff)
+              chk += o * (y.toLong * w + x + 1)
+              x += 1
+            }
+            y += 1
+          }
+          v = 0
+          val seen = new Array[Boolean](256)
+          while (v < 256) {
+            if (hist(v) > 0) {
+              if (out(v) < outMin) outMin = out(v)
+              if (out(v) > outMax) outMax = out(v)
+              if (!seen(out(v).toInt)) { seen(out(v).toInt) = true; nVals += 1 }
+            }
+            v += 1
+          }
+          (id, w.toLong, h.toLong, nVals, outMin, outMax, chk)
+        }
+      }
+      .toDF("doc_id", "width", "height", "n_out_vals", "out_min", "out_max",
+        "checksum")
+      .orderBy(col("doc_id"))
+  }
+
   /** M30: onset detection over the REAL decoded WAV PCM — the
     * energy-jump event detector audio pipelines run for beat/segment
     * candidates (the spectral-flux seat, kept exact by using frame

@@ -245,6 +245,66 @@ object Raster {
       .orderBy(keys: _*)
   }
 
+  /** R39: depression filling by the Planchon–Darboux iteration (2001)
+    * — the DEM-conditioning step hydrology runs BEFORE [[flowDirection]]
+    * (pits break D8 routing; r34 emits code 0 at them — this is the
+    * operator that removes them): water level W starts at the terrain
+    * on BOUNDARY cells and at a sentinel ceiling inside, and each round
+    * relaxes `W(c) ← max(z(c), min over 8 nbrs of W)` — monotone
+    * decreasing from the ceiling, anchored at the boundary, fixpoint =
+    * the filled DEM. `rounds` is the g10/r35 bounded-iteration
+    * discipline: the oracle unrolls exactly the same count (water
+    * propagates ≥ one ring inward per round; the demo grid's interior
+    * depth is 9, so the default 10 converges there — deeper terrain
+    * at the same cadence is a parameter, not a new operator).
+    *
+    * Scale shape: per round ONE explode-to-9 contribution pass + ONE
+    * cell-keyed fold joined back to the anchored z (equi-join on the
+    * fold's own partitioning), barriered so round N reads round N−1's
+    * materialization. Never per-offset self-joins.
+    */
+  def fillSinks(grid: DataFrame, rounds: Int = 10,
+                ceiling: Long = 1000000000L): DataFrame = {
+    val keys = Seq($"variable", $"time", $"lat", $"lon")
+    // interior = full 3x3 window; boundary cells anchor W = z forever
+    val nbrs = grid
+      .withColumn("dy", explode(sequence(lit(-1), lit(1))))
+      .withColumn("dx", explode(sequence(lit(-1), lit(1))))
+      .select($"variable", $"time",
+        ($"lat" + $"dy").as("lat"), ($"lon" + $"dx").as("lon"),
+        lit(1L).as("one"))
+      .groupBy(keys: _*).agg(count(lit(1)).as("n"))
+    val base = graft.Session.barrier(
+      grid.select($"variable", $"time", $"lat", $"lon",
+          $"value".cast("long").as("z"))
+        .join(nbrs, Seq("variable", "time", "lat", "lon"))
+        .withColumn("interior", $"n" === 9)
+        .select($"variable", $"time", $"lat", $"lon", $"z", $"interior"))
+    var w = graft.Session.barrier(base.select($"variable", $"time", $"lat",
+      $"lon", $"z", $"interior",
+      when($"interior", lit(ceiling)).otherwise($"z").as("w")))
+    var round = 0
+    while (round < rounds) {
+      val contrib = w
+        .withColumn("dy", explode(sequence(lit(-1), lit(1))))
+        .withColumn("dx", explode(sequence(lit(-1), lit(1))))
+        .where($"dy" =!= 0 || $"dx" =!= 0)
+        .select($"variable", $"time",
+          ($"lat" + $"dy").as("lat"), ($"lon" + $"dx").as("lon"),
+          $"w".as("nw"))
+      val nbrMin = contrib.groupBy(keys: _*).agg(min($"nw").as("nbr_min"))
+      w = graft.Session.barrier(
+        w.join(nbrMin, Seq("variable", "time", "lat", "lon"), "left")
+          .select($"variable", $"time", $"lat", $"lon", $"z", $"interior",
+            when($"interior", greatest($"z", least($"w", $"nbr_min")))
+              .otherwise($"z").as("w")))
+      round += 1
+    }
+    w.select($"variable", $"time", $"lat", $"lon", $"z", $"w",
+        ($"w" - $"z").as("fill"))
+      .orderBy(keys: _*)
+  }
+
   /** R34: D8 flow direction (O'Callaghan & Mark 1984; `gdaldem`/
     * ArcGIS FlowDirection, the hydrology kernel every DEM pipeline
     * runs before watershed delineation): each full-window cell routes

@@ -1151,6 +1151,35 @@ object TextAnalysis {
         length($"suffix").cast("long").as("n_suf"))
       .orderBy($"doc_id")
 
+  /** Span-corruption transform (t56) — the T5/UL2 denoising objective
+    * (Raffel et al. 2020) next to [[fimTransform]]'s FIM: two
+    * deterministic spans mask out of each document, the corrupted text
+    * keeps sentinel tags in place and the target sequence re-serializes
+    * the masked spans behind their sentinels. Cuts and span length are
+    * closed-form in (doc_id, L) — `sl = L div 10 + 1`,
+    * `a = 1 + doc_id mod max(L div 4, 1)`, `b = a + sl + L div 4` —
+    * and docs shorter than 40 chars are excluded in BOTH engines (the
+    * spans would collide). No RNG: reproducible lineage, the t55
+    * contract.
+    *
+    * Scale shape: pure codegen substring/concat projection, row-local.
+    */
+  def spanCorruption(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("l", length($"text"))
+      .where($"l" >= 40)
+      .withColumn("sl", expr("l div 10 + 1"))
+      .withColumn("a", expr("1 + CAST(doc_id % greatest(l div 4, 1) AS INT)"))
+      .withColumn("b", expr("a + sl + l div 4"))
+      .select($"doc_id",
+        concat(expr("substring(text, 1, a - 1)"), lit("<X>"),
+          expr("substring(text, a + sl, b - a - sl)"), lit("<Y>"),
+          expr("substring(text, b + sl)")).as("corrupted"),
+        concat(lit("<X>"), expr("substring(text, a, sl)"), lit("<Y>"),
+          expr("substring(text, b, sl)"), lit("<Z>")).as("targets"),
+        (lit(2L) * $"sl").as("n_masked"))
+      .orderBy($"doc_id")
+
   def scriptSegments(documents: DataFrame): DataFrame =
     documents
       .select($"doc_id", posexplode(expr(

@@ -464,6 +464,43 @@ class CoreSpec extends SparkSpec {
     }
   }
 
+  test("runsTest: monotone series clusters, alternating series oscillates") {
+    import spark.implicits._
+    def daysOf(counts: Seq[Int]) = counts.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)(f"2024-01-${i + 1}%02d")
+    }.toDF("o_orderdate").withColumn("o_orderdate", $"o_orderdate".cast("timestamp"))
+    // one rise then one fall: two sign blocks, runs = 2 << E -> clustered
+    val mono = Core.runsTest(daysOf(Seq(1, 2, 3, 4, 9, 8, 7, 6, 5))).collect().head
+    (mono.getLong(0), mono.getLong(3), mono.getString(6)) shouldBe ((8L, 2L, "clustered"))
+    // alternating counts: sign flips every day, runs = n -> oscillating
+    val alt = Core.runsTest(daysOf(Seq(5, 1, 5, 1, 5, 1, 5))).collect().head
+    (alt.getLong(3), alt.getString(6)) shouldBe ((6L, "oscillating"))
+    // law on the real table: signs partition and the run count is sane
+    val real = Core.runsTest(table("orders")).collect().head
+    real.getLong(1) + real.getLong(2) shouldBe real.getLong(0)
+    real.getLong(3) should be >= 1L
+    real.getLong(3) should be <= real.getLong(0)
+  }
+
+  test("layoutPruningAudit: z-order prunes to the tile, linear scans the stripe") {
+    import spark.implicits._
+    // full uniform coverage of the 16x16 key plane, 4 rows per cell
+    val orders = (for { c <- 0 until 16; o <- 0 until 16; _ <- 0 until 4 }
+      yield (c.toLong, o.toLong)).toDF("o_custkey", "o_orderkey")
+    val out = Core.layoutPruningAudit(orders).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    // linear: 4 of 16 files survive (d1 in 4..7), each holds all d2 ->
+    // scans 4 * 16 * 4 = 256 rows for 64 matches (4x amplification)
+    out("linear") shouldBe ((16L, 12L, 256L, 64L, 4000000L))
+    // zorder: the predicate box IS one 4x4 tile -> 1 file, zero waste
+    out("zorder") shouldBe ((16L, 15L, 64L, 64L, 1000000L))
+    // law on the real table: z-order never scans more than linear
+    val real = Core.layoutPruningAudit(table("orders")).collect()
+      .map(r => r.getString(0) -> r.getLong(5)).toMap
+    real("zorder") should be <= real("linear")
+  }
+
   test("cusumChangepoint: level shift lands on the last day of the old level") {
     import spark.implicits._
     // counts [10,10,10,40,40]: scaled cusum = [-60,-120,-180,-90,0] —

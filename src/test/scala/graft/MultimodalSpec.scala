@@ -498,6 +498,43 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("histMatch: the quadratic-reference inverse lookup recomputes; map is monotone") {
+    val out = Multimodal.histMatch(table("documents")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    out should not be empty
+    for ((id, (w, h, nVals, outMin, outMax, chk)) <- out) {
+      val wi = (8 + id % 24).toInt; val hi = (8 + (3 * id) % 16).toInt
+      def p(y: Int, x: Int): Int = ((7L * x + 13L * y + id) % 256).toInt
+      val n = wi.toLong * hi
+      val hist = new Array[Long](256)
+      for (y <- 0 until hi; x <- 0 until wi) hist(p(y, x)) += 1
+      var run = 0L
+      val cdf = hist.map { c => run += c; run }
+      val outMap = Array.tabulate(256) { v =>
+        var u = 0
+        while ((u + 1).toLong * (u + 1) * n < 65536L * cdf(v)) u += 1
+        u.toLong
+      }
+      var expChk = 0L
+      for (y <- 0 until hi; x <- 0 until wi)
+        expChk += outMap(p(y, x)) * (y.toLong * wi + x + 1)
+      (w, h) shouldBe ((wi.toLong, hi.toLong))
+      chk shouldBe expChk
+      val present = (0 until 256).filter(hist(_) > 0)
+      outMin shouldBe present.map(outMap).min
+      outMax shouldBe present.map(outMap).max
+      nVals shouldBe present.map(outMap).distinct.size.toLong
+      // specification law: the remap is monotone and tops out at 255
+      // (the full CDF maps the last present value to the reference max)
+      present.sliding(2).foreach {
+        case Seq(a, b) => outMap(a) should be <= outMap(b)
+        case _ =>
+      }
+      outMap(present.last) shouldBe 255L
+    }
+  }
+
   test("onsetDetect: frame energies and 1.5x jumps recompute from the samples") {
     val out = Multimodal.onsetDetect(table("documents")).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap

@@ -963,6 +963,41 @@ class PlanGuardSpec extends SparkSpec {
     p should not include "hashpartitioning"
   }
 
+  test("q81_runs_test: lag windows over the barriered day fold only") {
+    val p = planOf("q81_runs_test")
+    p should include("Window")
+    p should include("Scan ExistingRDD")
+    p should not include "SortMergeJoin"
+    hashExchanges(p) shouldBe 0
+  }
+
+  test("t56_span_corruption: pure codegen substring chain — no join, no shuffle") {
+    val p = planOf("t56_span_corruption")
+    p should not include "Join"
+    p should not include "hashpartitioning"
+  }
+
+  test("r39_fill_sinks: rounds hang off checkpointed cuts, equi-joins only") {
+    val p = planOf("r39_fill_sinks")
+    p should include("Scan ExistingRDD")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("x19_layout_pruning: the summary runs on the barriered file stats") {
+    val p = planOf("x19_layout_pruning")
+    p should include("Scan ExistingRDD")
+    p should not include "SortMergeJoin"
+    // the orders scan happened once, inside the stats barrier
+    p.linesIterator.count(_.contains("orders.parquet")) shouldBe 0
+  }
+
+  test("m32_hist_match: decode + remap stay in the row — no join, no shuffle") {
+    val p = planOf("m32_hist_match")
+    p should not include "Join"
+    p should not include "hashpartitioning"
+  }
+
   test("x17_selectivity_est: 32-row histogram broadcast; truth is ONE fold pass") {
     val p = planOf("x17_selectivity_est")
     p should include("BroadcastExchange")

@@ -473,6 +473,35 @@ class RasterSpec extends SparkSpec {
     bench.head.getString(6) shouldBe "upper_slope"
   }
 
+  test("fillSinks: a pit fills to its spill level; channels drain; flats untouched") {
+    def gridOf(v: (Int, Int) => Double) = {
+      val rows = for { lat <- 0 to 4; lon <- 0 to 4 }
+        yield ("v", "2024-01-01 00:00:00", lat.toDouble, lon.toDouble, v(lat, lon))
+      rows.toDF("variable", "time", "lat", "lon", "value")
+        .withColumn("time", $"time".cast("timestamp_ntz"))
+    }
+    def fills(g: org.apache.spark.sql.DataFrame): Map[(Double, Double), Long] =
+      Raster.fillSinks(g).collect()
+        .map(r => (r.getDouble(2), r.getDouble(3)) -> r.getLong(6)).toMap
+    // closed pit: center 2 in a plane of 10 -> filled to the rim (8)
+    val pit = fills(gridOf((y, x) => if (y == 2 && x == 2) 2.0 else 10.0))
+    pit((2.0, 2.0)) shouldBe 8L
+    pit.values.sum shouldBe 8L // nothing else rises
+    // channel to the boundary: spill level is the channel's highest
+    // step (5), so the pit fills to 5 and the channel cell to 5
+    val chan = fills(gridOf { (y, x) =>
+      if (y == 2 && x == 2) 2.0
+      else if (y == 1 && x == 2) 4.0
+      else if (y == 0 && x == 2) 5.0
+      else 10.0
+    })
+    chan((2.0, 2.0)) shouldBe 3L // 2 -> 5
+    chan((1.0, 2.0)) shouldBe 1L // 4 -> 5
+    chan((0.0, 2.0)) shouldBe 0L // boundary cells never rise
+    // flat terrain: zero fill everywhere
+    fills(gridOf((_, _) => 7.0)).values.sum shouldBe 0L
+  }
+
   test("flowDirection: D8 argmax with exact diagonal cross-multiply and min-code ties") {
     def gridOf(vals: Map[(Double, Double), Double]) = {
       val rows = for { lat <- Seq(-1.0, 0.0, 1.0); lon <- Seq(-1.0, 0.0, 1.0) }

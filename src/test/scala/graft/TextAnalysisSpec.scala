@@ -675,6 +675,36 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("spanCorruption: spans and sentinels reassemble losslessly; short docs excluded") {
+    // L=40: sl = 5, a = 1 + 9%10 = 10, b = 10 + 5 + 10 = 25
+    val text40 = "0123456789abcdefghijklmnopqrstuvwxyzABCD"
+      .substring(0, 40)
+    val docs = Seq((9L, text40), (10L, "too short")).toDF("doc_id", "text")
+    val out = TextAnalysis.spanCorruption(docs).collect()
+    out.length shouldBe 1 // the 9-char doc is excluded
+    val r = out.head
+    r.getLong(0) shouldBe 9L
+    // prefix [1,9], span1 [10,14], mid [15,24], span2 [25,29], tail [30,40]
+    r.getString(1) shouldBe
+      text40.substring(0, 9) + "<X>" + text40.substring(14, 24) + "<Y>" +
+        text40.substring(29)
+    r.getString(2) shouldBe
+      "<X>" + text40.substring(9, 14) + "<Y>" + text40.substring(24, 29) + "<Z>"
+    r.getLong(3) shouldBe 10L
+    // the lossless law on the real corpus: corrupted's three segments
+    // interleaved with targets' two spans rebuild the original text
+    val real = TextAnalysis.spanCorruption(table("documents"))
+      .join(table("documents"), "doc_id")
+      .select($"corrupted", $"targets", $"text").collect()
+    real should not be empty
+    real.foreach { row =>
+      val (cor, tgt, text) = (row.getString(0), row.getString(1), row.getString(2))
+      val Array(pre, mid, tail) = cor.split("<[XY]>", -1)
+      val spans = tgt.stripPrefix("<X>").stripSuffix("<Z>").split("<Y>", -1)
+      (pre + spans(0) + mid + spans(1) + tail) shouldBe text
+    }
+  }
+
   test("garbleDetect: prose clean, consonant runs and vowel drought both fire") {
     val hand = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"), // prose: clean
