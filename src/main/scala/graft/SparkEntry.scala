@@ -1076,6 +1076,61 @@ object SparkEntry {
     * micro-batch advancing the versioned snapshot with
     * [[graft.streaming.SnapshotUpsert.applyCdcBatch]].
     */
+  /** w24: d03's MinHash-LSH near-dup detection through the real
+    * streaming path — four doc_id-ordered landing slices drive a
+    * foreachBatch incremental join (the w19/d14 production shape): each
+    * batch's band rows join (history ∪ batch) band rows, so a pair
+    * emits exactly once, when its LARGER doc arrives, and the union
+    * over batches is d03's answer verbatim (oracle string shared).
+    * History persists as the banded signature index — ~256 bytes per
+    * doc, the artifact a 100 TB pipeline keeps between crawls — never
+    * the text.
+    */
+  private def streamLsh(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_w24").toString
+    val docs = t(s, d)("documents").select($"doc_id", $"text")
+    val maxId = docs.agg(max($"doc_id")).head.getLong(0)
+    val landing = java.nio.file.Paths.get(s"$tmp/landing")
+    java.nio.file.Files.createDirectories(landing)
+    val t0 = System.currentTimeMillis() - 60000
+    var stamped = Set.empty[String]
+    val step = maxId / 4 + 1
+    for (i <- 0 until 4) {
+      docs.where($"doc_id" >= i * step && $"doc_id" < (i + 1) * step)
+        .coalesce(1).write.mode("append").parquet(landing.toString)
+      stamped = graft.streaming.StagedLanding.stampNew(landing, t0 + i * 1000L,
+        stamped)
+    }
+    val histDir = s"$tmp/hist"
+    val outDir = s"$tmp/out"
+    val sink: (DataFrame, Long) => Unit = { (batch, _) =>
+      val sess = batch.sparkSession
+      val bandBatch = operators.Dedup.bandRowsFor(batch).localCheckpoint(true)
+      val fs = new org.apache.hadoop.fs.Path(histDir)
+        .getFileSystem(sess.sparkContext.hadoopConfiguration)
+      val left =
+        if (fs.exists(new org.apache.hadoop.fs.Path(histDir)))
+          sess.read.parquet(histDir).unionByName(bandBatch)
+        else bandBatch
+      operators.Dedup.lshPairsAcross(left, bandBatch, numHashes = 32,
+          threshold = 0.5)
+        .write.mode("append").parquet(outDir)
+      bandBatch.write.mode("append").parquet(histDir)
+    }
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing.toString)
+    withStreamingPartitions(s, 8) {
+      val q = stream.writeStream
+        .foreachBatch(sink)
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(outDir).orderBy($"doc_a", $"doc_b")
+  }
+
   private def streamCdc(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val tmp = java.nio.file.Files.createTempDirectory("graft_w19").toString
@@ -2036,6 +2091,10 @@ object SparkEntry {
     // completion rows emit on arrival (append-only); oracle = q37's
     // chain filtered to full depth in µs
     "w23_stream_funnel" -> ((s, d) => streamFunnel(s, d)),
+    // d03's near-dup pairs through the real streaming path: foreachBatch
+    // incremental band join against the persisted signature index;
+    // oracle shared verbatim with d03
+    "w24_stream_lsh" -> ((s, d) => streamLsh(s, d)),
     "w09_stream_join" -> ((s, d) => streamJoin(s, d)),
     "w11_stream_outer_join" -> ((s, d) => streamJoinOuter(s, d)),
     "w10_stream_upsert" -> ((s, d) => streamUpsert(s, d)),
@@ -2482,6 +2541,18 @@ object SparkEntry {
     // cross-multiplied inverse lookup, position-weighted checksum
     "m32_hist_match" -> ((s, d) =>
       Multimodal.histMatch(t(s, d)("documents"))),
+    // Strahler stream order over the D8 flow forest: bounded fixpoint
+    // sweeps, confluence rule on the max-struct argmax
+    "r40_strahler" -> ((s, d) =>
+      Raster.strahlerOrder(Raster.demoGridSum(t(s, d)("lineitem")))),
+    // ViT patch extraction over real PNG decode: full patches only,
+    // exact per-patch sum/sumsq/variance numerator
+    "m33_patchify" -> ((s, d) =>
+      Multimodal.patchify(t(s, d)("documents"))),
+    // Shewhart individuals chart: pinned 2.66 milli constant, floored
+    // integer limits, cross-multiplied per-day flags
+    "q82_spc_limits" -> ((s, d) =>
+      operators.Core.spcLimits(t(s, d)("orders"))),
     // OCR-garbage detection over the garble twin corpus: vowel share +
     // consonant-run counts, pure codegen projection
     "t54_garble_detect" -> ((s, d) =>
@@ -3891,6 +3962,52 @@ object SparkEntry {
          FROM w$rounds ORDER BY 1, 2, 3, 4"""
   }
 
+  /** r40 oracle: the confluence rule unrolled `rounds` times over the
+    * SAME d8FlowCtes flow relation (one flow definition shared with
+    * r34/r35/r36) — per round the inflow (cell, ord) fold, the
+    * order-desc argmax, and the m/k CASE, all MATERIALIZED.
+    */
+  private def strahlerOracle(rounds: Int): String = {
+    val steps = (0 until rounds).map { r =>
+      s"""x$r AS MATERIALIZED (
+           SELECT e.variable, e.time, e.tlat, e.tlon, o.ord, count(*) AS k
+           FROM fe e JOIN o$r o ON o.variable = e.variable AND o.time = e.time
+              AND o.lat = e.slat AND o.lon = e.slon
+           GROUP BY 1, 2, 3, 4, 5),
+         y$r AS MATERIALIZED (
+           SELECT variable, time, tlat, tlon, ord AS m, k,
+                  row_number() OVER (PARTITION BY variable, time, tlat, tlon
+                                     ORDER BY ord DESC) AS rn
+           FROM x$r),
+         o${r + 1} AS MATERIALIZED (
+           SELECT cs.variable, cs.time, cs.lat, cs.lon,
+                  CASE WHEN y.m IS NULL THEN 1
+                       WHEN y.k >= 2 THEN y.m + 1 ELSE y.m END AS ord
+           FROM cells cs LEFT JOIN (SELECT * FROM y$r WHERE rn = 1) y
+             ON y.variable = cs.variable AND y.time = cs.time
+            AND y.tlat = cs.lat AND y.tlon = cs.lon)"""
+    }.mkString(",\n         ")
+    s"""WITH ${operators.Raster.demoGridSumSql},
+         $d8FlowCtes,
+         cells AS MATERIALIZED (SELECT variable, time, lat, lon FROM full_t),
+         fe0 AS (SELECT b.variable, b.time, b.lat AS slat, b.lon AS slon,
+                        b.lat + CASE WHEN b.code IN (1, 16) THEN 0
+                                     WHEN b.code IN (2, 4, 8) THEN -1
+                                     ELSE 1 END AS tlat,
+                        b.lon + CASE WHEN b.code IN (4, 64) THEN 0
+                                     WHEN b.code IN (8, 16, 32) THEN -1
+                                     ELSE 1 END AS tlon
+                 FROM b),
+         fe AS MATERIALIZED (SELECT fe0.* FROM fe0 JOIN cells tc
+                ON tc.variable = fe0.variable AND tc.time = fe0.time
+               AND tc.lat = fe0.tlat AND tc.lon = fe0.tlon),
+         o0 AS MATERIALIZED (SELECT variable, time, lat, lon,
+                CAST(1 AS BIGINT) AS ord FROM cells),
+         $steps
+         SELECT variable, time, lat, lon, CAST(ord AS BIGINT) AS strahler
+         FROM o$rounds ORDER BY 1, 2, 3, 4"""
+  }
+
   /** g19 oracle: the g07 peel unrolled per k in [2, maxK] with
     * k-suffixed CTE names over the ONE materialized e0; coreness = 1 +
     * the nested-core indicator sum (cores nest, so the sum is exact).
@@ -4463,6 +4580,50 @@ object SparkEntry {
          FROM a ORDER BY 1, 2, 3, 4""",
     // the relaxation unrolled with the same ceiling and boundary anchor
     "r39_fill_sinks" -> fillSinksOracle(10),
+    // the confluence rule unrolled over the shared flow relation
+    "r40_strahler" -> strahlerOracle(8),
+    // per-patch sums replayed over the closed-form lattice, full
+    // patches only (the remainder crop is part of the contract)
+    "m33_patchify" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (3 * doc_id) % 16 AS h
+                    FROM documents WHERE doc_id % 3 = 0),
+         px AS (SELECT doc_id, w, h,
+                       unnest(generate_series(0, (w // 4) * 4 - 1)) AS x FROM d),
+         pxy AS (SELECT doc_id, w, h, x,
+                        unnest(generate_series(0, (h // 4) * 4 - 1)) AS y FROM px),
+         v AS (SELECT doc_id, y // 4 AS py, x // 4 AS px,
+                      (7 * x + 13 * y + doc_id) % 256 AS v FROM pxy)
+         SELECT doc_id, CAST(py AS BIGINT) AS py, CAST(px AS BIGINT) AS px,
+                CAST(count(*) AS BIGINT) AS n_px,
+                CAST(sum(v) AS BIGINT) AS sum_v,
+                CAST(sum(v * v) AS BIGINT) AS sum_sq,
+                CAST(count(*) * sum(v * v) - sum(v) * sum(v) AS BIGINT)
+                  AS var_num
+         FROM v GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    // the pinned-constant limits replayed with the same floors; a d2
+    // slip or a lag boundary slip moves a flag
+    "q82_spc_limits" ->
+      """WITH daily AS (SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP)
+                          AS day, CAST(count(*) AS BIGINT) AS c
+                        FROM orders GROUP BY 1),
+         mr AS (SELECT day, c, abs(c - lag(c) OVER (ORDER BY day)) AS mr
+                FROM daily),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS sc,
+                      CAST(sum(mr) AS BIGINT) AS s_mr,
+                      CAST(count(mr) AS BIGINT) AS n_mr
+               FROM mr),
+         lim AS (SELECT (1000 * sc) // n AS cl_milli,
+                        (1000 * sc) // n
+                          + (2660 * ((1000 * s_mr) // greatest(n_mr, 1))) // 1000
+                          AS ucl_milli,
+                        greatest(0, (1000 * sc) // n
+                          - (2660 * ((1000 * s_mr) // greatest(n_mr, 1))) // 1000)
+                          AS lcl_milli
+                 FROM s)
+         SELECT d.day, d.c AS n_orders, lim.cl_milli, lim.ucl_milli,
+                lim.lcl_milli,
+                (d.c * 1000 > lim.ucl_milli OR d.c * 1000 < lim.lcl_milli) AS ooc
+         FROM daily d, lim ORDER BY d.day""",
     // the sign convention, run count, and ±20% cross-multiplied band
     // replayed over the same day fold
     "q81_runs_test" ->
@@ -6084,6 +6245,9 @@ object SparkEntry {
          WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.4
          ORDER BY doc_a, doc_b""",
     "d03_minhash_lsh" -> minhashOracle,
+    // one signature kernel, one oracle: the streaming incremental join
+    // must land on d03's exact pair set
+    "w24_stream_lsh" -> minhashOracle,
     // the shared signature/band CTEs, est kept raw; exact side = the
     // distinct-gram intersection over the shingle sets the signatures
     // hashed, one IEEE division, error formed before any rounding

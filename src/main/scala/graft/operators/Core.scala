@@ -1008,6 +1008,45 @@ object Core {
       .orderBy($"layout")
   }
 
+  /** Q82: Shewhart individuals control chart (SPC) over the daily order
+    * series — the third audit next to [[cusumChangepoint]] (level
+    * shifts) and [[runsTest]] (sign randomness): center line = mean
+    * count, control limits = CL ± 2.66·(mean moving range), the d2
+    * constant PINNED in milli (2660) so no float ever runs. All
+    * divisions are floor-div of nonnegative integers (identical in
+    * both engines); per-day comparisons cross-multiply the count
+    * against the milli limits. Every day row carries its flag — the
+    * chart, not just the alarms.
+    *
+    * Scale shape: ONE calendar-bounded day fold (barriered — it feeds
+    * the MR window AND the summary), a lag window, a 1-row broadcast
+    * of the limits.
+    */
+  def spcLimits(orders: DataFrame): DataFrame = {
+    val daily = graft.Session.barrier(orders
+      .select(date_trunc("day", $"o_orderdate").cast("timestamp_ntz").as("day"))
+      .groupBy($"day").agg(count(lit(1)).as("c")))
+    val w = Window.orderBy($"day")
+    val mr = daily.withColumn("prev", lag($"c", 1).over(w))
+      .withColumn("mr", abs($"c" - $"prev"))
+    val summary = mr.agg(
+        count(lit(1)).as("n"), sum($"c").as("s"),
+        sum($"mr").as("s_mr"), count($"mr").as("n_mr"))
+      .withColumn("cl_milli", expr("(1000 * s) div n"))
+      .withColumn("mrbar_milli", expr("(1000 * s_mr) div greatest(n_mr, 1)"))
+      .withColumn("ucl_milli",
+        expr("cl_milli + (2660 * mrbar_milli) div 1000"))
+      .withColumn("lcl_milli",
+        greatest(lit(0L), expr("cl_milli - (2660 * mrbar_milli) div 1000")))
+      .select($"cl_milli", $"ucl_milli", $"lcl_milli")
+    daily.crossJoin(broadcast(summary))
+      .withColumn("ooc",
+        $"c" * 1000 > $"ucl_milli" || $"c" * 1000 < $"lcl_milli")
+      .select($"day", $"c".as("n_orders"), $"cl_milli", $"ucl_milli",
+        $"lcl_milli", $"ooc")
+      .orderBy($"day")
+  }
+
   /** X15: MERGEABLE column statistics — the maintenance half of
     * [[analyzeStats]]. At 100 TB nobody re-ANALYZEs the table; each
     * partition (here: `source`) keeps a summary and the table-level row

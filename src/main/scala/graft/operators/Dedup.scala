@@ -384,6 +384,38 @@ object Dedup {
     * bucket key. Shared by the self-join (d03) and incremental (d14)
     * forms so the banding scheme cannot drift between them.
     */
+  /** d03's banded-signature relation exposed for the streaming twin
+    * (w24) — one signature kernel, every consumer. */
+  private[graft] def bandRowsFor(documents: DataFrame, shingleN: Int = 3,
+                                 bands: Int = 8, rows: Int = 4): DataFrame =
+    bandedSignatures(documents, shingleN, bands, rows)
+
+  /** d03's candidate join + estimate + threshold, parameterized over the
+    * two band-row sides — [[minhashLshPairs]] calls it with the corpus
+    * on both sides; the streaming twin calls it with (history ∪ batch)
+    * on the left and the batch on the right, so a pair emits exactly
+    * once (when its larger doc arrives) and the union over batches IS
+    * the batch answer. One join kernel, two gates.
+    */
+  private[graft] def lshPairsAcross(left: DataFrame, right: DataFrame,
+                                    numHashes: Int,
+                                    threshold: Double): DataFrame = {
+    val agree = aggregate(
+      zip_with(col("a.sig"), col("b.sig"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), _ + _)
+    left.as("a")
+      .join(right.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (agree.cast("double") / lit(numHashes)).as("est"))
+      // a pair can collide in several bands; est is identical in each → max
+      .groupBy($"doc_a", $"doc_b")
+      .agg(max($"est").as("est_jaccard"))
+      .where($"est_jaccard" >= threshold)
+      .select($"doc_a", $"doc_b", round($"est_jaccard", 4).as("est_jaccard"))
+  }
+
   private def bandedSignatures(documents: DataFrame, shingleN: Int,
                                bands: Int, rows: Int): DataFrame = {
     val numHashes = bands * rows
@@ -469,20 +501,7 @@ object Dedup {
     // than a re-hash of it: equality on the slice is portable to the SQL
     // oracle and adds zero false candidates.
     val bandRows = bandedSignatures(documents, shingleN, bands, rows)
-    val agree = aggregate(
-      zip_with(col("a.sig"), col("b.sig"), (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), _ + _)
-    bandRows.as("a")
-      .join(bandRows.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        (agree.cast("double") / lit(numHashes)).as("est"))
-      // a pair can collide in several bands; est is identical in each → max
-      .groupBy($"doc_a", $"doc_b")
-      .agg(max($"est").as("est_jaccard"))
-      .where($"est_jaccard" >= threshold)
-      .select($"doc_a", $"doc_b", round($"est_jaccard", 4).as("est_jaccard"))
+    lshPairsAcross(bandRows, bandRows, numHashes, threshold)
       .orderBy($"doc_a", $"doc_b")
   }
 

@@ -846,6 +846,48 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** M33: patch extraction (the ViT preprocessing seat — images become
+    * a grid of fixed-size patches whose statistics feed normalization
+    * and masking decisions) over the REAL decoded PNG raster: FULL
+    * `patch`×`patch` patches only (the right/bottom remainder is
+    * cropped, ViT's behavior), each emitting its exact integer sum,
+    * sum of squares, and the population-variance numerator
+    * `n·Σv² − (Σv)²` — the per-patch contrast signal MAE-style masking
+    * ranks on.
+    *
+    * Scale shape: mapPartitions decode + per-image O(w·h) integer
+    * kernel emitting (w div p)·(h div p) rows, no shuffle before the
+    * presentation sort.
+    */
+  def patchify(documents: DataFrame, patch: Int = 4): DataFrame = {
+    require(patch >= 1, s"patchify: patch must be >= 1")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .filter((id: Long) => id % 3 == 0) // the PNG third of the fixture
+      .flatMap { id =>
+        val (w, h, img) = graft.sources.AssetCodecs.decodePngImage(assetFor(id))
+        val pw = w / patch; val ph = h / patch
+        val n = (patch * patch).toLong
+        for (py <- 0 until ph; px <- 0 until pw) yield {
+          var s = 0L; var q = 0L
+          var y = py * patch
+          while (y < (py + 1) * patch) {
+            var x = px * patch
+            while (x < (px + 1) * patch) {
+              val v = (img(y)(x) & 0xff).toLong
+              s += v; q += v * v
+              x += 1
+            }
+            y += 1
+          }
+          (id, py.toLong, px.toLong, n, s, q, n * q - s * s)
+        }
+      }
+      .toDF("doc_id", "py", "px", "n_px", "sum_v", "sum_sq", "var_num")
+      .orderBy(col("doc_id"), col("py"), col("px"))
+  }
+
   /** M30: onset detection over the REAL decoded WAV PCM — the
     * energy-jump event detector audio pipelines run for beat/segment
     * candidates (the spectral-flux seat, kept exact by using frame

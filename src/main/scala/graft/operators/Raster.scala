@@ -305,6 +305,62 @@ object Raster {
       .orderBy(keys: _*)
   }
 
+  /** R40: Strahler stream order (Strahler 1957) over the D8 flow
+    * forest — the stream-network classification hydrology runs after
+    * [[flowAccumulation]] (order 1 = headwaters; order rises only
+    * where two equal-order streams CONFLUENCE): each cell's order is 1
+    * with no inflows, m when exactly one inflow attains the max m, and
+    * m+1 when two or more do. Computed by `rounds` fixpoint sweeps from
+    * the all-ones field (order stabilizes in ≤ flow-forest-depth
+    * rounds — the r35/g10 bounded-iteration discipline, oracle unroll
+    * shared); edges keep only in-forest targets (cells draining
+    * off-grid are terminals).
+    *
+    * Scale shape: the r34 pass barriered once; per round ONE
+    * co-partitioned inflow join + a (cell, ord) fold + the max-struct
+    * argmax + a left join back — all equi-keyed on cell keys,
+    * barriered per round.
+    */
+  def strahlerOrder(grid: DataFrame, rounds: Int = 8): DataFrame = {
+    val keys = Seq($"variable", $"time", $"lat", $"lon")
+    val fd = graft.Session.barrier(flowDirection(grid))
+    val cells = fd.select(keys: _*)
+    val latOff = when($"flow_code".isin(1L, 16L), 0L)
+      .when($"flow_code".isin(2L, 4L, 8L), -1L).otherwise(1L)
+    val lonOff = when($"flow_code".isin(4L, 64L), 0L)
+      .when($"flow_code".isin(8L, 16L, 32L), -1L).otherwise(1L)
+    val edges = graft.Session.barrier(
+      fd.where($"flow_code" > 0)
+        .select($"variable", $"time", $"lat".as("slat"), $"lon".as("slon"),
+          ($"lat" + latOff).as("lat"), ($"lon" + lonOff).as("lon"))
+        .join(cells, Seq("variable", "time", "lat", "lon"), "left_semi")
+        .select($"variable", $"time", $"slat", $"slon",
+          $"lat".as("tlat"), $"lon".as("tlon")))
+    var ord = graft.Session.barrier(cells.withColumn("ord", lit(1L)))
+    var round = 0
+    while (round < rounds) {
+      val inflow = edges.join(ord,
+          edges("variable") === ord("variable") && edges("time") === ord("time") &&
+            edges("slat") === ord("lat") && edges("slon") === ord("lon"))
+        .select(edges("variable").as("variable"), edges("time").as("time"),
+          $"tlat".as("lat"), $"tlon".as("lon"), $"ord")
+      val cnt = inflow.groupBy($"variable", $"time", $"lat", $"lon", $"ord")
+        .agg(count(lit(1)).as("k"))
+      val top = cnt.groupBy(keys: _*)
+        .agg(max(struct($"ord", $"k")).as("t"))
+        .select($"variable", $"time", $"lat", $"lon",
+          $"t.ord".as("m"), $"t.k".as("k"))
+      ord = graft.Session.barrier(
+        cells.join(top, Seq("variable", "time", "lat", "lon"), "left")
+          .select($"variable", $"time", $"lat", $"lon",
+            when($"m".isNull, 1L).when($"k" >= 2, $"m" + 1).otherwise($"m")
+              .as("ord")))
+      round += 1
+    }
+    ord.select($"variable", $"time", $"lat", $"lon", $"ord".as("strahler"))
+      .orderBy(keys: _*)
+  }
+
   /** R34: D8 flow direction (O'Callaghan & Mark 1984; `gdaldem`/
     * ArcGIS FlowDirection, the hydrology kernel every DEM pipeline
     * runs before watershed delineation): each full-window cell routes

@@ -501,6 +501,33 @@ class CoreSpec extends SparkSpec {
     real("zorder") should be <= real("linear")
   }
 
+  test("spcLimits: pinned-d2 limits exact; the spike flags, the plateau does not") {
+    import spark.implicits._
+    val orders = (Seq.fill(10)("2024-01-01") ++ Seq.fill(10)("2024-01-02") ++
+      Seq.fill(10)("2024-01-03") ++ Seq.fill(10)("2024-01-04") ++
+      Seq.fill(30)("2024-01-05"))
+      .toDF("o_orderdate")
+      .withColumn("o_orderdate", $"o_orderdate".cast("timestamp"))
+    val out = Core.spcLimits(orders).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getBoolean(5)))
+    // mean = 14 -> CL 14000; MRs [0,0,0,20] -> MR-bar 5000;
+    // UCL = 14000 + 2660*5 = 27300, LCL = 700
+    out.head._2 shouldBe 14000L
+    out.head._3 shouldBe 27300L
+    out.head._4 shouldBe 700L
+    out.map(_._5).toSeq shouldBe Seq(false, false, false, false, true)
+    // laws on the real table: LCL <= CL <= UCL and flags recompute
+    val real = Core.spcLimits(table("orders")).collect()
+    real should not be empty
+    real.foreach { r =>
+      r.getLong(4) should be <= r.getLong(2)
+      r.getLong(2) should be <= r.getLong(3)
+      r.getBoolean(5) shouldBe (r.getLong(1) * 1000 > r.getLong(3) ||
+        r.getLong(1) * 1000 < r.getLong(4))
+    }
+  }
+
   test("cusumChangepoint: level shift lands on the last day of the old level") {
     import spark.implicits._
     // counts [10,10,10,40,40]: scaled cusum = [-60,-120,-180,-90,0] —

@@ -462,4 +462,30 @@ class DedupSpec extends SparkSpec {
       mass should (be >= 1000000L - size + 1 and be <= 1000000L)
     }
   }
+
+  test("lshPairsAcross: id-ordered incremental batches union to the one-shot answer") {
+    // the w24 streaming contract, proven on the kernel: a pair emits in
+    // the batch where its LARGER doc arrives, and the union equals d03
+    val d = docs(
+      (1L, "w", "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "w", "the quick brown fox jumps over the lazy dog again tonight"),
+      (5L, "w", "an entirely different sentence about spark shuffles and joins"),
+      (6L, "w", "an entirely different sentence about spark shuffles and joins"),
+      (9L, "w", "the quick brown fox jumps over the lazy dog again today"))
+    val oneShot = Dedup.minhashLshPairs(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    oneShot should not be empty
+    // batch 1 = ids < 5, batch 2 = the rest (arrival order = id order)
+    val b1 = Dedup.bandRowsFor(d.where($"doc_id" < 5))
+    val b2 = Dedup.bandRowsFor(d.where($"doc_id" >= 5))
+    val p1 = Dedup.lshPairsAcross(b1, b1, 32, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val p2 = Dedup.lshPairsAcross(b1.unionByName(b2), b2, 32, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // no pair emits twice, and the union is exactly the one-shot set
+    (p1.toSet intersect p2.toSet) shouldBe empty
+    (p1 ++ p2).toSet shouldBe oneShot
+    // the cross-batch pair (1, 9) arrives in batch 2
+    p2.toSet should contain((1L, 9L))
+  }
 }

@@ -498,6 +498,32 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("patchify: full 4x4 patches recompute; the remainder crop is exact") {
+    val out = Multimodal.patchify(table("documents")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    out should not be empty
+    val ids = out.keySet.map(_._1)
+    for (id <- ids) {
+      val wi = (8 + id % 24).toInt; val hi = (8 + (3 * id) % 16).toInt
+      def p(y: Int, x: Int): Long = (7L * x + 13L * y + id) % 256
+      val (pw, ph) = (wi / 4, hi / 4)
+      out.keySet.count(_._1 == id) shouldBe pw * ph
+      for (py <- 0 until ph; px <- 0 until pw) {
+        var s = 0L; var q = 0L
+        for (y <- py * 4 until py * 4 + 4; x <- px * 4 until px * 4 + 4) {
+          val v = p(y, x); s += v; q += v * v
+        }
+        val (n, sv, sq, vn) = out((id, py.toLong, px.toLong))
+        n shouldBe 16L
+        sv shouldBe s
+        sq shouldBe q
+        vn shouldBe 16L * q - s * s
+        vn should be >= 0L // Cauchy-Schwarz
+      }
+    }
+  }
+
   test("histMatch: the quadratic-reference inverse lookup recomputes; map is monotone") {
     val out = Multimodal.histMatch(table("documents")).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),

@@ -998,6 +998,27 @@ class PlanGuardSpec extends SparkSpec {
     p should not include "hashpartitioning"
   }
 
+  test("r40_strahler: fixpoint sweeps hang off checkpointed cuts, equi-joins only") {
+    val p = planOf("r40_strahler")
+    p should include("Scan ExistingRDD")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("m33_patchify: decode + patch fold stay in the row — no join, no shuffle") {
+    val p = planOf("m33_patchify")
+    p should not include "Join"
+    p should not include "hashpartitioning"
+  }
+
+  test("q82_spc_limits: chart rows come from the barriered day fold, limits broadcast") {
+    val p = planOf("q82_spc_limits")
+    p should include("Scan ExistingRDD")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+    hashExchanges(p) shouldBe 0
+  }
+
   test("x17_selectivity_est: 32-row histogram broadcast; truth is ONE fold pass") {
     val p = planOf("x17_selectivity_est")
     p should include("BroadcastExchange")

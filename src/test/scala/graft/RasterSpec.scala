@@ -473,6 +473,24 @@ class RasterSpec extends SparkSpec {
     bench.head.getString(6) shouldBe "upper_slope"
   }
 
+  test("strahlerOrder: a 3-way confluence bumps to 2; pass-through keeps the max") {
+    // valley terrain z = 10*lat + 5*|lon-2|: row-3 interior cells all
+    // drain into (2,2) (a 3-inflow confluence -> order 2), which then
+    // feeds (1,2) alone (max 2, k=1 -> stays 2, the Strahler rule)
+    val rows = for { lat <- 0 to 4; lon <- 0 to 4 }
+      yield ("v", "2024-01-01 00:00:00", lat.toDouble, lon.toDouble,
+        10.0 * lat + 5.0 * math.abs(lon - 2))
+    val g = rows.toDF("variable", "time", "lat", "lon", "value")
+      .withColumn("time", $"time".cast("timestamp_ntz"))
+    val out = Raster.strahlerOrder(g).collect()
+      .map(r => (r.getDouble(2), r.getDouble(3)) -> r.getLong(4)).toMap
+    out.size shouldBe 9 // the full-window interior
+    out((2.0, 2.0)) shouldBe 2L
+    out((1.0, 2.0)) shouldBe 2L
+    out.filterKeys(k => k != ((2.0, 2.0)) && k != ((1.0, 2.0))).values
+      .foreach(_ shouldBe 1L)
+  }
+
   test("fillSinks: a pit fills to its spill level; channels drain; flats untouched") {
     def gridOf(v: (Int, Int) => Double) = {
       val rows = for { lat <- 0 to 4; lon <- 0 to 4 }
