@@ -2553,6 +2553,22 @@ object SparkEntry {
     // integer limits, cross-multiplied per-day flags
     "q82_spc_limits" -> ((s, d) =>
       operators.Core.spcLimits(t(s, d)("orders"))),
+    // the baseline forecaster graded: seasonal-naive vs actual per
+    // month, abs error + APE ppm on the integer month key
+    "q83_seasonal_naive" -> ((s, d) =>
+      operators.Core.seasonalNaiveBacktest(t(s, d)("orders"))),
+    // keep/review/drop routing COMPOSED from t50/t51's kernels (called,
+    // not re-derived) — the decision the signal gates exist to feed
+    "t57_curation_route" -> ((s, d) =>
+      operators.TextAnalysis.curationRoute(t(s, d)("documents"))),
+    // the one-row dedup report over d07's components: dup share ppm,
+    // cluster counts, the mega-cluster alarm column
+    "d21_dedup_report" -> ((s, d) =>
+      Dedup.dedupReport(t(s, d)("documents"))),
+    // gray-world white balance over real color JPEG decode: milli
+    // gains, clamped correction, position-weighted checksum
+    "m34_gray_world" -> ((s, d) =>
+      Multimodal.grayWorld(t(s, d)("documents"))),
     // OCR-garbage detection over the garble twin corpus: vowel share +
     // consonant-run counts, pure codegen projection
     "t54_garble_detect" -> ((s, d) =>
@@ -3767,6 +3783,23 @@ object SparkEntry {
               1000000 // cluster_size AS weight_ppm
        FROM cl JOIN cs USING (cluster_id) ORDER BY doc_id"""
 
+  /** d21: the SAME components, folded to the one-row report. */
+  private def dedupReportOracle: String =
+    s"""WITH RECURSIVE $clusterReachCte,
+       cl AS (SELECT doc AS doc_id, min(lbl) AS cluster_id
+              FROM reach GROUP BY doc),
+       cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
+              FROM cl GROUP BY cluster_id)
+       SELECT CAST(sum(sz) AS BIGINT) AS n_docs,
+              CAST(count(*) AS BIGINT) AS n_clusters,
+              CAST(count(*) FILTER (WHERE sz >= 2) AS BIGINT) AS n_clusters_ge2,
+              CAST(coalesce(sum(sz) FILTER (WHERE sz >= 2), 0) AS BIGINT)
+                AS n_dup_docs,
+              CAST(max(sz) AS BIGINT) AS max_cluster,
+              (1000000 * CAST(coalesce(sum(sz) FILTER (WHERE sz >= 2), 0)
+                AS BIGINT)) // CAST(sum(sz) AS BIGINT) AS dup_ppm
+       FROM cs"""
+
   /** d15: same components, keeper = most tokens (doc_id tiebreak). */
   private def keepBestOracle: String =
     s"""WITH RECURSIVE $clusterReachCte,
@@ -4600,6 +4633,46 @@ object SparkEntry {
                 CAST(count(*) * sum(v * v) - sum(v) * sum(v) AS BIGINT)
                   AS var_num
          FROM v GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    // the 12-month equi-join replayed on the same integer month key
+    "q83_seasonal_naive" ->
+      """WITH monthly AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate)
+                            AS BIGINT) AS mk,
+                                 CAST(count(*) AS BIGINT) AS c
+                          FROM orders GROUP BY 1)
+         SELECT cur.mk AS month_key, cur.c AS actual, prev.c AS forecast,
+                abs(cur.c - prev.c) AS abs_err,
+                (1000000 * abs(cur.c - prev.c)) // greatest(cur.c, 1) AS ape_ppm
+         FROM monthly cur JOIN monthly prev ON cur.mk = prev.mk + 12
+         ORDER BY 1""",
+    // t50's and t51's oracle arithmetic joined + the routing CASE — a
+    // signal drift in either kernel reroutes a document
+    "t57_curation_route" ->
+      """WITH r AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+                  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+                  CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sents,
+                  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+                    AS n_syll
+                    FROM documents),
+         f AS (SELECT doc_id, n_chars,
+                      206835000 - 1015 * (n_words * 1000 // greatest(n_sents, 1))
+                        - 84600 * (n_syll * 1000 // greatest(n_words, 1))
+                        AS flesch_micro
+               FROM r),
+         tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+'))
+                   AS term FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+                WHERE term <> '' GROUP BY 1, 2),
+         lx AS (SELECT doc_id,
+                       (CAST(count(*) AS BIGINT) * 1000)
+                         // CAST(sum(tf) AS BIGINT) AS ttr_milli
+                FROM tf GROUP BY 1)
+         SELECT f.doc_id, f.n_chars, f.flesch_micro,
+                coalesce(lx.ttr_milli, 0) AS ttr_milli,
+                CASE WHEN f.n_chars < 100 THEN 'drop'
+                     WHEN f.flesch_micro < 30000000
+                          OR coalesce(lx.ttr_milli, 0) < 300 THEN 'review'
+                     ELSE 'keep' END AS route
+         FROM f LEFT JOIN lx USING (doc_id) ORDER BY doc_id""",
     // the pinned-constant limits replayed with the same floors; a d2
     // slip or a lag boundary slip moves a flag
     "q82_spc_limits" ->
@@ -8567,6 +8640,60 @@ object SparkEntry {
                      ELSE 'neutral' END AS band
          FROM a""",
     "d20_dedup_weights" -> dedupWeightsOracle,
+    "d21_dedup_report" -> dedupReportOracle,
+    // channel sums by tile AREA, milli gains, the clamped correction,
+    // and the positional checksum via the exact arithmetic-series
+    // weight per tile — a one-pixel correction slip shifts checksum
+    "m34_gray_world" ->
+      """WITH d AS (SELECT doc_id, 17 + doc_id % 16 AS w, 17 + (3 * doc_id) % 8 AS h
+                    FROM documents),
+         t AS (SELECT doc_id, w, h,
+                      unnest(generate_series(0, (w + 15) // 16 - 1)) AS tx FROM d),
+         txy AS (SELECT doc_id, w, h, tx,
+                        unnest(generate_series(0, (h + 15) // 16 - 1)) AS ty FROM t),
+         v AS (SELECT doc_id, w, h,
+                      16 * tx AS x0, least(16 * (tx + 1), w) AS x1,
+                      16 * ty AS y0, least(16 * (ty + 1), h) AS y1,
+                      least(16 * (tx + 1), w) - 16 * tx AS nx,
+                      least(16 * (ty + 1), h) - 16 * ty AS ny,
+                      (17 * tx + 29 * ty + 31 * (doc_id % 89)) % 256 AS yv,
+                      (23 * tx + 13 * ty + 7 * (doc_id % 83)) % 256 AS cb,
+                      (11 * tx + 19 * ty + 5 * (doc_id % 79)) % 256 AS cr
+               FROM txy),
+         c AS (SELECT *,
+                      least(greatest(yv + CAST(floor((91881 * (cr - 128) + 32768)
+                        / 65536.0) AS BIGINT), 0), 255) AS r,
+                      least(greatest(yv - CAST(floor((22554 * (cb - 128)
+                        + 46802 * (cr - 128) + 32768) / 65536.0) AS BIGINT), 0),
+                        255) AS g,
+                      least(greatest(yv + CAST(floor((116130 * (cb - 128) + 32768)
+                        / 65536.0) AS BIGINT), 0), 255) AS b
+               FROM v),
+         sums AS (SELECT doc_id, CAST(max(w) AS BIGINT) AS w,
+                         CAST(max(h) AS BIGINT) AS h,
+                         CAST(sum(r * nx * ny) AS BIGINT) AS sr,
+                         CAST(sum(g * nx * ny) AS BIGINT) AS sg,
+                         CAST(sum(b * nx * ny) AS BIGINT) AS sb
+                  FROM c GROUP BY doc_id),
+         gn AS (SELECT doc_id, w, h, sr, sg, sb,
+                       CASE WHEN sr > 0 THEN (1000 * sg) // sr ELSE 1000 END
+                         AS gain_r,
+                       CASE WHEN sb > 0 THEN (1000 * sg) // sb ELSE 1000 END
+                         AS gain_b
+                FROM sums),
+         chk AS (SELECT c.doc_id,
+                        CAST(sum((least(255, (c.r * gn.gain_r) // 1000)
+                                  + 2 * c.g
+                                  + 3 * least(255, (c.b * gn.gain_b) // 1000))
+                          * (gn.w * c.nx * (((c.y0 + c.y1 - 1) * c.ny) // 2)
+                             + c.ny * (((c.x0 + c.x1 + 1) * c.nx) // 2)))
+                          AS BIGINT) AS checksum
+                 FROM c JOIN gn USING (doc_id)
+                 GROUP BY c.doc_id)
+         SELECT gn.doc_id, gn.w AS width, gn.h AS height, gn.sr AS sum_r,
+                gn.sg AS sum_g, gn.sb AS sum_b, gn.gain_r AS gain_r_milli,
+                gn.gain_b AS gain_b_milli, chk.checksum
+         FROM gn JOIN chk USING (doc_id) ORDER BY gn.doc_id""",
     "g03_item_cf" ->
       """WITH po AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
          cn AS (SELECT a.item AS u, b.item AS w, CAST(count(*) AS BIGINT) AS common

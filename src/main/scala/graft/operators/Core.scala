@@ -1047,6 +1047,31 @@ object Core {
       .orderBy($"day")
   }
 
+  /** Q83: seasonal-naive forecast backtest — the baseline every
+    * forecasting system is judged against (forecast(month) = actual of
+    * the same month last year), run as an audit over the order series:
+    * per backtestable month the actual, the forecast, the absolute
+    * error, and the APE in ppm — all exact integers on an integer
+    * month key (`year·12 + month`), so the 12-month join is an
+    * equi-join with no calendar arithmetic ambiguity.
+    *
+    * Scale shape: ONE calendar-bounded month fold (barriered — both
+    * join sides), one self-equi-join on the shifted key.
+    */
+  def seasonalNaiveBacktest(orders: DataFrame): DataFrame = {
+    val monthly = graft.Session.barrier(orders
+      .select((year($"o_orderdate") * 12 + month($"o_orderdate"))
+        .cast("long").as("mk"))
+      .groupBy($"mk").agg(count(lit(1)).as("c")))
+    monthly.as("cur")
+      .join(monthly.as("prev"), col("cur.mk") === col("prev.mk") + 12)
+      .select(col("cur.mk").as("month_key"), col("cur.c").as("actual"),
+        col("prev.c").as("forecast"))
+      .withColumn("abs_err", abs($"actual" - $"forecast"))
+      .withColumn("ape_ppm", expr("(1000000 * abs_err) div greatest(actual, 1)"))
+      .orderBy($"month_key")
+  }
+
   /** X15: MERGEABLE column statistics — the maintenance half of
     * [[analyzeStats]]. At 100 TB nobody re-ANALYZEs the table; each
     * partition (here: `source`) keeps a summary and the table-level row

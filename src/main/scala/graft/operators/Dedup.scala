@@ -505,6 +505,30 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** D21: the dedup REPORT — the one-row summary every production
+    * dedup run prints before anyone trusts it (corpus size, cluster
+    * count, duplicated-doc share in ppm, the largest cluster): a
+    * mega-cluster is the classic symptom of a too-loose threshold or a
+    * boilerplate-dominated corpus, and the dup share is the number the
+    * data card quotes. Derived from [[dedupClusters]]' components
+    * verbatim (one clustering kernel, three gates with d07/d20), so
+    * the report can never disagree with the clusters it describes.
+    *
+    * Scale shape: d07's banded pipeline + one cluster-size fold + a
+    * single-row summary.
+    */
+  def dedupReport(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val sizes = dedupClusters(documents, threshold = threshold)
+      .groupBy($"cluster_id").agg(count(lit(1)).as("sz"))
+    sizes.agg(
+        sum($"sz").as("n_docs"),
+        count(lit(1)).as("n_clusters"),
+        sum(when($"sz" >= 2, 1L).otherwise(0L)).as("n_clusters_ge2"),
+        sum(when($"sz" >= 2, $"sz").otherwise(0L)).as("n_dup_docs"),
+        max($"sz").as("max_cluster"))
+      .withColumn("dup_ppm", expr("(1000000 * n_dup_docs) div n_docs"))
+  }
+
   /** MinHash calibration (d19): every LSH candidate pair's signature
     * ESTIMATE side by side with its EXACT shingle Jaccard and the
     * absolute error — the measurement that justifies (or retunes) the

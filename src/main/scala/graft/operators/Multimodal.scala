@@ -888,6 +888,62 @@ object Multimodal {
       .orderBy(col("doc_id"), col("py"), col("px"))
   }
 
+  /** M34: gray-world white balance over the REAL color JPEG decode —
+    * the illumination-normalization preprocessing vision pipelines run
+    * (Buchsbaum 1980: assume the average scene is gray, so scale R and
+    * B to match the G mean): channel gains in exact milli
+    * (`gain_r = 1000·Σg div Σr`), corrected pixels
+    * `min(255, (v·gain) div 1000)`, and the m25 position-weighted
+    * checksum over `r' + 2·g + 3·b'` so a single mis-corrected pixel
+    * breaks the hash.
+    *
+    * Scale shape: [[jpegColorPhash]]'s — mapPartitions byte decode +
+    * per-image O(w·h) integer kernel, no shuffle before the
+    * presentation sort.
+    */
+  def grayWorld(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val img = graft.sources.AssetCodecs.decodeJpegYccAuto(jpegColorSmallFor(id))
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < img.h) {
+            var x = 0
+            while (x < img.w) {
+              val (r, g, b) = graft.sources.AssetCodecs.ycbcrToRgb(
+                img.y(y)(x), img.cb(y)(x), img.cr(y)(x))
+              sr += r; sg += g; sb += b
+              x += 1
+            }
+            y += 1
+          }
+          val gainR = if (sr > 0) 1000L * sg / sr else 1000L
+          val gainB = if (sb > 0) 1000L * sg / sb else 1000L
+          var chk = 0L
+          y = 0
+          while (y < img.h) {
+            var x = 0
+            while (x < img.w) {
+              val (r, g, b) = graft.sources.AssetCodecs.ycbcrToRgb(
+                img.y(y)(x), img.cb(y)(x), img.cr(y)(x))
+              val rc = math.min(255L, r * gainR / 1000L)
+              val bc = math.min(255L, b * gainB / 1000L)
+              chk += (rc + 2L * g + 3L * bc) * (y.toLong * img.w + x + 1)
+              x += 1
+            }
+            y += 1
+          }
+          (id, img.w.toLong, img.h.toLong, sr, sg, sb, gainR, gainB, chk)
+        }
+      }
+      .toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b",
+        "gain_r_milli", "gain_b_milli", "checksum")
+      .orderBy(col("doc_id"))
+  }
+
   /** M30: onset detection over the REAL decoded WAV PCM — the
     * energy-jump event detector audio pipelines run for beat/segment
     * candidates (the spectral-flux seat, kept exact by using frame

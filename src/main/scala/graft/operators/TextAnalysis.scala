@@ -1180,6 +1180,33 @@ object TextAnalysis {
         (lit(2L) * $"sl").as("n_masked"))
       .orderBy($"doc_id")
 
+  /** T57: the curation ROUTING decision — the gate where the signal
+    * gates ([[readability]], [[lexicalDiversity]], raw length) stop
+    * being columns and become the keep/review/drop verdict a pipeline
+    * actually executes. Composes the EXISTING operators by doc_id join
+    * (one kernel per signal — this gate cannot drift from t50/t51
+    * because it calls them): `drop` under 100 chars, `review` when the
+    * Flesch score lands in the hard band or the type-token ratio
+    * collapses below 300‰ (repetitive boilerplate), `keep` otherwise.
+    *
+    * Scale shape: two row-local projections + t51's one (doc, term)
+    * fold, joined on doc_id (co-partitioned).
+    */
+  def curationRoute(documents: DataFrame): DataFrame = {
+    val r = readability(documents).select($"doc_id", $"flesch_micro")
+    val lx = lexicalDiversity(documents).select($"doc_id", $"ttr_milli")
+    documents.select($"doc_id", length($"text").cast("long").as("n_chars"))
+      .join(r, Seq("doc_id"))
+      .join(lx, Seq("doc_id"), "left")
+      .withColumn("ttr_milli", coalesce($"ttr_milli", lit(0L)))
+      .withColumn("route",
+        when($"n_chars" < 100, "drop")
+          .when($"flesch_micro" < 30000000L || $"ttr_milli" < 300, "review")
+          .otherwise("keep"))
+      .select($"doc_id", $"n_chars", $"flesch_micro", $"ttr_milli", $"route")
+      .orderBy($"doc_id")
+  }
+
   def scriptSegments(documents: DataFrame): DataFrame =
     documents
       .select($"doc_id", posexplode(expr(

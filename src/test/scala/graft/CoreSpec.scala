@@ -501,6 +501,27 @@ class CoreSpec extends SparkSpec {
     real("zorder") should be <= real("linear")
   }
 
+  test("seasonalNaiveBacktest: year-ago join exact; first year has no forecast") {
+    import spark.implicits._
+    val orders = (Seq.fill(10)("2023-03-15") ++ Seq.fill(20)("2023-07-01") ++
+      Seq.fill(12)("2024-03-02") ++ Seq.fill(20)("2024-07-20"))
+      .toDF("o_orderdate")
+      .withColumn("o_orderdate", $"o_orderdate".cast("timestamp"))
+    val out = Core.seasonalNaiveBacktest(orders).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // only the 2024 months backtest (2023 has no year-ago)
+    out.length shouldBe 2
+    out(0) shouldBe ((2024L * 12 + 3, 12L, 10L, 2L, 166666L))
+    out(1) shouldBe ((2024L * 12 + 7, 20L, 20L, 0L, 0L))
+    // law on the real table: ape_ppm is the exact floored ratio
+    val real = Core.seasonalNaiveBacktest(table("orders")).collect()
+    real should not be empty
+    real.foreach { r =>
+      r.getLong(4) shouldBe 1000000L * r.getLong(3) / math.max(r.getLong(1), 1)
+    }
+  }
+
   test("spcLimits: pinned-d2 limits exact; the spike flags, the plateau does not") {
     import spark.implicits._
     val orders = (Seq.fill(10)("2024-01-01") ++ Seq.fill(10)("2024-01-02") ++

@@ -463,6 +463,30 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedupReport: the one-row summary agrees with the clusters it describes") {
+    val d = docs(
+      (1L, "w", "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "w", "the quick brown fox jumps over the lazy dog again today"),
+      (3L, "w", "the quick brown fox jumps over the lazy dog again tonight"),
+      (5L, "w", "an entirely different sentence about spark shuffles and joins"),
+      (9L, "w", "yet another unrelated line of text with new words throughout"))
+    val r = Dedup.dedupReport(d).collect().head
+    val (nDocs, nCl, nClGe2, nDup, maxCl, dupPpm) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    nDocs shouldBe 5L
+    // consistency law vs the clustering kernel itself
+    val sizes = Dedup.dedupClusters(d).groupBy("cluster_id").count().collect()
+      .map(_.getLong(1))
+    nCl shouldBe sizes.length.toLong
+    maxCl shouldBe sizes.max
+    nDup shouldBe sizes.filter(_ >= 2).sum
+    nClGe2 shouldBe sizes.count(_ >= 2).toLong
+    dupPpm shouldBe 1000000L * nDup / nDocs
+    // the near-dup trio clusters; the two singletons stay apart
+    maxCl shouldBe 3L
+    nClGe2 shouldBe 1L
+  }
+
   test("lshPairsAcross: id-ordered incremental batches union to the one-shot answer") {
     // the w24 streaming contract, proven on the kernel: a pair emits in
     // the batch where its LARGER doc arrives, and the union equals d03

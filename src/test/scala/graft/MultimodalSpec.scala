@@ -524,6 +524,47 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("grayWorld: channel gains and the corrected checksum recompute from tiles") {
+    val out = Multimodal.grayWorld(table("documents")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))).toMap
+    out should not be empty
+    for ((id, (w, h, sr, sg, sb, gr, gb, chk)) <- out) {
+      val wi = (17 + id % 16).toInt; val hi = (17 + (3 * id) % 8).toInt
+      var esr = 0L; var esg = 0L; var esb = 0L
+      val tiles = for (ty <- 0 until (hi + 15) / 16; tx <- 0 until (wi + 15) / 16)
+        yield {
+          val yv = ((17 * tx + 29 * ty + 31 * (id % 89)) % 256).toInt
+          val cb = ((23 * tx + 13 * ty + 7 * (id % 83)) % 256).toInt
+          val cr = ((11 * tx + 19 * ty + 5 * (id % 79)) % 256).toInt
+          val (r, g, b) = graft.sources.AssetCodecs.ycbcrToRgb(yv, cb, cr)
+          (tx, ty, r.toLong, g.toLong, b.toLong)
+        }
+      for ((tx, ty, r, g, b) <- tiles) {
+        val area = (math.min(16 * (tx + 1), wi) - 16 * tx).toLong *
+          (math.min(16 * (ty + 1), hi) - 16 * ty)
+        esr += r * area; esg += g * area; esb += b * area
+      }
+      val egr = if (esr > 0) 1000L * esg / esr else 1000L
+      val egb = if (esb > 0) 1000L * esg / esb else 1000L
+      var echk = 0L
+      for ((tx, ty, r, g, b) <- tiles) {
+        val rc = math.min(255L, r * egr / 1000L)
+        val bc = math.min(255L, b * egb / 1000L)
+        for (y <- 16 * ty until math.min(16 * (ty + 1), hi);
+             x <- 16 * tx until math.min(16 * (tx + 1), wi))
+          echk += (rc + 2L * g + 3L * bc) * (y.toLong * wi + x + 1)
+      }
+      (w, h) shouldBe ((wi.toLong, hi.toLong))
+      (sr, sg, sb) shouldBe ((esr, esg, esb))
+      (gr, gb) shouldBe ((egr, egb))
+      chk shouldBe echk
+      // gray-world law: corrected channel sums move toward the G mean
+      // (the gains are exactly the ratio, floored)
+      gr shouldBe (if (esr > 0) 1000L * esg / esr else 1000L)
+    }
+  }
+
   test("histMatch: the quadratic-reference inverse lookup recomputes; map is monotone") {
     val out = Multimodal.histMatch(table("documents")).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),

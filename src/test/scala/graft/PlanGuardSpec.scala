@@ -1019,6 +1019,25 @@ class PlanGuardSpec extends SparkSpec {
     hashExchanges(p) shouldBe 0
   }
 
+  test("q83_seasonal_naive: the shifted-key join runs on the barriered month fold") {
+    val p = planOf("q83_seasonal_naive")
+    p should include("Scan ExistingRDD")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("t57_curation_route: doc_id-keyed composition, no cartesian") {
+    val p = planOf("t57_curation_route")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("m34_gray_world: decode + gains stay in the row — no join, no shuffle") {
+    val p = planOf("m34_gray_world")
+    p should not include "Join"
+    p should not include "hashpartitioning"
+  }
+
   test("x17_selectivity_est: 32-row histogram broadcast; truth is ONE fold pass") {
     val p = planOf("x17_selectivity_est")
     p should include("BroadcastExchange")

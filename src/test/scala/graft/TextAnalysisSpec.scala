@@ -705,6 +705,28 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("curationRoute: the verdict composes the t50/t51 kernels without drift") {
+    // composition law on the real corpus: the route's signal columns
+    // EQUAL the source gates' outputs joined on doc_id, and the verdict
+    // is the documented rule over them
+    val route = TextAnalysis.curationRoute(table("documents")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))).toMap
+    val flesch = TextAnalysis.readability(table("documents")).collect()
+      .map(r => r.getLong(0) -> r.getLong(6)).toMap
+    val ttr = TextAnalysis.lexicalDiversity(table("documents")).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    route should not be empty
+    for ((id, (nChars, fm, tm, verdict)) <- route) {
+      fm shouldBe flesch(id)
+      tm shouldBe ttr.getOrElse(id, 0L)
+      verdict shouldBe (if (nChars < 100) "drop"
+        else if (fm < 30000000L || tm < 300) "review" else "keep")
+    }
+    // the corpus exercises at least two verdicts
+    route.values.map(_._4).toSet.size should be >= 2
+  }
+
   test("garbleDetect: prose clean, consonant runs and vowel drought both fire") {
     val hand = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"), // prose: clean
