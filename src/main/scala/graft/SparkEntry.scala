@@ -1086,6 +1086,25 @@ object SparkEntry {
     * doc, the artifact a 100 TB pipeline keeps between crawls — never
     * the text.
     */
+  /** The e07/e10 constructed-duplicate fixture: md5-token names, every
+    * fourth customer duplicated under a shifted id with one perturbed
+    * token. One construction, two gates — the truth set cannot drift
+    * from the corpus it grades.
+    */
+  private def erNameFixture(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val h = md5($"c_custkey".cast("string"))
+    val base = t(s, d)("customer").select(
+      $"c_custkey".cast("long").as("id"),
+      concat_ws(" ", substring(h, 1, 6), substring(h, 8, 6),
+        substring(h, 15, 6)).as("name"))
+    val dups = base.where($"id" % 4 === 0).select(
+      ($"id" + 3000000000L).as("id"),
+      concat_ws(" ",
+        substring(md5(concat(lit("x"), $"id".cast("string"))), 1, 6),
+        substring($"name", 8, 13)).as("name"))
+    (base, dups)
+  }
+
   private def streamLsh(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val tmp = java.nio.file.Files.createTempDirectory("graft_w24").toString
@@ -2569,6 +2588,15 @@ object SparkEntry {
     // gains, clamped correction, position-weighted checksum
     "m34_gray_world" -> ((s, d) =>
       Multimodal.grayWorld(t(s, d)("documents"))),
+    // growth accounting: active = new + retained + resurrected (the
+    // disjoint-cover law), churn assigned to the missing week
+    "q84_growth_accounting" -> ((s, d) =>
+      operators.Core.growthAccounting(t(s, d)("events"))),
+    // the graph data card: log2-binned degree histogram over g02's
+    // sampled co-purchase graph (CASE ladder, no log)
+    "g21_degree_profile" -> ((s, d) => operators.Graph.degreeProfile(
+      operators.Graph.coPurchaseEdges(
+        t(s, d)("lineitem").where($"l_partkey" % 4 === 0)))),
     // OCR-garbage detection over the garble twin corpus: vowel share +
     // consonant-run counts, pure codegen projection
     "t54_garble_detect" -> ((s, d) =>
@@ -3232,17 +3260,18 @@ object SparkEntry {
     // construction: shared tokens df=2 halve their weight) — md5
     // decorrelates the bench's key-shifted scale copies (the e04 trap)
     "e07_tfidf_er" -> ((s, d) => {
-      val h = md5($"c_custkey".cast("string"))
-      val base = t(s, d)("customer").select(
-        $"c_custkey".cast("long").as("id"),
-        concat_ws(" ", substring(h, 1, 6), substring(h, 8, 6),
-          substring(h, 15, 6)).as("name"))
-      val dups = base.where($"id" % 4 === 0).select(
-        ($"id" + 3000000000L).as("id"),
-        concat_ws(" ",
-          substring(md5(concat(lit("x"), $"id".cast("string"))), 1, 6),
-          substring($"name", 8, 13)).as("name"))
+      val (base, dups) = erNameFixture(s, d)
       Entity.tfidfCosinePairs(base.unionByName(dups), "id", "name", minCos = 0.3)
+    }),
+    // the same pipeline GRADED against the fixture's closed-form truth:
+    // tp/fp/fn + precision/recall ppm (shares the e07 fixture helper
+    // and oracle CTEs — one pipeline, one truth)
+    "e10_er_quality" -> ((s, d) => {
+      val (base, dups) = erNameFixture(s, d)
+      Entity.erQuality(
+        Entity.tfidfCosinePairs(base.unionByName(dups), "id", "name",
+          minCos = 0.3),
+        dups.select(($"id" - 3000000000L).as("a_id"), $"id".as("b_id")))
     }),
     // asymmetric containment (Broder 1997) over a truncated-copy fixture:
     // every 10th doc contributes its first-half prefix under a shifted id —
@@ -3782,6 +3811,35 @@ object SparkEntry {
        SELECT doc_id, cluster_id, cluster_size,
               1000000 // cluster_size AS weight_ppm
        FROM cl JOIN cs USING (cluster_id) ORDER BY doc_id"""
+
+  /** The e07/e10 shared pipeline CTEs: fixture construction (base +
+    * perturbed dups), DF-capped tf-idf weights, posting-list cosine —
+    * ending in `sc(a_id, b_id, c)`. One string, two gates.
+    */
+  private val tfidfErCtes: String =
+    """base AS (SELECT CAST(c_custkey AS BIGINT) AS id,
+                  substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6) || ' ' ||
+                  substr(md5(CAST(c_custkey AS VARCHAR)), 8, 6) || ' ' ||
+                  substr(md5(CAST(c_custkey AS VARCHAR)), 15, 6) AS name
+                  FROM customer),
+         dups AS (SELECT id + 3000000000 AS id,
+                  substr(md5('x' || CAST(id AS VARCHAR)), 1, 6) || ' ' ||
+                  substr(name, 8, 13) AS name
+                  FROM base WHERE id % 4 = 0),
+         rec AS (SELECT * FROM base UNION ALL SELECT * FROM dups),
+         toks AS (SELECT DISTINCT id, unnest(string_split_regex(name, '\s+')) AS tok
+                  FROM rec),
+         weights AS (SELECT tok, 1000000 // count(*) AS w FROM toks
+                     GROUP BY tok HAVING count(*) <= 128),
+         wt AS (SELECT id, t.tok, w FROM toks t JOIN weights USING (tok)),
+         norms AS (SELECT id, CAST(sum(w * w) AS BIGINT) AS n2 FROM wt GROUP BY id),
+         num AS (SELECT a.id AS a_id, b.id AS b_id,
+                        CAST(sum(a.w * a.w) AS BIGINT) AS num
+                 FROM wt a JOIN wt b ON a.tok = b.tok AND a.id < b.id
+                 GROUP BY 1, 2),
+         sc AS (SELECT a_id, b_id, num / (sqrt(na.n2) * sqrt(nb.n2)) AS c
+                FROM num JOIN norms na ON a_id = na.id
+                         JOIN norms nb ON b_id = nb.id)"""
 
   /** d21: the SAME components, folded to the one-row report. */
   private def dedupReportOracle: String =
@@ -4633,6 +4691,51 @@ object SparkEntry {
                 CAST(count(*) * sum(v * v) - sum(v) * sum(v) AS BIGINT)
                   AS var_num
          FROM v GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    // the disjoint cover replayed: same integer week key, same shifted
+    // self-joins — a classification slip breaks a week's row
+    "q84_growth_accounting" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+                      date_diff('day', DATE '1970-01-05', CAST(ts AS DATE)) // 7
+                        AS wk
+                    FROM events),
+         f AS (SELECT user_id, min(wk) AS first_wk FROM a GROUP BY 1),
+         cur AS (SELECT a.wk, CAST(count(*) AS BIGINT) AS active,
+                        CAST(sum(CASE WHEN f.first_wk = a.wk THEN 1 ELSE 0 END)
+                          AS BIGINT) AS new_users,
+                        CAST(sum(CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS retained,
+                        CAST(sum(CASE WHEN p.user_id IS NULL AND f.first_wk < a.wk
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS resurrected
+                 FROM a JOIN f USING (user_id)
+                 LEFT JOIN a p ON p.user_id = a.user_id AND p.wk = a.wk - 1
+                 GROUP BY a.wk),
+         ch AS (SELECT a.wk + 1 AS wk, CAST(count(*) AS BIGINT) AS churned
+                FROM a LEFT JOIN a n ON n.user_id = a.user_id
+                  AND n.wk = a.wk + 1
+                WHERE n.user_id IS NULL GROUP BY 1)
+         SELECT cur.wk AS wk, active, new_users, retained, resurrected,
+                CAST(coalesce(ch.churned, 0) AS BIGINT) AS churned
+         FROM cur LEFT JOIN ch USING (wk) ORDER BY wk""",
+    // the CASE ladder replayed over g02's sampled projection
+    "g21_degree_profile" ->
+      """WITH po AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+                     WHERE l_partkey % 4 = 0),
+         und AS (SELECT DISTINCT a.p AS u, b.p AS v
+                 FROM po a JOIN po b ON a.ok = b.ok AND a.p < b.p),
+         deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM
+                   (SELECT u AS n FROM und UNION ALL SELECT v FROM und)
+                 GROUP BY 1),
+         bn AS (SELECT deg, CASE WHEN deg < 2 THEN 0 WHEN deg < 4 THEN 1
+                       WHEN deg < 8 THEN 2 WHEN deg < 16 THEN 3
+                       WHEN deg < 32 THEN 4 WHEN deg < 64 THEN 5
+                       WHEN deg < 128 THEN 6 WHEN deg < 256 THEN 7
+                       WHEN deg < 512 THEN 8 WHEN deg < 1024 THEN 9
+                       ELSE 10 END AS bin
+                FROM deg)
+         SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_nodes,
+                CAST(min(deg) AS BIGINT) AS min_deg,
+                CAST(max(deg) AS BIGINT) AS max_deg
+         FROM bn GROUP BY 1 ORDER BY 1""",
     // the 12-month equi-join replayed on the same integer month key
     "q83_seasonal_naive" ->
       """WITH monthly AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate)
@@ -8833,31 +8936,23 @@ object SparkEntry {
     // integer idf (K div df) keeps every numerator/norm an exact BIGINT;
     // the one sqrt/division at the end is correctly rounded both engines
     "e07_tfidf_er" ->
-      """WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS id,
-                  substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6) || ' ' ||
-                  substr(md5(CAST(c_custkey AS VARCHAR)), 8, 6) || ' ' ||
-                  substr(md5(CAST(c_custkey AS VARCHAR)), 15, 6) AS name
-                  FROM customer),
-         dups AS (SELECT id + 3000000000 AS id,
-                  substr(md5('x' || CAST(id AS VARCHAR)), 1, 6) || ' ' ||
-                  substr(name, 8, 13) AS name
-                  FROM base WHERE id % 4 = 0),
-         rec AS (SELECT * FROM base UNION ALL SELECT * FROM dups),
-         toks AS (SELECT DISTINCT id, unnest(string_split_regex(name, '\s+')) AS tok
-                  FROM rec),
-         weights AS (SELECT tok, 1000000 // count(*) AS w FROM toks
-                     GROUP BY tok HAVING count(*) <= 128),
-         wt AS (SELECT id, t.tok, w FROM toks t JOIN weights USING (tok)),
-         norms AS (SELECT id, CAST(sum(w * w) AS BIGINT) AS n2 FROM wt GROUP BY id),
-         num AS (SELECT a.id AS a_id, b.id AS b_id,
-                        CAST(sum(a.w * a.w) AS BIGINT) AS num
-                 FROM wt a JOIN wt b ON a.tok = b.tok AND a.id < b.id
-                 GROUP BY 1, 2),
-         sc AS (SELECT a_id, b_id, num / (sqrt(na.n2) * sqrt(nb.n2)) AS c
-                FROM num JOIN norms na ON a_id = na.id
-                         JOIN norms nb ON b_id = nb.id)
+      s"""WITH $tfidfErCtes
          SELECT a_id, b_id, round(c, 4) AS cos_sim FROM sc
          WHERE c >= 0.3 ORDER BY a_id, b_id""",
+    // the same pipeline CTEs graded against the closed-form truth set
+    "e10_er_quality" ->
+      s"""WITH $tfidfErCtes,
+         pairs AS (SELECT a_id, b_id FROM sc WHERE c >= 0.3),
+         truth AS (SELECT id AS a_id, id + 3000000000 AS b_id
+                   FROM base WHERE id % 4 = 0),
+         tpc AS (SELECT CAST(count(*) AS BIGINT) AS tp
+                 FROM pairs JOIN truth USING (a_id, b_id)),
+         npc AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM pairs),
+         ntc AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)
+         SELECT tp, n_pairs - tp AS fp, n_truth - tp AS fn, n_pairs, n_truth,
+                (1000000 * tp) // greatest(n_pairs, 1) AS precision_ppm,
+                (1000000 * tp) // greatest(n_truth, 1) AS recall_ppm
+         FROM tpc, npc, ntc""",
     // d06's gram machinery over the augmented fixture; set sizes are the
     // UNPRUNED distinct-gram counts, intersections the pruned ones
     "d16_containment" ->

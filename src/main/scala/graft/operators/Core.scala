@@ -1072,6 +1072,44 @@ object Core {
       .orderBy($"month_key")
   }
 
+  /** Q84: growth accounting (the Social Capital framework) over the
+    * weekly active-user sets — the decomposition every product
+    * dashboard runs: active(w) = new + retained + resurrected, with
+    * churn assigned to the week the user went missing. Weeks are the
+    * epoch-Monday day count div 7 (an INTEGER key — ISO-week string
+    * semantics differ across engines and stay out). The cover is exact
+    * and disjoint by construction (first = w excludes prev-active;
+    * retained means prev-active; resurrected is the remainder), which
+    * the spec pins as a law.
+    *
+    * Scale shape: one distinct (user, week) fold (barriered — feeds
+    * three consumers), a first-week fold, two key-shifted equi-joins;
+    * every relation is user×week bounded.
+    */
+  def growthAccounting(events: DataFrame): DataFrame = {
+    val a = graft.Session.barrier(events.select($"user_id",
+      expr("datediff(CAST(ts AS DATE), DATE'1970-01-05') div 7")
+        .cast("long").as("wk")).distinct())
+    val firsts = a.groupBy($"user_id").agg(min($"wk").as("first_wk"))
+    val prev = a.select($"user_id", ($"wk" + 1).as("wk"), lit(1L).as("was_prev"))
+    val cur = a.join(prev, Seq("user_id", "wk"), "left")
+      .join(firsts, Seq("user_id"))
+      .groupBy($"wk").agg(
+        count(lit(1)).as("active"),
+        sum(when($"first_wk" === $"wk", 1L).otherwise(0L)).as("new_users"),
+        sum(when($"was_prev" === 1L, 1L).otherwise(0L)).as("retained"),
+        sum(when($"was_prev".isNull && $"first_wk" < $"wk", 1L).otherwise(0L))
+          .as("resurrected"))
+    val churn = a.select($"user_id", ($"wk" + 1).as("wk"))
+      .join(a, Seq("user_id", "wk"), "left_anti")
+      .groupBy($"wk").agg(count(lit(1)).as("churned"))
+    cur.join(churn, Seq("wk"), "left")
+      .withColumn("churned", coalesce($"churned", lit(0L)))
+      .select($"wk", $"active", $"new_users", $"retained", $"resurrected",
+        $"churned")
+      .orderBy($"wk")
+  }
+
   /** X15: MERGEABLE column statistics — the maintenance half of
     * [[analyzeStats]]. At 100 TB nobody re-ANALYZEs the table; each
     * partition (here: `source`) keeps a summary and the table-level row

@@ -341,6 +341,31 @@ object Entity {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** E10: ER quality report — the resolved pairs GRADED against a known
+    * truth set (the evaluation every entity-resolution deployment runs
+    * before trusting its threshold): true/false positives, misses, and
+    * precision/recall in exact ppm, one row. Fed by [[tfidfCosinePairs]]
+    * on the constructed-duplicate fixture whose truth is closed-form —
+    * the gate quantifies what e06's blocking report only bounds.
+    */
+  def erQuality(pairs: DataFrame, truth: DataFrame): DataFrame = {
+    val p = graft.Session.barrier(pairs.select($"a_id", $"b_id"))
+    val t = graft.Session.barrier(truth.select($"a_id", $"b_id"))
+    val tp = p.join(t, Seq("a_id", "b_id"), "left_semi")
+      .agg(count(lit(1)).as("tp"))
+    val np = p.agg(count(lit(1)).as("n_pairs"))
+    val nt = t.agg(count(lit(1)).as("n_truth"))
+    tp.crossJoin(np).crossJoin(nt)
+      .withColumn("fp", $"n_pairs" - $"tp")
+      .withColumn("fn", $"n_truth" - $"tp")
+      .withColumn("precision_ppm",
+        expr("(1000000 * tp) div greatest(n_pairs, 1)"))
+      .withColumn("recall_ppm",
+        expr("(1000000 * tp) div greatest(n_truth, 1)"))
+      .select($"tp", $"fp", $"fn", $"n_pairs", $"n_truth",
+        $"precision_ppm", $"recall_ppm")
+  }
+
   /** Sorted-neighborhood ER blocking (e09) — the third classic blocking
     * family next to deletion-neighborhood ([[fuzzyPairs]]) and phonetic
     * keys: sort records by a constructed blocking key, candidates are

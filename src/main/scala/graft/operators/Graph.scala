@@ -306,6 +306,29 @@ object Graph {
     nEdges.crossJoin(nWedges).crossJoin(nRect)
   }
 
+  /** G21: degree profile — the graph data card (log₂-binned degree
+    * histogram plus the max degree): the first thing anyone asks of a
+    * 100 TB graph before choosing join strategies (is there a hub? how
+    * heavy is the tail?), and the sanity panel next to the census
+    * gates. Bins are an explicit CASE ladder (`bin b ⟺ deg ∈ [2^b,
+    * 2^{b+1})`, capped at 10) — portable integer comparisons, no log.
+    */
+  def degreeProfile(undRaw: DataFrame): DataFrame = {
+    val und = graft.Session.barrier(undRaw.select(col("u"), col("v")))
+    val deg = und.select(col("u").as("n"))
+      .unionByName(und.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val bin = (0 to 9).reverse
+      .foldLeft(lit(10L): org.apache.spark.sql.Column) { (acc, b) =>
+        when(col("deg") < (1L << (b + 1)), lit(b.toLong)).otherwise(acc)
+      }
+    graft.Session.barrier(deg.withColumn("bin", bin))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("deg")).as("min_deg"),
+        max(col("deg")).as("max_deg"))
+      .orderBy(col("bin"))
+  }
+
   /** Iterative min-label propagation to convergence — the shared
     * connected-components kernel of d07/d15 (near-dup clusters) and e04
     * (entity resolution). `edges` is an undirected edge list carried in

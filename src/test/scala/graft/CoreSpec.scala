@@ -501,6 +501,32 @@ class CoreSpec extends SparkSpec {
     real("zorder") should be <= real("linear")
   }
 
+  test("growthAccounting: the four categories cover active disjointly") {
+    import spark.implicits._
+    // w0: u1,u2 new | w1: u1 retained, u3 new, u2 churns |
+    // w2: u2 resurrected, u1 churns? no - u1 absent w2 -> churned(w2)
+    def ev(id: Long, uid: Long, day: String) =
+      (id, java.sql.Timestamp.valueOf(s"$day 10:00:00"), uid, "view", 1.0)
+    val events = Seq(
+      ev(1, 1, "2024-01-01"), ev(2, 2, "2024-01-02"),      // week A
+      ev(3, 1, "2024-01-08"), ev(4, 3, "2024-01-09"),      // week A+1
+      ev(5, 2, "2024-01-15"), ev(6, 3, "2024-01-16")       // week A+2
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Core.growthAccounting(events).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    // (active, new, retained, resurrected, churned)
+    out(0) shouldBe ((2L, 2L, 0L, 0L, 0L))
+    out(1) shouldBe ((2L, 1L, 1L, 0L, 1L)) // u3 new, u1 retained, u2 churned
+    out(2) shouldBe ((2L, 0L, 1L, 1L, 1L)) // u3 retained, u2 back, u1 churned
+    // cover law on the real table: active = new + retained + resurrected
+    val real = Core.growthAccounting(table("events")).collect()
+    real should not be empty
+    real.foreach { r =>
+      r.getLong(1) shouldBe r.getLong(2) + r.getLong(3) + r.getLong(4)
+    }
+  }
+
   test("seasonalNaiveBacktest: year-ago join exact; first year has no forecast") {
     import spark.implicits._
     val orders = (Seq.fill(10)("2023-03-15") ++ Seq.fill(20)("2023-07-01") ++

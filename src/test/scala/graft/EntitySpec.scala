@@ -230,4 +230,19 @@ class EntitySpec extends SparkSpec {
     plan should not include "CartesianProduct"
     plan should not include "BroadcastNestedLoopJoin"
   }
+
+  test("erQuality: tp/fp/fn and the ppm ratios are exact set arithmetic") {
+    import spark.implicits._
+    val pairs = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))
+      .toDF("a_id", "b_id")
+    val truth = Seq((1L, 10L), (2L, 20L), (5L, 50L)).toDF("a_id", "b_id")
+    val r = Entity.erQuality(pairs, truth).collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2)) shouldBe ((2L, 2L, 1L))
+    r.getLong(5) shouldBe 500000L  // precision 2/4
+    r.getLong(6) shouldBe 666666L  // recall 2/3, floored
+    // degenerate: empty pairs -> zero tp, full fn, precision guards
+    val r0 = Entity.erQuality(pairs.where($"a_id" > 100), truth)
+      .collect().head
+    (r0.getLong(0), r0.getLong(2), r0.getLong(5)) shouldBe ((0L, 3L, 0L))
+  }
 }

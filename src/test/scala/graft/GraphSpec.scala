@@ -601,4 +601,15 @@ class GraphSpec extends SparkSpec {
     out.exists(_._4) shouldBe true
     out.exists(!_._4) shouldBe true
   }
+
+  test("degreeProfile: log2 bins exact on a star; totals conserve nodes") {
+    // star K1,5: hub degree 5 (bin 2), five leaves degree 1 (bin 0)
+    val star = (1L to 5L).map(l => (0L, l)).toDF("u", "v")
+    val out = Graph.degreeProfile(star).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    out shouldBe Map(0L -> ((5L, 1L, 1L)), 2L -> ((1L, 5L, 5L)))
+    // bin boundaries: degree 2^b lands in bin b (half-open intervals)
+    val k3 = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("u", "v") // all deg 2
+    Graph.degreeProfile(k3).collect().map(_.getLong(0)).toSeq shouldBe Seq(1L)
+  }
 }

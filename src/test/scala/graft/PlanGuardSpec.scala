@@ -1038,6 +1038,25 @@ class PlanGuardSpec extends SparkSpec {
     p should not include "hashpartitioning"
   }
 
+  test("q84_growth_accounting: key-shifted equi-joins over the barriered week fold") {
+    val p = planOf("q84_growth_accounting")
+    p should include("Scan ExistingRDD")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("g21_degree_profile: one degree fold, bins row-local") {
+    val p = planOf("g21_degree_profile")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("e10_er_quality: metadata-sized set arithmetic on barriered cuts") {
+    val p = planOf("e10_er_quality")
+    p should include("Scan ExistingRDD")
+    p should not include "CartesianProduct"
+  }
+
   test("x17_selectivity_est: 32-row histogram broadcast; truth is ONE fold pass") {
     val p = planOf("x17_selectivity_est")
     p should include("BroadcastExchange")
