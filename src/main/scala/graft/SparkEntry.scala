@@ -2597,6 +2597,18 @@ object SparkEntry {
     "g21_degree_profile" -> ((s, d) => operators.Graph.degreeProfile(
       operators.Graph.coPurchaseEdges(
         t(s, d)("lineitem").where($"l_partkey" % 4 === 0)))),
+    // the effective-token budget: raw counts discounted by d20's
+    // soft-dedup weights, per source + __all__ roll-up
+    "t58_token_budget" -> ((s, d) =>
+      Dedup.tokenBudget(t(s, d)("documents"))),
+    // ABC migration matrix: q78's banding on two halves of the
+    // timeline, parts absent from a period class as 'N'
+    "q85_abc_migration" -> ((s, d) =>
+      operators.Core.abcMigration(t(s, d)("lineitem"), t(s, d)("part"))),
+    // zonal MAJORITY over r38's landform classes: 5-degree lat bands,
+    // smallest-class tie-break
+    "r41_zonal_mode" -> ((s, d) =>
+      Raster.zonalMode(Raster.demoGridSum(t(s, d)("lineitem")))),
     // OCR-garbage detection over the garble twin corpus: vowel share +
     // consonant-run counts, pure codegen projection
     "t54_garble_detect" -> ((s, d) =>
@@ -3841,6 +3853,59 @@ object SparkEntry {
                 FROM num JOIN norms na ON a_id = na.id
                          JOIN norms nb ON b_id = nb.id)"""
 
+  /** r38/r41 shared stencil CTEs (gridsum + both TPI scales) and the
+    * landform CASE — one classification, two gates. */
+  private val landformsCtes: String =
+    s"""${operators.Raster.demoGridSumSql},
+         c3 AS (SELECT variable, time, lat + dy AS lat, lon + dx AS lon,
+                       CAST(value AS BIGINT) AS v, (dy = 0 AND dx = 0) AS ctr
+                FROM gridsum
+                CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS dy) t1
+                CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS dx) t2),
+         a3 AS (SELECT variable, time, lat, lon,
+                       CAST(9 * max(CASE WHEN ctr THEN v END) - sum(v) AS BIGINT)
+                         AS tpi3
+                FROM c3 GROUP BY 1, 2, 3, 4 HAVING count(*) = 9),
+         c5 AS (SELECT variable, time, lat + dy AS lat, lon + dx AS lon,
+                       CAST(value AS BIGINT) AS v, (dy = 0 AND dx = 0) AS ctr
+                FROM gridsum
+                CROSS JOIN (SELECT unnest(generate_series(-2, 2)) AS dy) t1
+                CROSS JOIN (SELECT unnest(generate_series(-2, 2)) AS dx) t2),
+         a5 AS (SELECT variable, time, lat, lon,
+                       CAST(25 * max(CASE WHEN ctr THEN v END) - sum(v) AS BIGINT)
+                         AS tpi5
+                FROM c5 GROUP BY 1, 2, 3, 4 HAVING count(*) = 25)"""
+
+  private val landformCaseSql: String =
+    """CASE WHEN 3 * tpi3 > 120 AND tpi5 > 120 THEN 'ridge'
+            WHEN 3 * tpi3 < -120 AND tpi5 < -120 THEN 'valley'
+            WHEN 3 * tpi3 > 120 THEN 'upper_slope'
+            WHEN 3 * tpi3 < -120 THEN 'lower_slope'
+            ELSE 'flat_slope' END"""
+
+  /** q85: one half of the ABC pipeline (q78's cumul/banding verbatim)
+    * over a shipdate predicate, CTEs suffixed so two halves coexist. */
+  private def abcHalfCte(pred: String, sfx: String): String =
+    s"""rev$sfx AS (SELECT l_partkey,
+                CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS cents
+                FROM lineitem WHERE $pred GROUP BY 1),
+       wp$sfx AS (SELECT p_brand AS brand, p_partkey AS partkey, cents
+                  FROM rev$sfx JOIN part ON p_partkey = l_partkey),
+       cm$sfx AS (SELECT partkey,
+                         CAST(sum(cents) OVER (PARTITION BY brand
+                           ORDER BY cents DESC, partkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS BIGINT) AS cum,
+                         CAST(sum(cents) OVER (PARTITION BY brand) AS BIGINT)
+                           AS tot
+                  FROM wp$sfx),
+       cl$sfx AS (SELECT partkey,
+                         CASE WHEN (1000000 * cum) // tot <= 800000 THEN 'A'
+                              WHEN (1000000 * cum) // tot <= 950000 THEN 'B'
+                              ELSE 'C' END AS cls
+                  FROM cm$sfx)"""
+
   /** d21: the SAME components, folded to the one-row report. */
   private def dedupReportOracle: String =
     s"""WITH RECURSIVE $clusterReachCte,
@@ -4860,33 +4925,28 @@ object SparkEntry {
     // CASE uses the same cross-multiplied scale alignment (3·tpi3 vs
     // tpi5 on the ×24 scale) — a normalization slip reclassifies cells
     "r38_landforms" ->
-      s"""WITH ${operators.Raster.demoGridSumSql},
-         c3 AS (SELECT variable, time, lat + dy AS lat, lon + dx AS lon,
-                       CAST(value AS BIGINT) AS v, (dy = 0 AND dx = 0) AS ctr
-                FROM gridsum
-                CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS dy) t1
-                CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS dx) t2),
-         a3 AS (SELECT variable, time, lat, lon,
-                       CAST(9 * max(CASE WHEN ctr THEN v END) - sum(v) AS BIGINT)
-                         AS tpi3
-                FROM c3 GROUP BY 1, 2, 3, 4 HAVING count(*) = 9),
-         c5 AS (SELECT variable, time, lat + dy AS lat, lon + dx AS lon,
-                       CAST(value AS BIGINT) AS v, (dy = 0 AND dx = 0) AS ctr
-                FROM gridsum
-                CROSS JOIN (SELECT unnest(generate_series(-2, 2)) AS dy) t1
-                CROSS JOIN (SELECT unnest(generate_series(-2, 2)) AS dx) t2),
-         a5 AS (SELECT variable, time, lat, lon,
-                       CAST(25 * max(CASE WHEN ctr THEN v END) - sum(v) AS BIGINT)
-                         AS tpi5
-                FROM c5 GROUP BY 1, 2, 3, 4 HAVING count(*) = 25)
+      s"""WITH $landformsCtes
          SELECT variable, time, lat, lon, tpi3 AS tpi3_num, tpi5 AS tpi5_num,
-                CASE WHEN 3 * tpi3 > 120 AND tpi5 > 120 THEN 'ridge'
-                     WHEN 3 * tpi3 < -120 AND tpi5 < -120 THEN 'valley'
-                     WHEN 3 * tpi3 > 120 THEN 'upper_slope'
-                     WHEN 3 * tpi3 < -120 THEN 'lower_slope'
-                     ELSE 'flat_slope' END AS landform
+                $landformCaseSql AS landform
          FROM a3 JOIN a5 USING (variable, time, lat, lon)
          ORDER BY 1, 2, 3, 4""",
+    // the same class CTEs folded to the zonal majority with the same
+    // tie-break — one classification, two gates
+    "r41_zonal_mode" ->
+      s"""WITH $landformsCtes,
+         lf AS (SELECT variable, CAST(floor(lat / 5) AS BIGINT) AS zone,
+                       $landformCaseSql AS landform
+                FROM a3 JOIN a5 USING (variable, time, lat, lon)),
+         cnt AS (SELECT variable, zone, landform, CAST(count(*) AS BIGINT) AS n
+                 FROM lf GROUP BY 1, 2, 3),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY variable, zone
+                           ORDER BY n DESC, landform) AS rn,
+                       CAST(sum(n) OVER (PARTITION BY variable, zone) AS BIGINT)
+                         AS n_cells
+                FROM cnt)
+         SELECT variable, zone, landform AS mode_landform, n AS mode_count,
+                n_cells
+         FROM rk WHERE rn = 1 ORDER BY variable, zone""",
     // TRI via the one-aggregate identity Σ(v−c)² = ssq − 2cs + 9c² —
     // a wrong center flag or a partial window shifts every column
     "r37_ruggedness" ->
@@ -8744,6 +8804,40 @@ object SparkEntry {
          FROM a""",
     "d20_dedup_weights" -> dedupWeightsOracle,
     "d21_dedup_report" -> dedupReportOracle,
+    // the same weights discounting the same token counts, per-doc floor
+    "t58_token_budget" ->
+      s"""WITH RECURSIVE $clusterReachCte,
+         cl AS (SELECT doc AS doc_id, min(lbl) AS cluster_id
+                FROM reach GROUP BY doc),
+         cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
+                FROM cl GROUP BY 1),
+         wts AS (SELECT doc_id, 1000000 // sz AS weight_ppm
+                 FROM cl JOIN cs USING (cluster_id)),
+         tk AS (SELECT doc_id, source,
+                       CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                         AS n_tokens
+                FROM documents),
+         per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                        CAST(sum(n_tokens) AS BIGINT) AS raw_tokens,
+                        CAST(sum((n_tokens * weight_ppm) // 1000000) AS BIGINT)
+                          AS eff_tokens
+                 FROM tk JOIN wts USING (doc_id) GROUP BY 1)
+         SELECT source, n_docs, raw_tokens, eff_tokens FROM per
+         UNION ALL
+         SELECT '__all__', CAST(sum(n_docs) AS BIGINT),
+                CAST(sum(raw_tokens) AS BIGINT), CAST(sum(eff_tokens) AS BIGINT)
+         FROM per
+         ORDER BY source""",
+    // q78's banding per half, parts absent from a period class 'N' —
+    // the matrix cells are exact counts
+    "q85_abc_migration" ->
+      s"""WITH ${abcHalfCte("l_shipdate < TIMESTAMP '1999-01-01'", "1")},
+         ${abcHalfCte("l_shipdate >= TIMESTAMP '1999-01-01'", "2")}
+         SELECT coalesce(c1.cls, 'N') AS class_h1,
+                coalesce(c2.cls, 'N') AS class_h2,
+                CAST(count(*) AS BIGINT) AS n_parts
+         FROM cl1 c1 FULL OUTER JOIN cl2 c2 USING (partkey)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     // channel sums by tile AREA, milli gains, the clamped correction,
     // and the positional checksum via the exact arithmetic-series
     // weight per tile — a one-pixel correction slip shifts checksum

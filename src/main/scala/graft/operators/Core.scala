@@ -1110,6 +1110,34 @@ object Core {
       .orderBy($"wk")
   }
 
+  /** Q85: ABC class MIGRATION — [[abcClassification]] run on two
+    * periods and cross-tabulated (the inventory-drift matrix supply
+    * chains watch: A→C demotions are dying products, C→A promotions
+    * are breakouts, N rows are entries/exits). The split is a pinned
+    * timestamp boundary; parts absent from a period class as 'N'.
+    * One classification kernel, both halves — the matrix cannot
+    * disagree with q78's banding.
+    *
+    * Scale shape: two q78 pipelines (each one fold + one window) and
+    * a partkey full-outer join folded to the ≤16-cell matrix.
+    */
+  def abcMigration(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val h1 = abcClassification(
+        lineitem.where(expr("l_shipdate < TIMESTAMP'1999-01-01 00:00:00'")),
+        part)
+      .select($"partkey", $"abc_class".as("class_h1"))
+    val h2 = abcClassification(
+        lineitem.where(expr("l_shipdate >= TIMESTAMP'1999-01-01 00:00:00'")),
+        part)
+      .select($"partkey", $"abc_class".as("class_h2"))
+    h1.join(h2, Seq("partkey"), "full_outer")
+      .select(coalesce($"class_h1", lit("N")).as("class_h1"),
+        coalesce($"class_h2", lit("N")).as("class_h2"))
+      .groupBy($"class_h1", $"class_h2")
+      .agg(count(lit(1)).as("n_parts"))
+      .orderBy($"class_h1", $"class_h2")
+  }
+
   /** X15: MERGEABLE column statistics — the maintenance half of
     * [[analyzeStats]]. At 100 TB nobody re-ANALYZEs the table; each
     * partition (here: `source`) keeps a summary and the table-level row

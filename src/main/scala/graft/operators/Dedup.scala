@@ -529,6 +529,34 @@ object Dedup {
       .withColumn("dup_ppm", expr("(1000000 * n_dup_docs) div n_docs"))
   }
 
+  /** T58: the effective-token BUDGET — the number a training run is
+    * actually planned against: raw token counts discounted by the d20
+    * soft-dedup weights (duplicated pages contribute ~one page of
+    * tokens total), reported per source with the x15-style `__all__`
+    * roll-up. Composes [[dedupWeights]] verbatim (one weighting kernel
+    * — the budget cannot disagree with the dedup that produced it);
+    * per-doc discount floors exactly once
+    * (`(n_tokens·weight_ppm) div 10⁶`), then sums.
+    *
+    * Scale shape: d07's banded pipeline + one doc-keyed join + a
+    * source-keyed fold.
+    */
+  def tokenBudget(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val w = dedupWeights(documents, threshold = threshold)
+      .select($"doc_id", $"weight_ppm")
+    val toks = documents.select($"doc_id", $"source",
+      TextAnalysis.wsTokenCount.cast("long").as("n_tokens"))
+    val per = graft.Session.barrier(toks.join(w, Seq("doc_id"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("raw_tokens"),
+        sum(expr("(n_tokens * weight_ppm) div 1000000")).as("eff_tokens")))
+    per.unionByName(per.agg(sum($"n_docs").as("n_docs"),
+        sum($"raw_tokens").as("raw_tokens"), sum($"eff_tokens").as("eff_tokens"))
+      .select(lit("__all__").as("source"), $"n_docs", $"raw_tokens",
+        $"eff_tokens"))
+      .orderBy($"source")
+  }
+
   /** MinHash calibration (d19): every LSH candidate pair's signature
     * ESTIMATE side by side with its EXACT shingle Jaccard and the
     * absolute error — the measurement that justifies (or retunes) the

@@ -361,6 +361,35 @@ object Raster {
       .orderBy(keys: _*)
   }
 
+  /** R41: zonal MODE — the majority vote that turns [[landforms]]'
+    * per-cell classes into the per-region summary a map legend shows
+    * (ArcGIS Zonal Statistics MAJORITY; r31's zonal stats cover the
+    * numeric moments, this covers the categorical column): zones are
+    * 5°-lat bands, the mode per (variable, zone) with ties broken to
+    * the lexicographically smallest class. Composes [[landforms]]
+    * verbatim — one classification kernel, two gates.
+    *
+    * Scale shape: the r38 pass, a (variable, zone, class) fold
+    * (bounded by zones × classes), and a metadata-sized argmax window.
+    */
+  def zonalMode(grid: DataFrame): DataFrame = {
+    val lf = landforms(grid)
+      .select($"variable", floor($"lat" / 5).cast("long").as("zone"),
+        $"landform")
+    val counts = lf.groupBy($"variable", $"zone", $"landform")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"variable", $"zone")
+      .orderBy($"n".desc, $"landform".asc)
+    counts
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_cells",
+        sum($"n").over(Window.partitionBy($"variable", $"zone")))
+      .where($"rn" === 1)
+      .select($"variable", $"zone", $"landform".as("mode_landform"),
+        $"n".as("mode_count"), $"n_cells")
+      .orderBy($"variable", $"zone")
+  }
+
   /** R34: D8 flow direction (O'Callaghan & Mark 1984; `gdaldem`/
     * ArcGIS FlowDirection, the hydrology kernel every DEM pipeline
     * runs before watershed delineation): each full-window cell routes

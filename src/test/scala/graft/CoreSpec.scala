@@ -501,6 +501,29 @@ class CoreSpec extends SparkSpec {
     real("zorder") should be <= real("linear")
   }
 
+  test("abcMigration: demotions, promotions, and period exits land in their cells") {
+    import spark.implicits._
+    // H1: p1=800/p2=150/p3=50 -> A/B/C (cums 80%/95%/100%). H2 has only
+    // p3=800/p2=150: cums 84.2%/100% -> B/C. Matrix: p1 (A,N) exit,
+    // p2 (B,C) demotion, p3 (C,B) promotion
+    val li = Seq(
+      (1L, 800.00, "1998-06-01"), (2L, 150.00, "1998-06-02"),
+      (3L, 50.00, "1998-06-03"),
+      (3L, 800.00, "1999-06-01"), (2L, 150.00, "1999-06-02")
+    ).toDF("l_partkey", "l_extendedprice", "l_shipdate")
+      .withColumn("l_shipdate", $"l_shipdate".cast("timestamp"))
+    val part = Seq((1L, "B#1"), (2L, "B#1"), (3L, "B#1"))
+      .toDF("p_partkey", "p_brand")
+    val out = Core.abcMigration(li, part).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    out shouldBe Map(("A", "N") -> 1L, ("B", "C") -> 1L, ("C", "B") -> 1L)
+    // conservation law on the real tables: matrix cells sum to the
+    // parts that sold in either period
+    val real = Core.abcMigration(table("lineitem"), table("part")).collect()
+    real.map(_.getLong(2)).sum shouldBe
+      table("lineitem").select("l_partkey").distinct().count()
+  }
+
   test("growthAccounting: the four categories cover active disjointly") {
     import spark.implicits._
     // w0: u1,u2 new | w1: u1 retained, u3 new, u2 churns |

@@ -487,6 +487,22 @@ class DedupSpec extends SparkSpec {
     nClGe2 shouldBe 1L
   }
 
+  test("tokenBudget: duplicated trio discounts to one page of tokens") {
+    val d = docs(
+      (1L, "a", "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "a", "the quick brown fox jumps over the lazy dog again today"),
+      (3L, "b", "the quick brown fox jumps over the lazy dog again today"),
+      (9L, "b", "an entirely different sentence about spark shuffles and joins"))
+    val out = Dedup.tokenBudget(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // trio of 11-token dups: each weighted 333333 ppm -> 3 tokens each
+    out("a") shouldBe ((2L, 22L, 6L))
+    out("b") shouldBe ((2L, 20L, 12L)) // 3 (dup member) + 9 (unique)
+    out("__all__") shouldBe ((4L, 42L, 18L))
+    // budget law: effective never exceeds raw, per source and total
+    out.values.foreach { case (_, raw, eff) => eff should be <= raw }
+  }
+
   test("lshPairsAcross: id-ordered incremental batches union to the one-shot answer") {
     // the w24 streaming contract, proven on the kernel: a pair emits in
     // the batch where its LARGER doc arrives, and the union equals d03

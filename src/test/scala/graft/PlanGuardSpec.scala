@@ -1057,6 +1057,26 @@ class PlanGuardSpec extends SparkSpec {
     p should not include "CartesianProduct"
   }
 
+  test("t58_token_budget: the weights join is doc-keyed, no cartesian") {
+    val p = planOf("t58_token_budget")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("q85_abc_migration: two banding pipelines, partkey outer join only") {
+    val p = planOf("q85_abc_migration")
+    p should include("Window")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("r41_zonal_mode: stencil folds + a metadata argmax, no cartesian") {
+    val p = planOf("r41_zonal_mode")
+    p should include("Generate")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
   test("x17_selectivity_est: 32-row histogram broadcast; truth is ONE fold pass") {
     val p = planOf("x17_selectivity_est")
     p should include("BroadcastExchange")

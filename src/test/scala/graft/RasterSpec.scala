@@ -491,6 +491,29 @@ class RasterSpec extends SparkSpec {
       .foreach(_ shouldBe 1L)
   }
 
+  test("zonalMode: the majority class per band, smallest-class tie-break") {
+    // the r38 peak fixture on a 5x5 grid: only the CENTER has the full
+    // 5x5 window (landforms' scope), so the zone holds one ridge cell
+    val rows = for { lat <- 0 to 4; lon <- 0 to 4 }
+      yield ("v", "2024-01-01 00:00:00", lat.toDouble, lon.toDouble,
+        if (lat == 2 && lon == 2) 100.0 else 0.0)
+    val g = rows.toDF("variable", "time", "lat", "lon", "value")
+      .withColumn("time", $"time".cast("timestamp_ntz"))
+    val out = Raster.zonalMode(g).collect()
+    out.length shouldBe 1
+    val r = out.head
+    (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)) shouldBe
+      (("v", 0L, "ridge", 1L, 1L))
+    // tie-break: constant terrain is all flat_slope (no tie to break),
+    // and the zone key floors negatives toward -inf
+    val neg = rows.map(t => (t._1, t._2, t._3 - 10.0, t._4, 7.0))
+      .toDF("variable", "time", "lat", "lon", "value")
+      .withColumn("time", $"time".cast("timestamp_ntz"))
+    val rn = Raster.zonalMode(neg).collect().head
+    rn.getLong(1) shouldBe -2L // lats -10..-6 -> interior lats floor to -2
+    rn.getString(2) shouldBe "flat_slope"
+  }
+
   test("fillSinks: a pit fills to its spill level; channels drain; flats untouched") {
     def gridOf(v: (Int, Int) => Double) = {
       val rows = for { lat <- 0 to 4; lon <- 0 to 4 }
