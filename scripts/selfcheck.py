@@ -65,6 +65,13 @@ def main():
         av = a.astype(str).values.tolist()
         bv = b.astype(str).values.tolist()
         if av == bv:
+            # non-vacuity guard (round-9 verdict #2): an empty result that
+            # matches an empty oracle proves only that both engines return
+            # nothing — fail loud so a fixture/parameter drift that empties
+            # a gate can't hide behind a hash match
+            if len(av) == 0:
+                results[name] = "VACUOUS_EMPTY (0 rows both sides)"
+                continue
             results[name] = results.get(name, "OK")
             if results[name].startswith("SCHEMA_TYPES"):
                 results[name] += " (values match)"

@@ -609,8 +609,12 @@ object Core {
     * both engines' shift semantics in range (Java wraps shifts ≥ 64)
     * and is semantically free — cents < 2⁴⁰ shifted by 40 is already 0.
     * Age is anchored at 2001-12-01, the month after the fixture's last
-    * shipdate (2001-11-04 at every SF), so ages are nonnegative and the
-    * gate is reproducible.
+    * shipdate (2001-11-04 at every SF); the clamp BELOW at 0 makes the
+    * gate robust to a fixture whose dates cross the anchor — a negative
+    * shift is where Spark (Java masks the count) and DuckDB's `>>`
+    * silently diverge, and the integer division of a negative datediff
+    * is itself a truncate-vs-floor trap; both are clamped away in the
+    * engine AND the oracle.
     *
     * Scale shape: one partial-aggregating groupBy on the supplier key,
     * then a global top-k via TakeOrdered (map-side per-partition heaps,
@@ -620,7 +624,8 @@ object Core {
     lineitem.select($"l_suppkey",
         ($"l_extendedprice".cast("decimal(18,2)") * 100).cast("long")
           .as("cents"),
-        least(expr("datediff(date'2001-12-01', l_shipdate) div 7"), lit(40))
+        greatest(least(expr("datediff(date'2001-12-01', l_shipdate) div 7"),
+            lit(40)), lit(0))
           .cast("int").as("age_w"))
       .select($"l_suppkey", $"cents", expr("shiftright(cents, age_w)").as("decayed"))
       .groupBy($"l_suppkey")

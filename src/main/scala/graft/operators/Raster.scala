@@ -67,6 +67,34 @@ object Raster {
       |         CAST(sum(l_quantity) AS DOUBLE) AS value
       |  FROM lineitem GROUP BY 1, 2, 3, 4)""".stripMargin
 
+  /** DENSE twin of [[demoGridSum]]: the per-month slices of the demo grid
+    * are sparse at the gate SFs (no full 5×5 window exists at sf0.01, so
+    * the r38/r41 stencil gates passed VACUOUSLY with 0 rows — round-9
+    * verdict #2); collapsing `time` to a constant epoch folds every month
+    * into one 20×30 lattice per variable, which is fully populated from
+    * sf0.001 up (96 full 5×5 windows at sf0.001, 416 at sf0.01). Same
+    * schema as the sparse twin — a constant timestamp keeps every grid
+    * operator reusable unchanged — and still exact: integer quantity sums
+    * are order-independent doubles.
+    */
+  def demoGridDense(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy(
+        $"l_returnflag".as("variable"),
+        lit("1992-01-01 00:00:00").cast("timestamp_ntz").as("time"),
+        ($"l_partkey" % 20 - 10).cast("double").as("lat"),
+        ($"l_suppkey" % 30 - 15).cast("double").as("lon"))
+      .agg(sum($"l_quantity").cast("double").as("value"))
+
+  /** The DuckDB mirror of [[demoGridDense]]. */
+  val demoGridDenseSql: String =
+    """griddense AS (
+      |  SELECT l_returnflag AS variable,
+      |         TIMESTAMP '1992-01-01 00:00:00' AS time,
+      |         CAST(l_partkey % 20 - 10 AS DOUBLE) AS lat,
+      |         CAST(l_suppkey % 30 - 15 AS DOUBLE) AS lon,
+      |         CAST(sum(l_quantity) AS DOUBLE) AS value
+      |  FROM lineitem GROUP BY 1, 2, 3, 4)""".stripMargin
+
   /** Focal (moving-window) mean (r32) — the 3×3 neighborhood smoother
     * every raster toolbox ships (GRASS r.neighbors, ArcGIS Focal
     * Statistics; the reference's cdo/gdal stack exposes it as

@@ -80,6 +80,50 @@ object Tables {
     * converted (µs ntz), which [[apply]] detects by schema and passes
     * through.
     */
+  /** Memoized materialization of a DERIVED relation (an expensive shared
+    * projection, e.g. the co-purchase edge lists ~16 g-gates all feed on).
+    *
+    * Rationale (round-9 verdict): each g gate re-derived the co-purchase
+    * projection from lineitem inside its own plan — an input-bound pass
+    * (~80 s at GenFixture 30×) paid ~16× per bench sweep, 26% of the whole
+    * run, masking real drift. Materializing once per (source fixture,
+    * variant, scale) and re-reading parquet is also the 100 TB-correct
+    * shape: a shared intermediate dataset is written to storage once and
+    * every consumer scans it, instead of recomputing an O(input) pass per
+    * query. Content is unchanged — the projection is deterministic, so the
+    * DuckDB oracle recomputing it from lineitem still hash-matches.
+    *
+    * Keyed like [[materializeScaled]]: the stamp carries the source dir,
+    * each input's length+mtime, the `graft.scale` conf and the variant key,
+    * so regenerated fixtures or a different scale re-materialize instead of
+    * silently serving stale data. Synchronized: gates run sequentially in
+    * Bench/Verify, but spec suites may share the JVM.
+    */
+  def derived(spark: SparkSession, dir: String, key: String)
+             (build: => DataFrame): DataFrame = synchronized {
+    val k = spark.conf.getOption("graft.scale").map(_.toInt).getOrElse(1)
+    val inputs = names.map { n =>
+      val f = new java.io.File(dir, s"$n.parquet")
+      s"$n:${f.length}:${f.lastModified}"
+    }.mkString(",")
+    val stamp = s"source=$dir scale=$k key=$key inputs=$inputs"
+    val hash = java.security.MessageDigest.getInstance("MD5")
+      .digest(stamp.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val dst = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft-derived/$key-$hash")
+    val done = new java.io.File(dst, "_GRAFT_DERIVED_OK")
+    val data = new java.io.File(dst, "data.parquet")
+    val fresh = done.exists() &&
+      new String(java.nio.file.Files.readAllBytes(done.toPath), "UTF-8") == stamp
+    if (!fresh) {
+      java.nio.file.Files.deleteIfExists(done.toPath)
+      dst.mkdirs()
+      build.write.mode("overwrite").parquet(data.getPath)
+      java.nio.file.Files.write(done.toPath, stamp.getBytes("UTF-8"))
+    }
+    spark.read.parquet(data.getPath)
+  }
+
   def materializeScaled(spark: SparkSession, srcDir: String, dstDir: String, k: Int): Unit = {
     val done = new java.io.File(dstDir, "_GRAFT_SCALED_OK")
     // the marker records what was materialized, keyed by source identity
