@@ -338,6 +338,73 @@ object SparkEntry {
       fields).toString
   }
 
+  // --- GRIB2 product-template-4.8 fixture (r42): statistical/accumulated
+  // fields — the PDT operational precipitation actually ships (the
+  // reference's own total_precipitation dataset shape; wgrib2 reads it
+  // natively). One file mixes a 24-h APCP accumulation and a 6-h TMP
+  // average (both 4.8) with an instantaneous UGRD (4.0), so the decoder
+  // proves it keys the statistical octets per record, not per file.
+  private val g4Ni = 27; private val g4Nj = 11
+  private val g4La1 = 20000000L; private val g4Lo1 = -10000000L // microdeg
+  private val g4Di = 1000000L; private val g4Dj = 1500000L
+
+  private def grib2AccumScaled(pidx: Int, m: Int, i: Int, j: Int): Int =
+    (i * 7 + j * 5 + pidx * 37 + m * 11) % 900
+
+  private lazy val grib2AccumFixturePath: String = {
+    import java.time.LocalDateTime
+    // (pidx, category, number, statProcess, intervalHours):
+    // APCP acc 24 h, TMP avg 6 h, UGRD instantaneous (template 4.0)
+    val params = Seq((0, 1, 8, 1, 24), (1, 0, 0, 0, 6), (2, 2, 2, -1, 0))
+    val times = Seq(LocalDateTime.of(2005, 1, 15, 0, 0),
+      LocalDateTime.of(2005, 2, 15, 0, 0))
+    val fields = for {
+      (t, m) <- times.zipWithIndex
+      (pidx, cat, num, stat, hours) <- params
+    } yield sources.Grib2.Field(0, cat, num, t, g4Ni, g4Nj,
+      g4La1, g4Lo1, g4Di, g4Dj, decimalScale = 1,
+      Array.tabulate(g4Nj * g4Ni) { k =>
+        val j = k / g4Ni; val i = k % g4Ni
+        Some(grib2AccumScaled(pidx, m, i, j))
+      }, statProcess = stat, intervalHours = hours)
+    sources.Grib2.writeFile(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft-grib", "accum.grib2"),
+      fields).toString
+  }
+
+  // --- GRIB2 grid-template-3.40 fixture (r43): regular Gaussian grid,
+  // the native layout of ECMWF spectral-model output (ERA5's un-regridded
+  // CDS downloads are Gaussian). N=8 → 16 parallels at the roots of the
+  // degree-16 Legendre polynomial; the ENGINE computes the abscissas by
+  // Newton iteration while the ORACLE carries latitudes from an
+  // independent Gauss-Legendre implementation (numpy leggauss) — two
+  // independent derivations must agree to the microdegree.
+  private val g5Ni = 18; private val g5N = 8 // 16 Gaussian rows
+  private val g5Lo1 = 0L; private val g5Di = 20000000L // microdegrees
+
+  private def grib2GaussScaled(pidx: Int, m: Int, i: Int, j: Int): Int =
+    (i * 3 + j * 13 + pidx * 23 + m * 7) % 800
+
+  private lazy val grib2GaussFixturePath: String = {
+    import java.time.LocalDateTime
+    val params = Seq((0, 0, 0, false), (1, 1, 7, true)) // TMP dense, PRATE masked
+    val times = Seq(LocalDateTime.of(2005, 3, 10, 6, 0),
+      LocalDateTime.of(2005, 4, 10, 6, 0))
+    val fields = for {
+      (t, m) <- times.zipWithIndex
+      (pidx, cat, num, masked) <- params
+    } yield sources.Grib2.Field(0, cat, num, t, g5Ni, 2 * g5N,
+      0L, g5Lo1, g5Di, 0L, decimalScale = 1,
+      Array.tabulate(2 * g5N * g5Ni) { k =>
+        val j = k / g5Ni; val i = k % g5Ni
+        if (masked && (i + j) % 9 == 0) None
+        else Some(grib2GaussScaled(pidx, m, i, j))
+      }, gaussianN = g5N)
+    sources.Grib2.writeFile(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft-grib", "gauss.grib2"),
+      fields).toString
+  }
+
   /** r27 fixture: one classic CDF-1 file, TMP/PRATE/VGRD on the shared
     * grid over two UNLIMITED-dim time records; PRATE carries a
     * `_FillValue` lattice so the masked-cell drop is exercised. The
@@ -361,6 +428,54 @@ object SparkEntry {
     sources.Netcdf.writeFile(
       java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft-nc", "fix.nc"),
       fields).toString
+  }
+
+  /** r44 fixture: CDF-2 (64-bit offset layout) with NC_FLOAT payloads —
+    * values are dyadic quarters (scaled/4, exact in binary32) so the
+    * float round-trip is bit-identical to the oracle's `x / 4.0`.
+    */
+  private lazy val netcdfCdf2FixturePath: String = {
+    import java.time.LocalDateTime
+    val params = Seq("TMP", "PRATE", "VGRD")
+    val times = Seq(LocalDateTime.of(2004, 11, 10, 6, 0),
+      LocalDateTime.of(2004, 12, 10, 18, 0))
+    val fields = for {
+      (t, m) <- times.zipWithIndex
+      (v, pidx) <- params.zipWithIndex
+    } yield sources.Netcdf.Field(v, t, g3Ni, g3Nj, g3La1, g3Lo1, g3Di, g3Dj,
+      decimalScale = 0,
+      Array.tabulate(g3Nj * g3Ni) { k =>
+        val j = k / g3Ni; val i = k % g3Ni
+        if (pidx == 1 && (i + j + m) % 11 == 3) None
+        else Some((i * 5 + j * 9 + pidx * 31 + m * 17) % 700 + pidx * 1000)
+      })
+    sources.Netcdf.writeFile(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft-nc", "fix2.nc"),
+      fields, version = 2, payloadType = sources.Netcdf.NcFloat).toString
+  }
+
+  /** r45 fixture: CDF-5 (every size/offset field INT64) with NC_DOUBLE
+    * payloads stored pre-divided by 10 — one IEEE divide writer-side,
+    * one oracle-side, identical by IEEE-754 determinism.
+    */
+  private lazy val netcdfCdf5FixturePath: String = {
+    import java.time.LocalDateTime
+    val params = Seq("TMP", "PRATE", "VGRD")
+    val times = Seq(LocalDateTime.of(2005, 1, 10, 6, 0),
+      LocalDateTime.of(2005, 2, 10, 18, 0))
+    val fields = for {
+      (t, m) <- times.zipWithIndex
+      (v, pidx) <- params.zipWithIndex
+    } yield sources.Netcdf.Field(v, t, g3Ni, g3Nj, g3La1, g3Lo1, g3Di, g3Dj,
+      decimalScale = 1,
+      Array.tabulate(g3Nj * g3Ni) { k =>
+        val j = k / g3Ni; val i = k % g3Ni
+        if (pidx == 1 && (i + j + m) % 9 == 2) None
+        else Some((i * 7 + j * 3 + pidx * 43 + m * 19) % 650 + pidx * 800)
+      })
+    sources.Netcdf.writeFile(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft-nc", "fix5.nc"),
+      fields, version = 5, payloadType = sources.Netcdf.NcDouble).toString
   }
 
   /** r28 fixture: one Zarr v2 group store on the shared grid — TMP/
@@ -1710,6 +1825,25 @@ object SparkEntry {
     "r14_grib2_complex" -> ((s, _) =>
       sources.Grib2.readRecords(s, Seq(grib2ComplexFixturePath), matchRe = "TMP|PRATE")
         .orderBy($"variable", $"time", $"lat", $"lon")),
+    // product template 4.8 (statistical processing over a time interval):
+    // the decoder parses the statistical octets — process type, end of
+    // overall interval, range length — per record, alongside 4.0 records
+    // in the same file; the oracle regenerates cells AND stat columns
+    // closed-form
+    "r42_grib2_accum" -> ((s, _) =>
+      sources.Grib2.readStatRecords(s, Seq(grib2AccumFixturePath))
+        .select($"variable", $"time", $"stat",
+          $"intervalEnd".as("interval_end"),
+          $"rangeHours".cast("long").as("range_hours"),
+          $"lat", $"lon", $"value")
+        .orderBy($"variable", $"time", $"lat", $"lon")),
+    // grid template 3.40 (regular Gaussian): the engine derives the row
+    // latitudes by Newton iteration on the Legendre recurrence; the
+    // oracle carries an INDEPENDENT Gauss-Legendre computation's values
+    // — agreement to the microdegree is the gate
+    "r43_grib2_gaussian" -> ((s, _) =>
+      sources.Grib2.readRecords(s, Seq(grib2GaussFixturePath))
+        .orderBy($"variable", $"time", $"lat", $"lon")),
     // template 5.40 (lossless JPEG2000): the engine reconstructs the
     // lattice through the full J2K decode — 5/3 wavelet, MQ bitplane
     // coding, tag-tree packet headers; lossy 5.40 rejects loudly
@@ -1731,6 +1865,18 @@ object SparkEntry {
     // other CDS archive wire format, parsed natively per file
     "r27_netcdf_scan" -> ((s, _) =>
       sources.Netcdf.readRecords(s, Seq(netcdfFixturePath), matchRe = "TMP|PRATE")
+        .orderBy($"variable", $"time", $"lat", $"lon")),
+    // CDF-2 (64-bit offset) + NC_FLOAT payloads: the layout/type real CDS
+    // NetCDF downloads ship (>2 GiB files, Float32 values — the
+    // reference's own -ot Float32); values are dyadic quarters so the
+    // binary32 round-trip is exact against the closed-form oracle
+    "r44_netcdf_cdf2" -> ((s, _) =>
+      sources.Netcdf.readRecords(s, Seq(netcdfCdf2FixturePath), matchRe = "TMP|PRATE")
+        .orderBy($"variable", $"time", $"lat", $"lon")),
+    // CDF-5 (all size/offset fields INT64) + NC_DOUBLE payloads, stored
+    // pre-divided — one IEEE divide on each side, bit-identical
+    "r45_netcdf_cdf5" -> ((s, _) =>
+      sources.Netcdf.readRecords(s, Seq(netcdfCdf5FixturePath), matchRe = "TMP|PRATE")
         .orderBy($"variable", $"time", $"lat", $"lon")),
     // Zarr v2 group-store scan: chunk-level parallel decode (binaryFile
     // task per chunk), metadata + coordinates driver-side, VGRD pruned
@@ -5245,6 +5391,45 @@ object SparkEntry {
          FROM p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
          WHERE NOT (masked = 1 AND (i + j) % 7 = 0)
          ORDER BY variable, time, lat, lon""",
+    // template 4.8: every cell regenerated closed-form, plus the
+    // statistical columns — stat name, interval end = reference time +
+    // range, range hours — per (variable, stat) row of the VALUES table
+    "r42_grib2_accum" ->
+      s"""WITH p(pidx, variable, stat, range_hours) AS
+           (VALUES (0, 'APCP', 'acc', 24), (1, 'TMP', 'avg', 6),
+                   (2, 'UGRD', 'instant', 0)),
+         t(t0, m) AS (VALUES (TIMESTAMP '2005-01-15 00:00:00', 0),
+                             (TIMESTAMP '2005-02-15 00:00:00', 1)),
+         ii AS (SELECT unnest(generate_series(0, ${g4Ni - 1})) AS i),
+         jj AS (SELECT unnest(generate_series(0, ${g4Nj - 1})) AS j)
+         SELECT variable, t0 AS time, stat,
+                t0 + to_hours(range_hours) AS interval_end,
+                CAST(range_hours AS BIGINT) AS range_hours,
+                ($g4La1 - j * $g4Dj) / 1000000.0 AS lat,
+                (($g4Lo1) + i * $g4Di) / 1000000.0 AS lon,
+                ((i * 7 + j * 5 + pidx * 37 + m * 11) % 900) / 10.0 AS value
+         FROM p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
+         ORDER BY variable, time, lat, lon""",
+    // regular Gaussian grid: row latitudes are numpy leggauss values
+    // (an INDEPENDENT Gauss-Legendre implementation, microdegree-rounded)
+    // — the engine's Newton iteration must land on the same integers
+    "r43_grib2_gaussian" ->
+      s"""WITH p(pidx, variable, masked) AS (VALUES (0, 'TMP', 0), (1, 'PRATE', 1)),
+         t(t0, m) AS (VALUES (TIMESTAMP '2005-03-10 06:00:00', 0),
+                             (TIMESTAMP '2005-04-10 06:00:00', 1)),
+         lt(j, latmicro) AS (VALUES
+           (0, 81650591), (1, 70834640), (2, 59954859), (3, 49060719),
+           (4, 38161212), (5, 27259208), (6, 16355933), (7, 5452040),
+           (8, -5452040), (9, -16355933), (10, -27259208), (11, -38161212),
+           (12, -49060719), (13, -59954859), (14, -70834640), (15, -81650591)),
+         ii AS (SELECT unnest(generate_series(0, ${g5Ni - 1})) AS i)
+         SELECT variable, t0 AS time,
+                latmicro / 1000000.0 AS lat,
+                (($g5Lo1) + i * $g5Di) / 1000000.0 AS lon,
+                ((i * 3 + j * 13 + pidx * 23 + m * 7) % 800) / 10.0 AS value
+         FROM p CROSS JOIN t CROSS JOIN lt CROSS JOIN ii
+         WHERE NOT (masked = 1 AND (i + j) % 9 = 0)
+         ORDER BY variable, time, lat, lon""",
     // present-cell count over TMP (dense) + PRATE (bitmap-masked): the
     // same lattice/mask closed forms as r12, collapsed to one BIGINT —
     // the engine answered it from section-5 point counts alone
@@ -5347,6 +5532,36 @@ object SparkEntry {
                 ((i * 3 + j * 7 + pidx * 29 + m * 13) % 250 + pidx * 400) / 10.0 AS value
          FROM p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
          WHERE NOT (pidx = 1 AND (i + j + m) % 13 = 5)
+         ORDER BY variable, time, lat, lon""",
+    // CDF-2 + NC_FLOAT: dyadic quarters — x/4.0 is one exact IEEE op on
+    // both sides, so binary32 storage costs no precision on this lattice
+    "r44_netcdf_cdf2" ->
+      s"""WITH p(pidx, variable) AS (VALUES (0, 'TMP'), (1, 'PRATE')),
+         t(t, m) AS (VALUES (TIMESTAMP '2004-11-10 06:00:00', 0),
+                            (TIMESTAMP '2004-12-10 18:00:00', 1)),
+         ii AS (SELECT unnest(generate_series(0, ${g3Ni - 1})) AS i),
+         jj AS (SELECT unnest(generate_series(0, ${g3Nj - 1})) AS j)
+         SELECT variable, t AS time,
+                ($g3La1 - j * $g3Dj) / 1000000.0 AS lat,
+                (($g3Lo1) + i * $g3Di) / 1000000.0 AS lon,
+                ((i * 5 + j * 9 + pidx * 31 + m * 17) % 700 + pidx * 1000) / 4.0 AS value
+         FROM p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
+         WHERE NOT (pidx = 1 AND (i + j + m) % 11 = 3)
+         ORDER BY variable, time, lat, lon""",
+    // CDF-5 + NC_DOUBLE: stored pre-divided by 10 — the same single
+    // IEEE divide the oracle runs
+    "r45_netcdf_cdf5" ->
+      s"""WITH p(pidx, variable) AS (VALUES (0, 'TMP'), (1, 'PRATE')),
+         t(t, m) AS (VALUES (TIMESTAMP '2005-01-10 06:00:00', 0),
+                            (TIMESTAMP '2005-02-10 18:00:00', 1)),
+         ii AS (SELECT unnest(generate_series(0, ${g3Ni - 1})) AS i),
+         jj AS (SELECT unnest(generate_series(0, ${g3Nj - 1})) AS j)
+         SELECT variable, t AS time,
+                ($g3La1 - j * $g3Dj) / 1000000.0 AS lat,
+                (($g3Lo1) + i * $g3Di) / 1000000.0 AS lon,
+                ((i * 7 + j * 3 + pidx * 43 + m * 19) % 650 + pidx * 800) / 10.0 AS value
+         FROM p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
+         WHERE NOT (pidx = 1 AND (i + j + m) % 9 = 2)
          ORDER BY variable, time, lat, lon""",
     // the fill lattice drops PRATE cells; chunk tiling/padding must be
     // invisible in the flattened result — the oracle is the plain grid

@@ -23,7 +23,12 @@ import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
   *
   * Scope (= the slice the reference's wgrib2 invocations touch, plus the
   * packing real-world GRIB2 actually ships), rejected loudly outside it:
-  * grid template 3.0 (regular lat/lon), product template 4.0, data
+  * grid templates 3.0 (regular lat/lon) and 3.40 (regular Gaussian, the
+  * native ERA5/spectral-model layout — abscissas computed by Newton
+  * iteration on the Legendre recurrence, reduced Gaussian still rejects),
+  * product templates 4.0 and 4.8 (statistical processing over a time
+  * interval — the accumulation shape operational precipitation ships,
+  * e.g. the reference's total_precipitation dataset), data
   * representation templates 5.0 (simple packing), 5.2 (complex packing,
   * general group splitting, no missing-value management — bitmaps carry
   * the mask), 5.3 (complex + spatial differencing, order 1/2 — the
@@ -57,7 +62,29 @@ object Grib2 {
       diMicro: Long,
       djMicro: Long,
       scanJPositive: Boolean,
-      values: Array[Double])
+      values: Array[Double],
+      // non-null for Gaussian grids (template 3.40): the per-row
+      // latitudes in scan order, microdegrees — rows are NOT uniformly
+      // spaced, so la1/dj stepping doesn't apply
+      latsMicro: Array[Long] = null,
+      // product template 4.8 statistical processing (WMO Code Table 4.10):
+      // -1 = instantaneous (template 4.0); 0 avg / 1 accum / 2 max / 3 min.
+      // `time` stays the reference (interval-start) time; `intervalEnd` is
+      // octets 35-41's end-of-overall-interval; `rangeHours` the length.
+      statProcess: Int = -1,
+      intervalEnd: LocalDateTime = null,
+      rangeHours: Int = 0)
+
+  /** WMO Code Table 4.10 statistical-process names (the wgrib2 inventory
+    * suffixes: `0-24 hour acc fcst` etc.). */
+  def statNameOf(code: Int): String = code match {
+    case -1 => "instant"
+    case 0 => "avg"
+    case 1 => "acc"
+    case 2 => "max"
+    case 3 => "min"
+    case other => s"stat$other"
+  }
 
   /** WMO Code Table 4.2 (discipline, category, number) → wgrib2 short
     * name, for the parameters the reference's datasets touch; anything
@@ -66,6 +93,7 @@ object Grib2 {
     */
   private val paramNames = Map(
     (0, 0, 0) -> "TMP", (0, 1, 1) -> "RH", (0, 1, 7) -> "PRATE",
+    (0, 1, 8) -> "APCP",
     (0, 2, 2) -> "UGRD", (0, 2, 3) -> "VGRD",
     (0, 3, 1) -> "PRMSL", (0, 3, 5) -> "HGT", (2, 0, 0) -> "LAND")
 
@@ -177,6 +205,47 @@ object Grib2 {
     cnt
   }
 
+  /** Latitudes of the regular Gaussian grid with `nRows` parallels
+    * pole-to-pole (nRows = 2N), north→south, microdegrees: lat_k =
+    * asin(μ_k) where μ_k are the roots of the Legendre polynomial
+    * P_{2N}(μ) — computed by Newton iteration on the three-term
+    * recurrence (the classic gauleg scheme; Abramowitz & Stegun 22.16.6
+    * supplies the cosine initial guess), NOT a hardcoded table. The
+    * northern half is computed and mirrored (roots are symmetric).
+    * Double-precision Newton converges to ~1e-15 on the root, far inside
+    * the microdegree rounding; Grib2Spec pins N32's first row against
+    * ECMWF's published 87.8638° and the whole N8 set against an
+    * independent Gauss–Legendre implementation.
+    */
+  def gaussianLatitudesMicro(nRows: Int): Array[Long] = {
+    require(nRows > 0 && nRows % 2 == 0, s"Gaussian row count $nRows must be even")
+    val m = nRows
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m / 2) {
+      var x = math.cos(math.Pi * (i + 0.75) / (m + 0.5))
+      var delta = 1.0
+      var iter = 0
+      while (math.abs(delta) > 1e-15 && iter < 100) {
+        var p0 = 1.0; var p1 = x
+        var k = 2
+        while (k <= m) {
+          val p2 = ((2 * k - 1) * x * p1 - (k - 1) * p0) / k
+          p0 = p1; p1 = p2; k += 1
+        }
+        val dp = m * (x * p1 - p0) / (x * x - 1.0)
+        delta = p1 / dp
+        x -= delta
+        iter += 1
+      }
+      val micro = math.round(math.toDegrees(math.asin(x)) * 1e6)
+      out(i) = micro
+      out(m - 1 - i) = -micro
+      i += 1
+    }
+    out
+  }
+
   private def parseMessage(b: Array[Byte], start: Int, end: Int,
                            discipline: Int, label: String): Seq[Record] = {
     def u(i: Int): Int = b(i) & 0xff
@@ -194,8 +263,10 @@ object Grib2 {
     var ni = -1; var nj = -1
     var la1 = 0L; var lo1 = 0L; var di = 0L; var dj = 0L
     var jPositive = false
+    var gaussLats: Array[Long] = null
     // section-4/5 state for the current group
     var category = -1; var number = -1
+    var statProcess = -1; var intervalEnd: LocalDateTime = null; var rangeHours = 0
     var nPresent = -1
     var refVal = 0.0; var eScale = 0; var dScale = 0; var nbits = -1
     var drTemplate = -1
@@ -225,25 +296,82 @@ object Grib2 {
           case 2 => () // local use: skip
           case 3 =>
             val template = u16(pos + 12)
-            require(template == 0,
-              s"grid template 3.$template unsupported (only 3.0 lat/lon) in $label")
+            require(template == 0 || template == 40,
+              s"grid template 3.$template unsupported " +
+                s"(only 3.0 lat/lon / 3.40 regular Gaussian) in $label")
             ni = u32(pos + 30).toInt; nj = u32(pos + 34).toInt
             require(ni > 1 && nj > 1, s"degenerate grid ${ni}x$nj in $label")
             la1 = s32(pos + 46); lo1 = s32(pos + 50)
             val la2 = s32(pos + 55); val lo2 = s32(pos + 59)
-            di = u32(pos + 63); dj = u32(pos + 67)
+            di = u32(pos + 63)
             val scan = u(pos + 71)
             require(scan == 0 || scan == 0x40,
               f"scanning mode 0x$scan%02x unsupported (only 0x00 / 0x40) in $label")
             jPositive = scan == 0x40
-            val laEnd = if (jPositive) la1 + (nj - 1).toLong * dj
-                        else la1 - (nj - 1).toLong * dj
-            require(lo1 + (ni - 1).toLong * di == lo2 && laEnd == la2,
+            require(lo1 + (ni - 1).toLong * di == lo2,
               s"grid corners disagree with increments in $label")
+            if (template == 0) {
+              dj = u32(pos + 67)
+              gaussLats = null
+              val laEnd = if (jPositive) la1 + (nj - 1).toLong * dj
+                          else la1 - (nj - 1).toLong * dj
+              require(laEnd == la2,
+                s"grid corners disagree with increments in $label")
+            } else {
+              // 3.40 regular Gaussian: octets 68-71 carry N (parallels
+              // between a pole and the equator); rows sit at the roots of
+              // the degree-2N Legendre polynomial — COMPUTED here, never a
+              // lookup table. Scope: the full global row set (nj = 2N);
+              // reduced Gaussian (per-row ni) stays a loud reject because
+              // 3.40 with an ni list is flagged in octet 55's resolution
+              // flags and we require a plain ni.
+              dj = 0
+              val nPar = u32(pos + 67).toInt
+              require(nPar > 0 && nj == 2 * nPar,
+                s"Gaussian grid nj=$nj != 2N (N=$nPar) unsupported " +
+                  s"(only full regular Gaussian) in $label")
+              val northSouth = gaussianLatitudesMicro(2 * nPar)
+              val lats = if (jPositive) northSouth.reverse else northSouth
+              // la1/la2 are the outermost Gaussian rows; allow 1 µdeg of
+              // producer rounding slack
+              require(math.abs(lats(0) - la1) <= 1 &&
+                  math.abs(lats(nj - 1) - la2) <= 1,
+                s"Gaussian corner latitudes $la1/$la2 disagree with the " +
+                  s"computed N=$nPar abscissas ${lats(0)}/${lats(nj - 1)} in $label")
+              gaussLats = lats
+            }
           case 4 =>
-            require(u16(pos + 7) == 0,
-              s"product template 4.${u16(pos + 7)} unsupported (only 4.0) in $label")
+            // 4.0 (analysis/forecast at a point in time) and 4.8 (average/
+            // accumulation/extreme over a time interval — the template
+            // operational precipitation products actually ship; the
+            // reference's own total_precipitation dataset shape). 4.8 =
+            // 4.0's octets 10-34 followed by the end-of-interval stamp
+            // (35-41), the time-range-spec count (42), total missing
+            // (43-46) and per-spec statistical octets (47+).
+            val pdt = u16(pos + 7)
+            require(pdt == 0 || pdt == 8,
+              s"product template 4.$pdt unsupported (only 4.0 / 4.8) in $label")
             category = u(pos + 9); number = u(pos + 10)
+            if (pdt == 8) {
+              require(len >= 58, s"product section 4.8 too short ($len) in $label")
+              intervalEnd = LocalDateTime.of(u16(pos + 34), u(pos + 36),
+                u(pos + 37), u(pos + 38), u(pos + 39), u(pos + 40))
+              val nRanges = u(pos + 41)
+              require(nRanges == 1,
+                s"4.8 with $nRanges time-range specs unsupported (only 1) in $label")
+              statProcess = u(pos + 46)
+              val unit = u(pos + 48)
+              require(unit == 0 || unit == 1,
+                s"4.8 time-range unit $unit unsupported (only 0 minute / 1 hour) in $label")
+              val rangeLen = u32(pos + 49)
+              rangeHours =
+                if (unit == 1) rangeLen.toInt
+                else {
+                  require(rangeLen % 60 == 0,
+                    s"4.8 minute-unit range $rangeLen not whole hours in $label")
+                  (rangeLen / 60).toInt
+                }
+            } else { statProcess = -1; intervalEnd = null; rangeHours = 0 }
           case 5 =>
             nPresent = u32(pos + 5).toInt
             drTemplate = u16(pos + 9)
@@ -369,7 +497,9 @@ object Grib2 {
             }
             out += Record(discipline, category, number,
               nameOf(discipline, category, number), time,
-              ni, nj, la1, lo1, di, dj, jPositive, values)
+              ni, nj, la1, lo1, di, dj, jPositive, values,
+              latsMicro = gaussLats, statProcess = statProcess,
+              intervalEnd = intervalEnd, rangeHours = rangeHours)
           case other => sys.error(s"unexpected section number $other in $label")
         }
         pos += len
@@ -492,13 +622,57 @@ object Grib2 {
     )(Encoders.product[GridRow]).toDF()
   }
 
-  /** Flatten one record to present cells (masked cells dropped). */
+  /** [[GridRow]] widened with the 4.8 statistical octets — instantaneous
+    * (4.0) records carry stat="instant", intervalEnd = the reference time
+    * and rangeHours = 0, so one schema serves mixed files (exactly how
+    * wgrib2's inventory prints both record kinds side by side).
+    */
+  final case class StatGridRow(variable: String, time: LocalDateTime,
+                               stat: String, intervalEnd: LocalDateTime,
+                               rangeHours: Int,
+                               lat: Double, lon: Double, value: Double)
+
+  /** [[readRecords]] with the product-template-4.8 statistical octets in
+    * the row schema: stat process name, end of the overall interval, and
+    * range length in hours.
+    */
+  def readStatRecords(spark: SparkSession, paths: Seq[String],
+                      matchRe: String = ".*",
+                      limit: Int = Int.MaxValue): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val re = matchRe
+    spark.createDataset(
+      spark.read.format("binaryFile").load(paths: _*)
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])](Encoders.tuple(Encoders.STRING, Encoders.BINARY))
+        .rdd
+        .flatMap { case (p, bytes) =>
+          val pat = java.util.regex.Pattern.compile(re)
+          parseMessages(bytes, p).iterator
+            .filter(r => pat.matcher(r.variable).find())
+            .take(limit)
+            .flatMap { r =>
+              val stat = statNameOf(r.statProcess)
+              val end = if (r.intervalEnd == null) r.time else r.intervalEnd
+              cells(r).map(c => StatGridRow(c.variable, c.time, stat, end,
+                r.rangeHours, c.lat, c.lon, c.value))
+            }
+        }
+    )(Encoders.product[StatGridRow]).toDF()
+  }
+
+  /** Flatten one record to present cells (masked cells dropped). Regular
+    * lat/lon rows step uniformly from la1; Gaussian rows (template 3.40)
+    * read the per-row abscissa array.
+    */
   def cells(r: Record): Iterator[GridRow] = {
     val latStep = if (r.scanJPositive) r.djMicro else -r.djMicro
     Iterator.tabulate(r.nj * r.ni) { k =>
       val j = k / r.ni; val i = k % r.ni
+      val latMicro =
+        if (r.latsMicro != null) r.latsMicro(j) else r.la1Micro + j * latStep
       GridRow(r.variable, r.time,
-        (r.la1Micro + j * latStep) / 1e6,
+        latMicro / 1e6,
         (r.lo1Micro + i.toLong * r.diMicro) / 1e6,
         r.values(k))
     }.filterNot(c => c.value.isNaN)
@@ -521,7 +695,17 @@ object Grib2 {
                          scanMode: Int = 0x00,
                          template: Int = 0,
                          sdOrder: Int = 2,
-                         groupLen: Int = 20) {
+                         groupLen: Int = 20,
+                         // ≥ 0 emits product template 4.8 with this WMO
+                         // 4.10 statistical process over `intervalHours`
+                         // ending at time + intervalHours; -1 emits 4.0
+                         statProcess: Int = -1,
+                         intervalHours: Int = 0,
+                         // > 0 emits grid template 3.40 (regular Gaussian,
+                         // N parallels pole-to-equator): nj must equal 2N;
+                         // la1Micro/djMicro are ignored — row latitudes
+                         // are the computed Gaussian abscissas
+                         gaussianN: Int = 0) {
     require(scaled.length == ni * nj, "scaled length must be ni*nj")
     require(scanMode == 0x00 || scanMode == 0x40, "scan mode must be 0x00 or 0x40")
     require(template == 0 || template == 2 || template == 3 || template == 40 ||
@@ -656,24 +840,59 @@ object Grib2 {
         t.getHour.toByte, t.getMinute.toByte, t.getSecond.toByte) ++
       Array[Byte](0, 1))
 
-    // section 3: grid definition template 3.0
+    // section 3: grid definition template 3.0 (regular lat/lon) or 3.40
+    // (regular Gaussian — identical layout, octets 68-71 carry N instead
+    // of Dj and the corner latitudes are the outermost Gaussian rows)
     val nPoints = f.ni.toLong * f.nj
-    val la2 = if (f.scanMode == 0x40) f.la1Micro + (f.nj - 1).toLong * f.djMicro
-              else f.la1Micro - (f.nj - 1).toLong * f.djMicro
+    val gauss = f.gaussianN > 0
+    if (gauss) require(f.nj == 2 * f.gaussianN,
+      s"Gaussian field nj=${f.nj} must equal 2N=${2 * f.gaussianN}")
+    val gLats =
+      if (!gauss) null
+      else {
+        val ns = gaussianLatitudesMicro(f.nj)
+        if (f.scanMode == 0x40) ns.reverse else ns
+      }
+    val la1 = if (gauss) gLats(0) else f.la1Micro
+    val la2 =
+      if (gauss) gLats(f.nj - 1)
+      else if (f.scanMode == 0x40) f.la1Micro + (f.nj - 1).toLong * f.djMicro
+      else f.la1Micro - (f.nj - 1).toLong * f.djMicro
     val lo2 = f.lo1Micro + (f.ni - 1).toLong * f.diMicro
-    section(3, Array[Byte](0) ++ u32(nPoints) ++ Array[Byte](0, 0) ++ u16(0) ++
+    section(3, Array[Byte](0) ++ u32(nPoints) ++ Array[Byte](0, 0) ++
+      u16(if (gauss) 40 else 0) ++
       Array[Byte](6) ++ Array[Byte](0) ++ u32(0) ++ Array[Byte](0) ++ u32(0) ++
       Array[Byte](0) ++ u32(0) ++
       u32(f.ni) ++ u32(f.nj) ++ u32(0) ++ u32(0) ++
-      sm32(f.la1Micro) ++ sm32(f.lo1Micro) ++ Array[Byte](48) ++
-      sm32(la2) ++ sm32(lo2) ++ u32(f.diMicro) ++ u32(f.djMicro) ++
+      sm32(la1) ++ sm32(f.lo1Micro) ++ Array[Byte](48) ++
+      sm32(la2) ++ sm32(lo2) ++ u32(f.diMicro) ++
+      u32(if (gauss) f.gaussianN.toLong else f.djMicro) ++
       Array(f.scanMode.toByte))
 
-    // section 4: product definition template 4.0 (analysis, surface)
-    section(4, u16(0) ++ u16(0) ++
+    // section 4: product definition template 4.0 (analysis, surface), or
+    // 4.8 (statistical processing over a time interval) when a stat
+    // process is declared — 4.0's octets 10-34 plus end-of-interval stamp,
+    // one time-range spec, and the statistical octets
+    val pdtCommon =
       Array(f.category.toByte, f.number.toByte, 0.toByte, 255.toByte, 255.toByte) ++
       u16(0) ++ Array[Byte](0, 1) ++ u32(0) ++
-      Array[Byte](1, 0) ++ u32(0) ++ Array(255.toByte, 0.toByte) ++ u32(0))
+      Array[Byte](1, 0) ++ u32(0) ++ Array(255.toByte, 0.toByte) ++ u32(0)
+    if (f.statProcess < 0)
+      section(4, u16(0) ++ u16(0) ++ pdtCommon)
+    else {
+      require(f.intervalHours > 0, "4.8 field needs a positive interval")
+      val e = t.plusHours(f.intervalHours.toLong)
+      section(4, u16(0) ++ u16(8) ++ pdtCommon ++
+        u16(e.getYear) ++ Array(e.getMonthValue.toByte, e.getDayOfMonth.toByte,
+          e.getHour.toByte, e.getMinute.toByte, e.getSecond.toByte) ++
+        Array[Byte](1) ++            // one time-range specification
+        u32(0) ++                    // no missing values in the interval
+        Array(f.statProcess.toByte,
+          2.toByte,                  // 4.11: successive times, same start
+          1.toByte) ++               // 4.4: range unit = hour
+        u32(f.intervalHours.toLong) ++
+        Array[Byte](1) ++ u32(0))    // increment unit hour, increment 0
+    }
 
     // pack: X = scaled - min(scaled), R = min(scaled), E = 0
     val present = f.scaled.flatten

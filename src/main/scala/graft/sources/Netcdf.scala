@@ -27,12 +27,29 @@ import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
   *    multiplying by the unrepresentable double 0.1 is not bit-identical
   *    to dividing by 10 (the exactness discipline of the GRIB gates).
   *
-  * Scope is rejected LOUDLY, never guessed around: 64-bit-offset CDF-2 /
-  * CDF-5 magics, STREAMING numrecs, and non-INT data payloads raise with
-  * a pointer. Encoder and decoder are independent walks of the same
-  * spec; NetcdfSpec round-trips and pins wire offsets by hand, and the
-  * r27 gate proves the flatten against a closed-form DuckDB oracle (the
-  * r12/r14 discipline).
+  * All three classic variants decode (round-10: CDS NetCDF downloads are
+  * routinely >2 GiB and Float32 — the reference's own value type,
+  * src/file-conversions.js:64-65):
+  *
+  *  - CDF-1 (`CDF\x01`): 32-bit sizes and offsets;
+  *  - CDF-2 (`CDF\x02`, 64-bit offset): identical except each variable's
+  *    `begin` widens to INT64 — the layout for >2 GiB files;
+  *  - CDF-5 (`CDF\x05`): every size/offset field widens to INT64
+  *    (numrecs, list counts, name lengths, dim lengths, attribute
+  *    counts, vsize, begin).
+  *
+  * Data payloads: NC_INT (`value = raw / 10^decimal_scale`, exact),
+  * NC_FLOAT (`value` = the stored binary32 widened — fixtures store
+  * DYADIC values, scaled/4, which binary32 holds exactly, the float twin
+  * of the integer decimal-scale convention), NC_DOUBLE (stored value
+  * verbatim). `_FillValue` cells drop in all three.
+  *
+  * Remaining scope rejects stay LOUD: STREAMING numrecs, CHAR/SHORT data
+  * payloads, vsize/begin past the mapped bytes. Encoder and decoder are
+  * independent walks of the same spec; NetcdfSpec round-trips all three
+  * versions and pins wire offsets by hand; gates r27 (CDF-1 int), r44
+  * (CDF-2 float) and r45 (CDF-5 double) prove the flatten against
+  * closed-form DuckDB oracles (the r12/r14 discipline).
   */
 object Netcdf {
 
@@ -42,11 +59,13 @@ object Netcdf {
 
   private val NcChar = 2
   private val NcShort = 3
-  private val NcInt = 4
-  private val NcFloat = 5
-  private val NcDouble = 6
+  val NcInt = 4
+  val NcFloat = 5
+  val NcDouble = 6
 
   val FillInt: Int = -2147483647 // netCDF NC_FILL_INT
+  val FillFloat: Float = 9.9692099683868690e+36f // NC_FILL_FLOAT
+  val FillDouble: Double = 9.9692099683868690e+36 // NC_FILL_DOUBLE
 
   /** One field to encode: `value = scaled / 10^decimalScale`, `None` =
     * `_FillValue`-masked cell. All fields of one file share the grid;
@@ -64,13 +83,27 @@ object Netcdf {
 
   // ------------------------------------------------------------- write
 
-  /** Write a classic CDF-1 file: `lat`/`lon` as fixed NC_DOUBLE
-    * coordinate variables, `time` as the UNLIMITED NC_INT record
-    * coordinate (hours since epoch), each distinct field variable as an
-    * NC_INT record variable on (time, lat, lon).
+  /** Write a classic file: `lat`/`lon` as fixed NC_DOUBLE coordinate
+    * variables, `time` as the UNLIMITED NC_INT record coordinate (hours
+    * since epoch), each distinct field variable as a record variable on
+    * (time, lat, lon).
+    *
+    * `version`: 1 = CDF-1, 2 = CDF-2 (INT64 `begin`s), 5 = CDF-5 (all
+    * size/offset fields INT64). `payloadType`:
+    *  - [[NcInt]]: raw ints + `decimal_scale` (value = raw / 10^D);
+    *  - [[NcFloat]]: stores scaled/4 as binary32 — DYADIC, so exact; the
+    *    decode is the stored float widened (Field.decimalScale must be 0,
+    *    the scale convention is /4 by construction);
+    *  - [[NcDouble]]: stores scaled/10^D as binary64 (one IEEE divide,
+    *    bit-identical to the oracle's), decode verbatim.
     */
-  def writeFile(path: Path, fields: Seq[Field]): Path = {
+  def writeFile(path: Path, fields: Seq[Field], version: Int = 1,
+                payloadType: Int = NcInt): Path = {
     require(fields.nonEmpty, "no fields to write")
+    require(version == 1 || version == 2 || version == 5,
+      s"CDF version $version unsupported (1 / 2 / 5)")
+    require(payloadType == NcInt || payloadType == NcFloat || payloadType == NcDouble,
+      s"payload type $payloadType unsupported (NC_INT / NC_FLOAT / NC_DOUBLE)")
     val g = fields.head
     fields.foreach { f =>
       require(f.ni == g.ni && f.nj == g.nj && f.la1Micro == g.la1Micro &&
@@ -80,6 +113,12 @@ object Netcdf {
       require(f.scaled.length == f.ni * f.nj, "scaled length must be ni*nj")
       f.scaled.foreach(_.foreach(v => require(v != FillInt,
         s"scaled value $v collides with _FillValue")))
+      if (payloadType == NcFloat) {
+        require(f.decimalScale == 0,
+          "float payloads use the dyadic /4 convention — decimalScale must be 0")
+        f.scaled.foreach(_.foreach(v => require(math.abs(v) < (1 << 22),
+          s"scaled value $v too wide for exact binary32 quarters")))
+      }
     }
     val times = fields.map(_.time).distinct.sorted(Ordering.fromLessThan[LocalDateTime](_ isBefore _))
     val vars = fields.map(_.variable).distinct
@@ -90,53 +129,59 @@ object Netcdf {
     val out = new ArrayBuffer[Byte]()
     def u8(v: Int): Unit = out += v.toByte
     def u32(v: Int): Unit = { u8(v >>> 24); u8((v >>> 16) & 0xff); u8((v >>> 8) & 0xff); u8(v & 0xff) }
-    def u64d(v: Double): Unit = {
-      val b = java.lang.Double.doubleToLongBits(v)
-      for (s <- 56 to 0 by -8) u8(((b >>> s) & 0xff).toInt)
-    }
+    def u64(v: Long): Unit = for (s <- 56 to 0 by -8) u8(((v >>> s) & 0xff).toInt)
+    // size/count fields: INT in CDF-1/2, INT64 in CDF-5
+    def sz(v: Long): Unit = if (version == 5) u64(v) else u32(v.toInt)
+    def u64d(v: Double): Unit = u64(java.lang.Double.doubleToLongBits(v))
+    def f32(v: Float): Unit = u32(java.lang.Float.floatToIntBits(v))
     def name(s: String): Unit = {
       val b = s.getBytes("UTF-8")
-      u32(b.length); b.foreach(out += _)
+      sz(b.length); b.foreach(out += _)
       var p = b.length; while (p % 4 != 0) { u8(0); p += 1 }
     }
     def charAtt(n: String, v: String): Unit = {
       name(n); u32(NcChar)
       val b = v.getBytes("UTF-8")
-      u32(b.length); b.foreach(out += _)
+      sz(b.length); b.foreach(out += _)
       var p = b.length; while (p % 4 != 0) { u8(0); p += 1 }
     }
-    def intAtt(n: String, v: Int): Unit = { name(n); u32(NcInt); u32(1); u32(v) }
+    def intAtt(n: String, v: Int): Unit = { name(n); u32(NcInt); sz(1); u32(v) }
+    def floatAtt(n: String, v: Float): Unit = { name(n); u32(NcFloat); sz(1); f32(v) }
+    def doubleAtt(n: String, v: Double): Unit = { name(n); u32(NcDouble); sz(1); u64d(v) }
 
     val epochHours = times.map(t => java.time.Duration.between(
       LocalDateTime.of(1970, 1, 1, 0, 0), t).toHours.toInt)
 
     // --------------- header
-    out ++= Array[Byte]('C', 'D', 'F', 1)
-    u32(times.length) // numrecs
+    out ++= Array[Byte]('C', 'D', 'F', version.toByte)
+    sz(times.length) // numrecs
     // dim_list: time (record, length 0), lat, lon
-    u32(TagDimension); u32(3)
-    name("time"); u32(0)
-    name("lat"); u32(g.nj)
-    name("lon"); u32(g.ni)
+    u32(TagDimension); sz(3)
+    name("time"); sz(0)
+    name("lat"); sz(g.nj)
+    name("lon"); sz(g.ni)
     // gatt_list
-    u32(TagAttribute); u32(2)
+    u32(TagAttribute); sz(2)
     charAtt("title", "graft gridded analysis")
     charAtt("Conventions", "graft-1")
     // var_list: lat, lon, time, data vars
-    u32(TagVariable); u32(3 + vars.length)
+    u32(TagVariable); sz(3 + vars.length)
     val latSize = 8 * g.nj
     val lonSize = 8 * g.ni
-    val slab = 4 * g.ni * g.nj // per-record NC_INT slab, already 4-aligned
+    val width = if (payloadType == NcDouble) 8 else 4
+    val slab = width * g.ni * g.nj // per-record slab, already 4-aligned
     // header size must be known to place `begin`s; assemble variable
     // entries into a scratch buffer first is avoided by computing sizes
     // closed-form: measure by writing with placeholder begins, then patch
-    val beginPatches = ArrayBuffer[Int]() // positions of 4-byte begin fields
+    val beginW = if (version == 1) 4 else 8
+    val beginPatches = ArrayBuffer[Int]() // positions of begin fields
     def varEntry(vname: String, dimids: Seq[Int], atts: () => Unit, nAtts: Int,
                  tpe: Int, vsize: Int): Unit = {
-      name(vname); u32(dimids.length); dimids.foreach(u32)
-      if (nAtts == 0) { u32(0); u32(0) } else { u32(TagAttribute); u32(nAtts); atts() }
-      u32(tpe); u32(vsize)
-      beginPatches += out.length; u32(0) // begin, patched below
+      name(vname); sz(dimids.length); dimids.foreach(u32) // dimids stay INT
+      if (nAtts == 0) { u32(0); sz(0) } else { u32(TagAttribute); sz(nAtts); atts() }
+      u32(tpe); sz(vsize)
+      beginPatches += out.length
+      if (beginW == 8) u64(0) else u32(0) // begin, patched below
     }
     varEntry("lat", Seq(1), () => charAtt("units", "degrees_north"), 1, NcDouble, latSize)
     varEntry("lon", Seq(2), () => charAtt("units", "degrees_east"), 1, NcDouble, lonSize)
@@ -144,9 +189,14 @@ object Netcdf {
       () => charAtt("units", "hours since 1970-01-01 00:00:00"), 1, NcInt, 4)
     for (v <- vars) varEntry(v, Seq(0, 1, 2), () => {
       charAtt("units", "K")
-      intAtt("decimal_scale", g.decimalScale)
-      intAtt("_FillValue", FillInt)
-    }, 3, NcInt, slab)
+      payloadType match {
+        case NcInt =>
+          intAtt("decimal_scale", g.decimalScale)
+          intAtt("_FillValue", FillInt)
+        case NcFloat => floatAtt("_FillValue", FillFloat)
+        case NcDouble => doubleAtt("_FillValue", FillDouble)
+      }
+    }, if (payloadType == NcInt) 3 else 2, payloadType, slab)
 
     // --------------- patch begins now the header length is known
     val headerLen = out.length
@@ -157,18 +207,26 @@ object Netcdf {
     val begins = Seq(latBegin, lonBegin, recBegin) ++
       vars.indices.map(k => recBegin + 4 + k * slab)
     beginPatches.zip(begins).foreach { case (pos, b) =>
-      out(pos) = (b >>> 24).toByte; out(pos + 1) = ((b >>> 16) & 0xff).toByte
-      out(pos + 2) = ((b >>> 8) & 0xff).toByte; out(pos + 3) = (b & 0xff).toByte
+      val bw = if (beginW == 8) 8 else 4
+      for (k <- 0 until bw)
+        out(pos + k) = ((b.toLong >>> (8 * (bw - 1 - k))) & 0xff).toByte
     }
 
     // --------------- data: fixed section, then interleaved records
     for (j <- 0 until g.nj) u64d((g.la1Micro - j * g.djMicro) / 1e6)
     for (i <- 0 until g.ni) u64d((g.lo1Micro + i * g.diMicro) / 1e6)
+    val denom = math.pow(10, g.decimalScale)
     for ((t, r) <- times.zipWithIndex) {
       u32(epochHours(r))
       for (v <- vars) {
         val f = fields.find(x => x.variable == v && x.time == t).get
-        f.scaled.foreach(c => u32(c.getOrElse(FillInt)))
+        payloadType match {
+          case NcInt => f.scaled.foreach(c => u32(c.getOrElse(FillInt)))
+          case NcFloat =>
+            f.scaled.foreach(c => f32(c.map(_ / 4.0f).getOrElse(FillFloat)))
+          case NcDouble =>
+            f.scaled.foreach(c => u64d(c.map(_ / denom).getOrElse(FillDouble)))
+        }
       }
     }
     require(out.length == recBegin + times.length * recSize, "layout accounting broke")
@@ -182,7 +240,7 @@ object Netcdf {
   final case class Dim(name: String, len: Int)
   final case class Var(name: String, dimids: Seq[Int],
                                atts: Map[String, Any], tpe: Int,
-                               vsize: Int, begin: Int)
+                               vsize: Long, begin: Long)
 
   /** Parsed file: dims, global attributes, variables, raw bytes. */
   final case class NcFile(numrecs: Int, dims: Seq[Dim],
@@ -202,24 +260,45 @@ object Netcdf {
       // fail loudly here, not as a multi-GB allocation (the PNG/J2K
       // dimension-cap discipline — untrusted bytes size nothing)
       require(v.vsize >= 0 && v.begin >= 0 &&
-        v.begin.toLong + v.vsize <= bytes.length,
+        v.begin + v.vsize <= bytes.length,
         s"${v.name}: vsize ${v.vsize} @ begin ${v.begin} exceeds the " +
           s"${bytes.length}-byte file")
-      Array.tabulate(v.vsize / 8)(k => f64(v.begin + 8 * k))
+      Array.tabulate((v.vsize / 8).toInt)(k => f64(v.begin.toInt + 8 * k))
+    }
+    private def slabBase(v: Var, r: Int, recSize: Long): Long = {
+      // Long arithmetic: begin + r*recSize on crafted headers overflows
+      // Int into a silently-wrong (or negative) slab base
+      val base = v.begin + r.toLong * recSize
+      require(v.vsize >= 0 && base >= 0 && base + v.vsize <= bytes.length,
+        s"${v.name}: record $r slab [$base, ${base + v.vsize}) exceeds the " +
+          s"${bytes.length}-byte file")
+      base
     }
     /** Record-variable int slab for record r (CDF record interleaving:
       * `begin + r * recsize`).
       */
-    def intRecord(v: Var, r: Int, recSize: Int): Array[Int] = {
-      require(v.tpe == NcInt, s"${v.name}: expected NC_INT payload " +
-        "(CHAR/SHORT/FLOAT/DOUBLE data variables out of scope)")
-      // Long arithmetic: begin + r*recSize on crafted headers overflows
-      // Int into a silently-wrong (or negative) slab base
-      val base = v.begin.toLong + r.toLong * recSize
-      require(v.vsize >= 0 && base >= 0 && base + v.vsize <= bytes.length,
-        s"${v.name}: record $r slab [$base, ${base + v.vsize}) exceeds the " +
-          s"${bytes.length}-byte file")
-      Array.tabulate(v.vsize / 4)(k => i32(base.toInt + 4 * k))
+    def intRecord(v: Var, r: Int, recSize: Long): Array[Int] = {
+      require(v.tpe == NcInt, s"${v.name}: expected NC_INT payload")
+      val base = slabBase(v, r, recSize)
+      Array.tabulate((v.vsize / 4).toInt)(k => i32(base.toInt + 4 * k))
+    }
+    /** Record slab as doubles for any supported payload type: NC_INT
+      * verbatim ints (the caller applies decimal_scale), NC_FLOAT the
+      * binary32 widened, NC_DOUBLE verbatim.
+      */
+    def numericRecord(v: Var, r: Int, recSize: Long): Array[Double] = {
+      val base = slabBase(v, r, recSize)
+      v.tpe match {
+        case NcInt =>
+          Array.tabulate((v.vsize / 4).toInt)(k => i32(base.toInt + 4 * k).toDouble)
+        case NcFloat =>
+          Array.tabulate((v.vsize / 4).toInt)(k =>
+            java.lang.Float.intBitsToFloat(i32(base.toInt + 4 * k)).toDouble)
+        case NcDouble =>
+          Array.tabulate((v.vsize / 8).toInt)(k => f64(base.toInt + 8 * k))
+        case t => throw new IllegalArgumentException(
+          s"${v.name}: payload type $t out of scope (NC_INT / NC_FLOAT / NC_DOUBLE)")
+      }
     }
   }
 
@@ -228,18 +307,29 @@ object Netcdf {
     def u8(): Int = { val v = bytes(pos) & 0xff; pos += 1; v }
     def i32(): Int = { val v = ((bytes(pos) & 0xff) << 24) | ((bytes(pos + 1) & 0xff) << 16) |
       ((bytes(pos + 2) & 0xff) << 8) | (bytes(pos + 3) & 0xff); pos += 4; v }
+    def i64(): Long = { var v = 0L; for (_ <- 0 until 8) v = (v << 8) | u8(); v }
     require(bytes.length >= 8 && bytes(0) == 'C' && bytes(1) == 'D' && bytes(2) == 'F',
       s"not a NetCDF classic file: $label")
     val version = bytes(3) & 0xff
-    require(version == 1,
-      s"CDF version $version in $label out of scope — only classic CDF-1 " +
-        "(32-bit offsets) is implemented; CDF-2 (64-bit offset) and CDF-5 " +
-        "widen the offset/size fields")
+    require(version == 1 || version == 2 || version == 5,
+      s"CDF version $version in $label out of scope — classic CDF-1, " +
+        "64-bit-offset CDF-2 and CDF-5 are implemented; HDF5-based " +
+        "netCDF-4 is a different container")
+    // size/count fields widen to INT64 in CDF-5; `begin` offsets widen
+    // to INT64 in CDF-2 AND CDF-5 (that is CDF-2's entire delta)
+    def szVal(): Long = if (version == 5) i64() else i32().toLong
+    def szInt(): Int = {
+      val v = szVal()
+      require(v >= 0 && v <= Int.MaxValue, s"size field $v out of range in $label")
+      v.toInt
+    }
+    def beginVal(): Long = if (version == 1) i32().toLong else i64()
     pos = 4
-    val numrecs = i32()
-    require(numrecs >= 0, s"STREAMING numrecs in $label out of scope")
+    val numrecs = szVal()
+    require(numrecs >= 0 && numrecs <= Int.MaxValue,
+      s"STREAMING/oversized numrecs $numrecs in $label out of scope")
     def nameStr(): String = {
-      val n = i32()
+      val n = szInt()
       require(n >= 0 && n <= bytes.length - pos,
         s"name length $n exceeds remaining bytes in $label")
       val s = new String(bytes, pos, n, "UTF-8")
@@ -276,32 +366,32 @@ object Netcdf {
       }
     }
     def attList(): Map[String, Any] = {
-      val tag = i32(); val n = i32()
+      val tag = i32(); val n = szInt()
       require((tag == TagAttribute && n >= 0 && n <= bytes.length) ||
         (tag == 0 && n == 0), s"bad att_list tag $tag in $label")
       (0 until n).map { _ =>
-        val nm = nameStr(); val tpe = i32(); val cnt = i32()
+        val nm = nameStr(); val tpe = i32(); val cnt = szInt()
         val v = typedValues(tpe, cnt)
         nm -> (v match { case s: Seq[_] if s.length == 1 => s.head; case x => x })
       }.toMap
     }
-    val dimTag = i32(); val nDims = i32()
+    val dimTag = i32(); val nDims = szInt()
     require((dimTag == TagDimension && nDims >= 0 && nDims <= bytes.length) ||
       (dimTag == 0 && nDims == 0), s"bad dim_list tag $dimTag in $label")
-    val dims = (0 until nDims).map(_ => Dim(nameStr(), i32()))
+    val dims = (0 until nDims).map(_ => Dim(nameStr(), szInt()))
     val gatts = attList()
-    val varTag = i32(); val nVars = i32()
+    val varTag = i32(); val nVars = szInt()
     require((varTag == TagVariable && nVars >= 0 && nVars <= bytes.length) ||
       (varTag == 0 && nVars == 0), s"bad var_list tag $varTag in $label")
     val vars = (0 until nVars).map { _ =>
       val nm = nameStr()
-      val nd = i32()
+      val nd = szInt()
       val dimids = Seq.fill(nd)(i32())
       val atts = attList()
-      val tpe = i32(); val vsize = i32(); val begin = i32()
+      val tpe = i32(); val vsize = szVal(); val begin = beginVal()
       Var(nm, dimids, atts, tpe, vsize, begin)
     }
-    NcFile(numrecs, dims, gatts, vars, bytes)
+    NcFile(numrecs.toInt, dims, gatts, vars, bytes)
   }
 
   /** Flatten every data variable of one file into present-cell rows.
@@ -321,12 +411,23 @@ object Netcdf {
     val dataVars = recVars.filter(v => v.name != "time" && v.dimids.length == 3)
     dataVars.iterator.flatMap { v =>
       val d = (v.atts.getOrElse("decimal_scale", 0): @unchecked) match { case i: Int => i }
-      val fill = v.atts.get("_FillValue") match { case Some(i: Int) => i; case _ => FillInt }
-      val denom = math.pow(10, d)
+      // denom applies to NC_INT payloads only; float/double store the
+      // final value directly (the writer pre-divides)
+      val denom = if (v.tpe == NcInt) math.pow(10, d) else 1.0
+      val fill: Double = v.atts.get("_FillValue") match {
+        case Some(i: Int) => i.toDouble
+        case Some(f: Float) => f.toDouble
+        case Some(dd: Double) => dd
+        case _ => v.tpe match {
+          case NcFloat => FillFloat.toDouble
+          case NcDouble => FillDouble
+          case _ => FillInt.toDouble
+        }
+      }
       (0 until nc.numrecs).iterator.flatMap { r =>
         val epochH = nc.intRecord(timeVar, r, recSize)(0)
         val t = LocalDateTime.of(1970, 1, 1, 0, 0).plusHours(epochH)
-        val slab = nc.intRecord(v, r, recSize)
+        val slab = nc.numericRecord(v, r, recSize)
         val nj = lat.length; val ni = lon.length
         require(slab.length == ni * nj, s"${v.name}: slab/grid mismatch in $label")
         Iterator.tabulate(nj * ni) { k =>

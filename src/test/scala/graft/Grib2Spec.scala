@@ -276,6 +276,77 @@ class Grib2Spec extends SparkSpec {
       write(small(41, masked = true))
   }
 
+  test("product template 4.8: octet pins, stat state per record, 4.0 interleave") {
+    val acc = field(cat = 1, num = 8).copy(statProcess = 1, intervalHours = 24)
+    val bytes = Grib2.encodeMessage(acc)
+    // walk to section 4 and pin the statistical octets against the spec
+    var pos = 16
+    def u(i: Int) = bytes(i) & 0xff
+    def u16(i: Int) = (u(i) << 8) | u(i + 1)
+    def u32(i: Int) = (u16(i).toLong << 16) | u16(i + 2)
+    while (u(pos + 4) != 4) pos += u32(pos).toInt
+    u32(pos) shouldBe 58L                 // 4.8 with one range spec = 58 octets
+    u16(pos + 7) shouldBe 8               // product definition template 4.8
+    u16(pos + 34) shouldBe 2003           // end-of-interval year (octets 35-36)
+    (u(pos + 36), u(pos + 37)) shouldBe ((6, 16))  // month, day: +24 h
+    u(pos + 38) shouldBe 12               // hour
+    u(pos + 41) shouldBe 1                // one time-range specification
+    u(pos + 46) shouldBe 1                // stat process 1 = accumulation
+    u(pos + 48) shouldBe 1                // range unit = hour
+    u32(pos + 49) shouldBe 24L            // range length
+    // decode: stat columns per record; a 4.0 record in the same stream
+    // stays instantaneous
+    val recs = Grib2.parseMessages(write(acc, field(cat = 2, num = 2)))
+    recs should have length 2
+    recs(0).statProcess shouldBe 1
+    recs(0).intervalEnd shouldBe LocalDateTime.of(2003, 6, 16, 12, 0)
+    recs(0).rangeHours shouldBe 24
+    recs(0).variable shouldBe "APCP"
+    recs(0).time shouldBe LocalDateTime.of(2003, 6, 15, 12, 0) // interval start
+    recs(1).statProcess shouldBe -1
+    recs(1).intervalEnd shouldBe null
+    // values decode identically to the 4.0 twin (PDT is metadata-only)
+    recs(0).values shouldBe recs(1).values
+  }
+
+  test("grid template 3.40: Gaussian abscissas computed, not tabled; round-trip") {
+    // N32 first row vs ECMWF's published value (87.8638 deg)
+    val n32 = Grib2.gaussianLatitudesMicro(64)
+    n32(0) shouldBe 87863799L +- 1L
+    // full N8 set vs an independent Gauss-Legendre computation (numpy
+    // leggauss, microdegree-rounded) — symmetric by construction
+    val n8 = Grib2.gaussianLatitudesMicro(16)
+    n8 shouldBe Array(81650591L, 70834640L, 59954859L, 49060719L,
+      38161212L, 27259208L, 16355933L, 5452040L, -5452040L, -16355933L,
+      -27259208L, -38161212L, -49060719L, -59954859L, -70834640L, -81650591L)
+    // writer emits 3.40 with N in octets 68-71 and the outermost rows as
+    // corners; the decoder recomputes and agrees
+    val f = Grib2.Field(0, 0, 0, LocalDateTime.of(2003, 6, 15, 12, 0),
+      ni = 6, nj = 16, la1Micro = 0L, lo1Micro = 0L,
+      diMicro = 60000000L, djMicro = 0L, decimalScale = 1,
+      Array.tabulate(96)(k => Some(k % 50)), gaussianN = 8)
+    val bytes = Grib2.encodeMessage(f)
+    var pos = 16
+    def u(i: Int) = bytes(i) & 0xff
+    def u16(i: Int) = (u(i) << 8) | u(i + 1)
+    def u32(i: Int) = (u16(i).toLong << 16) | u16(i + 2)
+    while (u(pos + 4) != 3) pos += u32(pos).toInt
+    u16(pos + 12) shouldBe 40             // grid definition template 3.40
+    u32(pos + 67) shouldBe 8L             // N, where 3.0 carries Dj
+    u32(pos + 46) shouldBe 81650591L      // la1 = northernmost Gaussian row
+    val recs = Grib2.parseMessages(bytes)
+    recs.head.latsMicro shouldBe n8
+    val lats = Grib2.cells(recs.head).map(_.lat).toSeq.distinct
+    lats shouldBe n8.map(_ / 1e6).toSeq
+    // degenerate scope: nj != 2N rejects loudly
+    val bad = java.util.Arrays.copyOf(bytes, bytes.length)
+    an[Exception] should be thrownBy {
+      // patch N to 7 (octets 68-71 of section 3) and re-parse
+      bad(pos + 70) = 7.toByte
+      Grib2.parseMessages(bad)
+    }
+  }
+
   test("readRecords: -match regex and -limit record selection, distributed") {
     val dir = java.nio.file.Files.createTempDirectory("grib2spec")
     val p = Grib2.writeFile(dir.resolve("t.grib2"),
