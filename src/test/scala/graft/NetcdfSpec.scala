@@ -71,9 +71,10 @@ class NetcdfSpec extends SparkSpec {
       field("TMP", t0, 0), field("VGRD", t0, 40),
       field("TMP", t1, 1), field("VGRD", t1, 41)))
     val nc = Netcdf.parse(bytes)
-    def i32(p: Int): Int = ((bytes(p) & 0xff) << 24) | ((bytes(p + 1) & 0xff) << 16) |
-      ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
-    def f64(p: Int): Double = {
+    def i32(p0: Long): Int = { val p = p0.toInt
+      ((bytes(p) & 0xff) << 24) | ((bytes(p + 1) & 0xff) << 16) |
+        ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff) }
+    def f64(p0: Long): Double = { val p = p0.toInt
       var b = 0L; for (k <- 0 until 8) b = (b << 8) | (bytes(p + k) & 0xffL)
       java.lang.Double.longBitsToDouble(b)
     }
@@ -99,14 +100,59 @@ class NetcdfSpec extends SparkSpec {
     // TMP cell (i=2, j=1) of record 1: begin + recSize + 4*(1*5+2)
     i32(tmp.begin + recSize + 4 * 7) shouldBe 100 + 7 * 2 + 11 * 1 + 1
     // file length accounts for exactly two records
-    bytes.length shouldBe time.begin + 2 * recSize
+    bytes.length.toLong shouldBe time.begin + 2 * recSize
   }
 
-  test("scope rejects loudly: CDF-2 magic, streaming numrecs, bad value collision") {
+  test("CDF-2: begins widen to INT64 on the wire, decode matches CDF-1 twin") {
+    val p = java.nio.file.Files.createTempFile("graft-nc2", ".nc")
+    val fields = Seq(field("TMP", t0, 0), field("TMP", t1, 13))
+    Netcdf.writeFile(p, fields, version = 2)
+    val bytes = java.nio.file.Files.readAllBytes(p)
+    java.nio.file.Files.delete(p)
+    bytes(3) shouldBe 2
+    val nc = Netcdf.parse(bytes)
+    // the v1 twin's begins sit 4 bytes earlier per preceding var entry:
+    // CDF-2's only delta is the 8-byte begin field
+    val v1 = Netcdf.parse(write(fields))
+    nc.vars.map(_.name) shouldBe v1.vars.map(_.name)
+    nc.vars.zip(v1.vars).foreach { case (a, b) =>
+      (a.begin - b.begin) shouldBe 4L * nc.vars.size } // 4 extra bytes x nvars in header
+    Netcdf.records(bytes).toSet shouldBe Netcdf.records(write(fields)).toSet
+  }
+
+  test("CDF-5 double and CDF-2 float payloads round-trip exactly") {
+    def bytesFor(version: Int, payload: Int): Array[Byte] = {
+      val p = java.nio.file.Files.createTempFile("graft-nc5", ".nc")
+      val mk =
+        if (payload == Netcdf.NcFloat)
+          Seq(field("TMP", t0, 0).copy(decimalScale = 0),
+            field("TMP", t1, 13).copy(decimalScale = 0))
+        else Seq(field("TMP", t0, 0), field("TMP", t1, 13))
+      Netcdf.writeFile(p, mk, version = version, payloadType = payload)
+      val b = java.nio.file.Files.readAllBytes(p)
+      java.nio.file.Files.delete(p); b
+    }
+    val v5 = bytesFor(5, Netcdf.NcDouble)
+    v5(3) shouldBe 5
+    val rows5 = Netcdf.records(v5).toSeq
+    rows5.size shouldBe 30
+    // NcDouble stores scaled/10^D via one IEEE divide — exact vs the spec's
+    rows5.map(r => r.variable -> (r.lat, r.lon, r.value)).toSet shouldBe
+      Netcdf.records(write(Seq(field("TMP", t0, 0), field("TMP", t1, 13))))
+        .map(r => r.variable -> (r.lat, r.lon, r.value)).toSet
+    val v2f = bytesFor(2, Netcdf.NcFloat)
+    val rowsF = Netcdf.records(v2f).toSeq
+    rowsF.size shouldBe 30
+    // float convention: stored = scaled/4 (dyadic, exact in binary32)
+    rowsF.find(r => r.time == t0 && r.lat == 40.0 && r.lon == -10.0)
+      .get.value shouldBe 100.0 / 4.0
+  }
+
+  test("scope rejects loudly: netCDF-4 magic, streaming numrecs, bad value collision") {
     val ok = write(Seq(field("TMP", t0, 0)))
-    val v2 = ok.clone(); v2(3) = 2
+    val v2 = ok.clone(); v2(3) = 4
     val e = intercept[IllegalArgumentException](Netcdf.parse(v2))
-    e.getMessage should include("CDF-1")
+    e.getMessage should include("out of scope")
     val stream = ok.clone()
     for (k <- 4 to 7) stream(k) = 0xff.toByte
     val e2 = intercept[IllegalArgumentException](Netcdf.parse(stream))
