@@ -503,6 +503,32 @@ object SparkEntry {
       fields, chunkJ = 5, chunkI = 8).toString
   }
 
+  /** r46 fixture: the same store shape compressed with blosc(lz4) — the
+    * numcodecs DEFAULT stack, i.e. what a third-party Zarr store looks
+    * like unless its writer opted out. Byte-shuffled typesize-4 frames,
+    * per-block LZ4 streams; distinct constants from r28 so a cross-wired
+    * fixture cannot pass both gates.
+    */
+  private lazy val zarrBloscFixturePath: String = {
+    import java.time.LocalDateTime
+    val params = Seq("TMP", "PRATE", "VGRD")
+    val times = Seq(LocalDateTime.of(2005, 5, 12, 0, 0),
+      LocalDateTime.of(2005, 6, 12, 12, 0))
+    val fields = for {
+      (t, m) <- times.zipWithIndex
+      (v, pidx) <- params.zipWithIndex
+    } yield sources.Zarr.Field(v, t, g3Ni, g3Nj, g3La1, g3Lo1, g3Di, g3Dj,
+      decimalScale = 1,
+      Array.tabulate(g3Nj * g3Ni) { k =>
+        val j = k / g3Ni; val i = k % g3Ni
+        if (pidx == 1 && (i + j * 3 + m) % 10 == 4) None
+        else Some((i * 13 + j * 7 + pidx * 29 + m * 23) % 400 + pidx * 600)
+      })
+    sources.Zarr.writeStore(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft-zarr", "fixb.zarr"),
+      fields, chunkJ = 5, chunkI = 8, compressor = "blosc-lz4").toString
+  }
+
   private lazy val grib2ComplexFixturePath: String = {
     import java.time.LocalDateTime
     // (pidx, category, number, masked, template): TMP complex+spatial-diff
@@ -1884,6 +1910,12 @@ object SparkEntry {
     // both axes exercise the full-size-padding rule
     "r28_zarr_scan" -> ((s, _) =>
       sources.Zarr.readRecords(s, zarrFixturePath, matchRe = "TMP|PRATE")
+        .orderBy($"variable", $"time", $"lat", $"lon")),
+    // blosc(lz4) chunks — the numcodecs default compressor, so most
+    // third-party v2 stores need exactly this path to open; byte-shuffled
+    // split-stream frames decode through the from-scratch BloscLz4 codec
+    "r46_zarr_blosc" -> ((s, _) =>
+      sources.Zarr.readRecords(s, zarrBloscFixturePath, matchRe = "TMP|PRATE")
         .orderBy($"variable", $"time", $"lat", $"lon")),
     // the DataSource V2 face of the GRIB2 reader: spark.read
     // .format("grib2") with variable = 'TMP' PUSHED to the reader —
@@ -5577,6 +5609,21 @@ object SparkEntry {
                 ((i * 5 + j * 11 + pidx * 31 + m * 19) % 300 + pidx * 500) / 10.0 AS value
          FROM p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
          WHERE NOT (pidx = 1 AND (i * 2 + j + m) % 11 = 3)
+         ORDER BY variable, time, lat, lon""",
+    // the blosc-lz4 twin: compression must be invisible in the flattened
+    // result — same plain-grid oracle shape, r46's own constants
+    "r46_zarr_blosc" ->
+      s"""WITH p(pidx, variable) AS (VALUES (0, 'TMP'), (1, 'PRATE')),
+         t(t, m) AS (VALUES (TIMESTAMP '2005-05-12 00:00:00', 0),
+                            (TIMESTAMP '2005-06-12 12:00:00', 1)),
+         ii AS (SELECT unnest(generate_series(0, ${g3Ni - 1})) AS i),
+         jj AS (SELECT unnest(generate_series(0, ${g3Nj - 1})) AS j)
+         SELECT variable, t AS time,
+                ($g3La1 - j * $g3Dj) / 1000000.0 AS lat,
+                (($g3Lo1) + i * $g3Di) / 1000000.0 AS lon,
+                ((i * 13 + j * 7 + pidx * 29 + m * 23) % 400 + pidx * 600) / 10.0 AS value
+         FROM p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
+         WHERE NOT (pidx = 1 AND (i + j * 3 + m) % 10 = 4)
          ORDER BY variable, time, lat, lon""",
     "r16_grib2_jpeg2000" ->
       s"""WITH p(pidx, variable) AS (VALUES (0, 'TMP'), (1, 'PRATE')),

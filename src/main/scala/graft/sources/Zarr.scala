@@ -20,7 +20,9 @@ import org.json4s.jackson.JsonMethods
   *  - chunk files keyed `"t.j.i"` (C-order, `.` separator), every chunk
   *    FULL-SIZE — edge chunks are padded to the chunk shape and the
   *    out-of-bounds tail ignored on read (the spec's edge rule);
-  *  - `zlib` compressor via `java.util.zip` (or `null` = raw), `<i4`/
+  *  - compressors: `null` (raw), `zlib` via `java.util.zip`, and
+  *    `blosc(cname=lz4)` — the numcodecs DEFAULT stack, so third-party
+  *    stores open — via the from-scratch [[BloscLz4]] codec; `<i4`/
   *    `>i4` integer payloads both endiannesses, `<f8`/`>f8` coordinates;
   *  - CF-flavoured presentation shared with [[Netcdf]]: `fill_value`
   *    cells drop from the scan, `decimal_scale` in `.zattrs` presents
@@ -34,7 +36,8 @@ import org.json4s.jackson.JsonMethods
   *
   * Out-of-scope forms reject loudly with a pointer: zarr v3, `order:"F"`,
   * non-`.` dimension separators, filters, compressors other than
-  * null/zlib, non-integer data dtypes.
+  * null/zlib/blosc-lz4 (blosclz/snappy/zstd cnames reject), non-integer
+  * data dtypes.
   */
 object Zarr {
 
@@ -51,9 +54,12 @@ object Zarr {
   final case class GridRow(variable: String, time: LocalDateTime,
                            lat: Double, lon: Double, value: Double)
 
-  /** Parsed `.zarray` (+ `decimal_scale` from `.zattrs`). */
+  /** Parsed `.zarray` (+ `decimal_scale` from `.zattrs`). `comp` is one
+    * of `"null"` (raw), `"zlib"`, `"blosc-lz4"` (the numcodecs default
+    * stack, decoded by [[BloscLz4]]).
+    */
   final case class ArrayMeta(shape: Seq[Int], chunks: Seq[Int],
-                             dtype: String, zlib: Boolean,
+                             dtype: String, comp: String,
                              fillValue: Option[Int], decimalScale: Int) {
     def chunkGrid: Seq[Int] = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
   }
@@ -97,8 +103,15 @@ object Zarr {
   }
 
   private def zarrayJson(shape: Seq[Int], chunks: Seq[Int], dtype: String,
-                         zlib: Boolean, level: Int, fill: Option[Int]): String = {
-    val comp = if (zlib) s"""{"id":"zlib","level":$level}""" else "null"
+                         compressor: String, level: Int, fill: Option[Int]): String = {
+    val comp = compressor match {
+      case "zlib" => s"""{"id":"zlib","level":$level}"""
+      case "blosc-lz4" =>
+        // numcodecs Blosc codec JSON: shuffle 1 = byte-shuffle
+        s"""{"id":"blosc","cname":"lz4","clevel":$level,"shuffle":1,"blocksize":0}"""
+      case "null" => "null"
+      case other => sys.error(s"zarr writer: compressor '$other' unsupported")
+    }
     s"""{"zarr_format":2,"shape":[${shape.mkString(",")}],""" +
       s""""chunks":[${chunks.mkString(",")}],"dtype":"$dtype",""" +
       s""""compressor":$comp,"fill_value":${fill.map(_.toString).getOrElse("null")},""" +
@@ -107,11 +120,14 @@ object Zarr {
 
   /** Write a v2 group store: `lat`/`lon`/`time` as uncompressed
     * little-endian coordinate arrays, each data variable as a
-    * `(time, lat, lon)`-shaped `<i4` array chunked `[1, chunkJ, chunkI]`
-    * with zlib chunks; edge chunks padded with `fill_value` per spec.
+    * `(time, lat, lon)`-shaped `<i4` array chunked `[1, chunkJ, chunkI]`;
+    * edge chunks padded with `fill_value` per spec. `compressor`:
+    * `"zlib"`, `"blosc-lz4"` (byte-shuffled, the numcodecs default
+    * shape) or `"null"`.
     */
   def writeStore(root: Path, fields: Seq[Field],
-                 chunkJ: Int, chunkI: Int, level: Int = 6): Path = {
+                 chunkJ: Int, chunkI: Int, level: Int = 6,
+                 compressor: String = "zlib"): Path = {
     require(fields.nonEmpty, "no fields to write")
     val g = fields.head
     fields.foreach { f =>
@@ -140,7 +156,7 @@ object Zarr {
 
     def coord1d(name: String, doubles: Array[Double]): Unit = {
       put(s"$name/.zarray", zarrayJson(Seq(doubles.length), Seq(doubles.length),
-        "<f8", zlib = false, level, None).getBytes("UTF-8"))
+        "<f8", "null", level, None).getBytes("UTF-8"))
       put(s"$name/0", doubles.flatMap(leDouble))
     }
     coord1d("lat", Array.tabulate(g.nj)(j => (g.la1Micro - j * g.djMicro) / 1e6))
@@ -148,14 +164,14 @@ object Zarr {
     val epochHours = times.map(t => java.time.Duration.between(
       LocalDateTime.of(1970, 1, 1, 0, 0), t).toHours.toInt).toArray
     put("time/.zarray", zarrayJson(Seq(times.length), Seq(times.length),
-      "<i4", zlib = false, level, None).getBytes("UTF-8"))
+      "<i4", "null", level, None).getBytes("UTF-8"))
     put("time/0", epochHours.flatMap(leInt))
 
     val cgJ = (g.nj + chunkJ - 1) / chunkJ
     val cgI = (g.ni + chunkI - 1) / chunkI
     for (v <- vars) {
       put(s"$v/.zarray", zarrayJson(Seq(times.length, g.nj, g.ni),
-        Seq(1, chunkJ, chunkI), "<i4", zlib = true, level,
+        Seq(1, chunkJ, chunkI), "<i4", compressor, level,
         Some(FillInt)).getBytes("UTF-8"))
       put(s"$v/.zattrs",
         s"""{"decimal_scale":${g.decimalScale},"units":"K"}""".getBytes("UTF-8"))
@@ -173,7 +189,11 @@ object Zarr {
             raw(p) = b(0); raw(p + 1) = b(1); raw(p + 2) = b(2); raw(p + 3) = b(3)
             p += 4
           }
-          put(s"$v/$r.$cj.$ci", zlibDeflate(raw, level))
+          put(s"$v/$r.$cj.$ci", compressor match {
+            case "zlib" => zlibDeflate(raw, level)
+            case "blosc-lz4" => BloscLz4.compress(raw, typesize = 4)
+            case _ => raw
+          })
         }
       }
     }
@@ -200,13 +220,24 @@ object Zarr {
         s"zarr: $label dimension_separator '$s' out of scope — only '.' keys")
       case _ => ()
     }
-    val zlib = (j \ "compressor") match {
-      case JNull | JNothing => false
+    val comp = (j \ "compressor") match {
+      case JNull | JNothing => "null"
       case c =>
-        val id = (c \ "id").extract[String]
-        require(id == "zlib", s"zarr: $label compressor '$id' out of scope — " +
-          "only null/zlib (blosc needs the c-blosc container)")
-        true
+        (c \ "id").extract[String] match {
+          case "zlib" => "zlib"
+          case "blosc" =>
+            val cname = (c \ "cname") match {
+              case JString(s) => s
+              case _ => "blosclz" // c-blosc's default when unspecified
+            }
+            require(cname == "lz4" || cname == "lz4hc", // shared block format
+              s"zarr: $label blosc cname '$cname' out of scope — " +
+                "lz4/lz4hc decode; blosclz/snappy/zstd reject here")
+            "blosc-lz4"
+          case id => throw new IllegalArgumentException(
+            s"zarr: $label compressor '$id' out of scope — " +
+              "null/zlib/blosc(lz4) are implemented")
+        }
     }
     val dtype = (j \ "dtype").extract[String]
     require(Set("<i4", ">i4", "<f8", ">f8").contains(dtype),
@@ -235,14 +266,22 @@ object Zarr {
     require(chunks.product <= (BigInt(1) << 26),
       s"zarr: $label chunk cell count ${chunks.product} exceeds the 2^26 cap")
     ArrayMeta(shape.map(_.toInt), chunks.map(_.toInt),
-      dtype, zlib, fill, scale)
+      dtype, comp, fill, scale)
+  }
+
+  private def inflate(bytes: Array[Byte], meta: ArrayMeta, expect: Int,
+                      label: String): Array[Byte] = meta.comp match {
+    case "zlib" => zlibInflate(bytes, expect, label)
+    case "blosc-lz4" => BloscLz4.decompress(bytes, expect, label)
+    case _ =>
+      require(bytes.length == expect,
+        s"zarr: raw chunk in $label is ${bytes.length} bytes, expected $expect")
+      bytes
   }
 
   private def decodeInts(bytes: Array[Byte], meta: ArrayMeta, n: Int,
                          label: String): Array[Int] = {
-    val raw = if (meta.zlib) zlibInflate(bytes, n * 4, label)
-    else { require(bytes.length == n * 4,
-      s"zarr: raw chunk in $label is ${bytes.length} bytes, expected ${n * 4}"); bytes }
+    val raw = inflate(bytes, meta, n * 4, label)
     val little = meta.dtype.startsWith("<")
     Array.tabulate(n) { k =>
       val p = 4 * k
@@ -257,9 +296,7 @@ object Zarr {
 
   private def decodeDoubles(bytes: Array[Byte], meta: ArrayMeta, n: Int,
                             label: String): Array[Double] = {
-    val raw = if (meta.zlib) zlibInflate(bytes, n * 8, label)
-    else { require(bytes.length == n * 8,
-      s"zarr: raw chunk in $label is ${bytes.length} bytes, expected ${n * 8}"); bytes }
+    val raw = inflate(bytes, meta, n * 8, label)
     val little = meta.dtype.startsWith("<")
     Array.tabulate(n) { k =>
       var b = 0L

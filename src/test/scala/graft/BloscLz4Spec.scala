@@ -1,0 +1,136 @@
+package graft
+
+import graft.sources.{BloscLz4, Zarr}
+
+/** Blosc-1 container + LZ4 block codec: round-trips over adversarial
+  * payload shapes, wire pins on the 16-byte header and bstarts walk,
+  * shuffle transpose inverse, and loud rejects. The encoder and decoder
+  * are independent walks of the public formats; the hand-built frame in
+  * the wire-pin test keeps a matched encode/decode bug from hiding.
+  */
+class BloscLz4Spec extends SparkSpec {
+
+  private def payload(n: Int, seed: Int): Array[Byte] = {
+    val r = new scala.util.Random(seed)
+    Array.tabulate(n) { k =>
+      // mix of runs (RLE → overlapping matches), periodic structure
+      // (long-distance matches), and noise (incompressible stretches)
+      if (k % 977 < 300) 7.toByte
+      else if (k % 977 < 700) ((k % 53) + 1).toByte
+      else r.nextInt(256).toByte
+    }
+  }
+
+  test("lz4 block round-trips runs, periodic data, noise, and tiny inputs") {
+    for (n <- Seq(0, 1, 4, 11, 12, 13, 64, 255, 256, 4096, 70000);
+         seed <- Seq(1, 2)) {
+      val raw = payload(n, seed)
+      val comp = BloscLz4.lz4Compress(raw)
+      BloscLz4.lz4Decompress(comp, 0, comp.length, n, "t") shouldBe raw
+    }
+  }
+
+  test("lz4 overlapping-match (RLE) self-feeds; long runs compress hard") {
+    val raw = Array.fill[Byte](100000)(42)
+    val comp = BloscLz4.lz4Compress(raw)
+    comp.length should be < 500 // 255-run extensions carry the length
+    BloscLz4.lz4Decompress(comp, 0, comp.length, raw.length, "t") shouldBe raw
+  }
+
+  test("byte-shuffle transposes the aligned prefix and is its own inverse") {
+    val raw = Array.tabulate[Byte](4 * 5 + 3)(k => k.toByte) // unaligned tail of 3
+    val sh = BloscLz4.shuffle(raw, 4)
+    // plane j holds byte j of each element: element e byte 0 at sh[e]
+    sh.take(5) shouldBe Array[Byte](0, 4, 8, 12, 16)
+    sh.slice(5, 10) shouldBe Array[Byte](1, 5, 9, 13, 17)
+    sh.takeRight(3) shouldBe raw.takeRight(3) // tail rides untransposed
+    BloscLz4.unshuffle(sh, 4) shouldBe raw
+  }
+
+  test("frame round-trips: shuffled multi-block i4, typesize 1, big buffers") {
+    // ints with structure so shuffle pays (high bytes constant)
+    val ints = Array.tabulate(40000)(k => (k % 911) + ((k / 911) % 7) * 100000)
+    val raw = ints.flatMap(v => Array((v & 0xff).toByte, ((v >>> 8) & 0xff).toByte,
+      ((v >>> 16) & 0xff).toByte, (v >>> 24).toByte))
+    for (block <- Seq(512, 4096, 1 << 14, 1 << 20)) { // multi-block and single
+      val frame = BloscLz4.compress(raw, typesize = 4, blocksizeReq = block)
+      frame.length should be < raw.length
+      BloscLz4.decompress(frame, raw.length, "t") shouldBe raw
+    }
+    val bytes = payload(10000, 3)
+    val f1 = BloscLz4.compress(bytes, typesize = 1, blocksizeReq = 2048)
+    BloscLz4.decompress(f1, bytes.length, "t") shouldBe bytes
+  }
+
+  test("incompressible data falls back to a memcpy frame, still decodes") {
+    val r = new scala.util.Random(9)
+    val raw = Array.fill[Byte](5000)(r.nextInt(256).toByte)
+    val frame = BloscLz4.compress(raw, typesize = 4)
+    frame.length shouldBe raw.length + 16
+    (frame(2) & 0x2) shouldBe 0x2 // memcpy flag
+    BloscLz4.decompress(frame, raw.length, "t") shouldBe raw
+  }
+
+  test("wire pins: header fields, bstarts point at length-prefixed streams") {
+    val ints = Array.tabulate(2048)(k => k % 257)
+    val raw = ints.flatMap(v => Array((v & 0xff).toByte, ((v >>> 8) & 0xff).toByte,
+      ((v >>> 16) & 0xff).toByte, (v >>> 24).toByte)) // 8192 bytes
+    val frame = BloscLz4.compress(raw, typesize = 4, blocksizeReq = 4096)
+    def le(p: Int): Int = (frame(p) & 0xff) | ((frame(p + 1) & 0xff) << 8) |
+      ((frame(p + 2) & 0xff) << 16) | ((frame(p + 3) & 0xff) << 24)
+    frame(0) shouldBe 2 // container version
+    (frame(2) & 0x1) shouldBe 0x1 // byte-shuffle on for typesize 4
+    (frame(2) >>> 5) shouldBe 1 // compressor code LZ4
+    frame(3) shouldBe 4 // typesize
+    le(4) shouldBe 8192 // nbytes
+    le(8) shouldBe 4096 // blocksize
+    le(12) shouldBe frame.length // cbytes spans the whole frame
+    // two blocks → two bstarts after the header; first points just past them
+    le(16) shouldBe 16 + 8
+    val b1 = le(20)
+    (b1 > le(16)) shouldBe true
+    // each full block splits into typesize=4 streams of 1024 shuffled
+    // bytes; walk block 0's four length-prefixed streams to block 1
+    var sp = le(16)
+    for (_ <- 0 until 4) { val cs = le(sp); (cs > 0 && cs <= 1024) shouldBe true; sp += 4 + cs }
+    sp shouldBe b1
+  }
+
+  test("loud rejects: bit-shuffle, foreign compcode, size lies, truncation") {
+    val raw = Array.tabulate[Byte](4096)(k => (k % 31).toByte)
+    val frame = BloscLz4.compress(raw, typesize = 4)
+    def mut(f: Array[Byte] => Unit): IllegalArgumentException = {
+      val c = frame.clone(); f(c)
+      intercept[IllegalArgumentException](BloscLz4.decompress(c, raw.length, "t"))
+    }
+    mut(c => c(2) = (c(2) | 0x4).toByte).getMessage should include("bit-shuffle")
+    mut(c => c(2) = ((c(2) & 0x1f) | (4 << 5)).toByte) // zstd code
+      .getMessage should include("out of scope")
+    mut(c => c(4) = (c(4) ^ 1).toByte).getMessage should include("expects")
+    intercept[IllegalArgumentException](
+      BloscLz4.decompress(frame.take(frame.length - 3), raw.length, "t"))
+    intercept[IllegalArgumentException](
+      BloscLz4.decompress(frame.take(10), raw.length, "t"))
+  }
+
+  test("zarr store with blosc-lz4 chunks scans identically to its zlib twin") {
+    import java.time.LocalDateTime
+    val t0 = LocalDateTime.of(2004, 9, 10, 6, 0)
+    def fields = Seq(
+      Zarr.Field("TMP", t0, 29, 13, 40000000L, -10000000L, 2000000L, 1500000L, 1,
+        Array.tabulate(29 * 13)(k => if (k % 11 == 3) None else Some(k * 7 % 500))))
+    val rootA = java.nio.file.Files.createTempDirectory("graft-zb")
+    val rootB = java.nio.file.Files.createTempDirectory("graft-zz")
+    Zarr.writeStore(rootA.resolve("s.zarr"), fields, 5, 8, compressor = "blosc-lz4")
+    Zarr.writeStore(rootB.resolve("s.zarr"), fields, 5, 8, compressor = "zlib")
+    val a = Zarr.readRecords(spark, rootA.resolve("s.zarr").toString).collect()
+    val b = Zarr.readRecords(spark, rootB.resolve("s.zarr").toString).collect()
+    a.toSet shouldBe b.toSet
+    a.length shouldBe (29 * 13 - fields.head.scaled.count(_.isEmpty))
+    // the .zarray advertises the numcodecs blosc codec shape
+    val za = new String(java.nio.file.Files.readAllBytes(
+      rootA.resolve("s.zarr/TMP/.zarray")), "UTF-8")
+    za should include(""""id":"blosc"""")
+    za should include(""""cname":"lz4"""")
+  }
+}

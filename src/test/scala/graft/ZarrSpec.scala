@@ -81,7 +81,7 @@ class ZarrSpec extends SparkSpec {
     meta.shape shouldBe Seq(1, 3, 5)
     meta.chunks shouldBe Seq(1, 2, 3)
     meta.dtype shouldBe "<i4"
-    meta.zlib shouldBe true
+    meta.comp shouldBe "zlib"
     meta.fillValue shouldBe Some(Zarr.FillInt)
     meta.decimalScale shouldBe 1
   }
@@ -150,8 +150,14 @@ class ZarrSpec extends SparkSpec {
       .getMessage should include("C-order")
     mutated(_.replace("\"filters\":null", "\"filters\":[{\"id\":\"delta\"}]"))
       .getMessage should include("filters")
+    // blosc with no cname means blosclz (c-blosc's default) — rejected;
+    // only the lz4 block format is implemented
     mutated(_.replace("\"id\":\"zlib\"", "\"id\":\"blosc\""))
-      .getMessage should include("zlib")
+      .getMessage should include("blosclz")
+    mutated(_.replace("\"id\":\"zlib\"", "\"id\":\"blosc\",\"cname\":\"zstd\""))
+      .getMessage should include("out of scope")
+    mutated(_.replace("\"id\":\"zlib\"", "\"id\":\"lzma\""))
+      .getMessage should include("out of scope")
     mutated(_.replace("\"order\":\"C\"", "\"order\":\"C\",\"dimension_separator\":\"/\""))
       .getMessage should include("separator")
     // a payload equal to fill_value would silently vanish — writer refuses
