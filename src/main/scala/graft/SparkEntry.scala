@@ -529,6 +529,31 @@ object SparkEntry {
       fields, chunkJ = 5, chunkI = 8, compressor = "blosc-lz4").toString
   }
 
+  /** r47 fixture: template-5.42 CCSDS-AEC packing (ECMWF operational) —
+    * TMP dense and PRATE bitmap-masked (5.42 is the one compressed
+    * representation that composes with a bitmap: it packs present cells
+    * only), 12-bit values so the Rice coder sees real split-sample work.
+    */
+  private lazy val grib2CcsdsFixturePath: String = {
+    import java.time.LocalDateTime
+    val params = Seq((0, 0, 0, false), (1, 1, 7, true))
+    val times = Seq(LocalDateTime.of(2005, 7, 14, 6, 0),
+      LocalDateTime.of(2005, 8, 14, 18, 0))
+    val fields = for {
+      (t, m) <- times.zipWithIndex
+      (pidx, cat, num, masked) <- params
+    } yield sources.Grib2.Field(0, cat, num, t, g3Ni, g3Nj,
+      g3La1, g3Lo1, g3Di, g3Dj, decimalScale = 1,
+      Array.tabulate(g3Nj * g3Ni) { k =>
+        val j = k / g3Ni; val i = k % g3Ni
+        if (masked && (i + 2 * j + m) % 8 == 5) None
+        else Some((i * 11 + j * 19 + pidx * 53 + m * 29) % 3000)
+      }, template = 42)
+    sources.Grib2.writeFile(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft-grib", "ccsds.grib2"),
+      fields).toString
+  }
+
   private lazy val grib2ComplexFixturePath: String = {
     import java.time.LocalDateTime
     // (pidx, category, number, masked, template): TMP complex+spatial-diff
@@ -1850,6 +1875,13 @@ object SparkEntry {
         .orderBy($"variable", $"time", $"lat", $"lon")),
     "r14_grib2_complex" -> ((s, _) =>
       sources.Grib2.readRecords(s, Seq(grib2ComplexFixturePath), matchRe = "TMP|PRATE")
+        .orderBy($"variable", $"time", $"lat", $"lon")),
+    // template 5.42 CCSDS-AEC (Rice coder, from-scratch per CCSDS
+    // 121.0-B): TMP dense, PRATE through the bitmap-composed path; the
+    // oracle regenerates every cell closed-form, never seeing a byte of
+    // the AEC stream
+    "r47_grib2_ccsds" -> ((s, _) =>
+      sources.Grib2.readRecords(s, Seq(grib2CcsdsFixturePath), matchRe = "TMP|PRATE")
         .orderBy($"variable", $"time", $"lat", $"lon")),
     // product template 4.8 (statistical processing over a time interval):
     // the decoder parses the statistical octets — process type, end of
@@ -5517,6 +5549,21 @@ object SparkEntry {
                 ((i * i * 3 + j * 17 + pidx * 41 + m * 23) % 1100) / 10.0 AS value
          FROM p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
          WHERE NOT (masked = 1 AND (i * j) % 5 = 2)
+         ORDER BY variable, time, lat, lon""",
+    // the 5.42 lattice regenerated closed-form: the engine recovered
+    // these integers through the CCSDS preprocessor + Rice decode
+    "r47_grib2_ccsds" ->
+      s"""WITH p(pidx, variable, masked) AS (VALUES (0, 'TMP', 0), (1, 'PRATE', 1)),
+         t(t, m) AS (VALUES (TIMESTAMP '2005-07-14 06:00:00', 0),
+                            (TIMESTAMP '2005-08-14 18:00:00', 1)),
+         ii AS (SELECT unnest(generate_series(0, ${g3Ni - 1})) AS i),
+         jj AS (SELECT unnest(generate_series(0, ${g3Nj - 1})) AS j)
+         SELECT variable, t AS time,
+                ($g3La1 - j * $g3Dj) / 1000000.0 AS lat,
+                (($g3Lo1) + i * $g3Di) / 1000000.0 AS lon,
+                ((i * 11 + j * 19 + pidx * 53 + m * 29) % 3000) / 10.0 AS value
+         FROM p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
+         WHERE NOT (masked = 1 AND (i + 2 * j + m) % 8 = 5)
          ORDER BY variable, time, lat, lon""",
     // r16: the same lattice, dense (no mask) — the engine recovered it
     // from the template-5.40 JPEG2000 codestream, the oracle never sees a

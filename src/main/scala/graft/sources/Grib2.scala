@@ -33,9 +33,10 @@ import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
   * general group splitting, no missing-value management — bitmaps carry
   * the mask), 5.3 (complex + spatial differencing, order 1/2 — the
   * encoding NCEP GFS ships), 5.40 (lossless JPEG2000 via
-  * [[Jpeg2000]]; lossy rejects with a pointer) and 5.41 (PNG packing
-  * via [[AssetCodecs]]'s greyscale codec, nbits ≤ 8, dense fields),
-  * bitmap indicator 0/255, scan modes
+  * [[Jpeg2000]]; lossy rejects with a pointer), 5.41 (PNG packing via
+  * [[AssetCodecs]]'s greyscale codec, nbits ≤ 8, dense fields) and
+  * 5.42 (CCSDS-AEC via [[Ccsds]] — ECMWF's operational packing since
+  * 2023; composes with bitmaps), bitmap indicator 0/255, scan modes
   * 0x00/0x40, i-fastest. Decode math ends identically for all three:
   * `value = (R + X·2^E) / 10^D` over exact integers X — template 5.2
   * reconstructs X as groupRef + packed per group, 5.3 additionally
@@ -274,6 +275,8 @@ object Grib2 {
     var ng = 0; var refGW = 0; var nbitsGW = 0
     var refGL = 0L; var lenInc = 0; var lastLen = 0L; var nbitsGL = 0
     var sdOrder = 0; var sdOctets = 0
+    // CCSDS (5.42) state
+    var ccFlags = 0; var ccBlock = 0; var ccRsi = 0
     var bitmap: Array[Boolean] = null
 
     val out = Seq.newBuilder[Record]
@@ -376,10 +379,10 @@ object Grib2 {
             nPresent = u32(pos + 5).toInt
             drTemplate = u16(pos + 9)
             require(drTemplate == 0 || drTemplate == 2 || drTemplate == 3 ||
-                drTemplate == 40 || drTemplate == 41,
+                drTemplate == 40 || drTemplate == 41 || drTemplate == 42,
               s"data representation template 5.$drTemplate unsupported " +
                 s"(only 5.0 simple / 5.2 complex / 5.3 complex+spatial-diff / " +
-                s"5.40 JPEG2000 lossless / 5.41 PNG) in $label")
+                s"5.40 JPEG2000 / 5.41 PNG / 5.42 CCSDS-AEC) in $label")
             refVal = java.lang.Float.intBitsToFloat(u32(pos + 11).toInt).toDouble
             eScale = s16(pos + 15)
             dScale = s16(pos + 17)
@@ -405,6 +408,11 @@ object Grib2 {
               refGL = u32(pos + 37); lenInc = u(pos + 41)
               lastLen = u32(pos + 42); nbitsGL = u(pos + 46)
               require(ng > 0, s"complex packing with 0 groups in $label")
+            }
+            if (drTemplate == 42) {
+              // octets 22/23/24-25: CCSDS options mask, block size, RSI
+              ccFlags = u(pos + 21); ccBlock = u(pos + 22); ccRsi = u16(pos + 23)
+              if (nbits > 0) Ccsds.validate(nbits, ccBlock, ccRsi, ccFlags, label)
             }
             if (drTemplate == 3) {
               sdOrder = u(pos + 47); sdOctets = u(pos + 48)
@@ -461,6 +469,17 @@ object Grib2 {
               while (k < nPresent) {
                 packed(k) = (refVal + rows(k / ni)(k % ni) * twoE) / tenD
                 k += 1
+              }
+            } else if (drTemplate == 42) {
+              // CCSDS packs the PRESENT cells only, so (unlike the image
+              // templates) a bitmap composes naturally
+              if (nbits == 0) java.util.Arrays.fill(packed, refVal / tenD)
+              else {
+                val xs = Ccsds.decode(
+                  java.util.Arrays.copyOfRange(b, pos + 5, pos + len),
+                  nPresent, nbits, ccBlock, ccRsi, ccFlags, label)
+                var k = 0
+                while (k < nPresent) { packed(k) = (refVal + xs(k) * twoE) / tenD; k += 1 }
               }
             } else if (drTemplate >= 2) {
               val xs = unpackComplex(b, pos + 5, pos + len, nPresent, nbits,
@@ -709,8 +728,8 @@ object Grib2 {
     require(scaled.length == ni * nj, "scaled length must be ni*nj")
     require(scanMode == 0x00 || scanMode == 0x40, "scan mode must be 0x00 or 0x40")
     require(template == 0 || template == 2 || template == 3 || template == 40 ||
-      template == 41 || template == 140,
-      "data representation template must be 5.0, 5.2, 5.3, 5.40, 5.41 " +
+      template == 41 || template == 42 || template == 140,
+      "data representation template must be 5.0, 5.2, 5.3, 5.40, 5.41, 5.42 " +
         "(or the writer-internal 140 = 5.40 with compression type 1, 9/7)")
     require(sdOrder == 1 || sdOrder == 2, "spatial differencing order must be 1 or 2")
     require(groupLen >= 2, "group length must be at least 2")
@@ -975,6 +994,20 @@ object Grib2 {
         require(nbits <= 16, s"5.40 fields wider than 16 bits out of scope (got $nbits)")
         val j2k = Jpeg2000.encodeLossy97(f.ni, f.nj, base.map(_.toInt), nbits)
         (sec5Head(40, nbits) ++ Array[Byte](1, 255.toByte), j2k)
+      case 42 =>
+        // CCSDS-AEC packing (template 5.42, ECMWF's operational packing
+        // since 2023): section 7 is a CCSDS 121.0-B stream of the
+        // non-negative scaled integers over the PRESENT cells — the one
+        // compressed representation here that composes with a bitmap.
+        // eccodes' parameters: block 32, RSI 128, flags MSB|preprocess.
+        val nbits = bitsFor(base.max)
+        require(nbits <= 24, s"5.42 fields wider than 24 bits out of scope (got $nbits)")
+        val width = if (nbits == 0) 0 else math.max(2, nbits.toInt) // 0 = constant field
+        val payload =
+          if (width == 0) Array.emptyByteArray
+          else Ccsds.encode(base.map(_.toInt), width, 32, 128)
+        (sec5Head(42, width) ++
+          Array(Ccsds.GribFlags.toByte, 32.toByte) ++ u16(128), payload)
       case 41 =>
         // PNG packing (template 5.41, the other wgrib2/g2clib-standard
         // compressed representation): section 7 is a greyscale PNG of

@@ -276,6 +276,44 @@ class Grib2Spec extends SparkSpec {
       write(small(41, masked = true))
   }
 
+  test("template 5.42 CCSDS decodes bit-identically to 5.0; bitmap composes; octet pins") {
+    // dense, masked (5.42 packs present cells only — unlike the image
+    // templates a bitmap composes), and a larger bumpy field
+    Grib2.parseMessages(write(bumpy(template = 42))).head.values.toSeq shouldBe
+      Grib2.parseMessages(write(bumpy(template = 0))).head.values.toSeq
+    val mask42 = Grib2.parseMessages(write(bumpy(masked = true, template = 42))).head.values
+    val mask0 = Grib2.parseMessages(write(bumpy(masked = true, template = 0))).head.values
+    mask42.length shouldBe mask0.length
+    mask42.zip(mask0).foreach { case (a, b) =>
+      if (b.isNaN) a.isNaN shouldBe true else a shouldBe b
+    }
+    // negative decimal scale too
+    Grib2.parseMessages(write(field(d = -1, base = 100).copy(template = 42)))
+      .head.values.toSeq shouldBe
+      Grib2.parseMessages(write(field(d = -1, base = 100))).head.values.toSeq
+    // constant field: nbits = 0, empty section 7, values = R/10^D
+    val const = bumpy(template = 42).copy(scaled = Array.fill(117)(Some(120)))
+    Grib2.parseMessages(write(const)).head.values.foreach(_ shouldBe 12.0)
+    // section-5 octet pins: template 42, eccodes' flags/block/RSI
+    val bytes = write(bumpy(template = 42))
+    def u32(i: Int) = ((bytes(i) & 0xff) << 24) | ((bytes(i + 1) & 0xff) << 16) |
+      ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+    var pos = 16
+    while ((bytes(pos + 4) & 0xff) != 5) pos += u32(pos)
+    ((bytes(pos + 9) & 0xff) << 8 | (bytes(pos + 10) & 0xff)) shouldBe 42
+    (bytes(pos + 21) & 0xff) shouldBe 12 // AEC_DATA_MSB | AEC_DATA_PREPROCESS
+    (bytes(pos + 22) & 0xff) shouldBe 32 // block size
+    ((bytes(pos + 23) & 0xff) << 8 | (bytes(pos + 24) & 0xff)) shouldBe 128 // RSI
+    // a signed-flag stream rejects loudly rather than mis-decoding
+    val bad = bytes.clone(); bad(pos + 21) = (12 | 1).toByte
+    intercept[IllegalArgumentException](Grib2.parseMessages(bad))
+      .getMessage should include("signed")
+    // >24-bit fields reject loudly
+    val wide = bumpy(template = 42).copy(scaled = Array.tabulate(117)(k =>
+      Some(if (k == 0) (1 << 25) else k)))
+    an[IllegalArgumentException] should be thrownBy write(wide)
+  }
+
   test("product template 4.8: octet pins, stat state per record, 4.0 interleave") {
     val acc = field(cat = 1, num = 8).copy(statProcess = 1, intervalHours = 24)
     val bytes = Grib2.encodeMessage(acc)
