@@ -529,6 +529,35 @@ object SparkEntry {
       fields, chunkJ = 5, chunkI = 8, compressor = "blosc-lz4").toString
   }
 
+  /** r48 fixture: REDUCED Gaussian grid (missing ni + per-row point
+    * list) — un-regridded ERA5's actual layout. N=8 with pole-shrunk
+    * row counts all dividing 360e6 µdeg (exact row longitudes); TMP
+    * dense, PRATE bitmap-masked over the ragged cell index.
+    */
+  private val g6Rows = Seq(8, 10, 12, 15, 16, 18, 20, 20, 20, 20, 18, 16, 15, 12, 10, 8)
+
+  private lazy val grib2ReducedFixturePath: String = {
+    import java.time.LocalDateTime
+    val offs = g6Rows.scanLeft(0)(_ + _)
+    val params = Seq((0, 0, 0, false), (1, 1, 7, true))
+    val times = Seq(LocalDateTime.of(2005, 10, 2, 6, 0),
+      LocalDateTime.of(2005, 11, 2, 18, 0))
+    val fields = for {
+      (t, m) <- times.zipWithIndex
+      (pidx, cat, num, masked) <- params
+    } yield sources.Grib2.Field(0, cat, num, t, ni = 20, nj = 16,
+      0L, 0L, 0L, 0L, decimalScale = 1,
+      Array.tabulate(g6Rows.sum) { k =>
+        val j = offs.lastIndexWhere(_ <= k) min 15
+        val i = k - offs(j)
+        if (masked && (i + j + m) % 9 == 2) None
+        else Some((i * 7 + j * 31 + pidx * 43 + m * 13) % 900)
+      }, gaussianN = 8, reducedNi = g6Rows)
+    sources.Grib2.writeFile(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft-grib", "reduced.grib2"),
+      fields).toString
+  }
+
   /** r47 fixture: template-5.42 CCSDS-AEC packing (ECMWF operational) —
     * TMP dense and PRATE bitmap-masked (5.42 is the one compressed
     * representation that composes with a bitmap: it packs present cells
@@ -1882,6 +1911,13 @@ object SparkEntry {
     // the AEC stream
     "r47_grib2_ccsds" -> ((s, _) =>
       sources.Grib2.readRecords(s, Seq(grib2CcsdsFixturePath), matchRe = "TMP|PRATE")
+        .orderBy($"variable", $"time", $"lat", $"lon")),
+    // reduced Gaussian (un-regridded ERA5): ragged rows spanning the
+    // full circle at 360/nij spacing, Newton-computed abscissas; the
+    // oracle carries independent leggauss latitudes and builds the
+    // ragged index with per-row generate_series
+    "r48_grib2_reduced" -> ((s, _) =>
+      sources.Grib2.readRecords(s, Seq(grib2ReducedFixturePath), matchRe = "TMP|PRATE")
         .orderBy($"variable", $"time", $"lat", $"lon")),
     // product template 4.8 (statistical processing over a time interval):
     // the decoder parses the statistical octets — process type, end of
@@ -5549,6 +5585,29 @@ object SparkEntry {
                 ((i * i * 3 + j * 17 + pidx * 41 + m * 23) % 1100) / 10.0 AS value
          FROM p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
          WHERE NOT (masked = 1 AND (i * j) % 5 = 2)
+         ORDER BY variable, time, lat, lon""",
+    // reduced Gaussian: the oracle's latitudes are the independent
+    // N=8 leggauss values (same as r43); the ragged row structure is
+    // rebuilt with a per-row series and nij-exact longitude steps
+    "r48_grib2_reduced" ->
+      s"""WITH p(pidx, variable, masked) AS (VALUES (0, 'TMP', 0), (1, 'PRATE', 1)),
+         t(t0, m) AS (VALUES (TIMESTAMP '2005-10-02 06:00:00', 0),
+                             (TIMESTAMP '2005-11-02 18:00:00', 1)),
+         lt(j, latmicro, nij) AS (VALUES
+           (0, 81650591, 8), (1, 70834640, 10), (2, 59954859, 12),
+           (3, 49060719, 15), (4, 38161212, 16), (5, 27259208, 18),
+           (6, 16355933, 20), (7, 5452040, 20), (8, -5452040, 20),
+           (9, -16355933, 20), (10, -27259208, 18), (11, -38161212, 16),
+           (12, -49060719, 15), (13, -59954859, 12), (14, -70834640, 10),
+           (15, -81650591, 8)),
+         cells AS (SELECT j, latmicro, nij,
+                          unnest(generate_series(0, nij - 1)) AS i FROM lt)
+         SELECT variable, t0 AS time,
+                latmicro / 1000000.0 AS lat,
+                (i * (360000000 / nij)) / 1000000.0 AS lon,
+                ((i * 7 + j * 31 + pidx * 43 + m * 13) % 900) / 10.0 AS value
+         FROM p CROSS JOIN t CROSS JOIN cells
+         WHERE NOT (masked = 1 AND (i + j + m) % 9 = 2)
          ORDER BY variable, time, lat, lon""",
     // the 5.42 lattice regenerated closed-form: the engine recovered
     // these integers through the CCSDS preprocessor + Rice decode

@@ -23,9 +23,10 @@ import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
   *
   * Scope (= the slice the reference's wgrib2 invocations touch, plus the
   * packing real-world GRIB2 actually ships), rejected loudly outside it:
-  * grid templates 3.0 (regular lat/lon) and 3.40 (regular Gaussian, the
-  * native ERA5/spectral-model layout — abscissas computed by Newton
-  * iteration on the Legendre recurrence, reduced Gaussian still rejects),
+  * grid templates 3.0 (regular lat/lon) and 3.40 (Gaussian, the native
+  * ERA5/spectral-model layout — abscissas computed by Newton iteration
+  * on the Legendre recurrence; both regular and REDUCED row layouts,
+  * the latter via the missing-ni + per-row point list encoding),
   * product templates 4.0 and 4.8 (statistical processing over a time
   * interval — the accumulation shape operational precipitation ships,
   * e.g. the reference's total_precipitation dataset), data
@@ -68,6 +69,10 @@ object Grib2 {
       // latitudes in scan order, microdegrees — rows are NOT uniformly
       // spaced, so la1/dj stepping doesn't apply
       latsMicro: Array[Long] = null,
+      // non-null for REDUCED Gaussian grids: points per row in scan
+      // order; `values` is ragged row-major with rowNi.sum cells and
+      // each row spans the full circle from lo1 at 360/rowNi(j) spacing
+      rowNi: Array[Int] = null,
       // product template 4.8 statistical processing (WMO Code Table 4.10):
       // -1 = instantaneous (template 4.0); 0 avg / 1 accum / 2 max / 3 min.
       // `time` stays the reference (interval-start) time; `intervalEnd` is
@@ -265,6 +270,9 @@ object Grib2 {
     var la1 = 0L; var lo1 = 0L; var di = 0L; var dj = 0L
     var jPositive = false
     var gaussLats: Array[Long] = null
+    var rowNi: Array[Int] = null // reduced Gaussian per-row point counts
+    def gridTotal: Int =
+      if (rowNi != null) rowNi.sum else ni * nj
     // section-4/5 state for the current group
     var category = -1; var number = -1
     var statProcess = -1; var intervalEnd: LocalDateTime = null; var rangeHours = 0
@@ -301,17 +309,43 @@ object Grib2 {
             val template = u16(pos + 12)
             require(template == 0 || template == 40,
               s"grid template 3.$template unsupported " +
-                s"(only 3.0 lat/lon / 3.40 regular Gaussian) in $label")
-            ni = u32(pos + 30).toInt; nj = u32(pos + 34).toInt
+                s"(only 3.0 lat/lon / 3.40 Gaussian regular+reduced) in $label")
+            val niRaw = u32(pos + 30); nj = u32(pos + 34).toInt
+            val listOctets = u(pos + 10); val listInterp = u(pos + 11)
+            // reduced Gaussian (ERA5's native layout): ni is MISSING and
+            // octets 11/12 declare a per-row point-count list appended
+            // after the fixed template (Code Table 3.11 interp 1 = counts)
+            val reduced = niRaw == 0xffffffffL
+            if (reduced) {
+              require(template == 40,
+                s"missing-ni (reduced) grid outside template 3.40 in $label")
+              require(listOctets == 1 || listOctets == 2 || listOctets == 4,
+                s"reduced-grid list octet width $listOctets unsupported in $label")
+              require(listInterp == 1,
+                s"reduced-grid list interpretation $listInterp unsupported " +
+                  s"(only 1 = points per row) in $label")
+              require(len >= 72 + nj * listOctets,
+                s"grid section too short for a $nj-row point list in $label")
+              rowNi = Array.tabulate(nj) { j =>
+                var v = 0L; var o = 0
+                while (o < listOctets) { v = (v << 8) | u(pos + 72 + j * listOctets + o); o += 1 }
+                require(v >= 2 && v <= Int.MaxValue,
+                  s"reduced-grid row $j has $v points in $label")
+                v.toInt
+              }
+              require(u32(pos + 6) == rowNi.map(_.toLong).sum,
+                s"grid point total disagrees with the row list in $label")
+              ni = rowNi.max
+            } else { rowNi = null; ni = niRaw.toInt }
             require(ni > 1 && nj > 1, s"degenerate grid ${ni}x$nj in $label")
             la1 = s32(pos + 46); lo1 = s32(pos + 50)
             val la2 = s32(pos + 55); val lo2 = s32(pos + 59)
-            di = u32(pos + 63)
+            di = if (reduced) 0L else u32(pos + 63)
             val scan = u(pos + 71)
             require(scan == 0 || scan == 0x40,
               f"scanning mode 0x$scan%02x unsupported (only 0x00 / 0x40) in $label")
             jPositive = scan == 0x40
-            require(lo1 + (ni - 1).toLong * di == lo2,
+            require(reduced || lo1 + (ni - 1).toLong * di == lo2,
               s"grid corners disagree with increments in $label")
             if (template == 0) {
               dj = u32(pos + 67)
@@ -427,9 +461,9 @@ object Grib2 {
               case 255 => bitmap = null
               case 0 =>
                 require(ni > 0, s"bitmap section before grid section in $label")
-                require(len >= 6 + (ni * nj + 7) / 8,
-                  s"BMS length $len too short for ${ni}x$nj grid in $label")
-                val bits = Array.ofDim[Boolean](ni * nj)
+                require(len >= 6 + (gridTotal + 7) / 8,
+                  s"BMS length $len too short for a $gridTotal-point grid in $label")
+                val bits = Array.ofDim[Boolean](gridTotal)
                 var k = 0
                 while (k < bits.length) {
                   bits(k) = (u(pos + 6 + (k >> 3)) & (0x80 >> (k & 7))) != 0
@@ -443,7 +477,7 @@ object Grib2 {
           case 7 =>
             require(time != null && ni > 0 && category >= 0 && nbits >= 0,
               s"data section before sections 1/3/4/5 in $label")
-            val expectPresent = if (bitmap == null) ni * nj else bitmap.count(identity)
+            val expectPresent = if (bitmap == null) gridTotal else bitmap.count(identity)
             require(nPresent == expectPresent,
               s"section-5 point count $nPresent != present cells $expectPresent in $label")
             val twoE = math.pow(2.0, eScale)
@@ -505,7 +539,7 @@ object Grib2 {
                 k += 1
               }
             }
-            val values = new Array[Double](ni * nj)
+            val values = new Array[Double](gridTotal)
             if (bitmap == null) System.arraycopy(packed, 0, values, 0, values.length)
             else {
               var k = 0; var p = 0
@@ -517,7 +551,7 @@ object Grib2 {
             out += Record(discipline, category, number,
               nameOf(discipline, category, number), time,
               ni, nj, la1, lo1, di, dj, jPositive, values,
-              latsMicro = gaussLats, statProcess = statProcess,
+              latsMicro = gaussLats, rowNi = rowNi, statProcess = statProcess,
               intervalEnd = intervalEnd, rangeHours = rangeHours)
           case other => sys.error(s"unexpected section number $other in $label")
         }
@@ -686,15 +720,31 @@ object Grib2 {
     */
   def cells(r: Record): Iterator[GridRow] = {
     val latStep = if (r.scanJPositive) r.djMicro else -r.djMicro
-    Iterator.tabulate(r.nj * r.ni) { k =>
-      val j = k / r.ni; val i = k % r.ni
-      val latMicro =
-        if (r.latsMicro != null) r.latsMicro(j) else r.la1Micro + j * latStep
-      GridRow(r.variable, r.time,
-        latMicro / 1e6,
-        (r.lo1Micro + i.toLong * r.diMicro) / 1e6,
-        r.values(k))
-    }.filterNot(c => c.value.isNaN)
+    val it =
+      if (r.rowNi == null)
+        Iterator.tabulate(r.nj * r.ni) { k =>
+          val j = k / r.ni; val i = k % r.ni
+          val latMicro =
+            if (r.latsMicro != null) r.latsMicro(j) else r.la1Micro + j * latStep
+          GridRow(r.variable, r.time,
+            latMicro / 1e6,
+            (r.lo1Micro + i.toLong * r.diMicro) / 1e6,
+            r.values(k))
+        }
+      else { // reduced Gaussian: ragged rows, each spanning the full circle
+        var off = 0
+        Iterator.range(0, r.nj).flatMap { j =>
+          val nij = r.rowNi(j)
+          val rowOff = off; off += nij
+          val stepMicro = 360000000L / nij // whole µdeg per fixture contract
+          Iterator.tabulate(nij)(i =>
+            GridRow(r.variable, r.time,
+              r.latsMicro(j) / 1e6,
+              (r.lo1Micro + i.toLong * stepMicro) / 1e6,
+              r.values(rowOff + i)))
+        }
+      }
+    it.filterNot(c => c.value.isNaN)
   }
 
   // ---------------------------------------------------------------- write
@@ -724,8 +774,25 @@ object Grib2 {
                          // N parallels pole-to-equator): nj must equal 2N;
                          // la1Micro/djMicro are ignored — row latitudes
                          // are the computed Gaussian abscissas
-                         gaussianN: Int = 0) {
-    require(scaled.length == ni * nj, "scaled length must be ni*nj")
+                         gaussianN: Int = 0,
+                         // non-empty emits a REDUCED Gaussian grid (ni
+                         // missing + per-row point list): one count per
+                         // row, each dividing 360000000 µdeg so row
+                         // longitudes are exact; `scaled` is ragged
+                         // row-major with reducedNi.sum cells and `ni`
+                         // must equal reducedNi.max
+                         reducedNi: Seq[Int] = Nil) {
+    if (reducedNi.isEmpty)
+      require(scaled.length == ni * nj, "scaled length must be ni*nj")
+    else {
+      require(gaussianN > 0, "reducedNi needs a Gaussian grid (gaussianN > 0)")
+      require(reducedNi.length == nj, s"reducedNi needs one count per row ($nj)")
+      reducedNi.foreach(v => require(v >= 2 && 360000000L % v == 0,
+        s"reduced row count $v must be >= 2 and divide 360000000 µdeg"))
+      require(ni == reducedNi.max, "ni must equal reducedNi.max")
+      require(scaled.length == reducedNi.sum,
+        "scaled length must be reducedNi.sum (ragged row-major)")
+    }
     require(scanMode == 0x00 || scanMode == 0x40, "scan mode must be 0x00 or 0x40")
     require(template == 0 || template == 2 || template == 3 || template == 40 ||
       template == 41 || template == 42 || template == 140,
@@ -860,9 +927,11 @@ object Grib2 {
       Array[Byte](0, 1))
 
     // section 3: grid definition template 3.0 (regular lat/lon) or 3.40
-    // (regular Gaussian — identical layout, octets 68-71 carry N instead
-    // of Dj and the corner latitudes are the outermost Gaussian rows)
-    val nPoints = f.ni.toLong * f.nj
+    // (Gaussian — identical layout, octets 68-71 carry N instead of Dj
+    // and the corner latitudes are the outermost Gaussian rows; REDUCED
+    // grids set ni/Di/Lo2 missing and append the per-row point list)
+    val reduced = f.reducedNi.nonEmpty
+    val nPoints = if (reduced) f.reducedNi.map(_.toLong).sum else f.ni.toLong * f.nj
     val gauss = f.gaussianN > 0
     if (gauss) require(f.nj == 2 * f.gaussianN,
       s"Gaussian field nj=${f.nj} must equal 2N=${2 * f.gaussianN}")
@@ -878,15 +947,21 @@ object Grib2 {
       else if (f.scanMode == 0x40) f.la1Micro + (f.nj - 1).toLong * f.djMicro
       else f.la1Micro - (f.nj - 1).toLong * f.djMicro
     val lo2 = f.lo1Micro + (f.ni - 1).toLong * f.diMicro
-    section(3, Array[Byte](0) ++ u32(nPoints) ++ Array[Byte](0, 0) ++
+    val missing = 0xffffffffL
+    val rowList: Array[Byte] =
+      if (!reduced) Array.emptyByteArray
+      else f.reducedNi.flatMap(v => Seq(((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)).toArray
+    section(3, Array[Byte](0) ++ u32(nPoints) ++
+      (if (reduced) Array[Byte](2, 1) else Array[Byte](0, 0)) ++
       u16(if (gauss) 40 else 0) ++
       Array[Byte](6) ++ Array[Byte](0) ++ u32(0) ++ Array[Byte](0) ++ u32(0) ++
       Array[Byte](0) ++ u32(0) ++
-      u32(f.ni) ++ u32(f.nj) ++ u32(0) ++ u32(0) ++
+      u32(if (reduced) missing else f.ni.toLong) ++ u32(f.nj) ++ u32(0) ++ u32(0) ++
       sm32(la1) ++ sm32(f.lo1Micro) ++ Array[Byte](48) ++
-      sm32(la2) ++ sm32(lo2) ++ u32(f.diMicro) ++
+      sm32(la2) ++ (if (reduced) u32(missing) else sm32(lo2)) ++
+      u32(if (reduced) missing else f.diMicro) ++
       u32(if (gauss) f.gaussianN.toLong else f.djMicro) ++
-      Array(f.scanMode.toByte))
+      Array(f.scanMode.toByte) ++ rowList)
 
     // section 4: product definition template 4.0 (analysis, surface), or
     // 4.8 (statistical processing over a time interval) when a stat

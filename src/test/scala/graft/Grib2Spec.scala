@@ -314,6 +314,48 @@ class Grib2Spec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy write(wide)
   }
 
+  test("reduced Gaussian grid: missing-ni + row list octet pins, ragged cells") {
+    // N=8 (16 rows), realistic pole-shrunk row counts, all dividing
+    // 360e6 so row longitudes are exact micro-degrees
+    val rows = Seq(8, 10, 12, 15, 16, 18, 20, 20, 20, 20, 18, 16, 15, 12, 10, 8)
+    val offs = rows.scanLeft(0)(_ + _)
+    def cellVal(j: Int, i: Int): Int = (i * 7 + j * 31) % 900
+    val f = Grib2.Field(0, 0, 0, LocalDateTime.of(2005, 9, 1, 0, 0),
+      ni = 20, nj = 16, la1Micro = 0L, lo1Micro = 0L,
+      diMicro = 0L, djMicro = 0L, decimalScale = 1,
+      Array.tabulate(rows.sum) { k =>
+        val j = offs.lastIndexWhere(_ <= k) min 15
+        Some(cellVal(j, k - offs(j)))
+      }, gaussianN = 8, reducedNi = rows)
+    val bytes = write(f)
+    // wire pins: walk to section 3 — ni octets 31-34 all-ones, octet 11
+    // (list width) = 2, octet 12 (interpretation) = 1, list after octet 72
+    def u32(i: Int) = ((bytes(i) & 0xff).toLong << 24) | ((bytes(i + 1) & 0xff) << 16) |
+      ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+    var pos = 16
+    while ((bytes(pos + 4) & 0xff) != 3) pos += u32(pos).toInt
+    (bytes(pos + 10) & 0xff) shouldBe 2
+    (bytes(pos + 11) & 0xff) shouldBe 1
+    u32(pos + 30) shouldBe 0xffffffffL // ni missing
+    u32(pos + 6) shouldBe rows.sum.toLong // point total = row-list sum
+    ((bytes(pos + 72) & 0xff) << 8 | (bytes(pos + 73) & 0xff)) shouldBe 8 // row 0 count
+    ((bytes(pos + 72 + 2 * 15) & 0xff) << 8 | (bytes(pos + 73 + 2 * 15) & 0xff)) shouldBe 8
+    // parse: ragged cells, full-circle rows at 360/nij spacing
+    val rec = Grib2.parseMessages(bytes).head
+    rec.rowNi.toSeq shouldBe rows
+    val cs = Grib2.cells(rec).toSeq
+    cs.size shouldBe rows.sum
+    // row 0 (lat = first Gaussian abscissa) has 8 points at 45-degree steps
+    val northLat = cs.map(_.lat).max
+    val row0 = cs.filter(_.lat == northLat).sortBy(_.lon)
+    row0.map(_.lon) shouldBe (0 until 8).map(_ * 45.0)
+    row0.map(_.value) shouldBe (0 until 8).map(i => cellVal(0, i) / 10.0)
+    // a corrupted point total rejects loudly
+    val bad = bytes.clone(); bad(pos + 9) = (bad(pos + 9) ^ 1).toByte
+    intercept[IllegalArgumentException](Grib2.parseMessages(bad))
+      .getMessage should include("disagrees with the row list")
+  }
+
   test("product template 4.8: octet pins, stat state per record, 4.0 interleave") {
     val acc = field(cat = 1, num = 8).copy(statProcess = 1, intervalHours = 24)
     val bytes = Grib2.encodeMessage(acc)
