@@ -529,6 +529,30 @@ object SparkEntry {
       fields, chunkJ = 5, chunkI = 8, compressor = "blosc-lz4").toString
   }
 
+  /** r49 fixture: a zarr V3 group store (zarr.json metadata, `c/`-keyed
+    * nested chunks, bytes+gzip codec chain) — the format current writers
+    * emit by default. Distinct constants from r28/r46.
+    */
+  private lazy val zarrV3FixturePath: String = {
+    import java.time.LocalDateTime
+    val params = Seq("TMP", "PRATE", "VGRD")
+    val times = Seq(LocalDateTime.of(2005, 9, 3, 0, 0),
+      LocalDateTime.of(2005, 10, 3, 12, 0))
+    val fields = for {
+      (t, m) <- times.zipWithIndex
+      (v, pidx) <- params.zipWithIndex
+    } yield sources.Zarr.Field(v, t, g3Ni, g3Nj, g3La1, g3Lo1, g3Di, g3Dj,
+      decimalScale = 1,
+      Array.tabulate(g3Nj * g3Ni) { k =>
+        val j = k / g3Ni; val i = k % g3Ni
+        if (pidx == 1 && (i * 3 + j + m) % 12 == 7) None
+        else Some((i * 17 + j * 5 + pidx * 37 + m * 41) % 500 + pidx * 700)
+      })
+    sources.Zarr.writeStoreV3(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft-zarr", "fix3.zarr"),
+      fields, chunkJ = 5, chunkI = 8, compressor = "gzip").toString
+  }
+
   /** r48 fixture: REDUCED Gaussian grid (missing ni + per-row point
     * list) — un-regridded ERA5's actual layout. N=8 with pole-shrunk
     * row counts all dividing 360e6 µdeg (exact row longitudes); TMP
@@ -1984,6 +2008,11 @@ object SparkEntry {
     // split-stream frames decode through the from-scratch BloscLz4 codec
     "r46_zarr_blosc" -> ((s, _) =>
       sources.Zarr.readRecords(s, zarrBloscFixturePath, matchRe = "TMP|PRATE")
+        .orderBy($"variable", $"time", $"lat", $"lon")),
+    // zarr V3 (zarr.json + c/ chunk keys + bytes/gzip codec chain):
+    // same flattened contract — the container version must be invisible
+    "r49_zarr_v3" -> ((s, _) =>
+      sources.Zarr.readRecords(s, zarrV3FixturePath, matchRe = "TMP|PRATE")
         .orderBy($"variable", $"time", $"lat", $"lon")),
     // the DataSource V2 face of the GRIB2 reader: spark.read
     // .format("grib2") with variable = 'TMP' PUSHED to the reader —
@@ -5730,6 +5759,20 @@ object SparkEntry {
                 ((i * 13 + j * 7 + pidx * 29 + m * 23) % 400 + pidx * 600) / 10.0 AS value
          FROM p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
          WHERE NOT (pidx = 1 AND (i + j * 3 + m) % 10 = 4)
+         ORDER BY variable, time, lat, lon""",
+    // the v3 twin — container/codec versioning invisible in the scan
+    "r49_zarr_v3" ->
+      s"""WITH p(pidx, variable) AS (VALUES (0, 'TMP'), (1, 'PRATE')),
+         t(t, m) AS (VALUES (TIMESTAMP '2005-09-03 00:00:00', 0),
+                            (TIMESTAMP '2005-10-03 12:00:00', 1)),
+         ii AS (SELECT unnest(generate_series(0, ${g3Ni - 1})) AS i),
+         jj AS (SELECT unnest(generate_series(0, ${g3Nj - 1})) AS j)
+         SELECT variable, t AS time,
+                ($g3La1 - j * $g3Dj) / 1000000.0 AS lat,
+                (($g3Lo1) + i * $g3Di) / 1000000.0 AS lon,
+                ((i * 17 + j * 5 + pidx * 37 + m * 41) % 500 + pidx * 700) / 10.0 AS value
+         FROM p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
+         WHERE NOT (pidx = 1 AND (i * 3 + j + m) % 12 = 7)
          ORDER BY variable, time, lat, lon""",
     "r16_grib2_jpeg2000" ->
       s"""WITH p(pidx, variable) AS (VALUES (0, 'TMP'), (1, 'PRATE')),

@@ -34,10 +34,15 @@ import org.json4s.jackson.JsonMethods
   * scans, which is the point of the format at 100 TB — and the variable
   * regex prunes whole arrays by path before any chunk byte is read.
   *
-  * Out-of-scope forms reject loudly with a pointer: zarr v3, `order:"F"`,
-  * non-`.` dimension separators, filters, compressors other than
-  * null/zlib/blosc-lz4 (blosclz/snappy/zstd cnames reject), non-integer
-  * data dtypes.
+  * Zarr V3 group stores (zarr-specs v3.0) read through the same scan:
+  * `zarr.json` metadata documents, regular chunk grids, default chunk-key
+  * encoding (`c/t/j/i` or `.`-separated), codec chain `bytes(endian)`
+  * plus at most one of `gzip`/`blosc(lz4)`, int32 data / float64 coords.
+  *
+  * Out-of-scope forms reject loudly with a pointer: `order:"F"`,
+  * non-`.` v2 dimension separators, v2 filters, compressors other than
+  * null/zlib/gzip/blosc-lz4 (blosclz/snappy/zstd cnames reject),
+  * non-integer data dtypes, v3 sharding/transpose codecs.
   */
 object Zarr {
 
@@ -54,13 +59,16 @@ object Zarr {
   final case class GridRow(variable: String, time: LocalDateTime,
                            lat: Double, lon: Double, value: Double)
 
-  /** Parsed `.zarray` (+ `decimal_scale` from `.zattrs`). `comp` is one
-    * of `"null"` (raw), `"zlib"`, `"blosc-lz4"` (the numcodecs default
-    * stack, decoded by [[BloscLz4]]).
+  /** Parsed `.zarray` (+ `decimal_scale` from `.zattrs`), or a v3
+    * `zarr.json`. `comp` is one of `"null"` (raw), `"zlib"`,
+    * `"blosc-lz4"` (the numcodecs default stack, decoded by
+    * [[BloscLz4]]) or `"gzip"` (the zarr v3 baseline codec). `v3`
+    * stores key chunks `c<sep>t<sep>j<sep>i` instead of `t.j.i`.
     */
   final case class ArrayMeta(shape: Seq[Int], chunks: Seq[Int],
                              dtype: String, comp: String,
-                             fillValue: Option[Int], decimalScale: Int) {
+                             fillValue: Option[Int], decimalScale: Int,
+                             v3: Boolean = false, sep: String = ".") {
     def chunkGrid: Seq[Int] = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
   }
 
@@ -90,6 +98,29 @@ object Zarr {
     require(off == expect && inf.finished(),
       s"zarr: chunk in $label inflates to $off bytes, expected $expect")
     inf.end()
+    out
+  }
+
+  private def gzipCompress(raw: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(raw); gz.close()
+    bos.toByteArray
+  }
+
+  private def gzipInflate(comp: Array[Byte], expect: Int, label: String): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(comp))
+    val out = new Array[Byte](expect)
+    var off = 0
+    var n = 0
+    while (off < expect && n >= 0) {
+      n = in.read(out, off, expect - off)
+      if (n > 0) off += n
+    }
+    require(off == expect && in.read() < 0,
+      s"zarr: gzip chunk in $label inflates to the wrong size (got $off, want $expect)")
+    in.close()
     out
   }
 
@@ -200,6 +231,96 @@ object Zarr {
     root
   }
 
+  /** Write a zarr V3 group store (zarr-specs v3.0): `zarr.json`
+    * metadata documents, default `/`-separated chunk keys under `c/`,
+    * codec chain `bytes(little)` + one of `gzip` / `blosc-lz4` /
+    * nothing. Same field contract and edge-padding rule as
+    * [[writeStore]].
+    */
+  def writeStoreV3(root: Path, fields: Seq[Field],
+                   chunkJ: Int, chunkI: Int, level: Int = 5,
+                   compressor: String = "gzip"): Path = {
+    require(fields.nonEmpty, "no fields to write")
+    val g = fields.head
+    fields.foreach { f =>
+      require(f.ni == g.ni && f.nj == g.nj && f.decimalScale == g.decimalScale,
+        "all fields of one zarr store must share grid and scale")
+      require(f.scaled.length == f.ni * f.nj, "scaled length must be ni*nj")
+      f.scaled.foreach(_.foreach(v => require(v != FillInt,
+        s"scaled value $v collides with fill_value")))
+    }
+    val times = fields.map(_.time).distinct
+      .sorted(Ordering.fromLessThan[LocalDateTime](_ isBefore _))
+    val vars = fields.map(_.variable).distinct
+    def put(rel: String, bytes: Array[Byte]): Unit = {
+      val p = root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, bytes)
+    }
+    def codecJson(comp: String): String = {
+      val bytesCodec = """{"name":"bytes","configuration":{"endian":"little"}}"""
+      comp match {
+        case "gzip" => s"""[$bytesCodec,{"name":"gzip","configuration":{"level":$level}}]"""
+        case "blosc-lz4" => s"""[$bytesCodec,{"name":"blosc","configuration":""" +
+          s"""{"cname":"lz4","clevel":$level,"shuffle":"shuffle","typesize":4,"blocksize":0}}]"""
+        case "null" => s"[$bytesCodec]"
+        case other => sys.error(s"zarr v3 writer: compressor '$other' unsupported")
+      }
+    }
+    def arrayJson(shape: Seq[Int], chunks: Seq[Int], dtype: String,
+                  comp: String, fill: Option[Int], attrs: String): String =
+      s"""{"zarr_format":3,"node_type":"array","shape":[${shape.mkString(",")}],""" +
+        s""""data_type":"$dtype","chunk_grid":{"name":"regular",""" +
+        s""""configuration":{"chunk_shape":[${chunks.mkString(",")}]}},""" +
+        s""""chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},""" +
+        s""""fill_value":${fill.map(_.toString).getOrElse("0")},""" +
+        s""""codecs":${codecJson(comp)},"attributes":{$attrs}}"""
+    Files.createDirectories(root)
+    put("zarr.json", """{"zarr_format":3,"node_type":"group"}""".getBytes("UTF-8"))
+    def coord1d(name: String, doubles: Array[Double]): Unit = {
+      put(s"$name/zarr.json", arrayJson(Seq(doubles.length), Seq(doubles.length),
+        "float64", "null", None, "").getBytes("UTF-8"))
+      put(s"$name/c/0", doubles.flatMap(leDouble))
+    }
+    coord1d("lat", Array.tabulate(g.nj)(j => (g.la1Micro - j * g.djMicro) / 1e6))
+    coord1d("lon", Array.tabulate(g.ni)(i => (g.lo1Micro + i * g.diMicro) / 1e6))
+    val epochHours = times.map(t => java.time.Duration.between(
+      LocalDateTime.of(1970, 1, 1, 0, 0), t).toHours.toInt).toArray
+    put("time/zarr.json", arrayJson(Seq(times.length), Seq(times.length),
+      "int32", "null", None, "").getBytes("UTF-8"))
+    put("time/c/0", epochHours.flatMap(leInt))
+    val cgJ = (g.nj + chunkJ - 1) / chunkJ
+    val cgI = (g.ni + chunkI - 1) / chunkI
+    for (v <- vars) {
+      put(s"$v/zarr.json", arrayJson(Seq(times.length, g.nj, g.ni),
+        Seq(1, chunkJ, chunkI), "int32", compressor, Some(FillInt),
+        s""""decimal_scale":${g.decimalScale},"units":"K"""").getBytes("UTF-8"))
+      for ((t, r) <- times.zipWithIndex) {
+        val f = fields.find(x => x.variable == v && x.time == t)
+          .getOrElse(sys.error(s"variable $v missing at $t"))
+        for (cj <- 0 until cgJ; ci <- 0 until cgI) {
+          val raw = new Array[Byte](chunkJ * chunkI * 4)
+          var p = 0
+          for (dj <- 0 until chunkJ; di <- 0 until chunkI) {
+            val j = cj * chunkJ + dj; val i = ci * chunkI + di
+            val cell = if (j < g.nj && i < g.ni)
+              f.scaled(j * g.ni + i).getOrElse(FillInt)
+            else FillInt
+            val b = leInt(cell)
+            raw(p) = b(0); raw(p + 1) = b(1); raw(p + 2) = b(2); raw(p + 3) = b(3)
+            p += 4
+          }
+          put(s"$v/c/$r/$cj/$ci", compressor match {
+            case "gzip" => gzipCompress(raw)
+            case "blosc-lz4" => BloscLz4.compress(raw, typesize = 4)
+            case _ => raw
+          })
+        }
+      }
+    }
+    root
+  }
+
   // -------------------------------------------------------------- read
 
   private implicit val fmts: Formats = DefaultFormats
@@ -269,9 +390,93 @@ object Zarr {
       dtype, comp, fill, scale)
   }
 
+  /** Parse a v3 array `zarr.json` (zarr-specs v3.0): regular chunk
+    * grid, default chunk-key encoding, a `bytes` array→bytes codec
+    * (endianness) optionally followed by ONE bytes→bytes codec
+    * (`gzip` or `blosc` with cname lz4). Everything else rejects with
+    * a pointer, the v2 discipline.
+    */
+  private[graft] def parseZarrayV3(json: String, label: String): ArrayMeta = {
+    val j = JsonMethods.parse(json)
+    require((j \ "zarr_format").extract[Int] == 3,
+      s"zarr: $label zarr.json declares format ${(j \ "zarr_format").extract[Int]}")
+    require((j \ "node_type").extract[String] == "array",
+      s"zarr: $label zarr.json is not an array node")
+    val grid = j \ "chunk_grid"
+    require((grid \ "name").extract[String] == "regular",
+      s"zarr: $label chunk grid '${(grid \ "name").extract[String]}' out of scope")
+    val keyEnc = j \ "chunk_key_encoding"
+    val sep = (keyEnc \ "name").extract[String] match {
+      case "default" => (keyEnc \ "configuration" \ "separator") match {
+        case JString(s) =>
+          require(s == "/" || s == ".",
+            s"zarr: $label chunk-key separator '$s' out of scope"); s
+        case _ => "/" // the spec default
+      }
+      case other => throw new IllegalArgumentException(
+        s"zarr: $label chunk-key encoding '$other' out of scope (only 'default')")
+    }
+    // codec chain: bytes (endian) then at most one compressor
+    val codecs = (j \ "codecs") match {
+      case JArray(cs) => cs
+      case _ => throw new IllegalArgumentException(s"zarr: $label has no codecs list")
+    }
+    require(codecs.nonEmpty && (codecs.head \ "name").extract[String] == "bytes",
+      s"zarr: $label codec chain must start with 'bytes'")
+    val little = (codecs.head \ "configuration" \ "endian") match {
+      case JString("little") => true
+      case JString("big") => false
+      case JNothing | JNull => true
+      case e => throw new IllegalArgumentException(s"zarr: $label endian $e out of scope")
+    }
+    val comp = codecs.drop(1) match {
+      case Nil => "null"
+      case c :: Nil => (c \ "name").extract[String] match {
+        case "gzip" => "gzip"
+        case "blosc" =>
+          val cname = (c \ "configuration" \ "cname").extract[String]
+          require(cname == "lz4" || cname == "lz4hc",
+            s"zarr: $label blosc cname '$cname' out of scope — lz4/lz4hc decode")
+          "blosc-lz4"
+        case other => throw new IllegalArgumentException(
+          s"zarr: $label codec '$other' out of scope (gzip / blosc-lz4)")
+      }
+      case more => throw new IllegalArgumentException(
+        s"zarr: $label codec chain of ${more.length + 1} out of scope (bytes + one)")
+    }
+    val dtype = (j \ "data_type").extract[String] match {
+      case "int32" => if (little) "<i4" else ">i4"
+      case "float64" => if (little) "<f8" else ">f8"
+      case other => throw new IllegalArgumentException(
+        s"zarr: $label data_type '$other' out of scope (int32 data, float64 coords)")
+    }
+    val fill = (j \ "fill_value") match {
+      case JInt(v) => Some(v.toInt)
+      case JNull | JNothing => None
+      case v => throw new IllegalArgumentException(
+        s"zarr: $label non-integer fill_value $v out of scope")
+    }
+    val scale = (j \ "attributes" \ "decimal_scale") match {
+      case JInt(v) => v.toInt
+      case _ => 0
+    }
+    val shape = (j \ "shape").extract[Seq[BigInt]]
+    val chunks = (grid \ "configuration" \ "chunk_shape").extract[Seq[BigInt]]
+    require(shape.nonEmpty && chunks.length == shape.length,
+      s"zarr: $label shape/chunks rank mismatch ($shape vs $chunks)")
+    (shape ++ chunks).foreach(v => require(v >= 0 && v <= Int.MaxValue,
+      s"zarr: $label dimension $v out of range"))
+    require(chunks.forall(_ >= 1), s"zarr: $label has a zero-extent chunk dimension")
+    require(chunks.product <= (BigInt(1) << 26),
+      s"zarr: $label chunk cell count ${chunks.product} exceeds the 2^26 cap")
+    ArrayMeta(shape.map(_.toInt), chunks.map(_.toInt),
+      dtype, comp, fill, scale, v3 = true, sep = sep)
+  }
+
   private def inflate(bytes: Array[Byte], meta: ArrayMeta, expect: Int,
                       label: String): Array[Byte] = meta.comp match {
     case "zlib" => zlibInflate(bytes, expect, label)
+    case "gzip" => gzipInflate(bytes, expect, label)
     case "blosc-lz4" => BloscLz4.decompress(bytes, expect, label)
     case _ =>
       require(bytes.length == expect,
@@ -324,16 +529,27 @@ object Zarr {
         out.toString("UTF-8")
       } finally in.close()
     }
-    require(fs.exists(new org.apache.hadoop.fs.Path(rp, ".zgroup")),
-      s"zarr: $root has no .zgroup — not a v2 group store")
+    val v2Root = fs.exists(new org.apache.hadoop.fs.Path(rp, ".zgroup"))
+    val v3RootP = new org.apache.hadoop.fs.Path(rp, "zarr.json")
+    require(v2Root || fs.exists(v3RootP),
+      s"zarr: $root has neither .zgroup (v2) nor zarr.json (v3) — not a group store")
+    if (!v2Root)
+      require(JsonMethods.parse(readSmall(v3RootP)) \ "node_type" == JString("group"),
+        s"zarr: $root zarr.json is not a group node")
     fs.listStatus(rp).toSeq.filter(_.isDirectory).map(_.getPath).sortBy(_.getName)
       .flatMap { dir =>
-        val za = new org.apache.hadoop.fs.Path(dir, ".zarray")
-        if (!fs.exists(za)) None
-        else {
-          val attrsP = new org.apache.hadoop.fs.Path(dir, ".zattrs")
-          val attrs = if (fs.exists(attrsP)) Some(readSmall(attrsP)) else None
-          Some(dir.getName -> parseZarray(readSmall(za), attrs, dir.toString))
+        if (v2Root) {
+          val za = new org.apache.hadoop.fs.Path(dir, ".zarray")
+          if (!fs.exists(za)) None
+          else {
+            val attrsP = new org.apache.hadoop.fs.Path(dir, ".zattrs")
+            val attrs = if (fs.exists(attrsP)) Some(readSmall(attrsP)) else None
+            Some(dir.getName -> parseZarray(readSmall(za), attrs, dir.toString))
+          }
+        } else {
+          val zj = new org.apache.hadoop.fs.Path(dir, "zarr.json")
+          if (!fs.exists(zj)) None
+          else Some(dir.getName -> parseZarrayV3(readSmall(zj), dir.toString))
         }
       }
   }
@@ -349,7 +565,8 @@ object Zarr {
       s"zarr: coordinate $name declares ${meta.shape.head} entries — " +
         "beyond the 2^24 driver-side cap")
     val conf = spark.sessionState.newHadoopConf()
-    val p = new org.apache.hadoop.fs.Path(s"$root/$name/0")
+    val chunkRel = if (meta.v3) s"c${meta.sep}0" else "0"
+    val p = new org.apache.hadoop.fs.Path(s"$root/$name/$chunkRel")
     val fs = p.getFileSystem(conf)
     val in = fs.open(p)
     val bytes = try {
@@ -398,16 +615,31 @@ object Zarr {
     val metaB = spark.sparkContext.broadcast((wanted.toMap, lat, lon, time))
     val paths = wanted.map { case (name, _) => s"$root/$name" }
     spark.createDataset(
-      spark.read.format("binaryFile").load(paths: _*)
+      spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true") // v3 nests chunks under c/
+        .load(paths: _*)
+        .filter(!col("path").endsWith("zarr.json")) // v3 metadata is not dot-hidden
         .select(col("path"), col("content"))
         .as[(String, Array[Byte])](Encoders.tuple(Encoders.STRING, Encoders.BINARY))
         .rdd
         .flatMap { case (p, bytes) =>
           val (metas, latA, lonA, timeA) = metaB.value
           val segs = p.split('/')
-          val (vname, key) = (segs(segs.length - 2), segs.last)
+          // the array directory is the LAST path segment naming a wanted
+          // array (chunk key segments are numeric / 'c', never collide)
+          val vIdx = segs.lastIndexWhere(metas.contains)
+          require(vIdx >= 0, s"zarr: chunk path $p matches no scanned array")
+          val vname = segs(vIdx)
           val m = metas(vname)
-          val idx = key.split('.').map(_.toInt)
+          val key = segs.drop(vIdx + 1).mkString("/")
+          val idx: Array[Int] =
+            if (!m.v3) key.split('.').map(_.toInt) // v2: "t.j.i"
+            else { // v3: "c/t/j/i" or "c.t.j.i" under the array dir
+              val toks = if (m.sep == "/") key.split('/') else key.split('.')
+              require(toks.length == 4 && toks.head == "c",
+                s"zarr: unexpected v3 chunk key $key under $vname")
+              toks.tail.map(_.toInt)
+            }
           require(idx.length == 3, s"zarr: unexpected chunk key $key under $vname")
           val Array(r, cj, ci) = idx
           val Seq(_, chJ, chI) = m.chunks

@@ -113,6 +113,45 @@ class BloscLz4Spec extends SparkSpec {
       BloscLz4.decompress(frame.take(10), raw.length, "t"))
   }
 
+  test("zarr V3 store (zarr.json, c/ keys, gzip + blosc codecs) scans like its v2 twin") {
+    import java.time.LocalDateTime
+    val t0 = LocalDateTime.of(2004, 9, 10, 6, 0)
+    val t1 = LocalDateTime.of(2004, 10, 10, 18, 0)
+    def fields = for ((t, m) <- Seq(t0 -> 0, t1 -> 1); (v, pidx) <- Seq("TMP" -> 0, "VGRD" -> 1))
+      yield Zarr.Field(v, t, 29, 13, 40000000L, -10000000L, 2000000L, 1500000L, 1,
+        Array.tabulate(29 * 13)(k =>
+          if (pidx == 1 && k % 7 == 2) None else Some((k * 11 + m * 3 + pidx * 100) % 600)))
+    val r2 = java.nio.file.Files.createTempDirectory("graft-z2")
+    val r3g = java.nio.file.Files.createTempDirectory("graft-z3g")
+    val r3b = java.nio.file.Files.createTempDirectory("graft-z3b")
+    Zarr.writeStore(r2.resolve("s.zarr"), fields, 5, 8)
+    Zarr.writeStoreV3(r3g.resolve("s.zarr"), fields, 5, 8, compressor = "gzip")
+    Zarr.writeStoreV3(r3b.resolve("s.zarr"), fields, 5, 8, compressor = "blosc-lz4")
+    val v2 = Zarr.readRecords(spark, r2.resolve("s.zarr").toString).collect().toSet
+    Zarr.readRecords(spark, r3g.resolve("s.zarr").toString).collect().toSet shouldBe v2
+    Zarr.readRecords(spark, r3b.resolve("s.zarr").toString).collect().toSet shouldBe v2
+    // layout pins: group + array zarr.json, nested c/<t>/<j>/<i> chunks
+    val tmpDir = r3g.resolve("s.zarr/TMP")
+    java.nio.file.Files.exists(r3g.resolve("s.zarr/zarr.json")) shouldBe true
+    java.nio.file.Files.exists(tmpDir.resolve("zarr.json")) shouldBe true
+    java.nio.file.Files.exists(tmpDir.resolve("c/1/2/3")) shouldBe true
+    val zj = new String(java.nio.file.Files.readAllBytes(tmpDir.resolve("zarr.json")), "UTF-8")
+    zj should include(""""node_type":"array"""")
+    zj should include(""""name":"gzip"""")
+    // v3 metadata walk parses directly too
+    val meta = Zarr.parseZarrayV3(zj, "TMP")
+    meta.v3 shouldBe true
+    meta.comp shouldBe "gzip"
+    meta.shape shouldBe Seq(2, 13, 29)
+    // scope rejects: sharding codec, weird key encoding
+    intercept[IllegalArgumentException](Zarr.parseZarrayV3(
+      zj.replace(""""name":"gzip"""", """"name":"sharding_indexed""""), "TMP"))
+      .getMessage should include("out of scope")
+    intercept[IllegalArgumentException](Zarr.parseZarrayV3(
+      zj.replace(""""name":"default"""", """"name":"v2""""), "TMP"))
+      .getMessage should include("out of scope")
+  }
+
   test("zarr store with blosc-lz4 chunks scans identically to its zlib twin") {
     import java.time.LocalDateTime
     val t0 = LocalDateTime.of(2004, 9, 10, 6, 0)
