@@ -553,6 +553,58 @@ object SparkEntry {
       fields, chunkJ = 5, chunkI = 8, compressor = "gzip").toString
   }
 
+  /** r51 fixture: v3 sharding_indexed — shards of [1,6,16] holding a
+    * 2x2 grid of [1,3,8] inner chunks, crc32c-checked index at the end,
+    * PRATE's mask zeroing a whole inner region so MISSING (all-ones)
+    * entries appear on the wire.
+    */
+  private lazy val zarrShardFixturePath: String = {
+    import java.time.LocalDateTime
+    val params = Seq("TMP", "PRATE", "VGRD")
+    val times = Seq(LocalDateTime.of(2006, 2, 7, 0, 0),
+      LocalDateTime.of(2006, 3, 7, 12, 0))
+    val fields = for {
+      (t, m) <- times.zipWithIndex
+      (v, pidx) <- params.zipWithIndex
+    } yield sources.Zarr.Field(v, t, g3Ni, g3Nj, g3La1, g3Lo1, g3Di, g3Dj,
+      decimalScale = 1,
+      Array.tabulate(g3Nj * g3Ni) { k =>
+        val j = k / g3Ni; val i = k % g3Ni
+        if (pidx == 1 && j < 3 && i < 8) None // whole inner chunk missing
+        else if (pidx == 1 && (i + j * 2 + m) % 11 == 5) None
+        else Some((i * 19 + j * 3 + pidx * 41 + m * 17) % 450 + pidx * 900)
+      })
+    sources.Zarr.writeStoreV3(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft-zarr", "fixsh.zarr"),
+      fields, chunkJ = 6, chunkI = 16, compressor = "gzip",
+      innerJ = 3, innerI = 8).toString
+  }
+
+  /** r50 fixture: NC_SHORT payloads with the CF packing convention
+    * (`value = packed * scale_factor + add_offset`) — the int16-packed
+    * shape CDS/CMIP archives ship. Dyadic scale_factor (0.25) and
+    * integer offset (300) keep the double arithmetic exact.
+    */
+  private lazy val netcdfShortFixturePath: String = {
+    import java.time.LocalDateTime
+    val params = Seq("TMP", "PRATE", "VGRD")
+    val times = Seq(LocalDateTime.of(2005, 12, 5, 6, 0),
+      LocalDateTime.of(2006, 1, 5, 18, 0))
+    val fields = for {
+      (t, m) <- times.zipWithIndex
+      (v, pidx) <- params.zipWithIndex
+    } yield sources.Netcdf.Field(v, t, g3Ni, g3Nj, g3La1, g3Lo1, g3Di, g3Dj,
+      decimalScale = 0,
+      Array.tabulate(g3Nj * g3Ni) { k =>
+        val j = k / g3Ni; val i = k % g3Ni
+        if (pidx == 1 && (i * 2 + j + m) % 13 == 6) None
+        else Some((i * 9 + j * 23 + pidx * 47 + m * 31) % 1200 - 400)
+      })
+    sources.Netcdf.writeFile(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft-nc", "fixs.nc"),
+      fields, payloadType = sources.Netcdf.NcShort).toString
+  }
+
   /** r48 fixture: REDUCED Gaussian grid (missing ni + per-row point
     * list) — un-regridded ERA5's actual layout. N=8 with pole-shrunk
     * row counts all dividing 360e6 µdeg (exact row longitudes); TMP
@@ -1996,6 +2048,11 @@ object SparkEntry {
     "r45_netcdf_cdf5" -> ((s, _) =>
       sources.Netcdf.readRecords(s, Seq(netcdfCdf5FixturePath), matchRe = "TMP|PRATE")
         .orderBy($"variable", $"time", $"lat", $"lon")),
+    // NC_SHORT + CF scale_factor/add_offset (the int16 packing CDS/CMIP
+    // ship): value = packed*0.25 + 300, fill compared in packed space
+    "r50_netcdf_short" -> ((s, _) =>
+      sources.Netcdf.readRecords(s, Seq(netcdfShortFixturePath), matchRe = "TMP|PRATE")
+        .orderBy($"variable", $"time", $"lat", $"lon")),
     // Zarr v2 group-store scan: chunk-level parallel decode (binaryFile
     // task per chunk), metadata + coordinates driver-side, VGRD pruned
     // by the regex before a single chunk path is listed; edge chunks on
@@ -2013,6 +2070,12 @@ object SparkEntry {
     // same flattened contract — the container version must be invisible
     "r49_zarr_v3" -> ((s, _) =>
       sources.Zarr.readRecords(s, zarrV3FixturePath, matchRe = "TMP|PRATE")
+        .orderBy($"variable", $"time", $"lat", $"lon")),
+    // v3 sharding_indexed: per-shard scan tasks, u64le index + crc32c,
+    // missing inner chunks resolved to fill (dropped) — the shape that
+    // keeps object counts sane on a 100 TB store
+    "r51_zarr_sharded" -> ((s, _) =>
+      sources.Zarr.readRecords(s, zarrShardFixturePath, matchRe = "TMP|PRATE")
         .orderBy($"variable", $"time", $"lat", $"lon")),
     // the DataSource V2 face of the GRIB2 reader: spark.read
     // .format("grib2") with variable = 'TMP' PUSHED to the reader —
@@ -5730,6 +5793,21 @@ object SparkEntry {
          FROM p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
          WHERE NOT (pidx = 1 AND (i + j + m) % 9 = 2)
          ORDER BY variable, time, lat, lon""",
+    // CF int16 packing regenerated closed-form: packed*0.25 + 300 over
+    // dyadic factors — exact on both engines
+    "r50_netcdf_short" ->
+      s"""WITH p(pidx, variable) AS (VALUES (0, 'TMP'), (1, 'PRATE')),
+         t(t, m) AS (VALUES (TIMESTAMP '2005-12-05 06:00:00', 0),
+                            (TIMESTAMP '2006-01-05 18:00:00', 1)),
+         ii AS (SELECT unnest(generate_series(0, ${g3Ni - 1})) AS i),
+         jj AS (SELECT unnest(generate_series(0, ${g3Nj - 1})) AS j)
+         SELECT variable, t AS time,
+                ($g3La1 - j * $g3Dj) / 1000000.0 AS lat,
+                (($g3Lo1) + i * $g3Di) / 1000000.0 AS lon,
+                ((i * 9 + j * 23 + pidx * 47 + m * 31) % 1200 - 400) * 0.25 + 300.0 AS value
+         FROM p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
+         WHERE NOT (pidx = 1 AND (i * 2 + j + m) % 13 = 6)
+         ORDER BY variable, time, lat, lon""",
     // the fill lattice drops PRATE cells; chunk tiling/padding must be
     // invisible in the flattened result — the oracle is the plain grid
     "r28_zarr_scan" ->
@@ -5773,6 +5851,22 @@ object SparkEntry {
                 ((i * 17 + j * 5 + pidx * 37 + m * 41) % 500 + pidx * 700) / 10.0 AS value
          FROM p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
          WHERE NOT (pidx = 1 AND (i * 3 + j + m) % 12 = 7)
+         ORDER BY variable, time, lat, lon""",
+    // the sharded twin: shard/inner-chunk tiling and MISSING entries
+    // must be invisible in the flattened result
+    "r51_zarr_sharded" ->
+      s"""WITH p(pidx, variable) AS (VALUES (0, 'TMP'), (1, 'PRATE')),
+         t(t, m) AS (VALUES (TIMESTAMP '2006-02-07 00:00:00', 0),
+                            (TIMESTAMP '2006-03-07 12:00:00', 1)),
+         ii AS (SELECT unnest(generate_series(0, ${g3Ni - 1})) AS i),
+         jj AS (SELECT unnest(generate_series(0, ${g3Nj - 1})) AS j)
+         SELECT variable, t AS time,
+                ($g3La1 - j * $g3Dj) / 1000000.0 AS lat,
+                (($g3Lo1) + i * $g3Di) / 1000000.0 AS lon,
+                ((i * 19 + j * 3 + pidx * 41 + m * 17) % 450 + pidx * 900) / 10.0 AS value
+         FROM p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
+         WHERE NOT (pidx = 1 AND j < 3 AND i < 8)
+           AND NOT (pidx = 1 AND (i + j * 2 + m) % 11 = 5)
          ORDER BY variable, time, lat, lon""",
     "r16_grib2_jpeg2000" ->
       s"""WITH p(pidx, variable) AS (VALUES (0, 'TMP'), (1, 'PRATE')),

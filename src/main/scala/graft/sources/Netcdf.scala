@@ -39,17 +39,22 @@ import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
   *    counts, vsize, begin).
   *
   * Data payloads: NC_INT (`value = raw / 10^decimal_scale`, exact),
-  * NC_FLOAT (`value` = the stored binary32 widened — fixtures store
-  * DYADIC values, scaled/4, which binary32 holds exactly, the float twin
-  * of the integer decimal-scale convention), NC_DOUBLE (stored value
-  * verbatim). `_FillValue` cells drop in all three.
+  * NC_SHORT with the CF packing convention (`value = packed *
+  * scale_factor + add_offset` — the int16-packed shape CDS/CMIP
+  * archives actually ship; fixtures use dyadic scale_factor so the
+  * double arithmetic is exact on both engines), NC_FLOAT (`value` =
+  * the stored binary32 widened — fixtures store DYADIC values,
+  * scaled/4, which binary32 holds exactly), NC_DOUBLE (stored value
+  * verbatim). `_FillValue` cells drop in all four (compared in PACKED
+  * space for shorts, per CF).
   *
-  * Remaining scope rejects stay LOUD: STREAMING numrecs, CHAR/SHORT data
+  * Remaining scope rejects stay LOUD: STREAMING numrecs, CHAR data
   * payloads, vsize/begin past the mapped bytes. Encoder and decoder are
   * independent walks of the same spec; NetcdfSpec round-trips all three
   * versions and pins wire offsets by hand; gates r27 (CDF-1 int), r44
-  * (CDF-2 float) and r45 (CDF-5 double) prove the flatten against
-  * closed-form DuckDB oracles (the r12/r14 discipline).
+  * (CDF-2 float), r45 (CDF-5 double) and r50 (CDF-1 short + CF packing)
+  * prove the flatten against closed-form DuckDB oracles (the r12/r14
+  * discipline).
   */
 object Netcdf {
 
@@ -58,12 +63,13 @@ object Netcdf {
   private val TagAttribute = 0x0C
 
   private val NcChar = 2
-  private val NcShort = 3
+  val NcShort = 3
   val NcInt = 4
   val NcFloat = 5
   val NcDouble = 6
 
   val FillInt: Int = -2147483647 // netCDF NC_FILL_INT
+  val FillShort: Short = -32767 // NC_FILL_SHORT
   val FillFloat: Float = 9.9692099683868690e+36f // NC_FILL_FLOAT
   val FillDouble: Double = 9.9692099683868690e+36 // NC_FILL_DOUBLE
 
@@ -102,8 +108,9 @@ object Netcdf {
     require(fields.nonEmpty, "no fields to write")
     require(version == 1 || version == 2 || version == 5,
       s"CDF version $version unsupported (1 / 2 / 5)")
-    require(payloadType == NcInt || payloadType == NcFloat || payloadType == NcDouble,
-      s"payload type $payloadType unsupported (NC_INT / NC_FLOAT / NC_DOUBLE)")
+    require(payloadType == NcInt || payloadType == NcFloat ||
+      payloadType == NcDouble || payloadType == NcShort,
+      s"payload type $payloadType unsupported (NC_SHORT / NC_INT / NC_FLOAT / NC_DOUBLE)")
     val g = fields.head
     fields.foreach { f =>
       require(f.ni == g.ni && f.nj == g.nj && f.la1Micro == g.la1Micro &&
@@ -118,6 +125,15 @@ object Netcdf {
           "float payloads use the dyadic /4 convention — decimalScale must be 0")
         f.scaled.foreach(_.foreach(v => require(math.abs(v) < (1 << 22),
           s"scaled value $v too wide for exact binary32 quarters")))
+      }
+      if (payloadType == NcShort) {
+        // the CF packing convention: value = packed * scale_factor +
+        // add_offset, with dyadic scale_factor 0.25 and offset 300 so
+        // the double arithmetic is exact on both engines
+        require(f.decimalScale == 0,
+          "short payloads use scale_factor/add_offset — decimalScale must be 0")
+        f.scaled.foreach(_.foreach(v => require(v > -32767 && v <= 32767,
+          s"scaled value $v outside the NC_SHORT packed range")))
       }
     }
     val times = fields.map(_.time).distinct.sorted(Ordering.fromLessThan[LocalDateTime](_ isBefore _))
@@ -146,6 +162,10 @@ object Netcdf {
       var p = b.length; while (p % 4 != 0) { u8(0); p += 1 }
     }
     def intAtt(n: String, v: Int): Unit = { name(n); u32(NcInt); sz(1); u32(v) }
+    def shortAtt(n: String, v: Short): Unit = {
+      name(n); u32(NcShort); sz(1)
+      u8((v >> 8) & 0xff); u8(v & 0xff); u8(0); u8(0) // padded to 4
+    }
     def floatAtt(n: String, v: Float): Unit = { name(n); u32(NcFloat); sz(1); f32(v) }
     def doubleAtt(n: String, v: Double): Unit = { name(n); u32(NcDouble); sz(1); u64d(v) }
 
@@ -168,8 +188,11 @@ object Netcdf {
     u32(TagVariable); sz(3 + vars.length)
     val latSize = 8 * g.nj
     val lonSize = 8 * g.ni
-    val width = if (payloadType == NcDouble) 8 else 4
-    val slab = width * g.ni * g.nj // per-record slab, already 4-aligned
+    val width = if (payloadType == NcDouble) 8
+      else if (payloadType == NcShort) 2 else 4
+    // per-record slab, rounded UP to the classic format's 4-byte
+    // boundary (only shorts can leave a 2-byte tail)
+    val slab = (width * g.ni * g.nj + 3) / 4 * 4
     // header size must be known to place `begin`s; assemble variable
     // entries into a scratch buffer first is avoided by computing sizes
     // closed-form: measure by writing with placeholder begins, then patch
@@ -193,10 +216,15 @@ object Netcdf {
         case NcInt =>
           intAtt("decimal_scale", g.decimalScale)
           intAtt("_FillValue", FillInt)
+        case NcShort =>
+          doubleAtt("scale_factor", 0.25)
+          doubleAtt("add_offset", 300.0)
+          shortAtt("_FillValue", FillShort)
         case NcFloat => floatAtt("_FillValue", FillFloat)
         case NcDouble => doubleAtt("_FillValue", FillDouble)
       }
-    }, if (payloadType == NcInt) 3 else 2, payloadType, slab)
+    }, payloadType match { case NcInt => 3; case NcShort => 4; case _ => 2 },
+      payloadType, slab)
 
     // --------------- patch begins now the header length is known
     val headerLen = out.length
@@ -222,6 +250,13 @@ object Netcdf {
         val f = fields.find(x => x.variable == v && x.time == t).get
         payloadType match {
           case NcInt => f.scaled.foreach(c => u32(c.getOrElse(FillInt)))
+          case NcShort =>
+            f.scaled.foreach { c =>
+              val s = c.getOrElse(FillShort.toInt)
+              u8((s >> 8) & 0xff); u8(s & 0xff)
+            }
+            var pad = 2 * g.ni * g.nj
+            while (pad % 4 != 0) { u8(0); pad += 1 } // slab tail padding
           case NcFloat =>
             f.scaled.foreach(c => f32(c.map(_ / 4.0f).getOrElse(FillFloat)))
           case NcDouble =>
@@ -291,13 +326,19 @@ object Netcdf {
       v.tpe match {
         case NcInt =>
           Array.tabulate((v.vsize / 4).toInt)(k => i32(base.toInt + 4 * k).toDouble)
+        case NcShort => // vsize is 4-padded: the tail short (if any) is pad
+          Array.tabulate((v.vsize / 2).toInt) { k =>
+            val p = base.toInt + 2 * k
+            (((bytes(p) << 8) | (bytes(p + 1) & 0xff)).toShort).toDouble
+          }
         case NcFloat =>
           Array.tabulate((v.vsize / 4).toInt)(k =>
             java.lang.Float.intBitsToFloat(i32(base.toInt + 4 * k)).toDouble)
         case NcDouble =>
           Array.tabulate((v.vsize / 8).toInt)(k => f64(base.toInt + 8 * k))
         case t => throw new IllegalArgumentException(
-          s"${v.name}: payload type $t out of scope (NC_INT / NC_FLOAT / NC_DOUBLE)")
+          s"${v.name}: payload type $t out of scope " +
+            "(NC_SHORT / NC_INT / NC_FLOAT / NC_DOUBLE)")
       }
     }
   }
@@ -412,28 +453,44 @@ object Netcdf {
     dataVars.iterator.flatMap { v =>
       val d = (v.atts.getOrElse("decimal_scale", 0): @unchecked) match { case i: Int => i }
       // denom applies to NC_INT payloads only; float/double store the
-      // final value directly (the writer pre-divides)
+      // final value directly (the writer pre-divides); shorts use the
+      // CF packing convention value = packed * scale_factor + add_offset
       val denom = if (v.tpe == NcInt) math.pow(10, d) else 1.0
+      def dblAtt(n: String, dflt: Double): Double = v.atts.get(n) match {
+        case Some(x: Double) => x
+        case Some(x: Float) => x.toDouble
+        case Some(x: Int) => x.toDouble
+        case _ => dflt
+      }
+      val sf = if (v.tpe == NcShort) dblAtt("scale_factor", 1.0) else 1.0
+      val ao = if (v.tpe == NcShort) dblAtt("add_offset", 0.0) else 0.0
       val fill: Double = v.atts.get("_FillValue") match {
         case Some(i: Int) => i.toDouble
+        case Some(s: Short) => s.toDouble
         case Some(f: Float) => f.toDouble
         case Some(dd: Double) => dd
         case _ => v.tpe match {
           case NcFloat => FillFloat.toDouble
           case NcDouble => FillDouble
+          case NcShort => FillShort.toDouble
           case _ => FillInt.toDouble
         }
       }
       (0 until nc.numrecs).iterator.flatMap { r =>
         val epochH = nc.intRecord(timeVar, r, recSize)(0)
         val t = LocalDateTime.of(1970, 1, 1, 0, 0).plusHours(epochH)
-        val slab = nc.numericRecord(v, r, recSize)
+        val slab0 = nc.numericRecord(v, r, recSize)
         val nj = lat.length; val ni = lon.length
-        require(slab.length == ni * nj, s"${v.name}: slab/grid mismatch in $label")
+        // NC_SHORT slabs may carry one trailing pad short (4-alignment)
+        require(slab0.length == ni * nj ||
+          (v.tpe == NcShort && slab0.length == ni * nj + 1),
+          s"${v.name}: slab/grid mismatch in $label")
+        val slab = slab0
         Iterator.tabulate(nj * ni) { k =>
           val j = k / ni; val i = k % ni
           if (slab(k) == fill) null
-          else GridRow(v.name, t, lat(j), lon(i), slab(k) / denom)
+          else GridRow(v.name, t, lat(j), lon(i),
+            if (v.tpe == NcShort) slab(k) * sf + ao else slab(k) / denom)
         }.filter(_ != null)
       }
     }

@@ -37,12 +37,15 @@ import org.json4s.jackson.JsonMethods
   * Zarr V3 group stores (zarr-specs v3.0) read through the same scan:
   * `zarr.json` metadata documents, regular chunk grids, default chunk-key
   * encoding (`c/t/j/i` or `.`-separated), codec chain `bytes(endian)`
-  * plus at most one of `gzip`/`blosc(lz4)`, int32 data / float64 coords.
+  * plus at most one of `gzip`/`blosc(lz4)`, int32 data / float64 coords —
+  * including `sharding_indexed` arrays ((offset,nbytes) u64le index,
+  * crc32c-checked, missing inner chunks as all-ones entries; one scan
+  * task per SHARD, the object-count shape v3 archives use at scale).
   *
   * Out-of-scope forms reject loudly with a pointer: `order:"F"`,
   * non-`.` v2 dimension separators, v2 filters, compressors other than
   * null/zlib/gzip/blosc-lz4 (blosclz/snappy/zstd cnames reject),
-  * non-integer data dtypes, v3 sharding/transpose codecs.
+  * non-integer data dtypes, the v3 transpose codec, nested sharding.
   */
 object Zarr {
 
@@ -68,7 +71,14 @@ object Zarr {
   final case class ArrayMeta(shape: Seq[Int], chunks: Seq[Int],
                              dtype: String, comp: String,
                              fillValue: Option[Int], decimalScale: Int,
-                             v3: Boolean = false, sep: String = ".") {
+                             v3: Boolean = false, sep: String = ".",
+                             // sharding_indexed (v3): `chunks` is then the
+                             // SHARD shape; inner chunks of this shape are
+                             // indexed by (offset,nbytes) u64le pairs
+                             innerChunks: Seq[Int] = Nil,
+                             innerComp: String = "null",
+                             indexCrc: Boolean = false,
+                             indexAtStart: Boolean = false) {
     def chunkGrid: Seq[Int] = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
   }
 
@@ -239,7 +249,18 @@ object Zarr {
     */
   def writeStoreV3(root: Path, fields: Seq[Field],
                    chunkJ: Int, chunkI: Int, level: Int = 5,
-                   compressor: String = "gzip"): Path = {
+                   compressor: String = "gzip",
+                   // > 0 wraps data arrays in a sharding_indexed codec:
+                   // (chunkJ, chunkI) becomes the SHARD shape, inner
+                   // chunks are (innerJ, innerI), index crc32c at end;
+                   // all-fill inner chunks are written as MISSING
+                   innerJ: Int = 0, innerI: Int = 0): Path = {
+    val sharding = innerJ > 0 || innerI > 0
+    if (sharding) {
+      require(innerJ > 0 && innerI > 0 &&
+        chunkJ % innerJ == 0 && chunkI % innerI == 0,
+        "inner chunk shape must divide the shard shape")
+    }
     require(fields.nonEmpty, "no fields to write")
     val g = fields.head
     fields.foreach { f =>
@@ -267,19 +288,24 @@ object Zarr {
         case other => sys.error(s"zarr v3 writer: compressor '$other' unsupported")
       }
     }
+    def shardingJson(comp: String): String =
+      s"""[{"name":"sharding_indexed","configuration":{""" +
+        s""""chunk_shape":[1,$innerJ,$innerI],"codecs":${codecJson(comp)},""" +
+        s""""index_codecs":[{"name":"bytes","configuration":{"endian":"little"}},""" +
+        s"""{"name":"crc32c"}],"index_location":"end"}}]"""
     def arrayJson(shape: Seq[Int], chunks: Seq[Int], dtype: String,
-                  comp: String, fill: Option[Int], attrs: String): String =
+                  codecs: String, fill: Option[Int], attrs: String): String =
       s"""{"zarr_format":3,"node_type":"array","shape":[${shape.mkString(",")}],""" +
         s""""data_type":"$dtype","chunk_grid":{"name":"regular",""" +
         s""""configuration":{"chunk_shape":[${chunks.mkString(",")}]}},""" +
         s""""chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},""" +
         s""""fill_value":${fill.map(_.toString).getOrElse("0")},""" +
-        s""""codecs":${codecJson(comp)},"attributes":{$attrs}}"""
+        s""""codecs":$codecs,"attributes":{$attrs}}"""
     Files.createDirectories(root)
     put("zarr.json", """{"zarr_format":3,"node_type":"group"}""".getBytes("UTF-8"))
     def coord1d(name: String, doubles: Array[Double]): Unit = {
       put(s"$name/zarr.json", arrayJson(Seq(doubles.length), Seq(doubles.length),
-        "float64", "null", None, "").getBytes("UTF-8"))
+        "float64", codecJson("null"), None, "").getBytes("UTF-8"))
       put(s"$name/c/0", doubles.flatMap(leDouble))
     }
     coord1d("lat", Array.tabulate(g.nj)(j => (g.la1Micro - j * g.djMicro) / 1e6))
@@ -287,34 +313,75 @@ object Zarr {
     val epochHours = times.map(t => java.time.Duration.between(
       LocalDateTime.of(1970, 1, 1, 0, 0), t).toHours.toInt).toArray
     put("time/zarr.json", arrayJson(Seq(times.length), Seq(times.length),
-      "int32", "null", None, "").getBytes("UTF-8"))
+      "int32", codecJson("null"), None, "").getBytes("UTF-8"))
     put("time/c/0", epochHours.flatMap(leInt))
     val cgJ = (g.nj + chunkJ - 1) / chunkJ
     val cgI = (g.ni + chunkI - 1) / chunkI
+    def encodeRaw(raw: Array[Byte]): Array[Byte] = compressor match {
+      case "gzip" => gzipCompress(raw)
+      case "blosc-lz4" => BloscLz4.compress(raw, typesize = 4)
+      case _ => raw
+    }
+    def cellBytes(f: Field, j0: Int, i0: Int, nJ: Int, nI: Int): Array[Byte] = {
+      val raw = new Array[Byte](nJ * nI * 4)
+      var p = 0
+      for (dj <- 0 until nJ; di <- 0 until nI) {
+        val j = j0 + dj; val i = i0 + di
+        val cell = if (j < g.nj && i < g.ni)
+          f.scaled(j * g.ni + i).getOrElse(FillInt)
+        else FillInt
+        val b = leInt(cell)
+        raw(p) = b(0); raw(p + 1) = b(1); raw(p + 2) = b(2); raw(p + 3) = b(3)
+        p += 4
+      }
+      raw
+    }
     for (v <- vars) {
       put(s"$v/zarr.json", arrayJson(Seq(times.length, g.nj, g.ni),
-        Seq(1, chunkJ, chunkI), "int32", compressor, Some(FillInt),
+        Seq(1, chunkJ, chunkI), "int32",
+        if (sharding) shardingJson(compressor) else codecJson(compressor),
+        Some(FillInt),
         s""""decimal_scale":${g.decimalScale},"units":"K"""").getBytes("UTF-8"))
       for ((t, r) <- times.zipWithIndex) {
         val f = fields.find(x => x.variable == v && x.time == t)
           .getOrElse(sys.error(s"variable $v missing at $t"))
         for (cj <- 0 until cgJ; ci <- 0 until cgI) {
-          val raw = new Array[Byte](chunkJ * chunkI * 4)
-          var p = 0
-          for (dj <- 0 until chunkJ; di <- 0 until chunkI) {
-            val j = cj * chunkJ + dj; val i = ci * chunkI + di
-            val cell = if (j < g.nj && i < g.ni)
-              f.scaled(j * g.ni + i).getOrElse(FillInt)
-            else FillInt
-            val b = leInt(cell)
-            raw(p) = b(0); raw(p + 1) = b(1); raw(p + 2) = b(2); raw(p + 3) = b(3)
-            p += 4
+          if (!sharding)
+            put(s"$v/c/$r/$cj/$ci", encodeRaw(cellBytes(f, cj * chunkJ, ci * chunkI,
+              chunkJ, chunkI)))
+          else {
+            // one SHARD: inner chunks concatenated, (offset,nbytes) u64le
+            // index + crc32c at the end; all-fill inner chunks = missing
+            val gJ = chunkJ / innerJ; val gI = chunkI / innerI
+            val body = new java.io.ByteArrayOutputStream()
+            val index = new Array[Byte](16 * gJ * gI + 4)
+            def u64le(p0: Int, v: Long): Unit = {
+              var k = 0
+              while (k < 8) { index(p0 + k) = ((v >>> (8 * k)) & 0xff).toByte; k += 1 }
+            }
+            var c = 0
+            for (sj <- 0 until gJ; si <- 0 until gI) {
+              val j0 = cj * chunkJ + sj * innerJ; val i0 = ci * chunkI + si * innerI
+              val allFill = (0 until innerJ).forall(dj => (0 until innerI).forall { di =>
+                val j = j0 + dj; val i = i0 + di
+                j >= g.nj || i >= g.ni || f.scaled(j * g.ni + i).isEmpty
+              })
+              if (allFill) { u64le(16 * c, -1L); u64le(16 * c + 8, -1L) }
+              else {
+                val enc = encodeRaw(cellBytes(f, j0, i0, innerJ, innerI))
+                u64le(16 * c, body.size().toLong); u64le(16 * c + 8, enc.length.toLong)
+                body.write(enc)
+              }
+              c += 1
+            }
+            val crc = new java.util.zip.CRC32C()
+            crc.update(index, 0, 16 * gJ * gI)
+            val cv = crc.getValue
+            var k = 0
+            while (k < 4) { index(16 * gJ * gI + k) = ((cv >>> (8 * k)) & 0xff).toByte; k += 1 }
+            body.write(index)
+            put(s"$v/c/$r/$cj/$ci", body.toByteArray)
           }
-          put(s"$v/c/$r/$cj/$ci", compressor match {
-            case "gzip" => gzipCompress(raw)
-            case "blosc-lz4" => BloscLz4.compress(raw, typesize = 4)
-            case _ => raw
-          })
         }
       }
     }
@@ -416,34 +483,79 @@ object Zarr {
       case other => throw new IllegalArgumentException(
         s"zarr: $label chunk-key encoding '$other' out of scope (only 'default')")
     }
-    // codec chain: bytes (endian) then at most one compressor
+    // codec chain: bytes (endian) then at most one compressor — either
+    // at the top level, or nested inside a sharding_indexed codec
+    def parseChain(codecs: List[JValue], what: String): (Boolean, String) = {
+      require(codecs.nonEmpty && (codecs.head \ "name").extract[String] == "bytes",
+        s"zarr: $label $what codec chain must start with 'bytes'")
+      val little = (codecs.head \ "configuration" \ "endian") match {
+        case JString("little") => true
+        case JString("big") => false
+        case JNothing | JNull => true
+        case e => throw new IllegalArgumentException(s"zarr: $label endian $e out of scope")
+      }
+      val comp = codecs.drop(1) match {
+        case Nil => "null"
+        case c :: Nil => (c \ "name").extract[String] match {
+          case "gzip" => "gzip"
+          case "blosc" =>
+            val cname = (c \ "configuration" \ "cname").extract[String]
+            require(cname == "lz4" || cname == "lz4hc",
+              s"zarr: $label blosc cname '$cname' out of scope — lz4/lz4hc decode")
+            "blosc-lz4"
+          case other => throw new IllegalArgumentException(
+            s"zarr: $label codec '$other' out of scope (gzip / blosc-lz4)")
+        }
+        case more => throw new IllegalArgumentException(
+          s"zarr: $label $what codec chain of ${more.length + 1} out of scope (bytes + one)")
+      }
+      (little, comp)
+    }
     val codecs = (j \ "codecs") match {
       case JArray(cs) => cs
       case _ => throw new IllegalArgumentException(s"zarr: $label has no codecs list")
     }
-    require(codecs.nonEmpty && (codecs.head \ "name").extract[String] == "bytes",
-      s"zarr: $label codec chain must start with 'bytes'")
-    val little = (codecs.head \ "configuration" \ "endian") match {
-      case JString("little") => true
-      case JString("big") => false
-      case JNothing | JNull => true
-      case e => throw new IllegalArgumentException(s"zarr: $label endian $e out of scope")
-    }
-    val comp = codecs.drop(1) match {
-      case Nil => "null"
-      case c :: Nil => (c \ "name").extract[String] match {
-        case "gzip" => "gzip"
-        case "blosc" =>
-          val cname = (c \ "configuration" \ "cname").extract[String]
-          require(cname == "lz4" || cname == "lz4hc",
-            s"zarr: $label blosc cname '$cname' out of scope — lz4/lz4hc decode")
-          "blosc-lz4"
-        case other => throw new IllegalArgumentException(
-          s"zarr: $label codec '$other' out of scope (gzip / blosc-lz4)")
+    val sharded = codecs.nonEmpty &&
+      (codecs.head \ "name").extract[String] == "sharding_indexed"
+    val (little, comp, innerShape, innerComp, idxCrc, idxStart) =
+      if (!sharded) {
+        val (l, c) = parseChain(codecs, "array")
+        (l, c, Seq.empty[BigInt], "null", false, false)
+      } else {
+        require(codecs.length == 1,
+          s"zarr: $label sharding_indexed must be the sole top-level codec")
+        val cfg = codecs.head \ "configuration"
+        val innerSh = (cfg \ "chunk_shape").extract[Seq[BigInt]]
+        val innerCodecs = (cfg \ "codecs") match {
+          case JArray(cs) => cs
+          case _ => throw new IllegalArgumentException(
+            s"zarr: $label sharding_indexed has no inner codecs")
+        }
+        val (l, c) = parseChain(innerCodecs, "inner")
+        val idxCodecs = (cfg \ "index_codecs") match {
+          case JArray(cs) => cs
+          case JNothing | JNull => Nil
+        }
+        val idxNames = idxCodecs.map(cd => (cd \ "name").extract[String])
+        require(idxNames.isEmpty || idxNames == List("bytes") ||
+          idxNames == List("bytes", "crc32c"),
+          s"zarr: $label index_codecs $idxNames out of scope (bytes [+ crc32c])")
+        idxCodecs.headOption.foreach { b =>
+          (b \ "configuration" \ "endian") match {
+            case JString("little") | JNothing | JNull => ()
+            case e => throw new IllegalArgumentException(
+              s"zarr: $label big-endian shard index out of scope ($e)")
+          }
+        }
+        val start = (cfg \ "index_location") match {
+          case JString("end") | JNothing | JNull => false
+          case JString("start") => true
+          case v => throw new IllegalArgumentException(
+            s"zarr: $label index_location $v out of scope")
+        }
+        // the shard container itself is raw; compression lives inside
+        (l, "null", innerSh, c, idxNames.contains("crc32c"), start)
       }
-      case more => throw new IllegalArgumentException(
-        s"zarr: $label codec chain of ${more.length + 1} out of scope (bytes + one)")
-    }
     val dtype = (j \ "data_type").extract[String] match {
       case "int32" => if (little) "<i4" else ">i4"
       case "float64" => if (little) "<f8" else ">f8"
@@ -469,8 +581,20 @@ object Zarr {
     require(chunks.forall(_ >= 1), s"zarr: $label has a zero-extent chunk dimension")
     require(chunks.product <= (BigInt(1) << 26),
       s"zarr: $label chunk cell count ${chunks.product} exceeds the 2^26 cap")
+    if (sharded) {
+      require(innerShape.length == chunks.length,
+        s"zarr: $label inner chunk rank ${innerShape.length} != ${chunks.length}")
+      innerShape.foreach(v => require(v >= 1 && v <= Int.MaxValue,
+        s"zarr: $label inner chunk dimension $v out of range"))
+      chunks.zip(innerShape).foreach { case (o, i) =>
+        require(o % i == 0,
+          s"zarr: $label inner chunks $innerShape must divide the shard shape $chunks")
+      }
+    }
     ArrayMeta(shape.map(_.toInt), chunks.map(_.toInt),
-      dtype, comp, fill, scale, v3 = true, sep = sep)
+      dtype, comp, fill, scale, v3 = true, sep = sep,
+      innerChunks = innerShape.map(_.toInt), innerComp = innerComp,
+      indexCrc = idxCrc, indexAtStart = idxStart)
   }
 
   private def inflate(bytes: Array[Byte], meta: ArrayMeta, expect: Int,
@@ -497,6 +621,65 @@ object Zarr {
         ((raw(p) & 0xff) << 24) | ((raw(p + 1) & 0xff) << 16) |
           ((raw(p + 2) & 0xff) << 8) | (raw(p + 3) & 0xff)
     }
+  }
+
+  /** Assemble one SHARD (v3 sharding_indexed): read the (offset, nbytes)
+    * u64le index (crc32c-checked when declared), decode each present
+    * inner chunk through the inner codec chain, and place it into the
+    * full shard lattice; all-ones index entries mark missing chunks,
+    * which stay at fill_value. This is the v3 feature that matters at
+    * archive scale — shards cut object counts ~1000x while the scan
+    * still parallelizes one task per shard.
+    */
+  private def decodeShardInts(bytes: Array[Byte], meta: ArrayMeta,
+                              label: String): Array[Int] = {
+    val Seq(sT, sJ, sI) = meta.chunks
+    val Seq(iT, iJ, iI) = meta.innerChunks
+    val gT = sT / iT; val gJ = sJ / iJ; val gI = sI / iI
+    val n = gT * gJ * gI
+    val idxLen = 16 * n + (if (meta.indexCrc) 4 else 0)
+    require(bytes.length >= idxLen,
+      s"zarr: shard in $label (${bytes.length} bytes) shorter than its $idxLen-byte index")
+    val idxOff = if (meta.indexAtStart) 0 else bytes.length - idxLen
+    def u64le(p: Int): Long = {
+      var v = 0L; var k = 7
+      while (k >= 0) { v = (v << 8) | (bytes(p + k) & 0xffL); k -= 1 }
+      v
+    }
+    if (meta.indexCrc) {
+      val crc = new java.util.zip.CRC32C()
+      crc.update(bytes, idxOff, 16 * n)
+      val p = idxOff + 16 * n
+      val stored = (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
+        ((bytes(p + 2) & 0xffL) << 16) | ((bytes(p + 3) & 0xffL) << 24)
+      require(crc.getValue == stored,
+        s"zarr: shard index crc32c mismatch in $label")
+    }
+    val fill = meta.fillValue.getOrElse(FillInt)
+    val out = Array.fill(sT * sJ * sI)(fill)
+    val innerN = iT * iJ * iI
+    val innerMeta = meta.copy(comp = meta.innerComp, innerChunks = Nil)
+    var c = 0
+    while (c < n) {
+      val off = u64le(idxOff + 16 * c)
+      val len = u64le(idxOff + 16 * c + 8)
+      if (!(off == -1L && len == -1L)) { // 2^64-1 pair = missing chunk
+        require(off >= 0 && len >= 0 && off + len <= bytes.length,
+          s"zarr: shard entry $c [$off,+$len) outside ${bytes.length} bytes in $label")
+        val cells = decodeInts(
+          java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt),
+          innerMeta, innerN, s"$label[inner $c]")
+        val ct = c / (gJ * gI); val cj = c / gI % gJ; val ci = c % gI
+        var k = 0
+        while (k < innerN) {
+          val t = k / (iJ * iI); val j = k / iI % iJ; val i = k % iI
+          out(((ct * iT + t) * sJ + (cj * iJ + j)) * sI + (ci * iI + i)) = cells(k)
+          k += 1
+        }
+      }
+      c += 1
+    }
+    out
   }
 
   private def decodeDoubles(bytes: Array[Byte], meta: ArrayMeta, n: Int,
@@ -649,7 +832,9 @@ object Zarr {
             cj >= 0 && cj.toLong * chJ < m.shape(1) &&
             ci >= 0 && ci.toLong * chI < m.shape(2),
             s"zarr: chunk key $key outside ${m.shape} under $vname")
-          val cells = decodeInts(bytes, m, chJ * chI, s"$vname/$key")
+          val cells =
+            if (m.innerChunks.nonEmpty) decodeShardInts(bytes, m, s"$vname/$key")
+            else decodeInts(bytes, m, chJ * chI, s"$vname/$key")
           val fill = m.fillValue.getOrElse(FillInt)
           val denom = math.pow(10, m.decimalScale)
           val t = LocalDateTime.of(1970, 1, 1, 0, 0).plusHours(timeA(r).toLong)

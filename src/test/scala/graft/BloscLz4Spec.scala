@@ -152,6 +152,59 @@ class BloscLz4Spec extends SparkSpec {
       .getMessage should include("out of scope")
   }
 
+  test("zarr V3 sharding_indexed: crc32c index, missing inner chunks, scan parity") {
+    import java.time.LocalDateTime
+    val t0 = LocalDateTime.of(2004, 9, 10, 6, 0)
+    val t1 = LocalDateTime.of(2004, 10, 10, 18, 0)
+    // PRATE's mask leaves whole inner-chunk regions empty -> MISSING
+    // index entries on the wire
+    def fields = for ((t, m) <- Seq(t0 -> 0, t1 -> 1); (v, pidx) <- Seq("TMP" -> 0, "PRATE" -> 1))
+      yield Zarr.Field(v, t, 29, 13, 40000000L, -10000000L, 2000000L, 1500000L, 1,
+        Array.tabulate(29 * 13) { k =>
+          val j = k / 29; val i = k % 29
+          if (pidx == 1 && j < 3 && i < 8) None // kills inner chunk (0,0) entirely
+          else if (pidx == 1 && (i + j + m) % 7 == 2) None
+          else Some((k * 13 + m * 7 + pidx * 50) % 800)
+        })
+    val rP = java.nio.file.Files.createTempDirectory("graft-z3p") // plain chunks
+    val rS = java.nio.file.Files.createTempDirectory("graft-z3s") // sharded
+    Zarr.writeStoreV3(rP.resolve("s.zarr"), fields, 3, 8, compressor = "gzip")
+    // shards of [1,6,16] with inner [1,3,8]: 2x2 inner grid per shard
+    Zarr.writeStoreV3(rS.resolve("s.zarr"), fields, 6, 16, compressor = "gzip",
+      innerJ = 3, innerI = 8)
+    val plain = Zarr.readRecords(spark, rP.resolve("s.zarr").toString).collect().toSet
+    Zarr.readRecords(spark, rS.resolve("s.zarr").toString).collect().toSet shouldBe plain
+    // wire pins on shard 0/0/0 of PRATE: 4 index entries of 16 bytes +
+    // crc32c at the end; entry 0 (inner chunk 0,0) is MISSING (all-ones)
+    val shard = java.nio.file.Files.readAllBytes(
+      rS.resolve("s.zarr/PRATE/c/0/0/0"))
+    val idxOff = shard.length - (16 * 4 + 4)
+    (0 until 16).forall(k => shard(idxOff + k) == -1) shouldBe true // missing pair
+    val crc = new java.util.zip.CRC32C()
+    crc.update(shard, idxOff, 64)
+    val stored = (0 until 4).map(k =>
+      (shard(idxOff + 64 + k) & 0xffL) << (8 * k)).sum
+    crc.getValue shouldBe stored
+    // a flipped crc byte rejects loudly
+    shard(idxOff + 64) = (shard(idxOff + 64) ^ 0x5a).toByte
+    java.nio.file.Files.write(rS.resolve("s.zarr/PRATE/c/0/0/0"), shard)
+    val e = intercept[org.apache.spark.SparkException](
+      Zarr.readRecords(spark, rS.resolve("s.zarr").toString).collect())
+    e.getMessage should include("crc32c")
+    // metadata parse exposes the sharding shape
+    val zj = new String(java.nio.file.Files.readAllBytes(
+      rS.resolve("s.zarr/TMP/zarr.json")), "UTF-8")
+    val meta = Zarr.parseZarrayV3(zj, "TMP")
+    meta.chunks shouldBe Seq(1, 6, 16)
+    meta.innerChunks shouldBe Seq(1, 3, 8)
+    meta.innerComp shouldBe "gzip"
+    meta.indexCrc shouldBe true
+    // inner shape not dividing the shard rejects
+    intercept[IllegalArgumentException](Zarr.parseZarrayV3(
+      zj.replace(""""chunk_shape":[1,3,8]""", """"chunk_shape":[1,4,8]"""), "TMP"))
+      .getMessage should include("divide")
+  }
+
   test("zarr store with blosc-lz4 chunks scans identically to its zlib twin") {
     import java.time.LocalDateTime
     val t0 = LocalDateTime.of(2004, 9, 10, 6, 0)

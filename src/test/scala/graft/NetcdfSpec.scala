@@ -148,6 +148,36 @@ class NetcdfSpec extends SparkSpec {
       .get.value shouldBe 100.0 / 4.0
   }
 
+  test("NC_SHORT + CF scale_factor/add_offset packing round-trips exactly") {
+    // odd ni*nj (5x3=15) forces the 2-byte slab tail pad per record
+    val p = java.nio.file.Files.createTempFile("graft-ncs", ".nc")
+    val fields = Seq(
+      field("TMP", t0, 0).copy(decimalScale = 0),
+      field("TMP", t1, 13).copy(decimalScale = 0,
+        scaled = Array.tabulate(15)(k => if (k == 7) None else Some(100 + k))))
+    Netcdf.writeFile(p, fields, payloadType = Netcdf.NcShort)
+    val bytes = java.nio.file.Files.readAllBytes(p)
+    java.nio.file.Files.delete(p)
+    val nc = Netcdf.parse(bytes)
+    val tmp = nc.vars.find(_.name == "TMP").get
+    tmp.tpe shouldBe 3 // NC_SHORT on the wire
+    tmp.vsize shouldBe 32 // 15 shorts + 2 pad bytes, 4-aligned
+    tmp.atts("scale_factor") shouldBe 0.25
+    tmp.atts("add_offset") shouldBe 300.0
+    tmp.atts("_FillValue") shouldBe Netcdf.FillShort
+    val rows = Netcdf.records(bytes).toSeq
+    rows.size shouldBe 15 + 14 // one masked cell in record 1
+    // value = packed * 0.25 + 300 — exact dyadic arithmetic
+    rows.find(r => r.time == t0 && r.lat == 40.0 && r.lon == -10.0)
+      .get.value shouldBe (100 * 0.25 + 300.0)
+    rows.filter(_.time == t1).map(_.value).min shouldBe (100 * 0.25 + 300.0)
+    // a packed value colliding with NC_FILL_SHORT refuses at write
+    an[IllegalArgumentException] should be thrownBy Netcdf.writeFile(
+      java.nio.file.Files.createTempFile("graft-ncs2", ".nc"),
+      Seq(field("TMP", t0, 0).copy(decimalScale = 0,
+        scaled = Array.fill(15)(Some(-32767)))), payloadType = Netcdf.NcShort)
+  }
+
   test("scope rejects loudly: netCDF-4 magic, streaming numrecs, bad value collision") {
     val ok = write(Seq(field("TMP", t0, 0)))
     val v2 = ok.clone(); v2(3) = 4
