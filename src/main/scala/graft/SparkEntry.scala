@@ -634,6 +634,27 @@ object SparkEntry {
       fields).toString
   }
 
+  /** r53/r54 fixture: template-4.1 ensemble members (the GEFS/ERA5-EDA
+    * shape) — four perturbed members x two variables, member number in
+    * the value lattice so cross-wired members cannot cancel.
+    */
+  private lazy val grib2EnsembleFixturePath: String = {
+    import java.time.LocalDateTime
+    val t0 = LocalDateTime.of(2006, 4, 9, 6, 0)
+    val fields = for {
+      e <- 1 to 4
+      (pidx, cat, num) <- Seq((0, 0, 0), (1, 1, 7))
+    } yield sources.Grib2.Field(0, cat, num, t0, g3Ni, g3Nj,
+      g3La1, g3Lo1, g3Di, g3Dj, decimalScale = 1,
+      Array.tabulate(g3Nj * g3Ni) { k =>
+        val j = k / g3Ni; val i = k % g3Ni
+        Some((i * 5 + j * 13 + e * 29 + pidx * 31) % 700)
+      }, ensMember = e, ensSize = 4)
+    sources.Grib2.writeFile(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft-grib", "ens.grib2"),
+      fields).toString
+  }
+
   /** r47 fixture: template-5.42 CCSDS-AEC packing (ECMWF operational) —
     * TMP dense and PRATE bitmap-masked (5.42 is the one compressed
     * representation that composes with a bitmap: it packs present cells
@@ -1988,6 +2009,25 @@ object SparkEntry {
     "r47_grib2_ccsds" -> ((s, _) =>
       sources.Grib2.readRecords(s, Seq(grib2CcsdsFixturePath), matchRe = "TMP|PRATE")
         .orderBy($"variable", $"time", $"lat", $"lon")),
+    // ensemble members (4.1): the member/size octets ride the row schema
+    "r53_grib2_ensemble" -> ((s, _) =>
+      sources.Grib2.readEnsembleRecords(s, Seq(grib2EnsembleFixturePath))
+        .orderBy($"variable", $"member", $"lat", $"lon")),
+    // composition: per-cell ensemble mean and spread over the members —
+    // integer sums and max-min in scaled space, one divide at the end
+    "r54_ens_spread" -> ((s, _) =>
+      sources.Grib2.readEnsembleRecords(s, Seq(grib2EnsembleFixturePath),
+        matchRe = "TMP")
+        .groupBy($"variable", $"lat", $"lon")
+        .agg(round(sum($"value" * 10), 0).cast("long").as("sum10"),
+          round(max($"value" * 10), 0).cast("long").as("max10"),
+          round(min($"value" * 10), 0).cast("long").as("min10"),
+          count(lit(1)).as("n_members"))
+        .select($"variable", $"lat", $"lon",
+          ($"sum10" / ($"n_members" * 10)).as("ens_mean"),
+          (($"max10" - $"min10") / 10.0).as("ens_spread"),
+          $"n_members")
+        .orderBy($"variable", $"lat", $"lon")),
     // reduced Gaussian (un-regridded ERA5): ragged rows spanning the
     // full circle at 360/nij spacing, Newton-computed abscissas; the
     // oracle carries independent leggauss latitudes and builds the
@@ -1995,6 +2035,21 @@ object SparkEntry {
     "r48_grib2_reduced" -> ((s, _) =>
       sources.Grib2.readRecords(s, Seq(grib2ReducedFixturePath), matchRe = "TMP|PRATE")
         .orderBy($"variable", $"time", $"lat", $"lon")),
+    // composition: the ragged reduced-Gaussian decode feeding the
+    // standard climatology fold — cell-keyed mean over months, exact
+    // integer sum/count before one divide (A1's discipline on the
+    // un-regridded grid; proves the new source composes with the
+    // operator surface, not just the flatten)
+    "r52_reduced_clim" -> ((s, _) => {
+      val cells = sources.Grib2.readRecords(s, Seq(grib2ReducedFixturePath),
+        matchRe = "TMP")
+      cells.groupBy($"variable", $"lat", $"lon")
+        .agg(round(sum($"value" * 10), 0).cast("long").as("sum10"),
+          count(lit(1)).as("n_months"))
+        .withColumn("mean_value", $"sum10" / ($"n_months" * 10))
+        .drop("sum10")
+        .orderBy($"variable", $"lat", $"lon")
+    }),
     // product template 4.8 (statistical processing over a time interval):
     // the decoder parses the statistical octets — process type, end of
     // overall interval, range length — per record, alongside 4.0 records
@@ -5701,6 +5756,58 @@ object SparkEntry {
          FROM p CROSS JOIN t CROSS JOIN cells
          WHERE NOT (masked = 1 AND (i + j + m) % 9 = 2)
          ORDER BY variable, time, lat, lon""",
+    // the reduced-grid climatology: closed-form mean over the two
+    // months per ragged cell — integer sums, one divide
+    "r52_reduced_clim" ->
+      s"""WITH lt(j, latmicro, nij) AS (VALUES
+           (0, 81650591, 8), (1, 70834640, 10), (2, 59954859, 12),
+           (3, 49060719, 15), (4, 38161212, 16), (5, 27259208, 18),
+           (6, 16355933, 20), (7, 5452040, 20), (8, -5452040, 20),
+           (9, -16355933, 20), (10, -27259208, 18), (11, -38161212, 16),
+           (12, -49060719, 15), (13, -59954859, 12), (14, -70834640, 10),
+           (15, -81650591, 8)),
+         cells AS (SELECT j, latmicro, nij,
+                          unnest(generate_series(0, nij - 1)) AS i FROM lt),
+         mm(m) AS (VALUES (0), (1)),
+         v AS (SELECT latmicro, nij, i, j, m,
+                      ((i * 7 + j * 31 + m * 13) % 900) AS s
+               FROM cells CROSS JOIN mm)
+         SELECT 'TMP' AS variable,
+                latmicro / 1000000.0 AS lat,
+                (i * (360000000 / nij)) / 1000000.0 AS lon,
+                CAST(sum(s) AS BIGINT) / (count(*) * 10) AS mean_value,
+                CAST(count(*) AS BIGINT) AS n_months
+         FROM v GROUP BY 1, 2, 3
+         ORDER BY variable, lat, lon""",
+    // ensemble flatten: member/size octets regenerated closed-form
+    "r53_grib2_ensemble" ->
+      s"""WITH p(pidx, variable) AS (VALUES (0, 'TMP'), (1, 'PRATE')),
+         e(e) AS (VALUES (1), (2), (3), (4)),
+         ii AS (SELECT unnest(generate_series(0, ${g3Ni - 1})) AS i),
+         jj AS (SELECT unnest(generate_series(0, ${g3Nj - 1})) AS j)
+         SELECT variable, TIMESTAMP '2006-04-09 06:00:00' AS time,
+                e AS member, 4 AS n_members,
+                ($g3La1 - j * $g3Dj) / 1000000.0 AS lat,
+                (($g3Lo1) + i * $g3Di) / 1000000.0 AS lon,
+                ((i * 5 + j * 13 + e * 29 + pidx * 31) % 700) / 10.0 AS value
+         FROM p CROSS JOIN e CROSS JOIN ii CROSS JOIN jj
+         ORDER BY variable, member, lat, lon""",
+    // per-cell ensemble statistics, the composition gate: integer sums
+    // and extremes in scaled space, one divide at presentation
+    "r54_ens_spread" ->
+      s"""WITH e(e) AS (VALUES (1), (2), (3), (4)),
+         ii AS (SELECT unnest(generate_series(0, ${g3Ni - 1})) AS i),
+         jj AS (SELECT unnest(generate_series(0, ${g3Nj - 1})) AS j),
+         v AS (SELECT i, j, ((i * 5 + j * 13 + e * 29) % 700) AS s
+               FROM e CROSS JOIN ii CROSS JOIN jj)
+         SELECT 'TMP' AS variable,
+                ($g3La1 - j * $g3Dj) / 1000000.0 AS lat,
+                (($g3Lo1) + i * $g3Di) / 1000000.0 AS lon,
+                CAST(sum(s) AS BIGINT) / (count(*) * 10) AS ens_mean,
+                (max(s) - min(s)) / 10.0 AS ens_spread,
+                CAST(count(*) AS BIGINT) AS n_members
+         FROM v GROUP BY i, j
+         ORDER BY variable, lat, lon""",
     // the 5.42 lattice regenerated closed-form: the engine recovered
     // these integers through the CCSDS preprocessor + Rice decode
     "r47_grib2_ccsds" ->

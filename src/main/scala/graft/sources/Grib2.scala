@@ -27,9 +27,11 @@ import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
   * ERA5/spectral-model layout — abscissas computed by Newton iteration
   * on the Legendre recurrence; both regular and REDUCED row layouts,
   * the latter via the missing-ni + per-row point list encoding),
-  * product templates 4.0 and 4.8 (statistical processing over a time
+  * product templates 4.0, 4.1 (individual ensemble member — the
+  * GEFS/ERA5-EDA shape), 4.8 (statistical processing over a time
   * interval — the accumulation shape operational precipitation ships,
-  * e.g. the reference's total_precipitation dataset), data
+  * e.g. the reference's total_precipitation dataset) and 4.11
+  * (ensemble + statistical), data
   * representation templates 5.0 (simple packing), 5.2 (complex packing,
   * general group splitting, no missing-value management — bitmaps carry
   * the mask), 5.3 (complex + spatial differencing, order 1/2 — the
@@ -79,7 +81,12 @@ object Grib2 {
       // octets 35-41's end-of-overall-interval; `rangeHours` the length.
       statProcess: Int = -1,
       intervalEnd: LocalDateTime = null,
-      rangeHours: Int = 0)
+      rangeHours: Int = 0,
+      // templates 4.1 / 4.11 (individual ensemble member — the
+      // GEFS/ERA5-EDA shape): member number and ensemble size;
+      // -1 / 0 = deterministic (4.0 / 4.8)
+      ensMember: Int = -1,
+      ensSize: Int = 0)
 
   /** WMO Code Table 4.10 statistical-process names (the wgrib2 inventory
     * suffixes: `0-24 hour acc fcst` etc.). */
@@ -276,6 +283,7 @@ object Grib2 {
     // section-4/5 state for the current group
     var category = -1; var number = -1
     var statProcess = -1; var intervalEnd: LocalDateTime = null; var rangeHours = 0
+    var ensMember = -1; var ensSize = 0 // templates 4.1 / 4.11
     var nPresent = -1
     var refVal = 0.0; var eScale = 0; var dScale = 0; var nbits = -1
     var drTemplate = -1
@@ -378,34 +386,46 @@ object Grib2 {
               gaussLats = lats
             }
           case 4 =>
-            // 4.0 (analysis/forecast at a point in time) and 4.8 (average/
-            // accumulation/extreme over a time interval — the template
-            // operational precipitation products actually ship; the
-            // reference's own total_precipitation dataset shape). 4.8 =
-            // 4.0's octets 10-34 followed by the end-of-interval stamp
-            // (35-41), the time-range-spec count (42), total missing
-            // (43-46) and per-spec statistical octets (47+).
+            // 4.0 (analysis/forecast at a point in time), 4.1 (individual
+            // ensemble member — the GEFS/ERA5-EDA shape: 4.0 + three
+            // ensemble octets), 4.8 (average/accumulation/extreme over a
+            // time interval — the template operational precipitation
+            // products actually ship; the reference's own
+            // total_precipitation dataset shape) and 4.11 (ensemble +
+            // statistical: 4.1's octets then 4.8's interval tail). 4.8 =
+            // 4.0's octets 10-34 followed by the end-of-interval stamp,
+            // the time-range-spec count, total missing and per-spec
+            // statistical octets; the ensemble octets shift that tail
+            // by 3.
             val pdt = u16(pos + 7)
-            require(pdt == 0 || pdt == 8,
-              s"product template 4.$pdt unsupported (only 4.0 / 4.8) in $label")
+            require(pdt == 0 || pdt == 1 || pdt == 8 || pdt == 11,
+              s"product template 4.$pdt unsupported (only 4.0 / 4.1 / 4.8 / 4.11) in $label")
             category = u(pos + 9); number = u(pos + 10)
-            if (pdt == 8) {
-              require(len >= 58, s"product section 4.8 too short ($len) in $label")
-              intervalEnd = LocalDateTime.of(u16(pos + 34), u(pos + 36),
-                u(pos + 37), u(pos + 38), u(pos + 39), u(pos + 40))
-              val nRanges = u(pos + 41)
+            val ens = pdt == 1 || pdt == 11
+            if (ens) {
+              require(len >= 37, s"product section 4.$pdt too short ($len) in $label")
+              ensMember = u(pos + 35); ensSize = u(pos + 36)
+              require(ensSize > 0 && ensMember <= ensSize,
+                s"ensemble member $ensMember of $ensSize malformed in $label")
+            } else { ensMember = -1; ensSize = 0 }
+            val eo = if (ens) 3 else 0 // ensemble octets shift the 4.8 tail
+            if (pdt == 8 || pdt == 11) {
+              require(len >= 58 + eo, s"product section 4.$pdt too short ($len) in $label")
+              intervalEnd = LocalDateTime.of(u16(pos + 34 + eo), u(pos + 36 + eo),
+                u(pos + 37 + eo), u(pos + 38 + eo), u(pos + 39 + eo), u(pos + 40 + eo))
+              val nRanges = u(pos + 41 + eo)
               require(nRanges == 1,
-                s"4.8 with $nRanges time-range specs unsupported (only 1) in $label")
-              statProcess = u(pos + 46)
-              val unit = u(pos + 48)
+                s"4.$pdt with $nRanges time-range specs unsupported (only 1) in $label")
+              statProcess = u(pos + 46 + eo)
+              val unit = u(pos + 48 + eo)
               require(unit == 0 || unit == 1,
-                s"4.8 time-range unit $unit unsupported (only 0 minute / 1 hour) in $label")
-              val rangeLen = u32(pos + 49)
+                s"4.$pdt time-range unit $unit unsupported (only 0 minute / 1 hour) in $label")
+              val rangeLen = u32(pos + 49 + eo)
               rangeHours =
                 if (unit == 1) rangeLen.toInt
                 else {
                   require(rangeLen % 60 == 0,
-                    s"4.8 minute-unit range $rangeLen not whole hours in $label")
+                    s"4.$pdt minute-unit range $rangeLen not whole hours in $label")
                   (rangeLen / 60).toInt
                 }
             } else { statProcess = -1; intervalEnd = null; rangeHours = 0 }
@@ -552,7 +572,8 @@ object Grib2 {
               nameOf(discipline, category, number), time,
               ni, nj, la1, lo1, di, dj, jPositive, values,
               latsMicro = gaussLats, rowNi = rowNi, statProcess = statProcess,
-              intervalEnd = intervalEnd, rangeHours = rangeHours)
+              intervalEnd = intervalEnd, rangeHours = rangeHours,
+              ensMember = ensMember, ensSize = ensSize)
           case other => sys.error(s"unexpected section number $other in $label")
         }
         pos += len
@@ -714,6 +735,42 @@ object Grib2 {
     )(Encoders.product[StatGridRow]).toDF()
   }
 
+  /** [[GridRow]] widened with the ensemble octets of templates 4.1/4.11:
+    * member number and ensemble size (0/0 for deterministic records, so
+    * one schema serves mixed files — wgrib2's `ens std dev`-style
+    * inventory prints both side by side the same way).
+    */
+  final case class EnsGridRow(variable: String, time: LocalDateTime,
+                              member: Int, n_members: Int,
+                              lat: Double, lon: Double, value: Double)
+
+  /** [[readRecords]] with the template-4.1/4.11 ensemble octets in the
+    * row schema.
+    */
+  def readEnsembleRecords(spark: SparkSession, paths: Seq[String],
+                          matchRe: String = ".*",
+                          limit: Int = Int.MaxValue): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val re = matchRe
+    spark.createDataset(
+      spark.read.format("binaryFile").load(paths: _*)
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])](Encoders.tuple(Encoders.STRING, Encoders.BINARY))
+        .rdd
+        .flatMap { case (p, bytes) =>
+          val pat = java.util.regex.Pattern.compile(re)
+          parseMessages(bytes, p).iterator
+            .filter(r => pat.matcher(r.variable).find())
+            .take(limit)
+            .flatMap { r =>
+              val member = math.max(r.ensMember, 0)
+              cells(r).map(c => EnsGridRow(c.variable, c.time, member,
+                r.ensSize, c.lat, c.lon, c.value))
+            }
+        }
+    )(Encoders.product[EnsGridRow]).toDF()
+  }
+
   /** Flatten one record to present cells (masked cells dropped). Regular
     * lat/lon rows step uniformly from la1; Gaussian rows (template 3.40)
     * read the per-row abscissa array.
@@ -781,7 +838,12 @@ object Grib2 {
                          // longitudes are exact; `scaled` is ragged
                          // row-major with reducedNi.sum cells and `ni`
                          // must equal reducedNi.max
-                         reducedNi: Seq[Int] = Nil) {
+                         reducedNi: Seq[Int] = Nil,
+                         // >= 0 emits template 4.1 (or 4.11 when a stat
+                         // process is also declared): this member number
+                         // out of ensSize
+                         ensMember: Int = -1,
+                         ensSize: Int = 0) {
     if (reducedNi.isEmpty)
       require(scaled.length == ni * nj, "scaled length must be ni*nj")
     else {
@@ -971,12 +1033,26 @@ object Grib2 {
       Array(f.category.toByte, f.number.toByte, 0.toByte, 255.toByte, 255.toByte) ++
       u16(0) ++ Array[Byte](0, 1) ++ u32(0) ++
       Array[Byte](1, 0) ++ u32(0) ++ Array(255.toByte, 0.toByte) ++ u32(0)
+    val ensOctets: Array[Byte] =
+      if (f.ensMember < 0) Array.emptyByteArray
+      else {
+        require(f.ensSize > 0 && f.ensMember <= f.ensSize && f.ensMember <= 255,
+          s"ensemble member ${f.ensMember} of ${f.ensSize} malformed")
+        // 4.6: type 3 = positively perturbed (any member type decodes)
+        Array(3.toByte, f.ensMember.toByte, f.ensSize.toByte)
+      }
+    val pdtNum = (f.statProcess >= 0, f.ensMember >= 0) match {
+      case (false, false) => 0
+      case (false, true) => 1
+      case (true, false) => 8
+      case (true, true) => 11
+    }
     if (f.statProcess < 0)
-      section(4, u16(0) ++ u16(0) ++ pdtCommon)
+      section(4, u16(0) ++ u16(pdtNum) ++ pdtCommon ++ ensOctets)
     else {
-      require(f.intervalHours > 0, "4.8 field needs a positive interval")
+      require(f.intervalHours > 0, "4.8/4.11 fields need a positive interval")
       val e = t.plusHours(f.intervalHours.toLong)
-      section(4, u16(0) ++ u16(8) ++ pdtCommon ++
+      section(4, u16(0) ++ u16(pdtNum) ++ pdtCommon ++ ensOctets ++
         u16(e.getYear) ++ Array(e.getMonthValue.toByte, e.getDayOfMonth.toByte,
           e.getHour.toByte, e.getMinute.toByte, e.getSecond.toByte) ++
         Array[Byte](1) ++            // one time-range specification

@@ -314,6 +314,34 @@ class Grib2Spec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy write(wide)
   }
 
+  test("ensemble templates 4.1/4.11: octet pins, per-record member state") {
+    val m1 = field(cat = 0, num = 0).copy(ensMember = 3, ensSize = 10)
+    val m2 = field(cat = 1, num = 7).copy(ensMember = 7, ensSize = 10,
+      statProcess = 1, intervalHours = 24)
+    val det = field(cat = 2, num = 2)
+    val bytes = write(m1, m2, det)
+    val recs = Grib2.parseMessages(bytes)
+    recs.map(_.ensMember) shouldBe Seq(3, 7, -1)
+    recs.map(_.ensSize) shouldBe Seq(10, 10, 0)
+    recs(1).statProcess shouldBe 1 // 4.11 keeps the statistical tail
+    recs(1).rangeHours shouldBe 24
+    // octet pins on the first message's product section: pdt=1 at
+    // octets 8-9, member/size at octets 36/37
+    def u32(i: Int) = ((bytes(i) & 0xff) << 24) | ((bytes(i + 1) & 0xff) << 16) |
+      ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+    var pos = 16
+    while ((bytes(pos + 4) & 0xff) != 4) pos += u32(pos)
+    ((bytes(pos + 7) & 0xff) << 8 | (bytes(pos + 8) & 0xff)) shouldBe 1
+    (bytes(pos + 35) & 0xff) shouldBe 3 // member
+    (bytes(pos + 36) & 0xff) shouldBe 10 // ensemble size
+    // values decode identically to the deterministic twin
+    recs(0).values.toSeq shouldBe
+      Grib2.parseMessages(write(field(cat = 0, num = 0))).head.values.toSeq
+    // malformed member (> size) refuses at write
+    an[IllegalArgumentException] should be thrownBy
+      write(field().copy(ensMember = 11, ensSize = 10))
+  }
+
   test("reduced Gaussian grid: missing-ni + row list octet pins, ragged cells") {
     // N=8 (16 rows), realistic pole-shrunk row counts, all dividing
     // 360e6 so row longitudes are exact micro-degrees
