@@ -740,6 +740,63 @@ object SparkEntry {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** w25: the operational met-ingest shape end-to-end — RAW GRIB2 files
+    * land in a directory, a binaryFile stream decodes them through the
+    * native codec (typed flatMap, streaming-legal: no RDD detour) and
+    * appends flattened cells to a parquet sink. Three files exercise
+    * three template families in ONE stream: 5.0 simple, 5.42 CCSDS with
+    * a bitmap, and a 4.8 accumulation. Checkpointed AvailableNow; the
+    * oracle regenerates all three lattices closed-form.
+    */
+  private def streamGrib(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_w25").toString
+    val t0 = java.time.LocalDateTime.of(2006, 5, 1, 0, 0)
+    def grid(f: (Int, Int) => Option[Int]) =
+      Array.tabulate(g3Nj * g3Ni)(k => f(k % g3Ni, k / g3Ni))
+    val land = java.nio.file.Paths.get(tmp, "landing")
+    java.nio.file.Files.createDirectories(land)
+    sources.Grib2.writeFile(land.resolve("a.grib2"), Seq(
+      sources.Grib2.Field(0, 0, 0, t0, g3Ni, g3Nj, g3La1, g3Lo1, g3Di, g3Dj,
+        decimalScale = 1, grid((i, j) => Some((i * 3 + j * 7) % 500)))))
+    sources.Grib2.writeFile(land.resolve("b.grib2"), Seq(
+      sources.Grib2.Field(0, 1, 7, t0, g3Ni, g3Nj, g3La1, g3Lo1, g3Di, g3Dj,
+        decimalScale = 1, grid((i, j) =>
+          if ((i + j) % 7 == 3) None else Some((i * 11 + j * 5) % 800)),
+        template = 42)))
+    sources.Grib2.writeFile(land.resolve("c.grib2"), Seq(
+      sources.Grib2.Field(0, 1, 8, t0, g3Ni, g3Nj, g3La1, g3Lo1, g3Di, g3Dj,
+        decimalScale = 1, grid((i, j) => Some((i * 2 + j * 9) % 300)),
+        statProcess = 1, intervalHours = 24)))
+    val binSchema = StructType(Seq(
+      StructField("path", StringType), StructField("modificationTime", TimestampType),
+      StructField("length", LongType), StructField("content", BinaryType)))
+    withStreamingPartitions(s, 8) {
+      import org.apache.spark.sql.Encoders
+      val stream = s.readStream.format("binaryFile").schema(binSchema)
+        .load(land.toString)
+        .select($"path", $"content")
+        .as[(String, Array[Byte])](Encoders.tuple(Encoders.STRING, Encoders.BINARY))
+        .flatMap { case (p, bytes) =>
+          sources.Grib2.parseMessages(bytes, p).flatMap(sources.Grib2.cells)
+        }(Encoders.product[sources.Grib2.GridRow])
+      val q = stream.toDF()
+        .writeStream
+        .format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.streaming.StateMetrics.record("w25_stream_grib", q)
+    }
+    s.read.parquet(s"$tmp/out")
+      .select($"variable", $"time", $"lat", $"lon", $"value")
+      .orderBy($"variable", $"lat", $"lon")
+  }
+
   private def streamLanding(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val tmp = java.nio.file.Files.createTempDirectory("graft_w04").toString
@@ -2549,6 +2606,9 @@ object SparkEntry {
     "w02_sliding_1h30m" -> ((s, d) => EventWindows.sliding1h30m(t(s, d)("events"))),
     "w03_sessionize" -> ((s, d) => EventWindows.sessionize(t(s, d)("events"), 30)),
     "w04_stream_landing" -> ((s, d) => streamLanding(s, d)),
+    // raw GRIB2 files through a binaryFile STREAM into the native codec
+    // (5.0 + 5.42-with-bitmap + 4.8 in one stream), checkpointed sink
+    "w25_stream_grib" -> ((s, d) => streamGrib(s, d)),
     // stream-STATIC broadcast enrichment: the fact-stream + dimension
     // lookup shape (no state from the join itself; aggregate state = one
     // row per dimension key)
@@ -5779,6 +5839,23 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_months
          FROM v GROUP BY 1, 2, 3
          ORDER BY variable, lat, lon""",
+    // the streamed GRIB2 landing: all three template families' lattices
+    // regenerated closed-form, one union
+    "w25_stream_grib" ->
+      s"""WITH ii AS (SELECT unnest(generate_series(0, ${g3Ni - 1})) AS i),
+         jj AS (SELECT unnest(generate_series(0, ${g3Nj - 1})) AS j),
+         a AS (SELECT 'TMP' AS variable, i, j, ((i * 3 + j * 7) % 500) AS s
+               FROM ii CROSS JOIN jj),
+         b AS (SELECT 'PRATE' AS variable, i, j, ((i * 11 + j * 5) % 800) AS s
+               FROM ii CROSS JOIN jj WHERE (i + j) % 7 <> 3),
+         c AS (SELECT 'APCP' AS variable, i, j, ((i * 2 + j * 9) % 300) AS s
+               FROM ii CROSS JOIN jj),
+         u AS (SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c)
+         SELECT variable, TIMESTAMP '2006-05-01 00:00:00' AS time,
+                ($g3La1 - j * $g3Dj) / 1000000.0 AS lat,
+                (($g3Lo1) + i * $g3Di) / 1000000.0 AS lon,
+                s / 10.0 AS value
+         FROM u ORDER BY variable, lat, lon""",
     // ensemble flatten: member/size octets regenerated closed-form
     "r53_grib2_ensemble" ->
       s"""WITH p(pidx, variable) AS (VALUES (0, 'TMP'), (1, 'PRATE')),

@@ -96,6 +96,26 @@ class BloscLz4Spec extends SparkSpec {
     sp shouldBe b1
   }
 
+  test("corruption fuzz: mutated frames reject loudly or decode — never tear") {
+    val ints = Array.tabulate(8192)(k => (k % 787) + (k / 787) * 1000)
+    val raw = ints.flatMap(v => Array((v & 0xff).toByte, ((v >>> 8) & 0xff).toByte,
+      ((v >>> 16) & 0xff).toByte, (v >>> 24).toByte))
+    val frame = BloscLz4.compress(raw, typesize = 4, blocksizeReq = 4096)
+    val r = new scala.util.Random(43)
+    var rejected = 0
+    for (_ <- 0 until 300) {
+      val c = frame.clone()
+      for (_ <- 0 to r.nextInt(2))
+        c(r.nextInt(c.length)) = (c(r.nextInt(c.length)) ^ (1 << r.nextInt(8))).toByte
+      try {
+        BloscLz4.decompress(c, raw.length, "fuzz").length shouldBe raw.length
+      } catch {
+        case _: IllegalArgumentException => rejected += 1
+      }
+    }
+    (rejected > 0) shouldBe true
+  }
+
   test("loud rejects: bit-shuffle, foreign compcode, size lies, truncation") {
     val raw = Array.tabulate[Byte](4096)(k => (k % 31).toByte)
     val frame = BloscLz4.compress(raw, typesize = 4)

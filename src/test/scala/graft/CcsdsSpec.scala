@@ -95,6 +95,29 @@ class CcsdsSpec extends SparkSpec {
     enc.length.toDouble should be < (512.0 / 4) // far below 1 bit/sample x4
   }
 
+  test("corruption fuzz: every mutated stream rejects loudly or decodes — never tears") {
+    // decode sees untrusted archive bytes: random single/double byte
+    // flips must surface as IllegalArgumentException (the loud-reject
+    // contract), never as index tears, wild allocations, or hangs
+    val xs = Array.tabulate(1450)(k => (k * 37 + k / 7) % 4000)
+    val enc = Ccsds.encode(xs, 12, 16, 64)
+    val r = new scala.util.Random(41)
+    var rejected = 0
+    for (_ <- 0 until 300) {
+      val c = enc.clone()
+      val flips = 1 + r.nextInt(2)
+      for (_ <- 0 until flips)
+        c(r.nextInt(c.length)) = (c(r.nextInt(c.length)) ^ (1 << r.nextInt(8))).toByte
+      try {
+        val out = Ccsds.decode(c, xs.length, 12, 16, 64, F, "fuzz")
+        out.length shouldBe xs.length // decoded (possibly wrong values) — fine
+      } catch {
+        case _: IllegalArgumentException => rejected += 1 // the loud contract
+      }
+    }
+    (rejected > 0) shouldBe true // the fuzz actually exercised rejects
+  }
+
   test("loud rejects: flags, widths, block sizes, truncation, range tears") {
     val xs = Array.tabulate(64)(k => k * 3 % 200)
     val enc = Ccsds.encode(xs, 8, 8, 2)
