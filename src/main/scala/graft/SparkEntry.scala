@@ -641,7 +641,7 @@ object SparkEntry {
   private lazy val grib2EnsembleFixturePath: String = {
     import java.time.LocalDateTime
     val t0 = LocalDateTime.of(2006, 4, 9, 6, 0)
-    val fields = for {
+    val members = for {
       e <- 1 to 4
       (pidx, cat, num) <- Seq((0, 0, 0), (1, 1, 7))
     } yield sources.Grib2.Field(0, cat, num, t0, g3Ni, g3Nj,
@@ -650,6 +650,15 @@ object SparkEntry {
         val j = k / g3Ni; val i = k % g3Ni
         Some((i * 5 + j * 13 + e * 29 + pidx * 31) % 700)
       }, ensMember = e, ensSize = 4)
+    // a producer-shipped derived product (template 4.2, type 0 = mean)
+    // rides the same file with its own lattice
+    val derivedMean = sources.Grib2.Field(0, 0, 0, t0, g3Ni, g3Nj,
+      g3La1, g3Lo1, g3Di, g3Dj, decimalScale = 1,
+      Array.tabulate(g3Nj * g3Ni) { k =>
+        val j = k / g3Ni; val i = k % g3Ni
+        Some((i * 7 + j * 17) % 650)
+      }, ensSize = 4, derivedType = 0)
+    val fields = members :+ derivedMean
     sources.Grib2.writeFile(
       java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft-grib", "ens.grib2"),
       fields).toString
@@ -2066,15 +2075,17 @@ object SparkEntry {
     "r47_grib2_ccsds" -> ((s, _) =>
       sources.Grib2.readRecords(s, Seq(grib2CcsdsFixturePath), matchRe = "TMP|PRATE")
         .orderBy($"variable", $"time", $"lat", $"lon")),
-    // ensemble members (4.1): the member/size octets ride the row schema
+    // ensemble members (4.1) + a derived product (4.2 mean): the
+    // member/size/derived octets ride the row schema
     "r53_grib2_ensemble" -> ((s, _) =>
       sources.Grib2.readEnsembleRecords(s, Seq(grib2EnsembleFixturePath))
-        .orderBy($"variable", $"member", $"lat", $"lon")),
+        .orderBy($"variable", $"kind", $"member", $"lat", $"lon")),
     // composition: per-cell ensemble mean and spread over the members —
     // integer sums and max-min in scaled space, one divide at the end
     "r54_ens_spread" -> ((s, _) =>
       sources.Grib2.readEnsembleRecords(s, Seq(grib2EnsembleFixturePath),
         matchRe = "TMP")
+        .where($"kind" === "member") // the 4.2 mean is a separate product
         .groupBy($"variable", $"lat", $"lon")
         .agg(round(sum($"value" * 10), 0).cast("long").as("sum10"),
           round(max($"value" * 10), 0).cast("long").as("max10"),
@@ -5856,19 +5867,28 @@ object SparkEntry {
                 (($g3Lo1) + i * $g3Di) / 1000000.0 AS lon,
                 s / 10.0 AS value
          FROM u ORDER BY variable, lat, lon""",
-    // ensemble flatten: member/size octets regenerated closed-form
+    // ensemble flatten: member/size/derived octets regenerated closed-form
     "r53_grib2_ensemble" ->
       s"""WITH p(pidx, variable) AS (VALUES (0, 'TMP'), (1, 'PRATE')),
          e(e) AS (VALUES (1), (2), (3), (4)),
          ii AS (SELECT unnest(generate_series(0, ${g3Ni - 1})) AS i),
-         jj AS (SELECT unnest(generate_series(0, ${g3Nj - 1})) AS j)
+         jj AS (SELECT unnest(generate_series(0, ${g3Nj - 1})) AS j),
+         members AS (
+           SELECT variable, 'member' AS kind, e AS member,
+                  i, j, ((i * 5 + j * 13 + e * 29 + pidx * 31) % 700) AS s
+           FROM p CROSS JOIN e CROSS JOIN ii CROSS JOIN jj),
+         derived AS (
+           SELECT 'TMP' AS variable, 'mean' AS kind, 0 AS member,
+                  i, j, ((i * 7 + j * 17) % 650) AS s
+           FROM ii CROSS JOIN jj),
+         u AS (SELECT * FROM members UNION ALL SELECT * FROM derived)
          SELECT variable, TIMESTAMP '2006-04-09 06:00:00' AS time,
-                e AS member, 4 AS n_members,
+                kind, member, 4 AS n_members,
                 ($g3La1 - j * $g3Dj) / 1000000.0 AS lat,
                 (($g3Lo1) + i * $g3Di) / 1000000.0 AS lon,
-                ((i * 5 + j * 13 + e * 29 + pidx * 31) % 700) / 10.0 AS value
-         FROM p CROSS JOIN e CROSS JOIN ii CROSS JOIN jj
-         ORDER BY variable, member, lat, lon""",
+                s / 10.0 AS value
+         FROM u
+         ORDER BY variable, kind, member, lat, lon""",
     // per-cell ensemble statistics, the composition gate: integer sums
     // and extremes in scaled space, one divide at presentation
     "r54_ens_spread" ->

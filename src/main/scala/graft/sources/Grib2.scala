@@ -86,7 +86,11 @@ object Grib2 {
       // GEFS/ERA5-EDA shape): member number and ensemble size;
       // -1 / 0 = deterministic (4.0 / 4.8)
       ensMember: Int = -1,
-      ensSize: Int = 0)
+      ensSize: Int = 0,
+      // templates 4.2 / 4.12 (derived ensemble products — the GEFS
+      // mean/spread files): WMO Code Table 4.7 derived-forecast type;
+      // -1 = not a derived product
+      derivedType: Int = -1)
 
   /** WMO Code Table 4.10 statistical-process names (the wgrib2 inventory
     * suffixes: `0-24 hour acc fcst` etc.). */
@@ -97,6 +101,17 @@ object Grib2 {
     case 2 => "max"
     case 3 => "min"
     case other => s"stat$other"
+  }
+
+  /** WMO Code Table 4.7 derived-forecast names (the wgrib2 inventory
+    * suffixes: `ens mean`, `ens spread`, ...). */
+  def derivedNameOf(code: Int): String = code match {
+    case -1 => "member"
+    case 0 => "mean" // unweighted mean of all members
+    case 1 => "wmean"
+    case 2 => "stddev"
+    case 4 => "spread"
+    case other => s"derived$other"
   }
 
   /** WMO Code Table 4.2 (discipline, category, number) → wgrib2 short
@@ -284,6 +299,7 @@ object Grib2 {
     var category = -1; var number = -1
     var statProcess = -1; var intervalEnd: LocalDateTime = null; var rangeHours = 0
     var ensMember = -1; var ensSize = 0 // templates 4.1 / 4.11
+    var derivedType = -1 // templates 4.2 / 4.12 (Code Table 4.7)
     var nPresent = -1
     var refVal = 0.0; var eScale = 0; var dScale = 0; var nbits = -1
     var drTemplate = -1
@@ -398,18 +414,30 @@ object Grib2 {
             // statistical octets; the ensemble octets shift that tail
             // by 3.
             val pdt = u16(pos + 7)
-            require(pdt == 0 || pdt == 1 || pdt == 8 || pdt == 11,
-              s"product template 4.$pdt unsupported (only 4.0 / 4.1 / 4.8 / 4.11) in $label")
+            require(pdt == 0 || pdt == 1 || pdt == 2 || pdt == 8 ||
+              pdt == 11 || pdt == 12,
+              s"product template 4.$pdt unsupported " +
+                s"(only 4.0 / 4.1 / 4.2 / 4.8 / 4.11 / 4.12) in $label")
             category = u(pos + 9); number = u(pos + 10)
             val ens = pdt == 1 || pdt == 11
+            val derived = pdt == 2 || pdt == 12
             if (ens) {
               require(len >= 37, s"product section 4.$pdt too short ($len) in $label")
               ensMember = u(pos + 35); ensSize = u(pos + 36)
               require(ensSize > 0 && ensMember <= ensSize,
                 s"ensemble member $ensMember of $ensSize malformed in $label")
-            } else { ensMember = -1; ensSize = 0 }
-            val eo = if (ens) 3 else 0 // ensemble octets shift the 4.8 tail
-            if (pdt == 8 || pdt == 11) {
+              derivedType = -1
+            } else if (derived) {
+              // 4.2: octet 35 = derived forecast type (Code Table 4.7),
+              // octet 36 = number of forecasts in the ensemble
+              require(len >= 36, s"product section 4.$pdt too short ($len) in $label")
+              derivedType = u(pos + 34); ensSize = u(pos + 35)
+              require(ensSize > 0, s"derived product over 0 forecasts in $label")
+              ensMember = -1
+            } else { ensMember = -1; ensSize = 0; derivedType = -1 }
+            // ensemble octets shift the statistical tail by 3, derived by 2
+            val eo = if (ens) 3 else if (derived) 2 else 0
+            if (pdt == 8 || pdt == 11 || pdt == 12) {
               require(len >= 58 + eo, s"product section 4.$pdt too short ($len) in $label")
               intervalEnd = LocalDateTime.of(u16(pos + 34 + eo), u(pos + 36 + eo),
                 u(pos + 37 + eo), u(pos + 38 + eo), u(pos + 39 + eo), u(pos + 40 + eo))
@@ -573,7 +601,8 @@ object Grib2 {
               ni, nj, la1, lo1, di, dj, jPositive, values,
               latsMicro = gaussLats, rowNi = rowNi, statProcess = statProcess,
               intervalEnd = intervalEnd, rangeHours = rangeHours,
-              ensMember = ensMember, ensSize = ensSize)
+              ensMember = ensMember, ensSize = ensSize,
+              derivedType = derivedType)
           case other => sys.error(s"unexpected section number $other in $label")
         }
         pos += len
@@ -741,7 +770,7 @@ object Grib2 {
     * inventory prints both side by side the same way).
     */
   final case class EnsGridRow(variable: String, time: LocalDateTime,
-                              member: Int, n_members: Int,
+                              kind: String, member: Int, n_members: Int,
                               lat: Double, lon: Double, value: Double)
 
   /** [[readRecords]] with the template-4.1/4.11 ensemble octets in the
@@ -764,7 +793,8 @@ object Grib2 {
             .take(limit)
             .flatMap { r =>
               val member = math.max(r.ensMember, 0)
-              cells(r).map(c => EnsGridRow(c.variable, c.time, member,
+              val kind = derivedNameOf(r.derivedType) // "member" unless 4.2/4.12
+              cells(r).map(c => EnsGridRow(c.variable, c.time, kind, member,
                 r.ensSize, c.lat, c.lon, c.value))
             }
         }
@@ -843,7 +873,13 @@ object Grib2 {
                          // process is also declared): this member number
                          // out of ensSize
                          ensMember: Int = -1,
-                         ensSize: Int = 0) {
+                         ensSize: Int = 0,
+                         // >= 0 emits template 4.2 (or 4.12 with a stat
+                         // process): this Code Table 4.7 derived type
+                         // over ensSize forecasts
+                         derivedType: Int = -1) {
+    require(derivedType < 0 || ensMember < 0,
+      "a field is a member (4.1) or a derived product (4.2), not both")
     if (reducedNi.isEmpty)
       require(scaled.length == ni * nj, "scaled length must be ni*nj")
     else {
@@ -1034,19 +1070,21 @@ object Grib2 {
       u16(0) ++ Array[Byte](0, 1) ++ u32(0) ++
       Array[Byte](1, 0) ++ u32(0) ++ Array(255.toByte, 0.toByte) ++ u32(0)
     val ensOctets: Array[Byte] =
-      if (f.ensMember < 0) Array.emptyByteArray
-      else {
+      if (f.ensMember >= 0) {
         require(f.ensSize > 0 && f.ensMember <= f.ensSize && f.ensMember <= 255,
           s"ensemble member ${f.ensMember} of ${f.ensSize} malformed")
         // 4.6: type 3 = positively perturbed (any member type decodes)
         Array(3.toByte, f.ensMember.toByte, f.ensSize.toByte)
-      }
-    val pdtNum = (f.statProcess >= 0, f.ensMember >= 0) match {
-      case (false, false) => 0
-      case (false, true) => 1
-      case (true, false) => 8
-      case (true, true) => 11
-    }
+      } else if (f.derivedType >= 0) {
+        require(f.ensSize > 0 && f.derivedType <= 255,
+          s"derived type ${f.derivedType} over ${f.ensSize} forecasts malformed")
+        Array(f.derivedType.toByte, f.ensSize.toByte)
+      } else Array.emptyByteArray
+    val pdtNum =
+      if (f.ensMember >= 0) { if (f.statProcess >= 0) 11 else 1 }
+      else if (f.derivedType >= 0) { if (f.statProcess >= 0) 12 else 2 }
+      else if (f.statProcess >= 0) 8
+      else 0
     if (f.statProcess < 0)
       section(4, u16(0) ++ u16(pdtNum) ++ pdtCommon ++ ensOctets)
     else {

@@ -340,6 +340,28 @@ class Grib2Spec extends SparkSpec {
     // malformed member (> size) refuses at write
     an[IllegalArgumentException] should be thrownBy
       write(field().copy(ensMember = 11, ensSize = 10))
+    // derived products (4.2 / 4.12): type + count octets, stat tail shift
+    val dm = field(cat = 0, num = 0).copy(derivedType = 0, ensSize = 10)
+    val ds = field(cat = 1, num = 8).copy(derivedType = 4, ensSize = 10,
+      statProcess = 1, intervalHours = 24)
+    val drecs = Grib2.parseMessages(write(dm, ds))
+    drecs.map(_.derivedType) shouldBe Seq(0, 4)
+    drecs.map(r => Grib2.derivedNameOf(r.derivedType)) shouldBe Seq("mean", "spread")
+    drecs.map(_.ensSize) shouldBe Seq(10, 10)
+    drecs.map(_.ensMember) shouldBe Seq(-1, -1)
+    drecs(1).statProcess shouldBe 1 // 4.12's 2-octet-shifted tail parses
+    drecs(1).rangeHours shouldBe 24
+    val db = write(dm)
+    var dpos = 16
+    def du32(i: Int) = ((db(i) & 0xff) << 24) | ((db(i + 1) & 0xff) << 16) |
+      ((db(i + 2) & 0xff) << 8) | (db(i + 3) & 0xff)
+    while ((db(dpos + 4) & 0xff) != 4) dpos += du32(dpos)
+    ((db(dpos + 7) & 0xff) << 8 | (db(dpos + 8) & 0xff)) shouldBe 2 // pdt 4.2
+    (db(dpos + 34) & 0xff) shouldBe 0 // derived type (octet 35)
+    (db(dpos + 35) & 0xff) shouldBe 10 // forecast count (octet 36)
+    // a field cannot be both a member and a derived product
+    an[IllegalArgumentException] should be thrownBy
+      write(field().copy(ensMember = 1, ensSize = 4, derivedType = 0))
   }
 
   test("reduced Gaussian grid: missing-ni + row list octet pins, ragged cells") {
