@@ -580,6 +580,91 @@ object SparkEntry {
       innerJ = 3, innerI = 8).toString
   }
 
+  /** r56 fixtures: zstd chunks in the three wire shapes real stores
+    * ship — a v2 store with numcodecs `{"id":"zstd"}` raw frames, a V3
+    * store with the `zstd` codec (the zarr v3 default), and a v2 store
+    * with blosc-wrapped zstd (compcode 5 frames) — all decoded via the
+    * zstd-jni library Spark itself bundles. Distinct variables and
+    * constants per leg so a cross-wired store cannot pass.
+    */
+  private lazy val zarrZstdV2Path: String = {
+    import java.time.LocalDateTime
+    val times = Seq(LocalDateTime.of(2007, 1, 15, 0, 0),
+      LocalDateTime.of(2007, 2, 15, 12, 0))
+    val fields = times.zipWithIndex.map { case (t, m) =>
+      sources.Zarr.Field("TMP", t, g3Ni, g3Nj, g3La1, g3Lo1, g3Di, g3Dj,
+        decimalScale = 1,
+        Array.tabulate(g3Nj * g3Ni) { k =>
+          val j = k / g3Ni; val i = k % g3Ni
+          Some((i * 21 + j * 13 + m * 37) % 520 + 100)
+        })
+    }
+    sources.Zarr.writeStore(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft-zarr", "fixz2.zarr"),
+      fields, chunkJ = 5, chunkI = 8, compressor = "zstd").toString
+  }
+
+  private lazy val zarrZstdV3Path: String = {
+    import java.time.LocalDateTime
+    val times = Seq(LocalDateTime.of(2007, 3, 15, 6, 0),
+      LocalDateTime.of(2007, 4, 15, 18, 0))
+    val fields = times.zipWithIndex.map { case (t, m) =>
+      sources.Zarr.Field("UGRD", t, g3Ni, g3Nj, g3La1, g3Lo1, g3Di, g3Dj,
+        decimalScale = 1,
+        Array.tabulate(g3Nj * g3Ni) { k =>
+          val j = k / g3Ni; val i = k % g3Ni
+          Some((i * 15 + j * 29 + m * 43) % 610 + 200)
+        })
+    }
+    sources.Zarr.writeStoreV3(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft-zarr", "fixz3.zarr"),
+      fields, chunkJ = 5, chunkI = 8, compressor = "zstd").toString
+  }
+
+  private lazy val zarrBloscZstdPath: String = {
+    import java.time.LocalDateTime
+    val times = Seq(LocalDateTime.of(2007, 5, 15, 0, 0),
+      LocalDateTime.of(2007, 6, 15, 12, 0))
+    val fields = times.zipWithIndex.map { case (t, m) =>
+      sources.Zarr.Field("PRATE", t, g3Ni, g3Nj, g3La1, g3Lo1, g3Di, g3Dj,
+        decimalScale = 1,
+        Array.tabulate(g3Nj * g3Ni) { k =>
+          val j = k / g3Ni; val i = k % g3Ni
+          if ((i * 3 + j * 5 + m) % 9 == 4) None
+          else Some((i * 23 + j * 11 + m * 31) % 470 + 300)
+        })
+    }
+    sources.Zarr.writeStore(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft-zarr", "fixbz.zarr"),
+      fields, chunkJ = 5, chunkI = 8, compressor = "blosc-zstd").toString
+  }
+
+  /** r57 fixture: a V3 store whose data chunks carry the `transpose`
+    * codec (stored C-order over (i, t, j) — order [2,0,1]) ahead of
+    * bytes + zstd, composing both round-11 codecs; PRATE masked so the
+    * fill path crosses the permutation too.
+    */
+  private lazy val zarrTransposePath: String = {
+    import java.time.LocalDateTime
+    val params = Seq("TMP", "PRATE")
+    val times = Seq(LocalDateTime.of(2007, 7, 20, 0, 0),
+      LocalDateTime.of(2007, 8, 20, 12, 0))
+    val fields = for {
+      (t, m) <- times.zipWithIndex
+      (v, pidx) <- params.zipWithIndex
+    } yield sources.Zarr.Field(v, t, g3Ni, g3Nj, g3La1, g3Lo1, g3Di, g3Dj,
+      decimalScale = 1,
+      Array.tabulate(g3Nj * g3Ni) { k =>
+        val j = k / g3Ni; val i = k % g3Ni
+        if (pidx == 1 && (i + j * 4 + m) % 10 == 7) None
+        else Some((i * 27 + j * 9 + pidx * 61 + m * 53) % 530 + pidx * 800)
+      })
+    sources.Zarr.writeStoreV3(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft-zarr", "fixtr.zarr"),
+      fields, chunkJ = 5, chunkI = 8, compressor = "zstd",
+      transpose = Seq(2, 0, 1)).toString
+  }
+
   /** r50 fixture: NC_SHORT payloads with the CF packing convention
     * (`value = packed * scale_factor + add_offset`) — the int16-packed
     * shape CDS/CMIP archives ship. Dyadic scale_factor (0.25) and
@@ -662,6 +747,50 @@ object SparkEntry {
     sources.Grib2.writeFile(
       java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft-grib", "ens.grib2"),
       fields).toString
+  }
+
+  /** r58 fixture: probability and percentile product templates (the
+    * GEFS post-processed shapes) in one mixed file — a 4.5 instant
+    * probability-of-exceedance (upper limit only, lower on the wire as
+    * the all-ones MISSING pattern), a 4.9 between-limits probability
+    * over a 24 h accumulation interval, a 4.10 90th-percentile 6 h
+    * average, and a plain 4.0 record proving the mixed-file schema.
+    * All limits exactly representable in binary64.
+    */
+  private lazy val grib2ProbFixturePath: String = {
+    import java.time.LocalDateTime
+    val t0 = LocalDateTime.of(2007, 9, 5, 6, 0)
+    def lattice(a: Int, b: Int, c: Int, mod: Int) =
+      Array.tabulate(g3Nj * g3Ni) { k =>
+        val j = k / g3Ni; val i = k % g3Ni
+        Some((i * a + j * b + c) % mod): Option[Int]
+      }
+    // sign-magnitude all-ones (-0x7fffffff on the wire = 0xffffffff)
+    // is the spec's MISSING pattern for an unused limit
+    val missing = -0x7fffffffL
+    val probAbove = sources.Grib2.Field(0, 0, 0, t0, g3Ni, g3Nj,
+      g3La1, g3Lo1, g3Di, g3Dj, decimalScale = 1,
+      lattice(5, 17, 0, 101), // probabilities: 0..100 in tenths of %
+      probType = 1, probNumber = 1, probTotal = 2,
+      probLowerScale = -127, probLowerScaled = missing,
+      probUpperScale = 1, probUpperScaled = 300) // 30.0
+    val probBetween = sources.Grib2.Field(0, 1, 7, t0, g3Ni, g3Nj,
+      g3La1, g3Lo1, g3Di, g3Dj, decimalScale = 1,
+      lattice(7, 11, 3, 101),
+      probType = 2, probNumber = 2, probTotal = 2,
+      probLowerScale = 1, probLowerScaled = 5, // 0.5
+      probUpperScale = 0, probUpperScaled = 10, // 10.0
+      statProcess = 1, intervalHours = 24)
+    val pct90 = sources.Grib2.Field(0, 2, 3, t0, g3Ni, g3Nj,
+      g3La1, g3Lo1, g3Di, g3Dj, decimalScale = 1,
+      lattice(13, 3, 9, 880),
+      percentile = 90, statProcess = 0, intervalHours = 6)
+    val plain = sources.Grib2.Field(0, 0, 0, t0.plusHours(6), g3Ni, g3Nj,
+      g3La1, g3Lo1, g3Di, g3Dj, decimalScale = 1,
+      lattice(9, 23, 4, 750))
+    sources.Grib2.writeFile(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft-grib", "prob.grib2"),
+      Seq(probAbove, probBetween, pct90, plain)).toString
   }
 
   /** r47 fixture: template-5.42 CCSDS-AEC packing (ECMWF operational) —
@@ -2096,6 +2225,13 @@ object SparkEntry {
           (($"max10" - $"min10") / 10.0).as("ens_spread"),
           $"n_members")
         .orderBy($"variable", $"lat", $"lon")),
+    // probability (4.5/4.9) + percentile (4.10) product templates in a
+    // mixed file: Code Table 4.9 kinds, sign-magnitude-scaled limits
+    // (all-ones = unused -> NULL), percentile octet, and the 4.8-style
+    // statistical tail — alongside a plain 4.0 record in one schema
+    "r58_grib2_prob" -> ((s, _) =>
+      sources.Grib2.readProbabilityRecords(s, Seq(grib2ProbFixturePath))
+        .orderBy($"variable", $"kind", $"percentile", $"time", $"lat", $"lon")),
     // reduced Gaussian (un-regridded ERA5): ragged rows spanning the
     // full circle at 360/nij spacing, Newton-computed abscissas; the
     // oracle carries independent leggauss latitudes and builds the
@@ -2199,6 +2335,20 @@ object SparkEntry {
     // keeps object counts sane on a 100 TB store
     "r51_zarr_sharded" -> ((s, _) =>
       sources.Zarr.readRecords(s, zarrShardFixturePath, matchRe = "TMP|PRATE")
+        .orderBy($"variable", $"time", $"lat", $"lon")),
+    // zstd in all three wire shapes (numcodecs v2 raw frames, the v3
+    // zstd codec, blosc compcode-5 frames) via the zstd-jni library
+    // Spark bundles — the modern default compressor of real stores
+    "r56_zarr_zstd" -> ((s, _) =>
+      sources.Zarr.readRecords(s, zarrZstdV2Path, matchRe = "TMP")
+        .unionByName(sources.Zarr.readRecords(s, zarrZstdV3Path, matchRe = "UGRD"))
+        .unionByName(sources.Zarr.readRecords(s, zarrBloscZstdPath, matchRe = "PRATE"))
+        .orderBy($"variable", $"time", $"lat", $"lon")),
+    // v3 transpose codec ([2,0,1] index permutation) ahead of
+    // bytes+zstd; the masked variable proves fill crosses the
+    // permutation intact
+    "r57_zarr_transpose" -> ((s, _) =>
+      sources.Zarr.readRecords(s, zarrTransposePath, matchRe = "TMP|PRATE")
         .orderBy($"variable", $"time", $"lat", $"lon")),
     // the DataSource V2 face of the GRIB2 reader: spark.read
     // .format("grib2") with variable = 'TMP' PUSHED to the reader —
@@ -5889,6 +6039,29 @@ object SparkEntry {
                 s / 10.0 AS value
          FROM u
          ORDER BY variable, kind, member, lat, lon""",
+    // probability/percentile octets regenerated closed-form: kinds,
+    // sign-magnitude-scaled limits (all-ones = NULL), percentile, and
+    // the statistical tail, alongside the plain 4.0 record
+    "r58_grib2_prob" ->
+      s"""WITH ii AS (SELECT unnest(generate_series(0, ${g3Ni - 1})) AS i),
+         jj AS (SELECT unnest(generate_series(0, ${g3Nj - 1})) AS j),
+         recs(variable, time, kind, prob_number, prob_total, lower_limit,
+              upper_limit, percentile, stat, range_hours, a, b, c, md) AS (VALUES
+           ('TMP', TIMESTAMP '2007-09-05 06:00:00', 'above_upper', 1, 2,
+            CAST(NULL AS DOUBLE), 300 / 10.0, -1, 'instant', 0, 5, 17, 0, 101),
+           ('PRATE', TIMESTAMP '2007-09-05 06:00:00', 'between', 2, 2,
+            5 / 10.0, 10 / 1.0, -1, 'acc', 24, 7, 11, 3, 101),
+           ('VGRD', TIMESTAMP '2007-09-05 06:00:00', 'none', -1, 0,
+            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), 90, 'avg', 6, 13, 3, 9, 880),
+           ('TMP', TIMESTAMP '2007-09-05 12:00:00', 'none', -1, 0,
+            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), -1, 'instant', 0, 9, 23, 4, 750))
+         SELECT variable, time, kind, prob_number, prob_total,
+                lower_limit, upper_limit, percentile, stat, range_hours,
+                ($g3La1 - j * $g3Dj) / 1000000.0 AS lat,
+                (($g3Lo1) + i * $g3Di) / 1000000.0 AS lon,
+                ((i * a + j * b + c) % md) / 10.0 AS value
+         FROM recs CROSS JOIN ii CROSS JOIN jj
+         ORDER BY variable, kind, percentile, time, lat, lon""",
     // per-cell ensemble statistics, the composition gate: integer sums
     // and extremes in scaled space, one divide at presentation
     "r54_ens_spread" ->
@@ -6071,6 +6244,48 @@ object SparkEntry {
          FROM p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
          WHERE NOT (pidx = 1 AND j < 3 AND i < 8)
            AND NOT (pidx = 1 AND (i + j * 2 + m) % 11 = 5)
+         ORDER BY variable, time, lat, lon""",
+    // zstd legs regenerated closed-form: the engine recovered every
+    // cell through zstd-jni frames (raw v2, v3 codec, blosc compcode 5)
+    "r56_zarr_zstd" ->
+      s"""WITH ii AS (SELECT unnest(generate_series(0, ${g3Ni - 1})) AS i),
+         jj AS (SELECT unnest(generate_series(0, ${g3Nj - 1})) AS j),
+         a AS (SELECT 'TMP' AS variable, t, i, j,
+                      ((i * 21 + j * 13 + m * 37) % 520 + 100) AS s
+               FROM (VALUES (TIMESTAMP '2007-01-15 00:00:00', 0),
+                            (TIMESTAMP '2007-02-15 12:00:00', 1)) t(t, m)
+               CROSS JOIN ii CROSS JOIN jj),
+         b AS (SELECT 'UGRD' AS variable, t, i, j,
+                      ((i * 15 + j * 29 + m * 43) % 610 + 200) AS s
+               FROM (VALUES (TIMESTAMP '2007-03-15 06:00:00', 0),
+                            (TIMESTAMP '2007-04-15 18:00:00', 1)) t(t, m)
+               CROSS JOIN ii CROSS JOIN jj),
+         c AS (SELECT 'PRATE' AS variable, t, i, j,
+                      ((i * 23 + j * 11 + m * 31) % 470 + 300) AS s
+               FROM (VALUES (TIMESTAMP '2007-05-15 00:00:00', 0),
+                            (TIMESTAMP '2007-06-15 12:00:00', 1)) t(t, m)
+               CROSS JOIN ii CROSS JOIN jj
+               WHERE (i * 3 + j * 5 + m) % 9 <> 4),
+         u AS (SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c)
+         SELECT variable, t AS time,
+                ($g3La1 - j * $g3Dj) / 1000000.0 AS lat,
+                (($g3Lo1) + i * $g3Di) / 1000000.0 AS lon,
+                s / 10.0 AS value
+         FROM u ORDER BY variable, time, lat, lon""",
+    // the transpose-codec twin: the [2,0,1] permutation (and the zstd
+    // frames under it) must be invisible in the flattened result
+    "r57_zarr_transpose" ->
+      s"""WITH p(pidx, variable) AS (VALUES (0, 'TMP'), (1, 'PRATE')),
+         t(t, m) AS (VALUES (TIMESTAMP '2007-07-20 00:00:00', 0),
+                            (TIMESTAMP '2007-08-20 12:00:00', 1)),
+         ii AS (SELECT unnest(generate_series(0, ${g3Ni - 1})) AS i),
+         jj AS (SELECT unnest(generate_series(0, ${g3Nj - 1})) AS j)
+         SELECT variable, t AS time,
+                ($g3La1 - j * $g3Dj) / 1000000.0 AS lat,
+                (($g3Lo1) + i * $g3Di) / 1000000.0 AS lon,
+                ((i * 27 + j * 9 + pidx * 61 + m * 53) % 530 + pidx * 800) / 10.0 AS value
+         FROM p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
+         WHERE NOT (pidx = 1 AND (i + j * 4 + m) % 10 = 7)
          ORDER BY variable, time, lat, lon""",
     "r16_grib2_jpeg2000" ->
       s"""WITH p(pidx, variable) AS (VALUES (0, 'TMP'), (1, 'PRATE')),

@@ -20,10 +20,13 @@ package graft.sources
   * Scope (loud rejects otherwise): compressor code 1 (LZ4/LZ4HC — the
   * block format is shared), byte-shuffle and no-shuffle frames, memcpy
   * frames. Bit-shuffle (flag 0x4) and the other compcodes (blosclz,
-  * snappy, zlib-in-blosc, zstd) reject with a pointer. Split layout
-  * follows c-blosc's deterministic rule — a full block splits into
-  * `typesize` streams iff shuffle is on, `2 <= typesize <= 16`, the
-  * block is typesize-aligned and `blocksize/typesize >= 128`; the
+  * snappy, zlib-in-blosc) reject with a pointer; zstd (compcode 5)
+  * decodes via [[BloscZstd]]. Split layout follows c-blosc's
+  * deterministic rule — a full block splits into `typesize` streams
+  * iff `2 <= typesize <= 16`, the block is typesize-aligned and
+  * `blocksize/typesize >= 128` (independent of shuffle, per blosc.c
+  * `split_block`); frames from c-blosc >= 1.14 record the decision in
+  * header flags bit 4 (set = not split) which overrides the rule; the
   * leftover block never splits. Byte-shuffle transposes the
   * typesize-aligned prefix of each block; the unaligned tail rides raw
   * (c-blosc `shuffle()` semantics).
@@ -38,7 +41,10 @@ object BloscLz4 {
   private val FlagShuffle = 0x1
   private val FlagMemcpy = 0x2
   private val FlagBitShuffle = 0x4
+  private val FlagNoSplit = 0x10 // c-blosc >= 1.14: blocks NOT split
   private val CompLz4 = 1 // bits 5-7 of the flags byte
+  private val CompLz4hc = 2 // same block format as LZ4 on decode
+  private val CompZstd = 5 // streams are zstd frames ([[ZstdCodec]])
 
   // ------------------------------------------------------------ LZ4 block
 
@@ -172,19 +178,34 @@ object BloscLz4 {
 
   // ------------------------------------------------------------ frames
 
-  private def splitStreams(shuffleOn: Boolean, typesize: Int,
+  /** c-blosc's LZ4 split rule — independent of shuffle (blosc.c
+    * `split_block`: LZ4/blosclz split whenever `typesize <= 16` and
+    * `blocksize/typesize >= 128`); the leftover block never splits.
+    * Frames from c-blosc >= 1.14 additionally record the per-frame
+    * decision in flags bit 4 (set = not split), which overrides this.
+    */
+  private def splitStreams(typesize: Int,
                            blocksize: Int, leftover: Boolean): Int =
-    if (!leftover && shuffleOn && typesize >= 2 && typesize <= 16 &&
+    if (!leftover && typesize >= 2 && typesize <= 16 &&
       blocksize % typesize == 0 && blocksize / typesize >= 128) typesize
     else 1
 
-  /** Compress `raw` into a blosc-1 LZ4 frame (shuffle on for
-    * typesize > 1). Falls back to a memcpy frame when compression does
-    * not pay, exactly like c-blosc.
+  /** Compress `raw` into a blosc-1 frame (shuffle on for
+    * typesize > 1; `cname` picks the stream codec — `lz4` splits per
+    * the eligibility rule, `zstd` never splits, matching c-blosc's
+    * FORWARD_COMPAT split mode). Falls back to a memcpy frame when
+    * compression does not pay, exactly like c-blosc.
     */
   def compress(raw: Array[Byte], typesize: Int,
-               blocksizeReq: Int = 1 << 14): Array[Byte] = {
+               blocksizeReq: Int = 1 << 14,
+               cname: String = "lz4"): Array[Byte] = {
     require(typesize >= 1 && typesize <= 255, s"typesize $typesize out of range")
+    val compcode = cname match {
+      case "lz4" => CompLz4
+      case "zstd" => CompZstd
+      case other => throw new IllegalArgumentException(
+        s"blosc writer cname '$other' out of scope (lz4 / zstd)")
+    }
     val n = raw.length
     // block size: requested, typesize-aligned, at least one element,
     // never beyond the buffer itself
@@ -205,13 +226,15 @@ object BloscLz4 {
       val leftover = bSize < blocksize
       val block0 = java.util.Arrays.copyOfRange(raw, bOff, bOff + bSize)
       val block = if (doShuffle) shuffle(block0, typesize) else block0
-      val nstreams = splitStreams(doShuffle, typesize, blocksize, leftover)
+      val nstreams =
+        if (compcode == CompZstd) 1 else splitStreams(typesize, blocksize, leftover)
       val streamLen = block.length / nstreams
       var s = 0
       while (s < nstreams) {
         val part = java.util.Arrays.copyOfRange(block, s * streamLen,
           if (s == nstreams - 1) block.length else (s + 1) * streamLen)
-        val comp = lz4Compress(part)
+        val comp =
+          if (compcode == CompZstd) ZstdCodec.compress(part) else lz4Compress(part)
         if (comp.length < part.length) {
           body.write(i32le(comp.length)); body.write(comp)
         } else { // stored-raw stream: csize == uncompressed size
@@ -233,7 +256,10 @@ object BloscLz4 {
     }
     val out = new java.io.ByteArrayOutputStream(total)
     out.write(2); out.write(1)
-    out.write((if (doShuffle) FlagShuffle else 0) | (CompLz4 << 5))
+    // bit 4 = 0 when the frame's full blocks split (c-blosc >= 1.14)
+    val noSplit = if (compcode == CompZstd ||
+      splitStreams(typesize, blocksize, leftover = false) == 1) FlagNoSplit else 0
+    out.write((if (doShuffle) FlagShuffle else 0) | noSplit | (compcode << 5))
     out.write(typesize)
     out.write(i32le(n)); out.write(i32le(blocksize)); out.write(i32le(total))
     bstarts.foreach(v => out.write(i32le(v)))
@@ -264,9 +290,9 @@ object BloscLz4 {
     if ((flags & FlagBitShuffle) != 0)
       fail("bit-shuffle (flag 0x4) out of scope — byte-shuffle and no-shuffle decode")
     val compcode = flags >>> 5
-    if (compcode != CompLz4)
-      fail(s"compressor code $compcode out of scope — only LZ4 (1); " +
-        "blosclz/snappy/zlib/zstd-in-blosc reject here")
+    if (compcode != CompLz4 && compcode != CompLz4hc && compcode != CompZstd)
+      fail(s"compressor code $compcode out of scope — LZ4 (1), LZ4HC (2) " +
+        "and zstd (5) decode; blosclz/snappy/zlib-in-blosc reject here")
     if (blocksize <= 0 || blocksize > (1 << 28)) fail(s"blocksize $blocksize out of range")
     val doShuffle = (flags & FlagShuffle) != 0 && typesize > 1
     val nblocks = math.max(1, (nbytes + blocksize - 1) / blocksize)
@@ -278,7 +304,9 @@ object BloscLz4 {
       val bOff = b * blocksize
       val bSize = math.min(blocksize, nbytes - bOff)
       val leftover = bSize < blocksize
-      val nstreams = splitStreams(doShuffle, typesize, blocksize, leftover)
+      val nstreams =
+        if ((flags & FlagNoSplit) != 0) 1
+        else splitStreams(typesize, blocksize, leftover)
       val base = bSize / nstreams
       val block = new Array[Byte](bSize)
       var filled = 0
@@ -290,6 +318,8 @@ object BloscLz4 {
         if (csize < 0 || sp + csize > frame.length) fail(s"stream size $csize out of frame")
         val part =
           if (csize == streamLen) java.util.Arrays.copyOfRange(frame, sp, sp + csize)
+          else if (compcode == CompZstd) ZstdCodec.decompress(
+            java.util.Arrays.copyOfRange(frame, sp, sp + csize), streamLen, label)
           else lz4Decompress(frame, sp, csize, streamLen, label)
         System.arraycopy(part, 0, block, filled, streamLen)
         sp += csize

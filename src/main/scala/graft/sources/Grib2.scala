@@ -90,7 +90,21 @@ object Grib2 {
       // templates 4.2 / 4.12 (derived ensemble products — the GEFS
       // mean/spread files): WMO Code Table 4.7 derived-forecast type;
       // -1 = not a derived product
-      derivedType: Int = -1)
+      derivedType: Int = -1,
+      // templates 4.5 / 4.9 (probability forecasts — the GEFS
+      // probability-of-exceedance products): WMO Code Table 4.9
+      // probability type (0 below lower / 1 above upper / 2 between /
+      // 3 above lower / 4 below upper), this forecast's number out of
+      // the total, and the decoded lower/upper thresholds in physical
+      // units (scaled sign-magnitude per spec). -1 = not a probability
+      probType: Int = -1,
+      probNumber: Int = -1,
+      probTotal: Int = 0,
+      probLower: Double = Double.NaN,
+      probUpper: Double = Double.NaN,
+      // templates 4.6 / 4.10 (percentile forecasts): 0..100;
+      // -1 = not a percentile product
+      percentile: Int = -1)
 
   /** WMO Code Table 4.10 statistical-process names (the wgrib2 inventory
     * suffixes: `0-24 hour acc fcst` etc.). */
@@ -300,6 +314,9 @@ object Grib2 {
     var statProcess = -1; var intervalEnd: LocalDateTime = null; var rangeHours = 0
     var ensMember = -1; var ensSize = 0 // templates 4.1 / 4.11
     var derivedType = -1 // templates 4.2 / 4.12 (Code Table 4.7)
+    var probType = -1; var probNumber = -1; var probTotal = 0 // 4.5 / 4.9
+    var probLower = Double.NaN; var probUpper = Double.NaN
+    var percentile = -1 // templates 4.6 / 4.10
     var nPresent = -1
     var refVal = 0.0; var eScale = 0; var dScale = 0; var nbits = -1
     var drTemplate = -1
@@ -348,7 +365,10 @@ object Grib2 {
               require(listInterp == 1,
                 s"reduced-grid list interpretation $listInterp unsupported " +
                   s"(only 1 = points per row) in $label")
-              require(len >= 72 + nj * listOctets,
+              // Long math: a crafted nj (~2^29) would overflow the Int
+              // bound and trigger a multi-GB tabulate before any byte
+              // check — reject loudly instead.
+              require(nj > 1 && 72L + nj.toLong * listOctets <= len,
                 s"grid section too short for a $nj-row point list in $label")
               rowNi = Array.tabulate(nj) { j =>
                 var v = 0L; var o = 0
@@ -414,13 +434,42 @@ object Grib2 {
             // statistical octets; the ensemble octets shift that tail
             // by 3.
             val pdt = u16(pos + 7)
-            require(pdt == 0 || pdt == 1 || pdt == 2 || pdt == 8 ||
+            require(pdt == 0 || pdt == 1 || pdt == 2 || pdt == 5 ||
+              pdt == 6 || pdt == 8 || pdt == 9 || pdt == 10 ||
               pdt == 11 || pdt == 12,
               s"product template 4.$pdt unsupported " +
-                s"(only 4.0 / 4.1 / 4.2 / 4.8 / 4.11 / 4.12) in $label")
+                s"(only 4.0 / 4.1 / 4.2 / 4.5 / 4.6 / 4.8 / 4.9 / 4.10 / " +
+                s"4.11 / 4.12) in $label")
             category = u(pos + 9); number = u(pos + 10)
             val ens = pdt == 1 || pdt == 11
             val derived = pdt == 2 || pdt == 12
+            val prob = pdt == 5 || pdt == 9
+            val pct = pdt == 6 || pdt == 10
+            // 1-octet sign-magnitude (the limit scale factors)
+            def s8(i: Int): Int = { val v = u(i); if ((v & 0x80) != 0) -(v & 0x7f) else v }
+            if (prob) {
+              // 4.5: octets 35/36 = probability number/total, 37 = Code
+              // Table 4.9 type, 38 + 39-42 / 43 + 44-47 = scale factor +
+              // scaled value of the lower/upper limits (sign-magnitude);
+              // all-ones scaled value = that bound unused
+              require(len >= 47, s"product section 4.$pdt too short ($len) in $label")
+              probNumber = u(pos + 34); probTotal = u(pos + 35)
+              probType = u(pos + 36)
+              require(probType <= 4,
+                s"probability type $probType outside Code Table 4.9 (0-4) in $label")
+              probLower = if (u32(pos + 38) == 0xffffffffL) Double.NaN
+                else s32(pos + 38) / math.pow(10, s8(pos + 37))
+              probUpper = if (u32(pos + 43) == 0xffffffffL) Double.NaN
+                else s32(pos + 43) / math.pow(10, s8(pos + 42))
+            } else { probType = -1; probNumber = -1; probTotal = 0
+              probLower = Double.NaN; probUpper = Double.NaN }
+            if (pct) {
+              // 4.6: octet 35 = percentile value (0..100)
+              require(len >= 35, s"product section 4.$pdt too short ($len) in $label")
+              percentile = u(pos + 34)
+              require(percentile <= 100,
+                s"percentile $percentile outside 0..100 in $label")
+            } else percentile = -1
             if (ens) {
               require(len >= 37, s"product section 4.$pdt too short ($len) in $label")
               ensMember = u(pos + 35); ensSize = u(pos + 36)
@@ -435,9 +484,12 @@ object Grib2 {
               require(ensSize > 0, s"derived product over 0 forecasts in $label")
               ensMember = -1
             } else { ensMember = -1; ensSize = 0; derivedType = -1 }
-            // ensemble octets shift the statistical tail by 3, derived by 2
-            val eo = if (ens) 3 else if (derived) 2 else 0
-            if (pdt == 8 || pdt == 11 || pdt == 12) {
+            // ensemble octets shift the statistical tail by 3, derived
+            // by 2, probability by 13 (4.5's octets 35-47), percentile
+            // by 1 (4.6's octet 35)
+            val eo = if (ens) 3 else if (derived) 2
+              else if (prob) 13 else if (pct) 1 else 0
+            if (pdt == 8 || pdt == 9 || pdt == 10 || pdt == 11 || pdt == 12) {
               require(len >= 58 + eo, s"product section 4.$pdt too short ($len) in $label")
               intervalEnd = LocalDateTime.of(u16(pos + 34 + eo), u(pos + 36 + eo),
                 u(pos + 37 + eo), u(pos + 38 + eo), u(pos + 39 + eo), u(pos + 40 + eo))
@@ -602,7 +654,10 @@ object Grib2 {
               latsMicro = gaussLats, rowNi = rowNi, statProcess = statProcess,
               intervalEnd = intervalEnd, rangeHours = rangeHours,
               ensMember = ensMember, ensSize = ensSize,
-              derivedType = derivedType)
+              derivedType = derivedType,
+              probType = probType, probNumber = probNumber,
+              probTotal = probTotal, probLower = probLower,
+              probUpper = probUpper, percentile = percentile)
           case other => sys.error(s"unexpected section number $other in $label")
         }
         pos += len
@@ -801,6 +856,59 @@ object Grib2 {
     )(Encoders.product[EnsGridRow]).toDF()
   }
 
+  /** WMO Code Table 4.9 probability-type names (wgrib2 prints these as
+    * `prob <X` / `prob >X` inventory suffixes). */
+  def probNameOf(code: Int): String = code match {
+    case 0 => "below_lower"
+    case 1 => "above_upper"
+    case 2 => "between"
+    case 3 => "above_lower"
+    case 4 => "below_upper"
+    case other => s"prob_$other"
+  }
+
+  /** [[GridRow]] widened with the probability/percentile octets of
+    * templates 4.5/4.9/4.10 (+ the 4.8-style statistical tail of the
+    * interval forms). Deterministic records carry kind="none",
+    * percentile -1 and null limits, so one schema serves mixed files.
+    */
+  final case class ProbGridRow(variable: String, time: LocalDateTime,
+                               kind: String, prob_number: Int, prob_total: Int,
+                               lower_limit: Option[Double],
+                               upper_limit: Option[Double],
+                               percentile: Int, stat: String, range_hours: Int,
+                               lat: Double, lon: Double, value: Double)
+
+  /** [[readRecords]] with the template-4.5/4.9 probability octets and
+    * the 4.6/4.10 percentile octet in the row schema.
+    */
+  def readProbabilityRecords(spark: SparkSession, paths: Seq[String],
+                             matchRe: String = ".*",
+                             limit: Int = Int.MaxValue): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val re = matchRe
+    spark.createDataset(
+      spark.read.format("binaryFile").load(paths: _*)
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])](Encoders.tuple(Encoders.STRING, Encoders.BINARY))
+        .rdd
+        .flatMap { case (p, bytes) =>
+          val pat = java.util.regex.Pattern.compile(re)
+          parseMessages(bytes, p).iterator
+            .filter(r => pat.matcher(r.variable).find())
+            .take(limit)
+            .flatMap { r =>
+              val kind = if (r.probType < 0) "none" else probNameOf(r.probType)
+              val lower = if (r.probLower.isNaN) None else Some(r.probLower)
+              val upper = if (r.probUpper.isNaN) None else Some(r.probUpper)
+              cells(r).map(c => ProbGridRow(c.variable, c.time, kind,
+                r.probNumber, r.probTotal, lower, upper, r.percentile,
+                statNameOf(r.statProcess), r.rangeHours, c.lat, c.lon, c.value))
+            }
+        }
+    )(Encoders.product[ProbGridRow]).toDF()
+  }
+
   /** Flatten one record to present cells (masked cells dropped). Regular
     * lat/lon rows step uniformly from la1; Gaussian rows (template 3.40)
     * read the per-row abscissa array.
@@ -823,11 +931,17 @@ object Grib2 {
         Iterator.range(0, r.nj).flatMap { j =>
           val nij = r.rowNi(j)
           val rowOff = off; off += nij
-          val stepMicro = 360000000L / nij // whole µdeg per fixture contract
+          // Exact µdeg step when the circle divides evenly; otherwise
+          // wgrib2's i*360.0/nij in double — integer truncation would
+          // drift up to ~nij µdeg across octahedral rows (e.g. 28-point
+          // O-grid rows, where 360e6 % nij != 0).
+          val even = 360000000L % nij == 0
+          val stepMicro = if (even) 360000000L / nij else 0L
           Iterator.tabulate(nij)(i =>
             GridRow(r.variable, r.time,
               r.latsMicro(j) / 1e6,
-              (r.lo1Micro + i.toLong * stepMicro) / 1e6,
+              if (even) (r.lo1Micro + i.toLong * stepMicro) / 1e6
+              else r.lo1Micro / 1e6 + i * 360.0 / nij,
               r.values(rowOff + i)))
         }
       }
@@ -877,9 +991,32 @@ object Grib2 {
                          // >= 0 emits template 4.2 (or 4.12 with a stat
                          // process): this Code Table 4.7 derived type
                          // over ensSize forecasts
-                         derivedType: Int = -1) {
-    require(derivedType < 0 || ensMember < 0,
-      "a field is a member (4.1) or a derived product (4.2), not both")
+                         derivedType: Int = -1,
+                         // >= 0 emits template 4.5 (or 4.9 with a stat
+                         // process): Code Table 4.9 probability type;
+                         // thresholds given exactly as (decimal scale,
+                         // sign-magnitude scaled value) pairs
+                         probType: Int = -1,
+                         probNumber: Int = 0,
+                         probTotal: Int = 0,
+                         probLowerScale: Int = 0, probLowerScaled: Long = 0,
+                         probUpperScale: Int = 0, probUpperScaled: Long = 0,
+                         // >= 0 emits template 4.6 (or 4.10 with a stat
+                         // process): percentile value 0..100
+                         percentile: Int = -1) {
+    require(Seq(ensMember >= 0, derivedType >= 0, probType >= 0,
+      percentile >= 0).count(identity) <= 1,
+      "a field is a member (4.1), derived (4.2), probability (4.5) or " +
+        "percentile (4.6) product — at most one")
+    if (probType >= 0) {
+      require(probType <= 4, "probability type must be 0..4 (Code Table 4.9)")
+      require(probTotal > 0 && probNumber >= 0 && probNumber <= probTotal &&
+        probTotal <= 255, s"probability $probNumber of $probTotal malformed")
+      require(math.abs(probLowerScale) <= 127 && math.abs(probUpperScale) <= 127 &&
+        math.abs(probLowerScaled) <= 0x7fffffffL && math.abs(probUpperScaled) <= 0x7fffffffL,
+        "probability limits out of sign-magnitude range")
+    }
+    require(percentile <= 100, "percentile must be 0..100")
     if (reducedNi.isEmpty)
       require(scaled.length == ni * nj, "scaled length must be ni*nj")
     else {
@@ -887,6 +1024,10 @@ object Grib2 {
       require(reducedNi.length == nj, s"reducedNi needs one count per row ($nj)")
       reducedNi.foreach(v => require(v >= 2 && 360000000L % v == 0,
         s"reduced row count $v must be >= 2 and divide 360000000 µdeg"))
+      // the row list is serialized 2 bytes per count — a wider count
+      // would silently truncate modulo 65536 on the wire
+      reducedNi.foreach(v => require(v <= 0xffff,
+        s"reduced row count $v exceeds the 2-octet list width (65535)"))
       require(ni == reducedNi.max, "ni must equal reducedNi.max")
       require(scaled.length == reducedNi.sum,
         "scaled length must be reducedNi.sum (ragged row-major)")
@@ -1079,10 +1220,23 @@ object Grib2 {
         require(f.ensSize > 0 && f.derivedType <= 255,
           s"derived type ${f.derivedType} over ${f.ensSize} forecasts malformed")
         Array(f.derivedType.toByte, f.ensSize.toByte)
+      } else if (f.probType >= 0) {
+        // 4.5 octets 35-47: number/total/type, then the lower and upper
+        // limits as 1-octet sign-magnitude scale + 4-octet sign-magnitude
+        // scaled value each
+        def sm8(v: Int): Byte =
+          (if (v < 0) 0x80 | (-v) else v).toByte
+        Array(f.probNumber.toByte, f.probTotal.toByte, f.probType.toByte,
+          sm8(f.probLowerScale)) ++ sm32(f.probLowerScaled) ++
+          Array(sm8(f.probUpperScale)) ++ sm32(f.probUpperScaled)
+      } else if (f.percentile >= 0) {
+        Array(f.percentile.toByte) // 4.6 octet 35
       } else Array.emptyByteArray
     val pdtNum =
       if (f.ensMember >= 0) { if (f.statProcess >= 0) 11 else 1 }
       else if (f.derivedType >= 0) { if (f.statProcess >= 0) 12 else 2 }
+      else if (f.probType >= 0) { if (f.statProcess >= 0) 9 else 5 }
+      else if (f.percentile >= 0) { if (f.statProcess >= 0) 10 else 6 }
       else if (f.statProcess >= 0) 8
       else 0
     if (f.statProcess < 0)

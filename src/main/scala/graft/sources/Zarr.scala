@@ -44,8 +44,11 @@ import org.json4s.jackson.JsonMethods
   *
   * Out-of-scope forms reject loudly with a pointer: `order:"F"`,
   * non-`.` v2 dimension separators, v2 filters, compressors other than
-  * null/zlib/gzip/blosc-lz4 (blosclz/snappy/zstd cnames reject),
-  * non-integer data dtypes, the v3 transpose codec, nested sharding.
+  * null/zlib/gzip/zstd/blosc-{lz4,lz4hc,zstd} (blosclz/snappy cnames
+  * reject), non-integer data dtypes, nested sharding. zstd decodes via
+  * the zstd-jni library Spark itself bundles ([[ZstdCodec]]); the v3
+  * `transpose` codec is an index permutation handled before the bytes
+  * codec.
   */
 object Zarr {
 
@@ -78,7 +81,11 @@ object Zarr {
                              innerChunks: Seq[Int] = Nil,
                              innerComp: String = "null",
                              indexCrc: Boolean = false,
-                             indexAtStart: Boolean = false) {
+                             indexAtStart: Boolean = false,
+                             // v3 `transpose` codec: stored chunk layout
+                             // is C-order over dims permuted by this
+                             // order (empty = no transpose)
+                             transposeOrder: Seq[Int] = Nil) {
     def chunkGrid: Seq[Int] = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
   }
 
@@ -147,9 +154,12 @@ object Zarr {
                          compressor: String, level: Int, fill: Option[Int]): String = {
     val comp = compressor match {
       case "zlib" => s"""{"id":"zlib","level":$level}"""
+      case "zstd" => s"""{"id":"zstd","level":$level}"""
       case "blosc-lz4" =>
         // numcodecs Blosc codec JSON: shuffle 1 = byte-shuffle
         s"""{"id":"blosc","cname":"lz4","clevel":$level,"shuffle":1,"blocksize":0}"""
+      case "blosc-zstd" =>
+        s"""{"id":"blosc","cname":"zstd","clevel":$level,"shuffle":1,"blocksize":0}"""
       case "null" => "null"
       case other => sys.error(s"zarr writer: compressor '$other' unsupported")
     }
@@ -232,7 +242,9 @@ object Zarr {
           }
           put(s"$v/$r.$cj.$ci", compressor match {
             case "zlib" => zlibDeflate(raw, level)
+            case "zstd" => ZstdCodec.compress(raw, level)
             case "blosc-lz4" => BloscLz4.compress(raw, typesize = 4)
+            case "blosc-zstd" => BloscLz4.compress(raw, typesize = 4, cname = "zstd")
             case _ => raw
           })
         }
@@ -254,8 +266,15 @@ object Zarr {
                    // (chunkJ, chunkI) becomes the SHARD shape, inner
                    // chunks are (innerJ, innerI), index crc32c at end;
                    // all-fill inner chunks are written as MISSING
-                   innerJ: Int = 0, innerI: Int = 0): Path = {
+                   innerJ: Int = 0, innerI: Int = 0,
+                   // non-empty prepends a `transpose` codec: data chunks
+                   // are stored C-order over (t,j,i) permuted by this
+                   transpose: Seq[Int] = Nil): Path = {
     val sharding = innerJ > 0 || innerI > 0
+    require(transpose.isEmpty || transpose.sorted == Seq(0, 1, 2),
+      s"transpose order $transpose must permute the (t, j, i) dims")
+    require(transpose.isEmpty || !sharding,
+      "transpose inside a sharded store is out of scope")
     if (sharding) {
       require(innerJ > 0 && innerI > 0 &&
         chunkJ % innerJ == 0 && chunkI % innerI == 0,
@@ -282,6 +301,8 @@ object Zarr {
       val bytesCodec = """{"name":"bytes","configuration":{"endian":"little"}}"""
       comp match {
         case "gzip" => s"""[$bytesCodec,{"name":"gzip","configuration":{"level":$level}}]"""
+        case "zstd" =>
+          s"""[$bytesCodec,{"name":"zstd","configuration":{"level":$level,"checksum":false}}]"""
         case "blosc-lz4" => s"""[$bytesCodec,{"name":"blosc","configuration":""" +
           s"""{"cname":"lz4","clevel":$level,"shuffle":"shuffle","typesize":4,"blocksize":0}}]"""
         case "null" => s"[$bytesCodec]"
@@ -319,27 +340,30 @@ object Zarr {
     val cgI = (g.ni + chunkI - 1) / chunkI
     def encodeRaw(raw: Array[Byte]): Array[Byte] = compressor match {
       case "gzip" => gzipCompress(raw)
+      case "zstd" => ZstdCodec.compress(raw, level)
       case "blosc-lz4" => BloscLz4.compress(raw, typesize = 4)
       case _ => raw
     }
     def cellBytes(f: Field, j0: Int, i0: Int, nJ: Int, nI: Int): Array[Byte] = {
-      val raw = new Array[Byte](nJ * nI * 4)
-      var p = 0
-      for (dj <- 0 until nJ; di <- 0 until nI) {
-        val j = j0 + dj; val i = i0 + di
-        val cell = if (j < g.nj && i < g.ni)
-          f.scaled(j * g.ni + i).getOrElse(FillInt)
+      val cells0 = Array.tabulate(nJ * nI) { p =>
+        val j = j0 + p / nI; val i = i0 + p % nI
+        if (j < g.nj && i < g.ni) f.scaled(j * g.ni + i).getOrElse(FillInt)
         else FillInt
-        val b = leInt(cell)
-        raw(p) = b(0); raw(p + 1) = b(1); raw(p + 2) = b(2); raw(p + 3) = b(3)
-        p += 4
       }
-      raw
+      val cells = if (transpose.isEmpty) cells0
+        else permuteCells(cells0, Seq(1, nJ, nI), transpose, encode = true)
+      cells.flatMap(leInt)
     }
     for (v <- vars) {
+      val dataCodecs =
+        if (sharding) shardingJson(compressor)
+        else if (transpose.isEmpty) codecJson(compressor)
+        else s"""[{"name":"transpose","configuration":""" +
+          s"""{"order":[${transpose.mkString(",")}]}},""" +
+          codecJson(compressor).tail
       put(s"$v/zarr.json", arrayJson(Seq(times.length, g.nj, g.ni),
         Seq(1, chunkJ, chunkI), "int32",
-        if (sharding) shardingJson(compressor) else codecJson(compressor),
+        dataCodecs,
         Some(FillInt),
         s""""decimal_scale":${g.decimalScale},"units":"K"""").getBytes("UTF-8"))
       for ((t, r) <- times.zipWithIndex) {
@@ -413,18 +437,19 @@ object Zarr {
       case c =>
         (c \ "id").extract[String] match {
           case "zlib" => "zlib"
+          case "zstd" => "zstd" // numcodecs.Zstd: one raw zstd frame per chunk
           case "blosc" =>
             val cname = (c \ "cname") match {
               case JString(s) => s
               case _ => "blosclz" // c-blosc's default when unspecified
             }
-            require(cname == "lz4" || cname == "lz4hc", // shared block format
+            require(cname == "lz4" || cname == "lz4hc" || cname == "zstd",
               s"zarr: $label blosc cname '$cname' out of scope — " +
-                "lz4/lz4hc decode; blosclz/snappy/zstd reject here")
-            "blosc-lz4"
+                "lz4/lz4hc/zstd decode; blosclz/snappy reject here")
+            "blosc-lz4" // [[BloscLz4]] dispatches on the frame's compcode
           case id => throw new IllegalArgumentException(
             s"zarr: $label compressor '$id' out of scope — " +
-              "null/zlib/blosc(lz4) are implemented")
+              "null/zlib/zstd/blosc(lz4|zstd) are implemented")
         }
     }
     val dtype = (j \ "dtype").extract[String]
@@ -483,11 +508,23 @@ object Zarr {
       case other => throw new IllegalArgumentException(
         s"zarr: $label chunk-key encoding '$other' out of scope (only 'default')")
     }
-    // codec chain: bytes (endian) then at most one compressor — either
-    // at the top level, or nested inside a sharding_indexed codec
-    def parseChain(codecs: List[JValue], what: String): (Boolean, String) = {
+    // codec chain: optional transpose, then bytes (endian), then at
+    // most one compressor — either at the top level, or nested inside
+    // a sharding_indexed codec (where transpose stays out of scope)
+    def parseChain(codecs0: List[JValue], what: String): (Boolean, String, Seq[Int]) = {
+      val (order, codecs) = codecs0 match {
+        case t :: rest if (t \ "name").extract[String] == "transpose" =>
+          require(what == "array",
+            s"zarr: $label transpose inside $what codecs out of scope")
+          val o = (t \ "configuration" \ "order").extract[Seq[BigInt]]
+          require(o.nonEmpty && o.sorted == (0 until o.length).map(BigInt(_)),
+            s"zarr: $label transpose order $o is not a permutation of 0..${o.length - 1}")
+          (o.map(_.toInt), rest)
+        case cs => (Seq.empty[Int], cs)
+      }
       require(codecs.nonEmpty && (codecs.head \ "name").extract[String] == "bytes",
-        s"zarr: $label $what codec chain must start with 'bytes'")
+        s"zarr: $label $what codec chain must start with 'bytes'" +
+          (if (order.isEmpty) "" else " after 'transpose'"))
       val little = (codecs.head \ "configuration" \ "endian") match {
         case JString("little") => true
         case JString("big") => false
@@ -498,18 +535,19 @@ object Zarr {
         case Nil => "null"
         case c :: Nil => (c \ "name").extract[String] match {
           case "gzip" => "gzip"
+          case "zstd" => "zstd" // the zarr v3 default store codec
           case "blosc" =>
             val cname = (c \ "configuration" \ "cname").extract[String]
-            require(cname == "lz4" || cname == "lz4hc",
-              s"zarr: $label blosc cname '$cname' out of scope — lz4/lz4hc decode")
+            require(cname == "lz4" || cname == "lz4hc" || cname == "zstd",
+              s"zarr: $label blosc cname '$cname' out of scope — lz4/lz4hc/zstd decode")
             "blosc-lz4"
           case other => throw new IllegalArgumentException(
-            s"zarr: $label codec '$other' out of scope (gzip / blosc-lz4)")
+            s"zarr: $label codec '$other' out of scope (gzip / zstd / blosc)")
         }
         case more => throw new IllegalArgumentException(
           s"zarr: $label $what codec chain of ${more.length + 1} out of scope (bytes + one)")
       }
-      (little, comp)
+      (little, comp, order)
     }
     val codecs = (j \ "codecs") match {
       case JArray(cs) => cs
@@ -517,10 +555,10 @@ object Zarr {
     }
     val sharded = codecs.nonEmpty &&
       (codecs.head \ "name").extract[String] == "sharding_indexed"
-    val (little, comp, innerShape, innerComp, idxCrc, idxStart) =
+    val (little, comp, tOrder, innerShape, innerComp, idxCrc, idxStart) =
       if (!sharded) {
-        val (l, c) = parseChain(codecs, "array")
-        (l, c, Seq.empty[BigInt], "null", false, false)
+        val (l, c, o) = parseChain(codecs, "array")
+        (l, c, o, Seq.empty[BigInt], "null", false, false)
       } else {
         require(codecs.length == 1,
           s"zarr: $label sharding_indexed must be the sole top-level codec")
@@ -531,7 +569,7 @@ object Zarr {
           case _ => throw new IllegalArgumentException(
             s"zarr: $label sharding_indexed has no inner codecs")
         }
-        val (l, c) = parseChain(innerCodecs, "inner")
+        val (l, c, _) = parseChain(innerCodecs, "inner")
         val idxCodecs = (cfg \ "index_codecs") match {
           case JArray(cs) => cs
           case JNothing | JNull => Nil
@@ -554,7 +592,7 @@ object Zarr {
             s"zarr: $label index_location $v out of scope")
         }
         // the shard container itself is raw; compression lives inside
-        (l, "null", innerSh, c, idxNames.contains("crc32c"), start)
+        (l, "null", Seq.empty[Int], innerSh, c, idxNames.contains("crc32c"), start)
       }
     val dtype = (j \ "data_type").extract[String] match {
       case "int32" => if (little) "<i4" else ">i4"
@@ -591,16 +629,21 @@ object Zarr {
           s"zarr: $label inner chunks $innerShape must divide the shard shape $chunks")
       }
     }
+    require(tOrder.isEmpty || tOrder.length == chunks.length,
+      s"zarr: $label transpose order rank ${tOrder.length} != array rank ${chunks.length}")
+    require(tOrder.isEmpty || dtype.endsWith("i4"),
+      s"zarr: $label transpose on dtype '$dtype' out of scope (int32 data only)")
     ArrayMeta(shape.map(_.toInt), chunks.map(_.toInt),
       dtype, comp, fill, scale, v3 = true, sep = sep,
       innerChunks = innerShape.map(_.toInt), innerComp = innerComp,
-      indexCrc = idxCrc, indexAtStart = idxStart)
+      indexCrc = idxCrc, indexAtStart = idxStart, transposeOrder = tOrder)
   }
 
   private def inflate(bytes: Array[Byte], meta: ArrayMeta, expect: Int,
                       label: String): Array[Byte] = meta.comp match {
     case "zlib" => zlibInflate(bytes, expect, label)
     case "gzip" => gzipInflate(bytes, expect, label)
+    case "zstd" => ZstdCodec.decompress(bytes, expect, label)
     case "blosc-lz4" => BloscLz4.decompress(bytes, expect, label)
     case _ =>
       require(bytes.length == expect,
@@ -612,7 +655,7 @@ object Zarr {
                          label: String): Array[Int] = {
     val raw = inflate(bytes, meta, n * 4, label)
     val little = meta.dtype.startsWith("<")
-    Array.tabulate(n) { k =>
+    val cells = Array.tabulate(n) { k =>
       val p = 4 * k
       if (little)
         (raw(p) & 0xff) | ((raw(p + 1) & 0xff) << 8) |
@@ -621,6 +664,40 @@ object Zarr {
         ((raw(p) & 0xff) << 24) | ((raw(p + 1) & 0xff) << 16) |
           ((raw(p + 2) & 0xff) << 8) | (raw(p + 3) & 0xff)
     }
+    if (meta.transposeOrder.isEmpty) cells
+    else {
+      require(n == meta.chunks.product,
+        s"zarr: transposed chunk in $label has $n cells, grid says ${meta.chunks.product}")
+      permuteCells(cells, meta.chunks, meta.transposeOrder, encode = false)
+    }
+  }
+
+  /** v3 `transpose` codec: a pure index permutation ahead of the bytes
+    * codec. Stored layout is C-order over the chunk dims permuted by
+    * `order` (stored coord k = original coord `order(k)`); `encode`
+    * writes that layout, `!encode` inverts it back to C-order.
+    */
+  private[graft] def permuteCells(cells: Array[Int], chunks: Seq[Int],
+                                    order: Seq[Int], encode: Boolean): Array[Int] = {
+    val rank = order.length
+    val c = chunks.toArray
+    val ts = Array.tabulate(rank)(k => c(order(k))) // transposed shape
+    val stride = new Array[Int](rank) // C-order strides of the ORIGINAL shape
+    var acc = 1
+    var d = rank - 1
+    while (d >= 0) { stride(d) = acc; acc *= c(d); d -= 1 }
+    val out = new Array[Int](cells.length)
+    val j = new Array[Int](rank)
+    var s = 0
+    while (s < cells.length) {
+      var rem = s; var k = rank - 1
+      while (k >= 0) { j(k) = rem % ts(k); rem /= ts(k); k -= 1 }
+      var oi = 0; k = 0
+      while (k < rank) { oi += j(k) * stride(order(k)); k += 1 }
+      if (encode) out(s) = cells(oi) else out(oi) = cells(s)
+      s += 1
+    }
+    out
   }
 
   /** Assemble one SHARD (v3 sharding_indexed): read the (offset, nbytes)
@@ -664,7 +741,10 @@ object Zarr {
       val off = u64le(idxOff + 16 * c)
       val len = u64le(idxOff + 16 * c + 8)
       if (!(off == -1L && len == -1L)) { // 2^64-1 pair = missing chunk
-        require(off >= 0 && len >= 0 && off + len <= bytes.length,
+        // overflow-proof: off+len can wrap Long for crafted u64 pairs,
+        // and .toInt below would truncate — bound each side separately
+        require(off >= 0 && len >= 0 && off <= bytes.length &&
+          len <= bytes.length - off,
           s"zarr: shard entry $c [$off,+$len) outside ${bytes.length} bytes in $label")
         val cells = decodeInts(
           java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt),

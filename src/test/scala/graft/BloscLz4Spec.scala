@@ -124,13 +124,81 @@ class BloscLz4Spec extends SparkSpec {
       intercept[IllegalArgumentException](BloscLz4.decompress(c, raw.length, "t"))
     }
     mut(c => c(2) = (c(2) | 0x4).toByte).getMessage should include("bit-shuffle")
-    mut(c => c(2) = ((c(2) & 0x1f) | (4 << 5)).toByte) // zstd code
+    mut(c => c(2) = ((c(2) & 0x1f) | (4 << 5)).toByte) // zlib-in-blosc code
       .getMessage should include("out of scope")
     mut(c => c(4) = (c(4) ^ 1).toByte).getMessage should include("expects")
     intercept[IllegalArgumentException](
       BloscLz4.decompress(frame.take(frame.length - 3), raw.length, "t"))
     intercept[IllegalArgumentException](
       BloscLz4.decompress(frame.take(10), raw.length, "t"))
+  }
+
+  test("zstd frames (compcode 5): round-trip, header pins, corruption fuzz") {
+    val ints = Array.tabulate(20000)(k => (k % 613) + ((k / 613) % 5) * 50000)
+    val raw = ints.flatMap(v => Array((v & 0xff).toByte, ((v >>> 8) & 0xff).toByte,
+      ((v >>> 16) & 0xff).toByte, (v >>> 24).toByte))
+    val frame = BloscLz4.compress(raw, typesize = 4, blocksizeReq = 4096,
+      cname = "zstd")
+    frame.length should be < raw.length
+    ((frame(2) & 0xff) >>> 5) shouldBe 5 // compressor code zstd
+    (frame(2) & 0x10) shouldBe 0x10 // zstd never splits (FORWARD_COMPAT)
+    (frame(2) & 0x1) shouldBe 0x1 // byte-shuffle still on for typesize 4
+    BloscLz4.decompress(frame, raw.length, "t") shouldBe raw
+    // typesize-1 (no shuffle) zstd frame
+    val bytes = payload(9000, 11)
+    val f1 = BloscLz4.compress(bytes, typesize = 1, cname = "zstd")
+    BloscLz4.decompress(f1, bytes.length, "t") shouldBe bytes
+    // corruption fuzz: mutated zstd frames reject loudly or decode
+    val r = new scala.util.Random(77)
+    var rejected = 0
+    for (_ <- 0 until 300) {
+      val c = frame.clone()
+      for (_ <- 0 to r.nextInt(2))
+        c(r.nextInt(c.length)) = (c(r.nextInt(c.length)) ^ (1 << r.nextInt(8))).toByte
+      try BloscLz4.decompress(c, raw.length, "fuzz").length shouldBe raw.length
+      catch { case _: IllegalArgumentException => rejected += 1 }
+    }
+    (rejected > 0) shouldBe true
+  }
+
+  test("split rule honors flags bit 4 and is shuffle-independent (c-blosc >= 1.14 wire)") {
+    // Hand-build the two third-party frame shapes the old rule broke:
+    // (a) a NO-shuffle LZ4 frame whose full blocks ARE split (numcodecs
+    // Blosc shuffle=NOSHUFFLE, legacy split rule: codec-based, not
+    // shuffle-based); (b) a shuffled frame with bit 4 SET and unsplit
+    // streams (BLOSC_SPLITMODE_NEVER).
+    def i32le(v: Int): Array[Byte] = Array((v & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, ((v >>> 16) & 0xff).toByte, (v >>> 24).toByte)
+    val ints = Array.tabulate(2048)(k => (k % 401) * 3)
+    val raw = ints.flatMap(v => i32le(v)) // 8192 bytes → two 4096 blocks
+    def build(flags: Int, streamsOf: Array[Byte] => Seq[Array[Byte]]): Array[Byte] = {
+      val body = new java.io.ByteArrayOutputStream()
+      val bstarts = new Array[Int](2)
+      for (b <- 0 until 2) {
+        bstarts(b) = 16 + 8 + body.size()
+        val block = java.util.Arrays.copyOfRange(raw, b * 4096, (b + 1) * 4096)
+        for (part <- streamsOf(block)) {
+          val comp = BloscLz4.lz4Compress(part)
+          if (comp.length < part.length) { body.write(i32le(comp.length)); body.write(comp) }
+          else { body.write(i32le(part.length)); body.write(part) }
+        }
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(2); out.write(1); out.write(flags); out.write(4)
+      out.write(i32le(8192)); out.write(i32le(4096))
+      out.write(i32le(16 + 8 + body.size()))
+      bstarts.foreach(v => out.write(i32le(v)))
+      body.writeTo(out)
+      out.toByteArray
+    }
+    // (a) no shuffle, bit4 clear, blocks split into 4 raw-order streams
+    val noShufSplit = build(1 << 5,
+      block => (0 until 4).map(s => java.util.Arrays.copyOfRange(block, s * 1024, (s + 1) * 1024)))
+    BloscLz4.decompress(noShufSplit, raw.length, "t") shouldBe raw
+    // (b) shuffle on, bit4 SET, one stream per block
+    val shufNoSplit = build(0x1 | 0x10 | (1 << 5),
+      block => Seq(BloscLz4.shuffle(block, 4)))
+    BloscLz4.decompress(shufNoSplit, raw.length, "t") shouldBe raw
   }
 
   test("zarr V3 store (zarr.json, c/ keys, gzip + blosc codecs) scans like its v2 twin") {

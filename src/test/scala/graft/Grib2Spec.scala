@@ -364,6 +364,69 @@ class Grib2Spec extends SparkSpec {
       write(field().copy(ensMember = 1, ensSize = 4, derivedType = 0))
   }
 
+  test("probability/percentile templates 4.5/4.9/4.10: octet pins, limits, tail shift") {
+    val pAbove = field(cat = 0, num = 0).copy(probType = 1, probNumber = 1,
+      probTotal = 3, probLowerScale = -127, probLowerScaled = -0x7fffffffL,
+      probUpperScale = 2, probUpperScaled = 27315) // 273.15
+    val pBetween = field(cat = 1, num = 7).copy(probType = 2, probNumber = 2,
+      probTotal = 3, probLowerScale = 1, probLowerScaled = 5,
+      probUpperScale = 0, probUpperScaled = -12, // negative limit: -12.0
+      statProcess = 1, intervalHours = 24)
+    val pct = field(cat = 2, num = 2).copy(percentile = 90,
+      statProcess = 0, intervalHours = 6)
+    val det = field(cat = 2, num = 3)
+    val bytes = write(pAbove, pBetween, pct, det)
+    val recs = Grib2.parseMessages(bytes)
+    recs.map(_.probType) shouldBe Seq(1, 2, -1, -1)
+    recs.map(_.probNumber) shouldBe Seq(1, 2, -1, -1)
+    recs.map(_.probTotal) shouldBe Seq(3, 3, 0, 0)
+    recs(0).probLower.isNaN shouldBe true // all-ones wire pattern = unused
+    recs(0).probUpper shouldBe 273.15
+    recs(1).probLower shouldBe 0.5
+    recs(1).probUpper shouldBe -12.0 // sign-magnitude scaled value
+    recs(1).statProcess shouldBe 1 // 4.9's 13-octet-shifted tail parses
+    recs(1).rangeHours shouldBe 24
+    recs.map(_.percentile) shouldBe Seq(-1, -1, 90, -1)
+    recs(2).statProcess shouldBe 0 // 4.10's 1-octet-shifted tail parses
+    recs(2).rangeHours shouldBe 6
+    Grib2.probNameOf(recs(0).probType) shouldBe "above_upper"
+    Grib2.probNameOf(recs(1).probType) shouldBe "between"
+    // octet pins on the first message's product section: pdt=5 at
+    // octets 8-9; number/total/type at 35/36/37; the lower limit's
+    // scale+value all-ones; the upper limit's scale 2, value 27315
+    def u32(i: Int) = ((bytes(i) & 0xff).toLong << 24) | ((bytes(i + 1) & 0xff) << 16) |
+      ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+    var pos = 16
+    while ((bytes(pos + 4) & 0xff) != 4) pos += u32(pos).toInt
+    ((bytes(pos + 7) & 0xff) << 8 | (bytes(pos + 8) & 0xff)) shouldBe 5
+    (bytes(pos + 34) & 0xff) shouldBe 1 // probability number
+    (bytes(pos + 35) & 0xff) shouldBe 3 // total probabilities
+    (bytes(pos + 36) & 0xff) shouldBe 1 // Code Table 4.9 type
+    (bytes(pos + 37) & 0xff) shouldBe 0xff // lower scale: all-ones
+    u32(pos + 38) shouldBe 0xffffffffL // lower value: all-ones
+    (bytes(pos + 42) & 0xff) shouldBe 2 // upper scale
+    u32(pos + 43) shouldBe 27315L // upper scaled value
+    // 4.9 pins (own message): pdt 9; negative upper limit sign-magnitude
+    val b2 = write(pBetween)
+    def v32(i: Int) = ((b2(i) & 0xff).toLong << 24) | ((b2(i + 1) & 0xff) << 16) |
+      ((b2(i + 2) & 0xff) << 8) | (b2(i + 3) & 0xff)
+    var p2 = 16
+    while ((b2(p2 + 4) & 0xff) != 4) p2 += v32(p2).toInt
+    ((b2(p2 + 7) & 0xff) << 8 | (b2(p2 + 8) & 0xff)) shouldBe 9
+    (b2(p2 + 42) & 0xff) shouldBe 0 // upper scale 0
+    v32(p2 + 43) shouldBe 0x8000000cL // sign-magnitude -12
+    (b2(p2 + 54) & 0xff) shouldBe 1 // one time-range spec (octet 55 = 42+13)
+    // values decode identically to the deterministic twin
+    recs(0).values.toSeq shouldBe det.scaled.flatten.map(_ / 10.0).toSeq
+    // write-side validation refuses malformed products
+    an[IllegalArgumentException] should be thrownBy
+      write(field().copy(probType = 5, probTotal = 1))
+    an[IllegalArgumentException] should be thrownBy
+      write(field().copy(percentile = 101))
+    an[IllegalArgumentException] should be thrownBy
+      write(field().copy(probType = 1, probTotal = 1, percentile = 50))
+  }
+
   test("reduced Gaussian grid: missing-ni + row list octet pins, ragged cells") {
     // N=8 (16 rows), realistic pole-shrunk row counts, all dividing
     // 360e6 so row longitudes are exact micro-degrees

@@ -154,7 +154,7 @@ class ZarrSpec extends SparkSpec {
     // only the lz4 block format is implemented
     mutated(_.replace("\"id\":\"zlib\"", "\"id\":\"blosc\""))
       .getMessage should include("blosclz")
-    mutated(_.replace("\"id\":\"zlib\"", "\"id\":\"blosc\",\"cname\":\"zstd\""))
+    mutated(_.replace("\"id\":\"zlib\"", "\"id\":\"blosc\",\"cname\":\"snappy\""))
       .getMessage should include("out of scope")
     mutated(_.replace("\"id\":\"zlib\"", "\"id\":\"lzma\""))
       .getMessage should include("out of scope")
@@ -168,6 +168,41 @@ class ZarrSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Zarr.readRecords(spark,
         java.nio.file.Files.createTempDirectory("notzarr").toString).collect()
+  }
+
+  test("v3 transpose codec: permutation inverse, stored-layout pin, parse rejects") {
+    // encode/decode are inverses for a non-trivial order
+    val cells = Array.tabulate(2 * 3 * 4)(identity)
+    val enc = Zarr.permuteCells(cells, Seq(2, 3, 4), Seq(2, 0, 1), encode = true)
+    Zarr.permuteCells(enc, Seq(2, 3, 4), Seq(2, 0, 1), encode = false) shouldBe cells
+    // layout pin: order [2,0,1] stores C-order over (dim2, dim0, dim1),
+    // so stored (i, t, j) holds original (t, j, i)
+    for (t <- 0 until 2; j <- 0 until 3; i <- 0 until 4)
+      enc((i * 2 + t) * 3 + j) shouldBe cells((t * 3 + j) * 4 + i)
+    val base =
+      """{"zarr_format":3,"node_type":"array","shape":[2,10,16],
+         "data_type":"int32","chunk_grid":{"name":"regular",
+         "configuration":{"chunk_shape":[1,5,8]}},
+         "chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},
+         "fill_value":-2147483647,
+         "codecs":[{"name":"transpose","configuration":{"order":[2,0,1]}},
+                   {"name":"bytes","configuration":{"endian":"little"}}],
+         "attributes":{}}"""
+    Zarr.parseZarrayV3(base, "t").transposeOrder shouldBe Seq(2, 0, 1)
+    intercept[IllegalArgumentException](
+      Zarr.parseZarrayV3(base.replace("[2,0,1]", "[2,2,1]"), "t"))
+      .getMessage should include("permutation")
+    intercept[IllegalArgumentException](
+      Zarr.parseZarrayV3(base.replace("[2,0,1]", "[1,0]"), "t"))
+      .getMessage should include("rank")
+    intercept[IllegalArgumentException](
+      Zarr.parseZarrayV3(base.replace("\"int32\"", "\"float64\""), "t"))
+      .getMessage should include("int32 data only")
+    // the writer refuses transpose composed with sharding (out of scope)
+    an[IllegalArgumentException] should be thrownBy
+      Zarr.writeStoreV3(java.nio.file.Files.createTempDirectory("ztr"),
+        Seq(field("TMP", t0, 0)), chunkJ = 5, chunkI = 8,
+        innerJ = 5, innerI = 4, transpose = Seq(2, 0, 1))
   }
 
   test("hostile metadata rejects before any allocation (dimension caps)") {
