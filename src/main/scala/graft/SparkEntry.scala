@@ -580,6 +580,70 @@ object SparkEntry {
       innerJ = 3, innerI = 8).toString
   }
 
+  /** r59 fixture: a classic CDF-1 file carrying a CHAR label record
+    * variable (the station-name/QC-flag shape) beside the numeric grid:
+    * `qc_flag(time, strlen)` with NUL-padded per-record strings.
+    */
+  private lazy val netcdfCharFixturePath: String = {
+    import java.time.LocalDateTime
+    val times = Seq(LocalDateTime.of(2008, 1, 10, 0, 0),
+      LocalDateTime.of(2008, 2, 10, 12, 0),
+      LocalDateTime.of(2008, 3, 10, 6, 0))
+    val fields = times.zipWithIndex.map { case (t, m) =>
+      sources.Netcdf.Field("TMP", t, g3Ni, g3Nj, g3La1, g3Lo1, g3Di, g3Dj,
+        decimalScale = 1,
+        Array.tabulate(g3Nj * g3Ni) { k =>
+          val j = k / g3Ni; val i = k % g3Ni
+          Some((i * 17 + j * 13 + m * 7) % 560)
+        })
+    }
+    sources.Netcdf.writeFile(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft-nc", "fixc.nc"),
+      fields, labels = Seq("qc_flag" -> Seq("pass", "warn-strong", "pass-late"))).toString
+  }
+
+  /** r55 fixtures: netCDF-4 (HDF5 classic-model subset) — the format
+    * CDS ships by default. File 1: superblock v0, TMP dense + PRATE
+    * masked, chunked (1,5,8) through shuffle+deflate with edge chunks
+    * on both axes. File 2: the v3 superblock prefix over the same v1
+    * object graph, VGRD only. Distinct constants per variable.
+    */
+  private lazy val netcdf4FixturePath: String = {
+    import java.time.LocalDateTime
+    val params = Seq(("TMP", 0, false), ("PRATE", 1, true))
+    val times = Seq(LocalDateTime.of(2007, 10, 8, 0, 0),
+      LocalDateTime.of(2007, 11, 8, 12, 0))
+    val fields = for {
+      (t, m) <- times.zipWithIndex
+      (v, pidx, masked) <- params
+    } yield sources.Netcdf.Field(v, t, g3Ni, g3Nj, g3La1, g3Lo1, g3Di, g3Dj,
+      decimalScale = 1,
+      Array.tabulate(g3Nj * g3Ni) { k =>
+        val j = k / g3Ni; val i = k % g3Ni
+        if (masked && (i * 2 + j * 3 + m) % 11 == 6) None
+        else Some((i * 31 + j * 7 + pidx * 67 + m * 47) % 640 + pidx * 1000)
+      })
+    sources.Hdf5.writeFile(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft-nc", "fix4.nc"),
+      fields, chunkJ = 5, chunkI = 8).toString
+  }
+
+  private lazy val netcdf4V3SuperPath: String = {
+    import java.time.LocalDateTime
+    val times = Seq(LocalDateTime.of(2007, 12, 8, 6, 0))
+    val fields = times.zipWithIndex.map { case (t, m) =>
+      sources.Netcdf.Field("VGRD", t, g3Ni, g3Nj, g3La1, g3Lo1, g3Di, g3Dj,
+        decimalScale = 1,
+        Array.tabulate(g3Nj * g3Ni) { k =>
+          val j = k / g3Ni; val i = k % g3Ni
+          Some((i * 11 + j * 29 + m * 59) % 710 + 2000)
+        })
+    }
+    sources.Hdf5.writeFile(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft-nc", "fix4b.nc"),
+      fields, chunkJ = 4, chunkI = 16, superblockVersion = 3).toString
+  }
+
   /** r56 fixtures: zstd chunks in the three wire shapes real stores
     * ship — a v2 store with numcodecs `{"id":"zstd"}` raw frames, a V3
     * store with the `zstd` codec (the zarr v3 default), and a v2 store
@@ -2311,6 +2375,28 @@ object SparkEntry {
     // ship): value = packed*0.25 + 300, fill compared in packed space
     "r50_netcdf_short" -> ((s, _) =>
       sources.Netcdf.readRecords(s, Seq(netcdfShortFixturePath), matchRe = "TMP|PRATE")
+        .orderBy($"variable", $"time", $"lat", $"lon")),
+    // NC_CHAR label record variables (station/QC metadata): decoded
+    // strings joined against the numeric grid's per-time mean — both
+    // decode paths of one file sharing the record interleave
+    "r59_netcdf_char" -> ((s, _) => {
+      val labels = sources.Netcdf.readLabels(s, Seq(netcdfCharFixturePath))
+      val data = sources.Netcdf
+        .readRecords(s, Seq(netcdfCharFixturePath), matchRe = "TMP")
+        .groupBy($"time")
+        .agg(round(sum($"value" * 10), 0).cast("long").as("sum10"),
+          count(lit(1)).as("n_cells"))
+      labels.join(data, "time")
+        .select($"variable", $"time", $"label",
+          ($"sum10" / ($"n_cells" * 10)).as("mean_value"))
+        .orderBy($"variable", $"time")
+    }),
+    // netCDF-4 (HDF5 classic-model subset): superblock v0 + v3 files in
+    // one scan, v1 object headers, symbol-table root group, contiguous
+    // coords + chunked-v1-B-tree data through shuffle+deflate — the
+    // container CDS ships by default, same flattened contract as CDF-1/2/5
+    "r55_netcdf4" -> ((s, _) =>
+      sources.Netcdf.readRecords(s, Seq(netcdf4FixturePath, netcdf4V3SuperPath))
         .orderBy($"variable", $"time", $"lat", $"lon")),
     // Zarr v2 group-store scan: chunk-level parallel decode (binaryFile
     // task per chunk), metadata + coordinates driver-side, VGRD pruned
@@ -6185,6 +6271,43 @@ object SparkEntry {
          FROM p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
          WHERE NOT (pidx = 1 AND (i * 2 + j + m) % 13 = 6)
          ORDER BY variable, time, lat, lon""",
+    // CHAR labels + the grid mean regenerated closed-form: integer sum
+    // over the lattice, one divide at presentation
+    "r59_netcdf_char" ->
+      s"""WITH ii AS (SELECT unnest(generate_series(0, ${g3Ni - 1})) AS i),
+         jj AS (SELECT unnest(generate_series(0, ${g3Nj - 1})) AS j),
+         t(t, m, label) AS (VALUES
+           (TIMESTAMP '2008-01-10 00:00:00', 0, 'pass'),
+           (TIMESTAMP '2008-02-10 12:00:00', 1, 'warn-strong'),
+           (TIMESTAMP '2008-03-10 06:00:00', 2, 'pass-late')),
+         v AS (SELECT t, m, label, ((i * 17 + j * 13 + m * 7) % 560) AS s
+               FROM t CROSS JOIN ii CROSS JOIN jj)
+         SELECT 'qc_flag' AS variable, t AS time, label,
+                CAST(sum(s) AS BIGINT) / (count(*) * 10) AS mean_value
+         FROM v GROUP BY t, label
+         ORDER BY variable, time""",
+    // netCDF-4 legs regenerated closed-form: the engine recovered every
+    // cell through the HDF5 container (B-tree chunk index, shuffle+
+    // deflate, edge-chunk clipping, v0 and v3 superblocks)
+    "r55_netcdf4" ->
+      s"""WITH ii AS (SELECT unnest(generate_series(0, ${g3Ni - 1})) AS i),
+         jj AS (SELECT unnest(generate_series(0, ${g3Nj - 1})) AS j),
+         a AS (SELECT variable, t, i, j,
+                      ((i * 31 + j * 7 + pidx * 67 + m * 47) % 640 + pidx * 1000) AS s
+               FROM (VALUES (0, 'TMP', 0), (1, 'PRATE', 1)) p(pidx, variable, masked)
+               CROSS JOIN (VALUES (TIMESTAMP '2007-10-08 00:00:00', 0),
+                                  (TIMESTAMP '2007-11-08 12:00:00', 1)) t(t, m)
+               CROSS JOIN ii CROSS JOIN jj
+               WHERE NOT (masked = 1 AND (i * 2 + j * 3 + m) % 11 = 6)),
+         b AS (SELECT 'VGRD' AS variable, TIMESTAMP '2007-12-08 06:00:00' AS t,
+                      i, j, ((i * 11 + j * 29) % 710 + 2000) AS s
+               FROM ii CROSS JOIN jj),
+         u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+         SELECT variable, t AS time,
+                ($g3La1 - j * $g3Dj) / 1000000.0 AS lat,
+                (($g3Lo1) + i * $g3Di) / 1000000.0 AS lon,
+                s / 10.0 AS value
+         FROM u ORDER BY variable, time, lat, lon""",
     // the fill lattice drops PRATE cells; chunk tiling/padding must be
     // invisible in the flattened result — the oracle is the plain grid
     "r28_zarr_scan" ->

@@ -104,7 +104,12 @@ object Netcdf {
     *    bit-identical to the oracle's), decode verbatim.
     */
   def writeFile(path: Path, fields: Seq[Field], version: Int = 1,
-                payloadType: Int = NcInt): Path = {
+                payloadType: Int = NcInt,
+                // CHAR label record variables (the station/QC-flag shape
+                // real files carry): name -> one string per time step,
+                // stored as a (time, strlen) NC_CHAR variable padded
+                // with NULs to the longest label
+                labels: Seq[(String, Seq[String])] = Nil): Path = {
     require(fields.nonEmpty, "no fields to write")
     require(version == 1 || version == 2 || version == 5,
       s"CDF version $version unsupported (1 / 2 / 5)")
@@ -175,17 +180,26 @@ object Netcdf {
     // --------------- header
     out ++= Array[Byte]('C', 'D', 'F', version.toByte)
     sz(times.length) // numrecs
-    // dim_list: time (record, length 0), lat, lon
-    u32(TagDimension); sz(3)
+    labels.foreach { case (n, ls) =>
+      require(ls.length == times.length,
+        s"label variable $n needs one string per time step")
+      require(ls.forall(_.getBytes("UTF-8").nonEmpty), s"empty label in $n")
+    }
+    val strWidth =
+      if (labels.isEmpty) 0
+      else labels.flatMap(_._2).map(_.getBytes("UTF-8").length).max
+    // dim_list: time (record, length 0), lat, lon [, strlen for labels]
+    u32(TagDimension); sz(if (labels.isEmpty) 3 else 4)
     name("time"); sz(0)
     name("lat"); sz(g.nj)
     name("lon"); sz(g.ni)
+    if (labels.nonEmpty) { name("strlen"); sz(strWidth) }
     // gatt_list
     u32(TagAttribute); sz(2)
     charAtt("title", "graft gridded analysis")
     charAtt("Conventions", "graft-1")
-    // var_list: lat, lon, time, data vars
-    u32(TagVariable); sz(3 + vars.length)
+    // var_list: lat, lon, time, data vars, label vars
+    u32(TagVariable); sz(3 + vars.length + labels.length)
     val latSize = 8 * g.nj
     val lonSize = 8 * g.ni
     val width = if (payloadType == NcDouble) 8
@@ -225,15 +239,22 @@ object Netcdf {
       }
     }, payloadType match { case NcInt => 3; case NcShort => 4; case _ => 2 },
       payloadType, slab)
+    val labelSlab = (strWidth + 3) / 4 * 4
+    for ((n, _) <- labels)
+      varEntry(n, Seq(0, 3), () => charAtt("long_name", "per-record label"),
+        1, NcChar, labelSlab)
 
     // --------------- patch begins now the header length is known
     val headerLen = out.length
     val latBegin = headerLen
     val lonBegin = latBegin + latSize
     val recBegin = lonBegin + lonSize
-    val recSize = 4 + vars.length * slab // time slab + data slabs
+    val labelSlab2 = (strWidth + 3) / 4 * 4
+    // time slab + data slabs + label slabs
+    val recSize = 4 + vars.length * slab + labels.length * labelSlab2
     val begins = Seq(latBegin, lonBegin, recBegin) ++
-      vars.indices.map(k => recBegin + 4 + k * slab)
+      vars.indices.map(k => recBegin + 4 + k * slab) ++
+      labels.indices.map(k => recBegin + 4 + vars.length * slab + k * labelSlab2)
     beginPatches.zip(begins).foreach { case (pos, b) =>
       val bw = if (beginW == 8) 8 else 4
       for (k <- 0 until bw)
@@ -262,6 +283,12 @@ object Netcdf {
           case NcDouble =>
             f.scaled.foreach(c => u64d(c.map(_ / denom).getOrElse(FillDouble)))
         }
+      }
+      for ((_, ls) <- labels) {
+        val lb = ls(r).getBytes("UTF-8")
+        lb.foreach(out += _)
+        var p = lb.length
+        while (p < (strWidth + 3) / 4 * 4) { u8(0); p += 1 } // NUL pad + slab pad
       }
     }
     require(out.length == recBegin + times.length * recSize, "layout accounting broke")
@@ -321,6 +348,14 @@ object Netcdf {
       * verbatim ints (the caller applies decimal_scale), NC_FLOAT the
       * binary32 widened, NC_DOUBLE verbatim.
       */
+    /** CHAR record slab decoded to its NUL-trimmed string. */
+    def charRecord(v: Var, r: Int, recSize: Long): String = {
+      require(v.tpe == NcChar, s"${v.name}: expected NC_CHAR payload")
+      val base = slabBase(v, r, recSize)
+      var n = 0
+      while (n < v.vsize && bytes(base.toInt + n) != 0) n += 1
+      new String(bytes, base.toInt, n, "UTF-8")
+    }
     def numericRecord(v: Var, r: Int, recSize: Long): Array[Double] = {
       val base = slabBase(v, r, recSize)
       v.tpe match {
@@ -436,9 +471,12 @@ object Netcdf {
   }
 
   /** Flatten every data variable of one file into present-cell rows.
-    * `value = raw / 10^decimal_scale`; `_FillValue` cells drop.
+    * `value = raw / 10^decimal_scale`; `_FillValue` cells drop. HDF5
+    * containers (netCDF-4) route to [[Hdf5.records]] — one flattened
+    * contract across CDF-1/2/5 and the HDF5 classic-model subset.
     */
   def records(bytes: Array[Byte], label: String = "<bytes>"): Iterator[GridRow] = {
+    if (Hdf5.isHdf5(bytes)) return Hdf5.records(bytes, label)
     val nc = parse(bytes, label)
     val recDim = nc.dims.indexWhere(_.len == 0)
     require(recDim >= 0, s"no record dimension in $label")
@@ -496,6 +534,49 @@ object Netcdf {
     }
   }
 
+  final case class LabelRow(variable: String, time: LocalDateTime, label: String)
+
+  /** Flatten every CHAR record variable (shape (time, strlen)) of one
+    * classic file into (variable, time, label) rows — the station-name/
+    * QC-flag metadata shape real files carry beside the numeric grid.
+    */
+  def labelRecords(bytes: Array[Byte], label: String = "<bytes>"): Iterator[LabelRow] = {
+    val nc = parse(bytes, label)
+    val recDim = nc.dims.indexWhere(_.len == 0)
+    require(recDim >= 0, s"no record dimension in $label")
+    val recVars = nc.vars.filter(v => v.dimids.headOption.contains(recDim))
+    val recSize = recVars.map(v => (v.vsize + 3) / 4 * 4).sum
+    val timeVar = nc.vars.find(_.name == "time")
+      .getOrElse(throw new IllegalArgumentException(s"no time variable in $label"))
+    val charVars = recVars.filter(v => v.tpe == NcChar && v.dimids.length == 2)
+    charVars.iterator.flatMap { v =>
+      (0 until nc.numrecs).iterator.map { r =>
+        val epochH = nc.intRecord(timeVar, r, recSize)(0)
+        LabelRow(v.name, LocalDateTime.of(1970, 1, 1, 0, 0).plusHours(epochH),
+          nc.charRecord(v, r, recSize))
+      }
+    }
+  }
+
+  /** Distributed scan of CHAR label variables, same shape as
+    * [[readRecords]].
+    */
+  def readLabels(spark: SparkSession, paths: Seq[String],
+                 matchRe: String = ".*"): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val re = matchRe
+    spark.createDataset(
+      spark.read.format("binaryFile").load(paths: _*)
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])](Encoders.tuple(Encoders.STRING, Encoders.BINARY))
+        .rdd
+        .flatMap { case (p, bytes) =>
+          val pat = java.util.regex.Pattern.compile(re)
+          labelRecords(bytes, p).filter(r => pat.matcher(r.variable).find())
+        }
+    )(Encoders.product[LabelRow]).toDF()
+  }
+
   /** Distributed scan: one task per file (binaryFile source), records
     * filtered by variable-name regex BEFORE cell flattening. Same shape
     * as [[Grib2.readRecords]]: at archive scale the per-file codec work
@@ -513,8 +594,12 @@ object Netcdf {
         .rdd
         .flatMap { case (p, bytes) =>
           val pat = java.util.regex.Pattern.compile(re)
-          val nc = parse(bytes, p)
-          val keep = nc.vars.exists(v => pat.matcher(v.name).find())
+          // prune whole variables by name BEFORE any cell flattening,
+          // in whichever container this file is
+          val varNames =
+            if (Hdf5.isHdf5(bytes)) Hdf5.parseDatasets(bytes, p).map(_.name)
+            else parse(bytes, p).vars.map(_.name)
+          val keep = varNames.exists(v => pat.matcher(v).find())
           if (!keep) Iterator.empty
           else records(bytes, p).filter(r => pat.matcher(r.variable).find())
         }

@@ -1,0 +1,201 @@
+package graft
+
+import java.time.LocalDateTime
+
+import graft.sources.{Hdf5, Netcdf}
+
+/** netCDF-4 (HDF5 classic-model subset) at the byte level: round-trips
+  * through both superblock shapes, wire pins on the superblock / object
+  * header / group machinery, the v4-features-out-of-scope reject
+  * battery (groups beyond root, szip, fletcher32, v2 object headers),
+  * and the 300-mutation corruption fuzz every codec in this repo
+  * carries. The reference consumes CDS downloads whose modern default
+  * is exactly this container (src/file-conversions.js).
+  */
+class Hdf5Spec extends SparkSpec {
+
+  private val t0 = LocalDateTime.of(2006, 7, 3, 6, 0)
+  private val t1 = LocalDateTime.of(2006, 8, 3, 18, 0)
+
+  private def field(v: String, t: LocalDateTime, bump: Int,
+                    masked: Boolean = false): Netcdf.Field =
+    Netcdf.Field(v, t, ni = 13, nj = 7,
+      la1Micro = 40000000L, lo1Micro = -10000000L,
+      diMicro = 2000000L, djMicro = 1500000L, decimalScale = 1,
+      Array.tabulate(7 * 13) { k =>
+        val j = k / 13; val i = k % 13
+        if (masked && (i + j) % 5 == 2) None
+        else Some(bump + i * 3 + j * 17)
+      })
+
+  private def writeBytes(fields: Seq[Netcdf.Field], chunkJ: Int = 3,
+                         chunkI: Int = 5, sb: Int = 0): Array[Byte] = {
+    val p = Hdf5.writeFile(
+      java.nio.file.Files.createTempDirectory("h5").resolve("t.nc"),
+      fields, chunkJ, chunkI, superblockVersion = sb)
+    java.nio.file.Files.readAllBytes(p)
+  }
+
+  private def expectRows(fields: Seq[Netcdf.Field]): Seq[Netcdf.GridRow] =
+    fields.flatMap { f =>
+      (0 until f.nj * f.ni).flatMap { k =>
+        val j = k / f.ni; val i = k % f.ni
+        f.scaled(k).map(s => Netcdf.GridRow(f.variable, f.time,
+          (f.la1Micro - j * f.djMicro) / 1e6,
+          (f.lo1Micro + i * f.diMicro) / 1e6, s / 10.0))
+      }
+    }.sortBy(r => (r.variable, r.time.toString, r.lat, r.lon))
+
+  private def sortRows(rs: Iterator[Netcdf.GridRow]): Seq[Netcdf.GridRow] =
+    rs.toSeq.sortBy(r => (r.variable, r.time.toString, r.lat, r.lon))
+
+  test("round-trip: chunked shuffle+deflate data, edge chunks, fill drop, both superblocks") {
+    val fields = Seq(
+      field("TMP", t0, 100), field("TMP", t1, 140),
+      field("PRATE", t0, 700, masked = true), field("PRATE", t1, 760, masked = true))
+    for (sb <- Seq(0, 3)) {
+      val bytes = writeBytes(fields, sb = sb)
+      sortRows(Netcdf.records(bytes, s"sb$sb")) shouldBe expectRows(fields)
+    }
+    // chunk dims that divide the grid exactly (no edge clipping) and
+    // chunk dims larger than the grid (single all-edge chunk)
+    sortRows(Netcdf.records(writeBytes(fields, chunkJ = 7, chunkI = 13), "exact")) shouldBe
+      expectRows(fields)
+    sortRows(Netcdf.records(writeBytes(fields, chunkJ = 11, chunkI = 32), "big")) shouldBe
+      expectRows(fields)
+  }
+
+  test("wire pins: superblock, v1 object header, HEAP/TREE/SNOD, chunk B-tree key") {
+    val bytes = writeBytes(Seq(field("TMP", t0, 100)))
+    def u16(p: Int) = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+    def u32(p: Int) = u16(p).toLong | (u16(p + 2).toLong << 16)
+    def u64(p: Int) = u32(p) | (u32(p + 4) << 32)
+    bytes.take(8) shouldBe Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n')
+    (bytes(8) & 0xff) shouldBe 0 // superblock version
+    (bytes(13) & 0xff) shouldBe 8 // size of offsets
+    (bytes(14) & 0xff) shouldBe 8 // size of lengths
+    u64(40) shouldBe bytes.length.toLong // end-of-file address
+    val root = u64(64) // root symbol table entry's object header address
+    (bytes(root.toInt) & 0xff) shouldBe 1 // v1 object header
+    u16(root.toInt + 2) shouldBe 1 // one message (symbol table)
+    u16(root.toInt + 16) shouldBe 0x0011 // its type
+    val btree = u64(root.toInt + 24)
+    val heap = u64(root.toInt + 32)
+    new String(bytes, btree.toInt, 4, "US-ASCII") shouldBe "TREE"
+    (bytes(btree.toInt + 4) & 0xff) shouldBe 0 // group node
+    new String(bytes, heap.toInt, 4, "US-ASCII") shouldBe "HEAP"
+    val snod = u64(btree.toInt + 24 + 8)
+    new String(bytes, snod.toInt, 4, "US-ASCII") shouldBe "SNOD"
+    u16(snod.toInt + 6) shouldBe 4 // lat, lon, time, TMP
+    // the TMP dataset: heap names are sorted, so entry 0 is "TMP"
+    val heapSeg = u64(heap.toInt + 24)
+    val e0 = snod.toInt + 8
+    new String(bytes, (heapSeg + u64(e0)).toInt, 3, "US-ASCII") shouldBe "TMP"
+    val tmpHdr = u64(e0 + 8)
+    (bytes(tmpHdr.toInt) & 0xff) shouldBe 1
+    // its layout message is chunked (class 2) with dims (1,3,5,4)
+    val ds = Hdf5.parseDatasets(bytes, "pin")
+    val tmp = ds.find(_.name == "TMP").get
+    tmp.dims shouldBe Seq(1, 7, 13)
+    tmp.dtype shouldBe "i32"
+    tmp.filters.map(_.id) shouldBe Seq(2, 1) // shuffle then deflate
+    val Hdf5.Chunked(cb, cd, es) = tmp.layout
+    cd shouldBe Seq(1, 3, 5)
+    es shouldBe 4
+    new String(bytes, cb.toInt, 4, "US-ASCII") shouldBe "TREE"
+    (bytes(cb.toInt + 4) & 0xff) shouldBe 1 // raw-data node type
+    // first chunk key: size u32, mask 0, offsets (0,0,0,0)
+    u32(cb.toInt + 28) shouldBe 0L // filter mask
+    u64(cb.toInt + 32) shouldBe 0L // time offset
+  }
+
+  test("reject battery: the v4 features out of scope fail loudly with pointers") {
+    val fields = Seq(field("TMP", t0, 100), field("PRATE", t0, 700, masked = true))
+    val bytes = writeBytes(fields)
+    def u16(p: Int) = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+    def u32(p: Int) = u16(p).toLong | (u16(p + 2).toLong << 16)
+    def u64(p: Int) = u32(p) | (u32(p + 4) << 32)
+    def mut(f: Array[Byte] => Unit): IllegalArgumentException = {
+      val c = bytes.clone(); f(c)
+      intercept[IllegalArgumentException](Netcdf.records(c, "mut").toSeq)
+    }
+    // v2 object header: root header replaced by the OHDR signature
+    val root = u64(64).toInt
+    mut { c => c(root) = 'O'; c(root + 1) = 'H'; c(root + 2) = 'D'; c(root + 3) = 'R' }
+      .getMessage should include("OHDR")
+    // groups beyond root: a SNOD entry pointing at a group object header
+    val btree = u64(root + 24).toInt
+    val snod = u64(btree + 24 + 8).toInt
+    // entry 1 is "PRATE" (sorted after... names: PRATE,TMP,lat,lon,time)
+    mut { c =>
+      val e = snod + 8 + 8 // entry 0's object header address
+      for (k <- 0 until 8) c(e + k) = ((u64(64) >>> (8 * k)) & 0xff).toByte
+    }.getMessage should include("groups beyond root")
+    // szip / fletcher32: patch the shuffle filter's id inside the
+    // pipeline message (unique LE pattern: version 1, nfilters 2,
+    // reserved, then filter id 2)
+    val pat = Array[Byte](1, 2, 0, 0, 0, 0, 0, 0, 2, 0)
+    val at = bytes.indices.find(p => p + pat.length < bytes.length &&
+      pat.indices.forall(k => bytes(p + k) == pat(k))).get
+    mut(c => c(at + 8) = 4).getMessage should include("szip")
+    mut(c => c(at + 8) = 3).getMessage should include("fletcher32")
+    // unsupported offset size
+    mut(c => c(13) = 4).getMessage should include("out of scope (8/8)")
+    // bogus superblock version
+    mut(c => c(8) = 7).getMessage should include("superblock version")
+    // truncation never tears
+    intercept[IllegalArgumentException](
+      Netcdf.records(bytes.take(bytes.length / 3), "trunc").toSeq)
+    // datatype width lie: flip the int32 size in TMP's datatype message
+    // is covered by fuzz; here pin the coordinate contract instead —
+    // a file without 'time' rejects loudly
+    val noTime = writeBytes(Seq(field("TMP", t0, 100)))
+    // (can't easily remove a dataset; assert the message text path via
+    // a name patch in the heap: rename 'time' to 'tame' — the string
+    // lives only in the local heap of this fixture)
+    val c2 = noTime.clone()
+    val idx = (0 until c2.length - 4).find(p =>
+      c2(p) == 't' && c2(p + 1) == 'i' && c2(p + 2) == 'm' && c2(p + 3) == 'e').get
+    c2(idx + 1) = 'a'
+    intercept[IllegalArgumentException](Netcdf.records(c2, "notime").toSeq)
+      .getMessage should include("time")
+  }
+
+  test("corruption fuzz: 300 mutated files reject loudly or decode — never tear") {
+    val fields = Seq(field("TMP", t0, 100), field("PRATE", t0, 700, masked = true))
+    val bytes = writeBytes(fields)
+    val good = expectRows(fields)
+    val r = new scala.util.Random(53)
+    var rejected = 0
+    for (_ <- 0 until 300) {
+      val c = bytes.clone()
+      for (_ <- 0 to r.nextInt(2))
+        c(r.nextInt(c.length)) = (c(r.nextInt(c.length)) ^ (1 << r.nextInt(8))).toByte
+      try {
+        val rows = sortRows(Netcdf.records(c, "fuzz"))
+        // decoded: must be internally consistent (no tearing into
+        // half-garbage state) — row count bounded by the clean decode's
+        // cell space
+        (rows.size <= good.size * 2) shouldBe true
+      } catch {
+        case _: IllegalArgumentException => rejected += 1
+      }
+    }
+    (rejected > 0) shouldBe true
+  }
+
+  test("distributed scan: regex prunes whole HDF5 variables, mixed with classic files") {
+    val h5 = Hdf5.writeFile(
+      java.nio.file.Files.createTempDirectory("h5mix").resolve("a.nc"),
+      Seq(field("TMP", t0, 100), field("VGRD", t0, 300)), 3, 5)
+    val classic = Netcdf.writeFile(
+      java.nio.file.Files.createTempDirectory("h5mix").resolve("b.nc"),
+      Seq(field("TMP", t1, 500)))
+    val df = Netcdf.readRecords(spark, Seq(h5.toString, classic.toString),
+      matchRe = "TMP")
+    val rows = df.collect()
+    rows.map(_.getString(0)).distinct.sorted shouldBe Array("TMP")
+    // one HDF5 TMP layer + one classic TMP layer, fill-free
+    rows.length shouldBe 2 * 7 * 13
+  }
+}

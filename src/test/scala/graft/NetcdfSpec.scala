@@ -178,6 +178,33 @@ class NetcdfSpec extends SparkSpec {
         scaled = Array.fill(15)(Some(-32767)))), payloadType = Netcdf.NcShort)
   }
 
+  test("CHAR label record variables round-trip beside the numeric grid") {
+    val fields = Seq(field("TMP", t0, 0), field("TMP", t1, 40))
+    val p = java.nio.file.Files.createTempFile("graft-ncc", ".nc")
+    Netcdf.writeFile(p, fields,
+      labels = Seq("qc_flag" -> Seq("pass", "warn-x"),
+        "source" -> Seq("era5", "era5rt")))
+    val bytes = java.nio.file.Files.readAllBytes(p)
+    // labels decode NUL-trimmed, one per (variable, record)
+    Netcdf.labelRecords(bytes).toSeq.map(r => (r.variable, r.label)) shouldBe
+      Seq(("qc_flag", "pass"), ("qc_flag", "warn-x"),
+        ("source", "era5"), ("source", "era5rt"))
+    // the numeric grid is untouched by the extra record slabs
+    val rows = Netcdf.records(bytes).toSeq
+    rows.size shouldBe 2 * 15
+    rows.map(_.value).sum shouldBe
+      fields.flatMap(_.scaled.toSeq.flatten).sum / 10.0
+    // the strlen dimension appears in the header; char vars have 2 dims
+    val nc = Netcdf.parse(bytes)
+    nc.dims.map(_.name) shouldBe Seq("time", "lat", "lon", "strlen")
+    nc.dims.last.len shouldBe 6 // longest label
+    nc.vars.find(_.name == "qc_flag").get.dimids shouldBe Seq(0, 3)
+    // label/time-step count mismatch refuses at write
+    an[IllegalArgumentException] should be thrownBy
+      Netcdf.writeFile(java.nio.file.Files.createTempFile("graft-ncc", ".nc"),
+        fields, labels = Seq("qc" -> Seq("only-one")))
+  }
+
   test("scope rejects loudly: netCDF-4 magic, streaming numrecs, bad value collision") {
     val ok = write(Seq(field("TMP", t0, 0)))
     val v2 = ok.clone(); v2(3) = 4
