@@ -1,6 +1,19 @@
 #!/bin/bash
 # Bench runner mirroring the driver's invocation (java direct, no sbt cost).
 SF=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}
+
+# Quiet-box guard (round-10 verdict #8): a run started on a loaded host
+# measures the neighbors, not the engine — refuse instead of producing
+# an artifact that could be mistaken for the committed quiet sweep.
+# Override with SPARK_GRAFT_BENCH_FORCE=1 (the JSON still self-describes
+# via loadavg_start/quiet, so a forced run can never masquerade).
+LOAD=$(cut -d' ' -f1 /proc/loadavg 2>/dev/null || echo 0)
+if [ "${SPARK_GRAFT_BENCH_FORCE:-0}" != "1" ] && \
+   awk "BEGIN{exit !($LOAD > 1.0)}"; then
+  echo "run_bench.sh: refusing to bench at loadavg $LOAD (> 1.0)." >&2
+  echo "Wait for the box to go quiet or set SPARK_GRAFT_BENCH_FORCE=1." >&2
+  exit 3
+fi
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
          java.util java.util.concurrent java.util.concurrent.atomic; do

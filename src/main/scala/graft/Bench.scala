@@ -87,11 +87,12 @@ object Bench {
     val state = graft.streaming.StateMetrics.toJson
     val load1 = loadAvg()
     // quiet = no external load at start (the JVM hasn't ramped yet, so
-    // anything >2 on this 32-thread box is a neighbor, not us)
+    // anything >1 on this 32-thread box is a neighbor, not us — the
+    // same threshold run_bench.sh refuses at; documented in BASELINE.md)
     val noise = String.format(java.util.Locale.ROOT,
       """"loadavg_start":%.2f,"loadavg_end":%.2f,"quiet":%s""",
       Double.box(load0), Double.box(load1),
-      if (load0 >= 0 && load0 < 2.0) "true" else "false")
+      if (load0 >= 0 && load0 <= 1.0) "true" else "false")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"stream_state":$state,$noise,"sf":"$baseDir","scale":$scale}"""
     println(json)

@@ -56,4 +56,52 @@ object LandingIngest {
     val q = start(spark, landingDir, outputDir, checkpointDir, schema, transform)
     q.awaitTermination()
   }
+
+  /** One flattened GRIB cell from the raw-file landing stream, or a
+    * single quarantine row (`corrupt = true`, variable `__corrupt__`)
+    * for a file the codec rejected — the source path rides every row
+    * so a bad upstream file is attributable, not fatal.
+    */
+  final case class LandedCell(variable: String, time: java.time.LocalDateTime,
+                              lat: Double, lon: Double, value: Double,
+                              src: String, corrupt: Boolean)
+
+  /** RAW GRIB2 files landing in a directory, decoded through the native
+    * codec inside a typed streaming flatMap (streaming-legal — no RDD
+    * detour) with PER-FILE quarantine: a corrupt file yields one
+    * `__corrupt__` row instead of killing the query. This is the
+    * operational met-ingest contract — upstream occasionally ships a
+    * truncated or torn file mid-cycle, and the stream must land the
+    * good files and flag the bad one (the reference's forage loop gets
+    * this for free by forking one converter per file; here one query
+    * owns the whole landing directory).
+    */
+  def gribLanding(spark: SparkSession, landingDir: String)
+      : org.apache.spark.sql.Dataset[LandedCell] = {
+    import org.apache.spark.sql.{Encoders, types => T}
+    import spark.implicits._
+    val binSchema = T.StructType(Seq(
+      T.StructField("path", T.StringType),
+      T.StructField("modificationTime", T.TimestampType),
+      T.StructField("length", T.LongType),
+      T.StructField("content", T.BinaryType)))
+    spark.readStream.format("binaryFile").schema(binSchema)
+      .load(landingDir)
+      .select($"path", $"content")
+      .as[(String, Array[Byte])](Encoders.tuple(Encoders.STRING, Encoders.BINARY))
+      .flatMap { case (p, bytes) =>
+        try graft.sources.Grib2.parseMessages(bytes, p).iterator
+          .flatMap(graft.sources.Grib2.cells)
+          .map(c => LandedCell(c.variable, c.time, c.lat, c.lon, c.value,
+            p, corrupt = false))
+        catch {
+          // the codec rejects loudly (require/sys.error); any decode
+          // failure quarantines THIS file only
+          case scala.util.control.NonFatal(_) =>
+            Iterator.single(LandedCell("__corrupt__",
+              java.time.LocalDateTime.of(1970, 1, 1, 0, 0),
+              0.0, 0.0, 0.0, p, corrupt = true))
+        }
+      }(Encoders.product[LandedCell])
+  }
 }

@@ -40,6 +40,67 @@ class StreamingSoakSpec extends SparkSpec {
     try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("soak: 50-cycle GRIB landing — incremental files, mid-stream corrupt-file quarantine, exactly-once replay") {
+    withFewPartitions {
+      import graft.sources.Grib2
+      import java.time.LocalDateTime
+      val tmp = Files.createTempDirectory("graft_w25_soak")
+      val land = tmp.resolve("landing"); Files.createDirectories(land)
+      val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+      val ni = 7; val nj = 5
+      def writeGood(cycle: Int): Long = {
+        Grib2.writeFile(land.resolve(f"c$cycle%03d.grib2"), Seq(
+          Grib2.Field(0, 0, 0, LocalDateTime.of(2006, 1, 1, 0, 0).plusHours(cycle.toLong),
+            ni, nj, 40000000L, 0L, 1000000L, 1000000L, decimalScale = 1,
+            Array.tabulate(nj * ni)(k => Some((k * 3 + cycle) % 400)))))
+        // the cycle's exact scaled-cell sum, for the closed-form total
+        (0 until nj * ni).map(k => ((k * 3 + cycle) % 400).toLong).sum
+      }
+      def runCycle(): Unit = {
+        val q = graft.streaming.LandingIngest.gribLanding(spark, land.toString)
+          .toDF()
+          .writeStream.format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      var expectedSum = 0L
+      var expectedRows = 0L
+      for (cycle <- 0 until 50) {
+        expectedSum += writeGood(cycle)
+        expectedRows += nj * ni
+        if (cycle == 20) {
+          // a torn upstream file lands mid-stream: truncated GRIB2
+          val good = java.nio.file.Files.readAllBytes(land.resolve("c020.grib2"))
+          java.nio.file.Files.write(land.resolve("torn.grib2"),
+            good.take(good.length / 2))
+        }
+        if (cycle % 10 == 3) writeGood(cycle + 1000) // two files in one cycle
+        if (cycle % 10 == 3) {
+          expectedSum += (0 until nj * ni).map(k => ((k * 3 + cycle + 1000) % 400).toLong).sum
+          expectedRows += nj * ni
+        }
+        runCycle() // the stream must survive every cycle, incl. the torn file
+      }
+      // an idle cycle with no new files re-lands nothing (checkpoint
+      // exactly-once: the reference's per-source cursor semantics)
+      runCycle()
+      val out = spark.read.parquet(outDir)
+      val good = out.where(!col("corrupt"))
+      good.count() shouldBe expectedRows
+      good.agg(sum(round(col("value") * 10, 0).cast("long"))).head.getLong(0) shouldBe expectedSum
+      // exactly one quarantine row, pointing at the torn file
+      val bad = out.where(col("corrupt")).collect()
+      bad.length shouldBe 1
+      bad.head.getAs[String]("variable") shouldBe "__corrupt__"
+      bad.head.getAs[String]("src") should include("torn.grib2")
+      // writing the torn file's sibling again after the soak still lands
+      expectedSum += writeGood(999)
+      runCycle()
+      spark.read.parquet(outDir).where(!col("corrupt")).count() shouldBe expectedRows + nj * ni
+    }
+  }
+
   test("soak: 240 MG micro-batches under RocksDB — state rows pinned at #groups, bytes plateau") {
     withRocksDb { withFewPartitions {
       val prevProg = spark.conf.getOption("spark.sql.streaming.numRecentProgressUpdates")
