@@ -644,6 +644,32 @@ object SparkEntry {
       fields, chunkJ = 4, chunkI = 16, superblockVersion = 3).toString
   }
 
+  /** r60 fixture: netCDF-4 with FLOAT64 data variables — the value type
+    * real CDS netCDF-4 products actually ship. Values stored pre-divided
+    * (scaled/10, one IEEE divide on each side — the r45 NC_DOUBLE
+    * discipline); PRATE masked with NC_FILL_DOUBLE cells.
+    */
+  private lazy val netcdf4DoubleFixturePath: String = {
+    import java.time.LocalDateTime
+    val params = Seq(("TMP", 0, false), ("PRATE", 1, true))
+    val times = Seq(LocalDateTime.of(2008, 4, 20, 0, 0),
+      LocalDateTime.of(2008, 5, 20, 12, 0))
+    val fields = for {
+      (t, m) <- times.zipWithIndex
+      (v, pidx, masked) <- params
+    } yield sources.Netcdf.Field(v, t, g3Ni, g3Nj, g3La1, g3Lo1, g3Di, g3Dj,
+      decimalScale = 1,
+      Array.tabulate(g3Nj * g3Ni) { k =>
+        val j = k / g3Ni; val i = k % g3Ni
+        if (masked && (i + j * 5 + m) % 12 == 9) None
+        else Some((i * 19 + j * 23 + pidx * 71 + m * 37) % 730 + pidx * 1500)
+      })
+    sources.Hdf5.writeFile(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft-nc", "fix4d.nc"),
+      fields, chunkJ = 5, chunkI = 8,
+      payloadType = sources.Netcdf.NcDouble).toString
+  }
+
   /** r56 fixtures: zstd chunks in the three wire shapes real stores
     * ship — a v2 store with numcodecs `{"id":"zstd"}` raw frames, a V3
     * store with the `zstd` codec (the zarr v3 default), and a v2 store
@@ -993,6 +1019,56 @@ object SparkEntry {
         .start()
       q.awaitTermination()
       graft.streaming.StateMetrics.record("w25_stream_grib", q)
+    }
+    s.read.parquet(s"$tmp/out")
+      .select($"variable", $"time", $"lat", $"lon", $"value")
+      .orderBy($"variable", $"lat", $"lon")
+  }
+
+  /** w26: the NetCDF landing twin of w25 — a classic CDF-1 file and a
+    * netCDF-4 (HDF5) file land in ONE binaryFile stream and decode
+    * through `Netcdf.records`' magic dispatch inside a typed flatMap;
+    * the container version must be invisible to the stream.
+    */
+  private def streamNetcdf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_w26").toString
+    val t0 = java.time.LocalDateTime.of(2008, 6, 1, 0, 0)
+    val land = java.nio.file.Paths.get(tmp, "landing")
+    java.nio.file.Files.createDirectories(land)
+    def mk(v: String, a: Int, b: Int, mod: Int) =
+      sources.Netcdf.Field(v, t0, g3Ni, g3Nj, g3La1, g3Lo1, g3Di, g3Dj,
+        decimalScale = 1,
+        Array.tabulate(g3Nj * g3Ni) { k =>
+          val j = k / g3Ni; val i = k % g3Ni
+          Some((i * a + j * b) % mod)
+        })
+    sources.Netcdf.writeFile(land.resolve("classic.nc"), Seq(mk("TMP", 3, 19, 520)))
+    sources.Hdf5.writeFile(land.resolve("modern.nc"), Seq(mk("PRATE", 7, 13, 610)),
+      chunkJ = 5, chunkI = 8)
+    val binSchema = StructType(Seq(
+      StructField("path", StringType), StructField("modificationTime", TimestampType),
+      StructField("length", LongType), StructField("content", BinaryType)))
+    withStreamingPartitions(s, 8) {
+      import org.apache.spark.sql.Encoders
+      val stream = s.readStream.format("binaryFile").schema(binSchema)
+        .load(land.toString)
+        .select($"path", $"content")
+        .as[(String, Array[Byte])](Encoders.tuple(Encoders.STRING, Encoders.BINARY))
+        .flatMap { case (p, bytes) =>
+          sources.Netcdf.records(bytes, p)
+        }(Encoders.product[sources.Netcdf.GridRow])
+      val q = stream.toDF()
+        .writeStream
+        .format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.streaming.StateMetrics.record("w26_stream_netcdf", q)
     }
     s.read.parquet(s"$tmp/out")
       .select($"variable", $"time", $"lat", $"lon", $"value")
@@ -2398,6 +2474,11 @@ object SparkEntry {
     "r55_netcdf4" -> ((s, _) =>
       sources.Netcdf.readRecords(s, Seq(netcdf4FixturePath, netcdf4V3SuperPath))
         .orderBy($"variable", $"time", $"lat", $"lon")),
+    // netCDF-4 float64 data variables (the value type CDS actually
+    // ships): typesize-8 shuffle + deflate, NC_FILL_DOUBLE mask
+    "r60_netcdf4_double" -> ((s, _) =>
+      sources.Netcdf.readRecords(s, Seq(netcdf4DoubleFixturePath))
+        .orderBy($"variable", $"time", $"lat", $"lon")),
     // Zarr v2 group-store scan: chunk-level parallel decode (binaryFile
     // task per chunk), metadata + coordinates driver-side, VGRD pruned
     // by the regex before a single chunk path is listed; edge chunks on
@@ -2856,6 +2937,7 @@ object SparkEntry {
     // raw GRIB2 files through a binaryFile STREAM into the native codec
     // (5.0 + 5.42-with-bitmap + 4.8 in one stream), checkpointed sink
     "w25_stream_grib" -> ((s, d) => streamGrib(s, d)),
+    "w26_stream_netcdf" -> ((s, d) => streamNetcdf(s, d)),
     // stream-STATIC broadcast enrichment: the fact-stream + dimension
     // lookup shape (no state from the join itself; aggregate state = one
     // row per dimension key)
@@ -6103,6 +6185,20 @@ object SparkEntry {
                 (($g3Lo1) + i * $g3Di) / 1000000.0 AS lon,
                 s / 10.0 AS value
          FROM u ORDER BY variable, lat, lon""",
+    // the NetCDF landing twin: classic + HDF5 containers in one stream
+    "w26_stream_netcdf" ->
+      s"""WITH ii AS (SELECT unnest(generate_series(0, ${g3Ni - 1})) AS i),
+         jj AS (SELECT unnest(generate_series(0, ${g3Nj - 1})) AS j),
+         a AS (SELECT 'TMP' AS variable, i, j, ((i * 3 + j * 19) % 520) AS s
+               FROM ii CROSS JOIN jj),
+         b AS (SELECT 'PRATE' AS variable, i, j, ((i * 7 + j * 13) % 610) AS s
+               FROM ii CROSS JOIN jj),
+         u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+         SELECT variable, TIMESTAMP '2008-06-01 00:00:00' AS time,
+                ($g3La1 - j * $g3Dj) / 1000000.0 AS lat,
+                (($g3Lo1) + i * $g3Di) / 1000000.0 AS lon,
+                s / 10.0 AS value
+         FROM u ORDER BY variable, lat, lon""",
     // ensemble flatten: member/size/derived octets regenerated closed-form
     "r53_grib2_ensemble" ->
       s"""WITH p(pidx, variable) AS (VALUES (0, 'TMP'), (1, 'PRATE')),
@@ -6286,6 +6382,20 @@ object SparkEntry {
                 CAST(sum(s) AS BIGINT) / (count(*) * 10) AS mean_value
          FROM v GROUP BY t, label
          ORDER BY variable, time""",
+    // the float64 twin: stored pre-divided, one IEEE divide per side
+    "r60_netcdf4_double" ->
+      s"""WITH p(pidx, variable, masked) AS (VALUES (0, 'TMP', 0), (1, 'PRATE', 1)),
+         t(t, m) AS (VALUES (TIMESTAMP '2008-04-20 00:00:00', 0),
+                            (TIMESTAMP '2008-05-20 12:00:00', 1)),
+         ii AS (SELECT unnest(generate_series(0, ${g3Ni - 1})) AS i),
+         jj AS (SELECT unnest(generate_series(0, ${g3Nj - 1})) AS j)
+         SELECT variable, t AS time,
+                ($g3La1 - j * $g3Dj) / 1000000.0 AS lat,
+                (($g3Lo1) + i * $g3Di) / 1000000.0 AS lon,
+                ((i * 19 + j * 23 + pidx * 71 + m * 37) % 730 + pidx * 1500) / 10.0 AS value
+         FROM p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
+         WHERE NOT (masked = 1 AND (i + j * 5 + m) % 12 = 9)
+         ORDER BY variable, time, lat, lon""",
     // netCDF-4 legs regenerated closed-form: the engine recovered every
     // cell through the HDF5 container (B-tree chunk index, shuffle+
     // deflate, edge-chunk clipping, v0 and v3 superblocks)

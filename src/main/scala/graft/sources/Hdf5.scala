@@ -34,10 +34,11 @@ import scala.collection.mutable.ArrayBuffer
   * Out of scope, rejecting loudly with a pointer: v2 object headers
   * ("OHDR", written only under later libver bounds), groups beyond
   * root, szip (filter 4), fletcher32 (filter 3), compact layout,
-  * datatypes other than int32 data / float64 coords. Semantics mirror
-  * [[Netcdf]] exactly: `value = raw / 10^decimal_scale`, `_FillValue`
-  * cells drop, `time` is epoch-hours — one flattened contract across
-  * CDF-1/2/5 and HDF5.
+  * datatypes other than int32/float64 data and float64 coords.
+  * Semantics mirror [[Netcdf]] exactly: int32 `value = raw /
+  * 10^decimal_scale`, float64 stored verbatim (the NC_DOUBLE
+  * convention), `_FillValue` cells drop, `time` is epoch-hours — one
+  * flattened contract across CDF-1/2/5 and HDF5.
   *
   * Scale shape: identical to the classic reader — one decode task per
   * file via binaryFile, variable regex pruning whole datasets before
@@ -80,10 +81,16 @@ object Hdf5 {
   def writeFile(path: Path, fields: Seq[Netcdf.Field],
                 chunkJ: Int, chunkI: Int,
                 superblockVersion: Int = 0,
-                deflateLevel: Int = 6): Path = {
+                deflateLevel: Int = 6,
+                // NcInt: int32 + decimal_scale (value = raw / 10^D);
+                // NcDouble: float64 storing scaled/10^D pre-divided
+                // (one IEEE divide, the NC_DOUBLE convention)
+                payloadType: Int = Netcdf.NcInt): Path = {
     require(fields.nonEmpty, "no fields to write")
     require(superblockVersion == 0 || superblockVersion == 3,
       s"superblock version $superblockVersion unsupported (0 / 3)")
+    require(payloadType == Netcdf.NcInt || payloadType == Netcdf.NcDouble,
+      s"payload type $payloadType unsupported (NC_INT / NC_DOUBLE)")
     val g = fields.head
     fields.foreach { f =>
       require(f.ni == g.ni && f.nj == g.nj && f.la1Micro == g.la1Micro &&
@@ -195,6 +202,11 @@ object Hdf5 {
       attrMsg(name, dtI32, dataspaceBody(Nil),
         Array[Byte]((v & 0xff).toByte, ((v >>> 8) & 0xff).toByte,
           ((v >>> 16) & 0xff).toByte, (v >>> 24).toByte))
+    def dblAttr(name: String, v: Double): ArrayBuffer[Byte] = {
+      val bits = java.lang.Double.doubleToLongBits(v)
+      attrMsg(name, dtF64, dataspaceBody(Nil),
+        Array.tabulate(8)(k => ((bits >>> (8 * k)) & 0xff).toByte))
+    }
     def strAttr(name: String, v: String): ArrayBuffer[Byte] = {
       val d = v.getBytes("UTF-8")
       attrMsg(name, dtString(d.length), dataspaceBody(Nil), d)
@@ -265,20 +277,22 @@ object Hdf5 {
         ci <- 0 until cgI
       } yield {
         val f = fields.find(x => x.variable == v && x.time == t).get
-        val raw = new Array[Byte](chunkJ * chunkI * 4)
+        val denom = math.pow(10, g.decimalScale)
+        val esz = if (payloadType == Netcdf.NcDouble) 8 else 4
+        val raw = new Array[Byte](chunkJ * chunkI * esz)
         var p = 0
         for (dj <- 0 until chunkJ; di <- 0 until chunkI) {
           val j = cj * chunkJ + dj; val i = ci * chunkI + di
           // edge chunks are stored FULL SIZE per spec, padded with fill
-          val cell = if (j < g.nj && i < g.ni)
-            f.scaled(j * g.ni + i).getOrElse(Netcdf.FillInt)
-          else Netcdf.FillInt
-          val b = le32(cell)
-          raw(p) = b(0); raw(p + 1) = b(1); raw(p + 2) = b(2); raw(p + 3) = b(3)
-          p += 4
+          val cell = if (j < g.nj && i < g.ni) f.scaled(j * g.ni + i) else None
+          val b =
+            if (esz == 4) le32(cell.getOrElse(Netcdf.FillInt))
+            else le64d(cell.map(_ / denom).getOrElse(Netcdf.FillDouble))
+          System.arraycopy(b, 0, raw, p, esz)
+          p += esz
         }
         // pipeline order shuffle -> deflate; stored = deflate(shuffle(raw))
-        val stored = deflate(BloscLz4.shuffle(raw, 4))
+        val stored = deflate(BloscLz4.shuffle(raw, esz))
         val addr = out.length.toLong
         stored.foreach(out += _)
         (Seq(r.toLong, (cj * chunkJ).toLong, (ci * chunkI).toLong), addr, stored.length)
@@ -296,7 +310,8 @@ object Hdf5 {
       entries.foreach { case (offs, addr, size) => key(size, offs); u64(addr) }
       // final key: one past the last chunk (canonical upper bound)
       key(0, Seq(times.length.toLong, (cgJ * chunkJ).toLong, (cgI * chunkI).toLong))
-      Chunked(btreeAddr, Seq(1, chunkJ, chunkI), 4)
+      Chunked(btreeAddr, Seq(1, chunkJ, chunkI),
+        if (payloadType == Netcdf.NcDouble) 8 else 4)
     }
 
     def layoutMsg(l: Layout): ArrayBuffer[Byte] = bb { b =>
@@ -310,11 +325,12 @@ object Hdf5 {
       }
     }
     val fillMsg = bb { b => b8(b, 2); b8(b, 2); b8(b, 2); b8(b, 0) } // v2, undefined
+    val dataElemSize = if (payloadType == Netcdf.NcDouble) 8 else 4
     val pipelineMsg = bb { b =>
       b8(b, 1); b8(b, 2) // version 1, two filters
       b16(b, 0); b32(b, 0) // reserved
       // shuffle (2): one client value = element size; v1 pads odd counts
-      b16(b, 2); b16(b, 0); b16(b, 0); b16(b, 1); b32(b, 4); b32(b, 0)
+      b16(b, 2); b16(b, 0); b16(b, 0); b16(b, 1); b32(b, dataElemSize.toLong); b32(b, 0)
       // deflate (1): one client value = level
       b16(b, 1); b16(b, 0); b16(b, 0); b16(b, 1); b32(b, deflateLevel.toLong); b32(b, 0)
     }
@@ -336,13 +352,18 @@ object Hdf5 {
       0x000C -> strAttr("units", "hours since 1970-01-01 00:00:00")))
     val varAddrs = vars.map { v =>
       val l = chunkedVar(v)
+      val scaleAtts: Seq[(Int, ArrayBuffer[Byte])] =
+        if (payloadType == Netcdf.NcDouble)
+          Seq(0x000C -> dblAttr("_FillValue", Netcdf.FillDouble))
+        else Seq(
+          0x000C -> intAttr("decimal_scale", g.decimalScale),
+          0x000C -> intAttr("_FillValue", Netcdf.FillInt))
       v -> objectHeader(Seq(
         0x0001 -> dataspaceBody(Seq(times.length, g.nj, g.ni)),
-        0x0003 -> dtI32, 0x0005 -> fillMsg,
-        0x0008 -> layoutMsg(l), 0x000B -> pipelineMsg,
-        0x000C -> intAttr("decimal_scale", g.decimalScale),
-        0x000C -> intAttr("_FillValue", Netcdf.FillInt),
-        0x000C -> strAttr("units", "K")))
+        0x0003 -> (if (payloadType == Netcdf.NcDouble) dtF64 else dtI32),
+        0x0005 -> fillMsg,
+        0x0008 -> layoutMsg(l), 0x000B -> pipelineMsg) ++
+        scaleAtts :+ (0x000C -> strAttr("units", "K")))
     }
 
     // --------------- root group: local heap, SNOD, B-tree, header
@@ -651,15 +672,25 @@ object Hdf5 {
         if (chunkDims.length != d.dims.length)
           fail(label, s"'${d.name}': chunk rank ${chunkDims.length} != ${d.dims.length}")
         val out = new Array[Byte](total.toInt)
-        // pre-fill with _FillValue so unwritten chunks read as fill
-        if (d.dtype == "i32") {
-          val f = Array((Netcdf.FillInt & 0xff).toByte,
-            ((Netcdf.FillInt >>> 8) & 0xff).toByte,
-            ((Netcdf.FillInt >>> 16) & 0xff).toByte,
-            (Netcdf.FillInt >>> 24).toByte)
-          var k = 0
-          while (k < out.length) { out(k) = f(k % 4); k += 1 }
-        }
+        // pre-fill with the dataset's _FillValue so unwritten chunks
+        // read as fill (and later drop from the flatten)
+        val f: Array[Byte] =
+          if (d.dtype == "i32") {
+            val v = d.atts.get("_FillValue") match {
+              case Some(i: Int) => i
+              case _ => Netcdf.FillInt
+            }
+            Array.tabulate(4)(k => ((v >>> (8 * k)) & 0xff).toByte)
+          } else {
+            val v = d.atts.get("_FillValue") match {
+              case Some(x: Double) => x
+              case _ => Netcdf.FillDouble
+            }
+            val bits = java.lang.Double.doubleToLongBits(v)
+            Array.tabulate(8)(k => ((bits >>> (8 * k)) & 0xff).toByte)
+          }
+        var k0 = 0
+        while (k0 < out.length) { out(k0) = f(k0 % elemSize); k0 += 1 }
         val chunkBytes = chunkDims.map(_.toLong).product * elemSize
         if (chunkBytes > Int.MaxValue) fail(label, s"'${d.name}': chunk too large")
         def walk(node: Long, depth: Int): Unit = {
@@ -792,28 +823,42 @@ object Hdf5 {
         ((raw(4 * k + 2) & 0xff) << 16) | ((raw(4 * k + 3) & 0xff) << 24)
     val times = Array.tabulate(timeD.dims.head)(k =>
       LocalDateTime.of(1970, 1, 1, 0, 0).plusHours(i32le(timeRaw, k).toLong))
-    val dataVars = dsets.filter(d => d.dims.length == 3 && d.dtype == "i32" &&
+    val dataVars = dsets.filter(d => d.dims.length == 3 &&
       !Set("lat", "lon", "time").contains(d.name))
     dataVars.iterator.flatMap { d =>
       if (d.dims != Seq(times.length, lat.length, lon.length))
         fail(label, s"'${d.name}' dims ${d.dims} disagree with the " +
           s"(time=${times.length}, lat=${lat.length}, lon=${lon.length}) coordinates")
-      val scale = d.atts.get("decimal_scale") match {
-        case Some(i: Int) => i
-        case _ => 0
-      }
-      val fill = d.atts.get("_FillValue") match {
-        case Some(i: Int) => i
-        case _ => Netcdf.FillInt
-      }
-      val denom = math.pow(10, scale)
       val raw = readData(bytes, d, label)
       val nj = lat.length; val ni = lon.length
+      val cell: Int => Option[Double] =
+        if (d.dtype == "i32") {
+          val scale = d.atts.get("decimal_scale") match {
+            case Some(i: Int) => i
+            case _ => 0
+          }
+          val fill = d.atts.get("_FillValue") match {
+            case Some(i: Int) => i
+            case _ => Netcdf.FillInt
+          }
+          val denom = math.pow(10, scale)
+          k => { val v = i32le(raw, k); if (v == fill) None else Some(v / denom) }
+        } else { // f64: stored value verbatim (the NC_DOUBLE convention)
+          val fill = d.atts.get("_FillValue") match {
+            case Some(x: Double) => x
+            case _ => Netcdf.FillDouble
+          }
+          k => {
+            var v = 0L
+            var i = 7; while (i >= 0) { v = (v << 8) | (raw(8 * k + i) & 0xffL); i -= 1 }
+            val x = java.lang.Double.longBitsToDouble(v)
+            if (x == fill) None else Some(x)
+          }
+        }
       Iterator.range(0, times.length).flatMap { r =>
         Iterator.tabulate(nj * ni) { k =>
-          val v = i32le(raw, r * nj * ni + k)
-          if (v == fill) null
-          else Netcdf.GridRow(d.name, times(r), lat(k / ni), lon(k % ni), v / denom)
+          cell(r * nj * ni + k).map(x =>
+            Netcdf.GridRow(d.name, times(r), lat(k / ni), lon(k % ni), x)).orNull
         }.filter(_ != null)
       }
     }

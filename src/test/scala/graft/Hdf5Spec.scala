@@ -65,6 +65,20 @@ class Hdf5Spec extends SparkSpec {
       expectRows(fields)
   }
 
+  test("float64 data variables round-trip (typesize-8 shuffle, NC_FILL_DOUBLE mask)") {
+    val fields = Seq(field("TMP", t0, 100),
+      field("PRATE", t0, 700, masked = true))
+    val p = Hdf5.writeFile(
+      java.nio.file.Files.createTempDirectory("h5d").resolve("d.nc"),
+      fields, 3, 5, payloadType = Netcdf.NcDouble)
+    val bytes = java.nio.file.Files.readAllBytes(p)
+    val ds = Hdf5.parseDatasets(bytes, "f64")
+    ds.find(_.name == "TMP").get.dtype shouldBe "f64"
+    ds.find(_.name == "TMP").get.filters.head.cvals shouldBe Seq(8) // shuffle typesize
+    // values stored pre-divided: decode == scaled/10 exactly
+    sortRows(Netcdf.records(bytes, "f64")) shouldBe expectRows(fields)
+  }
+
   test("wire pins: superblock, v1 object header, HEAP/TREE/SNOD, chunk B-tree key") {
     val bytes = writeBytes(Seq(field("TMP", t0, 100)))
     def u16(p: Int) = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
