@@ -670,6 +670,32 @@ object SparkEntry {
       payloadType = sources.Netcdf.NcDouble).toString
   }
 
+  /** r61 fixture: netCDF-4 with INT16 CF-packed data — the exact shape
+    * ERA5 netCDF-4 downloads ship (scale_factor/add_offset over packed
+    * shorts). Dyadic scale_factor 0.25 and integer offset 300 keep the
+    * double arithmetic exact on both engines (the r50 discipline).
+    */
+  private lazy val netcdf4ShortFixturePath: String = {
+    import java.time.LocalDateTime
+    val params = Seq(("TMP", 0, false), ("PRATE", 1, true))
+    val times = Seq(LocalDateTime.of(2008, 7, 2, 0, 0),
+      LocalDateTime.of(2008, 8, 2, 12, 0))
+    val fields = for {
+      (t, m) <- times.zipWithIndex
+      (v, pidx, masked) <- params
+    } yield sources.Netcdf.Field(v, t, g3Ni, g3Nj, g3La1, g3Lo1, g3Di, g3Dj,
+      decimalScale = 0,
+      Array.tabulate(g3Nj * g3Ni) { k =>
+        val j = k / g3Ni; val i = k % g3Ni
+        if (masked && (i * 3 + j * 2 + m) % 14 == 8) None
+        else Some((i * 13 + j * 27 + pidx * 43 + m * 53) % 1500 - 500)
+      })
+    sources.Hdf5.writeFile(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft-nc", "fix4s.nc"),
+      fields, chunkJ = 5, chunkI = 8,
+      payloadType = sources.Netcdf.NcShort).toString
+  }
+
   /** r56 fixtures: zstd chunks in the three wire shapes real stores
     * ship — a v2 store with numcodecs `{"id":"zstd"}` raw frames, a V3
     * store with the `zstd` codec (the zarr v3 default), and a v2 store
@@ -881,6 +907,38 @@ object SparkEntry {
     sources.Grib2.writeFile(
       java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft-grib", "prob.grib2"),
       Seq(probAbove, probBetween, pct90, plain)).toString
+  }
+
+  /** r62 fixture: grid template 3.30 Lambert conformal (the HRRR/NAM
+    * operational CONUS grid shape): secant cone 30/45°, LoV 262.5°,
+    * 30 km steps from a (35°N, 255°E) first point, scan 0x40. TMP dense,
+    * PRATE bitmap-masked. The oracle re-derives every cell's lat/lon
+    * with the same Snyder inverse in SQL; both sides round to 5
+    * decimals (~1 m) so libm ULP differences cannot flip a hash.
+    */
+  private lazy val grib2LambertFixturePath: String = {
+    import java.time.LocalDateTime
+    val params = Seq((0, 0, 0, false), (1, 1, 7, true))
+    val times = Seq(LocalDateTime.of(2008, 9, 3, 6, 0),
+      LocalDateTime.of(2008, 10, 3, 18, 0))
+    val lcc = sources.Grib2.LambertGrid(
+      latin1Micro = 30000000L, latin2Micro = 45000000L,
+      lovMicro = 262500000L, ladMicro = 38500000L,
+      dxMilli = 30000000L, dyMilli = 30000000L)
+    val fields = for {
+      (t, m) <- times.zipWithIndex
+      (pidx, cat, num, masked) <- params
+    } yield sources.Grib2.Field(0, cat, num, t, ni = 12, nj = 9,
+      la1Micro = 35000000L, lo1Micro = 255000000L,
+      diMicro = 0L, djMicro = 0L, decimalScale = 1,
+      Array.tabulate(9 * 12) { k =>
+        val j = k / 12; val i = k % 12
+        if (masked && (i + j * 3 + m) % 8 == 5) None
+        else Some((i * 7 + j * 11 + pidx * 29 + m * 17) % 640)
+      }, scanMode = 0x40, lambert = lcc)
+    sources.Grib2.writeFile(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft-grib", "lcc.grib2"),
+      fields).toString
   }
 
   /** r47 fixture: template-5.42 CCSDS-AEC packing (ECMWF operational) —
@@ -2365,6 +2423,14 @@ object SparkEntry {
           (($"max10" - $"min10") / 10.0).as("ens_spread"),
           $"n_members")
         .orderBy($"variable", $"lat", $"lon")),
+    // grid template 3.30 Lambert conformal (HRRR/NAM's projection):
+    // per-cell inverse-projected coordinates, rounded to 5 decimals on
+    // both engines so the hash compares geometry, not libm ULPs
+    "r62_grib2_lambert" -> ((s, _) =>
+      sources.Grib2.readRecords(s, Seq(grib2LambertFixturePath), matchRe = "TMP|PRATE")
+        .select($"variable", $"time",
+          round($"lat", 5).as("lat"), round($"lon", 5).as("lon"), $"value")
+        .orderBy($"variable", $"time", $"lat", $"lon")),
     // probability (4.5/4.9) + percentile (4.10) product templates in a
     // mixed file: Code Table 4.9 kinds, sign-magnitude-scaled limits
     // (all-ones = unused -> NULL), percentile octet, and the 4.8-style
@@ -2478,6 +2544,11 @@ object SparkEntry {
     // ships): typesize-8 shuffle + deflate, NC_FILL_DOUBLE mask
     "r60_netcdf4_double" -> ((s, _) =>
       sources.Netcdf.readRecords(s, Seq(netcdf4DoubleFixturePath))
+        .orderBy($"variable", $"time", $"lat", $"lon")),
+    // netCDF-4 int16 CF packing — the exact shape ERA5 netCDF-4
+    // downloads ship: value = packed * 0.25 + 300, fill in packed space
+    "r61_netcdf4_short" -> ((s, _) =>
+      sources.Netcdf.readRecords(s, Seq(netcdf4ShortFixturePath))
         .orderBy($"variable", $"time", $"lat", $"lon")),
     // Zarr v2 group-store scan: chunk-level parallel decode (binaryFile
     // task per chunk), metadata + coordinates driver-side, VGRD pruned
@@ -6221,6 +6292,43 @@ object SparkEntry {
                 s / 10.0 AS value
          FROM u
          ORDER BY variable, kind, member, lat, lon""",
+    // the Lambert lattice re-derived in SQL with the same Snyder
+    // inverse (secant cone 30/45): constants n, F, rho0 and the first
+    // point's (x1, y1), then each cell's inverse — both engines round
+    // to 5 decimals
+    "r62_grib2_lambert" ->
+      s"""WITH c AS (SELECT radians(30.0) AS phi1, radians(45.0) AS phi2,
+                6371229.0 AS R, 262.5 AS lov, 38.5 AS lad,
+                35.0 AS lat1, 255.0 AS lon1, 30000.0 AS dx, 30000.0 AS dy),
+         k1 AS (SELECT *, ln(cos(phi1) / cos(phi2)) /
+                  ln(tan(pi() / 4 + phi2 / 2) / tan(pi() / 4 + phi1 / 2)) AS n
+                FROM c),
+         k2 AS (SELECT *, cos(phi1) * pow(tan(pi() / 4 + phi1 / 2), n) / n AS F
+                FROM k1),
+         k3 AS (SELECT *,
+                  R * F / pow(tan(pi() / 4 + radians(lad) / 2), n) AS rho0,
+                  R * F / pow(tan(pi() / 4 + radians(lat1) / 2), n) AS rho1,
+                  n * radians(lon1 - lov) AS th1
+                FROM k2),
+         k4 AS (SELECT *, rho1 * sin(th1) AS x1, rho0 - rho1 * cos(th1) AS y1
+                FROM k3),
+         p(pidx, variable, masked) AS (VALUES (0, 'TMP', 0), (1, 'PRATE', 1)),
+         t(t, m) AS (VALUES (TIMESTAMP '2008-09-03 06:00:00', 0),
+                            (TIMESTAMP '2008-10-03 18:00:00', 1)),
+         ii AS (SELECT unnest(generate_series(0, 11)) AS i),
+         jj AS (SELECT unnest(generate_series(0, 8)) AS j),
+         pts AS (SELECT k4.*, p.*, t.*, i, j,
+                        x1 + i * dx AS x, y1 + j * dy AS y
+                 FROM k4 CROSS JOIN p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
+                 WHERE NOT (masked = 1 AND (i + j * 3 + m) % 8 = 5))
+         SELECT variable, t AS time,
+                round(degrees(2 * atan(pow(R * F /
+                    sqrt(x * x + (rho0 - y) * (rho0 - y)), 1.0 / n)) - pi() / 2),
+                  5) AS lat,
+                round(lov + degrees(atan2(x, rho0 - y) / n), 5) AS lon,
+                ((i * 7 + j * 11 + pidx * 29 + m * 17) % 640) / 10.0 AS value
+         FROM pts
+         ORDER BY variable, time, lat, lon""",
     // probability/percentile octets regenerated closed-form: kinds,
     // sign-magnitude-scaled limits (all-ones = NULL), percentile, and
     // the statistical tail, alongside the plain 4.0 record
@@ -6395,6 +6503,20 @@ object SparkEntry {
                 ((i * 19 + j * 23 + pidx * 71 + m * 37) % 730 + pidx * 1500) / 10.0 AS value
          FROM p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
          WHERE NOT (masked = 1 AND (i + j * 5 + m) % 12 = 9)
+         ORDER BY variable, time, lat, lon""",
+    // the int16 CF twin: packed * 0.25 + 300, dyadic-exact
+    "r61_netcdf4_short" ->
+      s"""WITH p(pidx, variable, masked) AS (VALUES (0, 'TMP', 0), (1, 'PRATE', 1)),
+         t(t, m) AS (VALUES (TIMESTAMP '2008-07-02 00:00:00', 0),
+                            (TIMESTAMP '2008-08-02 12:00:00', 1)),
+         ii AS (SELECT unnest(generate_series(0, ${g3Ni - 1})) AS i),
+         jj AS (SELECT unnest(generate_series(0, ${g3Nj - 1})) AS j)
+         SELECT variable, t AS time,
+                ($g3La1 - j * $g3Dj) / 1000000.0 AS lat,
+                (($g3Lo1) + i * $g3Di) / 1000000.0 AS lon,
+                ((i * 13 + j * 27 + pidx * 43 + m * 53) % 1500 - 500) * 0.25 + 300.0 AS value
+         FROM p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
+         WHERE NOT (masked = 1 AND (i * 3 + j * 2 + m) % 14 = 8)
          ORDER BY variable, time, lat, lon""",
     // netCDF-4 legs regenerated closed-form: the engine recovered every
     // cell through the HDF5 container (B-tree chunk index, shuffle+

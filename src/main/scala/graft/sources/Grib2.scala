@@ -104,7 +104,12 @@ object Grib2 {
       probUpper: Double = Double.NaN,
       // templates 4.6 / 4.10 (percentile forecasts): 0..100;
       // -1 = not a percentile product
-      percentile: Int = -1)
+      percentile: Int = -1,
+      // non-null for PROJECTED grids (template 3.30 Lambert conformal):
+      // per-cell coordinates from the inverse projection in scan order;
+      // la1/lo1 then hold the first grid point and di/dj are 0
+      cellLats: Array[Double] = null,
+      cellLons: Array[Double] = null)
 
   /** WMO Code Table 4.10 statistical-process names (the wgrib2 inventory
     * suffixes: `0-24 hour acc fcst` etc.). */
@@ -307,6 +312,10 @@ object Grib2 {
     var jPositive = false
     var gaussLats: Array[Long] = null
     var rowNi: Array[Int] = null // reduced Gaussian per-row point counts
+    // projected grids (template 3.30): per-cell coordinates from the
+    // inverse projection, row-major in scan order
+    var projLats: Array[Double] = null
+    var projLons: Array[Double] = null
     def gridTotal: Int =
       if (rowNi != null) rowNi.sum else ni * nj
     // section-4/5 state for the current group
@@ -348,9 +357,39 @@ object Grib2 {
           case 2 => () // local use: skip
           case 3 =>
             val template = u16(pos + 12)
-            require(template == 0 || template == 40,
+            require(template == 0 || template == 30 || template == 40,
               s"grid template 3.$template unsupported " +
-                s"(only 3.0 lat/lon / 3.40 Gaussian regular+reduced) in $label")
+                s"(3.0 lat/lon / 3.30 Lambert conformal / 3.40 Gaussian) in $label")
+            if (template == 30) {
+              // Lambert conformal (the HRRR/NAM operational CONUS grid):
+              // octets 31-34 Nx, 35-38 Ny, 39-46 La1/Lo1, 48-55 LaD/LoV,
+              // 56-63 Dx/Dy (mm), 64 projection centre, 65 scan,
+              // 66-73 Latin1/Latin2
+              require(len >= 81, s"grid section 3.30 too short ($len) in $label")
+              val shape = u(pos + 14)
+              require(shape == 6 || shape == 0,
+                s"earth shape $shape unsupported for 3.30 (0 / 6 = sphere) in $label")
+              val earthR = if (shape == 6) 6371229.0 else 6367470.0
+              ni = u32(pos + 30).toInt; nj = u32(pos + 34).toInt
+              require(ni > 1 && nj > 1 && ni.toLong * nj <= (1L << 26),
+                s"implausible 3.30 grid ${ni}x$nj in $label")
+              la1 = s32(pos + 38); lo1 = s32(pos + 42)
+              val lad = s32(pos + 47); val lov = s32(pos + 51)
+              val dxMm = u32(pos + 55); val dyMm = u32(pos + 59)
+              require(dxMm > 0 && dyMm > 0, s"3.30 zero grid step in $label")
+              require(u(pos + 63) == 0,
+                s"projection centre 0x${u(pos + 63)} unsupported (north pole) in $label")
+              val scan = u(pos + 64) // octet 65
+              require(scan == 0x40 || scan == 0x00,
+                f"3.30 scanning mode 0x$scan%02x unsupported in $label")
+              jPositive = scan == 0x40
+              val latin1 = s32(pos + 65); val latin2 = s32(pos + 69)
+              val (cl, cn) = lambertCells(ni, nj, la1, lo1, lad, lov,
+                latin1, latin2, dxMm, dyMm, jPositive, earthR)
+              projLats = cl; projLons = cn
+              di = 0L; dj = 0L; gaussLats = null; rowNi = null
+            } else {
+            projLats = null; projLons = null
             val niRaw = u32(pos + 30); nj = u32(pos + 34).toInt
             val listOctets = u(pos + 10); val listInterp = u(pos + 11)
             // reduced Gaussian (ERA5's native layout): ni is MISSING and
@@ -421,6 +460,7 @@ object Grib2 {
                   s"computed N=$nPar abscissas ${lats(0)}/${lats(nj - 1)} in $label")
               gaussLats = lats
             }
+            } // end non-3.30 grid templates
           case 4 =>
             // 4.0 (analysis/forecast at a point in time), 4.1 (individual
             // ensemble member — the GEFS/ERA5-EDA shape: 4.0 + three
@@ -657,7 +697,8 @@ object Grib2 {
               derivedType = derivedType,
               probType = probType, probNumber = probNumber,
               probTotal = probTotal, probLower = probLower,
-              probUpper = probUpper, percentile = percentile)
+              probUpper = probUpper, percentile = percentile,
+              cellLats = projLats, cellLons = projLons)
           case other => sys.error(s"unexpected section number $other in $label")
         }
         pos += len
@@ -909,14 +950,68 @@ object Grib2 {
     )(Encoders.product[ProbGridRow]).toDF()
   }
 
+  /** Inverse Lambert conformal conic on the sphere (Snyder, "Map
+    * Projections — A Working Manual", USGS PP 1395, eqs. 15-1..15-5 and
+    * 14-9..14-11): locate the first grid point (La1, Lo1) in projected
+    * metres, step Dx/Dy per cell, invert each (x, y) back to (lat, lon)
+    * degrees. Northern-hemisphere cone (projection centre 0); the
+    * tangent (`latin1 == latin2`) and secant forms share the code path
+    * via the cone constant `n`. Longitudes come out in LoV's frame
+    * (no normalization), which is what wgrib2 prints for these grids.
+    */
+  private[graft] def lambertCells(ni: Int, nj: Int,
+      la1Micro: Long, lo1Micro: Long, ladMicro: Long, lovMicro: Long,
+      latin1Micro: Long, latin2Micro: Long,
+      dxMilli: Long, dyMilli: Long, jPositive: Boolean,
+      earthR: Double): (Array[Double], Array[Double]) = {
+    import math._
+    val phi1 = toRadians(latin1Micro / 1e6)
+    val phi2 = toRadians(latin2Micro / 1e6)
+    require(cos(phi1) > 1e-9 && cos(phi2) > 1e-9,
+      "Lambert secant latitudes at a pole are out of scope")
+    val n =
+      if (latin1Micro == latin2Micro) sin(phi1)
+      else log(cos(phi1) / cos(phi2)) /
+        log(tan(Pi / 4 + phi2 / 2) / tan(Pi / 4 + phi1 / 2))
+    require(n > 1e-9, "non-northern Lambert cone (n <= 0) out of scope")
+    val F = cos(phi1) * pow(tan(Pi / 4 + phi1 / 2), n) / n
+    def rho(latDeg: Double): Double =
+      earthR * F / pow(tan(Pi / 4 + toRadians(latDeg) / 2), n)
+    val rho0 = rho(ladMicro / 1e6)
+    val rho1 = rho(la1Micro / 1e6)
+    val th1 = n * toRadians((lo1Micro - lovMicro) / 1e6)
+    val x1 = rho1 * sin(th1)
+    val y1 = rho0 - rho1 * cos(th1)
+    val dx = dxMilli / 1e3
+    val dy = (if (jPositive) dyMilli else -dyMilli) / 1e3
+    val lats = new Array[Double](ni * nj)
+    val lons = new Array[Double](ni * nj)
+    var k = 0
+    while (k < ni * nj) {
+      val i = k % ni; val j = k / ni
+      val x = x1 + i * dx
+      val y = y1 + j * dy
+      val r = sqrt(x * x + (rho0 - y) * (rho0 - y))
+      val theta = atan2(x, rho0 - y)
+      lats(k) = toDegrees(2 * atan(pow(earthR * F / r, 1.0 / n)) - Pi / 2)
+      lons(k) = lovMicro / 1e6 + toDegrees(theta / n)
+      k += 1
+    }
+    (lats, lons)
+  }
+
   /** Flatten one record to present cells (masked cells dropped). Regular
     * lat/lon rows step uniformly from la1; Gaussian rows (template 3.40)
-    * read the per-row abscissa array.
+    * read the per-row abscissa array; projected grids (3.30) read the
+    * per-cell inverse-projection coordinates.
     */
   def cells(r: Record): Iterator[GridRow] = {
     val latStep = if (r.scanJPositive) r.djMicro else -r.djMicro
     val it =
-      if (r.rowNi == null)
+      if (r.cellLats != null)
+        Iterator.tabulate(r.nj * r.ni)(k =>
+          GridRow(r.variable, r.time, r.cellLats(k), r.cellLons(k), r.values(k)))
+      else if (r.rowNi == null)
         Iterator.tabulate(r.nj * r.ni) { k =>
           val j = k / r.ni; val i = k % r.ni
           val latMicro =
@@ -1003,7 +1098,11 @@ object Grib2 {
                          probUpperScale: Int = 0, probUpperScaled: Long = 0,
                          // >= 0 emits template 4.6 (or 4.10 with a stat
                          // process): percentile value 0..100
-                         percentile: Int = -1) {
+                         percentile: Int = -1,
+                         // non-null emits grid template 3.30 (Lambert
+                         // conformal, sphere code 6): la1Micro/lo1Micro
+                         // are the first grid point; di/djMicro ignored
+                         lambert: LambertGrid = null) {
     require(Seq(ensMember >= 0, derivedType >= 0, probType >= 0,
       percentile >= 0).count(identity) <= 1,
       "a field is a member (4.1), derived (4.2), probability (4.5) or " +
@@ -1040,6 +1139,14 @@ object Grib2 {
     require(sdOrder == 1 || sdOrder == 2, "spatial differencing order must be 1 or 2")
     require(groupLen >= 2, "group length must be at least 2")
   }
+
+  /** Template 3.30 grid parameters (microdegrees / millimetres, the
+    * wire units): secant latitudes, orientation LoV, LaD, and the grid
+    * steps. Scan mode comes from the Field.
+    */
+  final case class LambertGrid(latin1Micro: Long, latin2Micro: Long,
+                               lovMicro: Long, ladMicro: Long,
+                               dxMilli: Long, dyMilli: Long)
 
   /** Serialize fields as one GRIB2 message each and write the
     * concatenation — spec-compliant section framing ready for any GRIB2
@@ -1172,6 +1279,26 @@ object Grib2 {
     val reduced = f.reducedNi.nonEmpty
     val nPoints = if (reduced) f.reducedNi.map(_.toLong).sum else f.ni.toLong * f.nj
     val gauss = f.gaussianN > 0
+    if (f.lambert != null) {
+      // template 3.30: earth shape 6 (sphere 6371229 m), Nx/Ny,
+      // La1/Lo1, res flags 0x48, LaD/LoV, Dx/Dy mm, centre 0, scan,
+      // Latin1/Latin2, southern pole missing
+      require(!gauss && !reduced, "a grid is Lambert OR lat-lon/Gaussian")
+      require(f.lambert.dxMilli > 0 && f.lambert.dyMilli > 0,
+        "Lambert grid steps must be positive")
+      section(3, Array[Byte](0) ++ u32(nPoints) ++ Array[Byte](0, 0) ++
+        u16(30) ++
+        Array[Byte](6) ++ Array[Byte](0) ++ u32(0) ++ Array[Byte](0) ++
+        u32(0) ++ Array[Byte](0) ++ u32(0) ++
+        u32(f.ni.toLong) ++ u32(f.nj.toLong) ++
+        sm32(f.la1Micro) ++ sm32(f.lo1Micro) ++
+        Array[Byte](0x48) ++
+        sm32(f.lambert.ladMicro) ++ sm32(f.lambert.lovMicro) ++
+        u32(f.lambert.dxMilli) ++ u32(f.lambert.dyMilli) ++
+        Array[Byte](0) ++ Array(f.scanMode.toByte) ++
+        sm32(f.lambert.latin1Micro) ++ sm32(f.lambert.latin2Micro) ++
+        sm32(-90000000L) ++ u32(0))
+    } else {
     if (gauss) require(f.nj == 2 * f.gaussianN,
       s"Gaussian field nj=${f.nj} must equal 2N=${2 * f.gaussianN}")
     val gLats =
@@ -1201,6 +1328,7 @@ object Grib2 {
       u32(if (reduced) missing else f.diMicro) ++
       u32(if (gauss) f.gaussianN.toLong else f.djMicro) ++
       Array(f.scanMode.toByte) ++ rowList)
+    } // end non-Lambert grids
 
     // section 4: product definition template 4.0 (analysis, surface), or
     // 4.8 (statistical processing over a time interval) when a stat

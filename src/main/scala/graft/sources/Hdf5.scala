@@ -34,11 +34,14 @@ import scala.collection.mutable.ArrayBuffer
   * Out of scope, rejecting loudly with a pointer: v2 object headers
   * ("OHDR", written only under later libver bounds), groups beyond
   * root, szip (filter 4), fletcher32 (filter 3), compact layout,
-  * datatypes other than int32/float64 data and float64 coords.
+  * datatypes other than int16/int32/float64 data and float64 coords.
   * Semantics mirror [[Netcdf]] exactly: int32 `value = raw /
-  * 10^decimal_scale`, float64 stored verbatim (the NC_DOUBLE
-  * convention), `_FillValue` cells drop, `time` is epoch-hours — one
-  * flattened contract across CDF-1/2/5 and HDF5.
+  * 10^decimal_scale`, int16 the CF packing convention (`value =
+  * packed * scale_factor + add_offset`, fill compared in packed
+  * space — the shape ERA5 netCDF-4 downloads actually ship), float64
+  * stored verbatim (the NC_DOUBLE convention), `_FillValue` cells
+  * drop, `time` is epoch-hours — one flattened contract across
+  * CDF-1/2/5 and HDF5.
   *
   * Scale shape: identical to the classic reader — one decode task per
   * file via binaryFile, variable regex pruning whole datasets before
@@ -60,7 +63,7 @@ object Hdf5 {
 
   final case class Filter(id: Int, cvals: Seq[Int])
 
-  /** dtype: "i32" | "f64" (all this subset needs). */
+  /** dtype: "i16" | "i32" | "f64" (all this subset needs). */
   final case class Dataset(name: String, dims: Seq[Int], dtype: String,
                            layout: Layout, filters: Seq[Filter],
                            atts: Map[String, Any])
@@ -84,13 +87,22 @@ object Hdf5 {
                 deflateLevel: Int = 6,
                 // NcInt: int32 + decimal_scale (value = raw / 10^D);
                 // NcDouble: float64 storing scaled/10^D pre-divided
-                // (one IEEE divide, the NC_DOUBLE convention)
+                // (one IEEE divide, the NC_DOUBLE convention);
+                // NcShort: int16 + CF scale_factor 0.25 / add_offset 300
+                // (the r50 packing convention, dyadic-exact)
                 payloadType: Int = Netcdf.NcInt): Path = {
     require(fields.nonEmpty, "no fields to write")
     require(superblockVersion == 0 || superblockVersion == 3,
       s"superblock version $superblockVersion unsupported (0 / 3)")
-    require(payloadType == Netcdf.NcInt || payloadType == Netcdf.NcDouble,
-      s"payload type $payloadType unsupported (NC_INT / NC_DOUBLE)")
+    require(payloadType == Netcdf.NcInt || payloadType == Netcdf.NcDouble ||
+      payloadType == Netcdf.NcShort,
+      s"payload type $payloadType unsupported (NC_SHORT / NC_INT / NC_DOUBLE)")
+    if (payloadType == Netcdf.NcShort) fields.foreach { f =>
+      require(f.decimalScale == 0,
+        "short payloads use scale_factor/add_offset — decimalScale must be 0")
+      f.scaled.foreach(_.foreach(v => require(v > -32767 && v <= 32767,
+        s"scaled value $v outside the NC_SHORT packed range")))
+    }
     val g = fields.head
     fields.foreach { f =>
       require(f.ni == g.ni && f.nj == g.nj && f.la1Micro == g.la1Micro &&
@@ -148,6 +160,9 @@ object Hdf5 {
     }
 
     // --------------- shared message-building helpers
+    val dataElemSize = payloadType match {
+      case Netcdf.NcShort => 2; case Netcdf.NcDouble => 8; case _ => 4
+    }
     def pad8(b: ArrayBuffer[Byte]): Unit = while (b.length % 8 != 0) b += 0
     def bb(f: ArrayBuffer[Byte] => Unit): ArrayBuffer[Byte] = {
       val b = new ArrayBuffer[Byte](); f(b); b
@@ -171,6 +186,13 @@ object Hdf5 {
       b8(b, 0x08); b8(b, 0); b8(b, 0) // bit field: LE, signed
       b32(b, 4) // size
       b16(b, 0); b16(b, 32) // bit offset, precision
+      pad8(b)
+    }
+    def dtI16: ArrayBuffer[Byte] = bb { b =>
+      b8(b, (1 << 4) | 0) // version 1, class 0 fixed-point
+      b8(b, 0x08); b8(b, 0); b8(b, 0) // bit field: LE, signed
+      b32(b, 2) // size
+      b16(b, 0); b16(b, 16) // bit offset, precision
       pad8(b)
     }
     def dtF64: ArrayBuffer[Byte] = bb { b =>
@@ -207,6 +229,9 @@ object Hdf5 {
       attrMsg(name, dtF64, dataspaceBody(Nil),
         Array.tabulate(8)(k => ((bits >>> (8 * k)) & 0xff).toByte))
     }
+    def shortAttr(name: String, v: Short): ArrayBuffer[Byte] =
+      attrMsg(name, dtI16, dataspaceBody(Nil),
+        Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte))
     def strAttr(name: String, v: String): ArrayBuffer[Byte] = {
       val d = v.getBytes("UTF-8")
       attrMsg(name, dtString(d.length), dataspaceBody(Nil), d)
@@ -278,16 +303,21 @@ object Hdf5 {
       } yield {
         val f = fields.find(x => x.variable == v && x.time == t).get
         val denom = math.pow(10, g.decimalScale)
-        val esz = if (payloadType == Netcdf.NcDouble) 8 else 4
+        val esz = dataElemSize
         val raw = new Array[Byte](chunkJ * chunkI * esz)
         var p = 0
         for (dj <- 0 until chunkJ; di <- 0 until chunkI) {
           val j = cj * chunkJ + dj; val i = ci * chunkI + di
           // edge chunks are stored FULL SIZE per spec, padded with fill
           val cell = if (j < g.nj && i < g.ni) f.scaled(j * g.ni + i) else None
-          val b =
-            if (esz == 4) le32(cell.getOrElse(Netcdf.FillInt))
-            else le64d(cell.map(_ / denom).getOrElse(Netcdf.FillDouble))
+          val b = payloadType match {
+            case Netcdf.NcShort =>
+              val s = cell.getOrElse(Netcdf.FillShort.toInt)
+              Array[Byte]((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)
+            case Netcdf.NcDouble =>
+              le64d(cell.map(_ / denom).getOrElse(Netcdf.FillDouble))
+            case _ => le32(cell.getOrElse(Netcdf.FillInt))
+          }
           System.arraycopy(b, 0, raw, p, esz)
           p += esz
         }
@@ -310,8 +340,7 @@ object Hdf5 {
       entries.foreach { case (offs, addr, size) => key(size, offs); u64(addr) }
       // final key: one past the last chunk (canonical upper bound)
       key(0, Seq(times.length.toLong, (cgJ * chunkJ).toLong, (cgI * chunkI).toLong))
-      Chunked(btreeAddr, Seq(1, chunkJ, chunkI),
-        if (payloadType == Netcdf.NcDouble) 8 else 4)
+      Chunked(btreeAddr, Seq(1, chunkJ, chunkI), dataElemSize)
     }
 
     def layoutMsg(l: Layout): ArrayBuffer[Byte] = bb { b =>
@@ -325,7 +354,6 @@ object Hdf5 {
       }
     }
     val fillMsg = bb { b => b8(b, 2); b8(b, 2); b8(b, 2); b8(b, 0) } // v2, undefined
-    val dataElemSize = if (payloadType == Netcdf.NcDouble) 8 else 4
     val pipelineMsg = bb { b =>
       b8(b, 1); b8(b, 2) // version 1, two filters
       b16(b, 0); b32(b, 0) // reserved
@@ -352,15 +380,25 @@ object Hdf5 {
       0x000C -> strAttr("units", "hours since 1970-01-01 00:00:00")))
     val varAddrs = vars.map { v =>
       val l = chunkedVar(v)
-      val scaleAtts: Seq[(Int, ArrayBuffer[Byte])] =
-        if (payloadType == Netcdf.NcDouble)
+      val scaleAtts: Seq[(Int, ArrayBuffer[Byte])] = payloadType match {
+        case Netcdf.NcDouble =>
           Seq(0x000C -> dblAttr("_FillValue", Netcdf.FillDouble))
-        else Seq(
+        case Netcdf.NcShort => Seq(
+          0x000C -> dblAttr("scale_factor", 0.25),
+          0x000C -> dblAttr("add_offset", 300.0),
+          0x000C -> shortAttr("_FillValue", Netcdf.FillShort))
+        case _ => Seq(
           0x000C -> intAttr("decimal_scale", g.decimalScale),
           0x000C -> intAttr("_FillValue", Netcdf.FillInt))
+      }
+      val dt = payloadType match {
+        case Netcdf.NcDouble => dtF64
+        case Netcdf.NcShort => dtI16
+        case _ => dtI32
+      }
       v -> objectHeader(Seq(
         0x0001 -> dataspaceBody(Seq(times.length, g.nj, g.ni)),
-        0x0003 -> (if (payloadType == Netcdf.NcDouble) dtF64 else dtI32),
+        0x0003 -> dt,
         0x0005 -> fillMsg,
         0x0008 -> layoutMsg(l), 0x000B -> pipelineMsg) ++
         scaleAtts :+ (0x000C -> strAttr("units", "K")))
@@ -504,16 +542,17 @@ object Hdf5 {
       val cls = u8(p) & 0x0f
       val size = u32(p + 4)
       (cls, size) match {
-        case (0, 4) =>
+        case (0, 4) | (0, 2) =>
           if ((u8(p + 1) & 0x01) != 0) fail(label, "big-endian int data out of scope")
           if ((u8(p + 1) & 0x08) == 0) fail(label, "unsigned int data out of scope")
-          "i32"
+          if (size == 4) "i32" else "i16" // i16 = the CF-packed CDS shape
         case (1, 8) =>
           if ((u8(p + 1) & 0x01) != 0) fail(label, "big-endian float data out of scope")
           "f64"
         case (3, _) => "str"
         case (c, s) => fail(label,
-          s"datatype class $c size $s out of scope (int32 data, float64 coords)")
+          s"datatype class $c size $s out of scope (int16/int32/float64 data, " +
+            "float64 coords)")
       }
     }
     def parseLayout(p: Long): Layout = {
@@ -577,6 +616,7 @@ object Hdf5 {
       val esz = u32(dtP + 4)
       val value: Any =
         if (cls == 0 && esz == 4 && npoints == 1) u32(q).toInt
+        else if (cls == 0 && esz == 2 && npoints == 1) u16(q).toShort
         else if (cls == 1 && esz == 8 && npoints == 1)
           java.lang.Double.longBitsToDouble(u64(q))
         else if (cls == 3 && npoints == 1 && esz <= 4096) {
@@ -653,7 +693,9 @@ object Hdf5 {
     def u16(p: Long): Int = u8(p) | (u8(p + 1) << 8)
     def u32(p: Long): Long = u16(p).toLong | (u16(p + 2).toLong << 16)
     def u64(p: Long): Long = u32(p) | (u32(p + 4) << 32)
-    val elemSize = if (d.dtype == "i32") 4 else 8
+    val elemSize = d.dtype match {
+      case "i16" => 2; case "i32" => 4; case _ => 8
+    }
     val cells = d.dims.map(_.toLong).product
     val total = cells * elemSize
     if (total > (MaxCells.toLong * 8)) fail(label, s"dataset '${d.name}' too large")
@@ -681,6 +723,12 @@ object Hdf5 {
               case _ => Netcdf.FillInt
             }
             Array.tabulate(4)(k => ((v >>> (8 * k)) & 0xff).toByte)
+          } else if (d.dtype == "i16") {
+            val v: Int = d.atts.get("_FillValue") match {
+              case Some(s: Short) => s.toInt
+              case _ => Netcdf.FillShort.toInt
+            }
+            Array.tabulate(2)(k => ((v >>> (8 * k)) & 0xff).toByte)
           } else {
             val v = d.atts.get("_FillValue") match {
               case Some(x: Double) => x
@@ -843,6 +891,25 @@ object Hdf5 {
           }
           val denom = math.pow(10, scale)
           k => { val v = i32le(raw, k); if (v == fill) None else Some(v / denom) }
+        } else if (d.dtype == "i16") {
+          // the CF packing convention (the int16 shape CDS netCDF-4
+          // downloads ship): value = packed * scale_factor + add_offset,
+          // fill compared in PACKED space
+          def dblAtt(n: String, dflt: Double): Double = d.atts.get(n) match {
+            case Some(x: Double) => x
+            case Some(i: Int) => i.toDouble
+            case _ => dflt
+          }
+          val sf = dblAtt("scale_factor", 1.0)
+          val ao = dblAtt("add_offset", 0.0)
+          val fill: Int = d.atts.get("_FillValue") match {
+            case Some(s: Short) => s.toInt
+            case _ => Netcdf.FillShort.toInt
+          }
+          k => {
+            val v = (((raw(2 * k + 1) & 0xff) << 8) | (raw(2 * k) & 0xff)).toShort.toInt
+            if (v == fill) None else Some(v * sf + ao)
+          }
         } else { // f64: stored value verbatim (the NC_DOUBLE convention)
           val fill = d.atts.get("_FillValue") match {
             case Some(x: Double) => x

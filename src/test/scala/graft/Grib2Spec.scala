@@ -427,6 +427,61 @@ class Grib2Spec extends SparkSpec {
       write(field().copy(probType = 1, probTotal = 1, percentile = 50))
   }
 
+  test("grid template 3.30 Lambert conformal: octet pins, inverse round-trip, rejects") {
+    val lcc = Grib2.LambertGrid(latin1Micro = 25000000L, latin2Micro = 25000000L,
+      lovMicro = 265000000L, ladMicro = 25000000L,
+      dxMilli = 12000000L, dyMilli = 12000000L) // tangent cone (n = sin 25)
+    val f = Grib2.Field(0, 0, 0, LocalDateTime.of(2008, 3, 1, 0, 0),
+      ni = 6, nj = 4, la1Micro = 30000000L, lo1Micro = 260000000L,
+      diMicro = 0L, djMicro = 0L, decimalScale = 1,
+      Array.tabulate(24)(k => Some(k * 5 % 90)), scanMode = 0x40, lambert = lcc)
+    val bytes = write(f)
+    def u32(i: Int) = ((bytes(i) & 0xff).toLong << 24) | ((bytes(i + 1) & 0xff) << 16) |
+      ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+    var pos = 16
+    while ((bytes(pos + 4) & 0xff) != 3) pos += u32(pos).toInt
+    ((bytes(pos + 12) & 0xff) << 8 | (bytes(pos + 13) & 0xff)) shouldBe 30 // template
+    (bytes(pos + 14) & 0xff) shouldBe 6 // earth shape: sphere 6371229 m
+    u32(pos + 30) shouldBe 6L // Nx
+    u32(pos + 34) shouldBe 4L // Ny
+    u32(pos + 38) shouldBe 30000000L // La1
+    u32(pos + 42) shouldBe 260000000L // Lo1
+    u32(pos + 47) shouldBe 25000000L // LaD (octets 48-51)
+    u32(pos + 51) shouldBe 265000000L // LoV
+    u32(pos + 55) shouldBe 12000000L // Dx mm
+    (bytes(pos + 63) & 0xff) shouldBe 0 // projection centre: north pole
+    (bytes(pos + 64) & 0xff) shouldBe 0x40 // scan
+    u32(pos + 65) shouldBe 25000000L // Latin1
+    u32(pos + 69) shouldBe 25000000L // Latin2
+    val rec = Grib2.parseMessages(bytes).head
+    rec.cellLats should not be null
+    val cs = Grib2.cells(rec).toSeq
+    cs.size shouldBe 24
+    // the first grid point's inverse reproduces (La1, Lo1) to sub-µdeg
+    cs.head.lat shouldBe 30.0 +- 1e-7
+    cs.head.lon shouldBe 260.0 +- 1e-7
+    // +x along the first row moves east; +y toward the pole moves north
+    (cs(1).lon > cs.head.lon) shouldBe true
+    (cs(6).lat > cs.head.lat) shouldBe true
+    cs.map(_.value) shouldBe (0 until 24).map(k => (k * 5 % 90) / 10.0)
+    // secant cone decodes through the general n formula too
+    val sec = Grib2.parseMessages(write(f.copy(lambert =
+      lcc.copy(latin1Micro = 20000000L, latin2Micro = 40000000L)))).head
+    Grib2.cells(sec).next().lat shouldBe 30.0 +- 1e-7
+    // rejects: south-pole centre flag, bad earth shape, bogus scan
+    val bad1 = bytes.clone(); bad1(pos + 63) = 0x80.toByte
+    intercept[IllegalArgumentException](Grib2.parseMessages(bad1))
+      .getMessage should include("projection centre")
+    val bad2 = bytes.clone(); bad2(pos + 14) = 2
+    intercept[IllegalArgumentException](Grib2.parseMessages(bad2))
+      .getMessage should include("earth shape")
+    // writer refuses a Lambert + Gaussian hybrid and zero steps
+    an[IllegalArgumentException] should be thrownBy
+      write(f.copy(gaussianN = 2))
+    an[IllegalArgumentException] should be thrownBy
+      write(f.copy(lambert = lcc.copy(dxMilli = 0)))
+  }
+
   test("reduced Gaussian grid: missing-ni + row list octet pins, ragged cells") {
     // N=8 (16 rows), realistic pole-shrunk row counts, all dividing
     // 360e6 so row longitudes are exact micro-degrees

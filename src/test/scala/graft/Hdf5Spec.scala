@@ -79,6 +79,37 @@ class Hdf5Spec extends SparkSpec {
     sortRows(Netcdf.records(bytes, "f64")) shouldBe expectRows(fields)
   }
 
+  test("int16 CF-packed data round-trips (value = packed*0.25 + 300, packed-space fill)") {
+    val fields = Seq(
+      field("TMP", t0, 100).copy(decimalScale = 0),
+      field("PRATE", t0, -400, masked = true).copy(decimalScale = 0))
+    val p = Hdf5.writeFile(
+      java.nio.file.Files.createTempDirectory("h5s").resolve("s.nc"),
+      fields, 3, 5, payloadType = Netcdf.NcShort)
+    val bytes = java.nio.file.Files.readAllBytes(p)
+    val ds = Hdf5.parseDatasets(bytes, "i16")
+    val tmp = ds.find(_.name == "TMP").get
+    tmp.dtype shouldBe "i16"
+    tmp.filters.head.cvals shouldBe Seq(2) // shuffle typesize
+    tmp.atts("scale_factor") shouldBe 0.25
+    tmp.atts("add_offset") shouldBe 300.0
+    tmp.atts("_FillValue") shouldBe Netcdf.FillShort
+    val expect = fields.flatMap { f =>
+      (0 until f.nj * f.ni).flatMap { k =>
+        val j = k / f.ni; val i = k % f.ni
+        f.scaled(k).map(s => Netcdf.GridRow(f.variable, f.time,
+          (f.la1Micro - j * f.djMicro) / 1e6,
+          (f.lo1Micro + i * f.diMicro) / 1e6, s * 0.25 + 300.0))
+      }
+    }.sortBy(r => (r.variable, r.time.toString, r.lat, r.lon))
+    sortRows(Netcdf.records(bytes, "i16")) shouldBe expect
+    // out-of-range packed values refuse at write
+    an[IllegalArgumentException] should be thrownBy Hdf5.writeFile(
+      java.nio.file.Files.createTempDirectory("h5s").resolve("bad.nc"),
+      Seq(field("TMP", t0, 40000).copy(decimalScale = 0)), 3, 5,
+      payloadType = Netcdf.NcShort)
+  }
+
   test("wire pins: superblock, v1 object header, HEAP/TREE/SNOD, chunk B-tree key") {
     val bytes = writeBytes(Seq(field("TMP", t0, 100)))
     def u16(p: Int) = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
