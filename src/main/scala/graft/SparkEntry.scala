@@ -941,6 +941,61 @@ object SparkEntry {
       fields).toString
   }
 
+  /** r63 fixture: grid template 3.20 polar stereographic (the GFS
+    * polar / sea-ice grid shape): true scale at 60°N, LoV 280°, 25 km
+    * steps from a (50°N, 250°E) first point, scan 0x40. Same oracle
+    * discipline as r62 (SQL-re-derived inverse, 5-decimal rounding).
+    */
+  private lazy val grib2PolarFixturePath: String = {
+    import java.time.LocalDateTime
+    val params = Seq((0, 0, 0, false), (1, 1, 7, true))
+    val times = Seq(LocalDateTime.of(2008, 11, 6, 6, 0),
+      LocalDateTime.of(2008, 12, 6, 18, 0))
+    val ps = sources.Grib2.PolarGrid(lovMicro = 280000000L,
+      ladMicro = 60000000L, dxMilli = 25000000L, dyMilli = 25000000L)
+    val fields = for {
+      (t, m) <- times.zipWithIndex
+      (pidx, cat, num, masked) <- params
+    } yield sources.Grib2.Field(0, cat, num, t, ni = 11, nj = 8,
+      la1Micro = 50000000L, lo1Micro = 250000000L,
+      diMicro = 0L, djMicro = 0L, decimalScale = 1,
+      Array.tabulate(8 * 11) { k =>
+        val j = k / 11; val i = k % 11
+        if (masked && (i * 2 + j + m) % 9 == 6) None
+        else Some((i * 9 + j * 13 + pidx * 37 + m * 23) % 580)
+      }, scanMode = 0x40, polar = ps)
+    sources.Grib2.writeFile(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft-grib", "polar.grib2"),
+      fields).toString
+  }
+
+  /** r64 fixture: grid template 3.10 Mercator (tropical/regional NWP
+    * grids): true scale at 20°N, 40 km steps from (5°N, 100°E), scan
+    * 0x40. Same SQL-re-derived oracle discipline as r62/r63.
+    */
+  private lazy val grib2MercatorFixturePath: String = {
+    import java.time.LocalDateTime
+    val params = Seq((0, 0, 0, false), (1, 1, 7, true))
+    val times = Seq(LocalDateTime.of(2009, 1, 9, 6, 0),
+      LocalDateTime.of(2009, 2, 9, 18, 0))
+    val mc = sources.Grib2.MercatorGrid(ladMicro = 20000000L,
+      diMilli = 40000000L, djMilli = 40000000L)
+    val fields = for {
+      (t, m) <- times.zipWithIndex
+      (pidx, cat, num, masked) <- params
+    } yield sources.Grib2.Field(0, cat, num, t, ni = 10, nj = 7,
+      la1Micro = 5000000L, lo1Micro = 100000000L,
+      diMicro = 0L, djMicro = 0L, decimalScale = 1,
+      Array.tabulate(7 * 10) { k =>
+        val j = k / 10; val i = k % 10
+        if (masked && (i + j * 2 + m) % 7 == 4) None
+        else Some((i * 11 + j * 17 + pidx * 31 + m * 19) % 490)
+      }, scanMode = 0x40, mercator = mc)
+    sources.Grib2.writeFile(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft-grib", "merc.grib2"),
+      fields).toString
+  }
+
   /** r47 fixture: template-5.42 CCSDS-AEC packing (ECMWF operational) —
     * TMP dense and PRATE bitmap-masked (5.42 is the one compressed
     * representation that composes with a bitmap: it packs present cells
@@ -2428,6 +2483,20 @@ object SparkEntry {
     // both engines so the hash compares geometry, not libm ULPs
     "r62_grib2_lambert" -> ((s, _) =>
       sources.Grib2.readRecords(s, Seq(grib2LambertFixturePath), matchRe = "TMP|PRATE")
+        .select($"variable", $"time",
+          round($"lat", 5).as("lat"), round($"lon", 5).as("lon"), $"value")
+        .orderBy($"variable", $"time", $"lat", $"lon")),
+    // grid template 3.10 Mercator (tropical/regional grids): same
+    // per-cell inverse + 5-decimal rounding discipline as r62/r63
+    "r64_grib2_mercator" -> ((s, _) =>
+      sources.Grib2.readRecords(s, Seq(grib2MercatorFixturePath), matchRe = "TMP|PRATE")
+        .select($"variable", $"time",
+          round($"lat", 5).as("lat"), round($"lon", 5).as("lon"), $"value")
+        .orderBy($"variable", $"time", $"lat", $"lon")),
+    // grid template 3.20 polar stereographic (GFS polar products):
+    // same per-cell inverse + 5-decimal rounding discipline as r62
+    "r63_grib2_polar" -> ((s, _) =>
+      sources.Grib2.readRecords(s, Seq(grib2PolarFixturePath), matchRe = "TMP|PRATE")
         .select($"variable", $"time",
           round($"lat", 5).as("lat"), round($"lon", 5).as("lon"), $"value")
         .orderBy($"variable", $"time", $"lat", $"lon")),
@@ -6292,6 +6361,55 @@ object SparkEntry {
                 s / 10.0 AS value
          FROM u
          ORDER BY variable, kind, member, lat, lon""",
+    // the Mercator lattice re-derived in SQL: k = R cos(LaD),
+    // lon = Lo1 + degrees(i*di/k), lat = degrees(2 atan(exp(y/k)) - pi/2)
+    "r64_grib2_mercator" ->
+      s"""WITH c AS (SELECT 6371229.0 * cos(radians(20.0)) AS k,
+                5.0 AS lat1, 100.0 AS lon1, 40000.0 AS di, 40000.0 AS dj),
+         k1 AS (SELECT *, k * ln(tan(pi() / 4 + radians(lat1) / 2)) AS y1
+                FROM c),
+         p(pidx, variable, masked) AS (VALUES (0, 'TMP', 0), (1, 'PRATE', 1)),
+         t(t, m) AS (VALUES (TIMESTAMP '2009-01-09 06:00:00', 0),
+                            (TIMESTAMP '2009-02-09 18:00:00', 1)),
+         ii AS (SELECT unnest(generate_series(0, 9)) AS i),
+         jj AS (SELECT unnest(generate_series(0, 6)) AS j)
+         SELECT variable, t AS time,
+                round(degrees(2 * atan(exp((y1 + j * dj) / k)) - pi() / 2),
+                  5) AS lat,
+                round(lon1 + degrees(i * di / k), 5) AS lon,
+                ((i * 11 + j * 17 + pidx * 31 + m * 19) % 490) / 10.0 AS value
+         FROM k1 CROSS JOIN p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
+         WHERE NOT (masked = 1 AND (i + j * 2 + m) % 7 = 4)
+         ORDER BY variable, time, lat, lon""",
+    // the polar-stereographic lattice re-derived in SQL: rho(lat) =
+    // R(1+sin LaD) tan(pi/4 - lat/2), x = rho sin(lon-LoV),
+    // y = -rho cos(lon-LoV); both engines round to 5 decimals
+    "r63_grib2_polar" ->
+      s"""WITH c AS (SELECT 6371229.0 * (1 + sin(radians(60.0))) AS scale,
+                280.0 AS lov, 50.0 AS lat1, 250.0 AS lon1,
+                25000.0 AS dx, 25000.0 AS dy),
+         k1 AS (SELECT *,
+                  scale * tan(pi() / 4 - radians(lat1) / 2) AS rho1,
+                  radians(lon1 - lov) AS th1
+                FROM c),
+         k2 AS (SELECT *, rho1 * sin(th1) AS x1, -rho1 * cos(th1) AS y1
+                FROM k1),
+         p(pidx, variable, masked) AS (VALUES (0, 'TMP', 0), (1, 'PRATE', 1)),
+         t(t, m) AS (VALUES (TIMESTAMP '2008-11-06 06:00:00', 0),
+                            (TIMESTAMP '2008-12-06 18:00:00', 1)),
+         ii AS (SELECT unnest(generate_series(0, 10)) AS i),
+         jj AS (SELECT unnest(generate_series(0, 7)) AS j),
+         pts AS (SELECT k2.*, p.*, t.*, i, j,
+                        x1 + i * dx AS x, y1 + j * dy AS y
+                 FROM k2 CROSS JOIN p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
+                 WHERE NOT (masked = 1 AND (i * 2 + j + m) % 9 = 6))
+         SELECT variable, t AS time,
+                round(degrees(pi() / 2 -
+                    2 * atan(sqrt(x * x + y * y) / scale)), 5) AS lat,
+                round(lov + degrees(atan2(x, -y)), 5) AS lon,
+                ((i * 9 + j * 13 + pidx * 37 + m * 23) % 580) / 10.0 AS value
+         FROM pts
+         ORDER BY variable, time, lat, lon""",
     // the Lambert lattice re-derived in SQL with the same Snyder
     // inverse (secant cone 30/45): constants n, F, rho0 and the first
     // point's (x1, y1), then each cell's inverse — both engines round

@@ -357,10 +357,66 @@ object Grib2 {
           case 2 => () // local use: skip
           case 3 =>
             val template = u16(pos + 12)
-            require(template == 0 || template == 30 || template == 40,
-              s"grid template 3.$template unsupported " +
-                s"(3.0 lat/lon / 3.30 Lambert conformal / 3.40 Gaussian) in $label")
-            if (template == 30) {
+            require(template == 0 || template == 10 || template == 20 ||
+              template == 30 || template == 40,
+              s"grid template 3.$template unsupported (3.0 lat/lon / " +
+                s"3.10 Mercator / 3.20 polar stereographic / 3.30 Lambert / " +
+                s"3.40 Gaussian) in $label")
+            if (template == 10) {
+              // Mercator: octets 31-38 Ni/Nj, 39-46 La1/Lo1, 48-51 LaD
+              // (true-scale latitude), 52-59 La2/Lo2, 60 scan, 61-64
+              // orientation, 65-72 Di/Dj (mm)
+              require(len >= 72, s"grid section 3.10 too short ($len) in $label")
+              val shape = u(pos + 14)
+              require(shape == 6 || shape == 0,
+                s"earth shape $shape unsupported for 3.10 (0 / 6 = sphere) in $label")
+              val earthR = if (shape == 6) 6371229.0 else 6367470.0
+              ni = u32(pos + 30).toInt; nj = u32(pos + 34).toInt
+              require(ni > 1 && nj > 1 && ni.toLong * nj <= (1L << 26),
+                s"implausible 3.10 grid ${ni}x$nj in $label")
+              la1 = s32(pos + 38); lo1 = s32(pos + 42)
+              val lad = s32(pos + 47)
+              require(math.abs(lad) < 89000000L,
+                s"Mercator true-scale latitude $lad at a pole in $label")
+              val scan = u(pos + 59)
+              require(scan == 0x40 || scan == 0x00,
+                f"3.10 scanning mode 0x$scan%02x unsupported in $label")
+              jPositive = scan == 0x40
+              require(u32(pos + 60) == 0L,
+                s"rotated Mercator (orientation ${u32(pos + 60)}) out of scope in $label")
+              val diMm = u32(pos + 64); val djMm = u32(pos + 68)
+              require(diMm > 0 && djMm > 0, s"3.10 zero grid step in $label")
+              val (cl, cn) = mercatorCells(ni, nj, la1, lo1, lad,
+                diMm, djMm, jPositive, earthR)
+              projLats = cl; projLons = cn
+              di = 0L; dj = 0L; gaussLats = null; rowNi = null
+            } else if (template == 20) {
+              // Polar stereographic (the GFS polar / sea-ice grid shape):
+              // octets 31-38 Nx/Ny, 39-46 La1/Lo1, 48-55 LaD/LoV,
+              // 56-63 Dx/Dy (mm), 64 projection centre, 65 scan
+              require(len >= 65, s"grid section 3.20 too short ($len) in $label")
+              val shape = u(pos + 14)
+              require(shape == 6 || shape == 0,
+                s"earth shape $shape unsupported for 3.20 (0 / 6 = sphere) in $label")
+              val earthR = if (shape == 6) 6371229.0 else 6367470.0
+              ni = u32(pos + 30).toInt; nj = u32(pos + 34).toInt
+              require(ni > 1 && nj > 1 && ni.toLong * nj <= (1L << 26),
+                s"implausible 3.20 grid ${ni}x$nj in $label")
+              la1 = s32(pos + 38); lo1 = s32(pos + 42)
+              val lad = s32(pos + 47); val lov = s32(pos + 51)
+              val dxMm = u32(pos + 55); val dyMm = u32(pos + 59)
+              require(dxMm > 0 && dyMm > 0, s"3.20 zero grid step in $label")
+              require(u(pos + 63) == 0,
+                s"projection centre 0x${u(pos + 63)} unsupported (north pole) in $label")
+              val scan = u(pos + 64)
+              require(scan == 0x40 || scan == 0x00,
+                f"3.20 scanning mode 0x$scan%02x unsupported in $label")
+              jPositive = scan == 0x40
+              val (cl, cn) = polarCells(ni, nj, la1, lo1, lad, lov,
+                dxMm, dyMm, jPositive, earthR)
+              projLats = cl; projLons = cn
+              di = 0L; dj = 0L; gaussLats = null; rowNi = null
+            } else if (template == 30) {
               // Lambert conformal (the HRRR/NAM operational CONUS grid):
               // octets 31-34 Nx, 35-38 Ny, 39-46 La1/Lo1, 48-55 LaD/LoV,
               // 56-63 Dx/Dy (mm), 64 projection centre, 65 scan,
@@ -1000,6 +1056,68 @@ object Grib2 {
     (lats, lons)
   }
 
+  /** Inverse Mercator on the sphere with true scale at LaD (Snyder
+    * eqs. 7-1..7-5 scaled by cos LaD): columns step uniformly in x
+    * (`lon = Lo1 + i*Di / (R cos LaD)` radians), rows in the log-tan
+    * ordinate (`lat = 2 atan(exp(y/k)) - pi/2`).
+    */
+  private[graft] def mercatorCells(ni: Int, nj: Int,
+      la1Micro: Long, lo1Micro: Long, ladMicro: Long,
+      diMilli: Long, djMilli: Long, jPositive: Boolean,
+      earthR: Double): (Array[Double], Array[Double]) = {
+    import math._
+    val k = earthR * cos(toRadians(ladMicro / 1e6))
+    val y1 = k * log(tan(Pi / 4 + toRadians(la1Micro / 1e6) / 2))
+    val dx = diMilli / 1e3
+    val dy = (if (jPositive) djMilli else -djMilli) / 1e3
+    val lats = new Array[Double](ni * nj)
+    val lons = new Array[Double](ni * nj)
+    var c = 0
+    while (c < ni * nj) {
+      val i = c % ni; val j = c / ni
+      lats(c) = toDegrees(2 * atan(exp((y1 + j * dy) / k)) - Pi / 2)
+      lons(c) = lo1Micro / 1e6 + toDegrees(i * dx / k)
+      c += 1
+    }
+    (lats, lons)
+  }
+
+  /** Inverse north-polar stereographic on the sphere (Snyder eqs.
+    * 20-14..20-18, polar aspect with true scale at LaD): the radial
+    * distance from the pole is `rho(lat) = R (1 + sin(LaD)) tan(pi/4 -
+    * lat/2)`, the x axis points 90° clockwise from LoV and y runs along
+    * LoV toward the pole (`x = rho sin(lon-LoV)`, `y = -rho
+    * cos(lon-LoV)` — the NCEP grid convention wgrib2 prints).
+    */
+  private[graft] def polarCells(ni: Int, nj: Int,
+      la1Micro: Long, lo1Micro: Long, ladMicro: Long, lovMicro: Long,
+      dxMilli: Long, dyMilli: Long, jPositive: Boolean,
+      earthR: Double): (Array[Double], Array[Double]) = {
+    import math._
+    val scale = earthR * (1 + sin(toRadians(ladMicro / 1e6)))
+    def rho(latDeg: Double): Double =
+      scale * tan(Pi / 4 - toRadians(latDeg) / 2)
+    val rho1 = rho(la1Micro / 1e6)
+    val th1 = toRadians((lo1Micro - lovMicro) / 1e6)
+    val x1 = rho1 * sin(th1)
+    val y1 = -rho1 * cos(th1)
+    val dx = dxMilli / 1e3
+    val dy = (if (jPositive) dyMilli else -dyMilli) / 1e3
+    val lats = new Array[Double](ni * nj)
+    val lons = new Array[Double](ni * nj)
+    var k = 0
+    while (k < ni * nj) {
+      val i = k % ni; val j = k / ni
+      val x = x1 + i * dx
+      val y = y1 + j * dy
+      val r = sqrt(x * x + y * y)
+      lats(k) = toDegrees(Pi / 2 - 2 * atan(r / scale))
+      lons(k) = lovMicro / 1e6 + toDegrees(atan2(x, -y))
+      k += 1
+    }
+    (lats, lons)
+  }
+
   /** Flatten one record to present cells (masked cells dropped). Regular
     * lat/lon rows step uniformly from la1; Gaussian rows (template 3.40)
     * read the per-row abscissa array; projected grids (3.30) read the
@@ -1102,7 +1220,16 @@ object Grib2 {
                          // non-null emits grid template 3.30 (Lambert
                          // conformal, sphere code 6): la1Micro/lo1Micro
                          // are the first grid point; di/djMicro ignored
-                         lambert: LambertGrid = null) {
+                         lambert: LambertGrid = null,
+                         // non-null emits grid template 3.20 (polar
+                         // stereographic, north, sphere code 6)
+                         polar: PolarGrid = null,
+                         // non-null emits grid template 3.10 (Mercator,
+                         // true scale at LaD, orientation 0)
+                         mercator: MercatorGrid = null) {
+    require(Seq(lambert != null, polar != null, mercator != null)
+      .count(identity) <= 1,
+      "a grid is Lambert OR polar stereographic OR Mercator")
     require(Seq(ensMember >= 0, derivedType >= 0, probType >= 0,
       percentile >= 0).count(identity) <= 1,
       "a field is a member (4.1), derived (4.2), probability (4.5) or " +
@@ -1147,6 +1274,14 @@ object Grib2 {
   final case class LambertGrid(latin1Micro: Long, latin2Micro: Long,
                                lovMicro: Long, ladMicro: Long,
                                dxMilli: Long, dyMilli: Long)
+
+  /** Template 3.20 grid parameters (microdegrees / millimetres). */
+  final case class PolarGrid(lovMicro: Long, ladMicro: Long,
+                             dxMilli: Long, dyMilli: Long)
+
+  /** Template 3.10 grid parameters (microdegrees / millimetres). */
+  final case class MercatorGrid(ladMicro: Long,
+                                diMilli: Long, djMilli: Long)
 
   /** Serialize fields as one GRIB2 message each and write the
     * concatenation — spec-compliant section framing ready for any GRIB2
@@ -1279,7 +1414,45 @@ object Grib2 {
     val reduced = f.reducedNi.nonEmpty
     val nPoints = if (reduced) f.reducedNi.map(_.toLong).sum else f.ni.toLong * f.nj
     val gauss = f.gaussianN > 0
-    if (f.lambert != null) {
+    if (f.mercator != null) {
+      // template 3.10: earth shape 6, Ni/Nj, La1/Lo1, res flags 0x48,
+      // LaD, La2/Lo2 (computed from the forward walk), scan,
+      // orientation 0, Di/Dj mm — 72 octets
+      require(!gauss && !reduced, "a grid is Mercator OR lat-lon/Gaussian")
+      require(f.mercator.diMilli > 0 && f.mercator.djMilli > 0,
+        "Mercator grid steps must be positive")
+      val (ls, ns) = mercatorCells(f.ni, f.nj, f.la1Micro, f.lo1Micro,
+        f.mercator.ladMicro, f.mercator.diMilli, f.mercator.djMilli,
+        f.scanMode == 0x40, 6371229.0)
+      val la2 = math.round(ls(f.ni * f.nj - 1) * 1e6)
+      val lo2 = math.round(ns(f.ni * f.nj - 1) * 1e6)
+      section(3, Array[Byte](0) ++ u32(nPoints) ++ Array[Byte](0, 0) ++
+        u16(10) ++
+        Array[Byte](6) ++ Array[Byte](0) ++ u32(0) ++ Array[Byte](0) ++
+        u32(0) ++ Array[Byte](0) ++ u32(0) ++
+        u32(f.ni.toLong) ++ u32(f.nj.toLong) ++
+        sm32(f.la1Micro) ++ sm32(f.lo1Micro) ++
+        Array[Byte](0x48) ++
+        sm32(f.mercator.ladMicro) ++ sm32(la2) ++ sm32(lo2) ++
+        Array(f.scanMode.toByte) ++ u32(0) ++
+        u32(f.mercator.diMilli) ++ u32(f.mercator.djMilli))
+    } else if (f.polar != null) {
+      // template 3.20: earth shape 6, Nx/Ny, La1/Lo1, res flags 0x48,
+      // LaD/LoV, Dx/Dy mm, centre 0 (north), scan — 65 octets
+      require(!gauss && !reduced, "a grid is polar OR lat-lon/Gaussian")
+      require(f.polar.dxMilli > 0 && f.polar.dyMilli > 0,
+        "polar grid steps must be positive")
+      section(3, Array[Byte](0) ++ u32(nPoints) ++ Array[Byte](0, 0) ++
+        u16(20) ++
+        Array[Byte](6) ++ Array[Byte](0) ++ u32(0) ++ Array[Byte](0) ++
+        u32(0) ++ Array[Byte](0) ++ u32(0) ++
+        u32(f.ni.toLong) ++ u32(f.nj.toLong) ++
+        sm32(f.la1Micro) ++ sm32(f.lo1Micro) ++
+        Array[Byte](0x48) ++
+        sm32(f.polar.ladMicro) ++ sm32(f.polar.lovMicro) ++
+        u32(f.polar.dxMilli) ++ u32(f.polar.dyMilli) ++
+        Array[Byte](0) ++ Array(f.scanMode.toByte))
+    } else if (f.lambert != null) {
       // template 3.30: earth shape 6 (sphere 6371229 m), Nx/Ny,
       // La1/Lo1, res flags 0x48, LaD/LoV, Dx/Dy mm, centre 0, scan,
       // Latin1/Latin2, southern pole missing

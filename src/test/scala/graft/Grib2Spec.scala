@@ -482,6 +482,76 @@ class Grib2Spec extends SparkSpec {
       write(f.copy(lambert = lcc.copy(dxMilli = 0)))
   }
 
+  test("grid template 3.10 Mercator: octet pins, inverse round-trip, rotation reject") {
+    val mc = Grib2.MercatorGrid(ladMicro = 0L, diMilli = 50000000L,
+      djMilli = 50000000L) // true scale at the equator
+    val f = Grib2.Field(0, 0, 0, LocalDateTime.of(2008, 5, 1, 0, 0),
+      ni = 6, nj = 5, la1Micro = -10000000L, lo1Micro = 120000000L,
+      diMicro = 0L, djMicro = 0L, decimalScale = 1,
+      Array.tabulate(30)(k => Some(k * 3 % 70)), scanMode = 0x40, mercator = mc)
+    val bytes = write(f)
+    def u32(i: Int) = ((bytes(i) & 0xff).toLong << 24) | ((bytes(i + 1) & 0xff) << 16) |
+      ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+    var pos = 16
+    while ((bytes(pos + 4) & 0xff) != 3) pos += u32(pos).toInt
+    ((bytes(pos + 12) & 0xff) << 8 | (bytes(pos + 13) & 0xff)) shouldBe 10
+    u32(pos + 38) shouldBe (0x80000000L | 10000000L) // La1 = -10 sign-magnitude
+    u32(pos + 42) shouldBe 120000000L // Lo1
+    u32(pos + 47) shouldBe 0L // LaD
+    (bytes(pos + 59) & 0xff) shouldBe 0x40 // scan
+    u32(pos + 60) shouldBe 0L // orientation
+    u32(pos + 64) shouldBe 50000000L // Di mm
+    val rec = Grib2.parseMessages(bytes).head
+    val cs = Grib2.cells(rec).toSeq
+    cs.size shouldBe 30
+    cs.head.lat shouldBe -10.0 +- 1e-7
+    cs.head.lon shouldBe 120.0 +- 1e-7
+    // equatorial true scale: one 50 km x-step ~ 0.44966 degrees of lon
+    cs(1).lon - cs.head.lon shouldBe (50000.0 / 6371229.0).toDegrees +- 1e-9
+    (cs(6).lat > cs.head.lat) shouldBe true // +y northward
+    cs.map(_.value) shouldBe (0 until 30).map(k => (k * 3 % 70) / 10.0)
+    // rotated Mercator rejects loudly (orientation octets 61-64)
+    val bad = bytes.clone(); bad(pos + 62) = 1
+    intercept[IllegalArgumentException](Grib2.parseMessages(bad))
+      .getMessage should include("rotated Mercator")
+  }
+
+  test("grid template 3.20 polar stereographic: octet pins, inverse round-trip, rejects") {
+    val ps = Grib2.PolarGrid(lovMicro = 210000000L, ladMicro = 60000000L,
+      dxMilli = 47500000L, dyMilli = 47500000L)
+    val f = Grib2.Field(0, 0, 0, LocalDateTime.of(2008, 4, 1, 0, 0),
+      ni = 5, nj = 4, la1Micro = 45000000L, lo1Micro = 200000000L,
+      diMicro = 0L, djMicro = 0L, decimalScale = 1,
+      Array.tabulate(20)(k => Some(k * 7 % 80)), scanMode = 0x40, polar = ps)
+    val bytes = write(f)
+    def u32(i: Int) = ((bytes(i) & 0xff).toLong << 24) | ((bytes(i + 1) & 0xff) << 16) |
+      ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+    var pos = 16
+    while ((bytes(pos + 4) & 0xff) != 3) pos += u32(pos).toInt
+    ((bytes(pos + 12) & 0xff) << 8 | (bytes(pos + 13) & 0xff)) shouldBe 20
+    u32(pos + 30) shouldBe 5L // Nx
+    u32(pos + 38) shouldBe 45000000L // La1
+    u32(pos + 47) shouldBe 60000000L // LaD
+    u32(pos + 51) shouldBe 210000000L // LoV
+    u32(pos + 55) shouldBe 47500000L // Dx mm
+    (bytes(pos + 63) & 0xff) shouldBe 0 // north-pole centre
+    (bytes(pos + 64) & 0xff) shouldBe 0x40
+    val rec = Grib2.parseMessages(bytes).head
+    val cs = Grib2.cells(rec).toSeq
+    cs.size shouldBe 20
+    cs.head.lat shouldBe 45.0 +- 1e-7 // first point inverts exactly
+    cs.head.lon shouldBe 200.0 +- 1e-7
+    (cs(5).lat > cs.head.lat) shouldBe true // +y runs toward the pole
+    cs.map(_.value) shouldBe (0 until 20).map(k => (k * 7 % 80) / 10.0)
+    // south-pole centre rejects loudly
+    val bad = bytes.clone(); bad(pos + 63) = 0x80.toByte
+    intercept[IllegalArgumentException](Grib2.parseMessages(bad))
+      .getMessage should include("projection centre")
+    // a field cannot be polar AND Lambert
+    an[IllegalArgumentException] should be thrownBy
+      f.copy(lambert = Grib2.LambertGrid(1, 1, 1, 1, 1, 1))
+  }
+
   test("reduced Gaussian grid: missing-ni + row list octet pins, ragged cells") {
     // N=8 (16 rows), realistic pole-shrunk row counts, all dividing
     // 360e6 so row longitudes are exact micro-degrees
