@@ -996,6 +996,34 @@ object SparkEntry {
       fields).toString
   }
 
+  /** r65 fixture: grid template 3.1 rotated lat/lon (the COSMO/ICON-EU
+    * regional shape): southern rotation pole (-40°, 10°), rotated grid
+    * from (-5°, -6°) at 0.5° steps, scan 0x40. Oracle un-rotates every
+    * cell with the same spherical formulas in SQL, 5-decimal rounding.
+    */
+  private lazy val grib2RotatedFixturePath: String = {
+    import java.time.LocalDateTime
+    val params = Seq((0, 0, 0, false), (1, 1, 7, true))
+    val times = Seq(LocalDateTime.of(2009, 3, 12, 6, 0),
+      LocalDateTime.of(2009, 4, 12, 18, 0))
+    val rot = sources.Grib2.RotatedGrid(spLatMicro = -40000000L,
+      spLonMicro = 10000000L)
+    val fields = for {
+      (t, m) <- times.zipWithIndex
+      (pidx, cat, num, masked) <- params
+    } yield sources.Grib2.Field(0, cat, num, t, ni = 10, nj = 8,
+      la1Micro = -5000000L, lo1Micro = -6000000L,
+      diMicro = 500000L, djMicro = 500000L, decimalScale = 1,
+      Array.tabulate(8 * 10) { k =>
+        val j = k / 10; val i = k % 10
+        if (masked && (i * 2 + j * 3 + m) % 10 == 7) None
+        else Some((i * 13 + j * 7 + pidx * 41 + m * 29) % 470)
+      }, scanMode = 0x40, rotated = rot)
+    sources.Grib2.writeFile(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft-grib", "rot.grib2"),
+      fields).toString
+  }
+
   /** r47 fixture: template-5.42 CCSDS-AEC packing (ECMWF operational) —
     * TMP dense and PRATE bitmap-masked (5.42 is the one compressed
     * representation that composes with a bitmap: it packs present cells
@@ -2483,6 +2511,13 @@ object SparkEntry {
     // both engines so the hash compares geometry, not libm ULPs
     "r62_grib2_lambert" -> ((s, _) =>
       sources.Grib2.readRecords(s, Seq(grib2LambertFixturePath), matchRe = "TMP|PRATE")
+        .select($"variable", $"time",
+          round($"lat", 5).as("lat"), round($"lon", 5).as("lon"), $"value")
+        .orderBy($"variable", $"time", $"lat", $"lon")),
+    // grid template 3.1 rotated lat/lon (COSMO/ICON-EU regional
+    // models): per-cell un-rotation, 5-decimal rounding on both sides
+    "r65_grib2_rotated" -> ((s, _) =>
+      sources.Grib2.readRecords(s, Seq(grib2RotatedFixturePath), matchRe = "TMP|PRATE")
         .select($"variable", $"time",
           round($"lat", 5).as("lat"), round($"lon", 5).as("lon"), $"value")
         .orderBy($"variable", $"time", $"lat", $"lon")),
@@ -6361,6 +6396,31 @@ object SparkEntry {
                 s / 10.0 AS value
          FROM u
          ORDER BY variable, kind, member, lat, lon""",
+    // the rotated lattice un-rotated in SQL: rotated north pole at
+    // (40, -170); lat = asin(sin phiR sin phiN + cos phiR cos phiN
+    // cos lamR), lon = lamN - atan2(...) (COSMO orientation)
+    "r65_grib2_rotated" ->
+      s"""WITH c AS (SELECT radians(40.0) AS phiN, -170.0 AS lamN),
+         p(pidx, variable, masked) AS (VALUES (0, 'TMP', 0), (1, 'PRATE', 1)),
+         t(t, m) AS (VALUES (TIMESTAMP '2009-03-12 06:00:00', 0),
+                            (TIMESTAMP '2009-04-12 18:00:00', 1)),
+         ii AS (SELECT unnest(generate_series(0, 9)) AS i),
+         jj AS (SELECT unnest(generate_series(0, 7)) AS j),
+         r AS (SELECT c.*, p.*, t.*, i, j,
+                      radians(-5.0 + j * 0.5) AS phiR,
+                      radians(-6.0 + i * 0.5) AS lamR
+               FROM c CROSS JOIN p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
+               WHERE NOT (masked = 1 AND (i * 2 + j * 3 + m) % 10 = 7))
+         SELECT variable, t AS time,
+                round(degrees(asin(sin(phiR) * sin(phiN) +
+                    cos(phiR) * cos(phiN) * cos(lamR))), 5) AS lat,
+                round((lamN - degrees(atan2(cos(phiR) * sin(lamR),
+                    sin(phiR) * cos(phiN) - cos(phiR) * sin(phiN) * cos(lamR)))
+                    + 540.0) % 360.0 - 180.0,
+                  5) AS lon,
+                ((i * 13 + j * 7 + pidx * 41 + m * 29) % 470) / 10.0 AS value
+         FROM r
+         ORDER BY variable, time, lat, lon""",
     // the Mercator lattice re-derived in SQL: k = R cos(LaD),
     // lon = Lo1 + degrees(i*di/k), lat = degrees(2 atan(exp(y/k)) - pi/2)
     "r64_grib2_mercator" ->

@@ -357,12 +357,34 @@ object Grib2 {
           case 2 => () // local use: skip
           case 3 =>
             val template = u16(pos + 12)
-            require(template == 0 || template == 10 || template == 20 ||
-              template == 30 || template == 40,
+            require(template == 0 || template == 1 || template == 10 ||
+              template == 20 || template == 30 || template == 40,
               s"grid template 3.$template unsupported (3.0 lat/lon / " +
-                s"3.10 Mercator / 3.20 polar stereographic / 3.30 Lambert / " +
-                s"3.40 Gaussian) in $label")
-            if (template == 10) {
+                s"3.1 rotated lat/lon / 3.10 Mercator / 3.20 polar " +
+                s"stereographic / 3.30 Lambert / 3.40 Gaussian) in $label")
+            if (template == 1) {
+              // Rotated lat/lon (the COSMO/ICON-EU regional shape):
+              // 3.0's octets 15-72 in ROTATED coordinates, then octets
+              // 73-84 = southern pole of rotation lat/lon + angle
+              require(len >= 84, s"grid section 3.1 too short ($len) in $label")
+              ni = u32(pos + 30).toInt; nj = u32(pos + 34).toInt
+              require(ni > 1 && nj > 1 && ni.toLong * nj <= (1L << 26),
+                s"implausible 3.1 grid ${ni}x$nj in $label")
+              la1 = s32(pos + 46); lo1 = s32(pos + 50)
+              di = u32(pos + 63); dj = u32(pos + 67)
+              require(di > 0 && dj > 0, s"3.1 zero grid step in $label")
+              val scan = u(pos + 71)
+              require(scan == 0 || scan == 0x40,
+                f"3.1 scanning mode 0x$scan%02x unsupported in $label")
+              jPositive = scan == 0x40
+              val spLat = s32(pos + 72); val spLon = s32(pos + 76)
+              require(s32(pos + 80) == 0L,
+                s"rotation angle ${s32(pos + 80)} out of scope (only 0) in $label")
+              val (cl, cn) = rotatedCells(ni, nj, la1, lo1, di, dj,
+                jPositive, spLat, spLon)
+              projLats = cl; projLons = cn
+              gaussLats = null; rowNi = null
+            } else if (template == 10) {
               // Mercator: octets 31-38 Ni/Nj, 39-46 La1/Lo1, 48-51 LaD
               // (true-scale latitude), 52-59 La2/Lo2, 60 scan, 61-64
               // orientation, 65-72 Di/Dj (mm)
@@ -1056,6 +1078,44 @@ object Grib2 {
     (lats, lons)
   }
 
+  /** Un-rotate a rotated lat/lon grid (template 3.1, angle 0 — the
+    * COSMO/ICON convention, WMO Manual on Codes + COSMO documentation):
+    * the rotated NORTH pole sits at `(-spLat, spLon - 180)` in true
+    * coordinates; each rotated cell `(phiR, lamR)` maps back via
+    * `phi = asin(sin phiR sin phiN + cos phiR cos phiN cos lamR)` and
+    * `lam = lamN - atan2(cos phiR sin lamR,
+    *                     sin phiR cos phiN - cos phiR sin phiN cos lamR)`
+    * (the MINUS is the COSMO `rlarot2rla` orientation: a cell east of
+    * the rotated origin lands east in true coordinates — verified
+    * against the COSMO-EU anchor: pole (40, -170), rotated (0, 0) ->
+    * (50N, 10E), rotated (0, 10) -> ~(48.97N, 25.34E)).
+    */
+  private[graft] def rotatedCells(ni: Int, nj: Int,
+      la1Micro: Long, lo1Micro: Long, diMicro: Long, djMicro: Long,
+      jPositive: Boolean, spLatMicro: Long, spLonMicro: Long)
+      : (Array[Double], Array[Double]) = {
+    import math._
+    val phiN = toRadians(-spLatMicro / 1e6)
+    val lamN = spLonMicro / 1e6 - 180.0
+    val sinN = sin(phiN); val cosN = cos(phiN)
+    val latStep = if (jPositive) djMicro else -djMicro
+    val lats = new Array[Double](ni * nj)
+    val lons = new Array[Double](ni * nj)
+    var k = 0
+    while (k < ni * nj) {
+      val i = k % ni; val j = k / ni
+      val phiR = toRadians((la1Micro + j * latStep) / 1e6)
+      val lamR = toRadians((lo1Micro + i.toLong * diMicro) / 1e6)
+      lats(k) = toDegrees(asin(sin(phiR) * sinN + cos(phiR) * cosN * cos(lamR)))
+      val lonRaw = lamN - toDegrees(atan2(cos(phiR) * sin(lamR),
+        sin(phiR) * cosN - cos(phiR) * sinN * cos(lamR)))
+      // normalize to (-180, 180] — lonRaw ranges over (lamN-180, lamN+180]
+      lons(k) = (lonRaw + 540.0) % 360.0 - 180.0
+      k += 1
+    }
+    (lats, lons)
+  }
+
   /** Inverse Mercator on the sphere with true scale at LaD (Snyder
     * eqs. 7-1..7-5 scaled by cos LaD): columns step uniformly in x
     * (`lon = Lo1 + i*Di / (R cos LaD)` radians), rows in the log-tan
@@ -1226,10 +1286,14 @@ object Grib2 {
                          polar: PolarGrid = null,
                          // non-null emits grid template 3.10 (Mercator,
                          // true scale at LaD, orientation 0)
-                         mercator: MercatorGrid = null) {
-    require(Seq(lambert != null, polar != null, mercator != null)
-      .count(identity) <= 1,
-      "a grid is Lambert OR polar stereographic OR Mercator")
+                         mercator: MercatorGrid = null,
+                         // non-null emits grid template 3.1 (rotated
+                         // lat/lon): la1/lo1/di/dj are then ROTATED
+                         // coordinates
+                         rotated: RotatedGrid = null) {
+    require(Seq(lambert != null, polar != null, mercator != null,
+      rotated != null).count(identity) <= 1,
+      "a grid is Lambert OR polar OR Mercator OR rotated lat/lon")
     require(Seq(ensMember >= 0, derivedType >= 0, probType >= 0,
       percentile >= 0).count(identity) <= 1,
       "a field is a member (4.1), derived (4.2), probability (4.5) or " +
@@ -1282,6 +1346,11 @@ object Grib2 {
   /** Template 3.10 grid parameters (microdegrees / millimetres). */
   final case class MercatorGrid(ladMicro: Long,
                                 diMilli: Long, djMilli: Long)
+
+  /** Template 3.1 rotation parameters: the southern pole of rotation
+    * (microdegrees; rotation angle fixed at 0, the COSMO convention).
+    */
+  final case class RotatedGrid(spLatMicro: Long, spLonMicro: Long)
 
   /** Serialize fields as one GRIB2 message each and write the
     * concatenation — spec-compliant section framing ready for any GRIB2
@@ -1490,9 +1559,11 @@ object Grib2 {
     val rowList: Array[Byte] =
       if (!reduced) Array.emptyByteArray
       else f.reducedNi.flatMap(v => Seq(((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)).toArray
+    if (f.rotated != null) require(!gauss && !reduced,
+      "a grid is rotated lat/lon OR Gaussian")
     section(3, Array[Byte](0) ++ u32(nPoints) ++
       (if (reduced) Array[Byte](2, 1) else Array[Byte](0, 0)) ++
-      u16(if (gauss) 40 else 0) ++
+      u16(if (gauss) 40 else if (f.rotated != null) 1 else 0) ++
       Array[Byte](6) ++ Array[Byte](0) ++ u32(0) ++ Array[Byte](0) ++ u32(0) ++
       Array[Byte](0) ++ u32(0) ++
       u32(if (reduced) missing else f.ni.toLong) ++ u32(f.nj) ++ u32(0) ++ u32(0) ++
@@ -1500,7 +1571,11 @@ object Grib2 {
       sm32(la2) ++ (if (reduced) u32(missing) else sm32(lo2)) ++
       u32(if (reduced) missing else f.diMicro) ++
       u32(if (gauss) f.gaussianN.toLong else f.djMicro) ++
-      Array(f.scanMode.toByte) ++ rowList)
+      Array(f.scanMode.toByte) ++
+      (if (f.rotated == null) Array.emptyByteArray
+       else sm32(f.rotated.spLatMicro) ++ sm32(f.rotated.spLonMicro) ++
+         sm32(0L)) ++ // rotation angle 0 (octets 73-84)
+      rowList)
     } // end non-Lambert grids
 
     // section 4: product definition template 4.0 (analysis, surface), or

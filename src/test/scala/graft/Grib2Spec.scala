@@ -482,6 +482,42 @@ class Grib2Spec extends SparkSpec {
       write(f.copy(lambert = lcc.copy(dxMilli = 0)))
   }
 
+  test("grid template 3.1 rotated lat/lon: COSMO-EU anchors, octet pins, angle reject") {
+    // the COSMO-EU rotation: southern pole (-40, 10) = rotated north
+    // pole (40, -170); anchors computed independently (spherical
+    // trig by hand): rotated (0,0) -> (50N, 10E); rotated (0,10) ->
+    // (48.9740N, 25.3402E) — a cell EAST of the rotated origin lands
+    // EAST in true coordinates (the orientation a mirrored oracle
+    // could not catch)
+    val rot = Grib2.RotatedGrid(spLatMicro = -40000000L, spLonMicro = 10000000L)
+    val f = Grib2.Field(0, 0, 0, LocalDateTime.of(2008, 6, 1, 0, 0),
+      ni = 3, nj = 2, la1Micro = 0L, lo1Micro = 0L,
+      diMicro = 10000000L, djMicro = 10000000L, decimalScale = 1,
+      Array.tabulate(6)(k => Some(k * 9 % 50)), scanMode = 0x40, rotated = rot)
+    val bytes = write(f)
+    def u32(i: Int) = ((bytes(i) & 0xff).toLong << 24) | ((bytes(i + 1) & 0xff) << 16) |
+      ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+    var pos = 16
+    while ((bytes(pos + 4) & 0xff) != 3) pos += u32(pos).toInt
+    ((bytes(pos + 12) & 0xff) << 8 | (bytes(pos + 13) & 0xff)) shouldBe 1 // template
+    u32(pos + 72) shouldBe (0x80000000L | 40000000L) // southern pole lat -40
+    u32(pos + 76) shouldBe 10000000L // southern pole lon
+    u32(pos + 80) shouldBe 0L // rotation angle
+    val cs = Grib2.cells(Grib2.parseMessages(bytes).head).toSeq
+    cs.size shouldBe 6
+    cs.head.lat shouldBe 50.0 +- 1e-9 // rotated origin -> COSMO-EU center
+    cs.head.lon shouldBe 10.0 +- 1e-9
+    cs(1).lat shouldBe 48.9735386 +- 1e-6 // rotated (0,10), independent trig
+    cs(1).lon shouldBe 25.3398145 +- 1e-6
+    (cs(1).lon > cs.head.lon) shouldBe true // east stays east
+    (cs(3).lat > cs.head.lat) shouldBe true // rotated north goes north
+    cs.map(_.value) shouldBe (0 until 6).map(k => (k * 9 % 50) / 10.0)
+    // non-zero rotation angle rejects loudly
+    val bad = bytes.clone(); bad(pos + 83) = 1
+    intercept[IllegalArgumentException](Grib2.parseMessages(bad))
+      .getMessage should include("rotation angle")
+  }
+
   test("grid template 3.10 Mercator: octet pins, inverse round-trip, rotation reject") {
     val mc = Grib2.MercatorGrid(ladMicro = 0L, diMilli = 50000000L,
       djMilli = 50000000L) // true scale at the equator
