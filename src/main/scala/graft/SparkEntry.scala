@@ -696,6 +696,34 @@ object SparkEntry {
       payloadType = sources.Netcdf.NcShort).toString
   }
 
+  /** r66 fixture: netCDF-4 with FLOAT32 data variables — the dominant
+    * real-world netCDF-4 payload (CMIP6 standard output and most CDS
+    * products ship f32). Dyadic /4 storage (the classic NC_FLOAT
+    * discipline): scaled/4 is exact in binary32 below 2^22, widens
+    * exactly to double, so the oracle's integer/4.0 matches bit-for-bit.
+    * PRATE masked with NC_FILL_FLOAT cells compared in float space.
+    */
+  private lazy val netcdf4FloatFixturePath: String = {
+    import java.time.LocalDateTime
+    val params = Seq(("TMP", 0, false), ("PRATE", 1, true))
+    val times = Seq(LocalDateTime.of(2008, 9, 5, 0, 0),
+      LocalDateTime.of(2008, 10, 5, 12, 0))
+    val fields = for {
+      (t, m) <- times.zipWithIndex
+      (v, pidx, masked) <- params
+    } yield sources.Netcdf.Field(v, t, g3Ni, g3Nj, g3La1, g3Lo1, g3Di, g3Dj,
+      decimalScale = 0,
+      Array.tabulate(g3Nj * g3Ni) { k =>
+        val j = k / g3Ni; val i = k % g3Ni
+        if (masked && (i * 2 + j * 3 + m) % 13 == 7) None
+        else Some((i * 11 + j * 29 + pidx * 61 + m * 41) % 1200 - 300)
+      })
+    sources.Hdf5.writeFile(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft-nc", "fix4f.nc"),
+      fields, chunkJ = 5, chunkI = 8,
+      payloadType = sources.Netcdf.NcFloat).toString
+  }
+
   /** r56 fixtures: zstd chunks in the three wire shapes real stores
     * ship — a v2 store with numcodecs `{"id":"zstd"}` raw frames, a V3
     * store with the `zstd` codec (the zarr v3 default), and a v2 store
@@ -2653,6 +2681,12 @@ object SparkEntry {
     // downloads ship: value = packed * 0.25 + 300, fill in packed space
     "r61_netcdf4_short" -> ((s, _) =>
       sources.Netcdf.readRecords(s, Seq(netcdf4ShortFixturePath))
+        .orderBy($"variable", $"time", $"lat", $"lon")),
+    // netCDF-4 float32 data — the dominant real payload (CMIP6, most
+    // CDS products): typesize-4 shuffle + deflate, dyadic /4 storage
+    // widened exactly to double, NC_FILL_FLOAT mask in float space
+    "r66_netcdf4_float" -> ((s, _) =>
+      sources.Netcdf.readRecords(s, Seq(netcdf4FloatFixturePath))
         .orderBy($"variable", $"time", $"lat", $"lon")),
     // Zarr v2 group-store scan: chunk-level parallel decode (binaryFile
     // task per chunk), metadata + coordinates driver-side, VGRD pruned
@@ -6695,6 +6729,20 @@ object SparkEntry {
                 ((i * 13 + j * 27 + pidx * 43 + m * 53) % 1500 - 500) * 0.25 + 300.0 AS value
          FROM p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
          WHERE NOT (masked = 1 AND (i * 3 + j * 2 + m) % 14 = 8)
+         ORDER BY variable, time, lat, lon""",
+    // the float32 twin: dyadic /4 storage, widened exactly to double
+    "r66_netcdf4_float" ->
+      s"""WITH p(pidx, variable, masked) AS (VALUES (0, 'TMP', 0), (1, 'PRATE', 1)),
+         t(t, m) AS (VALUES (TIMESTAMP '2008-09-05 00:00:00', 0),
+                            (TIMESTAMP '2008-10-05 12:00:00', 1)),
+         ii AS (SELECT unnest(generate_series(0, ${g3Ni - 1})) AS i),
+         jj AS (SELECT unnest(generate_series(0, ${g3Nj - 1})) AS j)
+         SELECT variable, t AS time,
+                ($g3La1 - j * $g3Dj) / 1000000.0 AS lat,
+                (($g3Lo1) + i * $g3Di) / 1000000.0 AS lon,
+                ((i * 11 + j * 29 + pidx * 61 + m * 41) % 1200 - 300) / 4.0 AS value
+         FROM p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
+         WHERE NOT (masked = 1 AND (i * 2 + j * 3 + m) % 13 = 7)
          ORDER BY variable, time, lat, lon""",
     // netCDF-4 legs regenerated closed-form: the engine recovered every
     // cell through the HDF5 container (B-tree chunk index, shuffle+

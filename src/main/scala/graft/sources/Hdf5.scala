@@ -34,7 +34,9 @@ import scala.collection.mutable.ArrayBuffer
   * Out of scope, rejecting loudly with a pointer: v2 object headers
   * ("OHDR", written only under later libver bounds), groups beyond
   * root, szip (filter 4), fletcher32 (filter 3), compact layout,
-  * datatypes other than int16/int32/float64 data and float64 coords.
+  * datatypes other than int16/int32/float32/float64 data and float64
+  * coords (float32 — the CMIP6/ERA5 netCDF-4 default payload — widens
+  * exactly to double, fill compared in float space).
   * Semantics mirror [[Netcdf]] exactly: int32 `value = raw /
   * 10^decimal_scale`, int16 the CF packing convention (`value =
   * packed * scale_factor + add_offset`, fill compared in packed
@@ -95,8 +97,16 @@ object Hdf5 {
     require(superblockVersion == 0 || superblockVersion == 3,
       s"superblock version $superblockVersion unsupported (0 / 3)")
     require(payloadType == Netcdf.NcInt || payloadType == Netcdf.NcDouble ||
-      payloadType == Netcdf.NcShort,
-      s"payload type $payloadType unsupported (NC_SHORT / NC_INT / NC_DOUBLE)")
+      payloadType == Netcdf.NcShort || payloadType == Netcdf.NcFloat,
+      s"payload type $payloadType unsupported (NC_SHORT / NC_INT / NC_FLOAT / NC_DOUBLE)")
+    if (payloadType == Netcdf.NcFloat) fields.foreach { f =>
+      // the classic writer's dyadic /4 convention (Netcdf.writeFile):
+      // scaled/4 is exact in binary32 below 2^22, so decode == oracle
+      require(f.decimalScale == 0,
+        "float payloads use the dyadic /4 convention — decimalScale must be 0")
+      f.scaled.foreach(_.foreach(v => require(math.abs(v) < (1 << 22),
+        s"scaled value $v too wide for exact binary32 quarters")))
+    }
     if (payloadType == Netcdf.NcShort) fields.foreach { f =>
       require(f.decimalScale == 0,
         "short payloads use scale_factor/add_offset — decimalScale must be 0")
@@ -161,7 +171,7 @@ object Hdf5 {
 
     // --------------- shared message-building helpers
     val dataElemSize = payloadType match {
-      case Netcdf.NcShort => 2; case Netcdf.NcDouble => 8; case _ => 4
+      case Netcdf.NcShort => 2; case Netcdf.NcDouble => 8; case _ => 4 // int32 / float32
     }
     def pad8(b: ArrayBuffer[Byte]): Unit = while (b.length % 8 != 0) b += 0
     def bb(f: ArrayBuffer[Byte] => Unit): ArrayBuffer[Byte] = {
@@ -204,6 +214,15 @@ object Hdf5 {
       b32(b, 1023) // exponent bias
       pad8(b)
     }
+    def dtF32: ArrayBuffer[Byte] = bb { b =>
+      b8(b, (1 << 4) | 1) // version 1, class 1 float
+      b8(b, 0x20); b8(b, 0x1f); b8(b, 0) // LE, implied mantissa norm, sign bit 31
+      b32(b, 4)
+      b16(b, 0); b16(b, 32) // bit offset, precision
+      b8(b, 23); b8(b, 8); b8(b, 0); b8(b, 23) // exp loc/size, mant loc/size
+      b32(b, 127) // exponent bias
+      pad8(b)
+    }
     def dtString(n: Int): ArrayBuffer[Byte] = bb { b =>
       b8(b, (1 << 4) | 3) // version 1, class 3 string
       b8(b, 0); b8(b, 0); b8(b, 0) // null-terminate, ASCII
@@ -228,6 +247,11 @@ object Hdf5 {
       val bits = java.lang.Double.doubleToLongBits(v)
       attrMsg(name, dtF64, dataspaceBody(Nil),
         Array.tabulate(8)(k => ((bits >>> (8 * k)) & 0xff).toByte))
+    }
+    def fltAttr(name: String, v: Float): ArrayBuffer[Byte] = {
+      val bits = java.lang.Float.floatToIntBits(v)
+      attrMsg(name, dtF32, dataspaceBody(Nil),
+        Array.tabulate(4)(k => ((bits >>> (8 * k)) & 0xff).toByte))
     }
     def shortAttr(name: String, v: Short): ArrayBuffer[Byte] =
       attrMsg(name, dtI16, dataspaceBody(Nil),
@@ -316,6 +340,9 @@ object Hdf5 {
               Array[Byte]((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)
             case Netcdf.NcDouble =>
               le64d(cell.map(_ / denom).getOrElse(Netcdf.FillDouble))
+            case Netcdf.NcFloat =>
+              le32(java.lang.Float.floatToIntBits(
+                cell.map(_ / 4.0f).getOrElse(Netcdf.FillFloat)))
             case _ => le32(cell.getOrElse(Netcdf.FillInt))
           }
           System.arraycopy(b, 0, raw, p, esz)
@@ -327,7 +354,11 @@ object Hdf5 {
         stored.foreach(out += _)
         (Seq(r.toLong, (cj * chunkJ).toLong, (ci * chunkI).toLong), addr, stored.length)
       }
-      // v1 B-tree, node type 1 (raw data chunks), single leaf node
+      // v1 B-tree, node type 1 (raw data chunks), single leaf node;
+      // the entry count is a u16 on the wire — a larger chunk grid
+      // would silently truncate modulo 65536 into a corrupt file
+      require(entries.length <= 0xffff,
+        s"chunk count ${entries.length} exceeds the single-leaf u16 bound")
       val btreeAddr = out.length.toLong
       out ++= "TREE".getBytes("US-ASCII")
       u8(1); u8(0) // node type 1, level 0
@@ -383,6 +414,8 @@ object Hdf5 {
       val scaleAtts: Seq[(Int, ArrayBuffer[Byte])] = payloadType match {
         case Netcdf.NcDouble =>
           Seq(0x000C -> dblAttr("_FillValue", Netcdf.FillDouble))
+        case Netcdf.NcFloat =>
+          Seq(0x000C -> fltAttr("_FillValue", Netcdf.FillFloat))
         case Netcdf.NcShort => Seq(
           0x000C -> dblAttr("scale_factor", 0.25),
           0x000C -> dblAttr("add_offset", 300.0),
@@ -393,6 +426,7 @@ object Hdf5 {
       }
       val dt = payloadType match {
         case Netcdf.NcDouble => dtF64
+        case Netcdf.NcFloat => dtF32
         case Netcdf.NcShort => dtI16
         case _ => dtI32
       }
@@ -505,11 +539,18 @@ object Hdf5 {
       val nmsgs = u16(addr + 2)
       if (nmsgs > 4096) fail(label, s"implausible message count $nmsgs")
       val out = ArrayBuffer.empty[(Int, Long, Int)]
-      // blocks of message bytes: the prefix block, then continuations
+      // blocks of message bytes: the prefix block, then continuations.
+      // A crafted continuation can point back at its own block —
+      // continuation messages don't count toward nmsgs, so without a
+      // visited set the walk would spin forever instead of rejecting.
       var blocks = List((addr + 16, u32(addr + 8)))
+      val seen = scala.collection.mutable.Set.empty[Long]
       while (blocks.nonEmpty && out.length < nmsgs) {
         val (start, len) = blocks.head
         blocks = blocks.tail
+        if (!seen.add(start))
+          fail(label, s"header continuation cycles back to block $start")
+        if (seen.size > 64) fail(label, "implausible header block count")
         var p = start
         val end = start + len
         if (end > b.length) fail(label, s"header block [$start,$end) outside file")
@@ -546,13 +587,13 @@ object Hdf5 {
           if ((u8(p + 1) & 0x01) != 0) fail(label, "big-endian int data out of scope")
           if ((u8(p + 1) & 0x08) == 0) fail(label, "unsigned int data out of scope")
           if (size == 4) "i32" else "i16" // i16 = the CF-packed CDS shape
-        case (1, 8) =>
+        case (1, 8) | (1, 4) =>
           if ((u8(p + 1) & 0x01) != 0) fail(label, "big-endian float data out of scope")
-          "f64"
+          if (size == 8) "f64" else "f32" // f32 = the CMIP6/ERA5 netCDF-4 default
         case (3, _) => "str"
         case (c, s) => fail(label,
-          s"datatype class $c size $s out of scope (int16/int32/float64 data, " +
-            "float64 coords)")
+          s"datatype class $c size $s out of scope (int16/int32/float32/float64 " +
+            "data, float64 coords)")
       }
     }
     def parseLayout(p: Long): Layout = {
@@ -619,6 +660,8 @@ object Hdf5 {
         else if (cls == 0 && esz == 2 && npoints == 1) u16(q).toShort
         else if (cls == 1 && esz == 8 && npoints == 1)
           java.lang.Double.longBitsToDouble(u64(q))
+        else if (cls == 1 && esz == 4 && npoints == 1)
+          java.lang.Float.intBitsToFloat(u32(q).toInt)
         else if (cls == 3 && npoints == 1 && esz <= 4096) {
           var n = 0
           while (n < esz && u8(q + n) != 0) n += 1
@@ -644,7 +687,10 @@ object Hdf5 {
       while (u8(heapSeg + off + n) != 0) n += 1
       new String(b, (heapSeg + off).toInt, n, "UTF-8")
     }
-    def groupEntries(node: Long): Seq[(String, Long)] = {
+    def groupEntries(node: Long, depth: Int): Seq[(String, Long)] = {
+      // depth cap mirrors the chunk B-tree walk: a crafted child
+      // pointer cycling back must reject loudly, not StackOverflow
+      if (depth > 16) fail(label, "group B-tree too deep")
       if (sig4(b, node, label) == "SNOD") {
         val n = u16(node + 6)
         Seq.tabulate(n) { k =>
@@ -655,10 +701,10 @@ object Hdf5 {
         if (u8(node + 4) != 0) fail(label, "chunk B-tree where a group tree belongs")
         val n = u16(node + 6)
         // keys and children alternate: key0 child0 key1 child1 ... keyN
-        (0 until n).flatMap(k => groupEntries(u64(node + 24 + 8 + 16L * k)))
+        (0 until n).flatMap(k => groupEntries(u64(node + 24 + 8 + 16L * k), depth + 1))
       } else fail(label, "group node signature missing (TREE/SNOD)")
     }
-    val entries = groupEntries(btreeAddr)
+    val entries = groupEntries(btreeAddr, 0)
     if (entries.size > 4096) fail(label, s"implausible root entry count ${entries.size}")
 
     entries.map { case (name, addr) =>
@@ -694,7 +740,7 @@ object Hdf5 {
     def u32(p: Long): Long = u16(p).toLong | (u16(p + 2).toLong << 16)
     def u64(p: Long): Long = u32(p) | (u32(p + 4) << 32)
     val elemSize = d.dtype match {
-      case "i16" => 2; case "i32" => 4; case _ => 8
+      case "i16" => 2; case "i32" | "f32" => 4; case _ => 8
     }
     val cells = d.dims.map(_.toLong).product
     val total = cells * elemSize
@@ -729,6 +775,13 @@ object Hdf5 {
               case _ => Netcdf.FillShort.toInt
             }
             Array.tabulate(2)(k => ((v >>> (8 * k)) & 0xff).toByte)
+          } else if (d.dtype == "f32") {
+            val v: Float = d.atts.get("_FillValue") match {
+              case Some(x: Float) => x
+              case _ => Netcdf.FillFloat
+            }
+            val bits = java.lang.Float.floatToIntBits(v)
+            Array.tabulate(4)(k => ((bits >>> (8 * k)) & 0xff).toByte)
           } else {
             val v = d.atts.get("_FillValue") match {
               case Some(x: Double) => x
@@ -909,6 +962,18 @@ object Hdf5 {
           k => {
             val v = (((raw(2 * k + 1) & 0xff) << 8) | (raw(2 * k) & 0xff)).toShort.toInt
             if (v == fill) None else Some(v * sf + ao)
+          }
+        } else if (d.dtype == "f32") {
+          // stored value widened exactly to double (binary32 ⊂ binary64;
+          // the classic reader's NC_FLOAT convention), fill compared in
+          // FLOAT space before widening
+          val fill: Float = d.atts.get("_FillValue") match {
+            case Some(x: Float) => x
+            case _ => Netcdf.FillFloat
+          }
+          k => {
+            val x = java.lang.Float.intBitsToFloat(i32le(raw, k))
+            if (x == fill) None else Some(x.toDouble)
           }
         } else { // f64: stored value verbatim (the NC_DOUBLE convention)
           val fill = d.atts.get("_FillValue") match {

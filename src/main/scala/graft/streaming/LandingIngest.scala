@@ -90,10 +90,16 @@ object LandingIngest {
       .select($"path", $"content")
       .as[(String, Array[Byte])](Encoders.tuple(Encoders.STRING, Encoders.BINARY))
       .flatMap { case (p, bytes) =>
+        // materialize the cell flatten INSIDE the try: Spark consumes
+        // the returned iterator lazily after the catch exits, so a
+        // decode failure surfacing during cell expansion must be
+        // forced here or it escapes quarantine and kills the query.
+        // Bounded: one file's cells (the per-task unit already).
         try graft.sources.Grib2.parseMessages(bytes, p).iterator
           .flatMap(graft.sources.Grib2.cells)
           .map(c => LandedCell(c.variable, c.time, c.lat, c.lon, c.value,
             p, corrupt = false))
+          .toVector.iterator
         catch {
           // the codec rejects loudly (require/sys.error); any decode
           // failure quarantines THIS file only

@@ -79,6 +79,36 @@ class Hdf5Spec extends SparkSpec {
     sortRows(Netcdf.records(bytes, "f64")) shouldBe expectRows(fields)
   }
 
+  test("float32 data variables round-trip (dyadic /4, typesize-4 shuffle, NC_FILL_FLOAT mask)") {
+    val fields = Seq(
+      field("TMP", t0, 100).copy(decimalScale = 0),
+      field("PRATE", t0, -700, masked = true).copy(decimalScale = 0))
+    val p = Hdf5.writeFile(
+      java.nio.file.Files.createTempDirectory("h5f").resolve("f.nc"),
+      fields, 3, 5, payloadType = Netcdf.NcFloat)
+    val bytes = java.nio.file.Files.readAllBytes(p)
+    val ds = Hdf5.parseDatasets(bytes, "f32")
+    val tmp = ds.find(_.name == "TMP").get
+    tmp.dtype shouldBe "f32"
+    tmp.filters.head.cvals shouldBe Seq(4) // shuffle typesize
+    tmp.atts("_FillValue") shouldBe Netcdf.FillFloat
+    // decode = stored float widened exactly: scaled/4 is dyadic
+    val expect = fields.flatMap { f =>
+      (0 until f.nj * f.ni).flatMap { k =>
+        val j = k / f.ni; val i = k % f.ni
+        f.scaled(k).map(s => Netcdf.GridRow(f.variable, f.time,
+          (f.la1Micro - j * f.djMicro) / 1e6,
+          (f.lo1Micro + i * f.diMicro) / 1e6, s / 4.0))
+      }
+    }.sortBy(r => (r.variable, r.time.toString, r.lat, r.lon))
+    sortRows(Netcdf.records(bytes, "f32")) shouldBe expect
+    // too-wide values refuse at write (binary32 quarters stop at 2^22)
+    an[IllegalArgumentException] should be thrownBy Hdf5.writeFile(
+      java.nio.file.Files.createTempDirectory("h5f").resolve("bad.nc"),
+      Seq(field("TMP", t0, 1 << 22).copy(decimalScale = 0)), 3, 5,
+      payloadType = Netcdf.NcFloat)
+  }
+
   test("int16 CF-packed data round-trips (value = packed*0.25 + 300, packed-space fill)") {
     val fields = Seq(
       field("TMP", t0, 100).copy(decimalScale = 0),
@@ -204,6 +234,43 @@ class Hdf5Spec extends SparkSpec {
     c2(idx + 1) = 'a'
     intercept[IllegalArgumentException](Netcdf.records(c2, "notime").toSeq)
       .getMessage should include("time")
+  }
+
+  test("crafted cycles reject loudly: header continuation loop, group B-tree loop, chunk-count bound") {
+    val bytes = writeBytes(Seq(field("TMP", t0, 100)))
+    def u16(p: Int) = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+    def u32(p: Int) = u16(p).toLong | (u16(p + 2).toLong << 16)
+    def u64(p: Int) = u32(p) | (u32(p + 4) << 32)
+    val root = u64(64).toInt
+    val btree = u64(root + 24).toInt
+    val snod = u64(btree + 24 + 8).toInt
+    val tmpHdr = u64(snod + 8 + 8).toInt // entry 0 = "TMP" (sorted names)
+    def put64(c: Array[Byte], p: Int, v: Long): Unit =
+      for (k <- 0 until 8) c(p + k) = ((v >>> (8 * k)) & 0xff).toByte
+    // (1) continuation message pointing back at its own header block:
+    // continuation messages never count toward nmsgs, so without the
+    // visited-set this walk spins forever instead of rejecting
+    val c1 = bytes.clone()
+    c1(tmpHdr + 16) = 0x10; c1(tmpHdr + 17) = 0 // first message type -> 0x0010
+    put64(c1, tmpHdr + 24, tmpHdr + 16L) // continuation offset = own block
+    put64(c1, tmpHdr + 32, u32(tmpHdr + 8)) // continuation length = own block
+    intercept[IllegalArgumentException](Netcdf.records(c1, "contloop").toSeq)
+      .getMessage should include("cycles")
+    // (2) group TREE child pointer cycling back to itself: must hit the
+    // depth cap, not StackOverflowError
+    val c2 = bytes.clone()
+    put64(c2, btree + 32, btree.toLong) // child 0 -> this node
+    intercept[IllegalArgumentException](Netcdf.records(c2, "grouploop").toSeq)
+      .getMessage should include("too deep")
+    // (3) the writer refuses >65535 chunks (u16 leaf entry count) loudly
+    // instead of truncating modulo 65536 into a corrupt file
+    val big = Netcdf.Field("TMP", t0, ni = 300, nj = 250,
+      la1Micro = 40000000L, lo1Micro = -10000000L,
+      diMicro = 100000L, djMicro = 100000L, decimalScale = 0,
+      Array.fill(250 * 300)(Some(7)))
+    intercept[IllegalArgumentException](Hdf5.writeFile(
+      java.nio.file.Files.createTempDirectory("h5big").resolve("big.nc"),
+      Seq(big), 1, 1)).getMessage should include("u16")
   }
 
   test("corruption fuzz: 300 mutated files reject loudly or decode — never tear") {
