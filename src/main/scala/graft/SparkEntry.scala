@@ -783,6 +783,117 @@ object SparkEntry {
       fields, chunkJ = 5, chunkI = 8, compressor = "blosc-zstd").toString
   }
 
+  /** r67 fixtures: float32 (`<f4`) data stores — the dominant dtype of
+    * real cloud archives (ARCO-ERA5, CMIP6-zarr). Dyadic /4 storage
+    * widens exactly to double; fill compared in FLOAT space. One v2
+    * store (zlib) and one V3 store (gzip), distinct variables and
+    * constants so a cross-wired store cannot pass.
+    */
+  private lazy val zarrFloatV2Path: String = {
+    import java.time.LocalDateTime
+    val times = Seq(LocalDateTime.of(2009, 1, 10, 0, 0),
+      LocalDateTime.of(2009, 2, 10, 12, 0))
+    val fields = times.zipWithIndex.map { case (t, m) =>
+      sources.Zarr.Field("TMP", t, g3Ni, g3Nj, g3La1, g3Lo1, g3Di, g3Dj,
+        decimalScale = 0,
+        Array.tabulate(g3Nj * g3Ni) { k =>
+          val j = k / g3Ni; val i = k % g3Ni
+          if ((i * 2 + j + m) % 11 == 5) None
+          else Some((i * 25 + j * 19 + m * 47) % 900 + 100)
+        })
+    }
+    sources.Zarr.writeStore(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft-zarr", "fixf4v2.zarr"),
+      fields, chunkJ = 5, chunkI = 8,
+      payloadType = sources.Netcdf.NcFloat).toString
+  }
+
+  private lazy val zarrFloatV3Path: String = {
+    import java.time.LocalDateTime
+    val times = Seq(LocalDateTime.of(2009, 3, 10, 6, 0),
+      LocalDateTime.of(2009, 4, 10, 18, 0))
+    val fields = times.zipWithIndex.map { case (t, m) =>
+      sources.Zarr.Field("UGRD", t, g3Ni, g3Nj, g3La1, g3Lo1, g3Di, g3Dj,
+        decimalScale = 0,
+        Array.tabulate(g3Nj * g3Ni) { k =>
+          val j = k / g3Ni; val i = k % g3Ni
+          if ((i + j * 3 + m) % 12 == 6) None
+          else Some((i * 31 + j * 7 + m * 59) % 840 + 50)
+        })
+    }
+    sources.Zarr.writeStoreV3(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft-zarr", "fixf4v3.zarr"),
+      fields, chunkJ = 5, chunkI = 8,
+      payloadType = sources.Netcdf.NcFloat).toString
+  }
+
+  /** r68 fixtures: int16 CF-packed (`<i2` + scale_factor/add_offset)
+    * data stores — the compact shape cloud climate archives use beside
+    * f4. Both legs ride blosc-lz4 so the byte-shuffle runs at typesize
+    * 2; value = packed * 0.25 + 300, fill compared in PACKED space.
+    */
+  private lazy val zarrShortV2Path: String = {
+    import java.time.LocalDateTime
+    val times = Seq(LocalDateTime.of(2009, 5, 10, 0, 0),
+      LocalDateTime.of(2009, 6, 10, 12, 0))
+    val fields = times.zipWithIndex.map { case (t, m) =>
+      sources.Zarr.Field("PRATE", t, g3Ni, g3Nj, g3La1, g3Lo1, g3Di, g3Dj,
+        decimalScale = 0,
+        Array.tabulate(g3Nj * g3Ni) { k =>
+          val j = k / g3Ni; val i = k % g3Ni
+          if ((i * 4 + j * 5 + m) % 13 == 9) None
+          else Some((i * 9 + j * 21 + m * 67) % 1600 - 600)
+        })
+    }
+    sources.Zarr.writeStore(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft-zarr", "fixi2v2.zarr"),
+      fields, chunkJ = 5, chunkI = 8, compressor = "blosc-lz4",
+      payloadType = sources.Netcdf.NcShort).toString
+  }
+
+  private lazy val zarrShortV3Path: String = {
+    import java.time.LocalDateTime
+    val times = Seq(LocalDateTime.of(2009, 7, 10, 6, 0),
+      LocalDateTime.of(2009, 8, 10, 18, 0))
+    val fields = times.zipWithIndex.map { case (t, m) =>
+      sources.Zarr.Field("VGRD", t, g3Ni, g3Nj, g3La1, g3Lo1, g3Di, g3Dj,
+        decimalScale = 0,
+        Array.tabulate(g3Nj * g3Ni) { k =>
+          val j = k / g3Ni; val i = k % g3Ni
+          if ((i * 5 + j * 2 + m) % 14 == 3) None
+          else Some((i * 17 + j * 33 + m * 71) % 1900 - 800)
+        })
+    }
+    sources.Zarr.writeStoreV3(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft-zarr", "fixi2v3.zarr"),
+      fields, chunkJ = 5, chunkI = 8, compressor = "blosc-lz4",
+      payloadType = sources.Netcdf.NcShort).toString
+  }
+
+  /** r69 fixture: a v2 store carrying ONLY consolidated `.zmetadata`
+    * (per-array `.zarray`/`.zattrs` files absent) — xarray's cloud
+    * default (`consolidated=True`). On an object store this is 1
+    * metadata GET instead of thousands; the absent per-array files
+    * prove the reader actually uses the single document.
+    */
+  private lazy val zarrConsolidatedPath: String = {
+    import java.time.LocalDateTime
+    val times = Seq(LocalDateTime.of(2009, 9, 12, 0, 0),
+      LocalDateTime.of(2009, 10, 12, 12, 0))
+    val fields = times.zipWithIndex.map { case (t, m) =>
+      sources.Zarr.Field("DPT", t, g3Ni, g3Nj, g3La1, g3Lo1, g3Di, g3Dj,
+        decimalScale = 1,
+        Array.tabulate(g3Nj * g3Ni) { k =>
+          val j = k / g3Ni; val i = k % g3Ni
+          if ((i * 3 + j * 4 + m) % 15 == 11) None
+          else Some((i * 29 + j * 17 + m * 83) % 740 + 150)
+        })
+    }
+    sources.Zarr.writeStore(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft-zarr", "fixcm.zarr"),
+      fields, chunkJ = 5, chunkI = 8, consolidated = true).toString
+  }
+
   /** r57 fixture: a V3 store whose data chunks carry the `transpose`
     * codec (stored C-order over (i, t, j) — order [2,0,1]) ahead of
     * bytes + zstd, composing both round-11 codecs; PRATE masked so the
@@ -2719,6 +2830,25 @@ object SparkEntry {
       sources.Zarr.readRecords(s, zarrZstdV2Path, matchRe = "TMP")
         .unionByName(sources.Zarr.readRecords(s, zarrZstdV3Path, matchRe = "UGRD"))
         .unionByName(sources.Zarr.readRecords(s, zarrBloscZstdPath, matchRe = "PRATE"))
+        .orderBy($"variable", $"time", $"lat", $"lon")),
+    // float32 zarr data (the ARCO-ERA5/CMIP6 dtype): v2+zlib and
+    // V3+gzip legs, dyadic /4 values widened exactly to double,
+    // NC_FILL_FLOAT mask compared in float space
+    "r67_zarr_float" -> ((s, _) =>
+      sources.Zarr.readRecords(s, zarrFloatV2Path, matchRe = "TMP")
+        .unionByName(sources.Zarr.readRecords(s, zarrFloatV3Path, matchRe = "UGRD"))
+        .orderBy($"variable", $"time", $"lat", $"lon")),
+    // int16 CF-packed zarr data over blosc-lz4 (byte-shuffle at
+    // typesize 2): value = packed * 0.25 + 300, fill in packed space
+    "r68_zarr_short_cf" -> ((s, _) =>
+      sources.Zarr.readRecords(s, zarrShortV2Path, matchRe = "PRATE")
+        .unionByName(sources.Zarr.readRecords(s, zarrShortV3Path, matchRe = "VGRD"))
+        .orderBy($"variable", $"time", $"lat", $"lon")),
+    // consolidated .zmetadata (xarray's cloud default): the store has
+    // NO per-array metadata files, so this passing proves the reader
+    // takes the 1-GET metadata path object stores need
+    "r69_zarr_consolidated" -> ((s, _) =>
+      sources.Zarr.readRecords(s, zarrConsolidatedPath, matchRe = "DPT")
         .orderBy($"variable", $"time", $"lat", $"lon")),
     // v3 transpose codec ([2,0,1] index permutation) ahead of
     // bytes+zstd; the masked variable proves fill crosses the
@@ -6853,6 +6983,65 @@ object SparkEntry {
                 (($g3Lo1) + i * $g3Di) / 1000000.0 AS lon,
                 s / 10.0 AS value
          FROM u ORDER BY variable, time, lat, lon""",
+    // the float32 twin: dyadic /4 storage, exact binary32 → binary64
+    "r67_zarr_float" ->
+      s"""WITH ii AS (SELECT unnest(generate_series(0, ${g3Ni - 1})) AS i),
+         jj AS (SELECT unnest(generate_series(0, ${g3Nj - 1})) AS j),
+         a AS (SELECT 'TMP' AS variable, t, i, j,
+                      ((i * 25 + j * 19 + m * 47) % 900 + 100) AS s
+               FROM (VALUES (TIMESTAMP '2009-01-10 00:00:00', 0),
+                            (TIMESTAMP '2009-02-10 12:00:00', 1)) t(t, m)
+               CROSS JOIN ii CROSS JOIN jj
+               WHERE (i * 2 + j + m) % 11 <> 5),
+         b AS (SELECT 'UGRD' AS variable, t, i, j,
+                      ((i * 31 + j * 7 + m * 59) % 840 + 50) AS s
+               FROM (VALUES (TIMESTAMP '2009-03-10 06:00:00', 0),
+                            (TIMESTAMP '2009-04-10 18:00:00', 1)) t(t, m)
+               CROSS JOIN ii CROSS JOIN jj
+               WHERE (i + j * 3 + m) % 12 <> 6),
+         u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+         SELECT variable, t AS time,
+                ($g3La1 - j * $g3Dj) / 1000000.0 AS lat,
+                (($g3Lo1) + i * $g3Di) / 1000000.0 AS lon,
+                s / 4.0 AS value
+         FROM u ORDER BY variable, time, lat, lon""",
+    // the int16-CF twin: packed * 0.25 + 300, dyadic-exact, blosc
+    // byte-shuffle at typesize 2 underneath
+    "r68_zarr_short_cf" ->
+      s"""WITH ii AS (SELECT unnest(generate_series(0, ${g3Ni - 1})) AS i),
+         jj AS (SELECT unnest(generate_series(0, ${g3Nj - 1})) AS j),
+         a AS (SELECT 'PRATE' AS variable, t, i, j,
+                      ((i * 9 + j * 21 + m * 67) % 1600 - 600) AS s
+               FROM (VALUES (TIMESTAMP '2009-05-10 00:00:00', 0),
+                            (TIMESTAMP '2009-06-10 12:00:00', 1)) t(t, m)
+               CROSS JOIN ii CROSS JOIN jj
+               WHERE (i * 4 + j * 5 + m) % 13 <> 9),
+         b AS (SELECT 'VGRD' AS variable, t, i, j,
+                      ((i * 17 + j * 33 + m * 71) % 1900 - 800) AS s
+               FROM (VALUES (TIMESTAMP '2009-07-10 06:00:00', 0),
+                            (TIMESTAMP '2009-08-10 18:00:00', 1)) t(t, m)
+               CROSS JOIN ii CROSS JOIN jj
+               WHERE (i * 5 + j * 2 + m) % 14 <> 3),
+         u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+         SELECT variable, t AS time,
+                ($g3La1 - j * $g3Dj) / 1000000.0 AS lat,
+                (($g3Lo1) + i * $g3Di) / 1000000.0 AS lon,
+                s * 0.25 + 300.0 AS value
+         FROM u ORDER BY variable, time, lat, lon""",
+    // the consolidated-metadata twin: same flatten, metadata from the
+    // single .zmetadata document
+    "r69_zarr_consolidated" ->
+      s"""WITH ii AS (SELECT unnest(generate_series(0, ${g3Ni - 1})) AS i),
+         jj AS (SELECT unnest(generate_series(0, ${g3Nj - 1})) AS j),
+         t(t, m) AS (VALUES (TIMESTAMP '2009-09-12 00:00:00', 0),
+                            (TIMESTAMP '2009-10-12 12:00:00', 1))
+         SELECT 'DPT' AS variable, t AS time,
+                ($g3La1 - j * $g3Dj) / 1000000.0 AS lat,
+                (($g3Lo1) + i * $g3Di) / 1000000.0 AS lon,
+                ((i * 29 + j * 17 + m * 83) % 740 + 150) / 10.0 AS value
+         FROM t CROSS JOIN ii CROSS JOIN jj
+         WHERE (i * 3 + j * 4 + m) % 15 <> 11
+         ORDER BY variable, time, lat, lon""",
     // the transpose-codec twin: the [2,0,1] permutation (and the zstd
     // frames under it) must be invisible in the flattened result
     "r57_zarr_transpose" ->

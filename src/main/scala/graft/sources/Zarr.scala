@@ -22,10 +22,14 @@ import org.json4s.jackson.JsonMethods
   *    out-of-bounds tail ignored on read (the spec's edge rule);
   *  - compressors: `null` (raw), `zlib` via `java.util.zip`, and
   *    `blosc(cname=lz4)` — the numcodecs DEFAULT stack, so third-party
-  *    stores open — via the from-scratch [[BloscLz4]] codec; `<i4`/
-  *    `>i4` integer payloads both endiannesses, `<f8`/`>f8` coordinates;
+  *    stores open — via the from-scratch [[BloscLz4]] codec; data
+  *    dtypes `i4` (decimal_scale), `i2` (CF scale_factor/add_offset —
+  *    the ARCO-ERA5 shape) and `f4` (widened exactly to double — the
+  *    dominant real cloud-store payload), both endiannesses; `<f8`/
+  *    `>f8` coordinates;
   *  - CF-flavoured presentation shared with [[Netcdf]]: `fill_value`
-  *    cells drop from the scan, `decimal_scale` in `.zattrs` presents
+  *    cells drop from the scan (int dtypes compared in packed space,
+  *    f4 in float space), `decimal_scale` in `.zattrs` presents
   *    integers as `raw / 10^D` (exact cross-engine, unlike `* 0.1`).
   *
   * Scale shape: metadata (`.zarray`/`.zattrs`, coordinate arrays) is
@@ -37,7 +41,8 @@ import org.json4s.jackson.JsonMethods
   * Zarr V3 group stores (zarr-specs v3.0) read through the same scan:
   * `zarr.json` metadata documents, regular chunk grids, default chunk-key
   * encoding (`c/t/j/i` or `.`-separated), codec chain `bytes(endian)`
-  * plus at most one of `gzip`/`blosc(lz4)`, int32 data / float64 coords —
+  * plus at most one of `gzip`/`blosc(lz4)`, int16/int32/float32 data /
+  * float64 coords —
   * including `sharding_indexed` arrays ((offset,nbytes) u64le index,
   * crc32c-checked, missing inner chunks as all-ones entries; one scan
   * task per SHARD, the object-count shape v3 archives use at scale).
@@ -45,7 +50,8 @@ import org.json4s.jackson.JsonMethods
   * Out-of-scope forms reject loudly with a pointer: `order:"F"`,
   * non-`.` v2 dimension separators, v2 filters, compressors other than
   * null/zlib/gzip/zstd/blosc-{lz4,lz4hc,zstd} (blosclz/snappy cnames
-  * reject), non-integer data dtypes, nested sharding. zstd decodes via
+  * reject), dtypes beyond i2/i4/f4 data + f8 coords, sharding or
+  * transpose over non-int32 data, nested sharding. zstd decodes via
   * the zstd-jni library Spark itself bundles ([[ZstdCodec]]); the v3
   * `transpose` codec is an index permutation handled before the bytes
   * codec.
@@ -74,6 +80,13 @@ object Zarr {
   final case class ArrayMeta(shape: Seq[Int], chunks: Seq[Int],
                              dtype: String, comp: String,
                              fillValue: Option[Int], decimalScale: Int,
+                             // CF packing (int16 data: value = packed *
+                             // scale_factor + add_offset, the ARCO-ERA5/
+                             // CMIP6-zarr shape) and the float32 fill
+                             // (compared in FLOAT space before widening)
+                             scaleFactor: Double = 1.0,
+                             addOffset: Double = 0.0,
+                             fillFloat: Option[Float] = None,
                              v3: Boolean = false, sep: String = ".",
                              // sharding_indexed (v3): `chunks` is then the
                              // SHARD shape; inner chunks of this shape are
@@ -151,7 +164,7 @@ object Zarr {
   }
 
   private def zarrayJson(shape: Seq[Int], chunks: Seq[Int], dtype: String,
-                         compressor: String, level: Int, fill: Option[Int]): String = {
+                         compressor: String, level: Int, fill: Option[String]): String = {
     val comp = compressor match {
       case "zlib" => s"""{"id":"zlib","level":$level}"""
       case "zstd" => s"""{"id":"zstd","level":$level}"""
@@ -165,7 +178,7 @@ object Zarr {
     }
     s"""{"zarr_format":2,"shape":[${shape.mkString(",")}],""" +
       s""""chunks":[${chunks.mkString(",")}],"dtype":"$dtype",""" +
-      s""""compressor":$comp,"fill_value":${fill.map(_.toString).getOrElse("null")},""" +
+      s""""compressor":$comp,"fill_value":${fill.getOrElse("null")},""" +
       s""""order":"C","filters":null}"""
   }
 
@@ -178,8 +191,22 @@ object Zarr {
     */
   def writeStore(root: Path, fields: Seq[Field],
                  chunkJ: Int, chunkI: Int, level: Int = 6,
-                 compressor: String = "zlib"): Path = {
+                 compressor: String = "zlib",
+                 // NcInt: <i4 + decimal_scale (value = raw / 10^D);
+                 // NcFloat: <f4 dyadic /4 (the classic NC_FLOAT
+                 // convention, exact in binary32 below 2^22);
+                 // NcShort: <i2 CF-packed (value = packed*0.25 + 300)
+                 payloadType: Int = Netcdf.NcInt,
+                 // true = write xarray's consolidated `.zmetadata` and
+                 // OMIT the per-array `.zarray`/`.zattrs` files — the
+                 // shape that proves a reader actually uses the single
+                 // metadata document (1 GET instead of thousands on an
+                 // object store)
+                 consolidated: Boolean = false): Path = {
     require(fields.nonEmpty, "no fields to write")
+    require(payloadType == Netcdf.NcInt || payloadType == Netcdf.NcFloat ||
+      payloadType == Netcdf.NcShort,
+      s"zarr payload type $payloadType unsupported (NC_SHORT / NC_INT / NC_FLOAT)")
     val g = fields.head
     fields.foreach { f =>
       require(f.ni == g.ni && f.nj == g.nj && f.la1Micro == g.la1Micro &&
@@ -189,6 +216,18 @@ object Zarr {
       require(f.scaled.length == f.ni * f.nj, "scaled length must be ni*nj")
       f.scaled.foreach(_.foreach(v => require(v != FillInt,
         s"scaled value $v collides with fill_value")))
+      if (payloadType == Netcdf.NcFloat) {
+        require(f.decimalScale == 0,
+          "float payloads use the dyadic /4 convention — decimalScale must be 0")
+        f.scaled.foreach(_.foreach(v => require(math.abs(v) < (1 << 22),
+          s"scaled value $v too wide for exact binary32 quarters")))
+      }
+      if (payloadType == Netcdf.NcShort) {
+        require(f.decimalScale == 0,
+          "short payloads use scale_factor/add_offset — decimalScale must be 0")
+        f.scaled.foreach(_.foreach(v => require(v > -32767 && v <= 32767,
+          s"scaled value $v outside the int16 packed range")))
+      }
     }
     val times = fields.map(_.time).distinct
       .sorted(Ordering.fromLessThan[LocalDateTime](_ isBefore _))
@@ -202,53 +241,90 @@ object Zarr {
       Files.createDirectories(p.getParent)
       Files.write(p, bytes)
     }
+    // consolidated mode collects every metadata document into the
+    // single `.zmetadata` map instead of per-array files
+    val metaDocs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def putMeta(rel: String, json: String): Unit =
+      if (consolidated) metaDocs(rel) = json
+      else put(rel, json.getBytes("UTF-8"))
     Files.createDirectories(root)
     put(".zgroup", """{"zarr_format":2}""".getBytes("UTF-8"))
+    if (consolidated) metaDocs(".zgroup") = """{"zarr_format":2}"""
 
     def coord1d(name: String, doubles: Array[Double]): Unit = {
-      put(s"$name/.zarray", zarrayJson(Seq(doubles.length), Seq(doubles.length),
-        "<f8", "null", level, None).getBytes("UTF-8"))
+      putMeta(s"$name/.zarray", zarrayJson(Seq(doubles.length), Seq(doubles.length),
+        "<f8", "null", level, None))
       put(s"$name/0", doubles.flatMap(leDouble))
     }
     coord1d("lat", Array.tabulate(g.nj)(j => (g.la1Micro - j * g.djMicro) / 1e6))
     coord1d("lon", Array.tabulate(g.ni)(i => (g.lo1Micro + i * g.diMicro) / 1e6))
     val epochHours = times.map(t => java.time.Duration.between(
       LocalDateTime.of(1970, 1, 1, 0, 0), t).toHours.toInt).toArray
-    put("time/.zarray", zarrayJson(Seq(times.length), Seq(times.length),
-      "<i4", "null", level, None).getBytes("UTF-8"))
+    putMeta("time/.zarray", zarrayJson(Seq(times.length), Seq(times.length),
+      "<i4", "null", level, None))
     put("time/0", epochHours.flatMap(leInt))
 
     val cgJ = (g.nj + chunkJ - 1) / chunkJ
     val cgI = (g.ni + chunkI - 1) / chunkI
+    val (dtypeStr, elemSize, fillLit, attrsJson) = payloadType match {
+      case Netcdf.NcFloat =>
+        // Float.toString is the shortest uniquely-round-tripping decimal,
+        // so JSON parse recovers the identical binary32 fill
+        ("<f4", 4, Netcdf.FillFloat.toString, s"""{"units":"K"}""")
+      case Netcdf.NcShort =>
+        ("<i2", 2, Netcdf.FillShort.toString,
+          s"""{"scale_factor":0.25,"add_offset":300.0,"units":"K"}""")
+      case _ =>
+        ("<i4", 4, FillInt.toString,
+          s"""{"decimal_scale":${g.decimalScale},"units":"K"}""")
+    }
+    def encodeCell(cell: Option[Int], raw: Array[Byte], p: Int): Unit =
+      payloadType match {
+        case Netcdf.NcFloat =>
+          val bits = java.lang.Float.floatToIntBits(
+            cell.map(_ / 4.0f).getOrElse(Netcdf.FillFloat))
+          var k = 0
+          while (k < 4) { raw(p + k) = ((bits >>> (8 * k)) & 0xff).toByte; k += 1 }
+        case Netcdf.NcShort =>
+          val s = cell.getOrElse(Netcdf.FillShort.toInt)
+          raw(p) = (s & 0xff).toByte; raw(p + 1) = ((s >> 8) & 0xff).toByte
+        case _ =>
+          val b = leInt(cell.getOrElse(FillInt))
+          raw(p) = b(0); raw(p + 1) = b(1); raw(p + 2) = b(2); raw(p + 3) = b(3)
+      }
     for (v <- vars) {
-      put(s"$v/.zarray", zarrayJson(Seq(times.length, g.nj, g.ni),
-        Seq(1, chunkJ, chunkI), "<i4", compressor, level,
-        Some(FillInt)).getBytes("UTF-8"))
-      put(s"$v/.zattrs",
-        s"""{"decimal_scale":${g.decimalScale},"units":"K"}""".getBytes("UTF-8"))
+      putMeta(s"$v/.zarray", zarrayJson(Seq(times.length, g.nj, g.ni),
+        Seq(1, chunkJ, chunkI), dtypeStr, compressor, level,
+        Some(fillLit)))
+      putMeta(s"$v/.zattrs", attrsJson)
       for ((t, r) <- times.zipWithIndex) {
         val f = fields.find(x => x.variable == v && x.time == t).get
         for (cj <- 0 until cgJ; ci <- 0 until cgI) {
-          val raw = new Array[Byte](chunkJ * chunkI * 4)
+          val raw = new Array[Byte](chunkJ * chunkI * elemSize)
           var p = 0
           for (dj <- 0 until chunkJ; di <- 0 until chunkI) {
             val j = cj * chunkJ + dj; val i = ci * chunkI + di
-            val cell = if (j < g.nj && i < g.ni)
-              f.scaled(j * g.ni + i).getOrElse(FillInt)
-            else FillInt // edge-chunk padding per spec
-            val b = leInt(cell)
-            raw(p) = b(0); raw(p + 1) = b(1); raw(p + 2) = b(2); raw(p + 3) = b(3)
-            p += 4
+            val cell = if (j < g.nj && i < g.ni) f.scaled(j * g.ni + i)
+              else None // edge-chunk padding per spec
+            encodeCell(cell, raw, p)
+            p += elemSize
           }
           put(s"$v/$r.$cj.$ci", compressor match {
             case "zlib" => zlibDeflate(raw, level)
             case "zstd" => ZstdCodec.compress(raw, level)
-            case "blosc-lz4" => BloscLz4.compress(raw, typesize = 4)
-            case "blosc-zstd" => BloscLz4.compress(raw, typesize = 4, cname = "zstd")
+            case "blosc-lz4" => BloscLz4.compress(raw, typesize = elemSize)
+            case "blosc-zstd" => BloscLz4.compress(raw, typesize = elemSize, cname = "zstd")
             case _ => raw
           })
         }
       }
+    }
+    if (consolidated) {
+      // xarray's consolidated-metadata document: every metadata file's
+      // PARSED content keyed by its store-relative path
+      val body = metaDocs.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+      put(".zmetadata",
+        s"""{"metadata":{$body},"zmetadata_version":1}""".getBytes("UTF-8"))
     }
     root
   }
@@ -269,8 +345,16 @@ object Zarr {
                    innerJ: Int = 0, innerI: Int = 0,
                    // non-empty prepends a `transpose` codec: data chunks
                    // are stored C-order over (t,j,i) permuted by this
-                   transpose: Seq[Int] = Nil): Path = {
+                   transpose: Seq[Int] = Nil,
+                   // NcInt / NcFloat (dyadic /4) / NcShort (CF-packed);
+                   // sharding and transpose stay int32-only
+                   payloadType: Int = Netcdf.NcInt): Path = {
     val sharding = innerJ > 0 || innerI > 0
+    require(payloadType == Netcdf.NcInt || payloadType == Netcdf.NcFloat ||
+      payloadType == Netcdf.NcShort,
+      s"zarr payload type $payloadType unsupported (NC_SHORT / NC_INT / NC_FLOAT)")
+    require(payloadType == Netcdf.NcInt || (!sharding && transpose.isEmpty),
+      "sharding/transpose with non-int32 payloads out of scope")
     require(transpose.isEmpty || transpose.sorted == Seq(0, 1, 2),
       s"transpose order $transpose must permute the (t, j, i) dims")
     require(transpose.isEmpty || !sharding,
@@ -288,6 +372,21 @@ object Zarr {
       require(f.scaled.length == f.ni * f.nj, "scaled length must be ni*nj")
       f.scaled.foreach(_.foreach(v => require(v != FillInt,
         s"scaled value $v collides with fill_value")))
+      if (payloadType == Netcdf.NcFloat) {
+        require(f.decimalScale == 0,
+          "float payloads use the dyadic /4 convention — decimalScale must be 0")
+        f.scaled.foreach(_.foreach(v => require(math.abs(v) < (1 << 22),
+          s"scaled value $v too wide for exact binary32 quarters")))
+      }
+      if (payloadType == Netcdf.NcShort) {
+        require(f.decimalScale == 0,
+          "short payloads use scale_factor/add_offset — decimalScale must be 0")
+        f.scaled.foreach(_.foreach(v => require(v > -32767 && v <= 32767,
+          s"scaled value $v outside the int16 packed range")))
+      }
+    }
+    val dataElemSize = payloadType match {
+      case Netcdf.NcShort => 2; case _ => 4 // int32 / float32
     }
     val times = fields.map(_.time).distinct
       .sorted(Ordering.fromLessThan[LocalDateTime](_ isBefore _))
@@ -297,14 +396,14 @@ object Zarr {
       Files.createDirectories(p.getParent)
       Files.write(p, bytes)
     }
-    def codecJson(comp: String): String = {
+    def codecJson(comp: String, typesize: Int = 4): String = {
       val bytesCodec = """{"name":"bytes","configuration":{"endian":"little"}}"""
       comp match {
         case "gzip" => s"""[$bytesCodec,{"name":"gzip","configuration":{"level":$level}}]"""
         case "zstd" =>
           s"""[$bytesCodec,{"name":"zstd","configuration":{"level":$level,"checksum":false}}]"""
         case "blosc-lz4" => s"""[$bytesCodec,{"name":"blosc","configuration":""" +
-          s"""{"cname":"lz4","clevel":$level,"shuffle":"shuffle","typesize":4,"blocksize":0}}]"""
+          s"""{"cname":"lz4","clevel":$level,"shuffle":"shuffle","typesize":$typesize,"blocksize":0}}]"""
         case "null" => s"[$bytesCodec]"
         case other => sys.error(s"zarr v3 writer: compressor '$other' unsupported")
       }
@@ -315,12 +414,12 @@ object Zarr {
         s""""index_codecs":[{"name":"bytes","configuration":{"endian":"little"}},""" +
         s"""{"name":"crc32c"}],"index_location":"end"}}]"""
     def arrayJson(shape: Seq[Int], chunks: Seq[Int], dtype: String,
-                  codecs: String, fill: Option[Int], attrs: String): String =
+                  codecs: String, fill: Option[String], attrs: String): String =
       s"""{"zarr_format":3,"node_type":"array","shape":[${shape.mkString(",")}],""" +
         s""""data_type":"$dtype","chunk_grid":{"name":"regular",""" +
         s""""configuration":{"chunk_shape":[${chunks.mkString(",")}]}},""" +
         s""""chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},""" +
-        s""""fill_value":${fill.map(_.toString).getOrElse("0")},""" +
+        s""""fill_value":${fill.getOrElse("0")},""" +
         s""""codecs":$codecs,"attributes":{$attrs}}"""
     Files.createDirectories(root)
     put("zarr.json", """{"zarr_format":3,"node_type":"group"}""".getBytes("UTF-8"))
@@ -341,31 +440,55 @@ object Zarr {
     def encodeRaw(raw: Array[Byte]): Array[Byte] = compressor match {
       case "gzip" => gzipCompress(raw)
       case "zstd" => ZstdCodec.compress(raw, level)
-      case "blosc-lz4" => BloscLz4.compress(raw, typesize = 4)
+      case "blosc-lz4" => BloscLz4.compress(raw, typesize = dataElemSize)
       case _ => raw
     }
     def cellBytes(f: Field, j0: Int, i0: Int, nJ: Int, nI: Int): Array[Byte] = {
-      val cells0 = Array.tabulate(nJ * nI) { p =>
+      val opts = Array.tabulate(nJ * nI) { p =>
         val j = j0 + p / nI; val i = i0 + p % nI
-        if (j < g.nj && i < g.ni) f.scaled(j * g.ni + i).getOrElse(FillInt)
-        else FillInt
+        if (j < g.nj && i < g.ni) f.scaled(j * g.ni + i) else None
       }
-      val cells = if (transpose.isEmpty) cells0
-        else permuteCells(cells0, Seq(1, nJ, nI), transpose, encode = true)
-      cells.flatMap(leInt)
+      payloadType match {
+        case Netcdf.NcFloat =>
+          opts.flatMap { c =>
+            val bits = java.lang.Float.floatToIntBits(
+              c.map(_ / 4.0f).getOrElse(Netcdf.FillFloat))
+            Array.tabulate(4)(k => ((bits >>> (8 * k)) & 0xff).toByte)
+          }
+        case Netcdf.NcShort =>
+          opts.flatMap { c =>
+            val s = c.getOrElse(Netcdf.FillShort.toInt)
+            Array[Byte]((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)
+          }
+        case _ =>
+          val cells0 = opts.map(_.getOrElse(FillInt))
+          val cells = if (transpose.isEmpty) cells0
+            else permuteCells(cells0, Seq(1, nJ, nI), transpose, encode = true)
+          cells.flatMap(leInt)
+      }
+    }
+    val (dataTypeStr, fillLit, dataAttrs) = payloadType match {
+      case Netcdf.NcFloat =>
+        ("float32", Netcdf.FillFloat.toString, s""""units":"K"""")
+      case Netcdf.NcShort =>
+        ("int16", Netcdf.FillShort.toString,
+          s""""scale_factor":0.25,"add_offset":300.0,"units":"K"""")
+      case _ =>
+        ("int32", FillInt.toString,
+          s""""decimal_scale":${g.decimalScale},"units":"K"""")
     }
     for (v <- vars) {
       val dataCodecs =
         if (sharding) shardingJson(compressor)
-        else if (transpose.isEmpty) codecJson(compressor)
+        else if (transpose.isEmpty) codecJson(compressor, dataElemSize)
         else s"""[{"name":"transpose","configuration":""" +
           s"""{"order":[${transpose.mkString(",")}]}},""" +
           codecJson(compressor).tail
       put(s"$v/zarr.json", arrayJson(Seq(times.length, g.nj, g.ni),
-        Seq(1, chunkJ, chunkI), "int32",
+        Seq(1, chunkJ, chunkI), dataTypeStr,
         dataCodecs,
-        Some(FillInt),
-        s""""decimal_scale":${g.decimalScale},"units":"K"""").getBytes("UTF-8"))
+        Some(fillLit),
+        dataAttrs).getBytes("UTF-8"))
       for ((t, r) <- times.zipWithIndex) {
         val f = fields.find(x => x.variable == v && x.time == t)
           .getOrElse(sys.error(s"variable $v missing at $t"))
@@ -453,17 +576,29 @@ object Zarr {
         }
     }
     val dtype = (j \ "dtype").extract[String]
-    require(Set("<i4", ">i4", "<f8", ">f8").contains(dtype),
-      s"zarr: $label dtype '$dtype' out of scope — <i4/>i4 data, <f8/>f8 coords")
-    val fill = (j \ "fill_value") match {
-      case JInt(v) => Some(v.toInt)
-      case JNull | JNothing => None
-      case v => sys.error(s"zarr: $label non-integer fill_value $v out of scope")
+    require(Set("<i4", ">i4", "<i2", ">i2", "<f4", ">f4", "<f8", ">f8").contains(dtype),
+      s"zarr: $label dtype '$dtype' out of scope — " +
+        "<i4/>i4, <i2/>i2 (CF-packed), <f4/>f4 data, <f8/>f8 coords")
+    val isF4 = dtype.endsWith("f4")
+    val (fill, fillF) = (j \ "fill_value") match {
+      case JInt(v) =>
+        if (isF4) (None, Some(v.toFloat)) else (Some(v.toInt), None)
+      case JDouble(v) if isF4 => (None, Some(v.toFloat))
+      case JNull | JNothing => (None, None)
+      case v => sys.error(s"zarr: $label fill_value $v out of scope for $dtype")
     }
+    def numAttr(name: String, dflt: Double): Double =
+      attrs.map(a => (JsonMethods.parse(a) \ name) match {
+        case JDouble(v) => v
+        case JInt(v) => v.toDouble
+        case _ => dflt
+      }).getOrElse(dflt)
     val scale = attrs.map(a => (JsonMethods.parse(a) \ "decimal_scale") match {
       case JInt(v) => v.toInt
       case _ => 0
     }).getOrElse(0)
+    val sf = numAttr("scale_factor", 1.0)
+    val ao = numAttr("add_offset", 0.0)
     // dimension plausibility caps BEFORE any decode allocates (the
     // PNG/J2K hardening): extract as BigInt so out-of-Int-range values
     // reject loudly instead of wrapping, then bound the per-chunk cell
@@ -479,7 +614,8 @@ object Zarr {
     require(chunks.product <= (BigInt(1) << 26),
       s"zarr: $label chunk cell count ${chunks.product} exceeds the 2^26 cap")
     ArrayMeta(shape.map(_.toInt), chunks.map(_.toInt),
-      dtype, comp, fill, scale)
+      dtype, comp, fill, scale, scaleFactor = sf, addOffset = ao,
+      fillFloat = fillF)
   }
 
   /** Parse a v3 array `zarr.json` (zarr-specs v3.0): regular chunk
@@ -596,20 +732,34 @@ object Zarr {
       }
     val dtype = (j \ "data_type").extract[String] match {
       case "int32" => if (little) "<i4" else ">i4"
+      case "int16" => if (little) "<i2" else ">i2"
+      case "float32" => if (little) "<f4" else ">f4"
       case "float64" => if (little) "<f8" else ">f8"
       case other => throw new IllegalArgumentException(
-        s"zarr: $label data_type '$other' out of scope (int32 data, float64 coords)")
+        s"zarr: $label data_type '$other' out of scope " +
+          "(int16/int32/float32 data, float64 coords)")
     }
-    val fill = (j \ "fill_value") match {
-      case JInt(v) => Some(v.toInt)
-      case JNull | JNothing => None
+    val isF4 = dtype.endsWith("f4")
+    val (fill, fillF) = (j \ "fill_value") match {
+      case JInt(v) =>
+        if (isF4) (None, Some(v.toFloat)) else (Some(v.toInt), None)
+      case JDouble(v) if isF4 => (None, Some(v.toFloat))
+      case JNull | JNothing => (None, None)
       case v => throw new IllegalArgumentException(
-        s"zarr: $label non-integer fill_value $v out of scope")
+        s"zarr: $label fill_value $v out of scope for $dtype")
     }
     val scale = (j \ "attributes" \ "decimal_scale") match {
       case JInt(v) => v.toInt
       case _ => 0
     }
+    def numAttr(name: String, dflt: Double): Double =
+      (j \ "attributes" \ name) match {
+        case JDouble(v) => v
+        case JInt(v) => v.toDouble
+        case _ => dflt
+      }
+    val sf = numAttr("scale_factor", 1.0)
+    val ao = numAttr("add_offset", 0.0)
     val shape = (j \ "shape").extract[Seq[BigInt]]
     val chunks = (grid \ "configuration" \ "chunk_shape").extract[Seq[BigInt]]
     require(shape.nonEmpty && chunks.length == shape.length,
@@ -620,6 +770,8 @@ object Zarr {
     require(chunks.product <= (BigInt(1) << 26),
       s"zarr: $label chunk cell count ${chunks.product} exceeds the 2^26 cap")
     if (sharded) {
+      require(dtype.endsWith("i4"),
+        s"zarr: $label sharding on dtype '$dtype' out of scope (int32 data only)")
       require(innerShape.length == chunks.length,
         s"zarr: $label inner chunk rank ${innerShape.length} != ${chunks.length}")
       innerShape.foreach(v => require(v >= 1 && v <= Int.MaxValue,
@@ -634,7 +786,8 @@ object Zarr {
     require(tOrder.isEmpty || dtype.endsWith("i4"),
       s"zarr: $label transpose on dtype '$dtype' out of scope (int32 data only)")
     ArrayMeta(shape.map(_.toInt), chunks.map(_.toInt),
-      dtype, comp, fill, scale, v3 = true, sep = sep,
+      dtype, comp, fill, scale, scaleFactor = sf, addOffset = ao,
+      fillFloat = fillF, v3 = true, sep = sep,
       innerChunks = innerShape.map(_.toInt), innerComp = innerComp,
       indexCrc = idxCrc, indexAtStart = idxStart, transposeOrder = tOrder)
   }
@@ -669,6 +822,41 @@ object Zarr {
       require(n == meta.chunks.product,
         s"zarr: transposed chunk in $label has $n cells, grid says ${meta.chunks.product}")
       permuteCells(cells, meta.chunks, meta.transposeOrder, encode = false)
+    }
+  }
+
+  /** int16 chunk decode (the CF-packed ARCO-ERA5/CMIP6-zarr data shape);
+    * transpose stays int32-only by the parse-time require.
+    */
+  private def decodeShorts(bytes: Array[Byte], meta: ArrayMeta, n: Int,
+                           label: String): Array[Short] = {
+    val raw = inflate(bytes, meta, n * 2, label)
+    val little = meta.dtype.startsWith("<")
+    Array.tabulate(n) { k =>
+      val p = 2 * k
+      if (little) (((raw(p + 1) & 0xff) << 8) | (raw(p) & 0xff)).toShort
+      else (((raw(p) & 0xff) << 8) | (raw(p + 1) & 0xff)).toShort
+    }
+  }
+
+  /** float32 chunk decode — the dominant real cloud-store payload;
+    * values widen exactly to double downstream, fill compared in
+    * FLOAT space first.
+    */
+  private def decodeFloats(bytes: Array[Byte], meta: ArrayMeta, n: Int,
+                           label: String): Array[Float] = {
+    val raw = inflate(bytes, meta, n * 4, label)
+    val little = meta.dtype.startsWith("<")
+    Array.tabulate(n) { k =>
+      val p = 4 * k
+      val bits =
+        if (little)
+          (raw(p) & 0xff) | ((raw(p + 1) & 0xff) << 8) |
+            ((raw(p + 2) & 0xff) << 16) | ((raw(p + 3) & 0xff) << 24)
+        else
+          ((raw(p) & 0xff) << 24) | ((raw(p + 1) & 0xff) << 16) |
+            ((raw(p + 2) & 0xff) << 8) | (raw(p + 3) & 0xff)
+      java.lang.Float.intBitsToFloat(bits)
     }
   }
 
@@ -799,6 +987,34 @@ object Zarr {
     if (!v2Root)
       require(JsonMethods.parse(readSmall(v3RootP)) \ "node_type" == JString("group"),
         s"zarr: $root zarr.json is not a group node")
+    // consolidated metadata (xarray's cloud default): ONE document
+    // carries every .zarray/.zattrs — on an object store this is 1
+    // metadata GET instead of thousands, so prefer it whenever present
+    val zmetaP = new org.apache.hadoop.fs.Path(rp, ".zmetadata")
+    if (v2Root && fs.exists(zmetaP)) {
+      val j = JsonMethods.parse(readSmall(zmetaP))
+      (j \ "zmetadata_version") match {
+        case JInt(v) => require(v == 1,
+          s"zarr: $root .zmetadata version $v out of scope (1)")
+        case _ => throw new IllegalArgumentException(
+          s"zarr: $root .zmetadata has no zmetadata_version")
+      }
+      val docs: Map[String, JValue] = (j \ "metadata") match {
+        case JObject(fs0) => fs0.toMap
+        case _ => throw new IllegalArgumentException(
+          s"zarr: $root .zmetadata has no metadata object")
+      }
+      return docs.keys.filter(_.endsWith("/.zarray"))
+        .map(_.stripSuffix("/.zarray")).toSeq.sorted
+        .map { name =>
+          require(!name.contains("/"),
+            s"zarr: $root .zmetadata nests group '$name' — groups beyond root out of scope")
+          val za = JsonMethods.compact(JsonMethods.render(docs(s"$name/.zarray")))
+          val attrs = docs.get(s"$name/.zattrs")
+            .map(a => JsonMethods.compact(JsonMethods.render(a)))
+          name -> parseZarray(za, attrs, s"$root/$name (.zmetadata)")
+        }
+    }
     fs.listStatus(rp).toSeq.filter(_.isDirectory).map(_.getPath).sortBy(_.getName)
       .flatMap { dir =>
         if (v2Root) {
@@ -869,7 +1085,11 @@ object Zarr {
         s"zarr: $name shape ${m.shape} does not match coordinates")
       require(m.chunks.head == 1,
         s"zarr: $name time-chunking ${m.chunks.head} out of scope (1 per spec here)")
-      require(m.dtype.endsWith("i4"), s"zarr: $name data dtype ${m.dtype} out of scope")
+      require(m.dtype.endsWith("i4") || m.dtype.endsWith("i2") ||
+        m.dtype.endsWith("f4"),
+        s"zarr: $name data dtype ${m.dtype} out of scope (i4 / i2-CF / f4)")
+      require(m.innerChunks.isEmpty || m.dtype.endsWith("i4"),
+        s"zarr: $name sharded non-int32 data out of scope")
     }
     val wanted = dataArrays.filter(a => pat.matcher(a._1).find())
     val schema = Encoders.product[GridRow].schema
@@ -912,16 +1132,38 @@ object Zarr {
             cj >= 0 && cj.toLong * chJ < m.shape(1) &&
             ci >= 0 && ci.toLong * chI < m.shape(2),
             s"zarr: chunk key $key outside ${m.shape} under $vname")
-          val cells =
-            if (m.innerChunks.nonEmpty) decodeShardInts(bytes, m, s"$vname/$key")
-            else decodeInts(bytes, m, chJ * chI, s"$vname/$key")
-          val fill = m.fillValue.getOrElse(FillInt)
-          val denom = math.pow(10, m.decimalScale)
+          // per-dtype cell accessor: None = fill (drops). int32 keeps
+          // the decimal_scale divide; int16 is the CF packing (value =
+          // packed * scale_factor + add_offset, fill in PACKED space);
+          // float32 widens exactly to double, fill compared as float.
+          val cell: Int => Option[Double] =
+            if (m.dtype.endsWith("i2")) {
+              val cells = decodeShorts(bytes, m, chJ * chI, s"$vname/$key")
+              val fill = m.fillValue.getOrElse(Netcdf.FillShort.toInt)
+              k => {
+                val v = cells(k).toInt
+                if (v == fill) None else Some(v * m.scaleFactor + m.addOffset)
+              }
+            } else if (m.dtype.endsWith("f4")) {
+              val cells = decodeFloats(bytes, m, chJ * chI, s"$vname/$key")
+              val fill = m.fillFloat.getOrElse(Netcdf.FillFloat)
+              k => {
+                val x = cells(k)
+                if (x == fill) None else Some(x.toDouble)
+              }
+            } else {
+              val cells =
+                if (m.innerChunks.nonEmpty) decodeShardInts(bytes, m, s"$vname/$key")
+                else decodeInts(bytes, m, chJ * chI, s"$vname/$key")
+              val fill = m.fillValue.getOrElse(FillInt)
+              val denom = math.pow(10, m.decimalScale)
+              k => if (cells(k) == fill) None else Some(cells(k) / denom)
+            }
           val t = LocalDateTime.of(1970, 1, 1, 0, 0).plusHours(timeA(r).toLong)
           Iterator.tabulate(chJ * chI) { k =>
             val j = cj * chJ + k / chI; val i = ci * chI + k % chI
-            if (j >= latA.length || i >= lonA.length || cells(k) == fill) null
-            else GridRow(vname, t, latA(j), lonA(i), cells(k) / denom)
+            if (j >= latA.length || i >= lonA.length) null
+            else cell(k).map(x => GridRow(vname, t, latA(j), lonA(i), x)).orNull
           }.filter(_ != null)
         }
     )(Encoders.product[GridRow]).toDF()

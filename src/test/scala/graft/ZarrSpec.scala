@@ -51,6 +51,111 @@ class ZarrSpec extends SparkSpec {
     got.length shouldBe expected.size
   }
 
+  test("float32 data round-trips v2+v3 (dyadic /4, float-space fill, wire pin)") {
+    import graft.sources.Netcdf
+    val fields = Seq(
+      field("TMP", t0, 0).copy(decimalScale = 0),
+      field("PRATE", t0, 500, (i, j) => (i + j) % 4 == 1).copy(decimalScale = 0))
+    val expected = (for {
+      (v, bump) <- Seq("TMP" -> 0, "PRATE" -> 500)
+      j <- 0 until 3; i <- 0 until 5
+      if !(v == "PRATE" && (i + j) % 4 == 1)
+    } yield (v, (40000000L - j * 1500000L) / 1e6,
+      (-10000000L + i * 2000000L) / 1e6,
+      (100 + 7 * i + 11 * j + bump) / 4.0)).toSet
+    val rootDir = java.nio.file.Files.createTempDirectory("graft-zarr-f4")
+    // v2 + zlib, v3 + gzip, and blosc with typesize 4 (shuffle over f4)
+    val v2 = Zarr.writeStore(rootDir.resolve("v2.zarr"), fields, 2, 3,
+      payloadType = Netcdf.NcFloat)
+    val v3 = Zarr.writeStoreV3(rootDir.resolve("v3.zarr"), fields, 2, 3,
+      payloadType = Netcdf.NcFloat)
+    val v2b = Zarr.writeStore(rootDir.resolve("v2b.zarr"), fields, 2, 3,
+      compressor = "blosc-lz4", payloadType = Netcdf.NcFloat)
+    for (root <- Seq(v2, v3, v2b)) {
+      val got = Zarr.readRecords(spark, root.toString).collect()
+        .map(r => (r.getString(0), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSet
+      got shouldBe expected
+    }
+    // wire pin: the v2 .zarray declares <f4 and the float fill literal
+    val za = new String(java.nio.file.Files.readAllBytes(
+      v2.resolve("TMP/.zarray")), "UTF-8")
+    za should include(""""dtype":"<f4"""")
+    za should include("9.96921E36")
+    // the raw chunk's first cell is scaled(0)/4 as LE binary32
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(java.nio.file.Files.readAllBytes(v2.resolve("TMP/0.0.0")))
+    val chunk = new Array[Byte](2 * 3 * 4)
+    inf.inflate(chunk) shouldBe 2 * 3 * 4
+    val bits = (chunk(0) & 0xff) | ((chunk(1) & 0xff) << 8) |
+      ((chunk(2) & 0xff) << 16) | ((chunk(3) & 0xff) << 24)
+    java.lang.Float.intBitsToFloat(bits) shouldBe 100 / 4.0f
+  }
+
+  test("int16 CF data round-trips v2+v3 (packed*0.25+300, packed-space fill)") {
+    import graft.sources.Netcdf
+    val fields = Seq(
+      field("TMP", t0, 0).copy(decimalScale = 0),
+      field("PRATE", t0, -400, (i, j) => (i + j) % 4 == 1).copy(decimalScale = 0))
+    val expected = (for {
+      (v, bump) <- Seq("TMP" -> 0, "PRATE" -> -400)
+      j <- 0 until 3; i <- 0 until 5
+      if !(v == "PRATE" && (i + j) % 4 == 1)
+    } yield (v, (100 + 7 * i + 11 * j + bump) * 0.25 + 300.0)).toSet
+    val rootDir = java.nio.file.Files.createTempDirectory("graft-zarr-i2")
+    val v2 = Zarr.writeStore(rootDir.resolve("v2.zarr"), fields, 2, 3,
+      compressor = "blosc-lz4", payloadType = Netcdf.NcShort)
+    val v3 = Zarr.writeStoreV3(rootDir.resolve("v3.zarr"), fields, 2, 3,
+      compressor = "blosc-lz4", payloadType = Netcdf.NcShort)
+    for (root <- Seq(v2, v3)) {
+      val got = Zarr.readRecords(spark, root.toString).collect()
+        .map(r => (r.getString(0), r.getDouble(4))).toSet
+      got shouldBe expected
+    }
+    // metadata pin: CF attributes + packed fill on the wire
+    val za = new String(java.nio.file.Files.readAllBytes(
+      v2.resolve("TMP/.zarray")), "UTF-8")
+    za should include(""""dtype":"<i2"""")
+    za should include(""""fill_value":-32767""")
+    val attrs = new String(java.nio.file.Files.readAllBytes(
+      v2.resolve("TMP/.zattrs")), "UTF-8")
+    attrs should include(""""scale_factor":0.25""")
+    attrs should include(""""add_offset":300.0""")
+    // sharding/transpose over non-int32 payloads refuse loudly
+    an[IllegalArgumentException] should be thrownBy Zarr.writeStoreV3(
+      rootDir.resolve("bad.zarr"), fields, 2, 3, innerJ = 1, innerI = 3,
+      payloadType = Netcdf.NcShort)
+  }
+
+  test("consolidated .zmetadata store opens with per-array metadata files ABSENT") {
+    val fields = Seq(
+      field("TMP", t0, 0), field("PRATE", t0, 500, (i, j) => (i + j) % 4 == 1))
+    val root = java.nio.file.Files.createTempDirectory("graft-zarr-cm")
+      .resolve("s.zarr")
+    Zarr.writeStore(root, fields, 2, 3, consolidated = true)
+    // the proof: no .zarray/.zattrs anywhere below root — a reader
+    // walking per-array files would see an empty store
+    import scala.jdk.CollectionConverters._
+    val files = java.nio.file.Files.walk(root).iterator().asScala
+      .map(_.getFileName.toString).toSet
+    files should contain(".zmetadata")
+    files should not contain ".zarray"
+    files should not contain ".zattrs"
+    val rows = Zarr.readRecords(spark, root.toString).collect()
+    val expected = (for {
+      (v, bump) <- Seq("TMP" -> 0, "PRATE" -> 500)
+      j <- 0 until 3; i <- 0 until 5
+      if !(v == "PRATE" && (i + j) % 4 == 1)
+    } yield (v, (100 + 7 * i + 11 * j + bump) / 10.0)).toSet
+    rows.map(r => (r.getString(0), r.getDouble(4))).toSet shouldBe expected
+    // a nested-group key rejects loudly
+    val zm = new String(java.nio.file.Files.readAllBytes(
+      root.resolve(".zmetadata")), "UTF-8")
+    java.nio.file.Files.write(root.resolve(".zmetadata"),
+      zm.replace(""""TMP/.zarray"""", """"grp/TMP/.zarray"""").getBytes("UTF-8"))
+    (the[Exception] thrownBy Zarr.readRecords(spark, root.toString).collect())
+      .getMessage should include("groups beyond root")
+  }
+
   test("wire pins: chunk key layout, full-size edge padding, zlib payload") {
     val root = store(Seq(field("TMP", t0, 0)))
     // chunk grid for shape [1,3,5] / chunks [1,2,3]: keys 0.{0,1}.{0,1}
