@@ -724,6 +724,32 @@ object SparkEntry {
       payloadType = sources.Netcdf.NcFloat).toString
   }
 
+  /** r70 fixture: netCDF-4 with the `nc_def_var_fletcher32` filter
+    * chain (shuffle -> fletcher32 -> deflate): the trailing LE u32
+    * checksum is verified and stripped mid-pipeline, so every decoded
+    * cell passing proves the checksum path runs on real chunk shapes
+    * (masked + edge chunks included).
+    */
+  private lazy val netcdf4FletcherFixturePath: String = {
+    import java.time.LocalDateTime
+    val params = Seq(("TMP", 0, false), ("PRATE", 1, true))
+    val times = Seq(LocalDateTime.of(2008, 11, 8, 0, 0),
+      LocalDateTime.of(2008, 12, 8, 12, 0))
+    val fields = for {
+      (t, m) <- times.zipWithIndex
+      (v, pidx, masked) <- params
+    } yield sources.Netcdf.Field(v, t, g3Ni, g3Nj, g3La1, g3Lo1, g3Di, g3Dj,
+      decimalScale = 1,
+      Array.tabulate(g3Nj * g3Ni) { k =>
+        val j = k / g3Ni; val i = k % g3Ni
+        if (masked && (i * 3 + j + m) % 11 == 4) None
+        else Some((i * 7 + j * 37 + pidx * 53 + m * 29) % 880 + pidx * 1100)
+      })
+    sources.Hdf5.writeFile(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft-nc", "fix4fl.nc"),
+      fields, chunkJ = 5, chunkI = 8, fletcher = true).toString
+  }
+
   /** r56 fixtures: zstd chunks in the three wire shapes real stores
     * ship — a v2 store with numcodecs `{"id":"zstd"}` raw frames, a V3
     * store with the `zstd` codec (the zarr v3 default), and a v2 store
@@ -2798,6 +2824,11 @@ object SparkEntry {
     // widened exactly to double, NC_FILL_FLOAT mask in float space
     "r66_netcdf4_float" -> ((s, _) =>
       sources.Netcdf.readRecords(s, Seq(netcdf4FloatFixturePath))
+        .orderBy($"variable", $"time", $"lat", $"lon")),
+    // the nc_def_var_fletcher32 chain: shuffle -> fletcher32 ->
+    // deflate, the LE u32 checksum verified and stripped mid-pipeline
+    "r70_netcdf4_fletcher" -> ((s, _) =>
+      sources.Netcdf.readRecords(s, Seq(netcdf4FletcherFixturePath))
         .orderBy($"variable", $"time", $"lat", $"lon")),
     // Zarr v2 group-store scan: chunk-level parallel decode (binaryFile
     // task per chunk), metadata + coordinates driver-side, VGRD pruned
@@ -6873,6 +6904,20 @@ object SparkEntry {
                 ((i * 11 + j * 29 + pidx * 61 + m * 41) % 1200 - 300) / 4.0 AS value
          FROM p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
          WHERE NOT (masked = 1 AND (i * 2 + j * 3 + m) % 13 = 7)
+         ORDER BY variable, time, lat, lon""",
+    // the fletcher32 twin: every cell decoded through the checksum chain
+    "r70_netcdf4_fletcher" ->
+      s"""WITH p(pidx, variable, masked) AS (VALUES (0, 'TMP', 0), (1, 'PRATE', 1)),
+         t(t, m) AS (VALUES (TIMESTAMP '2008-11-08 00:00:00', 0),
+                            (TIMESTAMP '2008-12-08 12:00:00', 1)),
+         ii AS (SELECT unnest(generate_series(0, ${g3Ni - 1})) AS i),
+         jj AS (SELECT unnest(generate_series(0, ${g3Nj - 1})) AS j)
+         SELECT variable, t AS time,
+                ($g3La1 - j * $g3Dj) / 1000000.0 AS lat,
+                (($g3Lo1) + i * $g3Di) / 1000000.0 AS lon,
+                ((i * 7 + j * 37 + pidx * 53 + m * 29) % 880 + pidx * 1100) / 10.0 AS value
+         FROM p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
+         WHERE NOT (masked = 1 AND (i * 3 + j + m) % 11 = 4)
          ORDER BY variable, time, lat, lon""",
     // netCDF-4 legs regenerated closed-form: the engine recovered every
     // cell through the HDF5 container (B-tree chunk index, shuffle+

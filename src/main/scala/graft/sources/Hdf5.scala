@@ -25,15 +25,17 @@ import scala.collection.mutable.ArrayBuffer
   *  - data layout v3: contiguous (coordinates) and chunked with the
   *    v1 B-tree chunk index (data variables), edge chunks stored full
   *    size per spec;
-  *  - filter pipeline v1: deflate (zlib) and shuffle, decoded in
-  *    reverse pipeline order;
+  *  - filter pipeline v1: deflate (zlib), shuffle, and fletcher32
+  *    (filter 3: trailing LE u32 checksum verified and stripped — the
+  *    `nc_def_var_fletcher32` shape), decoded in reverse pipeline
+  *    order;
   *  - attribute messages v1 (int/double/string scalars parsed; other
   *    payloads — e.g. netCDF-4's vlen-reference DIMENSION_LIST —
   *    skipped by their declared sizes, never interpreted).
   *
   * Out of scope, rejecting loudly with a pointer: v2 object headers
   * ("OHDR", written only under later libver bounds), groups beyond
-  * root, szip (filter 4), fletcher32 (filter 3), compact layout,
+  * root, szip (filter 4), compact layout,
   * datatypes other than int16/int32/float32/float64 data and float64
   * coords (float32 — the CMIP6/ERA5 netCDF-4 default payload — widens
   * exactly to double, fill compared in float space).
@@ -92,7 +94,11 @@ object Hdf5 {
                 // (one IEEE divide, the NC_DOUBLE convention);
                 // NcShort: int16 + CF scale_factor 0.25 / add_offset 300
                 // (the r50 packing convention, dyadic-exact)
-                payloadType: Int = Netcdf.NcInt): Path = {
+                payloadType: Int = Netcdf.NcInt,
+                // true = the nc_def_var_fletcher32 shape: pipeline
+                // shuffle -> fletcher32 -> deflate (checksum over the
+                // shuffled raw bytes, stored LE after the data)
+                fletcher: Boolean = false): Path = {
     require(fields.nonEmpty, "no fields to write")
     require(superblockVersion == 0 || superblockVersion == 3,
       s"superblock version $superblockVersion unsupported (0 / 3)")
@@ -348,8 +354,15 @@ object Hdf5 {
           System.arraycopy(b, 0, raw, p, esz)
           p += esz
         }
-        // pipeline order shuffle -> deflate; stored = deflate(shuffle(raw))
-        val stored = deflate(BloscLz4.shuffle(raw, esz))
+        // pipeline order shuffle [-> fletcher32] -> deflate
+        val shuffled = BloscLz4.shuffle(raw, esz)
+        val staged =
+          if (!fletcher) shuffled
+          else {
+            val c = fletcher32(shuffled, shuffled.length)
+            shuffled ++ Array.tabulate(4)(k => ((c >>> (8 * k)) & 0xff).toByte)
+          }
+        val stored = deflate(staged)
         val addr = out.length.toLong
         stored.foreach(out += _)
         (Seq(r.toLong, (cj * chunkJ).toLong, (ci * chunkI).toLong), addr, stored.length)
@@ -386,10 +399,13 @@ object Hdf5 {
     }
     val fillMsg = bb { b => b8(b, 2); b8(b, 2); b8(b, 2); b8(b, 0) } // v2, undefined
     val pipelineMsg = bb { b =>
-      b8(b, 1); b8(b, 2) // version 1, two filters
+      b8(b, 1); b8(b, if (fletcher) 3 else 2) // version 1, filter count
       b16(b, 0); b32(b, 0) // reserved
       // shuffle (2): one client value = element size; v1 pads odd counts
       b16(b, 2); b16(b, 0); b16(b, 0); b16(b, 1); b32(b, dataElemSize.toLong); b32(b, 0)
+      // fletcher32 (3): no client values — the nc_def_var_fletcher32
+      // position between shuffle and deflate
+      if (fletcher) { b16(b, 3); b16(b, 0); b16(b, 0); b16(b, 0) }
       // deflate (1): one client value = level
       b16(b, 1); b16(b, 0); b16(b, 0); b16(b, 1); b32(b, deflateLevel.toLong); b32(b, 0)
     }
@@ -626,10 +642,10 @@ object Hdf5 {
         q += 4L * nvals
         if (nvals % 2 == 1) q += 4 // v1 pads odd client-value counts
         id match {
-          case 1 | 2 => Filter(id, vals) // deflate, shuffle
-          case 3 => fail(label, "fletcher32 checksum filter out of scope")
-          case 4 => fail(label, "szip filter out of scope (deflate/shuffle)")
-          case other => fail(label, s"filter $other out of scope (deflate/shuffle)")
+          case 1 | 2 | 3 => Filter(id, vals) // deflate, shuffle, fletcher32
+          case 4 => fail(label, "szip filter out of scope (deflate/shuffle/fletcher32)")
+          case other => fail(label,
+            s"filter $other out of scope (deflate/shuffle/fletcher32)")
         }
       }
     }
@@ -815,17 +831,37 @@ object Hdf5 {
                 fail(label, s"'${d.name}': chunk [$child,+$storedSize) outside the file")
               var raw = java.util.Arrays.copyOfRange(b, child.toInt,
                 (child + storedSize).toInt)
-              // reverse pipeline order
-              d.filters.reverse.foreach { f =>
+              // reverse pipeline order; a fletcher32 filter grows the
+              // stream by 4 bytes at its pipeline position, so the
+              // deflate target size counts the checksums still inside
+              val fl = d.filters
+              var fi = fl.length - 1
+              while (fi >= 0) {
+                val f = fl(fi)
                 raw = f.id match {
-                  case 1 => inflate(raw, chunkBytes.toInt, label)
+                  case 1 =>
+                    val expect = chunkBytes.toInt +
+                      4 * fl.take(fi).count(_.id == 3)
+                    inflate(raw, expect, label)
                   case 2 =>
                     val ts = f.cvals.headOption.getOrElse(elemSize)
                     if (ts != elemSize)
                       fail(label, s"shuffle element size $ts != $elemSize")
                     BloscLz4.unshuffle(raw, ts)
+                  case 3 => // fletcher32: verify the trailing LE u32, strip
+                    if (raw.length < 4)
+                      fail(label, "fletcher32 chunk shorter than its checksum")
+                    val p = raw.length - 4
+                    val stored = (raw(p) & 0xffL) | ((raw(p + 1) & 0xffL) << 8) |
+                      ((raw(p + 2) & 0xffL) << 16) | ((raw(p + 3) & 0xffL) << 24)
+                    val computed = fletcher32(raw, p)
+                    if (computed != stored)
+                      fail(label, f"fletcher32 checksum mismatch in '${d.name}' " +
+                        f"(stored 0x$stored%08x, computed 0x$computed%08x)")
+                    java.util.Arrays.copyOfRange(raw, 0, p)
                   case other => fail(label, s"filter $other out of scope")
                 }
+                fi -= 1
               }
               if (raw.length != chunkBytes)
                 fail(label, s"'${d.name}': chunk decodes to ${raw.length} bytes, " +
@@ -838,6 +874,41 @@ object Hdf5 {
         walk(btree, 0)
         out
     }
+  }
+
+  /** HDF5's fletcher32 (filter 3) checksum over `len` bytes: 16-bit
+    * BIG-endian words (odd tail byte = high byte of a zero-padded
+    * word), sums folded mod-65535 with the deferred-reduction schedule
+    * of the public `H5_checksum_fletcher32`; result `(sum2<<16)|sum1`,
+    * stored LITTLE-endian after the data. Spec-from-scratch against the
+    * published algorithm (HDF5 File Format Spec, filter 3).
+    */
+  private[graft] def fletcher32(data: Array[Byte], len: Int): Long = {
+    var sum1 = 0L
+    var sum2 = 0L
+    var p = 0
+    var words = len / 2
+    while (words > 0) {
+      var tlen = math.min(words, 360)
+      words -= tlen
+      while (tlen > 0) {
+        sum1 += ((data(p) & 0xffL) << 8) | (data(p + 1) & 0xffL)
+        sum2 += sum1
+        p += 2
+        tlen -= 1
+      }
+      sum1 = (sum1 & 0xffff) + (sum1 >>> 16)
+      sum2 = (sum2 & 0xffff) + (sum2 >>> 16)
+    }
+    if (len % 2 == 1) {
+      sum1 += (data(p) & 0xffL) << 8
+      sum2 += sum1
+      sum1 = (sum1 & 0xffff) + (sum1 >>> 16)
+      sum2 = (sum2 & 0xffff) + (sum2 >>> 16)
+    }
+    sum1 = (sum1 & 0xffff) + (sum1 >>> 16)
+    sum2 = (sum2 & 0xffff) + (sum2 >>> 16)
+    (sum2 << 16) | sum1
   }
 
   private def inflate(comp: Array[Byte], expect: Int, label: String): Array[Byte] = {

@@ -2,12 +2,12 @@ package graft
 
 import java.time.LocalDateTime
 
-import graft.sources.{Hdf5, Netcdf}
+import graft.sources.{BloscLz4, Hdf5, Netcdf}
 
 /** netCDF-4 (HDF5 classic-model subset) at the byte level: round-trips
   * through both superblock shapes, wire pins on the superblock / object
   * header / group machinery, the v4-features-out-of-scope reject
-  * battery (groups beyond root, szip, fletcher32, v2 object headers),
+  * battery (groups beyond root, szip, v2 object headers),
   * and the 300-mutation corruption fuzz every codec in this repo
   * carries. The reference consumes CDS downloads whose modern default
   * is exactly this container (src/file-conversions.js).
@@ -206,14 +206,14 @@ class Hdf5Spec extends SparkSpec {
       val e = snod + 8 + 8 // entry 0's object header address
       for (k <- 0 until 8) c(e + k) = ((u64(64) >>> (8 * k)) & 0xff).toByte
     }.getMessage should include("groups beyond root")
-    // szip / fletcher32: patch the shuffle filter's id inside the
+    // szip / unknown filter: patch the shuffle filter's id inside the
     // pipeline message (unique LE pattern: version 1, nfilters 2,
     // reserved, then filter id 2)
     val pat = Array[Byte](1, 2, 0, 0, 0, 0, 0, 0, 2, 0)
     val at = bytes.indices.find(p => p + pat.length < bytes.length &&
       pat.indices.forall(k => bytes(p + k) == pat(k))).get
     mut(c => c(at + 8) = 4).getMessage should include("szip")
-    mut(c => c(at + 8) = 3).getMessage should include("fletcher32")
+    mut(c => c(at + 8) = 9).getMessage should include("out of scope")
     // unsupported offset size
     mut(c => c(13) = 4).getMessage should include("out of scope (8/8)")
     // bogus superblock version
@@ -234,6 +234,60 @@ class Hdf5Spec extends SparkSpec {
     c2(idx + 1) = 'a'
     intercept[IllegalArgumentException](Netcdf.records(c2, "notime").toSeq)
       .getMessage should include("time")
+  }
+
+  test("fletcher32 filter: hand-pinned checksums, round-trip, corrupted-checksum reject") {
+    // hand-computable anchors for the published H5_checksum_fletcher32:
+    // one word 0xABCD -> sums 0xABCD/0xABCD; odd byte pads the LOW byte
+    Hdf5.fletcher32(Array(0xAB.toByte, 0xCD.toByte), 2) shouldBe 0xABCDABCDL
+    Hdf5.fletcher32(Array(0xAB.toByte), 1) shouldBe 0xAB00AB00L
+    // two words: sum1 = 0x0102+0x0304 = 0x0406, sum2 = 0x0102+0x0406
+    Hdf5.fletcher32(Array[Byte](1, 2, 3, 4), 4) shouldBe 0x05080406L
+    // round-trip with the nc_def_var_fletcher32 pipeline
+    // (shuffle -> fletcher32 -> deflate), masked + edge chunks
+    val fields = Seq(field("TMP", t0, 100),
+      field("PRATE", t0, 700, masked = true))
+    val p = Hdf5.writeFile(
+      java.nio.file.Files.createTempDirectory("h5fl").resolve("fl.nc"),
+      fields, 3, 5, fletcher = true)
+    val bytes = java.nio.file.Files.readAllBytes(p)
+    val tmp = Hdf5.parseDatasets(bytes, "fl").find(_.name == "TMP").get
+    tmp.filters.map(_.id) shouldBe Seq(2, 3, 1) // shuffle, fletcher32, deflate
+    sortRows(Netcdf.records(bytes, "fl")) shouldBe expectRows(fields)
+    // deterministic corrupted-checksum reject: deflate level 0 stores
+    // the staged bytes verbatim, so the trailing LE checksum of the
+    // single whole-grid chunk is findable in the file — flip one bit
+    // and the decode must fail with the mismatch message, not tear
+    val one = Seq(field("TMP", t0, 100))
+    val p0 = Hdf5.writeFile(
+      java.nio.file.Files.createTempDirectory("h5fl").resolve("fl0.nc"),
+      one, 7, 13, deflateLevel = 0, fletcher = true)
+    val b0 = java.nio.file.Files.readAllBytes(p0)
+    sortRows(Netcdf.records(b0, "fl0")) shouldBe expectRows(one) // sanity
+    val raw = one.head.scaled.map(_.get).flatMap(v => Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, (v >> 24).toByte))
+    val shuffled = BloscLz4.shuffle(raw, 4)
+    val ck = Hdf5.fletcher32(shuffled, shuffled.length)
+    def deflate0(x: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(0)
+      d.setInput(x); d.finish()
+      val o = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) o.write(buf, 0, d.deflate(buf))
+      d.end(); o.toByteArray
+    }
+    def stage(c: Long): Array[Byte] = deflate0(
+      shuffled ++ Array.tabulate(4)(k => ((c >>> (8 * k)) & 0xff).toByte))
+    val clean = stage(ck)
+    val tampered = stage(ck ^ 0x01) // wrong fletcher, VALID zlib adler
+    tampered.length shouldBe clean.length // stored blocks: same framing
+    val at = b0.indices.find(q => q + clean.length <= b0.length &&
+      clean.indices.forall(k => b0(q + k) == clean(k))).get
+    val c0 = b0.clone()
+    System.arraycopy(tampered, 0, c0, at, tampered.length)
+    intercept[IllegalArgumentException](Netcdf.records(c0, "flbad").toSeq)
+      .getMessage should include("fletcher32 checksum mismatch")
   }
 
   test("crafted cycles reject loudly: header continuation loop, group B-tree loop, chunk-count bound") {
