@@ -3036,6 +3036,16 @@ object SparkEntry {
     // oracle replays the whole composition chain in closed form
     "m17_gif_composite" -> ((s, d) =>
       Multimodal.gifCompositeSample(t(s, d)("documents"))),
+    // Adam7-interlaced PNG (m35): the 7-pass scatter must land every
+    // pixel — the POSITION-WEIGHTED sum catches what a plain
+    // (permutation-invariant) sum cannot
+    "m35_png_adam7" -> ((s, d) =>
+      Multimodal.pngAdam7Decode(t(s, d)("documents"))),
+    // GIF local colour tables + interlaced frame (m36): composited on
+    // an RGB canvas because frame indices address their OWN palettes;
+    // weighted red sums pin placement, transparency, and row order
+    "m36_gif_local_palette" -> ((s, d) =>
+      Multimodal.gifLocalPaletteSample(t(s, d)("documents"))),
     // shot-boundary detection (m19): per-frame-pair sum of absolute
     // differences over the decoded frames, mean-per-pixel threshold —
     // within-scene drift stays far under it, the designed cuts far over
@@ -8969,6 +8979,43 @@ object SparkEntry {
                 CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
                 CAST(sum((13*x + 3*y + 7*f + d) % 256) AS BIGINT) AS value_sum
          FROM xy GROUP BY d, f, nf, w, h ORDER BY doc_id, frame""",
+    // the de-interlaced raster recomputed closed-form; weighting by
+    // (y*w + x + 1) makes any pass-scatter error shift the sum
+    "m35_png_adam7" ->
+      """WITH d AS (SELECT doc_id AS d FROM documents),
+         dims AS (SELECT d, 9 + d % 13 AS w, 6 + (5*d) % 11 AS h FROM d),
+         xs AS (SELECT d, w, h, unnest(generate_series(0, w - 1)) AS x FROM dims),
+         xy AS (SELECT d, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs)
+         SELECT d AS doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+                CAST(sum(((23*x + 41*y + d) % 256) * (y*w + x + 1)) AS BIGINT) AS weighted_sum
+         FROM xy GROUP BY d, w, h ORDER BY doc_id""",
+    // the three composited canvases replayed closed-form: frame 0
+    // global ramp, frame 1 the local-palette overlay (transparent
+    // index 3 shows frame 0 through), frame 2 the second local palette
+    // over the whole (interlace-stored) canvas
+    "m36_gif_local_palette" ->
+      """WITH d AS (SELECT doc_id AS d FROM documents),
+         dims AS (SELECT d, 8 + d % 10 AS w, 7 + (3*d) % 9 AS h FROM d),
+         xs AS (SELECT d, w, h, unnest(generate_series(0, w - 1)) AS x FROM dims),
+         xy AS (SELECT d, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs),
+         base AS (SELECT d, w, h, x, y,
+                    (11*x + 17*y + d) % 256 AS r0,
+                    (7*(x-2) + 5*(y-2) + d) % 256 AS v1,
+                    (3*x + 13*y + 2*d) % 256 AS v2,
+                    (x >= 2 AND x < w - 2 AND y >= 2 AND y < h - 2) AS inr
+                  FROM xy),
+         fr AS (SELECT d, w, h, x, y, 0 AS frame, r0 AS r FROM base
+                UNION ALL
+                SELECT d, w, h, x, y, 1,
+                       CASE WHEN inr AND v1 <> 3
+                            THEN (2*v1 + 19 + d % 7) % 256 ELSE r0 END
+                FROM base
+                UNION ALL
+                SELECT d, w, h, x, y, 2, (5*v2 + 1) % 256 FROM base)
+         SELECT d AS doc_id, CAST(frame AS BIGINT) AS frame,
+                CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+                CAST(sum(r * (y*w + x + 1)) AS BIGINT) AS weighted_red_sum
+         FROM fr GROUP BY d, frame, w, h ORDER BY doc_id, frame""",
     // both frames of each pair regenerate from the scene formula; the
     // threshold comparison uses the same exact integers on both sides
     "m19_scene_detect" ->

@@ -269,6 +269,97 @@ object Multimodal {
         })))
   }
 
+  /** m35 fixture: an Adam7-interlaced greyscale PNG per document —
+    * dims and pixel lattice closed-form from doc_id; the seven passes
+    * carry independently-filtered sub-images the decoder must scatter
+    * back (PNG §8.2).
+    */
+  def pngAdam7For(d: Long): Array[Byte] =
+    AssetCodecs.encodePngAdam7((9 + d % 13).toInt, (6 + (5 * d) % 11).toInt,
+      (x, y) => ((23 * x + 41 * y + d) % 256).toInt)
+
+  /** Adam7 decode gate (m35): POSITION-WEIGHTED pixel sum
+    * (Σ v(x,y) · (y·w + x + 1)) per document — weighted so a wrong
+    * pass-scatter (which a plain sum, being permutation-invariant,
+    * cannot see) shifts the value. Same `mapPartitions` bytes-only
+    * plumbing as the other decoders.
+    */
+  def pngAdam7Decode(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val (w, h, img) = AssetCodecs.decodePngImage(pngAdam7For(id))
+          var s = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              s += (img(y)(x) & 0xff).toLong * (y.toLong * w + x + 1)
+              x += 1
+            }
+            y += 1
+          }
+          (id, w.toLong, h.toLong, s)
+        }
+      }
+      .toDF("doc_id", "width", "height", "weighted_sum")
+      .orderBy(col("doc_id"))
+  }
+
+  /** m36 fixture: an animated GIF whose frames carry LOCAL colour
+    * tables — the shape real crawl GIFs very often have, where an
+    * index canvas cannot represent the composite. Frame 0 full-canvas
+    * global (identity ramp); frame 1 a partial local-palette overlay
+    * with a transparent index; frame 2 full-canvas, INTERLACED, with a
+    * second local palette. All closed-form from doc_id.
+    */
+  def gifLocalFor(d: Long): Array[Byte] = {
+    val w = (8 + d % 10).toInt
+    val h = (7 + (3 * d) % 9).toInt
+    import graft.sources.AssetCodecs.GifFrameSpec
+    AssetCodecs.encodeGifAnimComposite(w, h, background = 0, Seq(
+      GifFrameSpec(0, 0, w, h, disposal = 0, transparentIdx = -1,
+        (x, y) => ((11 * x + 17 * y + d) % 256).toInt),
+      GifFrameSpec(2, 2, w - 4, h - 4, disposal = 0, transparentIdx = 3,
+        (fx, fy) => ((7 * fx + 5 * fy + d) % 256).toInt,
+        localPalette = Some(v => (((2 * v + 19 + d % 7) % 256).toInt,
+          v, (3 * v) % 256))),
+      GifFrameSpec(0, 0, w, h, disposal = 0, transparentIdx = -1,
+        (x, y) => ((3 * x + 13 * y + 2 * d) % 256).toInt,
+        interlaced = true,
+        localPalette = Some(v => ((5 * v + 1) % 256, (v + 7) % 256, v)))))
+  }
+
+  /** Local-palette compositing gate (m36): decode through the RGB
+    * canvas (the palette-correct model — frame indices address their
+    * OWN tables) and emit each frame's position-weighted RED sum
+    * (Σ R(x,y) · (y·w + x + 1)); weighting makes the interlaced
+    * frame's row scatter and the overlay placement observable.
+    */
+  def gifLocalPaletteSample(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val (w, h, frames) = AssetCodecs.decodeGifFramesRgb(gifLocalFor(id))
+          frames.zipWithIndex.map { case (rgb, f) =>
+            var s = 0L
+            var p = 0
+            while (p < w * h) {
+              s += (rgb(3 * p) & 0xff).toLong * (p + 1)
+              p += 1
+            }
+            (id, f.toLong, w.toLong, h.toLong, s)
+          }
+        }
+      }
+      .toDF("doc_id", "frame", "width", "height", "weighted_red_sum")
+      .orderBy(col("doc_id"), col("frame"))
+  }
+
   /** Disposal compositing gate (m17): decode the four-frame composite
     * fixture and emit each DISPLAYED canvas's exact stats — the m15
     * shape over streams where frame k is NOT the canvas (partial rects,

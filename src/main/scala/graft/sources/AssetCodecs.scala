@@ -19,18 +19,22 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * wire layout is small enough to own outright.
   *
   * Scope, rejected loudly outside it:
-  *  - PNG: 8-bit greyscale (colour type 0), non-interlaced, all five
-  *    row filters (None/Sub/Up/Average/Paeth), zlib IDAT (possibly
-  *    split across chunks).
+  *  - PNG: 8-bit greyscale (colour type 0), progressive (Adam7, §8.2:
+  *    7 independently-filtered passes) or sequential, all five row
+  *    filters (None/Sub/Up/Average/Paeth), zlib IDAT (possibly split
+  *    across chunks).
   *  - BMP: uncompressed 24-bit BITMAPINFOHEADER, bottom-up or top-down,
   *    4-byte row padding.
   *  - WAV: PCM (format 1) 16-bit, any channel count/rate; unknown RIFF
   *    chunks (LIST, fact, ...) are skipped via the chunk walk, odd-sized
   *    chunks consume their pad byte.
-  *  - GIF (87a/89a): global colour table, one non-interlaced image, no
-  *    local table; extensions skipped; full variable-width LSB-first
-  *    LZW both directions (encoder resets at a full table, decoder
-  *    handles mid-stream CLEAR and the KwKwK case).
+  *  - GIF (87a/89a): global AND local colour tables, interlaced or
+  *    sequential frames (appendix-E 4-pass row order), animation
+  *    compositing on an index canvas (global-palette subset) or an RGB
+  *    canvas (palette-correct with per-frame local tables); extensions
+  *    skipped; full variable-width LSB-first LZW both directions
+  *    (encoder resets at a full table, decoder handles mid-stream
+  *    CLEAR and the KwKwK case).
   */
 object AssetCodecs {
 
@@ -109,6 +113,62 @@ object AssetCodecs {
     out.toByteArray
   }
 
+  /** Encode an 8-bit greyscale PNG with Adam7 interlacing (interlace
+    * method 1): each pass's sub-image filtered independently, all five
+    * row filters cycling across each pass — the layout real interlaced
+    * crawl images carry. Independent walk of spec §8.2 for the decoder
+    * gates.
+    */
+  def encodePngAdam7(w: Int, h: Int, pix: (Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"degenerate image ${w}x$h")
+    val filtered = new java.io.ByteArrayOutputStream()
+    Adam7Passes.foreach { case (x0, y0, dx, dy) =>
+      val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+      val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+      if (pw > 0 && ph > 0) {
+        val raw = Array.tabulate(ph, pw)((py, px) =>
+          (pix(x0 + px * dx, y0 + py * dy) & 0xff).toByte)
+        var y = 0
+        while (y < ph) {
+          val ft = y % 5
+          filtered.write(ft)
+          val cur = raw(y); val up = if (y > 0) raw(y - 1) else null
+          var x = 0
+          while (x < pw) {
+            val r = cur(x) & 0xff
+            val a = if (x > 0) cur(x - 1) & 0xff else 0
+            val b = if (up != null) up(x) & 0xff else 0
+            val c = if (x > 0 && up != null) up(x - 1) & 0xff else 0
+            val f = ft match {
+              case 0 => r
+              case 1 => r - a
+              case 2 => r - b
+              case 3 => r - (a + b) / 2
+              case 4 => r - paeth(a, b, c)
+            }
+            filtered.write(f & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+      }
+    }
+    val ihdr = ByteBuffer.allocate(13)
+    ihdr.putInt(w).putInt(h)
+    ihdr.put(8.toByte)
+    ihdr.put(0.toByte)
+    ihdr.put(0.toByte).put(0.toByte).put(1.toByte) // deflate, adaptive, ADAM7
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSig)
+    writeChunk(out, "IHDR", ihdr.array())
+    val z = zlibDeflate(filtered.toByteArray)
+    val cut = z.length / 2
+    writeChunk(out, "IDAT", java.util.Arrays.copyOfRange(z, 0, cut))
+    writeChunk(out, "IDAT", java.util.Arrays.copyOfRange(z, cut, z.length))
+    writeChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
   def decodePng(bytes: Array[Byte]): AssetMeta = {
     val (w, h, img) = decodePngImage(bytes)
     var sum = 0L
@@ -143,6 +203,7 @@ object AssetCodecs {
       java.util.Arrays.copyOfRange(bytes, 0, 8), PngSig), "bad PNG signature")
     var pos = 8
     var w = -1; var h = -1; var depth = -1
+    var adam7 = false
     val idat = new java.io.ByteArrayOutputStream()
     var done = false
     while (!done) {
@@ -168,7 +229,9 @@ object AssetCodecs {
           val interlace = bytes(pos + 20) & 0xff
           require((depth == 8 || depth == 16) && colour == 0,
             s"unsupported PNG depth/colour $depth/$colour (scope: 8/16-bit greyscale)")
-          require(interlace == 0, "interlaced PNG out of scope")
+          require(interlace == 0 || interlace == 1,
+            s"PNG interlace method $interlace out of scope (0 / Adam7)")
+          adam7 = interlace == 1
         case "IDAT" => idat.write(bytes, pos + 8, len)
         case "IEND" => done = true
         case _      => () // ancillary chunk: skip
@@ -177,41 +240,84 @@ object AssetCodecs {
     }
     require(w > 0 && h > 0, "PNG missing IHDR")
     val bpp = depth / 8
-    val stride = w * bpp + 1
-    val scan = zlibInflate(idat.toByteArray, h * stride)
-    // defilter: reconstruct each scanline's BYTES from its filter byte
-    // (spec §6), then assemble samples
-    val rows = Array.ofDim[Byte](h, w * bpp)
-    var y = 0
-    while (y < h) {
-      val ft = scan(y * stride) & 0xff
-      val base = y * stride + 1
-      val cur = rows(y); val up = if (y > 0) rows(y - 1) else null
-      var x = 0
-      while (x < w * bpp) {
-        val f = scan(base + x) & 0xff
-        val a = if (x >= bpp) cur(x - bpp) & 0xff else 0
-        val b = if (up != null) up(x) & 0xff else 0
-        val c = if (x >= bpp && up != null) up(x - bpp) & 0xff else 0
-        val r = ft match {
-          case 0 => f
-          case 1 => f + a
-          case 2 => f + b
-          case 3 => f + (a + b) / 2
-          case 4 => f + paeth(a, b, c)
-          case other => sys.error(s"bad PNG filter type $other")
+    // defilter a (width x height) sub-image's scanlines starting at
+    // `off` in the inflated stream — PNG §6 byte-level reconstruction;
+    // Adam7 passes defilter independently with their own dimensions
+    def defilter(scan: Array[Byte], off: Int, width: Int, height: Int)
+    : Array[Array[Byte]] = {
+      val stride = width * bpp + 1
+      val rows = Array.ofDim[Byte](height, width * bpp)
+      var y = 0
+      while (y < height) {
+        val ft = scan(off + y * stride) & 0xff
+        val base = off + y * stride + 1
+        val cur = rows(y); val up = if (y > 0) rows(y - 1) else null
+        var x = 0
+        while (x < width * bpp) {
+          val f = scan(base + x) & 0xff
+          val a = if (x >= bpp) cur(x - bpp) & 0xff else 0
+          val b = if (up != null) up(x) & 0xff else 0
+          val c = if (x >= bpp && up != null) up(x - bpp) & 0xff else 0
+          val r = ft match {
+            case 0 => f
+            case 1 => f + a
+            case 2 => f + b
+            case 3 => f + (a + b) / 2
+            case 4 => f + paeth(a, b, c)
+            case other => sys.error(s"bad PNG filter type $other")
+          }
+          cur(x) = (r & 0xff).toByte
+          x += 1
         }
-        cur(x) = (r & 0xff).toByte
-        x += 1
+        y += 1
       }
-      y += 1
+      rows
     }
-    val img = Array.tabulate(h, w) { (yy, xx) =>
-      if (bpp == 1) rows(yy)(xx) & 0xff
-      else ((rows(yy)(2 * xx) & 0xff) << 8) | (rows(yy)(2 * xx + 1) & 0xff)
-    }
+    def sample(row: Array[Byte], xx: Int): Int =
+      if (bpp == 1) row(xx) & 0xff
+      else ((row(2 * xx) & 0xff) << 8) | (row(2 * xx + 1) & 0xff)
+    val img =
+      if (!adam7) {
+        val rows = defilter(zlibInflate(idat.toByteArray, h * (w * bpp + 1)), 0, w, h)
+        Array.tabulate(h, w)((yy, xx) => sample(rows(yy), xx))
+      } else {
+        // Adam7 (spec §8.2): 7 passes, each an independent sub-image
+        // with its own filtered scanlines; empty passes contribute 0 bytes
+        val total = Adam7Passes.map { case (x0, y0, dx, dy) =>
+          val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+          val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+          if (pw == 0 || ph == 0) 0L else ph.toLong * (pw * bpp + 1)
+        }.sum
+        require(total <= Int.MaxValue, "implausible interlaced PNG size")
+        val scan = zlibInflate(idat.toByteArray, total.toInt)
+        val out = Array.ofDim[Int](h, w)
+        var off = 0
+        Adam7Passes.foreach { case (x0, y0, dx, dy) =>
+          val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+          val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+          if (pw > 0 && ph > 0) {
+            val rows = defilter(scan, off, pw, ph)
+            var py = 0
+            while (py < ph) {
+              var px = 0
+              while (px < pw) {
+                out(y0 + py * dy)(x0 + px * dx) = sample(rows(py), px)
+                px += 1
+              }
+              py += 1
+            }
+            off += ph * (pw * bpp + 1)
+          }
+        }
+        out
+      }
     (w, h, depth, img)
   }
+
+  /** Adam7 pass lattice (PNG spec §8.2): (xStart, yStart, xStep, yStep). */
+  private val Adam7Passes = Seq(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
   /** Encode a 16-bit greyscale PNG (big-endian samples). Same filter
     * discipline as [[encodePng]] — all five row filters cycle, at the
@@ -2200,12 +2306,20 @@ object AssetCodecs {
         case 0x2c =>
           val iw = le16(pos + 5); val ih = le16(pos + 7)
           val ip = bytes(pos + 9) & 0xff
-          require((ip & 0x80) == 0, "GIF local colour table unsupported (scope: global palette)")
-          require((ip & 0x40) == 0, "interlaced GIF unsupported")
           require(iw.toLong * ih > 0, s"GIF: empty image ${iw}x$ih")
-          val minCodeSize = bytes(pos + 10) & 0xff
+          // local colour table (very common in real crawl GIFs): the
+          // frame's indices address IT, not the global table
+          var q = pos + 10
+          val activePal = if ((ip & 0x80) != 0) {
+            val n = 1 << ((ip & 7) + 1)
+            val lp = new Array[Byte](768)
+            System.arraycopy(bytes, q, lp, 0, 3 * n)
+            q += 3 * n
+            lp
+          } else palette
+          val minCodeSize = bytes(q) & 0xff
           require(minCodeSize >= 2 && minCodeSize <= 8, s"GIF: bad LZW min code size $minCodeSize")
-          pos += 11
+          pos = q + 1
           val data = new java.io.ByteArrayOutputStream()
           while ((bytes(pos) & 0xff) != 0) {
             val n = bytes(pos) & 0xff
@@ -2213,12 +2327,31 @@ object AssetCodecs {
             pos += 1 + n
           }
           val indices = lzwDecompressGif(data.toByteArray, minCodeSize, iw * ih)
-          return (iw, ih, palette, indices)
+          val rows = if ((ip & 0x40) != 0) deinterlaceGif(indices, iw, ih) else indices
+          return (iw, ih, activePal, rows)
         case 0x3b => sys.error("GIF trailer before any image block")
         case b => sys.error(f"GIF: unexpected block 0x$b%02x")
       }
     }
     sys.error("unreachable")
+  }
+
+  /** GIF row de-interlace (GIF89a appendix E): the stream carries rows
+    * in four passes — start 0 step 8, start 4 step 8, start 2 step 4,
+    * start 1 step 2 — reorder them back to top-to-bottom.
+    */
+  private def deinterlaceGif(indices: Array[Byte], iw: Int, ih: Int): Array[Byte] = {
+    val out = new Array[Byte](indices.length)
+    var src = 0
+    for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+      var y = start
+      while (y < ih) {
+        System.arraycopy(indices, src * iw, out, y * iw, iw)
+        src += 1
+        y += step
+      }
+    }
+    out
   }
 
   /** GIF-flavour LZW decompress (LSB-first bit order, prefix/suffix
@@ -2373,8 +2506,8 @@ object AssetCodecs {
           require(iw > 0 && ih > 0 && left + iw <= w && top + ih <= h,
             s"GIF frame rect ${iw}x$ih@($left,$top) outside the ${w}x$h canvas")
           val ip = bytes(pos + 9) & 0xff
-          require((ip & 0x80) == 0, "GIF local colour table unsupported (scope: global palette)")
-          require((ip & 0x40) == 0, "interlaced GIF unsupported")
+          require((ip & 0x80) == 0, "GIF local colour table in the index-canvas " +
+            "decoder — use decodeGifFramesRgb (indices are palette-relative)")
           val minCodeSize = bytes(pos + 10) & 0xff
           require(minCodeSize >= 2 && minCodeSize <= 8, s"GIF: bad LZW min code size $minCodeSize")
           pos += 11
@@ -2385,7 +2518,8 @@ object AssetCodecs {
             pos += 1 + n
           }
           pos += 1
-          val indices = lzwDecompressGif(data.toByteArray, minCodeSize, iw * ih)
+          val raw0 = lzwDecompressGif(data.toByteArray, minCodeSize, iw * ih)
+          val indices = if ((ip & 0x40) != 0) deinterlaceGif(raw0, iw, ih) else raw0
           val before = if (disposal == 3) canvas.clone else null
           var yy = 0
           while (yy < ih) {
@@ -2425,6 +2559,124 @@ object AssetCodecs {
     (w, h, palette, fs)
   }
 
+  /** RGB-canvas compositing decode: the palette-correct model when
+    * frames carry LOCAL colour tables (animated crawl GIFs very often
+    * do — each frame's indices address its own palette, so an index
+    * canvas cannot represent the composite). Supports interlaced
+    * frames, transparency, disposal 0-3; background and disposal-2
+    * fills resolve through the GLOBAL palette's background index.
+    * Returns (width, height, one 3-byte-per-pixel RGB canvas per frame).
+    */
+  def decodeGifFramesRgb(bytes: Array[Byte]): (Int, Int, Vector[Array[Byte]]) = {
+    val sig = new String(bytes, 0, 6, "US-ASCII")
+    require(sig == "GIF87a" || sig == "GIF89a", s"not a GIF: $sig")
+    def le16(off: Int): Int = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    val w = le16(6); val h = le16(8)
+    val packed = bytes(10) & 0xff
+    require((packed & 0x80) != 0, "GIF without a global colour table (scope: global palette)")
+    val bgIndex = bytes(11) & 0xff
+    val gctSize = 1 << ((packed & 7) + 1)
+    val globalPal = new Array[Byte](768)
+    System.arraycopy(bytes, 13, globalPal, 0, 3 * gctSize)
+    var pos = 13 + 3 * gctSize
+    val frames = Vector.newBuilder[Array[Byte]]
+    val canvas = new Array[Byte](3 * w * h)
+    val bg = Array(globalPal(3 * bgIndex), globalPal(3 * bgIndex + 1),
+      globalPal(3 * bgIndex + 2))
+    var p0 = 0
+    while (p0 < canvas.length) { canvas(p0) = bg(0); canvas(p0 + 1) = bg(1)
+      canvas(p0 + 2) = bg(2); p0 += 3 }
+    var disposal = 0
+    var transIdx = -1
+    var done = false
+    while (!done) {
+      (bytes(pos) & 0xff) match {
+        case 0x21 =>
+          val label = bytes(pos + 1) & 0xff
+          if (label == 0xf9) {
+            require((bytes(pos + 2) & 0xff) == 4, "GIF: bad GCE block size")
+            val gp = bytes(pos + 3) & 0xff
+            disposal = (gp >> 2) & 0x07
+            require(disposal <= 3, s"GIF: reserved disposal method $disposal")
+            transIdx = if ((gp & 1) != 0) bytes(pos + 6) & 0xff else -1
+          }
+          pos += 2
+          while ((bytes(pos) & 0xff) != 0) pos += 1 + (bytes(pos) & 0xff)
+          pos += 1
+        case 0x2c =>
+          val left = le16(pos + 1); val top = le16(pos + 3)
+          val iw = le16(pos + 5); val ih = le16(pos + 7)
+          require(iw > 0 && ih > 0 && left + iw <= w && top + ih <= h,
+            s"GIF frame rect ${iw}x$ih@($left,$top) outside the ${w}x$h canvas")
+          val ip = bytes(pos + 9) & 0xff
+          var q = pos + 10
+          val pal = if ((ip & 0x80) != 0) {
+            val n = 1 << ((ip & 7) + 1)
+            val lp = new Array[Byte](768)
+            System.arraycopy(bytes, q, lp, 0, 3 * n)
+            q += 3 * n
+            lp
+          } else globalPal
+          val minCodeSize = bytes(q) & 0xff
+          require(minCodeSize >= 2 && minCodeSize <= 8,
+            s"GIF: bad LZW min code size $minCodeSize")
+          pos = q + 1
+          val data = new java.io.ByteArrayOutputStream()
+          while ((bytes(pos) & 0xff) != 0) {
+            val n = bytes(pos) & 0xff
+            data.write(bytes, pos + 1, n)
+            pos += 1 + n
+          }
+          pos += 1
+          val raw0 = lzwDecompressGif(data.toByteArray, minCodeSize, iw * ih)
+          val indices = if ((ip & 0x40) != 0) deinterlaceGif(raw0, iw, ih) else raw0
+          val before = if (disposal == 3) canvas.clone else null
+          var yy = 0
+          while (yy < ih) {
+            var xx = 0
+            while (xx < iw) {
+              val v = indices(yy * iw + xx) & 0xff
+              if (v != transIdx) {
+                val d = 3 * ((top + yy) * w + (left + xx))
+                canvas(d) = pal(3 * v); canvas(d + 1) = pal(3 * v + 1)
+                canvas(d + 2) = pal(3 * v + 2)
+              }
+              xx += 1
+            }
+            yy += 1
+          }
+          frames += canvas.clone
+          disposal match {
+            case 2 =>
+              var dy = 0
+              while (dy < ih) {
+                var dx = 0
+                while (dx < iw) {
+                  val d = 3 * ((top + dy) * w + (left + dx))
+                  canvas(d) = bg(0); canvas(d + 1) = bg(1); canvas(d + 2) = bg(2)
+                  dx += 1
+                }
+                dy += 1
+              }
+            case 3 =>
+              var dy = 0
+              while (dy < ih) {
+                System.arraycopy(before, 3 * ((top + dy) * w + left),
+                  canvas, 3 * ((top + dy) * w + left), 3 * iw)
+                dy += 1
+              }
+            case _ => ()
+          }
+          disposal = 0; transIdx = -1
+        case 0x3b => done = true
+        case b => sys.error(f"GIF: unexpected block 0x$b%02x")
+      }
+    }
+    val fs = frames.result()
+    require(fs.nonEmpty, "GIF with no image block")
+    (w, h, fs)
+  }
+
   /** One frame of a composited animated GIF: `pix(fx, fy)` in FRAME
     * coordinates yields the palette index; `transparentIdx` ≥ 0 turns
     * that index into "underlying canvas shows through" (and is emitted
@@ -2432,7 +2684,12 @@ object AssetCodecs {
     */
   case class GifFrameSpec(left: Int, top: Int, w: Int, h: Int,
                           disposal: Int, transparentIdx: Int,
-                          pix: (Int, Int) => Int)
+                          pix: (Int, Int) => Int,
+                          // frame stored in the 4-pass interlace order
+                          interlaced: Boolean = false,
+                          // 256-entry LOCAL colour table: index -> (r,g,b);
+                          // None = frame uses the global table
+                          localPalette: Option[Int => (Int, Int, Int)] = None)
 
   /** Encode an animated GIF with PARTIAL frames, disposal methods, and
     * transparency — the compositing fixture [[decodeGifFrames]] must
@@ -2468,7 +2725,16 @@ object AssetCodecs {
       out.write(0) // GCE terminator
       out.write(0x2c)
       le16(f.left); le16(f.top); le16(f.w); le16(f.h)
-      out.write(0x00)
+      out.write((if (f.localPalette.isDefined) 0x87 else 0x00) |
+        (if (f.interlaced) 0x40 else 0x00)) // 0x87 = local table, 256 entries
+      f.localPalette.foreach { lp =>
+        var v = 0
+        while (v < 256) {
+          val (r, g, b) = lp(v)
+          out.write(r & 0xff); out.write(g & 0xff); out.write(b & 0xff)
+          v += 1
+        }
+      }
       out.write(8)
       val idx = new Array[Byte](f.w * f.h)
       var y = 0
@@ -2477,7 +2743,21 @@ object AssetCodecs {
         while (x < f.w) { idx(y * f.w + x) = (f.pix(x, y) & 0xff).toByte; x += 1 }
         y += 1
       }
-      val data = lzwCompressGif(idx, 8)
+      // interlaced frames store their rows in the 4-pass order
+      val stored = if (!f.interlaced) idx else {
+        val o = new Array[Byte](idx.length)
+        var src = 0
+        for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+          var yy = start
+          while (yy < f.h) {
+            System.arraycopy(idx, yy * f.w, o, src * f.w, f.w)
+            src += 1
+            yy += step
+          }
+        }
+        o
+      }
+      val data = lzwCompressGif(stored, 8)
       var off = 0
       while (off < data.length) {
         val n = math.min(255, data.length - off)

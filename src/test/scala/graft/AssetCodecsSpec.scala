@@ -342,6 +342,96 @@ class AssetCodecsSpec extends AnyFunSuite with Matchers {
     (w1, h1, one.head & 0xff) shouldBe ((1, 1, 250))
   }
 
+  test("Adam7 PNG: interlaced decode equals sequential decode on every pass-edge shape") {
+    // shapes chosen to hit empty passes (w or h < 8/4/2), single-pixel
+    // passes, and a size where all 7 passes are non-trivial
+    for ((w, h) <- Seq((1, 1), (2, 2), (3, 5), (7, 7), (8, 8), (9, 10), (23, 11))) {
+      val pix = (x: Int, y: Int) => (x * 53 + y * 131 + w + h) % 256
+      val seq7 = AssetCodecs.decodePngGrey(AssetCodecs.encodePng(w, h, pix))
+      val ada7 = AssetCodecs.decodePngGrey(AssetCodecs.encodePngAdam7(w, h, pix))
+      ada7._1 shouldBe w; ada7._2 shouldBe h
+      ada7._4.map(_.toSeq).toSeq shouldBe seq7._4.map(_.toSeq).toSeq
+      // and both equal the source — a shared scatter bug can't hide
+      for (y <- 0 until h; x <- 0 until w) ada7._4(y)(x) shouldBe pix(x, y)
+    }
+    // the JDK decoder agrees with my interlaced bitstream
+    val pix = (x: Int, y: Int) => (x * 17 + y * 29 + 3) % 256
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(AssetCodecs.encodePngAdam7(13, 9, pix)))
+    for (y <- 0 until 9; x <- 0 until 13)
+      (img.getRaster.getSample(x, y, 0)) shouldBe pix(x, y)
+  }
+
+  test("interlaced GIF: appendix-E row order round-trips, JDK cross-check") {
+    // h = 13 exercises all four passes with ragged pass heights
+    val pix = (x: Int, y: Int) => (x * 31 + y * 71 + 9) % 256
+    val bytes = AssetCodecs.encodeGifAnimComposite(16, 13, 0, Seq(
+      AssetCodecs.GifFrameSpec(0, 0, 16, 13, 0, -1, pix, interlaced = true)))
+    val (w, h, pal, idx) = AssetCodecs.decodeGifImage(bytes)
+    (w, h) shouldBe ((16, 13))
+    for (y <- 0 until 13; x <- 0 until 16)
+      (idx(y * 16 + x) & 0xff) shouldBe pix(x, y)
+    (0 until 256).foreach(i => (pal(3 * i) & 0xff) shouldBe i)
+    val jdk = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    for (y <- 0 until 13; x <- 0 until 16)
+      (jdk.getRGB(x, y) & 0xff) shouldBe pix(x, y)
+  }
+
+  test("GIF local colour table: single image uses IT; index decoder rejects; RGB compositor is palette-correct") {
+    val pix = (x: Int, y: Int) => (x * 13 + y * 37) % 256
+    val lp = (v: Int) => ((v + 100) % 256, (v * 2) % 256, 255 - v)
+    val one = AssetCodecs.encodeGifAnimComposite(9, 7, 0, Seq(
+      AssetCodecs.GifFrameSpec(0, 0, 9, 7, 0, -1, pix, localPalette = Some(lp))))
+    val (_, _, pal, idx) = AssetCodecs.decodeGifImage(one)
+    for (y <- 0 until 7; x <- 0 until 9) {
+      val v = idx(y * 9 + x) & 0xff
+      v shouldBe pix(x, y)
+      (pal(3 * v) & 0xff) shouldBe (v + 100) % 256 // the LOCAL table came back
+    }
+    // the index-canvas animation decoder refuses (indices are
+    // palette-relative there) and points at the RGB decoder
+    intercept[IllegalArgumentException](AssetCodecs.decodeGifFrames(one))
+      .getMessage should include("decodeGifFramesRgb")
+    // RGB compositing: frame 1 global-palette full canvas; frame 2 a
+    // local-palette partial overlay with transparency + restore-to-
+    // previous; frame 3 interlaced local-palette full canvas
+    val f1 = (x: Int, y: Int) => (x + y * 3) % 256
+    val f2 = (x: Int, y: Int) => if ((x + y) % 2 == 0) 5 else (x * 7 + y) % 256
+    val lp2 = (v: Int) => ((v * 3) % 256, v, (v + 9) % 256)
+    val f3 = (x: Int, y: Int) => (x * 11 + y * 5 + 1) % 256
+    val lp3 = (v: Int) => (255 - v, (v + 31) % 256, v)
+    val anim = AssetCodecs.encodeGifAnimComposite(10, 9, 0, Seq(
+      AssetCodecs.GifFrameSpec(0, 0, 10, 9, 0, -1, f1),
+      AssetCodecs.GifFrameSpec(2, 3, 6, 4, 3, 5, f2, localPalette = Some(lp2)),
+      AssetCodecs.GifFrameSpec(0, 0, 10, 9, 0, -1, f3,
+        interlaced = true, localPalette = Some(lp3))))
+    val (w, h, frames) = AssetCodecs.decodeGifFramesRgb(anim)
+    (w, h, frames.size) shouldBe ((10, 9, 3))
+    // frame 1: global identity ramp -> grey triplets
+    for (y <- 0 until 9; x <- 0 until 10; c <- 0 until 3)
+      (frames(0)(3 * (y * 10 + x) + c) & 0xff) shouldBe f1(x, y)
+    // frame 2: overlay through ITS palette, transparent index 5 shows
+    // frame 1 underneath
+    for (y <- 0 until 9; x <- 0 until 10) {
+      val d = 3 * (y * 10 + x)
+      val inRect = x >= 2 && x < 8 && y >= 3 && y < 7
+      val exp: (Int, Int, Int) =
+        if (!inRect) (f1(x, y), f1(x, y), f1(x, y))
+        else {
+          val v = f2(x - 2, y - 3)
+          if (v == 5) (f1(x, y), f1(x, y), f1(x, y)) else lp2(v)
+        }
+      ((frames(1)(d) & 0xff, frames(1)(d + 1) & 0xff, frames(1)(d + 2) & 0xff)) shouldBe exp
+    }
+    // frame 3: disposal 3 restored frame 1 first, then the interlaced
+    // local-palette canvas fully covers it
+    for (y <- 0 until 9; x <- 0 until 10) {
+      val d = 3 * (y * 10 + x)
+      ((frames(2)(d) & 0xff, frames(2)(d + 1) & 0xff, frames(2)(d + 2) & 0xff)) shouldBe
+        lp3(f3(x, y))
+    }
+  }
+
   test("GIF: JDK ImageIO decodes MY bitstream to the same pixels") {
     val pix = (x: Int, y: Int) => (x * 31 + y * 7 + 3) % 256
     val bytes = AssetCodecs.encodeGif(29, 17, pix)
@@ -362,13 +452,13 @@ class AssetCodecsSpec extends AnyFunSuite with Matchers {
     val (w, h, _, idx) = AssetCodecs.decodeGifImage(spliced)
     (w, h) shouldBe ((9, 4))
     (idx(3 * 9 + 5) & 0xff) shouldBe 8
-    // interlace flag set → loud reject
+    // interlace flag set on sequentially-stored rows: the decoder now
+    // applies the appendix-E reorder — for h=4 the stored order is
+    // rows 0,2,1,3, so stored row 1 (original row 1: values x+1)
+    // lands at output row 2
     val interlaced = base.clone; interlaced(head + 9) = 0x40.toByte
-    the[Exception] thrownBy AssetCodecs.decodeGifImage(interlaced) should have message
-      "requirement failed: interlaced GIF unsupported"
-    // local-colour-table flag set → loud reject
-    val local = base.clone; local(head + 9) = 0x80.toByte
-    an[Exception] should be thrownBy AssetCodecs.decodeGifImage(local)
+    val (_, _, _, ridx) = AssetCodecs.decodeGifImage(interlaced)
+    (0 until 9).foreach(x => (ridx(2 * 9 + x) & 0xff) shouldBe x + 1)
     // truncated LZW stream → loud reject, never a short image
     an[Exception] should be thrownBy AssetCodecs.decodeGifImage(base.dropRight(6))
     // bad signature
