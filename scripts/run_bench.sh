@@ -22,6 +22,34 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
-exec java $ADD_OPENS -Xmx16g -Dspark.ui.enabled=false \
-  -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
-  graft.Bench
+
+SWEEPS=${SPARK_GRAFT_SWEEPS:-1}
+OUT=${SPARK_GRAFT_BENCH_OUT:-BENCH_LAST.json}
+
+if [ "$SWEEPS" -le 1 ]; then
+  exec java $ADD_OPENS -Xmx16g -Dspark.ui.enabled=false \
+    -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
+    graft.Bench
+fi
+
+# N-sweep mode (round-11 verdict #6): host-level neighbors spike ONE
+# family per run, so any single sweep's total embeds whichever family
+# was hit. Run N independent fresh-JVM sweeps (quiet-guard re-checked
+# before each) and merge PER-FAMILY MINIMA — the number SCALE.md's
+# drift analysis actually argues from. Raw sweeps are kept beside the
+# merge so the floor is auditable.
+set -e
+base="${OUT%.json}"
+for k in $(seq 1 "$SWEEPS"); do
+  LOAD=$(cut -d' ' -f1 /proc/loadavg 2>/dev/null || echo 0)
+  if [ "${SPARK_GRAFT_BENCH_FORCE:-0}" != "1" ] && \
+     awk "BEGIN{exit !($LOAD > 1.0)}"; then
+    echo "run_bench.sh: sweep $k refused at loadavg $LOAD (> 1.0)." >&2
+    exit 3
+  fi
+  SPARK_GRAFT_BENCH_OUT="${base}_sweep$k.json" \
+    java $ADD_OPENS -Xmx16g -Dspark.ui.enabled=false \
+    -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
+    graft.Bench > /dev/null
+done
+python3 "$(dirname "$0")/merge_bench.py" "$OUT" "${base}"_sweep*.json
