@@ -2830,6 +2830,19 @@ object SparkEntry {
     "r70_netcdf4_fletcher" -> ((s, _) =>
       sources.Netcdf.readRecords(s, Seq(netcdf4FletcherFixturePath))
         .orderBy($"variable", $"time", $"lat", $"lon")),
+    // the DSv2 face of the netCDF reader: spark.read.format("netcdf")
+    // with variable = 'TMP' PUSHED to the metadata walk — the pruned
+    // variable's chunks are never inflated (NetcdfConnectorSpec pins
+    // that with corrupt chunks); must equal r55's TMP slice exactly
+    "r71_netcdf_source" -> ((s, _) =>
+      s.read.format("netcdf").load(netcdf4FixturePath)
+        .where($"variable" === "TMP")
+        .orderBy($"time", $"lat", $"lon")),
+    // COUNT(*) pushed into the format: one partial per file, zero row
+    // materialization (fill-dropping keeps kept-variable decode — the
+    // honest netCDF scope vs GRIB2's bitmap-only count)
+    "r72_netcdf_count" -> ((s, _) =>
+      s.read.format("netcdf").load(netcdf4FixturePath).groupBy().count()),
     // Zarr v2 group-store scan: chunk-level parallel decode (binaryFile
     // task per chunk), metadata + coordinates driver-side, VGRD pruned
     // by the regex before a single chunk path is listed; edge chunks on
@@ -6929,6 +6942,28 @@ object SparkEntry {
          FROM p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
          WHERE NOT (masked = 1 AND (i * 3 + j + m) % 11 = 4)
          ORDER BY variable, time, lat, lon""",
+    // the DSv2 twin of r55's TMP slice (pushed variable filter)
+    "r71_netcdf_source" ->
+      s"""WITH t(t, m) AS (VALUES (TIMESTAMP '2007-10-08 00:00:00', 0),
+                            (TIMESTAMP '2007-11-08 12:00:00', 1)),
+         ii AS (SELECT unnest(generate_series(0, ${g3Ni - 1})) AS i),
+         jj AS (SELECT unnest(generate_series(0, ${g3Nj - 1})) AS j)
+         SELECT 'TMP' AS variable, t AS time,
+                ($g3La1 - j * $g3Dj) / 1000000.0 AS lat,
+                (($g3Lo1) + i * $g3Di) / 1000000.0 AS lon,
+                ((i * 31 + j * 7 + m * 47) % 640) / 10.0 AS value
+         FROM t CROSS JOIN ii CROSS JOIN jj
+         ORDER BY time, lat, lon""",
+    // the pushed COUNT(*): TMP full + PRATE minus its masked cells
+    "r72_netcdf_count" ->
+      s"""WITH t(m) AS (VALUES (0), (1)),
+         ii AS (SELECT unnest(generate_series(0, ${g3Ni - 1})) AS i),
+         jj AS (SELECT unnest(generate_series(0, ${g3Nj - 1})) AS j),
+         cells AS (SELECT i, j, m FROM t CROSS JOIN ii CROSS JOIN jj)
+         SELECT CAST(count(*) AS BIGINT) AS "count" FROM (
+           SELECT 1 AS one FROM cells
+           UNION ALL
+           SELECT 1 FROM cells WHERE (i * 2 + j * 3 + m) % 11 <> 6) u""",
     // netCDF-4 legs regenerated closed-form: the engine recovered every
     // cell through the HDF5 container (B-tree chunk index, shuffle+
     // deflate, edge-chunk clipping, v0 and v3 superblocks)

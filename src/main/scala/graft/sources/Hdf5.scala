@@ -966,11 +966,77 @@ object Hdf5 {
     }
   }
 
+  /** COUNT of present (non-fill) cells across kept data variables —
+    * the DSv2 COUNT(*) partial, without materializing a single row.
+    * Fill-dropping is data-dependent (unlike GRIB2's bitmap section),
+    * so kept variables' chunks still decode; what the pushdown saves is
+    * the per-cell row explode and everything downstream of it, and
+    * pruned variables' chunk B-trees are never walked at all. Fill
+    * semantics mirror [[records]] exactly (packed space for ints,
+    * float space for f32).
+    */
+  def countPresentCells(bytes: Array[Byte], label: String,
+                        keep: String => Boolean): Long = {
+    val dsets = parseDatasets(bytes, label)
+    var n = 0L
+    dsets.filter(d => d.dims.length == 3 &&
+      !Set("lat", "lon", "time").contains(d.name) && keep(d.name)).foreach { d =>
+      val raw = readData(bytes, d, label)
+      val cells = d.dims.map(_.toLong).product.toInt
+      def i32le(k: Int): Int =
+        (raw(4 * k) & 0xff) | ((raw(4 * k + 1) & 0xff) << 8) |
+          ((raw(4 * k + 2) & 0xff) << 16) | ((raw(4 * k + 3) & 0xff) << 24)
+      d.dtype match {
+        case "i32" =>
+          val fill = d.atts.get("_FillValue") match {
+            case Some(i: Int) => i
+            case _ => Netcdf.FillInt
+          }
+          var k = 0; while (k < cells) { if (i32le(k) != fill) n += 1; k += 1 }
+        case "i16" =>
+          val fill: Int = d.atts.get("_FillValue") match {
+            case Some(s: Short) => s.toInt
+            case _ => Netcdf.FillShort.toInt
+          }
+          var k = 0
+          while (k < cells) {
+            val v = (((raw(2 * k + 1) & 0xff) << 8) | (raw(2 * k) & 0xff)).toShort.toInt
+            if (v != fill) n += 1
+            k += 1
+          }
+        case "f32" =>
+          val fill: Float = d.atts.get("_FillValue") match {
+            case Some(x: Float) => x
+            case _ => Netcdf.FillFloat
+          }
+          var k = 0
+          while (k < cells) {
+            if (java.lang.Float.intBitsToFloat(i32le(k)) != fill) n += 1
+            k += 1
+          }
+        case _ =>
+          val fill = d.atts.get("_FillValue") match {
+            case Some(x: Double) => x
+            case _ => Netcdf.FillDouble
+          }
+          var k = 0
+          while (k < cells) {
+            var v = 0L
+            var i = 7; while (i >= 0) { v = (v << 8) | (raw(8 * k + i) & 0xffL); i -= 1 }
+            if (java.lang.Double.longBitsToDouble(v) != fill) n += 1
+            k += 1
+          }
+      }
+    }
+    n
+  }
+
   /** Flatten one netCDF-4 file into present-cell rows — the same
     * contract as [[Netcdf.records]]: `value = raw / 10^decimal_scale`,
     * `_FillValue` cells drop, `time` is int32 epoch-hours.
     */
-  def records(bytes: Array[Byte], label: String = "<bytes>"): Iterator[Netcdf.GridRow] = {
+  def records(bytes: Array[Byte], label: String = "<bytes>",
+              keep: String => Boolean = _ => true): Iterator[Netcdf.GridRow] = {
     val dsets = parseDatasets(bytes, label)
     val byName = dsets.map(d => d.name -> d).toMap
     def coord1d(name: String): Array[Double] = {
@@ -995,8 +1061,10 @@ object Hdf5 {
         ((raw(4 * k + 2) & 0xff) << 16) | ((raw(4 * k + 3) & 0xff) << 24)
     val times = Array.tabulate(timeD.dims.head)(k =>
       LocalDateTime.of(1970, 1, 1, 0, 0).plusHours(i32le(timeRaw, k).toLong))
+    // `keep` prunes whole datasets at the metadata walk — their chunk
+    // B-trees are never walked and their chunks never inflated
     val dataVars = dsets.filter(d => d.dims.length == 3 &&
-      !Set("lat", "lon", "time").contains(d.name))
+      !Set("lat", "lon", "time").contains(d.name) && keep(d.name))
     dataVars.iterator.flatMap { d =>
       if (d.dims != Seq(times.length, lat.length, lon.length))
         fail(label, s"'${d.name}' dims ${d.dims} disagree with the " +

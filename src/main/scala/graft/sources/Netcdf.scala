@@ -475,8 +475,9 @@ object Netcdf {
     * containers (netCDF-4) route to [[Hdf5.records]] — one flattened
     * contract across CDF-1/2/5 and the HDF5 classic-model subset.
     */
-  def records(bytes: Array[Byte], label: String = "<bytes>"): Iterator[GridRow] = {
-    if (Hdf5.isHdf5(bytes)) return Hdf5.records(bytes, label)
+  def records(bytes: Array[Byte], label: String = "<bytes>",
+              keep: String => Boolean = _ => true): Iterator[GridRow] = {
+    if (Hdf5.isHdf5(bytes)) return Hdf5.records(bytes, label, keep)
     val nc = parse(bytes, label)
     val recDim = nc.dims.indexWhere(_.len == 0)
     require(recDim >= 0, s"no record dimension in $label")
@@ -487,7 +488,10 @@ object Netcdf {
     val recSize = recVars.map(v => (v.vsize + 3) / 4 * 4).sum
     val timeVar = byName("time")
     require(timeVar.dimids == Seq(recDim), s"time must be the record coordinate in $label")
-    val dataVars = recVars.filter(v => v.name != "time" && v.dimids.length == 3)
+    // `keep` prunes whole variables BEFORE any slab decode — the
+    // metadata-walk pushdown the DSv2 connector rides
+    val dataVars = recVars.filter(v => v.name != "time" && v.dimids.length == 3 &&
+      keep(v.name))
     dataVars.iterator.flatMap { v =>
       val d = (v.atts.getOrElse("decimal_scale", 0): @unchecked) match { case i: Int => i }
       // denom applies to NC_INT payloads only; float/double store the
@@ -532,6 +536,46 @@ object Netcdf {
         }.filter(_ != null)
       }
     }
+  }
+
+  /** COUNT of present (non-fill) cells across kept data variables in
+    * whichever container (classic CDF or HDF5) — the DSv2 COUNT(*)
+    * partial: no GridRow materialization, pruned variables' slabs
+    * never decoded, fill semantics mirroring [[records]].
+    */
+  def countPresentCells(bytes: Array[Byte], label: String,
+                        keep: String => Boolean): Long = {
+    if (Hdf5.isHdf5(bytes)) return Hdf5.countPresentCells(bytes, label, keep)
+    val nc = parse(bytes, label)
+    val recDim = nc.dims.indexWhere(_.len == 0)
+    require(recDim >= 0, s"no record dimension in $label")
+    val byName = nc.vars.map(v => v.name -> v).toMap
+    val nj = nc.doubles(byName("lat")).length
+    val ni = nc.doubles(byName("lon")).length
+    val recVars = nc.vars.filter(v => v.dimids.headOption.contains(recDim))
+    val recSize = recVars.map(v => (v.vsize + 3) / 4 * 4).sum
+    var n = 0L
+    recVars.filter(v => v.name != "time" && v.dimids.length == 3 &&
+      keep(v.name)).foreach { v =>
+      val fill: Double = v.atts.get("_FillValue") match {
+        case Some(i: Int) => i.toDouble
+        case Some(s: Short) => s.toDouble
+        case Some(f: Float) => f.toDouble
+        case Some(dd: Double) => dd
+        case _ => v.tpe match {
+          case NcFloat => FillFloat.toDouble
+          case NcDouble => FillDouble
+          case NcShort => FillShort.toDouble
+          case _ => FillInt.toDouble
+        }
+      }
+      (0 until nc.numrecs).foreach { r =>
+        val slab = nc.numericRecord(v, r, recSize)
+        var k = 0
+        while (k < nj * ni) { if (slab(k) != fill) n += 1; k += 1 }
+      }
+    }
+    n
   }
 
   final case class LabelRow(variable: String, time: LocalDateTime, label: String)
@@ -599,9 +643,11 @@ object Netcdf {
           val varNames =
             if (Hdf5.isHdf5(bytes)) Hdf5.parseDatasets(bytes, p).map(_.name)
             else parse(bytes, p).vars.map(_.name)
-          val keep = varNames.exists(v => pat.matcher(v).find())
-          if (!keep) Iterator.empty
-          else records(bytes, p).filter(r => pat.matcher(r.variable).find())
+          val any = varNames.exists(v => pat.matcher(v).find())
+          if (!any) Iterator.empty
+          // per-VARIABLE pruning before any slab/chunk decode (not just
+          // a row filter after the flatten)
+          else records(bytes, p, v => pat.matcher(v).find())
         }
     )(Encoders.product[GridRow]).toDF()
   }
