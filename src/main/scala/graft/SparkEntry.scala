@@ -750,6 +750,32 @@ object SparkEntry {
       fields, chunkJ = 5, chunkI = 8, fletcher = true).toString
   }
 
+  /** r73 fixture: netCDF-4 with VERSION-2 ("OHDR") object headers —
+    * the shape libhdf5 writes under the 1.8 libver bound (GOES-R-era
+    * products): compact root Link messages, dataspace v2 + attribute
+    * v3 bodies, lookup3 chunk checksums verified on read.
+    */
+  private lazy val netcdf4OhdrFixturePath: String = {
+    import java.time.LocalDateTime
+    val params = Seq(("TMP", 0, false), ("PRATE", 1, true))
+    val times = Seq(LocalDateTime.of(2010, 1, 6, 0, 0),
+      LocalDateTime.of(2010, 2, 6, 12, 0))
+    val fields = for {
+      (t, m) <- times.zipWithIndex
+      (v, pidx, masked) <- params
+    } yield sources.Netcdf.Field(v, t, g3Ni, g3Nj, g3La1, g3Lo1, g3Di, g3Dj,
+      decimalScale = 1,
+      Array.tabulate(g3Nj * g3Ni) { k =>
+        val j = k / g3Ni; val i = k % g3Ni
+        if (masked && (i + j * 2 + m) % 13 == 8) None
+        else Some((i * 23 + j * 41 + pidx * 79 + m * 31) % 950 + pidx * 1300)
+      })
+    sources.Hdf5.writeFile(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft-nc", "fix4o.nc"),
+      fields, chunkJ = 5, chunkI = 8, superblockVersion = 3,
+      objectHeaderVersion = 2).toString
+  }
+
   /** r56 fixtures: zstd chunks in the three wire shapes real stores
     * ship — a v2 store with numcodecs `{"id":"zstd"}` raw frames, a V3
     * store with the `zstd` codec (the zarr v3 default), and a v2 store
@@ -2829,6 +2855,12 @@ object SparkEntry {
     // deflate, the LE u32 checksum verified and stripped mid-pipeline
     "r70_netcdf4_fletcher" -> ((s, _) =>
       sources.Netcdf.readRecords(s, Seq(netcdf4FletcherFixturePath))
+        .orderBy($"variable", $"time", $"lat", $"lon")),
+    // v2 ("OHDR") object headers — the 1.8-libver netCDF-4 shape:
+    // compact root links, dataspace v2 / attribute v3, lookup3
+    // checksums verified per chunk
+    "r73_netcdf4_ohdr" -> ((s, _) =>
+      sources.Netcdf.readRecords(s, Seq(netcdf4OhdrFixturePath))
         .orderBy($"variable", $"time", $"lat", $"lon")),
     // the DSv2 face of the netCDF reader: spark.read.format("netcdf")
     // with variable = 'TMP' PUSHED to the metadata walk — the pruned
@@ -6964,6 +6996,21 @@ object SparkEntry {
            SELECT 1 AS one FROM cells
            UNION ALL
            SELECT 1 FROM cells WHERE (i * 2 + j * 3 + m) % 11 <> 6) u""",
+    // the v2-OHDR twin: every cell recovered through v2 headers,
+    // compact links, v2/v3 message bodies and lookup3 verification
+    "r73_netcdf4_ohdr" ->
+      s"""WITH p(pidx, variable, masked) AS (VALUES (0, 'TMP', 0), (1, 'PRATE', 1)),
+         t(t, m) AS (VALUES (TIMESTAMP '2010-01-06 00:00:00', 0),
+                            (TIMESTAMP '2010-02-06 12:00:00', 1)),
+         ii AS (SELECT unnest(generate_series(0, ${g3Ni - 1})) AS i),
+         jj AS (SELECT unnest(generate_series(0, ${g3Nj - 1})) AS j)
+         SELECT variable, t AS time,
+                ($g3La1 - j * $g3Dj) / 1000000.0 AS lat,
+                (($g3Lo1) + i * $g3Di) / 1000000.0 AS lon,
+                ((i * 23 + j * 41 + pidx * 79 + m * 31) % 950 + pidx * 1300) / 10.0 AS value
+         FROM p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
+         WHERE NOT (masked = 1 AND (i + j * 2 + m) % 13 = 8)
+         ORDER BY variable, time, lat, lon""",
     // netCDF-4 legs regenerated closed-form: the engine recovered every
     // cell through the HDF5 container (B-tree chunk index, shuffle+
     // deflate, edge-chunk clipping, v0 and v3 superblocks)

@@ -20,6 +20,12 @@ import scala.collection.mutable.ArrayBuffer
   *  - version-1 object headers with continuation blocks; root group
   *    via symbol table message -> v1 group B-tree -> SNOD symbol nodes
   *    -> local heap names;
+  *  - version-2 ("OHDR") object headers — the 1.8-libver-bound shape:
+  *    1-byte message types, optional per-message creation order and
+  *    timestamps, gap, lookup3 chunk checksum VERIFIED; root group via
+  *    compact Link messages (hard links; libhdf5 stays compact below 8
+  *    links, and a gridded product has a handful of variables);
+  *    dataspace v2 and attribute-message v3 bodies;
   *  - dataspace v1, datatype classes 0 (fixed-point), 1 (float) and
   *    3 (strings in attributes); fill-value messages skipped;
   *  - data layout v3: contiguous (coordinates) and chunked with the
@@ -33,8 +39,9 @@ import scala.collection.mutable.ArrayBuffer
   *    payloads — e.g. netCDF-4's vlen-reference DIMENSION_LIST —
   *    skipped by their declared sizes, never interpreted).
   *
-  * Out of scope, rejecting loudly with a pointer: v2 object headers
-  * ("OHDR", written only under later libver bounds), groups beyond
+  * Out of scope, rejecting loudly with a pointer: OHDR continuation
+  * blocks (OCHK), dense (fractal-heap) link storage, layout v4 chunk
+  * indexes (the LATEST-bound shape), groups beyond
   * root, szip (filter 4), compact layout,
   * datatypes other than int16/int32/float32/float64 data and float64
   * coords (float32 — the CMIP6/ERA5 netCDF-4 default payload — widens
@@ -98,7 +105,17 @@ object Hdf5 {
                 // true = the nc_def_var_fletcher32 shape: pipeline
                 // shuffle -> fletcher32 -> deflate (checksum over the
                 // shuffled raw bytes, stored LE after the data)
-                fletcher: Boolean = false): Path = {
+                fletcher: Boolean = false,
+                // 1 = classic v1 headers (the netCDF-4 default);
+                // 2 = "OHDR" v2 headers with compact root links,
+                // dataspace v2 + attribute v3 bodies and lookup3 chunk
+                // checksums — the 1.8-libver-bound shape (requires
+                // superblockVersion 3, which is what that bound writes)
+                objectHeaderVersion: Int = 1): Path = {
+    require(objectHeaderVersion == 1 || objectHeaderVersion == 2,
+      s"object header version $objectHeaderVersion unsupported (1 / 2)")
+    require(objectHeaderVersion == 1 || superblockVersion == 3,
+      "v2 object headers pair with the v3 superblock (the 1.8 libver bound)")
     require(fields.nonEmpty, "no fields to write")
     require(superblockVersion == 0 || superblockVersion == 3,
       s"superblock version $superblockVersion unsupported (0 / 3)")
@@ -192,10 +209,18 @@ object Hdf5 {
       var k = 0; while (k < 8) { b8(b, ((v >>> (8 * k)) & 0xff).toInt); k += 1 }
     }
     def dataspaceBody(dims: Seq[Int]): ArrayBuffer[Byte] = bb { b =>
-      b8(b, 1); b8(b, dims.length); b8(b, 0) // version 1, rank, flags (no maxdims)
-      var k = 0; while (k < 5) { b8(b, 0); k += 1 }
-      dims.foreach(d => b64(b, d.toLong))
-      pad8(b)
+      if (objectHeaderVersion == 2) {
+        // v2 dataspace (the 1.8-libver shape): 4-byte header with an
+        // explicit type field, no reserved block, no 8-padding
+        b8(b, 2); b8(b, dims.length); b8(b, 0)
+        b8(b, if (dims.isEmpty) 0 else 1) // scalar / simple
+        dims.foreach(d => b64(b, d.toLong))
+      } else {
+        b8(b, 1); b8(b, dims.length); b8(b, 0) // version 1, rank, flags (no maxdims)
+        var k = 0; while (k < 5) { b8(b, 0); k += 1 }
+        dims.foreach(d => b64(b, d.toLong))
+        pad8(b)
+      }
     }
     def dtI32: ArrayBuffer[Byte] = bb { b =>
       b8(b, (1 << 4) | 0) // version 1, class 0 fixed-point
@@ -238,12 +263,23 @@ object Hdf5 {
     def attrMsg(name: String, dt: ArrayBuffer[Byte], ds: ArrayBuffer[Byte],
                 data: Array[Byte]): ArrayBuffer[Byte] = bb { b =>
       val nm = name.getBytes("UTF-8") :+ 0.toByte
-      b8(b, 1); b8(b, 0) // version 1, reserved
-      b16(b, nm.length); b16(b, dt.length); b16(b, ds.length)
-      b ++= nm; pad8(b)
-      b ++= dt // already 8-padded
-      b ++= ds
-      data.foreach(b += _)
+      if (objectHeaderVersion == 2) {
+        // attribute message v3: charset byte, NO 8-padding between parts
+        b8(b, 3); b8(b, 0) // version 3, flags (nothing shared)
+        b16(b, nm.length); b16(b, dt.length); b16(b, ds.length)
+        b8(b, 0) // name charset: ASCII
+        b ++= nm
+        b ++= dt
+        b ++= ds
+        data.foreach(b += _)
+      } else {
+        b8(b, 1); b8(b, 0) // version 1, reserved
+        b16(b, nm.length); b16(b, dt.length); b16(b, ds.length)
+        b ++= nm; pad8(b)
+        b ++= dt // already 8-padded
+        b ++= ds
+        data.foreach(b += _)
+      }
     }
     def intAttr(name: String, v: Int): ArrayBuffer[Byte] =
       attrMsg(name, dtI32, dataspaceBody(Nil),
@@ -271,22 +307,46 @@ object Hdf5 {
       * returns its address.
       */
     def objectHeader(msgs: Seq[(Int, ArrayBuffer[Byte])]): Long = {
-      val addr = out.length.toLong
-      val block = bb { b =>
-        msgs.foreach { case (tpe, body0) =>
-          val body = body0.clone(); pad8(body)
-          b16(b, tpe); b16(b, body.length); b8(b, 0) // flags
-          b8(b, 0); b8(b, 0); b8(b, 0)
-          b ++= body
+      if (objectHeaderVersion == 2) {
+        // "OHDR" v2: u8 message types, no alignment, no times, no
+        // creation-order tracking; lookup3 checksum over the whole
+        // chunk (signature through the last message)
+        val hdr = bb { b =>
+          val block = bb { bl =>
+            msgs.foreach { case (tpe, body) =>
+              b8(bl, tpe); b16(bl, body.length); b8(bl, 0) // type, size, flags
+              bl ++= body
+            }
+          }
+          "OHDR".getBytes("US-ASCII").foreach(b += _)
+          b8(b, 2) // version
+          b8(b, 2) // flags: chunk-0 size stored as 4 bytes
+          b32(b, block.length.toLong)
+          b ++= block
         }
+        val ck = lookup3(hdr.toArray, 0, hdr.length).toLong & 0xffffffffL
+        val addr = out.length.toLong
+        hdr.foreach(out += _)
+        u32(ck)
+        addr
+      } else {
+        val addr = out.length.toLong
+        val block = bb { b =>
+          msgs.foreach { case (tpe, body0) =>
+            val body = body0.clone(); pad8(body)
+            b16(b, tpe); b16(b, body.length); b8(b, 0) // flags
+            b8(b, 0); b8(b, 0); b8(b, 0)
+            b ++= body
+          }
+        }
+        u8(1); u8(0) // version 1, reserved
+        u16(msgs.length)
+        u32(1) // object reference count
+        u32(block.length.toLong)
+        u32(0) // 4-byte pad: messages begin 8-aligned after the 12-byte prefix
+        block.foreach(out += _)
+        addr
       }
-      u8(1); u8(0) // version 1, reserved
-      u16(msgs.length)
-      u32(1) // object reference count
-      u32(block.length.toLong)
-      u32(0) // 4-byte pad: messages begin 8-aligned after the 12-byte prefix
-      block.foreach(out += _)
-      addr
     }
 
     // --------------- payload helpers
@@ -454,47 +514,61 @@ object Hdf5 {
         scaleAtts :+ (0x000C -> strAttr("units", "K")))
     }
 
-    // --------------- root group: local heap, SNOD, B-tree, header
+    // --------------- root group: old-style local heap + SNOD + B-tree
+    // (v1 headers) or compact Link messages (v2 "OHDR" headers)
     val names = (Seq("lat", "lon", "time") ++ vars).sorted
-    val heapData = new ArrayBuffer[Byte]()
-    var k = 0; while (k < 8) { heapData += 0; k += 1 } // offset 0 = empty
-    val nameOff = names.map { n =>
-      val off = heapData.length.toLong
-      n.getBytes("UTF-8").foreach(heapData += _)
-      heapData += 0
-      while (heapData.length % 8 != 0) heapData += 0
-      n -> off
-    }.toMap
-    val heapAddr = out.length.toLong
-    out ++= "HEAP".getBytes("US-ASCII")
-    u8(0); u8(0); u8(0); u8(0) // version, reserved
-    u64(heapData.length.toLong) // data segment size
-    u64(heapData.length.toLong) // free list head: none (past the end)
-    u64(heapAddr + 32) // data segment address (right after this header)
-    heapData.foreach(out += _)
-
     val addrOf = Map("lat" -> latAddr, "lon" -> lonAddr, "time" -> timeAddr) ++ varAddrs
-    val snodAddr = out.length.toLong
-    out ++= "SNOD".getBytes("US-ASCII")
-    u8(1); u8(0) // version, reserved
-    u16(names.length)
-    names.foreach { n =>
-      u64(nameOff(n)); u64(addrOf(n))
-      u32(0); u32(0) // cache type 0, reserved
-      u64(0); u64(0) // scratch
+    val rootAddr = if (objectHeaderVersion == 2) {
+      objectHeader(names.map { n =>
+        val nb = n.getBytes("UTF-8")
+        0x0006 -> bb { b =>
+          b8(b, 1) // link message version
+          b8(b, 0) // flags: 1-byte name length, hard link, no extras
+          b8(b, nb.length)
+          nb.foreach(b += _)
+          b64(b, addrOf(n))
+        }
+      })
+    } else {
+      val heapData = new ArrayBuffer[Byte]()
+      var k = 0; while (k < 8) { heapData += 0; k += 1 } // offset 0 = empty
+      val nameOff = names.map { n =>
+        val off = heapData.length.toLong
+        n.getBytes("UTF-8").foreach(heapData += _)
+        heapData += 0
+        while (heapData.length % 8 != 0) heapData += 0
+        n -> off
+      }.toMap
+      val heapAddr = out.length.toLong
+      out ++= "HEAP".getBytes("US-ASCII")
+      u8(0); u8(0); u8(0); u8(0) // version, reserved
+      u64(heapData.length.toLong) // data segment size
+      u64(heapData.length.toLong) // free list head: none (past the end)
+      u64(heapAddr + 32) // data segment address (right after this header)
+      heapData.foreach(out += _)
+
+      val snodAddr = out.length.toLong
+      out ++= "SNOD".getBytes("US-ASCII")
+      u8(1); u8(0) // version, reserved
+      u16(names.length)
+      names.foreach { n =>
+        u64(nameOff(n)); u64(addrOf(n))
+        u32(0); u32(0) // cache type 0, reserved
+        u64(0); u64(0) // scratch
+      }
+
+      val btreeAddr = out.length.toLong
+      out ++= "TREE".getBytes("US-ASCII")
+      u8(0); u8(0) // node type 0 (group), level 0
+      u16(1) // one child
+      u64(Undef); u64(Undef)
+      u64(0) // key 0: offset of "" (smallest possible name)
+      u64(snodAddr)
+      u64(nameOff(names.last)) // key 1: the largest name in the child
+
+      objectHeader(Seq(
+        0x0011 -> bb { b => b64(b, btreeAddr); b64(b, heapAddr) }))
     }
-
-    val btreeAddr = out.length.toLong
-    out ++= "TREE".getBytes("US-ASCII")
-    u8(0); u8(0) // node type 0 (group), level 0
-    u16(1) // one child
-    u64(Undef); u64(Undef)
-    u64(0) // key 0: offset of "" (smallest possible name)
-    u64(snodAddr)
-    u64(nameOff(names.last)) // key 1: the largest name in the child
-
-    val rootAddr = objectHeader(Seq(
-      0x0011 -> bb { b => b64(b, btreeAddr); b64(b, heapAddr) }))
 
     patch64(rootPatch, rootAddr)
     patch64(eofPatch, out.length.toLong)
@@ -546,11 +620,54 @@ object Hdf5 {
       case v => fail(label, s"superblock version $v out of scope (0/1/2/3)")
     }
 
+    /** Walk a v2 ("OHDR") object header's chunk-0 messages — the shape
+      * libhdf5 writes under the 1.8 libver bound: 1-byte message types,
+      * optional per-message creation order, gap, and a lookup3 checksum
+      * over the whole chunk (VERIFIED — a corrupt prefix rejects, never
+      * tears). Continuation blocks (OCHK) and attribute-storage
+      * phase-change values reject loudly.
+      */
+    def messagesV2(addr: Long): Seq[(Int, Long, Int)] = {
+      if (u8(addr + 4) != 2)
+        fail(label, s"OHDR version ${u8(addr + 4)} out of scope (2)")
+      val hflags = u8(addr + 5)
+      if ((hflags & 0x10) != 0)
+        fail(label, "attribute-storage phase-change values out of scope")
+      var p = addr + 6
+      if ((hflags & 0x20) != 0) p += 16 // access/mod/change/birth times
+      val szW = 1 << (hflags & 0x3)
+      val chunk0 = szW match {
+        case 1 => u8(p).toLong; case 2 => u16(p).toLong
+        case 4 => u32(p); case _ => u64(p)
+      }
+      p += szW
+      if (chunk0 < 0 || chunk0 > (1 << 20)) fail(label, s"implausible chunk-0 size $chunk0")
+      val end = p + chunk0
+      if (end + 4 > b.length) fail(label, "OHDR chunk outside the file")
+      // checksum covers signature through gap (everything but itself)
+      val stored = (u8(end) | (u8(end + 1) << 8) | (u8(end + 2) << 16) |
+        (u8(end + 3) << 24)) & 0xffffffffL
+      val computed = lookup3(b, addr.toInt, (end - addr).toInt) & 0xffffffffL
+      if (stored != computed)
+        fail(label, f"OHDR checksum mismatch (stored 0x$stored%08x, computed 0x$computed%08x)")
+      val hdrSize = if ((hflags & 0x04) != 0) 6 else 4 // + creation order
+      val out = ArrayBuffer.empty[(Int, Long, Int)]
+      while (p + hdrSize <= end) { // trailing bytes < hdrSize = the gap
+        val tpe = u8(p)
+        val size = u16(p + 1)
+        val mflags = u8(p + 3)
+        if ((mflags & 0x02) != 0) fail(label, s"shared message (type $tpe) out of scope")
+        if (p + hdrSize + size > end) fail(label, "message overruns its OHDR chunk")
+        if (tpe == 0x10) fail(label, "OHDR continuation block (OCHK) out of scope")
+        if (tpe != 0) out += ((tpe, p + hdrSize, size))
+        p += hdrSize + size
+      }
+      out.toSeq
+    }
+
     /** Walk a v1 object header's messages (with continuations). */
     def messages(addr: Long): Seq[(Int, Long, Int)] = {
-      if (sig4(b, addr, label) == "OHDR")
-        fail(label, "v2 object header (OHDR) out of scope — netCDF-4's " +
-          "default libver writes v1 headers")
+      if (sig4(b, addr, label) == "OHDR") return messagesV2(addr)
       if (u8(addr) != 1) fail(label, s"object header version ${u8(addr)} out of scope")
       val nmsgs = u16(addr + 2)
       if (nmsgs > 4096) fail(label, s"implausible message count $nmsgs")
@@ -586,11 +703,17 @@ object Hdf5 {
     }
 
     def parseDataspace(p: Long): Seq[Int] = {
-      if (u8(p) != 1) fail(label, s"dataspace version ${u8(p)} out of scope")
+      val ver = u8(p)
+      // v1: the classic-libver shape (8-byte header incl. reserved);
+      // v2: the 1.8-libver shape (4-byte header with a type field)
+      if (ver != 1 && ver != 2) fail(label, s"dataspace version $ver out of scope (1/2)")
       val rank = u8(p + 1)
       if (rank > 4) fail(label, s"rank-$rank dataspace out of scope")
+      if (ver == 2 && u8(p + 3) > 1)
+        fail(label, s"dataspace type ${u8(p + 3)} out of scope (scalar/simple)")
+      val dims0 = if (ver == 1) p + 8 else p + 4
       Seq.tabulate(rank) { k =>
-        val d = u64(p + 8 + 8L * k)
+        val d = u64(dims0 + 8L * k)
         if (d < 0 || d > Int.MaxValue) fail(label, s"dimension $d out of range")
         d.toInt
       }
@@ -650,23 +773,32 @@ object Hdf5 {
       }
     }
     def parseAttr(p: Long, size: Int): (String, Any) = {
-      if (u8(p) != 1) fail(label, s"attribute message version ${u8(p)} out of scope (1)")
+      val ver = u8(p)
+      // v1 pads name/datatype/dataspace to 8 bytes; v3 (the v2-OHDR
+      // companion) drops the padding and adds a name-charset byte
+      if (ver != 1 && ver != 3)
+        fail(label, s"attribute message version $ver out of scope (1/3)")
+      if (ver == 3 && (u8(p + 1) & 0x03) != 0)
+        fail(label, "shared attribute datatype/dataspace out of scope")
       val nameSize = u16(p + 2); val dtSize = u16(p + 4); val dsSize = u16(p + 6)
-      var q = p + 8
+      var q = p + (if (ver == 1) 8 else 9) // v3: + name charset byte
       val nameEnd0 = q + nameSize
-      if (nameEnd0 > p + 8 + size) fail(label, "attribute name overruns its message")
+      if (nameEnd0 > p + 9 + size) fail(label, "attribute name overruns its message")
       var nameLen = 0
       while (nameLen < nameSize && u8(q + nameLen) != 0) nameLen += 1
       val name = new String(b, q.toInt, nameLen, "UTF-8")
-      q += (nameSize + 7) / 8 * 8
+      def pad(v: Int): Long = if (ver == 1) (v + 7) / 8 * 8 else v.toLong
+      q += pad(nameSize)
       val dtP = q
-      q += (dtSize + 7) / 8 * 8
+      q += pad(dtSize)
       val dsP = q
-      q += (dsSize + 7) / 8 * 8
+      q += pad(dsSize)
       val npoints = {
+        val dsVer = u8(dsP)
         val rank = u8(dsP + 1)
+        val dims0 = if (dsVer == 2) dsP + 4 else dsP + 8
         var n = 1L
-        var k = 0; while (k < rank) { n *= u64(dsP + 8 + 8L * k); k += 1 }
+        var k = 0; while (k < rank) { n *= u64(dims0 + 8L * k); k += 1 }
         n
       }
       val cls = u8(dtP) & 0x0f
@@ -686,11 +818,70 @@ object Hdf5 {
       name -> value
     }
 
-    // root object header -> symbol table -> B-tree -> SNOD entries
+    /** Parse one compact Link message (type 0x06): hard links only —
+      * the root-group storage v2-OHDR files use below the compact/dense
+      * threshold (libhdf5 default max_compact = 8; a gridded product
+      * has a handful of variables, so this IS the real shape).
+      */
+    def parseLinkMsg(p0: Long): (String, Long) = {
+      if (u8(p0) != 1) fail(label, s"link message version ${u8(p0)} out of scope (1)")
+      val lf = u8(p0 + 1)
+      var q = p0 + 2
+      if ((lf & 0x08) != 0) {
+        val lt = u8(q); q += 1
+        if (lt != 0) fail(label, s"link type $lt out of scope (hard links)")
+      }
+      if ((lf & 0x04) != 0) q += 8 // creation order
+      if ((lf & 0x10) != 0) q += 1 // charset
+      val w = 1 << (lf & 0x3)
+      val nameLen = w match {
+        case 1 => u8(q).toLong; case 2 => u16(q).toLong
+        case 4 => u32(q); case _ => u64(q)
+      }
+      q += w
+      if (nameLen < 0 || nameLen > 4096) fail(label, s"implausible link name length $nameLen")
+      if (q + nameLen + 8 > b.length) fail(label, "link message outside the file")
+      val name = new String(b, q.toInt, nameLen.toInt, "UTF-8")
+      name -> u64(q + nameLen)
+    }
+
+    /** One named object header -> Dataset, rejecting subgroups loudly
+      * (old-style symbol table OR new-style link/group-info messages).
+      */
+    def datasetOf(name: String, addr: Long): Dataset = {
+      val msgs = messages(addr)
+      if (msgs.exists(m => m._1 == 0x0011 || m._1 == 0x0002 || m._1 == 0x000A ||
+          m._1 == 0x0006))
+        fail(label, s"'$name' is a subgroup — groups beyond root out of scope")
+      def one(tpe: Int, what: String): Long =
+        msgs.find(_._1 == tpe).getOrElse(
+          fail(label, s"dataset '$name' has no $what message"))._2
+      val dims = parseDataspace(one(0x0001, "dataspace"))
+      val dtype = parseDatatype(one(0x0003, "datatype"))
+      if (dtype == "str") fail(label, s"string dataset '$name' out of scope")
+      if (dims.map(BigInt(_)).product > MaxCells)
+        fail(label, s"dataset '$name' cell count exceeds the 2^26 cap")
+      val layout = parseLayout(one(0x0008, "layout"))
+      val filters = msgs.find(_._1 == 0x000B)
+        .map(m => parseFilters(m._2)).getOrElse(Nil)
+      val atts = msgs.filter(_._1 == 0x000C)
+        .map(m => parseAttr(m._2, m._3)).toMap
+      Dataset(name, dims, dtype, layout, filters, atts)
+    }
+
+    // root object header -> EITHER old-style symbol table (-> B-tree ->
+    // SNOD) OR new-style compact Link messages (v2-OHDR groups)
     val rootMsgs = messages(rootAddr)
+    val rootLinks = rootMsgs.filter(_._1 == 0x0006)
+    if (rootMsgs.forall(_._1 != 0x0011) && rootLinks.nonEmpty) {
+      if (rootLinks.length > 4096)
+        fail(label, s"implausible root link count ${rootLinks.length}")
+      return rootLinks.map(m => parseLinkMsg(m._2)).sortBy(_._1)
+        .map { case (name, addr) => datasetOf(name, addr) }
+    }
     val stab = rootMsgs.find(_._1 == 0x0011).getOrElse(
-      fail(label, "root group has no symbol table message " +
-        "(new-style fractal-heap groups out of scope)"))._2
+      fail(label, "root group has neither a symbol table message nor " +
+        "compact link messages (dense fractal-heap link storage out of scope)"))._2
     val btreeAddr = u64(stab)
     val heapAddr = u64(stab + 8)
     if (sig4(b, heapAddr, label) != "HEAP")
@@ -723,25 +914,7 @@ object Hdf5 {
     val entries = groupEntries(btreeAddr, 0)
     if (entries.size > 4096) fail(label, s"implausible root entry count ${entries.size}")
 
-    entries.map { case (name, addr) =>
-      val msgs = messages(addr)
-      if (msgs.exists(_._1 == 0x0011))
-        fail(label, s"'$name' is a subgroup — groups beyond root out of scope")
-      def one(tpe: Int, what: String): Long =
-        msgs.find(_._1 == tpe).getOrElse(
-          fail(label, s"dataset '$name' has no $what message"))._2
-      val dims = parseDataspace(one(0x0001, "dataspace"))
-      val dtype = parseDatatype(one(0x0003, "datatype"))
-      if (dtype == "str") fail(label, s"string dataset '$name' out of scope")
-      if (dims.map(BigInt(_)).product > MaxCells)
-        fail(label, s"dataset '$name' cell count exceeds the 2^26 cap")
-      val layout = parseLayout(one(0x0008, "layout"))
-      val filters = msgs.find(_._1 == 0x000B)
-        .map(m => parseFilters(m._2)).getOrElse(Nil)
-      val atts = msgs.filter(_._1 == 0x000C)
-        .map(m => parseAttr(m._2, m._3)).toMap
-      Dataset(name, dims, dtype, layout, filters, atts)
-    }
+    entries.map { case (name, addr) => datasetOf(name, addr) }
   }
 
   /** Raw little-endian element bytes of one dataset, chunks assembled
@@ -874,6 +1047,66 @@ object Hdf5 {
         walk(btree, 0)
         out
     }
+  }
+
+  /** Jenkins lookup3 `hashlittle` with init 0 — the metadata checksum
+    * of every v2 object-header chunk (the HDF5 spec names lookup3 as
+    * its checksum algorithm; the reference C is published public
+    * domain). Spec-from-scratch; Hdf5Spec pins the published self-test
+    * anchors.
+    */
+  private[graft] def lookup3(data: Array[Byte], off: Int, len: Int): Int = {
+    def rot(x: Int, k: Int): Int = (x << k) | (x >>> (32 - k))
+    var a = 0xdeadbeef + len
+    var b = a
+    var c = a
+    var p = off
+    var rem = len
+    def u8l(q: Int): Int = data(q) & 0xff
+    def word(q: Int): Int = u8l(q) | (u8l(q + 1) << 8) | (u8l(q + 2) << 16) | (u8l(q + 3) << 24)
+    while (rem > 12) {
+      a += word(p); b += word(p + 4); c += word(p + 8)
+      // mix(a,b,c)
+      a -= c; a ^= rot(c, 4); c += b
+      b -= a; b ^= rot(a, 6); a += c
+      c -= b; c ^= rot(b, 8); b += a
+      a -= c; a ^= rot(c, 16); c += b
+      b -= a; b ^= rot(a, 19); a += c
+      c -= b; c ^= rot(b, 4); b += a
+      p += 12; rem -= 12
+    }
+    if (rem == 0) return c // only a zero-length input reaches this
+    if (rem > 8) {
+      c += ((rem - 8) match {
+        case 4 => (u8l(p + 11) << 24) | (u8l(p + 10) << 16) | (u8l(p + 9) << 8) | u8l(p + 8)
+        case 3 => (u8l(p + 10) << 16) | (u8l(p + 9) << 8) | u8l(p + 8)
+        case 2 => (u8l(p + 9) << 8) | u8l(p + 8)
+        case _ => u8l(p + 8)
+      })
+    }
+    if (rem > 4) {
+      b += (math.min(rem - 4, 4) match {
+        case 4 => word(p + 4)
+        case 3 => (u8l(p + 6) << 16) | (u8l(p + 5) << 8) | u8l(p + 4)
+        case 2 => (u8l(p + 5) << 8) | u8l(p + 4)
+        case _ => u8l(p + 4)
+      })
+    }
+    a += (math.min(rem, 4) match {
+      case 4 => word(p)
+      case 3 => (u8l(p + 2) << 16) | (u8l(p + 1) << 8) | u8l(p)
+      case 2 => (u8l(p + 1) << 8) | u8l(p)
+      case _ => u8l(p)
+    })
+    // final(a,b,c)
+    c ^= b; c -= rot(b, 14)
+    a ^= c; a -= rot(c, 11)
+    b ^= a; b -= rot(a, 25)
+    c ^= b; c -= rot(b, 16)
+    a ^= c; a -= rot(c, 4)
+    b ^= a; b -= rot(a, 14)
+    c ^= b; c -= rot(b, 24)
+    c
   }
 
   /** HDF5's fletcher32 (filter 3) checksum over `len` bytes: 16-bit

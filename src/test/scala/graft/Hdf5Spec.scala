@@ -290,6 +290,66 @@ class Hdf5Spec extends SparkSpec {
       .getMessage should include("fletcher32 checksum mismatch")
   }
 
+  test("v2 OHDR headers: lookup3 anchors, round-trip, checksum reject, subgroup reject") {
+    // Jenkins' published lookup3 self-test anchors (hashlittle, init 0)
+    Hdf5.lookup3(Array.emptyByteArray, 0, 0) shouldBe 0xdeadbeef
+    val four = "Four score and seven years ago".getBytes("US-ASCII")
+    Hdf5.lookup3(four, 0, four.length) shouldBe 0x17770551
+    // round-trip: v2 headers + compact root links + dataspace v2 +
+    // attribute v3 + lookup3 checksums, across all payload types
+    val fields = Seq(field("TMP", t0, 100),
+      field("PRATE", t0, 700, masked = true))
+    val p = Hdf5.writeFile(
+      java.nio.file.Files.createTempDirectory("h5v2").resolve("v2.nc"),
+      fields, 3, 5, superblockVersion = 3, objectHeaderVersion = 2)
+    val bytes = java.nio.file.Files.readAllBytes(p)
+    val ds = Hdf5.parseDatasets(bytes, "v2")
+    ds.map(_.name).sorted shouldBe Seq("PRATE", "TMP", "lat", "lon", "time")
+    ds.find(_.name == "TMP").get.atts("units") shouldBe "K" // attr v3 parsed
+    sortRows(Netcdf.records(bytes, "v2")) shouldBe expectRows(fields)
+    // the int16-CF and float payloads ride the same v2 machinery
+    for (pt <- Seq(Netcdf.NcShort, Netcdf.NcFloat)) {
+      val fs = Seq(field("TMP", t0, 50).copy(decimalScale = 0))
+      val pp = Hdf5.writeFile(
+        java.nio.file.Files.createTempDirectory("h5v2").resolve(s"v2$pt.nc"),
+        fs, 3, 5, superblockVersion = 3, objectHeaderVersion = 2,
+        payloadType = pt)
+      Netcdf.records(java.nio.file.Files.readAllBytes(pp), s"v2$pt").size shouldBe 91
+    }
+    // a flipped MESSAGE byte must trip the lookup3 verify BEFORE any
+    // message is interpreted (the verify runs ahead of the walk)
+    val at = bytes.indices.find(q => q + 4 <= bytes.length &&
+      bytes(q) == 'O' && bytes(q + 1) == 'H' && bytes(q + 2) == 'D' &&
+      bytes(q + 3) == 'R').get // first OHDR = a dataset header
+    val c1 = bytes.clone()
+    c1(at + 16) = (c1(at + 16) ^ 0x10).toByte
+    intercept[IllegalArgumentException](Netcdf.records(c1, "v2ck").toSeq)
+      .getMessage should include("checksum mismatch")
+    // a link pointing at a GROUP-shaped header (link messages inside)
+    // rejects as groups-beyond-root: patch a root link's target to the
+    // root header itself, checksum fixed up like the writer's
+    def u16b(q: Int) = (bytes(q) & 0xff) | ((bytes(q + 1) & 0xff) << 8)
+    def u32b(q: Int) = u16b(q).toLong | (u16b(q + 2).toLong << 16)
+    val rootAddr = u32b(36) | (u32b(40) << 32) // sb v3: root header address
+    val root = rootAddr.toInt
+    val c2 = bytes.clone()
+    // find PRATE's link message (version 1, flags 0, len 5, 'PRATE')
+    val pat = Array[Byte](1, 0, 5, 'P', 'R', 'A', 'T', 'E')
+    val lp = c2.indices.find(q => q + pat.length + 8 <= c2.length &&
+      pat.indices.forall(k => c2(q + k) == pat(k))).get
+    for (k <- 0 until 8)
+      c2(lp + pat.length + k) = ((rootAddr >>> (8 * k)) & 0xff).toByte
+    val chunk0 = ((c2(root + 6) & 0xff) | ((c2(root + 7) & 0xff) << 8) |
+      ((c2(root + 8) & 0xff) << 16) | ((c2(root + 9) & 0xff) << 24))
+    val chunkEnd = root + 10 + chunk0
+    val ck = Hdf5.lookup3(java.util.Arrays.copyOfRange(c2, root, chunkEnd),
+      0, chunkEnd - root)
+    for (k <- 0 until 4)
+      c2(chunkEnd + k) = ((ck >>> (8 * k)) & 0xff).toByte
+    intercept[IllegalArgumentException](Netcdf.records(c2, "v2grp").toSeq)
+      .getMessage should include("groups beyond root")
+  }
+
   test("crafted cycles reject loudly: header continuation loop, group B-tree loop, chunk-count bound") {
     val bytes = writeBytes(Seq(field("TMP", t0, 100)))
     def u16(p: Int) = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
