@@ -41,12 +41,22 @@ fi
 set -e
 base="${OUT%.json}"
 for k in $(seq 1 "$SWEEPS"); do
-  LOAD=$(cut -d' ' -f1 /proc/loadavg 2>/dev/null || echo 0)
-  if [ "${SPARK_GRAFT_BENCH_FORCE:-0}" != "1" ] && \
-     awk "BEGIN{exit !($LOAD > 1.0)}"; then
-    echo "run_bench.sh: sweep $k refused at loadavg $LOAD (> 1.0)." >&2
-    exit 3
-  fi
+  # between sweeps the PREVIOUS sweep's threads still sit in the
+  # 1-minute loadavg — WAIT for the box to go quiet (bounded) instead
+  # of refusing, so back-to-back sweeps are actually runnable; a
+  # genuinely busy neighbor still times the wait out and refuses
+  tries=0
+  while :; do
+    LOAD=$(cut -d' ' -f1 /proc/loadavg 2>/dev/null || echo 0)
+    if [ "${SPARK_GRAFT_BENCH_FORCE:-0}" = "1" ] || \
+       awk "BEGIN{exit !($LOAD <= 1.0)}"; then break; fi
+    tries=$((tries + 1))
+    if [ "$tries" -gt 40 ]; then
+      echo "run_bench.sh: sweep $k still at loadavg $LOAD after 10 min — refusing." >&2
+      exit 3
+    fi
+    sleep 15
+  done
   SPARK_GRAFT_BENCH_OUT="${base}_sweep$k.json" \
     java $ADD_OPENS -Xmx16g -Dspark.ui.enabled=false \
     -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
