@@ -776,6 +776,32 @@ object SparkEntry {
       objectHeaderVersion = 2).toString
   }
 
+  /** r75 fixture: v2-OHDR netCDF-4 whose EVERY object header spills
+    * messages into an "OCHK" continuation block (spill after 2) — the
+    * shape libhdf5 produces when attributes outgrow chunk 0; each block
+    * carries its own verified lookup3 checksum.
+    */
+  private lazy val netcdf4OchkFixturePath: String = {
+    import java.time.LocalDateTime
+    val params = Seq(("TMP", 0, false), ("PRATE", 1, true))
+    val times = Seq(LocalDateTime.of(2010, 5, 4, 0, 0),
+      LocalDateTime.of(2010, 6, 4, 12, 0))
+    val fields = for {
+      (t, m) <- times.zipWithIndex
+      (v, pidx, masked) <- params
+    } yield sources.Netcdf.Field(v, t, g3Ni, g3Nj, g3La1, g3Lo1, g3Di, g3Dj,
+      decimalScale = 1,
+      Array.tabulate(g3Nj * g3Ni) { k =>
+        val j = k / g3Ni; val i = k % g3Ni
+        if (masked && (i * 4 + j + m) % 17 == 12) None
+        else Some((i * 43 + j * 11 + pidx * 97 + m * 57) % 1050 + pidx * 1700)
+      })
+    sources.Hdf5.writeFile(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft-nc", "fix4c.nc"),
+      fields, chunkJ = 5, chunkI = 8, superblockVersion = 3,
+      objectHeaderVersion = 2, v2ContinuationAfter = 2).toString
+  }
+
   /** r56 fixtures: zstd chunks in the three wire shapes real stores
     * ship — a v2 store with numcodecs `{"id":"zstd"}` raw frames, a V3
     * store with the `zstd` codec (the zarr v3 default), and a v2 store
@@ -944,6 +970,30 @@ object SparkEntry {
     sources.Zarr.writeStore(
       java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft-zarr", "fixcm.zarr"),
       fields, chunkJ = 5, chunkI = 8, consolidated = true).toString
+  }
+
+  /** r74 fixture: a v2 store with `dimension_separator: "/"` — nested
+    * chunk directories, the zarr >= 2.8 object-store layout xarray
+    * writes; blosc-lz4 underneath so the full codec path rides the
+    * nested keys.
+    */
+  private lazy val zarrNestedPath: String = {
+    import java.time.LocalDateTime
+    val times = Seq(LocalDateTime.of(2010, 3, 9, 0, 0),
+      LocalDateTime.of(2010, 4, 9, 12, 0))
+    val fields = times.zipWithIndex.map { case (t, m) =>
+      sources.Zarr.Field("RH", t, g3Ni, g3Nj, g3La1, g3Lo1, g3Di, g3Dj,
+        decimalScale = 1,
+        Array.tabulate(g3Nj * g3Ni) { k =>
+          val j = k / g3Ni; val i = k % g3Ni
+          if ((i * 2 + j * 5 + m) % 16 == 10) None
+          else Some((i * 37 + j * 13 + m * 61) % 830 + 90)
+        })
+    }
+    sources.Zarr.writeStore(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft-zarr", "fixsep.zarr"),
+      fields, chunkJ = 5, chunkI = 8, compressor = "blosc-lz4",
+      sep = "/").toString
   }
 
   /** r57 fixture: a V3 store whose data chunks carry the `transpose`
@@ -2862,6 +2912,11 @@ object SparkEntry {
     "r73_netcdf4_ohdr" -> ((s, _) =>
       sources.Netcdf.readRecords(s, Seq(netcdf4OhdrFixturePath))
         .orderBy($"variable", $"time", $"lat", $"lon")),
+    // OCHK continuation blocks: every header spills messages past
+    // chunk 0 (libhdf5's many-attributes shape), per-block checksums
+    "r75_netcdf4_ochk" -> ((s, _) =>
+      sources.Netcdf.readRecords(s, Seq(netcdf4OchkFixturePath))
+        .orderBy($"variable", $"time", $"lat", $"lon")),
     // the DSv2 face of the netCDF reader: spark.read.format("netcdf")
     // with variable = 'TMP' PUSHED to the metadata walk — the pruned
     // variable's chunks are never inflated (NetcdfConnectorSpec pins
@@ -2919,6 +2974,11 @@ object SparkEntry {
     "r68_zarr_short_cf" -> ((s, _) =>
       sources.Zarr.readRecords(s, zarrShortV2Path, matchRe = "PRATE")
         .unionByName(sources.Zarr.readRecords(s, zarrShortV3Path, matchRe = "VGRD"))
+        .orderBy($"variable", $"time", $"lat", $"lon")),
+    // v2 nested '/' dimension separator (zarr >= 2.8 object-store
+    // layout): chunk keys live in directories, blosc-lz4 underneath
+    "r74_zarr_nested" -> ((s, _) =>
+      sources.Zarr.readRecords(s, zarrNestedPath, matchRe = "RH")
         .orderBy($"variable", $"time", $"lat", $"lon")),
     // consolidated .zmetadata (xarray's cloud default): the store has
     // NO per-array metadata files, so this passing proves the reader
@@ -7011,6 +7071,20 @@ object SparkEntry {
          FROM p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
          WHERE NOT (masked = 1 AND (i + j * 2 + m) % 13 = 8)
          ORDER BY variable, time, lat, lon""",
+    // the OCHK twin: every header's messages cross a continuation block
+    "r75_netcdf4_ochk" ->
+      s"""WITH p(pidx, variable, masked) AS (VALUES (0, 'TMP', 0), (1, 'PRATE', 1)),
+         t(t, m) AS (VALUES (TIMESTAMP '2010-05-04 00:00:00', 0),
+                            (TIMESTAMP '2010-06-04 12:00:00', 1)),
+         ii AS (SELECT unnest(generate_series(0, ${g3Ni - 1})) AS i),
+         jj AS (SELECT unnest(generate_series(0, ${g3Nj - 1})) AS j)
+         SELECT variable, t AS time,
+                ($g3La1 - j * $g3Dj) / 1000000.0 AS lat,
+                (($g3Lo1) + i * $g3Di) / 1000000.0 AS lon,
+                ((i * 43 + j * 11 + pidx * 97 + m * 57) % 1050 + pidx * 1700) / 10.0 AS value
+         FROM p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
+         WHERE NOT (masked = 1 AND (i * 4 + j + m) % 17 = 12)
+         ORDER BY variable, time, lat, lon""",
     // netCDF-4 legs regenerated closed-form: the engine recovered every
     // cell through the HDF5 container (B-tree chunk index, shuffle+
     // deflate, edge-chunk clipping, v0 and v3 superblocks)
@@ -7165,6 +7239,19 @@ object SparkEntry {
                 (($g3Lo1) + i * $g3Di) / 1000000.0 AS lon,
                 s * 0.25 + 300.0 AS value
          FROM u ORDER BY variable, time, lat, lon""",
+    // the nested-separator twin: same flatten over directory chunk keys
+    "r74_zarr_nested" ->
+      s"""WITH ii AS (SELECT unnest(generate_series(0, ${g3Ni - 1})) AS i),
+         jj AS (SELECT unnest(generate_series(0, ${g3Nj - 1})) AS j),
+         t(t, m) AS (VALUES (TIMESTAMP '2010-03-09 00:00:00', 0),
+                            (TIMESTAMP '2010-04-09 12:00:00', 1))
+         SELECT 'RH' AS variable, t AS time,
+                ($g3La1 - j * $g3Dj) / 1000000.0 AS lat,
+                (($g3Lo1) + i * $g3Di) / 1000000.0 AS lon,
+                ((i * 37 + j * 13 + m * 61) % 830 + 90) / 10.0 AS value
+         FROM t CROSS JOIN ii CROSS JOIN jj
+         WHERE (i * 2 + j * 5 + m) % 16 <> 10
+         ORDER BY variable, time, lat, lon""",
     // the consolidated-metadata twin: same flatten, metadata from the
     // single .zmetadata document
     "r69_zarr_consolidated" ->

@@ -405,7 +405,9 @@ object AssetCodecs {
     var off = 0
     while (off < expect && !inf.finished()) {
       val n = inf.inflate(out, off, expect - off)
-      require(n > 0 || !inf.needsInput(), "truncated PNG pixel stream")
+      // 0 while unfinished = truncated OR a crafted FDICT header
+      // (needsDictionary) — checking needsInput alone spins forever
+      require(n > 0 || inf.finished(), "truncated PNG pixel stream")
       off += n
     }
     require(off == expect, s"PNG pixel stream: got $off of $expect bytes")

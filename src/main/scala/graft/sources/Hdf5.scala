@@ -22,10 +22,12 @@ import scala.collection.mutable.ArrayBuffer
   *    -> local heap names;
   *  - version-2 ("OHDR") object headers — the 1.8-libver-bound shape:
   *    1-byte message types, optional per-message creation order and
-  *    timestamps, gap, lookup3 chunk checksum VERIFIED; root group via
-  *    compact Link messages (hard links; libhdf5 stays compact below 8
-  *    links, and a gridded product has a handful of variables);
-  *    dataspace v2 and attribute-message v3 bodies;
+  *    timestamps, gap, lookup3 chunk checksum VERIFIED; "OCHK"
+  *    continuation blocks (how libhdf5 spills many attributes), each
+  *    checksum-verified, cycle-guarded; root group via compact Link
+  *    messages (hard links; libhdf5 stays compact below 8 links, and a
+  *    gridded product has a handful of variables); dataspace v2 and
+  *    attribute-message v3 bodies;
   *  - dataspace v1, datatype classes 0 (fixed-point), 1 (float) and
   *    3 (strings in attributes); fill-value messages skipped;
   *  - data layout v3: contiguous (coordinates) and chunked with the
@@ -39,8 +41,8 @@ import scala.collection.mutable.ArrayBuffer
   *    payloads — e.g. netCDF-4's vlen-reference DIMENSION_LIST —
   *    skipped by their declared sizes, never interpreted).
   *
-  * Out of scope, rejecting loudly with a pointer: OHDR continuation
-  * blocks (OCHK), dense (fractal-heap) link storage, layout v4 chunk
+  * Out of scope, rejecting loudly with a pointer: dense (fractal-heap)
+  * link storage, layout v4 chunk
   * indexes (the LATEST-bound shape), groups beyond
   * root, szip (filter 4), compact layout,
   * datatypes other than int16/int32/float32/float64 data and float64
@@ -111,7 +113,11 @@ object Hdf5 {
                 // dataspace v2 + attribute v3 bodies and lookup3 chunk
                 // checksums — the 1.8-libver-bound shape (requires
                 // superblockVersion 3, which is what that bound writes)
-                objectHeaderVersion: Int = 1): Path = {
+                objectHeaderVersion: Int = 1,
+                // v2 headers: messages beyond this index move to an
+                // "OCHK" continuation block (how libhdf5 spills many
+                // attributes); default = everything in chunk 0
+                v2ContinuationAfter: Int = Int.MaxValue): Path = {
     require(objectHeaderVersion == 1 || objectHeaderVersion == 2,
       s"object header version $objectHeaderVersion unsupported (1 / 2)")
     require(objectHeaderVersion == 1 || superblockVersion == 3,
@@ -310,14 +316,33 @@ object Hdf5 {
       if (objectHeaderVersion == 2) {
         // "OHDR" v2: u8 message types, no alignment, no times, no
         // creation-order tracking; lookup3 checksum over the whole
-        // chunk (signature through the last message)
-        val hdr = bb { b =>
-          val block = bb { bl =>
-            msgs.foreach { case (tpe, body) =>
+        // chunk (signature through the last message). Messages past
+        // v2ContinuationAfter spill to an "OCHK" block (written first,
+        // so the continuation message knows its address).
+        def msgBytes(ms: Seq[(Int, ArrayBuffer[Byte])]): ArrayBuffer[Byte] =
+          bb { bl =>
+            ms.foreach { case (tpe, body) =>
               b8(bl, tpe); b16(bl, body.length); b8(bl, 0) // type, size, flags
               bl ++= body
             }
           }
+        val (head, spill) = msgs.splitAt(math.min(v2ContinuationAfter, msgs.length))
+        val contMsg: Seq[(Int, ArrayBuffer[Byte])] =
+          if (spill.isEmpty) Nil
+          else {
+            val blk = bb { b =>
+              "OCHK".getBytes("US-ASCII").foreach(b += _)
+              b ++= msgBytes(spill)
+            }
+            val ck = lookup3(blk.toArray, 0, blk.length).toLong & 0xffffffffL
+            val cAddr = out.length.toLong
+            blk.foreach(out += _)
+            u32(ck)
+            // wire length INCLUDES signature and checksum
+            Seq(0x10 -> bb { b => b64(b, cAddr); b64(b, blk.length + 4L) })
+          }
+        val hdr = bb { b =>
+          val block = msgBytes(head ++ contMsg)
           "OHDR".getBytes("US-ASCII").foreach(b += _)
           b8(b, 2) // version
           b8(b, 2) // flags: chunk-0 size stored as 4 bytes
@@ -620,12 +645,12 @@ object Hdf5 {
       case v => fail(label, s"superblock version $v out of scope (0/1/2/3)")
     }
 
-    /** Walk a v2 ("OHDR") object header's chunk-0 messages — the shape
-      * libhdf5 writes under the 1.8 libver bound: 1-byte message types,
+    /** Walk a v2 ("OHDR") object header's messages — the shape libhdf5
+      * writes under the 1.8 libver bound: 1-byte message types,
       * optional per-message creation order, gap, and a lookup3 checksum
       * over the whole chunk (VERIFIED — a corrupt prefix rejects, never
-      * tears). Continuation blocks (OCHK) and attribute-storage
-      * phase-change values reject loudly.
+      * tears), plus "OCHK" continuation blocks (each checksum-verified,
+      * cycle-guarded). Attribute-storage phase-change values reject.
       */
     def messagesV2(addr: Long): Seq[(Int, Long, Int)] = {
       if (u8(addr + 4) != 2)
@@ -652,15 +677,44 @@ object Hdf5 {
         fail(label, f"OHDR checksum mismatch (stored 0x$stored%08x, computed 0x$computed%08x)")
       val hdrSize = if ((hflags & 0x04) != 0) 6 else 4 // + creation order
       val out = ArrayBuffer.empty[(Int, Long, Int)]
-      while (p + hdrSize <= end) { // trailing bytes < hdrSize = the gap
-        val tpe = u8(p)
-        val size = u16(p + 1)
-        val mflags = u8(p + 3)
-        if ((mflags & 0x02) != 0) fail(label, s"shared message (type $tpe) out of scope")
-        if (p + hdrSize + size > end) fail(label, "message overruns its OHDR chunk")
-        if (tpe == 0x10) fail(label, "OHDR continuation block (OCHK) out of scope")
-        if (tpe != 0) out += ((tpe, p + hdrSize, size))
-        p += hdrSize + size
+      // continuation blocks ("OCHK": signature + messages + lookup3
+      // checksum, the length on the wire INCLUDING both) — walked with
+      // the v1 discipline: visited-set + cap, loud on a cycle
+      val pending = scala.collection.mutable.Queue.empty[(Long, Long)]
+      val seen = scala.collection.mutable.Set.empty[Long]
+      def scanMessages(start: Long, stop: Long): Unit = {
+        var q = start
+        while (q + hdrSize <= stop) { // trailing bytes < hdrSize = the gap
+          val tpe = u8(q)
+          val size = u16(q + 1)
+          val mflags = u8(q + 3)
+          if ((mflags & 0x02) != 0) fail(label, s"shared message (type $tpe) out of scope")
+          if (q + hdrSize + size > stop) fail(label, "message overruns its OHDR chunk")
+          if (tpe == 0x10) {
+            if (size < 16) fail(label, "OHDR continuation message too small")
+            pending.enqueue((u64(q + hdrSize), u64(q + hdrSize + 8)))
+          } else if (tpe != 0) out += ((tpe, q + hdrSize, size))
+          q += hdrSize + size
+        }
+      }
+      scanMessages(p, end)
+      while (pending.nonEmpty) {
+        val (off, len) = pending.dequeue()
+        if (!seen.add(off))
+          fail(label, s"OCHK continuation cycles back to block $off")
+        if (seen.size > 64) fail(label, "implausible OCHK block count")
+        if (len < 8 || off < 0 || off > b.length || len > b.length - off)
+          fail(label, s"OCHK block [$off,+$len) outside the file")
+        if (sig4(b, off, label) != "OCHK")
+          fail(label, "OCHK signature missing on a continuation block")
+        val blockEnd = off + len - 4 // the trailing lookup3 checksum
+        val stored2 = (u8(blockEnd) | (u8(blockEnd + 1) << 8) |
+          (u8(blockEnd + 2) << 16) | (u8(blockEnd + 3) << 24)) & 0xffffffffL
+        val computed2 = lookup3(b, off.toInt, (blockEnd - off).toInt) & 0xffffffffL
+        if (stored2 != computed2)
+          fail(label, f"OCHK checksum mismatch (stored 0x$stored2%08x, " +
+            f"computed 0x$computed2%08x)")
+        scanMessages(off + 4, blockEnd)
       }
       out.toSeq
     }
@@ -1152,7 +1206,11 @@ object Hdf5 {
     try {
       while (off < expect && !inf.finished()) {
         val n = inf.inflate(out, off, expect - off)
-        if (n == 0 && inf.needsInput()) fail(label, "truncated deflate chunk")
+        // n == 0 while unfinished is ALWAYS terminal here (the whole
+        // chunk was set as input): truncated stream (needsInput) or a
+        // crafted FDICT preset-dictionary header (needsDictionary) —
+        // the latter would otherwise spin this loop forever
+        if (n == 0) fail(label, "truncated or preset-dictionary deflate chunk")
         off += n
       }
     } catch {

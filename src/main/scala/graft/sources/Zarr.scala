@@ -17,9 +17,11 @@ import org.json4s.jackson.JsonMethods
   *  - group root (`.zgroup`), one sub-directory per array with `.zarray`
   *    JSON metadata (shape / chunks / dtype / compressor / fill_value /
   *    order / filters) and `.zattrs` user attributes;
-  *  - chunk files keyed `"t.j.i"` (C-order, `.` separator), every chunk
-  *    FULL-SIZE — edge chunks are padded to the chunk shape and the
-  *    out-of-bounds tail ignored on read (the spec's edge rule);
+  *  - chunk files keyed `"t.j.i"` (C-order, `.` separator) or nested
+  *    `t/j/i` (`dimension_separator: "/"`, the zarr >= 2.8 object-store
+  *    layout), every chunk FULL-SIZE — edge chunks are padded to the
+  *    chunk shape and the out-of-bounds tail ignored on read (the
+  *    spec's edge rule);
   *  - compressors: `null` (raw), `zlib` via `java.util.zip`, and
   *    `blosc(cname=lz4)` — the numcodecs DEFAULT stack, so third-party
   *    stores open — via the from-scratch [[BloscLz4]] codec; data
@@ -48,7 +50,7 @@ import org.json4s.jackson.JsonMethods
   * task per SHARD, the object-count shape v3 archives use at scale).
   *
   * Out-of-scope forms reject loudly with a pointer: `order:"F"`,
-  * non-`.` v2 dimension separators, v2 filters, compressors other than
+  * v2 filters, compressors other than
   * null/zlib/gzip/zstd/blosc-{lz4,lz4hc,zstd} (blosclz/snappy cnames
   * reject), dtypes beyond i2/i4/f4 data + f8 coords, sharding or
   * transpose over non-int32 data, nested sharding. zstd decodes via
@@ -121,8 +123,11 @@ object Zarr {
     var off = 0
     while (off < expect && !inf.finished()) {
       val n = inf.inflate(out, off, expect - off)
-      require(n > 0 || inf.finished() || !inf.needsInput(),
-        s"zarr: truncated zlib chunk in $label")
+      // 0 while unfinished = truncated stream OR a crafted FDICT
+      // preset-dictionary header (needsDictionary) — both terminal;
+      // checking needsInput alone would spin forever on the latter
+      require(n > 0 || inf.finished(),
+        s"zarr: truncated or preset-dictionary zlib chunk in $label")
       off += n
     }
     require(off == expect && inf.finished(),
@@ -164,7 +169,8 @@ object Zarr {
   }
 
   private def zarrayJson(shape: Seq[Int], chunks: Seq[Int], dtype: String,
-                         compressor: String, level: Int, fill: Option[String]): String = {
+                         compressor: String, level: Int, fill: Option[String],
+                         sep: String = "."): String = {
     val comp = compressor match {
       case "zlib" => s"""{"id":"zlib","level":$level}"""
       case "zstd" => s"""{"id":"zstd","level":$level}"""
@@ -176,8 +182,9 @@ object Zarr {
       case "null" => "null"
       case other => sys.error(s"zarr writer: compressor '$other' unsupported")
     }
+    val sepField = if (sep == ".") "" else s""""dimension_separator":"$sep","""
     s"""{"zarr_format":2,"shape":[${shape.mkString(",")}],""" +
-      s""""chunks":[${chunks.mkString(",")}],"dtype":"$dtype",""" +
+      s""""chunks":[${chunks.mkString(",")}],"dtype":"$dtype",$sepField""" +
       s""""compressor":$comp,"fill_value":${fill.getOrElse("null")},""" +
       s""""order":"C","filters":null}"""
   }
@@ -202,7 +209,11 @@ object Zarr {
                  // shape that proves a reader actually uses the single
                  // metadata document (1 GET instead of thousands on an
                  // object store)
-                 consolidated: Boolean = false): Path = {
+                 consolidated: Boolean = false,
+                 // "." (flat, the v2 default) or "/" (zarr >= 2.8
+                 // nested chunk directories)
+                 sep: String = "."): Path = {
+    require(sep == "." || sep == "/", s"dimension separator '$sep' unsupported")
     require(fields.nonEmpty, "no fields to write")
     require(payloadType == Netcdf.NcInt || payloadType == Netcdf.NcFloat ||
       payloadType == Netcdf.NcShort,
@@ -295,7 +306,7 @@ object Zarr {
     for (v <- vars) {
       putMeta(s"$v/.zarray", zarrayJson(Seq(times.length, g.nj, g.ni),
         Seq(1, chunkJ, chunkI), dtypeStr, compressor, level,
-        Some(fillLit)))
+        Some(fillLit), sep))
       putMeta(s"$v/.zattrs", attrsJson)
       for ((t, r) <- times.zipWithIndex) {
         val f = fields.find(x => x.variable == v && x.time == t).get
@@ -309,7 +320,7 @@ object Zarr {
             encodeCell(cell, raw, p)
             p += elemSize
           }
-          put(s"$v/$r.$cj.$ci", compressor match {
+          put(s"$v/$r$sep$cj$sep$ci", compressor match {
             case "zlib" => zlibDeflate(raw, level)
             case "zstd" => ZstdCodec.compress(raw, level)
             case "blosc-lz4" => BloscLz4.compress(raw, typesize = elemSize)
@@ -550,10 +561,15 @@ object Zarr {
       "only C-order chunks are implemented")
     require((j \ "filters") == JNull || (j \ "filters") == JNothing,
       s"zarr: $label declares filters — out of scope")
-    (j \ "dimension_separator") match {
-      case JString(s) => require(s == ".",
-        s"zarr: $label dimension_separator '$s' out of scope — only '.' keys")
-      case _ => ()
+    // "." (the v2 default) or "/" (zarr >= 2.8 nested stores — the
+    // object-store-friendly layout xarray writes with
+    // dimension_separator='/')
+    val sep = (j \ "dimension_separator") match {
+      case JString(s) =>
+        require(s == "." || s == "/",
+          s"zarr: $label dimension_separator '$s' out of scope ('.' / '/')")
+        s
+      case _ => "."
     }
     val comp = (j \ "compressor") match {
       case JNull | JNothing => "null"
@@ -615,7 +631,7 @@ object Zarr {
       s"zarr: $label chunk cell count ${chunks.product} exceeds the 2^26 cap")
     ArrayMeta(shape.map(_.toInt), chunks.map(_.toInt),
       dtype, comp, fill, scale, scaleFactor = sf, addOffset = ao,
-      fillFloat = fillF)
+      fillFloat = fillF, sep = sep)
   }
 
   /** Parse a v3 array `zarr.json` (zarr-specs v3.0): regular chunk
@@ -1116,7 +1132,13 @@ object Zarr {
           val m = metas(vname)
           val key = segs.drop(vIdx + 1).mkString("/")
           val idx: Array[Int] =
-            if (!m.v3) key.split('.').map(_.toInt) // v2: "t.j.i"
+            if (!m.v3) { // v2: "t.j.i" or nested "t/j/i" per the separator
+              val toks = if (m.sep == "/") key.split('/') else key.split('.')
+              require(toks.length == 3 && toks.forall(_.forall(_.isDigit)),
+                s"zarr: chunk key '$key' does not match the declared " +
+                  s"'${m.sep}' separator under $vname")
+              toks.map(_.toInt)
+            }
             else { // v3: "c/t/j/i" or "c.t.j.i" under the array dir
               val toks = if (m.sep == "/") key.split('/') else key.split('.')
               require(toks.length == 4 && toks.head == "c",

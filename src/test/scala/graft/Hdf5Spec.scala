@@ -350,6 +350,45 @@ class Hdf5Spec extends SparkSpec {
       .getMessage should include("groups beyond root")
   }
 
+  test("OCHK continuation blocks: round-trip, checksum reject, cycle reject") {
+    val fields = Seq(field("TMP", t0, 100),
+      field("PRATE", t0, 700, masked = true))
+    // spill after 2 messages: EVERY object header (datasets carry 6-8
+    // messages) gets a continuation block, so the whole decode walks
+    // OCHK chains
+    val p = Hdf5.writeFile(
+      java.nio.file.Files.createTempDirectory("h5oc").resolve("oc.nc"),
+      fields, 3, 5, superblockVersion = 3, objectHeaderVersion = 2,
+      v2ContinuationAfter = 2)
+    val bytes = java.nio.file.Files.readAllBytes(p)
+    new String(bytes).contains("OCHK") shouldBe true
+    sortRows(Netcdf.records(bytes, "ochk")) shouldBe expectRows(fields)
+    // attributes that live in the continuation still parse
+    Hdf5.parseDatasets(bytes, "ochk").find(_.name == "TMP").get
+      .atts("units") shouldBe "K"
+    // a flipped byte inside an OCHK block trips ITS checksum
+    val at = bytes.indices.find(q => q + 4 <= bytes.length &&
+      bytes(q) == 'O' && bytes(q + 1) == 'C' && bytes(q + 2) == 'H' &&
+      bytes(q + 3) == 'K').get
+    val c1 = bytes.clone()
+    c1(at + 7) = (c1(at + 7) ^ 0x08).toByte
+    intercept[IllegalArgumentException](Netcdf.records(c1, "ochkbad").toSeq)
+      .getMessage should include("OCHK checksum mismatch")
+    // fuzz: mutated OCHK-bearing files reject loudly or decode — never
+    // hang, never tear (this battery caught the FDICT inflate spin)
+    val fuzz = new scala.util.Random(91)
+    var rejected = 0
+    for (_ <- 0 until 150) {
+      val c = bytes.clone()
+      c(fuzz.nextInt(c.length)) = (c(fuzz.nextInt(c.length)) ^ (1 << fuzz.nextInt(8))).toByte
+      try {
+        val rows = sortRows(Netcdf.records(c, "ochkfuzz"))
+        (rows.size <= expectRows(fields).size * 2) shouldBe true
+      } catch { case _: IllegalArgumentException => rejected += 1 }
+    }
+    (rejected > 0) shouldBe true
+  }
+
   test("crafted cycles reject loudly: header continuation loop, group B-tree loop, chunk-count bound") {
     val bytes = writeBytes(Seq(field("TMP", t0, 100)))
     def u16(p: Int) = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)

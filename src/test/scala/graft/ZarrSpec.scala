@@ -126,6 +126,26 @@ class ZarrSpec extends SparkSpec {
       payloadType = Netcdf.NcShort)
   }
 
+  test("v2 nested '/' dimension separator: chunks in directories, declared in .zarray") {
+    val fields = Seq(
+      field("TMP", t0, 0), field("PRATE", t0, 500, (i, j) => (i + j) % 4 == 1))
+    val root = java.nio.file.Files.createTempDirectory("graft-zarr-sep")
+      .resolve("s.zarr")
+    Zarr.writeStore(root, fields, 2, 3, sep = "/")
+    // nested layout on disk: TMP/0/0/0 exists, flat TMP/0.0.0 does not
+    java.nio.file.Files.exists(root.resolve("TMP/0/0/0")) shouldBe true
+    java.nio.file.Files.exists(root.resolve("TMP/0.0.0")) shouldBe false
+    new String(java.nio.file.Files.readAllBytes(root.resolve("TMP/.zarray")),
+      "UTF-8") should include(""""dimension_separator":"/"""")
+    val expected = (for {
+      (v, bump) <- Seq("TMP" -> 0, "PRATE" -> 500)
+      j <- 0 until 3; i <- 0 until 5
+      if !(v == "PRATE" && (i + j) % 4 == 1)
+    } yield (v, (100 + 7 * i + 11 * j + bump) / 10.0)).toSet
+    Zarr.readRecords(spark, root.toString).collect()
+      .map(r => (r.getString(0), r.getDouble(4))).toSet shouldBe expected
+  }
+
   test("consolidated .zmetadata store opens with per-array metadata files ABSENT") {
     val fields = Seq(
       field("TMP", t0, 0), field("PRATE", t0, 500, (i, j) => (i + j) % 4 == 1))
@@ -263,8 +283,12 @@ class ZarrSpec extends SparkSpec {
       .getMessage should include("out of scope")
     mutated(_.replace("\"id\":\"zlib\"", "\"id\":\"lzma\""))
       .getMessage should include("out of scope")
-    mutated(_.replace("\"order\":\"C\"", "\"order\":\"C\",\"dimension_separator\":\"/\""))
+    // an unknown separator rejects at parse; declaring '/' over a
+    // flat-keyed store rejects at the chunk-key parse (keys disagree)
+    mutated(_.replace("\"order\":\"C\"", "\"order\":\"C\",\"dimension_separator\":\"-\""))
       .getMessage should include("separator")
+    mutated(_.replace("\"order\":\"C\"", "\"order\":\"C\",\"dimension_separator\":\"/\""))
+      .getMessage should include("chunk key")
     // a payload equal to fill_value would silently vanish — writer refuses
     an[IllegalArgumentException] should be thrownBy store(Seq(
       Zarr.Field("TMP", t0, 1, 1, 0L, 0L, 1000000L, 1000000L, 0,
