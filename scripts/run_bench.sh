@@ -40,6 +40,12 @@ fi
 # merge so the floor is auditable.
 set -e
 base="${OUT%.json}"
+# stale sweep artifacts from an earlier run with a HIGHER sweep count
+# would otherwise glob into the merge below, silently mixing results
+# from a different build — clear them first and hand merge_bench.py
+# exactly the files this run produced
+rm -f "${base}"_sweep*.json
+MERGE_IN=""
 for k in $(seq 1 "$SWEEPS"); do
   # between sweeps the PREVIOUS sweep's threads still sit in the
   # 1-minute loadavg — WAIT for the box to go quiet (bounded) instead
@@ -61,5 +67,6 @@ for k in $(seq 1 "$SWEEPS"); do
     java $ADD_OPENS -Xmx16g -Dspark.ui.enabled=false \
     -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
     graft.Bench > /dev/null
+  MERGE_IN="$MERGE_IN ${base}_sweep$k.json"
 done
-python3 "$(dirname "$0")/merge_bench.py" "$OUT" "${base}"_sweep*.json
+python3 "$(dirname "$0")/merge_bench.py" "$OUT" $MERGE_IN

@@ -2315,6 +2315,7 @@ object AssetCodecs {
           val activePal = if ((ip & 0x80) != 0) {
             val n = 1 << ((ip & 7) + 1)
             val lp = new Array[Byte](768)
+            require(q + 3 * n <= bytes.length, "GIF: truncated local colour table")
             System.arraycopy(bytes, q, lp, 0, 3 * n)
             q += 3 * n
             lp
@@ -2615,6 +2616,7 @@ object AssetCodecs {
           val pal = if ((ip & 0x80) != 0) {
             val n = 1 << ((ip & 7) + 1)
             val lp = new Array[Byte](768)
+            require(q + 3 * n <= bytes.length, "GIF: truncated local colour table")
             System.arraycopy(bytes, q, lp, 0, 3 * n)
             q += 3 * n
             lp

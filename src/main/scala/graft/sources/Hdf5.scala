@@ -539,22 +539,15 @@ object Hdf5 {
         scaleAtts :+ (0x000C -> strAttr("units", "K")))
     }
 
-    // --------------- root group: old-style local heap + SNOD + B-tree
-    // (v1 headers) or compact Link messages (v2 "OHDR" headers)
-    val names = (Seq("lat", "lon", "time") ++ vars).sorted
-    val addrOf = Map("lat" -> latAddr, "lon" -> lonAddr, "time" -> timeAddr) ++ varAddrs
-    val rootAddr = if (objectHeaderVersion == 2) {
-      objectHeader(names.map { n =>
-        val nb = n.getBytes("UTF-8")
-        0x0006 -> bb { b =>
-          b8(b, 1) // link message version
-          b8(b, 0) // flags: 1-byte name length, hard link, no extras
-          b8(b, nb.length)
-          nb.foreach(b += _)
-          b64(b, addrOf(n))
-        }
-      })
-    } else {
+    // --------------- group hierarchy: '/'-separated variable paths
+    // become nested subgroups (the netCDF-4 group shape — GOES-R-style
+    // products keep data variables inside groups), written bottom-up;
+    // coordinates stay at root. Each v1 group carries its OWN local
+    // heap + SNOD + B-tree; each v2 group its own compact Link
+    // messages.
+    def emitV1Group(entries: Seq[(String, Long)]): Long = {
+      val names = entries.map(_._1) // already sorted (B-tree order)
+      val addrOf = entries.toMap
       val heapData = new ArrayBuffer[Byte]()
       var k = 0; while (k < 8) { heapData += 0; k += 1 } // offset 0 = empty
       val nameOff = names.map { n =>
@@ -594,6 +587,43 @@ object Hdf5 {
       objectHeader(Seq(
         0x0011 -> bb { b => b64(b, btreeAddr); b64(b, heapAddr) }))
     }
+    def emitV2Group(entries: Seq[(String, Long)]): Long =
+      objectHeader(entries.map { case (n, a) =>
+        val nb = n.getBytes("UTF-8")
+        0x0006 -> bb { b =>
+          b8(b, 1) // link message version
+          b8(b, 0) // flags: 1-byte name length, hard link, no extras
+          b8(b, nb.length)
+          nb.foreach(b += _)
+          b64(b, a)
+        }
+      })
+
+    final class GNode {
+      val subs = scala.collection.mutable.SortedMap.empty[String, GNode]
+      val leaves = scala.collection.mutable.SortedMap.empty[String, Long]
+    }
+    val rootNode = new GNode
+    def insert(path: String, addr: Long): Unit = {
+      val segs = path.split('/')
+      require(segs.length >= 1 && segs.forall(_.nonEmpty),
+        s"bad variable path '$path'")
+      require(segs.length <= 8, s"variable path '$path' nests deeper than 8")
+      var n = rootNode
+      segs.dropRight(1).foreach(s => n = n.subs.getOrElseUpdate(s, new GNode))
+      require(!n.leaves.contains(segs.last), s"duplicate dataset path '$path'")
+      n.leaves(segs.last) = addr
+    }
+    (Seq("lat" -> latAddr, "lon" -> lonAddr, "time" -> timeAddr) ++ varAddrs)
+      .foreach { case (p, a) => insert(p, a) }
+    def emitGroup(n: GNode): Long = {
+      n.subs.keys.foreach(k => require(!n.leaves.contains(k),
+        s"'$k' is both a group and a dataset"))
+      val entries = (n.subs.toSeq.map { case (k, sub) => k -> emitGroup(sub) } ++
+        n.leaves.toSeq).sortBy(_._1)
+      if (objectHeaderVersion == 2) emitV2Group(entries) else emitV1Group(entries)
+    }
+    val rootAddr = emitGroup(rootNode)
 
     patch64(rootPatch, rootAddr)
     patch64(eofPatch, out.length.toLong)
@@ -835,18 +865,26 @@ object Hdf5 {
       if (ver == 3 && (u8(p + 1) & 0x03) != 0)
         fail(label, "shared attribute datatype/dataspace out of scope")
       val nameSize = u16(p + 2); val dtSize = u16(p + 4); val dsSize = u16(p + 6)
-      var q = p + (if (ver == 1) 8 else 9) // v3: + name charset byte
-      val nameEnd0 = q + nameSize
-      if (nameEnd0 > p + 9 + size) fail(label, "attribute name overruns its message")
+      // header is 8 bytes for v1, 9 for v3 (name-charset byte); every
+      // section is bounded against the DECLARED message size so a
+      // crafted attribute can never read past its message
+      val msgEnd = p + size
+      var q = p + (if (ver == 1) 8 else 9)
+      if (q + nameSize > msgEnd) fail(label, "attribute name overruns its message")
       var nameLen = 0
       while (nameLen < nameSize && u8(q + nameLen) != 0) nameLen += 1
       val name = new String(b, q.toInt, nameLen, "UTF-8")
       def pad(v: Int): Long = if (ver == 1) (v + 7) / 8 * 8 else v.toLong
       q += pad(nameSize)
       val dtP = q
+      if (dtP + dtSize > msgEnd)
+        fail(label, s"attribute '$name' datatype overruns its message")
       q += pad(dtSize)
       val dsP = q
+      if (dsP + dsSize > msgEnd)
+        fail(label, s"attribute '$name' dataspace overruns its message")
       q += pad(dsSize)
+      if (q > msgEnd) fail(label, s"attribute '$name' data begins past its message")
       val npoints = {
         val dsVer = u8(dsP)
         val rank = u8(dsP + 1)
@@ -899,14 +937,10 @@ object Hdf5 {
       name -> u64(q + nameLen)
     }
 
-    /** One named object header -> Dataset, rejecting subgroups loudly
-      * (old-style symbol table OR new-style link/group-info messages).
+    /** One named object header -> Dataset. `msgs` is the already-walked
+      * message list (the group walk classified the child from it).
       */
-    def datasetOf(name: String, addr: Long): Dataset = {
-      val msgs = messages(addr)
-      if (msgs.exists(m => m._1 == 0x0011 || m._1 == 0x0002 || m._1 == 0x000A ||
-          m._1 == 0x0006))
-        fail(label, s"'$name' is a subgroup — groups beyond root out of scope")
+    def datasetOf(name: String, msgs: Seq[(Int, Long, Int)]): Dataset = {
       def one(tpe: Int, what: String): Long =
         msgs.find(_._1 == tpe).getOrElse(
           fail(label, s"dataset '$name' has no $what message"))._2
@@ -923,32 +957,11 @@ object Hdf5 {
       Dataset(name, dims, dtype, layout, filters, atts)
     }
 
-    // root object header -> EITHER old-style symbol table (-> B-tree ->
-    // SNOD) OR new-style compact Link messages (v2-OHDR groups)
-    val rootMsgs = messages(rootAddr)
-    val rootLinks = rootMsgs.filter(_._1 == 0x0006)
-    if (rootMsgs.forall(_._1 != 0x0011) && rootLinks.nonEmpty) {
-      if (rootLinks.length > 4096)
-        fail(label, s"implausible root link count ${rootLinks.length}")
-      return rootLinks.map(m => parseLinkMsg(m._2)).sortBy(_._1)
-        .map { case (name, addr) => datasetOf(name, addr) }
-    }
-    val stab = rootMsgs.find(_._1 == 0x0011).getOrElse(
-      fail(label, "root group has neither a symbol table message nor " +
-        "compact link messages (dense fractal-heap link storage out of scope)"))._2
-    val btreeAddr = u64(stab)
-    val heapAddr = u64(stab + 8)
-    if (sig4(b, heapAddr, label) != "HEAP")
-      fail(label, "local heap signature missing")
-    val heapSeg = u64(heapAddr + 24)
-    val heapSize = u64(heapAddr + 8)
-    def heapName(off: Long): String = {
-      if (off < 0 || off >= heapSize) fail(label, s"heap offset $off outside segment")
-      var n = 0
-      while (u8(heapSeg + off + n) != 0) n += 1
-      new String(b, (heapSeg + off).toInt, n, "UTF-8")
-    }
-    def groupEntries(node: Long, depth: Int): Seq[(String, Long)] = {
+    /** Entries of one old-style group B-tree node (TREE -> SNOD), names
+      * resolved through THAT group's local heap.
+      */
+    def groupEntries(node: Long, depth: Int,
+                     heapName: Long => String): Seq[(String, Long)] = {
       // depth cap mirrors the chunk B-tree walk: a crafted child
       // pointer cycling back must reject loudly, not StackOverflow
       if (depth > 16) fail(label, "group B-tree too deep")
@@ -962,13 +975,87 @@ object Hdf5 {
         if (u8(node + 4) != 0) fail(label, "chunk B-tree where a group tree belongs")
         val n = u16(node + 6)
         // keys and children alternate: key0 child0 key1 child1 ... keyN
-        (0 until n).flatMap(k => groupEntries(u64(node + 24 + 8 + 16L * k), depth + 1))
+        (0 until n).flatMap(k =>
+          groupEntries(u64(node + 24 + 8 + 16L * k), depth + 1, heapName))
       } else fail(label, "group node signature missing (TREE/SNOD)")
     }
-    val entries = groupEntries(btreeAddr, 0)
-    if (entries.size > 4096) fail(label, s"implausible root entry count ${entries.size}")
 
-    entries.map { case (name, addr) => datasetOf(name, addr) }
+    /** Link Info message (0x0002, the v2-group companion): when its
+      * fractal heap address is defined the group stores links DENSELY.
+      */
+    def denseLinkStorage(p: Long): Boolean = {
+      if (u8(p) != 0) fail(label, s"link info version ${u8(p)} out of scope (0)")
+      val flags = u8(p + 1)
+      var q = p + 2
+      if ((flags & 0x01) != 0) q += 8 // max creation index
+      u64(q) != Undef // fractal heap address
+    }
+
+    // Recursive group walk — v1 symbol-table groups (TREE/SNOD + local
+    // heap) and v2 compact-link groups, datasets exposed under
+    // '/'-joined `group/name` paths: the netCDF-4 group shape real
+    // satellite products ship (GOES-R L1b/L2, group-scoped CMIP6
+    // metadata; the reference's pipelines convert exactly these CDS/
+    // satellite downloads). Hard-link cycles and double-linked groups
+    // reject loudly via the visited set; nesting caps at depth 8.
+    val visitedGroups = scala.collection.mutable.Set.empty[Long]
+    def walkGroup(addr: Long, prefix: String, depth: Int): Seq[Dataset] = {
+      if (depth > 8) fail(label, "group nesting deeper than 8 out of scope")
+      if (!visitedGroups.add(addr))
+        fail(label, s"group at $addr linked more than once (cycle / double link)")
+      val msgs = messages(addr)
+      val links = msgs.filter(_._1 == 0x0006)
+      val entries: Seq[(String, Long)] =
+        if (msgs.exists(_._1 == 0x0011)) {
+          val stab = msgs.find(_._1 == 0x0011).get._2
+          val btreeAddr = u64(stab)
+          val heapAddr = u64(stab + 8)
+          if (sig4(b, heapAddr, label) != "HEAP")
+            fail(label, "local heap signature missing")
+          val heapSeg = u64(heapAddr + 24)
+          val heapSize = u64(heapAddr + 8)
+          def heapName(off: Long): String = {
+            if (off < 0 || off >= heapSize)
+              fail(label, s"heap offset $off outside segment")
+            var n = 0
+            while (u8(heapSeg + off + n) != 0) n += 1
+            new String(b, (heapSeg + off).toInt, n, "UTF-8")
+          }
+          groupEntries(btreeAddr, 0, heapName)
+        } else if (msgs.exists(_._1 == 0x0002) && denseLinkStorage(
+            msgs.find(_._1 == 0x0002).get._2)) {
+          denseGroupEntries(msgs.find(_._1 == 0x0002).get._2)
+        } else if (links.nonEmpty) {
+          links.map(m => parseLinkMsg(m._2)).sortBy(_._1)
+        } else if (msgs.exists(m => m._1 == 0x0002 || m._1 == 0x000A)) {
+          Nil // an empty compact group (link info / group info only)
+        } else {
+          fail(label, s"group '${if (prefix.isEmpty) "/" else prefix}' has " +
+            "neither a symbol table message nor link storage")
+        }
+      if (entries.size > 4096)
+        fail(label, s"implausible group entry count ${entries.size}")
+      entries.flatMap { case (name, caddr) =>
+        if (name.isEmpty || name.contains("/"))
+          fail(label, s"bad link name '$name'")
+        val cmsgs = messages(caddr)
+        val isGroup = cmsgs.exists(m => m._1 == 0x0011 || m._1 == 0x0002 ||
+          m._1 == 0x000A || m._1 == 0x0006)
+        if (isGroup) {
+          if (cmsgs.exists(_._1 == 0x0001))
+            fail(label, s"'$prefix$name' carries both group and dataset messages")
+          walkGroup(caddr, s"$prefix$name/", depth + 1)
+        } else Seq(datasetOf(prefix + name, cmsgs))
+      }
+    }
+
+    /** Dense (fractal-heap) link storage — out of scope until the
+      * fractal-heap walk lands; loud reject with a pointer.
+      */
+    def denseGroupEntries(linkInfoP: Long): Seq[(String, Long)] =
+      fail(label, "dense fractal-heap link storage out of scope")
+
+    walkGroup(rootAddr, "", 0)
   }
 
   /** Raw little-endian element bytes of one dataset, chunks assembled
@@ -1269,9 +1356,20 @@ object Hdf5 {
   def countPresentCells(bytes: Array[Byte], label: String,
                         keep: String => Boolean): Long = {
     val dsets = parseDatasets(bytes, label)
+    // same dims-vs-coords guard as records(): the count and row paths
+    // must reject a malformed file identically, never diverge on it
+    val byName = dsets.map(d => d.name -> d).toMap
+    def coordLen(cn: String): Int = byName.get(cn) match {
+      case Some(c) if c.dims.length == 1 => c.dims.head
+      case _ => fail(label, s"no 1-d '$cn' coordinate dataset")
+    }
+    val (nt, nj, ni) = (coordLen("time"), coordLen("lat"), coordLen("lon"))
     var n = 0L
     dsets.filter(d => d.dims.length == 3 &&
       !Set("lat", "lon", "time").contains(d.name) && keep(d.name)).foreach { d =>
+      if (d.dims != Seq(nt, nj, ni))
+        fail(label, s"'${d.name}' dims ${d.dims} disagree with the " +
+          s"(time=$nt, lat=$nj, lon=$ni) coordinates")
       val raw = readData(bytes, d, label)
       val cells = d.dims.map(_.toLong).product.toInt
       def i32le(k: Int): Int =

@@ -571,6 +571,11 @@ object Netcdf {
       }
       (0 until nc.numrecs).foreach { r =>
         val slab = nc.numericRecord(v, r, recSize)
+        // same slab/grid guard as records(): count and row paths must
+        // reject malformed files identically, never diverge on them
+        require(slab.length == ni * nj ||
+          (v.tpe == NcShort && slab.length == ni * nj + 1),
+          s"${v.name}: slab/grid mismatch in $label")
         var k = 0
         while (k < nj * ni) { if (slab(k) != fill) n += 1; k += 1 }
       }

@@ -198,14 +198,15 @@ class Hdf5Spec extends SparkSpec {
     val root = u64(64).toInt
     mut { c => c(root) = 'O'; c(root + 1) = 'H'; c(root + 2) = 'D'; c(root + 3) = 'R' }
       .getMessage should include("OHDR")
-    // groups beyond root: a SNOD entry pointing at a group object header
+    // a SNOD entry pointing back at the root group header: groups are
+    // in scope now, so this is a CYCLE — must reject loudly, not spin
     val btree = u64(root + 24).toInt
     val snod = u64(btree + 24 + 8).toInt
     // entry 1 is "PRATE" (sorted after... names: PRATE,TMP,lat,lon,time)
     mut { c =>
       val e = snod + 8 + 8 // entry 0's object header address
       for (k <- 0 until 8) c(e + k) = ((u64(64) >>> (8 * k)) & 0xff).toByte
-    }.getMessage should include("groups beyond root")
+    }.getMessage should include("linked more than once")
     // szip / unknown filter: patch the shuffle filter's id inside the
     // pipeline message (unique LE pattern: version 1, nfilters 2,
     // reserved, then filter id 2)
@@ -290,7 +291,7 @@ class Hdf5Spec extends SparkSpec {
       .getMessage should include("fletcher32 checksum mismatch")
   }
 
-  test("v2 OHDR headers: lookup3 anchors, round-trip, checksum reject, subgroup reject") {
+  test("v2 OHDR headers: lookup3 anchors, round-trip, checksum reject, link-cycle reject") {
     // Jenkins' published lookup3 self-test anchors (hashlittle, init 0)
     Hdf5.lookup3(Array.emptyByteArray, 0, 0) shouldBe 0xdeadbeef
     val four = "Four score and seven years ago".getBytes("US-ASCII")
@@ -346,8 +347,47 @@ class Hdf5Spec extends SparkSpec {
       0, chunkEnd - root)
     for (k <- 0 until 4)
       c2(chunkEnd + k) = ((ck >>> (8 * k)) & 0xff).toByte
+    // the PRATE link now points back at the root group header: with
+    // groups in scope this is a CYCLE — must reject loudly, not spin
     intercept[IllegalArgumentException](Netcdf.records(c2, "v2grp").toSeq)
-      .getMessage should include("groups beyond root")
+      .getMessage should include("linked more than once")
+  }
+
+  test("groups beyond root: grouped variables round-trip under both header versions") {
+    // the GOES-R / grouped-netCDF-4 shape: data variables live inside
+    // nested groups, coordinates at root; dataset paths come back
+    // '/'-joined and the keep predicate prunes by FULL path
+    val fields = Seq(
+      field("obs/TMP", t0, 100), field("obs/TMP", t1, 140),
+      field("obs/deep/DEW", t0, 300, masked = true),
+      field("obs/deep/DEW", t1, 340, masked = true),
+      field("PRATE", t0, 700, masked = true),
+      field("PRATE", t1, 760, masked = true))
+    for (ohv <- Seq(1, 2)) {
+      val p = Hdf5.writeFile(
+        java.nio.file.Files.createTempDirectory("h5grp").resolve(s"g$ohv.nc"),
+        fields, chunkJ = 3, chunkI = 5,
+        superblockVersion = if (ohv == 2) 3 else 0, objectHeaderVersion = ohv)
+      val bytes = java.nio.file.Files.readAllBytes(p)
+      // full round-trip: grouped variables surface under group paths
+      sortRows(Netcdf.records(bytes, s"grp-v$ohv")) shouldBe expectRows(fields)
+      // group-path pruning at the metadata walk: corrupt every chunk of
+      // the PRUNED variables — the kept scan must still succeed (their
+      // chunk B-trees are genuinely never walked)
+      val names = Hdf5.parseDatasets(bytes, "names").map(_.name)
+      names should contain allOf ("obs/TMP", "obs/deep/DEW", "PRATE")
+      val kept = sortRows(Netcdf.records(bytes, "keep", _ == "obs/deep/DEW"))
+      kept shouldBe expectRows(fields.filter(_.variable == "obs/deep/DEW"))
+      // count path agrees with the row path on grouped files
+      Netcdf.countPresentCells(bytes, "cnt", _ == "obs/deep/DEW") shouldBe
+        kept.length.toLong
+    }
+    // a group and a dataset can't share a name at the same level
+    intercept[IllegalArgumentException] {
+      Hdf5.writeFile(
+        java.nio.file.Files.createTempDirectory("h5grp").resolve("bad.nc"),
+        Seq(field("obs", t0, 1), field("obs/TMP", t0, 2)), 3, 5)
+    }.getMessage should include("both a group and a dataset")
   }
 
   test("OCHK continuation blocks: round-trip, checksum reject, cycle reject") {
