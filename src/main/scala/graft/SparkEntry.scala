@@ -802,6 +802,40 @@ object SparkEntry {
       objectHeaderVersion = 2, v2ContinuationAfter = 2).toString
   }
 
+  /** r76/r77 fixtures: GROUPED netCDF-4 — data variables nested inside
+    * groups (`obs/TMP`, `obs/deep/DEW`), coordinates at root: the
+    * GOES-R / satellite-product shape (the reference's pipelines
+    * convert exactly these downloads, src/file-conversions.js:233-257).
+    * One file per object-header version so BOTH group walks are on the
+    * gate: v1 symbol-table groups (TREE/SNOD + per-group local heap)
+    * and v2 compact-link groups (OHDR + Link messages).
+    */
+  private lazy val netcdf4GroupedFixturePaths: Seq[String] = {
+    import java.time.LocalDateTime
+    val params = Seq(("obs/TMP", 0, false), ("obs/deep/DEW", 1, true),
+      ("PRATE", 2, true))
+    val times = Seq(LocalDateTime.of(2011, 3, 2, 0, 0),
+      LocalDateTime.of(2011, 4, 2, 12, 0))
+    val fields = for {
+      (t, m) <- times.zipWithIndex
+      (v, pidx, masked) <- params
+    } yield sources.Netcdf.Field(v, t, g3Ni, g3Nj, g3La1, g3Lo1, g3Di, g3Dj,
+      decimalScale = 1,
+      Array.tabulate(g3Nj * g3Ni) { k =>
+        val j = k / g3Ni; val i = k % g3Ni
+        if (masked && (i * 2 + j * 5 + m) % 12 == 3) None
+        else Some((i * 17 + j * 19 + pidx * 71 + m * 37) % 990 + pidx * 800)
+      })
+    Seq(1, 2).map { ohv =>
+      sources.Hdf5.writeFile(
+        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+          "graft-nc", s"fix4g$ohv.nc"),
+        fields, chunkJ = 5, chunkI = 8,
+        superblockVersion = if (ohv == 2) 3 else 0,
+        objectHeaderVersion = ohv).toString
+    }
+  }
+
   /** r56 fixtures: zstd chunks in the three wire shapes real stores
     * ship — a v2 store with numcodecs `{"id":"zstd"}` raw frames, a V3
     * store with the `zstd` codec (the zarr v3 default), and a v2 store
@@ -1429,6 +1463,11 @@ object SparkEntry {
     sources.Netcdf.writeFile(land.resolve("classic.nc"), Seq(mk("TMP", 3, 19, 520)))
     sources.Hdf5.writeFile(land.resolve("modern.nc"), Seq(mk("PRATE", 7, 13, 610)),
       chunkJ = 5, chunkI = 8)
+    // a GROUPED netCDF-4 file in the same landing stream: the group
+    // walk must be invisible to the magic dispatch too
+    sources.Hdf5.writeFile(land.resolve("grouped.nc"),
+      Seq(mk("obs/DEW", 11, 23, 470)), chunkJ = 5, chunkI = 8,
+      superblockVersion = 3, objectHeaderVersion = 2)
     val binSchema = StructType(Seq(
       StructField("path", StringType), StructField("modificationTime", TimestampType),
       StructField("length", LongType), StructField("content", BinaryType)))
@@ -2917,6 +2956,20 @@ object SparkEntry {
     "r75_netcdf4_ochk" -> ((s, _) =>
       sources.Netcdf.readRecords(s, Seq(netcdf4OchkFixturePath))
         .orderBy($"variable", $"time", $"lat", $"lon")),
+    // GROUPED netCDF-4: variables nested in groups surface under
+    // '/'-joined paths; both files carry identical content — one v1
+    // (symbol-table groups) and one v2 (compact-link groups), so both
+    // walks must agree cell-for-cell
+    "r76_netcdf4_groups" -> ((s, _) =>
+      sources.Netcdf.readRecords(s, netcdf4GroupedFixturePaths)
+        .orderBy($"variable", $"time", $"lat", $"lon")),
+    // grouped file through the DSv2 connector: the GROUP-PATH variable
+    // filter pushes to the metadata walk (pruned groups' chunk B-trees
+    // never walked — NetcdfConnectorSpec pins it with corrupt chunks)
+    "r77_netcdf4_groups_dsv2" -> ((s, _) =>
+      s.read.format("netcdf").load(netcdf4GroupedFixturePaths(1))
+        .where($"variable" === "obs/deep/DEW")
+        .orderBy($"time", $"lat", $"lon")),
     // the DSv2 face of the netCDF reader: spark.read.format("netcdf")
     // with variable = 'TMP' PUSHED to the metadata walk — the pruned
     // variable's chunks are never inflated (NetcdfConnectorSpec pins
@@ -6678,7 +6731,10 @@ object SparkEntry {
                FROM ii CROSS JOIN jj),
          b AS (SELECT 'PRATE' AS variable, i, j, ((i * 7 + j * 13) % 610) AS s
                FROM ii CROSS JOIN jj),
-         u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+         c AS (SELECT 'obs/DEW' AS variable, i, j, ((i * 11 + j * 23) % 470) AS s
+               FROM ii CROSS JOIN jj),
+         u AS (SELECT * FROM a UNION ALL SELECT * FROM b
+               UNION ALL SELECT * FROM c)
          SELECT variable, TIMESTAMP '2008-06-01 00:00:00' AS time,
                 ($g3La1 - j * $g3Dj) / 1000000.0 AS lat,
                 (($g3Lo1) + i * $g3Di) / 1000000.0 AS lon,
@@ -7085,6 +7141,36 @@ object SparkEntry {
          FROM p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
          WHERE NOT (masked = 1 AND (i * 4 + j + m) % 17 = 12)
          ORDER BY variable, time, lat, lon""",
+    // the grouped twin: every row appears TWICE (one v1-header file,
+    // one v2-header file, identical content) under its group path
+    "r76_netcdf4_groups" ->
+      s"""WITH p(pidx, variable, masked) AS (VALUES (0, 'obs/TMP', 0),
+                            (1, 'obs/deep/DEW', 1), (2, 'PRATE', 1)),
+         f(fk) AS (VALUES (1), (2)),
+         t(t, m) AS (VALUES (TIMESTAMP '2011-03-02 00:00:00', 0),
+                            (TIMESTAMP '2011-04-02 12:00:00', 1)),
+         ii AS (SELECT unnest(generate_series(0, ${g3Ni - 1})) AS i),
+         jj AS (SELECT unnest(generate_series(0, ${g3Nj - 1})) AS j)
+         SELECT variable, t AS time,
+                ($g3La1 - j * $g3Dj) / 1000000.0 AS lat,
+                (($g3Lo1) + i * $g3Di) / 1000000.0 AS lon,
+                ((i * 17 + j * 19 + pidx * 71 + m * 37) % 990 + pidx * 800) / 10.0 AS value
+         FROM p CROSS JOIN f CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
+         WHERE NOT (masked = 1 AND (i * 2 + j * 5 + m) % 12 = 3)
+         ORDER BY variable, time, lat, lon""",
+    // the DSv2 twin: the group-path filter selects obs/deep/DEW only
+    "r77_netcdf4_groups_dsv2" ->
+      s"""WITH t(t, m) AS (VALUES (TIMESTAMP '2011-03-02 00:00:00', 0),
+                            (TIMESTAMP '2011-04-02 12:00:00', 1)),
+         ii AS (SELECT unnest(generate_series(0, ${g3Ni - 1})) AS i),
+         jj AS (SELECT unnest(generate_series(0, ${g3Nj - 1})) AS j)
+         SELECT 'obs/deep/DEW' AS variable, t AS time,
+                ($g3La1 - j * $g3Dj) / 1000000.0 AS lat,
+                (($g3Lo1) + i * $g3Di) / 1000000.0 AS lon,
+                ((i * 17 + j * 19 + 71 + m * 37) % 990 + 800) / 10.0 AS value
+         FROM t CROSS JOIN ii CROSS JOIN jj
+         WHERE NOT ((i * 2 + j * 5 + m) % 12 = 3)
+         ORDER BY time, lat, lon""",
     // netCDF-4 legs regenerated closed-form: the engine recovered every
     // cell through the HDF5 container (B-tree chunk index, shuffle+
     // deflate, edge-chunk clipping, v0 and v3 superblocks)

@@ -68,6 +68,49 @@ class NetcdfConnectorSpec extends SparkSpec {
     p.toString
   }
 
+  /** A GROUPED netCDF-4 file (obs/TMP, obs/deep/DEW) whose DEW chunks
+    * are zeroed: a scan surviving with the GROUP-PATH filter pushed
+    * proves group-scoped pruning happens at the metadata walk.
+    */
+  private lazy val corruptGroupedPath: String = {
+    val dir = java.nio.file.Files.createTempDirectory("ncdsv2grp")
+    val p = Hdf5.writeFile(dir.resolve("grp.nc"),
+      Seq(field("obs/TMP", t0, 100), field("obs/deep/DEW", t0, 900)),
+      chunkJ = 3, chunkI = 5)
+    val bytes = java.nio.file.Files.readAllBytes(p)
+    def u16(q: Int) = (bytes(q) & 0xff) | ((bytes(q + 1) & 0xff) << 8)
+    def u32(q: Int) = u16(q).toLong | (u16(q + 2).toLong << 16)
+    def u64(q: Int) = u32(q) | (u32(q + 4) << 32)
+    val dew = Hdf5.parseDatasets(bytes, "fix").find(_.name == "obs/deep/DEW").get
+    val Hdf5.Chunked(btree, chunkDims, _) = dew.layout
+    val n = u16(btree.toInt + 6)
+    val keyLen = 8 + 8 * (chunkDims.length + 1)
+    (0 until n).foreach { k =>
+      val e = btree.toInt + 24 + (keyLen + 8) * k
+      val size = u32(e).toInt
+      val child = u64(e + keyLen).toInt
+      java.util.Arrays.fill(bytes, child, child + size, 0.toByte)
+    }
+    java.nio.file.Files.write(p, bytes)
+    p.toString
+  }
+
+  test("group-path variables push to the metadata walk (grouped corrupt-chunk pin)") {
+    // unpruned: decoding obs/deep/DEW's zeroed chunks dies loudly
+    intercept[Exception] {
+      spark.read.format("netcdf").load(corruptGroupedPath).count()
+    }
+    // pushed variable = 'obs/TMP': the pruned group member's chunk
+    // B-tree is never walked, so the scan survives
+    val tmp = spark.read.format("netcdf").load(corruptGroupedPath)
+      .where($"variable" === "obs/TMP")
+    val plan = tmp.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    plan should include("PushedFilters: [EqualTo(variable,obs/TMP)]")
+    tmp.collect().length shouldBe 91 // unmasked 7x13 layer
+    tmp.groupBy().count().head().getLong(0) shouldBe 91L
+  }
+
   test("shortName and FQCN resolve; output equals readRecords across both containers") {
     val byName = spark.read.format("netcdf").load(fixtureDir)
       .orderBy($"variable", $"time", $"lat", $"lon").collect()
