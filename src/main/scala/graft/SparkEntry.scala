@@ -580,6 +580,59 @@ object SparkEntry {
       innerJ = 3, innerI = 8).toString
   }
 
+  /** r78 fixture: SHARDED FLOAT32 V3 — the ARCO-ERA5 store shape
+    * (sharding cut object counts ~1000x and f4 is the dominant real
+    * payload; the composition only now in scope). Dyadic /4 storage,
+    * a whole inner chunk of PRATE masked so MISSING (all-ones) index
+    * entries resolve to the FLOAT fill, plus scattered float-space
+    * masked cells.
+    */
+  private lazy val zarrShardF4FixturePath: String = {
+    import java.time.LocalDateTime
+    val params = Seq("TMP", "PRATE", "VGRD")
+    val times = Seq(LocalDateTime.of(2012, 5, 9, 0, 0),
+      LocalDateTime.of(2012, 6, 9, 12, 0))
+    val fields = for {
+      (t, m) <- times.zipWithIndex
+      (v, pidx) <- params.zipWithIndex
+    } yield sources.Zarr.Field(v, t, g3Ni, g3Nj, g3La1, g3Lo1, g3Di, g3Dj,
+      decimalScale = 0,
+      Array.tabulate(g3Nj * g3Ni) { k =>
+        val j = k / g3Ni; val i = k % g3Ni
+        if (pidx == 1 && j < 3 && i >= 8 && i < 16) None // missing inner chunk
+        else if (pidx == 1 && (i * 2 + j + m) % 9 == 4) None
+        else Some((i * 13 + j * 7 + pidx * 37 + m * 23) % 760 - 190)
+      })
+    sources.Zarr.writeStoreV3(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft-zarr", "fixshf4.zarr"),
+      fields, chunkJ = 6, chunkI = 16, compressor = "gzip",
+      innerJ = 3, innerI = 8, payloadType = sources.Netcdf.NcFloat).toString
+  }
+
+  /** r79 fixture: the v3 `transpose` codec over CF-packed INT16 —
+    * byte-level element permutation composed with a 2-byte dtype and
+    * blosc typesize-2 shuffle (the dtype-agnostic codec-chain proof).
+    */
+  private lazy val zarrTransposeI2FixturePath: String = {
+    import java.time.LocalDateTime
+    val times = Seq(LocalDateTime.of(2012, 7, 9, 0, 0),
+      LocalDateTime.of(2012, 8, 9, 12, 0))
+    val fields = for {
+      (t, m) <- times.zipWithIndex
+      (v, pidx) <- Seq("TMP", "PRATE").zipWithIndex
+    } yield sources.Zarr.Field(v, t, g3Ni, g3Nj, g3La1, g3Lo1, g3Di, g3Dj,
+      decimalScale = 0,
+      Array.tabulate(g3Nj * g3Ni) { k =>
+        val j = k / g3Ni; val i = k % g3Ni
+        if (pidx == 1 && (i + j * 3 + m) % 8 == 5) None
+        else Some((i * 11 + j * 17 + pidx * 43 + m * 31) % 900 - 250)
+      })
+    sources.Zarr.writeStoreV3(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft-zarr", "fixtri2.zarr"),
+      fields, chunkJ = 4, chunkI = 7, compressor = "blosc-lz4",
+      transpose = Seq(2, 0, 1), payloadType = sources.Netcdf.NcShort).toString
+  }
+
   /** r59 fixture: a classic CDF-1 file carrying a CHAR label record
     * variable (the station-name/QC-flag shape) beside the numeric grid:
     * `qc_flag(time, strlen)` with NUL-padded per-record strings.
@@ -3006,6 +3059,16 @@ object SparkEntry {
     // keeps object counts sane on a 100 TB store
     "r51_zarr_sharded" -> ((s, _) =>
       sources.Zarr.readRecords(s, zarrShardFixturePath, matchRe = "TMP|PRATE")
+        .orderBy($"variable", $"time", $"lat", $"lon")),
+    // SHARDED FLOAT32 (the ARCO-ERA5 shape): missing inner chunks
+    // resolve to the FLOAT fill and drop; dyadic /4 widens exactly
+    "r78_zarr_shard_f4" -> ((s, _) =>
+      sources.Zarr.readRecords(s, zarrShardF4FixturePath, matchRe = "TMP|PRATE")
+        .orderBy($"variable", $"time", $"lat", $"lon")),
+    // transpose over CF-packed int16: the byte-level permute composed
+    // with a 2-byte dtype and typesize-2 blosc shuffle
+    "r79_zarr_transpose_i2" -> ((s, _) =>
+      sources.Zarr.readRecords(s, zarrTransposeI2FixturePath)
         .orderBy($"variable", $"time", $"lat", $"lon")),
     // zstd in all three wire shapes (numcodecs v2 raw frames, the v3
     // zstd codec, blosc compcode-5 frames) via the zstd-jni library
@@ -7252,6 +7315,37 @@ object SparkEntry {
          FROM p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
          WHERE NOT (pidx = 1 AND j < 3 AND i < 8)
            AND NOT (pidx = 1 AND (i + j * 2 + m) % 11 = 5)
+         ORDER BY variable, time, lat, lon""",
+    // the sharded-FLOAT32 twin (ARCO-ERA5 shape): missing inner chunks
+    // resolve to the float fill and drop; dyadic /4 exact in binary32
+    "r78_zarr_shard_f4" ->
+      s"""WITH p(pidx, variable) AS (VALUES (0, 'TMP'), (1, 'PRATE')),
+         t(t, m) AS (VALUES (TIMESTAMP '2012-05-09 00:00:00', 0),
+                            (TIMESTAMP '2012-06-09 12:00:00', 1)),
+         ii AS (SELECT unnest(generate_series(0, ${g3Ni - 1})) AS i),
+         jj AS (SELECT unnest(generate_series(0, ${g3Nj - 1})) AS j)
+         SELECT variable, t AS time,
+                ($g3La1 - j * $g3Dj) / 1000000.0 AS lat,
+                (($g3Lo1) + i * $g3Di) / 1000000.0 AS lon,
+                ((i * 13 + j * 7 + pidx * 37 + m * 23) % 760 - 190) / 4.0 AS value
+         FROM p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
+         WHERE NOT (pidx = 1 AND j < 3 AND i >= 8 AND i < 16)
+           AND NOT (pidx = 1 AND (i * 2 + j + m) % 9 = 4)
+         ORDER BY variable, time, lat, lon""",
+    // the transposed-INT16 twin: CF packing through the byte-level
+    // element permute (value = packed*0.25 + 300)
+    "r79_zarr_transpose_i2" ->
+      s"""WITH p(pidx, variable) AS (VALUES (0, 'TMP'), (1, 'PRATE')),
+         t(t, m) AS (VALUES (TIMESTAMP '2012-07-09 00:00:00', 0),
+                            (TIMESTAMP '2012-08-09 12:00:00', 1)),
+         ii AS (SELECT unnest(generate_series(0, ${g3Ni - 1})) AS i),
+         jj AS (SELECT unnest(generate_series(0, ${g3Nj - 1})) AS j)
+         SELECT variable, t AS time,
+                ($g3La1 - j * $g3Dj) / 1000000.0 AS lat,
+                (($g3Lo1) + i * $g3Di) / 1000000.0 AS lon,
+                ((i * 11 + j * 17 + pidx * 43 + m * 31) % 900 - 250) * 0.25 + 300.0 AS value
+         FROM p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
+         WHERE NOT (pidx = 1 AND (i + j * 3 + m) % 8 = 5)
          ORDER BY variable, time, lat, lon""",
     // zstd legs regenerated closed-form: the engine recovered every
     // cell through zstd-jni frames (raw v2, v3 codec, blosc compcode 5)

@@ -49,14 +49,16 @@ import org.json4s.jackson.JsonMethods
   * crc32c-checked, missing inner chunks as all-ones entries; one scan
   * task per SHARD, the object-count shape v3 archives use at scale).
   *
+  * Sharding and the `transpose` codec compose with EVERY data dtype
+  * (i2/i4/f4) — both are byte-level element permutations, and the
+  * sharded-float32 composition is exactly the ARCO-ERA5 store shape.
+  *
   * Out-of-scope forms reject loudly with a pointer: `order:"F"`,
   * v2 filters, compressors other than
   * null/zlib/gzip/zstd/blosc-{lz4,lz4hc,zstd} (blosclz/snappy cnames
-  * reject), dtypes beyond i2/i4/f4 data + f8 coords, sharding or
-  * transpose over non-int32 data, nested sharding. zstd decodes via
-  * the zstd-jni library Spark itself bundles ([[ZstdCodec]]); the v3
-  * `transpose` codec is an index permutation handled before the bytes
-  * codec.
+  * reject), nested sharding (shard-within-shard), transpose inside a
+  * shard's inner codec chain. zstd decodes via
+  * the zstd-jni library Spark itself bundles ([[ZstdCodec]]).
   */
 object Zarr {
 
@@ -358,14 +360,14 @@ object Zarr {
                    // are stored C-order over (t,j,i) permuted by this
                    transpose: Seq[Int] = Nil,
                    // NcInt / NcFloat (dyadic /4) / NcShort (CF-packed);
-                   // sharding and transpose stay int32-only
+                   // sharding and transpose compose with every payload
+                   // type (the ARCO-ERA5 shape is a SHARDED FLOAT32
+                   // store) — both are byte-level element permutations
                    payloadType: Int = Netcdf.NcInt): Path = {
     val sharding = innerJ > 0 || innerI > 0
     require(payloadType == Netcdf.NcInt || payloadType == Netcdf.NcFloat ||
       payloadType == Netcdf.NcShort,
       s"zarr payload type $payloadType unsupported (NC_SHORT / NC_INT / NC_FLOAT)")
-    require(payloadType == Netcdf.NcInt || (!sharding && transpose.isEmpty),
-      "sharding/transpose with non-int32 payloads out of scope")
     require(transpose.isEmpty || transpose.sorted == Seq(0, 1, 2),
       s"transpose order $transpose must permute the (t, j, i) dims")
     require(transpose.isEmpty || !sharding,
@@ -421,7 +423,7 @@ object Zarr {
     }
     def shardingJson(comp: String): String =
       s"""[{"name":"sharding_indexed","configuration":{""" +
-        s""""chunk_shape":[1,$innerJ,$innerI],"codecs":${codecJson(comp)},""" +
+        s""""chunk_shape":[1,$innerJ,$innerI],"codecs":${codecJson(comp, dataElemSize)},""" +
         s""""index_codecs":[{"name":"bytes","configuration":{"endian":"little"}},""" +
         s"""{"name":"crc32c"}],"index_location":"end"}}]"""
     def arrayJson(shape: Seq[Int], chunks: Seq[Int], dtype: String,
@@ -459,7 +461,7 @@ object Zarr {
         val j = j0 + p / nI; val i = i0 + p % nI
         if (j < g.nj && i < g.ni) f.scaled(j * g.ni + i) else None
       }
-      payloadType match {
+      val raw: Array[Byte] = payloadType match {
         case Netcdf.NcFloat =>
           opts.flatMap { c =>
             val bits = java.lang.Float.floatToIntBits(
@@ -472,11 +474,12 @@ object Zarr {
             Array[Byte]((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)
           }
         case _ =>
-          val cells0 = opts.map(_.getOrElse(FillInt))
-          val cells = if (transpose.isEmpty) cells0
-            else permuteCells(cells0, Seq(1, nJ, nI), transpose, encode = true)
-          cells.flatMap(leInt)
+          opts.map(_.getOrElse(FillInt)).flatMap(leInt)
       }
+      // the transpose codec is a byte-level element permutation —
+      // dtype-agnostic, so it composes with every payload type
+      if (transpose.isEmpty) raw
+      else permuteBytes(raw, Seq(1, nJ, nI), transpose, dataElemSize, encode = true)
     }
     val (dataTypeStr, fillLit, dataAttrs) = payloadType match {
       case Netcdf.NcFloat =>
@@ -494,7 +497,7 @@ object Zarr {
         else if (transpose.isEmpty) codecJson(compressor, dataElemSize)
         else s"""[{"name":"transpose","configuration":""" +
           s"""{"order":[${transpose.mkString(",")}]}},""" +
-          codecJson(compressor).tail
+          codecJson(compressor, dataElemSize).tail
       put(s"$v/zarr.json", arrayJson(Seq(times.length, g.nj, g.ni),
         Seq(1, chunkJ, chunkI), dataTypeStr,
         dataCodecs,
@@ -786,8 +789,6 @@ object Zarr {
     require(chunks.product <= (BigInt(1) << 26),
       s"zarr: $label chunk cell count ${chunks.product} exceeds the 2^26 cap")
     if (sharded) {
-      require(dtype.endsWith("i4"),
-        s"zarr: $label sharding on dtype '$dtype' out of scope (int32 data only)")
       require(innerShape.length == chunks.length,
         s"zarr: $label inner chunk rank ${innerShape.length} != ${chunks.length}")
       innerShape.foreach(v => require(v >= 1 && v <= Int.MaxValue,
@@ -799,8 +800,6 @@ object Zarr {
     }
     require(tOrder.isEmpty || tOrder.length == chunks.length,
       s"zarr: $label transpose order rank ${tOrder.length} != array rank ${chunks.length}")
-    require(tOrder.isEmpty || dtype.endsWith("i4"),
-      s"zarr: $label transpose on dtype '$dtype' out of scope (int32 data only)")
     ArrayMeta(shape.map(_.toInt), chunks.map(_.toInt),
       dtype, comp, fill, scale, scaleFactor = sf, addOffset = ao,
       fillFloat = fillF, v3 = true, sep = sep,
@@ -820,11 +819,35 @@ object Zarr {
       bytes
   }
 
+  /** Stored-order element bytes of one chunk — every dtype path runs
+    * through here: shard assembly (when the array is sharded), then
+    * inflate, then the transpose inversion (a byte-level element
+    * permutation, dtype-agnostic). The typed decoders below only
+    * parse endianness on top.
+    */
+  private def rawCells(bytes: Array[Byte], meta: ArrayMeta, n: Int,
+                       elemSize: Int, label: String): Array[Byte] = {
+    if (meta.innerChunks.nonEmpty) {
+      val out = decodeShardRaw(bytes, meta, elemSize, label)
+      require(out.length == n * elemSize,
+        s"zarr: shard in $label holds ${out.length} bytes, expected ${n * elemSize}")
+      out
+    } else {
+      val raw = inflate(bytes, meta, n * elemSize, label)
+      if (meta.transposeOrder.isEmpty) raw
+      else {
+        require(n == meta.chunks.product,
+          s"zarr: transposed chunk in $label has $n cells, grid says ${meta.chunks.product}")
+        permuteBytes(raw, meta.chunks, meta.transposeOrder, elemSize, encode = false)
+      }
+    }
+  }
+
   private def decodeInts(bytes: Array[Byte], meta: ArrayMeta, n: Int,
                          label: String): Array[Int] = {
-    val raw = inflate(bytes, meta, n * 4, label)
+    val raw = rawCells(bytes, meta, n, 4, label)
     val little = meta.dtype.startsWith("<")
-    val cells = Array.tabulate(n) { k =>
+    Array.tabulate(n) { k =>
       val p = 4 * k
       if (little)
         (raw(p) & 0xff) | ((raw(p + 1) & 0xff) << 8) |
@@ -833,20 +856,14 @@ object Zarr {
         ((raw(p) & 0xff) << 24) | ((raw(p + 1) & 0xff) << 16) |
           ((raw(p + 2) & 0xff) << 8) | (raw(p + 3) & 0xff)
     }
-    if (meta.transposeOrder.isEmpty) cells
-    else {
-      require(n == meta.chunks.product,
-        s"zarr: transposed chunk in $label has $n cells, grid says ${meta.chunks.product}")
-      permuteCells(cells, meta.chunks, meta.transposeOrder, encode = false)
-    }
   }
 
-  /** int16 chunk decode (the CF-packed ARCO-ERA5/CMIP6-zarr data shape);
-    * transpose stays int32-only by the parse-time require.
+  /** int16 chunk decode (the CF-packed ARCO-ERA5/CMIP6-zarr data
+    * shape); sharding and transpose compose via [[rawCells]].
     */
   private def decodeShorts(bytes: Array[Byte], meta: ArrayMeta, n: Int,
                            label: String): Array[Short] = {
-    val raw = inflate(bytes, meta, n * 2, label)
+    val raw = rawCells(bytes, meta, n, 2, label)
     val little = meta.dtype.startsWith("<")
     Array.tabulate(n) { k =>
       val p = 2 * k
@@ -855,13 +872,14 @@ object Zarr {
     }
   }
 
-  /** float32 chunk decode — the dominant real cloud-store payload;
-    * values widen exactly to double downstream, fill compared in
-    * FLOAT space first.
+  /** float32 chunk decode — the dominant real cloud-store payload
+    * (a sharded float32 V3 store is the ARCO-ERA5 shape); values
+    * widen exactly to double downstream, fill compared in FLOAT
+    * space first.
     */
   private def decodeFloats(bytes: Array[Byte], meta: ArrayMeta, n: Int,
                            label: String): Array[Float] = {
-    val raw = inflate(bytes, meta, n * 4, label)
+    val raw = rawCells(bytes, meta, n, 4, label)
     val little = meta.dtype.startsWith("<")
     Array.tabulate(n) { k =>
       val p = 4 * k
@@ -876,11 +894,40 @@ object Zarr {
     }
   }
 
-  /** v3 `transpose` codec: a pure index permutation ahead of the bytes
-    * codec. Stored layout is C-order over the chunk dims permuted by
-    * `order` (stored coord k = original coord `order(k)`); `encode`
-    * writes that layout, `!encode` inverts it back to C-order.
+  /** v3 `transpose` codec at the BYTE level: a pure permutation of
+    * `elemSize`-byte elements, so it composes with every dtype
+    * (int16 / int32 / float32 alike). Stored layout is C-order over
+    * the chunk dims permuted by `order` (stored coord k = original
+    * coord `order(k)`); `encode` writes that layout, `!encode`
+    * inverts it back to C-order.
     */
+  private[graft] def permuteBytes(raw: Array[Byte], chunks: Seq[Int],
+                                  order: Seq[Int], elemSize: Int,
+                                  encode: Boolean): Array[Byte] = {
+    val rank = order.length
+    val c = chunks.toArray
+    val ts = Array.tabulate(rank)(k => c(order(k))) // transposed shape
+    val stride = new Array[Int](rank) // C-order strides of the ORIGINAL shape
+    var acc = 1
+    var d = rank - 1
+    while (d >= 0) { stride(d) = acc; acc *= c(d); d -= 1 }
+    val n = raw.length / elemSize
+    val out = new Array[Byte](raw.length)
+    val j = new Array[Int](rank)
+    var s = 0
+    while (s < n) {
+      var rem = s; var k = rank - 1
+      while (k >= 0) { j(k) = rem % ts(k); rem /= ts(k); k -= 1 }
+      var oi = 0; k = 0
+      while (k < rank) { oi += j(k) * stride(order(k)); k += 1 }
+      if (encode) System.arraycopy(raw, oi * elemSize, out, s * elemSize, elemSize)
+      else System.arraycopy(raw, s * elemSize, out, oi * elemSize, elemSize)
+      s += 1
+    }
+    out
+  }
+
+  /** The int-cell face of [[permuteBytes]] (kept for the spec pins). */
   private[graft] def permuteCells(cells: Array[Int], chunks: Seq[Int],
                                     order: Seq[Int], encode: Boolean): Array[Int] = {
     val rank = order.length
@@ -912,8 +959,27 @@ object Zarr {
     * archive scale — shards cut object counts ~1000x while the scan
     * still parallelizes one task per shard.
     */
-  private def decodeShardInts(bytes: Array[Byte], meta: ArrayMeta,
-                              label: String): Array[Int] = {
+  /** The `fill_value` of one element in STORED byte order — what a
+    * missing inner chunk's cells must read back as, before the typed
+    * decoders parse endianness.
+    */
+  private def fillBytes(meta: ArrayMeta, elemSize: Int): Array[Byte] = {
+    val little = meta.dtype.startsWith("<")
+    val bits: Long =
+      if (meta.dtype.endsWith("f4"))
+        java.lang.Float.floatToIntBits(
+          meta.fillFloat.getOrElse(Netcdf.FillFloat)).toLong & 0xffffffffL
+      else if (meta.dtype.endsWith("i2"))
+        meta.fillValue.getOrElse(Netcdf.FillShort.toInt).toLong & 0xffffL
+      else meta.fillValue.getOrElse(FillInt).toLong & 0xffffffffL
+    Array.tabulate(elemSize) { k =>
+      val shift = if (little) 8 * k else 8 * (elemSize - 1 - k)
+      ((bits >>> shift) & 0xff).toByte
+    }
+  }
+
+  private def decodeShardRaw(bytes: Array[Byte], meta: ArrayMeta,
+                             elemSize: Int, label: String): Array[Byte] = {
     val Seq(sT, sJ, sI) = meta.chunks
     val Seq(iT, iJ, iI) = meta.innerChunks
     val gT = sT / iT; val gJ = sJ / iJ; val gI = sI / iI
@@ -936,8 +1002,10 @@ object Zarr {
       require(crc.getValue == stored,
         s"zarr: shard index crc32c mismatch in $label")
     }
-    val fill = meta.fillValue.getOrElse(FillInt)
-    val out = Array.fill(sT * sJ * sI)(fill)
+    val fb = fillBytes(meta, elemSize)
+    val out = new Array[Byte](sT * sJ * sI * elemSize)
+    var k0 = 0
+    while (k0 < out.length) { out(k0) = fb(k0 % elemSize); k0 += 1 }
     val innerN = iT * iJ * iI
     val innerMeta = meta.copy(comp = meta.innerComp, innerChunks = Nil)
     var c = 0
@@ -950,14 +1018,15 @@ object Zarr {
         require(off >= 0 && len >= 0 && off <= bytes.length &&
           len <= bytes.length - off,
           s"zarr: shard entry $c [$off,+$len) outside ${bytes.length} bytes in $label")
-        val cells = decodeInts(
+        val cells = rawCells(
           java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt),
-          innerMeta, innerN, s"$label[inner $c]")
+          innerMeta, innerN, elemSize, s"$label[inner $c]")
         val ct = c / (gJ * gI); val cj = c / gI % gJ; val ci = c % gI
         var k = 0
         while (k < innerN) {
           val t = k / (iJ * iI); val j = k / iI % iJ; val i = k % iI
-          out(((ct * iT + t) * sJ + (cj * iJ + j)) * sI + (ci * iI + i)) = cells(k)
+          val oi = ((ct * iT + t) * sJ + (cj * iJ + j)) * sI + (ci * iI + i)
+          System.arraycopy(cells, k * elemSize, out, oi * elemSize, elemSize)
           k += 1
         }
       }
@@ -968,7 +1037,7 @@ object Zarr {
 
   private def decodeDoubles(bytes: Array[Byte], meta: ArrayMeta, n: Int,
                             label: String): Array[Double] = {
-    val raw = inflate(bytes, meta, n * 8, label)
+    val raw = rawCells(bytes, meta, n, 8, label)
     val little = meta.dtype.startsWith("<")
     Array.tabulate(n) { k =>
       var b = 0L
@@ -1104,8 +1173,6 @@ object Zarr {
       require(m.dtype.endsWith("i4") || m.dtype.endsWith("i2") ||
         m.dtype.endsWith("f4"),
         s"zarr: $name data dtype ${m.dtype} out of scope (i4 / i2-CF / f4)")
-      require(m.innerChunks.isEmpty || m.dtype.endsWith("i4"),
-        s"zarr: $name sharded non-int32 data out of scope")
     }
     val wanted = dataArrays.filter(a => pat.matcher(a._1).find())
     val schema = Encoders.product[GridRow].schema
@@ -1174,9 +1241,7 @@ object Zarr {
                 if (x == fill) None else Some(x.toDouble)
               }
             } else {
-              val cells =
-                if (m.innerChunks.nonEmpty) decodeShardInts(bytes, m, s"$vname/$key")
-                else decodeInts(bytes, m, chJ * chI, s"$vname/$key")
+              val cells = decodeInts(bytes, m, chJ * chI, s"$vname/$key")
               val fill = m.fillValue.getOrElse(FillInt)
               val denom = math.pow(10, m.decimalScale)
               k => if (cells(k) == fill) None else Some(cells(k) / denom)

@@ -89,6 +89,19 @@ class ZarrSpec extends SparkSpec {
     val bits = (chunk(0) & 0xff) | ((chunk(1) & 0xff) << 8) |
       ((chunk(2) & 0xff) << 16) | ((chunk(3) & 0xff) << 24)
     java.lang.Float.intBitsToFloat(bits) shouldBe 100 / 4.0f
+    // SHARDED float32 — the ARCO-ERA5 store shape: shard = whole grid,
+    // 3x1 inner chunks, missing (all-fill) inner chunks as all-ones
+    // index entries, crc32c-checked; and transposed float32
+    val v3s = Zarr.writeStoreV3(rootDir.resolve("v3s.zarr"), fields, 3, 5,
+      innerJ = 1, innerI = 5, payloadType = Netcdf.NcFloat)
+    Zarr.readRecords(spark, v3s.toString).collect()
+      .map(r => (r.getString(0), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toSet shouldBe expected
+    val v3t = Zarr.writeStoreV3(rootDir.resolve("v3t.zarr"), fields, 2, 3,
+      transpose = Seq(2, 0, 1), payloadType = Netcdf.NcFloat)
+    Zarr.readRecords(spark, v3t.toString).collect()
+      .map(r => (r.getString(0), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toSet shouldBe expected
   }
 
   test("int16 CF data round-trips v2+v3 (packed*0.25+300, packed-space fill)") {
@@ -120,10 +133,18 @@ class ZarrSpec extends SparkSpec {
       v2.resolve("TMP/.zattrs")), "UTF-8")
     attrs should include(""""scale_factor":0.25""")
     attrs should include(""""add_offset":300.0""")
-    // sharding/transpose over non-int32 payloads refuse loudly
-    an[IllegalArgumentException] should be thrownBy Zarr.writeStoreV3(
-      rootDir.resolve("bad.zarr"), fields, 2, 3, innerJ = 1, innerI = 3,
+    // sharding composes with int16: one shard holding 2x3 inner chunks
+    // of i2 cells round-trips identically (typesize-2 blosc inside)
+    val v3s = Zarr.writeStoreV3(rootDir.resolve("v3s.zarr"), fields, 2, 3,
+      compressor = "blosc-lz4", innerJ = 1, innerI = 3,
       payloadType = Netcdf.NcShort)
+    Zarr.readRecords(spark, v3s.toString).collect()
+      .map(r => (r.getString(0), r.getDouble(4))).toSet shouldBe expected
+    // and transpose composes with int16 (byte-level element permute)
+    val v3t = Zarr.writeStoreV3(rootDir.resolve("v3t.zarr"), fields, 2, 3,
+      transpose = Seq(2, 0, 1), payloadType = Netcdf.NcShort)
+    Zarr.readRecords(spark, v3t.toString).collect()
+      .map(r => (r.getString(0), r.getDouble(4))).toSet shouldBe expected
   }
 
   test("v2 nested '/' dimension separator: chunks in directories, declared in .zarray") {
@@ -324,9 +345,10 @@ class ZarrSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Zarr.parseZarrayV3(base.replace("[2,0,1]", "[1,0]"), "t"))
       .getMessage should include("rank")
-    intercept[IllegalArgumentException](
-      Zarr.parseZarrayV3(base.replace("\"int32\"", "\"float64\""), "t"))
-      .getMessage should include("int32 data only")
+    // transpose now composes with every dtype (byte-level permute):
+    // a float64 transpose parses, carrying the order through
+    Zarr.parseZarrayV3(base.replace("\"int32\"", "\"float64\""), "t")
+      .transposeOrder shouldBe Seq(2, 0, 1)
     // the writer refuses transpose composed with sharding (out of scope)
     an[IllegalArgumentException] should be thrownBy
       Zarr.writeStoreV3(java.nio.file.Files.createTempDirectory("ztr"),
