@@ -633,6 +633,33 @@ object SparkEntry {
       transpose = Seq(2, 0, 1), payloadType = sources.Netcdf.NcShort).toString
   }
 
+  /** r80 fixture: V3 store with zarr-python 3's consolidated_metadata
+    * extension — every array document inlined in the root zarr.json,
+    * per-array zarr.json files ABSENT (so this gate passing proves the
+    * reader takes the 1-GET path, the r69 discipline for v3). A
+    * sharded variable inside proves the codec parse runs from the
+    * consolidated document too.
+    */
+  private lazy val zarrConsolidatedV3Path: String = {
+    import java.time.LocalDateTime
+    val times = Seq(LocalDateTime.of(2012, 9, 14, 0, 0),
+      LocalDateTime.of(2012, 10, 14, 12, 0))
+    val fields = for {
+      (t, m) <- times.zipWithIndex
+      (v, pidx) <- Seq("DPT", "GUST").zipWithIndex
+    } yield sources.Zarr.Field(v, t, g3Ni, g3Nj, g3La1, g3Lo1, g3Di, g3Dj,
+      decimalScale = 1,
+      Array.tabulate(g3Nj * g3Ni) { k =>
+        val j = k / g3Ni; val i = k % g3Ni
+        if (pidx == 1 && (i * 3 + j * 2 + m) % 14 == 9) None
+        else Some((i * 31 + j * 13 + pidx * 67 + m * 71) % 820 + 110)
+      })
+    sources.Zarr.writeStoreV3(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft-zarr", "fixcm3.zarr"),
+      fields, chunkJ = 6, chunkI = 16, compressor = "gzip",
+      innerJ = 3, innerI = 8, consolidated = true).toString
+  }
+
   /** r59 fixture: a classic CDF-1 file carrying a CHAR label record
     * variable (the station-name/QC-flag shape) beside the numeric grid:
     * `qc_flag(time, strlen)` with NUL-padded per-record strings.
@@ -3101,6 +3128,12 @@ object SparkEntry {
     // takes the 1-GET metadata path object stores need
     "r69_zarr_consolidated" -> ((s, _) =>
       sources.Zarr.readRecords(s, zarrConsolidatedPath, matchRe = "DPT")
+        .orderBy($"variable", $"time", $"lat", $"lon")),
+    // the V3 twin (zarr-python 3's consolidated_metadata): per-array
+    // zarr.json ABSENT, array docs (incl. a sharded codec chain)
+    // parsed from the single root document
+    "r80_zarr_consolidated_v3" -> ((s, _) =>
+      sources.Zarr.readRecords(s, zarrConsolidatedV3Path)
         .orderBy($"variable", $"time", $"lat", $"lon")),
     // v3 transpose codec ([2,0,1] index permutation) ahead of
     // bytes+zstd; the masked variable proves fill crosses the
@@ -7445,6 +7478,21 @@ object SparkEntry {
                 ((i * 29 + j * 17 + m * 83) % 740 + 150) / 10.0 AS value
          FROM t CROSS JOIN ii CROSS JOIN jj
          WHERE (i * 3 + j * 4 + m) % 15 <> 11
+         ORDER BY variable, time, lat, lon""",
+    // the v3 consolidated twin: both variables (one sharded) recovered
+    // entirely from the root document's inline metadata
+    "r80_zarr_consolidated_v3" ->
+      s"""WITH p(pidx, variable) AS (VALUES (0, 'DPT'), (1, 'GUST')),
+         t(t, m) AS (VALUES (TIMESTAMP '2012-09-14 00:00:00', 0),
+                            (TIMESTAMP '2012-10-14 12:00:00', 1)),
+         ii AS (SELECT unnest(generate_series(0, ${g3Ni - 1})) AS i),
+         jj AS (SELECT unnest(generate_series(0, ${g3Nj - 1})) AS j)
+         SELECT variable, t AS time,
+                ($g3La1 - j * $g3Dj) / 1000000.0 AS lat,
+                (($g3Lo1) + i * $g3Di) / 1000000.0 AS lon,
+                ((i * 31 + j * 13 + pidx * 67 + m * 71) % 820 + 110) / 10.0 AS value
+         FROM p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
+         WHERE NOT (pidx = 1 AND (i * 3 + j * 2 + m) % 14 = 9)
          ORDER BY variable, time, lat, lon""",
     // the transpose-codec twin: the [2,0,1] permutation (and the zstd
     // frames under it) must be invisible in the flattened result

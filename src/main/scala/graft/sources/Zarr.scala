@@ -363,7 +363,13 @@ object Zarr {
                    // sharding and transpose compose with every payload
                    // type (the ARCO-ERA5 shape is a SHARDED FLOAT32
                    // store) — both are byte-level element permutations
-                   payloadType: Int = Netcdf.NcInt): Path = {
+                   payloadType: Int = Netcdf.NcInt,
+                   // true = the zarr-python 3 `consolidated_metadata`
+                   // extension: every array's zarr.json document is
+                   // INLINED into the root zarr.json and the per-array
+                   // files are NOT written (the 1-GET shape, the v2
+                   // `.zmetadata` discipline)
+                   consolidated: Boolean = false): Path = {
     val sharding = innerJ > 0 || innerI > 0
     require(payloadType == Netcdf.NcInt || payloadType == Netcdf.NcFloat ||
       payloadType == Netcdf.NcShort,
@@ -435,18 +441,23 @@ object Zarr {
         s""""fill_value":${fill.getOrElse("0")},""" +
         s""""codecs":$codecs,"attributes":{$attrs}}"""
     Files.createDirectories(root)
-    put("zarr.json", """{"zarr_format":3,"node_type":"group"}""".getBytes("UTF-8"))
+    // consolidated mode inlines every array document into the root
+    // zarr.json (written LAST) instead of per-array files
+    val metaDocs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def putMeta(name: String, json: String): Unit =
+      if (consolidated) metaDocs(name) = json
+      else put(s"$name/zarr.json", json.getBytes("UTF-8"))
     def coord1d(name: String, doubles: Array[Double]): Unit = {
-      put(s"$name/zarr.json", arrayJson(Seq(doubles.length), Seq(doubles.length),
-        "float64", codecJson("null"), None, "").getBytes("UTF-8"))
+      putMeta(name, arrayJson(Seq(doubles.length), Seq(doubles.length),
+        "float64", codecJson("null"), None, ""))
       put(s"$name/c/0", doubles.flatMap(leDouble))
     }
     coord1d("lat", Array.tabulate(g.nj)(j => (g.la1Micro - j * g.djMicro) / 1e6))
     coord1d("lon", Array.tabulate(g.ni)(i => (g.lo1Micro + i * g.diMicro) / 1e6))
     val epochHours = times.map(t => java.time.Duration.between(
       LocalDateTime.of(1970, 1, 1, 0, 0), t).toHours.toInt).toArray
-    put("time/zarr.json", arrayJson(Seq(times.length), Seq(times.length),
-      "int32", codecJson("null"), None, "").getBytes("UTF-8"))
+    putMeta("time", arrayJson(Seq(times.length), Seq(times.length),
+      "int32", codecJson("null"), None, ""))
     put("time/c/0", epochHours.flatMap(leInt))
     val cgJ = (g.nj + chunkJ - 1) / chunkJ
     val cgI = (g.ni + chunkI - 1) / chunkI
@@ -498,11 +509,11 @@ object Zarr {
         else s"""[{"name":"transpose","configuration":""" +
           s"""{"order":[${transpose.mkString(",")}]}},""" +
           codecJson(compressor, dataElemSize).tail
-      put(s"$v/zarr.json", arrayJson(Seq(times.length, g.nj, g.ni),
+      putMeta(v, arrayJson(Seq(times.length, g.nj, g.ni),
         Seq(1, chunkJ, chunkI), dataTypeStr,
         dataCodecs,
         Some(fillLit),
-        dataAttrs).getBytes("UTF-8"))
+        dataAttrs))
       for ((t, r) <- times.zipWithIndex) {
         val f = fields.find(x => x.variable == v && x.time == t)
           .getOrElse(sys.error(s"variable $v missing at $t"))
@@ -546,6 +557,17 @@ object Zarr {
         }
       }
     }
+    // root group document LAST: consolidated mode embeds every array's
+    // zarr.json under consolidated_metadata (zarr-python 3's inline
+    // extension — kind "inline", must_understand false)
+    val rootDoc =
+      if (!consolidated) """{"zarr_format":3,"node_type":"group"}"""
+      else {
+        val body = metaDocs.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+        s"""{"zarr_format":3,"node_type":"group","consolidated_metadata":""" +
+          s"""{"kind":"inline","must_understand":false,"metadata":{$body}}}"""
+      }
+    put("zarr.json", rootDoc.getBytes("UTF-8"))
     root
   }
 
@@ -1069,9 +1091,39 @@ object Zarr {
     val v3RootP = new org.apache.hadoop.fs.Path(rp, "zarr.json")
     require(v2Root || fs.exists(v3RootP),
       s"zarr: $root has neither .zgroup (v2) nor zarr.json (v3) — not a group store")
-    if (!v2Root)
-      require(JsonMethods.parse(readSmall(v3RootP)) \ "node_type" == JString("group"),
+    if (!v2Root) {
+      val rootDoc = JsonMethods.parse(readSmall(v3RootP))
+      require(rootDoc \ "node_type" == JString("group"),
         s"zarr: $root zarr.json is not a group node")
+      // zarr-python 3's consolidated_metadata extension: ONE document
+      // carries every array's zarr.json — 1 metadata GET instead of
+      // thousands on an object store, so prefer it whenever present
+      (rootDoc \ "consolidated_metadata") match {
+        case JNull | JNothing => ()
+        case cm =>
+          (cm \ "kind") match {
+            case JString("inline") | JNothing | JNull => ()
+            case k => throw new IllegalArgumentException(
+              s"zarr: $root consolidated_metadata kind $k out of scope (inline)")
+          }
+          val docs: Map[String, JValue] = (cm \ "metadata") match {
+            case JObject(fs0) => fs0.toMap
+            case _ => throw new IllegalArgumentException(
+              s"zarr: $root consolidated_metadata has no metadata object")
+          }
+          return docs.toSeq
+            .filter { case (_, v) => (v \ "node_type") == JString("array") }
+            .map(_._1).sorted
+            .map { name =>
+              require(!name.contains("/"),
+                s"zarr: $root consolidated_metadata nests group '$name' — " +
+                  "groups beyond root out of scope")
+              name -> parseZarrayV3(
+                JsonMethods.compact(JsonMethods.render(docs(name))),
+                s"$root/$name (consolidated)")
+            }
+      }
+    }
     // consolidated metadata (xarray's cloud default): ONE document
     // carries every .zarray/.zattrs — on an object store this is 1
     // metadata GET instead of thousands, so prefer it whenever present

@@ -197,6 +197,39 @@ class ZarrSpec extends SparkSpec {
       .getMessage should include("groups beyond root")
   }
 
+  test("v3 consolidated_metadata store opens with per-array zarr.json ABSENT") {
+    val fields = Seq(
+      field("TMP", t0, 0), field("PRATE", t0, 500, (i, j) => (i + j) % 4 == 1))
+    val root = java.nio.file.Files.createTempDirectory("graft-zarr-cm3")
+      .resolve("s.zarr")
+    Zarr.writeStoreV3(root, fields, 2, 3, consolidated = true)
+    // the proof: the ONLY zarr.json in the store is the root document —
+    // a reader walking per-array files would see an empty store
+    import scala.jdk.CollectionConverters._
+    val metaFiles = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(_.getFileName.toString == "zarr.json").toSeq
+    metaFiles should have size 1
+    metaFiles.head.getParent shouldBe root
+    val rows = Zarr.readRecords(spark, root.toString).collect()
+    val expected = (for {
+      (v, bump) <- Seq("TMP" -> 0, "PRATE" -> 500)
+      j <- 0 until 3; i <- 0 until 5
+      if !(v == "PRATE" && (i + j) % 4 == 1)
+    } yield (v, (100 + 7 * i + 11 * j + bump) / 10.0)).toSet
+    rows.map(r => (r.getString(0), r.getDouble(4))).toSet shouldBe expected
+    // a nested-group key rejects loudly; an unknown kind rejects loudly
+    val zj = new String(java.nio.file.Files.readAllBytes(
+      root.resolve("zarr.json")), "UTF-8")
+    java.nio.file.Files.write(root.resolve("zarr.json"),
+      zj.replace(""""TMP":""", """"grp/TMP":""").getBytes("UTF-8"))
+    (the[Exception] thrownBy Zarr.readRecords(spark, root.toString).collect())
+      .getMessage should include("groups beyond root")
+    java.nio.file.Files.write(root.resolve("zarr.json"),
+      zj.replace(""""kind":"inline"""", """"kind":"refs"""").getBytes("UTF-8"))
+    (the[Exception] thrownBy Zarr.readRecords(spark, root.toString).collect())
+      .getMessage should include("out of scope")
+  }
+
   test("wire pins: chunk key layout, full-size edge padding, zlib payload") {
     val root = store(Seq(field("TMP", t0, 0)))
     // chunk grid for shape [1,3,5] / chunks [1,2,3]: keys 0.{0,1}.{0,1}
