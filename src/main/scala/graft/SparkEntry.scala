@@ -916,6 +916,64 @@ object SparkEntry {
     }
   }
 
+  /** r81 fixture: netCDF-4 with DENSE (fractal-heap) link storage —
+    * the above-max_compact libver-1.8+ group shape: link messages live
+    * as managed objects in a checksummed FRHP direct block indexed by
+    * a name-hash v2 B-tree, at root AND inside a subgroup. Ten
+    * variables make dense storage the natural libhdf5 choice.
+    */
+  private lazy val netcdf4DenseFixturePath: String = {
+    import java.time.LocalDateTime
+    val params = Seq("TMP", "PRATE", "DEW", "GUST", "VGRD", "UGRD", "RH",
+      "SNOD", "obs/CAPE", "obs/CIN").zipWithIndex.map { case (v, k) =>
+      (v, k, k % 3 == 1)
+    }
+    val times = Seq(LocalDateTime.of(2013, 1, 5, 0, 0),
+      LocalDateTime.of(2013, 2, 5, 12, 0))
+    val fields = for {
+      (t, m) <- times.zipWithIndex
+      (v, pidx, masked) <- params
+    } yield sources.Netcdf.Field(v, t, g3Ni, g3Nj, g3La1, g3Lo1, g3Di, g3Dj,
+      decimalScale = 1,
+      Array.tabulate(g3Nj * g3Ni) { k =>
+        val j = k / g3Ni; val i = k % g3Ni
+        if (masked && (i * 2 + j * 3 + m + pidx) % 13 == 6) None
+        else Some((i * 7 + j * 23 + pidx * 59 + m * 47) % 870 + pidx * 100)
+      })
+    sources.Hdf5.writeFile(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft-nc", "fix4d.nc"),
+      fields, chunkJ = 5, chunkI = 8, superblockVersion = 3,
+      objectHeaderVersion = 2, denseLinks = true).toString
+  }
+
+  /** r82 fixture: the LIBVER_LATEST combination — v2 "OHDR" object
+    * headers + data layout v4 with the FIXED ARRAY chunk index
+    * (FAHD/FADB in linear chunk order, client 1 = filtered chunks,
+    * every structure lookup3-verified).
+    */
+  private lazy val netcdf4FixedArrayFixturePath: String = {
+    import java.time.LocalDateTime
+    val params = Seq(("TMP", 0, false), ("PRATE", 1, true))
+    val times = Seq(LocalDateTime.of(2013, 3, 5, 0, 0),
+      LocalDateTime.of(2013, 4, 5, 12, 0))
+    val fields = for {
+      (t, m) <- times.zipWithIndex
+      (v, pidx, masked) <- params
+    } yield sources.Netcdf.Field(v, t, g3Ni, g3Nj, g3La1, g3Lo1, g3Di, g3Dj,
+      decimalScale = 1,
+      Array.tabulate(g3Nj * g3Ni) { k =>
+        val j = k / g3Ni; val i = k % g3Ni
+        if (masked && (i + j * 4 + m) % 15 == 10) None
+        else Some((i * 29 + j * 31 + pidx * 83 + m * 19) % 1150 + pidx * 600)
+      })
+    sources.Hdf5.writeFile(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft-nc", "fix4fa.nc"),
+      fields, chunkJ = 5, chunkI = 8, superblockVersion = 3,
+      objectHeaderVersion = 2, layoutVersion = 4).toString
+  }
+
   /** r56 fixtures: zstd chunks in the three wire shapes real stores
     * ship — a v2 store with numcodecs `{"id":"zstd"}` raw frames, a V3
     * store with the `zstd` codec (the zarr v3 default), and a v2 store
@@ -3050,6 +3108,17 @@ object SparkEntry {
       s.read.format("netcdf").load(netcdf4GroupedFixturePaths(1))
         .where($"variable" === "obs/deep/DEW")
         .orderBy($"time", $"lat", $"lon")),
+    // DENSE (fractal-heap) link storage at root and in a subgroup:
+    // FRHP/FHDB managed objects + name-hash v2 B-tree, checksums
+    // verified on every structure
+    "r81_netcdf4_dense_links" -> ((s, _) =>
+      sources.Netcdf.readRecords(s, Seq(netcdf4DenseFixturePath))
+        .orderBy($"variable", $"time", $"lat", $"lon")),
+    // layout v4 + FIXED ARRAY chunk index under v2 headers — the
+    // LIBVER_LATEST shape h5py emits
+    "r82_netcdf4_fixed_array" -> ((s, _) =>
+      sources.Netcdf.readRecords(s, Seq(netcdf4FixedArrayFixturePath))
+        .orderBy($"variable", $"time", $"lat", $"lon")),
     // the DSv2 face of the netCDF reader: spark.read.format("netcdf")
     // with variable = 'TMP' PUSHED to the metadata walk — the pruned
     // variable's chunks are never inflated (NetcdfConnectorSpec pins
@@ -7267,6 +7336,38 @@ object SparkEntry {
          FROM t CROSS JOIN ii CROSS JOIN jj
          WHERE NOT ((i * 2 + j * 5 + m) % 12 = 3)
          ORDER BY time, lat, lon""",
+    // the dense-link twin: ten variables recovered through the
+    // fractal-heap + v2-B-tree walk (two inside a dense subgroup)
+    "r81_netcdf4_dense_links" ->
+      s"""WITH p(pidx, variable) AS (VALUES (0, 'TMP'), (1, 'PRATE'), (2, 'DEW'),
+                            (3, 'GUST'), (4, 'VGRD'), (5, 'UGRD'), (6, 'RH'),
+                            (7, 'SNOD'), (8, 'obs/CAPE'), (9, 'obs/CIN')),
+         t(t, m) AS (VALUES (TIMESTAMP '2013-01-05 00:00:00', 0),
+                            (TIMESTAMP '2013-02-05 12:00:00', 1)),
+         ii AS (SELECT unnest(generate_series(0, ${g3Ni - 1})) AS i),
+         jj AS (SELECT unnest(generate_series(0, ${g3Nj - 1})) AS j)
+         SELECT variable, t AS time,
+                ($g3La1 - j * $g3Dj) / 1000000.0 AS lat,
+                (($g3Lo1) + i * $g3Di) / 1000000.0 AS lon,
+                ((i * 7 + j * 23 + pidx * 59 + m * 47) % 870 + pidx * 100) / 10.0 AS value
+         FROM p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
+         WHERE NOT (pidx % 3 = 1 AND (i * 2 + j * 3 + m + pidx) % 13 = 6)
+         ORDER BY variable, time, lat, lon""",
+    // the fixed-array twin: every cell recovered through the v4
+    // layout's FAHD/FADB index in linear chunk order
+    "r82_netcdf4_fixed_array" ->
+      s"""WITH p(pidx, variable, masked) AS (VALUES (0, 'TMP', 0), (1, 'PRATE', 1)),
+         t(t, m) AS (VALUES (TIMESTAMP '2013-03-05 00:00:00', 0),
+                            (TIMESTAMP '2013-04-05 12:00:00', 1)),
+         ii AS (SELECT unnest(generate_series(0, ${g3Ni - 1})) AS i),
+         jj AS (SELECT unnest(generate_series(0, ${g3Nj - 1})) AS j)
+         SELECT variable, t AS time,
+                ($g3La1 - j * $g3Dj) / 1000000.0 AS lat,
+                (($g3Lo1) + i * $g3Di) / 1000000.0 AS lon,
+                ((i * 29 + j * 31 + pidx * 83 + m * 19) % 1150 + pidx * 600) / 10.0 AS value
+         FROM p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
+         WHERE NOT (masked = 1 AND (i + j * 4 + m) % 15 = 10)
+         ORDER BY variable, time, lat, lon""",
     // netCDF-4 legs regenerated closed-form: the engine recovered every
     // cell through the HDF5 container (B-tree chunk index, shuffle+
     // deflate, edge-chunk clipping, v0 and v3 superblocks)

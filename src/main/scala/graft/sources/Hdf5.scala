@@ -41,10 +41,16 @@ import scala.collection.mutable.ArrayBuffer
   *    payloads — e.g. netCDF-4's vlen-reference DIMENSION_LIST —
   *    skipped by their declared sizes, never interpreted).
   *
-  * Out of scope, rejecting loudly with a pointer: dense (fractal-heap)
-  * link storage, layout v4 chunk
-  * indexes (the LATEST-bound shape), groups beyond
-  * root, szip (filter 4), compact layout,
+  *  - groups beyond root (v1 symbol-table, v2 compact-link AND dense
+  *    fractal-heap link storage — FRHP/FHDB + name-hash v2 B-tree,
+  *    every checksum verified), datasets exposed as `group/name`;
+  *  - data layout v4 with the FIXED ARRAY chunk index (FAHD/FADB,
+  *    lookup3-verified) — the LIBVER_LATEST shape h5py emits.
+  *
+  * Out of scope, rejecting loudly with a pointer: root indirect
+  * fractal-heap blocks and deep link B-trees, v4 implicit/extensible-
+  * array/v2-B-tree chunk indexes, paged fixed arrays,
+  * szip (filter 4), compact layout,
   * datatypes other than int16/int32/float32/float64 data and float64
   * coords (float32 — the CMIP6/ERA5 netCDF-4 default payload — widens
   * exactly to double, fill compared in float space).
@@ -73,6 +79,13 @@ object Hdf5 {
   /** `chunkDims` excludes the trailing element-size entry. */
   final case class Chunked(btreeAddr: Long, chunkDims: Seq[Int],
                            elemSize: Int) extends Layout
+  /** Layout message v4 (the LIBVER_LATEST shape) with a FIXED ARRAY
+    * chunk index ("FAHD"/"FADB") — the index libhdf5 picks for
+    * fixed-dimension chunked datasets, which is what h5py emits under
+    * `libver='latest'`. `filtered` mirrors the fixed array's client ID.
+    */
+  final case class ChunkedFixedArray(fahdAddr: Long, chunkDims: Seq[Int],
+                                     elemSize: Int) extends Layout
 
   final case class Filter(id: Int, cvals: Seq[Int])
 
@@ -117,11 +130,25 @@ object Hdf5 {
                 // v2 headers: messages beyond this index move to an
                 // "OCHK" continuation block (how libhdf5 spills many
                 // attributes); default = everything in chunk 0
-                v2ContinuationAfter: Int = Int.MaxValue): Path = {
+                v2ContinuationAfter: Int = Int.MaxValue,
+                // 3 = layout message v3 with the v1 B-tree chunk index;
+                // 4 = layout v4 with a FIXED ARRAY index (FAHD/FADB) —
+                // the LIBVER_LATEST shape libhdf5/h5py emit
+                layoutVersion: Int = 3,
+                // true (v2 headers only) = groups store links DENSELY:
+                // link messages as fractal-heap objects (FRHP + one
+                // direct block) indexed by a name-hash v2 B-tree
+                // (BTHD/BTLF) — the shape libhdf5 switches to above
+                // max_compact links under the 1.8+ libver bound
+                denseLinks: Boolean = false): Path = {
     require(objectHeaderVersion == 1 || objectHeaderVersion == 2,
       s"object header version $objectHeaderVersion unsupported (1 / 2)")
+    require(layoutVersion == 3 || layoutVersion == 4,
+      s"layout version $layoutVersion unsupported (3 / 4)")
     require(objectHeaderVersion == 1 || superblockVersion == 3,
       "v2 object headers pair with the v3 superblock (the 1.8 libver bound)")
+    require(!denseLinks || objectHeaderVersion == 2,
+      "dense link storage pairs with v2 object headers")
     require(fields.nonEmpty, "no fields to write")
     require(superblockVersion == 0 || superblockVersion == 3,
       s"superblock version $superblockVersion unsupported (0 / 3)")
@@ -452,34 +479,80 @@ object Hdf5 {
         stored.foreach(out += _)
         (Seq(r.toLong, (cj * chunkJ).toLong, (ci * chunkI).toLong), addr, stored.length)
       }
-      // v1 B-tree, node type 1 (raw data chunks), single leaf node;
-      // the entry count is a u16 on the wire — a larger chunk grid
-      // would silently truncate modulo 65536 into a corrupt file
-      require(entries.length <= 0xffff,
-        s"chunk count ${entries.length} exceeds the single-leaf u16 bound")
-      val btreeAddr = out.length.toLong
-      out ++= "TREE".getBytes("US-ASCII")
-      u8(1); u8(0) // node type 1, level 0
-      u16(entries.length)
-      u64(Undef); u64(Undef) // siblings
-      def key(size: Int, offs: Seq[Long]): Unit = {
-        u32(size.toLong); u32(0) // chunk size, filter mask
-        offs.foreach(u64); u64(0) // per-dim offsets + the element-dim 0
+      if (layoutVersion == 4) {
+        // FIXED ARRAY chunk index (the LIBVER_LATEST shape): "FADB"
+        // data block holding one element per chunk in LINEAR chunk
+        // order (client ID 1 = filtered chunks: address + stored size
+        // + filter mask), then the "FAHD" header pointing at it; both
+        // carry verified lookup3 checksums. Unpaged (entries must fit
+        // one page).
+        require(entries.length <= 1024,
+          s"chunk count ${entries.length} would page the fixed array (cap 1024)")
+        val entrySize = 16 // address 8 + chunk size 4 + filter mask 4
+        val fadbAddr = out.length.toLong
+        val fadb = bb { b =>
+          "FADB".getBytes("US-ASCII").foreach(b += _)
+          b8(b, 0) // version
+          b8(b, 1) // client ID: filtered dataset chunks
+          b64(b, fadbAddr + 4 + 1 + 1 + 8 + entries.length.toLong * entrySize + 4)
+          entries.foreach { case (_, addr, size) =>
+            b64(b, addr); b32(b, size.toLong); b32(b, 0)
+          }
+        }
+        val fahdAddr = fadbAddr + fadb.length + 4
+        val ck1 = lookup3(fadb.toArray, 0, fadb.length).toLong & 0xffffffffL
+        fadb.foreach(out += _); u32(ck1)
+        val fahd = bb { b =>
+          "FAHD".getBytes("US-ASCII").foreach(b += _)
+          b8(b, 0) // version
+          b8(b, 1) // client ID: filtered dataset chunks
+          b8(b, entrySize)
+          b8(b, 10) // page bits: <= 1024 entries stay unpaged
+          b64(b, entries.length.toLong)
+          b64(b, fadbAddr)
+        }
+        require(out.length.toLong == fahdAddr, "fixed-array accounting broke")
+        val ck2 = lookup3(fahd.toArray, 0, fahd.length).toLong & 0xffffffffL
+        fahd.foreach(out += _); u32(ck2)
+        ChunkedFixedArray(fahdAddr, Seq(1, chunkJ, chunkI), dataElemSize)
+      } else {
+        // v1 B-tree, node type 1 (raw data chunks), single leaf node;
+        // the entry count is a u16 on the wire — a larger chunk grid
+        // would silently truncate modulo 65536 into a corrupt file
+        require(entries.length <= 0xffff,
+          s"chunk count ${entries.length} exceeds the single-leaf u16 bound")
+        val btreeAddr = out.length.toLong
+        out ++= "TREE".getBytes("US-ASCII")
+        u8(1); u8(0) // node type 1, level 0
+        u16(entries.length)
+        u64(Undef); u64(Undef) // siblings
+        def key(size: Int, offs: Seq[Long]): Unit = {
+          u32(size.toLong); u32(0) // chunk size, filter mask
+          offs.foreach(u64); u64(0) // per-dim offsets + the element-dim 0
+        }
+        entries.foreach { case (offs, addr, size) => key(size, offs); u64(addr) }
+        // final key: one past the last chunk (canonical upper bound)
+        key(0, Seq(times.length.toLong, (cgJ * chunkJ).toLong, (cgI * chunkI).toLong))
+        Chunked(btreeAddr, Seq(1, chunkJ, chunkI), dataElemSize)
       }
-      entries.foreach { case (offs, addr, size) => key(size, offs); u64(addr) }
-      // final key: one past the last chunk (canonical upper bound)
-      key(0, Seq(times.length.toLong, (cgJ * chunkJ).toLong, (cgI * chunkI).toLong))
-      Chunked(btreeAddr, Seq(1, chunkJ, chunkI), dataElemSize)
     }
 
     def layoutMsg(l: Layout): ArrayBuffer[Byte] = bb { b =>
-      b8(b, 3) // layout message version 3
       l match {
         case Contiguous(addr, size) =>
-          b8(b, 1); b64(b, addr); b64(b, size)
+          b8(b, 3); b8(b, 1); b64(b, addr); b64(b, size)
         case Chunked(addr, dims, elem) =>
-          b8(b, 2); b8(b, dims.length + 1); b64(b, addr)
+          b8(b, 3); b8(b, 2); b8(b, dims.length + 1); b64(b, addr)
           dims.foreach(d => b32(b, d.toLong)); b32(b, elem.toLong)
+        case ChunkedFixedArray(addr, dims, elem) =>
+          b8(b, 4); b8(b, 2) // layout v4, class chunked
+          b8(b, 0) // flags: edge chunks filtered (stored full size)
+          b8(b, dims.length + 1) // dimensionality incl. the element dim
+          b8(b, 8) // dimension-size encoded length
+          dims.foreach(d => b64(b, d.toLong)); b64(b, elem.toLong)
+          b8(b, 3) // chunk index type: fixed array
+          b8(b, 10) // page bits (creation parameter, mirrored in FAHD)
+          b64(b, addr)
       }
     }
     val fillMsg = bb { b => b8(b, 2); b8(b, 2); b8(b, 2); b8(b, 0) } // v2, undefined
@@ -599,6 +672,127 @@ object Hdf5 {
         }
       })
 
+    /** DENSE link storage (the above-max_compact libver-1.8+ shape):
+      * link message bodies become fractal-heap managed objects in one
+      * checksummed root DIRECT block ("FRHP" + "FHDB"), indexed by a
+      * name-hash v2 B-tree ("BTHD" + one "BTLF" leaf, record = lookup3
+      * name hash + 7-byte managed heap ID); the group's object header
+      * carries only a Link Info message (0x0002) pointing at both.
+      */
+    def emitDenseGroup(entries: Seq[(String, Long)]): Long = {
+      val objs = entries.map { case (n, a) =>
+        val nb = n.getBytes("UTF-8")
+        bb { b =>
+          b8(b, 1); b8(b, 0); b8(b, nb.length)
+          nb.foreach(b += _)
+          b64(b, a)
+        }
+      }
+      // ---- fractal heap: one 512-byte root direct block, flags bit1
+      // (checksummed direct blocks), max heap size 32 bits -> 4-byte
+      // heap-space offsets, max managed object 4096 -> 2-byte lengths,
+      // heap ID = 1 + 4 + 2 = 7 bytes (the dense-link shape)
+      val blockSize = 512
+      val dblkHdr = 4 + 1 + 8 + 4 + 4 // sig, ver, heap hdr addr, block offset, checksum
+      var hoff = dblkHdr
+      val heapOffs = objs.map { o => val r = hoff; hoff += o.length; r }
+      require(hoff <= blockSize,
+        s"dense link block overflow ($hoff > $blockSize bytes — too many links)")
+      val fhdbAddr = out.length.toLong
+      val frhpAddr = fhdbAddr + blockSize
+      val dblk = new Array[Byte](blockSize)
+      def put8(p: Int, v: Int): Unit = dblk(p) = v.toByte
+      def put64(p: Int, v: Long): Unit = {
+        var k = 0; while (k < 8) { dblk(p + k) = ((v >>> (8 * k)) & 0xff).toByte; k += 1 }
+      }
+      "FHDB".getBytes("US-ASCII").zipWithIndex.foreach { case (c, k) => dblk(k) = c }
+      put8(4, 0) // version
+      put64(5, frhpAddr)
+      // block offset (4 bytes, heap-space offset 0) already zero;
+      // checksum field at 17..20 stays zero for the computation
+      objs.zip(heapOffs).foreach { case (o, p0) =>
+        o.zipWithIndex.foreach { case (c, k) => dblk(p0 + k) = c }
+      }
+      val dck = lookup3(dblk, 0, blockSize).toLong & 0xffffffffL
+      var k1 = 0
+      while (k1 < 4) { dblk(17 + k1) = ((dck >>> (8 * k1)) & 0xff).toByte; k1 += 1 }
+      dblk.foreach(out += _)
+
+      val frhp = bb { b =>
+        "FRHP".getBytes("US-ASCII").foreach(b += _)
+        b8(b, 0) // version
+        b16(b, 7) // heap ID length
+        b16(b, 0) // I/O filters' encoded length
+        b8(b, 2) // flags: direct blocks are checksummed
+        b32(b, 4096) // max size of managed objects
+        b64(b, 0) // next huge object ID
+        b64(b, Undef) // huge-object v2 B-tree
+        b64(b, (blockSize - hoff).toLong) // free space in managed blocks
+        b64(b, Undef) // free-space manager
+        b64(b, blockSize.toLong) // amount of managed space
+        b64(b, blockSize.toLong) // amount of allocated managed space
+        b64(b, blockSize.toLong) // direct block iterator offset
+        b64(b, objs.length.toLong) // number of managed objects
+        b64(b, 0); b64(b, 0) // huge size / count
+        b64(b, 0); b64(b, 0) // tiny size / count
+        b16(b, 4) // table width
+        b64(b, blockSize.toLong) // starting block size
+        b64(b, 65536) // maximum direct block size
+        b16(b, 32) // maximum heap size (bits)
+        b16(b, 1) // starting # rows in root indirect block
+        b64(b, fhdbAddr) // root block address
+        b16(b, 0) // current # rows: 0 = root is a direct block
+      }
+      require(out.length.toLong == frhpAddr, "fractal heap accounting broke")
+      val hck = lookup3(frhp.toArray, 0, frhp.length).toLong & 0xffffffffL
+      frhp.foreach(out += _); u32(hck)
+
+      // ---- name-index v2 B-tree: records sorted by lookup3 name hash
+      val recs = entries.map(_._1).zip(heapOffs).zip(objs).map {
+        case ((n, p0), o) =>
+          val nb = n.getBytes("UTF-8")
+          (lookup3(nb, 0, nb.length).toLong & 0xffffffffL, p0, o.length)
+      }.sortBy(_._1)
+      require(recs.map(_._1).distinct.length == recs.length,
+        "link name hash collision — pick different names for this fixture")
+      val btlfAddr = out.length.toLong
+      val btlf = bb { b =>
+        "BTLF".getBytes("US-ASCII").foreach(b += _)
+        b8(b, 0) // version
+        b8(b, 5) // type: group links indexed by name hash
+        recs.foreach { case (h, p0, len) =>
+          b32(b, h)
+          b8(b, 0) // heap ID: version 0, type managed
+          b32(b, p0.toLong) // heap-space offset (4 bytes)
+          b16(b, len) // object length (2 bytes)
+        }
+      }
+      val lck = lookup3(btlf.toArray, 0, btlf.length).toLong & 0xffffffffL
+      btlf.foreach(out += _); u32(lck)
+      val bthdAddr = out.length.toLong
+      val bthd = bb { b =>
+        "BTHD".getBytes("US-ASCII").foreach(b += _)
+        b8(b, 0) // version
+        b8(b, 5) // type
+        b32(b, 512) // node size
+        b16(b, 11) // record size: hash 4 + heap ID 7
+        b16(b, 0) // depth: root is the leaf
+        b8(b, 100); b8(b, 40) // split / merge percent
+        b64(b, btlfAddr)
+        b16(b, recs.length)
+        b64(b, recs.length.toLong)
+      }
+      val bck = lookup3(bthd.toArray, 0, bthd.length).toLong & 0xffffffffL
+      bthd.foreach(out += _); u32(bck)
+
+      objectHeader(Seq(0x0002 -> bb { b =>
+        b8(b, 0) // link info version
+        b8(b, 0) // flags: no creation-order tracking
+        b64(b, frhpAddr)
+        b64(b, bthdAddr)
+      }))
+    }
+
     final class GNode {
       val subs = scala.collection.mutable.SortedMap.empty[String, GNode]
       val leaves = scala.collection.mutable.SortedMap.empty[String, Long]
@@ -621,7 +815,9 @@ object Hdf5 {
         s"'$k' is both a group and a dataset"))
       val entries = (n.subs.toSeq.map { case (k, sub) => k -> emitGroup(sub) } ++
         n.leaves.toSeq).sortBy(_._1)
-      if (objectHeaderVersion == 2) emitV2Group(entries) else emitV1Group(entries)
+      if (denseLinks) emitDenseGroup(entries)
+      else if (objectHeaderVersion == 2) emitV2Group(entries)
+      else emitV1Group(entries)
     }
     val rootAddr = emitGroup(rootNode)
 
@@ -820,10 +1016,12 @@ object Hdf5 {
       }
     }
     def parseLayout(p: Long): Layout = {
-      if (u8(p) != 3) fail(label, s"layout message version ${u8(p)} out of scope (3)")
-      u8(p + 1) match {
-        case 1 => Contiguous(u64(p + 2), u64(p + 10))
-        case 2 =>
+      val ver = u8(p)
+      if (ver != 3 && ver != 4)
+        fail(label, s"layout message version $ver out of scope (3 / 4)")
+      (ver, u8(p + 1)) match {
+        case (3, 1) => Contiguous(u64(p + 2), u64(p + 10))
+        case (3, 2) =>
           val nd = u8(p + 2) // rank + 1 (element dimension)
           if (nd < 2 || nd > 5) fail(label, s"chunk dimensionality $nd out of scope")
           val addr = u64(p + 3)
@@ -833,8 +1031,41 @@ object Hdf5 {
           if (dims.map(BigInt(_)).product > MaxCells)
             fail(label, s"chunk cell count ${dims.product} exceeds the 2^26 cap")
           Chunked(addr, dims.map(_.toInt), elem.toInt)
-        case 0 => fail(label, "compact layout out of scope (contiguous / chunked)")
-        case c => fail(label, s"layout class $c out of scope")
+        case (4, 1) => Contiguous(u64(p + 2), u64(p + 10))
+        case (4, 2) =>
+          // v4 chunked (the LIBVER_LATEST shape): flags, dimensionality
+          // incl. the element dim, per-dim encoded length, then the
+          // chunk index type + its creation info + index address
+          val flags = u8(p + 2)
+          if ((flags & ~0x3) != 0) fail(label, s"layout v4 flags $flags out of scope")
+          val nd = u8(p + 3)
+          if (nd < 2 || nd > 5) fail(label, s"chunk dimensionality $nd out of scope")
+          val encLen = u8(p + 4)
+          if (encLen != 1 && encLen != 2 && encLen != 4 && encLen != 8)
+            fail(label, s"dimension-size encoded length $encLen out of scope")
+          def dimAt(k: Int): Long = encLen match {
+            case 1 => u8(p + 5 + encLen.toLong * k).toLong
+            case 2 => u16(p + 5 + encLen.toLong * k).toLong
+            case 4 => u32(p + 5 + encLen.toLong * k)
+            case _ => u64(p + 5 + encLen.toLong * k)
+          }
+          val dims = Seq.tabulate(nd - 1)(dimAt)
+          val elem = dimAt(nd - 1)
+          dims.foreach(d => if (d < 1 || d > Int.MaxValue) fail(label, s"chunk dim $d out of range"))
+          if (dims.map(BigInt(_)).product > MaxCells)
+            fail(label, s"chunk cell count ${dims.product} exceeds the 2^26 cap")
+          val q = p + 5 + encLen.toLong * nd
+          u8(q) match {
+            case 3 => // fixed array: page bits (creation info) + address
+              ChunkedFixedArray(u64(q + 2), dims.map(_.toInt), elem.toInt)
+            case 1 => fail(label, "v4 single-chunk index out of scope (fixed array)")
+            case 2 => fail(label, "v4 implicit chunk index out of scope (fixed array)")
+            case 4 => fail(label, "v4 extensible-array chunk index out of scope (fixed array)")
+            case 5 => fail(label, "v4 v2-B-tree chunk index out of scope (fixed array)")
+            case t => fail(label, s"v4 chunk index type $t out of scope")
+          }
+        case (_, 0) => fail(label, "compact layout out of scope (contiguous / chunked)")
+        case (_, c) => fail(label, s"layout class $c out of scope")
       }
     }
     def parseFilters(p: Long): Seq[Filter] = {
@@ -1049,11 +1280,134 @@ object Hdf5 {
       }
     }
 
-    /** Dense (fractal-heap) link storage — out of scope until the
-      * fractal-heap walk lands; loud reject with a pointer.
+    /** DENSE (fractal-heap) link storage — the above-max_compact
+      * libver-1.8+ group shape: a "FRHP" fractal heap whose root is a
+      * single checksummed DIRECT block holds the link message bodies
+      * as managed objects; a name-hash v2 B-tree ("BTHD" + "BTLF")
+      * enumerates them. Every checksum (header, direct block, B-tree
+      * nodes) is lookup3-VERIFIED and each record's stored hash must
+      * equal lookup3 of the link name it resolves to. Root INDIRECT
+      * blocks, filtered heaps, non-7-byte heap IDs and deep B-trees
+      * reject loudly with pointers.
       */
-    def denseGroupEntries(linkInfoP: Long): Seq[(String, Long)] =
-      fail(label, "dense fractal-heap link storage out of scope")
+    def denseGroupEntries(linkInfoP: Long): Seq[(String, Long)] = {
+      val liFlags = u8(linkInfoP + 1)
+      var q = linkInfoP + 2
+      if ((liFlags & 0x01) != 0) q += 8 // max creation index
+      val fheap = u64(q)
+      val nameBt = u64(q + 8)
+      if (nameBt == Undef)
+        fail(label, "dense group without a name-index v2 B-tree")
+      // ---- fractal heap header
+      if (sig4(b, fheap, label) != "FRHP")
+        fail(label, "fractal heap signature missing")
+      if (u8(fheap + 4) != 0)
+        fail(label, s"fractal heap version ${u8(fheap + 4)} out of scope (0)")
+      val idLen = u16(fheap + 5)
+      if (idLen != 7)
+        fail(label, s"fractal heap ID length $idLen out of scope (7 — the dense-link shape)")
+      if (u16(fheap + 7) != 0)
+        fail(label, "filtered fractal heap out of scope")
+      val hflags = u8(fheap + 9)
+      val maxManaged = u32(fheap + 10)
+      val nManaged = u64(fheap + 70)
+      val startBlock = u64(fheap + 112)
+      val maxHeapBits = u16(fheap + 128)
+      if ((maxHeapBits + 7) / 8 != 4)
+        fail(label, s"heap-space offset width ${(maxHeapBits + 7) / 8} out of scope (4)")
+      val rootBlock = u64(fheap + 132)
+      if (u16(fheap + 140) != 0)
+        fail(label, "fractal heap with a root INDIRECT block out of scope " +
+          "(single direct block)")
+      if (fheap + 146 > b.length) fail(label, "fractal heap header outside the file")
+      val storedHk = u32(fheap + 142)
+      val computedHk = lookup3(b, fheap.toInt, 142).toLong & 0xffffffffL
+      if (storedHk != computedHk)
+        fail(label, f"FRHP checksum mismatch (stored 0x$storedHk%08x, " +
+          f"computed 0x$computedHk%08x)")
+      if (startBlock < 32 || startBlock > (1 << 20))
+        fail(label, s"implausible fractal heap block size $startBlock")
+      val blockSize = startBlock.toInt
+      // ---- root direct block
+      if (rootBlock < 0 || rootBlock + blockSize > b.length)
+        fail(label, "fractal heap direct block outside the file")
+      if (sig4(b, rootBlock, label) != "FHDB")
+        fail(label, "fractal heap direct block signature missing")
+      if (u8(rootBlock + 4) != 0)
+        fail(label, s"direct block version ${u8(rootBlock + 4)} out of scope (0)")
+      if (u64(rootBlock + 5) != fheap)
+        fail(label, "direct block does not point back at its heap header")
+      if (u32(rootBlock + 13) != 0)
+        fail(label, "root direct block offset is not 0")
+      val dblkHdr = 4 + 1 + 8 + 4 + (if ((hflags & 0x02) != 0) 4 else 0)
+      if ((hflags & 0x02) != 0) {
+        // checksum over the WHOLE block with its checksum field zeroed
+        val img = java.util.Arrays.copyOfRange(b, rootBlock.toInt,
+          rootBlock.toInt + blockSize)
+        val stored = (img(17) & 0xffL) | ((img(18) & 0xffL) << 8) |
+          ((img(19) & 0xffL) << 16) | ((img(20) & 0xffL) << 24)
+        java.util.Arrays.fill(img, 17, 21, 0.toByte)
+        val computed = lookup3(img, 0, blockSize).toLong & 0xffffffffL
+        if (stored != computed)
+          fail(label, f"FHDB checksum mismatch (stored 0x$stored%08x, " +
+            f"computed 0x$computed%08x)")
+      }
+      // ---- name-index v2 B-tree (type 5: links by name hash)
+      if (sig4(b, nameBt, label) != "BTHD")
+        fail(label, "v2 B-tree header signature missing")
+      if (u8(nameBt + 4) != 0)
+        fail(label, s"v2 B-tree version ${u8(nameBt + 4)} out of scope (0)")
+      if (nameBt + 38 > b.length) fail(label, "v2 B-tree header outside the file")
+      // checksum FIRST — no header field is interpreted before it holds
+      val storedBk = u32(nameBt + 34)
+      val computedBk = lookup3(b, nameBt.toInt, 34).toLong & 0xffffffffL
+      if (storedBk != computedBk)
+        fail(label, f"BTHD checksum mismatch (stored 0x$storedBk%08x, " +
+          f"computed 0x$computedBk%08x)")
+      if (u8(nameBt + 5) != 5)
+        fail(label, s"v2 B-tree type ${u8(nameBt + 5)} where the link name index belongs")
+      if (u16(nameBt + 10) != 11)
+        fail(label, s"v2 B-tree record size ${u16(nameBt + 10)} out of scope (11)")
+      if (u16(nameBt + 12) != 0)
+        fail(label, "deep dense-link B-tree out of scope (root leaf only)")
+      val leafAddr = u64(nameBt + 16)
+      val nRec = u16(nameBt + 24)
+      if (u64(nameBt + 26) != nRec)
+        fail(label, "v2 B-tree total record count disagrees with its root")
+      if (nRec.toLong != nManaged)
+        fail(label, s"name index holds $nRec records, heap holds $nManaged objects")
+      if (nRec > 4096) fail(label, s"implausible dense link count $nRec")
+      // ---- leaf records -> heap objects -> link messages
+      if (sig4(b, leafAddr, label) != "BTLF")
+        fail(label, "v2 B-tree leaf signature missing")
+      if (u8(leafAddr + 4) != 0 || u8(leafAddr + 5) != 5)
+        fail(label, "v2 B-tree leaf version/type out of scope")
+      val leafLen = 6 + 11L * nRec
+      val storedLk = u32(leafAddr + leafLen)
+      val computedLk = lookup3(b, leafAddr.toInt, leafLen.toInt).toLong & 0xffffffffL
+      if (storedLk != computedLk)
+        fail(label, f"BTLF checksum mismatch (stored 0x$storedLk%08x, " +
+          f"computed 0x$computedLk%08x)")
+      (0 until nRec).map { k =>
+        val r = leafAddr + 6 + 11L * k
+        val hash = u32(r)
+        if (u8(r + 4) != 0)
+          fail(label, s"heap ID version/type ${u8(r + 4)} out of scope (managed v0)")
+        val off = u32(r + 5)
+        val len = u16(r + 9)
+        if (len > maxManaged)
+          fail(label, s"heap object length $len exceeds the declared max $maxManaged")
+        if (off < dblkHdr || off + len > blockSize)
+          fail(label, s"heap object [$off,+$len) outside the direct block")
+        val (name, addr) = parseLinkMsg(rootBlock + off)
+        val nb2 = name.getBytes("UTF-8")
+        val computed = lookup3(nb2, 0, nb2.length).toLong & 0xffffffffL
+        if (computed != hash)
+          fail(label, f"link name hash mismatch for '$name' " +
+            f"(stored 0x$hash%08x, computed 0x$computed%08x)")
+        name -> addr
+      }.sortBy(_._1)
+    }
 
     walkGroup(rootAddr, "", 0)
   }
@@ -1084,7 +1438,12 @@ object Hdf5 {
         if (d.filters.nonEmpty)
           fail(label, s"'${d.name}': filters on a contiguous layout out of scope")
         java.util.Arrays.copyOfRange(b, addr.toInt, (addr + size).toInt)
-      case Chunked(btree, chunkDims, elem) =>
+      case _ =>
+        val (chunkDims, elem) = d.layout match {
+          case Chunked(_, cd, e) => (cd, e)
+          case ChunkedFixedArray(_, cd, e) => (cd, e)
+          case Contiguous(_, _) => throw new IllegalStateException("unreachable")
+        }
         if (elem != elemSize)
           fail(label, s"'${d.name}': chunk element size $elem != datatype $elemSize")
         if (chunkDims.length != d.dims.length)
@@ -1124,23 +1483,11 @@ object Hdf5 {
         while (k0 < out.length) { out(k0) = f(k0 % elemSize); k0 += 1 }
         val chunkBytes = chunkDims.map(_.toLong).product * elemSize
         if (chunkBytes > Int.MaxValue) fail(label, s"'${d.name}': chunk too large")
-        def walk(node: Long, depth: Int): Unit = {
-          if (depth > 16) fail(label, "chunk B-tree too deep")
-          if (sig4(b, node, label) != "TREE")
-            fail(label, "chunk B-tree signature missing")
-          if (u8(node + 4) != 1) fail(label, "group node in a chunk B-tree")
-          val level = u8(node + 5)
-          val n = u16(node + 6)
-          val keyLen = 8 + 8L * (chunkDims.length + 1)
-          var p = node + 24
-          for (_ <- 0 until n) {
-            val storedSize = u32(p)
-            val mask = u32(p + 4)
-            if (mask != 0) fail(label, "per-chunk filter masks out of scope")
-            val offs = Seq.tabulate(chunkDims.length)(k => u64(p + 8 + 8L * k))
-            val child = u64(p + keyLen)
-            if (level > 0) walk(child, depth + 1)
-            else {
+        /** Decode one stored chunk (shared between the v1 B-tree and
+          * fixed-array index walks): reverse the filter pipeline, then
+          * scatter into the dataset lattice.
+          */
+        def decodeChunk(child: Long, storedSize: Long, offs: Seq[Long]): Unit = {
               if (child < 0 || child > b.length || storedSize > b.length - child)
                 fail(label, s"'${d.name}': chunk [$child,+$storedSize) outside the file")
               var raw = java.util.Arrays.copyOfRange(b, child.toInt,
@@ -1181,11 +1528,119 @@ object Hdf5 {
                 fail(label, s"'${d.name}': chunk decodes to ${raw.length} bytes, " +
                   s"expected $chunkBytes")
               placeChunk(out, raw, d.dims, chunkDims, offs, elemSize, label)
-            }
-            p += keyLen + 8
-          }
         }
-        walk(btree, 0)
+
+        d.layout match {
+          case Chunked(btree, _, _) =>
+            def walk(node: Long, depth: Int): Unit = {
+              if (depth > 16) fail(label, "chunk B-tree too deep")
+              if (sig4(b, node, label) != "TREE")
+                fail(label, "chunk B-tree signature missing")
+              if (u8(node + 4) != 1) fail(label, "group node in a chunk B-tree")
+              val level = u8(node + 5)
+              val n = u16(node + 6)
+              val keyLen = 8 + 8L * (chunkDims.length + 1)
+              var p = node + 24
+              for (_ <- 0 until n) {
+                val storedSize = u32(p)
+                val mask = u32(p + 4)
+                if (mask != 0) fail(label, "per-chunk filter masks out of scope")
+                val offs = Seq.tabulate(chunkDims.length)(k => u64(p + 8 + 8L * k))
+                val child = u64(p + keyLen)
+                if (level > 0) walk(child, depth + 1)
+                else decodeChunk(child, storedSize, offs)
+                p += keyLen + 8
+              }
+            }
+            walk(btree, 0)
+
+          case ChunkedFixedArray(fahd, _, _) =>
+            // FIXED ARRAY index (layout v4, the LIBVER_LATEST shape):
+            // "FAHD" header -> "FADB" data block holding one element
+            // per chunk in LINEAR chunk order; both lookup3-VERIFIED.
+            // Client 0 = unfiltered (address only), client 1 =
+            // filtered (address + stored size + filter mask).
+            if (sig4(b, fahd, label) != "FAHD")
+              fail(label, "fixed-array header signature missing")
+            if (u8(fahd + 4) != 0)
+              fail(label, s"fixed-array version ${u8(fahd + 4)} out of scope (0)")
+            val clientId = u8(fahd + 5)
+            if (clientId != 0 && clientId != 1)
+              fail(label, s"fixed-array client ID $clientId out of scope")
+            if (clientId == 0 && d.filters.nonEmpty)
+              fail(label, s"'${d.name}': unfiltered fixed array under a filter pipeline")
+            if (clientId == 1 && d.filters.isEmpty)
+              fail(label, s"'${d.name}': filtered fixed array without a filter pipeline")
+            val entrySize = u8(fahd + 6)
+            val pageBits = u8(fahd + 7)
+            val maxEntries = u64(fahd + 8)
+            val dbAddr = u64(fahd + 16)
+            if (fahd + 28 > b.length) fail(label, "fixed-array header outside the file")
+            val storedCk = u32(fahd + 24)
+            val computedCk = lookup3(b, fahd.toInt, 24).toLong & 0xffffffffL
+            if (storedCk != computedCk)
+              fail(label, f"FAHD checksum mismatch (stored 0x$storedCk%08x, " +
+                f"computed 0x$computedCk%08x)")
+            val grid = d.dims.zip(chunkDims).map { case (dim, c) => (dim + c - 1) / c }
+            val nChunks = grid.map(_.toLong).product
+            if (maxEntries != nChunks)
+              fail(label, s"'${d.name}': fixed array holds $maxEntries entries, " +
+                s"chunk grid needs $nChunks")
+            if (pageBits < 1 || pageBits > 20 || maxEntries > (1L << pageBits))
+              fail(label, "paged fixed array out of scope")
+            val szLen = entrySize - 12
+            if (clientId == 1 && (szLen < 1 || szLen > 8))
+              fail(label, s"fixed-array entry size $entrySize out of scope")
+            if (clientId == 0 && entrySize != 8)
+              fail(label, s"fixed-array entry size $entrySize out of scope (8)")
+            val elemsOff = dbAddr + 14
+            val dbLen = 14 + maxEntries * entrySize
+            if (dbAddr < 0 || dbAddr + dbLen + 4 > b.length)
+              fail(label, "fixed-array data block outside the file")
+            if (sig4(b, dbAddr, label) != "FADB")
+              fail(label, "fixed-array data block signature missing")
+            if (u8(dbAddr + 4) != 0)
+              fail(label, s"fixed-array data block version ${u8(dbAddr + 4)} out of scope")
+            if (u8(dbAddr + 5) != clientId)
+              fail(label, "fixed-array data block client ID disagrees with its header")
+            if (u64(dbAddr + 6) != fahd)
+              fail(label, "fixed-array data block does not point back at its header")
+            val storedCk2 = u32(dbAddr + dbLen)
+            val computedCk2 = lookup3(b, dbAddr.toInt, dbLen.toInt).toLong & 0xffffffffL
+            if (storedCk2 != computedCk2)
+              fail(label, f"FADB checksum mismatch (stored 0x$storedCk2%08x, " +
+                f"computed 0x$computedCk2%08x)")
+            var c = 0L
+            while (c < maxEntries) {
+              val e = elemsOff + c * entrySize
+              val addr = u64(e)
+              if (addr != Undef) { // undefined address = unallocated chunk
+                val storedSize =
+                  if (clientId == 0) chunkBytes
+                  else {
+                    var v = 0L
+                    var k = szLen - 1
+                    while (k >= 0) { v = (v << 8) | u8(e + 8 + k); k -= 1 }
+                    v
+                  }
+                if (clientId == 1 && u32(e + 8 + szLen) != 0)
+                  fail(label, "per-chunk filter masks out of scope")
+                // linear index -> chunk coords (row-major over the grid)
+                val offs = new Array[Long](chunkDims.length)
+                var rem = c
+                var k = chunkDims.length - 1
+                while (k >= 0) {
+                  offs(k) = (rem % grid(k)) * chunkDims(k)
+                  rem /= grid(k)
+                  k -= 1
+                }
+                decodeChunk(addr, storedSize, offs.toSeq)
+              }
+              c += 1
+            }
+
+          case Contiguous(_, _) => throw new IllegalStateException("unreachable")
+        }
         out
     }
   }

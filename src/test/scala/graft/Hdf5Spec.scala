@@ -390,6 +390,109 @@ class Hdf5Spec extends SparkSpec {
     }.getMessage should include("both a group and a dataset")
   }
 
+  test("layout v4 fixed-array chunk index: round-trip, checksum rejects, paged reject") {
+    // the LIBVER_LATEST shape: layout message v4, FAHD/FADB fixed
+    // array in linear chunk order, client 1 (filtered chunks)
+    val fields = Seq(
+      field("TMP", t0, 100), field("TMP", t1, 140),
+      field("PRATE", t0, 700, masked = true), field("PRATE", t1, 760, masked = true))
+    for (ohv <- Seq(1, 2)) {
+      val p = Hdf5.writeFile(
+        java.nio.file.Files.createTempDirectory("h5fa").resolve(s"fa$ohv.nc"),
+        fields, chunkJ = 3, chunkI = 5,
+        superblockVersion = if (ohv == 2) 3 else 0,
+        objectHeaderVersion = ohv, layoutVersion = 4)
+      val bytes = java.nio.file.Files.readAllBytes(p)
+      sortRows(Netcdf.records(bytes, s"fa-v$ohv")) shouldBe expectRows(fields)
+      // count path agrees on v4 files too
+      Netcdf.countPresentCells(bytes, "cnt", _ => true) shouldBe
+        expectRows(fields).length.toLong
+    }
+    val bytes = java.nio.file.Files.readAllBytes(Hdf5.writeFile(
+      java.nio.file.Files.createTempDirectory("h5fa").resolve("fa.nc"),
+      fields, chunkJ = 3, chunkI = 5, layoutVersion = 4))
+    def mut(f: Array[Byte] => Unit): IllegalArgumentException = {
+      val c = bytes.clone(); f(c)
+      intercept[IllegalArgumentException](Netcdf.records(c, "mut").toSeq)
+    }
+    def find(sig: String): Int = bytes.indices.find(q =>
+      q + 4 <= bytes.length && sig.indices.forall(k => bytes(q + k) == sig(k))).get
+    // a flipped byte inside the FAHD header must trip its checksum
+    val fahd = find("FAHD")
+    mut(c => c(fahd + 8) = (c(fahd + 8) ^ 0x01).toByte)
+      .getMessage should include("FAHD checksum mismatch")
+    // same for the FADB data block (flip one element byte)
+    val fadb = find("FADB")
+    mut(c => c(fadb + 20) = (c(fadb + 20) ^ 0x01).toByte)
+      .getMessage should include("FADB checksum mismatch")
+    // a paged fixed array (page bits too small for the entries) rejects;
+    // page bits live at FAHD+7 and are checksummed — fix the checksum up
+    mut { c =>
+      c(fahd + 7) = 1 // 2 entries/page < 8 chunks
+      val ck = Hdf5.lookup3(c, fahd, 24)
+      for (k <- 0 until 4) c(fahd + 24 + k) = ((ck >>> (8 * k)) & 0xff).toByte
+    }.getMessage should include("paged fixed array out of scope")
+    // an index type the reader does not implement rejects with a name:
+    // patch the layout message's index-type byte (3 -> 4) in both the
+    // TMP and PRATE headers (extensible array)
+    val pat = Array[Byte](4, 0, 0, 0, 0, 0, 0, 0, 3, 10) // elemsize-4 u64, type 3, page bits 10
+    val hits = bytes.indices.filter(q => q + pat.length < bytes.length &&
+      pat.indices.forall(k => bytes(q + k) == pat(k)))
+    hits should have size 2
+    mut(c => hits.foreach(q => c(q + 8) = 4))
+      .getMessage should include("extensible-array chunk index out of scope")
+  }
+
+  test("dense fractal-heap links: round-trip, grouped, checksum + hash rejects") {
+    // enough variables that dense storage is the natural libhdf5 shape
+    val vars = Seq("TMP", "PRATE", "DEW", "GUST", "VGRD", "UGRD",
+      "RH", "SNOD", "obs/CAPE", "obs/CIN")
+    val fields = for (v <- vars; (t, m) <- Seq(t0 -> 0, t1 -> 1))
+      yield field(v, t, 50 * (vars.indexOf(v) + 1) + 40 * m,
+        masked = vars.indexOf(v) % 3 == 1)
+    val p = Hdf5.writeFile(
+      java.nio.file.Files.createTempDirectory("h5dn").resolve("dn.nc"),
+      fields, chunkJ = 3, chunkI = 5, superblockVersion = 3,
+      objectHeaderVersion = 2, denseLinks = true)
+    val bytes = java.nio.file.Files.readAllBytes(p)
+    // every variable (incl. the grouped two, through a DENSE subgroup)
+    // round-trips cell-for-cell
+    sortRows(Netcdf.records(bytes, "dense")) shouldBe expectRows(fields)
+    // pruning by name works off the dense index too
+    Netcdf.records(bytes, "keep", _ == "obs/CAPE").map(_.variable).toSet shouldBe
+      Set("obs/CAPE")
+    def mut(f: Array[Byte] => Unit): IllegalArgumentException = {
+      val c = bytes.clone(); f(c)
+      intercept[IllegalArgumentException](Netcdf.records(c, "mut").toSeq)
+    }
+    def find(sig: String): Int = bytes.indices.find(q =>
+      q + 4 <= bytes.length && sig.indices.forall(k => bytes(q + k) == sig(k))).get
+    // each structure's checksum trips on a single flipped byte
+    mut(c => c(find("FRHP") + 10) = (c(find("FRHP") + 10) ^ 1).toByte)
+      .getMessage should include("FRHP checksum mismatch")
+    mut(c => c(find("FHDB") + 30) = (c(find("FHDB") + 30) ^ 1).toByte)
+      .getMessage should include("FHDB checksum mismatch")
+    // any flipped header byte trips the checksum (verified FIRST)...
+    mut(c => c(find("BTHD") + 24) = (c(find("BTHD") + 24) ^ 1).toByte)
+      .getMessage should include("BTHD checksum mismatch")
+    // ...and a WELL-CHECKSUMMED wrong record size still rejects loudly
+    mut { c =>
+      val bt = find("BTHD")
+      c(bt + 10) = 13
+      val ck = Hdf5.lookup3(c, bt, 34)
+      for (k <- 0 until 4) c(bt + 34 + k) = ((ck >>> (8 * k)) & 0xff).toByte
+    }.getMessage should include("out of scope (11)")
+    // a record's stored hash must match the name it resolves to:
+    // flip a hash byte AND fix the leaf checksum up
+    mut { c =>
+      val lf = find("BTLF")
+      c(lf + 6) = (c(lf + 6) ^ 1).toByte
+      val n = bytes(find("BTHD") + 24) & 0xff
+      val ck = Hdf5.lookup3(c, lf, 6 + 11 * n)
+      for (k <- 0 until 4) c(lf + 6 + 11 * n + k) = ((ck >>> (8 * k)) & 0xff).toByte
+    }.getMessage should include("link name hash mismatch")
+  }
+
   test("OCHK continuation blocks: round-trip, checksum reject, cycle reject") {
     val fields = Seq(field("TMP", t0, 100),
       field("PRATE", t0, 700, masked = true))
