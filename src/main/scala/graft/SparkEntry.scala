@@ -1516,6 +1516,21 @@ object SparkEntry {
     * thousand keys is pure fixed overhead (~1 s/query measured). The same
     * sizing lever as at 100 TB, pointed the other way.
     */
+  /** Shuffle-partition count for the streaming gates. Stateful
+    * operators pay a per-partition-per-batch state-store commit (and
+    * stream-stream joins keep FOUR stores per partition), so at
+    * local[32] micro-batch floors scale with this number while the
+    * data term is tiny — the SCALE.md w-family profile measured the
+    * family 89% floor at sf0.1. Measured at sf0.1 (SCALE.md round-13):
+    * 8 -> 95.4 s, 4 -> 88.1 s, 2 -> 86.3 s over the 26 gates, the gain
+    * concentrated in the stream-stream joins — 4 is the local default;
+    * on a real cluster raise it via SPARK_GRAFT_STREAM_PARTITIONS to
+    * match executor parallelism; results are partition-count invariant
+    * (hash-partitioned state).
+    */
+  private lazy val streamingShufflePartitions: Int =
+    sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS").map(_.toInt).getOrElse(4)
+
   private def withStreamingPartitions[A](s: SparkSession, n: Int)(body: => A): A = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
@@ -1554,7 +1569,7 @@ object SparkEntry {
     val binSchema = StructType(Seq(
       StructField("path", StringType), StructField("modificationTime", TimestampType),
       StructField("length", LongType), StructField("content", BinaryType)))
-    withStreamingPartitions(s, 8) {
+    withStreamingPartitions(s, streamingShufflePartitions) {
       import org.apache.spark.sql.Encoders
       val stream = s.readStream.format("binaryFile").schema(binSchema)
         .load(land.toString)
@@ -1609,7 +1624,7 @@ object SparkEntry {
     val binSchema = StructType(Seq(
       StructField("path", StringType), StructField("modificationTime", TimestampType),
       StructField("length", LongType), StructField("content", BinaryType)))
-    withStreamingPartitions(s, 8) {
+    withStreamingPartitions(s, streamingShufflePartitions) {
       import org.apache.spark.sql.Encoders
       val stream = s.readStream.format("binaryFile").schema(binSchema)
         .load(land.toString)
@@ -1641,7 +1656,7 @@ object SparkEntry {
       $"event_id", $"ts".cast("timestamp").as("ts"), $"user_id", $"event_type", $"value")
     events.write.mode("overwrite").parquet(s"$tmp/landing")
     val stream = s.readStream.schema(events.schema).parquet(s"$tmp/landing")
-    withStreamingPartitions(s, 8) {
+    withStreamingPartitions(s, streamingShufflePartitions) {
       val q = graft.streaming.EventStream.tumblingHourly(stream)
         .writeStream
         .format("parquet")
@@ -1676,7 +1691,7 @@ object SparkEntry {
     val dim = t(s, d)("nation").select($"n_nationkey", $"n_name")
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$tmp/landing")
-    withStreamingPartitions(s, 8) {
+    withStreamingPartitions(s, streamingShufflePartitions) {
       val q = stream
         .withColumn("n_nationkey", pmod($"user_id", lit(25L)))
         .join(broadcast(dim), Seq("n_nationkey"))
@@ -1709,7 +1724,7 @@ object SparkEntry {
     events.write.mode("append").parquet(s"$tmp/landing")
     events.write.mode("append").parquet(s"$tmp/landing")
     val stream = s.readStream.schema(events.schema).parquet(s"$tmp/landing")
-    withStreamingPartitions(s, 8) {
+    withStreamingPartitions(s, streamingShufflePartitions) {
       val q = graft.streaming.EventStream.dedupeEvents(stream)
         .writeStream
         .format("parquet")
@@ -1784,7 +1799,7 @@ object SparkEntry {
     docs.where($"doc_id" % 2 =!= 0).coalesce(1).write.mode("append").parquet(s"$tmp/landing")
     val stream = s.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$tmp/landing")
-    withStreamingPartitions(s, 8) {
+    withStreamingPartitions(s, streamingShufflePartitions) {
       val q = TextAnalysis.qualityFunnel(stream)
         .writeStream
         .format("memory")
@@ -1824,7 +1839,7 @@ object SparkEntry {
       .write.mode("append").parquet(s"$tmp/landing")
     val stream = s.readStream.schema(events.schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$tmp/landing")
-    withStreamingPartitions(s, 8) {
+    withStreamingPartitions(s, streamingShufflePartitions) {
       val q = stream.groupBy($"event_type")
         .agg(theta_sketch_agg($"user_id").as("sketch"))
         .select($"event_type",
@@ -1874,7 +1889,7 @@ object SparkEntry {
     val stream = s.readStream.schema(events.schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$tmp/landing")
     val mg = operators.Sketches.mgCounters(2048)
-    withStreamingPartitions(s, 8) {
+    withStreamingPartitions(s, streamingShufflePartitions) {
       val q = stream.groupBy($"event_type")
         .agg(mg($"user_id".cast("string")).as("counters"))
         .writeStream
@@ -1946,7 +1961,7 @@ object SparkEntry {
     val schema = landEventsSliced(s, d, tmp)
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$tmp/landing")
-    withStreamingPartitions(s, 8) {
+    withStreamingPartitions(s, streamingShufflePartitions) {
       val q = graft.streaming.EventStream
         .sessionizeStateful(
           stream.as[graft.streaming.Event](
@@ -1983,7 +1998,7 @@ object SparkEntry {
     val schema = landEventsSliced(s, d, tmp)
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$tmp/landing")
-    withStreamingPartitions(s, 8) {
+    withStreamingPartitions(s, streamingShufflePartitions) {
       val q = graft.streaming.EventStream
         .gapDetectStateful(
           stream.as[graft.streaming.Event](
@@ -2028,7 +2043,7 @@ object SparkEntry {
     val schema = landEventsSliced(s, d, tmp)
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$tmp/landing")
-    withStreamingPartitions(s, 8) {
+    withStreamingPartitions(s, streamingShufflePartitions) {
       val q = graft.streaming.EventStream.funnelStateful(
           stream.as[graft.streaming.Event](
             org.apache.spark.sql.Encoders.product[graft.streaming.Event]))
@@ -2054,7 +2069,7 @@ object SparkEntry {
     val schema = landEventsSliced(s, d, tmp)
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$tmp/landing")
-    withStreamingPartitions(s, 8) {
+    withStreamingPartitions(s, streamingShufflePartitions) {
       val q = graft.streaming.EventStream
         .attributionStateful(
           stream.as[graft.streaming.Event](
@@ -2110,7 +2125,7 @@ object SparkEntry {
       .option("maxFilesPerTrigger", 1).parquet(s"$tmp/landing")
     val clicks = src().where($"event_type" === "click")
     val purchases = src().where($"event_type" === "purchase")
-    withStreamingPartitions(s, 8) {
+    withStreamingPartitions(s, streamingShufflePartitions) {
       val joined =
         if (full) graft.streaming.EventStream
           .recentPurchaseJoinFull(clicks, purchases, "2 hours", 1800)
@@ -2368,7 +2383,7 @@ object SparkEntry {
     }
     val stream = s.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", 1).parquet(landing.toString)
-    withStreamingPartitions(s, 8) {
+    withStreamingPartitions(s, streamingShufflePartitions) {
       val q = stream.writeStream
         .foreachBatch(sink)
         .option("checkpointLocation", s"$tmp/ckpt")
@@ -2413,7 +2428,7 @@ object SparkEntry {
     val stream = s.readStream.schema(
         log.schema)
       .option("maxFilesPerTrigger", 1).parquet(landing.toString)
-    withStreamingPartitions(s, 8) {
+    withStreamingPartitions(s, streamingShufflePartitions) {
       val q = stream.writeStream
         .foreachBatch(sink)
         .option("checkpointLocation", s"$tmp/ckpt")
@@ -2441,7 +2456,7 @@ object SparkEntry {
       snapDir)
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$tmp/landing")
-    withStreamingPartitions(s, 8) {
+    withStreamingPartitions(s, streamingShufflePartitions) {
       val q = graft.streaming.EventStream.patternMatchStateful(
           stream.as[graft.streaming.Event](
             org.apache.spark.sql.Encoders.product[graft.streaming.Event]),
@@ -2481,7 +2496,7 @@ object SparkEntry {
       graft.streaming.SnapshotUpsert.applyBatch(snapDir, "doc_id")
     val stream = s.readStream.schema(ch1.schema)
       .option("maxFilesPerTrigger", 1).parquet(landing.toString)
-    withStreamingPartitions(s, 8) {
+    withStreamingPartitions(s, streamingShufflePartitions) {
       val q = stream.writeStream
         .foreachBatch(sink)
         .option("checkpointLocation", s"$tmp/ckpt")
@@ -2530,7 +2545,7 @@ object SparkEntry {
       graft.streaming.SnapshotUpsert.applyAggBatch(mvDir, "o_custkey")
     val stream = s.readStream.schema(delta.schema)
       .option("maxFilesPerTrigger", 1).parquet(landing.toString)
-    withStreamingPartitions(s, 8) {
+    withStreamingPartitions(s, streamingShufflePartitions) {
       val q = stream.writeStream
         .foreachBatch(sink)
         .option("checkpointLocation", s"$tmp/ckpt")
@@ -2573,7 +2588,7 @@ object SparkEntry {
       graft.streaming.SnapshotUpsert.applyScd2Batch(dimDir, "custkey")
     val stream = s.readStream.schema(ch.schema)
       .option("maxFilesPerTrigger", 1).parquet(landing.toString)
-    withStreamingPartitions(s, 8) {
+    withStreamingPartitions(s, streamingShufflePartitions) {
       val q = stream.writeStream
         .foreachBatch(sink)
         .option("checkpointLocation", s"$tmp/ckpt")
