@@ -7,8 +7,14 @@ SF=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}
 # an artifact that could be mistaken for the committed quiet sweep.
 # Override with SPARK_GRAFT_BENCH_FORCE=1 (the JSON still self-describes
 # via loadavg_start/quiet, so a forced run can never masquerade).
+# Multi-sweep mode skips this ENTRY refusal: the sweep loop below
+# WAITS (bounded) for the load to decay before every sweep, which is
+# what a back-to-back leg sequence needs — a refusal here would kill a
+# whole bench program because the PREVIOUS leg's threads are still in
+# the 1-minute loadavg.
 LOAD=$(cut -d' ' -f1 /proc/loadavg 2>/dev/null || echo 0)
-if [ "${SPARK_GRAFT_BENCH_FORCE:-0}" != "1" ] && \
+if [ "${SPARK_GRAFT_SWEEPS:-1}" -le 1 ] && \
+   [ "${SPARK_GRAFT_BENCH_FORCE:-0}" != "1" ] && \
    awk "BEGIN{exit !($LOAD > 1.0)}"; then
   echo "run_bench.sh: refusing to bench at loadavg $LOAD (> 1.0)." >&2
   echo "Wait for the box to go quiet or set SPARK_GRAFT_BENCH_FORCE=1." >&2
