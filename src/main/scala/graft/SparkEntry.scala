@@ -974,6 +974,30 @@ object SparkEntry {
       objectHeaderVersion = 2, layoutVersion = 4).toString
   }
 
+  /** r83 fixture: layout v4 with the SINGLE CHUNK index (type 1) —
+    * what h5py emits under libver='latest' when the dataset fits one
+    * chunk: one time step, chunk = whole grid, address/size/mask in
+    * the layout message itself (no index structure on disk).
+    */
+  private lazy val netcdf4SingleChunkFixturePath: String = {
+    import java.time.LocalDateTime
+    val params = Seq(("TMP", 0, false), ("PRATE", 1, true))
+    val fields = params.map { case (v, pidx, masked) =>
+      sources.Netcdf.Field(v, LocalDateTime.of(2013, 5, 7, 6, 0),
+        g3Ni, g3Nj, g3La1, g3Lo1, g3Di, g3Dj, decimalScale = 1,
+        Array.tabulate(g3Nj * g3Ni) { k =>
+          val j = k / g3Ni; val i = k % g3Ni
+          if (masked && (i * 3 + j * 5) % 11 == 7) None
+          else Some((i * 37 + j * 41 + pidx * 73) % 1080 + pidx * 450)
+        })
+    }
+    sources.Hdf5.writeFile(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft-nc", "fix4sc.nc"),
+      fields, chunkJ = g3Nj, chunkI = g3Ni, superblockVersion = 3,
+      objectHeaderVersion = 2, layoutVersion = 4).toString
+  }
+
   /** r56 fixtures: zstd chunks in the three wire shapes real stores
     * ship — a v2 store with numcodecs `{"id":"zstd"}` raw frames, a V3
     * store with the `zstd` codec (the zarr v3 default), and a v2 store
@@ -3133,6 +3157,11 @@ object SparkEntry {
     // LIBVER_LATEST shape h5py emits
     "r82_netcdf4_fixed_array" -> ((s, _) =>
       sources.Netcdf.readRecords(s, Seq(netcdf4FixedArrayFixturePath))
+        .orderBy($"variable", $"time", $"lat", $"lon")),
+    // layout v4 SINGLE CHUNK index: the whole dataset is one filtered
+    // chunk, addressed by the layout message itself
+    "r83_netcdf4_single_chunk" -> ((s, _) =>
+      sources.Netcdf.readRecords(s, Seq(netcdf4SingleChunkFixturePath))
         .orderBy($"variable", $"time", $"lat", $"lon")),
     // the DSv2 face of the netCDF reader: spark.read.format("netcdf")
     // with variable = 'TMP' PUSHED to the metadata walk — the pruned
@@ -7382,6 +7411,18 @@ object SparkEntry {
                 ((i * 29 + j * 31 + pidx * 83 + m * 19) % 1150 + pidx * 600) / 10.0 AS value
          FROM p CROSS JOIN t CROSS JOIN ii CROSS JOIN jj
          WHERE NOT (masked = 1 AND (i + j * 4 + m) % 15 = 10)
+         ORDER BY variable, time, lat, lon""",
+    // the single-chunk twin: one filtered chunk, no index structure
+    "r83_netcdf4_single_chunk" ->
+      s"""WITH p(pidx, variable, masked) AS (VALUES (0, 'TMP', 0), (1, 'PRATE', 1)),
+         ii AS (SELECT unnest(generate_series(0, ${g3Ni - 1})) AS i),
+         jj AS (SELECT unnest(generate_series(0, ${g3Nj - 1})) AS j)
+         SELECT variable, TIMESTAMP '2013-05-07 06:00:00' AS time,
+                ($g3La1 - j * $g3Dj) / 1000000.0 AS lat,
+                (($g3Lo1) + i * $g3Di) / 1000000.0 AS lon,
+                ((i * 37 + j * 41 + pidx * 73) % 1080 + pidx * 450) / 10.0 AS value
+         FROM p CROSS JOIN ii CROSS JOIN jj
+         WHERE NOT (masked = 1 AND (i * 3 + j * 5) % 11 = 7)
          ORDER BY variable, time, lat, lon""",
     // netCDF-4 legs regenerated closed-form: the engine recovered every
     // cell through the HDF5 container (B-tree chunk index, shuffle+

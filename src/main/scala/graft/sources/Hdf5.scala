@@ -45,7 +45,8 @@ import scala.collection.mutable.ArrayBuffer
   *    fractal-heap link storage — FRHP/FHDB + name-hash v2 B-tree,
   *    every checksum verified), datasets exposed as `group/name`;
   *  - data layout v4 with the FIXED ARRAY chunk index (FAHD/FADB,
-  *    lookup3-verified) — the LIBVER_LATEST shape h5py emits.
+  *    lookup3-verified) and the SINGLE CHUNK index (type 1) — the
+  *    LIBVER_LATEST shapes h5py emits.
   *
   * Out of scope, rejecting loudly with a pointer: root indirect
   * fractal-heap blocks and deep link B-trees, v4 implicit/extensible-
@@ -86,6 +87,15 @@ object Hdf5 {
     */
   final case class ChunkedFixedArray(fahdAddr: Long, chunkDims: Seq[Int],
                                      elemSize: Int) extends Layout
+  /** Layout v4 SINGLE CHUNK index (type 1): the dataset fits one
+    * chunk, so the layout message itself carries the chunk address
+    * (plus stored size + filter mask when filtered) — no index
+    * structure at all. `storedSize` < 0 means unfiltered (the chunk
+    * is exactly `chunkDims` × element size on disk).
+    */
+  final case class ChunkedSingle(addr: Long, storedSize: Long,
+                                 chunkDims: Seq[Int],
+                                 elemSize: Int) extends Layout
 
   final case class Filter(id: Int, cvals: Seq[Int])
 
@@ -479,7 +489,13 @@ object Hdf5 {
         stored.foreach(out += _)
         (Seq(r.toLong, (cj * chunkJ).toLong, (ci * chunkI).toLong), addr, stored.length)
       }
-      if (layoutVersion == 4) {
+      if (layoutVersion == 4 && entries.length == 1) {
+        // SINGLE CHUNK index (v4 type 1): the whole dataset is one
+        // filtered chunk — its address/size/mask live in the layout
+        // message itself, no index structure on disk
+        val (_, addr, size) = entries.head
+        ChunkedSingle(addr, size.toLong, Seq(1, chunkJ, chunkI), dataElemSize)
+      } else if (layoutVersion == 4) {
         // FIXED ARRAY chunk index (the LIBVER_LATEST shape): "FADB"
         // data block holding one element per chunk in LINEAR chunk
         // order (client ID 1 = filtered chunks: address + stored size
@@ -552,6 +568,16 @@ object Hdf5 {
           dims.foreach(d => b64(b, d.toLong)); b64(b, elem.toLong)
           b8(b, 3) // chunk index type: fixed array
           b8(b, 10) // page bits (creation parameter, mirrored in FAHD)
+          b64(b, addr)
+        case ChunkedSingle(addr, size, dims, elem) =>
+          b8(b, 4); b8(b, 2) // layout v4, class chunked
+          b8(b, 2) // flags: SINGLE_INDEX_WITH_FILTER
+          b8(b, dims.length + 1)
+          b8(b, 8)
+          dims.foreach(d => b64(b, d.toLong)); b64(b, elem.toLong)
+          b8(b, 1) // chunk index type: single chunk
+          b64(b, size) // filtered chunk size
+          b32(b, 0) // filter mask
           b64(b, addr)
       }
     }
@@ -1058,10 +1084,17 @@ object Hdf5 {
           u8(q) match {
             case 3 => // fixed array: page bits (creation info) + address
               ChunkedFixedArray(u64(q + 2), dims.map(_.toInt), elem.toInt)
-            case 1 => fail(label, "v4 single-chunk index out of scope (fixed array)")
-            case 2 => fail(label, "v4 implicit chunk index out of scope (fixed array)")
-            case 4 => fail(label, "v4 extensible-array chunk index out of scope (fixed array)")
-            case 5 => fail(label, "v4 v2-B-tree chunk index out of scope (fixed array)")
+            case 1 => // single chunk: the layout message IS the index
+              if ((flags & 0x02) != 0) { // SINGLE_INDEX_WITH_FILTER
+                val size = u64(q + 1)
+                if (u32(q + 9) != 0)
+                  fail(label, "per-chunk filter masks out of scope")
+                ChunkedSingle(u64(q + 13), size, dims.map(_.toInt), elem.toInt)
+              } else
+                ChunkedSingle(u64(q + 1), -1L, dims.map(_.toInt), elem.toInt)
+            case 2 => fail(label, "v4 implicit chunk index out of scope (single chunk / fixed array)")
+            case 4 => fail(label, "v4 extensible-array chunk index out of scope (single chunk / fixed array)")
+            case 5 => fail(label, "v4 v2-B-tree chunk index out of scope (single chunk / fixed array)")
             case t => fail(label, s"v4 chunk index type $t out of scope")
           }
         case (_, 0) => fail(label, "compact layout out of scope (contiguous / chunked)")
@@ -1442,6 +1475,7 @@ object Hdf5 {
         val (chunkDims, elem) = d.layout match {
           case Chunked(_, cd, e) => (cd, e)
           case ChunkedFixedArray(_, cd, e) => (cd, e)
+          case ChunkedSingle(_, _, cd, e) => (cd, e)
           case Contiguous(_, _) => throw new IllegalStateException("unreachable")
         }
         if (elem != elemSize)
@@ -1638,6 +1672,22 @@ object Hdf5 {
               }
               c += 1
             }
+
+          case ChunkedSingle(addr, storedSize0, _, _) =>
+            // SINGLE CHUNK (v4 type 1): the dataset must genuinely fit
+            // one chunk; the filtered flag must agree with the
+            // dataset's filter pipeline
+            d.dims.zip(chunkDims).foreach { case (dim, c) =>
+              if (dim > c)
+                fail(label, s"'${d.name}': single-chunk index under a " +
+                  s"${d.dims}-extent dataspace that needs more chunks")
+            }
+            if (storedSize0 < 0 && d.filters.nonEmpty)
+              fail(label, s"'${d.name}': unfiltered single chunk under a filter pipeline")
+            if (storedSize0 >= 0 && d.filters.isEmpty)
+              fail(label, s"'${d.name}': filtered single chunk without a filter pipeline")
+            val storedSize = if (storedSize0 < 0) chunkBytes else storedSize0
+            decodeChunk(addr, storedSize, Seq.fill(chunkDims.length)(0L))
 
           case Contiguous(_, _) => throw new IllegalStateException("unreachable")
         }

@@ -443,6 +443,37 @@ class Hdf5Spec extends SparkSpec {
       .getMessage should include("extensible-array chunk index out of scope")
   }
 
+  test("layout v4 single-chunk index: round-trip and filter-agreement rejects") {
+    // one time step + a chunk covering the whole grid = exactly one
+    // chunk, so the v4 writer takes the type-1 path (the h5py shape
+    // for datasets that fit one chunk): address/size/mask live in the
+    // layout message itself, no index structure
+    val fields = Seq(field("TMP", t0, 100), field("PRATE", t0, 700, masked = true))
+    val p = Hdf5.writeFile(
+      java.nio.file.Files.createTempDirectory("h5sc").resolve("sc.nc"),
+      fields, chunkJ = 7, chunkI = 13, layoutVersion = 4)
+    val bytes = java.nio.file.Files.readAllBytes(p)
+    Hdf5.parseDatasets(bytes, "sc").collect {
+      case d if d.name == "TMP" => d.layout
+    }.head shouldBe a[Hdf5.ChunkedSingle]
+    sortRows(Netcdf.records(bytes, "single")) shouldBe expectRows(fields)
+    Netcdf.countPresentCells(bytes, "cnt", _ => true) shouldBe
+      expectRows(fields).length.toLong
+    // the filtered flag must agree with the dataset's filter pipeline:
+    // flip flags to 0 (unfiltered single chunk) under the real
+    // shuffle+deflate pipeline -> loud reject. The v4 chunked layout
+    // message for TMP is found by its unique byte shape
+    // (4, 2, flags=2, nd=4, encLen=8).
+    val pat = Array[Byte](4, 2, 2, 4, 8)
+    val hits = bytes.indices.filter(q => q + pat.length < bytes.length &&
+      pat.indices.forall(k => bytes(q + k) == pat(k)))
+    hits should have size 2 // one per data variable
+    val c = bytes.clone()
+    hits.foreach(q => c(q + 2) = 0)
+    intercept[IllegalArgumentException](Netcdf.records(c, "mut").toSeq)
+      .getMessage should include("unfiltered single chunk under a filter pipeline")
+  }
+
   test("dense fractal-heap links: round-trip, grouped, checksum + hash rejects") {
     // enough variables that dense storage is the natural libhdf5 shape
     val vars = Seq("TMP", "PRATE", "DEW", "GUST", "VGRD", "UGRD",
